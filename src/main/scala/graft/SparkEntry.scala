@@ -1,13 +1,365 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+import graft.ops.{Columns, Concat, Grouped, Reshape, Timeseries}
+
+/** Driver contract — one runnable query per implemented operator from
+  * SURVEY.md §2, each paired with DuckDB oracle SQL in [[oracleSql]].
+  *
+  * Determinism conventions (the driver hash-compares against DuckDB):
+  *   - every query ends in an orderBy on unique keys, mirrored in the oracle;
+  *   - double aggregations go through exact decimal sums
+  *     (`sum(cast(x as decimal))`) and cast back to double, so partial-agg
+  *     ordering can never change the result;
+  *   - timestamps in outputs are formatted as strings (parquet/duckdb
+  *     timestamp-zone semantics differ).
+  */
 object SparkEntry {
+
+  /** Read one of the harness tables. The events table stores
+    * TIMESTAMP(NANOS) which Spark's parquet reader rejects; read nanos as
+    * long and truncate to microseconds (identical to DuckDB's nanos→micros
+    * conversion, keeping the oracle comparable).
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None    => df
+    }
+  }
+
+  /** Exact sum of a double column with `scale` true decimal places:
+    * decimal accumulate (associative, order-insensitive), then one
+    * deterministic cast back to double.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qJoinAgg(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  /** Star-schema join + aggregation (capability inherited from Spark; SURVEY
+    * §2.3). nation/region are broadcast explicitly — at 100 TB the fact-side
+    * tables shuffle on join keys while dims ship to every executor.
+    */
+  private def qJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+      )
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** C1 concat: three frames with deliberately perturbed schemas — int-cast
+    * quantity (widens back to double), dropped l_tax (typed null-fill),
+    * string-cast suppkey (string sink) — concatenated with an injected key
+    * column, then aggregated per source frame.
+    */
+  private def qConcatKeys(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.filter(col("l_returnflag") === "A")
+      .withColumn("l_quantity", col("l_quantity").cast("int"))
+    val nf = li.filter(col("l_returnflag") === "N").drop("l_tax")
+    val rf = li.filter(col("l_returnflag") === "R")
+      .withColumn("l_suppkey", col("l_suppkey").cast("string"))
+    Concat.concat(Seq(a, nf, rf), Seq(Seq("A"), Seq("N"), Seq("R")), Seq("src_flag"))
+      .groupBy(col("src_flag"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_tax")).as("sum_tax"),
+        count(col("l_suppkey")).as("n_supp"),
+      )
+      .orderBy(col("src_flag"))
+  }
+
+  /** P3 literal-map decode: unmapped key ('P') must yield null. */
+  private def qMapCol(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("status_name",
+        Columns.mapCol("o_orderstatus", Seq("F" -> "Fulfilled", "O" -> "Open")))
+      .groupBy(col("status_name"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_total"))
+      .orderBy(asc_nulls_first("status_name"))
+
+  /** P2 rename-by-mapping, names absent from the mapper unchanged. */
+  private def qRename(s: SparkSession, dir: String): DataFrame =
+    Columns.mapColumnNames(t(s, dir, "customer"),
+        Map("c_mktsegment" -> "segment", "c_acctbal" -> "balance"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), dsum(col("balance")).as("sum_balance"))
+      .orderBy(col("segment"))
+
+  /** P4 first-group filter (deterministic min-key variant). */
+  private def qFirstGroup(s: SparkSession, dir: String): DataFrame =
+    Columns.firstGroupOrdered(t(s, dir, "orders"), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_total"))
+
+  /** W1 window-spec builder: per-group window sum + whole-frame window
+    * (the reference's documented single-partition hazard, kept small here).
+    */
+  private def qWindowSum(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val perCust = Columns.windowSpec(Seq("o_custkey"))
+    val whole = Columns.windowSpec(Nil)
+    o.select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(perCust)
+          .cast("double").as("cust_total"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(whole)
+          .cast("double").as("global_total"),
+      )
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** U2 array successive-difference as pure Catalyst (no UDF). */
+  private def qArrayDiff(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(array_sort(collect_list(struct(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice")))).as("sorted"))
+      .select(
+        col("l_partkey"),
+        Columns.arrayDiff(transform(col("sorted"), x => x.getField("l_extendedprice")))
+          .as("price_diffs"),
+      )
+      .orderBy(col("l_partkey"))
+
+  /** W3 forward-fill per series (nulls injected on 'click' events). */
+  private def qFfill(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("value_filled",
+      when(col("event_type") === "click", lit(null).cast("double")).otherwise(col("value")))
+    Timeseries.ffill(e, Seq("user_id"), Seq("ts", "event_id"), Seq("value_filled"))
+      .select(col("event_id"), col("user_id"), col("value_filled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W2+W3 — forward-fill bounded by the reference's shifted (Feb→Jan+1)
+    * year: fill must not cross the February boundary.
+    */
+  private def qShiftedFfill(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("value_filled",
+      when(col("event_type") === "click", lit(null).cast("double")).otherwise(col("value")))
+    Timeseries.shiftedWithinYearFfill(e, Seq("user_id"), "ts", Seq("value_filled"),
+        tieBreakCols = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("value_filled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** U1 grouped-map table function: per-group demean inside the executor
+    * JVM via flatMapGroups (integral quantities ⇒ order-insensitive sums).
+    */
+  private def qGroupedApply(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val outSchema = StructType.fromDDL("l_orderkey bigint, l_linenumber int, q_demeaned double")
+    Grouped.applyPerGroup(li, Seq("l_partkey"), outSchema) { (_, rows) =>
+      val buf = rows.toSeq
+      val mean = buf.iterator.map(_.getDouble(3)).sum / buf.size
+      buf.iterator.map(r => Row(r.getLong(1), r.getInt(2), r.getDouble(3) - mean))
+    }
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** R1 unstack (long→wide pivot) with explicit pivot values. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    Reshape.unstack(t(s, dir, "lineitem"), Seq("l_linestatus"), "l_returnflag",
+        "l_quantity", Seq("A", "N", "R"), c => sum(col(c)))
+      .orderBy(col("l_linestatus"))
+
+  /** R2 stack (wide→long unpivot): round-trips [[qPivot]] back to long. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Reshape.unstack(t(s, dir, "lineitem"), Seq("l_linestatus"),
+      "l_returnflag", "l_quantity", Seq("A", "N", "R"), c => sum(col(c)))
+    Reshape.stack(wide, Seq("l_linestatus"), Seq("A", "N", "R"), "l_returnflag", "sum_qty")
+      .filter(col("sum_qty").isNotNull) // pandas stack dropna=True semantics
+      .orderBy(col("l_linestatus"), col("l_returnflag"))
+  }
+
+  /** Event-time tumbling window aggregation (batch form of the streaming
+    * operator; window start emitted as string for oracle parity).
+    */
+  private def qTumbling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Sessionization: 30-minute-gap sessions via lag + running sum
+    * (microsecond-exact gap comparison on both engines).
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+    val newSession = when(gapUs.isNull || gapUs > lit(1800000000L), 1).otherwise(0)
+    t(s, dir, "events")
+      .withColumn("session_seq",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        dsum(col("value")).as("sum_value"),
+      )
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** JSON extraction from the events.props payload column. */
+  private def qJsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  // ------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_agg" -> (qJoinAgg _),
+    "q_concat_keys" -> (qConcatKeys _),
+    "q_map_col" -> (qMapCol _),
+    "q_rename" -> (qRename _),
+    "q_first_group" -> (qFirstGroup _),
+    "q_window_sum" -> (qWindowSum _),
+    "q_array_diff" -> (qArrayDiff _),
+    "q_ffill" -> (qFfill _),
+    "q_shifted_ffill" -> (qShiftedFfill _),
+    "q_grouped_apply" -> (qGroupedApply _),
+    "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_tumbling" -> (qTumbling _),
+    "q_sessionize" -> (qSessionize _),
+    "q_json_props" -> (qJsonProps _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_join_agg" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_concat_keys" ->
+      """WITH u AS (
+        |  SELECT 'A' AS src_flag, CAST(CAST(l_quantity AS INTEGER) AS DOUBLE) AS l_quantity,
+        |         l_tax, CAST(l_suppkey AS VARCHAR) AS l_suppkey
+        |  FROM lineitem WHERE l_returnflag = 'A'
+        |  UNION ALL
+        |  SELECT 'N', l_quantity, CAST(NULL AS DOUBLE), CAST(l_suppkey AS VARCHAR)
+        |  FROM lineitem WHERE l_returnflag = 'N'
+        |  UNION ALL
+        |  SELECT 'R', l_quantity, l_tax, CAST(l_suppkey AS VARCHAR)
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT src_flag, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_tax,
+        |  COUNT(l_suppkey) AS n_supp
+        |FROM u GROUP BY src_flag ORDER BY src_flag""".stripMargin,
+    "q_map_col" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'Fulfilled' WHEN 'O' THEN 'Open' END AS status_name,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY 1 ORDER BY status_name NULLS FIRST""".stripMargin,
+    "q_rename" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_balance
+        |FROM customer GROUP BY 1 ORDER BY segment""".stripMargin,
+    "q_first_group" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders
+        |WHERE o_orderpriority = (SELECT min(o_orderpriority) FROM orders)
+        |GROUP BY 1""".stripMargin,
+    "q_window_sum" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS DOUBLE) AS global_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_array_diff" ->
+      """WITH g AS (
+        |  SELECT l_partkey, list(l_extendedprice ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS p
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, [p[i+1] - p[i] FOR i IN range(1, len(p))] AS price_diffs
+        |FROM g ORDER BY l_partkey""".stripMargin,
+    "q_ffill" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_shifted_ffill" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id, year(ts - INTERVAL 1 MONTH) ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_grouped_apply" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber,
+        |  l_quantity - SUM(l_quantity) OVER (PARTITION BY l_partkey)
+        |               / COUNT(*) OVER (PARTITION BY l_partkey) AS q_demeaned
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  SUM(l_quantity) FILTER (l_returnflag = 'A') AS "A",
+        |  SUM(l_quantity) FILTER (l_returnflag = 'N') AS "N",
+        |  SUM(l_quantity) FILTER (l_returnflag = 'R') AS "R"
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_linestatus, l_returnflag, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT *,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types.StructType
+
+/** U1 — grouped-map table function (flagship #2).
+  *
+  * The reference wraps a `pandas.DataFrame → pandas.DataFrame` function as a
+  * GROUPED_MAP pandas_udf and re-attaches the group-key columns by sampling
+  * the first input row (reference: ons_utils/pyspark/general.py:42-106,
+  * key re-attach at 97-104). The Spark-native form is
+  * `KeyValueGroupedDataset.flatMapGroups`:
+  *
+  *   - the group key arrives as a function argument, so key re-attachment is
+  *     exact (no first-row sampling) and works for empty-output groups;
+  *   - the function runs inside the executor JVM — no Arrow IPC hop and no
+  *     Python worker process, deleting the reference's two biggest
+  *     per-group overheads;
+  *   - physical plan: one hash-partition Exchange on the keys, then
+  *     partition-local group iteration. One shuffle, same as the reference,
+  *     minus the serialization.
+  *
+  * The output schema is explicit (`StructType`), keeping the reference's
+  * dynamic-schema capability; unlike the reference (which trusts the
+  * declared DDL, general.py:57-60) the Row encoder validates shapes at
+  * runtime.
+  */
+object Grouped {
+
+  /** Apply `f` to each group's rows; group-key columns are prepended to
+    * `f`'s output automatically (reference behavior with `groups` always
+    * re-attached).
+    *
+    * @param outSchema schema of `f`'s output rows (keys excluded)
+    */
+  def applyPerGroup(
+      df: DataFrame,
+      groups: Seq[String],
+      outSchema: StructType,
+  )(f: (Row, Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val keySchema = StructType(groups.map(g => df.schema(g)))
+    val fullSchema = StructType(keySchema.fields ++ outSchema.fields)
+    val keyEnc = Encoders.row(keySchema)
+    val outEnc = Encoders.row(fullSchema)
+    val keyIdx = groups.map(df.schema.fieldIndex)
+
+    df.groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(keyEnc)
+      .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
+        f(key, rows).map(out => Row.fromSeq(key.toSeq ++ out.toSeq))
+      }(outEnc)
+      .toDF()
+  }
+
+  /** Convenience overload for whole-group materialized transforms, the
+    * closest analog of the reference's pandas-frame-in/pandas-frame-out
+    * contract. Only use when groups are known to fit in executor memory —
+    * the Iterator form above streams.
+    */
+  def applyPerGroupSeq(
+      df: DataFrame,
+      groups: Seq[String],
+      outSchema: StructType,
+  )(f: Seq[Row] => Seq[Row]): DataFrame =
+    applyPerGroup(df, groups, outSchema)((_, it) => f(it.toSeq).iterator)
+}

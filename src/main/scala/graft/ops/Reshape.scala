@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pivot / reshape operators (R1-R7).
+  *
+  * The reference does these driver-side on pandas MultiIndex frames
+  * (reference: ons_utils/pandas.py:21-118, generic.py:9-88); here the
+  * long↔wide moves are distributed `pivot` / `unpivot`. The behavior
+  * contracts ported are: unstack∘stack = identity (modulo row order), and
+  * pivoted column order = sorted distinct pivot values (deterministic, so
+  * results are oracle-comparable).
+  */
+object Reshape {
+
+  /** R1 — unstack (long→wide): `pivot` on the index column. Passing
+    * `pivotValues` explicitly skips the extra distinct-values job AND keeps
+    * the plan static for very large inputs — always pass them when known.
+    */
+  def unstack(
+      df: DataFrame,
+      rowKeys: Seq[String],
+      pivotCol: String,
+      valueCol: String,
+      pivotValues: Seq[Any] = Nil,
+      agg: String => Column = c => first(col(c)),
+  ): DataFrame = {
+    val g = df.groupBy(rowKeys.map(col): _*)
+    val p = if (pivotValues.nonEmpty) g.pivot(pivotCol, pivotValues) else g.pivot(pivotCol)
+    p.agg(agg(valueCol))
+  }
+
+  /** R2 — stack (wide→long): `unpivot`, the inverse of [[unstack]]. */
+  def stack(
+      df: DataFrame,
+      ids: Seq[String],
+      valueCols: Seq[String],
+      varName: String,
+      valueName: String,
+  ): DataFrame =
+    df.unpivot(ids.map(col).toArray, valueCols.map(col).toArray, varName, valueName)
+
+  /** R4 — index level → datetime (reference pandas.py:67-79). */
+  def levelToDatetime(df: DataFrame, level: String): DataFrame =
+    df.withColumn(level, to_timestamp(col(level)))
+
+  /** A2 — distinct level-combination values (reference pandas.py:112-118). */
+  def indexLevelValues(df: DataFrame, levels: Seq[String]): DataFrame =
+    df.select(levels.map(col): _*).distinct()
+
+  /** R5 — MultiIndex slicer as a filter-expression builder (reference
+    * pandas.py:82-109; we raise on arity mismatch instead of returning the
+    * error, fixing the reference's returned-not-raised ValueError quirk).
+    */
+  def levelSlicer(levels: Seq[String], values: Seq[Any]): Column = {
+    require(values.length == levels.length,
+      s"number of values (${values.length}) must match number of levels (${levels.length})")
+    levels.zip(values).map { case (l, v) => col(l) === lit(v) }.reduce(_ && _)
+  }
+
+  /** R6 — invert nested keys (reference generic.py:9-11), driver-local. */
+  def invertNestedKeys[V](m: Map[Seq[String], V]): Map[Seq[String], V] =
+    m.map { case (k, v) => k.reverse -> v }
+
+  /** R7 — key-value pair explosion (reference generic.py:14-25): seq-valued
+    * entries become cartesian (k, v) pairs, scalars pass through.
+    */
+  def keyValuePairs(m: Seq[(String, Any)]): Seq[(String, Any)] =
+    m.flatMap {
+      case (k, vs: Seq[_]) => vs.map(v => k -> (v: Any))
+      case (k, v)          => Seq(k -> v)
+    }
+
+  /** R3 support — flatten a nested map to full-depth key paths (reference
+    * generic.py via pandas.py:9-18), driver-local config machinery.
+    */
+  def flattenNested(m: Map[String, Any], prefix: Seq[String] = Nil): Seq[(Seq[String], Any)] =
+    m.toSeq.flatMap {
+      case (k, nested: Map[_, _]) =>
+        flattenNested(nested.asInstanceOf[Map[String, Any]], prefix :+ k)
+      case (k, v) => Seq((prefix :+ k) -> v)
+    }
+
+  /** Tuple-key padding (reference generic.py:28-65 `fill_tuples`): pad each
+    * key to the max length, repeating the last element (`method="ffill"`),
+    * the first (`"bfill"`), or duplicating the single element everywhere.
+    */
+  def fillTuples(keys: Seq[Seq[String]], method: String = "ffill"): Seq[Seq[String]] = {
+    val maxLen = keys.map(_.length).max
+    keys.map { k =>
+      if (k.length == maxLen) k
+      else method match {
+        case "ffill"  => k ++ Seq.fill(maxLen - k.length)(k.last)
+        case "bfill"  => Seq.fill(maxLen - k.length)(k.head) ++ k
+        case "repeat" => if (k.length == 1) Seq.fill(maxLen)(k.head) else k
+        case other    => throw new IllegalArgumentException(s"unknown fill method: $other")
+      }
+    }
+  }
+}

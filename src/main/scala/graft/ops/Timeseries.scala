@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series fill / shifted-year operators (W2-W3).
+  *
+  * The reference implements these driver-side on pandas MultiIndex frames
+  * (reference: ons_utils/pandas.py:121-138 `shifted_within_year_apply` /
+  * `shifted_within_year_ffill`); here they are distributed window
+  * operations: one hash-partition shuffle on the series keys, then
+  * partition-local sorted scans — no driver materialization, scales with
+  * cluster width.
+  */
+object Timeseries {
+
+  /** Forward-fill nulls in `valueCols`, per `parts` partition, ordered by
+    * `orderCols` (give enough columns for a total order — ties make fill
+    * results nondeterministic) — the classic
+    * `last(ignoreNulls).over(unboundedPreceding)` frame.
+    */
+  def ffill(df: DataFrame, parts: Seq[String], orderCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(parts.map(col): _*).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Backward-fill complement of [[ffill]]. */
+  def bfill(df: DataFrame, parts: Seq[String], orderCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(parts.map(col): _*).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    valueCols.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** The reference's "shifted year": a Feb→Jan+1 fiscal-style year obtained
+    * by shifting the timestamp back one month before extracting the year
+    * (behavioral equivalent of the pandas shift(-1)/shift(1) sandwich in
+    * reference pandas.py:121-133).
+    */
+  def shiftedYear(ts: Column): Column = year(add_months(ts, -1))
+
+  /** W3 — forward-fill within the shifted year (reference pandas.py:136-138):
+    * fill only propagates inside a (series keys × shifted-year) partition.
+    */
+  def shiftedWithinYearFfill(
+      df: DataFrame,
+      parts: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
+      tieBreakCols: Seq[String] = Nil,
+  ): DataFrame = {
+    val tagged = df.withColumn("__shifted_year", shiftedYear(col(tsCol)))
+    ffill(tagged, parts :+ "__shifted_year", tsCol +: tieBreakCols, valueCols).drop("__shifted_year")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.schema
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Dtype lattice + schema introspection helpers.
+  *
+  * Coercion semantics follow the reference library's union-coercion rules
+  * (reference: ons_utils/pyspark/concat.py:24-33 precedence list,
+  * concat.py:209-244 final-schema resolution):
+  *
+  *   - `string` is a universal coercion sink: if any frame has a column as
+  *     string, every frame casts that column to string.
+  *   - numeric columns widen to the highest-precedence numeric type present,
+  *     with the reference's deliberate, non-Spark ordering where
+  *     `decimal(10,0)` outranks `double` (verified by reference test
+  *     tests/pyspark/test_concat.py:452-455).
+  *   - a column entirely missing from a frame counts as `int` for the
+  *     "is this column numeric everywhere" test, but the missing slot does
+  *     not influence which numeric type wins (concat.py:222-232).
+  *   - anything else that differs across frames is non-coercible.
+  *
+  * All work here is driver-side metadata manipulation: cost scales with the
+  * number of columns, never with rows — safe at any data scale.
+  */
+object Types {
+
+  /** Numeric precedence, big → small (reference concat.py:24-33). */
+  val sparkNumberTypes: Seq[String] = Seq(
+    "decimal(10,0)",
+    "double",
+    "float",
+    "bigint",
+    "int",
+    "smallint",
+    "tinyint",
+  )
+
+  /** Dtype string a missing column contributes to the numeric test
+    * (reference concat.py:224).
+    */
+  val missingDefault: String = "int"
+
+  /** `(name, dtype-string)` pairs for a DataFrame, PySpark `df.dtypes`-style
+    * (dtype strings are `DataType.simpleString`, identical notation).
+    */
+  def dtypes(df: DataFrame): Seq[(String, String)] =
+    df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString))
+
+  /** P6 `get_fields` (reference ons_utils/pyspark/general.py:128-149),
+    * normalized to always return a Seq (the reference's dict-returning
+    * no-selection branch is a quirk we do not replicate).
+    */
+  def getFields(df: DataFrame, selection: Option[Seq[String]] = None): Seq[(String, String)] = {
+    val all = dtypes(df)
+    selection match {
+      case Some(names) => all.filter { case (n, _) => names.contains(n) }
+      case None        => all
+    }
+  }
+
+  /** P6 `get_ddl_schema` (reference general.py:109-125): DDL string from
+    * `(name, dtype)` pairs, one field per line.
+    */
+  def getDdlSchema(fields: Seq[(String, String)]): String =
+    fields.map { case (n, d) => s"$n $d" }.mkString(",\n")
+
+  /** Parse a DDL string back to a StructType. */
+  def fromDdl(ddl: String): StructType = StructType.fromDDL(ddl)
+
+  /** Resolve the target dtype for one column across frames.
+    *
+    * `dtypesAcrossFrames` has one entry per frame: `Some(dtype)` if the frame
+    * has the column, `None` if missing. Returns the coerced dtype, or throws
+    * `IllegalArgumentException` when the column is non-coercible (the
+    * reference raises TypeError, concat.py:234-238).
+    */
+  def coerceColumn(name: String, dtypesAcrossFrames: Seq[Option[String]]): String = {
+    val present = dtypesAcrossFrames.flatten.distinct
+    if (present.exists(_ == "string")) {
+      "string"
+    } else {
+      // Missing slots count as int for the all-numeric test only.
+      val forTest = dtypesAcrossFrames.map(_.getOrElse(missingDefault))
+      if (forTest.forall(sparkNumberTypes.contains)) {
+        sparkNumberTypes.find(present.contains).getOrElse(missingDefault)
+      } else if (present.size == 1 && dtypesAcrossFrames.forall(_.isDefined)) {
+        present.head
+      } else {
+        throw new IllegalArgumentException(
+          s"Spark column data type mismatch, can't auto-convert between types" +
+            s" for column '$name': ${dtypesAcrossFrames.map(_.getOrElse("<missing>")).mkString(", ")}"
+        )
+      }
+    }
+  }
+
+  /** Parse a dtype string to a Catalyst DataType (inverse of simpleString
+    * for the types the lattice handles).
+    */
+  def toDataType(dtype: String): DataType =
+    StructType.fromDDL(s"c $dtype").head.dataType
+}

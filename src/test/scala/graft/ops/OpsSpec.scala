@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.{assertDfEquality, createDf}
+
+class ColumnsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("mapCol decodes via literal map; unmapped keys yield null") {
+    val df = createDf(spark, Seq("code"), Seq(Seq("F"), Seq("O"), Seq("P")))
+    val out = df.withColumn("name", Columns.mapCol("code", Seq("F" -> "full", "O" -> "open")))
+    val got = out.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("F" -> "full", "O" -> "open", "P" -> null))
+  }
+
+  test("mapCol supports array-valued mappings (reference general.py:156-158)") {
+    val df = createDf(spark, Seq("code"), Seq(Seq("a")))
+    val out = df.withColumn("arr", Columns.mapCol("code", Seq("a" -> Seq(1.0f, 2.0f))))
+    assert(out.head().getSeq[Float](1) == Seq(1.0f, 2.0f))
+  }
+
+  test("mapColumnNames renames only mapped columns") {
+    val df = createDf(spark, Seq("a", "b"), Seq(Seq(1, 2)))
+    val out = Columns.mapColumnNames(df, Map("a" -> "x"))
+    assert(out.columns.toSeq == Seq("x", "b"))
+  }
+
+  test("arrayDiff matches naive successive differences, incl. degenerate sizes") {
+    val df = createDf(spark, "a array<double>", Seq(
+      Seq(Seq(1.0, 3.0, 6.0, 10.0)), Seq(Seq(5.0)), Seq(Seq.empty[Double])))
+    val got = df.select(Columns.arrayDiff(col("a"))).collect().map(_.getSeq[Double](0).toSeq).toSet
+    assert(got == Set(Seq(2.0, 3.0, 4.0), Seq.empty[Double]))
+  }
+
+  test("getFirstGroup keeps exactly one group; firstGroupOrdered keeps the min") {
+    val df = createDf(spark, Seq("g", "v"), Seq(Seq("b", 1), Seq("a", 2), Seq("a", 3)))
+    val first = Columns.firstGroupOrdered(df, Seq("g"))
+    assert(first.select("g").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(first.count() == 2)
+    assert(Columns.getFirstGroup(df, Seq("g")).select("g").distinct().count() == 1)
+  }
+
+  test("windowSpec: grouped vs whole-frame sums") {
+    val df = createDf(spark, Seq("g", "v"), Seq(Seq("a", 1), Seq("a", 2), Seq("b", 3)))
+    val out = df.select(col("g"),
+      sum("v").over(Columns.windowSpec(Seq("g"))).as("per_g"),
+      sum("v").over(Columns.windowSpec()).as("total"))
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("a", 3L, 6L), ("b", 3L, 6L)))
+  }
+
+  test("toList: single column flattens, multi column nests") {
+    val df = createDf(spark, Seq("a", "b"), Seq(Seq(1, "x")))
+    assert(Columns.toList(df.select("a")) == Seq(1))
+    assert(Columns.toList(df) == Seq(Seq(1, "x")))
+  }
+}
+
+class TimeseriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+
+  test("ffill fills forward within partition, bfill backward") {
+    val df = createDf(spark, "g string, t timestamp, v double", Seq(
+      Seq("a", ts("2024-01-01 00:00:00"), 1.0),
+      Seq("a", ts("2024-01-02 00:00:00"), null),
+      Seq("a", ts("2024-01-03 00:00:00"), 3.0),
+      Seq("b", ts("2024-01-01 00:00:00"), null)))
+    val f = Timeseries.ffill(df, Seq("g"), Seq("t"), Seq("v"))
+      .orderBy("g", "t").collect().map(r => Option(r.get(2)))
+    assert(f.toSeq == Seq(Some(1.0), Some(1.0), Some(3.0), None))
+    val b = Timeseries.bfill(df, Seq("g"), Seq("t"), Seq("v"))
+      .orderBy("g", "t").collect().map(r => Option(r.get(2)))
+    assert(b.toSeq == Seq(Some(1.0), Some(3.0), Some(3.0), None))
+  }
+
+  test("shifted year: January belongs to the previous year") {
+    val df = createDf(spark, "t timestamp", Seq(
+      Seq(ts("2024-01-15 00:00:00")), Seq(ts("2024-02-01 00:00:00")), Seq(ts("2024-12-31 00:00:00"))))
+    val got = df.select(Timeseries.shiftedYear(col("t"))).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2023, 2024, 2024))
+  }
+
+  test("shiftedWithinYearFfill does not fill across the February boundary") {
+    val df = createDf(spark, "g string, t timestamp, v double", Seq(
+      Seq("a", ts("2024-01-15 00:00:00"), 7.0),
+      Seq("a", ts("2024-02-02 00:00:00"), null),
+      Seq("a", ts("2024-03-01 00:00:00"), 9.0),
+      Seq("a", ts("2024-03-02 00:00:00"), null)))
+    val got = Timeseries.shiftedWithinYearFfill(df, Seq("g"), "t", Seq("v"))
+      .orderBy("t").collect().map(r => Option(r.get(2)))
+    assert(got.toSeq == Seq(Some(7.0), None, Some(9.0), Some(9.0)))
+  }
+}
+
+class ReshapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("unstack then stack round-trips (modulo row order)") {
+    val long = createDf(spark, Seq("row", "piv", "v"), Seq(
+      Seq("r1", "a", 1.0), Seq("r1", "b", 2.0), Seq("r2", "a", 3.0), Seq("r2", "b", 4.0)))
+    val wide = Reshape.unstack(long, Seq("row"), "piv", "v", Seq("a", "b"))
+    assert(wide.columns.toSeq == Seq("row", "a", "b"))
+    val back = Reshape.stack(wide, Seq("row"), Seq("a", "b"), "piv", "v")
+    assertDfEquality(back, long)
+  }
+
+  test("stack drops null cells (pandas dropna semantics)") {
+    val long = createDf(spark, Seq("row", "piv", "v"), Seq(Seq("r1", "a", 1.0), Seq("r2", "b", 4.0)))
+    val wide = Reshape.unstack(long, Seq("row"), "piv", "v", Seq("a", "b"))
+    val back = Reshape.stack(wide, Seq("row"), Seq("a", "b"), "piv", "v")
+      .filter(col("v").isNotNull)
+    assertDfEquality(back, long)
+  }
+
+  test("levelSlicer builds the conjunction filter and validates arity") {
+    val df = createDf(spark, Seq("a", "b", "v"), Seq(Seq("x", 1, 10), Seq("x", 2, 20), Seq("y", 1, 30)))
+    val got = df.filter(Reshape.levelSlicer(Seq("a", "b"), Seq("x", 1))).select("v").head().getInt(0)
+    assert(got == 10)
+    intercept[IllegalArgumentException] { Reshape.levelSlicer(Seq("a", "b"), Seq("x")) }
+  }
+
+  test("fillTuples pads per method (reference generic.py:28-65)") {
+    assert(Reshape.fillTuples(Seq(Seq("a"), Seq("b", "c")), "ffill") == Seq(Seq("a", "a"), Seq("b", "c")))
+    assert(Reshape.fillTuples(Seq(Seq("a"), Seq("b", "c")), "bfill") == Seq(Seq("a", "a"), Seq("b", "c")))
+    assert(Reshape.fillTuples(Seq(Seq("z"), Seq("b", "c", "d")), "bfill") == Seq(Seq("z", "z", "z"), Seq("b", "c", "d")))
+  }
+
+  test("keyValuePairs explodes seq values; invertNestedKeys reverses key paths") {
+    assert(Reshape.keyValuePairs(Seq("a" -> Seq(1, 2), "b" -> 3)) ==
+      Seq("a" -> 1, "a" -> 2, "b" -> 3))
+    assert(Reshape.invertNestedKeys(Map(Seq("x", "y") -> 1)) == Map(Seq("y", "x") -> 1))
+  }
+
+  test("flattenNested produces full-depth key paths") {
+    val m = Map("a" -> Map("b" -> 1, "c" -> 2), "d" -> 3)
+    assert(Reshape.flattenNested(m).toSet ==
+      Set((Seq("a", "b"), 1), (Seq("a", "c"), 2), (Seq("d"), 3)))
+  }
+}
+
+class GroupedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("applyPerGroup re-attaches group keys and applies the function per group") {
+    val df = createDf(spark, Seq("g", "v"), Seq(Seq("a", 1.0), Seq("a", 3.0), Seq("b", 10.0)))
+    val out = Grouped.applyPerGroup(df, Seq("g"), StructType.fromDDL("demeaned double")) {
+      (_, rows) =>
+        val buf = rows.toSeq
+        val mean = buf.map(_.getDouble(1)).sum / buf.size
+        buf.iterator.map(r => Row(r.getDouble(1) - mean))
+    }
+    assert(out.columns.toSeq == Seq("g", "demeaned"))
+    val got = out.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == Set(("a", -1.0), ("a", 1.0), ("b", 0.0)))
+  }
+
+  test("applyPerGroup supports shrinking output (per-group summary rows)") {
+    val df = createDf(spark, Seq("g", "v"), Seq(Seq("a", 1.0), Seq("a", 3.0), Seq("b", 10.0)))
+    val out = Grouped.applyPerGroupSeq(df, Seq("g"), StructType.fromDDL("n int, total double")) {
+      rows => Seq(Row(rows.size, rows.map(_.getDouble(1)).sum))
+    }
+    val got = out.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 2, 4.0), ("b", 1, 10.0)))
+  }
+}
