@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StructType}
 
 import graft.ops.{Columns, Concat, Grouped, Reshape, Timeseries}
+import graft.text.{Dedup, Similarity, TextStats}
 
 /** Driver contract — one runnable query per implemented operator from
   * SURVEY.md §2, each paired with DuckDB oracle SQL in [[oracleSql]].
@@ -237,6 +238,97 @@ object SparkEntry {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  // ------------------------------------------------- text / LLM pipeline
+
+  /** Corpus statistics per language partition — tokenization, lexical
+    * diversity, stopword counts, BPE-ish subword counts.
+    */
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextStats.tokenCount(col("text"))).as("sum_tokens"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(TextStats.distinctTokenCount(col("text"))).as("sum_distinct_tokens"),
+        sum(TextStats.stopwordCount(col("text"), Seq("the", "a"))).as("sum_stopwords"),
+        sum(TextStats.subwordCount(col("text"))).as("sum_subwords"),
+      )
+      .orderBy(col("lang"))
+
+  /** Per-document quality scoring (length saturation + diversity +
+    * stopword presence), deterministic double arithmetic.
+    */
+  private def qDocQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic distribution (same heuristic mirrored in SQL). */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextStats.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_pred"))
+
+  /** Exact dedup groups keyed by md5 fingerprint. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("fingerprint"))
+
+  /** Exact 5-gram Jaccard near-dup pairs (shingle-join, no n² blowup). */
+  private def qDedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash+LSH near-dup summary (hash-dependent → rows-only check):
+    * candidate-pair count and max signature-estimated Jaccard.
+    */
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text")
+      .agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        coalesce(max(col("est_jaccard")), lit(0.0)).as("max_est_jaccard"),
+        coalesce(avg(col("est_jaccard")), lit(0.0)).as("avg_est_jaccard"),
+      )
+
+  /** SimHash clustering: docs per 32-bit simhash value (rows-only). */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(Dedup.simhash32(col("text")).as("simhash"))
+      .groupBy(col("simhash")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("simhash"))
+
+  /** Winnowing fingerprint + subword counts per doc (rows-only). */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextStats.fingerprints(col("text"), 5, 4)).as("n_fingerprints"),
+        TextStats.subwordCount(col("text")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  /** Exact brute-force cosine top-5 for 10 query vectors. */
+  private def qTopkSimilar(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-5 (the scale path; rows-only check). */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-dup pairs above cosine 0.45. */
+  private def qEmbedPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -255,6 +347,17 @@ object SparkEntry {
     "q_tumbling" -> (qTumbling _),
     "q_sessionize" -> (qSessionize _),
     "q_json_props" -> (qJsonProps _),
+    "q_text_stats" -> (qTextStats _),
+    "q_doc_quality" -> (qDocQuality _),
+    "q_lang_id" -> (qLangId _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_topk_similar" -> (qTopkSimilar _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_embed_pairs" -> (qEmbedPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -361,5 +464,68 @@ object SparkEntry {
     "q_json_props" ->
       """SELECT event_type, SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(len(string_split(text, ' '))) AS sum_tokens,
+        |  SUM(length(text)) AS sum_chars,
+        |  SUM(len(list_distinct(string_split(text, ' ')))) AS sum_distinct_tokens,
+        |  SUM(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))) AS sum_stopwords,
+        |  SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS sum_subwords
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_doc_quality" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+        |  + 0.4 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |  + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """SELECT CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |            WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+        |            WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+        |            WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+        |            ELSE 'unknown' END AS lang_pred, COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter, n_a + n_b - n_inter AS n_union,
+        |  CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+        |FROM i
+        |JOIN (SELECT doc_id, n_sh AS n_a FROM sz) sa ON i.id_a = sa.doc_id
+        |JOIN (SELECT doc_id, n_sh AS n_b FROM sz) sb ON i.id_b = sb.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_topk_similar" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+        |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.nv, c.nv), x -> x[1] * x[2])) AS cos
+        |  FROM n q, n c WHERE q.vec_id < 10 AND q.vec_id != c.vec_id)
+        |SELECT query_id, neighbor_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_embed_pairs" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+        |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.nv, b.nv), x -> x[1] * x[2])) AS cos
+        |  FROM n a, n b WHERE a.vec_id < b.vec_id)
+        |WHERE cos > 0.45 ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -1,0 +1,163 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (the 100 TB posture):
+  *   - exact dedup groups by a HASH of the content, never shuffling full
+  *     document bodies; only the fingerprint + id move in the exchange.
+  *   - near-dup never materializes the O(n²) pair space: MinHash+LSH
+  *     bands bound candidate generation to hash-bucket joins, and
+  *     n-gram-Jaccard joins on (rare) shared shingles. Bucket sizes are
+  *     the skew knob — band count / shingle size tune selectivity.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `idCol` per identical
+    * `textCol`. Hash-first: the shuffle key is xxhash64(text) (8 bytes),
+    * with a residual equality check on text inside each group to guard
+    * against hash collisions.
+    */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup group summary keyed by md5 fingerprint (oracle-friendly:
+    * DuckDB computes identical md5 hex).
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: `numHashes` independent min-hashes over the
+    * document's distinct `shingleSize`-gram set, hash_i(s) = xxhash64(i, s).
+    *
+    * Shaped as ONE `aggregate` fold over the shingle array — the expensive
+    * shingling expression is the fold's input child, so it is evaluated
+    * exactly once per row. (The naive `transform(0..n, i -> min(map(sh,
+    * hash_i)))` nesting re-evaluates the shingle construction per hash
+    * function after CollapseProject inlining — a 30×+ slowdown measured at
+    * bench scale.)
+    */
+  def minhashSignature(text: Column, numHashes: Int = 32, shingleSize: Int = 5): Column = {
+    val sh = array_distinct(TextStats.shingles(text, shingleSize))
+    aggregate(
+      sh,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s)),
+        (a, h) => least(a, h)))
+  }
+
+  /** LSH banding: hash `bands` equal slices of the signature; documents
+    * sharing any band hash are candidate near-duplicates. Returns
+    * (id, band_idx, band_hash) — the join key for candidate generation.
+    */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
+               numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val r = numHashes / bands
+    // The repartition is a deliberate materialization barrier: signatures
+    // are computed once, shuffled as (id, 8·numHashes bytes), and the
+    // identical Exchange on both sides of the candidate self-join is
+    // deduplicated by ReuseExchange — without it CollapseProject inlines
+    // the signature expression into every band lambda (bands× recompute)
+    // and the self-join doubles it again.
+    df.select(col(idCol), minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+      .repartition(col(idCol))
+      .select(col(idCol), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(r) + lit(1), lit(r))))).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** MinHash+LSH candidate pairs with signature-estimated Jaccard.
+    * The self-join runs on (band_idx, band_hash) — each bucket is tiny by
+    * construction, so the shuffle is pair-bounded, not n²-bounded.
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 5,
+                            minEstJaccard: Double = 0.0): DataFrame = {
+    val banded = lshBands(df, idCol, textCol, numHashes, bands, shingleSize)
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("band_idx"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Exact n-gram Jaccard pairs: explode distinct shingles, self-join on
+    * the shingle, count intersections, derive |union| from per-doc set
+    * sizes. Only documents sharing ≥1 shingle ever pair up — with
+    * `shingleSize` big enough this is sparse even at corpus scale.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 5, minJaccard: Double = 0.0): DataFrame = {
+    val sets = df.select(col(idCol),
+      array_distinct(TextStats.shingles(col(textCol), shingleSize)).as("sh"))
+    val sizes = sets.select(col(idCol), size(col("sh")).as("n_sh"))
+    val exploded = sets.select(col(idCol), explode(col("sh")).as("shingle"))
+    val inter = exploded.as("a")
+      .join(exploded.as("b"), col("a.shingle") === col("b.shingle") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map(idCol -> "id_a", "n_sh" -> "n_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map(idCol -> "id_b", "n_sh" -> "n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 32-bit SimHash over the document's distinct tokens: per hash bit,
+    * sum ±1 across token hashes; bit set iff the sum is non-negative.
+    * Implemented via bin-string bit extraction + array folds — all
+    * codegen, no UDF. Near-dups then cluster by simhash (or by bands of
+    * it) at scale.
+    */
+  def simhash32(text: Column): Column = {
+    val toks = array_distinct(TextStats.tokens(text))
+    // 32-char bit string (MSB first) of each token hash's low 32 bits.
+    val bitsPerToken = transform(toks,
+      t => filter(split(substring(lpad(bin(xxhash64(t)), 64, "0"), 33, 32), ""), c => c =!= ""))
+    val counts = aggregate(
+      bitsPerToken,
+      array_repeat(lit(0), 32),
+      (acc, bits) => zip_with(acc, bits, (a, c) => a + when(c === "1", 1).otherwise(-1)))
+    aggregate(counts, lit(0L), (acc, c) => acc * 2 + when(c >= 0, 1L).otherwise(0L))
+  }
+
+  /** Near-dup candidate pairs by SimHash band equality (16-bit halves):
+    * docs agreeing on either half are candidates; exact Hamming distance
+    * is then computed only on those.
+    */
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol), simhash32(col(textCol)).as("sh"))
+    val banded = hashed.select(col(idCol), col("sh"),
+      posexplode(array(shiftright(col("sh"), 16), col("sh").bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("band_idx"), col("band_val"))
+    val b = banded.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("band_idx"), col("band_val"))
+    val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

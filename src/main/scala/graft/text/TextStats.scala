@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, n-gram shingles, quality metrics, language-ID heuristic,
+  * winnowing fingerprints. All pure Catalyst expressions (higher-order
+  * array functions) — no UDFs, so everything stays inside whole-stage
+  * codegen and scales linearly with tokens per row.
+  */
+object TextStats {
+
+  /** Whitespace tokenization (single-space corpus) — keep the contract
+    * trivial so oracles can reproduce it (`string_split`).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-alnum chars — a cheap proxy for tokenizer load estimation.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles joined by spaces; empty array when the document
+    * is shorter than `n` words.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n), i => array_join(slice(w, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val sw = stopwords.map(lit(_))
+    size(filter(tokens(text), t => t.isin(sw: _*)))
+  }
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Composite quality score in [0,1]: length saturation, lexical
+    * diversity, stopword presence. Deterministic double arithmetic over
+    * integer-valued counts (oracle-safe).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = Seq("the", "a")): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = least(n / lit(50.0), lit(1.0))
+    val diversity = distinctTokenCount(text).cast("double") / n
+    val stopRatio = stopwordCount(text, stopwords).cast("double") / n
+    lit(0.4) * lenScore + lit(0.4) * diversity + lit(0.2) * stopRatio
+  }
+
+  /** Language-ID heuristic: charset ranges first (CJK, Cyrillic, kana),
+    * then an English stopword probe. Deliberately simple and
+    * SQL-reproducible; a real pipeline would swap in a trained n-gram
+    * model behind the same Column→Column contract.
+    */
+  def langId(text: Column): Column =
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(text.rlike("[\\u3040-\\u30ff]"), "ja")
+      .when(text.rlike("[\\u0400-\\u04ff]"), "ru")
+      .when(array_contains(tokens(text), "the"), "en")
+      .otherwise("unknown")
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
+    * every k-gram, take the minimum hash of each sliding window of `w`
+    * consecutive k-gram hashes, dedupe. Robust to local edits; the
+    * distinct min-hashes are the document's fingerprint set.
+    */
+  def fingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val hashes = transform(shingles(text, k), s => xxhash64(s))
+    when(size(hashes) >= w,
+      array_distinct(transform(sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + lit(1), lit(w))))))
+      .when(size(hashes) > 0, array(array_min(hashes)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("shingles produce overlapping n-grams; short docs yield empty") {
+    val df = createDf(spark, Seq("t"), Seq(Seq("a b c d"), Seq("a b")))
+    val got = df.select(TextStats.shingles(col("t"), 3)).collect()
+      .map(_.getSeq[String](0).toSeq).toSet
+    assert(got == Set(Seq("a b c", "b c d"), Seq.empty[String]))
+  }
+
+  test("token/stopword/distinct counts and quality score bounds") {
+    val df = createDf(spark, Seq("t"), Seq(Seq("the fast the fast a b")))
+    val row = df.select(
+      TextStats.tokenCount(col("t")),
+      TextStats.stopwordCount(col("t"), Seq("the", "a")),
+      TextStats.distinctTokenCount(col("t")),
+      TextStats.qualityScore(col("t"))).head()
+    assert(row.getInt(0) == 6 && row.getInt(1) == 3 && row.getInt(2) == 4)
+    assert(row.getDouble(3) > 0.0 && row.getDouble(3) <= 1.0)
+  }
+
+  test("langId picks charset branches then stopword probe") {
+    val df = createDf(spark, Seq("t"), Seq(
+      Seq("the quick fox"), Seq("中文文本"), Seq("xyz abc")))
+    val got = df.select(TextStats.langId(col("t"))).collect().map(_.getString(0)).toSet
+    assert(got == Set("en", "zh", "unknown"))
+  }
+
+  test("fingerprints: winnowing selects window minima, deduped") {
+    val df = createDf(spark, Seq("t"),
+      Seq(Seq("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")))
+    val fp = df.select(TextStats.fingerprints(col("t"), 3, 2)).head().getSeq[Long](0)
+    assert(fp.nonEmpty && fp.distinct.size == fp.size)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val docs = Seq(
+    Seq(1L, "the quick brown fox jumps over the lazy dog today"),
+    Seq(2L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+    Seq(3L, "the quick brown fox jumps over the lazy cat today"), // near dup
+    Seq(4L, "completely different words appear in this document here now"))
+
+  private def df = createDf(spark, "id bigint, text string", docs)
+
+  test("dedupExact keeps min-id row per identical text") {
+    val out = Dedup.dedupExact(df, "text", "id")
+    assert(out.count() == 3)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+  }
+
+  test("exactGroups counts duplicate groups") {
+    val g = Dedup.exactGroups(df, "text", "id").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(g == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("minhash signatures identical for identical docs, similar for near-dups") {
+    val sig = df.select(col("id"), Dedup.minhashSignature(col("text"), 16, 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L) == sig(2L))
+    val agree = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(agree > 0, "near-dups should share some minhashes")
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("minhashCandidatePairs surfaces the exact-dup pair with est 1.0") {
+    val pairs = Dedup.minhashCandidatePairs(df, "id", "text", 16, 4, 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0)
+  }
+
+  test("ngramJaccardPairs computes exact intersection/union") {
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "text", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(pairs((1L, 2L)) == (8L, 8L)) // identical: 8 distinct 3-grams each
+    assert(pairs.contains((1L, 3L)) && !pairs.contains((1L, 4L)))
+  }
+
+  test("simhash32 equal for dups, close for near-dups, fits in 32 bits") {
+    val sh = df.select(col("id"), Dedup.simhash32(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
+    val ham13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val ham14 = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(ham13 < ham14, s"near-dup hamming $ham13 should beat unrelated $ham14")
+  }
+
+  test("simhashCandidatePairs finds dup pair at hamming 0") {
+    val got = Dedup.simhashCandidatePairs(df, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.contains((1L, 2L, 0)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val vecs = Seq(
+    Seq(1L, Seq(1.0f, 0.0f, 0.0f)),
+    Seq(2L, Seq(0.9f, 0.1f, 0.0f)),
+    Seq(3L, Seq(0.0f, 1.0f, 0.0f)),
+    Seq(4L, Seq(0.0f, 0.0f, 1.0f)))
+  private def df = createDf(spark, "vec_id bigint, v array<float>", vecs)
+
+  test("cosine: orthogonal = 0, identical = 1") {
+    val d2 = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(d2((1L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(d2((1L, 3L))) < 1e-12)
+    assert(d2((1L, 2L)) > 0.9)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val top = Similarity.bruteForceTopK(df.filter(col("vec_id") === 1), df, "vec_id", "v", 2)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(top.toSeq.sortBy(_._2).map(_._1) == Seq(2L, 3L))
+  }
+
+  test("lshBucket: same bucket for identical vectors, deterministic planes") {
+    val planes = Similarity.randomPlanes(4, 3)
+    assert(planes == Similarity.randomPlanes(4, 3))
+    val b = df.select(Similarity.lshBucket(Similarity.toDoubleArr(col("v")), planes))
+      .collect().map(_.getInt(0))
+    assert(b.forall(x => x >= 0 && x < 16))
+  }
+
+  test("cosineNearDupPairs finds only the near-identical pair at 0.9") {
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "v", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}
