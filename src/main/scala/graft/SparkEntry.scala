@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StructType}
 
+import graft.multimodal.Multimodal
 import graft.ops.{Columns, Concat, Grouped, Reshape, Timeseries}
+import graft.streaming.Streaming
 import graft.text.{Dedup, Similarity, TextStats}
 
 /** Driver contract — one runnable query per implemented operator from
@@ -238,6 +240,27 @@ object SparkEntry {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Sliding event-time windows (1h window, 30m slide — every event lands
+    * in two windows).
+    */
+  private def qSliding(s: SparkSession, dir: String): DataFrame =
+    Streaming.slidingAgg(t(s, dir, "events"), "ts", "1 hour", "30 minutes", Nil,
+        Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"))
+
+  /** Native gap-based session windows (session_window), the declarative
+    * form of [[qSessionize]].
+    */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Streaming.sessionAgg(t(s, dir, "events"), "ts", "30 minutes", Seq("user_id"),
+        Seq(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value")))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   // ------------------------------------------------- text / LLM pipeline
 
   /** Corpus statistics per language partition — tokenization, lexical
@@ -329,6 +352,38 @@ object SparkEntry {
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ------------------------------------------------------- multimodal
+
+  /** Binary payload metadata (size, sha256 content key, format sniff) over
+    * text-as-binary payloads.
+    */
+  private def qBinaryMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("payload", col("text").cast("binary"))
+    Multimodal.withBinaryMeta(d, "payload")
+      .select(col("doc_id"), col("n_bytes"), col("sha"), col("format"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stubbed image decode through the real mapPartitions plumbing
+    * (deterministic fake decode; rows-only check).
+    */
+  private def qDecodeStub(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.decodeImageStub(d, "doc_id", "payload")
+      .select(col("doc_id"), col("width"), col("height"), col("n_channels"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stubbed video frame sampling: frames per payload (rows-only check). */
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.sampleFramesStub(d, "doc_id", "payload", frameBytes = 64, stride = 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -358,6 +413,11 @@ object SparkEntry {
     "q_topk_similar" -> (qTopkSimilar _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_embed_pairs" -> (qEmbedPairs _),
+    "q_sliding" -> (qSliding _),
+    "q_session_window" -> (qSessionWindow _),
+    "q_binary_meta" -> (qBinaryMeta _),
+    "q_decode_stub" -> (qDecodeStub _),
+    "q_frame_sample" -> (qFrameSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -527,5 +587,34 @@ object SparkEntry {
         |    list_sum(list_transform(list_zip(a.nv, b.nv), x -> x[1] * x[2])) AS cos
         |  FROM n a, n b WHERE a.vec_id < b.vec_id)
         |WHERE cos > 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "q_sliding" ->
+      """SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT value, unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS win_start
+        |  FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT *,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+    "q_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,
+        |  'unknown' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,69 @@
+package graft.config
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Config validation against the catalog and the filesystem (reference:
+  * ons_utils/config/validation.py). The py4j `_jsparkSession.catalog()`
+  * bridge hack (validation.py:318-320) becomes the public
+  * `spark.catalog.tableExists`; HDFS probes go through the session's Hadoop
+  * FileSystem with a small memo cache (the reference's lru_cache,
+  * validation.py:313-315). The reference's `get_inner` recursion bug
+  * (validation.py:275, drops the config argument) is not replicated.
+  */
+object Validation {
+
+  private val fileCache = mutable.Map.empty[String, Boolean]
+
+  /** S2 — Hive/catalog table existence. */
+  def tableExists(spark: SparkSession, database: String, table: String): Boolean =
+    spark.catalog.tableExists(s"$database.$table")
+
+  /** S1 — column names of a catalog table. */
+  def tableColumns(spark: SparkSession, table: String): Seq[String] =
+    spark.catalog.listColumns(table).collect().toSeq.map(_.name)
+
+  /** S3 — file existence on the session's filesystem, memoized. */
+  def fileExists(spark: SparkSession, path: String): Boolean =
+    fileCache.getOrElseUpdate(path, {
+      val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.isFile(new HPath(path))
+    })
+
+  def clearCache(): Unit = fileCache.clear()
+
+  /** Validate that mapping-valued attr `key` holds existing input files;
+    * sections with `active: false` are skipped (validation.py:250-259).
+    * Returns human-readable error lines; empty = valid.
+    */
+  def validateInputFiles(spark: SparkSession, cfg: Config, key: String): Seq[String] = {
+    if (!cfg.has(key)) return Seq(s"missing config section: $key")
+    cfg.getMap(key).toSeq.flatMap {
+      case (section, m: Map[_, _]) =>
+        val sec = m.asInstanceOf[Map[String, Any]]
+        if (sec.get("active").contains(false)) Nil
+        else sec.collect {
+          case (field, path: String)
+            if field != "active" && !fileExists(spark, path) =>
+              s"$key.$section.$field: file does not exist: $path"
+        }
+      case (section, path: String) if !fileExists(spark, path) =>
+        Seq(s"$key.$section: file does not exist: $path")
+      case _ => Nil
+    }
+  }
+
+  /** Required-key/type predicate check (stand-in for the reference's
+    * cerberus schemas, which are largely commented out there).
+    */
+  def requireKeys(cfg: Config, keys: Seq[String]): Seq[String] =
+    keys.filterNot(cfg.has).map(k => s"missing required config attribute: $k")
+
+  /** Render the error report (validation.py:196-205 flavor): empty string
+    * means the config is valid.
+    */
+  def report(errors: Seq[String]): String =
+    if (errors.isEmpty) ""
+    else ("Config validation failed:" +: errors.map("  - " + _)).mkString("\n")
+}

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata.
+  *
+  * Real pipelines carry images/audio/video as parquet `binary` columns and
+  * decode inside executor batches. The decode itself needs native codec
+  * libraries that are NOT in this environment, so [[decodeImageStub]] is a
+  * clearly-marked deterministic STUB — the Spark-side contract around it
+  * (schema, batch-iterator shape, partition-local execution, typed output
+  * encoder) is real and is what the engine guarantees. Swap the stub body
+  * for an actual codec call (e.g. via JNI or an Arrow-backed worker) and
+  * nothing else changes.
+  *
+  * Scale notes: payload bytes never shuffle here — metadata extraction and
+  * decode are narrow partition-local maps; keep it that way (repartition on
+  * ids BEFORE attaching payloads if co-location is needed).
+  */
+object Multimodal {
+
+  /** Metadata columns for a binary payload: size, content hash (storage
+    * key / dedup key), magic-byte sniff of the format.
+    */
+  def withBinaryMeta(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("n_bytes", octet_length(col(payloadCol)))
+      .withColumn("sha", sha2(col(payloadCol), 256))
+      .withColumn("format",
+        when(col(payloadCol).startsWith(lit(Array[Byte](0x89.toByte, 'P', 'N', 'G'))), "png")
+          .when(col(payloadCol).startsWith(lit(Array[Byte](0xFF.toByte, 0xD8.toByte))), "jpeg")
+          .otherwise("unknown"))
+
+  /** Output schema of the stub decoder. */
+  val decodedSchema: StructType = StructType.fromDDL(
+    "width int, height int, n_channels int, feature array<float>")
+
+  /** STUB image decode + feature extraction over partition-local batches.
+    *
+    * ??? REAL DECODE GOES HERE: an actual implementation feeds `payload`
+    * to a codec (libjpeg/ffmpeg/...) and a vision encoder. This stub
+    * derives deterministic fake dimensions and a 8-dim fake feature vector
+    * from the payload bytes so the plumbing is testable end-to-end.
+    *
+    * Shape matters: `mapPartitions` receives an iterator per partition
+    * (the JVM analog of a pandas-batch UDF) — amortize model/codec init
+    * across the batch at the top of the closure, then map lazily.
+    */
+  def decodeImageStub(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val inIdx = df.schema.fieldIndex(payloadCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(df.schema(idCol)) ++ decodedSchema.fields)
+    df.mapPartitions { rows =>
+      // <- per-partition init site (codec handles, model weights) — STUB
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](inIdx)
+        val h = payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+        val width = 64 + math.floorMod(h, 512).toInt
+        val height = 64 + math.floorMod(h >> 16, 512).toInt
+        val feature = Array.tabulate(8)(i =>
+          (math.floorMod(h >> (i * 8), 1000).toInt / 1000.0f))
+        Row.fromSeq(Seq(r.get(idIdx), width, height, 3, feature.toSeq))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** STUB video frame sampling: treat the payload as a frame container and
+    * emit every `stride`-th fixed-size chunk as a frame row. A real
+    * implementation demuxes with ffmpeg; the explode-shaped output contract
+    * (one row per sampled frame, frame index attached) is the real part.
+    */
+  def sampleFramesStub(df: DataFrame, idCol: String, payloadCol: String,
+                       frameBytes: Int = 256, stride: Int = 4): DataFrame = {
+    val inIdx = df.schema.fieldIndex(payloadCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(df.schema(idCol)) ++
+      StructType.fromDDL("frame_idx int, frame binary").fields)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](inIdx)
+        payload.grouped(frameBytes).zipWithIndex
+          .filter { case (_, i) => i % stride == 0 }
+          .map { case (chunk, i) => Row.fromSeq(Seq(r.get(idIdx), i, chunk)) }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.config
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+
+class YamlSpec extends AnyFunSuite {
+
+  test("parses nested maps, lists, scalars, comments, quotes") {
+    val y =
+      """# top comment
+        |name: scenario1   # trailing comment
+        |threshold: 0.75
+        |retries: 3
+        |active: true
+        |missing: null
+        |tables:
+        |  - lineitem
+        |  - orders
+        |inline_list: [a, b, 3]
+        |nested:
+        |  inner:
+        |    deep: "quoted value"
+        |  flag: false
+        |""".stripMargin
+    val m = Yaml.parse(y).asInstanceOf[Map[String, Any]]
+    assert(m("name") == "scenario1")
+    assert(m("threshold") == 0.75)
+    assert(m("retries") == 3)
+    assert(m("active") == true)
+    assert(m("missing") == null)
+    assert(m("tables") == List("lineitem", "orders"))
+    assert(m("inline_list") == List("a", "b", 3))
+    val nested = m("nested").asInstanceOf[Map[String, Any]]
+    assert(nested("inner").asInstanceOf[Map[String, Any]]("deep") == "quoted value")
+    assert(nested("flag") == false)
+  }
+}
+
+class ConfigSpec extends AnyFunSuite {
+
+  private val yaml =
+    """name: test
+      |input_data:
+      |  lineitem: data/lineitem.parquet
+      |  orders: data/orders.parquet
+      |options:
+      |  level: 2
+      |  mode: fast
+      |groups:
+      |  - g1
+      |  - g2
+      |""".stripMargin
+
+  test("setAttrs with toUnpack promotes nested keys to top level") {
+    val cfg = Config.fromString("test", yaml, toUnpack = Seq("options"))
+    assert(cfg.get("level") == 2)
+    assert(cfg.get("mode") == "fast")
+    assert(cfg.getMap("options") == Map("level" -> 2, "mode" -> "fast"))
+  }
+
+  test("toUnpack on a non-mapping raises; non-mapping root raises ConfigFormatError") {
+    intercept[IllegalArgumentException] {
+      Config.fromString("test", yaml, toUnpack = Seq("name"))
+    }
+    intercept[ConfigFormatError] {
+      Config.fromString("bad", "- a\n- b\n")
+    }
+  }
+
+  test("extendAttr / removeFromAttr mutate sequence attributes") {
+    val cfg = Config.fromString("test", yaml)
+    cfg.extendAttr("groups", Seq("g3"))
+    assert(cfg.getSeq("groups") == Seq("g1", "g2", "g3"))
+    cfg.removeFromAttr("groups", Set("g1"))
+    assert(cfg.getSeq("groups") == Seq("g2", "g3"))
+    intercept[IllegalArgumentException] { cfg.extendAttr("name", Seq("x")) }
+  }
+
+  test("prependDir prefixes scalar and map-valued path attrs") {
+    val cfg = Config.fromString("test", yaml)
+    cfg.prependDir(Seq("input_data"), "/mnt/root")
+    assert(cfg.getMap("input_data")("lineitem") == "/mnt/root/data/lineitem.parquet")
+  }
+
+  test("load() resolves from a directory on disk") {
+    val dir = Files.createTempDirectory("graft-config")
+    Files.writeString(dir.resolve("scenario.yaml"), yaml)
+    val cfg = Config.load("scenario", dirOverride = Some(dir))
+    assert(cfg.get("name") == "test")
+  }
+}
+
+class ValidationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("tableExists via public catalog; tableColumns lists columns") {
+    spark.range(3).toDF("id").createOrReplaceTempView("probe_table")
+    assert(spark.catalog.tableExists("probe_table"))
+    assert(Validation.tableColumns(spark, "probe_table") == Seq("id"))
+  }
+
+  test("fileExists memoizes filesystem probes") {
+    Validation.clearCache()
+    val f = Files.createTempFile("graft-val", ".txt")
+    assert(Validation.fileExists(spark, f.toString))
+    assert(!Validation.fileExists(spark, f.toString + ".nope"))
+  }
+
+  test("validateInputFiles: active:false sections skipped; report formats") {
+    val f = Files.createTempFile("graft-val", ".parquet")
+    val cfg = Config.fromString("v",
+      s"""input_data:
+         |  web:
+         |    active: false
+         |    path: /definitely/missing.parquet
+         |  scanner:
+         |    path: $f
+         |  bad:
+         |    path: /also/missing.parquet
+         |""".stripMargin)
+    val errs = Validation.validateInputFiles(spark, cfg, "input_data")
+    assert(errs.length == 1 && errs.head.contains("input_data.bad.path"))
+    assert(Validation.report(Nil) == "")
+    assert(Validation.report(errs).startsWith("Config validation failed:"))
+  }
+
+  test("requireKeys reports missing attributes") {
+    val cfg = Config.fromString("v", "a: 1\n")
+    assert(Validation.requireKeys(cfg, Seq("a", "b")) ==
+      Seq("missing required config attribute: b"))
+  }
+}

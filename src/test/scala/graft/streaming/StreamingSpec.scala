@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+
+/** Drives the windowing helpers through ACTUAL Structured Streaming
+  * execution (MemoryStream source → memory sink, synchronous batches) —
+  * the same expressions the batch queries use.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling aggregation over a real stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val agg = Streaming.tumblingAgg(
+      Streaming.watermarked(df, "ts", "10 minutes"),
+      "ts", "1 hour", Seq("k"),
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "a", 1.0),
+        (ts("2024-01-01 00:50:00"), "a", 2.0),
+        (ts("2024-01-01 01:10:00"), "a", 4.0),
+        (ts("2024-01-01 00:20:00"), "b", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("k"), col("n"), col("sv"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(("00:00", "a", 2L, 3.0), ("01:00", "a", 1L, 4.0), ("00:00", "b", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap — streaming execution") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "user", "v")
+    val agg = Streaming.sessionAgg(
+      Streaming.watermarked(df, "ts", "1 minute"),
+      "ts", "30 minutes", Seq("user"), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("session_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "u1", 1.0),
+        (ts("2024-01-01 00:20:00"), "u1", 1.0), // same session (gap 20m)
+        (ts("2024-01-01 01:30:00"), "u1", 1.0)) // new session (gap 70m)
+      q.processAllAvailable()
+      val n = spark.table("session_out").count()
+      assert(n == 2, s"expected 2 sessions, got $n")
+    } finally q.stop()
+  }
+
+  test("stateful running counts via mapGroupsWithState across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val counts = Streaming.runningCounts(input.toDF().toDF("k"), "k")
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    try {
+      input.addData("a", "a", "b")
+      q.processAllAvailable()
+      input.addData("a")
+      q.processAllAvailable()
+      val last = spark.table("state_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last == Map("a" -> 3L, "b" -> 1L))
+    } finally q.stop()
+  }
+}
