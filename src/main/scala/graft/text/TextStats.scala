@@ -26,13 +26,18 @@ object TextStats {
 
   /** Word n-gram shingles joined by spaces; empty array when the document
     * is shorter than `n` words.
+    *
+    * The token array is routed through [[graft.functions.ArrayMath.bound]]
+    * so the split is evaluated once per row — referencing it directly
+    * inside the position lambda would re-split the text per shingle after
+    * CollapseProject inlining (measured 10×+ slowdown at bench scale).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n), i => array_join(slice(w, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ArrayMath.bound(tokens(text)) { w =>
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n), i => array_join(slice(w, i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
 
   def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
     val sw = stopwords.map(lit(_))
@@ -70,12 +75,12 @@ object TextStats {
     * consecutive k-gram hashes, dedupe. Robust to local edits; the
     * distinct min-hashes are the document's fingerprint set.
     */
-  def fingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
-    val hashes = transform(shingles(text, k), s => xxhash64(s))
-    when(size(hashes) >= w,
-      array_distinct(transform(sequence(lit(0), size(hashes) - w),
-        i => array_min(slice(hashes, i + lit(1), lit(w))))))
-      .when(size(hashes) > 0, array(array_min(hashes)))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  def fingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.functions.ArrayMath.bound(transform(shingles(text, k), s => xxhash64(s))) { hashes =>
+      when(size(hashes) >= w,
+        array_distinct(transform(sequence(lit(0), size(hashes) - w),
+          i => array_min(slice(hashes, i + lit(1), lit(w))))))
+        .when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<bigint>"))
+    }
 }
