@@ -240,6 +240,52 @@ object SparkEntry {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Top-k per group via ranking window (the §2.9 top-k idiom). */
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  /** Rollup with grouping-id (hierarchical subtotals, inherited agg
+    * surface).
+    */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Set operations: nation keys serving both customers and suppliers
+    * (INTERSECT) vs customer-only nations (EXCEPT), tagged and unioned.
+    */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    val both = c.intersect(sup).withColumn("tag", lit("both"))
+    val custOnly = c.except(sup).withColumn("tag", lit("cust_only"))
+    both.unionByName(custOnly).select(col("tag"), col("nationkey"))
+      .orderBy(col("tag"), col("nationkey"))
+  }
+
+  /** A2 — distinct level combinations. */
+  private def qDistinctLevels(s: SparkSession, dir: String): DataFrame =
+    Reshape.indexLevelValues(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** HLL sketch vs exact distinct (approximate → rows-only check; the
+    * sketch is the 100 TB path for distinct counting).
+    */
+  private def qHll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+
   /** Sliding event-time windows (1h window, 30m slide — every event lands
     * in two windows).
     */
@@ -416,6 +462,11 @@ object SparkEntry {
     "q_sliding" -> (qSliding _),
     "q_session_window" -> (qSessionWindow _),
     "q_binary_meta" -> (qBinaryMeta _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_rollup" -> (qRollup _),
+    "q_set_ops" -> (qSetOps _),
+    "q_distinct_levels" -> (qDistinctLevels _),
+    "q_hll" -> (qHll _),
     "q_decode_stub" -> (qDecodeStub _),
     "q_frame_sample" -> (qFrameSample _),
   )
@@ -616,5 +667,26 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,
         |  'unknown' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+        |  o_orderkey, o_totalprice
+        |FROM orders QUALIFY rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+        |  GROUPING_ID(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_set_ops" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+        |     s AS (SELECT s_nationkey AS nationkey FROM supplier)
+        |SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT 'cust_only', nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        |ORDER BY tag, nationkey""".stripMargin,
+    "q_distinct_levels" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY 1, 2""".stripMargin,
   )
 }
