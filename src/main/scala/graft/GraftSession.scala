@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.GraftExtensions
+
+/** Opinionated session factory for the library.
+  *
+  * Settings chosen for the 100 TB posture: AQE on (runtime re-planning,
+  * skew-join splitting, partition coalescing), shuffle partitions sized to
+  * the parallelism at hand rather than Spark's default 200 (callers on a
+  * real cluster should pass `shufflePartitions ≈ 2-3× total cores` and let
+  * AQE coalesce down), UTC session time, and the library's extensions
+  * (SQL-registered native expressions) injected.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft",
+              master: Option[String] = None,
+              shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    master.foreach(b.master)
+    shufflePartitions.foreach(n => b.config("spark.sql.shuffle.partitions", n.toString))
+    b
+  }
+
+  /** Register the library's SQL functions on an ALREADY-RUNNING session
+    * (extensions only apply to sessions built through the builder).
+    */
+  def registerFunctions(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f64",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
+      "scala_udf")
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StructType}
 
 import graft.multimodal.Multimodal
-import graft.ops.{Columns, Concat, Grouped, Reshape, Timeseries}
+import graft.ops.{Columns, Concat, Grouped, Reshape, Skew, Timeseries}
 import graft.streaming.Streaming
 import graft.text.{Dedup, Similarity, TextStats}
 
@@ -240,6 +240,15 @@ object SparkEntry {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Two-phase salted aggregation (skew mitigation): must equal the plain
+    * aggregation — the salt routes rows, never reaches results.
+    */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAggregate(t(s, dir, "lineitem"), Seq("l_returnflag"), 16,
+        partial = Seq(sum(col("l_quantity")).as("ps"), count(lit(1)).as("pc")),
+        combine = Seq(sum(col("ps")).as("sum_qty"), sum(col("pc")).as("n")))
+      .orderBy(col("l_returnflag"))
+
   /** Top-k per group via ranking window (the §2.9 top-k idiom). */
   private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
@@ -462,6 +471,7 @@ object SparkEntry {
     "q_sliding" -> (qSliding _),
     "q_session_window" -> (qSessionWindow _),
     "q_binary_meta" -> (qBinaryMeta _),
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_rollup" -> (qRollup _),
     "q_set_ops" -> (qSetOps _),
@@ -667,6 +677,9 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,
         |  'unknown' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_topk_per_group" ->
       """SELECT o_orderpriority,
         |  row_number() OVER (PARTITION BY o_orderpriority

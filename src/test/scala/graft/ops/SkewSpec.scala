@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.{assertDfEquality, createDf}
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def skewed = createDf(spark, Seq("k", "v"),
+    (1 to 200).map(i => Seq[Any]("hot", i.toDouble)) ++
+      Seq(Seq[Any]("cold1", 1.0), Seq[Any]("cold2", 2.0)))
+
+  test("saltedAggregate equals the unsalted aggregation") {
+    val salted = Skew.saltedAggregate(skewed, Seq("k"), 8,
+      partial = Seq(sum("v").as("ps"), count(lit(1)).as("pc")),
+      combine = Seq(sum("ps").as("sum_v"), sum("pc").as("n")))
+    val plain = skewed.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    assertDfEquality(salted, plain)
+  }
+
+  test("saltedJoin equals the plain join") {
+    val dim = createDf(spark, Seq("k", "name"),
+      Seq(Seq("hot", "H"), Seq("cold1", "C1"), Seq("missing", "M")))
+    val salted = Skew.saltedJoin(skewed, dim, Seq("k"), 4)
+      .groupBy("k", "name").agg(count(lit(1)).as("n"))
+    val plain = skewed.join(dim, Seq("k"))
+      .groupBy("k", "name").agg(count(lit(1)).as("n"))
+    assertDfEquality(salted, plain)
+  }
+}
+
+class SqlFunctionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("dot_f64 resolves in SQL after registration (extensions path)") {
+    graft.GraftSession.registerFunctions(spark)
+    val got = spark.sql(
+      "SELECT dot_f64(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(got == 32.0)
+  }
+
+  test("dot_f64 rejects non-double-array inputs with a type error") {
+    graft.GraftSession.registerFunctions(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_f64(array('a'), array('b'))").collect()
+    }
+    assert(e.getMessage.contains("dot_f64") || e.getMessage.toLowerCase.contains("type"))
+  }
+}
