@@ -402,6 +402,16 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (k-means cell) approximate top-5 — learned-partition ANN
+    * (rows-only check: k-means init is engine-specific).
+    */
+  private def qIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding near-dup pairs above cosine 0.45. */
   private def qEmbedPairs(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
@@ -467,6 +477,7 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_topk_similar" -> (qTopkSimilar _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ivf_topk" -> (qIvfTopk _),
     "q_embed_pairs" -> (qEmbedPairs _),
     "q_sliding" -> (qSliding _),
     "q_session_window" -> (qSessionWindow _),

@@ -82,6 +82,27 @@ object Reshape {
       case (k, v) => Seq((prefix :+ k) -> v)
     }
 
+  /** R3 — nested map → DataFrame (reference pandas.py:9-18
+    * `nested_dict_to_df`): flatten to full-depth key paths, ffill-pad the
+    * paths to uniform depth, one level column per depth plus the value.
+    */
+  def nestedDictToDf(spark: org.apache.spark.sql.SparkSession,
+                     m: Map[String, Any],
+                     levelNames: Seq[String],
+                     valueName: String = "value"): DataFrame = {
+    val flat = flattenNested(m)
+    val filled = fillTuples(flat.map(_._1), "ffill")
+    val depth = filled.headOption.map(_.length).getOrElse(0)
+    require(levelNames.length == depth,
+      s"levelNames has ${levelNames.length} entries but keys have depth $depth")
+    val rows = filled.zip(flat.map(_._2)).map { case (k, v) =>
+      org.apache.spark.sql.Row.fromSeq(k ++ Seq(if (v == null) null else v.toString))
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      (levelNames.map(n => s"$n string") :+ s"$valueName string").mkString(", "))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Tuple-key padding (reference generic.py:28-65 `fill_tuples`): pad each
     * key to the max length, repeating the last element (`method="ffill"`),
     * the first (`"bfill"`), or duplicating the single element everywhere.

@@ -103,18 +103,19 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 5, minJaccard: Double = 0.0): DataFrame = {
-    val sets = df.select(col(idCol),
-      array_distinct(TextStats.shingles(col(textCol), shingleSize)).as("sh"))
-    val sizes = sets.select(col(idCol), size(col("sh")).as("n_sh"))
-    val exploded = sets.select(col(idCol), explode(col("sh")).as("shingle"))
-    val inter = exploded.as("a")
-      .join(exploded.as("b"), col("a.shingle") === col("b.shingle") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    // Set size rides along through the explode, so the pair aggregation has
+    // |A| and |B| in hand — no extra per-side size joins (2 fewer shuffles,
+    // and the shingle expression is evaluated half as often).
+    val exploded = df
+      .select(col(idCol),
+        array_distinct(TextStats.shingles(col(textCol), shingleSize)).as("sh"))
+      .select(col(idCol), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val a = exploded.select(col(idCol).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = exploded.select(col(idCol).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map(idCol -> "id_a", "n_sh" -> "n_a")), "id_a")
-      .join(sizes.withColumnsRenamed(Map(idCol -> "id_b", "n_sh" -> "n_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("n_inter"),
         (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))

@@ -98,6 +98,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k: k-means cells learned from the
+    * corpus replace [[lshBucket]]'s random hyperplanes — learned partitions
+    * follow the data distribution, so recall per probe is higher. Queries
+    * probe their `nProbe` nearest cells; only those cells' members are
+    * scored. At 100 TB the cell assignment is a narrow map (broadcast
+    * centroids), candidate scoring shuffles only on cell id, and `nCells`
+    * scales with corpus size (√n is the usual starting point).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
+      .withColumn("features", array_to_vector(col("cv")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(c)
+    val corpusCells = model.transform(c)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+      .toDF("cell", "center")
+
+    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("center_dot").desc, col("cell"))
+    val qCells = q.crossJoin(broadcast(centers))
+      .withColumn("center_dot", dot(col("qv"), col("center")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val scored = corpusCells.join(broadcast(qCells), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold. Brute-force
     * pair generation at test scale; at corpus scale route through
     * [[lshBucket]] buckets first (same filter, bounded candidates).

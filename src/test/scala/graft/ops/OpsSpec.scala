@@ -142,6 +142,14 @@ class ReshapeSpec extends AnyFunSuite {
     assert(Reshape.flattenNested(m).toSet ==
       Set((Seq("a", "b"), 1), (Seq("a", "c"), 2), (Seq("d"), 3)))
   }
+
+  test("nestedDictToDf: level columns with ffill-padded key paths (R3)") {
+    val m = Map("a" -> Map("b" -> 1), "d" -> 3)
+    val df = Reshape.nestedDictToDf(spark, m, Seq("l1", "l2"))
+    assert(df.columns.toSeq == Seq("l1", "l2", "value"))
+    val got = df.collect().map(_.toSeq).toSet
+    assert(got == Set(Seq("a", "b", "1"), Seq("d", "d", "3")))
+  }
 }
 
 class GroupedSpec extends AnyFunSuite {

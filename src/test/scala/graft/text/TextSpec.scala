@@ -138,6 +138,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b.forall(x => x >= 0 && x < 16))
   }
 
+  test("ivfTopK returns ranked neighbors from learned cells") {
+    val manyVecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.1f) else Seq(0.0f, 1.0f, 0.1f)
+      Seq[Any](i.toLong, base.map(_ + (i % 7) * 0.01f))
+    }
+    val df = createDf(spark, "vec_id bigint, v array<float>", manyVecs)
+    val top = Similarity.ivfTopK(df.filter(col("vec_id") < 2), df, "vec_id", "v",
+      k = 3, nCells = 2, nProbe = 1)
+    val byQuery = top.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L))
+    // query 0 is an even (x-axis) vector: its cell holds even vecs only
+    assert(byQuery(0L).forall(_.getAs[Long]("neighbor_id") % 2 == 0))
+  }
+
   test("cosineNearDupPairs finds only the near-identical pair at 0.9") {
     val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "v", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
