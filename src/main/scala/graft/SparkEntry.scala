@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StructType}
 
 import graft.multimodal.Multimodal
-import graft.ops.{Columns, Concat, Grouped, Reshape, Skew, Timeseries}
+import graft.ops.{AsOf, Columns, Concat, Grouped, Reshape, Skew, Timeseries}
 import graft.streaming.Streaming
 import graft.text.{Dedup, Similarity, TextStats}
 
@@ -239,6 +239,24 @@ object SparkEntry {
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
+
+  /** As-of backward join: each purchase event picks up the same user's
+    * most recent click at-or-before it (union+window composition — one
+    * key shuffle, no inequality-join cross product).
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    AsOf.asofJoinBackward(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("asof_click_id"))
+      .orderBy(col("event_id"))
+  }
 
   /** Two-phase salted aggregation (skew mitigation): must equal the plain
     * aggregation — the salt routes rows, never reaches results.
@@ -482,6 +500,7 @@ object SparkEntry {
     "q_sliding" -> (qSliding _),
     "q_session_window" -> (qSessionWindow _),
     "q_binary_meta" -> (qBinaryMeta _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_rollup" -> (qRollup _),
@@ -688,6 +707,15 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,
         |  'unknown' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  c.click_id AS asof_click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

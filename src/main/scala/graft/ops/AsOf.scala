@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for each left row, attach the single right row
+  * with the greatest timestamp ≤ the left timestamp, per key.
+  *
+  * Spark has no native as-of join; the preference ladder (§7.3) says
+  * compose built-ins before writing plan nodes, and the union+window trick
+  * does exactly that:
+  *
+  *   1. tag both sides and union them (schema-harmonized, right payload
+  *      null on left rows and vice versa);
+  *   2. one window pass per key ordered by (ts, side) —
+  *      `last(rightPayload, ignoreNulls)` over unbounded-preceding rows
+  *      forwards the latest right payload onto every subsequent left row
+  *      (right sorts before left on timestamp ties, so "at or before"
+  *      includes equal timestamps);
+  *   3. keep left rows; optionally null out matches older than `tolerance`.
+  *
+  * Cost: ONE shuffle on the key (same as any join) + a partition-local
+  * sort — strictly better than the naive inequality join, which Spark
+  * plans as a broadcast-nested-loop or cross product. Scales to arbitrary
+  * key cardinality; within-key data only needs to fit a sort spill, not
+  * memory.
+  */
+object AsOf {
+
+  /** @param leftTs/rightTs  event-time columns (same type both sides)
+    * @param rightPayload    right columns to attach (null when no match)
+    * @param toleranceUs     max allowed (leftTs - rightTs) in microseconds;
+    *                        matches older than this are nulled out
+    */
+  def asofJoinBackward(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      rightPayload: Seq[String],
+      toleranceUs: Option[Long] = None,
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("__asof_ts"), "reserved column name __asof_ts in left")
+
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rts", lit(null).cast(right.schema(rightTs).dataType))
+      .select(Seq(col("__ts"), col("__side"), col("__rts")) ++
+        keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rTagged = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__rts", col(rightTs))
+      .select(Seq(col("__ts"), col("__side"), col("__rts")) ++
+        keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("__m_ts", last(col("__rts"), ignoreNulls = true).over(w))
+    val withPayload = rightPayload.foldLeft(filled)((d, c) =>
+      d.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+
+    val inTolerance: Column = toleranceUs match {
+      case Some(t) => col("__m_ts").isNotNull &&
+        (unix_micros(col("__ts")) - unix_micros(col("__m_ts"))) <= t
+      case None => col("__m_ts").isNotNull
+    }
+
+    val out = withPayload.filter(col("__side") === 1)
+      .select(keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        Seq(when(inTolerance, col("__m_ts")).otherwise(lit(null)).as(s"asof_$rightTs")) ++
+        rightPayload.map(c => when(inTolerance, col(s"__m_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
+    out
+  }
+}
