@@ -137,7 +137,14 @@ object Yaml {
       .filter(_.trim.nonEmpty)
       .toVector
     if (lines.isEmpty) Map.empty[String, Any]
-    else parseBlock(lines, 0)._1
+    else {
+      val (value, consumed) = parseBlock(lines, 0)
+      if (consumed != lines.length)
+        throw new ConfigFormatError(
+          s"unparsed yaml starting at: '${lines(consumed).trim}' " +
+            "(mis-indented line or unsupported construct)")
+      value
+    }
   }
 
   private def stripComment(line: String): String = {

@@ -40,45 +40,54 @@ object AsOf {
       toleranceUs: Option[Long] = None,
   ): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("__asof_ts"), "reserved column name __asof_ts in left")
+    val reserved = Seq("__ts", "__side", "__r", "__m")
+    val outNames = (rightTs +: rightPayload).map("asof_" + _)
+    require(!leftCols.exists(c => reserved.contains(c) || outNames.contains(c)),
+      s"left columns collide with reserved/output names " +
+        s"(${(reserved ++ outNames).mkString(", ")}): ${leftCols.mkString(", ")}")
+
+    // The whole right row rides in ONE struct (its event time + payloads),
+    // so last(ignoreNulls) — needed only to skip interleaved left rows,
+    // whose struct is null — always forwards the MATCHED row atomically:
+    // its own null payload fields stay null, and multiple payload columns
+    // can never mix values from different right rows.
+    require(!rightPayload.contains("__rts"), "rightPayload may not use the reserved name __rts")
+    val rStructFields = struct(
+      col(rightTs).as("__rts") +: rightPayload.map(c => col(c).as(c)): _*)
+    val rStructType = right.select(rStructFields).schema.head.dataType
 
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__rts", lit(null).cast(right.schema(rightTs).dataType))
-      .select(Seq(col("__ts"), col("__side"), col("__rts")) ++
+      .withColumn("__r", lit(null).cast(rStructType))
+      .select(Seq(col("__ts"), col("__side"), col("__r")) ++
         keys.map(col) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(col): _*)
     val rTagged = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
-      .withColumn("__rts", col(rightTs))
-      .select(Seq(col("__ts"), col("__side"), col("__rts")) ++
+      .withColumn("__r", rStructFields)
+      .select(Seq(col("__ts"), col("__side"), col("__r")) ++
         keys.map(col) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = lTagged.unionByName(rTagged)
-      .withColumn("__m_ts", last(col("__rts"), ignoreNulls = true).over(w))
-    val withPayload = rightPayload.foldLeft(filled)((d, c) =>
-      d.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
 
     val inTolerance: Column = toleranceUs match {
-      case Some(t) => col("__m_ts").isNotNull &&
-        (unix_micros(col("__ts")) - unix_micros(col("__m_ts"))) <= t
-      case None => col("__m_ts").isNotNull
+      case Some(t) => col("__m").isNotNull &&
+        (unix_micros(col("__ts")) - unix_micros(col("__m.__rts"))) <= t
+      case None => col("__m").isNotNull
     }
 
-    val out = withPayload.filter(col("__side") === 1)
+    filled.filter(col("__side") === 1)
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(col) ++
-        Seq(when(inTolerance, col("__m_ts")).otherwise(lit(null)).as(s"asof_$rightTs")) ++
-        rightPayload.map(c => when(inTolerance, col(s"__m_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
-    out
+        Seq(when(inTolerance, col("__m.__rts")).otherwise(lit(null)).as(s"asof_$rightTs")) ++
+        rightPayload.map(c => when(inTolerance, col(s"__m.$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
   }
 }

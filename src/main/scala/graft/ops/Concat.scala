@@ -53,10 +53,20 @@ object Concat {
       names: Seq[String],
       selection: Option[Seq[String]],
   ): DataFrame = {
-    val byKey = frames.toMap
-    val keys = selection.getOrElse(frames.map(_._1))
     require(names.nonEmpty, "when frames is a mapping, names must be given")
-    concatImpl(keys.map(byKey), keys.map(Seq[Any](_)), names)
+    // Duplicate keys are legal (pandas concat keeps them) — select by
+    // filtering the ordered sequence, never through a Map.
+    val chosen: Seq[(String, DataFrame)] = selection match {
+      case None => frames
+      case Some(sel) => sel.flatMap { k =>
+        val matches = frames.filter(_._1 == k)
+        require(matches.nonEmpty,
+          s"selection key not found in frames mapping: '$k' " +
+            s"(available: ${frames.map(_._1).distinct.mkString(", ")})")
+        matches
+      }
+    }
+    concatImpl(chosen.map(_._2), chosen.map(kv => Seq[Any](kv._1)), names)
   }
 
   private def concatImpl(

@@ -43,16 +43,21 @@ object Dedup {
     * function after CollapseProject inlining — a 30×+ slowdown measured at
     * bench scale.)
     */
-  def minhashSignature(text: Column, numHashes: Int = 32, shingleSize: Int = 5): Column = {
-    val sh = array_distinct(TextStats.shingles(text, shingleSize))
-    aggregate(
-      sh,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s)),
-        (a, h) => least(a, h)))
-  }
+  def minhashSignature(text: Column, numHashes: Int = 32, shingleSize: Int = 5): Column =
+    graft.functions.ArrayMath.bound(array_distinct(TextStats.shingles(text, shingleSize))) { sh =>
+      // Documents too short to shingle get a NULL signature — NOT the fold
+      // seed, which would make every short doc an identical "near-dup" and
+      // pile them all into one LSH bucket.
+      when(size(sh) > 0,
+        aggregate(
+          sh,
+          array_repeat(lit(Long.MaxValue), numHashes),
+          (acc, s) => zip_with(
+            acc,
+            transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s)),
+            (a, h) => least(a, h))))
+        .otherwise(lit(null).cast("array<bigint>"))
+    }
 
   /** LSH banding: hash `bands` equal slices of the signature; documents
     * sharing any band hash are candidate near-duplicates. Returns
@@ -69,6 +74,7 @@ object Dedup {
     // the signature expression into every band lambda (bands× recompute)
     // and the self-join doubles it again.
     df.select(col(idCol), minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+      .filter(col("sig").isNotNull) // un-shingle-able docs produce no bands
       .repartition(col(idCol))
       .select(col(idCol), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),

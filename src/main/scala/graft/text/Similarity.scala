@@ -41,14 +41,22 @@ object Similarity {
     dot(da, db) / (norm(da) * norm(db))
   }
 
-  /** Project to (id, L2-normalized double vector). Norms are computed in a
-    * prior select so each is evaluated once per row, not once per element.
+  /** Project to (id, L2-normalized double vector). Both the vector and its
+    * norm are bound as lambda variables ([[graft.functions.ArrayMath.bound]])
+    * — plain column aliases would be inlined by CollapseProject into the
+    * per-element division lambda and the O(d) norm would be re-evaluated
+    * per element (O(d²) per row).
     */
   def normalized(df: DataFrame, idCol: String, vecCol: String,
-                 idAlias: String, vecAlias: String): DataFrame =
-    df.select(col(idCol).as(idAlias), toDoubleArr(col(vecCol)).as("__dv"))
-      .select(col(idAlias), col("__dv"), norm(col("__dv")).as("__n"))
-      .select(col(idAlias), transform(col("__dv"), x => x / col("__n")).as(vecAlias))
+                 idAlias: String, vecAlias: String): DataFrame = {
+    import graft.functions.ArrayMath.bound
+    df.select(col(idCol).as(idAlias),
+      bound(toDoubleArr(col(vecCol))) { dv =>
+        bound(sqrt(dot(dv, dv))) { n =>
+          transform(dv, x => x / n)
+        }
+      }.as(vecAlias))
+  }
 
   /** Exact top-k neighbors for each query vector. `queries` should be
     * small (it is broadcast to every executor); `corpus` streams.

@@ -8,6 +8,10 @@ import graft.testing.TestSpark
 
 class YamlSpec extends AnyFunSuite {
 
+  test("mis-indented orphan lines raise instead of silently vanishing") {
+    intercept[ConfigFormatError] { Yaml.parse("a: 1\n    b: 2\nc: 3\n") }
+  }
+
   test("parses nested maps, lists, scalars, comments, quotes") {
     val y =
       """# top comment

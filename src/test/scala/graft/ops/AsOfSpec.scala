@@ -30,6 +30,27 @@ class AsOfSpec extends AnyFunSuite {
       1 -> Some(100.0), 2 -> Some(101.0), 3 -> None, 4 -> Some(50.0), 5 -> None))
   }
 
+  test("matched row's own null payload stays null (no stale fill-through)") {
+    val q = createDf(spark, "sym string, ts timestamp, px double", Seq(
+      Seq[Any]("A", ts("2024-01-01 10:00:00"), 10.0),
+      Seq[Any]("A", ts("2024-01-01 10:02:00"), null))) // matched row, null px
+    val tr = createDf(spark, "trade_id int, sym string, ts timestamp",
+      Seq(Seq[Any](1, "A", ts("2024-01-01 10:03:00"))))
+    val out = AsOf.asofJoinBackward(tr, q, Seq("sym"), "ts", "ts", Seq("px")).head()
+    // match IS the 10:02 row (asof_ts set), and its null px must NOT be
+    // replaced by the older row's 10.0
+    assert(out.getAs[Timestamp]("asof_ts") == ts("2024-01-01 10:02:00"))
+    assert(out.getAs[Any]("asof_px") == null)
+  }
+
+  test("reserved/colliding left column names are rejected up front") {
+    val bad = createDf(spark, "sym string, ts timestamp, __side int",
+      Seq(Seq[Any]("A", ts("2024-01-01 10:00:00"), 1)))
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoinBackward(bad, quotes, Seq("sym"), "ts", "ts", Seq("px"))
+    }
+  }
+
   test("tolerance nulls out stale matches") {
     val out = AsOf.asofJoinBackward(trades, quotes, Seq("sym"), "ts", "ts", Seq("px"),
         toleranceUs = Some(10L * 60 * 1000000)) // 10 minutes

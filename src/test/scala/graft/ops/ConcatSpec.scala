@@ -84,6 +84,17 @@ class ConcatSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("mapping variant: duplicate keys keep all frames; missing selection key raises") {
+    val a = createDf(spark, Seq("v"), Seq(Seq(1)))
+    val b = createDf(spark, Seq("v"), Seq(Seq(2)))
+    val dup = Concat.concat(Seq("jan" -> a, "jan" -> b), Seq("src"), None)
+    assert(dup.count() == 2)
+    assert(dup.select("src").distinct().head().getString(0) == "jan")
+    intercept[IllegalArgumentException] {
+      Concat.concat(Seq("jan" -> a), Seq("src"), Some(Seq("march")))
+    }
+  }
+
   test("empty frames list raises") {
     intercept[IllegalArgumentException] { Concat.concat(Seq.empty[org.apache.spark.sql.DataFrame]) }
   }

@@ -43,6 +43,13 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(got == 32.0)
   }
 
+  test("dot_f64 null-propagates on null elements (matches HOF fold semantics)") {
+    graft.GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT dot_f64(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS d").head()
+    assert(r.isNullAt(0))
+  }
+
   test("dot_f64 rejects non-double-array inputs with a type error") {
     graft.GraftSession.registerFunctions(spark)
     val e = intercept[Exception] {

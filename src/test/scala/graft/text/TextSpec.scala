@@ -74,6 +74,15 @@ class DedupSpec extends AnyFunSuite {
     assert(sig(1L) != sig(4L))
   }
 
+  test("short docs get null signatures and never pair up as near-dups") {
+    val short = createDf(spark, "id bigint, text string", Seq(
+      Seq[Any](1L, "too short"), Seq[Any](2L, "also tiny"), Seq[Any](3L, "a b c d e f g h")))
+    val sigs = short.select(col("id"), Dedup.minhashSignature(col("text"), 8, 5).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(sigs(1L).isEmpty && sigs(2L).isEmpty && sigs(3L).nonEmpty)
+    assert(Dedup.minhashCandidatePairs(short, "id", "text", 8, 4, 5).count() == 0)
+  }
+
   test("minhashCandidatePairs surfaces the exact-dup pair with est 1.0") {
     val pairs = Dedup.minhashCandidatePairs(df, "id", "text", 16, 4, 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -64,6 +64,15 @@ for name, sql in sorted(oracle.items()):
         print(f"ERROR {name}: {e}")
         fails += 1
 
-missing = set(oracle) - set(oracle)
+import os
+result_dirs = {d for d in os.listdir(outdir)
+               if os.path.isdir(os.path.join(outdir, d))}
+rows_only = sorted(result_dirs - set(oracle))
+no_result = sorted(set(oracle) - result_dirs)
+if rows_only:
+    print(f"\nrows-only (no oracle): {', '.join(rows_only)}")
+if no_result:
+    print(f"ORACLE WITHOUT RESULT DIR (query failed?): {', '.join(no_result)}")
+    fails += len(no_result)
 print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
 sys.exit(1 if fails else 0)
