@@ -77,7 +77,65 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature as a native expression: for each of `numHashes` hash
+  * functions, the minimum over the input string array of
+  * `XXH64(seed=i)`-rehashed shingle hashes. One base XXH64 pass per
+  * shingle, then `numHashes` cheap long-mixes — a tight JVM loop instead
+  * of ~numHashes × |shingles| interpreted HOF invocations with
+  * per-shingle array allocations. Empty/absent shingle sets yield NULL
+  * (short docs must not collapse into one identical signature).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    var seen = false
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        seen = true
+        val s = arr.getUTF8String(j)
+        val base = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var i = 0
+        while (i < numHashes) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(base, i.toLong)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!seen) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayMath {
+
+  /** Native MinHash signature over an array<string> of shingles. */
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    GraftColumns.ofExpr(MinHashSig(GraftColumns.exprOf(shingles), numHashes))
 
   /** Codegen'd sequential dot product over two array<double> columns. */
   def dotF64(a: Column, b: Column): Column =

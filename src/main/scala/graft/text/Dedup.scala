@@ -44,20 +44,8 @@ object Dedup {
     * bench scale.)
     */
   def minhashSignature(text: Column, numHashes: Int = 32, shingleSize: Int = 5): Column =
-    graft.functions.ArrayMath.bound(array_distinct(TextStats.shingles(text, shingleSize))) { sh =>
-      // Documents too short to shingle get a NULL signature — NOT the fold
-      // seed, which would make every short doc an identical "near-dup" and
-      // pile them all into one LSH bucket.
-      when(size(sh) > 0,
-        aggregate(
-          sh,
-          array_repeat(lit(Long.MaxValue), numHashes),
-          (acc, s) => zip_with(
-            acc,
-            transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s)),
-            (a, h) => least(a, h))))
-        .otherwise(lit(null).cast("array<bigint>"))
-    }
+    graft.functions.ArrayMath.minhashSig(
+      array_distinct(TextStats.shingles(text, shingleSize)), numHashes)
 
   /** LSH banding: hash `bands` equal slices of the signature; documents
     * sharing any band hash are candidate near-duplicates. Returns
