@@ -23,19 +23,11 @@ import graft.text.{Dedup, Similarity, TextStats}
   */
 object SparkEntry {
 
-  /** Read one of the harness tables. The events table stores
-    * TIMESTAMP(NANOS) which Spark's parquet reader rejects; read nanos as
-    * long and truncate to microseconds (identical to DuckDB's nanos→micros
-    * conversion, keeping the oracle comparable).
+  /** Read one of the harness tables (nanos-timestamp-aware — see
+    * [[graft.sources.Sources.readTable]]).
     */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None    => df
-    }
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Sources.readTable(s, dir, name)
 
   /** Exact sum of a double column with `scale` true decimal places:
     * decimal accumulate (associative, order-insensitive), then one

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Source/sink helpers.
+  *
+  * The reference library has no file-format surface of its own (SURVEY
+  * §2.1 — tests build frames from literals); this module is the engine's
+  * forward surface for real storage:
+  *
+  *   - schema-explicit readers (never infer on production paths — an
+  *     inference pass is a full extra scan at 100 TB);
+  *   - nanosecond-timestamp parquet handling (see [[readTable]]);
+  *   - layout-aware writers: partitioned for pruning, bucketed for
+  *     shuffle-free joins/aggregations on the bucket keys.
+  */
+object Sources {
+
+  /** Read one harness table. Parquet TIMESTAMP(NANOS) columns (the events
+    * table) are rejected by Spark's vectorized reader, so nanos are read
+    * as longs and truncated to microsecond timestamps — the same
+    * conversion DuckDB applies, keeping oracle comparisons exact.
+    */
+  def readTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None    => df
+    }
+  }
+
+  /** Schema-explicit CSV reader (header expected, no inference scan). */
+  def readCsv(spark: SparkSession, path: String, ddl: String,
+              header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(StructType.fromDDL(ddl))
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .csv(path)
+
+  /** Schema-explicit JSON-lines reader. */
+  def readJsonl(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.read.schema(StructType.fromDDL(ddl)).json(path)
+
+  /** Hive-style partitioned parquet write: one directory per distinct
+    * partition-column tuple → partition pruning turns predicates on those
+    * columns into directory listings instead of data scans. Keep partition
+    * cardinality bounded (thousands, not millions of directories).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table write: rows are hash-distributed into
+    * `numBuckets` files per partition by `bucketCols`. Joins and
+    * aggregations keyed on the bucket columns between same-bucketed tables
+    * run WITHOUT an Exchange — the 100 TB answer for repeated fact-fact
+    * joins where re-shuffling per query would dominate. (Bucketing
+    * requires the table catalog: `saveAsTable`, not a bare path.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("readTable converts nanosecond timestamps to usable micros") {
+    val e = Sources.readTable(spark, "/root/testdata/sf0.001", "events")
+    assert(e.schema("ts").dataType.typeName == "timestamp")
+    assert(e.count() == 1000)
+  }
+
+  test("readCsv with explicit schema (no inference scan)") {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(dir.resolve("data.csv"), "id,name\n1,alpha\n2,beta\n")
+    val df = Sources.readCsv(spark, dir.toString, "id int, name string")
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "alpha"), (2, "beta")))
+  }
+
+  test("readJsonl with explicit schema") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    Files.writeString(dir.resolve("data.json"), """{"id":1,"v":2.5}""" + "\n" + """{"id":2,"v":3.5}""" + "\n")
+    val df = Sources.readJsonl(spark, dir.toString, "id int, v double")
+    assert(df.agg(sum("v")).head().getDouble(0) == 6.0)
+  }
+
+  test("writePartitioned prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-part").resolve("t").toString
+    val df = spark.range(100).toDF("id")
+      .withColumn("part", col("id") % 4)
+    Sources.writePartitioned(df, dir, Seq("part"))
+    val pruned = spark.read.parquet(dir).filter(col("part") === 2)
+    assert(pruned.count() == 25)
+    val scan = pruned.queryExecution.executedPlan.toString
+    // partition filters reach the scan node rather than a post-filter
+    assert(scan.contains("PartitionFilters") || pruned.inputFiles.length <= 1,
+      s"expected pruned scan, got:\n$scan")
+  }
+
+  test("bucketed tables join WITHOUT a shuffle on the bucket key") {
+    val warehouse = spark.conf.getOption("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS bucket_a")
+    spark.sql("DROP TABLE IF EXISTS bucket_b")
+    val a = spark.range(1000).toDF("k").withColumn("va", col("k") * 2)
+    val b = spark.range(1000).toDF("k").withColumn("vb", col("k") + 1)
+    Sources.writeBucketed(a, "bucket_a", Seq("k"), 4)
+    Sources.writeBucketed(b, "bucket_b", Seq("k"), 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bucket_a").join(spark.table("bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free, plan:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bucket_a")
+      spark.sql("DROP TABLE IF EXISTS bucket_b")
+    }
+  }
+}
