@@ -360,6 +360,17 @@ object SparkEntry {
       .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang_pred"))
 
+  /** Vocabulary statistics: per-token corpus frequencies (explode-shaped
+    * aggregation), top tokens by count with deterministic tie-break.
+    */
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextStats.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
   /** Exact dedup groups keyed by md5 fingerprint. */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
@@ -478,6 +489,7 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_json_props" -> (qJsonProps _),
     "q_text_stats" -> (qTextStats _),
+    "q_vocab" -> (qVocab _),
     "q_doc_quality" -> (qDocQuality _),
     "q_lang_id" -> (qLangId _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -615,6 +627,10 @@ object SparkEntry {
         |  SUM(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))) AS sum_stopwords,
         |  SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS sum_subwords
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vocab" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "q_doc_quality" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |  0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)

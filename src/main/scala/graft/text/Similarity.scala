@@ -122,7 +122,7 @@ object Similarity {
 
     val c = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
       .withColumn("features", array_to_vector(col("cv")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(c)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5).setTol(1e-3).fit(c)
     val corpusCells = model.transform(c)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
 
@@ -149,14 +149,33 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold. Brute-force
-    * pair generation at test scale; at corpus scale route through
-    * [[lshBucket]] buckets first (same filter, bounded candidates).
+    * pair generation at test scale; at corpus scale use
+    * [[lshNearDupPairs]] (same filter, bucket-bounded candidates).
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
     val a = normalized(df, idCol, vecCol, "id_a", "va")
     val b = normalized(df, idCol, vecCol, "id_b", "vb")
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") > threshold)
+  }
+
+  /** Approximate near-dup pairs: only same-LSH-bucket pairs are scored.
+    * High-cosine pairs land in the same bucket with probability
+    * `(1 - θ/π)^nPlanes` (θ = angle), so a near-dup threshold like 0.9
+    * keeps recall high at few planes while the bucket join — one shuffle
+    * on the bucket id, pair work bounded by the largest bucket — replaces
+    * the O(n²) cross product entirely.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val planes = randomPlanes(nPlanes, dim)
+    val a = normalized(df, idCol, vecCol, "id_a", "va")
+      .withColumn("bucket", lshBucket(col("va"), planes))
+    val b = normalized(df, idCol, vecCol, "id_b", "vb")
+      .withColumn("bucket", lshBucket(col("vb"), planes))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), dot(col("va"), col("vb")).as("cos"))
       .filter(col("cos") > threshold)
   }

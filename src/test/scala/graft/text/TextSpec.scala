@@ -166,4 +166,13 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("lshNearDupPairs is a subset of brute force and finds the dup pair") {
+    val brute = Similarity.cosineNearDupPairs(df, "vec_id", "v", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(df, "vec_id", "v", 0.9, nPlanes = 2, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.contains((1L, 2L)), "near-identical vectors must share every bucket")
+  }
 }
