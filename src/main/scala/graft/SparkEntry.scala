@@ -264,7 +264,7 @@ object SparkEntry {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t(s, dir, "orders")
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderpriority"), col("rank"))
@@ -349,7 +349,7 @@ object SparkEntry {
     */
   private def qDocQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tokens"),
+      .select(col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextStats.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
@@ -411,7 +411,7 @@ object SparkEntry {
   private def qTopkSimilar(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -419,7 +419,7 @@ object SparkEntry {
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -429,7 +429,7 @@ object SparkEntry {
   private def qIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -446,7 +446,7 @@ object SparkEntry {
   private def qBinaryMeta(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").withColumn("payload", col("text").cast("binary"))
     Multimodal.withBinaryMeta(d, "payload")
-      .select(col("doc_id"), col("n_bytes"), col("sha"), col("format"))
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"), col("sha"), col("format"))
       .orderBy(col("doc_id"))
   }
 
@@ -612,20 +612,20 @@ object SparkEntry {
         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM flagged)
-        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_json_props" ->
-      """SELECT event_type, SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k, COUNT(*) AS n
+      """SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
-        |  SUM(len(string_split(text, ' '))) AS sum_tokens,
-        |  SUM(length(text)) AS sum_chars,
-        |  SUM(len(list_distinct(string_split(text, ' ')))) AS sum_distinct_tokens,
-        |  SUM(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))) AS sum_stopwords,
-        |  SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS sum_subwords
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS sum_distinct_tokens,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))) AS BIGINT) AS sum_stopwords,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS sum_subwords
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vocab" ->
       """SELECT token, COUNT(*) AS n
