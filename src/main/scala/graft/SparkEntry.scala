@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StructType}
 
 import graft.multimodal.Multimodal
-import graft.ops.{AsOf, Columns, Concat, Grouped, Reshape, Skew, Timeseries}
+import graft.ops.{AsOf, Columns, Concat, Grouped, Profile, Reshape, Sampling, Skew, Timeseries}
 import graft.streaming.Streaming
 import graft.text.{Dedup, Similarity, TextStats}
 
@@ -231,6 +231,22 @@ object SparkEntry {
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
+
+  /** Deterministic hash-bucket train/val/test split: counts per (lang,
+    * split) — md5-bucketed so the oracle reproduces it exactly.
+    */
+  private def qSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+
+  /** One-pass multi-column profile (nulls, exact distinct, min/max). */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_discount", "l_returnflag", "l_linenumber"))
+      .orderBy(col("col_name"))
 
   /** As-of backward join: each purchase event picks up the same user's
     * most recent click at-or-before it (union+window composition — one
@@ -504,6 +520,8 @@ object SparkEntry {
     "q_sliding" -> (qSliding _),
     "q_session_window" -> (qSessionWindow _),
     "q_binary_meta" -> (qBinaryMeta _),
+    "q_split" -> (qSplit _),
+    "q_profile" -> (qProfile _),
     "q_asof_join" -> (qAsofJoin _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_topk_per_group" -> (qTopkPerGroup _),
@@ -715,6 +733,42 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,
         |  'unknown' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_split" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_profile" ->
+      """SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  COUNT(DISTINCT l_discount) AS n_distinct,
+        |  CAST(min(l_discount) AS VARCHAR) AS min_value, CAST(max(l_discount) AS VARCHAR) AS max_value
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linenumber', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_linenumber),
+        |  CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_quantity),
+        |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_returnflag),
+        |  min(l_returnflag), max(l_returnflag)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
         |     c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')

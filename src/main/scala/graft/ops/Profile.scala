@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling: null counts, exact distinct counts, min/max
+  * — the pre-flight data-quality summary for pipeline inputs.
+  *
+  * All statistics for all columns come from ONE aggregation over the data
+  * (a single scan; Spark plans the multi-distinct via Expand), then the
+  * wide row is stacked to long form. For 100 TB profiling swap
+  * `countDistinct` for `approx_count_distinct` — same shape, sketch
+  * merge instead of exact distinct expansion.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n_rows")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"__distinct_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"),
+      )
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __n_rows, __nulls_$c, __distinct_$c, __min_$c, __max_$c").mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
+  }
+}

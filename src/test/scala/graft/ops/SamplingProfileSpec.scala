@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ids = spark.range(2000).toDF("id")
+
+  test("deterministicSplit: stable across runs, full coverage, ~weights") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Sampling.deterministicSplit(ids, "id", w)
+    val s2 = Sampling.deterministicSplit(ids, "id", w)
+    assert(s1.collect().map(_.toSeq).toSet == s2.collect().map(_.toSeq).toSet)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1400 && counts("train") < 1800, s"skewed: $counts")
+  }
+
+  test("deterministicSample keeps a stable subset of ~fraction size") {
+    val a = Sampling.deterministicSample(ids, "id", 0.25)
+    val b = Sampling.deterministicSample(ids, "id", 0.25)
+    assert(a.collect().map(_.getLong(0)).toSet == b.collect().map(_.getLong(0)).toSet)
+    val n = a.count()
+    assert(n > 350 && n < 650, s"expected ~500, got $n")
+    // smaller fraction is a subset of larger (nested by bucket threshold)
+    val small = Sampling.deterministicSample(ids, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a.collect().map(_.getLong(0)).toSet))
+  }
+}
+
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("profile: one row per column with nulls/distinct/min/max") {
+    val df = createDf(spark, "a int, b string", Seq(
+      Seq[Any](1, "x"), Seq[Any](2, null), Seq[Any](2, "y")))
+    val p = Profile.profile(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(p("a") == ((3L, 0L, 2L, "1", "2")))
+    assert(p("b") == ((3L, 1L, 2L, "x", "y")))
+  }
+}
