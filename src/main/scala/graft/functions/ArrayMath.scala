@@ -89,6 +89,8 @@ case class MinHashSig(child: Expression, numHashes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.StringType, _) =>
       TypeCheckResult.TypeCheckSuccess

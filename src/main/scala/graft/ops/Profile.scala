@@ -17,7 +17,7 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     val aggs: Seq[Column] = Seq(count(lit(1)).as("__n_rows")) ++ cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$c"),
         (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
           .as(s"__distinct_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
@@ -25,8 +25,13 @@ object Profile {
       )
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    // Column names reach a SQL string: backtick-quote identifiers and
+    // escape quotes in the label literal so arbitrary names survive.
+    def bt(name: String): String = "`" + name.replace("`", "``") + "`"
+    def str(name: String): String = "'" + name.replace("'", "''") + "'"
     val stackArgs = cols.map(c =>
-      s"'$c', __n_rows, __nulls_$c, __distinct_$c, __min_$c, __max_$c").mkString(", ")
+      s"${str(c)}, __n_rows, ${bt(s"__nulls_$c")}, ${bt(s"__distinct_$c")}, " +
+        s"${bt(s"__min_$c")}, ${bt(s"__max_$c")}").mkString(", ")
     wide.select(expr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
   }

@@ -28,14 +28,18 @@ object Sampling {
   /** Deterministic train/validation/test-style split: `weights` are
     * (label, weight) pairs; each row's label is chosen by its key's hash
     * bucket falling into the cumulative weight range (resolution 1/10000).
+    * Rows with a NULL key deterministically land in the LAST label (they
+    * must belong to exactly one split; last = the conventional test/held
+    * -out bucket, and the SQL `CASE ... ELSE last` form matches).
     */
   def deterministicSplit(df: DataFrame, keyCol: String,
                          weights: Seq[(String, Double)],
                          splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
     val total = weights.map(_._2).sum
     val bucket = hashBucket(col(keyCol), 10000)
     val cuts = weights.scanLeft(0.0)(_ + _._2 / total).map(f => (f * 10000).round)
-    val expr = weights.zipWithIndex.foldLeft(lit(null).cast("string")) {
+    val expr = weights.zipWithIndex.foldLeft(lit(weights.last._1)) {
       case (acc, ((label, _), i)) =>
         when(bucket >= cuts(i) && bucket < cuts(i + 1), label).otherwise(acc)
     }
@@ -48,11 +52,18 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashBucket(col(keyCol), 10000) < (fraction * 10000).round)
 
-  /** Per-stratum deterministic sample: `fraction` applies within every
-    * distinct value of `strataCols` (key-hash based, so no sampleBy seed
-    * drift between runs).
+  /** Per-stratum deterministic sample (the hash-stable `sampleBy`): each
+    * stratum value gets its own keep-fraction; strata absent from the map
+    * use `default` (0.0 = dropped).
     */
-  def stratifiedSample(df: DataFrame, keyCol: String, strataCols: Seq[String],
-                       fraction: Double): DataFrame =
-    deterministicSample(df, keyCol, fraction)
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       default: Double = 0.0): DataFrame = {
+    val bucket = hashBucket(col(keyCol), 10000)
+    val threshold = fractions.foldLeft(lit((default * 10000).round)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === lit(stratum), lit((f * 10000).round)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
 }

@@ -34,14 +34,13 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** MinHash signature: `numHashes` independent min-hashes over the
-    * document's distinct `shingleSize`-gram set, hash_i(s) = xxhash64(i, s).
-    *
-    * Shaped as ONE `aggregate` fold over the shingle array — the expensive
-    * shingling expression is the fold's input child, so it is evaluated
-    * exactly once per row. (The naive `transform(0..n, i -> min(map(sh,
-    * hash_i)))` nesting re-evaluates the shingle construction per hash
-    * function after CollapseProject inlining — a 30×+ slowdown measured at
-    * bench scale.)
+    * document's distinct `shingleSize`-gram set, computed by the native
+    * [[graft.functions.MinHashSig]] expression — one XXH64 pass over each
+    * shingle's bytes (seed 42), then `numHashes` cheap
+    * `XXH64.hashLong(base, i)` mixes, in a single tight JVM loop. (The
+    * HOF formulation this replaced re-evaluated interpreted array
+    * expressions per hash function — a measured 30×+ slowdown at bench
+    * scale.) Short, un-shingle-able documents yield a NULL signature.
     */
   def minhashSignature(text: Column, numHashes: Int = 32, shingleSize: Int = 5): Column =
     graft.functions.ArrayMath.minhashSig(

@@ -171,10 +171,15 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val planes = randomPlanes(nPlanes, dim)
-    val a = normalized(df, idCol, vecCol, "id_a", "va")
-      .withColumn("bucket", lshBucket(col("va"), planes))
-    val b = normalized(df, idCol, vecCol, "id_b", "vb")
-      .withColumn("bucket", lshBucket(col("vb"), planes))
+    // One normalize+bucket lineage, shuffled once on the bucket: the
+    // repartition makes both self-join sides identical Exchange subtrees,
+    // so ReuseExchange computes normalization/bucketing once, and the
+    // bucket join needs no further shuffle.
+    val bucketed = normalized(df, idCol, vecCol, "__id", "__v")
+      .withColumn("bucket", lshBucket(col("__v"), planes))
+      .repartition(col("bucket"))
+    val a = bucketed.select(col("bucket"), col("__id").as("id_a"), col("__v").as("va"))
+    val b = bucketed.select(col("bucket"), col("__id").as("id_b"), col("__v").as("vb"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), dot(col("va"), col("vb")).as("cos"))
       .filter(col("cos") > threshold)

@@ -23,6 +23,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts("train") > 1400 && counts("train") < 1800, s"skewed: $counts")
   }
 
+  test("null keys land deterministically in the last split label") {
+    val df = createDf(spark, "id string", Seq(Seq[Any]("a"), Seq[Any](null)))
+    val out = Sampling.deterministicSplit(df, "id",
+        Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getString(1)).toMap
+    assert(out(None) == "test")
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("stratum", when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val out = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("even" -> 1.0, "odd" -> 0.0))
+    assert(out.count() == 500)
+    assert(out.filter(col("stratum") === "odd").count() == 0)
+    // default drops unmapped strata
+    val none = Sampling.stratifiedSample(df, "id", "stratum", Map.empty)
+    assert(none.count() == 0)
+  }
+
   test("deterministicSample keeps a stable subset of ~fraction size") {
     val a = Sampling.deterministicSample(ids, "id", 0.25)
     val b = Sampling.deterministicSample(ids, "id", 0.25)
@@ -37,6 +57,15 @@ class SamplingSpec extends AnyFunSuite {
 
 class ProfileSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+
+  test("profile survives awkward column names and empty input") {
+    val df = createDf(spark, Seq("weird-name"), Seq(Seq[Any]("x")))
+    val p = Profile.profile(df, Seq("weird-name")).head()
+    assert(p.getString(0) == "weird-name" && p.getLong(1) == 1L)
+    val empty = Profile.profile(
+      df.filter(org.apache.spark.sql.functions.lit(false)), Seq("weird-name")).head()
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L)
+  }
 
   test("profile: one row per column with nulls/distinct/min/max") {
     val df = createDf(spark, "a int, b string", Seq(

@@ -45,7 +45,6 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join WITHOUT a shuffle on the bucket key") {
-    val warehouse = spark.conf.getOption("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS bucket_a")
     spark.sql("DROP TABLE IF EXISTS bucket_b")
     val a = spark.range(1000).toDF("k").withColumn("va", col("k") * 2)
