@@ -35,4 +35,22 @@ object Profile {
     wide.select(expr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
   }
+
+  /** Approximate quantiles for numeric columns, one sketch pass
+    * (approx_percentile sketch, mergeable across partitions — the scale
+    * path where exact percentiles would need a full sort).
+    * Returns one row per column with the requested quantile values.
+    */
+  def quantiles(df: DataFrame, cols: Seq[String],
+                qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                accuracy: Int = 10000): DataFrame = {
+    val qArr = array(qs.map(lit): _*)
+    val aggs = cols.map(c =>
+      percentile_approx(col(c), qArr, lit(accuracy)).as(s"__q_$c"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    def bt(name: String): String = "`" + name.replace("`", "``") + "`"
+    def str(name: String): String = "'" + name.replace("'", "''") + "'"
+    val stackArgs = cols.map(c => s"${str(c)}, ${bt(s"__q_$c")}").mkString(", ")
+    wide.select(expr(s"stack(${cols.size}, $stackArgs) AS (col_name, quantiles)"))
+  }
 }

@@ -67,6 +67,14 @@ class ProfileSpec extends AnyFunSuite {
     assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L)
   }
 
+  test("quantiles: sketch percentiles per column") {
+    val df = spark.range(1, 101).toDF("v").withColumn("w", col("v") * 2)
+    val q = Profile.quantiles(df, Seq("v", "w"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(math.abs(q("v").head - 50L) <= 2)
+    assert(math.abs(q("w").head - 100L) <= 4)
+  }
+
   test("profile: one row per column with nulls/distinct/min/max") {
     val df = createDf(spark, "a int, b string", Seq(
       Seq[Any](1, "x"), Seq[Any](2, null), Seq[Any](2, "y")))
