@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time windowing helpers, usable identically on batch DataFrames and
   * Structured Streaming inputs (the expressions are the same logical plan
@@ -47,6 +47,71 @@ object Streaming {
     */
   def watermarked(df: DataFrame, tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
+
+  /** An event entering [[sessionizeStateful]]. `ts` must be the SAME
+    * timestamp column the watermark was declared on — event-time timeout
+    * resolves the watermark through this column's metadata, so it cannot
+    * be pre-converted to a numeric.
+    */
+  case class SessionEvent(key: String, ts: java.sql.Timestamp, value: Double) {
+    def tsMicros: Long = ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+  }
+
+  /** A closed session emitted by [[sessionizeStateful]]. */
+  case class ClosedSession(key: String, startMicros: Long, endMicros: Long,
+                           nEvents: Long, sumValue: Double)
+
+  case class OpenSession(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** Stateful streaming sessionization via `flatMapGroupsWithState`:
+    * unlike `session_window` aggregation (which can only aggregate), the
+    * open session lives in the state store, sessions CLOSE when the
+    * event-time watermark passes lastEvent + gap (EventTimeTimeout), and
+    * arbitrary per-session logic can run at close time. This is the
+    * template for custom state machines — dedup-with-TTL, CDC upserts,
+    * fraud windows.
+    *
+    * Input must carry a watermark (`watermarked(df, tsCol, delay)`)
+    * before the typed conversion. State per key is O(1); the state store
+    * shuffles once on the key.
+    */
+  def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, batch: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // Watermark passed lastTs + gap: the open session is final.
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(key, s.start, s.lastTs, s.n, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.tsMicros)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.tsMicros - s.lastTs <= gapUs =>
+                  open = Some(OpenSession(s.start, e.tsMicros, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += ClosedSession(key, s.start, s.lastTs, s.n, s.total)
+                  open = Some(OpenSession(e.tsMicros, e.tsMicros, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(e.tsMicros, e.tsMicros, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastTs + gapUs) / 1000) // millis
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Custom-state example: per-key running counts kept in `GroupState`
     * across micro-batches (`mapGroupsWithState`). The state store shuffles

@@ -63,6 +63,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization closes sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = Streaming.watermarked(input.toDF().toDF("ts", "k", "v"), "ts", "0 seconds")
+      .select(col("k").as("key"), col("ts"), col("v").as("value"))
+      .as[Streaming.SessionEvent](org.apache.spark.sql.Encoders.product[Streaming.SessionEvent])
+    val sessions = Streaming.sessionizeStateful(events, gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("stateful_sessions").start()
+    try {
+      // session 1: two events 10 min apart; then a gap of 2h within the
+      // same batch closes it immediately
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "u1", 1.0),
+        (ts("2024-01-01 00:10:00"), "u1", 2.0),
+        (ts("2024-01-01 02:10:00"), "u1", 4.0))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("stateful_sessions").as[Streaming.ClosedSession].collect()
+      assert(afterBatch1.length == 1)
+      assert(afterBatch1.head.nEvents == 2 && afterBatch1.head.sumValue == 3.0)
+
+      // advancing the watermark far past lastTs+gap times out the open
+      // session for u1 (the new u2 event drives the watermark)
+      input.addData((ts("2024-01-01 06:00:00"), "u2", 8.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 07:00:00"), "u2", 16.0))
+      q.processAllAvailable()
+      val closed = spark.table("stateful_sessions").as[Streaming.ClosedSession].collect()
+      val u1Sessions = closed.filter(_.key == "u1")
+      assert(u1Sessions.length == 2, s"expected u1's second session closed by timeout: ${closed.toSeq}")
+      assert(u1Sessions.map(_.nEvents).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("stateful running counts via mapGroupsWithState across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
