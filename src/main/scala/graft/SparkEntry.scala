@@ -232,6 +232,14 @@ object SparkEntry {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Bucket-bounded near-dup pairs (the LSH scale path for
+    * [[qEmbedPairs]]; approximate → rows-only check).
+    */
+  private def qEmbedPairsLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nPlanes = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Deterministic hash-bucket train/val/test split: counts per (lang,
     * split) — md5-bucketed so the oracle reproduces it exactly.
     */
@@ -517,6 +525,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ivf_topk" -> (qIvfTopk _),
     "q_embed_pairs" -> (qEmbedPairs _),
+    "q_embed_pairs_lsh" -> (qEmbedPairsLsh _),
     "q_sliding" -> (qSliding _),
     "q_session_window" -> (qSessionWindow _),
     "q_binary_meta" -> (qBinaryMeta _),
