@@ -46,14 +46,7 @@ object Profile {
       if (exact) {
         // +0 normalizes -0.0 to 0.0 for float types so the stringified
         // distinct count matches countDistinct's value semantics.
-        val valueExpr = cols.map { c =>
-          val v = df.schema(c).dataType match {
-            case org.apache.spark.sql.types.DoubleType |
-                 org.apache.spark.sql.types.FloatType => (col(c) + lit(0)).cast("string")
-            case _ => col(c).cast("string")
-          }
-          s"${strLit(c)}, ${bt(s"__v_$c")}"
-        }
+        val valueExpr = cols.map(c => s"${strLit(c)}, ${bt(s"__v_$c")}")
         val valued = df.select(cols.map { c =>
           val v = df.schema(c).dataType match {
             case org.apache.spark.sql.types.DoubleType |

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Concat, Timeseries}
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+/** Physical-plan regression guards: the scale properties the library
+  * promises (pushdown reaching scans, shuffle-free concat, broadcast
+  * dims, bounded exchanges) must survive future edits.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_topk_similar: query-side filter is pushed to the parquet scan") {
+    val p = plan("q_topk_similar")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(vec_id,10)"),
+      s"vec_id<10 must reach the scan:\n${p.take(2000)}")
+  }
+
+  test("concat is shuffle-free: Project + Union only, no Exchange") {
+    val a = createDf(spark, "id int, v double", Seq(Seq[Any](1, 1.0)))
+    val b = createDf(spark, "id int", Seq(Seq(2)))
+    val p = Concat.concat(Seq(a, b)).queryExecution.executedPlan.toString
+    assert(p.contains("Union") && !p.contains("Exchange"),
+      s"concat must not shuffle:\n$p")
+  }
+
+  test("q_join_agg broadcasts the dimension tables") {
+    val p = plan("q_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n${p.take(2000)}")
+  }
+
+  test("ffill introduces exactly one exchange (the window partition)") {
+    val e = graft.sources.Sources.readTable(spark, dir, "events")
+    val p = Timeseries.ffill(e, Seq("user_id"), Seq("ts", "event_id"), Seq("value"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, found $exchanges:\n${p.take(2000)}")
+  }
+
+  test("grouped-apply plans one hash exchange before MapGroups") {
+    val p = plan("q_grouped_apply")
+    assert(p.contains("MapGroups"), s"expected MapGroups node:\n${p.take(1500)}")
+    val beforeSort = p.substring(0, p.indexOf("MapGroups"))
+    assert(beforeSort.contains("Sort") || p.contains("Exchange"),
+      "groups must be clustered before the function runs")
+  }
+}

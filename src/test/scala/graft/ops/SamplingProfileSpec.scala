@@ -55,6 +55,23 @@ class SamplingSpec extends AnyFunSuite {
   }
 }
 
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("run composes named stages lazily; materializeEach reports rows") {
+    val df = spark.range(100).toDF("id")
+    val stages: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      "filter_even" -> (d => d.filter(col("id") % 2 === 0)),
+      "double_it" -> (d => d.withColumn("twice", col("id") * 2)))
+    val (out, reports) = Pipeline.run(df, stages)
+    assert(reports.map(_.name) == Seq("filter_even", "double_it"))
+    assert(reports.forall(_.rows.isEmpty))
+    assert(out.count() == 50)
+    val (_, mat) = Pipeline.run(df, stages, materializeEach = true)
+    assert(mat.map(_.rows) == Seq(Some(50L), Some(50L)))
+  }
+}
+
 class ProfileSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
