@@ -250,7 +250,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("split"))
 
-  /** One-pass multi-column profile (nulls, exact distinct, min/max). */
+  /** Multi-column profile (nulls, exact distinct, min/max; Expand-free
+    * two-scan shape, see [[graft.ops.Profile]]).
+    */
   private def qProfile(s: SparkSession, dir: String): DataFrame =
     Profile.profile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_discount", "l_returnflag", "l_linenumber"))

@@ -79,6 +79,9 @@ object Streaming {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000000
+    // In batch execution timeouts never fire, so the trailing open session
+    // per key must be flushed at end-of-group instead of parked in state.
+    val isStreaming = events.isStreaming
 
     events.groupByKey(_.key)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
@@ -95,18 +98,31 @@ object Streaming {
             val closed = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
               open match {
-                case Some(s) if e.tsMicros - s.lastTs <= gapUs =>
-                  open = Some(OpenSession(s.start, e.tsMicros, s.n + 1, s.total + e.value))
-                case Some(s) =>
+                // Late-but-within-watermark events may arrive out of order
+                // ACROSS batches: anything within gap of the open session's
+                // [start, lastTs] span merges, and the span only ever
+                // widens (min/max) — lastTs must never move backwards.
+                case Some(s) if e.tsMicros >= s.start - gapUs && e.tsMicros <= s.lastTs + gapUs =>
+                  open = Some(OpenSession(math.min(s.start, e.tsMicros),
+                    math.max(s.lastTs, e.tsMicros), s.n + 1, s.total + e.value))
+                case Some(s) if e.tsMicros > s.lastTs + gapUs =>
                   closed += ClosedSession(key, s.start, s.lastTs, s.n, s.total)
                   open = Some(OpenSession(e.tsMicros, e.tsMicros, 1, e.value))
+                case Some(_) =>
+                  // Orphan older than start - gap: it can never merge with
+                  // the (newer) open session — emit as its own session.
+                  closed += ClosedSession(key, e.tsMicros, e.tsMicros, 1, e.value)
                 case None =>
                   open = Some(OpenSession(e.tsMicros, e.tsMicros, 1, e.value))
               }
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.lastTs + gapUs) / 1000) // millis
+            if (isStreaming) {
+              open.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp((s.lastTs + gapUs) / 1000) // millis
+              }
+            } else {
+              open.foreach(s => closed += ClosedSession(key, s.start, s.lastTs, s.n, s.total))
             }
             closed.result().iterator
           }

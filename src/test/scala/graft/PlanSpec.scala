@@ -45,11 +45,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, found $exchanges:\n${p.take(2000)}")
   }
 
-  test("grouped-apply plans one hash exchange before MapGroups") {
+  test("grouped-apply plans exactly one hash exchange, clustering below MapGroups") {
     val p = plan("q_grouped_apply")
     assert(p.contains("MapGroups"), s"expected MapGroups node:\n${p.take(1500)}")
-    val beforeSort = p.substring(0, p.indexOf("MapGroups"))
-    assert(beforeSort.contains("Sort") || p.contains("Exchange"),
-      "groups must be clustered before the function runs")
+    // children print BELOW their consumer: the group-clustering
+    // Sort/Exchange must appear in the subtree AFTER the MapGroups line
+    val subtree = p.substring(p.indexOf("MapGroups"))
+    assert(subtree.contains("Sort") && subtree.contains("Exchange hashpartitioning"),
+      s"groups must be hash-clustered + sorted below MapGroups:\n${subtree.take(1500)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected exactly 1 hash exchange, found $hashExchanges")
   }
 }

@@ -92,6 +92,15 @@ class ProfileSpec extends AnyFunSuite {
     assert(math.abs(q("w").head - 100L) <= 4)
   }
 
+  test("profile: distinct counts stay exact for array columns (non-injective cast)") {
+    // Array("a, b") and Array("a", "b") stringify identically — the
+    // complex-type fallback must still count them as 2 distinct values.
+    val df = createDf(spark, "tags array<string>", Seq(
+      Seq[Any](Seq("a, b")), Seq[Any](Seq("a", "b")), Seq[Any](Seq("a", "b"))))
+    val p = Profile.profile(df, Seq("tags")).head()
+    assert(p.getLong(3) == 2L, s"expected 2 distinct arrays, got ${p.getLong(3)}")
+  }
+
   test("profile: one row per column with nulls/distinct/min/max") {
     val df = createDf(spark, "a int, b string", Seq(
       Seq[Any](1, "x"), Seq[Any](2, null), Seq[Any](2, "y")))

@@ -98,6 +98,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization merges late cross-batch events without regressing lastTs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = Streaming.watermarked(input.toDF().toDF("ts", "k", "v"), "ts", "2 hours")
+      .select(col("k").as("key"), col("ts"), col("v").as("value"))
+      .as[Streaming.SessionEvent](org.apache.spark.sql.Encoders.product[Streaming.SessionEvent])
+    val q = Streaming.sessionizeStateful(events, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("late_sessions").start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), "u1", 1.0))
+      q.processAllAvailable()
+      // late event (within the 2h watermark) arrives in a later batch and
+      // must widen the session backwards, not drag lastTs to 09:50
+      input.addData((ts("2024-01-01 09:50:00"), "u1", 2.0))
+      q.processAllAvailable()
+      // within gap of the REAL last event (10:00), must merge
+      input.addData((ts("2024-01-01 10:25:00"), "u1", 4.0))
+      q.processAllAvailable()
+      // advance watermark far enough to time the session out
+      input.addData((ts("2024-01-01 15:00:00"), "u2", 0.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 16:00:00"), "u2", 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("late_sessions").as[Streaming.ClosedSession]
+        .collect().filter(_.key == "u1")
+      assert(u1.length == 1, s"late event must not split the session: ${u1.toSeq}")
+      assert(u1.head.nEvents == 3 && u1.head.sumValue == 7.0)
+      assert(u1.head.startMicros == ts("2024-01-01 09:50:00").getTime * 1000)
+      assert(u1.head.endMicros == ts("2024-01-01 10:25:00").getTime * 1000)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization on a BATCH dataset flushes trailing sessions") {
+    import spark.implicits._
+    val batch = Seq(
+      Streaming.SessionEvent("u1", ts("2024-01-01 10:00:00"), 1.0),
+      Streaming.SessionEvent("u1", ts("2024-01-01 10:10:00"), 2.0),
+      Streaming.SessionEvent("u1", ts("2024-01-01 12:00:00"), 4.0),
+      Streaming.SessionEvent("u2", ts("2024-01-01 09:00:00"), 8.0)).toDS()
+    val sessions = Streaming.sessionizeStateful(batch, gapMinutes = 30).collect()
+    assert(sessions.length == 3, s"batch mode must emit trailing open sessions: ${sessions.toSeq}")
+    assert(sessions.filter(_.key == "u1").map(_.nEvents).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("stateful running counts via mapGroupsWithState across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
