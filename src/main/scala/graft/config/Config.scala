@@ -68,6 +68,17 @@ class Config private (val name: String) {
         getSeq(k).map(_.asInstanceOf[Seq[String]]), method)
     }
 
+  /** Pad the tuple KEYS of Map[Seq[String], _]-valued attrs to uniform
+    * length (reference config.py:155-168 `fill_tuple_keys`).
+    */
+  def fillTupleKeys(keys: Seq[String], method: String = "ffill"): Unit =
+    keys.foreach { k =>
+      val m = get(k).asInstanceOf[Map[Seq[String], Any]]
+      val ordered = m.toSeq
+      val padded = graft.ops.Reshape.fillTuples(ordered.map(_._1), method)
+      attrs(k) = padded.zip(ordered.map(_._2)).toMap
+    }
+
   def extendAttr(key: String, values: Seq[Any]): Unit = get(key) match {
     case s: Seq[_] => attrs(key) = s ++ values
     case _ => throw new IllegalArgumentException(s"attribute $key is not an extendable type")

@@ -89,6 +89,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.getMap("input_data")("lineitem") == "/mnt/root/data/lineitem.parquet")
   }
 
+  test("fillTupleKeys pads map keys to uniform depth") {
+    val cfg = Config.fromString("t", "a: 1\n")
+    cfg.update(Map("paths" -> Map(Seq("x") -> 1, Seq("y", "z") -> 2)))
+    cfg.fillTupleKeys(Seq("paths"))
+    assert(cfg.get("paths") == Map(Seq("x", "x") -> 1, Seq("y", "z") -> 2))
+  }
+
+  test("RunLog builds sortable run ids and creates the log dir") {
+    val tmp = Files.createTempDirectory("graft-logs")
+    val fixed = java.time.ZonedDateTime.of(2026, 8, 12, 14, 30, 55, 0, java.time.ZoneOffset.UTC)
+    val rl = new RunLog(Some(tmp), () => fixed)
+    assert(rl.logId == "20260812_143055")
+    val p = rl.ensure()
+    assert(Files.exists(tmp) && p.getFileName.toString == "run_20260812_143055.log")
+  }
+
   test("load() resolves from a directory on disk") {
     val dir = Files.createTempDirectory("graft-config")
     Files.writeString(dir.resolve("scenario.yaml"), yaml)
