@@ -88,22 +88,40 @@ object Similarity {
 
   /** Approximate top-k: score only same-bucket pairs. Recall depends on
     * plane count (fewer planes → bigger buckets → higher recall, higher
-    * cost); multi-probe (flipping low-margin bits) raises recall without
-    * growing buckets — the documented extension point.
+    * cost). `nProbe > 1` enables multi-probe: each query ALSO searches the
+    * buckets reached by flipping one sign bit — near-boundary neighbors
+    * that landed one hyperplane away become visible, raising recall
+    * without growing bucket sizes (cost scales with probed buckets, still
+    * nowhere near the cross product). `nProbe` counts probed buckets per
+    * query, capped at 1 + nPlanes (the exact bucket plus every 1-bit
+    * flip).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+              nPlanes: Int = 6, dim: Int = 64, nProbe: Int = 1): DataFrame = {
     val planes = randomPlanes(nPlanes, dim)
-    val q = normalized(queries, idCol, vecCol, "query_id", "qv")
-      .withColumn("bucket", lshBucket(col("qv"), planes))
+    val probes = math.min(nProbe, 1 + nPlanes)
+    val q0 = normalized(queries, idCol, vecCol, "query_id", "qv")
+      .withColumn("__bucket", lshBucket(col("qv"), planes))
+    // exact bucket first, then 1-bit-flip buckets (in plane order)
+    val probeBuckets = array((0 until probes).map {
+      case 0 => col("__bucket")
+      case i => GraftBitops.xor(col("__bucket"), lit(1 << (i - 1)))
+    }: _*)
+    val q = q0.select(col("query_id"), col("qv"),
+      explode(array_distinct(probeBuckets)).as("bucket"))
     val c = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
       .withColumn("bucket", lshBucket(col("cv"), planes))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+      .distinct() // a neighbor can surface from several probed buckets
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private object GraftBitops {
+    def xor(a: Column, b: Column): Column = a.bitwiseXOR(b)
   }
 
   /** IVF (inverted-file) approximate top-k: k-means cells learned from the

@@ -143,6 +143,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.filter(_.key == "u1").map(_.nEvents).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("file-sink end-to-end: stream -> parquet sink with checkpoint -> read back") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = input.toDF().toDF("ts", "k", "v")
+      .select(col("ts"), col("k"), col("v"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", out.resolve("data").toString)
+      .option("checkpointLocation", out.resolve("chk").toString)
+      .outputMode("append")
+      .start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), "a", 1.0), (ts("2024-01-01 01:00:00"), "b", 2.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 02:00:00"), "a", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(out.resolve("data").toString)
+    assert(back.count() == 3)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) == 7.0)
+  }
+
   test("stateful running counts via mapGroupsWithState across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

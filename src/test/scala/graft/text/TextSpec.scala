@@ -167,6 +167,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("multi-probe LSH recall dominates single-bucket recall") {
+    val rnd = new scala.util.Random(7)
+    val many = (0 until 200).map { i =>
+      Seq[Any](i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val df = createDf(spark, "vec_id bigint, v array<float>", many)
+    val queries = df.filter(col("vec_id") < 5)
+    def hits(nProbe: Int): Set[(Long, Long)] =
+      Similarity.lshTopK(queries, df, "vec_id", "v", k = 10,
+          nPlanes = 5, dim = 16, nProbe = nProbe)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = Similarity.bruteForceTopK(queries, df, "vec_id", "v", 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val single = hits(1) intersect brute
+    val multi = hits(4) intersect brute
+    assert(multi.size >= single.size,
+      s"multi-probe recall ${multi.size} must be >= single-bucket ${single.size}")
+    assert(multi.nonEmpty)
+  }
+
   test("lshNearDupPairs is a subset of brute force and finds the dup pair") {
     val brute = Similarity.cosineNearDupPairs(df, "vec_id", "v", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
