@@ -95,6 +95,15 @@ class ConcatSpec extends AnyFunSuite {
     }
   }
 
+  test("concat is associative over schema-compatible frames (SURVEY §5.3)") {
+    val a = createDf(spark, "x int, v double", Seq(Seq[Any](1, 1.5)))
+    val b = createDf(spark, "x bigint, v double", Seq(Seq[Any](2L, 2.5)))
+    val c = createDf(spark, "x int", Seq(Seq(3)))
+    val nested = Concat.concat(Seq(Concat.concat(Seq(a, b)), c))
+    val flat = Concat.concat(Seq(a, b, c))
+    assertDfEquality(nested, flat)
+  }
+
   test("empty frames list raises") {
     intercept[IllegalArgumentException] { Concat.concat(Seq.empty[org.apache.spark.sql.DataFrame]) }
   }

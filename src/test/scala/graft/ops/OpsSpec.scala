@@ -37,6 +37,21 @@ class ColumnsSpec extends AnyFunSuite {
     assert(got == Set(Seq(2.0, 3.0, 4.0), Seq.empty[Double]))
   }
 
+  test("arrayDiff law: matches naive sliding difference on random arrays") {
+    val rnd = new scala.util.Random(11)
+    val arrays = Seq.fill(60)(Seq.fill(rnd.nextInt(8))(
+      math.round(rnd.nextDouble() * 1000) / 10.0))
+    val df = createDf(spark, "i int, a array<double>",
+      arrays.zipWithIndex.map { case (a, i) => Seq[Any](i, a) })
+    val got = df.select(col("i"), Columns.arrayDiff(col("a")).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    arrays.zipWithIndex.foreach { case (a, i) =>
+      val naive = if (a.length < 2) Seq.empty[Double]
+                  else a.sliding(2).map(p => p(1) - p(0)).toSeq
+      assert(got(i) == naive, s"diff law failed for $a")
+    }
+  }
+
   test("getFirstGroup keeps exactly one group; firstGroupOrdered keeps the min") {
     val df = createDf(spark, Seq("g", "v"), Seq(Seq("b", 1), Seq("a", 2), Seq("a", 3)))
     val first = Columns.firstGroupOrdered(df, Seq("g"))
