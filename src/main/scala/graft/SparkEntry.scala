@@ -111,25 +111,34 @@ object SparkEntry {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_total"))
 
-  /** W1 window-spec builder: per-group window sum + whole-frame window
-    * (the reference's documented single-partition hazard, kept small here).
+  /** W1 window-spec builder: per-group window sum, plus a global total.
+    * The global total deliberately does NOT use `windowSpec(Nil)` — the
+    * whole-frame window sorts every row into one task (the reference's
+    * documented single-partition hazard, general.py:173-179, kept in the
+    * library with its warning). The scale-safe composition shown here is
+    * a one-row `agg` attached via broadcast cross join: same result, no
+    * single-partition Window anywhere in the plan.
     */
   private def qWindowSum(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val perCust = Columns.windowSpec(Seq("o_custkey"))
-    val whole = Columns.windowSpec(Nil)
+    val globalTotal = o.agg(
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("global_total"))
     o.select(
         col("o_orderkey"),
         col("o_custkey"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).over(perCust)
           .cast("double").as("cust_total"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(whole)
-          .cast("double").as("global_total"),
       )
+      .crossJoin(broadcast(globalTotal))
       .orderBy(col("o_orderkey"))
   }
 
-  /** U2 array successive-difference as pure Catalyst (no UDF). */
+  /** U2 array successive-difference as pure Catalyst (no UDF). The diffs
+    * are posexploded to scalar (l_partkey, idx, diff) rows — the oracle
+    * comparator aligns on scalar columns, and single-element groups (empty
+    * diff arrays) drop out on both engines.
+    */
   private def qArrayDiff(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
@@ -137,10 +146,11 @@ object SparkEntry {
         col("l_extendedprice")))).as("sorted"))
       .select(
         col("l_partkey"),
-        Columns.arrayDiff(transform(col("sorted"), x => x.getField("l_extendedprice")))
-          .as("price_diffs"),
+        posexplode(Columns.arrayDiff(transform(col("sorted"), x => x.getField("l_extendedprice"))))
+          .as(Seq("idx", "diff")),
       )
-      .orderBy(col("l_partkey"))
+      .select(col("l_partkey"), col("idx").cast("long").as("idx"), col("diff"))
+      .orderBy(col("l_partkey"), col("idx"))
 
   /** W3 forward-fill per series (nulls injected on 'click' events). */
   private def qFfill(s: SparkSession, dir: String): DataFrame = {
@@ -459,10 +469,31 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding near-dup pairs above cosine 0.45. */
+  /** Embedding near-dup pairs above cosine 0.45 — the brute-force O(n²)
+    * baseline, scoped to small-SF oracle duty only. The production path is
+    * [[qEmbedPairsLsh]]; its semantics are verified against this baseline
+    * by [[qLshContainment]].
+    */
   private def qEmbedPairs(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Semantic check for the bucketed near-dup path: every pair emitted by
+    * [[Similarity.lshNearDupPairs]] must appear in the brute-force
+    * above-threshold set (LSH candidates are re-scored with the exact
+    * cosine, so containment must be exact). Violations = 0, a scalar the
+    * oracle verifies as SELECT 0 — this graduates the scale path from a
+    * rows-only check to a verified-semantics one.
+    */
+  private def qLshContainment(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val lsh = Similarity.lshNearDupPairs(e, "vec_id", "embedding", threshold = 0.3, nPlanes = 4)
+      .select(col("id_a"), col("id_b"))
+    val brute = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+    lsh.join(brute, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+  }
 
   // ------------------------------------------------------- multimodal
 
@@ -528,6 +559,7 @@ object SparkEntry {
     "q_ivf_topk" -> (qIvfTopk _),
     "q_embed_pairs" -> (qEmbedPairs _),
     "q_embed_pairs_lsh" -> (qEmbedPairsLsh _),
+    "q_lsh_containment" -> (qLshContainment _),
     "q_sliding" -> (qSliding _),
     "q_session_window" -> (qSessionWindow _),
     "q_binary_meta" -> (qBinaryMeta _),
@@ -596,8 +628,12 @@ object SparkEntry {
       """WITH g AS (
         |  SELECT l_partkey, list(l_extendedprice ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS p
         |  FROM lineitem GROUP BY 1)
-        |SELECT l_partkey, [p[i+1] - p[i] FOR i IN range(1, len(p))] AS price_diffs
-        |FROM g ORDER BY l_partkey""".stripMargin,
+        |SELECT l_partkey, idx, diff FROM (
+        |  SELECT l_partkey,
+        |    unnest(range(0, len(p) - 1)) AS idx,
+        |    unnest([p[i+1] - p[i] FOR i IN range(1, len(p))]) AS diff
+        |  FROM g)
+        |ORDER BY l_partkey, idx""".stripMargin,
     "q_ffill" ->
       """SELECT event_id, user_id,
         |  last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
@@ -813,5 +849,7 @@ object SparkEntry {
     "q_distinct_levels" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY 1, 2""".stripMargin,
+    "q_lsh_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
   )
 }

@@ -45,6 +45,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, found $exchanges:\n${p.take(2000)}")
   }
 
+  test("q_window_sum has no whole-frame window (global total rides a broadcast agg)") {
+    val p = plan("q_window_sum")
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, s"expected a per-customer Window node:\n${p.take(2000)}")
+    assert(windowLines.forall(_.contains("o_custkey")),
+      s"every Window must partition by o_custkey (no single-partition window):\n$windowLines")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"global_total must attach via broadcast join:\n${p.take(2000)}")
+  }
+
   test("grouped-apply plans exactly one hash exchange, clustering below MapGroups") {
     val p = plan("q_grouped_apply")
     assert(p.contains("MapGroups"), s"expected MapGroups node:\n${p.take(1500)}")
