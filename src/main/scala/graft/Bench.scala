@@ -26,7 +26,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 1-minute load average: round-over-round comparisons need to know
+    // whether the box was busy (±20% noise observed under load).
+    val load = try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":$load}""")
     spark.stop()
   }
 }

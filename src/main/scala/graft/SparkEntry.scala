@@ -278,7 +278,8 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-    AsOf.asofJoinBackward(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"))
+    AsOf.asofJoinBackward(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"),
+        rightTieBreak = Seq("click_id"))
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),

@@ -2,7 +2,6 @@ package graft.config
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
-import scala.collection.mutable
 
 /** Config validation against the catalog and the filesystem (reference:
   * ons_utils/config/validation.py). The py4j `_jsparkSession.catalog()`
@@ -14,7 +13,20 @@ import scala.collection.mutable
   */
 object Validation {
 
-  private val fileCache = mutable.Map.empty[String, Boolean]
+  /** Bounded LRU memo for filesystem probes (the reference's
+    * `lru_cache(maxsize=32)`, validation.py:313-315) — an unbounded map
+    * would slow-leak on a long-lived driver probing many paths.
+    */
+  private[config] val maxFileCacheEntries = 32
+  private val fileCache =
+    new java.util.LinkedHashMap[String, Boolean](64, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Boolean]): Boolean =
+        size() > maxFileCacheEntries
+    }
+
+  private[config] def cachedPathCount: Int = fileCache.synchronized(fileCache.size())
+  private[config] def isCached(path: String): Boolean =
+    fileCache.synchronized(fileCache.containsKey(path))
 
   /** S2 — Hive/catalog table existence. */
   def tableExists(spark: SparkSession, database: String, table: String): Boolean =
@@ -24,14 +36,18 @@ object Validation {
   def tableColumns(spark: SparkSession, table: String): Seq[String] =
     spark.catalog.listColumns(table).collect().toSeq.map(_.name)
 
-  /** S3 — file existence on the session's filesystem, memoized. */
-  def fileExists(spark: SparkSession, path: String): Boolean =
-    fileCache.getOrElseUpdate(path, {
+  /** S3 — file existence on the session's filesystem, memoized (LRU). */
+  def fileExists(spark: SparkSession, path: String): Boolean = fileCache.synchronized {
+    if (fileCache.containsKey(path)) fileCache.get(path)
+    else {
       val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      fs.isFile(new HPath(path))
-    })
+      val exists = fs.isFile(new HPath(path))
+      fileCache.put(path, exists)
+      exists
+    }
+  }
 
-  def clearCache(): Unit = fileCache.clear()
+  def clearCache(): Unit = fileCache.synchronized(fileCache.clear())
 
   /** Validate that mapping-valued attr `key` holds existing input files;
     * sections with `active: false` are skipped (validation.py:250-259).

@@ -32,15 +32,23 @@ object AsOf {
     * @param rightPayload    right columns to attach (null when no match)
     * @param toleranceUs     max allowed (leftTs - rightTs) in microseconds;
     *                        matches older than this are nulled out
+    * @param rightTieBreak   right columns appended to the window ordering:
+    *                        when several right rows share (key, rightTs),
+    *                        the one greatest under this ordering wins.
+    *                        Without it the pick among exact ties is
+    *                        plan-dependent — pass a unique id for full
+    *                        determinism (the repo convention).
     */
   def asofJoinBackward(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
       rightPayload: Seq[String],
       toleranceUs: Option[Long] = None,
+      rightTieBreak: Seq[String] = Nil,
   ): DataFrame = {
     val leftCols = left.columns.toSeq
-    val reserved = Seq("__ts", "__side", "__r", "__m")
+    val reserved = Seq("__ts", "__side", "__r", "__m") ++
+      rightTieBreak.indices.map(i => s"__tb$i")
     val outNames = (rightTs +: rightPayload).map("asof_" + _)
     require(!leftCols.exists(c => reserved.contains(c) || outNames.contains(c)),
       s"left columns collide with reserved/output names " +
@@ -56,11 +64,15 @@ object AsOf {
       col(rightTs).as("__rts") +: rightPayload.map(c => col(c).as(c)): _*)
     val rStructType = right.select(rStructFields).schema.head.dataType
 
+    // Tiebreak columns exist only on right rows (null on left — harmless:
+    // __side already orders left after every same-ts right row).
+    val tbTypes = rightTieBreak.map(c => right.schema(c).dataType)
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(rStructType))
       .select(Seq(col("__ts"), col("__side"), col("__r")) ++
+        tbTypes.zipWithIndex.map { case (t, i) => lit(null).cast(t).as(s"__tb$i") } ++
         keys.map(col) ++
         leftCols.filterNot(keys.contains).map(col): _*)
     val rTagged = right
@@ -68,11 +80,13 @@ object AsOf {
       .withColumn("__side", lit(0))
       .withColumn("__r", rStructFields)
       .select(Seq(col("__ts"), col("__side"), col("__r")) ++
+        rightTieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") } ++
         keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts") +: col("__side") +:
+        rightTieBreak.indices.map(i => col(s"__tb$i")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = lTagged.unionByName(rTagged)

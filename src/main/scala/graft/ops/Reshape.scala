@@ -31,6 +31,40 @@ object Reshape {
     p.agg(agg(valueCol))
   }
 
+  /** The Stacker `transpose` option (reference pandas.py:21-54: `unstack`
+    * then `.T`): swap the row axis and the wide column axis. Distributed
+    * spelling: unpivot the wide columns to long, then pivot the former
+    * row-key tuples (joined with `sep`) into columns. Pass `keyValues`
+    * (the joined row-key strings) when known to keep the plan static —
+    * and note the transposed frame has one column per former row, so
+    * this is only sensible where the reference used it: small summary
+    * frames, not fact tables.
+    */
+  def transposeWide(df: DataFrame, rowKeys: Seq[String],
+                    headerName: String = "column", sep: String = "_",
+                    keyValues: Seq[Any] = Nil): DataFrame = {
+    val valueCols = df.columns.toSeq.filterNot(rowKeys.contains)
+    val long = df.withColumn("__key", concat_ws(sep, rowKeys.map(col): _*))
+      .unpivot(Array(col("__key")), valueCols.map(col).toArray, headerName, "__value")
+    unstack(long, Seq(headerName), "__key", "__value", keyValues)
+  }
+
+  /** R1 with the reference's `transpose=True`: [[unstack]] then
+    * [[transposeWide]] — pivot values become rows, row-key tuples become
+    * columns.
+    */
+  def unstackTransposed(
+      df: DataFrame,
+      rowKeys: Seq[String],
+      pivotCol: String,
+      valueCol: String,
+      pivotValues: Seq[Any] = Nil,
+      agg: String => Column = c => first(col(c)),
+      sep: String = "_",
+  ): DataFrame =
+    transposeWide(unstack(df, rowKeys, pivotCol, valueCol, pivotValues, agg),
+      rowKeys, headerName = pivotCol, sep = sep)
+
   /** R2 — stack (wide→long): `unpivot`, the inverse of [[unstack]]. */
   def stack(
       df: DataFrame,

@@ -40,8 +40,24 @@ object Timeseries {
     */
   def shiftedYear(ts: Column): Column = year(add_months(ts, -1))
 
+  /** W2 — the generic shifted-year apply (reference pandas.py:121-133
+    * `shifted_within_year_apply`): tag each row with its Feb→Jan+1
+    * [[shiftedYear]], hand the tagged frame plus the FULL partition
+    * column list (series keys + the year tag) to `method`, and drop the
+    * tag afterwards. `method` is any per-group transform — fill, impute,
+    * normalize — expressed as distributed window/group operations over
+    * the given partition columns, so the composition stays one shuffle
+    * wide no matter what the method does.
+    */
+  def shiftedWithinYearApply(df: DataFrame, parts: Seq[String], tsCol: String)(
+      method: (DataFrame, Seq[String]) => DataFrame): DataFrame = {
+    val tagged = df.withColumn("__shifted_year", shiftedYear(col(tsCol)))
+    method(tagged, parts :+ "__shifted_year").drop("__shifted_year")
+  }
+
   /** W3 — forward-fill within the shifted year (reference pandas.py:136-138):
-    * fill only propagates inside a (series keys × shifted-year) partition.
+    * the ffill specialization of [[shiftedWithinYearApply]] — fill only
+    * propagates inside a (series keys × shifted-year) partition.
     */
   def shiftedWithinYearFfill(
       df: DataFrame,
@@ -49,8 +65,19 @@ object Timeseries {
       tsCol: String,
       valueCols: Seq[String],
       tieBreakCols: Seq[String] = Nil,
-  ): DataFrame = {
-    val tagged = df.withColumn("__shifted_year", shiftedYear(col(tsCol)))
-    ffill(tagged, parts :+ "__shifted_year", tsCol +: tieBreakCols, valueCols).drop("__shifted_year")
+  ): DataFrame =
+    shiftedWithinYearApply(df, parts, tsCol) { (tagged, groups) =>
+      ffill(tagged, groups, tsCol +: tieBreakCols, valueCols)
+    }
+
+  /** Per-group mean imputation: replace nulls in `valueCols` with the
+    * group mean (a common non-fill `method` for
+    * [[shiftedWithinYearApply]]). Window aggregation, not a join — one
+    * shuffle on the group keys.
+    */
+  def meanImpute(df: DataFrame, parts: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(parts.map(col): _*)
+    valueCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, coalesce(col(c), avg(col(c)).over(w))))
   }
 }

@@ -27,6 +27,54 @@ object DfAssert {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Date-literal helper for fixtures (reference `to_date`,
+    * testing.py:9-11): ISO `yyyy-MM-dd` string → `java.sql.Date`.
+    */
+  def toDate(s: String): java.sql.Date =
+    java.sql.Date.valueOf(java.time.LocalDate.parse(s))
+
+  /** Timestamp-literal sibling of [[toDate]] (`yyyy-MM-dd[ HH:mm:ss]`). */
+  def toTs(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(if (s.contains(" ") || s.contains("T")) s.replace('T', ' ')
+      else s + " 00:00:00")
+
+  /** Flat-column analog of the reference's MultiIndex-column builder
+    * (`create_multi_column_df`, testing.py:19-22): the first
+    * `columnLevels` rows of `data` are per-level column labels, joined
+    * with `sep` into level-prefixed flat names (Spark has no column
+    * MultiIndex; `a_b` is the flat spelling of `(a, b)` — the same
+    * convention [[graft.ops.Reshape.unstack]] uses for pivoted columns).
+    */
+  def createMultiColumnDf(spark: SparkSession, data: Seq[Seq[Any]],
+                          columnLevels: Int, sep: String = "_"): DataFrame = {
+    require(data.length > columnLevels,
+      s"need $columnLevels header rows plus at least one data row")
+    val headers = data.take(columnLevels).map(_.map(String.valueOf))
+    require(headers.map(_.length).distinct.size == 1,
+      "all column-level header rows must have the same length")
+    val names = headers.transpose.map(_.mkString(sep))
+    createDf(spark, names, data.drop(columnLevels))
+  }
+
+  /** Flat analog of `create_df_with_multi_indices` (testing.py:25-87):
+    * the first `columnLabels.length` rows label the value columns (joined
+    * with `sep`); each data row leads with one value per `indexLabels`
+    * entry, which become ordinary leading columns (Spark's spelling of a
+    * row MultiIndex). The doctest shape from the reference maps 1:1.
+    */
+  def createDfWithMultiIndices(spark: SparkSession, data: Seq[Seq[Any]],
+                               columnLabels: Seq[String], indexLabels: Seq[String],
+                               sep: String = "_"): DataFrame = {
+    val nLevels = columnLabels.length
+    require(data.length > nLevels, s"need $nLevels header rows plus data rows")
+    val headers = data.take(nLevels).map(_.map(String.valueOf))
+    val dataRows = data.drop(nLevels)
+    require(headers.head.length + indexLabels.length == dataRows.head.length,
+      "data rows must be index values + one value per labeled column")
+    val names = indexLabels ++ headers.transpose.map(_.mkString(sep))
+    createDf(spark, names, dataRows)
+  }
+
   private def inferSchema(header: Seq[String], rows: Seq[Seq[Any]]): StructType = {
     import org.apache.spark.sql.types._
     val fields = header.zipWithIndex.map { case (name, i) =>

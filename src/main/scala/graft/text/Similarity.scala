@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -124,31 +124,66 @@ object Similarity {
     def xor(a: Column, b: Column): Column = a.bitwiseXOR(b)
   }
 
-  /** IVF (inverted-file) approximate top-k: k-means cells learned from the
-    * corpus replace [[lshBucket]]'s random hyperplanes — learned partitions
-    * follow the data distribution, so recall per probe is higher. Queries
-    * probe their `nProbe` nearest cells; only those cells' members are
-    * scored. At 100 TB the cell assignment is a narrow map (broadcast
-    * centroids), candidate scoring shuffles only on cell id, and `nCells`
-    * scales with corpus size (√n is the usual starting point).
+  /** A trained IVF index: driver-held centroids (nCells × dim doubles —
+    * tiny) plus the cell-assigned, L2-normalized corpus, persisted so
+    * probe-time queries never re-normalize or re-assign. Train ONCE per
+    * corpus ([[ivfBuild]]); every query invocation then only probes.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              idCol: String, vecCol: String, k: Int,
-              nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L): DataFrame = {
+  final case class IvfIndex(centers: Seq[(Int, Seq[Double])], cells: DataFrame) {
+    def unpersist(): Unit = { cells.unpersist(); () }
+  }
+
+  /** Keyed by (session, canonicalized corpus plan, params): repeated
+    * [[ivfTopK]] calls over the same corpus reuse one trained index
+    * instead of paying the iterative k-means fit per invocation.
+    */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, String, String, Int, Long), IvfIndex]
+
+  /** Fit the IVF index: k-means cells learned from the corpus replace
+    * [[lshBucket]]'s random hyperplanes — learned partitions follow the
+    * data distribution, so recall per probe is higher. This is the one
+    * expensive step (iterative, driver-coordinated); at 100 TB it runs
+    * once per corpus build, not per query. `nCells` scales with corpus
+    * size (√n is the usual starting point).
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+               nCells: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val c = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
       .withColumn("features", array_to_vector(col("cv")))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5).setTol(1e-3).fit(c)
-    val corpusCells = model.transform(c)
+    val cells = model.transform(c)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
-
-    val spark = corpus.sparkSession
-    import spark.implicits._
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centers = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
-      .toDF("cell", "center")
+    IvfIndex(centers, cells)
+  }
+
+  /** Memoizing wrapper around [[ivfBuild]]: same session + semantically
+    * identical corpus plan + same params → the already-trained index.
+    */
+  def ivfIndexFor(corpus: DataFrame, idCol: String, vecCol: String,
+                  nCells: Int = 16, seed: Long = 42L): IvfIndex =
+    ivfCache.getOrElseUpdate(
+      (corpus.sparkSession, corpus.queryExecution.analyzed.semanticHash(),
+        idCol, vecCol, nCells, seed),
+      ivfBuild(corpus, idCol, vecCol, nCells, seed))
+
+  /** Probe a trained index: queries rank the broadcast centroids by dot
+    * product, keep their `nProbe` nearest cells, and score only those
+    * cells' members. Cell assignment is a narrow map over the broadcast
+    * centroids; candidate scoring joins on the 4-byte cell id — no fit
+    * job, no cross product.
+    */
+  def ivfProbe(index: IvfIndex, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centers = index.centers.toDF("cell", "center")
 
     val q = normalized(queries, idCol, vecCol, "query_id", "qv")
     val wProbe = Window.partitionBy(col("query_id"))
@@ -159,12 +194,20 @@ object Similarity {
       .filter(col("probe_rank") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
 
-    val scored = corpusCells.join(broadcast(qCells), "cell")
+    val scored = index.cells.join(broadcast(qCells), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF approximate top-k — convenience composition of [[ivfIndexFor]]
+    * (train-once, memoized) and [[ivfProbe]].
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 3, seed: Long = 42L): DataFrame =
+    ivfProbe(ivfIndexFor(corpus, idCol, vecCol, nCells, seed), queries, idCol, vecCol, k, nProbe)
 
   /** Embedding near-duplicate pairs above a cosine threshold. Brute-force
     * pair generation at test scale; at corpus scale use

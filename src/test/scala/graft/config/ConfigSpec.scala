@@ -105,6 +105,47 @@ class ConfigSpec extends AnyFunSuite {
     assert(Files.exists(tmp) && p.getFileName.toString == "run_20260812_143055.log")
   }
 
+  test("setLoggingConfig writes run-id'd log file through the wired handlers") {
+    val tmp = Files.createTempDirectory("graft-logwire")
+    val fixed = java.time.ZonedDateTime.of(2026, 8, 12, 9, 0, 0, 0, java.time.ZoneOffset.UTC)
+    val rl = new RunLog(Some(tmp), () => fixed)
+    val root = java.util.logging.LogManager.getLogManager.getLogger("")
+    val priorHandlers = root.getHandlers.toSeq
+    val priorLevel = root.getLevel
+    rl.setLoggingConfig(console = "basic", textLog = "debug",
+      disableOtherLoggers = false)
+    try {
+      val lg = java.util.logging.Logger.getLogger("graft.test.runlog")
+      lg.setLevel(java.util.logging.Level.FINE) // opt this logger into DEBUG
+      lg.info("hello-from-runlog")
+      lg.fine("debug-level-line")
+      root.getHandlers.foreach(_.flush())
+      val content = Files.readString(rl.logPath)
+      assert(rl.logPath.getFileName.toString == "run_20260812_090000.log")
+      assert(content.contains("hello-from-runlog"))
+      assert(content.contains("debug-level-line"), "file handler must capture DEBUG")
+      assert(content.contains("graft.test.runlog"), "debug formatter prefixes source")
+    } finally {
+      // fully restore root logger state so later tests are unaffected
+      root.getHandlers.filterNot(priorHandlers.contains).foreach { h =>
+        root.removeHandler(h); h.close()
+      }
+      root.setLevel(priorLevel)
+    }
+  }
+
+  test("log4j2Properties renders both appenders on the run path") {
+    val tmp = Files.createTempDirectory("graft-log4j2")
+    val rl = new RunLog(Some(tmp))
+    val props = rl.log4j2Properties()
+    assert(props.contains(s"appender.file.fileName = ${rl.logPath}"))
+    assert(props.contains("appender.console.filter.threshold.level = info"))
+    assert(props.contains("rootLogger.level = debug"))
+    val written = rl.writeLog4j2Properties()
+    assert(Files.readString(written) == props)
+    intercept[IllegalArgumentException] { rl.log4j2Properties(console = "nope") }
+  }
+
   test("load() resolves from a directory on disk") {
     val dir = Files.createTempDirectory("graft-config")
     Files.writeString(dir.resolve("scenario.yaml"), yaml)
@@ -127,6 +168,20 @@ class ValidationSpec extends AnyFunSuite {
     val f = Files.createTempFile("graft-val", ".txt")
     assert(Validation.fileExists(spark, f.toString))
     assert(!Validation.fileExists(spark, f.toString + ".nope"))
+  }
+
+  test("fileExists cache is LRU-bounded at 32 entries") {
+    Validation.clearCache()
+    val f = Files.createTempFile("graft-lru", ".txt")
+    assert(Validation.fileExists(spark, f.toString))
+    assert(Validation.isCached(f.toString))
+    // Probe 40 distinct (missing) paths: capacity is 32, so the earliest
+    // entries — including f — must have been evicted.
+    (0 until 40).foreach(i => Validation.fileExists(spark, s"$f.nope.$i"))
+    assert(Validation.cachedPathCount == Validation.maxFileCacheEntries)
+    assert(!Validation.isCached(f.toString), "oldest entry must be evicted")
+    // Most recent probes survive.
+    assert(Validation.isCached(s"$f.nope.39"))
   }
 
   test("validateInputFiles: active:false sections skipped; report formats") {

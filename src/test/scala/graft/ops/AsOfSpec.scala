@@ -51,6 +51,20 @@ class AsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("rightTieBreak picks the greatest tiebreak among exact (key, ts) duplicates") {
+    val q = createDf(spark, "sym string, ts timestamp, px double, seq int", Seq(
+      Seq[Any]("A", ts("2024-01-01 10:00:00"), 10.0, 1),
+      Seq[Any]("A", ts("2024-01-01 10:00:00"), 20.0, 2),
+      Seq[Any]("A", ts("2024-01-01 10:00:00"), 15.0, 3)))
+    val tr = createDf(spark, "trade_id int, sym string, ts timestamp",
+      Seq(Seq[Any](1, "A", ts("2024-01-01 10:01:00"))))
+    val out = AsOf.asofJoinBackward(tr, q, Seq("sym"), "ts", "ts", Seq("px", "seq"),
+      rightTieBreak = Seq("seq")).head()
+    // greatest seq (3) wins deterministically, and its payload is atomic
+    assert(out.getAs[Int]("asof_seq") == 3)
+    assert(out.getAs[Double]("asof_px") == 15.0)
+  }
+
   test("tolerance nulls out stale matches") {
     val out = AsOf.asofJoinBackward(trades, quotes, Seq("sym"), "ts", "ts", Seq("px"),
         toleranceUs = Some(10L * 60 * 1000000)) // 10 minutes

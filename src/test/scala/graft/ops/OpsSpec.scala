@@ -111,6 +111,39 @@ class TimeseriesSpec extends AnyFunSuite {
       .orderBy("t").collect().map(r => Option(r.get(2)))
     assert(got.toSeq == Seq(Some(7.0), None, Some(9.0), Some(9.0)))
   }
+
+  test("shiftedWithinYearApply with ffill method equals shiftedWithinYearFfill (W2≡W3)") {
+    val df = createDf(spark, "g string, t timestamp, v double", Seq(
+      Seq("a", ts("2024-01-15 00:00:00"), 7.0),
+      Seq("a", ts("2024-02-02 00:00:00"), null),
+      Seq("a", ts("2024-03-01 00:00:00"), 9.0),
+      Seq("a", ts("2024-03-02 00:00:00"), null),
+      Seq("b", ts("2023-12-31 00:00:00"), 1.0),
+      Seq("b", ts("2024-01-01 00:00:00"), null)))
+    val viaApply = Timeseries.shiftedWithinYearApply(df, Seq("g"), "t") { (d, groups) =>
+      Timeseries.ffill(d, groups, Seq("t"), Seq("v"))
+    }.orderBy("g", "t").collect().map(r => Option(r.get(2))).toSeq
+    val viaFfill = Timeseries.shiftedWithinYearFfill(df, Seq("g"), "t", Seq("v"))
+      .orderBy("g", "t").collect().map(r => Option(r.get(2))).toSeq
+    assert(viaApply == viaFfill)
+    // b's Dec 31 (shifted-year 2023) and Jan 1 (also 2023) share a group → fill crosses
+    assert(viaApply == Seq(Some(7.0), None, Some(9.0), Some(9.0), Some(1.0), Some(1.0)))
+  }
+
+  test("shiftedWithinYearApply supports non-fill methods (mean impute per shifted year)") {
+    val df = createDf(spark, "g string, t timestamp, v double", Seq(
+      Seq("a", ts("2024-02-01 00:00:00"), 2.0),
+      Seq("a", ts("2024-03-01 00:00:00"), null),
+      Seq("a", ts("2024-04-01 00:00:00"), 4.0),
+      Seq("a", ts("2025-01-15 00:00:00"), null), // Jan 2025 → shifted-year 2024
+      Seq("a", ts("2025-02-01 00:00:00"), 10.0),
+      Seq("a", ts("2025-03-01 00:00:00"), null)))
+    val got = Timeseries.shiftedWithinYearApply(df, Seq("g"), "t") { (d, groups) =>
+      Timeseries.meanImpute(d, groups, Seq("v"))
+    }.orderBy("t").collect().map(_.getDouble(2)).toSeq
+    // shifted-year 2024 mean = (2+4)/2 = 3.0; shifted-year 2025 mean = 10.0
+    assert(got == Seq(2.0, 3.0, 4.0, 3.0, 10.0, 10.0))
+  }
 }
 
 class ReshapeSpec extends AnyFunSuite {
@@ -131,6 +164,26 @@ class ReshapeSpec extends AnyFunSuite {
     val back = Reshape.stack(wide, Seq("row"), Seq("a", "b"), "piv", "v")
       .filter(col("v").isNotNull)
     assertDfEquality(back, long)
+  }
+
+  test("unstackTransposed swaps axes (Stacker transpose=True)") {
+    val long = createDf(spark, Seq("row", "piv", "v"), Seq(
+      Seq("r1", "a", 1.0), Seq("r1", "b", 2.0), Seq("r2", "a", 3.0), Seq("r2", "b", 4.0)))
+    val t = Reshape.unstackTransposed(long, Seq("row"), "piv", "v", Seq("a", "b"))
+    assert(t.columns.toSeq.sorted == Seq("piv", "r1", "r2"))
+    val rows = t.collect().map(r => r.getAs[String]("piv") ->
+      (r.getAs[Double]("r1"), r.getAs[Double]("r2"))).toMap
+    assert(rows == Map("a" -> (1.0, 3.0), "b" -> (2.0, 4.0)))
+  }
+
+  test("transposeWide is an involution on a square frame (T∘T = id)") {
+    val long = createDf(spark, Seq("row", "piv", "v"), Seq(
+      Seq("r1", "a", 1.0), Seq("r1", "b", 2.0), Seq("r2", "a", 3.0), Seq("r2", "b", 4.0)))
+    val wide = Reshape.unstack(long, Seq("row"), "piv", "v", Seq("a", "b"))
+    val twice = Reshape.transposeWide(
+      Reshape.transposeWide(wide, Seq("row"), headerName = "piv"),
+      Seq("piv"), headerName = "row")
+    assertDfEquality(twice.select("row", "a", "b"), wide)
   }
 
   test("levelSlicer builds the conjunction filter and validates arity") {

@@ -161,6 +161,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byQuery(0L).forall(_.getAs[Long]("neighbor_id") % 2 == 0))
   }
 
+  test("IVF index trains once and is reused across query sets") {
+    val manyVecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.1f) else Seq(0.0f, 1.0f, 0.1f)
+      Seq[Any](i.toLong, base.map(_ + (i % 7) * 0.01f))
+    }
+    val corpus = createDf(spark, "vec_id bigint, v array<float>", manyVecs)
+    val idx1 = Similarity.ivfIndexFor(corpus, "vec_id", "v", nCells = 2)
+    val idx2 = Similarity.ivfIndexFor(corpus, "vec_id", "v", nCells = 2)
+    assert(idx1 eq idx2, "semantically identical corpus + params must reuse the trained index")
+
+    // Two different query sets probe the SAME index — no re-fit between them.
+    val qa = Similarity.ivfProbe(idx1, corpus.filter(col("vec_id") < 2), "vec_id", "v", k = 3)
+    val qb = Similarity.ivfProbe(idx1, corpus.filter(col("vec_id").between(2, 3)), "vec_id", "v", k = 3)
+    assert(qa.select("query_id").distinct().count() == 2)
+    assert(qb.select("query_id").distinct().count() == 2)
+    // Different params → a different (still memoized) index.
+    val idx3 = Similarity.ivfIndexFor(corpus, "vec_id", "v", nCells = 4)
+    assert(!(idx3 eq idx1))
+  }
+
   test("cosineNearDupPairs finds only the near-identical pair at 0.9") {
     val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "v", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
