@@ -13,9 +13,12 @@ object Bench {
     // Warm the session (codegen, parquet footer reads) outside the timings.
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    // Optional args: bench only the named queries (tuning loop).
+    val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
+      else SparkEntry.queries
     // Best of two runs per query: the first run also warms per-query
     // codegen/file listings; min-of-N is the standard noise filter.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -98,16 +98,56 @@ object Dedup {
                         shingleSize: Int = 5, minJaccard: Double = 0.0): DataFrame = {
     // Set size rides along through the explode, so the pair aggregation has
     // |A| and |B| in hand — no extra per-side size joins (2 fewer shuffles,
-    // and the shingle expression is evaluated half as often).
+    // and the shingle expression is evaluated half as often). The explicit
+    // repartition on the join key makes both self-join sides the SAME
+    // Exchange subtree (renames happen above it), so ReuseExchange
+    // shingles + shuffles the corpus ONCE and the join adds no exchange.
     val exploded = df
       .select(col(idCol),
         array_distinct(TextStats.shingles(col(textCol), shingleSize)).as("sh"))
       .select(col(idCol), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .repartition(col("shingle"))
     val a = exploded.select(col(idCol).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = exploded.select(col(idCol).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Inverted-index variant of [[ngramJaccardPairs]]: group by shingle,
+    * collect the (id, set-size) posting list, and emit in-list pairs with
+    * a nested-transform expansion — ONE shuffle of the exploded shingles
+    * plus the pair aggregation, no self-join (and so no per-side sort).
+    * Pair work is Σ|posting|² — identical to the join's output size; the
+    * posting list for a shingle must fit in memory, which holds whenever
+    * the join variant was viable at all (same skew bound, tuned by
+    * `shingleSize`).
+    */
+  def ngramJaccardPairsPostings(df: DataFrame, idCol: String, textCol: String,
+                                shingleSize: Int = 5, minJaccard: Double = 0.0): DataFrame = {
+    val exploded = df
+      .select(col(idCol),
+        array_distinct(TextStats.shingles(col(textCol), shingleSize)).as("sh"))
+      .select(col(idCol), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val postings = exploded
+      .groupBy(col("shingle"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    // all ordered in-list pairs (a.id < b.id), flattened to one row each
+    val pairs = postings.select(explode(flatten(transform(col("docs"), a =>
+      filter(transform(col("docs"), b =>
+        struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+          a.getField("n").as("n_a"), b.getField("n").as("n_b"))),
+        p => p.getField("id_a") < p.getField("id_b"))))).as("p"))
+    pairs
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
       .select(col("id_a"), col("id_b"), col("n_inter"),
         (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),

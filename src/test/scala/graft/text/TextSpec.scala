@@ -96,6 +96,15 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)) && !pairs.contains((1L, 4L)))
   }
 
+  test("ngramJaccardPairsPostings is row-identical to the join variant") {
+    val viaJoin = Dedup.ngramJaccardPairs(df, "id", "text", 3)
+      .collect().map(_.toSeq).toSet
+    val viaPostings = Dedup.ngramJaccardPairsPostings(df, "id", "text", 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaJoin == viaPostings)
+    assert(viaJoin.nonEmpty)
+  }
+
   test("simhash32 equal for dups, close for near-dups, fits in 32 bits") {
     val sh = df.select(col("id"), Dedup.simhash32(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
