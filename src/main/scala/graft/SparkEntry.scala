@@ -334,13 +334,20 @@ object SparkEntry {
     Reshape.indexLevelValues(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** HLL sketch vs exact distinct (approximate → rows-only check; the
-    * sketch is the 100 TB path for distinct counting).
+  /** HLL sketch vs exact distinct — the sketch is the 100 TB path for
+    * distinct counting. The sketch estimate itself is engine-specific, so
+    * the oracled surface is the exact count plus the error-bound
+    * invariant (|approx − exact| ≤ 5% of exact, far above the
+    * configured 2% rsd): the oracle verifies the sketch actually
+    * estimates the right quantity, not just that a number came back.
     */
   private def qHll(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(
-      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-      countDistinct(col("l_orderkey")).as("exact_orders"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("exact_orders"),
+        (abs(col("approx") - col("exact_orders")) <= col("exact_orders") * 0.05)
+          .as("approx_within_5pct"))
 
   /** Sliding event-time windows (1h window, 30m slide — every event lands
     * in two windows).
@@ -429,6 +436,25 @@ object SparkEntry {
         coalesce(avg(col("est_jaccard")), lit(0.0)).as("avg_est_jaccard"),
       )
 
+  /** Semantic check for the MinHash+LSH path: every candidate pair must
+    * actually share a shingle (left-join to the exact Jaccard pairs finds
+    * none missing), and its signature-estimated Jaccard must track the
+    * exact Jaccard within 0.35 (measured max deviation at these scales is
+    * 0.15 with 32 hashes; deterministic given the fixed seed). Violations
+    * = 0, oracled as SELECT 0 — a broken signature, band slicing, or
+    * estimate formula fires this.
+    */
+  private def qMinhashContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    cand.join(exact, Seq("id_a", "id_b"), "left")
+      .agg(coalesce(sum(when(col("jaccard").isNull ||
+          abs(col("est_jaccard") - col("jaccard")) > 0.35, 1L).otherwise(0L)), lit(0L))
+        .as("n_violations"))
+  }
+
   /** SimHash clustering: docs per 32-bit simhash value (rows-only). */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -452,12 +478,40 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed approximate top-5 (the scale path; rows-only check). */
+  /** LSH-bucketed approximate top-5 (the scale path; rows-only check —
+    * the bucket contents are hash-dependent. [[qAnnContainment]] is the
+    * semantic check on this path).
+    */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Semantic check for the ANN path: every LSH top-k hit's cosine must
+    * (a) agree with an independently-formulated exact cosine for that
+    * pair (dot/norms on the raw vectors, vs the ANN path's
+    * normalize-then-dot) and (b) not exceed the true best cosine for its
+    * query (brute-force top-1). Violations = 0, oracled as SELECT 0 —
+    * a wrong normalization, a mixed-up pair, or an inflated score all
+    * fire this.
+    */
+  private def qAnnContainment(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val ann = Similarity.lshTopK(queries, e, "vec_id", "embedding", 5)
+    val qRaw = e.select(col("vec_id").as("query_id"), col("embedding").as("qv_raw"))
+    val nRaw = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv_raw"))
+    val best = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 1)
+      .select(col("query_id"), col("cos").as("best_cos"))
+    ann.join(broadcast(qRaw), "query_id").join(nRaw, "neighbor_id")
+      .withColumn("cos_indep", Similarity.cosine(col("qv_raw"), col("nv_raw")))
+      .join(broadcast(best), "query_id")
+      .agg(coalesce(sum(
+        when(abs(col("cos") - col("cos_indep")) > 1e-9 ||
+          col("cos") > col("best_cos") + lit(1e-9), 1L).otherwise(0L)), lit(0L))
+        .as("n_violations"))
   }
 
   /** IVF (k-means cell) approximate top-5 — learned-partition ANN
@@ -553,10 +607,12 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_minhash_containment" -> (qMinhashContainment _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_fingerprint" -> (qFingerprint _),
     "q_topk_similar" -> (qTopkSimilar _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_containment" -> (qAnnContainment _),
     "q_ivf_topk" -> (qIvfTopk _),
     "q_embed_pairs" -> (qEmbedPairs _),
     "q_embed_pairs_lsh" -> (qEmbedPairsLsh _),
@@ -852,5 +908,27 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     "q_lsh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_ann_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_minhash_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_hll" ->
+      """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders, true AS approx_within_5pct
+        |FROM lineitem""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_decode_stub" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, octet_length(encode(text))),
+        |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT) * (i+1)))
+        |      AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(64 + h % 512 AS INTEGER) AS width,
+        |  CAST(64 + (h // 512) % 512 AS INTEGER) AS height,
+        |  3 AS n_channels
+        |FROM h ORDER BY doc_id""".stripMargin,
   )
 }

@@ -55,11 +55,16 @@ object Multimodal {
       // <- per-partition init site (codec handles, model weights) — STUB
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](inIdx)
-        val h = payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
-        val width = 64 + math.floorMod(h, 512).toInt
-        val height = 64 + math.floorMod(h >> 16, 512).toInt
-        val feature = Array.tabulate(8)(i =>
-          (math.floorMod(h >> (i * 8), 1000).toInt / 1000.0f))
+        // Position-weighted unsigned-byte sum: overflow-free up to ~8 MB
+        // payloads, and exactly replicable by the SQL oracle (hex-substr
+        // byte extraction), so the mapPartitions plumbing is verifiable
+        // end-to-end. A real decoder replaces everything below.
+        var h = 0L
+        var i = 0
+        while (i < payload.length) { h += (payload(i) & 0xFF).toLong * (i + 1); i += 1 }
+        val width = 64 + (h % 512).toInt
+        val height = 64 + ((h / 512) % 512).toInt
+        val feature = Array.tabulate(8)(i => ((h >> (i * 8)) % 1000).toInt / 1000.0f)
         Row.fromSeq(Seq(r.get(idIdx), width, height, 3, feature.toSeq))
       }
     }(Encoders.row(outSchema))
