@@ -13,9 +13,12 @@ object Bench {
     // Warm the session (codegen, parquet footer reads) outside the timings.
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    // Optional args: bench only the named queries (tuning loop).
+    // Optional args: bench only the named queries (tuning loop). The
+    // default set excludes the containment validation queries — they
+    // re-run operator + exact baseline as a correctness gate and are not
+    // workload; the exclusion is declared in the output line.
     val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
-      else SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(!SparkEntry.validationQueries.contains(_)).toMap
     // Best of two runs per query: the first run also warms per-query
     // codegen/file listings; min-of-N is the standard noise filter.
     val results = selected.map { case (name, fn) =>
@@ -33,7 +36,9 @@ object Bench {
     // whether the box was busy (±20% noise observed under load).
     val load = try java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":$load}""")
+    val excluded = (SparkEntry.queries.keySet -- selected.keySet).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":$load,"excluded_validation":$excluded}""")
     spark.stop()
   }
 }

@@ -633,6 +633,17 @@ object SparkEntry {
     "q_frame_sample" -> (qFrameSample _),
   )
 
+  /** Correctness-gate queries: each re-runs a scale-path operator AND its
+    * exact baseline to assert a containment invariant (violations = 0).
+    * They are part of the verified surface ([[queries]]/[[oracleSql]])
+    * but are validation harnesses, not workload queries — [[Bench]]
+    * excludes them from the timed set (explicitly, in its JSON output)
+    * so bench totals stay comparable with the recorded baseline's
+    * workload mix.
+    */
+  val validationQueries: Set[String] =
+    Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment")
+
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
       """SELECT r_name, n_name,

@@ -129,6 +129,23 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup — the ingest-side sibling of
+    * [[graft.text.Dedup.dedupExact]]: drop rows repeating `keyCols`, with
+    * the dedup state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`): a duplicate arriving within
+    * `delay` of the first occurrence is dropped, and key state older
+    * than the watermark is evicted — state is O(keys per watermark
+    * window), not O(stream history), which is what makes exact dedup
+    * viable on an unbounded 100 TB/day feed. Batch frames degrade to
+    * plain `dropDuplicates` (same result set, no state machinery).
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, delay: String,
+                           keyCols: Seq[String]): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, delay)
+        .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    else df.dropDuplicates(keyCols)
+
   /** Custom-state example: per-key running counts kept in `GroupState`
     * across micro-batches (`mapGroupsWithState`). The state store shuffles
     * once on the key and persists per-partition — the pattern to extend

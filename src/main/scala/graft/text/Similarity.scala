@@ -201,6 +201,28 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Persist a trained index: centroids (tiny, coalesced to one file) and
+    * the cell-assigned corpus, both parquet. At 100 TB this is the real
+    * train-once contract — the index is built alongside the corpus build
+    * and every query JOB (not just query invocation) reloads it instead
+    * of re-fitting; the cells table can additionally be bucketed/sorted
+    * by `cell` at write time so probe joins skip the shuffle entirely.
+    */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    index.centers.toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+    index.cells.write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Reload a persisted index ([[ivfSave]]); probe-ready, no fit job. */
+  def ivfLoad(spark: SparkSession, path: String): IvfIndex = {
+    val centers = spark.read.parquet(s"$path/centers").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    IvfIndex(centers, spark.read.parquet(s"$path/cells"))
+  }
+
   /** IVF approximate top-k — convenience composition of [[ivfIndexFor]]
     * (train-once, memoized) and [[ivfProbe]].
     */

@@ -42,6 +42,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops cross-batch duplicates in streaming execution") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_id", "v")
+    val deduped = Streaming.dedupWithinWatermark(df, "ts", "10 minutes", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "e1", 1.0),
+        (ts("2024-01-01 00:00:30"), "e1", 1.0), // in-batch dup
+        (ts("2024-01-01 00:01:00"), "e2", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 00:02:00"), "e1", 1.0), // cross-batch dup within watermark
+        (ts("2024-01-01 00:03:00"), "e3", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getString(0)).toSeq
+      assert(ids.sorted == Seq("e1", "e2", "e3"), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark on a batch frame degrades to dropDuplicates") {
+    import spark.implicits._
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), "e1", 1.0),
+      (ts("2024-01-01 00:00:30"), "e1", 9.0),
+      (ts("2024-01-01 00:01:00"), "e2", 2.0)).toDF("ts", "event_id", "v")
+    val out = Streaming.dedupWithinWatermark(df, "ts", "10 minutes", Seq("event_id"))
+    assert(out.select("event_id").collect().map(_.getString(0)).sorted.toSeq == Seq("e1", "e2"))
+  }
+
   test("session windows merge events within the gap — streaming execution") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -190,6 +190,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!(idx3 eq idx1))
   }
 
+  test("IVF index round-trips through save/load with identical probe results") {
+    val manyVecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.1f) else Seq(0.0f, 1.0f, 0.1f)
+      Seq[Any](i.toLong, base.map(_ + (i % 7) * 0.01f))
+    }
+    val corpus = createDf(spark, "vec_id bigint, v array<float>", manyVecs)
+    val built = Similarity.ivfBuild(corpus, "vec_id", "v", nCells = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfSave(built, dir)
+    val loaded = Similarity.ivfLoad(spark, dir)
+    assert(loaded.centers == built.centers)
+    val queries = corpus.filter(col("vec_id") < 3)
+    def probeRows(idx: Similarity.IvfIndex) =
+      Similarity.ivfProbe(idx, queries, "vec_id", "v", k = 3)
+        .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(probeRows(loaded) == probeRows(built))
+    built.unpersist()
+  }
+
   test("cosineNearDupPairs finds only the near-identical pair at 0.9") {
     val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "v", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
