@@ -13,10 +13,13 @@ object Bench {
     // Warm the session (codegen, parquet footer reads) outside the timings.
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    // Optional args: bench only the named queries (tuning loop). The
-    // default set excludes the containment validation queries — they
-    // re-run operator + exact baseline as a correctness gate and are not
-    // workload; the exclusion is declared in the output line.
+    // Optional args: bench only the named queries (tuning loop; such runs
+    // are labeled metric:"subset", never "total"). The default set
+    // excludes the containment validation queries — they re-run operator
+    // + exact baseline as a correctness gate and are not workload; the
+    // exclusion is declared in the output line.
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.contains).toMap
       else SparkEntry.queries.view.filterKeys(!SparkEntry.validationQueries.contains(_)).toMap
     // Best of two runs per query: the first run also warms per-query
@@ -36,9 +39,10 @@ object Bench {
     // whether the box was busy (±20% noise observed under load).
     val load = try java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage catch { case _: Throwable => -1.0 }
-    val excluded = (SparkEntry.queries.keySet -- selected.keySet).toSeq.sorted
+    val metric = if (args.nonEmpty) "subset" else "total"
+    val excluded = (SparkEntry.validationQueries -- selected.keySet).toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":$load,"excluded_validation":$excluded}""")
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":$load,"excluded_validation":$excluded}""")
     spark.stop()
   }
 }

@@ -927,15 +927,19 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders, true AS approx_within_5pct
         |FROM lineitem""".stripMargin,
     "q_frame_sample" ->
+      // empty payloads yield zero chunks → no row on the Spark side; the
+      // WHERE mirrors that (fixture docs are all non-empty today)
       """SELECT doc_id,
         |  CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY doc_id""".stripMargin,
     "q_decode_stub" ->
+      // coalesce(h, 0): DuckDB's list_sum([]) is NULL but the stub's empty
+      // fold is 0 (→ 64×64 dims)
       """WITH h AS (
         |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(0, octet_length(encode(text))),
+        |    coalesce(CAST(list_sum(list_transform(range(0, octet_length(encode(text))),
         |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT) * (i+1)))
-        |      AS BIGINT) AS h
+        |      AS BIGINT), 0) AS h
         |  FROM documents)
         |SELECT doc_id, CAST(64 + h % 512 AS INTEGER) AS width,
         |  CAST(64 + (h // 512) % 512 AS INTEGER) AS height,

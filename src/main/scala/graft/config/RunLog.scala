@@ -53,17 +53,21 @@ class RunLog(baseDir: Option[Path] = None,
 
   /** Wire the root logger: console handler at INFO with the `console`
     * formatter, run-file handler at DEBUG with the `textLog` formatter
-    * (fresh file per run, like the reference's `mode: 'w'`).
-    * `disableOtherLoggers` mirrors `disable_existing_loggers`: existing
-    * root handlers are removed so only this configuration emits.
-    * Returns the configured root logger; callers log through their usual
-    * slf4j/JUL loggers.
+    * (fresh file per run, like the reference's `mode: 'w'`). Existing
+    * root handlers are ALWAYS replaced (and closed — no duplicated
+    * console lines, no leaked file descriptors on re-configuration),
+    * matching `dictConfig`'s root-handler semantics;
+    * `disableOtherLoggers` mirrors `disable_existing_loggers` by
+    * additionally resetting every non-root logger's level/handlers via
+    * `LogManager.reset()` first. Returns the configured root logger;
+    * callers log through their usual slf4j/JUL loggers.
     */
   def setLoggingConfig(console: String = "basic", textLog: String = "debug",
                        disableOtherLoggers: Boolean = false): Logger = {
     ensure()
+    if (disableOtherLoggers) LogManager.getLogManager.reset()
     val root = LogManager.getLogManager.getLogger("")
-    if (disableOtherLoggers) root.getHandlers.foreach(root.removeHandler)
+    root.getHandlers.foreach { h => root.removeHandler(h); h.close() }
     val ch = new ConsoleHandler()
     ch.setLevel(Level.INFO)
     ch.setFormatter(julFormatter(console))
@@ -92,6 +96,10 @@ class RunLog(baseDir: Option[Path] = None,
       case other => throw new IllegalArgumentException(
         s"unknown formatter id: $other (expected basic|debug)")
     }
+    // Root stays at INFO for the same reason setLoggingConfig pins it
+    // there: a DEBUG root turns on third-party debug paths (Janino's
+    // breaks Spark codegen) and floods the file appender. Loggers that
+    // want DEBUG in the run file raise their own logger level.
     s"""status = warn
        |appender.console.type = Console
        |appender.console.name = console
@@ -105,7 +113,7 @@ class RunLog(baseDir: Option[Path] = None,
        |appender.file.append = false
        |appender.file.layout.type = PatternLayout
        |appender.file.layout.pattern = ${pattern(textLog)}
-       |rootLogger.level = debug
+       |rootLogger.level = info
        |rootLogger.appenderRef.console.ref = console
        |rootLogger.appenderRef.file.ref = file_log
        |""".stripMargin

@@ -36,13 +36,20 @@ object Validation {
   def tableColumns(spark: SparkSession, table: String): Seq[String] =
     spark.catalog.listColumns(table).collect().toSeq.map(_.name)
 
-  /** S3 — file existence on the session's filesystem, memoized (LRU). */
-  def fileExists(spark: SparkSession, path: String): Boolean = fileCache.synchronized {
-    if (fileCache.containsKey(path)) fileCache.get(path)
-    else {
+  /** S3 — file existence on the session's filesystem, memoized (LRU).
+    * The filesystem RPC runs OUTSIDE the cache monitor — a slow namenode
+    * probe must not block other threads' cache hits. Concurrent misses
+    * on the same path may probe twice; last write wins, both see the
+    * same answer.
+    */
+  def fileExists(spark: SparkSession, path: String): Boolean = {
+    val cached = fileCache.synchronized {
+      if (fileCache.containsKey(path)) Some(fileCache.get(path): Boolean) else None
+    }
+    cached.getOrElse {
       val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val exists = fs.isFile(new HPath(path))
-      fileCache.put(path, exists)
+      fileCache.synchronized(fileCache.put(path, exists))
       exists
     }
   }

@@ -94,6 +94,29 @@ object Dedup {
     * sizes. Only documents sharing ≥1 shingle ever pair up — with
     * `shingleSize` big enough this is sparse even at corpus scale.
     */
+  /** Shared head of the Jaccard variants: one row per (id, |set|,
+    * shingle), distinct shingles only.
+    */
+  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+                               shingleSize: Int): DataFrame =
+    df.select(col(idCol),
+        array_distinct(TextStats.shingles(col(textCol), shingleSize)).as("sh"))
+      .select(col(idCol), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+
+  /** Shared tail: aggregate per-pair intersection counts (input must have
+    * columns id_a, id_b, n_a, n_b — one row per shared shingle) and
+    * derive |union| and jaccard from the set sizes riding along.
+    */
+  private def jaccardFromCounts(pairRows: DataFrame, minJaccard: Double): DataFrame =
+    pairRows
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 5, minJaccard: Double = 0.0): DataFrame = {
     // Set size rides along through the explode, so the pair aggregation has
@@ -102,22 +125,11 @@ object Dedup {
     // repartition on the join key makes both self-join sides the SAME
     // Exchange subtree (renames happen above it), so ReuseExchange
     // shingles + shuffles the corpus ONCE and the join adds no exchange.
-    val exploded = df
-      .select(col(idCol),
-        array_distinct(TextStats.shingles(col(textCol), shingleSize)).as("sh"))
-      .select(col(idCol), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val exploded = explodedShingles(df, idCol, textCol, shingleSize)
       .repartition(col("shingle"))
     val a = exploded.select(col(idCol).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = exploded.select(col(idCol).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .select(col("id_a"), col("id_b"), col("n_inter"),
-        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
-        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    jaccardFromCounts(a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b")), minJaccard)
   }
 
   /** Inverted-index variant of [[ngramJaccardPairs]]: group by shingle,
@@ -131,11 +143,7 @@ object Dedup {
     */
   def ngramJaccardPairsPostings(df: DataFrame, idCol: String, textCol: String,
                                 shingleSize: Int = 5, minJaccard: Double = 0.0): DataFrame = {
-    val exploded = df
-      .select(col(idCol),
-        array_distinct(TextStats.shingles(col(textCol), shingleSize)).as("sh"))
-      .select(col(idCol), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-    val postings = exploded
+    val postings = explodedShingles(df, idCol, textCol, shingleSize)
       .groupBy(col("shingle"))
       .agg(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n"))).as("docs"))
       .filter(size(col("docs")) > 1)
@@ -145,15 +153,9 @@ object Dedup {
         struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
           a.getField("n").as("n_a"), b.getField("n").as("n_b"))),
         p => p.getField("id_a") < p.getField("id_b"))))).as("p"))
-    pairs
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .select(col("id_a"), col("id_b"), col("n_inter"),
-        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
-        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    jaccardFromCounts(pairs, minJaccard)
   }
 
   /** 32-bit SimHash over the document's distinct tokens: per hash bit,

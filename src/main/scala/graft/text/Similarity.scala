@@ -136,9 +136,24 @@ object Similarity {
   /** Keyed by (session, canonicalized corpus plan, params): repeated
     * [[ivfTopK]] calls over the same corpus reuse one trained index
     * instead of paying the iterative k-means fit per invocation.
+    *
+    * CONTRACT: the memo assumes the corpus is an immutable snapshot for
+    * the life of the session (the norm for training-data builds). If the
+    * underlying files are overwritten in place, the plan hash — and so
+    * the cached index — goes stale: call [[clearIvfCache]] (or manage an
+    * explicit [[ivfBuild]]/[[ivfSave]]/[[ivfLoad]] index) in that case.
     */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, String, String, Int, Long), IvfIndex]
+
+  /** Drop every memoized index and unpersist their cell tables (use
+    * after overwriting a corpus in place, or to release executor
+    * storage on a long-lived driver).
+    */
+  def clearIvfCache(): Unit = {
+    ivfCache.values.foreach(_.unpersist())
+    ivfCache.clear()
+  }
 
   /** Fit the IVF index: k-means cells learned from the corpus replace
     * [[lshBucket]]'s random hyperplanes — learned partitions follow the

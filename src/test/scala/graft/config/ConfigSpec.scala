@@ -125,11 +125,12 @@ class ConfigSpec extends AnyFunSuite {
       assert(content.contains("hello-from-runlog"))
       assert(content.contains("debug-level-line"), "file handler must capture DEBUG")
       assert(content.contains("graft.test.runlog"), "debug formatter prefixes source")
+      // replacement semantics: the run handlers are the ONLY root handlers
+      assert(root.getHandlers.length == 2, "prior root handlers must be replaced")
     } finally {
       // fully restore root logger state so later tests are unaffected
-      root.getHandlers.filterNot(priorHandlers.contains).foreach { h =>
-        root.removeHandler(h); h.close()
-      }
+      root.getHandlers.foreach { h => root.removeHandler(h); h.close() }
+      priorHandlers.foreach(root.addHandler)
       root.setLevel(priorLevel)
     }
   }
@@ -140,7 +141,7 @@ class ConfigSpec extends AnyFunSuite {
     val props = rl.log4j2Properties()
     assert(props.contains(s"appender.file.fileName = ${rl.logPath}"))
     assert(props.contains("appender.console.filter.threshold.level = info"))
-    assert(props.contains("rootLogger.level = debug"))
+    assert(props.contains("rootLogger.level = info"))
     val written = rl.writeLog4j2Properties()
     assert(Files.readString(written) == props)
     intercept[IllegalArgumentException] { rl.log4j2Properties(console = "nope") }
