@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StructType}
 
 import graft.multimodal.Multimodal
-import graft.ops.{AsOf, Columns, Concat, Grouped, Profile, Reshape, Sampling, Skew, Timeseries}
+import graft.ops.{AsOf, Columns, Concat, Grouped, Pack, Profile, Reshape, Sampling, Skew, Timeseries}
 import graft.streaming.Streaming
 import graft.text.{Dedup, Similarity, TextStats}
 
@@ -415,6 +415,42 @@ object SparkEntry {
       .orderBy(col("n").desc, col("token"))
       .limit(50)
 
+  /** Sequence packing: lay each language's documents into a concatenated
+    * token stream chunked into 512-token context windows (shard-local
+    * running sum — no global window), summarized per (lang, pack).
+    */
+  private def qPack(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val packed = Pack.packSequences(d, Seq("lang"), Seq("doc_id"), "n_tokens", 512)
+    Pack.packSummary(packed, Seq("lang"), "n_tokens")
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
+  /** PII redaction over the corpus. The synthetic docs carry no PII, so
+    * deterministic fake PII (an email + an IPv4 per tenth doc) is
+    * injected identically on both engines; the oracle reproduces the
+    * redaction byte-for-byte (patterns are Java-regex/RE2-portable by
+    * construction, [[TextStats.redactPii]]).
+    */
+  private def qRedact(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 10 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+        .otherwise(lit("")))
+    t(s, dir, "documents")
+      .select(col("lang"), injected.as("inj"))
+      .withColumn("red", TextStats.redactPii(col("inj")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("red") =!= col("inj"), 1L).otherwise(0L)).as("n_redacted"),
+        sum(length(col("inj")) - length(col("red"))).cast("long").as("chars_removed"))
+      .orderBy(col("lang"))
+  }
+
   /** Exact dedup groups keyed by md5 fingerprint. */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
@@ -604,6 +640,8 @@ object SparkEntry {
     "q_vocab" -> (qVocab _),
     "q_doc_quality" -> (qDocQuality _),
     "q_lang_id" -> (qLangId _),
+    "q_pack" -> (qPack _),
+    "q_redact" -> (qRedact _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -923,6 +961,35 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_minhash_containment" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, n_tokens,
+        |    CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS BIGINT) AS pack_id
+        |  FROM d)
+        |SELECT lang, pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_redact" ->
+      """WITH inj AS (
+        |  SELECT lang,
+        |    text || CASE WHEN doc_id % 10 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+        |           || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT lang, t,
+        |    regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g') AS r
+        |  FROM inj)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN r != t THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+        |  CAST(SUM(length(t) - length(r)) AS BIGINT) AS chars_removed
+        |FROM red GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_hll" ->
       """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders, true AS approx_within_5pct
         |FROM lineitem""".stripMargin,

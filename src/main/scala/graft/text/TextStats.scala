@@ -24,6 +24,22 @@ object TextStats {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** PII redaction (training-data scrubbing): replace email addresses and
+    * IPv4 literals with typed placeholder tokens. Patterns deliberately
+    * use only constructs with identical semantics in Java regex (Spark)
+    * and RE2 (DuckDB/Go scrubbers) — character classes, bounded repeats,
+    * grouping; no backreferences or lookaround — so a downstream engine
+    * reproduces the redaction byte-for-byte. Order matters: emails first
+    * (an email's host part must not be half-eaten by the IP pattern).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "(\\d{1,3}\\.){3}\\d{1,3}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      ipv4Pattern, "<IP>")
+
   /** Word n-gram shingles joined by spaces; empty array when the document
     * is shorter than `n` words.
     *

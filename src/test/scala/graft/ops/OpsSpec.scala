@@ -146,6 +146,47 @@ class TimeseriesSpec extends AnyFunSuite {
   }
 }
 
+class PackSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("packSequences: exclusive-cumsum chunking, shard-local ids") {
+    val df = createDf(spark, "shard string, id int, toks long", Seq(
+      Seq[Any]("a", 1, 300L), // offset 0   -> pack 0
+      Seq[Any]("a", 2, 300L), // offset 300 -> pack 0 (straddles)
+      Seq[Any]("a", 3, 100L), // offset 600 -> pack 1
+      Seq[Any]("b", 1, 700L), // offset 0   -> pack 0 (own shard)
+      Seq[Any]("b", 2, 10L))) // offset 700 -> pack 1
+    val packed = Pack.packSequences(df, Seq("shard"), Seq("id"), "toks", 512)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getAs[Long]("pack_offset"), r.getAs[Long]("pack_id")))).toMap
+    assert(packed(("a", 1)) == ((0L, 0L)))
+    assert(packed(("a", 2)) == ((300L, 0L)))
+    assert(packed(("a", 3)) == ((600L, 1L)))
+    assert(packed(("b", 1)) == ((0L, 0L)))
+    assert(packed(("b", 2)) == ((700L, 1L)))
+  }
+
+  test("packSummary aggregates docs and tokens per (shard, pack)") {
+    val df = createDf(spark, "shard string, id int, toks long", Seq(
+      Seq[Any]("a", 1, 300L), Seq[Any]("a", 2, 300L), Seq[Any]("a", 3, 100L)))
+    val sm = Pack.packSummary(
+        Pack.packSequences(df, Seq("shard"), Seq("id"), "toks", 512), Seq("shard"), "toks")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("pack_id")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(sm(("a", 0L)) == ((2L, 600L)))
+    assert(sm(("a", 1L)) == ((1L, 100L)))
+  }
+
+  test("packSequences has no single-partition window in its plan") {
+    val df = createDf(spark, "shard string, id int, toks long",
+      Seq(Seq[Any]("a", 1, 1L)))
+    val p = Pack.packSequences(df, Seq("shard"), Seq("id"), "toks", 512)
+      .queryExecution.executedPlan.toString
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("shard")))
+  }
+}
+
 class ReshapeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 

@@ -42,6 +42,24 @@ class TextStatsSpec extends AnyFunSuite {
   }
 }
 
+class RedactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("redactPii replaces emails and IPv4s, leaves lookalikes alone") {
+    val df = createDf(spark, "id int, t string", Seq(
+      Seq[Any](1, "mail me at alice.smith+x@sub.example.co.uk thanks"),
+      Seq[Any](2, "server 192.168.001.1 and 10.0.0.7 are up"),
+      Seq[Any](3, "not-an-email @ nowhere and version 1.2 stays"),
+      Seq[Any](4, "both bob@x.io on 127.0.0.1 now")))
+    val out = df.select(col("id"), TextStats.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "mail me at <EMAIL> thanks")
+    assert(out(2) == "server <IP> and <IP> are up")
+    assert(out(3) == "not-an-email @ nowhere and version 1.2 stays")
+    assert(out(4) == "both <EMAIL> on <IP> now")
+  }
+}
+
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
