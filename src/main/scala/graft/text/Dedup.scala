@@ -60,8 +60,15 @@ object Dedup {
     // deduplicated by ReuseExchange — without it CollapseProject inlines
     // the signature expression into every band lambda (bands× recompute)
     // and the self-join doubles it again.
-    df.select(col(idCol), minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-      .filter(col("sig").isNotNull) // un-shingle-able docs produce no bands
+    //
+    // Un-shingle-able docs (fewer than shingleSize tokens → NULL
+    // signature) are dropped by a pre-filter on the CHEAP token count,
+    // not on sig.isNotNull: predicate pushdown would rewrite the latter
+    // to isnotnull(minhashsig(...)) below the projection — every doc
+    // paying the signature twice (observed in the physical plan).
+    df.filter(col(textCol).isNotNull &&
+        TextStats.tokenCount(col(textCol)) >= lit(shingleSize))
+      .select(col(idCol), minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
       .repartition(col(idCol))
       .select(col(idCol), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -80,12 +87,17 @@ object Dedup {
       col("band_idx"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
       col("band_idx"), col("band_hash"))
+    // distinct BEFORE the estimate: a pair agreeing on k bands appears k
+    // times out of the join, and the signature-agreement fold (an
+    // interpreted HOF) should run once per unique pair, not per
+    // duplicate.
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
