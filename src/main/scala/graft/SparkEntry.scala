@@ -560,6 +560,29 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Semantic check for int8 embedding quantization: reconstruction
+    * error per element must stay within the scale/2 bound and every
+    * quantized value within [-127, 127], across the whole corpus.
+    * Violations = 0 (oracle SELECT 0) — a wrong scale, rounding mode, or
+    * overflow fires this.
+    */
+  private def qQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val withQ = e.select(
+      Similarity.toDoubleArr(col("embedding")).as("v"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val maxErr = array_max(zip_with(col("v"), Similarity.dequantize(col("qv")),
+      (a, b) => abs(a - b)))
+    val maxQ = array_max(transform(col("qv").getField("q"), x => abs(x.cast("int"))))
+    withQ.select(
+        maxErr.as("max_err"),
+        col("qv").getField("scale").cast("double").as("scale"),
+        maxQ.as("max_q"))
+      .agg(coalesce(sum(when(
+        col("max_err") > col("scale") * 0.5 * (1 + 1e-6) + 1e-12 ||
+          col("max_q") > 127, 1L).otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
   /** Embedding near-dup pairs above cosine 0.45 — the brute-force O(n²)
     * baseline, scoped to small-SF oracle duty only. The production path is
     * [[qEmbedPairsLsh]]; its semantics are verified against this baseline
@@ -655,6 +678,7 @@ object SparkEntry {
     "q_embed_pairs" -> (qEmbedPairs _),
     "q_embed_pairs_lsh" -> (qEmbedPairsLsh _),
     "q_lsh_containment" -> (qLshContainment _),
+    "q_quantize" -> (qQuantize _),
     "q_sliding" -> (qSliding _),
     "q_session_window" -> (qSessionWindow _),
     "q_binary_meta" -> (qBinaryMeta _),
@@ -680,7 +704,7 @@ object SparkEntry {
     * workload mix.
     */
   val validationQueries: Set[String] =
-    Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment")
+    Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment", "q_quantize")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -960,6 +984,8 @@ object SparkEntry {
     "q_ann_containment" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_minhash_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_quantize" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_pack" ->
       """WITH d AS (

@@ -35,10 +35,18 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine via normalize-then-dot (matches [[normalized]] pipelines). */
+  /** Division-safe norm: identical to [[norm]] for any nonzero vector
+    * (1e-300 never wins the max); zero vectors divide to 0 instead of
+    * raising ANSI DIVIDE_BY_ZERO.
+    */
+  private def safeNorm(a: Column): Column = greatest(norm(a), lit(1e-300))
+
+  /** Cosine via normalize-then-dot (matches [[normalized]] pipelines);
+    * zero vectors yield cosine 0, not an error.
+    */
   def cosine(a: Column, b: Column): Column = {
     val (da, db) = (toDoubleArr(a), toDoubleArr(b))
-    dot(da, db) / (norm(da) * norm(db))
+    dot(da, db) / (safeNorm(da) * safeNorm(db))
   }
 
   /** Project to (id, L2-normalized double vector). Both the vector and its
@@ -52,8 +60,8 @@ object Similarity {
     import graft.functions.ArrayMath.bound
     df.select(col(idCol).as(idAlias),
       bound(toDoubleArr(col(vecCol))) { dv =>
-        bound(sqrt(dot(dv, dv))) { n =>
-          transform(dv, x => x / n)
+        bound(greatest(sqrt(dot(dv, dv)), lit(1e-300))) { n =>
+          transform(dv, x => x / n) // zero vectors stay zero (n floor)
         }
       }.as(vecAlias))
   }
@@ -71,6 +79,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Symmetric int8 quantization of an embedding: `scale = maxAbs/127`,
+    * `q[i] = round(v[i]/scale) ∈ [-127, 127]`, returned as
+    * `struct(scale: float, q: array<tinyint>)` — 4× smaller than float32
+    * on disk and (more importantly at 100 TB) in every shuffle that
+    * carries embeddings. Reconstruction error is bounded by `scale/2`
+    * per element. All codegen-able Catalyst; the max-abs and scale are
+    * bound once per row ([[graft.functions.ArrayMath.bound]]) so
+    * CollapseProject cannot inline the O(d) reduction into the
+    * per-element lambda.
+    */
+  def quantize(vec: Column): Column = {
+    import graft.functions.ArrayMath.bound
+    bound(toDoubleArr(vec)) { dv =>
+      bound(greatest(array_max(transform(dv, x => abs(x))), lit(1e-30)) / 127.0) { scale =>
+        struct(scale.cast("float").as("scale"),
+          transform(dv, x => round(x / scale).cast("tinyint")).as("q"))
+      }
+    }
+  }
+
+  /** Reconstruct a double vector from [[quantize]]'s struct. */
+  def dequantize(qv: Column): Column = {
+    import graft.functions.ArrayMath.bound
+    bound(qv.getField("scale").cast("double")) { s =>
+      transform(qv.getField("q"), x => x.cast("double") * s)
+    }
   }
 
   /** Deterministic random hyperplanes (fixed seed), as literal arrays. */

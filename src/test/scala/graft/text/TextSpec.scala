@@ -253,6 +253,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi.nonEmpty)
   }
 
+  test("quantize/dequantize: error within scale/2, zero vectors safe, top-k preserved") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).map(i =>
+      Seq[Any](i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))) :+
+      Seq[Any](50L, Seq.fill(16)(0.0f)) // zero vector must not divide by zero
+    val df = createDf(spark, "vec_id bigint, v array<float>", rows)
+    val checked = df.select(
+        Similarity.toDoubleArr(col("v")).as("dv"),
+        Similarity.quantize(col("v")).as("qv"))
+      .select(col("qv.scale"),
+        array_max(zip_with(col("dv"), Similarity.dequantize(col("qv")),
+          (a, b) => abs(a - b))).as("err"))
+      .collect()
+    checked.foreach { r =>
+      val (scale, err) = (r.getFloat(0), r.getDouble(1))
+      assert(err <= scale * 0.5 * (1 + 1e-6) + 1e-12, s"err $err vs scale $scale")
+    }
+    // ranking survives quantization: exact top-5 vs top-5 on dequantized
+    val dq = df.select(col("vec_id"),
+      Similarity.dequantize(Similarity.quantize(col("v"))).as("v"))
+    def top(d: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(d.filter(col("vec_id") < 3), d, "vec_id", "v", 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val overlap = (top(df.withColumn("v", Similarity.toDoubleArr(col("v")))) intersect top(dq)).size
+    assert(overlap >= 12, s"quantized top-k overlap too low: $overlap/15")
+  }
+
   test("lshNearDupPairs is a subset of brute force and finds the dup pair") {
     val brute = Similarity.cosineNearDupPairs(df, "vec_id", "v", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
