@@ -415,17 +415,22 @@ object SparkEntry {
       .orderBy(col("n").desc, col("token"))
       .limit(50)
 
-  /** Sequence packing: lay each language's documents into a concatenated
-    * token stream chunked into 512-token context windows (shard-local
-    * running sum — no global window), summarized per (lang, pack).
+  /** Sequence packing: documents are sharded by (lang, md5-bucket%8) —
+    * NOT by lang alone: a low-cardinality shard key would cap the
+    * window's parallelism at the language count, the same single-task
+    * hazard as a global window. The md5 bucket is deterministic on both
+    * engines (same construction as q_split), shards pack independently,
+    * and the summary is per (lang, bucket, pack).
     */
   private def qPack(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 8).as("bucket"),
         TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
-    val packed = Pack.packSequences(d, Seq("lang"), Seq("doc_id"), "n_tokens", 512)
-    Pack.packSummary(packed, Seq("lang"), "n_tokens")
-      .orderBy(col("lang"), col("pack_id"))
+    val packed = Pack.packSequences(d, Seq("lang", "bucket"), Seq("doc_id"), "n_tokens", 512)
+    Pack.packSummary(packed, Seq("lang", "bucket"), "n_tokens")
+      .orderBy(col("lang"), col("bucket"), col("pack_id"))
   }
 
   /** PII redaction over the corpus. The synthetic docs carry no PII, so
@@ -989,15 +994,17 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_pack" ->
       """WITH d AS (
-        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |p AS (
-        |  SELECT lang, n_tokens,
-        |    CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |  SELECT lang, bucket, n_tokens,
+        |    CAST((SUM(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS BIGINT) AS pack_id
         |  FROM d)
-        |SELECT lang, pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |SELECT lang, bucket, pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_redact" ->
       """WITH inj AS (
         |  SELECT lang,

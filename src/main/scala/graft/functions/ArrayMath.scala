@@ -133,11 +133,72 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** 32-bit SimHash as a native expression: per token, one XXH64 pass
+  * (seed 42 — same base hash as Spark's `xxhash64`); per bit of the
+  * hash's LOW 32 bits (MSB first), a ±1 count; bit set in the result iff
+  * its count is non-negative. Replaces a chain of interpreted HOFs
+  * (per-token 32-char bit-string split + array folds) with one tight
+  * JVM loop and zero allocations beyond the 32 counters. Semantics are
+  * bit-identical to the HOF formulation it replaced
+  * ([[graft.text.Dedup.simhash32Hof]] keeps that formulation as the
+  * executable spec). Null input → null; an empty token set yields all
+  * counts 0 → all bits set (0xFFFFFFFF), matching the HOF fold.
+  */
+case class SimHash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash32 requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val base = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var k = 0
+        while (k < 32) {
+          if (((base >>> (31 - k)) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
+      }
+      j += 1
+    }
+    var acc = 0L
+    var k = 0
+    while (k < 32) {
+      acc = acc * 2 + (if (counts(k) >= 0) 1L else 0L)
+      k += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayMath {
 
   /** Native MinHash signature over an array<string> of shingles. */
   def minhashSig(shingles: Column, numHashes: Int): Column =
     GraftColumns.ofExpr(MinHashSig(GraftColumns.exprOf(shingles), numHashes))
+
+  /** Native 32-bit SimHash over an array<string> of tokens. */
+  def simhash32(tokens: Column): Column =
+    GraftColumns.ofExpr(SimHash32(GraftColumns.exprOf(tokens)))
 
   /** Codegen'd sequential dot product over two array<double> columns. */
   def dotF64(a: Column, b: Column): Column =

@@ -172,11 +172,19 @@ object Dedup {
 
   /** 32-bit SimHash over the document's distinct tokens: per hash bit,
     * sum ±1 across token hashes; bit set iff the sum is non-negative.
-    * Implemented via bin-string bit extraction + array folds — all
-    * codegen, no UDF. Near-dups then cluster by simhash (or by bands of
-    * it) at scale.
+    * Computed by the native [[graft.functions.SimHash32]] expression —
+    * one XXH64 pass + 32 counter updates per token in a tight JVM loop
+    * (the HOF formulation it replaced built a 32-char bit STRING per
+    * token and folded interpreted arrays — ~5× slower at bench scale).
+    * Near-dups then cluster by simhash (or by bands of it) at scale.
     */
-  def simhash32(text: Column): Column = {
+  def simhash32(text: Column): Column =
+    graft.functions.ArrayMath.simhash32(array_distinct(TextStats.tokens(text)))
+
+  /** The original HOF formulation, kept as the executable spec for the
+    * native expression (law test: identical output on every doc).
+    */
+  private[text] def simhash32Hof(text: Column): Column = {
     val toks = array_distinct(TextStats.tokens(text))
     // 32-char bit string (MSB first) of each token hash's low 32 bits.
     val bitsPerToken = transform(toks,

@@ -133,6 +133,18 @@ class DedupSpec extends AnyFunSuite {
     assert(ham13 < ham14, s"near-dup hamming $ham13 should beat unrelated $ham14")
   }
 
+  test("native simhash32 is bit-identical to the HOF formulation (incl. corpus docs)") {
+    val fixture = df.select(Dedup.simhash32(col("text")).as("native"),
+        Dedup.simhash32Hof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(fixture == 0)
+    val corpus = graft.sources.Sources.readTable(spark, "/root/testdata/sf0.001", "documents")
+      .select(Dedup.simhash32(col("text")).as("native"),
+        Dedup.simhash32Hof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(corpus == 0)
+  }
+
   test("simhashCandidatePairs finds dup pair at hamming 0") {
     val got = Dedup.simhashCandidatePairs(df, "id", "text", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
