@@ -177,6 +177,26 @@ class PackSpec extends AnyFunSuite {
     assert(sm(("a", 1L)) == ((1L, 100L)))
   }
 
+  test("packSequences matches a sequential fold model on random data") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 300).map(i =>
+      Seq[Any](("shard" + rnd.nextInt(5)): String, i, (1 + rnd.nextInt(600)).toLong))
+    val df = createDf(spark, "shard string, id int, toks long", rows)
+    val got = Pack.packSequences(df, Seq("shard"), Seq("id"), "toks", 512)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getAs[Long]("pack_offset"), r.getAs[Long]("pack_id")))).toMap
+    // driver-side reference model: per shard, fold ids in order
+    val model = rows.groupBy(_(0)).flatMap { case (shard, rs) =>
+      var cum = 0L
+      rs.sortBy(_(1).asInstanceOf[Int]).map { r =>
+        val off = cum
+        cum += r(2).asInstanceOf[Long]
+        (shard.asInstanceOf[String], r(1).asInstanceOf[Int]) -> ((off, off / 512))
+      }
+    }
+    assert(got == model)
+  }
+
   test("packSequences has no single-partition window in its plan") {
     val df = createDf(spark, "shard string, id int, toks long",
       Seq(Seq[Any]("a", 1, 1L)))
