@@ -33,9 +33,26 @@ object GraftSession {
   /** Register the library's SQL functions on an ALREADY-RUNNING session
     * (extensions only apply to sessions built through the builder).
     */
-  def registerFunctions(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "dot_f64",
       exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => {
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig numHashes must be an integer literal, got $other")
+        }
+        graft.functions.MinHashSig(exprs(0), n)
+      },
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "simhash32",
+      exprs => graft.functions.SimHash32(exprs(0)),
+      "scala_udf")
+  }
 }

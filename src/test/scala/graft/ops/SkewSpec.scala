@@ -43,6 +43,23 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(got == 32.0)
   }
 
+  test("minhash_sig and simhash32 resolve in SQL and match the Column API") {
+    graft.GraftSession.registerFunctions(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array('a b c d e'), 4) AS sig, simhash32(array('x', 'y')) AS sh").head()
+    val viaCols = graft.testing.DfAssert.createDf(spark, "t string", Seq(Seq("ignored")))
+      .select(
+        graft.functions.ArrayMath.minhashSig(
+          org.apache.spark.sql.functions.array(org.apache.spark.sql.functions.lit("a b c d e")), 4).as("sig"),
+        graft.functions.ArrayMath.simhash32(
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.lit("x"), org.apache.spark.sql.functions.lit("y"))).as("sh"))
+      .head()
+    assert(viaSql.getSeq[Long](0) == viaCols.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaCols.getLong(1))
+    assert(viaSql.getLong(1) >= 0 && viaSql.getLong(1) < (1L << 32))
+  }
+
   test("dot_f64 null-propagates on null elements (matches HOF fold semantics)") {
     graft.GraftSession.registerFunctions(spark)
     val r = spark.sql(
