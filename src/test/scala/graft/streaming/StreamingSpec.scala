@@ -66,6 +66,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("near-dup suppression composes: dedupWithinWatermark on the simhash key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("sh", graft.text.Dedup.simhash32(col("text")))
+    val deduped = Streaming.dedupWithinWatermark(df, "ts", "10 minutes", Seq("sh"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "d1", "the quick brown fox jumps over the lazy dog"),
+        (ts("2024-01-01 00:01:00"), "d2", "the quick brown fox jumps over the lazy dog"),
+        (ts("2024-01-01 00:02:00"), "d3", "completely different content entirely here"))
+      q.processAllAvailable()
+      val ids = spark.table("neardup_out").select("doc_id")
+        .collect().map(_.getString(0)).toSeq.sorted
+      assert(ids == Seq("d1", "d3"), s"identical-simhash doc must be suppressed: $ids")
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark on a batch frame degrades to dropDuplicates") {
     import spark.implicits._
     val df = Seq(
