@@ -36,23 +36,10 @@ object GraftSession {
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "dot_f64",
-      exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
-      "scala_udf")
+      "dot_f64", graft.functions.FunctionBuilders.dotF64, "scala_udf")
     reg.createOrReplaceTempFunction(
-      "minhash_sig",
-      exprs => {
-        val n = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig numHashes must be an integer literal, got $other")
-        }
-        graft.functions.MinHashSig(exprs(0), n)
-      },
-      "scala_udf")
+      "minhash_sig", graft.functions.FunctionBuilders.minhashSig, "scala_udf")
     reg.createOrReplaceTempFunction(
-      "simhash32",
-      exprs => graft.functions.SimHash32(exprs(0)),
-      "scala_udf")
+      "simhash32", graft.functions.FunctionBuilders.simhash32, "scala_udf")
   }
 }

@@ -425,8 +425,7 @@ object SparkEntry {
   private def qPack(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 8).as("bucket"),
+        Sampling.hashBucket(col("doc_id"), 8).as("bucket"),
         TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
     val packed = Pack.packSequences(d, Seq("lang", "bucket"), Seq("doc_id"), "n_tokens", 512)
     Pack.packSummary(packed, Seq("lang", "bucket"), "n_tokens")
@@ -1017,7 +1016,7 @@ object SparkEntry {
         |  SELECT lang, t,
         |    regexp_replace(regexp_replace(t,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g') AS r
+        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS r
         |  FROM inj)
         |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(CASE WHEN r != t THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,

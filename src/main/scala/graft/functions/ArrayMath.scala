@@ -165,15 +165,18 @@ case class SimHash32(child: Expression)
     val counts = new Array[Int](32)
     var j = 0
     while (j < n) {
-      if (!arr.isNullAt(j)) {
+      // Null elements hash to the seed (42L) — exactly what Spark's
+      // xxhash64(null) yields, keeping the HOF-identity claim true even
+      // for arrays containing nulls.
+      val base = if (arr.isNullAt(j)) 42L else {
         val s = arr.getUTF8String(j)
-        val base = org.apache.spark.sql.catalyst.expressions.XXH64
+        org.apache.spark.sql.catalyst.expressions.XXH64
           .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-        var k = 0
-        while (k < 32) {
-          if (((base >>> (31 - k)) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
-          k += 1
-        }
+      }
+      var k = 0
+      while (k < 32) {
+        if (((base >>> (31 - k)) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
       }
       j += 1
     }

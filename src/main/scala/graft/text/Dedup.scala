@@ -184,8 +184,10 @@ object Dedup {
   /** The original HOF formulation, kept as the executable spec for the
     * native expression (law test: identical output on every doc).
     */
-  private[text] def simhash32Hof(text: Column): Column = {
-    val toks = array_distinct(TextStats.tokens(text))
+  private[text] def simhash32Hof(text: Column): Column =
+    simhash32HofTokens(array_distinct(TextStats.tokens(text)))
+
+  private[text] def simhash32HofTokens(toks: Column): Column = {
     // 32-char bit string (MSB first) of each token hash's low 32 bits.
     val bitsPerToken = transform(toks,
       t => filter(split(substring(lpad(bin(xxhash64(t)), 64, "0"), 33, 32), ""), c => c =!= ""))

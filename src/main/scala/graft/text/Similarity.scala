@@ -94,7 +94,13 @@ object Similarity {
   def quantize(vec: Column): Column = {
     import graft.functions.ArrayMath.bound
     bound(toDoubleArr(vec)) { dv =>
-      bound(greatest(array_max(transform(dv, x => abs(x))), lit(1e-30)) / 127.0) { scale =>
+      // The scale is rounded through float32 BEFORE quantizing: the struct
+      // stores a float, so quantizer and dequantizer must use the same
+      // value — rounding with the unrounded double scale would let the
+      // reconstruction error exceed scale/2 by ~127·2^-24·scale on
+      // elements landing near a half-integer quotient.
+      bound((greatest(array_max(transform(dv, x => abs(x))), lit(1e-30)) / 127.0)
+          .cast("float").cast("double")) { scale =>
         struct(scale.cast("float").as("scale"),
           transform(dv, x => round(x / scale).cast("tinyint")).as("q"))
       }

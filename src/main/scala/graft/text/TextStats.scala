@@ -33,7 +33,13 @@ object TextStats {
     * (an email's host part must not be half-eaten by the IP pattern).
     */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val ipv4Pattern = "(\\d{1,3}\\.){3}\\d{1,3}"
+
+  /** Word boundaries stop partial eats of longer dotted-number runs
+    * ("1.2.3.4567" is NOT half-redacted). Version strings whose four
+    * parts all fit in 3 digits are inherently IPv4-shaped and still
+    * match — callers scrubbing changelogs should pre-mask those.
+    */
+  val ipv4Pattern = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
 
   def redactPii(text: Column): Column =
     regexp_replace(

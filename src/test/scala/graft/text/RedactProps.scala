@@ -37,6 +37,11 @@ object RedactProps extends Properties("RedactPatterns") {
       emailRe.findFirstIn(s).isEmpty && ipRe.findFirstIn(s).isEmpty
     }
 
+  property("dotted runs with a 4+-digit final part never match (no partial eats)") =
+    forAll(octet, octet, octet, Gen.choose(1000, 999999)) { (a, b, c, big) =>
+      ipRe.findFirstIn(s"$a.$b.$c.$big").isEmpty
+    }
+
   property("redaction order is safe: replacing emails first leaves IPs intact") =
     forAll(email, ip) { (e, s) =>
       val text = s"x $e y $s z"

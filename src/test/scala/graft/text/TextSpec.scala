@@ -143,6 +143,12 @@ class DedupSpec extends AnyFunSuite {
         Dedup.simhash32Hof(col("text")).as("hof"))
       .filter(col("native") =!= col("hof")).count()
     assert(corpus == 0)
+    // null elements: both formulations hash them as the seed (42)
+    val withNull = array(lit("a"), lit(null).cast("string"))
+    val r = df.limit(1).select(
+      graft.functions.ArrayMath.simhash32(withNull).as("native"),
+      Dedup.simhash32HofTokens(withNull).as("hof")).head()
+    assert(r.getLong(0) == r.getLong(1))
   }
 
   test("simhashCandidatePairs finds dup pair at hamming 0") {
