@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StructType}
 
 import graft.multimodal.Multimodal
-import graft.ops.{AsOf, Columns, Concat, Grouped, Pack, Profile, Reshape, Sampling, Skew, Timeseries}
+import graft.ops.{AsOf, Columns, Concat, Grouped, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
 import graft.streaming.Streaming
 import graft.text.{Dedup, Similarity, TextStats}
 
@@ -284,6 +284,28 @@ object SparkEntry {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
         col("asof_click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Bucketized point-in-interval (range) join: purchases land in their
+    * user's session interval (gap sessions as intervals, purchases as
+    * points). The naive inequality join here is a nested loop; the
+    * bucketized spelling is a hash equi-join on (user, hour-bucket) with
+    * a residual containment filter — see [[graft.ops.RangeJoin]].
+    * Half-open end (sessions tile adjacently at exactly the gap).
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val sessions = Streaming.sessionAgg(e, "ts", "30 minutes", Seq("user_id"),
+        Seq(count(lit(1)).as("n")))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    RangeJoin.pointInInterval(purchases, sessions, Seq("user_id"), "ts",
+        "s_start", "s_end", Nil, inclusiveEnd = false)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("iv_s_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
       .orderBy(col("event_id"))
   }
 
@@ -689,6 +711,7 @@ object SparkEntry {
     "q_split" -> (qSplit _),
     "q_profile" -> (qProfile _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_rollup" -> (qRollup _),
@@ -962,6 +985,27 @@ object SparkEntry {
     "q_salted_agg" ->
       """SELECT l_returnflag, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_join" ->
+      """WITH flagged AS (
+        |  SELECT *,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |intervals AS (
+        |  SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end
+        |  FROM sess GROUP BY user_id, sid),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(i.s_start, '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM p JOIN intervals i
+        |  ON p.user_id = i.user_id AND i.s_start <= p.ts AND p.ts < i.s_end
+        |ORDER BY p.event_id""".stripMargin,
     "q_topk_per_group" ->
       """SELECT o_orderpriority,
         |  row_number() OVER (PARTITION BY o_orderpriority

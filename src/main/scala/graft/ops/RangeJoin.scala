@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join. Spark plans a naive
+  * `p.key = i.key AND i.start <= p.ts AND p.ts <= i.end` as a
+  * BroadcastNestedLoopJoin (or worse, a cartesian) — O(|points|·|intervals|)
+  * per key. The scale-safe spelling BUCKETIZES time: each interval
+  * explodes to the coarse buckets it covers, each point maps to its one
+  * bucket, and the join runs as an ordinary hash equi-join on
+  * (keys, bucket) with the exact containment predicate as a residual
+  * filter. Cost: one shuffle each side on (keys, bucket); pair work is
+  * bounded by per-bucket occupancy, tuned by `bucketWidthUs` (≈ the
+  * typical interval length keeps the per-interval explosion factor
+  * near 1-2).
+  *
+  * A point lives in exactly one bucket, so no post-join dedup is needed
+  * — each (point, interval) match is produced once.
+  */
+object RangeJoin {
+
+  /** @param points        left side; `ptTsCol` is a timestamp column
+    * @param intervals     right side; `[startCol, endCol]` inclusive
+    * @param keys          equi-join keys present on both sides
+    * @param bucketWidthUs coarse bucket width in microseconds
+    *                      (default 1 hour)
+    * @param inclusiveEnd  true → containment is start <= pt <= end;
+    *                      false → half-open start <= pt < end (the right
+    *                      choice when intervals tile adjacently, e.g.
+    *                      session windows where end = next start)
+    * @return every (point row ++ interval payload) pair inside the
+    *         interval; interval columns are prefixed with `ivPrefix` to
+    *         avoid collisions
+    */
+  def pointInInterval(
+      points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], ptTsCol: String, startCol: String, endCol: String,
+      ivPayload: Seq[String],
+      bucketWidthUs: Long = 3600L * 1000000,
+      ivPrefix: String = "iv_",
+      inclusiveEnd: Boolean = true,
+  ): DataFrame = {
+    require(bucketWidthUs > 0, s"bucketWidthUs must be positive: $bucketWidthUs")
+    val w = lit(bucketWidthUs)
+
+    val iv = intervals.select(
+        keys.map(col) ++
+          Seq(col(startCol).as(s"$ivPrefix$startCol"), col(endCol).as(s"$ivPrefix$endCol")) ++
+          ivPayload.map(c => col(c).as(s"$ivPrefix$c")): _*)
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(unix_micros(col(s"$ivPrefix$startCol")) / w),
+          floor(unix_micros(col(s"$ivPrefix$endCol")) / w))))
+
+    val pt = points.withColumn("__bucket", floor(unix_micros(col(ptTsCol)) / w))
+
+    val endPred =
+      if (inclusiveEnd) col(ptTsCol) <= col(s"$ivPrefix$endCol")
+      else col(ptTsCol) < col(s"$ivPrefix$endCol")
+    pt.join(iv, keys :+ "__bucket")
+      .filter(col(s"$ivPrefix$startCol") <= col(ptTsCol) && endPred)
+      .drop("__bucket")
+  }
+}

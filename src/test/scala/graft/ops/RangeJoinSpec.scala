@@ -1,0 +1,61 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("bucketized range join matches the naive inequality join on random data") {
+    val rnd = new scala.util.Random(23)
+    def randTs() = new Timestamp(1700000000000L + rnd.nextInt(6 * 3600) * 1000L)
+    val pts = createDf(spark, "key string, pid int, ts timestamp",
+      (0 until 200).map(i => Seq[Any]("k" + rnd.nextInt(4), i, randTs())))
+    val ivs = createDf(spark, "key string, iid int, s timestamp, e timestamp",
+      (0 until 60).map { i =>
+        val a = randTs()
+        val b = new Timestamp(a.getTime + (60 + rnd.nextInt(5400)) * 1000L)
+        Seq[Any]("k" + rnd.nextInt(4), i, a, b)
+      })
+    val bucketized = RangeJoin.pointInInterval(pts, ivs, Seq("key"), "ts", "s", "e",
+        Seq("iid"), bucketWidthUs = 15L * 60 * 1000000)
+      .select("pid", "iv_iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val naive = pts.join(ivs, Seq("key"))
+      .filter(col("s") <= col("ts") && col("ts") <= col("e"))
+      .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(bucketized == naive)
+    assert(naive.nonEmpty, "fixture should produce at least one containment")
+  }
+
+  test("boundary semantics: inclusive start, configurable end") {
+    val ivs = createDf(spark, "key string, iid int, s timestamp, e timestamp",
+      Seq(Seq[Any]("a", 1, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))))
+    val pts = createDf(spark, "key string, pid int, ts timestamp", Seq(
+      Seq[Any]("a", 1, ts("2024-01-01 10:00:00")), // at start -> always in
+      Seq[Any]("a", 2, ts("2024-01-01 11:00:00")), // at end -> inclusive only
+      Seq[Any]("a", 3, ts("2024-01-01 11:00:01")), // after -> never
+      Seq[Any]("b", 4, ts("2024-01-01 10:30:00")))) // wrong key -> never
+    def ids(inclusive: Boolean) =
+      RangeJoin.pointInInterval(pts, ivs, Seq("key"), "ts", "s", "e", Seq("iid"),
+          inclusiveEnd = inclusive)
+        .select("pid").collect().map(_.getInt(0)).toSet
+    assert(ids(true) == Set(1, 2))
+    assert(ids(false) == Set(1))
+  }
+
+  test("intervals spanning many buckets still match exactly once per point") {
+    val ivs = createDf(spark, "key string, iid int, s timestamp, e timestamp",
+      Seq(Seq[Any]("a", 1, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))))
+    val pts = createDf(spark, "key string, pid int, ts timestamp",
+      Seq(Seq[Any]("a", 1, ts("2024-01-02 13:37:00"))))
+    val out = RangeJoin.pointInInterval(pts, ivs, Seq("key"), "ts", "s", "e", Seq("iid"),
+      bucketWidthUs = 3600L * 1000000) // 49 buckets for the interval
+    assert(out.count() == 1)
+  }
+}
