@@ -477,6 +477,34 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Benchmark decontamination: every 50th doc plays the held-out
+    * benchmark; corpus docs sharing ≥3 distinct 5-grams with one are
+    * flagged with the shared count and contaminated fraction. (The
+    * benchmark docs trivially flag against themselves — kept in, as the
+    * deterministic sanity floor.)
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    Dedup.crossCorpusOverlap(docs, "doc_id", "text", bench, "b_id", "b_text",
+        shingleSize = 5, minShared = 3)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** Per-language repetition profile (C4/Gopher-style quality rule):
+    * docs over the 0.2 repetition threshold and the exact corpus mean.
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextStats.repetitionScore(col("text"), 3).as("rep"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rep") > 0.2, 1L).otherwise(0L)).as("n_repetitive"),
+        dsum(col("rep"), 9).as("sum_rep"))
+      .orderBy(col("lang"))
+
   /** Exact dedup groups keyed by md5 fingerprint. */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
@@ -691,6 +719,8 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_pack" -> (qPack _),
     "q_redact" -> (qRedact _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_repetition" -> (qRepetition _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -1035,6 +1065,31 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_quantize" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_decontaminate" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |c AS (SELECT doc_id, len(sh) AS n_doc_sh, unnest(sh) AS shingle FROM s),
+        |b AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM s WHERE doc_id % 50 = 0),
+        |j AS (
+        |  SELECT c.doc_id, b.bench_id, c.n_doc_sh, COUNT(*) AS n_shared
+        |  FROM c JOIN b USING (shingle)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, bench_id, n_shared,
+        |  CAST(n_shared AS DOUBLE) / n_doc_sh AS contaminated_frac
+        |FROM j WHERE n_shared >= 3 ORDER BY doc_id, bench_id""".stripMargin,
+    "q_repetition" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |    CASE WHEN len(w) < 3 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                FOR i IN range(1, len(w)-1)])) AS DOUBLE) / (len(w) - 2)
+        |    END AS rep
+        |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+        |  CAST(SUM(CAST(rep AS DECIMAL(18,9))) AS DOUBLE) AS sum_rep
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pack" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -144,6 +144,31 @@ object Dedup {
     jaccardFromCounts(a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b")), minJaccard)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` distinct `shingleSize`-grams with any benchmark
+    * document. The canonical pre-training hygiene step — test-set
+    * contamination detection — expressed as a cross-corpus shingle join:
+    * explode distinct shingles on both sides, equi-join on the shingle,
+    * count distinct shared shingles per (doc, benchmark) pair. Same
+    * sparsity argument as [[ngramJaccardPairs]]: only docs sharing a
+    * shingle ever pair, and the benchmark side is typically tiny —
+    * mark it broadcast-able by keeping it as the join's build side.
+    */
+  def crossCorpusOverlap(corpus: DataFrame, corpusId: String, corpusText: String,
+                         bench: DataFrame, benchId: String, benchText: String,
+                         shingleSize: Int = 5, minShared: Int = 1): DataFrame = {
+    val c = explodedShingles(corpus, corpusId, corpusText, shingleSize)
+      .select(col(corpusId).as("doc_id"), col("n_sh").as("n_doc_sh"), col("shingle"))
+    val b = explodedShingles(bench, benchId, benchText, shingleSize)
+      .select(col(benchId).as("bench_id"), col("shingle"))
+    c.join(b, Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"), col("n_doc_sh"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_doc_sh")).as("contaminated_frac"))
+  }
+
   /** Inverted-index variant of [[ngramJaccardPairs]]: group by shingle,
     * collect the (id, set-size) posting list, and emit in-list pairs with
     * a nested-transform expansion — ONE shuffle of the exploded shingles

@@ -24,6 +24,18 @@ object TextStats {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Intra-document repetition score (C4/Gopher-style quality rule): the
+    * fraction of `n`-gram occurrences that are repeats of an earlier
+    * occurrence — `1 - |distinct n-grams| / |n-grams|`; 0 for documents
+    * too short to shingle. High values mark boilerplate/spam for
+    * filtering. Pure per-row array arithmetic, no shuffle.
+    */
+  def repetitionScore(text: Column, n: Int = 3): Column =
+    graft.functions.ArrayMath.bound(shingles(text, n)) { sh =>
+      when(size(sh) === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+    }
+
   /** PII redaction (training-data scrubbing): replace email addresses and
     * IPv4 literals with typed placeholder tokens. Patterns deliberately
     * use only constructs with identical semantics in Java regex (Spark)

@@ -55,6 +55,14 @@ class PlanSpec extends AnyFunSuite {
       s"global_total must attach via broadcast join:\n${p.take(2000)}")
   }
 
+  test("q_range_join is an equi-join on (key, bucket) — never a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not plan a nested loop:\n${p.take(2000)}")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a hash/merge equi-join:\n${p.take(2000)}")
+  }
+
   test("grouped-apply plans exactly one hash exchange, clustering below MapGroups") {
     val p = plan("q_grouped_apply")
     assert(p.contains("MapGroups"), s"expected MapGroups node:\n${p.take(1500)}")

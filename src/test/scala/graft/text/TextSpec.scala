@@ -114,6 +114,31 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)) && !pairs.contains((1L, 4L)))
   }
 
+  test("crossCorpusOverlap flags docs sharing enough shingles with the benchmark") {
+    val bench = createDf(spark, "b_id bigint, b_text string",
+      Seq(Seq[Any](100L, "the quick brown fox jumps over the lazy dog today")))
+    val got = Dedup.crossCorpusOverlap(df, "id", "text", bench, "b_id", "b_text",
+        shingleSize = 3, minShared = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Long]("n_shared"))).toSet
+    // docs 1,2 are identical to the benchmark text (8 shared 3-grams);
+    // doc 3 shares the prefix 3-grams; doc 4 shares nothing
+    assert(got.map(_._1) == Set(1L, 2L, 3L))
+    assert(got.contains((1L, 100L, 8L)))
+  }
+
+  test("repetitionScore: 0 for unique or too-short docs, high for boilerplate") {
+    val d = createDf(spark, "id int, t string", Seq(
+      Seq[Any](1, "a b c d e f"),          // all distinct 3-grams -> 0
+      Seq[Any](2, "spam spam spam spam spam spam"), // one distinct 3-gram of 4 -> 0.75
+      Seq[Any](3, "x y")))                 // too short -> 0
+    val got = d.select(col("id"), TextStats.repetitionScore(col("t"), 3).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got(1) == 0.0)
+    assert(got(2) == 0.75)
+    assert(got(3) == 0.0)
+  }
+
   test("ngramJaccardPairsPostings is row-identical to the join variant") {
     val viaJoin = Dedup.ngramJaccardPairs(df, "id", "text", 3)
       .collect().map(_.toSeq).toSet
