@@ -151,16 +151,21 @@ object Dedup {
     * explode distinct shingles on both sides, equi-join on the shingle,
     * count distinct shared shingles per (doc, benchmark) pair. Same
     * sparsity argument as [[ngramJaccardPairs]]: only docs sharing a
-    * shingle ever pair, and the benchmark side is typically tiny —
-    * mark it broadcast-able by keeping it as the join's build side.
+    * shingle ever pair. The benchmark side is broadcast by default — a
+    * benchmark suite is KBs-to-MBs next to a 100 TB corpus, so the
+    * corpus-side shingle stream pays NO shuffle on the join; only
+    * matching rows move in the final per-pair aggregation. Set
+    * `broadcastBench = false` only when the 'benchmark' is itself huge.
     */
   def crossCorpusOverlap(corpus: DataFrame, corpusId: String, corpusText: String,
                          bench: DataFrame, benchId: String, benchText: String,
-                         shingleSize: Int = 5, minShared: Int = 1): DataFrame = {
+                         shingleSize: Int = 5, minShared: Int = 1,
+                         broadcastBench: Boolean = true): DataFrame = {
     val c = explodedShingles(corpus, corpusId, corpusText, shingleSize)
       .select(col(corpusId).as("doc_id"), col("n_sh").as("n_doc_sh"), col("shingle"))
-    val b = explodedShingles(bench, benchId, benchText, shingleSize)
+    val b0 = explodedShingles(bench, benchId, benchText, shingleSize)
       .select(col(benchId).as("bench_id"), col("shingle"))
+    val b = if (broadcastBench) broadcast(b0) else b0
     c.join(b, Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"), col("n_doc_sh"))
       .agg(count(lit(1)).as("n_shared"))
