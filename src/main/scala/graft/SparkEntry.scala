@@ -477,15 +477,18 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
-  /** Benchmark decontamination: every 50th doc plays the held-out
-    * benchmark; corpus docs sharing ≥3 distinct 5-grams with one are
-    * flagged with the shared count and contaminated fraction. (The
-    * benchmark docs trivially flag against themselves — kept in, as the
-    * deterministic sanity floor.)
+  /** Benchmark decontamination: a FIXED-size benchmark (every 50th doc
+    * among ids < 500 — ten docs at any SF, like a real benchmark suite
+    * that does not grow with the corpus, so the broadcast in
+    * [[Dedup.crossCorpusOverlap]] stays sound at every scale); corpus
+    * docs sharing ≥3 distinct 5-grams with one are flagged with the
+    * shared count and contaminated fraction. (The benchmark docs
+    * trivially flag against themselves — kept in, as the deterministic
+    * sanity floor.)
     */
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 500)
       .select(col("doc_id").as("b_id"), col("text").as("b_text"))
     Dedup.crossCorpusOverlap(docs, "doc_id", "text", bench, "b_id", "b_text",
         shingleSize = 5, minShared = 3)
@@ -493,7 +496,9 @@ object SparkEntry {
   }
 
   /** Per-language repetition profile (C4/Gopher-style quality rule):
-    * docs over the 0.2 repetition threshold and the exact corpus mean.
+    * docs over the 0.03 repetition threshold (chosen non-vacuous on the
+    * synthetic corpus — 2-16 docs trip it per SF, so a broken predicate
+    * cannot hide behind an all-zero column) and the exact corpus sum.
     */
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -501,7 +506,7 @@ object SparkEntry {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("rep") > 0.2, 1L).otherwise(0L)).as("n_repetitive"),
+        sum(when(col("rep") > 0.03, 1L).otherwise(0L)).as("n_repetitive"),
         dsum(col("rep"), 9).as("sum_rep"))
       .orderBy(col("lang"))
 
@@ -1070,7 +1075,8 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS sh
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
         |c AS (SELECT doc_id, len(sh) AS n_doc_sh, unnest(sh) AS shingle FROM s),
-        |b AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM s WHERE doc_id % 50 = 0),
+        |b AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM s
+        |      WHERE doc_id % 50 = 0 AND doc_id < 500),
         |j AS (
         |  SELECT c.doc_id, b.bench_id, c.n_doc_sh, COUNT(*) AS n_shared
         |  FROM c JOIN b USING (shingle)
@@ -1087,7 +1093,7 @@ object SparkEntry {
         |    END AS rep
         |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
         |SELECT lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+        |  CAST(SUM(CASE WHEN rep > 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
         |  CAST(SUM(CAST(rep AS DECIMAL(18,9))) AS DOUBLE) AS sum_rep
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pack" ->

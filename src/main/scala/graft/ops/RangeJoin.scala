@@ -48,6 +48,12 @@ object RangeJoin {
         keys.map(col) ++
           Seq(col(startCol).as(s"$ivPrefix$startCol"), col(endCol).as(s"$ivPrefix$endCol")) ++
           ivPayload.map(c => col(c).as(s"$ivPrefix$c")): _*)
+      // Reversed intervals (end < start — corrupt rows or swapped
+      // columns) are dropped BEFORE the explode: sequence(a, b) with
+      // a > b silently generates a descending range, so one corrupt
+      // epoch-0/year-9999 end would otherwise explode millions of
+      // bucket rows that all die in the residual filter.
+      .filter(col(s"$ivPrefix$startCol") <= col(s"$ivPrefix$endCol"))
       .withColumn("__bucket",
         explode(sequence(
           floor(unix_micros(col(s"$ivPrefix$startCol")) / w),

@@ -49,6 +49,17 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(ids(false) == Set(1))
   }
 
+  test("reversed intervals are dropped, not exploded") {
+    val ivs = createDf(spark, "key string, iid int, s timestamp, e timestamp", Seq(
+      Seq[Any]("a", 1, ts("2024-01-01 11:00:00"), ts("2024-01-01 10:00:00")), // reversed
+      Seq[Any]("a", 2, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))))
+    val pts = createDf(spark, "key string, pid int, ts timestamp",
+      Seq(Seq[Any]("a", 1, ts("2024-01-01 10:30:00"))))
+    val out = RangeJoin.pointInInterval(pts, ivs, Seq("key"), "ts", "s", "e", Seq("iid"))
+      .select("iv_iid").collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(2))
+  }
+
   test("intervals spanning many buckets still match exactly once per point") {
     val ivs = createDf(spark, "key string, iid int, s timestamp, e timestamp",
       Seq(Seq[Any]("a", 1, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))))
