@@ -260,6 +260,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("split"))
 
+  /** Training-mixture construction: resample the corpus toward a target
+    * language mix {en 0.5, zh 0.2, de/es/fr 0.1}; the binding source
+    * keeps everything, the rest downsample deterministically (md5
+    * bucket). Output: kept rows per language.
+    */
+  private def qMixture(s: SparkSession, dir: String): DataFrame =
+    Sampling.resampleToMixture(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+
   /** Multi-column profile (nulls, exact distinct, min/max; Expand-free
     * two-scan shape, see [[graft.ops.Profile]]).
     */
@@ -744,6 +755,7 @@ object SparkEntry {
     "q_session_window" -> (qSessionWindow _),
     "q_binary_meta" -> (qBinaryMeta _),
     "q_split" -> (qSplit _),
+    "q_mixture" -> (qMixture _),
     "q_profile" -> (qProfile _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -983,6 +995,20 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_mixture" ->
+      """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |tw AS (SELECT lang, n,
+        |         CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.1 END AS w
+        |       FROM counts),
+        |t AS (SELECT min(n / w) AS total FROM tw),
+        |rates AS (
+        |  SELECT lang, LEAST(CAST(round(w * total / n * 10000) AS BIGINT), 10000) AS cutoff
+        |  FROM tw, t)
+        |SELECT d.lang, COUNT(*) AS n_kept
+        |FROM documents d
+        |JOIN rates r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < r.cutoff
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_profile" ->
       """SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

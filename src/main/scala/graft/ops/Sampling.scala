@@ -66,4 +66,36 @@ object Sampling {
     }
     df.filter(bucket < threshold)
   }
+
+  /** Training-mixture construction: downsample each source so the
+    * retained rows hit `targetWeights` proportions at the MAXIMUM
+    * feasible size — the binding source (largest target share relative
+    * to its supply) keeps everything, every other source downsamples to
+    * match: with observed counts n_s, feasible total T = min_s(n_s/w_s)
+    * and keepRate_s = w_s·T/n_s. Rates come from one tiny
+    * groupBy-count (one collected row per source — the ONLY driver-side
+    * data); row selection is the same deterministic md5 bucket as
+    * [[deterministicSplit]] (resolution 1/10000), so the mix is
+    * rerun-stable and layout-independent. Sources absent from
+    * `targetWeights` are dropped.
+    */
+  def resampleToMixture(df: DataFrame, sourceCol: String, keyCol: String,
+                        targetWeights: Map[String, Double]): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
+      "targetWeights must be non-empty with positive weights")
+    val inScope = df.filter(col(sourceCol).isin(targetWeights.keys.toSeq: _*))
+    val counts = inScope.groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.keySet == targetWeights.keySet,
+      s"sources with no rows cannot anchor a mixture: missing ${targetWeights.keySet -- counts.keySet}")
+    val total = counts.map { case (s, n) => n / targetWeights(s) }.min
+    val cutoffs = counts.map { case (s, n) =>
+      s -> math.min((targetWeights(s) * total / n * 10000).round, 10000L)
+    }
+    val bucket = hashBucket(col(keyCol), 10000)
+    val cutoff = cutoffs.foldLeft(lit(-1L)) { case (acc, (s, c)) =>
+      when(col(sourceCol) === lit(s), lit(c)).otherwise(acc)
+    }
+    inScope.filter(bucket < cutoff)
+  }
 }

@@ -43,6 +43,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("resampleToMixture hits target proportions; binding source keeps all") {
+    val df = spark.range(3000).toDF("id")
+      .withColumn("src",
+        when(col("id") < 2000, "big").when(col("id") < 2800, "mid").otherwise("small"))
+    // small supplies 200 rows; target 0.2 → binding: T = 200/0.2 = 1000
+    val out = Sampling.resampleToMixture(df, "src", "id",
+      Map("big" -> 0.5, "mid" -> 0.3, "small" -> 0.2))
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("small") == 200, "binding source must keep everything")
+    // ~500 big, ~300 mid (hash-bucket resolution + distribution noise)
+    assert(counts("big") > 400 && counts("big") < 600, s"got $counts")
+    assert(counts("mid") > 230 && counts("mid") < 370, s"got $counts")
+    // deterministic: identical row set across runs
+    val again = Sampling.resampleToMixture(df, "src", "id",
+      Map("big" -> 0.5, "mid" -> 0.3, "small" -> 0.2))
+    assert(out.collect().map(_.getLong(0)).toSet == again.collect().map(_.getLong(0)).toSet)
+    // unmapped sources are dropped
+    val dropped = Sampling.resampleToMixture(df, "src", "id", Map("big" -> 1.0))
+    assert(dropped.filter(col("src") =!= "big").count() == 0)
+  }
+
   test("deterministicSample keeps a stable subset of ~fraction size") {
     val a = Sampling.deterministicSample(ids, "id", 0.25)
     val b = Sampling.deterministicSample(ids, "id", 0.25)
