@@ -141,7 +141,12 @@ object Dedup {
       .repartition(col("shingle"))
     val a = exploded.select(col(idCol).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = exploded.select(col(idCol).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
-    jaccardFromCounts(a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b")), minJaccard)
+    // shuffle_hash: both sides already share the reused exchange, and a
+    // hash join skips the TWO partition-local sorts a sort-merge join
+    // would add on the exploded shingle stream.
+    jaccardFromCounts(
+      a.join(b.hint("shuffle_hash"), Seq("shingle")).filter(col("id_a") < col("id_b")),
+      minJaccard)
   }
 
   /** Benchmark decontamination: flag corpus documents sharing at least
