@@ -521,6 +521,27 @@ object SparkEntry {
         dsum(col("rep"), 9).as("sum_rep"))
       .orderBy(col("lang"))
 
+  /** Overlapping token-window chunking (embedding/RAG prep): 40-token
+    * windows advancing by 30 (10-token overlap), exploded to
+    * (doc_id, chunk_idx, n_chunk_tokens) rows.
+    */
+  private def qChunk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextStats.chunkTokens(col("text"), 40, 10)).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        TextStats.tokenCount(col("chunk")).cast("long").as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Rolling 3-event trailing sum per user (decimal-exact, so the
+    * sliding-window reassociation both engines do cannot change values).
+    */
+  private def qRolling(s: SparkSession, dir: String): DataFrame =
+    Timeseries.withRollingSum(t(s, dir, "events"), Seq("user_id"),
+        Seq("ts", "event_id"), col("value").cast(DecimalType(18, 2)), 3, "rsum")
+      .select(col("event_id"), col("user_id"), col("rsum").cast("double").as("rsum"))
+      .orderBy(col("event_id"))
+
   /** Exact dedup groups keyed by md5 fingerprint. */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
@@ -737,6 +758,8 @@ object SparkEntry {
     "q_redact" -> (qRedact _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_repetition" -> (qRepetition _),
+    "q_chunk" -> (qChunk _),
+    "q_rolling" -> (qRolling _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -1110,6 +1133,19 @@ object SparkEntry {
         |SELECT doc_id, bench_id, n_shared,
         |  CAST(n_shared AS DOUBLE) / n_doc_sh AS contaminated_frac
         |FROM j WHERE n_shared >= 3 ORDER BY doc_id, bench_id""".stripMargin,
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        unnest(range(0, (greatest(n - 10 - 1, 0) // 30) + 1)) AS chunk_idx
+        |      FROM d)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(least(40, n - chunk_idx * 30) AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_repetition" ->
       """WITH r AS (
         |  SELECT lang,

@@ -33,6 +33,32 @@ object Timeseries {
     valueCols.foldLeft(df)((d, c) => d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
   }
 
+  /** Trailing-n-rows window per series (the pandas `rolling(n)` frame):
+    * current row plus the n-1 preceding, ordered by `orderCols` (total
+    * order required for determinism).
+    */
+  def rollingWindow(parts: Seq[String], orderCols: Seq[String], n: Int) = {
+    require(n > 0, s"window size must be positive: $n")
+    Window.partitionBy(parts.map(col): _*).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+  }
+
+  /** Rolling mean over the trailing `n` rows (pandas
+    * `rolling(n, min_periods=1).mean()` — partial leading windows
+    * included).
+    */
+  def withRollingMean(df: DataFrame, parts: Seq[String], orderCols: Seq[String],
+                      valueCol: String, n: Int, outCol: String): DataFrame =
+    df.withColumn(outCol, avg(col(valueCol)).over(rollingWindow(parts, orderCols, n)))
+
+  /** Rolling sum over the trailing `n` rows. For oracle-exact cross-engine
+    * comparison route the value through a decimal cast (sliding-window
+    * engines reassociate float additions; decimals are associative).
+    */
+  def withRollingSum(df: DataFrame, parts: Seq[String], orderCols: Seq[String],
+                     value: Column, n: Int, outCol: String): DataFrame =
+    df.withColumn(outCol, sum(value).over(rollingWindow(parts, orderCols, n)))
+
   /** The reference's "shifted year": a Feb→Jan+1 fiscal-style year obtained
     * by shifting the timestamp back one month before extracting the year
     * (behavioral equivalent of the pandas shift(-1)/shift(1) sandwich in

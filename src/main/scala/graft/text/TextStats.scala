@@ -24,6 +24,25 @@ object TextStats {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Overlapping token-window chunks (embedding/RAG prep): split the
+    * token stream into windows of `chunkTokens` advancing by
+    * `chunkTokens - overlapTokens`, each rejoined with spaces. The last
+    * window may be shorter; documents shorter than one window yield one
+    * chunk. Pure per-row array work — pair with `posexplode` for
+    * (doc, chunk_idx, chunk) rows and [[graft.ops.Pack]] for layout.
+    */
+  def chunkTokens(text: Column, chunkTokens: Int, overlapTokens: Int): Column = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got chunk=$chunkTokens overlap=$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    graft.functions.ArrayMath.bound(tokens(text)) { w =>
+      transform(
+        sequence(lit(0),
+          (greatest(size(w) - overlapTokens - 1, lit(0)) / lit(stride)).cast("int")),
+        i => array_join(slice(w, i * stride + 1, lit(chunkTokens)), " "))
+    }
+  }
+
   /** Intra-document repetition score (C4/Gopher-style quality rule): the
     * fraction of `n`-gram occurrences that are repeats of an earlier
     * occurrence — `1 - |distinct n-grams| / |n-grams|`; 0 for documents

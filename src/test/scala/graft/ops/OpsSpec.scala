@@ -112,6 +112,18 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(Some(7.0), None, Some(9.0), Some(9.0)))
   }
 
+  test("withRollingMean: trailing-n mean with partial leading windows") {
+    val df = createDf(spark, "g string, t timestamp, v double", Seq(
+      Seq("a", ts("2024-01-01 00:00:00"), 1.0),
+      Seq("a", ts("2024-01-02 00:00:00"), 2.0),
+      Seq("a", ts("2024-01-03 00:00:00"), 6.0),
+      Seq("a", ts("2024-01-04 00:00:00"), 10.0),
+      Seq("b", ts("2024-01-01 00:00:00"), 5.0)))
+    val got = Timeseries.withRollingMean(df, Seq("g"), Seq("t"), "v", 3, "rm")
+      .orderBy("g", "t").collect().map(_.getDouble(3)).toSeq
+    assert(got == Seq(1.0, 1.5, 3.0, 6.0, 5.0))
+  }
+
   test("shiftedWithinYearApply with ffill method equals shiftedWithinYearFfill (W2≡W3)") {
     val df = createDf(spark, "g string, t timestamp, v double", Seq(
       Seq("a", ts("2024-01-15 00:00:00"), 7.0),

@@ -127,6 +127,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 100L, 8L)))
   }
 
+  test("chunkTokens: overlap-windowed chunks cover all tokens; short docs = 1 chunk") {
+    val d = createDf(spark, "id int, t string", Seq(
+      Seq[Any](1, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens, chunk 4 stride 3
+      Seq[Any](2, "a b"))) // shorter than one window
+    val got = d.select(col("id"), TextStats.chunkTokens(col("t"), 4, 1).as("ch"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(got(1) == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(got(2) == Seq("a b"))
+    // every token appears in at least one chunk; consecutive chunks share 1 token
+    assert(got(1).flatMap(_.split(" ")).toSet == (1 to 10).map("t" + _).toSet)
+  }
+
   test("repetitionScore: 0 for unique or too-short docs, high for boilerplate") {
     val d = createDf(spark, "id int, t string", Seq(
       Seq[Any](1, "a b c d e f"),          // all distinct 3-grams -> 0
