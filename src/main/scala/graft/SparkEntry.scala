@@ -1019,7 +1019,11 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_mixture" ->
-      """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+      // the lang filter mirrors resampleToMixture dropping sources absent
+      // from the target map — without it a sixth fixture language would
+      // shift every cutoff on the oracle side only
+      """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents
+        |               WHERE lang IN ('en', 'zh', 'de', 'es', 'fr') GROUP BY 1),
         |tw AS (SELECT lang, n,
         |         CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.1 END AS w
         |       FROM counts),

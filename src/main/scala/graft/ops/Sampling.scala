@@ -89,13 +89,11 @@ object Sampling {
     require(counts.keySet == targetWeights.keySet,
       s"sources with no rows cannot anchor a mixture: missing ${targetWeights.keySet -- counts.keySet}")
     val total = counts.map { case (s, n) => n / targetWeights(s) }.min
-    val cutoffs = counts.map { case (s, n) =>
-      s -> math.min((targetWeights(s) * total / n * 10000).round, 10000L)
+    // fractions round-trip exactly through stratifiedSample's
+    // (f * 10000).round — integer cutoffs divided by 10000.0 are exact
+    val fractions = counts.map { case (s, n) =>
+      s -> math.min((targetWeights(s) * total / n * 10000).round, 10000L) / 10000.0
     }
-    val bucket = hashBucket(col(keyCol), 10000)
-    val cutoff = cutoffs.foldLeft(lit(-1L)) { case (acc, (s, c)) =>
-      when(col(sourceCol) === lit(s), lit(c)).otherwise(acc)
-    }
-    inScope.filter(bucket < cutoff)
+    stratifiedSample(inScope, keyCol, sourceCol, fractions)
   }
 }

@@ -45,11 +45,12 @@ object Timeseries {
 
   /** Rolling mean over the trailing `n` rows (pandas
     * `rolling(n, min_periods=1).mean()` — partial leading windows
-    * included).
+    * included). Takes a Column like [[withRollingSum]], so casts (e.g.
+    * through decimal for cross-engine exactness) compose.
     */
   def withRollingMean(df: DataFrame, parts: Seq[String], orderCols: Seq[String],
-                      valueCol: String, n: Int, outCol: String): DataFrame =
-    df.withColumn(outCol, avg(col(valueCol)).over(rollingWindow(parts, orderCols, n)))
+                      value: Column, n: Int, outCol: String): DataFrame =
+    df.withColumn(outCol, avg(value).over(rollingWindow(parts, orderCols, n)))
 
   /** Rolling sum over the trailing `n` rows. For oracle-exact cross-engine
     * comparison route the value through a decimal cast (sliding-window

@@ -141,12 +141,13 @@ object Dedup {
       .repartition(col("shingle"))
     val a = exploded.select(col(idCol).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = exploded.select(col(idCol).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
-    // shuffle_hash: both sides already share the reused exchange, and a
-    // hash join skips the TWO partition-local sorts a sort-merge join
-    // would add on the exploded shingle stream.
+    // Deliberately a sort-merge join, NOT shuffle_hash: SHJ skips the two
+    // partition-local sorts (a measured ~15% at sf0.1, within load
+    // noise) but must hold an entire build-side partition in a
+    // non-spillable hash map — an OOM hazard on skewed shingle
+    // partitions at corpus scale, where SMJ's sorts spill and complete.
     jaccardFromCounts(
-      a.join(b.hint("shuffle_hash"), Seq("shingle")).filter(col("id_a") < col("id_b")),
-      minJaccard)
+      a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b")), minJaccard)
   }
 
   /** Benchmark decontamination: flag corpus documents sharing at least

@@ -119,7 +119,7 @@ class TimeseriesSpec extends AnyFunSuite {
       Seq("a", ts("2024-01-03 00:00:00"), 6.0),
       Seq("a", ts("2024-01-04 00:00:00"), 10.0),
       Seq("b", ts("2024-01-01 00:00:00"), 5.0)))
-    val got = Timeseries.withRollingMean(df, Seq("g"), Seq("t"), "v", 3, "rm")
+    val got = Timeseries.withRollingMean(df, Seq("g"), Seq("t"), col("v"), 3, "rm")
       .orderBy("g", "t").collect().map(_.getDouble(3)).toSeq
     assert(got == Seq(1.0, 1.5, 3.0, 6.0, 5.0))
   }
