@@ -63,6 +63,22 @@ class PlanSpec extends AnyFunSuite {
       s"expected a hash/merge equi-join:\n${p.take(2000)}")
   }
 
+  test("q_dedup_minhash computes the signature once per join side (no pushdown duplication)") {
+    // Regression guard: a sig.isNotNull-style filter gets predicate-pushed
+    // below the projection and rewritten to isnotnull(minhashsig(...)),
+    // doubling the per-document signature cost. The plan must contain the
+    // expression at most twice (once per self-join side).
+    val p = plan("q_dedup_minhash")
+    val n = "minhashsig".r.findAllIn(p).length
+    assert(n <= 2, s"minhashsig appears $n times — pushdown is duplicating the signature")
+  }
+
+  test("q_decontaminate broadcasts the benchmark side (corpus never shuffles for the join)") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast:\n${p.take(2000)}")
+  }
+
   test("grouped-apply plans exactly one hash exchange, clustering below MapGroups") {
     val p = plan("q_grouped_apply")
     assert(p.contains("MapGroups"), s"expected MapGroups node:\n${p.take(1500)}")
