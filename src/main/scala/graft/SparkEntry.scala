@@ -582,6 +582,33 @@ object SparkEntry {
         .as("n_violations"))
   }
 
+  /** Semantic check for pair→group dedup: components over the exact
+    * Jaccard pair graph must satisfy (a) both endpoints of every edge
+    * share a label, (b) every label is the minimum id among its members,
+    * and (c) dedupByPairs keeps exactly one doc per component plus all
+    * unpaired docs. Violations = 0 (oracle SELECT 0).
+    */
+  private def qDupComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, minJaccard = 0.05)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val edgeViol = pairs
+      .join(cc.select(col("v").as("id_a"), col("label").as("la")), "id_a")
+      .join(cc.select(col("v").as("id_b"), col("label").as("lb")), "id_b")
+      .filter(col("la") =!= col("lb")).count()
+    val minViol = cc.groupBy(col("label")).agg(min(col("v")).as("min_v"))
+      .filter(col("label") =!= col("min_v")).count()
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs).count()
+    val nDocs = docs.count()
+    val nVerts = cc.count()
+    val nComponents = cc.select(col("label")).distinct().count()
+    val keepViol = if (kept == nDocs - nVerts + nComponents) 0L else 1L
+    val spark = s
+    import spark.implicits._
+    Seq(edgeViol + minViol + keepViol).toDF("n_violations")
+  }
+
   /** SimHash clustering: docs per 32-bit simhash value (rows-only). */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -764,6 +791,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_containment" -> (qMinhashContainment _),
+    "q_dup_components" -> (qDupComponents _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_fingerprint" -> (qFingerprint _),
     "q_topk_similar" -> (qTopkSimilar _),
@@ -801,7 +829,8 @@ object SparkEntry {
     * workload mix.
     */
   val validationQueries: Set[String] =
-    Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment", "q_quantize")
+    Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment", "q_quantize",
+      "q_dup_components")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -1120,6 +1149,8 @@ object SparkEntry {
     "q_ann_containment" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_minhash_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_dup_components" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_quantize" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",

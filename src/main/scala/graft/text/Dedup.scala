@@ -206,6 +206,78 @@ object Dedup {
     jaccardFromCounts(pairs, minJaccard)
   }
 
+  /** Connected components over an undirected candidate-pair edge list —
+    * the step that turns near-dup PAIRS into dedup GROUPS. Hash-to-min
+    * label propagation: every vertex starts labeled with its own id;
+    * each round a vertex takes the minimum label among itself and its
+    * neighbors; fixpoint = component labeled by its minimum member id.
+    * Rounds needed ≤ graph diameter (dup clusters are shallow — a
+    * handful of rounds in practice); each round is one join + one
+    * groupBy-min, all hash-partitioned on the vertex id. Results are
+    * persisted per round and the loop exits early when no label
+    * changes, so lineage stays bounded. This is how pair-producing
+    * operators ([[minhashCandidatePairs]], [[ngramJaccardPairs]],
+    * [[graft.text.Similarity.lshNearDupPairs]]) compose into
+    * keep-one-per-cluster dedup at corpus scale.
+    *
+    * @return (v, label) — one row per vertex appearing in any edge
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive: $maxIter")
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) after every round: iterative plans otherwise
+    // nest one join+agg per round and the optimizer/plan machinery blows
+    // up long before the data does. (On a real cluster prefer reliable
+    // `checkpoint` — executor loss under localCheckpoint forces a rerun.)
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("v").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("v")).agg(min(col("label")).as("nbr_label"))
+      val prelim = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // Pointer jump (path halving): follow label → label(label). Labels
+      // are always vertex ids, so the self-join resolves every row; this
+      // turns per-round propagation from one hop into doubling, making
+      // convergence O(log diameter) instead of O(diameter).
+      val jumped = prelim
+        .join(prelim.select(col("v").as("label"), col("label").as("__ll")),
+          Seq("label"), "left")
+        .select(col("v"), coalesce(col("__ll"), col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = jumped.join(labels.withColumnRenamed("label", "__old"), "v")
+        .filter(col("label") =!= col("__old")).limit(1).count() > 0
+      labels = jumped
+      converged = !changed
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Keep-one-per-cluster dedup from a candidate-pair list: rows whose id
+    * is its component's minimum survive (plus every row in no pair at
+    * all). The left-anti join removes only non-minimum members.
+    */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String = "id_a", bCol: String = "id_b",
+                   maxIter: Int = 20): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol, maxIter)
+      .filter(col("v") =!= col("label"))
+      .select(col("v").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash over the document's distinct tokens: per hash bit,
     * sum ±1 across token hashes; bit set iff the sum is non-negative.
     * Computed by the native [[graft.functions.SimHash32]] expression —

@@ -114,6 +114,48 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)) && !pairs.contains((1L, 4L)))
   }
 
+  test("connectedComponents matches driver-side union-find on a random graph") {
+    val rnd = new scala.util.Random(31)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edf = createDf(spark, "id_a bigint, id_b bigint",
+      edges.map { case (a, b) => Seq[Any](a, b) })
+    val got = Dedup.connectedComponents(edf, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find reference model
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val model = parent.keys.map(v => v -> find(v)).toMap
+    assert(got == model)
+    // labels are component minima
+    assert(got.groupBy(_._2).forall { case (label, members) => members.keys.min == label })
+  }
+
+  test("connectedComponents converges on a chain (worst-case diameter)") {
+    val chain = (0L until 30L).sliding(2).map(p => Seq[Any](p(0), p(1))).toSeq
+    val got = Dedup.connectedComponents(
+        createDf(spark, "id_a bigint, id_b bigint", chain), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.forall(_._2 == 0L), "every chain vertex must label to 0")
+  }
+
+  test("dedupByPairs keeps min-id per cluster plus unpaired rows") {
+    val docs = createDf(spark, "doc_id bigint, text string",
+      (1L to 6L).map(i => Seq[Any](i, s"doc $i")))
+    val pairs = createDf(spark, "id_a bigint, id_b bigint",
+      Seq(Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](5L, 6L)))
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L)) // {1,2,3}->1, {5,6}->5, 4 unpaired
+  }
+
   test("crossCorpusOverlap flags docs sharing enough shingles with the benchmark") {
     val bench = createDf(spark, "b_id bigint, b_text string",
       Seq(Seq[Any](100L, "the quick brown fox jumps over the lazy dog today")))
