@@ -592,21 +592,32 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, minJaccard = 0.05)
       .select(col("id_a"), col("id_b"))
+      .persist() // feeds CC's edge build plus two validation joins
     val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    // LEFT joins: a vertex MISSING from cc must count as a violation,
+    // not silently drop the edge row — the check may not fail open.
     val edgeViol = pairs
-      .join(cc.select(col("v").as("id_a"), col("label").as("la")), "id_a")
-      .join(cc.select(col("v").as("id_b"), col("label").as("lb")), "id_b")
-      .filter(col("la") =!= col("lb")).count()
+      .join(cc.select(col("v").as("id_a"), col("label").as("la")), Seq("id_a"), "left")
+      .join(cc.select(col("v").as("id_b"), col("label").as("lb")), Seq("id_b"), "left")
+      .filter(col("la").isNull || col("lb").isNull || col("la") =!= col("lb")).count()
     val minViol = cc.groupBy(col("label")).agg(min(col("v")).as("min_v"))
       .filter(col("label") =!= col("min_v")).count()
-    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs).count()
-    val nDocs = docs.count()
+    // vertex completeness: cc must cover exactly the pair endpoints
+    val nEndpoints = pairs.select(col("id_a").as("v"))
+      .union(pairs.select(col("id_b").as("v"))).distinct().count()
     val nVerts = cc.count()
+    val vertViol = if (nVerts == nEndpoints) 0L else 1L
+    // keep-one identity, derived from the SAME cc result (running
+    // dedupByPairs would re-run the whole iterative loop)
+    val losers = cc.filter(col("v") =!= col("label")).select(col("v").as("doc_id"))
+    val kept = docs.join(losers, Seq("doc_id"), "left_anti").count()
+    val nDocs = docs.count()
     val nComponents = cc.select(col("label")).distinct().count()
     val keepViol = if (kept == nDocs - nVerts + nComponents) 0L else 1L
+    pairs.unpersist()
     val spark = s
     import spark.implicits._
-    Seq(edgeViol + minViol + keepViol).toDF("n_violations")
+    Seq(edgeViol + minViol + vertViol + keepViol).toDF("n_violations")
   }
 
   /** SimHash clustering: docs per 32-bit simhash value (rows-only). */

@@ -243,9 +243,13 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("v").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("v")).agg(min(col("label")).as("nbr_label"))
+      // prelim is checkpointed too: the pointer-jump self-join reads it
+      // on BOTH sides, and without materialization each side would
+      // re-execute the sym-join + groupBy-min subtree.
       val prelim = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
       // Pointer jump (path halving): follow label → label(label). Labels
       // are always vertex ids, so the self-join resolves every row; this
       // turns per-round propagation from one hop into doubling, making
@@ -257,6 +261,11 @@ object Dedup {
         .localCheckpoint(true)
       val changed = jumped.join(labels.withColumnRenamed("label", "__old"), "v")
         .filter(col("label") =!= col("__old")).limit(1).count() > 0
+      // release the superseded generations' checkpoint blocks eagerly
+      // (ContextCleaner would get there, but not before maxIter
+      // generations pile up on a long session)
+      labels.unpersist()
+      prelim.unpersist()
       labels = jumped
       converged = !changed
       i += 1
