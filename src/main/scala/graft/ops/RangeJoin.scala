@@ -29,6 +29,17 @@ object RangeJoin {
     *                      false → half-open start <= pt < end (the right
     *                      choice when intervals tile adjacently, e.g.
     *                      session windows where end = next start)
+    * @param maxSpanBuckets drop intervals spanning more than this many
+    *                      buckets (default ~11 years at the 1-hour
+    *                      default width). A single forward extreme-span
+    *                      row — a year-9999 "open" sentinel end, an
+    *                      epoch-0 start — would otherwise explode one
+    *                      row PER BUCKET (~70M rows/interval for a
+    *                      9999-end at 1-hour buckets), the same corrupt-
+    *                      row hazard the reversed-interval pre-filter
+    *                      guards. Pass `None` to keep genuinely huge
+    *                      intervals (and widen `bucketWidthUs` to
+    *                      match).
     * @return every (point row ++ interval payload) pair inside the
     *         interval; interval columns are prefixed with `ivPrefix` to
     *         avoid collisions
@@ -40,8 +51,10 @@ object RangeJoin {
       bucketWidthUs: Long = 3600L * 1000000,
       ivPrefix: String = "iv_",
       inclusiveEnd: Boolean = true,
+      maxSpanBuckets: Option[Long] = Some(100000L),
   ): DataFrame = {
     require(bucketWidthUs > 0, s"bucketWidthUs must be positive: $bucketWidthUs")
+    maxSpanBuckets.foreach(m => require(m > 0, s"maxSpanBuckets must be positive: $m"))
     val w = lit(bucketWidthUs)
 
     val iv = intervals.select(
@@ -54,6 +67,11 @@ object RangeJoin {
       // epoch-0/year-9999 end would otherwise explode millions of
       // bucket rows that all die in the residual filter.
       .filter(col(s"$ivPrefix$startCol") <= col(s"$ivPrefix$endCol"))
+      // Forward extreme spans (sentinel ends) are dropped by the same
+      // logic BEFORE the explode — see maxSpanBuckets above.
+      .transform(df => maxSpanBuckets.fold(df)(m => df.filter(
+        floor(unix_micros(col(s"$ivPrefix$endCol")) / w) -
+          floor(unix_micros(col(s"$ivPrefix$startCol")) / w) <= lit(m))))
       .withColumn("__bucket",
         explode(sequence(
           floor(unix_micros(col(s"$ivPrefix$startCol")) / w),

@@ -220,6 +220,11 @@ object Dedup {
     * [[graft.text.Similarity.lshNearDupPairs]]) compose into
     * keep-one-per-cluster dedup at corpus scale.
     *
+    * RETAINED STATE: the returned labels DataFrame is still
+    * localCheckpoint-persisted (its lineage was truncated — it CANNOT be
+    * recomputed if unpersisted early). Callers should consume it and
+    * then `.unpersist()` it, or let [[dedupByPairs]] do exactly that.
+    *
     * @return (v, label) — one row per vertex appearing in any edge
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
@@ -277,13 +282,24 @@ object Dedup {
   /** Keep-one-per-cluster dedup from a candidate-pair list: rows whose id
     * is its component's minimum survive (plus every row in no pair at
     * all). The left-anti join removes only non-minimum members.
+    *
+    * The per-vertex labels checkpoint from [[connectedComponents]] is
+    * released HERE, deterministically: the (smaller, id-only) losers set
+    * is eagerly materialized as its own checkpoint first, then the full
+    * labels table is unpersisted — so what rides along with the returned
+    * lazy plan is only the compact losers table, not every vertex's
+    * label. (That residual checkpoint is freed by the ContextCleaner once
+    * the returned plan is no longer referenced.)
     */
   def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
                    aCol: String = "id_a", bCol: String = "id_b",
                    maxIter: Int = 20): DataFrame = {
-    val losers = connectedComponents(pairs, aCol, bCol, maxIter)
+    val labels = connectedComponents(pairs, aCol, bCol, maxIter)
+    val losers = labels
       .filter(col("v") =!= col("label"))
       .select(col("v").as(idCol))
+      .localCheckpoint(true)
+    labels.unpersist()
     df.join(losers, Seq(idCol), "left_anti")
   }
 

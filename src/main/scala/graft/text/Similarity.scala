@@ -179,21 +179,33 @@ object Similarity {
     * [[ivfTopK]] calls over the same corpus reuse one trained index
     * instead of paying the iterative k-means fit per invocation.
     *
+    * Bounded LRU (like [[graft.config.Validation]]'s file cache): a
+    * long-lived driver probing many distinct filtered corpora would
+    * otherwise accumulate persisted cell tables without limit. Evicted
+    * indexes are unpersisted as they fall out.
+    *
     * CONTRACT: the memo assumes the corpus is an immutable snapshot for
     * the life of the session (the norm for training-data builds). If the
     * underlying files are overwritten in place, the plan hash — and so
     * the cached index — goes stale: call [[clearIvfCache]] (or manage an
     * explicit [[ivfBuild]]/[[ivfSave]]/[[ivfLoad]] index) in that case.
     */
+  private type IvfKey = (SparkSession, Int, String, String, Int, Long)
+  private[text] val maxIvfCacheEntries = 8
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, String, String, Int, Long), IvfIndex]
+    new java.util.LinkedHashMap[IvfKey, IvfIndex](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[IvfKey, IvfIndex]): Boolean =
+        if (size() > maxIvfCacheEntries) { e.getValue.unpersist(); true } else false
+    }
+
+  private[text] def ivfCacheSize: Int = ivfCache.synchronized(ivfCache.size())
 
   /** Drop every memoized index and unpersist their cell tables (use
     * after overwriting a corpus in place, or to release executor
     * storage on a long-lived driver).
     */
-  def clearIvfCache(): Unit = {
-    ivfCache.values.foreach(_.unpersist())
+  def clearIvfCache(): Unit = ivfCache.synchronized {
+    ivfCache.values.forEach(_.unpersist())
     ivfCache.clear()
   }
 
@@ -222,13 +234,26 @@ object Similarity {
 
   /** Memoizing wrapper around [[ivfBuild]]: same session + semantically
     * identical corpus plan + same params → the already-trained index.
+    * The (iterative, slow) fit runs OUTSIDE the cache monitor; if two
+    * threads race on the same key, one insert wins and the loser's
+    * freshly trained index is unpersisted instead of leaking its cells.
     */
   def ivfIndexFor(corpus: DataFrame, idCol: String, vecCol: String,
-                  nCells: Int = 16, seed: Long = 42L): IvfIndex =
-    ivfCache.getOrElseUpdate(
-      (corpus.sparkSession, corpus.queryExecution.analyzed.semanticHash(),
-        idCol, vecCol, nCells, seed),
-      ivfBuild(corpus, idCol, vecCol, nCells, seed))
+                  nCells: Int = 16, seed: Long = 42L): IvfIndex = {
+    val key: IvfKey = (corpus.sparkSession,
+      corpus.queryExecution.analyzed.semanticHash(), idCol, vecCol, nCells, seed)
+    val cached = ivfCache.synchronized(Option(ivfCache.get(key)))
+    cached.getOrElse {
+      val fresh = ivfBuild(corpus, idCol, vecCol, nCells, seed)
+      val winner = ivfCache.synchronized {
+        val existing = ivfCache.get(key)
+        if (existing != null) existing
+        else { ivfCache.put(key, fresh); fresh }
+      }
+      if (!(winner eq fresh)) fresh.unpersist()
+      winner
+    }
+  }
 
   /** Probe a trained index: queries rank the broadcast centroids by dot
     * product, keep their `nProbe` nearest cells, and score only those

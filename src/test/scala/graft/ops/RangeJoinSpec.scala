@@ -60,6 +60,21 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out == Seq(2))
   }
 
+  test("extreme-span sentinel intervals are dropped by maxSpanBuckets, kept with None") {
+    val ivs = createDf(spark, "key string, iid int, s timestamp, e timestamp", Seq(
+      Seq[Any]("a", 1, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00")), // sentinel end
+      Seq[Any]("a", 2, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))))
+    val pts = createDf(spark, "key string, pid int, ts timestamp",
+      Seq(Seq[Any]("a", 1, ts("2024-01-01 10:30:00"))))
+    def ids(maxSpan: Option[Long]) =
+      RangeJoin.pointInInterval(pts, ivs, Seq("key"), "ts", "s", "e", Seq("iid"),
+          bucketWidthUs = 365L * 24 * 3600 * 1000000, // 1-year buckets keep the explode tiny
+          maxSpanBuckets = maxSpan)
+        .select("iv_iid").collect().map(_.getInt(0)).toSet
+    assert(ids(Some(100L)) == Set(2)) // 7975-bucket sentinel dropped pre-explode
+    assert(ids(None) == Set(1, 2))    // opt-out keeps genuinely open intervals
+  }
+
   test("intervals spanning many buckets still match exactly once per point") {
     val ivs = createDf(spark, "key string, iid int, s timestamp, e timestamp",
       Seq(Seq[Any]("a", 1, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))))

@@ -305,6 +305,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!(idx3 eq idx1))
   }
 
+  test("IVF memo is LRU-bounded and unpersists evicted indexes") {
+    Similarity.clearIvfCache()
+    val manyVecs = (0 until 20).map { i =>
+      Seq[Any](i.toLong, Seq(1.0f + i * 0.01f, 0.5f, 0.1f))
+    }
+    val corpus = createDf(spark, "vec_id bigint, v array<float>", manyVecs)
+    val first = Similarity.ivfIndexFor(corpus, "vec_id", "v", nCells = 2, seed = 100L)
+    assert(first.cells.storageLevel.useMemory)
+    // fill the cache past capacity with distinct keys (seed varies)
+    (1 to Similarity.maxIvfCacheEntries).foreach { i =>
+      Similarity.ivfIndexFor(corpus, "vec_id", "v", nCells = 2, seed = 100L + i)
+    }
+    assert(Similarity.ivfCacheSize == Similarity.maxIvfCacheEntries)
+    assert(first.cells.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evicted eldest index must release its persisted cells")
+    Similarity.clearIvfCache()
+    assert(Similarity.ivfCacheSize == 0)
+  }
+
   test("IVF index round-trips through save/load with identical probe results") {
     val manyVecs = (0 until 40).map { i =>
       val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.1f) else Seq(0.0f, 1.0f, 0.1f)
