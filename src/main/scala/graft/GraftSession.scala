@@ -41,5 +41,7 @@ object GraftSession {
       "minhash_sig", graft.functions.FunctionBuilders.minhashSig, "scala_udf")
     reg.createOrReplaceTempFunction(
       "simhash32", graft.functions.FunctionBuilders.simhash32, "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "shingle_hash64", graft.functions.FunctionBuilders.shingleHash64, "scala_udf")
   }
 }

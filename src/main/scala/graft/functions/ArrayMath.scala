@@ -133,6 +133,150 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Word n-gram shingle hashes as a native expression: for each length-`n`
+  * token window, XXH64 (seed 42) over exactly the bytes of the
+  * space-joined shingle string — hash-equal to `xxhash64(array_join(
+  * slice(tokens, i+1, n), ' '))` — WITHOUT materializing any shingle
+  * string. The interpreted-HOF formulation this replaces allocates a
+  * UTF8String per shingle and re-enters the interpreter per position;
+  * here the window bytes are copied into one reusable buffer and hashed
+  * in a tight JVM loop.
+  *
+  * `distinct = true` returns the SET of shingle hashes, sorted (the shape
+  * the Jaccard/decontamination paths need — their joins and set sizes are
+  * over distinct shingles); `distinct = false` preserves one hash per
+  * position in document order (the shape winnowing/repetition need).
+  * Fewer than `n` tokens → empty array; null input → null. Null tokens
+  * (never produced by `split`) hash as empty strings.
+  *
+  * 64-bit hash equality stands in for string equality downstream —
+  * collision probability over d distinct shingles is ~d²/2⁶⁵
+  * (~3·10⁻¹⁰ even at a billion shingles), the standard fingerprinting
+  * trade every minhash/simhash pipeline already makes.
+  */
+case class ShingleHash64(child: Expression, n: Int, distinct: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n > 0, s"shingle size must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash64 requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.Platform
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements() - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val hashes = new Array[Long](m)
+    var buf = new Array[Byte](64)
+    var i = 0
+    while (i < m) {
+      var len = n - 1 // the n-1 single-space separators
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(i + j)) len += arr.getUTF8String(i + j).numBytes()
+        j += 1
+      }
+      if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var off = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(off) = ' '.toByte; off += 1 }
+        if (!arr.isNullAt(i + j)) {
+          val s = arr.getUTF8String(i + j)
+          s.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + off)
+          off += s.numBytes()
+        }
+        j += 1
+      }
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, off, 42L)
+      i += 1
+    }
+    val out =
+      if (!distinct) hashes
+      else {
+        java.util.Arrays.sort(hashes)
+        var w = 0
+        var k = 0
+        while (k < m) {
+          if (k == 0 || hashes(k) != hashes(k - 1)) { hashes(w) = hashes(k); w += 1 }
+          k += 1
+        }
+        java.util.Arrays.copyOf(hashes, w)
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[MinHashSig]] over PRE-HASHED shingles (array<long> base hashes, as
+  * produced by [[ShingleHash64]] — same seed-42 XXH64 bytes-hash, so
+  * signatures are bit-identical to [[MinHashSig]] over the shingle
+  * strings): skips the per-shingle string hash entirely, leaving only
+  * the `numHashes` cheap long-mixes per shingle. Duplicate base hashes
+  * cannot change a min, so the sorted-distinct and positional inputs
+  * yield the same signature. Empty input → NULL (same short-doc contract
+  * as [[MinHashSig]]).
+  */
+case class MinHashSigFromHashes(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_h requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var seen = false
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        seen = true
+        val base = arr.getLong(j)
+        var i = 0
+        while (i < numHashes) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(base, i.toLong)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    if (!seen) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 32-bit SimHash as a native expression: per token, one XXH64 pass
   * (seed 42 — same base hash as Spark's `xxhash64`); per bit of the
   * hash's LOW 32 bits (MSB first), a ±1 count; bit set in the result iff
@@ -198,6 +342,19 @@ object ArrayMath {
   /** Native MinHash signature over an array<string> of shingles. */
   def minhashSig(shingles: Column, numHashes: Int): Column =
     GraftColumns.ofExpr(MinHashSig(GraftColumns.exprOf(shingles), numHashes))
+
+  /** Native MinHash signature over array<bigint> base hashes
+    * ([[shingleHash64]] output) — bit-identical to [[minhashSig]] over
+    * the corresponding shingle strings.
+    */
+  def minhashSigFromHashes(hashes: Column, numHashes: Int): Column =
+    GraftColumns.ofExpr(MinHashSigFromHashes(GraftColumns.exprOf(hashes), numHashes))
+
+  /** Native word n-gram shingle hashes (XXH64 seed 42 over the joined
+    * shingle bytes): sorted-distinct set or one hash per position.
+    */
+  def shingleHash64(tokens: Column, n: Int, distinct: Boolean = true): Column =
+    GraftColumns.ofExpr(ShingleHash64(GraftColumns.exprOf(tokens), n, distinct))
 
   /** Native 32-bit SimHash over an array<string> of tokens. */
   def simhash32(tokens: Column): Column =

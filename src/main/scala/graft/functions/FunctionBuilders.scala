@@ -30,4 +30,20 @@ object FunctionBuilders {
     require(children.length == 1, "simhash32(tokens) takes exactly 1 argument")
     SimHash32(children(0))
   }
+
+  val shingleHash64: Seq[Expression] => Expression = { children =>
+    require(children.length == 2 || children.length == 3,
+      "shingle_hash64(tokens, n[, distinct]) takes 2 or 3 arguments")
+    val n = children(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"shingle_hash64 n must be an integer literal, got $other")
+    }
+    val distinct = if (children.length < 3) true else children(2) match {
+      case Literal(v: Boolean, _) => v
+      case other => throw new IllegalArgumentException(
+        s"shingle_hash64 distinct must be a boolean literal, got $other")
+    }
+    ShingleHash64(children(0), n, distinct)
+  }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, FunctionBuilders, MinHashSig, SimHash32}
+import graft.functions.{DotProduct, FunctionBuilders, MinHashSig, ShingleHash64, SimHash32}
 
 /** SparkSessionExtensions entry point: registers the library's native
   * Catalyst expressions for SQL use.
@@ -11,8 +11,9 @@ import graft.functions.{DotProduct, FunctionBuilders, MinHashSig, SimHash32}
   * Activate with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`; after that
-  * `SELECT dot_f64(a, b)`, `SELECT minhash_sig(shingles, 32)`, and
-  * `SELECT simhash32(tokens)` resolve to the native expressions.
+  * `SELECT dot_f64(a, b)`, `SELECT minhash_sig(shingles, 32)`,
+  * `SELECT simhash32(tokens)`, and `SELECT shingle_hash64(tokens, 5)`
+  * resolve to the native expressions.
   * Builders (incl. arity checks) live in
   * [[graft.functions.FunctionBuilders]], shared with
   * `GraftSession.registerFunctions`.
@@ -33,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       FunctionBuilders.simhash32,
+    ))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hash64"),
+      new ExpressionInfo(classOf[ShingleHash64].getName, "shingle_hash64"),
+      FunctionBuilders.shingleHash64,
     ))
   }
 }

@@ -43,6 +43,15 @@ object Dedup {
     * scale.) Short, un-shingle-able documents yield a NULL signature.
     */
   def minhashSignature(text: Column, numHashes: Int = 32, shingleSize: Int = 5): Column =
+    graft.functions.ArrayMath.minhashSigFromHashes(
+      graft.functions.ArrayMath.shingleHash64(TextStats.tokens(text), shingleSize),
+      numHashes)
+
+  /** The string-shingle formulation [[minhashSignature]] replaced, kept
+    * as the executable spec (law test: bit-identical signatures).
+    */
+  private[text] def minhashSignatureStrings(text: Column, numHashes: Int = 32,
+                                            shingleSize: Int = 5): Column =
     graft.functions.ArrayMath.minhashSig(
       array_distinct(TextStats.shingles(text, shingleSize)), numHashes)
 
@@ -107,12 +116,19 @@ object Dedup {
     * `shingleSize` big enough this is sparse even at corpus scale.
     */
   /** Shared head of the Jaccard variants: one row per (id, |set|,
-    * shingle), distinct shingles only.
+    * shingle), distinct shingles only. Shingles are carried as their
+    * 64-bit hashes (native [[graft.functions.ShingleHash64]] — no
+    * shingle string is ever built), so exploded rows and join keys are
+    * 8-byte longs instead of n-gram strings: less CPU per row AND less
+    * shuffle volume. Downstream only ever tests shingle EQUALITY, for
+    * which the hash stands in (collision odds ~d²/2⁶⁵ — see the
+    * expression's scaladoc).
     */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
                                shingleSize: Int): DataFrame =
     df.select(col(idCol),
-        array_distinct(TextStats.shingles(col(textCol), shingleSize)).as("sh"))
+        graft.functions.ArrayMath.shingleHash64(
+          TextStats.tokens(col(textCol)), shingleSize).as("sh"))
       .select(col(idCol), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
 
   /** Shared tail: aggregate per-pair intersection counts (input must have

@@ -50,9 +50,13 @@ object TextStats {
     * filtering. Pure per-row array arithmetic, no shuffle.
     */
   def repetitionScore(text: Column, n: Int = 3): Column =
-    graft.functions.ArrayMath.bound(shingles(text, n)) { sh =>
-      when(size(sh) === 0, lit(0.0))
-        .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+    graft.functions.ArrayMath.bound(
+      graft.functions.ArrayMath.shingleHash64(tokens(text), n, distinct = false)) { sh =>
+      // positional 64-bit hashes stand in for the n-gram strings: the
+      // score only needs |distinct| / |total| (null/short text → 0.0)
+      when(size(sh) > 0,
+        lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+        .otherwise(lit(0.0))
     }
 
   /** PII redaction (training-data scrubbing): replace email addresses and
@@ -129,7 +133,10 @@ object TextStats {
     * distinct min-hashes are the document's fingerprint set.
     */
   def fingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
-    graft.functions.ArrayMath.bound(transform(shingles(text, k), s => xxhash64(s))) { hashes =>
+    graft.functions.ArrayMath.bound(
+      // positional k-gram hashes, hash-equal to xxhash64 over the shingle
+      // strings (same seed-42 bytes hash) with no string materialization
+      graft.functions.ArrayMath.shingleHash64(tokens(text), k, distinct = false)) { hashes =>
       when(size(hashes) >= w,
         array_distinct(transform(sequence(lit(0), size(hashes) - w),
           i => array_min(slice(hashes, i + lit(1), lit(w))))))

@@ -230,6 +230,37 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getLong(0) == r.getLong(1))
   }
 
+  test("shingleHash64 is hash-equal to xxhash64 over the joined shingle strings") {
+    import graft.functions.ArrayMath.shingleHash64
+    val corpus = graft.sources.Sources.readTable(spark, "/root/testdata/sf0.001", "documents")
+    // positional: one hash per shingle position, exactly xxhash64(shingle string)
+    val positional = corpus.select(
+        shingleHash64(TextStats.tokens(col("text")), 5, distinct = false).as("native"),
+        transform(TextStats.shingles(col("text"), 5), s => xxhash64(s)).as("hof"))
+      .filter(not(col("native") <=> col("hof"))).count()
+    assert(positional == 0)
+    // distinct: the sorted set of those hashes
+    val distinctSet = corpus.select(
+        shingleHash64(TextStats.tokens(col("text")), 5).as("native"),
+        array_sort(array_distinct(
+          transform(TextStats.shingles(col("text"), 5), s => xxhash64(s)))).as("hof"))
+      .filter(not(col("native") <=> col("hof"))).count()
+    assert(distinctSet == 0)
+    // short doc → empty array (not null); null text → null
+    val edge = df.limit(1).select(
+      shingleHash64(split(lit("one two"), " "), 5).as("short"),
+      shingleHash64(lit(null).cast("array<string>"), 5).as("nul")).head()
+    assert(edge.getSeq[Long](0).isEmpty && edge.isNullAt(1))
+  }
+
+  test("minhashSignature over pre-hashed shingles is bit-identical to the string formulation") {
+    val corpus = graft.sources.Sources.readTable(spark, "/root/testdata/sf0.001", "documents")
+      .select(Dedup.minhashSignature(col("text")).as("fast"),
+        Dedup.minhashSignatureStrings(col("text")).as("spec"))
+      .filter(not(col("fast") <=> col("spec"))).count()
+    assert(corpus == 0)
+  }
+
   test("simhashCandidatePairs finds dup pair at hamming 0") {
     val got = Dedup.simhashCandidatePairs(df, "id", "text", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
