@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StructType}
 
 import graft.multimodal.Multimodal
-import graft.ops.{AsOf, Columns, Concat, Grouped, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
+import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
 import graft.streaming.Streaming
-import graft.text.{Dedup, Similarity, TextStats}
+import graft.text.{Dedup, Rank, Similarity, TextStats}
 
 /** Driver contract — one runnable query per implemented operator from
   * SURVEY.md §2, each paired with DuckDB oracle SQL in [[oracleSql]].
@@ -770,6 +770,108 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // ----------------------------------------------------- ranking / merge
+
+  private val bm25Terms = Seq("spark", "vector", "stream", "merge")
+
+  /** BM25 keyword relevance ([[graft.text.Rank.bm25Scores]], rational
+    * rank-equivalent idf): per-(doc, term) scores for a fixed query-term
+    * set, folded to per-document totals with a conditional aggregation —
+    * one `max(when(term = t))` column per term, summed left-to-right — so
+    * double addition order is explicit and the DuckDB oracle reproduces
+    * every bit. Top 20 documents by total relevance.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val scores = Rank.bm25Scores(t(s, dir, "documents"), "doc_id", "text", bm25Terms)
+    val termCols = bm25Terms.map(term =>
+      max(when(col("term") === term, col("score"))).as(s"s_$term"))
+    val total = bm25Terms.map(term => coalesce(col(s"s_$term"), lit(0.0))).reduce(_ + _)
+    scores.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+      .withColumn("total", total)
+      .orderBy(col("total").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Last-wins snapshot merge ([[graft.ops.Merge.upsert]]): fold a delta
+    * of updated rows (status→'U', version 2) and inserted rows (offset
+    * keys, status 'I') into the orders snapshot (version 1), then
+    * aggregate the merged corpus per status — survivor selection, insert
+    * pass-through, and base pass-through are all visible in the counts,
+    * and `sum_version` pins WHICH version of each key survived.
+    */
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").withColumn("version", lit(1L))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("version", lit(2L))
+    val inserts = base.filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderstatus", lit("I"))
+      .withColumn("version", lit(2L))
+    Merge.upsert(base, updates.unionByName(inserts), Seq("o_orderkey"), "version")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_total"),
+        sum(col("version")).as("sum_version"),
+      )
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // ------------------------------------------------------- bucketed join
+
+  /** Write (once per session and sf dir) the two fact projections as
+    * bucketed+sorted tables on their join keys — the storage layout that
+    * makes repeated fact-fact joins Exchange-free.
+    */
+  private[graft] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val liT = s"lineitem_bucketed$tag"
+    val oT = s"orders_bucketed$tag"
+    if (!s.catalog.tableExists(liT))
+      graft.sources.Sources.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        liT, Seq("l_orderkey"), numBuckets = 8)
+    if (!s.catalog.tableExists(oT))
+      graft.sources.Sources.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        oT, Seq("o_orderkey"), numBuckets = 8)
+    (liT, oT)
+  }
+
+  /** The fact-fact join+agg used by [[qBucketedJoin]] on both layouts.
+    * The merge hint keeps the join a sort-merge even when one side would
+    * fit a broadcast at test SF — at 100 TB neither side broadcasts, and
+    * the point is the Exchange-free bucketed plan (PlanSpec asserts it).
+    */
+  private[graft] def factFactJoinAgg(li: DataFrame, o: DataFrame, suffix: String): DataFrame =
+    li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as(s"n_items$suffix"),
+        dsum(col("l_extendedprice")).as(s"revenue$suffix"),
+      )
+
+  /** Validation: the bucketed-layout join must agree with the raw-frame
+    * join exactly — per-priority counts and decimal-exact revenue both.
+    * Disagreements = 0 (oracle SELECT 0). Bench-excluded (validation
+    * harness); the plan property it guards is asserted in PlanSpec.
+    */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (liT, oT) = bucketedTables(s, dir)
+    val bucketed = factFactJoinAgg(s.table(liT), s.table(oT), "_b")
+    val plain = factFactJoinAgg(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")), "_p")
+    bucketed.join(plain, Seq("o_orderpriority"), "full_outer")
+      .agg(coalesce(sum(when(
+        col("n_items_b").isNull || col("n_items_p").isNull ||
+          col("n_items_b") =!= col("n_items_p") ||
+          col("revenue_b") =!= col("revenue_p"), 1L).otherwise(0L)), lit(0L))
+        .as("n_violations"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -829,6 +931,9 @@ object SparkEntry {
     "q_hll" -> (qHll _),
     "q_decode_stub" -> (qDecodeStub _),
     "q_frame_sample" -> (qFrameSample _),
+    "q_bm25" -> (qBm25 _),
+    "q_upsert" -> (qUpsert _),
+    "q_bucketed_join" -> (qBucketedJoin _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -841,7 +946,7 @@ object SparkEntry {
     */
   val validationQueries: Set[String] =
     Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment", "q_quantize",
-      "q_dup_components")
+      "q_dup_components", "q_bucketed_join")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -1257,5 +1362,59 @@ object SparkEntry {
         |  CAST(64 + (h // 512) % 512 AS INTEGER) AS height,
         |  3 AS n_channels
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      // the score expression tree mirrors Rank.bm25Scores operation for
+      // operation (rational idf — no ln), so doubles match bit-for-bit
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |posting AS (
+        |  SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM tok),
+        |tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM posting
+        |  WHERE term IN ('spark', 'vector', 'stream', 'merge')
+        |  GROUP BY doc_id, dl, term),
+        |dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(len(w)) AS sum_dl FROM tok),
+        |scored AS (
+        |  SELECT f.doc_id, f.term,
+        |    (((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)) + 0.5)
+        |       / (CAST(d.df AS DOUBLE) + 0.5))
+        |    * ((CAST(f.tf AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(f.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(f.dl AS DOUBLE)
+        |            / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS score
+        |  FROM tf f JOIN dfx d USING (term) CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN term = 'spark' THEN score END) AS s_spark,
+        |    MAX(CASE WHEN term = 'vector' THEN score END) AS s_vector,
+        |    MAX(CASE WHEN term = 'stream' THEN score END) AS s_stream,
+        |    MAX(CASE WHEN term = 'merge' THEN score END) AS s_merge
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, s_spark, s_vector, s_stream, s_merge,
+        |  COALESCE(s_spark, 0.0) + COALESCE(s_vector, 0.0)
+        |    + COALESCE(s_stream, 0.0) + COALESCE(s_merge, 0.0) AS total
+        |FROM agg ORDER BY total DESC, doc_id LIMIT 20""".stripMargin,
+    "q_upsert" ->
+      """WITH base AS (
+        |  SELECT *, CAST(1 AS BIGINT) AS version, 0 AS src FROM orders),
+        |upd AS (
+        |  SELECT * REPLACE ('U' AS o_orderstatus, CAST(2 AS BIGINT) AS version, 1 AS src)
+        |  FROM base WHERE o_orderkey % 10 = 0),
+        |ins AS (
+        |  SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey, 'I' AS o_orderstatus,
+        |                    CAST(2 AS BIGINT) AS version, 1 AS src)
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |u AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC, src DESC) AS rn FROM u)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |  CAST(SUM(version) AS BIGINT) AS sum_version
+        |FROM w WHERE rn = 1
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_bucketed_join" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
   )
 }

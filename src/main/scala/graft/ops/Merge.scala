@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snapshot merge (upsert): apply a batch of updates/inserts to a base
+  * snapshot with last-wins semantics — the incremental-ingest primitive a
+  * training-data pipeline needs to fold daily crawl deltas into a corpus
+  * without rewriting history row-by-row.
+  *
+  * Not in the reference (whose concat, SURVEY §2.6, is append-only);
+  * engine extension (SURVEY §2.11).
+  *
+  * Scale design: one hash shuffle on the merge keys (union is
+  * partition-local; the window and the dedup ride the same exchange).
+  * For a corpus stored bucketed on the merge keys
+  * ([[graft.sources.Sources.writeBucketed]]) even that shuffle is only
+  * over the (small) delta side. No driver-side state.
+  */
+object Merge {
+
+  /** Last-wins upsert of `updates` into `base`.
+    *
+    * Both frames must share a schema that includes `keys` and
+    * `versionCol`. For each key tuple the row with the highest version
+    * survives; on version ties the update side wins (so replaying a delta
+    * is idempotent). Keys present only in `updates` are inserts; keys
+    * present only in `base` pass through.
+    */
+  def upsert(
+      base: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+  ): DataFrame = {
+    require(keys.nonEmpty, "need at least one merge key")
+    val src = "__upsert_src"
+    val rn = "__upsert_rn"
+    val all = base.withColumn(src, lit(0)).unionByName(updates.withColumn(src, lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col(src).desc)
+    all.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(src, rn)
+  }
+}

@@ -62,10 +62,21 @@ object Sources {
     * requires the table catalog: `saveAsTable`, not a bare path.)
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int, mode: String = "overwrite"): Unit =
+                    numBuckets: Int, mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    // An in-memory catalog is fresh per JVM but the warehouse directory is
+    // not: an orphaned location from a previous run fails saveAsTable even
+    // in overwrite mode. Overwrite means overwrite — clear the stale path.
+    if (mode == "overwrite" && !spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword relevance ranking (BM25 family) over a document corpus.
+  *
+  * Not in the reference (which has no text surface); this is part of the
+  * engine's training-data/retrieval extension set (SURVEY §2.11): scoring
+  * documents against query terms for retrieval-based decontamination,
+  * seed-query corpus slicing, and hard-negative mining.
+  *
+  * Scale design:
+  *   - the token stream is filtered to the query terms BEFORE any shuffle,
+  *     so the grouped state is O(docs × |query|) rather than O(total
+  *     tokens) — at 100 TB only matching postings ever leave the scan;
+  *   - per-term document frequencies and the corpus stats (N, avg doc
+  *     length) are tiny aggregates attached via broadcast joins — the one
+  *     real shuffle is the (doc, term) partial-aggregated count;
+  *   - scoring is pure deterministic double arithmetic (codegen'd), no
+  *     UDFs.
+  *
+  * Determinism: the classic BM25 idf `ln((N-df+0.5)/(df+0.5))` is replaced
+  * by its rank-equivalent rational argument `(N-df+0.5)/(df+0.5)` — a
+  * strictly monotone transform of the same quantity. Rankings are
+  * unchanged, but every operation stays a single IEEE-754 rounding
+  * (+, *, /), so an external engine (the DuckDB oracle) evaluating the
+  * same expression tree reproduces the scores bit-for-bit — no
+  * library-`ln` ulp drift.
+  */
+object Rank {
+
+  /** Per-(document, term) BM25 scores for `queryTerms`.
+    *
+    * Returns `(idCol, term, tf, df, dl, score)` — one row per document ×
+    * matched query term. Compose per-document totals with a conditional
+    * aggregation over the fixed term set (see q_bm25) to keep double
+    * addition order explicit and deterministic.
+    *
+    * @param k1 term-frequency saturation (BM25 standard 1.2)
+    * @param b  length normalization strength (BM25 standard 0.75)
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val id = col(idCol)
+
+    // per-doc token stream with its length; only query-term postings survive
+    val toks = docs.select(id, TextStats.tokens(col(textCol)).as("__w"))
+      .select(id, size(col("__w")).as("dl"), explode(col("__w")).as("term"))
+      .filter(col("term").isin(queryTerms.map(lit(_)): _*))
+
+    // one shuffle: partial-aggregated (doc, term) counts; dl rides the key
+    // (functionally dependent on the doc id, so it adds no groups)
+    val tf = toks.groupBy(id, col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+    // tiny per-term document frequencies — broadcast back
+    val dfs = tf.groupBy(col("term")).agg(countDistinct(id).as("df"))
+
+    // corpus stats: one row, broadcast. dl sums exactly in long.
+    val stats = docs.select(size(TextStats.tokens(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("sum_dl"))
+
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    // rank-equivalent rational idf; every op a single IEEE rounding
+    val idfR = ((nD - col("df").cast("double")) + lit(0.5)) / (col("df").cast("double") + lit(0.5))
+    val denom = tfD + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (dlD / avgdl))
+    val score = idfR * ((tfD * lit(k1 + 1.0)) / denom)
+
+    tf.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(id, col("term"), col("tf"), col("df"), col("dl"), score.as("score"))
+  }
+}

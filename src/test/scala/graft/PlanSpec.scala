@@ -79,6 +79,18 @@ class PlanSpec extends AnyFunSuite {
       s"benchmark shingles must broadcast:\n${p.take(2000)}")
   }
 
+  test("bucketed fact-fact join is Exchange-free (bucketed scans feed the merge join)") {
+    val (liT, oT) = SparkEntry.bucketedTables(spark, dir)
+    val joined = spark.table(liT)
+      .join(spark.table(oT).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"),
+      s"bucketed-on-key join must not shuffle either side:\n${p.take(2000)}")
+    assert(p.contains("Bucketed: true"),
+      s"both scans must be bucketed reads:\n${p.take(2000)}")
+  }
+
   test("grouped-apply plans exactly one hash exchange, clustering below MapGroups") {
     val p = plan("q_grouped_apply")
     assert(p.contains("MapGroups"), s"expected MapGroups node:\n${p.take(1500)}")

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.{assertDfEquality, createDf}
+
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def base = createDf(spark, "k int, v string, version bigint",
+    Seq(Seq[Any](1, "a", 1L), Seq[Any](2, "b", 1L), Seq[Any](3, "c", 1L)))
+
+  test("higher-version update replaces the base row; others pass through") {
+    val upd = createDf(spark, "k int, v string, version bigint",
+      Seq(Seq[Any](2, "B2", 2L)))
+    val got = Merge.upsert(base, upd, Seq("k"), "version")
+    val want = createDf(spark, "k int, v string, version bigint",
+      Seq(Seq[Any](1, "a", 1L), Seq[Any](2, "B2", 2L), Seq[Any](3, "c", 1L)))
+    assertDfEquality(got, want, ignoreRowOrder = true)
+  }
+
+  test("version tie: the update side wins (delta replay is idempotent)") {
+    val upd = createDf(spark, "k int, v string, version bigint",
+      Seq(Seq[Any](1, "A-replayed", 1L)))
+    val got = Merge.upsert(base, upd, Seq("k"), "version")
+    assert(got.filter(col("k") === 1).select("v").head().getString(0) == "A-replayed")
+    assert(got.count() == 3)
+  }
+
+  test("stale update (lower version) loses to the base row") {
+    val newerBase = base.withColumn("version", lit(5L))
+    val upd = createDf(spark, "k int, v string, version bigint",
+      Seq(Seq[Any](2, "old", 2L)))
+    val got = Merge.upsert(newerBase, upd, Seq("k"), "version")
+    assert(got.filter(col("k") === 2).select("v").head().getString(0) == "b")
+  }
+
+  test("new keys insert; composite keys merge independently") {
+    val b = createDf(spark, "k1 int, k2 string, v string, version bigint",
+      Seq(Seq[Any](1, "x", "a", 1L), Seq[Any](1, "y", "b", 1L)))
+    val upd = createDf(spark, "k1 int, k2 string, v string, version bigint",
+      Seq(Seq[Any](1, "y", "B", 2L), Seq[Any](2, "z", "new", 1L)))
+    val got = Merge.upsert(b, upd, Seq("k1", "k2"), "version")
+    val want = createDf(spark, "k1 int, k2 string, v string, version bigint",
+      Seq(Seq[Any](1, "x", "a", 1L), Seq[Any](1, "y", "B", 2L), Seq[Any](2, "z", "new", 1L)))
+    assertDfEquality(got, want, ignoreRowOrder = true)
+  }
+
+  test("duplicate keys within one side collapse to a single survivor") {
+    val upd = createDf(spark, "k int, v string, version bigint",
+      Seq(Seq[Any](9, "first", 3L), Seq[Any](9, "later", 7L)))
+    val got = Merge.upsert(base, upd, Seq("k"), "version")
+    assert(got.filter(col("k") === 9).count() == 1)
+    assert(got.filter(col("k") === 9).select("v").head().getString(0) == "later")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+class RankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // 4 docs, hand-checkable: N=4, avgdl = (3+4+2+3)/4 = 3.0
+  private def docs = createDf(spark, "id int, text string", Seq(
+    Seq[Any](1, "cat dog cat"),        // dl=3, tf(cat)=2
+    Seq[Any](2, "cat fish bird fish"), // dl=4, tf(cat)=1
+    Seq[Any](3, "dog dog"),            // dl=2
+    Seq[Any](4, "bird bird bird"),     // dl=3
+  ))
+
+  private def scores(terms: String*) =
+    Rank.bm25Scores(docs, "id", "text", terms)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(5)).toMap
+
+  test("scores match the closed-form BM25 (rational idf) on a hand-checked fixture") {
+    val s = scores("cat")
+    // doc 1: tf=2, dl=3, df=2, N=4 → idfR=(4-2+0.5)/(2+0.5)=1.0
+    //   score = 1.0 * (2*2.2) / (2 + 1.2*(0.25 + 0.75*(3/3))) = 4.4/3.2
+    assert(math.abs(s((1, "cat")) - 4.4 / 3.2) < 1e-12)
+    // doc 2: tf=1, dl=4 → 1.0 * 2.2 / (1 + 1.2*(0.25 + 0.75*(4/3)))
+    val expected2 = 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * (4.0 / 3.0)))
+    assert(math.abs(s((2, "cat")) - expected2) < 1e-12)
+    // docs without the term yield no row
+    assert(!s.contains((3, "cat")) && !s.contains((4, "cat")))
+  }
+
+  test("rarer terms score higher at equal tf and dl (idf monotone in df)") {
+    val s = scores("cat", "dog")
+    // doc 1 has tf=2 of cat (df=2) and... use doc3: dog tf=2 dl=2 df=2 —
+    // instead compare same doc/term shape: cat in doc2 (tf=1, dl=4, df=2)
+    // vs fish would need fish query; simplest: bird (df=2) vs cat (df=2)
+    // have equal idf, so craft df difference with "fish" (df=1):
+    val s2 = scores("cat", "fish")
+    // doc 2 contains cat tf=1 and fish tf=2, both dl=4. fish is rarer
+    // (df=1 vs df=2) AND more frequent in-doc — strictly higher score.
+    assert(s2((2, "fish")) > s2((2, "cat")))
+  }
+
+  test("term frequency saturates: score grows sublinearly in tf") {
+    val d = createDf(spark, "id int, text string", Seq(
+      Seq[Any](1, "w x x x"),
+      Seq[Any](2, "w w x x"), // same dl, tf(w) 1 vs 2
+      Seq[Any](3, "y y y y")))
+    val s = Rank.bm25Scores(d, "id", "text", Seq("w"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(5)).toMap
+    assert(s(2) > s(1))          // more occurrences → higher
+    assert(s(2) < 2.0 * s(1))    // but sublinear (k1 saturation)
+  }
+
+  test("length normalization: same tf scores lower in a longer document") {
+    val d = createDf(spark, "id int, text string", Seq(
+      Seq[Any](1, "w a"),
+      Seq[Any](2, "w a a a a a a a")))
+    val s = Rank.bm25Scores(d, "id", "text", Seq("w"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(5)).toMap
+    assert(s(1) > s(2))
+  }
+
+  test("postings are filtered before aggregation (plan has no full-token shuffle)") {
+    val df = Rank.bm25Scores(docs, "id", "text", Seq("cat"))
+    val p = df.queryExecution.executedPlan.toString
+    // the only wide operations are the (doc,term) count and the tiny df
+    // agg + broadcasts; the term filter must sit below the first exchange
+    val firstExchange = p.indexOf("Exchange")
+    val filterPos = p.indexOf("cat")
+    assert(firstExchange >= 0 && filterPos > firstExchange,
+      s"query-term filter must be below (printed after) the first exchange:\n${p.take(2000)}")
+  }
+}
