@@ -819,6 +819,26 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Funnel analysis ([[graft.ops.Funnel]]): users progressing through
+    * view → click → purchase in event-time order (event_id tiebreak),
+    * counted per step reached. The oracle deliberately uses a DIFFERENT
+    * formulation (iterated first-match-after via row-comparison windows)
+    * — agreement cross-checks the greedy-fold semantics, not just the
+    * arithmetic.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.funnelCounts(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+
+  /** Exact fixed-width histogram ([[Profile.histogram]]) of lineitem
+    * extended prices over [20000, 80000) ×16 bins — under/overflow bins
+    * exercised on both tails.
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20000.0, 80000.0, 16)
+      .orderBy(col("bin"))
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -934,6 +954,8 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_upsert" -> (qUpsert _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_funnel" -> (qFunnel _),
+    "q_histogram" -> (qHistogram _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1416,5 +1438,54 @@ object SparkEntry {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_bucketed_join" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_funnel" ->
+      // independent formulation: iterated first-match-after-(ts,id) via
+      // row_number windows — must agree with the Spark greedy fold
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events),
+        |s1 AS (
+        |  SELECT user_id, ts AS t1, event_id AS i1 FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM e WHERE event_type = 'view') WHERE rn = 1),
+        |s2 AS (
+        |  SELECT user_id, ts AS t2, event_id AS i2 FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM e JOIN s1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (s1.t1, s1.i1))
+        |  WHERE rn = 1),
+        |s3 AS (
+        |  SELECT user_id FROM (
+        |    SELECT e.user_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM e JOIN s2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.t2, s2.i2))
+        |  WHERE rn = 1),
+        |ms AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |         WHEN s2.user_id IS NOT NULL THEN 2
+        |         WHEN s1.user_id IS NOT NULL THEN 1
+        |         ELSE 0 END AS max_step
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  LEFT JOIN s1 USING (user_id)
+        |  LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id))
+        |SELECT v.i AS step, COUNT(*) AS n_users
+        |FROM ms JOIN (VALUES (1), (2), (3)) v(i) ON ms.max_step >= v.i
+        |GROUP BY v.i ORDER BY step""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN l_extendedprice < 20000.0 THEN -1
+        |              WHEN l_extendedprice >= 80000.0 THEN 16
+        |              ELSE CAST(least(floor((l_extendedprice - 20000.0)
+        |                     / ((80000.0 - 20000.0) / 16)), 15) AS INTEGER)
+        |         END AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT bin, COUNT(*) AS n,
+        |  CASE WHEN bin >= 0 AND bin < 16
+        |       THEN 20000.0 + bin * ((80000.0 - 20000.0) / 16) END AS bin_lo
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
   )
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence (funnel) analysis over an event stream: how far each
+  * entity progressed through a fixed sequence of step types, matching
+  * greedily in event-time order.
+  *
+  * Not in the reference; engine extension (SURVEY §2.11) — the batch
+  * sibling of the sessionization surface in
+  * [[graft.streaming.Streaming]].
+  *
+  * Scale design: ONE hash shuffle (the per-entity aggregation); the scan
+  * is a per-row array fold over that entity's events, so state is
+  * O(events per entity) — the same bound sessionization already assumes.
+  * No joins, no per-step passes: a k-step funnel costs the same shuffle
+  * as a 1-step funnel.
+  */
+object Funnel {
+
+  /** Per-entity furthest step reached.
+    *
+    * Events are ordered by (`tsCol`, `tieCol`) within each entity and
+    * scanned once: step i+1 can only match strictly after the event that
+    * matched step i. Returns `(entityCol, max_step)` with `max_step` in
+    * `[0, steps.length]`; 0 means the first step never occurred.
+    */
+  def maxStepReached(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      steps: Seq[String],
+  ): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val stepArr = array(steps.map(lit(_)): _*)
+    events.groupBy(col(entityCol))
+      .agg(collect_list(struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+        col(typeCol).as("et"))).as("__evs"))
+      .select(col(entityCol),
+        aggregate(array_sort(col("__evs")), lit(0), (step, e) =>
+          // try_element_at: 1-based; null (≠ et) once the funnel completes
+          when(e.getField("et") === try_element_at(stepArr, step + 1), step + 1)
+            .otherwise(step))
+          .as("max_step"))
+  }
+
+  /** Classic funnel table: how many entities reached step ≥ i, for each
+    * step i in 1..k. Composes [[maxStepReached]]; entities that never
+    * matched step 1 contribute to no row.
+    */
+  def funnelCounts(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      steps: Seq[String],
+  ): DataFrame =
+    maxStepReached(events, entityCol, tsCol, tieCol, typeCol, steps)
+      .filter(col("max_step") >= 1)
+      .select(explode(sequence(lit(1), col("max_step"))).as("step"))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users"))
+}

@@ -110,4 +110,30 @@ object Profile {
     val stackArgs = cols.map(c => s"${str(c)}, ${bt(s"__q_$c")}").mkString(", ")
     wide.select(expr(s"stack(${cols.size}, $stackArgs) AS (col_name, quantiles)"))
   }
+
+  /** Exact fixed-width histogram: `nBins` equal bins over `[lo, hi)`,
+    * with bin `-1` for underflow and bin `nBins` for overflow (so the
+    * bins partition the whole line and counts always sum to the row
+    * count). Pure map-side arithmetic + one partial-aggregated groupBy —
+    * the scan-shaped profile you want at 100 TB, vs. a sort-based exact
+    * percentile. `bin_lo` is the bin's inclusive left edge (NaN-free
+    * arithmetic: `lo + bin·width`), null for the two outlier bins.
+    */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / nBins
+    val x = col(c).cast("double")
+    // the floor quotient is clamped: float division can land exactly on
+    // nBins for x just under hi, which must stay in the last real bin
+    val bin = when(x < lo, lit(-1))
+      .when(x >= hi, lit(nBins))
+      .otherwise(least(floor((x - lo) / width), lit(nBins - 1L)).cast("int"))
+    df.filter(x.isNotNull)
+      .select(bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo",
+        when(col("bin") >= 0 && col("bin") < nBins, lit(lo) + col("bin") * lit(width)))
+  }
 }

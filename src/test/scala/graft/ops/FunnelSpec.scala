@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.{assertDfEquality, createDf}
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val steps = Seq("view", "click", "buy")
+
+  private def events(rows: Seq[(Int, Int, String)]) =
+    createDf(spark, "u int, ts int, et string",
+      rows.map { case (u, ts, et) => Seq[Any](u, ts, et) })
+
+  private def maxSteps(rows: Seq[(Int, Int, String)]): Map[Int, Int] =
+    Funnel.maxStepReached(events(rows), "u", "ts", "ts", "et", steps)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+  test("full in-order sequence reaches the last step") {
+    assert(maxSteps(Seq((1, 1, "view"), (1, 2, "click"), (1, 3, "buy"))) == Map(1 -> 3))
+  }
+
+  test("steps must occur strictly after the previous match") {
+    // click BEFORE the first view doesn't count; the later click does
+    assert(maxSteps(Seq((1, 1, "click"), (1, 2, "view"), (1, 3, "click"))) == Map(1 -> 2))
+    // buy before click: sequence stalls at click... which never comes
+    assert(maxSteps(Seq((2, 1, "view"), (2, 2, "buy"))) == Map(2 -> 1))
+  }
+
+  test("interleaved noise events are ignored") {
+    assert(maxSteps(Seq((1, 1, "x"), (1, 2, "view"), (1, 3, "x"),
+      (1, 4, "click"), (1, 5, "x"), (1, 6, "buy"))) == Map(1 -> 3))
+  }
+
+  test("entities that never match step 1 report 0") {
+    assert(maxSteps(Seq((1, 1, "click"), (1, 2, "buy"))) == Map(1 -> 0))
+  }
+
+  test("repeated step types advance at the first eligible occurrence only") {
+    // view view click: second view is noise once step 1 matched
+    assert(maxSteps(Seq((1, 1, "view"), (1, 2, "view"), (1, 3, "click"))) == Map(1 -> 2))
+  }
+
+  test("events arriving out of order are sorted by (ts, tie) before the scan") {
+    val shuffled = Seq((1, 3, "buy"), (1, 1, "view"), (1, 2, "click"))
+    assert(maxSteps(shuffled) == Map(1 -> 3))
+  }
+
+  test("funnelCounts produces the cumulative step >= i table") {
+    val rows = Seq(
+      (1, 1, "view"), (1, 2, "click"), (1, 3, "buy"), // reaches 3
+      (2, 1, "view"), (2, 2, "click"),                // reaches 2
+      (3, 1, "view"),                                 // reaches 1
+      (4, 1, "click"))                                // reaches 0
+    val got = Funnel.funnelCounts(events(rows), "u", "ts", "ts", "et", steps)
+    val want = createDf(spark, "step int, n_users bigint",
+      Seq(Seq[Any](1, 3L), Seq[Any](2, 2L), Seq[Any](3, 1L)))
+    assertDfEquality(got, want, ignoreRowOrder = true)
+  }
+
+  test("funnel plans exactly one hash exchange (single-shuffle k-step funnel)") {
+    val df = Funnel.maxStepReached(events(Seq((1, 1, "view"))), "u", "ts", "ts", "et", steps)
+    val p = df.queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 hash exchange, found $n:\n${p.take(1500)}")
+  }
+}
+
+class HistogramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def values(vs: Seq[Double]) =
+    createDf(spark, "x double", vs.map(v => Seq[Any](v)))
+
+  test("bins partition [lo, hi) with under/overflow tails; counts sum to n") {
+    val df = values(Seq(-5.0, 0.0, 0.5, 1.0, 3.9, 4.0, 7.5, 100.0))
+    val got = Profile.histogram(df, "x", 0.0, 4.0, 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // [-inf,0): -5 | [0,1): 0.0, 0.5 | [1,2): 1.0 | [3,4): 3.9 | [4,inf): 4.0, 7.5, 100
+    assert(got == Map(-1 -> 1L, 0 -> 2L, 1 -> 1L, 3 -> 1L, 4 -> 3L))
+    assert(got.values.sum == 8L)
+  }
+
+  test("bin_lo is the inclusive left edge; null on outlier bins") {
+    val rows = Profile.histogram(values(Seq(-1.0, 2.5, 99.0)), "x", 0.0, 10.0, 5)
+      .collect().map(r => (r.getInt(0), Option(r.get(2)))).toMap
+    assert(rows(1).contains(2.0))
+    assert(rows(-1).isEmpty && rows(5).isEmpty)
+  }
+
+  test("nulls are dropped, not binned") {
+    val df = createDf(spark, "x double", Seq(Seq[Any](1.0), Seq[Any](null)))
+    val total = Profile.histogram(df, "x", 0.0, 4.0, 2)
+      .agg(sum("n")).head().getLong(0)
+    assert(total == 1L)
+  }
+
+  test("values at the top edge land in overflow, just-under stays in the last bin") {
+    val got = Profile.histogram(values(Seq(3.9999999, 4.0)), "x", 0.0, 4.0, 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(3 -> 1L, 4 -> 1L))
+  }
+}
