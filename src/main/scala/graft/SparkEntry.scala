@@ -839,6 +839,27 @@ object SparkEntry {
     Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20000.0, 80000.0, 16)
       .orderBy(col("bin"))
 
+  /** Per-group mean imputation ([[graft.ops.Impute.imputePerGroup]]):
+    * error events' values are masked to null, then imputed from each
+    * user's exact-decimal mean of the present values. Output pins the
+    * fill value per user (all imputed rows share it) plus the present
+    * sum, so a wrong window frame, leaked null, or drifted mean all
+    * surface.
+    */
+  private def qImpute(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+    graft.ops.Impute.imputePerGroup(e, Seq("user_id"), "v", "mean")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_imputed"),
+        min(when(col("v").isNull, col("v_imputed"))).as("fill_value"),
+        dsum(col("v")).as("sum_present"),
+      )
+      .orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -956,6 +977,7 @@ object SparkEntry {
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_funnel" -> (qFunnel _),
     "q_histogram" -> (qHistogram _),
+    "q_impute" -> (qImpute _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1487,5 +1509,20 @@ object SparkEntry {
         |  CASE WHEN bin >= 0 AND bin < 16
         |       THEN 20000.0 + bin * ((80000.0 - 20000.0) / 16) END AS bin_lo
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_impute" ->
+      """WITH v AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, v,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE)
+        |      / COUNT(v) OVER (PARTITION BY user_id) AS fill
+        |  FROM v)
+        |SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+        |  MIN(CASE WHEN v IS NULL THEN fill END) AS fill_value,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_present
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

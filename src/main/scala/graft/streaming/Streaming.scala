@@ -163,4 +163,21 @@ object Streaming {
           (key, newCount)
       }
   }
+
+  /** Streaming CDC ingest: fold each micro-batch into a versioned parquet
+    * snapshot with [[graft.ops.Merge.upsert]] last-wins semantics. The
+    * caller seeds `"$snapshotBase/v0"`; batch `i` reads `v{i}` and writes
+    * `v{i+1}`, so a replayed batch (restart after a sink failure)
+    * rewrites the SAME next version from the SAME previous version —
+    * end-to-end idempotent without table-format transaction machinery.
+    * Readers pin a version directory; old versions are retention-pruned
+    * out-of-band.
+    */
+  def upsertSnapshotWriter(stream: DataFrame, snapshotBase: String,
+                           keys: Seq[String], versionCol: String) =
+    stream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+      val base = batch.sparkSession.read.parquet(s"$snapshotBase/v$id")
+      graft.ops.Merge.upsert(base, batch, keys, versionCol)
+        .write.mode("overwrite").parquet(s"$snapshotBase/v${id + 1}")
+    }
 }

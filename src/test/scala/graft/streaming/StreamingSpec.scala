@@ -222,6 +222,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) == 7.0)
   }
 
+  test("streaming CDC: micro-batches fold into versioned snapshots via upsert") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-snap").toString
+    // seed snapshot v0
+    Seq((1, "a", 1L), (2, "b", 1L)).toDF("k", "v", "version")
+      .write.parquet(s"$base/v0")
+    val input = MemoryStream[(Int, String, Long)]
+    val q = graft.streaming.Streaming.upsertSnapshotWriter(
+      input.toDF().toDF("k", "v", "version"), base, Seq("k"), "version")
+      .option("checkpointLocation", s"$base/chk")
+      .start()
+    try {
+      input.addData((2, "B2", 2L), (3, "c", 2L)) // update k=2, insert k=3
+      q.processAllAvailable()
+      input.addData((1, "A3", 3L))               // update k=1 in batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val v1 = spark.read.parquet(s"$base/v1")
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(v1 == Map(1 -> ("a", 1L), 2 -> ("B2", 2L), 3 -> ("c", 2L)))
+    val v2 = spark.read.parquet(s"$base/v2")
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(v2 == Map(1 -> ("A3", 3L), 2 -> ("B2", 2L), 3 -> ("c", 2L)))
+  }
+
   test("stateful running counts via mapGroupsWithState across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
