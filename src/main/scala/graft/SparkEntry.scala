@@ -860,6 +860,35 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Z-order curve ([[graft.ops.ZOrder.zValue]]): Morton codes over the
+    * (partkey, suppkey) grid, aggregated per curve bucket — the bucket
+    * membership counts pin every interleaved bit against the oracle's
+    * independently-spelled shift/mask arithmetic.
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "lineitem").select(
+      (col("l_partkey") % 1024).as("xg"), (col("l_suppkey") % 1024).as("yg"))
+    g.withColumn("z", graft.ops.ZOrder.zValue(Seq(col("xg"), col("yg")), 10))
+      .groupBy(shiftright(col("z"), 10).as("zbucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xg")).as("sum_x"),
+        sum(col("yg")).as("sum_y"),
+      )
+      .orderBy(col("zbucket"))
+  }
+
+  /** The oracle's Morton spelling: per-bit shift/mask/shift terms OR'd
+    * together (column k's bit i at position i·n+k, matching zValue).
+    */
+  private def mortonSql(bits: Int, cols: Seq[String]): String = {
+    val n = cols.size
+    (for {
+      i <- 0 until bits
+      (c, k) <- cols.zipWithIndex
+    } yield s"((($c >> $i) & 1) << ${i * n + k})").mkString(" | ")
+  }
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -978,6 +1007,7 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_histogram" -> (qHistogram _),
     "q_impute" -> (qImpute _),
+    "q_zorder" -> (qZorder _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1524,5 +1554,14 @@ object SparkEntry {
         |  MIN(CASE WHEN v IS NULL THEN fill END) AS fill_value,
         |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_present
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_zorder" ->
+      s"""WITH g AS (
+         |  SELECT l_partkey % 1024 AS xg, l_suppkey % 1024 AS yg FROM lineitem),
+         |z AS (
+         |  SELECT xg, yg, (${mortonSql(10, Seq("xg", "yg"))}) AS z FROM g)
+         |SELECT z >> 10 AS zbucket, COUNT(*) AS n,
+         |  CAST(SUM(xg) AS BIGINT) AS sum_x,
+         |  CAST(SUM(yg) AS BIGINT) AS sum_y
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
   )
 }
