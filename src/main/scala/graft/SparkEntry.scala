@@ -889,6 +889,37 @@ object SparkEntry {
     } yield s"((($c >> $i) & 1) << ${i * n + k})").mkString(" | ")
   }
 
+  /** Incremental aggregation ([[graft.ops.Incremental]]): three disjoint
+    * order batches folded through aggState → mergeState → mergeState; the
+    * oracle aggregates the whole table directly, so agreement proves
+    * merge ≡ recompute down to the last decimal bit.
+    */
+  private def qIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental.{aggState, mergeState, MAgg}
+    val o = t(s, dir, "orders")
+    val keys = Seq("o_orderpriority")
+    val aggs = Seq(MAgg("o_totalprice", "sum"), MAgg("o_totalprice", "count"),
+      MAgg("o_totalprice", "min"), MAgg("o_totalprice", "max"))
+    def batch(i: Int) = o.filter(col("o_orderkey") % 3 === i)
+    val merged = mergeState(
+      mergeState(aggState(batch(0), keys, aggs), batch(1), keys, aggs),
+      batch(2), keys, aggs)
+    merged.select(
+        col("o_orderpriority"),
+        col("count_o_totalprice").as("n"),
+        col("sum_o_totalprice").cast("double").as("sum_total"),
+        col("min_o_totalprice").as("min_total"),
+        col("max_o_totalprice").as("max_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Vocabulary coverage ([[TextStats.oovRate]]): per-document OOV counts
+    * against the corpus top-200 vocabulary.
+    */
+  private def qOov(s: SparkSession, dir: String): DataFrame =
+    TextStats.oovRate(t(s, dir, "documents"), "doc_id", "text", 200)
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -1008,6 +1039,8 @@ object SparkEntry {
     "q_histogram" -> (qHistogram _),
     "q_impute" -> (qImpute _),
     "q_zorder" -> (qZorder _),
+    "q_incremental" -> (qIncremental _),
+    "q_oov" -> (qOov _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1563,5 +1596,26 @@ object SparkEntry {
          |  CAST(SUM(xg) AS BIGINT) AS sum_x,
          |  CAST(SUM(yg) AS BIGINT) AS sum_y
          |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+    "q_incremental" ->
+      // direct whole-table aggregation: the Spark side merges three
+      // disjoint batch states — agreement proves merge = recompute
+      """SELECT o_orderpriority, COUNT(o_totalprice) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |  MIN(o_totalprice) AS min_total,
+        |  MAX(o_totalprice) AS max_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (
+        |  SELECT w FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        |                 ORDER BY c DESC, w LIMIT 200)),
+        |j AS (
+        |  SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t LEFT JOIN v ON t.w = v.w)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -127,6 +127,32 @@ object TextStats {
       .when(array_contains(tokens(text), "the"), "en")
       .otherwise("unknown")
 
+  /** Vocabulary coverage: per-document out-of-vocabulary token counts
+    * against the corpus's top-`topN` vocabulary (ties at the cutoff break
+    * to the lexicographically smaller token, so the vocabulary — and
+    * therefore every rate — is deterministic).
+    *
+    * Scale shape: the vocabulary is a tiny aggregate broadcast back
+    * against the token stream; the only O(corpus) shuffle is the
+    * per-document count. A fixed externally-supplied vocabulary (the
+    * tokenizer's, usually) can replace the first aggregation entirely.
+    */
+  def oovRate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, topN: Int): org.apache.spark.sql.DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+    val vocab = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(topN)
+      .select(col("__w"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
     * every k-gram, take the minimum hash of each sliding window of `w`
     * consecutive k-gram hashes, dedupe. Robust to local edits; the
