@@ -920,6 +920,34 @@ object SparkEntry {
     TextStats.oovRate(t(s, dir, "documents"), "doc_id", "text", 200)
       .orderBy(col("doc_id"))
 
+  /** Text normalization ([[TextStats.normalizeText]]): every fifth doc is
+    * dirtied (leading/trailing runs, upper case, tab, a control byte),
+    * normalized, and summarized per language — length sums catch any
+    * one-byte divergence from the oracle's RE2 rendition.
+    */
+  private def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    val messy = t(s, dir, "documents").withColumn("m",
+      when(col("doc_id") % 5 === 0,
+        concat(lit("  "), upper(col("text")), lit("\tX\u0001Y  ")))
+        .otherwise(col("text")))
+    messy.withColumn("norm", TextStats.normalizeText(col("m")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("norm"))).as("sum_len"),
+        sum(when(col("norm") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+      )
+      .orderBy(col("lang"))
+  }
+
+  /** Typed Dataset pipeline ([[graft.typed.Typed.prioritySummary]]):
+    * case-class encoders + typed group key, Catalyst partial/final
+    * aggregation retained (TypedSpec pins the plan).
+    */
+  private def qTypedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.typed.Typed.prioritySummary(graft.typed.Typed.orders(s, dir), 150000.0)
+      .orderBy(col("o_orderpriority"))
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -1041,6 +1069,8 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_incremental" -> (qIncremental _),
     "q_oov" -> (qOov _),
+    "q_normalize" -> (qNormalize _),
+    "q_typed_agg" -> (qTypedAgg _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1617,5 +1647,27 @@ object SparkEntry {
         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
         |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_normalize" ->
+      """WITH m AS (
+        |  SELECT lang, text,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN '  ' || upper(text) || chr(9) || 'X' || chr(1) || 'Y  '
+        |         ELSE text END AS mtext
+        |  FROM documents),
+        |n AS (
+        |  SELECT lang, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(mtext), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+        |      '[\x00-\x1F\x7F]', '', 'g')) AS norm
+        |  FROM m)
+        |SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(length(norm)) AS BIGINT) AS sum_len,
+        |  CAST(SUM(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_typed_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders WHERE o_totalprice > 150000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

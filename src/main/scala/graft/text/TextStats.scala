@@ -127,6 +127,20 @@ object TextStats {
       .when(array_contains(tokens(text), "the"), "en")
       .otherwise("unknown")
 
+  /** Dialect-portable text normalization (crawl-cleaning front door):
+    * lowercase, collapse every whitespace run to one space, strip the
+    * remaining (non-whitespace) control characters, trim. Runs are
+    * collapsed BEFORE the control strip so tabs/newlines become word
+    * separators instead of gluing words together. Patterns use only
+    * explicit character ranges (`\x00`-style), which mean the same thing
+    * in Java regex (Spark) and RE2 (DuckDB/Go scrubbers) — a downstream
+    * engine reproduces the normalization byte-for-byte.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[ \\t\\n\\x0B\\f\\r]+", " "),
+      "[\\x00-\\x1F\\x7F]", ""))
+
   /** Vocabulary coverage: per-document out-of-vocabulary token counts
     * against the corpus's top-`topN` vocabulary (ties at the cutoff break
     * to the lexicographically smaller token, so the vocabulary — and
