@@ -948,6 +948,14 @@ object SparkEntry {
     graft.typed.Typed.prioritySummary(graft.typed.Typed.orders(s, dir), 150000.0)
       .orderBy(col("o_orderpriority"))
 
+  /** Deterministic negative sampling ([[Sampling.negativePairs]]): two
+    * hash-derived partners per document via bucket-representative
+    * pairing — reproduced id-for-id by the oracle's md5 arithmetic.
+    */
+  private def qNegPairs(s: SparkSession, dir: String): DataFrame =
+    Sampling.negativePairs(t(s, dir, "documents").select(col("doc_id")), "doc_id", 2, 64)
+      .orderBy(col("doc_id"), col("j"))
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -1071,6 +1079,7 @@ object SparkEntry {
     "q_oov" -> (qOov _),
     "q_normalize" -> (qNormalize _),
     "q_typed_agg" -> (qTypedAgg _),
+    "q_neg_pairs" -> (qNegPairs _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1669,5 +1678,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |FROM orders WHERE o_totalprice > 150000.0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_neg_pairs" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bk
+        |  FROM documents),
+        |reps AS (SELECT bk AS pb, MIN(doc_id) AS neg_id FROM b GROUP BY bk),
+        |probes AS (
+        |  SELECT doc_id, v.j,
+        |    (bk + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |       || CAST(v.j AS VARCHAR)), 1, 8)) AS BIGINT) % 64) % 64 AS pb
+        |  FROM b, (VALUES (1), (2)) v(j))
+        |SELECT p.doc_id, p.j, r.neg_id
+        |FROM probes p JOIN reps r USING (pb)
+        |WHERE r.neg_id <> p.doc_id
+        |ORDER BY p.doc_id, p.j""".stripMargin,
   )
 }

@@ -96,4 +96,35 @@ object Sampling {
     }
     stratifiedSample(inScope, keyCol, sourceCol, fractions)
   }
+
+  /** Deterministic negative-pair mining (contrastive-training prep): for
+    * each row, `k` pseudo-random partners — reproducible across reruns
+    * and engines, unlike `rand()`-ordered self-joins, and NOT an O(n²)
+    * shape.
+    *
+    * Mechanics: ids hash into `nBuckets` buckets; probe `j` of an id
+    * targets bucket `(bucket(id) + hash(id#j)) mod nBuckets` and pairs
+    * with that bucket's representative (its minimum id). One narrow map
+    * + a broadcast join against the tiny representative table — the
+    * corpus never shuffles. Probes that land in an empty bucket, or on
+    * themselves, are dropped (expect ~k·(1 - 1/nBuckets) pairs per row
+    * for corpora ≫ nBuckets).
+    */
+  def negativePairs(df: DataFrame, idCol: String, k: Int,
+                    nBuckets: Int = 1024): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nBuckets > 1, "need at least two buckets")
+    val id = col(idCol)
+    val bucketed = df.select(id, hashBucket(id, nBuckets).as("__b"))
+    val reps = bucketed.groupBy(col("__b")).agg(min(id).as("neg_id"))
+      .withColumnRenamed("__b", "__pb")
+    val probe = hashBucket(
+      concat(id.cast("string"), lit("#"), col("j").cast("string")), nBuckets)
+    bucketed
+      .select(id, col("__b"), explode(array((1 to k).map(lit): _*)).as("j"))
+      .withColumn("__pb", pmod(col("__b") + probe, lit(nBuckets.toLong)))
+      .join(broadcast(reps), Seq("__pb"))
+      .filter(col("neg_id") =!= id)
+      .select(id, col("j"), col("neg_id"))
+  }
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.{assertDfEquality, createDf}
+
+class NegativePairsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ids(n: Int) = createDf(spark, "id bigint", (1L to n).map(i => Seq[Any](i)))
+
+  test("pairs are deterministic across runs and layouts") {
+    val a = Sampling.negativePairs(ids(200), "id", 2, 16).collect().toSet
+    val b = Sampling.negativePairs(ids(200).repartition(7), "id", 2, 16).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("no self-pairs; at most k partners per id") {
+    val rows = Sampling.negativePairs(ids(100), "id", 3, 8).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    val perId = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perId.values.forall(_ <= 3))
+  }
+
+  test("partners are valid corpus ids") {
+    val valid = (1L to 50L).toSet
+    val rows = Sampling.negativePairs(ids(50), "id", 2, 8).collect()
+    assert(rows.forall(r => valid.contains(r.getLong(2))))
+  }
+
+  test("plan is a broadcast join against representatives — no cartesian, no corpus shuffle") {
+    val p = Sampling.negativePairs(ids(100), "id", 2, 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), s"must not be a cross product:\n${p.take(1500)}")
+  }
+}
+
+class EvolveSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def df = createDf(spark, "a int, b string, extra double",
+    Seq(Seq[Any](1, "x", 9.5), Seq[Any](2, "y", 8.5)))
+
+  test("evolveTo casts, adds typed nulls, drops extras, reorders") {
+    val out = graft.schema.Types.evolveTo(df, "b string, a bigint, c double")
+    assert(out.columns.toSeq == Seq("b", "a", "c"))
+    assert(out.schema("a").dataType.simpleString == "bigint")
+    assert(out.schema("c").dataType.simpleString == "double")
+    val rows = out.orderBy("a").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.isNullAt(2)))
+  }
+
+  test("evolving to the same schema is the identity") {
+    val out = graft.schema.Types.evolveTo(df, "a int, b string, extra double")
+    assertDfEquality(out, df)
+  }
+}
+
+class ObserveSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("metrics ride the job: row count and null counts with no extra scan") {
+    val df = createDf(spark, "k string, v double",
+      Seq(Seq[Any]("a", 1.0), Seq[Any]("b", null), Seq[Any]("c", 3.0)))
+    val (observedDf, obs) = Observe.qualityMetrics(df, Seq("v"))
+    // the action that carries the metrics
+    assert(observedDf.count() == 3)
+    val m = obs.get
+    assert(m("n_rows") == 3L)
+    assert(m("nulls_v") == 1L)
+  }
+
+  test("custom metric expressions") {
+    val df = createDf(spark, "v double", Seq(Seq[Any](2.0), Seq[Any](6.0)))
+    val (odf, obs) = Observe.observed(df, "stats",
+      Seq(min(col("v")).as("lo"), max(col("v")).as("hi")))
+    odf.collect()
+    assert(obs.get("lo") == 2.0 && obs.get("hi") == 6.0)
+  }
+}
