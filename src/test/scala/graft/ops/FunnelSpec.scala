@@ -61,6 +61,30 @@ class FunnelSpec extends AnyFunSuite {
     assertDfEquality(got, want, ignoreRowOrder = true)
   }
 
+  test("randomized model check: 200 users × random streams match a driver-side greedy scan") {
+    val rnd = new scala.util.Random(23)
+    val types = Vector("a", "b", "c", "d", "x")
+    val rows = (1 to 200).flatMap { u =>
+      val n = rnd.nextInt(25)
+      (1 to n).map(_ => (u, rnd.nextInt(8), types(rnd.nextInt(types.size))))
+    }
+    // tie-break on a unique event id so the scan order is total
+    val withId = rows.zipWithIndex.map { case ((u, ts, et), i) => (u, ts, i, et) }
+    val df = createDf(spark, "u int, ts int, eid int, et string",
+      withId.map(r => Seq[Any](r._1, r._2, r._3, r._4)))
+    for (steps <- Seq(Seq("a", "b", "c"), Seq("x", "a"), Seq("d"))) {
+      val got = Funnel.maxStepReached(df, "u", "ts", "eid", "et", steps)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val want = withId.groupBy(_._1).view.mapValues { evs =>
+        val sorted = evs.sortBy(e => (e._2, e._3))
+        sorted.foldLeft(0) { (step, e) =>
+          if (step < steps.length && e._4 == steps(step)) step + 1 else step
+        }
+      }.toMap
+      assert(got == want, s"model mismatch for steps=$steps")
+    }
+  }
+
   test("funnel plans exactly one hash exchange (single-shuffle k-step funnel)") {
     val df = Funnel.maxStepReached(events(Seq((1, 1, "view"))), "u", "ts", "ts", "et", steps)
     val p = df.queryExecution.executedPlan.toString
