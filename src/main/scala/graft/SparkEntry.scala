@@ -956,6 +956,34 @@ object SparkEntry {
     Sampling.negativePairs(t(s, dir, "documents").select(col("doc_id")), "doc_id", 2, 64)
       .orderBy(col("doc_id"), col("j"))
 
+  /** Count-min sketch validation (the frequency sibling of q_hll's HLL
+    * check): a 0.1%-width CMS over the token stream must bound every
+    * top-10 token's true count from above within eps·N, and never
+    * undercount (CMS's one-sided guarantee). Deterministic under the
+    * fixed seed; violations = 0 (oracle SELECT 0). The sketch itself is
+    * a few KB — aggregate it distributed, read it driver-side: the
+    * mergeable-sketch pattern for 100 TB frequency monitoring.
+    */
+  private def qCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select(explode(TextStats.tokens(col("text"))).as("w"))
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(10).collect()
+    val n = toks.count()
+    val eps = 0.001
+    val bytes = toks
+      .agg(count_min_sketch(col("w"), lit(eps), lit(0.99), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val violations = top.count { r =>
+      val est = cms.estimateCount(r.getString(0))
+      est < r.getLong(1) || est > r.getLong(1) + (eps * n).ceil.toLong
+    }
+    Seq(violations.toLong).toDF("n_violations")
+  }
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -1080,6 +1108,7 @@ object SparkEntry {
     "q_normalize" -> (qNormalize _),
     "q_typed_agg" -> (qTypedAgg _),
     "q_neg_pairs" -> (qNegPairs _),
+    "q_cms" -> (qCms _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1092,7 +1121,7 @@ object SparkEntry {
     */
   val validationQueries: Set[String] =
     Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment", "q_quantize",
-      "q_dup_components", "q_bucketed_join")
+      "q_dup_components", "q_bucketed_join", "q_cms")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -1693,5 +1722,7 @@ object SparkEntry {
         |FROM probes p JOIN reps r USING (pb)
         |WHERE r.neg_id <> p.doc_id
         |ORDER BY p.doc_id, p.j""".stripMargin,
+    "q_cms" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
   )
 }
