@@ -984,6 +984,27 @@ object SparkEntry {
     Seq(violations.toLong).toDF("n_violations")
   }
 
+  /** Interval-overlap join ([[RangeJoin.intervalOverlap]]): 5-minute
+    * event windows × 10-minute error windows per user, pair counts per
+    * user. The oracle is DuckDB's native inequality join — an
+    * independent formulation that cross-checks the bucket explosion AND
+    * the canonical-bucket dedup (any double-emitted pair breaks the
+    * counts).
+    */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val a = e.select(col("user_id"), col("ts").as("a_start"),
+      expr("ts + INTERVAL 5 MINUTE").as("a_end"))
+    val b = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_start"),
+        expr("ts + INTERVAL 10 MINUTE").as("err_end"), col("event_id"))
+    RangeJoin.intervalOverlap(a, b, Seq("user_id"),
+        "a_start", "a_end", "err_start", "err_end", Seq("event_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -1109,6 +1130,7 @@ object SparkEntry {
     "q_typed_agg" -> (qTypedAgg _),
     "q_neg_pairs" -> (qNegPairs _),
     "q_cms" -> (qCms _),
+    "q_interval_join" -> (qIntervalJoin _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1724,5 +1746,15 @@ object SparkEntry {
         |ORDER BY p.doc_id, p.j""".stripMargin,
     "q_cms" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_interval_join" ->
+      // native inequality join — independent of the bucketized plan
+      """WITH a AS (
+        |  SELECT user_id, ts AS s1, ts + INTERVAL 5 MINUTE AS e1 FROM events),
+        |b AS (
+        |  SELECT user_id, ts AS s2, ts + INTERVAL 10 MINUTE AS e2 FROM events
+        |  WHERE event_type = 'error')
+        |SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM a JOIN b ON a.user_id = b.user_id AND a.s1 < b.e2 AND b.s2 < a.e1
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
   )
 }

@@ -86,4 +86,56 @@ object RangeJoin {
       .filter(col(s"$ivPrefix$startCol") <= col(ptTsCol) && endPred)
       .drop("__bucket")
   }
+
+  /** Interval × interval overlap join (the two-sided sibling of
+    * [[pointInInterval]]): pairs whose spans intersect under half-open
+    * semantics (`aStart < bEnd AND bStart < aEnd` — touching endpoints
+    * do NOT overlap, the right contract for adjacent tiling).
+    *
+    * Both sides explode to coarse time buckets and meet in a hash
+    * equi-join on (keys, bucket). An overlapping pair shares every
+    * bucket its overlap covers, so matches are restricted to the ONE
+    * canonical bucket containing the overlap start
+    * (`greatest(aStart, bStart)`) — each pair is emitted exactly once
+    * with no post-join `distinct` (a full-output dedup would shuffle
+    * the entire result a second time).
+    *
+    * Same corrupt-row guards as [[pointInInterval]]: reversed intervals
+    * and extreme spans are dropped before the explode, on both sides.
+    */
+  def intervalOverlap(
+      a: DataFrame, b: DataFrame,
+      keys: Seq[String],
+      aStartCol: String, aEndCol: String,
+      bStartCol: String, bEndCol: String,
+      bPayload: Seq[String],
+      bucketWidthUs: Long = 3600L * 1000000,
+      bPrefix: String = "b_",
+      maxSpanBuckets: Option[Long] = Some(100000L),
+  ): DataFrame = {
+    require(bucketWidthUs > 0, s"bucketWidthUs must be positive: $bucketWidthUs")
+    maxSpanBuckets.foreach(m => require(m > 0, s"maxSpanBuckets must be positive: $m"))
+    val w = lit(bucketWidthUs)
+
+    def guarded(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(s) <= col(e))
+        .transform(d => maxSpanBuckets.fold(d)(m => d.filter(
+          floor(unix_micros(col(e)) / w) - floor(unix_micros(col(s)) / w) <= lit(m))))
+        .withColumn("__bucket", explode(sequence(
+          floor(unix_micros(col(s)) / w), floor(unix_micros(col(e)) / w))))
+
+    val bs = s"$bPrefix$bStartCol"
+    val be = s"$bPrefix$bEndCol"
+    val bSide = guarded(
+      b.select(keys.map(col) ++
+        Seq(col(bStartCol).as(bs), col(bEndCol).as(be)) ++
+        bPayload.map(c => col(c).as(s"$bPrefix$c")): _*), bs, be)
+    val aSide = guarded(a, aStartCol, aEndCol)
+
+    aSide.join(bSide, keys :+ "__bucket")
+      .filter(col(aStartCol) < col(be) && col(bs) < col(aEndCol))
+      .filter(col("__bucket") ===
+        floor(unix_micros(greatest(col(aStartCol), col(bs))) / w))
+      .drop("__bucket")
+  }
 }

@@ -84,4 +84,52 @@ class RangeJoinSpec extends AnyFunSuite {
       bucketWidthUs = 3600L * 1000000) // 49 buckets for the interval
     assert(out.count() == 1)
   }
+
+  test("intervalOverlap matches the naive inequality join on random spans") {
+    val rnd = new scala.util.Random(31)
+    def randTs() = new Timestamp(1700000000000L + rnd.nextInt(6 * 3600) * 1000L)
+    def spans(n: Int, maxLenSec: Int) = (0 until n).map { i =>
+      val a = randTs()
+      Seq[Any]("k" + rnd.nextInt(3), i, a,
+        new Timestamp(a.getTime + (30 + rnd.nextInt(maxLenSec)) * 1000L))
+    }
+    val a = createDf(spark, "key string, aid int, s1 timestamp, e1 timestamp", spans(120, 3600))
+    val b = createDf(spark, "key string, bid int, s2 timestamp, e2 timestamp", spans(50, 7200))
+    val bucketized = RangeJoin.intervalOverlap(a, b, Seq("key"),
+        "s1", "e1", "s2", "e2", Seq("bid"), bucketWidthUs = 15L * 60 * 1000000)
+      .select("aid", "b_bid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val naive = a.join(b, Seq("key"))
+      .filter(col("s1") < col("e2") && col("s2") < col("e1"))
+      .select("aid", "bid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(bucketized == naive)
+    assert(naive.nonEmpty, "fixture should produce overlapping spans")
+    // exactly once each, even for multi-bucket overlaps
+    val n = RangeJoin.intervalOverlap(a, b, Seq("key"),
+      "s1", "e1", "s2", "e2", Seq("bid"), bucketWidthUs = 15L * 60 * 1000000).count()
+    assert(n == naive.size.toLong)
+  }
+
+  test("intervalOverlap is half-open: touching endpoints do not overlap") {
+    val a = createDf(spark, "key string, aid int, s1 timestamp, e1 timestamp",
+      Seq(Seq[Any]("a", 1, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))))
+    val b = createDf(spark, "key string, bid int, s2 timestamp, e2 timestamp", Seq(
+      Seq[Any]("a", 1, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")), // touches
+      Seq[Any]("a", 2, ts("2024-01-01 10:59:59"), ts("2024-01-01 12:00:00")), // 1s overlap
+      Seq[Any]("a", 3, ts("2024-01-01 08:00:00"), ts("2024-01-01 10:00:00")))) // touches from left
+    val got = RangeJoin.intervalOverlap(a, b, Seq("key"),
+        "s1", "e1", "s2", "e2", Seq("bid"))
+      .select("b_bid").collect().map(_.getInt(0)).toSet
+    assert(got == Set(2))
+  }
+
+  test("intervalOverlap drops reversed and extreme-span rows before exploding") {
+    val a = createDf(spark, "key string, aid int, s1 timestamp, e1 timestamp",
+      Seq(Seq[Any]("a", 1, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))))
+    val b = createDf(spark, "key string, bid int, s2 timestamp, e2 timestamp", Seq(
+      Seq[Any]("a", 1, ts("2024-01-01 12:00:00"), ts("2024-01-01 09:00:00")), // reversed
+      Seq[Any]("a", 2, ts("2024-01-01 10:30:00"), ts("9999-01-01 00:00:00")))) // sentinel end
+    val got = RangeJoin.intervalOverlap(a, b, Seq("key"),
+      "s1", "e1", "s2", "e2", Seq("bid"), maxSpanBuckets = Some(1000L))
+    assert(got.count() == 0)
+  }
 }
