@@ -164,6 +164,27 @@ object Streaming {
       }
   }
 
+  /** Watermarked stream-stream interval join (attribution shape): left
+    * events match right events with equal keys whose timestamp falls in
+    * `[leftTs, leftTs + within]`. Both sides carry watermarks so the
+    * join state is bounded — without them a stream-stream inner join
+    * buffers both streams forever. State per key is O(events inside
+    * watermark + within), evicted as event time advances. Works
+    * identically on batch frames (the predicate is the same plan).
+    */
+  def eventTimeJoin(left: DataFrame, lTsCol: String,
+                    right: DataFrame, rTsCol: String,
+                    keys: Seq[(String, String)],
+                    delay: String, within: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key pair")
+    val keyPred = keys.map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+    val l = if (left.isStreaming) left.withWatermark(lTsCol, delay) else left
+    val r = if (right.isStreaming) right.withWatermark(rTsCol, delay) else right
+    l.join(r, keyPred &&
+      col(rTsCol) >= col(lTsCol) &&
+      col(rTsCol) <= col(lTsCol) + expr(s"INTERVAL $within"))
+  }
+
   /** Streaming CDC ingest: fold each micro-batch into a versioned parquet
     * snapshot with [[graft.ops.Merge.upsert]] last-wins semantics. The
     * caller seeds `"$snapshotBase/v0"`; batch `i` reads `v{i}` and writes

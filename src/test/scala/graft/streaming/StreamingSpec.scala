@@ -222,6 +222,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) == 7.0)
   }
 
+  test("stream-stream interval join: clicks attribute to impressions within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val joined = graft.streaming.Streaming.eventTimeJoin(
+      imps.toDF().toDF("its", "ad"), "its",
+      clicks.toDF().toDF("cts", "c_ad"), "cts",
+      Seq("ad" -> "c_ad"), delay = "10 minutes", within = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out").start()
+    try {
+      imps.addData((ts("2024-01-01 10:00:00"), "a1"), (ts("2024-01-01 10:00:00"), "a2"))
+      clicks.addData(
+        (ts("2024-01-01 10:03:00"), "a1"),  // within 5 min -> match
+        (ts("2024-01-01 10:09:00"), "a2"),  // outside window -> no match
+        (ts("2024-01-01 09:59:00"), "a1"))  // before impression -> no match
+      q.processAllAvailable()
+      val rows = spark.table("attrib_out")
+        .select(col("ad"), date_format(col("cts"), "HH:mm").as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(("a1", "10:03")))
+    } finally q.stop()
+  }
+
   test("streaming CDC: micro-batches fold into versioned snapshots via upsert") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
