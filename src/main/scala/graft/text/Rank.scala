@@ -39,6 +39,14 @@ object Rank {
     *
     * @param k1 term-frequency saturation (BM25 standard 1.2)
     * @param b  length normalization strength (BM25 standard 0.75)
+    * @param corpusStats optional precomputed `(n_docs, sum_token_count)`.
+    *   The corpus statistics are an index-time artifact (like IVF
+    *   centroids): at 100 TB compute them once when the corpus lands and
+    *   pass them here, which removes the stats branch — and its extra
+    *   scan of the text column — from every query. Left None, they are
+    *   computed from `docs` for convenience (consumer branches prune the
+    *   shared lineage differently, so the planner cannot reuse one
+    *   exchange across them — expect additional text scans).
     */
   def bm25Scores(
       docs: DataFrame,
@@ -47,26 +55,44 @@ object Rank {
       queryTerms: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75,
+      corpusStats: Option[(Long, Long)] = None,
   ): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val id = col(idCol)
+    val terms = queryTerms.map(lit(_))
 
-    // per-doc token stream with its length; only query-term postings survive
-    val toks = docs.select(id, TextStats.tokens(col(textCol)).as("__w"))
-      .select(id, size(col("__w")).as("dl"), explode(col("__w")).as("term"))
-      .filter(col("term").isin(queryTerms.map(lit(_)): _*))
+    // ONE scan of the text column: doc length + the query-term hits,
+    // filtered INSIDE the token array (HOF) so only matches ever explode.
+    // explode_outer keeps hit-free docs alive for the corpus stats.
+    val ex = docs
+      .select(id, TextStats.tokens(col(textCol)).as("__w"))
+      .select(id, size(col("__w")).as("dl"),
+        filter(col("__w"), t => t.isin(terms: _*)).as("__hits"))
+      .select(id, col("dl"), explode_outer(col("__hits")).as("term"))
 
-    // one shuffle: partial-aggregated (doc, term) counts; dl rides the key
-    // (functionally dependent on the doc id, so it adds no groups)
-    val tf = toks.groupBy(id, col("term"), col("dl"))
+    // ONE corpus-sized shuffle: partial-aggregated (doc, dl, term)
+    // counts, null-term rows included so every document survives. Both
+    // consumers below share this exact Exchange subtree, so the planner
+    // reuses it (ReusedExchange) and the text column is scanned ONCE.
+    val tfAll = ex.groupBy(id, col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+
+    val tf = tfAll.filter(col("term").isNotNull)
 
     // tiny per-term document frequencies — broadcast back
     val dfs = tf.groupBy(col("term")).agg(countDistinct(id).as("df"))
 
-    // corpus stats: one row, broadcast. dl sums exactly in long.
-    val stats = docs.select(size(TextStats.tokens(col(textCol))).as("__dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("sum_dl"))
+    // corpus stats: precomputed (index-time) or derived here. The derived
+    // branch collapses the aggregated lineage to one row per doc, then
+    // one global aggregate. dl sums exactly in long either way.
+    val spark = docs.sparkSession
+    val stats = corpusStats match {
+      case Some((nDocs, sumDl)) =>
+        spark.range(1).select(lit(nDocs).as("n_docs"), lit(sumDl).as("sum_dl"))
+      case None =>
+        tfAll.groupBy(id, col("dl")).agg(count(lit(1)).as("__x"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    }
 
     val tfD = col("tf").cast("double")
     val dlD = col("dl").cast("double")

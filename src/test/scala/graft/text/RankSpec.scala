@@ -65,6 +65,20 @@ class RankSpec extends AnyFunSuite {
     assert(s(1) > s(2))
   }
 
+  test("precomputed corpus stats (index-time artifact) reproduce the derived scores exactly") {
+    val derived = Rank.bm25Scores(docs, "id", "text", Seq("cat", "dog"))
+    // N=4, sum dl = 3+4+2+3 = 12
+    val injected = Rank.bm25Scores(docs, "id", "text", Seq("cat", "dog"),
+      corpusStats = Some((4L, 12L)))
+    graft.testing.DfAssert.assertDfEquality(injected, derived, ignoreRowOrder = true)
+    // and the stats branch (an extra aggregation) is gone from the plan
+    val p = injected.queryExecution.executedPlan.toString
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    val pDerived = derived.queryExecution.executedPlan.toString
+    assert(aggs < "HashAggregate".r.findAllIn(pDerived).length,
+      "injecting stats should remove the stats aggregation branch")
+  }
+
   test("postings are filtered before aggregation (plan has no full-token shuffle)") {
     val df = Rank.bm25Scores(docs, "id", "text", Seq("cat"))
     val p = df.queryExecution.executedPlan.toString
