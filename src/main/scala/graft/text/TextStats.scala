@@ -167,6 +167,27 @@ object TextStats {
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
   }
 
+  /** [[oovRate]] against a FIXED vocabulary (the tokenizer's, usually) —
+    * the scale path: membership is an array HOF against a broadcast
+    * literal set, so the whole computation is a narrow map over the
+    * corpus. No explode, no join, no shuffle at all.
+    */
+  def oovRateWithVocab(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, vocab: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val vocabArr = array(vocab.map(lit(_)): _*)
+    val stats = graft.functions.ArrayMath.bound(tokens(col(textCol))) { w =>
+      struct(
+        size(w).as("n_tokens"),
+        size(filter(w, t => !array_contains(vocabArr, t))).as("n_oov"))
+    }
+    docs.select(col(idCol), stats.as("__s"))
+      .select(col(idCol),
+        col("__s.n_tokens").cast("long").as("n_tokens"),
+        col("__s.n_oov").cast("long").as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
     * every k-gram, take the minimum hash of each sliding window of `w`
     * consecutive k-gram hashes, dedupe. Robust to local edits; the

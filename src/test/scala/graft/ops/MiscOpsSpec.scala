@@ -38,6 +38,26 @@ class NegativePairsSpec extends AnyFunSuite {
   }
 }
 
+class OovVocabSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("fixed-vocabulary OOV path matches the corpus-derived path's counts") {
+    val docs = createDf(spark, "id int, text string", Seq(
+      Seq[Any](1, "a a a b"), Seq[Any](2, "a b zzz")))
+    // corpus top-2 vocabulary is {a, b} — inject it explicitly
+    val fixed = graft.text.TextStats.oovRateWithVocab(docs, "id", "text", Seq("a", "b"))
+    val derived = graft.text.TextStats.oovRate(docs, "id", "text", 2)
+    assertDfEquality(fixed, derived, ignoreRowOrder = true)
+  }
+
+  test("fixed-vocabulary path plans no shuffle at all") {
+    val docs = createDf(spark, "id int, text string", Seq(Seq[Any](1, "a b")))
+    val p = graft.text.TextStats.oovRateWithVocab(docs, "id", "text", Seq("a"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"narrow map expected:\n${p.take(1000)}")
+  }
+}
+
 class EvolveSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
