@@ -1009,6 +1009,16 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Per-group cap ([[Sampling.capPerGroup]]): at most 15 documents per
+    * source, hash-selected — the kept-id sums pin exact membership, not
+    * just the counts.
+    */
+  private def qCapGroup(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(t(s, dir, "documents"), Seq("source"), "doc_id", 15)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
+      .orderBy(col("source"))
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -1135,6 +1145,7 @@ object SparkEntry {
     "q_neg_pairs" -> (qNegPairs _),
     "q_cms" -> (qCms _),
     "q_interval_join" -> (qIntervalJoin _),
+    "q_cap_group" -> (qCapGroup _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1760,5 +1771,15 @@ object SparkEntry {
         |SELECT a.user_id, COUNT(*) AS n_pairs
         |FROM a JOIN b ON a.user_id = b.user_id AND a.s1 < b.e2 AND b.s2 < a.e1
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q_cap_group" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+        |FROM r WHERE rk <= 15
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

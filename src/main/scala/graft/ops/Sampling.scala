@@ -97,6 +97,25 @@ object Sampling {
     stratifiedSample(inScope, keyCol, sourceCol, fractions)
   }
 
+  /** Per-group cap (domain-balance control, C4/RefinedWeb style "at most
+    * k pages per domain"): keep a deterministic k-subset of each group,
+    * chosen by md5 hash order of the key — rerun- and layout-stable, and
+    * unbiased w.r.t. any natural ordering of the data (keeping the
+    * "first" k rows would keep whatever the crawl happened to fetch
+    * first). One hash shuffle on the group columns; Spark's
+    * WindowGroupLimit pushes the rank filter below the sort at scale.
+    */
+  def capPerGroup(df: DataFrame, parts: Seq[String], keyCol: String, k: Int): DataFrame = {
+    require(parts.nonEmpty, "need at least one grouping column")
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(parts.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")).asc, col(keyCol).asc)
+    df.withColumn("__cap_rk", row_number().over(w))
+      .filter(col("__cap_rk") <= k)
+      .drop("__cap_rk")
+  }
+
   /** Deterministic negative-pair mining (contrastive-training prep): for
     * each row, `k` pseudo-random partners — reproducible across reruns
     * and engines, unlike `rand()`-ordered self-joins, and NOT an O(n²)

@@ -38,6 +38,38 @@ class NegativePairsSpec extends AnyFunSuite {
   }
 }
 
+class CapPerGroupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def df = createDf(spark, "g string, id bigint",
+    (1L to 23L).map(i => Seq[Any](if (i <= 20) "big" else "small", i)))
+
+  test("groups above the cap shrink to exactly k; smaller groups are untouched") {
+    val out = Sampling.capPerGroup(df, Seq("g"), "id", 5)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("big" -> 5L, "small" -> 3L))
+  }
+
+  test("the kept subset is deterministic across runs and layouts") {
+    val a = Sampling.capPerGroup(df, Seq("g"), "id", 5).collect().toSet
+    val b = Sampling.capPerGroup(df.repartition(7), Seq("g"), "id", 5).collect().toSet
+    assert(a == b)
+  }
+
+  test("hash selection is not head-of-input selection") {
+    val kept = Sampling.capPerGroup(df, Seq("g"), "id", 5)
+      .filter(col("g") === "big").collect().map(_.getLong(1)).toSet
+    assert(kept != (1L to 5L).toSet, "cap must not just keep the first k ids")
+  }
+
+  test("rank filter is pushed below the sort (WindowGroupLimit)") {
+    val p = Sampling.capPerGroup(df, Seq("g"), "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown:\n${p.take(1500)}")
+  }
+}
+
 class OovVocabSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
