@@ -298,6 +298,27 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of ([[AsOf.asofJoinForward]]): each purchase attaches the
+    * NEXT click at-or-after it per user. DuckDB's native ASOF is
+    * backward-only, so the oracle is an independent inequality-join +
+    * row_number formulation — agreement checks the reversed-scan
+    * semantics end to end.
+    */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    AsOf.asofJoinForward(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"),
+        rightTieBreak = Seq("click_id"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("asof_click_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Bucketized point-in-interval (range) join: purchases land in their
     * user's session interval (gap sessions as intervals, purchases as
     * points). The naive inequality join here is a nested loop; the
@@ -1146,6 +1167,7 @@ object SparkEntry {
     "q_cms" -> (qCms _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_cap_group" -> (qCapGroup _),
+    "q_asof_forward" -> (qAsofForward _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1781,5 +1803,22 @@ object SparkEntry {
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
         |FROM r WHERE rk <= 15
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_asof_forward" ->
+      // DuckDB ASOF is backward-only: independent inequality-join +
+      // row_number spelling (ties: greatest click_id, as the operator)
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, c.ts AS cts, c.click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(m.cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  m.click_id AS asof_click_id
+        |FROM p LEFT JOIN (SELECT event_id, cts, click_id FROM j WHERE rn = 1) m
+        |  ON p.event_id = m.event_id
+        |ORDER BY p.event_id""".stripMargin,
   )
 }

@@ -72,4 +72,53 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(4) == None) // 58 minutes stale
     assert(out(1) == Some(100.0))
   }
+
+  test("forward as-of: smallest right ts at-or-after; null when none follows") {
+    val out = AsOf.asofJoinForward(trades, quotes, Seq("sym"), "ts", "ts", Seq("px"))
+      .collect().map(r => r.getAs[Int]("trade_id") -> Option(r.getAs[Any]("asof_px"))).toMap
+    assert(out == Map(
+      1 -> Some(101.0), // next quote at 10:05
+      2 -> Some(101.0), // tie: at-or-after includes equal ts
+      3 -> Some(100.0), // 09:00 trade -> first quote 10:00
+      4 -> None,        // no quote after 11:00
+      5 -> None))
+  }
+
+  test("nearest as-of picks the closer side; exact ties go backward") {
+    val q = createDf(spark, "sym string, ts timestamp, px double", Seq(
+      Seq[Any]("A", ts("2024-01-01 10:00:00"), 1.0),
+      Seq[Any]("A", ts("2024-01-01 10:10:00"), 2.0)))
+    val tr = createDf(spark, "trade_id int, sym string, ts timestamp", Seq(
+      Seq[Any](1, "A", ts("2024-01-01 10:02:00")),  // closer to 10:00
+      Seq[Any](2, "A", ts("2024-01-01 10:09:00")),  // closer to 10:10
+      Seq[Any](3, "A", ts("2024-01-01 10:05:00")),  // exact tie -> backward (1.0)
+      Seq[Any](4, "A", ts("2024-01-01 09:00:00")),  // only forward exists
+      Seq[Any](5, "A", ts("2024-01-01 23:00:00")))) // only backward exists
+    val out = AsOf.asofJoinNearest(tr, q, Seq("sym"), "ts", "ts", Seq("px"))
+      .collect().map(r => r.getAs[Int]("trade_id") -> r.getAs[Double]("asof_px")).toMap
+    assert(out == Map(1 -> 1.0, 2 -> 2.0, 3 -> 1.0, 4 -> 1.0, 5 -> 2.0))
+  }
+
+  test("nearest tolerance bounds the absolute distance") {
+    val q = createDf(spark, "sym string, ts timestamp, px double", Seq(
+      Seq[Any]("A", ts("2024-01-01 10:00:00"), 1.0)))
+    val tr = createDf(spark, "trade_id int, sym string, ts timestamp", Seq(
+      Seq[Any](1, "A", ts("2024-01-01 10:04:00")),   // 4 min after -> in
+      Seq[Any](2, "A", ts("2024-01-01 09:56:00")),   // 4 min before -> in
+      Seq[Any](3, "A", ts("2024-01-01 10:30:00"))))  // 30 min -> out
+    val out = AsOf.asofJoinNearest(tr, q, Seq("sym"), "ts", "ts", Seq("px"),
+        toleranceUs = Some(5L * 60 * 1000000))
+      .collect().map(r => r.getAs[Int]("trade_id") -> Option(r.getAs[Any]("asof_px"))).toMap
+    assert(out == Map(1 -> Some(1.0), 2 -> Some(1.0), 3 -> None))
+  }
+
+  test("forward/nearest still plan exactly one exchange (nearest pays a second sort only)") {
+    val f = AsOf.asofJoinForward(trades, quotes, Seq("sym"), "ts", "ts", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(f).length == 1)
+    val n = AsOf.asofJoinNearest(trades, quotes, Seq("sym"), "ts", "ts", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(n).length == 1,
+      s"nearest must not re-shuffle:\n${n.take(1500)}")
+  }
 }
