@@ -1040,6 +1040,29 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
       .orderBy(col("source"))
 
+  /** End-to-end training-data pipeline composition: normalize → quality
+    * filter → exact dedup → per-source cap → corpus summary, every stage
+    * an operator from this library, the WHOLE chain mirrored in the
+    * oracle. Integration coverage: a stage whose output contract drifts
+    * (normalization bytes, score arithmetic, dedup keep-rule, cap
+    * selection) breaks the final sums even if its unit query still
+    * passes in isolation.
+    */
+  private def qPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d1 = t(s, dir, "documents")
+      .withColumn("norm", TextStats.normalizeText(col("text")))
+    val d2 = d1.filter(TextStats.qualityScore(col("norm")) > 0.54)
+    val d3 = Dedup.dedupExact(d2, "norm", "doc_id")
+    val d4 = Sampling.capPerGroup(d3, Seq("source"), "doc_id", 10)
+    d4.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextStats.tokenCount(col("norm"))).as("n_tokens"),
+        sum(col("doc_id")).as("sum_ids"),
+      )
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -1168,6 +1191,7 @@ object SparkEntry {
     "q_interval_join" -> (qIntervalJoin _),
     "q_cap_group" -> (qCapGroup _),
     "q_asof_forward" -> (qAsofForward _),
+    "q_pipeline" -> (qPipeline _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1820,5 +1844,34 @@ object SparkEntry {
         |FROM p LEFT JOIN (SELECT event_id, cts, click_id FROM j WHERE rn = 1) m
         |  ON p.event_id = m.event_id
         |ORDER BY p.event_id""".stripMargin,
+    "q_pipeline" ->
+      // the full chain re-spelled: normalize -> quality > 0.54 ->
+      // min-id-per-body dedup -> md5-ordered cap 10/source -> summary
+      """WITH d1 AS (
+        |  SELECT doc_id, lang, source,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+        |      '[\x00-\x1F\x7F]', '', 'g')) AS norm
+        |  FROM documents),
+        |d2 AS (
+        |  SELECT * FROM d1
+        |  WHERE 0.4 * least(len(string_split(norm, ' ')) / 50.0, 1.0)
+        |    + 0.4 * (len(list_distinct(string_split(norm, ' ')))
+        |             / CAST(len(string_split(norm, ' ')) AS DOUBLE))
+        |    + 0.2 * (len(list_filter(string_split(norm, ' '), t -> t IN ('the', 'a')))
+        |             / CAST(len(string_split(norm, ' ')) AS DOUBLE)) > 0.54),
+        |d3 AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY norm) AS keep FROM d2)
+        |  WHERE doc_id = keep),
+        |d4 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM d3)
+        |  WHERE rk <= 10)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(norm, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM d4 GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
