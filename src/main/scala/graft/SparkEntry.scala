@@ -1063,6 +1063,35 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Cogrouped-map ([[Grouped.cogroupApply]]): per-user reconciliation of
+    * purchase vs error value streams — counts and an exact-decimal net —
+    * computed in one JVM lambda over both row groups. The oracle is a
+    * full-outer aggregated join: one-sided keys (users with only
+    * purchases or only errors) are where a broken cogroup shows first.
+    */
+  private def qCogroup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("value"))
+    Grouped.cogroupApply(purchases, errors, Seq("user_id"),
+        StructType.fromDDL("n_purch bigint, n_err bigint, purch_minus_err double")) {
+      (_, l, r) =>
+        def sumUp(it: Iterator[Row]): (Long, BigDecimal) = {
+          var n = 0L
+          var s = BigDecimal(0)
+          // valueOf goes through the shortest decimal rendering, so the
+          // 2-decimal fixture values accumulate exactly (decimal-sum rule)
+          it.foreach { row => n += 1; s += BigDecimal(java.math.BigDecimal.valueOf(row.getDouble(1))) }
+          (n, s)
+        }
+        val (np, sp) = sumUp(l)
+        val (ne, se) = sumUp(r)
+        Iterator(Row(np, ne, (sp - se).toDouble))
+    }.orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -1192,6 +1221,7 @@ object SparkEntry {
     "q_cap_group" -> (qCapGroup _),
     "q_asof_forward" -> (qAsofForward _),
     "q_pipeline" -> (qPipeline _),
+    "q_cogroup" -> (qCogroup _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1873,5 +1903,18 @@ object SparkEntry {
         |  CAST(SUM(len(string_split(norm, ' '))) AS BIGINT) AS n_tokens,
         |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         |FROM d4 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_cogroup" ->
+      """WITH p AS (
+        |  SELECT user_id, COUNT(*) AS n_purch, SUM(CAST(value AS DECIMAL(18,2))) AS sp
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |e AS (
+        |  SELECT user_id, COUNT(*) AS n_err, SUM(CAST(value AS DECIMAL(18,2))) AS se
+        |  FROM events WHERE event_type = 'error' GROUP BY user_id)
+        |SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+        |  CAST(COALESCE(n_purch, 0) AS BIGINT) AS n_purch,
+        |  CAST(COALESCE(n_err, 0) AS BIGINT) AS n_err,
+        |  CAST(COALESCE(sp, 0) - COALESCE(se, 0) AS DOUBLE) AS purch_minus_err
+        |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -62,4 +62,39 @@ object Grouped {
       outSchema: StructType,
   )(f: Seq[Row] => Seq[Row]): DataFrame =
     applyPerGroup(df, groups, outSchema)((_, it) => f(it.toSeq).iterator)
+
+  /** Two-input sibling of [[applyPerGroup]]: `f` sees each key's row
+    * groups from BOTH frames together (`KeyValueGroupedDataset.cogroup`)
+    * — custom merge/reconcile/compare logic that a join can't express
+    * without materializing the cross product. Keys present on only one
+    * side still reach `f` (the other iterator is empty), so full-outer
+    * semantics are the default and `f` decides what to emit.
+    *
+    * Cost: one hash Exchange per side on the keys — exactly a shuffle
+    * join's movement, minus the join's pair explosion.
+    *
+    * @param keys      join-key column names, present on both frames
+    * @param outSchema schema of `f`'s output rows (keys excluded;
+    *                  key columns are prepended automatically)
+    */
+  def cogroupApply(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      outSchema: StructType,
+  )(f: (Row, Iterator[Row], Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val keySchema = StructType(keys.map(k => left.schema(k)))
+    val fullSchema = StructType(keySchema.fields ++ outSchema.fields)
+    val keyEnc = Encoders.row(keySchema)
+    val outEnc = Encoders.row(fullSchema)
+    val lIdx = keys.map(left.schema.fieldIndex)
+    val rIdx = keys.map(right.schema.fieldIndex)
+
+    left.groupByKey(r => Row.fromSeq(lIdx.map(r.get)))(keyEnc)
+      .cogroup(right.groupByKey(r => Row.fromSeq(rIdx.map(r.get)))(keyEnc)) {
+        (key: Row, l: Iterator[Row], r: Iterator[Row]) =>
+          f(key, l, r).map(out => Row.fromSeq(key.toSeq ++ out.toSeq))
+      }(outEnc)
+      .toDF()
+  }
 }

@@ -90,6 +90,38 @@ class OovVocabSpec extends AnyFunSuite {
   }
 }
 
+class CogroupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.StructType
+
+  private def left = createDf(spark, "k string, v int",
+    Seq(Seq[Any]("a", 1), Seq[Any]("a", 2), Seq[Any]("b", 10)))
+  private def right = createDf(spark, "k string, v int",
+    Seq(Seq[Any]("a", 100), Seq[Any]("c", 7)))
+
+  private def counts = Grouped.cogroupApply(left, right, Seq("k"),
+    StructType.fromDDL("n_l bigint, n_r bigint")) { (_, l, r) =>
+    Iterator(Row(l.size.toLong, r.size.toLong))
+  }
+
+  test("f sees both sides' groups; one-sided keys get an empty iterator") {
+    val got = counts.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> (2L, 1L), "b" -> (1L, 0L), "c" -> (0L, 1L)))
+  }
+
+  test("key columns are prepended exactly (no first-row sampling)") {
+    assert(counts.columns.toSeq == Seq("k", "n_l", "n_r"))
+  }
+
+  test("plan: one exchange per side feeding CoGroup — no join pair explosion") {
+    val p = counts.queryExecution.executedPlan.toString
+    assert(p.contains("CoGroup"), s"expected CoGroup node:\n${p.take(1200)}")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 2, s"expected exactly 2 exchanges (one per side), found $n")
+  }
+}
+
 class EvolveSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
