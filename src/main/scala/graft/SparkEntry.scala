@@ -1092,6 +1092,83 @@ object SparkEntry {
     }.orderBy(col("user_id"))
   }
 
+  /** Semantic check for the IVF path: probing EVERY cell must reproduce
+    * the brute-force top-k exactly — same neighbors, same ranks, same
+    * cosine bits (both paths share the normalize+dot scoring and the
+    * (cos desc, id) tiebreak). A wrong cell assignment, a dropped
+    * member, or a scoring drift all fire it. Violations = 0.
+    */
+  private def qIvfExact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(queries, e, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 16)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("n_ivf"), col("cos").as("cos_ivf"))
+    val bf = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("n_bf"), col("cos").as("cos_bf"))
+    ivf.join(bf, Seq("query_id", "rank"), "full_outer")
+      .agg(coalesce(sum(when(
+        col("n_ivf").isNull || col("n_bf").isNull ||
+          col("n_ivf") =!= col("n_bf") || col("cos_ivf") =!= col("cos_bf"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
+  /** Semantic check for the SimHash path, both directions: (a) every
+    * candidate's reported Hamming distance must equal an independent
+    * full-32-bit recompute and respect the threshold; (b) within the
+    * banding recall-guarantee domain — pairs agreeing on one of the two
+    * 16-bit halves — every pair under the threshold must have been
+    * emitted. Violations = 0.
+    */
+  private def qSimhashContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cand = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
+    val hashed = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))
+    val all = hashed.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(hashed.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hx", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    val v1 = cand
+      .join(all.select(col("id_a"), col("id_b"), col("hx")), Seq("id_a", "id_b"), "left")
+      .agg(coalesce(sum(when(col("hx").isNull ||
+        col("hamming") =!= col("hx") || col("hamming") > 3, 1L).otherwise(0L)), lit(0L))
+        .as("v"))
+    val v2 = all
+      .filter((shiftright(col("sh_a"), 16) === shiftright(col("sh_b"), 16)) ||
+        (col("sh_a").bitwiseAND(lit(0xFFFFL)) === col("sh_b").bitwiseAND(lit(0xFFFFL))))
+      .filter(col("hx") <= 3)
+      .join(cand, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    v1.unionByName(v2).agg(coalesce(sum(col("v")), lit(0L)).as("n_violations"))
+  }
+
+  /** Semantic check for winnowing fingerprints (the last rows-only
+    * family): (a) membership — every fingerprint is the minimum of some
+    * k-gram window, hence an element of the document's k-gram hash set;
+    * (b) the winnowing guarantee — a common substring of ≥ w+k-1 grams
+    * shares at least one fingerprint, so prefixing a document must leave
+    * a non-empty fingerprint intersection for any document with ≥ w+k-1
+    * grams. Violations = 0 (Schleimer et al., SIGMOD'03, §2).
+    */
+  private def qFingerprintContainment(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayMath
+    val docs = t(s, dir, "documents")
+    val toks = TextStats.tokens(col("text"))
+    val grams = ArrayMath.shingleHash64(toks, 5, distinct = false)
+    val fp = TextStats.fingerprints(col("text"))
+    val fpShifted = TextStats.fingerprints(concat(lit("p0 p1 p2 "), col("text")))
+    docs.select(
+        size(toks).as("n_toks"),
+        size(array_except(fp, grams)).as("n_escaped"),
+        size(array_intersect(fp, fpShifted)).as("n_shared"))
+      .agg(coalesce(sum(
+        when(col("n_escaped") > 0, 1L)
+          .when(col("n_toks") >= 12 && col("n_shared") === 0, 1L)
+          .otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -1222,6 +1299,9 @@ object SparkEntry {
     "q_asof_forward" -> (qAsofForward _),
     "q_pipeline" -> (qPipeline _),
     "q_cogroup" -> (qCogroup _),
+    "q_ivf_exact" -> (qIvfExact _),
+    "q_simhash_containment" -> (qSimhashContainment _),
+    "q_fingerprint_containment" -> (qFingerprintContainment _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1234,7 +1314,8 @@ object SparkEntry {
     */
   val validationQueries: Set[String] =
     Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment", "q_quantize",
-      "q_dup_components", "q_bucketed_join", "q_cms")
+      "q_dup_components", "q_bucketed_join", "q_cms", "q_ivf_exact",
+      "q_simhash_containment", "q_fingerprint_containment")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -1916,5 +1997,11 @@ object SparkEntry {
         |  CAST(COALESCE(sp, 0) - COALESCE(se, 0) AS DOUBLE) AS purch_minus_err
         |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
         |ORDER BY user_id""".stripMargin,
+    "q_ivf_exact" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_simhash_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_fingerprint_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
   )
 }
