@@ -1169,6 +1169,17 @@ object SparkEntry {
           .otherwise(0L)), lit(0L)).as("n_violations"))
   }
 
+  /** TF-IDF keyword extraction ([[Rank.tfidfTopTerms]]): top-3 terms per
+    * document (df over the full corpus, output scoped to the first 50
+    * docs to keep the verified surface small).
+    */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    Rank.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -1302,6 +1313,7 @@ object SparkEntry {
     "q_ivf_exact" -> (qIvfExact _),
     "q_simhash_containment" -> (qSimhashContainment _),
     "q_fingerprint_containment" -> (qFingerprintContainment _),
+    "q_tfidf" -> (qTfidf _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2003,5 +2015,23 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_fingerprint_containment" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfx AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term HAVING COUNT(*) >= 2),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        |sc AS (
+        |  SELECT f.doc_id, f.term, f.tf, d.df,
+        |    CAST(f.tf AS DOUBLE) * ((CAST(n.n_docs AS DOUBLE) + 1.0)
+        |      / (CAST(d.df AS DOUBLE) + 1.0)) AS score
+        |  FROM tf f JOIN dfx d USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, rank, term, tf, df, score
+        |FROM r WHERE rank <= 3 AND doc_id < 50
+        |ORDER BY doc_id, rank""".stripMargin,
   )
 }

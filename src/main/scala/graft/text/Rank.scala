@@ -107,4 +107,45 @@ object Rank {
       .crossJoin(broadcast(stats))
       .select(id, col("term"), col("tf"), col("df"), col("dl"), score.as("score"))
   }
+
+  /** Per-document top-`k` keywords by TF-IDF with the same rational idf
+    * family as [[bm25Scores]] (`(N+1)/(df+1)`, every operation a single
+    * IEEE rounding — oracle-reproducible bit-for-bit).
+    *
+    * Unlike [[bm25Scores]]' fixed query set, EVERY term flows here, so
+    * the df table is vocabulary-sized: it joins by shuffle at corpus
+    * scale (Spark will broadcast it when it fits). `minDf` prunes the
+    * hapax tail — typically half the vocabulary and pure noise for
+    * keyword extraction. N counts documents with at least one token.
+    * Returns `(idCol, rank, term, tf, df, score)`, `rank ≤ k` per doc
+    * (WindowGroupLimit bounds the per-partition state).
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDf: Int = 2,
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(minDf >= 1, "minDf must be at least 1")
+    val id = col(idCol)
+    val tf = docs
+      .select(id, explode(TextStats.tokens(col(textCol))).as("term"))
+      .groupBy(id, col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val stats = tf.select(id).distinct().agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") *
+      ((col("n_docs").cast("double") + lit(1.0)) / (col("df").cast("double") + lit(1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfs, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(id, col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
 }

@@ -79,6 +79,22 @@ class RankSpec extends AnyFunSuite {
       "injecting stats should remove the stats aggregation branch")
   }
 
+  test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
+    val d = createDf(spark, "id int, text string", Seq(
+      Seq[Any](1, "common rare1 common common rare1 rare1"),
+      Seq[Any](2, "common rare2 common"),
+      Seq[Any](3, "common x y")))
+    // 'common' is in every doc (df=3); rare1 df=1 (pruned at minDf=2)
+    val top = Rank.tfidfTopTerms(d, "id", "text", 1, minDf = 1)
+      .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(top(1) == "rare1") // tf=3, df=1 beats common tf=3, df=3
+    assert(top(2) == "rare2" || top(2) == "common") // tf 1*idf(2) vs 2*idf(1)
+    val pruned = Rank.tfidfTopTerms(d, "id", "text", 3, minDf = 2)
+      .collect().map(_.getString(2)).toSet
+    assert(!pruned.contains("rare1") && !pruned.contains("rare2"),
+      "minDf must prune hapax terms")
+  }
+
   test("postings are filtered before aggregation (plan has no full-token shuffle)") {
     val df = Rank.bm25Scores(docs, "id", "text", Seq("cat"))
     val p = df.queryExecution.executedPlan.toString
