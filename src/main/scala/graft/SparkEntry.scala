@@ -991,11 +991,15 @@ object SparkEntry {
       .select(explode(TextStats.tokens(col("text"))).as("w"))
     val top = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc).limit(10).collect()
-    val n = toks.count()
     val eps = 0.001
-    val bytes = toks
-      .agg(count_min_sketch(col("w"), lit(eps), lit(0.99), lit(42)).as("sk"))
-      .head().getAs[Array[Byte]](0)
+    // one pass supplies the token count AND the sketch (a second scan
+    // for count() would re-tokenize the corpus)
+    val aggRow = toks
+      .agg(count(lit(1)).as("n"),
+        count_min_sketch(col("w"), lit(eps), lit(0.99), lit(42)).as("sk"))
+      .head()
+    val n = aggRow.getAs[Long]("n")
+    val bytes = aggRow.getAs[Array[Byte]]("sk")
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes))
     val violations = top.count { r =>

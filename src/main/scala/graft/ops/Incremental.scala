@@ -41,6 +41,7 @@ object Incremental {
     case "sum" | "count" => sum(col(a.name))
     case "min"           => min(col(a.name))
     case "max"           => max(col(a.name))
+    case other           => throw new IllegalArgumentException(s"non-mergeable aggregate: $other")
   }).as(a.name)
 
   /** Aggregate a batch into per-key state. */

@@ -27,19 +27,28 @@ object Merge {
     * survives; on version ties the update side wins (so replaying a delta
     * is idempotent). Keys present only in `updates` are inserts; keys
     * present only in `base` pass through.
+    *
+    * @param tieBreak columns appended (descending) to the survivor
+    *   ordering for rows that tie on (key, version) WITHIN one side.
+    *   Without it such duplicates pick a scan-order-dependent survivor —
+    *   fine when each side holds at most one row per (key, version)
+    *   (the usual CDC contract), but pass a unique column here whenever
+    *   a batch can carry same-version duplicates, or replay idempotence
+    *   is lost.
     */
   def upsert(
       base: DataFrame,
       updates: DataFrame,
       keys: Seq[String],
       versionCol: String,
+      tieBreak: Seq[String] = Nil,
   ): DataFrame = {
     require(keys.nonEmpty, "need at least one merge key")
     val src = "__upsert_src"
     val rn = "__upsert_rn"
     val all = base.withColumn(src, lit(0)).unionByName(updates.withColumn(src, lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, col(src).desc)
+      .orderBy(col(versionCol).desc +: col(src).desc +: tieBreak.map(col(_).desc): _*)
     all.withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1)
       .drop(src, rn)

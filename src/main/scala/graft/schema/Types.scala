@@ -95,28 +95,31 @@ object Types {
     }
   }
 
-  /** Parse a dtype string to a Catalyst DataType (inverse of simpleString
-    * for the types the lattice handles).
-    */
   /** Evolve a frame to an explicit target schema (migration front door,
     * the single-frame sibling of [[graft.ops.Concat]]'s pairwise
     * harmonization): present columns cast to the target type, missing
     * columns appear as typed nulls, extras drop, order follows the
-    * target. Column-count work only — no shuffle, no data pass beyond
-    * the rewrite itself.
+    * target. Matching is case-insensitive (Spark's default resolution),
+    * and the data column keeps the TARGET's spelling. Column-count work
+    * only — no shuffle, no data pass beyond the rewrite itself.
     */
   def evolveTo(df: DataFrame, targetDdl: String): DataFrame = {
     val target = StructType.fromDDL(targetDdl)
-    val present = df.columns.toSet
+    val present = df.columns.map(c => c.toLowerCase -> c).toMap
     val cols = target.fields.toSeq.map { f =>
-      if (present.contains(f.name))
-        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
-      else
-        org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      present.get(f.name.toLowerCase) match {
+        case Some(src) =>
+          org.apache.spark.sql.functions.col(src).cast(f.dataType).as(f.name)
+        case None =>
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }
     }
     df.select(cols: _*)
   }
 
+  /** Parse a dtype string to a Catalyst DataType (inverse of simpleString
+    * for the types the lattice handles).
+    */
   def toDataType(dtype: String): DataType =
     StructType.fromDDL(s"c $dtype").head.dataType
 }

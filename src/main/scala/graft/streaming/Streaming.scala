@@ -177,12 +177,14 @@ object Streaming {
                     keys: Seq[(String, String)],
                     delay: String, within: String): DataFrame = {
     require(keys.nonEmpty, "need at least one key pair")
-    val keyPred = keys.map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
     val l = if (left.isStreaming) left.withWatermark(lTsCol, delay) else left
     val r = if (right.isStreaming) right.withWatermark(rTsCol, delay) else right
+    // dataframe-qualified references: both sides usually share key (and
+    // sometimes timestamp) names, and bare col(...) would be ambiguous
+    val keyPred = keys.map { case (lc, rc) => l(lc) === r(rc) }.reduce(_ && _)
     l.join(r, keyPred &&
-      col(rTsCol) >= col(lTsCol) &&
-      col(rTsCol) <= col(lTsCol) + expr(s"INTERVAL $within"))
+      r(rTsCol) >= l(lTsCol) &&
+      r(rTsCol) <= l(lTsCol) + expr(s"INTERVAL $within"))
   }
 
   /** Streaming CDC ingest: fold each micro-batch into a versioned parquet

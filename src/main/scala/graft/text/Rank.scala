@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions._
   *     UDFs.
   *
   * Determinism: the classic BM25 idf `ln((N-df+0.5)/(df+0.5))` is replaced
-  * by its rank-equivalent rational argument `(N-df+0.5)/(df+0.5)` — a
-  * strictly monotone transform of the same quantity. Rankings are
-  * unchanged, but every operation stays a single IEEE-754 rounding
-  * (+, *, /), so an external engine (the DuckDB oracle) evaluating the
-  * same expression tree reproduces the scores bit-for-bit — no
-  * library-`ln` ulp drift.
+  * by its rational argument `(N-df+0.5)/(df+0.5)` — a strictly monotone
+  * transform, so PER-TERM orderings are identical to log-idf BM25.
+  * Multi-term totals are a different (still monotone-idf) scoring family:
+  * dropping the log weights rare terms more aggressively than BM25's
+  * summed log-idfs, and very common terms (df > N/2) keep a small
+  * positive weight instead of BM25's negative one — a deliberate trade
+  * for exact reproducibility, since every remaining operation is a single
+  * IEEE-754 rounding (+, *, /) and an external engine (the DuckDB oracle)
+  * evaluating the same expression tree reproduces the scores
+  * bit-for-bit, with no library-`ln` ulp drift. Wrap the idf factor in
+  * `log(...)` if classic BM25 totals matter more than bit equality.
   */
 object Rank {
 

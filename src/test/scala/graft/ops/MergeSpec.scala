@@ -55,4 +55,15 @@ class MergeSpec extends AnyFunSuite {
     assert(got.filter(col("k") === 9).count() == 1)
     assert(got.filter(col("k") === 9).select("v").head().getString(0) == "later")
   }
+
+  test("tieBreak pins the survivor among same-(key, version) duplicates in one side") {
+    val upd = createDf(spark, "k int, v string, version bigint, seq int",
+      Seq(Seq[Any](9, "low", 3L, 1), Seq[Any](9, "high", 3L, 2)))
+    val b = base.withColumn("seq", lit(0))
+    val got = Merge.upsert(b, upd, Seq("k"), "version", tieBreak = Seq("seq"))
+    assert(got.filter(col("k") === 9).select("v").head().getString(0) == "high")
+    // and stays stable under a different input layout
+    val got2 = Merge.upsert(b, upd.repartition(5), Seq("k"), "version", tieBreak = Seq("seq"))
+    assert(got2.filter(col("k") === 9).select("v").head().getString(0) == "high")
+  }
 }

@@ -142,6 +142,14 @@ class EvolveSpec extends AnyFunSuite {
     val out = graft.schema.Types.evolveTo(df, "a int, b string, extra double")
     assertDfEquality(out, df)
   }
+
+  test("column matching is case-insensitive and keeps the target spelling") {
+    val src = createDf(spark, "Price double, Name string",
+      Seq(Seq[Any](9.5, "x")))
+    val out = graft.schema.Types.evolveTo(src, "price double, name string")
+    assert(out.columns.toSeq == Seq("price", "name"))
+    assert(out.head().getDouble(0) == 9.5) // data survives the case mismatch
+  }
 }
 
 class ObserveSpec extends AnyFunSuite {

@@ -247,6 +247,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join resolves shared key/timestamp column names") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    // BOTH sides name the key "ad" and the timestamp "ts" — the join must
+    // qualify its references instead of failing with AMBIGUOUS_REFERENCE
+    val joined = graft.streaming.Streaming.eventTimeJoin(
+      imps.toDF().toDF("ts", "ad"), "ts",
+      clicks.toDF().toDF("ts", "ad"), "ts",
+      Seq("ad" -> "ad"), delay = "10 minutes", within = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_shared_out").start()
+    try {
+      imps.addData((ts("2024-01-01 10:00:00"), "a1"))
+      clicks.addData((ts("2024-01-01 10:02:00"), "a1"))
+      q.processAllAvailable()
+      assert(spark.table("attrib_shared_out").count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming CDC: micro-batches fold into versioned snapshots via upsert") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
