@@ -91,6 +91,22 @@ class PlanSpec extends AnyFunSuite {
       s"both scans must be bucketed reads:\n${p.take(2000)}")
   }
 
+  test("partitioned write -> partition-pruned read: predicate becomes a directory filter") {
+    val out = java.nio.file.Files.createTempDirectory("graft-partitioned").toString
+    val e = graft.sources.Sources.readTable(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sources.Sources.writePartitioned(e, out, Seq("event_type"))
+    val read = spark.read.parquet(out).filter(col("event_type") === "click")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      s"event_type predicate must prune partitions, not scan data:\n${p.take(1500)}")
+    // the pruned scan must not ALSO carry the predicate as a data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"partition column should not appear as a parquet data filter:\n${p.take(1500)}")
+    val expected = e.filter(col("event_type") === "click").count()
+    assert(read.count() == expected)
+  }
+
   test("grouped-apply plans exactly one hash exchange, clustering below MapGroups") {
     val p = plan("q_grouped_apply")
     assert(p.contains("MapGroups"), s"expected MapGroups node:\n${p.take(1500)}")
