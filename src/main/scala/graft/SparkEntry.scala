@@ -1184,6 +1184,28 @@ object SparkEntry {
         col("term"), col("tf"), col("df"), col("score"))
       .orderBy(col("doc_id"), col("rank"))
 
+  /** Sketch-bound validation for approximate quantiles (completing the
+    * HLL/CMS family): each percentile_approx value's TRUE rank must sit
+    * within the Greenwald-Khanna guarantee `|rank − q·n| ≤ n/accuracy`
+    * (+1 row of integer slack). Deterministic sketch, violations = 0.
+    */
+  private def qQuantileBound(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val acc = 10000
+    val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+    val approx = Profile.quantiles(li, Seq("x"), qs, acc)
+      .select(posexplode(col("quantiles")).as(Seq("qi", "qv")))
+    val qArr = array(qs.map(lit): _*)
+    li.crossJoin(broadcast(approx))
+      .groupBy(col("qi"), col("qv"))
+      .agg(sum(when(col("x") <= col("qv"), 1L).otherwise(0L)).as("rnk"),
+        count(lit(1)).as("n"))
+      .withColumn("q", try_element_at(qArr, col("qi") + 1))
+      .agg(coalesce(sum(when(
+        abs(col("rnk") - col("q") * col("n")) > col("n").cast("double") / acc + 1.0, 1L)
+        .otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
   // ------------------------------------------------------- bucketed join
 
   /** Write (once per session and sf dir) the two fact projections as
@@ -1318,6 +1340,7 @@ object SparkEntry {
     "q_simhash_containment" -> (qSimhashContainment _),
     "q_fingerprint_containment" -> (qFingerprintContainment _),
     "q_tfidf" -> (qTfidf _),
+    "q_quantile_bound" -> (qQuantileBound _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1331,7 +1354,7 @@ object SparkEntry {
   val validationQueries: Set[String] =
     Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment", "q_quantize",
       "q_dup_components", "q_bucketed_join", "q_cms", "q_ivf_exact",
-      "q_simhash_containment", "q_fingerprint_containment")
+      "q_simhash_containment", "q_fingerprint_containment", "q_quantile_bound")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -2037,5 +2060,7 @@ object SparkEntry {
         |SELECT doc_id, rank, term, tf, df, score
         |FROM r WHERE rank <= 3 AND doc_id < 50
         |ORDER BY doc_id, rank""".stripMargin,
+    "q_quantile_bound" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
   )
 }

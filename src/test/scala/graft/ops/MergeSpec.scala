@@ -56,6 +56,14 @@ class MergeSpec extends AnyFunSuite {
     assert(got.filter(col("k") === 9).select("v").head().getString(0) == "later")
   }
 
+  test("law: replaying the same delta is a no-op (upsert idempotence)") {
+    val upd = createDf(spark, "k int, v string, version bigint",
+      Seq(Seq[Any](2, "B2", 2L), Seq[Any](7, "new", 2L)))
+    val once = Merge.upsert(base, upd, Seq("k"), "version")
+    val twice = Merge.upsert(once, upd, Seq("k"), "version")
+    assertDfEquality(twice, once, ignoreRowOrder = true)
+  }
+
   test("tieBreak pins the survivor among same-(key, version) duplicates in one side") {
     val upd = createDf(spark, "k int, v string, version bigint, seq int",
       Seq(Seq[Any](9, "low", 3L, 1), Seq[Any](9, "high", 3L, 2)))
