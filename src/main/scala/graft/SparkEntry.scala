@@ -1002,9 +1002,15 @@ object SparkEntry {
     val bytes = aggRow.getAs[Array[Byte]]("sk")
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes))
+    // The eps·N overcount bound holds per estimate only with the sketch's
+    // 0.99 confidence; testing 10 tokens at exactly eps·N would fail a
+    // CORRECT sketch on ~1 in 10 fixtures. 2·eps·N keeps the check
+    // meaningful (undercounting is still impossible and the width is
+    // still 0.2% of N) while the spill-past-2eps probability is
+    // negligible. Deterministic for a given fixture under seed 42.
     val violations = top.count { r =>
       val est = cms.estimateCount(r.getString(0))
-      est < r.getLong(1) || est > r.getLong(1) + (eps * n).ceil.toLong
+      est < r.getLong(1) || est > r.getLong(1) + (2 * eps * n).ceil.toLong
     }
     Seq(violations.toLong).toDF("n_violations")
   }
@@ -1185,9 +1191,13 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("rank"))
 
   /** Sketch-bound validation for approximate quantiles (completing the
-    * HLL/CMS family): each percentile_approx value's TRUE rank must sit
+    * HLL/CMS family): each percentile_approx value must admit SOME rank
     * within the Greenwald-Khanna guarantee `|rank − q·n| ≤ n/accuracy`
-    * (+1 row of integer slack). Deterministic sketch, violations = 0.
+    * (+1 row of integer slack). A duplicated value's valid ranks form
+    * the interval [count(x < v), count(x ≤ v)] — the check passes iff
+    * that interval intersects the GK window, so heavy duplicates at a
+    * quantile boundary cannot spuriously fire it. Deterministic sketch,
+    * violations = 0.
     */
   private def qQuantileBound(s: SparkSession, dir: String): DataFrame = {
     val qs = Seq(0.25, 0.5, 0.75, 0.95)
@@ -1196,13 +1206,17 @@ object SparkEntry {
     val approx = Profile.quantiles(li, Seq("x"), qs, acc)
       .select(posexplode(col("quantiles")).as(Seq("qi", "qv")))
     val qArr = array(qs.map(lit): _*)
+    val slack = col("n").cast("double") / acc + 1.0
+    val target = col("q") * col("n")
     li.crossJoin(broadcast(approx))
       .groupBy(col("qi"), col("qv"))
-      .agg(sum(when(col("x") <= col("qv"), 1L).otherwise(0L)).as("rnk"),
+      .agg(
+        sum(when(col("x") < col("qv"), 1L).otherwise(0L)).as("rank_lo"),
+        sum(when(col("x") <= col("qv"), 1L).otherwise(0L)).as("rank_hi"),
         count(lit(1)).as("n"))
       .withColumn("q", try_element_at(qArr, col("qi") + 1))
       .agg(coalesce(sum(when(
-        abs(col("rnk") - col("q") * col("n")) > col("n").cast("double") / acc + 1.0, 1L)
+        col("rank_lo") > target + slack || col("rank_hi") < target - slack, 1L)
         .otherwise(0L)), lit(0L)).as("n_violations"))
   }
 
@@ -1951,10 +1965,11 @@ object SparkEntry {
         |    (bk + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
         |       || CAST(v.j AS VARCHAR)), 1, 8)) AS BIGINT) % 64) % 64 AS pb
         |  FROM b, (VALUES (1), (2)) v(j))
-        |SELECT p.doc_id, p.j, r.neg_id
+        |SELECT p.doc_id, MIN(p.j) AS j, r.neg_id
         |FROM probes p JOIN reps r USING (pb)
         |WHERE r.neg_id <> p.doc_id
-        |ORDER BY p.doc_id, p.j""".stripMargin,
+        |GROUP BY p.doc_id, r.neg_id
+        |ORDER BY p.doc_id, j""".stripMargin,
     "q_cms" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_interval_join" ->

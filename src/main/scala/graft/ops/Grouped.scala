@@ -83,6 +83,14 @@ object Grouped {
       keys: Seq[String],
       outSchema: StructType,
   )(f: (Row, Iterator[Row], Iterator[Row]) => Iterator[Row]): DataFrame = {
+    // the key encoder is built from the LEFT schema and applied to both
+    // sides' key rows — mismatched key dtypes would fail deep inside an
+    // executor (opaque ClassCastException) or group nothing, so fail fast
+    keys.foreach { k =>
+      val (lt, rt) = (left.schema(k).dataType, right.schema(k).dataType)
+      require(lt == rt, s"cogroup key '$k' dtype mismatch: " +
+        s"left ${lt.simpleString} vs right ${rt.simpleString}")
+    }
     val keySchema = StructType(keys.map(k => left.schema(k)))
     val fullSchema = StructType(keySchema.fields ++ outSchema.fields)
     val keyEnc = Encoders.row(keySchema)

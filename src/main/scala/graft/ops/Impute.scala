@@ -32,6 +32,9 @@ object Impute {
   def imputePerGroup(df: DataFrame, parts: Seq[String], valueCol: String,
                      method: String, outCol: String = "", sumScale: Int = 2): DataFrame = {
     require(parts.nonEmpty, "need at least one grouping column")
+    val reserved = Seq("__mv", "__mn", "__mr", "__fill")
+    require(!df.columns.exists(reserved.contains),
+      s"input columns collide with reserved names (${reserved.mkString(", ")})")
     val out = if (outCol.isEmpty) s"${valueCol}_imputed" else outCol
     val v = col(valueCol)
     method match {

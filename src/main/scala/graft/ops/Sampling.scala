@@ -144,6 +144,12 @@ object Sampling {
       .withColumn("__pb", pmod(col("__b") + probe, lit(nBuckets.toLong)))
       .join(broadcast(reps), Seq("__pb"))
       .filter(col("neg_id") =!= id)
+      // two probes of one id can land in the same bucket (~k²/nBuckets of
+      // rows) and would emit the same partner twice — a wasted/biased
+      // slot in a contrastive batch. Keep one row per distinct partner
+      // (the lowest probe index).
+      .groupBy(id, col("neg_id"))
+      .agg(min(col("j")).as("j"))
       .select(id, col("j"), col("neg_id"))
   }
 }

@@ -177,14 +177,22 @@ object Streaming {
                     keys: Seq[(String, String)],
                     delay: String, within: String): DataFrame = {
     require(keys.nonEmpty, "need at least one key pair")
+    // the right timestamp keeps its own (possibly renamed) column — it
+    // carries information the left ts doesn't; a shared name is suffixed
+    val rTsOut = if (rTsCol == lTsCol) s"${rTsCol}_r" else rTsCol
     val l = if (left.isStreaming) left.withWatermark(lTsCol, delay) else left
-    val r = if (right.isStreaming) right.withWatermark(rTsCol, delay) else right
-    // dataframe-qualified references: both sides usually share key (and
-    // sometimes timestamp) names, and bare col(...) would be ambiguous
+    val r0 = if (rTsOut == rTsCol) right else right.withColumnRenamed(rTsCol, rTsOut)
+    val r = if (r0.isStreaming) r0.withWatermark(rTsOut, delay) else r0
+    // dataframe-qualified references: both sides usually share key names,
+    // and bare col(...) would be ambiguous
     val keyPred = keys.map { case (lc, rc) => l(lc) === r(rc) }.reduce(_ && _)
-    l.join(r, keyPred &&
-      r(rTsCol) >= l(lTsCol) &&
-      r(rTsCol) <= l(lTsCol) + expr(s"INTERVAL $within"))
+    val joined = l.join(r, keyPred &&
+      r(rTsOut) >= l(lTsCol) &&
+      r(rTsOut) <= l(lTsCol) + expr(s"INTERVAL $within"))
+    // same-named key columns would leave the output unusable by name
+    // (ambiguous selects, unwritable parquet): keep the left copy
+    keys.collect { case (lc, rc) if lc == rc => r(rc) }
+      .foldLeft(joined)(_ drop _)
   }
 
   /** Streaming CDC ingest: fold each micro-batch into a versioned parquet
@@ -199,7 +207,19 @@ object Streaming {
   def upsertSnapshotWriter(stream: DataFrame, snapshotBase: String,
                            keys: Seq[String], versionCol: String) =
     stream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-      val base = batch.sparkSession.read.parquet(s"$snapshotBase/v$id")
+      val spark = batch.sparkSession
+      // Guard the version chain: a retried batch legitimately rewrites
+      // the CURRENT head (v{id+1} may exist, v{id+2} must not). If
+      // v{id+2} exists, this batch id is from a reset checkpoint — a
+      // blind write would re-base on a stale v{id} and silently fork the
+      // chain, so fail loudly instead.
+      val ahead = new org.apache.hadoop.fs.Path(s"$snapshotBase/v${id + 2}")
+      val fs = ahead.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(ahead),
+        s"snapshot chain is already at least ${id + 2} versions long but this " +
+          s"batch id is $id — the streaming checkpoint was reset; refusing to " +
+          s"fork the chain at $snapshotBase/v${id + 1}")
+      val base = spark.read.parquet(s"$snapshotBase/v$id")
       graft.ops.Merge.upsert(base, batch, keys, versionCol)
         .write.mode("overwrite").parquet(s"$snapshotBase/v${id + 1}")
     }

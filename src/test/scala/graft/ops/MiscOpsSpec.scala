@@ -17,11 +17,15 @@ class NegativePairsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
-  test("no self-pairs; at most k partners per id") {
+  test("no self-pairs; at most k DISTINCT partners per id (probe collisions dedupe)") {
     val rows = Sampling.negativePairs(ids(100), "id", 3, 8).collect()
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
-    val perId = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
-    assert(perId.values.forall(_ <= 3))
+    val perId = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSeq)
+    assert(perId.values.forall(_.length <= 3))
+    // with 8 buckets and 3 probes collisions are certain across 100 ids:
+    // the dedup must leave partners unique per id
+    assert(perId.values.forall(ps => ps.distinct.length == ps.length),
+      "duplicate partners must collapse to one row")
   }
 
   test("partners are valid corpus ids") {

@@ -264,8 +264,39 @@ class StreamingSpec extends AnyFunSuite {
       imps.addData((ts("2024-01-01 10:00:00"), "a1"))
       clicks.addData((ts("2024-01-01 10:02:00"), "a1"))
       q.processAllAvailable()
-      assert(spark.table("attrib_shared_out").count() == 1)
+      val out = spark.table("attrib_shared_out")
+      assert(out.count() == 1)
+      // output must be usable by name: one 'ad', and the right ts suffixed
+      assert(out.columns.count(_ == "ad") == 1)
+      assert(out.columns.toSeq.sorted == Seq("ad", "ts", "ts_r"))
     } finally q.stop()
+  }
+
+  test("upsert snapshot writer refuses to fork the chain after a checkpoint reset") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-fork").toString
+    // an existing chain three versions long...
+    Seq((1, "a", 1L)).toDF("k", "v", "version").write.parquet(s"$base/v0")
+    Seq((1, "a", 1L)).toDF("k", "v", "version").write.parquet(s"$base/v1")
+    Seq((1, "b", 2L)).toDF("k", "v", "version").write.parquet(s"$base/v2")
+    // ...and a FRESH checkpoint: batch ids restart at 0, which would
+    // silently re-base on stale v0 and overwrite v1 — must fail instead
+    val input = MemoryStream[(Int, String, Long)]
+    val q = graft.streaming.Streaming.upsertSnapshotWriter(
+      input.toDF().toDF("k", "v", "version"), base, Seq("k"), "version")
+      .option("checkpointLocation", s"$base/chk-fresh")
+      .start()
+    try {
+      input.addData((1, "C", 3L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("checkpoint was reset") ||
+        Option(ex.getCause).exists(_.getMessage.contains("checkpoint was reset")))
+    } finally q.stop()
+    // the chain head is untouched
+    assert(spark.read.parquet(s"$base/v2").collect().head.getString(1) == "b")
   }
 
   test("streaming CDC: micro-batches fold into versioned snapshots via upsert") {
