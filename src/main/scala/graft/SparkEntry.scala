@@ -1273,6 +1273,19 @@ object SparkEntry {
         .as("n_violations"))
   }
 
+  /** Stubbed audio resampling through the real mapPartitions plumbing —
+    * the third modality (image/video/audio). The sample-count arithmetic
+    * is derived from byte lengths alone, so the oracle checks it exactly
+    * even though the resampler itself is a stub.
+    */
+  private def qAudioResample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.resampleAudioStub(d, "doc_id", "payload")
+      .select(col("doc_id"), col("n_samples_in"), col("n_samples_out"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1355,6 +1368,7 @@ object SparkEntry {
     "q_fingerprint_containment" -> (qFingerprintContainment _),
     "q_tfidf" -> (qTfidf _),
     "q_quantile_bound" -> (qQuantileBound _),
+    "q_audio_resample" -> (qAudioResample _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2077,5 +2091,10 @@ object SparkEntry {
         |ORDER BY doc_id, rank""".stripMargin,
     "q_quantile_bound" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_audio_resample" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples_in,
+        |  CAST((octet_length(encode(text)) // 2) * 16000 // 44100 AS BIGINT) AS n_samples_out
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -90,4 +90,40 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** STUB audio resampling (the third modality, completing image/video/
+    * audio): interpret the payload as mono 16-bit little-endian PCM and
+    * decimate/hold to the target rate by nearest-sample pick — a real
+    * implementation swaps in a windowed-sinc resampler (libsamplerate/
+    * soxr) behind the same contract. The real parts are the partition-
+    * local batch shape, the sample-count arithmetic
+    * (`n_out = floor(n_in · dstRate / srcRate)`, oracle-verifiable from
+    * byte lengths alone), and payloads never shuffling.
+    */
+  def resampleAudioStub(df: DataFrame, idCol: String, payloadCol: String,
+                        srcRate: Int = 44100, dstRate: Int = 16000): DataFrame = {
+    require(srcRate > 0 && dstRate > 0, "rates must be positive")
+    val inIdx = df.schema.fieldIndex(payloadCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(df.schema(idCol)) ++
+      StructType.fromDDL("n_samples_in bigint, n_samples_out bigint, resampled binary").fields)
+    df.mapPartitions { rows =>
+      // <- per-partition init site (resampler state) — STUB
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](inIdx)
+        val nIn = payload.length / 2
+        val nOut = (nIn * dstRate.toLong / srcRate).toInt
+        val out = new Array[Byte](2 * nOut)
+        var j = 0
+        while (j < nOut) {
+          // nearest-sample hold: src index of output sample j
+          val si = (j * srcRate.toLong / dstRate).toInt
+          out(2 * j) = payload(2 * si)
+          out(2 * j + 1) = payload(2 * si + 1)
+          j += 1
+        }
+        Row.fromSeq(Seq(r.get(idIdx), nIn.toLong, nOut.toLong, out))
+      }
+    }(Encoders.row(outSchema))
+  }
 }

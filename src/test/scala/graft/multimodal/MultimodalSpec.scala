@@ -53,4 +53,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_._1).sorted.toSeq == Seq(0, 3, 6, 9))
     assert(frames.forall(_._2 == 100))
   }
+
+  test("resampleAudioStub: sample counts, output size, and nearest-hold picks") {
+    // 8 s16 samples = 16 bytes; 4:1 decimation -> 2 output samples
+    val pcm = Array.tabulate(16)(_.toByte)
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, pcm)))
+    val out = Multimodal.resampleAudioStub(d, "id", "payload",
+      srcRate = 8000, dstRate = 2000).head()
+    assert(out.getLong(1) == 8L && out.getLong(2) == 2L)
+    val bytes = out.getAs[Array[Byte]](3)
+    assert(bytes.length == 4)
+    // nearest-hold: output sample j comes from src index j*8000/2000 = 4j
+    assert(bytes.toSeq == Seq(pcm(0), pcm(1), pcm(8), pcm(9)))
+  }
+
+  test("resampleAudioStub: identity rates copy the payload verbatim") {
+    val pcm = Array.tabulate(10)(i => (i * 7).toByte)
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, pcm)))
+    val out = Multimodal.resampleAudioStub(d, "id", "payload", 16000, 16000).head()
+    assert(out.getAs[Array[Byte]](3).toSeq == pcm.toSeq)
+  }
+
+  test("resampleAudioStub: upsampling repeats source samples") {
+    val pcm = Array[Byte](1, 2, 3, 4) // two s16 samples
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, pcm)))
+    val out = Multimodal.resampleAudioStub(d, "id", "payload",
+      srcRate = 1000, dstRate = 2000).head()
+    assert(out.getLong(2) == 4L)
+    // src index for j in 0..3 is j/2: samples 0,0,1,1
+    assert(out.getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 1, 2, 3, 4, 3, 4))
+  }
 }
