@@ -32,7 +32,13 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Times are rounded to milliseconds: the metric line must stay short
+    // enough to survive the harness's bounded stdout-tail capture intact
+    // (full-precision doubles pushed past it and the line never parsed),
+    // and sub-ms digits are pure noise at these run times anyway.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // 1-minute load average: round-over-round comparisons need to know
@@ -40,9 +46,8 @@ object Bench {
     val load = try java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage catch { case _: Throwable => -1.0 }
     val metric = if (args.nonEmpty) "subset" else "total"
-    val excluded = (SparkEntry.validationQueries -- selected.keySet).toSeq.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load":$load,"excluded_validation":$excluded}""")
+    val nExcluded = (SparkEntry.validationQueries -- selected.keySet).size
+    println(s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":${fmt(load)},"excluded_validation_n":$nExcluded}""")
     spark.stop()
   }
 }

@@ -55,6 +55,10 @@ object Multimodal {
       // <- per-partition init site (codec handles, model weights) — STUB
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](inIdx)
+        // Crawl corpora carry null payloads (fetch failures): emit a
+        // null-metric row instead of NPE-ing the whole job.
+        if (payload == null) Row.fromSeq(Seq(r.get(idIdx), null, null, null, null))
+        else {
         // Position-weighted unsigned-byte sum: overflow-free up to ~8 MB
         // payloads, and exactly replicable by the SQL oracle (hex-substr
         // byte extraction), so the mapPartitions plumbing is verifiable
@@ -66,6 +70,7 @@ object Multimodal {
         val height = 64 + ((h / 512) % 512).toInt
         val feature = Array.tabulate(8)(i => ((h >> (i * 8)) % 1000).toInt / 1000.0f)
         Row.fromSeq(Seq(r.get(idIdx), width, height, 3, feature.toSeq))
+        }
       }
     }(Encoders.row(outSchema))
   }
@@ -84,7 +89,9 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](inIdx)
-        payload.grouped(frameBytes).zipWithIndex
+        // null payload (fetch failure) → no frames, not an executor NPE
+        if (payload == null) Iterator.empty
+        else payload.grouped(frameBytes).zipWithIndex
           .filter { case (_, i) => i % stride == 0 }
           .map { case (chunk, i) => Row.fromSeq(Seq(r.get(idIdx), i, chunk)) }
       }
@@ -99,6 +106,10 @@ object Multimodal {
     * local batch shape, the sample-count arithmetic
     * (`n_out = floor(n_in · dstRate / srcRate)`, oracle-verifiable from
     * byte lengths alone), and payloads never shuffling.
+    *
+    * Null payloads (fetch failures) emit a null-metric row; an odd
+    * trailing byte is NOT half a 16-bit sample and is deliberately
+    * ignored (`n_in = len / 2`, floor).
     */
   def resampleAudioStub(df: DataFrame, idCol: String, payloadCol: String,
                         srcRate: Int = 44100, dstRate: Int = 16000): DataFrame = {
@@ -111,6 +122,8 @@ object Multimodal {
       // <- per-partition init site (resampler state) — STUB
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](inIdx)
+        if (payload == null) Row.fromSeq(Seq(r.get(idIdx), null, null, null))
+        else {
         val nIn = payload.length / 2
         val nOut = (nIn * dstRate.toLong / srcRate).toInt
         val out = new Array[Byte](2 * nOut)
@@ -123,6 +136,7 @@ object Multimodal {
           j += 1
         }
         Row.fromSeq(Seq(r.get(idIdx), nIn.toLong, nOut.toLong, out))
+        }
       }
     }(Encoders.row(outSchema))
   }

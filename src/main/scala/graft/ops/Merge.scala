@@ -46,6 +46,10 @@ object Merge {
     require(keys.nonEmpty, "need at least one merge key")
     val src = "__upsert_src"
     val rn = "__upsert_rn"
+    val reserved = Set(src, rn)
+    for (df <- Seq(base, updates); c <- df.columns if reserved(c))
+      throw new IllegalArgumentException(
+        s"input column '$c' collides with an upsert-internal name; rename it first")
     val all = base.withColumn(src, lit(0)).unionByName(updates.withColumn(src, lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc +: col(src).desc +: tieBreak.map(col(_).desc): _*)

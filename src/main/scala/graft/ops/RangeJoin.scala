@@ -29,17 +29,19 @@ object RangeJoin {
     *                      false → half-open start <= pt < end (the right
     *                      choice when intervals tile adjacently, e.g.
     *                      session windows where end = next start)
-    * @param maxSpanBuckets drop intervals spanning more than this many
-    *                      buckets (default ~11 years at the 1-hour
-    *                      default width). A single forward extreme-span
-    *                      row — a year-9999 "open" sentinel end, an
-    *                      epoch-0 start — would otherwise explode one
-    *                      row PER BUCKET (~70M rows/interval for a
-    *                      9999-end at 1-hour buckets), the same corrupt-
-    *                      row hazard the reversed-interval pre-filter
-    *                      guards. Pass `None` to keep genuinely huge
-    *                      intervals (and widen `bucketWidthUs` to
-    *                      match).
+    * @param maxSpanBuckets opt-in guard: drop intervals spanning more
+    *                      than this many buckets. A single forward
+    *                      extreme-span row — a year-9999 "open" sentinel
+    *                      end, an epoch-0 start — explodes one row PER
+    *                      BUCKET (~70M rows/interval for a 9999-end at
+    *                      1-hour buckets), the same corrupt-row hazard
+    *                      the reversed-interval pre-filter guards. The
+    *                      default `None` keeps every interval: SCD2-style
+    *                      open-ended rows (end = 9999-12-31 sentinel) are
+    *                      a legitimate pattern and silently dropping them
+    *                      would corrupt results. If you opt in with
+    *                      `Some(m)`, size `bucketWidthUs` so real
+    *                      intervals stay under `m` buckets.
     * @return every (point row ++ interval payload) pair inside the
     *         interval; interval columns are prefixed with `ivPrefix` to
     *         avoid collisions
@@ -51,7 +53,7 @@ object RangeJoin {
       bucketWidthUs: Long = 3600L * 1000000,
       ivPrefix: String = "iv_",
       inclusiveEnd: Boolean = true,
-      maxSpanBuckets: Option[Long] = Some(100000L),
+      maxSpanBuckets: Option[Long] = None,
   ): DataFrame = {
     require(bucketWidthUs > 0, s"bucketWidthUs must be positive: $bucketWidthUs")
     maxSpanBuckets.foreach(m => require(m > 0, s"maxSpanBuckets must be positive: $m"))

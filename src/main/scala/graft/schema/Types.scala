@@ -105,7 +105,13 @@ object Types {
     */
   def evolveTo(df: DataFrame, targetDdl: String): DataFrame = {
     val target = StructType.fromDDL(targetDdl)
-    val present = df.columns.map(c => c.toLowerCase -> c).toMap
+    // Two source columns differing only in case are an ambiguous match —
+    // fail instead of silently binding whichever happened to come last.
+    val present = df.columns.groupBy(_.toLowerCase).map { case (lc, cs) =>
+      if (cs.length > 1) throw new IllegalArgumentException(
+        s"ambiguous case-insensitive match for '$lc': ${cs.mkString(", ")}")
+      lc -> cs.head
+    }
     val cols = target.fields.toSeq.map { f =>
       present.get(f.name.toLowerCase) match {
         case Some(src) =>

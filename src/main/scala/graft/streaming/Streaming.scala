@@ -182,7 +182,21 @@ object Streaming {
     val rTsOut = if (rTsCol == lTsCol) s"${rTsCol}_r" else rTsCol
     val l = if (left.isStreaming) left.withWatermark(lTsCol, delay) else left
     val r0 = if (rTsOut == rTsCol) right else right.withColumnRenamed(rTsCol, rTsOut)
-    val r = if (r0.isStreaming) r0.withWatermark(rTsOut, delay) else r0
+    // Suffix every OTHER right-side column that shares a name with a left
+    // column (key columns excepted — the duplicate key copy is dropped
+    // below). Both streams often derive from one source, so shared
+    // payload names are the norm; leaving them duplicated would make the
+    // output unusable by name (ambiguous selects, unwritable parquet).
+    val rKeyNames = keys.map(_._2).toSet
+    val leftNames = left.columns.toSet
+    val r1 = r0.columns.foldLeft(r0) { (df, c) =>
+      if (c != rTsOut && !rKeyNames(c) && leftNames(c)) {
+        require(!df.columns.contains(s"${c}_r"),
+          s"cannot disambiguate '$c': '${c}_r' already exists on the right side")
+        df.withColumnRenamed(c, s"${c}_r")
+      } else df
+    }
+    val r = if (r1.isStreaming) r1.withWatermark(rTsOut, delay) else r1
     // dataframe-qualified references: both sides usually share key names,
     // and bare col(...) would be ambiguous
     val keyPred = keys.map { case (lc, rc) => l(lc) === r(rc) }.reduce(_ && _)

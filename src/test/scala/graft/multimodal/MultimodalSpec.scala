@@ -83,4 +83,25 @@ class MultimodalSpec extends AnyFunSuite {
     // src index for j in 0..3 is j/2: samples 0,0,1,1
     assert(out.getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 1, 2, 3, 4, 3, 4))
   }
+
+  test("null payloads (fetch failures) yield null-metric rows, never executor NPEs") {
+    val d = createDf(spark, "id bigint, payload binary",
+      Seq(Seq[Any](1L, null), Seq[Any](2L, Array[Byte](1, 2, 3, 4))))
+    val dec = Multimodal.decodeImageStub(d, "id", "payload")
+      .filter(col("id") === 1L).head()
+    assert(dec.isNullAt(1) && dec.isNullAt(4))
+    assert(Multimodal.sampleFramesStub(d, "id", "payload", frameBytes = 2, stride = 1)
+      .filter(col("id") === 1L).count() == 0)
+    val res = Multimodal.resampleAudioStub(d, "id", "payload")
+      .filter(col("id") === 1L).head()
+    assert(res.isNullAt(1) && res.isNullAt(3))
+  }
+
+  test("odd trailing byte is ignored: n_in floors to whole 16-bit samples") {
+    val pcm = Array[Byte](1, 2, 3, 4, 5) // 2.5 samples -> n_in = 2
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, pcm)))
+    val out = Multimodal.resampleAudioStub(d, "id", "payload", 16000, 16000).head()
+    assert(out.getLong(1) == 2L)
+    assert(out.getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3, 4))
+  }
 }

@@ -74,4 +74,17 @@ class MergeSpec extends AnyFunSuite {
     val got2 = Merge.upsert(b, upd.repartition(5), Seq("k"), "version", tieBreak = Seq("seq"))
     assert(got2.filter(col("k") === 9).select("v").head().getString(0) == "high")
   }
+
+  test("inputs carrying upsert-internal column names are rejected, not corrupted") {
+    val poisoned = base.withColumn("__upsert_src", lit(99))
+    val upd = createDf(spark, "k int, v string, version bigint",
+      Seq(Seq[Any](1, "x", 2L)))
+    val e1 = intercept[IllegalArgumentException](
+      Merge.upsert(poisoned, upd.withColumn("__upsert_src", lit(1)), Seq("k"), "version"))
+    assert(e1.getMessage.contains("__upsert_src"))
+    val e2 = intercept[IllegalArgumentException](
+      Merge.upsert(base.withColumn("__upsert_rn", lit(0)),
+        upd.withColumn("__upsert_rn", lit(0)), Seq("k"), "version"))
+    assert(e2.getMessage.contains("__upsert_rn"))
+  }
 }

@@ -154,6 +154,14 @@ class EvolveSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("price", "name"))
     assert(out.head().getDouble(0) == 9.5) // data survives the case mismatch
   }
+
+  test("source columns differing only in case are an ambiguous match — fail loudly") {
+    val src = createDf(spark, "price double, Price double, name string",
+      Seq(Seq[Any](1.0, 2.0, "x")))
+    val e = intercept[IllegalArgumentException](
+      graft.schema.Types.evolveTo(src, "price double, name string"))
+    assert(e.getMessage.contains("ambiguous"))
+  }
 }
 
 class ObserveSpec extends AnyFunSuite {

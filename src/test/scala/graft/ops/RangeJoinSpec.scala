@@ -72,7 +72,17 @@ class RangeJoinSpec extends AnyFunSuite {
           maxSpanBuckets = maxSpan)
         .select("iv_iid").collect().map(_.getInt(0)).toSet
     assert(ids(Some(100L)) == Set(2)) // 7975-bucket sentinel dropped pre-explode
-    assert(ids(None) == Set(1, 2))    // opt-out keeps genuinely open intervals
+    assert(ids(None) == Set(1, 2))    // default keeps genuinely open intervals
+  }
+
+  test("default pointInInterval keeps SCD2 open-ended sentinel rows (guard is opt-in)") {
+    val ivs = createDf(spark, "key string, iid int, s timestamp, e timestamp",
+      Seq(Seq[Any]("a", 1, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00"))))
+    val pts = createDf(spark, "key string, pid int, ts timestamp",
+      Seq(Seq[Any]("a", 1, ts("2024-06-01 00:00:00"))))
+    val out = RangeJoin.pointInInterval(pts, ivs, Seq("key"), "ts", "s", "e", Seq("iid"),
+      bucketWidthUs = 365L * 24 * 3600 * 1000000)
+    assert(out.select("iv_iid").collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
   test("intervals spanning many buckets still match exactly once per point") {

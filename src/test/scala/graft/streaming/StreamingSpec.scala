@@ -272,6 +272,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("shared non-key payload columns are suffixed, not left duplicated") {
+    import spark.implicits._
+    // both sides derive from one source: same key, same ts name, and a
+    // shared payload column "src" that is neither — batch frames exercise
+    // the identical plan
+    val l = Seq((ts("2024-01-01 10:00:00"), "a1", "web")).toDF("ts", "ad", "src")
+    val r = Seq((ts("2024-01-01 10:02:00"), "a1", "app")).toDF("ts", "ad", "src")
+    val out = graft.streaming.Streaming.eventTimeJoin(
+      l, "ts", r, "ts", Seq("ad" -> "ad"), delay = "10 minutes", within = "5 minutes")
+    assert(out.columns.toSeq.sorted == Seq("ad", "src", "src_r", "ts", "ts_r"))
+    val row = out.select("src", "src_r").head()
+    assert((row.getString(0), row.getString(1)) == ("web", "app"))
+  }
+
   test("upsert snapshot writer refuses to fork the chain after a checkpoint reset") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
