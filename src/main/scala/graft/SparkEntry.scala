@@ -1286,6 +1286,114 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-pruned semi join ([[graft.ops.Bloom]]): a selective order-side
+    * predicate builds a bloom filter over the surviving keys; the fact
+    * side is pruned by codegen'd `might_contain` BEFORE its shuffle, then
+    * the exact semi join removes the false positives — result identical
+    * to a plain semi join (the oracle), shuffle volume proportional to
+    * selectivity instead of table size.
+    */
+  private def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val hot = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"))
+    graft.ops.Bloom.bloomSemiJoin(t(s, dir, "lineitem"), hot,
+        "l_orderkey", "o_orderkey", expectedItems = 100000L)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Blocked fuzzy (Levenshtein ≤ 1) duplicate pairs over customer names,
+    * nation as the blocking key ([[graft.text.Fuzzy.fuzzyDupPairs]]) —
+    * the record-linkage candidate generator: one equi-shuffle on the
+    * block key, banded threshold DP within blocks, never a cross product.
+    */
+  private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.text.Fuzzy.fuzzyDupPairs(t(s, dir, "customer"), "c_custkey", "c_name",
+        Seq(col("c_nationkey")), maxDist = 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Regular-grid resample with gap fill
+    * ([[graft.ops.Timeseries.resampleGapFill]]): per-user hourly buckets,
+    * exact decimal sums, empty buckets flagged and forward-filled — all
+    * three stages co-partitioned on the series key.
+    */
+  private def qResample(s: SparkSession, dir: String): DataFrame =
+    Timeseries.resampleGapFill(
+        t(s, dir, "events").filter(col("user_id") < 3),
+        Seq("user_id"), "ts", stepSeconds = 3600,
+        aggs = Seq(dsum(col("value")).as("sum_value")))
+      .select(col("user_id"),
+        date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("sum_value"), col("is_gap"))
+      .orderBy(col("user_id"), col("bucket"))
+
+  /** Robust outlier gate ([[graft.ops.Outliers]]): per-status Tukey
+    * fences from EXACT quartiles (single-pass percentile aggregate, no
+    * sort), bounds broadcast back onto rows, outliers counted. Quantile
+    * interpolation uses exact powers-of-two fractions, so the fences are
+    * bit-identical to the DuckDB oracle's `quantile_cont`.
+    */
+  private def qOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Outliers.flagIqrOutliers(
+        t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
+      .groupBy(col("o_orderstatus"))
+      .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Exact-moment Pearson correlation in long form
+    * ([[graft.ops.Profile.corrExact]]): decimal moment sums (order-free,
+    * partial-agg-safe), closed-form r in one deterministic double
+    * expression — streaming `corr()` could never hash-match across
+    * engines.
+    */
+  private def qCorr(s: SparkSession, dir: String): DataFrame =
+    Profile.corrExact(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq("l_quantity" -> "l_extendedprice", "l_quantity" -> "l_discount",
+          "l_extendedprice" -> "l_discount"),
+        // All moment products here carry ≤4 true decimal places, and at
+        // the ~1e10 magnitude of price² a double's ulp (~2e-6) crowds a
+        // scale-6 cast's 0.5e-6 rounding boundary — scale 4 is exact AND
+        // leaves the boundary 50× clear of float error on both engines.
+        scale = 4)
+      .orderBy(col("l_returnflag"), col("x_col"), col("y_col"))
+
+  /** Golden-record consolidation ([[graft.ops.Merge.consolidate]]): per
+    * user, each column independently takes its most recent NON-NULL
+    * value (error events null out `value`), one window shuffle. The
+    * column-level upgrade of row-level last-wins upsert.
+    */
+  private def qConsolidate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("user_id") < 20)
+      .withColumn("value",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+    Merge.consolidate(e, Seq("user_id"), "ts", Seq("value"), tieBreak = Seq("event_id"))
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Semantic dedup, keep-one-per-cluster
+    * ([[graft.text.Dedup.dedupByPairs]]): exact cosine near-dup pairs →
+    * connected components (hash-to-min with pointer jumping) → minimum
+    * member survives. The oracle rebuilds the same components with a
+    * recursive CTE over the identical pair set, so the GROUPING
+    * semantics are verified, not just the pair list.
+    */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.45)
+    Dedup.dedupByPairs(e.select(col("vec_id"), col("label")), "vec_id", pairs)
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1369,6 +1477,13 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_quantile_bound" -> (qQuantileBound _),
     "q_audio_resample" -> (qAudioResample _),
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_resample" -> (qResample _),
+    "q_outliers" -> (qOutliers _),
+    "q_corr" -> (qCorr _),
+    "q_consolidate" -> (qConsolidate _),
+    "q_semdedup" -> (qSemDedup _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2096,5 +2211,131 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples_in,
         |  CAST((octet_length(encode(text)) // 2) * 16000 // 44100 AS BIGINT) AS n_samples_out
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Bloom pruning never changes the result (no false negatives; false
+    // positives die in the exact join), so the oracle is the plain semi
+    // join the operator accelerates.
+    "q_bloom_join" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Blocking is part of the contract: the oracle applies the identical
+    // block (nation equality) before the edit-distance predicate.
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS b, value
+        |  FROM events WHERE user_id < 3),
+        |obs AS (
+        |  SELECT user_id, b,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |  FROM e GROUP BY user_id, b),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(b), max(b), INTERVAL 1 HOUR)) AS b
+        |  FROM e GROUP BY user_id)
+        |SELECT g.user_id, strftime(g.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  last_value(o.sv IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+        |  o.sv IS NULL AS is_gap
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+        |ORDER BY g.user_id, bucket""".stripMargin,
+    // quantile_cont interpolates lower + (upper-lower)·frac with frac an
+    // exact power-of-two fraction here, matching Spark's percentile bit
+    // for bit; the fence arithmetic mirrors the operator's expression
+    // shape exactly.
+    "q_outliers" ->
+      """WITH q AS (
+        |  SELECT o_orderstatus,
+        |    CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE) AS q1,
+        |    CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE) AS q3
+        |  FROM orders GROUP BY o_orderstatus),
+        |b AS (
+        |  SELECT o_orderstatus, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q)
+        |SELECT o.o_orderstatus, b.q1, b.q3, b.lo, b.hi,
+        |  SUM(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
+        |      THEN 1 ELSE 0 END) AS n_outliers,
+        |  COUNT(*) AS n_rows
+        |FROM orders o JOIN b ON o.o_orderstatus = b.o_orderstatus
+        |GROUP BY o.o_orderstatus, b.q1, b.q3, b.lo, b.hi
+        |ORDER BY o.o_orderstatus""".stripMargin,
+    // Moments accumulate as exact decimals; only the closed-form r runs
+    // in doubles, with the identical expression shape on both engines.
+    "q_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sqp,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS sqd,
+        |    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS spd,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS sdd
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, x_col, y_col, n_rows AS n,
+        |  CASE WHEN den <> 0 THEN num / den END AS corr
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS x_col, 'l_extendedprice' AS y_col, n_rows,
+        |    n * sqp - sq * sp AS num,
+        |    sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp) AS den FROM s
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_quantity', 'l_discount', n_rows,
+        |    n * sqd - sq * sd, sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd) FROM s
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', 'l_discount', n_rows,
+        |    n * spd - sp * sd, sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd) FROM s)
+        |ORDER BY l_returnflag, x_col, y_col""".stripMargin,
+    "q_consolidate" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  event_type, value
+        |FROM (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id < 20)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // Rebuild the SAME duplicate components (transitive closure over the
+    // exact cosine pair set) with a recursive CTE, keep each component's
+    // minimum id — verifying the grouping semantics of dedupByPairs, not
+    // just its pair list.
+    "q_semdedup" ->
+      """WITH RECURSIVE nv AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+        |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      list_sum(list_transform(list_zip(a.nv, b.nv), x -> x[1] * x[2])) AS cos
+        |    FROM nv a, nv b WHERE a.vec_id < b.vec_id)
+        |  WHERE cos > 0.45),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |losers AS (
+        |  SELECT a AS vec_id FROM reach GROUP BY a HAVING min(b) <> a)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
   )
 }

@@ -57,4 +57,42 @@ object Merge {
       .filter(col(rn) === 1)
       .drop(src, rn)
   }
+
+  /** Golden-record consolidation: collapse each key's row GROUP into one
+    * survivor row whose every value column independently takes the most
+    * recent NON-NULL value — the record-linkage "merge" step after
+    * matching (e.g. [[graft.text.Fuzzy.fuzzyDedupe]] clusters), and the
+    * column-level upgrade of [[upsert]]'s row-level last-wins: a fresher
+    * row with a null field no longer erases an older row's known value.
+    *
+    * One hash shuffle on the keys; the per-column "latest non-null" is a
+    * running `last(ignoreNulls)` over the (version, tieBreak) order and
+    * the survivor is the partition's last row — both ride the same
+    * window exchange, no self-join. Ties on (key, version) without a
+    * `tieBreak` are nondeterministic, same contract as [[upsert]].
+    */
+  def consolidate(
+      df: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      valueCols: Seq[String],
+      tieBreak: Seq[String] = Nil,
+  ): DataFrame = {
+    require(keys.nonEmpty, "need at least one consolidation key")
+    require(valueCols.nonEmpty, "need at least one value column")
+    val rn = "__gold_rn"
+    for (c <- df.columns if c == rn)
+      throw new IllegalArgumentException(
+        s"input column '$c' collides with a consolidate-internal name; rename it first")
+    val order = (col(versionCol) +: tieBreak.map(col)).map(_.asc)
+    val run = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(versionCol) +: tieBreak.map(col)).map(_.desc): _*)
+    valueCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(run)))
+      .withColumn(rn, row_number().over(pick))
+      .filter(col(rn) === 1)
+      .drop(rn)
+  }
 }

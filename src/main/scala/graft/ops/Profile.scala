@@ -111,6 +111,58 @@ object Profile {
     wide.select(expr(s"stack(${cols.size}, $stackArgs) AS (col_name, quantiles)"))
   }
 
+  /** Exact pairwise correlation/covariance in long form — one row per
+    * (group, column pair) with Pearson r computed from EXACT decimal
+    * moment sums.
+    *
+    * Why not `corr()`: both Spark and DuckDB implement streaming
+    * covariance updates whose float rounding depends on row order, so a
+    * distributed result can never hash-match a single-process oracle.
+    * Here the five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * decimals — associative, partial-aggregate-safe, order-insensitive —
+    * and only the final closed form
+    * `r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx·Σx) · √(n·Σy² − Σy·Σy))`
+    * runs in doubles, one deterministic expression both engines evaluate
+    * identically. Choose `scale` = the sum of the inputs' true decimal
+    * places (so the product casts are exact) and NO LARGER: the cast is
+    * only cross-engine-deterministic while the double's representation
+    * error stays well under half the decimal grid (0.5·10⁻ˢ), and each
+    * extra digit of scale eats 10× of that margin.
+    *
+    * One scan, one shuffle on the group keys, output rows = groups ×
+    * pairs. Rows where either side is null are excluded per-pair
+    * (pairwise deletion, pandas `DataFrame.corr` semantics).
+    */
+  def corrExact(df: DataFrame, groupBy: Seq[String],
+                pairs: Seq[(String, String)], scale: Int = 4): DataFrame = {
+    require(pairs.nonEmpty, "need at least one column pair")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(30, scale)
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      def m(e: Column, name: String) =
+        sum(when(both, e).cast(dec)).cast("double").as(s"__${name}_$i")
+      Seq(sum(when(both, 1L).otherwise(0L)).as(s"__n_$i"),
+        m(col(x), "sx"), m(col(y), "sy"), m(col(x) * col(y), "sxy"),
+        m(col(x) * col(x), "sxx"), m(col(y) * col(y), "syy"))
+    }
+    val wide =
+      if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val withCorr = pairs.indices.foldLeft(wide) { (d, i) =>
+      val n = col(s"__n_$i").cast("double")
+      val num = n * col(s"__sxy_$i") - col(s"__sx_$i") * col(s"__sy_$i")
+      val den = sqrt(n * col(s"__sxx_$i") - col(s"__sx_$i") * col(s"__sx_$i")) *
+        sqrt(n * col(s"__syy_$i") - col(s"__sy_$i") * col(s"__sy_$i"))
+      d.withColumn(s"__corr_$i", when(den =!= 0.0, num / den))
+    }
+    val stackArgs = pairs.zipWithIndex.map { case ((x, y), i) =>
+      s"${strLit(x)}, ${strLit(y)}, ${bt(s"__n_$i")}, ${bt(s"__corr_$i")}"
+    }.mkString(", ")
+    withCorr.select((groupBy.map(col) :+ expr(
+      s"stack(${pairs.size}, $stackArgs) AS (x_col, y_col, n, corr)")): _*)
+  }
+
   /** Exact fixed-width histogram: `nBins` equal bins over `[lo, hi)`,
     * with bin `-1` for underflow and bin `nBins` for overflow (so the
     * bins partition the whole line and counts always sum to the row

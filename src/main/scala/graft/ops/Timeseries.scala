@@ -107,4 +107,48 @@ object Timeseries {
     valueCols.foldLeft(df)((d, c) =>
       d.withColumn(c, coalesce(col(c), avg(col(c)).over(w))))
   }
+
+  /** Floor a timestamp onto a fixed `stepSeconds` grid (microsecond
+    * arithmetic — exact, no timezone round-trip).
+    */
+  def timeBucket(ts: Column, stepSeconds: Long): Column =
+    timestamp_micros((floor(unix_micros(ts) / (stepSeconds * 1000000L)) *
+      (stepSeconds * 1000000L)).cast("long"))
+
+  /** Resample each series onto a regular `stepSeconds` grid with gap
+    * filling — the pandas `resample().agg().ffill()` pipeline as three
+    * co-partitioned distributed stages:
+    *
+    *  1. aggregate observations per (series, bucket) with caller-supplied
+    *     aggregates (`aggs` must carry explicit aliases);
+    *  2. build each series' dense grid — `sequence(min, max, step)` per
+    *     series, exploded; grid SIZE scales with span/step, rows never
+    *     re-shuffle because min/max ride the same groupBy;
+    *  3. left-join observations onto the grid (same (series, bucket)
+    *     partitioning) and forward-fill the aggregate columns; empty
+    *     buckets are flagged `is_gap`.
+    *
+    * All three shuffles hash on the series keys, so AQE coalesces them
+    * onto one layout; no global sort anywhere. At 100 TB the only hazard
+    * is a pathological span/step ratio (one series spanning years at
+    * 1-second steps explodes its grid) — size `stepSeconds` to the span,
+    * same contract as [[graft.ops.RangeJoin.pointInInterval]] bucketing.
+    */
+  def resampleGapFill(df: DataFrame, parts: Seq[String], tsCol: String,
+                      stepSeconds: Long, aggs: Seq[Column]): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive: $stepSeconds")
+    require(parts.nonEmpty, "need at least one series key")
+    val bucketed = df.withColumn("__bucket", timeBucket(col(tsCol), stepSeconds))
+    val observed = bucketed.groupBy((parts :+ "__bucket").map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val aggNames = observed.columns.diff(parts :+ "__bucket")
+    val grid = bucketed.groupBy(parts.map(col): _*)
+      .agg(min(col("__bucket")).as("__lo"), max(col("__bucket")).as("__hi"))
+      .select((parts.map(col) :+ explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL $stepSeconds SECOND"))).as("__bucket")): _*)
+    val joined = grid.join(observed, parts :+ "__bucket", "left")
+      .withColumn("is_gap", aggNames.map(col(_).isNull).reduce(_ && _))
+    ffill(joined, parts, Seq("__bucket"), aggNames)
+      .withColumnRenamed("__bucket", "bucket_ts")
+  }
 }

@@ -75,6 +75,47 @@ class MergeSpec extends AnyFunSuite {
     assert(got2.filter(col("k") === 9).select("v").head().getString(0) == "high")
   }
 
+  test("consolidate: each column independently takes its latest non-null value") {
+    val hist = createDf(spark, "k int, name string, email string, version bigint", Seq(
+      Seq[Any](1, "ann", null, 1L),
+      Seq[Any](1, null, "ann@x", 2L),
+      Seq[Any](1, "anne", null, 3L),
+      Seq[Any](2, "bob", "bob@x", 1L)))
+    val got = Merge.consolidate(hist, Seq("k"), "version", Seq("name", "email"))
+    val want = createDf(spark, "k int, name string, email string, version bigint", Seq(
+      // name from v3, email from v2 — no single input row holds both
+      Seq[Any](1, "anne", "ann@x", 3L),
+      Seq[Any](2, "bob", "bob@x", 1L)))
+    assertDfEquality(got, want, ignoreRowOrder = true)
+  }
+
+  test("consolidate beats row-level upsert when the freshest row has holes") {
+    val hist = createDf(spark, "k int, v string, version bigint", Seq(
+      Seq[Any](1, "known", 1L), Seq[Any](1, null, 2L)))
+    // row-level last-wins keeps the null; column-level keeps "known"
+    assert(Merge.consolidate(hist, Seq("k"), "version", Seq("v"))
+      .head().getString(1) == "known")
+    assert(Merge.consolidate(hist, Seq("k"), "version", Seq("v"))
+      .head().getLong(2) == 2L) // but the survivor row IS the freshest
+  }
+
+  test("consolidate: same-version ties are deterministic with a tieBreak") {
+    val hist = createDf(spark, "k int, v string, version bigint, seq int", Seq(
+      Seq[Any](1, "lo", 5L, 1), Seq[Any](1, "hi", 5L, 2)))
+    val got = Merge.consolidate(hist, Seq("k"), "version", Seq("v"), tieBreak = Seq("seq"))
+    assert(got.head().getString(1) == "hi")
+  }
+
+  test("consolidate rejects reserved-name collisions and empty specs") {
+    val bad = base.withColumn("__gold_rn", lit(1))
+    intercept[IllegalArgumentException](
+      Merge.consolidate(bad, Seq("k"), "version", Seq("v")))
+    intercept[IllegalArgumentException](
+      Merge.consolidate(base, Nil, "version", Seq("v")))
+    intercept[IllegalArgumentException](
+      Merge.consolidate(base, Seq("k"), "version", Nil))
+  }
+
   test("inputs carrying upsert-internal column names are rejected, not corrupted") {
     val poisoned = base.withColumn("__upsert_src", lit(99))
     val upd = createDf(spark, "k int, v string, version bigint",
