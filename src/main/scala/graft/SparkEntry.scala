@@ -1360,7 +1360,9 @@ object SparkEntry {
         // the ~1e10 magnitude of price² a double's ulp (~2e-6) crowds a
         // scale-6 cast's 0.5e-6 rounding boundary — scale 4 is exact AND
         // leaves the boundary 50× clear of float error on both engines.
-        scale = 4)
+        // lineitem has no nulls, so shared moments cut the exact decimal
+        // aggregations (the cost center) from 18 to 10.
+        scale = 4, assumeComplete = true)
       .orderBy(col("l_returnflag"), col("x_col"), col("y_col"))
 
   /** Golden-record consolidation ([[graft.ops.Merge.consolidate]]): per

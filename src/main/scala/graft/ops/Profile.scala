@@ -132,32 +132,65 @@ object Profile {
     * One scan, one shuffle on the group keys, output rows = groups ×
     * pairs. Rows where either side is null are excluded per-pair
     * (pairwise deletion, pandas `DataFrame.corr` semantics).
+    *
+    * `assumeComplete = true` asserts no nulls in any involved column, so
+    * single-column moments are shared ACROSS pairs instead of recomputed
+    * under each pair's null mask — for p pairs over c columns that is
+    * `1 + 2c + p` decimal aggregations instead of `6p` (a full 3-column
+    * matrix drops from 18 to 10). Exact decimal aggregation is the cost
+    * center here, so this is nearly a 2× on wide matrices; results are
+    * identical whenever the no-null assertion actually holds.
     */
   def corrExact(df: DataFrame, groupBy: Seq[String],
-                pairs: Seq[(String, String)], scale: Int = 4): DataFrame = {
+                pairs: Seq[(String, String)], scale: Int = 4,
+                assumeComplete: Boolean = false): DataFrame = {
     require(pairs.nonEmpty, "need at least one column pair")
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(30, scale)
-    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
-      val both = col(x).isNotNull && col(y).isNotNull
-      def m(e: Column, name: String) =
-        sum(when(both, e).cast(dec)).cast("double").as(s"__${name}_$i")
-      Seq(sum(when(both, 1L).otherwise(0L)).as(s"__n_$i"),
-        m(col(x), "sx"), m(col(y), "sy"), m(col(x) * col(y), "sxy"),
-        m(col(x) * col(x), "sxx"), m(col(y) * col(y), "syy"))
-    }
+    val aggs =
+      if (assumeComplete) {
+        val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        (count(lit(1)).as("__n_all") +:
+          cols.flatMap(c => Seq(
+            sum(col(c).cast(dec)).cast("double").as(s"__s_$c"),
+            sum((col(c) * col(c)).cast(dec)).cast("double").as(s"__ss_$c")))) ++
+          pairs.zipWithIndex.map { case ((x, y), i) =>
+            sum((col(x) * col(y)).cast(dec)).cast("double").as(s"__sxy_$i") }
+      } else pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+        val both = col(x).isNotNull && col(y).isNotNull
+        def m(e: Column, name: String) =
+          sum(when(both, e).cast(dec)).cast("double").as(s"__${name}_$i")
+        Seq(sum(when(both, 1L).otherwise(0L)).as(s"__n_$i"),
+          m(col(x), "sx"), m(col(y), "sy"), m(col(x) * col(y), "sxy"),
+          m(col(x) * col(x), "sxx"), m(col(y) * col(y), "syy"))
+      }
     val wide =
       if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    def moment(i: Int, name: String): Column =
+      if (!assumeComplete) col(s"__${name}_$i")
+      else {
+        val (x, y) = pairs(i)
+        name match {
+          case "n"   => col("__n_all")
+          case "sx"  => col(s"__s_$x")
+          case "sy"  => col(s"__s_$y")
+          case "sxx" => col(s"__ss_$x")
+          case "syy" => col(s"__ss_$y")
+          case "sxy" => col(s"__sxy_$i")
+        }
+      }
     val withCorr = pairs.indices.foldLeft(wide) { (d, i) =>
-      val n = col(s"__n_$i").cast("double")
-      val num = n * col(s"__sxy_$i") - col(s"__sx_$i") * col(s"__sy_$i")
-      val den = sqrt(n * col(s"__sxx_$i") - col(s"__sx_$i") * col(s"__sx_$i")) *
-        sqrt(n * col(s"__syy_$i") - col(s"__sy_$i") * col(s"__sy_$i"))
+      val n = moment(i, "n").cast("double")
+      val (sx, sy) = (moment(i, "sx"), moment(i, "sy"))
+      val num = n * moment(i, "sxy") - sx * sy
+      val den = sqrt(n * moment(i, "sxx") - sx * sx) *
+        sqrt(n * moment(i, "syy") - sy * sy)
       d.withColumn(s"__corr_$i", when(den =!= 0.0, num / den))
+        .withColumn(s"__pn_$i", moment(i, "n"))
     }
     val stackArgs = pairs.zipWithIndex.map { case ((x, y), i) =>
-      s"${strLit(x)}, ${strLit(y)}, ${bt(s"__n_$i")}, ${bt(s"__corr_$i")}"
+      s"${strLit(x)}, ${strLit(y)}, ${bt(s"__pn_$i")}, ${bt(s"__corr_$i")}"
     }.mkString(", ")
     withCorr.select((groupBy.map(col) :+ expr(
       s"stack(${pairs.size}, $stackArgs) AS (x_col, y_col, n, corr)")): _*)

@@ -25,7 +25,40 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
+  /** All single-character deletions of `s` (empty array for the empty
+    * string). Pure codegen'd string slicing — no UDF.
+    */
+  private def deletions(s: Column): Column =
+    when(length(s) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), length(s) - 1),
+        i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
+
+  /** Symmetric-delete signature set for edit distance ≤ k (k ≤ 2): the
+    * string plus every variant obtainable by deleting up to k
+    * characters. If `lev(a, b) ≤ k` then a and b share at least one
+    * signature (delete the edited alignment positions from each side),
+    * so joining on signatures yields an EXACT candidate superset —
+    * the SymSpell / FastSS dictionary trick turned into a join key.
+    */
+  private[text] def deletionSigs(s: Column, k: Int): Column = k match {
+    case 0 => array(s)
+    case 1 => array_distinct(concat(array(s), deletions(s)))
+    case 2 => array_distinct(concat(array(s), deletions(s),
+      flatten(transform(deletions(s), d => deletions(d)))))
+    case n => throw new IllegalArgumentException(
+      s"deletion signatures are practical for maxDist <= 2, got $n")
+  }
+
   /** Candidate pairs within blocks at edit distance ≤ `maxDist`.
+    *
+    * For `maxDist ≤ 2` the pair search is signature-based: each row
+    * explodes into its ≤k-deletion variants ([[deletionSigs]]) and pairs
+    * join on (block, signature) — a HIGH-cardinality equi-join whose
+    * group sizes track true near-duplicate density, instead of the
+    * in-block cross product (which parallelizes no wider than the block
+    * count and squares with block size). Identical results either way;
+    * `maxDist ≥ 3` falls back to the quadratic in-block scan (signature
+    * counts grow as C(len, k)).
     *
     * @param df       input frame
     * @param idCol    unique row id (output pairs are `id_a < id_b`, so
@@ -40,10 +73,24 @@ object Fuzzy {
     require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
     val blocks = blockBy.zipWithIndex.map { case (c, i) => c.as(s"__blk_$i") }
     val blockNames = blockBy.indices.map(i => s"__blk_$i")
-    val a = df.select((col(idCol).as("id_a") +: col(strCol).as("str_a") +: blocks): _*)
-    val b = df.select((col(idCol).as("id_b") +: col(strCol).as("str_b") +: blocks): _*)
-    a.join(b, blockNames)
-      .filter(col("id_a") < col("id_b"))
+    val candidates =
+      if (maxDist <= 2) {
+        val sigged = df.select((col(idCol).as("id") +: col(strCol).as("str") +: blocks): _*)
+          .withColumn("__sig", explode(deletionSigs(col("str"), maxDist)))
+        val a = sigged.select((col("id").as("id_a") +: col("str").as("str_a") +:
+          (blockNames.map(col) :+ col("__sig"))): _*)
+        val b = sigged.select((col("id").as("id_b") +: col("str").as("str_b") +:
+          (blockNames.map(col) :+ col("__sig"))): _*)
+        a.join(b, blockNames :+ "__sig")
+          .filter(col("id_a") < col("id_b"))
+          // pairs sharing several signatures must cost one DP, not many
+          .dropDuplicates("id_a", "id_b")
+      } else {
+        val a = df.select((col(idCol).as("id_a") +: col(strCol).as("str_a") +: blocks): _*)
+        val b = df.select((col(idCol).as("id_b") +: col(strCol).as("str_b") +: blocks): _*)
+        a.join(b, blockNames).filter(col("id_a") < col("id_b"))
+      }
+    candidates
       // length pre-filter: |len(a)-len(b)| > maxDist can never pass — a
       // cheap codegen'd compare that skips the Levenshtein DP entirely
       .filter(abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)

@@ -107,6 +107,48 @@ class PlanSpec extends AnyFunSuite {
     assert(read.count() == expected)
   }
 
+  test("q_bloom_join: might_contain prunes the fact scan BEFORE the semi join") {
+    val p = plan("q_bloom_join")
+    // the bloom literal probe must sit in a Filter directly over the
+    // lineitem scan — pruning after the join would be pure overhead
+    val factScan = p.indexOf("lineitem.parquet")
+    val probe = p.indexOf("might_contain")
+    assert(probe >= 0, s"expected a might_contain probe:\n${p.take(1500)}")
+    assert(factScan >= 0 && probe < factScan,
+      "might_contain must appear above (i.e. filtering) the fact scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_fuzzy_join pairs via the signature equi-join — never an in-block cross product") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"signature path must stay an equi-join:\n${p.take(2000)}")
+    // the join key must include the exploded signature, not just the
+    // 25-value nation block (which caps parallelism at 25 tasks)
+    assert(p.contains("__sig"), s"expected the deletion-signature join key:\n${p.take(2000)}")
+  }
+
+  test("q_resample: every stage hash-partitions on the series key (no global sort until output)") {
+    val p = plan("q_resample")
+    val parts = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(parts >= 1, s"expected user_id hash partitioning:\n${p.take(2000)}")
+    val rangeBeforeSort = p.linesIterator.filter(_.contains("Exchange rangepartitioning")).size
+    assert(rangeBeforeSort <= 1, "only the final orderBy may range-partition")
+  }
+
+  test("q_corr is one scan: a single aggregate pass, no joins") {
+    val p = plan("q_corr")
+    assert(!p.contains("Join"), s"corr must not self-join:\n${p.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 scan, found $scans")
+  }
+
+  test("q_outliers: bounds attach via broadcast, rows shuffle for the quantile only") {
+    val p = plan("q_outliers")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"per-group bounds must broadcast back onto rows:\n${p.take(2000)}")
+  }
+
   test("grouped-apply plans exactly one hash exchange, clustering below MapGroups") {
     val p = plan("q_grouped_apply")
     assert(p.contains("MapGroups"), s"expected MapGroups node:\n${p.take(1500)}")

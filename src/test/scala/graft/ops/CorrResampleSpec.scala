@@ -44,6 +44,17 @@ class CorrExactSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-12) // (1,2),(3,6),(5,10) linear
   }
 
+  test("assumeComplete (shared moments) matches the pairwise path on null-free data") {
+    val ps = Seq("x" -> "y", "x" -> "x", "y" -> "x")
+    val slow = Profile.corrExact(df, Seq("k"), ps)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n"), r.getAs[Double]("corr"))).toSet
+    val fast = Profile.corrExact(df, Seq("k"), ps, assumeComplete = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n"), r.getAs[Double]("corr"))).toSet
+    assert(fast == slow) // bit-identical: same decimal sums, same closed form
+  }
+
   test("zero-variance side yields null corr, not NaN or crash") {
     val flat = Seq(("a", 1.0, 7.0), ("a", 2.0, 7.0)).toDF("k", "x", "y")
     val r = Profile.corrExact(flat, Seq("k"), Seq("x" -> "y")).head()

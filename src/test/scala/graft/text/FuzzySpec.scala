@@ -71,6 +71,38 @@ class FuzzySpec extends AnyFunSuite {
     assert(got == Set(1L, 4L, 5L, 6L))
   }
 
+  test("quadratic fallback (maxDist >= 3) agrees with the naive result too") {
+    val got = Fuzzy.fuzzyDupPairs(names, "id", "name", Seq(col("block")), 3)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == naivePairs(3))
+  }
+
+  test("signature path works with NO blocking keys (corpus-wide search)") {
+    val got = Fuzzy.fuzzyDupPairs(names, "id", "name", Nil, 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same as naive without the block constraint
+    val rows = names.collect().map(r => (r.getLong(0), r.getString(2)))
+    val want = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      if levenshteinDist(a._2, b._2) <= 1
+    } yield (a._1, b._1)).toSet
+    assert(got == want)
+  }
+
+  test("deletion signatures: sharing a signature is necessary for lev <= k") {
+    import spark.implicits._
+    val pairsToCheck = Seq(("smith", "smyth"), ("smith", "mith"), ("smith", "smiths"),
+      ("abc", "cba"), ("kitten", "sitting"), ("", "a"), ("ab", "ba"))
+    for (k <- Seq(1, 2); (a, b) <- pairsToCheck) {
+      val Seq(sa, sb) = Seq(a, b).toDF("s")
+        .select(Fuzzy.deletionSigs(col("s"), k)).as[Seq[String]].collect().toSeq
+      val shares = sa.toSet.intersect(sb.toSet).nonEmpty
+      if (levenshteinDist(a, b) <= k)
+        assert(shares, s"lev($a,$b) <= $k must share a signature")
+    }
+  }
+
   test("maxDist=0 degenerates to exact match within block") {
     val dup = Seq((1L, "b", "x"), (2L, "b", "x"), (3L, "b", "y")).toDF("id", "block", "name")
     val got = Fuzzy.fuzzyDupPairs(dup, "id", "name", Seq(col("block")), 0)
