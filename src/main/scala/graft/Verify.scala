@@ -9,6 +9,12 @@ object Verify {
     // optional 3rd arg: comma-separated query names — run (and emit
     // oracles for) just that subset, for fast local iteration
     val subset = args.lift(2).map(_.split(",").toSet)
+    // a typo'd name must fail loudly — a silent no-op would leave stale
+    // parquet beside a pruned oracle map and corrupt the compare
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = subset.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

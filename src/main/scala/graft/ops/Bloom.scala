@@ -42,10 +42,25 @@ object Bloom {
     */
   def buildBloom(df: DataFrame, key: Column, expectedItems: Long,
                  fpp: Double = 0.01): Array[Byte] = {
+    val numBits = optimalNumBits(expectedItems, fpp)
+    // BloomFilterAggregate SILENTLY Math.min-clamps both parameters
+    // against these session confs (defaults: 4M items, 67,108,864 bits ≈
+    // 8 MB) — a clamped sketch quietly degrades fpp to tens of percent
+    // and the prune stops pruning exactly at the scale this operator
+    // targets. Fail loudly instead and tell the caller which knob to
+    // raise ("no silent caps").
+    def cap(conf: String, default: Long, requested: Long): Unit = {
+      val limit = df.sparkSession.conf.getOption(conf).map(_.toLong).getOrElse(default)
+      require(requested <= limit,
+        s"requested $requested exceeds $conf=$limit — Spark would silently " +
+          s"clamp the bloom filter (degrading fpp); raise the conf or lower expectedItems/fpp")
+    }
+    cap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L, expectedItems)
+    cap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L, numBits)
     val agg = new BloomFilterAggregate(
       GraftColumns.exprOf(xxhash64(key)),
       GraftColumns.exprOf(lit(expectedItems)),
-      GraftColumns.exprOf(lit(optimalNumBits(expectedItems, fpp))),
+      GraftColumns.exprOf(lit(numBits)),
     ).toAggregateExpression()
     df.select(GraftColumns.ofExpr(agg).as("bloom")).head().getAs[Array[Byte]](0)
   }
@@ -70,6 +85,8 @@ object Bloom {
   def bloomSemiJoin(big: DataFrame, small: DataFrame,
                     bigKey: String, smallKey: String,
                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(!big.columns.contains("__bloom_key"),
+      "input column '__bloom_key' collides with a bloomSemiJoin-internal name; rename it first")
     val bloom = buildBloom(small, col(smallKey), expectedItems, fpp)
     val pruned = pruneByBloom(big, col(bigKey), bloom)
     val keys = small.select(col(smallKey).as("__bloom_key")).distinct()

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
+  private def guardNames(df: DataFrame, reserved: Seq[String], op: String): Unit =
+    for (c <- df.columns if reserved.contains(c))
+      throw new IllegalArgumentException(
+        s"input column '$c' collides with a $op output/internal name; rename it first")
+
   /** Per-group Tukey fences from exact quartiles:
     * `[q1 - k·IQR, q3 + k·IQR]` (classic k = 1.5).
     *
@@ -36,9 +41,11 @@ object Outliers {
     * the bounds side is broadcast (one row per group).
     */
   def flagIqrOutliers(df: DataFrame, groupBy: Seq[String], valueCol: String,
-                      k: Double = 1.5): DataFrame =
+                      k: Double = 1.5): DataFrame = {
+    guardNames(df, Seq("q1", "q3", "lo", "hi", "is_outlier"), "flagIqrOutliers")
     df.join(broadcast(iqrBounds(df, groupBy, col(valueCol), k)), groupBy)
       .withColumn("is_outlier", col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+  }
 
   /** Per-group median/MAD robust z-score:
     * `|x - median| / MAD > z` where `MAD = median(|x - median|)`.
@@ -49,6 +56,7 @@ object Outliers {
     */
   def flagMadOutliers(df: DataFrame, groupBy: Seq[String], valueCol: String,
                       z: Double = 3.5): DataFrame = {
+    guardNames(df, Seq("__med", "__mad", "is_outlier"), "flagMadOutliers")
     val med = df.groupBy(groupBy.map(col): _*)
       .agg(median(col(valueCol)).as("__med"))
     val withMed = df.join(broadcast(med), groupBy)
@@ -68,12 +76,17 @@ object Outliers {
   def winsorize(df: DataFrame, groupBy: Seq[String], valueCol: String,
                 pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1: ($pLo, $pHi)")
+    guardNames(df, Seq("__wlo", "__whi"), "winsorize")
     val bounds = df.groupBy(groupBy.map(col): _*)
       .agg(percentile(col(valueCol), lit(pLo)).as("__wlo"),
         percentile(col(valueCol), lit(pHi)).as("__whi"))
     df.join(broadcast(bounds), groupBy)
       .withColumn(valueCol,
-        least(greatest(col(valueCol), col("__wlo")), col("__whi")))
+        // greatest/least SKIP nulls, so an unguarded clamp would turn a
+        // null value into the group's lower bound — keep nulls null
+        // (pandas clip semantics)
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol), col("__wlo")), col("__whi"))))
       .drop("__wlo", "__whi")
   }
 }

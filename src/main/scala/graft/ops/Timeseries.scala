@@ -138,6 +138,9 @@ object Timeseries {
                       stepSeconds: Long, aggs: Seq[Column]): DataFrame = {
     require(stepSeconds > 0, s"stepSeconds must be positive: $stepSeconds")
     require(parts.nonEmpty, "need at least one series key")
+    for (c <- df.columns if Seq("__bucket", "bucket_ts", "is_gap").contains(c))
+      throw new IllegalArgumentException(
+        s"input column '$c' collides with a resample output/internal name; rename it first")
     val bucketed = df.withColumn("__bucket", timeBucket(col(tsCol), stepSeconds))
     val observed = bucketed.groupBy((parts :+ "__bucket").map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: block sizes are the skew knob. A degenerate block (every
   * row blank) recreates the cross product inside one task — cap block
-  * cardinality upstream (e.g. [[graft.ops.Columns.capPerGroup]]) or add
+  * cardinality upstream (e.g. [[graft.ops.Sampling.capPerGroup]]) or add
   * a discriminating second key before running corpus-wide.
   */
 object Fuzzy {
@@ -43,8 +43,12 @@ object Fuzzy {
   private[text] def deletionSigs(s: Column, k: Int): Column = k match {
     case 0 => array(s)
     case 1 => array_distinct(concat(array(s), deletions(s)))
-    case 2 => array_distinct(concat(array(s), deletions(s),
-      flatten(transform(deletions(s), d => deletions(d)))))
+    // deletions(s) feeds two consumers: bind it as a lambda variable so
+    // it is sliced once per row, not once per consumer (Catalyst does no
+    // CSE across HOF lambdas — the CollapseProject re-eval trap)
+    case 2 => graft.functions.ArrayMath.bound(deletions(s)) { d1 =>
+      array_distinct(concat(array(s), d1, flatten(transform(d1, d => deletions(d)))))
+    }
     case n => throw new IllegalArgumentException(
       s"deletion signatures are practical for maxDist <= 2, got $n")
   }
@@ -66,7 +70,8 @@ object Fuzzy {
     * @param strCol   string to compare
     * @param blockBy  blocking keys — pairs must match on ALL of them
     * @param maxDist  inclusive Levenshtein threshold
-    * @return (id_a, id_b, str_a, str_b, dist)
+    * @return columns (id_a, str_a, id_b, str_b, dist) — identical schema
+    *         from both the signature and the quadratic path
     */
   def fuzzyDupPairs(df: DataFrame, idCol: String, strCol: String,
                     blockBy: Seq[Column], maxDist: Int): DataFrame = {
@@ -83,7 +88,12 @@ object Fuzzy {
           (blockNames.map(col) :+ col("__sig"))): _*)
         a.join(b, blockNames :+ "__sig")
           .filter(col("id_a") < col("id_b"))
-          // pairs sharing several signatures must cost one DP, not many
+          // the signature did its job as a join key: drop it BEFORE the
+          // pair dedup (which signature a pair met on is arbitrary — kept,
+          // it would make output columns nondeterministic) so both paths
+          // emit the same schema. Pairs sharing several signatures must
+          // cost one DP, not many.
+          .drop("__sig")
           .dropDuplicates("id_a", "id_b")
       } else {
         val a = df.select((col(idCol).as("id_a") +: col(strCol).as("str_a") +: blocks): _*)

@@ -51,6 +51,15 @@ class BloomSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bloom.optimalNumBits(10, 0.0))
   }
 
+  test("requests beyond Spark's silent bloom clamps fail loudly with the conf name") {
+    val e = intercept[IllegalArgumentException](
+      Bloom.buildBloom(small, col("key"), expectedItems = 50000000L))
+    assert(e.getMessage.contains("bloomFilter.maxNum"))
+    intercept[IllegalArgumentException](
+      Bloom.bloomSemiJoin(big.withColumn("__bloom_key", lit(1)), small,
+        "key", "key", expectedItems = 16L))
+  }
+
   test("string keys work (hashing is xxhash64 on both build and probe)") {
     val corpus = Seq("alpha", "beta", "gamma", "delta").toDF("s")
     val wanted = Seq("beta", "delta").toDF("s")

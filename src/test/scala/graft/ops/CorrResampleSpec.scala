@@ -121,5 +121,8 @@ class ResampleSpec extends AnyFunSuite {
       Timeseries.resampleGapFill(series, Seq("uid"), "ts", 0, Seq(sum(col("v")).as("s"))))
     intercept[IllegalArgumentException](
       Timeseries.resampleGapFill(series, Nil, "ts", 60, Seq(sum(col("v")).as("s"))))
+    intercept[IllegalArgumentException](
+      Timeseries.resampleGapFill(series.withColumn("is_gap", lit(true)),
+        Seq("uid"), "ts", 60, Seq(sum(col("v")).as("s"))))
   }
 }

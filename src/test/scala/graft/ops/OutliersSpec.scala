@@ -49,6 +49,24 @@ class OutliersSpec extends AnyFunSuite {
       Outliers.winsorize(df, Seq("k"), "v", pLo = 0.5, pHi = 0.5))
   }
 
+  test("winsorize keeps nulls null (no fabricated lower-bound values)") {
+    import graft.testing.DfAssert.createDf
+    val withNull = createDf(spark, "k string, v double", Seq(
+      Seq[Any]("g", 1.0), Seq[Any]("g", 2.0), Seq[Any]("g", 3.0), Seq[Any]("g", null)))
+    val out = Outliers.winsorize(withNull, Seq("k"), "v", pLo = 0.25, pHi = 0.75)
+    assert(out.filter(col("v").isNull).count() == 1)
+  }
+
+  test("reserved output names are rejected, not silently clobbered") {
+    val poisoned = df.withColumn("is_outlier", lit("user data"))
+    intercept[IllegalArgumentException](
+      Outliers.flagIqrOutliers(poisoned, Seq("k"), "v"))
+    intercept[IllegalArgumentException](
+      Outliers.flagMadOutliers(poisoned, Seq("k"), "v"))
+    intercept[IllegalArgumentException](
+      Outliers.winsorize(df.withColumn("__wlo", lit(0)), Seq("k"), "v"))
+  }
+
   test("IQR agrees with a driver-side naive quantile on random data") {
     val rng = new scala.util.Random(7)
     val vals = Seq.fill(101)(math.floor(rng.nextDouble() * 1000) / 4) // quarter-grid

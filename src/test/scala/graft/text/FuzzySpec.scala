@@ -103,6 +103,13 @@ class FuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("both paths emit the same schema; no internal columns leak") {
+    val sig = Fuzzy.fuzzyDupPairs(names, "id", "name", Seq(col("block")), 1)
+    val quad = Fuzzy.fuzzyDupPairs(names, "id", "name", Seq(col("block")), 3)
+    assert(sig.columns.toSeq == Seq("id_a", "str_a", "id_b", "str_b", "dist"))
+    assert(sig.columns.toSeq == quad.columns.toSeq)
+  }
+
   test("maxDist=0 degenerates to exact match within block") {
     val dup = Seq((1L, "b", "x"), (2L, "b", "x"), (3L, "b", "y")).toDF("id", "block", "name")
     val got = Fuzzy.fuzzyDupPairs(dup, "id", "name", Seq(col("block")), 0)
