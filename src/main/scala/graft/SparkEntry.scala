@@ -1396,6 +1396,31 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Validation: distinct-count-as-mergeable-state. History's per-type
+    * HLL sketch states merged with a delta's partials
+    * ([[graft.ops.Incremental.hllMergeState]]) must estimate within the
+    * sketch's error envelope of the EXACT distinct count over the full
+    * data (4σ at lgK=12 ≈ 6.5% relative; at these cardinalities the
+    * sketch is still in sparse-exact mode, so the real gap is 0).
+    * Violations = 0, oracle SELECT 0.
+    */
+  private def qHllMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental
+    val e = t(s, dir, "events")
+    val cutoff = "2024-01-15 00:00:00"
+    val hist = e.filter(col("ts") < lit(cutoff))
+    val delta = e.filter(col("ts") >= lit(cutoff))
+    val state = Incremental.hllState(hist, Seq("event_type"), "user_id")
+    val merged = Incremental.hllMergeState(state, delta, Seq("event_type"), "user_id")
+      .select(col("event_type"), Incremental.hllCount(col("hll_user_id")).as("est"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(exact, Seq("event_type"))
+      .agg(coalesce(sum(when(
+        abs(col("est") - col("n_exact")) > lit(0.065) * col("n_exact"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1486,6 +1511,7 @@ object SparkEntry {
     "q_corr" -> (qCorr _),
     "q_consolidate" -> (qConsolidate _),
     "q_semdedup" -> (qSemDedup _),
+    "q_hll_merge" -> (qHllMerge _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1499,7 +1525,8 @@ object SparkEntry {
   val validationQueries: Set[String] =
     Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment", "q_quantize",
       "q_dup_components", "q_bucketed_join", "q_cms", "q_ivf_exact",
-      "q_simhash_containment", "q_fingerprint_containment", "q_quantile_bound")
+      "q_simhash_containment", "q_fingerprint_containment", "q_quantile_bound",
+      "q_hll_merge")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -2207,6 +2234,8 @@ object SparkEntry {
         |FROM r WHERE rank <= 3 AND doc_id < 50
         |ORDER BY doc_id, rank""".stripMargin,
     "q_quantile_bound" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_hll_merge" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_audio_resample" ->
       """SELECT doc_id,

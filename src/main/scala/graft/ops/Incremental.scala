@@ -62,4 +62,28 @@ object Incremental {
     state.unionByName(aggState(delta, keys, aggs, sumScale))
       .groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
+
+  /** Distinct counts as mergeable state: a per-key Datasketches HLL
+    * sketch (binary column `"hll_$valueCol"`). Sums/counts merge exactly
+    * ([[aggState]]); distinct needs a sketch — this is the scale answer
+    * to "daily distinct users, updated incrementally, never rescanning
+    * history". lgConfigK=12 ≈ 2.5 KB/key and ~1.6% standard error.
+    */
+  def hllState(df: DataFrame, keys: Seq[String], valueCol: String,
+               lgConfigK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as(s"hll_$valueCol"))
+
+  /** Merge sketch states (old state ∪ new delta partials) — same
+    * union+re-aggregate shape as [[mergeState]], sketch union instead of
+    * sum. Estimates come out via [[hllCount]].
+    */
+  def hllMergeState(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                    valueCol: String, lgConfigK: Int = 12): DataFrame =
+    state.unionByName(hllState(delta, keys, valueCol, lgConfigK))
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col(s"hll_$valueCol")).as(s"hll_$valueCol"))
+
+  /** Read a distinct-count estimate out of a sketch state column. */
+  def hllCount(sketch: Column): Column = hll_sketch_estimate(sketch)
 }

@@ -45,6 +45,31 @@ object Sources {
   def readJsonl(spark: SparkSession, path: String, ddl: String): DataFrame =
     spark.read.schema(StructType.fromDDL(ddl)).json(path)
 
+  /** JSONL reader for dirty corpora (crawl dumps always carry malformed
+    * lines): malformed records land whole in `corruptCol` with every
+    * schema field null, instead of silently nulling fields (default
+    * PERMISSIVE without the column) or killing the job (FAILFAST).
+    * Filter `corruptCol.isNotNull` into a quarantine sink and keep the
+    * pipeline moving.
+    *
+    * Deliberately a text scan + `from_json`, not `spark.read.json` with
+    * a corrupt-record schema: Spark REFUSES raw-file queries that
+    * reference only the internal corrupt column (the quarantine sink's
+    * exact access pattern — its documented workaround is caching, a
+    * non-starter at corpus scale), while the expression form has no such
+    * restriction and works identically under `readStream`.
+    */
+  def readJsonlQuarantine(spark: SparkSession, path: String, ddl: String,
+                          corruptCol: String = "_corrupt_record"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val schema = StructType.fromDDL(ddl).add(corruptCol, "string")
+    val parsed = spark.read.text(path)
+      .select(from_json(col("value"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))
+        .as("__rec"))
+    parsed.select(schema.fieldNames.map(f => col(s"__rec.`$f`").as(f)).toSeq: _*)
+  }
+
   /** Hive-style partitioned parquet write: one directory per distinct
     * partition-column tuple → partition pruning turns predicates on those
     * columns into directory listings instead of data scans. Keep partition

@@ -49,6 +49,31 @@ class IncrementalSpec extends AnyFunSuite {
       aggState(batch("a" -> 1.0), Seq("k"), Seq(MAgg("v", "avg")))
     }
   }
+
+  test("HLL sketch state: merge(history, delta) estimates the full distinct count") {
+    val hist = createDf(spark, "k string, u bigint", Seq(
+      Seq[Any]("a", 1L), Seq[Any]("a", 2L), Seq[Any]("a", 3L), Seq[Any]("b", 10L)))
+    val delta = createDf(spark, "k string, u bigint", Seq(
+      Seq[Any]("a", 2L), Seq[Any]("a", 4L), Seq[Any]("b", 11L)))
+    val merged = Incremental.hllMergeState(
+      Incremental.hllState(hist, Seq("k"), "u"), delta, Seq("k"), "u")
+      .select(col("k"), Incremental.hllCount(col("hll_u")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sparse mode is exact at these cardinalities: a={1,2,3,4}, b={10,11}
+    assert(merged == Map("a" -> 4L, "b" -> 2L))
+  }
+
+  test("HLL merge is associative in outcome: one-shot == two-step fold") {
+    val b1 = createDf(spark, "k string, u bigint", (1L to 40L).map(i => Seq[Any]("a", i)))
+    val b2 = createDf(spark, "k string, u bigint", (20L to 60L).map(i => Seq[Any]("a", i)))
+    val oneShot = Incremental.hllState(b1.unionByName(b2), Seq("k"), "u")
+      .select(Incremental.hllCount(col("hll_u"))).head().getLong(0)
+    val folded = Incremental.hllMergeState(
+      Incremental.hllState(b1, Seq("k"), "u"), b2, Seq("k"), "u")
+      .select(Incremental.hllCount(col("hll_u"))).head().getLong(0)
+    assert(oneShot == 60L && folded == 60L)
+  }
+
 }
 
 class OovRateSpec extends AnyFunSuite {

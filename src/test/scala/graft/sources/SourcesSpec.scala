@@ -24,6 +24,23 @@ class SourcesSpec extends AnyFunSuite {
       Set((1, "alpha"), (2, "beta")))
   }
 
+  test("readJsonlQuarantine isolates malformed lines instead of nulling or failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-dirty")
+    java.nio.file.Files.writeString(dir.resolve("part.jsonl"),
+      """{"id": 1, "v": 2.5}
+        |{"id": 2 "v": BROKEN
+        |{"id": 3, "v": 7.0}
+        |""".stripMargin)
+    val df = Sources.readJsonlQuarantine(spark, dir.toString, "id int, v double")
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2 && bad.count() == 1)
+    assert(good.select("id").collect().map(_.getInt(0)).toSet == Set(1, 3))
+    // the quarantined row carries the raw line for a replay/debug sink
+    assert(bad.head().getAs[String]("_corrupt_record").contains("BROKEN"))
+    assert(bad.head().isNullAt(0)) // schema fields stay null on bad rows
+  }
+
   test("readJsonl with explicit schema") {
     val dir = Files.createTempDirectory("graft-jsonl")
     Files.writeString(dir.resolve("data.json"), """{"id":1,"v":2.5}""" + "\n" + """{"id":2,"v":3.5}""" + "\n")
