@@ -1396,6 +1396,21 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Leakage-safe split ([[graft.ops.Sampling.splitByGroup]]): rows split
+    * by their duplicate-cluster representative, so near-copies can never
+    * straddle train/test. The oracle rebuilds the clusters (recursive
+    * CTE over the same exact pair set) AND the md5 bucket arithmetic, so
+    * both the grouping and the assignment are verified hex-for-hex.
+    */
+  private def qGroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.45)
+    Sampling.splitByGroup(e.select(col("vec_id")), "vec_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .orderBy(col("split"))
+  }
+
   /** Validation: distinct-count-as-mergeable-state. History's per-type
     * HLL sketch states merged with a delta's partials
     * ([[graft.ops.Incremental.hllMergeState]]) must estimate within the
@@ -1512,6 +1527,7 @@ object SparkEntry {
     "q_consolidate" -> (qConsolidate _),
     "q_semdedup" -> (qSemDedup _),
     "q_hll_merge" -> (qHllMerge _),
+    "q_group_split" -> (qGroupSplit _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2237,6 +2253,37 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_hll_merge" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_group_split" ->
+      """WITH RECURSIVE nv AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+        |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      list_sum(list_transform(list_zip(a.nv, b.nv), x -> x[1] * x[2])) AS cos
+        |    FROM nv a, nv b WHERE a.vec_id < b.vec_id)
+        |  WHERE cos > 0.45),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),
+        |keyed AS (
+        |  SELECT e.vec_id, COALESCE(r.root, e.vec_id) AS gk
+        |  FROM embeddings e LEFT JOIN roots r ON e.vec_id = r.vec_id),
+        |b AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(gk AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+        |  FROM keyed)
+        |SELECT CASE WHEN bucket < 8000 THEN 'train'
+        |            WHEN bucket < 9000 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_audio_resample" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples_in,

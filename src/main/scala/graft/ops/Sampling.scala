@@ -25,6 +25,31 @@ object Sampling {
     pmod(conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long"), lit(nBuckets.toLong))
 
+  /** Leakage-safe split: like [[deterministicSplit]], but rows connected
+    * by `pairs` (near-duplicate edges from any pair producer —
+    * [[graft.text.Similarity.lshNearDupPairs]],
+    * [[graft.text.Fuzzy.fuzzyDupPairs]], ...) are split BY THEIR
+    * DUPLICATE CLUSTER, so two near-copies can never land one in train
+    * and one in test — the split-level contamination that per-row
+    * hashing cannot prevent. Each row's split key is its component's
+    * minimum member id ([[graft.text.Dedup.connectedComponents]]);
+    * unpaired rows key on their own id, reproducing the per-row split.
+    *
+    * Cost on top of the narrow per-row split: the component loop over
+    * the PAIRS (edge-count-sized, not corpus-sized) plus one left join
+    * of the corpus against the paired-vertex labels.
+    */
+  def splitByGroup(df: DataFrame, idCol: String, pairs: DataFrame,
+                   weights: Seq[(String, Double)],
+                   splitCol: String = "split"): DataFrame = {
+    val labels = graft.text.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("v", idCol).withColumnRenamed("label", "__group_root")
+    val keyed = df.join(labels, Seq(idCol), "left")
+      .withColumn("__group_key", coalesce(col("__group_root"), col(idCol)))
+    deterministicSplit(keyed, "__group_key", weights, splitCol)
+      .drop("__group_root", "__group_key")
+  }
+
   /** Deterministic train/validation/test-style split: `weights` are
     * (label, weight) pairs; each row's label is chosen by its key's hash
     * bucket falling into the cumulative weight range (resolution 1/10000).

@@ -23,6 +23,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts("train") > 1400 && counts("train") < 1800, s"skewed: $counts")
   }
 
+  test("splitByGroup: every duplicate cluster lands whole in ONE split (no leakage)") {
+    import spark.implicits._
+    // clusters: {1,2,3} (chain), {10,11}; singletons 20, 21
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.splitByGroup(docs, "id", pairs,
+      Seq("train" -> 0.5, "test" -> 0.5))
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size == 7)
+    assert(Set(byId(1L), byId(2L), byId(3L)).size == 1, s"cluster split: $byId")
+    assert(Set(byId(10L), byId(11L)).size == 1, s"cluster split: $byId")
+    // cluster members get their ROOT's assignment — identical to splitting
+    // the representative id alone
+    val rootSplit = Sampling.deterministicSplit(Seq(1L).toDF("id"), "id",
+      Seq("train" -> 0.5, "test" -> 0.5)).head().getString(1)
+    assert(byId(1L) == rootSplit)
+    // singletons reproduce the plain per-row split exactly
+    val plain = Sampling.deterministicSplit(Seq(20L, 21L).toDF("id"), "id",
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(20L) == plain(20L) && byId(21L) == plain(21L))
+  }
+
   test("null keys land deterministically in the last split label") {
     val df = createDf(spark, "id string", Seq(Seq[Any]("a"), Seq[Any](null)))
     val out = Sampling.deterministicSplit(df, "id",
