@@ -1382,6 +1382,36 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Cosine threshold shared by the semantic-dedup queries (qSemDedup,
+    * qGroupSplit) and their oracles — one knob, four former copies.
+    */
+  private val semDedupThreshold = 0.45
+
+  /** Shared oracle-SQL prefix: normalize embeddings, exact above-threshold
+    * cosine pairs, symmetric edges, transitive closure (`reach`). Both the
+    * q_semdedup and q_group_split oracles build on exactly this CTE chain,
+    * so their pair sets can never drift apart.
+    */
+  private def semanticComponentsCte: String =
+    s"""WITH RECURSIVE nv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+       |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      list_sum(list_transform(list_zip(a.nv, b.nv), x -> x[1] * x[2])) AS cos
+       |    FROM nv a, nv b WHERE a.vec_id < b.vec_id)
+       |  WHERE cos > $semDedupThreshold),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
+
   /** Semantic dedup, keep-one-per-cluster
     * ([[graft.text.Dedup.dedupByPairs]]): exact cosine near-dup pairs →
     * connected components (hash-to-min with pointer jumping) → minimum
@@ -1391,7 +1421,7 @@ object SparkEntry {
     */
   private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.45)
+    val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", semDedupThreshold)
     Dedup.dedupByPairs(e.select(col("vec_id"), col("label")), "vec_id", pairs)
       .orderBy(col("vec_id"))
   }
@@ -1404,7 +1434,7 @@ object SparkEntry {
     */
   private def qGroupSplit(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.45)
+    val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", semDedupThreshold)
     Sampling.splitByGroup(e.select(col("vec_id")), "vec_id", pairs,
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .groupBy(col("split")).agg(count(lit(1)).as("n"))
@@ -2254,24 +2284,7 @@ object SparkEntry {
     "q_hll_merge" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_group_split" ->
-      """WITH RECURSIVE nv AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
-        |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
-        |  FROM embeddings),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |      list_sum(list_transform(list_zip(a.nv, b.nv), x -> x[1] * x[2])) AS cos
-        |    FROM nv a, nv b WHERE a.vec_id < b.vec_id)
-        |  WHERE cos > 0.45),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),
         |keyed AS (
         |  SELECT e.vec_id, COALESCE(r.root, e.vec_id) AS gk
@@ -2392,24 +2405,7 @@ object SparkEntry {
     // minimum id — verifying the grouping semantics of dedupByPairs, not
     // just its pair list.
     "q_semdedup" ->
-      """WITH RECURSIVE nv AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
-        |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
-        |  FROM embeddings),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |      list_sum(list_transform(list_zip(a.nv, b.nv), x -> x[1] * x[2])) AS cos
-        |    FROM nv a, nv b WHERE a.vec_id < b.vec_id)
-        |  WHERE cos > 0.45),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      s"""$semanticComponentsCte,
         |losers AS (
         |  SELECT a AS vec_id FROM reach GROUP BY a HAVING min(b) <> a)
         |SELECT vec_id, label FROM embeddings

@@ -85,8 +85,7 @@ object Bloom {
   def bloomSemiJoin(big: DataFrame, small: DataFrame,
                     bigKey: String, smallKey: String,
                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    require(!big.columns.contains("__bloom_key"),
-      "input column '__bloom_key' collides with a bloomSemiJoin-internal name; rename it first")
+    Guards.requireNoReservedNames(big, Seq("__bloom_key"), "bloomSemiJoin")
     val bloom = buildBloom(small, col(smallKey), expectedItems, fpp)
     val pruned = pruneByBloom(big, col(bigKey), bloom)
     val keys = small.select(col(smallKey).as("__bloom_key")).distinct()

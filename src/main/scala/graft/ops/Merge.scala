@@ -46,10 +46,8 @@ object Merge {
     require(keys.nonEmpty, "need at least one merge key")
     val src = "__upsert_src"
     val rn = "__upsert_rn"
-    val reserved = Set(src, rn)
-    for (df <- Seq(base, updates); c <- df.columns if reserved(c))
-      throw new IllegalArgumentException(
-        s"input column '$c' collides with an upsert-internal name; rename it first")
+    for (df <- Seq(base, updates))
+      Guards.requireNoReservedNames(df, Seq(src, rn), "upsert")
     val all = base.withColumn(src, lit(0)).unionByName(updates.withColumn(src, lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc +: col(src).desc +: tieBreak.map(col(_).desc): _*)
@@ -81,9 +79,7 @@ object Merge {
     require(keys.nonEmpty, "need at least one consolidation key")
     require(valueCols.nonEmpty, "need at least one value column")
     val rn = "__gold_rn"
-    for (c <- df.columns if c == rn)
-      throw new IllegalArgumentException(
-        s"input column '$c' collides with a consolidate-internal name; rename it first")
+    Guards.requireNoReservedNames(df, Seq(rn), "consolidate")
     val order = (col(versionCol) +: tieBreak.map(col)).map(_.asc)
     val run = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

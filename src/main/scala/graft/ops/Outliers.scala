@@ -20,10 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
-  private def guardNames(df: DataFrame, reserved: Seq[String], op: String): Unit =
-    for (c <- df.columns if reserved.contains(c))
-      throw new IllegalArgumentException(
-        s"input column '$c' collides with a $op output/internal name; rename it first")
+  import Guards.{requireNoReservedNames => guardNames}
 
   /** Per-group Tukey fences from exact quartiles:
     * `[q1 - k·IQR, q3 + k·IQR]` (classic k = 1.5).

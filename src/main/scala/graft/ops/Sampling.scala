@@ -38,10 +38,18 @@ object Sampling {
     * Cost on top of the narrow per-row split: the component loop over
     * the PAIRS (edge-count-sized, not corpus-sized) plus one left join
     * of the corpus against the paired-vertex labels.
+    *
+    * RETAINED STATE: the paired-vertex labels ride the returned plan as
+    * a localCheckpoint (same contract as
+    * [[graft.text.Dedup.connectedComponents]]) — already compact (two
+    * ids per PAIRED vertex, nothing corpus-sized); it is freed by the
+    * ContextCleaner once the returned plan is no longer referenced.
     */
   def splitByGroup(df: DataFrame, idCol: String, pairs: DataFrame,
                    weights: Seq[(String, Double)],
                    splitCol: String = "split"): DataFrame = {
+    Guards.requireNoReservedNames(df,
+      Seq(splitCol, "__group_root", "__group_key"), "splitByGroup")
     val labels = graft.text.Dedup.connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("v", idCol).withColumnRenamed("label", "__group_root")
     val keyed = df.join(labels, Seq(idCol), "left")

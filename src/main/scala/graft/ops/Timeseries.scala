@@ -138,13 +138,14 @@ object Timeseries {
                       stepSeconds: Long, aggs: Seq[Column]): DataFrame = {
     require(stepSeconds > 0, s"stepSeconds must be positive: $stepSeconds")
     require(parts.nonEmpty, "need at least one series key")
-    for (c <- df.columns if Seq("__bucket", "bucket_ts", "is_gap").contains(c))
-      throw new IllegalArgumentException(
-        s"input column '$c' collides with a resample output/internal name; rename it first")
+    val reserved = Seq("__bucket", "bucket_ts", "is_gap")
+    Guards.requireNoReservedNames(df, reserved, "resampleGapFill")
     val bucketed = df.withColumn("__bucket", timeBucket(col(tsCol), stepSeconds))
     val observed = bucketed.groupBy((parts :+ "__bucket").map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     val aggNames = observed.columns.diff(parts :+ "__bucket")
+    // caller-supplied agg aliases become columns beside ours: same rules
+    Guards.requireNoReserved(aggNames, reserved ++ parts, "resampleGapFill aggregate alias")
     val grid = bucketed.groupBy(parts.map(col): _*)
       .agg(min(col("__bucket")).as("__lo"), max(col("__bucket")).as("__hi"))
       .select((parts.map(col) :+ explode(sequence(col("__lo"), col("__hi"),

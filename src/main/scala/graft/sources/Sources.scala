@@ -61,13 +61,21 @@ object Sources {
     */
   def readJsonlQuarantine(spark: SparkSession, path: String, ddl: String,
                           corruptCol: String = "_corrupt_record"): DataFrame = {
-    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.functions.{coalesce, col, from_json, trim, when}
     val schema = StructType.fromDDL(ddl).add(corruptCol, "string")
     val parsed = spark.read.text(path)
+      // blank/whitespace lines are non-records: drop them (matching
+      // spark.read.json), never emit them as phantom all-null "good" rows
+      .filter(trim(col("value")) =!= "")
       .select(from_json(col("value"), schema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))
-        .as("__rec"))
-    parsed.select(schema.fieldNames.map(f => col(s"__rec.`$f`").as(f)).toSeq: _*)
+        .as("__rec"), col("value"))
+    val dataFields = StructType.fromDDL(ddl).fieldNames.toSeq
+    parsed.select(dataFields.map(f => col(s"__rec.`$f`").as(f)) :+
+      // a line from_json cannot even produce a struct for (e.g. a bare
+      // `null` literal) is corrupt too — carry the raw line
+      coalesce(col(s"__rec.`$corruptCol`"),
+        when(col("__rec").isNull, col("value"))).as(corruptCol): _*)
   }
 
   /** Hive-style partitioned parquet write: one directory per distinct

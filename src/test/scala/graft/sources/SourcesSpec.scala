@@ -27,18 +27,21 @@ class SourcesSpec extends AnyFunSuite {
   test("readJsonlQuarantine isolates malformed lines instead of nulling or failing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-dirty")
     java.nio.file.Files.writeString(dir.resolve("part.jsonl"),
-      """{"id": 1, "v": 2.5}
-        |{"id": 2 "v": BROKEN
-        |{"id": 3, "v": 7.0}
-        |""".stripMargin)
+      "{\"id\": 1, \"v\": 2.5}\n" +
+        "{\"id\": 2 \"v\": BROKEN\n" +
+        "\n" +          // blank line: a non-record, dropped (as read.json does)
+        "   \n" +       // whitespace-only: same
+        "null\n" +      // parses to no struct: corrupt, not a phantom row
+        "{\"id\": 3, \"v\": 7.0}\n")
     val df = Sources.readJsonlQuarantine(spark, dir.toString, "id int, v double")
     val good = df.filter(col("_corrupt_record").isNull)
     val bad = df.filter(col("_corrupt_record").isNotNull)
-    assert(good.count() == 2 && bad.count() == 1)
+    assert(good.count() == 2 && bad.count() == 2)
     assert(good.select("id").collect().map(_.getInt(0)).toSet == Set(1, 3))
-    // the quarantined row carries the raw line for a replay/debug sink
-    assert(bad.head().getAs[String]("_corrupt_record").contains("BROKEN"))
-    assert(bad.head().isNullAt(0)) // schema fields stay null on bad rows
+    // quarantined rows carry the raw line for a replay/debug sink
+    val rawLines = bad.select("_corrupt_record").collect().map(_.getString(0)).toSet
+    assert(rawLines.exists(_.contains("BROKEN")) && rawLines.contains("null"))
+    assert(bad.collect().forall(_.isNullAt(0))) // schema fields stay null on bad rows
   }
 
   test("readJsonl with explicit schema") {
