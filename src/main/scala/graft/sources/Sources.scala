@@ -60,10 +60,19 @@ object Sources {
     * restriction and works identically under `readStream`.
     */
   def readJsonlQuarantine(spark: SparkSession, path: String, ddl: String,
-                          corruptCol: String = "_corrupt_record"): DataFrame = {
+                          corruptCol: String = "_corrupt_record"): DataFrame =
+    quarantineJsonl(spark.read.text(path), ddl, corruptCol)
+
+  /** The parse+quarantine step of [[readJsonlQuarantine]] over ANY frame
+    * with a string `value` column — batch (`spark.read.text`) or
+    * streaming (`spark.readStream.text`, a socket/Kafka value column):
+    * pure expressions, so the same code path is micro-batch-safe.
+    */
+  def quarantineJsonl(lines: DataFrame, ddl: String,
+                      corruptCol: String = "_corrupt_record"): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, from_json, trim, when}
     val schema = StructType.fromDDL(ddl).add(corruptCol, "string")
-    val parsed = spark.read.text(path)
+    val parsed = lines
       // blank/whitespace lines are non-records: drop them (matching
       // spark.read.json), never emit them as phantom all-null "good" rows
       .filter(trim(col("value")) =!= "")

@@ -286,6 +286,24 @@ class StreamingSpec extends AnyFunSuite {
     assert((row.getString(0), row.getString(1)) == ("web", "app"))
   }
 
+  test("quarantineJsonl runs unchanged on a streaming source (micro-batch-safe parse)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val q = graft.sources.Sources.quarantineJsonl(
+        input.toDF().toDF("value"), "id int, v double")
+      .writeStream.format("memory").queryName("jsonl_quarantine")
+      .outputMode("append").start()
+    try {
+      input.addData("{\"id\": 1, \"v\": 2.5}", "{broken", "   ")
+      q.processAllAvailable()
+      val rows = spark.table("jsonl_quarantine").collect()
+      assert(rows.length == 2) // whitespace line dropped, not a phantom row
+      val (good, bad) = rows.partition(_.isNullAt(2))
+      assert(good.head.getInt(0) == 1 && bad.head.getString(2) == "{broken")
+    } finally q.stop()
+  }
+
   test("upsert snapshot writer refuses to fork the chain after a checkpoint reset") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
