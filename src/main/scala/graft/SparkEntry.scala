@@ -1382,6 +1382,21 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Exact equal-frequency binning ([[graft.ops.Binning]]): rank-based
+    * ntile per return flag (bounded group partitions — the exact form's
+    * domain), bucket stats aggregated. The sketch-cutpoint form is the
+    * scale path (BinningSpec covers it; its bins are approximate by
+    * construction, so the exact form carries the oracle).
+    */
+  private def qBinning(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Binning.discretizeEqualFreq(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", nBins = 4,
+        tieBreak = Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("l_returnflag"), col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("l_returnflag"), col("bin"))
+
   /** Cosine threshold shared by the semantic-dedup queries (qSemDedup,
     * qGroupSplit) and their oracles — one knob, four former copies.
     */
@@ -1558,6 +1573,7 @@ object SparkEntry {
     "q_semdedup" -> (qSemDedup _),
     "q_hll_merge" -> (qHllMerge _),
     "q_group_split" -> (qGroupSplit _),
+    "q_binning" -> (qBinning _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2283,6 +2299,16 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_hll_merge" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_binning" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    ntile(4) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM b GROUP BY l_returnflag, bin
+        |ORDER BY l_returnflag, bin""".stripMargin,
     "q_group_split" ->
       s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),
