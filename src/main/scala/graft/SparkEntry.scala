@@ -1397,6 +1397,27 @@ object SparkEntry {
         min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
       .orderBy(col("l_returnflag"), col("bin"))
 
+  /** Validation for deterministic weighted sampling
+    * ([[graft.ops.Sampling.weightedSample]]): exactly k distinct rows,
+    * no zero-weight row ever drawn, and a second invocation returns the
+    * IDENTICAL sample (the property rand()-based sampling cannot give).
+    * Violations = 0, oracle SELECT 0.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("w", when(col("doc_id") % 10 === 0, lit(0.0))
+        .otherwise(col("n_chars").cast("double")))
+    def ids = Sampling.weightedSample(d, "doc_id", "w", k = 100)
+    val s1 = ids
+    val vSize = s1.agg((count(lit(1)) =!= 100).cast("long").as("v"))
+    val vDup = s1.agg((count(lit(1)) - countDistinct(col("doc_id"))).as("v"))
+    val vZero = s1.filter(col("doc_id") % 10 === 0).agg(count(lit(1)).as("v"))
+    val vRerun = s1.select(col("doc_id")).exceptAll(ids.select(col("doc_id")))
+      .agg(count(lit(1)).as("v"))
+    Seq(vSize, vDup, vZero, vRerun).reduce(_ unionByName _)
+      .agg(coalesce(sum(col("v")), lit(0L)).as("n_violations"))
+  }
+
   /** Cosine threshold shared by the semantic-dedup queries (qSemDedup,
     * qGroupSplit) and their oracles — one knob, four former copies.
     */
@@ -1574,6 +1595,7 @@ object SparkEntry {
     "q_hll_merge" -> (qHllMerge _),
     "q_group_split" -> (qGroupSplit _),
     "q_binning" -> (qBinning _),
+    "q_weighted_sample" -> (qWeightedSample _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1588,7 +1610,7 @@ object SparkEntry {
     Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment", "q_quantize",
       "q_dup_components", "q_bucketed_join", "q_cms", "q_ivf_exact",
       "q_simhash_containment", "q_fingerprint_containment", "q_quantile_bound",
-      "q_hll_merge")
+      "q_hll_merge", "q_weighted_sample")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -2298,6 +2320,8 @@ object SparkEntry {
     "q_quantile_bound" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_hll_merge" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_weighted_sample" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_binning" ->
       """WITH b AS (

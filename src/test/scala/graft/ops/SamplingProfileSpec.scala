@@ -23,6 +23,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts("train") > 1400 && counts("train") < 1800, s"skewed: $counts")
   }
 
+  test("weightedSample: deterministic, exact-k, weight-respecting") {
+    import spark.implicits._
+    val d = (1L to 500L).map(i => (i, if (i <= 250) 100.0 else 1.0)).toDF("id", "w")
+    val s1 = Sampling.weightedSample(d, "id", "w", 50).select("id").as[Long].collect().toSet
+    val s2 = Sampling.weightedSample(d, "id", "w", 50).select("id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size == 50)
+    // 100x-weighted half must dominate the sample (deterministic given md5)
+    val heavy = s1.count(_ <= 250L)
+    assert(heavy > 40, s"heavy half got only $heavy of 50")
+    // a different seed draws a genuinely different sample
+    val s3 = Sampling.weightedSample(d, "id", "w", 50, seed = "fold2")
+      .select("id").as[Long].collect().toSet
+    assert(s3 != s1)
+  }
+
+  test("weightedSample: zero/negative/null weights are never drawn; k caps at eligible rows") {
+    val d = createDf(spark, "id bigint, w double", Seq(
+      Seq[Any](1L, 5.0), Seq[Any](2L, 0.0), Seq[Any](3L, -1.0),
+      Seq[Any](4L, null), Seq[Any](5L, 2.0)))
+    val got = Sampling.weightedSample(d, "id", "w", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 5L))
+    intercept[IllegalArgumentException](Sampling.weightedSample(d, "id", "w", 0))
+  }
+
   test("splitByGroup: every duplicate cluster lands whole in ONE split (no leakage)") {
     import spark.implicits._
     // clusters: {1,2,3} (chain), {10,11}; singletons 20, 21
