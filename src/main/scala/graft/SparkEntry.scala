@@ -1397,6 +1397,17 @@ object SparkEntry {
         min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
       .orderBy(col("l_returnflag"), col("bin"))
 
+  /** Weekly cohort retention ([[graft.ops.Funnel.retentionMatrix]]):
+    * users cohorted by first-event week, distinct-active counted per
+    * (cohort, week offset) — two co-partitioned shuffles on user_id.
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.retentionMatrix(t(s, dir, "events"), "user_id", "ts",
+        periodSeconds = 7L * 24 * 3600)
+      .select(date_format(col("cohort_ts"), "yyyy-MM-dd").as("cohort_week"),
+        col("period"), col("n_active"))
+      .orderBy(col("cohort_week"), col("period"))
+
   /** Validation for deterministic weighted sampling
     * ([[graft.ops.Sampling.weightedSample]]): exactly k distinct rows,
     * no zero-weight row ever drawn, and a second invocation returns the
@@ -1596,6 +1607,7 @@ object SparkEntry {
     "q_group_split" -> (qGroupSplit _),
     "q_binning" -> (qBinning _),
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_retention" -> (qRetention _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2323,6 +2335,17 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_weighted_sample" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_retention" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    make_timestamp((epoch_us(ts) // 604800000000) * 604800000000) AS bucket
+        |  FROM events),
+        |c AS (SELECT user_id, min(bucket) AS cohort FROM b GROUP BY user_id)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST((epoch_us(b.bucket) - epoch_us(c.cohort)) // 604800000000 AS BIGINT) AS period,
+        |  COUNT(DISTINCT b.user_id) AS n_active
+        |FROM b JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_binning" ->
       """WITH b AS (
         |  SELECT l_returnflag, l_extendedprice,

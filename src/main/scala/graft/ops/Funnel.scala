@@ -64,4 +64,36 @@ object Funnel {
       .select(explode(sequence(lit(1), col("max_step"))).as("step"))
       .groupBy(col("step"))
       .agg(count(lit(1)).as("n_users"))
+
+  /** Cohort retention matrix: entities are cohorted by the period of
+    * their FIRST event, and each (cohort, period-offset) cell counts the
+    * distinct entities from that cohort active in that period —
+    * `offset = 0` is the cohort size itself.
+    *
+    * Shape: one aggregation per entity finds the cohort (min event
+    * time), the tiny (entity → cohort) table broadcasts back onto the
+    * events... except it is entity-sized, not group-sized — so instead
+    * both sides hash-shuffle ONCE on the entity and join co-partitioned,
+    * then the distinct count aggregates on (cohort, offset). Two
+    * shuffles total, both on keys the data already clusters by.
+    *
+    * @param periodSeconds cohort/activity bucket width (e.g. 7 days)
+    * @return (cohort_ts, period, n_active) — `period` counts buckets
+    *         since the cohort bucket
+    */
+  def retentionMatrix(events: DataFrame, entityCol: String, tsCol: String,
+                      periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0, s"periodSeconds must be positive: $periodSeconds")
+    Guards.requireNoReservedNames(events,
+      Seq("cohort_ts", "period", "n_active", "__bucket"), "retentionMatrix")
+    val bucket = Timeseries.timeBucket(col(tsCol), periodSeconds)
+    val cohorts = events.groupBy(col(entityCol))
+      .agg(min(bucket).as("cohort_ts"))
+    events.select(col(entityCol), bucket.as("__bucket"))
+      .join(cohorts, Seq(entityCol))
+      .groupBy(col("cohort_ts"),
+        ((unix_micros(col("__bucket")) - unix_micros(col("cohort_ts"))) /
+          (periodSeconds * 1000000L)).cast("long").as("period"))
+      .agg(countDistinct(col(entityCol)).as("n_active"))
+  }
 }

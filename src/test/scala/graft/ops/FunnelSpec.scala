@@ -91,6 +91,42 @@ class FunnelSpec extends AnyFunSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(n == 1, s"expected 1 hash exchange, found $n:\n${p.take(1500)}")
   }
+
+  test("retentionMatrix: cohort by first-event bucket, offsets count distinct actives") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val e = createDf(spark, "u bigint, ts timestamp", Seq(
+      // u1: cohort week 0, active weeks 0 and 2 (twice in week 2 -> still 1)
+      Seq[Any](1L, t("2024-01-01 10:00:00")),
+      Seq[Any](1L, t("2024-01-15 10:00:00")),
+      Seq[Any](1L, t("2024-01-16 10:00:00")),
+      // u2: cohort week 0, active week 0 only
+      Seq[Any](2L, t("2024-01-02 09:00:00")),
+      // u3: cohort week 1, active weeks 1 and 2
+      Seq[Any](3L, t("2024-01-08 09:00:00")),
+      Seq[Any](3L, t("2024-01-15 09:00:00"))))
+    val got = Funnel.retentionMatrix(e, "u", "ts", 7L * 24 * 3600)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // week buckets are epoch-aligned (1970-01-01 was a Thursday): the
+    // bucket containing 2024-01-01 starts 2023-12-28
+    assert(got == Map(
+      ("2023-12-28", 0L) -> 2L, ("2023-12-28", 2L) -> 1L,
+      ("2024-01-04", 0L) -> 1L, ("2024-01-04", 1L) -> 1L))
+  }
+
+  test("retentionMatrix: offset-0 cell equals the cohort size") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val e = createDf(spark, "u bigint, ts timestamp",
+      (1L to 20L).map(u => Seq[Any](u, t(f"2024-01-${(u % 5 + 1).toInt}%02d 08:00:00"))))
+    val rows = Funnel.retentionMatrix(e, "u", "ts", 7L * 24 * 3600)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // single-event users: every cell is offset 0, cells sum to the user count
+    assert(rows.forall(_._1 == 0L) && rows.map(_._2).sum == 20L)
+  }
+
 }
 
 class HistogramSpec extends AnyFunSuite {
