@@ -1419,13 +1419,18 @@ object SparkEntry {
       .withColumn("w", when(col("doc_id") % 10 === 0, lit(0.0))
         .otherwise(col("n_chars").cast("double")))
     def ids = Sampling.weightedSample(d, "doc_id", "w", k = 100)
-    val s1 = ids
-    val vSize = s1.agg((count(lit(1)) =!= 100).cast("long").as("v"))
-    val vDup = s1.agg((count(lit(1)) - countDistinct(col("doc_id"))).as("v"))
-    val vZero = s1.filter(col("doc_id") % 10 === 0).agg(count(lit(1)).as("v"))
+    // the k-row sample is materialized ONCE (it is tiny); every check
+    // reads the checkpoint, plus exactly one genuine re-invocation for
+    // the rerun-identity gate — 2 sample executions, not 5
+    val s1 = ids.localCheckpoint(true)
+    val vOnce = s1.agg((
+      (count(lit(1)) =!= 100).cast("long") +
+        (count(lit(1)) - countDistinct(col("doc_id"))) +
+        coalesce(sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)), lit(0L)))
+      .as("v"))
     val vRerun = s1.select(col("doc_id")).exceptAll(ids.select(col("doc_id")))
       .agg(count(lit(1)).as("v"))
-    Seq(vSize, vDup, vZero, vRerun).reduce(_ unionByName _)
+    vOnce.unionByName(vRerun)
       .agg(coalesce(sum(col("v")), lit(0L)).as("n_violations"))
   }
 

@@ -35,7 +35,14 @@ object Binning {
     Guards.requireNoReservedNames(df, Seq(outCol), "discretizeEqualFreq")
     val w = Window.partitionBy(groupBy.map(col): _*)
       .orderBy((col(valueCol) +: tieBreak.map(col)).map(_.asc): _*)
-    df.withColumn(outCol, ntile(nBins).over(w))
+    // null values get a null bin on BOTH forms (one contract): ranked
+    // in-window they would sort first and silently fill bin 1, shifting
+    // every real boundary
+    val nonNull = df.filter(col(valueCol).isNotNull)
+      .withColumn(outCol, ntile(nBins).over(w))
+    val nulls = df.filter(col(valueCol).isNull)
+      .withColumn(outCol, lit(null).cast("int"))
+    nonNull.unionByName(nulls)
   }
 
   /** Learn `nBins - 1` interior bin edges from a mergeable t-digest
@@ -45,8 +52,11 @@ object Binning {
                 accuracy: Int = 10000): Seq[Double] = {
     require(nBins > 1, s"need at least 2 bins: $nBins")
     val qs = (1 until nBins).map(_.toDouble / nBins)
-    df.agg(percentile_approx(col(valueCol), array(qs.map(lit): _*), lit(accuracy)))
-      .head().getSeq[Double](0)
+    val row = df.agg(
+      percentile_approx(col(valueCol), array(qs.map(lit): _*), lit(accuracy))).head()
+    require(!row.isNullAt(0),
+      s"cannot learn cutpoints: no non-null '$valueCol' values")
+    row.getSeq[Double](0)
   }
 
   /** Assign 1-based bins from ascending `edges` (values above the last

@@ -71,11 +71,11 @@ object Funnel {
     * `offset = 0` is the cohort size itself.
     *
     * Shape: one aggregation per entity finds the cohort (min event
-    * time), the tiny (entity → cohort) table broadcasts back onto the
-    * events... except it is entity-sized, not group-sized — so instead
-    * both sides hash-shuffle ONCE on the entity and join co-partitioned,
-    * then the distinct count aggregates on (cohort, offset). Two
-    * shuffles total, both on keys the data already clusters by.
+    * time); the (entity → cohort) table is entity-sized (not broadcast
+    * material), so both sides hash-shuffle on the entity and join
+    * co-partitioned; the distinct count then exchanges once more on its
+    * own (cohort, offset) keys. Three exchanges, each on the natural
+    * clustering of its stage — no per-period passes, no self-joins.
     *
     * @param periodSeconds cohort/activity bucket width (e.g. 7 days)
     * @return (cohort_ts, period, n_active) — `period` counts buckets

@@ -36,6 +36,23 @@ class BinningSpec extends AnyFunSuite {
       ("b", 5.0, 1), ("b", 6.0, 1), ("b", 7.0, 2), ("b", 8.0, 2)))
   }
 
+  test("exact path: null values get a null bin, never bin 1 (same contract as sketch path)") {
+    val d = createDf(spark, "k string, v double", Seq(
+      Seq[Any]("g", 3.0), Seq[Any]("g", 1.0), Seq[Any]("g", null), Seq[Any]("g", 2.0)))
+    val out = Binning.discretizeEqualFreq(d, Seq("k"), "v", 3)
+      .collect().map(r => Option(r.get(1)).map(_.asInstanceOf[Double]) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+    assert(out(None) == None)                 // null value -> null bin
+    assert(out(Some(1.0)) == Some(1))         // real minimum still owns bin 1
+    assert(out(Some(3.0)) == Some(3))
+  }
+
+  test("cutpoints fails fast on all-null or empty input") {
+    val empty = createDf(spark, "k string, v double", Seq(Seq[Any]("g", null)))
+    val e = intercept[IllegalArgumentException](Binning.cutpoints(empty, "v", 4))
+    assert(e.getMessage.contains("no non-null"))
+  }
+
   test("cutpoints + discretizeByCutpoints: ascending edges, 1-based monotone bins, null-safe") {
     val d = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
     val edges = Binning.cutpoints(d, "v", 4)

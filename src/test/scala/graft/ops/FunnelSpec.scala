@@ -105,9 +105,12 @@ class FunnelSpec extends AnyFunSuite {
       // u3: cohort week 1, active weeks 1 and 2
       Seq[Any](3L, t("2024-01-08 09:00:00")),
       Seq[Any](3L, t("2024-01-15 09:00:00"))))
+    // format in-session (UTC): Timestamp.toString would use the JVM zone
     val got = Funnel.retentionMatrix(e, "u", "ts", 7L * 24 * 3600)
+      .select(date_format(col("cohort_ts"), "yyyy-MM-dd").as("c"), col("period"),
+        col("n_active"))
       .collect()
-      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) -> r.getLong(2))
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
       .toMap
     // week buckets are epoch-aligned (1970-01-01 was a Thursday): the
     // bucket containing 2024-01-01 starts 2023-12-28

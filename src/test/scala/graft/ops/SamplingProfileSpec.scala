@@ -38,10 +38,10 @@ class SamplingSpec extends AnyFunSuite {
     assert(s3 != s1)
   }
 
-  test("weightedSample: zero/negative/null weights are never drawn; k caps at eligible rows") {
+  test("weightedSample: zero/negative/null/NaN weights are never drawn; k caps at eligible rows") {
     val d = createDf(spark, "id bigint, w double", Seq(
       Seq[Any](1L, 5.0), Seq[Any](2L, 0.0), Seq[Any](3L, -1.0),
-      Seq[Any](4L, null), Seq[Any](5L, 2.0)))
+      Seq[Any](4L, null), Seq[Any](5L, 2.0), Seq[Any](6L, Double.NaN)))
     val got = Sampling.weightedSample(d, "id", "w", 10)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 5L))
