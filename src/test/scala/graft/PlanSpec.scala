@@ -149,6 +149,21 @@ class PlanSpec extends AnyFunSuite {
       s"per-group bounds must broadcast back onto rows:\n${p.take(2000)}")
   }
 
+  test("weightedSample plans TakeOrderedAndProject (per-partition k-heaps, no full sort)") {
+    val d = spark.range(1000).toDF("id").withColumn("w", col("id") % 7 + 1)
+    val p = graft.ops.Sampling.weightedSample(d, "id", "w", 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be heap-based, not a global sort:\n${p.take(1500)}")
+  }
+
+  test("discretizeByCutpoints is a narrow map: no Exchange at all") {
+    val d = spark.range(1000).toDF("id").withColumn("v", col("id").cast("double"))
+    val p = graft.ops.Binning.discretizeByCutpoints(d, "v", Seq(250.0, 500.0, 750.0))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"cutpoint assignment must not shuffle:\n${p.take(1500)}")
+  }
+
   test("grouped-apply plans exactly one hash exchange, clustering below MapGroups") {
     val p = plan("q_grouped_apply")
     assert(p.contains("MapGroups"), s"expected MapGroups node:\n${p.take(1500)}")
