@@ -1434,6 +1434,41 @@ object SparkEntry {
       .agg(coalesce(sum(col("v")), lit(0L)).as("n_violations"))
   }
 
+  /** SCD2 history ([[graft.ops.Cdc.scd2]]): per-user event_type change
+    * history from the events log — unchanged runs compressed, validity
+    * intervals chained by one lead. event_id rides along as the
+    * interval's unique id (deterministic under ts ties). One shuffle on
+    * user_id; both window passes share it.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cdc.scd2(
+        t(s, dir, "events").select("user_id", "event_id", "ts", "event_type"),
+        Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss").as("effective_from"),
+        date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss").as("effective_to"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** Snapshot diff ([[graft.ops.Cdc.diffSnapshots]]): two deterministic
+    * corpus versions derived from orders (drop-by-modulus on each side,
+    * status flip on the new side) diffed into insert/update/delete rows.
+    * One full-outer hash join on the key.
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val old = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val nw = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("o_totalprice"))
+    graft.ops.Cdc.diffSnapshots(old, nw, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Cosine threshold shared by the semantic-dedup queries (qSemDedup,
     * qGroupSplit) and their oracles — one knob, four former copies.
     */
@@ -1613,6 +1648,8 @@ object SparkEntry {
     "q_binning" -> (qBinning _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_retention" -> (qRetention _),
+    "q_scd2" -> (qScd2 _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2361,6 +2398,49 @@ object SparkEntry {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM b GROUP BY l_returnflag, bin
         |ORDER BY l_returnflag, bin""".stripMargin,
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER w AS prev_et,
+        |    lag(ts) OVER w AS prev_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, event_id, ts, event_type FROM o
+        |  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et),
+        |i AS (
+        |  SELECT user_id, event_id, event_type, ts AS eff_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |  FROM c)
+        |SELECT user_id, event_id, event_type,
+        |  strftime(eff_from, '%Y-%m-%d %H:%M:%S') AS effective_from,
+        |  strftime(eff_to, '%Y-%m-%d %H:%M:%S') AS effective_to,
+        |  eff_to IS NULL AS is_current
+        |FROM i ORDER BY user_id, event_id""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |n AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (
+        |  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |    CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+        |         ELSE o.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+        |         ELSE o.o_totalprice END AS o_totalprice,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |         WHEN n.o_orderkey IS NULL THEN 'delete'
+        |         WHEN n.o_orderstatus IS NOT DISTINCT FROM o.o_orderstatus
+        |          AND n.o_totalprice IS NOT DISTINCT FROM o.o_totalprice
+        |           THEN 'unchanged'
+        |         ELSE 'update' END AS change_type
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT * FROM d WHERE change_type <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
     "q_group_split" ->
       s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),
