@@ -1469,6 +1469,41 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Data-quality expectations ([[graft.ops.Expectations]]): six rule
+    * kinds over lineitem evaluated in ONE aggregation pass (the InRange
+    * and InSet rules are deliberately violated by the data — the report
+    * must count, not just flag).
+    */
+  private def qExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations.Rule
+    graft.ops.Expectations.check(t(s, dir, "lineitem"), Seq(
+      Rule.NotNull("l_returnflag"),
+      Rule.Unique(Seq("l_orderkey", "l_linenumber")),
+      Rule.InRange("l_discount", 0.0, 0.05),
+      Rule.InSet("l_returnflag", Seq("A", "N")),
+      Rule.Matches("l_linestatus", "[OF]"),
+      Rule.Satisfies("non_negative_price", col("l_extendedprice") >= 0),
+    ))
+  }
+
+  /** Distribution drift ([[graft.ops.Drift.psi]]): PSI between the view
+    * and purchase event-value distributions over explicit cutpoints.
+    * Counts are exact; the irrational PSI term is rounded to 6 dp on
+    * both sides (ln differs in the last ulp across libm builds).
+    */
+  private def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.ops.Drift.psi(
+        ev.filter(col("event_type") === "view").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value", driftCuts)
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        round(col("psi_term"), 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  private val driftCuts = Seq(25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 250.0, 300.0)
+
   /** Cosine threshold shared by the semantic-dedup queries (qSemDedup,
     * qGroupSplit) and their oracles — one knob, four former copies.
     */
@@ -1650,6 +1685,8 @@ object SparkEntry {
     "q_retention" -> (qRetention _),
     "q_scd2" -> (qScd2 _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_expectations" -> (qExpectations _),
+    "q_drift" -> (qDrift _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2441,6 +2478,50 @@ object SparkEntry {
         |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
         |SELECT * FROM d WHERE change_type <> 'unchanged'
         |ORDER BY o_orderkey""".stripMargin,
+    "q_expectations" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |  CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |  CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_full_match(l_linestatus, '(?:[OF])') THEN 1 ELSE 0 END) AS BIGINT) AS v_match,
+        |  CAST(sum(CASE WHEN COALESCE(l_extendedprice >= 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v_sat,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v_uni
+        | FROM lineitem)
+        |SELECT rule, violations, violations = 0 AS passed FROM (
+        |  SELECT 'in_range(l_discount,0.0,0.05)' AS rule, v_range AS violations FROM a
+        |  UNION ALL SELECT 'in_set(l_returnflag)', v_set FROM a
+        |  UNION ALL SELECT 'matches(l_linestatus)', v_match FROM a
+        |  UNION ALL SELECT 'non_negative_price', v_sat FROM a
+        |  UNION ALL SELECT 'not_null(l_returnflag)', v_null FROM a
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v_uni FROM a)
+        |ORDER BY rule""".stripMargin,
+    "q_drift" ->
+      """WITH r AS (
+        |  SELECT CAST(value >= 25.0 AS INT) + CAST(value >= 50.0 AS INT)
+        |       + CAST(value >= 75.0 AS INT) + CAST(value >= 100.0 AS INT)
+        |       + CAST(value >= 150.0 AS INT) + CAST(value >= 200.0 AS INT)
+        |       + CAST(value >= 250.0 AS INT) + CAST(value >= 300.0 AS INT) AS bin
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+        |c AS (
+        |  SELECT CAST(value >= 25.0 AS INT) + CAST(value >= 50.0 AS INT)
+        |       + CAST(value >= 75.0 AS INT) + CAST(value >= 100.0 AS INT)
+        |       + CAST(value >= 150.0 AS INT) + CAST(value >= 200.0 AS INT)
+        |       + CAST(value >= 250.0 AS INT) + CAST(value >= 300.0 AS INT) AS bin
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |bins AS (SELECT CAST(unnest(range(9)) AS INT) AS bin),
+        |rc AS (SELECT bin, count(*) AS n FROM r GROUP BY bin),
+        |cc AS (SELECT bin, count(*) AS n FROM c GROUP BY bin),
+        |j AS (
+        |  SELECT b.bin, COALESCE(rc.n, 0) AS ref_n, COALESCE(cc.n, 0) AS cur_n
+        |  FROM bins b LEFT JOIN rc ON b.bin = rc.bin LEFT JOIN cc ON b.bin = cc.bin),
+        |p AS (
+        |  SELECT bin, ref_n, cur_n,
+        |    (ref_n + 0.5) / (sum(ref_n) OVER () + 4.5) AS ref_p,
+        |    (cur_n + 0.5) / (sum(cur_n) OVER () + 4.5) AS cur_p
+        |  FROM j)
+        |SELECT bin, ref_n, cur_n,
+        |  round((cur_p - ref_p) * ln(cur_p / ref_p), 6) AS psi_term
+        |FROM p ORDER BY bin""".stripMargin,
     "q_group_split" ->
       s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+class DriftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def frame(vs: Seq[Double]) =
+    createDf(spark, "v double", vs.map(v => Seq[Any](v)))
+
+  test("binIndex: strict lower edge, inclusive upper edge, tails") {
+    val df = frame(Seq(-1.0, 0.0, 0.5, 1.0, 2.0, 99.0))
+      .select(col("v"), Drift.binIndex(col("v"), Seq(0.0, 1.0, 2.0)).as("b"))
+    assert(df.collect().map(r => (r.getDouble(0), r.getInt(1))).toMap ==
+      Map(-1.0 -> 0, 0.0 -> 1, 0.5 -> 1, 1.0 -> 2, 2.0 -> 3, 99.0 -> 3))
+  }
+
+  test("identical distributions: psi ~ 0, every bin present") {
+    val a = frame(Seq(0.1, 0.5, 1.5, 2.5, 2.5))
+    val got = Drift.psi(a, a, "v", Seq(1.0, 2.0))
+    val rows = got.collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(rows.map(_.getDouble(5)).forall(math.abs(_) < 1e-12))
+  }
+
+  test("disjoint distributions: large psi, empty bins survive smoothing") {
+    val ref = frame(Seq.fill(100)(0.5))
+    val cur = frame(Seq.fill(100)(5.0))
+    val got = Drift.psi(ref, cur, "v", Seq(1.0, 2.0)).collect()
+    val total = got.map(_.getDouble(5)).sum
+    assert(total > 1.0, s"psi=$total") // severe drift
+    assert(got.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
+  }
+
+  test("moderate shift lands between the rules of thumb") {
+    val ref = frame((1 to 100).map(_.toDouble / 10))
+    val cur = frame((1 to 100).map(i => i.toDouble / 10 + 1.5))
+    val total = Drift.psi(ref, cur, "v", (1 to 9).map(_.toDouble))
+      .agg(sum("psi_term")).head().getDouble(0)
+    assert(total > 0.1 && total < 3.0, s"psi=$total")
+  }
+
+  test("nulls excluded; proportions still sum to ~1 per side") {
+    val ref = createDf(spark, "v double",
+      Seq(Seq[Any](0.5), Seq[Any](null), Seq[Any](1.5)))
+    val got = Drift.psi(ref, ref, "v", Seq(1.0))
+    val sums = got.agg(sum("ref_p"), sum("cur_p")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-12)
+    assert(got.agg(sum("ref_n")).head().getLong(0) == 2L)
+  }
+
+  test("plan: per-side bin counts partial-aggregate before any join") {
+    val a = frame(Seq(0.1)); val b = frame(Seq(0.2))
+    val plan = Drift.psi(a, b, "v", Seq(1.0)).queryExecution.executedPlan.toString
+    // both sides reduce via HashAggregate; no cross/nested-loop join shape
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
