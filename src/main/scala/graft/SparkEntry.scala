@@ -1504,6 +1504,37 @@ object SparkEntry {
 
   private val driftCuts = Seq(25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 250.0, 300.0)
 
+  /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
+    * ~25% of lineitem between them, plus one cold key per order.
+    */
+  private def hhKeyed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").withColumn("hkey",
+      when(col("l_orderkey") % 4 === 0,
+        concat(lit("hot_"), (col("l_orderkey") % 3).cast("string")))
+        .otherwise(concat(lit("cold_"), col("l_orderkey").cast("string"))))
+
+  /** Exact heavy hitters ([[graft.ops.Frequency.heavyHitters]]): keys
+    * above total/100 with exact counts — one map-combined shuffle plus a
+    * 1-row broadcast total, no second scan.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Frequency.heavyHitters(hhKeyed(s, dir), "hkey", k = 100)
+      .orderBy(col("key"))
+
+  /** Validation for the Misra-Gries sketch path
+    * ([[graft.ops.Frequency.misraGries]]): every exact heavy hitter
+    * (freq > n/100) must appear in the bounded-memory candidate set
+    * (capacity 200 → guaranteed for freq > n/201). Violations = 0,
+    * oracle SELECT 0.
+    */
+  private def qHhContainment(s: SparkSession, dir: String): DataFrame = {
+    val keyed = hhKeyed(s, dir)
+    val exact = graft.ops.Frequency.heavyHitters(keyed, "hkey", k = 100)
+    val cand = graft.ops.Frequency.misraGries(keyed, "hkey", capacity = 200)
+    exact.join(cand, Seq("key"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+  }
+
   /** Cosine threshold shared by the semantic-dedup queries (qSemDedup,
     * qGroupSplit) and their oracles — one knob, four former copies.
     */
@@ -1687,6 +1718,8 @@ object SparkEntry {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_expectations" -> (qExpectations _),
     "q_drift" -> (qDrift _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_hh_containment" -> (qHhContainment _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1701,7 +1734,7 @@ object SparkEntry {
     Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment", "q_quantize",
       "q_dup_components", "q_bucketed_join", "q_cms", "q_ivf_exact",
       "q_simhash_containment", "q_fingerprint_containment", "q_quantile_bound",
-      "q_hll_merge", "q_weighted_sample")
+      "q_hll_merge", "q_weighted_sample", "q_hh_containment")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -2522,6 +2555,17 @@ object SparkEntry {
         |SELECT bin, ref_n, cur_n,
         |  round((cur_p - ref_p) * ln(cur_p / ref_p), 6) AS psi_term
         |FROM p ORDER BY bin""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN l_orderkey % 4 = 0
+        |              THEN 'hot_' || CAST(l_orderkey % 3 AS VARCHAR)
+        |              ELSE 'cold_' || CAST(l_orderkey AS VARCHAR) END AS key
+        |  FROM lineitem),
+        |c AS (SELECT key, count(*) AS cnt FROM k GROUP BY key),
+        |t AS (SELECT sum(cnt) AS n FROM c)
+        |SELECT key, cnt FROM c, t WHERE cnt * 100 > n ORDER BY key""".stripMargin,
+    "q_hh_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_group_split" ->
       s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),
