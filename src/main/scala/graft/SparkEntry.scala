@@ -1504,6 +1504,18 @@ object SparkEntry {
 
   private val driftCuts = Seq(25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 250.0, 300.0)
 
+  /** Rolling z-score anomalies ([[graft.ops.Timeseries.flagAnomalies]]):
+    * trailing-50 per-event-type baseline, |z| > 3 flags. Moments ride
+    * exact decimal sums then one double cast — bit-equal across engines
+    * (sqrt is IEEE-exact, unlike ln), so zscore itself is oracled.
+    */
+  private def qAnomaly(s: SparkSession, dir: String): DataFrame =
+    Timeseries.flagAnomalies(t(s, dir, "events"), Seq("event_type"),
+        Seq("ts", "event_id"), col("value"), n = 50, z = 3.0, minPeriods = 10)
+      .filter(col("is_anomaly"))
+      .select(col("event_type"), col("event_id"), col("value"), col("zscore"))
+      .orderBy(col("event_type"), col("event_id"))
+
   /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
     * ~25% of lineitem between them, plus one cold key per order.
     */
@@ -1720,6 +1732,7 @@ object SparkEntry {
     "q_drift" -> (qDrift _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_hh_containment" -> (qHhContainment _),
+    "q_anomaly" -> (qAnomaly _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2566,6 +2579,26 @@ object SparkEntry {
         |SELECT key, cnt FROM c, t WHERE cnt * 100 > n ORDER BY key""".stripMargin,
     "q_hh_containment" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_anomaly" ->
+      """WITH a AS (
+        |  SELECT event_type, event_id, value,
+        |    count(value) OVER w AS cnt,
+        |    CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value*value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT event_type, event_id, value, cnt,
+        |    s1/cnt AS mean,
+        |    sqrt(greatest((s2 - s1*s1/cnt)/cnt, 0.0)) AS std
+        |  FROM a),
+        |c AS (
+        |  SELECT event_type, event_id, value,
+        |    CASE WHEN cnt >= 10 AND std > 0 THEN (value - mean)/std END AS zscore
+        |  FROM b)
+        |SELECT event_type, event_id, value, zscore FROM c
+        |WHERE abs(zscore) > 3.0 ORDER BY event_type, event_id""".stripMargin,
     "q_group_split" ->
       s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),

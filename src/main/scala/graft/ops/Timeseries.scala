@@ -108,6 +108,49 @@ object Timeseries {
       d.withColumn(c, coalesce(col(c), avg(col(c)).over(w))))
   }
 
+  /** Rolling z-score anomaly flags: annotate each row with the trailing-n
+    * mean/std of `value` within its series and flag rows whose |z|
+    * exceeds `z` — the drift/outage tripwire for metric streams (and the
+    * per-series sibling of [[Outliers]]' whole-column fences).
+    *
+    * Determinism across engines: the rolling moments go through exact
+    * decimal sums (sum/sum-of-squares are associative in decimal, so
+    * window-frame evaluation order can't change them), then ONE cast to
+    * double and IEEE-exact arithmetic (div/mul/sub/sqrt) — bit-equal in
+    * any IEEE-754 engine evaluating the same expression tree, no libm
+    * involved. Scale: one hash shuffle on the series keys; the window
+    * scan is partition-local. Rows with fewer than `minPeriods`
+    * observations (or zero variance) get null z and never flag.
+    */
+  def flagAnomalies(
+      df: DataFrame,
+      parts: Seq[String],
+      orderCols: Seq[String],
+      value: Column,
+      n: Int,
+      z: Double,
+      minPeriods: Int = 2,
+  ): DataFrame = {
+    require(n > 1, s"window size must exceed 1: $n")
+    require(minPeriods >= 2, "minPeriods must be at least 2 (std needs two points)")
+    require(z > 0, s"z threshold must be positive: $z")
+    Guards.requireNoReservedNames(df,
+      Seq("roll_mean", "roll_std", "zscore", "is_anomaly"), "flagAnomalies")
+    val w = rollingWindow(parts, orderCols, n)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val cnt = count(value).over(w)
+    val s1 = sum(value.cast(dec)).over(w).cast("double")
+    val s2 = sum((value * value).cast(dec)).over(w).cast("double")
+    val mean = s1 / cnt
+    val variance = greatest((s2 - s1 * s1 / cnt) / cnt, lit(0.0))
+    val std = sqrt(variance)
+    val zc = when(cnt >= minPeriods && std > 0, (value - mean) / std)
+    df.withColumn("roll_mean", mean)
+      .withColumn("roll_std", std)
+      .withColumn("zscore", zc)
+      .withColumn("is_anomaly", coalesce(abs(zc) > z, lit(false)))
+  }
+
   /** Floor a timestamp onto a fixed `stepSeconds` grid (microsecond
     * arithmetic — exact, no timezone round-trip).
     */
