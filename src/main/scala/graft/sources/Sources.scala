@@ -121,4 +121,48 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Total on-disk bytes of the data files under a path (hidden files and
+    * commit markers excluded) — the size a compaction plan must budget.
+    */
+  def dataFileBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+    }
+    total
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` output files — the maintenance pass every
+    * streaming/incremental sink needs, because a micro-batch writer at
+    * 100 TB accretes millions of KB-sized files whose per-file open cost
+    * (and NameNode/listing pressure) eventually dwarfs the scan itself.
+    *
+    * The plan is size-based: output file count = ceil(input data bytes /
+    * targetFileBytes), then one round-robin repartition to exactly that
+    * many writers. Input bytes are compressed parquet bytes, so output
+    * files land near the target (re-encoding drift aside — this sizes
+    * file COUNT, it does not split row groups). Reads once, writes once,
+    * one width-change shuffle; never touches the driver with row data.
+    *
+    * Returns the planned file count. `outPath` must differ from
+    * `inPath` (parquet cannot overwrite its own live input).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(new org.apache.hadoop.fs.Path(inPath) !=
+      new org.apache.hadoop.fs.Path(outPath), "compact cannot write onto its input")
+    val bytes = dataFileBytes(spark, inPath)
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath).repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

@@ -85,4 +85,39 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bucket_b")
     }
   }
+
+  private def parquetDataFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+
+  test("compact collapses a many-small-file directory to the size-planned count") {
+    val root = Files.createTempDirectory("graft-compact")
+    val in = root.resolve("in").toString
+    val out = root.resolve("out").toString
+    // 64 deliberately tiny files
+    spark.range(20000).toDF("id").withColumn("payload", md5(col("id").cast("string")))
+      .repartition(64).write.parquet(in)
+    assert(parquetDataFiles(in).size == 64)
+    val totalBytes = Sources.dataFileBytes(spark, in)
+    val target = totalBytes / 3 // plan should land on ceil(total/target) = 3..4 files
+    val planned = Sources.compact(spark, in, out, target)
+    assert(planned == ((totalBytes + target - 1) / target).toInt)
+    assert(parquetDataFiles(out).size == planned)
+    assert(planned < 64)
+    // content preserved exactly
+    val a = spark.read.parquet(in); val b = spark.read.parquet(out)
+    assert(b.count() == 20000 && a.exceptAll(b).count() == 0)
+  }
+
+  test("compact floors at one file and refuses in-place rewrites") {
+    val root = Files.createTempDirectory("graft-compact2")
+    val in = root.resolve("in").toString
+    spark.range(10).toDF("id").repartition(5).write.parquet(in)
+    val planned = Sources.compact(spark, in, root.resolve("out").toString,
+      targetFileBytes = Long.MaxValue)
+    assert(planned == 1)
+    intercept[IllegalArgumentException] {
+      Sources.compact(spark, in, in)
+    }
+  }
 }
