@@ -1513,8 +1513,36 @@ object SparkEntry {
     Timeseries.flagAnomalies(t(s, dir, "events"), Seq("event_type"),
         Seq("ts", "event_id"), col("value"), n = 50, z = 3.0, minPeriods = 10)
       .filter(col("is_anomaly"))
-      .select(col("event_type"), col("event_id"), col("value"), col("zscore"))
+      // filter on the raw z (ulp-straddle odds at the 3.0 fence ~1e-15);
+      // emit it rounded so a last-ulp engine difference can't flip the hash
+      .select(col("event_type"), col("event_id"), col("value"),
+        round(col("zscore"), 6).as("zscore"))
       .orderBy(col("event_type"), col("event_id"))
+
+  /** Feature scaling ([[graft.ops.Scaling]]): per-return-flag z-score and
+    * min-max scaled prices, emitted row-level for a keyed subset (no
+    * aggregation over scaled doubles → no float-order hazard; the stats
+    * themselves ride decimal sums and IEEE arithmetic, bit-equal to the
+    * oracle's closed form).
+    */
+  private def qScale(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        col("l_extendedprice").as("z_price"),
+        col("l_extendedprice").as("mm_price"))
+    val scaled = graft.ops.Scaling.minMaxScale(
+      graft.ops.Scaling.standardize(li, Seq("l_returnflag"), Seq("z_price")),
+      Seq("l_returnflag"), Seq("mm_price"))
+    // 9-dp rounding on both sides: the decimal-sum -> double cast is
+    // correctly rounded in the JVM but not in DuckDB's int128 path, so
+    // raw doubles can disagree in the final ulp.
+    scaled.filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        round(col("z_price"), 9).as("z_price"),
+        round(col("mm_price"), 9).as("mm_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
 
   /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
     * ~25% of lineitem between them, plus one cold key per order.
@@ -1733,6 +1761,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_hh_containment" -> (qHhContainment _),
     "q_anomaly" -> (qAnomaly _),
+    "q_scale" -> (qScale _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2597,8 +2626,24 @@ object SparkEntry {
         |  SELECT event_type, event_id, value,
         |    CASE WHEN cnt >= 10 AND std > 0 THEN (value - mean)/std END AS zscore
         |  FROM b)
-        |SELECT event_type, event_id, value, zscore FROM c
+        |SELECT event_type, event_id, value, round(zscore, 6) AS zscore FROM c
         |WHERE abs(zscore) > 3.0 ORDER BY event_type, event_id""".stripMargin,
+    "q_scale" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+        |    count(l_extendedprice) AS n,
+        |    min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, l_orderkey, l_linenumber,
+        |  round(CASE WHEN sqrt(greatest((s2 - s1*s1/n)/n, 0.0)) > 0
+        |       THEN (l_extendedprice - s1/n) / sqrt(greatest((s2 - s1*s1/n)/n, 0.0))
+        |  END, 9) AS z_price,
+        |  round(CASE WHEN mx - mn > 0 THEN (l_extendedprice - mn) / (mx - mn) END, 9) AS mm_price
+        |FROM lineitem l JOIN s USING (l_returnflag)
+        |WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_group_split" ->
       s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),
