@@ -134,21 +134,38 @@ object Timeseries {
     require(n > 1, s"window size must exceed 1: $n")
     require(minPeriods >= 2, "minPeriods must be at least 2 (std needs two points)")
     require(z > 0, s"z threshold must be positive: $z")
+    val internal = Seq("__an_c1", "__an_c2", "__an_cn")
     Guards.requireNoReservedNames(df,
-      Seq("roll_mean", "roll_std", "zscore", "is_anomaly"), "flagAnomalies")
-    val w = rollingWindow(parts, orderCols, n)
+      Seq("roll_mean", "roll_std", "zscore", "is_anomaly") ++ internal, "flagAnomalies")
+    // Trailing-frame moments as DIFFERENCES of running prefix sums:
+    // Spark re-aggregates a bounded sliding frame from scratch per row
+    // (O(n) each), while the cumulative frame is incremental (O(1)) and
+    // lag is free — decimal prefix sums are exact, so cum(i) - cum(i-n)
+    // IS the trailing-n sum, bit-for-bit. Both Window nodes share one
+    // exchange + sort (same partitioning and ordering).
     val dec = org.apache.spark.sql.types.DecimalType(28, 10)
-    val cnt = count(value).over(w)
-    val s1 = sum(value.cast(dec)).over(w).cast("double")
-    val s2 = sum((value * value).cast(dec)).over(w).cast("double")
+    val wCum = Window.partitionBy(parts.map(col): _*).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy(parts.map(col): _*).orderBy(orderCols.map(col): _*)
+    val cumed = df
+      .withColumn("__an_c1", sum(value.cast(dec)).over(wCum))
+      .withColumn("__an_c2", sum((value * value).cast(dec)).over(wCum))
+      .withColumn("__an_cn", count(value).over(wCum))
+    val cnt = col("__an_cn") - coalesce(lag(col("__an_cn"), n).over(wLag), lit(0L))
+    val s1 = (col("__an_c1") - coalesce(lag(col("__an_c1"), n).over(wLag),
+      lit(java.math.BigDecimal.ZERO).cast(org.apache.spark.sql.types.DecimalType(38, 10)))).cast("double")
+    val s2 = (col("__an_c2") - coalesce(lag(col("__an_c2"), n).over(wLag),
+      lit(java.math.BigDecimal.ZERO).cast(org.apache.spark.sql.types.DecimalType(38, 10)))).cast("double")
     val mean = s1 / cnt
     val variance = greatest((s2 - s1 * s1 / cnt) / cnt, lit(0.0))
     val std = sqrt(variance)
     val zc = when(cnt >= minPeriods && std > 0, (value - mean) / std)
-    df.withColumn("roll_mean", mean)
+    cumed
+      .withColumn("roll_mean", mean)
       .withColumn("roll_std", std)
       .withColumn("zscore", zc)
       .withColumn("is_anomaly", coalesce(abs(zc) > z, lit(false)))
+      .drop(internal: _*)
   }
 
   /** Floor a timestamp onto a fixed `stepSeconds` grid (microsecond

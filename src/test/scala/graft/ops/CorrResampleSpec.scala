@@ -55,6 +55,23 @@ class CorrExactSpec extends AnyFunSuite {
     assert(fast == slow) // bit-identical: same decimal sums, same closed form
   }
 
+  test("corrExactScaled (long-moment fast path) agrees with corrExact") {
+    val ps = Seq("x" -> "y", "x" -> "x")
+    val slow = Profile.corrExact(df, Seq("k"), ps, assumeComplete = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getAs[Double]("corr")).toMap
+    val fast = Profile.corrExactScaled(df, Seq("k"), ps,
+        Map("x" -> 2, "y" -> 2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getAs[Double]("corr")).toMap
+    assert(slow.keySet == fast.keySet)
+    for ((k, v) <- slow) assert(math.abs(v - fast(k)) < 1e-12, s"$k: $v vs ${fast(k)}")
+  }
+
+  test("corrExactScaled rejects pairs with undeclared decimal places") {
+    intercept[IllegalArgumentException] {
+      Profile.corrExactScaled(df, Nil, Seq("x" -> "y"), Map("x" -> 2))
+    }
+  }
+
   test("zero-variance side yields null corr, not NaN or crash") {
     val flat = Seq(("a", 1.0, 7.0), ("a", 2.0, 7.0)).toDF("k", "x", "y")
     val r = Profile.corrExact(flat, Seq("k"), Seq("x" -> "y")).head()
