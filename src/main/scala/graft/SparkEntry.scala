@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DecimalType, StructType}
 import graft.multimodal.Multimodal
 import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
 import graft.streaming.Streaming
-import graft.text.{Dedup, Rank, Similarity, TextStats}
+import graft.text.{Dedup, LangModel, Rank, Similarity, TextStats}
 
 /** Driver contract — one runnable query per implemented operator from
   * SURVEY.md §2, each paired with DuckDB oracle SQL in [[oracleSql]].
@@ -1545,6 +1545,25 @@ object SparkEntry {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Bigram-LM quality scoring ([[graft.text.LangModel]]): train on 80%
+    * of documents, score the held-out 20%. The oracled output is the
+    * exact-integer sufficient statistics (bigram/unseen counts, model
+    * count sums) that pin down tokenization + both model joins; the
+    * ln-based `avg_logp` is a per-row monotone transform of them,
+    * cross-libm-unsafe, and covered by LangModelSpec instead. Vocab is a
+    * fixed constant so scoring stays one job (vocabSize() is a separate
+    * count job a real pipeline runs once at train time).
+    */
+  private def qPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = LangModel.bigramCounts(docs.filter(col("doc_id") % 5 =!= 0), "text")
+    LangModel.scoreDocs(docs.filter(col("doc_id") % 5 === 0), model,
+        "doc_id", "text", vocab = 64)
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        col("sum_c12"), col("sum_c1"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
     * ~25% of lineitem between them, plus one cold key per order.
     */
@@ -1763,6 +1782,7 @@ object SparkEntry {
     "q_hh_containment" -> (qHhContainment _),
     "q_anomaly" -> (qAnomaly _),
     "q_scale" -> (qScale _),
+    "q_perplexity" -> (qPerplexity _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2645,6 +2665,32 @@ object SparkEntry {
         |FROM lineitem l JOIN s USING (l_returnflag)
         |WHERE l_orderkey % 100 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |bg_tr AS (
+        |  SELECT u[1] AS w1, u[2] AS w2
+        |  FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u
+        |        FROM tok WHERE doc_id % 5 <> 0)),
+        |model AS (SELECT w1, w2, count(*) AS c12 FROM bg_tr GROUP BY w1, w2),
+        |modelc AS (
+        |  SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1 FROM model),
+        |bg_cand AS (
+        |  SELECT doc_id, u[1] AS w1, u[2] AS w2
+        |  FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u
+        |        FROM tok WHERE doc_id % 5 = 0)),
+        |uni AS (SELECT DISTINCT w1, c1 FROM modelc),
+        |j AS (
+        |  SELECT b.doc_id, COALESCE(m.c12, 0) AS c12, COALESCE(u.c1, 0) AS c1
+        |  FROM bg_cand b
+        |  LEFT JOIN modelc m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |  LEFT JOIN uni u ON b.w1 = u.w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        |  CAST(sum(c12) AS BIGINT) AS sum_c12,
+        |  CAST(sum(c1) AS BIGINT) AS sum_c1
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_group_split" ->
       s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),
