@@ -1564,6 +1564,15 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Event-type co-occurrence lift ([[graft.ops.Funnel.cooccurrenceLift]]):
+    * unordered behavior pairs per user with lift over independence —
+    * entity-co-partitioned self-join, broadcast marginals, one exact
+    * long division (bit-deterministic, no rounding needed).
+    */
+  private def qCooccur(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.cooccurrenceLift(t(s, dir, "events"), "user_id", "event_type")
+      .orderBy(col("item_a"), col("item_b"))
+
   /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
     * ~25% of lineitem between them, plus one cold key per order.
     */
@@ -1783,6 +1792,7 @@ object SparkEntry {
     "q_anomaly" -> (qAnomaly _),
     "q_scale" -> (qScale _),
     "q_perplexity" -> (qPerplexity _),
+    "q_cooccur" -> (qCooccur _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2691,6 +2701,20 @@ object SparkEntry {
         |  CAST(sum(c12) AS BIGINT) AS sum_c12,
         |  CAST(sum(c1) AS BIGINT) AS sum_c1
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_cooccur" ->
+      """WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
+        |m AS (SELECT event_type, count(*) AS n FROM items GROUP BY 1),
+        |ne AS (SELECT count(DISTINCT user_id) AS n_entities FROM items),
+        |p AS (
+        |  SELECT a.event_type AS item_a, b.event_type AS item_b, count(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+        |  CAST(n_ab * n_entities AS DOUBLE) / CAST(ma.n * mb.n AS DOUBLE) AS lift
+        |FROM p JOIN m ma ON p.item_a = ma.event_type
+        |       JOIN m mb ON p.item_b = mb.event_type, ne
+        |ORDER BY item_a, item_b""".stripMargin,
     "q_group_split" ->
       s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),

@@ -96,4 +96,41 @@ object Funnel {
           (periodSeconds * 1000000L)).cast("long").as("period"))
       .agg(countDistinct(col(entityCol)).as("n_active"))
   }
+
+  /** Item co-occurrence with lift — the market-basket association view
+    * of an event stream: for every unordered item pair, how many
+    * entities did both, and how far above independence that is
+    * (`lift = P(a,b) / (P(a)·P(b))`, > 1 ⇒ positively associated).
+    *
+    * Shape: entities×items dedupe once (shuffle on entity); the pair
+    * join is a self-join CO-PARTITIONED on the entity (one reused
+    * exchange), so pair work is bounded by per-entity item counts (k²
+    * per entity, k = distinct items an entity touched — bounded by the
+    * item vocabulary, NOT the event count). Item marginals broadcast
+    * back; entity total rides a 1-row broadcast. Lift is one division
+    * of exact long counts — bit-deterministic.
+    *
+    * @return (item_a, item_b, n_ab, n_a, n_b, lift), item_a < item_b
+    */
+  def cooccurrenceLift(df: DataFrame, entityCol: String, itemCol: String): DataFrame = {
+    Guards.requireNoReservedNames(df,
+      Seq("item_a", "item_b", "n_ab", "n_a", "n_b", "lift", "__n_entities"),
+      "cooccurrenceLift")
+    val items = df.select(col(entityCol), col(itemCol)).distinct()
+    val marginals = items.groupBy(col(itemCol)).agg(count(lit(1)).as("n"))
+    val nEntities = items.select(col(entityCol)).distinct()
+      .agg(count(lit(1)).as("__n_entities"))
+    val a = items.toDF(entityCol, "item_a")
+    val b = items.toDF(entityCol, "item_b")
+    val pairs = a.join(b, Seq(entityCol))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marginals.toDF("item_a", "n_a")), Seq("item_a"))
+      .join(broadcast(marginals.toDF("item_b", "n_b")), Seq("item_b"))
+      .crossJoin(broadcast(nEntities))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("__n_entities")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
 }

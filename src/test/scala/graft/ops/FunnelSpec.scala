@@ -166,4 +166,25 @@ class HistogramSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == Map(3 -> 1L, 4 -> 1L))
   }
+
+  test("cooccurrenceLift: counts from distinct entity-item pairs, lift from independence") {
+    // u1: {a,b}, u2: {a,b}, u3: {a,c}, u4: {b} (b twice — dedup counts once)
+    val df = createDf(spark, "u int, item string",
+      Seq(Seq[Any](1, "a"), Seq[Any](1, "b"), Seq[Any](2, "a"), Seq[Any](2, "b"),
+        Seq[Any](3, "a"), Seq[Any](3, "c"), Seq[Any](4, "b"), Seq[Any](4, "b")))
+    val got = Funnel.cooccurrenceLift(df, "u", "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // n=4 entities; a:3, b:3, c:1; ab:2, ac:1
+    assert(got(("a", "b")) == (2L, 3L, 3L, 2.0 * 4 / 9))
+    assert(got(("a", "c")) == (1L, 3L, 1L, 1.0 * 4 / 3))
+    assert(!got.contains(("b", "c")))
+  }
+
+  test("cooccurrenceLift: pair orientation is canonical (item_a < item_b)") {
+    val df = createDf(spark, "u int, item string",
+      Seq(Seq[Any](1, "z"), Seq[Any](1, "a")))
+    val r = Funnel.cooccurrenceLift(df, "u", "item").head()
+    assert(r.getString(0) == "a" && r.getString(1) == "z")
+  }
 }
