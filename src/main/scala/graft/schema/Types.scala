@@ -123,6 +123,29 @@ object Types {
     df.select(cols: _*)
   }
 
+  /** Schema drift report between two frames (e.g. yesterday's corpus
+    * version and today's ingest): one `(column, change, from_type,
+    * to_type)` row per difference — `added` (only in `to`), `removed`
+    * (only in `from`), `retyped` (both, different dtype). Matching is
+    * case-insensitive like [[evolveTo]]; unchanged columns are omitted.
+    * Pure schema work — no data scan. Feed `retyped`/`added` into
+    * [[evolveTo]] or [[graft.ops.Cdc.diffSnapshots]] for the data-level
+    * follow-up.
+    */
+  def diffSchemas(from: DataFrame, to: DataFrame): Seq[(String, String, Option[String], Option[String])] = {
+    def m(df: DataFrame): Map[String, (String, String)] =
+      df.schema.fields.map(f => f.name.toLowerCase -> (f.name, f.dataType.simpleString)).toMap
+    val (f, t) = (m(from), m(to))
+    val added = (t.keySet -- f.keySet).toSeq.sorted
+      .map(k => (t(k)._1, "added", None, Some(t(k)._2)))
+    val removed = (f.keySet -- t.keySet).toSeq.sorted
+      .map(k => (f(k)._1, "removed", Some(f(k)._2), None))
+    val retyped = (f.keySet & t.keySet).toSeq.sorted
+      .filter(k => f(k)._2 != t(k)._2)
+      .map(k => (t(k)._1, "retyped", Some(f(k)._2), Some(t(k)._2)))
+    added ++ removed ++ retyped
+  }
+
   /** Parse a dtype string to a Catalyst DataType (inverse of simpleString
     * for the types the lattice handles).
     */

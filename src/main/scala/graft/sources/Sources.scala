@@ -165,4 +165,44 @@ object Sources {
       .write.mode("overwrite").parquet(outPath)
     nFiles
   }
+
+  /** Build a file-level min/max statistics index over `statsCols` — the
+    * external data-skipping table (Delta/Iceberg-style) for paths where
+    * engine-side row-group pruning isn't enough: the index is thousands
+    * of rows for millions of files, so planning-time pruning becomes a
+    * driver-cheap filter on THIS table instead of a footer read per
+    * file. Pair with [[graft.ops.ZOrder]]: clustering is what makes
+    * these ranges narrow.
+    *
+    * One scan of the data (aggregates ride `_metadata.file_path`,
+    * map-side combined — files never interleave partitions, so partial
+    * aggs collapse well). Output: one row per file with `n_rows` and
+    * `min_<c>` / `max_<c>` per stats column (nulls ignored, all-null
+    * file → null bounds).
+    */
+  def fileStatsIndex(spark: SparkSession, path: String, statsCols: Seq[String]): DataFrame = {
+    require(statsCols.nonEmpty, "need at least one stats column")
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val aggs = count(lit(1)).as("n_rows") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file") +: statsCols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Prune a file list with the stats index: keep files whose
+    * [min, max] range on `c` intersects [lo, hi]. Null bounds (all-null
+    * file) keep the file — skipping may only drop PROVABLY irrelevant
+    * files. Returns the surviving file paths (driver-side: the index is
+    * file-count-sized by construction; feed them back through
+    * `spark.read.parquet(files: _*)`).
+    */
+  def pruneFilesByRange(index: DataFrame, c: String, lo: Any, hi: Any): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    index.filter(
+        col(s"min_$c").isNull ||
+        (col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)))
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
 }

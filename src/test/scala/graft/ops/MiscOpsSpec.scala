@@ -147,6 +147,21 @@ class EvolveSpec extends AnyFunSuite {
     assertDfEquality(out, df)
   }
 
+  test("diffSchemas reports added/removed/retyped, omits unchanged, case-insensitive") {
+    val from = createDf(spark, "a int, b string, gone double", Seq(Seq[Any](1, "x", 1.0)))
+    val to = createDf(spark, "A bigint, b string, fresh boolean", Seq(Seq[Any](1L, "x", true)))
+    val got = graft.schema.Types.diffSchemas(from, to)
+    assert(got == Seq(
+      ("fresh", "added", None, Some("boolean")),
+      ("gone", "removed", Some("double"), None),
+      ("A", "retyped", Some("int"), Some("bigint")),
+    ))
+  }
+
+  test("diffSchemas of identical schemas is empty") {
+    assert(graft.schema.Types.diffSchemas(df, df).isEmpty)
+  }
+
   test("column matching is case-insensitive and keeps the target spelling") {
     val src = createDf(spark, "Price double, Name string",
       Seq(Seq[Any](9.5, "x")))

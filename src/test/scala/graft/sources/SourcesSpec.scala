@@ -109,6 +109,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(b.count() == 20000 && a.exceptAll(b).count() == 0)
   }
 
+  test("fileStatsIndex + pruneFilesByRange: narrow predicates skip most files, results intact") {
+    val root = Files.createTempDirectory("graft-skip")
+    val path = root.resolve("t").toString
+    // range-clustered layout: each file owns a contiguous id band
+    spark.range(10000).toDF("id").withColumn("v", col("id") % 97)
+      .repartitionByRange(8, col("id")).write.parquet(path)
+    val idx = Sources.fileStatsIndex(spark, path, Seq("id", "v"))
+    assert(idx.count() == 8)
+    assert(idx.columns.toSeq == Seq("file", "n_rows", "min_id", "max_id", "min_v", "max_v"))
+    assert(idx.agg(sum("n_rows")).head().getLong(0) == 10000L)
+    val files = Sources.pruneFilesByRange(idx, "id", 2000L, 2100L)
+    assert(files.size <= 2, s"expected <=2 surviving files, got ${files.size}")
+    // reading only surviving files loses no matching rows
+    val pruned = spark.read.parquet(files: _*).filter(col("id").between(2000, 2100))
+    assert(pruned.count() == 101)
+  }
+
+  test("pruneFilesByRange keeps files with null bounds (skip only provably-irrelevant)") {
+    val root = Files.createTempDirectory("graft-skip2")
+    val path = root.resolve("t").toString
+    spark.range(10).toDF("k")
+      .withColumn("v", when(col("k") < 5, col("k").cast("double")))
+      .repartitionByRange(2, col("k")).write.parquet(path)
+    val idx = Sources.fileStatsIndex(spark, path, Seq("v"))
+    // the all-null file has null min/max and must survive any range
+    assert(Sources.pruneFilesByRange(idx, "v", 100.0, 200.0).size >= 1)
+  }
+
   test("compact floors at one file and refuses in-place rewrites") {
     val root = Files.createTempDirectory("graft-compact2")
     val in = root.resolve("in").toString
