@@ -1573,6 +1573,55 @@ object SparkEntry {
     graft.ops.Funnel.cooccurrenceLift(t(s, dir, "events"), "user_id", "event_type")
       .orderBy(col("item_a"), col("item_b"))
 
+  /** Integer-exact PageRank ([[graft.ops.Graph.pageRank]]) over the
+    * supplier co-occurrence graph (suppliers of consecutive lines in an
+    * order). Every division is a truncating integer `div` in fixed
+    * order, so 10 distributed iterations hash-match the oracle's
+    * unrolled CTE chain exactly — float PageRank never could.
+    */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    // (orderkey, linenumber) is NOT unique in this data; ordering by the
+    // suppkey too makes the per-order supplier SEQUENCE deterministic
+    // (ties beyond the suppkey cannot change it)
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 10)
+      .orderBy(col("node"))
+  }
+
+  /** Oracle for [[qPagerank]]: the identical integer recurrence with the
+    * iteration loop unrolled into chained CTEs (DuckDB's recursive CTEs
+    * allow only one self-reference, which the nodes-left-join shape
+    * needs twice).
+    */
+  private def pagerankOracleSql: String = {
+    val base = "((1000000000000 * 15) // 100) // (SELECT n FROM cnt)"
+    val iters = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.node, $base + (85 * COALESCE(c.m, 0)) // 100 AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank // od.d) AS m
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.node JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nxt AS (
+       |  SELECT l_suppkey AS src,
+       |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+       |                          ORDER BY l_linenumber, l_suppkey) AS dst
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM nxt WHERE dst IS NOT NULL AND src <> dst),
+       |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+       |cnt AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |pr0 AS (SELECT node, 1000000000000 // (SELECT n FROM cnt) AS rank FROM nodes),
+       |$iters
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr10 ORDER BY node""".stripMargin
+  }
+
   /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
     * ~25% of lineitem between them, plus one cold key per order.
     */
@@ -1793,6 +1842,7 @@ object SparkEntry {
     "q_scale" -> (qScale _),
     "q_perplexity" -> (qPerplexity _),
     "q_cooccur" -> (qCooccur _),
+    "q_pagerank" -> (qPagerank _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2715,6 +2765,7 @@ object SparkEntry {
         |FROM p JOIN m ma ON p.item_a = ma.event_type
         |       JOIN m mb ON p.item_b = mb.event_type, ne
         |ORDER BY item_a, item_b""".stripMargin,
+    "q_pagerank" -> pagerankOracleSql,
     "q_group_split" ->
       s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),

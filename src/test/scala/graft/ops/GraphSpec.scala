@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def edges(es: (Int, Int)*) =
+    createDf(spark, "s int, t int", es.map { case (a, b) => Seq[Any](a, b) })
+
+  test("symmetric cycle converges to equal ranks") {
+    val g = edges(1 -> 2, 2 -> 3, 3 -> 1)
+    val r = Graph.pageRank(g, "s", "t", iterations = 10)
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r.values.toSet.size == 1) // perfectly symmetric
+    assert(math.abs(r(1) - 1000000000000L / 3) < 1000000L)
+  }
+
+  test("a sink-heavy hub outranks its spokes (run past the 2-cycle oscillation)") {
+    // star: everyone points at 9; the 1<->9 cycle oscillates with
+    // amplitude x0.7225 per round trip, so convergence needs iterations
+    val g = edges(1 -> 9, 2 -> 9, 3 -> 9, 9 -> 1)
+    val r = Graph.pageRank(g, "s", "t", iterations = 40)
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r(9) > r(1) && r(1) > r(2))
+    assert(r(2) == r(3)) // symmetric spokes tie exactly (integer math)
+  }
+
+  test("without dangling nodes, mass is conserved up to truncation drain") {
+    val g = edges(1 -> 2, 2 -> 1, 1 -> 3, 3 -> 1)
+    val total = Graph.pageRank(g, "s", "t", iterations = 5)
+      .agg(sum("rank")).head().getLong(0)
+    assert(total <= 1000000000000L)
+    assert(total > 999999000000L) // only integer-div remainders leak
+  }
+
+  test("a dangling node drains mass but ranks stay positive and ordered") {
+    val g = edges(1 -> 2, 2 -> 1, 1 -> 3) // 3 absorbs and re-emits nothing
+    val r = Graph.pageRank(g, "s", "t", iterations = 5)
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r.values.forall(_ > 0))
+    assert(r(1) > r(3)) // 3 only receives half of 1's emission
+  }
+
+  test("deterministic across partitionings (integer arithmetic)") {
+    val g = edges(1 -> 2, 2 -> 3, 3 -> 1, 1 -> 3, 4 -> 1)
+    val a = Graph.pageRank(g, "s", "t", 8).collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val b = Graph.pageRank(g.repartition(7), "s", "t", 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("duplicate edges collapse (unweighted)") {
+    val once = Graph.pageRank(edges(1 -> 2, 2 -> 1), "s", "t", 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val dup = Graph.pageRank(edges(1 -> 2, 1 -> 2, 2 -> 1), "s", "t", 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(once == dup)
+  }
+}
