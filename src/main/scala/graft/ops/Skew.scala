@@ -57,4 +57,35 @@ object Skew {
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     saltedBig.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Key-skew diagnosis: ONE row summarizing whether a planned
+    * groupBy/join key needs mitigation — run this BEFORE choosing
+    * between a plain shuffle, AQE, and the salted forms above.
+    *
+    * Returns `(n_rows, n_keys, max_key_rows, top_key, skew_ratio,
+    * recommended_salt)` where `skew_ratio = max_key_rows / mean` (1.0 =
+    * perfectly uniform) and `recommended_salt` sizes
+    * [[saltedAggregate]]'s buckets so the heaviest key splits to roughly
+    * the mean (0 = no salting needed below the `threshold` ratio).
+    *
+    * Cost: the same single map-combined count shuffle the real
+    * aggregation would pay, then a key-count-sized rollup — cheap
+    * enough to run as a planning probe on a sample or the full data.
+    */
+  def keySkewReport(df: DataFrame, keys: Seq[String], threshold: Double = 4.0): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(threshold >= 1.0, s"threshold is a ratio >= 1: $threshold")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__kn"))
+    counts.agg(
+        sum(col("__kn")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__kn")).as("max_key_rows"),
+        max_by(concat_ws("|", keys.map(col(_).cast("string")): _*), col("__kn")).as("top_key"),
+      )
+      .withColumn("skew_ratio",
+        col("max_key_rows").cast("double") / (col("n_rows").cast("double") / col("n_keys")))
+      .withColumn("recommended_salt",
+        when(col("skew_ratio") > threshold, ceil(col("skew_ratio")).cast("int"))
+          .otherwise(lit(0)))
+  }
 }

@@ -237,4 +237,54 @@ object Streaming {
       graft.ops.Merge.upsert(base, batch, keys, versionCol)
         .write.mode("overwrite").parquet(s"$snapshotBase/v${id + 1}")
     }
+
+  /** A flagged anomaly from [[anomaliesStateful]]. */
+  case class Anomaly(key: String, tsMicros: Long, value: Double, zscore: Double)
+
+  /** Per-key rolling window for the streaming anomaly state machine:
+    * the last `<= n` values with their exact running use count.
+    */
+  case class RollState(values: Vector[Double], lastTs: Long)
+
+  /** Streaming rolling z-score anomalies — the unbounded-stream sibling
+    * of [[graft.ops.Timeseries.flagAnomalies]]: per key, keep the last
+    * `n` values in state, flag arrivals whose z against that trailing
+    * baseline exceeds `z`. State is O(n) per key, keyed state shuffles
+    * once; within a batch events process in event-time order, and
+    * cross-batch stragglers score against the state as-of arrival (the
+    * documented streaming relaxation — batch replays of the same data
+    * through the exact operator reproduce the strict ordering).
+    *
+    * Works on batch Datasets too (same code path, single "batch").
+    */
+  def anomaliesStateful(events: Dataset[SessionEvent], n: Int, z: Double,
+                        minPeriods: Int = 2): Dataset[Anomaly] = {
+    require(n > 1 && minPeriods >= 2 && z > 0, "need n>1, minPeriods>=2, z>0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[RollState, Anomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[SessionEvent], state: GroupState[RollState]) =>
+          val sorted = batch.toSeq.sortBy(_.tsMicros)
+          var st = state.getOption.getOrElse(RollState(Vector.empty, Long.MinValue))
+          val out = Seq.newBuilder[Anomaly]
+          sorted.foreach { e =>
+            val win = (st.values :+ e.value).takeRight(n)
+            if (win.size >= minPeriods) {
+              val mean = win.sum / win.size
+              val variance = win.map(v => (v - mean) * (v - mean)).sum / win.size
+              val std = math.sqrt(variance)
+              if (std > 0) {
+                val zi = (e.value - mean) / std
+                if (math.abs(zi) > z)
+                  out += Anomaly(key, e.tsMicros, e.value, zi)
+              }
+            }
+            st = RollState(win, math.max(st.lastTs, e.tsMicros))
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -30,6 +30,29 @@ class SkewSpec extends AnyFunSuite {
       .groupBy("k", "name").agg(count(lit(1)).as("n"))
     assertDfEquality(salted, plain)
   }
+
+  test("keySkewReport finds the hot key and sizes the salt to the ratio") {
+    // ratio here is ~2.97: below the default threshold of 4, above 2
+    val r = Skew.keySkewReport(skewed, Seq("k"), threshold = 2.0).head()
+    assert(r.getAs[Long]("n_rows") == 202L)
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("max_key_rows") == 200L)
+    assert(r.getAs[String]("top_key") == "hot")
+    val ratio = r.getAs[Double]("skew_ratio")
+    assert(math.abs(ratio - 200.0 / (202.0 / 3.0)) < 1e-12)
+    assert(r.getAs[Int]("recommended_salt") == math.ceil(ratio).toInt)
+    // same data under the default threshold of 4: no recommendation
+    assert(Skew.keySkewReport(skewed, Seq("k")).head()
+      .getAs[Int]("recommended_salt") == 0)
+  }
+
+  test("keySkewReport recommends no salt for a uniform key") {
+    val uniform = createDf(spark, Seq("k", "v"),
+      (1 to 100).map(i => Seq[Any](s"k${i % 10}", i.toDouble)))
+    val r = Skew.keySkewReport(uniform, Seq("k")).head()
+    assert(r.getAs[Double]("skew_ratio") == 1.0)
+    assert(r.getAs[Int]("recommended_salt") == 0)
+  }
 }
 
 class SqlFunctionSpec extends AnyFunSuite {

@@ -375,4 +375,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(last == Map("a" -> 3L, "b" -> 1L))
     } finally q.stop()
   }
+
+  test("streaming anomalies: a spike flags against cross-batch rolling state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = Streaming.watermarked(input.toDF().toDF("ts", "k", "v"), "ts", "0 seconds")
+      .select(col("k").as("key"), col("ts"), col("v").as("value"))
+      .as[Streaming.SessionEvent](org.apache.spark.sql.Encoders.product[Streaming.SessionEvent])
+    val q = Streaming.anomaliesStateful(events, n = 10, z = 2.0)
+      .writeStream.outputMode("append").format("memory").queryName("anomalies").start()
+    try {
+      // batch 1: a stable alternating baseline — nothing flags
+      input.addData((1 to 8).map(i =>
+        (ts(f"2024-01-01 00:0$i:00"), "m1", 10.0 + (i % 2))): _*)
+      q.processAllAvailable()
+      assert(spark.table("anomalies").count() == 0)
+      // batch 2: the state built in batch 1 makes the spike flag
+      input.addData((ts("2024-01-01 00:09:00"), "m1", 100.0))
+      q.processAllAvailable()
+      val flagged = spark.table("anomalies").as[Streaming.Anomaly].collect()
+      assert(flagged.length == 1)
+      assert(flagged.head.value == 100.0 && flagged.head.zscore > 2.0)
+      // a second key is isolated: same spike value, but no baseline yet
+      input.addData((ts("2024-01-01 00:10:00"), "m2", 100.0))
+      q.processAllAvailable()
+      assert(spark.table("anomalies").count() == 1)
+    } finally q.stop()
+  }
 }
