@@ -1576,7 +1576,7 @@ object SparkEntry {
   /** Integer-exact PageRank ([[graft.ops.Graph.pageRank]]) over the
     * supplier co-occurrence graph (suppliers of consecutive lines in an
     * order). Every division is a truncating integer `div` in fixed
-    * order, so 10 distributed iterations hash-match the oracle's
+    * order, so 5 distributed iterations hash-match the oracle's
     * unrolled CTE chain exactly — float PageRank never could.
     */
   private def qPagerank(s: SparkSession, dir: String): DataFrame = {
@@ -1589,7 +1589,7 @@ object SparkEntry {
       .select(col("l_suppkey").as("src"),
         lead(col("l_suppkey"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull && col("src") =!= col("dst"))
-    graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 10)
+    graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5)
       .orderBy(col("node"))
   }
 
@@ -1600,7 +1600,7 @@ object SparkEntry {
     */
   private def pagerankOracleSql: String = {
     val base = "((1000000000000 * 15) // 100) // (SELECT n FROM cnt)"
-    val iters = (1 to 10).map { i =>
+    val iters = (1 to 5).map { i =>
       s"""pr$i AS (
          |  SELECT nd.node, $base + (85 * COALESCE(c.m, 0)) // 100 AS rank
          |  FROM nodes nd LEFT JOIN (
@@ -1619,7 +1619,7 @@ object SparkEntry {
        |od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
        |pr0 AS (SELECT node, 1000000000000 // (SELECT n FROM cnt) AS rank FROM nodes),
        |$iters
-       |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr10 ORDER BY node""".stripMargin
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr5 ORDER BY node""".stripMargin
   }
 
   /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying

@@ -36,15 +36,19 @@ object Graph {
     * @return (node, rank) with rank in `unit`-ths; Σ rank <= unit
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, unit: Long = 1000000000000L): DataFrame = {
+               iterations: Int, unit: Long = 1000000000000L,
+               checkpointEvery: Int = 3): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(unit >= 1000000L, "unit too coarse for meaningful ranks")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // each edge carries its source degree from the start: one join paid
+    // once instead of per iteration
+    val e = e0.join(outdeg, Seq("src")).localCheckpoint(true)
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val nNodes = nodes.agg(count(lit(1)).as("n"))
     // all arithmetic stays in columns — N rides a 1-row broadcast, the
     // driver never holds a rank
@@ -52,18 +56,24 @@ object Graph {
       .select(col("node"), expr(s"${unit}L div n").as("rank"))
       .localCheckpoint(true)
     val base = s"(${unit}L * 15L div 100L) div n"
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
+      // node-sized rank state broadcasts; the (frozen, degree-carrying)
+      // edge list never re-shuffles — only the dst-keyed partial-agg
+      // moves data. (If node state outgrows broadcast at extreme scale,
+      // drop the hint and both sides hash on src.)
       val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"), expr("rank div d").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(nNodes))
         .select(col("node"),
           expr(s"$base + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
-        .localCheckpoint(true)
+      // checkpoint on a cadence: lineage stays bounded (it would double
+      // per round) without paying a materialization job every iteration
+      ranks = if (i % checkpointEvery == 0 || i == iterations) next.localCheckpoint(true)
+        else next
     }
     ranks
   }
