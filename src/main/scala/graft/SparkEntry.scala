@@ -1622,6 +1622,28 @@ object SparkEntry {
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr5 ORDER BY node""".stripMargin
   }
 
+  /** Exact join-size pre-flight ([[graft.ops.Stats.joinSizeExact]]):
+    * predicts the lineitem self-join cardinality on l_partkey WITHOUT
+    * running the join (count-product over per-key counts). The oracle
+    * MATERIALIZES the join and counts — the estimate must equal reality
+    * row-for-row.
+    */
+  private def qJoinsize(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    graft.ops.Stats.joinSizeExact(li, "l_partkey", li, "l_partkey")
+  }
+
+  /** Wilson proportion CI ([[graft.ops.Stats.proportionCi]]): purchase
+    * conversion per A/B variant (user_id parity) with 95% bounds — all
+    * IEEE div/mul/sqrt on exact counts, mirrored bit-for-bit by the
+    * oracle's formula.
+    */
+  private def qAbCi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.proportionCi(
+        t(s, dir, "events").withColumn("variant", (col("user_id") % 2).cast("int")),
+        Seq("variant"), col("event_type") === "purchase")
+      .orderBy(col("variant"))
+
   /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
     * ~25% of lineitem between them, plus one cold key per order.
     */
@@ -1843,6 +1865,8 @@ object SparkEntry {
     "q_perplexity" -> (qPerplexity _),
     "q_cooccur" -> (qCooccur _),
     "q_pagerank" -> (qPagerank _),
+    "q_joinsize" -> (qJoinsize _),
+    "q_ab_ci" -> (qAbCi _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2766,6 +2790,35 @@ object SparkEntry {
         |       JOIN m mb ON p.item_b = mb.event_type, ne
         |ORDER BY item_a, item_b""".stripMargin,
     "q_pagerank" -> pagerankOracleSql,
+    // The oracle MATERIALIZES the join the operator only predicts.
+    "q_joinsize" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |actual AS (
+        |  SELECT count(*) AS cnt
+        |  FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey)
+        |SELECT CAST(cnt AS DECIMAL(38,0)) AS n_pairs,
+        |  (SELECT count(*) FROM c) AS n_keys_matched,
+        |  (SELECT max(n*n) FROM c) AS max_key_pairs
+        |FROM actual""".stripMargin,
+    "q_ab_ci" ->
+      """WITH g AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS variant, count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT variant, n, x,
+        |    x / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM g)
+        |SELECT variant, n, x,
+        |  p AS p_hat,
+        |  greatest((p + (1.96*1.96)/(2.0*nd) -
+        |    1.96 * sqrt(p*(1.0 - p)/nd + (1.96*1.96)/(4.0*nd*nd)))
+        |    / (1.0 + (1.96*1.96)/nd), 0.0) AS ci_lo,
+        |  least((p + (1.96*1.96)/(2.0*nd) +
+        |    1.96 * sqrt(p*(1.0 - p)/nd + (1.96*1.96)/(4.0*nd*nd)))
+        |    / (1.0 + (1.96*1.96)/nd), 1.0) AS ci_hi
+        |FROM f ORDER BY variant""".stripMargin,
     "q_group_split" ->
       s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Planning and inference statistics — the numbers you compute ABOUT a
+  * pipeline before or after running it: how big a join will be, how
+  * certain a measured proportion is.
+  *
+  * Not in the reference; engine extension (SURVEY §2.11).
+  */
+object Stats {
+
+  /** Exact equi-join output cardinality WITHOUT running the join:
+    * `|A ⋈ B| = Σ_k cntA(k)·cntB(k)`. Each side collapses to per-key
+    * counts first (map-side combined — the shuffle carries 8-byte
+    * counts, not rows), the count tables join on the key, and the
+    * products sum in decimal (overflow-safe: a single hot key can
+    * contribute quadratically). This is the cheap pre-flight check that
+    * catches a fan-out join (bad key, duplicate dimension rows) BEFORE
+    * it materializes 100× your input — and the exact form of what
+    * cost-based optimizers approximate with sketches.
+    *
+    * Returns one row: `(n_pairs, n_keys_matched, max_key_pairs)` —
+    * `max_key_pairs` names the worst single-key contribution (the skew
+    * diagnosis; compare [[Skew.keySkewReport]]).
+    */
+  def joinSizeExact(a: DataFrame, keyA: String, b: DataFrame, keyB: String): DataFrame = {
+    val ca = a.groupBy(col(keyA).as("__k")).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(col(keyB).as("__k")).agg(count(lit(1)).as("__cb"))
+    ca.join(cb, Seq("__k"))
+      .select((col("__ca") * col("__cb")).as("__pairs"))
+      .agg(
+        coalesce(sum(col("__pairs").cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0)))
+          .cast("decimal(38,0)").as("n_pairs"),
+        count(lit(1)).as("n_keys_matched"),
+        coalesce(max(col("__pairs")), lit(0L)).as("max_key_pairs"))
+  }
+
+  /** Wilson score interval for a per-group proportion — the right CI
+    * when groups are small or p̂ extreme (never leaves [0,1], unlike the
+    * normal approximation). `successes` is a boolean/0-1 Column counted
+    * over the group.
+    *
+    * All arithmetic is IEEE div/mul/sqrt on exact integer counts, in a
+    * fixed expression tree — bit-reproducible across engines and
+    * partitionings (the same discipline as [[Profile.corrExact]]).
+    * Groups with n = 0 produce null bounds.
+    *
+    * @return per group: keys, n, x, p_hat, ci_lo, ci_hi
+    */
+  def proportionCi(df: DataFrame, groupBy: Seq[String], success: Column,
+                   z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val grouped =
+      if (groupBy.isEmpty) df.agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("x"))
+      else df.groupBy(groupBy.map(col): _*)
+        .agg(count(lit(1)).as("n"), sum(when(success, 1L).otherwise(0L)).as("x"))
+    val n = col("n").cast("double")
+    val p = col("x") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val spread = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    grouped
+      .withColumn("p_hat", when(col("n") > 0, p))
+      // clamp: float rounding can put a mathematically-0 bound at -3e-17
+      .withColumn("ci_lo", when(col("n") > 0, greatest((center - spread) / denom, lit(0.0))))
+      .withColumn("ci_hi", when(col("n") > 0, least((center + spread) / denom, lit(1.0))))
+  }
+}
