@@ -2785,7 +2785,8 @@ object SparkEntry {
         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
         |  GROUP BY 1, 2)
         |SELECT item_a, item_b, n_ab, ma.n AS n_a, mb.n AS n_b,
-        |  CAST(n_ab * n_entities AS DOUBLE) / CAST(ma.n * mb.n AS DOUBLE) AS lift
+        |  (CAST(n_ab AS DOUBLE) * CAST(n_entities AS DOUBLE)) /
+        |    (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) AS lift
         |FROM p JOIN m ma ON p.item_a = ma.event_type
         |       JOIN m mb ON p.item_b = mb.event_type, ne
         |ORDER BY item_a, item_b""".stripMargin,
@@ -2798,7 +2799,7 @@ object SparkEntry {
         |  FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey)
         |SELECT CAST(cnt AS DECIMAL(38,0)) AS n_pairs,
         |  (SELECT count(*) FROM c) AS n_keys_matched,
-        |  (SELECT max(n*n) FROM c) AS max_key_pairs
+        |  CAST((SELECT max(n*n) FROM c) AS DECIMAL(38,0)) AS max_key_pairs
         |FROM actual""".stripMargin,
     "q_ab_ci" ->
       """WITH g AS (

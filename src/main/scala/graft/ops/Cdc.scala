@@ -52,9 +52,12 @@ object Cdc {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     // A row opens a new interval iff any tracked value differs (null-safe)
     // from the previous observation, or it is the first observation.
+    // First-row detection uses row_number, NOT lag(ts).isNull — a null
+    // timestamp in the log would otherwise mark its successor "changed"
+    // and split an unchanged run.
     val changed = valueCols
       .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
-      .reduce(_ || _) || lag(col(tsCol), 1).over(w).isNull
+      .reduce(_ || _) || row_number().over(w) === 1
     val compressed = df.withColumn(chg, changed).filter(col(chg)).drop(chg)
     // Same partitioning and ordering → Catalyst reuses one exchange for
     // both window passes; the filter between them is narrow.

@@ -29,7 +29,9 @@ object Drift {
     require(cutpoints.nonEmpty && cutpoints == cutpoints.sorted,
       "cutpoints must be non-empty and ascending")
     // Codegen-friendly HOF over a literal array — no UDF, no shuffle.
-    size(filter(array(cutpoints.map(lit): _*), c => value >= c))
+    // The isNotNull guard delivers the documented null bin: the HOF's
+    // null-predicate elements would otherwise silently land in bin 0.
+    when(value.isNotNull, size(filter(array(cutpoints.map(lit): _*), c => value >= c)))
   }
 
   /** Population Stability Index between `ref` and `cur` on `valueCol`.

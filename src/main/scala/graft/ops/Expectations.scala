@@ -62,7 +62,9 @@ object Expectations {
     case Rule.InSet(c, vs) =>
       sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L).otherwise(0L))
     case Rule.Matches(c, re) =>
-      sum(when(col(c).isNotNull && !col(c).rlike(s"^(?:$re)$$"), 1L).otherwise(0L))
+      // \A..\z, not ^..$: Java's $ matches BEFORE a trailing newline, so
+      // "F\n" would pass a rule documented as a full match
+      sum(when(col(c).isNotNull && !col(c).rlike(s"\\A(?:$re)\\z"), 1L).otherwise(0L))
     case Rule.Satisfies(_, holds) =>
       sum(when(coalesce(holds, lit(false)), 0L).otherwise(1L))
   }

@@ -130,7 +130,9 @@ object Funnel {
       .join(broadcast(marginals.toDF("item_b", "n_b")), Seq("item_b"))
       .crossJoin(broadcast(nEntities))
       .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
-        ((col("n_ab") * col("__n_entities")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        // each count casts to double BEFORE multiplying: long products of
+        // two multi-billion counts overflow (ANSI Spark throws)
+        ((col("n_ab").cast("double") * col("__n_entities").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
   }
 }

@@ -48,8 +48,12 @@ object Scaling {
     val statNames = cols.flatMap(c =>
       Seq(s"__s1_$c", s"__s2_$c", s"__n_$c", s"__min_$c", s"__max_$c"))
     Guards.requireNoReservedNames(df, statNames, "scaling")
-    val st = broadcast(stats(df, parts, cols))
-    val joined = if (parts.isEmpty) df.crossJoin(st) else df.join(st, parts)
+    // Global case: provably one row — force broadcast. Grouped case: the
+    // stats table is GROUP-cardinality-sized (per-entity scaling can make
+    // it huge), so no hint — Spark broadcasts when it fits and falls back
+    // to a shuffle join when it doesn't.
+    val st = stats(df, parts, cols)
+    val joined = if (parts.isEmpty) df.crossJoin(broadcast(st)) else df.join(st, parts)
     cols.foldLeft(joined)((d, c) => d.withColumn(c, scaled(c)))
       .drop(statNames: _*)
   }
@@ -95,7 +99,8 @@ object Scaling {
     val st =
       if (parts.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(parts.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val joined = if (parts.isEmpty) df.crossJoin(broadcast(st)) else df.join(broadcast(st), parts)
+    // same hint policy as withStats: only the provably-1-row side forces it
+    val joined = if (parts.isEmpty) df.crossJoin(broadcast(st)) else df.join(st, parts)
     cols.foldLeft(joined) { (d, c) =>
       val iqr = col(s"__q3_$c") - col(s"__q1_$c")
       d.withColumn(c, when(iqr > 0, (col(c) - col(s"__med_$c")) / iqr))

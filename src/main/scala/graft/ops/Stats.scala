@@ -29,13 +29,16 @@ object Stats {
   def joinSizeExact(a: DataFrame, keyA: String, b: DataFrame, keyB: String): DataFrame = {
     val ca = a.groupBy(col(keyA).as("__k")).agg(count(lit(1)).as("__ca"))
     val cb = b.groupBy(col(keyB).as("__k")).agg(count(lit(1)).as("__cb"))
+    // counts cast to decimal BEFORE the product: two ~4e9-row sides on one
+    // hot key put the pair count past Long.MaxValue (ANSI Spark throws)
     ca.join(cb, Seq("__k"))
-      .select((col("__ca") * col("__cb")).as("__pairs"))
+      .select((col("__ca").cast(DecimalType(19, 0)) * col("__cb").cast(DecimalType(19, 0)))
+        .cast(DecimalType(38, 0)).as("__pairs"))
       .agg(
-        coalesce(sum(col("__pairs").cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0)))
+        coalesce(sum(col("__pairs")), lit(0).cast(DecimalType(38, 0)))
           .cast("decimal(38,0)").as("n_pairs"),
         count(lit(1)).as("n_keys_matched"),
-        coalesce(max(col("__pairs")), lit(0L)).as("max_key_pairs"))
+        coalesce(max(col("__pairs")), lit(0).cast(DecimalType(38, 0))).as("max_key_pairs"))
   }
 
   /** Wilson score interval for a per-group proportion — the right CI

@@ -157,8 +157,16 @@ object Sources {
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    require(new org.apache.hadoop.fs.Path(inPath) !=
-      new org.apache.hadoop.fs.Path(outPath), "compact cannot write onto its input")
+    // Compare FULLY-QUALIFIED paths: "/data/t" vs "file:/data/t" are the
+    // same directory, and an overwrite onto the lazy input scan would
+    // destroy the data before it is read.
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String): org.apache.hadoop.fs.Path = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(conf).makeQualified(path)
+    }
+    require(qualified(inPath) != qualified(outPath),
+      "compact cannot write onto its input")
     val bytes = dataFileBytes(spark, inPath)
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(inPath).repartition(nFiles)

@@ -249,42 +249,62 @@ object Streaming {
   /** Streaming rolling z-score anomalies — the unbounded-stream sibling
     * of [[graft.ops.Timeseries.flagAnomalies]]: per key, keep the last
     * `n` values in state, flag arrivals whose z against that trailing
-    * baseline exceeds `z`. State is O(n) per key, keyed state shuffles
-    * once; within a batch events process in event-time order, and
-    * cross-batch stragglers score against the state as-of arrival (the
-    * documented streaming relaxation — batch replays of the same data
-    * through the exact operator reproduce the strict ordering).
+    * baseline exceeds `z`. State is O(n) per key and expires
+    * `stateTtlMinutes` after the key's latest event time (keys that go
+    * quiet stop holding state — an unbounded key universe must not grow
+    * the store forever); the keyed state shuffles once.
     *
-    * Works on batch Datasets too (same code path, single "batch").
+    * Events process in ARRIVAL order with O(n) memory — the group is
+    * never materialized or sorted (a hot key's batch can be arbitrarily
+    * large), so feed event-time-ordered input for strict rolling
+    * semantics; stragglers score against the state as-of arrival (batch
+    * replays through the exact operator reproduce strict ordering).
+    *
+    * Works on batch Datasets too (same code path, single "batch";
+    * timeouts never fire there, as with [[sessionizeStateful]]).
     */
   def anomaliesStateful(events: Dataset[SessionEvent], n: Int, z: Double,
-                        minPeriods: Int = 2): Dataset[Anomaly] = {
+                        minPeriods: Int = 2, stateTtlMinutes: Int = 60): Dataset[Anomaly] = {
     require(n > 1 && minPeriods >= 2 && z > 0, "need n>1, minPeriods>=2, z>0")
+    require(stateTtlMinutes > 0, "stateTtlMinutes must be positive")
     val spark = events.sparkSession
     import spark.implicits._
+    val ttlUs = stateTtlMinutes.toLong * 60 * 1000000
+    // evaluated on the driver: the closure must not capture the Dataset
+    val isStreaming = events.isStreaming
     events.groupByKey(_.key)
       .flatMapGroupsWithState[RollState, Anomaly](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, batch: Iterator[SessionEvent], state: GroupState[RollState]) =>
-          val sorted = batch.toSeq.sortBy(_.tsMicros)
-          var st = state.getOption.getOrElse(RollState(Vector.empty, Long.MinValue))
-          val out = Seq.newBuilder[Anomaly]
-          sorted.foreach { e =>
-            val win = (st.values :+ e.value).takeRight(n)
-            if (win.size >= minPeriods) {
-              val mean = win.sum / win.size
-              val variance = win.map(v => (v - mean) * (v - mean)).sum / win.size
-              val std = math.sqrt(variance)
-              if (std > 0) {
-                val zi = (e.value - mean) / std
-                if (math.abs(zi) > z)
-                  out += Anomaly(key, e.tsMicros, e.value, zi)
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(RollState(Vector.empty, Long.MinValue))
+            val out = Seq.newBuilder[Anomaly]
+            var any = false
+            batch.foreach { e =>
+              any = true
+              val win = (st.values :+ e.value).takeRight(n)
+              if (win.size >= minPeriods) {
+                val mean = win.sum / win.size
+                val variance = win.map(v => (v - mean) * (v - mean)).sum / win.size
+                val std = math.sqrt(variance)
+                if (std > 0) {
+                  val zi = (e.value - mean) / std
+                  if (math.abs(zi) > z)
+                    out += Anomaly(key, e.tsMicros, e.value, zi)
+                }
               }
+              st = RollState(win, math.max(st.lastTs, e.tsMicros))
             }
-            st = RollState(win, math.max(st.lastTs, e.tsMicros))
+            if (any) {
+              state.update(st)
+              if (isStreaming)
+                state.setTimeoutTimestamp((st.lastTs + ttlUs) / 1000) // millis
+            }
+            out.result().iterator
           }
-          if (sorted.nonEmpty) state.update(st)
-          out.result().iterator
       }
   }
 }

@@ -37,9 +37,11 @@ object LangModel {
     * Output: one row per distinct adjacent pair `(w1, w2, c12, c1)`
     * where `c12` = corpus count of the pair and `c1` = corpus count of
     * `w1` as a bigram PREFIX (so Σ_{w2} c12 = c1 exactly — the
-    * conditional distribution normalizes). One explode + one token-pair
-    * shuffle; the prefix counts ride a window over the same exchange,
-    * not a second scan.
+    * conditional distribution normalizes). One explode + two shuffles:
+    * the token-pair aggregation (map-side combined over the raw stream),
+    * then the w1-window re-exchange of the MODEL-sized pair table — the
+    * second shuffle moves distinct pairs, never the token stream, and no
+    * second corpus scan happens.
     */
   def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
     val t = toks(col(textCol))

@@ -55,6 +55,13 @@ class CdcSpec extends AnyFunSuite {
     assert(perKey.forall(_.getLong(1) == 1L))
   }
 
+  test("scd2: a null timestamp never splits an unchanged run") {
+    val df = createDf(spark, "k int, ts bigint, v string",
+      Seq(Seq[Any](1, null, "a"), Seq[Any](1, 10L, "a"), Seq[Any](1, 20L, "a")))
+    // all three observations carry the same value: one interval
+    assert(Cdc.scd2(df, Seq("k"), "ts", Seq("v")).count() == 1)
+  }
+
   test("scd2 rejects reserved output names on the input") {
     val bad = changes.withColumn("effective_from", lit(0L))
     intercept[IllegalArgumentException] {

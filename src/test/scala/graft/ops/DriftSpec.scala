@@ -19,6 +19,14 @@ class DriftSpec extends AnyFunSuite {
       Map(-1.0 -> 0, 0.0 -> 1, 0.5 -> 1, 1.0 -> 2, 2.0 -> 3, 99.0 -> 3))
   }
 
+  test("binIndex: null values get a null bin, never bin 0") {
+    val df = createDf(spark, "v double", Seq(Seq[Any](null), Seq[Any](-5.0)))
+      .select(Drift.binIndex(col("v"), Seq(0.0)).as("b"))
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(rows.count(r => !r.isNullAt(0) && r.getInt(0) == 0) == 1)
+  }
+
   test("identical distributions: psi ~ 0, every bin present") {
     val a = frame(Seq(0.1, 0.5, 1.5, 2.5, 2.5))
     val got = Drift.psi(a, a, "v", Seq(1.0, 2.0))

@@ -57,6 +57,13 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(got.head().getLong(1) == 2L) // 4 rows, 2 distinct tuples
   }
 
+  test("matches is a FULL match: a trailing newline violates (\\z anchor, not $)") {
+    val d = createDf(spark, "s string",
+      Seq(Seq[Any]("F"), Seq[Any]("F\n"), Seq[Any]("FX")))
+    val got = Expectations.check(d, Seq(Rule.Matches("s", "[OF]")))
+    assert(got.head().getLong(1) == 2L) // "F\n" and "FX" both violate
+  }
+
   test("duplicate rule names are rejected") {
     intercept[IllegalArgumentException] {
       Expectations.check(df, Seq(Rule.NotNull("name"), Rule.NotNull("name")))

@@ -18,7 +18,7 @@ class StatsSpec extends AnyFunSuite {
     val actual = a.join(b, Seq("k")).count()
     assert(est.getDecimal(0).longValueExact() == actual) // 3*1 + 1*2 + 2*1 = 7
     assert(est.getLong(1) == 3L) // keys 1, 2, 3 match
-    assert(est.getLong(2) == 3L) // key 1 contributes most pairs
+    assert(est.getDecimal(2).longValueExact() == 3L) // key 1 contributes most pairs
   }
 
   test("joinSizeExact with no overlapping keys is zero, not empty") {

@@ -147,5 +147,9 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sources.compact(spark, in, in)
     }
+    // an equivalent spelling of the same directory must also be refused
+    intercept[IllegalArgumentException] {
+      Sources.compact(spark, in, s"file:$in")
+    }
   }
 }
