@@ -1644,6 +1644,22 @@ object SparkEntry {
         Seq("variant"), col("event_type") === "purchase")
       .orderBy(col("variant"))
 
+  /** Lexical diversity ([[graft.text.TextStats.simpsonDiversity]]):
+    * type-token ratio + Gini-Simpson index per document — entirely
+    * rational (no ln, unlike Shannon entropy), so the scores themselves
+    * are oracled bit-exact. Narrow map, no shuffle.
+    */
+  private def qDiversity(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("ttr"),
+        TextStats.simpsonDiversity(col("text")).as("simpson"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
     * ~25% of lineitem between them, plus one cold key per order.
     */
@@ -1867,6 +1883,7 @@ object SparkEntry {
     "q_pagerank" -> (qPagerank _),
     "q_joinsize" -> (qJoinsize _),
     "q_ab_ci" -> (qAbCi _),
+    "q_diversity" -> (qDiversity _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2820,6 +2837,19 @@ object SparkEntry {
         |    1.96 * sqrt(p*(1.0 - p)/nd + (1.96*1.96)/(4.0*nd*nd)))
         |    / (1.0 + (1.96*1.96)/nd), 1.0) AS ci_hi
         |FROM f ORDER BY variant""".stripMargin,
+    "q_diversity" ->
+      """SELECT doc_id,
+        |  CAST(len(l) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE) AS ttr,
+        |  CASE WHEN len(l) > 1 THEN 1.0 - CAST(s AS DOUBLE) /
+        |    (CAST(len(l) AS DOUBLE) * (CAST(len(l) AS DOUBLE) - 1.0)) END AS simpson
+        |FROM (
+        |  SELECT doc_id, l,
+        |    list_sum(list_transform(list_distinct(l),
+        |      w -> len(list_filter(l, x -> x = w)) * (len(list_filter(l, x -> x = w)) - 1))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "q_group_split" ->
       s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),

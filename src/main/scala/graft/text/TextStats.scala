@@ -49,6 +49,33 @@ object TextStats {
     * too short to shingle. High values mark boilerplate/spam for
     * filtering. Pure per-row array arithmetic, no shuffle.
     */
+  /** Σ cᵢ·(cᵢ−1) over the document's token frequencies — the number of
+    * ordered same-token pairs, the integer heart of the Gini-Simpson
+    * diversity index. Per-row array arithmetic only (O(k·n) per doc,
+    * k = distinct tokens): no explode, no shuffle — diversity scoring at
+    * 100 TB stays a narrow map.
+    */
+  def samePairCount(toks: Column): Column =
+    graft.functions.ArrayMath.bound(toks) { t =>
+      aggregate(array_distinct(t), lit(0L), (acc, w) => {
+        val c = size(filter(t, x => x === w)).cast("long")
+        acc + c * (c - lit(1L))
+      })
+    }
+
+  /** Gini-Simpson lexical diversity: probability two tokens drawn
+    * without replacement differ — `1 − Σcᵢ(cᵢ−1) / (n(n−1))`. Entirely
+    * RATIONAL (unlike Shannon entropy's ln), so the score is bit-exact
+    * across engines: integer counts, one IEEE division. Null for docs
+    * with fewer than two tokens.
+    */
+  def simpsonDiversity(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t).cast("double")
+    when(size(t) > 1,
+      lit(1.0) - samePairCount(t).cast("double") / (n * (n - lit(1.0))))
+  }
+
   def repetitionScore(text: Column, n: Int = 3): Column =
     graft.functions.ArrayMath.bound(
       graft.functions.ArrayMath.shingleHash64(tokens(text), n, distinct = false)) { sh =>

@@ -435,4 +435,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute))
     assert(lsh.contains((1L, 2L)), "near-identical vectors must share every bucket")
   }
+
+  test("simpsonDiversity: uniform tokens diversify, repeats collapse, short docs null") {
+    val df = createDf(spark, "text string",
+      Seq(Seq[Any]("a b c d"), Seq[Any]("a a a a"), Seq[Any]("a a b b"), Seq[Any]("solo")))
+    val got = df.select(col("text"), TextStats.simpsonDiversity(col("text")).as("d"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got("a b c d").contains(1.0)) // all distinct: two draws always differ
+    assert(got("a a a a").contains(0.0)) // one type: never differ
+    // {a:2, b:2}: 1 - (2*1 + 2*1)/(4*3) = 1 - 4/12
+    assert(math.abs(got("a a b b").get - (1.0 - 4.0 / 12.0)) < 1e-15)
+    assert(got("solo").isEmpty) // < 2 tokens
+  }
 }
