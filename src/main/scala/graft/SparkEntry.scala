@@ -1660,6 +1660,41 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** SCD2 + as-of composition: enrich each purchase with the event-type
+    * interval ACTIVE at purchase time — [[graft.ops.Cdc.scd2]] builds
+    * the validity intervals, [[graft.ops.AsOf.asofJoinBackward]] finds
+    * the governing one (one key shuffle each). The oracle uses DuckDB's
+    * native ASOF JOIN over the same compressed intervals. effective_from
+    * is unique per user here (no same-user same-ts events), so the
+    * as-of pick is tie-free on both engines.
+    */
+  private def qScd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val dim = graft.ops.Cdc.scd2(
+        ev.select("user_id", "event_id", "ts", "event_type"),
+        Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("effective_from"),
+        col("event_type").as("state_type"), col("event_id").as("interval_id"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    AsOf.asofJoinBackward(facts, dim, Seq("user_id"), "ts", "effective_from",
+        Seq("state_type", "interval_id"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("asof_state_type").as("state_type"),
+        col("asof_interval_id").as("interval_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Gaps-and-islands activity streaks
+    * ([[graft.ops.Funnel.activityStreaks]]): longest consecutive-day run
+    * and active-day count per user — one distinct, one window, one agg,
+    * all on the entity key.
+    */
+  private def qStreaks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.activityStreaks(t(s, dir, "events"), "user_id", "ts")
+      .orderBy(col("user_id"))
+
   /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
     * ~25% of lineitem between them, plus one cold key per order.
     */
@@ -1884,6 +1919,8 @@ object SparkEntry {
     "q_joinsize" -> (qJoinsize _),
     "q_ab_ci" -> (qAbCi _),
     "q_diversity" -> (qDiversity _),
+    "q_scd2_lookup" -> (qScd2Lookup _),
+    "q_streaks" -> (qStreaks _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2850,6 +2887,35 @@ object SparkEntry {
         |      w -> len(list_filter(l, x -> x = w)) * (len(list_filter(l, x -> x = w)) - 1))) AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "q_scd2_lookup" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER w AS prev_et,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (
+        |  SELECT user_id, event_id AS interval_id, event_type AS state_type,
+        |    ts AS eff_from
+        |  FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev_et),
+        |f AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id,
+        |  strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  i.state_type, i.interval_id
+        |FROM f ASOF JOIN i ON f.user_id = i.user_id AND f.ts >= i.eff_from
+        |ORDER BY f.user_id, f.event_id""".stripMargin,
+    "q_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM d),
+        |s AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_periods
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_group_split" ->
       s"""$semanticComponentsCte,
         |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),

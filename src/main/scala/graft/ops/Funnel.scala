@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence (funnel) analysis over an event stream: how far each
@@ -95,6 +96,32 @@ object Funnel {
         ((unix_micros(col("__bucket")) - unix_micros(col("cohort_ts"))) /
           (periodSeconds * 1000000L)).cast("long").as("period"))
       .agg(countDistinct(col(entityCol)).as("n_active"))
+  }
+
+  /** Activity streaks (gaps-and-islands): per entity, the longest run of
+    * CONSECUTIVE active periods and the total active-period count — the
+    * classic engagement metric, one distinct + one window + one
+    * aggregation, all hash-partitioned on the entity (no self-joins, no
+    * per-day passes).
+    *
+    * Periods are `periodSeconds` buckets of event time; the island key
+    * is `period_index − row_number` (consecutive periods share it).
+    */
+  def activityStreaks(events: DataFrame, entityCol: String, tsCol: String,
+                      periodSeconds: Long = 86400L): DataFrame = {
+    require(periodSeconds > 0, s"periodSeconds must be positive: $periodSeconds")
+    Guards.requireNoReservedNames(events,
+      Seq("longest_streak", "n_active_periods", "__day", "__island"), "activityStreaks")
+    val day = floor(unix_micros(col(tsCol)) / (periodSeconds * 1000000L)).cast("long")
+    val periods = events.select(col(entityCol), day.as("__day")).distinct()
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("__day"))
+    periods
+      .withColumn("__island", col("__day") - row_number().over(w))
+      .groupBy(col(entityCol), col("__island"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col(entityCol))
+      .agg(max(col("__len")).as("longest_streak"),
+        sum(col("__len")).as("n_active_periods"))
   }
 
   /** Item co-occurrence with lift — the market-basket association view

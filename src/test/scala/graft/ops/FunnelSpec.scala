@@ -181,6 +181,19 @@ class HistogramSpec extends AnyFunSuite {
     assert(!got.contains(("b", "c")))
   }
 
+  test("activityStreaks: consecutive periods chain, gaps break, duplicates collapse") {
+    // user 1: days 0,1,2 then 5,6 (two events on day 1); user 2: day 9 only
+    def at(day: Long, s: Int) = new java.sql.Timestamp((day * 86400 + s) * 1000L)
+    val df = createDf(spark, Seq("u", "ts"),
+      Seq(Seq[Any](1, at(0, 10)), Seq[Any](1, at(1, 20)), Seq[Any](1, at(1, 99)),
+        Seq[Any](1, at(2, 5)), Seq[Any](1, at(5, 0)), Seq[Any](1, at(6, 0)),
+        Seq[Any](2, at(9, 0))))
+    val got = Funnel.activityStreaks(df, "u", "ts")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1) == (3L, 5L)) // longest 0-1-2; 5 distinct active days
+    assert(got(2) == (1L, 1L))
+  }
+
   test("cooccurrenceLift: pair orientation is canonical (item_a < item_b)") {
     val df = createDf(spark, "u int, item string",
       Seq(Seq[Any](1, "z"), Seq[Any](1, "a")))
