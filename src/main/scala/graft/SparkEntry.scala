@@ -371,6 +371,17 @@ object SparkEntry {
         grouping_id().as("gid"))
       .orderBy(col("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** CUBE: all four grouping-set combinations of (returnflag,
+    * linestatus) in one pass (Expand + single aggregation — Spark plans
+    * grouping sets without per-set scans; rollup's sibling, §2.4).
+    */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** Set operations: nation keys serving both customers and suppliers
     * (INTERSECT) vs customer-only nations (EXCEPT), tagged and unioned.
     */
@@ -1921,6 +1932,7 @@ object SparkEntry {
     "q_diversity" -> (qDiversity _),
     "q_scd2_lookup" -> (qScd2Lookup _),
     "q_streaks" -> (qStreaks _),
+    "q_cube" -> (qCube _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2238,6 +2250,13 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
         |  GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n,
+        |  GROUPING_ID(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_set_ops" ->
       """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
