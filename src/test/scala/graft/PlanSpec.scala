@@ -175,4 +175,51 @@ class PlanSpec extends AnyFunSuite {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashExchanges == 1, s"expected exactly 1 hash exchange, found $hashExchanges")
   }
+
+  test("q_scd2: both window passes ride ONE user_id exchange (plus the final sort)") {
+    val p = plan("q_scd2")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"change-compression and interval windows must share one shuffle, found $hashExchanges:\n${p.take(2000)}")
+    assert("Window \\[".r.findAllIn(p).length >= 2, s"expected two Window passes:\n${p.take(2000)}")
+  }
+
+  test("q_expectations: one scan, no joins or unions of per-rule passes") {
+    val p = plan("q_expectations")
+    assert(!p.contains("Join") && !p.contains("Union"),
+      s"the rule report must be a single aggregation chain:\n${p.take(2000)}")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"expected exactly one scan:\n${p.take(2000)}")
+  }
+
+  test("q_anomaly: prefix-sum reformulation keeps one event_type exchange") {
+    val p = plan("q_anomaly")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"cumulative + lag windows must share one shuffle, found $hashExchanges:\n${p.take(2000)}")
+  }
+
+  test("q_cooccur and q_pagerank never plan a cartesian product") {
+    for (q <- Seq("q_cooccur", "q_pagerank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join:\n${p.take(1500)}")
+    }
+  }
+
+  test("q_diversity is a narrow map: no Exchange before the final sort") {
+    val p = plan("q_diversity")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"diversity scoring must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("joinSizeExact moves counts, not rows: both sides partial-aggregate below the join") {
+    val li = graft.sources.Sources.readTable(spark, dir, "lineitem")
+    val p = graft.ops.Stats.joinSizeExact(li, "l_partkey", li, "l_partkey")
+      .queryExecution.executedPlan.toString
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, s"expected a count-table join:\n${p.take(1500)}")
+    // the join's subtree must aggregate before exchanging (map-side combine)
+    assert(p.substring(joinIdx).contains("HashAggregate"),
+      s"per-key counts must reduce below the join:\n${p.take(2000)}")
+  }
 }
