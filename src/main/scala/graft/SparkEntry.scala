@@ -1706,6 +1706,17 @@ object SparkEntry {
     graft.ops.Funnel.activityStreaks(t(s, dir, "events"), "user_id", "ts")
       .orderBy(col("user_id"))
 
+  /** Dense surrogate ids ([[graft.ops.Ids.withDenseId]]): contiguous
+    * 0..n-1 in doc_id order WITHOUT a single-partition sort — range
+    * repartition + partition offsets (the scale-safe form of the
+    * whole-frame row_number the reference warns about).
+    */
+  private def qDenseId(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ids.withDenseId(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("row_id"))
+      .orderBy(col("doc_id"))
+
   /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
     * ~25% of lineitem between them, plus one cold key per order.
     */
@@ -1933,6 +1944,7 @@ object SparkEntry {
     "q_scd2_lookup" -> (qScd2Lookup _),
     "q_streaks" -> (qStreaks _),
     "q_cube" -> (qCube _),
+    "q_dense_id" -> (qDenseId _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2258,6 +2270,10 @@ object SparkEntry {
         |  GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_dense_id" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_set_ops" ->
       """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
         |     s AS (SELECT s_nationkey AS nationkey FROM supplier)

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Surrogate-id assignment — contiguous 0..n-1 ids in a caller-defined
+  * order, the "give every document a stable number" step before packing,
+  * sharding, or matrix-style training exports.
+  *
+  * Not in the reference; engine extension (SURVEY §2.11).
+  */
+object Ids {
+
+  /** Assign dense ids `0..n-1` following the total order of `orderCols`
+    * WITHOUT the classic trap (`row_number()` over an empty window spec
+    * sorts every row into ONE task — the reference's documented
+    * single-partition hazard, general.py:173-179).
+    *
+    * Shape: range-repartition on the order columns (distributed sort),
+    * then `monotonically_increasing_id` exposes each row's partition
+    * ordinal ((id >> 33) = partition, low bits = position within it);
+    * per-partition counts (one tiny aggregation — partition-count rows)
+    * turn into starting offsets via a cumulative sum over that BOUNDED
+    * table, broadcast back, and the dense id is offset + local position.
+    * The result depends only on the total order, not on where the range
+    * boundaries fell.
+    *
+    * `orderCols` must be a total order (ties would make ids
+    * run-dependent — same contract as every window op here).
+    */
+  def withDenseId(df: DataFrame, orderCols: Seq[String], idCol: String = "row_id",
+                  numPartitions: Option[Int] = None): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    Guards.requireNoReservedNames(df, Seq(idCol, "__mid", "__pid", "__offset"), "withDenseId")
+    val order = orderCols.map(col(_).asc)
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, order: _*))
+      .getOrElse(df.repartitionByRange(order: _*))
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      // projected attributes, not raw expressions: a nondeterministic
+      // expression may not appear in a join condition
+      .withColumn("__pid", (col("__mid") / lit(1L << 33)).cast("long"))
+    // partition-count-sized table: the window below is bounded by the
+    // partition count, never by the data
+    val offsets = ranged
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    ranged
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(idCol, col("__offset") + (col("__mid") % lit(1L << 33)))
+      .drop("__mid", "__pid", "__offset")
+  }
+}
