@@ -1717,6 +1717,22 @@ object SparkEntry {
       .select(col("doc_id"), col("row_id"))
       .orderBy(col("doc_id"))
 
+  /** Ranking-window feature block (§2.7 analytics surface): percentile
+    * rank and cumulative distribution of order value within each status
+    * — both rational ((rank−1)/(n−1), rank/n), so the features are
+    * oracled bit-exact. One hash shuffle on the partition key.
+    */
+  private def qRankFeatures(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
   /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
     * ~25% of lineitem between them, plus one cold key per order.
     */
@@ -1945,6 +1961,7 @@ object SparkEntry {
     "q_streaks" -> (qStreaks _),
     "q_cube" -> (qCube _),
     "q_dense_id" -> (qDenseId _),
+    "q_rank_features" -> (qRankFeatures _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2274,6 +2291,13 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_rank_features" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "q_set_ops" ->
       """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
         |     s AS (SELECT s_nationkey AS nationkey FROM supplier)
