@@ -1733,6 +1733,23 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"), col("o_orderkey"))
   }
 
+  /** Validation for the sketch-only join-size bound
+    * ([[graft.ops.Stats.joinSizeUpperBound]]): the CMS inner product can
+    * never undercount the exact count-product — a deterministic law, so
+    * violations = 0, oracle SELECT 0. A deliberately narrow width keeps
+    * collisions (and the bound's slack) in play.
+    */
+  private def qJoinsizeBound(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val bound = graft.ops.Stats.joinSizeUpperBound(li, "l_partkey", li, "l_partkey",
+      depth = 5, width = 1 << 10)
+    val exact = graft.ops.Stats.joinSizeExact(li, "l_partkey", li, "l_partkey")
+      .select(col("n_pairs"))
+    bound.crossJoin(exact)
+      .select(when(col("upper_bound") < col("n_pairs"), 1L).otherwise(0L)
+        .as("n_violations"))
+  }
+
   /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
     * ~25% of lineitem between them, plus one cold key per order.
     */
@@ -1962,6 +1979,7 @@ object SparkEntry {
     "q_cube" -> (qCube _),
     "q_dense_id" -> (qDenseId _),
     "q_rank_features" -> (qRankFeatures _),
+    "q_joinsize_bound" -> (qJoinsizeBound _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -1976,7 +1994,7 @@ object SparkEntry {
     Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment", "q_quantize",
       "q_dup_components", "q_bucketed_join", "q_cms", "q_ivf_exact",
       "q_simhash_containment", "q_fingerprint_containment", "q_quantile_bound",
-      "q_hll_merge", "q_weighted_sample", "q_hh_containment")
+      "q_hll_merge", "q_weighted_sample", "q_hh_containment", "q_joinsize_bound")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -2298,6 +2316,8 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 50 = 0
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "q_joinsize_bound" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_set_ops" ->
       """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
         |     s AS (SELECT s_nationkey AS nationkey FROM supplier)

@@ -41,6 +41,42 @@ object Stats {
         coalesce(max(col("__pairs")), lit(0).cast(DecimalType(38, 0))).as("max_key_pairs"))
   }
 
+  /** Mergeable count-min sketch as a plain DataFrame: `(d, w, cnt)` with
+    * `depth × width` rows regardless of input size — the shuffle carries
+    * the key stream hashed down to sketch cells (map-side combined).
+    * Sketches of different datasets merge by summing cells; row `d`
+    * hashes with a per-depth salt (`xxhash64(key, d)`).
+    */
+  def cmsTable(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1, width>=2: ($depth, $width)")
+    val cells = (0 until depth).map { d =>
+      struct(lit(d).as("d"),
+        pmod(xxhash64(col(keyCol).cast("string"), lit(d)), lit(width.toLong)).as("w"))
+    }
+    df.select(explode(array(cells: _*)).as("__c"))
+      .select(col("__c.d").as("d"), col("__c.w").as("w"))
+      .groupBy(col("d"), col("w")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sketch-only UPPER bound on an equi-join's output size: the CMS
+    * inner product `min_d Σ_w cntA[d,w]·cntB[d,w]`. Colliding keys can
+    * only ADD to a cell product, so the bound can never undercount —
+    * a deterministic guarantee, not a probabilistic one (q_joinsize_bound
+    * verifies it against [[joinSizeExact]]). Use when even the per-key
+    * count tables of [[joinSizeExact]] are too wide to move: this moves
+    * `depth × width` cells per side, full stop.
+    */
+  def joinSizeUpperBound(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
+                         depth: Int = 5, width: Int = 1 << 12): DataFrame = {
+    val ca = cmsTable(a, keyA, depth, width).withColumnRenamed("cnt", "__ca")
+    val cb = cmsTable(b, keyB, depth, width).withColumnRenamed("cnt", "__cb")
+    ca.join(cb, Seq("d", "w"))
+      .groupBy(col("d"))
+      .agg(sum((col("__ca").cast(DecimalType(19, 0)) * col("__cb").cast(DecimalType(19, 0)))
+        .cast(DecimalType(38, 0))).as("__ip"))
+      .agg(min(col("__ip")).cast(DecimalType(38, 0)).as("upper_bound"))
+  }
+
   /** Wilson score interval for a per-group proportion — the right CI
     * when groups are small or p̂ extreme (never leaves [0,1], unlike the
     * normal approximation). `successes` is a boolean/0-1 Column counted

@@ -28,6 +28,28 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getDecimal(0).longValueExact() == 0L && r.getLong(1) == 0L)
   }
 
+  test("law: CMS join-size bound never undercounts, random frames and narrow widths") {
+    val rnd = new scala.util.Random(8)
+    for (trial <- 1 to 5) {
+      def frame() = createDf(spark, "k int",
+        Seq.fill(50 + rnd.nextInt(100))(Seq[Any](rnd.nextInt(20))))
+      val (a, b) = (frame(), frame())
+      val exact = a.join(b, Seq("k")).count()
+      // deliberately tiny width forces collisions — the bound must hold anyway
+      val bound = Stats.joinSizeUpperBound(a, "k", b, "k", depth = 3, width = 8)
+        .head().getDecimal(0).longValueExact()
+      assert(bound >= exact, s"trial $trial: bound $bound < exact $exact")
+    }
+  }
+
+  test("CMS bound is tight when the width dominates the key space") {
+    val a = createDf(spark, "k int", (1 to 50).map(i => Seq[Any](i % 10)))
+    val exact = a.join(a, Seq("k")).count()
+    val bound = Stats.joinSizeUpperBound(a, "k", a, "k", depth = 5, width = 1 << 14)
+      .head().getDecimal(0).longValueExact()
+    assert(bound == exact, s"collision-free sketch must be exact: $bound vs $exact")
+  }
+
   test("proportionCi: Wilson interval brackets p_hat and stays inside [0,1]") {
     val df = createDf(spark, "g string, ok int",
       (1 to 20).map(i => Seq[Any]("a", if (i <= 19) 1 else 0)) ++ // 19/20
