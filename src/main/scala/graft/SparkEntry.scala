@@ -1713,7 +1713,7 @@ object SparkEntry {
     */
   private def qDenseId(s: SparkSession, dir: String): DataFrame =
     graft.ops.Ids.withDenseId(
-        t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+        t(s, dir, "documents").select(col("doc_id")), Seq("doc_id"))
       .select(col("doc_id"), col("row_id"))
       .orderBy(col("doc_id"))
 

@@ -111,7 +111,8 @@ object Funnel {
                       periodSeconds: Long = 86400L): DataFrame = {
     require(periodSeconds > 0, s"periodSeconds must be positive: $periodSeconds")
     Guards.requireNoReservedNames(events,
-      Seq("longest_streak", "n_active_periods", "__day", "__island"), "activityStreaks")
+      Seq("longest_streak", "n_active_periods", "__day", "__island", "__len"),
+      "activityStreaks")
     val day = floor(unix_micros(col(tsCol)) / (periodSeconds * 1000000L)).cast("long")
     val periods = events.select(col(entityCol), day.as("__day")).distinct()
     val w = Window.partitionBy(col(entityCol)).orderBy(col("__day"))

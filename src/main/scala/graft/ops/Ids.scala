@@ -42,6 +42,12 @@ object Ids {
       // projected attributes, not raw expressions: a nondeterministic
       // expression may not appear in a join condition
       .withColumn("__pid", (col("__mid") / lit(1L << 33)).cast("long"))
+      // materialization barrier, not an optimization: the offsets branch
+      // and the row branch below must see the SAME sampled range
+      // boundaries and the SAME ordinals — without the barrier that is
+      // only true while exchange reuse happens to deduplicate the two
+      // nondeterministic subtrees (exchange-reuse config-dependent)
+      .localCheckpoint(true)
     // partition-count-sized table: the window below is bounded by the
     // partition count, never by the data
     val offsets = ranged

@@ -70,11 +70,18 @@ object Stats {
                          depth: Int = 5, width: Int = 1 << 12): DataFrame = {
     val ca = cmsTable(a, keyA, depth, width).withColumnRenamed("cnt", "__ca")
     val cb = cmsTable(b, keyB, depth, width).withColumnRenamed("cnt", "__cb")
-    ca.join(cb, Seq("d", "w"))
+    val perDepth = ca.join(cb, Seq("d", "w"))
       .groupBy(col("d"))
       .agg(sum((col("__ca").cast(DecimalType(19, 0)) * col("__cb").cast(DecimalType(19, 0)))
         .cast(DecimalType(38, 0))).as("__ip"))
-      .agg(min(col("__ip")).cast(DecimalType(38, 0)).as("upper_bound"))
+    // A depth with NO overlapping cells proves the join empty — it must
+    // contribute 0 to the min, not vanish from the inner join (and an
+    // empty side must yield 0, never null).
+    val spark = a.sparkSession
+    spark.range(depth).select(col("id").cast("int").as("d"))
+      .join(perDepth, Seq("d"), "left")
+      .agg(min(coalesce(col("__ip"), lit(0).cast(DecimalType(38, 0))))
+        .cast(DecimalType(38, 0)).as("upper_bound"))
   }
 
   /** Wilson score interval for a per-group proportion — the right CI

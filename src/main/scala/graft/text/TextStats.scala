@@ -43,12 +43,6 @@ object TextStats {
     }
   }
 
-  /** Intra-document repetition score (C4/Gopher-style quality rule): the
-    * fraction of `n`-gram occurrences that are repeats of an earlier
-    * occurrence — `1 - |distinct n-grams| / |n-grams|`; 0 for documents
-    * too short to shingle. High values mark boilerplate/spam for
-    * filtering. Pure per-row array arithmetic, no shuffle.
-    */
   /** Σ cᵢ·(cᵢ−1) over the document's token frequencies — the number of
     * ordered same-token pairs, the integer heart of the Gini-Simpson
     * diversity index. Per-row array arithmetic only (O(k·n) per doc,
@@ -76,6 +70,12 @@ object TextStats {
       lit(1.0) - samePairCount(t).cast("double") / (n * (n - lit(1.0))))
   }
 
+  /** Intra-document repetition score (C4/Gopher-style quality rule): the
+    * fraction of `n`-gram occurrences that are repeats of an earlier
+    * occurrence — `1 - |distinct n-grams| / |n-grams|`; 0 for documents
+    * too short to shingle. High values mark boilerplate/spam for
+    * filtering. Pure per-row array arithmetic, no shuffle.
+    */
   def repetitionScore(text: Column, n: Int = 3): Column =
     graft.functions.ArrayMath.bound(
       graft.functions.ArrayMath.shingleHash64(tokens(text), n, distinct = false)) { sh =>

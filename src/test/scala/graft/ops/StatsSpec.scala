@@ -42,6 +42,32 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS bound equals the documented min_d formula, zero-overlap depths included") {
+    // few keys + wide sketch: most depths have NO overlapping cells for
+    // disjoint key sets — those depths must contribute 0 to the min
+    val a = createDf(spark, "k int", (1 to 3).map(i => Seq[Any](i)))
+    val b = createDf(spark, "k int", (1001 to 1003).map(i => Seq[Any](i)))
+    val (depth, width) = (6, 1 << 10)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Stats.cmsTable(df, "k", depth, width).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (ca, cb) = (cells(a), cells(b))
+    val reference = (0 until depth).map { d =>
+      ca.collect { case ((`d`, w), c) => c * cb.getOrElse((d, w), 0L) }.sum
+    }.min
+    val bound = Stats.joinSizeUpperBound(a, "k", b, "k", depth, width)
+      .head().getDecimal(0).longValueExact()
+    assert(bound == reference, s"bound $bound != formula $reference")
+    assert(bound == 0L, "3v3 disjoint keys in a 1024-wide sketch: some depth must separate them")
+  }
+
+  test("CMS bound: an empty side yields 0, never null") {
+    val a = createDf(spark, "k int", (1 to 10).map(i => Seq[Any](i)))
+    val empty = a.filter(col("k") < 0)
+    val r = Stats.joinSizeUpperBound(a, "k", empty, "k", depth = 3, width = 16).head()
+    assert(!r.isNullAt(0) && r.getDecimal(0).longValueExact() == 0L)
+  }
+
   test("CMS bound is tight when the width dominates the key space") {
     val a = createDf(spark, "k int", (1 to 50).map(i => Seq[Any](i % 10)))
     val exact = a.join(a, Seq("k")).count()
