@@ -1865,6 +1865,97 @@ object SparkEntry {
         .otherwise(0L)), lit(0L)).as("n_violations"))
   }
 
+  /** Markov transition matrix over user journeys
+    * ([[graft.ops.Funnel.transitionMatrix]]): consecutive event-type
+    * pairs per user with row-normalized probabilities — one entity
+    * shuffle, then a types²-sized aggregation.
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.transitionMatrix(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("from_type"), col("to_type"))
+
+  /** Rolling 7-day distinct active users
+    * ([[graft.ops.Funnel.rollingActiveEntities]]): the trailing-window
+    * WAU curve via contribution explode — O(user-days × 7) moved, never
+    * a per-day rescan or a day×events range join.
+    */
+  private def qRollingActive(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.rollingActiveEntities(t(s, dir, "events"),
+        "user_id", "ts", windowPeriods = 7)
+      .select(date_format(col("period_ts"), "yyyy-MM-dd").as("day"), col("n_active"))
+      .orderBy(col("day"))
+
+  /** Signup→purchase conversion lag ([[graft.ops.Funnel.timeToConvert]]):
+    * first purchase at/after each user's first signup, lag in exact
+    * microseconds — window + aggregation on one shared entity exchange.
+    */
+  private def qConversionLag(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.timeToConvert(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "signup", "purchase")
+      .select(col("user_id"),
+        date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss").as("from_ts"),
+        date_format(col("to_ts"), "yyyy-MM-dd HH:mm:ss").as("to_ts"),
+        col("lag_us"))
+      .orderBy(col("user_id"))
+
+  /** Cross-document repeated 6-token spans
+    * ([[graft.text.Dedup.repeatedSpans]]): substring-level boilerplate
+    * discovery — narrow HOF span generation, one map-combined exchange.
+    */
+  private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 6, minOccurrences = 2)
+      .orderBy(col("span"))
+
+  /** Triangle count on the part co-purchase graph
+    * ([[graft.ops.Graph.triangleCount]]): parts sharing an order form
+    * edges; degree-ordered wedges close against the canonical edge set.
+    * The oracle counts the same triangles with id-ordered SQL joins —
+    * different enumeration order, provably the same count.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("i")).distinct()
+    val a = items.toDF("k", "ia")
+    val b = items.toDF("k", "ib")
+    val edges = a.join(b, Seq("k")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+    graft.ops.Graph.triangleCount(edges, "ia", "ib")
+  }
+
+  /** Winsorized robust stats ([[graft.ops.Outliers.winsorize]]): order
+    * values clamped into their status's exact [p5, p95] band, then
+    * count/min/max/mean — bounds broadcast back, fact rows shuffle once.
+    */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Outliers.winsorize(t(s, dir, "orders"),
+        Seq("o_orderstatus"), "o_totalprice", pLo = 0.05, pHi = 0.95)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        (dsum(col("o_totalprice")) / count(lit(1))).as("wmean"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Exact α=½ EWMA over per-user daily spend
+    * ([[graft.ops.Timeseries.ewmaHalf]]): cents accumulate in a long
+    * prefix sum, one IEEE division at the end — bit-deterministic
+    * recency weighting, no float recurrence.
+    */
+  private def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("__day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    Timeseries.ewmaHalf(daily, Seq("user_id"), Seq("__day"), "cents")
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("__day") * 86400000000L), "yyyy-MM-dd")
+          .as("day"),
+        col("cents"), col("ewma"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1980,6 +2071,13 @@ object SparkEntry {
     "q_dense_id" -> (qDenseId _),
     "q_rank_features" -> (qRankFeatures _),
     "q_joinsize_bound" -> (qJoinsizeBound _),
+    "q_transitions" -> (qTransitions _),
+    "q_rolling_active" -> (qRollingActive _),
+    "q_conversion_lag" -> (qConversionLag _),
+    "q_span_dedup" -> (qSpanDedup _),
+    "q_triangles" -> (qTriangles _),
+    "q_winsorize" -> (qWinsorize _),
+    "q_ewma" -> (qEwma _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2318,6 +2416,101 @@ object SparkEntry {
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "q_joinsize_bound" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_rolling_active" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS p
+        |  FROM events),
+        |mx AS (SELECT max(p) AS pm FROM a),
+        |t AS (
+        |  SELECT user_id, p + i AS tp
+        |  FROM a CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i))
+        |SELECT strftime(make_timestamp(tp * 86400000000), '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM t, mx WHERE tp <= pm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_conversion_lag" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS from_ts
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, f.from_ts, min(e.ts) AS to_ts
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND f.from_ts IS NOT NULL
+        |    AND e.ts >= f.from_ts
+        |  GROUP BY e.user_id, f.from_ts)
+        |SELECT user_id,
+        |  strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS from_ts,
+        |  strftime(to_ts, '%Y-%m-%d %H:%M:%S') AS to_ts,
+        |  epoch_us(to_ts) - epoch_us(from_ts) AS lag_us
+        |FROM c ORDER BY user_id""".stripMargin,
+    "q_span_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sp AS (
+        |  SELECT doc_id, array_to_string(ts[i:i+5], ' ') AS span
+        |  FROM tok CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(ts) - 5)) AS i))
+        |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM sp GROUP BY span HAVING count(*) >= 2
+        |ORDER BY span""".stripMargin,
+    "q_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.i AS u, b.i AS v
+        |  FROM items a JOIN items b ON a.k = b.k AND a.i < b.i)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus,
+        |    quantile_cont(o_totalprice, 0.05) AS wlo,
+        |    quantile_cont(o_totalprice, 0.95) AS whi
+        |  FROM orders GROUP BY o_orderstatus),
+        |w AS (
+        |  SELECT o.o_orderstatus,
+        |    least(greatest(o.o_totalprice, b.wlo), b.whi) AS v
+        |  FROM orders o JOIN b USING (o_orderstatus))
+        |SELECT o_orderstatus, count(*) AS n, min(v) AS lo, max(v) AS hi,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS wmean
+        |FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_ewma" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |i AS (
+        |  SELECT user_id, day, cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS t
+        |  FROM d),
+        |s AS (
+        |  SELECT user_id, day, cents, t,
+        |    sum(cents * (1::BIGINT << t))
+        |      OVER (PARTITION BY user_id ORDER BY t) AS sw
+        |  FROM i)
+        |SELECT user_id,
+        |  strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day,
+        |  cents,
+        |  CAST(sw AS DOUBLE) /
+        |    CAST((1::BIGINT << (t + 1)) - 1 AS DOUBLE) AS ewma
+        |FROM s ORDER BY user_id, day""".stripMargin,
     "q_set_ops" ->
       """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
         |     s AS (SELECT s_nationkey AS nationkey FROM supplier)

@@ -125,6 +125,107 @@ object Funnel {
         sum(col("__len")).as("n_active_periods"))
   }
 
+  /** Markov transition matrix over per-entity event sequences: for every
+    * ordered `(from_type, to_type)` pair of CONSECUTIVE events (within an
+    * entity, in `(tsCol, tieCol)` order), the transition count and the
+    * row-normalized probability — the journey-analytics view of a stream
+    * (where do users go after a `view`?), and the state-transition input
+    * to any sequence model.
+    *
+    * Shape: ONE hash shuffle on the entity feeds the `lead` window; the
+    * pair aggregation map-side combines down to (|types|², count) rows
+    * before its exchange, and the per-`from` total rides a window over
+    * that tiny table. `p` is one long→double division (each cast and the
+    * divide are single correctly-rounded IEEE ops — bit-deterministic on
+    * any engine; see [[graft.ops.Frequency]] for the same convention).
+    *
+    * @return (from_type, to_type, n, p) — p = n / Σ_to n
+    */
+  def transitionMatrix(events: DataFrame, entityCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    Guards.requireNoReservedNames(events,
+      Seq("from_type", "to_type", "n", "p", "__next"), "transitionMatrix")
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    counts.withColumn("p",
+      col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
+  }
+
+  /** Trailing-window distinct active entities per period (rolling
+    * DAU/WAU/MAU): for each period `d`, the number of distinct entities
+    * with at least one event in `[d − windowPeriods + 1, d]`.
+    *
+    * The naive spelling — a per-day window `COUNT(DISTINCT)` or a day ×
+    * events range self-join — rescans the stream per period. This one
+    * dedupes to (entity, period) once [shuffle 1], EXPLODES each active
+    * period into the ≤ `windowPeriods` target periods it contributes to
+    * (a narrow per-row `sequence`), and counts distinct entities per
+    * target [shuffle 2] — data moved is O(active-entity-periods ×
+    * windowPeriods), independent of raw event count. Target periods past
+    * the stream's last observed period are clipped (they'd be
+    * phantom trailing rows); periods with NO activity in their whole
+    * trailing window are genuinely absent, not zero rows.
+    *
+    * @param periodSeconds  period bucket width (default 1 day)
+    * @param windowPeriods  trailing window length in periods (e.g. 7)
+    * @return (period_ts, n_active), period_ts = bucket start timestamp
+    */
+  def rollingActiveEntities(events: DataFrame, entityCol: String, tsCol: String,
+                            windowPeriods: Int,
+                            periodSeconds: Long = 86400L): DataFrame = {
+    require(windowPeriods > 0, s"windowPeriods must be positive: $windowPeriods")
+    require(periodSeconds > 0, s"periodSeconds must be positive: $periodSeconds")
+    Guards.requireNoReservedNames(events,
+      Seq("period_ts", "n_active", "__p", "__t", "__pmax"), "rollingActiveEntities")
+    val us = periodSeconds * 1000000L
+    val active = events
+      .select(col(entityCol), floor(unix_micros(col(tsCol)) / us).as("__p"))
+      .distinct()
+    val last = active.agg(max(col("__p")).as("__pmax"))
+    active
+      .select(col(entityCol),
+        explode(sequence(col("__p"), col("__p") + lit(windowPeriods - 1L))).as("__t"))
+      .crossJoin(broadcast(last))
+      .filter(col("__t") <= col("__pmax"))
+      .groupBy(col("__t"))
+      .agg(countDistinct(col(entityCol)).as("n_active"))
+      .select(timestamp_micros(col("__t") * us).as("period_ts"), col("n_active"))
+  }
+
+  /** Time-to-conversion: per entity, the FIRST `fromType` event and the
+    * first `toType` event AT OR AFTER it, with the lag in microseconds —
+    * the activation-latency metric behind "median time from signup to
+    * purchase" readouts. Entities that never fired `fromType`, or never
+    * converted after it, are absent (count them against cohort size
+    * separately if you need non-conversion rates).
+    *
+    * Shape: one hash shuffle on the entity; the first-`fromType`
+    * timestamp is a whole-partition `min` window over the SAME exchange
+    * the conversion aggregation then reuses — no self-join of the
+    * fromType and toType slices. Lag is exact long microseconds.
+    *
+    * @return (entityCol, from_ts, to_ts, lag_us)
+    */
+  def timeToConvert(events: DataFrame, entityCol: String, tsCol: String,
+                    typeCol: String, fromType: String, toType: String): DataFrame = {
+    Guards.requireNoReservedNames(events,
+      Seq("from_ts", "to_ts", "lag_us", "__f"), "timeToConvert")
+    val w = Window.partitionBy(col(entityCol))
+    events
+      .withColumn("__f", min(when(col(typeCol) === fromType, col(tsCol))).over(w))
+      .filter(col(typeCol) === toType && col("__f").isNotNull &&
+        col(tsCol) >= col("__f"))
+      .groupBy(col(entityCol))
+      .agg(min(col("__f")).as("from_ts"), min(col(tsCol)).as("to_ts"))
+      .withColumn("lag_us", unix_micros(col("to_ts")) - unix_micros(col("from_ts")))
+  }
+
   /** Item co-occurrence with lift — the market-basket association view
     * of an event stream: for every unordered item pair, how many
     * entities did both, and how far above independence that is

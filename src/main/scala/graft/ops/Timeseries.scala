@@ -215,4 +215,50 @@ object Timeseries {
     ffill(joined, parts, Seq("__bucket"), aggNames)
       .withColumnRenamed("__bucket", "bucket_ts")
   }
+
+  /** Exponentially-weighted moving average with α = 1/2, EXACT — the
+    * recency-weighted feature (engagement decay, EW baselines) in the
+    * repo's rational-arithmetic form (same doctrine as the integer
+    * PageRank: no float recurrence, so the result is bit-identical on
+    * any engine and any partitioning).
+    *
+    * pandas `ewm(alpha=0.5, adjust=True)` semantics over each series'
+    * observation INDEX t (gaps don't decay extra):
+    *
+    *   ewma_t = Σ_{i<=t} 2^{-(t-i)} x_i / Σ_{i<=t} 2^{-(t-i)}
+    *          = S_t / (2^{t+1} − 1),   S_t = Σ_{i<=t} c_i·2^i
+    *
+    * with `c_i` the integer `centsCol`. S_t is an exact long prefix sum
+    * (one window, partition-local); the one division happens in double —
+    * a single correctly-rounded IEEE op. Exactness holds while
+    * S_t < 2^53 (≈ c_max·2^{t+1}), so series are capped at
+    * `maxLength` observations — long, unbounded-decay series should
+    * bucket time coarser or chunk (the raise is per-row and explicit,
+    * never a silent wrap; ANSI mode would catch the long overflow too).
+    *
+    * @param centsCol integer observations (pre-scale doubles with
+    *                 `round(x·100)` — see the q_corr convention)
+    * @return input + (out) double column, `out` in `centsCol` units
+    */
+  def ewmaHalf(df: DataFrame, parts: Seq[String], orderCols: Seq[String],
+               centsCol: String, out: String = "ewma",
+               maxLength: Int = 36): DataFrame = {
+    require(parts.nonEmpty, "need at least one series key")
+    require(maxLength >= 1 && maxLength <= 44,
+      s"maxLength must be in [1, 44] (2^45 cents overflows the exact window): $maxLength")
+    Guards.requireNoReservedNames(df, Seq(out, "__t", "__s"), "ewmaHalf")
+    val wo = Window.partitionBy(parts.map(col): _*).orderBy(orderCols.map(col): _*)
+    df.withColumn("__t", row_number().over(wo) - 1)
+      .withColumn("__t",
+        when(col("__t") >= maxLength, raise_error(concat(
+          lit(s"ewmaHalf: series "), concat_ws(",", parts.map(col): _*),
+          lit(s" exceeds maxLength=$maxLength observations"))))
+          .otherwise(col("__t")))
+      .withColumn("__s",
+        sum(call_function("shiftleft", col(centsCol).cast("long"), col("__t")))
+          .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(out, col("__s").cast("double") /
+        (call_function("shiftleft", lit(1L), col("__t") + 1) - 1).cast("double"))
+      .drop("__t", "__s")
+  }
 }

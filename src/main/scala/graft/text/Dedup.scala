@@ -131,6 +131,42 @@ object Dedup {
           TextStats.tokens(col(textCol)), shingleSize).as("sh"))
       .select(col(idCol), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
 
+  /** Cross-document repeated token spans — SUBSTRING-level dedup
+    * discovery (the granularity document-level MinHash can't see): every
+    * contiguous `spanTokens`-token span occurring at least `minOccurrences`
+    * times in the corpus, with its occurrence and distinct-document
+    * counts. The survivors are boilerplate headers, license blocks, and
+    * template text — the spans substring-dedup pipelines cut from
+    * training corpora (the suffix-array pass of "Deduplicating Training
+    * Data Makes Language Models Better", reformulated as a fixed-length
+    * rolling window so it distributes).
+    *
+    * Shape: span generation is a narrow per-row HOF (`transform` over
+    * token positions — no joins, no explode-then-slice double pass); the
+    * single exchange is the span aggregation, map-side combined, so
+    * repeated spans collapse per-partition before they move. The group
+    * key is the span TEXT, which makes the result oracle-exact; at
+    * extreme corpus scale group instead on `xxhash64(span)` and
+    * rematerialize the string for survivors with one semi-join back —
+    * same plan shape, 8-byte shuffle key.
+    *
+    * @return (span, n_docs, n_occ), n_occ >= minOccurrences
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    spanTokens: Int, minOccurrences: Int = 2): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
+    require(minOccurrences >= 1, s"minOccurrences must be >= 1: $minOccurrences")
+    df.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= spanTokens)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__toks")) - spanTokens),
+          i => array_join(slice(col("__toks"), i + 1, lit(spanTokens)), " ")))
+          .as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOccurrences)
+  }
+
   /** Shared tail: aggregate per-pair intersection counts (input must have
     * columns id_a, id_b, n_a, n_b — one row per shared shingle) and
     * derive |union| and jaccard from the set sizes riding along.

@@ -222,4 +222,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.substring(joinIdx).contains("HashAggregate"),
       s"per-key counts must reduce below the join:\n${p.take(2000)}")
   }
+
+  test("q_transitions: lead window + pair agg ride ONE user exchange") {
+    val p = plan("q_transitions")
+    val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 user_id exchange, found $n:\n${p.take(2000)}")
+  }
+
+  test("q_rolling_active: contribution explode is narrow; the max-period attaches via broadcast") {
+    val p = plan("q_rolling_active")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row pmax must broadcast:\n${p.take(2000)}")
+  }
+
+  test("q_span_dedup: no joins — spans aggregate straight off the scan") {
+    val p = plan("q_span_dedup")
+    assert(!p.contains("Join"), s"span discovery must not join:\n${p.take(1500)}")
+  }
+
+  test("q_triangles: wedge self-join reuses one oriented exchange; no cross product") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins must all be equi-joins:\n${p.take(2000)}")
+  }
+
+  test("q_ewma: prefix sum and row index share one series exchange") {
+    val p = plan("q_ewma")
+    val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(n <= 2, // daily rollup + the shared window exchange
+      s"expected <=2 user_id exchanges, found $n:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"ewma must not join:\n${p.take(1500)}")
+  }
 }

@@ -200,4 +200,63 @@ class HistogramSpec extends AnyFunSuite {
     val r = Funnel.cooccurrenceLift(df, "u", "item").head()
     assert(r.getString(0) == "a" && r.getString(1) == "z")
   }
+
+  test("transitionMatrix: consecutive pairs per entity, row-normalized") {
+    // u1: a->b->a ; u2: a->b ; entity boundary never produces a pair
+    val df = createDf(spark, "u int, ts int, eid int, et string", Seq(
+      Seq[Any](1, 1, 1, "a"), Seq[Any](1, 2, 2, "b"), Seq[Any](1, 3, 3, "a"),
+      Seq[Any](2, 1, 4, "a"), Seq[Any](2, 2, 5, "b")))
+    val got = Funnel.transitionMatrix(df, "u", "ts", "eid", "et")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(("a", "b") -> (2L, 1.0), ("b", "a") -> (1L, 0.5)))
+  }
+
+  test("transitionMatrix: ties order by the tie column, not scan order") {
+    // same ts: eid decides a->b (not b->a)
+    val df = createDf(spark, "u int, ts int, eid int, et string", Seq(
+      Seq[Any](1, 5, 2, "b"), Seq[Any](1, 5, 1, "a")))
+    val got = Funnel.transitionMatrix(df, "u", "ts", "eid", "et")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b")))
+  }
+
+  test("rollingActiveEntities: trailing window counts distinct, clips past last period") {
+    // periods (1s buckets): u1 active at 1 and 3; u2 at 1
+    val df = createDf(spark, "u int, ts int", Seq(
+      Seq[Any](1, 1), Seq[Any](1, 3), Seq[Any](1, 3), Seq[Any](2, 1)))
+      .withColumn("tsz", timestamp_seconds(col("ts")))
+    val got = Funnel.rollingActiveEntities(df, "u", "tsz",
+        windowPeriods = 2, periodSeconds = 1L)
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(1)).toMap
+    // p1: {u1,u2}; p2 (carry from p1): {u1,u2}; p3: {u1}; p4 clipped
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("timeToConvert: first conversion at/after first trigger; non-converters absent") {
+    def at(s: Int) = new java.sql.Timestamp(s * 1000L)
+    val df = createDf(spark, Seq("u", "ts", "et"), Seq(
+      // u1: purchase BEFORE signup ignored; first purchase after = t5
+      Seq[Any](1, at(2), "purchase"), Seq[Any](1, at(3), "signup"),
+      Seq[Any](1, at(5), "purchase"), Seq[Any](1, at(9), "purchase"),
+      // u2: converts at the SAME instant (>= contract)
+      Seq[Any](2, at(4), "signup"), Seq[Any](2, at(4), "purchase"),
+      // u3: signup only; u4: purchase only — both absent
+      Seq[Any](3, at(1), "signup"), Seq[Any](4, at(1), "purchase")))
+    val got = Funnel.timeToConvert(df, "u", "ts", "et", "signup", "purchase")
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(got == Map(1 -> 2000000L, 2 -> 0L))
+  }
+
+  test("transitionMatrix and timeToConvert plan one entity exchange each") {
+    val df = createDf(spark, "u int, ts int, eid int, et string",
+      Seq(Seq[Any](1, 1, 1, "a")))
+    for (q <- Seq(
+        Funnel.transitionMatrix(df, "u", "ts", "eid", "et"),
+        Funnel.timeToConvert(df, "u", "ts", "et", "a", "b"))) {
+      val p = q.queryExecution.executedPlan.toString
+      val n = "Exchange hashpartitioning\\(u".r.findAllIn(p).length
+      assert(n == 1, s"expected 1 entity exchange, found $n:\n${p.take(1500)}")
+    }
+  }
 }

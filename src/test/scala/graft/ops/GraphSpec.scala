@@ -61,4 +61,42 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(once == dup)
   }
+
+  private def triangles(es: (Int, Int)*): Long =
+    Graph.triangleCount(edges(es: _*), "s", "t").head().getLong(0)
+
+  test("triangleCount: K4 has 4 triangles, a 4-cycle has none") {
+    assert(triangles(1 -> 2, 1 -> 3, 1 -> 4, 2 -> 3, 2 -> 4, 3 -> 4) == 4L)
+    assert(triangles(1 -> 2, 2 -> 3, 3 -> 4, 4 -> 1) == 0L)
+  }
+
+  test("triangleCount: pendant edges don't create triangles") {
+    assert(triangles(1 -> 2, 2 -> 3, 1 -> 3, 3 -> 4) == 1L)
+  }
+
+  test("triangleCount: reversed duplicates, repeats, and self-loops collapse") {
+    assert(triangles(1 -> 2, 2 -> 1, 2 -> 3, 3 -> 2, 1 -> 3,
+      1 -> 3, 1 -> 1, 2 -> 2) == 1L)
+  }
+
+  test("triangleCount: matches naive enumeration on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val es = (1 to 120).map(_ => (rnd.nextInt(15) + 1, rnd.nextInt(15) + 1))
+    val canon = es.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    val set = canon.toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val want = (for {
+      i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+      if set((i, j)) && set((i, k)) && set((j, k))
+    } yield 1).size.toLong
+    assert(triangles(es: _*) == want)
+  }
+
+  test("triangleCount plans no cartesian product or nested-loop join") {
+    val plan = Graph.triangleCount(edges(1 -> 2, 2 -> 3, 1 -> 3), "s", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
 }

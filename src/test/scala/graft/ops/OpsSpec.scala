@@ -156,6 +156,39 @@ class TimeseriesSpec extends AnyFunSuite {
     // shifted-year 2024 mean = (2+4)/2 = 3.0; shifted-year 2025 mean = 10.0
     assert(got == Seq(2.0, 3.0, 4.0, 3.0, 10.0, 10.0))
   }
+
+  test("ewmaHalf matches pandas ewm(alpha=0.5, adjust=True) closed form") {
+    val df = createDf(spark, "g string, t int, c bigint", Seq(
+      Seq[Any]("a", 1, 100L), Seq[Any]("a", 2, 200L), Seq[Any]("a", 3, 50L),
+      Seq[Any]("b", 1, 7L)))
+    val got = Timeseries.ewmaHalf(df, Seq("g"), Seq("t"), "c")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(got(("a", 1)) == 100.0)                     // S=100, denom 1
+    assert(got(("a", 2)) == 500.0 / 3)                 // (100 + 2·200)/3
+    assert(got(("a", 3)) == 100.0)                     // (100 + 400 + 200)/7
+    assert(got(("b", 1)) == 7.0)
+  }
+
+  test("ewmaHalf is bit-deterministic across partitionings") {
+    val rows = (0 until 30).map(i => Seq[Any]("s", i, (i * 37 % 997).toLong))
+    val df = createDf(spark, "g string, t int, c bigint", rows)
+    val a = Timeseries.ewmaHalf(df, Seq("g"), Seq("t"), "c")
+      .orderBy("t").collect().map(_.getDouble(3)).toSeq
+    val b = Timeseries.ewmaHalf(df.repartition(13), Seq("g"), Seq("t"), "c")
+      .orderBy("t").collect().map(_.getDouble(3)).toSeq
+    assert(a == b)
+    assert(a.length == 30) // 30 observations fit the default maxLength
+  }
+
+  test("ewmaHalf raises (never silently wraps) past maxLength observations") {
+    val rows = (0 until 5).map(i => Seq[Any]("s", i, 1L))
+    val df = createDf(spark, "g string, t int, c bigint", rows)
+    val ex = intercept[Exception] {
+      Timeseries.ewmaHalf(df, Seq("g"), Seq("t"), "c", maxLength = 4).collect()
+    }
+    assert(ex.getMessage.contains("maxLength") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxLength")))
+  }
 }
 
 class PackSpec extends AnyFunSuite {

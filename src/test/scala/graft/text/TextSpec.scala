@@ -266,6 +266,41 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.contains((1L, 2L, 0)))
   }
+
+  test("repeatedSpans: cross-document and within-document repeats, with counts") {
+    val d = createDf(spark, "id bigint, text string", Seq(
+      Seq[Any](1L, "a b c d"),
+      Seq[Any](2L, "x a b c"),
+      Seq[Any](3L, "a b c d"),
+      Seq[Any](4L, "y y y"))) // within-doc repeat only
+    val got = Dedup.repeatedSpans(d, "id", "text", spanTokens = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "a b" -> (3L, 3L), "b c" -> (3L, 3L), "c d" -> (2L, 2L),
+      "y y" -> (1L, 2L))) // 1 doc, 2 overlapping occurrences
+  }
+
+  test("repeatedSpans: docs shorter than the span contribute nothing") {
+    val d = createDf(spark, "id bigint, text string", Seq(
+      Seq[Any](1L, "a b"), Seq[Any](2L, "a b")))
+    assert(Dedup.repeatedSpans(d, "id", "text", spanTokens = 3).count() == 0)
+    // exactly span-length docs DO contribute their single span
+    val e = createDf(spark, "id bigint, text string", Seq(
+      Seq[Any](1L, "a b c"), Seq[Any](2L, "a b c")))
+    val got = Dedup.repeatedSpans(e, "id", "text", spanTokens = 3).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a b c", 2L, 2L)))
+  }
+
+  test("repeatedSpans: span generation is narrow — no joins, only the distinct-agg exchanges") {
+    val d = createDf(spark, "id bigint, text string", Seq(Seq[Any](1L, "a b c")))
+    val p = Dedup.repeatedSpans(d, "id", "text", 2).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(1500))
+    // countDistinct rewrites to the standard two-phase distinct aggregate:
+    // one exchange on (span, id), one on span — nothing beyond those
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"expected <=2 exchanges, found $n:\n${p.take(1500)}")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
