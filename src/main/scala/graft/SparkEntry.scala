@@ -1961,6 +1961,63 @@ object SparkEntry {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** k-core of the (thinned) part co-purchase graph
+    * ([[graft.ops.Graph.kCore]]): iterative peeling to the unique
+    * maximal min-degree-4 subgraph. The oracle unrolls the same peeling
+    * as chained CTEs (the PageRank convention) with spare rounds —
+    * peeling is confluent and idempotent at the fixpoint, so extra
+    * rounds can't change the result.
+    */
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("i")).distinct()
+    val a = items.toDF("k", "ia")
+    val b = items.toDF("k", "ib")
+    val edges = a.join(b, Seq("k")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+    graft.ops.Graph.kCore(edges, "ia", "ib", k = 4)
+      .orderBy(col("node"))
+  }
+
+  /** Unrolled k-core peeling oracle: `rounds` chained (degree → keep →
+    * filter) CTE blocks over the same thinned co-purchase edges. Sized
+    * with headroom over the sf0.01 fixpoint depth (5 rounds measured).
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS kk, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 16 = 0),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.i AS u, b.i AS v
+        |  FROM items a JOIN items b ON a.kk = b.kk AND a.i < b.i)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (
+         |  SELECT x FROM (SELECT u AS x FROM e${r - 1}
+         |                 UNION ALL SELECT v FROM e${r - 1})
+         |  GROUP BY x HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN k$r a ON e.u = a.x JOIN k$r b ON e.v = b.x)""".stripMargin
+    }
+    val tail =
+      s"""SELECT x AS node, count(*) AS core_degree
+         |FROM (SELECT u AS x FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY x ORDER BY x""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
+
+  /** Order-independent table checksum ([[graft.ops.Observe
+    * .tableChecksum]]) over integer/string lineitem columns: identical
+    * md5-derived 60-bit row hashes on both engines, combined with
+    * XOR + exact decimal sum + count — the replication-audit triple.
+    */
+  private def qTableChecksum(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Observe.tableChecksum(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus"))
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2083,6 +2140,8 @@ object SparkEntry {
     "q_triangles" -> (qTriangles _),
     "q_winsorize" -> (qWinsorize _),
     "q_ewma" -> (qEwma _),
+    "q_kcore" -> (qKcore _),
+    "q_table_checksum" -> (qTableChecksum _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2517,6 +2576,20 @@ object SparkEntry {
         |  CAST(sw AS DOUBLE) /
         |    CAST((1::BIGINT << (t + 1)) - 1 AS DOUBLE) AS ewma
         |FROM s ORDER BY user_id, day""".stripMargin,
+    "q_kcore" -> kcoreOracleSql(k = 4, rounds = 9),
+    "q_table_checksum" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_suppkey AS VARCHAR), chr(2)),
+        |    coalesce(l_returnflag, chr(2)),
+        |    coalesce(l_linestatus, chr(2)))), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem)
+        |SELECT count(*) AS n_rows, bit_xor(h) AS xor60,
+        |  CAST(sum(h) AS DECIMAL(38,0)) AS sum60
+        |FROM h""".stripMargin,
     "q_set_ops" ->
       """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
         |     s AS (SELECT s_nationkey AS nationkey FROM supplier)

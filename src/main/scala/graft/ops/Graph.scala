@@ -78,6 +78,56 @@ object Graph {
     ranks
   }
 
+  /** k-core decomposition: the unique maximal subgraph in which every
+    * node has degree >= k — the standard "dense nucleus" extractor
+    * (spam/link-farm cores, engaged-community detection) and the
+    * degeneracy bound behind triangle orientation.
+    *
+    * Iterative peeling: drop nodes with degree < k, recompute, repeat to
+    * fixpoint. Peeling is CONFLUENT (order never changes the result), so
+    * the distributed round structure is free to batch-delete. Each round
+    * is one map-combined degree aggregation + two semi-joins on the
+    * endpoint keys; state is the surviving edge list, localCheckpointed
+    * so lineage stays round-flat (the PageRank convention). Round count
+    * is bounded by the peeling depth — small for real graphs; `maxRounds`
+    * is a runaway backstop that RAISES rather than returning a
+    * not-yet-converged core.
+    *
+    * @return (node, core_degree) for k-core members — core_degree is the
+    *         degree WITHIN the core, >= k by construction
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    var cur = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+      .localCheckpoint(true)
+    var prevCount = cur.count()
+    var converged = prevCount == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val keep = degrees(cur).filter(col("d") >= k).select(col("x"))
+      val next = cur
+        .join(keep.toDF("u"), Seq("u"), "left_semi")
+        .join(keep.toDF("v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      val n = next.count()
+      converged = n == prevCount
+      prevCount = n
+      cur = next
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kCore did not converge within $maxRounds rounds (depth exceeds backstop)")
+    degrees(cur).select(col("x").as("node"), col("d").as("core_degree"))
+  }
+
   /** Triangle count over an undirected edge list — the clustering /
     * community-density primitive (co-purchase cliques, link-farm
     * detection on a web corpus).

@@ -32,4 +32,35 @@ object Observe {
     observed(df, name,
       count(lit(1)).as("n_rows") +:
         cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")))
+
+  /** Order-independent content checksum of `cols` — the migration /
+    * replication audit primitive: two copies of a dataset produce the
+    * SAME (n_rows, xor60, sum60) triple regardless of row order, file
+    * layout, partition count, or engine, so "did the copy lose or
+    * mangle rows" is one aggregate pass per side and a 3-value compare
+    * (never a sorted row-by-row diff).
+    *
+    * Per row: columns canonicalize to strings (null → a \u0002 sentinel
+    * so (null, "a") ≠ ("a", null) ≠ ("\u0002a")), join on \u0001, md5,
+    * keep 60 bits. The triple combines XOR (order-free, catches value
+    * changes; blind to duplicate-pair swaps) with an exact decimal SUM
+    * and the row count (which catch duplication/loss XOR misses).
+    * One narrow map + one map-combined aggregate — no shuffle beyond
+    * the 1-row final combine.
+    *
+    * Contract: `cols` must be integer/string/date-typed — float→string
+    * rendering is engine-specific, so pre-quantize doubles (e.g.
+    * `round(x·100)::long`, the q_corr convention).
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val canon = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val h = conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10).cast("long")
+    df.select(h.as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor60"),
+        sum(col("__h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("sum60"))
+  }
 }

@@ -93,6 +93,36 @@ class GraphSpec extends AnyFunSuite {
     assert(triangles(es: _*) == want)
   }
 
+  private def core(k: Int, es: (Int, Int)*): Map[Int, Long] =
+    Graph.kCore(edges(es: _*), "s", "t", k)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  test("kCore: triangle survives k=2, pendant chain peels away in cascade") {
+    // triangle 1-2-3 plus tail 3-4-5: removing 5 drops 4, then nothing
+    val got = core(2, 1 -> 2, 2 -> 3, 1 -> 3, 3 -> 4, 4 -> 5)
+    assert(got == Map(1 -> 2L, 2 -> 2L, 3 -> 2L))
+  }
+
+  test("kCore: a pure path fully unravels (multi-round cascade to empty)") {
+    assert(core(2, 1 -> 2, 2 -> 3, 3 -> 4, 4 -> 5).isEmpty)
+  }
+
+  test("kCore: k=1 keeps every non-isolated node with its degree") {
+    val got = core(1, 1 -> 2, 2 -> 3)
+    assert(got == Map(1 -> 1L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("kCore: k above the max degree yields an empty core") {
+    assert(core(5, 1 -> 2, 1 -> 3, 1 -> 4, 2 -> 3).isEmpty)
+  }
+
+  test("kCore: every member's core degree is >= k (K5 minus an edge, k=3)") {
+    val es = for { i <- 1 to 5; j <- (i + 1) to 5
+                   if !(i == 1 && j == 2) } yield i -> j
+    val got = core(3, es: _*)
+    assert(got.nonEmpty && got.values.forall(_ >= 3L))
+  }
+
   test("triangleCount plans no cartesian product or nested-loop join") {
     val plan = Graph.triangleCount(edges(1 -> 2, 2 -> 3, 1 -> 3), "s", "t")
       .queryExecution.executedPlan.toString

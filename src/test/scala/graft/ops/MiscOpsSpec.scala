@@ -200,4 +200,42 @@ class ObserveSpec extends AnyFunSuite {
     odf.collect()
     assert(obs.get("lo") == 2.0 && obs.get("hi") == 6.0)
   }
+
+  private def checksum(df: org.apache.spark.sql.DataFrame, cols: String*) =
+    Observe.tableChecksum(df, cols).head()
+
+  test("tableChecksum: invariant to row order and partitioning") {
+    val rows = (1 to 50).map(i => Seq[Any](i, s"s$i"))
+    val df = createDf(spark, "id int, s string", rows)
+    val a = checksum(df, "id", "s")
+    val b = checksum(df.orderBy(col("s").desc).repartition(7), "id", "s")
+    assert(a == b)
+  }
+
+  test("tableChecksum: any value change, row loss, or duplication shifts the triple") {
+    val df = createDf(spark, "id int, s string",
+      Seq(Seq[Any](1, "a"), Seq[Any](2, "b")))
+    val base = checksum(df, "id", "s")
+    val changed = checksum(createDf(spark, "id int, s string",
+      Seq(Seq[Any](1, "a"), Seq[Any](2, "c"))), "id", "s")
+    val lost = checksum(df.filter(col("id") === 1), "id", "s")
+    val duped = checksum(df.unionAll(df), "id", "s")
+    assert(base != changed && base != lost && base != duped)
+    // duplication is invisible to XOR alone — count and sum catch it
+    assert(duped.getLong(0) == 4L && duped.getLong(1) == 0L)
+  }
+
+  test("tableChecksum: null placement is distinguished") {
+    val a = checksum(createDf(spark, "x string, y string",
+      Seq(Seq[Any](null, "a"))), "x", "y")
+    val b = checksum(createDf(spark, "x string, y string",
+      Seq(Seq[Any]("a", null))), "x", "y")
+    assert(a.getLong(1) != b.getLong(1))
+  }
+
+  test("tableChecksum: one aggregate, no shuffle beyond the final combine") {
+    val df = createDf(spark, "id int", Seq(Seq[Any](1)))
+    val p = Observe.tableChecksum(df, Seq("id")).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+  }
 }
