@@ -2018,6 +2018,53 @@ object SparkEntry {
       Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_returnflag", "l_linestatus"))
 
+  /** BPE merge-rule training ([[graft.text.Bpe.trainMerges]]): 8 rounds
+    * over the corpus vocabulary, greedy-left merge semantics,
+    * (count, left, right) total-order tiebreak. The oracle replays the
+    * identical rounds as unrolled MATERIALIZED CTEs with a
+    * `list_reduce` fold.
+    */
+  private def qBpe(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.trainMerges(t(s, dir, "documents"), "text", rounds = 8)
+      .orderBy(col("round"))
+
+  /** Unrolled BPE oracle: round r = pair counts from v(r-1), one winner
+    * by (n DESC, l, r), fold-rewrite into v(r). The string-accumulator
+    * fold ('|'-delimited; symbols are alphanumeric so the delimiter
+    * can't collide) computes the same greedy-left merge as the Spark
+    * array fold.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT string_split_regex(word, '') AS syms, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM v${r - 1} CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+         |  GROUP BY 1, 2),
+         |w$r AS MATERIALIZED (
+         |  SELECT $r AS round, l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT CASE WHEN len(syms) = 1 THEN syms ELSE string_split(
+         |    list_reduce(syms, (acc, x) -> CASE
+         |      WHEN string_split(acc, '|')[-1] = w$r.l AND x = w$r.r
+         |      THEN array_to_string(list_append(
+         |        string_split(acc, '|')[1:len(string_split(acc, '|')) - 1],
+         |        w$r.l || w$r.r), '|')
+         |      ELSE acc || '|' || x END), '|') END AS syms, cnt
+         |  FROM v${r - 1}, w$r)""".stripMargin
+    }
+    val tail =
+      s"""SELECT round, l AS left, r AS right, n FROM (
+         |${(1 to rounds).map(r => s"  SELECT * FROM w$r").mkString(" UNION ALL\n")}
+         |) ORDER BY round""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2142,6 +2189,7 @@ object SparkEntry {
     "q_ewma" -> (qEwma _),
     "q_kcore" -> (qKcore _),
     "q_table_checksum" -> (qTableChecksum _),
+    "q_bpe" -> (qBpe _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2577,6 +2625,7 @@ object SparkEntry {
         |    CAST((1::BIGINT << (t + 1)) - 1 AS DOUBLE) AS ewma
         |FROM s ORDER BY user_id, day""".stripMargin,
     "q_kcore" -> kcoreOracleSql(k = 4, rounds = 9),
+    "q_bpe" -> bpeOracleSql(rounds = 8),
     "q_table_checksum" ->
       """WITH h AS (
         |  SELECT CAST(('0x' || substr(md5(concat_ws(chr(1),
