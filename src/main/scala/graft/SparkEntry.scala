@@ -2065,6 +2065,63 @@ object SparkEntry {
     (head +: steps).mkString(",\n") + "\n" + tail
   }
 
+  /** Validation for the sketch-path rolling actives
+    * ([[graft.ops.Funnel.rollingActiveEntitiesApprox]]): every period's
+    * HLL estimate must land within the 4σ envelope (6.5% at lgK=12) of
+    * the exact trailing distinct count — at these cardinalities the
+    * sketch is still sparse-exact, so the real gap is 0. Violations = 0,
+    * oracle SELECT 0.
+    */
+  private def qRollingHll(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val exact = graft.ops.Funnel.rollingActiveEntities(e, "user_id", "ts", 7)
+    val approx = graft.ops.Funnel.rollingActiveEntitiesApprox(e, "user_id", "ts", 7)
+    exact.join(approx, Seq("period_ts"), "full_outer")
+      .agg(coalesce(sum(when(
+        col("n_active").isNull || col("n_active_est").isNull ||
+          abs(col("n_active_est") - col("n_active")) >
+            lit(0.065) * col("n_active"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
+  /** Validation for small-file compaction ([[graft.sources.Sources
+    * .compact]]) composed with the audit checksum
+    * ([[graft.ops.Observe.tableChecksum]]): a 64-file fragmented copy of
+    * events compacts to exactly the planned file count AND the
+    * (n_rows, xor60, sum60) triple is unchanged — content-preservation
+    * proven by aggregate, not by a row diff. Violations = 0.
+    */
+  private def qCompactAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-audit")
+    val inPath = root.resolve("in").toString
+    val outPath = root.resolve("out").toString
+    val cols = Seq("event_id", "user_id", "event_type")
+    t(s, dir, "events").select(cols.map(col): _*)
+      .repartition(64).write.mode("overwrite").parquet(inPath)
+    val target = math.max(1L, graft.sources.Sources.dataFileBytes(s, inPath) / 4)
+    val planned = graft.sources.Sources.compact(s, inPath, outPath, target)
+    val written = { // count real data files the way dataFileBytes does
+      val p = new org.apache.hadoop.fs.Path(outPath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+      }
+      n
+    }
+    val a = graft.ops.Observe.tableChecksum(s.read.parquet(inPath), cols)
+      .toDF("n_a", "x_a", "s_a")
+    val b = graft.ops.Observe.tableChecksum(s.read.parquet(outPath), cols)
+      .toDF("n_b", "x_b", "s_b")
+    a.crossJoin(b).select(
+      ((col("n_a") =!= col("n_b")).cast("long") +
+        (col("x_a") =!= col("x_b")).cast("long") +
+        (col("s_a") =!= col("s_b")).cast("long") +
+        lit(if (planned == written) 0L else 1L)).as("n_violations"))
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2190,6 +2247,8 @@ object SparkEntry {
     "q_kcore" -> (qKcore _),
     "q_table_checksum" -> (qTableChecksum _),
     "q_bpe" -> (qBpe _),
+    "q_rolling_hll" -> (qRollingHll _),
+    "q_compact_audit" -> (qCompactAudit _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2204,7 +2263,8 @@ object SparkEntry {
     Set("q_lsh_containment", "q_ann_containment", "q_minhash_containment", "q_quantize",
       "q_dup_components", "q_bucketed_join", "q_cms", "q_ivf_exact",
       "q_simhash_containment", "q_fingerprint_containment", "q_quantile_bound",
-      "q_hll_merge", "q_weighted_sample", "q_hh_containment", "q_joinsize_bound")
+      "q_hll_merge", "q_weighted_sample", "q_hh_containment", "q_joinsize_bound",
+      "q_rolling_hll", "q_compact_audit")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -2626,6 +2686,10 @@ object SparkEntry {
         |FROM s ORDER BY user_id, day""".stripMargin,
     "q_kcore" -> kcoreOracleSql(k = 4, rounds = 9),
     "q_bpe" -> bpeOracleSql(rounds = 8),
+    "q_rolling_hll" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_compact_audit" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_table_checksum" ->
       """WITH h AS (
         |  SELECT CAST(('0x' || substr(md5(concat_ws(chr(1),

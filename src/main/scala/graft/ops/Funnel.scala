@@ -198,6 +198,41 @@ object Funnel {
       .select(timestamp_micros(col("__t") * us).as("period_ts"), col("n_active"))
   }
 
+  /** Sketch-path sibling of [[rollingActiveEntities]] for corpus scale:
+    * per-period HLL sketches of the entity set, trailing windows merged
+    * by sketch UNION. The raw stream reduces to ONE map-combined sketch
+    * per period (≈1-2 KB each) in the first pass — no (entity, period)
+    * dedupe shuffle at all — and everything after is period-count-sized,
+    * so a 100 TB year of events costs one streaming aggregation plus
+    * arithmetic on ~365 rows. Estimates carry the standard HLL envelope
+    * (±~1.6%·4σ at lgK=12); [[rollingActiveEntities]] is the exact form.
+    */
+  def rollingActiveEntitiesApprox(events: DataFrame, entityCol: String,
+                                  tsCol: String, windowPeriods: Int,
+                                  periodSeconds: Long = 86400L,
+                                  lgK: Int = 12): DataFrame = {
+    require(windowPeriods > 0, s"windowPeriods must be positive: $windowPeriods")
+    require(periodSeconds > 0, s"periodSeconds must be positive: $periodSeconds")
+    Guards.requireNoReservedNames(events,
+      Seq("period_ts", "n_active_est", "__p", "__t", "__pmax", "__sk"),
+      "rollingActiveEntitiesApprox")
+    val us = periodSeconds * 1000000L
+    val perPeriod = events
+      .select(floor(unix_micros(col(tsCol)) / us).as("__p"), col(entityCol))
+      .groupBy(col("__p"))
+      .agg(hll_sketch_agg(col(entityCol), lit(lgK)).as("__sk"))
+    val last = perPeriod.agg(max(col("__p")).as("__pmax"))
+    perPeriod
+      .select(col("__sk"),
+        explode(sequence(col("__p"), col("__p") + lit(windowPeriods - 1L))).as("__t"))
+      .crossJoin(broadcast(last))
+      .filter(col("__t") <= col("__pmax"))
+      .groupBy(col("__t"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false)))
+        .as("n_active_est"))
+      .select(timestamp_micros(col("__t") * us).as("period_ts"), col("n_active_est"))
+  }
+
   /** Time-to-conversion: per entity, the FIRST `fromType` event and the
     * first `toType` event AT OR AFTER it, with the lag in microseconds —
     * the activation-latency metric behind "median time from signup to

@@ -233,6 +233,17 @@ class HistogramSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("rollingActiveEntitiesApprox: sparse-exact at small cardinality, same periods as exact") {
+    val df = createDf(spark, "u int, ts int", Seq(
+      Seq[Any](1, 1), Seq[Any](1, 3), Seq[Any](2, 1), Seq[Any](3, 3)))
+      .withColumn("tsz", timestamp_seconds(col("ts")))
+    val exact = Funnel.rollingActiveEntities(df, "u", "tsz", 2, 1L)
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val approx = Funnel.rollingActiveEntitiesApprox(df, "u", "tsz", 2, 1L)
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    assert(approx == exact) // HLL is exact in sparse mode at this size
+  }
+
   test("timeToConvert: first conversion at/after first trigger; non-converters absent") {
     def at(s: Int) = new java.sql.Timestamp(s * 1000L)
     val df = createDf(spark, Seq("u", "ts", "et"), Seq(
