@@ -2122,6 +2122,20 @@ object SparkEntry {
         lit(if (planned == written) 0L else 1L)).as("n_violations"))
   }
 
+  /** Two-sample KS drift statistic ([[graft.ops.Drift.ksStatistic]]):
+    * even- vs odd-orderkey halves of the order-value distribution. The
+    * integer numerator makes the max CDF gap oracle-exact; the global
+    * cumulative counts ride [[graft.ops.Ids.withRunningTotals]] (range
+    * partitions + bounded windows), never a whole-frame window.
+    */
+  private def qKs(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    graft.ops.Drift.ksStatistic(
+      o.filter(col("o_orderkey") % 2 === 0).select(col("o_totalprice")),
+      o.filter(col("o_orderkey") % 2 === 1).select(col("o_totalprice")),
+      "o_totalprice")
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2249,6 +2263,7 @@ object SparkEntry {
     "q_bpe" -> (qBpe _),
     "q_rolling_hll" -> (qRollingHll _),
     "q_compact_audit" -> (qCompactAudit _),
+    "q_ks" -> (qKs _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2690,6 +2705,27 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_compact_audit" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_ks" ->
+      """WITH u AS (
+        |  SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS ib
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |g AS (
+        |  SELECT v, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
+        |  FROM u GROUP BY v),
+        |c AS (
+        |  SELECT CAST(sum(ca) OVER w AS BIGINT) AS cca,
+        |         CAST(sum(cb) OVER w AS BIGINT) AS ccb
+        |  FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM g)
+        |SELECT n_a, n_b,
+        |  CAST(max(abs(cca * n_b - ccb * n_a)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cca * n_b - ccb * n_a)) AS DOUBLE) /
+        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks
+        |FROM c, t GROUP BY n_a, n_b""".stripMargin,
     "q_table_checksum" ->
       """WITH h AS (
         |  SELECT CAST(('0x' || substr(md5(concat_ws(chr(1),

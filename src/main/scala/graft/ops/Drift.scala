@@ -77,4 +77,42 @@ object Drift {
       .withColumn("psi_term", (col("cur_p") - col("ref_p")) * log(col("cur_p") / col("ref_p")))
       .orderBy("bin")
   }
+
+  /** Two-sample Kolmogorov-Smirnov statistic between `a` and `b` on
+    * `valueCol` — the binning-free drift test (PSI needs cutpoints; KS
+    * compares the full empirical CDFs):
+    *
+    *   D = max over observed v of |F_a(v) − F_b(v)|
+    *     = max |C_a(v)·n_b − C_b(v)·n_a| / (n_a·n_b)
+    *
+    * kept in INTEGER arithmetic until one final division, so D is
+    * bit-deterministic (cumulative float CDFs never are).
+    *
+    * Scale shape: both sides reduce to per-distinct-value counts with
+    * one map-combined aggregation; the global cumulative counts come
+    * from [[Ids.withRunningTotals]] (range repartition + bounded offset
+    * windows — NEVER a whole-frame `Window.orderBy`); the max is one
+    * 1-row aggregate. Data moved after the first aggregation is
+    * distinct-value-sized. Null values are excluded (a CDF has no place
+    * for them); count them separately if null drift matters.
+    *
+    * @return single row (n_a, n_b, d_num, ks) with ks = d_num/(n_a·n_b)
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val counts = a.select(col(valueCol).as("__v"), lit(1L).as("__ca"), lit(0L).as("__cb"))
+      .unionAll(b.select(col(valueCol).as("__v"), lit(0L), lit(1L)))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(sum(col("__ca")).as("__ca"), sum(col("__cb")).as("__cb"))
+    val cum = Ids.withRunningTotals(counts, Seq("__v"), Seq("__ca", "__cb"))
+    val totals = counts.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("__na"), col("__nb"),
+        abs(col("__ca_cum") * col("__nb") - col("__cb_cum") * col("__na")).as("__d"))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(max(col("__d")).as("d_num"))
+      .withColumn("ks",
+        col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+  }
 }

@@ -61,4 +61,59 @@ object Ids {
       .withColumn(idCol, col("__offset") + (col("__mid") % lit(1L << 33)))
       .drop("__mid", "__pid", "__offset")
   }
+
+  /** Distributed GLOBAL running totals (inclusive prefix sums of
+    * `sumCols` in `orderCols` order) — the scale-safe replacement for
+    * `sum(...).over(Window.orderBy(...))`, which collapses every row
+    * into one task (the reference's documented single-partition hazard).
+    *
+    * Same two-level shape as [[withDenseId]]: range repartition
+    * (distributed sort) pins rows to ordered partitions behind a
+    * materialization barrier; per-partition subtotals (a
+    * partition-count-sized table) cumulate into exclusive offsets and
+    * broadcast back; each row's prefix = its partition's offset + a
+    * partition-LOCAL running sum. Every window in the plan is bounded —
+    * by the partition count or by partition contents.
+    *
+    * `orderCols` must be a total order across rows (same contract as
+    * [[withDenseId]]); `sumCols` must be numeric (longs/decimals for
+    * exactness — double prefix sums inherit float association).
+    */
+  def withRunningTotals(df: DataFrame, orderCols: Seq[String],
+                        sumCols: Seq[String], suffix: String = "_cum",
+                        numPartitions: Option[Int] = None): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(sumCols.nonEmpty, "need at least one sum column")
+    val outCols = sumCols.map(_ + suffix)
+    Guards.requireNoReservedNames(df,
+      Seq("__mid", "__pid") ++ outCols.flatMap(c => Seq(c, s"__off_$c")),
+      "withRunningTotals")
+    val order = orderCols.map(col(_).asc)
+    val ranged = numPartitions
+      .map(n => df.repartitionByRange(n, order: _*))
+      .getOrElse(df.repartitionByRange(order: _*))
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", (col("__mid") / lit(1L << 33)).cast("long"))
+      // same barrier rationale as withDenseId: both branches must see
+      // one set of sampled range boundaries
+      .localCheckpoint(true)
+    val offsets = {
+      val base = ranged.groupBy(col("__pid"))
+        .agg(sum(col(sumCols.head)).as(s"__n_${sumCols.head}"),
+          sumCols.tail.map(c => sum(col(c)).as(s"__n_$c")): _*)
+      val w = Window.orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sumCols.foldLeft(base) { (d, c) =>
+        d.withColumn(s"__off_$c", coalesce(sum(col(s"__n_$c")).over(w), lit(0L)))
+      }.select(col("__pid") +: sumCols.map(c => col(s"__off_$c")): _*)
+    }
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("__mid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged.join(broadcast(offsets), Seq("__pid"))
+    sumCols.zip(outCols).foldLeft(withLocal) { case (d, (c, out)) =>
+        d.withColumn(out, col(s"__off_$c") + sum(col(c)).over(localW))
+      }
+      .drop("__mid" +: "__pid" +: sumCols.map(c => s"__off_$c"): _*)
+  }
 }

@@ -68,4 +68,30 @@ class DriftSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  private def ks(as: Seq[Double], bs: Seq[Double]) =
+    Drift.ksStatistic(frame(as), frame(bs), "v").head()
+
+  test("ksStatistic: identical samples give 0, disjoint give 1") {
+    val same = ks(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0))
+    assert(same.getLong(2) == 0L && same.getDouble(3) == 0.0)
+    val far = ks(Seq(1.0, 2.0), Seq(10.0, 11.0, 12.0))
+    assert(far.getDouble(3) == 1.0)
+  }
+
+  test("ksStatistic: known small case — a={1,2}, b={2,3} has D = 1/2") {
+    val r = ks(Seq(1.0, 2.0), Seq(2.0, 3.0))
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getLong(2) == 2L)        // max |Ca·nb − Cb·na| at v=1: |1·2−0·2|
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("ksStatistic: duplicates weight the CDF; nulls are excluded") {
+    // a = {1,1,1,5}: F_a(1)=3/4; b = {5}: F_b(1)=0 → D=3/4
+    val a = createDf(spark, "v double",
+      Seq(Seq[Any](1.0), Seq[Any](1.0), Seq[Any](1.0), Seq[Any](5.0), Seq[Any](null)))
+    val r = Drift.ksStatistic(a, frame(Seq(5.0)), "v").head()
+    assert(r.getLong(0) == 4L) // the null row never counts
+    assert(r.getDouble(3) == 0.75)
+  }
 }

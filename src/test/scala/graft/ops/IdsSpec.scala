@@ -57,4 +57,36 @@ class IdsSpec extends AnyFunSuite {
       Ids.withDenseId(df, Seq("row_id"))
     }
   }
+
+  test("withRunningTotals matches driver-side prefix sums, any partitioning") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => (i, rnd.nextInt(100).toLong, rnd.nextInt(9).toLong))
+    val want = rows.sortBy(_._1)
+      .scanLeft((0, 0L, 0L)) { case ((_, a, b), (k, x, y)) => (k, a + x, b + y) }
+      .tail.map { case (k, a, b) => k -> (a, b) }.toMap
+    for (parts <- Seq(1, 7)) {
+      val df = spark.createDataFrame(rnd.shuffle(rows)).toDF("k", "x", "y")
+        .repartition(parts)
+      val got = Ids.withRunningTotals(df, Seq("k"), Seq("x", "y"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(3), r.getLong(4))).toMap
+      assert(got == want, s"prefix sums diverge at parts=$parts")
+    }
+  }
+
+  test("withRunningTotals: the only SinglePartition exchange feeds the offsets table") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(2000).toDF("k")
+      .withColumn("x", col("k") % 5)
+    val plan = Ids.withRunningTotals(df, Seq("k"), Seq("x"))
+      .queryExecution.executedPlan.toString
+    // pre-aggregated partition subtotals may single-partition; raw rows never
+    var idx = plan.indexOf("Exchange SinglePartition")
+    while (idx >= 0) {
+      val tail = plan.substring(idx)
+      assert(tail.contains("HashAggregate"),
+        s"SinglePartition exchange must consume pre-aggregated counts:\n${tail.take(800)}")
+      idx = plan.indexOf("Exchange SinglePartition", idx + 1)
+    }
+  }
 }
