@@ -209,7 +209,8 @@ class HistogramSpec extends AnyFunSuite {
     val got = Funnel.transitionMatrix(df, "u", "ts", "eid", "et")
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
-    assert(got == Map(("a", "b") -> (2L, 1.0), ("b", "a") -> (1L, 0.5)))
+    // row-normalized WITHIN from_type: all 'b' departures go to 'a'
+    assert(got == Map(("a", "b") -> (2L, 1.0), ("b", "a") -> (1L, 1.0)))
   }
 
   test("transitionMatrix: ties order by the tie column, not scan order") {
@@ -261,10 +262,11 @@ class HistogramSpec extends AnyFunSuite {
 
   test("transitionMatrix and timeToConvert plan one entity exchange each") {
     val df = createDf(spark, "u int, ts int, eid int, et string",
-      Seq(Seq[Any](1, 1, 1, "a")))
+        Seq(Seq[Any](1, 1, 1, "a")))
+      .withColumn("tsz", timestamp_seconds(col("ts")))
     for (q <- Seq(
-        Funnel.transitionMatrix(df, "u", "ts", "eid", "et"),
-        Funnel.timeToConvert(df, "u", "ts", "et", "a", "b"))) {
+        Funnel.transitionMatrix(df, "u", "tsz", "eid", "et"),
+        Funnel.timeToConvert(df, "u", "tsz", "et", "a", "b"))) {
       val p = q.queryExecution.executedPlan.toString
       val n = "Exchange hashpartitioning\\(u".r.findAllIn(p).length
       assert(n == 1, s"expected 1 entity exchange, found $n:\n${p.take(1500)}")

@@ -120,4 +120,82 @@ class Round4LawsSpec extends AnyFunSuite {
       assert(est == a.join(b, Seq("k")).count(), s"trial $trial: estimate must be exact")
     }
   }
+
+  test("law: transition counts sum to (events - entities); probabilities sum to 1 per from-state") {
+    val rnd = new Random(99)
+    for (trial <- 1 to 5) {
+      val rows = for {
+        u <- 1 to 20
+        i <- 1 to 1 + rnd.nextInt(12)
+      } yield Seq[Any](u, i, u * 100 + i, s"t${rnd.nextInt(4)}")
+      val df = createDf(spark, "u int, ts int, eid int, et string", rows)
+      val m = Funnel.transitionMatrix(df, "u", "ts", "eid", "et").collect()
+      val perEntity = rows.groupBy(_.head).view.mapValues(_.size.toLong - 1).values.sum
+      assert(m.map(_.getLong(2)).sum == perEntity, s"trial $trial: pair count law")
+      for ((_, ps) <- m.groupBy(_.getString(0)))
+        assert(math.abs(ps.map(_.getDouble(3)).sum - 1.0) < 1e-12,
+          s"trial $trial: per-from probabilities must sum to 1")
+    }
+  }
+
+  test("law: kCore members form a subgraph where the reported degree matches edges kept") {
+    val rnd = new Random(1234)
+    for (trial <- 1 to 4) {
+      val es = Seq.fill(80 + rnd.nextInt(80))(
+        (rnd.nextInt(25) + 1, rnd.nextInt(25) + 1))
+      val df = createDf(spark, "a int, b int", es.map(e => Seq[Any](e._1, e._2)))
+      val k = 2 + rnd.nextInt(3)
+      val got = Graph.kCore(df, "a", "b", k)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // model: peel on the driver
+      var edges = es.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      var changed = true
+      while (changed) {
+        val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size)
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = edges.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != edges.size
+        edges = next
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"trial $trial (k=$k)")
+    }
+  }
+
+  test("law: ksStatistic is symmetric and bounded in [0, 1]") {
+    val rnd = new Random(31)
+    for (trial <- 1 to 5) {
+      def frame() = createDf(spark, "v double",
+        Seq.fill(40 + rnd.nextInt(60))(Seq[Any](rnd.nextInt(20).toDouble)))
+      val (a, b) = (frame(), frame())
+      val ab = Drift.ksStatistic(a, b, "v").head()
+      val ba = Drift.ksStatistic(b, a, "v").head()
+      assert(ab.getLong(2) == ba.getLong(2), s"trial $trial: |num| must be symmetric")
+      assert(ab.getDouble(3) >= 0.0 && ab.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("law: repeatedSpans occurrence counts equal total matching windows; n_docs <= n_occ") {
+    val rnd = new Random(8)
+    val words = Vector("a", "b", "c")
+    for (trial <- 1 to 4) {
+      val docs = (1 to 12).map { id =>
+        id.toLong -> Seq.fill(3 + rnd.nextInt(10))(words(rnd.nextInt(3))).mkString(" ")
+      }
+      val df = createDf(spark, "id bigint, text string",
+        docs.map { case (i, t) => Seq[Any](i, t) })
+      val n = 2
+      val got = graft.text.Dedup.repeatedSpans(df, "id", "text", n, minOccurrences = 1)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val model = docs.flatMap { case (id, t) =>
+        t.split(" ").sliding(n).map(w => (w.mkString(" "), id))
+      }
+      val wantOcc = model.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val wantDocs = model.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+      assert(got.view.mapValues(_._2).toMap == wantOcc, s"trial $trial: occurrence model")
+      assert(got.view.mapValues(_._1).toMap == wantDocs, s"trial $trial: doc model")
+    }
+  }
 }
