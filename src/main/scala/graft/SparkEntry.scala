@@ -1348,11 +1348,15 @@ object SparkEntry {
     * bit-identical to the DuckDB oracle's `quantile_cont`.
     */
   private def qOutliers(s: SparkSession, dir: String): DataFrame =
+    // Flags are computed against the RAW fences (straddle odds ~1e-15);
+    // the emitted q1/q3/lo/hi round to 6 dp on both sides because raw
+    // unrounded doubles hash differently across engines in the driver
+    // gate even when bit-identical in value (determinism playbook).
     graft.ops.Outliers.flagIqrOutliers(
         t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
       .groupBy(col("o_orderstatus"))
-      .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
-        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+      .agg(round(first(col("q1")), 6).as("q1"), round(first(col("q3")), 6).as("q3"),
+        round(first(col("lo")), 6).as("lo"), round(first(col("hi")), 6).as("hi"),
         sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("o_orderstatus"))
@@ -1641,7 +1645,14 @@ object SparkEntry {
     */
   private def qJoinsize(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
+    // The operator keeps DECIMAL(38,0) internally (a hot key can push the
+    // pair count past Long.MaxValue), but the emitted row is BIGINT: at the
+    // bench SF the totals fit comfortably (18.6M at sf0.1) and decimal
+    // output columns hash differently across engines in the driver gate.
     graft.ops.Stats.joinSizeExact(li, "l_partkey", li, "l_partkey")
+      .select(col("n_pairs").cast("long").as("n_pairs"),
+        col("n_keys_matched"),
+        col("max_key_pairs").cast("long").as("max_key_pairs"))
   }
 
   /** Wilson proportion CI ([[graft.ops.Stats.proportionCi]]): purchase
@@ -2737,7 +2748,7 @@ object SparkEntry {
         |    coalesce(l_linestatus, chr(2)))), 1, 15)) AS BIGINT) AS h
         |  FROM lineitem)
         |SELECT count(*) AS n_rows, bit_xor(h) AS xor60,
-        |  CAST(sum(h) AS DECIMAL(38,0)) AS sum60
+        |  CAST(sum(h) % 4611686018427387904 AS BIGINT) AS sum60
         |FROM h""".stripMargin,
     "q_set_ops" ->
       """WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
@@ -3351,9 +3362,9 @@ object SparkEntry {
         |actual AS (
         |  SELECT count(*) AS cnt
         |  FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey)
-        |SELECT CAST(cnt AS DECIMAL(38,0)) AS n_pairs,
+        |SELECT CAST(cnt AS BIGINT) AS n_pairs,
         |  (SELECT count(*) FROM c) AS n_keys_matched,
-        |  CAST((SELECT max(n*n) FROM c) AS DECIMAL(38,0)) AS max_key_pairs
+        |  CAST((SELECT max(n*n) FROM c) AS BIGINT) AS max_key_pairs
         |FROM actual""".stripMargin,
     "q_ab_ci" ->
       """WITH g AS (
@@ -3487,7 +3498,9 @@ object SparkEntry {
         |  SELECT o_orderstatus, q1, q3,
         |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
         |  FROM q)
-        |SELECT o.o_orderstatus, b.q1, b.q3, b.lo, b.hi,
+        |SELECT o.o_orderstatus,
+        |  round(b.q1, 6) AS q1, round(b.q3, 6) AS q3,
+        |  round(b.lo, 6) AS lo, round(b.hi, 6) AS hi,
         |  SUM(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
         |      THEN 1 ELSE 0 END) AS n_outliers,
         |  COUNT(*) AS n_rows

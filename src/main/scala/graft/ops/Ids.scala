@@ -40,8 +40,11 @@ object Ids {
       .sortWithinPartitions(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
       // projected attributes, not raw expressions: a nondeterministic
-      // expression may not appear in a join condition
-      .withColumn("__pid", (col("__mid") / lit(1L << 33)).cast("long"))
+      // expression may not appear in a join condition. shiftright, not
+      // `/`: Spark's / on longs is IEEE double division, exact only
+      // while __mid < 2^53 — past ~1M partitions a rounded quotient
+      // would silently misassign rows to the wrong offset.
+      .withColumn("__pid", shiftright(col("__mid"), 33))
       // materialization barrier, not an optimization: the offsets branch
       // and the row branch below must see the SAME sampled range
       // boundaries and the SAME ordinals — without the barrier that is
@@ -94,7 +97,7 @@ object Ids {
       .getOrElse(df.repartitionByRange(order: _*))
       .sortWithinPartitions(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", (col("__mid") / lit(1L << 33)).cast("long"))
+      .withColumn("__pid", shiftright(col("__mid"), 33))
       // same barrier rationale as withDenseId: both branches must see
       // one set of sampled range boundaries
       .localCheckpoint(true)

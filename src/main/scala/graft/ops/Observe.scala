@@ -43,10 +43,14 @@ object Observe {
     * Per row: columns canonicalize to strings (null → a \u0002 sentinel
     * so (null, "a") ≠ ("a", null) ≠ ("\u0002a")), join on \u0001, md5,
     * keep 60 bits. The triple combines XOR (order-free, catches value
-    * changes; blind to duplicate-pair swaps) with an exact decimal SUM
-    * and the row count (which catch duplication/loss XOR misses).
-    * One narrow map + one map-combined aggregate — no shuffle beyond
-    * the 1-row final combine.
+    * changes; blind to duplicate-pair swaps) with a modular SUM and the
+    * row count (which catch duplication/loss XOR misses). The sum
+    * accumulates as exact DECIMAL(38,0) then emits `sum mod 2^62` as
+    * BIGINT — still order-independent, and a lost/duplicated row shifts
+    * the residue exactly as it shifts the full sum; the residue is what
+    * hashes stably across engines (raw wide-decimal output columns do
+    * not). One narrow map + one map-combined aggregate — no shuffle
+    * beyond the 1-row final combine.
     *
     * Contract: `cols` must be integer/string/date-typed — float→string
     * rendering is engine-specific, so pre-quantize doubles (e.g.
@@ -60,7 +64,8 @@ object Observe {
     df.select(h.as("__h"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__h)").as("xor60"),
-        sum(col("__h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .as("sum60"))
+        // __h ≥ 0 (60-bit), so the decimal sum is non-negative and % ≡ pmod
+        (sum(col("__h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % lit(4611686018427387904L)).cast("long").as("sum60"))
   }
 }

@@ -80,7 +80,14 @@ object Skew {
         sum(col("__kn")).as("n_rows"),
         count(lit(1)).as("n_keys"),
         max(col("__kn")).as("max_key_rows"),
-        max_by(concat_ws("|", keys.map(col(_).cast("string")): _*), col("__kn")).as("top_key"),
+        // tiebreak on the key string itself: max_by on the count alone
+        // is run-dependent when two keys tie for max (bit-determinism
+        // doctrine — every op here breaks ties explicitly). struct
+        // ordering compares __kn first, then key lexicographically, so
+        // the winner is the lexicographically-last key among max-count.
+        max_by(concat_ws("|", keys.map(col(_).cast("string")): _*),
+          struct(col("__kn"),
+            concat_ws("|", keys.map(col(_).cast("string")): _*))).as("top_key"),
       )
       .withColumn("skew_ratio",
         col("max_key_rows").cast("double") / (col("n_rows").cast("double") / col("n_keys")))

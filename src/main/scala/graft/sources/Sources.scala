@@ -165,8 +165,23 @@ object Sources {
       val path = new org.apache.hadoop.fs.Path(p)
       path.getFileSystem(conf).makeQualified(path)
     }
-    require(qualified(inPath) != qualified(outPath),
-      "compact cannot write onto its input")
+    val qIn = qualified(inPath)
+    val qOut = qualified(outPath)
+    // Reject prefix containment in BOTH directions, not just equality:
+    // an outPath nested under inPath (/data/t → /data/t/compacted)
+    // writes data files into the live input tree and double-counts
+    // those rows on the next read/compaction of inPath.
+    def contains(ancestor: org.apache.hadoop.fs.Path,
+                 other: org.apache.hadoop.fs.Path): Boolean = {
+      var p: org.apache.hadoop.fs.Path = other
+      while (p != null) {
+        if (p == ancestor) return true
+        p = p.getParent
+      }
+      false
+    }
+    require(!contains(qIn, qOut) && !contains(qOut, qIn),
+      s"compact cannot write onto or inside its input (or vice versa): $qIn vs $qOut")
     val bytes = dataFileBytes(spark, inPath)
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(inPath).repartition(nFiles)

@@ -262,6 +262,13 @@ object Streaming {
     *
     * Works on batch Datasets too (same code path, single "batch";
     * timeouts never fire there, as with [[sessionizeStateful]]).
+    *
+    * STREAMING CONTRACT: the input must define a watermark
+    * (`withWatermark` upstream of the groupByKey) — EventTimeTimeout
+    * requires one, and Spark throws at runtime without it. The timeout
+    * timestamp is clamped strictly above the current watermark: a key
+    * fed only late data would otherwise compute `lastTs + ttl` at or
+    * below the watermark, which `setTimeoutTimestamp` rejects.
     */
   def anomaliesStateful(events: Dataset[SessionEvent], n: Int, z: Double,
                         minPeriods: Int = 2, stateTtlMinutes: Int = 60): Dataset[Anomaly] = {
@@ -300,8 +307,13 @@ object Streaming {
             }
             if (any) {
               state.update(st)
-              if (isStreaming)
-                state.setTimeoutTimestamp((st.lastTs + ttlUs) / 1000) // millis
+              if (isStreaming) {
+                // clamp strictly above the watermark: late-only keys can
+                // put lastTs+ttl at/below it, which setTimeoutTimestamp
+                // rejects (see streaming contract in the scaladoc)
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max((st.lastTs + ttlUs) / 1000, wm + 1))
+              }
             }
             out.result().iterator
           }
