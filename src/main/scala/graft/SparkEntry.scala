@@ -782,14 +782,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Stubbed image decode through the real mapPartitions plumbing
-    * (deterministic fake decode; rows-only check).
+  /** REAL image decode ([[graft.multimodal.Multimodal.decodePpm]] — a
+    * complete pure-JVM P6 parser). The testdata carries no image column,
+    * so each document's bytes are wrapped in a genuine PPM container
+    * (header + raw RGB data) in-query; the decoder then parses that
+    * container from the payload bytes alone — magic, dimensions, maxval,
+    * data offset — and computes per-channel pixel sums. The oracle
+    * recomputes every output from the raw text independently, so a
+    * misread header, a wrong data offset, or a channel-interleave slip
+    * all hash-mismatch.
     */
-  private def qDecodeStub(s: SparkSession, dir: String): DataFrame = {
+  private def qDecode(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    Multimodal.decodeImageStub(d, "doc_id", "payload")
-      .select(col("doc_id"), col("width"), col("height"), col("n_channels"))
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+      // 4-pixel-wide rows: h = ⌊bytes/12⌋ full rows of 4 RGB pixels
+      .withColumn("h", floor(octet_length(col("bytes")) / 12).cast("int"))
+      .select(col("doc_id"),
+        concat(
+          concat(lit("P6\n4 "), col("h").cast("string"), lit("\n255\n")).cast("binary"),
+          col("bytes").substr(lit(1), col("h") * 12)).as("payload"))
+    Multimodal.decodePpm(d, "doc_id", "payload")
+      .select(col("doc_id"), col("width"), col("height"), col("maxval"),
+        col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
       .orderBy(col("doc_id"))
   }
 
@@ -1797,23 +1811,79 @@ object SparkEntry {
     */
   private val semDedupThreshold = 0.45
 
-  /** Shared oracle-SQL prefix: normalize embeddings, exact above-threshold
-    * cosine pairs, symmetric edges, transitive closure (`reach`). Both the
-    * q_semdedup and q_group_split oracles build on exactly this CTE chain,
-    * so their pair sets can never drift apart.
+  /** Banding parameters shared by the LSH-pair queries and their oracles. */
+  private val semBandPlanes = 6
+  private val semBands = 4
+
+  /** DuckDB list literal for one hyperplane — `Double.toString` is the
+    * shortest round-trip rendering, so the oracle parses the exact same
+    * 64-bit values the operator folds over.
     */
-  private def semanticComponentsCte: String =
-    s"""WITH RECURSIVE nv AS (
-       |  SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
-       |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
-       |  FROM embeddings),
-       |pairs AS (
-       |  SELECT id_a, id_b FROM (
+  private def planeLit(p: Seq[Double]): String =
+    p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+
+  /** Normalized-embedding CTE shared by every semantic oracle. */
+  private val nvCte: String =
+    """nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+      |  FROM embeddings)""".stripMargin
+
+  /** Brute-force exact pair CTE (the O(n²) baseline the laws compare
+    * against; the workload queries use [[lshPairsCteChain]] instead).
+    */
+  private def brutePairsSubquery: String =
+    s"""SELECT id_a, id_b FROM (
        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |      list_sum(list_transform(list_zip(a.nv, b.nv), x -> x[1] * x[2])) AS cos
        |    FROM nv a, nv b WHERE a.vec_id < b.vec_id)
-       |  WHERE cos > $semDedupThreshold),
+       |  WHERE cos > $semDedupThreshold""".stripMargin
+
+  /** CTE chain replicating [[graft.text.Similarity.lshNearDupPairsBanded]]
+    * bit-for-bit: per band, bucket = sign bits of sequential-fold dot
+    * products against the operator's own (seeded, embedded-as-literals)
+    * hyperplanes; candidates = same-(band,)bucket pairs unioned across
+    * bands; `pairs` = candidates passing the exact cosine filter. The
+    * oracle therefore verifies the bucketing AND the scoring, not just a
+    * pair list.
+    */
+  private def lshPairsCteChain: String = {
+    val bands = Similarity.bandedPlanes(semBandPlanes, semBands, 64)
+    val bandCtes = bands.zipWithIndex.map { case (planes, bi) =>
+      val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_sum(list_transform(list_zip(nv, ${planeLit(p)}), " +
+          s"x -> x[1] * x[2])) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"b$bi AS (SELECT vec_id, $bucketExpr AS bucket FROM nv)"
+    }
+    val candUnion = (0 until semBands).map { bi =>
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM b$bi a " +
+        s"JOIN b$bi b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+    }.mkString("\n  UNION\n  ") // UNION, not UNION ALL: bands dedup
+    s"""${bandCtes.mkString(",\n")},
+       |cand AS (
+       |  $candUnion),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      list_sum(list_transform(list_zip(x.nv, y.nv), z -> z[1] * z[2])) AS cos
+       |    FROM cand c JOIN nv x ON c.id_a = x.vec_id
+       |                JOIN nv y ON c.id_b = y.vec_id)
+       |  WHERE cos > $semDedupThreshold)""".stripMargin
+  }
+
+  /** Shared oracle-SQL prefix for the semantic-dedup workload queries:
+    * normalized embeddings, the BANDED-LSH pair set (the operators' scale
+    * path — see [[lshPairsCteChain]]), symmetric edges, transitive
+    * closure (`reach`). Both the q_semdedup and q_group_split oracles
+    * build on exactly this chain, so their pair sets can never drift
+    * apart; q_lsh_recall measures this pair set against the brute-force
+    * baseline.
+    */
+  private def semanticComponentsCte: String =
+    s"""WITH RECURSIVE $nvCte,
+       |$lshPairsCteChain,
        |edges AS (
        |  SELECT id_a AS a, id_b AS b FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs),
@@ -1823,32 +1893,59 @@ object SparkEntry {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
 
   /** Semantic dedup, keep-one-per-cluster
-    * ([[graft.text.Dedup.dedupByPairs]]): exact cosine near-dup pairs →
-    * connected components (hash-to-min with pointer jumping) → minimum
-    * member survives. The oracle rebuilds the same components with a
-    * recursive CTE over the identical pair set, so the GROUPING
-    * semantics are verified, not just the pair list.
+    * ([[graft.text.Dedup.dedupByPairs]]): banded-LSH near-dup pairs
+    * ([[graft.text.Similarity.lshNearDupPairsBanded]] — the scale path;
+    * no cross product anywhere in the plan) → connected components
+    * (hash-to-min with pointer jumping) → minimum member survives. The
+    * oracle replicates the banding, the bucketing, the exact cosine
+    * filter, AND rebuilds the components with a recursive CTE over that
+    * identical pair set, so the grouping semantics are verified end to
+    * end; q_lsh_recall measures this pair source against the exact
+    * brute-force baseline (which stays oracled via q_embed_pairs).
     */
   private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", semDedupThreshold)
+    val pairs = Similarity.lshNearDupPairsBanded(e, "vec_id", "embedding",
+      semDedupThreshold, semBandPlanes, semBands)
     Dedup.dedupByPairs(e.select(col("vec_id"), col("label")), "vec_id", pairs)
       .orderBy(col("vec_id"))
   }
 
   /** Leakage-safe split ([[graft.ops.Sampling.splitByGroup]]): rows split
-    * by their duplicate-cluster representative, so near-copies can never
-    * straddle train/test. The oracle rebuilds the clusters (recursive
-    * CTE over the same exact pair set) AND the md5 bucket arithmetic, so
-    * both the grouping and the assignment are verified hex-for-hex.
+    * by their duplicate-cluster representative, so near-copies (as found
+    * by the banded-LSH pair source — same scale path and caveats as
+    * [[qSemDedup]]) can never straddle train/test. The oracle rebuilds
+    * the banding, the clusters (recursive CTE over the same pair set)
+    * AND the md5 bucket arithmetic, so grouping and assignment are both
+    * verified hex-for-hex.
     */
   private def qGroupSplit(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", semDedupThreshold)
+    val pairs = Similarity.lshNearDupPairsBanded(e, "vec_id", "embedding",
+      semDedupThreshold, semBandPlanes, semBands)
     Sampling.splitByGroup(e.select(col("vec_id")), "vec_id", pairs,
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .groupBy(col("split")).agg(count(lit(1)).as("n"))
       .orderBy(col("split"))
+  }
+
+  /** Validation law: measured recall of the banded-LSH pair source
+    * against the exact brute-force pair set at the same threshold —
+    * the honesty artifact behind qSemDedup/qGroupSplit. LSH pairs are a
+    * SUBSET of brute pairs by construction (same exact cosine filter,
+    * fewer candidates), so recall = n_lsh / n_brute; the oracle
+    * recomputes both sides independently. Runs the O(n²) baseline, so
+    * it lives in the validation set, never the bench workload.
+    */
+  private def qLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val brute = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", semDedupThreshold)
+    val lsh = Similarity.lshNearDupPairsBanded(e, "vec_id", "embedding",
+      semDedupThreshold, semBandPlanes, semBands)
+    brute.agg(count(lit(1)).as("n_brute"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .select(col("n_brute"), col("n_lsh"),
+        round(col("n_lsh").cast("double") / col("n_brute"), 6).as("recall"))
   }
 
   /** Validation: distinct-count-as-mergeable-state. History's per-type
@@ -2204,7 +2301,7 @@ object SparkEntry {
     "q_set_ops" -> (qSetOps _),
     "q_distinct_levels" -> (qDistinctLevels _),
     "q_hll" -> (qHll _),
-    "q_decode_stub" -> (qDecodeStub _),
+    "q_decode" -> (qDecode _),
     "q_frame_sample" -> (qFrameSample _),
     "q_bm25" -> (qBm25 _),
     "q_upsert" -> (qUpsert _),
@@ -2275,6 +2372,7 @@ object SparkEntry {
     "q_rolling_hll" -> (qRollingHll _),
     "q_compact_audit" -> (qCompactAudit _),
     "q_ks" -> (qKs _),
+    "q_lsh_recall" -> (qLshRecall _),
   )
 
   /** Correctness-gate queries: each re-runs a scale-path operator AND its
@@ -2290,7 +2388,7 @@ object SparkEntry {
       "q_dup_components", "q_bucketed_join", "q_cms", "q_ivf_exact",
       "q_simhash_containment", "q_fingerprint_containment", "q_quantile_bound",
       "q_hll_merge", "q_weighted_sample", "q_hh_containment", "q_joinsize_bound",
-      "q_rolling_hll", "q_compact_audit")
+      "q_rolling_hll", "q_compact_audit", "q_lsh_recall")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -2849,19 +2947,25 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_frames
         |FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY doc_id""".stripMargin,
-    "q_decode_stub" ->
-      // coalesce(h, 0): DuckDB's list_sum([]) is NULL but the stub's empty
-      // fold is 0 (→ 64×64 dims)
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    coalesce(CAST(list_sum(list_transform(range(0, octet_length(encode(text))),
-        |      i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT) * (i+1)))
-        |      AS BIGINT), 0) AS h
+    "q_decode" ->
+      // The oracle rebuilds what the PPM decoder must report, straight
+      // from the raw text bytes: h = ⌊bytes/12⌋ rows of 4 RGB pixels;
+      // channel c's sum = bytes at data positions ≡ c (mod 3), extracted
+      // via hex-substr. coalesce: DuckDB list_sum([]) is NULL, the
+      // decoder's empty-image fold is 0.
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 12 AS h
         |  FROM documents)
-        |SELECT doc_id, CAST(64 + h % 512 AS INTEGER) AS width,
-        |  CAST(64 + (h // 512) % 512 AS INTEGER) AS height,
-        |  3 AS n_channels
-        |FROM h ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, 4 AS width, CAST(h AS INTEGER) AS height,
+        |  255 AS maxval, CAST(4 * h AS BIGINT) AS n_pixels,
+        |  coalesce(CAST(list_sum(list_transform(range(0, 12*h, 3),
+        |    i -> CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT))) AS BIGINT), 0) AS sum_r,
+        |  coalesce(CAST(list_sum(list_transform(range(1, 12*h, 3),
+        |    i -> CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT))) AS BIGINT), 0) AS sum_g,
+        |  coalesce(CAST(list_sum(list_transform(range(2, 12*h, 3),
+        |    i -> CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT))) AS BIGINT), 0) AS sum_b
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_bm25" ->
       // the score expression tree mirrors Rank.bm25Scores operation for
       // operation (rational idf — no ln), so doubles match bit-for-bit
@@ -3563,5 +3667,17 @@ object SparkEntry {
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         |ORDER BY vec_id""".stripMargin,
+    // Recall of the banded-LSH pair source vs the brute-force baseline:
+    // the oracle recomputes BOTH pair sets independently (bucketing
+    // replicated from embedded plane literals), so the measured recall
+    // itself is hash-verified, not self-reported.
+    "q_lsh_recall" ->
+      s"""WITH $nvCte,
+        |$lshPairsCteChain,
+        |bp AS (SELECT count(*) AS n_brute FROM ($brutePairsSubquery)),
+        |lp AS (SELECT count(*) AS n_lsh FROM pairs)
+        |SELECT n_brute, n_lsh,
+        |  round(CAST(n_lsh AS DOUBLE) / n_brute, 6) AS recall
+        |FROM bp, lp""".stripMargin,
   )
 }

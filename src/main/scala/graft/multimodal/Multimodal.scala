@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque binary payloads + typed metadata.
   *
   * Real pipelines carry images/audio/video as parquet `binary` columns and
-  * decode inside executor batches. The decode itself needs native codec
-  * libraries that are NOT in this environment, so [[decodeImageStub]] is a
-  * clearly-marked deterministic STUB — the Spark-side contract around it
-  * (schema, batch-iterator shape, partition-local execution, typed output
-  * encoder) is real and is what the engine guarantees. Swap the stub body
-  * for an actual codec call (e.g. via JNI or an Arrow-backed worker) and
-  * nothing else changes.
+  * decode inside executor batches. [[decodePpm]] is a REAL pure-JVM
+  * decoder for the binary PPM (P6) container — full header grammar,
+  * data-offset arithmetic, per-channel pixel statistics. Codecs that need
+  * native libraries (JPEG, ffmpeg demux, sinc resampling) are represented
+  * by honestly-named byte-level stand-ins ([[sampleFramesStub]],
+  * [[resampleAudioStub]]) whose Spark-side contract — schema,
+  * batch-iterator shape, partition-local execution, typed output encoder —
+  * is the part the engine guarantees; swap the body for an actual codec
+  * call (e.g. via JNI or an Arrow-backed worker) and nothing else changes.
   *
   * Scale notes: payload bytes never shuffle here — metadata extraction and
   * decode are narrow partition-local maps; keep it that way (repartition on
@@ -32,44 +34,83 @@ object Multimodal {
           .when(col(payloadCol).startsWith(lit(Array[Byte](0xFF.toByte, 0xD8.toByte))), "jpeg")
           .otherwise("unknown"))
 
-  /** Output schema of the stub decoder. */
-  val decodedSchema: StructType = StructType.fromDDL(
-    "width int, height int, n_channels int, feature array<float>")
+  /** Output schema of the PPM decoder. */
+  val ppmSchema: StructType = StructType.fromDDL(
+    "width int, height int, maxval int, n_pixels bigint, sum_r bigint, sum_g bigint, sum_b bigint")
 
-  /** STUB image decode + feature extraction over partition-local batches.
-    *
-    * ??? REAL DECODE GOES HERE: an actual implementation feeds `payload`
-    * to a codec (libjpeg/ffmpeg/...) and a vision encoder. This stub
-    * derives deterministic fake dimensions and a 8-dim fake feature vector
-    * from the payload bytes so the plumbing is testable end-to-end.
+  /** Parse a binary-PPM (P6) header: magic, then width/height/maxval as
+    * ASCII decimals separated by whitespace, with `#`-to-end-of-line
+    * comments allowed anywhere whitespace is, then EXACTLY ONE whitespace
+    * byte before the raw RGB data (the byte after the maxval digits —
+    * per the netpbm spec, so pixel data may begin with what looks like
+    * whitespace). Returns (width, height, maxval, dataOffset); None on
+    * any malformation. Only 1-byte samples (maxval < 256) are accepted.
+    */
+  private[multimodal] def parsePpmHeader(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (p == null || p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && i < p.length) {
+        if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else if (isWs(p(i))) i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = { // -1 = no digits at the cursor
+      skipWsAndComments()
+      var v = -1L
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = (if (v < 0) 0L else v) * 10 + (p(i) - '0'); i += 1
+        if (v > Int.MaxValue) return -1
+      }
+      v.toInt
+    }
+    val w = readInt(); val h = readInt(); val mv = readInt()
+    if (w < 0 || h < 0 || mv <= 0 || mv > 255 || i >= p.length || !isWs(p(i))) None
+    else Some((w, h, mv, i + 1)) // consume the single post-maxval whitespace
+  }
+
+  /** REAL image decode for the PPM/P6 container — a complete pure-JVM
+    * parser (header grammar incl. comments, data offset, sample reads),
+    * no native codec needed. Emits dimensions plus per-channel unsigned
+    * byte sums: the value-exact statistics an oracle can recompute
+    * independently, and the shape a real feature extractor would extend.
+    * Truncated pixel data, bad magic, oversized maxval, or a null
+    * payload (crawl fetch failures) emit a null-metric row instead of
+    * failing the job.
     *
     * Shape matters: `mapPartitions` receives an iterator per partition
-    * (the JVM analog of a pandas-batch UDF) — amortize model/codec init
+    * (the JVM analog of a pandas-batch UDF) — amortize codec/model init
     * across the batch at the top of the closure, then map lazily.
+    * Payload bytes never shuffle; the decode is a narrow map.
     */
-  def decodeImageStub(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  def decodePpm(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val inIdx = df.schema.fieldIndex(payloadCol)
     val idIdx = df.schema.fieldIndex(idCol)
-    val outSchema = StructType(Seq(df.schema(idCol)) ++ decodedSchema.fields)
+    val outSchema = StructType(Seq(df.schema(idCol)) ++ ppmSchema.fields)
+    val nulls = Seq(null, null, null, null, null, null, null)
     df.mapPartitions { rows =>
-      // <- per-partition init site (codec handles, model weights) — STUB
+      // <- per-partition init site (codec handles, model weights)
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]](inIdx)
-        // Crawl corpora carry null payloads (fetch failures): emit a
-        // null-metric row instead of NPE-ing the whole job.
-        if (payload == null) Row.fromSeq(Seq(r.get(idIdx), null, null, null, null))
-        else {
-        // Position-weighted unsigned-byte sum: overflow-free up to ~8 MB
-        // payloads, and exactly replicable by the SQL oracle (hex-substr
-        // byte extraction), so the mapPartitions plumbing is verifiable
-        // end-to-end. A real decoder replaces everything below.
-        var h = 0L
-        var i = 0
-        while (i < payload.length) { h += (payload(i) & 0xFF).toLong * (i + 1); i += 1 }
-        val width = 64 + (h % 512).toInt
-        val height = 64 + ((h / 512) % 512).toInt
-        val feature = Array.tabulate(8)(i => ((h >> (i * 8)) % 1000).toInt / 1000.0f)
-        Row.fromSeq(Seq(r.get(idIdx), width, height, 3, feature.toSeq))
+        val p = r.getAs[Array[Byte]](inIdx)
+        parsePpmHeader(p) match {
+          case Some((w, h, mv, off)) if p.length >= off + 3L * w * h =>
+            val n = 3 * w * h
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < n) {
+              val v = (p(off + i) & 0xFF).toLong
+              (i % 3: @annotation.switch) match {
+                case 0 => sr += v
+                case 1 => sg += v
+                case _ => sb += v
+              }
+              i += 1
+            }
+            Row.fromSeq(Seq(r.get(idIdx), w, h, mv, w.toLong * h, sr, sg, sb))
+          case _ => Row.fromSeq(r.get(idIdx) +: nulls)
         }
       }
     }(Encoders.row(outSchema))

@@ -50,6 +50,16 @@ object Graph {
       .union(e0.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val nNodes = nodes.agg(count(lit(1)).as("n"))
+    // Size-based join strategy, decided ONCE before the loop: rank state
+    // is node-sized, and broadcasting it per iteration is the fast path
+    // only while it fits the session's broadcast threshold — past that
+    // (~100× the bench graph) the hint would OOM the driver, so the same
+    // call degrades to a co-partitioned hash join: the frozen edge list
+    // is pre-partitioned on src once (below) and each iteration shuffles
+    // only the node-sized rank state onto that layout.
+    val nProbe = nodes.count() // nodes is checkpointed: a cheap scalar probe
+    val useBroadcast = Hints.fitsBroadcast(edges.sparkSession, nProbe, rowBytes = 32L)
+    val eJoined = if (useBroadcast) e else e.repartition(col("src")).localCheckpoint(true)
     // all arithmetic stays in columns — N rides a 1-row broadcast, the
     // driver never holds a rank
     var ranks = nodes.crossJoin(broadcast(nNodes))
@@ -57,12 +67,12 @@ object Graph {
       .localCheckpoint(true)
     val base = s"(${unit}L * 15L div 100L) div n"
     for (i <- 1 to iterations) {
-      // node-sized rank state broadcasts; the (frozen, degree-carrying)
-      // edge list never re-shuffles — only the dst-keyed partial-agg
-      // moves data. (If node state outgrows broadcast at extreme scale,
-      // drop the hint and both sides hash on src.)
-      val contribs = e
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
+      // the (frozen, degree-carrying) edge list never re-shuffles — only
+      // the dst-keyed partial-agg (and, on the non-broadcast path, the
+      // node-sized rank state) moves data
+      val rankSide = ranks.withColumnRenamed("node", "src")
+      val contribs = eJoined
+        .join(if (useBroadcast) broadcast(rankSide) else rankSide, Seq("src"))
         .select(col("dst").as("node"), expr("rank div d").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
       val next = nodes

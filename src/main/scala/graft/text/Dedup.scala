@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Hints
+
 /** Deduplication operators for training-data pipelines.
   *
   * Scale design (the 100 TB posture):
@@ -142,13 +144,21 @@ object Dedup {
     * rolling window so it distributes).
     *
     * Shape: span generation is a narrow per-row HOF (`transform` over
-    * token positions — no joins, no explode-then-slice double pass); the
-    * single exchange is the span aggregation, map-side combined, so
-    * repeated spans collapse per-partition before they move. The group
-    * key is the span TEXT, which makes the result oracle-exact; at
-    * extreme corpus scale group instead on `xxhash64(span)` and
-    * rematerialize the string for survivors with one semi-join back —
-    * same plan shape, 8-byte shuffle key.
+    * token positions — no joins, no explode-then-slice double pass). The
+    * corpus-wide exchange aggregates on `xxhash64(span)` — 8-byte keys,
+    * map-side combined — NOT on the materialized span text: the string
+    * form shuffles ~(corpus token stream × span width) bytes, which is
+    * the scale-killer at 100 TB. Survivors (boilerplate, license blocks
+    * — rare by construction) rematerialize their exemplar text with one
+    * join back over a second narrow span pass; only surviving spans'
+    * strings ever move, and the survivor side broadcasts when it fits
+    * ([[graft.ops.Hints.fitsBroadcast]]), so the second pass usually
+    * pays no shuffle at all. Eagerly materializes the survivor table
+    * (it is output-sized) for the probe.
+    *
+    * Result is oracle-exact up to 64-bit hash collisions between
+    * distinct spans (~n²/2⁶⁵ — negligible against corpus sizes; a
+    * collision would merge two spans' counts).
     *
     * @return (span, n_docs, n_occ), n_occ >= minOccurrences
     */
@@ -156,15 +166,29 @@ object Dedup {
                     spanTokens: Int, minOccurrences: Int = 2): DataFrame = {
     require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
     require(minOccurrences >= 1, s"minOccurrences must be >= 1: $minOccurrences")
-    df.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+    def spans: DataFrame = df
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= spanTokens)
       .select(col(idCol),
         explode(transform(sequence(lit(0), size(col("__toks")) - spanTokens),
           i => array_join(slice(col("__toks"), i + 1, lit(spanTokens)), " ")))
           .as("span"))
-      .groupBy(col("span"))
+    val counted = spans
+      .groupBy(xxhash64(col("span")).as("__h"))
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOccurrences)
+      .localCheckpoint(true) // output-sized; materialized for the size probe
+    val survivors =
+      if (Hints.fitsBroadcast(df.sparkSession, counted.count(), rowBytes = 32L))
+        broadcast(counted)
+      else counted
+    spans.select(xxhash64(col("span")).as("__h"), col("span"))
+      .join(survivors, Seq("__h"))
+      // collapse the surviving occurrences to one exemplar per hash; the
+      // min() tiebreak keeps the result deterministic even on a collision
+      .groupBy(col("__h"), col("n_docs"), col("n_occ"))
+      .agg(min(col("span")).as("span"))
+      .select(col("span"), col("n_docs"), col("n_occ"))
   }
 
   /** Shared tail: aggregate per-pair intersection counts (input must have

@@ -349,4 +349,59 @@ object Similarity {
       .select(col("id_a"), col("id_b"), dot(col("va"), col("vb")).as("cos"))
       .filter(col("cos") > threshold)
   }
+
+  /** The deterministic plane sets behind [[lshNearDupPairsBanded]]:
+    * `nBands` independent groups of `nPlanes` Gaussian hyperplanes drawn
+    * from one seeded stream. Exposed so an oracle can replicate the
+    * bucketing bit-for-bit (sign bits of sequential-fold dot products
+    * reproduce across engines — the q_embed_pairs discipline).
+    */
+  def bandedPlanes(nPlanes: Int, nBands: Int, dim: Int,
+                   seed: Long = 42L): Seq[Seq[Seq[Double]]] =
+    randomPlanes(nPlanes * nBands, dim, seed).grouped(nPlanes).toSeq
+
+  /** Banded (multi-table) LSH near-dup pairs — the standard recall knob
+    * over [[lshNearDupPairs]]: a pair is a candidate if it shares a
+    * bucket in ANY of `nBands` independent plane sets, so per-pair
+    * recall is `1 - (1 - p^nPlanes)^nBands` (p = per-plane agreement)
+    * instead of `p^nPlanes`. Candidates from all bands union, dedup,
+    * and pass the same EXACT cosine filter — banding affects which pairs
+    * are examined, never the score.
+    *
+    * Scale shape: vectors explode ×nBands onto (band, bucket) keys, one
+    * shuffle on that composite key, pair work bounded by the largest
+    * single bucket. No cross product anywhere; `distinct` on the scored
+    * pair is exact because the dot product is a deterministic sequential
+    * fold (bit-identical in every band).
+    *
+    * Tuning: at production near-dup thresholds the defaults are strong
+    * (cos ≥ 0.9 → per-plane agreement p ≈ 0.86, recall ≈ 0.87;
+    * cos ≥ 0.95 → ≈ 0.95). At loose thresholds (≤ 0.5, θ ≥ 60°) recall
+    * collapses for ANY parameters whose candidate count stays sublinear
+    * in n² — that regime is inherently brute-force (the q_lsh_recall law
+    * measures the gap against the exact baseline rather than hiding it).
+    * Fewer planes per band + more bands raises recall at proportional
+    * candidate cost.
+    */
+  def lshNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, nPlanes: Int = 6, nBands: Int = 4,
+                            dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val bands = bandedPlanes(nPlanes, nBands, dim, seed)
+    val bucketed = normalized(df, idCol, vecCol, "__id", "__v")
+      .select(col("__id"), col("__v"),
+        explode(array(bands.zipWithIndex.map { case (planes, bi) =>
+          struct(lit(bi).as("band"), lshBucket(col("__v"), planes).as("bucket"))
+        }: _*)).as("__bb"))
+      .select(col("__id"), col("__v"),
+        col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
+      .repartition(col("band"), col("bucket"))
+    val a = bucketed.select(col("band"), col("bucket"),
+      col("__id").as("id_a"), col("__v").as("va"))
+    val b = bucketed.select(col("band"), col("bucket"),
+      col("__id").as("id_b"), col("__v").as("vb"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") > threshold)
+      .distinct()
+  }
 }

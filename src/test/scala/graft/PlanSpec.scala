@@ -236,9 +236,23 @@ class PlanSpec extends AnyFunSuite {
       s"1-row pmax must broadcast:\n${p.take(2000)}")
   }
 
-  test("q_span_dedup: no joins — spans aggregate straight off the scan") {
+  test("q_span_dedup: corpus exchange keys on the 8-byte span hash; survivors broadcast back") {
     val p = plan("q_span_dedup")
-    assert(!p.contains("Join"), s"span discovery must not join:\n${p.take(1500)}")
+    // the corpus-wide aggregation must key on xxhash64(span), never on the
+    // materialized span string (string shuffle = corpus-sized at 100 TB)
+    assert(p.contains("xxhash64"),
+      s"span aggregation must key on the 64-bit hash:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rare survivors must rematerialize via broadcast at bench sf:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q_semdedup and q_group_split: banded-LSH pair source plans no cross product") {
+    for (q <- Seq("q_semdedup", "q_group_split")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must source pairs from the bucket equi-join:\n${p.take(2000)}")
+    }
   }
 
   test("q_triangles: wedge self-join reuses one oriented exchange; no cross product") {

@@ -30,18 +30,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3L)._3 == "jpeg")
   }
 
-  test("decodeImageStub: deterministic dims + 8-dim feature per payload") {
-    val out = Multimodal.decodeImageStub(payloadDf, "id", "payload")
-    assert(out.columns.toSeq == Seq("id", "width", "height", "n_channels", "feature"))
-    val rows = out.collect()
-    assert(rows.length == 3)
-    rows.foreach { r =>
-      assert(r.getInt(1) >= 64 && r.getInt(1) < 576)
-      assert(r.getSeq[Float](4).length == 8)
-    }
-    // deterministic: run twice, same values
-    val again = Multimodal.decodeImageStub(payloadDf, "id", "payload").collect()
-    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  private def ppm(header: String, data: Array[Byte]): Array[Byte] =
+    header.getBytes("US-ASCII") ++ data
+
+  test("decodePpm: parses a well-formed P6 and reports exact channel sums") {
+    // 2×2 image: pixels (1,2,3) (4,5,6) (7,8,9) (10,11,12)
+    val img = ppm("P6\n2 2\n255\n", Array.tabulate(12)(i => (i + 1).toByte))
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, img)))
+    val r = Multimodal.decodePpm(d, "id", "payload").head()
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)) == ((2, 2, 255, 4L)))
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((1L + 4 + 7 + 10, 2L + 5 + 8 + 11, 3L + 6 + 9 + 12)))
+  }
+
+  test("decodePpm: comments and arbitrary whitespace in the header; high bytes unsigned") {
+    val img = ppm("P6 # a comment\n# another\n 1\t1 # dims done\n255 ",
+      Array(0xFF.toByte, 0x80.toByte, 0x00.toByte))
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, img)))
+    val r = Multimodal.decodePpm(d, "id", "payload").head()
+    assert((r.getInt(1), r.getInt(2), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((1, 1, 255L, 128L, 0L)))
+  }
+
+  test("decodePpm: pixel data may begin with whitespace-looking bytes (single post-maxval separator)") {
+    // first data byte is 0x0A ('\n') — a correct parser must not eat it
+    val img = ppm("P6\n1 1\n255\n", Array[Byte](0x0A, 0x20, 0x0D))
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, img)))
+    val r = Multimodal.decodePpm(d, "id", "payload").head()
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((10L, 32L, 13L)))
+  }
+
+  test("decodePpm: bad magic, truncated data, maxval > 255, and null all yield null-metric rows") {
+    val rows = Seq(
+      Seq[Any](1L, "nope".getBytes("US-ASCII")),
+      Seq[Any](2L, ppm("P6\n2 2\n255\n", Array[Byte](1, 2, 3))), // 3 of 12 bytes
+      Seq[Any](3L, ppm("P6\n1 1\n65535\n", Array.fill(6)(1.toByte))),
+      Seq[Any](4L, null))
+    val d = createDf(spark, "id bigint, payload binary", rows)
+    val out = Multimodal.decodePpm(d, "id", "payload").collect()
+    assert(out.length == 4 && out.forall(r => r.isNullAt(1) && r.isNullAt(7)))
   }
 
   test("sampleFramesStub: strided fixed-size chunks with frame indices") {
@@ -87,9 +113,9 @@ class MultimodalSpec extends AnyFunSuite {
   test("null payloads (fetch failures) yield null-metric rows, never executor NPEs") {
     val d = createDf(spark, "id bigint, payload binary",
       Seq(Seq[Any](1L, null), Seq[Any](2L, Array[Byte](1, 2, 3, 4))))
-    val dec = Multimodal.decodeImageStub(d, "id", "payload")
+    val dec = Multimodal.decodePpm(d, "id", "payload")
       .filter(col("id") === 1L).head()
-    assert(dec.isNullAt(1) && dec.isNullAt(4))
+    assert(dec.isNullAt(1) && dec.isNullAt(7))
     assert(Multimodal.sampleFramesStub(d, "id", "payload", frameBytes = 2, stride = 1)
       .filter(col("id") === 1L).count() == 0)
     val res = Multimodal.resampleAudioStub(d, "id", "payload")

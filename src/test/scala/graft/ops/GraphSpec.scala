@@ -62,6 +62,24 @@ class GraphSpec extends AnyFunSuite {
     assert(once == dup)
   }
 
+  test("non-broadcast degrade path (threshold disabled) is bit-identical to the broadcast path") {
+    // Size-based join decision: with autoBroadcastJoinThreshold disabled,
+    // pageRank must fall back to the co-partitioned shuffle join and —
+    // integer arithmetic being order-free across partitionings — produce
+    // the exact same ranks.
+    val g = edges(1 -> 2, 2 -> 3, 3 -> 1, 1 -> 3, 4 -> 1, 2 -> 4)
+    val viaBroadcast = Graph.pageRank(g, "s", "t", 7)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val viaShuffle = Graph.pageRank(g, "s", "t", 7)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(viaShuffle == viaBroadcast)
+    } finally spark.conf.set(key, saved)
+  }
+
   private def triangles(es: (Int, Int)*): Long =
     Graph.triangleCount(edges(es: _*), "s", "t").head().getLong(0)
 

@@ -292,10 +292,14 @@ class DedupSpec extends AnyFunSuite {
       Seq(("a b c", 2L, 2L)))
   }
 
-  test("repeatedSpans: span generation is narrow — no joins, only the distinct-agg exchanges") {
+  test("repeatedSpans: corpus aggregates on the span hash; survivors rejoin via broadcast") {
     val d = createDf(spark, "id bigint, text string", Seq(Seq[Any](1L, "a b c")))
     val p = Dedup.repeatedSpans(d, "id", "text", 2).queryExecution.executedPlan.toString
-    assert(!p.contains("Join"), p.take(1500))
+    // the corpus-wide exchange must key on xxhash64(span) — the span
+    // STRINGS only move for survivors, through the broadcast join below
+    assert(p.contains("xxhash64"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1500))
     // countDistinct rewrites to the standard two-phase distinct aggregate:
     // one exchange on (span, id), one on span — nothing beyond those
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
