@@ -260,6 +260,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("split"))
 
+  /** EXACT-count stratified sample ([[graft.ops.Sampling
+    * .stratifiedExact]]): exactly ⌊0.25·n⌋ orders per status, selected
+    * by the engine-reproducible (md5(key), key) rank. The summary emits
+    * the per-stratum count AND the sum of selected keys, so the oracle
+    * verifies the exact SELECTION, not just its size.
+    */
+  private def qStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedExact(t(s, dir, "orders"), Seq("o_orderstatus"),
+        "o_orderkey", 0.25)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy(col("o_orderstatus"))
+
   /** Training-mixture construction: resample the corpus toward a target
     * language mix {en 0.5, zh 0.2, de/es/fr 0.1}; the binding source
     * keeps everything, the rest downsample deterministically (md5
@@ -2136,6 +2149,22 @@ object SparkEntry {
     graft.text.Bpe.trainMerges(t(s, dir, "documents"), "text", rounds = 8)
       .orderBy(col("round"))
 
+  /** BPE ENCODE ([[graft.text.Bpe.encodeTokenCounts]]): train 8 merge
+    * rules (the 8-row driver collect is the bounded rule table, same
+    * posture as training itself), then tokenize every document —
+    * distinct words fold once, documents join counts. The oracle
+    * re-derives the SAME rules with the unrolled training CTEs and
+    * replays the identical greedy-left fold over a word-keyed copy, so
+    * rule derivation AND application verify together.
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val rules = graft.text.Bpe.trainMerges(t(s, dir, "documents"), "text", rounds = 8)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.encodeTokenCounts(t(s, dir, "documents"), "doc_id", "text", rules)
+      .orderBy(col("doc_id"))
+  }
+
   /** Unrolled BPE oracle: round r = pair counts from v(r-1), one winner
     * by (n DESC, l, r), fold-rewrite into v(r). The string-accumulator
     * fold ('|'-delimited; symbols are alphanumeric so the delimiter
@@ -2171,6 +2200,66 @@ object SparkEntry {
          |${(1 to rounds).map(r => s"  SELECT * FROM w$r").mkString(" UNION ALL\n")}
          |) ORDER BY round""".stripMargin
     (head +: steps).mkString(",\n") + "\n" + tail
+  }
+
+  /** Encode oracle: the training chain of [[bpeOracleSql]] derives the
+    * same w1..wN winner rules, then an `e`-chain replays the identical
+    * greedy-left fold over a WORD-KEYED copy of the distinct vocabulary
+    * (the training chain's v-tables drop the word), and documents join
+    * their words' token counts.
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val head =
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT string_split_regex(word, '') AS syms, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM v${r - 1} CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+         |  GROUP BY 1, 2),
+         |w$r AS MATERIALIZED (
+         |  SELECT $r AS round, l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT CASE WHEN len(syms) = 1 THEN syms ELSE string_split(
+         |    list_reduce(syms, (acc, x) -> CASE
+         |      WHEN string_split(acc, '|')[-1] = w$r.l AND x = w$r.r
+         |      THEN array_to_string(list_append(
+         |        string_split(acc, '|')[1:len(string_split(acc, '|')) - 1],
+         |        w$r.l || w$r.r), '|')
+         |      ELSE acc || '|' || x END), '|') END AS syms, cnt
+         |  FROM v${r - 1}, w$r)""".stripMargin
+    }
+    val e0 =
+      """e0 AS MATERIALIZED (
+        |  SELECT word, string_split_regex(word, '') AS syms
+        |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 1)""".stripMargin
+    val esteps = (1 to rounds).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT word, CASE WHEN len(syms) = 1 THEN syms ELSE string_split(
+         |    list_reduce(syms, (acc, x) -> CASE
+         |      WHEN string_split(acc, '|')[-1] = w$r.l AND x = w$r.r
+         |      THEN array_to_string(list_append(
+         |        string_split(acc, '|')[1:len(string_split(acc, '|')) - 1],
+         |        w$r.l || w$r.r), '|')
+         |      ELSE acc || '|' || x END), '|') END AS syms
+         |  FROM e${r - 1}, w$r)""".stripMargin
+    }
+    val tail =
+      s"""tok AS (SELECT word, len(syms) AS n_tok FROM e$rounds),
+         |dwf AS (
+         |  SELECT doc_id, word
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) >= 1)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM dwf JOIN tok USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ((head +: steps) ++ (e0 +: esteps)).mkString(",\n") + ",\n" + tail
   }
 
   /** Validation for the sketch-path rolling actives
@@ -2291,6 +2380,7 @@ object SparkEntry {
     "q_session_window" -> (qSessionWindow _),
     "q_binary_meta" -> (qBinaryMeta _),
     "q_split" -> (qSplit _),
+    "q_stratified" -> (qStratified _),
     "q_mixture" -> (qMixture _),
     "q_profile" -> (qProfile _),
     "q_asof_join" -> (qAsofJoin _),
@@ -2369,6 +2459,7 @@ object SparkEntry {
     "q_kcore" -> (qKcore _),
     "q_table_checksum" -> (qTableChecksum _),
     "q_bpe" -> (qBpe _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_rolling_hll" -> (qRollingHll _),
     "q_compact_audit" -> (qCompactAudit _),
     "q_ks" -> (qKs _),
@@ -2605,6 +2696,19 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 0.25 is a binary-exact fraction, so floor(n*0.25) is identical on
+    // both engines; md5 hex strings sort identically (lowercase ASCII).
+    "q_stratified" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_sampled,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM r WHERE rk <= floor(n * 0.25)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_mixture" ->
       // the lang filter mirrors resampleToMixture dropping sources absent
       // from the target map — without it a sixth fixture language would
@@ -2810,6 +2914,7 @@ object SparkEntry {
         |FROM s ORDER BY user_id, day""".stripMargin,
     "q_kcore" -> kcoreOracleSql(k = 4, rounds = 9),
     "q_bpe" -> bpeOracleSql(rounds = 8),
+    "q_bpe_encode" -> bpeEncodeOracleSql(rounds = 8),
     "q_rolling_hll" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_compact_audit" ->

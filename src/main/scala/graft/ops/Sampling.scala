@@ -131,6 +131,39 @@ object Sampling {
     df.filter(bucket < threshold)
   }
 
+  /** EXACT-count stratified sample: per stratum, keep exactly
+    * `⌊fraction · n_stratum⌋` rows — the eval-set primitive hash-bucket
+    * thresholds ([[stratifiedSample]]) cannot provide: bucket sampling
+    * keeps a binomially-distributed count, and for a 500-row benchmark
+    * stratum "±2%" is a different benchmark. Selection is deterministic
+    * and layout-independent: rows rank by `(md5(key), key)` within their
+    * stratum (an engine-reproducible total order — the md5 discipline of
+    * [[hashBucket]]) and the first `quota` win; late-arriving data
+    * changes quotas only where counts change.
+    *
+    * Scale shape: ONE shuffle on the strata columns; the quota count
+    * rides the same window partition as the rank (no second aggregation
+    * pass, no driver state). The per-stratum sort is the price of
+    * exactness — strata are typically benchmark- or source-sized, far
+    * below partition limits; for corpus-sized strata with approximate
+    * tolerance use [[stratifiedSample]].
+    */
+  def stratifiedExact(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                      fraction: Double): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction in [0,1]: $fraction")
+    Guards.requireNoReservedNames(df, Seq("__se_rank", "__se_n"), "stratifiedExact")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+    df.withColumn("__se_rank", row_number().over(w))
+      .withColumn("__se_n", count(lit(1)).over(wAll))
+      .filter(col("__se_rank") <= floor(col("__se_n") * fraction))
+      .drop("__se_rank", "__se_n")
+  }
+
   /** Training-mixture construction: downsample each source so the
     * retained rows hit `targetWeights` proportions at the MAXIMUM
     * feasible size — the binding source (largest target share relative

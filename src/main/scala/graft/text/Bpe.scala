@@ -39,8 +39,12 @@ object Bpe {
         col("cnt"))
 
   /** Greedy-left merge of adjacent (left, right) symbol occurrences —
-    * a pure-Catalyst `aggregate` fold, no UDF.
+    * a pure-Catalyst `aggregate` fold, no UDF. Exposed for the encode
+    * path; training and encoding MUST share one merge semantics.
     */
+  def applyMerge(syms: org.apache.spark.sql.Column, left: String, right: String) =
+    foldMerge(syms, left, right)
+
   private def foldMerge(syms: org.apache.spark.sql.Column, left: String, right: String) = {
     val merged = left + right
     when(size(syms) <= 1, syms).otherwise(
@@ -90,5 +94,58 @@ object Bpe {
     }
     import spark.implicits._
     merges.toSeq.toDF("round", "left", "right", "n")
+  }
+
+  /** ENCODE: apply an ordered merge-rule list and report per-document
+    * token statistics — the tokenizer-application step that turns a
+    * trained merge table ([[trainMerges]]) into the number every LLM
+    * data pipeline actually bills by (training-token counts, packing
+    * budgets, mixture weights).
+    *
+    * Scale shape — encode the VOCABULARY, not the corpus: the corpus
+    * reduces once to distinct words (the same one corpus-sized shuffle
+    * as training), the merge fold (per word: symbols → `merges.size`
+    * chained greedy-left folds, all codegen HOFs) runs once per DISTINCT
+    * word, and per-document counts come from one word-keyed join of the
+    * document word stream against that vocabulary-sized table (joined
+    * via size-probed broadcast when it fits — [[graft.ops.Hints]]).
+    * Folding per occurrence instead would redo the merge work
+    * occurrence-many times. Eagerly materializes the encoded vocabulary
+    * for the probe.
+    *
+    * Empty words (consecutive whitespace) are dropped on both the count
+    * and the join side; documents with no words produce no row.
+    *
+    * @param merges ordered (left, right) rules, applied in sequence —
+    *               exactly [[trainMerges]]'s output order
+    * @return (id, n_words, n_chars, n_tokens) per document
+    */
+  def encodeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "need at least one merge rule")
+    val docWords = df
+      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 1)
+    // each fold level is BOUND as a lambda variable: foldMerge references
+    // its input ~5 times, so naive chaining grows the expression tree
+    // 5^rules-fold (observed: analyzer heap death at 8 rules); binding
+    // keeps growth linear and each level materialized once per word
+    import graft.functions.ArrayMath.bound
+    val folded = merges.foldLeft(
+      transform(sequence(lit(1), length(col("__w"))),
+        i => col("__w").substr(i, lit(1))): org.apache.spark.sql.Column
+    ) { case (c, (l, r)) => bound(c)(s => foldMerge(s, l, r)) }
+    val vocabTok = docWords.select(col("__w")).distinct()
+      .select(col("__w"), size(folded).cast("long").as("__ntok"))
+      .localCheckpoint(true) // vocabulary-sized; materialized for the probe
+    val vocabSide =
+      if (graft.ops.Hints.fitsBroadcast(df.sparkSession, vocabTok.count(), rowBytes = 48L))
+        broadcast(vocabTok)
+      else vocabTok
+    docWords.join(vocabSide, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("__w")).cast("long")).as("n_chars"),
+        sum(col("__ntok")).as("n_tokens"))
   }
 }

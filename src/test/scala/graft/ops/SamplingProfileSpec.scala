@@ -91,6 +91,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("stratifiedExact: exactly ⌊f·n⌋ per stratum, layout-independent, monotone in f") {
+    val df = spark.range(1003).toDF("id")
+      .withColumn("stratum", when(col("id") % 3 === 0, "a")
+        .when(col("id") % 3 === 1, "b").otherwise("c"))
+    // strata sizes: a=335, b=334, c=334 → quotas at 0.25: 83, 83, 83
+    val out = Sampling.stratifiedExact(df, Seq("stratum"), "id", 0.25)
+    val counts = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 83L, "b" -> 83L, "c" -> 83L))
+    // identical row SET across partition layouts (not just identical counts)
+    val again = Sampling.stratifiedExact(df.repartition(13), Seq("stratum"), "id", 0.25)
+    assert(out.collect().map(_.getLong(0)).toSet ==
+      again.collect().map(_.getLong(0)).toSet)
+    // nested samples: a smaller fraction selects a subset of a larger one
+    val smaller = Sampling.stratifiedExact(df, Seq("stratum"), "id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(out.collect().map(_.getLong(0)).toSet))
+    // f = 0 and f = 1 are exact boundaries
+    assert(Sampling.stratifiedExact(df, Seq("stratum"), "id", 0.0).count() == 0)
+    assert(Sampling.stratifiedExact(df, Seq("stratum"), "id", 1.0).count() == 1003)
+  }
+
   test("resampleToMixture hits target proportions; binding source keeps all") {
     val df = spark.range(3000).toDF("id")
       .withColumn("src",

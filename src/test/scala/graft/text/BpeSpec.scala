@@ -52,4 +52,60 @@ class BpeSpec extends AnyFunSuite {
     assert(got.take(2) == Seq((1, "a", "b", 3L), (2, "ab", "c", 3L)))
     assert(got.size == 2) // fully merged: no pairs remain for round 3
   }
+
+  private def encoded(rules: Seq[(String, String)], lines: String*) =
+    Bpe.encodeTokenCounts(
+        createDf(spark, "id bigint, text string",
+          lines.zipWithIndex.map { case (l, i) => Seq[Any](i.toLong, l) }),
+        "id", "text", rules)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("encodeTokenCounts: rules apply in order with greedy-left semantics") {
+    // rules (a,b) then (ab,c): "abc" → [ab, c] → [abc] = 1 token;
+    // "ab ac" → [ab] + [a, c] = 3 tokens
+    val got = encoded(Seq("a" -> "b", "ab" -> "c"), "abc ab", "ab ac")
+    assert(got(0L) == ((2L, 5L, 2L))) // abc→1 token, ab→1 token
+    assert(got(1L) == ((2L, 4L, 3L)))
+  }
+
+  test("encodeTokenCounts: unmerged text tokenizes to one token per character") {
+    val got = encoded(Seq("q" -> "q"), "xyz wv")
+    assert(got(0L) == ((2L, 5L, 5L)))
+  }
+
+  test("encodeTokenCounts: consecutive spaces drop empty words; no-word docs emit no row") {
+    val got = encoded(Seq("a" -> "b"), "ab  ab", "")
+    assert(got == Map(0L -> ((2L, 4L, 2L))))
+  }
+
+  test("encodeTokenCounts: matches occurrence-by-occurrence folding (train→encode round trip)") {
+    val lines = Seq("aaab aaab abab", "abab aaab", "banana bandana")
+    val df = createDf(spark, "id bigint, text string",
+      lines.zipWithIndex.map { case (l, i) => Seq[Any](i.toLong, l) })
+    val rules = Bpe.trainMerges(df, "text", rounds = 4)
+      .orderBy(org.apache.spark.sql.functions.col("round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.encodeTokenCounts(df, "id", "text", rules).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // reference: fold every occurrence independently in plain Scala
+    def fold(word: String): Int = {
+      var syms = word.map(_.toString).toVector
+      for ((l, r) <- rules) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (out.nonEmpty && out.last == l && syms(i) == r) {
+            out(out.length - 1) = l + r; i += 1
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms.length
+    }
+    val expect = lines.zipWithIndex.map { case (l, i) =>
+      i.toLong -> l.split(" ", -1).filter(_.nonEmpty).map(fold(_).toLong).sum
+    }.toMap
+    assert(got == expect)
+  }
 }
