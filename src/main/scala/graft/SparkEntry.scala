@@ -260,6 +260,25 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("split"))
 
+  /** Skew-mitigating salted join ([[graft.ops.Skew.saltedJoin]]):
+    * lineitem salts 8 ways, the orders dimension replicates across the
+    * salt values, the join runs on (key, salt). Salting only ROUTES
+    * rows — the result must equal the plain join row-for-row, which is
+    * exactly what the oracle computes (the same discipline as
+    * q_bloom_join: the accelerated plan, the plain semantics).
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ords = t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    graft.ops.Skew.saltedJoin(li, ords, Seq("l_orderkey"), saltBuckets = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** EXACT-count stratified sample ([[graft.ops.Sampling
     * .stratifiedExact]]): exactly ⌊0.25·n⌋ orders per status, selected
     * by the engine-reproducible (md5(key), key) rank. The summary emits
@@ -2381,6 +2400,7 @@ object SparkEntry {
     "q_binary_meta" -> (qBinaryMeta _),
     "q_split" -> (qSplit _),
     "q_stratified" -> (qStratified _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_mixture" -> (qMixture _),
     "q_profile" -> (qProfile _),
     "q_asof_join" -> (qAsofJoin _),
@@ -2696,6 +2716,13 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Salting routes rows without changing the join's row set, so the
+    // oracle is the PLAIN join the salted plan accelerates.
+    "q_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // 0.25 is a binary-exact fraction, so floor(n*0.25) is identical on
     // both engines; md5 hex strings sort identically (lowercase ASCII).
     "q_stratified" ->
