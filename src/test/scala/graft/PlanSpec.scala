@@ -247,6 +247,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q_stratified: rank + quota windows stack on ONE stratum exchange") {
+    val p = plan("q_stratified")
+    // exactly two hash exchanges: the shared window partition + the
+    // final status aggregation — a second windowing pass would add more
+    val n = "Exchange hashpartitioning\\(o_orderstatus".r.findAllIn(p).length
+    assert(n <= 2, s"expected <=2 o_orderstatus exchanges, found $n:\n${p.take(2000)}")
+    assert(p.linesIterator.count(_.contains("Window [")) == 2,
+      s"expected rank + quota Window nodes:\n${p.take(2000)}")
+  }
+
+  test("q_salted_join: the salt is a join key (hot keys spread across reducers)") {
+    val p = plan("q_salted_join")
+    assert(p.contains("__salt"),
+      s"join must key on (l_orderkey, __salt):\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q_semdedup and q_group_split: banded-LSH pair source plans no cross product") {
     for (q <- Seq("q_semdedup", "q_group_split")) {
       val p = plan(q)
