@@ -1130,6 +1130,42 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** FULL corpus-curation pipeline — the deepest composition query:
+    * normalize → quality gate → exact dedup → 5-gram-Jaccard near-dup
+    * keep-one (connected components over the oracled pair set) →
+    * benchmark decontamination (anti-join on ≥3 shared shingles) →
+    * deterministic split, each stage one library operator and the WHOLE
+    * chain replayed by the oracle CTE-for-CTE. Emits per split the
+    * survivor count, the id sum (selection-exact: a single doc kept or
+    * dropped differently anywhere in the chain breaks it) and the token
+    * budget. Extends [[qPipeline]]'s integration coverage to the
+    * near-dup component and contamination stages — the two whose
+    * contracts drift most easily in isolation.
+    */
+  private def qCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("norm", TextStats.normalizeText(col("text")))
+    val q = docs.filter(TextStats.qualityScore(col("norm")) > 0.54)
+    val ex = Dedup.dedupExact(q, "norm", "doc_id")
+    val pairs = Dedup.ngramJaccardPairs(ex, "doc_id", "norm",
+      shingleSize = 5, minJaccard = 0.5)
+    val nd = Dedup.dedupByPairs(ex, "doc_id", pairs)
+    // benchmark set: the same fixed slice q_decontaminate uses
+    val bench = t(s, dir, "documents")
+      .filter(col("doc_id") % 50 === 0 && col("doc_id") < 500)
+    val flagged = Dedup.crossCorpusOverlap(nd, "doc_id", "norm",
+        bench, "doc_id", "text", shingleSize = 5, minShared = 3)
+      .select(col("doc_id")).distinct()
+    val clean = nd.join(flagged, Seq("doc_id"), "left_anti")
+    Sampling.deterministicSplit(clean, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(TextStats.tokenCount(col("norm")).cast("long")).as("n_tokens"))
+      .orderBy(col("split"))
+  }
+
   /** Cogrouped-map ([[Grouped.cogroupApply]]): per-user reconciliation of
     * purchase vs error value streams — counts and an exact-decimal net —
     * computed in one JVM lambda over both row groups. The oracle is a
@@ -2430,6 +2466,7 @@ object SparkEntry {
     "q_cap_group" -> (qCapGroup _),
     "q_asof_forward" -> (qAsofForward _),
     "q_pipeline" -> (qPipeline _),
+    "q_curate" -> (qCurate _),
     "q_cogroup" -> (qCogroup _),
     "q_ivf_exact" -> (qIvfExact _),
     "q_simhash_containment" -> (qSimhashContainment _),
@@ -3000,6 +3037,74 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_quantize" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
+    // The full curation chain, stage for stage: normalize (q_normalize's
+    // regex pair), quality gate (q_doc_quality's formula at q_pipeline's
+    // 0.54 cut), exact dedup (min id per norm), Jaccard >= 0.5 pairs
+    // (q_dedup_jaccard's shingle machinery over the deduped survivors),
+    // components keep-one (q_semdedup's recursive CTE), decontamination
+    // (q_decontaminate's bench slice at >= 3 shared shingles), md5-bucket
+    // split (q_split's arithmetic).
+    "q_curate" ->
+      """WITH RECURSIVE nrm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+        |      '[\x00-\x1F\x7F]', '', 'g')) AS norm
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, norm FROM nrm
+        |  WHERE 0.4 * least(len(string_split(norm, ' ')) / 50.0, 1.0)
+        |      + 0.4 * (len(list_distinct(string_split(norm, ' ')))
+        |               / CAST(len(string_split(norm, ' ')) AS DOUBLE))
+        |      + 0.2 * (len(list_filter(string_split(norm, ' '), t -> t IN ('the', 'a')))
+        |               / CAST(len(string_split(norm, ' ')) AS DOUBLE)) > 0.54),
+        |ex AS (
+        |  SELECT doc_id, norm FROM (
+        |    SELECT doc_id, norm,
+        |      row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn FROM q)
+        |  WHERE rn = 1),
+        |s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS sh
+        |  FROM (SELECT doc_id, string_split(norm, ' ') AS w FROM ex)),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM i
+        |      JOIN (SELECT doc_id, n_sh AS n_a FROM sz) sa ON i.id_a = sa.doc_id
+        |      JOIN (SELECT doc_id, n_sh AS n_b FROM sz) sb ON i.id_b = sb.doc_id
+        |      WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+        |losers AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) <> a),
+        |nd AS (SELECT doc_id, norm FROM ex
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |bs AS (
+        |  SELECT doc_id AS bench_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id % 50 = 0 AND doc_id < 500)),
+        |be AS (SELECT bench_id, unnest(sh) AS shingle FROM bs),
+        |ce AS (SELECT doc_id, unnest(sh) AS shingle FROM s
+        |       WHERE doc_id IN (SELECT doc_id FROM nd)),
+        |flag AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT ce.doc_id, be.bench_id FROM ce JOIN be USING (shingle)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)),
+        |clean AS (SELECT doc_id, norm FROM nd
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+        |b2 AS (
+        |  SELECT doc_id, norm,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+        |  FROM clean)
+        |SELECT CASE WHEN bucket < 8000 THEN 'train'
+        |            WHEN bucket < 9000 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(len(string_split(norm, ' '))) AS BIGINT) AS n_tokens
+        |FROM b2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_decontaminate" ->
       """WITH s AS (
         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS sh

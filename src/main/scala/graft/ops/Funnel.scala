@@ -266,16 +266,18 @@ object Funnel {
     * entities did both, and how far above independence that is
     * (`lift = P(a,b) / (P(a)·P(b))`, > 1 ⇒ positively associated).
     *
-    * Shape: entities×items dedupe ONCE into a materialized table reused
-    * by all four consumers (pair sides, marginals, entity total); the
-    * pair join is a self-join CO-PARTITIONED on the entity, so pair work
-    * is bounded by per-entity item counts (k² per entity, k = distinct
-    * items an entity touched — bounded by the item vocabulary, NOT the
-    * event count). Item marginals attach via size-probed broadcast
-    * ([[Hints]] — an item vocabulary past the threshold degrades to the
-    * hash join instead of OOMing the driver); the entity total rides a
-    * 1-row broadcast. Lift is one division of exact long counts —
-    * bit-deterministic.
+    * Shape: entities×items dedupe once (shuffle on entity); the pair
+    * join is a self-join CO-PARTITIONED on the entity (one reused
+    * exchange), so pair work is bounded by per-entity item counts (k²
+    * per entity, k = distinct items an entity touched — bounded by the
+    * item vocabulary, NOT the event count). Item marginals attach via
+    * plain equi-joins with NO broadcast hint: AQE converts them to
+    * broadcast from their measured shuffle size while the item
+    * vocabulary fits, and keeps the shuffle join when it doesn't — the
+    * hint-free way to avoid both the driver OOM of a hard-coded
+    * broadcast and the probe job a size check would cost. The entity
+    * total rides a 1-row broadcast. Lift is one division of exact long
+    * counts — bit-deterministic.
     *
     * @return (item_a, item_b, n_ab, n_a, n_b, lift), item_a < item_b
     */
@@ -284,12 +286,7 @@ object Funnel {
       Seq("item_a", "item_b", "n_ab", "n_a", "n_b", "lift", "__n_entities"),
       "cooccurrenceLift")
     val items = df.select(col(entityCol), col(itemCol)).distinct()
-      .localCheckpoint(true) // reused 4×; also anchors the marginal probe
     val marginals = items.groupBy(col(itemCol)).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    val mSide: DataFrame => DataFrame =
-      if (Hints.fitsBroadcast(df.sparkSession, marginals.count(), rowBytes = 32L))
-        broadcast(_) else identity
     val nEntities = items.select(col(entityCol)).distinct()
       .agg(count(lit(1)).as("__n_entities"))
     val a = items.toDF(entityCol, "item_a")
@@ -298,8 +295,8 @@ object Funnel {
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
     pairs
-      .join(mSide(marginals.toDF("item_a", "n_a")), Seq("item_a"))
-      .join(mSide(marginals.toDF("item_b", "n_b")), Seq("item_b"))
+      .join(marginals.toDF("item_a", "n_a"), Seq("item_a"))
+      .join(marginals.toDF("item_b", "n_b"), Seq("item_b"))
       .crossJoin(broadcast(nEntities))
       .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
         // each count casts to double BEFORE multiplying: long products of
