@@ -839,6 +839,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL audio decode ([[graft.multimodal.Multimodal.decodeWav]] — a
+    * complete pure-JVM RIFF/WAVE chunk walker). The testdata carries no
+    * audio column, so each document's bytes are first wrapped in a genuine
+    * 44-byte PCM WAV container ([[graft.multimodal.Multimodal.encodeWavPcm16]],
+    * sample rate varying per row to exercise the header parse), then the
+    * decoder recovers channel count, rate, bit width, frame count, and the
+    * exact signed-sample sum from the payload bytes alone. The oracle
+    * recomputes all of it from the raw text independently (16-bit LE
+    * reassembly in SQL), so a wrong chunk offset, an endianness slip, or a
+    * sign-extension bug all hash-mismatch.
+    */
+  private def qWav(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"),
+        (lit(8000) + (col("doc_id") % 3).cast("int") * lit(4000)).as("rate"))
+    val wav = Multimodal.encodeWavPcm16(d, "doc_id", "bytes", "rate")
+    Multimodal.decodeWav(wav, "doc_id", "payload")
+      .select(col("doc_id"), col("n_channels"), col("sample_rate"), col("bits"),
+        col("n_frames"), col("sum_ch0"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stubbed video frame sampling: frames per payload (rows-only check). */
   private def qFrameSample(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -2448,6 +2470,7 @@ object SparkEntry {
     "q_distinct_levels" -> (qDistinctLevels _),
     "q_hll" -> (qHll _),
     "q_decode" -> (qDecode _),
+    "q_wav" -> (qWav _),
     "q_frame_sample" -> (qFrameSample _),
     "q_bm25" -> (qBm25 _),
     "q_upsert" -> (qUpsert _),
@@ -3202,6 +3225,25 @@ object SparkEntry {
         |    i -> CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT))) AS BIGINT), 0) AS sum_g,
         |  coalesce(CAST(list_sum(list_transform(range(2, 12*h, 3),
         |    i -> CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT))) AS BIGINT), 0) AS sum_b
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_wav" ->
+      // The oracle reassembles what the WAV decoder must report straight
+      // from the raw text bytes: mono 16-bit LE PCM, so frame i's sample
+      // is byte(2i) | byte(2i+1)<<8, sign-extended — built here by hex
+      // substring concatenation (high byte first makes the '0x' literal),
+      // minus 65536 when the 16-bit pattern is negative. The rate mirrors
+      // the per-row synthesis arithmetic.
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 2 AS nf
+        |  FROM documents)
+        |SELECT doc_id, 1 AS n_channels,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |  16 AS bits, CAST(nf AS BIGINT) AS n_frames,
+        |  coalesce(CAST(list_sum(list_transform(range(0, nf), i ->
+        |    CAST(('0x' || substr(hx, 4*i+3, 2) || substr(hx, 4*i+1, 2)) AS BIGINT)
+        |    - CASE WHEN CAST(('0x' || substr(hx, 4*i+3, 2)) AS BIGINT) >= 128
+        |           THEN 65536 ELSE 0 END)) AS BIGINT), 0) AS sum_ch0
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_bm25" ->
       // the score expression tree mirrors Rank.bm25Scores operation for

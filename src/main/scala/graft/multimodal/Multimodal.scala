@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * Real pipelines carry images/audio/video as parquet `binary` columns and
   * decode inside executor batches. [[decodePpm]] is a REAL pure-JVM
   * decoder for the binary PPM (P6) container — full header grammar,
-  * data-offset arithmetic, per-channel pixel statistics. Codecs that need
-  * native libraries (JPEG, ffmpeg demux, sinc resampling) are represented
-  * by honestly-named byte-level stand-ins ([[sampleFramesStub]],
-  * [[resampleAudioStub]]) whose Spark-side contract — schema,
+  * data-offset arithmetic, per-channel pixel statistics — and
+  * [[decodeWav]]/[[encodeWavPcm16]] are a REAL RIFF/WAVE chunk walker and
+  * container writer (PCM 16-bit, mono/stereo, exact signed-sample sums).
+  * Codecs that need native libraries (JPEG, ffmpeg demux, sinc resampling)
+  * are represented by honestly-named byte-level stand-ins
+  * ([[sampleFramesStub]], [[resampleAudioStub]]) whose Spark-side contract
+  * — schema,
   * batch-iterator shape, partition-local execution, typed output encoder —
   * is the part the engine guarantees; swap the body for an actual codec
   * call (e.g. via JNI or an Arrow-backed worker) and nothing else changes.
@@ -112,6 +115,121 @@ object Multimodal {
             Row.fromSeq(Seq(r.get(idIdx), w, h, mv, w.toLong * h, sr, sg, sb))
           case _ => Row.fromSeq(r.get(idIdx) +: nulls)
         }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Output schema of the WAV decoder. */
+  val wavSchema: StructType = StructType.fromDDL(
+    "n_channels int, sample_rate int, bits int, n_frames bigint, sum_ch0 bigint, sum_ch1 bigint")
+
+  private def leU16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def leU32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** Wrap raw 16-bit little-endian PCM sample bytes in a canonical 44-byte
+    * RIFF/WAVE container (PCM format 1, mono, per-row sample rate). An odd
+    * trailing byte is not half a sample and is dropped. Writing the
+    * container is a real pipeline capability in its own right (audio
+    * artifacts are stored as WAV, not bare sample arrays); it is also the
+    * inverse [[decodeWav]] is tested against. Null payloads pass through
+    * as null containers.
+    */
+  def encodeWavPcm16(df: DataFrame, idCol: String, bytesCol: String,
+                     rateCol: String): DataFrame = {
+    val inIdx = df.schema.fieldIndex(bytesCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rateIdx = df.schema.fieldIndex(rateCol)
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("payload", BinaryType)))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](inIdx)
+        if (r.isNullAt(rateIdx) || raw == null)
+          Row.fromSeq(Seq(r.get(idIdx), null))
+        else {
+          val rate = r.getAs[Number](rateIdx).intValue()
+          val dataLen = raw.length & ~1 // whole 16-bit samples only
+          val out =
+            "RIFF".getBytes("US-ASCII") ++ leU32(36L + dataLen) ++
+            "WAVE".getBytes("US-ASCII") ++
+            "fmt ".getBytes("US-ASCII") ++ leU32(16L) ++
+            leU16(1) ++ leU16(1) ++ leU32(rate.toLong) ++
+            leU32(rate.toLong * 2) ++ leU16(2) ++ leU16(16) ++
+            "data".getBytes("US-ASCII") ++ leU32(dataLen.toLong) ++
+            raw.take(dataLen)
+          Row.fromSeq(Seq(r.get(idIdx), out))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL audio decode for the RIFF/WAVE container — a complete pure-JVM
+    * chunk walker (RIFF framing, odd-size chunk padding, unknown chunks
+    * skipped, `fmt `/`data` extraction), accepting PCM (format 1) with
+    * 16-bit samples in 1 or 2 channels. Emits the header facts plus exact
+    * per-channel signed-sample sums — independently recomputable by an
+    * oracle, and the shape a real feature extractor (loudness, VAD)
+    * extends. Malformed framing, truncated sample data, a missing
+    * `fmt `/`data` chunk, non-PCM encodings, or a null payload emit a
+    * null-metric row instead of failing the job.
+    *
+    * Same executor shape as [[decodePpm]]: `mapPartitions`, per-partition
+    * init site, payload bytes never shuffle.
+    */
+  def decodeWav(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val inIdx = df.schema.fieldIndex(payloadCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(df.schema(idCol)) ++ wavSchema.fields)
+    val nulls = Seq(null, null, null, null, null, null)
+    df.mapPartitions { rows =>
+      // <- per-partition init site (codec handles, model weights)
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](inIdx)
+        def u16(i: Int) = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+        def u32(i: Int) = (p(i) & 0xFF).toLong | ((p(i + 1) & 0xFF).toLong << 8) |
+          ((p(i + 2) & 0xFF).toLong << 16) | ((p(i + 3) & 0xFF).toLong << 24)
+        def tag(i: Int, s: String) =
+          p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
+            p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
+        var result: Seq[Any] = nulls
+        if (p != null && p.length >= 12 && tag(0, "RIFF") && tag(8, "WAVE")) {
+          // walk the chunk list; fmt must precede data (per spec order)
+          var i = 12
+          var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
+          var done = false
+          while (!done && i + 8 <= p.length) {
+            val size = u32(i + 4)
+            val off = i + 8
+            if (tag(i, "fmt ") && size >= 16 && off + 16 <= p.length)
+              fmt = Some((u16(off), u16(off + 2), u32(off + 4).toInt, u16(off + 14)))
+            else if (tag(i, "data")) {
+              done = true
+              fmt match {
+                case Some((1, ch, rate, 16)) if (ch == 1 || ch == 2) &&
+                    off + size <= p.length =>
+                  val blockAlign = 2 * ch
+                  val nFrames = size / blockAlign
+                  var s0 = 0L; var s1 = 0L
+                  var f = 0L
+                  while (f < nFrames) {
+                    val base = off + (f * blockAlign).toInt
+                    s0 += u16(base).toShort // sign-extend via Short
+                    if (ch == 2) s1 += u16(base + 2).toShort
+                    f += 1
+                  }
+                  result = Seq(ch, rate, 16, nFrames, s0,
+                    if (ch == 2) s1 else null)
+                case _ => // non-PCM, exotic width, or truncated data → nulls
+              }
+            }
+            i = off + size.toInt + (size.toInt & 1) // chunks pad to even
+            if (size > Int.MaxValue - 8 || i < off) done = true // overflow guard
+          }
+        }
+        Row.fromSeq(r.get(idIdx) +: result)
       }
     }(Encoders.row(outSchema))
   }

@@ -130,4 +130,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.getLong(1) == 2L)
     assert(out.getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3, 4))
   }
+
+  // ------------------------------------------------------------- WAV
+
+  private def wavOf(id: Long, raw: Array[Byte], rate: Int = 8000): Array[Byte] = {
+    val d = createDf(spark, "id bigint, bytes binary, rate int",
+      Seq(Seq[Any](id, raw, rate)))
+    Multimodal.encodeWavPcm16(d, "id", "bytes", "rate").head().getAs[Array[Byte]](1)
+  }
+
+  test("encodeWavPcm16 → decodeWav round trip: header facts and exact signed sums") {
+    // samples (LE): 1, -1, -32768 → sum = -32768
+    val raw = Array[Byte](1, 0, 0xFF.toByte, 0xFF.toByte, 0, 0x80.toByte)
+    val payload = wavOf(1L, raw, rate = 44100)
+    assert(payload.length == 44 + 6)
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, payload)))
+    val r = Multimodal.decodeWav(d, "id", "payload").head()
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)) ==
+      ((1, 44100, 16, 3L, 1L - 1L - 32768L)))
+    assert(r.isNullAt(6)) // mono: no second channel
+  }
+
+  test("encodeWavPcm16 drops an odd trailing byte and sizes the chunks to match") {
+    val payload = wavOf(1L, Array[Byte](1, 0, 9)) // 1.5 samples → 1
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, payload)))
+    val r = Multimodal.decodeWav(d, "id", "payload").head()
+    assert((r.getLong(4), r.getLong(5)) == ((1L, 1L)))
+  }
+
+  test("decodeWav walks unknown chunks (with odd-size padding) before data, reads stereo") {
+    def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    // stereo frames: (ch0, ch1) = (5, -5), (100, 200)
+    val data = le16(5) ++ le16(-5 & 0xFFFF) ++ le16(100) ++ le16(200)
+    val p = "RIFF".getBytes ++ le32(0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32(3) ++ Array[Byte](7, 7, 7, 0) ++ // odd size: 1 pad byte
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+      le32(8000 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, p)))
+    val r = Multimodal.decodeWav(d, "id", "payload").head()
+    assert((r.getInt(1), r.getInt(2), r.getLong(4)) == ((2, 8000, 2L)))
+    assert((r.getLong(5), r.getLong(6)) == ((105L, 195L)))
+  }
+
+  test("decodeWav rejects malformation with null rows, never exceptions") {
+    val good = wavOf(1L, Array[Byte](1, 0, 2, 0))
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    val truncated = good.dropRight(1) // data chunk promises more than present
+    val nonPcm = good.clone(); nonPcm(20) = 3 // fmt audioFormat = 3 (float)
+    val rows = Seq(Seq[Any](1L, badMagic), Seq[Any](2L, truncated),
+      Seq[Any](3L, nonPcm), Seq[Any](4L, null), Seq[Any](5L, "RIFF".getBytes))
+    val d = createDf(spark, "id bigint, payload binary", rows)
+    val out = Multimodal.decodeWav(d, "id", "payload").collect()
+    assert(out.length == 5 && out.forall(r => r.isNullAt(1) && r.isNullAt(4)))
+  }
 }
