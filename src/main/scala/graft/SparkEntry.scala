@@ -1168,7 +1168,11 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
       .withColumn("norm", TextStats.normalizeText(col("text")))
     val q = docs.filter(TextStats.qualityScore(col("norm")) > 0.54)
-    val ex = Dedup.dedupExact(q, "norm", "doc_id")
+    // stage boundary: three consumers (pair mining, keep-one, final join)
+    // each replay the normalize→gate→dedup lineage without it — the
+    // single-job analog of the parquet handoff a real pipeline writes
+    // between curation stages
+    val ex = Dedup.dedupExact(q, "norm", "doc_id").localCheckpoint(true)
     val pairs = Dedup.ngramJaccardPairs(ex, "doc_id", "norm",
       shingleSize = 5, minJaccard = 0.5)
     val nd = Dedup.dedupByPairs(ex, "doc_id", pairs)

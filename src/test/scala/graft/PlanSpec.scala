@@ -206,6 +206,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_curate: the 6-stage curation chain plans no cartesian product") {
+    // every pair-producing stage (Jaccard near-dup, decontamination) must
+    // stay an equi-join on shingle keys, never an all-pairs product
+    val p = plan("q_curate")
+    assert(!p.contains("CartesianProduct"),
+      s"curation chain must stay shingle-equi-joined:\n${p.take(1500)}")
+  }
+
+  test("q_wav: encode→decode chain never shuffles payload bytes") {
+    val p = plan("q_wav")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"multimodal codec chain must be narrow (sort for output order only):\n${p.take(1500)}")
+  }
+
   test("q_diversity is a narrow map: no Exchange before the final sort") {
     val p = plan("q_diversity")
     assert(!p.contains("Exchange hashpartitioning"),
