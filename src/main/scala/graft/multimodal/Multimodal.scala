@@ -149,19 +149,8 @@ object Multimodal {
         val raw = r.getAs[Array[Byte]](inIdx)
         if (r.isNullAt(rateIdx) || raw == null)
           Row.fromSeq(Seq(r.get(idIdx), null))
-        else {
-          val rate = r.getAs[Number](rateIdx).intValue()
-          val dataLen = raw.length & ~1 // whole 16-bit samples only
-          val out =
-            "RIFF".getBytes("US-ASCII") ++ leU32(36L + dataLen) ++
-            "WAVE".getBytes("US-ASCII") ++
-            "fmt ".getBytes("US-ASCII") ++ leU32(16L) ++
-            leU16(1) ++ leU16(1) ++ leU32(rate.toLong) ++
-            leU32(rate.toLong * 2) ++ leU16(2) ++ leU16(16) ++
-            "data".getBytes("US-ASCII") ++ leU32(dataLen.toLong) ++
-            raw.take(dataLen)
-          Row.fromSeq(Seq(r.get(idIdx), out))
-        }
+        else Row.fromSeq(Seq(r.get(idIdx),
+          buildWavPcm16(raw, r.getAs[Number](rateIdx).intValue())))
       }
     }(Encoders.row(outSchema))
   }
@@ -183,55 +172,76 @@ object Multimodal {
     val inIdx = df.schema.fieldIndex(payloadCol)
     val idIdx = df.schema.fieldIndex(idCol)
     val outSchema = StructType(Seq(df.schema(idCol)) ++ wavSchema.fields)
-    val nulls = Seq(null, null, null, null, null, null)
     df.mapPartitions { rows =>
       // <- per-partition init site (codec handles, model weights)
       rows.map { r =>
-        val p = r.getAs[Array[Byte]](inIdx)
-        def u16(i: Int) = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
-        def u32(i: Int) = (p(i) & 0xFF).toLong | ((p(i + 1) & 0xFF).toLong << 8) |
-          ((p(i + 2) & 0xFF).toLong << 16) | ((p(i + 3) & 0xFF).toLong << 24)
-        def tag(i: Int, s: String) =
-          p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
-            p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
-        var result: Seq[Any] = nulls
-        if (p != null && p.length >= 12 && tag(0, "RIFF") && tag(8, "WAVE")) {
-          // walk the chunk list; fmt must precede data (per spec order)
-          var i = 12
-          var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
-          var done = false
-          while (!done && i + 8 <= p.length) {
-            val size = u32(i + 4)
-            val off = i + 8
-            if (tag(i, "fmt ") && size >= 16 && off + 16 <= p.length)
-              fmt = Some((u16(off), u16(off + 2), u32(off + 4).toInt, u16(off + 14)))
-            else if (tag(i, "data")) {
-              done = true
-              fmt match {
-                case Some((1, ch, rate, 16)) if (ch == 1 || ch == 2) &&
-                    off + size <= p.length =>
-                  val blockAlign = 2 * ch
-                  val nFrames = size / blockAlign
-                  var s0 = 0L; var s1 = 0L
-                  var f = 0L
-                  while (f < nFrames) {
-                    val base = off + (f * blockAlign).toInt
-                    s0 += u16(base).toShort // sign-extend via Short
-                    if (ch == 2) s1 += u16(base + 2).toShort
-                    f += 1
-                  }
-                  result = Seq(ch, rate, 16, nFrames, s0,
-                    if (ch == 2) s1 else null)
-                case _ => // non-PCM, exotic width, or truncated data → nulls
-              }
-            }
-            i = off + size.toInt + (size.toInt & 1) // chunks pad to even
-            if (size > Int.MaxValue - 8 || i < off) done = true // overflow guard
-          }
-        }
-        Row.fromSeq(r.get(idIdx) +: result)
+        Row.fromSeq(r.get(idIdx) +: parseWav(r.getAs[Array[Byte]](inIdx)))
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Pure WAV container build (the whole of [[encodeWavPcm16]]'s per-row
+    * logic, factored out for direct property testing).
+    */
+  private[multimodal] def buildWavPcm16(raw: Array[Byte], rate: Int): Array[Byte] = {
+    val dataLen = raw.length & ~1 // whole 16-bit samples only
+    "RIFF".getBytes("US-ASCII") ++ leU32(36L + dataLen) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ leU32(16L) ++
+      leU16(1) ++ leU16(1) ++ leU32(rate.toLong) ++
+      leU32(rate.toLong * 2) ++ leU16(2) ++ leU16(16) ++
+      "data".getBytes("US-ASCII") ++ leU32(dataLen.toLong) ++
+      raw.take(dataLen)
+  }
+
+  /** Pure WAV parse (the whole of [[decodeWav]]'s per-row logic, factored
+    * out for direct property testing): returns the 6 metric values in
+    * [[wavSchema]] order, all null on any malformation.
+    */
+  private[multimodal] def parseWav(p: Array[Byte]): Seq[Any] = {
+    val nulls = Seq(null, null, null, null, null, null)
+    def u16(i: Int) = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+    def u32(i: Int) = (p(i) & 0xFF).toLong | ((p(i + 1) & 0xFF).toLong << 8) |
+      ((p(i + 2) & 0xFF).toLong << 16) | ((p(i + 3) & 0xFF).toLong << 24)
+    def tag(i: Int, s: String) =
+      p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
+        p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
+    var result: Seq[Any] = nulls
+    if (p != null && p.length >= 12 && tag(0, "RIFF") && tag(8, "WAVE")) {
+      // walk the chunk list; fmt must precede data (per spec order)
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
+      var done = false
+      while (!done && i + 8 <= p.length) {
+        val size = u32(i + 4)
+        val off = i + 8
+        if (tag(i, "fmt ") && size >= 16 && off + 16 <= p.length)
+          fmt = Some((u16(off), u16(off + 2), u32(off + 4).toInt, u16(off + 14)))
+        else if (tag(i, "data")) {
+          done = true
+          fmt match {
+            case Some((1, ch, rate, 16)) if (ch == 1 || ch == 2) &&
+                off + size <= p.length =>
+              val blockAlign = 2 * ch
+              val nFrames = size / blockAlign
+              var s0 = 0L; var s1 = 0L
+              var f = 0L
+              while (f < nFrames) {
+                val base = off + (f * blockAlign).toInt
+                s0 += u16(base).toShort // sign-extend via Short
+                if (ch == 2) s1 += u16(base + 2).toShort
+                f += 1
+              }
+              result = Seq(ch, rate, 16, nFrames, s0,
+                if (ch == 2) s1 else null)
+            case _ => // non-PCM, exotic width, or truncated data → nulls
+          }
+        }
+        i = off + size.toInt + (size.toInt & 1) // chunks pad to even
+        if (size > Int.MaxValue - 8 || i < off) done = true // overflow guard
+      }
+    }
+    result
   }
 
   /** STUB video frame sampling: treat the payload as a frame container and
