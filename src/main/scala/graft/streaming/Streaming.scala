@@ -238,6 +238,89 @@ object Streaming {
         .write.mode("overwrite").parquet(s"$snapshotBase/v${id + 1}")
     }
 
+  /** An event entering [[funnelStateful]]: `tie` is the total-order
+    * tiebreak (an event id) — (ts, tie) must be unique per key for
+    * deterministic matching, exactly as the batch operator requires.
+    */
+  case class TypedEvent(key: String, ts: java.sql.Timestamp, tie: Long, eventType: String) {
+    def tsMicros: Long = ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+  }
+
+  /** Funnel progress parked in the state store: furthest step plus the
+    * (ts, tie) position of the event that matched it.
+    */
+  case class FunnelState(step: Int, mTs: Long, mTie: Long, lastTs: Long)
+
+  /** A closed funnel emitted by [[funnelStateful]]. */
+  case class FunnelClose(key: String, max_step: Int)
+
+  /** Streaming funnel — the unbounded-stream sibling of
+    * [[graft.ops.Funnel.maxStepReached]]: per key, advance through the
+    * fixed `steps` sequence greedily in event-time order (step i+1
+    * matches only strictly after the event that matched step i), park
+    * the progress in the state store, and emit the furthest step when
+    * the key goes quiet — state expires `stateTtlMinutes` past the
+    * key's latest event time, which is when the funnel result is final
+    * under the watermark contract. State is O(1) per key (a step index
+    * and one position); the keyed state shuffles once.
+    *
+    * Each micro-batch is sorted by (ts, tie) before folding, so
+    * within-batch disorder is handled exactly; ACROSS batches a
+    * straggler predating the current match position cannot advance the
+    * funnel (monotone-position guard). Results therefore equal the
+    * batch operator's whenever out-of-orderness stays within a
+    * micro-batch (or within the sort buffer of an ordered source); for
+    * exact historical backfills, replay through the batch operator.
+    *
+    * Works on batch Datasets too (single "batch", flushed at
+    * end-of-group — equal to [[graft.ops.Funnel.maxStepReached]] there).
+    *
+    * STREAMING CONTRACT: input must define a watermark (as with
+    * [[anomaliesStateful]]); the timeout timestamp is clamped strictly
+    * above the current watermark for late-only keys.
+    */
+  def funnelStateful(events: Dataset[TypedEvent], steps: Seq[String],
+                     stateTtlMinutes: Int = 60): Dataset[FunnelClose] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(stateTtlMinutes > 0, "stateTtlMinutes must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttlUs = stateTtlMinutes.toLong * 60 * 1000000
+    // evaluated on the driver: the closure must not capture the Dataset
+    val isStreaming = events.isStreaming
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelState, FunnelClose](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, batch: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FunnelClose(key, s.step))
+          } else {
+            var st = state.getOption.getOrElse(
+              FunnelState(0, Long.MinValue, Long.MinValue, Long.MinValue))
+            val sorted = batch.toSeq.sortBy(e => (e.tsMicros, e.tie))
+            sorted.foreach { e =>
+              val after = e.tsMicros > st.mTs ||
+                (e.tsMicros == st.mTs && e.tie > st.mTie)
+              if (st.step < steps.length && after && e.eventType == steps(st.step))
+                st = FunnelState(st.step + 1, e.tsMicros, e.tie, st.lastTs)
+              st = st.copy(lastTs = math.max(st.lastTs, e.tsMicros))
+            }
+            if (isStreaming) {
+              state.update(st)
+              // clamp strictly above the watermark (late-only keys)
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max((st.lastTs + ttlUs) / 1000, wm + 1))
+              Iterator.empty
+            } else {
+              // batch execution: timeouts never fire — flush the result now
+              Iterator.single(FunnelClose(key, st.step))
+            }
+          }
+      }
+  }
+
   /** A flagged anomaly from [[anomaliesStateful]]. */
   case class Anomaly(key: String, tsMicros: Long, value: Double, zscore: Double)
 

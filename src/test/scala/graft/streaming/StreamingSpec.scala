@@ -186,6 +186,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful funnel advances across micro-batches and closes on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Long, String)]
+    val events = Streaming.watermarked(input.toDF().toDF("ts", "k", "id", "et"), "ts", "0 seconds")
+      .select(col("k").as("key"), col("ts"), col("id").as("tie"), col("et").as("eventType"))
+      .as[Streaming.TypedEvent](org.apache.spark.sql.Encoders.product[Streaming.TypedEvent])
+    val steps = Seq("view", "cart", "purchase")
+    val q = Streaming.funnelStateful(events, steps, stateTtlMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("stateful_funnel").start()
+    try {
+      // batch 1 arrives out of order WITHIN the batch: must sort, match view→cart
+      input.addData(
+        (ts("2024-01-01 00:05:00"), "u1", 2L, "cart"),
+        (ts("2024-01-01 00:00:00"), "u1", 1L, "view"),
+        (ts("2024-01-01 00:01:00"), "u2", 3L, "cart")) // u2 never views: step 0
+      q.processAllAvailable()
+      // batch 2: u1 completes; a stale duplicate "view" must not re-match
+      input.addData(
+        (ts("2024-01-01 00:02:00"), "u1", 4L, "view"),
+        (ts("2024-01-01 00:10:00"), "u1", 5L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("stateful_funnel").count() == 0) // nothing closed yet
+      // advance the watermark far past lastTs+ttl for both keys
+      input.addData((ts("2024-01-02 00:00:00"), "u3", 6L, "view"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-03 00:00:00"), "u3", 7L, "view"))
+      q.processAllAvailable()
+      val closed = spark.table("stateful_funnel").as[Streaming.FunnelClose]
+        .collect().map(c => c.key -> c.max_step).toMap
+      assert(closed("u1") == 3, s"u1 completed the funnel: $closed")
+      assert(closed("u2") == 0, s"u2 never matched step 1: $closed")
+    } finally q.stop()
+  }
+
+  test("stateful funnel on a BATCH dataset equals the batch operator") {
+    import spark.implicits._
+    val rows = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), 1L, "view"),
+      ("u1", ts("2024-01-01 00:05:00"), 2L, "cart"),
+      ("u1", ts("2024-01-01 00:06:00"), 3L, "purchase"),
+      ("u2", ts("2024-01-01 00:00:00"), 4L, "cart"), // before its view: no match
+      ("u2", ts("2024-01-01 00:01:00"), 5L, "view"),
+      ("u3", ts("2024-01-01 00:00:00"), 6L, "view"),
+      ("u3", ts("2024-01-01 00:00:00"), 7L, "cart")) // same ts: tie order decides
+    val typed = rows.map { case (k, t, i, e) => Streaming.TypedEvent(k, t, i, e) }.toDS()
+    val got = Streaming.funnelStateful(typed, Seq("view", "cart", "purchase"))
+      .collect().map(c => c.key -> c.max_step).toMap
+    val batchDf = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val exp = graft.ops.Funnel.maxStepReached(
+        batchDf, "user_id", "ts", "event_id", "event_type", Seq("view", "cart", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == exp, s"streaming-op-on-batch $got must equal batch operator $exp")
+    assert(got("u1") == 3 && got("u2") == 1 && got("u3") == 2)
+  }
+
   test("stateful sessionization on a BATCH dataset flushes trailing sessions") {
     import spark.implicits._
     val batch = Seq(
