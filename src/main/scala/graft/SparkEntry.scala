@@ -839,6 +839,31 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL image resize ([[graft.multimodal.Multimodal.resizePpmNearest]])
+    * proven through the engine's own codec: each document's bytes become
+    * a genuine 4×h P6 container (same synthesis as [[qDecode]]), the
+    * resizer halves the width by nearest-neighbor (src_x = 2·dst_x), and
+    * [[graft.multimodal.Multimodal.decodePpm]] then parses the RESIZED
+    * container back — so the query only passes if the resizer emits a
+    * valid P6 whose pixel grid is exactly the sampled sub-grid. The
+    * oracle recomputes the resized channel sums from the raw text with
+    * independent index arithmetic (byte (4·y + 2·x)·3 + c).
+    */
+  private def qResize(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+      .withColumn("h", floor(octet_length(col("bytes")) / 12).cast("int"))
+      .select(col("doc_id"),
+        concat(
+          concat(lit("P6\n4 "), col("h").cast("string"), lit("\n255\n")).cast("binary"),
+          col("bytes").substr(lit(1), col("h") * 12)).as("payload"))
+    val small = Multimodal.resizePpmNearest(d, "doc_id", "payload", outW = 2, outH = 0)
+    Multimodal.decodePpm(small, "doc_id", "resized")
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL audio decode ([[graft.multimodal.Multimodal.decodeWav]] — a
     * complete pure-JVM RIFF/WAVE chunk walker). The testdata carries no
     * audio column, so each document's bytes are first wrapped in a genuine
@@ -2475,6 +2500,7 @@ object SparkEntry {
     "q_hll" -> (qHll _),
     "q_decode" -> (qDecode _),
     "q_wav" -> (qWav _),
+    "q_resize" -> (qResize _),
     "q_frame_sample" -> (qFrameSample _),
     "q_bm25" -> (qBm25 _),
     "q_upsert" -> (qUpsert _),
@@ -3229,6 +3255,25 @@ object SparkEntry {
         |    i -> CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT))) AS BIGINT), 0) AS sum_g,
         |  coalesce(CAST(list_sum(list_transform(range(2, 12*h, 3),
         |    i -> CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT))) AS BIGINT), 0) AS sum_b
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_resize" ->
+      // The resized 2×h image keeps source pixels at even columns:
+      // out(x,y) = src(2x, y), so channel c of out pixel i (row-major,
+      // i = 2y+x) is source byte (4*(i//2) + 2*(i%2))*3 + c — recomputed
+      // here by hex-substr straight from the raw text, independent of
+      // both the resizer and the decoder.
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 12 AS h
+        |  FROM documents)
+        |SELECT doc_id, 2 AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(2 * h AS BIGINT) AS n_pixels,
+        |  coalesce(CAST(list_sum(list_transform(range(0, 2*h), i ->
+        |    CAST(('0x' || substr(hx, 2*((4*(i//2) + 2*(i%2))*3 + 0)+1, 2)) AS BIGINT))) AS BIGINT), 0) AS sum_r,
+        |  coalesce(CAST(list_sum(list_transform(range(0, 2*h), i ->
+        |    CAST(('0x' || substr(hx, 2*((4*(i//2) + 2*(i%2))*3 + 1)+1, 2)) AS BIGINT))) AS BIGINT), 0) AS sum_g,
+        |  coalesce(CAST(list_sum(list_transform(range(0, 2*h), i ->
+        |    CAST(('0x' || substr(hx, 2*((4*(i//2) + 2*(i%2))*3 + 2)+1, 2)) AS BIGINT))) AS BIGINT), 0) AS sum_b
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_wav" ->
       // The oracle reassembles what the WAV decoder must report straight

@@ -180,6 +180,61 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL image resize for PPM/P6 payloads — nearest-neighbor sampling
+    * (`src = floor(dst · srcDim / dstDim)`, the floor convention), pure
+    * JVM, emitting a VALID P6 container that [[decodePpm]] (or any
+    * netpbm reader) parses back. `outW`/`outH` of 0 preserve that source
+    * dimension, so a per-row-sized corpus can be resized along one axis
+    * with fixed arguments. Malformed or null payloads yield a null
+    * payload row (same crawl-failure contract as the decoders).
+    *
+    * Same executor shape as the codecs: narrow `mapPartitions`, payload
+    * bytes never shuffle. A real bilinear/Lanczos kernel slots into the
+    * same per-pixel loop.
+    */
+  def resizePpmNearest(df: DataFrame, idCol: String, payloadCol: String,
+                       outW: Int, outH: Int): DataFrame = {
+    require(outW >= 0 && outH >= 0, "target dims must be >= 0 (0 = preserve)")
+    val inIdx = df.schema.fieldIndex(payloadCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("resized", BinaryType)))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](inIdx)
+        val resized = parsePpmHeader(p) match {
+          case Some((w, h, mv, off)) if p.length >= off + 3L * w * h =>
+            val dw = if (outW > 0) outW else w
+            val dh = if (outH > 0) outH else h
+            // a 0-area source has no pixels to sample from — only a
+            // 0-area target is representable
+            if ((w == 0 || h == 0) && dw * dh > 0) null
+            else {
+              val header = s"P6\n$dw $dh\n$mv\n".getBytes("US-ASCII")
+              val out = new Array[Byte](header.length + 3 * dw * dh)
+              System.arraycopy(header, 0, out, 0, header.length)
+              var y = 0
+              while (y < dh) {
+                val sy = (y.toLong * h / dh).toInt
+                var x = 0
+                while (x < dw) {
+                  val sx = (x.toLong * w / dw).toInt
+                  val src = off + (sy * w + sx) * 3
+                  val dst = header.length + (y * dw + x) * 3
+                  out(dst) = p(src); out(dst + 1) = p(src + 1); out(dst + 2) = p(src + 2)
+                  x += 1
+                }
+                y += 1
+              }
+              out
+            }
+          case _ => null
+        }
+        Row.fromSeq(Seq(r.get(idIdx), resized))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Pure WAV container build (the whole of [[encodeWavPcm16]]'s per-row
     * logic, factored out for direct property testing).
     */

@@ -131,6 +131,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3, 4))
   }
 
+  test("resizePpmNearest: identity dims reproduce the payload byte-for-byte") {
+    val img = ppm("P6\n2 2\n255\n", Array.tabulate(12)(i => (i + 1).toByte))
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, img)))
+    val out = Multimodal.resizePpmNearest(d, "id", "payload", 2, 2).head()
+    assert(out.getAs[Array[Byte]](1).toSeq == img.toSeq)
+  }
+
+  test("resizePpmNearest: downsample picks floor-convention pixels; result decodes") {
+    // 4×1 image, pixels P0..P3; resize to 2×1 keeps P0 and P2
+    val img = ppm("P6\n4 1\n255\n", Array.tabulate(12)(i => (10 * (i / 3) + i % 3).toByte))
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, img)))
+    val small = Multimodal.resizePpmNearest(d, "id", "payload", 2, 0)
+    val r = Multimodal.decodePpm(small, "id", "resized").head()
+    assert((r.getInt(1), r.getInt(2)) == ((2, 1)))
+    // P0 = (0,1,2), P2 = (20,21,22)
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((20L, 22L, 24L)))
+  }
+
+  test("resizePpmNearest: upsample repeats nearest pixels") {
+    val img = ppm("P6\n1 1\n255\n", Array[Byte](9, 8, 7))
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, img)))
+    val big = Multimodal.resizePpmNearest(d, "id", "payload", 3, 2)
+    val r = Multimodal.decodePpm(big, "id", "resized").head()
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((6L, 54L, 48L, 42L)))
+  }
+
+  test("resizePpmNearest: malformed, truncated, or 0-area-to-positive yield null payloads") {
+    val empty = ppm("P6\n4 0\n255\n", Array.empty[Byte])
+    val rows = Seq(
+      Seq[Any](1L, "nonsense".getBytes),
+      Seq[Any](2L, ppm("P6\n4 2\n255\n", Array[Byte](1, 2, 3))), // truncated
+      Seq[Any](3L, null),
+      Seq[Any](4L, empty))
+    val d = createDf(spark, "id bigint, payload binary", rows)
+    val out = Multimodal.resizePpmNearest(d, "id", "payload", 2, 2).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true))
+    // but 0-area → 0-area is representable and stays decodable
+    val keep = Multimodal.resizePpmNearest(
+      createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, empty))),
+      "id", "payload", 2, 0)
+    val r = Multimodal.decodePpm(keep, "id", "resized").head()
+    assert((r.getInt(1), r.getInt(2), r.getLong(4)) == ((2, 0, 0L)))
+  }
+
   // ------------------------------------------------------------- WAV
 
   private def wavOf(id: Long, raw: Array[Byte], rate: Int = 8000): Array[Byte] = {
