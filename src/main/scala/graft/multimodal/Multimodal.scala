@@ -207,8 +207,10 @@ object Multimodal {
             val dw = if (outW > 0) outW else w
             val dh = if (outH > 0) outH else h
             // a 0-area source has no pixels to sample from — only a
-            // 0-area target is representable
-            if ((w == 0 || h == 0) && dw * dh > 0) null
+            // 0-area target is representable; and a target too large for
+            // a JVM byte array is unrepresentable at any source size
+            if (((w == 0 || h == 0) && dw * dh > 0) ||
+                3L * dw * dh > Int.MaxValue - 64L) null
             else {
               val header = s"P6\n$dw $dh\n$mv\n".getBytes("US-ASCII")
               val out = new Array[Byte](header.length + 3 * dw * dh)

@@ -214,10 +214,12 @@ class PlanSpec extends AnyFunSuite {
       s"curation chain must stay shingle-equi-joined:\n${p.take(1500)}")
   }
 
-  test("q_wav: encode→decode chain never shuffles payload bytes") {
-    val p = plan("q_wav")
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"multimodal codec chain must be narrow (sort for output order only):\n${p.take(1500)}")
+  test("q_wav and q_resize: codec chains never shuffle payload bytes") {
+    for (q <- Seq("q_wav", "q_resize")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must be narrow (sort for output order only):\n${p.take(1500)}")
+    }
   }
 
   test("q_diversity is a narrow map: no Exchange before the final sort") {

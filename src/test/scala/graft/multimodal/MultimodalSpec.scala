@@ -175,6 +175,12 @@ class MultimodalSpec extends AnyFunSuite {
       "id", "payload", 2, 0)
     val r = Multimodal.decodePpm(keep, "id", "resized").head()
     assert((r.getInt(1), r.getInt(2), r.getLong(4)) == ((2, 0, 0L)))
+    // a target too large for a JVM array is null, not a negative-size crash
+    val one = ppm("P6\n1 1\n255\n", Array[Byte](1, 2, 3))
+    val huge = Multimodal.resizePpmNearest(
+      createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, one))),
+      "id", "payload", 100000, 100000).head()
+    assert(huge.isNullAt(1))
   }
 
   // ------------------------------------------------------------- WAV
