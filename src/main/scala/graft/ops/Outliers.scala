@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Execution shape: one hash shuffle on the group keys computes the exact
   * per-group quantiles (Spark's `percentile` — a single-pass typed
-  * aggregate, no Expand), then the tiny per-group bounds table broadcasts
-  * back onto the rows. Rows never shuffle twice and never sort globally.
+  * aggregate, no Expand), then the per-group bounds table joins back onto
+  * the rows HINT-FREE: AQE broadcasts it from its measured shuffle size
+  * while the group cardinality is small (the common case — categories,
+  * sources, shards) and keeps the co-partitioned shuffle join when a
+  * per-entity grouping makes the bounds table row-scaled, instead of
+  * OOMing the driver on a hard-coded hint. Rows never sort globally.
   * At 100 TB swap `percentile` for `approx_percentile` (t-digest sketch,
   * mergeable, bounded memory) — same plan shape, same API, documented
   * error instead of exact ranks.
@@ -35,12 +39,13 @@ object Outliers {
       .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
 
   /** Flag rows outside their group's Tukey fences. Adds `is_outlier`;
-    * the bounds side is broadcast (one row per group).
+    * the bounds side (one row per group) attaches hint-free — see the
+    * object doc for the AQE contract.
     */
   def flagIqrOutliers(df: DataFrame, groupBy: Seq[String], valueCol: String,
                       k: Double = 1.5): DataFrame = {
     guardNames(df, Seq("q1", "q3", "lo", "hi", "is_outlier"), "flagIqrOutliers")
-    df.join(broadcast(iqrBounds(df, groupBy, col(valueCol), k)), groupBy)
+    df.join(iqrBounds(df, groupBy, col(valueCol), k), groupBy)
       .withColumn("is_outlier", col(valueCol) < col("lo") || col(valueCol) > col("hi"))
   }
 
@@ -56,10 +61,10 @@ object Outliers {
     guardNames(df, Seq("__med", "__mad", "is_outlier"), "flagMadOutliers")
     val med = df.groupBy(groupBy.map(col): _*)
       .agg(median(col(valueCol)).as("__med"))
-    val withMed = df.join(broadcast(med), groupBy)
+    val withMed = df.join(med, groupBy)
     val mad = withMed.groupBy(groupBy.map(col): _*)
       .agg(median(abs(col(valueCol) - col("__med"))).as("__mad"))
-    withMed.join(broadcast(mad), groupBy)
+    withMed.join(mad, groupBy)
       .withColumn("is_outlier",
         when(col("__mad") === 0, col(valueCol) =!= col("__med"))
           .otherwise(abs(col(valueCol) - col("__med")) / col("__mad") > z))
@@ -77,7 +82,7 @@ object Outliers {
     val bounds = df.groupBy(groupBy.map(col): _*)
       .agg(percentile(col(valueCol), lit(pLo)).as("__wlo"),
         percentile(col(valueCol), lit(pHi)).as("__whi"))
-    df.join(broadcast(bounds), groupBy)
+    df.join(bounds, groupBy)
       .withColumn(valueCol,
         // greatest/least SKIP nulls, so an unguarded clamp would turn a
         // null value into the group's lower bound — keep nulls null

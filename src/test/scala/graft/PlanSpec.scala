@@ -143,10 +143,17 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected exactly 1 scan, found $scans")
   }
 
-  test("q_outliers: bounds attach via broadcast, rows shuffle for the quantile only") {
-    val p = plan("q_outliers")
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
-      s"per-group bounds must broadcast back onto rows:\n${p.take(2000)}")
+  test("q_outliers: bounds attach hint-free; AQE broadcasts them at this scale") {
+    // the hint was removed (a per-entity grouping would make the bounds
+    // table row-scaled and a hard-coded broadcast a driver OOM): assert
+    // the RUNTIME decision instead — at test scale the measured bounds
+    // table is tiny, so the final adaptive plan must use a broadcast join
+    val df = graft.SparkEntry.queries("q_outliers")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"AQE must broadcast the measured tiny bounds table:\n${p.take(2500)}")
   }
 
   test("weightedSample plans TakeOrderedAndProject (per-partition k-heaps, no full sort)") {
