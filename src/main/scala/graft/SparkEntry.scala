@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DecimalType, StructType}
 import graft.multimodal.Multimodal
 import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
 import graft.streaming.Streaming
-import graft.text.{Dedup, LangModel, Rank, Similarity, TextStats}
+import graft.text.{Boilerplate, Dedup, LangModel, Rank, Similarity, TextStats}
 
 /** Driver contract — one runnable query per implemented operator from
   * SURVEY.md §2, each paired with DuckDB oracle SQL in [[oracleSql]].
@@ -836,6 +836,30 @@ object SparkEntry {
     Multimodal.decodePpm(d, "doc_id", "payload")
       .select(col("doc_id"), col("width"), col("height"), col("maxval"),
         col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Boilerplate-line removal ([[graft.text.Boilerplate.stripBoilerplateLines]],
+    * C4-style): the fixture text has no line structure, so each document's
+    * tokens are first re-joined into 10-token lines (the same
+    * synthesize-in-query pattern the codec queries use), then lines
+    * appearing in ≥ 3 documents are stripped and the text reassembled in
+    * original order. The md5 of the cleaned text is selection-exact: one
+    * line kept, dropped, or reordered differently anywhere breaks it. The
+    * oracle replays the chain with line STRINGS where the operator
+    * aggregates 8-byte line hashes — so it also certifies the hash-first
+    * shuffle loses nothing at this scale.
+    */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val lined = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("lined", concat_ws("\n",
+        transform(sequence(lit(0), (ceil(size(col("w")) / lit(10.0)) - 1).cast("int")),
+          i => array_join(slice(col("w"), i * lit(10) + 1, lit(10)), " "))))
+      .select(col("doc_id"), col("lined"))
+    Boilerplate.stripBoilerplateLines(lined, "doc_id", "lined", "\n", minDocs = 3)
+      .select(col("doc_id"), md5(col("lined")).as("sig"),
+        col("n_kept"), col("n_dropped"))
       .orderBy(col("doc_id"))
   }
 
@@ -2501,6 +2525,7 @@ object SparkEntry {
     "q_decode" -> (qDecode _),
     "q_wav" -> (qWav _),
     "q_resize" -> (qResize _),
+    "q_boilerplate" -> (qBoilerplate _),
     "q_frame_sample" -> (qFrameSample _),
     "q_bm25" -> (qBm25 _),
     "q_upsert" -> (qUpsert _),
@@ -3256,6 +3281,27 @@ object SparkEntry {
         |  coalesce(CAST(list_sum(list_transform(range(2, 12*h, 3),
         |    i -> CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT))) AS BIGINT), 0) AS sum_b
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      // Same synthesis (10-token lines), then the reference logic with
+      // line STRINGS end to end: cross-doc distinct counts, >= 3 docs is
+      // boilerplate, survivors re-join in position order. string_agg is
+      // NULL for all-boilerplate docs; coalesce matches concat_ws's ''.
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |lines AS (
+        |  SELECT doc_id, pos, array_to_string(w[pos*10+1 : pos*10+10], ' ') AS line
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS pos
+        |        FROM tok)),
+        |boiler AS (
+        |  SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+        |  WHERE df >= 3)
+        |SELECT doc_id,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE line NOT IN (SELECT line FROM boiler)), '')) AS sig,
+        |  COUNT(*) FILTER (WHERE line NOT IN (SELECT line FROM boiler)) AS n_kept,
+        |  COUNT(*) FILTER (WHERE line IN (SELECT line FROM boiler)) AS n_dropped
+        |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_resize" ->
       // The resized 2×h image keeps source pixels at even columns:
       // out(x,y) = src(2x, y), so channel c of out pixel i (row-major,
