@@ -839,6 +839,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget selection — keep the BEST documents (by quality score,
+    * doc_id tiebreak) until a global token budget fills: quality ranking
+    * plus an exact GLOBAL running token total via
+    * [[graft.ops.Ids.withRunningTotals]] (range-partitioned prefix sums —
+    * no single-partition window), cut at 10k tokens. The per-doc
+    * cumulative emitted alongside the selection makes the check
+    * prefix-exact, not just membership-exact: one document ranked or
+    * summed differently anywhere shifts every later cumulative. The
+    * oracle is a plain windowed sum over the same (quality DESC, doc_id)
+    * order — DuckDB can afford the single-partition window at oracle
+    * scale; the operator can't at 100 TB, which is the point.
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tok"),
+        (-TextStats.qualityScore(col("text"))).as("__negq"))
+    graft.ops.Ids.withRunningTotals(d, Seq("__negq", "doc_id"), Seq("n_tok"))
+      .filter(col("n_tok_cum") <= 10000)
+      .select(col("doc_id"), col("n_tok"), col("n_tok_cum").as("cum_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Boilerplate-line removal ([[graft.text.Boilerplate.stripBoilerplateLines]],
     * C4-style): the fixture text has no line structure, so each document's
     * tokens are first re-joined into 10-token lines (the same
@@ -2526,6 +2549,7 @@ object SparkEntry {
     "q_wav" -> (qWav _),
     "q_resize" -> (qResize _),
     "q_boilerplate" -> (qBoilerplate _),
+    "q_token_budget" -> (qTokenBudget _),
     "q_frame_sample" -> (qFrameSample _),
     "q_bm25" -> (qBm25 _),
     "q_upsert" -> (qUpsert _),
@@ -3281,6 +3305,23 @@ object SparkEntry {
         |  coalesce(CAST(list_sum(list_transform(range(2, 12*h, 3),
         |    i -> CAST(('0x' || substr(hx, 2*i+1, 2)) AS BIGINT))) AS BIGINT), 0) AS sum_b
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      // quality formula mirrors q_doc_quality's exactly; the negated sort
+      // key on the Spark side is ORDER BY quality DESC here (doubles
+      // compare identically — the formula is bit-replicated)
+      """WITH q AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |    0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+        |    + 0.4 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS qual
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY qual DESC, doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM q)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(cum AS BIGINT) AS cum_tok
+        |FROM c WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
     "q_boilerplate" ->
       // Same synthesis (10-token lines), then the reference logic with
       // line STRINGS end to end: cross-doc distinct counts, >= 3 docs is
