@@ -87,6 +87,26 @@ object Sources {
         when(col("__rec").isNull, col("value"))).as(corruptCol): _*)
   }
 
+  /** Read a parquet directory whose files were written under EVOLVING
+    * schemas as one frame — the I/O twin of schema-harmonizing concat,
+    * for when the frames are months of files instead of in-memory inputs.
+    *
+    * With a `targetDdl`, the schema is PINNED on the reader: columns
+    * absent in older files surface as null, and physically narrower
+    * files widen per Spark 4's parquet type promotion (int32→int64,
+    * float→double) — and because nothing is inferred, planning reads NO
+    * file footers, which is the only viable mode on a million-file
+    * table. Without a target, file footers merge (`mergeSchema`) —
+    * handles added/removed columns only (parquet schema merge does not
+    * widen types) and pays a footer sweep at planning time.
+    */
+  def readEvolved(spark: SparkSession, path: String,
+                  targetDdl: Option[String] = None): DataFrame =
+    targetDdl match {
+      case Some(ddl) => spark.read.schema(graft.schema.Types.fromDdl(ddl)).parquet(path)
+      case None => spark.read.option("mergeSchema", "true").parquet(path)
+    }
+
   /** Hive-style partitioned parquet write: one directory per distinct
     * partition-column tuple → partition pruning turns predicates on those
     * columns into directory listings instead of data scans. Keep partition

@@ -152,4 +152,29 @@ class SourcesSpec extends AnyFunSuite {
       Sources.compact(spark, in, s"file:$in")
     }
   }
+
+  test("readEvolved: added columns merge; a pinned target also widens types") {
+    val dir = Files.createTempDirectory("graft-evolve").resolve("t").toString
+    // month 1: (id int, v int); month 2 adds a column and widens v
+    spark.range(3).selectExpr("CAST(id AS INT) AS id", "CAST(id * 10 AS INT) AS v")
+      .write.parquet(dir)
+    spark.range(3, 5).selectExpr("CAST(id AS INT) AS id", "CAST(id * 10 AS BIGINT) AS v",
+        "CONCAT('tag', id) AS label")
+      .write.mode("append").parquet(dir)
+    // pinned target: absent columns null out, int32 v files widen to bigint
+    val target = Sources.readEvolved(spark, dir, Some("id bigint, v bigint, label string"))
+    assert(target.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq("id" -> "bigint", "v" -> "bigint", "label" -> "string"))
+    assert(target.agg(sum(col("v"))).head().getLong(0) == 100L)
+    assert(target.filter(col("label").isNull).count() == 3)
+    // no target: mergeSchema handles the added column (types here agree
+    // per-column only in the label case — so restrict to a single-typed
+    // subdir for the merge path)
+    val dir2 = Files.createTempDirectory("graft-evolve2").resolve("t").toString
+    spark.range(3).selectExpr("CAST(id AS INT) AS id").write.parquet(dir2)
+    spark.range(3, 5).selectExpr("CAST(id AS INT) AS id", "CONCAT('tag', id) AS label")
+      .write.mode("append").parquet(dir2)
+    val merged = Sources.readEvolved(spark, dir2)
+    assert(merged.count() == 5 && merged.filter(col("label").isNull).count() == 3)
+  }
 }
