@@ -201,41 +201,47 @@ object Multimodal {
       StructField("resized", BinaryType)))
     df.mapPartitions { rows =>
       rows.map { r =>
-        val p = r.getAs[Array[Byte]](inIdx)
-        val resized = parsePpmHeader(p) match {
-          case Some((w, h, mv, off)) if p.length >= off + 3L * w * h =>
-            val dw = if (outW > 0) outW else w
-            val dh = if (outH > 0) outH else h
-            // a 0-area source has no pixels to sample from — only a
-            // 0-area target is representable; and a target too large for
-            // a JVM byte array is unrepresentable at any source size
-            if (((w == 0 || h == 0) && dw * dh > 0) ||
-                3L * dw * dh > Int.MaxValue - 64L) null
-            else {
-              val header = s"P6\n$dw $dh\n$mv\n".getBytes("US-ASCII")
-              val out = new Array[Byte](header.length + 3 * dw * dh)
-              System.arraycopy(header, 0, out, 0, header.length)
-              var y = 0
-              while (y < dh) {
-                val sy = (y.toLong * h / dh).toInt
-                var x = 0
-                while (x < dw) {
-                  val sx = (x.toLong * w / dw).toInt
-                  val src = off + (sy * w + sx) * 3
-                  val dst = header.length + (y * dw + x) * 3
-                  out(dst) = p(src); out(dst + 1) = p(src + 1); out(dst + 2) = p(src + 2)
-                  x += 1
-                }
-                y += 1
-              }
-              out
-            }
-          case _ => null
-        }
-        Row.fromSeq(Seq(r.get(idIdx), resized))
+        Row.fromSeq(Seq(r.get(idIdx),
+          resizePpmPure(r.getAs[Array[Byte]](inIdx), outW, outH)))
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Pure PPM resize (the whole of [[resizePpmNearest]]'s per-row logic,
+    * factored out for direct property testing): a valid P6 byte array of
+    * the target dims, or null on any malformation.
+    */
+  private[multimodal] def resizePpmPure(p: Array[Byte], outW: Int, outH: Int): Array[Byte] =
+    parsePpmHeader(p) match {
+      case Some((w, h, mv, off)) if p.length >= off + 3L * w * h =>
+        val dw = if (outW > 0) outW else w
+        val dh = if (outH > 0) outH else h
+        // a 0-area source has no pixels to sample from — only a
+        // 0-area target is representable; and a target too large for
+        // a JVM byte array is unrepresentable at any source size
+        if (((w == 0 || h == 0) && dw * dh > 0) ||
+            3L * dw * dh > Int.MaxValue - 64L) null
+        else {
+          val header = s"P6\n$dw $dh\n$mv\n".getBytes("US-ASCII")
+          val out = new Array[Byte](header.length + 3 * dw * dh)
+          System.arraycopy(header, 0, out, 0, header.length)
+          var y = 0
+          while (y < dh) {
+            val sy = (y.toLong * h / dh).toInt
+            var x = 0
+            while (x < dw) {
+              val sx = (x.toLong * w / dw).toInt
+              val src = off + (sy * w + sx) * 3
+              val dst = header.length + (y * dw + x) * 3
+              out(dst) = p(src); out(dst + 1) = p(src + 1); out(dst + 2) = p(src + 2)
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      case _ => null
+    }
 
   /** Pure WAV container build (the whole of [[encodeWavPcm16]]'s per-row
     * logic, factored out for direct property testing).
