@@ -221,6 +221,14 @@ class PlanSpec extends AnyFunSuite {
       s"curation chain must stay shingle-equi-joined:\n${p.take(1500)}")
   }
 
+  test("q_boilerplate: line DF shuffles 8-byte hashes, flag join is an equi-join") {
+    val p = plan("q_boilerplate")
+    assert(!p.contains("CartesianProduct"),
+      s"boilerplate flagging must stay hash-equi-joined:\n${p.take(1500)}")
+    assert(p.contains("xxhash64"),
+      s"the DF aggregation must key on line hashes, not line strings:\n${p.take(1500)}")
+  }
+
   test("q_wav and q_resize: codec chains never shuffle payload bytes") {
     for (q <- Seq("q_wav", "q_resize")) {
       val p = plan(q)
