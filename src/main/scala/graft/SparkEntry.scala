@@ -874,8 +874,12 @@ object SparkEntry {
     * shuffle loses nothing at this scale.
     */
   private def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    // pre-fold any literal newline into a space on BOTH sides: a token
+    // containing the line separator would otherwise re-split inside the
+    // operator while the oracle's line units stay 10-token groups —
+    // a silent divergence armed by any future fixture with \n in text
     val lined = t(s, dir, "documents")
-      .withColumn("w", split(col("text"), " "))
+      .withColumn("w", split(translate(col("text"), "\n", " "), " "))
       .withColumn("lined", concat_ws("\n",
         transform(sequence(lit(0), (ceil(size(col("w")) / lit(10.0)) - 1).cast("int")),
           i => array_join(slice(col("w"), i * lit(10) + 1, lit(10)), " "))))
@@ -3327,7 +3331,9 @@ object SparkEntry {
       // line STRINGS end to end: cross-doc distinct counts, >= 3 docs is
       // boilerplate, survivors re-join in position order. string_agg is
       // NULL for all-boilerplate docs; coalesce matches concat_ws's ''.
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(replace(text, chr(10), ' '), ' ') AS w
+        |  FROM documents),
         |lines AS (
         |  SELECT doc_id, pos, array_to_string(w[pos*10+1 : pos*10+10], ' ') AS line
         |  FROM (SELECT doc_id, w,

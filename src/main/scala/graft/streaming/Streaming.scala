@@ -277,7 +277,11 @@ object Streaming {
     *
     * STREAMING CONTRACT: input must define a watermark (as with
     * [[anomaliesStateful]]); the timeout timestamp is clamped strictly
-    * above the current watermark for late-only keys.
+    * above the current watermark for late-only keys. Events with a NULL
+    * timestamp are DROPPED (they have no event-time position, and one
+    * malformed record must not kill the query); the batch operator
+    * instead sorts them first — filter null ts upstream where that
+    * distinction matters.
     */
   def funnelStateful(events: Dataset[TypedEvent], steps: Seq[String],
                      stateTtlMinutes: Int = 60): Dataset[FunnelClose] = {
@@ -299,7 +303,9 @@ object Streaming {
           } else {
             var st = state.getOption.getOrElse(
               FunnelState(0, Long.MinValue, Long.MinValue, Long.MinValue))
-            val sorted = batch.toSeq.sortBy(e => (e.tsMicros, e.tie))
+            // null ts: no event-time position — drop, don't NPE (scaladoc)
+            val sorted = batch.filter(_.ts != null).toSeq
+              .sortBy(e => (e.tsMicros, e.tie))
             sorted.foreach { e =>
               val after = e.tsMicros > st.mTs ||
                 (e.tsMicros == st.mTs && e.tie > st.mTie)

@@ -31,7 +31,8 @@ object Boilerplate {
     * (surviving lines re-joined with `sep`, original order), and
     * `n_kept`/`n_dropped` line counts. Documents whose every line is
     * boilerplate survive with empty text — dropping them is a separate
-    * quality-gate decision ([[TextStats.qualityScore]]).
+    * quality-gate decision ([[TextStats.qualityScore]]) — and a null
+    * text reads as empty text (one empty line), never a lost row.
     *
     * @param sep line separator, split LITERALLY (not as a regex)
     */
@@ -39,8 +40,12 @@ object Boilerplate {
                             sep: String = "\n", minDocs: Int = 3): DataFrame = {
     require(minDocs >= 2, s"minDocs < 2 would strip every line: $minDocs")
     require(sep.nonEmpty, "sep must be non-empty")
+    graft.ops.Guards.requireNoReservedNames(docs,
+      Seq("__pos", "__line", "__lh", "__df", "__boiler", "n_kept", "n_dropped"),
+      "stripBoilerplateLines")
     val lines = docs.select(col(idCol),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep)))
           .as(Seq("__pos", "__line")))
       .withColumn("__lh", xxhash64(col("__line")))
     // distinct (doc, hash) BEFORE the count: a line repeated WITHIN one

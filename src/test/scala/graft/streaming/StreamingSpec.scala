@@ -221,6 +221,17 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful funnel drops null-timestamp events instead of dying") {
+    import spark.implicits._
+    val typed = Seq(
+      Streaming.TypedEvent("u1", null, 1L, "view"), // malformed: no event time
+      Streaming.TypedEvent("u1", ts("2024-01-01 00:01:00"), 2L, "view"),
+      Streaming.TypedEvent("u1", ts("2024-01-01 00:02:00"), 3L, "cart")).toDS()
+    val got = Streaming.funnelStateful(typed, Seq("view", "cart"))
+      .collect().map(c => c.key -> c.max_step).toMap
+    assert(got == Map("u1" -> 2))
+  }
+
   test("stateful funnel on a BATCH dataset equals the batch operator") {
     import spark.implicits._
     val rows = Seq(

@@ -52,6 +52,23 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(out(1L) == "b") // "a" is boilerplate; with regex-split everything would vanish
   }
 
+  test("null text reads as empty text — one row out per row in, never a lost doc") {
+    val d = createDf(spark, "doc_id bigint, text string",
+      Seq(Seq[Any](1L, null), Seq[Any](2L, "real line")))
+    val out = Boilerplate.stripBoilerplateLines(d, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == (("", 1L))) // one empty line, kept (df=1 < minDocs)
+  }
+
+  test("reserved output/internal names on the input fail fast") {
+    val d = createDf(spark, "doc_id bigint, text string, n_kept int",
+      Seq(Seq[Any](1L, "x", 0)))
+    intercept[IllegalArgumentException] {
+      Boilerplate.stripBoilerplateLines(d, "doc_id", "text")
+    }
+  }
+
   test("minDocs below 2 is rejected") {
     intercept[IllegalArgumentException] {
       Boilerplate.stripBoilerplateLines(docs(1L -> "x"), "doc_id", "text", minDocs = 1)
