@@ -2322,41 +2322,56 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The greedy-left BPE fold in SQL — THE single copy shared by the
+    * training v-steps and the encode e-steps (string accumulator,
+    * '|'-delimited; symbols are alphanumeric so the delimiter can't
+    * collide). `lRef`/`rRef` name the LEFT-JOINed winner columns; the
+    * IS NULL guard makes a dried-up round (empty w$r — no pairs left)
+    * an IDENTITY fold instead of emptying the chain, matching
+    * [[graft.text.Bpe.trainMerges]]'s early stop.
+    */
+  private def bpeFoldSql(lRef: String, rRef: String): String =
+    s"""CASE WHEN $lRef IS NULL OR len(syms) = 1 THEN syms ELSE string_split(
+       |    list_reduce(syms, (acc, x) -> CASE
+       |      WHEN string_split(acc, '|')[-1] = $lRef AND x = $rRef
+       |      THEN array_to_string(list_append(
+       |        string_split(acc, '|')[1:len(string_split(acc, '|')) - 1],
+       |        $lRef || $rRef), '|')
+       |      ELSE acc || '|' || x END), '|') END""".stripMargin
+
+  private val bpeVocabHead =
+    """WITH v0 AS MATERIALIZED (
+      |  SELECT string_split_regex(word, '') AS syms, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word)""".stripMargin
+
+  /** Per-round (pair counts, winner, fold-rewrite) training CTEs — ONE
+    * copy shared by [[bpeOracleSql]] and [[bpeEncodeOracleSql]], so the
+    * rule derivation the two gates verify can never drift apart.
+    */
+  private def bpeTrainingSteps(rounds: Int): Seq[String] = (1 to rounds).map { r =>
+    s"""p$r AS MATERIALIZED (
+       |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM v${r - 1} CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+       |  GROUP BY 1, 2),
+       |w$r AS MATERIALIZED (
+       |  SELECT $r AS round, l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+       |v$r AS MATERIALIZED (
+       |  SELECT ${bpeFoldSql("w.l", "w.r")} AS syms, cnt
+       |  FROM v${r - 1} LEFT JOIN w$r w ON TRUE)""".stripMargin
+  }
+
   /** Unrolled BPE oracle: round r = pair counts from v(r-1), one winner
-    * by (n DESC, l, r), fold-rewrite into v(r). The string-accumulator
-    * fold ('|'-delimited; symbols are alphanumeric so the delimiter
-    * can't collide) computes the same greedy-left merge as the Spark
-    * array fold.
+    * by (n DESC, l, r), fold-rewrite into v(r) — assembled from the
+    * shared CTE builders above.
     */
   private def bpeOracleSql(rounds: Int): String = {
-    val head =
-      """WITH v0 AS MATERIALIZED (
-        |  SELECT string_split_regex(word, '') AS syms, count(*) AS cnt
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  GROUP BY word)""".stripMargin
-    val steps = (1 to rounds).map { r =>
-      s"""p$r AS MATERIALIZED (
-         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS n
-         |  FROM v${r - 1} CROSS JOIN LATERAL
-         |    (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
-         |  GROUP BY 1, 2),
-         |w$r AS MATERIALIZED (
-         |  SELECT $r AS round, l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
-         |v$r AS MATERIALIZED (
-         |  SELECT CASE WHEN len(syms) = 1 THEN syms ELSE string_split(
-         |    list_reduce(syms, (acc, x) -> CASE
-         |      WHEN string_split(acc, '|')[-1] = w$r.l AND x = w$r.r
-         |      THEN array_to_string(list_append(
-         |        string_split(acc, '|')[1:len(string_split(acc, '|')) - 1],
-         |        w$r.l || w$r.r), '|')
-         |      ELSE acc || '|' || x END), '|') END AS syms, cnt
-         |  FROM v${r - 1}, w$r)""".stripMargin
-    }
     val tail =
       s"""SELECT round, l AS left, r AS right, n FROM (
          |${(1 to rounds).map(r => s"  SELECT * FROM w$r").mkString(" UNION ALL\n")}
          |) ORDER BY round""".stripMargin
-    (head +: steps).mkString(",\n") + "\n" + tail
+    (bpeVocabHead +: bpeTrainingSteps(rounds)).mkString(",\n") + "\n" + tail
   }
 
   /** Encode oracle: the training chain of [[bpeOracleSql]] derives the
@@ -2366,29 +2381,6 @@ object SparkEntry {
     * their words' token counts.
     */
   private def bpeEncodeOracleSql(rounds: Int): String = {
-    val head =
-      """WITH v0 AS MATERIALIZED (
-        |  SELECT string_split_regex(word, '') AS syms, count(*) AS cnt
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  GROUP BY word)""".stripMargin
-    val steps = (1 to rounds).map { r =>
-      s"""p$r AS MATERIALIZED (
-         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS n
-         |  FROM v${r - 1} CROSS JOIN LATERAL
-         |    (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
-         |  GROUP BY 1, 2),
-         |w$r AS MATERIALIZED (
-         |  SELECT $r AS round, l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
-         |v$r AS MATERIALIZED (
-         |  SELECT CASE WHEN len(syms) = 1 THEN syms ELSE string_split(
-         |    list_reduce(syms, (acc, x) -> CASE
-         |      WHEN string_split(acc, '|')[-1] = w$r.l AND x = w$r.r
-         |      THEN array_to_string(list_append(
-         |        string_split(acc, '|')[1:len(string_split(acc, '|')) - 1],
-         |        w$r.l || w$r.r), '|')
-         |      ELSE acc || '|' || x END), '|') END AS syms, cnt
-         |  FROM v${r - 1}, w$r)""".stripMargin
-    }
     val e0 =
       """e0 AS MATERIALIZED (
         |  SELECT word, string_split_regex(word, '') AS syms
@@ -2396,14 +2388,8 @@ object SparkEntry {
         |  WHERE len(word) >= 1)""".stripMargin
     val esteps = (1 to rounds).map { r =>
       s"""e$r AS MATERIALIZED (
-         |  SELECT word, CASE WHEN len(syms) = 1 THEN syms ELSE string_split(
-         |    list_reduce(syms, (acc, x) -> CASE
-         |      WHEN string_split(acc, '|')[-1] = w$r.l AND x = w$r.r
-         |      THEN array_to_string(list_append(
-         |        string_split(acc, '|')[1:len(string_split(acc, '|')) - 1],
-         |        w$r.l || w$r.r), '|')
-         |      ELSE acc || '|' || x END), '|') END AS syms
-         |  FROM e${r - 1}, w$r)""".stripMargin
+         |  SELECT word, ${bpeFoldSql("w.l", "w.r")} AS syms
+         |  FROM e${r - 1} LEFT JOIN w$r w ON TRUE)""".stripMargin
     }
     val tail =
       s"""tok AS (SELECT word, len(syms) AS n_tok FROM e$rounds),
@@ -2416,7 +2402,8 @@ object SparkEntry {
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM dwf JOIN tok USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    ((head +: steps) ++ (e0 +: esteps)).mkString(",\n") + ",\n" + tail
+    ((bpeVocabHead +: bpeTrainingSteps(rounds)) ++ (e0 +: esteps))
+      .mkString(",\n") + ",\n" + tail
   }
 
   /** Validation for the sketch-path rolling actives

@@ -41,6 +41,14 @@ object Multimodal {
   val ppmSchema: StructType = StructType.fromDDL(
     "width int, height int, maxval int, n_pixels bigint, sum_r bigint, sum_g bigint, sum_b bigint")
 
+  /** A (w, h) pixel grid whose RGB bytes fit a JVM byte array. Guards the
+    * `3L * w * h` arithmetic below: with both dims near Int.MaxValue the
+    * product overflows even a Long and a crafted header would slip past
+    * the truncation check with garbage stats instead of a null row.
+    */
+  private def pixelBytesFit(w: Int, h: Int): Boolean =
+    w.toLong * h <= (Int.MaxValue - 64L) / 3
+
   /** Parse a binary-PPM (P6) header: magic, then width/height/maxval as
     * ASCII decimals separated by whitespace, with `#`-to-end-of-line
     * comments allowed anywhere whitespace is, then EXACTLY ONE whitespace
@@ -99,7 +107,8 @@ object Multimodal {
       rows.map { r =>
         val p = r.getAs[Array[Byte]](inIdx)
         parsePpmHeader(p) match {
-          case Some((w, h, mv, off)) if p.length >= off + 3L * w * h =>
+          case Some((w, h, mv, off)) if pixelBytesFit(w, h) &&
+              p.length >= off + 3L * w * h =>
             val n = 3 * w * h
             var sr = 0L; var sg = 0L; var sb = 0L
             var i = 0
@@ -213,7 +222,8 @@ object Multimodal {
     */
   private[multimodal] def resizePpmPure(p: Array[Byte], outW: Int, outH: Int): Array[Byte] =
     parsePpmHeader(p) match {
-      case Some((w, h, mv, off)) if p.length >= off + 3L * w * h =>
+      case Some((w, h, mv, off)) if pixelBytesFit(w, h) &&
+          p.length >= off + 3L * w * h =>
         val dw = if (outW > 0) outW else w
         val dh = if (outH > 0) outH else h
         // a 0-area source has no pixels to sample from — only a

@@ -39,12 +39,10 @@ object Bpe {
         col("cnt"))
 
   /** Greedy-left merge of adjacent (left, right) symbol occurrences —
-    * a pure-Catalyst `aggregate` fold, no UDF. Exposed for the encode
-    * path; training and encoding MUST share one merge semantics.
+    * a pure-Catalyst `aggregate` fold, no UDF. Training
+    * ([[trainMerges]]) and encoding ([[encodeTokenCounts]]) both route
+    * through this one definition: one merge semantics, by construction.
     */
-  def applyMerge(syms: org.apache.spark.sql.Column, left: String, right: String) =
-    foldMerge(syms, left, right)
-
   private def foldMerge(syms: org.apache.spark.sql.Column, left: String, right: String) = {
     val merged = left + right
     when(size(syms) <= 1, syms).otherwise(
@@ -122,7 +120,8 @@ object Bpe {
     */
   def encodeTokenCounts(df: DataFrame, idCol: String, textCol: String,
                         merges: Seq[(String, String)]): DataFrame = {
-    require(merges.nonEmpty, "need at least one merge rule")
+    // empty merges is legal: a fully-dried training run (trainMerges
+    // stopped before round 1) degrades to character tokenization
     val docWords = df
       .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) >= 1)

@@ -158,6 +158,16 @@ class MultimodalSpec extends AnyFunSuite {
       ((6L, 54L, 48L, 42L)))
   }
 
+  test("near-Int.MaxValue dims cannot overflow the truncation guard into garbage stats") {
+    // 3L * w * h wraps Long for w = h = Int.MaxValue; a correct guard
+    // rejects the crafted header instead of summing 3 garbage bytes
+    val evil = ppm(s"P6\n${Int.MaxValue} ${Int.MaxValue}\n255\n", Array[Byte](1, 2, 3))
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, evil)))
+    val dec = Multimodal.decodePpm(d, "id", "payload").head()
+    assert(dec.isNullAt(1) && dec.isNullAt(5), s"crafted dims must null out: $dec")
+    assert(Multimodal.resizePpmNearest(d, "id", "payload", 2, 2).head().isNullAt(1))
+  }
+
   test("resizePpmNearest: malformed, truncated, or 0-area-to-positive yield null payloads") {
     val empty = ppm("P6\n4 0\n255\n", Array.empty[Byte])
     val rows = Seq(
