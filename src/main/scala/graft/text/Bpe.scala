@@ -105,11 +105,11 @@ object Bpe {
     * as training), the merge fold (per word: symbols → `merges.size`
     * chained greedy-left folds, all codegen HOFs) runs once per DISTINCT
     * word, and per-document counts come from one word-keyed join of the
-    * document word stream against that vocabulary-sized table (joined
-    * via size-probed broadcast when it fits — [[graft.ops.Hints]]).
-    * Folding per occurrence instead would redo the merge work
-    * occurrence-many times. Eagerly materializes the encoded vocabulary
-    * for the probe.
+    * document word stream against that vocabulary-sized table — joined
+    * HINT-FREE: AQE broadcasts it from its measured shuffle size while
+    * the vocabulary fits and keeps the word-keyed shuffle join when it
+    * doesn't. Folding per occurrence instead would redo the merge work
+    * occurrence-many times.
     *
     * Empty words (consecutive whitespace) are dropped on both the count
     * and the join side; documents with no words produce no row.
@@ -134,14 +134,13 @@ object Bpe {
       transform(sequence(lit(1), length(col("__w"))),
         i => col("__w").substr(i, lit(1))): org.apache.spark.sql.Column
     ) { case (c, (l, r)) => bound(c)(s => foldMerge(s, l, r)) }
+    // hint-free vocabulary join: AQE broadcasts the (vocabulary-sized)
+    // fold output from its measured shuffle size while it fits, and
+    // keeps the word-keyed shuffle join when a 100 TB vocabulary
+    // doesn't — no probe job, no hard-coded hint to OOM the driver
     val vocabTok = docWords.select(col("__w")).distinct()
       .select(col("__w"), size(folded).cast("long").as("__ntok"))
-      .localCheckpoint(true) // vocabulary-sized; materialized for the probe
-    val vocabSide =
-      if (graft.ops.Hints.fitsBroadcast(df.sparkSession, vocabTok.count(), rowBytes = 48L))
-        broadcast(vocabTok)
-      else vocabTok
-    docWords.join(vocabSide, Seq("__w"))
+    docWords.join(vocabTok, Seq("__w"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("__w")).cast("long")).as("n_chars"),

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.Hints
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -151,10 +150,11 @@ object Dedup {
     * the scale-killer at 100 TB. Survivors (boilerplate, license blocks
     * — rare by construction) rematerialize their exemplar text with one
     * join back over a second narrow span pass; only surviving spans'
-    * strings ever move, and the survivor side broadcasts when it fits
-    * ([[graft.ops.Hints.fitsBroadcast]]), so the second pass usually
-    * pays no shuffle at all. Eagerly materializes the survivor table
-    * (it is output-sized) for the probe.
+    * strings ever move, and the survivor join is HINT-FREE: AQE
+    * broadcasts the survivor table from its measured (output-sized)
+    * shuffle while it fits and keeps the shuffle join when it doesn't —
+    * no probe job, no driver-OOM exposure, one query for the optimizer
+    * to plan globally.
     *
     * Result is oracle-exact up to 64-bit hash collisions between
     * distinct spans (~n²/2⁶⁵ — negligible against corpus sizes; a
@@ -177,13 +177,8 @@ object Dedup {
       .groupBy(xxhash64(col("span")).as("__h"))
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOccurrences)
-      .localCheckpoint(true) // output-sized; materialized for the size probe
-    val survivors =
-      if (Hints.fitsBroadcast(df.sparkSession, counted.count(), rowBytes = 32L))
-        broadcast(counted)
-      else counted
     spans.select(xxhash64(col("span")).as("__h"), col("span"))
-      .join(survivors, Seq("__h"))
+      .join(counted, Seq("__h"))
       // collapse the surviving occurrences to one exemplar per hash; the
       // min() tiebreak keeps the result deterministic even on a collision
       .groupBy(col("__h"), col("n_docs"), col("n_occ"))
