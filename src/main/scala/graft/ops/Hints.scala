@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * session's `spark.sql.autoBroadcastJoinThreshold`, so the same call
   * degrades to a co-partitioned shuffle join automatically — the
   * operator's semantics never change, only its physical join side.
+  *
+  * PREFER HINT-FREE JOINS where a single query's AQE can decide: inside
+  * one query, AQE already measures the real shuffle size and converts to
+  * broadcast with no probe job and no estimate (see cooccurrenceLift,
+  * Outliers, repeatedSpans, encodeTokenCounts — all moved off this
+  * helper). A probe earns its extra job only for STRUCTURAL choices AQE
+  * cannot make — e.g. [[Graph.pageRank]] decides ONCE, before its loop,
+  * between per-iteration broadcast and pre-partitioning the frozen edge
+  * list, a layout decision spanning five separate queries.
   */
 object Hints {
 
