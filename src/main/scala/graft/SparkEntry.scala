@@ -937,12 +937,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Stubbed video frame sampling: frames per payload (rows-only check). */
+  /** REAL video frame sampling ([[graft.multimodal.Multimodal.sampleAviFrames]]
+    * — a complete pure-JVM RIFF/AVI demuxer) proven through the engine's
+    * own writer: each document's bytes become packed top-down RGB24
+    * frames of a 2×2 video (12 source bytes per frame),
+    * [[graft.multimodal.Multimodal.encodeAviRgb24]] wraps them in a
+    * genuine AVI container (DIB convention: bottom-up rows, BGR samples,
+    * rows padded to 4 bytes — 2·3=6-byte rows pad to 8), and the demuxer
+    * samples every 2nd frame, so the query only passes if the chunk walk,
+    * the pad-byte exclusion, AND the RGB→BGR/bottom-up round trip are all
+    * exact. `top_b` pins the row order: the image-top-left blue sample of
+    * sampled frame i is source byte 12·i+2, which the oracle recomputes
+    * straight from the raw text with independent index arithmetic.
+    */
   private def qFrameSample(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    Multimodal.sampleFramesStub(d, "doc_id", "payload", frameBytes = 64, stride = 2)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      .select(col("doc_id"), col("text").cast("binary").as("rgb"))
+    val avi = Multimodal.encodeAviRgb24(d, "doc_id", "rgb", width = 2, height = 2)
+    Multimodal.sampleAviFrames(avi, "doc_id", "payload", stride = 2)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("sum_b")).as("sum_b"),
+        sum(col("sum_g")).as("sum_g"),
+        sum(col("sum_r")).as("sum_r"),
+        sum(col("top_left_b").cast("long")).as("top_b"))
       .orderBy(col("doc_id"))
   }
 
@@ -1468,16 +1486,25 @@ object SparkEntry {
         .as("n_violations"))
   }
 
-  /** Stubbed audio resampling through the real mapPartitions plumbing —
-    * the third modality (image/video/audio). The sample-count arithmetic
-    * is derived from byte lengths alone, so the oracle checks it exactly
-    * even though the resampler itself is a stub.
+  /** REAL audio resampling ([[graft.multimodal.Multimodal.resampleWav]])
+    * container-to-container: each document's bytes become a genuine
+    * 12 kHz PCM16 WAV ([[graft.multimodal.Multimodal.encodeWavPcm16]]),
+    * the resampler decimates to 8 kHz by exact rational nearest-pick
+    * (output frame j ← source frame ⌊3j/2⌋, n_out = ⌊2·n_in/3⌋) and
+    * re-encodes a valid WAV, which
+    * [[graft.multimodal.Multimodal.decodeWav]] then parses back — so the
+    * query only passes if the resampled container is well-formed AND the
+    * picked samples are exactly right: the oracle recomputes the signed
+    * sum of every ⌊3j/2⌋-th 16-bit LE sample straight from the raw text.
     */
   private def qAudioResample(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    Multimodal.resampleAudioStub(d, "doc_id", "payload")
-      .select(col("doc_id"), col("n_samples_in"), col("n_samples_out"))
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"),
+        lit(12000).as("rate"))
+    val wav = Multimodal.encodeWavPcm16(d, "doc_id", "bytes", "rate")
+    val res = Multimodal.resampleWav(wav, "doc_id", "payload", dstRate = 8000)
+    Multimodal.decodeWav(res, "doc_id", "resampled")
+      .select(col("doc_id"), col("sample_rate"), col("n_frames"), col("sum_ch0"))
       .orderBy(col("doc_id"))
   }
 
@@ -3272,11 +3299,30 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders, true AS approx_within_5pct
         |FROM lineitem""".stripMargin,
     "q_frame_sample" ->
-      // empty payloads yield zero chunks → no row on the Spark side; the
-      // WHERE mirrors that (fixture docs are all non-empty today)
-      """SELECT doc_id,
-        |  CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_frames
-        |FROM documents WHERE octet_length(encode(text)) > 0 ORDER BY doc_id""".stripMargin,
+      // The oracle recomputes what the AVI demuxer must report straight
+      // from the raw text bytes: nf = ⌊bytes/12⌋ full 2×2 RGB24 frames,
+      // sampled at stride 2. The writer converts RGB→BGR, so DIB channel
+      // B = source byte ≡ 2 (mod 3) within the frame (G ≡ 1, R ≡ 0), and
+      // the image-top-left blue of frame i is source byte 12·i+2 (top
+      // source row lands in the LAST bottom-up DIB row — independent
+      // index arithmetic, not a replay of the codec). Docs shorter than
+      // one frame produce a valid 0-frame AVI → no sampled rows → no
+      // group on either side.
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 12 AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, hx, unnest(range(0, nf, 2)) AS i FROM b WHERE nf > 0)
+        |SELECT doc_id, COUNT(*) AS n_sampled,
+        |  CAST(SUM(list_sum(list_transform(range(2, 12, 3), j ->
+        |    CAST(('0x' || substr(hx, 2*(12*i+j)+1, 2)) AS BIGINT)))) AS BIGINT) AS sum_b,
+        |  CAST(SUM(list_sum(list_transform(range(1, 12, 3), j ->
+        |    CAST(('0x' || substr(hx, 2*(12*i+j)+1, 2)) AS BIGINT)))) AS BIGINT) AS sum_g,
+        |  CAST(SUM(list_sum(list_transform(range(0, 12, 3), j ->
+        |    CAST(('0x' || substr(hx, 2*(12*i+j)+1, 2)) AS BIGINT)))) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CAST(('0x' || substr(hx, 2*(12*i+2)+1, 2)) AS BIGINT)) AS BIGINT) AS top_b
+        |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_decode" ->
       // The oracle rebuilds what the PPM decoder must report, straight
       // from the raw text bytes: h = ⌊bytes/12⌋ rows of 4 RGB pixels;
@@ -3954,10 +4000,24 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_audio_resample" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples_in,
-        |  CAST((octet_length(encode(text)) // 2) * 16000 // 44100 AS BIGINT) AS n_samples_out
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      // The oracle recomputes the resampled stream straight from the raw
+      // text bytes: n_in = ⌊bytes/2⌋ mono 16-bit LE frames at 12 kHz,
+      // n_out = 2·n_in//3 at 8 kHz, output frame j picks source frame
+      // 3·j//2 — signed 16-bit reassembly by hex substring (high byte
+      // first), minus 65536 when negative, summed over the PICKED frames
+      // only. A 0-frame input still round-trips a valid container → a
+      // 0/0 row on both sides (list_sum([]) is NULL → coalesce).
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 2 AS nin
+        |  FROM documents)
+        |SELECT doc_id, 8000 AS sample_rate,
+        |  CAST(nin * 2 // 3 AS BIGINT) AS n_frames,
+        |  coalesce(CAST(list_sum(list_transform(range(0, nin * 2 // 3), j ->
+        |    CAST(('0x' || substr(hx, 4*(3*j//2)+3, 2) || substr(hx, 4*(3*j//2)+1, 2)) AS BIGINT)
+        |    - CASE WHEN CAST(('0x' || substr(hx, 4*(3*j//2)+3, 2)) AS BIGINT) >= 128
+        |           THEN 65536 ELSE 0 END)) AS BIGINT), 0) AS sum_ch0
+        |FROM b ORDER BY doc_id""".stripMargin,
     // Bloom pruning never changes the result (no false negatives; false
     // positives die in the exact join), so the oracle is the plain semi
     // join the operator accelerates.

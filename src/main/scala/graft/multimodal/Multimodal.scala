@@ -7,18 +7,20 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque binary payloads + typed metadata.
   *
   * Real pipelines carry images/audio/video as parquet `binary` columns and
-  * decode inside executor batches. [[decodePpm]] is a REAL pure-JVM
-  * decoder for the binary PPM (P6) container — full header grammar,
-  * data-offset arithmetic, per-channel pixel statistics — and
-  * [[decodeWav]]/[[encodeWavPcm16]] are a REAL RIFF/WAVE chunk walker and
-  * container writer (PCM 16-bit, mono/stereo, exact signed-sample sums).
-  * Codecs that need native libraries (JPEG, ffmpeg demux, sinc resampling)
-  * are represented by honestly-named byte-level stand-ins
-  * ([[sampleFramesStub]], [[resampleAudioStub]]) whose Spark-side contract
-  * — schema,
+  * decode inside executor batches. All three modalities have REAL pure-JVM
+  * codecs here: [[decodePpm]]/[[resizePpmNearest]] for the binary PPM (P6)
+  * image container — full header grammar, data-offset arithmetic,
+  * per-channel pixel statistics, nearest-neighbor resize;
+  * [[decodeWav]]/[[encodeWavPcm16]]/[[resampleWav]] for RIFF/WAVE audio —
+  * chunk walker, container writer, exact rational nearest-sample
+  * resampling (PCM 16-bit, mono/stereo, exact signed-sample sums); and
+  * [[sampleAviFrames]]/[[encodeAviRgb24]] for RIFF/AVI uncompressed-RGB24
+  * video — list/chunk demuxer over the DIB frame convention (bottom-up
+  * rows, BGR samples, 4-byte row padding). Codecs that genuinely need
+  * native libraries (JPEG entropy decode, H.264, windowed-sinc kernels)
+  * slot into the same per-row loops behind the same contracts — schema,
   * batch-iterator shape, partition-local execution, typed output encoder —
-  * is the part the engine guarantees; swap the body for an actual codec
-  * call (e.g. via JNI or an Arrow-backed worker) and nothing else changes.
+  * without changing anything else.
   *
   * Scale notes: payload bytes never shuffle here — metadata extraction and
   * decode are narrow partition-local maps; keep it that way (repartition on
@@ -254,132 +256,339 @@ object Multimodal {
     }
 
   /** Pure WAV container build (the whole of [[encodeWavPcm16]]'s per-row
-    * logic, factored out for direct property testing).
+    * logic, factored out for direct property testing). Trailing bytes
+    * that are not a whole frame (`2·channels` bytes) are dropped.
     */
-  private[multimodal] def buildWavPcm16(raw: Array[Byte], rate: Int): Array[Byte] = {
-    val dataLen = raw.length & ~1 // whole 16-bit samples only
+  private[multimodal] def buildWavPcm16(raw: Array[Byte], rate: Int,
+                                        channels: Int = 1): Array[Byte] = {
+    val blockAlign = 2 * channels
+    val dataLen = raw.length - raw.length % blockAlign // whole frames only
     "RIFF".getBytes("US-ASCII") ++ leU32(36L + dataLen) ++
       "WAVE".getBytes("US-ASCII") ++
       "fmt ".getBytes("US-ASCII") ++ leU32(16L) ++
-      leU16(1) ++ leU16(1) ++ leU32(rate.toLong) ++
-      leU32(rate.toLong * 2) ++ leU16(2) ++ leU16(16) ++
+      leU16(1) ++ leU16(channels) ++ leU32(rate.toLong) ++
+      leU32(rate.toLong * blockAlign) ++ leU16(blockAlign) ++ leU16(16) ++
       "data".getBytes("US-ASCII") ++ leU32(dataLen.toLong) ++
       raw.take(dataLen)
   }
 
-  /** Pure WAV parse (the whole of [[decodeWav]]'s per-row logic, factored
-    * out for direct property testing): returns the 6 metric values in
-    * [[wavSchema]] order, all null on any malformation.
+  /** Locate the PCM16 stream of a RIFF/WAVE container — the acceptance
+    * set of [[decodeWav]]: format 1 (PCM), 16-bit samples, 1 or 2
+    * channels, `fmt ` before `data` (per spec order), sample data fully
+    * present. Returns (channels, rate, dataOffset, frameCount); None on
+    * any malformation.
     */
-  private[multimodal] def parseWav(p: Array[Byte]): Seq[Any] = {
-    val nulls = Seq(null, null, null, null, null, null)
+  private[multimodal] def wavPcm16Info(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (p == null || p.length < 12) return None
     def u16(i: Int) = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
     def u32(i: Int) = (p(i) & 0xFF).toLong | ((p(i + 1) & 0xFF).toLong << 8) |
       ((p(i + 2) & 0xFF).toLong << 16) | ((p(i + 3) & 0xFF).toLong << 24)
     def tag(i: Int, s: String) =
       p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
         p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
-    var result: Seq[Any] = nulls
-    if (p != null && p.length >= 12 && tag(0, "RIFF") && tag(8, "WAVE")) {
-      // walk the chunk list; fmt must precede data (per spec order)
-      var i = 12
-      var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
-      var done = false
-      while (!done && i + 8 <= p.length) {
-        val size = u32(i + 4)
-        val off = i + 8
-        if (tag(i, "fmt ") && size >= 16 && off + 16 <= p.length)
-          fmt = Some((u16(off), u16(off + 2), u32(off + 4).toInt, u16(off + 14)))
-        else if (tag(i, "data")) {
-          done = true
-          fmt match {
-            case Some((1, ch, rate, 16)) if (ch == 1 || ch == 2) &&
-                off + size <= p.length =>
-              val blockAlign = 2 * ch
-              val nFrames = size / blockAlign
-              var s0 = 0L; var s1 = 0L
-              var f = 0L
-              while (f < nFrames) {
-                val base = off + (f * blockAlign).toInt
-                s0 += u16(base).toShort // sign-extend via Short
-                if (ch == 2) s1 += u16(base + 2).toShort
-                f += 1
-              }
-              result = Seq(ch, rate, 16, nFrames, s0,
-                if (ch == 2) s1 else null)
-            case _ => // non-PCM, exotic width, or truncated data → nulls
-          }
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    // walk the chunk list; fmt must precede data (per spec order)
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
+    var result: Option[(Int, Int, Int, Long)] = None
+    var done = false
+    while (!done && i + 8 <= p.length) {
+      val size = u32(i + 4)
+      val off = i + 8
+      if (tag(i, "fmt ") && size >= 16 && off + 16 <= p.length)
+        fmt = Some((u16(off), u16(off + 2), u32(off + 4).toInt, u16(off + 14)))
+      else if (tag(i, "data")) {
+        done = true
+        fmt match {
+          case Some((1, ch, rate, 16)) if (ch == 1 || ch == 2) &&
+              off + size <= p.length =>
+            result = Some((ch, rate, off, size / (2 * ch)))
+          case _ => // non-PCM, exotic width, or truncated data → None
         }
-        i = off + size.toInt + (size.toInt & 1) // chunks pad to even
-        if (size > Int.MaxValue - 8 || i < off) done = true // overflow guard
       }
+      i = off + size.toInt + (size.toInt & 1) // chunks pad to even
+      if (size > Int.MaxValue - 8 || i < off) done = true // overflow guard
     }
     result
   }
 
-  /** STUB video frame sampling: treat the payload as a frame container and
-    * emit every `stride`-th fixed-size chunk as a frame row. A real
-    * implementation demuxes with ffmpeg; the explode-shaped output contract
-    * (one row per sampled frame, frame index attached) is the real part.
+  /** Pure WAV parse (the whole of [[decodeWav]]'s per-row logic, factored
+    * out for direct property testing): returns the 6 metric values in
+    * [[wavSchema]] order, all null on any malformation.
     */
-  def sampleFramesStub(df: DataFrame, idCol: String, payloadCol: String,
-                       frameBytes: Int = 256, stride: Int = 4): DataFrame = {
-    val inIdx = df.schema.fieldIndex(payloadCol)
+  private[multimodal] def parseWav(p: Array[Byte]): Seq[Any] =
+    wavPcm16Info(p) match {
+      case Some((ch, rate, off, nFrames)) =>
+        def u16(i: Int) = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+        val blockAlign = 2 * ch
+        var s0 = 0L; var s1 = 0L
+        var f = 0L
+        while (f < nFrames) {
+          val base = off + (f * blockAlign).toInt
+          s0 += u16(base).toShort // sign-extend via Short
+          if (ch == 2) s1 += u16(base + 2).toShort
+          f += 1
+        }
+        Seq(ch, rate, 16, nFrames, s0, if (ch == 2) s1 else null)
+      case None => Seq(null, null, null, null, null, null)
+    }
+
+  // ----------------------------------------------------------- AVI video
+
+  /** Output schema of the AVI frame sampler. */
+  val aviFrameSchema: StructType = StructType.fromDDL(
+    "frame_idx int, width int, height int, sum_b bigint, sum_g bigint, sum_r bigint, top_left_b int")
+
+  /** DIB rows pad to 4-byte boundaries. */
+  private def dibStride(w: Int): Int = (w * 3 + 3) & ~3
+
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Pure AVI container build (the whole of [[encodeAviRgb24]]'s per-row
+    * logic, factored out for direct property testing): wrap packed
+    * top-down RGB24 frames (3·w·h bytes each; a trailing partial frame is
+    * dropped) in a genuine RIFF/AVI container — a `hdrl` list (`avih`
+    * main header, `vids`/`DIB ` stream header, BITMAPINFOHEADER) and a
+    * `movi` list of uncompressed `00db` frames in the DIB convention:
+    * rows bottom-up, samples BGR, rows padded to 4-byte boundaries.
+    * Null on null input, non-positive dims/fps, or an output too large
+    * for a JVM array.
+    */
+  private[multimodal] def buildAviRgb24(rgb: Array[Byte], w: Int, h: Int,
+                                        fps: Int = 25): Array[Byte] = {
+    if (rgb == null || w <= 0 || h <= 0 || fps <= 0) return null
+    if (3L * w * h > Int.MaxValue - 64L) return null
+    val srcFrame = 3 * w * h
+    val nFrames = rgb.length / srcFrame
+    val stride = dibStride(w)
+    val dib = stride.toLong * h
+    if (dib > Int.MaxValue - 64L) return null
+    val moviData = nFrames * (8L + dib) // stride·h is 4-aligned: no pad byte
+    val total = 12L + 200 + 12 + moviData
+    if (total > Int.MaxValue - 64L) return null
+    val out = new java.io.ByteArrayOutputStream(total.toInt)
+    def u16(v: Int): Unit = out.write(leU16(v), 0, 2)
+    def u32(v: Long): Unit = out.write(leU32(v), 0, 4)
+    def tag4(s: String): Unit = out.write(fcc(s), 0, 4)
+    tag4("RIFF"); u32(total - 8); tag4("AVI ")
+    tag4("LIST"); u32(192); tag4("hdrl") // 4 + avih(64) + strl(124)
+    tag4("avih"); u32(56)
+    u32(1000000L / fps); u32(0); u32(0); u32(0)      // usPerFrame, maxBps, padGranularity, flags
+    u32(nFrames); u32(0); u32(1); u32(dib)           // totalFrames, initialFrames, streams, sugBuf
+    u32(w); u32(h); u32(0); u32(0); u32(0); u32(0)   // width, height, reserved[4]
+    tag4("LIST"); u32(116); tag4("strl") // 4 + strh(64) + strf(48)
+    tag4("strh"); u32(56)
+    tag4("vids"); tag4("DIB "); u32(0); u16(0); u16(0) // flags, priority, language
+    u32(0); u32(1); u32(fps); u32(0); u32(nFrames)     // initialFrames, scale, rate, start, length
+    u32(dib); u32(0); u32(0)                           // sugBuf, quality, sampleSize
+    u16(0); u16(0); u16(w); u16(h)                     // rcFrame
+    tag4("strf"); u32(40)
+    u32(40); u32(w); u32(h); u16(1); u16(24)           // biSize, width, height (+ = bottom-up), planes, bitCount
+    u32(0); u32(dib); u32(0); u32(0); u32(0); u32(0)   // BI_RGB, sizeImage, pelsPerMeter×2, clr×2
+    tag4("LIST"); u32(4 + moviData); tag4("movi")
+    val frame = new Array[Byte](dib.toInt) // pad bytes stay zeroed across reuse
+    var f = 0
+    while (f < nFrames) {
+      tag4("00db"); u32(dib)
+      val sB = f * srcFrame
+      var y = 0
+      while (y < h) {
+        val dRow = (h - 1 - y) * stride // top source row → bottom DIB row
+        var x = 0
+        while (x < w) {
+          val sPx = sB + (y * w + x) * 3
+          val d = dRow + 3 * x
+          frame(d) = rgb(sPx + 2) // RGB → BGR
+          frame(d + 1) = rgb(sPx + 1)
+          frame(d + 2) = rgb(sPx)
+          x += 1
+        }
+        y += 1
+      }
+      out.write(frame, 0, frame.length)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Parse a RIFF/AVI container holding a single uncompressed-RGB24 video
+    * stream: validates `avih` dims, a `vids` stream header, a 24-bit
+    * BI_RGB BITMAPINFOHEADER, walks `movi` (including nested `rec `
+    * interleave lists), and requires every `00db`/`00dc` frame chunk to
+    * be exactly stride·h bytes with the chunk count matching the declared
+    * total. Returns (width, height, frame data offsets); None on any
+    * malformation.
+    */
+  private[multimodal] def parseAvi(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p == null || p.length < 12) return None
+    def u16(i: Int) = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+    def u32(i: Int) = (p(i) & 0xFF).toLong | ((p(i + 1) & 0xFF).toLong << 8) |
+      ((p(i + 2) & 0xFF).toLong << 16) | ((p(i + 3) & 0xFF).toLong << 24)
+    def tag(i: Int, s: String) =
+      p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
+        p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
+    if (!tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    // honor the RIFF size field: trailing bytes beyond it are not chunks
+    val riffEnd = math.min(p.length.toLong, 8L + u32(4)).toInt
+    var w = -1; var h = -1; var totalDeclared = -1L
+    var fmtOk = false; var vids = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, size)
+    // walk a chunk run [from, until); LIST chunks recurse with their type
+    // as the context — false = structural malformation (truncation/overflow)
+    def walk(from: Int, until: Int, ctx: String): Boolean = {
+      var i = from
+      while (i + 8 <= until) {
+        val size = u32(i + 4)
+        val off = i + 8
+        if (size > Int.MaxValue - 8L || off + size > until) return false
+        val end = off + size.toInt
+        if (tag(i, "LIST") && size >= 4) {
+          if (!walk(off + 4, end, new String(p, off, 4, "US-ASCII"))) return false
+        } else ctx match {
+          case "hdrl" if tag(i, "avih") && size >= 56 =>
+            totalDeclared = u32(off + 16)
+            if (u32(off + 32) > Int.MaxValue || u32(off + 36) > Int.MaxValue) return false
+            w = u32(off + 32).toInt; h = u32(off + 36).toInt
+          case "strl" if tag(i, "strh") && size >= 8 =>
+            vids = vids || tag(off, "vids")
+          case "strl" if tag(i, "strf") && size >= 40 =>
+            fmtOk = fmtOk || (u16(off + 14) == 24 && u32(off + 16) == 0L)
+          case "movi" | "rec " if tag(i, "00db") || tag(i, "00dc") =>
+            frames += ((off, size.toInt))
+          case _ => // unknown chunk (idx1, JUNK, vendor): skip
+        }
+        i = end + (size.toInt & 1) // chunks pad to even
+      }
+      true
+    }
+    if (riffEnd < 12 || !walk(12, riffEnd, "riff")) return None
+    val ok = w > 0 && h > 0 && vids && fmtOk &&
+      3L * w * h <= Int.MaxValue - 64L &&
+      totalDeclared == frames.length &&
+      frames.forall(_._2.toLong == dibStride(w).toLong * h)
+    if (ok) Some((w, h, frames.map(_._1).toArray)) else None
+  }
+
+  /** Wrap packed top-down RGB24 frame bytes in a genuine AVI container
+    * ([[buildAviRgb24]] per row). Null payloads pass through as null
+    * containers (same contract as [[encodeWavPcm16]]).
+    */
+  def encodeAviRgb24(df: DataFrame, idCol: String, rgbCol: String,
+                     width: Int, height: Int, fps: Int = 25): DataFrame = {
+    require(width > 0 && height > 0 && fps > 0, "dims and fps must be positive")
+    val inIdx = df.schema.fieldIndex(rgbCol)
     val idIdx = df.schema.fieldIndex(idCol)
-    val outSchema = StructType(Seq(df.schema(idCol)) ++
-      StructType.fromDDL("frame_idx int, frame binary").fields)
+    val outSchema = StructType(Seq(df.schema(idCol), StructField("payload", BinaryType)))
     df.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val payload = r.getAs[Array[Byte]](inIdx)
-        // null payload (fetch failure) → no frames, not an executor NPE
-        if (payload == null) Iterator.empty
-        else payload.grouped(frameBytes).zipWithIndex
-          .filter { case (_, i) => i % stride == 0 }
-          .map { case (chunk, i) => Row.fromSeq(Seq(r.get(idIdx), i, chunk)) }
+      rows.map { r =>
+        Row.fromSeq(Seq(r.get(idIdx),
+          buildAviRgb24(r.getAs[Array[Byte]](inIdx), width, height, fps)))
       }
     }(Encoders.row(outSchema))
   }
 
-  /** STUB audio resampling (the third modality, completing image/video/
-    * audio): interpret the payload as mono 16-bit little-endian PCM and
-    * decimate/hold to the target rate by nearest-sample pick — a real
-    * implementation swaps in a windowed-sinc resampler (libsamplerate/
-    * soxr) behind the same contract. The real parts are the partition-
-    * local batch shape, the sample-count arithmetic
-    * (`n_out = floor(n_in · dstRate / srcRate)`, oracle-verifiable from
-    * byte lengths alone), and payloads never shuffling.
-    *
-    * Null payloads (fetch failures) emit a null-metric row; an odd
-    * trailing byte is NOT half a 16-bit sample and is deliberately
-    * ignored (`n_in = len / 2`, floor).
+  /** REAL video frame sampling for the RIFF/AVI uncompressed-RGB24
+    * container — a complete pure-JVM demuxer ([[parseAvi]]: list/chunk
+    * walk, header validation, `movi` frame chunks incl. `rec ` interleave
+    * lists, odd-size chunk padding) over the DIB frame convention
+    * (bottom-up rows, BGR samples, rows padded to 4 bytes). Emits one row
+    * per sampled frame (every `stride`-th, frame 0 always) with exact
+    * per-channel sums — row-pad bytes excluded — plus the image-top-left
+    * blue sample, which pins the bottom-up row order to something an
+    * oracle recomputes independently. Null or malformed payloads
+    * contribute no rows (explode shape; a crawl fetch failure must not
+    * kill the job). A real compressed demux (H.264 via JNI) slots into
+    * the same per-frame loop; the container walk, explode shape, and
+    * partition-local execution don't change. Frame bytes never shuffle.
     */
-  def resampleAudioStub(df: DataFrame, idCol: String, payloadCol: String,
-                        srcRate: Int = 44100, dstRate: Int = 16000): DataFrame = {
-    require(srcRate > 0 && dstRate > 0, "rates must be positive")
+  def sampleAviFrames(df: DataFrame, idCol: String, payloadCol: String,
+                      stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
     val inIdx = df.schema.fieldIndex(payloadCol)
     val idIdx = df.schema.fieldIndex(idCol)
-    val outSchema = StructType(Seq(df.schema(idCol)) ++
-      StructType.fromDDL("n_samples_in bigint, n_samples_out bigint, resampled binary").fields)
+    val outSchema = StructType(Seq(df.schema(idCol)) ++ aviFrameSchema.fields)
     df.mapPartitions { rows =>
-      // <- per-partition init site (resampler state) — STUB
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]](inIdx)
-        if (payload == null) Row.fromSeq(Seq(r.get(idIdx), null, null, null))
-        else {
-        val nIn = payload.length / 2
-        val nOut = (nIn * dstRate.toLong / srcRate).toInt
-        val out = new Array[Byte](2 * nOut)
-        var j = 0
-        while (j < nOut) {
-          // nearest-sample hold: src index of output sample j
-          val si = (j * srcRate.toLong / dstRate).toInt
-          out(2 * j) = payload(2 * si)
-          out(2 * j + 1) = payload(2 * si + 1)
-          j += 1
-        }
-        Row.fromSeq(Seq(r.get(idIdx), nIn.toLong, nOut.toLong, out))
+      // <- per-partition init site (codec handles, model weights)
+      rows.flatMap { r =>
+        val p = r.getAs[Array[Byte]](inIdx)
+        parseAvi(p) match {
+          case Some((w, h, offs)) =>
+            val rowBytes = dibStride(w)
+            Iterator.range(0, offs.length, stride).map { fi =>
+              val off = offs(fi)
+              var sb = 0L; var sg = 0L; var sr = 0L
+              var y = 0
+              while (y < h) {
+                val base = off + y * rowBytes
+                var x = 0
+                while (x < w) {
+                  sb += p(base + 3 * x) & 0xFF
+                  sg += p(base + 3 * x + 1) & 0xFF
+                  sr += p(base + 3 * x + 2) & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              // image top-left = LAST buffer row, first sample (bottom-up)
+              Row.fromSeq(Seq(r.get(idIdx), fi, w, h, sb, sg, sr,
+                p(off + (h - 1) * rowBytes) & 0xFF))
+            }
+          case None => Iterator.empty
         }
       }
     }(Encoders.row(outSchema))
   }
+
+  /** REAL audio resampling over genuine WAV containers: decode the PCM16
+    * stream ([[wavPcm16Info]] — the same acceptance set as [[decodeWav]]),
+    * resample to `dstRate` by exact rational nearest-sample pick
+    * (`src = ⌊j·srcRate/dstRate⌋`, all integer arithmetic — downsampling
+    * decimates, upsampling holds; `n_out = ⌊n_in·dstRate/srcRate⌋`), and
+    * re-encode a VALID WAV container at the target rate with the channel
+    * count preserved, so the result feeds any downstream WAV consumer —
+    * including [[decodeWav]], which is how the oracle query proves the
+    * container survives the round trip. A real windowed-sinc kernel
+    * (polyphase FIR, libsamplerate-class) slots into the same per-frame
+    * loop; the container walk, index arithmetic shape, and partition-local
+    * batch shape don't change. Null or malformed payloads yield a null
+    * payload row (fetch-failure contract); payload bytes never shuffle.
+    */
+  def resampleWav(df: DataFrame, idCol: String, payloadCol: String,
+                  dstRate: Int): DataFrame = {
+    require(dstRate > 0, "dstRate must be positive")
+    val inIdx = df.schema.fieldIndex(payloadCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(df.schema(idCol), StructField("resampled", BinaryType)))
+    df.mapPartitions { rows =>
+      // <- per-partition init site (resampler state, FIR tables)
+      rows.map { r =>
+        Row.fromSeq(Seq(r.get(idIdx),
+          resampleWavPure(r.getAs[Array[Byte]](inIdx), dstRate)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Pure WAV resample (the whole of [[resampleWav]]'s per-row logic,
+    * factored out for direct property testing): a valid WAV container at
+    * `dstRate`, or null on any malformation.
+    */
+  private[multimodal] def resampleWavPure(p: Array[Byte], dstRate: Int): Array[Byte] =
+    wavPcm16Info(p) match {
+      case Some((ch, rate, off, nFrames)) if rate > 0 =>
+        val blockAlign = 2 * ch
+        val nOut = nFrames * dstRate / rate
+        if (nOut * blockAlign > Int.MaxValue - 64L) null
+        else {
+          val raw = new Array[Byte]((nOut * blockAlign).toInt)
+          var j = 0L
+          while (j < nOut) {
+            val si = j * rate / dstRate // exact rational nearest-pick
+            System.arraycopy(p, off + (si * blockAlign).toInt,
+              raw, (j * blockAlign).toInt, blockAlign)
+            j += 1
+          }
+          buildWavPcm16(raw, dstRate, ch)
+        }
+      case _ => null
+    }
 }

@@ -70,44 +70,109 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 4 && out.forall(r => r.isNullAt(1) && r.isNullAt(7)))
   }
 
-  test("sampleFramesStub: strided fixed-size chunks with frame indices") {
-    val big = createDf(spark, "id bigint, payload binary",
-      Seq(Seq[Any](1L, Array.tabulate(1000)(_.toByte))))
-    val frames = Multimodal.sampleFramesStub(big, "id", "payload", frameBytes = 100, stride = 3)
-      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]](2).length))
-    // 10 chunks of 100 bytes, stride 3 -> indices 0,3,6,9
-    assert(frames.map(_._1).sorted.toSeq == Seq(0, 3, 6, 9))
-    assert(frames.forall(_._2 == 100))
+  // ------------------------------------------------------------- AVI
+
+  private def aviOf(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val d = createDf(spark, "id bigint, rgb binary", Seq(Seq[Any](1L, rgb)))
+    Multimodal.encodeAviRgb24(d, "id", "rgb", w, h).head().getAs[Array[Byte]](1)
   }
 
-  test("resampleAudioStub: sample counts, output size, and nearest-hold picks") {
-    // 8 s16 samples = 16 bytes; 4:1 decimation -> 2 output samples
-    val pcm = Array.tabulate(16)(_.toByte)
-    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, pcm)))
-    val out = Multimodal.resampleAudioStub(d, "id", "payload",
-      srcRate = 8000, dstRate = 2000).head()
-    assert(out.getLong(1) == 8L && out.getLong(2) == 2L)
-    val bytes = out.getAs[Array[Byte]](3)
-    assert(bytes.length == 4)
-    // nearest-hold: output sample j comes from src index j*8000/2000 = 4j
-    assert(bytes.toSeq == Seq(pcm(0), pcm(1), pcm(8), pcm(9)))
+  test("encodeAviRgb24 → sampleAviFrames round trip: strided frames, exact channel sums") {
+    // 3 frames of 2×2 RGB24 = 36 source bytes, values 0..35
+    val rgb = Array.tabulate(36)(_.toByte)
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, aviOf(rgb, 2, 2))))
+    val rows = Multimodal.sampleAviFrames(d, "id", "payload", stride = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7)))
+    // frames 0 and 2 sampled; frame f covers source bytes 12f..12f+11;
+    // RGB→BGR means DIB channel B = source bytes ≡ 2 (mod 3), G ≡ 1, R ≡ 0;
+    // image-top-left blue = source byte 12f+2 (pixel (0,0)'s B)
+    def s(f: Int, m: Int) = (0 until 12).filter(_ % 3 == m).map(12 * f + _).sum.toLong
+    assert(rows.toSeq == Seq(
+      (0, 2, 2, s(0, 2), s(0, 1), s(0, 0), 2),
+      (2, 2, 2, s(2, 2), s(2, 1), s(2, 0), 26)))
   }
 
-  test("resampleAudioStub: identity rates copy the payload verbatim") {
-    val pcm = Array.tabulate(10)(i => (i * 7).toByte)
-    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, pcm)))
-    val out = Multimodal.resampleAudioStub(d, "id", "payload", 16000, 16000).head()
-    assert(out.getAs[Array[Byte]](3).toSeq == pcm.toSeq)
+  test("AVI frames honor DIB row padding and bottom-up row order") {
+    // one 3×2 frame: 9-byte rows pad to 12; source bytes 1..18
+    val payload = aviOf(Array.tabulate(18)(i => (i + 1).toByte), 3, 2)
+    val Some((w, h, offs)) = Multimodal.parseAvi(payload): @unchecked
+    assert((w, h, offs.length) == ((3, 2, 1)))
+    val off = offs(0)
+    // DIB buffer row 0 = SOURCE row 1 (bottom-up); its first sample is
+    // B of source pixel (0,1) = source byte index 11 → value 12
+    assert((payload(off) & 0xFF) == 12)
+    // the 3 pad bytes of each 12-byte row stay zero
+    assert((payload(off + 9) | payload(off + 10) | payload(off + 11)) == 0)
+    // DIB buffer row 1 = source row 0: B of source pixel (0,0) → value 3
+    assert((payload(off + 12) & 0xFF) == 3)
   }
 
-  test("resampleAudioStub: upsampling repeats source samples") {
-    val pcm = Array[Byte](1, 2, 3, 4) // two s16 samples
-    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, pcm)))
-    val out = Multimodal.resampleAudioStub(d, "id", "payload",
-      srcRate = 1000, dstRate = 2000).head()
-    assert(out.getLong(2) == 4L)
-    // src index for j in 0..3 is j/2: samples 0,0,1,1
-    assert(out.getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 1, 2, 3, 4, 3, 4))
+  test("encodeAviRgb24 drops a trailing partial frame; stride 1 samples every frame") {
+    val rgb = Array.tabulate(30)(_.toByte) // 2.5 frames of 2×2 → 2 frames
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, aviOf(rgb, 2, 2))))
+    val idx = Multimodal.sampleAviFrames(d, "id", "payload")
+      .collect().map(_.getInt(1)).toSeq
+    assert(idx == Seq(0, 1))
+  }
+
+  test("parseAvi rejects malformation with no rows, never exceptions") {
+    val good = aviOf(Array.tabulate(12)(_.toByte), 2, 2)
+    val badMagic = good.clone(); badMagic(8) = 'X'
+    val bad24 = good.clone(); bad24(186) = 32 // strf biBitCount 24 → 32
+    val mismatch = good.clone(); mismatch(48) = 2 // avih dwTotalFrames 1 → 2
+    val rows = Seq(Seq[Any](1L, badMagic), Seq[Any](2L, bad24),
+      Seq[Any](3L, mismatch), Seq[Any](4L, good.dropRight(1)),
+      Seq[Any](5L, null), Seq[Any](6L, "RIFF".getBytes))
+    val d = createDf(spark, "id bigint, payload binary", rows)
+    assert(Multimodal.sampleAviFrames(d, "id", "payload").count() == 0)
+    // and the unmutated container does parse
+    assert(Multimodal.parseAvi(good).isDefined)
+  }
+
+  // --------------------------------------------------- WAV resampling
+
+  private def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  test("resampleWav: 12→8 kHz decimation picks ⌊3j/2⌋ and re-encodes a valid container") {
+    val raw = Seq(10, 20, 30, 40, 50, 60).flatMap(le16).toArray // 6 mono frames
+    val d = createDf(spark, "id bigint, bytes binary, rate int",
+      Seq(Seq[Any](1L, raw, 12000)))
+    val wav = Multimodal.encodeWavPcm16(d, "id", "bytes", "rate")
+    val res = Multimodal.resampleWav(wav, "id", "payload", dstRate = 8000)
+    val dec = Multimodal.decodeWav(res, "id", "resampled").head()
+    // n_out = ⌊6·8000/12000⌋ = 4, picking source frames 0,1,3,4
+    assert((dec.getInt(2), dec.getLong(4), dec.getLong(5)) ==
+      ((8000, 4L, 10L + 20 + 40 + 50)))
+  }
+
+  test("resampleWav: upsampling holds frames and preserves stereo channels") {
+    // 2 stereo frames: (ch0, ch1) = (5, -5), (100, 200)
+    val data = le16(5) ++ le16(-5 & 0xFFFF) ++ le16(100) ++ le16(200)
+    val p = Multimodal.buildWavPcm16(data, 4000, channels = 2)
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, p)))
+    val res = Multimodal.resampleWav(d, "id", "payload", dstRate = 8000)
+    val dec = Multimodal.decodeWav(res, "id", "resampled").head()
+    // 4000→8000 doubles: frames 0,0,1,1 on both channels
+    assert((dec.getInt(1), dec.getInt(2), dec.getLong(4)) == ((2, 8000, 4L)))
+    assert((dec.getLong(5), dec.getLong(6)) == ((2L * 5 + 2 * 100, 2L * -5 + 2 * 200)))
+  }
+
+  test("resampleWav: identity rate reproduces the sample stream") {
+    val raw = Seq(7, -7, 1000).flatMap(v => le16(v & 0xFFFF)).toArray
+    val p = Multimodal.buildWavPcm16(raw, 16000)
+    val out = Multimodal.resampleWavPure(p, 16000)
+    assert(out.toSeq == p.toSeq) // same rate, same frames → identical container
+  }
+
+  test("resampleWav: malformed or null payloads yield null containers") {
+    val good = Multimodal.buildWavPcm16(le16(1) ++ le16(2), 8000)
+    val nonPcm = good.clone(); nonPcm(20) = 3 // fmt audioFormat = 3 (float)
+    val rows = Seq(Seq[Any](1L, nonPcm), Seq[Any](2L, null),
+      Seq[Any](3L, "RIFF".getBytes))
+    val d = createDf(spark, "id bigint, payload binary", rows)
+    val out = Multimodal.resampleWav(d, "id", "payload", 8000).collect()
+    assert(out.length == 3 && out.forall(_.isNullAt(1)))
   }
 
   test("null payloads (fetch failures) yield null-metric rows, never executor NPEs") {
@@ -116,19 +181,10 @@ class MultimodalSpec extends AnyFunSuite {
     val dec = Multimodal.decodePpm(d, "id", "payload")
       .filter(col("id") === 1L).head()
     assert(dec.isNullAt(1) && dec.isNullAt(7))
-    assert(Multimodal.sampleFramesStub(d, "id", "payload", frameBytes = 2, stride = 1)
+    assert(Multimodal.sampleAviFrames(d, "id", "payload")
       .filter(col("id") === 1L).count() == 0)
-    val res = Multimodal.resampleAudioStub(d, "id", "payload")
-      .filter(col("id") === 1L).head()
-    assert(res.isNullAt(1) && res.isNullAt(3))
-  }
-
-  test("odd trailing byte is ignored: n_in floors to whole 16-bit samples") {
-    val pcm = Array[Byte](1, 2, 3, 4, 5) // 2.5 samples -> n_in = 2
-    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, pcm)))
-    val out = Multimodal.resampleAudioStub(d, "id", "payload", 16000, 16000).head()
-    assert(out.getLong(1) == 2L)
-    assert(out.getAs[Array[Byte]](3).toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(Multimodal.resampleWav(d, "id", "payload", 8000)
+      .filter(col("id") === 1L).head().isNullAt(1))
   }
 
   test("resizePpmNearest: identity dims reproduce the payload byte-for-byte") {
