@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DecimalType, StructType}
 import graft.multimodal.Multimodal
 import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
 import graft.streaming.Streaming
-import graft.text.{Boilerplate, Dedup, LangModel, Rank, Similarity, TextStats}
+import graft.text.{Boilerplate, Cluster, Dedup, LangModel, Rank, Similarity, TextStats}
 
 /** Driver contract — one runnable query per implemented operator from
   * SURVEY.md §2, each paired with DuckDB oracle SQL in [[oracleSql]].
@@ -774,6 +774,23 @@ object SparkEntry {
       .agg(coalesce(sum(when(
         col("max_err") > col("scale") * 0.5 * (1 + 1e-6) + 1e-12 ||
           col("max_q") > 127, 1L).otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
+  /** Integer-exact k-means ([[graft.text.Cluster.kmeansInt]]): embeddings
+    * globally quantized to the integer lattice (round(x·1000)), then 3
+    * Lloyd rounds with 8 centers — initial centers are the 8 smallest
+    * vec_ids, ties break to the smaller cluster, centroids floor to the
+    * lattice, empty clusters keep their center. Every assignment and
+    * squared distance is integer arithmetic, so the oracle REPLAYS THE
+    * WHOLE TRAINING as 3 unrolled CTE rounds and must land on identical
+    * clusters AND identical distances for all rows — one wrong tiebreak,
+    * floor, or stale center anywhere diverges the chain.
+    */
+  private def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    Cluster.kmeansInt(d, "vec_id", "q", k = 8, iters = 3)
+      .orderBy(col("vec_id"))
   }
 
   /** Embedding near-dup pairs above cosine 0.45 — the brute-force O(n²)
@@ -1848,6 +1865,47 @@ object SparkEntry {
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr5 ORDER BY node""".stripMargin
   }
 
+  /** Unrolled-CTE replay of [[graft.text.Cluster.kmeansInt]]'s training:
+    * round r assigns with centers c(r-1) (arg_min with [dist, cluster]
+    * tiebreak), then c(r) floors the per-dimension means — exactly the
+    * operator's `(s - pmod(s, n)) div n` lattice rule (`//` on the
+    * exact quotient agrees) — with empty clusters keeping their center
+    * via the LEFT JOIN coalesce. The final SELECT assigns with the
+    * last centers, mirroring the operator's post-loop projection.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    // assignment = lexicographic min over [dist, cluster] lists (DuckDB
+    // compares lists element-wise; arg_min doesn't accept composite keys)
+    val d2 = "list_sum(list_transform(list_zip(v.q, c.c), x -> (x[1]-x[2])*(x[1]-x[2])))"
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS (
+         |  SELECT v.vec_id, v.q,
+         |    CAST(min([$d2, c.cluster])[2] AS INTEGER) AS cluster
+         |  FROM v, c${r - 1} c GROUP BY v.vec_id, v.q),
+         |c$r AS (
+         |  SELECT p.cluster, coalesce(u.c, p.c) AS c
+         |  FROM c${r - 1} p LEFT JOIN (
+         |    SELECT cluster, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS c
+         |    FROM (
+         |      SELECT a.cluster, pos.pos, SUM(a.q[pos.pos]) AS s, COUNT(*) AS n
+         |      FROM a$r a CROSS JOIN pos GROUP BY a.cluster, pos.pos)
+         |    GROUP BY cluster) u ON u.cluster = p.cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |pos AS (SELECT unnest(range(1, 1 + (SELECT max(len(q)) FROM v), 1)) AS pos),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, q AS c
+       |  FROM v ORDER BY vec_id LIMIT $k),
+       |$rounds
+       |SELECT v.vec_id,
+       |  CAST(min([$d2, c.cluster])[2] AS INTEGER) AS cluster,
+       |  CAST(min([$d2, c.cluster])[1] AS BIGINT) AS dist
+       |FROM v, c$iters c GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin
+  }
+
   /** Exact join-size pre-flight ([[graft.ops.Stats.joinSizeExact]]):
     * predicts the lineitem self-join cardinality on l_partkey WITHOUT
     * running the join (count-product over per-key counts). The oracle
@@ -2543,6 +2601,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_containment" -> (qAnnContainment _),
     "q_ivf_topk" -> (qIvfTopk _),
+    "q_kmeans" -> (qKmeans _),
     "q_embed_pairs" -> (qEmbedPairs _),
     "q_embed_pairs_lsh" -> (qEmbedPairsLsh _),
     "q_lsh_containment" -> (qLshContainment _),
@@ -2822,6 +2881,7 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cos,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
     "q_embed_pairs" ->
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding,

@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Guards
+
+/** Integer-exact k-means clustering.
+  *
+  * [[graft.text.Similarity.ivfBuild]] already trains float k-means (via
+  * Spark ML) for ANN cells, where bit-reproducibility doesn't matter —
+  * any decent partition of the space works. This operator is the
+  * AUDITABLE complement: Lloyd's algorithm over integer-component
+  * vectors (e.g. globally quantized embeddings) with centroids kept ON
+  * the integer lattice — each round's center is the per-dimension FLOOR
+  * of the mean — so every assignment, every distance, and every center
+  * is exact integer arithmetic that an independent engine can replay
+  * bit-for-bit. That is what makes cluster-based curation decisions
+  * (cluster-balanced sampling, semantic-dedup cells, mixture design)
+  * reproducible across reruns, Spark versions, and engines — the same
+  * determinism doctrine as the integer PageRank (ops/Graph.scala) and
+  * the rational TF-IDF (text/Rank.scala).
+  *
+  * Scale shape: centers are k·d integers — driver-sized BY DEFINITION
+  * (k is thousands at most) — so they are collected once per round and
+  * re-broadcast as LITERALS: the assignment stage is a narrow
+  * codegen-able map (no join, no shuffle, k lexicographic struct-min
+  * comparisons per row). The center update is one posexplode +
+  * (cluster, dim) aggregation with map-side partials — shuffle volume
+  * is k·d per task, never corpus-sized. `iters` driver round-trips of
+  * k·d integers each: the same bounded-driver contract as BPE training
+  * (one winner row per round, text/Bpe.scala) and IVF (k centers).
+  */
+object Cluster {
+
+  /** Run `iters` Lloyd rounds with k centers over `vecCol`
+    * (`array` of integral type, all rows same length) and return
+    * `(idCol, cluster int, dist long)` — the final assignment and its
+    * squared distance to the assigned center.
+    *
+    * Deterministic contract (mirrored by the SQL oracle): initial
+    * centers are the vectors of the k smallest ids (cluster = rank
+    * order); assignment ties break toward the smaller cluster id;
+    * centroid means floor toward -∞ (exactly: `(s - pmod(s, n)) div n`
+    * — the subtraction makes the quotient exact, where truncating and
+    * flooring division agree); a cluster that receives no points keeps
+    * its previous center.
+    */
+  def kmeansInt(df: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): DataFrame =
+    kmeansIntWithCenters(df, idCol, vecCol, k, iters)._1
+
+  /** [[kmeansInt]] plus the final centers (exposed for tests and for
+    * center-reusing callers like cluster-balanced samplers).
+    */
+  private[graft] def kmeansIntWithCenters(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, IndexedSeq[Seq[Long]]) = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    Guards.requireNoReservedNames(df, Seq("cluster", "dist"), "kmeansInt")
+
+    // Freeze the (id, vector) projection once: it is re-read every round
+    // plus once for the final assignment. localCheckpoint at bench scale;
+    // a 100 TB run persists to executor storage instead — same contract
+    // (stable input, no lineage re-execution).
+    val base = df
+      .select(col(idCol).as("__km_id"), col(vecCol).cast("array<long>").as("__km_v"))
+      .filter(col("__km_v").isNotNull)
+      .localCheckpoint(true)
+
+    val init = base.orderBy(col("__km_id")).limit(k).collect()
+    require(init.length == k, s"kmeansInt needs at least k=$k non-null vectors, got ${init.length}")
+    var centers: IndexedSeq[Seq[Long]] = init.map(_.getSeq[Long](1)).toIndexedSeq
+
+    // Squared distance to a literal center, then lexicographic struct-min
+    // over (dist, cluster): exact integers, ties to the smaller cluster.
+    def distTo(c: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("__km_v"), typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    def best: Column =
+      centers.zipWithIndex.map { case (c, i) =>
+        struct(distTo(c).as("d"), lit(i).as("c"))
+      }.reduce(least(_, _))
+
+    var round = 0
+    while (round < iters) {
+      val updated = base
+        .withColumn("__km_c", best.getField("c"))
+        .select(col("__km_c"), posexplode(col("__km_v")).as(Seq("__km_p", "__km_x")))
+        .groupBy(col("__km_c"), col("__km_p"))
+        .agg(sum(col("__km_x")).as("s"), count(lit(1)).as("n"))
+        // exact floor division on the lattice: s - pmod(s, n) is
+        // divisible by n, so `div` is exact and equals floor(s/n) even
+        // for negative sums (DuckDB's `//` floors, `div` truncates —
+        // they agree on exact quotients)
+        .withColumn("m", expr("(s - pmod(s, n)) div n"))
+        .groupBy(col("__km_c"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__km_p").as("p"), col("m").as("m")))),
+          s => s.getField("m")).as("c"))
+        .collect()
+      val byCluster = updated.map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      centers = (0 until k).map(i => byCluster.getOrElse(i, centers(i)))
+      round += 1
+    }
+
+    val out = base.select(
+      col("__km_id").as(idCol),
+      best.getField("c").as("cluster"),
+      best.getField("d").as("dist"))
+    (out, centers)
+  }
+}

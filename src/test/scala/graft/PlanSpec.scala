@@ -229,6 +229,16 @@ class PlanSpec extends AnyFunSuite {
       s"the DF aggregation must key on line hashes, not line strings:\n${p.take(1500)}")
   }
 
+  test("q_kmeans: assignment is a literal-center map — no join, no broadcast in the returned plan") {
+    // training loops on the driver with k·d-integer center collects; the
+    // RETURNED assignment plan must be scan → narrow projection (centers
+    // are literals) → sort. A join or broadcast here would mean centers
+    // went through the data path.
+    val p = plan("q_kmeans")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct") && !p.contains("Broadcast"),
+      s"kmeans assignment must be a narrow literal-center map:\n${p.take(1500)}")
+  }
+
   test("q_wav and q_resize: codec chains never shuffle payload bytes") {
     for (q <- Seq("q_wav", "q_resize")) {
       val p = plan(q)
