@@ -793,6 +793,25 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Cluster-balanced sampling — the curation move k-means exists FOR:
+    * train lattice cells ([[graft.text.Cluster.kmeansInt]], 2 rounds),
+    * then keep at most 40 docs per cell by the unbiased md5-hash order
+    * ([[graft.ops.Sampling.capPerGroup]]), so over-represented regions of
+    * embedding space are capped while sparse regions survive intact
+    * (diversity-preserving selection). Selection-exact: the per-cell
+    * kept-id sums only match if the ENTIRE training replay and the hash
+    * selection both agree.
+    */
+  private def qClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    val cells = Cluster.kmeansInt(d, "vec_id", "q", k = 8, iters = 2)
+    Sampling.capPerGroup(cells, Seq("cluster"), "vec_id", 40)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_kept_ids"))
+      .orderBy(col("cluster"))
+  }
+
   /** Embedding near-dup pairs above cosine 0.45 — the brute-force O(n²)
     * baseline, scoped to small-SF oracle duty only. The production path is
     * [[qEmbedPairsLsh]]; its semantics are verified against this baseline
@@ -1873,7 +1892,7 @@ object SparkEntry {
     * via the LEFT JOIN coalesce. The final SELECT assigns with the
     * last centers, mirroring the operator's post-loop projection.
     */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
     // assignment = lexicographic min over [dist, cluster] lists (DuckDB
     // compares lists element-wise; arg_min doesn't accept composite keys)
     val d2 = "list_sum(list_transform(list_zip(v.q, c.c), x -> (x[1]-x[2])*(x[1]-x[2])))"
@@ -1891,7 +1910,7 @@ object SparkEntry {
          |      FROM a$r a CROSS JOIN pos GROUP BY a.cluster, pos.pos)
          |    GROUP BY cluster) u ON u.cluster = p.cluster)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
        |  FROM embeddings),
@@ -1899,12 +1918,33 @@ object SparkEntry {
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, q AS c
        |  FROM v ORDER BY vec_id LIMIT $k),
-       |$rounds
-       |SELECT v.vec_id,
-       |  CAST(min([$d2, c.cluster])[2] AS INTEGER) AS cluster,
-       |  CAST(min([$d2, c.cluster])[1] AS BIGINT) AS dist
-       |FROM v, c$iters c GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin
+       |$rounds,
+       |af AS (
+       |  SELECT v.vec_id,
+       |    CAST(min([$d2, c.cluster])[2] AS INTEGER) AS cluster,
+       |    CAST(min([$d2, c.cluster])[1] AS BIGINT) AS dist
+       |  FROM v, c$iters c GROUP BY v.vec_id)""".stripMargin
   }
+
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansOracleCtes(k, iters)}
+       |SELECT vec_id, cluster, dist FROM af ORDER BY vec_id""".stripMargin
+
+  /** [[kmeansOracleCtes]] composed with [[graft.ops.Sampling.capPerGroup]]'s
+    * md5-order selection rule (q_cap_group's spelling) over the trained
+    * cells: the cap keeps the same per-cluster ids only if the whole
+    * training chain AND the hash order agree.
+    */
+  private def clusterSampleOracleSql(k: Int, iters: Int, cap: Int): String =
+    s"""WITH ${kmeansOracleCtes(k, iters)},
+       |r AS (
+       |  SELECT cluster, vec_id,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM af)
+       |SELECT cluster, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS sum_kept_ids
+       |FROM r WHERE rk <= $cap
+       |GROUP BY cluster ORDER BY cluster""".stripMargin
 
   /** Exact join-size pre-flight ([[graft.ops.Stats.joinSizeExact]]):
     * predicts the lineitem self-join cardinality on l_partkey WITHOUT
@@ -2602,6 +2642,7 @@ object SparkEntry {
     "q_ann_containment" -> (qAnnContainment _),
     "q_ivf_topk" -> (qIvfTopk _),
     "q_kmeans" -> (qKmeans _),
+    "q_cluster_sample" -> (qClusterSample _),
     "q_embed_pairs" -> (qEmbedPairs _),
     "q_embed_pairs_lsh" -> (qEmbedPairsLsh _),
     "q_lsh_containment" -> (qLshContainment _),
@@ -2882,6 +2923,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
+    "q_cluster_sample" -> clusterSampleOracleSql(k = 8, iters = 2, cap = 40),
     "q_embed_pairs" ->
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding,
