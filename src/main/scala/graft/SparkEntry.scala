@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DecimalType, StructType}
 import graft.multimodal.Multimodal
 import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
 import graft.streaming.Streaming
-import graft.text.{Boilerplate, Cluster, Dedup, LangModel, Rank, Similarity, TextStats}
+import graft.text.{Boilerplate, Cluster, Dedup, Dsir, LangModel, Rank, Similarity, TextStats}
 
 /** Driver contract — one runnable query per implemented operator from
   * SURVEY.md §2, each paired with DuckDB oracle SQL in [[oracleSql]].
@@ -511,6 +511,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(50)
+
+  /** DSIR importance-resampling selection ([[graft.text.Dsir]]): the 120
+    * documents whose hashed unigram+bigram distribution best matches the
+    * `lang = 'en'` target slice, scored by exact integer micro-nat LLR
+    * sums. The oracle replays the whole chain — bucketing, smoothed LLR
+    * quantization, occurrence-sum, top-k — so selection AND scores match
+    * bit-for-bit.
+    */
+  private def qDsir(s: SparkSession, dir: String): DataFrame =
+    Dsir.selectTopK(t(s, dir, "documents"), "doc_id", "text",
+      isTarget = col("lang") === "en", k = 120, hexChars = 3)
 
   /** Sequence packing: documents are sharded by (lang, md5-bucket%8) —
     * NOT by lang alone: a low-cardinality shard key would cap the
@@ -2624,6 +2635,7 @@ object SparkEntry {
     "q_vocab" -> (qVocab _),
     "q_doc_quality" -> (qDocQuality _),
     "q_lang_id" -> (qLangId _),
+    "q_dsir" -> (qDsir _),
     "q_pack" -> (qPack _),
     "q_redact" -> (qRedact _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -2891,6 +2903,35 @@ object SparkEntry {
         |            WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
         |            ELSE 'unknown' END AS lang_pred, COUNT(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Replays Dsir end-to-end: md5-prefix bucketing of unigrams+bigrams,
+    // Laplace-smoothed LLR quantized to integer micro-nats PER BUCKET
+    // (identical IEEE ratio operands; only ln can differ by ulps, absorbed
+    // by the 1e-6 grid), exact BIGINT occurrence sums, top-120.
+    "q_dsir" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, unnest(list_concat(w,
+        |    [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))])) AS feat
+        |  FROM w),
+        |b AS (SELECT doc_id, lang, substring(md5(feat), 1, 3) AS bucket FROM f),
+        |cnt AS (
+        |  SELECT bucket, COUNT(*) AS nq,
+        |         COUNT(*) FILTER (WHERE lang = 'en') AS np
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT SUM(nq) AS tq, SUM(np) AS tp FROM cnt),
+        |llr AS (
+        |  SELECT bucket,
+        |    CAST(round(ln(
+        |      (CAST(np + 1 AS DOUBLE) / CAST(tp + 4096 AS DOUBLE))
+        |      / (CAST(nq + 1 AS DOUBLE) / CAST(tq + 4096 AS DOUBLE))
+        |    ) * 1000000.0) AS BIGINT) AS llr_micro
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT b.doc_id, COUNT(*) AS n_features,
+        |  CAST(SUM(llr_micro) AS BIGINT) AS score_micro
+        |FROM b JOIN llr USING (bucket)
+        |GROUP BY b.doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 120""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
