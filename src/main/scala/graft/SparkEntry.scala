@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DecimalType, StructType}
 import graft.multimodal.Multimodal
 import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
 import graft.streaming.Streaming
-import graft.text.{Boilerplate, Cluster, Dedup, Dsir, LangModel, Rank, Similarity, TextStats}
+import graft.text.{Boilerplate, Cluster, Dedup, Dsir, LangModel, Pq, Rank, Similarity, TextStats}
 
 /** Driver contract — one runnable query per implemented operator from
   * SURVEY.md §2, each paired with DuckDB oracle SQL in [[oracleSql]].
@@ -821,6 +821,22 @@ object SparkEntry {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_kept_ids"))
       .orderBy(col("cluster"))
+  }
+
+  /** PQ/ADC approximate top-5 ([[graft.text.Pq]]): per-subspace integer
+    * codebooks (2×8 codes, 2 Lloyd rounds), corpus encoded to 2 code ids,
+    * asymmetric-distance scan against the 10-query LUT. Fully oracled —
+    * the lossy index replays bit-for-bit (training, codes, ADC sums,
+    * ranks), unlike the float ANN paths which get containment laws.
+    */
+  private def qPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    val cb = Pq.train(e, "vec_id", "q", d = 64, m = 2, k = 8, iters = 2)
+    Pq.adcTopK(e, e.filter(col("vec_id") < 10), "vec_id", "q", cb, topK = 5)
+      .select(col("query_id"), col("neighbor_id"), col("approx_d2"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Embedding near-dup pairs above cosine 0.45 — the brute-force O(n²)
@@ -1903,38 +1919,81 @@ object SparkEntry {
     * via the LEFT JOIN coalesce. The final SELECT assigns with the
     * last centers, mirroring the operator's post-loop projection.
     */
-  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+  /** `p` prefixes every CTE name so multiple instances compose in one
+    * WITH (the PQ oracle trains one chain per subspace); `vecExpr` is the
+    * integer-vector expression over `embeddings` (default: the ×1000
+    * lattice quantization; PQ slices it per subspace).
+    */
+  private def kmeansOracleCtes(k: Int, iters: Int, p: String = "",
+      vecExpr: String =
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"): String = {
     // assignment = lexicographic min over [dist, cluster] lists (DuckDB
     // compares lists element-wise; arg_min doesn't accept composite keys)
     val d2 = "list_sum(list_transform(list_zip(v.q, c.c), x -> (x[1]-x[2])*(x[1]-x[2])))"
     val rounds = (1 to iters).map { r =>
-      s"""a$r AS (
+      s"""${p}a$r AS (
          |  SELECT v.vec_id, v.q,
          |    CAST(min([$d2, c.cluster])[2] AS INTEGER) AS cluster
-         |  FROM v, c${r - 1} c GROUP BY v.vec_id, v.q),
-         |c$r AS (
+         |  FROM ${p}v v, ${p}c${r - 1} c GROUP BY v.vec_id, v.q),
+         |${p}c$r AS (
          |  SELECT p.cluster, coalesce(u.c, p.c) AS c
-         |  FROM c${r - 1} p LEFT JOIN (
+         |  FROM ${p}c${r - 1} p LEFT JOIN (
          |    SELECT cluster, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS c
          |    FROM (
          |      SELECT a.cluster, pos.pos, SUM(a.q[pos.pos]) AS s, COUNT(*) AS n
-         |      FROM a$r a CROSS JOIN pos GROUP BY a.cluster, pos.pos)
+         |      FROM ${p}a$r a CROSS JOIN ${p}pos pos GROUP BY a.cluster, pos.pos)
          |    GROUP BY cluster) u ON u.cluster = p.cluster)""".stripMargin
     }.mkString(",\n")
-    s"""v AS (
-       |  SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+    s"""${p}v AS (
+       |  SELECT vec_id, $vecExpr AS q
        |  FROM embeddings),
-       |pos AS (SELECT unnest(range(1, 1 + (SELECT max(len(q)) FROM v), 1)) AS pos),
-       |c0 AS (
+       |${p}pos AS (SELECT unnest(range(1, 1 + (SELECT max(len(q)) FROM ${p}v), 1)) AS pos),
+       |${p}c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, q AS c
-       |  FROM v ORDER BY vec_id LIMIT $k),
+       |  FROM ${p}v ORDER BY vec_id LIMIT $k),
        |$rounds,
-       |af AS (
+       |${p}af AS (
        |  SELECT v.vec_id,
        |    CAST(min([$d2, c.cluster])[2] AS INTEGER) AS cluster,
        |    CAST(min([$d2, c.cluster])[1] AS BIGINT) AS dist
-       |  FROM v, c$iters c GROUP BY v.vec_id)""".stripMargin
+       |  FROM ${p}v v, ${p}c$iters c GROUP BY v.vec_id)""".stripMargin
+  }
+
+  /** PQ/ADC oracle: two prefixed [[kmeansOracleCtes]] chains train the
+    * per-subspace codebooks on the sliced lattice vectors; codes come
+    * from each chain's final assignment; the query-side LUT scores each
+    * query subvector against the FINAL centers; ADC = exact integer sum
+    * of the two lookups, top-5 per query with id tie-break.
+    */
+  private def pqOracleSql(k: Int, iters: Int, d: Int): String = {
+    val sub = d / 2
+    val quant = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    def lut(p: String, lo: Int, hi: Int) =
+      s"""${p}lut AS (
+         |  SELECT qv.query_id, c.cluster AS code,
+         |    list_sum(list_transform(list_zip(qv.q[$lo:$hi], c.c),
+         |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+         |  FROM qv, ${p}c$iters c)""".stripMargin
+    s"""WITH ${kmeansOracleCtes(k, iters, "s0_", s"($quant)[1:$sub]")},
+       |${kmeansOracleCtes(k, iters, "s1_", s"($quant)[${sub + 1}:$d]")},
+       |codes AS (
+       |  SELECT a.vec_id, a.cluster AS c0, b.cluster AS c1
+       |  FROM s0_af a JOIN s1_af b USING (vec_id)),
+       |qv AS (
+       |  SELECT vec_id AS query_id, $quant AS q
+       |  FROM embeddings WHERE vec_id < 10),
+       |${lut("s0_", 1, sub)},
+       |${lut("s1_", sub + 1, d)},
+       |sc AS (
+       |  SELECT l0.query_id, codes.vec_id AS neighbor_id,
+       |    CAST(l0.d2 + l1.d2 AS BIGINT) AS approx_d2
+       |  FROM codes
+       |  JOIN s0_lut l0 ON l0.code = codes.c0
+       |  JOIN s1_lut l1 ON l1.code = codes.c1 AND l1.query_id = l0.query_id)
+       |SELECT query_id, neighbor_id, approx_d2,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY approx_d2, neighbor_id) AS rank
+       |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   private def kmeansOracleSql(k: Int, iters: Int): String =
@@ -2655,6 +2714,7 @@ object SparkEntry {
     "q_ivf_topk" -> (qIvfTopk _),
     "q_kmeans" -> (qKmeans _),
     "q_cluster_sample" -> (qClusterSample _),
+    "q_pq" -> (qPq _),
     "q_embed_pairs" -> (qEmbedPairs _),
     "q_embed_pairs_lsh" -> (qEmbedPairsLsh _),
     "q_lsh_containment" -> (qLshContainment _),
@@ -2965,6 +3025,7 @@ object SparkEntry {
         |FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
     "q_cluster_sample" -> clusterSampleOracleSql(k = 8, iters = 2, cap = 40),
+    "q_pq" -> pqOracleSql(k = 8, iters = 2, d = 64),
     "q_embed_pairs" ->
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding,
