@@ -2381,6 +2381,21 @@ object SparkEntry {
         spanTokens = 6, minOccurrences = 2)
       .orderBy(col("span"))
 
+  /** Span masking ([[graft.text.Dedup.maskRepeatedSpans]]): the rewrite
+    * step q_span_dedup's discovery feeds — every occurrence of a 6-token
+    * span shared by >= 2 documents is removed, token-exactly. The md5 of
+    * the rebuilt text makes the check byte-exact without shipping full
+    * documents through the compare.
+    */
+  private def qSpanMask(s: SparkSession, dir: String): DataFrame =
+    Dedup.maskRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 6, minDocs = 2)
+      .select(col("doc_id"),
+        col("n_before").cast("long").as("n_before"),
+        col("n_after").cast("long").as("n_after"),
+        md5(col("text_masked").cast("binary")).as("masked_md5"))
+      .orderBy(col("doc_id"))
+
   /** Triangle count on the part co-purchase graph
     * ([[graft.ops.Graph.triangleCount]]): parts sharing an order form
     * edges; degree-ordered wedges close against the canonical edge set.
@@ -2802,6 +2817,7 @@ object SparkEntry {
     "q_rolling_active" -> (qRollingActive _),
     "q_conversion_lag" -> (qConversionLag _),
     "q_span_dedup" -> (qSpanDedup _),
+    "q_span_mask" -> (qSpanMask _),
     "q_triangles" -> (qTriangles _),
     "q_winsorize" -> (qWinsorize _),
     "q_ewma" -> (qEwma _),
@@ -3255,6 +3271,37 @@ object SparkEntry {
         |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM sp GROUP BY span HAVING count(*) >= 2
         |ORDER BY span""".stripMargin,
+    // Replays the mask by span STRING (the operator's xxhash64 grouping is
+    // internal; a 64-bit collision is the only divergence mode): covered
+    // positions from frequent-span starts, rebuild by ordered string_agg.
+    "q_span_mask" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest([{'s': i, 'sp': array_to_string(w[i:i+5], ' ')}
+        |    FOR i IN range(1, len(w) - 4)]) AS u
+        |  FROM w),
+        |s2 AS (SELECT doc_id, u.s AS start, u.sp AS span FROM sp),
+        |f AS (
+        |  SELECT span FROM s2 GROUP BY 1
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT s2.doc_id, s2.start + d.d AS pos
+        |  FROM s2 JOIN f USING (span)
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS d) d),
+        |tok AS (
+        |  SELECT doc_id, unnest([{'p': i, 't': w[i]}
+        |    FOR i IN range(1, len(w) + 1)]) AS u
+        |  FROM w),
+        |kept AS (
+        |  SELECT t.doc_id, string_agg(t.u.t, ' ' ORDER BY t.u.p) AS text_masked,
+        |    COUNT(*) AS n_after
+        |  FROM tok t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.u.p
+        |  WHERE cov.pos IS NULL GROUP BY t.doc_id)
+        |SELECT w.doc_id, len(w.w) AS n_before,
+        |  COALESCE(k.n_after, 0) AS n_after,
+        |  md5(COALESCE(k.text_masked, '')) AS masked_md5
+        |FROM w LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem

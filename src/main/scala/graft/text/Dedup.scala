@@ -186,6 +186,61 @@ object Dedup {
       .select(col("span"), col("n_docs"), col("n_occ"))
   }
 
+  /** C4-style span masking — the APPLICATION step of [[repeatedSpans]]:
+    * rewrite every document with each occurrence of a cross-document
+    * frequent span (appearing in >= `minDocs` distinct documents)
+    * removed, token-exactly. Returns
+    * `(idCol, n_before int, n_after int, text_masked)` — one row per
+    * input document, `text_masked` the space-rejoined kept tokens
+    * (empty string when fully masked).
+    *
+    * Scale shape: span STRINGS never leave their row — the frequency
+    * aggregation and the survivor join both run on the native
+    * position-ordered XXH64 stream ([[graft.functions.ArrayMath
+    * .shingleHash64]], 8-byte keys, map-side combined), the per-document
+    * covered-start sets are `collect_set` over a doc-keyed shuffle
+    * (bounded by tokens/doc), and the rewrite is a narrow codegen'd HOF
+    * (O(tokens × matched starts) per row). Same collision caveat as
+    * [[repeatedSpans]]: a 64-bit collision (~n²/2⁶⁵) could mask a
+    * non-frequent span occurrence.
+    */
+  def maskRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                        spanTokens: Int, minDocs: Int = 2): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
+    require(minDocs >= 1, s"minDocs must be >= 1: $minDocs")
+    graft.ops.Guards.requireNoReservedNames(df,
+      Seq("__p", "__h", "__starts", "n_before", "n_after", "text_masked"),
+      "maskRepeatedSpans")
+    import graft.functions.ArrayMath
+    def spans: DataFrame = df.select(col(idCol),
+      posexplode(ArrayMath.shingleHash64(
+        TextStats.tokens(col(textCol)), spanTokens, distinct = false))
+        .as(Seq("__p", "__h")))
+    val freq = spans
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    // hint-free: AQE broadcasts the frequent-hash side when it fits
+    val starts = spans.join(freq, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__p")).as("__starts"))
+    val noStarts = coalesce(col("__starts"), array().cast("array<int>"))
+    val rebuilt = ArrayMath.bound(TextStats.tokens(col(textCol))) { w =>
+      ArrayMath.bound(filter(
+        zip_with(w, sequence(lit(0), size(w) - 1), (t, p) => struct(t.as("t"), p.as("p"))),
+        x => !exists(noStarts, s =>
+          s <= x.getField("p") && x.getField("p") < s + spanTokens))) { kept =>
+        struct(size(w).as("n_before"), size(kept).as("n_after"),
+          array_join(transform(kept, _.getField("t")), " ").as("text_masked"))
+      }
+    }
+    df.join(starts, Seq(idCol), "left")
+      .select(col(idCol), rebuilt.as("__out"))
+      .select(col(idCol), col("__out.n_before").as("n_before"),
+        col("__out.n_after").as("n_after"), col("__out.text_masked").as("text_masked"))
+  }
+
   /** Shared tail: aggregate per-pair intersection counts (input must have
     * columns id_a, id_b, n_a, n_b — one row per shared shingle) and
     * derive |union| and jaccard from the set sizes riding along.

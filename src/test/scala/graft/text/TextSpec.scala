@@ -280,6 +280,26 @@ class DedupSpec extends AnyFunSuite {
       "y y" -> (1L, 2L))) // 1 doc, 2 overlapping occurrences
   }
 
+  test("maskRepeatedSpans removes exactly the cross-doc frequent-span occurrences") {
+    val d = createDf(spark, "id bigint, text string", Seq(
+      Seq[Any](1L, "a b c d"),   // "a b" and "b c" cross-doc frequent
+      Seq[Any](2L, "x a b c"),
+      Seq[Any](3L, "q r s"),     // untouched
+      Seq[Any](4L, "y y y"),     // within-doc repeat only: NOT masked (minDocs=2)
+      Seq[Any](5L, "a b"),       // fully masked
+      Seq[Any](6L, "z a b")))
+    val got = Dedup.maskRepeatedSpans(d, "id", "text", spanTokens = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // frequent 2-spans across >=2 docs: "a b" (docs 1,2,5,6), "b c" (1,2)
+    assert(got(1L) == ((4, 1, "d")))      // a,b,c covered (starts 0,1)
+    assert(got(2L) == ((4, 1, "x")))      // a,b,c covered (starts 1,2)
+    assert(got(3L) == ((3, 3, "q r s")))  // no frequent span
+    assert(got(4L) == ((3, 3, "y y y")))  // within-doc only, kept
+    assert(got(5L) == ((2, 0, "")))       // fully masked
+    assert(got(6L) == ((3, 1, "z")))
+    assert(got.size == 6)                 // one row per input doc, always
+  }
+
   test("repeatedSpans: docs shorter than the span contribute nothing") {
     val d = createDf(spark, "id bigint, text string", Seq(
       Seq[Any](1L, "a b"), Seq[Any](2L, "a b")))
