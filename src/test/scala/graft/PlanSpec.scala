@@ -239,6 +239,38 @@ class PlanSpec extends AnyFunSuite {
       s"kmeans assignment must be a narrow literal-center map:\n${p.take(1500)}")
   }
 
+  test("q_cluster_sample: literal-center assignment + window cap — no join anywhere") {
+    val p = plan("q_cluster_sample")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"cluster sampling must be narrow assignment + WindowGroupLimit cap:\n${p.take(1500)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-cell cap must push k-row limits below the rank window:\n${p.take(1500)}")
+  }
+
+  test("q_dsir: equi-join scoring, no cartesian (the 1-row totals ride a broadcast)") {
+    val p = plan("q_dsir")
+    assert(!p.contains("CartesianProduct"),
+      s"DSIR must never plan a real cartesian:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection must be top-k (TakeOrdered), not a global sort:\n${p.take(1500)}")
+  }
+
+  test("q_pq: ADC scan is an equi-join against the broadcast LUT with a windowed top-k") {
+    val p = plan("q_pq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ADC must equi-join codes to the LUT:\n${p.take(1500)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must bound window state to k rows per partition:\n${p.take(1500)}")
+  }
+
+  test("q_span_mask: frequency and survivor joins run on hashes; no cartesian") {
+    val p = plan("q_span_mask")
+    assert(!p.contains("CartesianProduct"),
+      s"span masking must never cross-join:\n${p.take(1500)}")
+    assert(p.contains("shinglehash64") || p.contains("ShingleHash64") || p.contains("shingle_hash64"),
+      s"span keys must be the native 8-byte hashes, not strings:\n${p.take(2000)}")
+  }
+
   test("q_wav and q_resize: codec chains never shuffle payload bytes") {
     for (q <- Seq("q_wav", "q_resize")) {
       val p = plan(q)
