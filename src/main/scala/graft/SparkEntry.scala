@@ -303,6 +303,26 @@ object SparkEntry {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
       .orderBy(col("lang"))
 
+  /** Exact-budget mixture materialization ([[graft.ops.Sampling.apportion]]
+    * + [[graft.ops.Sampling.takeApportioned]]): 357 documents split across
+    * sources by largest-remainder quotas proportional to availability,
+    * then taken in the unbiased md5 order. Quotas sum to the budget
+    * EXACTLY — the fixed-total complement of q_mixture's fractions.
+    */
+  private def qApportion(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_avail"))
+    val quotas = Sampling.apportion(counts, "source", "n_avail", budget = 357L)
+    val taken = Sampling.takeApportioned(d, Seq("source"), "doc_id",
+        quotas.select(col("source"), col("quota")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_taken"), sum(col("doc_id")).as("sum_taken_ids"))
+    quotas.join(taken, Seq("source"))
+      .select(col("source"), col("n_avail"), col("quota"),
+        col("n_taken"), col("sum_taken_ids"))
+      .orderBy(col("source"))
+  }
+
   /** Multi-column profile (nulls, exact distinct, min/max; Expand-free
     * two-scan shape, see [[graft.ops.Profile]]).
     */
@@ -2741,6 +2761,7 @@ object SparkEntry {
     "q_stratified" -> (qStratified _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_mixture" -> (qMixture _),
+    "q_apportion" -> (qApportion _),
     "q_profile" -> (qProfile _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -3113,6 +3134,33 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM r WHERE rk <= floor(n * 0.25)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Largest-remainder replay: floor quotas via integer //, leftovers by
+    // remainder rank (ties to smaller source), md5-order materialization.
+    "q_apportion" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_avail FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n_avail) AS W FROM c),
+        |b AS (
+        |  SELECT source, n_avail,
+        |    (357 * n_avail) // W AS base, (357 * n_avail) % W AS rem
+        |  FROM c CROSS JOIN t),
+        |r AS (SELECT 357 - SUM(base) AS extra FROM b),
+        |q AS (
+        |  SELECT source, n_avail,
+        |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= extra
+        |      THEN 1 ELSE 0 END AS quota
+        |  FROM b CROSS JOIN r),
+        |ranked AS (
+        |  SELECT d.source, d.doc_id,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+        |  FROM documents d),
+        |taken AS (
+        |  SELECT ranked.source, COUNT(*) AS n_taken, SUM(ranked.doc_id) AS sum_taken_ids
+        |  FROM ranked JOIN q USING (source) WHERE rk <= quota GROUP BY 1)
+        |SELECT q.source, q.n_avail, CAST(q.quota AS BIGINT) AS quota,
+        |  CAST(taken.n_taken AS BIGINT) AS n_taken,
+        |  CAST(taken.sum_taken_ids AS BIGINT) AS sum_taken_ids
+        |FROM q JOIN taken USING (source) ORDER BY q.source""".stripMargin,
     "q_mixture" ->
       // the lang filter mirrors resampleToMixture dropping sources absent
       // from the target map — without it a sixth fixture language would

@@ -213,6 +213,66 @@ object Sampling {
       .drop("__cap_rk")
   }
 
+  /** Hamilton largest-remainder apportionment: split an integer `budget`
+    * across groups EXACTLY in proportion to integer weights — the missing
+    * complement of [[resampleToMixture]] (which keeps fractions, not a
+    * fixed total). Each group gets `floor(budget·w/W)` plus one of the
+    * `budget − Σfloor` leftovers, awarded by largest fractional remainder
+    * (ties to the smaller key). Guarantees: quotas sum to `budget`
+    * exactly; each quota is within 1 of its exact proportional share;
+    * everything is integer/decimal arithmetic an independent engine
+    * replays bit-for-bit.
+    *
+    * `weights` is a per-GROUP table — bounded by group count, so the
+    * whole-frame remainder window is bounded by construction (the q_drift
+    * bin-table doctrine), and the 1-row totals ride broadcasts. Products
+    * go through DECIMAL(38,0): a 10^12-row source times a 10^9 budget
+    * cannot overflow.
+    *
+    * @return (keyCol, weightCol, quota long)
+    */
+  def apportion(weights: DataFrame, keyCol: String, weightCol: String,
+                budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tot = weights.agg(sum(col(weightCol).cast(dec)).as("__W"))
+    val based = weights.select(col(keyCol), col(weightCol))
+      .crossJoin(tot)
+      .select(col(keyCol), col(weightCol),
+        (lit(budget).cast(dec) * col(weightCol).cast(dec)).as("__kw"), col("__W"))
+      // exact floor division: __kw - pmod(__kw, __W) is divisible by __W
+      .select(col(keyCol), col(weightCol),
+        ((col("__kw") - pmod(col("__kw"), col("__W"))) / col("__W"))
+          .cast("long").as("__base"),
+        pmod(col("__kw"), col("__W")).as("__rem"))
+    val extra = based.agg((lit(budget) - sum(col("__base"))).cast("long").as("__extra"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(keyCol).asc)
+    based.crossJoin(extra)
+      .withColumn("__rk", row_number().over(w))
+      .select(col(keyCol), col(weightCol),
+        (col("__base") + when(col("__rk") <= col("__extra"), 1L).otherwise(0L))
+          .as("quota"))
+  }
+
+  /** Materialize per-group quotas ([[apportion]]'s output, or any
+    * `(groupCols, quota)` table): keep each group's first `quota` rows in
+    * the unbiased md5-hash order ([[capPerGroup]]'s selection rule, made
+    * per-group-dynamic). The quota table is group-bounded, so the join is
+    * hint-free (AQE broadcasts it); rows shuffle once on the group key.
+    */
+  def takeApportioned(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                      quotas: DataFrame): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")).asc, col(keyCol).asc)
+    df.join(quotas, groupCols)
+      .withColumn("__ap_rk", row_number().over(w))
+      .filter(col("__ap_rk") <= col("quota"))
+      .drop("__ap_rk")
+  }
+
   /** Deterministic negative-pair mining (contrastive-training prep): for
     * each row, `k` pseudo-random partners — reproducible across reruns
     * and engines, unlike `rand()`-ordered self-joins, and NOT an O(n²)

@@ -135,6 +135,52 @@ class SamplingSpec extends AnyFunSuite {
     assert(dropped.filter(col("src") =!= "big").count() == 0)
   }
 
+  test("apportion: quotas sum to budget exactly, each within 1 of its share") {
+    val w = createDf(spark, "src string, n bigint", Seq(
+      Seq[Any]("a", 10L), Seq[Any]("b", 20L), Seq[Any]("c", 30L),
+      Seq[Any]("d", 7L), Seq[Any]("e", 33L)))
+    for (budget <- Seq(0L, 1L, 37L, 100L, 997L)) {
+      val q = Sampling.apportion(w, "src", "n", budget)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(q.values.sum == budget, s"budget $budget")
+      val tot = 100.0
+      q.foreach { case (k, quota) =>
+        val share = budget * Map("a" -> 10, "b" -> 20, "c" -> 30, "d" -> 7, "e" -> 33)(k) / tot
+        assert(quota >= math.floor(share).toLong && quota <= math.ceil(share).toLong + 0,
+          s"budget $budget src $k quota $quota share $share")
+      }
+    }
+  }
+
+  test("apportion leftovers go to the largest remainders, ties to the smaller key") {
+    // equal weights, budget not divisible: 3 groups, budget 4 → remainders
+    // all equal → extra goes to the lexicographically first
+    val w = createDf(spark, "src string, n bigint", Seq(
+      Seq[Any]("x", 5L), Seq[Any]("y", 5L), Seq[Any]("z", 5L)))
+    val q = Sampling.apportion(w, "src", "n", 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q == Map("x" -> 2L, "y" -> 1L, "z" -> 1L))
+  }
+
+  test("takeApportioned keeps exactly quota rows per group, deterministically") {
+    val d = createDf(spark, "src string, id bigint",
+      (1L to 30L).map(i => Seq[Any](if (i <= 18) "a" else "b", i)))
+    val counts = d.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val quotas = Sampling.apportion(counts, "src", "n", 10L)
+    val taken = Sampling.takeApportioned(d, Seq("src"), "id",
+      quotas.select(col("src"), col("quota")))
+    val byGroup = taken.groupBy(col("src")).agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qm = quotas.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byGroup == qm && qm.values.sum == 10L)
+    // 18/30 and 12/30 of 10 → 6 each exact for a; b = 4
+    assert(qm == Map("a" -> 6L, "b" -> 4L))
+    val again = taken.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == Sampling.takeApportioned(d, Seq("src"), "id",
+      quotas.select(col("src"), col("quota")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
   test("deterministicSample keeps a stable subset of ~fraction size") {
     val a = Sampling.deterministicSample(ids, "id", 0.25)
     val b = Sampling.deterministicSample(ids, "id", 0.25)
