@@ -543,6 +543,40 @@ object SparkEntry {
     Dsir.selectTopK(t(s, dir, "documents"), "doc_id", "text",
       isTarget = col("lang") === "en", k = 120, hexChars = 3)
 
+  /** Retrieval evaluation ([[graft.text.Rank.bm25SearchAll]]): each of 20
+    * held-out lead chunks queries the remaining chunk corpus via batch
+    * BM25; a hit is retrieving a chunk of the SAME document. Emits exact
+    * integer recall@1/@5 numerators — the retrieval-QA harness a
+    * training-data pipeline runs after chunking. The numbers are
+    * data-honest: this synthetic corpus draws from a ~31-token shared
+    * vocabulary, so chunk→document identity is irrecoverable BY
+    * CONSTRUCTION and the true recall is ~0 — exactly what the harness
+    * reports (both engines, bit-identical). RankSpec's distinctive-topic
+    * fixture is the positive control where recall is 100%.
+    */
+  private def qRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextStats.chunkTokens(col("text"), 32, 8)).as(Seq("chunk_idx", "ctext")))
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+        col("doc_id"), col("chunk_idx"), col("ctext"))
+    val isQuery = col("doc_id") < 20 && col("chunk_idx") === 0
+    val queries = chunks.filter(isQuery)
+      .select(col("doc_id").as("query_id"), col("ctext").as("qtext"))
+    val corpus = chunks.filter(!isQuery)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("chunk_id"))
+    val top = Rank.bm25SearchAll(corpus, "chunk_id", "ctext", queries, "query_id", "qtext")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .withColumn("hit",
+        when(expr("chunk_id div 1000") === col("query_id"), 1L).otherwise(0L))
+    top.groupBy(col("query_id"))
+      .agg(max(when(col("rank") === 1, col("hit")).otherwise(0L)).as("h1"),
+        max(col("hit")).as("h5"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("h1")).as("hits_at_1"), sum(col("h5")).as("hits_at_5"))
+  }
+
   /** Sequence packing: documents are sharded by (lang, md5-bucket%8) —
     * NOT by lang alone: a low-cardinality shard key would cap the
     * window's parallelism at the language count, the same single-task
@@ -2778,6 +2812,7 @@ object SparkEntry {
     "q_token_budget" -> (qTokenBudget _),
     "q_frame_sample" -> (qFrameSample _),
     "q_bm25" -> (qBm25 _),
+    "q_retrieval_eval" -> (qRetrievalEval _),
     "q_upsert" -> (qUpsert _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_funnel" -> (qFunnel _),
@@ -3719,6 +3754,53 @@ object SparkEntry {
         |    - CASE WHEN CAST(('0x' || substr(hx, 4*i+3, 2)) AS BIGINT) >= 128
         |           THEN 65536 ELSE 0 END)) AS BIGINT), 0) AS sum_ch0
         |FROM b ORDER BY doc_id""".stripMargin,
+    // mirrors qRetrievalEval CTE-for-CTE; the per-pair total is the
+    // ordered list_sum, matching the operator's sorted sequential fold
+    "q_retrieval_eval" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest(range(0, (greatest(len(w) - 8 - 1, 0) // 24) + 1)) AS ci, w
+        |  FROM w),
+        |c2 AS (
+        |  SELECT doc_id * 1000 + ci AS chunk_id, doc_id, ci,
+        |    array_to_string(w[ci*24+1:ci*24+32], ' ') AS ctext
+        |  FROM ch),
+        |q AS (SELECT doc_id AS query_id, ctext AS qtext FROM c2 WHERE doc_id < 20 AND ci = 0),
+        |corp AS (SELECT chunk_id, ctext FROM c2 WHERE NOT (doc_id < 20 AND ci = 0)),
+        |qt AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+        |cw AS (SELECT chunk_id, string_split(ctext, ' ') AS w FROM corp),
+        |post AS (SELECT chunk_id, len(w) AS dl, unnest(w) AS term FROM cw),
+        |tf AS (
+        |  SELECT chunk_id, dl, term, COUNT(*) AS tf FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(DISTINCT chunk_id) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(len(string_split(ctext, ' '))) AS sum_dl FROM corp),
+        |sc AS (
+        |  SELECT qt.query_id, f.chunk_id, f.term,
+        |    (((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)) + 0.5)
+        |       / (CAST(d.df AS DOUBLE) + 0.5))
+        |    * ((CAST(f.tf AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(f.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(f.dl AS DOUBLE)
+        |            / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS s
+        |  FROM tf f JOIN qt USING (term) JOIN dfx d USING (term) CROSS JOIN stats s),
+        |tot AS (
+        |  SELECT query_id, chunk_id, list_sum(list(s ORDER BY term)) AS score
+        |  FROM sc GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, chunk_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, chunk_id) AS rank
+        |  FROM tot),
+        |top AS (
+        |  SELECT query_id, rank,
+        |    CASE WHEN chunk_id // 1000 = query_id THEN 1 ELSE 0 END AS hit
+        |  FROM rk WHERE rank <= 5),
+        |per AS (
+        |  SELECT query_id, MAX(CASE WHEN rank = 1 THEN hit ELSE 0 END) AS h1, MAX(hit) AS h5
+        |  FROM top GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(h1) AS BIGINT) AS hits_at_1, CAST(SUM(h5) AS BIGINT) AS hits_at_5
+        |FROM per""".stripMargin,
     "q_bm25" ->
       // the score expression tree mirrors Rank.bm25Scores operation for
       // operation (rational idf — no ln), so doubles match bit-for-bit

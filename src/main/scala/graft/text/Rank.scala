@@ -113,6 +113,73 @@ object Rank {
       .select(id, col("term"), col("tf"), col("df"), col("dl"), score.as("score"))
   }
 
+  /** Batch BM25 retrieval: score every query row against every corpus
+    * document sharing at least one term — [[bm25Scores]] generalized from
+    * a literal term list to a QUERY TABLE (the retrieval-evaluation /
+    * seed-query-expansion shape).
+    *
+    * Returns `(qId, cId, score double, n_terms long)` — one row per
+    * (query, document) pair with >= 1 matching term. Per-document totals
+    * fold the per-term scores IN TERM ORDER (a sorted sequential
+    * `aggregate`), so the double sum is bit-reproducible at any
+    * parallelism and matches DuckDB's ordered `list_sum` — the dynamic
+    * generalization of q_bm25's fixed-column explicit addition.
+    *
+    * Scale shape: corpus postings are pruned by a hint-free semi-join
+    * against the DISTINCT query-term set BEFORE the (doc, term)
+    * aggregation — with a bounded query workload AQE broadcasts the term
+    * set and the grouped state is O(docs × matched terms), never O(total
+    * tokens). Per-term dfs and the 1-row corpus stats attach via bounded
+    * joins; the (query, doc) pair stream is proportional to postings ×
+    * queries-per-term, the classic inverted-index fan-out.
+    */
+  def bm25SearchAll(
+      corpus: DataFrame, cId: String, cText: String,
+      queries: DataFrame, qId: String, qText: String,
+      k1: Double = 1.2, b: Double = 0.75,
+      corpusStats: Option[(Long, Long)] = None,
+  ): DataFrame = {
+    require(qId != cId, s"query and corpus id columns must differ: $qId")
+    val qterms = queries.select(col(qId).as("__qid"),
+      explode(array_distinct(TextStats.tokens(col(qText)))).as("term"))
+    val termSet = qterms.select(col("term")).distinct()
+    val postings = corpus
+      .select(col(cId).as("__cid"), TextStats.tokens(col(cText)).as("__w"))
+      .select(col("__cid"), size(col("__w")).as("dl"), explode(col("__w")).as("term"))
+      .join(termSet, Seq("term"), "left_semi")
+      .groupBy(col("__cid"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy(col("term")).agg(countDistinct(col("__cid")).as("df"))
+    val spark = corpus.sparkSession
+    val stats = corpusStats match {
+      case Some((nDocs, sumDl)) =>
+        spark.range(1).select(lit(nDocs).as("n_docs"), lit(sumDl).as("sum_dl"))
+      case None =>
+        corpus.select(TextStats.tokenCount(col(cText)).cast("long").as("__dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("sum_dl"))
+    }
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val idfR = ((nD - col("df").cast("double")) + lit(0.5)) / (col("df").cast("double") + lit(0.5))
+    val denom = tfD + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (dlD / avgdl))
+    val score = idfR * ((tfD * lit(k1 + 1.0)) / denom)
+    postings
+      .join(qterms, Seq("term"))
+      .join(dfs, Seq("term"))
+      .crossJoin(stats)
+      .select(col("__qid"), col("__cid"), col("term"), score.as("__sc"))
+      .groupBy(col("__qid"), col("__cid"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("term").as("t"), col("__sc").as("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumnRenamed("__qid", qId)
+      .withColumnRenamed("__cid", cId)
+  }
+
   /** Per-document top-`k` keywords by TF-IDF with the same rational idf
     * family as [[bm25Scores]] (`(N+1)/(df+1)`, every operation a single
     * IEEE rounding — oracle-reproducible bit-for-bit).

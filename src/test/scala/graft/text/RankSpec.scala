@@ -33,6 +33,47 @@ class RankSpec extends AnyFunSuite {
     assert(!s.contains((3, "cat")) && !s.contains((4, "cat")))
   }
 
+  test("bm25SearchAll: distinctive vocabulary retrieves the right doc at rank 1") {
+    val corpus = createDf(spark, "cid int, ctext string", Seq(
+      Seq[Any](10, "quantum physics entangles photon states"),
+      Seq[Any](11, "gothic cathedrals vault stone arches"),
+      Seq[Any](12, "sourdough bread ferments wild yeast"),
+      Seq[Any](13, "photon states decohere in quantum noise"),
+    ))
+    val qs = createDf(spark, "qid int, qtext string", Seq(
+      Seq[Any](1, "quantum photon"),
+      Seq[Any](2, "stone cathedrals"),
+      Seq[Any](3, "wild sourdough yeast"),
+    ))
+    val got = Rank.bm25SearchAll(corpus, "cid", "ctext", qs, "qid", "qtext")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    // every (query, doc) pair sharing a term is scored; disjoint pairs absent
+    assert(!got.contains((1, 11)) && !got.contains((2, 12)) && !got.contains((3, 10)))
+    // both quantum docs match query 1 on both terms
+    assert(got((1, 10))._2 == 2L && got((1, 13))._2 == 2L)
+    // the positive control: per query, the topic doc wins rank 1
+    def top1(q: Int): Int =
+      got.collect { case ((`q`, c), (s, _)) => (s, c) }.toSeq.sortBy { case (s, c) => (-s, c) }.head._2
+    assert(top1(2) == 11 && top1(3) == 12)
+    assert(Set(10, 13).contains(top1(1))) // both quantum docs legitimately lead
+  }
+
+  test("bm25SearchAll total equals the ordered per-term fold (determinism contract)") {
+    val corpus = createDf(spark, "cid int, ctext string", Seq(
+      Seq[Any](1, "cat dog cat fish"), Seq[Any](2, "dog dog bird")))
+    val qs = createDf(spark, "qid int, qtext string", Seq(Seq[Any](7, "cat dog bird")))
+    val rows = Rank.bm25SearchAll(corpus, "cid", "ctext", qs, "qid", "qtext").collect()
+    // recompute from bm25Scores (the literal-terms baseline) in term order
+    val base = Rank.bm25Scores(corpus, "cid", "ctext", Seq("cat", "dog", "bird"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(5)).toMap
+    rows.foreach { r =>
+      val (cid, score) = (r.getInt(1), r.getDouble(2)) // col0=qid, col1=cid
+      val expected = Seq("bird", "cat", "dog") // sorted term order = the fold order
+        .flatMap(t => base.get((cid, t))).foldLeft(0.0)(_ + _)
+      assert(score == expected, s"cid $cid: $score != $expected")
+    }
+  }
+
   test("rarer terms score higher at equal tf and dl (idf monotone in df)") {
     val s = scores("cat", "dog")
     // doc 1 has tf=2 of cat (df=2) and... use doc3: dog tf=2 dl=2 df=2 —
