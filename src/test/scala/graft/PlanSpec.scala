@@ -271,6 +271,22 @@ class PlanSpec extends AnyFunSuite {
       s"span keys must be the native 8-byte hashes, not strings:\n${p.take(2000)}")
   }
 
+  test("q_apportion: quota math joins are equi (no cartesian beyond 1-row broadcasts)") {
+    val p = plan("q_apportion")
+    assert(!p.contains("CartesianProduct"),
+      s"apportionment must never plan a real cartesian:\n${p.take(1500)}")
+  }
+
+  test("q_retrieval_eval: postings prune below the (doc, term) aggregation") {
+    val p = plan("q_retrieval_eval")
+    assert(!p.contains("CartesianProduct"),
+      s"batch retrieval must stay equi-joined:\n${p.take(1500)}")
+    // the semi-join against the query-term set must appear (term pruning
+    // before the aggregation — the O(matched postings) contract)
+    assert(p.contains("LeftSemi"),
+      s"the distinct-term semi-join must prune postings:\n${p.take(2000)}")
+  }
+
   test("q_wav and q_resize: codec chains never shuffle payload bytes") {
     for (q <- Seq("q_wav", "q_resize")) {
       val p = plan(q)
