@@ -565,7 +565,7 @@ object SparkEntry {
       .select(col("doc_id").as("query_id"), col("ctext").as("qtext"))
     val corpus = chunks.filter(!isQuery)
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("chunk_id"))
+      .orderBy(col("score_nano").desc, col("chunk_id"))
     val top = Rank.bm25SearchAll(corpus, "chunk_id", "ctext", queries, "query_id", "qtext")
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .withColumn("hit",
@@ -3754,8 +3754,8 @@ object SparkEntry {
         |    - CASE WHEN CAST(('0x' || substr(hx, 4*i+3, 2)) AS BIGINT) >= 128
         |           THEN 65536 ELSE 0 END)) AS BIGINT), 0) AS sum_ch0
         |FROM b ORDER BY doc_id""".stripMargin,
-    // mirrors qRetrievalEval CTE-for-CTE; the per-pair total is the
-    // ordered list_sum, matching the operator's sorted sequential fold
+    // mirrors qRetrievalEval CTE-for-CTE; per-term scores quantize to
+    // integer nano-units BEFORE the pair sum (round-per-term playbook)
     "q_retrieval_eval" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |ch AS (
@@ -3785,11 +3785,12 @@ object SparkEntry {
         |            / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS s
         |  FROM tf f JOIN qt USING (term) JOIN dfx d USING (term) CROSS JOIN stats s),
         |tot AS (
-        |  SELECT query_id, chunk_id, list_sum(list(s ORDER BY term)) AS score
+        |  SELECT query_id, chunk_id,
+        |    SUM(CAST(round(s * 1000000000.0) AS BIGINT)) AS score_nano
         |  FROM sc GROUP BY 1, 2),
         |rk AS (
         |  SELECT query_id, chunk_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, chunk_id) AS rank
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_nano DESC, chunk_id) AS rank
         |  FROM tot),
         |top AS (
         |  SELECT query_id, rank,

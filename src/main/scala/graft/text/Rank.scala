@@ -118,12 +118,15 @@ object Rank {
     * a literal term list to a QUERY TABLE (the retrieval-evaluation /
     * seed-query-expansion shape).
     *
-    * Returns `(qId, cId, score double, n_terms long)` — one row per
-    * (query, document) pair with >= 1 matching term. Per-document totals
-    * fold the per-term scores IN TERM ORDER (a sorted sequential
-    * `aggregate`), so the double sum is bit-reproducible at any
-    * parallelism and matches DuckDB's ordered `list_sum` — the dynamic
-    * generalization of q_bm25's fixed-column explicit addition.
+    * Returns `(qId, cId, score_nano long, n_terms long)` — one row per
+    * (query, document) pair with >= 1 matching term. Per-TERM scores are
+    * quantized EARLY to integer nano-units (`round(score·1e9)` — the
+    * round-per-term playbook trick), so per-pair totals are exact BIGINT
+    * sums: bit-reproducible at any parallelism, MAP-SIDE COMBINABLE
+    * (unlike an ordered double fold, which needs the whole term list in
+    * one place), and engine-portable (the per-term doubles are identical
+    * IEEE trees in both engines, so the quantization agrees). Ranking is
+    * unchanged for any score gap above 1e-9 relative units.
     *
     * Scale shape: corpus postings are pruned by a hint-free semi-join
     * against the DISTINCT query-term set BEFORE the (doc, term)
@@ -169,13 +172,10 @@ object Rank {
       .join(qterms, Seq("term"))
       .join(dfs, Seq("term"))
       .crossJoin(stats)
-      .select(col("__qid"), col("__cid"), col("term"), score.as("__sc"))
+      .select(col("__qid"), col("__cid"),
+        round(score * lit(1e9), 0).cast("long").as("__sc"))
       .groupBy(col("__qid"), col("__cid"))
-      .agg(
-        aggregate(
-          array_sort(collect_list(struct(col("term").as("t"), col("__sc").as("s")))),
-          lit(0.0), (acc, x) => acc + x.getField("s")).as("score"),
-        count(lit(1)).as("n_terms"))
+      .agg(sum(col("__sc")).as("score_nano"), count(lit(1)).as("n_terms"))
       .withColumnRenamed("__qid", qId)
       .withColumnRenamed("__cid", cId)
   }

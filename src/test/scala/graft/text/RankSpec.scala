@@ -46,7 +46,7 @@ class RankSpec extends AnyFunSuite {
       Seq[Any](3, "wild sourdough yeast"),
     ))
     val got = Rank.bm25SearchAll(corpus, "cid", "ctext", qs, "qid", "qtext")
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
     // every (query, doc) pair sharing a term is scored; disjoint pairs absent
     assert(!got.contains((1, 11)) && !got.contains((2, 12)) && !got.contains((3, 10)))
     // both quantum docs match query 1 on both terms
@@ -58,18 +58,19 @@ class RankSpec extends AnyFunSuite {
     assert(Set(10, 13).contains(top1(1))) // both quantum docs legitimately lead
   }
 
-  test("bm25SearchAll total equals the ordered per-term fold (determinism contract)") {
+  test("bm25SearchAll total equals the sum of per-term nano-quantized scores") {
     val corpus = createDf(spark, "cid int, ctext string", Seq(
       Seq[Any](1, "cat dog cat fish"), Seq[Any](2, "dog dog bird")))
     val qs = createDf(spark, "qid int, qtext string", Seq(Seq[Any](7, "cat dog bird")))
     val rows = Rank.bm25SearchAll(corpus, "cid", "ctext", qs, "qid", "qtext").collect()
-    // recompute from bm25Scores (the literal-terms baseline) in term order
+    // recompute from bm25Scores (the literal-terms baseline): quantize each
+    // per-term double to nano-units, then exact integer addition
     val base = Rank.bm25Scores(corpus, "cid", "ctext", Seq("cat", "dog", "bird"))
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getDouble(5)).toMap
     rows.foreach { r =>
-      val (cid, score) = (r.getInt(1), r.getDouble(2)) // col0=qid, col1=cid
-      val expected = Seq("bird", "cat", "dog") // sorted term order = the fold order
-        .flatMap(t => base.get((cid, t))).foldLeft(0.0)(_ + _)
+      val (cid, score) = (r.getInt(1), r.getLong(2)) // col0=qid, col1=cid
+      val expected = Seq("bird", "cat", "dog")
+        .flatMap(t => base.get((cid, t))).map(s => math.round(s * 1e9)).sum
       assert(score == expected, s"cid $cid: $score != $expected")
     }
   }
