@@ -162,6 +162,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(q == Map("x" -> 2L, "y" -> 1L, "z" -> 1L))
   }
 
+  test("apportion with budget exceeding total weight still sums exactly") {
+    val w = createDf(spark, "src string, n bigint", Seq(
+      Seq[Any]("a", 2L), Seq[Any]("b", 3L)))
+    val q = Sampling.apportion(w, "src", "n", 50L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q.values.sum == 50L && q("a") == 20L && q("b") == 30L)
+  }
+
   test("takeApportioned keeps exactly quota rows per group, deterministically") {
     val d = createDf(spark, "src string, id bigint",
       (1L to 30L).map(i => Seq[Any](if (i <= 18) "a" else "b", i)))

@@ -51,6 +51,16 @@ class DsirSpec extends AnyFunSuite {
     assert(Seq(1, 2).map(scored(_)._2).min > Seq(3, 4).map(scored(_)._2).max)
   }
 
+  test("empty target slice degrades gracefully: uniform negative prior, selection still total") {
+    val llr = Dsir.importanceTable(docs, "text", lit(false), hexChars = 3)
+    // np = 0 everywhere: llr = ln((1/B') / ((nq+1)/(tq+B))) — finite, defined
+    val rows = llr.collect()
+    assert(rows.nonEmpty && rows.forall(r => !r.isNullAt(1)))
+    val top = Dsir.selectTopK(docs, "id", "text", lit(false), k = 10, hexChars = 3)
+      .collect()
+    assert(top.length == 4) // k caps at corpus size, every doc scored
+  }
+
   test("selectTopK is a deterministic id-tie-broken prefix") {
     val top = Dsir.selectTopK(docs, "id", "text", col("tgt"), k = 2, hexChars = 3)
       .select(col("id")).collect().map(_.getInt(0)).toSeq

