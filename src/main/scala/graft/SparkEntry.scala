@@ -893,6 +893,34 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PQ recall@5 law ([[qPq]] vs exact lattice brute force): per query,
+    * how many of the ADC top-5 appear in the true integer top-5. Both
+    * sides replay bit-for-bit, so the recall NUMERATORS are oracle-exact
+    * — a measured quality figure for the lossy index, not just a
+    * containment bound. Validation query (re-runs training + an
+    * oracle-scale brute scan; excluded from the bench workload).
+    */
+  private def qPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    val cb = Pq.train(e, "vec_id", "q", d = 64, m = 2, k = 8, iters = 2)
+    val pq5 = Pq.adcTopK(e, e.filter(col("vec_id") < 10), "vec_id", "q", cb, topK = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val brute = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("__qv"))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("q").as("__nv")))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("__qv"), col("__nv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    val b5 = brute.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__in"))
+    pq5.join(b5, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__in"), lit(0))).cast("long").as("n_overlap"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding near-dup pairs above cosine 0.45 — the brute-force O(n²)
     * baseline, scoped to small-SF oracle duty only. The production path is
     * [[qEmbedPairsLsh]]; its semantics are verified against this baseline
@@ -2019,7 +2047,7 @@ object SparkEntry {
     * query subvector against the FINAL centers; ADC = exact integer sum
     * of the two lookups, top-5 per query with id tie-break.
     */
-  private def pqOracleSql(k: Int, iters: Int, d: Int): String = {
+  private def pqOracleCtes(k: Int, iters: Int, d: Int): String = {
     val sub = d / 2
     val quant = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
     def lut(p: String, lo: Int, hi: Int) =
@@ -2028,7 +2056,7 @@ object SparkEntry {
          |    list_sum(list_transform(list_zip(qv.q[$lo:$hi], c.c),
          |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
          |  FROM qv, ${p}c$iters c)""".stripMargin
-    s"""WITH ${kmeansOracleCtes(k, iters, "s0_", s"($quant)[1:$sub]")},
+    s"""${kmeansOracleCtes(k, iters, "s0_", s"($quant)[1:$sub]")},
        |${kmeansOracleCtes(k, iters, "s1_", s"($quant)[${sub + 1}:$d]")},
        |codes AS (
        |  SELECT a.vec_id, a.cluster AS c0, b.cluster AS c1
@@ -2036,6 +2064,7 @@ object SparkEntry {
        |qv AS (
        |  SELECT vec_id AS query_id, $quant AS q
        |  FROM embeddings WHERE vec_id < 10),
+       |cv AS (SELECT vec_id, $quant AS q FROM embeddings),
        |${lut("s0_", 1, sub)},
        |${lut("s1_", sub + 1, d)},
        |sc AS (
@@ -2043,12 +2072,42 @@ object SparkEntry {
        |    CAST(l0.d2 + l1.d2 AS BIGINT) AS approx_d2
        |  FROM codes
        |  JOIN s0_lut l0 ON l0.code = codes.c0
-       |  JOIN s1_lut l1 ON l1.code = codes.c1 AND l1.query_id = l0.query_id)
+       |  JOIN s1_lut l1 ON l1.code = codes.c1 AND l1.query_id = l0.query_id)""".stripMargin
+  }
+
+  private def pqOracleSql(k: Int, iters: Int, d: Int): String =
+    s"""WITH ${pqOracleCtes(k, iters, d)}
        |SELECT query_id, neighbor_id, approx_d2,
        |  row_number() OVER (PARTITION BY query_id
        |    ORDER BY approx_d2, neighbor_id) AS rank
        |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** PQ recall law: the ADC top-5 measured against the EXACT integer
+    * brute-force top-5 on the same lattice vectors — both sides fully
+    * deterministic, so the recall numerators are oracle-exact, unlike the
+    * float ANN paths whose laws are containment-only.
+    */
+  private def pqRecallOracleSql(k: Int, iters: Int, d: Int): String =
+    s"""WITH ${pqOracleCtes(k, iters, d)},
+       |pq5 AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_d2, neighbor_id) AS rank
+       |  FROM sc QUALIFY rank <= 5),
+       |bd AS (
+       |  SELECT qv.query_id, cv.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(qv.q, cv.q),
+       |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+       |  FROM qv CROSS JOIN cv),
+       |b5 AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2, neighbor_id) AS rank
+       |  FROM bd QUALIFY rank <= 5)
+       |SELECT p.query_id,
+       |  CAST(SUM(CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |FROM pq5 p LEFT JOIN b5 b USING (query_id, neighbor_id)
+       |GROUP BY p.query_id ORDER BY p.query_id""".stripMargin
 
   private def kmeansOracleSql(k: Int, iters: Int): String =
     s"""WITH ${kmeansOracleCtes(k, iters)}
@@ -2784,6 +2843,7 @@ object SparkEntry {
     "q_kmeans" -> (qKmeans _),
     "q_cluster_sample" -> (qClusterSample _),
     "q_pq" -> (qPq _),
+    "q_pq_recall" -> (qPqRecall _),
     "q_embed_pairs" -> (qEmbedPairs _),
     "q_embed_pairs_lsh" -> (qEmbedPairsLsh _),
     "q_lsh_containment" -> (qLshContainment _),
@@ -2900,7 +2960,7 @@ object SparkEntry {
       "q_dup_components", "q_bucketed_join", "q_cms", "q_ivf_exact",
       "q_simhash_containment", "q_fingerprint_containment", "q_quantile_bound",
       "q_hll_merge", "q_weighted_sample", "q_hh_containment", "q_joinsize_bound",
-      "q_rolling_hll", "q_compact_audit", "q_lsh_recall")
+      "q_rolling_hll", "q_compact_audit", "q_lsh_recall", "q_pq_recall")
 
   def oracleSql: Map[String, String] = Map(
     "q_join_agg" ->
@@ -3098,6 +3158,7 @@ object SparkEntry {
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
     "q_cluster_sample" -> clusterSampleOracleSql(k = 8, iters = 2, cap = 40),
     "q_pq" -> pqOracleSql(k = 8, iters = 2, d = 64),
+    "q_pq_recall" -> pqRecallOracleSql(k = 8, iters = 2, d = 64),
     "q_embed_pairs" ->
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding,
