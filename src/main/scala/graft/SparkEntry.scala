@@ -42,6 +42,19 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
+  /** Bilateral price indexes ([[graft.ops.PriceIndex.bilateralIndexes]]):
+    * monthly Laspeyres/Paasche/Fisher for 1995 part prices vs the
+    * 1995-01 base basket — the reference's consumer-prices domain as one
+    * decimal-exact aggregation chain (unit values from decimal sums,
+    * micro-quantized index terms, 6-dp emitted ratios).
+    */
+  private def qPriceIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.bilateralIndexes(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
   /** Star-schema join + aggregation (capability inherited from Spark; SURVEY
     * §2.3). nation/region are broadcast explicitly — at 100 TB the fact-side
     * tables shuffle on join keys while dims ship to every executor.
@@ -2804,6 +2817,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_agg" -> (qJoinAgg _),
+    "q_price_index" -> (qPriceIndex _),
     "q_concat_keys" -> (qConcatKeys _),
     "q_map_col" -> (qMapCol _),
     "q_rename" -> (qRename _),
@@ -2963,6 +2977,33 @@ object SparkEntry {
       "q_rolling_hll", "q_compact_audit", "q_lsh_recall", "q_pq_recall")
 
   def oracleSql: Map[String, String] = Map(
+    // the index chain replays exactly: decimal sums, one double division
+    // per unit value, micro-quantized terms, integer sums, 6-dp ratios
+    "q_price_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |j AS (SELECT uv.pd, uv.p, uv.qd, b.p0, b.q0 FROM uv JOIN base b USING (it)),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(CAST(round(p * q0 * 1000000.0) AS BIGINT)) AS numL,
+        |    SUM(CAST(round(p0 * q0 * 1000000.0) AS BIGINT)) AS denL,
+        |    SUM(CAST(round(p * qd * 1000000.0) AS BIGINT)) AS numP,
+        |    SUM(CAST(round(p0 * qd * 1000000.0) AS BIGINT)) AS denP
+        |  FROM j GROUP BY 1)
+        |SELECT period, n_items,
+        |  round(CAST(numL AS DOUBLE) / CAST(denL AS DOUBLE), 6) AS laspeyres,
+        |  round(CAST(numP AS DOUBLE) / CAST(denP AS DOUBLE), 6) AS paasche,
+        |  round(sqrt((CAST(numL AS DOUBLE) / CAST(denL AS DOUBLE))
+        |           * (CAST(numP AS DOUBLE) / CAST(denP AS DOUBLE))), 6) AS fisher
+        |FROM agg ORDER BY period""".stripMargin,
     "q_join_agg" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
