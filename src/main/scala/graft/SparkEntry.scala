@@ -55,6 +55,18 @@ object SparkEntry {
         "l_extendedprice", "l_quantity", basePeriod = "1995-01")
       .orderBy(col("period"))
 
+  /** Elementary index formulas ([[graft.ops.PriceIndex.elementaryIndexes]]):
+    * the unweighted Carli/Dutot/Jevons layer below q_price_index, same
+    * matched 1995 sample. Jevons' geometric mean goes through per-item
+    * quantized `ln` sums and ONE final `exp`, 6-dp emitted.
+    */
+  private def qElementaryIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.elementaryIndexes(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
   /** Star-schema join + aggregation (capability inherited from Spark; SURVEY
     * §2.3). nation/region are broadcast explicitly — at 100 TB the fact-side
     * tables shuffle on join keys while dims ship to every executor.
@@ -2818,6 +2830,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_agg" -> (qJoinAgg _),
     "q_price_index" -> (qPriceIndex _),
+    "q_elementary_index" -> (qElementaryIndex _),
     "q_concat_keys" -> (qConcatKeys _),
     "q_map_col" -> (qMapCol _),
     "q_rename" -> (qRename _),
@@ -2979,6 +2992,29 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // the index chain replays exactly: decimal sums, one double division
     // per unit value, micro-quantized terms, integer sums, 6-dp ratios
+    "q_elementary_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, p AS p0 FROM uv WHERE pd = '1995-01'),
+        |j AS (SELECT uv.pd, uv.p, b.p0 FROM uv JOIN base b USING (it)),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(CAST(round((p / p0) * 1000000000.0) AS BIGINT)) AS sr,
+        |    SUM(CAST(round(p * 1000000.0) AS BIGINT)) AS sp,
+        |    SUM(CAST(round(p0 * 1000000.0) AS BIGINT)) AS sp0,
+        |    SUM(CAST(round(ln(p / p0) * 1000000000.0) AS BIGINT)) AS slr
+        |  FROM j GROUP BY 1)
+        |SELECT period, n_items,
+        |  round(CAST(sr AS DOUBLE) / CAST(n_items AS DOUBLE) / 1000000000.0, 6) AS carli,
+        |  round(CAST(sp AS DOUBLE) / CAST(sp0 AS DOUBLE), 6) AS dutot,
+        |  round(exp(CAST(slr AS DOUBLE) / CAST(n_items AS DOUBLE) / 1000000000.0), 6) AS jevons
+        |FROM agg ORDER BY period""".stripMargin,
     "q_price_index" ->
       """WITH li AS (
         |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,

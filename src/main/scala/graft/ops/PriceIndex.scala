@@ -33,6 +33,45 @@ import org.apache.spark.sql.types.DecimalType
   */
 object PriceIndex {
 
+  /** Elementary (unweighted) index formulas vs `basePeriod` — the layer
+    * BELOW [[bilateralIndexes]] in a CPI build, where quantities are
+    * unavailable and the formula choice (Carli vs Dutot vs Jevons) is a
+    * methodological decision: `(period, n_items, carli, dutot, jevons)`.
+    *
+    * Carli = mean of price relatives; Dutot = ratio of mean prices;
+    * Jevons = geometric mean of relatives. Per-item terms quantize to
+    * integer nano/micro-units before the per-period sums (exact at any
+    * parallelism); Jevons' per-item `ln` quantizes the same way, and the
+    * single final `exp` lands on identical arguments in every engine, so
+    * the 6-dp emitted value agrees despite libm ulp drift (the q_outliers
+    * round-both-sides rule).
+    */
+  def elementaryIndexes(df: DataFrame, itemCol: String, periodCol: Column,
+                        expCol: String, qtyCol: String,
+                        basePeriod: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val uv = df
+      .groupBy(col(itemCol).as("__it"), periodCol.as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__pd"),
+        (col("__S").cast("double") / col("__Q").cast("double")).as("__p"))
+    val base = uv.filter(col("__pd") === basePeriod)
+      .select(col("__it"), col("__p").as("__p0"))
+    val rel = col("__p") / col("__p0")
+    val nD = col("n_items").cast("double")
+    uv.join(base, Seq("__it"))
+      .groupBy(col("__pd"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(rel * lit(1e9), 0).cast("long")).as("__sr"),
+        sum(round(col("__p") * lit(1e6), 0).cast("long")).as("__sp"),
+        sum(round(col("__p0") * lit(1e6), 0).cast("long")).as("__sp0"),
+        sum(round(log(rel) * lit(1e9), 0).cast("long")).as("__slr"))
+      .select(col("__pd").as("period"), col("n_items"),
+        round(col("__sr").cast("double") / nD / lit(1e9), 6).as("carli"),
+        round(col("__sp").cast("double") / col("__sp0").cast("double"), 6).as("dutot"),
+        round(exp(col("__slr").cast("double") / nD / lit(1e9)), 6).as("jevons"))
+  }
+
   /** Per-period matched-sample indexes vs `basePeriod`:
     * `(period, n_items, laspeyres, paasche, fisher)`, base period
     * included (its indexes are 1.0 by construction).

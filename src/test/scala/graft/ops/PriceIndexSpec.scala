@@ -31,6 +31,19 @@ class PriceIndexSpec extends AnyFunSuite {
     assert(math.abs(f - 0.8) < 1e-9) // sqrt(0.8 * 0.8)
   }
 
+  test("elementary formulas: hand-checked Carli/Dutot/Jevons and the AM>=GM bias") {
+    val r = PriceIndex.elementaryIndexes(tx, "item", col("pd"), "exp", "qty", "p0")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(r("p0") == ((2L, 1.0, 1.0, 1.0)))
+    val (n, carli, dutot, jevons) = r("p1")
+    // relatives: item1 2/1 = 2, item2 2/4 = 0.5
+    assert(n == 2L && carli == 1.25)            // (2 + 0.5) / 2
+    assert(dutot == 0.8)                        // (2+2)/(1+4)
+    assert(math.abs(jevons - 1.0) < 1e-6)       // sqrt(2 · 0.5) = 1
+    assert(carli >= jevons)                     // Carli's AM >= GM upward bias
+  }
+
   test("matched-sample: an item absent from the base period never enters") {
     val withNew = createDf(spark, "item int, pd string, exp double, qty double",
       Seq(Seq[Any](3, "p1", 1000.0, 1.0))) // item 3 trades only in p1
