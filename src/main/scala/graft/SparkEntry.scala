@@ -67,6 +67,17 @@ object SparkEntry {
         "l_extendedprice", "l_quantity", basePeriod = "1995-01")
       .orderBy(col("period"))
 
+  /** Chain-linked Laspeyres ([[graft.ops.PriceIndex.chainedIndex]]):
+    * month-on-month links from consecutive matched samples over 1995-1996,
+    * chained by exact prefix sums of quantized log-links (one final exp).
+    */
+  private def qChainedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.chainedIndex(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")).isin(1995, 1996)),
+        "l_partkey", to_date(date_trunc("MM", col("l_shipdate"))),
+        "l_extendedprice", "l_quantity")
+      .orderBy(col("period"))
+
   /** Star-schema join + aggregation (capability inherited from Spark; SURVEY
     * §2.3). nation/region are broadcast explicitly — at 100 TB the fact-side
     * tables shuffle on join keys while dims ship to every executor.
@@ -2831,6 +2842,7 @@ object SparkEntry {
     "q_join_agg" -> (qJoinAgg _),
     "q_price_index" -> (qPriceIndex _),
     "q_elementary_index" -> (qElementaryIndex _),
+    "q_chained_index" -> (qChainedIndex _),
     "q_concat_keys" -> (qConcatKeys _),
     "q_map_col" -> (qMapCol _),
     "q_rename" -> (qRename _),
@@ -2992,6 +3004,33 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // the index chain replays exactly: decimal sums, one double division
     // per unit value, micro-quantized terms, integer sums, 6-dp ratios
+    "q_chained_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, CAST(date_trunc('month', l_shipdate) AS DATE) AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |j AS (
+        |  SELECT cur.pd, cur.p, prv.p AS pp, prv.qd AS pq
+        |  FROM uv cur JOIN uv prv
+        |    ON cur.it = prv.it AND prv.pd + INTERVAL 1 MONTH = cur.pd),
+        |links AS (
+        |  SELECT pd, COUNT(*) AS n_items,
+        |    CAST(SUM(CAST(round(p * pq * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |      / CAST(SUM(CAST(round(pp * pq * 1000000.0) AS BIGINT)) AS DOUBLE) AS link
+        |  FROM j GROUP BY 1),
+        |ch AS (
+        |  SELECT pd, n_items, link,
+        |    SUM(CAST(round(ln(link) * 1000000000.0) AS BIGINT))
+        |      OVER (ORDER BY pd ROWS UNBOUNDED PRECEDING) AS cln
+        |  FROM links)
+        |SELECT pd AS period, n_items, round(link, 6) AS link,
+        |  round(exp(CAST(cln AS DOUBLE) / 1000000000.0), 6) AS chained
+        |FROM ch ORDER BY period""".stripMargin,
     "q_elementary_index" ->
       """WITH li AS (
         |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,

@@ -72,6 +72,48 @@ object PriceIndex {
         round(exp(col("__slr").cast("double") / nD / lit(1e9)), 6).as("jevons"))
   }
 
+  /** Chain-linked Laspeyres: a month-on-month link from each CONSECUTIVE
+    * matched sample (items trading in both t-1 and t — chaining's whole
+    * point is that the basket refreshes every period, so churn costs one
+    * month of history, not the whole series), composed into a running
+    * index by cumulative product. `(period date, n_items, link, chained)`.
+    *
+    * Determinism: links are built exactly like [[bilateralIndexes]]
+    * (micro-quantized terms, integer sums); the chain composes as
+    * `exp(Σ round(ln(link)·1e9) / 1e9)` — quantized log-links prefix-sum
+    * EXACTLY in a window, one final `exp`, 6-dp emitted — because a
+    * sequential double product would depend on fold order while integer
+    * prefix sums cannot. The links table is period-bounded, so the
+    * whole-frame window is bounded by construction (the q_drift rule).
+    */
+  def chainedIndex(df: DataFrame, itemCol: String, periodCol: Column,
+                   expCol: String, qtyCol: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val uv = df
+      .groupBy(col(itemCol).as("__it"), periodCol.as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__pd"),
+        (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
+        col("__Q").cast("double").as("__q"))
+    val prev = uv.select(col("__it"), add_months(col("__pd"), 1).as("__pd"),
+      col("__p").as("__pp"), col("__q").as("__pq"))
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    val links = uv.join(prev, Seq("__it", "__pd"))
+      .groupBy(col("__pd"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(micro(col("__p") * col("__pq"))).as("__num"),
+        sum(micro(col("__pp") * col("__pq"))).as("__den"))
+      .select(col("__pd"), col("n_items"),
+        (col("__num").cast("double") / col("__den").cast("double")).as("__link"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("__pd")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    links
+      .withColumn("__cln", sum(round(log(col("__link")) * lit(1e9), 0).cast("long")).over(w))
+      .select(col("__pd").as("period"), col("n_items"),
+        round(col("__link"), 6).as("link"),
+        round(exp(col("__cln").cast("double") / lit(1e9)), 6).as("chained"))
+  }
+
   /** Per-period matched-sample indexes vs `basePeriod`:
     * `(period, n_items, laspeyres, paasche, fisher)`, base period
     * included (its indexes are 1.0 by construction).

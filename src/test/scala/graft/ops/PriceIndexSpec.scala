@@ -53,6 +53,26 @@ class PriceIndexSpec extends AnyFunSuite {
     assert(r("p1")._1 == 2L && r("p1")._2 == 0.8) // unchanged by the unmatched item
   }
 
+  test("chainedIndex: links multiply into the chain; basket refreshes each period") {
+    val d = createDf(spark, "item int, pd date, exp double, qty double", Seq(
+      Seq[Any](1, java.sql.Date.valueOf("2020-01-01"), 10.0, 10.0), // p=1
+      Seq[Any](1, java.sql.Date.valueOf("2020-02-01"), 20.0, 10.0), // p=2: link 2.0
+      Seq[Any](1, java.sql.Date.valueOf("2020-03-01"), 30.0, 10.0), // p=3: link 1.5
+      Seq[Any](2, java.sql.Date.valueOf("2020-03-01"), 5.0, 5.0),   // enters late:
+      Seq[Any](2, java.sql.Date.valueOf("2020-04-01"), 10.0, 5.0),  // in the Apr link only
+    ))
+    val r = PriceIndex.chainedIndex(d, "item", col("pd"), "exp", "qty")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(r("2020-02-01") == ((1L, 2.0, 2.0)))
+    assert(r("2020-03-01") == ((1L, 1.5, 3.0)))   // chain = 2.0 * 1.5
+    // April: item 1 absent, item 2 doubled → link 2.0 on the REFRESHED basket
+    val (n4, l4, c4) = r("2020-04-01")
+    assert(n4 == 1L && l4 == 2.0 && math.abs(c4 - 6.0) < 1e-5)
+    // January has no preceding month → no link row
+    assert(!r.contains("2020-01-01") && r.size == 3)
+  }
+
   test("index is invariant to row order and partitioning (micro-quantized sums)") {
     val shuffled = tx.repartition(7, col("qty")).sortWithinPartitions(col("exp").desc)
     val a = PriceIndex.bilateralIndexes(shuffled, "item", col("pd"), "exp", "qty", "p0")
