@@ -287,6 +287,14 @@ class PlanSpec extends AnyFunSuite {
       s"the distinct-term semi-join must prune postings:\n${p.take(2000)}")
   }
 
+  test("index family: equi-joined matched samples, no cartesian") {
+    for (q <- Seq("q_price_index", "q_elementary_index", "q_chained_index")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must equi-join the base/previous basket:\n${p.take(1500)}")
+    }
+  }
+
   test("q_wav and q_resize: codec chains never shuffle payload bytes") {
     for (q <- Seq("q_wav", "q_resize")) {
       val p = plan(q)
