@@ -168,12 +168,15 @@ object Rank {
     val idfR = ((nD - col("df").cast("double")) + lit(0.5)) / (col("df").cast("double") + lit(0.5))
     val denom = tfD + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (dlD / avgdl))
     val score = idfR * ((tfD * lit(k1 + 1.0)) / denom)
+    // the per-term score is QUERY-INDEPENDENT — quantize it once per
+    // posting (|postings| rows), and only then fan out across the queries
+    // sharing the term: the expensive expression never re-evaluates per query
     postings
-      .join(qterms, Seq("term"))
       .join(dfs, Seq("term"))
       .crossJoin(stats)
-      .select(col("__qid"), col("__cid"),
+      .select(col("__cid"), col("term"),
         round(score * lit(1e9), 0).cast("long").as("__sc"))
+      .join(qterms, Seq("term"))
       .groupBy(col("__qid"), col("__cid"))
       .agg(sum(col("__sc")).as("score_nano"), count(lit(1)).as("n_terms"))
       .withColumnRenamed("__qid", qId)
