@@ -78,6 +78,18 @@ object SparkEntry {
         "l_extendedprice", "l_quantity")
       .orderBy(col("period"))
 
+  /** Tukey-cleansed Jevons ([[graft.ops.PriceIndex.cleansedJevons]]): the
+    * ONS-style validation gate between collection and compilation —
+    * price relatives outside their per-period Tukey fences drop before
+    * the geometric mean; both raw and cleansed indexes emit.
+    */
+  private def qCleansedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.cleansedJevons(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
   /** Star-schema join + aggregation (capability inherited from Spark; SURVEY
     * §2.3). nation/region are broadcast explicitly — at 100 TB the fact-side
     * tables shuffle on join keys while dims ship to every executor.
@@ -2843,6 +2855,7 @@ object SparkEntry {
     "q_price_index" -> (qPriceIndex _),
     "q_elementary_index" -> (qElementaryIndex _),
     "q_chained_index" -> (qChainedIndex _),
+    "q_cleansed_index" -> (qCleansedIndex _),
     "q_concat_keys" -> (qConcatKeys _),
     "q_map_col" -> (qMapCol _),
     "q_rename" -> (qRename _),
@@ -3004,6 +3017,36 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // the index chain replays exactly: decimal sums, one double division
     // per unit value, micro-quantized terms, integer sums, 6-dp ratios
+    "q_cleansed_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, p AS p0 FROM uv WHERE pd = '1995-01'),
+        |rel AS (SELECT uv.pd, uv.p / b.p0 AS rel FROM uv JOIN base b USING (it)),
+        |bq AS (
+        |  SELECT pd, CAST(quantile_cont(rel, 0.25) AS DOUBLE) AS q1,
+        |    CAST(quantile_cont(rel, 0.75) AS DOUBLE) AS q3
+        |  FROM rel GROUP BY 1),
+        |f AS (SELECT pd, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM bq),
+        |fl AS (
+        |  SELECT r.pd, r.rel, (r.rel < f.lo OR r.rel > f.hi) AS is_out
+        |  FROM rel r JOIN f USING (pd)),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(CASE WHEN NOT is_out THEN 1 ELSE 0 END) AS n_kept,
+        |    SUM(CAST(round(ln(rel) * 1000000000.0) AS BIGINT)) AS slr_all,
+        |    SUM(CASE WHEN NOT is_out
+        |      THEN CAST(round(ln(rel) * 1000000000.0) AS BIGINT) ELSE 0 END) AS slr_kept
+        |  FROM fl GROUP BY 1)
+        |SELECT period, n_items, CAST(n_kept AS BIGINT) AS n_kept,
+        |  round(exp(CAST(slr_all AS DOUBLE) / CAST(n_items AS DOUBLE) / 1000000000.0), 6) AS jevons,
+        |  round(exp(CAST(slr_kept AS DOUBLE) / CAST(n_kept AS DOUBLE) / 1000000000.0), 6) AS jevons_cleansed
+        |FROM agg ORDER BY period""".stripMargin,
     "q_chained_index" ->
       """WITH li AS (
         |  SELECT l_partkey AS it, CAST(date_trunc('month', l_shipdate) AS DATE) AS pd,

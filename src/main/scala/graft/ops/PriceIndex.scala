@@ -114,6 +114,43 @@ object PriceIndex {
         round(exp(col("__cln").cast("double") / lit(1e9)), 6).as("chained"))
   }
 
+  /** Tukey-cleansed Jevons — the ONS-style validation step between price
+    * collection and index compilation: per period, price relatives
+    * outside their Tukey fences ([[Outliers.flagIqrOutliers]], exact
+    * percentiles) are dropped before the geometric mean. Returns
+    * `(period, n_items, n_kept, jevons, jevons_cleansed)` — both the raw
+    * and the cleansed index, so the cleansing's effect is itself a
+    * queryable number. Fence COMPARISONS run on raw doubles (identical in
+    * both engines; the playbook's straddle rule), emitted indexes on the
+    * quantized-ln path round to 6 dp.
+    */
+  def cleansedJevons(df: DataFrame, itemCol: String, periodCol: Column,
+                     expCol: String, qtyCol: String, basePeriod: String,
+                     k: Double = 1.5): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val uv = df
+      .groupBy(col(itemCol).as("__it"), periodCol.as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__pd"),
+        (col("__S").cast("double") / col("__Q").cast("double")).as("__p"))
+    val base = uv.filter(col("__pd") === basePeriod)
+      .select(col("__it"), col("__p").as("__p0"))
+    val rel = uv.join(base, Seq("__it"))
+      .select(col("__pd"), (col("__p") / col("__p0")).as("__rel"))
+    val flagged = Outliers.flagIqrOutliers(rel, Seq("__pd"), "__rel", k)
+    val lnMicro = round(log(col("__rel")) * lit(1e9), 0).cast("long")
+    flagged.groupBy(col("__pd"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(!col("is_outlier"), 1L).otherwise(0L)).as("n_kept"),
+        sum(lnMicro).as("__slr_all"),
+        sum(when(!col("is_outlier"), lnMicro).otherwise(0L)).as("__slr_kept"))
+      .select(col("__pd").as("period"), col("n_items"), col("n_kept"),
+        round(exp(col("__slr_all").cast("double")
+          / col("n_items").cast("double") / lit(1e9)), 6).as("jevons"),
+        round(exp(col("__slr_kept").cast("double")
+          / col("n_kept").cast("double") / lit(1e9)), 6).as("jevons_cleansed"))
+  }
+
   /** Per-period matched-sample indexes vs `basePeriod`:
     * `(period, n_items, laspeyres, paasche, fisher)`, base period
     * included (its indexes are 1.0 by construction).

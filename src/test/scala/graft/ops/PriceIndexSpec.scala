@@ -73,6 +73,24 @@ class PriceIndexSpec extends AnyFunSuite {
     assert(!r.contains("2020-01-01") && r.size == 3)
   }
 
+  test("cleansedJevons drops fence-breaking relatives; clean data is untouched") {
+    // 5 tame relatives (all 1.0) + one 100x spike: the spike breaks the
+    // fences and only the cleansed index ignores it
+    val rows = (1 to 5).map(i => Seq[Any](i, "p0", 10.0, 10.0)) ++
+      (1 to 5).map(i => Seq[Any](i, "p1", 10.0, 10.0)) ++
+      Seq(Seq[Any](6, "p0", 10.0, 10.0), Seq[Any](6, "p1", 1000.0, 10.0))
+    val d = createDf(spark, "item int, pd string, exp double, qty double", rows)
+    val r = PriceIndex.cleansedJevons(d, "item", col("pd"), "exp", "qty", "p0")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (n, kept, raw, cleansed) = r("p1")
+    assert(n == 6L && kept == 5L)
+    assert(cleansed == 1.0)            // the five tame relatives exactly
+    assert(raw > 1.5)                  // the spike drags the raw geomean up
+    // a period with no outliers keeps everything and both indexes agree
+    assert(r("p0") == ((6L, 6L, 1.0, 1.0)))
+  }
+
   test("index is invariant to row order and partitioning (micro-quantized sums)") {
     val shuffled = tx.repartition(7, col("qty")).sortWithinPartitions(col("exp").desc)
     val a = PriceIndex.bilateralIndexes(shuffled, "item", col("pd"), "exp", "qty", "p0")
