@@ -90,6 +90,18 @@ object SparkEntry {
         "l_extendedprice", "l_quantity", basePeriod = "1995-01")
       .orderBy(col("period"))
 
+  /** Carry-forward-imputed Laspeyres ([[graft.ops.PriceIndex
+    * .imputedIndex]]): the fixed 1995-01 basket with uncollected prices
+    * filled forward — n_items stays the full basket every month and the
+    * imputation count emits alongside the index.
+    */
+  private def qImputedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.imputedIndex(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
   /** Star-schema join + aggregation (capability inherited from Spark; SURVEY
     * §2.3). nation/region are broadcast explicitly — at 100 TB the fact-side
     * tables shuffle on join keys while dims ship to every executor.
@@ -2856,6 +2868,7 @@ object SparkEntry {
     "q_elementary_index" -> (qElementaryIndex _),
     "q_chained_index" -> (qChainedIndex _),
     "q_cleansed_index" -> (qCleansedIndex _),
+    "q_imputed_index" -> (qImputedIndex _),
     "q_concat_keys" -> (qConcatKeys _),
     "q_map_col" -> (qMapCol _),
     "q_rename" -> (qRename _),
@@ -3017,6 +3030,34 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // the index chain replays exactly: decimal sums, one double division
     // per unit value, micro-quantized terms, integer sums, 6-dp ratios
+    "q_imputed_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |periods AS (SELECT DISTINCT pd FROM uv WHERE pd >= '1995-01'),
+        |panel AS (
+        |  SELECT s.it, s.pd, s.p0, s.q0, uv.p AS p_obs,
+        |    last_value(uv.p IGNORE NULLS)
+        |      OVER (PARTITION BY s.it ORDER BY s.pd
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_fill
+        |  FROM (SELECT b.it, p.pd, b.p0, b.q0 FROM base b CROSS JOIN periods p) s
+        |  LEFT JOIN uv ON uv.it = s.it AND uv.pd = s.pd),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(CASE WHEN p_obs IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+        |    SUM(CAST(round(p_fill * q0 * 1000000.0) AS BIGINT)) AS numL,
+        |    SUM(CAST(round(p0 * q0 * 1000000.0) AS BIGINT)) AS denL
+        |  FROM panel GROUP BY 1)
+        |SELECT period, n_items, CAST(n_imputed AS BIGINT) AS n_imputed,
+        |  round(CAST(numL AS DOUBLE) / CAST(denL AS DOUBLE), 6) AS laspeyres
+        |FROM agg ORDER BY period""".stripMargin,
     "q_cleansed_index" ->
       """WITH li AS (
         |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,

@@ -151,6 +151,53 @@ object PriceIndex {
           / col("n_kept").cast("double") / lit(1e9)), 6).as("jevons_cleansed"))
   }
 
+  /** Carry-forward-imputed Laspeyres — CPI's answer to uncollected
+    * prices: the BASE basket is held fixed, and an item missing in
+    * period t keeps its last observed unit value ([[Timeseries.ffill]]'s
+    * frame over an item×period spine), so the index never loses basket
+    * coverage to collection gaps (unlike [[bilateralIndexes]]' matched
+    * sample, which shrinks). Returns
+    * `(period, n_items, n_imputed, laspeyres)` — the imputation COUNT
+    * emits alongside the index, making data-quality drift queryable.
+    *
+    * Scale shape: the spine is base-basket × period-count (bounded, built
+    * from two bounded sides); the fill is one item-keyed window; the
+    * index reduction moves two micro-quantized longs per item-period.
+    */
+  def imputedIndex(df: DataFrame, itemCol: String, periodCol: Column,
+                   expCol: String, qtyCol: String,
+                   basePeriod: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val uv = df
+      .groupBy(col(itemCol).as("__it"), periodCol.as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__pd"),
+        (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
+        col("__Q").cast("double").as("__q"))
+    val base = uv.filter(col("__pd") === basePeriod)
+      .select(col("__it"), col("__p").as("__p0"), col("__q").as("__q0"))
+    // periods before the base have no fill source — the index starts at base
+    val periods = uv.select(col("__pd")).distinct()
+      .filter(col("__pd") >= lit(basePeriod))
+    val spine = base.crossJoin(periods)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("__it")).orderBy(col("__pd"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    spine
+      .join(uv.select(col("__it"), col("__pd"), col("__p").as("__p_obs")),
+        Seq("__it", "__pd"), "left")
+      .withColumn("__p_fill", last(col("__p_obs"), ignoreNulls = true).over(w))
+      .groupBy(col("__pd"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__p_obs").isNull, 1L).otherwise(0L)).as("n_imputed"),
+        sum(micro(col("__p_fill") * col("__q0"))).as("__numL"),
+        sum(micro(col("__p0") * col("__q0"))).as("__denL"))
+      .select(col("__pd").as("period"), col("n_items"), col("n_imputed"),
+        round(col("__numL").cast("double") / col("__denL").cast("double"), 6)
+          .as("laspeyres"))
+  }
+
   /** Per-period matched-sample indexes vs `basePeriod`:
     * `(period, n_items, laspeyres, paasche, fisher)`, base period
     * included (its indexes are 1.0 by construction).

@@ -91,6 +91,26 @@ class PriceIndexSpec extends AnyFunSuite {
     assert(r("p0") == ((6L, 6L, 1.0, 1.0)))
   }
 
+  test("imputedIndex holds the base basket and carries missing prices forward") {
+    val d = createDf(spark, "item int, pd string, exp double, qty double", Seq(
+      Seq[Any](1, "p0", 10.0, 10.0),  // p=1
+      Seq[Any](2, "p0", 20.0, 10.0),  // p=2
+      Seq[Any](1, "p1", 40.0, 10.0),  // p=4; item 2 uncollected in p1
+      Seq[Any](1, "p2", 10.0, 10.0),  // p=1
+      Seq[Any](2, "p2", 60.0, 10.0),  // p=6; item 2 returns
+      Seq[Any](3, "p1", 99.0, 1.0),   // enters after base: never in the basket
+    ))
+    val r = PriceIndex.imputedIndex(d, "item", col("pd"), "exp", "qty", "p0")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(r("p0") == ((2L, 0L, 1.0)))
+    // p1: item 2 imputed at its base price 2 → L = (4·10 + 2·10)/(1·10 + 2·10) = 2.0
+    assert(r("p1") == ((2L, 1L, 2.0)))
+    // p2: both observed → L = (1·10 + 6·10)/30
+    val (n2, imp2, l2) = r("p2")
+    assert(n2 == 2L && imp2 == 0L && math.abs(l2 - 70.0 / 30.0) < 1e-5)
+  }
+
   test("index is invariant to row order and partitioning (micro-quantized sums)") {
     val shuffled = tx.repartition(7, col("qty")).sortWithinPartitions(col("exp").desc)
     val a = PriceIndex.bilateralIndexes(shuffled, "item", col("pd"), "exp", "qty", "p0")
