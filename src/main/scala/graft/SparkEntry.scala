@@ -102,6 +102,23 @@ object SparkEntry {
         "l_extendedprice", "l_quantity", basePeriod = "1995-01")
       .orderBy(col("period"))
 
+  /** Per-dimension embedding drift ([[graft.ops.Drift.psiPerDim]]): PSI
+    * between the label-0 and label-1 embedding populations across all 64
+    * dimensions — the monitoring pass an embedding pipeline runs on
+    * every encoder change. The labels are cluster-correlated in the
+    * synthetic embeddings, so per-dimension PSI carries real signal
+    * (0.05-0.97 at sf0.01) — drifted dimensions stand out by an order
+    * of magnitude.
+    */
+  private def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.Drift.psiPerDim(
+        e.filter(col("label") === 0).select(col("embedding")),
+        e.filter(col("label") === 1).select(col("embedding")),
+        "embedding", Seq(-0.2, -0.1, -0.05, 0.0, 0.05, 0.1, 0.2))
+      .orderBy(col("dim"))
+  }
+
   /** Star-schema join + aggregation (capability inherited from Spark; SURVEY
     * §2.3). nation/region are broadcast explicitly — at 100 TB the fact-side
     * tables shuffle on join keys while dims ship to every executor.
@@ -2869,6 +2886,7 @@ object SparkEntry {
     "q_chained_index" -> (qChainedIndex _),
     "q_cleansed_index" -> (qCleansedIndex _),
     "q_imputed_index" -> (qImputedIndex _),
+    "q_embed_drift" -> (qEmbedDrift _),
     "q_concat_keys" -> (qConcatKeys _),
     "q_map_col" -> (qMapCol _),
     "q_rename" -> (qRename _),
@@ -3030,6 +3048,37 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // the index chain replays exactly: decimal sums, one double division
     // per unit value, micro-quantized terms, integer sums, 6-dp ratios
+    "q_embed_drift" ->
+      """WITH re AS (
+        |  SELECT CAST(u.d AS INT) AS dim, u.x FROM (
+        |    SELECT unnest([{'d': i - 1, 'x': embedding[i]}
+        |      FOR i IN range(1, len(embedding) + 1)]) AS u
+        |    FROM embeddings WHERE label = 0)),
+        |ce AS (
+        |  SELECT CAST(u.d AS INT) AS dim, u.x FROM (
+        |    SELECT unnest([{'d': i - 1, 'x': embedding[i]}
+        |      FOR i IN range(1, len(embedding) + 1)]) AS u
+        |    FROM embeddings WHERE label = 1)),
+        |rc AS (SELECT dim, CAST(x >= -0.2 AS INT) + CAST(x >= -0.1 AS INT) + CAST(x >= -0.05 AS INT) + CAST(x >= 0.0 AS INT) + CAST(x >= 0.05 AS INT) + CAST(x >= 0.1 AS INT) + CAST(x >= 0.2 AS INT) AS bin, COUNT(*) AS rn FROM re GROUP BY 1, 2),
+        |cc AS (SELECT dim, CAST(x >= -0.2 AS INT) + CAST(x >= -0.1 AS INT) + CAST(x >= -0.05 AS INT) + CAST(x >= 0.0 AS INT) + CAST(x >= 0.05 AS INT) + CAST(x >= 0.1 AS INT) + CAST(x >= 0.2 AS INT) AS bin, COUNT(*) AS cn FROM ce GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT d.dim, b.bin FROM (SELECT DISTINCT dim FROM re) d
+        |  CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS bin) b),
+        |j AS (
+        |  SELECT s.dim, s.bin, COALESCE(rc.rn, 0) AS rn, COALESCE(cc.cn, 0) AS cn
+        |  FROM spine s LEFT JOIN rc USING (dim, bin) LEFT JOIN cc USING (dim, bin)),
+        |p AS (
+        |  SELECT dim, rn, cn,
+        |    (rn + 0.5) / (SUM(rn) OVER (PARTITION BY dim) + 4.0) AS rp,
+        |    (cn + 0.5) / (SUM(cn) OVER (PARTITION BY dim) + 4.0) AS cp
+        |  FROM j),
+        |t2 AS (
+        |  SELECT dim, rn, cn,
+        |    CAST(round(((cp - rp) * ln(cp / rp)) * 1000000000.0) AS BIGINT) AS tn
+        |  FROM p)
+        |SELECT dim, CAST(SUM(rn) AS BIGINT) AS ref_n, CAST(SUM(cn) AS BIGINT) AS cur_n,
+        |  round(CAST(SUM(tn) AS DOUBLE) / 1000000000.0, 6) AS psi
+        |FROM t2 GROUP BY 1 ORDER BY dim""".stripMargin,
     "q_imputed_index" ->
       """WITH li AS (
         |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,

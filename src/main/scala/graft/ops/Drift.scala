@@ -78,6 +78,54 @@ object Drift {
       .orderBy("bin")
   }
 
+  /** Per-DIMENSION PSI between two populations of embedding vectors —
+    * drift monitoring for embedding pipelines (model swaps, encoder
+    * version bumps, upstream text-cleaning changes all move per-dimension
+    * distributions long before any downstream metric notices). One
+    * posexplode pass per side produces (dim, bin) counts map-side
+    * combined; every (dim, bin) cell is present (dims × bins spine) so
+    * reports align across runs; per-cell PSI terms quantize to integer
+    * nano-units before the per-dim sums (exact at any parallelism — the
+    * few-term double sum would still be partial-order dependent), and
+    * the emitted per-dim PSI rounds to 6 dp.
+    *
+    * Returns one row per dimension: `(dim, ref_n, cur_n, psi)` where
+    * ref_n/cur_n are the per-dim value counts (= non-null vector counts).
+    */
+  def psiPerDim(ref: DataFrame, cur: DataFrame, vecCol: String,
+                cutpoints: Seq[Double], eps: Double = 0.5): DataFrame = {
+    require(eps > 0, "eps must be positive (it guards the log)")
+    val nBins = cutpoints.size + 1
+    def sideCounts(df: DataFrame, alias: String): DataFrame =
+      df.filter(col(vecCol).isNotNull)
+        .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+        .select(col("dim"), binIndex(col("__x").cast("double"), cutpoints).as("bin"))
+        .groupBy(col("dim"), col("bin")).agg(count(lit(1)).as(alias))
+    val spark = ref.sparkSession
+    val dims = ref.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__x"))).select("dim").distinct()
+    val spine = dims.crossJoin(
+      spark.range(nBins).select(col("id").cast("int").as("bin")))
+    val joined = spine
+      .join(sideCounts(ref, "__rn"), Seq("dim", "bin"), "left")
+      .join(sideCounts(cur, "__cn"), Seq("dim", "bin"), "left")
+      .select(col("dim"), col("bin"),
+        coalesce(col("__rn"), lit(0L)).as("__rn"),
+        coalesce(col("__cn"), lit(0L)).as("__cn"))
+    // per-dim totals: ≤ nBins rows per window partition, bounded by construction
+    val w = Window.partitionBy(col("dim"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val refP = (col("__rn") + lit(eps)) / (sum(col("__rn")).over(w) + lit(eps * nBins))
+    val curP = (col("__cn") + lit(eps)) / (sum(col("__cn")).over(w) + lit(eps * nBins))
+    joined
+      .withColumn("__term", (curP - refP) * log(curP / refP))
+      .groupBy(col("dim"))
+      .agg(sum(col("__rn")).as("ref_n"), sum(col("__cn")).as("cur_n"),
+        sum(round(col("__term") * lit(1e9), 0).cast("long")).as("__psi_nano"))
+      .select(col("dim"), col("ref_n"), col("cur_n"),
+        round(col("__psi_nano").cast("double") / lit(1e9), 6).as("psi"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic between `a` and `b` on
     * `valueCol` — the binning-free drift test (PSI needs cutpoints; KS
     * compares the full empirical CDFs):

@@ -52,6 +52,21 @@ class DriftSpec extends AnyFunSuite {
     assert(total > 0.1 && total < 3.0, s"psi=$total")
   }
 
+  test("psiPerDim: only the shifted dimension drifts; stable dims stay ~0") {
+    def vecs(shift: Double, n: Int) = createDf(spark, "v array<double>",
+      (1 to n).map(i => Seq[Any](Seq((i % 7) / 10.0, (i % 7) / 10.0 + shift))))
+    val r = Drift.psiPerDim(vecs(0.0, 70), vecs(0.5, 70), "v",
+        cutpoints = Seq(0.1, 0.3, 0.5, 0.7, 0.9))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(r.keySet == Set(0, 1))
+    assert(math.abs(r(0)) < 0.01, s"dim 0 identical, psi ${r(0)}")   // untouched dim
+    assert(r(1) > 0.5, s"dim 1 shifted by 0.5, psi ${r(1)}")          // drifted dim
+    // per-dim counts are the vector counts
+    val counts = Drift.psiPerDim(vecs(0.0, 70), vecs(0.5, 30), "v",
+        cutpoints = Seq(0.5)).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(counts == Set((70L, 30L)))
+  }
+
   test("nulls excluded; proportions still sum to ~1 per side") {
     val ref = createDf(spark, "v double",
       Seq(Seq[Any](0.5), Seq[Any](null), Seq[Any](1.5)))
