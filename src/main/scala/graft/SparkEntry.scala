@@ -119,6 +119,19 @@ object SparkEntry {
       .orderBy(col("dim"))
   }
 
+  /** Vocabulary drift ([[graft.ops.Drift.psiCategorical]]): token-level
+    * PSI between the src0 and src1 document populations over src0's
+    * top-20 tokens + OTHER — the text-input sibling of q_embed_drift
+    * (tokenizer swaps and source-mix changes surface here first).
+    */
+  private def qVocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def toks(src: String) = d.filter(col("source") === src)
+      .select(explode(TextStats.tokens(col("text"))).as("token"))
+    graft.ops.Drift.psiCategorical(toks("src0"), toks("src1"), "token", topN = 20)
+      .orderBy(col("category"))
+  }
+
   /** Star-schema join + aggregation (capability inherited from Spark; SURVEY
     * §2.3). nation/region are broadcast explicitly — at 100 TB the fact-side
     * tables shuffle on join keys while dims ship to every executor.
@@ -2887,6 +2900,7 @@ object SparkEntry {
     "q_cleansed_index" -> (qCleansedIndex _),
     "q_imputed_index" -> (qImputedIndex _),
     "q_embed_drift" -> (qEmbedDrift _),
+    "q_vocab_drift" -> (qVocabDrift _),
     "q_concat_keys" -> (qConcatKeys _),
     "q_map_col" -> (qMapCol _),
     "q_rename" -> (qRename _),
@@ -3048,6 +3062,36 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // the index chain replays exactly: decimal sums, one double division
     // per unit value, micro-quantized terms, integer sums, 6-dp ratios
+    "q_vocab_drift" ->
+      """WITH rt AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |  WHERE source = 'src0'),
+        |ct AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |  WHERE source = 'src1'),
+        |rc AS (SELECT token AS category, COUNT(*) AS rn FROM rt GROUP BY 1),
+        |cc AS (SELECT token AS category, COUNT(*) AS cn FROM ct GROUP BY 1),
+        |cats AS (SELECT category FROM rc ORDER BY rn DESC, category LIMIT 20),
+        |rb AS (
+        |  SELECT CASE WHEN cats.category IS NOT NULL THEN rc.category
+        |    ELSE '__OTHER__' END AS category, SUM(rn) AS rn
+        |  FROM rc LEFT JOIN cats USING (category) GROUP BY 1),
+        |cb AS (
+        |  SELECT CASE WHEN cats.category IS NOT NULL THEN cc.category
+        |    ELSE '__OTHER__' END AS category, SUM(cn) AS cn
+        |  FROM cc LEFT JOIN cats USING (category) GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(rb.category, cb.category) AS category,
+        |    COALESCE(rn, 0) AS ref_n, COALESCE(cn, 0) AS cur_n
+        |  FROM rb FULL OUTER JOIN cb USING (category)),
+        |p AS (
+        |  SELECT category, CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+        |    (ref_n + 0.5) / (SUM(ref_n) OVER () + 0.5 * CAST(COUNT(*) OVER () AS DOUBLE)) AS rp,
+        |    (cur_n + 0.5) / (SUM(cur_n) OVER () + 0.5 * CAST(COUNT(*) OVER () AS DOUBLE)) AS cp
+        |  FROM j)
+        |SELECT category, ref_n, cur_n,
+        |  round((cp - rp) * ln(cp / rp), 6) AS psi_term
+        |FROM p ORDER BY category""".stripMargin,
     "q_embed_drift" ->
       """WITH re AS (
         |  SELECT CAST(u.d AS INT) AS dim, u.x FROM (

@@ -126,6 +126,48 @@ object Drift {
         round(col("__psi_nano").cast("double") / lit(1e9), 6).as("psi"))
   }
 
+  /** Categorical PSI between two populations on a key column — input
+    * drift for discrete features (tokens, sources, event types, language
+    * tags). The category set is the reference side's top-`topN` keys by
+    * count (deterministic ties: smaller key wins) plus an OTHER bucket,
+    * so the report's rows are stable run over run even as tail categories
+    * churn. Same smoothing and nano-quantized term discipline as
+    * [[psi]]/[[psiPerDim]].
+    *
+    * Returns `(category, ref_n, cur_n, psi_term)` rows (6-dp terms,
+    * ordered by category) — sum `psi_term` for the total, or read
+    * per-category contributions directly.
+    */
+  def psiCategorical(ref: DataFrame, cur: DataFrame, keyCol: String,
+                     topN: Int, eps: Double = 0.5): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val refC = ref.groupBy(col(keyCol).as("category"))
+      .agg(count(lit(1)).as("__rn"))
+    val curC = cur.groupBy(col(keyCol).as("category"))
+      .agg(count(lit(1)).as("__cn"))
+    // the reference's top-N defines the category rows — bounded by topN
+    val cats = refC.orderBy(col("__rn").desc, col("category")).limit(topN)
+      .select(col("category"))
+    def bucketed(counts: DataFrame, alias: String): DataFrame =
+      counts.join(cats.withColumn("__keep", lit(true)), Seq("category"), "left")
+        .select(when(col("__keep"), col("category")).otherwise(lit("__OTHER__"))
+          .as("category"), col(alias))
+        .groupBy(col("category")).agg(sum(col(alias)).as(alias))
+    val joined = bucketed(refC, "__rn")
+      .join(bucketed(curC, "__cn"), Seq("category"), "outer")
+      .select(col("category"),
+        coalesce(col("__rn"), lit(0L)).as("ref_n"),
+        coalesce(col("__cn"), lit(0L)).as("cur_n"))
+    // ≤ topN + 1 rows — the whole-frame window is bounded by construction
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nCats = count(lit(1)).over(w).cast("double")
+    val refP = (col("ref_n") + lit(eps)) / (sum(col("ref_n")).over(w) + lit(eps) * nCats)
+    val curP = (col("cur_n") + lit(eps)) / (sum(col("cur_n")).over(w) + lit(eps) * nCats)
+    joined
+      .withColumn("psi_term", round((curP - refP) * log(curP / refP), 6))
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic between `a` and `b` on
     * `valueCol` — the binning-free drift test (PSI needs cutpoints; KS
     * compares the full empirical CDFs):

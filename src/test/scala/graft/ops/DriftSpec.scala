@@ -67,6 +67,25 @@ class DriftSpec extends AnyFunSuite {
     assert(counts == Set((70L, 30L)))
   }
 
+  test("psiCategorical: reference top-N + OTHER, churned categories drift") {
+    def side(tokens: Seq[String]) =
+      createDf(spark, "k string", tokens.map(t => Seq[Any](t)))
+    val ref = side(Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c"))
+    val cur = side(Seq.fill(50)("a") ++ Seq.fill(50)("z")) // b,c gone; z new
+    val r = Drift.psiCategorical(ref, cur, "k", topN = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // top-2 of ref = a, b; c and z both land in OTHER
+    assert(r.keySet == Set("a", "b", "__OTHER__"))
+    assert(r("a")._1 == 50L && r("a")._2 == 50L)
+    assert(r("b")._2 == 0L && r("b")._3 > 0.1)          // vanished category drifts
+    assert(r("__OTHER__") == ((20L, 50L, r("__OTHER__")._3)))
+    assert(r("__OTHER__")._3 > 0.05)                     // churned tail drifts
+    // identical populations → every term ~0
+    val same = Drift.psiCategorical(ref, ref, "k", topN = 2)
+      .collect().map(_.getDouble(3))
+    assert(same.forall(t => math.abs(t) < 1e-9))
+  }
+
   test("nulls excluded; proportions still sum to ~1 per side") {
     val ref = createDf(spark, "v double",
       Seq(Seq[Any](0.5), Seq[Any](null), Seq[Any](1.5)))
