@@ -102,12 +102,14 @@ object Drift {
         .select(col("dim"), binIndex(col("__x").cast("double"), cutpoints).as("bin"))
         .groupBy(col("dim"), col("bin")).agg(count(lit(1)).as(alias))
     val spark = ref.sparkSession
-    val dims = ref.filter(col(vecCol).isNotNull)
-      .select(posexplode(col(vecCol)).as(Seq("dim", "__x"))).select("dim").distinct()
+    val refCounts = sideCounts(ref, "__rn")
+    // dims come from the aggregated counts (≤ dims×bins rows, reusing its
+    // exchange) — NOT from a second corpus-sized explode of the ref side
+    val dims = refCounts.select("dim").distinct()
     val spine = dims.crossJoin(
       spark.range(nBins).select(col("id").cast("int").as("bin")))
     val joined = spine
-      .join(sideCounts(ref, "__rn"), Seq("dim", "bin"), "left")
+      .join(refCounts, Seq("dim", "bin"), "left")
       .join(sideCounts(cur, "__cn"), Seq("dim", "bin"), "left")
       .select(col("dim"), col("bin"),
         coalesce(col("__rn"), lit(0L)).as("__rn"),
