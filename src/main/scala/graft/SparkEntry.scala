@@ -132,6 +132,18 @@ object SparkEntry {
       .orderBy(col("category"))
   }
 
+  /** Superlative indexes ([[graft.ops.PriceIndex.superlativeIndexes]]):
+    * Törnqvist and Walsh for the 1995 matched sample — with Fisher from
+    * q_price_index, the full textbook superlative set; the three should
+    * (and do) track each other closely, a built-in cross-check.
+    */
+  private def qSuperlativeIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.superlativeIndexes(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
   /** Star-schema join + aggregation (capability inherited from Spark; SURVEY
     * §2.3). nation/region are broadcast explicitly — at 100 TB the fact-side
     * tables shuffle on join keys while dims ship to every executor.
@@ -2901,6 +2913,7 @@ object SparkEntry {
     "q_imputed_index" -> (qImputedIndex _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_vocab_drift" -> (qVocabDrift _),
+    "q_superlative_index" -> (qSuperlativeIndex _),
     "q_concat_keys" -> (qConcatKeys _),
     "q_map_col" -> (qMapCol _),
     "q_rename" -> (qRename _),
@@ -3062,6 +3075,39 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // the index chain replays exactly: decimal sums, one double division
     // per unit value, micro-quantized terms, integer sums, 6-dp ratios
+    "q_superlative_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) AS ed,
+        |    CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, ed AS e0, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |j AS (
+        |  SELECT uv.pd, uv.ed, uv.p, uv.qd, b.e0, b.p0, b.q0,
+        |    CAST(round(b.e0 * 1000000.0) AS BIGINT) AS e0m,
+        |    CAST(round(uv.ed * 1000000.0) AS BIGINT) AS etm
+        |  FROM uv JOIN base b USING (it)),
+        |t AS (
+        |  SELECT pd,
+        |    CAST(round(((CAST(e0m AS DOUBLE) / CAST(SUM(e0m) OVER (PARTITION BY pd) AS DOUBLE)
+        |        + CAST(etm AS DOUBLE) / CAST(SUM(etm) OVER (PARTITION BY pd) AS DOUBLE)) / 2.0
+        |        * ln(p / p0)) * 1000000000.0) AS BIGINT) AS tn,
+        |    CAST(round((sqrt(q0 * qd) * p) * 1000000.0) AS BIGINT) AS wn,
+        |    CAST(round((sqrt(q0 * qd) * p0) * 1000000.0) AS BIGINT) AS wd
+        |  FROM j),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(tn) AS t, SUM(wn) AS n, SUM(wd) AS d
+        |  FROM t GROUP BY 1)
+        |SELECT period, n_items,
+        |  round(exp(CAST(t AS DOUBLE) / 1000000000.0), 6) AS tornqvist,
+        |  round(CAST(n AS DOUBLE) / CAST(d AS DOUBLE), 6) AS walsh
+        |FROM agg ORDER BY period""".stripMargin,
     "q_vocab_drift" ->
       """WITH rt AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents

@@ -198,6 +198,57 @@ object PriceIndex {
           .as("laspeyres"))
   }
 
+  /** Superlative indexes vs `basePeriod` — the formulas that treat both
+    * periods' quantity information symmetrically (Fisher in
+    * [[bilateralIndexes]] is one; these are the other two textbook
+    * members): Törnqvist `exp(Σ s̄ᵢ·ln(pₜ/p₀))` with s̄ = the average of
+    * the two periods' expenditure shares, and Walsh
+    * `Σ √(q₀qₜ)·pₜ / Σ √(q₀qₜ)·p₀`. Returns
+    * `(period, n_items, tornqvist, walsh)`.
+    *
+    * Determinism: shares are ratios of micro-quantized expenditure sums
+    * (identical doubles); Törnqvist's per-item `s̄·ln(r)` terms and
+    * Walsh's `√(q₀qₜ)·p` terms quantize to integer nano/micro-units
+    * before their per-period sums; `√` is IEEE-exact on identical
+    * operands; one final `exp` for Törnqvist; both emit at 6 dp.
+    */
+  def superlativeIndexes(df: DataFrame, itemCol: String, periodCol: Column,
+                         expCol: String, qtyCol: String,
+                         basePeriod: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val uv = df
+      .groupBy(col(itemCol).as("__it"), periodCol.as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__pd"), col("__S").cast("double").as("__e"),
+        (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
+        col("__Q").cast("double").as("__q"))
+    val base = uv.filter(col("__pd") === basePeriod)
+      .select(col("__it"), col("__e").as("__e0"), col("__p").as("__p0"),
+        col("__q").as("__q0"))
+    val j = uv.join(base, Seq("__it"))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(col("__pd"))
+    def nano(x: Column): Column = round(x * lit(1e9), 0).cast("long")
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    // per-period expenditure totals for the shares: micro-quantized LONG
+    // window sums (a raw double window sum would be order-dependent);
+    // period-keyed — the same single exchange as the final aggregation
+    val e0m = micro(col("__e0"))
+    val etm = micro(col("__e"))
+    val s0 = e0m.cast("double") / sum(e0m).over(W).cast("double")
+    val st = etm.cast("double") / sum(etm).over(W).cast("double")
+    val sBar = (s0 + st) / lit(2.0)
+    val lnR = log(col("__p") / col("__p0"))
+    val wq = sqrt(col("__q0") * col("__q"))
+    j.select(col("__pd"), nano(sBar * lnR).as("__tn"),
+        micro(wq * col("__p")).as("__wn"), micro(wq * col("__p0")).as("__wd"))
+      .groupBy(col("__pd"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__tn")).as("__t"),
+        sum(col("__wn")).as("__n"), sum(col("__wd")).as("__d"))
+      .select(col("__pd").as("period"), col("n_items"),
+        round(exp(col("__t").cast("double") / lit(1e9)), 6).as("tornqvist"),
+        round(col("__n").cast("double") / col("__d").cast("double"), 6).as("walsh"))
+  }
+
   /** Per-period matched-sample indexes vs `basePeriod`:
     * `(period, n_items, laspeyres, paasche, fisher)`, base period
     * included (its indexes are 1.0 by construction).

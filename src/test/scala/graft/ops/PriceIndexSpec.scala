@@ -111,6 +111,23 @@ class PriceIndexSpec extends AnyFunSuite {
     assert(n2 == 2L && imp2 == 0L && math.abs(l2 - 70.0 / 30.0) < 1e-5)
   }
 
+  test("superlative indexes: hand-checked Törnqvist and Walsh, between L and P") {
+    val r = PriceIndex.superlativeIndexes(tx, "item", col("pd"), "exp", "qty", "p0")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(r("p0") == ((1.0, 1.0)))
+    val (t, w) = r("p1")
+    // equal expenditures in p1 (20, 20); base shares (10/50, 40/50):
+    // s̄(item1) = (0.2 + 0.5)/2 = 0.35, s̄(item2) = (0.8 + 0.5)/2 = 0.65
+    // Törnqvist = exp(0.35·ln2 + 0.65·ln0.5) = 2^(0.35-0.65) = 2^-0.3
+    assert(math.abs(t - math.pow(2.0, -0.3)) < 1e-5)
+    // equal quantities → Walsh = Laspeyres = 0.8
+    assert(w == 0.8)
+    // both lie between Paasche (0.8) and Laspeyres (0.8)... here L = P, and
+    // the superlative property pins them to the same value for Walsh and
+    // near it for Törnqvist
+    assert(t > 0.7 && t < 0.9)
+  }
+
   test("index is invariant to row order and partitioning (micro-quantized sums)") {
     val shuffled = tx.repartition(7, col("qty")).sortWithinPartitions(col("exp").desc)
     val a = PriceIndex.bilateralIndexes(shuffled, "item", col("pd"), "exp", "qty", "p0")
