@@ -144,6 +144,22 @@ object SparkEntry {
         "l_extendedprice", "l_quantity", basePeriod = "1995-01")
       .orderBy(col("period"))
 
+  /** Two-level CPI build ([[graft.ops.PriceIndex.groupedLaspeyres]]):
+    * per-brand sub-indexes with base-expenditure weights — the
+    * published-aggregate structure; the weighted mean of these rows
+    * reproduces q_price_index's all-items Laspeyres (decomposition law,
+    * PriceIndexSpec). The part dimension broadcasts.
+    */
+  private def qGroupedIndex(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995)
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    graft.ops.PriceIndex.groupedLaspeyres(
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey")),
+        "l_partkey", "p_brand", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("p_brand"), col("period"))
+  }
+
   /** Star-schema join + aggregation (capability inherited from Spark; SURVEY
     * §2.3). nation/region are broadcast explicitly — at 100 TB the fact-side
     * tables shuffle on join keys while dims ship to every executor.
@@ -2914,6 +2930,7 @@ object SparkEntry {
     "q_embed_drift" -> (qEmbedDrift _),
     "q_vocab_drift" -> (qVocabDrift _),
     "q_superlative_index" -> (qSuperlativeIndex _),
+    "q_grouped_index" -> (qGroupedIndex _),
     "q_concat_keys" -> (qConcatKeys _),
     "q_map_col" -> (qMapCol _),
     "q_rename" -> (qRename _),
@@ -3075,6 +3092,29 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // the index chain replays exactly: decimal sums, one double division
     // per unit value, micro-quantized terms, integer sums, 6-dp ratios
+    "q_grouped_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, p_brand, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, p_brand, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2, 3),
+        |base AS (SELECT it, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |j AS (
+        |  SELECT uv.p_brand, uv.pd, uv.p, b.p0, b.q0
+        |  FROM uv JOIN base b USING (it)),
+        |agg AS (
+        |  SELECT p_brand, pd AS period, COUNT(*) AS n_items,
+        |    SUM(CAST(round(p * q0 * 1000000.0) AS BIGINT)) AS numL,
+        |    SUM(CAST(round(p0 * q0 * 1000000.0) AS BIGINT)) AS weight_micro
+        |  FROM j GROUP BY 1, 2)
+        |SELECT p_brand, period, n_items, weight_micro,
+        |  round(CAST(numL AS DOUBLE) / CAST(weight_micro AS DOUBLE), 6) AS laspeyres
+        |FROM agg ORDER BY p_brand, period""".stripMargin,
     "q_superlative_index" ->
       """WITH li AS (
         |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,

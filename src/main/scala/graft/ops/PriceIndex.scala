@@ -249,6 +249,39 @@ object PriceIndex {
         round(col("__n").cast("double") / col("__d").cast("double"), 6).as("walsh"))
   }
 
+  /** Per-GROUP bilateral Laspeyres — the two-level CPI build: sub-indexes
+    * per class/division with their base-expenditure weights riding along,
+    * so the published aggregate is the weighted mean of sub-indexes.
+    * Returns `(groupCol, period, n_items, weight_micro, laspeyres)`;
+    * `weight_micro` is the group's micro-quantized base expenditure
+    * `Σ round(p₀q₀·1e6)` — EXACTLY the sub-index's denominator, so
+    * `Σ_g w_g·L_g / Σ_g w_g` reproduces the all-items Laspeyres to the
+    * emitted rounding (the Laspeyres decomposition, spec-pinned).
+    */
+  def groupedLaspeyres(df: DataFrame, itemCol: String, groupCol: String,
+                       periodCol: Column, expCol: String, qtyCol: String,
+                       basePeriod: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val uv = df
+      .groupBy(col(itemCol).as("__it"), col(groupCol).as("__g"), periodCol.as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__g"), col("__pd"),
+        (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
+        col("__Q").cast("double").as("__q"))
+    val base = uv.filter(col("__pd") === basePeriod)
+      .select(col("__it"), col("__p").as("__p0"), col("__q").as("__q0"))
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    uv.join(base, Seq("__it"))
+      .groupBy(col("__g"), col("__pd"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(micro(col("__p") * col("__q0"))).as("__numL"),
+        sum(micro(col("__p0") * col("__q0"))).as("weight_micro"))
+      .select(col("__g").as(groupCol), col("__pd").as("period"),
+        col("n_items"), col("weight_micro"),
+        round(col("__numL").cast("double") / col("weight_micro").cast("double"), 6)
+          .as("laspeyres"))
+  }
+
   /** Per-period matched-sample indexes vs `basePeriod`:
     * `(period, n_items, laspeyres, paasche, fisher)`, base period
     * included (its indexes are 1.0 by construction).

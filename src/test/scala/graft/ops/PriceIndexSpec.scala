@@ -128,6 +128,57 @@ class PriceIndexSpec extends AnyFunSuite {
     assert(t > 0.7 && t < 0.9)
   }
 
+  test("textbook index laws on seeded random panels: mean bounds and Fisher identity") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2) {
+      val rows = for { i <- 1 to 8; pd <- Seq("p0", "p1", "p2") } yield
+        Seq[Any](i, pd, (100 + rnd.nextInt(200000)) / 100.0, (1 + rnd.nextInt(50)).toDouble)
+      val d = createDf(spark, "item int, pd string, exp double, qty double", rows)
+      // model relatives directly (one row per item-period → unit value = exp/qty)
+      val panel = rows.groupBy(r => (r(0), r(1))).map { case ((i, pd), rs) =>
+        (i, pd) -> rs.head(2).asInstanceOf[Double] / rs.head(3).asInstanceOf[Double] }
+      def relBounds(pd: String): (Double, Double) = {
+        val rels = (1 to 8).map(i => panel((i, pd)) / panel((i, "p0")))
+        (rels.min, rels.max)
+      }
+      val bil = PriceIndex.bilateralIndexes(d, "item", col("pd"), "exp", "qty", "p0")
+        .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      val sup = PriceIndex.superlativeIndexes(d, "item", col("pd"), "exp", "qty", "p0")
+        .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+      val el = PriceIndex.elementaryIndexes(d, "item", col("pd"), "exp", "qty", "p0")
+        .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      for (pd <- Seq("p1", "p2")) {
+        val (lo, hi) = relBounds(pd)
+        val (l, p, f) = bil(pd); val (t, w) = sup(pd); val (carli, dutot, jevons) = el(pd)
+        val eps = 1e-4
+        // every weighted-mean-of-relatives index lies inside the relative range
+        for (x <- Seq(l, p, t, w, carli, dutot, jevons))
+          assert(x >= lo - eps && x <= hi + eps, s"$pd: $x outside [$lo, $hi]")
+        // Fisher is the geometric mean of L and P, by construction
+        assert(math.abs(f - math.sqrt(l * p)) < 1e-4, s"$pd: F $f vs sqrt(LP)")
+        // Carli dominates Jevons (AM >= GM)
+        assert(carli >= jevons - eps)
+      }
+    }
+  }
+
+  test("Laspeyres decomposition: the weighted mean of sub-indexes is the all-items index") {
+    val rnd = new scala.util.Random(7)
+    val rows = for { i <- 1 to 12; pd <- Seq("p0", "p1") } yield
+      Seq[Any](i, if (i <= 6) "g1" else "g2", pd,
+        (100 + rnd.nextInt(100000)) / 100.0, (1 + rnd.nextInt(20)).toDouble)
+    val d = createDf(spark, "item int, grp string, pd string, exp double, qty double", rows)
+    val subs = PriceIndex.groupedLaspeyres(d, "item", "grp", col("pd"), "exp", "qty", "p0")
+      .filter(col("period") === "p1")
+      .collect().map(r => (r.getLong(3), r.getDouble(4)))
+    val direct = PriceIndex.bilateralIndexes(d, "item", col("pd"), "exp", "qty", "p0")
+      .filter(col("period") === "p1").collect().head.getDouble(2)
+    val aggregated = subs.map { case (w, l) => w.toDouble * l }.sum /
+      subs.map(_._1.toDouble).sum
+    assert(math.abs(aggregated - direct) < 1e-5,
+      s"aggregate-of-subindexes $aggregated vs direct $direct")
+  }
+
   test("index is invariant to row order and partitioning (micro-quantized sums)") {
     val shuffled = tx.repartition(7, col("qty")).sortWithinPartitions(col("exp").desc)
     val a = PriceIndex.bilateralIndexes(shuffled, "item", col("pd"), "exp", "qty", "p0")
