@@ -288,10 +288,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("index family: equi-joined matched samples, no cartesian") {
-    for (q <- Seq("q_price_index", "q_elementary_index", "q_chained_index")) {
+    for (q <- Seq("q_price_index", "q_elementary_index", "q_chained_index",
+        "q_cleansed_index", "q_superlative_index", "q_grouped_index")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q must equi-join the base/previous basket:\n${p.take(1500)}")
+    }
+  }
+
+  test("drift monitors: map-combined counts, no cartesian") {
+    for (q <- Seq("q_embed_drift", "q_vocab_drift")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must stay equi-joined (the spine sides are bounded):\n${p.take(1500)}")
     }
   }
 
