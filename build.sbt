@@ -28,3 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The bench/verify contract requires Bench's JSON metric line to be the
+// LAST line of stdout, but sbt trails every command with a
+// "[success] Total time: ..." banner — which is why the driver's bench
+// parser returned "parsed": null five rounds running. Suppress the
+// banner (and its timing payload) globally so the metric line survives
+// as the final stdout line.
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)

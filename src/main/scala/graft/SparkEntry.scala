@@ -1821,19 +1821,23 @@ object SparkEntry {
     * interpolation uses exact powers-of-two fractions, so the fences are
     * bit-identical to the DuckDB oracle's `quantile_cont`.
     */
-  private def qOutliers(s: SparkSession, dir: String): DataFrame =
+  private def qOutliers(s: SparkSession, dir: String): DataFrame = {
     // Flags are computed against the RAW fences (straddle odds ~1e-15);
-    // the emitted q1/q3/lo/hi round to 6 dp on both sides because raw
-    // unrounded doubles hash differently across engines in the driver
-    // gate even when bit-identical in value (determinism playbook).
+    // the emitted q1/q3/lo/hi are INTEGER MICRO UNITS on both sides:
+    // round(x, 6) doubles diverged across engines for a fence sitting on
+    // a rounding boundary (two red rounds), while the micro grid is safe
+    // because the quantiles are quarter-cent multiples, so x*1e6 lands
+    // thousands of ulps away from any .5 boundary.
+    def micro(c: Column): Column = round(c * lit(1e6), 0).cast("long")
     graft.ops.Outliers.flagIqrOutliers(
         t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
       .groupBy(col("o_orderstatus"))
-      .agg(round(first(col("q1")), 6).as("q1"), round(first(col("q3")), 6).as("q3"),
-        round(first(col("lo")), 6).as("lo"), round(first(col("hi")), 6).as("hi"),
+      .agg(micro(first(col("q1"))).as("q1_micro"), micro(first(col("q3"))).as("q3_micro"),
+        micro(first(col("lo"))).as("lo_micro"), micro(first(col("hi"))).as("hi_micro"),
         sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("o_orderstatus"))
+  }
 
   /** Exact-moment Pearson correlation in long form
     * ([[graft.ops.Profile.corrExact]]): decimal moment sums (order-free,
@@ -3103,14 +3107,14 @@ object SparkEntry {
         |  SELECT it, p_brand, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
         |    CAST(SUM(q) AS DOUBLE) AS qd
         |  FROM li GROUP BY 1, 2, 3),
-        |base AS (SELECT it, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |base AS (SELECT it, p_brand, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
         |j AS (
         |  SELECT uv.p_brand, uv.pd, uv.p, b.p0, b.q0
-        |  FROM uv JOIN base b USING (it)),
+        |  FROM uv JOIN base b USING (it, p_brand)),
         |agg AS (
         |  SELECT p_brand, pd AS period, COUNT(*) AS n_items,
         |    SUM(CAST(round(p * q0 * 1000000.0) AS BIGINT)) AS numL,
-        |    SUM(CAST(round(p0 * q0 * 1000000.0) AS BIGINT)) AS weight_micro
+        |    CAST(SUM(CAST(round(p0 * q0 * 1000000.0) AS BIGINT)) AS BIGINT) AS weight_micro
         |  FROM j GROUP BY 1, 2)
         |SELECT p_brand, period, n_items, weight_micro,
         |  round(CAST(numL AS DOUBLE) / CAST(weight_micro AS DOUBLE), 6) AS laspeyres
@@ -4893,10 +4897,12 @@ object SparkEntry {
         |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
         |  FROM q)
         |SELECT o.o_orderstatus,
-        |  round(b.q1, 6) AS q1, round(b.q3, 6) AS q3,
-        |  round(b.lo, 6) AS lo, round(b.hi, 6) AS hi,
-        |  SUM(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
-        |      THEN 1 ELSE 0 END) AS n_outliers,
+        |  CAST(round(b.q1 * 1000000.0) AS BIGINT) AS q1_micro,
+        |  CAST(round(b.q3 * 1000000.0) AS BIGINT) AS q3_micro,
+        |  CAST(round(b.lo * 1000000.0) AS BIGINT) AS lo_micro,
+        |  CAST(round(b.hi * 1000000.0) AS BIGINT) AS hi_micro,
+        |  CAST(SUM(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  COUNT(*) AS n_rows
         |FROM orders o JOIN b ON o.o_orderstatus = b.o_orderstatus
         |GROUP BY o.o_orderstatus, b.q1, b.q3, b.lo, b.hi

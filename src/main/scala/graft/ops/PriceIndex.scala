@@ -268,10 +268,13 @@ object PriceIndex {
       .select(col("__it"), col("__g"), col("__pd"),
         (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
         col("__Q").cast("double").as("__q"))
+    // Base keeps the group key: an item trading under two groups must
+    // contribute its base basket to each group separately, not
+    // cross-duplicate (the item→group dependency is NOT assumed).
     val base = uv.filter(col("__pd") === basePeriod)
-      .select(col("__it"), col("__p").as("__p0"), col("__q").as("__q0"))
+      .select(col("__it"), col("__g"), col("__p").as("__p0"), col("__q").as("__q0"))
     def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
-    uv.join(base, Seq("__it"))
+    uv.join(base, Seq("__it", "__g"))
       .groupBy(col("__g"), col("__pd"))
       .agg(count(lit(1)).as("n_items"),
         sum(micro(col("__p") * col("__q0"))).as("__numL"),
