@@ -37,3 +37,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 Global / showSuccess := false
 Global / showTiming := false
 Global / excludeLintKeys ++= Set(showSuccess, showTiming)
+// Forked run output goes straight to this process's stdout (no "[info]"
+// logger prefix) so Bench's JSON lines are verbatim-parseable.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
