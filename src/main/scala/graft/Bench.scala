@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -24,17 +25,33 @@ object Bench {
       else SparkEntry.queries.view.filterKeys(!SparkEntry.validationQueries.contains(_)).toMap
     // Best of two runs per query: the first run also warms per-query
     // codegen/file listings; min-of-N is the standard noise filter.
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // A query that throws is a FAILURE, never a timing: recording its
+    // time-to-exception (often <0.1s) would masquerade as a speedup and
+    // silently corrupt the total — exactly what hid the r06 data-shape
+    // regression. Failures are named in the metric line and excluded
+    // from the total.
+    val benchStartMs = System.currentTimeMillis()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val wallClock = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val results = selected.flatMap { case (name, fn) =>
+      val startS = (System.currentTimeMillis() - benchStartMs) / 1e3
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            failures.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+            None
+        }
       }
-      name -> times.min
+      wallClock(name) = (startS, (System.currentTimeMillis() - benchStartMs) / 1e3)
+      if (times.isEmpty) None else Some(name -> times.min)
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .map { case (k, v) => jstr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // 1-minute load average: round-over-round comparisons need to know
@@ -49,16 +66,25 @@ object Bench {
     // running (BENCH_r03/r04 "parsed": null). The fix is structural:
     //   line 1: the full per-query map, keyed "per_query" (NOT "metric",
     //           so a truncated fragment can never shadow the real line),
-    //           also written to bench_queries.json for bookkeeping;
+    //           plus per-query wall-clock [start,end] offsets (seconds
+    //           since bench start) so an external contention window is
+    //           visible in the data; also written to bench_queries.json;
     //   line 2 (LAST): a short metric line that always survives the tail.
+    val wall = wallClock.toSeq.sortBy(_._1)
+      .map { case (k, (s, e)) => jstr(k) + s":[${fmt(s)},${fmt(e)}]" }
+      .mkString("{", ",", "}")
+    val failedJson = failures.toSeq
+      .map { case (k, msg) => jstr(k) + ":" + jstr(msg) }
+      .mkString("{", ",", "}")
     val perQueryLine =
-      s"""{"per_query":$qs,"sf":"$sfDir","metric_of":"$metric"}"""
+      s"""{"per_query":$qs,"wall_clock":$wall,"failed_detail":$failedJson,"sf":"$sfDir","metric_of":"$metric"}"""
     try {
       val w = new java.io.PrintWriter("bench_queries.json", "UTF-8")
       try w.println(perQueryLine) finally w.close()
     } catch { case _: Throwable => () } // file is best-effort; stdout is the contract
     println(perQueryLine)
-    println(s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","load":${fmt(load)},"excluded_validation_n":$nExcluded,"queries":"bench_queries.json"}""")
+    val failedNames = failures.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    println(s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedNames,"sf":"$sfDir","load":${fmt(load)},"excluded_validation_n":$nExcluded,"queries":"bench_queries.json"}""")
     spark.stop()
   }
 }

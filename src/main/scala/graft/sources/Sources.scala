@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Source/sink helpers.
   *
@@ -18,17 +18,28 @@ import org.apache.spark.sql.types.{LongType, StructType}
   */
 object Sources {
 
-  /** Read one harness table. Parquet TIMESTAMP(NANOS) columns (the events
-    * table) are rejected by Spark's vectorized reader, so nanos are read
-    * as longs and truncated to microsecond timestamps — the same
-    * conversion DuckDB applies, keeping oracle comparisons exact.
+  /** Read one harness table, normalizing the `ts` column of the events
+    * table to session-zoned TIMESTAMP whatever physical shape the
+    * producer chose:
+    *
+    *   - TIMESTAMP(NANOS): rejected by Spark's vectorized reader, so
+    *     nanos are read as longs (`nanosAsLong`) and truncated to
+    *     microsecond timestamps — the same conversion DuckDB applies;
+    *   - TIMESTAMP(MICROS) with isAdjustedToUTC=false: surfaces as
+    *     TIMESTAMP_NTZ, which most chrono functions (`unix_micros`,
+    *     `window`, ...) reject. Cast to TIMESTAMP — under this
+    *     library's UTC session the wall-clock values are unchanged,
+    *     matching DuckDB's naive read exactly.
+    *
+    * Everything downstream sees one type, so query code never branches.
     */
   def readTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None    => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType)         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                      => df
     }
   }
 

@@ -10,10 +10,33 @@ import graft.testing.TestSpark
 class SourcesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("readTable converts nanosecond timestamps to usable micros") {
+  test("readTable normalizes the harness events ts to session TIMESTAMP") {
     val e = Sources.readTable(spark, "/root/testdata/sf0.001", "events")
     assert(e.schema("ts").dataType.typeName == "timestamp")
     assert(e.count() == 1000)
+    // chrono functions that reject TIMESTAMP_NTZ must analyze cleanly
+    assert(e.selectExpr("unix_micros(ts)").count() == 1000)
+  }
+
+  test("readTable handles both physical ts shapes: NTZ micros and nanos-as-long") {
+    val dir = Files.createTempDirectory("graft-ts-shapes")
+    // NTZ shape (current harness producer: timestamp[us], not UTC-adjusted)
+    val ntz = dir.resolve("ntz").toFile; ntz.mkdir()
+    spark.sql("SELECT TIMESTAMP_NTZ '2024-03-01 12:34:56.789012' AS ts, 1L AS id")
+      .write.parquet(s"$ntz/events.parquet")
+    val eNtz = Sources.readTable(spark, ntz.toString, "events")
+    assert(eNtz.schema("ts").dataType.typeName == "timestamp")
+    // UTC session: wall-clock value survives the cast exactly
+    assert(eNtz.selectExpr("CAST(ts AS STRING)").head().getString(0)
+      == "2024-03-01 12:34:56.789012")
+    // nanos shape (former producer): surfaces as long under nanosAsLong;
+    // a raw long ts column exercises the same conversion branch
+    val nanos = dir.resolve("nanos").toFile; nanos.mkdir()
+    spark.sql("SELECT 1709296496789012345L AS ts, 1L AS id")
+      .write.parquet(s"$nanos/events.parquet")
+    val eNanos = Sources.readTable(spark, nanos.toString, "events")
+    assert(eNanos.schema("ts").dataType.typeName == "timestamp")
+    assert(eNanos.selectExpr("unix_micros(ts)").head().getLong(0) == 1709296496789012L)
   }
 
   test("readCsv with explicit schema (no inference scan)") {
