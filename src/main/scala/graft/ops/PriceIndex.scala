@@ -285,6 +285,157 @@ object PriceIndex {
           .as("laspeyres"))
   }
 
+  /** Quantized bilateral Törnqvist log-indexes for every ordered period
+    * pair at most `maxLag` apart — the pairwise layer under
+    * [[geksIndex]]. Returns `(m_a, m_b, pd_a, pd_b, lnt_nano)` where
+    * `m_*` is the dense rank of the period in the observed period
+    * sequence and `lnt_nano = Σ_i round(s̄ᵢ·ln(pᵢ(b)/pᵢ(a))·1e9)` over
+    * the matched sample, s̄ the mean of the two periods' expenditure
+    * shares within that sample (ratios of micro-quantized sums, exactly
+    * [[superlativeIndexes]]' treatment).
+    *
+    * Scale shape: the self-join fans each item-period row out to at most
+    * `maxLag` partners — LINEAR in items, never quadratic; one shuffle
+    * keyed on item for the join, one keyed (m_a, m_b) for the share
+    * windows + final reduction. The output is period²-bounded (time-,
+    * not data-bounded), so downstream GEKS math is driver-cheap at any
+    * data volume.
+    */
+  def tornqvistLnPairs(df: DataFrame, itemCol: String, periodCol: Column,
+                       expCol: String, qtyCol: String,
+                       maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val dec = DecimalType(18, 2)
+    val uv = df
+      .groupBy(col(itemCol).as("__it"), periodCol.as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__pd"), col("__S").cast("double").as("__e"),
+        (col("__S").cast("double") / col("__Q").cast("double")).as("__p"))
+    // dense period index: the months frame is period-bounded, so the
+    // single-partition window is bounded by construction
+    val W = org.apache.spark.sql.expressions.Window
+    val months = uv.select(col("__pd")).distinct()
+      .withColumn("__m", row_number().over(W.orderBy(col("__pd"))).cast("long") - 1)
+    val uvm = uv.join(broadcast(months), Seq("__pd"))
+    val a = uvm.select(col("__it"), col("__m").as("m_a"), col("__pd").as("pd_a"),
+      col("__e").as("__ea"), col("__p").as("__pa"))
+    val b = uvm.select(col("__it"), col("__m").as("m_b"), col("__pd").as("pd_b"),
+      col("__e").as("__eb"), col("__p").as("__pb"))
+    val pairs = a.join(b, Seq("__it"))
+      .filter(col("m_b") > col("m_a") && col("m_b") <= col("m_a") + maxLag)
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    def nano(x: Column): Column = round(x * lit(1e9), 0).cast("long")
+    val Wp = W.partitionBy(col("m_a"), col("m_b"))
+    val eam = micro(col("__ea"))
+    val ebm = micro(col("__eb"))
+    val sa = eam.cast("double") / sum(eam).over(Wp).cast("double")
+    val sb = ebm.cast("double") / sum(ebm).over(Wp).cast("double")
+    val sBar = (sa + sb) / lit(2.0)
+    pairs
+      .select(col("m_a"), col("m_b"), col("pd_a"), col("pd_b"),
+        nano(sBar * log(col("__pb") / col("__pa"))).as("__tn"))
+      .groupBy(col("m_a"), col("m_b"), col("pd_a"), col("pd_b"))
+      .agg(sum(col("__tn")).as("lnt_nano"))
+  }
+
+  /** Integer HALF_UP mean: `round(sum / d)` with ties away from zero —
+    * the exact arithmetic Spark's `round` and DuckDB's `round` share, so
+    * the driver-side GEKS recurrence replays bit-for-bit in the oracle.
+    */
+  private def halfUpDiv(s: Long, d: Long): Long =
+    java.math.BigDecimal.valueOf(s)
+      .divide(java.math.BigDecimal.valueOf(d), 0, java.math.RoundingMode.HALF_UP)
+      .longValueExact
+
+  /** In-window GEKS log-index between period indexes `a` and `b`:
+    * `round( Σ_{l∈window} (lnT(a,l) + lnT(l,b)) / |window| )`. Exposed
+    * for the PriceIndexSpec transitivity law (within one window GEKS is
+    * transitive up to quantization: lnG(a,c) = lnG(a,b) + lnG(b,c) ± 1).
+    */
+  private[graft] def geksLn(lnt: (Int, Int) => Long, window: Range,
+                            a: Int, b: Int): Long =
+    halfUpDiv(window.map(l => lnt(a, l) + lnt(l, b)).sum, window.size)
+
+  /** The rolling-window mean-splice recurrence on quantized log-indexes
+    * (pure integer math — unit-testable without Spark). `lnt` must be
+    * defined for |i-j| < window (antisymmetry and the zero diagonal are
+    * the CALLER's job). Returns lnP nanos per period index:
+    *
+    *   - first window W₀ = [0, w):  lnP(t) = lnG_{W₀}(0, t);
+    *   - each later T with window W_T = [T-w+1, T]: the MEAN SPLICE on
+    *     the published series — every overlap period z revises the
+    *     published level through the new window's GEKS movement, and the
+    *     geometric mean of those candidates (arithmetic mean in logs)
+    *     becomes the published P(T):
+    *       lnP(T) = round( Σ_{z∈[T-w+1,T)} (lnP(z) + lnG_{W_T}(z,T)) / (w-1) ).
+    *
+    * Sequential by construction (each step reads w-1 published values),
+    * but over PERIOD COUNT — time-bounded, never data-bounded — so the
+    * driver loop costs microseconds at any corpus size.
+    */
+  private[graft] def geksSplice(lnt: (Int, Int) => Long, nPeriods: Int,
+                                window: Int): Array[Long] = {
+    require(window >= 2, "window must be >= 2")
+    val w = math.min(window, nPeriods)
+    val lnP = new Array[Long](nPeriods)
+    for (tt <- 0 until w)
+      lnP(tt) = geksLn(lnt, 0 until w, 0, tt)
+    for (tt <- w until nPeriods) {
+      val win = (tt - w + 1) to tt
+      val s = ((tt - w + 1) until tt).map(z => lnP(z) + geksLn(lnt, win, z, tt)).sum
+      lnP(tt) = halfUpDiv(s, w - 1)
+    }
+    lnP
+  }
+
+  /** GEKS-Törnqvist multilateral index with a rolling `window` and mean
+    * splice — the multilateral method ONS-style web-scraped/scanner
+    * price pipelines feed (the reference's config validation names
+    * exactly these pipelines: ons_utils/config/validation.py:106-205).
+    * Bilateral Törnqvist indexes between every in-window period pair
+    * (transitivized by the GEKS geometric mean) remove chain drift while
+    * the rolling window + splice keeps the published series stable as
+    * new periods arrive. Returns `(period, geks)` with the first
+    * observed period at 1.0.
+    *
+    * Determinism end-to-end: pairwise log-terms quantize to integer
+    * nanos before any sum ([[tornqvistLnPairs]]); the GEKS means and the
+    * splice recurrence are integer HALF_UP arithmetic; ONE final `exp`
+    * per period, 6-dp emitted.
+    *
+    * Scale shape: all row-level work (unit values, matched-sample share
+    * windows, pair reduction) is distributed and linear in items; only
+    * the period²-bounded log-index table reaches the driver (months ×
+    * window rows — a few hundred longs for a decade of data), where the
+    * inherently sequential splice runs in microseconds.
+    */
+  def geksIndex(df: DataFrame, itemCol: String, periodCol: Column,
+                expCol: String, qtyCol: String,
+                window: Int = 13): DataFrame = {
+    val spark = df.sparkSession
+    val pairs = tornqvistLnPairs(df, itemCol, periodCol, expCol, qtyCol,
+      maxLag = window - 1)
+      .select(col("m_a").cast("int"), col("m_b").cast("int"),
+        col("pd_a").cast("string"), col("pd_b").cast("string"), col("lnt_nano"))
+      .collect() // bounded: periods × window rows (time-, not data-sized)
+    val lntMap = pairs.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
+    def lnt(i: Int, j: Int): Long =
+      if (i == j) 0L
+      else if (i < j) lntMap.getOrElse((i, j), 0L)
+      else -lntMap.getOrElse((j, i), 0L)
+    val periodByIdx = pairs.flatMap(r =>
+        Seq(r.getInt(0) -> r.getString(2), r.getInt(1) -> r.getString(3))).toMap
+    val n = if (periodByIdx.isEmpty) 0 else periodByIdx.keys.max + 1
+    val lnP = geksSplice(lnt, n, window)
+    val out = (0 until n).map { m =>
+      (periodByIdx(m),
+        BigDecimal(math.exp(lnP(m) / 1e9))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import spark.implicits._
+    out.toDF("period", "geks")
+  }
+
   /** Per-period matched-sample indexes vs `basePeriod`:
     * `(period, n_items, laspeyres, paasche, fisher)`, base period
     * included (its indexes are 1.0 by construction).

@@ -1,0 +1,683 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+import graft.multimodal.Multimodal
+import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
+import graft.streaming.Streaming
+import graft.text.{Boilerplate, Cluster, Dedup, Dsir, LangModel, Pq, Rank, Similarity, TextStats}
+
+import graft.queries.Qh.{t, dsum}
+
+/** Embedding family: ANN (brute/LSH/IVF/PQ), k-means, semantic dedup, pair mining.
+  *
+  * Query defs + their DuckDB oracle SQL, split out of the former
+  * monolithic SparkEntry (registry semantics unchanged — the maps merge
+  * in [[graft.SparkEntry]]).
+  */
+object EmbedQueries {
+
+  /** Bucket-bounded near-dup pairs (the LSH scale path for
+    * [[qEmbedPairs]]; approximate → rows-only check).
+    */
+  private def qEmbedPairsLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nPlanes = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact brute-force cosine top-5 for 10 query vectors. */
+  private def qTopkSimilar(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-5 (the scale path; rows-only check —
+    * the bucket contents are hash-dependent. [[qAnnContainment]] is the
+    * semantic check on this path).
+    */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Semantic check for the ANN path: every LSH top-k hit's cosine must
+    * (a) agree with an independently-formulated exact cosine for that
+    * pair (dot/norms on the raw vectors, vs the ANN path's
+    * normalize-then-dot) and (b) not exceed the true best cosine for its
+    * query (brute-force top-1). Violations = 0, oracled as SELECT 0 —
+    * a wrong normalization, a mixed-up pair, or an inflated score all
+    * fire this.
+    */
+  private def qAnnContainment(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val ann = Similarity.lshTopK(queries, e, "vec_id", "embedding", 5)
+    val qRaw = e.select(col("vec_id").as("query_id"), col("embedding").as("qv_raw"))
+    val nRaw = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv_raw"))
+    val best = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 1)
+      .select(col("query_id"), col("cos").as("best_cos"))
+    ann.join(broadcast(qRaw), "query_id").join(nRaw, "neighbor_id")
+      .withColumn("cos_indep", Similarity.cosine(col("qv_raw"), col("nv_raw")))
+      .join(broadcast(best), "query_id")
+      .agg(coalesce(sum(
+        when(abs(col("cos") - col("cos_indep")) > 1e-9 ||
+          col("cos") > col("best_cos") + lit(1e-9), 1L).otherwise(0L)), lit(0L))
+        .as("n_violations"))
+  }
+
+  /** IVF (k-means cell) approximate top-5 — learned-partition ANN
+    * (rows-only check: k-means init is engine-specific).
+    */
+  private def qIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Semantic check for int8 embedding quantization: reconstruction
+    * error per element must stay within the scale/2 bound and every
+    * quantized value within [-127, 127], across the whole corpus.
+    * Violations = 0 (oracle SELECT 0) — a wrong scale, rounding mode, or
+    * overflow fires this.
+    */
+  private def qQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val withQ = e.select(
+      Similarity.toDoubleArr(col("embedding")).as("v"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val maxErr = array_max(zip_with(col("v"), Similarity.dequantize(col("qv")),
+      (a, b) => abs(a - b)))
+    val maxQ = array_max(transform(col("qv").getField("q"), x => abs(x.cast("int"))))
+    withQ.select(
+        maxErr.as("max_err"),
+        col("qv").getField("scale").cast("double").as("scale"),
+        maxQ.as("max_q"))
+      .agg(coalesce(sum(when(
+        col("max_err") > col("scale") * 0.5 * (1 + 1e-6) + 1e-12 ||
+          col("max_q") > 127, 1L).otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
+  /** Integer-exact k-means ([[graft.text.Cluster.kmeansInt]]): embeddings
+    * globally quantized to the integer lattice (round(x·1000)), then 3
+    * Lloyd rounds with 8 centers — initial centers are the 8 smallest
+    * vec_ids, ties break to the smaller cluster, centroids floor to the
+    * lattice, empty clusters keep their center. Every assignment and
+    * squared distance is integer arithmetic, so the oracle REPLAYS THE
+    * WHOLE TRAINING as 3 unrolled CTE rounds and must land on identical
+    * clusters AND identical distances for all rows — one wrong tiebreak,
+    * floor, or stale center anywhere diverges the chain.
+    */
+  private def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    Cluster.kmeansInt(d, "vec_id", "q", k = 8, iters = 3)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Cluster-balanced sampling — the curation move k-means exists FOR:
+    * train lattice cells ([[graft.text.Cluster.kmeansInt]], 2 rounds),
+    * then keep at most 40 docs per cell by the unbiased md5-hash order
+    * ([[graft.ops.Sampling.capPerGroup]]), so over-represented regions of
+    * embedding space are capped while sparse regions survive intact
+    * (diversity-preserving selection). Selection-exact: the per-cell
+    * kept-id sums only match if the ENTIRE training replay and the hash
+    * selection both agree.
+    */
+  private def qClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    val cells = Cluster.kmeansInt(d, "vec_id", "q", k = 8, iters = 2)
+    Sampling.capPerGroup(cells, Seq("cluster"), "vec_id", 40)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_kept_ids"))
+      .orderBy(col("cluster"))
+  }
+
+  /** PQ/ADC approximate top-5 ([[graft.text.Pq]]): per-subspace integer
+    * codebooks (2×8 codes, 2 Lloyd rounds), corpus encoded to 2 code ids,
+    * asymmetric-distance scan against the 10-query LUT. Fully oracled —
+    * the lossy index replays bit-for-bit (training, codes, ADC sums,
+    * ranks), unlike the float ANN paths which get containment laws.
+    */
+  private def qPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    val cb = Pq.train(e, "vec_id", "q", d = 64, m = 2, k = 8, iters = 2)
+    Pq.adcTopK(e, e.filter(col("vec_id") < 10), "vec_id", "q", cb, topK = 5)
+      .select(col("query_id"), col("neighbor_id"), col("approx_d2"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PQ recall@5 law ([[qPq]] vs exact lattice brute force): per query,
+    * how many of the ADC top-5 appear in the true integer top-5. Both
+    * sides replay bit-for-bit, so the recall NUMERATORS are oracle-exact
+    * — a measured quality figure for the lossy index, not just a
+    * containment bound. Validation query (re-runs training + an
+    * oracle-scale brute scan; excluded from the bench workload).
+    */
+  private def qPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    val cb = Pq.train(e, "vec_id", "q", d = 64, m = 2, k = 8, iters = 2)
+    val pq5 = Pq.adcTopK(e, e.filter(col("vec_id") < 10), "vec_id", "q", cb, topK = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val brute = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("__qv"))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("q").as("__nv")))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("__qv"), col("__nv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    val b5 = brute.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__in"))
+    pq5.join(b5, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__in"), lit(0))).cast("long").as("n_overlap"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Embedding near-dup pairs above cosine 0.45 — the brute-force O(n²)
+    * baseline, scoped to small-SF oracle duty only. The production path is
+    * [[qEmbedPairsLsh]]; its semantics are verified against this baseline
+    * by [[qLshContainment]].
+    */
+  private def qEmbedPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Semantic check for the bucketed near-dup path: every pair emitted by
+    * [[Similarity.lshNearDupPairs]] must appear in the brute-force
+    * above-threshold set (LSH candidates are re-scored with the exact
+    * cosine, so containment must be exact). Violations = 0, a scalar the
+    * oracle verifies as SELECT 0 — this graduates the scale path from a
+    * rows-only check to a verified-semantics one.
+    */
+  private def qLshContainment(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val lsh = Similarity.lshNearDupPairs(e, "vec_id", "embedding", threshold = 0.3, nPlanes = 4)
+      .select(col("id_a"), col("id_b"))
+    val brute = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+    lsh.join(brute, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+  }
+
+  /** Deterministic negative sampling ([[Sampling.negativePairs]]): two
+    * hash-derived partners per document via bucket-representative
+    * pairing — reproduced id-for-id by the oracle's md5 arithmetic.
+    */
+  private def qNegPairs(s: SparkSession, dir: String): DataFrame =
+    Sampling.negativePairs(t(s, dir, "documents").select(col("doc_id")), "doc_id", 2, 64)
+      .orderBy(col("doc_id"), col("j"))
+
+  /** Semantic check for the IVF path: probing EVERY cell must reproduce
+    * the brute-force top-k exactly — same neighbors, same ranks, same
+    * cosine bits (both paths share the normalize+dot scoring and the
+    * (cos desc, id) tiebreak). A wrong cell assignment, a dropped
+    * member, or a scoring drift all fire it. Violations = 0.
+    */
+  private def qIvfExact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(queries, e, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 16)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("n_ivf"), col("cos").as("cos_ivf"))
+    val bf = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("n_bf"), col("cos").as("cos_bf"))
+    ivf.join(bf, Seq("query_id", "rank"), "full_outer")
+      .agg(coalesce(sum(when(
+        col("n_ivf").isNull || col("n_bf").isNull ||
+          col("n_ivf") =!= col("n_bf") || col("cos_ivf") =!= col("cos_bf"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
+  /** Unrolled-CTE replay of [[graft.text.Cluster.kmeansInt]]'s training:
+    * round r assigns with centers c(r-1) (arg_min with [dist, cluster]
+    * tiebreak), then c(r) floors the per-dimension means — exactly the
+    * operator's `(s - pmod(s, n)) div n` lattice rule (`//` on the
+    * exact quotient agrees) — with empty clusters keeping their center
+    * via the LEFT JOIN coalesce. The final SELECT assigns with the
+    * last centers, mirroring the operator's post-loop projection.
+    */
+  /** `p` prefixes every CTE name so multiple instances compose in one
+    * WITH (the PQ oracle trains one chain per subspace); `vecExpr` is the
+    * integer-vector expression over `embeddings` (default: the ×1000
+    * lattice quantization; PQ slices it per subspace).
+    */
+  private def kmeansOracleCtes(k: Int, iters: Int, p: String = "",
+      vecExpr: String =
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"): String = {
+    // assignment = lexicographic min over [dist, cluster] lists (DuckDB
+    // compares lists element-wise; arg_min doesn't accept composite keys)
+    val d2 = "list_sum(list_transform(list_zip(v.q, c.c), x -> (x[1]-x[2])*(x[1]-x[2])))"
+    val rounds = (1 to iters).map { r =>
+      s"""${p}a$r AS (
+         |  SELECT v.vec_id, v.q,
+         |    CAST(min([$d2, c.cluster])[2] AS INTEGER) AS cluster
+         |  FROM ${p}v v, ${p}c${r - 1} c GROUP BY v.vec_id, v.q),
+         |${p}c$r AS (
+         |  SELECT p.cluster, coalesce(u.c, p.c) AS c
+         |  FROM ${p}c${r - 1} p LEFT JOIN (
+         |    SELECT cluster, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS c
+         |    FROM (
+         |      SELECT a.cluster, pos.pos, SUM(a.q[pos.pos]) AS s, COUNT(*) AS n
+         |      FROM ${p}a$r a CROSS JOIN ${p}pos pos GROUP BY a.cluster, pos.pos)
+         |    GROUP BY cluster) u ON u.cluster = p.cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}v AS (
+       |  SELECT vec_id, $vecExpr AS q
+       |  FROM embeddings),
+       |${p}pos AS (SELECT unnest(range(1, 1 + (SELECT max(len(q)) FROM ${p}v), 1)) AS pos),
+       |${p}c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster, q AS c
+       |  FROM ${p}v ORDER BY vec_id LIMIT $k),
+       |$rounds,
+       |${p}af AS (
+       |  SELECT v.vec_id,
+       |    CAST(min([$d2, c.cluster])[2] AS INTEGER) AS cluster,
+       |    CAST(min([$d2, c.cluster])[1] AS BIGINT) AS dist
+       |  FROM ${p}v v, ${p}c$iters c GROUP BY v.vec_id)""".stripMargin
+  }
+
+  /** PQ/ADC oracle: two prefixed [[kmeansOracleCtes]] chains train the
+    * per-subspace codebooks on the sliced lattice vectors; codes come
+    * from each chain's final assignment; the query-side LUT scores each
+    * query subvector against the FINAL centers; ADC = exact integer sum
+    * of the two lookups, top-5 per query with id tie-break.
+    */
+  private def pqOracleCtes(k: Int, iters: Int, d: Int): String = {
+    val sub = d / 2
+    val quant = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    def lut(p: String, lo: Int, hi: Int) =
+      s"""${p}lut AS (
+         |  SELECT qv.query_id, c.cluster AS code,
+         |    list_sum(list_transform(list_zip(qv.q[$lo:$hi], c.c),
+         |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+         |  FROM qv, ${p}c$iters c)""".stripMargin
+    s"""${kmeansOracleCtes(k, iters, "s0_", s"($quant)[1:$sub]")},
+       |${kmeansOracleCtes(k, iters, "s1_", s"($quant)[${sub + 1}:$d]")},
+       |codes AS (
+       |  SELECT a.vec_id, a.cluster AS c0, b.cluster AS c1
+       |  FROM s0_af a JOIN s1_af b USING (vec_id)),
+       |qv AS (
+       |  SELECT vec_id AS query_id, $quant AS q
+       |  FROM embeddings WHERE vec_id < 10),
+       |cv AS (SELECT vec_id, $quant AS q FROM embeddings),
+       |${lut("s0_", 1, sub)},
+       |${lut("s1_", sub + 1, d)},
+       |sc AS (
+       |  SELECT l0.query_id, codes.vec_id AS neighbor_id,
+       |    CAST(l0.d2 + l1.d2 AS BIGINT) AS approx_d2
+       |  FROM codes
+       |  JOIN s0_lut l0 ON l0.code = codes.c0
+       |  JOIN s1_lut l1 ON l1.code = codes.c1 AND l1.query_id = l0.query_id)""".stripMargin
+  }
+
+  private def pqOracleSql(k: Int, iters: Int, d: Int): String =
+    s"""WITH ${pqOracleCtes(k, iters, d)}
+       |SELECT query_id, neighbor_id, approx_d2,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY approx_d2, neighbor_id) AS rank
+       |FROM sc QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** PQ recall law: the ADC top-5 measured against the EXACT integer
+    * brute-force top-5 on the same lattice vectors — both sides fully
+    * deterministic, so the recall numerators are oracle-exact, unlike the
+    * float ANN paths whose laws are containment-only.
+    */
+  private def pqRecallOracleSql(k: Int, iters: Int, d: Int): String =
+    s"""WITH ${pqOracleCtes(k, iters, d)},
+       |pq5 AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_d2, neighbor_id) AS rank
+       |  FROM sc QUALIFY rank <= 5),
+       |bd AS (
+       |  SELECT qv.query_id, cv.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(qv.q, cv.q),
+       |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+       |  FROM qv CROSS JOIN cv),
+       |b5 AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2, neighbor_id) AS rank
+       |  FROM bd QUALIFY rank <= 5)
+       |SELECT p.query_id,
+       |  CAST(SUM(CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |FROM pq5 p LEFT JOIN b5 b USING (query_id, neighbor_id)
+       |GROUP BY p.query_id ORDER BY p.query_id""".stripMargin
+
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansOracleCtes(k, iters)}
+       |SELECT vec_id, cluster, dist FROM af ORDER BY vec_id""".stripMargin
+
+  /** [[kmeansOracleCtes]] composed with [[graft.ops.Sampling.capPerGroup]]'s
+    * md5-order selection rule (q_cap_group's spelling) over the trained
+    * cells: the cap keeps the same per-cluster ids only if the whole
+    * training chain AND the hash order agree.
+    */
+  private def clusterSampleOracleSql(k: Int, iters: Int, cap: Int): String =
+    s"""WITH ${kmeansOracleCtes(k, iters)},
+       |r AS (
+       |  SELECT cluster, vec_id,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM af)
+       |SELECT cluster, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS sum_kept_ids
+       |FROM r WHERE rk <= $cap
+       |GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  /** Cosine threshold shared by the semantic-dedup queries (qSemDedup,
+    * qGroupSplit) and their oracles — one knob, four former copies.
+    */
+  private val semDedupThreshold = 0.45
+
+  /** Banding parameters shared by the LSH-pair queries and their oracles. */
+  private val semBandPlanes = 6
+
+  private val semBands = 4
+
+  /** DuckDB list literal for one hyperplane — `Double.toString` is the
+    * shortest round-trip rendering, so the oracle parses the exact same
+    * 64-bit values the operator folds over.
+    */
+  private def planeLit(p: Seq[Double]): String =
+    p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+
+  /** Normalized-embedding CTE shared by every semantic oracle. */
+  private val nvCte: String =
+    """nv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+      |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+      |  FROM embeddings)""".stripMargin
+
+  /** DuckDB sign-bit bucket expression over a normalized list column —
+    * the single-table twin of [[lshPairsCteChain]]'s per-band expr, for
+    * oracles of the un-banded LSH operators.
+    */
+  private def bucketExprSql(planes: Seq[Seq[Double]], vecRef: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_sum(list_transform(list_zip($vecRef, ${planeLit(p)}), " +
+        s"x -> x[1] * x[2])) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Oracle for q_ann_lsh: replicates [[graft.text.Similarity.lshTopK]]
+    * bit-for-bit — same seeded plane literals, sign-bit buckets, bucket
+    * join, exact sequential-fold cosine, (cos DESC, neighbor_id) rank.
+    * Verifies the BUCKETING and the scoring, not just row counts.
+    */
+  private def annLshOracleSql: String = {
+    val planes = Similarity.randomPlanes(6, 64)
+    s"""WITH $nvCte,
+       |bk AS (SELECT vec_id, nv, ${bucketExprSql(planes, "nv")} AS bucket FROM nv),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(q.nv, c.nv), x -> x[1] * x[2])) AS cos
+       |  FROM bk q JOIN bk c USING (bucket)
+       |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id)
+       |SELECT query_id, neighbor_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracle for q_embed_pairs_lsh: [[graft.text.Similarity
+    * .lshNearDupPairs]] replayed — seeded planes, same-bucket candidate
+    * pairs, exact cosine threshold.
+    */
+  private def embedPairsLshOracleSql: String = {
+    val planes = Similarity.randomPlanes(4, 64)
+    s"""WITH $nvCte,
+       |bk AS (SELECT vec_id, nv, ${bucketExprSql(planes, "nv")} AS bucket FROM nv)
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_sum(list_transform(list_zip(a.nv, b.nv), x -> x[1] * x[2])) AS cos
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE cos > 0.3 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Brute-force exact pair CTE (the O(n²) baseline the laws compare
+    * against; the workload queries use [[lshPairsCteChain]] instead).
+    */
+  private def brutePairsSubquery: String =
+    s"""SELECT id_a, id_b FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      list_sum(list_transform(list_zip(a.nv, b.nv), x -> x[1] * x[2])) AS cos
+       |    FROM nv a, nv b WHERE a.vec_id < b.vec_id)
+       |  WHERE cos > $semDedupThreshold""".stripMargin
+
+  /** CTE chain replicating [[graft.text.Similarity.lshNearDupPairsBanded]]
+    * bit-for-bit: per band, bucket = sign bits of sequential-fold dot
+    * products against the operator's own (seeded, embedded-as-literals)
+    * hyperplanes; candidates = same-(band,)bucket pairs unioned across
+    * bands; `pairs` = candidates passing the exact cosine filter. The
+    * oracle therefore verifies the bucketing AND the scoring, not just a
+    * pair list.
+    */
+  private def lshPairsCteChain: String = {
+    val bands = Similarity.bandedPlanes(semBandPlanes, semBands, 64)
+    val bandCtes = bands.zipWithIndex.map { case (planes, bi) =>
+      val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_sum(list_transform(list_zip(nv, ${planeLit(p)}), " +
+          s"x -> x[1] * x[2])) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"b$bi AS (SELECT vec_id, $bucketExpr AS bucket FROM nv)"
+    }
+    val candUnion = (0 until semBands).map { bi =>
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM b$bi a " +
+        s"JOIN b$bi b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+    }.mkString("\n  UNION\n  ") // UNION, not UNION ALL: bands dedup
+    s"""${bandCtes.mkString(",\n")},
+       |cand AS (
+       |  $candUnion),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      list_sum(list_transform(list_zip(x.nv, y.nv), z -> z[1] * z[2])) AS cos
+       |    FROM cand c JOIN nv x ON c.id_a = x.vec_id
+       |                JOIN nv y ON c.id_b = y.vec_id)
+       |  WHERE cos > $semDedupThreshold)""".stripMargin
+  }
+
+  /** Shared oracle-SQL prefix for the semantic-dedup workload queries:
+    * normalized embeddings, the BANDED-LSH pair set (the operators' scale
+    * path — see [[lshPairsCteChain]]), symmetric edges, transitive
+    * closure (`reach`). Both the q_semdedup and q_group_split oracles
+    * build on exactly this chain, so their pair sets can never drift
+    * apart; q_lsh_recall measures this pair set against the brute-force
+    * baseline.
+    */
+  private def semanticComponentsCte: String =
+    s"""WITH RECURSIVE $nvCte,
+       |$lshPairsCteChain,
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
+
+  /** Semantic dedup, keep-one-per-cluster
+    * ([[graft.text.Dedup.dedupByPairs]]): banded-LSH near-dup pairs
+    * ([[graft.text.Similarity.lshNearDupPairsBanded]] — the scale path;
+    * no cross product anywhere in the plan) → connected components
+    * (hash-to-min with pointer jumping) → minimum member survives. The
+    * oracle replicates the banding, the bucketing, the exact cosine
+    * filter, AND rebuilds the components with a recursive CTE over that
+    * identical pair set, so the grouping semantics are verified end to
+    * end; q_lsh_recall measures this pair source against the exact
+    * brute-force baseline (which stays oracled via q_embed_pairs).
+    */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val pairs = Similarity.lshNearDupPairsBanded(e, "vec_id", "embedding",
+      semDedupThreshold, semBandPlanes, semBands)
+    Dedup.dedupByPairs(e.select(col("vec_id"), col("label")), "vec_id", pairs)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Leakage-safe split ([[graft.ops.Sampling.splitByGroup]]): rows split
+    * by their duplicate-cluster representative, so near-copies (as found
+    * by the banded-LSH pair source — same scale path and caveats as
+    * [[qSemDedup]]) can never straddle train/test. The oracle rebuilds
+    * the banding, the clusters (recursive CTE over the same pair set)
+    * AND the md5 bucket arithmetic, so grouping and assignment are both
+    * verified hex-for-hex.
+    */
+  private def qGroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val pairs = Similarity.lshNearDupPairsBanded(e, "vec_id", "embedding",
+      semDedupThreshold, semBandPlanes, semBands)
+    Sampling.splitByGroup(e.select(col("vec_id")), "vec_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .orderBy(col("split"))
+  }
+
+  /** Validation law: measured recall of the banded-LSH pair source
+    * against the exact brute-force pair set at the same threshold —
+    * the honesty artifact behind qSemDedup/qGroupSplit. LSH pairs are a
+    * SUBSET of brute pairs by construction (same exact cosine filter,
+    * fewer candidates), so recall = n_lsh / n_brute; the oracle
+    * recomputes both sides independently. Runs the O(n²) baseline, so
+    * it lives in the validation set, never the bench workload.
+    */
+  private def qLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val brute = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", semDedupThreshold)
+    val lsh = Similarity.lshNearDupPairsBanded(e, "vec_id", "embedding",
+      semDedupThreshold, semBandPlanes, semBands)
+    brute.agg(count(lit(1)).as("n_brute"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .select(col("n_brute"), col("n_lsh"),
+        round(col("n_lsh").cast("double") / col("n_brute"), 6).as("recall"))
+  }
+
+  /** This family's slice of [[graft.SparkEntry.queries]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_similar" -> (qTopkSimilar _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_containment" -> (qAnnContainment _),
+    "q_ivf_topk" -> (qIvfTopk _),
+    "q_kmeans" -> (qKmeans _),
+    "q_cluster_sample" -> (qClusterSample _),
+    "q_pq" -> (qPq _),
+    "q_pq_recall" -> (qPqRecall _),
+    "q_embed_pairs" -> (qEmbedPairs _),
+    "q_embed_pairs_lsh" -> (qEmbedPairsLsh _),
+    "q_lsh_containment" -> (qLshContainment _),
+    "q_quantize" -> (qQuantize _),
+    "q_neg_pairs" -> (qNegPairs _),
+    "q_ivf_exact" -> (qIvfExact _),
+    "q_semdedup" -> (qSemDedup _),
+    "q_group_split" -> (qGroupSplit _),
+    "q_lsh_recall" -> (qLshRecall _),
+  )
+
+  /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
+  def oracleSql: Map[String, String] = Map(
+    "q_topk_similar" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+        |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.nv, c.nv), x -> x[1] * x[2])) AS cos
+        |  FROM n q, n c WHERE q.vec_id < 10 AND q.vec_id != c.vec_id)
+        |SELECT query_id, neighbor_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
+    "q_cluster_sample" -> clusterSampleOracleSql(k = 8, iters = 2, cap = 40),
+    "q_pq" -> pqOracleSql(k = 8, iters = 2, d = 64),
+    "q_pq_recall" -> pqRecallOracleSql(k = 8, iters = 2, d = 64),
+    "q_ann_lsh" -> annLshOracleSql,
+    "q_embed_pairs_lsh" -> embedPairsLshOracleSql,
+    "q_embed_pairs" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+        |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+        |  FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.nv, b.nv), x -> x[1] * x[2])) AS cos
+        |  FROM n a, n b WHERE a.vec_id < b.vec_id)
+        |WHERE cos > 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "q_lsh_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_ann_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_quantize" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_neg_pairs" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bk
+        |  FROM documents),
+        |reps AS (SELECT bk AS pb, MIN(doc_id) AS neg_id FROM b GROUP BY bk),
+        |probes AS (
+        |  SELECT doc_id, v.j,
+        |    (bk + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |       || CAST(v.j AS VARCHAR)), 1, 8)) AS BIGINT) % 64) % 64 AS pb
+        |  FROM b, (VALUES (1), (2)) v(j))
+        |SELECT p.doc_id, MIN(p.j) AS j, r.neg_id
+        |FROM probes p JOIN reps r USING (pb)
+        |WHERE r.neg_id <> p.doc_id
+        |GROUP BY p.doc_id, r.neg_id
+        |ORDER BY p.doc_id, j""".stripMargin,
+    "q_ivf_exact" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_group_split" ->
+      s"""$semanticComponentsCte,
+        |roots AS (SELECT a AS vec_id, min(b) AS root FROM reach GROUP BY a),
+        |keyed AS (
+        |  SELECT e.vec_id, COALESCE(r.root, e.vec_id) AS gk
+        |  FROM embeddings e LEFT JOIN roots r ON e.vec_id = r.vec_id),
+        |b AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(gk AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+        |  FROM keyed)
+        |SELECT CASE WHEN bucket < 8000 THEN 'train'
+        |            WHEN bucket < 9000 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Rebuild the SAME duplicate components (transitive closure over the
+    // exact cosine pair set) with a recursive CTE, keep each component's
+    // minimum id — verifying the grouping semantics of dedupByPairs, not
+    // just its pair list.
+    "q_semdedup" ->
+      s"""$semanticComponentsCte,
+        |losers AS (
+        |  SELECT a AS vec_id FROM reach GROUP BY a HAVING min(b) <> a)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
+    // Recall of the banded-LSH pair source vs the brute-force baseline:
+    // the oracle recomputes BOTH pair sets independently (bucketing
+    // replicated from embedded plane literals), so the measured recall
+    // itself is hash-verified, not self-reported.
+    "q_lsh_recall" ->
+      s"""WITH $nvCte,
+        |$lshPairsCteChain,
+        |bp AS (SELECT count(*) AS n_brute FROM ($brutePairsSubquery)),
+        |lp AS (SELECT count(*) AS n_lsh FROM pairs)
+        |SELECT n_brute, n_lsh,
+        |  round(CAST(n_lsh AS DOUBLE) / n_brute, 6) AS recall
+        |FROM bp, lp""".stripMargin,
+  )
+}

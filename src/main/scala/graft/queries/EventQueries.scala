@@ -1,0 +1,476 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+import graft.multimodal.Multimodal
+import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
+import graft.streaming.Streaming
+import graft.text.{Boilerplate, Cluster, Dedup, Dsir, LangModel, Pq, Rank, Similarity, TextStats}
+
+import graft.queries.Qh.{t, dsum}
+
+/** Event-time family: windows, sessionization, funnels, retention, rolling metrics over the events table.
+  *
+  * Query defs + their DuckDB oracle SQL, split out of the former
+  * monolithic SparkEntry (registry semantics unchanged — the maps merge
+  * in [[graft.SparkEntry]]).
+  */
+object EventQueries {
+
+  /** W3 forward-fill per series (nulls injected on 'click' events). */
+  private def qFfill(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("value_filled",
+      when(col("event_type") === "click", lit(null).cast("double")).otherwise(col("value")))
+    Timeseries.ffill(e, Seq("user_id"), Seq("ts", "event_id"), Seq("value_filled"))
+      .select(col("event_id"), col("user_id"), col("value_filled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W2+W3 — forward-fill bounded by the reference's shifted (Feb→Jan+1)
+    * year: fill must not cross the February boundary.
+    */
+  private def qShiftedFfill(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("value_filled",
+      when(col("event_type") === "click", lit(null).cast("double")).otherwise(col("value")))
+    Timeseries.shiftedWithinYearFfill(e, Seq("user_id"), "ts", Seq("value_filled"),
+        tieBreakCols = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("value_filled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Event-time tumbling window aggregation (batch form of the streaming
+    * operator; window start emitted as string for oracle parity).
+    */
+  private def qTumbling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Sessionization: 30-minute-gap sessions via lag + running sum
+    * (microsecond-exact gap comparison on both engines).
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+    val newSession = when(gapUs.isNull || gapUs > lit(1800000000L), 1).otherwise(0)
+    t(s, dir, "events")
+      .withColumn("session_seq",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        dsum(col("value")).as("sum_value"),
+      )
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Sliding event-time windows (1h window, 30m slide — every event lands
+    * in two windows).
+    */
+  private def qSliding(s: SparkSession, dir: String): DataFrame =
+    Streaming.slidingAgg(t(s, dir, "events"), "ts", "1 hour", "30 minutes", Nil,
+        Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"))
+
+  /** Native gap-based session windows (session_window), the declarative
+    * form of [[qSessionize]].
+    */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Streaming.sessionAgg(t(s, dir, "events"), "ts", "30 minutes", Seq("user_id"),
+        Seq(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value")))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Rolling 3-event trailing sum per user (decimal-exact, so the
+    * sliding-window reassociation both engines do cannot change values).
+    */
+  private def qRolling(s: SparkSession, dir: String): DataFrame =
+    Timeseries.withRollingSum(t(s, dir, "events"), Seq("user_id"),
+        Seq("ts", "event_id"), col("value").cast(DecimalType(18, 2)), 3, "rsum")
+      .select(col("event_id"), col("user_id"), col("rsum").cast("double").as("rsum"))
+      .orderBy(col("event_id"))
+
+  /** Funnel analysis ([[graft.ops.Funnel]]): users progressing through
+    * view → click → purchase in event-time order (event_id tiebreak),
+    * counted per step reached. The oracle deliberately uses a DIFFERENT
+    * formulation (iterated first-match-after via row-comparison windows)
+    * — agreement cross-checks the greedy-fold semantics, not just the
+    * arithmetic.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.funnelCounts(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+
+  /** Regular-grid resample with gap fill
+    * ([[graft.ops.Timeseries.resampleGapFill]]): per-user hourly buckets,
+    * exact decimal sums, empty buckets flagged and forward-filled — all
+    * three stages co-partitioned on the series key.
+    */
+  private def qResample(s: SparkSession, dir: String): DataFrame =
+    Timeseries.resampleGapFill(
+        t(s, dir, "events").filter(col("user_id") < 3),
+        Seq("user_id"), "ts", stepSeconds = 3600,
+        aggs = Seq(dsum(col("value")).as("sum_value")))
+      .select(col("user_id"),
+        date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("sum_value"), col("is_gap"))
+      .orderBy(col("user_id"), col("bucket"))
+
+  /** Weekly cohort retention ([[graft.ops.Funnel.retentionMatrix]]):
+    * users cohorted by first-event week, distinct-active counted per
+    * (cohort, week offset) — two co-partitioned shuffles on user_id.
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.retentionMatrix(t(s, dir, "events"), "user_id", "ts",
+        periodSeconds = 7L * 24 * 3600)
+      .select(date_format(col("cohort_ts"), "yyyy-MM-dd").as("cohort_week"),
+        col("period"), col("n_active"))
+      .orderBy(col("cohort_week"), col("period"))
+
+  /** Event-type co-occurrence lift ([[graft.ops.Funnel.cooccurrenceLift]]):
+    * unordered behavior pairs per user with lift over independence —
+    * entity-co-partitioned self-join, broadcast marginals, one exact
+    * long division (bit-deterministic, no rounding needed).
+    */
+  private def qCooccur(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.cooccurrenceLift(t(s, dir, "events"), "user_id", "event_type")
+      .orderBy(col("item_a"), col("item_b"))
+
+  /** Gaps-and-islands activity streaks
+    * ([[graft.ops.Funnel.activityStreaks]]): longest consecutive-day run
+    * and active-day count per user — one distinct, one window, one agg,
+    * all on the entity key.
+    */
+  private def qStreaks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.activityStreaks(t(s, dir, "events"), "user_id", "ts")
+      .orderBy(col("user_id"))
+
+  /** Markov transition matrix over user journeys
+    * ([[graft.ops.Funnel.transitionMatrix]]): consecutive event-type
+    * pairs per user with row-normalized probabilities — one entity
+    * shuffle, then a types²-sized aggregation.
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.transitionMatrix(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("from_type"), col("to_type"))
+
+  /** Rolling 7-day distinct active users
+    * ([[graft.ops.Funnel.rollingActiveEntities]]): the trailing-window
+    * WAU curve via contribution explode — O(user-days × 7) moved, never
+    * a per-day rescan or a day×events range join.
+    */
+  private def qRollingActive(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.rollingActiveEntities(t(s, dir, "events"),
+        "user_id", "ts", windowPeriods = 7)
+      .select(date_format(col("period_ts"), "yyyy-MM-dd").as("day"), col("n_active"))
+      .orderBy(col("day"))
+
+  /** Signup→purchase conversion lag ([[graft.ops.Funnel.timeToConvert]]):
+    * first purchase at/after each user's first signup, lag in exact
+    * microseconds — window + aggregation on one shared entity exchange.
+    */
+  private def qConversionLag(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.timeToConvert(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "signup", "purchase")
+      .select(col("user_id"),
+        date_format(col("from_ts"), "yyyy-MM-dd HH:mm:ss").as("from_ts"),
+        date_format(col("to_ts"), "yyyy-MM-dd HH:mm:ss").as("to_ts"),
+        col("lag_us"))
+      .orderBy(col("user_id"))
+
+  /** Exact α=½ EWMA over per-user daily spend
+    * ([[graft.ops.Timeseries.ewmaHalf]]): cents accumulate in a long
+    * prefix sum, one IEEE division at the end — bit-deterministic
+    * recency weighting, no float recurrence.
+    */
+  private def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("__day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    Timeseries.ewmaHalf(daily, Seq("user_id"), Seq("__day"), "cents")
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("__day") * 86400000000L), "yyyy-MM-dd")
+          .as("day"),
+        col("cents"), col("ewma"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Validation for the sketch-path rolling actives
+    * ([[graft.ops.Funnel.rollingActiveEntitiesApprox]]): every period's
+    * HLL estimate must land within the 4σ envelope (6.5% at lgK=12) of
+    * the exact trailing distinct count — at these cardinalities the
+    * sketch is still sparse-exact, so the real gap is 0. Violations = 0,
+    * oracle SELECT 0.
+    */
+  private def qRollingHll(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val exact = graft.ops.Funnel.rollingActiveEntities(e, "user_id", "ts", 7)
+    val approx = graft.ops.Funnel.rollingActiveEntitiesApprox(e, "user_id", "ts", 7)
+    exact.join(approx, Seq("period_ts"), "full_outer")
+      .agg(coalesce(sum(when(
+        col("n_active").isNull || col("n_active_est").isNull ||
+          abs(col("n_active_est") - col("n_active")) >
+            lit(0.065) * col("n_active"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
+  /** This family's slice of [[graft.SparkEntry.queries]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ffill" -> (qFfill _),
+    "q_shifted_ffill" -> (qShiftedFfill _),
+    "q_tumbling" -> (qTumbling _),
+    "q_sessionize" -> (qSessionize _),
+    "q_rolling" -> (qRolling _),
+    "q_sliding" -> (qSliding _),
+    "q_session_window" -> (qSessionWindow _),
+    "q_funnel" -> (qFunnel _),
+    "q_resample" -> (qResample _),
+    "q_retention" -> (qRetention _),
+    "q_cooccur" -> (qCooccur _),
+    "q_streaks" -> (qStreaks _),
+    "q_transitions" -> (qTransitions _),
+    "q_rolling_active" -> (qRollingActive _),
+    "q_conversion_lag" -> (qConversionLag _),
+    "q_ewma" -> (qEwma _),
+    "q_rolling_hll" -> (qRollingHll _),
+  )
+
+  /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
+  def oracleSql: Map[String, String] = Map(
+    "q_ffill" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_shifted_ffill" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id, year(ts - INTERVAL 1 MONTH) ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT *,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sliding" ->
+      """SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT value, unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS win_start
+        |  FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT *,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_rolling_active" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS p
+        |  FROM events),
+        |mx AS (SELECT max(p) AS pm FROM a),
+        |t AS (
+        |  SELECT user_id, p + i AS tp
+        |  FROM a CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i))
+        |SELECT strftime(make_timestamp(tp * 86400000000), '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM t, mx WHERE tp <= pm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_conversion_lag" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS from_ts
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, f.from_ts, min(e.ts) AS to_ts
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND f.from_ts IS NOT NULL
+        |    AND e.ts >= f.from_ts
+        |  GROUP BY e.user_id, f.from_ts)
+        |SELECT user_id,
+        |  strftime(from_ts, '%Y-%m-%d %H:%M:%S') AS from_ts,
+        |  strftime(to_ts, '%Y-%m-%d %H:%M:%S') AS to_ts,
+        |  epoch_us(to_ts) - epoch_us(from_ts) AS lag_us
+        |FROM c ORDER BY user_id""".stripMargin,
+    "q_ewma" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |i AS (
+        |  SELECT user_id, day, cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS t
+        |  FROM d),
+        |s AS (
+        |  SELECT user_id, day, cents, t,
+        |    sum(cents * (1::BIGINT << t))
+        |      OVER (PARTITION BY user_id ORDER BY t) AS sw
+        |  FROM i)
+        |SELECT user_id,
+        |  strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day,
+        |  cents,
+        |  CAST(sw AS DOUBLE) /
+        |    CAST((1::BIGINT << (t + 1)) - 1 AS DOUBLE) AS ewma
+        |FROM s ORDER BY user_id, day""".stripMargin,
+    "q_rolling_hll" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_funnel" ->
+      // independent formulation: iterated first-match-after-(ts,id) via
+      // row_number windows — must agree with the Spark greedy fold
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events),
+        |s1 AS (
+        |  SELECT user_id, ts AS t1, event_id AS i1 FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM e WHERE event_type = 'view') WHERE rn = 1),
+        |s2 AS (
+        |  SELECT user_id, ts AS t2, event_id AS i2 FROM (
+        |    SELECT e.user_id, e.ts, e.event_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM e JOIN s1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (s1.t1, s1.i1))
+        |  WHERE rn = 1),
+        |s3 AS (
+        |  SELECT user_id FROM (
+        |    SELECT e.user_id,
+        |      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        |    FROM e JOIN s2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.t2, s2.i2))
+        |  WHERE rn = 1),
+        |ms AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |         WHEN s2.user_id IS NOT NULL THEN 2
+        |         WHEN s1.user_id IS NOT NULL THEN 1
+        |         ELSE 0 END AS max_step
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  LEFT JOIN s1 USING (user_id)
+        |  LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id))
+        |SELECT v.i AS step, COUNT(*) AS n_users
+        |FROM ms JOIN (VALUES (1), (2), (3)) v(i) ON ms.max_step >= v.i
+        |GROUP BY v.i ORDER BY step""".stripMargin,
+    "q_retention" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    make_timestamp((epoch_us(ts) // 604800000000) * 604800000000) AS bucket
+        |  FROM events),
+        |c AS (SELECT user_id, min(bucket) AS cohort FROM b GROUP BY user_id)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST((epoch_us(b.bucket) - epoch_us(c.cohort)) // 604800000000 AS BIGINT) AS period,
+        |  COUNT(DISTINCT b.user_id) AS n_active
+        |FROM b JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_cooccur" ->
+      """WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
+        |m AS (SELECT event_type, count(*) AS n FROM items GROUP BY 1),
+        |ne AS (SELECT count(DISTINCT user_id) AS n_entities FROM items),
+        |p AS (
+        |  SELECT a.event_type AS item_a, b.event_type AS item_b, count(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+        |  (CAST(n_ab AS DOUBLE) * CAST(n_entities AS DOUBLE)) /
+        |    (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) AS lift
+        |FROM p JOIN m ma ON p.item_a = ma.event_type
+        |       JOIN m mb ON p.item_b = mb.event_type, ne
+        |ORDER BY item_a, item_b""".stripMargin,
+    "q_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM d),
+        |s AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_periods
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS b, value
+        |  FROM events WHERE user_id < 3),
+        |obs AS (
+        |  SELECT user_id, b,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |  FROM e GROUP BY user_id, b),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(b), max(b), INTERVAL 1 HOUR)) AS b
+        |  FROM e GROUP BY user_id)
+        |SELECT g.user_id, strftime(g.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  last_value(o.sv IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+        |  o.sv IS NULL AS is_gap
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+        |ORDER BY g.user_id, bucket""".stripMargin,
+  )
+}

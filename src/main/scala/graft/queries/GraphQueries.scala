@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+import graft.multimodal.Multimodal
+import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
+import graft.streaming.Streaming
+import graft.text.{Boilerplate, Cluster, Dedup, Dsir, LangModel, Pq, Rank, Similarity, TextStats}
+
+import graft.queries.Qh.{t, dsum}
+
+/** Graph family: PageRank, triangle counting, k-core over the events-derived interaction graph.
+  *
+  * Query defs + their DuckDB oracle SQL, split out of the former
+  * monolithic SparkEntry (registry semantics unchanged — the maps merge
+  * in [[graft.SparkEntry]]).
+  */
+object GraphQueries {
+
+  /** Integer-exact PageRank ([[graft.ops.Graph.pageRank]]) over the
+    * supplier co-occurrence graph (suppliers of consecutive lines in an
+    * order). Every division is a truncating integer `div` in fixed
+    * order, so 5 distributed iterations hash-match the oracle's
+    * unrolled CTE chain exactly — float PageRank never could.
+    */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    // (orderkey, linenumber) is NOT unique in this data; ordering by the
+    // suppkey too makes the per-order supplier SEQUENCE deterministic
+    // (ties beyond the suppkey cannot change it)
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .orderBy(col("node"))
+  }
+
+  /** Oracle for [[qPagerank]]: the identical integer recurrence with the
+    * iteration loop unrolled into chained CTEs (DuckDB's recursive CTEs
+    * allow only one self-reference, which the nodes-left-join shape
+    * needs twice).
+    */
+  private def pagerankOracleSql: String = {
+    val base = "((1000000000000 * 15) // 100) // (SELECT n FROM cnt)"
+    val iters = (1 to 5).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.node, $base + (85 * COALESCE(c.m, 0)) // 100 AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank // od.d) AS m
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.node JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nxt AS (
+       |  SELECT l_suppkey AS src,
+       |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+       |                          ORDER BY l_linenumber, l_suppkey) AS dst
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM nxt WHERE dst IS NOT NULL AND src <> dst),
+       |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+       |cnt AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |pr0 AS (SELECT node, 1000000000000 // (SELECT n FROM cnt) AS rank FROM nodes),
+       |$iters
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr5 ORDER BY node""".stripMargin
+  }
+
+  /** Triangle count on the part co-purchase graph
+    * ([[graft.ops.Graph.triangleCount]]): parts sharing an order form
+    * edges; degree-ordered wedges close against the canonical edge set.
+    * The oracle counts the same triangles with id-ordered SQL joins —
+    * different enumeration order, provably the same count.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    // the graph is sampled by order (25%): triangle work grows with the
+    // wedge count (~Σ outdeg²), so the BENCH graph is kept at a density
+    // where the 4× sf0.01→sf0.1 step doesn't square into the total; the
+    // operator itself is bounded by degree orientation, not this filter
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("i")).distinct()
+    val a = items.toDF("k", "ia")
+    val b = items.toDF("k", "ib")
+    val edges = a.join(b, Seq("k")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+    graft.ops.Graph.triangleCount(edges, "ia", "ib")
+  }
+
+  /** k-core of the (thinned) part co-purchase graph
+    * ([[graft.ops.Graph.kCore]]): iterative peeling to the unique
+    * maximal min-degree-4 subgraph. The oracle unrolls the same peeling
+    * as chained CTEs (the PageRank convention) with spare rounds —
+    * peeling is confluent and idempotent at the fixpoint, so extra
+    * rounds can't change the result.
+    */
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("i")).distinct()
+    val a = items.toDF("k", "ia")
+    val b = items.toDF("k", "ib")
+    val edges = a.join(b, Seq("k")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+    graft.ops.Graph.kCore(edges, "ia", "ib", k = 4)
+      .orderBy(col("node"))
+  }
+
+  /** Unrolled k-core peeling oracle: `rounds` chained (degree → keep →
+    * filter) CTE blocks over the same thinned co-purchase edges. Sized
+    * with headroom over the sf0.01 fixpoint depth (5 rounds measured).
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS kk, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 16 = 0),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.i AS u, b.i AS v
+        |  FROM items a JOIN items b ON a.kk = b.kk AND a.i < b.i)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (
+         |  SELECT x FROM (SELECT u AS x FROM e${r - 1}
+         |                 UNION ALL SELECT v FROM e${r - 1})
+         |  GROUP BY x HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e${r - 1} e
+         |  JOIN k$r a ON e.u = a.x JOIN k$r b ON e.v = b.x)""".stripMargin
+    }
+    val tail =
+      s"""SELECT x AS node, count(*) AS core_degree
+         |FROM (SELECT u AS x FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY x ORDER BY x""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
+
+  /** This family's slice of [[graft.SparkEntry.queries]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPagerank _),
+    "q_triangles" -> (qTriangles _),
+    "q_kcore" -> (qKcore _),
+  )
+
+  /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
+  def oracleSql: Map[String, String] = Map(
+    "q_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 4 = 0),
+        |e AS (
+        |  SELECT DISTINCT a.i AS u, b.i AS v
+        |  FROM items a JOIN items b ON a.k = b.k AND a.i < b.i)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
+    "q_kcore" -> kcoreOracleSql(k = 4, rounds = 9),
+    "q_pagerank" -> pagerankOracleSql,
+  )
+}

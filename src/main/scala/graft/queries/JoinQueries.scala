@@ -1,0 +1,562 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+import graft.multimodal.Multimodal
+import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
+import graft.streaming.Streaming
+import graft.text.{Boilerplate, Cluster, Dedup, Dsir, LangModel, Pq, Rank, Similarity, TextStats}
+
+import graft.queries.Qh.{t, dsum}
+
+/** Join-strategy family: as-of, range, interval, salted, bucketed, bloom, fuzzy joins and CDC/SCD2 merges.
+  *
+  * Query defs + their DuckDB oracle SQL, split out of the former
+  * monolithic SparkEntry (registry semantics unchanged — the maps merge
+  * in [[graft.SparkEntry]]).
+  */
+object JoinQueries {
+
+  /** Skew-mitigating salted join ([[graft.ops.Skew.saltedJoin]]):
+    * lineitem salts 8 ways, the orders dimension replicates across the
+    * salt values, the join runs on (key, salt). Salting only ROUTES
+    * rows — the result must equal the plain join row-for-row, which is
+    * exactly what the oracle computes (the same discipline as
+    * q_bloom_join: the accelerated plan, the plain semantics).
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ords = t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    graft.ops.Skew.saltedJoin(li, ords, Seq("l_orderkey"), saltBuckets = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** As-of backward join: each purchase event picks up the same user's
+    * most recent click at-or-before it (union+window composition — one
+    * key shuffle, no inequality-join cross product).
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    AsOf.asofJoinBackward(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"),
+        rightTieBreak = Seq("click_id"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("asof_click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Forward as-of ([[AsOf.asofJoinForward]]): each purchase attaches the
+    * NEXT click at-or-after it per user. DuckDB's native ASOF is
+    * backward-only, so the oracle is an independent inequality-join +
+    * row_number formulation — agreement checks the reversed-scan
+    * semantics end to end.
+    */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    AsOf.asofJoinForward(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"),
+        rightTieBreak = Seq("click_id"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("asof_click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Bucketized point-in-interval (range) join: purchases land in their
+    * user's session interval (gap sessions as intervals, purchases as
+    * points). The naive inequality join here is a nested loop; the
+    * bucketized spelling is a hash equi-join on (user, hour-bucket) with
+    * a residual containment filter — see [[graft.ops.RangeJoin]].
+    * Half-open end (sessions tile adjacently at exactly the gap).
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val sessions = Streaming.sessionAgg(e, "ts", "30 minutes", Seq("user_id"),
+        Seq(count(lit(1)).as("n")))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    RangeJoin.pointInInterval(purchases, sessions, Seq("user_id"), "ts",
+        "s_start", "s_end", Nil, inclusiveEnd = false)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("iv_s_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Two-phase salted aggregation (skew mitigation): must equal the plain
+    * aggregation — the salt routes rows, never reaches results.
+    */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAggregate(t(s, dir, "lineitem"), Seq("l_returnflag"), 16,
+        partial = Seq(sum(col("l_quantity")).as("ps"), count(lit(1)).as("pc")),
+        combine = Seq(sum(col("ps")).as("sum_qty"), sum(col("pc")).as("n")))
+      .orderBy(col("l_returnflag"))
+
+  /** Last-wins snapshot merge ([[graft.ops.Merge.upsert]]): fold a delta
+    * of updated rows (status→'U', version 2) and inserted rows (offset
+    * keys, status 'I') into the orders snapshot (version 1), then
+    * aggregate the merged corpus per status — survivor selection, insert
+    * pass-through, and base pass-through are all visible in the counts,
+    * and `sum_version` pins WHICH version of each key survived.
+    */
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").withColumn("version", lit(1L))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("version", lit(2L))
+    val inserts = base.filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderstatus", lit("I"))
+      .withColumn("version", lit(2L))
+    Merge.upsert(base, updates.unionByName(inserts), Seq("o_orderkey"), "version")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_total"),
+        sum(col("version")).as("sum_version"),
+      )
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Z-order curve ([[graft.ops.ZOrder.zValue]]): Morton codes over the
+    * (partkey, suppkey) grid, aggregated per curve bucket — the bucket
+    * membership counts pin every interleaved bit against the oracle's
+    * independently-spelled shift/mask arithmetic.
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "lineitem").select(
+      (col("l_partkey") % 1024).as("xg"), (col("l_suppkey") % 1024).as("yg"))
+    g.withColumn("z", graft.ops.ZOrder.zValue(Seq(col("xg"), col("yg")), 10))
+      .groupBy(shiftright(col("z"), 10).as("zbucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xg")).as("sum_x"),
+        sum(col("yg")).as("sum_y"),
+      )
+      .orderBy(col("zbucket"))
+  }
+
+  /** The oracle's Morton spelling: per-bit shift/mask/shift terms OR'd
+    * together (column k's bit i at position i·n+k, matching zValue).
+    */
+  private def mortonSql(bits: Int, cols: Seq[String]): String = {
+    val n = cols.size
+    (for {
+      i <- 0 until bits
+      (c, k) <- cols.zipWithIndex
+    } yield s"((($c >> $i) & 1) << ${i * n + k})").mkString(" | ")
+  }
+
+  /** Interval-overlap join ([[RangeJoin.intervalOverlap]]): 5-minute
+    * event windows × 10-minute error windows per user, pair counts per
+    * user. The oracle is DuckDB's native inequality join — an
+    * independent formulation that cross-checks the bucket explosion AND
+    * the canonical-bucket dedup (any double-emitted pair breaks the
+    * counts).
+    */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val a = e.select(col("user_id"), col("ts").as("a_start"),
+      expr("ts + INTERVAL 5 MINUTE").as("a_end"))
+    val b = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_start"),
+        expr("ts + INTERVAL 10 MINUTE").as("err_end"), col("event_id"))
+    RangeJoin.intervalOverlap(a, b, Seq("user_id"),
+        "a_start", "a_end", "err_start", "err_end", Seq("event_id"),
+        // buckets sized to the interval lengths (5-10 min): explosion
+        // factor stays ~1-2 while per-bucket join occupancy drops 4×
+        // vs the 1-hour default
+        bucketWidthUs = 15L * 60 * 1000000)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Write (once per session and sf dir) the two fact projections as
+    * bucketed+sorted tables on their join keys — the storage layout that
+    * makes repeated fact-fact joins Exchange-free.
+    */
+  private[graft] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val liT = s"lineitem_bucketed$tag"
+    val oT = s"orders_bucketed$tag"
+    if (!s.catalog.tableExists(liT))
+      graft.sources.Sources.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        liT, Seq("l_orderkey"), numBuckets = 8)
+    if (!s.catalog.tableExists(oT))
+      graft.sources.Sources.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        oT, Seq("o_orderkey"), numBuckets = 8)
+    (liT, oT)
+  }
+
+  /** The fact-fact join+agg used by [[qBucketedJoin]] on both layouts.
+    * The merge hint keeps the join a sort-merge even when one side would
+    * fit a broadcast at test SF — at 100 TB neither side broadcasts, and
+    * the point is the Exchange-free bucketed plan (PlanSpec asserts it).
+    */
+  private[graft] def factFactJoinAgg(li: DataFrame, o: DataFrame, suffix: String): DataFrame =
+    li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as(s"n_items$suffix"),
+        dsum(col("l_extendedprice")).as(s"revenue$suffix"),
+      )
+
+  /** Validation: the bucketed-layout join must agree with the raw-frame
+    * join exactly — per-priority counts and decimal-exact revenue both.
+    * Disagreements = 0 (oracle SELECT 0). Bench-excluded (validation
+    * harness); the plan property it guards is asserted in PlanSpec.
+    */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (liT, oT) = bucketedTables(s, dir)
+    val bucketed = factFactJoinAgg(s.table(liT), s.table(oT), "_b")
+    val plain = factFactJoinAgg(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")), "_p")
+    bucketed.join(plain, Seq("o_orderpriority"), "full_outer")
+      .agg(coalesce(sum(when(
+        col("n_items_b").isNull || col("n_items_p").isNull ||
+          col("n_items_b") =!= col("n_items_p") ||
+          col("revenue_b") =!= col("revenue_p"), 1L).otherwise(0L)), lit(0L))
+        .as("n_violations"))
+  }
+
+  /** Bloom-pruned semi join ([[graft.ops.Bloom]]): a selective order-side
+    * predicate builds a bloom filter over the surviving keys; the fact
+    * side is pruned by codegen'd `might_contain` BEFORE its shuffle, then
+    * the exact semi join removes the false positives — result identical
+    * to a plain semi join (the oracle), shuffle volume proportional to
+    * selectivity instead of table size.
+    */
+  private def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val hot = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"))
+    graft.ops.Bloom.bloomSemiJoin(t(s, dir, "lineitem"), hot,
+        "l_orderkey", "o_orderkey", expectedItems = 100000L)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Blocked fuzzy (Levenshtein ≤ 1) duplicate pairs over customer names,
+    * nation as the blocking key ([[graft.text.Fuzzy.fuzzyDupPairs]]) —
+    * the record-linkage candidate generator: one equi-shuffle on the
+    * block key, banded threshold DP within blocks, never a cross product.
+    */
+  private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.text.Fuzzy.fuzzyDupPairs(t(s, dir, "customer"), "c_custkey", "c_name",
+        Seq(col("c_nationkey")), maxDist = 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Golden-record consolidation ([[graft.ops.Merge.consolidate]]): per
+    * user, each column independently takes its most recent NON-NULL
+    * value (error events null out `value`), one window shuffle. The
+    * column-level upgrade of row-level last-wins upsert.
+    */
+  private def qConsolidate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("user_id") < 20)
+      .withColumn("value",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+    Merge.consolidate(e, Seq("user_id"), "ts", Seq("value"), tieBreak = Seq("event_id"))
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** SCD2 history ([[graft.ops.Cdc.scd2]]): per-user event_type change
+    * history from the events log — unchanged runs compressed, validity
+    * intervals chained by one lead. event_id rides along as the
+    * interval's unique id (deterministic under ts ties). One shuffle on
+    * user_id; both window passes share it.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cdc.scd2(
+        t(s, dir, "events").select("user_id", "event_id", "ts", "event_type"),
+        Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss").as("effective_from"),
+        date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss").as("effective_to"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** Snapshot diff ([[graft.ops.Cdc.diffSnapshots]]): two deterministic
+    * corpus versions derived from orders (drop-by-modulus on each side,
+    * status flip on the new side) diffed into insert/update/delete rows.
+    * One full-outer hash join on the key.
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val old = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val nw = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("o_totalprice"))
+    graft.ops.Cdc.diffSnapshots(old, nw, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** SCD2 + as-of composition: enrich each purchase with the event-type
+    * interval ACTIVE at purchase time — [[graft.ops.Cdc.scd2]] builds
+    * the validity intervals, [[graft.ops.AsOf.asofJoinBackward]] finds
+    * the governing one (one key shuffle each). The oracle uses DuckDB's
+    * native ASOF JOIN over the same compressed intervals. effective_from
+    * is unique per user here (no same-user same-ts events), so the
+    * as-of pick is tie-free on both engines.
+    */
+  private def qScd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val dim = graft.ops.Cdc.scd2(
+        ev.select("user_id", "event_id", "ts", "event_type"),
+        Seq("user_id"), "ts", Seq("event_type"), tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("effective_from"),
+        col("event_type").as("state_type"), col("event_id").as("interval_id"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    AsOf.asofJoinBackward(facts, dim, Seq("user_id"), "ts", "effective_from",
+        Seq("state_type", "interval_id"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("asof_state_type").as("state_type"),
+        col("asof_interval_id").as("interval_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** This family's slice of [[graft.SparkEntry.queries]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_upsert" -> (qUpsert _),
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_zorder" -> (qZorder _),
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_asof_forward" -> (qAsofForward _),
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_consolidate" -> (qConsolidate _),
+    "q_scd2" -> (qScd2 _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_scd2_lookup" -> (qScd2Lookup _),
+  )
+
+  /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
+  def oracleSql: Map[String, String] = Map(
+    // Salting routes rows without changing the join's row set, so the
+    // oracle is the PLAIN join the salted plan accelerates.
+    "q_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  c.click_id AS asof_click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_join" ->
+      """WITH flagged AS (
+        |  SELECT *,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |intervals AS (
+        |  SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end
+        |  FROM sess GROUP BY user_id, sid),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(i.s_start, '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM p JOIN intervals i
+        |  ON p.user_id = i.user_id AND i.s_start <= p.ts AND p.ts < i.s_end
+        |ORDER BY p.event_id""".stripMargin,
+    "q_upsert" ->
+      """WITH base AS (
+        |  SELECT *, CAST(1 AS BIGINT) AS version, 0 AS src FROM orders),
+        |upd AS (
+        |  SELECT * REPLACE ('U' AS o_orderstatus, CAST(2 AS BIGINT) AS version, 1 AS src)
+        |  FROM base WHERE o_orderkey % 10 = 0),
+        |ins AS (
+        |  SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey, 'I' AS o_orderstatus,
+        |                    CAST(2 AS BIGINT) AS version, 1 AS src)
+        |  FROM base WHERE o_orderkey % 1000 = 0),
+        |u AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC, src DESC) AS rn FROM u)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |  CAST(SUM(version) AS BIGINT) AS sum_version
+        |FROM w WHERE rn = 1
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_bucketed_join" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_zorder" ->
+      s"""WITH g AS (
+         |  SELECT l_partkey % 1024 AS xg, l_suppkey % 1024 AS yg FROM lineitem),
+         |z AS (
+         |  SELECT xg, yg, (${mortonSql(10, Seq("xg", "yg"))}) AS z FROM g)
+         |SELECT z >> 10 AS zbucket, COUNT(*) AS n,
+         |  CAST(SUM(xg) AS BIGINT) AS sum_x,
+         |  CAST(SUM(yg) AS BIGINT) AS sum_y
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+    "q_interval_join" ->
+      // native inequality join — independent of the bucketized plan
+      """WITH a AS (
+        |  SELECT user_id, ts AS s1, ts + INTERVAL 5 MINUTE AS e1 FROM events),
+        |b AS (
+        |  SELECT user_id, ts AS s2, ts + INTERVAL 10 MINUTE AS e2 FROM events
+        |  WHERE event_type = 'error')
+        |SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM a JOIN b ON a.user_id = b.user_id AND a.s1 < b.e2 AND b.s2 < a.e1
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q_asof_forward" ->
+      // DuckDB ASOF is backward-only: independent inequality-join +
+      // row_number spelling (ties: greatest click_id, as the operator)
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, c.ts AS cts, c.click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.ts, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(m.cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  m.click_id AS asof_click_id
+        |FROM p LEFT JOIN (SELECT event_id, cts, click_id FROM j WHERE rn = 1) m
+        |  ON p.event_id = m.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER w AS prev_et,
+        |    lag(ts) OVER w AS prev_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, event_id, ts, event_type FROM o
+        |  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et),
+        |i AS (
+        |  SELECT user_id, event_id, event_type, ts AS eff_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |  FROM c)
+        |SELECT user_id, event_id, event_type,
+        |  strftime(eff_from, '%Y-%m-%d %H:%M:%S') AS effective_from,
+        |  strftime(eff_to, '%Y-%m-%d %H:%M:%S') AS effective_to,
+        |  eff_to IS NULL AS is_current
+        |FROM i ORDER BY user_id, event_id""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |n AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (
+        |  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |    CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+        |         ELSE o.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+        |         ELSE o.o_totalprice END AS o_totalprice,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |         WHEN n.o_orderkey IS NULL THEN 'delete'
+        |         WHEN n.o_orderstatus IS NOT DISTINCT FROM o.o_orderstatus
+        |          AND n.o_totalprice IS NOT DISTINCT FROM o.o_totalprice
+        |           THEN 'unchanged'
+        |         ELSE 'update' END AS change_type
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT * FROM d WHERE change_type <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scd2_lookup" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER w AS prev_et,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (
+        |  SELECT user_id, event_id AS interval_id, event_type AS state_type,
+        |    ts AS eff_from
+        |  FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev_et),
+        |f AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id,
+        |  strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  i.state_type, i.interval_id
+        |FROM f ASOF JOIN i ON f.user_id = i.user_id AND f.ts >= i.eff_from
+        |ORDER BY f.user_id, f.event_id""".stripMargin,
+    // Bloom pruning never changes the result (no false negatives; false
+    // positives die in the exact join), so the oracle is the plain semi
+    // join the operator accelerates.
+    "q_bloom_join" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Blocking is part of the contract: the oracle applies the identical
+    // block (nation equality) before the edit-distance predicate.
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_consolidate" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  event_type, value
+        |FROM (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id < 20)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+  )
+}

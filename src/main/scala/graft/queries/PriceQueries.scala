@@ -1,0 +1,457 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+import graft.multimodal.Multimodal
+import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
+import graft.streaming.Streaming
+import graft.text.{Boilerplate, Cluster, Dedup, Dsir, LangModel, Pq, Rank, Similarity, TextStats}
+
+import graft.queries.Qh.{t, dsum}
+
+/** Price-index family: the reference's CPI domain (bilateral, elementary, chained, cleansed, imputed, superlative, grouped).
+  *
+  * Query defs + their DuckDB oracle SQL, split out of the former
+  * monolithic SparkEntry (registry semantics unchanged — the maps merge
+  * in [[graft.SparkEntry]]).
+  */
+object PriceQueries {
+
+  /** GEKS-Törnqvist multilateral index ([[graft.ops.PriceIndex
+    * .geksIndex]]): rolling 13-month window with mean splice over
+    * 1995-1996 part prices — the multilateral method the reference's
+    * web-scraped/scanner price pipelines feed
+    * (reference ons_utils/config/validation.py:106-205 names these
+    * pipelines). All pairwise Törnqvist terms quantize to integer nanos;
+    * the window means and splice recurrence are integer HALF_UP
+    * arithmetic the oracle replays with a recursive CTE carrying the
+    * published log-series as a list.
+    */
+  private def qGeksIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.geksIndex(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")).isin(1995, 1996)),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", window = 13)
+      .orderBy(col("period"))
+
+  /** CPI weight audit over the two-level build ([[qGroupedIndex]]'s
+    * weights): per period — group count, exact total micro-weight,
+    * nano-quantized share sum (must print 1.0: the shares are ratios of
+    * the SAME integer total, so the audit proves the decomposition's
+    * weights are self-consistent), and max per-group share drift vs the
+    * base period (basket-composition drift, the number a CPI
+    * re-weighting decision watches).
+    */
+  private def qWeightAudit(s: SparkSession, dir: String): DataFrame = {
+    val g = qGroupedIndex(s, dir)
+    val Wp = Window.partitionBy(col("period"))
+    val withShare = g.withColumn("share",
+      col("weight_micro").cast("double") /
+        sum(col("weight_micro")).over(Wp).cast("double"))
+    val base = withShare.filter(col("period") === "1995-01")
+      .select(col("p_brand"), col("share").as("__share0"))
+    withShare.join(broadcast(base), Seq("p_brand"))
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("weight_micro")).as("total_weight_micro"),
+        round(sum(round(col("share") * lit(1e9), 0).cast("long"))
+          .cast("double") / lit(1e9), 6).as("share_sum"),
+        round(max(abs(col("share") - col("__share0"))), 6).as("max_share_drift"))
+      .orderBy(col("period"))
+  }
+
+  /** Bilateral price indexes ([[graft.ops.PriceIndex.bilateralIndexes]]):
+    * monthly Laspeyres/Paasche/Fisher for 1995 part prices vs the
+    * 1995-01 base basket — the reference's consumer-prices domain as one
+    * decimal-exact aggregation chain (unit values from decimal sums,
+    * micro-quantized index terms, 6-dp emitted ratios).
+    */
+  private def qPriceIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.bilateralIndexes(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
+  /** Elementary index formulas ([[graft.ops.PriceIndex.elementaryIndexes]]):
+    * the unweighted Carli/Dutot/Jevons layer below q_price_index, same
+    * matched 1995 sample. Jevons' geometric mean goes through per-item
+    * quantized `ln` sums and ONE final `exp`, 6-dp emitted.
+    */
+  private def qElementaryIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.elementaryIndexes(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
+  /** Chain-linked Laspeyres ([[graft.ops.PriceIndex.chainedIndex]]):
+    * month-on-month links from consecutive matched samples over 1995-1996,
+    * chained by exact prefix sums of quantized log-links (one final exp).
+    */
+  private def qChainedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.chainedIndex(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")).isin(1995, 1996)),
+        "l_partkey", to_date(date_trunc("MM", col("l_shipdate"))),
+        "l_extendedprice", "l_quantity")
+      .orderBy(col("period"))
+
+  /** Tukey-cleansed Jevons ([[graft.ops.PriceIndex.cleansedJevons]]): the
+    * ONS-style validation gate between collection and compilation —
+    * price relatives outside their per-period Tukey fences drop before
+    * the geometric mean; both raw and cleansed indexes emit.
+    */
+  private def qCleansedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.cleansedJevons(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
+  /** Carry-forward-imputed Laspeyres ([[graft.ops.PriceIndex
+    * .imputedIndex]]): the fixed 1995-01 basket with uncollected prices
+    * filled forward — n_items stays the full basket every month and the
+    * imputation count emits alongside the index.
+    */
+  private def qImputedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.imputedIndex(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
+  /** Superlative indexes ([[graft.ops.PriceIndex.superlativeIndexes]]):
+    * Törnqvist and Walsh for the 1995 matched sample — with Fisher from
+    * q_price_index, the full textbook superlative set; the three should
+    * (and do) track each other closely, a built-in cross-check.
+    */
+  private def qSuperlativeIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.superlativeIndexes(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
+  /** Two-level CPI build ([[graft.ops.PriceIndex.groupedLaspeyres]]):
+    * per-brand sub-indexes with base-expenditure weights — the
+    * published-aggregate structure; the weighted mean of these rows
+    * reproduces q_price_index's all-items Laspeyres (decomposition law,
+    * PriceIndexSpec). The part dimension broadcasts.
+    */
+  private def qGroupedIndex(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995)
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    graft.ops.PriceIndex.groupedLaspeyres(
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey")),
+        "l_partkey", "p_brand", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("p_brand"), col("period"))
+  }
+
+  /** This family's slice of [[graft.SparkEntry.queries]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geks_index" -> (qGeksIndex _),
+    "q_weight_audit" -> (qWeightAudit _),
+    "q_price_index" -> (qPriceIndex _),
+    "q_elementary_index" -> (qElementaryIndex _),
+    "q_chained_index" -> (qChainedIndex _),
+    "q_cleansed_index" -> (qCleansedIndex _),
+    "q_imputed_index" -> (qImputedIndex _),
+    "q_superlative_index" -> (qSuperlativeIndex _),
+    "q_grouped_index" -> (qGroupedIndex _),
+  )
+
+  /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
+  def oracleSql: Map[String, String] = Map(
+    // GEKS: pairwise quantized Törnqvist log-terms, window means and the
+    // mean-splice recurrence in integer HALF_UP arithmetic; the recursive
+    // CTE carries the published log-series as a growing list
+    "q_geks_index" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) AS ed,
+        |    CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p
+        |  FROM li GROUP BY 1, 2),
+        |months AS (
+        |  SELECT pd, CAST(row_number() OVER (ORDER BY pd) AS BIGINT) - 1 AS m
+        |  FROM (SELECT DISTINCT pd FROM uv)),
+        |nm AS (SELECT MAX(m) AS maxm, LEAST(CAST(13 AS BIGINT), MAX(m) + 1) AS w FROM months),
+        |uvm AS (SELECT uv.*, months.m FROM uv JOIN months USING (pd)),
+        |pr AS (
+        |  SELECT a.m AS ma, b.m AS mb,
+        |    CAST(round(a.ed * 1000000.0) AS BIGINT) AS eam,
+        |    CAST(round(b.ed * 1000000.0) AS BIGINT) AS ebm,
+        |    a.p AS pa, b.p AS pb
+        |  FROM uvm a JOIN uvm b ON a.it = b.it AND b.m > a.m AND b.m <= a.m + 12),
+        |terms AS (
+        |  SELECT ma, mb,
+        |    CAST(round(((CAST(eam AS DOUBLE) / CAST(SUM(eam) OVER (PARTITION BY ma, mb) AS DOUBLE)
+        |      + CAST(ebm AS DOUBLE) / CAST(SUM(ebm) OVER (PARTITION BY ma, mb) AS DOUBLE)) / 2.0
+        |      * ln(pb / pa)) * 1000000000.0) AS BIGINT) AS tn
+        |  FROM pr),
+        |lnt0 AS (SELECT ma, mb, SUM(tn) AS lnt FROM terms GROUP BY 1, 2),
+        |lnt AS (
+        |  SELECT ma, mb, lnt FROM lnt0
+        |  UNION ALL SELECT mb, ma, -lnt FROM lnt0
+        |  UNION ALL SELECT m, m, CAST(0 AS BIGINT) FROM months),
+        |g0 AS (
+        |  SELECT b.mb AS t,
+        |    CAST(round(SUM(a.lnt + b.lnt) / CAST((SELECT w FROM nm) AS DOUBLE)) AS BIGINT) AS lnp
+        |  FROM lnt a JOIN lnt b ON a.mb = b.ma
+        |  WHERE a.ma = 0 AND a.mb < (SELECT w FROM nm) AND b.mb < (SELECT w FROM nm)
+        |  GROUP BY 1),
+        |gw AS (
+        |  SELECT a.ma AS z, b.mb AS tgt,
+        |    CAST(round(SUM(a.lnt + b.lnt) / CAST((SELECT w FROM nm) AS DOUBLE)) AS BIGINT) AS lng
+        |  FROM lnt a JOIN lnt b ON a.mb = b.ma
+        |  WHERE b.mb >= (SELECT w FROM nm)
+        |    AND a.mb BETWEEN b.mb - (SELECT w FROM nm) + 1 AND b.mb
+        |    AND a.ma BETWEEN b.mb - (SELECT w FROM nm) + 1 AND b.mb - 1
+        |  GROUP BY 1, 2),
+        |spl AS (
+        |  SELECT (SELECT w FROM nm) - 1 AS tt,
+        |         (SELECT list(lnp ORDER BY t) FROM g0) AS hist
+        |  UNION ALL
+        |  SELECT s.tt + 1,
+        |    list_append(s.hist, (
+        |      SELECT CAST(round(SUM(s.hist[CAST(g.z AS INT) + 1] + g.lng)
+        |        / CAST((SELECT w FROM nm) - 1 AS DOUBLE)) AS BIGINT)
+        |      FROM gw g WHERE g.tgt = s.tt + 1))
+        |  FROM spl s WHERE s.tt < (SELECT maxm FROM nm)),
+        |fin AS (SELECT hist FROM spl WHERE tt = (SELECT maxm FROM nm))
+        |SELECT months.pd AS period,
+        |  round(exp(CAST(f.hist[CAST(months.m AS INT) + 1] AS DOUBLE) / 1000000000.0), 6) AS geks
+        |FROM months, fin f
+        |ORDER BY period""".stripMargin,
+    "q_weight_audit" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, p_brand, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, p_brand, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2, 3),
+        |base AS (SELECT it, p_brand, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |j AS (
+        |  SELECT uv.p_brand, uv.pd, uv.p, b.p0, b.q0
+        |  FROM uv JOIN base b USING (it, p_brand)),
+        |agg AS (
+        |  SELECT p_brand, pd AS period,
+        |    CAST(SUM(CAST(round(p0 * q0 * 1000000.0) AS BIGINT)) AS BIGINT) AS weight_micro
+        |  FROM j GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT p_brand, period, weight_micro,
+        |    CAST(weight_micro AS DOUBLE)
+        |      / CAST(SUM(weight_micro) OVER (PARTITION BY period) AS DOUBLE) AS share
+        |  FROM agg),
+        |b0 AS (SELECT p_brand, share AS share0 FROM sh WHERE period = '1995-01')
+        |SELECT period, COUNT(*) AS n_groups,
+        |  CAST(SUM(weight_micro) AS BIGINT) AS total_weight_micro,
+        |  round(CAST(SUM(CAST(round(share * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000000.0, 6) AS share_sum,
+        |  round(MAX(abs(share - share0)), 6) AS max_share_drift
+        |FROM sh JOIN b0 USING (p_brand)
+        |GROUP BY 1 ORDER BY period""".stripMargin,
+    // the index chain replays exactly: decimal sums, one double division
+    // per unit value, micro-quantized terms, integer sums, 6-dp ratios
+    "q_grouped_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, p_brand, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, p_brand, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2, 3),
+        |base AS (SELECT it, p_brand, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |j AS (
+        |  SELECT uv.p_brand, uv.pd, uv.p, b.p0, b.q0
+        |  FROM uv JOIN base b USING (it, p_brand)),
+        |agg AS (
+        |  SELECT p_brand, pd AS period, COUNT(*) AS n_items,
+        |    SUM(CAST(round(p * q0 * 1000000.0) AS BIGINT)) AS numL,
+        |    CAST(SUM(CAST(round(p0 * q0 * 1000000.0) AS BIGINT)) AS BIGINT) AS weight_micro
+        |  FROM j GROUP BY 1, 2)
+        |SELECT p_brand, period, n_items, weight_micro,
+        |  round(CAST(numL AS DOUBLE) / CAST(weight_micro AS DOUBLE), 6) AS laspeyres
+        |FROM agg ORDER BY p_brand, period""".stripMargin,
+    "q_superlative_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) AS ed,
+        |    CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, ed AS e0, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |j AS (
+        |  SELECT uv.pd, uv.ed, uv.p, uv.qd, b.e0, b.p0, b.q0,
+        |    CAST(round(b.e0 * 1000000.0) AS BIGINT) AS e0m,
+        |    CAST(round(uv.ed * 1000000.0) AS BIGINT) AS etm
+        |  FROM uv JOIN base b USING (it)),
+        |t AS (
+        |  SELECT pd,
+        |    CAST(round(((CAST(e0m AS DOUBLE) / CAST(SUM(e0m) OVER (PARTITION BY pd) AS DOUBLE)
+        |        + CAST(etm AS DOUBLE) / CAST(SUM(etm) OVER (PARTITION BY pd) AS DOUBLE)) / 2.0
+        |        * ln(p / p0)) * 1000000000.0) AS BIGINT) AS tn,
+        |    CAST(round((sqrt(q0 * qd) * p) * 1000000.0) AS BIGINT) AS wn,
+        |    CAST(round((sqrt(q0 * qd) * p0) * 1000000.0) AS BIGINT) AS wd
+        |  FROM j),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(tn) AS t, SUM(wn) AS n, SUM(wd) AS d
+        |  FROM t GROUP BY 1)
+        |SELECT period, n_items,
+        |  round(exp(CAST(t AS DOUBLE) / 1000000000.0), 6) AS tornqvist,
+        |  round(CAST(n AS DOUBLE) / CAST(d AS DOUBLE), 6) AS walsh
+        |FROM agg ORDER BY period""".stripMargin,
+    "q_imputed_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |periods AS (SELECT DISTINCT pd FROM uv WHERE pd >= '1995-01'),
+        |panel AS (
+        |  SELECT s.it, s.pd, s.p0, s.q0, uv.p AS p_obs,
+        |    last_value(uv.p IGNORE NULLS)
+        |      OVER (PARTITION BY s.it ORDER BY s.pd
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_fill
+        |  FROM (SELECT b.it, p.pd, b.p0, b.q0 FROM base b CROSS JOIN periods p) s
+        |  LEFT JOIN uv ON uv.it = s.it AND uv.pd = s.pd),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(CASE WHEN p_obs IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+        |    SUM(CAST(round(p_fill * q0 * 1000000.0) AS BIGINT)) AS numL,
+        |    SUM(CAST(round(p0 * q0 * 1000000.0) AS BIGINT)) AS denL
+        |  FROM panel GROUP BY 1)
+        |SELECT period, n_items, CAST(n_imputed AS BIGINT) AS n_imputed,
+        |  round(CAST(numL AS DOUBLE) / CAST(denL AS DOUBLE), 6) AS laspeyres
+        |FROM agg ORDER BY period""".stripMargin,
+    "q_cleansed_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, p AS p0 FROM uv WHERE pd = '1995-01'),
+        |rel AS (SELECT uv.pd, uv.p / b.p0 AS rel FROM uv JOIN base b USING (it)),
+        |bq AS (
+        |  SELECT pd, CAST(quantile_cont(rel, 0.25) AS DOUBLE) AS q1,
+        |    CAST(quantile_cont(rel, 0.75) AS DOUBLE) AS q3
+        |  FROM rel GROUP BY 1),
+        |f AS (SELECT pd, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM bq),
+        |fl AS (
+        |  SELECT r.pd, r.rel, (r.rel < f.lo OR r.rel > f.hi) AS is_out
+        |  FROM rel r JOIN f USING (pd)),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(CASE WHEN NOT is_out THEN 1 ELSE 0 END) AS n_kept,
+        |    SUM(CAST(round(ln(rel) * 1000000000.0) AS BIGINT)) AS slr_all,
+        |    SUM(CASE WHEN NOT is_out
+        |      THEN CAST(round(ln(rel) * 1000000000.0) AS BIGINT) ELSE 0 END) AS slr_kept
+        |  FROM fl GROUP BY 1)
+        |SELECT period, n_items, CAST(n_kept AS BIGINT) AS n_kept,
+        |  round(exp(CAST(slr_all AS DOUBLE) / CAST(n_items AS DOUBLE) / 1000000000.0), 6) AS jevons,
+        |  round(exp(CAST(slr_kept AS DOUBLE) / CAST(n_kept AS DOUBLE) / 1000000000.0), 6) AS jevons_cleansed
+        |FROM agg ORDER BY period""".stripMargin,
+    "q_chained_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, CAST(date_trunc('month', l_shipdate) AS DATE) AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |j AS (
+        |  SELECT cur.pd, cur.p, prv.p AS pp, prv.qd AS pq
+        |  FROM uv cur JOIN uv prv
+        |    ON cur.it = prv.it AND prv.pd + INTERVAL 1 MONTH = cur.pd),
+        |links AS (
+        |  SELECT pd, COUNT(*) AS n_items,
+        |    CAST(SUM(CAST(round(p * pq * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |      / CAST(SUM(CAST(round(pp * pq * 1000000.0) AS BIGINT)) AS DOUBLE) AS link
+        |  FROM j GROUP BY 1),
+        |ch AS (
+        |  SELECT pd, n_items, link,
+        |    SUM(CAST(round(ln(link) * 1000000000.0) AS BIGINT))
+        |      OVER (ORDER BY pd ROWS UNBOUNDED PRECEDING) AS cln
+        |  FROM links)
+        |SELECT pd AS period, n_items, round(link, 6) AS link,
+        |  round(exp(CAST(cln AS DOUBLE) / 1000000000.0), 6) AS chained
+        |FROM ch ORDER BY period""".stripMargin,
+    "q_elementary_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, p AS p0 FROM uv WHERE pd = '1995-01'),
+        |j AS (SELECT uv.pd, uv.p, b.p0 FROM uv JOIN base b USING (it)),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(CAST(round((p / p0) * 1000000000.0) AS BIGINT)) AS sr,
+        |    SUM(CAST(round(p * 1000000.0) AS BIGINT)) AS sp,
+        |    SUM(CAST(round(p0 * 1000000.0) AS BIGINT)) AS sp0,
+        |    SUM(CAST(round(ln(p / p0) * 1000000000.0) AS BIGINT)) AS slr
+        |  FROM j GROUP BY 1)
+        |SELECT period, n_items,
+        |  round(CAST(sr AS DOUBLE) / CAST(n_items AS DOUBLE) / 1000000000.0, 6) AS carli,
+        |  round(CAST(sp AS DOUBLE) / CAST(sp0 AS DOUBLE), 6) AS dutot,
+        |  round(exp(CAST(slr AS DOUBLE) / CAST(n_items AS DOUBLE) / 1000000000.0), 6) AS jevons
+        |FROM agg ORDER BY period""".stripMargin,
+    "q_price_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |j AS (SELECT uv.pd, uv.p, uv.qd, b.p0, b.q0 FROM uv JOIN base b USING (it)),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(CAST(round(p * q0 * 1000000.0) AS BIGINT)) AS numL,
+        |    SUM(CAST(round(p0 * q0 * 1000000.0) AS BIGINT)) AS denL,
+        |    SUM(CAST(round(p * qd * 1000000.0) AS BIGINT)) AS numP,
+        |    SUM(CAST(round(p0 * qd * 1000000.0) AS BIGINT)) AS denP
+        |  FROM j GROUP BY 1)
+        |SELECT period, n_items,
+        |  round(CAST(numL AS DOUBLE) / CAST(denL AS DOUBLE), 6) AS laspeyres,
+        |  round(CAST(numP AS DOUBLE) / CAST(denP AS DOUBLE), 6) AS paasche,
+        |  round(sqrt((CAST(numL AS DOUBLE) / CAST(denL AS DOUBLE))
+        |           * (CAST(numP AS DOUBLE) / CAST(denP AS DOUBLE))), 6) AS fisher
+        |FROM agg ORDER BY period""".stripMargin,
+  )
+}

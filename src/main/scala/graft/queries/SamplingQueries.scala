@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+import graft.multimodal.Multimodal
+import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
+import graft.streaming.Streaming
+import graft.text.{Boilerplate, Cluster, Dedup, Dsir, LangModel, Pq, Rank, Similarity, TextStats}
+
+import graft.queries.Qh.{t, dsum}
+
+/** Sampling family: splits, stratification, mixtures, apportionment, caps.
+  *
+  * Query defs + their DuckDB oracle SQL, split out of the former
+  * monolithic SparkEntry (registry semantics unchanged — the maps merge
+  * in [[graft.SparkEntry]]).
+  */
+object SamplingQueries {
+
+  /** Deterministic hash-bucket train/val/test split: counts per (lang,
+    * split) — md5-bucketed so the oracle reproduces it exactly.
+    */
+  private def qSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicSplit(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+
+  /** EXACT-count stratified sample ([[graft.ops.Sampling
+    * .stratifiedExact]]): exactly ⌊0.25·n⌋ orders per status, selected
+    * by the engine-reproducible (md5(key), key) rank. The summary emits
+    * the per-stratum count AND the sum of selected keys, so the oracle
+    * verifies the exact SELECTION, not just its size.
+    */
+  private def qStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedExact(t(s, dir, "orders"), Seq("o_orderstatus"),
+        "o_orderkey", 0.25)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Training-mixture construction: resample the corpus toward a target
+    * language mix {en 0.5, zh 0.2, de/es/fr 0.1}; the binding source
+    * keeps everything, the rest downsample deterministically (md5
+    * bucket). Output: kept rows per language.
+    */
+  private def qMixture(s: SparkSession, dir: String): DataFrame =
+    Sampling.resampleToMixture(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+
+  /** Exact-budget mixture materialization ([[graft.ops.Sampling.apportion]]
+    * + [[graft.ops.Sampling.takeApportioned]]): 357 documents split across
+    * sources by largest-remainder quotas proportional to availability,
+    * then taken in the unbiased md5 order. Quotas sum to the budget
+    * EXACTLY — the fixed-total complement of q_mixture's fractions.
+    */
+  private def qApportion(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_avail"))
+    val quotas = Sampling.apportion(counts, "source", "n_avail", budget = 357L)
+    val taken = Sampling.takeApportioned(d, Seq("source"), "doc_id",
+        quotas.select(col("source"), col("quota")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_taken"), sum(col("doc_id")).as("sum_taken_ids"))
+    quotas.join(taken, Seq("source"))
+      .select(col("source"), col("n_avail"), col("quota"),
+        col("n_taken"), col("sum_taken_ids"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-group cap ([[Sampling.capPerGroup]]): at most 15 documents per
+    * source, hash-selected — the kept-id sums pin exact membership, not
+    * just the counts.
+    */
+  private def qCapGroup(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(t(s, dir, "documents"), Seq("source"), "doc_id", 15)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
+      .orderBy(col("source"))
+
+  /** Validation for deterministic weighted sampling
+    * ([[graft.ops.Sampling.weightedSample]]): exactly k distinct rows,
+    * no zero-weight row ever drawn, and a second invocation returns the
+    * IDENTICAL sample (the property rand()-based sampling cannot give).
+    * Violations = 0, oracle SELECT 0.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("w", when(col("doc_id") % 10 === 0, lit(0.0))
+        .otherwise(col("n_chars").cast("double")))
+    def ids = Sampling.weightedSample(d, "doc_id", "w", k = 100)
+    // the k-row sample is materialized ONCE (it is tiny); every check
+    // reads the checkpoint, plus exactly one genuine re-invocation for
+    // the rerun-identity gate — 2 sample executions, not 5
+    val s1 = ids.localCheckpoint(true)
+    val vOnce = s1.agg((
+      (count(lit(1)) =!= 100).cast("long") +
+        (count(lit(1)) - countDistinct(col("doc_id"))) +
+        coalesce(sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)), lit(0L)))
+      .as("v"))
+    val vRerun = s1.select(col("doc_id")).exceptAll(ids.select(col("doc_id")))
+      .agg(count(lit(1)).as("v"))
+    vOnce.unionByName(vRerun)
+      .agg(coalesce(sum(col("v")), lit(0L)).as("n_violations"))
+  }
+
+  /** This family's slice of [[graft.SparkEntry.queries]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split" -> (qSplit _),
+    "q_stratified" -> (qStratified _),
+    "q_mixture" -> (qMixture _),
+    "q_apportion" -> (qApportion _),
+    "q_cap_group" -> (qCapGroup _),
+    "q_weighted_sample" -> (qWeightedSample _),
+  )
+
+  /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
+  def oracleSql: Map[String, String] = Map(
+    "q_split" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 0.25 is a binary-exact fraction, so floor(n*0.25) is identical on
+    // both engines; md5 hex strings sort identically (lowercase ASCII).
+    "q_stratified" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_sampled,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM r WHERE rk <= floor(n * 0.25)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Largest-remainder replay: floor quotas via integer //, leftovers by
+    // remainder rank (ties to smaller source), md5-order materialization.
+    "q_apportion" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_avail FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n_avail) AS W FROM c),
+        |b AS (
+        |  SELECT source, n_avail,
+        |    (357 * n_avail) // W AS base, (357 * n_avail) % W AS rem
+        |  FROM c CROSS JOIN t),
+        |r AS (SELECT 357 - SUM(base) AS extra FROM b),
+        |q AS (
+        |  SELECT source, n_avail,
+        |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= extra
+        |      THEN 1 ELSE 0 END AS quota
+        |  FROM b CROSS JOIN r),
+        |ranked AS (
+        |  SELECT d.source, d.doc_id,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+        |  FROM documents d),
+        |taken AS (
+        |  SELECT ranked.source, COUNT(*) AS n_taken, SUM(ranked.doc_id) AS sum_taken_ids
+        |  FROM ranked JOIN q USING (source) WHERE rk <= quota GROUP BY 1)
+        |SELECT q.source, q.n_avail, CAST(q.quota AS BIGINT) AS quota,
+        |  CAST(taken.n_taken AS BIGINT) AS n_taken,
+        |  CAST(taken.sum_taken_ids AS BIGINT) AS sum_taken_ids
+        |FROM q JOIN taken USING (source) ORDER BY q.source""".stripMargin,
+    "q_mixture" ->
+      // the lang filter mirrors resampleToMixture dropping sources absent
+      // from the target map — without it a sixth fixture language would
+      // shift every cutoff on the oracle side only
+      """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents
+        |               WHERE lang IN ('en', 'zh', 'de', 'es', 'fr') GROUP BY 1),
+        |tw AS (SELECT lang, n,
+        |         CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.1 END AS w
+        |       FROM counts),
+        |t AS (SELECT min(n / w) AS total FROM tw),
+        |rates AS (
+        |  SELECT lang, LEAST(CAST(round(w * total / n * 10000) AS BIGINT), 10000) AS cutoff
+        |  FROM tw, t)
+        |SELECT d.lang, COUNT(*) AS n_kept
+        |FROM documents d
+        |JOIN rates r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < r.cutoff
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cap_group" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+        |FROM r WHERE rk <= 15
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_weighted_sample" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+  )
+}

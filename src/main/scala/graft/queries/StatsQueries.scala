@@ -1,0 +1,893 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+import graft.multimodal.Multimodal
+import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
+import graft.streaming.Streaming
+import graft.text.{Boilerplate, Cluster, Dedup, Dsir, LangModel, Pq, Rank, Similarity, TextStats}
+
+import graft.queries.Qh.{t, dsum}
+
+/** Statistics / data-quality family: drift, outliers, sketches, profiling, audit queries.
+  *
+  * Query defs + their DuckDB oracle SQL, split out of the former
+  * monolithic SparkEntry (registry semantics unchanged — the maps merge
+  * in [[graft.SparkEntry]]).
+  */
+object StatsQueries {
+
+  /** Per-dimension embedding drift ([[graft.ops.Drift.psiPerDim]]): PSI
+    * between the label-0 and label-1 embedding populations across all 64
+    * dimensions — the monitoring pass an embedding pipeline runs on
+    * every encoder change. The labels are cluster-correlated in the
+    * synthetic embeddings, so per-dimension PSI carries real signal
+    * (0.05-0.97 at sf0.01) — drifted dimensions stand out by an order
+    * of magnitude.
+    */
+  private def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.Drift.psiPerDim(
+        e.filter(col("label") === 0).select(col("embedding")),
+        e.filter(col("label") === 1).select(col("embedding")),
+        "embedding", Seq(-0.2, -0.1, -0.05, 0.0, 0.05, 0.1, 0.2))
+      .orderBy(col("dim"))
+  }
+
+  /** Vocabulary drift ([[graft.ops.Drift.psiCategorical]]): token-level
+    * PSI between the src0 and src1 document populations over src0's
+    * top-20 tokens + OTHER — the text-input sibling of q_embed_drift
+    * (tokenizer swaps and source-mix changes surface here first).
+    */
+  private def qVocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def toks(src: String) = d.filter(col("source") === src)
+      .select(explode(TextStats.tokens(col("text"))).as("token"))
+    graft.ops.Drift.psiCategorical(toks("src0"), toks("src1"), "token", topN = 20)
+      .orderBy(col("category"))
+  }
+
+  /** Multi-column profile (nulls, exact distinct, min/max; Expand-free
+    * two-scan shape, see [[graft.ops.Profile]]).
+    */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_discount", "l_returnflag", "l_linenumber"))
+      .orderBy(col("col_name"))
+
+  /** Exact fixed-width histogram ([[Profile.histogram]]) of lineitem
+    * extended prices over [20000, 80000) ×16 bins — under/overflow bins
+    * exercised on both tails.
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice", 20000.0, 80000.0, 16)
+      .orderBy(col("bin"))
+
+  /** Per-group mean imputation ([[graft.ops.Impute.imputePerGroup]]):
+    * error events' values are masked to null, then imputed from each
+    * user's exact-decimal mean of the present values. Output pins the
+    * fill value per user (all imputed rows share it) plus the present
+    * sum, so a wrong window frame, leaked null, or drifted mean all
+    * surface.
+    */
+  private def qImpute(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+    graft.ops.Impute.imputePerGroup(e, Seq("user_id"), "v", "mean")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_imputed"),
+        min(when(col("v").isNull, col("v_imputed"))).as("fill_value"),
+        dsum(col("v")).as("sum_present"),
+      )
+      .orderBy(col("user_id"))
+  }
+
+  /** Incremental aggregation ([[graft.ops.Incremental]]): three disjoint
+    * order batches folded through aggState → mergeState → mergeState; the
+    * oracle aggregates the whole table directly, so agreement proves
+    * merge ≡ recompute down to the last decimal bit.
+    */
+  private def qIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental.{aggState, mergeState, MAgg}
+    val o = t(s, dir, "orders")
+    val keys = Seq("o_orderpriority")
+    val aggs = Seq(MAgg("o_totalprice", "sum"), MAgg("o_totalprice", "count"),
+      MAgg("o_totalprice", "min"), MAgg("o_totalprice", "max"))
+    def batch(i: Int) = o.filter(col("o_orderkey") % 3 === i)
+    val merged = mergeState(
+      mergeState(aggState(batch(0), keys, aggs), batch(1), keys, aggs),
+      batch(2), keys, aggs)
+    merged.select(
+        col("o_orderpriority"),
+        col("count_o_totalprice").as("n"),
+        col("sum_o_totalprice").cast("double").as("sum_total"),
+        col("min_o_totalprice").as("min_total"),
+        col("max_o_totalprice").as("max_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Count-min sketch validation (the frequency sibling of q_hll's HLL
+    * check): a 0.1%-width CMS over the token stream must bound every
+    * top-10 token's true count from above within eps·N, and never
+    * undercount (CMS's one-sided guarantee). Deterministic under the
+    * fixed seed; violations = 0 (oracle SELECT 0). The sketch itself is
+    * a few KB — aggregate it distributed, read it driver-side: the
+    * mergeable-sketch pattern for 100 TB frequency monitoring.
+    */
+  private def qCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select(explode(TextStats.tokens(col("text"))).as("w"))
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(10).collect()
+    val eps = 0.001
+    // one pass supplies the token count AND the sketch (a second scan
+    // for count() would re-tokenize the corpus)
+    val aggRow = toks
+      .agg(count(lit(1)).as("n"),
+        count_min_sketch(col("w"), lit(eps), lit(0.99), lit(42)).as("sk"))
+      .head()
+    val n = aggRow.getAs[Long]("n")
+    val bytes = aggRow.getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    // The eps·N overcount bound holds per estimate only with the sketch's
+    // 0.99 confidence; testing 10 tokens at exactly eps·N would fail a
+    // CORRECT sketch on ~1 in 10 fixtures. 2·eps·N keeps the check
+    // meaningful (undercounting is still impossible and the width is
+    // still 0.2% of N) while the spill-past-2eps probability is
+    // negligible. Deterministic for a given fixture under seed 42.
+    val violations = top.count { r =>
+      val est = cms.estimateCount(r.getString(0))
+      est < r.getLong(1) || est > r.getLong(1) + (2 * eps * n).ceil.toLong
+    }
+    Seq(violations.toLong).toDF("n_violations")
+  }
+
+  /** Sketch-bound validation for approximate quantiles (completing the
+    * HLL/CMS family): each percentile_approx value must admit SOME rank
+    * within the Greenwald-Khanna guarantee `|rank − q·n| ≤ n/accuracy`
+    * (+1 row of integer slack). A duplicated value's valid ranks form
+    * the interval [count(x < v), count(x ≤ v)] — the check passes iff
+    * that interval intersects the GK window, so heavy duplicates at a
+    * quantile boundary cannot spuriously fire it. Deterministic sketch,
+    * violations = 0.
+    */
+  private def qQuantileBound(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val acc = 10000
+    val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+    val approx = Profile.quantiles(li, Seq("x"), qs, acc)
+      .select(posexplode(col("quantiles")).as(Seq("qi", "qv")))
+    val qArr = array(qs.map(lit): _*)
+    val slack = col("n").cast("double") / acc + 1.0
+    val target = col("q") * col("n")
+    li.crossJoin(broadcast(approx))
+      .groupBy(col("qi"), col("qv"))
+      .agg(
+        sum(when(col("x") < col("qv"), 1L).otherwise(0L)).as("rank_lo"),
+        sum(when(col("x") <= col("qv"), 1L).otherwise(0L)).as("rank_hi"),
+        count(lit(1)).as("n"))
+      .withColumn("q", try_element_at(qArr, col("qi") + 1))
+      .agg(coalesce(sum(when(
+        col("rank_lo") > target + slack || col("rank_hi") < target - slack, 1L)
+        .otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
+  /** Robust outlier gate ([[graft.ops.Outliers]]): per-status Tukey
+    * fences from EXACT quartiles (single-pass percentile aggregate, no
+    * sort), bounds broadcast back onto rows, outliers counted. Quantile
+    * interpolation uses exact powers-of-two fractions, so the fences are
+    * bit-identical to the DuckDB oracle's `quantile_cont`.
+    */
+  private def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    // Flags are computed against the RAW fences (straddle odds ~1e-15);
+    // the emitted q1/q3/lo/hi are INTEGER MICRO UNITS on both sides:
+    // round(x, 6) doubles diverged across engines for a fence sitting on
+    // a rounding boundary (two red rounds), while the micro grid is safe
+    // because the quantiles are quarter-cent multiples, so x*1e6 lands
+    // thousands of ulps away from any .5 boundary.
+    def micro(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    graft.ops.Outliers.flagIqrOutliers(
+        t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
+      .groupBy(col("o_orderstatus"))
+      .agg(micro(first(col("q1"))).as("q1_micro"), micro(first(col("q3"))).as("q3_micro"),
+        micro(first(col("lo"))).as("lo_micro"), micro(first(col("hi"))).as("hi_micro"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Exact-moment Pearson correlation in long form
+    * ([[graft.ops.Profile.corrExact]]): decimal moment sums (order-free,
+    * partial-agg-safe), closed-form r in one deterministic double
+    * expression — streaming `corr()` could never hash-match across
+    * engines.
+    */
+  private def qCorr(s: SparkSession, dir: String): DataFrame =
+    // All three columns are 2-dp fixed point, so the scaled-long fast
+    // path applies: moments become codegen long products feeding compact
+    // decimal sums (3.7s → ~1s at sf0.1 vs the double→BigDecimal path).
+    // r is scale-invariant; it is emitted rounded to 12 dp because the
+    // final int128→double casts differ in the last ulp across engines.
+    Profile.corrExactScaled(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq("l_quantity" -> "l_extendedprice", "l_quantity" -> "l_discount",
+          "l_extendedprice" -> "l_discount"),
+        Map("l_quantity" -> 2, "l_extendedprice" -> 2, "l_discount" -> 2))
+      .select(col("l_returnflag"), col("x_col"), col("y_col"), col("n"),
+        round(col("corr"), 12).as("corr"))
+      .orderBy(col("l_returnflag"), col("x_col"), col("y_col"))
+
+  /** Exact equal-frequency binning ([[graft.ops.Binning]]): rank-based
+    * ntile per return flag (bounded group partitions — the exact form's
+    * domain), bucket stats aggregated. The sketch-cutpoint form is the
+    * scale path (BinningSpec covers it; its bins are approximate by
+    * construction, so the exact form carries the oracle).
+    */
+  private def qBinning(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Binning.discretizeEqualFreq(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", nBins = 4,
+        tieBreak = Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("l_returnflag"), col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("l_returnflag"), col("bin"))
+
+  /** Data-quality expectations ([[graft.ops.Expectations]]): six rule
+    * kinds over lineitem evaluated in ONE aggregation pass (the InRange
+    * and InSet rules are deliberately violated by the data — the report
+    * must count, not just flag).
+    */
+  private def qExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations.Rule
+    graft.ops.Expectations.check(t(s, dir, "lineitem"), Seq(
+      Rule.NotNull("l_returnflag"),
+      Rule.Unique(Seq("l_orderkey", "l_linenumber")),
+      Rule.InRange("l_discount", 0.0, 0.05),
+      Rule.InSet("l_returnflag", Seq("A", "N")),
+      Rule.Matches("l_linestatus", "[OF]"),
+      Rule.Satisfies("non_negative_price", col("l_extendedprice") >= 0),
+    ))
+  }
+
+  /** Distribution drift ([[graft.ops.Drift.psi]]): PSI between the view
+    * and purchase event-value distributions over explicit cutpoints.
+    * Counts are exact; the irrational PSI term is rounded to 6 dp on
+    * both sides (ln differs in the last ulp across libm builds).
+    */
+  private def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.ops.Drift.psi(
+        ev.filter(col("event_type") === "view").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value", driftCuts)
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        round(col("psi_term"), 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  private val driftCuts = Seq(25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 250.0, 300.0)
+
+  /** Rolling z-score anomalies ([[graft.ops.Timeseries.flagAnomalies]]):
+    * trailing-50 per-event-type baseline, |z| > 3 flags. Moments ride
+    * exact decimal sums then one double cast — bit-equal across engines
+    * (sqrt is IEEE-exact, unlike ln), so zscore itself is oracled.
+    */
+  private def qAnomaly(s: SparkSession, dir: String): DataFrame =
+    Timeseries.flagAnomalies(t(s, dir, "events"), Seq("event_type"),
+        Seq("ts", "event_id"), col("value"), n = 50, z = 3.0, minPeriods = 10)
+      .filter(col("is_anomaly"))
+      // filter on the raw z (ulp-straddle odds at the 3.0 fence ~1e-15);
+      // emit it rounded so a last-ulp engine difference can't flip the hash
+      .select(col("event_type"), col("event_id"), col("value"),
+        round(col("zscore"), 6).as("zscore"))
+      .orderBy(col("event_type"), col("event_id"))
+
+  /** Feature scaling ([[graft.ops.Scaling]]): per-return-flag z-score and
+    * min-max scaled prices, emitted row-level for a keyed subset (no
+    * aggregation over scaled doubles → no float-order hazard; the stats
+    * themselves ride decimal sums and IEEE arithmetic, bit-equal to the
+    * oracle's closed form).
+    */
+  private def qScale(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        col("l_extendedprice").as("z_price"),
+        col("l_extendedprice").as("mm_price"))
+    val scaled = graft.ops.Scaling.minMaxScale(
+      graft.ops.Scaling.standardize(li, Seq("l_returnflag"), Seq("z_price")),
+      Seq("l_returnflag"), Seq("mm_price"))
+    // 9-dp rounding on both sides: the decimal-sum -> double cast is
+    // correctly rounded in the JVM but not in DuckDB's int128 path, so
+    // raw doubles can disagree in the final ulp.
+    scaled.filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        round(col("z_price"), 9).as("z_price"),
+        round(col("mm_price"), 9).as("mm_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Exact join-size pre-flight ([[graft.ops.Stats.joinSizeExact]]):
+    * predicts the lineitem self-join cardinality on l_partkey WITHOUT
+    * running the join (count-product over per-key counts). The oracle
+    * MATERIALIZES the join and counts — the estimate must equal reality
+    * row-for-row.
+    */
+  private def qJoinsize(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    // The operator keeps DECIMAL(38,0) internally (a hot key can push the
+    // pair count past Long.MaxValue), but the emitted row is BIGINT: at the
+    // bench SF the totals fit comfortably (18.6M at sf0.1) and decimal
+    // output columns hash differently across engines in the driver gate.
+    graft.ops.Stats.joinSizeExact(li, "l_partkey", li, "l_partkey")
+      .select(col("n_pairs").cast("long").as("n_pairs"),
+        col("n_keys_matched"),
+        col("max_key_pairs").cast("long").as("max_key_pairs"))
+  }
+
+  /** Wilson proportion CI ([[graft.ops.Stats.proportionCi]]): purchase
+    * conversion per A/B variant (user_id parity) with 95% bounds — all
+    * IEEE div/mul/sqrt on exact counts, mirrored bit-for-bit by the
+    * oracle's formula.
+    */
+  private def qAbCi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.proportionCi(
+        t(s, dir, "events").withColumn("variant", (col("user_id") % 2).cast("int")),
+        Seq("variant"), col("event_type") === "purchase")
+      .orderBy(col("variant"))
+
+  /** Validation for the sketch-only join-size bound
+    * ([[graft.ops.Stats.joinSizeUpperBound]]): the CMS inner product can
+    * never undercount the exact count-product — a deterministic law, so
+    * violations = 0, oracle SELECT 0. A deliberately narrow width keeps
+    * collisions (and the bound's slack) in play.
+    */
+  private def qJoinsizeBound(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val bound = graft.ops.Stats.joinSizeUpperBound(li, "l_partkey", li, "l_partkey",
+      depth = 5, width = 1 << 10)
+    val exact = graft.ops.Stats.joinSizeExact(li, "l_partkey", li, "l_partkey")
+      .select(col("n_pairs"))
+    bound.crossJoin(exact)
+      .select(when(col("upper_bound") < col("n_pairs"), 1L).otherwise(0L)
+        .as("n_violations"))
+  }
+
+  /** Skewed key shared by the heavy-hitter queries: 3 hot keys carrying
+    * ~25% of lineitem between them, plus one cold key per order.
+    */
+  private def hhKeyed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").withColumn("hkey",
+      when(col("l_orderkey") % 4 === 0,
+        concat(lit("hot_"), (col("l_orderkey") % 3).cast("string")))
+        .otherwise(concat(lit("cold_"), col("l_orderkey").cast("string"))))
+
+  /** Exact heavy hitters ([[graft.ops.Frequency.heavyHitters]]): keys
+    * above total/100 with exact counts — one map-combined shuffle plus a
+    * 1-row broadcast total, no second scan.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Frequency.heavyHitters(hhKeyed(s, dir), "hkey", k = 100)
+      .orderBy(col("key"))
+
+  /** Validation for the Misra-Gries sketch path
+    * ([[graft.ops.Frequency.misraGries]]): every exact heavy hitter
+    * (freq > n/100) must appear in the bounded-memory candidate set
+    * (capacity 200 → guaranteed for freq > n/201). Violations = 0,
+    * oracle SELECT 0.
+    */
+  private def qHhContainment(s: SparkSession, dir: String): DataFrame = {
+    val keyed = hhKeyed(s, dir)
+    val exact = graft.ops.Frequency.heavyHitters(keyed, "hkey", k = 100)
+    val cand = graft.ops.Frequency.misraGries(keyed, "hkey", capacity = 200)
+    exact.join(cand, Seq("key"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+  }
+
+  /** Validation: distinct-count-as-mergeable-state. History's per-type
+    * HLL sketch states merged with a delta's partials
+    * ([[graft.ops.Incremental.hllMergeState]]) must estimate within the
+    * sketch's error envelope of the EXACT distinct count over the full
+    * data (4σ at lgK=12 ≈ 6.5% relative; at these cardinalities the
+    * sketch is still in sparse-exact mode, so the real gap is 0).
+    * Violations = 0, oracle SELECT 0.
+    */
+  private def qHllMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Incremental
+    val e = t(s, dir, "events")
+    val cutoff = "2024-01-15 00:00:00"
+    val hist = e.filter(col("ts") < lit(cutoff))
+    val delta = e.filter(col("ts") >= lit(cutoff))
+    val state = Incremental.hllState(hist, Seq("event_type"), "user_id")
+    val merged = Incremental.hllMergeState(state, delta, Seq("event_type"), "user_id")
+      .select(col("event_type"), Incremental.hllCount(col("hll_user_id")).as("est"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(exact, Seq("event_type"))
+      .agg(coalesce(sum(when(
+        abs(col("est") - col("n_exact")) > lit(0.065) * col("n_exact"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_violations"))
+  }
+
+  /** Winsorized robust stats ([[graft.ops.Outliers.winsorize]]): order
+    * values clamped into their status's exact [p5, p95] band, then
+    * count/min/max/mean — bounds broadcast back, fact rows shuffle once.
+    */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Outliers.winsorize(t(s, dir, "orders"),
+        Seq("o_orderstatus"), "o_totalprice", pLo = 0.05, pHi = 0.95)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        (dsum(col("o_totalprice")) / count(lit(1))).as("wmean"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Order-independent table checksum ([[graft.ops.Observe
+    * .tableChecksum]]) over integer/string lineitem columns: identical
+    * md5-derived 60-bit row hashes on both engines, combined with
+    * XOR + exact decimal sum + count — the replication-audit triple.
+    */
+  private def qTableChecksum(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Observe.tableChecksum(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus"))
+
+  /** Validation for small-file compaction ([[graft.sources.Sources
+    * .compact]]) composed with the audit checksum
+    * ([[graft.ops.Observe.tableChecksum]]): a 64-file fragmented copy of
+    * events compacts to exactly the planned file count AND the
+    * (n_rows, xor60, sum60) triple is unchanged — content-preservation
+    * proven by aggregate, not by a row diff. Violations = 0.
+    */
+  private def qCompactAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-audit")
+    val inPath = root.resolve("in").toString
+    val outPath = root.resolve("out").toString
+    val cols = Seq("event_id", "user_id", "event_type")
+    t(s, dir, "events").select(cols.map(col): _*)
+      .repartition(64).write.mode("overwrite").parquet(inPath)
+    val target = math.max(1L, graft.sources.Sources.dataFileBytes(s, inPath) / 4)
+    val planned = graft.sources.Sources.compact(s, inPath, outPath, target)
+    val written = { // count real data files the way dataFileBytes does
+      val p = new org.apache.hadoop.fs.Path(outPath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+      }
+      n
+    }
+    val a = graft.ops.Observe.tableChecksum(s.read.parquet(inPath), cols)
+      .toDF("n_a", "x_a", "s_a")
+    val b = graft.ops.Observe.tableChecksum(s.read.parquet(outPath), cols)
+      .toDF("n_b", "x_b", "s_b")
+    a.crossJoin(b).select(
+      ((col("n_a") =!= col("n_b")).cast("long") +
+        (col("x_a") =!= col("x_b")).cast("long") +
+        (col("s_a") =!= col("s_b")).cast("long") +
+        lit(if (planned == written) 0L else 1L)).as("n_violations"))
+  }
+
+  /** Two-sample KS drift statistic ([[graft.ops.Drift.ksStatistic]]):
+    * even- vs odd-orderkey halves of the order-value distribution. The
+    * integer numerator makes the max CDF gap oracle-exact; the global
+    * cumulative counts ride [[graft.ops.Ids.withRunningTotals]] (range
+    * partitions + bounded windows), never a whole-frame window.
+    */
+  private def qKs(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    graft.ops.Drift.ksStatistic(
+      o.filter(col("o_orderkey") % 2 === 0).select(col("o_totalprice")),
+      o.filter(col("o_orderkey") % 2 === 1).select(col("o_totalprice")),
+      "o_totalprice")
+  }
+
+  /** This family's slice of [[graft.SparkEntry.queries]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_drift" -> (qEmbedDrift _),
+    "q_vocab_drift" -> (qVocabDrift _),
+    "q_profile" -> (qProfile _),
+    "q_histogram" -> (qHistogram _),
+    "q_impute" -> (qImpute _),
+    "q_incremental" -> (qIncremental _),
+    "q_cms" -> (qCms _),
+    "q_quantile_bound" -> (qQuantileBound _),
+    "q_outliers" -> (qOutliers _),
+    "q_corr" -> (qCorr _),
+    "q_hll_merge" -> (qHllMerge _),
+    "q_binning" -> (qBinning _),
+    "q_expectations" -> (qExpectations _),
+    "q_drift" -> (qDrift _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_hh_containment" -> (qHhContainment _),
+    "q_anomaly" -> (qAnomaly _),
+    "q_scale" -> (qScale _),
+    "q_joinsize" -> (qJoinsize _),
+    "q_ab_ci" -> (qAbCi _),
+    "q_joinsize_bound" -> (qJoinsizeBound _),
+    "q_winsorize" -> (qWinsorize _),
+    "q_table_checksum" -> (qTableChecksum _),
+    "q_compact_audit" -> (qCompactAudit _),
+    "q_ks" -> (qKs _),
+  )
+
+  /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
+  def oracleSql: Map[String, String] = Map(
+    "q_vocab_drift" ->
+      """WITH rt AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |  WHERE source = 'src0'),
+        |ct AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |  WHERE source = 'src1'),
+        |rc AS (SELECT token AS category, COUNT(*) AS rn FROM rt GROUP BY 1),
+        |cc AS (SELECT token AS category, COUNT(*) AS cn FROM ct GROUP BY 1),
+        |cats AS (SELECT category FROM rc ORDER BY rn DESC, category LIMIT 20),
+        |rb AS (
+        |  SELECT CASE WHEN cats.category IS NOT NULL THEN rc.category
+        |    ELSE '__OTHER__' END AS category, SUM(rn) AS rn
+        |  FROM rc LEFT JOIN cats USING (category) GROUP BY 1),
+        |cb AS (
+        |  SELECT CASE WHEN cats.category IS NOT NULL THEN cc.category
+        |    ELSE '__OTHER__' END AS category, SUM(cn) AS cn
+        |  FROM cc LEFT JOIN cats USING (category) GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(rb.category, cb.category) AS category,
+        |    COALESCE(rn, 0) AS ref_n, COALESCE(cn, 0) AS cur_n
+        |  FROM rb FULL OUTER JOIN cb USING (category)),
+        |p AS (
+        |  SELECT category, CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+        |    (ref_n + 0.5) / (SUM(ref_n) OVER () + 0.5 * CAST(COUNT(*) OVER () AS DOUBLE)) AS rp,
+        |    (cur_n + 0.5) / (SUM(cur_n) OVER () + 0.5 * CAST(COUNT(*) OVER () AS DOUBLE)) AS cp
+        |  FROM j)
+        |SELECT category, ref_n, cur_n,
+        |  round((cp - rp) * ln(cp / rp), 6) AS psi_term
+        |FROM p ORDER BY category""".stripMargin,
+    "q_embed_drift" ->
+      """WITH re AS (
+        |  SELECT CAST(u.d AS INT) AS dim, u.x FROM (
+        |    SELECT unnest([{'d': i - 1, 'x': embedding[i]}
+        |      FOR i IN range(1, len(embedding) + 1)]) AS u
+        |    FROM embeddings WHERE label = 0)),
+        |ce AS (
+        |  SELECT CAST(u.d AS INT) AS dim, u.x FROM (
+        |    SELECT unnest([{'d': i - 1, 'x': embedding[i]}
+        |      FOR i IN range(1, len(embedding) + 1)]) AS u
+        |    FROM embeddings WHERE label = 1)),
+        |rc AS (SELECT dim, CAST(x >= -0.2 AS INT) + CAST(x >= -0.1 AS INT) + CAST(x >= -0.05 AS INT) + CAST(x >= 0.0 AS INT) + CAST(x >= 0.05 AS INT) + CAST(x >= 0.1 AS INT) + CAST(x >= 0.2 AS INT) AS bin, COUNT(*) AS rn FROM re GROUP BY 1, 2),
+        |cc AS (SELECT dim, CAST(x >= -0.2 AS INT) + CAST(x >= -0.1 AS INT) + CAST(x >= -0.05 AS INT) + CAST(x >= 0.0 AS INT) + CAST(x >= 0.05 AS INT) + CAST(x >= 0.1 AS INT) + CAST(x >= 0.2 AS INT) AS bin, COUNT(*) AS cn FROM ce GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT d.dim, b.bin FROM (SELECT DISTINCT dim FROM re) d
+        |  CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS bin) b),
+        |j AS (
+        |  SELECT s.dim, s.bin, COALESCE(rc.rn, 0) AS rn, COALESCE(cc.cn, 0) AS cn
+        |  FROM spine s LEFT JOIN rc USING (dim, bin) LEFT JOIN cc USING (dim, bin)),
+        |p AS (
+        |  SELECT dim, rn, cn,
+        |    (rn + 0.5) / (SUM(rn) OVER (PARTITION BY dim) + 4.0) AS rp,
+        |    (cn + 0.5) / (SUM(cn) OVER (PARTITION BY dim) + 4.0) AS cp
+        |  FROM j),
+        |t2 AS (
+        |  SELECT dim, rn, cn,
+        |    CAST(round(((cp - rp) * ln(cp / rp)) * 1000000000.0) AS BIGINT) AS tn
+        |  FROM p)
+        |SELECT dim, CAST(SUM(rn) AS BIGINT) AS ref_n, CAST(SUM(cn) AS BIGINT) AS cur_n,
+        |  round(CAST(SUM(tn) AS DOUBLE) / 1000000000.0, 6) AS psi
+        |FROM t2 GROUP BY 1 ORDER BY dim""".stripMargin,
+    "q_profile" ->
+      """SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  COUNT(DISTINCT l_discount) AS n_distinct,
+        |  CAST(min(l_discount) AS VARCHAR) AS min_value, CAST(max(l_discount) AS VARCHAR) AS max_value
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linenumber', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_linenumber),
+        |  CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_quantity),
+        |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', COUNT(*),
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT l_returnflag),
+        |  min(l_returnflag), max(l_returnflag)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
+    "q_joinsize_bound" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus,
+        |    quantile_cont(o_totalprice, 0.05) AS wlo,
+        |    quantile_cont(o_totalprice, 0.95) AS whi
+        |  FROM orders GROUP BY o_orderstatus),
+        |w AS (
+        |  SELECT o.o_orderstatus,
+        |    least(greatest(o.o_totalprice, b.wlo), b.whi) AS v
+        |  FROM orders o JOIN b USING (o_orderstatus))
+        |SELECT o_orderstatus, count(*) AS n, min(v) AS lo, max(v) AS hi,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS wmean
+        |FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_compact_audit" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_ks" ->
+      """WITH u AS (
+        |  SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS ib
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |g AS (
+        |  SELECT v, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(ib) AS BIGINT) AS cb
+        |  FROM u GROUP BY v),
+        |c AS (
+        |  SELECT CAST(sum(ca) OVER w AS BIGINT) AS cca,
+        |         CAST(sum(cb) OVER w AS BIGINT) AS ccb
+        |  FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM g)
+        |SELECT n_a, n_b,
+        |  CAST(max(abs(cca * n_b - ccb * n_a)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cca * n_b - ccb * n_a)) AS DOUBLE) /
+        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks
+        |FROM c, t GROUP BY n_a, n_b""".stripMargin,
+    "q_table_checksum" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_suppkey AS VARCHAR), chr(2)),
+        |    coalesce(l_returnflag, chr(2)),
+        |    coalesce(l_linestatus, chr(2)))), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem)
+        |SELECT count(*) AS n_rows, bit_xor(h) AS xor60,
+        |  CAST(sum(h) % 4611686018427387904 AS BIGINT) AS sum60
+        |FROM h""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN l_extendedprice < 20000.0 THEN -1
+        |              WHEN l_extendedprice >= 80000.0 THEN 16
+        |              ELSE CAST(least(floor((l_extendedprice - 20000.0)
+        |                     / ((80000.0 - 20000.0) / 16)), 15) AS INTEGER)
+        |         END AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT bin, COUNT(*) AS n,
+        |  CASE WHEN bin >= 0 AND bin < 16
+        |       THEN 20000.0 + bin * ((80000.0 - 20000.0) / 16) END AS bin_lo
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_impute" ->
+      """WITH v AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, v,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE)
+        |      / COUNT(v) OVER (PARTITION BY user_id) AS fill
+        |  FROM v)
+        |SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+        |  MIN(CASE WHEN v IS NULL THEN fill END) AS fill_value,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_present
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_incremental" ->
+      // direct whole-table aggregation: the Spark side merges three
+      // disjoint batch states — agreement proves merge = recompute
+      """SELECT o_orderpriority, COUNT(o_totalprice) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+        |  MIN(o_totalprice) AS min_total,
+        |  MAX(o_totalprice) AS max_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_cms" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_quantile_bound" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_hll_merge" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_binning" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    ntile(4) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM b GROUP BY l_returnflag, bin
+        |ORDER BY l_returnflag, bin""".stripMargin,
+    "q_expectations" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |  CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |  CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_full_match(l_linestatus, '(?:[OF])') THEN 1 ELSE 0 END) AS BIGINT) AS v_match,
+        |  CAST(sum(CASE WHEN COALESCE(l_extendedprice >= 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v_sat,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v_uni
+        | FROM lineitem)
+        |SELECT rule, violations, violations = 0 AS passed FROM (
+        |  SELECT 'in_range(l_discount,0.0,0.05)' AS rule, v_range AS violations FROM a
+        |  UNION ALL SELECT 'in_set(l_returnflag)', v_set FROM a
+        |  UNION ALL SELECT 'matches(l_linestatus)', v_match FROM a
+        |  UNION ALL SELECT 'non_negative_price', v_sat FROM a
+        |  UNION ALL SELECT 'not_null(l_returnflag)', v_null FROM a
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', v_uni FROM a)
+        |ORDER BY rule""".stripMargin,
+    "q_drift" ->
+      """WITH r AS (
+        |  SELECT CAST(value >= 25.0 AS INT) + CAST(value >= 50.0 AS INT)
+        |       + CAST(value >= 75.0 AS INT) + CAST(value >= 100.0 AS INT)
+        |       + CAST(value >= 150.0 AS INT) + CAST(value >= 200.0 AS INT)
+        |       + CAST(value >= 250.0 AS INT) + CAST(value >= 300.0 AS INT) AS bin
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+        |c AS (
+        |  SELECT CAST(value >= 25.0 AS INT) + CAST(value >= 50.0 AS INT)
+        |       + CAST(value >= 75.0 AS INT) + CAST(value >= 100.0 AS INT)
+        |       + CAST(value >= 150.0 AS INT) + CAST(value >= 200.0 AS INT)
+        |       + CAST(value >= 250.0 AS INT) + CAST(value >= 300.0 AS INT) AS bin
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |bins AS (SELECT CAST(unnest(range(9)) AS INT) AS bin),
+        |rc AS (SELECT bin, count(*) AS n FROM r GROUP BY bin),
+        |cc AS (SELECT bin, count(*) AS n FROM c GROUP BY bin),
+        |j AS (
+        |  SELECT b.bin, COALESCE(rc.n, 0) AS ref_n, COALESCE(cc.n, 0) AS cur_n
+        |  FROM bins b LEFT JOIN rc ON b.bin = rc.bin LEFT JOIN cc ON b.bin = cc.bin),
+        |p AS (
+        |  SELECT bin, ref_n, cur_n,
+        |    (ref_n + 0.5) / (sum(ref_n) OVER () + 4.5) AS ref_p,
+        |    (cur_n + 0.5) / (sum(cur_n) OVER () + 4.5) AS cur_p
+        |  FROM j)
+        |SELECT bin, ref_n, cur_n,
+        |  round((cur_p - ref_p) * ln(cur_p / ref_p), 6) AS psi_term
+        |FROM p ORDER BY bin""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN l_orderkey % 4 = 0
+        |              THEN 'hot_' || CAST(l_orderkey % 3 AS VARCHAR)
+        |              ELSE 'cold_' || CAST(l_orderkey AS VARCHAR) END AS key
+        |  FROM lineitem),
+        |c AS (SELECT key, count(*) AS cnt FROM k GROUP BY key),
+        |t AS (SELECT sum(cnt) AS n FROM c)
+        |SELECT key, cnt FROM c, t WHERE cnt * 100 > n ORDER BY key""".stripMargin,
+    "q_hh_containment" ->
+      "SELECT CAST(0 AS BIGINT) AS n_violations",
+    "q_anomaly" ->
+      """WITH a AS (
+        |  SELECT event_type, event_id, value,
+        |    count(value) OVER w AS cnt,
+        |    CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value*value AS DECIMAL(28,10))) OVER w AS DOUBLE) AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT event_type, event_id, value, cnt,
+        |    s1/cnt AS mean,
+        |    sqrt(greatest((s2 - s1*s1/cnt)/cnt, 0.0)) AS std
+        |  FROM a),
+        |c AS (
+        |  SELECT event_type, event_id, value,
+        |    CASE WHEN cnt >= 10 AND std > 0 THEN (value - mean)/std END AS zscore
+        |  FROM b)
+        |SELECT event_type, event_id, value, round(zscore, 6) AS zscore FROM c
+        |WHERE abs(zscore) > 3.0 ORDER BY event_type, event_id""".stripMargin,
+    "q_scale" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+        |    count(l_extendedprice) AS n,
+        |    min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, l_orderkey, l_linenumber,
+        |  round(CASE WHEN sqrt(greatest((s2 - s1*s1/n)/n, 0.0)) > 0
+        |       THEN (l_extendedprice - s1/n) / sqrt(greatest((s2 - s1*s1/n)/n, 0.0))
+        |  END, 9) AS z_price,
+        |  round(CASE WHEN mx - mn > 0 THEN (l_extendedprice - mn) / (mx - mn) END, 9) AS mm_price
+        |FROM lineitem l JOIN s USING (l_returnflag)
+        |WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // The oracle MATERIALIZES the join the operator only predicts.
+    "q_joinsize" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |actual AS (
+        |  SELECT count(*) AS cnt
+        |  FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey)
+        |SELECT CAST(cnt AS BIGINT) AS n_pairs,
+        |  (SELECT count(*) FROM c) AS n_keys_matched,
+        |  CAST((SELECT max(n*n) FROM c) AS BIGINT) AS max_key_pairs
+        |FROM actual""".stripMargin,
+    "q_ab_ci" ->
+      """WITH g AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS variant, count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT variant, n, x,
+        |    x / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM g)
+        |SELECT variant, n, x,
+        |  p AS p_hat,
+        |  greatest((p + (1.96*1.96)/(2.0*nd) -
+        |    1.96 * sqrt(p*(1.0 - p)/nd + (1.96*1.96)/(4.0*nd*nd)))
+        |    / (1.0 + (1.96*1.96)/nd), 0.0) AS ci_lo,
+        |  least((p + (1.96*1.96)/(2.0*nd) +
+        |    1.96 * sqrt(p*(1.0 - p)/nd + (1.96*1.96)/(4.0*nd*nd)))
+        |    / (1.0 + (1.96*1.96)/nd), 1.0) AS ci_hi
+        |FROM f ORDER BY variant""".stripMargin,
+    // quantile_cont interpolates lower + (upper-lower)·frac with frac an
+    // exact power-of-two fraction here, matching Spark's percentile bit
+    // for bit; the fence arithmetic mirrors the operator's expression
+    // shape exactly.
+    "q_outliers" ->
+      """WITH q AS (
+        |  SELECT o_orderstatus,
+        |    CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE) AS q1,
+        |    CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE) AS q3
+        |  FROM orders GROUP BY o_orderstatus),
+        |b AS (
+        |  SELECT o_orderstatus, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q)
+        |SELECT o.o_orderstatus,
+        |  CAST(round(b.q1 * 1000000.0) AS BIGINT) AS q1_micro,
+        |  CAST(round(b.q3 * 1000000.0) AS BIGINT) AS q3_micro,
+        |  CAST(round(b.lo * 1000000.0) AS BIGINT) AS lo_micro,
+        |  CAST(round(b.hi * 1000000.0) AS BIGINT) AS hi_micro,
+        |  CAST(SUM(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  COUNT(*) AS n_rows
+        |FROM orders o JOIN b ON o.o_orderstatus = b.o_orderstatus
+        |GROUP BY o.o_orderstatus, b.q1, b.q3, b.lo, b.hi
+        |ORDER BY o.o_orderstatus""".stripMargin,
+    // Moments accumulate as exact decimals; only the closed-form r runs
+    // in doubles, with the identical expression shape on both engines.
+    "q_corr" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS d
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_rows,
+        |    CAST(SUM(q) AS DOUBLE) AS sq,
+        |    CAST(SUM(p) AS DOUBLE) AS sp,
+        |    CAST(SUM(d) AS DOUBLE) AS sd,
+        |    CAST(SUM(q * p) AS DOUBLE) AS sqp,
+        |    CAST(SUM(q * d) AS DOUBLE) AS sqd,
+        |    CAST(SUM(p * d) AS DOUBLE) AS spd,
+        |    CAST(SUM(q * q) AS DOUBLE) AS sqq,
+        |    CAST(SUM(p * p) AS DOUBLE) AS spp,
+        |    CAST(SUM(d * d) AS DOUBLE) AS sdd
+        |  FROM v GROUP BY l_returnflag)
+        |SELECT l_returnflag, x_col, y_col, n_rows AS n,
+        |  round(CASE WHEN den <> 0 THEN num / den END, 12) AS corr
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS x_col, 'l_extendedprice' AS y_col, n_rows,
+        |    n * sqp - sq * sp AS num,
+        |    sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp) AS den FROM s
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_quantity', 'l_discount', n_rows,
+        |    n * sqd - sq * sd, sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd) FROM s
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', 'l_discount', n_rows,
+        |    n * spd - sp * sd, sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd) FROM s)
+        |ORDER BY l_returnflag, x_col, y_col""".stripMargin,
+  )
+}

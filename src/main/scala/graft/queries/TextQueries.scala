@@ -1,0 +1,807 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+import graft.multimodal.Multimodal
+import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
+import graft.streaming.Streaming
+import graft.text.{Boilerplate, Cluster, Dedup, Dsir, LangModel, Pq, Rank, Similarity, TextStats}
+
+import graft.queries.Qh.{t, dsum}
+
+/** Text / LLM-pipeline family: quality, language-ID, tokenization, BPE, TF-IDF/BM25, selection.
+  *
+  * Query defs + their DuckDB oracle SQL, split out of the former
+  * monolithic SparkEntry (registry semantics unchanged — the maps merge
+  * in [[graft.SparkEntry]]).
+  */
+object TextQueries {
+
+  /** Corpus statistics per language partition — tokenization, lexical
+    * diversity, stopword counts, BPE-ish subword counts.
+    */
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextStats.tokenCount(col("text"))).as("sum_tokens"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(TextStats.distinctTokenCount(col("text"))).as("sum_distinct_tokens"),
+        sum(TextStats.stopwordCount(col("text"), Seq("the", "a"))).as("sum_stopwords"),
+        sum(TextStats.subwordCount(col("text"))).as("sum_subwords"),
+      )
+      .orderBy(col("lang"))
+
+  /** Per-document quality scoring (length saturation + diversity +
+    * stopword presence), deterministic double arithmetic.
+    */
+  private def qDocQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic distribution (same heuristic mirrored in SQL). */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextStats.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_pred"))
+
+  /** Vocabulary statistics: per-token corpus frequencies (explode-shaped
+    * aggregation), top tokens by count with deterministic tie-break.
+    */
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextStats.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  /** DSIR importance-resampling selection ([[graft.text.Dsir]]): the 120
+    * documents whose hashed unigram+bigram distribution best matches the
+    * `lang = 'en'` target slice, scored by exact integer micro-nat LLR
+    * sums. The oracle replays the whole chain — bucketing, smoothed LLR
+    * quantization, occurrence-sum, top-k — so selection AND scores match
+    * bit-for-bit.
+    */
+  private def qDsir(s: SparkSession, dir: String): DataFrame =
+    Dsir.selectTopK(t(s, dir, "documents"), "doc_id", "text",
+      isTarget = col("lang") === "en", k = 120, hexChars = 3)
+
+  /** Retrieval evaluation ([[graft.text.Rank.bm25SearchAll]]): each of 20
+    * held-out lead chunks queries the remaining chunk corpus via batch
+    * BM25; a hit is retrieving a chunk of the SAME document. Emits exact
+    * integer recall@1/@5 numerators — the retrieval-QA harness a
+    * training-data pipeline runs after chunking. The numbers are
+    * data-honest: this synthetic corpus draws from a ~31-token shared
+    * vocabulary, so chunk→document identity is irrecoverable BY
+    * CONSTRUCTION and the true recall is ~0 — exactly what the harness
+    * reports (both engines, bit-identical). RankSpec's distinctive-topic
+    * fixture is the positive control where recall is 100%.
+    */
+  private def qRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextStats.chunkTokens(col("text"), 32, 8)).as(Seq("chunk_idx", "ctext")))
+      .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+        col("doc_id"), col("chunk_idx"), col("ctext"))
+    val isQuery = col("doc_id") < 20 && col("chunk_idx") === 0
+    val queries = chunks.filter(isQuery)
+      .select(col("doc_id").as("query_id"), col("ctext").as("qtext"))
+    val corpus = chunks.filter(!isQuery)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_nano").desc, col("chunk_id"))
+    val top = Rank.bm25SearchAll(corpus, "chunk_id", "ctext", queries, "query_id", "qtext")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .withColumn("hit",
+        when(expr("chunk_id div 1000") === col("query_id"), 1L).otherwise(0L))
+    top.groupBy(col("query_id"))
+      .agg(max(when(col("rank") === 1, col("hit")).otherwise(0L)).as("h1"),
+        max(col("hit")).as("h5"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("h1")).as("hits_at_1"), sum(col("h5")).as("hits_at_5"))
+  }
+
+  /** Sequence packing: documents are sharded by (lang, md5-bucket%8) —
+    * NOT by lang alone: a low-cardinality shard key would cap the
+    * window's parallelism at the language count, the same single-task
+    * hazard as a global window. The md5 bucket is deterministic on both
+    * engines (same construction as q_split), shards pack independently,
+    * and the summary is per (lang, bucket, pack).
+    */
+  private def qPack(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        Sampling.hashBucket(col("doc_id"), 8).as("bucket"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val packed = Pack.packSequences(d, Seq("lang", "bucket"), Seq("doc_id"), "n_tokens", 512)
+    Pack.packSummary(packed, Seq("lang", "bucket"), "n_tokens")
+      .orderBy(col("lang"), col("bucket"), col("pack_id"))
+  }
+
+  /** PII redaction over the corpus. The synthetic docs carry no PII, so
+    * deterministic fake PII (an email + an IPv4 per tenth doc) is
+    * injected identically on both engines; the oracle reproduces the
+    * redaction byte-for-byte (patterns are Java-regex/RE2-portable by
+    * construction, [[TextStats.redactPii]]).
+    */
+  private def qRedact(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 10 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+        .otherwise(lit("")))
+    t(s, dir, "documents")
+      .select(col("lang"), injected.as("inj"))
+      .withColumn("red", TextStats.redactPii(col("inj")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("red") =!= col("inj"), 1L).otherwise(0L)).as("n_redacted"),
+        sum(length(col("inj")) - length(col("red"))).cast("long").as("chars_removed"))
+      .orderBy(col("lang"))
+  }
+
+  /** Benchmark decontamination: a FIXED-size benchmark (every 50th doc
+    * among ids < 500 — ten docs at any SF, like a real benchmark suite
+    * that does not grow with the corpus, so the broadcast in
+    * [[Dedup.crossCorpusOverlap]] stays sound at every scale); corpus
+    * docs sharing ≥3 distinct 5-grams with one are flagged with the
+    * shared count and contaminated fraction. (The benchmark docs
+    * trivially flag against themselves — kept in, as the deterministic
+    * sanity floor.)
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 500)
+      .select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    Dedup.crossCorpusOverlap(docs, "doc_id", "text", bench, "b_id", "b_text",
+        shingleSize = 5, minShared = 3)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** Per-language repetition profile (C4/Gopher-style quality rule):
+    * docs over the 0.03 repetition threshold (chosen non-vacuous on the
+    * synthetic corpus — 2-16 docs trip it per SF, so a broken predicate
+    * cannot hide behind an all-zero column) and the exact corpus sum.
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextStats.repetitionScore(col("text"), 3).as("rep"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rep") > 0.03, 1L).otherwise(0L)).as("n_repetitive"),
+        dsum(col("rep"), 9).as("sum_rep"))
+      .orderBy(col("lang"))
+
+  /** Overlapping token-window chunking (embedding/RAG prep): 40-token
+    * windows advancing by 30 (10-token overlap), exploded to
+    * (doc_id, chunk_idx, n_chunk_tokens) rows.
+    */
+  private def qChunk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextStats.chunkTokens(col("text"), 40, 10)).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        TextStats.tokenCount(col("chunk")).cast("long").as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Token-budget selection — keep the BEST documents (by quality score,
+    * doc_id tiebreak) until a global token budget fills: quality ranking
+    * plus an exact GLOBAL running token total via
+    * [[graft.ops.Ids.withRunningTotals]] (range-partitioned prefix sums —
+    * no single-partition window), cut at 10k tokens. The per-doc
+    * cumulative emitted alongside the selection makes the check
+    * prefix-exact, not just membership-exact: one document ranked or
+    * summed differently anywhere shifts every later cumulative. The
+    * oracle is a plain windowed sum over the same (quality DESC, doc_id)
+    * order — DuckDB can afford the single-partition window at oracle
+    * scale; the operator can't at 100 TB, which is the point.
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tok"),
+        (-TextStats.qualityScore(col("text"))).as("__negq"))
+    graft.ops.Ids.withRunningTotals(d, Seq("__negq", "doc_id"), Seq("n_tok"))
+      .filter(col("n_tok_cum") <= 10000)
+      .select(col("doc_id"), col("n_tok"), col("n_tok_cum").as("cum_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Boilerplate-line removal ([[graft.text.Boilerplate.stripBoilerplateLines]],
+    * C4-style): the fixture text has no line structure, so each document's
+    * tokens are first re-joined into 10-token lines (the same
+    * synthesize-in-query pattern the codec queries use), then lines
+    * appearing in ≥ 3 documents are stripped and the text reassembled in
+    * original order. The md5 of the cleaned text is selection-exact: one
+    * line kept, dropped, or reordered differently anywhere breaks it. The
+    * oracle replays the chain with line STRINGS where the operator
+    * aggregates 8-byte line hashes — so it also certifies the hash-first
+    * shuffle loses nothing at this scale.
+    */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    // pre-fold any literal newline into a space on BOTH sides: a token
+    // containing the line separator would otherwise re-split inside the
+    // operator while the oracle's line units stay 10-token groups —
+    // a silent divergence armed by any future fixture with \n in text
+    val lined = t(s, dir, "documents")
+      .withColumn("w", split(translate(col("text"), "\n", " "), " "))
+      .withColumn("lined", concat_ws("\n",
+        transform(sequence(lit(0), (ceil(size(col("w")) / lit(10.0)) - 1).cast("int")),
+          i => array_join(slice(col("w"), i * lit(10) + 1, lit(10)), " "))))
+      .select(col("doc_id"), col("lined"))
+    Boilerplate.stripBoilerplateLines(lined, "doc_id", "lined", "\n", minDocs = 3)
+      .select(col("doc_id"), md5(col("lined")).as("sig"),
+        col("n_kept"), col("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bm25Terms = Seq("spark", "vector", "stream", "merge")
+
+  /** BM25 keyword relevance ([[graft.text.Rank.bm25Scores]], rational
+    * rank-equivalent idf): per-(doc, term) scores for a fixed query-term
+    * set, folded to per-document totals with a conditional aggregation —
+    * one `max(when(term = t))` column per term, summed left-to-right — so
+    * double addition order is explicit and the DuckDB oracle reproduces
+    * every bit. Top 20 documents by total relevance.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val scores = Rank.bm25Scores(t(s, dir, "documents"), "doc_id", "text", bm25Terms)
+    val termCols = bm25Terms.map(term =>
+      max(when(col("term") === term, col("score"))).as(s"s_$term"))
+    val total = bm25Terms.map(term => coalesce(col(s"s_$term"), lit(0.0))).reduce(_ + _)
+    scores.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+      .withColumn("total", total)
+      .orderBy(col("total").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Vocabulary coverage ([[TextStats.oovRate]]): per-document OOV counts
+    * against the corpus top-200 vocabulary.
+    */
+  private def qOov(s: SparkSession, dir: String): DataFrame =
+    TextStats.oovRate(t(s, dir, "documents"), "doc_id", "text", 200)
+      .orderBy(col("doc_id"))
+
+  /** Text normalization ([[TextStats.normalizeText]]): every fifth doc is
+    * dirtied (leading/trailing runs, upper case, tab, a control byte),
+    * normalized, and summarized per language — length sums catch any
+    * one-byte divergence from the oracle's RE2 rendition.
+    */
+  private def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    val messy = t(s, dir, "documents").withColumn("m",
+      when(col("doc_id") % 5 === 0,
+        concat(lit("  "), upper(col("text")), lit("\tX\u0001Y  ")))
+        .otherwise(col("text")))
+    messy.withColumn("norm", TextStats.normalizeText(col("m")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("norm"))).as("sum_len"),
+        sum(when(col("norm") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+      )
+      .orderBy(col("lang"))
+  }
+
+  /** TF-IDF keyword extraction ([[Rank.tfidfTopTerms]]): top-3 terms per
+    * document (df over the full corpus, output scoped to the first 50
+    * docs to keep the verified surface small).
+    */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    Rank.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** Bigram-LM quality scoring ([[graft.text.LangModel]]): train on 80%
+    * of documents, score the held-out 20%. The oracled output is the
+    * exact-integer sufficient statistics (bigram/unseen counts, model
+    * count sums) that pin down tokenization + both model joins; the
+    * ln-based `avg_logp` is a per-row monotone transform of them,
+    * cross-libm-unsafe, and covered by LangModelSpec instead. Vocab is a
+    * fixed constant so scoring stays one job (vocabSize() is a separate
+    * count job a real pipeline runs once at train time).
+    */
+  private def qPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = LangModel.bigramCounts(docs.filter(col("doc_id") % 5 =!= 0), "text")
+    LangModel.scoreDocs(docs.filter(col("doc_id") % 5 === 0), model,
+        "doc_id", "text", vocab = 64)
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        col("sum_c12"), col("sum_c1"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Lexical diversity ([[graft.text.TextStats.simpsonDiversity]]):
+    * type-token ratio + Gini-Simpson index per document — entirely
+    * rational (no ln, unlike Shannon entropy), so the scores themselves
+    * are oracled bit-exact. Narrow map, no shuffle.
+    */
+  private def qDiversity(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("ttr"),
+        TextStats.simpsonDiversity(col("text")).as("simpson"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE merge-rule training ([[graft.text.Bpe.trainMerges]]): 8 rounds
+    * over the corpus vocabulary, greedy-left merge semantics,
+    * (count, left, right) total-order tiebreak. The oracle replays the
+    * identical rounds as unrolled MATERIALIZED CTEs with a
+    * `list_reduce` fold.
+    */
+  private def qBpe(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.trainMerges(t(s, dir, "documents"), "text", rounds = 8)
+      .orderBy(col("round"))
+
+  /** BPE ENCODE ([[graft.text.Bpe.encodeTokenCounts]]): train 8 merge
+    * rules (the 8-row driver collect is the bounded rule table, same
+    * posture as training itself), then tokenize every document —
+    * distinct words fold once, documents join counts. The oracle
+    * re-derives the SAME rules with the unrolled training CTEs and
+    * replays the identical greedy-left fold over a word-keyed copy, so
+    * rule derivation AND application verify together.
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val rules = graft.text.Bpe.trainMerges(t(s, dir, "documents"), "text", rounds = 8)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.encodeTokenCounts(t(s, dir, "documents"), "doc_id", "text", rules)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The greedy-left BPE fold in SQL — THE single copy shared by the
+    * training v-steps and the encode e-steps (string accumulator,
+    * '|'-delimited; symbols are alphanumeric so the delimiter can't
+    * collide). `lRef`/`rRef` name the LEFT-JOINed winner columns; the
+    * IS NULL guard makes a dried-up round (empty w$r — no pairs left)
+    * an IDENTITY fold instead of emptying the chain, matching
+    * [[graft.text.Bpe.trainMerges]]'s early stop.
+    */
+  private def bpeFoldSql(lRef: String, rRef: String): String =
+    s"""CASE WHEN $lRef IS NULL OR len(syms) = 1 THEN syms ELSE string_split(
+       |    list_reduce(syms, (acc, x) -> CASE
+       |      WHEN string_split(acc, '|')[-1] = $lRef AND x = $rRef
+       |      THEN array_to_string(list_append(
+       |        string_split(acc, '|')[1:len(string_split(acc, '|')) - 1],
+       |        $lRef || $rRef), '|')
+       |      ELSE acc || '|' || x END), '|') END""".stripMargin
+
+  private val bpeVocabHead =
+    """WITH v0 AS MATERIALIZED (
+      |  SELECT string_split_regex(word, '') AS syms, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word)""".stripMargin
+
+  /** Per-round (pair counts, winner, fold-rewrite) training CTEs — ONE
+    * copy shared by [[bpeOracleSql]] and [[bpeEncodeOracleSql]], so the
+    * rule derivation the two gates verify can never drift apart.
+    */
+  private def bpeTrainingSteps(rounds: Int): Seq[String] = (1 to rounds).map { r =>
+    s"""p$r AS MATERIALIZED (
+       |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM v${r - 1} CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+       |  GROUP BY 1, 2),
+       |w$r AS MATERIALIZED (
+       |  SELECT $r AS round, l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+       |v$r AS MATERIALIZED (
+       |  SELECT ${bpeFoldSql("w.l", "w.r")} AS syms, cnt
+       |  FROM v${r - 1} LEFT JOIN w$r w ON TRUE)""".stripMargin
+  }
+
+  /** Unrolled BPE oracle: round r = pair counts from v(r-1), one winner
+    * by (n DESC, l, r), fold-rewrite into v(r) — assembled from the
+    * shared CTE builders above.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val tail =
+      s"""SELECT round, l AS left, r AS right, n FROM (
+         |${(1 to rounds).map(r => s"  SELECT * FROM w$r").mkString(" UNION ALL\n")}
+         |) ORDER BY round""".stripMargin
+    (bpeVocabHead +: bpeTrainingSteps(rounds)).mkString(",\n") + "\n" + tail
+  }
+
+  /** Encode oracle: the training chain of [[bpeOracleSql]] derives the
+    * same w1..wN winner rules, then an `e`-chain replays the identical
+    * greedy-left fold over a WORD-KEYED copy of the distinct vocabulary
+    * (the training chain's v-tables drop the word), and documents join
+    * their words' token counts.
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val e0 =
+      """e0 AS MATERIALIZED (
+        |  SELECT word, string_split_regex(word, '') AS syms
+        |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 1)""".stripMargin
+    val esteps = (1 to rounds).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT word, ${bpeFoldSql("w.l", "w.r")} AS syms
+         |  FROM e${r - 1} LEFT JOIN w$r w ON TRUE)""".stripMargin
+    }
+    val tail =
+      s"""tok AS (SELECT word, len(syms) AS n_tok FROM e$rounds),
+         |dwf AS (
+         |  SELECT doc_id, word
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) >= 1)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM dwf JOIN tok USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ((bpeVocabHead +: bpeTrainingSteps(rounds)) ++ (e0 +: esteps))
+      .mkString(",\n") + ",\n" + tail
+  }
+
+  /** This family's slice of [[graft.SparkEntry.queries]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_vocab" -> (qVocab _),
+    "q_doc_quality" -> (qDocQuality _),
+    "q_lang_id" -> (qLangId _),
+    "q_dsir" -> (qDsir _),
+    "q_pack" -> (qPack _),
+    "q_redact" -> (qRedact _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_repetition" -> (qRepetition _),
+    "q_chunk" -> (qChunk _),
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_bm25" -> (qBm25 _),
+    "q_retrieval_eval" -> (qRetrievalEval _),
+    "q_oov" -> (qOov _),
+    "q_normalize" -> (qNormalize _),
+    "q_tfidf" -> (qTfidf _),
+    "q_perplexity" -> (qPerplexity _),
+    "q_diversity" -> (qDiversity _),
+    "q_bpe" -> (qBpe _),
+    "q_bpe_encode" -> (qBpeEncode _),
+  )
+
+  /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
+  def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS sum_distinct_tokens,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))) AS BIGINT) AS sum_stopwords,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS sum_subwords
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vocab" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_doc_quality" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+        |  + 0.4 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |  + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """SELECT CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |            WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+        |            WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+        |            WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+        |            ELSE 'unknown' END AS lang_pred, COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Replays Dsir end-to-end: md5-prefix bucketing of unigrams+bigrams,
+    // Laplace-smoothed LLR quantized to integer micro-nats PER BUCKET
+    // (identical IEEE ratio operands; only ln can differ by ulps, absorbed
+    // by the 1e-6 grid), exact BIGINT occurrence sums, top-120.
+    "q_dsir" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, unnest(list_concat(w,
+        |    [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))])) AS feat
+        |  FROM w),
+        |b AS (SELECT doc_id, lang, substring(md5(feat), 1, 3) AS bucket FROM f),
+        |cnt AS (
+        |  SELECT bucket, COUNT(*) AS nq,
+        |         COUNT(*) FILTER (WHERE lang = 'en') AS np
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT SUM(nq) AS tq, SUM(np) AS tp FROM cnt),
+        |llr AS (
+        |  SELECT bucket,
+        |    CAST(round(ln(
+        |      (CAST(np + 1 AS DOUBLE) / CAST(tp + 4096 AS DOUBLE))
+        |      / (CAST(nq + 1 AS DOUBLE) / CAST(tq + 4096 AS DOUBLE))
+        |    ) * 1000000.0) AS BIGINT) AS llr_micro
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT b.doc_id, COUNT(*) AS n_features,
+        |  CAST(SUM(llr_micro) AS BIGINT) AS score_micro
+        |FROM b JOIN llr USING (bucket)
+        |GROUP BY b.doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 120""".stripMargin,
+    "q_bpe" -> bpeOracleSql(rounds = 8),
+    "q_bpe_encode" -> bpeEncodeOracleSql(rounds = 8),
+    "q_decontaminate" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |c AS (SELECT doc_id, len(sh) AS n_doc_sh, unnest(sh) AS shingle FROM s),
+        |b AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM s
+        |      WHERE doc_id % 50 = 0 AND doc_id < 500),
+        |j AS (
+        |  SELECT c.doc_id, b.bench_id, c.n_doc_sh, COUNT(*) AS n_shared
+        |  FROM c JOIN b USING (shingle)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, bench_id, n_shared,
+        |  CAST(n_shared AS DOUBLE) / n_doc_sh AS contaminated_frac
+        |FROM j WHERE n_shared >= 3 ORDER BY doc_id, bench_id""".stripMargin,
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        unnest(range(0, (greatest(n - 10 - 1, 0) // 30) + 1)) AS chunk_idx
+        |      FROM d)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(least(40, n - chunk_idx * 30) AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_repetition" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |    CASE WHEN len(w) < 3 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                FOR i IN range(1, len(w)-1)])) AS DOUBLE) / (len(w) - 2)
+        |    END AS rep
+        |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN rep > 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+        |  CAST(SUM(CAST(rep AS DECIMAL(18,9))) AS DOUBLE) AS sum_rep
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, bucket, n_tokens,
+        |    CAST((SUM(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS BIGINT) AS pack_id
+        |  FROM d)
+        |SELECT lang, bucket, pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_redact" ->
+      """WITH inj AS (
+        |  SELECT lang,
+        |    text || CASE WHEN doc_id % 10 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+        |           || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT lang, t,
+        |    regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS r
+        |  FROM inj)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN r != t THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+        |  CAST(SUM(length(t) - length(r)) AS BIGINT) AS chars_removed
+        |FROM red GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_token_budget" ->
+      // quality formula mirrors q_doc_quality's exactly; the negated sort
+      // key on the Spark side is ORDER BY quality DESC here (doubles
+      // compare identically — the formula is bit-replicated)
+      """WITH q AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |    0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+        |    + 0.4 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |    + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS qual
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY qual DESC, doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM q)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(cum AS BIGINT) AS cum_tok
+        |FROM c WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      // Same synthesis (10-token lines), then the reference logic with
+      // line STRINGS end to end: cross-doc distinct counts, >= 3 docs is
+      // boilerplate, survivors re-join in position order. string_agg is
+      // NULL for all-boilerplate docs; coalesce matches concat_ws's ''.
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(replace(text, chr(10), ' '), ' ') AS w
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, pos, array_to_string(w[pos*10+1 : pos*10+10], ' ') AS line
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(0, CAST(ceil(len(w)/10.0) AS BIGINT))) AS pos
+        |        FROM tok)),
+        |boiler AS (
+        |  SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+        |  WHERE df >= 3)
+        |SELECT doc_id,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE line NOT IN (SELECT line FROM boiler)), '')) AS sig,
+        |  COUNT(*) FILTER (WHERE line NOT IN (SELECT line FROM boiler)) AS n_kept,
+        |  COUNT(*) FILTER (WHERE line IN (SELECT line FROM boiler)) AS n_dropped
+        |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mirrors qRetrievalEval CTE-for-CTE; per-term scores quantize to
+    // integer nano-units BEFORE the pair sum (round-per-term playbook)
+    "q_retrieval_eval" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest(range(0, (greatest(len(w) - 8 - 1, 0) // 24) + 1)) AS ci, w
+        |  FROM w),
+        |c2 AS (
+        |  SELECT doc_id * 1000 + ci AS chunk_id, doc_id, ci,
+        |    array_to_string(w[ci*24+1:ci*24+32], ' ') AS ctext
+        |  FROM ch),
+        |q AS (SELECT doc_id AS query_id, ctext AS qtext FROM c2 WHERE doc_id < 20 AND ci = 0),
+        |corp AS (SELECT chunk_id, ctext FROM c2 WHERE NOT (doc_id < 20 AND ci = 0)),
+        |qt AS (SELECT query_id, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
+        |cw AS (SELECT chunk_id, string_split(ctext, ' ') AS w FROM corp),
+        |post AS (SELECT chunk_id, len(w) AS dl, unnest(w) AS term FROM cw),
+        |tf AS (
+        |  SELECT chunk_id, dl, term, COUNT(*) AS tf FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(DISTINCT chunk_id) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(len(string_split(ctext, ' '))) AS sum_dl FROM corp),
+        |sc AS (
+        |  SELECT qt.query_id, f.chunk_id, f.term,
+        |    (((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)) + 0.5)
+        |       / (CAST(d.df AS DOUBLE) + 0.5))
+        |    * ((CAST(f.tf AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(f.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(f.dl AS DOUBLE)
+        |            / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS s
+        |  FROM tf f JOIN qt USING (term) JOIN dfx d USING (term) CROSS JOIN stats s),
+        |tot AS (
+        |  SELECT query_id, chunk_id,
+        |    SUM(CAST(round(s * 1000000000.0) AS BIGINT)) AS score_nano
+        |  FROM sc GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, chunk_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_nano DESC, chunk_id) AS rank
+        |  FROM tot),
+        |top AS (
+        |  SELECT query_id, rank,
+        |    CASE WHEN chunk_id // 1000 = query_id THEN 1 ELSE 0 END AS hit
+        |  FROM rk WHERE rank <= 5),
+        |per AS (
+        |  SELECT query_id, MAX(CASE WHEN rank = 1 THEN hit ELSE 0 END) AS h1, MAX(hit) AS h5
+        |  FROM top GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(h1) AS BIGINT) AS hits_at_1, CAST(SUM(h5) AS BIGINT) AS hits_at_5
+        |FROM per""".stripMargin,
+    "q_bm25" ->
+      // the score expression tree mirrors Rank.bm25Scores operation for
+      // operation (rational idf — no ln), so doubles match bit-for-bit
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |posting AS (
+        |  SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM tok),
+        |tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM posting
+        |  WHERE term IN ('spark', 'vector', 'stream', 'merge')
+        |  GROUP BY doc_id, dl, term),
+        |dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(len(w)) AS sum_dl FROM tok),
+        |scored AS (
+        |  SELECT f.doc_id, f.term,
+        |    (((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)) + 0.5)
+        |       / (CAST(d.df AS DOUBLE) + 0.5))
+        |    * ((CAST(f.tf AS DOUBLE) * (1.2 + 1.0))
+        |       / (CAST(f.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(f.dl AS DOUBLE)
+        |            / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS score
+        |  FROM tf f JOIN dfx d USING (term) CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN term = 'spark' THEN score END) AS s_spark,
+        |    MAX(CASE WHEN term = 'vector' THEN score END) AS s_vector,
+        |    MAX(CASE WHEN term = 'stream' THEN score END) AS s_stream,
+        |    MAX(CASE WHEN term = 'merge' THEN score END) AS s_merge
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, s_spark, s_vector, s_stream, s_merge,
+        |  COALESCE(s_spark, 0.0) + COALESCE(s_vector, 0.0)
+        |    + COALESCE(s_stream, 0.0) + COALESCE(s_merge, 0.0) AS total
+        |FROM agg ORDER BY total DESC, doc_id LIMIT 20""".stripMargin,
+    "q_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (
+        |  SELECT w FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        |                 ORDER BY c DESC, w LIMIT 200)),
+        |j AS (
+        |  SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t LEFT JOIN v ON t.w = v.w)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_normalize" ->
+      """WITH m AS (
+        |  SELECT lang, text,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN '  ' || upper(text) || chr(9) || 'X' || chr(1) || 'Y  '
+        |         ELSE text END AS mtext
+        |  FROM documents),
+        |n AS (
+        |  SELECT lang, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(mtext), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+        |      '[\x00-\x1F\x7F]', '', 'g')) AS norm
+        |  FROM m)
+        |SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(length(norm)) AS BIGINT) AS sum_len,
+        |  CAST(SUM(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfx AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term HAVING COUNT(*) >= 2),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        |sc AS (
+        |  SELECT f.doc_id, f.term, f.tf, d.df,
+        |    CAST(f.tf AS DOUBLE) * ((CAST(n.n_docs AS DOUBLE) + 1.0)
+        |      / (CAST(d.df AS DOUBLE) + 1.0)) AS score
+        |  FROM tf f JOIN dfx d USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT doc_id, rank, term, tf, df, score
+        |FROM r WHERE rank <= 3 AND doc_id < 50
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |bg_tr AS (
+        |  SELECT u[1] AS w1, u[2] AS w2
+        |  FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u
+        |        FROM tok WHERE doc_id % 5 <> 0)),
+        |model AS (SELECT w1, w2, count(*) AS c12 FROM bg_tr GROUP BY w1, w2),
+        |modelc AS (
+        |  SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1 FROM model),
+        |bg_cand AS (
+        |  SELECT doc_id, u[1] AS w1, u[2] AS w2
+        |  FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u
+        |        FROM tok WHERE doc_id % 5 = 0)),
+        |uni AS (SELECT DISTINCT w1, c1 FROM modelc),
+        |j AS (
+        |  SELECT b.doc_id, COALESCE(m.c12, 0) AS c12, COALESCE(u.c1, 0) AS c1
+        |  FROM bg_cand b
+        |  LEFT JOIN modelc m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |  LEFT JOIN uni u ON b.w1 = u.w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        |  CAST(sum(c12) AS BIGINT) AS sum_c12,
+        |  CAST(sum(c1) AS BIGINT) AS sum_c1
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_diversity" ->
+      """SELECT doc_id,
+        |  CAST(len(l) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE) AS ttr,
+        |  CASE WHEN len(l) > 1 THEN 1.0 - CAST(s AS DOUBLE) /
+        |    (CAST(len(l) AS DOUBLE) * (CAST(len(l) AS DOUBLE) - 1.0)) END AS simpson
+        |FROM (
+        |  SELECT doc_id, l,
+        |    list_sum(list_transform(list_distinct(l),
+        |      w -> len(list_filter(l, x -> x = w)) * (len(list_filter(l, x -> x = w)) - 1))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -63,6 +63,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected a hash/merge equi-join:\n${p.take(2000)}")
   }
 
+  test("q_grouped_index: brand dim broadcasts, base-basket join stays an equi-join") {
+    val p = plan("q_grouped_index")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"grouped index must never plan a nested loop:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the part dimension must ride a broadcast:\n${p.take(2000)}")
+  }
+
+  test("q_geks_index: pair fan-out is an item equi-join (linear, never all-pairs)") {
+    val pairs = graft.ops.PriceIndex.tornqvistLnPairs(
+      graft.sources.Sources.readTable(spark, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995),
+      "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+      "l_extendedprice", "l_quantity", maxLag = 12)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"Törnqvist pair layer must self-join on item, not all-pairs:\n${p.take(2000)}")
+  }
+
   test("q_dedup_minhash computes the signature once per join side (no pushdown duplication)") {
     // Regression guard: a sig.isNotNull-style filter gets predicate-pushed
     // below the projection and rewritten to isnotnull(minhashsig(...)),

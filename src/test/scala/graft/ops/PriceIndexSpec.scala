@@ -186,4 +186,58 @@ class PriceIndexSpec extends AnyFunSuite {
     val b = run.map { case (k, (n, l, p, f)) => Seq(k, n, l, p, f) }.toSet
     assert(a == b)
   }
+
+  test("GEKS transitivity: within one window lnG(a,c) = lnG(a,b) + lnG(b,c) ± quantization") {
+    // deterministic antisymmetric lnT matrix (nanos)
+    val n = 8
+    val rnd = new scala.util.Random(7)
+    val m = Array.fill(n, n)(0L)
+    for (i <- 0 until n; j <- i + 1 until n) {
+      m(i)(j) = (rnd.nextGaussian() * 5e7).toLong
+      m(j)(i) = -m(i)(j)
+    }
+    def lnt(i: Int, j: Int): Long = m(i)(j)
+    val win = 0 until n
+    for (a <- 0 until n; b <- 0 until n; c <- 0 until n) {
+      val direct = PriceIndex.geksLn(lnt, win, a, c)
+      val chained = PriceIndex.geksLn(lnt, win, a, b) + PriceIndex.geksLn(lnt, win, b, c)
+      // each geksLn rounds once -> the identity holds to ±1 nano per round
+      assert(math.abs(direct - chained) <= 2,
+        s"transitivity broke at ($a,$b,$c): $direct vs $chained")
+    }
+  }
+
+  test("geksSplice: full window equals in-window GEKS; splice extends monotonically in count") {
+    val n = 10
+    val rnd = new scala.util.Random(11)
+    val m = Array.fill(n, n)(0L)
+    for (i <- 0 until n; j <- i + 1 until n) {
+      m(i)(j) = (rnd.nextGaussian() * 5e7).toLong
+      m(j)(i) = -m(i)(j)
+    }
+    def lnt(i: Int, j: Int): Long = m(i)(j)
+    // window >= nPeriods: the published series IS the one-window GEKS
+    val full = PriceIndex.geksSplice(lnt, n, window = n)
+    for (t <- 0 until n)
+      assert(full(t) == PriceIndex.geksLn(lnt, 0 until n, 0, t))
+    assert(full(0) == 0L, "base period must publish exactly 1.0")
+    // rolling window: earlier periods' published values never change as
+    // periods arrive (the splice only APPENDS — publication stability)
+    val w = 4
+    val shorter = PriceIndex.geksSplice(lnt, n - 2, window = w)
+    val longer = PriceIndex.geksSplice(lnt, n, window = w)
+    assert(longer.take(n - 2).sameElements(shorter))
+  }
+
+  test("geksIndex end-to-end: two identical-price periods index to 1.0") {
+    val d = createDf(spark, "item int, pd string, exp double, qty double", Seq(
+      Seq[Any](1, "p0", 10.0, 2.0), Seq[Any](2, "p0", 30.0, 3.0),
+      Seq[Any](1, "p1", 10.0, 2.0), Seq[Any](2, "p1", 30.0, 3.0),
+      Seq[Any](1, "p2", 20.0, 4.0), Seq[Any](2, "p2", 60.0, 6.0)))
+    val got = PriceIndex.geksIndex(d, "item", col("pd"), "exp", "qty", window = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // p0->p1: all unit prices unchanged -> 1.0; p2 same prices too (double
+    // expenditure at double quantity) -> every bilateral Törnqvist is 1
+    assert(got("p0") == 1.0 && got("p1") == 1.0 && got("p2") == 1.0, got.toString)
+  }
 }

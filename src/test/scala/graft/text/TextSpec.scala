@@ -313,9 +313,16 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("repeatedSpans: corpus aggregates on the span hash; AQE broadcasts survivors at runtime") {
-    val d = createDf(spark, "id bigint, text string", Seq(Seq[Any](1L, "a b c")))
+    // the corpus MUST yield non-empty survivors ("a b" repeats across
+    // docs): with zero survivors AQE propagates EmptyRelation and the
+    // asserted BroadcastHashJoin vacuously disappears from the final
+    // plan — the guard would go red on a healthy operator
+    val d = createDf(spark, "id bigint, text string",
+      Seq(Seq[Any](1L, "a b c"), Seq[Any](2L, "a b d")))
     val df = Dedup.repeatedSpans(d, "id", "text", 2)
-    df.collect()
+    // collect() (not count()) finalizes THIS query's adaptive plan —
+    // count() would execute a different plan and leave isFinalPlan=false
+    assert(df.collect().nonEmpty, "plan guard needs non-empty survivors")
     // the survivor join is hint-free: the STATIC plan may pick SMJ, and
     // AQE must convert it from the measured (tiny) survivor size — assert
     // the runtime decision, as with the Outliers guard
