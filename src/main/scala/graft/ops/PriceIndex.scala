@@ -436,6 +436,69 @@ object PriceIndex {
     out.toDF("period", "geks")
   }
 
+  /** Geary-Khamis multilateral index — the other standard multilateral
+    * method beside [[geksIndex]] (GK prices the basket at "international
+    * prices": a fixed point where each item's reference price π is the
+    * quantity-weighted mean of its DEFLATED period prices, and each
+    * period's level P is actual expenditure over π-valued expenditure):
+    *
+    *   πᵢ = Σₜ qᵢₜ·(pᵢₜ/Pₜ) / Σₜ qᵢₜ
+    *   Pₜ = Σᵢ pᵢₜ·qᵢₜ / Σᵢ πᵢ·qᵢₜ
+    *
+    * Solved by `iters` rounds of the textbook fixed-point sweep from
+    * Pₜ=1 (a fast contraction; the PUBLISHED number is the round-`iters`
+    * value, so determinism never depends on a convergence test).
+    * Returns `(period, n_items, gk)`, base = first period = 1.0.
+    *
+    * Determinism: every per-(item,period) term micro-quantizes before
+    * its sum (π and P are ratios of exact BIGINTs each round); the
+    * oracle unrolls the same `iters` rounds CTE-for-CTE (the k-means
+    * replay discipline). 6-dp emitted.
+    *
+    * Scale shape: each round is one broadcast join of the period-bounded
+    * P vector + one item-keyed aggregation + one period-keyed reduction —
+    * all distributed, all linear; `iters` is a small constant. The item
+    * table never collects.
+    */
+  def gearyKhamis(df: DataFrame, itemCol: String, periodCol: Column,
+                  expCol: String, qtyCol: String,
+                  iters: Int = 5): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val dec = DecimalType(18, 2)
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    val uv = df
+      .groupBy(col(itemCol).as("__it"), periodCol.as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__pd"),
+        (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
+        col("__Q").cast("double").as("__q"))
+      .withColumn("__qm", micro(col("__q")))
+      .withColumn("__pqm", micro(col("__p") * col("__q")))
+    var pLevels = uv.select(col("__pd")).distinct()
+      .withColumn("__lv", lit(1.0))
+    for (_ <- 1 to iters) {
+      val pi = uv.join(broadcast(pLevels), Seq("__pd"))
+        .groupBy(col("__it"))
+        .agg(sum(micro((col("__p") / col("__lv")) * col("__q"))).as("__dn"),
+          sum(col("__qm")).as("__dq"))
+        .select(col("__it"),
+          (col("__dn").cast("double") / col("__dq").cast("double")).as("__pi"))
+      pLevels = uv.join(pi, Seq("__it"))
+        .groupBy(col("__pd"))
+        .agg(sum(col("__pqm")).as("__nu"),
+          sum(micro(col("__pi") * col("__q"))).as("__de"))
+        .select(col("__pd"),
+          (col("__nu").cast("double") / col("__de").cast("double")).as("__lv"))
+    }
+    // base = first observed period; its level divides out (6-dp emitted)
+    val counts = uv.groupBy(col("__pd")).agg(count(lit(1)).as("n_items"))
+    val baseP = pLevels.orderBy(col("__pd")).limit(1)
+      .select(col("__lv").as("__lv0"))
+    pLevels.join(counts, Seq("__pd")).crossJoin(broadcast(baseP))
+      .select(col("__pd").as("period"), col("n_items"),
+        round(col("__lv") / col("__lv0"), 6).as("gk"))
+  }
+
   /** Per-period matched-sample indexes vs `basePeriod`:
     * `(period, n_items, laspeyres, paasche, fisher)`, base period
     * included (its indexes are 1.0 by construction).

@@ -63,6 +63,63 @@ object PriceQueries {
       .orderBy(col("period"))
   }
 
+  /** Geary-Khamis multilateral index ([[graft.ops.PriceIndex
+    * .gearyKhamis]]): the international-prices fixed point for the 1995
+    * matched panel, 5 textbook sweeps from Pₜ=1 — with q_geks_index,
+    * the two standard multilateral methods side by side. Every
+    * per-(item,period) term micro-quantizes before its sum; the oracle
+    * unrolls the identical 5 rounds CTE-for-CTE.
+    */
+  private def qGkIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.gearyKhamis(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", iters = 5)
+      .orderBy(col("period"))
+
+  /** Unrolled-CTE replay of [[graft.ops.PriceIndex.gearyKhamis]]'s
+    * fixed-point sweeps (the k-means oracle discipline): round r derives
+    * international prices πᵢ from level vector P(r-1), then P(r) from π —
+    * all micro-quantized integer sums, double ratios in the same
+    * operation order as the operator.
+    */
+  private def gkOracleSql(iters: Int): String = {
+    val head =
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q0
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd,
+        |    CAST(SUM(e) AS DOUBLE) / CAST(SUM(q0) AS DOUBLE) AS p,
+        |    CAST(SUM(q0) AS DOUBLE) AS q,
+        |    CAST(round(CAST(SUM(q0) AS DOUBLE) * 1000000.0) AS BIGINT) AS qm,
+        |    CAST(round((CAST(SUM(e) AS DOUBLE) / CAST(SUM(q0) AS DOUBLE))
+        |      * CAST(SUM(q0) AS DOUBLE) * 1000000.0) AS BIGINT) AS pqm
+        |  FROM li GROUP BY 1, 2),
+        |lv0 AS (SELECT DISTINCT pd, CAST(1.0 AS DOUBLE) AS plev FROM uv)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""pi$r AS (
+         |  SELECT it,
+         |    CAST(CAST(SUM(CAST(round(((p / plev) * q) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |      / CAST(CAST(SUM(qm) AS BIGINT) AS DOUBLE) AS piv
+         |  FROM uv JOIN lv${r - 1} USING (pd) GROUP BY it),
+         |lv$r AS (
+         |  SELECT pd,
+         |    CAST(CAST(SUM(pqm) AS BIGINT) AS DOUBLE)
+         |      / CAST(CAST(SUM(CAST(round((piv * q) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) AS plev
+         |  FROM uv JOIN pi$r USING (it) GROUP BY pd)""".stripMargin
+    }
+    val tail =
+      s""",
+         |cnt AS (SELECT pd, COUNT(*) AS n_items FROM uv GROUP BY pd),
+         |b AS (SELECT plev AS basep FROM lv$iters ORDER BY pd LIMIT 1)
+         |SELECT lv$iters.pd AS period, cnt.n_items, round(lv$iters.plev / b.basep, 6) AS gk
+         |FROM lv$iters JOIN cnt USING (pd), b ORDER BY period""".stripMargin
+    head + ",\n" + rounds.mkString(",\n") + tail
+  }
+
   /** Bilateral price indexes ([[graft.ops.PriceIndex.bilateralIndexes]]):
     * monthly Laspeyres/Paasche/Fisher for 1995 part prices vs the
     * 1995-01 base basket — the reference's consumer-prices domain as one
@@ -154,6 +211,7 @@ object PriceQueries {
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geks_index" -> (qGeksIndex _),
+    "q_gk_index" -> (qGkIndex _),
     "q_weight_audit" -> (qWeightAudit _),
     "q_price_index" -> (qPriceIndex _),
     "q_elementary_index" -> (qElementaryIndex _),
@@ -166,6 +224,7 @@ object PriceQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_gk_index" -> gkOracleSql(iters = 5),
     // GEKS: pairwise quantized Törnqvist log-terms, window means and the
     // mean-splice recurrence in integer HALF_UP arithmetic; the recursive
     // CTE carries the published log-series as a growing list
