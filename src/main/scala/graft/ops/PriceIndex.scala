@@ -455,15 +455,21 @@ object PriceIndex {
     * oracle unrolls the same `iters` rounds CTE-for-CTE (the k-means
     * replay discipline). 6-dp emitted.
     *
-    * Scale shape: each round is one broadcast join of the period-bounded
-    * P vector + one item-keyed aggregation + one period-keyed reduction —
-    * all distributed, all linear; `iters` is a small constant. The item
-    * table never collects.
+    * Scale shape: the (item, period) table is built ONCE and persisted
+    * for the sweeps (without it, lazy lineage would re-aggregate the
+    * transaction scan twice per round); each round is then one
+    * item-keyed aggregation + one period-keyed reduction over the cached
+    * table — distributed and linear. The level vector P is
+    * period-bounded (time-, not data-sized), so it round-trips through
+    * the driver between sweeps as a literal frame — the same bounded
+    * contract as k-means centers — which also keeps the final plan flat
+    * instead of `2·iters` joins deep. The item table never collects.
     */
   def gearyKhamis(df: DataFrame, itemCol: String, periodCol: Column,
                   expCol: String, qtyCol: String,
                   iters: Int = 5): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
     val dec = DecimalType(18, 2)
     def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
     val uv = df
@@ -474,29 +480,41 @@ object PriceIndex {
         col("__Q").cast("double").as("__q"))
       .withColumn("__qm", micro(col("__q")))
       .withColumn("__pqm", micro(col("__p") * col("__q")))
-    var pLevels = uv.select(col("__pd")).distinct()
-      .withColumn("__lv", lit(1.0))
-    for (_ <- 1 to iters) {
-      val pi = uv.join(broadcast(pLevels), Seq("__pd"))
-        .groupBy(col("__it"))
-        .agg(sum(micro((col("__p") / col("__lv")) * col("__q"))).as("__dn"),
-          sum(col("__qm")).as("__dq"))
-        .select(col("__it"),
-          (col("__dn").cast("double") / col("__dq").cast("double")).as("__pi"))
-      pLevels = uv.join(pi, Seq("__it"))
-        .groupBy(col("__pd"))
-        .agg(sum(col("__pqm")).as("__nu"),
-          sum(micro(col("__pi") * col("__q"))).as("__de"))
-        .select(col("__pd"),
-          (col("__nu").cast("double") / col("__de").cast("double")).as("__lv"))
+      .persist()
+    try {
+      import spark.implicits._
+      // P as driver-held (period, level) rows: period-bounded by definition
+      var pLevels: Seq[(String, Double)] = uv
+        .select(col("__pd").cast("string")).distinct()
+        .collect().map(r => (r.getString(0), 1.0)).toSeq
+      for (_ <- 1 to iters) {
+        val pDf = pLevels.toDF("__pd", "__lv")
+        val pi = uv.join(broadcast(pDf), Seq("__pd"))
+          .groupBy(col("__it"))
+          .agg(sum(micro((col("__p") / col("__lv")) * col("__q"))).as("__dn"),
+            sum(col("__qm")).as("__dq"))
+          .select(col("__it"),
+            (col("__dn").cast("double") / col("__dq").cast("double")).as("__pi"))
+        pLevels = uv.join(pi, Seq("__it"))
+          .groupBy(col("__pd"))
+          .agg(sum(col("__pqm")).as("__nu"),
+            sum(micro(col("__pi") * col("__q"))).as("__de"))
+          .select(col("__pd").cast("string"),
+            (col("__nu").cast("double") / col("__de").cast("double")).as("__lv"))
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      }
+      val counts = uv.groupBy(col("__pd")).agg(count(lit(1)).as("n_items"))
+        .select(col("__pd").cast("string"), col("n_items"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val lv0 = pLevels.minBy(_._1)._2
+      pLevels.sortBy(_._1).map { case (pd, lv) =>
+        (pd, counts(pd),
+          BigDecimal(lv / lv0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("period", "n_items", "gk")
+    } finally {
+      uv.unpersist()
+      ()
     }
-    // base = first observed period; its level divides out (6-dp emitted)
-    val counts = uv.groupBy(col("__pd")).agg(count(lit(1)).as("n_items"))
-    val baseP = pLevels.orderBy(col("__pd")).limit(1)
-      .select(col("__lv").as("__lv0"))
-    pLevels.join(counts, Seq("__pd")).crossJoin(broadcast(baseP))
-      .select(col("__pd").as("period"), col("n_items"),
-        round(col("__lv") / col("__lv0"), 6).as("gk"))
   }
 
   /** Per-period matched-sample indexes vs `basePeriod`:

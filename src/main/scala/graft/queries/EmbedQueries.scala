@@ -72,14 +72,47 @@ object EmbedQueries {
         .as("n_violations"))
   }
 
-  /** IVF (k-means cell) approximate top-5 — learned-partition ANN
-    * (rows-only check: k-means init is engine-specific).
+  /** IVF (k-means cell) approximate top-5 — learned-partition ANN on
+    * the DETERMINISTIC path ([[graft.text.Similarity
+    * .ivfTopKDeterministic]]): integer-lattice cell training, integer
+    * probe ranking, exact cosine scoring — fully oracled, training
+    * included. The Spark-ML IVF path stays covered by [[qIvfExact]].
     */
   private def qIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    Similarity.ivfTopKDeterministic(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", 5, nCells = 16, iters = 2, nProbe = 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle for q_ivf_topk: [[kmeansOracleCtes]] replays the integer
+    * k-means cell training; probing ranks integer center distances with
+    * the cluster-id tiebreak; candidates score with the exact
+    * sequential-fold cosine — the whole IVF pipeline, training included,
+    * verified value-exact.
+    */
+  private def ivfTopkOracleSql(k: Int, cells: Int, iters: Int, nProbe: Int): String = {
+    val d2c = "list_sum(list_transform(list_zip(v.q, c.c), x -> (x[1]-x[2])*(x[1]-x[2])))"
+    s"""WITH ${kmeansOracleCtes(cells, iters)},
+       |$nvCte,
+       |qc AS (
+       |  SELECT v.vec_id AS query_id, c.cluster,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $d2c, c.cluster) AS crank
+       |  FROM v v, c$iters c WHERE v.vec_id < 10),
+       |probe AS (SELECT query_id, cluster FROM qc WHERE crank <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probe p JOIN af a USING (cluster) WHERE a.vec_id != p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_sum(list_transform(list_zip(qn.nv, nn.nv), x -> x[1] * x[2])) AS cos
+       |  FROM cand c JOIN nv qn ON c.query_id = qn.vec_id
+       |               JOIN nv nn ON c.neighbor_id = nn.vec_id)
+       |SELECT query_id, neighbor_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |FROM scored QUALIFY rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** Semantic check for int8 embedding quantization: reconstruction
@@ -588,6 +621,7 @@ object EmbedQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_ivf_topk" -> ivfTopkOracleSql(k = 5, cells = 16, iters = 2, nProbe = 3),
     "q_topk_similar" ->
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding,

@@ -305,6 +305,56 @@ object Similarity {
     IvfIndex(centers, spark.read.parquet(s"$path/cells"))
   }
 
+  /** Deterministic IVF top-k — the AUDITABLE variant of [[ivfTopK]]:
+    * cells come from [[Cluster.kmeansIntWithCenters]] over the globally
+    * quantized integer lattice (every assignment and center exact
+    * integer arithmetic an independent engine replays bit-for-bit), cell
+    * probing ranks integer center distances with a cluster-id tiebreak,
+    * and candidates score with the exact sequential-fold cosine on the
+    * RAW vectors — so any returned pair's score equals the brute-force
+    * score, and the full pipeline (training included) is SQL-oracleable.
+    * Use [[ivfTopK]] when bit-reproducibility doesn't matter and Spark
+    * ML's k-means|| init is preferred.
+    *
+    * Scale shape: training is [[Cluster.kmeansInt]]'s bounded-driver
+    * loop (k·d integers per round); probing shuffles the corpus once on
+    * its cell id; candidate work is bounded by the `nProbe` probed
+    * cells per query — no cross product anywhere.
+    */
+  def ivfTopKDeterministic(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           nCells: Int = 16, iters: Int = 2, nProbe: Int = 3,
+                           latticeScale: Int = 1000): DataFrame = {
+    def latt(c: Column): Column =
+      transform(c, x => round(x.cast("double") * latticeScale).cast("long"))
+    val corpusQ = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__q", latt(col(vecCol)))
+    val (assigned, centers) =
+      Cluster.kmeansIntWithCenters(corpusQ, idCol, "__q", nCells, iters)
+    val cn = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
+    val corpusSide = assigned.select(col(idCol).as("neighbor_id"), col("cluster"))
+      .join(cn, "neighbor_id")
+    val qn = normalized(queries, idCol, vecCol, "query_id", "qv")
+    val qq = queries.select(col(idCol).as("query_id"), latt(col(vecCol)).as("__q"))
+    // centers are k·d driver-held integers: distances attach as literal
+    // expressions (narrow map), probe order = [distance, cluster] struct
+    // sort — integer-exact, tie toward the smaller cluster id
+    def distTo(c: Seq[Long]): Column =
+      aggregate(zip_with(col("__q"), array(c.map(lit): _*),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    val cellStructs = array(centers.zipWithIndex.map { case (c, j) =>
+      struct(distTo(c).as("d"), lit(j).as("cluster"))
+    }: _*)
+    val probes = qq.select(col("query_id"),
+        explode(slice(array_sort(cellStructs), 1, nProbe)).as("__cell"))
+      .select(col("query_id"), col("__cell.cluster").as("cluster"))
+    val cand = probes.join(qn, "query_id").join(corpusSide, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF approximate top-k — convenience composition of [[ivfIndexFor]]
     * (train-once, memoized) and [[ivfProbe]].
     */
