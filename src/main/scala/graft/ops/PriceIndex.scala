@@ -517,6 +517,97 @@ object PriceIndex {
     }
   }
 
+  /** Time-Product-Dummy (TPD) multilateral index — the regression member
+    * of the multilateral family ([[geksIndex]], [[gearyKhamis]], this):
+    * the fixed-effects model `ln pᵢₜ = δₜ + γᵢ + εᵢₜ` estimated by WLS
+    * with expenditure-share weights, published as `exp(δₜ - δ_base)`.
+    * Estimation is `iters` Gauss-Seidel sweeps of the normal equations
+    * (γ⁰=0; a fast-converging alternation, and the PUBLISHED number is
+    * the round-`iters` value so determinism never rests on a
+    * convergence test):
+    *
+    *   δₜ = Σᵢ sᵢₜ·(ln pᵢₜ - γᵢ)          (Σᵢ sᵢₜ = 1 per period)
+    *   γᵢ = Σₜ sᵢₜ·(ln pᵢₜ - δₜ) / Σₜ sᵢₜ
+    *
+    * Returns `(period, n_items, tpd)`, base = first period = 1.0.
+    *
+    * Determinism: shares are ratios of exact micro BIGINTs; every
+    * per-(item,period) term nano-quantizes before its sum, so each δ is
+    * an exact BIGINT and each γ an exact-integer ratio; ONE final exp,
+    * 6-dp emitted; the oracle unrolls the identical sweeps CTE-for-CTE.
+    *
+    * Scale shape: the (item, period) table persists once; δ is
+    * period-bounded and round-trips the driver as literals (the k-means
+    * center contract); γ is ITEM-keyed so it stays a DataFrame — each
+    * sweep persists the new γ, materializes it, and unpersists the old
+    * (the iterative-lineage discipline: without it, the r-th δ
+    * collection would re-evaluate all r-1 earlier sweeps). Per sweep:
+    * one broadcast join + period reduction, one item-keyed aggregation.
+    */
+  def timeProductDummy(df: DataFrame, itemCol: String, periodCol: Column,
+                       expCol: String, qtyCol: String,
+                       iters: Int = 5): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = DecimalType(18, 2)
+    def nano(x: Column): Column = round(x * lit(1e9), 0).cast("long")
+    val uv0 = df
+      .groupBy(col(itemCol).as("__it"), periodCol.cast("string").as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__pd"),
+        log(col("__S").cast("double") / col("__Q").cast("double")).as("__lnp"),
+        round(col("__S").cast("double") * lit(1e6), 0).cast("long").as("__em"))
+    // per-period expenditure totals: period-bounded — literal-attach
+    val totals = uv0.groupBy(col("__pd")).agg(sum(col("__em")).as("__tot"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val uv = uv0
+      .join(broadcast(totals.toDF("__pd", "__tot")), Seq("__pd"))
+      .select(col("__it"), col("__pd"), col("__lnp"),
+        (col("__em").cast("double") / col("__tot").cast("double")).as("__s"),
+        nano(col("__em").cast("double") / col("__tot").cast("double")).as("__sn"))
+      .persist()
+    try {
+      var deltas: Seq[(String, Long)] = Nil // period -> δ nanos
+      var gamma: DataFrame = null           // item -> γ (exact-int ratio)
+      for (r <- 1 to iters) {
+        val resid =
+          if (r == 1) uv.withColumn("__g", lit(0.0))
+          else uv.join(gamma, Seq("__it"))
+        deltas = resid
+          .groupBy(col("__pd"))
+          .agg(sum(nano(col("__s") * (col("__lnp") - col("__g")))).as("__dn"))
+          .collect().map(row => (row.getString(0), row.getLong(1))).toSeq
+        if (r < iters) { // the final sweep publishes δ; its γ is never read
+          val dDf = broadcast(deltas.toDF("__pd", "__dnano"))
+          val newGamma = uv.join(dDf, Seq("__pd"))
+            .groupBy(col("__it"))
+            .agg(sum(nano(col("__s") * (col("__lnp")
+                - col("__dnano").cast("double") / lit(1e9)))).as("__gn"),
+              sum(col("__sn")).as("__gd"))
+            .select(col("__it"),
+              (col("__gn").cast("double") / col("__gd").cast("double")).as("__g"))
+            .persist()
+          newGamma.count() // materialize before dropping the previous sweep
+          if (gamma != null) gamma.unpersist()
+          gamma = newGamma
+        }
+      }
+      if (gamma != null) gamma.unpersist()
+      val counts = uv.groupBy(col("__pd")).agg(count(lit(1)).as("n_items"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val dBase = deltas.minBy(_._1)._2
+      deltas.sortBy(_._1).map { case (pd, dn) =>
+        (pd, counts(pd),
+          BigDecimal(math.exp((dn - dBase) / 1e9))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("period", "n_items", "tpd")
+    } finally {
+      uv.unpersist()
+      ()
+    }
+  }
+
   /** Per-period matched-sample indexes vs `basePeriod`:
     * `(period, n_items, laspeyres, paasche, fisher)`, base period
     * included (its indexes are 1.0 by construction).

@@ -120,6 +120,75 @@ object PriceQueries {
     head + ",\n" + rounds.mkString(",\n") + tail
   }
 
+  /** Time-Product-Dummy multilateral index ([[graft.ops.PriceIndex
+    * .timeProductDummy]]): the fixed-effects regression member of the
+    * multilateral family, 5 Gauss-Seidel sweeps of the share-weighted
+    * normal equations over the 1995 panel — with q_geks_index and
+    * q_gk_index, the full multilateral toolkit (GEKS, GK, TPD). The
+    * oracle unrolls the identical sweeps CTE-for-CTE.
+    */
+  private def qTpdIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.timeProductDummy(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", iters = 5)
+      .orderBy(col("period"))
+
+  /** Unrolled-CTE replay of [[graft.ops.PriceIndex.timeProductDummy]]'s
+    * Gauss-Seidel sweeps: round r's period effects from round r-1's item
+    * effects (round 1 from zero), nano-quantized terms, exact BIGINT
+    * sums throughout.
+    */
+  private def tpdOracleSql(iters: Int): String = {
+    val head =
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q0
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv0 AS (
+        |  SELECT it, pd,
+        |    ln(CAST(SUM(e) AS DOUBLE) / CAST(SUM(q0) AS DOUBLE)) AS lnp,
+        |    CAST(round(CAST(SUM(e) AS DOUBLE) * 1000000.0) AS BIGINT) AS em
+        |  FROM li GROUP BY 1, 2),
+        |tot AS (SELECT pd, CAST(SUM(em) AS BIGINT) AS tot FROM uv0 GROUP BY pd),
+        |uv AS (
+        |  SELECT it, pd, lnp,
+        |    CAST(em AS DOUBLE) / CAST(tot AS DOUBLE) AS s,
+        |    CAST(round((CAST(em AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000000.0) AS BIGINT) AS sn
+        |  FROM uv0 JOIN tot USING (pd))""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val dExpr =
+        if (r == 1)
+          s"""d1 AS (
+             |  SELECT pd,
+             |    CAST(SUM(CAST(round((s * (lnp - 0.0)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS dn
+             |  FROM uv GROUP BY pd)""".stripMargin
+        else
+          s"""d$r AS (
+             |  SELECT pd,
+             |    CAST(SUM(CAST(round((s * (lnp - g)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS dn
+             |  FROM uv JOIN g${r - 1} USING (it) GROUP BY pd)""".stripMargin
+      if (r == iters) dExpr
+      else
+        dExpr + ",\n" +
+          s"""g$r AS (
+             |  SELECT it,
+             |    CAST(CAST(SUM(CAST(round((s * (lnp
+             |        - CAST(dn AS DOUBLE) / 1000000000.0)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             |      / CAST(CAST(SUM(sn) AS BIGINT) AS DOUBLE) AS g
+             |  FROM uv JOIN d$r USING (pd) GROUP BY it)""".stripMargin
+    }
+    val tail =
+      s""",
+         |cnt AS (SELECT pd, COUNT(*) AS n_items FROM uv GROUP BY pd),
+         |b AS (SELECT dn AS dbase FROM d$iters ORDER BY pd LIMIT 1)
+         |SELECT d$iters.pd AS period, cnt.n_items,
+         |  round(exp(CAST(d$iters.dn - b.dbase AS DOUBLE) / 1000000000.0), 6) AS tpd
+         |FROM d$iters JOIN cnt USING (pd), b ORDER BY period""".stripMargin
+    head + ",\n" + rounds.mkString(",\n") + tail
+  }
+
   /** Bilateral price indexes ([[graft.ops.PriceIndex.bilateralIndexes]]):
     * monthly Laspeyres/Paasche/Fisher for 1995 part prices vs the
     * 1995-01 base basket — the reference's consumer-prices domain as one
@@ -212,6 +281,7 @@ object PriceQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geks_index" -> (qGeksIndex _),
     "q_gk_index" -> (qGkIndex _),
+    "q_tpd_index" -> (qTpdIndex _),
     "q_weight_audit" -> (qWeightAudit _),
     "q_price_index" -> (qPriceIndex _),
     "q_elementary_index" -> (qElementaryIndex _),
@@ -225,6 +295,7 @@ object PriceQueries {
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_gk_index" -> gkOracleSql(iters = 5),
+    "q_tpd_index" -> tpdOracleSql(iters = 5),
     // GEKS: pairwise quantized Törnqvist log-terms, window means and the
     // mean-splice recurrence in integer HALF_UP arithmetic; the recursive
     // CTE carries the published log-series as a growing list

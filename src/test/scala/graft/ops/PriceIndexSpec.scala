@@ -253,6 +253,29 @@ class PriceIndexSpec extends AnyFunSuite {
     assert(got.forall { case (_, n, gk) => n == 2 && gk == 1.0 }, got.mkString(","))
   }
 
+  test("timeProductDummy: single-item panel publishes the price relative") {
+    // one item: s=1, round 1 gives δ_t = ln p_t and the alternation is
+    // stationary from there — TPD = p_t/p_0 exactly
+    val d = createDf(spark, "item int, pd string, exp double, qty double", Seq(
+      Seq[Any](1, "p0", 20.0, 2.0),   // p = 10
+      Seq[Any](1, "p1", 60.0, 3.0),   // p = 20
+      Seq[Any](1, "p2", 20.0, 4.0)))  // p = 5
+    val got = PriceIndex.timeProductDummy(d, "item", col("pd"), "exp", "qty", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("p0") == 1.0)
+    assert(math.abs(got("p1") - 2.0) < 1e-5, got.toString)
+    assert(math.abs(got("p2") - 0.5) < 1e-5, got.toString)
+  }
+
+  test("timeProductDummy: identical prices across periods stay exactly 1.0") {
+    val d = createDf(spark, "item int, pd string, exp double, qty double", Seq(
+      Seq[Any](1, "p0", 10.0, 2.0), Seq[Any](2, "p0", 30.0, 3.0),
+      Seq[Any](1, "p1", 10.0, 2.0), Seq[Any](2, "p1", 30.0, 3.0)))
+    val got = PriceIndex.timeProductDummy(d, "item", col("pd"), "exp", "qty")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall { case (_, n, v) => n == 2 && v == 1.0 }, got.mkString(","))
+  }
+
   test("geksIndex end-to-end: two identical-price periods index to 1.0") {
     val d = createDf(spark, "item int, pd string, exp double, qty double", Seq(
       Seq[Any](1, "p0", 10.0, 2.0), Seq[Any](2, "p0", 30.0, 3.0),
