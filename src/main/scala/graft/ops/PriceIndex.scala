@@ -374,16 +374,31 @@ object PriceIndex {
     * driver loop costs microseconds at any corpus size.
     */
   private[graft] def geksSplice(lnt: (Int, Int) => Long, nPeriods: Int,
-                                window: Int): Array[Long] = {
+                                window: Int,
+                                method: String = "mean"): Array[Long] = {
     require(window >= 2, "window must be >= 2")
+    require(Set("mean", "movement", "window")(method),
+      s"unknown splice method '$method' (mean | movement | window)")
     val w = math.min(window, nPeriods)
     val lnP = new Array[Long](nPeriods)
     for (tt <- 0 until w)
       lnP(tt) = geksLn(lnt, 0 until w, 0, tt)
     for (tt <- w until nPeriods) {
       val win = (tt - w + 1) to tt
-      val s = ((tt - w + 1) until tt).map(z => lnP(z) + geksLn(lnt, win, z, tt)).sum
-      lnP(tt) = halfUpDiv(s, w - 1)
+      lnP(tt) = method match {
+        case "mean" =>
+          // every overlap period revises through the new window; the
+          // geometric mean (arithmetic in logs) publishes
+          val s = ((tt - w + 1) until tt).map(z => lnP(z) + geksLn(lnt, win, z, tt)).sum
+          halfUpDiv(s, w - 1)
+        case "movement" =>
+          // splice on the newest overlap period: one exact integer add
+          lnP(tt - 1) + geksLn(lnt, win, tt - 1, tt)
+        case "window" =>
+          // splice on the OLDEST in-window period: the full new window's
+          // movement replaces the last w-1 steps of history
+          lnP(tt - w + 1) + geksLn(lnt, win, tt - w + 1, tt)
+      }
     }
     lnP
   }
@@ -411,7 +426,8 @@ object PriceIndex {
     */
   def geksIndex(df: DataFrame, itemCol: String, periodCol: Column,
                 expCol: String, qtyCol: String,
-                window: Int = 13): DataFrame = {
+                window: Int = 13,
+                spliceMethod: String = "mean"): DataFrame = {
     val spark = df.sparkSession
     val pairs = tornqvistLnPairs(df, itemCol, periodCol, expCol, qtyCol,
       maxLag = window - 1)
@@ -426,7 +442,7 @@ object PriceIndex {
     val periodByIdx = pairs.flatMap(r =>
         Seq(r.getInt(0) -> r.getString(2), r.getInt(1) -> r.getString(3))).toMap
     val n = if (periodByIdx.isEmpty) 0 else periodByIdx.keys.max + 1
-    val lnP = geksSplice(lnt, n, window)
+    val lnP = geksSplice(lnt, n, window, spliceMethod)
     val out = (0 until n).map { m =>
       (periodByIdx(m),
         BigDecimal(math.exp(lnP(m) / 1e9))

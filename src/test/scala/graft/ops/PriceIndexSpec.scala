@@ -276,6 +276,36 @@ class PriceIndexSpec extends AnyFunSuite {
     assert(got.forall { case (_, n, v) => n == 2 && v == 1.0 }, got.mkString(","))
   }
 
+  test("geksSplice variants: identical inside the first window; movement/window are exact adds") {
+    val n = 9
+    val rnd = new scala.util.Random(13)
+    val m = Array.fill(n, n)(0L)
+    for (i <- 0 until n; j <- i + 1 until n) {
+      m(i)(j) = (rnd.nextGaussian() * 5e7).toLong
+      m(j)(i) = -m(i)(j)
+    }
+    def lnt(i: Int, j: Int): Long = m(i)(j)
+    val w = 4
+    val mean = PriceIndex.geksSplice(lnt, n, w, "mean")
+    val movement = PriceIndex.geksSplice(lnt, n, w, "movement")
+    val windowS = PriceIndex.geksSplice(lnt, n, w, "window")
+    // first window: all three publish the same in-window GEKS
+    for (t <- 0 until w)
+      assert(mean(t) == movement(t) && mean(t) == windowS(t))
+    // movement: each later step is exactly lnP(T-1) + lnG_w(T-1, T)
+    for (t <- w until n) {
+      val win = (t - w + 1) to t
+      assert(movement(t) == movement(t - 1) + PriceIndex.geksLn(lnt, win, t - 1, t))
+      assert(windowS(t) == windowS(t - w + 1) + PriceIndex.geksLn(lnt, win, t - w + 1, t))
+    }
+    // full window: no splice steps, so all variants coincide everywhere
+    val full = PriceIndex.geksSplice(lnt, n, n, "movement")
+    assert(full.sameElements(PriceIndex.geksSplice(lnt, n, n, "mean")))
+    intercept[IllegalArgumentException] {
+      PriceIndex.geksSplice(lnt, n, w, "banana")
+    }
+  }
+
   test("geksIndex end-to-end: two identical-price periods index to 1.0") {
     val d = createDf(spark, "item int, pd string, exp double, qty double", Seq(
       Seq[Any](1, "p0", 10.0, 2.0), Seq[Any](2, "p0", 30.0, 3.0),
