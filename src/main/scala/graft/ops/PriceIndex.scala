@@ -554,11 +554,13 @@ object PriceIndex {
     *
     * Scale shape: the (item, period) table persists once; δ is
     * period-bounded and round-trips the driver as literals (the k-means
-    * center contract); γ is ITEM-keyed so it stays a DataFrame — each
-    * sweep persists the new γ, materializes it, and unpersists the old
-    * (the iterative-lineage discipline: without it, the r-th δ
-    * collection would re-evaluate all r-1 earlier sweeps). Per sweep:
-    * one broadcast join + period reduction, one item-keyed aggregation.
+    * center contract). γ is ITEM-keyed so it stays a DataFrame — but
+    * because each γ depends only on the CACHED table plus a δ literal
+    * (never on the previous γ directly), its lineage is one join deep
+    * and it is consumed exactly once, by the next δ collection: each
+    * sweep is therefore a SINGLE distributed job (item-keyed γ
+    * aggregation folded into the period-keyed δ reduction), with no
+    * inter-sweep caching needed.
     */
   def timeProductDummy(df: DataFrame, itemCol: String, periodCol: Column,
                        expCol: String, qtyCol: String,
@@ -596,20 +598,15 @@ object PriceIndex {
           .collect().map(row => (row.getString(0), row.getLong(1))).toSeq
         if (r < iters) { // the final sweep publishes δ; its γ is never read
           val dDf = broadcast(deltas.toDF("__pd", "__dnano"))
-          val newGamma = uv.join(dDf, Seq("__pd"))
+          gamma = uv.join(dDf, Seq("__pd"))
             .groupBy(col("__it"))
             .agg(sum(nano(col("__s") * (col("__lnp")
                 - col("__dnano").cast("double") / lit(1e9)))).as("__gn"),
               sum(col("__sn")).as("__gd"))
             .select(col("__it"),
               (col("__gn").cast("double") / col("__gd").cast("double")).as("__g"))
-            .persist()
-          newGamma.count() // materialize before dropping the previous sweep
-          if (gamma != null) gamma.unpersist()
-          gamma = newGamma
         }
       }
-      if (gamma != null) gamma.unpersist()
       val counts = uv.groupBy(col("__pd")).agg(count(lit(1)).as("n_items"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       val dBase = deltas.minBy(_._1)._2
