@@ -306,6 +306,34 @@ class PriceIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("GEKS commensurability: scaling one period's prices shifts only that period's index") {
+    // scaling every price in period t by λ shifts lnT(·,t) by ln λ and
+    // leaves other pairs alone; the GEKS mean passes the shift through
+    // EXACTLY (w-1 shifted incoming terms + the base-leg term = w/w).
+    val n = 8
+    val rnd = new scala.util.Random(17)
+    val m = Array.fill(n, n)(0L)
+    for (i <- 0 until n; j <- i + 1 until n) {
+      m(i)(j) = (rnd.nextGaussian() * 5e7).toLong
+      m(j)(i) = -m(i)(j)
+    }
+    val target = 5
+    val shift = 31415926L // ln λ in nanos
+    def lnt(i: Int, j: Int): Long = m(i)(j)
+    def lntShift(i: Int, j: Int): Long =
+      m(i)(j) + (if (j == target && i != target) shift
+                 else if (i == target && j != target) -shift
+                 else 0L)
+    val base = PriceIndex.geksSplice(lnt, n, n)
+    val shifted = PriceIndex.geksSplice(lntShift, n, n)
+    for (t <- 0 until n) {
+      val expected = if (t == target) base(t) + shift else base(t)
+      // one rounded mean per entry -> ±1 nano
+      assert(math.abs(shifted(t) - expected) <= 1,
+        s"period $t: ${shifted(t)} vs expected $expected")
+    }
+  }
+
   test("geksIndex end-to-end: two identical-price periods index to 1.0") {
     val d = createDf(spark, "item int, pd string, exp double, qty double", Seq(
       Seq[Any](1, "p0", 10.0, 2.0), Seq[Any](2, "p0", 30.0, 3.0),
