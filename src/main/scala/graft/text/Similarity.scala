@@ -317,23 +317,69 @@ object Similarity {
     * ML's k-means|| init is preferred.
     *
     * Scale shape: training is [[Cluster.kmeansInt]]'s bounded-driver
-    * loop (k·d integers per round); probing shuffles the corpus once on
-    * its cell id; candidate work is bounded by the `nProbe` probed
-    * cells per query — no cross product anywhere.
+    * loop (k·d integers per round), memoized per (session, corpus
+    * snapshot, params) like [[ivfIndexFor]] so repeated probes pay the
+    * fit once; probing shuffles the corpus once on its cell id;
+    * candidate work is bounded by the `nProbe` probed cells per query —
+    * no cross product anywhere.
     */
+  /** A trained deterministic-IVF index: integer centers + the
+    * cell-assigned normalized corpus, persisted (same contract as
+    * [[IvfIndex]]: the corpus is an immutable snapshot).
+    */
+  private[text] final case class DetIvfIndex(centers: IndexedSeq[Seq[Long]],
+                                             cells: DataFrame) {
+    def unpersist(): Unit = { cells.unpersist(); () }
+  }
+
+  private type DetIvfKey = (SparkSession, Int, String, String, Int, Int, Int)
+  private val detIvfCache =
+    new java.util.LinkedHashMap[DetIvfKey, DetIvfIndex](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[DetIvfKey, DetIvfIndex]): Boolean =
+        if (size() > maxIvfCacheEntries) { e.getValue.unpersist(); true } else false
+    }
+
+  /** Train-once memo for [[ivfTopKDeterministic]] — the same
+    * (session, canonical corpus plan, params) keying as [[ivfIndexFor]]:
+    * repeated probes over one corpus snapshot pay the integer k-means
+    * fit exactly once.
+    */
+  private def detIvfIndexFor(corpus: DataFrame, idCol: String, vecCol: String,
+                             nCells: Int, iters: Int,
+                             latticeScale: Int): DetIvfIndex = {
+    val key = (corpus.sparkSession,
+      corpus.queryExecution.analyzed.semanticHash(), idCol, vecCol,
+      nCells, iters, latticeScale)
+    detIvfCache.synchronized(Option(detIvfCache.get(key))).getOrElse {
+      def latt(c: Column): Column =
+        transform(c, x => round(x.cast("double") * latticeScale).cast("long"))
+      val corpusQ = corpus.select(col(idCol), col(vecCol))
+        .withColumn("__q", latt(col(vecCol)))
+      val (assigned, centers) =
+        Cluster.kmeansIntWithCenters(corpusQ, idCol, "__q", nCells, iters)
+      val cn = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
+      val cells = assigned.select(col(idCol).as("neighbor_id"), col("cluster"))
+        .join(cn, "neighbor_id")
+        .persist()
+      val fresh = DetIvfIndex(centers, cells)
+      detIvfCache.synchronized {
+        Option(detIvfCache.get(key)) match {
+          case Some(raced) => fresh.unpersist(); raced
+          case None        => detIvfCache.put(key, fresh); fresh
+        }
+      }
+    }
+  }
+
   def ivfTopKDeterministic(queries: DataFrame, corpus: DataFrame,
                            idCol: String, vecCol: String, k: Int,
                            nCells: Int = 16, iters: Int = 2, nProbe: Int = 3,
                            latticeScale: Int = 1000): DataFrame = {
     def latt(c: Column): Column =
       transform(c, x => round(x.cast("double") * latticeScale).cast("long"))
-    val corpusQ = corpus.select(col(idCol), col(vecCol))
-      .withColumn("__q", latt(col(vecCol)))
-    val (assigned, centers) =
-      Cluster.kmeansIntWithCenters(corpusQ, idCol, "__q", nCells, iters)
-    val cn = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
-    val corpusSide = assigned.select(col(idCol).as("neighbor_id"), col("cluster"))
-      .join(cn, "neighbor_id")
+    val index = detIvfIndexFor(corpus, idCol, vecCol, nCells, iters, latticeScale)
+    val centers = index.centers
+    val corpusSide = index.cells
     val qn = normalized(queries, idCol, vecCol, "query_id", "qv")
     val qq = queries.select(col(idCol).as("query_id"), latt(col(vecCol)).as("__q"))
     // centers are k·d driver-held integers: distances attach as literal
