@@ -204,9 +204,15 @@ object Similarity {
     * after overwriting a corpus in place, or to release executor
     * storage on a long-lived driver).
     */
-  def clearIvfCache(): Unit = ivfCache.synchronized {
-    ivfCache.values.forEach(_.unpersist())
-    ivfCache.clear()
+  def clearIvfCache(): Unit = {
+    ivfCache.synchronized {
+      ivfCache.values.forEach(_.unpersist())
+      ivfCache.clear()
+    }
+    detIvfCache.synchronized {
+      detIvfCache.values.forEach(_.unpersist())
+      detIvfCache.clear()
+    }
   }
 
   /** Fit the IVF index: k-means cells learned from the corpus replace
