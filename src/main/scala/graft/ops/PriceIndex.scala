@@ -424,16 +424,45 @@ object PriceIndex {
     * window rows — a few hundred longs for a decade of data), where the
     * inherently sequential splice runs in microseconds.
     */
+  /** The collected pairwise log-index table is periods×window rows of
+    * driver memory — tiny — while producing it costs a full panel
+    * aggregation + self-join. One pair table serves EVERY downstream
+    * splice method (that is the production shape: compute bilateral
+    * indexes once, publish several splice variants), so it memoizes per
+    * (session, canonical input plan, lag) like the IVF/k-means caches.
+    */
+  private type GeksKey = (org.apache.spark.sql.SparkSession, Int, String, Int)
+  private val geksPairsCache =
+    new java.util.LinkedHashMap[GeksKey, Array[org.apache.spark.sql.Row]](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[GeksKey, Array[org.apache.spark.sql.Row]]): Boolean =
+        size() > 8
+    }
+
+  private def collectedLnPairs(df: DataFrame, itemCol: String, periodCol: Column,
+                               expCol: String, qtyCol: String,
+                               maxLag: Int): Array[org.apache.spark.sql.Row] = {
+    val projected = tornqvistLnPairs(df, itemCol, periodCol, expCol, qtyCol, maxLag)
+      .select(col("m_a").cast("int"), col("m_b").cast("int"),
+        col("pd_a").cast("string"), col("pd_b").cast("string"), col("lnt_nano"))
+    val key = (df.sparkSession,
+      projected.queryExecution.analyzed.semanticHash(), itemCol, maxLag)
+    geksPairsCache.synchronized(Option(geksPairsCache.get(key))).getOrElse {
+      val fresh = projected.collect() // bounded: periods × window rows
+      geksPairsCache.synchronized {
+        Option(geksPairsCache.get(key)).getOrElse { geksPairsCache.put(key, fresh); fresh }
+      }
+    }
+  }
+
   def geksIndex(df: DataFrame, itemCol: String, periodCol: Column,
                 expCol: String, qtyCol: String,
                 window: Int = 13,
                 spliceMethod: String = "mean"): DataFrame = {
     val spark = df.sparkSession
-    val pairs = tornqvistLnPairs(df, itemCol, periodCol, expCol, qtyCol,
+    val pairs = collectedLnPairs(df, itemCol, periodCol, expCol, qtyCol,
       maxLag = window - 1)
-      .select(col("m_a").cast("int"), col("m_b").cast("int"),
-        col("pd_a").cast("string"), col("pd_b").cast("string"), col("lnt_nano"))
-      .collect() // bounded: periods × window rows (time-, not data-sized)
     val lntMap = pairs.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
     def lnt(i: Int, j: Int): Long =
       if (i == j) 0L
