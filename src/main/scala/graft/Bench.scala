@@ -25,31 +25,47 @@ object Bench {
       else SparkEntry.queries.view.filterKeys(!SparkEntry.validationQueries.contains(_)).toMap
     // Best of two runs per query: the first run also warms per-query
     // codegen/file listings; min-of-N is the standard noise filter.
-    // A query that throws is a FAILURE, never a timing: recording its
-    // time-to-exception (often <0.1s) would masquerade as a speedup and
-    // silently corrupt the total — exactly what hid the r06 data-shape
-    // regression. Failures are named in the metric line and excluded
-    // from the total.
+    // A query that throws on ANY run is a FAILURE, never a timing:
+    // recording its time-to-exception (often <0.1s) — or, for a flaky
+    // query, the surviving run's time — would masquerade as a speedup
+    // and silently corrupt the total (the r06 trap). Failures are named
+    // in the metric line and excluded from per_query AND the total, so
+    // "failed" and "n"/"value" can never double-count one query.
+    //
+    // CACHE HONESTY: operator-level memo caches (GEKS pair table,
+    // deterministic IVF, k-means cells) are CLEARED before every timed
+    // run, so min-of-2 is a cold time and recorded seconds equal work
+    // performed — best-of-2 over a warm cache recorded 0.34s against a
+    // 10.3s wall span in round 7. The train-once amortization is still
+    // measured: any query that populates a memo (detected generically —
+    // caches are empty before the run, so a non-zero count after it
+    // names the query) gets ONE extra cache-warm run, reported in the
+    // separate "warm" map and never counted in the total.
     val benchStartMs = System.currentTimeMillis()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val warmTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val wallClock = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+              name: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          failures.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: " +
+            Jsons.truncAtCodePoint(Option(e.getMessage).getOrElse(""), 160))
+          None
+      }
+    }
     val results = selected.flatMap { case (name, fn) =>
       val startS = (System.currentTimeMillis() - benchStartMs) / 1e3
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            failures.getOrElseUpdate(name,
-              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
-            None
-        }
-      }
+      val times = (1 to 2).flatMap { _ => Caches.clearAll(); timed(fn, name) }
+      if (times.nonEmpty && Caches.totalEntries > 0)
+        timed(fn, name).foreach(w => warmTimes(name) = w) // memo left warm by run 2
       wallClock(name) = (startS, (System.currentTimeMillis() - benchStartMs) / 1e3)
-      if (times.isEmpty) None else Some(name -> times.min)
+      if (times.size < 2 || failures.contains(name)) None else Some(name -> times.min)
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def jstr(s: String): String = Jsons.jstr(s)
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -68,16 +84,20 @@ object Bench {
     //           so a truncated fragment can never shadow the real line),
     //           plus per-query wall-clock [start,end] offsets (seconds
     //           since bench start) so an external contention window is
-    //           visible in the data; also written to bench_queries.json;
+    //           visible in the data, plus the "warm" cache-hit times for
+    //           memoizing queries; also written to bench_queries.json;
     //   line 2 (LAST): a short metric line that always survives the tail.
     val wall = wallClock.toSeq.sortBy(_._1)
       .map { case (k, (s, e)) => jstr(k) + s":[${fmt(s)},${fmt(e)}]" }
+      .mkString("{", ",", "}")
+    val warm = warmTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedJson = failures.toSeq
       .map { case (k, msg) => jstr(k) + ":" + jstr(msg) }
       .mkString("{", ",", "}")
     val perQueryLine =
-      s"""{"per_query":$qs,"wall_clock":$wall,"failed_detail":$failedJson,"sf":"$sfDir","metric_of":"$metric"}"""
+      s"""{"per_query":$qs,"warm":$warm,"wall_clock":$wall,"failed_detail":$failedJson,"sf":"$sfDir","metric_of":"$metric"}"""
     try {
       val w = new java.io.PrintWriter("bench_queries.json", "UTF-8")
       try w.println(perQueryLine) finally w.close()

@@ -431,25 +431,53 @@ object PriceIndex {
     * indexes once, publish several splice variants), so it memoizes per
     * (session, canonical input plan, lag) like the IVF/k-means caches.
     */
-  private type GeksKey = (org.apache.spark.sql.SparkSession, Int, String, Int)
+  /** The memoized value: the collected pairwise rows PLUS the full
+    * ordered period list (collected alongside, so a period that happens
+    * to appear in no pair row — possible on sparse panels — can never be
+    * silently dropped from the published series).
+    */
+  private case class GeksPairs(pairs: Array[org.apache.spark.sql.Row],
+                               periods: Array[String])
+  private type GeksKey =
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int)
   private val geksPairsCache =
-    new java.util.LinkedHashMap[GeksKey, Array[org.apache.spark.sql.Row]](
-        16, 0.75f, /*accessOrder=*/ true) {
+    new java.util.LinkedHashMap[GeksKey, GeksPairs](16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[GeksKey, Array[org.apache.spark.sql.Row]]): Boolean =
+          e: java.util.Map.Entry[GeksKey, GeksPairs]): Boolean =
         size() > 8
     }
 
+  /** Drop the memoized GEKS pair tables — the documented escape hatch for
+    * a corpus overwritten IN PLACE within a long-lived session (the memo
+    * keys on the input PLAN, which cannot see file contents change), and
+    * [[graft.Caches.clearAll]]'s hook so Bench's recorded times equal the
+    * work performed. The cached rows hold no executor storage, so
+    * clearing the map is the whole job.
+    */
+  def clearGeksCache(): Unit = geksPairsCache.synchronized { geksPairsCache.clear() }
+
+  private[graft] def geksCacheSize: Int =
+    geksPairsCache.synchronized(geksPairsCache.size())
+
   private def collectedLnPairs(df: DataFrame, itemCol: String, periodCol: Column,
                                expCol: String, qtyCol: String,
-                               maxLag: Int): Array[org.apache.spark.sql.Row] = {
+                               maxLag: Int): GeksPairs = {
     val projected = tornqvistLnPairs(df, itemCol, periodCol, expCol, qtyCol, maxLag)
       .select(col("m_a").cast("int"), col("m_b").cast("int"),
         col("pd_a").cast("string"), col("pd_b").cast("string"), col("lnt_nano"))
-    val key = (df.sparkSession,
-      projected.queryExecution.analyzed.semanticHash(), itemCol, maxLag)
+    // The key is the canonicalized plan OBJECT (full structural equality
+    // on lookup — `sameResult` semantics), not an Int semanticHash: a
+    // 32-bit hash alone can collide across distinct plans and silently
+    // serve WRONG pairs. (A plan STRING is no better: LocalRelation's
+    // toString omits its data.) The cache is bounded at 8 entries, so
+    // holding the plan reference is cheap.
+    val key = (df.sparkSession, projected.queryExecution.analyzed.canonicalized, maxLag)
     geksPairsCache.synchronized(Option(geksPairsCache.get(key))).getOrElse {
-      val fresh = projected.collect() // bounded: periods × window rows
+      val fresh = GeksPairs(
+        projected.collect(), // bounded: periods × window rows
+        df.select(periodCol.as("__pdr")).distinct().orderBy(col("__pdr"))
+          .select(col("__pdr").cast("string")).collect().map(_.getString(0)))
       geksPairsCache.synchronized {
         Option(geksPairsCache.get(key)).getOrElse { geksPairsCache.put(key, fresh); fresh }
       }
@@ -461,23 +489,37 @@ object PriceIndex {
                 window: Int = 13,
                 spliceMethod: String = "mean"): DataFrame = {
     val spark = df.sparkSession
-    val pairs = collectedLnPairs(df, itemCol, periodCol, expCol, qtyCol,
+    import spark.implicits._
+    val gp = collectedLnPairs(df, itemCol, periodCol, expCol, qtyCol,
       maxLag = window - 1)
-    val lntMap = pairs.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
+    val periods = gp.periods
+    val n = periods.length
+    // Degenerate panels get explicit semantics instead of an empty/throwing
+    // frame: no periods → empty series; one period → the base row at 1.0
+    // (an index with nothing to compare IS its base).
+    if (n == 0) return Seq.empty[(String, Double)].toDF("period", "geks")
+    if (n == 1) return Seq((periods(0), 1.0)).toDF("period", "geks")
+    val lntMap = gp.pairs.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
+    // An in-window period pair with an EMPTY matched sample has no
+    // defined bilateral index — substituting ratio 1.0 would silently
+    // bias the GEKS mean (and diverge from the oracle's inner-join
+    // semantics), so it fails fast with the periods named.
     def lnt(i: Int, j: Int): Long =
       if (i == j) 0L
-      else if (i < j) lntMap.getOrElse((i, j), 0L)
-      else -lntMap.getOrElse((j, i), 0L)
-    val periodByIdx = pairs.flatMap(r =>
-        Seq(r.getInt(0) -> r.getString(2), r.getInt(1) -> r.getString(3))).toMap
-    val n = if (periodByIdx.isEmpty) 0 else periodByIdx.keys.max + 1
+      else {
+        val (a, b) = if (i < j) (i, j) else (j, i)
+        val v = lntMap.getOrElse((a, b), throw new IllegalArgumentException(
+          s"geksIndex: no matched items between periods '${periods(a)}' and " +
+            s"'${periods(b)}' (both inside one $window-period window); every " +
+            "in-window period pair needs a non-empty matched sample"))
+        if (i < j) v else -v
+      }
     val lnP = geksSplice(lnt, n, window, spliceMethod)
     val out = (0 until n).map { m =>
-      (periodByIdx(m),
+      (periods(m),
         BigDecimal(math.exp(lnP(m) / 1e9))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    import spark.implicits._
     out.toDF("period", "geks")
   }
 

@@ -200,6 +200,13 @@ object Similarity {
 
   private[text] def ivfCacheSize: Int = ivfCache.synchronized(ivfCache.size())
 
+  /** Entries across both IVF memo caches (the [[graft.Caches]] registry
+    * hook — Bench uses it to detect that a query populated a memo).
+    */
+  private[graft] def memoEntryCount: Int =
+    ivfCache.synchronized(ivfCache.size()) +
+      detIvfCache.synchronized(detIvfCache.size())
+
   /** Drop every memoized index and unpersist their cell tables (use
     * after overwriting a corpus in place, or to release executor
     * storage on a long-lived driver).

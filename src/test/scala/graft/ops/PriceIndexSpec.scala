@@ -345,4 +345,29 @@ class PriceIndexSpec extends AnyFunSuite {
     // expenditure at double quantity) -> every bilateral Törnqvist is 1
     assert(got("p0") == 1.0 && got("p1") == 1.0 && got("p2") == 1.0, got.toString)
   }
+
+  test("geksIndex degenerate panels: empty input -> empty; one period -> base row at 1.0") {
+    val schema = "item int, pd string, exp double, qty double"
+    val empty = createDf(spark, schema, Seq())
+    assert(PriceIndex.geksIndex(empty, "item", col("pd"), "exp", "qty", window = 3)
+      .count() == 0)
+    val one = createDf(spark, schema, Seq(
+      Seq[Any](1, "p0", 10.0, 2.0), Seq[Any](2, "p0", 30.0, 3.0)))
+    val got = PriceIndex.geksIndex(one, "item", col("pd"), "exp", "qty", window = 3)
+      .collect()
+    assert(got.length == 1 && got(0).getString(0) == "p0" && got(0).getDouble(1) == 1.0)
+  }
+
+  test("geksIndex fails fast (naming the periods) when an in-window pair has no matched items") {
+    // item 1 trades p0+p1 only, item 2 trades p1+p2 only: the (p0, p2)
+    // bilateral has an EMPTY matched sample inside the window=3 span —
+    // silently treating it as ratio 1.0 would bias the GEKS mean
+    val d = createDf(spark, "item int, pd string, exp double, qty double", Seq(
+      Seq[Any](1, "p0", 10.0, 2.0), Seq[Any](1, "p1", 12.0, 2.0),
+      Seq[Any](2, "p1", 30.0, 3.0), Seq[Any](2, "p2", 33.0, 3.0)))
+    val e = intercept[IllegalArgumentException] {
+      PriceIndex.geksIndex(d, "item", col("pd"), "exp", "qty", window = 3).count()
+    }
+    assert(e.getMessage.contains("p0") && e.getMessage.contains("p2"), e.getMessage)
+  }
 }
