@@ -532,15 +532,22 @@ object PriceIndex {
     *   πᵢ = Σₜ qᵢₜ·(pᵢₜ/Pₜ) / Σₜ qᵢₜ
     *   Pₜ = Σᵢ pᵢₜ·qᵢₜ / Σᵢ πᵢ·qᵢₜ
     *
-    * Solved by `iters` rounds of the textbook fixed-point sweep from
-    * Pₜ=1 (a fast contraction; the PUBLISHED number is the round-`iters`
-    * value, so determinism never depends on a convergence test).
-    * Returns `(period, n_items, gk)`, base = first period = 1.0.
+    * Solved by up to `iters` rounds of the textbook fixed-point sweep
+    * from Pₜ=1, stopping EARLY once the period-level vector moves less
+    * than `tol` (max |ΔPₜ| — the vector is already driver-held, so the
+    * check is free; `tol = 0` disables it and always pays `iters`).
+    * Returns `(period, n_items, gk, iters_run)`, base = first period =
+    * 1.0; `iters_run` is the data-dependent sweep count, emitted so the
+    * published number carries its own convergence provenance.
     *
-    * Determinism: every per-(item,period) term micro-quantizes before
-    * its sum (π and P are ratios of exact BIGINTs each round); the
-    * oracle unrolls the same `iters` rounds CTE-for-CTE (the k-means
-    * replay discipline). 6-dp emitted.
+    * Determinism INCLUDING the early exit: every per-(item,period) term
+    * micro-quantizes before its sum (π and P are ratios of exact BIGINTs
+    * each round), so the level vectors are bit-identical doubles in any
+    * engine — the `maxDiff < tol` comparison therefore evaluates
+    * identically everywhere, and the oracle replays it CTE-for-CTE
+    * (each unrolled round carries the previous vector forward once the
+    * convergence flag is set; the k-means replay discipline). 6-dp
+    * emitted.
     *
     * Scale shape: the (item, period) table is built ONCE and persisted
     * for the sweeps (without it, lazy lineage would re-aggregate the
@@ -554,7 +561,7 @@ object PriceIndex {
     */
   def gearyKhamis(df: DataFrame, itemCol: String, periodCol: Column,
                   expCol: String, qtyCol: String,
-                  iters: Int = 5): DataFrame = {
+                  iters: Int = 12, tol: Double = 1e-6): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val spark = df.sparkSession
     val dec = DecimalType(18, 2)
@@ -574,7 +581,9 @@ object PriceIndex {
       var pLevels: Seq[(String, Double)] = uv
         .select(col("__pd").cast("string")).distinct()
         .collect().map(r => (r.getString(0), 1.0)).toSeq
-      for (_ <- 1 to iters) {
+      var itersRun = 0
+      var converged = false
+      while (itersRun < iters && !converged) {
         val pDf = pLevels.toDF("__pd", "__lv")
         val pi = uv.join(broadcast(pDf), Seq("__pd"))
           .groupBy(col("__it"))
@@ -582,13 +591,20 @@ object PriceIndex {
             sum(col("__qm")).as("__dq"))
           .select(col("__it"),
             (col("__dn").cast("double") / col("__dq").cast("double")).as("__pi"))
-        pLevels = uv.join(pi, Seq("__it"))
+        val newLevels = uv.join(pi, Seq("__it"))
           .groupBy(col("__pd"))
           .agg(sum(col("__pqm")).as("__nu"),
             sum(micro(col("__pi") * col("__q"))).as("__de"))
           .select(col("__pd").cast("string"),
             (col("__nu").cast("double") / col("__de").cast("double")).as("__lv"))
           .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        // both vectors are bit-identical doubles in the oracle, so this
+        // comparison replays exactly there; strict < keeps tol=0 as the
+        // "always pay `iters`" switch
+        val prev = pLevels.toMap
+        converged = newLevels.map { case (pd, lv) => math.abs(lv - prev(pd)) }.max < tol
+        pLevels = newLevels
+        itersRun += 1
       }
       val counts = uv.groupBy(col("__pd")).agg(count(lit(1)).as("n_items"))
         .select(col("__pd").cast("string"), col("n_items"))
@@ -596,8 +612,9 @@ object PriceIndex {
       val lv0 = pLevels.minBy(_._1)._2
       pLevels.sortBy(_._1).map { case (pd, lv) =>
         (pd, counts(pd),
-          BigDecimal(lv / lv0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toDF("period", "n_items", "gk")
+          BigDecimal(lv / lv0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          itersRun.toLong)
+      }.toDF("period", "n_items", "gk", "iters_run")
     } finally {
       uv.unpersist()
       ()
@@ -608,20 +625,25 @@ object PriceIndex {
     * of the multilateral family ([[geksIndex]], [[gearyKhamis]], this):
     * the fixed-effects model `ln pᵢₜ = δₜ + γᵢ + εᵢₜ` estimated by WLS
     * with expenditure-share weights, published as `exp(δₜ - δ_base)`.
-    * Estimation is `iters` Gauss-Seidel sweeps of the normal equations
-    * (γ⁰=0; a fast-converging alternation, and the PUBLISHED number is
-    * the round-`iters` value so determinism never rests on a
-    * convergence test):
+    * Estimation is up to `iters` Gauss-Seidel sweeps of the normal
+    * equations (γ⁰=0; a fast-converging alternation), stopping EARLY
+    * once the period-effect vector moves less than `tolNanos`
+    * (max |Δδₜ| in integer nanos — δ is driver-held, the check is free;
+    * `tolNanos = 0` disables it):
     *
     *   δₜ = Σᵢ sᵢₜ·(ln pᵢₜ - γᵢ)          (Σᵢ sᵢₜ = 1 per period)
     *   γᵢ = Σₜ sᵢₜ·(ln pᵢₜ - δₜ) / Σₜ sᵢₜ
     *
-    * Returns `(period, n_items, tpd)`, base = first period = 1.0.
+    * Returns `(period, n_items, tpd, iters_run)`, base = first period =
+    * 1.0; `iters_run` is the data-dependent sweep count.
     *
-    * Determinism: shares are ratios of exact micro BIGINTs; every
-    * per-(item,period) term nano-quantizes before its sum, so each δ is
-    * an exact BIGINT and each γ an exact-integer ratio; ONE final exp,
-    * 6-dp emitted; the oracle unrolls the identical sweeps CTE-for-CTE.
+    * Determinism INCLUDING the early exit: shares are ratios of exact
+    * micro BIGINTs; every per-(item,period) term nano-quantizes before
+    * its sum, so each δ is an exact BIGINT and each γ an exact-integer
+    * ratio — the integer movement check replays verbatim in any engine,
+    * and the oracle unrolls the identical sweeps CTE-for-CTE, carrying
+    * δ forward once the convergence flag is set. ONE final exp, 6-dp
+    * emitted.
     *
     * Scale shape: the (item, period) table persists once; δ is
     * period-bounded and round-trips the driver as literals (the k-means
@@ -635,7 +657,7 @@ object PriceIndex {
     */
   def timeProductDummy(df: DataFrame, itemCol: String, periodCol: Column,
                        expCol: String, qtyCol: String,
-                       iters: Int = 5): DataFrame = {
+                       iters: Int = 12, tolNanos: Long = 1000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
@@ -659,15 +681,29 @@ object PriceIndex {
     try {
       var deltas: Seq[(String, Long)] = Nil // period -> δ nanos
       var gamma: DataFrame = null           // item -> γ (exact-int ratio)
-      for (r <- 1 to iters) {
+      var itersRun = 0
+      var converged = false
+      while (itersRun < iters && !converged) {
+        val r = itersRun + 1
         val resid =
           if (r == 1) uv.withColumn("__g", lit(0.0))
           else uv.join(gamma, Seq("__it"))
-        deltas = resid
+        val newDeltas = resid
           .groupBy(col("__pd"))
           .agg(sum(nano(col("__s") * (col("__lnp") - col("__g")))).as("__dn"))
           .collect().map(row => (row.getString(0), row.getLong(1))).toSeq
-        if (r < iters) { // the final sweep publishes δ; its γ is never read
+        // δ are exact BIGINT nanos in any engine, so the integer movement
+        // check replays verbatim in the oracle; sweep 1 has no previous
+        // vector to compare against
+        if (r >= 2) {
+          val prev = deltas.toMap
+          converged = newDeltas
+            .map { case (pd, dn) => math.abs(dn - prev(pd)) }.max < tolNanos
+        }
+        deltas = newDeltas
+        itersRun = r
+        // the final/converged sweep publishes δ; its γ is never read
+        if (itersRun < iters && !converged) {
           val dDf = broadcast(deltas.toDF("__pd", "__dnano"))
           gamma = uv.join(dDf, Seq("__pd"))
             .groupBy(col("__it"))
@@ -684,8 +720,9 @@ object PriceIndex {
       deltas.sortBy(_._1).map { case (pd, dn) =>
         (pd, counts(pd),
           BigDecimal(math.exp((dn - dBase) / 1e9))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toDF("period", "n_items", "tpd")
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          itersRun.toLong)
+      }.toDF("period", "n_items", "tpd", "iters_run")
     } finally {
       uv.unpersist()
       ()

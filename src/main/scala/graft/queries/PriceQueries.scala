@@ -80,32 +80,41 @@ object PriceQueries {
 
   /** Geary-Khamis multilateral index ([[graft.ops.PriceIndex
     * .gearyKhamis]]): the international-prices fixed point for the 1995
-    * matched panel, 5 textbook sweeps from Pₜ=1 — with q_geks_index,
-    * the two standard multilateral methods side by side. Every
-    * per-(item,period) term micro-quantizes before its sum; the oracle
-    * unrolls the identical 5 rounds CTE-for-CTE.
+    * matched panel, solved to the CONVERGED fixed point (max |ΔP| <
+    * 1e-6, publication precision for the 6-dp index) with a 12-sweep
+    * cap — the sweep count is data-dependent and emitted as
+    * `iters_run`, so cost is bounded by the data, never the worst case.
+    * With q_geks_index, the two standard multilateral methods side by
+    * side. Every per-(item,period) term micro-quantizes before its sum;
+    * the oracle unrolls the rounds CTE-for-CTE including the
+    * convergence carry.
     */
   private def qGkIndex(s: SparkSession, dir: String): DataFrame =
     graft.ops.PriceIndex.gearyKhamis(
         t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
         "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
-        "l_extendedprice", "l_quantity", iters = 5)
+        "l_extendedprice", "l_quantity", iters = 12, tol = 1e-6)
       .orderBy(col("period"))
 
   /** Unrolled-CTE replay of [[graft.ops.PriceIndex.gearyKhamis]]'s
-    * fixed-point sweeps (the k-means oracle discipline): round r derives
-    * international prices πᵢ from level vector P(r-1), then P(r) from π —
-    * all micro-quantized integer sums, double ratios in the same
-    * operation order as the operator.
+    * fixed-point sweeps INCLUDING the convergence early-exit (the
+    * k-means oracle discipline): round r derives international prices πᵢ
+    * from level vector P(r-1), then P(r) from π — all micro-quantized
+    * integer sums, double ratios in the same operation order as the
+    * operator, so the level vectors are bit-identical and the
+    * `max |ΔP| < tol` test evaluates the same here as on the driver.
+    * Once a round's `st` flag is set, later rounds CARRY the vector
+    * forward (exactly the operator's "stop sweeping"), and `iters_run`
+    * is the first converged round (else `iters`).
     */
-  private def gkOracleSql(iters: Int): String = {
+  private def gkOracleSql(iters: Int, tol: Double): String = {
     val head =
       """WITH li AS (
         |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
         |    CAST(l_quantity AS DECIMAL(18,2)) AS q0
         |  FROM lineitem WHERE year(l_shipdate) = 1995),
-        |uv AS (
+        |uv AS MATERIALIZED (
         |  SELECT it, pd,
         |    CAST(SUM(e) AS DOUBLE) / CAST(SUM(q0) AS DOUBLE) AS p,
         |    CAST(SUM(q0) AS DOUBLE) AS q,
@@ -114,47 +123,78 @@ object PriceQueries {
         |      * CAST(SUM(q0) AS DOUBLE) * 1000000.0) AS BIGINT) AS pqm
         |  FROM li GROUP BY 1, 2),
         |lv0 AS (SELECT DISTINCT pd, CAST(1.0 AS DOUBLE) AS plev FROM uv)""".stripMargin
-    val rounds = (1 to iters).map { r =>
-      s"""pi$r AS (
+    def piSql(r: Int) =
+      s"""pi$r AS MATERIALIZED (
          |  SELECT it,
          |    CAST(CAST(SUM(CAST(round(((p / plev) * q) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
          |      / CAST(CAST(SUM(qm) AS BIGINT) AS DOUBLE) AS piv
-         |  FROM uv JOIN lv${r - 1} USING (pd) GROUP BY it),
-         |lv$r AS (
+         |  FROM uv JOIN lv${r - 1} USING (pd) GROUP BY it)""".stripMargin
+    def sweepSql(r: Int, into: String) =
+      s"""$into AS MATERIALIZED (
          |  SELECT pd,
          |    CAST(CAST(SUM(pqm) AS BIGINT) AS DOUBLE)
          |      / CAST(CAST(SUM(CAST(round((piv * q) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) AS plev
          |  FROM uv JOIN pi$r USING (it) GROUP BY pd)""".stripMargin
+    def stSql(r: Int) = {
+      val prevDone = if (r == 1) "FALSE" else s"(SELECT done FROM st${r - 1})"
+      s"""st$r AS MATERIALIZED (
+         |  SELECT ($prevDone OR (SELECT MAX(ABS(a.plev - b.plev))
+         |    FROM lv$r a JOIN lv${r - 1} b USING (pd)) < $tol) AS done)""".stripMargin
     }
+    val rounds = (1 to iters).map { r =>
+      val body =
+        if (r == 1) piSql(1) + ",\n" + sweepSql(1, "lv1") // round 1 never carries
+        else
+          piSql(r) + ",\n" + sweepSql(r, s"lvc$r") + ",\n" +
+            s"""lv$r AS MATERIALIZED (
+               |  SELECT p.pd,
+               |    CASE WHEN (SELECT done FROM st${r - 1}) THEN p.plev ELSE c.plev END AS plev
+               |  FROM lv${r - 1} p JOIN lvc$r c USING (pd))""".stripMargin
+      body + ",\n" + stSql(r)
+    }
+    val irRows = (1 to iters)
+      .map(r => s"($r, (SELECT done FROM st$r))").mkString(", ")
     val tail =
       s""",
          |cnt AS (SELECT pd, COUNT(*) AS n_items FROM uv GROUP BY pd),
-         |b AS (SELECT plev AS basep FROM lv$iters ORDER BY pd LIMIT 1)
-         |SELECT lv$iters.pd AS period, cnt.n_items, round(lv$iters.plev / b.basep, 6) AS gk
+         |b AS (SELECT plev AS basep FROM lv$iters ORDER BY pd LIMIT 1),
+         |ir AS (SELECT CAST(COALESCE(MIN(r), $iters) AS BIGINT) AS iters_run
+         |       FROM (VALUES $irRows) AS t(r, d) WHERE d)
+         |SELECT lv$iters.pd AS period, cnt.n_items, round(lv$iters.plev / b.basep, 6) AS gk,
+         |  (SELECT iters_run FROM ir) AS iters_run
          |FROM lv$iters JOIN cnt USING (pd), b ORDER BY period""".stripMargin
     head + ",\n" + rounds.mkString(",\n") + tail
   }
 
   /** Time-Product-Dummy multilateral index ([[graft.ops.PriceIndex
     * .timeProductDummy]]): the fixed-effects regression member of the
-    * multilateral family, 5 Gauss-Seidel sweeps of the share-weighted
-    * normal equations over the 1995 panel — with q_geks_index and
-    * q_gk_index, the full multilateral toolkit (GEKS, GK, TPD). The
-    * oracle unrolls the identical sweeps CTE-for-CTE.
+    * multilateral family — Gauss-Seidel sweeps of the share-weighted
+    * normal equations over the 1995 panel, run to convergence
+    * (max |Δδ| < 1000 nanos = 1e-6 in log space, publication precision)
+    * under a 12-sweep cap, the data-dependent count emitted as
+    * `iters_run`. With q_geks_index and q_gk_index, the full
+    * multilateral toolkit (GEKS, GK, TPD). The oracle unrolls the
+    * sweeps CTE-for-CTE including the convergence carry.
     */
   private def qTpdIndex(s: SparkSession, dir: String): DataFrame =
     graft.ops.PriceIndex.timeProductDummy(
         t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
         "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
-        "l_extendedprice", "l_quantity", iters = 5)
+        "l_extendedprice", "l_quantity", iters = 12, tolNanos = 1000L)
       .orderBy(col("period"))
 
   /** Unrolled-CTE replay of [[graft.ops.PriceIndex.timeProductDummy]]'s
-    * Gauss-Seidel sweeps: round r's period effects from round r-1's item
-    * effects (round 1 from zero), nano-quantized terms, exact BIGINT
-    * sums throughout.
+    * Gauss-Seidel sweeps INCLUDING the convergence early-exit: round r's
+    * period effects from round r-1's item effects (round 1 from zero),
+    * nano-quantized terms, exact BIGINT sums throughout — so the
+    * `max |Δδ| < tolNanos` test is pure integer arithmetic that
+    * evaluates identically here and on the driver. From round 3 on, a
+    * set `st` flag makes the round CARRY δ forward (the operator's
+    * "stop sweeping"); `iters_run` is the first converged round (else
+    * `iters`). The movement check starts at round 2 (round 1 has no
+    * previous δ vector), exactly like the operator.
     */
-  private def tpdOracleSql(iters: Int): String = {
+  private def tpdOracleSql(iters: Int, tolNanos: Long): String = {
     val head =
       """WITH li AS (
         |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
@@ -167,39 +207,62 @@ object PriceQueries {
         |    CAST(round(CAST(SUM(e) AS DOUBLE) * 1000000.0) AS BIGINT) AS em
         |  FROM li GROUP BY 1, 2),
         |tot AS (SELECT pd, CAST(SUM(em) AS BIGINT) AS tot FROM uv0 GROUP BY pd),
-        |uv AS (
+        |uv AS MATERIALIZED (
         |  SELECT it, pd, lnp,
         |    CAST(em AS DOUBLE) / CAST(tot AS DOUBLE) AS s,
         |    CAST(round((CAST(em AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000000.0) AS BIGINT) AS sn
         |  FROM uv0 JOIN tot USING (pd))""".stripMargin
+    def dCompute(r: Int, into: String) =
+      if (r == 1)
+        s"""$into AS MATERIALIZED (
+           |  SELECT pd,
+           |    CAST(SUM(CAST(round((s * (lnp - 0.0)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS dn
+           |  FROM uv GROUP BY pd)""".stripMargin
+      else
+        s"""$into AS MATERIALIZED (
+           |  SELECT pd,
+           |    CAST(SUM(CAST(round((s * (lnp - g)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS dn
+           |  FROM uv JOIN g${r - 1} USING (it) GROUP BY pd)""".stripMargin
+    def gSql(r: Int) =
+      s"""g$r AS MATERIALIZED (
+         |  SELECT it,
+         |    CAST(CAST(SUM(CAST(round((s * (lnp
+         |        - CAST(dn AS DOUBLE) / 1000000000.0)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |      / CAST(CAST(SUM(sn) AS BIGINT) AS DOUBLE) AS g
+         |  FROM uv JOIN d$r USING (pd) GROUP BY it)""".stripMargin
+    def stSql(r: Int) = {
+      val prevDone = if (r == 2) "FALSE" else s"(SELECT done FROM st${r - 1})"
+      s"""st$r AS MATERIALIZED (
+         |  SELECT ($prevDone OR (SELECT MAX(ABS(a.dn - b.dn))
+         |    FROM d$r a JOIN d${r - 1} b USING (pd)) < $tolNanos) AS done)""".stripMargin
+    }
     val rounds = (1 to iters).map { r =>
       val dExpr =
-        if (r == 1)
-          s"""d1 AS (
-             |  SELECT pd,
-             |    CAST(SUM(CAST(round((s * (lnp - 0.0)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS dn
-             |  FROM uv GROUP BY pd)""".stripMargin
+        if (r <= 2) dCompute(r, s"d$r") // rounds 1-2 always compute (check starts at 2)
         else
-          s"""d$r AS (
-             |  SELECT pd,
-             |    CAST(SUM(CAST(round((s * (lnp - g)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS dn
-             |  FROM uv JOIN g${r - 1} USING (it) GROUP BY pd)""".stripMargin
-      if (r == iters) dExpr
-      else
-        dExpr + ",\n" +
-          s"""g$r AS (
-             |  SELECT it,
-             |    CAST(CAST(SUM(CAST(round((s * (lnp
-             |        - CAST(dn AS DOUBLE) / 1000000000.0)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
-             |      / CAST(CAST(SUM(sn) AS BIGINT) AS DOUBLE) AS g
-             |  FROM uv JOIN d$r USING (pd) GROUP BY it)""".stripMargin
+          dCompute(r, s"dc$r") + ",\n" +
+            s"""d$r AS MATERIALIZED (
+               |  SELECT p.pd,
+               |    CASE WHEN (SELECT done FROM st${r - 1}) THEN p.dn ELSE c.dn END AS dn
+               |  FROM d${r - 1} p JOIN dc$r c USING (pd))""".stripMargin
+      val withSt = if (r >= 2) dExpr + ",\n" + stSql(r) else dExpr
+      if (r == iters) withSt else withSt + ",\n" + gSql(r)
     }
+    val irRows = (2 to iters)
+      .map(r => s"($r, (SELECT done FROM st$r))").mkString(", ")
+    val irCte =
+      if (iters >= 2)
+        s"""ir AS (SELECT CAST(COALESCE(MIN(r), $iters) AS BIGINT) AS iters_run
+           |       FROM (VALUES $irRows) AS t(r, d) WHERE d),""".stripMargin
+      else s"ir AS (SELECT CAST(1 AS BIGINT) AS iters_run),"
     val tail =
       s""",
          |cnt AS (SELECT pd, COUNT(*) AS n_items FROM uv GROUP BY pd),
+         |$irCte
          |b AS (SELECT dn AS dbase FROM d$iters ORDER BY pd LIMIT 1)
          |SELECT d$iters.pd AS period, cnt.n_items,
-         |  round(exp(CAST(d$iters.dn - b.dbase AS DOUBLE) / 1000000000.0), 6) AS tpd
+         |  round(exp(CAST(d$iters.dn - b.dbase AS DOUBLE) / 1000000000.0), 6) AS tpd,
+         |  (SELECT iters_run FROM ir) AS iters_run
          |FROM d$iters JOIN cnt USING (pd), b ORDER BY period""".stripMargin
     head + ",\n" + rounds.mkString(",\n") + tail
   }
@@ -310,7 +373,7 @@ object PriceQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
-    "q_gk_index" -> gkOracleSql(iters = 5),
+    "q_gk_index" -> gkOracleSql(iters = 12, tol = 1e-6),
     "q_geks_movement" ->
       """WITH RECURSIVE li AS (
         |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
@@ -371,7 +434,7 @@ object PriceQueries {
         |  round(exp(CAST(pub.lnp AS DOUBLE) / 1000000000.0), 6) AS geks
         |FROM months JOIN pub ON months.m = pub.m
         |ORDER BY period""".stripMargin,
-    "q_tpd_index" -> tpdOracleSql(iters = 5),
+    "q_tpd_index" -> tpdOracleSql(iters = 12, tolNanos = 1000L),
     // GEKS: pairwise quantized Törnqvist log-terms, window means and the
     // mean-splice recurrence in integer HALF_UP arithmetic; the recursive
     // CTE carries the published log-series as a growing list

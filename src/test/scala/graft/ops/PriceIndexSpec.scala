@@ -276,6 +276,32 @@ class PriceIndexSpec extends AnyFunSuite {
     assert(got.forall { case (_, n, v) => n == 2 && v == 1.0 }, got.mkString(","))
   }
 
+  test("GK/TPD convergence early-exit: flat panels stop immediately; tol=0 pays the full cap") {
+    val d = createDf(spark, "item int, pd string, exp double, qty double", Seq(
+      Seq[Any](1, "p0", 10.0, 2.0), Seq[Any](2, "p0", 30.0, 3.0),
+      Seq[Any](1, "p1", 10.0, 2.0), Seq[Any](2, "p1", 30.0, 3.0)))
+    // flat prices: sweep 1 already reproduces the level vector -> the
+    // movement check fires at the first opportunity (GK checks from
+    // sweep 1, TPD from sweep 2 — sweep 1 has no previous δ)
+    val gk = PriceIndex.gearyKhamis(d, "item", col("pd"), "exp", "qty",
+      iters = 12, tol = 1e-6).collect()
+    assert(gk.forall(_.getLong(3) <= 2), gk.mkString(","))
+    val tpd = PriceIndex.timeProductDummy(d, "item", col("pd"), "exp", "qty",
+      iters = 12, tolNanos = 1000L).collect()
+    assert(tpd.forall(_.getLong(3) <= 2), tpd.mkString(","))
+    // tol=0 disables the exit: iters_run == the cap, values unchanged
+    val gk0 = PriceIndex.gearyKhamis(d, "item", col("pd"), "exp", "qty",
+      iters = 4, tol = 0.0).collect()
+    assert(gk0.forall(_.getLong(3) == 4), gk0.mkString(","))
+    val tpd0 = PriceIndex.timeProductDummy(d, "item", col("pd"), "exp", "qty",
+      iters = 3, tolNanos = 0L).collect()
+    assert(tpd0.forall(_.getLong(3) == 3), tpd0.mkString(","))
+    assert(gk.map(r => (r.getString(0), r.getDouble(2))).toSeq.sorted
+      == gk0.map(r => (r.getString(0), r.getDouble(2))).toSeq.sorted)
+    assert(tpd.map(r => (r.getString(0), r.getDouble(2))).toSeq.sorted
+      == tpd0.map(r => (r.getString(0), r.getDouble(2))).toSeq.sorted)
+  }
+
   test("geksSplice variants: identical inside the first window; movement/window are exact adds") {
     val n = 9
     val rnd = new scala.util.Random(13)
