@@ -369,6 +369,14 @@ object PriceIndex {
     *     becomes the published P(T):
     *       lnP(T) = round( Σ_{z∈[T-w+1,T)} (lnP(z) + lnG_{W_T}(z,T)) / (w-1) ).
     *
+    * The single-link variants splice on ONE overlap period z instead:
+    * `movement` uses z = T-1 (newest — tracks short-term movement,
+    * most exposed to window-edge revision), `window` uses z = T-w+1
+    * (oldest — replaces the last w-1 links wholesale), and `half` uses
+    * z = T - ⌊w/2⌋ (the middle of the overlap — the ONS/Eurostat
+    * "half-window splice" compromise between the two; for w=2 it
+    * coincides with `movement`). All three are one exact integer add.
+    *
     * Sequential by construction (each step reads w-1 published values),
     * but over PERIOD COUNT — time-bounded, never data-bounded — so the
     * driver loop costs microseconds at any corpus size.
@@ -377,8 +385,8 @@ object PriceIndex {
                                 window: Int,
                                 method: String = "mean"): Array[Long] = {
     require(window >= 2, "window must be >= 2")
-    require(Set("mean", "movement", "window")(method),
-      s"unknown splice method '$method' (mean | movement | window)")
+    require(Set("mean", "movement", "window", "half")(method),
+      s"unknown splice method '$method' (mean | movement | window | half)")
     val w = math.min(window, nPeriods)
     val lnP = new Array[Long](nPeriods)
     for (tt <- 0 until w)
@@ -398,6 +406,10 @@ object PriceIndex {
           // splice on the OLDEST in-window period: the full new window's
           // movement replaces the last w-1 steps of history
           lnP(tt - w + 1) + geksLn(lnt, win, tt - w + 1, tt)
+        case "half" =>
+          // splice halfway back through the overlap (z = T - ⌊w/2⌋):
+          // the half-window compromise between movement and window
+          lnP(tt - w / 2) + geksLn(lnt, win, tt - w / 2, tt)
       }
     }
     lnP
@@ -423,6 +435,17 @@ object PriceIndex {
     * the period²-bounded log-index table reaches the driver (months ×
     * window rows — a few hundred longs for a decade of data), where the
     * inherently sequential splice runs in microseconds.
+    *
+    * Splice-family coverage: `mean` / `movement` / `window` / `half`
+    * span the rolling-window practice ONS methodology papers compare.
+    * The remaining published variant, FBEW (fixed base, expanding
+    * window: re-base each January and GROW the window through the
+    * year), is a calendar policy over the SAME pairwise layer, not a
+    * different splice: run this with `window` = the number of periods
+    * published so far in the cycle (full-window GEKS — every splice
+    * method coincides there) and re-base at each cycle boundary.
+    * Wiring that calendar policy in here would need year semantics the
+    * generic `periodCol` deliberately doesn't carry.
     */
   /** The collected pairwise log-index table is periods×window rows of
     * driver memory — tiny — while producing it costs a full panel

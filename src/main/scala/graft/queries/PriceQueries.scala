@@ -52,6 +52,23 @@ object PriceQueries {
         "l_extendedprice", "l_quantity", window = 13, spliceMethod = "movement")
       .orderBy(col("period"))
 
+  /** GEKS with HALF-WINDOW splice ([[graft.ops.PriceIndex.geksIndex]]
+    * `spliceMethod = "half"`): the published series extends through the
+    * overlap period half a window back (z = T - ⌊w/2⌋) — the
+    * ONS/Eurostat compromise between q_geks_movement's newest-link
+    * splice (short-term tracking, edge-revision exposed) and the
+    * oldest-link window splice (drift-resistant, replaces w-1 links).
+    * Same memoized pairwise layer; one exact integer add per period,
+    * which the oracle's recursion replays against its carried history
+    * list.
+    */
+  private def qGeksHalf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.geksIndex(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")).isin(1995, 1996)),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", window = 13, spliceMethod = "half")
+      .orderBy(col("period"))
+
   /** CPI weight audit over the two-level build ([[qGroupedIndex]]'s
     * weights): per period — group count, exact total micro-weight,
     * nano-quantized share sum (must print 1.0: the shares are ratios of
@@ -358,6 +375,7 @@ object PriceQueries {
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_geks_index" -> (qGeksIndex _),
+    "q_geks_half" -> (qGeksHalf _),
     "q_gk_index" -> (qGkIndex _),
     "q_geks_movement" -> (qGeksMovement _),
     "q_tpd_index" -> (qTpdIndex _),
@@ -435,6 +453,70 @@ object PriceQueries {
         |FROM months JOIN pub ON months.m = pub.m
         |ORDER BY period""".stripMargin,
     "q_tpd_index" -> tpdOracleSql(iters = 12, tolNanos = 1000L),
+    // half splice: the recursion carries the published list (like the
+    // mean splice) but appends ONE exact integer add from the overlap
+    // period half a window back (z = T - w//2)
+    "q_geks_half" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) AS ed,
+        |    CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p
+        |  FROM li GROUP BY 1, 2),
+        |months AS (
+        |  SELECT pd, CAST(row_number() OVER (ORDER BY pd) AS BIGINT) - 1 AS m
+        |  FROM (SELECT DISTINCT pd FROM uv)),
+        |nm AS (SELECT MAX(m) AS maxm, LEAST(CAST(13 AS BIGINT), MAX(m) + 1) AS w FROM months),
+        |uvm AS (SELECT uv.*, months.m FROM uv JOIN months USING (pd)),
+        |pr AS (
+        |  SELECT a.m AS ma, b.m AS mb,
+        |    CAST(round(a.ed * 1000000.0) AS BIGINT) AS eam,
+        |    CAST(round(b.ed * 1000000.0) AS BIGINT) AS ebm,
+        |    a.p AS pa, b.p AS pb
+        |  FROM uvm a JOIN uvm b ON a.it = b.it AND b.m > a.m AND b.m <= a.m + 12),
+        |terms AS (
+        |  SELECT ma, mb,
+        |    CAST(round(((CAST(eam AS DOUBLE) / CAST(SUM(eam) OVER (PARTITION BY ma, mb) AS DOUBLE)
+        |      + CAST(ebm AS DOUBLE) / CAST(SUM(ebm) OVER (PARTITION BY ma, mb) AS DOUBLE)) / 2.0
+        |      * ln(pb / pa)) * 1000000000.0) AS BIGINT) AS tn
+        |  FROM pr),
+        |lnt0 AS (SELECT ma, mb, SUM(tn) AS lnt FROM terms GROUP BY 1, 2),
+        |lnt AS (
+        |  SELECT ma, mb, lnt FROM lnt0
+        |  UNION ALL SELECT mb, ma, -lnt FROM lnt0
+        |  UNION ALL SELECT m, m, CAST(0 AS BIGINT) FROM months),
+        |g0 AS (
+        |  SELECT b.mb AS t,
+        |    CAST(round(SUM(a.lnt + b.lnt) / CAST((SELECT w FROM nm) AS DOUBLE)) AS BIGINT) AS lnp
+        |  FROM lnt a JOIN lnt b ON a.mb = b.ma
+        |  WHERE a.ma = 0 AND a.mb < (SELECT w FROM nm) AND b.mb < (SELECT w FROM nm)
+        |  GROUP BY 1),
+        |gw AS (
+        |  SELECT a.ma AS z, b.mb AS tgt,
+        |    CAST(round(SUM(a.lnt + b.lnt) / CAST((SELECT w FROM nm) AS DOUBLE)) AS BIGINT) AS lng
+        |  FROM lnt a JOIN lnt b ON a.mb = b.ma
+        |  WHERE b.mb >= (SELECT w FROM nm)
+        |    AND a.mb BETWEEN b.mb - (SELECT w FROM nm) + 1 AND b.mb
+        |    AND a.ma BETWEEN b.mb - (SELECT w FROM nm) + 1 AND b.mb - 1
+        |  GROUP BY 1, 2),
+        |spl AS (
+        |  SELECT (SELECT w FROM nm) - 1 AS tt,
+        |         (SELECT list(lnp ORDER BY t) FROM g0) AS hist
+        |  UNION ALL
+        |  SELECT s.tt + 1,
+        |    list_append(s.hist, (
+        |      SELECT s.hist[CAST(g.z AS INT) + 1] + g.lng
+        |      FROM gw g WHERE g.tgt = s.tt + 1
+        |        AND g.z = s.tt + 1 - (SELECT w FROM nm) // 2))
+        |  FROM spl s WHERE s.tt < (SELECT maxm FROM nm)),
+        |fin AS (SELECT hist FROM spl WHERE tt = (SELECT maxm FROM nm))
+        |SELECT months.pd AS period,
+        |  round(exp(CAST(f.hist[CAST(months.m AS INT) + 1] AS DOUBLE) / 1000000000.0), 6) AS geks
+        |FROM months, fin f
+        |ORDER BY period""".stripMargin,
     // GEKS: pairwise quantized Törnqvist log-terms, window means and the
     // mean-splice recurrence in integer HALF_UP arithmetic; the recursive
     // CTE carries the published log-series as a growing list

@@ -315,18 +315,25 @@ class PriceIndexSpec extends AnyFunSuite {
     val mean = PriceIndex.geksSplice(lnt, n, w, "mean")
     val movement = PriceIndex.geksSplice(lnt, n, w, "movement")
     val windowS = PriceIndex.geksSplice(lnt, n, w, "window")
-    // first window: all three publish the same in-window GEKS
+    val half = PriceIndex.geksSplice(lnt, n, w, "half")
+    // first window: all variants publish the same in-window GEKS
     for (t <- 0 until w)
-      assert(mean(t) == movement(t) && mean(t) == windowS(t))
-    // movement: each later step is exactly lnP(T-1) + lnG_w(T-1, T)
+      assert(mean(t) == movement(t) && mean(t) == windowS(t) && mean(t) == half(t))
+    // single-link splices: each later step is exactly lnP(z) + lnG_w(z, T)
+    // with z = T-1 (movement), T-w+1 (window), T-floor(w/2) (half)
     for (t <- w until n) {
       val win = (t - w + 1) to t
       assert(movement(t) == movement(t - 1) + PriceIndex.geksLn(lnt, win, t - 1, t))
       assert(windowS(t) == windowS(t - w + 1) + PriceIndex.geksLn(lnt, win, t - w + 1, t))
+      assert(half(t) == half(t - w / 2) + PriceIndex.geksLn(lnt, win, t - w / 2, t))
     }
+    // w=2: the overlap is a single period, so half coincides with movement
+    assert(PriceIndex.geksSplice(lnt, n, 2, "half")
+      .sameElements(PriceIndex.geksSplice(lnt, n, 2, "movement")))
     // full window: no splice steps, so all variants coincide everywhere
     val full = PriceIndex.geksSplice(lnt, n, n, "movement")
     assert(full.sameElements(PriceIndex.geksSplice(lnt, n, n, "mean")))
+    assert(full.sameElements(PriceIndex.geksSplice(lnt, n, n, "half")))
     intercept[IllegalArgumentException] {
       PriceIndex.geksSplice(lnt, n, w, "banana")
     }
