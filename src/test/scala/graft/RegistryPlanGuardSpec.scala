@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+import org.apache.spark.sql.execution.{LocalTableScanExec, RangeExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+
+/** Registry-wide physical-plan guard (PlanSpec pins specific families;
+  * this sweeps EVERY non-validation registered query): no
+  * `CartesianProduct`, and no `BroadcastNestedLoopJoin` unless its
+  * broadcast side is one of the sanctioned bounded shapes —
+  *
+  *   - a grand aggregate (no grouping keys → exactly one row): the
+  *     "attach a scalar statistic to every row" pattern;
+  *   - a literal/local frame (`LocalTableScan`): driver-held constants
+  *     such as k-means centers, GEKS levels, split boundaries;
+  *   - a KNOWN whitelisted query whose broadcast side is bounded by
+  *     construction but not recognizable from the node type alone (each
+  *     entry justified below — additions need the same justification).
+  *
+  * A new query that sneaks in an all-pairs cross product fails here by
+  * name before it ever reaches the bench.
+  */
+class RegistryPlanGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Broadcast sides that are bounded by construction, keyed by query:
+    * the node type alone can't prove boundedness, so each carries its
+    * reason. Keep this list SHORT — prefer the recognizable shapes.
+    */
+  private val boundedByConstruction: Map[String, String] = Map(
+    "q_imputed_index" ->
+      "base-basket × distinct-period spine: the broadcast side is the distinct PERIOD list (time-bounded, ~tens of rows), crossed to build the imputation spine",
+    "q_topk_similar" ->
+      "the brute-force top-k BASELINE: its broadcast side is the query set bounded by a literal predicate (vec_id < 10); the scale path is q_ann_lsh/q_ivf_topk",
+    "q_embed_pairs" ->
+      "the EXACT all-pairs near-dup operator's own surface (threshold self-join is inherently non-equi); its 100 TB path is q_embed_pairs_lsh's banded pair source",
+  )
+
+  private def bounded(side: SparkPlan): Boolean = side.collectFirst {
+    case a: HashAggregateExec if a.groupingExpressions.isEmpty => ()
+    case a: SortAggregateExec if a.groupingExpressions.isEmpty => ()
+    case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => ()
+    case _: LocalTableScanExec => ()
+    // a Range leaf's cardinality is a plan-time constant — sanction only
+    // genuinely small spines (bin/bucket scaffolding)
+    case r: RangeExec if r.numElements.isValidLong && r.numElements.toLong <= 10000L => ()
+  }.isDefined
+
+  test("no non-validation query plans a CartesianProduct or an unbounded nested-loop join") {
+    val names = (SparkEntry.queries.keySet -- SparkEntry.validationQueries).toSeq.sorted
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    for (name <- names) {
+      // sparkPlan (pre-AQE): the static planner's join choices — AQE can
+      // only improve on these, never introduce a cross product
+      val plan =
+        try SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+        catch { case e: Throwable =>
+          offenders += s"$name: failed to plan at sf0.001 (${e.getClass.getSimpleName})"
+          null
+        }
+      if (plan != null) {
+        if (plan.collectFirst { case c: CartesianProductExec => c }.isDefined)
+          offenders += s"$name: CartesianProduct in the physical plan"
+        plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+          val side = if (j.buildSide == BuildLeft) j.left else j.right
+          if (!bounded(side) && !boundedByConstruction.contains(name))
+            offenders += s"$name: BroadcastNestedLoopJoin whose broadcast side is neither " +
+              s"a grand aggregate nor a literal frame:\n${side.toString.take(600)}"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} quer(ies) plan unsanctioned cross products:\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("negative control: a raw table × table cross product IS flagged") {
+    val bad = graft.sources.Sources.readTable(spark, dir, "nation")
+      .crossJoin(graft.sources.Sources.readTable(spark, dir, "region"))
+    val plan = bad.queryExecution.sparkPlan
+    val flagged =
+      plan.collectFirst { case c: CartesianProductExec => c }.isDefined ||
+        plan.collect { case j: BroadcastNestedLoopJoinExec => j }.exists { j =>
+          !bounded(if (j.buildSide == BuildLeft) j.left else j.right)
+        }
+    assert(flagged, s"the guard must fire on a file-scan cross product:\n${plan.toString.take(800)}")
+  }
+}
