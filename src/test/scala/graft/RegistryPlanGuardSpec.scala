@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.optimizer.BuildLeft
 import org.apache.spark.sql.execution.{LocalTableScanExec, RangeExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.testing.TestSpark
@@ -77,6 +78,51 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"${offenders.size} quer(ies) plan unsanctioned cross products:\n" +
         offenders.mkString("\n"))
+  }
+
+  /** Queries whose whole-frame (empty-`partitionBy`) windows run over
+    * tables bounded BY CONSTRUCTION — the reference's own documented
+    * perf cliff (general.py:173-179: empty partition ⇒ single
+    * partition), admissible here only on row-count-bounded inputs.
+    * Every entry names its bound; additions need the same.
+    */
+  private val boundedWholeFrameWindows: Map[String, String] = Map(
+    "q_apportion" -> "quota/remainder windows over the per-group count table (rows = group count)",
+    "q_chained_index" -> "cumulative log-link sum over the links table (rows = period count)",
+    "q_dense_id" -> "Ids.withRunningTotals offset window (rows = partition count)",
+    "q_drift" -> "PSI normalization over the bin table (rows = bin count)",
+    "q_ks" -> "Ids.withRunningTotals offset window over distinct-value counts (rows = partition count)",
+    "q_token_budget" -> "Ids.withRunningTotals offset window (rows = partition count)",
+    "q_vocab_drift" -> "smoothing window over the topN+1 category table",
+  )
+
+  test("whole-frame windows appear only over bounded-by-construction tables") {
+    val names = (SparkEntry.queries.keySet -- SparkEntry.validationQueries).toSeq.sorted
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    for (name <- names) {
+      val plan =
+        try SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+        catch { case _: Throwable => null } // planning failures surface in the other sweep
+      if (plan != null) {
+        plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.foreach { w =>
+          // structural floor: a whole-frame window directly over raw rows
+          // (no aggregation anywhere beneath) is the single-partition
+          // cliff regardless of any whitelist entry
+          val aboveAgg = w.child.collectFirst {
+            case a: HashAggregateExec => a
+            case a: SortAggregateExec => a
+            case a: ObjectHashAggregateExec => a
+          }.isDefined
+          if (!aboveAgg)
+            offenders += s"$name: whole-frame Window over UNAGGREGATED rows (the single-partition cliff)"
+          else if (!boundedWholeFrameWindows.contains(name))
+            offenders += s"$name: whole-frame Window without a documented row-count bound " +
+              "(add to boundedWholeFrameWindows with its bound, or partition the window)"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} unbounded whole-frame window(s):\n" + offenders.mkString("\n"))
   }
 
   test("negative control: a raw table × table cross product IS flagged") {
