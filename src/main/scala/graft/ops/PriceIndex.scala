@@ -574,13 +574,17 @@ object PriceIndex {
     *
     * Scale shape: the (item, period) table is built ONCE and persisted
     * for the sweeps (without it, lazy lineage would re-aggregate the
-    * transaction scan twice per round); each round is then one
-    * item-keyed aggregation + one period-keyed reduction over the cached
-    * table — distributed and linear. The level vector P is
-    * period-bounded (time-, not data-sized), so it round-trips through
-    * the driver between sweeps as a literal frame — the same bounded
-    * contract as k-means centers — which also keeps the final plan flat
-    * instead of `2·iters` joins deep. The item table never collects.
+    * transaction scan twice per round). Each round computes π as an
+    * ITEM-PARTITIONED WINDOW over the cached table (π is a per-item
+    * ratio every row of the item needs back — the window form computes
+    * and re-attaches it in ONE item-keyed exchange, where the
+    * aggregate-then-join spelling would shuffle the panel twice per
+    * sweep), then one period-keyed reduction: two exchanges per sweep,
+    * both linear. The level vector P is period-bounded (time-, not
+    * data-sized), so it round-trips through the driver between sweeps
+    * as a broadcast literal frame — the same bounded contract as
+    * k-means centers — which also keeps the final plan flat instead of
+    * `2·iters` joins deep. The item table never collects.
     */
   def gearyKhamis(df: DataFrame, itemCol: String, periodCol: Column,
                   expCol: String, qtyCol: String,
@@ -597,6 +601,12 @@ object PriceIndex {
         col("__Q").cast("double").as("__q"))
       .withColumn("__qm", micro(col("__q")))
       .withColumn("__pqm", micro(col("__p") * col("__q")))
+      // persist the panel PRE-partitioned and PRE-sorted on the item key:
+      // every sweep's π window then finds its required distribution AND
+      // ordering already satisfied in the cache — one exchange+sort paid
+      // at build, zero per sweep (iters × panel-shuffle saved)
+      .repartition(col("__it"))
+      .sortWithinPartitions(col("__it"))
       .persist()
     try {
       import spark.implicits._
@@ -606,15 +616,16 @@ object PriceIndex {
         .collect().map(r => (r.getString(0), 1.0)).toSeq
       var itersRun = 0
       var converged = false
+      val Wit = org.apache.spark.sql.expressions.Window.partitionBy(col("__it"))
       while (itersRun < iters && !converged) {
         val pDf = pLevels.toDF("__pd", "__lv")
-        val pi = uv.join(broadcast(pDf), Seq("__pd"))
-          .groupBy(col("__it"))
-          .agg(sum(micro((col("__p") / col("__lv")) * col("__q"))).as("__dn"),
-            sum(col("__qm")).as("__dq"))
-          .select(col("__it"),
-            (col("__dn").cast("double") / col("__dq").cast("double")).as("__pi"))
-        val newLevels = uv.join(pi, Seq("__it"))
+        // π as an item-partitioned window: integer sums partition exactly
+        // like the aggregate form (same longs, any order), but the panel
+        // shuffles ONCE per sweep instead of aggregate-then-join's twice
+        val pi = sum(micro((col("__p") / col("__lv")) * col("__q"))).over(Wit)
+          .cast("double") / sum(col("__qm")).over(Wit).cast("double")
+        val newLevels = uv.join(broadcast(pDf), Seq("__pd"))
+          .withColumn("__pi", pi)
           .groupBy(col("__pd"))
           .agg(sum(col("__pqm")).as("__nu"),
             sum(micro(col("__pi") * col("__q"))).as("__de"))
@@ -670,13 +681,15 @@ object PriceIndex {
     *
     * Scale shape: the (item, period) table persists once; δ is
     * period-bounded and round-trips the driver as literals (the k-means
-    * center contract). γ is ITEM-keyed so it stays a DataFrame — but
-    * because each γ depends only on the CACHED table plus a δ literal
-    * (never on the previous γ directly), its lineage is one join deep
-    * and it is consumed exactly once, by the next δ collection: each
-    * sweep is therefore a SINGLE distributed job (item-keyed γ
-    * aggregation folded into the period-keyed δ reduction), with no
-    * inter-sweep caching needed.
+    * center contract). γ is ITEM-keyed, and because each γ depends only
+    * on the CACHED table plus a δ literal (never on the previous γ
+    * directly), it computes as an item-partitioned WINDOW inside the
+    * same sweep plan — every row of the item needs γ back, and the
+    * window form computes and re-attaches it in ONE item-keyed
+    * exchange where aggregate-then-join would shuffle the panel twice.
+    * Each sweep is a single distributed job: broadcast δ literals →
+    * item-window γ → period-keyed δ reduction. No inter-sweep caching
+    * needed.
     */
   def timeProductDummy(df: DataFrame, itemCol: String, periodCol: Column,
                        expCol: String, qtyCol: String,
@@ -700,17 +713,31 @@ object PriceIndex {
       .select(col("__it"), col("__pd"), col("__lnp"),
         (col("__em").cast("double") / col("__tot").cast("double")).as("__s"),
         nano(col("__em").cast("double") / col("__tot").cast("double")).as("__sn"))
+      // pre-partition/sort on item (the GK comment above): each sweep's γ
+      // window runs exchange-free and sort-free off the cache
+      .repartition(col("__it"))
+      .sortWithinPartitions(col("__it"))
       .persist()
     try {
       var deltas: Seq[(String, Long)] = Nil // period -> δ nanos
-      var gamma: DataFrame = null           // item -> γ (exact-int ratio)
       var itersRun = 0
       var converged = false
+      val Wit = org.apache.spark.sql.expressions.Window.partitionBy(col("__it"))
       while (itersRun < iters && !converged) {
         val r = itersRun + 1
         val resid =
           if (r == 1) uv.withColumn("__g", lit(0.0))
-          else uv.join(gamma, Seq("__it"))
+          else {
+            // γ from the PREVIOUS δ as an item-partitioned window: the
+            // exact integer sums partition identically to the old
+            // aggregate-then-join form, but the panel shuffles once
+            val dDf = broadcast(deltas.toDF("__pd", "__dnano"))
+            uv.join(dDf, Seq("__pd"))
+              .withColumn("__g",
+                sum(nano(col("__s") * (col("__lnp")
+                    - col("__dnano").cast("double") / lit(1e9)))).over(Wit)
+                  .cast("double") / sum(col("__sn")).over(Wit).cast("double"))
+          }
         val newDeltas = resid
           .groupBy(col("__pd"))
           .agg(sum(nano(col("__s") * (col("__lnp") - col("__g")))).as("__dn"))
@@ -725,17 +752,6 @@ object PriceIndex {
         }
         deltas = newDeltas
         itersRun = r
-        // the final/converged sweep publishes δ; its γ is never read
-        if (itersRun < iters && !converged) {
-          val dDf = broadcast(deltas.toDF("__pd", "__dnano"))
-          gamma = uv.join(dDf, Seq("__pd"))
-            .groupBy(col("__it"))
-            .agg(sum(nano(col("__s") * (col("__lnp")
-                - col("__dnano").cast("double") / lit(1e9)))).as("__gn"),
-              sum(col("__sn")).as("__gd"))
-            .select(col("__it"),
-              (col("__gn").cast("double") / col("__gd").cast("double")).as("__g"))
-        }
       }
       val counts = uv.groupBy(col("__pd")).agg(count(lit(1)).as("n_items"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
