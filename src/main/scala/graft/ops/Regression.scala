@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Per-group ordinary least squares — closed-form trend estimation
+  * (`y = intercept + slope·x` per group) as one aggregation over the
+  * scan, the way a 100 TB metrics store fits a trendline per series
+  * without ever materializing per-group arrays.
+  *
+  * The reference library's pipelines hand per-group curve fitting to
+  * driver-side pandas via the grouped-map machinery
+  * (reference: ons_utils/pyspark/general.py:42-106 — an arbitrary
+  * `pd.DataFrame -> pd.DataFrame` per group); this is the same
+  * capability expressed as sufficient statistics: OLS needs only the
+  * five moment sums (Σx, Σy, Σx², Σxy, Σy²), which aggregate
+  * map-side-combined in a single shuffle keyed on the group columns —
+  * no per-group iteration, no Arrow hop, no skew sensitivity beyond
+  * the aggregation itself.
+  *
+  * Determinism (the repo's playbook): x and y quantize to integer
+  * micro-units per row, the five moments accumulate as DECIMAL(38,0)
+  * (exact integers at any parallelism or fold order — second moments
+  * of micro-quantized values overflow BIGINT at ~10⁵ rows/group, so
+  * the accumulator is decimal on the Spark side and HUGEINT in the
+  * DuckDB oracle), and each emitted statistic is a fixed sequence of
+  * IEEE double operations on those exact integers:
+  *
+  *   slope     = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)          (micro scales cancel)
+  *   intercept = ((Sy·Sxx − Sx·Sxy) / (n·Sxx − Sx²)) / 10⁶
+  *   r         = (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)·(n·Syy − Sy²))
+  *
+  * Numerators/denominators are exact decimal combinations cast to
+  * double ONCE (round-to-nearest is identical in every engine), then
+  * one division (plus one sqrt for r²) — so 6-dp-rounded outputs agree
+  * bit-for-bit with any engine replaying the same integer moments.
+  *
+  * Degenerate groups get explicit semantics: a group whose x variance
+  * is zero (all points share one x) has no defined line — slope,
+  * intercept and r2 emit NULL rather than ±Infinity; a group with zero
+  * y variance on positive x variance is a perfect horizontal fit:
+  * slope 0, intercept = mean(y), r2 NULL (r is 0/0 there).
+  */
+object Regression {
+
+  /** Fit `y = intercept + slope·x` per group. Returns the group columns
+    * plus `(n, slope, intercept, r2)`, rounded to 6 dp.
+    *
+    * `x` and `y` are micro-quantized per row (`round(v·10⁶)`) before
+    * the moment sums — callers supplying already-integer x (epoch days,
+    * a version counter) lose nothing; callers with fractional x/y get
+    * the library-wide micro precision.
+    */
+  def groupOls(df: DataFrame, groupBy: Seq[String], x: Column, y: Column): DataFrame = {
+    require(groupBy.nonEmpty, "groupOls needs at least one group column")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val g = df
+      .select(groupBy.map(col) :+ q(x).as("__x") :+ q(y).as("__y"): _*)
+      .groupBy(groupBy.map(col): _*)
+      .agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    // exact decimal combinations, cast to double once, then IEEE math
+    val covN = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val varX = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val varY = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val interN = (col("__sy") * col("__sxx") - col("__sx") * col("__sxy")).cast("double")
+    val r = covN / sqrt(varX * varY)
+    g.select(
+      groupBy.map(col) ++ Seq(
+        col("__n").cast("long").as("n"),
+        when(varX =!= 0.0, round(covN / varX, 6)).as("slope"),
+        when(varX =!= 0.0, round(interN / varX / lit(1e6), 6)).as("intercept"),
+        when(varX =!= 0.0 && varY =!= 0.0, round(r * r, 6)).as("r2")): _*)
+  }
+}

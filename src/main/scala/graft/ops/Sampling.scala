@@ -273,6 +273,45 @@ object Sampling {
       .drop("__ap_rk")
   }
 
+  /** Deterministic global shuffle — the training-data "shuffle and
+    * shard" step ([shard, pos] assignment a dataloader consumes)
+    * WITHOUT `rand()`: the order is the md5 of `seed:key`, so a rerun,
+    * a different partitioning, or an independent engine produces the
+    * IDENTICAL permutation, and changing the seed string is a fresh
+    * epoch's shuffle. Returns the input plus `(shard, pos)` — shard in
+    * [0, nShards), pos the 0-based position within the shard in hash
+    * order.
+    *
+    * Shard and position derive from DISJOINT hex ranges of one digest
+    * (shard from chars 1-8, order from chars 9-24 — using the same
+    * range for both would sort each shard by the value that chose it,
+    * leaving the high-order shard structure visible in the stream);
+    * `key` breaks exact digest ties so duplicate-free keys give a
+    * total order.
+    *
+    * Scale shape: one exchange keyed on shard; each shard sorts
+    * locally for `row_number` (Spark plans the partition-local sort
+    * under the window). Per-shard state is the shard itself — size
+    * `nShards` to the dataloader's file-size target (the usual
+    * contract), NOT to the cluster: 100 TB into 4096 shards is ~25 GB
+    * of spill-safe sort per task, and the emitted (shard, pos) pairs
+    * are exactly a shard-file writer's layout.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String, nShards: Int,
+                           seed: String): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val hex = md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))
+      .cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(substring(col("__dsh"), 9, 16).asc, col(keyCol).asc)
+    df.withColumn("__dsh", hex)
+      .withColumn("shard",
+        pmod(conv(substring(col("__dsh"), 1, 8), 16, 10).cast("long"), lit(nShards)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("__dsh")
+  }
+
   /** Deterministic negative-pair mining (contrastive-training prep): for
     * each row, `k` pseudo-random partners — reproducible across reruns
     * and engines, unlike `rand()`-ordered self-joins, and NOT an O(n²)

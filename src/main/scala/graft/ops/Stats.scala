@@ -116,4 +116,49 @@ object Stats {
       .withColumn("ci_lo", when(col("n") > 0, greatest((center - spread) / denom, lit(0.0))))
       .withColumn("ci_hi", when(col("n") > 0, least((center + spread) / denom, lit(1.0))))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * labelings of the same rows (annotator QA, declared-vs-detected
+    * language audits, model-vs-model label drift):
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),
+    *   p_o = Σ_k n_kk / N,  p_e = Σ_k row_k·col_k / N²
+    *
+    * Multi-category by construction (the e-term joins A's marginals to
+    * B's on the category value, so rectangular label spaces — a
+    * category one rater never uses — contribute zero, the textbook
+    * treatment). Returns ONE row `(n, po, pe, kappa)`, 6-dp; κ is null
+    * when p_e = 1 (both raters constant — agreement is undefined, not
+    * 0/0-Infinity).
+    *
+    * Determinism: every term is a ratio of exact long counts (products
+    * bounded by N² — fine to ~3·10⁹ rows; beyond that the marginal
+    * products need decimal, noted here so the limit is explicit), in a
+    * fixed IEEE expression tree.
+    *
+    * Scale shape: one shuffle keyed (a, b) reduces the scan to the
+    * contingency table (|A|·|B| cells); marginals and the diagonal are
+    * cell-level aggregations; three 1-row frames combine via broadcast
+    * cross join ([[graft.ops.Drift]]'s scalar-attach pattern). 100 TB
+    * of labels costs one map-side-combined exchange.
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val totals = cells.agg(sum(col("__n")).as("__N"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L)).as("__agree"))
+    val rowM = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__ra"))
+    val colM = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__cb"))
+    val peNum = rowM.join(colM, rowM("__a") === colM("__b"))
+      .agg(coalesce(sum(col("__ra") * col("__cb")), lit(0L)).as("__pe_num"))
+    val nD = col("__N").cast("double")
+    val po = col("__agree").cast("double") / nD
+    val pe = col("__pe_num").cast("double") / (nD * nD)
+    totals.crossJoin(broadcast(peNum))
+      .select(col("__N").as("n"),
+        round(po, 6).as("po"),
+        round(pe, 6).as("pe"),
+        when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
 }

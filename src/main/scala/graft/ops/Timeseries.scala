@@ -261,4 +261,42 @@ object Timeseries {
         (call_function("shiftleft", lit(1L), col("__t") + 1) - 1).cast("double"))
       .drop("__t", "__s")
   }
+
+  /** Multiplicative seasonal factors per series — the classic
+    * ratio-to-mean decomposition (the CPI domain's seasonal-adjustment
+    * primer step): for each series (`parts`) and each seasonal bucket
+    * (day-of-week, month-of-year — any CALLER-SUPPLIED bucket
+    * expression, so calendar semantics stay in one visible place), the
+    * bucket's mean value over the series mean. Factor > 1 = the bucket
+    * runs hot. Returns `parts :+ (bucket, n, bucket_mean, factor)`.
+    *
+    * Determinism: values micro-quantize per row; bucket sums/counts are
+    * exact longs, the series totals are SUMS OF THE BUCKET SUMS (one
+    * series-keyed window over the bucket-level frame — bounded by
+    * bucket count, never a data-sized window), and each emitted number
+    * is a fixed sequence of IEEE double divisions on exact integers,
+    * rounded to 6 dp.
+    *
+    * Scale shape: ONE shuffle keyed (parts, bucket) reduces the scan to
+    * a bucket-level frame (series × buckets rows); the series-total
+    * window rides that tiny frame. A 100 TB event history costs one
+    * map-side-combined aggregation.
+    */
+  def seasonalFactors(df: DataFrame, parts: Seq[String], bucket: Column,
+                      value: Column): DataFrame = {
+    require(parts.nonEmpty, "need at least one series key")
+    val byBucket = df
+      .groupBy(parts.map(col) :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(round(value * lit(1e6), 0).cast("long")).as("__sm"))
+    val ws = Window.partitionBy(parts.map(col): _*)
+    val bucketMean = col("__sm").cast("double") / col("n").cast("double")
+    val seriesMean =
+      sum(col("__sm")).over(ws).cast("double") / sum(col("n")).over(ws).cast("double")
+    byBucket
+      .select(parts.map(col) ++ Seq(
+        col("bucket"), col("n"),
+        round(bucketMean / lit(1e6), 6).as("bucket_mean"),
+        round(bucketMean / seriesMean, 6).as("factor")): _*)
+  }
 }

@@ -229,8 +229,22 @@ object EventQueries {
         .otherwise(0L)), lit(0L)).as("n_violations"))
   }
 
+  /** Day-of-week seasonal factors per event type
+    * ([[graft.ops.Timeseries.seasonalFactors]]): the bucket is computed
+    * CALENDAR-FREE as `(epoch_day + 4) mod 7` (1970-01-01 was a
+    * Thursday, so +4 makes 0 = Sunday) — identical integer arithmetic
+    * in any engine, no timezone/locale semantics to align.
+    */
+  private def qSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val dow = pmod(floor(unix_micros(col("ts")) / lit(86400000000L)) + lit(4L), lit(7L))
+    Timeseries.seasonalFactors(e, Seq("event_type"), dow, col("value"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal" -> (qSeasonal _),
     "q_ffill" -> (qFfill _),
     "q_shifted_ffill" -> (qShiftedFfill _),
     "q_tumbling" -> (qTumbling _),
@@ -252,6 +266,23 @@ object EventQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_seasonal" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    (CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) + 4) % 7 AS bucket,
+        |    CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, bucket, COUNT(*) AS n, SUM(vm) AS sm
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(sm) AS tsm, SUM(n) AS tn FROM g GROUP BY 1)
+        |SELECT g.event_type, g.bucket, g.n,
+        |  round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS bucket_mean,
+        |  round((CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(tsm AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS factor
+        |FROM g JOIN t USING (event_type)
+        |ORDER BY event_type, bucket
+        |""".stripMargin,
     "q_ffill" ->
       """SELECT event_id, user_id,
         |  last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)

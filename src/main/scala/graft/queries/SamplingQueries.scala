@@ -20,6 +20,18 @@ import graft.queries.Qh.{t, dsum}
   */
 object SamplingQueries {
 
+  /** Deterministic shuffle-and-shard
+    * ([[Sampling.deterministicShuffle]]): every document's (shard, pos)
+    * under seed "42" into 8 shards — the epoch-reproducible dataloader
+    * layout. The oracle replays the md5 split (shard from hex 1-8,
+    * order from hex 9-24) row-for-row.
+    */
+  private def qDetShuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicShuffle(t(s, dir, "documents"), "doc_id",
+        nShards = 8, seed = "42")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic hash-bucket train/val/test split: counts per (lang,
     * split) — md5-bucketed so the oracle reproduces it exactly.
     */
@@ -112,6 +124,7 @@ object SamplingQueries {
 
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_det_shuffle" -> (qDetShuffle _),
     "q_split" -> (qSplit _),
     "q_stratified" -> (qStratified _),
     "q_mixture" -> (qMixture _),
@@ -122,6 +135,18 @@ object SamplingQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_det_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8 AS shard,
+        |    substr(hx, 9, 16) AS ord
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) - 1 AS pos
+        |FROM s ORDER BY doc_id
+        |""".stripMargin,
     "q_split" ->
       """WITH b AS (
         |  SELECT lang,

@@ -491,8 +491,34 @@ object StatsQueries {
       "o_totalprice")
   }
 
+  /** Per-group OLS trend ([[graft.ops.Regression.groupOls]]): the slope /
+    * intercept / r² of event value over time (days since 2024-01-01, the
+    * panel's first day — a LOCAL x origin keeps the micro-quantized
+    * second moments inside DECIMAL(38)/HUGEINT range) per event type.
+    * Five moment sums in one map-side-combined aggregation — the
+    * scale-safe form of "fit a line per series" that the reference would
+    * route through driver-side pandas via its grouped-map machinery.
+    */
+  private def qOlsTrend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L)) - lit(19723L)
+    graft.ops.Regression.groupOls(e, Seq("event_type"), day, col("value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Benford first-digit audit ([[Profile.benfordAudit]]) over lineitem
+    * extended prices — 9 rows out of the whole scan, digit extracted
+    * from the integer cents' decimal rendering (never libm near
+    * power-of-ten edges).
+    */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    Profile.benfordAudit(t(s, dir, "lineitem"), col("l_extendedprice"), scale = 2)
+      .orderBy(col("digit"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (qBenford _),
+    "q_ols_trend" -> (qOlsTrend _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_vocab_drift" -> (qVocabDrift _),
     "q_profile" -> (qProfile _),
@@ -522,6 +548,50 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_benford" ->
+      """WITH u AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM u WHERE c > 0),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tot FROM g)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+        |  round(ln(1 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS expected_share,
+        |  round(abs(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    - ln(1 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 6) AS abs_dev
+        |FROM g, t ORDER BY digit
+        |""".stripMargin,
+    "q_ols_trend" ->
+      """WITH pts AS (
+        |  SELECT event_type,
+        |    CAST(round((floor(epoch_us(ts) / 86400000000) - 19723) * 1e6) AS HUGEINT) AS xq,
+        |    CAST(round(value * 1e6) AS HUGEINT) AS yq
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(xq) AS sx, SUM(yq) AS sy,
+        |    SUM(xq * xq) AS sxx, SUM(xq * yq) AS sxy, SUM(yq * yq) AS syy
+        |  FROM pts GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS var_x,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS var_y,
+        |    CAST(sy * sxx - sx * sxy AS DOUBLE) AS inter_n
+        |  FROM m),
+        |r AS (
+        |  SELECT event_type, n, cov_n, var_x, var_y, inter_n,
+        |    CASE WHEN var_x <> 0 AND var_y <> 0
+        |      THEN cov_n / sqrt(var_x * var_y) END AS rr
+        |  FROM d)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN var_x <> 0 THEN round(cov_n / var_x, 6) END AS slope,
+        |  CASE WHEN var_x <> 0 THEN round(inter_n / var_x / 1e6, 6) END AS intercept,
+        |  CASE WHEN rr IS NOT NULL THEN round(rr * rr, 6) END AS r2
+        |FROM r ORDER BY event_type
+        |""".stripMargin,
     "q_vocab_drift" ->
       """WITH rt AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents

@@ -52,6 +52,18 @@ object TextQueries {
       .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang_pred"))
 
+  /** Declared-vs-detected language agreement
+    * ([[graft.ops.Stats.cohenKappa]]): the `lang` column as rater A, the
+    * [[TextStats.langId]] heuristic as rater B — the annotation-QA audit
+    * a labeled corpus runs before trusting its metadata. Multi-category
+    * κ on exact counts; the oracle replays the q_lang_id heuristic and
+    * the κ arithmetic verbatim.
+    */
+  private def qKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.ops.Stats.cohenKappa(d, col("lang"), TextStats.langId(col("text")))
+  }
+
   /** Vocabulary statistics: per-token corpus frequencies (explode-shaped
     * aggregation), top tokens by count with deterministic tie-break.
     */
@@ -454,6 +466,7 @@ object TextQueries {
     "q_vocab" -> (qVocab _),
     "q_doc_quality" -> (qDocQuality _),
     "q_lang_id" -> (qLangId _),
+    "q_kappa" -> (qKappa _),
     "q_dsir" -> (qDsir _),
     "q_pack" -> (qPack _),
     "q_redact" -> (qRedact _),
@@ -500,6 +513,33 @@ object TextQueries {
         |            WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
         |            ELSE 'unknown' END AS lang_pred, COUNT(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kappa" ->
+      """WITH pred AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+        |         WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+        |         WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+        |         ELSE 'unknown' END AS b
+        |  FROM documents),
+        |cells AS (SELECT a, b, COUNT(*) AS cn FROM pred GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(SUM(cn) AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN a = b THEN cn ELSE 0 END) AS BIGINT) AS agree
+        |  FROM cells),
+        |ram AS (SELECT a, CAST(SUM(cn) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        |cbm AS (SELECT b, CAST(SUM(cn) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        |pm AS (
+        |  SELECT COALESCE(CAST(SUM(ra * cb) AS BIGINT), 0) AS pe_num
+        |  FROM ram JOIN cbm ON ram.a = cbm.b),
+        |s AS (
+        |  SELECT nn, CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) AS po,
+        |    CAST(pe_num AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS pe
+        |  FROM tot, pm)
+        |SELECT nn AS n, round(po, 6) AS po, round(pe, 6) AS pe,
+        |  CASE WHEN pe <> 1 THEN round((po - pe) / (1 - pe), 6) END AS kappa
+        |FROM s
+        |""".stripMargin,
     // Replays Dsir end-to-end: md5-prefix bucketing of unigrams+bigrams,
     // Laplace-smoothed LLR quantized to integer micro-nats PER BUCKET
     // (identical IEEE ratio operands; only ln can differ by ulps, absorbed
