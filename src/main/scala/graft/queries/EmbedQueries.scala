@@ -87,6 +87,54 @@ object EmbedQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN hard-negative mining
+    * ([[graft.text.Similarity.hardNegativesDeterministic]]): per query,
+    * the 5 nearest corpus vectors with a DIFFERENT label — contrastive
+    * training's confusable wrong answers, riding the same deterministic
+    * IVF as [[qIvfTopk]] (label filter BEFORE ranking, so probed cells
+    * fill k with valid negatives).
+    */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.hardNegativesDeterministic(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label", 5, nCells = 16, iters = 2, nProbe = 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle for q_hard_negatives: [[ivfTopkOracleSql]]'s replay
+    * (training + probe + scoring) with the label-inequality filter
+    * applied before the rank window, exactly as the operator does.
+    */
+  private def hardNegOracleSql(k: Int, cells: Int, iters: Int, nProbe: Int): String = {
+    val d2c = "list_sum(list_transform(list_zip(v.q, c.c), x -> (x[1]-x[2])*(x[1]-x[2])))"
+    s"""WITH ${kmeansOracleCtes(cells, iters)},
+       |$nvCte,
+       |qc AS (
+       |  SELECT v.vec_id AS query_id, c.cluster,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $d2c, c.cluster) AS crank
+       |  FROM v v, c$iters c WHERE v.vec_id < 10),
+       |probe AS (SELECT query_id, cluster FROM qc WHERE crank <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probe p JOIN af a USING (cluster) WHERE a.vec_id != p.query_id),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |flt AS (
+       |  SELECT c.query_id, c.neighbor_id
+       |  FROM cand c JOIN lab ql ON c.query_id = ql.vec_id
+       |              JOIN lab nl ON c.neighbor_id = nl.vec_id
+       |  WHERE ql.label != nl.label),
+       |scored AS (
+       |  SELECT f.query_id, f.neighbor_id,
+       |    list_sum(list_transform(list_zip(qn.nv, nn.nv), x -> x[1] * x[2])) AS cos
+       |  FROM flt f JOIN nv qn ON f.query_id = qn.vec_id
+       |             JOIN nv nn ON f.neighbor_id = nn.vec_id)
+       |SELECT query_id, neighbor_id, cos,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |FROM scored QUALIFY rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Oracle for q_ivf_topk: [[kmeansOracleCtes]] replays the integer
     * k-means cell training; probing ranks integer center distances with
     * the cluster-id tiebreak; candidates score with the exact
@@ -604,6 +652,7 @@ object EmbedQueries {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_containment" -> (qAnnContainment _),
     "q_ivf_topk" -> (qIvfTopk _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_kmeans" -> (qKmeans _),
     "q_cluster_sample" -> (qClusterSample _),
     "q_pq" -> (qPq _),
@@ -622,6 +671,7 @@ object EmbedQueries {
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_ivf_topk" -> ivfTopkOracleSql(k = 5, cells = 16, iters = 2, nProbe = 3),
+    "q_hard_negatives" -> hardNegOracleSql(k = 5, cells = 16, iters = 2, nProbe = 3),
     "q_topk_similar" ->
       """WITH n AS (
         |  SELECT vec_id, list_transform(embedding,

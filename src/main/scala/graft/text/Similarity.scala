@@ -384,10 +384,15 @@ object Similarity {
     }
   }
 
-  def ivfTopKDeterministic(queries: DataFrame, corpus: DataFrame,
-                           idCol: String, vecCol: String, k: Int,
-                           nCells: Int = 16, iters: Int = 2, nProbe: Int = 3,
-                           latticeScale: Int = 1000): DataFrame = {
+  /** Scored candidate pairs `(query_id, neighbor_id, cos)` from the
+    * deterministic IVF probe — the shared stage under
+    * [[ivfTopKDeterministic]] and [[hardNegativesDeterministic]] (rank
+    * and any label filter belong to the caller).
+    */
+  private def detIvfCandidates(queries: DataFrame, corpus: DataFrame,
+                               idCol: String, vecCol: String,
+                               nCells: Int, iters: Int, nProbe: Int,
+                               latticeScale: Int): DataFrame = {
     def latt(c: Column): Column =
       transform(c, x => round(x.cast("double") * latticeScale).cast("long"))
     val index = detIvfIndexFor(corpus, idCol, vecCol, nCells, iters, latticeScale)
@@ -407,11 +412,51 @@ object Similarity {
     val probes = qq.select(col("query_id"),
         explode(slice(array_sort(cellStructs), 1, nProbe)).as("__cell"))
       .select(col("query_id"), col("__cell.cluster").as("cluster"))
-    val cand = probes.join(qn, "query_id").join(corpusSide, "cluster")
+    probes.join(qn, "query_id").join(corpusSide, "cluster")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("cos"))
+  }
+
+  def ivfTopKDeterministic(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           nCells: Int = 16, iters: Int = 2, nProbe: Int = 3,
+                           latticeScale: Int = 1000): DataFrame = {
+    val cand = detIvfCandidates(queries, corpus, idCol, vecCol,
+      nCells, iters, nProbe, latticeScale)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** ANN hard-negative mining — contrastive training's "most confusable
+    * wrong answers": for each query, the top-`k` nearest corpus vectors
+    * whose `labelCol` DIFFERS from the query's (the same-label nearest
+    * are positives, not negatives). The filter runs BEFORE ranking, so a
+    * query surrounded by same-label neighbors still fills its k from the
+    * probed cells rather than returning fewer-but-wrong rows — and
+    * unlike over-fetch-then-filter compositions, no negative inside the
+    * probed cells is ever lost to a fixed fetch multiplier.
+    *
+    * Rides the deterministic IVF ([[ivfTopKDeterministic]]'s trained
+    * cells, same memo): one broadcast-literal probe map, one cell join,
+    * label attachment by id-keyed joins, per-query WindowGroupLimit
+    * rank. Fully oracle-replayable — training, probing, scoring and the
+    * label filter are all integer/IEEE-exact.
+    */
+  def hardNegativesDeterministic(queries: DataFrame, corpus: DataFrame,
+                                 idCol: String, vecCol: String, labelCol: String,
+                                 k: Int, nCells: Int = 16, iters: Int = 2,
+                                 nProbe: Int = 3,
+                                 latticeScale: Int = 1000): DataFrame = {
+    val cand = detIvfCandidates(queries, corpus, idCol, vecCol,
+      nCells, iters, nProbe, latticeScale)
+    val qLab = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"))
+    val nLab = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(qLab, "query_id").join(nLab, "neighbor_id")
+      .filter(col("__ql") =!= col("__nl"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** IVF approximate top-k — convenience composition of [[ivfIndexFor]]
