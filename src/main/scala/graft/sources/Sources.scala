@@ -56,6 +56,19 @@ object Sources {
   def readJsonl(spark: SparkSession, path: String, ddl: String): DataFrame =
     spark.read.schema(StructType.fromDDL(ddl)).json(path)
 
+  /** ORC reader — the other columnar format the warehouse world hands
+    * over (Hive-era tables, the reference's deployment environment was
+    * a Hive/HDFS cluster: ons_utils/config/validation.py:279-320). An
+    * explicit `ddl` pins the read schema (column pruning + footer
+    * skipping work exactly as with parquet); None trusts file metadata.
+    */
+  def readOrc(spark: SparkSession, path: String, ddl: Option[String] = None): DataFrame =
+    ddl.fold(spark.read)(d => spark.read.schema(StructType.fromDDL(d))).orc(path)
+
+  /** ORC writer (snappy, the cross-ecosystem default). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").orc(path)
+
   /** JSONL reader for dirty corpora (crawl dumps always carry malformed
     * lines): malformed records land whole in `corruptCol` with every
     * schema field null, instead of silently nulling fields (default

@@ -47,6 +47,24 @@ class SourcesSpec extends AnyFunSuite {
       Set((1, "alpha"), (2, "beta")))
   }
 
+  test("ORC round-trip preserves values; pinned ddl prunes columns; filters push down") {
+    val dir = Files.createTempDirectory("graft-orc").resolve("t").toString
+    val df = spark.range(100).selectExpr("id", "id * 2 AS v", "CAST(id AS STRING) AS s")
+    Sources.writeOrc(df, dir)
+    // full round-trip
+    val back = Sources.readOrc(spark, dir)
+    assert(back.count() == 100)
+    assert(back.agg(sum("v")).head().getLong(0) == 9900L)
+    // pinned-schema read prunes to the requested columns
+    val pruned = Sources.readOrc(spark, dir, Some("id bigint, s string"))
+    assert(pruned.columns.toSeq == Seq("id", "s"))
+    // predicate pushdown reaches the ORC scan
+    val plan = Sources.readOrc(spark, dir).filter(col("id") === 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"),
+      s"expected pushed filters in ORC scan:\n$plan")
+  }
+
   test("readJsonlQuarantine isolates malformed lines instead of nulling or failing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-dirty")
     java.nio.file.Files.writeString(dir.resolve("part.jsonl"),
