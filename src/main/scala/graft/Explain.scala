@@ -6,10 +6,17 @@ import org.apache.spark.sql.SparkSession
   * query (or the ones named in args) so scan pruning, pushed filters,
   * broadcast choices, and WholeStageCodegen spans can be reviewed.
   *
-  * Usage: runMain graft.Explain [sfDir] [queryName...]
+  * Usage: runMain graft.Explain [--final] [sfDir] [queryName...]
+  *
+  * `--final` EXECUTES each query first and prints the adaptive plan
+  * after runtime re-optimization — the only view that shows AQE's
+  * actual decisions (ReusedExchange, runtime broadcast promotion,
+  * coalesced partitions), which the static `explain` cannot.
   */
 object Explain {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val showFinal = rawArgs.contains("--final")
+    val args = rawArgs.filterNot(_ == "--final")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -22,8 +29,15 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      try SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        // collect() executes THIS df's plan (count() would wrap it in a
+        // new Aggregate plan, leaving this one un-executed and the
+        // adaptive plan un-finalized); registered results are small by
+        // contract (Verify coalesces them to one parquet)
+        if (showFinal) { df.collect(); println(df.queryExecution.executedPlan.toString) }
+        else df.explain("formatted")
+      } catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()
   }

@@ -148,10 +148,23 @@ object Stats {
       .agg(count(lit(1)).as("__n"))
     val totals = cells.agg(sum(col("__n")).as("__N"),
       sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L)).as("__agree"))
-    val rowM = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__ra"))
-    val colM = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__cb"))
-    val peNum = rowM.join(colM, rowM("__a") === colM("__b"))
-      .agg(coalesce(sum(col("__ra") * col("__cb")), lit(0L)).as("__pe_num"))
+    // Marginals via a union of two projections of the SAME cells
+    // aggregate, NOT a rowM⋈colM self-join: the inner join pushes
+    // IsNotNull into one branch's scan, which breaks AQE exchange reuse
+    // and re-scans the input per marginal (seen in the q_kappa final
+    // plan). Every consumer here reads the identical cells exchange —
+    // one scan at any scale. A category absent from one marginal makes
+    // a null product, which sum() skips: exactly the join's
+    // both-marginals-present semantics.
+    val cats = cells
+      .select(col("__a").as("__cat"), col("__n").as("__rn"),
+        lit(null).cast("long").as("__cn"))
+      .unionByName(cells.select(col("__b").as("__cat"),
+        lit(null).cast("long").as("__rn"), col("__n").as("__cn")))
+      .groupBy(col("__cat"))
+      .agg(sum(col("__rn")).as("__ra"), sum(col("__cn")).as("__cb"))
+    val peNum =
+      cats.agg(coalesce(sum(col("__ra") * col("__cb")), lit(0L)).as("__pe_num"))
     val nD = col("__N").cast("double")
     val po = col("__agree").cast("double") / nD
     val pe = col("__pe_num").cast("double") / (nD * nD)
