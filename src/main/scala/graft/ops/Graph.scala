@@ -138,6 +138,58 @@ object Graph {
     degrees(cur).select(col("x").as("node"), col("d").as("core_degree"))
   }
 
+  /** Synchronous label propagation — the cheap community detector
+    * (near-linear per round; the usual first pass over co-interaction
+    * graphs before anything spectral): every node starts as its own
+    * community and each round adopts the most frequent label among its
+    * neighbors. Returns `(node, label)` after exactly `rounds` rounds.
+    *
+    * Deterministic BY CONSTRUCTION where textbook LPA is not: updates
+    * are synchronous (every node reads the PREVIOUS round's labels —
+    * asynchronous LPA depends on visit order), and the neighbor vote
+    * breaks ties as (max count, then MIN label) via one lexicographic
+    * `min(struct(-count, label))` — so the result is bit-identical on
+    * any engine/partitioning and the oracle unrolls the identical
+    * rounds. Fixed `rounds` (not convergence-polled): synchronous LPA
+    * can 2-cycle on bipartite structures, so "run r rounds" IS the
+    * published contract, and r stays replayable.
+    *
+    * Scale shape: the direction-doubled edge list is frozen
+    * (pre-partitioned on the neighbor key + localCheckpoint) ONCE;
+    * each round joins the node-sized label state to it, one
+    * map-side-combined (node, label) vote count, one per-node argmin
+    * agg — two exchanges per round, both linear in edges; lineage
+    * stays round-flat on the PageRank checkpoint cadence.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int, checkpointEvery: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val dir = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      .repartition(col("nbr"))
+      .localCheckpoint(true)
+    val nodes = dir.select(col("node")).distinct().localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (i <- 1 to rounds) {
+      val next = dir
+        .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("best"))
+        .select(col("node"), col("best.l").as("label"))
+      labels =
+        if (i % checkpointEvery == 0 || i == rounds) next.localCheckpoint(true)
+        else next
+    }
+    labels
+  }
+
   /** Triangle count over an undirected edge list — the clustering /
     * community-density primitive (co-purchase cliques, link-farm
     * detection on a web corpus).

@@ -69,6 +69,45 @@ object GraphQueries {
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr5 ORDER BY node""".stripMargin
   }
 
+  /** Label-propagation communities
+    * ([[graft.ops.Graph.labelPropagation]]) on the undirected supplier
+    * co-sequence graph (qPagerank's edges, orientation dropped): 4
+    * synchronous rounds, (max count, min label) votes — the oracle
+    * unrolls the identical rounds with the kmeans-style
+    * `min([-c, label])` lexicographic argmin.
+    */
+  private def qLpa(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    graft.ops.Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+      .orderBy(col("node"))
+  }
+
+  private def lpaOracleSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""l$i AS (
+         |  SELECT node, CAST(min([-c, label])[2] AS BIGINT) AS label FROM (
+         |    SELECT d.node, l.label, COUNT(*) AS c
+         |    FROM d JOIN l${i - 1} l ON d.nbr = l.node GROUP BY 1, 2)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nxt AS (
+       |  SELECT l_suppkey AS src,
+       |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+       |                          ORDER BY l_linenumber, l_suppkey) AS dst
+       |  FROM lineitem),
+       |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM nxt WHERE dst IS NOT NULL AND src <> dst),
+       |d AS (SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT node, node AS label FROM d),
+       |$iters
+       |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   /** Triangle count on the part co-purchase graph
     * ([[graft.ops.Graph.triangleCount]]): parts sharing an order form
     * edges; degree-ordered wedges close against the canonical edge set.
@@ -142,10 +181,12 @@ object GraphQueries {
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
     "q_kcore" -> (qKcore _),
+    "q_lpa" -> (qLpa _),
   )
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_lpa" -> lpaOracleSql(rounds = 4),
     "q_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem

@@ -52,6 +52,16 @@ object TextQueries {
       .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang_pred"))
 
+  /** Per-document Shannon character entropy
+    * ([[TextStats.charEntropy]]): the gibberish/base64 screen beside
+    * q_diversity's token-level Simpson index — nano-quantized
+    * `cnt·ln(cnt)` terms, ln on integer args only, scan-shaped.
+    */
+  private def qEntropy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextStats.charEntropy(col("text")).as("char_entropy"))
+      .orderBy(col("doc_id"))
+
   /** Declared-vs-detected language agreement
     * ([[graft.ops.Stats.cohenKappa]]): the `lang` column as rater A, the
     * [[TextStats.langId]] heuristic as rater B — the annotation-QA audit
@@ -467,6 +477,7 @@ object TextQueries {
     "q_doc_quality" -> (qDocQuality _),
     "q_lang_id" -> (qLangId _),
     "q_kappa" -> (qKappa _),
+    "q_entropy" -> (qEntropy _),
     "q_dsir" -> (qDsir _),
     "q_pack" -> (qPack _),
     "q_redact" -> (qRedact _),
@@ -513,6 +524,21 @@ object TextQueries {
         |            WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
         |            ELSE 'unknown' END AS lang_pred, COUNT(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id,
+        |    SUM(CAST(round(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) * 1e9)
+        |      AS BIGINT)) AS s,
+        |    SUM(cnt) AS L
+        |  FROM cc GROUP BY 1)
+        |SELECT doc_id,
+        |  round(ln(CAST(L AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(L AS DOUBLE) / 1e9, 6)
+        |    AS char_entropy
+        |FROM agg ORDER BY doc_id
+        |""".stripMargin,
     "q_kappa" ->
       """WITH pred AS (
         |  SELECT lang AS a,

@@ -69,6 +69,22 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "snappy").orc(path)
 
+  /** Dynamic partition overwrite — replace ONLY the partitions the
+    * incoming frame touches, leave every other partition's files alone
+    * (the incremental-reprocess contract: re-run one day of a
+    * date-partitioned corpus without rewriting — or worse, DROPPING —
+    * the other 3 years, which is exactly what plain `overwrite` +
+    * `partitionBy` does under Spark's default STATIC mode). The mode is
+    * set per-write here, not session-wide, so callers can't be broken
+    * by global config drift.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+                                 partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** JSONL reader for dirty corpora (crawl dumps always carry malformed
     * lines): malformed records land whole in `corruptCol` with every
     * schema field null, instead of silently nulling fields (default

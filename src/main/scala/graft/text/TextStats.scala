@@ -70,6 +70,36 @@ object TextStats {
       lit(1.0) - samePairCount(t).cast("double") / (n * (n - lit(1.0))))
   }
 
+  /** Shannon character entropy in nats — the classic gibberish screen
+    * ([[simpsonDiversity]]'s token-level cousin at the character level):
+    * keyboard mash, base64 blobs and single-char runs sit far from
+    * natural text's ~2.8-3.2 nats. Computed as
+    * `ln(L) − Σ_c cnt_c·ln(cnt_c) / L` so every `ln` argument is an
+    * INTEGER-valued double (identical in every libm we target — the
+    * q_elementary_index rule); each `cnt·ln(cnt)` term nano-quantizes
+    * before the sum, one final subtraction/division chain, 6 dp.
+    * Empty/null text scores 0.0 (a no-information document, not null).
+    *
+    * Per-row array arithmetic only (distinct-chars × chars scan per
+    * document — alphabet-bounded, ~100·L steps) — no shuffle; the whole
+    * corpus screens in one codegen'd scan.
+    */
+  def charEntropy(text: Column): Column = {
+    // Spark's split(_, "") keeps a trailing "" (Java split limit -1);
+    // DuckDB's does not — filter it so both engines see the same chars
+    val chars = filter(split(text, ""), c => c =!= lit(""))
+    val len = size(chars)
+    val termNano = transform(array_distinct(chars), ch => {
+      val cnt = size(filter(chars, c => c === ch)).cast("double")
+      round(cnt * log(cnt) * lit(1e9), 0).cast("long")
+    })
+    val s = aggregate(termNano, lit(0L), (acc, x) => acc + x)
+    when(len > 0,
+      round(log(len.cast("double"))
+        - s.cast("double") / len.cast("double") / lit(1e9), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Intra-document repetition score (C4/Gopher-style quality rule): the
     * fraction of `n`-gram occurrences that are repeats of an earlier
     * occurrence — `1 - |distinct n-grams| / |n-grams|`; 0 for documents

@@ -12,6 +12,41 @@ class GraphSpec extends AnyFunSuite {
   private def edges(es: (Int, Int)*) =
     createDf(spark, "s int, t int", es.map { case (a, b) => Seq[Any](a, b) })
 
+  test("labelPropagation: disjoint triangles each converge to their min id") {
+    val g = edges(1 -> 2, 2 -> 3, 3 -> 1, 10 -> 11, 11 -> 12, 12 -> 10)
+    val l = Graph.labelPropagation(g, "s", "t", rounds = 2)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(l == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10, 12 -> 10))
+  }
+
+  test("labelPropagation: synchronous 2-cycle on a single edge is deterministic per round count") {
+    val g = edges(1 -> 2)
+    val r1 = Graph.labelPropagation(g, "s", "t", rounds = 1)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val r2 = Graph.labelPropagation(g, "s", "t", rounds = 2)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(r1 == Map(1 -> 2, 2 -> 1)) // swapped
+    assert(r2 == Map(1 -> 1, 2 -> 2)) // swapped back: bipartite oscillation
+  }
+
+  test("labelPropagation: vote ties break to the smaller label, duplicates/orientation collapse") {
+    // node 5 sees {1, 9} once each -> tie -> label 1; reversed+duplicate
+    // edges must not double a vote
+    val g = edges(1 -> 5, 5 -> 1, 9 -> 5, 9 -> 5)
+    val l = Graph.labelPropagation(g, "s", "t", rounds = 1)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(l(5) == 1)
+  }
+
+  test("labelPropagation is partitioning-invariant") {
+    val es = (0 until 60).map(i => (i, (i + 1) % 20 + (i / 20) * 20))
+    val g1 = edges(es: _*).coalesce(1)
+    val g2 = edges(es: _*).repartition(7)
+    val a = Graph.labelPropagation(g1, "s", "t", rounds = 3).orderBy("node").collect().toSeq
+    val b = Graph.labelPropagation(g2, "s", "t", rounds = 3).orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
   test("symmetric cycle converges to equal ranks") {
     val g = edges(1 -> 2, 2 -> 3, 3 -> 1)
     val r = Graph.pageRank(g, "s", "t", iterations = 10)

@@ -65,6 +65,20 @@ class SourcesSpec extends AnyFunSuite {
       s"expected pushed filters in ORC scan:\n$plan")
   }
 
+  test("overwritePartitionsDynamic replaces only the touched partitions") {
+    val dir = Files.createTempDirectory("graft-dyn").resolve("t").toString
+    val day1 = spark.range(10).selectExpr("id", "'d1' AS day")
+    val day2 = spark.range(20).selectExpr("id + 100 AS id", "'d2' AS day")
+    Sources.overwritePartitionsDynamic(day1.union(day2), dir, Seq("day"))
+    // reprocess day2 only, with different content
+    val day2v2 = spark.range(5).selectExpr("id + 500 AS id", "'d2' AS day")
+    Sources.overwritePartitionsDynamic(day2v2, dir, Seq("day"))
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("day") === "d1").count() == 10) // untouched survives
+    assert(back.filter(col("day") === "d2").count() == 5)  // replaced, not appended
+    assert(back.filter(col("day") === "d2").agg(min("id")).head().getLong(0) == 500L)
+  }
+
   test("readJsonlQuarantine isolates malformed lines instead of nulling or failing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-dirty")
     java.nio.file.Files.writeString(dir.resolve("part.jsonl"),

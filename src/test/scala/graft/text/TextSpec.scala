@@ -16,6 +16,25 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got == Set(Seq("a b c", "b c d"), Seq.empty[String]))
   }
 
+  test("charEntropy: uniform chars hit ln(k), constant runs hit 0, empty text 0") {
+    val df = createDf(spark, Seq("t"),
+      Seq(Seq("abcd"), Seq("aaaa"), Seq(""), Seq("aabb")))
+    val got = df.select(TextStats.charEntropy(col("t"))).collect().map(_.getDouble(0))
+    assert(got(0) == math.BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) // 4 distinct chars
+    assert(got(1) == 0.0) // single symbol: no information
+    assert(got(2) == 0.0) // empty text scores 0, not null
+    assert(got(3) == math.BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) // two equiprobable chars
+  }
+
+  test("charEntropy is order-invariant and bounded by ln(L)") {
+    val df = createDf(spark, Seq("t"), Seq(Seq("mississippi"), Seq("ippissimssi")))
+    val got = df.select(TextStats.charEntropy(col("t"))).collect().map(_.getDouble(0))
+    assert(got(0) == got(1)) // an anagram has the same distribution
+    assert(got(0) > 0.0 && got(0) < math.log(11.0))
+  }
+
   test("token/stopword/distinct counts and quality score bounds") {
     val df = createDf(spark, Seq("t"), Seq(Seq("the fast the fast a b")))
     val row = df.select(
