@@ -138,6 +138,69 @@ object Graph {
     degrees(cur).select(col("x").as("node"), col("d").as("core_degree"))
   }
 
+  /** Personalized PageRank — [[pageRank]]'s recurrence with the restart
+    * mass concentrated on a SOURCE SET instead of spread uniformly:
+    * ranks answer "important relative to these seeds" (related-item
+    * ranking, seed-expansion curation, trust propagation from a vetted
+    * allowlist), not "globally important".
+    *
+    *   r'(v) = isSrc(v)·((unit·15 div 100) div |S|) + (85·Σ_{u→v} r(u) div d(u)) div 100
+    *
+    * Same exact-integer discipline as [[pageRank]] (every division a
+    * truncating `div` in fixed order — bit-identical on any engine /
+    * partitioning); r₀ puts `unit div |S|` on each graph-present seed
+    * and 0 elsewhere. Seeds absent from the graph are ignored (|S|
+    * counts PRESENT seeds; an all-absent seed set raises). Same scale
+    * shape too: frozen degree-carrying edge list, node-sized rank
+    * state, size-probed broadcast, checkpoint cadence.
+    *
+    * @param sources frame whose `sourceCol` holds the seed node ids
+    * @return (node, rank) with rank in `unit`-ths
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           sources: DataFrame, sourceCol: String,
+                           iterations: Int, unit: Long = 1000000000000L,
+                           checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    require(unit >= 1000000L, "unit too coarse for meaningful ranks")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val e = e0.join(outdeg, Seq("src")).localCheckpoint(true)
+    val flagged = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .join(sources.select(col(sourceCol).as("node")).distinct()
+        .withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("isrc"))
+      .localCheckpoint(true)
+    val nSrc = flagged.agg(sum(col("isrc")).as("ns"))
+    val nsProbe = flagged.filter(col("isrc") === 1L).count()
+    require(nsProbe > 0, "personalizedPageRank: no seed appears in the graph")
+    val nProbe = flagged.count()
+    val useBroadcast = Hints.fitsBroadcast(edges.sparkSession, nProbe, rowBytes = 32L)
+    val eJoined = if (useBroadcast) e else e.repartition(col("src")).localCheckpoint(true)
+    var ranks = flagged.crossJoin(broadcast(nSrc))
+      .select(col("node"), col("isrc"),
+        expr(s"(${unit}L * isrc) div ns").as("rank"))
+      .localCheckpoint(true)
+    val base = s"((${unit}L * 15L div 100L) div ns) * isrc"
+    for (i <- 1 to iterations) {
+      val rankSide = ranks.select(col("node").as("src"), col("rank"))
+      val contribs = eJoined
+        .join(if (useBroadcast) broadcast(rankSide) else rankSide, Seq("src"))
+        .select(col("dst").as("node"), expr("rank div d").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      val next = flagged
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(nSrc))
+        .select(col("node"), col("isrc"),
+          expr(s"$base + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
+      ranks = if (i % checkpointEvery == 0 || i == iterations) next.localCheckpoint(true)
+        else next
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Synchronous label propagation — the cheap community detector
     * (near-linear per round; the usual first pass over co-interaction
     * graphs before anything spectral): every node starts as its own

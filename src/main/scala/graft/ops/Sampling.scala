@@ -273,6 +273,28 @@ object Sampling {
       .drop("__ap_rk")
   }
 
+  /** Temporal split with a purge embargo — the leakage control for
+    * time-ordered data that hash splits can't give: train strictly
+    * before `cutoff − embargo`, test at/after `cutoff`, and the embargo
+    * band in between EXCLUDED from both (rows whose influence straddles
+    * the boundary — label windows, rolling features — would otherwise
+    * leak future into train; the finance literature's "purged" split).
+    * Appends a `split` column ("train" | "embargo" | "test").
+    *
+    * Boundaries are integer epoch-MICROSECOND comparisons (no interval /
+    * calendar arithmetic, which engines disagree on): narrow map,
+    * scan-shaped, no shuffle.
+    */
+  def temporalSplit(df: DataFrame, tsCol: Column, cutoffUs: Long,
+                    embargoUs: Long): DataFrame = {
+    require(embargoUs >= 0, s"embargoUs must be non-negative: $embargoUs")
+    val us = unix_micros(tsCol)
+    df.withColumn("split",
+      when(us < lit(cutoffUs - embargoUs), "train")
+        .when(us < lit(cutoffUs), "embargo")
+        .otherwise("test"))
+  }
+
   /** Deterministic global shuffle — the training-data "shuffle and
     * shard" step ([shard, pos] assignment a dataloader consumes)
     * WITHOUT `rand()`: the order is the md5 of `seed:key`, so a rerun,

@@ -69,6 +69,58 @@ object GraphQueries {
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr5 ORDER BY node""".stripMargin
   }
 
+  /** Personalized PageRank
+    * ([[graft.ops.Graph.personalizedPageRank]]): restart mass on the
+    * suppkey%7==0 seed set over the supplier co-sequence graph —
+    * "important relative to these seeds", same exact-integer recurrence
+    * as qPagerank with the base term gated on seed membership.
+    */
+  private def qPpr(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"))
+    val li = t(s, dir, "lineitem")
+    val edges = li
+      .select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    val seeds = li.select(col("l_suppkey").as("node")).distinct()
+      .filter(col("node") % 7 === 0)
+    graft.ops.Graph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+        iterations = 5)
+      .orderBy(col("node"))
+  }
+
+  private def pprOracleSql: String = {
+    val base = "(((1000000000000 * 15) // 100) // (SELECT ns FROM nsrc)) * f.isrc"
+    val iters = (1 to 5).map { i =>
+      s"""pr$i AS (
+         |  SELECT f.node, f.isrc, $base + (85 * COALESCE(c.m, 0)) // 100 AS rank
+         |  FROM flg f LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank // od.d) AS m
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.node JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) c ON f.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nxt AS (
+       |  SELECT l_suppkey AS src,
+       |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+       |                          ORDER BY l_linenumber, l_suppkey) AS dst
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM nxt WHERE dst IS NOT NULL AND src <> dst),
+       |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+       |seeds AS (SELECT DISTINCT l_suppkey AS node FROM lineitem WHERE l_suppkey % 7 = 0),
+       |flg AS (
+       |  SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS isrc
+       |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+       |nsrc AS (SELECT SUM(isrc) AS ns FROM flg),
+       |od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |pr0 AS (
+       |  SELECT node, isrc,
+       |    (1000000000000 * isrc) // (SELECT ns FROM nsrc) AS rank
+       |  FROM flg),
+       |$iters
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr5 ORDER BY node""".stripMargin
+  }
+
   /** Label-propagation communities
     * ([[graft.ops.Graph.labelPropagation]]) on the undirected supplier
     * co-sequence graph (qPagerank's edges, orientation dropped): 4
@@ -182,11 +234,13 @@ object GraphQueries {
     "q_triangles" -> (qTriangles _),
     "q_kcore" -> (qKcore _),
     "q_lpa" -> (qLpa _),
+    "q_ppr" -> (qPpr _),
   )
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_lpa" -> lpaOracleSql(rounds = 4),
+    "q_ppr" -> pprOracleSql,
     "q_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem

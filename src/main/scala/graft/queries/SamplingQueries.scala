@@ -20,6 +20,17 @@ import graft.queries.Qh.{t, dsum}
   */
 object SamplingQueries {
 
+  /** Purged temporal split ([[Sampling.temporalSplit]]): train < Jan 20,
+    * embargo [Jan 20, Jan 22), test >= Jan 22 — integer epoch-micro
+    * boundaries, counts + exact value sums per (event_type, split).
+    */
+  private def qTemporalSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.temporalSplit(t(s, dir, "events"), col("ts"),
+        cutoffUs = 1705881600000000L, embargoUs = 172800000000L)
+      .groupBy(col("event_type"), col("split"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"), col("split"))
+
   /** Deterministic shuffle-and-shard
     * ([[Sampling.deterministicShuffle]]): every document's (shard, pos)
     * under seed "42" into 8 shards — the epoch-reproducible dataloader
@@ -125,6 +136,7 @@ object SamplingQueries {
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_det_shuffle" -> (qDetShuffle _),
+    "q_temporal_split" -> (qTemporalSplit _),
     "q_split" -> (qSplit _),
     "q_stratified" -> (qStratified _),
     "q_mixture" -> (qMixture _),
@@ -135,6 +147,15 @@ object SamplingQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_temporal_split" ->
+      """SELECT event_type,
+        |  CASE WHEN epoch_us(ts) < 1705881600000000 - 172800000000 THEN 'train'
+        |       WHEN epoch_us(ts) < 1705881600000000 THEN 'embargo'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin,
     "q_det_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),

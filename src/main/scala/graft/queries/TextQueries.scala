@@ -52,6 +52,16 @@ object TextQueries {
       .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang_pred"))
 
+  /** Bigram PMI collocations ([[Rank.bigramPmi]]): adjacent word pairs
+    * co-occurring above chance, with marginals from the bigram table
+    * itself — phrase mining before tokenizer training. All counts
+    * integer, ln on integer args only, minCount=5 drops the unstable
+    * tail.
+    */
+  private def qPmi(s: SparkSession, dir: String): DataFrame =
+    Rank.bigramPmi(t(s, dir, "documents"), col("text"), minCount = 5)
+      .orderBy(col("w1"), col("w2"))
+
   /** Per-document Shannon character entropy
     * ([[TextStats.charEntropy]]): the gibberish/base64 screen beside
     * q_diversity's token-level Simpson index — nano-quantized
@@ -478,6 +488,7 @@ object TextQueries {
     "q_lang_id" -> (qLangId _),
     "q_kappa" -> (qKappa _),
     "q_entropy" -> (qEntropy _),
+    "q_pmi" -> (qPmi _),
     "q_dsir" -> (qDsir _),
     "q_pack" -> (qPack _),
     "q_redact" -> (qRedact _),
@@ -524,6 +535,21 @@ object TextQueries {
         |            WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
         |            ELSE 'unknown' END AS lang_pred, COUNT(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pmi" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM toks),
+        |cells AS (SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT SUM(c12) AS n FROM cells),
+        |m AS (
+        |  SELECT w1, w2, c12,
+        |    SUM(c12) OVER (PARTITION BY w1) AS c1,
+        |    SUM(c12) OVER (PARTITION BY w2) AS c2
+        |  FROM cells)
+        |SELECT w1, w2, c12,
+        |  round(ln(CAST(c12 AS DOUBLE)) + ln(CAST((SELECT n FROM tot) AS DOUBLE))
+        |    - ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)), 6) AS pmi
+        |FROM m WHERE c12 >= 5 ORDER BY w1, w2
+        |""".stripMargin,
     "q_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),

@@ -223,4 +223,51 @@ object Rank {
       .filter(col("rank") <= k)
       .select(id, col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** Bigram PMI collocation extraction — the classic "phrase miner"
+    * (which adjacent word pairs co-occur far above chance: named
+    * entities, multi-word terms worth fusing into single tokens before
+    * BPE/embedding training). Pointwise mutual information over the
+    * bigram contingency table:
+    *
+    *   pmi(w1,w2) = ln c12 + ln N − ln c1 − ln c2
+    *
+    * with c1/c2 the LEFT/RIGHT MARGINALS of the bigram table itself
+    * (not corpus unigram counts — the table's own marginals make the
+    * measure a proper contingency PMI and keep every count from one
+    * stream). Every `ln` argument is an integer-valued double and the
+    * additions run in the fixed written order, so 6-dp values replay in
+    * any engine (the q_elementary_index rule). `minCount` drops the
+    * unstable low-count tail (PMI's known pathology: a 1-occurrence
+    * pair of two rare words maxes the score).
+    *
+    * Scale shape: bigrams explode from the token arrays (row-local) and
+    * reduce in ONE map-side-combined (w1,w2) aggregation — the only
+    * corpus-sized shuffle; marginals are windows over the vocab²-bounded
+    * bigram table (NOT joins, which would push IsNotNull into a
+    * re-scan — the q_kappa lesson) and N rides a 1-row reused-exchange
+    * broadcast. Returns `(w1, w2, c12, pmi)`.
+    */
+  def bigramPmi(docs: DataFrame, text: Column, minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val t = TextStats.tokens(text)
+    val bigrams = docs.select(explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val cells = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val total = cells.agg(sum(col("c12")).as("__N"))
+    val W = org.apache.spark.sql.expressions.Window
+    val c1 = sum(col("c12")).over(W.partitionBy(col("w1")))
+    val c2 = sum(col("c12")).over(W.partitionBy(col("w2")))
+    val pmi = log(col("c12").cast("double")) + log(col("__N").cast("double")) -
+      log(col("__c1").cast("double")) - log(col("__c2").cast("double"))
+    cells
+      .withColumn("__c1", c1)
+      .withColumn("__c2", c2)
+      .crossJoin(broadcast(total))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"), round(pmi, 6).as("pmi"))
+  }
 }

@@ -12,6 +12,34 @@ class GraphSpec extends AnyFunSuite {
   private def edges(es: (Int, Int)*) =
     createDf(spark, "s int, t int", es.map { case (a, b) => Seq[Any](a, b) })
 
+  test("personalizedPageRank: mass stays in the seed's reachable component") {
+    val g = edges(1 -> 2, 3 -> 4)
+    val seeds = createDf(spark, "n int", Seq(Seq[Any](1)))
+    val r = Graph.personalizedPageRank(g, "s", "t", seeds, "n", iterations = 6)
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r(1) > 0 && r(2) > 0)
+    assert(r(3) == 0L && r(4) == 0L) // unreachable from the seed: zero rank
+    assert(r(1) == 1000000000000L * 15 / 100) // pure restart mass, no inflow
+  }
+
+  test("personalizedPageRank with ALL nodes as seeds equals plain pageRank") {
+    val g = edges(1 -> 2, 2 -> 3, 3 -> 1, 1 -> 3)
+    val allNodes = createDf(spark, "n int", Seq(1, 2, 3).map(i => Seq[Any](i)))
+    val ppr = Graph.personalizedPageRank(g, "s", "t", allNodes, "n", iterations = 7)
+      .orderBy("node").collect().toSeq
+    val pr = Graph.pageRank(g, "s", "t", iterations = 7)
+      .orderBy("node").collect().toSeq
+    assert(ppr == pr) // uniform restart = the standard recurrence, bit-exact
+  }
+
+  test("personalizedPageRank raises when no seed is in the graph") {
+    val g = edges(1 -> 2)
+    val seeds = createDf(spark, "n int", Seq(Seq[Any](99)))
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(g, "s", "t", seeds, "n", iterations = 2)
+    }
+  }
+
   test("labelPropagation: disjoint triangles each converge to their min id") {
     val g = edges(1 -> 2, 2 -> 3, 3 -> 1, 10 -> 11, 11 -> 12, 12 -> 10)
     val l = Graph.labelPropagation(g, "s", "t", rounds = 2)

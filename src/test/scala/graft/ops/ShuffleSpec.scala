@@ -47,4 +47,29 @@ class ShuffleSpec extends AnyFunSuite {
     assert(out.select(countDistinct("pos")).head().getLong(0) == 50L)
     assert(out.agg(max("pos")).head().getLong(0) == 49L)
   }
+
+  test("temporalSplit: purge band excluded from both sides, boundaries half-open") {
+    val rows = Seq(
+      (1L, 100L), // train (< cutoff - embargo = 150)
+      (2L, 149L), // train
+      (3L, 150L), // embargo (>= 150, < 200)
+      (4L, 199L), // embargo
+      (5L, 200L), // test (>= cutoff)
+      (6L, 500L)) // test
+    val df = createDf(spark, "id bigint, us bigint",
+        rows.map { case (i, u) => Seq[Any](i, u) })
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Sampling.temporalSplit(df, col("ts"), cutoffUs = 200L, embargoUs = 50L)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "train", 2L -> "train", 3L -> "embargo",
+      4L -> "embargo", 5L -> "test", 6L -> "test"))
+  }
+
+  test("temporalSplit: zero embargo degenerates to a plain cutoff split") {
+    val df = createDf(spark, "us bigint", Seq(Seq[Any](10L), Seq[Any](20L)))
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Sampling.temporalSplit(df, col("ts"), cutoffUs = 20L, embargoUs = 0L)
+      .select("split").collect().map(_.getString(0)).toSeq.sorted
+    assert(got == Seq("test", "train"))
+  }
 }

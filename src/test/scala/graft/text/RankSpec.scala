@@ -137,6 +137,37 @@ class RankSpec extends AnyFunSuite {
       "minDf must prune hapax terms")
   }
 
+  test("bigramPmi: hand-checked contingency PMI on 'a b a b'") {
+    // bigrams: (a,b)x2, (b,a)x1; N=3; left marginals a=2,b=1; right b=2,a=1
+    val df = createDf(spark, "text string", Seq(Seq[Any]("a b a b")))
+    val got = Rank.bigramPmi(df, col("text"), minCount = 1)
+      .orderBy("w1", "w2").collect()
+    assert(got.length == 2)
+    // pmi(a,b) = ln2 + ln3 - ln2 - ln2 = ln(3/2)
+    assert(got(0).getAs[Long]("c12") == 2L)
+    assert(got(0).getAs[Double]("pmi") == 0.405465)
+    // pmi(b,a) = ln1 + ln3 - ln1 - ln1 = ln3
+    assert(got(1).getAs[Double]("pmi") == 1.098612)
+  }
+
+  test("bigramPmi: minCount filters pairs but NOT the marginals they feed") {
+    val df = createDf(spark, "text string", Seq(Seq[Any]("a b a b"), Seq[Any]("a c")))
+    // (a,b)=2, (b,a)=1, (a,c)=1; minCount=2 keeps only (a,b), but its
+    // left marginal must still count the dropped (a,c): c1(a)=3
+    val got = Rank.bigramPmi(df, col("text"), minCount = 2).collect()
+    assert(got.length == 1)
+    // pmi = ln2 + ln4 - ln3 - ln2 = ln(4/3)
+    assert(got(0).getAs[Double]("pmi") ==
+      BigDecimal(math.log(2.0) + math.log(4.0) - math.log(3.0) - math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("bigramPmi: single-token docs contribute no bigrams and don't crash") {
+    val df = createDf(spark, "text string", Seq(Seq[Any]("solo"), Seq[Any]("x y")))
+    val got = Rank.bigramPmi(df, col("text"), minCount = 1).collect()
+    assert(got.length == 1 && got(0).getAs[String]("w1") == "x")
+  }
+
   test("postings are filtered before aggregation (plan has no full-token shuffle)") {
     val df = Rank.bm25Scores(docs, "id", "text", Seq("cat"))
     val p = df.queryExecution.executedPlan.toString
