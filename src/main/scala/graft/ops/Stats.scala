@@ -142,6 +142,60 @@ object Stats {
     * cross join ([[graft.ops.Drift]]'s scalar-attach pattern). 100 TB
     * of labels costs one map-side-combined exchange.
     */
+  /** Welch's two-sample t statistic — the unequal-variance A/B test
+    * (the default experiment readout beside [[proportionCi]]'s
+    * proportion bounds): per group-pair row,
+    *
+    *   t  = (m̄₁ − m̄₂) / √(v₁/n₁ + v₂/n₂)
+    *   df = (v₁/n₁ + v₂/n₂)² / ((v₁/n₁)²/(n₁−1) + (v₂/n₂)²/(n₂−1))
+    *
+    * with v the SAMPLE variance. Returns one row
+    * `(n_a, n_b, mean_a, mean_b, t, df)`, 6 dp.
+    *
+    * Determinism: both samples' (n, Σx, Σx²) accumulate as micro-
+    * quantized DECIMAL(38,0) in ONE aggregation over the union-tagged
+    * scan ([[graft.ops.Regression]]'s discipline); means/variances are
+    * fixed IEEE trees over those exact integers. Groups need n ≥ 2 —
+    * fewer has no sample variance and the row emits nulls for t/df.
+    *
+    * Scale shape: ONE grand aggregate carries both samples' moments as
+    * conditional sums — single pass, single reduce, no join. 100 TB of
+    * observations, one exchange to one row.
+    */
+  def welchT(df: DataFrame, inA: Column, inB: Column, value: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val tagged = df.select(
+      when(inA, lit("a")).when(inB, lit("b")).as("__g"), q(value).as("__x"))
+      .filter(col("__g").isNotNull)
+    // both sides' moments in ONE grand aggregate (conditional sums):
+    // single pass, single reduce, no join for the plan guard to doubt
+    val g = col("__g")
+    def side(s: String): Seq[Column] = Seq(
+      sum(when(g === s, 1L).otherwise(0L)).cast(dec).as(s"__n$s"),
+      sum(when(g === s, col("__x"))).as(s"__s$s"),
+      sum(when(g === s, col("__x") * col("__x"))).as(s"__ss$s"))
+    val moments = side("a") ++ side("b")
+    val m = tagged.agg(moments.head, moments.tail: _*)
+    def nD(s: String) = col(s"__n$s").cast("double")
+    def mean(s: String) = col(s"__s$s").cast("double") / nD(s) / lit(1e6)
+    // sample variance from exact integers: (n·Σx² − (Σx)²) / (n·(n−1)),
+    // in micro² units — converted inside the vOverN terms
+    def vOverN(s: String) =
+      (col(s"__n$s") * col(s"__ss$s") - col(s"__s$s") * col(s"__s$s")).cast("double") /
+        (nD(s) * (nD(s) - lit(1.0))) / lit(1e12) / nD(s)
+    val se2 = vOverN("a") + vOverN("b")
+    val tStat = (mean("a") - mean("b")) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      (vOverN("a") * vOverN("a") / (nD("a") - lit(1.0)) +
+        vOverN("b") * vOverN("b") / (nD("b") - lit(1.0)))
+    m.select(
+        col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+        round(mean("a"), 6).as("mean_a"), round(mean("b"), 6).as("mean_b"),
+        when(col("__na") >= 2 && col("__nb") >= 2, round(tStat, 6)).as("t"),
+        when(col("__na") >= 2 && col("__nb") >= 2, round(dfW, 6)).as("df"))
+  }
+
   def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
     val cells = df.select(a.as("__a"), b.as("__b"))
       .groupBy(col("__a"), col("__b"))

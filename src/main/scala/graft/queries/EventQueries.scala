@@ -242,8 +242,27 @@ object EventQueries {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Kaplan-Meier retention curve ([[graft.ops.Survival.kaplanMeier]]):
+    * per-user active-span durations in days; a user whose last activity
+    * ends before Jan 29 is an observed churn, later = censored at panel
+    * end. The curve steps only at churn times; censoring thins the risk
+    * set — the unbiased retention readout a plain average can't give.
+    */
+  private def qKm(s: SparkSession, dir: String): DataFrame = {
+    val subj = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        floor((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(86400000000L)).as("dur_days"),
+        when(max(unix_micros(col("ts"))) < lit(1706486400000000L), 1L)
+          .otherwise(0L).as("churned"))
+    graft.ops.Survival.kaplanMeier(subj, col("dur_days"), col("churned"))
+      .orderBy(col("t"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_km" -> (qKm _),
     "q_seasonal" -> (qSeasonal _),
     "q_ffill" -> (qFfill _),
     "q_shifted_ffill" -> (qShiftedFfill _),
@@ -266,6 +285,35 @@ object EventQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_km" ->
+      """WITH subj AS (
+        |  SELECT user_id,
+        |    CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS BIGINT) AS t,
+        |    CASE WHEN max(epoch_us(ts)) < 1706486400000000 THEN 1 ELSE 0 END AS e
+        |  FROM events GROUP BY user_id),
+        |byt AS (
+        |  SELECT t, SUM(e) AS n_event, COUNT(*) AS leave_n FROM subj GROUP BY 1),
+        |w AS (
+        |  SELECT t, n_event, leave_n - n_event AS n_censor,
+        |    (SELECT SUM(leave_n) FROM byt)
+        |      - COALESCE(SUM(leave_n) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt),
+        |x AS (
+        |  SELECT t, n_risk, n_event, n_censor,
+        |    SUM(CASE WHEN n_event > 0 AND n_event < n_risk
+        |      THEN CAST(round(ln((CAST(n_risk AS DOUBLE) - CAST(n_event AS DOUBLE))
+        |        / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT) ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ln,
+        |    MAX(CASE WHEN n_event = n_risk AND n_event > 0 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+        |  FROM w)
+        |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_event AS BIGINT) AS n_event, CAST(n_censor AS BIGINT) AS n_censor,
+        |  CASE WHEN zeroed = 1 THEN 0.0
+        |       ELSE round(exp(CAST(cum_ln AS DOUBLE) / 1e9), 6) END AS survival
+        |FROM x ORDER BY t
+        |""".stripMargin,
     "q_seasonal" ->
       """WITH b AS (
         |  SELECT event_type,

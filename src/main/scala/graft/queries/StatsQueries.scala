@@ -515,8 +515,19 @@ object StatsQueries {
     Profile.benfordAudit(t(s, dir, "lineitem"), col("l_extendedprice"), scale = 2)
       .orderBy(col("digit"))
 
+  /** Welch's t-test ([[graft.ops.Stats.welchT]]): purchase vs click
+    * event values — the unequal-variance experiment readout, both
+    * samples' exact moments from one union-tagged aggregation.
+    */
+  private def qWelch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    graft.ops.Stats.welchT(e,
+      col("event_type") === "purchase", col("event_type") === "click", col("value"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_welch" -> (qWelch _),
     "q_benford" -> (qBenford _),
     "q_ols_trend" -> (qOlsTrend _),
     "q_embed_drift" -> (qEmbedDrift _),
@@ -548,6 +559,43 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_welch" ->
+      """WITH tagged AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+        |    CAST(round(value * 1e6) AS HUGEINT) AS x
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s, SUM(x * x) AS ss
+        |  FROM tagged GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    (SELECT n FROM m WHERE g = 'a') AS na,
+        |    (SELECT s FROM m WHERE g = 'a') AS sa,
+        |    (SELECT ss FROM m WHERE g = 'a') AS ssa,
+        |    (SELECT n FROM m WHERE g = 'b') AS nb,
+        |    (SELECT s FROM m WHERE g = 'b') AS sb,
+        |    (SELECT ss FROM m WHERE g = 'b') AS ssb),
+        |c AS (
+        |  SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 AS mb,
+        |    CAST(na * ssa - sa * sa AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1)) / 1e12
+        |      / CAST(na AS DOUBLE) AS va,
+        |    CAST(nb * ssb - sb * sb AS DOUBLE)
+        |      / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1)) / 1e12
+        |      / CAST(nb AS DOUBLE) AS vb
+        |  FROM w)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  CASE WHEN na >= 2 AND nb >= 2
+        |    THEN round((ma - mb) / sqrt(va + vb), 6) END AS t,
+        |  CASE WHEN na >= 2 AND nb >= 2
+        |    THEN round((va + vb) * (va + vb)
+        |      / (va * va / (CAST(na AS DOUBLE) - 1)
+        |        + vb * vb / (CAST(nb AS DOUBLE) - 1)), 6) END AS df
+        |FROM c
+        |""".stripMargin,
     "q_benford" ->
       """WITH u AS (
         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+class SurvivalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def km(subjects: Seq[(Int, Int)]) = {
+    val df = createDf(spark, "t int, e int",
+      subjects.map { case (t, e) => Seq[Any](t, e) })
+    Survival.kaplanMeier(df, col("t"), col("e")).orderBy("t")
+  }
+
+  test("textbook curve: events step, censoring thins the risk set without stepping") {
+    // (1,ev) (2,ev) (2,cens) (3,ev) (4,cens)
+    val out = km(Seq(1 -> 1, 2 -> 1, 2 -> 0, 3 -> 1, 4 -> 0)).collect()
+    val s = out.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val risk = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(risk == Map(1L -> 5L, 2L -> 4L, 3L -> 2L, 4L -> 1L))
+    assert(s(1L) == 0.8)  // 4/5
+    assert(s(2L) == 0.6)  // 0.8 * 3/4
+    assert(s(3L) == 0.3)  // 0.6 * 1/2
+    assert(s(4L) == 0.3)  // censor-only time: curve is flat
+    assert(out.map(r => r.getLong(3)).sum == 2L) // two censored subjects
+  }
+
+  test("a time where everyone at risk dies zeroes the curve exactly") {
+    val out = km(Seq(1 -> 1, 2 -> 1, 2 -> 1)).collect()
+    val s = out.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(s(1L) == math.BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(s(2L) == 0.0) // exact zero, not exp(-inf) artifacts
+  }
+
+  test("all-censored input keeps survival at 1.0 throughout") {
+    val out = km(Seq(1 -> 0, 2 -> 0, 3 -> 0)).collect()
+    assert(out.forall(_.getDouble(4) == 1.0))
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L, 1L)) // risk set still thins
+  }
+
+  test("result is invariant to partitioning") {
+    val subjects = (0 until 300).map(i => (i % 20, if (i % 3 == 0) 1 else 0))
+    val df = createDf(spark, "t int, e int",
+      subjects.map { case (t, e) => Seq[Any](t, e) })
+    val one = Survival.kaplanMeier(df.coalesce(1), col("t"), col("e"))
+      .orderBy("t").collect().toSeq
+    val many = Survival.kaplanMeier(df.repartition(13), col("t"), col("e"))
+      .orderBy("t").collect().toSeq
+    assert(one == many)
+  }
+}
