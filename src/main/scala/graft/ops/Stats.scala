@@ -196,6 +196,46 @@ object Stats {
         when(col("__na") >= 2 && col("__nb") >= 2, round(dfW, 6)).as("df"))
   }
 
+  /** Chi-square test of independence over two categorical columns —
+    * the workhorse "are these associated?" screen (label vs source
+    * balance, segment vs outcome): χ² = Σ_cells (o − e)²/e with
+    * e = row·col/N. Returns ONE row `(n, dof, chi2)`,
+    * dof = (|A|−1)(|B|−1), 6 dp.
+    *
+    * Determinism: observed counts and marginals are exact longs
+    * (marginals as WINDOWS over the cell table — no joins, the
+    * q_kappa/q_pmi discipline); each cell's term is a fixed IEEE tree
+    * on those integers, nano-quantized BEFORE the cell sum (a raw
+    * double Σ over cells would be partition-order-dependent).
+    *
+    * Scale shape: one (a,b)-keyed map-combined exchange to the cell
+    * table; everything after is cell-level (windows + one grand agg +
+    * a reused-exchange 1-row broadcast).
+    */
+  def chiSquareIndependence(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    // NB: "__N" would collide with "__n" under Spark's default
+    // case-insensitive resolution — hence "__tot"
+    val totals = cells.agg(sum(col("__n")).as("__tot"),
+      countDistinct(col("__a")).as("__da"), countDistinct(col("__b")).as("__db"))
+    val W = org.apache.spark.sql.expressions.Window
+    val ra = sum(col("__n")).over(W.partitionBy(col("__a")))
+    val cb = sum(col("__n")).over(W.partitionBy(col("__b")))
+    val e = ra.cast("double") * cb.cast("double") / col("__tot").cast("double")
+    val o = col("__n").cast("double")
+    val termNano = round((o - e) * (o - e) / e * lit(1e9), 0).cast("long")
+    cells
+      .crossJoin(broadcast(totals))
+      .select(termNano.as("__t"), col("__tot"), col("__da"), col("__db"))
+      .groupBy(col("__tot"), col("__da"), col("__db"))
+      .agg(sum(col("__t")).as("__chi"))
+      .select(col("__tot").as("n"),
+        ((col("__da") - 1) * (col("__db") - 1)).as("dof"),
+        round(col("__chi").cast("double") / lit(1e9), 6).as("chi2"))
+  }
+
   def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
     val cells = df.select(a.as("__a"), b.as("__b"))
       .groupBy(col("__a"), col("__b"))

@@ -270,6 +270,68 @@ object JoinQueries {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Fellegi-Sunter match scoring ([[graft.ops.Linkage.score]]) over
+    * (nation, segment)-blocked customer pairs: three agreement fields
+    * (name last-char, acctbal-thousand bucket, acctbal sign) with fixed
+    * m/u probabilities; per-band pair counts + exact score sums. The
+    * per-field log-weights are nano-quantized ONCE in Scala and the
+    * SAME integers are inlined into the oracle SQL, so libm never
+    * enters the compare.
+    */
+  private def qLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def sides(p: String) = c.select(col("c_custkey").as(s"k$p"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      col("c_name").as(s"nm$p"), col("c_acctbal").as(s"ab$p"))
+    val pairs = sides("a").join(sides("b"), Seq("nk", "seg"))
+      .filter(col("ka") < col("kb"))
+    graft.ops.Linkage.score(pairs, linkageFields,
+        lowerNano = 0L, upperNano = 2000000000L)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("score_nano")).as("sum_score_nano"))
+      .orderBy(col("band"))
+  }
+
+  private val linkageMu = Seq((0.9, 0.3), (0.8, 0.1), (0.95, 0.5))
+
+  private def linkageFields: Seq[graft.ops.Linkage.Field] = Seq(
+    graft.ops.Linkage.Field(
+      substring(col("nma"), -1, 1) === substring(col("nmb"), -1, 1),
+      linkageMu(0)._1, linkageMu(0)._2),
+    graft.ops.Linkage.Field(
+      floor(col("aba") / 1000) === floor(col("abb") / 1000),
+      linkageMu(1)._1, linkageMu(1)._2),
+    graft.ops.Linkage.Field(
+      (col("aba") >= 0) === (col("abb") >= 0),
+      linkageMu(2)._1, linkageMu(2)._2))
+
+  private def linkageOracleSql: String = {
+    val ws = linkageMu.map { case (m, u) =>
+      graft.ops.Linkage.weightsNano(graft.ops.Linkage.Field(lit(true), m, u))
+    }
+    val conds = Seq(
+      "substr(a.c_name, -1, 1) = substr(b.c_name, -1, 1)",
+      "floor(a.c_acctbal / 1000) = floor(b.c_acctbal / 1000)",
+      "(a.c_acctbal >= 0) = (b.c_acctbal >= 0)")
+    // literals must be BIGINT-typed up front: DuckDB reads bare
+    // 10-digit ints as INT32 and overflows on the first addition
+    val scoreExpr = conds.zip(ws)
+      .map { case (c, (wa, wd)) =>
+        s"CASE WHEN $c THEN CAST($wa AS BIGINT) ELSE CAST($wd AS BIGINT) END"
+      }
+      .mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT $scoreExpr AS score_nano
+       |  FROM customer a JOIN customer b
+       |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+       |    AND a.c_custkey < b.c_custkey)
+       |SELECT CASE WHEN score_nano >= 2000000000 THEN 'match'
+       |            WHEN score_nano < 0 THEN 'non_match'
+       |            ELSE 'possible' END AS band,
+       |  COUNT(*) AS n_pairs, CAST(SUM(score_nano) AS BIGINT) AS sum_score_nano
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Golden-record consolidation ([[graft.ops.Merge.consolidate]]): per
     * user, each column independently takes its most recent NON-NULL
     * value (error events null out `value`), one window shuffle. The
@@ -361,6 +423,7 @@ object JoinQueries {
     "q_asof_forward" -> (qAsofForward _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_linkage" -> (qLinkage _),
     "q_consolidate" -> (qConsolidate _),
     "q_scd2" -> (qScd2 _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -369,6 +432,7 @@ object JoinQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_linkage" -> linkageOracleSql,
     // Salting routes rows without changing the join's row set, so the
     // oracle is the PLAIN join the salted plan accelerates.
     "q_salted_join" ->

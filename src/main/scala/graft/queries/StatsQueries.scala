@@ -525,8 +525,17 @@ object StatsQueries {
       col("event_type") === "purchase", col("event_type") === "click", col("value"))
   }
 
+  /** Chi-square independence ([[graft.ops.Stats.chiSquareIndependence]]):
+    * is document language balanced across sources? Cell counts exact,
+    * marginals as windows, per-cell terms nano-quantized before the sum.
+    */
+  private def qChi2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.chiSquareIndependence(t(s, dir, "documents"),
+      col("lang"), col("source"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chi2" -> (qChi2 _),
     "q_welch" -> (qWelch _),
     "q_benford" -> (qBenford _),
     "q_ols_trend" -> (qOlsTrend _),
@@ -559,6 +568,25 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_chi2" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT SUM(n) AS nn, COUNT(DISTINCT a) AS da, COUNT(DISTINCT b) AS db
+        |  FROM cells),
+        |m AS (
+        |  SELECT CAST(n AS DOUBLE) AS o,
+        |    CAST(SUM(n) OVER (PARTITION BY a) AS DOUBLE)
+        |      * CAST(SUM(n) OVER (PARTITION BY b) AS DOUBLE)
+        |      / CAST((SELECT nn FROM tot) AS DOUBLE) AS e
+        |  FROM cells),
+        |t2 AS (
+        |  SELECT CAST(round((o - e) * (o - e) / e * 1e9) AS BIGINT) AS term FROM m)
+        |SELECT (SELECT CAST(nn AS BIGINT) FROM tot) AS n,
+        |  (SELECT CAST((da - 1) * (db - 1) AS BIGINT) FROM tot) AS dof,
+        |  round(CAST(SUM(term) AS DOUBLE) / 1e9, 6) AS chi2
+        |FROM t2
+        |""".stripMargin,
     "q_welch" ->
       """WITH tagged AS (
         |  SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
