@@ -165,9 +165,11 @@ object Stats {
   def welchT(df: DataFrame, inA: Column, inB: Column, value: Column): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    // null values drop from BOTH n and the sums (keeping them would
+    // count rows the moments never saw and bias the means)
     val tagged = df.select(
       when(inA, lit("a")).when(inB, lit("b")).as("__g"), q(value).as("__x"))
-      .filter(col("__g").isNotNull)
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
     // both sides' moments in ONE grand aggregate (conditional sums):
     // single pass, single reduce, no join for the plan guard to doubt
     val g = col("__g")
@@ -213,7 +215,11 @@ object Stats {
     * a reused-exchange 1-row broadcast).
     */
   def chiSquareIndependence(df: DataFrame, a: Column, b: Column): DataFrame = {
+    // null categories are excluded outright: countDistinct ignores null,
+    // so keeping null cells would contribute χ² mass with no dof —
+    // rows with unknown category are not evidence about association
     val cells = df.select(a.as("__a"), b.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
       .groupBy(col("__a"), col("__b"))
       .agg(count(lit(1)).as("__n"))
     // NB: "__N" would collide with "__n" under Spark's default
