@@ -30,6 +30,22 @@ object DedupQueries {
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Keep-BEST near-dup removal ([[Dedup.dedupByPairsKeepBest]]):
+    * Jaccard >= 0.5 pairs → connected components → the LONGEST member
+    * (n_chars desc, doc_id asc) survives each cluster — the real
+    * curation keeper, vs [[qDupComponents]]' min-id convention. The
+    * oracle rebuilds the pair set, the clusters (recursive CTE) and the
+    * argmax, so the survivor SELECTION is verified, not just counts.
+    */
+  private def qDedupBest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 5)
+      .filter(col("jaccard") >= 0.5)
+    Dedup.dedupByPairsKeepBest(d.select(col("doc_id"), col("n_chars")), "doc_id",
+        pairs, col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash+LSH near-dup summary: candidate-pair count and max
     * signature-estimated Jaccard.
     *
@@ -215,6 +231,7 @@ object DedupQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_best" -> (qDedupBest _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_containment" -> (qMinhashContainment _),
     "q_dup_components" -> (qDupComponents _),
@@ -246,6 +263,37 @@ object DedupQueries {
         |JOIN (SELECT doc_id, n_sh AS n_a FROM sz) sa ON i.id_a = sa.doc_id
         |JOIN (SELECT doc_id, n_sh AS n_b FROM sz) sb ON i.id_b = sb.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_best" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id_a, id_b FROM i
+        |  JOIN (SELECT doc_id, n_sh AS n_a FROM sz) sa ON i.id_a = sa.doc_id
+        |  JOIN (SELECT doc_id, n_sh AS n_b FROM sz) sb ON i.id_b = sb.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS v, min(b) AS label FROM reach GROUP BY a),
+        |scored AS (
+        |  SELECT c.v, c.label, d.n_chars
+        |  FROM comp c JOIN documents d ON c.v = d.doc_id),
+        |win AS (
+        |  SELECT label, CAST(min([-n_chars, v])[2] AS BIGINT) AS keep
+        |  FROM scored GROUP BY label),
+        |losers AS (SELECT v FROM scored WHERE v NOT IN (SELECT keep FROM win))
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT v FROM losers)
+        |ORDER BY doc_id
+        |""".stripMargin,
     "q_span_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

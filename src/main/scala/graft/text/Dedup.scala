@@ -429,6 +429,38 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupByPairs]] with a QUALITY keeper instead of min-id: each
+    * duplicate cluster keeps its best member by `(keepBy DESC, id ASC)`
+    * — the curation semantic C4/RefinedWeb-style pipelines actually
+    * want (keep the longest / highest-quality copy, not whichever
+    * happened to get the smallest id). `keepBy` must be a NUMERIC
+    * column expression over `df` (ids must be numeric too — the
+    * tiebreak negates them); ties are exact, so the survivor set is
+    * engine-replayable.
+    *
+    * Scale shape: [[connectedComponents]]' pointer-jumped labels join
+    * the (id, score) projection once; the per-cluster argmax is one
+    * map-side-combined `max(struct(score, -id))` aggregation — state is
+    * cluster-sized, never corpus-sized; survivors anti-join back.
+    */
+  def dedupByPairsKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                           keepBy: Column,
+                           aCol: String = "id_a", bCol: String = "id_b",
+                           maxIter: Int = 20): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol, maxIter)
+    val scored = labels
+      .join(df.select(col(idCol).as("v"), keepBy.as("__keep")), Seq("v"))
+    val winners = scored.groupBy(col("label"))
+      .agg(max(struct(col("__keep").as("k"), (-col("v")).as("negid"))).as("__best"))
+      .select((-col("__best.negid")).as("v"))
+    val losers = scored.select(col("v"))
+      .join(winners, Seq("v"), "left_anti")
+      .select(col("v").as(idCol))
+      .localCheckpoint(true)
+    labels.unpersist()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash over the document's distinct tokens: per hash bit,
     * sum ±1 across token hashes; bit set iff the sum is non-negative.
     * Computed by the native [[graft.functions.SimHash32]] expression —

@@ -175,6 +175,31 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 5L)) // {1,2,3}->1, {5,6}->5, 4 unpaired
   }
 
+  test("dedupByPairsKeepBest keeps the highest score per cluster, tie to smaller id") {
+    val docs = createDf(spark, "doc_id bigint, q bigint",
+      Seq(Seq[Any](1L, 5L), Seq[Any](2L, 9L), Seq[Any](3L, 9L),
+        Seq[Any](4L, 1L), Seq[Any](5L, 0L), Seq[Any](6L, 7L)))
+    val pairs = createDf(spark, "id_a bigint, id_b bigint",
+      Seq(Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](5L, 6L)))
+    val kept = Dedup.dedupByPairsKeepBest(docs, "doc_id", pairs, col("q"))
+      .collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3}: max q=9 tied between 2 and 3 -> 2; {5,6}: 6 wins
+    // on score (min-id would keep 5); 4 unpaired survives
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
+  test("dedupByPairsKeepBest equals dedupByPairs when the score is -id") {
+    val docs = createDf(spark, "doc_id bigint, text string",
+      (1L to 6L).map(i => Seq[Any](i, s"doc $i")))
+    val pairs = createDf(spark, "id_a bigint, id_b bigint",
+      Seq(Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](5L, 6L)))
+    val best = Dedup.dedupByPairsKeepBest(docs, "doc_id", pairs, -col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val minId = Dedup.dedupByPairs(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(best == minId)
+  }
+
   test("crossCorpusOverlap flags docs sharing enough shingles with the benchmark") {
     val bench = createDf(spark, "b_id bigint, b_text string",
       Seq(Seq[Any](100L, "the quick brown fox jumps over the lazy dog today")))
