@@ -164,6 +164,55 @@ object Streaming {
       }
   }
 
+  /** Streaming per-key top-k values kept in `GroupState` — a live
+    * leaderboard (max spenders per segment, hottest items per region)
+    * whose state is O(k) per key BY CONSTRUCTION: each micro-batch
+    * folds its values into the key's sorted top-k (value desc, then
+    * the id asc for a deterministic tie survivor), so the state store
+    * never holds more than k (value, id) pairs per key no matter how
+    * long the stream runs. Emits the key's full current top-k each
+    * time the key sees data (Update-mode shape).
+    *
+    * On a batch frame the same call degrades to the window/rank
+    * spelling (one shuffle, `WindowGroupLimit`-bounded) — the batch
+    * twin StreamingSpec checks the stream against.
+    */
+  def topKStateful(df: DataFrame, keyCol: String, idCol: String,
+                   valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (!df.isStreaming) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol))
+        .orderBy(col(valueCol).desc, col(idCol).asc)
+      df.select(col(keyCol).cast("string"), col(idCol).cast("long"),
+          col(valueCol).cast("double"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(keyCol).as("key"), col("rank"),
+          col(idCol).as("id"), col(valueCol).as("value"))
+    } else {
+      df.select(col(keyCol).cast("string").as("k"), col(idCol).cast("long").as("i"),
+          col(valueCol).cast("double").as("v"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (key: String, batch: Iterator[(String, Long, Double)],
+           state: GroupState[Seq[(Double, Long)]]) =>
+            val merged = (state.getOption.getOrElse(Seq.empty) ++
+              batch.map { case (_, id, v) => (v, id) })
+              .sortBy { case (v, id) => (-v, id) }
+              .take(k)
+            state.update(merged)
+            merged.zipWithIndex.iterator.map { case ((v, id), r) =>
+              (key, r + 1, id, v)
+            }
+        }
+        .toDF("key", "rank", "id", "value")
+    }
+  }
+
   /** Watermarked stream-stream interval join (attribution shape): left
     * events match right events with equal keys whose timestamp falls in
     * `[leftTs, leftTs + within]`. Both sides carry watermarks so the

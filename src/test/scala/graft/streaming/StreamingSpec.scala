@@ -42,6 +42,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("topKStateful keeps a bounded per-key leaderboard across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long, Double)]
+    val df = input.toDF().toDF("k", "i", "v")
+    val q = Streaming.topKStateful(df, "k", "i", "v", k = 2)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("topk_out").start()
+    try {
+      input.addData(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 1.0), ("b", 10L, 4.0))
+      q.processAllAvailable()
+      // batch 2: a new max for "a" arrives; an id ties at 9.0 (smaller id wins)
+      input.addData(("a", 4L, 12.0), ("a", 5L, 9.0))
+      q.processAllAvailable()
+      // update-mode memory sink accumulates every emission; the full SET
+      // across both batches is deterministic
+      val all = spark.table("topk_out")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(all == Set(
+        ("a", 1, 2L, 9.0), ("a", 2, 1L, 5.0), ("b", 1, 10L, 4.0), // batch 1
+        ("a", 1, 4L, 12.0), ("a", 2, 2L, 9.0)))                   // batch 2: new max, tie->id 2
+    } finally q.stop()
+  }
+
+  test("topKStateful on a batch frame equals the window/rank spelling") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 1.0), ("a", 4L, 9.0),
+      ("b", 10L, 4.0)).toDF("k", "i", "v")
+    val got = Streaming.topKStateful(df, "k", "i", "v", k = 2)
+      .orderBy("key", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(("a", 1, 2L, 9.0), ("a", 2, 4L, 9.0), ("b", 1, 10L, 4.0)))
+  }
+
   test("dedupWithinWatermark drops cross-batch duplicates in streaming execution") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
