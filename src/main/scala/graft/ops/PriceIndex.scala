@@ -800,4 +800,111 @@ object PriceIndex {
         round(sqrt(ratio("__numL", "__denL") * ratio("__numP", "__denP")), 6)
           .as("fisher"))
   }
+
+  /** Lowe and Young indexes vs `basePeriod` with weights drawn from a
+    * separate `weightPeriod` — the price-reference / weight-reference
+    * split every production CPI runs on (the UK CPI is an annually
+    * re-weighted Lowe index; Young is its arithmetic-mean-of-relatives
+    * sibling). Distinct from [[bilateralIndexes]], whose Laspeyres
+    * collapses weight period onto base period.
+    *
+    *   Lowe(0,t;b)  = Σ p_t·q_b / Σ p_0·q_b
+    *   Young(0,t;b) = Σ s_b·(p_t/p_0) / Σ s_b   with s_b = p_b·q_b
+    *
+    * Matched sample = items trading in ALL of base, weight, and current
+    * period (triple inner join — the production matched-basket rule).
+    * Per-item terms quantize to integer micros before the period sums,
+    * so the aggregation is associative/commutative (exact under any
+    * partitioning); one double division + 6-dp round at the end.
+    *
+    * Scale shape: one unit-value aggregation (the only data-sized
+    * shuffle), then two item-keyed joins against period-sliced frames
+    * that are both tiny (items trading in ONE period) and
+    * broadcast-eligible; the period rollup is map-side combined.
+    *
+    * @return (period, n_items, lowe, young), base period included
+    *         (both indexes exactly 1.0 there by construction)
+    */
+  def loweYoung(df: DataFrame, itemCol: String, periodCol: Column,
+                expCol: String, qtyCol: String,
+                basePeriod: String, weightPeriod: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val uv = df
+      .groupBy(col(itemCol).as("__it"), periodCol.as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__pd"),
+        (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
+        col("__Q").cast("double").as("__q"))
+    val base = uv.filter(col("__pd") === basePeriod)
+      .select(col("__it"), col("__p").as("__p0"))
+    val wt = uv.filter(col("__pd") === weightPeriod)
+      .select(col("__it"), col("__p").as("__pb"), col("__q").as("__qb"))
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    val ratio = (num: String, den: String) =>
+      col(num).cast("double") / col(den).cast("double")
+    uv.join(base, Seq("__it")).join(wt, Seq("__it"))
+      .groupBy(col("__pd"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(micro(col("__p") * col("__qb"))).as("__numLo"),
+        sum(micro(col("__p0") * col("__qb"))).as("__denLo"),
+        sum(micro(col("__pb") * col("__qb") * (col("__p") / col("__p0")))).as("__numY"),
+        sum(micro(col("__pb") * col("__qb"))).as("__denY"))
+      .select(col("__pd").as("period"), col("n_items"),
+        round(ratio("__numLo", "__denLo"), 6).as("lowe"),
+        round(ratio("__numY", "__denY"), 6).as("young"))
+  }
+
+  /** Per-item contributions to the Laspeyres index change vs
+    * `basePeriod` — the decomposition behind every "what drove this
+    * month's rate" publication table. For the matched basket,
+    *
+    *   contrib_i(t) = 100 · (p_t·q_0 − p_0·q_0)_i / Σ_j (p_0·q_0)_j
+    *
+    * in index points, so Σ_i contrib_i(t) = 100·(Laspeyres(t) − 1)
+    * exactly against [[bilateralIndexes]]' matched-sample Laspeyres
+    * (additivity is the point of the Laspeyres decomposition;
+    * Fisher/geometric indexes don't admit one). The denominator is the
+    * PER-PERIOD matched-basket base expenditure — the matched set at t
+    * is items trading in both base and t, so the divisor must follow it
+    * or the contributions stop summing to the index change.
+    *
+    * Same micro-quantization discipline as [[bilateralIndexes]]: both
+    * numerator terms are per-item integer micros, the denominator an
+    * integer sum of the same terms, so contributions are exact before
+    * the single 6-dp round.
+    *
+    * Scale shape: unit-value aggregation, one broadcast-eligible join
+    * onto the base slice, a period-count-sized denominator frame
+    * attached by broadcast join on the period key, no whole-frame
+    * window.
+    *
+    * @return (period, item, contrib_pts) for every matched (period,
+    *         item); filter/top-k downstream — the full decomposition is
+    *         the operator's contract
+    */
+  def laspeyresContributions(df: DataFrame, itemCol: String, periodCol: Column,
+                             expCol: String, qtyCol: String,
+                             basePeriod: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val uv = df
+      .groupBy(col(itemCol).as("__it"), periodCol.as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__pd"),
+        (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
+        col("__Q").cast("double").as("__q"))
+    val base = uv.filter(col("__pd") === basePeriod)
+      .select(col("__it"), col("__p").as("__p0"), col("__q").as("__q0"))
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    val matched = uv.join(base, Seq("__it"))
+    val den = matched.groupBy(col("__pd"))
+      .agg(sum(micro(col("__p0") * col("__q0"))).as("__den"))
+    matched
+      .join(broadcast(den), Seq("__pd"))
+      .select(col("__pd").as("period"), col("__it").as("item"),
+        round(lit(100.0)
+            * (micro(col("__p") * col("__q0")) - micro(col("__p0") * col("__q0")))
+              .cast("double")
+            / col("__den").cast("double"), 6)
+          .as("contrib_pts"))
+  }
 }

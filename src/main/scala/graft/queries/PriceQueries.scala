@@ -297,6 +297,35 @@ object PriceQueries {
         "l_extendedprice", "l_quantity", basePeriod = "1995-01")
       .orderBy(col("period"))
 
+  /** Lowe and Young indexes ([[graft.ops.PriceIndex.loweYoung]]): price
+    * reference 1995-01, weight reference 1995-02 — the CPI's
+    * price/weight-period split (a Laspeyres is the degenerate case
+    * where they coincide). Triple-matched basket, micro-quantized
+    * terms, 6-dp ratios.
+    */
+  private def qLoweYoung(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.loweYoung(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity",
+        basePeriod = "1995-01", weightPeriod = "1995-02")
+      .orderBy(col("period"))
+
+  /** Laspeyres contribution decomposition
+    * ([[graft.ops.PriceIndex.laspeyresContributions]]): per-item index
+    * points vs the 1995-01 base, the "what drove the rate" table. Kept
+    * to the items that moved (|contrib| >= 0.001 pts — the filter is in
+    * the oracle too); PriceIndexSpec pins the exact-additivity law
+    * Σ contrib = 100·(L−1) on the unfiltered frame.
+    */
+  private def qIndexContrib(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.laspeyresContributions(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .filter(abs(col("contrib_pts")) >= 0.001)
+      .orderBy(col("period"), col("item"))
+
   /** Elementary index formulas ([[graft.ops.PriceIndex.elementaryIndexes]]):
     * the unweighted Carli/Dutot/Jevons layer below q_price_index, same
     * matched 1995 sample. Jevons' geometric mean goes through per-item
@@ -381,6 +410,8 @@ object PriceQueries {
     "q_tpd_index" -> (qTpdIndex _),
     "q_weight_audit" -> (qWeightAudit _),
     "q_price_index" -> (qPriceIndex _),
+    "q_lowe_young" -> (qLoweYoung _),
+    "q_index_contrib" -> (qIndexContrib _),
     "q_elementary_index" -> (qElementaryIndex _),
     "q_chained_index" -> (qChainedIndex _),
     "q_cleansed_index" -> (qCleansedIndex _),
@@ -779,6 +810,56 @@ object PriceQueries {
         |  round(CAST(sp AS DOUBLE) / CAST(sp0 AS DOUBLE), 6) AS dutot,
         |  round(exp(CAST(slr AS DOUBLE) / CAST(n_items AS DOUBLE) / 1000000000.0), 6) AS jevons
         |FROM agg ORDER BY period""".stripMargin,
+    "q_lowe_young" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, p AS p0 FROM uv WHERE pd = '1995-01'),
+        |wt AS (SELECT it, p AS pb, qd AS qb FROM uv WHERE pd = '1995-02'),
+        |j AS (
+        |  SELECT uv.pd, uv.p, b.p0, w.pb, w.qb
+        |  FROM uv JOIN base b USING (it) JOIN wt w USING (it)),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(CAST(round(p * qb * 1000000.0) AS BIGINT)) AS numLo,
+        |    SUM(CAST(round(p0 * qb * 1000000.0) AS BIGINT)) AS denLo,
+        |    SUM(CAST(round(pb * qb * (p / p0) * 1000000.0) AS BIGINT)) AS numY,
+        |    SUM(CAST(round(pb * qb * 1000000.0) AS BIGINT)) AS denY
+        |  FROM j GROUP BY 1)
+        |SELECT period, n_items,
+        |  round(CAST(numLo AS DOUBLE) / CAST(denLo AS DOUBLE), 6) AS lowe,
+        |  round(CAST(numY AS DOUBLE) / CAST(denY AS DOUBLE), 6) AS young
+        |FROM agg ORDER BY period""".stripMargin,
+    "q_index_contrib" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |m AS (SELECT uv.pd, uv.it, uv.p, b.p0, b.q0 FROM uv JOIN base b USING (it)),
+        |den AS (
+        |  SELECT pd, SUM(CAST(round(p0 * q0 * 1000000.0) AS BIGINT)) AS d
+        |  FROM m GROUP BY 1),
+        |c AS (
+        |  SELECT m.pd AS period, m.it AS item,
+        |    round(100.0 * CAST(CAST(round(p * q0 * 1000000.0) AS BIGINT)
+        |                     - CAST(round(p0 * q0 * 1000000.0) AS BIGINT) AS DOUBLE)
+        |          / CAST(den.d AS DOUBLE), 6) AS contrib_pts
+        |  FROM m JOIN den USING (pd))
+        |SELECT period, item, contrib_pts FROM c
+        |WHERE abs(contrib_pts) >= 0.001
+        |ORDER BY period, item""".stripMargin,
     "q_price_index" ->
       """WITH li AS (
         |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,

@@ -403,4 +403,66 @@ class PriceIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("p0") && e.getMessage.contains("p2"), e.getMessage)
   }
+
+  // three periods: p0 (price ref), pb (weight ref), p1 (current)
+  private def tx3 = createDf(spark, "item int, pd string, exp double, qty double", Seq(
+    Seq[Any](1, "p0", 10.0, 10.0), // p=1
+    Seq[Any](2, "p0", 40.0, 10.0), // p=4
+    Seq[Any](1, "pb", 30.0, 20.0), // p=1.5, qb=20
+    Seq[Any](2, "pb", 20.0, 5.0),  // p=4,   qb=5
+    Seq[Any](1, "p1", 20.0, 10.0), // p=2
+    Seq[Any](2, "p1", 20.0, 10.0), // p=2
+  ))
+
+  test("loweYoung: hand-checked Lowe and Young; both exactly 1.0 at the base period") {
+    val r = PriceIndex.loweYoung(tx3, "item", col("pd"), "exp", "qty", "p0", "pb")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(r("p0") == ((2L, 1.0, 1.0)))
+    // Lowe(p1) = (2*20 + 2*5) / (1*20 + 4*5) = 50/40 = 1.25
+    val (n, lowe, young) = r("p1")
+    assert(n == 2L && lowe == 1.25)
+    // Young: s_b = (1.5*20, 4*5) = (30, 20); rel = (2, 0.5)
+    //   (30*2 + 20*0.5) / 50 = 70/50 = 1.4
+    assert(young == 1.4)
+  }
+
+  test("loweYoung: weightPeriod == basePeriod collapses Lowe onto Laspeyres and Young onto Carli-weighted") {
+    val lw = PriceIndex.loweYoung(tx, "item", col("pd"), "exp", "qty", "p0", "p0")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val la = PriceIndex.bilateralIndexes(tx, "item", col("pd"), "exp", "qty", "p0")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(lw == la) // Lowe with b = 0 IS the Laspeyres, bit-exactly
+  }
+
+  test("loweYoung: item missing from any of the three reference periods drops from the basket") {
+    val withNew = createDf(spark, "item int, pd string, exp double, qty double",
+      Seq(Seq[Any](3, "p1", 1000.0, 1.0), Seq[Any](3, "pb", 500.0, 1.0))) // no p0 row
+    val r = PriceIndex.loweYoung(tx3.union(withNew), "item", col("pd"), "exp", "qty", "p0", "pb")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(r("p1") == ((2L, 1.25))) // unchanged by the unmatched item
+  }
+
+  test("laspeyresContributions: additivity — Σ contrib = 100·(Laspeyres − 1) per period") {
+    val c = PriceIndex.laspeyresContributions(tx, "item", col("pd"), "exp", "qty", "p0")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // p1: relatives (2, 0.5) on base shares (10/50, 40/50):
+    //   item1 = 100*(20-10)/50 = +20 pts, item2 = 100*(20-40)/50 = -40 pts
+    assert(c(("p1", 1)) == 20.0 && c(("p1", 2)) == -40.0)
+    // sums to 100*(0.8 - 1) = -20 — the decomposition of q_price_index's L
+    assert(c(("p1", 1)) + c(("p1", 2)) == -20.0)
+    // base period decomposes the zero change into exact zeros
+    assert(c(("p0", 1)) == 0.0 && c(("p0", 2)) == 0.0)
+  }
+
+  test("laspeyresContributions: per-period matched denominator keeps additivity when the sample shrinks") {
+    // item 2 vanishes in p2: matched basket there is item 1 alone
+    val d = createDf(spark, "item int, pd string, exp double, qty double", Seq(
+      Seq[Any](1, "p0", 10.0, 10.0), Seq[Any](2, "p0", 40.0, 10.0),
+      Seq[Any](1, "p2", 30.0, 10.0))) // p=3, relative 3.0
+    val c = PriceIndex.laspeyresContributions(d, "item", col("pd"), "exp", "qty", "p0")
+      .filter(col("period") === "p2").collect()
+    // matched den = p0 expenditure of item 1 only = 10: contrib = 100*(30-10)/10
+    assert(c.length == 1 && c(0).getDouble(2) == 200.0)
+  }
 }
