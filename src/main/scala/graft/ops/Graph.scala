@@ -298,4 +298,125 @@ object Graph {
       .join(e, wedges("n1") === e("u") && wedges("n2") === e("v"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** HITS hubs-and-authorities over a directed edge list, in EXACT
+    * integer arithmetic — the link-analysis dual of [[pageRank]] (a good
+    * hub POINTS AT authorities; a good authority IS POINTED AT by hubs):
+    *
+    *   a'(v) = Σ_{u→v} h(u)   then   a(v) = a'(v) div s_a
+    *   h'(u) = Σ_{u→v} a(v)   then   h(u) = h'(u) div s_h
+    *
+    * with s = max(max_raw div unit, 1) — the max-normalization every
+    * HITS needs for convergence, done as ONE truncating integer div by
+    * a scalar scale factor so every value stays an exact long under any
+    * partitioning (the float version never hash-matches). Normalized
+    * scores land in [0, ~unit]; the top authority/hub sits at ~unit.
+    *
+    * Overflow headroom: raw sums are bounded by N·2·unit, so the
+    * default unit 1e9 is safe to ~4e9 nodes; raise/lower `unit` to
+    * trade precision against headroom (stated, not hidden).
+    *
+    * Scale shape: per iteration, two co-partitioned hash joins of the
+    * frozen edge list against node-sized score state and two map-side-
+    * combined aggregations; the two 1-row max frames ride broadcast
+    * cross joins (scalar-attach pattern). Same iteration-flat
+    * localCheckpoint cadence as [[pageRank]].
+    *
+    * @return (node, hub, auth) — integer scores in `unit`-ths
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int, unit: Long = 1000000000L,
+           checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    require(unit >= 1000L, "unit too coarse for meaningful scores")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    def normalized(raw: DataFrame): DataFrame = {
+      // raw: (node, raw); missing nodes are zero
+      val filled = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+      val mx = filled.agg(max(col("raw")).as("mx"))
+      filled.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"raw div greatest(mx div ${unit}L, 1L)").as("score"))
+    }
+    var hubs = nodes.select(col("node"), lit(unit).as("score"))
+    var auths = hubs
+    for (i <- 1 to iterations) {
+      val araw = e.join(hubs.select(col("node").as("src"), col("score")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("score")).as("raw"))
+      auths = normalized(araw)
+      val hraw = e.join(auths.select(col("node").as("dst"), col("score")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("score")).as("raw"))
+      hubs = normalized(hraw)
+      if (i % checkpointEvery == 0 || i == iterations) {
+        hubs = hubs.localCheckpoint(true)
+        auths = auths.localCheckpoint(true)
+      }
+    }
+    hubs.select(col("node"), col("score").as("hub"))
+      .join(auths.select(col("node"), col("score").as("auth")), Seq("node"))
+  }
+
+  /** Link prediction over an undirected graph: for every candidate pair
+    * (u, v) sharing at least one neighbor, the three classic
+    * common-neighbor scores —
+    *
+    *   n_common,
+    *   Adamic-Adar        Σ_w 1/ln(deg w)   (nano-quantized per center),
+    *   Resource Allocation Σ_w 1/deg w      (exact integer nanos)
+    *
+    * — in one wedge enumeration. Each common neighbor w contributes a
+    * per-CENTER integer weight (`round(1e9/ln d)` / `1e9 div d`), so the
+    * pair sums are exact longs under any partitioning; AA's ln rides the
+    * same nano-quantization contract as the Jevons/TPD log pipelines.
+    *
+    * `excludeExisting=true` (default) anti-joins already-linked pairs
+    * away — prediction proper; false scores every co-neighbor pair
+    * (similarity mode).
+    *
+    * Scale: wedge fanout is quadratic in CENTER degree, so
+    * `maxCenterDegree` caps it (default 10k). This is the published
+    * mitigation, not a shortcut: a hub center contributes ~1/ln(d) → 0
+    * weight per wedge precisely when its fanout explodes, so capping
+    * drops the near-zero mass and bounds the join. The cap is an
+    * explicit parameter — silent truncation would read as full
+    * coverage.
+    *
+    * @return (u, v, n_common, aa_nanos, ra_nanos) with u < v
+    */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+                     maxCenterDegree: Int = 10000,
+                     excludeExisting: Boolean = true): DataFrame = {
+    require(maxCenterDegree >= 2, "centers need at least two neighbors")
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+      .localCheckpoint(true) // reused: degrees, wedges, exclusion join
+    val dir = e.select(col("u").as("c"), col("v").as("n"))
+      .unionAll(e.select(col("v").as("c"), col("u").as("n")))
+    val deg = dir.groupBy(col("c")).agg(count(lit(1)).as("d"))
+    // per-center weights, integer nanos; deg-1 centers span no wedge
+    val centers = deg
+      .filter(col("d") >= 2 && col("d") <= maxCenterDegree)
+      .select(col("c"),
+        round(lit(1e9) / log(col("d").cast("double")), 0).cast("long").as("aa_w"),
+        expr("1000000000L div d").as("ra_w"))
+    val wd = dir.join(centers, Seq("c"))
+      .repartition(col("c")) // both wedge sides share this one exchange
+    val w1 = wd.select(col("c"), col("n").as("n1"), col("aa_w"), col("ra_w"))
+    val w2 = wd.select(col("c"), col("n").as("n2"))
+    val pairs = w1.join(w2, Seq("c")).filter(col("n1") < col("n2"))
+      .groupBy(col("n1").as("u"), col("n2").as("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("aa_w")).as("aa_nanos"),
+        sum(col("ra_w")).as("ra_nanos"))
+    if (excludeExisting) pairs.join(e, Seq("u", "v"), "left_anti") else pairs
+  }
 }

@@ -228,8 +228,121 @@ object GraphQueries {
     (head +: steps).mkString(",\n") + "\n" + tail
   }
 
+  /** Integer-exact HITS ([[graft.ops.Graph.hits]]) on the supplier
+    * co-sequence graph (qPagerank's edges): 3 mutual-reinforcement
+    * rounds with max-normalization as scalar integer division, so the
+    * distributed iterations hash-match the oracle's unrolled CTE chain
+    * exactly — hubs and authorities diverge on directed graphs where
+    * PageRank alone conflates the two roles.
+    */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    graft.ops.Graph.hits(edges, "src", "dst", iterations = 3)
+      .orderBy(col("node"))
+  }
+
+  /** Oracle for [[qHits]]: identical integer recurrence, loop unrolled
+    * (auth-from-hub then hub-from-auth per round, each normalized by
+    * `raw // greatest(max // unit, 1)`).
+    */
+  private def hitsOracleSql(iterations: Int): String = {
+    val u = "1000000000"
+    val iters = (1 to iterations).map { i =>
+      s"""af$i AS MATERIALIZED (
+         |  SELECT nd.node, COALESCE(ar.raw, 0) AS raw
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(h.s) AS raw
+         |    FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1) ar
+         |  ON nd.node = ar.node),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, raw // greatest((SELECT MAX(raw) FROM af$i) // $u, 1) AS s
+         |  FROM af$i),
+         |hf$i AS MATERIALIZED (
+         |  SELECT nd.node, COALESCE(hr.raw, 0) AS raw
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.src AS node, SUM(a.s) AS raw
+         |    FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1) hr
+         |  ON nd.node = hr.node),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, raw // greatest((SELECT MAX(raw) FROM hf$i) // $u, 1) AS s
+         |  FROM hf$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nxt AS (
+       |  SELECT l_suppkey AS src,
+       |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+       |                          ORDER BY l_linenumber, l_suppkey) AS dst
+       |  FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM nxt WHERE dst IS NOT NULL AND src <> dst),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+       |h0 AS (SELECT node, CAST($u AS BIGINT) AS s FROM nodes),
+       |$iters
+       |SELECT h.node, CAST(h.s AS BIGINT) AS hub, CAST(a.s AS BIGINT) AS auth
+       |FROM h$iterations h JOIN a$iterations a ON h.node = a.node
+       |ORDER BY h.node""".stripMargin
+  }
+
+  /** Common-neighbor link prediction
+    * ([[graft.ops.Graph.linkPrediction]]) on a thinned part
+    * co-purchase graph: Adamic-Adar and Resource-Allocation scores for
+    * unlinked pairs with >= 2 shared neighbors. Per-center weights are
+    * integer nanos, so the pair sums hash-match SQL exactly; the
+    * degree cap (64) binds on the graph's hub parts and is mirrored in
+    * the oracle.
+    */
+  private def qLinkPred(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("i")).distinct()
+    val a = items.toDF("k", "ia")
+    val b = items.toDF("k", "ib")
+    val edges = a.join(b, Seq("k")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+    graft.ops.Graph.linkPrediction(edges, "ia", "ib", maxCenterDegree = 64)
+      .filter(col("n_common") >= 2)
+      .orderBy(col("u"), col("v"))
+  }
+
+  private def linkPredOracleSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS kk, l_partkey AS i FROM lineitem
+      |  WHERE l_orderkey % 16 = 0),
+      |e AS (
+      |  SELECT DISTINCT a.i AS u, b.i AS v
+      |  FROM items a JOIN items b ON a.kk = b.kk AND a.i < b.i),
+      |d AS (
+      |  SELECT c, count(*) AS dg FROM (
+      |    SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e)
+      |  GROUP BY c),
+      |ctr AS (
+      |  SELECT c, CAST(round(1000000000.0 / ln(CAST(dg AS DOUBLE))) AS BIGINT) AS aa_w,
+      |    1000000000 // dg AS ra_w
+      |  FROM d WHERE dg >= 2 AND dg <= 64),
+      |dir AS (
+      |  SELECT x.c, x.n, ctr.aa_w, ctr.ra_w FROM (
+      |    SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e) x
+      |  JOIN ctr USING (c)),
+      |p AS (
+      |  SELECT w1.n AS u, w2.n AS v, count(*) AS n_common,
+      |    SUM(w1.aa_w) AS aa_nanos, SUM(w1.ra_w) AS ra_nanos
+      |  FROM dir w1 JOIN dir w2 ON w1.c = w2.c AND w1.n < w2.n
+      |  GROUP BY 1, 2)
+      |SELECT p.u, p.v, p.n_common,
+      |  CAST(p.aa_nanos AS BIGINT) AS aa_nanos, CAST(p.ra_nanos AS BIGINT) AS ra_nanos
+      |FROM p ANTI JOIN e ON p.u = e.u AND p.v = e.v
+      |WHERE p.n_common >= 2
+      |ORDER BY p.u, p.v""".stripMargin
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hits" -> (qHits _),
+    "q_link_pred" -> (qLinkPred _),
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
     "q_kcore" -> (qKcore _),
@@ -239,6 +352,8 @@ object GraphQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_hits" -> hitsOracleSql(iterations = 3),
+    "q_link_pred" -> linkPredOracleSql,
     "q_lpa" -> lpaOracleSql(rounds = 4),
     "q_ppr" -> pprOracleSql,
     "q_triangles" ->

@@ -210,4 +210,74 @@ class GraphSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
+
+  private def hitsMap(iters: Int, es: (Int, Int)*): Map[Int, (Long, Long)] =
+    Graph.hits(edges(es: _*), "s", "t", iterations = iters)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("hits: pure hub points at pure authorities — roles separate exactly") {
+    // 1 -> 2, 1 -> 3: node 1 is the only hub; 2 and 3 the only authorities
+    val r = hitsMap(3, 1 -> 2, 1 -> 3)
+    assert(r(1)._1 == 1000000000L && r(1)._2 == 0L) // max hub, zero auth
+    assert(r(2) == ((0L, 1000000000L)) && r(3) == ((0L, 1000000000L)))
+  }
+
+  test("hits: the consensus authority outranks a single-endorsement one") {
+    // 1,2,3 all point at 4; only 3 points at 5
+    val r = hitsMap(3, 1 -> 4, 2 -> 4, 3 -> 4, 3 -> 5)
+    // the top authority sits at ~unit (truncating scalar div leaves the
+    // max in [unit, 2·unit), never exactly unit unless s divides evenly)
+    assert(r(4)._2 >= 1000000000L && r(4)._2 < 2000000000L)
+    assert(r(5)._2 < r(4)._2 && r(5)._2 > 0L) // endorsed, but less
+    assert(r(3)._1 > r(1)._1)                 // 3 hubs two auths: best hub
+  }
+
+  test("hits is partitioning-invariant (exact integers both ways)") {
+    val es = Seq(1 -> 2, 2 -> 3, 3 -> 1, 1 -> 3, 4 -> 2)
+    val a = hitsMap(4, es: _*)
+    val b = Graph.hits(edges(es: _*).repartition(7), "s", "t", iterations = 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b)
+  }
+
+  private def lp(cap: Int, excl: Boolean, es: (Int, Int)*): Map[(Int, Int), (Long, Long, Long)] =
+    Graph.linkPrediction(edges(es: _*), "s", "t", maxCenterDegree = cap,
+        excludeExisting = excl)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("linkPrediction: hand-checked wedge — RA is exact 1e9/deg, AA is nano-quantized 1/ln") {
+    // path 1-2-3: center 2 (deg 2) predicts the (1,3) link
+    val r = lp(100, excl = true, 1 -> 2, 2 -> 3)
+    assert(r.keySet == Set(1 -> 3))
+    val (n, aa, ra) = r(1 -> 3)
+    assert(n == 1L && ra == 500000000L) // 1e9 div 2
+    assert(aa == math.round(1e9 / math.log(2.0))) // 1442695041
+  }
+
+  test("linkPrediction: existing edges drop by default, score in similarity mode") {
+    // triangle 1-2-3: every pair is linked -> nothing to predict
+    assert(lp(100, excl = true, 1 -> 2, 2 -> 3, 1 -> 3).isEmpty)
+    val sim = lp(100, excl = false, 1 -> 2, 2 -> 3, 1 -> 3)
+    assert(sim.keySet == Set(1 -> 2, 1 -> 3, 2 -> 3)) // each via the third node
+  }
+
+  test("linkPrediction: the degree cap excludes hub centers and their near-zero mass") {
+    // star center 9 with 5 spokes, plus path 1-2-3 (center 2, deg 2)
+    val star = (1 to 5).map(i => 9 -> i)
+    val es = star ++ Seq(1 -> 2, 2 -> 3)
+    val capped = lp(4, excl = true, es: _*) // star center deg 5+... excluded
+    // only center 2's wedge survives: (1,3) via 2 — 2's degree is 3 (1, 3, 9)
+    assert(capped.keySet == Set(1 -> 3))
+    assert(capped(1 -> 3)._3 == 1000000000L / 3)
+    val uncapped = lp(100, excl = true, es: _*)
+    assert(uncapped.size > capped.size) // star wedges reappear
+  }
+
+  test("linkPrediction plans no cartesian product") {
+    val plan = Graph.linkPrediction(edges(1 -> 2, 2 -> 3), "s", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
 }
