@@ -274,4 +274,131 @@ object Stats {
         round(pe, 6).as("pe"),
         when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum): the nonparametric two-sample
+    * test — [[welchT]]'s sibling for skewed/ordinal data where means
+    * mislead (latency, spend, token counts). Per group:
+    * `(n_a, n_b, u_a_twice, tie_cubes, z)` where `u_a_twice = 2·U_a`
+    * (U is half-integer under ties, so its DOUBLE is kept exact in a
+    * long) and z is the normal approximation with the standard tie
+    * correction
+    *
+    *   z = (U − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
+    *
+    * Determinism: values micro-quantize to integers, the rank layer
+    * collapses to one row per DISTINCT value (n_a, n per value), and
+    * average ranks come from the identity 2·rank_avg = 2·cum_before +
+    * n_v + 1 — every term an exact integer, so 2·R_a and the tie sum
+    * are exact DECIMAL(38,0) accumulations under any partitioning; z is
+    * one fixed IEEE tree at the end.
+    *
+    * Scale shape: one (groups, value)-keyed map-combined aggregation,
+    * a cumulative window PARTITIONED BY the group keys whose frame
+    * holds distinct VALUES (not rows — bounded by value cardinality),
+    * and a final per-group rollup. No joins.
+    *
+    * @param inA / inB predicates tagging the two samples (rows matching
+    *        neither drop; null values drop as in [[welchT]])
+    */
+  def mannWhitneyU(df: DataFrame, groupBy: Seq[String],
+                   inA: Column, inB: Column, value: Column): DataFrame = {
+    require(groupBy.nonEmpty,
+      "mannWhitneyU needs group keys (use a constant column for a global test)")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val gCols = groupBy.map(col)
+    val tagged = df.select(
+        gCols :+ when(inA, lit("a")).when(inB, lit("b")).as("__g")
+          :+ q(value).as("__x"): _*)
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    // one row per (groups, distinct value): the rank layer
+    val byVal = tagged
+      .groupBy(gCols :+ col("__x"): _*)
+      .agg(sum(when(col("__g") === "a", 1L).otherwise(0L)).as("__na_v"),
+        count(lit(1)).as("__n_v"))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCols: _*).orderBy(col("__x"))
+    val cumBefore = coalesce(
+      sum(col("__n_v")).over(W.rowsBetween(Long.MinValue, -1)), lit(0L))
+    val ranked = byVal.select(
+      gCols
+        :+ col("__na_v") :+ col("__n_v")
+        // 2·Σ_{rows of this value in a} rank_avg, exactly
+        :+ (col("__na_v").cast(dec) *
+            (lit(2L) * cumBefore + col("__n_v") + lit(1L)).cast(dec)).as("__r2")
+        :+ ((col("__n_v").cast(dec) * col("__n_v") * col("__n_v"))
+            - col("__n_v").cast(dec)).as("__t3"): _*)
+    val agg = ranked.groupBy(gCols: _*)
+      .agg(sum(col("__na_v")).as("__na"),
+        sum(col("__n_v") - col("__na_v")).as("__nb"),
+        sum(col("__r2")).as("__ra2"),
+        sum(col("__t3")).as("__ties"))
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val nD = naD + nbD
+    // 2·U_a = 2·R_a − n_a(n_a+1), exact in decimal then long
+    val u2 = (col("__ra2") - (col("__na").cast(dec) * (col("__na") + lit(1L)).cast(dec)))
+    val uA = u2.cast("double") / lit(2.0)
+    val varU = naD * nbD / lit(12.0) *
+      ((nD + lit(1.0)) - col("__ties").cast("double") / (nD * (nD - lit(1.0))))
+    val z = (uA - naD * nbD / lit(2.0)) / sqrt(varU)
+    agg.select(
+      gCols
+        :+ col("__na").as("n_a") :+ col("__nb").as("n_b")
+        :+ u2.cast("long").as("u_a_twice")
+        :+ col("__ties").cast("long").as("tie_cubes")
+        :+ when(col("__na") >= 1 && col("__nb") >= 1 && varU > 0.0, round(z, 6))
+          .as("z"): _*)
+  }
+
+  /** Spearman rank correlation per group: Pearson on average ranks —
+    * the monotone-association measure that survives outliers and
+    * nonlinearity (quality score vs downstream loss, price vs
+    * quantity). Returns `(groups..., n, rho)`, 6 dp.
+    *
+    * Determinism: both columns micro-quantize, and DOUBLED average
+    * ranks come from the exact integer identity
+    *
+    *   2·rank_avg = rank_asc + (n_g + 1 − rank_desc)
+    *
+    * (rank() twice over the same partition, opposite orders — ties get
+    * the same doubled-average rank with no half-integers). The Pearson
+    * moments over those integers accumulate as DECIMAL(38,0), so rho is
+    * exact-integer arithmetic until one final IEEE division.
+    *
+    * Scale shape: three windows sharing ONE group-keyed exchange (two
+    * sort orders, no extra shuffle), then a map-combined per-group
+    * aggregation. Rows with a null in either column drop (a null has no
+    * rank).
+    */
+  def spearman(df: DataFrame, groupBy: Seq[String],
+               x: Column, y: Column): DataFrame = {
+    require(groupBy.nonEmpty,
+      "spearman needs group keys (use a constant column for a global rho)")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val gCols = groupBy.map(col)
+    val base = df.select(gCols :+ q(x).as("__x") :+ q(y).as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val nG = count(lit(1)).over(W)
+    def rank2(c: Column): Column =
+      rank().over(W.orderBy(c)) + (nG + lit(1L)) - rank().over(W.orderBy(c.desc))
+    val ranked = base.select(
+      gCols :+ rank2(col("__x")).cast(dec).as("__rx")
+        :+ rank2(col("__y")).cast(dec).as("__ry"): _*)
+    val agg = ranked.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"))
+    val nDec = col("n").cast(dec)
+    val num = (nDec * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dx = (nDec * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dy = (nDec * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    agg.select(
+      gCols :+ col("n")
+        :+ when(dx > 0.0 && dy > 0.0, round(num / sqrt(dx * dy), 6)).as("rho"): _*)
+  }
 }

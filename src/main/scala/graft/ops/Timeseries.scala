@@ -299,4 +299,77 @@ object Timeseries {
         round(bucketMean / lit(1e6), 6).as("bucket_mean"),
         round(bucketMean / seriesMean, 6).as("factor")): _*)
   }
+
+  /** Per-series autocorrelation function at lags 1..maxLag — the
+    * seasonality/persistence screen (does yesterday predict today? is
+    * there a weekly cycle?) run before any forecasting model:
+    *
+    *   r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * with the SERIES mean in both factors (the standard ACF estimator —
+    * denominators don't re-center per lag). Returns one row per
+    * (series, lag): `(parts..., lag, n_pairs, acf)`, 6 dp.
+    *
+    * Determinism: values micro-quantize to longs; clearing the x̄
+    * fractions by n² turns each r_k into a ratio of exact DECIMAL(38,0)
+    * integer sums,
+    *
+    *   n²·num_k = n²·Σ x_t x_{t−k} − n·S·(H_k + T_k) + (n−k)·S²
+    *   n²·den   = n·(n·Σx² − S²)
+    *
+    * (S = Σx; H_k/T_k the head/tail partial sums over the aligned
+    * pairs), so the double division at the end is the only IEEE step.
+    *
+    * Scale shape: all maxLag lag() windows share ONE series-keyed
+    * exchange and sort; one map-combined aggregation per series; the
+    * per-lag unpivot is arrayexplode over maxLag elements. No joins, no
+    * whole-frame window — safe at any series count, with per-series
+    * length only bounding the sort (the usual long-series caveat).
+    */
+  def autocorrelation(df: DataFrame, parts: Seq[String], orderCol: Column,
+                      valueCol: Column, maxLag: Int): DataFrame = {
+    require(parts.nonEmpty, "autocorrelation needs series keys")
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag out of range: $maxLag")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val q = round(valueCol * lit(1e6), 0).cast("long")
+    val base = df.select(pCols :+ orderCol.as("__o") :+ q.as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val lagged = base.select(
+      pCols :+ col("__x")
+        :++ (1 to maxLag).map(k => lag(col("__x"), k).over(w).as(s"__l$k")): _*)
+    val perLagAggs = (1 to maxLag).flatMap { k =>
+      val lk = col(s"__l$k")
+      Seq(
+        sum(when(lk.isNotNull, col("__x").cast(dec) * lk.cast(dec))).as(s"__sxy$k"),
+        sum(when(lk.isNotNull, col("__x").cast(dec))).as(s"__h$k"),
+        sum(when(lk.isNotNull, lk.cast(dec))).as(s"__t$k"),
+        sum(when(lk.isNotNull, 1L).otherwise(0L)).as(s"__np$k"))
+    }
+    val seriesAggs = Seq(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).as("__s"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
+    val aggs = seriesAggs ++ perLagAggs
+    val agg = lagged.groupBy(pCols: _*).agg(aggs.head, aggs.tail: _*)
+    // unpivot to (lag, n_pairs, acf) rows
+    val lagStructs = array((1 to maxLag).map { k =>
+      struct(lit(k).as("lag"),
+        coalesce(col(s"__np$k"), lit(0L)).as("np"),
+        col(s"__sxy$k").as("sxy"), col(s"__h$k").as("h"), col(s"__t$k").as("tl"))
+    }: _*)
+    val nDec = col("__n").cast(dec)
+    val num = (nDec * nDec * col("__e.sxy")
+      - nDec * col("__s") * (col("__e.h") + col("__e.tl"))
+      + (nDec - col("__e.lag").cast(dec)) * col("__s") * col("__s")).cast("double")
+    val den = (nDec * (nDec * col("__sxx") - col("__s") * col("__s"))).cast("double")
+    agg
+      .select(pCols :+ col("__n") :+ col("__s") :+ col("__sxx")
+        :+ explode(lagStructs).as("__e"): _*)
+      .select(
+        pCols :+ col("__e.lag").as("lag") :+ col("__e.np").as("n_pairs")
+          :+ when(col("__e.np") >= 2 && den > 0.0, round(num / den, 6))
+            .as("acf"): _*)
+  }
 }

@@ -260,8 +260,25 @@ object EventQueries {
       .orderBy(col("t"))
   }
 
+  /** Per-type hourly revenue ACF at lags 1..6
+    * ([[graft.ops.Timeseries.autocorrelation]]): the
+    * persistence/seasonality screen before q_seasonal commits to a
+    * cycle length. Hourly cent sums form the series; the n²-cleared
+    * integer formulation makes all 6 lags hash-exact from one
+    * series-keyed exchange.
+    */
+  private def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("__h"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    Timeseries.autocorrelation(hourly, Seq("event_type"), col("__h"),
+        col("cents"), maxLag = 6)
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_autocorr" -> (qAutocorr _),
     "q_km" -> (qKm _),
     "q_seasonal" -> (qSeasonal _),
     "q_ffill" -> (qFfill _),
@@ -283,8 +300,43 @@ object EventQueries {
     "q_rolling_hll" -> (qRollingHll _),
   )
 
+  private def autocorrOracleSql(maxLag: Int): String = {
+    val lagCols = (1 to maxLag).map(k => s"lag(x, $k) OVER w AS l$k").mkString(", ")
+    val aggCols = (1 to maxLag).map { k =>
+      s"""SUM(CASE WHEN l$k IS NOT NULL THEN x * l$k END) AS sxy$k,
+         |    SUM(CASE WHEN l$k IS NOT NULL THEN x END) AS hh$k,
+         |    SUM(CASE WHEN l$k IS NOT NULL THEN l$k END) AS tt$k,
+         |    SUM(CASE WHEN l$k IS NOT NULL THEN 1 ELSE 0 END) AS np$k""".stripMargin
+    }.mkString(",\n    ")
+    val unions = (1 to maxLag).map { k =>
+      s"SELECT event_type, $k AS lag, np$k AS np, sxy$k AS sxy, hh$k AS hh, tt$k AS tt, n, s, sxx FROM a"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH hv AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |    SUM(CAST(round(value * 100) AS BIGINT)) AS x
+       |  FROM events GROUP BY 1, 2),
+       |l AS (
+       |  SELECT event_type, x, $lagCols
+       |  FROM hv WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+       |a AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS sxx,
+       |    $aggCols
+       |  FROM l GROUP BY 1),
+       |u AS (
+       |  $unions)
+       |SELECT event_type, lag, CAST(COALESCE(np, 0) AS BIGINT) AS n_pairs,
+       |  CASE WHEN np >= 2
+       |        AND CAST(n * (n * sxx - s * s) AS DOUBLE) > 0
+       |    THEN round(
+       |      CAST(n * n * sxy - n * s * (hh + tt) + (n - lag) * s * s AS DOUBLE)
+       |      / CAST(n * (n * sxx - s * s) AS DOUBLE), 6)
+       |  END AS acf
+       |FROM u ORDER BY event_type, lag""".stripMargin
+  }
+
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_autocorr" -> autocorrOracleSql(maxLag = 6),
     "q_km" ->
       """WITH subj AS (
         |  SELECT user_id,

@@ -533,8 +533,34 @@ object StatsQueries {
     graft.ops.Stats.chiSquareIndependence(t(s, dir, "documents"),
       col("lang"), col("source"))
 
+  /** Mann-Whitney U ([[graft.ops.Stats.mannWhitneyU]]): q_welch's
+    * nonparametric sibling — purchase vs click value distributions per
+    * user segment, ranks collapsed to the distinct-value layer so 2·U,
+    * the tie term, and the tie-corrected z are exact under any
+    * partitioning.
+    */
+  private def qMannwhitney(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("segment", col("user_id") % 4)
+    graft.ops.Stats.mannWhitneyU(e, Seq("segment"),
+        col("event_type") === "purchase", col("event_type") === "click",
+        col("value"))
+      .orderBy(col("segment"))
+  }
+
+  /** Spearman rank correlation ([[graft.ops.Stats.spearman]]): the
+    * monotone complement of q_corr's Pearson — quantity vs price per
+    * return flag, doubled average ranks from the two-sided rank()
+    * identity, Pearson moments over exact integers.
+    */
+  private def qSpearman(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.spearman(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_returnflag"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mannwhitney" -> (qMannwhitney _),
+    "q_spearman" -> (qSpearman _),
     "q_chi2" -> (qChi2 _),
     "q_welch" -> (qWelch _),
     "q_benford" -> (qBenford _),
@@ -568,6 +594,73 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_mannwhitney" ->
+      """WITH tg AS (
+        |  SELECT user_id % 4 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 'a'
+        |         WHEN event_type = 'click' THEN 'b' END AS g,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT segment, x,
+        |    SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na_v,
+        |    COUNT(*) AS n_v
+        |  FROM tg GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT segment, na_v, n_v,
+        |    COALESCE(SUM(n_v) OVER (PARTITION BY segment ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM bv),
+        |a AS (
+        |  SELECT segment, SUM(na_v) AS na, SUM(n_v - na_v) AS nb,
+        |    SUM(na_v * (2 * cb + n_v + 1)) AS ra2,
+        |    SUM(n_v * n_v * n_v - n_v) AS ties
+        |  FROM rk GROUP BY 1),
+        |f AS (
+        |  SELECT segment, na, nb,
+        |    ra2 - na * (na + 1) AS u2, ties,
+        |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+        |    CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS nd
+        |  FROM a),
+        |v AS (
+        |  SELECT segment, na, nb, u2, ties, nad, nbd, nd,
+        |    nad * nbd / 12.0 * ((nd + 1.0) - CAST(ties AS DOUBLE) / (nd * (nd - 1.0))) AS varu
+        |  FROM f)
+        |SELECT segment, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(u2 AS BIGINT) AS u_a_twice, CAST(ties AS BIGINT) AS tie_cubes,
+        |  CASE WHEN na >= 1 AND nb >= 1 AND varu > 0.0
+        |    THEN round((CAST(u2 AS DOUBLE) / 2.0 - nad * nbd / 2.0) / sqrt(varu), 6)
+        |  END AS z
+        |FROM v ORDER BY segment""".stripMargin,
+    "q_spearman" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_quantity * 1000000.0) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 1000000.0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g,
+        |    rank() OVER (PARTITION BY g ORDER BY x)
+        |      + (COUNT(*) OVER (PARTITION BY g) + 1)
+        |      - rank() OVER (PARTITION BY g ORDER BY x DESC) AS rx,
+        |    rank() OVER (PARTITION BY g ORDER BY y)
+        |      + (COUNT(*) OVER (PARTITION BY g) + 1)
+        |      - rank() OVER (PARTITION BY g ORDER BY y DESC) AS ry
+        |  FROM v),
+        |a AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    SUM(rx) AS sx, SUM(ry) AS sy,
+        |    SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+        |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS rho
+        |FROM a ORDER BY g""".stripMargin,
     "q_chi2" ->
       """WITH cells AS (
         |  SELECT lang AS a, source AS b, COUNT(*) AS n FROM documents GROUP BY 1, 2),

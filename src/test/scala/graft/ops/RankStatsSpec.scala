@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+/** Rank-based statistics: Mann-Whitney U, Spearman rho, and the ACF's
+  * integer formulation.
+  */
+class RankStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def mwu(a: Seq[Double], b: Seq[Double]) = {
+    val df = createDf(spark, "k int, g string, v double",
+      a.map(v => Seq[Any](1, "a", v)) ++ b.map(v => Seq[Any](1, "b", v)))
+    Stats.mannWhitneyU(df, Seq("k"), col("g") === "a", col("g") === "b", col("v"))
+      .head()
+  }
+
+  test("mannWhitneyU hand-checked, no ties: a=[1,2,3] b=[4,5,6,7]") {
+    // every b beats every a: U_a = 0
+    val r = mwu(Seq(1, 2, 3), Seq(4, 5, 6, 7))
+    assert(r.getLong(1) == 3L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 0L)  // u_a_twice
+    assert(r.getLong(4) == 0L)  // no ties
+    // z = (0 - 6) / sqrt(3*4*8/12) = -6 / sqrt(8) = -2.121320
+    assert(r.getDouble(5) == -2.12132)
+  }
+
+  test("mannWhitneyU: interleave a-first — a wins 0+1+2+3 of the 16 pairs") {
+    val r = mwu(Seq(1, 3, 5, 7), Seq(2, 4, 6, 8))
+    assert(r.getLong(3) == 12L) // U_a = 6 -> 2U = 12
+    // z = (6 - 8) / sqrt(4*4*9/12) = -2 / sqrt(12) = -0.577350
+    assert(r.getDouble(5) == -0.57735)
+  }
+
+  test("mannWhitneyU: ties get average ranks and the tie correction term") {
+    // a=[1,2], b=[2,3]: the tied pair at 2 shares rank 2.5
+    // R_a = 1 + 2.5 = 3.5 -> 2R_a = 7; 2U_a = 7 - 2*3 = 1
+    val r = mwu(Seq(1, 2), Seq(2, 3))
+    assert(r.getLong(3) == 1L)
+    assert(r.getLong(4) == 6L) // one tie group of 2: 2^3 - 2
+  }
+
+  test("mannWhitneyU is symmetric: U_a + U_b = n_a·n_b") {
+    val a = Seq(1.0, 4.0, 4.0, 9.0); val b = Seq(2.0, 4.0, 7.0)
+    val df = createDf(spark, "k int, g string, v double",
+      a.map(v => Seq[Any](1, "a", v)) ++ b.map(v => Seq[Any](1, "b", v)))
+    val ua = Stats.mannWhitneyU(df, Seq("k"),
+      col("g") === "a", col("g") === "b", col("v")).head().getLong(3)
+    val ub = Stats.mannWhitneyU(df, Seq("k"),
+      col("g") === "b", col("g") === "a", col("v")).head().getLong(3)
+    assert(ua + ub == 2 * a.size * b.size)
+  }
+
+  private def rho(xy: Seq[(Double, Double)]): Option[Double] = {
+    val df = createDf(spark, "k int, x double, y double",
+      xy.map { case (x, y) => Seq[Any](1, x, y) })
+    val r = Stats.spearman(df, Seq("k"), col("x"), col("y")).head()
+    if (r.isNullAt(2)) None else Some(r.getDouble(2))
+  }
+
+  test("spearman: any monotone map is rho = 1; reversal is -1") {
+    assert(rho(Seq(1.0 -> 1.0, 2.0 -> 100.0, 3.0 -> 101.5)) == Some(1.0))
+    assert(rho(Seq(1.0 -> 9.0, 2.0 -> 4.0, 3.0 -> 1.0)) == Some(-1.0))
+  }
+
+  test("spearman hand-checked with a tie: x=[1,2,2,4] vs y=[1,3,2,4]") {
+    // rows pair as (2rx, 2ry): (2,2) (5,6) (5,4) (8,8)
+    // sx=sy=20, sxy=118, sxx=118, syy=120
+    // num = 4·118−400 = 72; dx = 72; dy = 80 -> 72/sqrt(72·80) = 0.948683
+    val got = rho(Seq(1.0 -> 1.0, 2.0 -> 3.0, 2.0 -> 2.0, 4.0 -> 4.0)).get
+    val exp = BigDecimal(72.0 / math.sqrt(72.0 * 80.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == exp)
+  }
+
+  test("spearman: constant column has no rank variance -> null rho") {
+    assert(rho(Seq(1.0 -> 5.0, 2.0 -> 5.0, 3.0 -> 5.0)).isEmpty)
+  }
+
+  test("spearman is rank-invariant: squashing x through exp() changes nothing") {
+    val base = Seq(1.0 -> 4.0, 2.0 -> 1.0, 3.0 -> 9.0, 5.0 -> 2.0)
+    val squashed = base.map { case (x, y) => math.exp(x) / 100.0 -> y }
+    assert(rho(base) == rho(squashed))
+  }
+
+  private def acf(vals: Seq[Double], maxLag: Int) = {
+    val df = createDf(spark, "k int, t int, v double",
+      vals.zipWithIndex.map { case (v, i) => Seq[Any](1, i, v) })
+    Timeseries.autocorrelation(df, Seq("k"), col("t"), col("v"), maxLag)
+      .orderBy(col("lag"))
+      .collect().map(r => (r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+  }
+
+  test("autocorrelation: alternating series has acf(1) < 0 and acf(2) > 0") {
+    val r = acf(Seq(1, 9, 1, 9, 1, 9, 1, 9, 1, 9), 2)
+    assert(r(0)._1 == 1 && r(0)._2 == 9L && r(0)._3 < -0.8)
+    assert(r(1)._1 == 2 && r(1)._2 == 8L && r(1)._3 > 0.7)
+  }
+
+  test("autocorrelation hand-checked: [1,2,3,4] lag 1") {
+    // x̄=2.5; num = (2-2.5)(1-2.5)+(3-2.5)(2-2.5)+(4-2.5)(3-2.5) = 1.25
+    // den = 5; acf(1) = 0.25
+    val r = acf(Seq(1, 2, 3, 4), 1)
+    assert(r(0)._2 == 3L && r(0)._3 == 0.25)
+  }
+
+  test("autocorrelation: lags past the series length emit n_pairs = 0, null acf") {
+    val r = acf(Seq(1, 2, 3), 5)
+    assert(r.length == 5)
+    assert(r(4)._2 == 0L && r(4)._3.isNaN)
+  }
+
+  test("autocorrelation is partitioning-invariant (integer formulation)") {
+    val vals = Seq(3.25, 1.5, 4.75, 1.25, 5.5, 9.0, 2.5, 6.25)
+    val df = createDf(spark, "k int, t int, v double",
+      vals.zipWithIndex.map { case (v, i) => Seq[Any](1, i, v) })
+    val a = Timeseries.autocorrelation(df, Seq("k"), col("t"), col("v"), 3)
+      .orderBy(col("lag")).collect().toSeq
+    val b = Timeseries.autocorrelation(df.repartition(7), Seq("k"), col("t"), col("v"), 3)
+      .orderBy(col("lag")).collect().toSeq
+    assert(a == b)
+  }
+}
