@@ -326,6 +326,73 @@ object Timeseries {
     * whole-frame window — safe at any series count, with per-series
     * length only bounding the sort (the usual long-series caveat).
     */
+  /** Tabular CUSUM changepoint screen per series — Page's test, the
+    * standard "did the mean shift?" monitor for pipelines (ingest rate,
+    * quality score, revenue): with target μ = the series mean and
+    * allowance k,
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k))
+    *   S⁻_t = max(0, S⁻_{t−1} + (μ − x_t − k))
+    *
+    * alarm when either exceeds h. The recursion LOOKS sequential, but
+    * obeys the prefix identity  S⁺_t = P_t − min(0, min_{j≤t} P_j)
+    * with P_t = Σ_{i≤t}(x_i − μ − k) — so it is two windows (prefix
+    * sum + running min) over one series-keyed exchange, not a
+    * per-series sequential scan.
+    *
+    * Determinism: x micro-quantizes; μ = S/n is kept RATIONAL by
+    * clearing denominators (everything scales by n in DECIMAL(38,0)),
+    * so P, the running min, and both CUSUM numerators are exact
+    * integers; the only IEEE steps are the final /n/1e6 and the
+    * h-comparison. Alarm is therefore exactly reproducible — no
+    * accumulated float drift, which plagues naive CUSUM ports.
+    *
+    * Scale shape: four windows (count/sum unbounded + two ordered
+    * prefixes) all PARTITIONED BY the series keys, sharing one
+    * exchange; no joins, no whole-frame window.
+    *
+    * @param k allowance (slack) in value units — typically σ/2
+    * @param h decision threshold in value units — typically 4-5σ
+    * @return input columns + (cusum_plus, cusum_minus, cusum_alarm)
+    */
+  def cusum(df: DataFrame, parts: Seq[String], orderCol: Column,
+            valueCol: Column, k: Double, h: Double): DataFrame = {
+    require(parts.nonEmpty, "cusum needs series keys")
+    require(k >= 0.0 && h > 0.0, s"need k >= 0 and h > 0: k=$k h=$h")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = round(valueCol * lit(1e6), 0).cast("long").cast(dec)
+    val kMicros = lit(math.round(k * 1e6)).cast(dec)
+    val wAll = Window.partitionBy(parts.map(col): _*)
+    val wOrd = wAll.orderBy(orderCol)
+    val wCum = wOrd.rowsBetween(Long.MinValue, 0)
+    val n = count(lit(1)).over(wAll).cast(dec)
+    val s = sum(x).over(wAll)
+    val t = row_number().over(wOrd).cast(dec)
+    val cum = sum(x).over(wCum)
+    // n-cleared prefix walks: P⁺ = n·Σx_i − t·(S + n·k), P⁻ mirrored.
+    // Materialized before the running-min pass (window-over-window is
+    // not one projection); both passes share the series exchange.
+    val reserved = Seq("__cp_p", "__cp_m", "__cp_n")
+    require(!df.columns.exists(reserved.contains),
+      s"input columns collide with reserved names: ${reserved.mkString(", ")}")
+    val pre = df
+      .withColumn("__cp_p", n * cum - t * (s + n * kMicros))
+      .withColumn("__cp_m", t * (s - n * kMicros) - n * cum)
+      .withColumn("__cp_n", n)
+    def cusumCol(p: Column): Column = {
+      val runMin = min(p).over(wCum)
+      round((p - least(lit(0).cast(dec), runMin)).cast("double")
+        / col("__cp_n").cast("double") / lit(1e6), 6)
+    }
+    val cp = cusumCol(col("__cp_p"))
+    val cm = cusumCol(col("__cp_m"))
+    pre
+      .withColumn("cusum_plus", cp)
+      .withColumn("cusum_minus", cm)
+      .withColumn("cusum_alarm", col("cusum_plus") > h || col("cusum_minus") > h)
+      .drop(reserved: _*)
+  }
+
   def autocorrelation(df: DataFrame, parts: Seq[String], orderCol: Column,
                       valueCol: Column, maxLag: Int): DataFrame = {
     require(parts.nonEmpty, "autocorrelation needs series keys")

@@ -276,9 +276,26 @@ object EventQueries {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** CUSUM mean-shift monitor ([[graft.ops.Timeseries.cusum]]) on the
+    * daily revenue series per event type — Page's test as two windows
+    * (prefix sum + running min) via the n-cleared integer identity, so
+    * both CUSUM walks and the alarm flags hash-match exactly.
+    */
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("amount", col("cents") / lit(100.0))
+      .drop("cents")
+    graft.ops.Timeseries.cusum(daily, Seq("event_type"), col("day"),
+        col("amount"), k = 0.0, h = 1000.0)
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_autocorr" -> (qAutocorr _),
+    "q_cusum" -> (qCusum _),
     "q_km" -> (qKm _),
     "q_seasonal" -> (qSeasonal _),
     "q_ffill" -> (qFfill _),
@@ -337,6 +354,45 @@ object EventQueries {
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_autocorr" -> autocorrOracleSql(maxLag = 6),
+    "q_cusum" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day, CAST(cents AS DOUBLE) / 100.0 AS amount,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |w AS (
+        |  SELECT event_type, day, amount, x,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(x) OVER (PARTITION BY event_type) AS s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    SUM(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM v),
+        |pp AS (
+        |  SELECT event_type, day, amount, n,
+        |    n * cum - t * s AS p_plus,
+        |    t * s - n * cum AS p_minus
+        |  FROM w),
+        |r AS (
+        |  SELECT event_type, day, amount, n, p_plus, p_minus,
+        |    MIN(p_plus) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp,
+        |    MIN(p_minus) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+        |  FROM pp),
+        |f AS (
+        |  SELECT event_type, day, amount,
+        |    round(CAST(p_plus - LEAST(0, mp) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) / 1000000.0, 6) AS cusum_plus,
+        |    round(CAST(p_minus - LEAST(0, mm) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) / 1000000.0, 6) AS cusum_minus
+        |  FROM r)
+        |SELECT event_type, day, amount, cusum_plus, cusum_minus,
+        |  (cusum_plus > 1000.0 OR cusum_minus > 1000.0) AS cusum_alarm
+        |FROM f ORDER BY event_type, day""".stripMargin,
     "q_km" ->
       """WITH subj AS (
         |  SELECT user_id,

@@ -58,6 +58,28 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest as-of ([[AsOf.asofJoinNearest]]): each purchase attaches
+    * whichever click is closest in time either direction (exact-distance
+    * ties -> the backward match; same-timestamp ties -> greatest
+    * click_id). The oracle ranks all candidate clicks by
+    * (|Δt|, backward-first, click_id desc) — an independent spelling of
+    * the two-sided scan.
+    */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    AsOf.asofJoinNearest(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), rightTieBreak = Seq("click_id"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("asof_click_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Forward as-of ([[AsOf.asofJoinForward]]): each purchase attaches the
     * NEXT click at-or-after it per user. DuckDB's native ASOF is
     * backward-only, so the oracle is an independent inequality-join +
@@ -421,6 +443,7 @@ object JoinQueries {
     "q_zorder" -> (qZorder _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_forward" -> (qAsofForward _),
+    "q_asof_nearest" -> (qAsofNearest _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_linkage" -> (qLinkage _),
@@ -514,6 +537,25 @@ object JoinQueries {
         |SELECT a.user_id, COUNT(*) AS n_pairs
         |FROM a JOIN b ON a.user_id = b.user_id AND a.s1 < b.e2 AND b.s2 < a.e1
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q_asof_nearest" ->
+      // rank every candidate by (|Δt|, backward-first, click_id desc):
+      // the two-sided nearest with the operator's tie ladder
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, c.ts AS cts, c.click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+        |        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+        |        c.click_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(m.cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  m.click_id AS asof_click_id
+        |FROM p LEFT JOIN (SELECT event_id, cts, click_id FROM j WHERE rn = 1) m
+        |  ON p.event_id = m.event_id
+        |ORDER BY p.event_id""".stripMargin,
     "q_asof_forward" ->
       // DuckDB ASOF is backward-only: independent inequality-join +
       // row_number spelling (ties: greatest click_id, as the operator)

@@ -481,7 +481,32 @@ object TextQueries {
   }
 
   /** This family's slice of [[graft.SparkEntry.queries]]. */
+  /** Corpus readability ([[TextStats.fleschReadingEase]]): per
+    * (lang, source) exact integer word/sentence/vowel-group sums with
+    * the Flesch score computed ONCE over the group totals — the
+    * curation-time "is this slice too hard/too degenerate" screen.
+    * Counts are dialect-portable regex extractions, so the oracle
+    * replays them verbatim.
+    */
+  private def qReadability(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("lang"), col("source"),
+      TextStats.alnumWordCount(col("text")).cast("long").as("__w"),
+      TextStats.sentenceCount(col("text")).cast("long").as("__st"),
+      TextStats.vowelGroupCount(col("text")).cast("long").as("__sy"))
+    d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("words"),
+        sum(col("__st")).as("sentences"),
+        sum(col("__sy")).as("syllables"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("words"), col("sentences"), col("syllables"),
+        round(TextStats.fleschReadingEase(
+          col("words"), col("sentences"), col("syllables")), 6).as("flesch"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (qReadability _),
     "q_text_stats" -> (qTextStats _),
     "q_vocab" -> (qVocab _),
     "q_doc_quality" -> (qDocQuality _),
@@ -510,6 +535,27 @@ object TextQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT lang, source,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS st,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs,
+        |    SUM(w) AS words, SUM(st) AS sentences, SUM(sy) AS syllables
+        |  FROM c GROUP BY 1, 2)
+        |SELECT lang, source, n_docs,
+        |  CAST(words AS BIGINT) AS words,
+        |  CAST(sentences AS BIGINT) AS sentences,
+        |  CAST(syllables AS BIGINT) AS syllables,
+        |  CASE WHEN words > 0 THEN
+        |    round(206.835
+        |      - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        |      - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)), 6)
+        |  END AS flesch
+        |FROM a ORDER BY lang, source""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,

@@ -24,6 +24,41 @@ object TextStats {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Alphanumeric word count (readability's denominator): runs of
+    * [a-z0-9] over the lowercased text — dialect-portable (no \b, no
+    * lookaround) so SQL oracles reproduce it verbatim.
+    */
+  def alnumWordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0)))
+
+  /** Sentence count: runs of terminal punctuation, floored at 1 (a
+    * fragment with no .!? is one sentence, not zero — division guard
+    * and the convention readability tables assume).
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1), size(regexp_extract_all(text, lit("[.!?]+"), lit(0))))
+
+  /** Syllable proxy: vowel-group runs ([aeiouy]+) over the lowercased
+    * text — the standard cheap estimator (each group ≈ one syllable
+    * nucleus). All-consonant/numeric words contribute 0; stated, since
+    * per-word flooring would cost a token explode for ~no signal on
+    * natural text.
+    */
+  def vowelGroupCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+
+  /** Flesch reading ease from exact integer counts:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * null when there are no words. One fixed IEEE tree — pass the
+    * outputs of [[alnumWordCount]]/[[sentenceCount]]/[[vowelGroupCount]]
+    * (or their per-group integer SUMS for a corpus-level score).
+    */
+  def fleschReadingEase(words: Column, sentences: Column, syllables: Column): Column =
+    when(words > 0,
+      lit(206.835)
+        - lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - lit(84.6) * (syllables.cast("double") / words.cast("double")))
+
   /** Overlapping token-window chunks (embedding/RAG prep): split the
     * token stream into windows of `chunkTokens` advancing by
     * `chunkTokens - overlapTokens`, each rejoined with spaces. The last

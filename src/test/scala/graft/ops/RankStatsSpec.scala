@@ -115,6 +115,52 @@ class RankStatsSpec extends AnyFunSuite {
     assert(r(4)._2 == 0L && r(4)._3.isNaN)
   }
 
+  private def cusumRows(vals: Seq[Double], k: Double, h: Double) = {
+    val df = createDf(spark, "g int, t int, v double",
+      vals.zipWithIndex.map { case (v, i) => Seq[Any](1, i, v) })
+    Timeseries.cusum(df, Seq("g"), col("t"), col("v"), k, h)
+      .orderBy(col("t"))
+      .collect().map(r => (r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+  }
+
+  test("cusum: flat series stays at exact zero, no alarms") {
+    val r = cusumRows(Seq(5, 5, 5, 5, 5), k = 0.0, h = 1.0)
+    assert(r.forall { case (p, m, a) => p == 0.0 && m == 0.0 && !a })
+  }
+
+  test("cusum hand-checked: level shift accumulates and alarms") {
+    // mean of [0,0,0,4,4,4] is 2; k=0:
+    //   S+ walks 0,0,0 then +2 per step: 2,4,6
+    //   S- walks 2,4,6 then recedes: 4,2,0
+    val r = cusumRows(Seq(0, 0, 0, 4, 4, 4), k = 0.0, h = 5.0)
+    assert(r.map(_._1).toSeq == Seq(0.0, 0.0, 0.0, 2.0, 4.0, 6.0))
+    assert(r.map(_._2).toSeq == Seq(2.0, 4.0, 6.0, 4.0, 2.0, 0.0))
+    assert(r.map(_._3).toSeq == Seq(false, false, true, false, false, true))
+  }
+
+  test("cusum: the allowance k absorbs drift below it") {
+    // same shift, k=2 swallows the +/-2 deviations entirely
+    val r = cusumRows(Seq(0, 0, 0, 4, 4, 4), k = 2.0, h = 1.0)
+    assert(r.forall { case (p, m, a) => p == 0.0 && m == 0.0 && !a })
+  }
+
+  test("cusum matches the sequential recursion on an arbitrary series") {
+    val vals = Seq(3.25, 1.5, 4.75, 1.25, 5.5, 9.0, 2.5, 6.25, 0.75, 4.0)
+    val k = 0.5
+    val mean = vals.sum / vals.size
+    var sp = 0.0; var sm = 0.0
+    val exp = vals.map { x =>
+      sp = math.max(0.0, sp + (x - mean - k))
+      sm = math.max(0.0, sm + (mean - x - k))
+      (BigDecimal(sp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(sm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = cusumRows(vals, k, h = 2.0).map(r => (r._1, r._2)).toSeq
+    exp.zip(got).foreach { case ((ep, em), (gp, gm)) =>
+      assert(math.abs(ep - gp) < 2e-6 && math.abs(em - gm) < 2e-6)
+    }
+  }
+
   test("autocorrelation is partitioning-invariant (integer formulation)") {
     val vals = Seq(3.25, 1.5, 4.75, 1.25, 5.5, 9.0, 2.5, 6.25)
     val df = createDf(spark, "k int, t int, v double",

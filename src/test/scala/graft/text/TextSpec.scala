@@ -558,4 +558,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(got("a a b b").get - (1.0 - 4.0 / 12.0)) < 1e-15)
     assert(got("solo").isEmpty) // < 2 tokens
   }
+
+  test("readability counts: words, floored sentences, vowel groups") {
+    val df = createDf(spark, Seq("t"), Seq(
+      Seq("The cat sat. It purred!"),       // 5 words, 2 sentences
+      Seq("no terminal punctuation here"),  // floor: 1 sentence
+      Seq("xyzzy 404")))                    // y counts as vowel; 404 has none
+    val got = df.select(
+        TextStats.alnumWordCount(col("t")),
+        TextStats.sentenceCount(col("t")),
+        TextStats.vowelGroupCount(col("t")))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(got(0) == ((5, 2, 6)))  // e-a-a-i-u-e nuclei
+    assert(got(1) == ((4, 1, 9)))  // o / e-i-a / u-ua-io / e-e runs
+    assert(got(2) == ((2, 1, 2)))  // x-y-zz-y: two y runs; 404 has none
+  }
+
+  test("fleschReadingEase: hand-checked and the no-words null") {
+    val df = createDf(spark, "w long, s long, y long",
+      Seq(Seq[Any](100L, 10L, 120L), Seq[Any](0L, 1L, 0L)))
+    val got = df.select(
+        round(TextStats.fleschReadingEase(col("w"), col("s"), col("y")), 6))
+      .collect()
+    // 206.835 - 1.015*10 - 84.6*1.2 = 95.165
+    assert(got(0).getDouble(0) == 95.165)
+    assert(got(1).isNullAt(0))
+  }
 }
