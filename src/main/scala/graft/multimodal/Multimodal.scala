@@ -191,6 +191,109 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Output schema of the luma extractor. */
+  val lumaSchema: StructType = StructType.fromDDL(
+    "n_pixels bigint, sum_luma_milli bigint, max_luma_milli bigint, n_bright bigint")
+
+  /** Per-image luma statistics over PPM/P6 payloads — the first REAL
+    * nonlinear feature extractor on the image path (the channel sums in
+    * [[decodePpm]] are linear, so brightness filtering/near-black
+    * detection can't be derived from them). Per pixel the integer ITU-R
+    * 601 luma in milli-units,
+    *
+    *   L = 299·R + 587·G + 114·B   (0 .. 255000),
+    *
+    * is folded into (Σ L, max L, #pixels with L ≥ threshold) — exact
+    * integers, independently recomputable byte-by-byte by an oracle.
+    * The shape a real exposure/quality gate extends (histograms, CLIP
+    * pre-filters slot into the same per-pixel loop). Zero-pixel images
+    * report sum 0, null max, 0 bright; malformed/null payloads a
+    * null-metric row (the crawl-failure contract).
+    *
+    * Same executor shape as [[decodePpm]]: `mapPartitions`, payload
+    * bytes never shuffle.
+    */
+  def ppmLumaStats(df: DataFrame, idCol: String, payloadCol: String,
+                   brightThresholdMilli: Long = 128000L): DataFrame = {
+    val inIdx = df.schema.fieldIndex(payloadCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(df.schema(idCol)) ++ lumaSchema.fields)
+    val nulls = Seq(null, null, null, null)
+    df.mapPartitions { rows =>
+      // <- per-partition init site (codec handles, model weights)
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](inIdx)
+        parsePpmHeader(p) match {
+          case Some((w, h, _, off)) if pixelBytesFit(w, h) &&
+              p.length >= off + 3L * w * h =>
+            val nPix = w.toLong * h
+            var sum = 0L; var mx = -1L; var bright = 0L
+            var i = 0L
+            while (i < nPix) {
+              val base = off + 3 * i.toInt
+              val l = 299L * (p(base) & 0xFF) + 587L * (p(base + 1) & 0xFF) +
+                114L * (p(base + 2) & 0xFF)
+              sum += l
+              if (l > mx) mx = l
+              if (l >= brightThresholdMilli) bright += 1
+              i += 1
+            }
+            Row.fromSeq(Seq(r.get(idIdx), nPix, sum,
+              if (nPix == 0) null else mx, bright))
+          case _ => Row.fromSeq(r.get(idIdx) +: nulls)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Output schema of the loudness extractor. */
+  val loudnessSchema: StructType = StructType.fromDDL(
+    "n_frames bigint, sum_sq_ch0 bigint, peak_abs_ch0 int, n_silent bigint")
+
+  /** Per-clip loudness statistics over WAV payloads — the nonlinear
+    * audio features ([[decodeWav]]'s signed sums are linear, so energy
+    * and silence can't be derived from them): channel-0 energy Σ s²,
+    * peak |s|, and the silent-frame count |s| < threshold — the inputs
+    * to RMS loudness and threshold VAD, as exact integers an oracle
+    * recomputes byte-by-byte. Zero-frame clips report energy 0, null
+    * peak, 0 silent; malformed/non-PCM/null payloads a null-metric row.
+    *
+    * Same executor shape as the codecs: `mapPartitions`, payload bytes
+    * never shuffle.
+    */
+  def wavLoudness(df: DataFrame, idCol: String, payloadCol: String,
+                  silenceThreshold: Int = 1000): DataFrame = {
+    require(silenceThreshold >= 0, s"threshold must be >= 0: $silenceThreshold")
+    val inIdx = df.schema.fieldIndex(payloadCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(df.schema(idCol)) ++ loudnessSchema.fields)
+    val nulls = Seq(null, null, null, null)
+    df.mapPartitions { rows =>
+      // <- per-partition init site (codec handles, model weights)
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](inIdx)
+        wavPcm16Info(p) match {
+          case Some((ch, _, off, nFrames)) =>
+            def u16(i: Int) = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+            val blockAlign = 2 * ch
+            var sq = 0L; var peak = -1L; var silent = 0L
+            var f = 0L
+            while (f < nFrames) {
+              val s = u16(off + (f * blockAlign).toInt).toShort.toLong
+              sq += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              if (a < silenceThreshold) silent += 1
+              f += 1
+            }
+            Row.fromSeq(Seq(r.get(idIdx), nFrames, sq,
+              if (nFrames == 0) null else peak.toInt, silent))
+          case None => Row.fromSeq(r.get(idIdx) +: nulls)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL image resize for PPM/P6 payloads — nearest-neighbor sampling
     * (`src = floor(dst · srcDim / dstDim)`, the floor convention), pure
     * JVM, emitting a VALID P6 container that [[decodePpm]] (or any

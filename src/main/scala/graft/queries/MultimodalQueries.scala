@@ -151,8 +151,48 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Nonlinear image features ([[graft.multimodal.Multimodal.ppmLumaStats]]):
+    * integer ITU-R 601 luma per pixel over the same synthesized 4×h P6
+    * containers as q_decode — Σ/max/bright-count are NOT derivable from
+    * the channel sums, so this exercises the per-pixel path end to end.
+    * The oracle rebuilds every pixel's luma from the raw text bytes by
+    * hex arithmetic, independent of the codec.
+    */
+  private def qImageLuma(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"))
+      .withColumn("h", floor(octet_length(col("bytes")) / 12).cast("int"))
+      .select(col("doc_id"),
+        concat(
+          concat(lit("P6\n4 "), col("h").cast("string"), lit("\n255\n")).cast("binary"),
+          col("bytes").substr(lit(1), col("h") * 12)).as("payload"))
+    Multimodal.ppmLumaStats(d, "doc_id", "payload")
+      .select(col("doc_id"), col("n_pixels"), col("sum_luma_milli"),
+        col("max_luma_milli"), col("n_bright"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Nonlinear audio features ([[graft.multimodal.Multimodal.wavLoudness]]):
+    * channel-0 energy, peak, and silence count over the same
+    * round-tripped WAV containers as q_wav — none derivable from the
+    * linear sample sums. The oracle reassembles each signed 16-bit
+    * sample from the raw text bytes and folds the same three statistics.
+    */
+  private def qAudioLoudness(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("bytes"),
+        (lit(8000) + (col("doc_id") % 3).cast("int") * lit(4000)).as("rate"))
+    val wav = Multimodal.encodeWavPcm16(d, "doc_id", "bytes", "rate")
+    Multimodal.wavLoudness(wav, "doc_id", "payload", silenceThreshold = 1000)
+      .select(col("doc_id"), col("n_frames"), col("sum_sq_ch0"),
+        col("peak_abs_ch0"), col("n_silent"))
+      .orderBy(col("doc_id"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_luma" -> (qImageLuma _),
+    "q_audio_loudness" -> (qAudioLoudness _),
     "q_binary_meta" -> (qBinaryMeta _),
     "q_decode" -> (qDecode _),
     "q_wav" -> (qWav _),
@@ -163,6 +203,42 @@ object MultimodalQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_image_luma" ->
+      // per-pixel luma rebuilt from the raw bytes: pixel i's channels
+      // are bytes 3i..3i+2; empty images fold sum 0 / null max / 0 bright
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 12 AS h
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, h, list_transform(range(0, 4*h), i ->
+        |      299 * CAST(('0x' || substr(hx, 2*(3*i)+1, 2)) AS BIGINT)
+        |    + 587 * CAST(('0x' || substr(hx, 2*(3*i+1)+1, 2)) AS BIGINT)
+        |    + 114 * CAST(('0x' || substr(hx, 2*(3*i+2)+1, 2)) AS BIGINT)) AS ls
+        |  FROM b)
+        |SELECT doc_id, CAST(4 * h AS BIGINT) AS n_pixels,
+        |  coalesce(CAST(list_sum(ls) AS BIGINT), 0) AS sum_luma_milli,
+        |  CAST(list_max(ls) AS BIGINT) AS max_luma_milli,
+        |  CAST(len(list_filter(ls, x -> x >= 128000)) AS BIGINT) AS n_bright
+        |FROM l ORDER BY doc_id""".stripMargin,
+    "q_audio_loudness" ->
+      // signed 16-bit reassembly as in q_wav, folded nonlinearly:
+      // energy x², peak |x|, silent |x| < 1000
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 2 AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, nf, list_transform(range(0, nf), i ->
+        |    CAST(('0x' || substr(hx, 4*i+3, 2) || substr(hx, 4*i+1, 2)) AS BIGINT)
+        |    - CASE WHEN CAST(('0x' || substr(hx, 4*i+3, 2)) AS BIGINT) >= 128
+        |           THEN 65536 ELSE 0 END) AS ss
+        |  FROM b)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  coalesce(CAST(list_sum(list_transform(ss, x -> x * x)) AS BIGINT), 0) AS sum_sq_ch0,
+        |  CAST(list_max(list_transform(ss, x -> abs(x))) AS INTEGER) AS peak_abs_ch0,
+        |  CAST(len(list_filter(ss, x -> abs(x) < 1000)) AS BIGINT) AS n_silent
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,
         |  'unknown' AS format

@@ -304,4 +304,57 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.decodeWav(d, "id", "payload").collect()
     assert(out.length == 5 && out.forall(r => r.isNullAt(1) && r.isNullAt(4)))
   }
+
+  test("ppmLumaStats: hand-checked 601 luma sums, max, bright count") {
+    // 1×2: black pixel and pure white pixel
+    val img = ppm("P6\n1 2\n255\n",
+      Array[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte))
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, img)))
+    val r = Multimodal.ppmLumaStats(d, "id", "payload").head()
+    // white: (299+587+114)*255 = 255000
+    assert(r.getLong(1) == 2L && r.getLong(2) == 255000L)
+    assert(r.getLong(3) == 255000L && r.getLong(4) == 1L)
+  }
+
+  test("ppmLumaStats: luma is NOT channel-symmetric (green dominates)") {
+    val redOnly = ppm("P6\n1 1\n255\n", Array[Byte](200.toByte, 0, 0))
+    val greenOnly = ppm("P6\n1 1\n255\n", Array[Byte](0, 200.toByte, 0))
+    val d = createDf(spark, "id bigint, payload binary",
+      Seq(Seq[Any](1L, redOnly), Seq[Any](2L, greenOnly)))
+    val got = Multimodal.ppmLumaStats(d, "id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 299L * 200 && got(2L) == 587L * 200)
+  }
+
+  test("ppmLumaStats: zero-pixel image folds 0/null/0; malformed is all-null") {
+    val empty = ppm("P6\n0 0\n255\n", Array.empty[Byte])
+    val d = createDf(spark, "id bigint, payload binary",
+      Seq(Seq[Any](1L, empty), Seq[Any](2L, "nope".getBytes)))
+    val got = Multimodal.ppmLumaStats(d, "id", "payload").collect()
+      .sortBy(_.getLong(0))
+    assert(got(0).getLong(1) == 0L && got(0).getLong(2) == 0L
+      && got(0).isNullAt(3) && got(0).getLong(4) == 0L)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(3))
+  }
+
+  test("wavLoudness: energy, peak, and silence from a hand-built clip") {
+    // samples: 0 (silent), 1000 (not <1000), -32768 (peak)
+    val raw = le16(0) ++ le16(1000) ++ le16(-32768 & 0xFFFF)
+    val wav = Multimodal.buildWavPcm16(raw, 8000)
+    val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, wav)))
+    val r = Multimodal.wavLoudness(d, "id", "payload", silenceThreshold = 1000).head()
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == 1000L * 1000 + 32768L * 32768)
+    assert(r.getInt(3) == 32768 && r.getLong(4) == 1L)
+  }
+
+  test("wavLoudness: malformed and empty payloads follow the decoder contract") {
+    val empty = Multimodal.buildWavPcm16(Array.empty[Byte], 8000)
+    val d = createDf(spark, "id bigint, payload binary",
+      Seq(Seq[Any](1L, empty), Seq[Any](2L, "RIFF".getBytes), Seq[Any](3L, null)))
+    val got = Multimodal.wavLoudness(d, "id", "payload").collect().sortBy(_.getLong(0))
+    assert(got(0).getLong(1) == 0L && got(0).getLong(2) == 0L
+      && got(0).isNullAt(3) && got(0).getLong(4) == 0L)
+    assert(got(1).isNullAt(1) && got(2).isNullAt(1))
+  }
 }
