@@ -351,6 +351,69 @@ object Stats {
           .as("z"): _*)
   }
 
+  /** EXACT grouped quantiles with linear interpolation — the
+    * `quantile_cont` / numpy-linear convention (rank h = (n−1)·p,
+    * value = a + frac·(b−a)) computed in INTEGER arithmetic: p arrives
+    * as a rational num/den, so h's floor and remainder are exact longs
+    * and the interpolated value is
+    *
+    *   ((den − rem)·x_lo + rem·x_hi) / den
+    *
+    * over micro-quantized values — bit-identical on any engine and any
+    * partitioning, where the float-p builtins (`percentile`,
+    * `approx_percentile`, `quantile_cont`) differ in last-ulp
+    * interpolation trees. Returns one row per (group, quantile):
+    * `(groups..., p_num, p_den, q)`, 6 dp.
+    *
+    * Scale shape: ONE group-keyed sort (rank + count windows share the
+    * exchange), a filter to the ≤ 2·|quantiles| boundary rows per
+    * group, and a map-combined aggregation — the quantile extraction
+    * never re-shuffles data-sized frames. Nulls drop (no rank).
+    */
+  def exactQuantiles(df: DataFrame, groupBy: Seq[String], value: Column,
+                     quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(groupBy.nonEmpty, "exactQuantiles needs group keys")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (num, den) =>
+      require(den > 0 && num >= 0 && num <= den, s"bad quantile $num/$den")
+    }
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val q = round(value * lit(1e6), 0).cast("long")
+    val base = df.select(gCols :+ q.as("__x"): _*).filter(col("__x").isNotNull)
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val ranked = base.select(
+      gCols :+ col("__x")
+        :+ (row_number().over(W.orderBy(col("__x"))) - lit(1L)).as("__i")
+        :+ (count(lit(1)).over(W) - lit(1L)).as("__m"): _*) // m = n-1
+    // per quantile: lo = (m·num) div den, rem = (m·num) mod den;
+    // row i carries weight (den-rem) at lo, rem at lo+1, else 0
+    def weight(num: Int, den: Int): Column = {
+      val h = col("__m") * num
+      val lo = expr(s"(__m * $num) div $den")
+      val rem = h - lo * den
+      when(col("__i") === lo, lit(den) - rem)
+        .when(col("__i") === lo + 1, rem)
+        .otherwise(lit(0L))
+    }
+    val contribs = quantiles.zipWithIndex.map { case ((num, den), k) =>
+      sum((weight(num, den).cast(dec) * col("__x").cast(dec))).as(s"__c$k")
+    }
+    val agg = ranked
+      .filter(quantiles.map { case (num, den) => weight(num, den) > 0 }
+        .reduce(_ || _))
+      .groupBy(gCols: _*)
+      .agg(contribs.head, contribs.tail: _*)
+    val qStructs = array(quantiles.zipWithIndex.map { case ((num, den), k) =>
+      struct(lit(num).as("pn"), lit(den).as("pd"),
+        round(col(s"__c$k").cast("double") / lit(den.toDouble) / lit(1e6), 6)
+          .as("q"))
+    }: _*)
+    agg.select(gCols :+ explode(qStructs).as("__e"): _*)
+      .select(gCols :+ col("__e.pn").as("p_num") :+ col("__e.pd").as("p_den")
+        :+ col("__e.q").as("q"): _*)
+  }
+
   /** Spearman rank correlation per group: Pearson on average ranks —
     * the monotone-association measure that survives outliers and
     * nonlinearity (quality score vs downstream loss, price vs

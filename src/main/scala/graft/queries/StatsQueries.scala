@@ -557,8 +557,20 @@ object StatsQueries {
         col("l_quantity"), col("l_extendedprice"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact grouped quantiles ([[graft.ops.Stats.exactQuantiles]]):
+    * quartiles + p95 of extended price per return flag in rational
+    * integer interpolation — the hash-exact complement of
+    * q_quantile_bound's approx law (float `percentile` trees differ
+    * across engines in the last ulp; this formulation cannot).
+    */
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.exactQuantiles(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_extendedprice"), Seq((1, 4), (1, 2), (3, 4), (19, 20)))
+      .orderBy(col("l_returnflag"), col("p_num"), col("p_den"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantiles" -> (qQuantiles _),
     "q_mannwhitney" -> (qMannwhitney _),
     "q_spearman" -> (qSpearman _),
     "q_chi2" -> (qChi2 _),
@@ -594,6 +606,29 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_quantiles" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 1000000.0) AS BIGINT) AS x
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g, x,
+        |    row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS i,
+        |    COUNT(*) OVER (PARTITION BY g) - 1 AS m
+        |  FROM v),
+        |qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (19, 20)) AS t(pn, pd)),
+        |j AS (
+        |  SELECT g, pn, pd,
+        |    SUM(CASE
+        |      WHEN i = (m * pn) // pd
+        |        THEN (pd - (m * pn - ((m * pn) // pd) * pd)) * x
+        |      WHEN i = (m * pn) // pd + 1
+        |        THEN (m * pn - ((m * pn) // pd) * pd) * x
+        |      ELSE 0 END) AS c
+        |  FROM r CROSS JOIN qs GROUP BY 1, 2, 3)
+        |SELECT g AS l_returnflag, pn AS p_num, pd AS p_den,
+        |  round(CAST(c AS DOUBLE) / CAST(pd AS DOUBLE) / 1000000.0, 6) AS q
+        |FROM j ORDER BY g, pn, pd""".stripMargin,
     "q_mannwhitney" ->
       """WITH tg AS (
         |  SELECT user_id % 4 AS segment,

@@ -115,6 +115,45 @@ class RankStatsSpec extends AnyFunSuite {
     assert(r(4)._2 == 0L && r(4)._3.isNaN)
   }
 
+  private def quants(vals: Seq[Double], qs: (Int, Int)*): Map[(Int, Int), Double] = {
+    val df = createDf(spark, "g int, v double",
+      vals.map(v => Seq[Any](1, v)))
+    Stats.exactQuantiles(df, Seq("g"), col("v"), qs)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+  }
+
+  test("exactQuantiles: the quantile_cont convention, hand-checked") {
+    // sorted [10,20,30,40]: h(p) = 3p
+    val r = quants(Seq(40, 10, 30, 20), (1, 4), (1, 2), (3, 4))
+    assert(r(1 -> 4) == 17.5)  // h=0.75: 10 + 0.75*10
+    assert(r(1 -> 2) == 25.0)  // h=1.5
+    assert(r(3 -> 4) == 32.5)  // h=2.25
+  }
+
+  test("exactQuantiles: endpoints, single element, and exact-rank hits") {
+    val r = quants(Seq(5, 1, 9), (0, 1), (1, 2), (1, 1))
+    assert(r(0 -> 1) == 1.0 && r(1 -> 2) == 5.0 && r(1 -> 1) == 9.0)
+    val single = quants(Seq(7.25), (1, 2), (19, 20))
+    assert(single(1 -> 2) == 7.25 && single(19 -> 20) == 7.25)
+  }
+
+  test("exactQuantiles: p95 on 21 points lands on the exact rank") {
+    // m=20, h = 20*19/20 = 19 exactly -> the 20th sorted value
+    val vals = (0 to 20).map(_ * 1.5)
+    val r = quants(vals, (19, 20))
+    assert(r(19 -> 20) == 19 * 1.5)
+  }
+
+  test("exactQuantiles is partitioning-invariant") {
+    val vals = Seq(3.25, 1.5, 4.75, 1.25, 5.5, 9.0, 2.5)
+    val df = createDf(spark, "g int, v double", vals.map(v => Seq[Any](1, v)))
+    val a = Stats.exactQuantiles(df, Seq("g"), col("v"), Seq((1, 3), (2, 3)))
+      .orderBy(col("p_num")).collect().toSeq
+    val b = Stats.exactQuantiles(df.repartition(5), Seq("g"), col("v"), Seq((1, 3), (2, 3)))
+      .orderBy(col("p_num")).collect().toSeq
+    assert(a == b)
+  }
+
   private def cusumRows(vals: Seq[Double], k: Double, h: Double) = {
     val df = createDf(spark, "g int, t int, v double",
       vals.zipWithIndex.map { case (v, i) => Seq[Any](1, i, v) })
