@@ -304,4 +304,55 @@ object Funnel {
         ((col("n_ab").cast("double") * col("__n_entities").cast("double")) /
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
   }
+
+  /** DIRECTED association rules over entity baskets — the market-basket
+    * step past [[cooccurrenceLift]]'s symmetric lift: for every ordered
+    * pair with joint count ≥ `minPairCount`,
+    *
+    *   support    = n_ab / N        (how common the pair is)
+    *   confidence = n_ab / n_a      (P(consequent | antecedent) — the
+    *                                 directional signal lift can't give)
+    *   lift       = N·n_ab / (n_a·n_b)
+    *
+    * Two rows per co-occurring pair (a→b and b→a — confidence is
+    * asymmetric, that's the point). Counts are exact longs; the three
+    * ratios are fixed IEEE trees over them, 6 dp.
+    *
+    * Scale shape: one basket-keyed self-join bounded by per-basket item
+    * count (the [[cooccurrenceLift]] shape), marginals joined on the
+    * item key (item-cardinality-sized — broadcast-eligible), N as a
+    * 1-row broadcast scalar attach. `minPairCount` prunes the long tail
+    * BEFORE the marginal joins.
+    */
+  def associationRules(df: DataFrame, entityCol: String, itemCol: String,
+                       minPairCount: Long = 1L): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1: $minPairCount")
+    Guards.requireNoReservedNames(df,
+      Seq("antecedent", "consequent", "n_ab", "n_a", "n_b",
+        "support", "confidence", "lift", "__n_entities"),
+      "associationRules")
+    val items = df.select(col(entityCol), col(itemCol)).distinct()
+    val marginals = items.groupBy(col(itemCol)).agg(count(lit(1)).as("n"))
+    val nEntities = items.select(col(entityCol)).distinct()
+      .agg(count(lit(1)).as("__n_entities"))
+    val a = items.toDF(entityCol, "antecedent")
+    val b = items.toDF(entityCol, "consequent")
+    val pairs = a.join(b, Seq(entityCol))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(marginals.toDF("antecedent", "n_a"), Seq("antecedent"))
+      .join(marginals.toDF("consequent", "n_b"), Seq("consequent"))
+      .crossJoin(broadcast(nEntities))
+      .select(col("antecedent"), col("consequent"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("__n_entities").cast("double"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round((col("n_ab").cast("double") * col("__n_entities").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+  }
 }

@@ -351,6 +351,48 @@ object Stats {
           .as("z"): _*)
   }
 
+  /** Concentration metrics per group — the "is this market/corpus/
+    * shard dominated by a few entities" screen (source concentration in
+    * a training mix, supplier dependence, vendor risk): per-entity
+    * value shares s_i = v_i/Σv fold into
+    *
+    *   HHI = Σ s_i²  (1/n .. 1; the antitrust index) and top_share.
+    *
+    * Returns `(groups..., n_entities, total, hhi, top_share)`, 6 dp.
+    *
+    * Determinism: per-entity values accumulate as micro-quantized
+    * DECIMAL(38,0); HHI's numerator Σ v_i² and denominator (Σ v_i)² are
+    * exact decimal products, so both ratios are single IEEE divisions
+    * over exact integers.
+    *
+    * Scale shape: one (groups, entity)-keyed map-combined aggregation
+    * (the only data-sized exchange), then a group-keyed rollup over
+    * entity rows. No windows, no joins.
+    */
+  def concentration(df: DataFrame, groupBy: Seq[String], entityCol: String,
+                    value: Column): DataFrame = {
+    require(groupBy.nonEmpty, "concentration needs group keys")
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val q = round(value * lit(1e6), 0).cast(dec)
+    val perEntity = df
+      .select(gCols :+ col(entityCol).as("__e") :+ q.as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(gCols :+ col("__e"): _*)
+      .agg(sum(col("__v")).as("__r"))
+    val agg = perEntity.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("__r")).as("__t"),
+        sum(col("__r") * col("__r")).as("__t2"),
+        max(col("__r")).as("__mx"))
+    val tD = col("__t").cast("double")
+    agg.select(
+      gCols :+ col("n_entities")
+        :+ round(tD / lit(1e6), 6).as("total")
+        :+ round(col("__t2").cast("double") / (tD * tD), 6).as("hhi")
+        :+ round(col("__mx").cast("double") / tD, 6).as("top_share"): _*)
+  }
+
   /** EXACT grouped quantiles with linear interpolation — the
     * `quantile_cont` / numpy-linear convention (rank h = (n−1)·p,
     * value = a + frac·(b−a)) computed in INTEGER arithmetic: p arrives

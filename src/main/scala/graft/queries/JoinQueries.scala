@@ -58,6 +58,23 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Directed association rules
+    * ([[graft.ops.Funnel.associationRules]]): order baskets of part
+    * BRANDS (the lineitem⋈part dimension join) scored with
+    * support/confidence/lift at min joint count 5 — market-basket
+    * analysis with the directional confidence [[q_cooccur]]'s symmetric
+    * lift can't express.
+    */
+  private def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 2 === 0)
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    graft.ops.Funnel.associationRules(baskets, "l_orderkey", "p_brand",
+        minPairCount = 5L)
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   /** Nearest as-of ([[AsOf.asofJoinNearest]]): each purchase attaches
     * whichever click is closest in time either direction (exact-distance
     * ties -> the backward match; same-timestamp ties -> greatest
@@ -444,6 +461,7 @@ object JoinQueries {
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_nearest" -> (qAsofNearest _),
+    "q_assoc_rules" -> (qAssocRules _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_linkage" -> (qLinkage _),
@@ -537,6 +555,27 @@ object JoinQueries {
         |SELECT a.user_id, COUNT(*) AS n_pairs
         |FROM a JOIN b ON a.user_id = b.user_id AND a.s1 < b.e2 AND b.s2 < a.e1
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH bk AS (
+        |  SELECT DISTINCT l_orderkey AS e, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_orderkey % 2 = 0),
+        |m AS (SELECT it, COUNT(*) AS n FROM bk GROUP BY 1),
+        |nn AS (SELECT COUNT(DISTINCT e) AS nent FROM bk),
+        |p AS (
+        |  SELECT a.it AS antecedent, b.it AS consequent, COUNT(*) AS n_ab
+        |  FROM bk a JOIN bk b ON a.e = b.e AND a.it <> b.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT antecedent, consequent, n_ab, ma.n AS n_a, mb.n AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(nent AS DOUBLE), 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(ma.n AS DOUBLE), 6) AS confidence,
+        |  round((CAST(n_ab AS DOUBLE) * CAST(nent AS DOUBLE))
+        |    / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)), 6) AS lift
+        |FROM p
+        |JOIN m ma ON ma.it = antecedent
+        |JOIN m mb ON mb.it = consequent
+        |CROSS JOIN nn
+        |ORDER BY antecedent, consequent""".stripMargin,
     "q_asof_nearest" ->
       // rank every candidate by (|Δt|, backward-first, click_id desc):
       // the two-sided nearest with the operator's tie ladder

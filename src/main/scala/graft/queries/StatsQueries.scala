@@ -568,9 +568,20 @@ object StatsQueries {
         col("l_extendedprice"), Seq((1, 4), (1, 2), (3, 4), (19, 20)))
       .orderBy(col("l_returnflag"), col("p_num"), col("p_den"))
 
+  /** Revenue concentration ([[graft.ops.Stats.concentration]]): HHI and
+    * top-supplier share of extended price per return flag — the
+    * dominance screen (a training mix or market with hhi near 1 hangs
+    * off one entity). Exact decimal share arithmetic.
+    */
+  private def qConcentration(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.concentration(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_suppkey", col("l_extendedprice"))
+      .orderBy(col("l_returnflag"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quantiles" -> (qQuantiles _),
+    "q_concentration" -> (qConcentration _),
     "q_mannwhitney" -> (qMannwhitney _),
     "q_spearman" -> (qSpearman _),
     "q_chi2" -> (qChi2 _),
@@ -606,6 +617,20 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_concentration" ->
+      """WITH pe AS (
+        |  SELECT l_returnflag AS g, l_suppkey AS e,
+        |    SUM(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS r
+        |  FROM lineitem GROUP BY 1, 2),
+        |a AS (
+        |  SELECT g, COUNT(*) AS n_entities,
+        |    SUM(r) AS t, SUM(r * r) AS t2, MAX(r) AS mx
+        |  FROM pe GROUP BY 1)
+        |SELECT g AS l_returnflag, n_entities,
+        |  round(CAST(t AS DOUBLE) / 1000000.0, 6) AS total,
+        |  round(CAST(t2 AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS hhi,
+        |  round(CAST(mx AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top_share
+        |FROM a ORDER BY g""".stripMargin,
     "q_quantiles" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g,

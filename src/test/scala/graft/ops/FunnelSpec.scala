@@ -260,6 +260,36 @@ class HistogramSpec extends AnyFunSuite {
     assert(got == Map(1 -> 2000000L, 2 -> 0L))
   }
 
+  test("associationRules: hand-checked support/confidence/lift, both directions") {
+    // baskets: {a,b}, {a,b}, {a}, {b,c} -> N=4, n_a=3, n_b=3, n_c=1
+    val df = createDf(spark, "e int, it string", Seq(
+      Seq[Any](1, "a"), Seq[Any](1, "b"),
+      Seq[Any](2, "a"), Seq[Any](2, "b"),
+      Seq[Any](3, "a"),
+      Seq[Any](4, "b"), Seq[Any](4, "c")))
+    val got = Funnel.associationRules(df, "e", "it")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    // a->b: n_ab=2, support 0.5, conf 2/3, lift 4*2/(3*3)
+    assert(got(("a", "b")) == ((2L, 0.5, 0.666667, 0.888889)))
+    // b->a: same joint, different confidence base (also 3 here)
+    assert(got(("b", "a"))._1 == 2L)
+    // b->c vs c->b: confidence is directional — 1/3 vs 1/1
+    assert(got(("b", "c"))._3 == 0.333333 && got(("c", "b"))._3 == 1.0)
+  }
+
+  test("associationRules: minPairCount prunes before scoring; duplicates collapse") {
+    val df = createDf(spark, "e int, it string", Seq(
+      Seq[Any](1, "a"), Seq[Any](1, "a"), Seq[Any](1, "b"), // dup (1,a)
+      Seq[Any](2, "a"), Seq[Any](2, "b"),
+      Seq[Any](3, "a"), Seq[Any](3, "c")))
+    val all = Funnel.associationRules(df, "e", "it").collect()
+    assert(all.length == 4) // (a,b)x2 + (a,c)x2
+    val pruned = Funnel.associationRules(df, "e", "it", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == Set("a" -> "b", "b" -> "a")) // (a,c) joint=1 drops
+  }
+
   test("transitionMatrix and timeToConvert plan one entity exchange each") {
     val df = createDf(spark, "u int, ts int, eid int, et string",
         Seq(Seq[Any](1, 1, 1, "a")))

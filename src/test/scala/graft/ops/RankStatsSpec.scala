@@ -154,6 +154,29 @@ class RankStatsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("concentration: monopoly gives hhi = top_share = 1; uniform gives 1/n") {
+    val mono = createDf(spark, "g int, e int, v double",
+      Seq(Seq[Any](1, 1, 100.0)))
+    val m = Stats.concentration(mono, Seq("g"), "e", col("v")).head()
+    assert(m.getLong(1) == 1L && m.getDouble(3) == 1.0 && m.getDouble(4) == 1.0)
+    val unif = createDf(spark, "g int, e int, v double",
+      (1 to 4).map(i => Seq[Any](1, i, 25.0)))
+    val u = Stats.concentration(unif, Seq("g"), "e", col("v")).head()
+    assert(u.getLong(1) == 4L && u.getDouble(2) == 100.0)
+    assert(u.getDouble(3) == 0.25 && u.getDouble(4) == 0.25)
+  }
+
+  test("concentration: hand-checked skewed shares; per-entity rows pre-aggregate") {
+    // entity 1 split across two rows: shares (0.6, 0.3, 0.1)
+    val df = createDf(spark, "g int, e int, v double", Seq(
+      Seq[Any](1, 1, 40.0), Seq[Any](1, 1, 20.0),
+      Seq[Any](1, 2, 30.0), Seq[Any](1, 3, 10.0)))
+    val r = Stats.concentration(df, Seq("g"), "e", col("v")).head()
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(3) == 0.46) // 0.36 + 0.09 + 0.01
+    assert(r.getDouble(4) == 0.6)
+  }
+
   private def cusumRows(vals: Seq[Double], k: Double, h: Double) = {
     val df = createDf(spark, "g int, t int, v double",
       vals.zipWithIndex.map { case (v, i) => Seq[Any](1, i, v) })
