@@ -190,6 +190,60 @@ object Drift {
     *
     * @return single row (n_a, n_b, d_num, ks) with ks = d_num/(n_a·n_b)
     */
+  /** Per-group two-sample KS — [[ksStatistic]] fanned out across group
+    * keys (per-segment drift screens, the input table a multiple-testing
+    * correction like [[graft.ops.Stats.benjaminiHochberg]] expects):
+    * one row per group,
+    *
+    *   (groups..., n_a, n_b, d_num, ks, p)
+    *
+    * with the same integer D = max|C_a·n_b − C_b·n_a| formulation and
+    * the asymptotic p ≈ min(1, 2·exp(−2·m·d²)), m = n_a·n_b/(n_a+n_b)
+    * — a fixed IEEE tree over the exact integers (the repo's ln/exp
+    * portability contract), 6 dp.
+    *
+    * Scale shape: one (groups, value)-keyed map-combined aggregation,
+    * then cumulative/total windows PARTITIONED BY the group keys whose
+    * frames hold distinct VALUES (value-cardinality-bounded, never a
+    * whole-frame window), and a per-group max rollup. Groups missing a
+    * side entirely emit null d/ks/p (no distribution to compare).
+    */
+  def ksStatisticGrouped(df: DataFrame, groupBy: Seq[String],
+                         inA: Column, inB: Column, value: Column): DataFrame = {
+    require(groupBy.nonEmpty,
+      "ksStatisticGrouped needs group keys (use ksStatistic for the global test)")
+    val gCols = groupBy.map(col)
+    val counts = df
+      .select(gCols :+ value.as("__v")
+        :+ when(inA, 1L).otherwise(0L).as("__ia")
+        :+ when(inB, 1L).otherwise(0L).as("__ib"): _*)
+      .filter(col("__v").isNotNull && (col("__ia") === 1L || col("__ib") === 1L))
+      .groupBy(gCols :+ col("__v"): _*)
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val wCum = W.orderBy(col("__v")).rowsBetween(Long.MinValue, 0)
+    val cum = counts.select(
+      gCols
+        :+ sum(col("__ca")).over(wCum).as("__cca")
+        :+ sum(col("__cb")).over(wCum).as("__ccb")
+        :+ sum(col("__ca")).over(W).as("__na")
+        :+ sum(col("__cb")).over(W).as("__nb"): _*)
+    val agg = cum
+      .select(gCols :+ col("__na") :+ col("__nb")
+        :+ abs(col("__cca") * col("__nb") - col("__ccb") * col("__na")).as("__d"): _*)
+      .groupBy(gCols :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(max(col("__d")).as("d_num"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val d = col("d_num").cast("double") / (naD * nbD)
+    val p = least(lit(1.0),
+      lit(2.0) * exp(lit(-2.0) * (naD * nbD / (naD + nbD)) * d * d))
+    agg.select(
+      gCols :+ col("n_a") :+ col("n_b") :+ col("d_num")
+        :+ when(col("n_a") >= 1 && col("n_b") >= 1, round(d, 6)).as("ks")
+        :+ when(col("n_a") >= 1 && col("n_b") >= 1, round(p, 6)).as("p"): _*)
+  }
+
   def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val counts = a.select(col(valueCol).as("__v"), lit(1L).as("__ca"), lit(0L).as("__cb"))
       .unionAll(b.select(col(valueCol).as("__v"), lit(0L), lit(1L)))

@@ -351,6 +351,97 @@ object Stats {
           .as("z"): _*)
   }
 
+  /** Benjamini-Hochberg FDR correction over a TESTS table — the
+    * multiple-testing step every fan-out of per-segment tests
+    * ([[mannWhitneyU]], [[welchT]], [[graft.ops.Drift.ksStatisticGrouped]])
+    * needs before anyone acts on "segment 7 is significant":
+    *
+    *   q_(i) = min_{j ≥ i} ( m·p_(j) / j ),  capped at 1
+    *
+    * appended as `(bh_rank, bh_q, bh_reject)` with reject ⇔ q ≤ alpha —
+    * the step-up procedure stated monotonically (the suffix min IS the
+    * step-up). Ranks come from row_number over (p, tieBreak...), so tied
+    * p-values order deterministically; q rounds to 6 dp and the flag
+    * compares the ROUNDED value (oracle-identical).
+    *
+    * Scale shape: two whole-frame windows (rank + suffix min) — over
+    * the TESTS table, which is bounded by the number of hypotheses (one
+    * row per test), never by data size; the m count rides the same
+    * frames. This is the documented-bound whole-frame exception, not
+    * the raw-row cliff.
+    */
+  def benjaminiHochberg(df: DataFrame, pCol: Column, alpha: Double,
+                        tieBreak: Seq[Column]): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    require(tieBreak.nonEmpty,
+      "pass tie-break columns (a test id) — tied p-values need a deterministic order")
+    val W = org.apache.spark.sql.expressions.Window
+    val wRank = W.orderBy(pCol.asc +: tieBreak.map(_.asc): _*)
+    val ranked = df
+      .withColumn("__i", row_number().over(wRank).cast("long"))
+      .withColumn("__m", count(lit(1)).over(W.rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("__qraw",
+        col("__m").cast("double") * pCol.cast("double") / col("__i").cast("double"))
+    val wSuffix = W.orderBy(col("__i")).rowsBetween(0, Long.MaxValue)
+    ranked
+      .withColumn("bh_q", round(least(lit(1.0), min(col("__qraw")).over(wSuffix)), 6))
+      .withColumn("bh_rank", col("__i"))
+      .withColumn("bh_reject", col("bh_q") <= alpha)
+      .drop("__i", "__m", "__qraw")
+  }
+
+  /** One-way ANOVA F — "do these k group means differ?" in one pass
+    * (the k-sample generalization of [[welchT]]'s two): one row
+    * `(k, n, ss_between, ss_within, f)`, 6 dp, with
+    *
+    *   F = (SSB/(k−1)) / (SSW/(n−k)).
+    *
+    * Determinism: per-group (n_g, Σx, Σx²) accumulate as micro-
+    * quantized DECIMAL(38,0); each group's SSB/SSW term is a fixed IEEE
+    * tree over those exact integers, nano-quantized BEFORE the
+    * cross-group sum (the chi2 discipline — a raw double Σ over groups
+    * would be partition-order-dependent). F is null when k < 2, n ≤ k,
+    * or SSW is 0 (no within-group variance to test against).
+    *
+    * Scale shape: one (group)-keyed map-combined aggregation, a 1-row
+    * broadcast of the grand moments, one k-row rollup. Null values and
+    * null groups drop.
+    */
+  def anovaOneWay(df: DataFrame, groupCol: Column, value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val base = df.select(groupCol.as("__g"), q(value).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val perGroup = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__x")).as("__sg"),
+        sum(col("__x") * col("__x")).as("__ssg"))
+    val grand = perGroup.agg(count(lit(1)).as("__k"),
+      sum(col("__ng")).as("__n"), sum(col("__sg")).as("__s"))
+    val ngD = col("__ng").cast("double")
+    val meanG = col("__sg").cast("double") / ngD / lit(1e6)
+    val meanAll = col("__s").cast("double") / col("__n").cast("double") / lit(1e6)
+    // per-group terms in value² units, nano-quantized before the k-sum
+    val termB = round(ngD * (meanG - meanAll) * (meanG - meanAll) * lit(1e9), 0)
+      .cast("long")
+    val termW = round((col("__ng").cast(dec) * col("__ssg") - col("__sg") * col("__sg"))
+      .cast("double") / ngD / lit(1e12) * lit(1e9), 0).cast("long")
+    val rolled = perGroup.crossJoin(broadcast(grand))
+      .select(col("__k"), col("__n"), termB.as("__tb"), termW.as("__tw"))
+      .groupBy(col("__k"), col("__n"))
+      .agg(sum(col("__tb")).as("__ssb"), sum(col("__tw")).as("__ssw"))
+    val ssb = col("__ssb").cast("double") / lit(1e9)
+    val ssw = col("__ssw").cast("double") / lit(1e9)
+    val kD = col("__k").cast("double")
+    val nD = col("__n").cast("double")
+    val f = (ssb / (kD - lit(1.0))) / (ssw / (nD - kD))
+    rolled.select(
+      col("__k").as("k"), col("__n").as("n"),
+      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      when(col("__k") >= 2 && col("__n") > col("__k") && col("__ssw") > 0L,
+        round(f, 6)).as("f"))
+  }
+
   /** Concentration metrics per group — the "is this market/corpus/
     * shard dominated by a few entities" screen (source concentration in
     * a training mix, supplier dependence, vendor risk): per-entity

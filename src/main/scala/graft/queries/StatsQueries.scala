@@ -578,8 +578,38 @@ object StatsQueries {
         "l_suppkey", col("l_extendedprice"))
       .orderBy(col("l_returnflag"))
 
+  /** One-way ANOVA ([[graft.ops.Stats.anovaOneWay]]): do the five event
+    * types differ in mean value? Per-group exact moments, nano-quantized
+    * SSB/SSW terms (the chi2 discipline), one F at the end.
+    */
+  private def qAnova(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.anovaOneWay(t(s, dir, "events"),
+      col("event_type"), col("value"))
+
+  /** Per-segment KS + Benjamini-Hochberg
+    * ([[graft.ops.Drift.ksStatisticGrouped]] →
+    * [[graft.ops.Stats.benjaminiHochberg]]): purchase-vs-click value
+    * drift tested in 8 user segments, then FDR-corrected — the
+    * fan-out-then-correct shape every segment-level monitoring sweep
+    * needs (8 uncorrected tests at α=0.1 would false-alarm ~0.57 of
+    * clean runs).
+    */
+  private def qFdr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("segment", col("user_id") % 8)
+    val ks = graft.ops.Drift.ksStatisticGrouped(e, Seq("segment"),
+      col("event_type") === "purchase", col("event_type") === "click",
+      col("value"))
+    graft.ops.Stats.benjaminiHochberg(ks, col("p"), alpha = 0.1,
+        tieBreak = Seq(col("segment")))
+      .select(col("segment"), col("n_a"), col("n_b"), col("d_num"),
+        col("ks"), col("p"), col("bh_rank"), col("bh_q"), col("bh_reject"))
+      .orderBy(col("segment"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anova" -> (qAnova _),
+    "q_fdr" -> (qFdr _),
     "q_quantiles" -> (qQuantiles _),
     "q_concentration" -> (qConcentration _),
     "q_mannwhitney" -> (qMannwhitney _),
@@ -617,6 +647,80 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_anova" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |pg AS (
+        |  SELECT g, COUNT(*) AS ng, SUM(x) AS sg, SUM(x * x) AS ssg
+        |  FROM v GROUP BY 1),
+        |gr AS (SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(sg) AS s FROM pg),
+        |tm AS (
+        |  SELECT pg.ng, k, n,
+        |    CAST(round(CAST(ng AS DOUBLE)
+        |      * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) / 1000000.0
+        |         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+        |      * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) / 1000000.0
+        |         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+        |      * 1000000000.0) AS BIGINT) AS tb,
+        |    CAST(round(CAST(ng * ssg - sg * sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE) / 1000000000000.0 * 1000000000.0) AS BIGINT) AS tw
+        |  FROM pg CROSS JOIN gr),
+        |a AS (
+        |  SELECT k, n, SUM(tb) AS ssb, SUM(tw) AS ssw FROM tm GROUP BY 1, 2)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  round(CAST(ssb AS DOUBLE) / 1000000000.0, 6) AS ss_between,
+        |  round(CAST(ssw AS DOUBLE) / 1000000000.0, 6) AS ss_within,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+        |    round((CAST(ssb AS DOUBLE) / 1000000000.0 / (CAST(k AS DOUBLE) - 1.0))
+        |        / (CAST(ssw AS DOUBLE) / 1000000000.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |  END AS f
+        |FROM a""".stripMargin,
+    "q_fdr" ->
+      """WITH tg AS (
+        |  SELECT user_id % 8 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib,
+        |    value AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+        |c AS (SELECT segment, v, SUM(ia) AS ca, SUM(ib) AS cb FROM tg GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT segment,
+        |    SUM(ca) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+        |    SUM(cb) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+        |    SUM(ca) OVER (PARTITION BY segment) AS na,
+        |    SUM(cb) OVER (PARTITION BY segment) AS nb
+        |  FROM c),
+        |kk AS (
+        |  SELECT segment, na AS n_a, nb AS n_b,
+        |    MAX(abs(cca * nb - ccb * na)) AS d_num
+        |  FROM cc GROUP BY 1, 2, 3),
+        |pv AS (
+        |  SELECT segment, n_a, n_b, d_num,
+        |    round(CAST(d_num AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks,
+        |    round(least(1.0, 2.0 * exp(-2.0
+        |      * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |      * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |      * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))), 6) AS p
+        |  FROM kk),
+        |r AS (
+        |  SELECT pv.*, row_number() OVER (ORDER BY p, segment) AS i,
+        |    COUNT(*) OVER () AS m
+        |  FROM pv),
+        |s AS (
+        |  SELECT r.*,
+        |    round(least(1.0, MIN(CAST(m AS DOUBLE) * p / CAST(i AS DOUBLE))
+        |      OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS bh_q
+        |  FROM r)
+        |SELECT segment, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(d_num AS BIGINT) AS d_num, ks, p,
+        |  CAST(i AS BIGINT) AS bh_rank, bh_q, (bh_q <= 0.1) AS bh_reject
+        |FROM s ORDER BY segment""".stripMargin,
     "q_concentration" ->
       """WITH pe AS (
         |  SELECT l_returnflag AS g, l_suppkey AS e,

@@ -154,6 +154,69 @@ class RankStatsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("anovaOneWay: hand-checked F for three separated groups") {
+    // a=[1,2,3], b=[4,5,6], c=[7,8,9]: means 2,5,8; grand 5
+    // SSB = 3*(9+0+9) = 54; SSW = 3 groups * 2 each = 6
+    // F = (54/2)/(6/6) = 27
+    val df = createDf(spark, "g string, v double",
+      Seq("a" -> 1, "a" -> 2, "a" -> 3, "b" -> 4, "b" -> 5, "b" -> 6,
+        "c" -> 7, "c" -> 8, "c" -> 9).map { case (g, v) => Seq[Any](g, v.toDouble) })
+    val r = Stats.anovaOneWay(df, col("g"), col("v")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L)
+    assert(r.getDouble(2) == 54.0 && r.getDouble(3) == 6.0)
+    assert(r.getDouble(4) == 27.0)
+  }
+
+  test("anovaOneWay: identical group means give F = 0; constant data nulls F") {
+    val same = createDf(spark, "g string, v double",
+      Seq("a" -> 1, "a" -> 3, "b" -> 1, "b" -> 3)
+        .map { case (g, v) => Seq[Any](g, v.toDouble) })
+    assert(Stats.anovaOneWay(same, col("g"), col("v")).head().getDouble(4) == 0.0)
+    val const = createDf(spark, "g string, v double",
+      Seq("a" -> 2, "a" -> 2, "b" -> 2, "b" -> 2)
+        .map { case (g, v) => Seq[Any](g, v.toDouble) })
+    assert(Stats.anovaOneWay(const, col("g"), col("v")).head().isNullAt(4)) // ssw=0
+  }
+
+  test("benjaminiHochberg: hand-checked step-up with the suffix-min monotone fix") {
+    // p = [0.01, 0.02, 0.04, 0.8], m=4:
+    //   raw q = [0.04, 0.04, 0.0533.., 0.8]; suffix-min = same (monotone)
+    val df = createDf(spark, "id int, p double", Seq(
+      Seq[Any](1, 0.01), Seq[Any](2, 0.02), Seq[Any](3, 0.04), Seq[Any](4, 0.8)))
+    val got = Stats.benjaminiHochberg(df, col("p"), alpha = 0.05, Seq(col("id")))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(3), r.getDouble(2), r.getBoolean(4)))).toMap
+    assert(got(1) == ((1L, 0.04, true)))
+    assert(got(2) == ((2L, 0.04, true)))
+    assert(got(3)._2 == 0.053333 && !got(3)._3)
+    assert(got(4) == ((4L, 0.8, false)))
+  }
+
+  test("benjaminiHochberg: a later small p pulls earlier q down (the step-up)") {
+    // p = [0.03, 0.031]: raw q = [0.06, 0.062]... then p3 = 0.001 at rank 1
+    // p sorted [0.001, 0.03, 0.031]: raw [0.003, 0.045, 0.031] -> suffix-min
+    // gives q2 = min(0.045, 0.031) = 0.031: rank-2 q is PULLED DOWN by rank 3
+    val df = createDf(spark, "id int, p double", Seq(
+      Seq[Any](1, 0.03), Seq[Any](2, 0.031), Seq[Any](3, 0.001)))
+    val got = Stats.benjaminiHochberg(df, col("p"), alpha = 0.05, Seq(col("id")))
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got(3) == 0.003 && got(1) == 0.031 && got(2) == 0.031)
+  }
+
+  test("ksStatisticGrouped: identical samples give d = 0; disjoint give d = n_a·n_b") {
+    val df = createDf(spark, "g int, t string, v double",
+      // g=1: identical; g=2: disjoint ranges
+      Seq(Seq[Any](1, "a", 1.0), Seq[Any](1, "b", 1.0),
+        Seq[Any](1, "a", 2.0), Seq[Any](1, "b", 2.0),
+        Seq[Any](2, "a", 1.0), Seq[Any](2, "a", 2.0),
+        Seq[Any](2, "b", 5.0), Seq[Any](2, "b", 6.0)))
+    val got = Drift.ksStatisticGrouped(df, Seq("g"),
+        col("t") === "a", col("t") === "b", col("v"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1) == ((0L, 0.0)))
+    assert(got(2)._1 == 4L && got(2)._2 == 1.0) // full separation
+  }
+
   test("concentration: monopoly gives hhi = top_share = 1; uniform gives 1/n") {
     val mono = createDf(spark, "g int, e int, v double",
       Seq(Seq[Any](1, 1, 100.0)))
