@@ -140,4 +140,50 @@ object RangeJoin {
         floor(unix_micros(greatest(col(aStartCol), col(bs))) / w))
       .drop("__bucket")
   }
+
+  /** Peak concurrency over half-open intervals [start, end) — the
+    * sweep-line classic (max simultaneous sessions, peak open orders,
+    * connection-pool sizing): each interval contributes a +1 event at
+    * start and a −1 at end; the running sum's maximum IS the peak, and
+    * the earliest time attaining it is reported with it. Same-instant
+    * ties process ends before starts (the half-open convention: a
+    * session ending exactly when another starts never overlaps it);
+    * zero/negative-length intervals drop. Returns one row per group
+    * `(groups..., max_concurrent, at_ts)` — `at_ts` has `startCol`'s
+    * type.
+    *
+    * Determinism: within a (time, delta) tie block the running sum
+    * passes through the same value set in any order, and the argmax
+    * tie resolves to the earliest time — exact under any partitioning,
+    * no quantization needed.
+    *
+    * Scale shape: grouped → one group-partitioned sort window over the
+    * 2× event rows; ungrouped → [[Ids.withRunningTotals]] (range
+    * repartition + bounded offset windows), NEVER a whole-frame
+    * `Window.orderBy` — the global sweep stays distributed at any
+    * event count. One final 1-row (or group-keyed) min-struct rollup.
+    */
+  def maxConcurrency(df: DataFrame, startCol: Column, endCol: Column,
+                     groupBy: Seq[String] = Nil): DataFrame = {
+    val gCols = groupBy.map(col)
+    val base = df.filter(endCol > startCol)
+    val ev = base.select(gCols :+ startCol.as("__t") :+ lit(1L).as("__d"): _*)
+      .unionAll(base.select(gCols :+ endCol.as("__t") :+ lit(-1L).as("__d"): _*))
+    val best: Column => Column = cum =>
+      min(struct((-cum).as("nc"), col("__t").as("t")))
+    if (groupBy.isEmpty) {
+      val cum = Ids.withRunningTotals(ev, Seq("__t", "__d"), Seq("__d"))
+      cum.agg(best(col("__d_cum")).as("__b"))
+        .select((-col("__b.nc")).as("max_concurrent"), col("__b.t").as("at_ts"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(gCols: _*).orderBy(col("__t"), col("__d"))
+        .rowsBetween(Long.MinValue, 0)
+      ev.withColumn("__cum", sum(col("__d")).over(w))
+        .groupBy(gCols: _*)
+        .agg(best(col("__cum")).as("__b"))
+        .select(gCols :+ (-col("__b.nc")).as("max_concurrent")
+          :+ col("__b.t").as("at_ts"): _*)
+    }
+  }
 }

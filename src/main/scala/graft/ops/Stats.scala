@@ -447,18 +447,23 @@ object Stats {
     * a training mix, supplier dependence, vendor risk): per-entity
     * value shares s_i = v_i/Σv fold into
     *
-    *   HHI = Σ s_i²  (1/n .. 1; the antitrust index) and top_share.
+    *   HHI  = Σ s_i²  (1/n .. 1; the antitrust index),  top_share,
+    *   Gini = Σ_i (2i − n − 1)·x_(i) / (n·Σx)   (0 = equal, →1 = one
+    *          entity holds everything; the inequality complement — HHI
+    *          reacts to the head, Gini to the whole curve)
     *
-    * Returns `(groups..., n_entities, total, hhi, top_share)`, 6 dp.
+    * Returns `(groups..., n_entities, total, hhi, top_share, gini)`,
+    * 6 dp.
     *
     * Determinism: per-entity values accumulate as micro-quantized
-    * DECIMAL(38,0); HHI's numerator Σ v_i² and denominator (Σ v_i)² are
-    * exact decimal products, so both ratios are single IEEE divisions
-    * over exact integers.
+    * DECIMAL(38,0); HHI's Σ v_i² / (Σ v_i)² and Gini's rank-weighted
+    * sum (2·Σ i·x_(i) − (n+1)·Σx — ranks by (value, entity), and tied
+    * values make the weighted sum order-invariant within the tie) are
+    * exact decimal integer arithmetic with one IEEE division each.
     *
     * Scale shape: one (groups, entity)-keyed map-combined aggregation
-    * (the only data-sized exchange), then a group-keyed rollup over
-    * entity rows. No windows, no joins.
+    * (the only data-sized exchange), one group-partitioned sort window
+    * over ENTITY rows for the Gini ranks, then a group-keyed rollup.
     */
   def concentration(df: DataFrame, groupBy: Seq[String], entityCol: String,
                     value: Column): DataFrame = {
@@ -471,17 +476,26 @@ object Stats {
       .filter(col("__v").isNotNull)
       .groupBy(gCols :+ col("__e"): _*)
       .agg(sum(col("__v")).as("__r"))
-    val agg = perEntity.groupBy(gCols: _*)
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCols: _*).orderBy(col("__r"), col("__e"))
+    val ranked = perEntity
+      .withColumn("__i", row_number().over(W).cast("long").cast(dec))
+    val agg = ranked.groupBy(gCols: _*)
       .agg(count(lit(1)).as("n_entities"),
         sum(col("__r")).as("__t"),
         sum(col("__r") * col("__r")).as("__t2"),
-        max(col("__r")).as("__mx"))
+        max(col("__r")).as("__mx"),
+        sum(col("__i") * col("__r")).as("__ir"))
     val tD = col("__t").cast("double")
+    val nDec = col("n_entities").cast(dec)
+    val giniNum = (lit(2).cast(dec) * col("__ir") - (nDec + lit(1)) * col("__t"))
     agg.select(
       gCols :+ col("n_entities")
         :+ round(tD / lit(1e6), 6).as("total")
         :+ round(col("__t2").cast("double") / (tD * tD), 6).as("hhi")
-        :+ round(col("__mx").cast("double") / tD, 6).as("top_share"): _*)
+        :+ round(col("__mx").cast("double") / tD, 6).as("top_share")
+        :+ round(giniNum.cast("double") / (col("n_entities").cast("double") * tD), 6)
+          .as("gini"): _*)
   }
 
   /** EXACT grouped quantiles with linear interpolation — the

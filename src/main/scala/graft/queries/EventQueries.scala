@@ -292,9 +292,33 @@ object EventQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Peak session concurrency ([[graft.ops.RangeJoin.maxConcurrency]]):
+    * 30-min-gap user sessions (q_range_join's construction) swept
+    * globally — how many sessions were open at the busiest instant, and
+    * when. The ungrouped path rides range-partitioned prefix sums
+    * (never a whole-frame window); ends sort before starts at the same
+    * instant (half-open sessions).
+    */
+  private def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = t(s, dir, "events").withColumn("new_session",
+      when(lag(col("ts"), 1).over(w).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+          >= 1800000000L, 1L).otherwise(0L))
+    val sess = flagged
+      .withColumn("sid", sum(col("new_session")).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s_start"),
+        (max(col("ts")) + expr("INTERVAL 30 MINUTE")).as("s_end"))
+    graft.ops.RangeJoin.maxConcurrency(sess, col("s_start"), col("s_end"))
+      .select(col("max_concurrent"),
+        date_format(col("at_ts"), "yyyy-MM-dd HH:mm:ss").as("at_ts"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_autocorr" -> (qAutocorr _),
+    "q_concurrency" -> (qConcurrency _),
     "q_cusum" -> (qCusum _),
     "q_km" -> (qKm _),
     "q_seasonal" -> (qSeasonal _),
@@ -354,6 +378,32 @@ object EventQueries {
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_autocorr" -> autocorrOracleSql(maxLag = 6),
+    "q_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT *,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |intervals AS (
+        |  SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end
+        |  FROM sess GROUP BY user_id, sid),
+        |ev AS (
+        |  SELECT s_start AS t, 1 AS d FROM intervals WHERE s_end > s_start
+        |  UNION ALL
+        |  SELECT s_end, -1 FROM intervals WHERE s_end > s_start),
+        |c AS (
+        |  SELECT t, SUM(d) OVER (ORDER BY t, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ev)
+        |SELECT CAST(cum AS BIGINT) AS max_concurrent,
+        |  strftime(t, '%Y-%m-%d %H:%M:%S') AS at_ts
+        |FROM c ORDER BY cum DESC, t LIMIT 1""".stripMargin,
     "q_cusum" ->
       """WITH d AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

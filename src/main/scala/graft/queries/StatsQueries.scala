@@ -726,14 +726,19 @@ object StatsQueries {
         |  SELECT l_returnflag AS g, l_suppkey AS e,
         |    SUM(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS r
         |  FROM lineitem GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT pe.*, row_number() OVER (PARTITION BY g ORDER BY r, e) AS i
+        |  FROM pe),
         |a AS (
         |  SELECT g, COUNT(*) AS n_entities,
-        |    SUM(r) AS t, SUM(r * r) AS t2, MAX(r) AS mx
-        |  FROM pe GROUP BY 1)
+        |    SUM(r) AS t, SUM(r * r) AS t2, MAX(r) AS mx, SUM(i * r) AS ir
+        |  FROM rk GROUP BY 1)
         |SELECT g AS l_returnflag, n_entities,
         |  round(CAST(t AS DOUBLE) / 1000000.0, 6) AS total,
         |  round(CAST(t2 AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS hhi,
-        |  round(CAST(mx AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top_share
+        |  round(CAST(mx AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top_share,
+        |  round(CAST(2 * ir - (n_entities + 1) * t AS DOUBLE)
+        |    / (CAST(n_entities AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS gini
         |FROM a ORDER BY g""".stripMargin,
     "q_quantiles" ->
       """WITH v AS (

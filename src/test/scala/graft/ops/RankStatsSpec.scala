@@ -217,16 +217,66 @@ class RankStatsSpec extends AnyFunSuite {
     assert(got(2)._1 == 4L && got(2)._2 == 1.0) // full separation
   }
 
-  test("concentration: monopoly gives hhi = top_share = 1; uniform gives 1/n") {
+  test("concentration: monopoly gives hhi = top_share = 1; uniform gives 1/n, gini 0") {
     val mono = createDf(spark, "g int, e int, v double",
       Seq(Seq[Any](1, 1, 100.0)))
     val m = Stats.concentration(mono, Seq("g"), "e", col("v")).head()
     assert(m.getLong(1) == 1L && m.getDouble(3) == 1.0 && m.getDouble(4) == 1.0)
+    assert(m.getDouble(5) == 0.0) // one entity: no inequality to measure
     val unif = createDf(spark, "g int, e int, v double",
       (1 to 4).map(i => Seq[Any](1, i, 25.0)))
     val u = Stats.concentration(unif, Seq("g"), "e", col("v")).head()
     assert(u.getLong(1) == 4L && u.getDouble(2) == 100.0)
     assert(u.getDouble(3) == 0.25 && u.getDouble(4) == 0.25)
+    assert(u.getDouble(5) == 0.0) // perfectly equal shares
+  }
+
+  test("concentration: hand-checked gini on shares (0.1, 0.2, 0.3, 0.4)") {
+    val df = createDf(spark, "g int, e int, v double",
+      Seq(Seq[Any](1, 1, 10.0), Seq[Any](1, 2, 20.0),
+        Seq[Any](1, 3, 30.0), Seq[Any](1, 4, 40.0)))
+    val r = Stats.concentration(df, Seq("g"), "e", col("v")).head()
+    // sorted x = [10,20,30,40]: num = Σ(2i-5)x = -30-20+30+120 = 100
+    // gini = 100 / (4·100) = 0.25
+    assert(r.getDouble(5) == 0.25)
+  }
+
+  private def conc(startEnd: (Int, Int)*) = {
+    val df = createDf(spark, "s int, e int",
+      startEnd.map { case (a, b) => Seq[Any](a, b) })
+    RangeJoin.maxConcurrency(df, col("s"), col("e")).head()
+  }
+
+  test("maxConcurrency: hand-checked overlap, earliest argmax reported") {
+    // [1,5) [2,6) [3,4): all three open on [3,4)
+    val r = conc(1 -> 5, 2 -> 6, 3 -> 4)
+    assert(r.getLong(0) == 3L && r.getInt(1) == 3)
+    // plateau: [1,3) [2,4) peak 2 first at t=2 (also 2 at t=3 after -1/+1? no)
+    val p = conc(1 -> 3, 2 -> 4)
+    assert(p.getLong(0) == 2L && p.getInt(1) == 2)
+  }
+
+  test("maxConcurrency: half-open — back-to-back intervals never overlap") {
+    // [1,2) then [2,3): end processes before start at t=2
+    val r = conc(1 -> 2, 2 -> 3)
+    assert(r.getLong(0) == 1L && r.getInt(1) == 1)
+  }
+
+  test("maxConcurrency: zero-length intervals drop; grouped variant per key") {
+    val df = createDf(spark, "g int, s int, e int", Seq(
+      Seq[Any](1, 1, 4), Seq[Any](1, 2, 3), Seq[Any](1, 5, 5), // zero-length
+      Seq[Any](2, 1, 2)))
+    val got = RangeJoin.maxConcurrency(df, col("s"), col("e"), Seq("g"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(1) == ((2L, 2)) && got(2) == ((1L, 1)))
+  }
+
+  test("maxConcurrency is partitioning-invariant on the global path") {
+    val iv = Seq(1 -> 9, 2 -> 5, 3 -> 8, 5 -> 7, 6 -> 10, 2 -> 3)
+    val df = createDf(spark, "s int, e int", iv.map { case (a, b) => Seq[Any](a, b) })
+    val a = RangeJoin.maxConcurrency(df, col("s"), col("e")).head()
+    val b = RangeJoin.maxConcurrency(df.repartition(7), col("s"), col("e")).head()
+    assert(a == b)
   }
 
   test("concentration: hand-checked skewed shares; per-entity rows pre-aggregate") {
