@@ -58,6 +58,30 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Six-table star join (the TPC-H Q5 shape): revenue by nation for
+    * ASIA customers served by LOCAL suppliers in 1995 — the
+    * multi-dimension analytic join every warehouse runs. The three
+    * dimension tables broadcast (explicitly — at 100 TB the fact side
+    * must never shuffle for a kB-sized dim), the region/year filters
+    * prune before the joins, and revenue accumulates through the
+    * decimal-exact dsum path.
+    */
+  private def qStarJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" && year(col("o_orderdate")) === 1995)
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_name"))
+
   /** Directed association rules
     * ([[graft.ops.Funnel.associationRules]]): order baskets of part
     * BRANDS (the lineitem⋈part dimension join) scored with
@@ -462,6 +486,7 @@ object JoinQueries {
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_nearest" -> (qAsofNearest _),
     "q_assoc_rules" -> (qAssocRules _),
+    "q_star_join" -> (qStarJoin _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_linkage" -> (qLinkage _),
@@ -555,6 +580,18 @@ object JoinQueries {
         |SELECT a.user_id, COUNT(*) AS n_pairs
         |FROM a JOIN b ON a.user_id = b.user_id AND a.s1 < b.e2 AND b.s2 < a.e1
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q_star_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1995
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_assoc_rules" ->
       """WITH bk AS (
         |  SELECT DISTINCT l_orderkey AS e, p_brand AS it

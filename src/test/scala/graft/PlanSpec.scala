@@ -37,6 +37,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n${p.take(2000)}")
   }
 
+  test("q_star_join: all three dims broadcast, region filter reaches its scan") {
+    val p = plan("q_star_join")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 3, s"supplier/nation/region must broadcast:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("EqualTo(r_name,ASIA)") || p.contains("r_name = ASIA") ||
+      p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"),
+      s"r_name = ASIA must prune the region scan:\n${p.take(2500)}")
+  }
+
   test("ffill introduces exactly one exchange (the window partition)") {
     val e = graft.sources.Sources.readTable(spark, dir, "events")
     val p = Timeseries.ffill(e, Seq("user_id"), Seq("ts", "event_id"), Seq("value"))
