@@ -505,7 +505,25 @@ object TextQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Shared by qKeywords and its oracle — the list is part of the
+    * operator contract (phrase delimiters).
+    */
+  private val rakeStopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "were", "on", "for", "with", "as", "by", "at",
+    "it", "this", "that", "be", "from")
+
+  /** RAKE keyphrase extraction ([[Rank.rakeTopPhrase]]): the top-scoring
+    * stopword-free phrase per document — deg/freq word scores in integer
+    * nanos, phrase reassembly through sorted structs, every stage keyed
+    * by doc_id.
+    */
+  private def qKeywords(s: SparkSession, dir: String): DataFrame =
+    Rank.rakeTopPhrase(t(s, dir, "documents"), "doc_id", col("text"),
+        rakeStopwords)
+      .orderBy(col("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_keywords" -> (qKeywords _),
     "q_readability" -> (qReadability _),
     "q_text_stats" -> (qTextStats _),
     "q_vocab" -> (qVocab _),
@@ -534,7 +552,56 @@ object TextQueries {
   )
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
+  private def keywordsOracleSql: String = {
+    val stopList = rakeStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9\\s]+') AS fr
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id AS id, s.fi AS fi, s.frag AS frag FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(fr, (x, i) -> {'frag': x, 'fi': i})) AS s
+       |    FROM d)),
+       |toks AS (
+       |  SELECT id, fi, u.pos AS pos, u.w AS w FROM (
+       |    SELECT id, fi,
+       |      unnest(list_transform(string_split_regex(frag, '\\s+'),
+       |        (x, i) -> {'w': x, 'pos': i})) AS u
+       |    FROM f)
+       |  WHERE u.w <> ''),
+       |seg AS (
+       |  SELECT id, fi, pos, w, stop,
+       |    SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (PARTITION BY id
+       |      ORDER BY fi, pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sr
+       |  FROM (SELECT id, fi, pos, w, w IN ($stopList) AS stop FROM toks)),
+       |kept AS (SELECT id, fi, pos, w, sr FROM seg WHERE NOT stop),
+       |sc1 AS (
+       |  SELECT id, fi, pos, w, sr,
+       |    COUNT(*) OVER (PARTITION BY id, fi, sr) AS plen
+       |  FROM kept),
+       |sc AS (
+       |  SELECT id, fi, pos, w, sr, plen,
+       |    COUNT(*) OVER (PARTITION BY id, w) AS freq,
+       |    SUM(plen) OVER (PARTITION BY id, w) AS deg
+       |  FROM sc1),
+       |phr AS (
+       |  SELECT id, fi, sr, string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |    COUNT(*) AS n_words,
+       |    SUM((1000000000 * deg) // freq) AS score
+       |  FROM sc GROUP BY 1, 2, 3),
+       |top AS (
+       |  SELECT id, phrase, n_words, score,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY score DESC, phrase) AS rn
+       |  FROM phr)
+       |SELECT id AS doc_id, phrase, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(score AS BIGINT) AS score_nanos
+       |FROM top WHERE rn = 1 ORDER BY id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_keywords" -> keywordsOracleSql,
     "q_readability" ->
       """WITH c AS (
         |  SELECT lang, source,

@@ -270,4 +270,70 @@ object Rank {
       .filter(col("c12") >= minCount)
       .select(col("w1"), col("w2"), col("c12"), round(pmi, 6).as("pmi"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010): the unsupervised
+    * per-document keyphrase step every corpus card / search-index /
+    * topic-label pipeline wants before anything model-based. Candidate
+    * phrases are maximal token runs broken at stopwords AND at
+    * punctuation (both delimit, per the paper); each word scores
+    * deg(w)/freq(w) WITHIN the document (deg = Σ length of the phrases
+    * its occurrences sit in — co-occurrence favors multi-word terms),
+    * and a phrase scores the sum of its words. Emits the TOP phrase per
+    * document: `(id, phrase, n_words, score_nanos)` — ties break to the
+    * lexicographically smallest phrase.
+    *
+    * Determinism: word scores are integer nanos ((1e9·deg) div freq),
+    * phrase scores exact long sums; phrase text reassembles through
+    * array_sort on (position, word) structs, so collect order can't
+    * leak in.
+    *
+    * Scale shape: tokenize → posexplode, then every window and
+    * aggregation is keyed by the document id (phrase segmentation,
+    * per-word deg/freq, phrase rollup, top-1) — one doc-keyed exchange
+    * family, no whole-frame anything, no joins beyond the explode.
+    */
+  def rakeTopPhrase(docs: DataFrame, idCol: String, text: Column,
+                    stopwords: Seq[String]): DataFrame = {
+    require(stopwords.nonEmpty, "RAKE needs a stopword list (phrase delimiters)")
+    val W = org.apache.spark.sql.expressions.Window
+    // punctuation breaks phrases (the RAKE convention), so tokenization
+    // is two-level: punctuation-delimited fragments, then whitespace
+    // tokens within each — a phrase never crosses either boundary
+    val frags = docs.select(col(idCol).as("__id"),
+      posexplode(split(lower(text), "[^a-z0-9\\s]+")).as(Seq("__fi", "__frag")))
+    val toks = frags
+      .select(col("__id"), col("__fi"),
+        posexplode(split(col("__frag"), "\\s+")).as(Seq("__pos", "__w")))
+      .filter(col("__w") =!= "")
+      .withColumn("__stop", col("__w").isin(stopwords: _*))
+    val wDoc = W.partitionBy(col("__id")).orderBy(col("__fi"), col("__pos"))
+    val seg = toks
+      .withColumn("__sr",
+        sum(when(col("__stop"), 1L).otherwise(0L))
+          .over(wDoc.rowsBetween(Long.MinValue, 0)))
+      .filter(!col("__stop"))
+    // phrase key: fragment AND stopword-run boundaries both delimit
+    val wPhrase = W.partitionBy(col("__id"), col("__fi"), col("__sr"))
+    val wWord = W.partitionBy(col("__id"), col("__w"))
+    val scored = seg
+      .withColumn("__plen", count(lit(1)).over(wPhrase))
+      .withColumn("__freq", count(lit(1)).over(wWord))
+      .withColumn("__deg", sum(col("__plen")).over(wWord))
+      .withColumn("__ws", expr("(1000000000L * __deg) div __freq"))
+    val phrases = scored
+      .groupBy(col("__id"), col("__fi"), col("__sr"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          s => s.getField("__w"))).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("__ws")).as("score_nanos"))
+    val top = W.partitionBy(col("__id"))
+      .orderBy(col("score_nanos").desc, col("phrase").asc)
+    phrases
+      .withColumn("__rn", row_number().over(top))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("phrase"), col("n_words"),
+        col("score_nanos"))
+  }
 }

@@ -168,6 +168,28 @@ class RankSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getAs[String]("w1") == "x")
   }
 
+  test("rakeTopPhrase: hand-checked deg/freq scores favor the long phrase") {
+    val d = createDf(spark, "id int, text string", Seq(Seq[Any](1,
+      "deep learning of deep systems and the deep learning stack")))
+    val r = Rank.rakeTopPhrase(d, "id", col("text"),
+      Seq("of", "and", "the")).head()
+    // deg(deep)=2+2+3=7 freq=3 -> 2333333333; learning 5/2 -> 2500000000;
+    // stack 3/1 -> 3000000000: "deep learning stack" = 7833333333
+    assert(r.getString(1) == "deep learning stack")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 7833333333L)
+  }
+
+  test("rakeTopPhrase: punctuation delimits tokens; all-stopword docs vanish; ties break lexicographically") {
+    val d = createDf(spark, "id int, text string", Seq(
+      Seq[Any](1, "Salt! pepper, salt."), // two 1-word phrases + repeat
+      Seq[Any](2, "the of and"),          // nothing survives
+      Seq[Any](3, "zebra the apple")))    // two score-1e9 singletons
+    val got = Rank.rakeTopPhrase(d, "id", col("text"), Seq("of", "and", "the"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // salt: deg 1+1=2, freq 2 -> 1e9; pepper 1e9: tie -> "pepper" < "salt"
+    assert(got == Map(1 -> "pepper", 3 -> "apple"))
+  }
+
   test("postings are filtered before aggregation (plan has no full-token shuffle)") {
     val df = Rank.bm25Scores(docs, "id", "text", Seq("cat"))
     val p = df.queryExecution.executedPlan.toString
