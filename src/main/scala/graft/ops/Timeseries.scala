@@ -353,10 +353,15 @@ object Timeseries {
     *
     * @param k allowance (slack) in value units — typically σ/2
     * @param h decision threshold in value units — typically 4-5σ
+    * @param targetMean fixed μ instead of the series mean — the control
+    *        target a production chart (and the streaming twin
+    *        [[graft.streaming.Streaming.cusumStateful]]) runs against;
+    *        None = center on the series mean (two windows, one pass)
     * @return input columns + (cusum_plus, cusum_minus, cusum_alarm)
     */
   def cusum(df: DataFrame, parts: Seq[String], orderCol: Column,
-            valueCol: Column, k: Double, h: Double): DataFrame = {
+            valueCol: Column, k: Double, h: Double,
+            targetMean: Option[Double] = None): DataFrame = {
     require(parts.nonEmpty, "cusum needs series keys")
     require(k >= 0.0 && h > 0.0, s"need k >= 0 and h > 0: k=$k h=$h")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -369,16 +374,24 @@ object Timeseries {
     val s = sum(x).over(wAll)
     val t = row_number().over(wOrd).cast(dec)
     val cum = sum(x).over(wCum)
-    // n-cleared prefix walks: P⁺ = n·Σx_i − t·(S + n·k), P⁻ mirrored.
+    // n-cleared prefix walks: P⁺ = n·Σx_i − t·(S + n·k), P⁻ mirrored
+    // (a fixed target needs no clearing — μ is already integral micros).
     // Materialized before the running-min pass (window-over-window is
     // not one projection); both passes share the series exchange.
     val reserved = Seq("__cp_p", "__cp_m", "__cp_n")
     require(!df.columns.exists(reserved.contains),
       s"input columns collide with reserved names: ${reserved.mkString(", ")}")
-    val pre = df
-      .withColumn("__cp_p", n * cum - t * (s + n * kMicros))
-      .withColumn("__cp_m", t * (s - n * kMicros) - n * cum)
-      .withColumn("__cp_n", n)
+    val pre = targetMean match {
+      case Some(m) =>
+        val tM = lit(math.round(m * 1e6)).cast(dec)
+        df.withColumn("__cp_p", cum - t * (tM + kMicros))
+          .withColumn("__cp_m", t * (tM - kMicros) - cum)
+          .withColumn("__cp_n", lit(1L).cast(dec))
+      case None =>
+        df.withColumn("__cp_p", n * cum - t * (s + n * kMicros))
+          .withColumn("__cp_m", t * (s - n * kMicros) - n * cum)
+          .withColumn("__cp_n", n)
+    }
     def cusumCol(p: Column): Column = {
       val runMin = min(p).over(wCum)
       round((p - least(lit(0).cast(dec), runMin)).cast("double")

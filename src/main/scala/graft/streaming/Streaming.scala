@@ -379,6 +379,83 @@ object Streaming {
   /** A flagged anomaly from [[anomaliesStateful]]. */
   case class Anomaly(key: String, tsMicros: Long, value: Double, zscore: Double)
 
+  case class CusumAlarm(key: String, tsMicros: Long, value: Double,
+                        s_plus: Double, s_minus: Double, direction: String)
+
+  /** Per-key CUSUM walks in exact integer micros. */
+  case class CusumState(sp: Long, sm: Long, lastTs: Long)
+
+  /** Streaming CUSUM mean-shift monitor — the unbounded-stream sibling
+    * of [[graft.ops.Timeseries.cusum]] with a FIXED target mean (a
+    * stream has no series mean to center on; production CUSUM runs
+    * against a control target):
+    *
+    *   S⁺ += x − target − k ; S⁻ += target − x − k, both floored at 0,
+    *
+    * emitting an alarm row the moment either walk exceeds `h`, then
+    * RESETTING both walks (restart-after-signal, the control-chart
+    * convention — the batch operator keeps walking instead, so the two
+    * agree exactly up to each key's first alarm). State is O(1) per key
+    * — two integer micro walks — kept exact by the same quantization as
+    * the batch twin, and expires `stateTtlMinutes` after the key's
+    * latest event time.
+    *
+    * Events process in ARRIVAL order (the [[anomaliesStateful]]
+    * contract): feed event-time-ordered input for strict semantics;
+    * batch replays through the operator reproduce strict ordering.
+    * Works on batch Datasets too (single "batch", no timeouts).
+    *
+    * STREAMING CONTRACT: input must define a watermark (EventTimeTimeout
+    * — same clamp-above-watermark rule as [[anomaliesStateful]]).
+    */
+  def cusumStateful(events: Dataset[SessionEvent], target: Double,
+                    k: Double, h: Double,
+                    stateTtlMinutes: Int = 60): Dataset[CusumAlarm] = {
+    require(k >= 0.0 && h > 0.0, s"need k >= 0 and h > 0: k=$k h=$h")
+    require(stateTtlMinutes > 0, "stateTtlMinutes must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttlUs = stateTtlMinutes.toLong * 60 * 1000000
+    val tM = math.round(target * 1e6)
+    val kM = math.round(k * 1e6)
+    val hM = math.round(h * 1e6)
+    val isStreaming = events.isStreaming
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, batch: Iterator[SessionEvent], state: GroupState[CusumState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(CusumState(0L, 0L, Long.MinValue))
+            val out = Seq.newBuilder[CusumAlarm]
+            var any = false
+            batch.foreach { e =>
+              any = true
+              val x = math.round(e.value * 1e6)
+              val sp = math.max(0L, st.sp + (x - tM - kM))
+              val sm = math.max(0L, st.sm + (tM - x - kM))
+              if (sp > hM || sm > hM) {
+                out += CusumAlarm(key, e.tsMicros, e.value,
+                  sp / 1e6, sm / 1e6, if (sp >= sm) "up" else "down")
+                st = CusumState(0L, 0L, math.max(st.lastTs, e.tsMicros))
+              } else {
+                st = CusumState(sp, sm, math.max(st.lastTs, e.tsMicros))
+              }
+            }
+            if (any) {
+              state.update(st)
+              if (isStreaming) {
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max((st.lastTs + ttlUs) / 1000, wm + 1))
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-key rolling window for the streaming anomaly state machine:
     * the last `<= n` values with their exact running use count.
     */

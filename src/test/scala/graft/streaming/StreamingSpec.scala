@@ -504,4 +504,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("anomalies").count() == 1)
     } finally q.stop()
   }
+
+  test("streaming CUSUM accumulates across micro-batches, alarms, and resets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = Streaming.watermarked(input.toDF().toDF("ts", "k", "v"), "ts", "0 seconds")
+      .select(col("k").as("key"), col("ts"), col("v").as("value"))
+      .as[Streaming.SessionEvent](org.apache.spark.sql.Encoders.product[Streaming.SessionEvent])
+    // target 10, k=0, h=5: each 12.0 adds +2 to S+
+    val alarms = Streaming.cusumStateful(events, target = 10.0, k = 0.0, h = 5.0)
+    val q = alarms.writeStream.outputMode("append")
+      .format("memory").queryName("cusum_alarms").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "s1", 12.0),  // S+ = 2
+        (ts("2024-01-01 00:02:00"), "s1", 12.0))  // S+ = 4
+      q.processAllAvailable()
+      assert(spark.table("cusum_alarms").count() == 0) // below h, state carries
+      input.addData((ts("2024-01-01 00:03:00"), "s1", 12.0)) // S+ = 6 > 5 -> alarm
+      q.processAllAvailable()
+      val a = spark.table("cusum_alarms").as[Streaming.CusumAlarm].collect()
+      assert(a.length == 1 && a.head.s_plus == 6.0 && a.head.direction == "up")
+      // after the alarm the walk restarts from zero: +2 stays silent
+      input.addData((ts("2024-01-01 00:04:00"), "s1", 12.0))
+      q.processAllAvailable()
+      assert(spark.table("cusum_alarms").count() == 1)
+      // downward shift on an independent key (timestamps past the
+      // watermark s1 advanced to 00:04 — earlier ones would drop as late)
+      input.addData(
+        (ts("2024-01-01 00:06:00"), "s2", 4.0),   // S- = 6 -> immediate alarm
+        (ts("2024-01-01 00:07:00"), "s2", 10.0))
+      q.processAllAvailable()
+      val a2 = spark.table("cusum_alarms").as[Streaming.CusumAlarm].collect()
+        .filter(_.key == "s2")
+      assert(a2.length == 1 && a2.head.direction == "down" && a2.head.s_minus == 6.0)
+    } finally q.stop()
+  }
+
+  test("streaming CUSUM on a BATCH dataset agrees with the fixed-target batch twin up to the first alarm") {
+    import spark.implicits._
+    val vals = Seq(10.5, 9.5, 12.0, 13.0, 12.5, 9.0, 10.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("k1", ts(f"2024-01-01 00:0$i:00"), v)
+    }
+    val events = rows.toDF("key", "ts", "value")
+      .as[Streaming.SessionEvent](org.apache.spark.sql.Encoders.product[Streaming.SessionEvent])
+    val alarms = Streaming.cusumStateful(events, target = 10.0, k = 0.5, h = 3.0)
+      .collect().sortBy(_.tsMicros)
+    // batch twin with the same fixed target: the first row crossing h
+    // must be the stateful op's first alarm (before any reset diverges)
+    val batch = graft.ops.Timeseries.cusum(
+        rows.toDF("key", "ts", "value"), Seq("key"), col("ts"), col("value"),
+        k = 0.5, h = 3.0, targetMean = Some(10.0))
+      .orderBy(col("ts")).collect()
+    val firstCross = batch.find(_.getBoolean(5)).get
+    assert(alarms.nonEmpty)
+    assert(firstCross.getTimestamp(1).getTime * 1000 == alarms.head.tsMicros)
+    assert(firstCross.getDouble(3) == alarms.head.s_plus) // same exact walk value
+  }
 }
