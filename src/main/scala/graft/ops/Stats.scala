@@ -351,6 +351,66 @@ object Stats {
           .as("z"): _*)
   }
 
+  /** Mutual information between two categorical columns — the
+    * information-theoretic sibling of [[chiSquareIndependence]] (how
+    * MANY bits does knowing A tell you about B, not just "are they
+    * associated"): one row `(n, h_a, h_b, mi, nmi)`, nats, 6 dp, with
+    * NMI = MI/sqrt(H_a·H_b) (null when either entropy is 0 — a
+    * constant column carries no information to normalize by).
+    *
+    * Determinism: cell/marginal counts are exact longs (marginals as
+    * windows over the cell table — the chi2 shape); every ln takes an
+    * INTEGER argument (ln(N·c_ab) − ln(r_a·c_b), the dialect-portable
+    * doctrine) and each term nano-quantizes BEFORE the cell sum.
+    * Entropies come from Σ c·ln(c) the same way.
+    *
+    * Scale shape: one (a,b)-keyed map-combined exchange to the cell
+    * table; marginal windows, one grand agg, a 1-row broadcast — no
+    * joins. Null categories drop as in chi2.
+    */
+  def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val W = org.apache.spark.sql.expressions.Window
+    val ra = sum(col("__n")).over(W.partitionBy(col("__a")))
+    val cb = sum(col("__n")).over(W.partitionBy(col("__b")))
+    val totals = cells.agg(sum(col("__n")).as("__tot"))
+    // per-cell: (c/N)·(ln(N·c) − ln(ra·cb)), nano-quantized; the N
+    // division rides inside the term so the sum stays cell-local
+    val termNano = round(col("__n").cast("double") / col("__tot").cast("double")
+      * (log(col("__tot") * col("__n")) - log(ra * cb)) * lit(1e9), 0).cast("long")
+    // marginal-entropy terms: Σ m·ln(m) per side, nano-quantized once
+    // per DISTINCT marginal (guarded by a first-row flag so the window
+    // value isn't double-counted across a marginal's cells)
+    val firstA = row_number().over(W.partitionBy(col("__a")).orderBy(col("__b"))) === 1
+    val firstB = row_number().over(W.partitionBy(col("__b")).orderBy(col("__a"))) === 1
+    def mlnm(m: Column): Column =
+      round(m.cast("double") * log(m) * lit(1e9), 0).cast("long")
+    val enriched = cells
+      .crossJoin(broadcast(totals)) // 1-row scalar attach BEFORE __tot is referenced
+      .withColumn("__t", termNano)
+      .withColumn("__ea", when(firstA, mlnm(ra)).otherwise(0L))
+      .withColumn("__eb", when(firstB, mlnm(cb)).otherwise(0L))
+    val agg = enriched.groupBy(col("__tot"))
+      .agg(sum(col("__t")).as("__mi"),
+        sum(col("__ea")).as("__sa"), sum(col("__eb")).as("__sb"))
+    val nD = col("__tot").cast("double")
+    val mi = col("__mi").cast("double") / lit(1e9)
+    def h(s: Column): Column = log(col("__tot")) - s.cast("double") / lit(1e9) / nD
+    val hA = h(col("__sa"))
+    val hB = h(col("__sb"))
+    // the zero-entropy guard reads the ROUNDED values (the emitted
+    // contract): unrounded hA carries nano-quantization residue that
+    // makes an exactly-zero entropy test as 1e-10 > 0
+    agg.select(col("__tot").as("n"),
+      round(hA, 6).as("h_a"), round(hB, 6).as("h_b"),
+      round(mi, 6).as("mi"),
+      when(round(hA, 6) > 0.0 && round(hB, 6) > 0.0,
+        round(mi / sqrt(hA * hB), 6)).as("nmi"))
+  }
+
   /** Benjamini-Hochberg FDR correction over a TESTS table — the
     * multiple-testing step every fan-out of per-segment tests
     * ([[mannWhitneyU]], [[welchT]], [[graft.ops.Drift.ksStatisticGrouped]])

@@ -606,10 +606,20 @@ object StatsQueries {
       .orderBy(col("segment"))
   }
 
+  /** Mutual information ([[graft.ops.Stats.mutualInformation]]): how
+    * many nats does a document's language tell you about its source —
+    * q_chi2's question answered in information units, integer-arg ln
+    * terms nano-quantized before the cell sum.
+    */
+  private def qMutualInfo(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.mutualInformation(t(s, dir, "documents"),
+      col("lang"), col("source"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anova" -> (qAnova _),
     "q_fdr" -> (qFdr _),
+    "q_mutual_info" -> (qMutualInfo _),
     "q_quantiles" -> (qQuantiles _),
     "q_concentration" -> (qConcentration _),
     "q_mannwhitney" -> (qMannwhitney _),
@@ -647,6 +657,44 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, COUNT(*) AS c
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT SUM(c) AS n FROM cells),
+        |w AS (
+        |  SELECT a, b, c,
+        |    SUM(c) OVER (PARTITION BY a) AS ra,
+        |    SUM(c) OVER (PARTITION BY b) AS cb,
+        |    row_number() OVER (PARTITION BY a ORDER BY b) = 1 AS fa,
+        |    row_number() OVER (PARTITION BY b ORDER BY a) = 1 AS fb
+        |  FROM cells),
+        |e AS (
+        |  SELECT n,
+        |    CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * (ln(n * c) - ln(ra * cb)) * 1000000000.0) AS BIGINT) AS t,
+        |    CASE WHEN fa THEN
+        |      CAST(round(CAST(ra AS DOUBLE) * ln(ra) * 1000000000.0) AS BIGINT)
+        |    ELSE 0 END AS ea,
+        |    CASE WHEN fb THEN
+        |      CAST(round(CAST(cb AS DOUBLE) * ln(cb) * 1000000000.0) AS BIGINT)
+        |    ELSE 0 END AS eb
+        |  FROM w CROSS JOIN tot),
+        |ag AS (SELECT n, SUM(t) AS mi, SUM(ea) AS sa, SUM(eb) AS sb FROM e GROUP BY 1)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(ln(CAST(n AS DOUBLE))
+        |    - CAST(sa AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6) AS h_a,
+        |  round(ln(CAST(n AS DOUBLE))
+        |    - CAST(sb AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6) AS h_b,
+        |  round(CAST(mi AS DOUBLE) / 1000000000.0, 6) AS mi,
+        |  CASE WHEN round(ln(CAST(n AS DOUBLE)) - CAST(sa AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6) > 0.0
+        |        AND round(ln(CAST(n AS DOUBLE)) - CAST(sb AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6) > 0.0
+        |    THEN round(CAST(mi AS DOUBLE) / 1000000000.0
+        |      / sqrt((ln(CAST(n AS DOUBLE)) - CAST(sa AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE))
+        |           * (ln(CAST(n AS DOUBLE)) - CAST(sb AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE))), 6)
+        |  END AS nmi
+        |FROM ag""".stripMargin,
     "q_anova" ->
       """WITH v AS (
         |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x

@@ -154,6 +154,28 @@ class RankStatsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("mutualInformation: identical columns give MI = H and NMI = 1; independence gives 0") {
+    val ident = createDf(spark, "a string, b string",
+      Seq("x" -> "x", "y" -> "y", "x" -> "x", "y" -> "y")
+        .map { case (a, b) => Seq[Any](a, b) })
+    val r = Stats.mutualInformation(ident, col("a"), col("b")).head()
+    val ln2 = BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 4L && r.getDouble(1) == ln2 && r.getDouble(3) == ln2)
+    assert(r.getDouble(4) == 1.0)
+    // exact 2x2 independence: every cell N/4
+    val indep = createDf(spark, "a string, b string",
+      (for { a <- Seq("x", "y"); b <- Seq("u", "v") } yield Seq[Any](a, b)))
+    val i = Stats.mutualInformation(indep, col("a"), col("b")).head()
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0)
+  }
+
+  test("mutualInformation: a constant column has H = 0 and null NMI") {
+    val df = createDf(spark, "a string, b string",
+      Seq(Seq[Any]("k", "u"), Seq[Any]("k", "v")))
+    val r = Stats.mutualInformation(df, col("a"), col("b")).head()
+    assert(r.getDouble(1) == 0.0 && r.getDouble(3) == 0.0 && r.isNullAt(4))
+  }
+
   test("anovaOneWay: hand-checked F for three separated groups") {
     // a=[1,2,3], b=[4,5,6], c=[7,8,9]: means 2,5,8; grand 5
     // SSB = 3*(9+0+9) = 54; SSW = 3 groups * 2 each = 6
