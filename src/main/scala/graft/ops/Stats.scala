@@ -621,6 +621,104 @@ object Stats {
         :+ col("__e.q").as("q"): _*)
   }
 
+  /** EXACT weighted quantiles per group — the expenditure-weighted
+    * median/percentile of index-number practice (half the SPEND sits
+    * below the weighted median price; the unweighted one answers a
+    * different question): for rational p = num/den, the smallest value
+    * whose cumulative weight reaches p·W, decided by the INTEGER
+    * comparison
+    *
+    *   den·(cumW − w) < num·W ≤ den·cumW
+    *
+    * over micro-quantized weights — no float thresholds, so the picked
+    * row is exact under any partitioning (ties in value pick the same
+    * VALUE whatever the intra-tie order). Returns one row per
+    * (group, quantile): `(groups..., p_num, p_den, wq)`, 6 dp; a group
+    * with zero total weight emits null wq.
+    *
+    * Scale shape: one group-keyed sort (cumulative + total windows
+    * share the exchange), then a map-combined rollup — the
+    * [[exactQuantiles]] shape with weights. Rows with null/negative
+    * weight drop (a quantile has no place for them).
+    */
+  def weightedQuantiles(df: DataFrame, groupBy: Seq[String], value: Column,
+                        weight: Column, quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(groupBy.nonEmpty, "weightedQuantiles needs group keys")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (num, den) =>
+      require(den > 0 && num >= 1 && num <= den, s"bad quantile $num/$den (need 0 < p <= 1)")
+    }
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val x = round(value * lit(1e6), 0).cast("long")
+    val w = round(weight * lit(1e6), 0).cast("long")
+    val base = df.select(gCols :+ x.as("__x") :+ w.as("__w"): _*)
+      .filter(col("__x").isNotNull && col("__w").isNotNull && col("__w") > 0L)
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val ranked = base.select(
+      gCols :+ col("__x") :+ col("__w").cast(dec).as("__wd")
+        :+ sum(col("__w").cast(dec)).over(W.orderBy(col("__x"))
+          .rowsBetween(Long.MinValue, 0)).as("__cw")
+        :+ sum(col("__w").cast(dec)).over(W).as("__tw"): _*)
+    val picks = quantiles.zipWithIndex.map { case ((num, den), k) =>
+      val target = lit(num).cast(dec) * col("__tw")
+      val hit = (lit(den).cast(dec) * (col("__cw") - col("__wd")) < target) &&
+        (target <= lit(den).cast(dec) * col("__cw"))
+      max(when(hit, col("__x"))).as(s"__q$k")
+    }
+    val agg = ranked.groupBy(gCols: _*).agg(picks.head, picks.tail: _*)
+    val qStructs = array(quantiles.zipWithIndex.map { case ((num, den), k) =>
+      struct(lit(num).as("pn"), lit(den).as("pd"),
+        round(col(s"__q$k").cast("double") / lit(1e6), 6).as("q"))
+    }: _*)
+    agg.select(gCols :+ explode(qStructs).as("__e"): _*)
+      .select(gCols :+ col("__e.pn").as("p_num") :+ col("__e.pd").as("p_den")
+        :+ col("__e.q").as("wq"): _*)
+  }
+
+  /** Exact trimmed mean per group — the robust center that survives
+    * both tails (winsorize clamps; trimming DROPS): remove the lowest
+    * and highest ⌊n·f⌋ rows (f = trimNum/trimDen, an exact integer
+    * count — no float rank boundaries) and average the rest through
+    * micro-quantized DECIMAL sums. Returns
+    * `(groups..., n, n_trimmed_each, n_kept, trimmed_mean)`, 6 dp;
+    * groups where trimming eats everything emit null mean. Boundary
+    * ties: which duplicate drops is plan-dependent, but duplicates are
+    * EQUAL — the kept multiset, and therefore the mean, is exact.
+    *
+    * Scale shape: one group-keyed sort window + a map-combined rollup
+    * (the [[exactQuantiles]] shape).
+    */
+  def trimmedMean(df: DataFrame, groupBy: Seq[String], value: Column,
+                  trimNum: Int, trimDen: Int): DataFrame = {
+    require(groupBy.nonEmpty, "trimmedMean needs group keys")
+    require(trimDen > 0 && trimNum >= 0 && 2 * trimNum < trimDen,
+      s"need 0 <= f < 1/2: $trimNum/$trimDen")
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val x = round(value * lit(1e6), 0).cast("long")
+    val base = df.select(gCols :+ x.as("__x"): _*).filter(col("__x").isNotNull)
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val ranked = base.select(
+      gCols :+ col("__x")
+        :+ row_number().over(W.orderBy(col("__x"))).cast("long").as("__i")
+        :+ count(lit(1)).over(W).as("__n"): _*)
+    val k = expr(s"(__n * $trimNum) div $trimDen")
+    val agg = ranked
+      .withColumn("__k", k)
+      .groupBy(gCols :+ col("__n").as("n") :+ col("__k").as("n_trimmed_each"): _*)
+      .agg(
+        sum(when(col("__i") > col("__k") && col("__i") <= col("__n") - col("__k"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("__i") > col("__k") && col("__i") <= col("__n") - col("__k"),
+          col("__x").cast(dec))).as("__s"))
+    agg.select(
+      gCols :+ col("n") :+ col("n_trimmed_each") :+ col("n_kept")
+        :+ when(col("n_kept") > 0L,
+          round(col("__s").cast("double") / col("n_kept").cast("double") / lit(1e6), 6))
+          .as("trimmed_mean"): _*)
+  }
+
   /** Spearman rank correlation per group: Pearson on average ranks —
     * the monotone-association measure that survives outliers and
     * nonlinearity (quality score vs downstream loss, price vs

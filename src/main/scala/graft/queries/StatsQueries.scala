@@ -615,11 +615,33 @@ object StatsQueries {
     graft.ops.Stats.mutualInformation(t(s, dir, "documents"),
       col("lang"), col("source"))
 
+  /** Weighted quantiles ([[graft.ops.Stats.weightedQuantiles]]): the
+    * quantity-weighted price quartiles per return flag — half the
+    * VOLUME trades below the weighted median price, the index-number
+    * question q_quantiles' unweighted ranks can't answer. Integer
+    * crossing test, no float thresholds.
+    */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.weightedQuantiles(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity"), Seq((1, 4), (1, 2), (3, 4)))
+      .orderBy(col("l_returnflag"), col("p_num"), col("p_den"))
+
+  /** Exact trimmed mean ([[graft.ops.Stats.trimmedMean]]): the 5%-each-
+    * side robust center of extended price per return flag — integer
+    * trim counts, decimal-exact kept sums.
+    */
+  private def qTrimmedMean(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.trimmedMean(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_extendedprice"), trimNum = 1, trimDen = 20)
+      .orderBy(col("l_returnflag"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anova" -> (qAnova _),
     "q_fdr" -> (qFdr _),
     "q_mutual_info" -> (qMutualInfo _),
+    "q_weighted_median" -> (qWeightedMedian _),
+    "q_trimmed_mean" -> (qTrimmedMean _),
     "q_quantiles" -> (qQuantiles _),
     "q_concentration" -> (qConcentration _),
     "q_mannwhitney" -> (qMannwhitney _),
@@ -657,6 +679,52 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_weighted_median" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 1000000.0) AS BIGINT) AS x,
+        |    CAST(round(l_quantity * 1000000.0) AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND CAST(round(l_quantity * 1000000.0) AS BIGINT) > 0),
+        |r AS (
+        |  SELECT g, x, w,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY g) AS tw
+        |  FROM v),
+        |qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4)) AS t(pn, pd)),
+        |j AS (
+        |  SELECT g, pn, pd,
+        |    MAX(CASE WHEN pd * (cw - w) < pn * tw AND pn * tw <= pd * cw
+        |             THEN x END) AS q
+        |  FROM r CROSS JOIN qs GROUP BY 1, 2, 3)
+        |SELECT g AS l_returnflag, pn AS p_num, pd AS p_den,
+        |  round(CAST(q AS DOUBLE) / 1000000.0, 6) AS wq
+        |FROM j ORDER BY g, pn, pd""".stripMargin,
+    "q_trimmed_mean" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 1000000.0) AS BIGINT) AS x
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g, x,
+        |    row_number() OVER (PARTITION BY g ORDER BY x) AS i,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM v),
+        |a AS (
+        |  SELECT g, n, (n * 1) // 20 AS k,
+        |    SUM(CASE WHEN i > (n * 1) // 20 AND i <= n - (n * 1) // 20
+        |             THEN 1 ELSE 0 END) AS n_kept,
+        |    SUM(CASE WHEN i > (n * 1) // 20 AND i <= n - (n * 1) // 20
+        |             THEN x END) AS s
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(k AS BIGINT) AS n_trimmed_each, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CASE WHEN n_kept > 0 THEN
+        |    round(CAST(s AS DOUBLE) / CAST(n_kept AS DOUBLE) / 1000000.0, 6)
+        |  END AS trimmed_mean
+        |FROM a ORDER BY g""".stripMargin,
     "q_mutual_info" ->
       """WITH cells AS (
         |  SELECT lang AS a, source AS b, COUNT(*) AS c

@@ -154,6 +154,41 @@ class RankStatsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  private def wq(rows: Seq[(Double, Double)], qs: (Int, Int)*): Map[(Int, Int), Option[Double]] = {
+    val df = createDf(spark, "g int, v double, w double",
+      rows.map { case (v, w) => Seq[Any](1, v, w) })
+    Stats.weightedQuantiles(df, Seq("g"), col("v"), col("w"), qs)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+  }
+
+  test("weightedQuantiles: weight mass moves the median where ranks would not") {
+    // values 1,2,3 with weights 1,1,8: 80% of mass sits at 3
+    val r = wq(Seq(1.0 -> 1.0, 2.0 -> 1.0, 3.0 -> 8.0), (1, 2), (1, 10))
+    assert(r(1 -> 2) == Some(3.0))  // weighted median
+    assert(r(1 -> 10) == Some(1.0)) // 10th pct still in the light tail
+    // unit weights degrade to the "lower" unweighted quantile
+    val u = wq(Seq(10.0 -> 1.0, 20.0 -> 1.0, 30.0 -> 1.0, 40.0 -> 1.0), (1, 2))
+    assert(u(1 -> 2) == Some(20.0)) // cumW hits exactly n/2 at the 2nd row
+  }
+
+  test("weightedQuantiles: p=1 returns the max; zero-weight rows are invisible") {
+    val r = wq(Seq(5.0 -> 2.0, 7.0 -> 3.0, 99.0 -> 0.0), (1, 1))
+    assert(r(1 -> 1) == Some(7.0)) // the zero-weight 99 never wins
+  }
+
+  test("trimmedMean: hand-checked 1/4-trim drops one from each tail") {
+    val df = createDf(spark, "g int, v double",
+      Seq(0.0, 10.0, 20.0, 1000.0).map(v => Seq[Any](1, v)))
+    val r = Stats.trimmedMean(df, Seq("g"), col("v"), 1, 4).head()
+    // n=4, k=1: keep [10, 20] -> 15; the outlier 1000 never leaks in
+    assert(r.getLong(1) == 4L && r.getLong(2) == 1L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 15.0)
+    // f=0 keeps everything: plain mean
+    val all = Stats.trimmedMean(df, Seq("g"), col("v"), 0, 4).head()
+    assert(all.getLong(3) == 4L && all.getDouble(4) == 257.5)
+  }
+
   test("mutualInformation: identical columns give MI = H and NMI = 1; independence gives 0") {
     val ident = createDf(spark, "a string, b string",
       Seq("x" -> "x", "y" -> "y", "x" -> "x", "y" -> "y")
