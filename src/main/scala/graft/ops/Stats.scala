@@ -351,6 +351,46 @@ object Stats {
           .as("z"): _*)
   }
 
+  /** Per-cell ADJUSTED residuals for the chi-square table — the
+    * follow-up [[chiSquareIndependence]] demands ("the columns are
+    * associated" is useless until you know WHICH cells deviate):
+    *
+    *   r_ab = (o − e) / sqrt(e·(1 − row/N)·(1 − col/N)),  e = row·col/N
+    *
+    * (Haberman's adjusted residuals — asymptotically N(0,1), so |r| > 2
+    * flags a cell). One row per observed cell:
+    * `(a, b, n_obs, expected, resid)`, 6 dp; degenerate margins (a
+    * single row or column category makes the variance 0) emit null
+    * resid rather than ±Inf.
+    *
+    * Determinism: counts and marginals are exact longs (windows over
+    * the cell table — the chi2 shape); each residual is one fixed IEEE
+    * tree per cell, no cross-cell accumulation at all.
+    *
+    * Scale shape: one (a,b)-keyed map-combined exchange, marginal
+    * windows, a 1-row broadcast total. No joins.
+    */
+  def chiSquareResiduals(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val W = org.apache.spark.sql.expressions.Window
+    val ra = sum(col("__n")).over(W.partitionBy(col("__a")))
+    val cb = sum(col("__n")).over(W.partitionBy(col("__b")))
+    val totals = cells.agg(sum(col("__n")).as("__tot"))
+    val nD = col("__tot").cast("double")
+    val e = ra.cast("double") * cb.cast("double") / nD
+    val varTerm = e * (lit(1.0) - ra.cast("double") / nD) *
+      (lit(1.0) - cb.cast("double") / nD)
+    cells.crossJoin(broadcast(totals))
+      .select(col("__a").as("a"), col("__b").as("b"),
+        col("__n").as("n_obs"),
+        round(e, 6).as("expected"),
+        when(varTerm > 0.0,
+          round((col("__n").cast("double") - e) / sqrt(varTerm), 6)).as("resid"))
+  }
+
   /** Mutual information between two categorical columns — the
     * information-theoretic sibling of [[chiSquareIndependence]] (how
     * MANY bits does knowing A tell you about B, not just "are they

@@ -635,6 +635,16 @@ object StatsQueries {
         col("l_extendedprice"), trimNum = 1, trimDen = 20)
       .orderBy(col("l_returnflag"))
 
+  /** Chi-square cell residuals ([[graft.ops.Stats.chiSquareResiduals]]):
+    * WHICH lang×source cells drive q_chi2's association — Haberman
+    * adjusted residuals, one fixed IEEE tree per cell over exact
+    * marginals.
+    */
+  private def qChi2Cells(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.chiSquareResiduals(t(s, dir, "documents"),
+        col("lang"), col("source"))
+      .orderBy(col("a"), col("b"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anova" -> (qAnova _),
@@ -642,6 +652,7 @@ object StatsQueries {
     "q_mutual_info" -> (qMutualInfo _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_trimmed_mean" -> (qTrimmedMean _),
+    "q_chi2_cells" -> (qChi2Cells _),
     "q_quantiles" -> (qQuantiles _),
     "q_concentration" -> (qConcentration _),
     "q_mannwhitney" -> (qMannwhitney _),
@@ -679,6 +690,29 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_chi2_cells" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, COUNT(*) AS c
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT SUM(c) AS n FROM cells),
+        |w AS (
+        |  SELECT a, b, c,
+        |    SUM(c) OVER (PARTITION BY a) AS ra,
+        |    SUM(c) OVER (PARTITION BY b) AS cb
+        |  FROM cells)
+        |SELECT a, b, CAST(c AS BIGINT) AS n_obs,
+        |  round(CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE), 6) AS expected,
+        |  CASE WHEN CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (1.0 - CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (1.0 - CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0
+        |    THEN round((CAST(c AS DOUBLE)
+        |        - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (1.0 - CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * (1.0 - CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        |  END AS resid
+        |FROM w CROSS JOIN tot ORDER BY a, b""".stripMargin,
     "q_weighted_median" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g,

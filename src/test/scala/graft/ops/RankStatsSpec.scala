@@ -189,6 +189,28 @@ class RankStatsSpec extends AnyFunSuite {
     assert(all.getLong(3) == 4L && all.getDouble(4) == 257.5)
   }
 
+  test("chiSquareResiduals: independence gives 0 residuals; association flags the diagonal") {
+    val indep = createDf(spark, "a string, b string",
+      (for { a <- Seq("x", "y"); b <- Seq("u", "v") } yield Seq[Any](a, b)))
+    val i = Stats.chiSquareResiduals(indep, col("a"), col("b")).collect()
+    assert(i.forall(r => r.getDouble(4) == 0.0 || r.getDouble(4) == -0.0))
+    // strong diagonal: 9 agree per class, 1 disagrees
+    val rows = Seq.fill(9)(Seq[Any]("x", "u")) ++ Seq.fill(9)(Seq[Any]("y", "v")) ++
+      Seq(Seq[Any]("x", "v"))
+    val dep = createDf(spark, "a string, b string", rows)
+    val d = Stats.chiSquareResiduals(dep, col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(d(("x", "u")) > 2.0 && d(("y", "v")) > 2.0) // diagonal enriched
+    assert(d(("x", "v")) < 0.0) // off-diagonal depleted vs expectation
+  }
+
+  test("chiSquareResiduals: a single-category margin has no variance -> null resid") {
+    val df = createDf(spark, "a string, b string",
+      Seq(Seq[Any]("k", "u"), Seq[Any]("k", "v")))
+    val r = Stats.chiSquareResiduals(df, col("a"), col("b")).collect()
+    assert(r.length == 2 && r.forall(_.isNullAt(4)))
+  }
+
   test("mutualInformation: identical columns give MI = H and NMI = 1; independence gives 0") {
     val ident = createDf(spark, "a string, b string",
       Seq("x" -> "x", "y" -> "y", "x" -> "x", "y" -> "y")
