@@ -351,6 +351,89 @@ object Stats {
           .as("z"): _*)
   }
 
+  /** Deterministic Poisson bootstrap CI for a grouped mean — the
+    * resampling trick that makes bootstrap work at 100 TB (Chamandy et
+    * al., "Estimating Uncertainty for Massive Data Streams"): instead
+    * of materializing B resamples, each row draws its per-replicate
+    * multiplicity c ~ Poisson(1) from a SEEDED md5 hash (inverse-CDF
+    * ladder on a uniform from the first 8 hex chars — the repo's
+    * md5-selection convention, so replicas are reproducible on any
+    * engine with no RNG state), and replicate means come from one
+    * grouped aggregation over the row×replicate explode.
+    *
+    * Returns `(groups..., n, n_replicates, mean, boot_se, ci_lo,
+    * ci_hi)`, 6 dp: mean is the exact decimal point estimate; boot_se
+    * the stddev of the replicate means (each nano-quantized before the
+    * cross-replicate moments, so the SE is exact integer arithmetic
+    * until two final IEEE steps); ci = mean ± 1.96·se. Replicates that
+    * draw zero total count (tiny groups) drop from the SE, with
+    * `n_replicates` reporting the survivors; fewer than 2 survivors
+    * emit null se/ci.
+    *
+    * Scale shape: one `replicates`-way row explode (the method's
+    * price — B=32 means reading 32× rows through one map-combined
+    * (groups, replicate) aggregation), a replicate-count-bounded
+    * rollup, and a group-keyed join against the exact point estimate.
+    * No global state, no driver-side resampling.
+    */
+  def poissonBootstrapMeanCI(df: DataFrame, groupBy: Seq[String], keyCol: String,
+                             value: Column, replicates: Int = 32,
+                             seed: String = "boot"): DataFrame = {
+    require(groupBy.nonEmpty, "poissonBootstrapMeanCI needs group keys")
+    require(replicates >= 2 && replicates <= 256,
+      s"replicates out of range: $replicates")
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val x = round(value * lit(1e6), 0).cast("long")
+    val base = df.select(gCols :+ col(keyCol).as("__k") :+ x.as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    // exact point estimate: one plain aggregation
+    val point = base.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x").cast(dec)).as("__sx"))
+    // Poisson(1) inverse CDF: P(X <= k) thresholds, enough mass for a
+    // 1-in-3e6 tail at the cap
+    val thresholds = Seq(
+      0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.9999167588507119, 0.9999897508033253)
+    val exploded = base
+      .select(gCols :+ col("__k") :+ col("__x")
+        :+ explode(sequence(lit(0), lit(replicates - 1))).as("__r"): _*)
+    val bucket = conv(substring(md5(concat_ws(":",
+        lit(seed), col("__k").cast("string"), col("__r").cast("string"))
+        .cast("binary")), 1, 8), 16, 10).cast("long")
+    val u = bucket.cast("double") / lit(4294967296.0)
+    val c = thresholds.zipWithIndex
+      .foldRight(lit(thresholds.size.toLong)) { case ((t, k), rest) =>
+        when(u < t, k.toLong).otherwise(rest)
+      }
+    val perRep = exploded
+      .withColumn("__c", c)
+      .groupBy(gCols :+ col("__r"): _*)
+      .agg(sum(col("__c")).as("__sc"),
+        sum(col("__c").cast(dec) * col("__x").cast(dec)).as("__cx"))
+      // replicate mean in exact value-nanos (sx·1e3/sc: x is micros)
+      .withColumn("__m",
+        when(col("__sc") > 0L,
+          round(col("__cx").cast("double") / col("__sc").cast("double") * lit(1e3), 0)
+            .cast(dec)))
+    val boot = perRep.groupBy(gCols: _*)
+      .agg(sum(when(col("__m").isNotNull, 1L).otherwise(0L)).as("n_replicates"),
+        sum(col("__m")).as("__sm"),
+        sum(col("__m") * col("__m")).as("__sm2"))
+    val rD = col("n_replicates").cast("double")
+    val se = sqrt((rD * col("__sm2").cast("double")
+      - col("__sm").cast("double") * col("__sm").cast("double"))
+      / (rD * (rD - lit(1.0)))) / lit(1e9)
+    val mean = col("__sx").cast("double") / col("n").cast("double") / lit(1e6)
+    point.join(boot, groupBy)
+      .select(gCols :+ col("n") :+ col("n_replicates")
+        :+ round(mean, 6).as("mean")
+        :+ when(col("n_replicates") >= 2L, round(se, 6)).as("boot_se")
+        :+ when(col("n_replicates") >= 2L, round(mean - lit(1.96) * se, 6)).as("ci_lo")
+        :+ when(col("n_replicates") >= 2L, round(mean + lit(1.96) * se, 6)).as("ci_hi"): _*)
+  }
+
   /** Per-cell ADJUSTED residuals for the chi-square table — the
     * follow-up [[chiSquareIndependence]] demands ("the columns are
     * associated" is useless until you know WHICH cells deviate):

@@ -635,6 +635,18 @@ object StatsQueries {
         col("l_extendedprice"), trimNum = 1, trimDen = 20)
       .orderBy(col("l_returnflag"))
 
+  /** Poisson bootstrap CI ([[graft.ops.Stats.poissonBootstrapMeanCI]]):
+    * a 32-replicate deterministic bootstrap on mean order value per
+    * priority — every replicate multiplicity drawn from a seeded md5
+    * ladder, so the DuckDB oracle replays the full resampling
+    * bit-for-bit (a float-RNG bootstrap never could).
+    */
+  private def qBootstrap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.poissonBootstrapMeanCI(t(s, dir, "orders"),
+        Seq("o_orderpriority"), "o_orderkey", col("o_totalprice"),
+        replicates = 32, seed = "boot")
+      .orderBy(col("o_orderpriority"))
+
   /** Chi-square cell residuals ([[graft.ops.Stats.chiSquareResiduals]]):
     * WHICH lang×source cells drive q_chi2's association — Haberman
     * adjusted residuals, one fixed IEEE tree per cell over exact
@@ -653,6 +665,7 @@ object StatsQueries {
     "q_weighted_median" -> (qWeightedMedian _),
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_chi2_cells" -> (qChi2Cells _),
+    "q_bootstrap" -> (qBootstrap _),
     "q_quantiles" -> (qQuantiles _),
     "q_concentration" -> (qConcentration _),
     "q_mannwhitney" -> (qMannwhitney _),
@@ -690,6 +703,63 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_bootstrap" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS g, o_orderkey AS k,
+        |    CAST(round(o_totalprice * 1000000.0) AS BIGINT) AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |pt AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx FROM base GROUP BY 1),
+        |ex AS (SELECT g, k, x, t.r FROM base, range(0, 32) t(r)),
+        |uu AS (
+        |  SELECT g, r, x,
+        |    CAST(CAST(('0x' || substr(md5('boot:' || CAST(k AS VARCHAR)
+        |      || ':' || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM ex),
+        |cc AS (
+        |  SELECT g, r, x,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         ELSE 8 END AS c
+        |  FROM uu),
+        |pr AS (SELECT g, r, SUM(c) AS sc, SUM(c * x) AS cx FROM cc GROUP BY 1, 2),
+        |pm AS (
+        |  SELECT g, r,
+        |    CASE WHEN sc > 0 THEN
+        |      CAST(round(CAST(cx AS DOUBLE) / CAST(sc AS DOUBLE) * 1000.0) AS BIGINT)
+        |    END AS m
+        |  FROM pr),
+        |bt AS (
+        |  SELECT g, SUM(CASE WHEN m IS NOT NULL THEN 1 ELSE 0 END) AS nr,
+        |    SUM(m) AS sm, SUM(CAST(m AS HUGEINT) * m) AS sm2
+        |  FROM pm GROUP BY 1)
+        |SELECT pt.g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  CAST(nr AS BIGINT) AS n_replicates,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean,
+        |  CASE WHEN nr >= 2 THEN
+        |    round(sqrt((CAST(nr AS DOUBLE) * CAST(sm2 AS DOUBLE)
+        |        - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+        |      / (CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1.0))) / 1000000000.0, 6)
+        |  END AS boot_se,
+        |  CASE WHEN nr >= 2 THEN
+        |    round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |      - 1.96 * (sqrt((CAST(nr AS DOUBLE) * CAST(sm2 AS DOUBLE)
+        |          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+        |        / (CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1.0))) / 1000000000.0), 6)
+        |  END AS ci_lo,
+        |  CASE WHEN nr >= 2 THEN
+        |    round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |      + 1.96 * (sqrt((CAST(nr AS DOUBLE) * CAST(sm2 AS DOUBLE)
+        |          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+        |        / (CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1.0))) / 1000000000.0), 6)
+        |  END AS ci_hi
+        |FROM pt JOIN bt ON pt.g = bt.g ORDER BY 1""".stripMargin,
     "q_chi2_cells" ->
       """WITH cells AS (
         |  SELECT lang AS a, source AS b, COUNT(*) AS c

@@ -189,6 +189,33 @@ class RankStatsSpec extends AnyFunSuite {
     assert(all.getLong(3) == 4L && all.getDouble(4) == 257.5)
   }
 
+  test("poissonBootstrapMeanCI: CI brackets the point estimate and shrinks with n") {
+    val small = createDf(spark, "g int, k int, v double",
+      (1 to 30).map(i => Seq[Any](1, i, 50.0 + (i % 7))))
+    val big = createDf(spark, "g int, k int, v double",
+      (1 to 480).map(i => Seq[Any](1, i, 50.0 + (i % 7))))
+    def row(df: org.apache.spark.sql.DataFrame) =
+      Stats.poissonBootstrapMeanCI(df, Seq("g"), "k", col("v"), replicates = 32).head()
+    val s = row(small); val b = row(big)
+    for (r <- Seq(s, b)) {
+      assert(r.getDouble(4) > 0.0)                       // boot_se
+      assert(r.getDouble(5) < r.getDouble(3))            // ci_lo < mean
+      assert(r.getDouble(6) > r.getDouble(3))            // ci_hi > mean
+      assert(r.getDouble(3) > 50.0 && r.getDouble(3) < 57.0)
+    }
+    assert(b.getDouble(4) < s.getDouble(4)) // 16x the data -> tighter SE
+  }
+
+  test("poissonBootstrapMeanCI is partitioning-invariant (seeded hash, exact moments)") {
+    val df = createDf(spark, "g int, k int, v double",
+      (1 to 60).map(i => Seq[Any](i % 2, i, i * 1.5)))
+    val a = Stats.poissonBootstrapMeanCI(df, Seq("g"), "k", col("v"), 16)
+      .orderBy(col("g")).collect().toSeq
+    val b = Stats.poissonBootstrapMeanCI(df.repartition(7), Seq("g"), "k", col("v"), 16)
+      .orderBy(col("g")).collect().toSeq
+    assert(a == b)
+  }
+
   test("chiSquareResiduals: independence gives 0 residuals; association flags the diagonal") {
     val indep = createDf(spark, "a string, b string",
       (for { a <- Seq("x", "y"); b <- Seq("u", "v") } yield Seq[Any](a, b)))
