@@ -681,6 +681,62 @@ object Stats {
           .as("gini"): _*)
   }
 
+  /** Kendall's tau-b per group — the third leg of the correlation
+    * triple (Pearson `corrExact` / [[spearman]] / tau): concordant-
+    * minus-discordant pair counting with the tie-corrected denominator,
+    *
+    *   tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)),  n0 = n(n−1)/2,
+    *
+    * where C − D = Σ_pairs sign(Δx)·sign(Δy) — exact integers
+    * throughout (the sign product is −1/0/+1), one IEEE division at
+    * the end. With x = time, C − D IS the Mann-Kendall S statistic, so
+    * this row doubles as the standard monotone-trend test. Returns
+    * `(groups..., n, concordant, discordant, tau_b)`, 6 dp; tau_b null
+    * when either tie-corrected denominator term is 0.
+    *
+    * Scale: pair enumeration is QUADRATIC in group size by definition —
+    * this is the bounded-group operator (per-series panels, daily
+    * aggregates); for large groups use [[spearman]], which answers the
+    * monotone-association question in one sort. The self-join is a
+    * group-key equi-join (never a cross product), so the plan is safe;
+    * the row count is what scales as Σ|group|².
+    */
+  def kendallTau(df: DataFrame, groupBy: Seq[String],
+                 x: Column, y: Column): DataFrame = {
+    require(groupBy.nonEmpty, "kendallTau needs group keys")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val gCols = groupBy.map(col)
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val base = df.select(gCols :+ q(x).as("__x") :+ q(y).as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__i", row_number().over(W.orderBy(col("__x"), col("__y"))))
+    val a = base.toDF(base.columns.map(c => if (c.startsWith("__")) s"${c}_a" else c): _*)
+    val b = base.toDF(base.columns.map(c => if (c.startsWith("__")) s"${c}_b" else c): _*)
+    val pairs = a.join(b, groupBy).filter(col("__i_a") < col("__i_b"))
+      .select(gCols
+        :+ (signum(col("__x_b") - col("__x_a")).cast("long") *
+            signum(col("__y_b") - col("__y_a")).cast("long")).as("__s")
+        :+ when(col("__x_a") === col("__x_b"), 1L).otherwise(0L).as("__tx")
+        :+ when(col("__y_a") === col("__y_b"), 1L).otherwise(0L).as("__ty"): _*)
+    val agg = pairs.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("__n0"),
+        sum(col("__s")).as("__cd"),
+        sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("__s") === -1L, 1L).otherwise(0L)).as("discordant"),
+        sum(col("__tx")).as("__n1"),
+        sum(col("__ty")).as("__n2"))
+    val d1 = (col("__n0") - col("__n1")).cast("double")
+    val d2 = (col("__n0") - col("__n2")).cast("double")
+    // n from n0 = n(n-1)/2: n = (1+sqrt(1+8 n0))/2, exact for real n0
+    val n = round((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * col("__n0").cast("double")))
+      / lit(2.0), 0).cast("long")
+    agg.select(
+      gCols :+ n.as("n") :+ col("concordant") :+ col("discordant")
+        :+ when(d1 > 0.0 && d2 > 0.0,
+          round(col("__cd").cast("double") / sqrt(d1 * d2), 6)).as("tau_b"): _*)
+  }
+
   /** EXACT grouped quantiles with linear interpolation — the
     * `quantile_cont` / numpy-linear convention (rank h = (n−1)·p,
     * value = a + frac·(b−a)) computed in INTEGER arithmetic: p arrives

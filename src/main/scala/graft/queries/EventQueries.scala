@@ -315,10 +315,27 @@ object EventQueries {
         date_format(col("at_ts"), "yyyy-MM-dd HH:mm:ss").as("at_ts"))
   }
 
+  /** Kendall tau-b / Mann-Kendall trend
+    * ([[graft.ops.Stats.kendallTau]]): is daily revenue monotonically
+    * trending per event type? With x = day the concordant-discordant
+    * sum IS the Mann-Kendall S; the 30-row daily series is exactly the
+    * bounded-group shape the pairwise operator is for.
+    */
+  private def qKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    graft.ops.Stats.kendallTau(daily, Seq("event_type"),
+        col("day"), col("cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_autocorr" -> (qAutocorr _),
     "q_concurrency" -> (qConcurrency _),
+    "q_kendall" -> (qKendall _),
     "q_cusum" -> (qCusum _),
     "q_km" -> (qKm _),
     "q_seasonal" -> (qSeasonal _),
@@ -378,6 +395,40 @@ object EventQueries {
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_autocorr" -> autocorrOracleSql(maxLag = 6),
+    "q_kendall" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type,
+        |    CAST(round(day * 1000000.0) AS BIGINT) AS x,
+        |    CAST(round(cents * 1000000.0) AS BIGINT) AS y
+        |  FROM d),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY x, y) AS i
+        |  FROM v),
+        |p AS (
+        |  SELECT a.event_type,
+        |    sign(b.x - a.x) * sign(b.y - a.y) AS s,
+        |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+        |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        |  FROM r a JOIN r b ON a.event_type = b.event_type AND a.i < b.i),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n0, SUM(s) AS cd,
+        |    SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS concordant,
+        |    SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS discordant,
+        |    SUM(tx) AS n1, SUM(ty) AS n2
+        |  FROM p GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(round((1.0 + sqrt(1.0 + 8.0 * CAST(n0 AS DOUBLE))) / 2.0) AS BIGINT) AS n,
+        |  CAST(concordant AS BIGINT) AS concordant,
+        |  CAST(discordant AS BIGINT) AS discordant,
+        |  CASE WHEN CAST(n0 - n1 AS DOUBLE) > 0.0 AND CAST(n0 - n2 AS DOUBLE) > 0.0
+        |    THEN round(CAST(cd AS DOUBLE)
+        |      / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_concurrency" ->
       """WITH flagged AS (
         |  SELECT *,

@@ -189,6 +189,32 @@ class RankStatsSpec extends AnyFunSuite {
     assert(all.getLong(3) == 4L && all.getDouble(4) == 257.5)
   }
 
+  private def tau(xy: Seq[(Double, Double)]): Option[Double] = {
+    val df = createDf(spark, "g int, x double, y double",
+      xy.map { case (x, y) => Seq[Any](1, x, y) })
+    val r = Stats.kendallTau(df, Seq("g"), col("x"), col("y")).head()
+    if (r.isNullAt(4)) None else Some(r.getDouble(4))
+  }
+
+  test("kendallTau: perfect monotone = 1, reversal = -1, hand-checked mix") {
+    assert(tau(Seq(1.0 -> 2.0, 2.0 -> 5.0, 3.0 -> 9.0)) == Some(1.0))
+    assert(tau(Seq(1.0 -> 9.0, 2.0 -> 5.0, 3.0 -> 2.0)) == Some(-1.0))
+    // (1,1) (2,3) (3,2): pairs (1,2)C (1,3)C (2,3)D -> (2-1)/3
+    val got = tau(Seq(1.0 -> 1.0, 2.0 -> 3.0, 3.0 -> 2.0)).get
+    assert(got == BigDecimal(1.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("kendallTau: tau-b tie correction, hand-checked") {
+    // x=[1,1,2], y=[1,2,3]: pairs: (1,2) x-tie; (1,3) C; (2,3) C
+    // C-D = 2; n0=3, n1=1 (x ties), n2=0 -> 2/sqrt(2*3) = 0.816497
+    val got = tau(Seq(1.0 -> 1.0, 1.0 -> 2.0, 2.0 -> 3.0)).get
+    assert(got == BigDecimal(2.0 / math.sqrt(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // constant y: every pair y-tied -> denominator 0 -> null
+    assert(tau(Seq(1.0 -> 5.0, 2.0 -> 5.0, 3.0 -> 5.0)).isEmpty)
+  }
+
   test("poissonBootstrapMeanCI: CI brackets the point estimate and shrinks with n") {
     val small = createDf(spark, "g int, k int, v double",
       (1 to 30).map(i => Seq[Any](1, i, 50.0 + (i % 7))))
