@@ -737,6 +737,81 @@ object Stats {
           round(col("__cd").cast("double") / sqrt(d1 * d2), 6)).as("tau_b"): _*)
   }
 
+  /** Theil-Sen robust slope per group — the median of all pairwise
+    * slopes (breakdown point 29%, vs OLS's single-outlier failure;
+    * [[graft.ops.Regression.groupOls]]'s robust sibling, with
+    * [[kendallTau]]'s pair scaffolding):
+    *
+    *   slope = median_{i<j, x_i ≠ x_j} (y_j − y_i)/(x_j − x_i)
+    *   intercept = median_i (y_i − slope·x_i)
+    *
+    * Pairwise slopes quantize to integer NANOS before ranking, so the
+    * median pick (and its even-count midpoint, exact in half-nanos) is
+    * bit-deterministic; the intercept pass re-ranks nano-quantized
+    * residuals the same way. Returns
+    * `(groups..., n, n_pairs, slope, intercept)`, 6 dp; groups with no
+    * x-varying pair emit null slope/intercept.
+    *
+    * Scale: pair enumeration is QUADRATIC in group size — the same
+    * bounded-group contract as [[kendallTau]] (per-series panels); for
+    * large groups use OLS with robust pre-filtering. All joins are
+    * group-key equi-joins; both medians are group-partitioned sort
+    * windows. Range note: slopes beyond ~9e9 value-units per x-unit
+    * overflow the nano quantization (ANSI raises rather than
+    * corrupting) — rescale x for near-vertical data.
+    */
+  def theilSen(df: DataFrame, groupBy: Seq[String],
+               x: Column, y: Column): DataFrame = {
+    require(groupBy.nonEmpty, "theilSen needs group keys")
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val gCols = groupBy.map(col)
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val base = df.select(gCols :+ q(x).as("__x") :+ q(y).as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__i", row_number().over(W.orderBy(col("__x"), col("__y"))))
+    val a = base.toDF(base.columns.map(c => if (c.startsWith("__")) s"${c}_a" else c): _*)
+    val b = base.toDF(base.columns.map(c => if (c.startsWith("__")) s"${c}_b" else c): _*)
+    // slope in nanos: dy/dx over micro inputs is unitless — scale by 1e9
+    val pairs = a.join(b, groupBy).filter(col("__i_a") < col("__i_b"))
+      .filter(col("__x_a") =!= col("__x_b"))
+      .select(gCols
+        :+ round((col("__y_b") - col("__y_a")).cast("double")
+          / (col("__x_b") - col("__x_a")).cast("double") * lit(1e9), 0)
+          .cast("long").as("__s"): _*)
+    def medianNanos(in: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val ranked = in.select(
+        gCols :+ col(valCol)
+          :+ (row_number().over(W.orderBy(col(valCol))) - lit(1L)).as("__r")
+          :+ (count(lit(1)).over(W) - lit(1L)).as("__m"): _*)
+      val lo = expr("__m div 2")
+      val rem = col("__m") - lo * 2
+      val wgt = when(col("__r") === lo, lit(2L) - rem)
+        .when(col("__r") === lo + 1, rem).otherwise(lit(0L))
+      ranked.filter(wgt > 0L)
+        .groupBy(gCols: _*)
+        .agg((sum(wgt * col(valCol)) / lit(2L)).as(outCol),
+          count(lit(1)).as(s"${outCol}_nsel"))
+    }
+    val slopes = medianNanos(pairs, "__s", "__slope2")
+      .withColumn("__slope", col("__slope2").cast("double"))
+    val nPairs = pairs.groupBy(gCols: _*).agg(count(lit(1)).as("n_pairs"))
+    val nRows = base.groupBy(gCols: _*).agg(count(lit(1)).as("n"))
+    // residual pass: b_i = y_i − slope·x_i, in nanos of value units
+    val withSlope = base.join(slopes, groupBy)
+      .withColumn("__b",
+        round(col("__y").cast("double") * lit(1e3)
+          - col("__slope") / lit(1e9) * col("__x").cast("double") * lit(1e3), 0)
+          .cast("long"))
+    val intercepts = medianNanos(withSlope, "__b", "__int2")
+    nRows.join(nPairs, groupBy, "left")
+      .join(slopes, groupBy, "left")
+      .join(intercepts, groupBy, "left")
+      .select(gCols :+ col("n")
+        :+ coalesce(col("n_pairs"), lit(0L)).as("n_pairs")
+        :+ round(col("__slope") / lit(1e9), 6).as("slope")
+        :+ round(col("__int2").cast("double") / lit(1e9), 6).as("intercept"): _*)
+  }
+
   /** EXACT grouped quantiles with linear interpolation — the
     * `quantile_cont` / numpy-linear convention (rank h = (n−1)·p,
     * value = a + frac·(b−a)) computed in INTEGER arithmetic: p arrives

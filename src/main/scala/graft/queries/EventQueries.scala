@@ -315,6 +315,21 @@ object EventQueries {
         date_format(col("at_ts"), "yyyy-MM-dd HH:mm:ss").as("at_ts"))
   }
 
+  /** Theil-Sen robust trend ([[graft.ops.Stats.theilSen]]): the
+    * median-of-pairwise-slopes daily revenue trend per event type —
+    * q_ols_trend's outlier-immune sibling on the same bounded daily
+    * panel, nano-quantized slopes and residuals with exact midpoint
+    * medians.
+    */
+  private def qTheilsen(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    graft.ops.Stats.theilSen(daily, Seq("event_type"), col("day"), col("cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** Kendall tau-b / Mann-Kendall trend
     * ([[graft.ops.Stats.kendallTau]]): is daily revenue monotonically
     * trending per event type? With x = day the concordant-discordant
@@ -336,6 +351,7 @@ object EventQueries {
     "q_autocorr" -> (qAutocorr _),
     "q_concurrency" -> (qConcurrency _),
     "q_kendall" -> (qKendall _),
+    "q_theilsen" -> (qTheilsen _),
     "q_cusum" -> (qCusum _),
     "q_km" -> (qKm _),
     "q_seasonal" -> (qSeasonal _),
@@ -395,6 +411,63 @@ object EventQueries {
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_autocorr" -> autocorrOracleSql(maxLag = 6),
+    "q_theilsen" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type,
+        |    CAST(round(day * 1000000.0) AS BIGINT) AS x,
+        |    CAST(round(cents * 1000000.0) AS BIGINT) AS y
+        |  FROM d),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY x, y) AS i
+        |  FROM v),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(round(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+        |      * 1000000000.0) AS BIGINT) AS s
+        |  FROM r a JOIN r b ON a.event_type = b.event_type AND a.i < b.i
+        |  WHERE a.x <> b.x),
+        |np AS (SELECT event_type, COUNT(*) AS n_pairs FROM p GROUP BY 1),
+        |nr AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+        |rs AS (
+        |  SELECT event_type, s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY s) - 1 AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) - 1 AS m
+        |  FROM p),
+        |ms AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN rk = m // 2 THEN (2 - (m - (m // 2) * 2)) * s
+        |             WHEN rk = m // 2 + 1 THEN (m - (m // 2) * 2) * s
+        |             ELSE 0 END) / 2.0 AS slope2
+        |  FROM rs GROUP BY 1),
+        |bi AS (
+        |  SELECT v.event_type,
+        |    CAST(round(CAST(y AS DOUBLE) * 1000.0
+        |      - slope2 / 1000000000.0 * CAST(x AS DOUBLE) * 1000.0) AS BIGINT) AS b
+        |  FROM v JOIN ms ON v.event_type = ms.event_type),
+        |rb AS (
+        |  SELECT event_type, b,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY b) - 1 AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) - 1 AS m
+        |  FROM bi),
+        |mb AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN rk = m // 2 THEN (2 - (m - (m // 2) * 2)) * b
+        |             WHEN rk = m // 2 + 1 THEN (m - (m // 2) * 2) * b
+        |             ELSE 0 END) / 2.0 AS int2
+        |  FROM rb GROUP BY 1)
+        |SELECT nr.event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  round(slope2 / 1000000000.0, 6) AS slope,
+        |  round(int2 / 1000000000.0, 6) AS intercept
+        |FROM nr
+        |LEFT JOIN np ON nr.event_type = np.event_type
+        |LEFT JOIN ms ON nr.event_type = ms.event_type
+        |LEFT JOIN mb ON nr.event_type = mb.event_type
+        |ORDER BY nr.event_type""".stripMargin,
     "q_kendall" ->
       """WITH d AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -189,6 +189,32 @@ class RankStatsSpec extends AnyFunSuite {
     assert(all.getLong(3) == 4L && all.getDouble(4) == 257.5)
   }
 
+  private def ts2(xy: Seq[(Double, Double)]) = {
+    val df = createDf(spark, "g int, x double, y double",
+      xy.map { case (x, y) => Seq[Any](1, x, y) })
+    Stats.theilSen(df, Seq("g"), col("x"), col("y")).head()
+  }
+
+  test("theilSen: exact line recovered; one wild outlier cannot move the slope") {
+    val clean = ts2(Seq(1.0 -> 12.0, 2.0 -> 14.0, 3.0 -> 16.0, 4.0 -> 18.0))
+    assert(clean.getDouble(3) == 2.0 && clean.getDouble(4) == 10.0)
+    // y(5) jumps to 1000: the 6 clean pair slopes (all 2) still hold the
+    // median of the 10; OLS would swing hard
+    val dirty = ts2(Seq(1.0 -> 12.0, 2.0 -> 14.0, 3.0 -> 16.0, 4.0 -> 18.0,
+      5.0 -> 1000.0))
+    assert(dirty.getDouble(3) == 2.0)
+  }
+
+  test("theilSen: even pair count interpolates the midpoint; x-constant group nulls out") {
+    // 3 points -> 3 pair slopes [1, 2, 3]... use 3 points with slopes 1,3,2:
+    // (0,0),(1,1),(2,4): slopes (0,1)=1, (0,2)=2, (1,2)=3 -> median 2
+    val r = ts2(Seq(0.0 -> 0.0, 1.0 -> 1.0, 2.0 -> 4.0))
+    assert(r.getLong(2) == 3L && r.getDouble(3) == 2.0)
+    // all x equal: no valid pair
+    val v = ts2(Seq(5.0 -> 1.0, 5.0 -> 2.0))
+    assert(v.getLong(2) == 0L && v.isNullAt(3) && v.isNullAt(4))
+  }
+
   private def tau(xy: Seq[(Double, Double)]): Option[Double] = {
     val df = createDf(spark, "g int, x double, y double",
       xy.map { case (x, y) => Seq[Any](1, x, y) })
