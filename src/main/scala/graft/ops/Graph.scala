@@ -366,6 +366,61 @@ object Graph {
       .join(auths.select(col("node"), col("score").as("auth")), Seq("node"))
   }
 
+  /** Newman modularity of a node partition over an undirected graph —
+    * the standard "are these communities real" score for
+    * [[labelPropagation]]'s output (Q ≈ 0: no better than random;
+    * Q ≳ 0.3: meaningful structure):
+    *
+    *   Q = Σ_c ( m_c/m − (D_c/(2m))² )
+    *
+    * with m the undirected edge count, m_c the within-community edges
+    * and D_c the community degree sum. Returns one row
+    * `(n_communities, m_edges, modularity)`, 6 dp.
+    *
+    * Determinism: m, m_c, D_c are exact longs; each community's term is
+    * one fixed IEEE tree, nano-quantized BEFORE the community sum (the
+    * chi2 discipline). Nodes missing from `labels` count as their own
+    * singleton community (their edges are cross-community).
+    *
+    * Scale shape: the canonical edge list joins the node-sized label
+    * frame twice on endpoint keys (broadcast-eligible); within/degree
+    * counts are two map-combined aggregations onto community keys; the
+    * final rollup touches one row per community.
+    */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+    val tagged = e
+      .join(lab.toDF("u", "__lu"), Seq("u"), "left")
+      .join(lab.toDF("v", "__lv"), Seq("v"), "left")
+      .select(
+        coalesce(col("__lu"), col("u")).as("__lu"),
+        coalesce(col("__lv"), col("v")).as("__lv"))
+    val m = tagged.agg(count(lit(1)).as("__m"))
+    // degree sum per community: each edge endpoint contributes 1
+    val degs = tagged.select(col("__lu").as("__c"))
+      .unionAll(tagged.select(col("__lv").as("__c")))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__d"))
+    val within = tagged.filter(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("__c")).agg(count(lit(1)).as("__mc"))
+    val mD = col("__m").cast("double")
+    val termNano = round((coalesce(col("__mc"), lit(0L)).cast("double") / mD
+      - (col("__d").cast("double") / (lit(2.0) * mD))
+        * (col("__d").cast("double") / (lit(2.0) * mD))) * lit(1e9), 0).cast("long")
+    degs
+      .join(within, Seq("__c"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("__m"), termNano.as("__t"))
+      .groupBy(col("__m"))
+      .agg(count(lit(1)).as("n_communities"), sum(col("__t")).as("__q"))
+      .select(col("n_communities"), col("__m").as("m_edges"),
+        round(col("__q").cast("double") / lit(1e9), 6).as("modularity"))
+  }
+
   /** Link prediction over an undirected graph: for every candidate pair
     * (u, v) sharing at least one neighbor, the three classic
     * common-neighbor scores —

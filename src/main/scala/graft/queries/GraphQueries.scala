@@ -160,6 +160,64 @@ object GraphQueries {
        |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
   }
 
+  /** Community quality ([[graft.ops.Graph.modularity]]): Newman Q of
+    * the 4-round LPA partition on the supplier co-sequence graph — the
+    * detect-then-evaluate loop (a Q near 0 would say the communities
+    * are noise). The oracle replays the full LPA recursion AND the
+    * modularity arithmetic.
+    */
+  private def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    val labels = graft.ops.Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+    graft.ops.Graph.modularity(edges, "src", "dst", labels, "node", "label")
+  }
+
+  private def modularityOracleSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""l$i AS (
+         |  SELECT node, CAST(min([-c, label])[2] AS BIGINT) AS label FROM (
+         |    SELECT d.node, l.label, COUNT(*) AS c
+         |    FROM d JOIN l${i - 1} l ON d.nbr = l.node GROUP BY 1, 2)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nxt AS (
+       |  SELECT l_suppkey AS src,
+       |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+       |                          ORDER BY l_linenumber, l_suppkey) AS dst
+       |  FROM lineitem),
+       |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM nxt WHERE dst IS NOT NULL AND src <> dst),
+       |d AS (SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT node, node AS label FROM d),
+       |$iters,
+       |te AS (
+       |  SELECT COALESCE(la.label, e0.u) AS lu, COALESCE(lb.label, e0.v) AS lv
+       |  FROM e0
+       |  LEFT JOIN l$rounds la ON e0.u = la.node
+       |  LEFT JOIN l$rounds lb ON e0.v = lb.node),
+       |mm AS (SELECT COUNT(*) AS m FROM te),
+       |dg AS (
+       |  SELECT c, COUNT(*) AS dd FROM (
+       |    SELECT lu AS c FROM te UNION ALL SELECT lv FROM te) GROUP BY 1),
+       |wi AS (SELECT lu AS c, COUNT(*) AS mc FROM te WHERE lu = lv GROUP BY 1),
+       |tm AS (
+       |  SELECT m,
+       |    CAST(round((CAST(COALESCE(mc, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+       |      - (CAST(dd AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+       |        * (CAST(dd AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+       |      * 1000000000.0) AS BIGINT) AS t
+       |  FROM dg LEFT JOIN wi USING (c) CROSS JOIN mm)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |  CAST(m AS BIGINT) AS m_edges,
+       |  round(CAST(SUM(t) AS DOUBLE) / 1000000000.0, 6) AS modularity
+       |FROM tm GROUP BY m""".stripMargin
+  }
+
   /** Triangle count on the part co-purchase graph
     * ([[graft.ops.Graph.triangleCount]]): parts sharing an order form
     * edges; degree-ordered wedges close against the canonical edge set.
@@ -343,6 +401,7 @@ object GraphQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hits" -> (qHits _),
     "q_link_pred" -> (qLinkPred _),
+    "q_modularity" -> (qModularity _),
     "q_pagerank" -> (qPagerank _),
     "q_triangles" -> (qTriangles _),
     "q_kcore" -> (qKcore _),
@@ -353,6 +412,7 @@ object GraphQueries {
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_hits" -> hitsOracleSql(iterations = 3),
+    "q_modularity" -> modularityOracleSql(rounds = 4),
     "q_link_pred" -> linkPredOracleSql,
     "q_lpa" -> lpaOracleSql(rounds = 4),
     "q_ppr" -> pprOracleSql,

@@ -274,6 +274,30 @@ class GraphSpec extends AnyFunSuite {
     assert(uncapped.size > capped.size) // star wedges reappear
   }
 
+  private def mod(labels: Map[Int, Int], es: (Int, Int)*): Double = {
+    val lab = createDf(spark, "node int, label int",
+      labels.toSeq.map { case (n, l) => Seq[Any](n, l) })
+    Graph.modularity(edges(es: _*), "s", "t", lab, "node", "label")
+      .head().getDouble(2)
+  }
+
+  test("modularity: two clean triangles score 0.5; merging them into one community scores 0") {
+    val es = Seq(1 -> 2, 2 -> 3, 1 -> 3, 4 -> 5, 5 -> 6, 4 -> 6)
+    // perfect partition: m=6, per community m_c=3, D_c=6:
+    // Q = 2·(3/6 − (6/12)²) = 0.5
+    assert(mod(Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 4, 6 -> 4), es: _*) == 0.5)
+    // everything in one community: Q = 6/6 − 1² = 0 exactly
+    assert(mod(Map(1 -> 9, 2 -> 9, 3 -> 9, 4 -> 9, 5 -> 9, 6 -> 9), es: _*) == 0.0)
+  }
+
+  test("modularity: singleton partition is negative; unlabeled nodes default to singletons") {
+    val es = Seq(1 -> 2, 2 -> 3, 1 -> 3)
+    // each node its own community: Q = −Σ(d/2m)² = −3·(2/6)² = −1/3
+    val q = mod(Map(1 -> 1, 2 -> 2, 3 -> 3), es: _*)
+    assert(q == BigDecimal(-1.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(mod(Map.empty, es: _*) == q) // missing labels = singleton default
+  }
+
   test("linkPrediction plans no cartesian product") {
     val plan = Graph.linkPrediction(edges(1 -> 2, 2 -> 3), "s", "t")
       .queryExecution.executedPlan.toString
