@@ -63,4 +63,49 @@ object Survival {
           .otherwise(round(exp(col("__cln").cast("double") / lit(1e9)), 6))
           .as("survival"))
   }
+
+  /** Nelson-Aalen cumulative hazard — [[kaplanMeier]]'s additive
+    * companion (H(t) estimates cumulative RISK; −ln S approximates it,
+    * but NA is the direct estimator with better small-risk-set
+    * behavior):
+    *
+    *   H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ ,  Var = Σ dᵢ/nᵢ²
+    *
+    * Returns per distinct duration `(t, n_risk, n_event, n_censor,
+    * hazard, hazard_se)`, 6 dp.
+    *
+    * Determinism: each step's d/n and d/n² are fixed IEEE trees over
+    * exact longs, nano-quantized before the exact prefix sums — the
+    * [[kaplanMeier]] discipline with the exp/ln dropped (hazard is
+    * additive, so no log detour is needed).
+    *
+    * Scale shape: identical to [[kaplanMeier]] — duration-keyed
+    * reduction, whole-frame windows bounded by distinct durations.
+    */
+  def nelsonAalen(df: DataFrame, duration: Column, event: Column): DataFrame = {
+    val byT = df
+      .select(duration.cast("long").as("t"), event.cast("long").as("__e"))
+      .groupBy(col("t"))
+      .agg(sum(col("__e")).as("n_event"), count(lit(1)).as("__leave"))
+    val W = Window.orderBy(col("t"))
+    val before = W.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = W.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = byT.agg(sum(col("__leave")).as("__N"))
+    val hTerm = when(col("n_event") > 0,
+      round(col("n_event").cast("double") / col("n_risk").cast("double")
+        * lit(1e9), 0).cast("long")).otherwise(lit(0L))
+    val vTerm = when(col("n_event") > 0,
+      round(col("n_event").cast("double")
+        / (col("n_risk").cast("double") * col("n_risk").cast("double"))
+        * lit(1e9), 0).cast("long")).otherwise(lit(0L))
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("__N") - coalesce(sum(col("__leave")).over(before), lit(0L)))
+      .withColumn("n_censor", col("__leave") - col("n_event"))
+      .withColumn("__ch", sum(hTerm).over(upto))
+      .withColumn("__cv", sum(vTerm).over(upto))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censor"),
+        round(col("__ch").cast("double") / lit(1e9), 6).as("hazard"),
+        round(sqrt(col("__cv").cast("double") / lit(1e9)), 6).as("hazard_se"))
+  }
 }

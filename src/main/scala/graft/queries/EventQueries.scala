@@ -260,6 +260,22 @@ object EventQueries {
       .orderBy(col("t"))
   }
 
+  /** Nelson-Aalen cumulative hazard ([[graft.ops.Survival.nelsonAalen]]):
+    * q_km's additive companion on the same churn durations — cumulative
+    * risk with its SE, nano-quantized d/n steps, no log detour.
+    */
+  private def qHazard(s: SparkSession, dir: String): DataFrame = {
+    val subj = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        floor((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(86400000000L)).as("dur_days"),
+        when(max(unix_micros(col("ts"))) < lit(1706486400000000L), 1L)
+          .otherwise(0L).as("churned"))
+    graft.ops.Survival.nelsonAalen(subj, col("dur_days"), col("churned"))
+      .orderBy(col("t"))
+  }
+
   /** Per-type hourly revenue ACF at lags 1..6
     * ([[graft.ops.Timeseries.autocorrelation]]): the
     * persistence/seasonality screen before q_seasonal commits to a
@@ -352,6 +368,7 @@ object EventQueries {
     "q_concurrency" -> (qConcurrency _),
     "q_kendall" -> (qKendall _),
     "q_theilsen" -> (qTheilsen _),
+    "q_hazard" -> (qHazard _),
     "q_cusum" -> (qCusum _),
     "q_km" -> (qKm _),
     "q_seasonal" -> (qSeasonal _),
@@ -567,6 +584,37 @@ object EventQueries {
         |SELECT event_type, day, amount, cusum_plus, cusum_minus,
         |  (cusum_plus > 1000.0 OR cusum_minus > 1000.0) AS cusum_alarm
         |FROM f ORDER BY event_type, day""".stripMargin,
+    "q_hazard" ->
+      """WITH subj AS (
+        |  SELECT user_id,
+        |    CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS BIGINT) AS t,
+        |    CASE WHEN max(epoch_us(ts)) < 1706486400000000 THEN 1 ELSE 0 END AS e
+        |  FROM events GROUP BY user_id),
+        |byt AS (
+        |  SELECT t, SUM(e) AS n_event, COUNT(*) AS leave_n FROM subj GROUP BY 1),
+        |w AS (
+        |  SELECT t, n_event, leave_n - n_event AS n_censor,
+        |    (SELECT SUM(leave_n) FROM byt)
+        |      - COALESCE(SUM(leave_n) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt),
+        |x AS (
+        |  SELECT t, n_risk, n_event, n_censor,
+        |    SUM(CASE WHEN n_event > 0
+        |      THEN CAST(round(CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |        * 1000000000.0) AS BIGINT) ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch,
+        |    SUM(CASE WHEN n_event > 0
+        |      THEN CAST(round(CAST(n_event AS DOUBLE)
+        |        / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+        |        * 1000000000.0) AS BIGINT) ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+        |  FROM w)
+        |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(n_event AS BIGINT) AS n_event, CAST(n_censor AS BIGINT) AS n_censor,
+        |  round(CAST(ch AS DOUBLE) / 1000000000.0, 6) AS hazard,
+        |  round(sqrt(CAST(cv AS DOUBLE) / 1000000000.0), 6) AS hazard_se
+        |FROM x ORDER BY t""".stripMargin,
     "q_km" ->
       """WITH subj AS (
         |  SELECT user_id,

@@ -93,6 +93,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_drift" -> "PSI normalization over the bin table (rows = bin count)",
     "q_concurrency" -> "Ids.withRunningTotals offset window (rows = partition count)",
     "q_fdr" -> "BH rank/suffix-min windows over the tests table (rows = hypothesis count)",
+    "q_hazard" -> "risk-set/hazard-prefix windows over the duration table (rows = distinct durations)",
     "q_km" -> "risk-set/log-prefix/zero-flag windows over the duration table (rows = distinct durations)",
     "q_ks" -> "Ids.withRunningTotals offset window over distinct-value counts (rows = partition count)",
     "q_token_budget" -> "Ids.withRunningTotals offset window (rows = partition count)",

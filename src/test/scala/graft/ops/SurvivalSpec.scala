@@ -52,4 +52,34 @@ class SurvivalSpec extends AnyFunSuite {
       .orderBy("t").collect().toSeq
     assert(one == many)
   }
+
+  test("nelsonAalen: textbook hazard accumulates d/n; censoring thins without stepping") {
+    // t=1: 1 event of 4 at risk (+1/4); t=2: censor only (+0);
+    // t=3: 1 event of 2 at risk (+1/2)
+    val df = createDf(spark, "t long, e long", Seq(
+      Seq[Any](1L, 1L), Seq[Any](2L, 0L), Seq[Any](3L, 1L), Seq[Any](3L, 0L)))
+    val got = Survival.nelsonAalen(df, col("t"), col("e"))
+      .orderBy("t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(1L)._1 == 4L && got(1L)._2 == 0.25)
+    assert(got(2L)._2 == 0.25) // flat through the censoring
+    assert(got(3L)._2 == 0.75) // +1/2
+    // SE at t=3: sqrt(1/16 + 1/4) = 0.559017
+    assert(got(3L)._3 == 0.559017)
+  }
+
+  test("nelsonAalen tracks -ln(KM survival) from above on event-only data") {
+    val subjects = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+    val df = createDf(spark, "t long, e long",
+      subjects.map { case (t, e) => Seq[Any](t, e) })
+    val km = Survival.kaplanMeier(df, col("t"), col("e"))
+      .orderBy("t").collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val na = Survival.nelsonAalen(df, col("t"), col("e"))
+      .orderBy("t").collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    for (t <- 1L to 4L) { // t=5 zeroes KM (ln undefined)
+      val minusLnS = -math.log(km(t))
+      assert(na(t) <= minusLnS + 1e-9, s"t=$t: NA ${na(t)} vs -lnS $minusLnS")
+    }
+  }
 }
