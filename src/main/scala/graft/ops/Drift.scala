@@ -190,6 +190,47 @@ object Drift {
     *
     * @return single row (n_a, n_b, d_num, ks) with ks = d_num/(n_a·n_b)
     */
+  /** Pairwise vocabulary overlap between corpus slices — the set-level
+    * comparison [[psiCategorical]]'s distributional view can't give
+    * (two sources can share every token yet differ in mix, or share
+    * none): for every slice pair (a < b),
+    *
+    *   (n_a, n_b, n_common, jaccard, containment_a, containment_b)
+    *
+    * over DISTINCT tokens, 6 dp. Containment is directional — a small
+    * curated slice fully inside a crawl shows containment_a = 1 with a
+    * tiny jaccard, exactly the signal dedup planning needs. Pairs with
+    * ZERO shared tokens are omitted (the pair spine would need a
+    * group×group cross join; with k slices the caller knows the missing
+    * pairs are empty).
+    *
+    * Scale shape: one distinct over (slice, token), a token-keyed
+    * self-join whose fanout is the per-token slice count (≤ k, never
+    * corpus-sized), and slice-count-bounded size joins.
+    */
+  def vocabularyOverlap(df: DataFrame, groupCol: String,
+                        tokenCol: String): DataFrame = {
+    val d = df.select(col(groupCol).as("__g"), col(tokenCol).as("__t"))
+      .filter(col("__t").isNotNull).distinct()
+    val sizes = d.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val a = d.toDF("__ga", "__t")
+    val b = d.toDF("__gb", "__t")
+    val inter = a.join(b, Seq("__t"))
+      .filter(col("__ga") < col("__gb"))
+      .groupBy(col("__ga"), col("__gb"))
+      .agg(count(lit(1)).as("n_common"))
+    val cD = col("n_common").cast("double")
+    inter
+      .join(sizes.toDF("__ga", "__na"), Seq("__ga"))
+      .join(sizes.toDF("__gb", "__nb"), Seq("__gb"))
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"), col("n_common"),
+        round(cD / (col("__na") + col("__nb") - col("n_common")).cast("double"), 6)
+          .as("jaccard"),
+        round(cD / col("__na").cast("double"), 6).as("containment_a"),
+        round(cD / col("__nb").cast("double"), 6).as("containment_b"))
+  }
+
   /** Per-group two-sample KS — [[ksStatistic]] fanned out across group
     * keys (per-segment drift screens, the input table a multiple-testing
     * correction like [[graft.ops.Stats.benjaminiHochberg]] expects):

@@ -239,7 +239,14 @@ object Stats {
       .agg(sum(col("__t")).as("__chi"))
       .select(col("__tot").as("n"),
         ((col("__da") - 1) * (col("__db") - 1)).as("dof"),
-        round(col("__chi").cast("double") / lit(1e9), 6).as("chi2"))
+        round(col("__chi").cast("double") / lit(1e9), 6).as("chi2"),
+        // Cramér's V effect size — chi2 says "associated", V says "how
+        // much" on a 0..1 scale; null for a degenerate 1×k table
+        when(least(col("__da"), col("__db")) >= 2,
+          round(sqrt(col("__chi").cast("double") / lit(1e9)
+            / (col("__tot").cast("double")
+              * (least(col("__da"), col("__db")) - 1).cast("double"))), 6))
+          .as("cramers_v"))
   }
 
   def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {

@@ -1066,7 +1066,12 @@ object StatsQueries {
         |  SELECT CAST(round((o - e) * (o - e) / e * 1e9) AS BIGINT) AS term FROM m)
         |SELECT (SELECT CAST(nn AS BIGINT) FROM tot) AS n,
         |  (SELECT CAST((da - 1) * (db - 1) AS BIGINT) FROM tot) AS dof,
-        |  round(CAST(SUM(term) AS DOUBLE) / 1e9, 6) AS chi2
+        |  round(CAST(SUM(term) AS DOUBLE) / 1e9, 6) AS chi2,
+        |  CASE WHEN (SELECT least(da, db) FROM tot) >= 2 THEN
+        |    round(sqrt(CAST(SUM(term) AS DOUBLE) / 1e9
+        |      / (CAST((SELECT nn FROM tot) AS DOUBLE)
+        |        * CAST((SELECT least(da, db) - 1 FROM tot) AS DOUBLE))), 6)
+        |  END AS cramers_v
         |FROM t2
         |""".stripMargin,
     "q_welch" ->

@@ -522,9 +522,31 @@ object TextQueries {
         rakeStopwords)
       .orderBy(col("doc_id"))
 
+  /** Cross-source vocabulary overlap
+    * ([[graft.ops.Drift.vocabularyOverlap]]): jaccard + directional
+    * containment over distinct whitespace tokens for every source pair
+    * — the set-level corpus comparison feeding dedup planning.
+    */
+  private def qVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(TextStats.tokens(col("text"))).as("token"))
+    graft.ops.Drift.vocabularyOverlap(toks, "source", "token")
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
+  /** Zipf-law fit ([[Rank.zipfFit]]): log-log frequency-rank slope per
+    * language — natural text sits near −1; the r² collapse is the
+    * generated/templated-text tell.
+    */
+  private def qZipf(s: SparkSession, dir: String): DataFrame =
+    Rank.zipfFit(t(s, dir, "documents"), Seq("lang"), col("text"))
+      .orderBy(col("lang"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_keywords" -> (qKeywords _),
     "q_readability" -> (qReadability _),
+    "q_vocab_overlap" -> (qVocabOverlap _),
+    "q_zipf" -> (qZipf _),
     "q_text_stats" -> (qTextStats _),
     "q_vocab" -> (qVocab _),
     "q_doc_quality" -> (qDocQuality _),
@@ -601,6 +623,64 @@ object TextQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_vocab_overlap" ->
+      """WITH d AS (
+        |  SELECT DISTINCT g, tk FROM (
+        |    SELECT source AS g, unnest(string_split(text, ' ')) AS tk
+        |    FROM documents)
+        |  WHERE tk IS NOT NULL),
+        |s AS (SELECT g, COUNT(*) AS n FROM d GROUP BY 1),
+        |i AS (
+        |  SELECT a.g AS ga, b.g AS gb, COUNT(*) AS c
+        |  FROM d a JOIN d b ON a.tk = b.tk AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT ga AS group_a, gb AS group_b,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  CAST(c AS BIGINT) AS n_common,
+        |  round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard,
+        |  round(CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) AS containment_a,
+        |  round(CAST(c AS DOUBLE) / CAST(sb.n AS DOUBLE), 6) AS containment_b
+        |FROM i JOIN s sa ON sa.g = ga JOIN s sb ON sb.g = gb
+        |ORDER BY ga, gb""".stripMargin,
+    "q_zipf" ->
+      """WITH tk AS (
+        |  SELECT lang, w FROM (
+        |    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |f AS (SELECT lang, w, COUNT(*) AS ff FROM tk GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, ff,
+        |    row_number() OVER (PARTITION BY lang ORDER BY ff DESC, w) AS rk
+        |  FROM f),
+        |q AS (
+        |  SELECT lang, ff,
+        |    CAST(round(ln(rk) * 1000000000.0) AS BIGINT) AS x,
+        |    CAST(round(ln(ff) * 1000000000.0) AS BIGINT) AS y
+        |  FROM r),
+        |a AS (
+        |  SELECT lang, COUNT(*) AS nt, SUM(ff) AS ntok,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM q GROUP BY 1),
+        |b AS (
+        |  SELECT lang, nt, ntok,
+        |    CAST(nt * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(nt * sxx - sx * sx AS DOUBLE) AS dx,
+        |    CAST(nt * syy - sy * sy AS DOUBLE) AS dy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM a)
+        |SELECT lang, CAST(nt AS BIGINT) AS n_types, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CASE WHEN nt >= 3 AND dx > 0.0 THEN round(num / dx, 6) END AS slope,
+        |  CASE WHEN nt >= 3 AND dx > 0.0 THEN
+        |    round((syd - num / dx * sxd) / CAST(nt AS DOUBLE) / 1000000000.0, 6)
+        |  END AS intercept,
+        |  CASE WHEN nt >= 3 AND dx > 0.0 AND dy > 0.0 THEN
+        |    round(num * num / (dx * dy), 6)
+        |  END AS r2
+        |FROM b ORDER BY lang""".stripMargin,
     "q_keywords" -> keywordsOracleSql,
     "q_readability" ->
       """WITH c AS (

@@ -271,6 +271,64 @@ object Rank {
       .select(col("w1"), col("w2"), col("c12"), round(pmi, 6).as("pmi"))
   }
 
+  /** Zipf-law fit per group: the log-log OLS of token frequency
+    * against rank — the classic "is this corpus natural language"
+    * screen (clean text sits near slope −1; templated/generated text
+    * flattens or cliffs, and r² collapses on degenerate mixes):
+    *
+    *   slope, intercept, r² of  ln f(r) ~ ln r
+    *
+    * over the per-group frequency table. Returns
+    * `(groups..., n_types, n_tokens, slope, intercept, r2)`, 6 dp;
+    * groups with < 3 types (or no rank variance) emit nulls.
+    *
+    * Determinism: ranks come from a dense (freq desc, token asc)
+    * row_number; both logs take INTEGER arguments and nano-quantize
+    * per type; the five OLS moments accumulate as DECIMAL(38,0) — the
+    * [[graft.ops.Regression]] discipline on log scale.
+    *
+    * Scale shape: one token-keyed counting exchange, one
+    * group-partitioned sort window for ranks, one map-combined moment
+    * rollup. Vocabulary-sized intermediate, never corpus-sized.
+    */
+  def zipfFit(docs: DataFrame, groupBy: Seq[String], text: Column): DataFrame = {
+    require(groupBy.nonEmpty, "zipfFit needs group keys (lit(1) for global)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val freqs = docs
+      .select(gCols :+ explode(split(lower(text), "[^a-z0-9]+")).as("__w"): _*)
+      .filter(col("__w") =!= "")
+      .groupBy(gCols :+ col("__w"): _*)
+      .agg(count(lit(1)).as("__f"))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+      .orderBy(col("__f").desc, col("__w").asc)
+    val ranked = freqs
+      .withColumn("__r", row_number().over(W).cast("long"))
+      .withColumn("__x", round(log(col("__r")) * lit(1e9), 0).cast("long").cast(dec))
+      .withColumn("__y", round(log(col("__f")) * lit(1e9), 0).cast("long").cast(dec))
+    val agg = ranked.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("__f")).as("n_tokens"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val nDec = col("n_types").cast(dec)
+    val num = (nDec * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dx = (nDec * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val dy = (nDec * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val slope = num / dx
+    val intercept =
+      (col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+        col("n_types").cast("double") / lit(1e9)
+    agg.select(
+      gCols :+ col("n_types") :+ col("n_tokens")
+        :+ when(col("n_types") >= 3 && dx > 0.0, round(slope, 6)).as("slope")
+        :+ when(col("n_types") >= 3 && dx > 0.0, round(intercept, 6)).as("intercept")
+        :+ when(col("n_types") >= 3 && dx > 0.0 && dy > 0.0,
+          round(num * num / (dx * dy), 6)).as("r2"): _*)
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010): the unsupervised
     * per-document keyphrase step every corpus card / search-index /
     * topic-label pipeline wants before anything model-based. Candidate

@@ -71,6 +71,15 @@ class ChiSquareSpec extends AnyFunSuite {
   test("perfect independence gives chi2 = 0") {
     val r = chi(Seq(("x", "p", 10), ("x", "q", 10), ("y", "p", 10), ("y", "q", 10)))
     assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.0) // V = 0: no effect
+  }
+
+  test("Cramér's V: hand-checked effect size; degenerate 1xk margin nulls out") {
+    val r = chi(Seq(("x", "p", 10), ("x", "q", 20), ("y", "p", 20), ("y", "q", 10)))
+    // V = sqrt(chi2 / (n·(min(2,2)−1))) = sqrt(6.666666668/60) = 0.333333
+    assert(r.getDouble(3) == 0.333333)
+    val flat = chi(Seq(("x", "p", 10), ("x", "q", 10))) // one row category
+    assert(flat.isNullAt(3))
   }
 
   test("dof scales with both category counts") {

@@ -168,6 +168,39 @@ class RankSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getAs[String]("w1") == "x")
   }
 
+  test("zipfFit: an exact 1/r frequency law fits slope -1 with r2 = 1") {
+    // counts 12, 6, 4, 3 = 12/r for r = 1..4
+    val textParts = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val d = createDf(spark, "g int, text string",
+      Seq(Seq[Any](1, textParts.mkString(" "))))
+    val r = Rank.zipfFit(d, Seq("g"), col("text")).head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 25L)
+    assert(r.getDouble(3) == -1.0 && r.getDouble(5) == 1.0)
+    // intercept = ln 12
+    assert(r.getDouble(4) == BigDecimal(math.log(12.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("zipfFit: uniform frequencies have no rank signal -> dy = 0 nulls r2, slope 0") {
+    val d = createDf(spark, "g int, text string",
+      Seq(Seq[Any](1, "aa bb cc dd aa bb cc dd")))
+    val r = Rank.zipfFit(d, Seq("g"), col("text")).head()
+    assert(r.getDouble(3) == 0.0 && r.isNullAt(5)) // flat: slope 0, r2 undefined
+  }
+
+  test("vocabularyOverlap: hand-checked jaccard and directional containment") {
+    val d = createDf(spark, "g string, tk string",
+      Seq("a" -> "x", "a" -> "y", "a" -> "x", // dup collapses
+        "b" -> "x", "b" -> "y", "b" -> "z", "b" -> "w")
+        .map { case (g, t) => Seq[Any](g, t) })
+    val r = graft.ops.Drift.vocabularyOverlap(d, "g", "tk").head()
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 4L, 2L)))
+    assert(r.getDouble(5) == 0.5) // 2 / (2+4-2)
+    assert(r.getDouble(6) == 1.0) // a fully inside b
+    assert(r.getDouble(7) == 0.5)
+  }
+
   test("rakeTopPhrase: hand-checked deg/freq scores favor the long phrase") {
     val d = createDf(spark, "id int, text string", Seq(Seq[Any](1,
       "deep learning of deep systems and the deep learning stack")))
