@@ -629,7 +629,11 @@ object Stats {
       col("__k").as("k"), col("__n").as("n"),
       round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
       when(col("__k") >= 2 && col("__n") > col("__k") && col("__ssw") > 0L,
-        round(f, 6)).as("f"))
+        round(f, 6)).as("f"),
+      // eta² effect size: the variance share the grouping explains —
+      // F says "significant", eta² says "by how much"
+      when(col("__ssb") + col("__ssw") > 0L,
+        round(ssb / (ssb + ssw), 6)).as("eta_sq"))
   }
 
   /** Concentration metrics per group — the "is this market/corpus/

@@ -894,7 +894,11 @@ object StatsQueries {
         |  CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
         |    round((CAST(ssb AS DOUBLE) / 1000000000.0 / (CAST(k AS DOUBLE) - 1.0))
         |        / (CAST(ssw AS DOUBLE) / 1000000000.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
-        |  END AS f
+        |  END AS f,
+        |  CASE WHEN ssb + ssw > 0 THEN
+        |    round(CAST(ssb AS DOUBLE) / 1000000000.0
+        |      / (CAST(ssb AS DOUBLE) / 1000000000.0 + CAST(ssw AS DOUBLE) / 1000000000.0), 6)
+        |  END AS eta_sq
         |FROM a""".stripMargin,
     "q_fdr" ->
       """WITH tg AS (

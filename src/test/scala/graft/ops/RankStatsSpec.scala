@@ -323,6 +323,7 @@ class RankStatsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 3L && r.getLong(1) == 9L)
     assert(r.getDouble(2) == 54.0 && r.getDouble(3) == 6.0)
     assert(r.getDouble(4) == 27.0)
+    assert(r.getDouble(5) == 0.9) // eta² = 54/60: grouping explains 90%
   }
 
   test("anovaOneWay: identical group means give F = 0; constant data nulls F") {
