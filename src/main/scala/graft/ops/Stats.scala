@@ -692,6 +692,48 @@ object Stats {
           .as("gini"): _*)
   }
 
+  /** Two-proportion z-test — the A/B conversion comparison
+    * ([[proportionCi]] gives each arm's interval; this tests the
+    * DIFFERENCE with the pooled standard error):
+    *
+    *   z = (p̂_a − p̂_b) / sqrt( p̂(1−p̂)(1/n_a + 1/n_b) ),
+    *   p̂ = (x_a + x_b)/(n_a + n_b)
+    *
+    * One row `(n_a, x_a, n_b, x_b, p_a, p_b, z)`, 6 dp; z null when
+    * either arm is empty or the pooled variance is 0 (all successes or
+    * all failures — nothing to test).
+    *
+    * Determinism: counts are exact longs from ONE grand conditional
+    * aggregation (the [[welchT]] shape — single pass, single reduce,
+    * no join); z is one fixed IEEE tree over them.
+    */
+  def twoProportionZ(df: DataFrame, inA: Column, inB: Column,
+                     success: Column): DataFrame = {
+    val tagged = df.select(
+      when(inA, lit("a")).when(inB, lit("b")).as("__g"),
+      when(success, 1L).otherwise(0L).as("__s"))
+      .filter(col("__g").isNotNull)
+    val g = col("__g")
+    val m = tagged.agg(
+      sum(when(g === "a", 1L).otherwise(0L)).as("__na"),
+      sum(when(g === "a", col("__s")).otherwise(0L)).as("__xa"),
+      sum(when(g === "b", 1L).otherwise(0L)).as("__nb"),
+      sum(when(g === "b", col("__s")).otherwise(0L)).as("__xb"))
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val pa = col("__xa").cast("double") / naD
+    val pb = col("__xb").cast("double") / nbD
+    val pPool = (col("__xa") + col("__xb")).cast("double") /
+      (col("__na") + col("__nb")).cast("double")
+    val varPool = pPool * (lit(1.0) - pPool) * (lit(1.0) / naD + lit(1.0) / nbD)
+    m.select(
+      col("__na").as("n_a"), col("__xa").as("x_a"),
+      col("__nb").as("n_b"), col("__xb").as("x_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      when(col("__na") >= 1 && col("__nb") >= 1 && varPool > 0.0,
+        round((pa - pb) / sqrt(varPool), 6)).as("z"))
+  }
+
   /** Kendall's tau-b per group — the third leg of the correlation
     * triple (Pearson `corrExact` / [[spearman]] / tau): concordant-
     * minus-discordant pair counting with the tie-corrected denominator,

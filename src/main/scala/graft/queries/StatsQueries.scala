@@ -647,6 +647,16 @@ object StatsQueries {
         replicates = 32, seed = "boot")
       .orderBy(col("o_orderpriority"))
 
+  /** Two-proportion z-test ([[graft.ops.Stats.twoProportionZ]]): do
+    * clicks convert to high-value (> 100) at a different rate than
+    * views — the pooled-SE difference test q_ab_ci's per-arm intervals
+    * stop short of. One conditional aggregation, exact counts.
+    */
+  private def qTwoProp(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.twoProportionZ(t(s, dir, "events"),
+      col("event_type") === "click", col("event_type") === "view",
+      col("value") > 100.0)
+
   /** Chi-square cell residuals ([[graft.ops.Stats.chiSquareResiduals]]):
     * WHICH lang×source cells drive q_chi2's association — Haberman
     * adjusted residuals, one fixed IEEE tree per cell over exact
@@ -666,6 +676,7 @@ object StatsQueries {
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_chi2_cells" -> (qChi2Cells _),
     "q_bootstrap" -> (qBootstrap _),
+    "q_two_prop" -> (qTwoProp _),
     "q_quantiles" -> (qQuantiles _),
     "q_concentration" -> (qConcentration _),
     "q_mannwhitney" -> (qMannwhitney _),
@@ -703,6 +714,34 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_two_prop" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN event_type = 'click' THEN 'a'
+        |              WHEN event_type = 'view' THEN 'b' END AS g,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS s
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (
+        |  SELECT
+        |    SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN g = 'a' THEN s ELSE 0 END) AS xa,
+        |    SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN g = 'b' THEN s ELSE 0 END) AS xb
+        |  FROM t),
+        |c AS (
+        |  SELECT na, xa, nb, xb,
+        |    CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |    CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+        |    CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pp
+        |  FROM m)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
+        |  CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
+        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  CASE WHEN na >= 1 AND nb >= 1
+        |        AND pp * (1.0 - pp) * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)) > 0.0
+        |    THEN round((pa - pb)
+        |      / sqrt(pp * (1.0 - pp) * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 6)
+        |  END AS z
+        |FROM c""".stripMargin,
     "q_bootstrap" ->
       """WITH base AS (
         |  SELECT o_orderpriority AS g, o_orderkey AS k,

@@ -268,6 +268,22 @@ class RankStatsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("twoProportionZ: hand-checked pooled z; equal rates give 0; one-sided variance nulls") {
+    def tp(a: Seq[Int], b: Seq[Int]) = {
+      val df = createDf(spark, "g string, s int",
+        a.map(v => Seq[Any]("a", v)) ++ b.map(v => Seq[Any]("b", v)))
+      Stats.twoProportionZ(df, col("g") === "a", col("g") === "b", col("s") === 1)
+        .head()
+    }
+    // a: 3/4, b: 1/4 -> pooled 0.5, var = 0.25*(1/4+1/4) = 0.125
+    // z = 0.5/sqrt(0.125) = 1.414214
+    val r = tp(Seq(1, 1, 1, 0), Seq(1, 0, 0, 0))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 3L, 4L, 1L)))
+    assert(r.getDouble(6) == 1.414214)
+    assert(tp(Seq(1, 0), Seq(1, 0)).getDouble(6) == 0.0)
+    assert(tp(Seq(1, 1), Seq(1, 1)).isNullAt(6)) // all success: no variance
+  }
+
   test("chiSquareResiduals: independence gives 0 residuals; association flags the diagonal") {
     val indep = createDf(spark, "a string, b string",
       (for { a <- Seq("x", "y"); b <- Seq("u", "v") } yield Seq[Any](a, b)))
