@@ -190,6 +190,56 @@ object Drift {
     *
     * @return single row (n_a, n_b, d_num, ks) with ks = d_num/(n_a·n_b)
     */
+  /** Jensen-Shannon divergence between two categorical distributions —
+    * the bounded, symmetric drift number PSI isn't (JSD ∈ [0, ln 2],
+    * defined even when categories vanish entirely, so it needs no
+    * smoothing): with p = a/N_a, q = b/N_b and mixture m = (p+q)/2,
+    *
+    *   JSD = ½ Σ p·ln(p/m) + ½ Σ q·ln(q/m)
+    *
+    * Returns one row `(n_ref, n_cur, n_categories, jsd, jsd_norm)`
+    * (norm = jsd/ln 2 ∈ [0,1]), 6 dp.
+    *
+    * Determinism: the log ratios reduce to INTEGER-argument lns —
+    * p/m = 2·a·N_b / (a·N_b + b·N_a) — so every per-category term is a
+    * fixed IEEE tree over exact longs, nano-quantized before the sum
+    * (the psi/chi2 discipline). Zero-count sides contribute exact 0.
+    *
+    * Scale shape: both inputs reduce through ONE union-tagged
+    * map-combined aggregation to category rows; totals ride a 1-row
+    * broadcast; the rollup touches one row per category.
+    */
+  def jsDivergence(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val counts = ref.select(col(valueCol).as("__v"), lit(1L).as("__a"), lit(0L).as("__b"))
+      .unionAll(cur.select(col(valueCol).as("__v"), lit(0L), lit(1L)))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+    val totals = counts.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    // p/m and q/m as integer-product log ratios (overflow-safe to
+    // counts ~3e9 a side; cast up if a corpus exceeds that per category)
+    val aNb = col("__ca") * col("__nb")
+    val bNa = col("__cb") * col("__na")
+    val refTerm = when(col("__ca") > 0L,
+      round(col("__ca").cast("double") / col("__na").cast("double")
+        * (log(lit(2L) * aNb) - log(aNb + bNa)) * lit(1e9), 0).cast("long"))
+      .otherwise(0L)
+    val curTerm = when(col("__cb") > 0L,
+      round(col("__cb").cast("double") / col("__nb").cast("double")
+        * (log(lit(2L) * bNa) - log(aNb + bNa)) * lit(1e9), 0).cast("long"))
+      .otherwise(0L)
+    counts.crossJoin(broadcast(totals))
+      .select(col("__na"), col("__nb"), refTerm.as("__tr"), curTerm.as("__tc"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__tr")).as("__sr"), sum(col("__tc")).as("__sc"))
+      .select(col("__na").as("n_ref"), col("__nb").as("n_cur"),
+        col("n_categories"),
+        round((col("__sr") + col("__sc")).cast("double") / lit(2e9), 6).as("jsd"),
+        round((col("__sr") + col("__sc")).cast("double") / lit(2e9)
+          / lit(math.log(2.0)), 6).as("jsd_norm"))
+  }
+
   /** Pairwise vocabulary overlap between corpus slices — the set-level
     * comparison [[psiCategorical]]'s distributional view can't give
     * (two sources can share every token yet differ in mix, or share

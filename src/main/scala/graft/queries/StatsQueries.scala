@@ -647,6 +647,19 @@ object StatsQueries {
         replicates = 32, seed = "boot")
       .orderBy(col("o_orderpriority"))
 
+  /** Jensen-Shannon divergence ([[graft.ops.Drift.jsDivergence]]): the
+    * bounded symmetric distance between src0 and src1 token
+    * distributions — q_vocab_drift's PSI needs a top-N+OTHER scheme and
+    * smoothing; JSD takes the full vocabulary raw (zeros are exact
+    * zeros), with every log reduced to integer arguments.
+    */
+  private def qJsd(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def toks(src: String) = d.filter(col("source") === src)
+      .select(explode(graft.text.TextStats.tokens(col("text"))).as("token"))
+    graft.ops.Drift.jsDivergence(toks("src0"), toks("src1"), "token")
+  }
+
   /** Two-proportion z-test ([[graft.ops.Stats.twoProportionZ]]): do
     * clicks convert to high-value (> 100) at a different rate than
     * views — the pooled-SE difference test q_ab_ci's per-arm intervals
@@ -677,6 +690,7 @@ object StatsQueries {
     "q_chi2_cells" -> (qChi2Cells _),
     "q_bootstrap" -> (qBootstrap _),
     "q_two_prop" -> (qTwoProp _),
+    "q_jsd" -> (qJsd _),
     "q_quantiles" -> (qQuantiles _),
     "q_concentration" -> (qConcentration _),
     "q_mannwhitney" -> (qMannwhitney _),
@@ -714,6 +728,35 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_jsd" ->
+      """WITH rt AS (
+        |  SELECT unnest(string_split(text, ' ')) AS v FROM documents
+        |  WHERE source = 'src0'),
+        |ct AS (
+        |  SELECT unnest(string_split(text, ' ')) AS v FROM documents
+        |  WHERE source = 'src1'),
+        |c AS (
+        |  SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM (
+        |    SELECT v, 1 AS a, 0 AS b FROM rt
+        |    UNION ALL SELECT v, 0, 1 FROM ct)
+        |  WHERE v IS NOT NULL GROUP BY 1),
+        |tt AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+        |e AS (
+        |  SELECT na, nb,
+        |    CASE WHEN ca > 0 THEN
+        |      CAST(round(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |        * (ln(2 * ca * nb) - ln(ca * nb + cb * na))
+        |        * 1000000000.0) AS BIGINT) ELSE 0 END AS tr,
+        |    CASE WHEN cb > 0 THEN
+        |      CAST(round(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |        * (ln(2 * cb * na) - ln(ca * nb + cb * na))
+        |        * 1000000000.0) AS BIGINT) ELSE 0 END AS tc
+        |  FROM c CROSS JOIN tt)
+        |SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+        |  CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |  round(CAST(SUM(tr) + SUM(tc) AS DOUBLE) / 2000000000.0, 6) AS jsd,
+        |  round(CAST(SUM(tr) + SUM(tc) AS DOUBLE) / 2000000000.0 / ln(2.0), 6) AS jsd_norm
+        |FROM e GROUP BY na, nb""".stripMargin,
     "q_two_prop" ->
       """WITH t AS (
         |  SELECT CASE WHEN event_type = 'click' THEN 'a'

@@ -378,6 +378,31 @@ class RankStatsSpec extends AnyFunSuite {
     assert(got(3) == 0.003 && got(1) == 0.031 && got(2) == 0.031)
   }
 
+  private def jsd(a: Seq[String], b: Seq[String]) = {
+    val ra = createDf(spark, "v string", a.map(v => Seq[Any](v)))
+    val rb = createDf(spark, "v string", b.map(v => Seq[Any](v)))
+    Drift.jsDivergence(ra, rb, "v").head()
+  }
+
+  test("jsDivergence: identical distributions give 0; disjoint supports give ln 2 (norm 1)") {
+    val same = jsd(Seq("x", "x", "y"), Seq("x", "x", "y"))
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0)
+    val disjoint = jsd(Seq("x", "x"), Seq("y", "z"))
+    assert(disjoint.getDouble(4) == 1.0) // maximal divergence
+    assert(disjoint.getDouble(3) == BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("jsDivergence is symmetric and rate-invariant (sample size cancels)") {
+    val a = Seq("x", "x", "x", "y")
+    val b = Seq("x", "y", "y", "y")
+    val ab = jsd(a, b); val ba = jsd(b, a)
+    assert(ab.getDouble(3) == ba.getDouble(3))
+    // doubling one sample leaves its distribution (and JSD) unchanged
+    val scaled = jsd(a ++ a, b)
+    assert(scaled.getDouble(3) == ab.getDouble(3))
+  }
+
   test("ksStatisticGrouped: identical samples give d = 0; disjoint give d = n_a·n_b") {
     val df = createDf(spark, "g int, t string, v double",
       // g=1: identical; g=2: disjoint ranges
