@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distribution-drift measurement between two dataset slices — the
   * monitoring step that catches a feature or corpus-statistic shift
@@ -216,10 +217,14 @@ object Drift {
       .groupBy(col("__v"))
       .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
     val totals = counts.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
-    // p/m and q/m as integer-product log ratios (overflow-safe to
-    // counts ~3e9 a side; cast up if a corpus exceeds that per category)
-    val aNb = col("__ca") * col("__nb")
-    val bNa = col("__cb") * col("__na")
+    // p/m and q/m as integer-product log ratios. The products run in
+    // DECIMAL — long×long overflows past ~3e9 counts a side; decimal(18,0)
+    // operands give exact products to 1e18 counts per side (log takes the
+    // wider type, so the IEEE tree is unchanged where both representations
+    // are exact)
+    val d18 = DecimalType(18, 0)
+    val aNb = col("__ca").cast(d18) * col("__nb").cast(d18)
+    val bNa = col("__cb").cast(d18) * col("__na").cast(d18)
     val refTerm = when(col("__ca") > 0L,
       round(col("__ca").cast("double") / col("__na").cast("double")
         * (log(lit(2L) * aNb) - log(aNb + bNa)) * lit(1e9), 0).cast("long"))

@@ -382,6 +382,13 @@ object Stats {
     * (groups, replicate) aggregation), a replicate-count-bounded
     * rollup, and a group-keyed join against the exact point estimate.
     * No global state, no driver-side resampling.
+    *
+    * PRECONDITION: `keyCol` must uniquely identify rows. The Poisson
+    * draw is md5(seed, key, replicate) — rows sharing a key value get
+    * perfectly correlated multiplicities across every replicate, which
+    * biases boot_se downward (the duplicates resample as one unit).
+    * Callers with non-unique ids should pre-derive a unique key (e.g.
+    * concat of natural keys) before calling.
     */
   def poissonBootstrapMeanCI(df: DataFrame, groupBy: Seq[String], keyCol: String,
                              value: Column, replicates: Int = 32,
@@ -559,6 +566,12 @@ object Stats {
     * row per test), never by data size; the m count rides the same
     * frames. This is the documented-bound whole-frame exception, not
     * the raw-row cliff.
+    *
+    * Null p-values (a test whose statistic was undefined, e.g. a
+    * one-sided KS group) are NOT hypotheses: they sort after every real
+    * test, are excluded from m, and emit null (bh_rank, bh_q,
+    * bh_reject) — they can never be rejected and never inflate another
+    * test's q.
     */
   def benjaminiHochberg(df: DataFrame, pCol: Column, alpha: Double,
                         tieBreak: Seq[Column]): DataFrame = {
@@ -566,18 +579,21 @@ object Stats {
     require(tieBreak.nonEmpty,
       "pass tie-break columns (a test id) — tied p-values need a deterministic order")
     val W = org.apache.spark.sql.expressions.Window
-    val wRank = W.orderBy(pCol.asc +: tieBreak.map(_.asc): _*)
+    val pv = pCol.cast("double")
+    val wRank = W.orderBy(pv.asc_nulls_last +: tieBreak.map(_.asc): _*)
     val ranked = df
+      .withColumn("__pv", pv)
       .withColumn("__i", row_number().over(wRank).cast("long"))
-      .withColumn("__m", count(lit(1)).over(W.rowsBetween(Long.MinValue, Long.MaxValue)))
-      .withColumn("__qraw",
-        col("__m").cast("double") * pCol.cast("double") / col("__i").cast("double"))
+      .withColumn("__m", count(col("__pv")).over(W.rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("__qraw", when(col("__pv").isNotNull,
+        col("__m").cast("double") * col("__pv") / col("__i").cast("double")))
     val wSuffix = W.orderBy(col("__i")).rowsBetween(0, Long.MaxValue)
     ranked
-      .withColumn("bh_q", round(least(lit(1.0), min(col("__qraw")).over(wSuffix)), 6))
-      .withColumn("bh_rank", col("__i"))
-      .withColumn("bh_reject", col("bh_q") <= alpha)
-      .drop("__i", "__m", "__qraw")
+      .withColumn("bh_q", when(col("__pv").isNotNull,
+        round(least(lit(1.0), min(col("__qraw")).over(wSuffix)), 6)))
+      .withColumn("bh_rank", when(col("__pv").isNotNull, col("__i")))
+      .withColumn("bh_reject", when(col("__pv").isNotNull, col("bh_q") <= alpha))
+      .drop("__pv", "__i", "__m", "__qraw")
   }
 
   /** One-way ANOVA F — "do these k group means differ?" in one pass
@@ -745,7 +761,10 @@ object Stats {
     * the end. With x = time, C − D IS the Mann-Kendall S statistic, so
     * this row doubles as the standard monotone-trend test. Returns
     * `(groups..., n, concordant, discordant, tau_b)`, 6 dp; tau_b null
-    * when either tie-corrected denominator term is 0.
+    * when either tie-corrected denominator term is 0. Groups with
+    * fewer than 2 rows still emit their row (n, 0, 0, null) — the pair
+    * aggregate left-joins onto a per-group row-count frame, the same
+    * contract [[theilSen]] keeps.
     *
     * Scale: pair enumeration is QUADRATIC in group size by definition —
     * this is the bounded-group operator (per-series panels, daily
@@ -775,17 +794,19 @@ object Stats {
     val agg = pairs.groupBy(gCols: _*)
       .agg(count(lit(1)).as("__n0"),
         sum(col("__s")).as("__cd"),
-        sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("concordant"),
-        sum(when(col("__s") === -1L, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("__conc"),
+        sum(when(col("__s") === -1L, 1L).otherwise(0L)).as("__disc"),
         sum(col("__tx")).as("__n1"),
         sum(col("__ty")).as("__n2"))
     val d1 = (col("__n0") - col("__n1")).cast("double")
     val d2 = (col("__n0") - col("__n2")).cast("double")
-    // n from n0 = n(n-1)/2: n = (1+sqrt(1+8 n0))/2, exact for real n0
-    val n = round((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * col("__n0").cast("double")))
-      / lit(2.0), 0).cast("long")
-    agg.select(
-      gCols :+ n.as("n") :+ col("concordant") :+ col("discordant")
+    // left-join from the row-count frame so 1-row groups (no pairs)
+    // still emit (n, 0, 0, null) instead of vanishing
+    val counts = base.groupBy(gCols: _*).agg(count(lit(1)).as("n"))
+    counts.join(agg, groupBy, "left").select(
+      gCols :+ col("n")
+        :+ coalesce(col("__conc"), lit(0L)).as("concordant")
+        :+ coalesce(col("__disc"), lit(0L)).as("discordant")
         :+ when(d1 > 0.0 && d2 > 0.0,
           round(col("__cd").cast("double") / sqrt(d1 * d2), 6)).as("tau_b"): _*)
   }

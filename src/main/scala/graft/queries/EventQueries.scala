@@ -509,16 +509,17 @@ object EventQueries {
         |    SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS concordant,
         |    SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS discordant,
         |    SUM(tx) AS n1, SUM(ty) AS n2
-        |  FROM p GROUP BY 1)
-        |SELECT event_type,
-        |  CAST(round((1.0 + sqrt(1.0 + 8.0 * CAST(n0 AS DOUBLE))) / 2.0) AS BIGINT) AS n,
-        |  CAST(concordant AS BIGINT) AS concordant,
-        |  CAST(discordant AS BIGINT) AS discordant,
+        |  FROM p GROUP BY 1),
+        |cnt AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1)
+        |SELECT cnt.event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(coalesce(concordant, 0) AS BIGINT) AS concordant,
+        |  CAST(coalesce(discordant, 0) AS BIGINT) AS discordant,
         |  CASE WHEN CAST(n0 - n1 AS DOUBLE) > 0.0 AND CAST(n0 - n2 AS DOUBLE) > 0.0
         |    THEN round(CAST(cd AS DOUBLE)
         |      / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6)
         |  END AS tau_b
-        |FROM g ORDER BY event_type""".stripMargin,
+        |FROM cnt LEFT JOIN g ON cnt.event_type = g.event_type
+        |ORDER BY cnt.event_type""".stripMargin,
     "q_concurrency" ->
       """WITH flagged AS (
         |  SELECT *,

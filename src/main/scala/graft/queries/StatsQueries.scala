@@ -1015,8 +1015,8 @@ object StatsQueries {
         |      * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))), 6) AS p
         |  FROM kk),
         |r AS (
-        |  SELECT pv.*, row_number() OVER (ORDER BY p, segment) AS i,
-        |    COUNT(*) OVER () AS m
+        |  SELECT pv.*, row_number() OVER (ORDER BY p ASC NULLS LAST, segment) AS i,
+        |    COUNT(p) OVER () AS m
         |  FROM pv),
         |s AS (
         |  SELECT r.*,
@@ -1025,7 +1025,9 @@ object StatsQueries {
         |  FROM r)
         |SELECT segment, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CAST(d_num AS BIGINT) AS d_num, ks, p,
-        |  CAST(i AS BIGINT) AS bh_rank, bh_q, (bh_q <= 0.1) AS bh_reject
+        |  CASE WHEN p IS NOT NULL THEN CAST(i AS BIGINT) END AS bh_rank,
+        |  CASE WHEN p IS NOT NULL THEN bh_q END AS bh_q,
+        |  CASE WHEN p IS NOT NULL THEN (bh_q <= 0.1) END AS bh_reject
         |FROM s ORDER BY segment""".stripMargin,
     "q_concentration" ->
       """WITH pe AS (

@@ -378,6 +378,34 @@ class RankStatsSpec extends AnyFunSuite {
     assert(got(3) == 0.003 && got(1) == 0.031 && got(2) == 0.031)
   }
 
+  test("benjaminiHochberg: null p-values are not hypotheses — excluded from m, null outputs") {
+    // 2 real tests + 1 null-p row: m must be 2 (not 3), the null row gets
+    // null (rank, q, reject), and the real tests' q values match the m=2 run
+    val withNull = createDf(spark, "id int, p double", Seq(
+      Seq[Any](1, 0.01), Seq[Any](2, 0.04), Seq[Any](3, null)))
+    val got = Stats.benjaminiHochberg(withNull, col("p"), alpha = 0.05, Seq(col("id")))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(3).isNullAt(2) && got(3).isNullAt(3) && got(3).isNullAt(4))
+    val clean = createDf(spark, "id int, p double", Seq(
+      Seq[Any](1, 0.01), Seq[Any](2, 0.04)))
+    val ref = Stats.benjaminiHochberg(clean, col("p"), alpha = 0.05, Seq(col("id")))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(3), r.getDouble(2), r.getBoolean(4)))).toMap
+    for (id <- Seq(1, 2))
+      assert((got(id).getLong(3), got(id).getDouble(2), got(id).getBoolean(4)) == ref(id))
+  }
+
+  test("kendallTau: a 1-row group still emits its row (n, 0, 0, null tau)") {
+    val df = createDf(spark, "g int, x double, y double", Seq(
+      Seq[Any](1, 1.0, 2.0), Seq[Any](1, 2.0, 3.0), Seq[Any](1, 3.0, 5.0),
+      Seq[Any](2, 7.0, 7.0)))
+    val got = Stats.kendallTau(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet == Set(1, 2))
+    assert(got(1).getLong(1) == 3L && got(1).getDouble(4) == 1.0)
+    assert(got(2).getLong(1) == 1L && got(2).getLong(2) == 0L &&
+      got(2).getLong(3) == 0L && got(2).isNullAt(4))
+  }
+
   private def jsd(a: Seq[String], b: Seq[String]) = {
     val ra = createDf(spark, "v string", a.map(v => Seq[Any](v)))
     val rb = createDf(spark, "v string", b.map(v => Seq[Any](v)))
