@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DecimalType, StructType}
 import graft.multimodal.Multimodal
 import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
 import graft.streaming.Streaming
-import graft.text.{Boilerplate, Cluster, Dedup, Dsir, LangModel, Pq, Rank, Similarity, TextStats}
+import graft.text.{Boilerplate, Classify, Cluster, Dedup, Dsir, LangModel, Pq, Rank, Similarity, TextStats}
 
 import graft.queries.Qh.{t, dsum}
 
@@ -542,7 +542,26 @@ object TextQueries {
     Rank.zipfFit(t(s, dir, "documents"), Seq("lang"), col("text"))
       .orderBy(col("lang"))
 
+  /** Linear quality-classifier inference ([[Classify.score]]): the
+    * fastText-style post-heuristic curation stage — md5-bucketed word
+    * uni+bigrams, exact micro-weight pooling, sigmoid. Weights come
+    * from [[Classify.demoWeightsMicros]]'s closed form, which the
+    * oracle regenerates bucket-for-bucket; scoring is one shuffle-free
+    * per-row expression, so the plan is scan → project → sort only.
+    */
+  private def qClassify(s: SparkSession, dir: String): DataFrame = {
+    val w = Classify.demoWeightsMicros(64)
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"),
+        size(Classify.ngramFeatures(col("text"))).cast("long").as("n_features"),
+        round(Classify.linearLogit(col("text"), w, biasMicros = -50000L), 6).as("logit"),
+        Classify.score(col("text"), w, biasMicros = -50000L).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_classify" -> (qClassify _),
     "q_keywords" -> (qKeywords _),
     "q_readability" -> (qReadability _),
     "q_vocab_overlap" -> (qVocabOverlap _),
@@ -623,6 +642,30 @@ object TextQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_classify" ->
+      """WITH l AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, len(tk) + len(tk) - 1 AS nf,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, nf,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (
+        |  SELECT doc_id, nf, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |z AS (
+        |  SELECT doc_id, nf,
+        |    CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 + (-0.05) AS zz
+        |  FROM agg)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_features,
+        |  round(zz, 6) AS logit,
+        |  round(1.0 / (1.0 + exp(-zz)), 6) AS score,
+        |  (round(1.0 / (1.0 + exp(-zz)), 6) >= 0.5) AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
     "q_vocab_overlap" ->
       """WITH d AS (
         |  SELECT DISTINCT g, tk FROM (
