@@ -244,9 +244,10 @@ object Rank {
     * Scale shape: bigrams explode from the token arrays (row-local) and
     * reduce in ONE map-side-combined (w1,w2) aggregation — the only
     * corpus-sized shuffle; marginals are windows over the vocab²-bounded
-    * bigram table (NOT joins, which would push IsNotNull into a
-    * re-scan — the q_kappa lesson) and N rides a 1-row reused-exchange
-    * broadcast. Returns `(w1, w2, c12, pmi)`.
+    * bigram table (measured in r9 against groupBy-join marginals, which
+    * lose: the join's pushdown breaks exchange reuse and re-scans the
+    * corpus per branch — see PLANS.md) and N rides a 1-row
+    * reused-exchange broadcast. Returns `(w1, w2, c12, pmi)`.
     */
   def bigramPmi(docs: DataFrame, text: Column, minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
@@ -258,6 +259,15 @@ object Rank {
       .select(col("p.w1"), col("p.w2"))
     val cells = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val total = cells.agg(sum(col("c12")).as("__N"))
+    // Marginals as windows over the vocab²-bounded cell table — KEPT
+    // after the r9 groupBy-join experiment: the join form (marginals as
+    // groupBy(w1)/(w2) aggregates joined back) re-derives `cells` in
+    // every branch because the join's IsNotNull pushdown breaks
+    // exchange-subtree identity, so its executed plan scans the corpus
+    // FOUR times and paid 0.85–1.02s at sf0.1 vs 0.75s for this form
+    // (idle box, min-of-2; plan + numbers in PLANS.md). The windows
+    // cost two sorts of a vocabulary-bounded table and keep the corpus
+    // scan/shuffle count at one.
     val W = org.apache.spark.sql.expressions.Window
     val c1 = sum(col("c12")).over(W.partitionBy(col("w1")))
     val c2 = sum(col("c12")).over(W.partitionBy(col("w2")))
