@@ -323,6 +323,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) == 7.0)
   }
 
+  test("checkpoint resume: session state survives a stop/restart; a wiped checkpoint loses it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-chk-resume")
+    val outDir = base.resolve("data").toString
+    val chkDir = base.resolve("chk").toString
+
+    def sessionsOf(input: MemoryStream[(Timestamp, String, Double)]) =
+      Streaming.sessionizeStateful(
+        Streaming.watermarked(input.toDF().toDF("ts", "k", "v"), "ts", "0 seconds")
+          .select(col("k").as("key"), col("ts"), col("v").as("value"))
+          .as[Streaming.SessionEvent](org.apache.spark.sql.Encoders.product[Streaming.SessionEvent]),
+        gapMinutes = 30)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    def start() = sessionsOf(input).writeStream.outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", chkDir).start()
+
+    // run 1: open a 2-event session for u1, then KILL the query
+    val q1 = start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), "u1", 1.0),
+        (ts("2024-01-01 00:10:00"), "u1", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // run 2, SAME checkpoint: the in-gap event must merge into the
+    // recovered open session (committed batch 1 is NOT replayed — the
+    // merge can only come from recovered state), then the watermark
+    // times the session out
+    val q2 = start()
+    try {
+      input.addData((ts("2024-01-01 00:20:00"), "u1", 4.0))
+      q2.processAllAvailable()
+      input.addData((ts("2024-01-01 06:00:00"), "u9", 0.0))
+      q2.processAllAvailable()
+      input.addData((ts("2024-01-01 07:00:00"), "u9", 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val closed = spark.read.parquet(outDir)
+      .as[Streaming.ClosedSession](org.apache.spark.sql.Encoders.product[Streaming.ClosedSession])
+      .collect()
+    val u1 = closed.filter(_.key == "u1")
+    assert(u1.length == 1, s"exactly one u1 session, no duplicate emissions across restart: ${closed.toSeq}")
+    assert(u1.head.nEvents == 3 && u1.head.sumValue == 7.0,
+      s"the session spanning the restart must close with all 3 events: ${u1.head}")
+    assert(u1.head.startMicros == ts("2024-01-01 00:00:00").getTime * 1000)
+    assert(u1.head.endMicros == ts("2024-01-01 00:20:00").getTime * 1000)
+
+    // negative control: wipe the checkpoint and deliver the SAME
+    // post-restart feed through a fresh source — without the recovered
+    // state the in-gap event can only form a 1-event session
+    val base2 = java.nio.file.Files.createTempDirectory("graft-chk-wiped")
+    val input2 = MemoryStream[(Timestamp, String, Double)]
+    val q3 = sessionsOf(input2).writeStream.outputMode("append")
+      .format("parquet").option("path", base2.resolve("data").toString)
+      .option("checkpointLocation", base2.resolve("chk").toString).start()
+    try {
+      input2.addData((ts("2024-01-01 00:20:00"), "u1", 4.0))
+      q3.processAllAvailable()
+      input2.addData((ts("2024-01-01 06:00:00"), "u9", 0.0))
+      q3.processAllAvailable()
+      input2.addData((ts("2024-01-01 07:00:00"), "u9", 0.0))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val lost = spark.read.parquet(base2.resolve("data").toString)
+      .as[Streaming.ClosedSession](org.apache.spark.sql.Encoders.product[Streaming.ClosedSession])
+      .collect().filter(_.key == "u1")
+    assert(lost.length == 1 && lost.head.nEvents == 1,
+      s"without the checkpoint the session must NOT remember pre-restart events: ${lost.toSeq}")
+  }
+
   test("stream-stream interval join: clicks attribute to impressions within the window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
