@@ -1097,4 +1097,192 @@ object Stats {
       gCols :+ col("n")
         :+ when(dx > 0.0 && dy > 0.0, round(num / sqrt(dx * dy), 6)).as("rho"): _*)
   }
+
+  /** Standardized effect size for a two-sample comparison — the number
+    * a significance test ([[welchT]]) deliberately isn't (with 100 TB
+    * of rows EVERYTHING is significant; d says whether the difference
+    * MATTERS): Cohen's d with the pooled SD, plus Hedges' g small-
+    * sample correction,
+    *
+    *   d = (m_a − m_b)/s_p,  s_p² = ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2)
+    *   g = d·(1 − 3/(4(n_a+n_b) − 9))
+    *
+    * Returns ONE row `(n_a, n_b, mean_a, mean_b, pooled_sd, cohens_d,
+    * hedges_g)`, 6 dp; d/g null when either side has < 2 rows or the
+    * pooled variance is 0.
+    *
+    * Determinism: the [[welchT]] discipline — both sides' moments in
+    * one grand conditional aggregate over micro-quantized DECIMAL(38,0)
+    * sums; everything after is one fixed IEEE tree over exact integers.
+    *
+    * Scale shape: one map-combined exchange to one row. No join.
+    */
+  def effectSize(df: DataFrame, inA: Column, inB: Column, value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val tagged = df.select(
+      when(inA, lit("a")).when(inB, lit("b")).as("__g"), q(value).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val g = col("__g")
+    def side(s: String): Seq[Column] = Seq(
+      sum(when(g === s, 1L).otherwise(0L)).cast(dec).as(s"__n$s"),
+      sum(when(g === s, col("__x"))).as(s"__s$s"),
+      sum(when(g === s, col("__x") * col("__x"))).as(s"__ss$s"))
+    val moments = side("a") ++ side("b")
+    val m = tagged.agg(moments.head, moments.tail: _*)
+    def nD(s: String) = col(s"__n$s").cast("double")
+    def mean(s: String) = col(s"__s$s").cast("double") / nD(s) / lit(1e6)
+    // (n−1)·s² in micro² units, exact: (n·Σx² − (Σx)²)/n
+    def ssDev(s: String) =
+      (col(s"__n$s") * col(s"__ss$s") - col(s"__s$s") * col(s"__s$s")).cast("double") / nD(s)
+    val nTot = nD("a") + nD("b")
+    val sp = sqrt((ssDev("a") + ssDev("b")) / (nTot - lit(2.0))) / lit(1e6)
+    val d = (mean("a") - mean("b")) / sp
+    val gCorr = d * (lit(1.0) - lit(3.0) / (lit(4.0) * nTot - lit(9.0)))
+    val ok = col("__na") >= 2 && col("__nb") >= 2 && sp > 0.0
+    m.select(
+      col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+      round(mean("a"), 6).as("mean_a"), round(mean("b"), 6).as("mean_b"),
+      when(ok, round(sp, 6)).as("pooled_sd"),
+      when(ok, round(d, 6)).as("cohens_d"),
+      when(ok, round(gCorr, 6)).as("hedges_g"))
+  }
+
+  /** Brown-Forsythe (median-centered Levene) test for variance
+    * homogeneity across k groups — the assumption check behind
+    * [[anovaOneWay]] (and the direct "did spread change?" monitor a
+    * mean-drift test misses): W = the one-way ANOVA F computed on the
+    * absolute deviations from each group's MEDIAN,
+    *
+    *   z_ij = |x_ij − med_i|,  W = F(z)
+    *
+    * (medians, not means — Brown-Forsythe's robustness fix to Levene).
+    * Returns one row `(k, n, ss_between, ss_within, f, eta_sq)` from
+    * [[anovaOneWay]] on z. The median is [[exactQuantiles]]' integer
+    * interpolation, so z is exact to the half-micro and the whole
+    * statistic replays on any engine.
+    *
+    * Scale shape: one group-keyed sort for the medians, a group-keyed
+    * join of the k-row median table back onto the rows (AQE broadcasts
+    * it), then [[anovaOneWay]]'s one map-combined aggregation.
+    */
+  def leveneBrownForsythe(df: DataFrame, groupCol: Column, value: Column): DataFrame = {
+    val base = df.select(groupCol.as("__lg"), value.as("__lv"))
+      .filter(col("__lg").isNotNull && col("__lv").isNotNull)
+    val med = exactQuantiles(base, Seq("__lg"), col("__lv"), Seq((1, 2)))
+      .select(col("__lg"), col("q").as("__med"))
+    val z = base.join(med, "__lg")
+      .select(col("__lg"), abs(col("__lv") - col("__med")).as("__z"))
+    anovaOneWay(z, col("__lg"), col("__z"))
+  }
+
+  /** Paired t-test — the within-subject comparison [[welchT]]'s
+    * independent-samples assumption gets WRONG when the same key
+    * appears on both sides (pre/post, A-vs-B per user): per key with
+    * BOTH sides present, the difference of the key's side means
+    *
+    *   d_k = mean_a(k) − mean_b(k),   t = mean(d) / (sd(d)/√n)
+    *
+    * Returns ONE row `(n_pairs, mean_diff, sd_diff, t)`, 6 dp; t null
+    * when n < 2 or sd = 0. Keys missing a side drop (no pair).
+    *
+    * Determinism: per-key side sums are exact micro decimals; d_k is
+    * one IEEE division pair nano-quantized BEFORE the cross-key
+    * moments (the [[anovaOneWay]] cross-group discipline), so the
+    * final t is a fixed tree over exact longs.
+    *
+    * Scale shape: one key-keyed map-combined aggregation + one grand
+    * rollup. No join, no window.
+    */
+  def pairedT(df: DataFrame, keyCol: Column, inA: Column, inB: Column,
+              value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val tagged = df.select(keyCol.as("__k"),
+        when(inA, lit("a")).when(inB, lit("b")).as("__g"), q(value).as("__x"))
+      .filter(col("__k").isNotNull && col("__g").isNotNull && col("__x").isNotNull)
+    val g = col("__g")
+    val perKey = tagged.groupBy(col("__k")).agg(
+      sum(when(g === "a", 1L).otherwise(0L)).as("__na"),
+      sum(when(g === "a", col("__x"))).as("__sa"),
+      sum(when(g === "b", 1L).otherwise(0L)).as("__nb"),
+      sum(when(g === "b", col("__x"))).as("__sb"))
+    // d_k in exact value-nanos: micro sums/count ×1e3, rounded once
+    val dNanos = round(
+      (col("__sa").cast("double") / col("__na").cast("double")
+        - col("__sb").cast("double") / col("__nb").cast("double")) * lit(1e3), 0)
+      .cast(dec)
+    val diffs = perKey.filter(col("__na") > 0L && col("__nb") > 0L)
+      .select(dNanos.as("__d"))
+    val agg = diffs.agg(count(lit(1)).cast(dec).as("__n"),
+      sum(col("__d")).as("__sd"), sum(col("__d") * col("__d")).as("__sdd"))
+    val nD = col("__n").cast("double")
+    val meanD = col("__sd").cast("double") / nD / lit(1e9)
+    val varD = (col("__n") * col("__sdd") - col("__sd") * col("__sd")).cast("double") /
+      (nD * (nD - lit(1.0))) / lit(1e18)
+    val t = meanD / sqrt(varD / nD)
+    agg.select(
+      col("__n").cast("long").as("n_pairs"),
+      round(meanD, 6).as("mean_diff"),
+      when(col("__n") >= 2L && varD > 0.0, round(sqrt(varD), 6)).as("sd_diff"),
+      when(col("__n") >= 2L && varD > 0.0, round(t, 6)).as("t"))
+  }
+
+  /** Durbin-Watson autocorrelation-of-residuals statistic per group —
+    * the standard "is this regression missing serial structure?"
+    * diagnostic on [[graft.ops.Regression.groupOls]]-style fits:
+    * residuals of the per-group OLS of y on x, in x order,
+    *
+    *   DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ e_t²   ∈ [0, 4]
+    *
+    * (≈2 no autocorrelation, →0 positive, →4 negative). Returns one
+    * row per group `(groups..., n, dw)`, 6 dp; null when n < 2, x has
+    * no variance, or the residuals are all 0 (perfect fit).
+    *
+    * Determinism: OLS moments are exact decimal sums computed as
+    * group-partitioned WINDOW aggregates (sharing the one exchange —
+    * no join-back, no second scan); each residual is a fixed IEEE tree
+    * nano-quantized before the DW sums, which are exact integers.
+    *
+    * Scale shape: ONE group-keyed exchange; the moment windows, the
+    * x-ordered lag, and the final map-combined aggregation all ride it.
+    */
+  def durbinWatson(df: DataFrame, groupBy: Seq[String],
+                   x: Column, y: Column): DataFrame = {
+    require(groupBy.nonEmpty, "durbinWatson needs group keys")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val gCols = groupBy.map(col)
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val base = df.select(gCols :+ q(x).as("__x") :+ q(y).as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val withMoments = base.select(gCols ++ Seq(col("__x"), col("__y"),
+      count(lit(1)).over(W).cast(dec).as("__n"),
+      sum(col("__x")).over(W).as("__sx"),
+      sum(col("__y")).over(W).as("__sy"),
+      sum(col("__x") * col("__x")).over(W).as("__sxx"),
+      sum(col("__x") * col("__y")).over(W).as("__sxy")): _*)
+    val varX = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val covN = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val slope = covN / varX                                     // micro/micro
+    val interMicro = (col("__sy").cast("double")
+      - slope * col("__sx").cast("double")) / col("__n").cast("double")
+    // residual in exact nanos: e = y − (a + b·x), micro × 1e3
+    val eNanos = when(varX =!= 0.0, round(
+      (col("__y").cast("double") - interMicro - slope * col("__x").cast("double"))
+        * lit(1e3), 0).cast(dec))
+    val lagged = withMoments
+      .select(gCols ++ Seq(eNanos.as("__e"),
+        lag(eNanos, 1).over(W.orderBy(col("__x"), col("__y"))).as("__ep")): _*)
+    val agg = lagged.groupBy(gCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__e") * col("__e")).as("__see"),
+      sum(when(col("__ep").isNotNull,
+        (col("__e") - col("__ep")) * (col("__e") - col("__ep")))).as("__sdd"))
+    agg.select(
+      gCols :+ col("n")
+        :+ when(col("n") >= 2 && col("__see").isNotNull && col("__see") > 0,
+          round(col("__sdd").cast("double") / col("__see").cast("double"), 6))
+          .as("dw"): _*)
+  }
 }

@@ -525,6 +525,47 @@ object StatsQueries {
       col("event_type") === "purchase", col("event_type") === "click", col("value"))
   }
 
+  /** Standardized effect size ([[graft.ops.Stats.effectSize]]):
+    * Cohen's d + Hedges' g for purchase-vs-click values — the
+    * "does it MATTER?" companion to q_welch's "is it significant?",
+    * same one-pass conditional-moment aggregation.
+    */
+  private def qEffectSize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.effectSize(t(s, dir, "events"),
+      col("event_type") === "purchase", col("event_type") === "click", col("value"))
+
+  /** Brown-Forsythe variance homogeneity
+    * ([[graft.ops.Stats.leveneBrownForsythe]]): do the five event types
+    * share a value SPREAD (q_anova asks about means)? W = ANOVA F on
+    * |x − group median|, medians by exact integer interpolation.
+    */
+  private def qLevene(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.leveneBrownForsythe(t(s, dir, "events"),
+      col("event_type"), col("value"))
+
+  /** Paired t-test ([[graft.ops.Stats.pairedT]]): per-user purchase
+    * mean minus click mean, the within-subject readout q_welch's
+    * independence assumption gets wrong when the same users appear on
+    * both sides; users missing a side drop.
+    */
+  private def qPairedT(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.pairedT(t(s, dir, "events"), col("user_id"),
+      col("event_type") === "purchase", col("event_type") === "click", col("value"))
+
+  /** Durbin-Watson serial-correlation diagnostic
+    * ([[graft.ops.Stats.durbinWatson]]) on q_ols_trend's fit: per
+    * event type, DW of the daily-revenue-on-day OLS residuals in day
+    * order — is the trend line missing serial structure?
+    */
+  private def qDurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    graft.ops.Stats.durbinWatson(daily, Seq("event_type"), col("day"), col("cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** Chi-square independence ([[graft.ops.Stats.chiSquareIndependence]]):
     * is document language balanced across sources? Cell counts exact,
     * marginals as windows, per-cell terms nano-quantized before the sum.
@@ -697,6 +738,10 @@ object StatsQueries {
     "q_spearman" -> (qSpearman _),
     "q_chi2" -> (qChi2 _),
     "q_welch" -> (qWelch _),
+    "q_effect_size" -> (qEffectSize _),
+    "q_levene" -> (qLevene _),
+    "q_paired_t" -> (qPairedT _),
+    "q_durbin_watson" -> (qDurbinWatson _),
     "q_benford" -> (qBenford _),
     "q_ols_trend" -> (qOlsTrend _),
     "q_embed_drift" -> (qEmbedDrift _),
@@ -1197,7 +1242,170 @@ object StatsQueries {
         |    THEN round((va + vb) * (va + vb)
         |      / (va * va / (CAST(na AS DOUBLE) - 1)
         |        + vb * vb / (CAST(nb AS DOUBLE) - 1)), 6) END AS df
-        |FROM c
+        |FROM c""".stripMargin,
+    "q_effect_size" ->
+      """WITH tagged AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+        |    CAST(round(value * 1e6) AS HUGEINT) AS x
+        |  FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s, SUM(x * x) AS ss
+        |  FROM tagged GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    (SELECT n FROM m WHERE g = 'a') AS na,
+        |    (SELECT s FROM m WHERE g = 'a') AS sa,
+        |    (SELECT ss FROM m WHERE g = 'a') AS ssa,
+        |    (SELECT n FROM m WHERE g = 'b') AS nb,
+        |    (SELECT s FROM m WHERE g = 'b') AS sb,
+        |    (SELECT ss FROM m WHERE g = 'b') AS ssb),
+        |c AS (
+        |  SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 AS mb,
+        |    CAST(na * ssa - sa * sa AS DOUBLE) / CAST(na AS DOUBLE) AS da,
+        |    CAST(nb * ssb - sb * sb AS DOUBLE) / CAST(nb AS DOUBLE) AS db,
+        |    CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS ntot
+        |  FROM w),
+        |e AS (
+        |  SELECT na, nb, ma, mb, ntot,
+        |    sqrt((da + db) / (ntot - 2.0)) / 1e6 AS sp
+        |  FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND sp > 0 THEN round(sp, 6) END AS pooled_sd,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND sp > 0
+        |    THEN round((ma - mb) / sp, 6) END AS cohens_d,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND sp > 0
+        |    THEN round(((ma - mb) / sp) * (1.0 - 3.0 / (4.0 * ntot - 9.0)), 6)
+        |  END AS hedges_g
+        |FROM e""".stripMargin,
+    "q_levene" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, value AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |vv AS (SELECT g, CAST(round(v * 1000000.0) AS BIGINT) AS x FROM b),
+        |r AS (
+        |  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS i,
+        |    COUNT(*) OVER (PARTITION BY g) - 1 AS m
+        |  FROM vv),
+        |md AS (
+        |  SELECT g, round(CAST(SUM(CASE
+        |      WHEN i = m // 2 THEN (2 - (m - (m // 2) * 2)) * x
+        |      WHEN i = m // 2 + 1 THEN (m - (m // 2) * 2) * x
+        |      ELSE 0 END) AS DOUBLE) / 2.0 / 1000000.0, 6) AS med
+        |  FROM r GROUP BY 1),
+        |z AS (
+        |  SELECT b.g AS g, CAST(round(abs(b.v - md.med) * 1000000.0) AS BIGINT) AS x
+        |  FROM b JOIN md ON b.g = md.g),
+        |pg AS (
+        |  SELECT g, COUNT(*) AS ng, SUM(x) AS sg, SUM(x * x) AS ssg
+        |  FROM z GROUP BY 1),
+        |gr AS (SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(sg) AS s FROM pg),
+        |tm AS (
+        |  SELECT pg.ng, k, n,
+        |    CAST(round(CAST(ng AS DOUBLE)
+        |      * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) / 1000000.0
+        |         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+        |      * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) / 1000000.0
+        |         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+        |      * 1000000000.0) AS BIGINT) AS tb,
+        |    CAST(round(CAST(ng * ssg - sg * sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE) / 1000000000000.0 * 1000000000.0) AS BIGINT) AS tw
+        |  FROM pg CROSS JOIN gr),
+        |a AS (
+        |  SELECT k, n, SUM(tb) AS ssb, SUM(tw) AS ssw FROM tm GROUP BY 1, 2)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  round(CAST(ssb AS DOUBLE) / 1000000000.0, 6) AS ss_between,
+        |  round(CAST(ssw AS DOUBLE) / 1000000000.0, 6) AS ss_within,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+        |    round((CAST(ssb AS DOUBLE) / 1000000000.0 / (CAST(k AS DOUBLE) - 1.0))
+        |        / (CAST(ssw AS DOUBLE) / 1000000000.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |  END AS f,
+        |  CASE WHEN ssb + ssw > 0 THEN
+        |    round(CAST(ssb AS DOUBLE) / 1000000000.0
+        |      / (CAST(ssb AS DOUBLE) / 1000000000.0 + CAST(ssw AS DOUBLE) / 1000000000.0), 6)
+        |  END AS eta_sq
+        |FROM a""".stripMargin,
+    "q_paired_t" ->
+      """WITH tg AS (
+        |  SELECT user_id AS k,
+        |    CASE WHEN event_type = 'purchase' THEN 'a'
+        |         WHEN event_type = 'click' THEN 'b' END AS g,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |pk AS (
+        |  SELECT k,
+        |    SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN g = 'a' THEN x END) AS sa,
+        |    SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN g = 'b' THEN x END) AS sb
+        |  FROM tg GROUP BY 1),
+        |d AS (
+        |  SELECT CAST(round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1000.0) AS HUGEINT) AS dd
+        |  FROM pk WHERE na > 0 AND nb > 0),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(dd) AS s, SUM(dd * dd) AS ss
+        |  FROM d),
+        |c AS (
+        |  SELECT n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS md,
+        |    CAST(n * ss - s * s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e18 AS vd
+        |  FROM a)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |  round(md, 6) AS mean_diff,
+        |  CASE WHEN n >= 2 AND vd > 0 THEN round(sqrt(vd), 6) END AS sd_diff,
+        |  CASE WHEN n >= 2 AND vd > 0
+        |    THEN round(md / sqrt(vd / CAST(n AS DOUBLE)), 6) END AS t
+        |FROM c""".stripMargin,
+    "q_durbin_watson" ->
+      """WITH dly AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT g, CAST(round(day * 1000000.0) AS HUGEINT) AS x,
+        |    CAST(round(cents * 1000000.0) AS HUGEINT) AS y
+        |  FROM dly),
+        |w AS (
+        |  SELECT g, x, y,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS HUGEINT) AS n,
+        |    SUM(x) OVER (PARTITION BY g) AS sx,
+        |    SUM(y) OVER (PARTITION BY g) AS sy,
+        |    SUM(x * x) OVER (PARTITION BY g) AS sxx,
+        |    SUM(x * y) OVER (PARTITION BY g) AS sxy
+        |  FROM v),
+        |res AS (
+        |  SELECT g, x, y, n,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |    sx, sy
+        |  FROM w),
+        |e AS (
+        |  SELECT g, n,
+        |    CASE WHEN varx <> 0.0 THEN CAST(round(
+        |      (CAST(y AS DOUBLE)
+        |        - (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |        - slope * CAST(x AS DOUBLE)) * 1000.0) AS HUGEINT) END AS ee,
+        |    x, y
+        |  FROM res),
+        |lg AS (
+        |  SELECT g, n, ee,
+        |    lag(ee) OVER (PARTITION BY g ORDER BY x, y) AS ep
+        |  FROM e),
+        |agg AS (
+        |  SELECT g, COUNT(*) AS n, SUM(ee * ee) AS see,
+        |    SUM(CASE WHEN ep IS NOT NULL THEN (ee - ep) * (ee - ep) END) AS sdd
+        |  FROM lg GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n >= 2 AND see IS NOT NULL AND see > 0
+        |    THEN round(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE), 6) END AS dw
+        |FROM agg ORDER BY g
         |""".stripMargin,
     "q_benford" ->
       """WITH u AS (

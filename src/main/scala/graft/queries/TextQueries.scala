@@ -560,8 +560,22 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Language confusion matrix: declared `lang` × [[TextStats.langId]]
+    * heuristic prediction with per-cell counts — the eval view of
+    * q_lang_id's marginal (which cells leak tells you WHERE the
+    * heuristic fails, the first diagnostic before swapping in a
+    * trained identifier). One (lang, pred) map-combined aggregation.
+    */
+  private def qLangConfusion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextStats.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_classify" -> (qClassify _),
+    "q_lang_confusion" -> (qLangConfusion _),
     "q_keywords" -> (qKeywords _),
     "q_readability" -> (qReadability _),
     "q_vocab_overlap" -> (qVocabOverlap _),
@@ -764,6 +778,15 @@ object TextQueries {
         |  + 0.4 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
         |  + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_confusion" ->
+      """SELECT lang,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+        |       WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+        |       WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+        |       ELSE 'unknown' END AS lang_pred,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_lang_id" ->
       """SELECT CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
         |            WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'

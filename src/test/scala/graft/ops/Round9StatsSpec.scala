@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+class Round9StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("effectSize: hand-checked Cohen's d and Hedges' g") {
+    // a=[1,2,3], b=[4,5,6]: means 2 and 5, both variances 1 -> pooled sd 1
+    // d = -3; g = -3 * (1 - 3/(4*6-9)) = -3 * 0.8 = -2.4
+    val df = createDf(spark, "g string, v double",
+      Seq("a" -> 1, "a" -> 2, "a" -> 3, "b" -> 4, "b" -> 5, "b" -> 6)
+        .map { case (g, v) => Seq[Any](g, v.toDouble) })
+    val r = Stats.effectSize(df, col("g") === "a", col("g") === "b", col("v")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == -3.0)
+    assert(r.getDouble(6) == -2.4)
+  }
+
+  test("effectSize: zero pooled variance or 1-row side nulls d/g") {
+    val const = createDf(spark, "g string, v double",
+      Seq("a" -> 2, "a" -> 2, "b" -> 2, "b" -> 2)
+        .map { case (g, v) => Seq[Any](g, v.toDouble) })
+    val r = Stats.effectSize(const, col("g") === "a", col("g") === "b", col("v")).head()
+    assert(r.isNullAt(5) && r.isNullAt(6))
+    val tiny = createDf(spark, "g string, v double",
+      Seq(Seq[Any]("a", 1.0), Seq[Any]("b", 2.0), Seq[Any]("b", 4.0)))
+    val t = Stats.effectSize(tiny, col("g") === "a", col("g") === "b", col("v")).head()
+    assert(t.isNullAt(5))
+  }
+
+  test("leveneBrownForsythe: hand-checked W on median absolute deviations") {
+    // a=[1,2,3]: med 2, z=[1,0,1]; b=[10,20,30]: med 20, z=[10,0,10]
+    // z-means 2/3 and 20/3, grand 11/3; SSB=54, SSW=202/3
+    // W = (54/1)/(202/3/4) = 648/202 = 3.207921
+    val df = createDf(spark, "g string, v double",
+      (Seq(1, 2, 3).map(v => "a" -> v) ++ Seq(10, 20, 30).map(v => "b" -> v))
+        .map { case (g, v) => Seq[Any](g, v.toDouble) })
+    val r = Stats.leveneBrownForsythe(df, col("g"), col("v")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(math.abs(r.getDouble(4) - 648.0 / 202.0) < 1e-5)
+  }
+
+  test("leveneBrownForsythe: equal spreads give W = 0") {
+    // both groups have identical |x - med| multisets
+    val df = createDf(spark, "g string, v double",
+      (Seq(1.0, 2.0, 3.0).map(v => "a" -> v) ++ Seq(11.0, 12.0, 13.0).map(v => "b" -> v))
+        .map { case (g, v) => Seq[Any](g, v) })
+    val r = Stats.leveneBrownForsythe(df, col("g"), col("v")).head()
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("pairedT: hand-checked t over per-key mean differences; unpaired keys drop") {
+    // pairs d = [1, 2, 1, 2]: mean 1.5, sd = sqrt(1/3), t = 1.5/(sd/2) = 5.196152
+    val rows = Seq(
+      (1, "a", 2.0), (1, "b", 1.0),
+      (2, "a", 4.0), (2, "b", 2.0),
+      (3, "a", 3.0), (3, "b", 2.0),
+      (4, "a", 5.0), (4, "b", 3.0),
+      (5, "a", 9.0)) // unpaired: must not count
+    val df = createDf(spark, "k int, g string, v double",
+      rows.map { case (k, g, v) => Seq[Any](k, g, v) })
+    val r = Stats.pairedT(df, col("k"), col("g") === "a", col("g") === "b", col("v")).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 1.5)
+    assert(math.abs(r.getDouble(2) - math.sqrt(1.0 / 3.0)) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 5.196152) < 1e-6)
+  }
+
+  test("pairedT: constant differences give null t (no variance)") {
+    val df = createDf(spark, "k int, g string, v double",
+      (1 to 3).flatMap(k => Seq(Seq[Any](k, "a", k + 1.0), Seq[Any](k, "b", k.toDouble))))
+    val r = Stats.pairedT(df, col("k"), col("g") === "a", col("g") === "b", col("v")).head()
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 1.0 && r.isNullAt(3))
+  }
+
+  test("durbinWatson: hand-checked DW; perfect fit and 1-row groups null out") {
+    // g=1: x=[1,2,3], y=[1,2,4]: e = [1/6, -1/3, 1/6] -> DW = 0.5/(1/6) = 3
+    // g=2: y = 2x exactly -> residuals 0 -> null
+    // g=3: single row -> null
+    val df = createDf(spark, "g int, x double, y double", Seq(
+      Seq[Any](1, 1.0, 1.0), Seq[Any](1, 2.0, 2.0), Seq[Any](1, 3.0, 4.0),
+      Seq[Any](2, 1.0, 2.0), Seq[Any](2, 2.0, 4.0), Seq[Any](2, 3.0, 6.0),
+      Seq[Any](3, 5.0, 5.0)))
+    val got = Stats.durbinWatson(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(1).getLong(1) == 3L && math.abs(got(1).getDouble(2) - 3.0) < 1e-6)
+    assert(got(2).isNullAt(2))
+    assert(got(3).getLong(1) == 1L && got(3).isNullAt(2))
+  }
+
+  test("durbinWatson: alternating residuals push DW toward 4; is partitioning-invariant") {
+    // zig-zag around a flat line: strong negative autocorrelation
+    val rows = (1 to 40).map(i => Seq[Any](1, i.toDouble, if (i % 2 == 0) 1.0 else -1.0))
+    val df = createDf(spark, "g int, x double, y double", rows)
+    val r = Stats.durbinWatson(df, Seq("g"), col("x"), col("y")).head()
+    assert(r.getDouble(2) > 3.5)
+    val a = Stats.durbinWatson(df, Seq("g"), col("x"), col("y")).collect().toSeq
+    val b = Stats.durbinWatson(df.repartition(7), Seq("g"), col("x"), col("y")).collect().toSeq
+    assert(a == b)
+  }
+}
