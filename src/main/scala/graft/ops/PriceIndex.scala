@@ -907,4 +907,89 @@ object PriceIndex {
             / col("__den").cast("double"), 6)
           .as("contrib_pts"))
   }
+
+  /** Hedonic quality-adjusted index — the CPI answer to "did the PRICE
+    * change, or did the PRODUCT?" (laptops gain RAM, the raw Jevons
+    * conflates the two; ONS web-scraped pipelines hedonically strip the
+    * characteristic effect first). Frisch-Waugh spelling with a
+    * categorical fixed effect:
+    *
+    *   1. y = ln(priceNum/priceDen) per transaction, as a DIFFERENCE of
+    *      integer-argument lns (the ln 1e6 quantization offsets cancel);
+    *   2. demean y and the characteristic WITHIN each `fe` level
+    *      (brand/model fixed effect, absorbed by demeaning — no dummy
+    *      matrix, no solver);
+    *   3. one pooled OLS slope β on the demeaned pairs (the hedonic
+    *      shadow price of the characteristic);
+    *   4. quality-adjust a = y − β·x and index_t = exp(mean_t(a) −
+    *      mean_base(a)) against the FIRST period.
+    *
+    * Returns one row per period `(period, n, beta, index)`, 6 dp
+    * (beta repeated — it is the model, one number). Degenerate inputs:
+    * zero characteristic variance after demeaning → β = 0 (the
+    * unadjusted dual of Jevons), never a null index.
+    *
+    * Determinism: y nano-quantizes from integer-arg lns; demeaned
+    * values re-quantize to exact longs BEFORE the β moments and the
+    * period means (the cross-group discipline); β is one double
+    * division of exact decimals; each index is one exp of a difference
+    * of exact-integer means.
+    *
+    * Scale shape: one (fe)-partitioned window family over the
+    * transaction projection (no join-back, no second scan), one grand
+    * β aggregate riding a 1-row broadcast, one period-keyed
+    * map-combined reduction, and a period-bounded base-row attach via
+    * a grand min-struct aggregate. No data-sized joins anywhere.
+    */
+  def hedonicIndex(df: DataFrame, periodCol: Column, fe: Column,
+                   characteristic: Column, priceNum: Column,
+                   priceDen: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val pm = round(priceNum * lit(1e6), 0).cast(dec)
+    val qm = round(priceDen * lit(1e6), 0).cast(dec)
+    val base = df.select(periodCol.as("__pd"), fe.as("__fe"),
+        round(characteristic * lit(1e6), 0).cast(dec).as("__s"),
+        pm.as("__pm"), qm.as("__qm"))
+      .filter(col("__pd").isNotNull && col("__fe").isNotNull &&
+        col("__s").isNotNull && col("__pm") > 0 && col("__qm") > 0)
+      .withColumn("__y",
+        round((log(col("__pm").cast("double")) - log(col("__qm").cast("double")))
+          * lit(1e9), 0).cast(dec))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(col("__fe"))
+    val withMeans = base.select(col("__pd"), col("__s"), col("__y"),
+      count(lit(1)).over(W).cast(dec).as("__n"),
+      sum(col("__y")).over(W).as("__sy"),
+      sum(col("__s")).over(W).as("__ss"))
+    // demeaned, re-quantized to exact integers (nanos / micros)
+    val demeaned = withMeans.select(col("__pd"),
+      round(col("__y").cast("double")
+        - col("__sy").cast("double") / col("__n").cast("double"), 0)
+        .cast(dec).as("__yd"),
+      round(col("__s").cast("double")
+        - col("__ss").cast("double") / col("__n").cast("double"), 0)
+        .cast(dec).as("__sd"),
+      col("__y"), col("__s"))
+    val beta = demeaned.agg(
+      sum(col("__yd") * col("__sd")).as("__num"),
+      sum(col("__sd") * col("__sd")).as("__den"))
+    // β in nanos-per-micro = 1e3 × real slope; adjusted values stay nanos
+    val bRaw = when(col("__den") > 0,
+      col("__num").cast("double") / col("__den").cast("double")).otherwise(lit(0.0))
+    val adjusted = demeaned.crossJoin(broadcast(beta))
+      .select(col("__pd"),
+        round(col("__y").cast("double") - bRaw * col("__s").cast("double"), 0)
+          .cast(dec).as("__a"),
+        bRaw.as("__b"))
+    val perPeriod = adjusted.groupBy(col("__pd"))
+      .agg(count(lit(1)).as("n"), sum(col("__a")).as("__sa"),
+        first(col("__b")).as("__b"))
+      .withColumn("__am",
+        col("__sa").cast("double") / col("n").cast("double"))
+    val base0 = perPeriod.agg(min(struct(col("__pd"), col("__am"))).as("__b0"))
+      .select(col("__b0.__am").as("__am0"))
+    perPeriod.crossJoin(broadcast(base0))
+      .select(col("__pd").as("period"), col("n"),
+        round(col("__b") / lit(1e3), 6).as("beta"),
+        round(exp((col("__am") - col("__am0")) / lit(1e9)), 6).as("index"))
+  }
 }

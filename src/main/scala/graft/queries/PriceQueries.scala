@@ -401,8 +401,27 @@ object PriceQueries {
       .orderBy(col("p_brand"), col("period"))
   }
 
+  /** Hedonic quality-adjusted index ([[graft.ops.PriceIndex
+    * .hedonicIndex]]): 1995 unit prices regressed on p_size within
+    * p_brand fixed effects (Frisch-Waugh demeaning, no solver), then
+    * the monthly index of quality-ADJUSTED log prices — the "did the
+    * product change or the price?" decomposition ONS web-scraped
+    * pipelines need when specifications churn. The part dimension
+    * broadcasts; everything else is windows + aggregations.
+    */
+  private def qHedonicIndex(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995)
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+    graft.ops.PriceIndex.hedonicIndex(
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey")),
+        date_format(col("l_shipdate"), "yyyy-MM"), col("p_brand"),
+        col("p_size"), col("l_extendedprice"), col("l_quantity"))
+      .orderBy(col("period"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hedonic_index" -> (qHedonicIndex _),
     "q_geks_index" -> (qGeksIndex _),
     "q_geks_half" -> (qGeksHalf _),
     "q_gk_index" -> (qGkIndex _),
@@ -422,6 +441,50 @@ object PriceQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_hedonic_index" ->
+      """WITH li AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS pd, p_brand AS fe,
+        |    CAST(round(p_size * 1000000.0) AS HUGEINT) AS s,
+        |    CAST(round(l_extendedprice * 1000000.0) AS HUGEINT) AS pm,
+        |    CAST(round(l_quantity * 1000000.0) AS HUGEINT) AS qm
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) = 1995),
+        |b AS (
+        |  SELECT pd, fe, s,
+        |    CAST(round((ln(CAST(pm AS DOUBLE)) - ln(CAST(qm AS DOUBLE)))
+        |      * 1000000000.0) AS HUGEINT) AS y
+        |  FROM li
+        |  WHERE pd IS NOT NULL AND fe IS NOT NULL AND s IS NOT NULL
+        |    AND pm > 0 AND qm > 0),
+        |w AS (
+        |  SELECT pd, s, y,
+        |    CAST(COUNT(*) OVER (PARTITION BY fe) AS HUGEINT) AS n,
+        |    SUM(y) OVER (PARTITION BY fe) AS sy,
+        |    SUM(s) OVER (PARTITION BY fe) AS ss
+        |  FROM b),
+        |dm AS (
+        |  SELECT pd, y, s,
+        |    CAST(round(CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS HUGEINT) AS yd,
+        |    CAST(round(CAST(s AS DOUBLE) - CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) AS HUGEINT) AS sd
+        |  FROM w),
+        |bt AS (SELECT SUM(yd * sd) AS num, SUM(sd * sd) AS den FROM dm),
+        |adj AS (
+        |  SELECT pd,
+        |    CAST(round(CAST(y AS DOUBLE)
+        |      - (CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |              ELSE 0.0 END) * CAST(s AS DOUBLE)) AS HUGEINT) AS a,
+        |    CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |         ELSE 0.0 END AS braw
+        |  FROM dm CROSS JOIN bt),
+        |pp AS (
+        |  SELECT pd, COUNT(*) AS n, SUM(a) AS sa, ANY_VALUE(braw) AS braw
+        |  FROM adj GROUP BY 1),
+        |pmn AS (SELECT pd, n, braw, CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS am FROM pp),
+        |b0 AS (SELECT am AS am0 FROM pmn ORDER BY pd LIMIT 1)
+        |SELECT pd AS period, CAST(n AS BIGINT) AS n,
+        |  round(braw / 1000.0, 6) AS beta,
+        |  round(exp((am - am0) / 1000000000.0), 6) AS "index"
+        |FROM pmn CROSS JOIN b0 ORDER BY pd""".stripMargin,
     "q_gk_index" -> gkOracleSql(iters = 12, tol = 1e-6),
     "q_geks_movement" ->
       """WITH RECURSIVE li AS (

@@ -465,4 +465,50 @@ class PriceIndexSpec extends AnyFunSuite {
     // matched den = p0 expenditure of item 1 only = 10: contrib = 100*(30-10)/10
     assert(c.length == 1 && c(0).getDouble(2) == 200.0)
   }
+
+  test("hedonicIndex: price fully explained by the characteristic gives index 1, beta recovered") {
+    // ln p = 0.1 * size exactly; sizes shift up between periods, so the RAW
+    // mean ln-price rises, but the quality-adjusted index must stay ~1
+    val rows = Seq(
+      ("t0", "A", 10.0), ("t0", "A", 20.0),
+      ("t1", "A", 20.0), ("t1", "A", 30.0))
+      .map { case (pd, fe, s) => Seq[Any](pd, fe, s, math.exp(0.1 * s), 1.0) }
+    val df = createDf(spark, "pd string, fe string, size double, p double, q double", rows)
+    val got = PriceIndex.hedonicIndex(df, col("pd"), col("fe"), col("size"),
+        col("p"), col("q"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (n0, b0, i0) = got("t0")
+    val (n1, b1, i1) = got("t1")
+    assert(n0 == 2L && n1 == 2L)
+    assert(math.abs(b0 - 0.1) < 1e-5 && b0 == b1)
+    assert(i0 == 1.0)
+    assert(math.abs(i1 - 1.0) < 1e-5, s"quality-adjusted index must be ~1, got $i1")
+  }
+
+  test("hedonicIndex: constant characteristic degrades to the plain ln-mean ratio (beta 0)") {
+    val rows = Seq(
+      ("t0", "A", 5.0, 10.0), ("t1", "A", 5.0, 20.0))
+      .map { case (pd, fe, s, p) => Seq[Any](pd, fe, s, p, 1.0) }
+    val df = createDf(spark, "pd string, fe string, size double, p double, q double", rows)
+    val got = PriceIndex.hedonicIndex(df, col("pd"), col("fe"), col("size"),
+        col("p"), col("q"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("t0") == ((0.0, 1.0)))
+    assert(math.abs(got("t1")._2 - 2.0) < 1e-5) // exp(ln 20 - ln 10)
+    assert(got("t1")._1 == 0.0)
+  }
+
+  test("hedonicIndex is partitioning-invariant (integer re-quantization at every stage)") {
+    val rows = (1 to 60).map { i =>
+      val pd = if (i % 2 == 0) "t0" else "t1"
+      val fe = s"b${i % 3}"
+      val size = (i % 7 + 1).toDouble
+      Seq[Any](pd, fe, size, 5.0 + 0.3 * size + (i % 5), 1.0 + (i % 2))
+    }
+    val df = createDf(spark, "pd string, fe string, size double, p double, q double", rows)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      PriceIndex.hedonicIndex(d, col("pd"), col("fe"), col("size"), col("p"), col("q"))
+        .orderBy(col("period")).collect().toSeq
+    assert(run(df) == run(df.repartition(7)))
+  }
 }
