@@ -1228,6 +1228,37 @@ object Stats {
       when(col("__n") >= 2L && varD > 0.0, round(t, 6)).as("t"))
   }
 
+  /** Binary ROC AUC of a score column — the classifier eval number
+    * every curation stage ([[graft.text.Classify]], a perplexity
+    * filter, a reward model) reports before its threshold is trusted:
+    * the probability a random positive outranks a random negative,
+    * ties counting half, which is EXACTLY the Mann-Whitney statistic
+    * normalized —
+    *
+    *   AUC = U_pos / (n_pos · n_neg)
+    *
+    * so this rides [[mannWhitneyU]]'s exact integer 2U (distinct-value
+    * rank layer, tie-corrected, partitioning-invariant) and performs
+    * one final division. Returns ONE row `(n_pos, n_neg, auc)`, 6 dp;
+    * auc null when either class is empty. Rows with null score or
+    * null/indeterminate label drop.
+    *
+    * Scale shape: [[mannWhitneyU]]'s — one (value)-keyed map-combined
+    * aggregation to the distinct-score layer, one cumulative window
+    * over it (bounded by DISTINCT scores, which a 6-dp score column
+    * caps at 2e6), one 1-row rollup.
+    */
+  def binaryAuc(df: DataFrame, positive: Column, score: Column): DataFrame = {
+    val mw = mannWhitneyU(df.withColumn("__all", lit(1)), Seq("__all"),
+      positive, !positive, score)
+    mw.select(
+      col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+      when(col("n_a") >= 1 && col("n_b") >= 1,
+        round(col("u_a_twice").cast("double") / lit(2.0)
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+        .as("auc"))
+  }
+
   /** Durbin-Watson autocorrelation-of-residuals statistic per group —
     * the standard "is this regression missing serial structure?"
     * diagnostic on [[graft.ops.Regression.groupOls]]-style fits:

@@ -97,6 +97,26 @@ object SamplingQueries {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled mixture quotas ([[graft.ops.Sampling.apportion]]
+    * with α=1/2 weights): multilingual sampling's standard fix for
+    * head-language dominance (sample ∝ n^α, α<1 — the multilingual-LM
+    * recipe) — quotas proportional to √n_lang, summed to an exact 1000
+    * budget by largest remainder. √ is the one temperature with a
+    * correctly-rounded IEEE primitive on every engine, so the
+    * micro-quantized weights (and therefore every quota) replay
+    * bit-for-bit.
+    */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_avail"))
+      .withColumn("w_micro",
+        round(sqrt(col("n_avail").cast("double")) * lit(1e6), 0).cast("long"))
+    Sampling.apportion(counts, "lang", "w_micro", budget = 1000L)
+      .join(counts.select(col("lang"), col("n_avail")), Seq("lang"))
+      .select(col("lang"), col("n_avail"), col("w_micro"), col("quota"))
+      .orderBy(col("lang"))
+  }
+
   /** Per-group cap ([[Sampling.capPerGroup]]): at most 15 documents per
     * source, hash-selected — the kept-id sums pin exact membership, not
     * just the counts.
@@ -141,6 +161,7 @@ object SamplingQueries {
     "q_stratified" -> (qStratified _),
     "q_mixture" -> (qMixture _),
     "q_apportion" -> (qApportion _),
+    "q_temperature_mix" -> (qTemperatureMix _),
     "q_cap_group" -> (qCapGroup _),
     "q_weighted_sample" -> (qWeightedSample _),
   )
@@ -219,6 +240,22 @@ object SamplingQueries {
         |  CAST(taken.n_taken AS BIGINT) AS n_taken,
         |  CAST(taken.sum_taken_ids AS BIGINT) AS sum_taken_ids
         |FROM q JOIN taken USING (source) ORDER BY q.source""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_avail FROM documents GROUP BY 1),
+        |wm AS (
+        |  SELECT lang, n_avail,
+        |    CAST(round(sqrt(CAST(n_avail AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+        |  FROM c),
+        |t AS (SELECT SUM(w_micro) AS W FROM wm),
+        |b AS (
+        |  SELECT lang, n_avail, w_micro,
+        |    (1000 * w_micro) // W AS base, (1000 * w_micro) % W AS rem
+        |  FROM wm CROSS JOIN t),
+        |r AS (SELECT 1000 - SUM(base) AS extra FROM b)
+        |SELECT lang, n_avail, w_micro,
+        |  CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= extra
+        |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM b CROSS JOIN r ORDER BY lang""".stripMargin,
     "q_mixture" ->
       // the lang filter mirrors resampleToMixture dropping sources absent
       // from the target map — without it a sixth fixture language would

@@ -573,8 +573,23 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("lang_pred"))
 
+  /** Classifier ROC AUC ([[graft.ops.Stats.binaryAuc]] over
+    * [[Classify.score]]): can the linear quality score separate
+    * English documents from the rest? The eval number that must
+    * accompany q_classify before anyone trusts its threshold —
+    * computed as the exact tie-corrected Mann-Whitney U normalized,
+    * so it replays bit-for-bit.
+    */
+  private def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val w = Classify.demoWeightsMicros(64)
+    val scored = t(s, dir, "documents")
+      .select(col("lang"), Classify.score(col("text"), w, biasMicros = -50000L).as("score"))
+    graft.ops.Stats.binaryAuc(scored, col("lang") === "en", col("score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_classify" -> (qClassify _),
+    "q_auc" -> (qAuc _),
     "q_lang_confusion" -> (qLangConfusion _),
     "q_keywords" -> (qKeywords _),
     "q_readability" -> (qReadability _),
@@ -778,6 +793,44 @@ object TextQueries {
         |  + 0.4 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
         |  + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_auc" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT lang, round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1000000.0 + (-0.05)))), 6) AS score
+        |  FROM agg),
+        |tg AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS g,
+        |    CAST(round(score * 1000000.0) AS BIGINT) AS x
+        |  FROM sc WHERE score IS NOT NULL),
+        |bv AS (
+        |  SELECT x, SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na_v, COUNT(*) AS n_v
+        |  FROM tg GROUP BY 1),
+        |rk AS (
+        |  SELECT na_v, n_v,
+        |    COALESCE(SUM(n_v) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM bv),
+        |a AS (
+        |  SELECT SUM(na_v) AS na, SUM(n_v - na_v) AS nb,
+        |    SUM(na_v * (2 * cb + n_v + 1)) AS ra2
+        |  FROM rk)
+        |SELECT CAST(na AS BIGINT) AS n_pos, CAST(nb AS BIGINT) AS n_neg,
+        |  CASE WHEN na >= 1 AND nb >= 1
+        |    THEN round(CAST(ra2 - na * (na + 1) AS DOUBLE) / 2.0
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) END AS auc
+        |FROM a""".stripMargin,
     "q_lang_confusion" ->
       """SELECT lang,
         |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'

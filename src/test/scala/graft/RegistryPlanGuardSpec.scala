@@ -98,6 +98,8 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_ks" -> "Ids.withRunningTotals offset window over distinct-value counts (rows = partition count)",
     "q_token_budget" -> "Ids.withRunningTotals offset window (rows = partition count)",
     "q_vocab_drift" -> "smoothing window over the topN+1 category table",
+    "q_auc" -> "Mann-Whitney cumulative window over the DISTINCT-SCORE table (a 6-dp score in [0,1] has <= 1e6+1 distinct values)",
+    "q_temperature_mix" -> "apportion quota/remainder windows over the per-language count table (rows = language count)",
   )
 
   test("whole-frame windows appear only over bounded-by-construction tables") {

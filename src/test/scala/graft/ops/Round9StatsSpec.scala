@@ -80,6 +80,21 @@ class Round9StatsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 3L && r.getDouble(1) == 1.0 && r.isNullAt(3))
   }
 
+  test("binaryAuc: perfect separation = 1, reversal = 0, all-tied = 0.5, hand-checked mix") {
+    def auc(pos: Seq[Double], neg: Seq[Double]): Double = {
+      val df = createDf(spark, "y int, s double",
+        pos.map(v => Seq[Any](1, v)) ++ neg.map(v => Seq[Any](0, v)))
+      Stats.binaryAuc(df, col("y") === 1, col("s")).head().getDouble(2)
+    }
+    assert(auc(Seq(0.8, 0.9), Seq(0.1, 0.2)) == 1.0)
+    assert(auc(Seq(0.1, 0.2), Seq(0.8, 0.9)) == 0.0)
+    assert(auc(Seq(0.5, 0.5), Seq(0.5, 0.5)) == 0.5)
+    // pos=[0.9, 0.4], neg=[0.6, 0.2]: pairs won 3 of 4 -> 0.75
+    assert(auc(Seq(0.9, 0.4), Seq(0.6, 0.2)) == 0.75)
+    // a tie counts half: pos=[0.9, 0.5], neg=[0.5, 0.2] -> (1+1+0.5+1)/4
+    assert(auc(Seq(0.9, 0.5), Seq(0.5, 0.2)) == 0.875)
+  }
+
   test("durbinWatson: hand-checked DW; perfect fit and 1-row groups null out") {
     // g=1: x=[1,2,3], y=[1,2,4]: e = [1/6, -1/3, 1/6] -> DW = 0.5/(1/6) = 3
     // g=2: y = 2x exactly -> residuals 0 -> null
