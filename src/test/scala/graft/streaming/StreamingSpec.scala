@@ -323,6 +323,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) == 7.0)
   }
 
+  test("classifier scoring is stateless: streaming scores equal batch scores") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val w = graft.text.Classify.demoWeightsMicros(32)
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.Classify.score(col("text"), w, -50000L).as("score"))
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("clf_stream").start()
+    val docs = Seq(1L -> "the quick brown fox", 2L -> "lorem ipsum dolor", 3L -> "a b a b a")
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clf_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val batch = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), graft.text.Classify.score(col("text"), w, -50000L).as("score"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("checkpoint resume: session state survives a stop/restart; a wiped checkpoint loses it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
