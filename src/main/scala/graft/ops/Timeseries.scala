@@ -452,4 +452,85 @@ object Timeseries {
           :+ when(col("__e.np") >= 2 && den > 0.0, round(num / den, 6))
             .as("acf"): _*)
   }
+
+  /** Holt double-exponential smoothing per series — the level+trend
+    * forecaster one notch above [[ewmaHalf]] (EWMA lags a trending
+    * series forever; Holt's trend state closes the gap), the classic
+    * short-horizon capacity/revenue projector:
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},   l_1 = x_1, b_1 = 0
+    *
+    * Emits one row per observation `(parts..., idx, x, level, trend,
+    * forecast)` with forecast = l_t + b_t (the one-step-ahead). Outputs
+    * are the EXACT nano states divided once by 1e9 — deliberately NOT
+    * 6-dp rounded: binary-fraction α/β park the state on ...500-nano
+    * half-way points where decimal-vs-binary rounding disagrees across
+    * engines, while the raw quotient of identical integers is the
+    * identical double everywhere.
+    *
+    * Determinism: the recursion runs inside ONE higher-order `aggregate`
+    * fold per series with the state re-rounded to integer NANOS after
+    * every step — both engines walk identical integer states, so the
+    * sequential recurrence replays exactly (the q_cusum discipline,
+    * applied to a two-component state). α and β must be exactly
+    * binary-representable (1/4, 1/8, 3/8...) so that α and 1−α are the
+    * SAME doubles in any engine's literal parser — enforced.
+    *
+    * Scale shape: one series-keyed map-combined collect to a bounded
+    * per-series array (the [[graft.ops.Stats.kendallTau]] bounded-group
+    * contract — panels, daily aggregates; `maxLength` makes the bound
+    * explicit and the failure loud), then the fold is narrow per-series
+    * compute and the explode restores rows. ONE exchange total.
+    */
+  def holtLinear(df: DataFrame, parts: Seq[String], orderCol: Column,
+                 value: Column, alpha: Double, beta: Double,
+                 maxLength: Int = 10000): DataFrame = {
+    require(parts.nonEmpty, "need at least one series key")
+    def exactBinary(v: Double): Boolean = {
+      val scaled = v * 256.0
+      scaled == math.rint(scaled) && v > 0.0 && v < 1.0
+    }
+    require(exactBinary(alpha) && exactBinary(beta),
+      s"alpha/beta must be exactly binary-representable in (0,1) (k/256): got $alpha, $beta")
+    val pCols = parts.map(col)
+    val xNanos = round(value * lit(1e9), 0).cast("long")
+    val series = df
+      .select(pCols :+ struct(orderCol.as("o"), xNanos.as("x")).as("__e"): _*)
+      .filter(col("__e.x").isNotNull && col("__e.o").isNotNull)
+      .groupBy(pCols: _*)
+      .agg(sort_array(collect_list(col("__e"))).as("__s"))
+      .withColumn("__s",
+        when(size(col("__s")) > maxLength, raise_error(concat(
+          lit(s"holtLinear: series "), concat_ws(",", pCols: _*),
+          lit(s" exceeds maxLength=$maxLength observations"))))
+          .otherwise(col("__s")))
+    val rowType = "array<struct<idx:int,x:bigint,level:bigint,trend:bigint>>"
+    val zero = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+      array().cast(rowType).as("rows"))
+    val folded = series.withColumn("__f",
+      aggregate(transform(col("__s"), e => e.getField("x")), zero, (acc, x) => {
+        val first = size(acc.getField("rows")) === 0
+        val xd = x.cast("double")
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val lNew = when(first, xd)
+          .otherwise(round(lit(alpha) * xd + lit(1.0 - alpha) * (l + b), 0))
+        val bNew = when(first, lit(0.0))
+          .otherwise(round(lit(beta) * (lNew - l) + lit(1.0 - beta) * b, 0))
+        struct(lNew.as("l"), bNew.as("b"),
+          concat(acc.getField("rows"), array(struct(
+            (size(acc.getField("rows")) + 1).as("idx"), x.as("x"),
+            lNew.cast("long").as("level"), bNew.cast("long").as("trend"))))
+            .as("rows"))
+      }))
+    folded
+      .select(pCols :+ explode(col("__f.rows")).as("__r"): _*)
+      .select(pCols ++ Seq(
+        col("__r.idx").as("idx"),
+        (col("__r.x").cast("double") / lit(1e9)).as("x"),
+        (col("__r.level").cast("double") / lit(1e9)).as("level"),
+        (col("__r.trend").cast("double") / lit(1e9)).as("trend"),
+        ((col("__r.level") + col("__r.trend")).cast("double") / lit(1e9))
+          .as("forecast")): _*)
+  }
 }

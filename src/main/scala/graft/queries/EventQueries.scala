@@ -362,8 +362,28 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Holt double-exponential smoothing
+    * ([[graft.ops.Timeseries.holtLinear]]): daily revenue per event
+    * type smoothed to level+trend with α=1/4, β=1/8 — the one-step
+    * forecast q_ewma's trendless state can't give. The recursion folds
+    * once per series with integer-nano state, replayed by the oracle's
+    * recursive CTE step-for-step. Revenue feeds in DOLLARS (cents/100)
+    * so nano-state stays inside the double-exact 2^53 range at 10×
+    * scale.
+    */
+  private def qHolt(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    graft.ops.Timeseries.holtLinear(daily, Seq("event_type"), col("day"),
+        col("cents") / lit(100.0), alpha = 0.25, beta = 0.125)
+      .orderBy(col("event_type"), col("idx"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_holt" -> (qHolt _),
     "q_autocorr" -> (qAutocorr _),
     "q_concurrency" -> (qConcurrency _),
     "q_kendall" -> (qKendall _),
@@ -427,6 +447,32 @@ object EventQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_holt" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT g, day,
+        |    CAST(round(CAST(cents AS DOUBLE) / 100.0 * 1000000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |ser AS (SELECT g, list(x ORDER BY day) AS xs, COUNT(*) AS n FROM v GROUP BY 1),
+        |st AS (
+        |  SELECT g, 1 AS i, xs, n, CAST(xs[1] AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT g, i + 1, xs, n,
+        |    round(0.25 * CAST(xs[i + 1] AS DOUBLE) + 0.75 * (l + b)) AS l,
+        |    round(0.125 * (round(0.25 * CAST(xs[i + 1] AS DOUBLE) + 0.75 * (l + b)) - l)
+        |      + 0.875 * b) AS b
+        |  FROM st WHERE i < n)
+        |SELECT g AS event_type, i AS idx,
+        |  CAST(xs[i] AS DOUBLE) / 1e9 AS x,
+        |  l / 1e9 AS level,
+        |  b / 1e9 AS trend,
+        |  CAST(CAST(l AS BIGINT) + CAST(b AS BIGINT) AS DOUBLE) / 1e9 AS forecast
+        |FROM st ORDER BY g, i""".stripMargin,
     "q_autocorr" -> autocorrOracleSql(maxLag = 6),
     "q_theilsen" ->
       """WITH d AS (
