@@ -587,9 +587,44 @@ object TextQueries {
     graft.ops.Stats.binaryAuc(scored, col("lang") === "en", col("score"))
   }
 
+  /** KMV distinct-vocabulary estimate ([[graft.ops.Kmv.kmvDistinct]]):
+    * per-language distinct-token count from the 256 smallest md5-60bit
+    * hashes, with the exact count and relative error riding the same
+    * distinct layer — the sketch whose error the oracle replays
+    * digit-for-digit (md5, not xxhash, so nothing here is rows-only).
+    */
+  private def qKmv(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("lang"), explode(TextStats.tokens(col("text"))).as("tok"))
+    graft.ops.Kmv.kmvDistinct(toks, Seq("lang"), col("tok"), k = 256)
+      .orderBy(col("lang"))
+  }
+
+  /** KMV pairwise vocabulary overlap ([[graft.ops.Kmv.kmvJaccard]]) vs
+    * the exact [[graft.ops.Drift.vocabularyOverlap]] — the bounded-
+    * sketch scale path for q_vocab_overlap's corpus-sized token
+    * self-join, with the estimation error emitted per pair. At 100 TB
+    * the exact column drops and the pair stage touches only k-row
+    * sketches.
+    */
+  private def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(TextStats.tokens(col("text"))).as("token"))
+    val est = graft.ops.Kmv.kmvJaccard(toks, "source", col("token"), k = 256)
+    val exact = graft.ops.Drift.vocabularyOverlap(toks, "source", "token")
+      .select(col("group_a"), col("group_b"), col("jaccard"))
+    est.join(exact, Seq("group_a", "group_b"))
+      .select(col("group_a"), col("group_b"), col("n_theta"), col("n_both"),
+        col("jaccard_est"), col("jaccard"),
+        round(abs(col("jaccard_est") - col("jaccard")), 6).as("abs_err"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_classify" -> (qClassify _),
     "q_auc" -> (qAuc _),
+    "q_kmv" -> (qKmv _),
+    "q_kmv_overlap" -> (qKmvOverlap _),
     "q_lang_confusion" -> (qLangConfusion _),
     "q_keywords" -> (qKeywords _),
     "q_readability" -> (qReadability _),
@@ -793,6 +828,71 @@ object TextQueries {
         |  + 0.4 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
         |  + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang AS g,
+        |    CAST(('0x' || substr(md5('kmv:' || tk), 1, 15)) AS BIGINT) AS hh
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tk FROM documents)
+        |  WHERE tk IS NOT NULL),
+        |r AS (
+        |  SELECT g, hh, row_number() OVER (PARTITION BY g ORDER BY hh) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM h),
+        |kth AS (SELECT g, hh, n FROM r WHERE rn = LEAST(256, n)),
+        |e AS (
+        |  SELECT g, hh, n,
+        |    CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |         ELSE 255.0 / (CAST(hh AS DOUBLE) / 1152921504606846976.0) END AS est
+        |  FROM kth)
+        |SELECT g AS lang, CAST(n AS BIGINT) AS n_distinct,
+        |  CAST(LEAST(256, n) AS BIGINT) AS k_used, hh AS kth_hash,
+        |  round(est, 6) AS est,
+        |  round(abs(est - CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS rel_err
+        |FROM e ORDER BY g""".stripMargin,
+    "q_kmv_overlap" ->
+      """WITH tok AS (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS token FROM documents),
+        |h AS (
+        |  SELECT DISTINCT g,
+        |    CAST(('0x' || substr(md5('kmv:' || token), 1, 15)) AS BIGINT) AS hh
+        |  FROM tok WHERE token IS NOT NULL AND g IS NOT NULL),
+        |sk AS (
+        |  SELECT g, hh FROM (
+        |    SELECT g, hh, row_number() OVER (PARTITION BY g ORDER BY hh) AS rn FROM h)
+        |  WHERE rn <= 256),
+        |pairs AS (
+        |  SELECT a.g AS ga, b.g AS gb
+        |  FROM (SELECT DISTINCT g FROM sk) a JOIN (SELECT DISTINCT g FROM sk) b
+        |    ON a.g < b.g),
+        |u AS (
+        |  SELECT ga, gb, hh, COUNT(*) AS cnt FROM (
+        |    SELECT p.ga, p.gb, s.hh FROM pairs p JOIN sk s ON s.g = p.ga
+        |    UNION ALL
+        |    SELECT p.ga, p.gb, s.hh FROM pairs p JOIN sk s ON s.g = p.gb)
+        |  GROUP BY 1, 2, 3),
+        |ru AS (
+        |  SELECT ga, gb, hh, cnt,
+        |    row_number() OVER (PARTITION BY ga, gb ORDER BY hh) AS rn,
+        |    COUNT(*) OVER (PARTITION BY ga, gb) AS nu
+        |  FROM u),
+        |ag AS (
+        |  SELECT ga, gb, COUNT(*) AS n_theta,
+        |    SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS n_both
+        |  FROM ru WHERE rn <= LEAST(256, nu) GROUP BY 1, 2),
+        |d AS (SELECT DISTINCT g, token AS tk FROM tok WHERE token IS NOT NULL),
+        |s2 AS (SELECT g, COUNT(*) AS n FROM d GROUP BY 1),
+        |i AS (
+        |  SELECT a.g AS ga, b.g AS gb, COUNT(*) AS c
+        |  FROM d a JOIN d b ON a.tk = b.tk AND a.g < b.g GROUP BY 1, 2)
+        |SELECT ag.ga AS group_a, ag.gb AS group_b,
+        |  CAST(n_theta AS BIGINT) AS n_theta, CAST(n_both AS BIGINT) AS n_both,
+        |  round(CAST(n_both AS DOUBLE) / CAST(n_theta AS DOUBLE), 6) AS jaccard_est,
+        |  round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard,
+        |  round(abs(round(CAST(n_both AS DOUBLE) / CAST(n_theta AS DOUBLE), 6)
+        |    - round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6)), 6) AS abs_err
+        |FROM ag JOIN i ON i.ga = ag.ga AND i.gb = ag.gb
+        |JOIN s2 sa ON sa.g = ag.ga JOIN s2 sb ON sb.g = ag.gb
+        |ORDER BY 1, 2""".stripMargin,
     "q_auc" ->
       """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |feats AS (
