@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier calibration and ranking-quality readouts — what a score
+  * column must prove beyond separation ([[Stats.binaryAuc]]) before a
+  * pipeline thresholds on it: does 0.8 MEAN 80%? does the top decile
+  * actually concentrate the positives?
+  *
+  * Both operators reduce the corpus to a BIN-BOUNDED table in one
+  * map-combined aggregation; every cross-bin number (ECE, cumulative
+  * gain) is integer arithmetic over that bounded table, never a
+  * data-sized window.
+  */
+object Calibration {
+
+  /** Reliability table + expected calibration error: scores in [0,1]
+    * bucket into `nBins` fixed-width bins; per bin
+    * `(bin, n, mean_score, frac_pos, gap)` and the shared
+    * `ece = Σ n·gap / N` repeated per row (it is the model's one
+    * number, like [[graft.ops.PriceIndex.hedonicIndex]]'s beta).
+    *
+    * Determinism: score sums are exact micro longs; mean/frac are one
+    * IEEE division each; gap nano-quantizes BEFORE the cross-bin ECE
+    * sum, so the whole-frame window (bounded by bin count) adds exact
+    * integers.
+    */
+  def calibration(df: DataFrame, positive: Column, score: Column,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins out of range: $nBins")
+    val s = score.cast("double")
+    val base = df.select(
+        least(floor(s * nBins).cast("int"), lit(nBins - 1)).as("bin"),
+        round(s * lit(1e6), 0).cast("long").as("__sm"),
+        when(positive, 1L).otherwise(0L).as("__p"))
+      .filter(col("__sm").isNotNull && col("bin") >= 0)
+    val byBin = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__sm")).as("__ss"),
+        sum(col("__p")).as("n_pos"))
+    val meanScore = col("__ss").cast("double") / col("n").cast("double") / lit(1e6)
+    val fracPos = col("n_pos").cast("double") / col("n").cast("double")
+    val gapNanos = round(abs(meanScore - fracPos) * lit(1e9), 0).cast("long")
+    val W = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byBin
+      .withColumn("__gap", gapNanos)
+      .withColumn("__eceN", sum(col("__gap") * col("n")).over(W))
+      .withColumn("__N", sum(col("n")).over(W))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(meanScore, 6).as("mean_score"),
+        round(fracPos, 6).as("frac_pos"),
+        round(col("__gap").cast("double") / lit(1e9), 6).as("gap"),
+        round(col("__eceN").cast("double") / col("__N").cast("double") / lit(1e9), 6)
+          .as("ece"))
+  }
+
+  /** Decile lift/gain table by QUANTILE THRESHOLDS: scores bucket
+    * against the nTiles−1 exact score quantiles (tile 1 = top scores);
+    * per tile `(tile, n, n_pos, rate, lift, cum_gain)` with lift =
+    * tile rate / overall rate and cum_gain = cumulative positives /
+    * total positives — "the top 10% captures X% of the positives",
+    * the number selection budgets are set by.
+    *
+    * Deliberately NOT `ntile` over a global row sort — that is the
+    * single-partition cliff the registry guard forbids. The cutpoints
+    * are WEIGHTED quantiles of the DISTINCT-SCORE table (≤ 1e6+1 rows
+    * for a 6-dp score — the q_auc bound), so the only whole-frame work
+    * happens above an aggregation; tied scores land in one tile
+    * together (sizes deviate only at ties, and the assignment is
+    * deterministic with no tie-break column needed). Cutpoints are the
+    * lower weighted quantile (the smallest score whose cumulative count
+    * reaches p·N), not interpolated.
+    *
+    * Scale shape: one (score)-keyed map-combined aggregation to the
+    * distinct layer, [[Stats.weightedQuantiles]]' bounded windows over
+    * it, a grand-aggregate collect of the nTiles−1 cutpoints, a
+    * shuffle-free bucketing projection, one tile-bounded aggregation,
+    * and windows over the ≤ nTiles-row table.
+    */
+  def lift(df: DataFrame, positive: Column, score: Column,
+           nTiles: Int = 10): DataFrame = {
+    require(nTiles >= 2 && nTiles <= 100, s"nTiles out of range: $nTiles")
+    val base = df.select(
+        when(positive, 1L).otherwise(0L).as("__p"),
+        score.cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
+    val qs = (1 until nTiles).map(i => (i, nTiles))
+    val distinctScores = base.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val cuts = Stats.weightedQuantiles(
+        distinctScores.withColumn("__g", lit(1)), Seq("__g"),
+        col("__s"), col("__c").cast("double"), qs)
+      .agg(sort_array(collect_list(col("wq"))).as("__cuts"))
+    val tiled = base.crossJoin(broadcast(cuts))
+      .withColumn("tile",
+        lit(1) + size(filter(col("__cuts"), c => col("__s") < c)))
+    val byTile = tiled.groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos"))
+    val W = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rate = col("n_pos").cast("double") / col("n").cast("double")
+    val overall = col("__tp").cast("double") / col("__tn").cast("double")
+    byTile
+      .withColumn("__tp", sum(col("n_pos")).over(W))
+      .withColumn("__tn", sum(col("n")).over(W))
+      .withColumn("__cp", sum(col("n_pos")).over(wCum))
+      .select(col("tile"), col("n"), col("n_pos"),
+        round(rate, 6).as("rate"),
+        when(col("__tp") > 0, round(rate / overall, 6)).as("lift"),
+        when(col("__tp") > 0,
+          round(col("__cp").cast("double") / col("__tp").cast("double"), 6))
+          .as("cum_gain"))
+  }
+}

@@ -1228,6 +1228,120 @@ object Stats {
       when(col("__n") >= 2L && varD > 0.0, round(t, 6)).as("t"))
   }
 
+  /** 2×2 difference-in-differences — the causal workhorse for "did the
+    * launch move the metric?" when a clean A/B is unavailable (treated
+    * vs control, before vs after):
+    *
+    *   ATT = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+    *
+    * with a Welch-style standard error from the four cell variances:
+    * se² = Σ_cells s²/n. Returns ONE row
+    * `(n_t_pre, n_t_post, n_c_pre, n_c_post, mean_t_pre, mean_t_post,
+    * mean_c_pre, mean_c_post, att, se, z)`, 6 dp; se/z null when any
+    * cell has < 2 rows.
+    *
+    * Determinism: all four cells' moments in one grand conditional
+    * aggregate over micro-quantized DECIMAL sums (the [[welchT]]
+    * discipline ×2); everything after is one fixed IEEE tree.
+    *
+    * Scale shape: one map-combined exchange to one row. No join.
+    */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+                 value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val base = df.select(treated.as("__t"), post.as("__p"), q(value).as("__x"))
+      .filter(col("__t").isNotNull && col("__p").isNotNull && col("__x").isNotNull)
+    val cells = Seq(("tpre", col("__t") && !col("__p")), ("tpost", col("__t") && col("__p")),
+      ("cpre", !col("__t") && !col("__p")), ("cpost", !col("__t") && col("__p")))
+    val moments = cells.flatMap { case (s, cond) => Seq(
+      sum(when(cond, 1L).otherwise(0L)).cast(dec).as(s"__n$s"),
+      sum(when(cond, col("__x"))).as(s"__s$s"),
+      sum(when(cond, col("__x") * col("__x"))).as(s"__ss$s"))
+    }
+    val m = base.agg(moments.head, moments.tail: _*)
+    def nD(s: String) = col(s"__n$s").cast("double")
+    def mean(s: String) = col(s"__s$s").cast("double") / nD(s) / lit(1e6)
+    // s²/n per cell from exact integers (micro² → value² via 1e12)
+    def vOverN(s: String) =
+      (col(s"__n$s") * col(s"__ss$s") - col(s"__s$s") * col(s"__s$s")).cast("double") /
+        (nD(s) * (nD(s) - lit(1.0))) / lit(1e12) / nD(s)
+    val att = (mean("tpost") - mean("tpre")) - (mean("cpost") - mean("cpre"))
+    val se2 = vOverN("tpre") + vOverN("tpost") + vOverN("cpre") + vOverN("cpost")
+    val ok = cells.map { case (s, _) => col(s"__n$s") >= 2 }.reduce(_ && _)
+    m.select(
+      col("__ntpre").cast("long").as("n_t_pre"),
+      col("__ntpost").cast("long").as("n_t_post"),
+      col("__ncpre").cast("long").as("n_c_pre"),
+      col("__ncpost").cast("long").as("n_c_post"),
+      round(mean("tpre"), 6).as("mean_t_pre"),
+      round(mean("tpost"), 6).as("mean_t_post"),
+      round(mean("cpre"), 6).as("mean_c_pre"),
+      round(mean("cpost"), 6).as("mean_c_post"),
+      round(att, 6).as("att"),
+      when(ok, round(sqrt(se2), 6)).as("se"),
+      when(ok && se2 > 0.0, round(att / sqrt(se2), 6)).as("z"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * sensitivity of online controlled experiments") — the pre-period
+    * covariate adjustment every experimentation platform applies
+    * before reading an A/B difference: with θ = cov(x,y)/var(x) pooled
+    * over both arms,
+    *
+    *   diff_adj = (ȳ_A − ȳ_B) − θ·(x̄_A − x̄_B)
+    *
+    * and the variance shrinks by the pooled ρ². Returns ONE row
+    * `(n_a, n_b, diff_raw, theta, diff_adj, rho_sq)`, 6 dp; theta = 0
+    * (no adjustment) when x has no variance, rho_sq null then.
+    *
+    * Determinism: per-arm AND pooled moments (incl. the xy cross term)
+    * from one grand conditional aggregate over micro-quantized DECIMAL
+    * sums; θ, the adjusted diff and ρ² are one fixed IEEE tree each.
+    *
+    * Scale shape: one map-combined exchange to one row. No join, no
+    * second pass — the per-row adjusted metric never materializes
+    * because the adjusted MEANS are a linear function of the moments.
+    */
+  def cuped(df: DataFrame, inA: Column, inB: Column,
+            metric: Column, covariate: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val base = df.select(
+        when(inA, lit("a")).when(inB, lit("b")).as("__g"),
+        q(metric).as("__y"), q(covariate).as("__x"))
+      .filter(col("__g").isNotNull && col("__y").isNotNull && col("__x").isNotNull)
+    val g = col("__g")
+    def side(s: String): Seq[Column] = Seq(
+      sum(when(g === s, 1L).otherwise(0L)).cast(dec).as(s"__n$s"),
+      sum(when(g === s, col("__y"))).as(s"__sy$s"),
+      sum(when(g === s, col("__x"))).as(s"__sx$s"))
+    val pooled = Seq(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(col("__y")).as("__sy"), sum(col("__x")).as("__sx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val moments = side("a") ++ side("b") ++ pooled
+    val m = base.agg(moments.head, moments.tail: _*)
+    def nD(s: String) = col(s"__n$s").cast("double")
+    def meanY(s: String) = col(s"__sy$s").cast("double") / nD(s) / lit(1e6)
+    def meanX(s: String) = col(s"__sx$s").cast("double") / nD(s) / lit(1e6)
+    val covN = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val varXN = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val varYN = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val theta = when(varXN > 0.0, covN / varXN).otherwise(lit(0.0)) // micro/micro
+    val diffRaw = meanY("a") - meanY("b")
+    val diffAdj = diffRaw - theta * (meanX("a") - meanX("b"))
+    val rhoSq = covN * covN / (varXN * varYN)
+    m.select(
+      col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+      round(diffRaw, 6).as("diff_raw"),
+      round(theta, 6).as("theta"),
+      round(diffAdj, 6).as("diff_adj"),
+      when(varXN > 0.0 && varYN > 0.0, round(rhoSq, 6)).as("rho_sq"))
+  }
+
   /** Binary ROC AUC of a score column — the classifier eval number
     * every curation stage ([[graft.text.Classify]], a perplexity
     * filter, a reward model) reports before its threshold is trusted:

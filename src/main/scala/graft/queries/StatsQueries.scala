@@ -566,6 +566,38 @@ object StatsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** 2×2 difference-in-differences ([[graft.ops.Stats.diffInDiff]]):
+    * did even-id users' event values move differently after mid-month?
+    * — the launch readout when no clean A/B exists; four cell moments
+    * in one conditional aggregate, Welch-style SE.
+    */
+  private def qDid(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.diffInDiff(t(s, dir, "events"),
+      col("user_id") % 2 === 0,
+      col("ts") >= to_timestamp(lit("2024-01-16 00:00:00")),
+      col("value"))
+
+  /** CUPED adjustment ([[graft.ops.Stats.cuped]]): per-user purchase
+    * revenue compared across id-parity arms with the user's view count
+    * as the variance-reducing covariate — the experimentation
+    * platform's standard pre-period adjustment, one user-keyed
+    * aggregation then one grand moment pass.
+    */
+  private def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))).as("__cents"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"))
+      .filter(col("__cents").isNotNull)
+      .select(col("user_id"),
+        (col("__cents").cast("double") / lit(100.0)).as("purchase_value"),
+        col("views").cast("double").as("views"))
+    graft.ops.Stats.cuped(perUser,
+      col("user_id") % 2 === 0, col("user_id") % 2 === 1,
+      col("purchase_value"), col("views"))
+  }
+
   /** Chi-square independence ([[graft.ops.Stats.chiSquareIndependence]]):
     * is document language balanced across sources? Cell counts exact,
     * marginals as windows, per-cell terms nano-quantized before the sum.
@@ -742,6 +774,8 @@ object StatsQueries {
     "q_levene" -> (qLevene _),
     "q_paired_t" -> (qPairedT _),
     "q_durbin_watson" -> (qDurbinWatson _),
+    "q_did" -> (qDid _),
+    "q_cuped" -> (qCuped _),
     "q_benford" -> (qBenford _),
     "q_ols_trend" -> (qOlsTrend _),
     "q_embed_drift" -> (qEmbedDrift _),
@@ -1243,6 +1277,106 @@ object StatsQueries {
         |      / (va * va / (CAST(na AS DOUBLE) - 1)
         |        + vb * vb / (CAST(nb AS DOUBLE) - 1)), 6) END AS df
         |FROM c""".stripMargin,
+    "q_did" ->
+      """WITH b AS (
+        |  SELECT (user_id % 2 = 0) AS t,
+        |    (ts >= TIMESTAMP '2024-01-16 00:00:00') AS p,
+        |    CAST(round(value * 1000000.0) AS HUGEINT) AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        |    SUM(CASE WHEN t AND NOT p THEN x END) AS s1,
+        |    SUM(CASE WHEN t AND NOT p THEN x * x END) AS ss1,
+        |    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+        |    SUM(CASE WHEN t AND p THEN x END) AS s2,
+        |    SUM(CASE WHEN t AND p THEN x * x END) AS ss2,
+        |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS HUGEINT) AS n3,
+        |    SUM(CASE WHEN NOT t AND NOT p THEN x END) AS s3,
+        |    SUM(CASE WHEN NOT t AND NOT p THEN x * x END) AS ss3,
+        |    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS HUGEINT) AS n4,
+        |    SUM(CASE WHEN NOT t AND p THEN x END) AS s4,
+        |    SUM(CASE WHEN NOT t AND p THEN x * x END) AS ss4
+        |  FROM b),
+        |c AS (
+        |  SELECT n1, n2, n3, n4,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1e6 AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1e6 AS m2,
+        |    CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE) / 1e6 AS m3,
+        |    CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE) / 1e6 AS m4,
+        |    CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) / 1e12
+        |      / CAST(n1 AS DOUBLE) AS v1,
+        |    CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+        |      / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) / 1e12
+        |      / CAST(n2 AS DOUBLE) AS v2,
+        |    CAST(n3 * ss3 - s3 * s3 AS DOUBLE)
+        |      / (CAST(n3 AS DOUBLE) * (CAST(n3 AS DOUBLE) - 1.0)) / 1e12
+        |      / CAST(n3 AS DOUBLE) AS v3,
+        |    CAST(n4 * ss4 - s4 * s4 AS DOUBLE)
+        |      / (CAST(n4 AS DOUBLE) * (CAST(n4 AS DOUBLE) - 1.0)) / 1e12
+        |      / CAST(n4 AS DOUBLE) AS v4
+        |  FROM m),
+        |e AS (
+        |  SELECT *, (m2 - m1) - (m4 - m3) AS att, v1 + v2 + v3 + v4 AS se2,
+        |    (n1 >= 2 AND n2 >= 2 AND n3 >= 2 AND n4 >= 2) AS ok
+        |  FROM c)
+        |SELECT CAST(n1 AS BIGINT) AS n_t_pre, CAST(n2 AS BIGINT) AS n_t_post,
+        |  CAST(n3 AS BIGINT) AS n_c_pre, CAST(n4 AS BIGINT) AS n_c_post,
+        |  round(m1, 6) AS mean_t_pre, round(m2, 6) AS mean_t_post,
+        |  round(m3, 6) AS mean_c_pre, round(m4, 6) AS mean_c_post,
+        |  round(att, 6) AS att,
+        |  CASE WHEN ok THEN round(sqrt(se2), 6) END AS se,
+        |  CASE WHEN ok AND se2 > 0 THEN round(att / sqrt(se2), 6) END AS z
+        |FROM e""".stripMargin,
+    "q_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS cents,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'a'
+        |              WHEN user_id % 2 = 1 THEN 'b' END AS g,
+        |    CAST(round(CAST(cents AS DOUBLE) / 100.0 * 1000000.0) AS HUGEINT) AS y,
+        |    CAST(round(CAST(views AS DOUBLE) * 1000000.0) AS HUGEINT) AS x
+        |  FROM pu WHERE cents IS NOT NULL),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+        |    SUM(CASE WHEN g = 'a' THEN y END) AS sya,
+        |    SUM(CASE WHEN g = 'a' THEN x END) AS sxa,
+        |    CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+        |    SUM(CASE WHEN g = 'b' THEN y END) AS syb,
+        |    SUM(CASE WHEN g = 'b' THEN x END) AS sxb,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(y) AS sy, SUM(x) AS sx,
+        |    SUM(y * y) AS syy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        |  FROM b),
+        |c AS (
+        |  SELECT na, nb,
+        |    CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 AS mya,
+        |    CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 AS myb,
+        |    CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 AS mxa,
+        |    CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6 AS mxb,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS varyn
+        |  FROM m),
+        |e AS (
+        |  SELECT na, nb, mya - myb AS diff_raw,
+        |    CASE WHEN varxn > 0 THEN covn / varxn ELSE 0.0 END AS theta,
+        |    (mya - myb) - (CASE WHEN varxn > 0 THEN covn / varxn ELSE 0.0 END)
+        |      * (mxa - mxb) AS diff_adj,
+        |    covn * covn / (varxn * varyn) AS rho_sq, varxn, varyn
+        |  FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(diff_raw, 6) AS diff_raw, round(theta, 6) AS theta,
+        |  round(diff_adj, 6) AS diff_adj,
+        |  CASE WHEN varxn > 0 AND varyn > 0 THEN round(rho_sq, 6) END AS rho_sq
+        |FROM e""".stripMargin,
     "q_effect_size" ->
       """WITH tagged AS (
         |  SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,

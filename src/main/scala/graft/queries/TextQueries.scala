@@ -620,9 +620,42 @@ object TextQueries {
       .orderBy(col("group_a"), col("group_b"))
   }
 
+  /** Shared by the classifier-eval queries: every document scored by
+    * the demo linear model, labeled en-vs-rest.
+    */
+  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = Classify.demoWeightsMicros(64)
+    t(s, dir, "documents").select(col("doc_id"),
+      (col("lang") === "en").as("y"),
+      Classify.score(col("text"), w, biasMicros = -50000L).as("s"))
+  }
+
+  /** Reliability table + ECE ([[graft.ops.Calibration.calibration]]):
+    * does the classifier's 0.5 MEAN 50% English? — the calibration
+    * check q_auc's ranking view cannot give (a perfectly-ranking score
+    * can still be wildly miscalibrated). Gap nano-quantizes before the
+    * bin-bounded ECE window.
+    */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.calibration(scoredDocs(s, dir), col("y"), col("s"),
+        nBins = 10)
+      .orderBy(col("bin"))
+
+  /** Decile lift/gain ([[graft.ops.Calibration.lift]]): how much
+    * English does the top score-decile concentrate — the selection-
+    * budget view of the same score, tiled by exact quantile thresholds
+    * (never a global row sort).
+    */
+  private def qLift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.lift(scoredDocs(s, dir), col("y"), col("s"),
+        nTiles = 10)
+      .orderBy(col("tile"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_classify" -> (qClassify _),
     "q_auc" -> (qAuc _),
+    "q_calibration" -> (qCalibration _),
+    "q_lift" -> (qLift _),
     "q_kmv" -> (qKmv _),
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_lang_confusion" -> (qLangConfusion _),
@@ -828,6 +861,94 @@ object TextQueries {
         |  + 0.4 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
         |  + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_calibration" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |      / 1000000.0 + (-0.05)))), 6) AS s
+        |  FROM agg),
+        |bb AS (
+        |  SELECT LEAST(CAST(floor(s * 10) AS INTEGER), 9) AS bin,
+        |    CAST(round(s * 1000000.0) AS BIGINT) AS smv, y
+        |  FROM sc WHERE s IS NOT NULL),
+        |g AS (SELECT bin, COUNT(*) AS n, SUM(smv) AS ss, SUM(y) AS n_pos FROM bb GROUP BY 1),
+        |e AS (
+        |  SELECT bin, n, n_pos,
+        |    CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS ms,
+        |    CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS fp
+        |  FROM g),
+        |w2 AS (SELECT *, CAST(round(abs(ms - fp) * 1000000000.0) AS BIGINT) AS gap FROM e),
+        |f AS (SELECT *, SUM(gap * n) OVER () AS ecen, SUM(n) OVER () AS nn FROM w2)
+        |SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  round(ms, 6) AS mean_score, round(fp, 6) AS frac_pos,
+        |  round(CAST(gap AS DOUBLE) / 1000000000.0, 6) AS gap,
+        |  round(CAST(ecen AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000000.0, 6) AS ece
+        |FROM f ORDER BY bin""".stripMargin,
+    "q_lift" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |      / 1000000.0 + (-0.05)))), 6) AS s
+        |  FROM agg WHERE lang IS NOT NULL),
+        |ds AS (SELECT s, COUNT(*) AS c FROM sc WHERE s IS NOT NULL GROUP BY 1),
+        |wv AS (
+        |  SELECT CAST(round(s * 1000000.0) AS BIGINT) AS x,
+        |    CAST(round(CAST(c AS DOUBLE) * 1000000.0) AS BIGINT) AS w
+        |  FROM ds),
+        |r2 AS (
+        |  SELECT x, w,
+        |    SUM(w) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER () AS tw
+        |  FROM wv WHERE w > 0),
+        |qs AS (SELECT * FROM (VALUES (1,10),(2,10),(3,10),(4,10),(5,10),(6,10),
+        |  (7,10),(8,10),(9,10)) AS t(pn, pd)),
+        |cuts AS (
+        |  SELECT round(CAST(MAX(CASE WHEN pd * (cw - w) < pn * tw
+        |      AND pn * tw <= pd * cw THEN x END) AS DOUBLE) / 1000000.0, 6) AS q
+        |  FROM r2 CROSS JOIN qs GROUP BY pn, pd),
+        |tiles AS (
+        |  SELECT sc.doc_id, sc.y,
+        |    1 + COUNT(CASE WHEN sc.s < cuts.q THEN 1 END) AS tile
+        |  FROM sc CROSS JOIN cuts GROUP BY sc.doc_id, sc.y, sc.s),
+        |bt AS (SELECT tile, COUNT(*) AS n, SUM(y) AS n_pos FROM tiles GROUP BY 1),
+        |f AS (
+        |  SELECT *, SUM(n_pos) OVER () AS tp, SUM(n) OVER () AS tn,
+        |    SUM(n_pos) OVER (ORDER BY tile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |  FROM bt)
+        |SELECT CAST(tile AS INTEGER) AS tile, CAST(n AS BIGINT) AS n,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  CASE WHEN tp > 0 THEN round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) END AS lift,
+        |  CASE WHEN tp > 0
+        |    THEN round(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE), 6) END AS cum_gain
+        |FROM f ORDER BY tile""".stripMargin,
     "q_kmv" ->
       """WITH h AS (
         |  SELECT DISTINCT lang AS g,

@@ -100,6 +100,8 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_vocab_drift" -> "smoothing window over the topN+1 category table",
     "q_auc" -> "Mann-Whitney cumulative window over the DISTINCT-SCORE table (a 6-dp score in [0,1] has <= 1e6+1 distinct values)",
     "q_temperature_mix" -> "apportion quota/remainder windows over the per-language count table (rows = language count)",
+    "q_calibration" -> "ECE windows over the per-bin table (rows = nBins)",
+    "q_lift" -> "overall/cumulative windows over the per-tile table (rows <= nTiles) + exactQuantiles' bounded boundary-row rollup",
   )
 
   test("whole-frame windows appear only over bounded-by-construction tables") {

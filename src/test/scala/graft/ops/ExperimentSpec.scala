@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+class ExperimentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("calibration: perfectly calibrated bins give gap 0 and ece 0") {
+    // bin [0.2,0.3): scores 0.25, 25% positive; bin [0.6,0.7): 0.65, 65% pos
+    val rows =
+      (1 to 100).map(i => Seq[Any](i <= 25, 0.25)) ++
+        (1 to 100).map(i => Seq[Any](i <= 65, 0.65))
+    val df = createDf(spark, "y boolean, s double", rows)
+    val got = Calibration.calibration(df, col("y"), col("s"), nBins = 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet == Set(2, 6))
+    assert(got(2).getDouble(3) == 0.25 && got(2).getDouble(4) == 0.25)
+    assert(got(2).getDouble(5) == 0.0 && got(2).getDouble(6) == 0.0)
+    assert(got(6).getDouble(4) == 0.65)
+  }
+
+  test("calibration: a systematically overconfident score shows its gap and weighted ece") {
+    // all scores 0.9 but only 40% positive: gap 0.5, ece 0.5
+    val rows = (1 to 10).map(i => Seq[Any](i <= 4, 0.9))
+    val df = createDf(spark, "y boolean, s double", rows)
+    val r = Calibration.calibration(df, col("y"), col("s"), nBins = 10).head()
+    assert(r.getInt(0) == 9 && r.getDouble(5) == 0.5 && r.getDouble(6) == 0.5)
+  }
+
+  test("lift: a perfect ranker concentrates all positives in the top tiles") {
+    // 100 rows, scores descending with row id; top 20 are the positives
+    val rows = (1 to 100).map(i => Seq[Any](i <= 20, 1.0 - i / 100.0))
+    val df = createDf(spark, "y boolean, s double", rows)
+    val got = Calibration.lift(df, col("y"), col("s"), nTiles = 10)
+      .orderBy(col("tile")).collect()
+    val t1 = got.head
+    assert(t1.getInt(0) == 1 && t1.getLong(2) == t1.getLong(1)) // all positive
+    assert(t1.getDouble(4) == 5.0) // rate 1.0 / overall 0.2
+    // cumulative gain reaches 1.0 by tile 2 and stays there
+    assert(got(1).getDouble(5) == 1.0 && got.last.getDouble(5) == 1.0)
+  }
+
+  test("lift: a random-constant score puts everything in one tile with lift 1") {
+    val rows = (1 to 50).map(i => Seq[Any](i % 5 == 0, 0.5))
+    val df = createDf(spark, "y boolean, s double", rows)
+    val got = Calibration.lift(df, col("y"), col("s"), nTiles = 5).collect()
+    assert(got.length == 1 && got.head.getDouble(4) == 1.0)
+  }
+
+  test("diffInDiff: hand-checked ATT with a parallel-trends control") {
+    // control: 10 -> 12 (+2); treated: 20 -> 27 (+7): ATT = 5
+    def cell(t: Boolean, p: Boolean, base: Double) =
+      Seq(base - 1, base, base + 1).map(v => Seq[Any](t, p, v))
+    val df = createDf(spark, "t boolean, p boolean, v double",
+      cell(false, false, 10) ++ cell(false, true, 12) ++
+        cell(true, false, 20) ++ cell(true, true, 27))
+    val r = Stats.diffInDiff(df, col("t"), col("p"), col("v")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 3L, 3L, 3L)))
+    assert(r.getDouble(4) == 20.0 && r.getDouble(5) == 27.0)
+    assert(r.getDouble(6) == 10.0 && r.getDouble(7) == 12.0)
+    assert(r.getDouble(8) == 5.0)
+    // four cells each with variance 1, n=3: se = sqrt(4/3)
+    assert(math.abs(r.getDouble(9) - math.sqrt(4.0 / 3.0)) < 1e-6)
+  }
+
+  test("cuped: balanced covariate -> theta 1, adjusted = raw = true effect, rho^2 = 1") {
+    // identical x distribution per arm (randomized assignment), y = x + 2·[a]:
+    // pooled theta = 1 exactly, the adjustment is a no-op on the balanced
+    // means, and the covariate explains all within-arm variance
+    val df = createDf(spark, "g string, x double",
+      (1 to 40).map(i => Seq[Any]("a", (i % 5).toDouble)) ++
+        (1 to 40).map(i => Seq[Any]("b", (i % 5).toDouble)))
+      .withColumn("y", col("x") + when(col("g") === "a", 2.0).otherwise(0.0))
+    val r = Stats.cuped(df, col("g") === "a", col("g") === "b",
+      col("y"), col("x")).head()
+    assert(r.getLong(0) == 40L && r.getLong(1) == 40L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 2.0)
+    assert(r.getDouble(5) > 0.65) // pooled rho² includes the arm effect in var(y)
+  }
+
+  test("cuped: imbalanced covariate — adjusted diff replays the closed form exactly") {
+    val xsA = (1 to 30).map(i => (i % 7).toDouble)
+    val xsB = (1 to 30).map(i => (i % 5).toDouble)
+    val ysA = xsA.map(_ * 1.5 + 4.0)
+    val ysB = xsB.map(_ * 1.5 + 1.0)
+    val df = createDf(spark, "g string, y double, x double",
+      (xsA.zip(ysA).map { case (x, y) => Seq[Any]("a", y, x) } ++
+        xsB.zip(ysB).map { case (x, y) => Seq[Any]("b", y, x) }))
+    val r = Stats.cuped(df, col("g") === "a", col("g") === "b",
+      col("y"), col("x")).head()
+    // plain-scala replication of the pooled-theta closed form
+    val xs = xsA ++ xsB; val ys = ysA ++ ysB; val n = xs.size.toDouble
+    val covN = n * xs.zip(ys).map { case (x, y) => x * y }.sum - xs.sum * ys.sum
+    val varN = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+    val theta = covN / varN
+    val diffRaw = ysA.sum / ysA.size - ysB.sum / ysB.size
+    val diffAdj = diffRaw - theta * (xsA.sum / xsA.size - xsB.sum / xsB.size)
+    assert(math.abs(r.getDouble(2) - diffRaw) < 1e-6)
+    assert(math.abs(r.getDouble(3) - theta) < 1e-6)
+    assert(math.abs(r.getDouble(4) - diffAdj) < 1e-6)
+  }
+
+  test("cuped: zero-variance covariate degrades to the raw diff (theta 0, null rho)") {
+    val df = createDf(spark, "g string, y double, x double",
+      Seq(Seq[Any]("a", 5.0, 1.0), Seq[Any]("a", 7.0, 1.0),
+        Seq[Any]("b", 4.0, 1.0), Seq[Any]("b", 6.0, 1.0)))
+    val r = Stats.cuped(df, col("g") === "a", col("g") === "b",
+      col("y"), col("x")).head()
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0)
+    assert(r.isNullAt(5))
+  }
+}
