@@ -644,11 +644,14 @@ object TextQueries {
   /** Decile lift/gain ([[graft.ops.Calibration.lift]]): how much
     * English does the top score-decile concentrate — the selection-
     * budget view of the same score, tiled by exact quantile thresholds
-    * (never a global row sort).
+    * (never a global row sort). The scored frame localCheckpoints
+    * (q_curate's inter-stage handoff) because the cutpoint and
+    * bucketing branches would otherwise each re-run the md5-heavy
+    * classifier (measured 6.0s → checkpointed, r9).
     */
   private def qLift(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Calibration.lift(scoredDocs(s, dir), col("y"), col("s"),
-        nTiles = 10)
+    graft.ops.Calibration.lift(scoredDocs(s, dir).localCheckpoint(true),
+        col("y"), col("s"), nTiles = 10)
       .orderBy(col("tile"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
