@@ -108,4 +108,66 @@ object Survival {
         round(col("__ch").cast("double") / lit(1e9), 6).as("hazard"),
         round(sqrt(col("__cv").cast("double") / lit(1e9)), 6).as("hazard_se"))
   }
+
+  /** Two-group log-rank test — "do these survival curves differ?"
+    * ([[kaplanMeier]] draws them; this tests them): at each distinct
+    * event time t, group a's observed deaths vs the hypergeometric
+    * expectation under the pooled risk set,
+    *
+    *   O−E = Σ_t (d_at − d_t·n_at/n_t)
+    *   V   = Σ_t d_t·(n_at/n_t)·(n_bt/n_t)·(n_t−d_t)/(n_t−1)
+    *   z = (O−E)/√V,  chi2 = z²  (1 dof)
+    *
+    * Returns ONE row `(n_a, n_b, d_a, d_b, e_a, z, chi2)`, 6 dp; z/chi2
+    * null when V is 0 (no comparable event time).
+    *
+    * Determinism: per-group risk sets are exact longs from the same
+    * suffix-cumulative windows as [[kaplanMeier]]; each time's E and V
+    * terms are fixed IEEE trees over those integers, nano-quantized
+    * BEFORE the cross-time sums (the chi2 discipline).
+    *
+    * Scale shape: one duration-keyed reduction carrying BOTH groups'
+    * counts (union-tagged, one pass), whole-frame windows bounded by
+    * distinct durations, one grand rollup.
+    */
+  def logRank(df: DataFrame, duration: Column, event: Column,
+              inA: Column, inB: Column): DataFrame = {
+    val byT = df
+      .select(duration.cast("long").as("t"), event.cast("long").as("__e"),
+        when(inA, lit("a")).when(inB, lit("b")).as("__g"))
+      .filter(col("__g").isNotNull && col("t").isNotNull)
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("__g") === "a", col("__e")).otherwise(0L)).as("__da"),
+        sum(when(col("__g") === "a", 1L).otherwise(0L)).as("__la"),
+        sum(when(col("__g") === "b", col("__e")).otherwise(0L)).as("__db"),
+        sum(when(col("__g") === "b", 1L).otherwise(0L)).as("__lb"))
+    val W = Window.orderBy(col("t"))
+    val before = W.rowsBetween(Window.unboundedPreceding, -1)
+    val totals = byT.agg(sum(col("__la")).as("__Na"), sum(col("__lb")).as("__Nb"))
+    val risk = byT.crossJoin(broadcast(totals))
+      .withColumn("__na", col("__Na") - coalesce(sum(col("__la")).over(before), lit(0L)))
+      .withColumn("__nb", col("__Nb") - coalesce(sum(col("__lb")).over(before), lit(0L)))
+    val d = (col("__da") + col("__db")).cast("double")
+    val n = (col("__na") + col("__nb")).cast("double")
+    val naD = col("__na").cast("double"); val nbD = col("__nb").cast("double")
+    // E and V as fixed trees with early divisions (magnitudes stay small)
+    val eTerm = when(col("__da") + col("__db") > 0L,
+      round(d * naD / n * lit(1e9), 0).cast("long")).otherwise(0L)
+    val vTerm = when(col("__da") + col("__db") > 0L && col("__na") + col("__nb") > 1L,
+      round(d * (naD / n) * (nbD / n) * ((n - d) / (n - lit(1.0))) * lit(1e9), 0)
+        .cast("long")).otherwise(0L)
+    val agg = risk.agg(
+      max(col("__Na")).as("__sna"), max(col("__Nb")).as("__snb"),
+      sum(col("__da")).as("d_a"), sum(col("__db")).as("d_b"),
+      sum(eTerm).as("__se"), sum(vTerm).as("__sv"))
+    val diff = col("d_a").cast("double") - col("__se").cast("double") / lit(1e9)
+    val v = col("__sv").cast("double") / lit(1e9)
+    agg.select(
+      col("__sna").as("n_a"), col("__snb").as("n_b"),
+      col("d_a"), col("d_b"),
+      round(col("__se").cast("double") / lit(1e9), 6).as("e_a"),
+      when(v > 0.0, round(diff / sqrt(v), 6)).as("z"),
+      when(v > 0.0, round(diff * diff / v, 6)).as("chi2"))
+  }
 }

@@ -646,8 +646,24 @@ object EmbedQueries {
         round(col("n_lsh").cast("double") / col("n_brute"), 6).as("recall"))
   }
 
+  /** Johnson-Lindenstrauss sign projection
+    * ([[Similarity.randomProjection]]): every embedding cut 64 → 16
+    * dims through the md5-parity sign matrix — the cheap width
+    * reduction before LSH/IVF when raw vectors are too wide; one
+    * narrow per-row expression against literal signs, exact signed
+    * micro folds, and the oracle regenerates the matrix from the same
+    * md5 formula.
+    */
+  private def qJl(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.randomProjection(col("embedding"), outDim = 16, inDim = 64)
+          .as("proj"))
+      .orderBy(col("vec_id"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jl" -> (qJl _),
     "q_topk_similar" -> (qTopkSimilar _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_containment" -> (qAnnContainment _),
@@ -670,6 +686,26 @@ object EmbedQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_jl" ->
+      """WITH dims AS (
+        |  SELECT j, d,
+        |    CASE WHEN CAST(('0x' || substr(md5('jl:' || j || ':' || d), 1, 8)) AS BIGINT)
+        |      % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM range(16) t1(j), range(64) t2(d)),
+        |x AS (
+        |  SELECT vec_id, u.i - 1 AS d,
+        |    CAST(round(CAST(u.x AS DOUBLE) * 1000000.0) AS BIGINT) AS xm
+        |  FROM (SELECT vec_id,
+        |          unnest(list_transform(embedding, (v, i) -> {'x': v, 'i': i})) AS u
+        |        FROM embeddings)),
+        |s AS (
+        |  SELECT vec_id, j, SUM(sgn * xm) AS sm
+        |  FROM x JOIN dims ON dims.d = x.d GROUP BY 1, 2),
+        |p AS (
+        |  SELECT vec_id,
+        |    list(CAST(sm AS DOUBLE) / sqrt(16.0) / 1000000.0 ORDER BY j) AS proj
+        |  FROM s GROUP BY 1)
+        |SELECT vec_id, proj FROM p ORDER BY vec_id""".stripMargin,
     "q_ivf_topk" -> ivfTopkOracleSql(k = 5, cells = 16, iters = 2, nProbe = 3),
     "q_hard_negatives" -> hardNegOracleSql(k = 5, cells = 16, iters = 2, nProbe = 3),
     "q_topk_similar" ->

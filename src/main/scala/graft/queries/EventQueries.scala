@@ -381,9 +381,28 @@ object EventQueries {
       .orderBy(col("event_type"), col("idx"))
   }
 
+  /** Two-group log-rank test ([[graft.ops.Survival.logRank]]): do
+    * even- and odd-id users CHURN differently? — q_km draws the curve,
+    * this tests the difference, with the hypergeometric O−E and
+    * variance accumulated in exact nanos over the same per-duration
+    * risk sets.
+    */
+  private def qLogrank(s: SparkSession, dir: String): DataFrame = {
+    val subj = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        floor((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(86400000000L)).as("dur_days"),
+        when(max(unix_micros(col("ts"))) < lit(1706486400000000L), 1L)
+          .otherwise(0L).as("churned"))
+    graft.ops.Survival.logRank(subj, col("dur_days"), col("churned"),
+      col("user_id") % 2 === 0, col("user_id") % 2 === 1)
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_holt" -> (qHolt _),
+    "q_logrank" -> (qLogrank _),
     "q_autocorr" -> (qAutocorr _),
     "q_concurrency" -> (qConcurrency _),
     "q_kendall" -> (qKendall _),
@@ -447,6 +466,56 @@ object EventQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_logrank" ->
+      """WITH subj AS (
+        |  SELECT user_id,
+        |    CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS BIGINT) AS t,
+        |    CASE WHEN max(epoch_us(ts)) < 1706486400000000 THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+        |  FROM events GROUP BY user_id),
+        |byt AS (
+        |  SELECT t,
+        |    SUM(CASE WHEN g = 'a' THEN e ELSE 0 END) AS da,
+        |    SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS la,
+        |    SUM(CASE WHEN g = 'b' THEN e ELSE 0 END) AS db,
+        |    SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS lb
+        |  FROM subj GROUP BY 1),
+        |r AS (
+        |  SELECT t, da, db,
+        |    (SELECT SUM(la) FROM byt)
+        |      - COALESCE(SUM(la) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+        |    (SELECT SUM(lb) FROM byt)
+        |      - COALESCE(SUM(lb) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM byt),
+        |terms AS (
+        |  SELECT da, db,
+        |    CASE WHEN da + db > 0 THEN CAST(round(CAST(da + db AS DOUBLE)
+        |      * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE) * 1e9) AS BIGINT)
+        |    ELSE 0 END AS et,
+        |    CASE WHEN da + db > 0 AND na + nb > 1 THEN CAST(round(
+        |      CAST(da + db AS DOUBLE)
+        |      * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      * (CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      * ((CAST(na + nb AS DOUBLE) - CAST(da + db AS DOUBLE))
+        |         / (CAST(na + nb AS DOUBLE) - 1.0)) * 1e9) AS BIGINT)
+        |    ELSE 0 END AS vt
+        |  FROM r),
+        |a AS (
+        |  SELECT (SELECT SUM(la) FROM byt) AS n_a, (SELECT SUM(lb) FROM byt) AS n_b,
+        |    SUM(da) AS d_a, SUM(db) AS d_b, SUM(et) AS se, SUM(vt) AS sv
+        |  FROM terms)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(d_a AS BIGINT) AS d_a, CAST(d_b AS BIGINT) AS d_b,
+        |  round(CAST(se AS DOUBLE) / 1e9, 6) AS e_a,
+        |  CASE WHEN sv > 0 THEN round((CAST(d_a AS DOUBLE) - CAST(se AS DOUBLE) / 1e9)
+        |    / sqrt(CAST(sv AS DOUBLE) / 1e9), 6) END AS z,
+        |  CASE WHEN sv > 0 THEN round(
+        |    (CAST(d_a AS DOUBLE) - CAST(se AS DOUBLE) / 1e9)
+        |    * (CAST(d_a AS DOUBLE) - CAST(se AS DOUBLE) / 1e9)
+        |    / (CAST(sv AS DOUBLE) / 1e9), 6) END AS chi2
+        |FROM a""".stripMargin,
     "q_holt" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,

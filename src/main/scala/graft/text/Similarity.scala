@@ -115,6 +115,56 @@ object Similarity {
     }
   }
 
+  /** ±1 sign matrix for [[randomProjection]], derived from md5(seed:j:d)
+    * parity — the same bits any engine recomputes from the formula, so
+    * the projection is a shared artifact with NO trained state to ship.
+    */
+  def jlSigns(outDim: Int, inDim: Int, seed: String): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDim).map(j => (0 until inDim).map { d =>
+      md.reset()
+      val hex = md.digest(s"$seed:$j:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1L else -1L
+    })
+  }
+
+  /** Johnson-Lindenstrauss sign random projection — the cheap
+    * dimensionality cut before LSH/IVF when raw embeddings are too wide
+    * (Achlioptas 2003: ±1 entries preserve pairwise distances in
+    * expectation as well as Gaussians):
+    *
+    *   y_j = Σ_d sign(j,d) · x_d / √outDim
+    *
+    * One narrow per-row expression: inputs micro-quantize, each output
+    * coordinate is an exact signed-long fold against a LITERAL sign row
+    * (no join, no shuffle, broadcast with the plan — the
+    * [[graft.text.Classify]] weight discipline), one division at the
+    * end. Outputs are the EXACT micro quotients, deliberately not 6-dp
+    * rounded: an integer sum over √outDim (a power of two for the usual
+    * dims) parks values on half-micro boundaries where decimal-vs-
+    * binary rounding diverges across engines (the q_holt lesson), while
+    * the raw quotient of identical integers is the identical double
+    * everywhere. Vectors whose length ≠ inDim yield null (loud, not
+    * silently ragged).
+    */
+  def randomProjection(vec: Column, outDim: Int, inDim: Int,
+                       seed: String = "jl"): Column = {
+    require(outDim >= 1 && inDim >= 1, s"bad dims: $outDim x $inDim")
+    val signs = jlSigns(outDim, inDim, seed)
+    val invScale = lit(math.sqrt(outDim.toDouble))
+    import graft.functions.ArrayMath.bound
+    bound(transform(vec, x => round(x.cast("double") * lit(1e6), 0).cast("long"))) { v =>
+      when(size(v) === inDim,
+        transform(sequence(lit(0), lit(outDim - 1)), j =>
+          aggregate(
+            zip_with(v, lit(signs.map(_.toArray).toArray)
+              .getItem(j.cast("int")), (x, s) => x * s),
+            lit(0L), (acc, t) => acc + t)
+            .cast("double") / invScale / lit(1e6)))
+    }
+  }
+
   /** Deterministic random hyperplanes (fixed seed), as literal arrays. */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

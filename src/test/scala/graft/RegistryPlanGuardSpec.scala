@@ -102,6 +102,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_temperature_mix" -> "apportion quota/remainder windows over the per-language count table (rows = language count)",
     "q_calibration" -> "ECE windows over the per-bin table (rows = nBins)",
     "q_lift" -> "overall/cumulative windows over the per-tile table (rows <= nTiles) + exactQuantiles' bounded boundary-row rollup",
+    "q_logrank" -> "risk-set windows over the per-duration table (rows = distinct durations, the q_km bound)",
   )
 
   test("whole-frame windows appear only over bounded-by-construction tables") {

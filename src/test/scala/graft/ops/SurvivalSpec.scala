@@ -82,4 +82,37 @@ class SurvivalSpec extends AnyFunSuite {
       assert(na(t) <= minusLnS + 1e-9, s"t=$t: NA ${na(t)} vs -lnS $minusLnS")
     }
   }
+
+  test("logRank: hand-checked hypergeometric O-E and variance") {
+    // a: events at 1, 2; b: events at 2, 3 (no censoring)
+    // t=1: d=1 na=2 nb=2 -> E=0.5, V=0.25
+    // t=2: d=2 na=1 nb=2 -> E=2/3, V=2*(1/3)(2/3)*(1/2)=2/9
+    // t=3: n=1 -> V term 0
+    // O_a=2, E_a=7/6, V=0.25+2/9; z=(5/6)/sqrt(17/36)
+    val df = createDf(spark, "g string, t long, e long", Seq(
+      Seq[Any]("a", 1L, 1L), Seq[Any]("a", 2L, 1L),
+      Seq[Any]("b", 2L, 1L), Seq[Any]("b", 3L, 1L)))
+    val r = Survival.logRank(df, col("t"), col("e"),
+      col("g") === "a", col("g") === "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 2L, 2L, 2L)))
+    assert(math.abs(r.getDouble(4) - 7.0 / 6.0) < 1e-6)
+    val vExp = 0.25 + 2.0 / 9.0
+    assert(math.abs(r.getDouble(5) - (5.0 / 6.0) / math.sqrt(vExp)) < 1e-5)
+    assert(math.abs(r.getDouble(6) - (5.0 / 6.0) * (5.0 / 6.0) / vExp) < 1e-5)
+  }
+
+  test("logRank: identical groups give z ~ 0; censored rows leave the risk set without dying") {
+    val same = createDf(spark, "g string, t long, e long",
+      (1 to 20).flatMap(i => Seq(Seq[Any]("a", i.toLong, 1L), Seq[Any]("b", i.toLong, 1L))))
+    val r = Survival.logRank(same, col("t"), col("e"),
+      col("g") === "a", col("g") === "b").head()
+    assert(math.abs(r.getDouble(5)) < 1e-9)
+    // all-censored group b: no b deaths, O_a - E_a driven by risk sets only
+    val cen = createDf(spark, "g string, t long, e long", Seq(
+      Seq[Any]("a", 1L, 1L), Seq[Any]("a", 3L, 1L),
+      Seq[Any]("b", 2L, 0L), Seq[Any]("b", 4L, 0L)))
+    val c = Survival.logRank(cen, col("t"), col("e"),
+      col("g") === "a", col("g") === "b").head()
+    assert(c.getLong(2) == 2L && c.getLong(3) == 0L)
+  }
 }
