@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DecimalType, StructType}
 import graft.multimodal.Multimodal
 import graft.ops.{AsOf, Columns, Concat, Grouped, Merge, Pack, Profile, RangeJoin, Reshape, Sampling, Skew, Timeseries}
 import graft.streaming.Streaming
-import graft.text.{Boilerplate, Classify, Cluster, Dedup, Dsir, LangModel, Pq, Rank, Similarity, TextStats}
+import graft.text.{Boilerplate, Classify, Cluster, Dedup, Dsir, LangModel, NaiveBayes, Pq, Rank, Similarity, TextStats}
 
 import graft.queries.Qh.{t, dsum}
 
@@ -654,8 +654,22 @@ object TextQueries {
         col("y"), col("s"), nTiles = 10)
       .orderBy(col("tile"))
 
+  /** Multinomial Naive Bayes confusion
+    * ([[graft.text.NaiveBayes.confusion]]): train a language model on
+    * the corpus's own labels in one (token, class) aggregation, score
+    * every document through the postings join, and read the
+    * resubstitution confusion matrix — a TRAINED classifier whose
+    * training, smoothing, scoring and argmax all replay in the oracle
+    * (integer-argument lns, nano-quantized terms, max-struct ties).
+    */
+  private def qNb(s: SparkSession, dir: String): DataFrame =
+    NaiveBayes.confusion(t(s, dir, "documents"), "doc_id",
+        col("lang"), col("text"))
+      .orderBy(col("label"), col("predicted"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_classify" -> (qClassify _),
+    "q_nb" -> (qNb _),
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),
     "q_lift" -> (qLift _),
@@ -864,6 +878,46 @@ object TextQueries {
         |  + 0.4 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
         |  + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_nb" ->
+      """WITH toks AS (
+        |  SELECT lang AS c, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE lang IS NOT NULL),
+        |tc AS (SELECT t, c, COUNT(*) AS n FROM toks WHERE t IS NOT NULL GROUP BY 1, 2),
+        |v AS (SELECT COUNT(DISTINCT t) AS vv FROM tc),
+        |pc AS (SELECT c, SUM(n) AS nc FROM tc GROUP BY 1),
+        |dc AS (SELECT lang AS c, COUNT(*) AS n_docs FROM documents
+        |       WHERE lang IS NOT NULL GROUP BY 1),
+        |td AS (SELECT SUM(n_docs) AS dd FROM dc),
+        |ct AS (
+        |  SELECT pc.c,
+        |    CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(round(ln(CAST(dd AS DOUBLE)) * 1e9) AS BIGINT) AS prior,
+        |    0 - CAST(round(ln(CAST(nc + vv AS DOUBLE)) * 1e9) AS BIGINT) AS lld
+        |  FROM pc JOIN dc ON pc.c = dc.c CROSS JOIN v CROSS JOIN td),
+        |ll AS (SELECT t, c,
+        |    CAST(round(ln(CAST(n + 1 AS DOUBLE)) * 1e9) AS BIGINT) AS ll_adj
+        |  FROM tc),
+        |dt AS (
+        |  SELECT doc_id, u AS t, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS u FROM documents)
+        |  WHERE u IS NOT NULL GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, SUM(tf) AS ntok FROM dt GROUP BY 1),
+        |mt AS (
+        |  SELECT dt.doc_id, ll.c, SUM(dt.tf * ll.ll_adj) AS m
+        |  FROM dt JOIN ll ON dt.t = ll.t GROUP BY 1, 2),
+        |sp AS (SELECT pd.doc_id, pd.ntok, ct.c, ct.prior, ct.lld FROM pd CROSS JOIN ct),
+        |sc AS (
+        |  SELECT sp.doc_id, sp.c,
+        |    sp.prior + sp.ntok * sp.lld + COALESCE(mt.m, 0) AS score
+        |  FROM sp LEFT JOIN mt ON mt.doc_id = sp.doc_id AND mt.c = sp.c),
+        |best AS (
+        |  SELECT doc_id, c AS predicted FROM (
+        |    SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, c DESC) AS rn FROM sc)
+        |  WHERE rn = 1)
+        |SELECT d.lang AS label, b.predicted, COUNT(*) AS n
+        |FROM documents d JOIN best b USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_calibration" ->
       """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |feats AS (
