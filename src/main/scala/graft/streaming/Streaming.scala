@@ -129,6 +129,67 @@ object Streaming {
       }
   }
 
+  case class HoltState(lastTs: Long, level: Long, trend: Long, n: Long)
+
+  /** A smoothed point emitted by [[holtStateful]]. */
+  case class HoltPoint(key: String, tsMicros: Long, idx: Long, x: Double,
+                       level: Double, trend: Double, forecast: Double)
+
+  /** Streaming Holt double-exponential smoothing — the stateful twin of
+    * [[graft.ops.Timeseries.holtLinear]]: per key, the level+trend
+    * recursion advances event by event with the state store holding the
+    * SAME integer-nano (level, trend) pair the batch fold carries, so a
+    * stream fed in order emits EXACTLY the batch rows (the CUSUM
+    * batch-twin law, applied to a two-component state). Rounding goes
+    * through `java.math.BigDecimal.valueOf(...).setScale(0, HALF_UP)` —
+    * bit-identical to Catalyst's `round` — which is what makes the
+    * equality exact rather than approximate.
+    *
+    * Ordering contract: events sort within each micro-batch; an event
+    * older than the state's lastTs (late ACROSS batches) is DROPPED —
+    * a smoothing recursion cannot be rewound; feed a watermark-delayed
+    * re-sort upstream if late data matters. State per key is O(1).
+    */
+  def holtStateful(events: Dataset[SessionEvent], alpha: Double,
+                   beta: Double): Dataset[HoltPoint] = {
+    def exactBinary(v: Double): Boolean = {
+      val scaled = v * 256.0
+      scaled == math.rint(scaled) && v > 0.0 && v < 1.0
+    }
+    require(exactBinary(alpha) && exactBinary(beta),
+      s"alpha/beta must be exactly binary-representable in (0,1) (k/256): got $alpha, $beta")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def rnd(v: Double): Long =
+      java.math.BigDecimal.valueOf(v).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[SessionEvent], state: GroupState[HoltState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.tsMicros, e.value))
+          var st = state.getOption.getOrElse(HoltState(Long.MinValue, 0L, 0L, 0L))
+          val out = Seq.newBuilder[HoltPoint]
+          sorted.foreach { e =>
+            if (e.tsMicros >= st.lastTs) {
+              val x = rnd(e.value * 1e9)
+              val (l2, b2) =
+                if (st.n == 0L) (x, 0L)
+                else {
+                  val l = st.level.toDouble; val b = st.trend.toDouble
+                  val lNew = rnd(alpha * x + (1.0 - alpha) * (l + b))
+                  val bNew = rnd(beta * (lNew.toDouble - l) + (1.0 - beta) * b)
+                  (lNew, bNew)
+                }
+              st = HoltState(e.tsMicros, l2, b2, st.n + 1)
+              out += HoltPoint(key, e.tsMicros, st.n, x.toDouble / 1e9,
+                l2.toDouble / 1e9, b2.toDouble / 1e9, (l2 + b2).toDouble / 1e9)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup — the ingest-side sibling of
     * [[graft.text.Dedup.dedupExact]]: drop rows repeating `keyCols`, with
     * the dedup state bounded by the event-time watermark

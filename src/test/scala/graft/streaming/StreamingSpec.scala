@@ -323,6 +323,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) == 7.0)
   }
 
+  test("holtStateful across micro-batches EQUALS the batch fold exactly; late events drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "k", "v")
+      .select(col("k").as("key"), col("ts"), col("v").as("value"))
+      .as[Streaming.SessionEvent](org.apache.spark.sql.Encoders.product[Streaming.SessionEvent])
+    val q = Streaming.holtStateful(events, alpha = 0.25, beta = 0.125)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("holt_stream").start()
+    val batch1 = Seq(
+      (ts("2024-01-01 00:00:00"), "u1", 100.0),
+      (ts("2024-01-01 00:01:00"), "u1", 104.0))
+    val batch2 = Seq(
+      (ts("2024-01-01 00:02:00"), "u1", 108.0),
+      (ts("2024-01-01 00:03:00"), "u1", 101.0),
+      (ts("2023-12-31 23:00:00"), "u1", 999.0)) // late across batches: dropped
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("holt_stream")
+        .select("key", "idx", "x", "level", "trend", "forecast")
+        .orderBy("idx").collect().map(_.toSeq).toSeq
+      // the late 999.0 event must not appear
+      assert(streamed.size == 4)
+      // batch twin over the SAME in-order events
+      val df = (batch1 ++ batch2.take(2)).toDF("ts", "k", "v")
+      val expect = graft.ops.Timeseries.holtLinear(
+          df.select(col("k").as("key"), unix_micros(col("ts")).as("o"), col("v")),
+          Seq("key"), col("o"), col("v"), 0.25, 0.125)
+        .select(col("key"), col("idx").cast("long"), col("x"),
+          col("level"), col("trend"), col("forecast"))
+        .orderBy("idx").collect().map(_.toSeq).toSeq
+      assert(streamed == expect, s"streaming:\n$streamed\nbatch:\n$expect")
+    } finally q.stop()
+  }
+
   test("classifier scoring is stateless: streaming scores equal batch scores") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
