@@ -1228,6 +1228,66 @@ object Stats {
       when(col("__n") >= 2L && varD > 0.0, round(t, 6)).as("t"))
   }
 
+  /** Tukey HSD post-hoc comparisons — the step AFTER [[anovaOneWay]]
+    * says "the k means differ": WHICH pairs differ, with the
+    * studentized-range statistic per pair,
+    *
+    *   q_ij = |m_i − m_j| / √( MSW/2 · (1/n_i + 1/n_j) )
+    *
+    * against the pooled within-group variance MSW = SSW/(n−k). Returns
+    * one row per unordered pair `(group_a, group_b, n_a, n_b,
+    * mean_diff, q)` (a < b, mean_diff = mean_a − mean_b), 6 dp; q null
+    * when MSW is 0 or either side is empty. Compare q against the
+    * studentized-range critical value for (k, n−k) — the lookup table
+    * stays caller-side, as every stats package keeps it.
+    *
+    * Determinism: per-group moments are exact micro decimals; each
+    * group's SSW term nano-quantizes before the cross-group sum (the
+    * [[anovaOneWay]] discipline); the pair spine comes from ONE
+    * grand-collect + double explode (k-bounded, no cross join), and
+    * each pair's q is one fixed IEEE tree.
+    *
+    * Scale shape: one group-keyed map-combined aggregation to k rows;
+    * everything after is k²-bounded driver-free arithmetic.
+    */
+  def tukeyHsd(df: DataFrame, groupCol: Column, value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q6(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val base = df.select(groupCol.as("__g"), q6(value).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val perGroup = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__x")).as("__sg"),
+        sum(col("__x") * col("__x")).as("__ssg"))
+    // SSW in value² units, nano-quantized per group before the sum
+    val sswTerm = round((col("__ng").cast(dec) * col("__ssg")
+        - col("__sg") * col("__sg")).cast("double")
+      / col("__ng").cast("double") / lit(1e12) * lit(1e9), 0).cast("long")
+    val grand = perGroup.agg(
+      count(lit(1)).as("__k"), sum(col("__ng")).as("__n"),
+      sum(sswTerm).as("__ssw"),
+      sort_array(collect_list(struct(col("__g"), col("__ng"), col("__sg"))))
+        .as("__gs"))
+    val pairs = grand
+      .select(col("__k"), col("__n"), col("__ssw"), explode(col("__gs")).as("__a"),
+        col("__gs"))
+      .select(col("__k"), col("__n"), col("__ssw"), col("__a"),
+        explode(col("__gs")).as("__b"))
+      .filter(col("__a.__g") < col("__b.__g"))
+    val msw = col("__ssw").cast("double") / lit(1e9) /
+      (col("__n") - col("__k")).cast("double")
+    def mean(side: String) = col(s"__$side.__sg").cast("double") /
+      col(s"__$side.__ng").cast("double") / lit(1e6)
+    val nA = col("__a.__ng").cast("double"); val nB = col("__b.__ng").cast("double")
+    val se = sqrt(msw / lit(2.0) * (lit(1.0) / nA + lit(1.0) / nB))
+    val diff = mean("a") - mean("b")
+    pairs.select(
+      col("__a.__g").as("group_a"), col("__b.__g").as("group_b"),
+      col("__a.__ng").as("n_a"), col("__b.__ng").as("n_b"),
+      round(diff, 6).as("mean_diff"),
+      when(col("__n") > col("__k") && col("__ssw") > 0L,
+        round(abs(diff) / se, 6)).as("q"))
+  }
+
   /** 2×2 difference-in-differences — the causal workhorse for "did the
     * launch move the metric?" when a clean A/B is unavailable (treated
     * vs control, before vs after):

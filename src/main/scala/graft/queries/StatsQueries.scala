@@ -566,6 +566,16 @@ object StatsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Tukey HSD post-hoc ([[graft.ops.Stats.tukeyHsd]]): WHICH event
+    * types differ in mean value, after q_anova says "some do" — all
+    * ten pairwise studentized-range statistics against the pooled
+    * within-group variance, k-bounded pair arithmetic after one
+    * aggregation.
+    */
+  private def qTukey(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.tukeyHsd(t(s, dir, "events"), col("event_type"), col("value"))
+      .orderBy(col("group_a"), col("group_b"))
+
   /** 2×2 difference-in-differences ([[graft.ops.Stats.diffInDiff]]):
     * did even-id users' event values move differently after mid-month?
     * — the launch readout when no clean A/B exists; four cell moments
@@ -776,6 +786,7 @@ object StatsQueries {
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_did" -> (qDid _),
     "q_cuped" -> (qCuped _),
+    "q_tukey" -> (qTukey _),
     "q_benford" -> (qBenford _),
     "q_ols_trend" -> (qOlsTrend _),
     "q_embed_drift" -> (qEmbedDrift _),
@@ -1277,6 +1288,36 @@ object StatsQueries {
         |      / (va * va / (CAST(na AS DOUBLE) - 1)
         |        + vb * vb / (CAST(nb AS DOUBLE) - 1)), 6) END AS df
         |FROM c""".stripMargin,
+    "q_tukey" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |pg AS (SELECT g, COUNT(*) AS ng, SUM(x) AS sg, SUM(x * x) AS ssg FROM v GROUP BY 1),
+        |t AS (
+        |  SELECT g, ng, sg,
+        |    CAST(round(CAST(ng * ssg - sg * sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE) / 1e12 * 1e9) AS BIGINT) AS tw
+        |  FROM pg),
+        |gr AS (SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(tw) AS ssw FROM t),
+        |p AS (
+        |  SELECT a.g AS ga, a.ng AS na, a.sg AS sa,
+        |    b.g AS gb, b.ng AS nb2, b.sg AS sb
+        |  FROM t a JOIN t b ON a.g < b.g),
+        |e AS (
+        |  SELECT ga, gb, na, nb2,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6
+        |      - CAST(sb AS DOUBLE) / CAST(nb2 AS DOUBLE) / 1e6 AS diff,
+        |    CAST(ssw AS DOUBLE) / 1e9 / CAST(n - k AS DOUBLE) AS msw,
+        |    n, k, ssw
+        |  FROM p CROSS JOIN gr)
+        |SELECT ga AS group_a, gb AS group_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb2 AS BIGINT) AS n_b,
+        |  round(diff, 6) AS mean_diff,
+        |  CASE WHEN n > k AND ssw > 0 THEN
+        |    round(abs(diff) / sqrt(msw / 2.0
+        |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb2 AS DOUBLE))), 6)
+        |  END AS q
+        |FROM e ORDER BY ga, gb""".stripMargin,
     "q_did" ->
       """WITH b AS (
         |  SELECT (user_id % 2 = 0) AS t,

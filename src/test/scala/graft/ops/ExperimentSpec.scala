@@ -104,6 +104,33 @@ class ExperimentSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - diffAdj) < 1e-6)
   }
 
+  test("tukeyHsd: hand-checked q for three separated groups") {
+    // a=[1,2,3], b=[4,5,6], c=[7,8,9]: MSW = 6/(9-3) = 1
+    // q(a,b) = |2-5| / sqrt(0.5*(1/3+1/3)) = 3/sqrt(1/3) = 5.196152
+    val df = createDf(spark, "g string, v double",
+      Seq("a" -> 1, "a" -> 2, "a" -> 3, "b" -> 4, "b" -> 5, "b" -> 6,
+        "c" -> 7, "c" -> 8, "c" -> 9).map { case (g, v) => Seq[Any](g, v.toDouble) })
+    val got = Stats.tukeyHsd(df, col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(("a", "b"))._1 == -3.0)
+    assert(math.abs(got(("a", "b"))._2 - 3.0 / math.sqrt(1.0 / 3.0)) < 1e-5)
+    assert(math.abs(got(("a", "c"))._2 - 6.0 / math.sqrt(1.0 / 3.0)) < 1e-5)
+  }
+
+  test("tukeyHsd: zero within-group variance nulls q; identical groups give q 0") {
+    val const = createDf(spark, "g string, v double",
+      Seq("a" -> 2, "a" -> 2, "b" -> 5, "b" -> 5)
+        .map { case (g, v) => Seq[Any](g, v.toDouble) })
+    val r = Stats.tukeyHsd(const, col("g"), col("v")).head()
+    assert(r.getDouble(4) == -3.0 && r.isNullAt(5)) // MSW = 0
+    val same = createDf(spark, "g string, v double",
+      Seq("a" -> 1, "a" -> 3, "b" -> 1, "b" -> 3)
+        .map { case (g, v) => Seq[Any](g, v.toDouble) })
+    assert(Stats.tukeyHsd(same, col("g"), col("v")).head().getDouble(5) == 0.0)
+  }
+
   test("cuped: zero-variance covariate degrades to the raw diff (theta 0, null rho)") {
     val df = createDf(spark, "g string, y double, x double",
       Seq(Seq[Any]("a", 5.0, 1.0), Seq[Any]("a", 7.0, 1.0),
