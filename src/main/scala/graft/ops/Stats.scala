@@ -1228,6 +1228,83 @@ object Stats {
       when(col("__n") >= 2L && varD > 0.0, round(t, 6)).as("t"))
   }
 
+  /** Sample-ratio-mismatch check — the first experimentation
+    * guardrail: if arm assignment was supposed to be num:(den−num) and
+    * the observed counts disagree beyond chance, EVERY downstream
+    * readout is suspect (broken bucketing, logging loss). Chi-square
+    * goodness of fit with 1 dof:
+    *
+    *   χ² = (n_a − E_a)²/E_a + (n_b − E_b)²/E_b,  E_a = N·num/den
+    *
+    * Returns ONE row `(n_a, n_b, expected_a, chi2, srm_suspect)` with
+    * suspect ⇔ χ² > 10.83 (the p<0.001 1-dof cutoff — SRM checks run
+    * at strict thresholds because they fire on every experiment).
+    *
+    * One conditional count aggregate; a fixed IEEE tree after.
+    */
+  def sampleRatioCheck(df: DataFrame, inA: Column, inB: Column,
+                       expectNum: Int = 1, expectDen: Int = 2): DataFrame = {
+    require(expectDen > 0 && expectNum > 0 && expectNum < expectDen,
+      s"bad expected ratio $expectNum/$expectDen")
+    val m = df.select(when(inA, lit("a")).when(inB, lit("b")).as("__g"))
+      .filter(col("__g").isNotNull)
+      .agg(sum(when(col("__g") === "a", 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__g") === "b", 1L).otherwise(0L)).as("__nb"))
+    val nD = (col("__na") + col("__nb")).cast("double")
+    val ea = nD * lit(expectNum.toDouble) / lit(expectDen.toDouble)
+    val eb = nD - ea
+    val chi2 = (col("__na").cast("double") - ea) * (col("__na").cast("double") - ea) / ea +
+      (col("__nb").cast("double") - eb) * (col("__nb").cast("double") - eb) / eb
+    m.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(ea, 6).as("expected_a"),
+      when(col("__na") + col("__nb") > 0, round(chi2, 6)).as("chi2"),
+      when(col("__na") + col("__nb") > 0, round(chi2, 6) > 10.83).as("srm_suspect"))
+  }
+
+  /** Minimum detectable effect at 80% power / two-sided α=0.05 for the
+    * CURRENT sample — the "was this experiment even big enough?"
+    * readout that should accompany every null [[welchT]] result:
+    *
+    *   MDE = (z_{0.975} + z_{0.80}) · √(s_a²/n_a + s_b²/n_b)
+    *
+    * with the z constants fixed (1.959964, 0.841621 — 6-dp standard
+    * normal quantiles, stated in the output contract so any engine
+    * replays them). Returns ONE row `(n_a, n_b, se, mde_abs, mde_rel)`
+    * with mde_rel = mde_abs / pooled mean; null when either side has
+    * < 2 rows.
+    *
+    * One grand conditional-moment aggregate (the [[welchT]] pass).
+    */
+  def minimumDetectableEffect(df: DataFrame, inA: Column, inB: Column,
+                              value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val tagged = df.select(
+      when(inA, lit("a")).when(inB, lit("b")).as("__g"), q(value).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val g = col("__g")
+    def side(s: String): Seq[Column] = Seq(
+      sum(when(g === s, 1L).otherwise(0L)).cast(dec).as(s"__n$s"),
+      sum(when(g === s, col("__x"))).as(s"__s$s"),
+      sum(when(g === s, col("__x") * col("__x"))).as(s"__ss$s"))
+    val moments = side("a") ++ side("b")
+    val m = tagged.agg(moments.head, moments.tail: _*)
+    def nD(s: String) = col(s"__n$s").cast("double")
+    def vOverN(s: String) =
+      (col(s"__n$s") * col(s"__ss$s") - col(s"__s$s") * col(s"__s$s")).cast("double") /
+        (nD(s) * (nD(s) - lit(1.0))) / lit(1e12) / nD(s)
+    val se = sqrt(vOverN("a") + vOverN("b"))
+    val mde = lit(1.959964 + 0.841621) * se
+    val pooledMean = (col("__sa") + col("__sb")).cast("double") /
+      (nD("a") + nD("b")) / lit(1e6)
+    val ok = col("__na") >= 2 && col("__nb") >= 2
+    m.select(
+      col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+      when(ok, round(se, 6)).as("se"),
+      when(ok, round(mde, 6)).as("mde_abs"),
+      when(ok && pooledMean =!= 0.0, round(mde / pooledMean, 6)).as("mde_rel"))
+  }
+
   /** Tukey HSD post-hoc comparisons — the step AFTER [[anovaOneWay]]
     * says "the k means differ": WHICH pairs differ, with the
     * studentized-range statistic per pair,

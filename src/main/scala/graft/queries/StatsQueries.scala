@@ -566,6 +566,25 @@ object StatsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Sample-ratio-mismatch guardrail
+    * ([[graft.ops.Stats.sampleRatioCheck]]): are the id-parity arms
+    * actually 50/50? — the check that must pass before q_did/q_cuped
+    * mean anything.
+    */
+  private def qSrm(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.sampleRatioCheck(
+      t(s, dir, "events").select(col("user_id")).distinct(),
+      col("user_id") % 2 === 0, col("user_id") % 2 === 1)
+
+  /** Minimum detectable effect
+    * ([[graft.ops.Stats.minimumDetectableEffect]]): what purchase-vs-
+    * click difference could this sample even see at 80% power — the
+    * context every null q_welch needs.
+    */
+  private def qMde(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.minimumDetectableEffect(t(s, dir, "events"),
+      col("event_type") === "purchase", col("event_type") === "click", col("value"))
+
   /** Tukey HSD post-hoc ([[graft.ops.Stats.tukeyHsd]]): WHICH event
     * types differ in mean value, after q_anova says "some do" — all
     * ten pairwise studentized-range statistics against the pooled
@@ -787,6 +806,8 @@ object StatsQueries {
     "q_did" -> (qDid _),
     "q_cuped" -> (qCuped _),
     "q_tukey" -> (qTukey _),
+    "q_srm" -> (qSrm _),
+    "q_mde" -> (qMde _),
     "q_benford" -> (qBenford _),
     "q_ols_trend" -> (qOlsTrend _),
     "q_embed_drift" -> (qEmbedDrift _),
@@ -1287,6 +1308,63 @@ object StatsQueries {
         |    THEN round((va + vb) * (va + vb)
         |      / (va * va / (CAST(na AS DOUBLE) - 1)
         |        + vb * vb / (CAST(nb AS DOUBLE) - 1)), 6) END AS df
+        |FROM c""".stripMargin,
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |m AS (
+        |  SELECT
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+        |  FROM u WHERE user_id % 2 IN (0, 1)),
+        |c AS (
+        |  SELECT na, nb,
+        |    CAST(na + nb AS DOUBLE) * 1.0 / 2.0 AS ea,
+        |    CAST(na + nb AS DOUBLE)
+        |      - CAST(na + nb AS DOUBLE) * 1.0 / 2.0 AS eb
+        |  FROM m),
+        |e AS (
+        |  SELECT na, nb, ea,
+        |    (CAST(na AS DOUBLE) - ea) * (CAST(na AS DOUBLE) - ea) / ea
+        |      + (CAST(nb AS DOUBLE) - eb) * (CAST(nb AS DOUBLE) - eb) / eb AS chi2
+        |  FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ea, 6) AS expected_a,
+        |  CASE WHEN na + nb > 0 THEN round(chi2, 6) END AS chi2,
+        |  CASE WHEN na + nb > 0 THEN round(chi2, 6) > 10.83 END AS srm_suspect
+        |FROM e""".stripMargin,
+    "q_mde" ->
+      """WITH tagged AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+        |    CAST(round(value * 1e6) AS HUGEINT) AS x
+        |  FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        |m AS (
+        |  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s, SUM(x * x) AS ss
+        |  FROM tagged GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    (SELECT n FROM m WHERE g = 'a') AS na,
+        |    (SELECT s FROM m WHERE g = 'a') AS sa,
+        |    (SELECT ss FROM m WHERE g = 'a') AS ssa,
+        |    (SELECT n FROM m WHERE g = 'b') AS nb,
+        |    (SELECT s FROM m WHERE g = 'b') AS sb,
+        |    (SELECT ss FROM m WHERE g = 'b') AS ssb),
+        |c AS (
+        |  SELECT na, nb,
+        |    sqrt(CAST(na * ssa - sa * sa AS DOUBLE)
+        |        / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / 1e12
+        |        / CAST(na AS DOUBLE)
+        |      + CAST(nb * ssb - sb * sb AS DOUBLE)
+        |        / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / 1e12
+        |        / CAST(nb AS DOUBLE)) AS se,
+        |    CAST(sa + sb AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / 1e6 AS pm
+        |  FROM w)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na >= 2 AND nb >= 2 THEN round(se, 6) END AS se,
+        |  CASE WHEN na >= 2 AND nb >= 2
+        |    THEN round((1.959964 + 0.841621) * se, 6) END AS mde_abs,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND pm <> 0.0
+        |    THEN round((1.959964 + 0.841621) * se / pm, 6) END AS mde_rel
         |FROM c""".stripMargin,
     "q_tukey" ->
       """WITH v AS (
