@@ -667,9 +667,39 @@ object TextQueries {
         col("lang"), col("text"))
       .orderBy(col("label"), col("predicted"))
 
+  /** Vocabulary richness ([[Rank.vocabularyRichness]]): Chao1 unseen-
+    * type estimate and Good-Turing coverage per language — how much
+    * more crawl would grow the vocabulary, the corpus-planning number
+    * beside q_zipf's shape check.
+    */
+  private def qRichness(s: SparkSession, dir: String): DataFrame =
+    Rank.vocabularyRichness(t(s, dir, "documents"), Seq("lang"), col("text"))
+      .orderBy(col("lang"))
+
+  /** Naive Bayes HOLDOUT confusion: train on even doc_ids, score the
+    * odd half — the honest generalization view beside q_nb's
+    * resubstitution matrix, and the query that exercises
+    * [[graft.text.NaiveBayes.scoreWith]]'s unseen-token Laplace path
+    * for real (test tokens absent from the training vocabulary ride
+    * the per-class default likelihood).
+    */
+  private def qNbHoldout(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val model = NaiveBayes.trainModel(d.filter(col("doc_id") % 2 === 0),
+      col("lang"), col("text"))
+    val test = d.filter(col("doc_id") % 2 === 1)
+    test.select(col("doc_id"), col("lang").as("label"))
+      .join(NaiveBayes.scoreWith(model, test, "doc_id", col("text")), Seq("doc_id"))
+      .groupBy(col("label"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("predicted"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_classify" -> (qClassify _),
     "q_nb" -> (qNb _),
+    "q_nb_holdout" -> (qNbHoldout _),
+    "q_richness" -> (qRichness _),
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),
     "q_lift" -> (qLift _),
@@ -878,6 +908,65 @@ object TextQueries {
         |  + 0.4 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
         |  + 0.2 * (len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_richness" ->
+      """WITH tc AS (
+        |  SELECT lang, t, COUNT(*) AS n FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t IS NOT NULL GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT lang, SUM(n) AS n_tokens, COUNT(*) AS n_types,
+        |    SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1,
+        |    SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2
+        |  FROM tc GROUP BY 1)
+        |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+        |  round(CAST(n_types AS DOUBLE)
+        |    + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+        |  round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS coverage
+        |FROM sp ORDER BY lang""".stripMargin,
+    "q_nb_holdout" ->
+      """WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |te AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |toks AS (
+        |  SELECT lang AS c, unnest(string_split(text, ' ')) AS t
+        |  FROM tr WHERE lang IS NOT NULL),
+        |tc AS (SELECT t, c, COUNT(*) AS n FROM toks WHERE t IS NOT NULL GROUP BY 1, 2),
+        |v AS (SELECT COUNT(DISTINCT t) AS vv FROM tc),
+        |pc AS (SELECT c, SUM(n) AS nc FROM tc GROUP BY 1),
+        |dc AS (SELECT lang AS c, COUNT(*) AS n_docs FROM tr
+        |       WHERE lang IS NOT NULL GROUP BY 1),
+        |td AS (SELECT SUM(n_docs) AS dd FROM dc),
+        |ct AS (
+        |  SELECT pc.c,
+        |    CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(round(ln(CAST(dd AS DOUBLE)) * 1e9) AS BIGINT) AS prior,
+        |    0 - CAST(round(ln(CAST(nc + vv AS DOUBLE)) * 1e9) AS BIGINT) AS lld
+        |  FROM pc JOIN dc ON pc.c = dc.c CROSS JOIN v CROSS JOIN td),
+        |ll AS (SELECT t, c,
+        |    CAST(round(ln(CAST(n + 1 AS DOUBLE)) * 1e9) AS BIGINT) AS ll_adj
+        |  FROM tc),
+        |dt AS (
+        |  SELECT doc_id, u AS t, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS u FROM te)
+        |  WHERE u IS NOT NULL GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, SUM(tf) AS ntok FROM dt GROUP BY 1),
+        |mt AS (
+        |  SELECT dt.doc_id, ll.c, SUM(dt.tf * ll.ll_adj) AS m
+        |  FROM dt JOIN ll ON dt.t = ll.t GROUP BY 1, 2),
+        |sp AS (SELECT pd.doc_id, pd.ntok, ct.c, ct.prior, ct.lld FROM pd CROSS JOIN ct),
+        |sc AS (
+        |  SELECT sp.doc_id, sp.c,
+        |    sp.prior + sp.ntok * sp.lld + COALESCE(mt.m, 0) AS score
+        |  FROM sp LEFT JOIN mt ON mt.doc_id = sp.doc_id AND mt.c = sp.c),
+        |best AS (
+        |  SELECT doc_id, c AS predicted FROM (
+        |    SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, c DESC) AS rn FROM sc)
+        |  WHERE rn = 1)
+        |SELECT te.lang AS label, b.predicted, COUNT(*) AS n
+        |FROM te JOIN best b USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_nb" ->
       """WITH toks AS (
         |  SELECT lang AS c, unnest(string_split(text, ' ')) AS t

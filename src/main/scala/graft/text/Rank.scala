@@ -281,6 +281,47 @@ object Rank {
       .select(col("w1"), col("w2"), col("c12"), round(pmi, 6).as("pmi"))
   }
 
+  /** Vocabulary richness and coverage per group — "how much vocabulary
+    * HAVEN'T we crawled yet?", the corpus-planning question the
+    * observed type count can't answer: from the token frequency
+    * spectrum's first two cells,
+    *
+    *   Chao1 = V + f1·(f1−1) / (2·(f2+1))     (bias-corrected form,
+    *           defined even when no doubletons exist)
+    *   coverage = 1 − f1/N                    (Good-Turing: the
+    *           probability mass of UNSEEN types)
+    *
+    * with V = observed types, f1/f2 = types seen once/twice, N = total
+    * tokens. Returns `(groups..., n_tokens, n_types, f1, f2, chao1,
+    * coverage)`, 6 dp.
+    *
+    * Determinism: the spectrum cells are exact longs; chao1/coverage
+    * are one IEEE division each. Scale shape: one token-keyed
+    * map-combined counting exchange, then a vocabulary-bounded rollup —
+    * the q_zipf plan without the rank sort.
+    */
+  def vocabularyRichness(docs: DataFrame, groupBy: Seq[String],
+                         text: Column): DataFrame = {
+    require(groupBy.nonEmpty, "vocabularyRichness needs group keys")
+    val gCols = groupBy.map(col)
+    val counts = docs
+      .select(gCols :+ explode(TextStats.tokens(text)).as("__t"): _*)
+      .filter(col("__t").isNotNull)
+      .groupBy(gCols :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val spectrum = counts.groupBy(gCols: _*).agg(
+      sum(col("__n")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("__n") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("__n") === 2L, 1L).otherwise(0L)).as("f2"))
+    val chao1 = col("n_types").cast("double") +
+      (col("f1") * (col("f1") - lit(1L))).cast("double") /
+        (lit(2.0) * (col("f2") + lit(1L)).cast("double"))
+    val coverage = lit(1.0) - col("f1").cast("double") / col("n_tokens").cast("double")
+    spectrum.select(gCols ++ Seq(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+      round(chao1, 6).as("chao1"), round(coverage, 6).as("coverage")): _*)
+  }
+
   /** Zipf-law fit per group: the log-log OLS of token frequency
     * against rank — the classic "is this corpus natural language"
     * screen (clean text sits near slope −1; templated/generated text
