@@ -453,6 +453,91 @@ object Timeseries {
             .as("acf"): _*)
   }
 
+  /** Holt-Winters additive triple smoothing per series — [[holtLinear]]
+    * plus a length-`period` seasonal state (the weekly/monthly pattern
+    * a level+trend model smears):
+    *
+    *   l_t = α·(x_t − s_{t−m}) + (1−α)·(l + b)
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b
+    *   s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+    *
+    * Initialization is the SIMPLE deterministic one (stated because it
+    * is part of the replay contract): l_1 = x_1, b_1 = 0, seasonal
+    * slots start at 0 and learn through the γ recursion — after a few
+    * cycles the slots converge to the pattern, with no lookahead pass
+    * (a mean-of-first-cycle init needs the future). Emits
+    * `(parts..., idx, x, level, trend, seasonal, forecast)` with
+    * forecast = l + b + s_{next slot}, values as EXACT nano quotients
+    * (the [[holtLinear]] half-way-rounding contract).
+    *
+    * Determinism: all three state components re-round to integer nanos
+    * each step inside ONE higher-order fold; α/β/γ must be exact
+    * binary fractions. Scale shape: [[holtLinear]]'s — one series-keyed
+    * collect to bounded arrays, narrow fold, explode.
+    */
+  def holtWinters(df: DataFrame, parts: Seq[String], orderCol: Column,
+                  value: Column, alpha: Double, beta: Double, gamma: Double,
+                  period: Int, maxLength: Int = 10000): DataFrame = {
+    require(parts.nonEmpty, "need at least one series key")
+    require(period >= 2 && period <= 1000, s"period out of range: $period")
+    def exactBinary(v: Double): Boolean = {
+      val scaled = v * 256.0
+      scaled == math.rint(scaled) && v > 0.0 && v < 1.0
+    }
+    require(exactBinary(alpha) && exactBinary(beta) && exactBinary(gamma),
+      s"alpha/beta/gamma must be exactly binary-representable (k/256): $alpha, $beta, $gamma")
+    val pCols = parts.map(col)
+    val xNanos = round(value * lit(1e9), 0).cast("long")
+    val series = df
+      .select(pCols :+ struct(orderCol.as("o"), xNanos.as("x")).as("__e"): _*)
+      .filter(col("__e.x").isNotNull && col("__e.o").isNotNull)
+      .groupBy(pCols: _*)
+      .agg(sort_array(collect_list(col("__e"))).as("__s"))
+      .withColumn("__s",
+        when(size(col("__s")) > maxLength, raise_error(concat(
+          lit(s"holtWinters: series "), concat_ws(",", pCols: _*),
+          lit(s" exceeds maxLength=$maxLength observations"))))
+          .otherwise(col("__s")))
+    val rowType =
+      "array<struct<idx:int,x:bigint,level:bigint,trend:bigint,seasonal:bigint,forecast:bigint>>"
+    val zeroSeas = array_repeat(lit(0.0), period)
+    val zero = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+      zeroSeas.as("seas"), array().cast(rowType).as("rows"))
+    val folded = series.withColumn("__f",
+      aggregate(transform(col("__s"), e => e.getField("x")), zero, (acc, x) => {
+        val n = size(acc.getField("rows"))
+        val first = n === 0
+        val xd = x.cast("double")
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val slot = pmod(n, lit(period))
+        val sOld = try_element_at(acc.getField("seas"), (slot + 1).cast("int"))
+        val lNew = when(first, xd)
+          .otherwise(round(lit(alpha) * (xd - sOld) + lit(1.0 - alpha) * (l + b), 0))
+        val bNew = when(first, lit(0.0))
+          .otherwise(round(lit(beta) * (lNew - l) + lit(1.0 - beta) * b, 0))
+        val sNew = round(lit(gamma) * (xd - lNew) + lit(1.0 - gamma) * sOld, 0)
+        val seasNew = transform(acc.getField("seas"),
+          (v, i) => when(i === slot, sNew).otherwise(v))
+        val nextSlot = pmod(n + 1, lit(period))
+        val fc = lNew + bNew + try_element_at(seasNew, (nextSlot + 1).cast("int"))
+        struct(lNew.as("l"), bNew.as("b"), seasNew.as("seas"),
+          concat(acc.getField("rows"), array(struct(
+            (n + 1).as("idx"), x.as("x"),
+            lNew.cast("long").as("level"), bNew.cast("long").as("trend"),
+            sNew.cast("long").as("seasonal"), fc.cast("long").as("forecast"))))
+            .as("rows"))
+      }))
+    folded
+      .select(pCols :+ explode(col("__f.rows")).as("__r"): _*)
+      .select(pCols ++ Seq(
+        col("__r.idx").as("idx"),
+        (col("__r.x").cast("double") / lit(1e9)).as("x"),
+        (col("__r.level").cast("double") / lit(1e9)).as("level"),
+        (col("__r.trend").cast("double") / lit(1e9)).as("trend"),
+        (col("__r.seasonal").cast("double") / lit(1e9)).as("seasonal"),
+        (col("__r.forecast").cast("double") / lit(1e9)).as("forecast")): _*)
+  }
+
   /** Holt double-exponential smoothing per series — the level+trend
     * forecaster one notch above [[ewmaHalf]] (EWMA lags a trending
     * series forever; Holt's trend state closes the gap), the classic

@@ -399,9 +399,28 @@ object EventQueries {
       col("user_id") % 2 === 0, col("user_id") % 2 === 1)
   }
 
+  /** Holt-Winters triple smoothing
+    * ([[graft.ops.Timeseries.holtWinters]]): daily revenue per event
+    * type with a 7-slot weekly seasonal state — the day-of-week
+    * pattern q_holt's level+trend smears; the oracle walks the same
+    * three-component integer-nano recursion in a recursive CTE
+    * carrying the seasonal list.
+    */
+  private def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    graft.ops.Timeseries.holtWinters(daily, Seq("event_type"), col("day"),
+        col("cents") / lit(100.0), alpha = 0.25, beta = 0.125, gamma = 0.25,
+        period = 7)
+      .orderBy(col("event_type"), col("idx"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_holt" -> (qHolt _),
+    "q_holt_winters" -> (qHoltWinters _),
     "q_logrank" -> (qLogrank _),
     "q_autocorr" -> (qAutocorr _),
     "q_concurrency" -> (qConcurrency _),
@@ -516,6 +535,42 @@ object EventQueries {
         |    * (CAST(d_a AS DOUBLE) - CAST(se AS DOUBLE) / 1e9)
         |    / (CAST(sv AS DOUBLE) / 1e9), 6) END AS chi2
         |FROM a""".stripMargin,
+    "q_holt_winters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT g, day,
+        |    CAST(round(CAST(cents AS DOUBLE) / 100.0 * 1000000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |ser AS (SELECT g, list(x ORDER BY day) AS xs, COUNT(*) AS n FROM v GROUP BY 1),
+        |st AS (
+        |  SELECT g, 1 AS i, xs, n, CAST(xs[1] AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b,
+        |    list_transform(range(7), r -> CAST(0.0 AS DOUBLE)) AS seas
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT g, i + 1, xs, n, lN AS l,
+        |    round(0.125 * (lN - l0) + 0.875 * b0) AS b,
+        |    list_transform(seas, (sv, si) -> CASE WHEN si = slot1
+        |      THEN round(0.25 * (xv - lN) + 0.75 * sOld) ELSE sv END) AS seas
+        |  FROM (
+        |    SELECT *, round(0.25 * (xv - sOld) + 0.75 * (l0 + b0)) AS lN
+        |    FROM (
+        |      SELECT g, i, xs, n, l AS l0, b AS b0, seas,
+        |        (i % 7) + 1 AS slot1,
+        |        CAST(xs[i + 1] AS DOUBLE) AS xv,
+        |        seas[(i % 7) + 1] AS sOld
+        |      FROM st WHERE i < n) t0) t1)
+        |SELECT g AS event_type, i AS idx,
+        |  CAST(xs[i] AS DOUBLE) / 1e9 AS x,
+        |  l / 1e9 AS level,
+        |  b / 1e9 AS trend,
+        |  seas[((i - 1) % 7) + 1] / 1e9 AS seasonal,
+        |  CAST(CAST(l AS BIGINT) + CAST(b AS BIGINT)
+        |    + CAST(seas[(i % 7) + 1] AS BIGINT) AS DOUBLE) / 1e9 AS forecast
+        |FROM st ORDER BY g, i""".stripMargin,
     "q_holt" ->
       """WITH RECURSIVE d AS (
         |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,
