@@ -1365,6 +1365,59 @@ object Stats {
         round(abs(diff) / se, 6)).as("q"))
   }
 
+  /** Games-Howell post-hoc comparisons — [[tukeyHsd]]'s
+    * unequal-variance sibling (use THIS when
+    * [[leveneBrownForsythe]] rejects homogeneity; Tukey's pooled MSW
+    * misleads there): per pair,
+    *
+    *   q_ij = |m_i − m_j| / √( (s_i²/n_i + s_j²/n_j) / 2 )
+    *   df_ij = Welch-Satterthwaite on the same two terms
+    *
+    * Returns one row per unordered pair `(group_a, group_b, n_a, n_b,
+    * mean_diff, q, df)`, 6 dp; q/df null when either side has < 2 rows
+    * or both variances are 0.
+    *
+    * Same plan as [[tukeyHsd]]: one group-keyed aggregation to k rows
+    * (now carrying Σx² too), grand-collect + double explode, k²-bounded
+    * IEEE arithmetic.
+    */
+  def gamesHowell(df: DataFrame, groupCol: Column, value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q6(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val base = df.select(groupCol.as("__g"), q6(value).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val perGroup = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__x")).as("__sg"),
+        sum(col("__x") * col("__x")).as("__ssg"))
+    val grand = perGroup.agg(
+      sort_array(collect_list(struct(col("__g"), col("__ng"), col("__sg"),
+        col("__ssg")))).as("__gs"))
+    val pairs = grand
+      .select(explode(col("__gs")).as("__a"), col("__gs"))
+      .select(col("__a"), explode(col("__gs")).as("__b"))
+      .filter(col("__a.__g") < col("__b.__g"))
+    def nD(s: String) = col(s"__$s.__ng").cast("double")
+    def mean(s: String) = col(s"__$s.__sg").cast("double") / nD(s) / lit(1e6)
+    // s²/n from exact decimals: (n·Σx² − (Σx)²)/(n(n−1))/1e12/n
+    def vOverN(s: String) =
+      (col(s"__$s.__ng").cast(dec) * col(s"__$s.__ssg")
+        - col(s"__$s.__sg") * col(s"__$s.__sg")).cast("double") /
+        (nD(s) * (nD(s) - lit(1.0))) / lit(1e12) / nD(s)
+    val se2 = vOverN("a") + vOverN("b")
+    val diff = mean("a") - mean("b")
+    val qStat = abs(diff) / sqrt(se2 / lit(2.0))
+    val dfW = (se2 * se2) /
+      (vOverN("a") * vOverN("a") / (nD("a") - lit(1.0)) +
+        vOverN("b") * vOverN("b") / (nD("b") - lit(1.0)))
+    val ok = col("__a.__ng") >= 2 && col("__b.__ng") >= 2
+    pairs.select(
+      col("__a.__g").as("group_a"), col("__b.__g").as("group_b"),
+      col("__a.__ng").as("n_a"), col("__b.__ng").as("n_b"),
+      round(diff, 6).as("mean_diff"),
+      when(ok && se2 > 0.0, round(qStat, 6)).as("q"),
+      when(ok && se2 > 0.0, round(dfW, 6)).as("df"))
+  }
+
   /** 2×2 difference-in-differences — the causal workhorse for "did the
     * launch move the metric?" when a clean A/B is unavailable (treated
     * vs control, before vs after):

@@ -566,6 +566,15 @@ object StatsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Games-Howell post-hoc ([[graft.ops.Stats.gamesHowell]]): the
+    * unequal-variance pairwise comparisons to read INSTEAD of q_tukey
+    * when q_levene rejects spread homogeneity — per-pair Welch terms,
+    * same k-bounded pair plan.
+    */
+  private def qGamesHowell(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.gamesHowell(t(s, dir, "events"), col("event_type"), col("value"))
+      .orderBy(col("group_a"), col("group_b"))
+
   /** Sample-ratio-mismatch guardrail
     * ([[graft.ops.Stats.sampleRatioCheck]]): are the id-parity arms
     * actually 50/50? — the check that must pass before q_did/q_cuped
@@ -808,6 +817,7 @@ object StatsQueries {
     "q_tukey" -> (qTukey _),
     "q_srm" -> (qSrm _),
     "q_mde" -> (qMde _),
+    "q_games_howell" -> (qGamesHowell _),
     "q_benford" -> (qBenford _),
     "q_ols_trend" -> (qOlsTrend _),
     "q_embed_drift" -> (qEmbedDrift _),
@@ -1309,6 +1319,39 @@ object StatsQueries {
         |      / (va * va / (CAST(na AS DOUBLE) - 1)
         |        + vb * vb / (CAST(nb AS DOUBLE) - 1)), 6) END AS df
         |FROM c""".stripMargin,
+    "q_games_howell" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |pg AS (
+        |  SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng, SUM(x) AS sg, SUM(x * x) AS ssg
+        |  FROM v GROUP BY 1),
+        |p AS (
+        |  SELECT a.g AS ga, a.ng AS na, a.sg AS sa, a.ssg AS ssa,
+        |    b.g AS gb, b.ng AS nb2, b.sg AS sb, b.ssg AS ssb
+        |  FROM pg a JOIN pg b ON a.g < b.g),
+        |c AS (
+        |  SELECT ga, gb, na, nb2,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6
+        |      - CAST(sb AS DOUBLE) / CAST(nb2 AS DOUBLE) / 1e6 AS diff,
+        |    CAST(na * ssa - sa * sa AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / 1e12
+        |      / CAST(na AS DOUBLE) AS va,
+        |    CAST(nb2 * ssb - sb * sb AS DOUBLE)
+        |      / (CAST(nb2 AS DOUBLE) * (CAST(nb2 AS DOUBLE) - 1.0)) / 1e12
+        |      / CAST(nb2 AS DOUBLE) AS vb
+        |  FROM p),
+        |e AS (SELECT *, va + vb AS se2 FROM c)
+        |SELECT ga AS group_a, gb AS group_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb2 AS BIGINT) AS n_b,
+        |  round(diff, 6) AS mean_diff,
+        |  CASE WHEN na >= 2 AND nb2 >= 2 AND se2 > 0
+        |    THEN round(abs(diff) / sqrt(se2 / 2.0), 6) END AS q,
+        |  CASE WHEN na >= 2 AND nb2 >= 2 AND se2 > 0
+        |    THEN round((se2 * se2)
+        |      / (va * va / (CAST(na AS DOUBLE) - 1.0)
+        |        + vb * vb / (CAST(nb2 AS DOUBLE) - 1.0)), 6) END AS df
+        |FROM e ORDER BY ga, gb""".stripMargin,
     "q_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |m AS (

@@ -131,6 +131,26 @@ class ExperimentSpec extends AnyFunSuite {
     assert(Stats.tukeyHsd(same, col("g"), col("v")).head().getDouble(5) == 0.0)
   }
 
+  test("gamesHowell: equals Tukey's q under equal variances and balanced n; Welch df = 4") {
+    // a=[1,2,3], b=[4,5,6]: s²=1 both, q = 3/sqrt(1/3) (same as Tukey here),
+    // df = (2/3)²/(2·(1/3)²/2) = 4
+    val df = createDf(spark, "g string, v double",
+      Seq("a" -> 1, "a" -> 2, "a" -> 3, "b" -> 4, "b" -> 5, "b" -> 6)
+        .map { case (g, v) => Seq[Any](g, v.toDouble) })
+    val r = Stats.gamesHowell(df, col("g"), col("v")).head()
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getDouble(4) == -3.0)
+    assert(math.abs(r.getDouble(5) - 3.0 / math.sqrt(1.0 / 3.0)) < 1e-5)
+    assert(math.abs(r.getDouble(6) - 4.0) < 1e-5)
+    // and it diverges from Tukey when variances differ
+    val uneq = createDf(spark, "g string, v double",
+      (Seq(1.0, 2.0, 3.0).map("a" -> _) ++ Seq(0.0, 10.0, 20.0).map("b" -> _))
+        .map { case (g, v) => Seq[Any](g, v) })
+    val gh = Stats.gamesHowell(uneq, col("g"), col("v")).head().getDouble(5)
+    val tk = Stats.tukeyHsd(uneq, col("g"), col("v")).head().getDouble(5)
+    assert(math.abs(gh - tk) > 0.1)
+  }
+
   test("cuped: zero-variance covariate degrades to the raw diff (theta 0, null rho)") {
     val df = createDf(spark, "g string, y double, x double",
       Seq(Seq[Any]("a", 5.0, 1.0), Seq[Any]("a", 7.0, 1.0),
