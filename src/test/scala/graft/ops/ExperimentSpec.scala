@@ -142,13 +142,16 @@ class ExperimentSpec extends AnyFunSuite {
     assert(r.getDouble(4) == -3.0)
     assert(math.abs(r.getDouble(5) - 3.0 / math.sqrt(1.0 / 3.0)) < 1e-5)
     assert(math.abs(r.getDouble(6) - 4.0) < 1e-5)
-    // and it diverges from Tukey when variances differ
+    // it diverges from Tukey when variances AND group sizes differ
+    // (with k=2 and equal n the two are algebraically identical —
+    // pooling two equal-size variances IS averaging them)
     val uneq = createDf(spark, "g string, v double",
-      (Seq(1.0, 2.0, 3.0).map("a" -> _) ++ Seq(0.0, 10.0, 20.0).map("b" -> _))
+      (Seq(1.0, 2.0, 3.0).map("a" -> _) ++
+        Seq(0.0, 10.0, 20.0, 5.0, 15.0, 25.0).map("b" -> _))
         .map { case (g, v) => Seq[Any](g, v) })
     val gh = Stats.gamesHowell(uneq, col("g"), col("v")).head().getDouble(5)
     val tk = Stats.tukeyHsd(uneq, col("g"), col("v")).head().getDouble(5)
-    assert(math.abs(gh - tk) > 0.1)
+    assert(math.abs(gh - tk) > 0.1, s"gh=$gh tk=$tk")
   }
 
   test("cuped: zero-variance covariate degrades to the raw diff (theta 0, null rho)") {
