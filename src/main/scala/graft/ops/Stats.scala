@@ -1620,4 +1620,181 @@ object Stats {
           round(col("__sdd").cast("double") / col("__see").cast("double"), 6))
           .as("dw"): _*)
   }
+
+  /** McNemar's test for PAIRED classifiers — did predictor A and
+    * predictor B disagree more than chance on the SAME rows? The
+    * question accuracy deltas can't answer (two 90% classifiers can
+    * disagree on completely different rows), and the one to ask before
+    * swapping the curation classifier ([[graft.text.Classify]] vs a
+    * heuristic) on "it scored 0.4% higher".
+    *
+    * Only the discordant cells carry signal: with `b` = A-only-correct
+    * and `c` = B-only-correct rows,
+    *
+    *   chi2 = (max(|b − c| − 1, 0))² / (b + c)     (continuity-corrected,
+    *                                                clamped at 0 for b=c)
+    *
+    * against chi²(1); `reject` at the 5% critical value 3.841459. Rows
+    * where either correctness is null drop.
+    *
+    * Determinism: four exact conditional counts, one fixed IEEE tree.
+    * Scale shape: ONE map-combined grand aggregation — no shuffle wider
+    * than a single row.
+    */
+  def mcnemar(df: DataFrame, aCorrect: Column, bCorrect: Column): DataFrame = {
+    val base = df.select(aCorrect.cast("boolean").as("__a"),
+        bCorrect.cast("boolean").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("n_a_only"),
+      sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n_b_only"),
+      sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n_neither"))
+    val bD = col("n_a_only").cast("double")
+    val cD = col("n_b_only").cast("double")
+    val num = greatest(abs(bD - cD) - lit(1.0), lit(0.0))
+    val chi2 = num * num / (bD + cD)
+    agg.select(col("n"), col("n_both"), col("n_a_only"), col("n_b_only"),
+      col("n_neither"),
+      when(col("n_a_only") + col("n_b_only") > 0, round(chi2, 6)).as("chi2"),
+      when(col("n_a_only") + col("n_b_only") > 0, round(chi2, 6) > 3.841459)
+        .as("reject"))
+  }
+
+  /** Cochran–Mantel–Haenszel test + Mantel–Haenszel common odds ratio
+    * over STRATIFIED 2×2 tables — "does exposure associate with outcome
+    * after controlling for the stratum?", the Simpson's-paradox guard a
+    * pooled [[chiSquareIndependence]] walks straight into (each stratum
+    * can show the effect while the pooled table reverses it).
+    *
+    * Per stratum k with cells a,b,c,d (a = exposed∧outcome) and
+    * n = a+b+c+d ≥ 2:
+    *
+    *   CMH  = (|Σ(a − (a+b)(a+c)/n)| − 0.5)² / Σ var_k,
+    *   var_k = (a+b)(c+d)(a+c)(b+d) / (n²(n−1)),
+    *   OR_MH = Σ(ad/n) / Σ(bc/n)
+    *
+    * against chi²(1); strata with n < 2 contribute nothing (var
+    * undefined) and are excluded from `n_strata`. Rows with a null
+    * stratum drop; `exposed`/`outcome` evaluate null as false (the
+    * conditional-count posture of [[twoProportionZ]]).
+    *
+    * Determinism: cell counts are exact longs; each stratum's four IEEE
+    * terms (num, var, ad/n, bc/n) nano-quantize BEFORE the cross-stratum
+    * sums (the chi2 discipline), so the grand aggregate adds exact
+    * integers and the final statistic is a fixed IEEE tree.
+    *
+    * Scale shape: one stratum-keyed map-combined aggregation (one row
+    * per stratum), then one grand aggregate — no windows, no joins.
+    */
+  def cmhTest(df: DataFrame, stratum: Column, exposed: Column,
+              outcome: Column): DataFrame = {
+    val base = df.select(stratum.as("__s"),
+        when(exposed, 1L).otherwise(0L).as("__e"),
+        when(outcome, 1L).otherwise(0L).as("__o"))
+      .filter(col("__s").isNotNull)
+    val cells = base.groupBy(col("__s")).agg(
+      sum(when(col("__e") === 1L && col("__o") === 1L, 1L).otherwise(0L)).as("__a"),
+      sum(when(col("__e") === 1L && col("__o") === 0L, 1L).otherwise(0L)).as("__b"),
+      sum(when(col("__e") === 0L && col("__o") === 1L, 1L).otherwise(0L)).as("__c"),
+      sum(when(col("__e") === 0L && col("__o") === 0L, 1L).otherwise(0L)).as("__d"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = d("__a") + d("__b") + d("__c") + d("__d")
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast(DecimalType(38, 0))
+    val terms = cells.filter(col("__a") + col("__b") + col("__c") + col("__d") >= 2L)
+      .select(
+        nano(d("__a") - (d("__a") + d("__b")) * (d("__a") + d("__c")) / nD).as("__num"),
+        nano((d("__a") + d("__b")) * (d("__c") + d("__d"))
+          * (d("__a") + d("__c")) * (d("__b") + d("__d"))
+          / (nD * nD * (nD - lit(1.0)))).as("__var"),
+        nano(d("__a") * d("__d") / nD).as("__orn"),
+        nano(d("__b") * d("__c") / nD).as("__ord"),
+        (col("__a") + col("__b") + col("__c") + col("__d")).as("__n"))
+    val agg = terms.agg(count(lit(1)).as("n_strata"), sum(col("__n")).as("n"),
+      sum(col("__num")).as("__sn"), sum(col("__var")).as("__sv"),
+      sum(col("__orn")).as("__so"), sum(col("__ord")).as("__sd"))
+    val snD = col("__sn").cast("double") / lit(1e9)
+    val svD = col("__sv").cast("double") / lit(1e9)
+    val chi2 = (abs(snD) - lit(0.5)) * (abs(snD) - lit(0.5)) / svD
+    agg.select(col("n_strata"), coalesce(col("n"), lit(0L)).as("n"),
+      when(col("n_strata") > 0 && col("__sv") > 0, round(chi2, 6)).as("chi2"),
+      when(col("n_strata") > 0 && col("__sv") > 0, round(chi2, 6) > 3.841459)
+        .as("reject"),
+      when(col("n_strata") > 0 && col("__sd") > 0,
+        round(col("__so").cast("double") / col("__sd").cast("double"), 6))
+        .as("or_mh"))
+  }
+
+  /** Delete-a-group jackknife SE for a RATIO estimator — the survey-
+    * statistics variance method (Kott, "The Delete-a-Group Jackknife")
+    * for numbers that are ratios of totals (price per unit, revenue per
+    * head), where [[poissonBootstrapMeanCI]]'s per-mean resampling
+    * doesn't apply. Each row hashes into one of `groups` deterministic
+    * random groups g (seeded md5 — the repo's selection convention);
+    * with total sums (Sx, Sy) and per-group (x_g, y_g),
+    *
+    *   r_g  = (Sx − x_g)/(Sy − y_g)          (leave-one-group-out ratio)
+    *   se²  = (G−1)/G · Σ(r_g − r̄)²          over the G surviving groups
+    *
+    * Returns `(groups…, n, n_groups, ratio, jk_se, ci_lo, ci_hi)`:
+    * `ratio` the full-sample Sx/Sy, ci = ratio ± 1.96·se. Groups whose
+    * leave-out denominator is 0 drop (n_groups counts survivors); fewer
+    * than 2 survivors, or Sy = 0, emit nulls.
+    *
+    * Determinism: micro-quantized decimal sums, leave-out ratios
+    * nano-quantized before the cross-group moments — the jackknife sum
+    * is exact integer arithmetic with two final IEEE steps (the
+    * [[poissonBootstrapMeanCI]] discipline).
+    *
+    * Scale shape: one (groups…, g)-keyed map-combined aggregation (G
+    * rows per group cell), bounded G-row windows over it, one final
+    * per-group aggregate. The hash shuffle carries G·|groups| rows of
+    * sums — never data.
+    */
+  def jackknifeRatio(df: DataFrame, groupBy: Seq[String], keyCol: Column,
+                     num: Column, den: Column, groups: Int = 12,
+                     seed: String = "jk"): DataFrame = {
+    require(groupBy.nonEmpty, "jackknifeRatio needs group keys")
+    require(groups >= 2 && groups <= 256, s"groups out of range: $groups")
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val bucket = pmod(conv(substring(md5(concat_ws(":",
+        lit(seed), keyCol.cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(groups.toLong))
+    val base = df.select(gCols
+        :+ bucket.as("__g")
+        :+ round(num * lit(1e6), 0).cast(dec).as("__x")
+        :+ round(den * lit(1e6), 0).cast(dec).as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val perG = base.groupBy(gCols :+ col("__g"): _*)
+      .agg(count(lit(1)).as("__c"), sum(col("__x")).as("__xg"),
+        sum(col("__y")).as("__yg"))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val withTot = perG.select(gCols ++ Seq(col("__c"), col("__xg"), col("__yg"),
+      sum(col("__xg")).over(W).as("__sx"),
+      sum(col("__yg")).over(W).as("__sy")): _*)
+    // leave-one-out ratio in exact nanos; a zero leave-out denominator
+    // (one group holds ALL the weight) survives as null and drops below
+    val rq = when(col("__sy") - col("__yg") =!= lit(0).cast(dec),
+      round((col("__sx") - col("__xg")).cast("double")
+        / (col("__sy") - col("__yg")).cast("double") * lit(1e9), 0).cast(dec))
+    val agg = withTot.withColumn("__rq", rq)
+      .groupBy(gCols: _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(when(col("__rq").isNotNull, 1L).otherwise(0L)).as("n_groups"),
+        max(col("__sx")).as("__tx"), max(col("__sy")).as("__ty"),
+        sum(col("__rq")).as("__sr"), sum(col("__rq") * col("__rq")).as("__sr2"))
+    val gD = col("n_groups").cast("double")
+    val ratio = col("__tx").cast("double") / col("__ty").cast("double")
+    val se = sqrt((gD - lit(1.0)) / gD
+      * (col("__sr2").cast("double")
+        - col("__sr").cast("double") * col("__sr").cast("double") / gD)) / lit(1e9)
+    val ok = col("n_groups") >= 2 && col("__ty") =!= lit(0).cast(dec)
+    agg.select(gCols ++ Seq(col("n"), col("n_groups"),
+      when(col("__ty") =!= lit(0).cast(dec), round(ratio, 6)).as("ratio"),
+      when(ok, round(se, 6)).as("jk_se"),
+      when(ok, round(ratio - lit(1.96) * se, 6)).as("ci_lo"),
+      when(ok, round(ratio + lit(1.96) * se, 6)).as("ci_hi")): _*)
+  }
 }

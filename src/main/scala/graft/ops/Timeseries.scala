@@ -618,4 +618,133 @@ object Timeseries {
         ((col("__r.level") + col("__r.trend")).cast("double") / lit(1e9))
           .as("forecast")): _*)
   }
+
+  /** Single change-point detection per series — the binary-segmentation
+    * base step (and the offline answer to [[cusum]]'s online alarm):
+    * WHERE did the level shift? For the ordered series x_1..x_n with
+    * prefix sums S_k, the split k* maximizes the CUSUM deviation
+    *
+    *   D_k = |n·S_k − k·S_n|,   1 ≤ k < n
+    *
+    * (that is |S_k − (k/n)·S_n| scaled by n — kept as an EXACT integer
+    * so the argmax never touches a float; ties break to the smallest k).
+    * Returns one row per group: `(parts…, n, split_idx, split_at,
+    * cusum_max, mean_before, mean_after, shift)` — cusum_max is the
+    * maximized D divided by n (value units), means on each side of the
+    * split, shift = after − before. Groups with n < 2 survive with null
+    * split columns
+    * (the [[graft.ops.Stats.kendallTau]] 1-row-group lesson).
+    *
+    * `orderCol` must be unique within a group (a time bucket, an index);
+    * `__x` is a documented secondary sort so exact duplicates still
+    * order deterministically.
+    *
+    * Scale shape: one group-partitioned ordered window for prefix sums,
+    * a group-keyed count join, and an argmax window over the same
+    * partitioning — no whole-frame work, no driver state.
+    */
+  def changepoint(df: DataFrame, parts: Seq[String], orderCol: Column,
+                  value: Column): DataFrame = {
+    require(parts.nonEmpty, "changepoint needs partition keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(pCols
+        :+ orderCol.as("__o")
+        :+ round(value * lit(1e6), 0).cast(dec).as("__x"): _*)
+      .filter(col("__x").isNotNull && col("__o").isNotNull)
+    val counts = base.groupBy(pCols: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__S"))
+    val wOrd = Window.partitionBy(pCols: _*).orderBy(col("__o"), col("__x"))
+    val pre = base.select(pCols ++ Seq(col("__o"),
+      row_number().over(wOrd).cast("long").as("__k"),
+      sum(col("__x")).over(wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).as("__sk")): _*)
+    val cand = pre.join(counts, parts)
+      .filter(col("__k") < col("n"))
+      .withColumn("__d",
+        abs(col("n").cast(dec) * col("__sk") - col("__k").cast(dec) * col("__S")))
+    val wBest = Window.partitionBy(pCols: _*)
+      .orderBy(col("__d").desc, col("__k"))
+    val best = cand.withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+    val mb = col("__sk").cast("double") / col("__k").cast("double") / lit(1e6)
+    val ma = (col("__S") - col("__sk")).cast("double")
+      ./((col("n") - col("__k")).cast("double")) / lit(1e6)
+    counts.join(
+        best.select(pCols ++ Seq(col("__k"), col("__o").as("split_at"),
+          round(col("__d").cast("double") / col("n").cast("double") / lit(1e6), 6)
+            .as("cusum_max"),
+          round(mb, 6).as("mean_before"), round(ma, 6).as("mean_after"),
+          round(ma - mb, 6).as("shift")): _*),
+        parts, "left")
+      .select(pCols ++ Seq(col("n"), col("__k").as("split_idx"),
+        col("split_at"), col("cusum_max"), col("mean_before"),
+        col("mean_after"), col("shift")): _*)
+  }
+
+  /** Wald's sequential probability ratio test (SPRT) over an ordered
+    * Bernoulli stream — the always-monitoring answer to "when can the
+    * experiment STOP?" that a fixed-horizon [[graft.ops.Stats.twoProportionZ]]
+    * can't give without alpha-spending. Per group, observations
+    * accumulate in `orderCol` order (pre-bucketed: each row carries
+    * `trials` and `successes` for its bucket) and the log-likelihood
+    * ratio of H1: p = p1 vs H0: p = p0 is
+    *
+    *   LLR_n = s_n·ln(p1/p0) + (n_n − s_n)·ln((1−p1)/(1−p0))
+    *
+    * with Wald's thresholds A = ln((1−β)/α) (decide H1, effect present)
+    * and B = ln(β/(1−α)) (decide H0). Emits one row per bucket:
+    * `(parts…, orderCol, n_cum, s_cum, llr, state, first_h1_idx,
+    * first_h0_idx)` — `state` the instantaneous region, the first-
+    * crossing indices prefix-minima (null until a crossing), so the
+    * sticky decision is the smaller of the two.
+    *
+    * Determinism: counts are exact longs; the two log constants are
+    * computed ONCE on the JVM and injected as literals (ln never runs on
+    * data — the integer-argument doctrine's sequential sibling), so
+    * LLR is the fixed tree s·L1 + (n−s)·L0 every engine replays.
+    *
+    * Scale shape: one group-partitioned ordered prefix window — the
+    * same plan as a cumulative sum; nothing global, nothing iterative.
+    */
+  def sprtBernoulli(df: DataFrame, parts: Seq[String], orderCol: Column,
+                    trials: Column, successes: Column,
+                    p0: Double, p1: Double,
+                    alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(parts.nonEmpty, "sprtBernoulli needs partition keys")
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct p0, p1 in (0,1): ($p0, $p1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"need alpha, beta in (0,1): ($alpha, $beta)")
+    val l1 = math.log(p1 / p0)
+    val l0 = math.log((1.0 - p1) / (1.0 - p0))
+    val thrA = math.log((1.0 - beta) / alpha)
+    val thrB = math.log(beta / (1.0 - alpha))
+    val pCols = parts.map(col)
+    val base = df.select(pCols
+        :+ orderCol.as("__o")
+        :+ trials.cast("long").as("__t")
+        :+ successes.cast("long").as("__s"): _*)
+      .filter(col("__o").isNotNull && col("__t").isNotNull && col("__s").isNotNull)
+    val wPre = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wIdx = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val cum = base.select(pCols ++ Seq(col("__o"),
+      row_number().over(wIdx).cast("long").as("__i"),
+      sum(col("__t")).over(wPre).as("n_cum"),
+      sum(col("__s")).over(wPre).as("s_cum")): _*)
+    val llr = (col("s_cum").cast("double") * lit(l1))
+      .+((col("n_cum") - col("s_cum")).cast("double") * lit(l0))
+    val flagged = cum
+      .withColumn("__llr", llr)
+      .withColumn("__h1", when(col("__llr") >= lit(thrA), col("__i")))
+      .withColumn("__h0", when(col("__llr") <= lit(thrB), col("__i")))
+    flagged.select(pCols ++ Seq(col("__o"), col("n_cum"), col("s_cum"),
+      round(col("__llr"), 6).as("llr"),
+      when(col("__llr") >= lit(thrA), lit("h1"))
+        .when(col("__llr") <= lit(thrB), lit("h0"))
+        .otherwise(lit("continue")).as("state"),
+      min(col("__h1")).over(wPre).as("first_h1_idx"),
+      min(col("__h0")).over(wPre).as("first_h0_idx")): _*)
+  }
 }

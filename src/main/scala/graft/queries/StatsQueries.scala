@@ -791,8 +791,35 @@ object StatsQueries {
         col("lang"), col("source"))
       .orderBy(col("a"), col("b"))
 
+  /** Cochran–Mantel–Haenszel ([[graft.ops.Stats.cmhTest]]): does
+    * clicking (vs viewing) associate with a high-value event AFTER
+    * controlling for the user segment — the stratified complement of
+    * q_chi2 that a Simpson's reversal can't fool. Four user-id strata,
+    * per-stratum terms nano-quantized, one grand aggregate.
+    */
+  private def qCmh(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.cmhTest(
+      t(s, dir, "events").filter(col("event_type").isin("click", "view")),
+      pmod(col("user_id"), lit(4)), col("event_type") === "click",
+      col("value") > 100.0)
+
+  /** Delete-a-group jackknife ([[graft.ops.Stats.jackknifeRatio]]): the
+    * survey-statistics SE for revenue-per-unit — a RATIO of totals, the
+    * estimator class where q_bootstrap's per-mean resampling doesn't
+    * apply. 12 seeded-md5 groups, leave-one-out ratios nano-quantized,
+    * exact cross-group moments.
+    */
+  private def qJackknife(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.jackknifeRatio(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        col("l_quantity"), groups = 12, seed = "jk")
+      .orderBy(col("l_returnflag"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cmh" -> (qCmh _),
+    "q_jackknife" -> (qJackknife _),
     "q_anova" -> (qAnova _),
     "q_fdr" -> (qFdr _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -849,6 +876,107 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_cmh" ->
+      """WITH base AS (
+        |  SELECT user_id % 4 AS s,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS o
+        |  FROM events WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL),
+        |cells AS (
+        |  SELECT s,
+        |    SUM(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS b,
+        |    SUM(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS c,
+        |    SUM(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS d
+        |  FROM base GROUP BY 1),
+        |terms AS (
+        |  SELECT a + b + c + d AS n,
+        |    CAST(round((CAST(a AS DOUBLE)
+        |      - (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+        |        * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+        |        / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+        |          + CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) * 1e9) AS HUGEINT) AS num,
+        |    CAST(round((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+        |        * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+        |        * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+        |        * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))
+        |        / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+        |            + CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+        |          * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+        |            + CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+        |          * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+        |            + CAST(c AS DOUBLE) + CAST(d AS DOUBLE) - 1.0)) * 1e9)
+        |      AS HUGEINT) AS var,
+        |    CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+        |        + CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) * 1e9) AS HUGEINT) AS orn,
+        |    CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+        |        + CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) * 1e9) AS HUGEINT) AS ord
+        |  FROM cells WHERE a + b + c + d >= 2),
+        |ag AS (
+        |  SELECT COUNT(*) AS ns, SUM(n) AS n, SUM(num) AS sn, SUM(var) AS sv,
+        |    SUM(orn) AS so, SUM(ord) AS sd
+        |  FROM terms)
+        |SELECT CAST(ns AS BIGINT) AS n_strata,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n,
+        |  CASE WHEN ns > 0 AND sv > 0 THEN
+        |    round((abs(CAST(sn AS DOUBLE) / 1e9) - 0.5)
+        |      * (abs(CAST(sn AS DOUBLE) / 1e9) - 0.5)
+        |      / (CAST(sv AS DOUBLE) / 1e9), 6) END AS chi2,
+        |  CASE WHEN ns > 0 AND sv > 0 THEN
+        |    round((abs(CAST(sn AS DOUBLE) / 1e9) - 0.5)
+        |      * (abs(CAST(sn AS DOUBLE) / 1e9) - 0.5)
+        |      / (CAST(sv AS DOUBLE) / 1e9), 6) > 3.841459 END AS reject,
+        |  CASE WHEN ns > 0 AND sd > 0 THEN
+        |    round(CAST(so AS DOUBLE) / CAST(sd AS DOUBLE), 6) END AS or_mh
+        |FROM ag""".stripMargin,
+    "q_jackknife" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS f,
+        |    CAST(('0x' || substr(md5('jk:' || CAST(l_orderkey AS VARCHAR)
+        |      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 12 AS g,
+        |    CAST(round((l_extendedprice * (1.0 - l_discount)) * 1000000.0)
+        |      AS HUGEINT) AS x,
+        |    CAST(round(l_quantity * 1000000.0) AS HUGEINT) AS y
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_quantity IS NOT NULL),
+        |pg AS (
+        |  SELECT f, g, COUNT(*) AS c, SUM(x) AS xg, SUM(y) AS yg
+        |  FROM base GROUP BY 1, 2),
+        |tt AS (SELECT f, SUM(xg) AS sx, SUM(yg) AS sy FROM pg GROUP BY 1),
+        |rr AS (
+        |  SELECT pg.f, c, sx, sy,
+        |    CASE WHEN sy - yg <> 0 THEN
+        |      CAST(round(CAST(sx - xg AS DOUBLE) / CAST(sy - yg AS DOUBLE)
+        |        * 1000000000.0) AS HUGEINT) END AS rq
+        |  FROM pg JOIN tt ON pg.f = tt.f),
+        |ag AS (
+        |  SELECT f, SUM(c) AS n,
+        |    SUM(CASE WHEN rq IS NOT NULL THEN 1 ELSE 0 END) AS ng,
+        |    MAX(sx) AS tx, MAX(sy) AS ty,
+        |    SUM(rq) AS sr, SUM(rq * rq) AS sr2
+        |  FROM rr GROUP BY 1)
+        |SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(ng AS BIGINT) AS n_groups,
+        |  CASE WHEN ty <> 0 THEN
+        |    round(CAST(tx AS DOUBLE) / CAST(ty AS DOUBLE), 6) END AS ratio,
+        |  CASE WHEN ng >= 2 AND ty <> 0 THEN
+        |    round(sqrt((CAST(ng AS DOUBLE) - 1.0) / CAST(ng AS DOUBLE)
+        |      * (CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+        |        / CAST(ng AS DOUBLE))) / 1000000000.0, 6) END AS jk_se,
+        |  CASE WHEN ng >= 2 AND ty <> 0 THEN
+        |    round(CAST(tx AS DOUBLE) / CAST(ty AS DOUBLE)
+        |      - 1.96 * (sqrt((CAST(ng AS DOUBLE) - 1.0) / CAST(ng AS DOUBLE)
+        |        * (CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+        |          / CAST(ng AS DOUBLE))) / 1000000000.0), 6) END AS ci_lo,
+        |  CASE WHEN ng >= 2 AND ty <> 0 THEN
+        |    round(CAST(tx AS DOUBLE) / CAST(ty AS DOUBLE)
+        |      + 1.96 * (sqrt((CAST(ng AS DOUBLE) - 1.0) / CAST(ng AS DOUBLE)
+        |        * (CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+        |          / CAST(ng AS DOUBLE))) / 1000000000.0), 6) END AS ci_hi
+        |FROM ag ORDER BY f""".stripMargin,
     "q_jsd" ->
       """WITH rt AS (
         |  SELECT unnest(string_split(text, ' ')) AS v FROM documents

@@ -84,6 +84,33 @@ object TextQueries {
     graft.ops.Stats.cohenKappa(d, col("lang"), TextStats.langId(col("text")))
   }
 
+  /** McNemar paired-predictor test ([[graft.ops.Stats.mcnemar]]): the
+    * per-document [[TextStats.langId]] heuristic vs the source-majority
+    * prior (predict every document's language as its source's modal
+    * lang — bounded source×lang table, broadcast back), both graded
+    * against the `lang` label ON THE SAME DOCUMENTS. The discordant-pair
+    * test that decides "swap the predictor", which comparing two
+    * accuracies can't. One dimension-table window + one broadcast join
+    * + one grand conditional aggregate.
+    */
+  private def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // null langs can't be a modal prediction (and NULLS FIRST vs LAST
+    // tie-break order differs across engines) — drop them before ranking
+    val counts = d.filter(col("lang").isNotNull)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("__cn"))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__cn").desc, col("lang"))
+    val majority = counts.withColumn("__rn", row_number().over(W))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("lang").as("__maj"))
+    val joined = d.join(broadcast(majority), Seq("source"))
+    graft.ops.Stats.mcnemar(joined,
+      TextStats.langId(col("text")) === col("lang"),
+      col("__maj") === col("lang"))
+  }
+
   /** Vocabulary statistics: per-token corpus frequencies (explode-shaped
     * aggregation), top tokens by count with deterministic tie-break.
     */
@@ -715,6 +742,7 @@ object TextQueries {
     "q_doc_quality" -> (qDocQuality _),
     "q_lang_id" -> (qLangId _),
     "q_kappa" -> (qKappa _),
+    "q_mcnemar" -> (qMcnemar _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
     "q_dsir" -> (qDsir _),
@@ -786,6 +814,46 @@ object TextQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_mcnemar" ->
+      """WITH cnt AS (
+        |  SELECT source, lang, COUNT(*) AS cn FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |maj AS (
+        |  SELECT source, lang AS maj FROM (
+        |    SELECT source, lang,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY cn DESC, lang) AS rn
+        |    FROM cnt) t
+        |  WHERE rn = 1),
+        |pred AS (
+        |  SELECT
+        |    (CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |          WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+        |          WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+        |          WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+        |          ELSE 'unknown' END = d.lang) AS a,
+        |    (m.maj = d.lang) AS b
+        |  FROM documents d JOIN maj m ON d.source = m.source),
+        |f AS (SELECT a, b FROM pred WHERE a IS NOT NULL AND b IS NOT NULL),
+        |ag AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS nao,
+        |    SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS nbo,
+        |    SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS nn
+        |  FROM f)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(nb AS BIGINT) AS n_both,
+        |  CAST(nao AS BIGINT) AS n_a_only, CAST(nbo AS BIGINT) AS n_b_only,
+        |  CAST(nn AS BIGINT) AS n_neither,
+        |  CASE WHEN nao + nbo > 0 THEN
+        |    round(greatest(abs(CAST(nao AS DOUBLE) - CAST(nbo AS DOUBLE)) - 1.0, 0.0)
+        |      * greatest(abs(CAST(nao AS DOUBLE) - CAST(nbo AS DOUBLE)) - 1.0, 0.0)
+        |      / (CAST(nao AS DOUBLE) + CAST(nbo AS DOUBLE)), 6) END AS chi2,
+        |  CASE WHEN nao + nbo > 0 THEN
+        |    round(greatest(abs(CAST(nao AS DOUBLE) - CAST(nbo AS DOUBLE)) - 1.0, 0.0)
+        |      * greatest(abs(CAST(nao AS DOUBLE) - CAST(nbo AS DOUBLE)) - 1.0, 0.0)
+        |      / (CAST(nao AS DOUBLE) + CAST(nbo AS DOUBLE)), 6) > 3.841459
+        |    END AS reject
+        |FROM ag""".stripMargin,
     "q_classify" ->
       """WITH l AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -120,4 +120,77 @@ class Round9StatsSpec extends AnyFunSuite {
     val b = Stats.durbinWatson(df.repartition(7), Seq("g"), col("x"), col("y")).collect().toSeq
     assert(a == b)
   }
+
+  test("mcnemar: hand-checked continuity-corrected chi2 on discordant cells") {
+    // both=5, a_only=6, b_only=2, neither=3: chi2 = (|6-2|-1)^2/8 = 1.125
+    val rows = Seq.fill(5)((true, true)) ++ Seq.fill(6)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false))
+    val df = createDf(spark, "a boolean, b boolean",
+      rows.map { case (a, b) => Seq[Any](a, b) })
+    val r = Stats.mcnemar(df, col("a"), col("b")).head()
+    assert(r.getLong(0) == 16L && r.getLong(1) == 5L)
+    assert(r.getLong(2) == 6L && r.getLong(3) == 2L && r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 1.125 && !r.getBoolean(6))
+  }
+
+  test("mcnemar: b=c clamps to chi2 0; no discordant pairs null; nulls drop") {
+    val tied = createDf(spark, "a boolean, b boolean",
+      Seq(Seq[Any](true, false), Seq[Any](false, true), Seq[Any](true, true)))
+    assert(Stats.mcnemar(tied, col("a"), col("b")).head().getDouble(5) == 0.0)
+    val concordant = createDf(spark, "a boolean, b boolean",
+      Seq(Seq[Any](true, true), Seq[Any](false, false), Seq[Any](null, true)))
+    val r = Stats.mcnemar(concordant, col("a"), col("b")).head()
+    assert(r.getLong(0) == 2L && r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("cmhTest: hand-checked single and doubled strata; strata with n<2 drop") {
+    // a=3,b=1,c=1,d=3: num = 3-16/8 = 1, var = 256/448, OR terms 9/8 and 1/8
+    def stratum(s: Int) =
+      Seq.fill(3)((s, true, true)) ++ Seq.fill(1)((s, true, false)) ++
+        Seq.fill(1)((s, false, true)) ++ Seq.fill(3)((s, false, false))
+    val one = createDf(spark, "s int, e boolean, o boolean",
+      stratum(0).map { case (s, e, o) => Seq[Any](s, e, o) })
+    val r1 = Stats.cmhTest(one, col("s"), col("e"), col("o")).head()
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 8L)
+    assert(math.abs(r1.getDouble(2) - 0.25 / (256.0 / 448.0)) < 1e-6)
+    assert(r1.getDouble(4) == 9.0)
+    val two = createDf(spark, "s int, e boolean, o boolean",
+      (stratum(0) ++ stratum(1)).map { case (s, e, o) => Seq[Any](s, e, o) })
+    val r2 = Stats.cmhTest(two, col("s"), col("e"), col("o")).head()
+    assert(r2.getLong(0) == 2L)
+    assert(math.abs(r2.getDouble(2) - 2.25 / (512.0 / 448.0)) < 1e-6)
+    assert(r2.getDouble(4) == 9.0)
+    // a 1-row stratum contributes nothing (var undefined at n=1)
+    val plus = createDf(spark, "s int, e boolean, o boolean",
+      (stratum(0) :+ ((7, true, true))).map { case (s, e, o) => Seq[Any](s, e, o) })
+    assert(Stats.cmhTest(plus, col("s"), col("e"), col("o")).head().getLong(0) == 1L)
+  }
+
+  test("jackknifeRatio: exact full-sample ratio; proportional columns give se 0") {
+    // num = 2*den everywhere -> every leave-out ratio is exactly 2
+    val df = createDf(spark, "g string, k int, num double, den double",
+      (1 to 60).map(i => Seq[Any]("a", i, 2.0 * i, i.toDouble)))
+    val r = Stats.jackknifeRatio(df, Seq("g"), col("k"), col("num"), col("den"),
+      groups = 8, seed = "t").head()
+    assert(r.getLong(1) == 60L && r.getLong(2) == 8L)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 0.0)
+    assert(r.getDouble(5) == 2.0 && r.getDouble(6) == 2.0)
+  }
+
+  test("jackknifeRatio: partitioning-invariant, se positive on noisy ratios") {
+    val rnd = new scala.util.Random(42)
+    val df = createDf(spark, "g string, k int, num double, den double",
+      (1 to 200).map(i =>
+        Seq[Any](if (i % 2 == 0) "a" else "b", i,
+          10.0 + rnd.nextDouble() * 5.0, 1.0 + rnd.nextDouble())))
+    val a = Stats.jackknifeRatio(df, Seq("g"), col("k"), col("num"), col("den"))
+      .collect().sortBy(_.getString(0)).toSeq
+    val b = Stats.jackknifeRatio(df.repartition(7), Seq("g"), col("k"),
+      col("num"), col("den")).collect().sortBy(_.getString(0)).toSeq
+    assert(a == b)
+    a.foreach { r =>
+      assert(r.getDouble(4) > 0.0)
+      assert(r.getDouble(5) < r.getDouble(3) && r.getDouble(3) < r.getDouble(6))
+    }
+  }
 }
