@@ -694,8 +694,8 @@ object Timeseries {
     *
     * with Wald's thresholds A = ln((1−β)/α) (decide H1, effect present)
     * and B = ln(β/(1−α)) (decide H0). Emits one row per bucket:
-    * `(parts…, orderCol, n_cum, s_cum, llr, state, first_h1_idx,
-    * first_h0_idx)` — `state` the instantaneous region, the first-
+    * `(parts…, t, n_cum, s_cum, llr, state, first_h1_idx,
+    * first_h0_idx)` — `t` the order value, `state` the instantaneous region, the first-
     * crossing indices prefix-minima (null until a crossing), so the
     * sticky decision is the smaller of the two.
     *
@@ -739,7 +739,7 @@ object Timeseries {
       .withColumn("__llr", llr)
       .withColumn("__h1", when(col("__llr") >= lit(thrA), col("__i")))
       .withColumn("__h0", when(col("__llr") <= lit(thrB), col("__i")))
-    flagged.select(pCols ++ Seq(col("__o"), col("n_cum"), col("s_cum"),
+    flagged.select(pCols ++ Seq(col("__o").as("t"), col("n_cum"), col("s_cum"),
       round(col("__llr"), 6).as("llr"),
       when(col("__llr") >= lit(thrA), lit("h1"))
         .when(col("__llr") <= lit(thrB), lit("h0"))

@@ -418,7 +418,43 @@ object EventQueries {
   }
 
   /** This family's slice of [[graft.SparkEntry.queries]]. */
+  /** Offline change-point location ([[Timeseries.changepoint]]): WHERE
+    * did each event type's daily revenue level shift — the binary-
+    * segmentation base step beside q_cusum's online alarm. The argmax
+    * of |n·S_k − k·S_n| stays exact-integer end to end; only the
+    * emitted means touch IEEE.
+    */
+  private def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    Timeseries.changepoint(daily, Seq("event_type"), col("day"), col("cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Wald SPRT over daily purchase conversions ([[Timeseries.sprtBernoulli]]):
+    * per A/B arm, when does the sequential evidence let the monitor STOP
+    * — H1 "conversion ≥ 30%" vs H0 "= 25%" at α=0.05, β=0.2. The log
+    * constants are JVM literals injected into the plan (ln never runs
+    * on data), so the whole trajectory and both first-crossing indices
+    * replay exactly.
+    */
+  private def qSprt(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(pmod(col("user_id"), lit(2)).as("arm"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(count(lit(1)).as("trials"),
+        sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("successes"))
+    Timeseries.sprtBernoulli(daily, Seq("arm"), col("day"),
+        col("trials"), col("successes"), p0 = 0.25, p1 = 0.30)
+      .orderBy(col("arm"), col("t"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_changepoint" -> (qChangepoint _),
+    "q_sprt" -> (qSprt _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
     "q_logrank" -> (qLogrank _),
@@ -485,6 +521,81 @@ object EventQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_changepoint" ->
+      """WITH d AS (
+        |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT g, day, CAST(round(cents * 1000000.0) AS HUGEINT) AS x
+        |  FROM d WHERE cents IS NOT NULL AND day IS NOT NULL),
+        |c AS (SELECT g, COUNT(*) AS n, SUM(x) AS s FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT g, day, x,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY day, x) AS k,
+        |    SUM(x) OVER (PARTITION BY g ORDER BY day, x
+        |      ROWS UNBOUNDED PRECEDING) AS sk
+        |  FROM b),
+        |cand AS (
+        |  SELECT p.g, day, k, sk, n, s, abs(n * sk - k * s) AS dd
+        |  FROM p JOIN c ON p.g = c.g WHERE k < n),
+        |best AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY dd DESC, k) AS rn
+        |    FROM cand) t
+        |  WHERE rn = 1)
+        |SELECT c.g AS event_type, CAST(c.n AS BIGINT) AS n,
+        |  CAST(best.k AS BIGINT) AS split_idx, best.day AS split_at,
+        |  round(CAST(dd AS DOUBLE) / CAST(c.n AS DOUBLE) / 1000000.0, 6)
+        |    AS cusum_max,
+        |  round(CAST(sk AS DOUBLE) / CAST(best.k AS DOUBLE) / 1000000.0, 6)
+        |    AS mean_before,
+        |  round(CAST(best.s - sk AS DOUBLE) / CAST(c.n - best.k AS DOUBLE)
+        |    / 1000000.0, 6) AS mean_after,
+        |  round(CAST(best.s - sk AS DOUBLE) / CAST(c.n - best.k AS DOUBLE)
+        |      / 1000000.0
+        |    - CAST(sk AS DOUBLE) / CAST(best.k AS DOUBLE) / 1000000.0, 6)
+        |    AS shift
+        |FROM c LEFT JOIN best ON c.g = best.g
+        |ORDER BY event_type""".stripMargin,
+    "q_sprt" -> {
+      val (p0, p1, alpha, beta) = (0.25, 0.30, 0.05, 0.2)
+      val l1 = math.log(p1 / p0)
+      val l0 = math.log((1.0 - p1) / (1.0 - p0))
+      val thrA = math.log((1.0 - beta) / alpha)
+      val thrB = math.log(beta / (1.0 - alpha))
+      s"""WITH d AS (
+        |  SELECT user_id % 2 AS arm, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS trials,
+        |    SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS successes
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT arm, day,
+        |    ROW_NUMBER() OVER (PARTITION BY arm ORDER BY day) AS i,
+        |    SUM(trials) OVER (PARTITION BY arm ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS n_cum,
+        |    SUM(successes) OVER (PARTITION BY arm ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS s_cum
+        |  FROM d WHERE day IS NOT NULL AND trials IS NOT NULL
+        |    AND successes IS NOT NULL),
+        |l AS (
+        |  SELECT arm, day, i, n_cum, s_cum,
+        |    (CAST(s_cum AS DOUBLE) * ${l1})
+        |      + (CAST(n_cum - s_cum AS DOUBLE) * ${l0}) AS llr
+        |  FROM cum)
+        |SELECT arm, day AS t, CAST(n_cum AS BIGINT) AS n_cum,
+        |  CAST(s_cum AS BIGINT) AS s_cum, round(llr, 6) AS llr,
+        |  CASE WHEN llr >= ${thrA} THEN 'h1'
+        |       WHEN llr <= ${thrB} THEN 'h0'
+        |       ELSE 'continue' END AS state,
+        |  MIN(CASE WHEN llr >= ${thrA} THEN i END)
+        |    OVER (PARTITION BY arm ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS first_h1_idx,
+        |  MIN(CASE WHEN llr <= ${thrB} THEN i END)
+        |    OVER (PARTITION BY arm ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS first_h0_idx
+        |FROM l ORDER BY arm, t""".stripMargin
+    },
     "q_logrank" ->
       """WITH subj AS (
         |  SELECT user_id,

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+class ChangepointSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("changepoint: clean level shift found at the exact boundary") {
+    // [1,1,1,5,5,5]: split after k=3, means 1 and 5, cusum_max = |3-9| = 6
+    val df = createDf(spark, "g string, o int, v double",
+      Seq(1, 1, 1, 5, 5, 5).zipWithIndex.map { case (v, i) =>
+        Seq[Any]("a", i, v.toDouble)
+      })
+    val r = Timeseries.changepoint(df, Seq("g"), col("o"), col("v")).head()
+    assert(r.getLong(1) == 6L && r.getLong(2) == 3L && r.getInt(3) == 2)
+    assert(r.getDouble(4) == 6.0)
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 5.0 && r.getDouble(7) == 4.0)
+  }
+
+  test("changepoint: constant series ties break to k=1; 1-row group survives with nulls") {
+    val df = createDf(spark, "g string, o int, v double",
+      (1 to 5).map(i => Seq[Any]("c", i, 7.0)) :+ Seq[Any]("solo", 1, 3.0))
+    val got = Timeseries.changepoint(df, Seq("g"), col("o"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("c").getLong(2) == 1L && got("c").getDouble(7) == 0.0)
+    assert(got("solo").getLong(1) == 1L && got("solo").isNullAt(2)
+      && got("solo").isNullAt(7))
+  }
+
+  test("changepoint: partitioning-invariant") {
+    val rnd = new scala.util.Random(5)
+    val df = createDf(spark, "g string, o int, v double",
+      (1 to 80).map(i => Seq[Any](if (i % 2 == 0) "a" else "b", i,
+        (if (i > 40) 10.0 else 2.0) + rnd.nextDouble())))
+    val a = Timeseries.changepoint(df, Seq("g"), col("o"), col("v"))
+      .collect().sortBy(_.getString(0)).toSeq
+    val b = Timeseries.changepoint(df.repartition(7), Seq("g"), col("o"), col("v"))
+      .collect().sortBy(_.getString(0)).toSeq
+    assert(a == b)
+    a.foreach(r => assert(r.getDouble(7) > 5.0)) // both series shift up by ~8
+  }
+
+  test("sprtBernoulli: success streak crosses h1, failure streak crosses h0") {
+    // p0=0.3, p1=0.7: l1 = ln(7/3), A = ln(16) -> h1 at the 4th success
+    // (3*l1 = 2.54 < 2.77 <= 4*l1); B = ln(0.2/0.95) -> h0 at the 2nd
+    // failure (1*l0 = -0.847 > -1.558 >= 2*l0)
+    val wins = createDf(spark, "g string, o int, t int, s int",
+      (1 to 6).map(i => Seq[Any]("w", i, 1, 1)))
+    val rw = Timeseries.sprtBernoulli(wins, Seq("g"), col("o"), col("t"),
+      col("s"), p0 = 0.3, p1 = 0.7).orderBy(col("t")).collect()
+    assert(rw.map(_.getString(5)).toSeq ==
+      Seq("continue", "continue", "continue", "h1", "h1", "h1"))
+    assert(rw.last.getLong(6) == 4L && rw.last.isNullAt(7))
+    val losses = createDf(spark, "g string, o int, t int, s int",
+      (1 to 4).map(i => Seq[Any]("l", i, 1, 0)))
+    val rl = Timeseries.sprtBernoulli(losses, Seq("g"), col("o"), col("t"),
+      col("s"), p0 = 0.3, p1 = 0.7).orderBy(col("o")).collect()
+    assert(rl.map(_.getString(5)).toSeq == Seq("continue", "h0", "h0", "h0"))
+    assert(rl.last.getLong(7) == 2L && rl.last.isNullAt(6))
+  }
+
+  test("sprtBernoulli: llr is the closed-form s*l1 + (n-s)*l0; partition-invariant") {
+    val df = createDf(spark, "g string, o int, t int, s int",
+      (1 to 50).map(i => Seq[Any](if (i % 2 == 0) "a" else "b", i, 3, i % 4 min 3)))
+    val out = Timeseries.sprtBernoulli(df, Seq("g"), col("o"), col("t"), col("s"),
+      p0 = 0.25, p1 = 0.3)
+    val l1 = math.log(0.3 / 0.25)
+    val l0 = math.log(0.7 / 0.75)
+    out.collect().foreach { r =>
+      val (n, s) = (r.getLong(2), r.getLong(3))
+      val expect = math.rint((s * l1 + (n - s) * l0) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(4) - expect) < 1e-9)
+    }
+    val a = out.collect().toSeq.sortBy(r => (r.getString(0), r.getInt(1)))
+    val b = Timeseries.sprtBernoulli(df.repartition(7), Seq("g"), col("o"),
+      col("t"), col("s"), p0 = 0.25, p1 = 0.3)
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getInt(1)))
+    assert(a == b)
+  }
+}
