@@ -112,4 +112,77 @@ object Calibration {
           round(col("__cp").cast("double") / col("__tp").cast("double"), 6))
           .as("cum_gain"))
   }
+
+  /** Isotonic (PAV) calibration over the binned reliability table — the
+    * nonparametric recalibration step after [[calibration]] DIAGNOSES a
+    * gap: the unique nondecreasing fit of per-bin positive rates
+    * minimizing squared error, via pool-adjacent-violators. Returns one
+    * row per occupied bin: `(bin, n, n_pos, frac_pos, iso)` — `iso` the
+    * monotone calibrated probability to use in place of the raw bin
+    * rate.
+    *
+    * The per-bin aggregation is the distributed pass; PAV then runs on
+    * the DRIVER over the ≤ `nBins`-row table (the bounded-table posture
+    * of BPE merge rules and k-means centers) with exact integer pools —
+    * violator comparison by BigInt cross-multiplication, never a float.
+    * Each fitted value is ONE IEEE division pooledPos/pooledN of exact
+    * longs, which equals the minimax form
+    * `max_{i≤b} min_{j≥b} avg(i..j)` an engine without a sequential
+    * pass replays (correctly-rounded division is monotone, so the
+    * max/min over quotients lands exactly on the pooled block's
+    * quotient — that identity is what makes this oracleable).
+    *
+    * Scale shape: one map-combined bin aggregation; the driver holds
+    * `nBins` longs, nothing data-sized.
+    */
+  def isotonicCalibration(df: DataFrame, positive: Column, score: Column,
+                          nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins out of range: $nBins")
+    val s = score.cast("double")
+    val byBin = df.select(
+        least(floor(s * nBins).cast("int"), lit(nBins - 1)).as("bin"),
+        when(positive, 1L).otherwise(0L).as("__p"))
+      .filter(col("bin").isNotNull && col("bin") >= 0)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("n_pos"))
+    val bins = byBin.orderBy(col("bin")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    final case class Blk(n: Long, p: Long, size: Int)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Blk]
+    bins.foreach { case (_, n, p) =>
+      var cur = Blk(n, p, 1)
+      // pool while the previous block's rate exceeds the current's
+      // (exact rational comparison — no float ever decides a pool)
+      while (stack.nonEmpty &&
+          BigInt(stack.last.p) * cur.n > BigInt(cur.p) * stack.last.n) {
+        val prev = stack.remove(stack.size - 1)
+        cur = Blk(prev.n + cur.n, prev.p + cur.p, prev.size + cur.size)
+      }
+      stack += cur
+    }
+    val iso = stack.flatMap(b =>
+      Seq.fill(b.size)(b.p.toDouble / b.n.toDouble)).toArray
+    val spark = df.sparkSession
+    // HALF_UP at 6 dp — the same rounding `functions.round` (and the
+    // DuckDB oracle's round()) applies; rint's HALF_EVEN would diverge
+    // on dyadic quotients like 1/128 = 0.0078125
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = bins.zip(iso).map { case ((bin, n, p), fit) =>
+      org.apache.spark.sql.Row(bin, n, p, r6(p.toDouble / n.toDouble), r6(fit))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_pos",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("frac_pos",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("iso",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
 }

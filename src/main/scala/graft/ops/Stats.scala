@@ -1726,6 +1726,64 @@ object Stats {
         .as("or_mh"))
   }
 
+  /** Fleiss' kappa — chance-corrected agreement among k ≥ 2 raters per
+    * item, the multi-rater generalization of [[cohenKappa]] (which
+    * compares exactly two). The annotation-QA number for ensemble
+    * labeling pipelines: do the labelers agree beyond what their
+    * marginal category rates force?
+    *
+    * With per-item category counts n_ic (Σ_c n_ic = k):
+    *
+    *   P_i = (Σ_c n_ic² − k) / (k(k−1)),   P̄ = mean_i P_i,
+    *   p_c = Σ_i n_ic / (N·k),             P_e = Σ_c p_c²,
+    *   κ   = (P̄ − P_e) / (1 − P_e)
+    *
+    * Returns one row `(n_items, n_raters, p_bar, p_e, kappa)`; κ is
+    * null when P_e = 1 (all raters always emit one category — nothing
+    * to correct against). Rows with a null item id or any null rating
+    * drop (an absent rating would change that item's k).
+    *
+    * Determinism: P_i numerators stay exact integers over the shared
+    * denominator k(k−1); each p_c² term nano-quantizes before the
+    * category sum; P̄, P_e, κ are a fixed IEEE tree at the end.
+    *
+    * Scale shape: one k-way rating explode into an (item, category)
+    * map-combined count, one item-keyed aggregation, one bounded
+    * category aggregation with a broadcast 1-row total — no windows
+    * over raw rows, no driver state beyond the category table.
+    */
+  def fleissKappa(df: DataFrame, itemCol: Column, raters: Seq[Column]): DataFrame = {
+    val k = raters.size
+    require(k >= 2 && k <= 64, s"need 2..64 raters: $k")
+    val rcols = raters.zipWithIndex.map { case (r, i) => r.cast("string").as(s"__r$i") }
+    val base = df.select(itemCol.as("__id") +: rcols: _*)
+      .filter((0 until k).map(i => col(s"__r$i").isNotNull)
+        .foldLeft(col("__id").isNotNull)(_ && _))
+    val cells = base
+      .select(col("__id"),
+        explode(array((0 until k).map(i => col(s"__r$i")): _*)).as("__c"))
+      .groupBy(col("__id"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val perItem = cells.groupBy(col("__id"))
+      .agg((sum(col("__n") * col("__n")) - lit(k.toLong)).as("__num"))
+    val itemAgg = perItem.agg(count(lit(1)).as("n_items"), sum(col("__num")).as("__sn"))
+    val catTot = cells.groupBy(col("__c")).agg(sum(col("__n")).as("__t"))
+    val pc = col("__t").cast("double")
+      ./((col("n_items") * lit(k.toLong)).cast("double"))
+    val peTerms = catTot.crossJoin(broadcast(itemAgg))
+      .select(col("n_items"), col("__sn"),
+        round(pc * pc * lit(1e9), 0).cast("long").as("__pe"))
+    val agg = peTerms.groupBy(col("n_items"), col("__sn"))
+      .agg(sum(col("__pe")).as("__spe"))
+    val pbar = col("__sn").cast("double")
+      ./((col("n_items") * lit((k * (k - 1)).toLong)).cast("double"))
+    val pe = col("__spe").cast("double") / lit(1e9)
+    agg.select(col("n_items"), lit(k).as("n_raters"),
+      round(pbar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+      when(lit(1.0) - pe =!= 0.0, round((pbar - pe) / (lit(1.0) - pe), 6))
+        .as("kappa"))
+  }
+
   /** Delete-a-group jackknife SE for a RATIO estimator — the survey-
     * statistics variance method (Kott, "The Delete-a-Group Jackknife")
     * for numbers that are ratios of totals (price per unit, revenue per

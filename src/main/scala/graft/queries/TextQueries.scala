@@ -668,6 +668,40 @@ object TextQueries {
         nBins = 10)
       .orderBy(col("bin"))
 
+  /** Isotonic recalibration ([[graft.ops.Calibration.isotonicCalibration]]):
+    * the monotone PAV fit of the classifier's per-bin English rates —
+    * what q_calibration DIAGNOSES, this repairs. Distributed bin
+    * aggregation, bounded driver PAV with exact integer pools; the
+    * oracle replays the fit through the minimax identity
+    * max_i min_j avg(i..j) over the same bins.
+    */
+  private def qIsotonic(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.isotonicCalibration(scoredDocs(s, dir),
+        col("y"), col("s"), nBins = 10)
+      .orderBy(col("bin"))
+
+  /** Fleiss' kappa ([[graft.ops.Stats.fleissKappa]]): three-rater
+    * agreement on every document's language — the label, the
+    * [[TextStats.langId]] heuristic, and the source-majority prior
+    * (q_mcnemar's raters plus the ground truth, now scored for
+    * agreement instead of against it). The multi-rater QA number
+    * q_kappa's two-rater κ can't give.
+    */
+  private def qFleiss(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val counts = d.filter(col("lang").isNotNull)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("__cn"))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__cn").desc, col("lang"))
+    val majority = counts.withColumn("__rn", row_number().over(W))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("lang").as("__maj"))
+    val joined = d.join(broadcast(majority), Seq("source"))
+    graft.ops.Stats.fleissKappa(joined, col("doc_id"),
+      Seq(col("lang"), TextStats.langId(col("text")), col("__maj")))
+  }
+
   /** Decile lift/gain ([[graft.ops.Calibration.lift]]): how much
     * English does the top score-decile concentrate — the selection-
     * budget view of the same score, tiled by exact quantile thresholds
@@ -743,6 +777,8 @@ object TextQueries {
     "q_lang_id" -> (qLangId _),
     "q_kappa" -> (qKappa _),
     "q_mcnemar" -> (qMcnemar _),
+    "q_isotonic" -> (qIsotonic _),
+    "q_fleiss" -> (qFleiss _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
     "q_dsir" -> (qDsir _),
@@ -814,6 +850,88 @@ object TextQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_isotonic" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |      / 1000000.0 + (-0.05)))), 6) AS s
+        |  FROM agg),
+        |bb AS (
+        |  SELECT LEAST(CAST(floor(s * 10) AS INTEGER), 9) AS bin, y
+        |  FROM sc WHERE s IS NOT NULL
+        |    AND LEAST(CAST(floor(s * 10) AS INTEGER), 9) >= 0),
+        |g AS (SELECT bin, COUNT(*) AS n, SUM(y) AS np FROM bb GROUP BY 1),
+        |pre AS (
+        |  SELECT bin, n, np,
+        |    SUM(n) OVER (ORDER BY bin) AS cn,
+        |    SUM(np) OVER (ORDER BY bin) AS cp
+        |  FROM g),
+        |mm AS (
+        |  SELECT b.bin AS bin, pi.bin AS i,
+        |    MIN(CAST(pj.cp - (pi.cp - pi.np) AS DOUBLE)
+        |      / CAST(pj.cn - (pi.cn - pi.n) AS DOUBLE)) AS mn
+        |  FROM g b
+        |  JOIN pre pi ON pi.bin <= b.bin
+        |  JOIN pre pj ON pj.bin >= b.bin
+        |  GROUP BY 1, 2),
+        |io AS (SELECT bin, MAX(mn) AS iso FROM mm GROUP BY 1)
+        |SELECT g.bin, CAST(g.n AS BIGINT) AS n, CAST(g.np AS BIGINT) AS n_pos,
+        |  round(CAST(g.np AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS frac_pos,
+        |  round(io.iso, 6) AS iso
+        |FROM g JOIN io ON g.bin = io.bin ORDER BY g.bin""".stripMargin,
+    "q_fleiss" ->
+      """WITH cnt AS (
+        |  SELECT source, lang, COUNT(*) AS cn FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |maj AS (
+        |  SELECT source, lang AS maj FROM (
+        |    SELECT source, lang,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY cn DESC, lang) AS rn
+        |    FROM cnt) t
+        |  WHERE rn = 1),
+        |pred AS (
+        |  SELECT d.doc_id AS id, d.lang AS r0,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+        |         WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+        |         WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+        |         ELSE 'unknown' END AS r1,
+        |    m.maj AS r2
+        |  FROM documents d JOIN maj m ON d.source = m.source
+        |  WHERE d.doc_id IS NOT NULL AND d.lang IS NOT NULL),
+        |cells AS (
+        |  SELECT id, c, COUNT(*) AS n FROM (
+        |    SELECT id, unnest([r0, r1, r2]) AS c FROM pred) t
+        |  GROUP BY 1, 2),
+        |per AS (SELECT id, SUM(n * n) - 3 AS num FROM cells GROUP BY 1),
+        |ia AS (SELECT COUNT(*) AS ni, SUM(num) AS sn FROM per),
+        |ct AS (SELECT c, SUM(n) AS t FROM cells GROUP BY 1),
+        |pe AS (
+        |  SELECT ni, sn,
+        |    SUM(CAST(round((CAST(t AS DOUBLE) / CAST(ni * 3 AS DOUBLE))
+        |      * (CAST(t AS DOUBLE) / CAST(ni * 3 AS DOUBLE)) * 1e9) AS BIGINT))
+        |      AS spe
+        |  FROM ct, ia GROUP BY 1, 2)
+        |SELECT CAST(ni AS BIGINT) AS n_items, 3 AS n_raters,
+        |  round(CAST(sn AS DOUBLE) / CAST(ni * 6 AS DOUBLE), 6) AS p_bar,
+        |  round(CAST(spe AS DOUBLE) / 1e9, 6) AS p_e,
+        |  CASE WHEN 1.0 - CAST(spe AS DOUBLE) / 1e9 <> 0.0 THEN
+        |    round((CAST(sn AS DOUBLE) / CAST(ni * 6 AS DOUBLE)
+        |        - CAST(spe AS DOUBLE) / 1e9)
+        |      / (1.0 - CAST(spe AS DOUBLE) / 1e9), 6) END AS kappa
+        |FROM pe""".stripMargin,
     "q_mcnemar" ->
       """WITH cnt AS (
         |  SELECT source, lang, COUNT(*) AS cn FROM documents

@@ -163,4 +163,51 @@ class ExperimentSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0)
     assert(r.isNullAt(5))
   }
+
+  test("isotonicCalibration: already-monotone bin rates pass through untouched") {
+    val rows =
+      (1 to 100).map(i => Seq[Any](i <= 25, 0.25)) ++
+        (1 to 100).map(i => Seq[Any](i <= 65, 0.65))
+    val df = createDf(spark, "y boolean, s double", rows)
+    val got = Calibration.isotonicCalibration(df, col("y"), col("s"), nBins = 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet == Set(2, 6))
+    assert(got(2).getDouble(3) == 0.25 && got(2).getDouble(4) == 0.25)
+    assert(got(6).getDouble(3) == 0.65 && got(6).getDouble(4) == 0.65)
+  }
+
+  test("isotonicCalibration: a violating pair pools to the combined rate") {
+    // bin 2 at 0.8, bin 6 at 0.2 -> PAV pools both to (8+2)/(10+10) = 0.5
+    val rows =
+      (1 to 10).map(i => Seq[Any](i <= 8, 0.25)) ++
+        (1 to 10).map(i => Seq[Any](i <= 2, 0.65))
+    val df = createDf(spark, "y boolean, s double", rows)
+    val got = Calibration.isotonicCalibration(df, col("y"), col("s"), nBins = 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(2).getDouble(3) == 0.8 && got(6).getDouble(3) == 0.2)
+    assert(got(2).getDouble(4) == 0.5 && got(6).getDouble(4) == 0.5)
+  }
+
+  test("isotonicCalibration: cascade pool then a clean step above") {
+    // rates 0.6, 0.2, 0.5: first two pool to 0.4, the 0.5 stands
+    val rows =
+      (1 to 10).map(i => Seq[Any](i <= 6, 0.05)) ++
+        (1 to 10).map(i => Seq[Any](i <= 2, 0.45)) ++
+        (1 to 10).map(i => Seq[Any](i <= 5, 0.85))
+    val df = createDf(spark, "y boolean, s double", rows)
+    val iso = Calibration.isotonicCalibration(df, col("y"), col("s"), nBins = 10)
+      .orderBy(col("bin")).collect().map(_.getDouble(4)).toSeq
+    assert(iso == Seq(0.4, 0.4, 0.5))
+  }
+
+  test("isotonicCalibration: fitted values are nondecreasing on random-ish input") {
+    val rows = (1 to 500).map { i =>
+      val s = (i % 97) / 97.0
+      Seq[Any]((i * 31 % 89) < 89 * s, s)
+    }
+    val df = createDf(spark, "y boolean, s double", rows)
+    val iso = Calibration.isotonicCalibration(df, col("y"), col("s"), nBins = 10)
+      .orderBy(col("bin")).collect().map(_.getDouble(4)).toSeq
+    assert(iso.sliding(2).forall(p => p.size < 2 || p(0) <= p(1)), iso.toString)
+  }
 }

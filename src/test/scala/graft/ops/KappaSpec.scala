@@ -63,4 +63,52 @@ class KappaSpec extends AnyFunSuite {
     val many = Stats.cohenKappa(df.repartition(11), col("a"), col("b")).head()
     assert(one == many)
   }
+
+  private def fleiss(items: Seq[(Int, String, String, String)]): org.apache.spark.sql.Row = {
+    val df = createDf(spark, "id int, r0 string, r1 string, r2 string",
+      items.map { case (i, a, b, c) => Seq[Any](i, a, b, c) })
+    Stats.fleissKappa(df, col("id"), Seq(col("r0"), col("r1"), col("r2"))).head()
+  }
+
+  test("fleissKappa: hand-worked 2-item 3-rater table gives kappa 0.25") {
+    // item 1: AAA (P_1 = 1); item 2: ABB (P_2 = 1/3); p_A = 2/3, p_B = 1/3
+    // pbar = 2/3, pe = 5/9, kappa = (2/3 - 5/9)/(4/9) = 1/4
+    val r = fleiss(Seq((1, "A", "A", "A"), (2, "A", "B", "B")))
+    assert(r.getLong(0) == 2L && r.getInt(1) == 3)
+    assert(r.getDouble(2) == 0.666667)
+    assert(r.getDouble(3) == 0.555556)
+    assert(r.getDouble(4) == 0.25)
+  }
+
+  test("fleissKappa: unanimous raters with varied categories give kappa 1") {
+    val r = fleiss(Seq((1, "A", "A", "A"), (2, "B", "B", "B"), (3, "A", "A", "A")))
+    assert(r.getDouble(2) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("fleissKappa: one constant category everywhere -> pe 1, kappa null") {
+    val r = fleiss(Seq((1, "x", "x", "x"), (2, "x", "x", "x")))
+    assert(r.getDouble(3) == 1.0)
+    assert(r.isNullAt(4))
+  }
+
+  test("fleissKappa: items with a null id or any null rating drop") {
+    val df = createDf(spark, "id int, r0 string, r1 string, r2 string",
+      Seq(Seq[Any](1, "A", "A", "A"), Seq[Any](2, "A", "B", "B"),
+        Seq[Any](null, "A", "A", "A"), Seq[Any](3, "A", null, "B")))
+    val r = Stats.fleissKappa(df, col("id"),
+      Seq(col("r0"), col("r1"), col("r2"))).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(4) == 0.25)
+  }
+
+  test("fleissKappa: invariant to partitioning") {
+    val items = (0 until 300).map(i =>
+      (i, s"c${i % 3}", s"c${(i * 7) % 4}", s"c${(i * 5) % 3}"))
+    val df = createDf(spark, "id int, r0 string, r1 string, r2 string",
+      items.map { case (i, a, b, c) => Seq[Any](i, a, b, c) })
+    val cols = Seq(col("r0"), col("r1"), col("r2"))
+    val one = Stats.fleissKappa(df.coalesce(1), col("id"), cols).head()
+    val many = Stats.fleissKappa(df.repartition(13), col("id"), cols).head()
+    assert(one == many)
+  }
 }
