@@ -1855,4 +1855,198 @@ object Stats {
       when(ok, round(ratio - lit(1.96) * se, 6)).as("ci_lo"),
       when(ok, round(ratio + lit(1.96) * se, 6)).as("ci_hi")): _*)
   }
+
+  /** Kruskal-Wallis H — the k-sample generalization of [[mannWhitneyU]]
+    * (and [[anovaOneWay]]'s nonparametric sibling): do k level
+    * populations share a location, judged on ranks so skew and
+    * outliers don't vote? Per group:
+    * `(groups..., k, n, tie_cubes, h, h_tie)` where
+    *
+    *   H = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1)
+    *
+    * and `h_tie = H / (1 − Σ(t³−t)/(N³−N))` is the tie-corrected form
+    * (null when every value ties — the correction divides by zero).
+    * `h` is null when k < 2 or n ≤ k.
+    *
+    * Determinism: values micro-quantize, ranks collapse to the
+    * distinct-value layer (2·rank_avg = 2·cum_before + n_v + 1 — exact
+    * integers), so 2·R_j and the tie sum are exact decimal
+    * accumulations under any partitioning; each level's R_j²/n_j term
+    * micro-quantizes before the k-bounded sum (the [[anovaOneWay]]
+    * discipline) and H is one fixed IEEE tree at the end.
+    *
+    * Scale shape: one (groups, level, value)-keyed map-combined
+    * aggregation, two windows that share the group-keyed exchange
+    * (the cumulative frame holds distinct values, the per-value frame
+    * one value's levels — both bounded by value cardinality, never raw
+    * rows), a (groups, level) rollup, and a final per-group rollup.
+    * No joins.
+    */
+  def kruskalWallis(df: DataFrame, groupBy: Seq[String], level: Column,
+                    value: Column): DataFrame = {
+    require(groupBy.nonEmpty,
+      "kruskalWallis needs group keys (use a constant column for a global test)")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val gCols = groupBy.map(col)
+    val cells = df.select(
+        gCols :+ level.cast("string").as("__l") :+ q(value).as("__x"): _*)
+      .filter(col("__l").isNotNull && col("__x").isNotNull)
+      .groupBy(gCols :+ col("__l") :+ col("__x"): _*)
+      .agg(count(lit(1)).as("__nlv"))
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(gCols: _*).orderBy(col("__x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wVal = Window.partitionBy(gCols :+ col("__x"): _*)
+    val wValOrd = Window.partitionBy(gCols :+ col("__x"): _*).orderBy(col("__l"))
+    val ranked = cells.select(
+      gCols :+ col("__l") :+ col("__nlv")
+        :+ coalesce(sum(col("__nlv")).over(wCum), lit(0L)).as("__cb")
+        :+ sum(col("__nlv")).over(wVal).as("__nv")
+        :+ row_number().over(wValOrd).as("__rn"): _*)
+    val perLevel = ranked.groupBy(gCols :+ col("__l"): _*)
+      .agg(sum(col("__nlv")).as("__nj"),
+        // 2·R_j exactly: Σ n_lv · (2·cum_before + n_v + 1)
+        sum(col("__nlv").cast(dec) *
+          (lit(2L) * col("__cb") + col("__nv") + lit(1L)).cast(dec)).as("__r2"),
+        // tie cubes counted once per distinct value (first level row)
+        sum(when(col("__rn") === 1,
+            col("__nv").cast(dec) * col("__nv") * col("__nv") - col("__nv").cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("__t3"))
+    // R_j²/n_j = (2R_j)²/(4n_j), micro-quantized before the k-sum;
+    // square in double — decimal² overflows past |2R| ~ 1e19
+    val r2d = col("__r2").cast("double")
+    val termS = round(r2d * r2d / (lit(4.0) * col("__nj").cast("double"))
+      * lit(1e6), 0).cast(dec)
+    val agg = perLevel.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("k"), sum(col("__nj")).as("n"),
+        sum(termS).as("__s"), sum(col("__t3")).as("__ties"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + lit(1.0))) * (col("__s").cast("double") / lit(1e6)) -
+      lit(3.0) * (nD + lit(1.0))
+    val c = lit(1.0) - col("__ties").cast("double") / (nD * nD * nD - nD)
+    val defined = col("k") >= 2 && col("n") > col("k")
+    agg.select(gCols
+      :+ col("k") :+ col("n")
+      :+ col("__ties").cast("long").as("tie_cubes")
+      :+ when(defined, round(h, 6)).as("h")
+      :+ when(defined && c > 0.0, round(h / c, 6)).as("h_tie"): _*)
+  }
+
+  /** Jarque-Bera normality test — does a value column's shape look
+    * Gaussian? Per group: `(groups..., n, skewness, kurtosis, jb)`
+    * with
+    *
+    *   JB = n/6 · (S² + (K−3)²/4)
+    *
+    * (K the raw kurtosis; 3 for a normal). The pre-flight check before
+    * anything that assumes normal tails — [[welchT]]'s t, control
+    * charts, ±kσ outlier fences.
+    *
+    * Determinism: pass 1 computes exact micro-quantized power sums
+    * (n, Σx, Σx²) per group; mean and sd derive from them in one fixed
+    * IEEE tree, broadcast back (group-cardinality-bounded), and pass 2
+    * accumulates per-row standardized z³/z⁴ micro-quantized to
+    * integers — exact decimal sums under any partitioning. z is
+    * dimensionless so the micro scaling cancels.
+    *
+    * Scale shape: two corpus passes — a group-keyed map-combined
+    * aggregation, then a broadcast join of the tiny stats table and a
+    * second map-combined aggregation. No windows, no driver state
+    * beyond the group table.
+    */
+  def jarqueBera(df: DataFrame, groupBy: Seq[String], value: Column): DataFrame = {
+    require(groupBy.nonEmpty,
+      "jarqueBera needs group keys (use a constant column for a global test)")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val gCols = groupBy.map(col)
+    val base = df.select(gCols :+ q(value).as("__x"): _*)
+      .filter(gCols.map(_.isNotNull).reduce(_ && _) && col("__x").isNotNull)
+    val stats = base.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__s1"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__s2"))
+    val nD = col("__n").cast("double")
+    val s1d = col("__s1").cast("double")
+    val mu = s1d / nD
+    val sd = sqrt((col("__s2").cast("double") - s1d * s1d / nD) / (nD - lit(1.0)))
+    val withStats = base.join(
+      broadcast(stats.select(gCols :+ col("__n") :+ mu.as("__mu") :+ sd.as("__sd"): _*)),
+      groupBy)
+    val z = (col("__x").cast("double") - col("__mu")) / col("__sd")
+    val agg = withStats.groupBy(gCols: _*)
+      .agg(first(col("__n")).as("n"),
+        sum(when(col("__sd") > 0.0, round(z * z * z * lit(1e6), 0).cast(dec))).as("__z3"),
+        sum(when(col("__sd") > 0.0, round(z * z * z * z * lit(1e6), 0).cast(dec))).as("__z4"))
+    val nD2 = col("n").cast("double")
+    val skew = col("__z3").cast("double") / lit(1e6) / nD2
+    val kurt = col("__z4").cast("double") / lit(1e6) / nD2
+    val jb = nD2 / lit(6.0) * (skew * skew + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0))
+    val ok = col("n") >= 2 && col("__z4").isNotNull
+    agg.select(gCols
+      :+ col("n")
+      :+ when(ok, round(skew, 6)).as("skewness")
+      :+ when(ok, round(kurt, 6)).as("kurtosis")
+      :+ when(ok, round(jb, 6)).as("jb"): _*)
+  }
+
+  /** Bartlett's test for homogeneity of variances — the parametric
+    * (normal-assuming) complement of [[leveneBrownForsythe]]: sharper
+    * when the data really is Gaussian, misleading when it isn't (run
+    * [[jarqueBera]] first). One row:
+    * `(k, n, pooled_var, chi2)` with
+    *
+    *   χ² = [(N−k)·ln(s_p²) − Σ(n_j−1)·ln(s_j²)] / C,
+    *   C  = 1 + (Σ 1/(n_j−1) − 1/(N−k)) / (3(k−1))
+    *
+    * Levels with fewer than 2 rows drop (no variance to pool); chi2 is
+    * null when k < 2, N ≤ k, or any kept level has zero variance
+    * (ln(0) — Bartlett is undefined there; Levene still works).
+    *
+    * Determinism: per-level exact micro-quantized power sums; each
+    * level's (n_j−1)·s_j², (n_j−1)·ln(s_j²), and 1/(n_j−1) terms
+    * nano-quantize before the k-bounded sums (the [[anovaOneWay]]
+    * discipline); χ² is one fixed IEEE tree at the end.
+    *
+    * Scale shape: one level-keyed map-combined aggregation, then a
+    * level-cardinality-bounded rollup. No windows, no joins.
+    */
+  def bartlett(df: DataFrame, groupCol: Column, value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.select(groupCol.as("__g"), q(value).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val perLevel = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nj"),
+        sum(col("__x").cast(dec)).as("__s1"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__s2"))
+      .filter(col("__nj") >= 2)
+    val njD = col("__nj").cast("double")
+    val s1d = col("__s1").cast("double")
+    // level variance in value² units (micro² / 1e12)
+    val vj = (col("__s2").cast("double") - s1d * s1d / njD) / (njD - lit(1.0)) / lit(1e12)
+    val rolled = perLevel.select(
+        col("__nj"),
+        round((njD - lit(1.0)) * vj * lit(1e9), 0).cast(dec).as("__sw"),
+        when(vj > 0.0, round((njD - lit(1.0)) * log(vj) * lit(1e9), 0).cast(dec))
+          .as("__lt"),
+        round(lit(1e9) / (njD - lit(1.0)), 0).cast("long").as("__inv"),
+        when(vj <= 0.0, 1L).otherwise(0L).as("__bad"))
+      .agg(count(lit(1)).as("k"), sum(col("__nj")).as("n"),
+        sum(col("__sw")).as("__sws"), sum(col("__lt")).as("__lts"),
+        sum(col("__inv")).as("__invs"), sum(col("__bad")).as("__bads"))
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    val nk = nD - kD
+    val sp2 = col("__sws").cast("double") / lit(1e9) / nk
+    val lsum = col("__lts").cast("double") / lit(1e9)
+    val isum = col("__invs").cast("double") / lit(1e9)
+    val cCorr = lit(1.0) + (isum - lit(1.0) / nk) / (lit(3.0) * (kD - lit(1.0)))
+    val chi2 = (nk * log(sp2) - lsum) / cCorr
+    val ok = col("k") >= 2 && col("n") > col("k") && col("__bads") === 0L && sp2 > 0.0
+    rolled.select(col("k"), col("n"),
+      when(col("n") > col("k"), round(sp2, 6)).as("pooled_var"),
+      when(ok, round(chi2, 6)).as("chi2"))
+  }
 }

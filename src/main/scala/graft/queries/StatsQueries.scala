@@ -543,6 +543,39 @@ object StatsQueries {
     graft.ops.Stats.leveneBrownForsythe(t(s, dir, "events"),
       col("event_type"), col("value"))
 
+  /** Kruskal-Wallis H ([[graft.ops.Stats.kruskalWallis]]): q_anova's
+    * nonparametric sibling — do the five event types share a value
+    * LOCATION judged on ranks, per user segment? The distinct-value
+    * rank layer keeps 2·R_j, the tie sum, and the tie-corrected H
+    * exact under any partitioning.
+    */
+  private def qKruskal(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("segment", col("user_id") % 4)
+    graft.ops.Stats.kruskalWallis(e, Seq("segment"),
+        col("event_type"), col("value"))
+      .orderBy(col("segment"))
+  }
+
+  /** Jarque-Bera normality ([[graft.ops.Stats.jarqueBera]]): does each
+    * event type's value column look Gaussian? The pre-flight check
+    * before q_welch/q_anova/q_outliers trust normal tails — exact
+    * power sums, broadcast stats join, micro-quantized z³/z⁴ sums.
+    */
+  private def qJarqueBera(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.jarqueBera(t(s, dir, "events"),
+        Seq("event_type"), col("value"))
+      .orderBy(col("event_type"))
+
+  /** Bartlett variance homogeneity ([[graft.ops.Stats.bartlett]]):
+    * q_levene's parametric complement on the same five event-type
+    * value spreads — sharper under normality, which q_jarque_bera
+    * checks first. Per-level exact moments, nano-quantized ln terms,
+    * one χ² at the end.
+    */
+  private def qBartlett(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.bartlett(t(s, dir, "events"),
+      col("event_type"), col("value"))
+
   /** Paired t-test ([[graft.ops.Stats.pairedT]]): per-user purchase
     * mean minus click mean, the within-subject readout q_welch's
     * independence assumption gets wrong when the same users appear on
@@ -837,6 +870,9 @@ object StatsQueries {
     "q_welch" -> (qWelch _),
     "q_effect_size" -> (qEffectSize _),
     "q_levene" -> (qLevene _),
+    "q_kruskal" -> (qKruskal _),
+    "q_jarque_bera" -> (qJarqueBera _),
+    "q_bartlett" -> (qBartlett _),
     "q_paired_t" -> (qPairedT _),
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_did" -> (qDid _),
@@ -876,6 +912,129 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_kruskal" ->
+      """WITH v AS (
+        |  SELECT user_id % 4 AS segment, event_type AS l,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT segment, l, x, COUNT(*) AS nlv FROM v GROUP BY 1, 2, 3),
+        |rk AS (
+        |  SELECT segment, l, nlv,
+        |    COALESCE(SUM(nlv) OVER (PARTITION BY segment ORDER BY x
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |    SUM(nlv) OVER (PARTITION BY segment, x) AS nv,
+        |    ROW_NUMBER() OVER (PARTITION BY segment, x ORDER BY l) AS rn
+        |  FROM cells),
+        |pl AS (
+        |  SELECT segment, l, SUM(nlv) AS nj,
+        |    SUM(CAST(nlv AS HUGEINT) * (2 * cb + nv + 1)) AS r2,
+        |    SUM(CASE WHEN rn = 1 THEN CAST(nv AS HUGEINT) * nv * nv - nv ELSE 0 END) AS t3
+        |  FROM rk GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT segment, COUNT(*) AS k, SUM(nj) AS n,
+        |    SUM(CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |      / (4.0 * CAST(nj AS DOUBLE)) * 1000000.0) AS HUGEINT)) AS s,
+        |    SUM(t3) AS ties
+        |  FROM pl GROUP BY 1)
+        |SELECT segment, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CAST(ties AS BIGINT) AS tie_cubes,
+        |  CASE WHEN k >= 2 AND n > k THEN
+        |    round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |        * (CAST(s AS DOUBLE) / 1000000.0)
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) END AS h,
+        |  CASE WHEN k >= 2 AND n > k
+        |      AND 1.0 - CAST(ties AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          - CAST(n AS DOUBLE)) > 0.0 THEN
+        |    round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |        * (CAST(s AS DOUBLE) / 1000000.0)
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |      / (1.0 - CAST(ties AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          - CAST(n AS DOUBLE))), 6) END AS h_tie
+        |FROM ag ORDER BY segment""".stripMargin,
+    "q_jarque_bera" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |st AS (
+        |  SELECT g, COUNT(*) AS n, SUM(x) AS s1, SUM(CAST(x AS HUGEINT) * x) AS s2
+        |  FROM v GROUP BY 1),
+        |ms AS (
+        |  SELECT g, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)) AS sd
+        |  FROM st),
+        |zz AS (
+        |  SELECT v.g, ms.n,
+        |    CASE WHEN sd > 0.0 THEN CAST(round(
+        |      ((CAST(x AS DOUBLE) - mu) / sd) * ((CAST(x AS DOUBLE) - mu) / sd)
+        |        * ((CAST(x AS DOUBLE) - mu) / sd) * 1000000.0) AS HUGEINT) END AS z3,
+        |    CASE WHEN sd > 0.0 THEN CAST(round(
+        |      ((CAST(x AS DOUBLE) - mu) / sd) * ((CAST(x AS DOUBLE) - mu) / sd)
+        |        * ((CAST(x AS DOUBLE) - mu) / sd) * ((CAST(x AS DOUBLE) - mu) / sd)
+        |        * 1000000.0) AS HUGEINT) END AS z4
+        |  FROM v JOIN ms ON v.g = ms.g),
+        |ag AS (SELECT g, MAX(n) AS n, SUM(z3) AS z3s, SUM(z4) AS z4s FROM zz GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n >= 2 AND z4s IS NOT NULL THEN
+        |    round(CAST(z3s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+        |  END AS skewness,
+        |  CASE WHEN n >= 2 AND z4s IS NOT NULL THEN
+        |    round(CAST(z4s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+        |  END AS kurtosis,
+        |  CASE WHEN n >= 2 AND z4s IS NOT NULL THEN
+        |    round(CAST(n AS DOUBLE) / 6.0
+        |      * ((CAST(z3s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+        |          * (CAST(z3s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+        |        + (CAST(z4s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) - 3.0)
+        |          * (CAST(z4s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) - 3.0)
+        |          / 4.0), 6)
+        |  END AS jb
+        |FROM ag ORDER BY event_type""".stripMargin,
+    "q_bartlett" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |pl AS (
+        |  SELECT g, COUNT(*) AS nj, SUM(x) AS s1, SUM(CAST(x AS HUGEINT) * x) AS s2
+        |  FROM v GROUP BY 1 HAVING COUNT(*) >= 2),
+        |tv AS (
+        |  SELECT nj,
+        |    (CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(nj AS DOUBLE))
+        |      / (CAST(nj AS DOUBLE) - 1.0) / 1000000000000.0 AS vj
+        |  FROM pl),
+        |tt AS (
+        |  SELECT nj,
+        |    CAST(round((CAST(nj AS DOUBLE) - 1.0) * vj * 1000000000.0) AS HUGEINT) AS sw,
+        |    CASE WHEN vj > 0.0 THEN
+        |      CAST(round((CAST(nj AS DOUBLE) - 1.0) * ln(vj) * 1000000000.0) AS HUGEINT)
+        |    END AS lt,
+        |    CAST(round(1000000000.0 / (CAST(nj AS DOUBLE) - 1.0)) AS BIGINT) AS inv,
+        |    CASE WHEN vj <= 0.0 THEN 1 ELSE 0 END AS bad
+        |  FROM tv),
+        |ag AS (
+        |  SELECT COUNT(*) AS k, SUM(nj) AS n, SUM(sw) AS sws, SUM(lt) AS lts,
+        |    SUM(inv) AS invs, SUM(bad) AS bads
+        |  FROM tt)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n > k THEN
+        |    round(CAST(sws AS DOUBLE) / 1000000000.0
+        |      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)), 6) END AS pooled_var,
+        |  CASE WHEN k >= 2 AND n > k AND bads = 0
+        |      AND CAST(sws AS DOUBLE) / 1000000000.0
+        |        / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) > 0.0 THEN
+        |    round(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+        |        * ln(CAST(sws AS DOUBLE) / 1000000000.0
+        |          / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |      - CAST(lts AS DOUBLE) / 1000000000.0)
+        |      / (1.0 + (CAST(invs AS DOUBLE) / 1000000000.0
+        |          - 1.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |        / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6) END AS chi2
+        |FROM ag""".stripMargin,
     "q_cmh" ->
       """WITH base AS (
         |  SELECT user_id % 4 AS s,

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+class NonparamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def kw(rows: Seq[(String, Double)]) = {
+    val df = createDf(spark, "l string, v double",
+      rows.map { case (l, v) => Seq[Any](l, v) })
+      .withColumn("seg", lit(0))
+    Stats.kruskalWallis(df, Seq("seg"), col("l"), col("v")).head()
+  }
+
+  test("kruskalWallis: hand-checked untied 3-group H") {
+    // a=[1,2] b=[3,4] c=[5,6]: ranks 1..6, R=(3,7,11)
+    // H = 12/42 * (9/2+49/2+121/2) - 21 = 4.571429, no ties
+    val r = kw(Seq("a" -> 1.0, "a" -> 2.0, "b" -> 3.0, "b" -> 4.0,
+      "c" -> 5.0, "c" -> 6.0))
+    assert(r.getLong(1) == 3L && r.getLong(2) == 6L)
+    assert(r.getLong(3) == 0L)
+    assert(r.getDouble(4) == 4.571429)
+    assert(r.getDouble(5) == 4.571429)
+  }
+
+  test("kruskalWallis: ties shrink H and the correction restores it") {
+    // a=[1,1] b=[1,2]: value 1 has avg rank 2 (t=3), value 2 rank 4
+    // R_a=4, R_b=6 -> H = 0.6; C = 1 - 24/60 = 0.6 -> h_tie = 1.0
+    val r = kw(Seq("a" -> 1.0, "a" -> 1.0, "b" -> 1.0, "b" -> 2.0))
+    assert(r.getLong(1) == 2L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 24L)
+    assert(r.getDouble(4) == 0.6)
+    assert(r.getDouble(5) == 1.0)
+  }
+
+  test("kruskalWallis: a single level gives null H; all-tied values null h_tie") {
+    val one = kw(Seq("a" -> 1.0, "a" -> 2.0))
+    assert(one.getLong(1) == 1L && one.isNullAt(4) && one.isNullAt(5))
+    val tied = kw(Seq("a" -> 5.0, "a" -> 5.0, "b" -> 5.0))
+    assert(tied.getDouble(4) == 0.0 || tied.isNullAt(4))
+    assert(tied.isNullAt(5))
+  }
+
+  test("kruskalWallis: invariant to partitioning") {
+    val rows = (0 until 300).map(i => Seq[Any](s"l${i % 4}", (i * 37 % 23).toDouble))
+    val df = createDf(spark, "l string, v double", rows).withColumn("seg", lit(0))
+    val one = Stats.kruskalWallis(df.coalesce(1), Seq("seg"), col("l"), col("v")).head()
+    val many = Stats.kruskalWallis(df.repartition(13), Seq("seg"), col("l"), col("v")).head()
+    assert(one == many)
+  }
+
+  test("jarqueBera: symmetric ramp has skew 0, hand-checked kurtosis and JB") {
+    // v=[1..5]: sd = sqrt(2.5), z4 sum = 5.44 -> K = 1.088
+    // JB = 5/6 * (0 + (1.088-3)^2/4) = 0.761613
+    val df = createDf(spark, "g string, v double",
+      (1 to 5).map(i => Seq[Any]("a", i.toDouble)))
+    val r = Stats.jarqueBera(df, Seq("g"), col("v")).head()
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 1.088)
+    assert(r.getDouble(4) == 0.761613)
+  }
+
+  test("jarqueBera: right-skewed data shows positive skew; constant column nulls out") {
+    val df = createDf(spark, "g string, v double",
+      (Seq.fill(8)(0.0) :+ 10.0 :+ 12.0).map(v => Seq[Any]("a", v)) ++
+        (1 to 4).map(_ => Seq[Any]("c", 7.0)))
+    val got = Stats.jarqueBera(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getDouble(2) > 1.0)
+    assert(got("a").getDouble(4) > 0.0)
+    assert(got("c").isNullAt(2) && got("c").isNullAt(4))
+  }
+
+  test("jarqueBera: invariant to partitioning") {
+    val rows = (0 until 400).map(i =>
+      Seq[Any](s"g${i % 3}", ((i * 31) % 17).toDouble / 3.0))
+    val df = createDf(spark, "g string, v double", rows)
+    val one = Stats.jarqueBera(df.coalesce(1), Seq("g"), col("v"))
+      .orderBy(col("g")).collect().toSeq
+    val many = Stats.jarqueBera(df.repartition(11), Seq("g"), col("v"))
+      .orderBy(col("g")).collect().toSeq
+    assert(one == many)
+  }
+
+  test("bartlett: equal variances give chi2 0 and the pooled variance") {
+    val df = createDf(spark, "g string, v double",
+      Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "b" -> 4.0, "b" -> 5.0, "b" -> 6.0)
+        .map { case (g, v) => Seq[Any](g, v) })
+    val r = Stats.bartlett(df, col("g"), col("v")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("bartlett: unequal variances produce the hand-checked chi2 band") {
+    // a var 1, b var 16: chi2 = [4 ln 8.5 - 2 ln 16] / 1.25 = 2.41207
+    val df = createDf(spark, "g string, v double",
+      Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "b" -> 0.0, "b" -> 4.0, "b" -> 8.0)
+        .map { case (g, v) => Seq[Any](g, v) })
+    val r = Stats.bartlett(df, col("g"), col("v")).head()
+    assert(r.getDouble(2) == 8.5)
+    assert(math.abs(r.getDouble(3) - 2.41207) < 1e-4, r.getDouble(3).toString)
+  }
+
+  test("bartlett: singleton levels drop; a zero-variance level nulls chi2") {
+    val df = createDf(spark, "g string, v double",
+      Seq("a" -> 1.0, "a" -> 2.0, "b" -> 9.0)
+        .map { case (g, v) => Seq[Any](g, v) })
+    val r = Stats.bartlett(df, col("g"), col("v")).head()
+    assert(r.getLong(0) == 1L && r.isNullAt(3))
+    val zv = createDf(spark, "g string, v double",
+      Seq("a" -> 1.0, "a" -> 2.0, "c" -> 5.0, "c" -> 5.0)
+        .map { case (g, v) => Seq[Any](g, v) })
+    val r2 = Stats.bartlett(zv, col("g"), col("v")).head()
+    assert(r2.getLong(0) == 2L && r2.isNullAt(3))
+  }
+
+  test("bartlett: invariant to partitioning") {
+    val rows = (0 until 300).map(i =>
+      Seq[Any](s"g${i % 3}", ((i * 13) % 29).toDouble / 7.0))
+    val df = createDf(spark, "g string, v double", rows)
+    val one = Stats.bartlett(df.coalesce(1), col("g"), col("v")).head()
+    val many = Stats.bartlett(df.repartition(9), col("g"), col("v")).head()
+    assert(one == many)
+  }
+}
