@@ -1991,6 +1991,176 @@ object Stats {
       :+ when(ok, round(jb, 6)).as("jb"): _*)
   }
 
+  /** Cochran's Q — do k binary treatments share a success rate across
+    * the same subjects? The k-treatment generalization of [[mcnemar]]
+    * (which compares exactly two), and the repeated-measures sibling
+    * of [[chiSquareIndependence]]: each subject is its own control, so
+    * between-subject variation cancels. One row: `(n, k, q)` with
+    *
+    *   Q = (k−1)·(k·ΣT_j² − S²) / (k·ΣR_i − ΣR_i²)
+    *
+    * (T_j treatment column totals, S = ΣT_j, R_i subject row sums) —
+    * the algebraic form that keeps EVERYTHING integral: numerator and
+    * denominator are exact decimal sums under any partitioning, Q one
+    * IEEE division. Null when the denominator is 0 (every subject all-0
+    * or all-1 — no within-subject variation to test). Rows with any
+    * null item drop (an absent treatment would change that row's k).
+    *
+    * Scale shape: ONE map-combined grand aggregation (k+2 sums), no
+    * windows, no joins, 1-row output.
+    *
+    * @param items k boolean/0-1 columns, one per treatment
+    */
+  def cochranQ(df: DataFrame, items: Seq[Column]): DataFrame = {
+    val k = items.size
+    require(k >= 2 && k <= 64, s"need 2..64 treatments: $k")
+    val dec = DecimalType(38, 0)
+    val bcols = items.zipWithIndex.map { case (c, i) =>
+      when(c.cast("boolean"), 1L).otherwise(0L).as(s"__i$i")
+    }
+    val notNull = items.map(_.isNotNull).reduce(_ && _)
+    val base = df.filter(notNull).select(bcols: _*)
+    val rowSum = (0 until k).map(i => col(s"__i$i")).reduce(_ + _)
+    val aggCols = Seq(count(lit(1)).as("n"),
+        sum(col("__r").cast(dec)).as("__sr"),
+        sum((col("__r") * col("__r")).cast(dec)).as("__sr2")) ++
+      (0 until k).map(i => sum(col(s"__i$i").cast(dec)).as(s"__t$i"))
+    val agg = base.select((0 until k).map(i => col(s"__i$i"))
+        :+ rowSum.as("__r"): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val st2 = (0 until k).map(i => col(s"__t$i") * col(s"__t$i")).reduce(_ + _)
+    val s = (0 until k).map(i => col(s"__t$i")).reduce(_ + _)
+    val num = (lit(k.toLong).cast(dec) * st2 - s * s).cast("double") * lit((k - 1).toDouble)
+    val den = (lit(k.toLong).cast(dec) * col("__sr") - col("__sr2")).cast("double")
+    agg.select(col("n"), lit(k).as("k"),
+      when(den > 0.0, round(num / den, 6)).as("q"))
+  }
+
+  /** Cronbach's alpha — internal-consistency reliability of a k-item
+    * score: do the items move together enough to be summed into one
+    * scale? THE number quoted for any multi-item quality rubric
+    * (doc-quality sub-scores, eval sub-metrics) before its total is
+    * trusted. One row: `(n, k, item_var_sum, total_var, alpha)` with
+    *
+    *   α = k/(k−1) · (1 − Σ_j s_j² / s_total²)
+    *
+    * (sample variances, n−1). Null alpha when total variance is 0
+    * (constant total score). Rows with any null item drop.
+    *
+    * Determinism: items micro-quantize; the single grand aggregation
+    * carries exact integer power sums for each item AND the row total
+    * (2k+3 sums); the k-term variance sum folds in fixed column order
+    * and α is one IEEE tree at the end.
+    *
+    * Scale shape: ONE map-combined grand aggregation, no windows, no
+    * joins, 1-row output.
+    */
+  def cronbachAlpha(df: DataFrame, items: Seq[Column]): DataFrame = {
+    val k = items.size
+    require(k >= 2 && k <= 64, s"need 2..64 items: $k")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c.cast("double") * lit(1e6), 0).cast("long")
+    val qcols = items.zipWithIndex.map { case (c, i) => q(c).as(s"__i$i") }
+    val notNull = items.map(_.isNotNull).reduce(_ && _)
+    val base = df.filter(notNull).select(qcols: _*)
+    val total = (0 until k).map(i => col(s"__i$i")).reduce(_ + _)
+    val aggCols = Seq(count(lit(1)).as("n"),
+        sum(col("__tt").cast(dec)).as("__ts"),
+        sum(col("__tt").cast(dec) * col("__tt").cast(dec)).as("__ts2")) ++
+      (0 until k).flatMap(i => Seq(
+        sum(col(s"__i$i").cast(dec)).as(s"__s$i"),
+        sum(col(s"__i$i").cast(dec) * col(s"__i$i").cast(dec)).as(s"__q$i")))
+    val agg = base.select((0 until k).map(i => col(s"__i$i")) :+ total.as("__tt"): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val nD = col("n").cast("double")
+    def sVar(s1: Column, s2: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") / nD) /
+        (nD - lit(1.0)) / lit(1e12)
+    val itemVar = (0 until k)
+      .map(i => sVar(col(s"__s$i"), col(s"__q$i"))).reduce(_ + _)
+    val totVar = sVar(col("__ts"), col("__ts2"))
+    val alpha = lit(k.toDouble / (k - 1).toDouble) * (lit(1.0) - itemVar / totVar)
+    agg.select(col("n"), lit(k).as("k"),
+      when(col("n") >= 2, round(itemVar, 6)).as("item_var_sum"),
+      when(col("n") >= 2, round(totVar, 6)).as("total_var"),
+      when(col("n") >= 2 && totVar > 0.0, round(alpha, 6)).as("alpha"))
+  }
+
+  /** Friedman test — the nonparametric repeated-measures ANOVA: k
+    * treatments ranked WITHIN each block (subject), so between-block
+    * level differences cancel the way [[pairedT]] cancels them for
+    * k = 2 and [[kruskalWallis]] cannot. One row:
+    * `(k, n_blocks, tie_cubes, chi2_f, chi2_tie)` with
+    *
+    *   χ²_F = 12/(n·k(k+1)) · Σ_j R_j² − 3n(k+1)
+    *
+    * and `chi2_tie = χ²_F / (1 − Σ(t³−t)/(nk(k²−1)))` (ties summed
+    * within blocks; null when every block is fully tied). Blocks
+    * missing any treatment DROP (Friedman requires a complete design);
+    * duplicate (block, treatment) observations sum before ranking,
+    * both documented.
+    *
+    * Determinism: values micro-quantize; within-block doubled average
+    * ranks come from the 2·rank identity over two windows whose frames
+    * hold at most k rows; 2·R_j and the tie sum are exact decimal
+    * accumulations; each treatment's R_j² term micro-quantizes before
+    * the k-bounded sum and χ² is one fixed IEEE tree.
+    *
+    * Scale shape: one (block, treatment)-keyed map-combined
+    * aggregation, a 1-row treatment-count broadcast, block-partitioned
+    * windows with k-bounded frames, a k-row treatment rollup, and a
+    * 1-row reduction. No data-sized joins.
+    */
+  def friedman(df: DataFrame, block: Column, treatment: Column,
+               value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base0 = df.select(block.cast("string").as("__b"),
+        treatment.cast("string").as("__t"), q(value).as("__x"))
+      .filter(col("__b").isNotNull && col("__t").isNotNull && col("__x").isNotNull)
+      .groupBy(col("__b"), col("__t"))
+      .agg(sum(col("__x")).as("__x"))
+    val kRow = base0.agg(countDistinct(col("__t")).as("__k"))
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy(col("__b"))
+    val complete = base0.crossJoin(broadcast(kRow))
+      .withColumn("__cb", count(lit(1)).over(wB))
+      .filter(col("__cb") === col("__k"))
+    val wLt = Window.partitionBy(col("__b")).orderBy(col("__x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("__b"), col("__x"))
+    val wEqOrd = Window.partitionBy(col("__b"), col("__x")).orderBy(col("__t"))
+    val ranked = complete.select(col("__t"), col("__k"),
+      (lit(2L) * count(lit(1)).over(wLt) + count(lit(1)).over(wEq) + lit(1L))
+        .as("__r2"),
+      count(lit(1)).over(wEq).as("__m"),
+      row_number().over(wEqOrd).as("__rn"))
+    val perTreat = ranked.groupBy(col("__t"), col("__k"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__r2").cast(dec)).as("__r2j"),
+        sum(when(col("__rn") === 1,
+            col("__m").cast(dec) * col("__m") * col("__m") - col("__m").cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("__t3"))
+    // R_j² = (2R_j)²/4, micro-quantized before the k-sum (square in
+    // double — the kruskalWallis discipline)
+    val r2d = col("__r2j").cast("double")
+    val termS = round(r2d * r2d / lit(4.0) * lit(1e6), 0).cast(dec)
+    val agg = perTreat.groupBy(col("__k"))
+      .agg(max(col("__n")).as("n_blocks"), sum(termS).as("__s"),
+        sum(col("__t3")).as("__ties"))
+    val kD = col("__k").cast("double")
+    val nD = col("n_blocks").cast("double")
+    val chi2 = lit(12.0) / (nD * kD * (kD + lit(1.0))) *
+      (col("__s").cast("double") / lit(1e6)) - lit(3.0) * nD * (kD + lit(1.0))
+    val c = lit(1.0) - col("__ties").cast("double") /
+      (nD * kD * (kD * kD - lit(1.0)))
+    val defined = col("__k") >= 2 && col("n_blocks") >= 1
+    agg.select(col("__k").as("k"), col("n_blocks"),
+      col("__ties").cast("long").as("tie_cubes"),
+      when(defined, round(chi2, 6)).as("chi2_f"),
+      when(defined && c > 0.0, round(chi2 / c, 6)).as("chi2_tie"))
+  }
+
   /** Bartlett's test for homogeneity of variances — the parametric
     * (normal-assuming) complement of [[leveneBrownForsythe]]: sharper
     * when the data really is Gaussian, misleading when it isn't (run

@@ -566,6 +566,52 @@ object StatsQueries {
         Seq("event_type"), col("value"))
       .orderBy(col("event_type"))
 
+  /** Cochran's Q ([[graft.ops.Stats.cochranQ]]): do purchase, click,
+    * and view reach DIFFERENT shares of users, judged within-subject so
+    * heavy users don't confound the comparison? q_mcnemar's k = 3
+    * generalization — one grand integral aggregation over the per-user
+    * binary profile.
+    */
+  private def qCochran(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "events").filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("tp"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("tc"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("tv"))
+    graft.ops.Stats.cochranQ(wide,
+      Seq(col("tp") === 1, col("tc") === 1, col("tv") === 1))
+  }
+
+  /** Cronbach's alpha ([[graft.ops.Stats.cronbachAlpha]]): do three
+    * length-flavored document sub-scores (chars, tokens, sentence
+    * punctuation) cohere into one reliable "size" scale? The rubric
+    * check before any composite doc-quality score is trusted — exact
+    * micro power sums, one grand aggregation.
+    */
+  private def qCronbach(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    graft.ops.Stats.cronbachAlpha(d, Seq(
+      length(col("text")).cast("double"),
+      size(split(col("text"), " ")).cast("double"),
+      length(regexp_replace(col("text"), "[^.!?]", "")).cast("double")))
+  }
+
+  /** Friedman test ([[graft.ops.Stats.friedman]]): ranking the five
+    * event types' revenue WITHIN each of 16 user-segment blocks — the
+    * repeated-measures complement of q_kruskal, immune to block-level
+    * spend differences. Within-block k-bounded rank windows, exact
+    * 2·R_j sums, tie-corrected χ².
+    */
+  private def qFriedman(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .withColumn("block", col("user_id") % 16)
+      .groupBy(col("block"), col("event_type"))
+      .agg(sum(round(col("value") * lit(1e2), 0).cast("long")).as("cents"))
+    graft.ops.Stats.friedman(e, col("block"), col("event_type"),
+      col("cents").cast("double"))
+  }
+
   /** Bartlett variance homogeneity ([[graft.ops.Stats.bartlett]]):
     * q_levene's parametric complement on the same five event-type
     * value spreads — sharper under normality, which q_jarque_bera
@@ -873,6 +919,9 @@ object StatsQueries {
     "q_kruskal" -> (qKruskal _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_bartlett" -> (qBartlett _),
+    "q_cochran" -> (qCochran _),
+    "q_cronbach" -> (qCronbach _),
+    "q_friedman" -> (qFriedman _),
     "q_paired_t" -> (qPairedT _),
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_did" -> (qDid _),
@@ -912,6 +961,108 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_cochran" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS tp,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS tc,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS tv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT tp, tc, tv, tp + tc + tv AS rs FROM w),
+        |ag AS (
+        |  SELECT COUNT(*) AS n, SUM(rs) AS sr, SUM(rs * rs) AS sr2,
+        |    SUM(tp) AS t0, SUM(tc) AS t1, SUM(tv) AS t2
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, 3 AS k,
+        |  CASE WHEN CAST(3 * sr - sr2 AS DOUBLE) > 0.0 THEN
+        |    round(CAST(3 * (CAST(t0 AS HUGEINT) * t0 + CAST(t1 AS HUGEINT) * t1
+        |          + CAST(t2 AS HUGEINT) * t2)
+        |        - CAST(t0 + t1 + t2 AS HUGEINT) * (t0 + t1 + t2) AS DOUBLE) * 2.0
+        |      / CAST(3 * sr - sr2 AS DOUBLE), 6) END AS q
+        |FROM ag""".stripMargin,
+    "q_cronbach" ->
+      """WITH it AS (
+        |  SELECT CAST(length(text) AS BIGINT) * 1000000 AS i0,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) * 1000000 AS i1,
+        |    CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT)
+        |      * 1000000 AS i2
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT i0, i1, i2, i0 + i1 + i2 AS tt FROM it),
+        |ag AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(tt) AS ts, SUM(CAST(tt AS HUGEINT) * tt) AS ts2,
+        |    SUM(i0) AS s0, SUM(CAST(i0 AS HUGEINT) * i0) AS q0,
+        |    SUM(i1) AS s1, SUM(CAST(i1 AS HUGEINT) * i1) AS q1,
+        |    SUM(i2) AS s2, SUM(CAST(i2 AS HUGEINT) * i2) AS q2
+        |  FROM r),
+        |vs AS (
+        |  SELECT n,
+        |    (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e12 AS v0,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e12 AS v1,
+        |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e12 AS v2,
+        |    (CAST(ts2 AS DOUBLE) - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e12 AS vt
+        |  FROM ag)
+        |SELECT CAST(n AS BIGINT) AS n, 3 AS k,
+        |  CASE WHEN n >= 2 THEN round(v0 + v1 + v2, 6) END AS item_var_sum,
+        |  CASE WHEN n >= 2 THEN round(vt, 6) END AS total_var,
+        |  CASE WHEN n >= 2 AND vt > 0.0 THEN
+        |    round(1.5 * (1.0 - (v0 + v1 + v2) / vt), 6) END AS alpha
+        |FROM vs""".stripMargin,
+    "q_friedman" ->
+      """WITH pre AS (
+        |  SELECT user_id % 16 AS b, event_type AS t,
+        |    SUM(CAST(round(value * 100.0) AS BIGINT)) * 1000000 AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |k1 AS (SELECT COUNT(DISTINCT t) AS k FROM pre),
+        |cb AS (
+        |  SELECT b, t, x, k, COUNT(*) OVER (PARTITION BY b) AS nb
+        |  FROM pre CROSS JOIN k1),
+        |cpl AS (SELECT * FROM cb WHERE nb = k),
+        |rk AS (
+        |  SELECT t, k,
+        |    2 * COUNT(*) OVER (PARTITION BY b ORDER BY x
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      + COUNT(*) OVER (PARTITION BY b, x) + 1 AS r2,
+        |    COUNT(*) OVER (PARTITION BY b, x) AS m,
+        |    ROW_NUMBER() OVER (PARTITION BY b, x ORDER BY t) AS rn
+        |  FROM cpl),
+        |pt AS (
+        |  SELECT t, k, COUNT(*) AS n, SUM(r2) AS r2j,
+        |    SUM(CASE WHEN rn = 1 THEN CAST(m AS HUGEINT) * m * m - m ELSE 0 END) AS t3
+        |  FROM rk GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT k, MAX(n) AS nb,
+        |    SUM(CAST(round(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE) / 4.0
+        |      * 1000000.0) AS HUGEINT)) AS s,
+        |    SUM(t3) AS ties
+        |  FROM pt GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nb AS BIGINT) AS n_blocks,
+        |  CAST(ties AS BIGINT) AS tie_cubes,
+        |  CASE WHEN k >= 2 AND nb >= 1 THEN
+        |    round(12.0 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |          * (CAST(k AS DOUBLE) + 1.0))
+        |        * (CAST(s AS DOUBLE) / 1000000.0)
+        |      - 3.0 * CAST(nb AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0), 6)
+        |  END AS chi2_f,
+        |  CASE WHEN k >= 2 AND nb >= 1 AND 1.0 - CAST(ties AS DOUBLE)
+        |      / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |        * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) > 0.0 THEN
+        |    round((12.0 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |          * (CAST(k AS DOUBLE) + 1.0))
+        |        * (CAST(s AS DOUBLE) / 1000000.0)
+        |      - 3.0 * CAST(nb AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+        |      / (1.0 - CAST(ties AS DOUBLE)
+        |        / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |          * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))), 6)
+        |  END AS chi2_tie
+        |FROM ag""".stripMargin,
     "q_kruskal" ->
       """WITH v AS (
         |  SELECT user_id % 4 AS segment, event_type AS l,

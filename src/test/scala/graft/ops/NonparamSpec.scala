@@ -128,4 +128,91 @@ class NonparamSpec extends AnyFunSuite {
     val many = Stats.bartlett(df.repartition(9), col("g"), col("v")).head()
     assert(one == many)
   }
+
+  test("cochranQ: hand-checked 4-subject 3-treatment Q") {
+    // T=(4,2,1), S=7: num = (3*21-49)*2 = 28; R=(2,1,3,1): den = 21-15 = 6
+    val df = createDf(spark, "a boolean, b boolean, c boolean",
+      Seq(Seq[Any](true, true, false), Seq[Any](true, false, false),
+        Seq[Any](true, true, true), Seq[Any](true, false, false)))
+    val r = Stats.cochranQ(df, Seq(col("a"), col("b"), col("c"))).head()
+    assert(r.getLong(0) == 4L && r.getInt(1) == 3)
+    assert(r.getDouble(2) == 4.666667)
+  }
+
+  test("cochranQ: all-equal rows give zero denominator -> null; null items drop") {
+    val df = createDf(spark, "a boolean, b boolean, c boolean",
+      Seq(Seq[Any](true, true, true), Seq[Any](false, false, false),
+        Seq[Any](true, null, true)))
+    val r = Stats.cochranQ(df, Seq(col("a"), col("b"), col("c"))).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.isNullAt(2))
+  }
+
+  test("cronbachAlpha: identical items give alpha 1; cancelling items null it") {
+    val same = createDf(spark, "x double, y double",
+      Seq(1.0, 2.0, 3.0).map(v => Seq[Any](v, v)))
+    val r = Stats.cronbachAlpha(same, Seq(col("x"), col("y"))).head()
+    assert(r.getLong(0) == 3L && r.getInt(1) == 2)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 1.0)
+    val opp = createDf(spark, "x double, y double",
+      Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).map { case (a, b) => Seq[Any](a, b) })
+    val r2 = Stats.cronbachAlpha(opp, Seq(col("x"), col("y"))).head()
+    assert(r2.getDouble(2) == 2.0 && r2.getDouble(3) == 0.0)
+    assert(r2.isNullAt(4))
+  }
+
+  test("cronbachAlpha: invariant to partitioning") {
+    val rows = (0 until 200).map(i => Seq[Any](
+      (i % 13).toDouble, ((i * 7) % 11).toDouble, ((i * 3) % 17).toDouble))
+    val df = createDf(spark, "x double, y double, z double", rows)
+    val items = Seq(col("x"), col("y"), col("z"))
+    val one = Stats.cronbachAlpha(df.coalesce(1), items).head()
+    val many = Stats.cronbachAlpha(df.repartition(7), items).head()
+    assert(one == many)
+  }
+
+  private def fr(rows: Seq[(String, String, Double)]) = {
+    val df = createDf(spark, "b string, t string, v double",
+      rows.map { case (b, t, v) => Seq[Any](b, t, v) })
+    Stats.friedman(df, col("b"), col("t"), col("v")).head()
+  }
+
+  test("friedman: perfect concordance over 3 blocks hits the k=3 maximum 6.0") {
+    val rows = for (b <- Seq("b1", "b2", "b3"); (t, v) <- Seq("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
+      yield (b, t, v)
+    val r = fr(rows)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 6.0)
+    assert(r.getDouble(4) == 6.0)
+  }
+
+  test("friedman: within-block ties shrink chi2 and the correction restores it") {
+    // b1: a=b=1 (rank 1.5 each), c=2; b2 untied: chi2 = 3.25, C = 0.875
+    val r = fr(Seq(("b1", "a", 1.0), ("b1", "b", 1.0), ("b1", "c", 2.0),
+      ("b2", "a", 1.0), ("b2", "b", 2.0), ("b2", "c", 3.0)))
+    assert(r.getLong(1) == 2L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 3.25)
+    assert(r.getDouble(4) == 3.714286)
+  }
+
+  test("friedman: incomplete blocks drop from the design") {
+    val complete = fr(Seq(("b1", "a", 1.0), ("b1", "b", 2.0), ("b1", "c", 3.0),
+      ("b2", "a", 2.0), ("b2", "b", 1.0), ("b2", "c", 3.0)))
+    val withPartial = fr(Seq(("b1", "a", 1.0), ("b1", "b", 2.0), ("b1", "c", 3.0),
+      ("b2", "a", 2.0), ("b2", "b", 1.0), ("b2", "c", 3.0),
+      ("b3", "a", 9.0), ("b3", "b", 4.0)))
+    assert(withPartial == complete)
+    assert(withPartial.getLong(1) == 2L)
+  }
+
+  test("friedman: invariant to partitioning") {
+    val rows = (0 until 240).map { i =>
+      Seq[Any](s"b${i / 4}", s"t${i % 4}", ((i * 31) % 19).toDouble)
+    }
+    val df = createDf(spark, "b string, t string, v double", rows)
+    val one = Stats.friedman(df.coalesce(1), col("b"), col("t"), col("v")).head()
+    val many = Stats.friedman(df.repartition(11), col("b"), col("t"), col("v")).head()
+    assert(one == many)
+  }
 }
