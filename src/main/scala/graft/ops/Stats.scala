@@ -1726,6 +1726,131 @@ object Stats {
         .as("or_mh"))
   }
 
+  /** Cochran-Armitage trend test — does a binary outcome's rate move
+    * MONOTONICALLY with an ordered exposure score? Sharper than
+    * [[chiSquareIndependence]] when the alternative is a trend (dose
+    * response, quantity→return-rate): one row `(k, n, n_success, z,
+    * chi2)` with
+    *
+    *   z = (N·Σs_i r_i − R·Σs_i n_i) · √N
+    *       / √( R(N−R) · (N·Σs_i²n_i − (Σs_i n_i)²) )
+    *
+    * (level i has score s_i, n_i rows, r_i successes; R = Σr_i). The
+    * sign of z is the direction of the trend; chi2 = z². Null when
+    * k < 2 or the variance term is 0 (constant score or 0/100% success
+    * everywhere).
+    *
+    * Determinism: scores cast to long (levels are ordinal BY
+    * definition), every Σ is an exact decimal accumulation, the two
+    * big products fold as one fixed IEEE tree — no per-level float
+    * terms at all.
+    *
+    * Scale shape: one score-keyed map-combined aggregation, then a
+    * level-cardinality-bounded rollup. No windows, no joins.
+    */
+  def cochranArmitage(df: DataFrame, score: Column, success: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.filter(score.isNotNull && success.isNotNull)
+      .select(score.cast("long").as("__s"),
+        when(success, 1L).otherwise(0L).as("__y"))
+    val lev = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__r"))
+    val agg = lev.agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+      sum(col("__r")).as("__R"),
+      sum(col("__s").cast(dec) * col("__n")).as("__sn"),
+      sum(col("__s").cast(dec) * col("__r")).as("__sr"),
+      sum(col("__s").cast(dec) * col("__s") * col("__n")).as("__ssn"))
+    val a = (col("n").cast(dec) * col("__sr") - col("__R").cast(dec) * col("__sn"))
+      .cast("double")
+    val inner = (col("n").cast(dec) * col("__ssn") - col("__sn") * col("__sn"))
+      .cast("double")
+    val b = col("__R").cast("double") * (col("n") - col("__R")).cast("double") * inner
+    val z = a * sqrt(col("n").cast("double")) / sqrt(b)
+    agg.select(col("k"), col("n"), col("__R").as("n_success"),
+      when(col("k") >= 2 && b > 0.0, round(z, 6)).as("z"),
+      when(col("k") >= 2 && b > 0.0, round(z * z, 6)).as("chi2"))
+  }
+
+  /** Breslow-Day test for odds-ratio homogeneity — the follow-up
+    * [[cmhTest]] needs: CMH's pooled OR is only meaningful if the
+    * per-stratum ORs AGREE, and Breslow-Day is the test of that
+    * agreement. One row `(n_strata, n, or_mh, chi2)` — chi2 against
+    * χ²(n_strata−1); large values mean the strata have genuinely
+    * different odds ratios and the pooled number hides structure.
+    *
+    * Per stratum, the expected exposed-positive count ẽ under the
+    * common OR ψ solves (1−ψ)x² + [(n2−m1) + ψ(n1+m1)]x − ψn1m1 = 0
+    * (the in-range root; the ψ=1 branch degenerates to n1m1/N), the
+    * variance is the reciprocal-sum form, and the statistic sums
+    * (a−ẽ)²/Var. Strata with a zero margin drop; n_strata counts the
+    * contributors.
+    *
+    * Determinism: cells are exact counts; ψ is the quotient of the
+    * same nano-quantized OR sums [[cmhTest]] publishes; the quadratic,
+    * root choice, and reciprocal variance are one fixed IEEE tree per
+    * stratum, nano-quantized before the strata-bounded sum.
+    *
+    * Scale shape: one stratum-keyed map-combined aggregation, a 1-row
+    * OR broadcast back onto the bounded strata table, and a 1-row
+    * reduction. No data-sized joins, no windows.
+    */
+  def breslowDay(df: DataFrame, stratum: Column, exposed: Column,
+                 outcome: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.select(stratum.as("__s"),
+        when(exposed, 1L).otherwise(0L).as("__e"),
+        when(outcome, 1L).otherwise(0L).as("__o"))
+      .filter(col("__s").isNotNull)
+    val cells = base.groupBy(col("__s")).agg(
+      sum(when(col("__e") === 1L && col("__o") === 1L, 1L).otherwise(0L)).as("__a"),
+      sum(when(col("__e") === 1L && col("__o") === 0L, 1L).otherwise(0L)).as("__b"),
+      sum(when(col("__e") === 0L && col("__o") === 1L, 1L).otherwise(0L)).as("__c"),
+      sum(when(col("__e") === 0L && col("__o") === 0L, 1L).otherwise(0L)).as("__d"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = d("__a") + d("__b") + d("__c") + d("__d")
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast(dec)
+    val usable = cells.filter(
+      col("__a") + col("__b") > 0L && col("__c") + col("__d") > 0L &&
+        col("__a") + col("__c") > 0L && col("__b") + col("__d") > 0L)
+    val orParts = usable.select(
+        nano(d("__a") * d("__d") / nD).as("__orn"),
+        nano(d("__b") * d("__c") / nD).as("__ord"))
+      .agg(sum(col("__orn")).as("__so"), sum(col("__ord")).as("__sd"))
+    val withOr = usable.crossJoin(broadcast(orParts))
+    val psi = col("__so").cast("double") / col("__sd").cast("double")
+    val n1 = d("__a") + d("__b")
+    val n2 = d("__c") + d("__d")
+    val m1 = d("__a") + d("__c")
+    val qa = lit(1.0) - psi
+    val qb = (n2 - m1) + psi * (n1 + m1)
+    val qc = -psi * n1 * m1
+    val disc = sqrt(qb * qb - lit(4.0) * qa * qc)
+    val r1 = (-qb + disc) / (lit(2.0) * qa)
+    val r2 = (-qb - disc) / (lit(2.0) * qa)
+    val lo = greatest(lit(0.0), m1 - n2)
+    val hi = least(n1, m1)
+    val xq = when(qa === 0.0, n1 * m1 / nD)
+      .when(r1 > lo && r1 < hi, r1)
+      .otherwise(r2)
+    val interior = xq > lo && xq < hi
+    val recip = lit(1.0) / xq + lit(1.0) / (n1 - xq) +
+      lit(1.0) / (m1 - xq) + lit(1.0) / (n2 - m1 + xq)
+    val term = nano((d("__a") - xq) * (d("__a") - xq) * recip)
+    val agg = withOr.select(
+        when(interior, term).as("__t"),
+        when(interior, 1L).otherwise(0L).as("__k"),
+        (col("__a") + col("__b") + col("__c") + col("__d")).as("__n"),
+        col("__so"), col("__sd"))
+      .groupBy(col("__so"), col("__sd"))
+      .agg(sum(col("__k")).as("n_strata"), sum(col("__n")).as("n"),
+        sum(col("__t")).as("__chi"))
+    agg.select(col("n_strata"), col("n"),
+      when(col("__sd") > 0, round(col("__so").cast("double")
+        / col("__sd").cast("double"), 6)).as("or_mh"),
+      when(col("n_strata") >= 2 && col("__sd") > 0,
+        round(col("__chi").cast("double") / lit(1e9), 6)).as("chi2"))
+  }
+
   /** Fleiss' kappa — chance-corrected agreement among k ≥ 2 raters per
     * item, the multi-rater generalization of [[cohenKappa]] (which
     * compares exactly two). The annotation-QA number for ensemble

@@ -453,6 +453,44 @@ object Timeseries {
             .as("acf"): _*)
   }
 
+  /** Ljung-Box portmanteau test — is a series white noise, judged on
+    * its first `maxLag` autocorrelations jointly? THE residual check
+    * after any smoothing/trend fit ([[holtLinear]], [[cusum]]
+    * baselines): per series
+    *
+    *   Q = n(n+2) · Σ_{k=1..h} ρ_k² / (n−k)
+    *
+    * compared to χ²(h). Returns `(parts..., n, n_lags, q_lb)`; q_lb is
+    * null when any lag's ACF is undefined (constant or too-short
+    * series) or n ≤ h.
+    *
+    * Determinism: builds on [[autocorrelation]]'s exact integer-moment
+    * ACF (each ρ_k already a 6-dp double identical across engines);
+    * each ρ_k²/(n−k) term nano-quantizes before the h-bounded sum and
+    * Q is one fixed IEEE tree. n−k is exactly that lag's pair count,
+    * so no separate length pass is needed.
+    *
+    * Scale shape: [[autocorrelation]]'s one series-keyed window pass +
+    * grand aggregation, then a lag-count-bounded rollup per series.
+    */
+  def ljungBox(df: DataFrame, parts: Seq[String], orderCol: Column,
+               valueCol: Column, maxLag: Int): DataFrame = {
+    val pCols = parts.map(col)
+    val acf = autocorrelation(df, parts, orderCol, valueCol, maxLag)
+    val term = round(col("acf") * col("acf") / col("n_pairs").cast("double")
+      * lit(1e9), 0).cast("long")
+    val agg = acf.groupBy(pCols: _*)
+      .agg(max(col("n_pairs") + col("lag")).as("n"),
+        count(lit(1)).as("n_lags"),
+        sum(when(col("acf").isNotNull, term)).as("__t"),
+        sum(when(col("acf").isNull, 1L).otherwise(0L)).as("__bad"))
+    val nD = col("n").cast("double")
+    val q = nD * (nD + lit(2.0)) * (col("__t").cast("double") / lit(1e9))
+    agg.select(pCols :+ col("n") :+ col("n_lags")
+      :+ when(col("__bad") === 0L && col("n") > col("n_lags"), round(q, 6))
+        .as("q_lb"): _*)
+  }
+
   /** Holt-Winters additive triple smoothing per series — [[holtLinear]]
     * plus a length-`period` seasonal state (the weekly/monthly pattern
     * a level+trend model smears):

@@ -292,6 +292,21 @@ object EventQueries {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Ljung-Box portmanteau ([[graft.ops.Timeseries.ljungBox]]): is the
+    * per-type hourly revenue series white noise over its first six
+    * autocorrelations jointly — the one-number readout of what
+    * q_autocorr shows lag by lag. Rides the same exact-integer ACF
+    * pass; each ρ²/(n−k) term nano-quantizes before the 6-row rollup.
+    */
+  private def qLjungBox(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("__h"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    Timeseries.ljungBox(hourly, Seq("event_type"), col("__h"),
+        col("cents"), maxLag = 6)
+      .orderBy(col("event_type"))
+  }
+
   /** CUSUM mean-shift monitor ([[graft.ops.Timeseries.cusum]]) on the
     * daily revenue series per event type — Page's test as two windows
     * (prefix sum + running min) via the n-cleared integer identity, so
@@ -459,6 +474,7 @@ object EventQueries {
     "q_holt_winters" -> (qHoltWinters _),
     "q_logrank" -> (qLogrank _),
     "q_autocorr" -> (qAutocorr _),
+    "q_ljung_box" -> (qLjungBox _),
     "q_concurrency" -> (qConcurrency _),
     "q_kendall" -> (qKendall _),
     "q_theilsen" -> (qTheilsen _),
@@ -709,6 +725,23 @@ object EventQueries {
         |  CAST(CAST(l AS BIGINT) + CAST(b AS BIGINT) AS DOUBLE) / 1e9 AS forecast
         |FROM st ORDER BY g, i""".stripMargin,
     "q_autocorr" -> autocorrOracleSql(maxLag = 6),
+    "q_ljung_box" ->
+      s"""WITH acfv AS (
+         |${autocorrOracleSql(maxLag = 6)}
+         |),
+         |ag AS (
+         |  SELECT event_type, MAX(n_pairs + lag) AS n, COUNT(*) AS n_lags,
+         |    SUM(CASE WHEN acf IS NOT NULL THEN
+         |      CAST(round(acf * acf / CAST(n_pairs AS DOUBLE)
+         |        * 1000000000.0) AS BIGINT) END) AS t,
+         |    SUM(CASE WHEN acf IS NULL THEN 1 ELSE 0 END) AS bad
+         |  FROM acfv GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  CAST(n_lags AS BIGINT) AS n_lags,
+         |  CASE WHEN bad = 0 AND n > n_lags THEN
+         |    round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+         |      * (CAST(t AS DOUBLE) / 1000000000.0), 6) END AS q_lb
+         |FROM ag ORDER BY event_type""".stripMargin,
     "q_theilsen" ->
       """WITH d AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

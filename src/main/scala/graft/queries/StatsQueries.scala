@@ -566,6 +566,29 @@ object StatsQueries {
         Seq("event_type"), col("value"))
       .orderBy(col("event_type"))
 
+  /** Cochran-Armitage trend ([[graft.ops.Stats.cochranArmitage]]):
+    * does the return probability trend with order quantity (1..50 as
+    * the ordinal dose)? One level-keyed aggregation + a 50-row rollup,
+    * every sum exact decimal, one z at the end.
+    */
+  private def qCaTrend(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.cochranArmitage(t(s, dir, "lineitem"),
+      col("l_quantity"), col("l_returnflag") === "R")
+
+  /** Breslow-Day OR homogeneity ([[graft.ops.Stats.breslowDay]]): do
+    * q_cmh's four user-segment strata actually share the common odds
+    * ratio it pools? The mandatory follow-up before or_mh is quoted —
+    * per-stratum expected cells from the in-range quadratic root, all
+    * on the bounded strata table.
+    */
+  private def qBreslowDay(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "view") && col("user_id").isNotNull)
+      .withColumn("stratum", col("user_id") % 4)
+    graft.ops.Stats.breslowDay(e, col("stratum"),
+      col("event_type") === "click", col("value") > 100.0)
+  }
+
   /** Cochran's Q ([[graft.ops.Stats.cochranQ]]): do purchase, click,
     * and view reach DIFFERENT shares of users, judged within-subject so
     * heavy users don't confound the comparison? q_mcnemar's k = 3
@@ -922,6 +945,8 @@ object StatsQueries {
     "q_cochran" -> (qCochran _),
     "q_cronbach" -> (qCronbach _),
     "q_friedman" -> (qFriedman _),
+    "q_ca_trend" -> (qCaTrend _),
+    "q_breslow_day" -> (qBreslowDay _),
     "q_paired_t" -> (qPairedT _),
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_did" -> (qDid _),
@@ -961,6 +986,95 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_ca_trend" ->
+      """WITH b AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+        |lv AS (SELECT s, COUNT(*) AS n, SUM(y) AS r FROM b GROUP BY 1),
+        |ag AS (
+        |  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(r) AS rr,
+        |    SUM(s * n) AS sn, SUM(s * r) AS sr, SUM(s * s * n) AS ssn
+        |  FROM lv),
+        |zz AS (
+        |  SELECT k, nn, rr,
+        |    CAST(nn * sr - rr * sn AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
+        |      / sqrt(CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE)
+        |        * CAST(nn * ssn - sn * sn AS DOUBLE)) AS z,
+        |    CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE)
+        |      * CAST(nn * ssn - sn * sn AS DOUBLE) AS bb
+        |  FROM ag)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        |  CAST(rr AS BIGINT) AS n_success,
+        |  CASE WHEN k >= 2 AND bb > 0.0 THEN round(z, 6) END AS z,
+        |  CASE WHEN k >= 2 AND bb > 0.0 THEN round(z * z, 6) END AS chi2
+        |FROM zz""".stripMargin,
+    "q_breslow_day" ->
+      """WITH base AS (
+        |  SELECT user_id % 4 AS s,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS o
+        |  FROM events WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL),
+        |cells AS (
+        |  SELECT s,
+        |    SUM(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS b,
+        |    SUM(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS c,
+        |    SUM(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS d
+        |  FROM base GROUP BY 1),
+        |us AS (SELECT * FROM cells
+        |  WHERE a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0),
+        |orp AS (
+        |  SELECT
+        |    SUM(CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |        + CAST(d AS DOUBLE)) * 1e9) AS HUGEINT)) AS so,
+        |    SUM(CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |        + CAST(d AS DOUBLE)) * 1e9) AS HUGEINT)) AS sd
+        |  FROM us),
+        |x AS (
+        |  SELECT a, b, c, d, so, sd,
+        |    CAST(a AS DOUBLE) + CAST(b AS DOUBLE) AS n1,
+        |    CAST(c AS DOUBLE) + CAST(d AS DOUBLE) AS n2,
+        |    CAST(a AS DOUBLE) + CAST(c AS DOUBLE) AS m1,
+        |    CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |      + CAST(d AS DOUBLE) AS nd,
+        |    CAST(so AS DOUBLE) / CAST(sd AS DOUBLE) AS psi
+        |  FROM us CROSS JOIN orp),
+        |q AS (
+        |  SELECT *, 1.0 - psi AS qa, (n2 - m1) + psi * (n1 + m1) AS qb,
+        |    -psi * n1 * m1 AS qc
+        |  FROM x),
+        |rt AS (
+        |  SELECT *, sqrt(qb * qb - 4.0 * qa * qc) AS disc,
+        |    GREATEST(0.0, m1 - n2) AS lo, LEAST(n1, m1) AS hi
+        |  FROM q),
+        |xe AS (
+        |  SELECT *,
+        |    CASE WHEN qa = 0.0 THEN n1 * m1 / nd
+        |         WHEN (-qb + disc) / (2.0 * qa) > lo
+        |          AND (-qb + disc) / (2.0 * qa) < hi
+        |           THEN (-qb + disc) / (2.0 * qa)
+        |         ELSE (-qb - disc) / (2.0 * qa) END AS xq
+        |  FROM rt),
+        |tm AS (
+        |  SELECT so, sd,
+        |    CASE WHEN xq > lo AND xq < hi THEN
+        |      CAST(round((CAST(a AS DOUBLE) - xq) * (CAST(a AS DOUBLE) - xq)
+        |        * (1.0 / xq + 1.0 / (n1 - xq) + 1.0 / (m1 - xq)
+        |          + 1.0 / (n2 - m1 + xq)) * 1e9) AS HUGEINT) END AS t,
+        |    CASE WHEN xq > lo AND xq < hi THEN 1 ELSE 0 END AS kk,
+        |    a + b + c + d AS n
+        |  FROM xe),
+        |ag AS (SELECT so, sd, SUM(kk) AS ns, SUM(n) AS n, SUM(t) AS chi
+        |  FROM tm GROUP BY 1, 2)
+        |SELECT CAST(ns AS BIGINT) AS n_strata, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN sd > 0 THEN
+        |    round(CAST(so AS DOUBLE) / CAST(sd AS DOUBLE), 6) END AS or_mh,
+        |  CASE WHEN ns >= 2 AND sd > 0 THEN
+        |    round(CAST(chi AS DOUBLE) / 1e9, 6) END AS chi2
+        |FROM ag""".stripMargin,
     "q_cochran" ->
       """WITH w AS (
         |  SELECT user_id,

@@ -215,4 +215,86 @@ class NonparamSpec extends AnyFunSuite {
     val many = Stats.friedman(df.repartition(11), col("b"), col("t"), col("v")).head()
     assert(one == many)
   }
+
+  test("cochranArmitage: hand-checked perfect dose response gives z 2") {
+    // scores 0,1,2 with success rates 0, 0.5, 1 over n=2 each:
+    // A=12, inner=24, B=216 -> z = 12*sqrt(6)/sqrt(216) = 2 exactly
+    val df = createDf(spark, "s double, y boolean",
+      Seq((0, false), (0, false), (1, true), (1, false), (2, true), (2, true))
+        .map { case (s, y) => Seq[Any](s.toDouble, y) })
+    val r = Stats.cochranArmitage(df, col("s"), col("y")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 4.0)
+  }
+
+  test("cochranArmitage: reversed trend flips the sign; degenerate cases null") {
+    val rev = createDf(spark, "s double, y boolean",
+      Seq((0, true), (0, true), (1, true), (1, false), (2, false), (2, false))
+        .map { case (s, y) => Seq[Any](s.toDouble, y) })
+    assert(Stats.cochranArmitage(rev, col("s"), col("y")).head().getDouble(3) == -2.0)
+    val allWin = createDf(spark, "s double, y boolean",
+      Seq((0, true), (1, true)).map { case (s, y) => Seq[Any](s.toDouble, y) })
+    assert(Stats.cochranArmitage(allWin, col("s"), col("y")).head().isNullAt(3))
+    val oneLevel = createDf(spark, "s double, y boolean",
+      Seq((1, true), (1, false)).map { case (s, y) => Seq[Any](s.toDouble, y) })
+    assert(Stats.cochranArmitage(oneLevel, col("s"), col("y")).head().isNullAt(3))
+  }
+
+  private def strataDf(counts: Seq[(String, Int, Int, Int, Int)]) = {
+    val rows = counts.flatMap { case (s, a, b, c, d) =>
+      Seq.fill(a)(Seq[Any](s, true, true)) ++ Seq.fill(b)(Seq[Any](s, true, false)) ++
+        Seq.fill(c)(Seq[Any](s, false, true)) ++ Seq.fill(d)(Seq[Any](s, false, false))
+    }
+    createDf(spark, "s string, e boolean, o boolean", rows)
+  }
+
+  test("breslowDay: identical strata share their OR -> chi2 0") {
+    val df = strataDf(Seq(("s1", 10, 10, 10, 10), ("s2", 10, 10, 10, 10)))
+    val r = Stats.breslowDay(df, col("s"), col("e"), col("o")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 80L)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("breslowDay: heterogeneous ORs produce a large chi2; zero-margin strata drop") {
+    val df = strataDf(Seq(("s1", 10, 10, 10, 10), ("s2", 20, 5, 5, 20),
+      ("s3", 7, 3, 0, 0)))
+    val r = Stats.breslowDay(df, col("s"), col("e"), col("o")).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(3) > 3.0, r.getDouble(3).toString)
+  }
+
+  test("breslowDay: invariant to partitioning") {
+    val df = strataDf(Seq(("s1", 12, 7, 9, 14), ("s2", 3, 11, 8, 6),
+      ("s3", 9, 9, 2, 13)))
+    val one = Stats.breslowDay(df.coalesce(1), col("s"), col("e"), col("o")).head()
+    val many = Stats.breslowDay(df.repartition(7), col("s"), col("e"), col("o")).head()
+    assert(one == many)
+  }
+
+  test("ljungBox: replays n(n+2)*sum(acf^2/np) off the ACF table; ramp is loud") {
+    val df = createDf(spark, "g string, o int, v double",
+      (1 to 20).map(i => Seq[Any]("a", i, i.toDouble)))
+    val acf = Timeseries.autocorrelation(df, Seq("g"), col("o"), col("v"), 4)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    val expT = acf.map { case (np, a) =>
+      math.round(a * a / np.toDouble * 1e9)
+    }.sum
+    val expQ = BigDecimal(20.0 * 22.0 * (expT.toDouble / 1e9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Timeseries.ljungBox(df, Seq("g"), col("o"), col("v"), 4).head()
+    assert(r.getLong(1) == 20L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == expQ, s"got ${r.getDouble(3)} want $expQ")
+    assert(r.getDouble(3) > 9.49) // chi2(4) 5% critical value: a ramp is not noise
+  }
+
+  test("ljungBox: constant series and too-short series null out") {
+    val const = createDf(spark, "g string, o int, v double",
+      (1 to 10).map(i => Seq[Any]("a", i, 5.0)))
+    assert(Timeseries.ljungBox(const, Seq("g"), col("o"), col("v"), 3).head().isNullAt(3))
+    val short = createDf(spark, "g string, o int, v double",
+      (1 to 3).map(i => Seq[Any]("a", i, i.toDouble)))
+    assert(Timeseries.ljungBox(short, Seq("g"), col("o"), col("v"), 5).head().isNullAt(3))
+  }
 }
