@@ -1817,7 +1817,10 @@ object Stats {
         nano(d("__b") * d("__c") / nD).as("__ord"))
       .agg(sum(col("__orn")).as("__so"), sum(col("__ord")).as("__sd"))
     val withOr = usable.crossJoin(broadcast(orParts))
-    val psi = col("__so").cast("double") / col("__sd").cast("double")
+    // ANSI raises on /0.0 even for doubles: a zero OR denominator
+    // (no discordant pairs anywhere) nulls psi and every stratum term
+    val sdD = col("__sd").cast("double")
+    val psi = when(sdD =!= 0.0, col("__so").cast("double") / sdD)
     val n1 = d("__a") + d("__b")
     val n2 = d("__c") + d("__d")
     val m1 = d("__a") + d("__c")
@@ -1907,6 +1910,191 @@ object Stats {
       round(pbar, 6).as("p_bar"), round(pe, 6).as("p_e"),
       when(lit(1.0) - pe =!= 0.0, round((pbar - pe) / (lit(1.0) - pe), 6))
         .as("kappa"))
+  }
+
+  /** Krippendorff's alpha (nominal, complete-case) — the
+    * reliability coefficient annotation shops quote alongside
+    * [[fleissKappa]]: instead of correcting observed agreement against
+    * rater marginals (kappa), it compares observed to expected
+    * DISAGREEMENT over the pooled coincidence matrix:
+    *
+    *   D_o = 1 − Σ_u Σ_c n_uc(n_uc−1)/(k−1) / (Nk)
+    *   D_e = 1 − Σ_c n_c(n_c−1) / (Nk(Nk−1)),   α = 1 − D_o/D_e
+    *
+    * One row `(n_items, n_raters, d_o, d_e, alpha)`; α is null when
+    * D_e = 0 (one category everywhere — no disagreement possible).
+    * Items with a null id or any null rating drop (complete-case: the
+    * fixed-k form keeps every sum integral; Krippendorff's
+    * missing-data form needs per-unit m_u weights).
+    *
+    * Determinism: A = Σn_uc(n_uc−1) and B = Σn_c(n_c−1) are exact
+    * decimal sums; D_o, D_e, α are one fixed IEEE tree — no per-term
+    * quantization needed at all.
+    *
+    * Scale shape: identical to [[fleissKappa]] — one rating explode to
+    * (item, category) counts, an item-keyed aggregation, a bounded
+    * category aggregation, two 1-row frames joined by broadcast.
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: Column, raters: Seq[Column]): DataFrame = {
+    val k = raters.size
+    require(k >= 2 && k <= 64, s"need 2..64 raters: $k")
+    val dec = DecimalType(38, 0)
+    val rcols = raters.zipWithIndex.map { case (r, i) => r.cast("string").as(s"__r$i") }
+    val base = df.select(itemCol.as("__id") +: rcols: _*)
+      .filter((0 until k).map(i => col(s"__r$i").isNotNull)
+        .foldLeft(col("__id").isNotNull)(_ && _))
+    val cells = base
+      .select(col("__id"),
+        explode(array((0 until k).map(i => col(s"__r$i")): _*)).as("__c"))
+      .groupBy(col("__id"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val itemAgg = cells
+      .groupBy(col("__id"))
+      .agg(sum(col("__n").cast(dec) * (col("__n") - lit(1L)).cast(dec)).as("__au"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__au")).as("__a"))
+    val catAgg = cells.groupBy(col("__c")).agg(sum(col("__n")).as("__t"))
+      .agg(sum(col("__t").cast(dec) * (col("__t") - lit(1L)).cast(dec)).as("__b"))
+    val joined = catAgg.crossJoin(broadcast(itemAgg))
+    val nD = col("n_items").cast("double") * lit(k.toDouble)
+    val dObs = lit(1.0) - col("__a").cast("double") /
+      (lit((k - 1).toDouble) * nD)
+    val dExp = lit(1.0) - col("__b").cast("double") / (nD * (nD - lit(1.0)))
+    joined.select(col("n_items"), lit(k).as("n_raters"),
+      round(dObs, 6).as("d_o"), round(dExp, 6).as("d_e"),
+      when(dExp =!= 0.0, round(lit(1.0) - dObs / dExp, 6)).as("alpha"))
+  }
+
+  /** Dunn's test — the pairwise post-hoc that follows a significant
+    * [[kruskalWallis]] the way [[tukeyHsd]] follows [[anovaOneWay]]:
+    * which level pairs actually differ, judged on mean ranks from the
+    * SHARED ranking of all levels (not per-pair re-ranks — that is
+    * [[mannWhitneyU]] and it does not control the family error the
+    * same way). One row per unordered pair:
+    * `(level_a, level_b, n_a, n_b, mean_rank_a, mean_rank_b, z)` with
+    *
+    *   z = (R̄_a − R̄_b) / √( (N(N+1)/12 − Σ(t³−t)/(12(N−1))) · (1/n_a + 1/n_b) )
+    *
+    * (the standard tie-corrected variance). z is null when the
+    * variance term is not positive (all values tied).
+    *
+    * Determinism: the distinct-value rank layer keeps 2·R_j and the
+    * tie sum exact under any partitioning (the [[kruskalWallis]]
+    * identity); mean ranks and z are fixed IEEE trees on the k-row
+    * level table.
+    *
+    * Scale shape: one (level, value) aggregation, rank windows whose
+    * whole-frame pass runs over the DISTINCT-VALUE table (bounded by
+    * value cardinality — the documented bounded-window exception), a
+    * k-row rollup, and pairs built by double-exploding the collected
+    * k-row list on a 1-row frame ([[tukeyHsd]]'s join-free shape).
+    */
+  def dunnTest(df: DataFrame, level: Column, value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val cells = df.select(level.cast("string").as("__l"), q(value).as("__x"))
+      .filter(col("__l").isNotNull && col("__x").isNotNull)
+      .groupBy(col("__l"), col("__x")).agg(count(lit(1)).as("__nlv"))
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy(col("__x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wVal = Window.partitionBy(col("__x"))
+    val wValOrd = Window.partitionBy(col("__x")).orderBy(col("__l"))
+    val ranked = cells.select(col("__l"), col("__nlv"),
+      coalesce(sum(col("__nlv")).over(wCum), lit(0L)).as("__cb"),
+      sum(col("__nlv")).over(wVal).as("__nv"),
+      row_number().over(wValOrd).as("__rn"))
+    val perLevel = ranked.groupBy(col("__l"))
+      .agg(sum(col("__nlv")).as("__nj"),
+        sum(col("__nlv").cast(dec) *
+          (lit(2L) * col("__cb") + col("__nv") + lit(1L)).cast(dec)).as("__r2"),
+        sum(when(col("__rn") === 1,
+            col("__nv").cast(dec) * col("__nv") * col("__nv") - col("__nv").cast(dec))
+          .otherwise(lit(0L).cast(dec))).as("__t3"))
+    val grand = perLevel.agg(
+      count(lit(1)).as("__k"), sum(col("__nj")).as("__n"),
+      sum(col("__t3")).as("__t"),
+      sort_array(collect_list(struct(col("__l"), col("__nj"), col("__r2"))))
+        .as("__gs"))
+    val pairs = grand
+      .select(col("__n"), col("__t"), explode(col("__gs")).as("__a"), col("__gs"))
+      .select(col("__n"), col("__t"), col("__a"), explode(col("__gs")).as("__b"))
+      .filter(col("__a.__l") < col("__b.__l"))
+    val nD = col("__n").cast("double")
+    def meanRank(side: String): Column =
+      col(s"__$side.__r2").cast("double") /
+        (lit(2.0) * col(s"__$side.__nj").cast("double"))
+    val sigma2 = nD * (nD + lit(1.0)) / lit(12.0) -
+      col("__t").cast("double") / (lit(12.0) * (nD - lit(1.0)))
+    val se = sqrt(sigma2 * (lit(1.0) / col("__a.__nj").cast("double")
+      + lit(1.0) / col("__b.__nj").cast("double")))
+    val z = (meanRank("a") - meanRank("b")) / se
+    pairs.select(
+      col("__a.__l").as("level_a"), col("__b.__l").as("level_b"),
+      col("__a.__nj").as("n_a"), col("__b.__nj").as("n_b"),
+      round(meanRank("a"), 6).as("mean_rank_a"),
+      round(meanRank("b"), 6).as("mean_rank_b"),
+      when(col("__n") >= 2 && sigma2 > 0.0, round(z, 6)).as("z"))
+  }
+
+  /** Mood's median test — the bluntest k-sample location test: does
+    * each level put the same share of its rows above the GRAND median?
+    * Coarser than [[kruskalWallis]] (it only looks at the median cut,
+    * not the full ranking) but robust to wild outliers and defined for
+    * ordinal data. One row: `(k, n, n_above, chi2)` — the 2×k
+    * independence χ² of (level × above/at-or-below), null when k < 2
+    * or the cut is degenerate (everything on one side).
+    *
+    * The cut is the LOWER MEDIAN of the micro-quantized values (the
+    * ⌈N/2⌉-th order statistic) — an actual data value, so "above"
+    * versus "at-or-below" is exact integer arithmetic with no
+    * interpolation to disagree about.
+    *
+    * Determinism: the median comes off the distinct-value count table
+    * (exact); per-level (n_i, a_i) are exact counts; each level's χ²
+    * term nano-quantizes before the k-bounded sum.
+    *
+    * Scale shape: one distinct-value aggregation + a bounded
+    * cumulative window over it (value cardinality), one level-keyed
+    * count pass with the 1-row median broadcast, a k-row rollup. Two
+    * corpus scans, no data-sized joins.
+    */
+  def moodMedianTest(df: DataFrame, groupCol: Column, value: Column): DataFrame = {
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.select(groupCol.as("__g"), q(value).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val byVal = base.groupBy(col("__x")).agg(count(lit(1)).as("__nv"))
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byVal.agg(sum(col("__nv")).as("__N"))
+    val med = byVal.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("__nv")).over(wCum))
+      .filter(col("__cum") * lit(2L) >= col("__N"))
+      .agg(min(col("__x")).as("__med"))
+    val counts = base.crossJoin(broadcast(med))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ni"),
+        sum(when(col("__x") > col("__med"), 1L).otherwise(0L)).as("__ai"))
+    val roll = counts.agg(count(lit(1)).as("k"), sum(col("__ni")).as("n"),
+      sum(col("__ai")).as("n_above"))
+    val lvl = counts.crossJoin(broadcast(roll))
+    val nD = col("n").cast("double")
+    val aD = col("n_above").cast("double")
+    val niD = col("__ni").cast("double")
+    val aiD = col("__ai").cast("double")
+    val ea = niD * aD / nD
+    val eb = niD * (nD - aD) / nD
+    // guard inside when(): ANSI Spark raises on /0.0 even for doubles,
+    // and the degenerate cut (everything one side) nulls chi2 anyway
+    val term = when(col("n_above") > 0L && col("n_above") < col("n"),
+      round(((aiD - ea) * (aiD - ea) / ea
+        + ((niD - aiD) - eb) * ((niD - aiD) - eb) / eb) * lit(1e9), 0).cast("long"))
+    val agg = lvl.select(col("k"), col("n"), col("n_above"), term.as("__t"))
+      .groupBy(col("k"), col("n"), col("n_above"))
+      .agg(sum(col("__t")).as("__chi"))
+    agg.select(col("k"), col("n"), col("n_above"),
+      when(col("k") >= 2 && col("n_above") > 0L && col("n_above") < col("n"),
+        round(col("__chi").cast("double") / lit(1e9), 6)).as("chi2"))
   }
 
   /** Delete-a-group jackknife SE for a RATIO estimator — the survey-

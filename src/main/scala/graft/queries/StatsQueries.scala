@@ -566,6 +566,26 @@ object StatsQueries {
         Seq("event_type"), col("value"))
       .orderBy(col("event_type"))
 
+  /** Dunn's post-hoc ([[graft.ops.Stats.dunnTest]]): which event-type
+    * PAIRS differ in value location after q_kruskal says "some do" —
+    * mean ranks off one shared ranking, pairs built join-free on the
+    * 1-row grand frame (the q_tukey shape), tie-corrected z per pair.
+    */
+  private def qDunn(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.dunnTest(t(s, dir, "events"),
+        col("event_type"), col("value"))
+      .orderBy(col("level_a"), col("level_b"))
+
+  /** Mood's median test ([[graft.ops.Stats.moodMedianTest]]): the
+    * outlier-proof sanity check under q_kruskal — does each event type
+    * put the same share of its rows above the grand median value? The
+    * cut is the exact lower median off the distinct-value table, so
+    * every count is integral.
+    */
+  private def qMood(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.moodMedianTest(t(s, dir, "events"),
+      col("event_type"), col("value"))
+
   /** Cochran-Armitage trend ([[graft.ops.Stats.cochranArmitage]]):
     * does the return probability trend with order quantity (1..50 as
     * the ordinal dose)? One level-keyed aggregation + a 50-row rollup,
@@ -947,6 +967,8 @@ object StatsQueries {
     "q_friedman" -> (qFriedman _),
     "q_ca_trend" -> (qCaTrend _),
     "q_breslow_day" -> (qBreslowDay _),
+    "q_dunn" -> (qDunn _),
+    "q_mood" -> (qMood _),
     "q_paired_t" -> (qPairedT _),
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_did" -> (qDid _),
@@ -986,6 +1008,78 @@ object StatsQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_dunn" ->
+      """WITH v AS (
+        |  SELECT event_type AS l, CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT l, x, COUNT(*) AS nlv FROM v GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT l, nlv,
+        |    COALESCE(SUM(nlv) OVER (ORDER BY x
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |    SUM(nlv) OVER (PARTITION BY x) AS nv,
+        |    ROW_NUMBER() OVER (PARTITION BY x ORDER BY l) AS rn
+        |  FROM cells),
+        |pl AS (
+        |  SELECT l, SUM(nlv) AS nj,
+        |    SUM(CAST(nlv AS HUGEINT) * (2 * cb + nv + 1)) AS r2,
+        |    SUM(CASE WHEN rn = 1 THEN CAST(nv AS HUGEINT) * nv * nv - nv ELSE 0 END) AS t3
+        |  FROM rk GROUP BY 1),
+        |g AS (SELECT SUM(nj) AS n, SUM(t3) AS t FROM pl),
+        |p AS (
+        |  SELECT a.l AS la, b.l AS lb, a.nj AS na, b.nj AS nb,
+        |    a.r2 AS ra, b.r2 AS rb, n, t
+        |  FROM pl a JOIN pl b ON a.l < b.l CROSS JOIN g),
+        |f AS (
+        |  SELECT la, lb, na, nb, n,
+        |    CAST(ra AS DOUBLE) / (2.0 * CAST(na AS DOUBLE)) AS mra,
+        |    CAST(rb AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE)) AS mrb,
+        |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+        |      - CAST(t AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0)) AS s2
+        |  FROM p)
+        |SELECT la AS level_a, lb AS level_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(mra, 6) AS mean_rank_a, round(mrb, 6) AS mean_rank_b,
+        |  CASE WHEN n >= 2 AND s2 > 0.0 THEN
+        |    round((mra - mrb) / sqrt(s2 * (1.0 / CAST(na AS DOUBLE)
+        |      + 1.0 / CAST(nb AS DOUBLE))), 6) END AS z
+        |FROM f ORDER BY level_a, level_b""".stripMargin,
+    "q_mood" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |bv AS (SELECT x, COUNT(*) AS nv FROM v GROUP BY 1),
+        |tt AS (SELECT SUM(nv) AS nn FROM bv),
+        |cm AS (
+        |  SELECT x, nn, SUM(nv) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bv CROSS JOIN tt),
+        |md AS (SELECT MIN(x) AS med FROM cm WHERE cum * 2 >= nn),
+        |ct AS (
+        |  SELECT g, COUNT(*) AS ni,
+        |    SUM(CASE WHEN x > med THEN 1 ELSE 0 END) AS ai
+        |  FROM v CROSS JOIN md GROUP BY 1),
+        |rl AS (SELECT COUNT(*) AS k, SUM(ni) AS n, SUM(ai) AS na FROM ct),
+        |ex AS (
+        |  SELECT k, n, na, ni, ai,
+        |    CAST(ni AS DOUBLE) * CAST(na AS DOUBLE) / CAST(n AS DOUBLE) AS ea,
+        |    CAST(ni AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(na AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS eb
+        |  FROM ct CROSS JOIN rl),
+        |tm AS (
+        |  SELECT k, n, na,
+        |    CASE WHEN na > 0 AND na < n THEN
+        |      CAST(round(((CAST(ai AS DOUBLE) - ea) * (CAST(ai AS DOUBLE) - ea) / ea
+        |        + ((CAST(ni AS DOUBLE) - CAST(ai AS DOUBLE)) - eb)
+        |          * ((CAST(ni AS DOUBLE) - CAST(ai AS DOUBLE)) - eb) / eb)
+        |        * 1000000000.0) AS BIGINT) END AS t
+        |  FROM ex),
+        |ag AS (SELECT k, n, na, SUM(t) AS chi FROM tm GROUP BY 1, 2, 3)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CAST(na AS BIGINT) AS n_above,
+        |  CASE WHEN k >= 2 AND na > 0 AND na < n THEN
+        |    round(CAST(chi AS DOUBLE) / 1000000000.0, 6) END AS chi2
+        |FROM ag""".stripMargin,
     "q_ca_trend" ->
       """WITH b AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS s,

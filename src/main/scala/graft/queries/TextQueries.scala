@@ -687,7 +687,11 @@ object TextQueries {
     * agreement instead of against it). The multi-rater QA number
     * q_kappa's two-rater κ can't give.
     */
-  private def qFleiss(s: SparkSession, dir: String): DataFrame = {
+  /** The three language raters shared by q_fleiss / q_krippendorff:
+    * the label, the [[TextStats.langId]] heuristic, and the
+    * source-majority prior, joined onto every document.
+    */
+  private def ratedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val counts = d.filter(col("lang").isNotNull)
       .groupBy(col("source"), col("lang"))
@@ -697,10 +701,22 @@ object TextQueries {
     val majority = counts.withColumn("__rn", row_number().over(W))
       .filter(col("__rn") === 1)
       .select(col("source"), col("lang").as("__maj"))
-    val joined = d.join(broadcast(majority), Seq("source"))
-    graft.ops.Stats.fleissKappa(joined, col("doc_id"),
-      Seq(col("lang"), TextStats.langId(col("text")), col("__maj")))
+    d.join(broadcast(majority), Seq("source"))
   }
+
+  private def qFleiss(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.fleissKappa(ratedDocs(s, dir), col("doc_id"),
+      Seq(col("lang"), TextStats.langId(col("text")), col("__maj")))
+
+  /** Krippendorff's alpha ([[graft.ops.Stats.krippendorffAlpha]]):
+    * q_fleiss's three raters scored by expected-DISAGREEMENT
+    * correction instead of marginal-agreement correction — the other
+    * reliability number an annotation pipeline quotes, off the same
+    * pooled coincidence counts.
+    */
+  private def qKrippendorff(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.krippendorffAlpha(ratedDocs(s, dir), col("doc_id"),
+      Seq(col("lang"), TextStats.langId(col("text")), col("__maj")))
 
   /** Decile lift/gain ([[graft.ops.Calibration.lift]]): how much
     * English does the top score-decile concentrate — the selection-
@@ -779,6 +795,7 @@ object TextQueries {
     "q_mcnemar" -> (qMcnemar _),
     "q_isotonic" -> (qIsotonic _),
     "q_fleiss" -> (qFleiss _),
+    "q_krippendorff" -> (qKrippendorff _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
     "q_dsir" -> (qDsir _),
@@ -891,6 +908,46 @@ object TextQueries {
         |  round(CAST(g.np AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS frac_pos,
         |  round(io.iso, 6) AS iso
         |FROM g JOIN io ON g.bin = io.bin ORDER BY g.bin""".stripMargin,
+    "q_krippendorff" ->
+      """WITH cnt AS (
+        |  SELECT source, lang, COUNT(*) AS cn FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |maj AS (
+        |  SELECT source, lang AS maj FROM (
+        |    SELECT source, lang,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY cn DESC, lang) AS rn
+        |    FROM cnt) t
+        |  WHERE rn = 1),
+        |pred AS (
+        |  SELECT d.doc_id AS id, d.lang AS r0,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+        |         WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+        |         WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+        |         ELSE 'unknown' END AS r1,
+        |    m.maj AS r2
+        |  FROM documents d JOIN maj m ON d.source = m.source
+        |  WHERE d.doc_id IS NOT NULL AND d.lang IS NOT NULL),
+        |cells AS (
+        |  SELECT id, c, COUNT(*) AS n FROM (
+        |    SELECT id, unnest([r0, r1, r2]) AS c FROM pred) t
+        |  GROUP BY 1, 2),
+        |per AS (SELECT id, SUM(n * (n - 1)) AS au FROM cells GROUP BY 1),
+        |ia AS (SELECT COUNT(*) AS ni, SUM(au) AS a FROM per),
+        |ct AS (SELECT c, SUM(n) AS t FROM cells GROUP BY 1),
+        |cb AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS b FROM ct),
+        |fin AS (
+        |  SELECT ni,
+        |    1.0 - CAST(a AS DOUBLE)
+        |      / (2.0 * (CAST(ni AS DOUBLE) * 3.0)) AS dob,
+        |    1.0 - CAST(b AS DOUBLE)
+        |      / ((CAST(ni AS DOUBLE) * 3.0)
+        |        * ((CAST(ni AS DOUBLE) * 3.0) - 1.0)) AS dex
+        |  FROM ia, cb)
+        |SELECT CAST(ni AS BIGINT) AS n_items, 3 AS n_raters,
+        |  round(dob, 6) AS d_o, round(dex, 6) AS d_e,
+        |  CASE WHEN dex <> 0.0 THEN round(1.0 - dob / dex, 6) END AS alpha
+        |FROM fin""".stripMargin,
     "q_fleiss" ->
       """WITH cnt AS (
         |  SELECT source, lang, COUNT(*) AS cn FROM documents

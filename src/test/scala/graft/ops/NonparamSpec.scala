@@ -289,6 +289,83 @@ class NonparamSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 9.49) // chi2(4) 5% critical value: a ramp is not noise
   }
 
+  test("dunnTest: hand-checked pairwise z off the shared ranking") {
+    // a=[1,2] b=[3,4] c=[5,6]: mean ranks 1.5/3.5/5.5, sigma2 = 3.5
+    val df = createDf(spark, "l string, v double",
+      Seq("a" -> 1.0, "a" -> 2.0, "b" -> 3.0, "b" -> 4.0, "c" -> 5.0, "c" -> 6.0)
+        .map { case (l, v) => Seq[Any](l, v) })
+    val rows = Stats.dunnTest(df, col("l"), col("v"))
+      .orderBy(col("level_a"), col("level_b")).collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(rows(0).getDouble(4) == 1.5 && rows(0).getDouble(5) == 3.5)
+    assert(rows(0).getDouble(6) == -1.069045)
+    assert(rows(1).getDouble(6) == -2.13809)
+    assert(rows(2).getDouble(6) == -1.069045)
+  }
+
+  test("dunnTest: all-tied values null every z; partitioning-invariant") {
+    val tied = createDf(spark, "l string, v double",
+      Seq("a" -> 5.0, "a" -> 5.0, "b" -> 5.0, "b" -> 5.0)
+        .map { case (l, v) => Seq[Any](l, v) })
+    assert(Stats.dunnTest(tied, col("l"), col("v")).collect().forall(_.isNullAt(6)))
+    val rows = (0 until 300).map(i => Seq[Any](s"l${i % 4}", (i * 37 % 23).toDouble))
+    val df = createDf(spark, "l string, v double", rows)
+    val one = Stats.dunnTest(df.coalesce(1), col("l"), col("v"))
+      .orderBy(col("level_a"), col("level_b")).collect().toSeq
+    val many = Stats.dunnTest(df.repartition(13), col("l"), col("v"))
+      .orderBy(col("level_a"), col("level_b")).collect().toSeq
+    assert(one == many)
+  }
+
+  test("krippendorffAlpha: hand-worked 2-item table gives alpha 0.375") {
+    // AAA + ABB: A=8, D_o=1/3; B=14, D_e=16/30; alpha = 1 - 0.625
+    val df = createDf(spark, "id int, r0 string, r1 string, r2 string",
+      Seq(Seq[Any](1, "A", "A", "A"), Seq[Any](2, "A", "B", "B")))
+    val r = Stats.krippendorffAlpha(df, col("id"),
+      Seq(col("r0"), col("r1"), col("r2"))).head()
+    assert(r.getLong(0) == 2L && r.getInt(1) == 3)
+    assert(r.getDouble(2) == 0.333333)
+    assert(r.getDouble(3) == 0.533333)
+    assert(r.getDouble(4) == 0.375)
+  }
+
+  test("krippendorffAlpha: unanimity gives 1; one category everywhere nulls out") {
+    val uni = createDf(spark, "id int, r0 string, r1 string, r2 string",
+      Seq(Seq[Any](1, "A", "A", "A"), Seq[Any](2, "B", "B", "B")))
+    val r = Stats.krippendorffAlpha(uni, col("id"),
+      Seq(col("r0"), col("r1"), col("r2"))).head()
+    assert(r.getDouble(2) == 0.0 && r.getDouble(4) == 1.0)
+    val const = createDf(spark, "id int, r0 string, r1 string, r2 string",
+      Seq(Seq[Any](1, "x", "x", "x"), Seq[Any](2, "x", "x", "x")))
+    val r2 = Stats.krippendorffAlpha(const, col("id"),
+      Seq(col("r0"), col("r1"), col("r2"))).head()
+    assert(r2.getDouble(3) == 0.0 && r2.isNullAt(4))
+  }
+
+  test("moodMedianTest: hand-checked split around the lower median") {
+    // a=[1,2,3] b=[4,5,6]: med=3, above=(0,3), chi2 = 3+3 = 6
+    val df = createDf(spark, "g string, v double",
+      Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "b" -> 4.0, "b" -> 5.0, "b" -> 6.0)
+        .map { case (g, v) => Seq[Any](g, v) })
+    val r = Stats.moodMedianTest(df, col("g"), col("v")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 6.0)
+  }
+
+  test("moodMedianTest: degenerate cut nulls chi2; partitioning-invariant") {
+    val same = createDf(spark, "g string, v double",
+      Seq("a" -> 7.0, "a" -> 7.0, "b" -> 7.0)
+        .map { case (g, v) => Seq[Any](g, v) })
+    assert(Stats.moodMedianTest(same, col("g"), col("v")).head().isNullAt(3))
+    val rows = (0 until 300).map(i => Seq[Any](s"g${i % 3}", ((i * 37) % 23).toDouble))
+    val df = createDf(spark, "g string, v double", rows)
+    val one = Stats.moodMedianTest(df.coalesce(1), col("g"), col("v")).head()
+    val many = Stats.moodMedianTest(df.repartition(13), col("g"), col("v")).head()
+    assert(one == many)
+  }
+
   test("ljungBox: constant series and too-short series null out") {
     val const = createDf(spark, "g string, o int, v double",
       (1 to 10).map(i => Seq[Any]("a", i, 5.0)))
