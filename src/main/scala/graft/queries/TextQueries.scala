@@ -569,6 +569,54 @@ object TextQueries {
     Rank.zipfFit(t(s, dir, "documents"), Seq("lang"), col("text"))
       .orderBy(col("lang"))
 
+  /** Heaps' law ([[Rank.heapsLaw]]): vocabulary growth exponent over
+    * md5-bucket "arrival" prefixes — q_zipf's companion curve and the
+    * vocabulary-size forecast for a 100× corpus. No global ordering:
+    * prefix doc counts and first-seen-bucket vocabulary counts are
+    * conditional sums over two scans.
+    */
+  private def qHeaps(s: SparkSession, dir: String): DataFrame =
+    Rank.heapsLaw(t(s, dir, "documents"), col("doc_id"), col("text"))
+
+  /** Token burstiness ([[Rank.burstiness]]): the top-20 highest
+    * variance-to-mean tokens — topical terms that flood the documents
+    * they enter, versus Poisson-scattered function words. Reference-
+    * corpus-free keyword surfacing off one (doc, token) count pass.
+    */
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame =
+    Rank.burstiness(t(s, dir, "documents"), col("doc_id"), col("text"))
+
+  /** Script-mix audit ([[TextStats.charClassCount]]): per source, how
+    * many characters sit in each major script, and how many documents
+    * mix scripts (≥ 2 scripts each holding ≥ 10% of the doc's script
+    * characters) — the crawl-hygiene signal for mislabeled languages,
+    * template chrome, and mojibake. Exact integer counts end to end.
+    */
+  private def qScriptMix(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("text").isNotNull && col("source").isNotNull)
+    val classes = Seq(
+      "__lat" -> "[A-Za-z]", "__cjk" -> "[\\u4e00-\\u9fff]",
+      "__kana" -> "[\\u3040-\\u30ff]", "__cyr" -> "[\\u0400-\\u04ff]",
+      "__dig" -> "[0-9]")
+    val withC = d.select(col("source") +:
+      classes.map { case (n, p) => TextStats.charClassCount(col("text"), p).as(n) }: _*)
+    val scripts = Seq("__lat", "__cjk", "__kana", "__cyr")
+    val tot = scripts.map(col).reduce(_ + _)
+    val nScripts = scripts
+      .map(c => when(col(c) * 10 >= tot && col(c) > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    val mixed = when(tot > 0 && nScripts >= 2, 1L).otherwise(0L)
+    withC.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__lat")).as("latin_chars"), sum(col("__cjk")).as("cjk_chars"),
+        sum(col("__kana")).as("kana_chars"), sum(col("__cyr")).as("cyrillic_chars"),
+        sum(col("__dig")).as("digit_chars"), sum(mixed).as("n_mixed"))
+      .withColumn("mixed_frac",
+        round(col("n_mixed").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
   /** Linear quality-classifier inference ([[Classify.score]]): the
     * fastText-style post-heuristic curation stage — md5-bucketed word
     * uni+bigrams, exact micro-weight pooling, sigmoid. Weights come
@@ -787,6 +835,9 @@ object TextQueries {
     "q_readability" -> (qReadability _),
     "q_vocab_overlap" -> (qVocabOverlap _),
     "q_zipf" -> (qZipf _),
+    "q_heaps" -> (qHeaps _),
+    "q_burstiness" -> (qBurstiness _),
+    "q_script_mix" -> (qScriptMix _),
     "q_text_stats" -> (qTextStats _),
     "q_vocab" -> (qVocab _),
     "q_doc_quality" -> (qDocQuality _),
@@ -864,6 +915,67 @@ object TextQueries {
        |SELECT id AS doc_id, phrase, CAST(n_words AS BIGINT) AS n_words,
        |  CAST(score AS BIGINT) AS score_nanos
        |FROM top WHERE rn = 1 ORDER BY id""".stripMargin
+  }
+
+  /** DuckDB replay of [[Rank.heapsLaw]]: md5-bucket prefixes, two
+    * conditional-count aggregates, log-log OLS over the checkpoint
+    * table with the same nano-quantized ln terms.
+    */
+  private def heapsOracleSql(nCheckpoints: Int): String = {
+    val bSize = 1 << 20
+    val cuts = (1 to nCheckpoints).map(c => bSize >> (nCheckpoints - c))
+    val ndCols = cuts.zipWithIndex.map { case (cut, i) =>
+      s"SUM(CASE WHEN b < $cut THEN 1 ELSE 0 END) AS nd$i"
+    }.mkString(",\n    ")
+    val vCols = cuts.zipWithIndex.map { case (cut, i) =>
+      s"SUM(CASE WHEN mb < $cut THEN 1 ELSE 0 END) AS v$i"
+    }.mkString(",\n    ")
+    val last = nCheckpoints - 1
+    val unions = cuts.indices.map { i =>
+      s"SELECT nd$last AS n_docs, v$last AS n_types, nd$i AS nd, v$i AS v FROM da, va"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % $bSize AS b, text
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |da AS (
+       |  SELECT $ndCols
+       |  FROM d),
+       |tk AS (
+       |  SELECT b, w FROM (
+       |    SELECT b, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+       |    FROM d)
+       |  WHERE w <> ''),
+       |tm AS (SELECT w, MIN(b) AS mb FROM tk GROUP BY 1),
+       |va AS (
+       |  SELECT $vCols
+       |  FROM tm),
+       |pts AS (
+       |  $unions),
+       |q AS (
+       |  SELECT n_docs, n_types,
+       |    CAST(round(ln(CAST(nd AS DOUBLE)) * 1000000000.0) AS BIGINT) AS x,
+       |    CAST(round(ln(CAST(v AS DOUBLE)) * 1000000000.0) AS BIGINT) AS y
+       |  FROM pts WHERE nd > 0 AND v > 0),
+       |a AS (
+       |  SELECT n_docs, n_types, COUNT(*) AS np,
+       |    SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM q GROUP BY 1, 2),
+       |f AS (
+       |  SELECT n_docs, n_types, np,
+       |    CAST(np * sxy - sx * sy AS DOUBLE) AS num,
+       |    CAST(np * sxx - sx * sx AS DOUBLE) AS dx,
+       |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+       |  FROM a)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_types AS BIGINT) AS n_types,
+       |  CAST(np AS BIGINT) AS n_points,
+       |  CASE WHEN np >= 3 AND dx > 0.0 THEN round(num / dx, 6) END AS beta,
+       |  CASE WHEN np >= 3 AND dx > 0.0 THEN
+       |    round(exp((syd - num / dx * sxd) / CAST(np AS DOUBLE) / 1000000000.0), 6)
+       |  END AS k_coef
+       |FROM f""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1072,6 +1184,70 @@ object TextQueries {
         |  round(CAST(c AS DOUBLE) / CAST(sb.n AS DOUBLE), 6) AS containment_b
         |FROM i JOIN s sa ON sa.g = ga JOIN s sb ON sb.g = gb
         |ORDER BY ga, gb""".stripMargin,
+    "q_heaps" -> heapsOracleSql(12),
+    "q_burstiness" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |nn AS (SELECT COUNT(*) AS n FROM d),
+        |tk AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |    FROM d)
+        |  WHERE w <> ''),
+        |pd AS (SELECT doc_id, w, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |t AS (
+        |  SELECT w, COUNT(*) AS ndocs, SUM(c) AS sc,
+        |    SUM(CAST(c AS HUGEINT) * c) AS sc2
+        |  FROM pd GROUP BY 1 HAVING COUNT(*) >= 5),
+        |v AS (
+        |  SELECT w, ndocs, sc,
+        |    CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CASE WHEN n >= 2 THEN
+        |      ((CAST(sc2 AS DOUBLE)
+        |          - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0))
+        |      / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) END AS vm
+        |  FROM t CROSS JOIN nn)
+        |SELECT w AS token, CAST(ndocs AS BIGINT) AS n_docs,
+        |  CAST(sc AS BIGINT) AS total_count,
+        |  round(mean, 6) AS mean_per_doc, round(vm, 6) AS vmr
+        |FROM v ORDER BY vm DESC, token LIMIT 20""".stripMargin,
+    "q_script_mix" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS lat,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{3040}-\x{30ff}]', '', 'g')) AS kana,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{0400}-\x{04ff}]', '', 'g')) AS cyr,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |m AS (
+        |  SELECT source, lat, cjk, kana, cyr, dig,
+        |    lat + cjk + kana + cyr AS tot,
+        |    (CASE WHEN lat * 10 >= lat + cjk + kana + cyr AND lat > 0
+        |        THEN 1 ELSE 0 END
+        |     + CASE WHEN cjk * 10 >= lat + cjk + kana + cyr AND cjk > 0
+        |        THEN 1 ELSE 0 END
+        |     + CASE WHEN kana * 10 >= lat + cjk + kana + cyr AND kana > 0
+        |        THEN 1 ELSE 0 END
+        |     + CASE WHEN cyr * 10 >= lat + cjk + kana + cyr AND cyr > 0
+        |        THEN 1 ELSE 0 END) AS ns
+        |  FROM c)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(lat) AS BIGINT) AS latin_chars,
+        |  CAST(SUM(cjk) AS BIGINT) AS cjk_chars,
+        |  CAST(SUM(kana) AS BIGINT) AS kana_chars,
+        |  CAST(SUM(cyr) AS BIGINT) AS cyrillic_chars,
+        |  CAST(SUM(dig) AS BIGINT) AS digit_chars,
+        |  CAST(SUM(CASE WHEN tot > 0 AND ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mixed,
+        |  round(CAST(SUM(CASE WHEN tot > 0 AND ns >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mixed_frac
+        |FROM m GROUP BY 1 ORDER BY source""".stripMargin,
     "q_zipf" ->
       """WITH tk AS (
         |  SELECT lang, w FROM (

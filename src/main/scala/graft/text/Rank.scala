@@ -380,6 +380,133 @@ object Rank {
           round(num * num / (dx * dy), 6)).as("r2"): _*)
   }
 
+  /** Heaps' law fit — vocabulary growth V(n) ≈ K·n^β, [[zipfFit]]'s
+    * companion curve: how fast does a corpus keep minting new types as
+    * documents accumulate? β near 1 means every batch is still novel
+    * (dedup/boilerplate problems look like β too LOW); the fitted K, β
+    * also forecast vocabulary (= hash-table, BPE, embedding-row) sizes
+    * at 100× the corpus.
+    *
+    * "Arrival order" is a deterministic md5 bucket of the doc id
+    * ([[graft.ops.Sampling.hashBucket]]'s convention) — prefix c holds
+    * every doc whose bucket < B·2^{c−nCheckpoints}, so the growth curve
+    * needs NO global ordering: per-checkpoint doc counts are
+    * conditional counts over one scan, and per-checkpoint vocabulary
+    * is a conditional count over each token's MINIMUM bucket. β comes
+    * from log-log OLS over the (≤ nCheckpoints)-point table, ln terms
+    * nano-quantized first (the [[zipfFit]] discipline).
+    *
+    * Returns one row: `(n_docs, n_types, n_points, beta, k_coef)` —
+    * null fit when fewer than 3 nonempty prefixes.
+    *
+    * Scale shape: one doc scan → 1-row counts; one token explode into
+    * a map-combined per-token min; two 1-row frames broadcast-joined;
+    * OLS over a checkpoint-bounded table. No windows, no global sort.
+    */
+  def heapsLaw(docs: DataFrame, idCol: Column, text: Column,
+               nCheckpoints: Int = 12): DataFrame = {
+    require(nCheckpoints >= 3 && nCheckpoints <= 24,
+      s"nCheckpoints out of range: $nCheckpoints")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val bits = 20
+    val bSize = 1 << bits
+    val base = docs.filter(idCol.isNotNull && text.isNotNull)
+      .select(graft.ops.Sampling.hashBucket(idCol, bSize).as("__b"),
+        text.as("__t"))
+    val cuts = (1 to nCheckpoints).map(c => (bSize >> (nCheckpoints - c)).toLong)
+    val docAggs = cuts.zipWithIndex.map { case (cut, i) =>
+      sum(when(col("__b") < cut, 1L).otherwise(0L)).as(s"__nd$i")
+    }
+    val dAgg = base.agg(docAggs.head, docAggs.tail: _*)
+    val tokMin = base
+      .select(col("__b"), explode(split(lower(col("__t")), "[^a-z0-9]+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(min(col("__b")).as("__mb"))
+    val vAggs = cuts.zipWithIndex.map { case (cut, i) =>
+      sum(when(col("__mb") < cut, 1L).otherwise(0L)).as(s"__v$i")
+    }
+    val vAgg = tokMin.agg(vAggs.head, vAggs.tail: _*)
+    val pts = array(cuts.indices.map(i =>
+      struct(col(s"__nd$i").as("nd"), col(s"__v$i").as("v"))): _*)
+    val last = nCheckpoints - 1
+    val withQ = dAgg.crossJoin(broadcast(vAgg))
+      .select(col(s"__nd$last").as("n_docs"), col(s"__v$last").as("n_types"),
+        explode(pts).as("__p"))
+      .filter(col("__p.nd") > 0L && col("__p.v") > 0L)
+      .select(col("n_docs"), col("n_types"),
+        round(log(col("__p.nd").cast("double")) * lit(1e9), 0)
+          .cast("long").cast(dec).as("__x"),
+        round(log(col("__p.v").cast("double")) * lit(1e9), 0)
+          .cast("long").cast(dec).as("__y"))
+    val agg = withQ.groupBy(col("n_docs"), col("n_types"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val nDec = col("n_points").cast(dec)
+    val num = (nDec * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val dx = (nDec * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val slope = num / dx
+    val intercept =
+      (col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+        col("n_points").cast("double") / lit(1e9)
+    val ok = col("n_points") >= 3 && dx > 0.0
+    agg.select(col("n_docs"), col("n_types"), col("n_points"),
+      when(ok, round(slope, 6)).as("beta"),
+      when(ok, round(exp(intercept), 6)).as("k_coef"))
+  }
+
+  /** Token burstiness — variance-to-mean ratio of each token's
+    * per-document count over ALL documents (absences count as zeros):
+    * VMR ≈ 1 is Poisson scatter (function words), VMR ≫ 1 is a bursty
+    * topical term that floods the documents it enters. The
+    * vocabulary-level complement of [[TextStats.repetitionScore]]'s
+    * within-document repetition — and a cheap topical-keyword extractor
+    * that needs no reference corpus. Emits the top `topK` bursty
+    * tokens: `(token, n_docs, total_count, mean_per_doc, vmr)`.
+    *
+    * Zeros need no explode: with Σc and Σc² over PRESENT docs, the
+    * all-docs variance is (Σc² − (Σc)²/N)/(N−1) — absences contribute
+    * nothing to either power sum.
+    *
+    * Determinism: exact integer power sums; mean/VMR one fixed IEEE
+    * tree; the top-k orders by the UNROUNDED vmr with the token as
+    * tie-break, so both engines cut the same set.
+    *
+    * Scale shape: one token explode → (doc, token) map-combined count
+    * → token-keyed rollup, a 1-row doc-count broadcast, and a global
+    * top-k (TakeOrderedAndProject — never a full sort). `minDocs`
+    * prunes the hapax tail before the rollup leaves the shuffle.
+    */
+  def burstiness(docs: DataFrame, idCol: Column, text: Column,
+                 minDocs: Int = 5, topK: Int = 20): DataFrame = {
+    require(minDocs >= 1 && topK >= 1, s"bad params: $minDocs/$topK")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = docs.filter(idCol.isNotNull && text.isNotNull)
+    val nDocs = d.agg(count(lit(1)).as("__N"))
+    val perDoc = d
+      .select(idCol.as("__id"), explode(split(lower(text), "[^a-z0-9]+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("__c"))
+    val tok = perDoc.groupBy(col("__w"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("__sc"),
+        sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__sc2"))
+      .filter(col("n_docs") >= minDocs)
+    val j = tok.crossJoin(broadcast(nDocs))
+    val nD = col("__N").cast("double")
+    val scD = col("__sc").cast("double")
+    val mean = scD / nD
+    val vmr = when(col("__N") >= 2,
+      ((col("__sc2").cast("double") - scD * scD / nD) / (nD - lit(1.0))) / mean)
+    j.select(col("__w").as("token"), col("n_docs"),
+        col("__sc").as("total_count"),
+        round(mean, 6).as("mean_per_doc"), round(vmr, 6).as("vmr"),
+        vmr.as("__o"))
+      .orderBy(col("__o").desc, col("token").asc)
+      .limit(topK)
+      .drop("__o")
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010): the unsupervised
     * per-document keyphrase step every corpus card / search-index /
     * topic-label pipeline wants before anything model-based. Candidate

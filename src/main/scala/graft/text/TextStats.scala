@@ -212,6 +212,15 @@ object TextStats {
     * SQL-reproducible; a real pipeline would swap in a trained n-gram
     * model behind the same Column→Column contract.
     */
+  /** Characters of `text` matching a character-class `pattern` (e.g.
+    * `"[A-Za-z]"`), counted by length difference after stripping — the
+    * portable spelling ([[langId]]'s explicit-range discipline: the
+    * same classes mean the same thing in Java regex and RE2, so a
+    * DuckDB/Go scrubber replays the count byte-for-byte).
+    */
+  def charClassCount(text: Column, pattern: String): Column =
+    length(text) - length(regexp_replace(text, pattern, ""))
+
   def langId(text: Column): Column =
     when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
       .when(text.rlike("[\\u3040-\\u30ff]"), "ja")

@@ -189,6 +189,55 @@ class RankSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.0 && r.isNullAt(5)) // flat: slope 0, r2 undefined
   }
 
+  test("heapsLaw: all-unique vocabularies grow with beta exactly 1 and K = tokens/doc") {
+    // doc i contributes 3 tokens nobody else has: V(n) = 3n at every prefix
+    val d = createDf(spark, "id int, text string",
+      (0 until 64).map(i => Seq[Any](i, s"t${i}a t${i}b t${i}c")))
+    val r = Rank.heapsLaw(d, col("id"), col("text")).head()
+    assert(r.getLong(0) == 64L && r.getLong(1) == 192L)
+    assert(r.getLong(2) >= 3L)
+    assert(r.getDouble(3) == 1.0)
+    assert(math.abs(r.getDouble(4) - 3.0) < 1e-3, r.getDouble(4).toString)
+  }
+
+  test("heapsLaw: a one-token vocabulary is flat (beta 0); partitioning-invariant") {
+    val d = createDf(spark, "id int, text string",
+      (0 until 32).map(i => Seq[Any](i, "x x x")))
+    val r = Rank.heapsLaw(d, col("id"), col("text")).head()
+    assert(r.getLong(1) == 1L && r.getDouble(3) == 0.0)
+    val big = createDf(spark, "id int, text string",
+      (0 until 200).map(i => Seq[Any](i, s"w${i % 37} w${(i * 7) % 51} common")))
+    val one = Rank.heapsLaw(big.coalesce(1), col("id"), col("text")).head()
+    val many = Rank.heapsLaw(big.repartition(9), col("id"), col("text")).head()
+    assert(one == many)
+  }
+
+  test("burstiness: hand-checked VMR ordering — bursty beats uniform") {
+    // a: 3x in one doc (vmr 3.0); c: 1x in two docs (2/3); b: 1x everywhere (0)
+    val d = createDf(spark, "id int, text string", Seq(
+      Seq[Any](1, "a a a b"), Seq[Any](2, "b c"),
+      Seq[Any](3, "b c"), Seq[Any](4, "b")))
+    val rows = Rank.burstiness(d, col("id"), col("text"), minDocs = 1, topK = 10)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "c", "b"))
+    assert(rows(0).getDouble(4) == 3.0)
+    assert(rows(1).getDouble(4) == 0.666667)
+    assert(rows(2).getDouble(4) == 0.0)
+    assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 3L)
+  }
+
+  test("burstiness: minDocs prunes rare tokens and topK caps the cut") {
+    val d = createDf(spark, "id int, text string", Seq(
+      Seq[Any](1, "a a a b"), Seq[Any](2, "b c"),
+      Seq[Any](3, "b c"), Seq[Any](4, "b")))
+    val pruned = Rank.burstiness(d, col("id"), col("text"), minDocs = 2, topK = 10)
+      .collect()
+    assert(pruned.map(_.getString(0)).toSeq == Seq("c", "b"))
+    val capped = Rank.burstiness(d, col("id"), col("text"), minDocs = 1, topK = 2)
+      .collect()
+    assert(capped.map(_.getString(0)).toSeq == Seq("a", "c"))
+  }
+
   test("vocabularyOverlap: hand-checked jaccard and directional containment") {
     val d = createDf(spark, "g string, tk string",
       Seq("a" -> "x", "a" -> "y", "a" -> "x", // dup collapses

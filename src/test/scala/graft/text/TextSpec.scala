@@ -53,6 +53,17 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got == Set("en", "zh", "unknown"))
   }
 
+  test("charClassCount counts each script class by strip-difference") {
+    val df = createDf(spark, Seq("t"), Seq(Seq("ab1 中文 Я!")))
+    val row = df.select(
+      TextStats.charClassCount(col("t"), "[A-Za-z]"),
+      TextStats.charClassCount(col("t"), "[0-9]"),
+      TextStats.charClassCount(col("t"), "[\\u4e00-\\u9fff]"),
+      TextStats.charClassCount(col("t"), "[\\u0400-\\u04ff]")).head()
+    assert(row.getInt(0) == 2 && row.getInt(1) == 1)
+    assert(row.getInt(2) == 2 && row.getInt(3) == 1)
+  }
+
   test("fingerprints: winnowing selects window minima, deduped") {
     val df = createDf(spark, Seq("t"),
       Seq(Seq("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")))
