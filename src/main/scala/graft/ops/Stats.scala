@@ -2474,6 +2474,24 @@ object Stats {
       when(defined && c > 0.0, round(chi2 / c, 6)).as("chi2_tie"))
   }
 
+  /** Kendall's W (coefficient of concordance) — HOW MUCH do the blocks
+    * (raters) agree on the treatment (item) ranking, on a 0..1 scale?
+    * The effect size behind [[friedman]]'s significance test, via the
+    * identity W = χ²_F(tie-corrected) / (m(k−1)) — so it inherits
+    * friedman's complete-block semantics, tie handling, and
+    * determinism wholesale (and its 6-dp χ², documented: W carries the
+    * same rounding). One row: `(k, n_blocks, w)`.
+    */
+  def kendallW(df: DataFrame, block: Column, treatment: Column,
+               value: Column): DataFrame = {
+    val f = friedman(df, block, treatment, value)
+    val denom = col("n_blocks").cast("double") *
+      (col("k") - lit(1L)).cast("double")
+    f.select(col("k"), col("n_blocks"),
+      when(col("chi2_tie").isNotNull && denom > 0.0,
+        round(col("chi2_tie") / denom, 6)).as("w"))
+  }
+
   /** Bartlett's test for homogeneity of variances — the parametric
     * (normal-assuming) complement of [[leveneBrownForsythe]]: sharper
     * when the data really is Gaussian, misleading when it isn't (run

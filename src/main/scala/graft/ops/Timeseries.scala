@@ -453,6 +453,53 @@ object Timeseries {
             .as("acf"): _*)
   }
 
+  /** Page-Hinkley test — sequential mean-INCREASE detector, [[cusum]]'s
+    * sibling for the case where the baseline is the series' own RUNNING
+    * mean rather than a fixed/global target: per row the walk
+    *
+    *   m_t = Σ_{i≤t} (x_i − μ̂_i − δ),   PH_t = m_t − min(0, min_{τ≤t} m_τ)
+    *
+    * alarms when PH_t > λ. The running-mean baseline makes it the
+    * streaming-drift default (no training window to pick).
+    *
+    * Determinism: μ̂_i = S_i/i rounds to integer NANOS per row (the
+    * running mean's varying denominator defeats [[cusum]]'s n-cleared
+    * trick, so quantize-then-sum replaces clear-then-sum); the walk and
+    * its running min are then exact decimal prefix sums under the
+    * series sort. PH rounds to 6 dp BEFORE the λ compare, so alarm
+    * flags replay exactly.
+    *
+    * Scale shape: one series-keyed exchange; every window shares its
+    * sort (row-frame prefix sums only). Output = input + `(ph,
+    * ph_alarm)`.
+    */
+  def pageHinkley(df: DataFrame, parts: Seq[String], orderCol: Column,
+                  valueCol: Column, delta: Double, lambda: Double): DataFrame = {
+    require(parts.nonEmpty, "pageHinkley needs series keys")
+    require(lambda > 0.0 && delta >= 0.0, s"need lambda > 0, delta >= 0: $lambda/$delta")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val reserved = Seq("__ph_dev", "__ph_m")
+    require(!df.columns.exists(reserved.contains),
+      s"input columns collide with reserved names: ${reserved.mkString(", ")}")
+    val x = round(valueCol * lit(1e6), 0).cast("long")
+    val wOrd = Window.partitionBy(parts.map(col): _*).orderBy(orderCol)
+    val wCum = wOrd.rowsBetween(Long.MinValue, 0)
+    val i = row_number().over(wOrd)
+    val s = sum(x).over(wCum)
+    val meanNano = round(s.cast("double") * lit(1e3) / i.cast("double"), 0)
+      .cast("long")
+    val devNano = (x * lit(1000L)) - meanNano - lit(math.round(delta * 1e9))
+    val pre = df.withColumn("__ph_dev", devNano.cast(dec))
+    val withWalk = pre.withColumn("__ph_m", sum(col("__ph_dev")).over(wCum))
+    val runMin = min(col("__ph_m")).over(wCum)
+    val ph = round((col("__ph_m") - least(lit(0L).cast(dec), runMin))
+      .cast("double") / lit(1e9), 6)
+    withWalk
+      .withColumn("ph", ph)
+      .withColumn("ph_alarm", col("ph") > lambda)
+      .drop(reserved: _*)
+  }
+
   /** Ljung-Box portmanteau test — is a series white noise, judged on
     * its first `maxLag` autocorrelations jointly? THE residual check
     * after any smoothing/trend fit ([[holtLinear]], [[cusum]]

@@ -292,6 +292,23 @@ object EventQueries {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Page-Hinkley drift ([[graft.ops.Timeseries.pageHinkley]]): the
+    * running-mean-baselined increase detector on the same daily
+    * revenue series q_cusum monitors against its global mean — per-row
+    * nano-quantized deviations, exact walk + running-min windows, 6-dp
+    * PH before the λ compare.
+    */
+  private def qPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("amount", col("cents") / lit(100.0))
+      .drop("cents")
+    graft.ops.Timeseries.pageHinkley(daily, Seq("event_type"), col("day"),
+        col("amount"), delta = 10.0, lambda = 500.0)
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Ljung-Box portmanteau ([[graft.ops.Timeseries.ljungBox]]): is the
     * per-type hourly revenue series white noise over its first six
     * autocorrelations jointly — the one-number readout of what
@@ -475,6 +492,7 @@ object EventQueries {
     "q_logrank" -> (qLogrank _),
     "q_autocorr" -> (qAutocorr _),
     "q_ljung_box" -> (qLjungBox _),
+    "q_page_hinkley" -> (qPageHinkley _),
     "q_concurrency" -> (qConcurrency _),
     "q_kendall" -> (qKendall _),
     "q_theilsen" -> (qTheilsen _),
@@ -860,6 +878,42 @@ object EventQueries {
         |SELECT CAST(cum AS BIGINT) AS max_concurrent,
         |  strftime(t, '%Y-%m-%d %H:%M:%S') AS at_ts
         |FROM c ORDER BY cum DESC, t LIMIT 1""".stripMargin,
+    "q_page_hinkley" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day, CAST(cents AS DOUBLE) / 100.0 AS amount,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |w AS (
+        |  SELECT event_type, day, amount, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    SUM(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM v),
+        |dv AS (
+        |  SELECT event_type, day, amount,
+        |    x * 1000 - CAST(round(CAST(s AS DOUBLE) * 1000.0
+        |      / CAST(i AS DOUBLE)) AS BIGINT) - 10000000000 AS dev
+        |  FROM w),
+        |mw AS (
+        |  SELECT event_type, day, amount,
+        |    SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM dv),
+        |r AS (
+        |  SELECT event_type, day, amount, m,
+        |    MIN(m) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |  FROM mw),
+        |f AS (
+        |  SELECT event_type, day, amount,
+        |    round(CAST(m - LEAST(0, mn) AS DOUBLE) / 1000000000.0, 6) AS ph
+        |  FROM r)
+        |SELECT event_type, day, amount, ph, ph > 500.0 AS ph_alarm
+        |FROM f ORDER BY event_type, day""".stripMargin,
     "q_cusum" ->
       """WITH d AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -586,6 +586,21 @@ object StatsQueries {
     graft.ops.Stats.moodMedianTest(t(s, dir, "events"),
       col("event_type"), col("value"))
 
+  /** Kendall's W ([[graft.ops.Stats.kendallW]]): the 0..1 concordance
+    * effect size behind q_friedman — how strongly do the 16 segment
+    * blocks agree on the event-type revenue ranking, via
+    * W = χ²_tie/(m(k−1)) off the same complete-block rank pass.
+    */
+  private def qKendallW(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .withColumn("block", col("user_id") % 16)
+      .groupBy(col("block"), col("event_type"))
+      .agg(sum(round(col("value") * lit(1e2), 0).cast("long")).as("cents"))
+    graft.ops.Stats.kendallW(e, col("block"), col("event_type"),
+      col("cents").cast("double"))
+  }
+
   /** Cochran-Armitage trend ([[graft.ops.Stats.cochranArmitage]]):
     * does the return probability trend with order quantity (1..50 as
     * the ordinal dose)? One level-keyed aggregation + a 50-row rollup,
@@ -969,6 +984,7 @@ object StatsQueries {
     "q_breslow_day" -> (qBreslowDay _),
     "q_dunn" -> (qDunn _),
     "q_mood" -> (qMood _),
+    "q_kendall_w" -> (qKendallW _),
     "q_paired_t" -> (qPairedT _),
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_did" -> (qDid _),
@@ -1007,6 +1023,62 @@ object StatsQueries {
   )
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
+  /** DuckDB replay of [[graft.ops.Stats.friedman]] on the q_friedman
+    * frame — shared by q_friedman and q_kendall_w (which divides its
+    * tie-corrected chi2 by m(k-1)).
+    */
+  private val friedmanOracleSql: String =
+    """WITH pre AS (
+        |  SELECT user_id % 16 AS b, event_type AS t,
+        |    SUM(CAST(round(value * 100.0) AS BIGINT)) * 1000000 AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |k1 AS (SELECT COUNT(DISTINCT t) AS k FROM pre),
+        |cb AS (
+        |  SELECT b, t, x, k, COUNT(*) OVER (PARTITION BY b) AS nb
+        |  FROM pre CROSS JOIN k1),
+        |cpl AS (SELECT * FROM cb WHERE nb = k),
+        |rk AS (
+        |  SELECT t, k,
+        |    2 * COUNT(*) OVER (PARTITION BY b ORDER BY x
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      + COUNT(*) OVER (PARTITION BY b, x) + 1 AS r2,
+        |    COUNT(*) OVER (PARTITION BY b, x) AS m,
+        |    ROW_NUMBER() OVER (PARTITION BY b, x ORDER BY t) AS rn
+        |  FROM cpl),
+        |pt AS (
+        |  SELECT t, k, COUNT(*) AS n, SUM(r2) AS r2j,
+        |    SUM(CASE WHEN rn = 1 THEN CAST(m AS HUGEINT) * m * m - m ELSE 0 END) AS t3
+        |  FROM rk GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT k, MAX(n) AS nb,
+        |    SUM(CAST(round(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE) / 4.0
+        |      * 1000000.0) AS HUGEINT)) AS s,
+        |    SUM(t3) AS ties
+        |  FROM pt GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nb AS BIGINT) AS n_blocks,
+        |  CAST(ties AS BIGINT) AS tie_cubes,
+        |  CASE WHEN k >= 2 AND nb >= 1 THEN
+        |    round(12.0 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |          * (CAST(k AS DOUBLE) + 1.0))
+        |        * (CAST(s AS DOUBLE) / 1000000.0)
+        |      - 3.0 * CAST(nb AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0), 6)
+        |  END AS chi2_f,
+        |  CASE WHEN k >= 2 AND nb >= 1 AND 1.0 - CAST(ties AS DOUBLE)
+        |      / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |        * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) > 0.0 THEN
+        |    round((12.0 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |          * (CAST(k AS DOUBLE) + 1.0))
+        |        * (CAST(s AS DOUBLE) / 1000000.0)
+        |      - 3.0 * CAST(nb AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+        |      / (1.0 - CAST(ties AS DOUBLE)
+        |        / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+        |          * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))), 6)
+        |  END AS chi2_tie
+        |FROM ag""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_dunn" ->
       """WITH v AS (
@@ -1220,57 +1292,18 @@ object StatsQueries {
         |  CASE WHEN n >= 2 AND vt > 0.0 THEN
         |    round(1.5 * (1.0 - (v0 + v1 + v2) / vt), 6) END AS alpha
         |FROM vs""".stripMargin,
-    "q_friedman" ->
-      """WITH pre AS (
-        |  SELECT user_id % 16 AS b, event_type AS t,
-        |    SUM(CAST(round(value * 100.0) AS BIGINT)) * 1000000 AS x
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
-        |    AND event_type IS NOT NULL
-        |  GROUP BY 1, 2),
-        |k1 AS (SELECT COUNT(DISTINCT t) AS k FROM pre),
-        |cb AS (
-        |  SELECT b, t, x, k, COUNT(*) OVER (PARTITION BY b) AS nb
-        |  FROM pre CROSS JOIN k1),
-        |cpl AS (SELECT * FROM cb WHERE nb = k),
-        |rk AS (
-        |  SELECT t, k,
-        |    2 * COUNT(*) OVER (PARTITION BY b ORDER BY x
-        |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      + COUNT(*) OVER (PARTITION BY b, x) + 1 AS r2,
-        |    COUNT(*) OVER (PARTITION BY b, x) AS m,
-        |    ROW_NUMBER() OVER (PARTITION BY b, x ORDER BY t) AS rn
-        |  FROM cpl),
-        |pt AS (
-        |  SELECT t, k, COUNT(*) AS n, SUM(r2) AS r2j,
-        |    SUM(CASE WHEN rn = 1 THEN CAST(m AS HUGEINT) * m * m - m ELSE 0 END) AS t3
-        |  FROM rk GROUP BY 1, 2),
-        |ag AS (
-        |  SELECT k, MAX(n) AS nb,
-        |    SUM(CAST(round(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE) / 4.0
-        |      * 1000000.0) AS HUGEINT)) AS s,
-        |    SUM(t3) AS ties
-        |  FROM pt GROUP BY 1)
-        |SELECT CAST(k AS BIGINT) AS k, CAST(nb AS BIGINT) AS n_blocks,
-        |  CAST(ties AS BIGINT) AS tie_cubes,
-        |  CASE WHEN k >= 2 AND nb >= 1 THEN
-        |    round(12.0 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
-        |          * (CAST(k AS DOUBLE) + 1.0))
-        |        * (CAST(s AS DOUBLE) / 1000000.0)
-        |      - 3.0 * CAST(nb AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0), 6)
-        |  END AS chi2_f,
-        |  CASE WHEN k >= 2 AND nb >= 1 AND 1.0 - CAST(ties AS DOUBLE)
-        |      / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
-        |        * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) > 0.0 THEN
-        |    round((12.0 / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
-        |          * (CAST(k AS DOUBLE) + 1.0))
-        |        * (CAST(s AS DOUBLE) / 1000000.0)
-        |      - 3.0 * CAST(nb AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
-        |      / (1.0 - CAST(ties AS DOUBLE)
-        |        / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
-        |          * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))), 6)
-        |  END AS chi2_tie
-        |FROM ag""".stripMargin,
+    "q_friedman" -> friedmanOracleSql,
+    "q_kendall_w" ->
+      s"""WITH f AS (
+         |$friedmanOracleSql
+         |)
+         |SELECT k, n_blocks,
+         |  CASE WHEN chi2_tie IS NOT NULL
+         |      AND CAST(n_blocks AS DOUBLE) * CAST(k - 1 AS DOUBLE) > 0.0 THEN
+         |    round(chi2_tie / (CAST(n_blocks AS DOUBLE)
+         |      * CAST(k - 1 AS DOUBLE)), 6) END AS w
+         |FROM f""".stripMargin,
+
     "q_kruskal" ->
       """WITH v AS (
         |  SELECT user_id % 4 AS segment, event_type AS l,

@@ -586,6 +586,17 @@ object TextQueries {
   private def qBurstiness(s: SparkSession, dir: String): DataFrame =
     Rank.burstiness(t(s, dir, "documents"), col("doc_id"), col("text"))
 
+  /** Hill diversity profile ([[Rank.hillNumbers]]): effective
+    * vocabulary sizes q0/q1/q2 per source — richness, exp(Shannon),
+    * inverse Simpson. The top-heaviness read a curation mix needs
+    * beside q_zipf's shape check; nano-quantized p·ln p terms over the
+    * vocabulary-bounded count table.
+    */
+  private def qHill(s: SparkSession, dir: String): DataFrame =
+    Rank.hillNumbers(t(s, dir, "documents").filter(col("source").isNotNull),
+        Seq("source"), col("text"))
+      .orderBy(col("source"))
+
   /** Script-mix audit ([[TextStats.charClassCount]]): per source, how
     * many characters sit in each major script, and how many documents
     * mix scripts (≥ 2 scripts each holding ≥ 10% of the doc's script
@@ -838,6 +849,7 @@ object TextQueries {
     "q_heaps" -> (qHeaps _),
     "q_burstiness" -> (qBurstiness _),
     "q_script_mix" -> (qScriptMix _),
+    "q_hill" -> (qHill _),
     "q_text_stats" -> (qTextStats _),
     "q_vocab" -> (qVocab _),
     "q_doc_quality" -> (qDocQuality _),
@@ -1185,6 +1197,30 @@ object TextQueries {
         |FROM i JOIN s sa ON sa.g = ga JOIN s sb ON sb.g = gb
         |ORDER BY ga, gb""".stripMargin,
     "q_heaps" -> heapsOracleSql(12),
+    "q_hill" ->
+      """WITH tk AS (
+        |  SELECT source, w FROM (
+        |    SELECT source, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |    FROM documents WHERE source IS NOT NULL)
+        |  WHERE w <> ''),
+        |f AS (SELECT source, w, COUNT(*) AS ff FROM tk GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, COUNT(*) AS nt, SUM(ff) AS ntok,
+        |    SUM(CAST(ff AS HUGEINT) * ff) AS f2
+        |  FROM f GROUP BY 1),
+        |h AS (
+        |  SELECT f.source,
+        |    SUM(CAST(round(CAST(ff AS DOUBLE) / CAST(ntok AS DOUBLE)
+        |      * ln(CAST(ff AS DOUBLE) / CAST(ntok AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT)) AS hs
+        |  FROM f JOIN t ON f.source = t.source GROUP BY 1)
+        |SELECT t.source, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(nt AS BIGINT) AS n_types,
+        |  round(-(CAST(hs AS DOUBLE) / 1000000000.0), 6) AS shannon,
+        |  round(exp(-(CAST(hs AS DOUBLE) / 1000000000.0)), 6) AS hill1,
+        |  round(CAST(ntok AS DOUBLE) * CAST(ntok AS DOUBLE)
+        |    / CAST(f2 AS DOUBLE), 6) AS hill2
+        |FROM t JOIN h ON t.source = h.source ORDER BY t.source""".stripMargin,
     "q_burstiness" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents

@@ -456,6 +456,52 @@ object Rank {
       when(ok, round(exp(intercept), 6)).as("k_coef"))
   }
 
+  /** Hill-number diversity profile — the three standard "effective
+    * vocabulary sizes" per group: q0 = richness (types), q1 = exp(H)
+    * (Shannon — types weighted by how evenly they're used), q2 =
+    * 1/Σp² (inverse Simpson — dominated by the head). Reading the
+    * profile left to right shows how top-heavy a source's vocabulary
+    * is; a curation mix that looks balanced by q0 can be wildly
+    * unbalanced by q2. Per group:
+    * `(groups..., n_tokens, n_types, shannon, hill1, hill2)`.
+    *
+    * Determinism: token counts are exact; each p·ln p term
+    * nano-quantizes before the vocabulary-bounded sum (the
+    * [[zipfFit]] discipline); Σf² stays an exact decimal so hill2 =
+    * T²/Σf² is one IEEE tree.
+    *
+    * Scale shape: one token explode → (group, token) map-combined
+    * count, a group-bounded totals broadcast back onto the count
+    * table, and two group-keyed rollups. No windows.
+    */
+  def hillNumbers(docs: DataFrame, groupBy: Seq[String], text: Column): DataFrame = {
+    require(groupBy.nonEmpty, "hillNumbers needs group keys (lit(1) for global)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val freqs = docs
+      .select(gCols :+ explode(split(lower(text), "[^a-z0-9]+")).as("__w"): _*)
+      .filter(col("__w") =!= "")
+      .groupBy(gCols :+ col("__w"): _*)
+      .agg(count(lit(1)).as("__f"))
+    val totals = freqs.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("n_types"), sum(col("__f")).as("n_tokens"),
+        sum(col("__f").cast(dec) * col("__f").cast(dec)).as("__f2"))
+    val p = col("__f").cast("double") / col("__T").cast("double")
+    val hTerm = round(p * log(p) * lit(1e9), 0).cast("long")
+    val hAgg = freqs
+      .join(broadcast(totals.select(gCols :+ col("n_tokens").as("__T"): _*)),
+        groupBy)
+      .groupBy(gCols: _*).agg(sum(hTerm).as("__hsum"))
+    val h = -(col("__hsum").cast("double") / lit(1e9))
+    val hill2 = col("n_tokens").cast("double") * col("n_tokens").cast("double") /
+      col("__f2").cast("double")
+    totals.join(broadcast(hAgg), groupBy)
+      .select(gCols :+ col("n_tokens") :+ col("n_types")
+        :+ round(h, 6).as("shannon")
+        :+ round(exp(h), 6).as("hill1")
+        :+ round(hill2, 6).as("hill2"): _*)
+  }
+
   /** Token burstiness — variance-to-mean ratio of each token's
     * per-document count over ALL documents (absences count as zeros):
     * VMR ≈ 1 is Poisson scatter (function words), VMR ≫ 1 is a bursty

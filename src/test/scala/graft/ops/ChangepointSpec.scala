@@ -81,4 +81,41 @@ class ChangepointSpec extends AnyFunSuite {
       .collect().toSeq.sortBy(r => (r.getString(0), r.getInt(1)))
     assert(a == b)
   }
+
+  private def ph(vals: Seq[Double], delta: Double, lambda: Double) = {
+    val df = createDf(spark, "g string, o int, v double",
+      vals.zipWithIndex.map { case (v, i) => Seq[Any]("s", i, v) })
+    Timeseries.pageHinkley(df, Seq("g"), col("o"), col("v"), delta, lambda)
+      .orderBy(col("o")).collect()
+  }
+
+  test("pageHinkley: hand-checked walk over a level jump") {
+    // [0,0,0,100,100,100], delta 0: ph = 0,0,0,75,135,185
+    val rows = ph(Seq(0.0, 0.0, 0.0, 100.0, 100.0, 100.0), 0.0, 100.0)
+    assert(rows.map(_.getAs[Double]("ph")).toSeq ==
+      Seq(0.0, 0.0, 0.0, 75.0, 135.0, 185.0))
+    assert(rows.map(_.getAs[Boolean]("ph_alarm")).toSeq ==
+      Seq(false, false, false, false, true, true))
+  }
+
+  test("pageHinkley: constant and decreasing series never alarm") {
+    val const = ph(Seq.fill(10)(42.0), 0.0, 1.0)
+    assert(const.forall(_.getAs[Double]("ph") == 0.0))
+    val down = ph(Seq(100.0, 0.0, 0.0), 0.0, 1.0)
+    assert(down.forall(_.getAs[Double]("ph") == 0.0))
+  }
+
+  test("pageHinkley: delta suppresses small drifts; partitioning-invariant") {
+    // jump of 50 with delta 100: deviations stay negative, never alarms
+    val small = ph(Seq(0.0, 0.0, 50.0, 50.0), 100.0, 10.0)
+    assert(small.forall(!_.getAs[Boolean]("ph_alarm")))
+    val vals = (0 until 200).map(i => ((i * 37) % 23).toDouble + (i / 50) * 10.0)
+    val df = createDf(spark, "g string, o int, v double",
+      vals.zipWithIndex.map { case (v, i) => Seq[Any](s"s${i % 3}", i, v) })
+    val one = Timeseries.pageHinkley(df.coalesce(1), Seq("g"), col("o"),
+      col("v"), 1.0, 20.0).orderBy(col("g"), col("o")).collect().toSeq
+    val many = Timeseries.pageHinkley(df.repartition(11), Seq("g"), col("o"),
+      col("v"), 1.0, 20.0).orderBy(col("g"), col("o")).collect().toSeq
+    assert(one == many)
+  }
 }

@@ -216,6 +216,25 @@ class NonparamSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("kendallW: perfect concordance gives W 1; W replays chi2_tie/(m(k-1))") {
+    val rows = for (b <- Seq("b1", "b2", "b3");
+                    (t, v) <- Seq("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
+      yield Seq[Any](b, t, v)
+    val df = createDf(spark, "b string, t string, v double", rows)
+    val w = Stats.kendallW(df, col("b"), col("t"), col("v")).head()
+    assert(w.getLong(0) == 3L && w.getLong(1) == 3L)
+    assert(w.getDouble(2) == 1.0)
+    // tied case: W must equal the friedman identity off the same frame
+    val tied = createDf(spark, "b string, t string, v double",
+      Seq(("b1", "a", 1.0), ("b1", "b", 1.0), ("b1", "c", 2.0),
+        ("b2", "a", 1.0), ("b2", "b", 2.0), ("b2", "c", 3.0))
+        .map { case (b, t, v) => Seq[Any](b, t, v) })
+    val f = Stats.friedman(tied, col("b"), col("t"), col("v")).head()
+    val exp = BigDecimal(f.getDouble(4) / (f.getLong(1) * (f.getLong(0) - 1)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(Stats.kendallW(tied, col("b"), col("t"), col("v")).head().getDouble(2) == exp)
+  }
+
   test("cochranArmitage: hand-checked perfect dose response gives z 2") {
     // scores 0,1,2 with success rates 0, 0.5, 1 over n=2 each:
     // A=12, inner=24, B=216 -> z = 12*sqrt(6)/sqrt(216) = 2 exactly

@@ -212,6 +212,34 @@ class RankSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("hillNumbers: a uniform vocabulary has all three Hill numbers equal") {
+    // 4 tokens x 3 each: q0 = 4, shannon = ln 4, hill1 = 4, hill2 = 144/36
+    val d = createDf(spark, "g string, text string",
+      Seq(Seq[Any]("s", "aa bb cc dd aa bb cc dd aa bb cc dd")))
+    val r = Rank.hillNumbers(d, Seq("g"), col("text")).head()
+    assert(r.getLong(1) == 12L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(4) == 4.0)
+    assert(r.getDouble(5) == 4.0)
+  }
+
+  test("hillNumbers: a dominated vocabulary orders q0 >= hill1 >= hill2") {
+    val d = createDf(spark, "g string, text string",
+      Seq(Seq[Any]("s", (Seq.fill(50)("top") ++ Seq("a", "b", "c", "d")).mkString(" "))))
+    val r = Rank.hillNumbers(d, Seq("g"), col("text")).head()
+    assert(r.getLong(2) == 5L)
+    assert(r.getDouble(4) > r.getDouble(5))
+    assert(r.getLong(2).toDouble > r.getDouble(4))
+    val big = createDf(spark, "g string, text string",
+      (0 until 120).map(i => Seq[Any](s"s${i % 3}", s"w${i % 17} w${(i * 7) % 29} x")))
+    val one = Rank.hillNumbers(big.coalesce(1), Seq("g"), col("text"))
+      .orderBy(col("g")).collect().toSeq
+    val many = Rank.hillNumbers(big.repartition(9), Seq("g"), col("text"))
+      .orderBy(col("g")).collect().toSeq
+    assert(one == many)
+  }
+
   test("burstiness: hand-checked VMR ordering — bursty beats uniform") {
     // a: 3x in one doc (vmr 3.0); c: 1x in two docs (2/3); b: 1x everywhere (0)
     val d = createDf(spark, "id int, text string", Seq(
