@@ -113,6 +113,65 @@ object Calibration {
           .as("cum_gain"))
   }
 
+  /** Brier score with the Murphy decomposition — the proper scoring
+    * rule behind [[calibration]]'s diagnostic view:
+    *
+    *   Brier = mean (s − y)²
+    *         = reliability − resolution + uncertainty   (binned)
+    *
+    * where reliability = Σ n_b(s̄_b − ȳ_b)²/N (calibration error —
+    * lower is better), resolution = Σ n_b(ȳ_b − ȳ)²/N (how much the
+    * bins separate outcomes — higher is better), uncertainty =
+    * ȳ(1−ȳ). The decomposition answers WHY a Brier score is bad:
+    * miscalibrated, or just uninformative. One row:
+    * `(n, n_bins, brier, reliability, resolution, uncertainty)`.
+    * (The identity is exact only with per-bin mean scores, which is
+    * what this computes; binning granularity is `nBins`.)
+    *
+    * Determinism: scores micro-quantize, so each row's (s−y)² is an
+    * exact integer in micro² units and Brier is exact division; the
+    * per-bin decomposition terms nano-quantize before the
+    * nBins-bounded sums.
+    *
+    * Scale shape: one bin-keyed map-combined aggregation, a 1-row
+    * total broadcast onto the ≤ nBins-row table, one rollup.
+    */
+  def brierDecomposition(df: DataFrame, positive: Column, score: Column,
+                         nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins out of range: $nBins")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = score.cast("double")
+    val sq = round(s * lit(1e6), 0).cast("long")
+    val base = df.filter(positive.isNotNull)
+      .select(least(floor(s * nBins).cast("int"), lit(nBins - 1)).as("__b"),
+        sq.as("__s"), when(positive, 1L).otherwise(0L).as("__y"))
+      .filter(col("__b").isNotNull && col("__b") >= 0)
+    val d = col("__s") - col("__y") * lit(1000000L)
+    val bins = base.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__s").cast(dec)).as("__ss"),
+        sum(col("__y")).as("__sy"), sum((d * d).cast(dec)).as("__sd2"))
+    val tot = bins.agg(count(lit(1)).as("n_bins"), sum(col("__n")).as("n"),
+      sum(col("__sy")).as("__Y"), sum(col("__sd2")).as("__D2"))
+    val j = bins.crossJoin(broadcast(tot))
+    val nbD = col("__n").cast("double")
+    val sbar = col("__ss").cast("double") / nbD / lit(1e6)
+    val ybar = col("__sy").cast("double") / nbD
+    val yAll = col("__Y").cast("double") / col("n").cast("double")
+    val rel = round(nbD * (sbar - ybar) * (sbar - ybar) * lit(1e9), 0).cast("long")
+    val res = round(nbD * (ybar - yAll) * (ybar - yAll) * lit(1e9), 0).cast("long")
+    val agg = j.select(col("n"), col("n_bins"), col("__Y"), col("__D2"),
+        rel.as("__rel"), res.as("__res"))
+      .groupBy(col("n"), col("n_bins"), col("__Y"), col("__D2"))
+      .agg(sum(col("__rel")).as("__relS"), sum(col("__res")).as("__resS"))
+    val nD = col("n").cast("double")
+    val yA = col("__Y").cast("double") / nD
+    agg.select(col("n"), col("n_bins"),
+      round(col("__D2").cast("double") / nD / lit(1e12), 6).as("brier"),
+      round(col("__relS").cast("double") / lit(1e9) / nD, 6).as("reliability"),
+      round(col("__resS").cast("double") / lit(1e9) / nD, 6).as("resolution"),
+      round(yA * (lit(1.0) - yA), 6).as("uncertainty"))
+  }
+
   /** Isotonic (PAV) calibration over the binned reliability table — the
     * nonparametric recalibration step after [[calibration]] DIAGNOSES a
     * gap: the unique nondecreasing fit of per-bin positive rates

@@ -1726,6 +1726,97 @@ object Stats {
         .as("or_mh"))
   }
 
+  /** Average precision (area under the precision-recall curve, the
+    * threshold-sweep form) — [[binaryAuc]]'s partner for IMBALANCED
+    * classes, where ROC-AUC flatters any classifier: AP weights each
+    * recall step by the precision at that threshold,
+    *
+    *   AP = Σ_s (ΔR_s) · P_s  over distinct scores s descending,
+    *
+    * ties handled at the distinct-score level (every row with the same
+    * score enters together — the only order both engines can agree
+    * on). One row: `(n_pos, n_neg, ap)`; null when there are no
+    * positives.
+    *
+    * Determinism: scores micro-quantize and collapse to the
+    * distinct-score layer; cumulative counts are exact integers off
+    * one descending window; each step's ΔR·P term nano-quantizes
+    * before the score-bounded sum.
+    *
+    * Scale shape: one score-keyed map-combined aggregation, one
+    * cumulative window over the DISTINCT-SCORE table (bounded — the
+    * [[binaryAuc]] doctrine), one grand rollup.
+    */
+  def averagePrecision(df: DataFrame, positive: Column, score: Column): DataFrame = {
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.filter(positive.isNotNull)
+      .select(when(positive, 1L).otherwise(0L).as("__y"), q(score).as("__s"))
+      .filter(col("__s").isNotNull)
+    val byVal = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__nv"), sum(col("__y")).as("__pv"))
+    import org.apache.spark.sql.expressions.Window
+    val wDesc = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byVal.select(col("__nv"), col("__pv"),
+      sum(col("__nv")).over(wDesc).as("__ca"),
+      sum(col("__pv")).over(wDesc).as("__cp"))
+    val tot = cum.agg(sum(col("__nv")).as("__n"), sum(col("__pv")).as("__P"))
+    val term = when(col("__P") > 0L,
+      round(col("__pv").cast("double") / col("__P").cast("double")
+        * (col("__cp").cast("double") / col("__ca").cast("double"))
+        * lit(1e9), 0).cast("long"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("__n"), col("__P"), term.as("__t"))
+      .groupBy(col("__n"), col("__P"))
+      .agg(sum(col("__t")).as("__ap"))
+      .select(col("__P").as("n_pos"), (col("__n") - col("__P")).as("n_neg"),
+        when(col("__P") > 0L,
+          round(col("__ap").cast("double") / lit(1e9), 6)).as("ap"))
+  }
+
+  /** Lin's concordance correlation coefficient — do two continuous
+    * measurements AGREE (not merely correlate)? Pearson's r forgives
+    * scale and location bias; CCC docks both:
+    *
+    *   CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)
+    *
+    * (population moments, Lin 1989). The method-comparison number for
+    * two scorers/annotators/sensors on the same scale. One row:
+    * `(n, mean_x, mean_y, pearson_r, ccc)`; r and ccc null when
+    * either variance is 0. Rows with either side null drop.
+    *
+    * Determinism: one grand aggregation of exact micro-quantized
+    * power sums; r and CCC are single IEEE trees.
+    *
+    * Scale shape: ONE map-combined aggregation, 1-row output.
+    */
+  def linCcc(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(q(x).as("__x"), q(y).as("__y"))
+    val agg = base.agg(count(lit(1)).as("n"),
+      sum(col("__x").cast(dec)).as("__sx"), sum(col("__y").cast(dec)).as("__sy"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+      sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"),
+      sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("__sx").cast("double")
+    val syD = col("__sy").cast("double")
+    val mx = sxD / nD / lit(1e6)
+    val my = syD / nD / lit(1e6)
+    // population second moments in value² units
+    val vx = (col("__sxx").cast("double") - sxD * sxD / nD) / nD / lit(1e12)
+    val vy = (col("__syy").cast("double") - syD * syD / nD) / nD / lit(1e12)
+    val cxy = (col("__sxy").cast("double") - sxD * syD / nD) / nD / lit(1e12)
+    val ok = col("n") >= 2 && vx > 0.0 && vy > 0.0
+    agg.select(col("n"),
+      round(mx, 6).as("mean_x"), round(my, 6).as("mean_y"),
+      when(ok, round(cxy / sqrt(vx * vy), 6)).as("pearson_r"),
+      when(ok, round(lit(2.0) * cxy /
+        (vx + vy + (mx - my) * (mx - my)), 6)).as("ccc"))
+  }
+
   /** Cochran-Armitage trend test — does a binary outcome's rate move
     * MONOTONICALLY with an ordered exposure score? Sharper than
     * [[chiSquareIndependence]] when the alternative is a trend (dose

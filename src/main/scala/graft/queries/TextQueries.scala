@@ -777,6 +777,36 @@ object TextQueries {
     graft.ops.Stats.krippendorffAlpha(ratedDocs(s, dir), col("doc_id"),
       Seq(col("lang"), TextStats.langId(col("text")), col("__maj")))
 
+  /** Average precision ([[graft.ops.Stats.averagePrecision]]): the
+    * PR-curve area for the linear quality classifier — q_auc's partner
+    * that doesn't flatter imbalanced classes. Distinct-score threshold
+    * sweep, nano-quantized ΔR·P steps.
+    */
+  private def qPrAuc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.averagePrecision(scoredDocs(s, dir), col("y"), col("s"))
+
+  /** Brier + Murphy decomposition
+    * ([[graft.ops.Calibration.brierDecomposition]]): WHY is the
+    * classifier's Brier score what it is — miscalibration
+    * (reliability) or lack of separation (resolution)? The proper-
+    * scoring companion to q_calibration on the same binned table.
+    */
+  private def qBrier(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.brierDecomposition(scoredDocs(s, dir),
+      col("y"), col("s"), nBins = 10)
+
+  /** Lin's CCC ([[graft.ops.Stats.linCcc]]): do character count and
+    * (6×) token count AGREE as document-size raters — not merely
+    * correlate? CCC docks the scale/location bias Pearson forgives;
+    * the method-comparison number for interchangeable size metrics.
+    */
+  private def qCcc(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    graft.ops.Stats.linCcc(d,
+      length(col("text")).cast("double"),
+      (size(split(col("text"), " ")) * 6).cast("double"))
+  }
+
   /** Decile lift/gain ([[graft.ops.Calibration.lift]]): how much
     * English does the top score-decile concentrate — the selection-
     * budget view of the same score, tiled by exact quantile thresholds
@@ -859,6 +889,9 @@ object TextQueries {
     "q_isotonic" -> (qIsotonic _),
     "q_fleiss" -> (qFleiss _),
     "q_krippendorff" -> (qKrippendorff _),
+    "q_pr_auc" -> (qPrAuc _),
+    "q_brier" -> (qBrier _),
+    "q_ccc" -> (qCcc _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
     "q_dsir" -> (qDsir _),
@@ -991,6 +1024,131 @@ object TextQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_pr_auc" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT lang, round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1000000.0 + (-0.05)))), 6) AS s
+        |  FROM agg),
+        |tg AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(s * 1000000.0) AS BIGINT) AS x
+        |  FROM sc WHERE lang IS NOT NULL AND s IS NOT NULL),
+        |bv AS (SELECT x, COUNT(*) AS nv, SUM(y) AS pv FROM tg GROUP BY 1),
+        |cm AS (
+        |  SELECT nv, pv,
+        |    SUM(nv) OVER (ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    SUM(pv) OVER (ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |  FROM bv),
+        |tt AS (SELECT SUM(nv) AS n, SUM(pv) AS p FROM cm),
+        |tm AS (
+        |  SELECT n, p,
+        |    CASE WHEN p > 0 THEN
+        |      CAST(round(CAST(pv AS DOUBLE) / CAST(p AS DOUBLE)
+        |        * (CAST(cp AS DOUBLE) / CAST(ca AS DOUBLE))
+        |        * 1000000000.0) AS BIGINT) END AS t
+        |  FROM cm CROSS JOIN tt),
+        |ag AS (SELECT n, p, SUM(t) AS ap FROM tm GROUP BY 1, 2)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(n - p AS BIGINT) AS n_neg,
+        |  CASE WHEN p > 0 THEN round(CAST(ap AS DOUBLE) / 1000000000.0, 6) END AS ap
+        |FROM ag""".stripMargin,
+    "q_brier" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT lang, round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1000000.0 + (-0.05)))), 6) AS s
+        |  FROM agg),
+        |bb AS (
+        |  SELECT LEAST(CAST(floor(s * 10) AS INTEGER), 9) AS b,
+        |    CAST(round(s * 1000000.0) AS BIGINT) AS sq,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM sc WHERE lang IS NOT NULL AND s IS NOT NULL
+        |    AND LEAST(CAST(floor(s * 10) AS INTEGER), 9) >= 0),
+        |bn AS (
+        |  SELECT b, COUNT(*) AS nb, SUM(sq) AS ss, SUM(y) AS sy,
+        |    SUM(CAST(sq - y * 1000000 AS HUGEINT) * (sq - y * 1000000)) AS sd2
+        |  FROM bb GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS n_bins, SUM(nb) AS n, SUM(sy) AS yy,
+        |  SUM(sd2) AS d2 FROM bn),
+        |tm AS (
+        |  SELECT n, n_bins, yy, d2,
+        |    CAST(round(CAST(nb AS DOUBLE)
+        |      * (CAST(ss AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0
+        |        - CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      * (CAST(ss AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0
+        |        - CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT) AS rel,
+        |    CAST(round(CAST(nb AS DOUBLE)
+        |      * (CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE)
+        |        - CAST(yy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE)
+        |        - CAST(yy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT) AS res
+        |  FROM bn CROSS JOIN tt),
+        |ag AS (SELECT n, n_bins, yy, d2, SUM(rel) AS rels, SUM(res) AS ress
+        |  FROM tm GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_bins AS BIGINT) AS n_bins,
+        |  round(CAST(d2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0, 6) AS brier,
+        |  round(CAST(rels AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6)
+        |    AS reliability,
+        |  round(CAST(ress AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6)
+        |    AS resolution,
+        |  round((CAST(yy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (1.0 - CAST(yy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS uncertainty
+        |FROM ag""".stripMargin,
+    "q_ccc" ->
+      """WITH v AS (
+        |  SELECT CAST(length(text) AS BIGINT) * 1000000 AS x,
+        |    CAST(len(string_split(text, ' ')) * 6 AS BIGINT) * 1000000 AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |ag AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM v),
+        |m AS (
+        |  SELECT n,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mx,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS my,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000000000.0 AS vx,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000000000.0 AS vy,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000000000.0 AS cxy
+        |  FROM ag)
+        |SELECT CAST(n AS BIGINT) AS n, round(mx, 6) AS mean_x,
+        |  round(my, 6) AS mean_y,
+        |  CASE WHEN n >= 2 AND vx > 0.0 AND vy > 0.0 THEN
+        |    round(cxy / sqrt(vx * vy), 6) END AS pearson_r,
+        |  CASE WHEN n >= 2 AND vx > 0.0 AND vy > 0.0 THEN
+        |    round(2.0 * cxy / (vx + vy + (mx - my) * (mx - my)), 6) END AS ccc
+        |FROM m""".stripMargin,
     "q_isotonic" ->
       """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |feats AS (

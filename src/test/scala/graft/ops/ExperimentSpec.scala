@@ -164,6 +164,82 @@ class ExperimentSpec extends AnyFunSuite {
     assert(r.isNullAt(5))
   }
 
+  test("averagePrecision: perfect ranking 1.0, inverted ranking hand-checked") {
+    val perfect = createDf(spark, "y boolean, s double",
+      Seq((true, 0.9), (true, 0.8), (false, 0.2), (false, 0.1))
+        .map { case (y, s) => Seq[Any](y, s) })
+    val p = Stats.averagePrecision(perfect, col("y"), col("s")).head()
+    assert(p.getLong(0) == 2L && p.getLong(1) == 2L)
+    assert(p.getDouble(2) == 1.0)
+    // inverted: steps 0.5*(1/3) + 0.5*(1/2) = 0.416667
+    val inverted = createDf(spark, "y boolean, s double",
+      Seq((false, 0.9), (false, 0.8), (true, 0.2), (true, 0.1))
+        .map { case (y, s) => Seq[Any](y, s) })
+    assert(Stats.averagePrecision(inverted, col("y"), col("s")).head()
+      .getDouble(2) == 0.416667)
+  }
+
+  test("averagePrecision: ties enter together; no positives nulls ap") {
+    val tied = createDf(spark, "y boolean, s double",
+      Seq((true, 0.5), (false, 0.5)).map { case (y, s) => Seq[Any](y, s) })
+    assert(Stats.averagePrecision(tied, col("y"), col("s")).head()
+      .getDouble(2) == 0.5)
+    val noPos = createDf(spark, "y boolean, s double",
+      Seq((false, 0.5), (false, 0.4)).map { case (y, s) => Seq[Any](y, s) })
+    assert(Stats.averagePrecision(noPos, col("y"), col("s")).head().isNullAt(2))
+  }
+
+  test("brierDecomposition: calibrated two-bin table — rel 0, identity holds") {
+    val rows =
+      (1 to 100).map(i => Seq[Any](i <= 25, 0.25)) ++
+        (1 to 100).map(i => Seq[Any](i <= 65, 0.65))
+    val df = createDf(spark, "y boolean, s double", rows)
+    val r = Calibration.brierDecomposition(df, col("y"), col("s"), nBins = 10).head()
+    assert(r.getLong(0) == 200L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.2075)
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 0.04)
+    assert(r.getDouble(5) == 0.2475)
+  }
+
+  test("brierDecomposition: an overconfident bin shows up as reliability") {
+    // all scores 0.9 but 40% positive: brier = .4*.01+.6*.81 = 0.49
+    // rel = (0.9-0.4)^2 = 0.25, res = 0, unc = 0.24
+    val rows = (1 to 10).map(i => Seq[Any](i <= 4, 0.9))
+    val df = createDf(spark, "y boolean, s double", rows)
+    val r = Calibration.brierDecomposition(df, col("y"), col("s"), nBins = 10).head()
+    assert(r.getDouble(2) == 0.49)
+    assert(r.getDouble(3) == 0.25)
+    assert(r.getDouble(4) == 0.0)
+    assert(r.getDouble(5) == 0.24)
+  }
+
+  test("linCcc: identity agrees at 1; a location shift docks CCC but not r") {
+    val same = createDf(spark, "x double, y double",
+      Seq(1.0, 2.0, 3.0).map(v => Seq[Any](v, v)))
+    val r1 = Stats.linCcc(same, col("x"), col("y")).head()
+    assert(r1.getDouble(3) == 1.0 && r1.getDouble(4) == 1.0)
+    val shifted = createDf(spark, "x double, y double",
+      Seq(1.0, 2.0, 3.0).map(v => Seq[Any](v, v + 1.0)))
+    val r2 = Stats.linCcc(shifted, col("x"), col("y")).head()
+    assert(r2.getDouble(1) == 2.0 && r2.getDouble(2) == 3.0)
+    assert(r2.getDouble(3) == 1.0)
+    assert(r2.getDouble(4) == 0.571429) // 2*(2/3) / (4/3 + 1)
+  }
+
+  test("linCcc: zero variance nulls r and ccc; partitioning-invariant") {
+    val flat = createDf(spark, "x double, y double",
+      Seq(1.0, 2.0, 3.0).map(v => Seq[Any](v, 7.0)))
+    val r = Stats.linCcc(flat, col("x"), col("y")).head()
+    assert(r.isNullAt(3) && r.isNullAt(4))
+    val rows = (0 until 300).map(i =>
+      Seq[Any]((i % 13).toDouble, ((i * 7) % 19).toDouble / 3.0))
+    val df = createDf(spark, "x double, y double", rows)
+    val one = Stats.linCcc(df.coalesce(1), col("x"), col("y")).head()
+    val many = Stats.linCcc(df.repartition(11), col("x"), col("y")).head()
+    assert(one == many)
+  }
+
   test("isotonicCalibration: already-monotone bin rates pass through untouched") {
     val rows =
       (1 to 100).map(i => Seq[Any](i <= 25, 0.25)) ++
