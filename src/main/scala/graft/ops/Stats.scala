@@ -1726,6 +1726,92 @@ object Stats {
         .as("or_mh"))
   }
 
+  /** Yuen's trimmed-mean t — [[welchT]] with the tails cut off: the
+    * robust two-sample location test for heavy-tailed metrics
+    * (latency, spend) where a handful of outliers drives Welch's
+    * variance. Each side trims `trimNum/trimDen` per tail by exact
+    * COUNT (the [[trimmedMean]] rule, k = ⌊n·f⌋), compares trimmed
+    * means, and scales by WINSORIZED variances:
+    *
+    *   t = (x̄_tA − x̄_tB) / √(d_A + d_B),
+    *   d_i = (Σx_w² − (Σx_w)²/n_i) / (h_i(h_i−1)),   h_i = n_i − 2k_i
+    *
+    * with Welch-Satterthwaite df = (d_A+d_B)²/(d_A²/(h_A−1) +
+    * d_B²/(h_B−1)). One row: `(n_a, n_b, h_a, h_b, tm_a, tm_b, t,
+    * df)`; t is null when either h_i < 2 or both winsorized variances
+    * are 0.
+    *
+    * Determinism: ranks are exact (micro-quantized values, row_number
+    * with the value as its own tie-break), winsorizing bounds are the
+    * exact order statistics x_(k+1) and x_(n−k) via conditional window
+    * aggregates, so every sum is an exact decimal; t and df are fixed
+    * IEEE trees.
+    *
+    * Scale shape: one side-keyed exchange shared by the rank and
+    * bound windows (frames = one side's rows — the [[trimmedMean]]
+    * bounded-group contract), one 2-row aggregation, one 1-row fold.
+    */
+  def yuenT(df: DataFrame, inA: Column, inB: Column, value: Column,
+            trimNum: Int = 1, trimDen: Int = 5): DataFrame = {
+    require(trimDen > 0 && trimNum >= 0 && 2 * trimNum < trimDen,
+      s"need 0 <= f < 1/2: $trimNum/$trimDen")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.select(
+        when(inA, "a").when(inB, "b").as("__g"), q(value).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    import org.apache.spark.sql.expressions.Window
+    val wG = Window.partitionBy(col("__g"))
+    val wOrd = wG.orderBy(col("__x"))
+    val ranked = base.select(col("__g"), col("__x"),
+      row_number().over(wOrd).cast("long").as("__i"),
+      count(lit(1)).over(wG).as("__n"))
+    val k = expr(s"(__n * $trimNum) div $trimDen")
+    val withK = ranked.withColumn("__k", k)
+    val lo = max(when(col("__i") <= col("__k") + lit(1L), col("__x"))).over(wG)
+    val hi = min(when(col("__i") >= col("__n") - col("__k"), col("__x"))).over(wG)
+    val withB = withK.withColumn("__lo", lo).withColumn("__hi", hi)
+    val xw = least(greatest(col("__x"), col("__lo")), col("__hi"))
+    val mid = col("__i") > col("__k") && col("__i") <= col("__n") - col("__k")
+    val sides = withB.groupBy(col("__g"))
+      .agg(max(col("__n")).as("__nn"), max(col("__k")).as("__kk"),
+        sum(when(mid, col("__x").cast(dec))).as("__ts"),
+        sum(when(mid, 1L).otherwise(0L)).as("__h"),
+        sum(xw.cast(dec)).as("__ws"),
+        sum((xw.cast(dec)) * (xw.cast(dec))).as("__ws2"))
+    def side(g: String, c: String): Column = max(when(col("__g") === g, col(c)))
+    val folded = sides.agg(
+      side("a", "__nn").as("__na"), side("b", "__nn").as("__nb"),
+      side("a", "__h").as("__ha"), side("b", "__h").as("__hb"),
+      side("a", "__ts").as("__tsa"), side("b", "__ts").as("__tsb"),
+      side("a", "__ws").as("__wsa"), side("b", "__ws").as("__wsb"),
+      side("a", "__ws2").as("__ws2a"), side("b", "__ws2").as("__ws2b"))
+    def tm(ts: String, h: String): Column =
+      col(ts).cast("double") / col(h).cast("double") / lit(1e6)
+    def dI(ws: String, ws2: String, n: String, h: String): Column = {
+      val sD = col(ws).cast("double")
+      val hD = col(h).cast("double")
+      (col(ws2).cast("double") - sD * sD / col(n).cast("double")) /
+        (hD * (hD - lit(1.0))) / lit(1e12)
+    }
+    val dA = dI("__wsa", "__ws2a", "__na", "__ha")
+    val dB = dI("__wsb", "__ws2b", "__nb", "__hb")
+    val tmA = tm("__tsa", "__ha")
+    val tmB = tm("__tsb", "__hb")
+    val t = (tmA - tmB) / sqrt(dA + dB)
+    val dfW = (dA + dB) * (dA + dB) /
+      (dA * dA / (col("__ha").cast("double") - lit(1.0)) +
+        dB * dB / (col("__hb").cast("double") - lit(1.0)))
+    val ok = col("__ha") >= 2L && col("__hb") >= 2L && (dA + dB) > 0.0
+    folded.select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      col("__ha").as("h_a"), col("__hb").as("h_b"),
+      when(col("__ha") > 0L, round(tmA, 6)).as("tm_a"),
+      when(col("__hb") > 0L, round(tmB, 6)).as("tm_b"),
+      when(ok, round(t, 6)).as("t"),
+      when(ok, round(dfW, 6)).as("df"))
+  }
+
   /** Average precision (area under the precision-recall curve, the
     * threshold-sweep form) — [[binaryAuc]]'s partner for IMBALANCED
     * classes, where ROC-AUC flatters any classifier: AP weights each

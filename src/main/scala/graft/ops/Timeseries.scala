@@ -453,6 +453,115 @@ object Timeseries {
             .as("acf"): _*)
   }
 
+  /** Forecast-accuracy scorecard — the five numbers that decide
+    * whether a forecast ([[holtLinear]], [[holtWinters]], a seasonal
+    * naive, an external model's column) is worth shipping, per series:
+    *
+    *   MAE, RMSE, sMAPE = mean 2|e|/(|a|+|f|),
+    *   MASE = MAE / MAE(lag-1 naive),  U2 = RMSE / RMSE(lag-1 naive)
+    *
+    * MASE/U2 are the scale-free ones — "is this model better than
+    * persistence?" — with the naive denominators computed from the
+    * SAME series pass. Returns
+    * `(parts..., n, mae, rmse, smape, mase, theil_u2)`; n counts
+    * scored rows (actual AND forecast present); rows with a null
+    * forecast still feed the naive denominators. sMAPE skips rows
+    * where |a|+|f| = 0; nulls where any denominator is empty/zero.
+    *
+    * Determinism: actual/forecast micro-quantize, so |e|, e², and the
+    * naive |Δa|, Δa² are exact integers; each sMAPE ratio
+    * nano-quantizes per row before the exact sum; the five outputs
+    * are fixed IEEE trees.
+    *
+    * Scale shape: one series-keyed exchange (the lag window), then one
+    * map-combined per-series aggregation.
+    */
+  def forecastAccuracy(df: DataFrame, parts: Seq[String], orderCol: Column,
+                       actual: Column, forecast: Column): DataFrame = {
+    require(parts.nonEmpty, "forecastAccuracy needs series keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val pCols = parts.map(col)
+    val base = df.select(pCols :+ orderCol.as("__o")
+        :+ q(actual).as("__a") :+ q(forecast).as("__f"): _*)
+      .filter(col("__a").isNotNull)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val withLag = base.withColumn("__p", lag(col("__a"), 1).over(w))
+    val e = col("__a") - col("__f")
+    val scored = col("__f").isNotNull
+    val den = abs(col("__a")) + abs(col("__f"))
+    val smTerm = when(scored && den > 0L,
+      round(lit(2.0) * abs(e).cast("double") / den.cast("double") * lit(1e9), 0)
+        .cast("long"))
+    val d = col("__a") - col("__p")
+    val agg = withLag.groupBy(pCols: _*).agg(
+      sum(when(scored, 1L).otherwise(0L)).as("n"),
+      sum(when(scored, abs(e).cast(dec))).as("__ae"),
+      // square in decimal — micro-unit daily aggregates overflow long
+      sum(when(scored, e.cast(dec) * e.cast(dec))).as("__se2"),
+      sum(smTerm).as("__sm"),
+      sum(when(smTerm.isNotNull, 1L).otherwise(0L)).as("__nsm"),
+      sum(when(col("__p").isNotNull, 1L).otherwise(0L)).as("__nn"),
+      sum(when(col("__p").isNotNull, abs(d).cast(dec))).as("__ad"),
+      sum(when(col("__p").isNotNull, d.cast(dec) * d.cast(dec))).as("__sd2"))
+    val nD = col("n").cast("double")
+    val nnD = col("__nn").cast("double")
+    val mae = col("__ae").cast("double") / nD / lit(1e6)
+    val rmse = sqrt(col("__se2").cast("double") / nD) / lit(1e6)
+    val maeN = col("__ad").cast("double") / nnD / lit(1e6)
+    val rmseN = sqrt(col("__sd2").cast("double") / nnD) / lit(1e6)
+    val hasF = col("n") > 0L
+    val hasN = col("__nn") > 0L
+    agg.select(pCols :+ col("n")
+      :+ when(hasF, round(mae, 6)).as("mae")
+      :+ when(hasF, round(rmse, 6)).as("rmse")
+      :+ when(col("__nsm") > 0L,
+        round(col("__sm").cast("double") / lit(1e9)
+          / col("__nsm").cast("double"), 6)).as("smape")
+      :+ when(hasF && hasN && maeN > 0.0, round(mae / maeN, 6)).as("mase")
+      :+ when(hasF && hasN && rmseN > 0.0, round(rmse / rmseN, 6)).as("theil_u2"): _*)
+  }
+
+  /** Turning-point test — the quickest randomness check on a series:
+    * count strict local extrema T among interior points; for an i.i.d.
+    * series E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90, so
+    * z = (T − E)/√V flags both over-smooth (too few turns — trend,
+    * strong autocorrelation) and over-jagged (too many — negative
+    * autocorrelation, alternating artifacts) series. Per series:
+    * `(parts..., n, n_turning, z)`; null z when n < 3. Plateaus
+    * (ties with a neighbor) are NOT extrema — strict comparisons,
+    * documented.
+    *
+    * Determinism: extremum flags are exact integer comparisons on
+    * micro-quantized values; z is one fixed IEEE tree.
+    *
+    * Scale shape: one series-keyed exchange (lag + lead share the
+    * sort), one map-combined per-series aggregation.
+    */
+  def turningPointTest(df: DataFrame, parts: Seq[String], orderCol: Column,
+                       valueCol: Column): DataFrame = {
+    require(parts.nonEmpty, "turningPointTest needs series keys")
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val pCols = parts.map(col)
+    val base = df.select(pCols :+ orderCol.as("__o") :+ q(valueCol).as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val withN = base
+      .withColumn("__pv", lag(col("__x"), 1).over(w))
+      .withColumn("__nx", lead(col("__x"), 1).over(w))
+    val tp = when(col("__pv").isNotNull && col("__nx").isNotNull &&
+      ((col("__x") > col("__pv") && col("__x") > col("__nx")) ||
+        (col("__x") < col("__pv") && col("__x") < col("__nx"))), 1L).otherwise(0L)
+    val agg = withN.groupBy(pCols: _*)
+      .agg(count(lit(1)).as("n"), sum(tp).as("n_turning"))
+    val nD = col("n").cast("double")
+    val eT = lit(2.0) * (nD - lit(2.0)) / lit(3.0)
+    val vT = (lit(16.0) * nD - lit(29.0)) / lit(90.0)
+    agg.select(pCols :+ col("n") :+ col("n_turning")
+      :+ when(col("n") >= 3L,
+        round((col("n_turning").cast("double") - eT) / sqrt(vT), 6)).as("z"): _*)
+  }
+
   /** Page-Hinkley test — sequential mean-INCREASE detector, [[cusum]]'s
     * sibling for the case where the baseline is the series' own RUNNING
     * mean rather than a fixed/global target: per row the walk

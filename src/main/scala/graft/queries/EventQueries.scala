@@ -292,6 +292,41 @@ object EventQueries {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Forecast scorecard ([[graft.ops.Timeseries.forecastAccuracy]]):
+    * the seasonal-naive (lag-7) forecast of daily revenue graded per
+    * event type — MAE/RMSE/sMAPE plus the scale-free MASE and Theil
+    * U2 against the lag-1 persistence baseline, all from one series
+    * pass with exact integer error sums.
+    */
+  private def qForecastAcc(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("amount", col("cents") / lit(100.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val withF = daily.withColumn("fc", lag(col("amount"), 7).over(w))
+    graft.ops.Timeseries.forecastAccuracy(withF, Seq("event_type"),
+        col("day"), col("amount"), col("fc"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Turning-point randomness ([[graft.ops.Timeseries.turningPointTest]]):
+    * is each event type's daily revenue series i.i.d.-jagged or
+    * trending-smooth? Strict local extrema counted against
+    * E[T] = 2(n−2)/3 — the one-exchange sanity check before any
+    * forecasting assumption.
+    */
+  private def qTurningPoints(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("amount", col("cents") / lit(100.0))
+    graft.ops.Timeseries.turningPointTest(daily, Seq("event_type"),
+        col("day"), col("amount"))
+      .orderBy(col("event_type"))
+  }
+
   /** Page-Hinkley drift ([[graft.ops.Timeseries.pageHinkley]]): the
     * running-mean-baselined increase detector on the same daily
     * revenue series q_cusum monitors against its global mean — per-row
@@ -493,6 +528,8 @@ object EventQueries {
     "q_autocorr" -> (qAutocorr _),
     "q_ljung_box" -> (qLjungBox _),
     "q_page_hinkley" -> (qPageHinkley _),
+    "q_forecast_acc" -> (qForecastAcc _),
+    "q_turning_points" -> (qTurningPoints _),
     "q_concurrency" -> (qConcurrency _),
     "q_kendall" -> (qKendall _),
     "q_theilsen" -> (qTheilsen _),
@@ -878,6 +915,86 @@ object EventQueries {
         |SELECT CAST(cum AS BIGINT) AS max_concurrent,
         |  strftime(t, '%Y-%m-%d %H:%M:%S') AS at_ts
         |FROM c ORDER BY cum DESC, t LIMIT 1""".stripMargin,
+    "q_forecast_acc" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day, CAST(cents AS DOUBLE) / 100.0 AS amount FROM d),
+        |wf AS (
+        |  SELECT event_type, day, amount,
+        |    lag(amount, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+        |  FROM v),
+        |q AS (
+        |  SELECT event_type, day,
+        |    CAST(round(amount * 1000000.0) AS BIGINT) AS a,
+        |    CAST(round(fc * 1000000.0) AS BIGINT) AS f
+        |  FROM wf WHERE amount IS NOT NULL),
+        |l AS (
+        |  SELECT event_type, a, f,
+        |    lag(a, 1) OVER (PARTITION BY event_type ORDER BY day) AS p
+        |  FROM q),
+        |ag AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN f IS NOT NULL THEN 1 ELSE 0 END) AS n,
+        |    SUM(CASE WHEN f IS NOT NULL THEN CAST(abs(a - f) AS HUGEINT) END) AS ae,
+        |    SUM(CASE WHEN f IS NOT NULL THEN
+        |      CAST(a - f AS HUGEINT) * (a - f) END) AS se2,
+        |    SUM(CASE WHEN f IS NOT NULL AND abs(a) + abs(f) > 0 THEN
+        |      CAST(round(2.0 * CAST(abs(a - f) AS DOUBLE)
+        |        / CAST(abs(a) + abs(f) AS DOUBLE) * 1000000000.0) AS BIGINT)
+        |    END) AS sm,
+        |    SUM(CASE WHEN f IS NOT NULL AND abs(a) + abs(f) > 0
+        |      THEN 1 ELSE 0 END) AS nsm,
+        |    SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS nn,
+        |    SUM(CASE WHEN p IS NOT NULL THEN CAST(abs(a - p) AS HUGEINT) END) AS ad,
+        |    SUM(CASE WHEN p IS NOT NULL THEN
+        |      CAST(a - p AS HUGEINT) * (a - p) END) AS sd2
+        |  FROM l GROUP BY 1),
+        |f2 AS (
+        |  SELECT event_type, n, nn, nsm, sm,
+        |    CAST(ae AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mae,
+        |    sqrt(CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 AS rmse,
+        |    CAST(ad AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000.0 AS maen,
+        |    sqrt(CAST(sd2 AS DOUBLE) / CAST(nn AS DOUBLE)) / 1000000.0 AS rmsen
+        |  FROM ag)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n > 0 THEN round(mae, 6) END AS mae,
+        |  CASE WHEN n > 0 THEN round(rmse, 6) END AS rmse,
+        |  CASE WHEN nsm > 0 THEN
+        |    round(CAST(sm AS DOUBLE) / 1000000000.0 / CAST(nsm AS DOUBLE), 6)
+        |  END AS smape,
+        |  CASE WHEN n > 0 AND nn > 0 AND maen > 0.0 THEN
+        |    round(mae / maen, 6) END AS mase,
+        |  CASE WHEN n > 0 AND nn > 0 AND rmsen > 0.0 THEN
+        |    round(rmse / rmsen, 6) END AS theil_u2
+        |FROM f2 ORDER BY event_type""".stripMargin,
+    "q_turning_points" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |l AS (
+        |  SELECT event_type, x,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY day) AS pv,
+        |    lead(x) OVER (PARTITION BY event_type ORDER BY day) AS nx
+        |  FROM v),
+        |ag AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+        |      AND ((x > pv AND x > nx) OR (x < pv AND x < nx))
+        |      THEN 1 ELSE 0 END) AS t
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS n_turning,
+        |  CASE WHEN n >= 3 THEN
+        |    round((CAST(t AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+        |      / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6) END AS z
+        |FROM ag ORDER BY event_type""".stripMargin,
     "q_page_hinkley" ->
       """WITH d AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

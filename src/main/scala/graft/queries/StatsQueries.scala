@@ -586,6 +586,17 @@ object StatsQueries {
     graft.ops.Stats.moodMedianTest(t(s, dir, "events"),
       col("event_type"), col("value"))
 
+  /** Yuen's trimmed t ([[graft.ops.Stats.yuenT]]): q_welch re-asked
+    * robustly — do purchase and click values differ in TRIMMED-mean
+    * location (20% per tail), scaled by winsorized variances? The
+    * outlier-proof spelling of the same A/B question, off one
+    * side-keyed rank exchange.
+    */
+  private def qYuen(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.yuenT(t(s, dir, "events"),
+      col("event_type") === "purchase", col("event_type") === "click",
+      col("value"), trimNum = 1, trimDen = 5)
+
   /** Kendall's W ([[graft.ops.Stats.kendallW]]): the 0..1 concordance
     * effect size behind q_friedman — how strongly do the 16 segment
     * blocks agree on the event-type revenue ranking, via
@@ -985,6 +996,7 @@ object StatsQueries {
     "q_dunn" -> (qDunn _),
     "q_mood" -> (qMood _),
     "q_kendall_w" -> (qKendallW _),
+    "q_yuen" -> (qYuen _),
     "q_paired_t" -> (qPairedT _),
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_did" -> (qDid _),
@@ -1080,6 +1092,69 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_yuen" ->
+      """WITH tg AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 'a'
+        |       WHEN event_type = 'click' THEN 'b' END AS g,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        |r AS (
+        |  SELECT g, x,
+        |    row_number() OVER (PARTITION BY g ORDER BY x) AS i,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM tg),
+        |kk AS (SELECT g, x, i, n, (n * 1) // 5 AS k FROM r),
+        |b AS (
+        |  SELECT g, x, i, n, k,
+        |    MAX(CASE WHEN i <= k + 1 THEN x END) OVER (PARTITION BY g) AS lo,
+        |    MIN(CASE WHEN i >= n - k THEN x END) OVER (PARTITION BY g) AS hi
+        |  FROM kk),
+        |s AS (
+        |  SELECT g, MAX(n) AS n, MAX(k) AS k,
+        |    SUM(CASE WHEN i > k AND i <= n - k THEN x END) AS ts,
+        |    SUM(CASE WHEN i > k AND i <= n - k THEN 1 ELSE 0 END) AS h,
+        |    SUM(LEAST(GREATEST(x, lo), hi)) AS ws,
+        |    SUM(CAST(LEAST(GREATEST(x, lo), hi) AS HUGEINT)
+        |      * LEAST(GREATEST(x, lo), hi)) AS ws2
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT
+        |    MAX(CASE WHEN g = 'a' THEN n END) AS na,
+        |    MAX(CASE WHEN g = 'b' THEN n END) AS nb,
+        |    MAX(CASE WHEN g = 'a' THEN h END) AS ha,
+        |    MAX(CASE WHEN g = 'b' THEN h END) AS hb,
+        |    MAX(CASE WHEN g = 'a' THEN ts END) AS tsa,
+        |    MAX(CASE WHEN g = 'b' THEN ts END) AS tsb,
+        |    MAX(CASE WHEN g = 'a' THEN ws END) AS wsa,
+        |    MAX(CASE WHEN g = 'b' THEN ws END) AS wsb,
+        |    MAX(CASE WHEN g = 'a' THEN ws2 END) AS ws2a,
+        |    MAX(CASE WHEN g = 'b' THEN ws2 END) AS ws2b
+        |  FROM s),
+        |z AS (
+        |  SELECT na, nb, ha, hb,
+        |    CAST(tsa AS DOUBLE) / CAST(ha AS DOUBLE) / 1000000.0 AS tma,
+        |    CAST(tsb AS DOUBLE) / CAST(hb AS DOUBLE) / 1000000.0 AS tmb,
+        |    (CAST(ws2a AS DOUBLE) - CAST(wsa AS DOUBLE) * CAST(wsa AS DOUBLE)
+        |        / CAST(na AS DOUBLE))
+        |      / (CAST(ha AS DOUBLE) * (CAST(ha AS DOUBLE) - 1.0))
+        |      / 1000000000000.0 AS da,
+        |    (CAST(ws2b AS DOUBLE) - CAST(wsb AS DOUBLE) * CAST(wsb AS DOUBLE)
+        |        / CAST(nb AS DOUBLE))
+        |      / (CAST(hb AS DOUBLE) * (CAST(hb AS DOUBLE) - 1.0))
+        |      / 1000000000000.0 AS db
+        |  FROM f)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(ha AS BIGINT) AS h_a, CAST(hb AS BIGINT) AS h_b,
+        |  CASE WHEN ha > 0 THEN round(tma, 6) END AS tm_a,
+        |  CASE WHEN hb > 0 THEN round(tmb, 6) END AS tm_b,
+        |  CASE WHEN ha >= 2 AND hb >= 2 AND da + db > 0.0 THEN
+        |    round((tma - tmb) / sqrt(da + db), 6) END AS t,
+        |  CASE WHEN ha >= 2 AND hb >= 2 AND da + db > 0.0 THEN
+        |    round((da + db) * (da + db)
+        |      / (da * da / (CAST(ha AS DOUBLE) - 1.0)
+        |        + db * db / (CAST(hb AS DOUBLE) - 1.0)), 6) END AS df
+        |FROM z""".stripMargin,
     "q_dunn" ->
       """WITH v AS (
         |  SELECT event_type AS l, CAST(round(value * 1000000.0) AS BIGINT) AS x

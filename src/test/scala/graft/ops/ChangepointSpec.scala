@@ -89,6 +89,52 @@ class ChangepointSpec extends AnyFunSuite {
       .orderBy(col("o")).collect()
   }
 
+  test("forecastAccuracy: lag-1 forecast scores MASE and U2 exactly 1") {
+    val df = createDf(spark, "g string, o int, a double, f double",
+      Seq(Seq[Any]("s", 1, 10.0, null), Seq[Any]("s", 2, 12.0, 10.0),
+        Seq[Any]("s", 3, 11.0, 12.0), Seq[Any]("s", 4, 13.0, 11.0)))
+    val r = Timeseries.forecastAccuracy(df, Seq("g"), col("o"),
+      col("a"), col("f")).head()
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 1.666667)
+    assert(r.getDouble(3) == 1.732051)
+    assert(r.getDouble(4) == 0.145147)
+    assert(r.getDouble(5) == 1.0)
+    assert(r.getDouble(6) == 1.0)
+  }
+
+  test("forecastAccuracy: a perfect forecast scores zero everywhere") {
+    val df = createDf(spark, "g string, o int, a double, f double",
+      Seq(Seq[Any]("s", 1, 10.0, 10.0), Seq[Any]("s", 2, 12.0, 12.0),
+        Seq[Any]("s", 3, 11.0, 11.0)))
+    val r = Timeseries.forecastAccuracy(df, Seq("g"), col("o"),
+      col("a"), col("f")).head()
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 0.0)
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0)
+  }
+
+  test("turningPointTest: peaks and valleys counted strictly; plateaus are not turns") {
+    val df = createDf(spark, "g string, o int, v double",
+      Seq(1.0, 3.0, 2.0, 4.0, 3.0).zipWithIndex
+        .map { case (v, i) => Seq[Any]("s", i, v) })
+    val r = Timeseries.turningPointTest(df, Seq("g"), col("o"), col("v")).head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L)
+    val expZ = BigDecimal((3.0 - 2.0 * 3.0 / 3.0) /
+        math.sqrt((16.0 * 5.0 - 29.0) / 90.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == expZ)
+    val mono = createDf(spark, "g string, o int, v double",
+      (1 to 5).map(i => Seq[Any]("s", i, i.toDouble)))
+    val rm = Timeseries.turningPointTest(mono, Seq("g"), col("o"), col("v")).head()
+    assert(rm.getLong(2) == 0L && rm.getDouble(3) < 0.0)
+    val plat = createDf(spark, "g string, o int, v double",
+      Seq(1.0, 2.0, 2.0, 2.0, 1.0).zipWithIndex
+        .map { case (v, i) => Seq[Any]("s", i, v) })
+    assert(Timeseries.turningPointTest(plat, Seq("g"), col("o"), col("v"))
+      .head().getLong(2) == 0L)
+  }
+
   test("pageHinkley: hand-checked walk over a level jump") {
     // [0,0,0,100,100,100], delta 0: ph = 0,0,0,75,135,185
     val rows = ph(Seq(0.0, 0.0, 0.0, 100.0, 100.0, 100.0), 0.0, 100.0)

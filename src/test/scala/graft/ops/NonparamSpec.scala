@@ -216,6 +216,38 @@ class NonparamSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("yuenT: hand-checked trimmed t ignores the planted outliers") {
+    // a=[0,10,11,12,100], b=[5,15,16,17,105], trim 1/5: k=1, h=3
+    // tm = 11 vs 16; d_a = d_b = 2/3 -> t = -5/sqrt(4/3), df = 4
+    val rows = Seq(0.0, 10.0, 11.0, 12.0, 100.0).map(v => Seq[Any]("a", v)) ++
+      Seq(5.0, 15.0, 16.0, 17.0, 105.0).map(v => Seq[Any]("b", v))
+    val df = createDf(spark, "g string, v double", rows)
+    val r = Stats.yuenT(df, col("g") === "a", col("g") === "b", col("v"),
+      trimNum = 1, trimDen = 5).head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 11.0 && r.getDouble(5) == 16.0)
+    assert(r.getDouble(6) == -4.330127)
+    assert(r.getDouble(7) == 4.0)
+  }
+
+  test("yuenT: zero winsorized variance nulls t; partitioning-invariant") {
+    val flat = createDf(spark, "g string, v double",
+      (Seq.fill(5)(3.0).map(v => Seq[Any]("a", v)) ++
+        Seq.fill(5)(7.0).map(v => Seq[Any]("b", v))))
+    val r = Stats.yuenT(flat, col("g") === "a", col("g") === "b", col("v"),
+      1, 5).head()
+    assert(r.isNullAt(6))
+    val rows = (0 until 400).map(i =>
+      Seq[Any](if (i % 2 == 0) "p" else "c", ((i * 37) % 101).toDouble / 3.0))
+    val df = createDf(spark, "g string, v double", rows)
+    val one = Stats.yuenT(df.coalesce(1), col("g") === "p", col("g") === "c",
+      col("v"), 1, 5).head()
+    val many = Stats.yuenT(df.repartition(13), col("g") === "p", col("g") === "c",
+      col("v"), 1, 5).head()
+    assert(one == many)
+  }
+
   test("kendallW: perfect concordance gives W 1; W replays chi2_tie/(m(k-1))") {
     val rows = for (b <- Seq("b1", "b2", "b3");
                     (t, v) <- Seq("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
