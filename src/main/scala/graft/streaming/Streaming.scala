@@ -446,6 +446,67 @@ object Streaming {
   /** Per-key CUSUM walks in exact integer micros. */
   case class CusumState(sp: Long, sm: Long, lastTs: Long)
 
+  /** A Page-Hinkley point from [[pageHinkleyStateful]]. */
+  case class PhPoint(key: String, tsMicros: Long, idx: Long, value: Double,
+                     ph: Double, ph_alarm: Boolean)
+
+  /** Per-key Page-Hinkley state: exact running count/sum, the
+    * nano-quantized walk, and its running minimum.
+    */
+  case class PhState(lastTs: Long, n: Long, sMicro: Long, mNano: Long,
+                     minNano: Long)
+
+  /** Streaming Page-Hinkley drift detector — the unbounded-stream twin
+    * of [[graft.ops.Timeseries.pageHinkley]], carrying the SAME
+    * integer state the batch windows compute: running (n, Σx) for the
+    * per-event rounded running mean, the nano walk m, and its running
+    * min. Fed in order, it emits EXACTLY the batch rows (the
+    * [[holtStateful]] batch-twin law): every rounding goes through
+    * `BigDecimal.valueOf(...).setScale(..., HALF_UP)` — bit-identical
+    * to Catalyst's `round`.
+    *
+    * Ordering contract: events sort within each micro-batch; an event
+    * older than the state's lastTs (late ACROSS batches) is DROPPED —
+    * a running mean cannot be rewound. State per key is O(1): four
+    * longs.
+    */
+  def pageHinkleyStateful(events: Dataset[SessionEvent], delta: Double,
+                          lambda: Double): Dataset[PhPoint] = {
+    require(lambda > 0.0 && delta >= 0.0, s"need lambda > 0, delta >= 0: $lambda/$delta")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def rnd(v: Double): Long =
+      java.math.BigDecimal.valueOf(v).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def rnd6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val deltaNano = math.round(delta * 1e9)
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[PhState, PhPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[SessionEvent], state: GroupState[PhState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.tsMicros, e.value))
+          var st = state.getOption.getOrElse(
+            PhState(Long.MinValue, 0L, 0L, 0L, Long.MaxValue))
+          val out = Seq.newBuilder[PhPoint]
+          sorted.foreach { e =>
+            if (e.tsMicros >= st.lastTs) {
+              val x = rnd(e.value * 1e6)
+              val n = st.n + 1
+              val s = st.sMicro + x
+              val meanNano = rnd(s.toDouble * 1e3 / n.toDouble)
+              val dev = x * 1000L - meanNano - deltaNano
+              val m = st.mNano + dev
+              val mn = math.min(st.minNano, m)
+              val ph = rnd6((m - math.min(0L, mn)).toDouble / 1e9)
+              st = PhState(e.tsMicros, n, s, m, mn)
+              out += PhPoint(key, e.tsMicros, n, e.value, ph, ph > lambda)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming CUSUM mean-shift monitor — the unbounded-stream sibling
     * of [[graft.ops.Timeseries.cusum]] with a FIXED target mean (a
     * stream has no series mean to center on; production CUSUM runs

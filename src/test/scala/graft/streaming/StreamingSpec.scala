@@ -323,6 +323,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) == 7.0)
   }
 
+  test("pageHinkleyStateful across micro-batches EQUALS the batch windows exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "k", "v")
+      .select(col("k").as("key"), col("ts"), col("v").as("value"))
+      .as[Streaming.SessionEvent](org.apache.spark.sql.Encoders.product[Streaming.SessionEvent])
+    val q = Streaming.pageHinkleyStateful(events, delta = 0.0, lambda = 50.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ph_stream").start()
+    val batch1 = Seq(
+      (ts("2024-01-01 00:00:00"), "u1", 10.0),
+      (ts("2024-01-01 00:01:00"), "u1", 10.0),
+      (ts("2024-01-01 00:02:00"), "u1", 10.0))
+    val batch2 = Seq(
+      (ts("2024-01-01 00:03:00"), "u1", 110.0),
+      (ts("2024-01-01 00:04:00"), "u1", 110.0),
+      (ts("2023-12-31 23:00:00"), "u1", 999.0)) // late across batches: dropped
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("ph_stream")
+        .select("key", "tsMicros", "value", "ph", "ph_alarm")
+        .orderBy("tsMicros").collect().map(_.toSeq).toSeq
+      assert(streamed.size == 5) // late event dropped
+      val df = (batch1 ++ batch2.take(2)).toDF("ts", "k", "v")
+      val expect = graft.ops.Timeseries.pageHinkley(
+          df.select(col("k").as("key"), unix_micros(col("ts")).as("o"),
+            col("v").as("value")),
+          Seq("key"), col("o"), col("value"), delta = 0.0, lambda = 50.0)
+        .select(col("key"), col("o"), col("value"), col("ph"), col("ph_alarm"))
+        .orderBy("o").collect().map(_.toSeq).toSeq
+      assert(streamed == expect, s"streaming:\n$streamed\nbatch:\n$expect")
+      // the jump must actually alarm in both
+      assert(streamed.last.last == true)
+    } finally q.stop()
+  }
+
   test("holtStateful across micro-batches EQUALS the batch fold exactly; late events drop") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
