@@ -574,26 +574,39 @@ object Stats {
     * test's q.
     */
   def benjaminiHochberg(df: DataFrame, pCol: Column, alpha: Double,
-                        tieBreak: Seq[Column]): DataFrame = {
+                        tieBreak: Seq[Column], yekutieli: Boolean = false): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
     require(tieBreak.nonEmpty,
       "pass tie-break columns (a test id) — tied p-values need a deterministic order")
     val W = org.apache.spark.sql.expressions.Window
     val pv = pCol.cast("double")
     val wRank = W.orderBy(pv.asc_nulls_last +: tieBreak.map(_.asc): _*)
-    val ranked = df
+    val wAll = W.rowsBetween(Long.MinValue, Long.MaxValue)
+    val prelim = df
       .withColumn("__pv", pv)
       .withColumn("__i", row_number().over(wRank).cast("long"))
-      .withColumn("__m", count(col("__pv")).over(W.rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("__m", count(col("__pv")).over(wAll))
+    // Benjamini-Yekutieli: inflate m by the harmonic number H(m) =
+    // Σ 1/i over the ranked non-null tests — valid under ARBITRARY
+    // dependence where plain BH assumes positive dependence. Each 1/i
+    // nano-quantizes so H is an exact integer sum (order-free).
+    val withH =
+      if (!yekutieli) prelim.withColumn("__h", lit(1.0))
+      else prelim.withColumn("__h",
+        sum(when(col("__pv").isNotNull,
+          round(lit(1e9) / col("__i").cast("double"), 0).cast("long")))
+          .over(wAll).cast("double") / lit(1e9))
+    val ranked = withH
       .withColumn("__qraw", when(col("__pv").isNotNull,
-        col("__m").cast("double") * col("__pv") / col("__i").cast("double")))
+        col("__m").cast("double") * col("__h") * col("__pv")
+          / col("__i").cast("double")))
     val wSuffix = W.orderBy(col("__i")).rowsBetween(0, Long.MaxValue)
     ranked
       .withColumn("bh_q", when(col("__pv").isNotNull,
         round(least(lit(1.0), min(col("__qraw")).over(wSuffix)), 6)))
       .withColumn("bh_rank", when(col("__pv").isNotNull, col("__i")))
       .withColumn("bh_reject", when(col("__pv").isNotNull, col("bh_q") <= alpha))
-      .drop("__pv", "__i", "__m", "__qraw")
+      .drop("__pv", "__i", "__m", "__h", "__qraw")
   }
 
   /** One-way ANOVA F — "do these k group means differ?" in one pass
@@ -1724,6 +1737,96 @@ object Stats {
       when(col("n_strata") > 0 && col("__sd") > 0,
         round(col("__so").cast("double") / col("__sd").cast("double"), 6))
         .as("or_mh"))
+  }
+
+  /** Rank-biserial correlation — the effect size behind
+    * [[mannWhitneyU]]: r = 2U/(n_a·n_b) − 1 ∈ [−1, 1], the probability
+    * a random A-row outranks a random B-row, rescaled (r = 2·AUC − 1).
+    * The "how big" to the U test's "is it real" — report both. Per
+    * group: `(groups..., n_a, n_b, r_rb)`; null when either side is
+    * empty. Inherits [[mannWhitneyU]]'s exact distinct-value rank
+    * layer wholesale.
+    */
+  def rankBiserial(df: DataFrame, groupBy: Seq[String],
+                   inA: Column, inB: Column, value: Column): DataFrame = {
+    val gCols = groupBy.map(col)
+    mannWhitneyU(df, groupBy, inA, inB, value).select(
+      gCols :+ col("n_a") :+ col("n_b")
+        :+ when(col("n_a") >= 1 && col("n_b") >= 1,
+          round(col("u_a_twice").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")) - lit(1.0), 6))
+          .as("r_rb"): _*)
+  }
+
+  /** Seasonal Mann-Kendall — monotone-trend detection that seasonality
+    * cannot fool: Kendall's S computes WITHIN each season (same
+    * weekday, same month), so the weekly/annual cycle contributes no
+    * pairs, and the per-season statistics pool:
+    *
+    *   S = Σ_s S_s,   Var = Σ_s [n_s(n_s−1)(2n_s+5) − Σt(t−1)(2t+5)]/18,
+    *   z = (S ∓ 1)/√Var   (continuity-corrected)
+    *
+    * Per group: `(groups..., n_seasons, n, s, z)`; z null when
+    * Var = 0. The Hirsch-Slack test, the standard for trend in any
+    * cyclic operational series.
+    *
+    * Determinism: values micro-quantize; S_s and the tie sums are
+    * exact integer pair/count sums; z is one IEEE tree.
+    *
+    * Scale shape: the pair layer self-joins on (group, season) — pair
+    * volume Σ n_s², the [[kendallTau]] bounded-group contract (per-
+    * season series, not raw corpora) — plus one distinct-value tie
+    * aggregation and two bounded rollups.
+    */
+  def seasonalMannKendall(df: DataFrame, parts: Seq[String], season: Column,
+                          orderCol: Column, value: Column): DataFrame = {
+    require(parts.nonEmpty, "seasonalMannKendall needs group keys")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val gCols = parts.map(col)
+    val base = df.select(gCols :+ season.cast("string").as("__se")
+        :+ orderCol.as("__o") :+ q(value).as("__x"): _*)
+      .filter(col("__se").isNotNull && col("__x").isNotNull)
+    import org.apache.spark.sql.expressions.Window
+    val wSe = Window.partitionBy(gCols :+ col("__se"): _*)
+    val idx = base.withColumn("__i",
+      row_number().over(wSe.orderBy(col("__o"), col("__x"))))
+    val seKeys = parts :+ "__se"
+    val aSide = idx.select(gCols :+ col("__se")
+      :+ col("__i").as("__i_a") :+ col("__x").as("__x_a"): _*)
+    val bSide = idx.select(gCols :+ col("__se")
+      :+ col("__i").as("__i_b") :+ col("__x").as("__x_b"): _*)
+    val pairAgg = aSide.join(bSide, seKeys)
+      .filter(col("__i_a") < col("__i_b"))
+      .groupBy(gCols :+ col("__se"): _*)
+      .agg(sum(signum(col("__x_b") - col("__x_a")).cast("long").cast(dec))
+        .as("__ss"))
+    val nC = col("__t").cast(dec)
+    val ties = idx.groupBy(gCols :+ col("__se") :+ col("__x"): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(gCols :+ col("__se"): _*)
+      .agg(sum(col("__t")).as("__ns"),
+        sum(nC * (nC - lit(1L).cast(dec)) *
+          (lit(2L).cast(dec) * nC + lit(5L).cast(dec))).as("__tsum"))
+    val nsC = col("__ns").cast(dec)
+    val perSeason = ties.join(pairAgg, seKeys, "left")
+      .select(gCols
+        :+ col("__ns")
+        :+ coalesce(col("__ss"), lit(0L).cast(dec)).as("__s")
+        :+ (nsC * (nsC - lit(1L).cast(dec)) *
+          (lit(2L).cast(dec) * nsC + lit(5L).cast(dec)) - col("__tsum"))
+          .as("__v18"): _*)
+    val agg = perSeason.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("n_seasons"), sum(col("__ns")).as("n"),
+        sum(col("__s")).as("__S"), sum(col("__v18")).as("__V18"))
+    val sD = col("__S").cast("double")
+    val varD = col("__V18").cast("double") / lit(18.0)
+    val z = when(col("__S") > 0L, (sD - lit(1.0)) / sqrt(varD))
+      .when(col("__S") < 0L, (sD + lit(1.0)) / sqrt(varD))
+      .otherwise(lit(0.0))
+    agg.select(gCols :+ col("n_seasons") :+ col("n")
+      :+ col("__S").cast("long").as("s")
+      :+ when(varD > 0.0, round(z, 6)).as("z"): _*)
   }
 
   /** Yuen's trimmed-mean t — [[welchT]] with the tails cut off: the

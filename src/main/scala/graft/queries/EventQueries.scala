@@ -292,6 +292,23 @@ object EventQueries {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Seasonal Mann-Kendall ([[graft.ops.Stats.seasonalMannKendall]]):
+    * does daily revenue TREND per event type once the weekly cycle is
+    * removed — Kendall pairs only within same-weekday series, pooled
+    * Hirsch-Slack S and variance, continuity-corrected z. The trend
+    * test q_kendall's plain tau would let seasonality fool.
+    */
+  private def qSeasonalMk(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("amount", col("cents") / lit(100.0))
+      .withColumn("dow", dayofweek(to_date(col("day"))))
+    graft.ops.Stats.seasonalMannKendall(daily, Seq("event_type"),
+        col("dow"), col("day"), col("amount"))
+      .orderBy(col("event_type"))
+  }
+
   /** Forecast scorecard ([[graft.ops.Timeseries.forecastAccuracy]]):
     * the seasonal-naive (lag-7) forecast of daily revenue graded per
     * event type — MAE/RMSE/sMAPE plus the scale-free MASE and Theil
@@ -530,6 +547,7 @@ object EventQueries {
     "q_page_hinkley" -> (qPageHinkley _),
     "q_forecast_acc" -> (qForecastAcc _),
     "q_turning_points" -> (qTurningPoints _),
+    "q_seasonal_mk" -> (qSeasonalMk _),
     "q_concurrency" -> (qConcurrency _),
     "q_kendall" -> (qKendall _),
     "q_theilsen" -> (qTheilsen _),
@@ -915,6 +933,50 @@ object EventQueries {
         |SELECT CAST(cum AS BIGINT) AS max_concurrent,
         |  strftime(t, '%Y-%m-%d %H:%M:%S') AS at_ts
         |FROM c ORDER BY cum DESC, t LIMIT 1""".stripMargin,
+    "q_seasonal_mk" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x,
+        |    dayofweek(CAST(day AS DATE)) AS se
+        |  FROM d),
+        |i AS (
+        |  SELECT event_type, se, x,
+        |    row_number() OVER (PARTITION BY event_type, se ORDER BY day, x) AS i
+        |  FROM v),
+        |p AS (
+        |  SELECT a.event_type AS event_type, a.se AS se,
+        |    SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS ss
+        |  FROM i a JOIN i b
+        |    ON a.event_type = b.event_type AND a.se = b.se AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |t1 AS (SELECT event_type, se, x, COUNT(*) AS t FROM i GROUP BY 1, 2, 3),
+        |t2 AS (
+        |  SELECT event_type, se, SUM(t) AS ns,
+        |    SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tsum
+        |  FROM t1 GROUP BY 1, 2),
+        |ps AS (
+        |  SELECT t2.event_type AS event_type, t2.ns AS ns,
+        |    COALESCE(p.ss, 0) AS s,
+        |    CAST(t2.ns AS HUGEINT) * (t2.ns - 1) * (2 * t2.ns + 5) - t2.tsum AS v18
+        |  FROM t2 LEFT JOIN p
+        |    ON t2.event_type = p.event_type AND t2.se = p.se),
+        |ag AS (
+        |  SELECT event_type, COUNT(*) AS nse, SUM(ns) AS n, SUM(s) AS sk,
+        |    SUM(v18) AS v18
+        |  FROM ps GROUP BY 1)
+        |SELECT event_type, CAST(nse AS BIGINT) AS n_seasons, CAST(n AS BIGINT) AS n,
+        |  CAST(sk AS BIGINT) AS s,
+        |  CASE WHEN CAST(v18 AS DOUBLE) / 18.0 > 0.0 THEN
+        |    round(CASE WHEN sk > 0 THEN
+        |        (CAST(sk AS DOUBLE) - 1.0) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+        |      WHEN sk < 0 THEN
+        |        (CAST(sk AS DOUBLE) + 1.0) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+        |      ELSE 0.0 END, 6) END AS z
+        |FROM ag ORDER BY event_type""".stripMargin,
     "q_forecast_acc" ->
       """WITH d AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -586,6 +586,37 @@ object StatsQueries {
     graft.ops.Stats.moodMedianTest(t(s, dir, "events"),
       col("event_type"), col("value"))
 
+  /** Benjamini-Yekutieli ([[graft.ops.Stats.benjaminiHochberg]] with
+    * `yekutieli = true`): q_fdr's eight segment KS tests re-corrected
+    * for ARBITRARY dependence — the harmonic-inflated q-values to
+    * quote when the segments share users and positive dependence
+    * can't be assumed.
+    */
+  private def qBy(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("segment", col("user_id") % 8)
+    val ks = graft.ops.Drift.ksStatisticGrouped(e, Seq("segment"),
+      col("event_type") === "purchase", col("event_type") === "click",
+      col("value"))
+    graft.ops.Stats.benjaminiHochberg(ks, col("p"), alpha = 0.1,
+        tieBreak = Seq(col("segment")), yekutieli = true)
+      .select(col("segment"), col("n_a"), col("n_b"), col("d_num"),
+        col("ks"), col("p"), col("bh_rank"), col("bh_q"), col("bh_reject"))
+      .orderBy(col("segment"))
+  }
+
+  /** Rank-biserial effect size ([[graft.ops.Stats.rankBiserial]]): HOW
+    * strongly do purchase values outrank click values per segment —
+    * the magnitude readout for q_mannwhitney's significance, off the
+    * same exact rank layer.
+    */
+  private def qRankBiserial(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("segment", col("user_id") % 4)
+    graft.ops.Stats.rankBiserial(e, Seq("segment"),
+        col("event_type") === "purchase", col("event_type") === "click",
+        col("value"))
+      .orderBy(col("segment"))
+  }
+
   /** Yuen's trimmed t ([[graft.ops.Stats.yuenT]]): q_welch re-asked
     * robustly — do purchase and click values differ in TRIMMED-mean
     * location (20% per tail), scaled by winsorized variances? The
@@ -997,6 +1028,8 @@ object StatsQueries {
     "q_mood" -> (qMood _),
     "q_kendall_w" -> (qKendallW _),
     "q_yuen" -> (qYuen _),
+    "q_by" -> (qBy _),
+    "q_rank_biserial" -> (qRankBiserial _),
     "q_paired_t" -> (qPairedT _),
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_did" -> (qDid _),
@@ -1092,6 +1125,88 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_by" ->
+      """WITH tg AS (
+        |  SELECT user_id % 8 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib,
+        |    value AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+        |c AS (SELECT segment, v, SUM(ia) AS ca, SUM(ib) AS cb FROM tg GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT segment,
+        |    SUM(ca) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+        |    SUM(cb) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+        |    SUM(ca) OVER (PARTITION BY segment) AS na,
+        |    SUM(cb) OVER (PARTITION BY segment) AS nb
+        |  FROM c),
+        |kk AS (
+        |  SELECT segment, na AS n_a, nb AS n_b,
+        |    MAX(abs(cca * nb - ccb * na)) AS d_num
+        |  FROM cc GROUP BY 1, 2, 3),
+        |pv AS (
+        |  SELECT segment, n_a, n_b, d_num,
+        |    round(CAST(d_num AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks,
+        |    round(least(1.0, 2.0 * exp(-2.0
+        |      * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |      * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |      * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))), 6) AS p
+        |  FROM kk),
+        |r AS (
+        |  SELECT pv.*, row_number() OVER (ORDER BY p ASC NULLS LAST, segment) AS i,
+        |    COUNT(p) OVER () AS m
+        |  FROM pv),
+        |r2 AS (
+        |  SELECT r.*,
+        |    CAST(SUM(CASE WHEN p IS NOT NULL THEN
+        |        CAST(round(1000000000.0 / CAST(i AS DOUBLE)) AS BIGINT) END)
+        |      OVER () AS DOUBLE) / 1000000000.0 AS h
+        |  FROM r),
+        |s AS (
+        |  SELECT r2.*,
+        |    round(least(1.0, MIN(CAST(m AS DOUBLE) * h * p / CAST(i AS DOUBLE))
+        |      OVER (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
+        |      AS bh_q
+        |  FROM r2)
+        |SELECT segment, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(d_num AS BIGINT) AS d_num, ks, p,
+        |  CASE WHEN p IS NOT NULL THEN CAST(i AS BIGINT) END AS bh_rank,
+        |  CASE WHEN p IS NOT NULL THEN bh_q END AS bh_q,
+        |  CASE WHEN p IS NOT NULL THEN (bh_q <= 0.1) END AS bh_reject
+        |FROM s ORDER BY segment""".stripMargin,
+    "q_rank_biserial" ->
+      """WITH tg AS (
+        |  SELECT user_id % 4 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 'a'
+        |         WHEN event_type = 'click' THEN 'b' END AS g,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT segment, x,
+        |    SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na_v,
+        |    COUNT(*) AS n_v
+        |  FROM tg GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT segment, na_v, n_v,
+        |    COALESCE(SUM(n_v) OVER (PARTITION BY segment ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM bv),
+        |a AS (
+        |  SELECT segment, SUM(na_v) AS na, SUM(n_v - na_v) AS nb,
+        |    SUM(na_v * (2 * cb + n_v + 1)) AS ra2
+        |  FROM rk GROUP BY 1),
+        |f AS (SELECT segment, na, nb, ra2 - na * (na + 1) AS u2 FROM a)
+        |SELECT segment, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na >= 1 AND nb >= 1 THEN
+        |    round(CAST(u2 AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 6) END AS r_rb
+        |FROM f ORDER BY segment""".stripMargin,
     "q_yuen" ->
       """WITH tg AS (
         |  SELECT CASE WHEN event_type = 'purchase' THEN 'a'

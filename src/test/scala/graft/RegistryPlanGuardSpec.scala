@@ -106,6 +106,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_dunn" -> "shared-rank cumulative window over the DISTINCT-VALUE cell table (a 6-dp value has bounded cardinality, the q_auc bound)",
     "q_mood" -> "median-locating cumulative window over the distinct-value count table (the q_auc bound; appears in both the cut and count branches)",
     "q_pr_auc" -> "descending threshold-sweep window over the DISTINCT-SCORE table (the q_auc bound)",
+    "q_by" -> "BH/BY rank, harmonic, and suffix-min windows over the tests table (rows = hypothesis count, the q_fdr bound)",
   )
 
   test("whole-frame windows appear only over bounded-by-construction tables") {

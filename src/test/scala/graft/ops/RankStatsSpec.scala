@@ -574,4 +574,60 @@ class RankStatsSpec extends AnyFunSuite {
       .orderBy(col("lag")).collect().toSeq
     assert(a == b)
   }
+
+  test("benjaminiYekutieli: harmonic inflation — q = BH q x H(m); single test equal") {
+    // p = (0.02, 0.04): BH q = (0.04, 0.04); H(2) = 1.5 -> BY q = (0.06, 0.06)
+    val df = createDf(spark, "id int, p double",
+      Seq(Seq[Any](1, 0.02), Seq[Any](2, 0.04)))
+    val by = Stats.benjaminiHochberg(df, col("p"), alpha = 0.1, Seq(col("id")),
+        yekutieli = true)
+      .orderBy(col("id")).collect()
+    assert(by.map(_.getAs[Double]("bh_q")).toSeq == Seq(0.06, 0.06))
+    val one = createDf(spark, "id int, p double", Seq(Seq[Any](1, 0.03)))
+    val bh1 = Stats.benjaminiHochberg(one, col("p"), 0.1, Seq(col("id"))).head()
+    val by1 = Stats.benjaminiHochberg(one, col("p"), 0.1, Seq(col("id")),
+      yekutieli = true).head()
+    assert(bh1.getAs[Double]("bh_q") == by1.getAs[Double]("bh_q"))
+  }
+
+  test("rankBiserial: separation maps to +1/-1, balanced interleave to 0") {
+    def rb(pairs: Seq[(String, Double)]): Double = {
+      val df = createDf(spark, "g string, v double",
+        pairs.map { case (g, v) => Seq[Any](g, v) }).withColumn("k", lit(0))
+      Stats.rankBiserial(df, Seq("k"), col("g") === "a", col("g") === "b",
+        col("v")).head().getDouble(3)
+    }
+    assert(rb(Seq("a" -> 3.0, "a" -> 4.0, "b" -> 1.0, "b" -> 2.0)) == 1.0)
+    assert(rb(Seq("a" -> 1.0, "a" -> 2.0, "b" -> 3.0, "b" -> 4.0)) == -1.0)
+    assert(rb(Seq("a" -> 1.0, "a" -> 2.0, "b" -> 1.0, "b" -> 2.0)) == 0.0)
+  }
+
+  test("seasonalMannKendall: hand-checked pooled S/variance over two weekday series") {
+    // season A: 1,2,3 rising (S=3, var18=66); B: 5,4 falling (S=-1, var18=18)
+    // S=2, Var=84/18 -> z = 1/sqrt(4.6667) = 0.46291
+    val df = createDf(spark, "g string, se string, o int, v double",
+      Seq(("A", 1, 1.0), ("A", 3, 2.0), ("A", 5, 3.0), ("B", 2, 5.0), ("B", 4, 4.0))
+        .map { case (se, o, v) => Seq[Any]("s", se, o, v) })
+    val r = Stats.seasonalMannKendall(df, Seq("g"), col("se"), col("o"),
+      col("v")).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 5L)
+    assert(r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 0.46291)
+  }
+
+  test("seasonalMannKendall: all-tied seasons contribute nothing; invariant to partitioning") {
+    val tied = createDf(spark, "g string, se string, o int, v double",
+      (1 to 4).map(o => Seq[Any]("s", "A", o, 7.0)))
+    val r = Stats.seasonalMannKendall(tied, Seq("g"), col("se"), col("o"),
+      col("v")).head()
+    assert(r.getLong(3) == 0L && r.isNullAt(4))
+    val rows = (0 until 120).map(i =>
+      Seq[Any](s"g${i % 2}", s"se${i % 7}", i, ((i * 13) % 31).toDouble))
+    val df = createDf(spark, "g string, se string, o int, v double", rows)
+    val one = Stats.seasonalMannKendall(df.coalesce(1), Seq("g"), col("se"),
+      col("o"), col("v")).orderBy(col("g")).collect().toSeq
+    val many = Stats.seasonalMannKendall(df.repartition(11), Seq("g"), col("se"),
+      col("o"), col("v")).orderBy(col("g")).collect().toSeq
+    assert(one == many)
+  }
 }
