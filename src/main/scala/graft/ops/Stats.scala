@@ -1739,6 +1739,93 @@ object Stats {
         .as("or_mh"))
   }
 
+  /** Partial correlation — the x↔y association with a confounder z
+    * HELD FIXED:
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))
+    *
+    * the first causal-hygiene step after someone quotes a raw
+    * correlation ("price correlates with quantity" — does it, once
+    * discount is controlled?). One row:
+    * `(n, r_xy, r_xz, r_yz, r_xy_z)`; the partial is null when either
+    * controlling correlation is ±1 (z explains a variable exactly).
+    * Rows with any null drop.
+    *
+    * Determinism: ONE grand aggregation of exact micro-quantized power
+    * sums (9 sums); every r and the partial are fixed IEEE trees.
+    *
+    * Scale shape: one map-combined aggregation, 1-row output.
+    */
+  def partialCorrelation(df: DataFrame, x: Column, y: Column, z: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.filter(x.isNotNull && y.isNotNull && z.isNotNull)
+      .select(q(x).as("__x"), q(y).as("__y"), q(z).as("__z"))
+    def s(c: String): Column = sum(col(c).cast(dec))
+    def s2(a: String, b: String): Column = sum(col(a).cast(dec) * col(b).cast(dec))
+    val agg = base.agg(count(lit(1)).as("n"),
+      s("__x").as("__sx"), s("__y").as("__sy"), s("__z").as("__sz"),
+      s2("__x", "__x").as("__sxx"), s2("__y", "__y").as("__syy"),
+      s2("__z", "__z").as("__szz"), s2("__x", "__y").as("__sxy"),
+      s2("__x", "__z").as("__sxz"), s2("__y", "__z").as("__syz"))
+    val nD = col("n").cast("double")
+    def cov(sab: String, sa: String, sb: String): Column =
+      (col(sab).cast("double") -
+        col(sa).cast("double") * col(sb).cast("double") / nD) / nD / lit(1e12)
+    val vx = cov("__sxx", "__sx", "__sx")
+    val vy = cov("__syy", "__sy", "__sy")
+    val vz = cov("__szz", "__sz", "__sz")
+    val rxy = cov("__sxy", "__sx", "__sy") / sqrt(vx * vy)
+    val rxz = cov("__sxz", "__sx", "__sz") / sqrt(vx * vz)
+    val ryz = cov("__syz", "__sy", "__sz") / sqrt(vy * vz)
+    val okR = col("n") >= 2 && vx > 0.0 && vy > 0.0 && vz > 0.0
+    val denomSq = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    agg.select(col("n"),
+      when(okR, round(rxy, 6)).as("r_xy"),
+      when(okR, round(rxz, 6)).as("r_xz"),
+      when(okR, round(ryz, 6)).as("r_yz"),
+      when(okR && denomSq > 0.0,
+        round((rxy - rxz * ryz) / sqrt(denomSq), 6)).as("r_xy_z"))
+  }
+
+  /** Per-stratum odds ratio with the Woolf (log) 95% CI — the
+    * stratum-level view [[cmhTest]] pools and [[breslowDay]] tests:
+    * which strata actually carry the effect, with honest uncertainty?
+    * One row per stratum:
+    * `(stratum, a, b, c, d, odds_ratio, ci_lo, ci_hi)` using
+    * ln OR ± 1.96·√(1/a+1/b+1/c+1/d); the OR is null when b·c = 0 and
+    * the CI null when ANY cell is 0 (the Woolf SE diverges — apply a
+    * continuity correction upstream if needed, documented rather than
+    * silently added).
+    *
+    * Determinism: exact integer cells; OR and CI are fixed IEEE trees
+    * per stratum.
+    *
+    * Scale shape: one stratum-keyed map-combined aggregation; output
+    * is strata-bounded.
+    */
+  def oddsRatioByStratum(df: DataFrame, stratum: Column, exposed: Column,
+                         outcome: Column): DataFrame = {
+    val base = df.select(stratum.as("stratum"),
+        when(exposed, 1L).otherwise(0L).as("__e"),
+        when(outcome, 1L).otherwise(0L).as("__o"))
+      .filter(col("stratum").isNotNull)
+    val cells = base.groupBy(col("stratum")).agg(
+      sum(when(col("__e") === 1L && col("__o") === 1L, 1L).otherwise(0L)).as("a"),
+      sum(when(col("__e") === 1L && col("__o") === 0L, 1L).otherwise(0L)).as("b"),
+      sum(when(col("__e") === 0L && col("__o") === 1L, 1L).otherwise(0L)).as("c"),
+      sum(when(col("__e") === 0L && col("__o") === 0L, 1L).otherwise(0L)).as("d"))
+    def dd(c: String): Column = col(c).cast("double")
+    val or = dd("a") * dd("d") / (dd("b") * dd("c"))
+    val se = sqrt(lit(1.0) / dd("a") + lit(1.0) / dd("b") +
+      lit(1.0) / dd("c") + lit(1.0) / dd("d"))
+    val allPos = col("a") > 0L && col("b") > 0L && col("c") > 0L && col("d") > 0L
+    cells.select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+      when(col("b") > 0L && col("c") > 0L, round(or, 6)).as("odds_ratio"),
+      when(allPos, round(exp(log(or) - lit(1.96) * se), 6)).as("ci_lo"),
+      when(allPos, round(exp(log(or) + lit(1.96) * se), 6)).as("ci_hi"))
+  }
+
   /** Rank-biserial correlation — the effect size behind
     * [[mannWhitneyU]]: r = 2U/(n_a·n_b) − 1 ∈ [−1, 1], the probability
     * a random A-row outranks a random B-row, rescaled (r = 2·AUC − 1).

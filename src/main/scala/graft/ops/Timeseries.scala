@@ -453,6 +453,75 @@ object Timeseries {
             .as("acf"): _*)
   }
 
+  /** Newey-West (HAC) standard error of a series mean — the honest
+    * uncertainty for an autocorrelated series, where the i.i.d. s/√n
+    * understates (positive autocorrelation) or overstates (negative)
+    * the truth:
+    *
+    *   Var(μ̂) = (γ₀ + 2·Σ_{k≤L} (1 − k/(L+1))·γ_k) / n
+    *
+    * (Bartlett weights — the kernel that keeps the estimate
+    * nonnegative). Per series: `(parts..., n, mean, se_iid, se_nw)` —
+    * quote se_nw/se_iid as the "effective sample size" deflation.
+    * se_nw is null when n ≤ maxLag.
+    *
+    * Determinism: autocovariance numerators clear the mean exactly —
+    * Σ(n·x_t − S)(n·x_{t+k} − S) is an exact decimal sum (the
+    * [[autocorrelation]] identity), so γ_k = A_k/n³ and both SEs are
+    * fixed IEEE trees; the k-fold over Bartlett weights is a literal
+    * fixed-order expression.
+    *
+    * Scale shape: one series-keyed exchange shared by the lag and
+    * whole-series windows, one map-combined per-series aggregation.
+    * The exact decimal products bound the contract to rolled-up
+    * series (the [[autocorrelation]]/[[graft.ops.Stats.kendallTau]]
+    * posture), not raw corpora.
+    */
+  def neweyWestMeanSe(df: DataFrame, parts: Seq[String], orderCol: Column,
+                      valueCol: Column, maxLag: Int): DataFrame = {
+    require(parts.nonEmpty, "neweyWestMeanSe needs series keys")
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag out of range: $maxLag")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val pCols = parts.map(col)
+    val base = df.select(pCols :+ orderCol.as("__o") :+ q(valueCol).as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val wAll = Window.partitionBy(pCols: _*)
+    val wOrd = wAll.orderBy(col("__o"))
+    val lagged = base.select(
+      pCols :+ col("__x")
+        :+ count(lit(1)).over(wAll).as("__n")
+        :+ sum(col("__x")).over(wAll).as("__S")
+        :++ (1 to maxLag).map(k => lag(col("__x"), k).over(wOrd).as(s"__l$k")): _*)
+    val nDec = col("__n").cast(dec)
+    val sDec = col("__S").cast(dec)
+    val cx = nDec * col("__x").cast(dec) - sDec
+    val aggs = Seq(
+      max(col("__n")).as("n"),
+      max(col("__S")).as("__sum"),
+      sum(cx * cx).as("__a0")) ++
+      (1 to maxLag).map { k =>
+        sum(when(col(s"__l$k").isNotNull,
+          cx * (nDec * col(s"__l$k").cast(dec) - sDec))).as(s"__a$k")
+      }
+    val agg = lagged.groupBy(pCols: _*).agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    val n3 = nD * nD * nD
+    def g(c: String): Column = coalesce(col(c).cast("double"), lit(0.0)) / n3
+    val weighted = (1 to maxLag).map { k =>
+      lit(1.0 - k.toDouble / (maxLag + 1).toDouble) * g(s"__a$k")
+    }.reduce(_ + _)
+    val varNw = (g("__a0") + lit(2.0) * weighted) / nD
+    val seIid = sqrt(col("__a0").cast("double") /
+      (nD * nD * (nD - lit(1.0))) / nD) / lit(1e6)
+    val mean = col("__sum").cast("double") / nD / lit(1e6)
+    agg.select(pCols :+ col("n")
+      :+ round(mean, 6).as("mean")
+      :+ when(col("n") >= 2L, round(seIid, 6)).as("se_iid")
+      :+ when(col("n") > maxLag && varNw >= 0.0,
+        round(sqrt(varNw) / lit(1e6), 6)).as("se_nw"): _*)
+  }
+
   /** Forecast-accuracy scorecard — the five numbers that decide
     * whether a forecast ([[holtLinear]], [[holtWinters]], a seasonal
     * naive, an external model's column) is worth shipping, per series:

@@ -292,6 +292,22 @@ object EventQueries {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Newey-West mean SE ([[graft.ops.Timeseries.neweyWestMeanSe]]):
+    * the honest uncertainty of each event type's mean daily revenue —
+    * autocorrelation-adjusted with Bartlett weights at lag 6, beside
+    * the i.i.d. s/√n it corrects. Exact mean-cleared autocovariance
+    * sums off one series exchange.
+    */
+  private def qNwSe(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("amount", col("cents") / lit(100.0))
+    graft.ops.Timeseries.neweyWestMeanSe(daily, Seq("event_type"),
+        col("day"), col("amount"), maxLag = 6)
+      .orderBy(col("event_type"))
+  }
+
   /** Seasonal Mann-Kendall ([[graft.ops.Stats.seasonalMannKendall]]):
     * does daily revenue TREND per event type once the weekly cycle is
     * removed — Kendall pairs only within same-weekday series, pooled
@@ -548,6 +564,7 @@ object EventQueries {
     "q_forecast_acc" -> (qForecastAcc _),
     "q_turning_points" -> (qTurningPoints _),
     "q_seasonal_mk" -> (qSeasonalMk _),
+    "q_nw_se" -> (qNwSe _),
     "q_concurrency" -> (qConcurrency _),
     "q_kendall" -> (qKendall _),
     "q_theilsen" -> (qTheilsen _),
@@ -933,6 +950,79 @@ object EventQueries {
         |SELECT CAST(cum AS BIGINT) AS max_concurrent,
         |  strftime(t, '%Y-%m-%d %H:%M:%S') AS at_ts
         |FROM c ORDER BY cum DESC, t LIMIT 1""".stripMargin,
+    "q_nw_se" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |w AS (
+        |  SELECT event_type, x,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(x) OVER (PARTITION BY event_type) AS sm,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+        |    lag(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3,
+        |    lag(x, 4) OVER (PARTITION BY event_type ORDER BY day) AS l4,
+        |    lag(x, 5) OVER (PARTITION BY event_type ORDER BY day) AS l5,
+        |    lag(x, 6) OVER (PARTITION BY event_type ORDER BY day) AS l6
+        |  FROM v),
+        |t AS (
+        |  SELECT event_type, n, sm,
+        |    CAST(n AS HUGEINT) * x - sm AS cx,
+        |    CASE WHEN l1 IS NOT NULL THEN CAST(n AS HUGEINT) * l1 - sm END AS c1,
+        |    CASE WHEN l2 IS NOT NULL THEN CAST(n AS HUGEINT) * l2 - sm END AS c2,
+        |    CASE WHEN l3 IS NOT NULL THEN CAST(n AS HUGEINT) * l3 - sm END AS c3,
+        |    CASE WHEN l4 IS NOT NULL THEN CAST(n AS HUGEINT) * l4 - sm END AS c4,
+        |    CASE WHEN l5 IS NOT NULL THEN CAST(n AS HUGEINT) * l5 - sm END AS c5,
+        |    CASE WHEN l6 IS NOT NULL THEN CAST(n AS HUGEINT) * l6 - sm END AS c6
+        |  FROM w),
+        |ag AS (
+        |  SELECT event_type, MAX(n) AS n, MAX(sm) AS sm,
+        |    SUM(cx * cx) AS a0,
+        |    SUM(CASE WHEN c1 IS NOT NULL THEN cx * c1 END) AS a1,
+        |    SUM(CASE WHEN c2 IS NOT NULL THEN cx * c2 END) AS a2,
+        |    SUM(CASE WHEN c3 IS NOT NULL THEN cx * c3 END) AS a3,
+        |    SUM(CASE WHEN c4 IS NOT NULL THEN cx * c4 END) AS a4,
+        |    SUM(CASE WHEN c5 IS NOT NULL THEN cx * c5 END) AS a5,
+        |    SUM(CASE WHEN c6 IS NOT NULL THEN cx * c6 END) AS a6
+        |  FROM t GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, sm, a0,
+        |    COALESCE(CAST(a0 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g0,
+        |    COALESCE(CAST(a1 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g1,
+        |    COALESCE(CAST(a2 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g2,
+        |    COALESCE(CAST(a3 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g3,
+        |    COALESCE(CAST(a4 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g4,
+        |    COALESCE(CAST(a5 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g5,
+        |    COALESCE(CAST(a6 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g6
+        |  FROM ag),
+        |z AS (
+        |  SELECT event_type, n, sm, a0,
+        |    (g0 + 2.0 * ((1.0 - 1.0 / 7.0) * g1 + (1.0 - 2.0 / 7.0) * g2
+        |      + (1.0 - 3.0 / 7.0) * g3 + (1.0 - 4.0 / 7.0) * g4
+        |      + (1.0 - 5.0 / 7.0) * g5 + (1.0 - 6.0 / 7.0) * g6))
+        |      / CAST(n AS DOUBLE) AS varnw
+        |  FROM f)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean,
+        |  CASE WHEN n >= 2 THEN
+        |    round(sqrt(CAST(a0 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      / CAST(n AS DOUBLE)) / 1000000.0, 6) END AS se_iid,
+        |  CASE WHEN n > 6 AND varnw >= 0.0 THEN
+        |    round(sqrt(varnw) / 1000000.0, 6) END AS se_nw
+        |FROM z ORDER BY event_type""".stripMargin,
     "q_seasonal_mk" ->
       """WITH d AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

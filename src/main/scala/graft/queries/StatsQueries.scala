@@ -586,6 +586,30 @@ object StatsQueries {
     graft.ops.Stats.moodMedianTest(t(s, dir, "events"),
       col("event_type"), col("value"))
 
+  /** Partial correlation ([[graft.ops.Stats.partialCorrelation]]):
+    * does quantity still track extended price once discount is held
+    * fixed? The causal-hygiene readout over q_corr's raw number — one
+    * grand nine-sum aggregation, three exact-moment correlations, one
+    * partial.
+    */
+  private def qPartialCorr(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.partialCorrelation(t(s, dir, "lineitem"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+
+  /** Per-stratum odds ratios ([[graft.ops.Stats.oddsRatioByStratum]]):
+    * the stratum-level view under q_cmh's pooled OR and
+    * q_breslow_day's homogeneity verdict — which user segments carry
+    * the click→high-value association, with Woolf 95% bounds.
+    */
+  private def qOddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "view") && col("user_id").isNotNull)
+      .withColumn("stratum", col("user_id") % 4)
+    graft.ops.Stats.oddsRatioByStratum(e, col("stratum"),
+        col("event_type") === "click", col("value") > 100.0)
+      .orderBy(col("stratum"))
+  }
+
   /** Benjamini-Yekutieli ([[graft.ops.Stats.benjaminiHochberg]] with
     * `yekutieli = true`): q_fdr's eight segment KS tests re-corrected
     * for ARBITRARY dependence — the harmonic-inflated q-values to
@@ -1030,6 +1054,8 @@ object StatsQueries {
     "q_yuen" -> (qYuen _),
     "q_by" -> (qBy _),
     "q_rank_biserial" -> (qRankBiserial _),
+    "q_partial_corr" -> (qPartialCorr _),
+    "q_odds_ratio" -> (qOddsRatio _),
     "q_paired_t" -> (qPairedT _),
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_did" -> (qDid _),
@@ -1125,6 +1151,84 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_partial_corr" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_quantity * 1000000.0) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 1000000.0) AS BIGINT) AS y,
+        |    CAST(round(l_discount * 1000000.0) AS BIGINT) AS z
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |ag AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(z AS HUGEINT) * z) AS szz, SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * z) AS sxz, SUM(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM v),
+        |m AS (
+        |  SELECT n,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e12 AS vx,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e12 AS vy,
+        |    (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e12 AS vz,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e12 AS cxy,
+        |    (CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e12 AS cxz,
+        |    (CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e12 AS cyz
+        |  FROM ag),
+        |r AS (
+        |  SELECT n, vx, vy, vz,
+        |    cxy / sqrt(vx * vy) AS rxy,
+        |    cxz / sqrt(vx * vz) AS rxz,
+        |    cyz / sqrt(vy * vz) AS ryz
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n >= 2 AND vx > 0.0 AND vy > 0.0 AND vz > 0.0 THEN
+        |    round(rxy, 6) END AS r_xy,
+        |  CASE WHEN n >= 2 AND vx > 0.0 AND vy > 0.0 AND vz > 0.0 THEN
+        |    round(rxz, 6) END AS r_xz,
+        |  CASE WHEN n >= 2 AND vx > 0.0 AND vy > 0.0 AND vz > 0.0 THEN
+        |    round(ryz, 6) END AS r_yz,
+        |  CASE WHEN n >= 2 AND vx > 0.0 AND vy > 0.0 AND vz > 0.0
+        |      AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0 THEN
+        |    round((rxy - rxz * ryz)
+        |      / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) END AS r_xy_z
+        |FROM r""".stripMargin,
+    "q_odds_ratio" ->
+      """WITH base AS (
+        |  SELECT user_id % 4 AS stratum,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS o
+        |  FROM events WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL),
+        |cells AS (
+        |  SELECT stratum,
+        |    SUM(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS b,
+        |    SUM(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS c,
+        |    SUM(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS d
+        |  FROM base GROUP BY 1)
+        |SELECT stratum, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        |  CASE WHEN b > 0 AND c > 0 THEN
+        |    round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6) END AS odds_ratio,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    round(exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |        / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+        |      - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |        + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))), 6)
+        |  END AS ci_lo,
+        |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        |    round(exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |        / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+        |      + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+        |        + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))), 6)
+        |  END AS ci_hi
+        |FROM cells ORDER BY stratum""".stripMargin,
     "q_by" ->
       """WITH tg AS (
         |  SELECT user_id % 8 AS segment,

@@ -89,6 +89,30 @@ class ChangepointSpec extends AnyFunSuite {
       .orderBy(col("o")).collect()
   }
 
+  test("neweyWestMeanSe: hand-checked ramp — persistence inflates the NW SE") {
+    // [1..8], L=1: g0 = 5.25, g1 = 3.28125 (all dyadic-exact)
+    val df = createDf(spark, "g string, o int, v double",
+      (1 to 8).map(i => Seq[Any]("s", i, i.toDouble)))
+    val r = Timeseries.neweyWestMeanSe(df, Seq("g"), col("o"), col("v"), 1).head()
+    assert(r.getLong(1) == 8L && r.getDouble(2) == 4.5)
+    assert(r.getDouble(3) == BigDecimal(math.sqrt(0.75))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(4) == BigDecimal(math.sqrt((5.25 + 2 * 0.5 * 3.28125) / 8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(4) > r.getDouble(3))
+  }
+
+  test("neweyWestMeanSe: alternating series deflates SE; short series nulls se_nw") {
+    val alt = createDf(spark, "g string, o int, v double",
+      (1 to 12).map(i => Seq[Any]("s", i, if (i % 2 == 0) 1.0 else -1.0)))
+    val r = Timeseries.neweyWestMeanSe(alt, Seq("g"), col("o"), col("v"), 2).head()
+    assert(r.getDouble(4) < r.getDouble(3))
+    val short = createDf(spark, "g string, o int, v double",
+      (1 to 3).map(i => Seq[Any]("s", i, i.toDouble)))
+    assert(Timeseries.neweyWestMeanSe(short, Seq("g"), col("o"), col("v"), 4)
+      .head().isNullAt(4))
+  }
+
   test("forecastAccuracy: lag-1 forecast scores MASE and U2 exactly 1") {
     val df = createDf(spark, "g string, o int, a double, f double",
       Seq(Seq[Any]("s", 1, 10.0, null), Seq[Any]("s", 2, 12.0, 10.0),

@@ -216,6 +216,46 @@ class NonparamSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("partialCorrelation: controlling the shared component recovers the identity") {
+    // y = x + z with x orthogonal to z: r_xy = 0.707, but r_xy.z = 1
+    val df = createDf(spark, "x double, y double, z double",
+      Seq((1.0, 2.0, 1.0), (2.0, 3.0, 1.0), (1.0, 3.0, 2.0), (2.0, 4.0, 2.0))
+        .map { case (x, y, z) => Seq[Any](x, y, z) })
+    val r = Stats.partialCorrelation(df, col("x"), col("y"), col("z")).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.707107)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.707107)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("partialCorrelation: a perfect control nulls the partial; invariant to partitioning") {
+    val degen = createDf(spark, "x double, y double, z double",
+      Seq((1.0, 5.0, 5.0), (2.0, 7.0, 7.0), (3.0, 6.0, 6.0))
+        .map { case (x, y, z) => Seq[Any](x, y, z) })
+    assert(Stats.partialCorrelation(degen, col("x"), col("y"), col("z"))
+      .head().isNullAt(4))
+    val rows = (0 until 300).map(i => Seq[Any](
+      (i % 13).toDouble, ((i * 7) % 11).toDouble, ((i * 3) % 17).toDouble))
+    val df = createDf(spark, "x double, y double, z double", rows)
+    val one = Stats.partialCorrelation(df.coalesce(1), col("x"), col("y"), col("z")).head()
+    val many = Stats.partialCorrelation(df.repartition(9), col("x"), col("y"), col("z")).head()
+    assert(one == many)
+  }
+
+  test("oddsRatioByStratum: OR 1 with a symmetric CI; zero cells degrade gracefully") {
+    val df = strataDf(Seq(("s1", 10, 10, 10, 10), ("s2", 0, 10, 10, 10)))
+    val got = Stats.oddsRatioByStratum(df, col("s"), col("e"), col("o"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = got("s1")
+    assert(s1.getDouble(5) == 1.0)
+    assert(s1.getDouble(6) < 1.0 && s1.getDouble(7) > 1.0)
+    assert(math.abs(s1.getDouble(6) * s1.getDouble(7) - 1.0) < 1e-5)
+    val s2 = got("s2")
+    assert(s2.getDouble(5) == 0.0)
+    assert(s2.isNullAt(6) && s2.isNullAt(7))
+  }
+
   test("yuenT: hand-checked trimmed t ignores the planted outliers") {
     // a=[0,10,11,12,100], b=[5,15,16,17,105], trim 1/5: k=1, h=3
     // tm = 11 vs 16; d_a = d_b = 2/3 -> t = -5/sqrt(4/3), df = 4
