@@ -1739,6 +1739,39 @@ object Stats {
         .as("or_mh"))
   }
 
+  /** Cohen's h — the effect size for two proportions, the "does it
+    * MATTER" beside [[twoProportionZ]]'s "is it real":
+    *
+    *   h = 2·asin(√p_a) − 2·asin(√p_b)
+    *
+    * (the arcsine transform makes a given h mean the same detectability
+    * at any base rate — the property raw p_a − p_b lacks, and why
+    * power calculators ask for h). One row:
+    * `(n_a, n_b, p_a, p_b, h)`; null when either side is empty.
+    *
+    * Determinism: exact conditional counts; p's and h one IEEE tree
+    * (asin is a correctly-rounded-in-practice libm call under a 6-dp
+    * round — the [[graft.ops.Drift]] exp/ln posture).
+    *
+    * Scale shape: ONE grand conditional-count aggregation, 1-row
+    * output.
+    */
+  def cohenH(df: DataFrame, inA: Column, inB: Column, success: Column): DataFrame = {
+    val agg = df.filter(success.isNotNull).agg(
+      sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(inB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(inA && success, 1L).otherwise(0L)).as("__ka"),
+      sum(when(inB && success, 1L).otherwise(0L)).as("__kb"))
+    val pa = col("__ka").cast("double") / col("n_a").cast("double")
+    val pb = col("__kb").cast("double") / col("n_b").cast("double")
+    val h = lit(2.0) * asin(sqrt(pa)) - lit(2.0) * asin(sqrt(pb))
+    val ok = col("n_a") > 0L && col("n_b") > 0L
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0L, round(pa, 6)).as("p_a"),
+      when(col("n_b") > 0L, round(pb, 6)).as("p_b"),
+      when(ok, round(h, 6)).as("h"))
+  }
+
   /** Partial correlation — the x↔y association with a confounder z
     * HELD FIXED:
     *

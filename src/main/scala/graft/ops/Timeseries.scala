@@ -453,6 +453,136 @@ object Timeseries {
             .as("acf"): _*)
   }
 
+  /** Wald-Wolfowitz runs test — randomness judged on the SEQUENCE of
+    * above/below-median flags (where [[turningPointTest]] judges local
+    * shape): too few runs means clustering/trend, too many means
+    * alternation. Per series: `(parts..., n, n_above, n_below, runs,
+    * z)` with
+    *
+    *   E[R] = 2·n₁n₂/n + 1,   Var = 2n₁n₂(2n₁n₂ − n) / (n²(n−1))
+    *
+    * Rows AT the median drop (the standard convention — a tie has no
+    * side); the cut is the exact per-series lower median off the
+    * distinct-value table (the [[graft.ops.Stats.moodMedianTest]]
+    * machinery, per series). z is null when either side is empty or
+    * Var ≤ 0.
+    *
+    * Determinism: the median is an exact order statistic; run starts
+    * are integer comparisons over the series sort; z is one IEEE tree.
+    *
+    * Scale shape: one distinct-value aggregation + series-bounded
+    * cumulative window for the cut, a series-keyed median join
+    * (bounded — one row per series), and one ordered window pass for
+    * the run starts.
+    */
+  def runsTest(df: DataFrame, parts: Seq[String], orderCol: Column,
+               valueCol: Column): DataFrame = {
+    require(parts.nonEmpty, "runsTest needs series keys")
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val pCols = parts.map(col)
+    val base = df.select(pCols :+ orderCol.as("__o") :+ q(valueCol).as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val byVal = base.groupBy(pCols :+ col("__x"): _*).agg(count(lit(1)).as("__nv"))
+    val wCum = Window.partitionBy(pCols: _*).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(pCols: _*)
+    val med = byVal
+      .withColumn("__cum", sum(col("__nv")).over(wCum))
+      .withColumn("__N", sum(col("__nv")).over(wAll))
+      .filter(col("__cum") * lit(2L) >= col("__N"))
+      .groupBy(pCols: _*).agg(min(col("__x")).as("__med"))
+    val signed = base.join(med, parts)
+      .filter(col("__x") =!= col("__med"))
+      .withColumn("__s", when(col("__x") > col("__med"), 1).otherwise(-1))
+    val wOrd = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val withRun = signed.withColumn("__p", lag(col("__s"), 1).over(wOrd))
+    val agg = withRun.groupBy(pCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__s") === 1, 1L).otherwise(0L)).as("n_above"),
+      sum(when(col("__s") === -1, 1L).otherwise(0L)).as("n_below"),
+      sum(when(col("__p").isNull || col("__p") =!= col("__s"), 1L)
+        .otherwise(0L)).as("runs"))
+    val n1 = col("n_above").cast("double")
+    val n2 = col("n_below").cast("double")
+    val nD = col("n").cast("double")
+    val eR = lit(2.0) * n1 * n2 / nD + lit(1.0)
+    val vR = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nD) /
+      (nD * nD * (nD - lit(1.0)))
+    val ok = col("n_above") > 0L && col("n_below") > 0L && vR > 0.0
+    agg.select(pCols :+ col("n") :+ col("n_above") :+ col("n_below") :+ col("runs")
+      :+ when(ok, round((col("runs").cast("double") - eR) / sqrt(vR), 6))
+        .as("z"): _*)
+  }
+
+  /** Cross-correlation function — which series LEADS: ccf(k) =
+    * corr(x_t, y_{t+k}) for k ∈ −maxLag..maxLag, the lead-lag screen
+    * before anyone claims causality between two aligned series
+    * (marketing→sales, clicks→purchases). Positive k means x leads y.
+    * One row per lag: `(parts..., lag, n_pairs, ccf)`; ccf null when
+    * a lag has < 2 pairs or either side is constant over its pairs.
+    *
+    * Determinism: both series micro-quantize; each lag's Pearson
+    * moments (5 sums over that lag's complete pairs) are exact decimal
+    * accumulations, and each ccf is one IEEE tree — pairwise-complete
+    * like [[autocorrelation]], never imputed.
+    *
+    * Scale shape: one series-keyed exchange shared by all 2·maxLag
+    * shift windows, one map-combined per-series aggregation, a
+    * lag-bounded explode.
+    */
+  def crossCorrelation(df: DataFrame, parts: Seq[String], orderCol: Column,
+                       xCol: Column, yCol: Column, maxLag: Int): DataFrame = {
+    require(parts.nonEmpty, "crossCorrelation needs series keys")
+    require(maxLag >= 1 && maxLag <= 24, s"maxLag out of range: $maxLag")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val pCols = parts.map(col)
+    val base = df.select(pCols :+ orderCol.as("__o")
+        :+ q(xCol).as("__x") :+ q(yCol).as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val lags = (-maxLag to maxLag).filter(_ != 0)
+    val shifted = base.select(
+      pCols :+ col("__x") :+ col("__y")
+        :++ lags.map { k =>
+          val c = if (k > 0) lead(col("__y"), k).over(w)
+                  else lag(col("__y"), -k).over(w)
+          c.as(s"__y$k")
+        }: _*)
+    def mom(k: Int): Seq[Column] = {
+      val yk = if (k == 0) col("__y") else col(s"__y$k")
+      val ok = yk.isNotNull
+      Seq(
+        sum(when(ok, 1L).otherwise(0L)).as(s"__n$k"),
+        sum(when(ok, col("__x").cast(dec))).as(s"__sx$k"),
+        sum(when(ok, yk.cast(dec))).as(s"__sy$k"),
+        sum(when(ok, col("__x").cast(dec) * col("__x").cast(dec))).as(s"__sxx$k"),
+        sum(when(ok, yk.cast(dec) * yk.cast(dec))).as(s"__syy$k"),
+        sum(when(ok, col("__x").cast(dec) * yk.cast(dec))).as(s"__sxy$k"))
+    }
+    val allLags = 0 +: lags
+    val aggs = allLags.flatMap(mom)
+    val agg = shifted.groupBy(pCols: _*).agg(aggs.head, aggs.tail: _*)
+    val lagStructs = array(allLags.map { k =>
+      struct(lit(k).as("lag"), col(s"__n$k").as("n"),
+        col(s"__sx$k").as("sx"), col(s"__sy$k").as("sy"),
+        col(s"__sxx$k").as("sxx"), col(s"__syy$k").as("syy"),
+        col(s"__sxy$k").as("sxy"))
+    }: _*)
+    val e = agg.select(pCols :+ explode(lagStructs).as("__e"): _*)
+    // moment algebra stays exact decimal, cast to double only at the
+    // end (the autocorrelation discipline — double-domain n·Σxy would
+    // diverge from an integer-domain oracle past 2^53)
+    val nDec = col("__e.n").cast(dec)
+    val num = (nDec * col("__e.sxy") - col("__e.sx") * col("__e.sy")).cast("double")
+    val dx = (nDec * col("__e.sxx") - col("__e.sx") * col("__e.sx")).cast("double")
+    val dy = (nDec * col("__e.syy") - col("__e.sy") * col("__e.sy")).cast("double")
+    e.select(pCols :+ col("__e.lag").as("lag")
+      :+ col("__e.n").as("n_pairs")
+      :+ when(col("__e.n") >= 2L && dx > 0.0 && dy > 0.0,
+        round(num / sqrt(dx * dy), 6)).as("ccf"): _*)
+  }
+
   /** Newey-West (HAC) standard error of a series mean — the honest
     * uncertainty for an autocorrelated series, where the i.i.d. s/√n
     * understates (positive autocorrelation) or overstates (negative)

@@ -292,6 +292,42 @@ object EventQueries {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Runs test ([[graft.ops.Timeseries.runsTest]]): is each event
+    * type's daily revenue random about its own median, judged on the
+    * SEQUENCE of above/below flags — the companion randomness check
+    * to q_turning_points' local-extrema view, off an exact per-series
+    * median cut.
+    */
+  private def qRunsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("amount", col("cents") / lit(100.0))
+    graft.ops.Timeseries.runsTest(daily, Seq("event_type"),
+        col("day"), col("amount"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Cross-correlation ([[graft.ops.Timeseries.crossCorrelation]]):
+    * does hourly purchase revenue LEAD hourly click revenue or lag it?
+    * ccf(k) for k ∈ −6..6 over the aligned hourly series — the
+    * lead-lag screen before any causal claim, pairwise-complete exact
+    * moments per lag.
+    */
+  private def qCcf(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))).as("px"),
+        sum(when(col("event_type") === "click",
+          round(col("value") * 100).cast("long"))).as("cx"))
+      .withColumn("k", lit("all"))
+    graft.ops.Timeseries.crossCorrelation(hourly, Seq("k"), col("h"),
+        col("px").cast("double"), col("cx").cast("double"), maxLag = 6)
+      .orderBy(col("lag"))
+  }
+
   /** Newey-West mean SE ([[graft.ops.Timeseries.neweyWestMeanSe]]):
     * the honest uncertainty of each event type's mean daily revenue —
     * autocorrelation-adjusted with Bartlett weights at lag 6, beside
@@ -565,6 +601,8 @@ object EventQueries {
     "q_turning_points" -> (qTurningPoints _),
     "q_seasonal_mk" -> (qSeasonalMk _),
     "q_nw_se" -> (qNwSe _),
+    "q_runs_test" -> (qRunsTest _),
+    "q_ccf" -> (qCcf _),
     "q_concurrency" -> (qConcurrency _),
     "q_kendall" -> (qKendall _),
     "q_theilsen" -> (qTheilsen _),
@@ -590,6 +628,62 @@ object EventQueries {
     "q_ewma" -> (qEwma _),
     "q_rolling_hll" -> (qRollingHll _),
   )
+
+  /** DuckDB replay of [[graft.ops.Timeseries.crossCorrelation]] on the
+    * hourly purchase/click frame: per-lag pairwise-complete moments as
+    * generated conditional sums, Pearson per lag in exact integer
+    * algebra cast to double at the end.
+    */
+  private def ccfOracleSql(maxLag: Int): String = {
+    def t(k: Int) = if (k < 0) s"m${-k}" else s"p$k"
+    val offs = (-maxLag to maxLag).filter(_ != 0).toList
+    val allLags = 0 :: offs
+    val lagDefs = offs.map { k =>
+      if (k > 0) s"lead(y, $k) OVER w AS y${t(k)}"
+      else s"lag(y, ${-k}) OVER w AS y${t(k)}"
+    }.mkString(",\n    ")
+    val momDefs = allLags.map { k =>
+      val yk = if (k == 0) "y" else s"y${t(k)}"
+      s"""SUM(CASE WHEN $yk IS NOT NULL THEN 1 ELSE 0 END) AS n${t(k)},
+         |    SUM(CASE WHEN $yk IS NOT NULL THEN x END) AS sx${t(k)},
+         |    SUM(CASE WHEN $yk IS NOT NULL THEN $yk END) AS sy${t(k)},
+         |    SUM(CASE WHEN $yk IS NOT NULL THEN CAST(x AS HUGEINT) * x END) AS sxx${t(k)},
+         |    SUM(CASE WHEN $yk IS NOT NULL THEN CAST($yk AS HUGEINT) * $yk END) AS syy${t(k)},
+         |    SUM(CASE WHEN $yk IS NOT NULL THEN CAST(x AS HUGEINT) * $yk END) AS sxy${t(k)}""".stripMargin
+    }.mkString(",\n    ")
+    val unions = allLags.map { k =>
+      s"SELECT $k AS lag, n${t(k)} AS n, sx${t(k)} AS sx, sy${t(k)} AS sy, " +
+        s"sxx${t(k)} AS sxx, syy${t(k)} AS syy, sxy${t(k)} AS sxy FROM a"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH hc AS (
+       |  SELECT date_trunc('hour', ts) AS h,
+       |    SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) END) AS pc,
+       |    SUM(CASE WHEN event_type = 'click'
+       |      THEN CAST(round(value * 100) AS BIGINT) END) AS cc
+       |  FROM events GROUP BY 1),
+       |v AS (
+       |  SELECT h, CAST(round(CAST(pc AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+       |    CAST(round(CAST(cc AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+       |  FROM hc WHERE pc IS NOT NULL AND cc IS NOT NULL),
+       |l AS (
+       |  SELECT x, y, $lagDefs
+       |  FROM v WINDOW w AS (ORDER BY h)),
+       |a AS (
+       |  SELECT $momDefs
+       |  FROM l),
+       |u AS (
+       |  $unions)
+       |SELECT 'all' AS k, lag, CAST(COALESCE(n, 0) AS BIGINT) AS n_pairs,
+       |  CASE WHEN n >= 2
+       |      AND CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+       |      AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0 THEN
+       |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+       |        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       |  END AS ccf
+       |FROM u ORDER BY lag""".stripMargin
+  }
 
   private def autocorrOracleSql(maxLag: Int): String = {
     val lagCols = (1 to maxLag).map(k => s"lag(x, $k) OVER w AS l$k").mkString(", ")
@@ -950,6 +1044,57 @@ object EventQueries {
         |SELECT CAST(cum AS BIGINT) AS max_concurrent,
         |  strftime(t, '%Y-%m-%d %H:%M:%S') AS at_ts
         |FROM c ORDER BY cum DESC, t LIMIT 1""".stripMargin,
+    "q_ccf" -> ccfOracleSql(maxLag = 6),
+    "q_runs_test" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |bv AS (SELECT event_type, x, COUNT(*) AS nv FROM v GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT event_type, x,
+        |    SUM(nv) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(nv) OVER (PARTITION BY event_type) AS nn
+        |  FROM bv),
+        |md AS (SELECT event_type, MIN(x) AS med FROM cm
+        |  WHERE cum * 2 >= nn GROUP BY 1),
+        |sg AS (
+        |  SELECT v.event_type AS event_type, v.day AS day,
+        |    CASE WHEN v.x > md.med THEN 1 ELSE -1 END AS s
+        |  FROM v JOIN md ON v.event_type = md.event_type
+        |  WHERE v.x <> md.med),
+        |rr AS (
+        |  SELECT event_type, s,
+        |    lag(s) OVER (PARTITION BY event_type ORDER BY day) AS p
+        |  FROM sg),
+        |ag AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n2,
+        |    SUM(CASE WHEN p IS NULL OR p <> s THEN 1 ELSE 0 END) AS r
+        |  FROM rr GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n_above,
+        |  CAST(n2 AS BIGINT) AS n_below, CAST(r AS BIGINT) AS runs,
+        |  CASE WHEN n1 > 0 AND n2 > 0
+        |      AND 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |          - CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          * (CAST(n AS DOUBLE) - 1.0)) > 0.0 THEN
+        |    round((CAST(r AS DOUBLE)
+        |        - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |          / CAST(n AS DOUBLE) + 1.0))
+        |      / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |          - CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          * (CAST(n AS DOUBLE) - 1.0))), 6) END AS z
+        |FROM ag ORDER BY event_type""".stripMargin,
     "q_nw_se" ->
       """WITH d AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -586,6 +586,16 @@ object StatsQueries {
     graft.ops.Stats.moodMedianTest(t(s, dir, "events"),
       col("event_type"), col("value"))
 
+  /** Cohen's h ([[graft.ops.Stats.cohenH]]): HOW different are the
+    * purchase and click high-value rates — the arcsine-stabilized
+    * effect size beside q_two_prop's z, one grand conditional-count
+    * aggregation.
+    */
+  private def qCohenH(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.cohenH(t(s, dir, "events"),
+      col("event_type") === "purchase", col("event_type") === "click",
+      col("value") > 100.0)
+
   /** Partial correlation ([[graft.ops.Stats.partialCorrelation]]):
     * does quantity still track extended price once discount is held
     * fixed? The causal-hygiene readout over q_corr's raw number — one
@@ -1056,6 +1066,7 @@ object StatsQueries {
     "q_rank_biserial" -> (qRankBiserial _),
     "q_partial_corr" -> (qPartialCorr _),
     "q_odds_ratio" -> (qOddsRatio _),
+    "q_cohen_h" -> (qCohenH _),
     "q_paired_t" -> (qPairedT _),
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_did" -> (qDid _),
@@ -1151,6 +1162,26 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_cohen_h" ->
+      """WITH ag AS (
+        |  SELECT
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN event_type = 'purchase' AND value > 100.0
+        |      THEN 1 ELSE 0 END) AS ka,
+        |    SUM(CASE WHEN event_type = 'click' AND value > 100.0
+        |      THEN 1 ELSE 0 END) AS kb
+        |  FROM events WHERE (value > 100.0) IS NOT NULL)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na > 0 THEN
+        |    round(CAST(ka AS DOUBLE) / CAST(na AS DOUBLE), 6) END AS p_a,
+        |  CASE WHEN nb > 0 THEN
+        |    round(CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE), 6) END AS p_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round(2.0 * asin(sqrt(CAST(ka AS DOUBLE) / CAST(na AS DOUBLE)))
+        |      - 2.0 * asin(sqrt(CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+        |  END AS h
+        |FROM ag""".stripMargin,
     "q_partial_corr" ->
       """WITH v AS (
         |  SELECT CAST(round(l_quantity * 1000000.0) AS BIGINT) AS x,

@@ -107,6 +107,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_mood" -> "median-locating cumulative window over the distinct-value count table (the q_auc bound; appears in both the cut and count branches)",
     "q_pr_auc" -> "descending threshold-sweep window over the DISTINCT-SCORE table (the q_auc bound)",
     "q_by" -> "BH/BY rank, harmonic, and suffix-min windows over the tests table (rows = hypothesis count, the q_fdr bound)",
+    "q_ccf" -> "lead/lag shift windows over the HOURLY-aggregated two-series table (rows = distinct hours; the constant series key optimizes to a whole-frame spec)",
   )
 
   test("whole-frame windows appear only over bounded-by-construction tables") {

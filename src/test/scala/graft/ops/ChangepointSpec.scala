@@ -89,6 +89,57 @@ class ChangepointSpec extends AnyFunSuite {
       .orderBy(col("o")).collect()
   }
 
+  test("runsTest: hand-checked runs around the exact lower median") {
+    // [1,5,2,6,3,7]: med=3 drops, signs [-,+,-,+,+] -> 4 runs, n1=3 n2=2
+    val df = createDf(spark, "g string, o int, v double",
+      Seq(1.0, 5.0, 2.0, 6.0, 3.0, 7.0).zipWithIndex
+        .map { case (v, i) => Seq[Any]("s", i, v) })
+    val r = Timeseries.runsTest(df, Seq("g"), col("o"), col("v")).head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 4L)
+    val expZ = BigDecimal((4.0 - (2.0 * 3.0 * 2.0 / 5.0 + 1.0)) /
+        math.sqrt(2.0 * 3.0 * 2.0 * (2.0 * 3.0 * 2.0 - 5.0) / (5.0 * 5.0 * 4.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == expZ)
+  }
+
+  test("runsTest: clustering pushes z negative; one-sided series nulls out") {
+    val clustered = createDf(spark, "g string, o int, v double",
+      Seq(1.0, 2.0, 3.0, 10.0, 11.0, 12.0).zipWithIndex
+        .map { case (v, i) => Seq[Any]("s", i, v) })
+    val r = Timeseries.runsTest(clustered, Seq("g"), col("o"), col("v")).head()
+    assert(r.getLong(4) == 2L && r.getDouble(5) < 0.0)
+    val flat = createDf(spark, "g string, o int, v double",
+      Seq(5.0, 5.0, 5.0, 9.0).zipWithIndex
+        .map { case (v, i) => Seq[Any]("s", i, v) })
+    assert(Timeseries.runsTest(flat, Seq("g"), col("o"), col("v"))
+      .head().isNullAt(5))
+  }
+
+  test("crossCorrelation: a +2-shifted spike aligns exactly at lag +2") {
+    val x = Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val y = Seq(0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0)
+    val df = createDf(spark, "g string, o int, x double, y double",
+      x.zip(y).zipWithIndex.map { case ((a, b), i) => Seq[Any]("s", i, a, b) })
+    val got = Timeseries.crossCorrelation(df, Seq("g"), col("o"),
+        col("x"), col("y"), 3)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    assert(got(2).getDouble(3) == 1.0)
+    assert(got(0).getDouble(3) == -0.142857) // -1/7: disjoint one-hots
+    assert(got.keySet == Set(-3, -2, -1, 0, 1, 2, 3))
+  }
+
+  test("crossCorrelation: invariant to partitioning") {
+    val rows = (0 until 160).map(i => Seq[Any](s"s${i % 2}", i,
+      ((i * 13) % 17).toDouble, ((i * 7 + 3) % 19).toDouble))
+    val df = createDf(spark, "g string, o int, x double, y double", rows)
+    val one = Timeseries.crossCorrelation(df.coalesce(1), Seq("g"), col("o"),
+      col("x"), col("y"), 4).orderBy(col("g"), col("lag")).collect().toSeq
+    val many = Timeseries.crossCorrelation(df.repartition(9), Seq("g"), col("o"),
+      col("x"), col("y"), 4).orderBy(col("g"), col("lag")).collect().toSeq
+    assert(one == many)
+  }
+
   test("neweyWestMeanSe: hand-checked ramp — persistence inflates the NW SE") {
     // [1..8], L=1: g0 = 5.25, g1 = 3.28125 (all dyadic-exact)
     val df = createDf(spark, "g string, o int, v double",

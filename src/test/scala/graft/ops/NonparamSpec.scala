@@ -216,6 +216,30 @@ class NonparamSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("cohenH: hand-checked arcsine effect — 0.5 vs 0.25 gives pi/6") {
+    val df = createDf(spark, "g string, y boolean",
+      Seq(("a", true), ("a", true), ("a", false), ("a", false),
+        ("b", true), ("b", false), ("b", false), ("b", false))
+        .map { case (g, y) => Seq[Any](g, y) })
+    val r = Stats.cohenH(df, col("g") === "a", col("g") === "b", col("y")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.25)
+    assert(r.getDouble(4) == BigDecimal(math.Pi / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("cohenH: equal rates give 0; an empty side nulls h") {
+    val eq = createDf(spark, "g string, y boolean",
+      Seq(("a", true), ("a", false), ("b", true), ("b", false))
+        .map { case (g, y) => Seq[Any](g, y) })
+    assert(Stats.cohenH(eq, col("g") === "a", col("g") === "b", col("y"))
+      .head().getDouble(4) == 0.0)
+    val solo = createDf(spark, "g string, y boolean",
+      Seq(("a", true)).map { case (g, y) => Seq[Any](g, y) })
+    assert(Stats.cohenH(solo, col("g") === "a", col("g") === "b", col("y"))
+      .head().isNullAt(4))
+  }
+
   test("partialCorrelation: controlling the shared component recovers the identity") {
     // y = x + z with x orthogonal to z: r_xy = 0.707, but r_xy.z = 1
     val df = createDf(spark, "x double, y double, z double",
