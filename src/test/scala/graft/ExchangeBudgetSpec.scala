@@ -46,6 +46,11 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "q_semdedup" -> ((3, 0)),
     "q_pagerank" -> ((1, 0)),
     "q_gk_index" -> ((1, 0)),
+    // round-9 second wave: the classifier-chain consumers are the only
+    // newcomers above 2s in the bench — pin their scoring-pass plans
+    "q_pr_auc" -> ((4, 1)),
+    "q_isotonic" -> ((1, 0)),
+    "q_brier" -> ((4, 1)),
   )
 
   test("headline queries keep their audited exchange budgets") {
