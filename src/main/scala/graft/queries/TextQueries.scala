@@ -586,6 +586,30 @@ object TextQueries {
   private def qBurstiness(s: SparkSession, dir: String): DataFrame =
     Rank.burstiness(t(s, dir, "documents"), col("doc_id"), col("text"))
 
+  /** Exact-duplicate cluster histogram ([[Dedup.exactGroups]]): how is
+    * duplication DISTRIBUTED — a few huge clusters (template spam) or
+    * a long tail of pairs? Plus the docs_removable count per cluster
+    * size, the dedup-savings ledger before anyone runs the dedup.
+    */
+  private def qDupHistogram(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+      .groupBy(col("n_dups").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n_dups")).as("n_docs"))
+      .withColumn("docs_removable", col("n_docs") - col("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  /** Conditional bigram entropy ([[Rank.conditionalEntropy]]): how
+    * predictable is each source one token ahead — H(w₂|w₁) beside
+    * H(w), with exp(H) as the effective next-token branching factor.
+    * Template chrome collapses the conditional entropy long before it
+    * dents the unigram number.
+    */
+  private def qCondEntropy(s: SparkSession, dir: String): DataFrame =
+    Rank.conditionalEntropy(
+        t(s, dir, "documents").filter(col("source").isNotNull && col("text").isNotNull),
+        Seq("source"), col("text"))
+      .orderBy(col("source"))
+
   /** Hill diversity profile ([[Rank.hillNumbers]]): effective
     * vocabulary sizes q0/q1/q2 per source — richness, exp(Shannon),
     * inverse Simpson. The top-heaviness read a curation mix needs
@@ -880,6 +904,8 @@ object TextQueries {
     "q_burstiness" -> (qBurstiness _),
     "q_script_mix" -> (qScriptMix _),
     "q_hill" -> (qHill _),
+    "q_dup_histogram" -> (qDupHistogram _),
+    "q_cond_entropy" -> (qCondEntropy _),
     "q_text_stats" -> (qTextStats _),
     "q_vocab" -> (qVocab _),
     "q_doc_quality" -> (qDocQuality _),
@@ -1355,6 +1381,47 @@ object TextQueries {
         |FROM i JOIN s sa ON sa.g = ga JOIN s sb ON sb.g = gb
         |ORDER BY ga, gb""".stripMargin,
     "q_heaps" -> heapsOracleSql(12),
+    "q_dup_histogram" ->
+      """WITH g AS (SELECT md5(text) AS f, COUNT(*) AS n FROM documents GROUP BY 1)
+        |SELECT n AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS docs_removable
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cond_entropy" ->
+      """WITH l AS (
+        |  SELECT source, string_split(text, ' ') AS tk FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL),
+        |bg AS (
+        |  SELECT source, unnest(list_transform(range(1, len(tk)),
+        |    i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS p
+        |  FROM l),
+        |cells AS (
+        |  SELECT source, p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c12
+        |  FROM bg GROUP BY 1, 2, 3),
+        |ext AS (
+        |  SELECT source, c12,
+        |    SUM(c12) OVER (PARTITION BY source, w1) AS c1,
+        |    SUM(c12) OVER (PARTITION BY source) AS nn,
+        |    ROW_NUMBER() OVER (PARTITION BY source, w1 ORDER BY w2) AS rn
+        |  FROM cells),
+        |tm AS (
+        |  SELECT source, c12,
+        |    CAST(round(CAST(c12 AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      * ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT) AS tc,
+        |    CASE WHEN rn = 1 THEN
+        |      CAST(round(CAST(c1 AS DOUBLE) / CAST(nn AS DOUBLE)
+        |        * ln(CAST(c1 AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * 1000000000.0) AS BIGINT) END AS tu
+        |  FROM ext),
+        |ag AS (
+        |  SELECT source, SUM(c12) AS nb, SUM(tu) AS hu, SUM(tc) AS hc
+        |  FROM tm GROUP BY 1)
+        |SELECT source, CAST(nb AS BIGINT) AS n_bigrams,
+        |  round(-(CAST(hu AS DOUBLE) / 1000000000.0), 6) AS h_unigram,
+        |  round(-(CAST(hc AS DOUBLE) / 1000000000.0), 6) AS h_cond,
+        |  round(exp(-(CAST(hc AS DOUBLE) / 1000000000.0)), 6) AS ppl_cond
+        |FROM ag ORDER BY source""".stripMargin,
     "q_hill" ->
       """WITH tk AS (
         |  SELECT source, w FROM (

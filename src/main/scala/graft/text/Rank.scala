@@ -456,6 +456,64 @@ object Rank {
       when(ok, round(exp(intercept), 6)).as("k_coef"))
   }
 
+  /** Conditional bigram entropy — how predictable is each group's text
+    * ONE TOKEN ahead? H(w₂|w₁) = −Σ p(w₁w₂)·ln p(w₂|w₁), reported
+    * beside the unigram entropy H(w) it refines: template-heavy or
+    * boilerplate-laden sources show H(w₂|w₁) collapsing far below
+    * H(w), genuinely diverse prose keeps them close. Per group:
+    * `(groups..., n_bigrams, h_unigram, h_cond, ppl_cond)` —
+    * `ppl_cond = exp(H(w₂|w₁))` is the "effective branching factor"
+    * (how many next-tokens the text really chooses among). Nulls when
+    * a group has no bigrams.
+    *
+    * Determinism: bigram counts are exact; both entropy's per-cell
+    * terms nano-quantize before the vocabulary-bounded sums (the
+    * [[zipfFit]] discipline); marginals and totals ride windows over
+    * the bigram CELL table, never raw rows ([[bigramPmi]]'s measured
+    * shape).
+    *
+    * Scale shape: one row-local bigram explode into ONE map-combined
+    * (group, w1, w2) aggregation; marginal/total windows and the
+    * first-row unigram trick run over the vocab²-bounded cell table;
+    * one group rollup.
+    */
+  def conditionalEntropy(docs: DataFrame, groupBy: Seq[String],
+                         text: Column): DataFrame = {
+    require(groupBy.nonEmpty, "conditionalEntropy needs group keys")
+    val gCols = groupBy.map(col)
+    val t = TextStats.tokens(text)
+    val bigrams = docs.select(gCols :+ explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"): _*)
+      .select(gCols :+ col("__p.w1").as("__w1") :+ col("__p.w2").as("__w2"): _*)
+    val cells = bigrams.groupBy(gCols :+ col("__w1") :+ col("__w2"): _*)
+      .agg(count(lit(1)).as("__c12"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wG = W.partitionBy(gCols: _*)
+    val wW1 = W.partitionBy(gCols :+ col("__w1"): _*)
+    val wW1Ord = W.partitionBy(gCols :+ col("__w1"): _*).orderBy(col("__w2"))
+    val ext = cells.select(gCols :+ col("__c12")
+      :+ sum(col("__c12")).over(wW1).as("__c1")
+      :+ sum(col("__c12")).over(wG).as("__N")
+      :+ row_number().over(wW1Ord).as("__rn"): _*)
+    val c12d = col("__c12").cast("double")
+    val c1d = col("__c1").cast("double")
+    val nD = col("__N").cast("double")
+    val condTerm = round(c12d / nD * log(c12d / c1d) * lit(1e9), 0).cast("long")
+    val uniTerm = when(col("__rn") === 1,
+      round(c1d / nD * log(c1d / nD) * lit(1e9), 0).cast("long"))
+    val agg = ext.groupBy(gCols: _*)
+      .agg(sum(col("__c12")).as("n_bigrams"),
+        sum(uniTerm).as("__hu"), sum(condTerm).as("__hc"))
+    val hu = -(col("__hu").cast("double") / lit(1e9))
+    val hc = -(col("__hc").cast("double") / lit(1e9))
+    agg.select(gCols :+ col("n_bigrams")
+      :+ round(hu, 6).as("h_unigram")
+      :+ round(hc, 6).as("h_cond")
+      :+ round(exp(hc), 6).as("ppl_cond"): _*)
+  }
+
   /** Hill-number diversity profile — the three standard "effective
     * vocabulary sizes" per group: q0 = richness (types), q1 = exp(H)
     * (Shannon — types weighted by how evenly they're used), q2 =

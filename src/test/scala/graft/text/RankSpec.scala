@@ -212,6 +212,46 @@ class RankSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("conditionalEntropy: alternation is perfectly predictable (h_cond 0, ppl 1)") {
+    val d = createDf(spark, "g string, text string",
+      Seq(Seq[Any]("s", "a b a b a")))
+    val r = Rank.conditionalEntropy(d, Seq("g"), col("text")).head()
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("conditionalEntropy: hand-checked branching text; invariant to partitioning") {
+    // "a a b b": bigrams aa/ab/bb once each; H(w2|w1) = (2/3)ln2
+    val d = createDf(spark, "g string, text string", Seq(Seq[Any]("s", "a a b b")))
+    val r = Rank.conditionalEntropy(d, Seq("g"), col("text")).head()
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(3) == 0.462098)
+    assert(r.getDouble(2) > r.getDouble(3)) // conditioning can only sharpen
+    val big = createDf(spark, "g string, text string",
+      (0 until 150).map(i => Seq[Any](s"s${i % 3}", s"w${i % 11} w${(i * 7) % 13} w${i % 5}")))
+    val one = Rank.conditionalEntropy(big.coalesce(1), Seq("g"), col("text"))
+      .orderBy(col("g")).collect().toSeq
+    val many = Rank.conditionalEntropy(big.repartition(9), Seq("g"), col("text"))
+      .orderBy(col("g")).collect().toSeq
+    assert(one == many)
+  }
+
+  test("exactGroups cluster histogram: sizes, clusters, and removable counts") {
+    val d = createDf(spark, "doc_id int, text string",
+      Seq("x", "x", "x", "y", "y", "z").zipWithIndex
+        .map { case (t, i) => Seq[Any](i, t) })
+    val hist = Dedup.exactGroups(d, "text", "doc_id")
+      .groupBy(col("n_dups").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n_dups")).as("n_docs"))
+      .withColumn("docs_removable", col("n_docs") - col("n_clusters"))
+      .orderBy(col("cluster_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hist.toSeq == Seq((1L, 1L, 1L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
+  }
+
   test("hillNumbers: a uniform vocabulary has all three Hill numbers equal") {
     // 4 tokens x 3 each: q0 = 4, shannon = ln 4, hill1 = 4, hill2 = 144/36
     val d = createDf(spark, "g string, text string",
