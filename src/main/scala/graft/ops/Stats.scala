@@ -2083,6 +2083,55 @@ object Stats {
           round(col("__ap").cast("double") / lit(1e9), 6)).as("ap"))
   }
 
+  /** Precision/recall/F1 at fixed thresholds — the operating-point
+    * table behind [[averagePrecision]]'s single number: for each
+    * threshold t, rows with score ≥ t are predicted positive, and the
+    * row reports exact `(threshold, n_pred_pos, tp, precision, recall,
+    * f1)`. The table a deployment actually reads to pick its cutoff.
+    * Precision is null at thresholds predicting nothing; recall/f1
+    * null when there are no positives.
+    *
+    * Determinism: thresholds quantize to micro (same grid as the
+    * score), every cell is an exact conditional count in ONE grand
+    * aggregation, and the ratios are fixed IEEE trees.
+    *
+    * Scale shape: one map-combined aggregation (3 sums per threshold),
+    * then a threshold-bounded explode. No windows, no joins.
+    */
+  def prAtThresholds(df: DataFrame, positive: Column, score: Column,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 64,
+      s"need 1..64 thresholds: ${thresholds.size}")
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.filter(positive.isNotNull)
+      .select(when(positive, 1L).otherwise(0L).as("__y"), q(score).as("__s"))
+      .filter(col("__s").isNotNull)
+    val tq = thresholds.map(t => math.round(t * 1e6))
+    val aggs = Seq(count(lit(1)).as("__n"), sum(col("__y")).as("__P")) ++
+      tq.zipWithIndex.flatMap { case (t, i) =>
+        Seq(sum(when(col("__s") >= t, 1L).otherwise(0L)).as(s"__pp$i"),
+          sum(when(col("__s") >= t && col("__y") === 1L, 1L).otherwise(0L))
+            .as(s"__tp$i"))
+      }
+    val agg = base.agg(aggs.head, aggs.tail: _*)
+    val structs = array(thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("th"), col(s"__pp$i").as("pp"), col(s"__tp$i").as("tp"))
+    }: _*)
+    val e = agg.select(col("__P"), explode(structs).as("__e"))
+    val ppD = col("__e.pp").cast("double")
+    val tpD = col("__e.tp").cast("double")
+    val pD = col("__P").cast("double")
+    val prec = tpD / ppD
+    val rec = tpD / pD
+    val f1 = lit(2.0) * prec * rec / (prec + rec)
+    e.select(col("__e.th").as("threshold"),
+      col("__e.pp").as("n_pred_pos"), col("__e.tp").as("tp"),
+      when(col("__e.pp") > 0L, round(prec, 6)).as("precision"),
+      when(col("__P") > 0L, round(rec, 6)).as("recall"),
+      when(col("__e.pp") > 0L && col("__P") > 0L && (prec + rec) > 0.0,
+        round(f1, 6)).as("f1"))
+  }
+
   /** Lin's concordance correlation coefficient — do two continuous
     * measurements AGREE (not merely correlate)? Pearson's r forgives
     * scale and location bias; CCC docks both:

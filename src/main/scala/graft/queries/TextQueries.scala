@@ -809,6 +809,17 @@ object TextQueries {
   private def qPrAuc(s: SparkSession, dir: String): DataFrame =
     graft.ops.Stats.averagePrecision(scoredDocs(s, dir), col("y"), col("s"))
 
+  /** Operating-point table ([[graft.ops.Stats.prAtThresholds]]):
+    * precision/recall/F1 for the linear classifier at cutoffs
+    * 0.1..0.9 — what q_pr_auc integrates, spelled out for whoever has
+    * to pick the deployment threshold. One grand aggregation, exact
+    * counts.
+    */
+  private def qPrTable(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.prAtThresholds(scoredDocs(s, dir), col("y"), col("s"),
+        (1 to 9).map(_ / 10.0))
+      .orderBy(col("threshold"))
+
   /** Brier + Murphy decomposition
     * ([[graft.ops.Calibration.brierDecomposition]]): WHY is the
     * classifier's Brier score what it is — miscalibration
@@ -916,6 +927,7 @@ object TextQueries {
     "q_fleiss" -> (qFleiss _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_pr_auc" -> (qPrAuc _),
+    "q_pr_table" -> (qPrTable _),
     "q_brier" -> (qBrier _),
     "q_ccc" -> (qCcc _),
     "q_entropy" -> (qEntropy _),
@@ -1091,6 +1103,71 @@ object TextQueries {
         |SELECT CAST(p AS BIGINT) AS n_pos, CAST(n - p AS BIGINT) AS n_neg,
         |  CASE WHEN p > 0 THEN round(CAST(ap AS DOUBLE) / 1000000000.0, 6) END AS ap
         |FROM ag""".stripMargin,
+    "q_pr_table" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT lang, round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1000000.0 + (-0.05)))), 6) AS s
+        |  FROM agg),
+        |tg AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(s * 1000000.0) AS BIGINT) AS x
+        |  FROM sc WHERE lang IS NOT NULL AND s IS NOT NULL),
+        |ag AS (
+        |  SELECT SUM(y) AS p,
+        |    SUM(CASE WHEN x >= 100000 THEN 1 ELSE 0 END) AS pp1,
+        |    SUM(CASE WHEN x >= 100000 AND y = 1 THEN 1 ELSE 0 END) AS tp1,
+        |    SUM(CASE WHEN x >= 200000 THEN 1 ELSE 0 END) AS pp2,
+        |    SUM(CASE WHEN x >= 200000 AND y = 1 THEN 1 ELSE 0 END) AS tp2,
+        |    SUM(CASE WHEN x >= 300000 THEN 1 ELSE 0 END) AS pp3,
+        |    SUM(CASE WHEN x >= 300000 AND y = 1 THEN 1 ELSE 0 END) AS tp3,
+        |    SUM(CASE WHEN x >= 400000 THEN 1 ELSE 0 END) AS pp4,
+        |    SUM(CASE WHEN x >= 400000 AND y = 1 THEN 1 ELSE 0 END) AS tp4,
+        |    SUM(CASE WHEN x >= 500000 THEN 1 ELSE 0 END) AS pp5,
+        |    SUM(CASE WHEN x >= 500000 AND y = 1 THEN 1 ELSE 0 END) AS tp5,
+        |    SUM(CASE WHEN x >= 600000 THEN 1 ELSE 0 END) AS pp6,
+        |    SUM(CASE WHEN x >= 600000 AND y = 1 THEN 1 ELSE 0 END) AS tp6,
+        |    SUM(CASE WHEN x >= 700000 THEN 1 ELSE 0 END) AS pp7,
+        |    SUM(CASE WHEN x >= 700000 AND y = 1 THEN 1 ELSE 0 END) AS tp7,
+        |    SUM(CASE WHEN x >= 800000 THEN 1 ELSE 0 END) AS pp8,
+        |    SUM(CASE WHEN x >= 800000 AND y = 1 THEN 1 ELSE 0 END) AS tp8,
+        |    SUM(CASE WHEN x >= 900000 THEN 1 ELSE 0 END) AS pp9,
+        |    SUM(CASE WHEN x >= 900000 AND y = 1 THEN 1 ELSE 0 END) AS tp9
+        |  FROM tg),
+        |u AS (
+        |  SELECT 0.1 AS threshold, pp1 AS pp, tp1 AS tp, p FROM ag
+        |  UNION ALL SELECT 0.2, pp2, tp2, p FROM ag
+        |  UNION ALL SELECT 0.3, pp3, tp3, p FROM ag
+        |  UNION ALL SELECT 0.4, pp4, tp4, p FROM ag
+        |  UNION ALL SELECT 0.5, pp5, tp5, p FROM ag
+        |  UNION ALL SELECT 0.6, pp6, tp6, p FROM ag
+        |  UNION ALL SELECT 0.7, pp7, tp7, p FROM ag
+        |  UNION ALL SELECT 0.8, pp8, tp8, p FROM ag
+        |  UNION ALL SELECT 0.9, pp9, tp9, p FROM ag)
+        |SELECT threshold, CAST(pp AS BIGINT) AS n_pred_pos, CAST(tp AS BIGINT) AS tp,
+        |  CASE WHEN pp > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE), 6) END AS "precision",
+        |  CASE WHEN p > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6) END AS recall,
+        |  CASE WHEN pp > 0 AND p > 0
+        |      AND CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)
+        |        + CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) > 0.0 THEN
+        |    round(2.0 * (CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE))
+        |        * (CAST(tp AS DOUBLE) / CAST(p AS DOUBLE))
+        |      / (CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)
+        |        + CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)), 6) END AS f1
+        |FROM u ORDER BY threshold""".stripMargin,
     "q_brier" ->
       """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |feats AS (

@@ -189,6 +189,25 @@ class ExperimentSpec extends AnyFunSuite {
     assert(Stats.averagePrecision(noPos, col("y"), col("s")).head().isNullAt(2))
   }
 
+  test("prAtThresholds: hand-checked operating points across a clean split") {
+    // pos at .9/.8, neg at .3/.2: t=.5 separates perfectly; t=.25 catches a neg
+    val df = createDf(spark, "y boolean, s double",
+      Seq((true, 0.9), (true, 0.8), (false, 0.3), (false, 0.2))
+        .map { case (y, s) => Seq[Any](y, s) })
+    val got = Stats.prAtThresholds(df, col("y"), col("s"), Seq(0.25, 0.5, 0.95))
+      .collect().map(r => r.getDouble(0) -> r).toMap
+    val mid = got(0.5)
+    assert(mid.getLong(1) == 2L && mid.getLong(2) == 2L)
+    assert(mid.getDouble(3) == 1.0 && mid.getDouble(4) == 1.0 && mid.getDouble(5) == 1.0)
+    val low = got(0.25)
+    assert(low.getLong(1) == 3L && low.getLong(2) == 2L)
+    assert(low.getDouble(3) == 0.666667 && low.getDouble(4) == 1.0)
+    assert(low.getDouble(5) == 0.8)
+    val high = got(0.95)
+    assert(high.getLong(1) == 0L)
+    assert(high.isNullAt(3) && high.getDouble(4) == 0.0 && high.isNullAt(5))
+  }
+
   test("brierDecomposition: calibrated two-bin table — rel 0, identity holds") {
     val rows =
       (1 to 100).map(i => Seq[Any](i <= 25, 0.25)) ++
