@@ -282,6 +282,111 @@ object Stats {
         when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
+  /** Linearly-weighted kappa — [[cohenKappa]] for ORDINAL ratings,
+    * where disagreeing by one grade should cost less than disagreeing
+    * by five: with linear disagreement weights w_ij = |i−j|,
+    *
+    *   κ_w = 1 − (Σ w·o_ij / N) / (Σ w·r_i c_j / N²)
+    *
+    * One row: `(n, d_o, d_e, kappa_w)` — d_o the observed mean
+    * absolute grade gap, d_e its chance expectation; κ_w null when
+    * d_e = 0 (a constant rater). Ratings must be integral grades;
+    * rows with a null side drop.
+    *
+    * Determinism: the cell table and both Σw sums are exact decimal
+    * integer arithmetic (|i−j| is exact); the final ratio is one IEEE
+    * tree. Marginal PAIRS build by grand-collect + double explode
+    * over the category-bounded marginal table ([[tukeyHsd]]'s
+    * join-free shape).
+    *
+    * Scale shape: one (a,b)-cell aggregation (the only corpus-sized
+    * shuffle), the [[cohenKappa]] union-marginal trick, k²-bounded
+    * pair arithmetic on a 1-row frame.
+    */
+  def weightedKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.cast("long").as("__a"), b.cast("long").as("__b"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val totals = cells.agg(sum(col("__n")).as("__N"),
+      sum(abs(col("__a") - col("__b")).cast(dec) * col("__n").cast(dec))
+        .as("__do"))
+    val cats = cells
+      .select(col("__a").as("__cat"), col("__n").as("__rn"),
+        lit(null).cast("long").as("__cn"))
+      .unionByName(cells.select(col("__b").as("__cat"),
+        lit(null).cast("long").as("__rn"), col("__n").as("__cn")))
+      .groupBy(col("__cat"))
+      .agg(sum(col("__rn")).as("__ra"), sum(col("__cn")).as("__cb"))
+    val grand = cats.agg(sort_array(collect_list(
+      struct(col("__cat"), col("__ra"), col("__cb")))).as("__gs"))
+    val pairs = grand
+      .select(explode(col("__gs")).as("__i"), col("__gs"))
+      .select(col("__i"), explode(col("__gs")).as("__j"))
+    val deNum = pairs.agg(coalesce(sum(
+      abs(col("__i.__cat") - col("__j.__cat")).cast(dec) *
+        coalesce(col("__i.__ra"), lit(0L)).cast(dec) *
+        coalesce(col("__j.__cb"), lit(0L)).cast(dec)), lit(0L).cast(dec))
+      .as("__de"))
+    val nD = col("__N").cast("double")
+    val dObs = col("__do").cast("double") / nD
+    val dExp = col("__de").cast("double") / (nD * nD)
+    totals.crossJoin(broadcast(deNum))
+      .select(col("__N").as("n"),
+        round(dObs, 6).as("d_o"), round(dExp, 6).as("d_e"),
+        when(dExp > 0.0, round(lit(1.0) - dObs / dExp, 6)).as("kappa_w"))
+  }
+
+  /** Gwet's AC1 — the agreement coefficient that survives the "kappa
+    * paradox": when one category dominates, [[cohenKappa]]'s
+    * marginal-product chance correction collapses κ toward 0 even for
+    * raters who almost always agree; AC1's chance term
+    *
+    *   p_e = Σ_c π_c(1−π_c) / (K−1),   π_c = (r_c + c_c) / 2N
+    *
+    * stays calibrated. The number annotation vendors quote beside κ.
+    * One row: `(n, po, pe_gamma, ac1)`; null when K < 2 or p_e = 1.
+    * Rows with a null side drop.
+    *
+    * Determinism: exact cells and marginals; each π(1−π) term
+    * nano-quantizes before the category-bounded sum; AC1 is one IEEE
+    * tree.
+    *
+    * Scale shape: one cell aggregation + the [[cohenKappa]]
+    * union-marginal trick; everything after is category-bounded.
+    */
+  def gwetAc1(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.cast("string").as("__a"), b.cast("string").as("__b"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val totals = cells.agg(sum(col("__n")).as("__N"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L)).as("__agree"))
+    val cats = cells
+      .select(col("__a").as("__cat"), col("__n").as("__rn"),
+        lit(null).cast("long").as("__cn"))
+      .unionByName(cells.select(col("__b").as("__cat"),
+        lit(null).cast("long").as("__rn"), col("__n").as("__cn")))
+      .groupBy(col("__cat"))
+      .agg(sum(col("__rn")).as("__ra"), sum(col("__cn")).as("__cb"))
+    val withN = cats.crossJoin(broadcast(totals.select(col("__N"))))
+    val pi = (coalesce(col("__ra"), lit(0L)) + coalesce(col("__cb"), lit(0L)))
+      .cast("double") / (lit(2.0) * col("__N").cast("double"))
+    val term = round(pi * (lit(1.0) - pi) * lit(1e9), 0).cast("long")
+    val peAgg = withN.agg(count(lit(1)).as("__K"), sum(term).as("__pt"))
+    val j = totals.crossJoin(broadcast(peAgg))
+    val nD = col("__N").cast("double")
+    val po = col("__agree").cast("double") / nD
+    val pe = col("__pt").cast("double") / lit(1e9) /
+      (col("__K") - lit(1L)).cast("double")
+    val ok = col("__K") >= 2 && pe =!= 1.0
+    j.select(col("__N").as("n"),
+      round(po, 6).as("po"),
+      when(col("__K") >= 2, round(pe, 6)).as("pe_gamma"),
+      when(ok, round((po - pe) / (lit(1.0) - pe), 6)).as("ac1"))
+  }
+
   /** Mann-Whitney U (Wilcoxon rank-sum): the nonparametric two-sample
     * test — [[welchT]]'s sibling for skewed/ordinal data where means
     * mislead (latency, spend, token counts). Per group:

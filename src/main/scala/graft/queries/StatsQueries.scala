@@ -586,6 +586,17 @@ object StatsQueries {
     graft.ops.Stats.moodMedianTest(t(s, dir, "events"),
       col("event_type"), col("value"))
 
+  /** Linearly-weighted kappa ([[graft.ops.Stats.weightedKappa]]): do
+    * two crude ordinal size graders of a line item — the quantity
+    * decade and the capped extended-price ventile — agree beyond
+    * chance, with near-misses discounted linearly? The ordinal
+    * agreement number plain κ throws away.
+    */
+  private def qWeightedKappa(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.weightedKappa(t(s, dir, "lineitem"),
+      floor(col("l_quantity") / 10),
+      least(floor(col("l_extendedprice") / 20000), lit(5)))
+
   /** Cohen's h ([[graft.ops.Stats.cohenH]]): HOW different are the
     * purchase and click high-value rates — the arcsine-stabilized
     * effect size beside q_two_prop's z, one grand conditional-count
@@ -1067,6 +1078,7 @@ object StatsQueries {
     "q_partial_corr" -> (qPartialCorr _),
     "q_odds_ratio" -> (qOddsRatio _),
     "q_cohen_h" -> (qCohenH _),
+    "q_weighted_kappa" -> (qWeightedKappa _),
     "q_paired_t" -> (qPairedT _),
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_did" -> (qDid _),
@@ -1162,6 +1174,33 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_weighted_kappa" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS a,
+        |    LEAST(CAST(floor(l_extendedprice / 20000) AS BIGINT), 5) AS b
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cells AS (SELECT a, b, COUNT(*) AS n FROM v GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT SUM(n) AS nn,
+        |    SUM(CAST(abs(a - b) AS HUGEINT) * n) AS dob
+        |  FROM cells),
+        |rm AS (SELECT a AS cat, SUM(n) AS ra FROM cells GROUP BY 1),
+        |cm AS (SELECT b AS cat, SUM(n) AS cb FROM cells GROUP BY 1),
+        |de AS (
+        |  SELECT COALESCE(SUM(CAST(abs(r.cat - c.cat) AS HUGEINT)
+        |    * r.ra * c.cb), 0) AS dex
+        |  FROM rm r CROSS JOIN cm c)
+        |SELECT CAST(nn AS BIGINT) AS n,
+        |  round(CAST(dob AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS d_o,
+        |  round(CAST(dex AS DOUBLE)
+        |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS d_e,
+        |  CASE WHEN CAST(dex AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) > 0.0 THEN
+        |    round(1.0 - (CAST(dob AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      / (CAST(dex AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), 6) END AS kappa_w
+        |FROM tot, de""".stripMargin,
     "q_cohen_h" ->
       """WITH ag AS (
         |  SELECT

@@ -84,6 +84,15 @@ object TextQueries {
     graft.ops.Stats.cohenKappa(d, col("lang"), TextStats.langId(col("text")))
   }
 
+  /** Gwet's AC1 ([[graft.ops.Stats.gwetAc1]]): q_kappa's two raters
+    * re-scored with the paradox-proof chance correction — on a corpus
+    * where one language dominates, κ collapses while AC1 stays
+    * calibrated; quoting both is the annotation-QA convention.
+    */
+  private def qGwet(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.gwetAc1(t(s, dir, "documents"),
+      col("lang"), TextStats.langId(col("text")))
+
   /** McNemar paired-predictor test ([[graft.ops.Stats.mcnemar]]): the
     * per-document [[TextStats.langId]] heuristic vs the source-majority
     * prior (predict every document's language as its source's modal
@@ -922,6 +931,7 @@ object TextQueries {
     "q_doc_quality" -> (qDocQuality _),
     "q_lang_id" -> (qLangId _),
     "q_kappa" -> (qKappa _),
+    "q_gwet" -> (qGwet _),
     "q_mcnemar" -> (qMcnemar _),
     "q_isotonic" -> (qIsotonic _),
     "q_fleiss" -> (qFleiss _),
@@ -1293,6 +1303,45 @@ object TextQueries {
         |  round(CAST(g.np AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS frac_pos,
         |  round(io.iso, 6) AS iso
         |FROM g JOIN io ON g.bin = io.bin ORDER BY g.bin""".stripMargin,
+    "q_gwet" ->
+      """WITH pred AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+        |         WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+        |         WHEN list_contains(string_split(text, ' '), 'the') THEN 'en'
+        |         ELSE 'unknown' END AS b
+        |  FROM documents WHERE lang IS NOT NULL),
+        |cells AS (SELECT a, b, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT SUM(n) AS nn,
+        |    SUM(CASE WHEN a = b THEN n ELSE 0 END) AS agree
+        |  FROM cells),
+        |rm AS (SELECT a AS cat, SUM(n) AS ra FROM cells GROUP BY 1),
+        |cm AS (SELECT b AS cat, SUM(n) AS cb FROM cells GROUP BY 1),
+        |mg AS (
+        |  SELECT COALESCE(rm.cat, cm.cat) AS cat, ra, cb
+        |  FROM rm FULL OUTER JOIN cm ON rm.cat = cm.cat),
+        |pt AS (
+        |  SELECT COUNT(*) AS kk,
+        |    SUM(CAST(round((CAST(COALESCE(ra, 0) + COALESCE(cb, 0) AS DOUBLE)
+        |        / (2.0 * CAST(nn AS DOUBLE)))
+        |      * (1.0 - CAST(COALESCE(ra, 0) + COALESCE(cb, 0) AS DOUBLE)
+        |        / (2.0 * CAST(nn AS DOUBLE)))
+        |      * 1000000000.0) AS BIGINT)) AS ptt
+        |  FROM mg, tot)
+        |SELECT CAST(nn AS BIGINT) AS n,
+        |  round(CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS po,
+        |  CASE WHEN kk >= 2 THEN
+        |    round(CAST(ptt AS DOUBLE) / 1000000000.0
+        |      / CAST(kk - 1 AS DOUBLE), 6) END AS pe_gamma,
+        |  CASE WHEN kk >= 2 AND CAST(ptt AS DOUBLE) / 1000000000.0
+        |      / CAST(kk - 1 AS DOUBLE) <> 1.0 THEN
+        |    round((CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE)
+        |        - CAST(ptt AS DOUBLE) / 1000000000.0 / CAST(kk - 1 AS DOUBLE))
+        |      / (1.0 - CAST(ptt AS DOUBLE) / 1000000000.0
+        |        / CAST(kk - 1 AS DOUBLE)), 6) END AS ac1
+        |FROM tot, pt""".stripMargin,
     "q_krippendorff" ->
       """WITH cnt AS (
         |  SELECT source, lang, COUNT(*) AS cn FROM documents

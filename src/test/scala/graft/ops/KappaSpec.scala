@@ -64,6 +64,58 @@ class KappaSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("weightedKappa: hand-checked linear-weight agreement on ordinal grades") {
+    // diag x3 each + one (0,2) miss: d_o = 0.2, d_e = 92/100
+    val rows = Seq.fill(3)((0, 0)) ++ Seq.fill(3)((1, 1)) ++ Seq.fill(3)((2, 2)) :+
+      ((0, 2))
+    val df = createDf(spark, "a int, b int",
+      rows.map { case (x, y) => Seq[Any](x, y) })
+    val r = Stats.weightedKappa(df, col("a"), col("b")).head()
+    assert(r.getLong(0) == 10L)
+    assert(r.getDouble(1) == 0.2)
+    assert(r.getDouble(2) == 0.92)
+    assert(r.getDouble(3) == 0.782609)
+  }
+
+  test("weightedKappa: perfect agreement 1.0; both-constant raters null out") {
+    val perfect = createDf(spark, "a int, b int",
+      Seq(1, 2, 3, 2).map(v => Seq[Any](v, v)))
+    assert(Stats.weightedKappa(perfect, col("a"), col("b")).head()
+      .getDouble(3) == 1.0)
+    val const = createDf(spark, "a int, b int",
+      Seq.fill(5)(Seq[Any](2, 2)))
+    assert(Stats.weightedKappa(const, col("a"), col("b")).head().isNullAt(3))
+  }
+
+  test("gwetAc1: survives the kappa paradox on a dominant category") {
+    // 90 yes/yes, 5 no/no, 3 yes/no, 2 no/yes: po = .95
+    // pe_gamma = 2 * .925*.075 = .13875 -> AC1 = .81125/.86125
+    val rows = Seq.fill(90)(("y", "y")) ++ Seq.fill(5)(("n", "n")) ++
+      Seq.fill(3)(("y", "n")) ++ Seq.fill(2)(("n", "y"))
+    val df = createDf(spark, "a string, b string",
+      rows.map { case (x, y) => Seq[Any](x, y) })
+    val r = Stats.gwetAc1(df, col("a"), col("b")).head()
+    assert(r.getLong(0) == 100L)
+    assert(r.getDouble(1) == 0.95)
+    assert(r.getDouble(2) == 0.13875)
+    assert(r.getDouble(3) == 0.941945)
+    val k = Stats.cohenKappa(df, col("a"), col("b")).head().getDouble(3)
+    assert(r.getDouble(3) > k, s"AC1 ${r.getDouble(3)} should beat kappa $k here")
+  }
+
+  test("gwetAc1: single category nulls out; invariant to partitioning") {
+    val mono = createDf(spark, "a string, b string",
+      Seq.fill(6)(Seq[Any]("x", "x")))
+    val r = Stats.gwetAc1(mono, col("a"), col("b")).head()
+    assert(r.getDouble(1) == 1.0 && r.isNullAt(3))
+    val rows = (0 until 300).map(i =>
+      Seq[Any](s"c${i % 3}", s"c${(i * 7) % 4}"))
+    val df = createDf(spark, "a string, b string", rows)
+    val one = Stats.gwetAc1(df.coalesce(1), col("a"), col("b")).head()
+    val many = Stats.gwetAc1(df.repartition(11), col("a"), col("b")).head()
+    assert(one == many)
+  }
+
   private def fleiss(items: Seq[(Int, String, String, String)]): org.apache.spark.sql.Row = {
     val df = createDf(spark, "id int, r0 string, r1 string, r2 string",
       items.map { case (i, a, b, c) => Seq[Any](i, a, b, c) })
