@@ -652,14 +652,18 @@ object EmbedQueries {
     * reduction before LSH/IVF when raw vectors are too wide; one
     * narrow per-row expression against literal signs, exact signed
     * micro folds, and the oracle regenerates the matrix from the same
-    * md5 formula.
+    * md5 formula. Output is EXPLODED to one (vec_id, j, proj_val) row
+    * per projected dimension — the harness compare sorts column
+    * values, so array cells must surface as scalars.
     */
   private def qJl(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"),
-        Similarity.randomProjection(col("embedding"), outDim = 16, inDim = 64)
-          .as("proj"))
-      .orderBy(col("vec_id"))
+        posexplode(Similarity.randomProjection(col("embedding"), outDim = 16, inDim = 64))
+          .as(Seq("j", "p")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        col("p").as("proj_val"))
+      .orderBy(col("vec_id"), col("j"))
 
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -700,12 +704,10 @@ object EmbedQueries {
         |        FROM embeddings)),
         |s AS (
         |  SELECT vec_id, j, SUM(sgn * xm) AS sm
-        |  FROM x JOIN dims ON dims.d = x.d GROUP BY 1, 2),
-        |p AS (
-        |  SELECT vec_id,
-        |    list(CAST(sm AS DOUBLE) / sqrt(16.0) / 1000000.0 ORDER BY j) AS proj
-        |  FROM s GROUP BY 1)
-        |SELECT vec_id, proj FROM p ORDER BY vec_id""".stripMargin,
+        |  FROM x JOIN dims ON dims.d = x.d GROUP BY 1, 2)
+        |SELECT vec_id, CAST(j AS BIGINT) AS j,
+        |  CAST(sm AS DOUBLE) / sqrt(16.0) / 1000000.0 AS proj_val
+        |FROM s ORDER BY vec_id, j""".stripMargin,
     "q_ivf_topk" -> ivfTopkOracleSql(k = 5, cells = 16, iters = 2, nProbe = 3),
     "q_hard_negatives" -> hardNegOracleSql(k = 5, cells = 16, iters = 2, nProbe = 3),
     "q_topk_similar" ->
