@@ -3104,4 +3104,146 @@ object Stats {
       when(col("n") > col("k"), round(sp2, 6)).as("pooled_var"),
       when(ok, round(chi2, 6)).as("chi2"))
   }
+
+  /** Inequality indices per group — [[concentration]]'s
+    * information-theoretic companions over the same (group, entity,
+    * value) reduction:
+    *
+    *   Theil T   = (1/n) Σ (x_i/μ)·ln(x_i/μ)
+    *   Theil L   = (1/n) Σ ln(μ/x_i)          (mean log deviation)
+    *   Atkinson  = 1 − exp((1/n) Σ ln(x_i/μ)) (ε = 1: 1 − GM/μ)
+    *
+    * Only strictly-positive entity totals participate (logs), stated in
+    * the contract; x_i/μ is computed as x_i·n/T so both engines divide
+    * the SAME exact integers. Each per-entity log term quantizes to
+    * nano-units BEFORE the sum (partial-agg order is
+    * partition-dependent; integer sums are not), then ONE division by
+    * n·1e9 per index.
+    *
+    * Scale shape: one (group, entity)-keyed map-combined aggregation,
+    * one group-bounded totals join (AQE broadcast), one group rollup —
+    * the concentration exchange family, no windows at all.
+    */
+  def inequality(df: DataFrame, groupBy: Seq[String], entityCol: String,
+                 value: Column): DataFrame = {
+    require(groupBy.nonEmpty, "inequality needs group keys")
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val q = round(value * lit(1e6), 0).cast(dec)
+    val perEntity = df
+      .select(gCols :+ col(entityCol).as("__e") :+ q.as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(gCols :+ col("__e"): _*)
+      .agg(sum(col("__v")).as("__x"))
+      .filter(col("__x") > 0)
+    val tot = perEntity.groupBy(gCols: _*)
+      .agg(sum(col("__x")).as("__t"), count(lit(1)).as("n_entities"))
+    val j = perEntity.join(tot, groupBy)
+    val ratio = col("__x").cast("double") * col("n_entities").cast("double") /
+      col("__t").cast("double")
+    val nano = lit(1e9)
+    val tT = round(ratio * log(ratio) * nano, 0).cast("long")
+    val tL = round(-log(ratio) * nano, 0).cast("long")
+    val lA = round(log(ratio) * nano, 0).cast("long")
+    val rolled = j.groupBy(gCols: _*)
+      .agg(max(col("n_entities")).as("n_entities"),
+        max(col("__t")).as("__t"),
+        sum(tT).as("__st"), sum(tL).as("__sl"), sum(lA).as("__sa"))
+    val nD = col("n_entities").cast("double")
+    rolled.select(
+      gCols :+ col("n_entities")
+        :+ round(col("__t").cast("double") / lit(1e6), 6).as("total")
+        :+ round(col("__st").cast("double") / nD / lit(1e9), 6).as("theil_t")
+        :+ round(col("__sl").cast("double") / nD / lit(1e9), 6).as("theil_l")
+        :+ round(lit(1.0) - exp(col("__sa").cast("double") / nD / lit(1e9)), 6)
+          .as("atkinson"): _*)
+  }
+
+  /** Lorenz-curve decile points per group — the distributional picture
+    * behind [[concentration]]'s single Gini number: entities sort
+    * ascending by (value, entity), and at each tenth of the population
+    * the curve reports the cumulative share of value held.
+    *
+    *   L(k/10) = Σ_{i ≤ i_k} x_(i) / T,   i_k = last i with ⌊10i/n⌋ = k
+    *
+    * Decile membership is integer arithmetic (`(10·i) div n` jumps by at
+    * most 1 when n ≥ 10), the cumulative sum is an exact decimal prefix
+    * over the entity sort, and the share is one IEEE division.
+    *
+    * Scale shape: one (group, entity)-keyed aggregation, one
+    * group-partitioned sort window over ENTITY rows (the gini rank
+    * window), then a boundary filter that keeps ≤ 10 rows per group.
+    */
+  def lorenzDeciles(df: DataFrame, groupBy: Seq[String], entityCol: String,
+                    value: Column): DataFrame = {
+    require(groupBy.nonEmpty, "lorenzDeciles needs group keys")
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val q = round(value * lit(1e6), 0).cast(dec)
+    val perEntity = df
+      .select(gCols :+ col(entityCol).as("__e") :+ q.as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(gCols :+ col("__e"): _*)
+      .agg(sum(col("__v")).as("__x"))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCols: _*).orderBy(col("__x"), col("__e"))
+    val ranked = perEntity
+      .withColumn("__i", row_number().over(W).cast("long"))
+      .withColumn("__c", sum(col("__x")).over(
+        W.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val WG = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val withN = ranked
+      .withColumn("__n", max(col("__i")).over(WG))
+      .withColumn("__t", sum(col("__x")).over(WG))
+    withN
+      .withColumn("decile", expr("(10 * __i) div __n"))
+      .withColumn("__dprev", expr("(10 * (__i - 1)) div __n"))
+      .filter(col("decile") > col("__dprev"))
+      .select(gCols :+ col("decile")
+        :+ col("__i").as("n_cum")
+        :+ round(col("__c").cast("double") / col("__t").cast("double"), 6)
+          .as("cum_share"): _*)
+  }
+
+  /** Poisson dispersion test — is a count series over- or
+    * under-dispersed relative to Poisson (variance = mean)? Per group,
+    * over integer counts c₁..c_n:
+    *
+    *   D    = s²/c̄ = (n·Σc² − (Σc)²) / ((n−1)·Σc)
+    *   χ²   = (n−1)·D = Σ(cᵢ−c̄)²/c̄   (n−1 dof)
+    *
+    * D ≈ 1 is Poisson; D > 1 (overdispersion: burstiness, clumping) is
+    * the signal that a negative-binomial model — or a dedup pass — is
+    * needed.
+    *
+    * Determinism: counts are exact longs; both numerator and
+    * denominator stay integral (DECIMAL) until the single final
+    * division each — the integral-moment discipline.
+    *
+    * Scale shape: ONE group-keyed map-combined aggregation, 1 row per
+    * group; nothing windowed, nothing collected.
+    */
+  def poissonDispersion(df: DataFrame, groupBy: Seq[String],
+                        countCol: Column): DataFrame = {
+    require(groupBy.nonEmpty, "poissonDispersion needs group keys")
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val c = countCol.cast("long")
+    val agg = df.select(gCols :+ c.as("__c"): _*)
+      .filter(col("__c").isNotNull)
+      .groupBy(gCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__c").cast(dec)).as("__s"),
+        sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__ss"))
+    val nDec = col("n").cast(dec)
+    val num = (nDec * col("__ss") - col("__s") * col("__s")).cast("double")
+    val ok = col("n") >= 2 && col("__s") > 0
+    agg.select(
+      gCols :+ col("n")
+        :+ round(col("__s").cast("double") / col("n").cast("double"), 6).as("mean")
+        :+ round(when(ok,
+            num / ((nDec - lit(1).cast(dec)) * col("__s")).cast("double")), 6)
+          .as("dispersion")
+        :+ round(when(ok, num / col("__s").cast("double")), 6).as("chi2"): _*)
+  }
 }

@@ -170,4 +170,43 @@ object Survival {
       when(v > 0.0, round(diff / sqrt(v), 6)).as("z"),
       when(v > 0.0, round(diff * diff / v, 6)).as("chi2"))
   }
+
+  /** Restricted mean survival time — the area under the [[kaplanMeier]]
+    * curve up to horizon τ: "average survival time over the first τ
+    * units", the standard single-number summary when median survival is
+    * undefined (curve never crosses 0.5) or the tail is censoring-noisy:
+    *
+    *   RMST(τ) = ∫₀^τ S(t) dt
+    *           = min(t₁, τ)·1  +  Σ_{tᵢ < τ} S(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ)
+    *
+    * (S is a right-continuous step function: 1 before the first distinct
+    * duration, S(tᵢ) on [tᵢ, tᵢ₊₁)).
+    *
+    * Determinism: S(tᵢ) is [[kaplanMeier]]'s 6-dp value, re-scaled to an
+    * exact integer micro-unit; each rectangle is an integer
+    * micro-area (segment lengths are longs), so the area accumulates as
+    * an exact integer sum with ONE final division.
+    *
+    * Scale shape: [[kaplanMeier]]'s duration-keyed reduction plus one
+    * more bounded whole-frame window (the lead over distinct durations)
+    * and a 1-row rollup.
+    *
+    * @return 1 row (tau, n_subjects, rmst)
+    */
+  def rmst(df: DataFrame, duration: Column, event: Column, tau: Long): DataFrame = {
+    require(tau > 0, s"horizon must be positive: $tau")
+    val km = kaplanMeier(df, duration, event)
+    val W = Window.orderBy(col("t"))
+    val seg = when(col("t") < lit(tau),
+      least(coalesce(lead(col("t"), 1).over(W), lit(tau)), lit(tau)) - col("t"))
+      .otherwise(lit(0L))
+    val s6 = round(col("survival") * lit(1e6), 0).cast("long")
+    km.select(col("t"), col("n_risk"), s6.as("__s6"), seg.as("__seg"))
+      .agg(max(col("n_risk")).as("n_subjects"),
+        min(col("t")).as("__t0"),
+        sum(col("__s6") * col("__seg")).as("__body"))
+      .select(lit(tau).as("tau"), col("n_subjects"),
+        round((least(col("__t0"), lit(tau)) * lit(1000000L) + col("__body"))
+          .cast("double") / lit(1e6), 6).as("rmst"))
+  }
 }

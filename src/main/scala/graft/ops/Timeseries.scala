@@ -1140,4 +1140,72 @@ object Timeseries {
       min(col("__h1")).over(wPre).as("first_h1_idx"),
       min(col("__h0")).over(wPre).as("first_h0_idx")): _*)
   }
+  /** AR(2) fit by Yule-Walker — the autoregression coefficients implied
+    * by the first two autocorrelations (the closed-form moment
+    * estimator; no iterative solver):
+    *
+    *   φ₁ = r₁(1 − r₂)/(1 − r₁²),   φ₂ = (r₂ − r₁²)/(1 − r₁²)
+    *
+    * with r₁, r₂ the lag-capped sample ACF exactly as
+    * [[autocorrelation]] computes it (per-lag overlap means, exact
+    * DECIMAL moment algebra, one IEEE division per lag). φ₂'s sign is
+    * the diagnostic: ≈0 means AR(1) suffices; <0 means oscillatory
+    * pull-back the lag-1 view cannot see.
+    *
+    * Determinism: r₁/r₂ are divisions of exact integers and the φ
+    * trees are fixed IEEE arithmetic on them — bit-replayable with no
+    * further quantization. Null φ when either lag lacks pairs, the
+    * series variance is 0, or r₁² = 1 (degenerate denominator).
+    *
+    * Scale shape: ONE series-keyed aggregation carrying both lag
+    * overlaps (the [[autocorrelation]] pass restricted to k ≤ 2); no
+    * windows beyond the shared series sort, 1 row per series.
+    */
+  def ar2YuleWalker(df: DataFrame, parts: Seq[String], orderCol: Column,
+                    valueCol: Column): DataFrame = {
+    require(parts.nonEmpty, "ar2YuleWalker needs series keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val q = round(valueCol * lit(1e6), 0).cast("long")
+    val base = df.select(pCols :+ orderCol.as("__o") :+ q.as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val lagged = base.select(
+      pCols :+ col("__x")
+        :+ lag(col("__x"), 1).over(w).as("__l1")
+        :+ lag(col("__x"), 2).over(w).as("__l2"): _*)
+    def lagAggs(k: Int) = {
+      val lk = col(s"__l$k")
+      Seq(
+        sum(when(lk.isNotNull, col("__x").cast(dec) * lk.cast(dec))).as(s"__sxy$k"),
+        sum(when(lk.isNotNull, col("__x").cast(dec))).as(s"__h$k"),
+        sum(when(lk.isNotNull, lk.cast(dec))).as(s"__t$k"),
+        sum(when(lk.isNotNull, 1L).otherwise(0L)).as(s"__np$k"))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).as("__s"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx")) ++
+      lagAggs(1) ++ lagAggs(2)
+    val agg = lagged.groupBy(pCols: _*).agg(aggs.head, aggs.tail: _*)
+    val nDec = col("__n").cast(dec)
+    def rk(k: Int): Column = {
+      val num = (nDec * nDec * col(s"__sxy$k")
+        - nDec * col("__s") * (col(s"__h$k") + col(s"__t$k"))
+        + (nDec - lit(k).cast(dec)) * col("__s") * col("__s")).cast("double")
+      val den = (nDec * (nDec * col("__sxx") - col("__s") * col("__s"))).cast("double")
+      when(col(s"__np$k") >= 2 && den > 0.0, num / den)
+    }
+    val withR = agg.select(pCols :+ col("__n").as("n")
+      :+ rk(1).as("__r1") :+ rk(2).as("__r2"): _*)
+    val d = lit(1.0) - col("__r1") * col("__r1")
+    withR.select(
+      pCols :+ col("n")
+        :+ round(col("__r1"), 6).as("r1")
+        :+ round(col("__r2"), 6).as("r2")
+        :+ round(when(d =!= 0.0,
+            col("__r1") * (lit(1.0) - col("__r2")) / d), 6).as("phi1")
+        :+ round(when(d =!= 0.0,
+            (col("__r2") - col("__r1") * col("__r1")) / d), 6).as("phi2"): _*)
+  }
 }

@@ -292,6 +292,50 @@ object EventQueries {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** AR(2) Yule-Walker fit ([[graft.ops.Timeseries.ar2YuleWalker]]) on
+    * q_autocorr's hourly revenue series: the closed-form φ₁/φ₂ the
+    * first two autocorrelations imply — does hour-over-hour momentum
+    * need a second-order term? Exact moment algebra, zero extra passes
+    * beyond the shared series sort.
+    */
+  private def qArFit(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("__h"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    Timeseries.ar2YuleWalker(hourly, Seq("event_type"), col("__h"), col("cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Poisson dispersion test ([[graft.ops.Stats.poissonDispersion]])
+    * on daily event counts per type: is event arrival clumpier than
+    * Poisson? One group-keyed pass over exact integer counts — the
+    * cheap burstiness alarm before any rate model is trusted.
+    */
+  private def qDispersion(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    graft.ops.Stats.poissonDispersion(daily, Seq("event_type"), col("c"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Restricted mean survival time ([[graft.ops.Survival.rmst]]) over
+    * q_km's churn durations: average days survived in the first 30 —
+    * the area under the KM curve as one exact micro-unit rectangle sum,
+    * the single-number summary when the median never crosses.
+    */
+  private def qRmst(s: SparkSession, dir: String): DataFrame = {
+    val subj = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        floor((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(86400000000L)).as("dur_days"),
+        when(max(unix_micros(col("ts"))) < lit(1706486400000000L), 1L)
+          .otherwise(0L).as("churned"))
+    graft.ops.Survival.rmst(subj, col("dur_days"), col("churned"), tau = 30L)
+  }
+
   /** Runs test ([[graft.ops.Timeseries.runsTest]]): is each event
     * type's daily revenue random about its own median, judged on the
     * SEQUENCE of above/below flags — the companion randomness check
@@ -595,6 +639,9 @@ object EventQueries {
     "q_holt_winters" -> (qHoltWinters _),
     "q_logrank" -> (qLogrank _),
     "q_autocorr" -> (qAutocorr _),
+    "q_ar_fit" -> (qArFit _),
+    "q_dispersion" -> (qDispersion _),
+    "q_rmst" -> (qRmst _),
     "q_ljung_box" -> (qLjungBox _),
     "q_page_hinkley" -> (qPageHinkley _),
     "q_forecast_acc" -> (qForecastAcc _),
@@ -909,6 +956,100 @@ object EventQueries {
         |  CAST(CAST(l AS BIGINT) + CAST(b AS BIGINT) AS DOUBLE) / 1e9 AS forecast
         |FROM st ORDER BY g, i""".stripMargin,
     "q_autocorr" -> autocorrOracleSql(maxLag = 6),
+    "q_ar_fit" ->
+      """WITH hv AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, x, lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2
+        |  FROM hv WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS sxx,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN x * l1 END) AS sxy1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN x END) AS h1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN l1 END) AS t1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS np1,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN x * l2 END) AS sxy2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN x END) AS h2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN l2 END) AS t2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END) AS np2
+        |  FROM l GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, n,
+        |    CASE WHEN np1 >= 2 AND CAST(n * (n * sxx - s * s) AS DOUBLE) > 0
+        |      THEN CAST(n * n * sxy1 - n * s * (h1 + t1) + (n - 1) * s * s AS DOUBLE)
+        |         / CAST(n * (n * sxx - s * s) AS DOUBLE) END AS r1,
+        |    CASE WHEN np2 >= 2 AND CAST(n * (n * sxx - s * s) AS DOUBLE) > 0
+        |      THEN CAST(n * n * sxy2 - n * s * (h2 + t2) + (n - 2) * s * s AS DOUBLE)
+        |         / CAST(n * (n * sxx - s * s) AS DOUBLE) END AS r2
+        |  FROM a)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(r1, 6) AS r1, round(r2, 6) AS r2,
+        |  round(CASE WHEN 1.0 - r1 * r1 <> 0
+        |    THEN r1 * (1.0 - r2) / (1.0 - r1 * r1) END, 6) AS phi1,
+        |  round(CASE WHEN 1.0 - r1 * r1 <> 0
+        |    THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END, 6) AS phi2
+        |FROM r ORDER BY event_type""".stripMargin,
+    "q_dispersion" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(c AS HUGEINT)) AS s,
+        |    SUM(CAST(c AS HUGEINT) * c) AS ss
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  round(CASE WHEN n >= 2 AND s > 0
+        |    THEN CAST(n * ss - s * s AS DOUBLE) / CAST((n - 1) * s AS DOUBLE)
+        |    END, 6) AS dispersion,
+        |  round(CASE WHEN n >= 2 AND s > 0
+        |    THEN CAST(n * ss - s * s AS DOUBLE) / CAST(s AS DOUBLE)
+        |    END, 6) AS chi2
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q_rmst" ->
+      """WITH subj AS (
+        |  SELECT user_id,
+        |    CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS BIGINT) AS t,
+        |    CASE WHEN max(epoch_us(ts)) < 1706486400000000 THEN 1 ELSE 0 END AS e
+        |  FROM subj_src GROUP BY user_id),
+        |byt AS (
+        |  SELECT t, SUM(e) AS n_event, COUNT(*) AS leave_n FROM subj GROUP BY 1),
+        |w AS (
+        |  SELECT t, n_event, leave_n - n_event AS n_censor,
+        |    (SELECT SUM(leave_n) FROM byt)
+        |      - COALESCE(SUM(leave_n) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt),
+        |x AS (
+        |  SELECT t, n_risk,
+        |    SUM(CASE WHEN n_event > 0 AND n_event < n_risk
+        |      THEN CAST(round(ln((CAST(n_risk AS DOUBLE) - CAST(n_event AS DOUBLE))
+        |        / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT) ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ln,
+        |    MAX(CASE WHEN n_event = n_risk AND n_event > 0 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+        |  FROM w),
+        |km AS (
+        |  SELECT t, n_risk,
+        |    CASE WHEN zeroed = 1 THEN 0.0
+        |         ELSE round(exp(CAST(cum_ln AS DOUBLE) / 1e9), 6) END AS survival
+        |  FROM x),
+        |seg AS (
+        |  SELECT t, n_risk,
+        |    CAST(round(survival * 1000000.0) AS BIGINT) AS s6,
+        |    CASE WHEN t < 30
+        |      THEN least(COALESCE(lead(t) OVER (ORDER BY t), 30), 30) - t
+        |      ELSE 0 END AS sg
+        |  FROM km)
+        |SELECT CAST(30 AS BIGINT) AS tau, CAST(MAX(n_risk) AS BIGINT) AS n_subjects,
+        |  round(CAST(least(MIN(t), 30) * 1000000 + SUM(s6 * sg) AS DOUBLE)
+        |    / 1e6, 6) AS rmst
+        |FROM seg""".stripMargin
+        .replace("subj_src", "events"),
     "q_ljung_box" ->
       s"""WITH acfv AS (
          |${autocorrOracleSql(maxLag = 6)}

@@ -397,8 +397,63 @@ object GraphQueries {
       |WHERE p.n_common >= 2
       |ORDER BY p.u, p.v""".stripMargin
 
+  /** Degree assortativity ([[graft.ops.Graph.degreeAssortativity]]) of
+    * the part co-purchase graph: do popular parts co-occur with other
+    * popular parts? One Newman r over exact integer degree moments —
+    * every Σ stays DECIMAL until the single final division, so the
+    * distributed result hash-matches DuckDB's HUGEINT algebra.
+    */
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("i")).distinct()
+    val a = items.toDF("k", "ia")
+    val b = items.toDF("k", "ib")
+    val edges = a.join(b, Seq("k")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+    graft.ops.Graph.degreeAssortativity(edges, "ia", "ib")
+  }
+
+  /** Local clustering coefficients
+    * ([[graft.ops.Graph.localClustering]]) on the thinned co-purchase
+    * graph (q_kcore's edges): per-part triangle density among its
+    * neighbours. The degree-oriented wedge join finds each triangle
+    * once and credits all three corners; the oracle enumerates the same
+    * triangles as a canonical a<b<c triple join.
+    */
+  private def qClustering(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("i")).distinct()
+    val a = items.toDF("k", "ia")
+    val b = items.toDF("k", "ib")
+    val edges = a.join(b, Seq("k")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+    graft.ops.Graph.localClustering(edges, "ia", "ib")
+      .orderBy(col("node"))
+  }
+
+  /** Reciprocity ([[graft.ops.Graph.reciprocity]]) of the directed
+    * supplier co-sequence graph (q_pagerank's edges): how often does
+    * supplier A precede B in some order AND B precede A in another?
+    * One pair-keyed aggregation — a direction pair seen twice is
+    * mutual; no self-join.
+    */
+  private def qReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"))
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    graft.ops.Graph.reciprocity(edges, "src", "dst")
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity" -> (qAssortativity _),
+    "q_clustering" -> (qClustering _),
+    "q_reciprocity" -> (qReciprocity _),
     "q_hits" -> (qHits _),
     "q_link_pred" -> (qLinkPred _),
     "q_modularity" -> (qModularity _),
@@ -411,6 +466,72 @@ object GraphQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_assortativity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 4 = 0),
+        |e AS (
+        |  SELECT DISTINCT a.i AS u, b.i AS v
+        |  FROM items a JOIN items b ON a.k = b.k AND a.i < b.i),
+        |deg AS (
+        |  SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY x),
+        |j AS (
+        |  SELECT CAST(d1.d AS HUGEINT) AS du, CAST(d2.d AS HUGEINT) AS dv
+        |  FROM e JOIN deg d1 ON e.u = d1.x JOIN deg d2 ON e.v = d2.x),
+        |g AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS m2, SUM(du + dv) AS sx,
+        |    SUM(du*du + dv*dv) AS sxx, SUM(du*dv) AS sxy1
+        |  FROM j),
+        |n AS (SELECT count(*) AS n_nodes FROM deg)
+        |SELECT n.n_nodes, CAST(g.m2 AS BIGINT) AS n_edges,
+        |  round(CASE WHEN (m2*2) * sxx - sx * sx <> 0
+        |    THEN CAST((m2*2) * 2 * sxy1 - sx * sx AS DOUBLE)
+        |       / CAST((m2*2) * sxx - sx * sx AS DOUBLE) END, 6) AS assortativity
+        |FROM g, n""".stripMargin,
+    "q_clustering" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 16 = 0),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.i AS u, b.i AS v
+        |  FROM items a JOIN items b ON a.k = b.k AND a.i < b.i),
+        |deg AS (
+        |  SELECT x, count(*) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY x),
+        |tr AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tri AS (
+        |  SELECT x AS node, count(*) AS t FROM (
+        |    SELECT a AS x FROM tr UNION ALL SELECT b AS x FROM tr
+        |    UNION ALL SELECT c AS x FROM tr)
+        |  GROUP BY x)
+        |SELECT deg.x AS node, deg.d AS degree, COALESCE(tri.t, 0) AS triangles,
+        |  round(CAST(2 * COALESCE(tri.t, 0) AS DOUBLE)
+        |      / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS coeff
+        |FROM deg LEFT JOIN tri ON deg.x = tri.node
+        |WHERE deg.d >= 2 ORDER BY node""".stripMargin,
+    "q_reciprocity" ->
+      """WITH nxt AS (
+        |  SELECT l_suppkey AS src,
+        |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_suppkey) AS dst
+        |  FROM lineitem),
+        |d AS (
+        |  SELECT DISTINCT src AS s, dst AS t FROM nxt
+        |  WHERE dst IS NOT NULL AND src <> dst),
+        |p AS (
+        |  SELECT least(s, t) AS u, greatest(s, t) AS v, count(*) AS c
+        |  FROM d GROUP BY 1, 2)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_edges,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual_pairs,
+        |  round(CAST(2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(SUM(c) AS DOUBLE), 6) AS reciprocity
+        |FROM p""".stripMargin,
     "q_hits" -> hitsOracleSql(iterations = 3),
     "q_modularity" -> modularityOracleSql(rounds = 4),
     "q_link_pred" -> linkPredOracleSql,

@@ -913,6 +913,28 @@ object StatsQueries {
         "l_suppkey", col("l_extendedprice"))
       .orderBy(col("l_returnflag"))
 
+  /** Theil T/L and Atkinson inequality indices
+    * ([[graft.ops.Stats.inequality]]) over q_concentration's
+    * supplier-revenue distribution: the information-theoretic
+    * inequality picture next to Gini/HHI. Per-entity log terms
+    * nano-quantize before the group sums, so the distributed rollup
+    * hash-matches DuckDB's.
+    */
+  private def qInequality(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.inequality(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_suppkey", col("l_extendedprice"))
+      .orderBy(col("l_returnflag"))
+
+  /** Lorenz-curve decile points ([[graft.ops.Stats.lorenzDeciles]]) for
+    * the same supplier-revenue distribution: the cumulative value share
+    * at each population tenth — the curve q_concentration's Gini
+    * summarizes. Integer decile cuts, exact decimal prefix sums.
+    */
+  private def qLorenz(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.lorenzDeciles(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_suppkey", col("l_extendedprice"))
+      .orderBy(col("l_returnflag"), col("decile"))
+
   /** One-way ANOVA ([[graft.ops.Stats.anovaOneWay]]): do the five event
     * types differ in mean value? Per-group exact moments, nano-quantized
     * SSB/SSW terms (the chi2 discipline), one F at the end.
@@ -1055,6 +1077,8 @@ object StatsQueries {
     "q_jsd" -> (qJsd _),
     "q_quantiles" -> (qQuantiles _),
     "q_concentration" -> (qConcentration _),
+    "q_inequality" -> (qInequality _),
+    "q_lorenz" -> (qLorenz _),
     "q_mannwhitney" -> (qMannwhitney _),
     "q_spearman" -> (qSpearman _),
     "q_chi2" -> (qChi2 _),
@@ -2193,6 +2217,46 @@ object StatsQueries {
         |  CASE WHEN p IS NOT NULL THEN bh_q END AS bh_q,
         |  CASE WHEN p IS NOT NULL THEN (bh_q <= 0.1) END AS bh_reject
         |FROM s ORDER BY segment""".stripMargin,
+    "q_inequality" ->
+      """WITH pe AS (
+        |  SELECT l_returnflag AS g, l_suppkey AS e,
+        |    SUM(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS x
+        |  FROM lineitem GROUP BY 1, 2
+        |  HAVING SUM(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) > 0),
+        |tot AS (
+        |  SELECT g, SUM(x) AS t, COUNT(*) AS n FROM pe GROUP BY 1),
+        |terms AS (
+        |  SELECT pe.g, tot.t, tot.n,
+        |    CAST(pe.x AS DOUBLE) * CAST(tot.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS r
+        |  FROM pe JOIN tot ON pe.g = tot.g),
+        |s AS (
+        |  SELECT g, MAX(n) AS n_entities, MAX(t) AS t,
+        |    SUM(CAST(round(r * ln(r) * 1000000000.0) AS BIGINT)) AS st,
+        |    SUM(CAST(round(-ln(r) * 1000000000.0) AS BIGINT)) AS sl,
+        |    SUM(CAST(round(ln(r) * 1000000000.0) AS BIGINT)) AS sa
+        |  FROM terms GROUP BY 1)
+        |SELECT g AS l_returnflag, CAST(n_entities AS BIGINT) AS n_entities,
+        |  round(CAST(t AS DOUBLE) / 1000000.0, 6) AS total,
+        |  round(CAST(st AS DOUBLE) / CAST(n_entities AS DOUBLE) / 1000000000.0, 6) AS theil_t,
+        |  round(CAST(sl AS DOUBLE) / CAST(n_entities AS DOUBLE) / 1000000000.0, 6) AS theil_l,
+        |  round(1.0 - exp(CAST(sa AS DOUBLE) / CAST(n_entities AS DOUBLE) / 1000000000.0), 6) AS atkinson
+        |FROM s ORDER BY g""".stripMargin,
+    "q_lorenz" ->
+      """WITH pe AS (
+        |  SELECT l_returnflag AS g, l_suppkey AS e,
+        |    SUM(CAST(round(l_extendedprice * 1000000.0) AS BIGINT)) AS x
+        |  FROM lineitem GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT g, e, x,
+        |    row_number() OVER (PARTITION BY g ORDER BY x, e) AS i,
+        |    SUM(x) OVER (PARTITION BY g ORDER BY x, e ROWS UNBOUNDED PRECEDING) AS c,
+        |    COUNT(*) OVER (PARTITION BY g) AS n,
+        |    SUM(x) OVER (PARTITION BY g) AS t
+        |  FROM pe)
+        |SELECT g AS l_returnflag, (10 * i) // n AS decile, i AS n_cum,
+        |  round(CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share
+        |FROM rk WHERE (10 * i) // n > (10 * (i - 1)) // n
+        |ORDER BY g, decile""".stripMargin,
     "q_concentration" ->
       """WITH pe AS (
         |  SELECT l_returnflag AS g, l_suppkey AS e,

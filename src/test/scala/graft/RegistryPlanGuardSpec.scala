@@ -108,6 +108,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_pr_auc" -> "descending threshold-sweep window over the DISTINCT-SCORE table (the q_auc bound)",
     "q_by" -> "BH/BY rank, harmonic, and suffix-min windows over the tests table (rows = hypothesis count, the q_fdr bound)",
     "q_ccf" -> "lead/lag shift windows over the HOURLY-aggregated two-series table (rows = distinct hours; the constant series key optimizes to a whole-frame spec)",
+    "q_rmst" -> "KM risk-set/log-prefix windows + one lead over the duration table (rows = distinct durations, the q_km bound)",
   )
 
   test("whole-frame windows appear only over bounded-by-construction tables") {

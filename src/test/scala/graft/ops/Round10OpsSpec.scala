@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+/** Hand-checked values for the round-10 operators: graph metrics
+  * (assortativity, local clustering, reciprocity), inequality indices
+  * (Theil/Atkinson, Lorenz deciles), restricted mean survival time,
+  * AR(2) Yule-Walker, and the Poisson dispersion test.
+  */
+class Round10OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def edges(pairs: Seq[(Int, Int)]) =
+    createDf(spark, "a int, b int",
+      pairs.map { case (u, v) => Seq[Any](u, v) })
+
+  test("degree assortativity of the 4-path is exactly -1/2") {
+    // P4: 1-2-3-4; degrees 1,2,2,1 — a textbook disassortative graph
+    val out = Graph.degreeAssortativity(edges(Seq(1 -> 2, 2 -> 3, 3 -> 4)),
+      "a", "b").collect().head
+    assert(out.getLong(0) == 4L)          // nodes
+    assert(out.getLong(1) == 3L)          // edges
+    assert(out.getDouble(2) == -0.5)      // (6*2*8-100)/(6*18-100) = -4/8
+  }
+
+  test("assortativity is null on a degree-regular graph (zero variance)") {
+    // triangle: all degrees 2
+    val out = Graph.degreeAssortativity(edges(Seq(1 -> 2, 2 -> 3, 1 -> 3)),
+      "a", "b").collect().head
+    assert(out.isNullAt(2))
+  }
+
+  test("local clustering: triangle corners 1.0, hub with pendant 1/3") {
+    // K3 on {1,2,3} plus pendant 4 on 3
+    val out = Graph.localClustering(
+        edges(Seq(1 -> 2, 1 -> 3, 2 -> 3, 3 -> 4)), "a", "b")
+      .orderBy("node").collect()
+    val byNode = out.map(r => r.getInt(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(byNode.keySet == Set(1, 2, 3)) // node 4 has degree 1: excluded
+    assert(byNode(1) == ((2L, 1L, 1.0)))
+    assert(byNode(2) == ((2L, 1L, 1.0)))
+    assert(byNode(3) == ((3L, 1L, 0.333333))) // 2*1/(3*2)
+  }
+
+  test("reciprocity counts mutual pairs once and drops loops/duplicates") {
+    val e = createDf(spark, "s int, d int",
+      Seq(Seq[Any](1, 2), Seq[Any](2, 1), Seq[Any](1, 3), Seq[Any](3, 4),
+        Seq[Any](4, 3), Seq[Any](5, 5), Seq[Any](1, 2)))
+    val out = Graph.reciprocity(e, "s", "d").collect().head
+    assert(out.getLong(0) == 5L)     // distinct non-loop directed edges
+    assert(out.getLong(1) == 2L)     // {1,2} and {3,4}
+    assert(out.getDouble(2) == 0.8)  // 2*2/5
+  }
+
+  test("inequality: equal incomes give zero indices; 1-vs-3 matches hand values") {
+    val df = createDf(spark, "g string, e int, v double",
+      Seq(Seq[Any]("a", 1, 5.0), Seq[Any]("a", 2, 5.0), Seq[Any]("a", 3, 5.0),
+        Seq[Any]("b", 1, 1.0), Seq[Any]("b", 2, 3.0)))
+    val out = Stats.inequality(df, Seq("g"), "e", col("v"))
+      .orderBy("g").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getLong(1) == 3L && a.getDouble(2) == 15.0)
+    assert(a.getDouble(3) == 0.0 && a.getDouble(4) == 0.0 && a.getDouble(5) == 0.0)
+    // group b: ratios 0.5 and 1.5 about the mean of 2
+    assert(b.getDouble(3) == 0.130812) // (0.5 ln0.5 + 1.5 ln1.5)/2
+    assert(b.getDouble(4) == 0.143841) // (-ln0.5 - ln1.5)/2
+    assert(b.getDouble(5) == 0.133975) // 1 - sqrt(0.75)
+  }
+
+  test("lorenz deciles of incomes 1..10: cumulative triangular shares over 55") {
+    val df = createDf(spark, "g string, e int, v double",
+      (1 to 10).map(i => Seq[Any]("g", i, i.toDouble)))
+    val out = Stats.lorenzDeciles(df, Seq("g"), "e", col("v"))
+      .orderBy("decile").collect()
+    assert(out.length == 10)
+    val shares = out.map(_.getDouble(3)).toSeq
+    val want = (1 to 10).map(i => BigDecimal(i * (i + 1) / 2.0 / 55.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(shares == want)
+    assert(out.map(_.getLong(1)).toSeq == (1L to 10L)) // deciles 1..10
+  }
+
+  test("rmst integrates the KM steps: textbook curve gives 4.5 at tau=10") {
+    val subj = createDf(spark, "t int, e int",
+      Seq(Seq[Any](1, 1), Seq[Any](2, 1), Seq[Any](2, 0),
+        Seq[Any](3, 1), Seq[Any](4, 0)))
+    val out = Survival.rmst(subj, col("t"), col("e"), tau = 10L).collect().head
+    assert(out.getLong(0) == 10L && out.getLong(1) == 5L)
+    // 1*1 + 0.8*1 + 0.6*1 + 0.3*1 + 0.3*6
+    assert(out.getDouble(2) == 4.5)
+    val early = Survival.rmst(subj, col("t"), col("e"), tau = 2L).collect().head
+    assert(early.getDouble(2) == 1.8) // 1*1 + 0.8*(2-1)
+  }
+
+  test("ar2 yule-walker on 1..5: r1=0.4, r2=-0.1, phi from the closed form") {
+    val df = createDf(spark, "g string, o int, v double",
+      (1 to 5).map(i => Seq[Any]("g", i, i.toDouble)))
+    val out = Timeseries.ar2YuleWalker(df, Seq("g"), col("o"), col("v"))
+      .collect().head
+    assert(out.getLong(1) == 5L)
+    assert(out.getDouble(2) == 0.4)       // 100/250
+    assert(out.getDouble(3) == -0.1)      // -25/250
+    assert(out.getDouble(4) == 0.52381)   // 0.4*1.1/0.84
+    assert(out.getDouble(5) == -0.309524) // -0.26/0.84
+  }
+
+  test("poisson dispersion: counts 1,2,3 give D=0.5, chi2=1") {
+    val df = createDf(spark, "g string, c int",
+      Seq(Seq[Any]("g", 1), Seq[Any]("g", 2), Seq[Any]("g", 3)))
+    val out = Stats.poissonDispersion(df, Seq("g"), col("c")).collect().head
+    assert(out.getLong(1) == 3L)
+    assert(out.getDouble(2) == 2.0)
+    assert(out.getDouble(3) == 0.5) // under-dispersed: var 1 vs mean 2
+    assert(out.getDouble(4) == 1.0)
+  }
+
+  test("round-10 ops are invariant to input partitioning") {
+    val df = createDf(spark, "g string, e int, v double",
+      (0 until 400).map(i => Seq[Any](s"g${i % 2}", i % 37, (i % 11 + 1).toDouble)))
+    def run(d: org.apache.spark.sql.DataFrame) = Seq(
+      Stats.inequality(d, Seq("g"), "e", col("v")).orderBy("g").collect().toSeq,
+      Stats.lorenzDeciles(d, Seq("g"), "e", col("v"))
+        .orderBy("g", "decile").collect().toSeq,
+      Stats.poissonDispersion(d, Seq("g"), col("v")).orderBy("g").collect().toSeq)
+    assert(run(df.coalesce(1)) == run(df.repartition(7)))
+    val ed = createDf(spark, "a int, b int",
+      (0 until 300).map(i => Seq[Any](i % 23, (i * 7 + 3) % 23)))
+    def runG(d: org.apache.spark.sql.DataFrame) = Seq(
+      Graph.degreeAssortativity(d, "a", "b").collect().toSeq,
+      Graph.localClustering(d, "a", "b").orderBy("node").collect().toSeq,
+      Graph.reciprocity(d, "a", "b").collect().toSeq)
+    assert(runG(ed.coalesce(1)) == runG(ed.repartition(7)))
+  }
+}
