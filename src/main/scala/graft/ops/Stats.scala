@@ -714,6 +714,102 @@ object Stats {
       .drop("__pv", "__i", "__m", "__h", "__qraw")
   }
 
+  /** Holm-Bonferroni step-down correction over a TESTS table —
+    * [[benjaminiHochberg]]'s family-wise cousin: controls the
+    * probability of even ONE false rejection (FWER) with no dependence
+    * assumption at all, at the cost of less power than FDR control:
+    *
+    *   p̃_(i) = max_{j ≤ i} min(1, (m−j+1)·p_(j))
+    *
+    * appended as `(holm_rank, holm_adj, holm_reject)` with reject ⇔
+    * p̃ ≤ alpha — the step-down stated monotonically (the prefix max IS
+    * the step-down). Null p-values follow the [[benjaminiHochberg]]
+    * contract: excluded from m, sorted last, never rejected.
+    *
+    * Scale shape: the same two bounded whole-frame windows as BH (rank
+    * + prefix max) over the hypothesis-count-sized tests table.
+    */
+  def holmBonferroni(df: DataFrame, pCol: Column, alpha: Double,
+                     tieBreak: Seq[Column]): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    require(tieBreak.nonEmpty,
+      "pass tie-break columns (a test id) — tied p-values need a deterministic order")
+    val W = org.apache.spark.sql.expressions.Window
+    val pv = pCol.cast("double")
+    val wRank = W.orderBy(pv.asc_nulls_last +: tieBreak.map(_.asc): _*)
+    val wAll = W.rowsBetween(Long.MinValue, Long.MaxValue)
+    val ranked = df
+      .withColumn("__pv", pv)
+      .withColumn("__i", row_number().over(wRank).cast("long"))
+      .withColumn("__m", count(col("__pv")).over(wAll))
+      .withColumn("__araw", when(col("__pv").isNotNull,
+        (col("__m") - col("__i") + lit(1L)).cast("double") * col("__pv")))
+    val wPrefix = W.orderBy(col("__i")).rowsBetween(Long.MinValue, 0)
+    ranked
+      .withColumn("holm_adj", when(col("__pv").isNotNull,
+        round(least(lit(1.0), max(col("__araw")).over(wPrefix)), 6)))
+      .withColumn("holm_rank", when(col("__pv").isNotNull, col("__i")))
+      .withColumn("holm_reject", when(col("__pv").isNotNull,
+        col("holm_adj") <= alpha))
+      .drop("__pv", "__i", "__m", "__araw")
+  }
+
+  /** One-way random-effects intraclass correlation ICC(1) — "how much
+    * of the variance is BETWEEN groups?", the reliability/clustering
+    * coefficient behind design effects and rater agreement:
+    *
+    *   ICC = (MSB − MSW) / (MSB + (k₀ − 1)·MSW),
+    *   k₀  = (N − Σn_g²/N)/(G−1)   (the unequal-size correction)
+    *
+    * Returns 1 row `(k, n, k0, ms_between, ms_within, icc)`, 6 dp; icc
+    * null when G < 2, N ≤ G, or the denominator is 0.
+    *
+    * Determinism: SSB/SSW are [[anovaOneWay]]'s nano-quantized
+    * per-group terms (exact integer cross-group sums); Σn_g² stays
+    * DECIMAL; k₀ and the ICC are fixed IEEE trees on those integers.
+    *
+    * Scale shape: [[anovaOneWay]]'s — one group-keyed aggregation, a
+    * 1-row broadcast, a k-row rollup.
+    */
+  def iccOneWay(df: DataFrame, groupCol: Column, value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val base = df.select(groupCol.as("__g"), q(value).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val perGroup = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__x")).as("__sg"),
+        sum(col("__x") * col("__x")).as("__ssg"))
+    val grand = perGroup.agg(count(lit(1)).as("__k"),
+      sum(col("__ng")).as("__n"), sum(col("__sg")).as("__s"))
+    val ngD = col("__ng").cast("double")
+    val meanG = col("__sg").cast("double") / ngD / lit(1e6)
+    val meanAll = col("__s").cast("double") / col("__n").cast("double") / lit(1e6)
+    val termB = round(ngD * (meanG - meanAll) * (meanG - meanAll) * lit(1e9), 0)
+      .cast("long")
+    val termW = round((col("__ng").cast(dec) * col("__ssg") - col("__sg") * col("__sg"))
+      .cast("double") / ngD / lit(1e12) * lit(1e9), 0).cast("long")
+    val rolled = perGroup.crossJoin(broadcast(grand))
+      .select(col("__k"), col("__n"), col("__ng").cast(dec).as("__ngd"),
+        termB.as("__tb"), termW.as("__tw"))
+      .groupBy(col("__k"), col("__n"))
+      .agg(sum(col("__tb")).as("__ssb"), sum(col("__tw")).as("__ssw"),
+        sum(col("__ngd") * col("__ngd")).as("__sn2"))
+    val kD = col("__k").cast("double")
+    val nD = col("__n").cast("double")
+    val msb = col("__ssb").cast("double") / lit(1e9) / (kD - lit(1.0))
+    val msw = col("__ssw").cast("double") / lit(1e9) / (nD - kD)
+    val k0 = (nD - col("__sn2").cast("double") / nD) / (kD - lit(1.0))
+    val den = msb + (k0 - lit(1.0)) * msw
+    val ok = col("__k") >= 2 && col("__n") > col("__k")
+    rolled.select(
+      col("__k").as("k"), col("__n").as("n"),
+      when(ok, round(k0, 6)).as("k0"),
+      when(ok, round(msb, 6)).as("ms_between"),
+      when(ok, round(msw, 6)).as("ms_within"),
+      when(ok && den =!= 0.0, round((msb - msw) / den, 6)).as("icc"))
+  }
+
   /** One-way ANOVA F — "do these k group means differ?" in one pass
     * (the k-sample generalization of [[welchT]]'s two): one row
     * `(k, n, ss_between, ss_within, f)`, 6 dp, with

@@ -333,6 +333,29 @@ object JoinQueries {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Damerau-Levenshtein near-duplicate pairs
+    * ([[graft.functions.StringDist.damerau]]): customer names within
+    * (nation, segment) blocks at unrestricted DL distance ≤ 2 — the
+    * native-expression edit distance where a digit TRANSPOSITION
+    * ("...12" vs "...21") costs 1 where q_fuzzy_join's Levenshtein
+    * charges 2. Integer-exact by construction; the length prefilter
+    * skips the DP on pairs that cannot pass.
+    */
+  private def qDamerau(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def side(p: String) = c.select(col("c_custkey").as(s"id_$p"),
+      col("c_name").as(s"nm_$p"), col("c_nationkey").as("nk"),
+      col("c_mktsegment").as("seg"))
+    side("a").join(side("b"), Seq("nk", "seg"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("nm_a")) - length(col("nm_b"))) <= 2)
+      .withColumn("dist",
+        graft.functions.StringDist.damerau(col("nm_a"), col("nm_b")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Fellegi-Sunter match scoring ([[graft.ops.Linkage.score]]) over
     * (nation, segment)-blocked customer pairs: three agreement fields
     * (name last-char, acctbal-thousand bucket, acctbal sign) with fixed
@@ -489,6 +512,7 @@ object JoinQueries {
     "q_star_join" -> (qStarJoin _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_damerau" -> (qDamerau _),
     "q_linkage" -> (qLinkage _),
     "q_consolidate" -> (qConsolidate _),
     "q_scd2" -> (qScd2 _),
@@ -499,6 +523,15 @@ object JoinQueries {
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_linkage" -> linkageOracleSql,
+    "q_damerau" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.c_custkey < b.c_custkey
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 2
+        |WHERE damerau_levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // Salting routes rows without changing the join's row set, so the
     // oracle is the PLAIN join the salted plan accelerates.
     "q_salted_join" ->

@@ -649,6 +649,32 @@ object StatsQueries {
       .orderBy(col("segment"))
   }
 
+  /** Holm-Bonferroni step-down ([[graft.ops.Stats.holmBonferroni]])
+    * over q_by's per-segment KS tests: the family-wise-error companion
+    * to BH/BY — when even one false "segment 7 drifted" alarm is
+    * expensive, the prefix-max adjusted p is the gate.
+    */
+  private def qHolm(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("segment", col("user_id") % 8)
+    val ks = graft.ops.Drift.ksStatisticGrouped(e, Seq("segment"),
+      col("event_type") === "purchase", col("event_type") === "click",
+      col("value"))
+    graft.ops.Stats.holmBonferroni(ks, col("p"), alpha = 0.1,
+        tieBreak = Seq(col("segment")))
+      .select(col("segment"), col("n_a"), col("n_b"), col("d_num"),
+        col("ks"), col("p"), col("holm_rank"), col("holm_adj"), col("holm_reject"))
+      .orderBy(col("segment"))
+  }
+
+  /** One-way random-effects ICC ([[graft.ops.Stats.iccOneWay]]) of
+    * event values by type — q_anova's reliability view: not "do the
+    * groups differ" but "what share of total variance the grouping
+    * carries", with the unequal-size k₀ correction.
+    */
+  private def qIcc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.iccOneWay(t(s, dir, "events"),
+      col("event_type"), col("value"))
+
   /** Rank-biserial effect size ([[graft.ops.Stats.rankBiserial]]): HOW
     * strongly do purchase values outrank click values per segment —
     * the magnitude readout for q_mannwhitney's significance, off the
@@ -1098,6 +1124,8 @@ object StatsQueries {
     "q_kendall_w" -> (qKendallW _),
     "q_yuen" -> (qYuen _),
     "q_by" -> (qBy _),
+    "q_holm" -> (qHolm _),
+    "q_icc" -> (qIcc _),
     "q_rank_biserial" -> (qRankBiserial _),
     "q_partial_corr" -> (qPartialCorr _),
     "q_odds_ratio" -> (qOddsRatio _),
@@ -1377,6 +1405,101 @@ object StatsQueries {
         |  CASE WHEN p IS NOT NULL THEN bh_q END AS bh_q,
         |  CASE WHEN p IS NOT NULL THEN (bh_q <= 0.1) END AS bh_reject
         |FROM s ORDER BY segment""".stripMargin,
+    "q_holm" ->
+      """WITH tg AS (
+        |  SELECT user_id % 8 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib,
+        |    value AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+        |c AS (SELECT segment, v, SUM(ia) AS ca, SUM(ib) AS cb FROM tg GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT segment,
+        |    SUM(ca) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+        |    SUM(cb) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+        |    SUM(ca) OVER (PARTITION BY segment) AS na,
+        |    SUM(cb) OVER (PARTITION BY segment) AS nb
+        |  FROM c),
+        |kk AS (
+        |  SELECT segment, na AS n_a, nb AS n_b,
+        |    MAX(abs(cca * nb - ccb * na)) AS d_num
+        |  FROM cc GROUP BY 1, 2, 3),
+        |pv AS (
+        |  SELECT segment, n_a, n_b, d_num,
+        |    round(CAST(d_num AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks,
+        |    round(least(1.0, 2.0 * exp(-2.0
+        |      * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |      * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |      * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))), 6) AS p
+        |  FROM kk),
+        |r AS (
+        |  SELECT pv.*, row_number() OVER (ORDER BY p ASC NULLS LAST, segment) AS i,
+        |    COUNT(p) OVER () AS m
+        |  FROM pv),
+        |s AS (
+        |  SELECT r.*,
+        |    round(least(1.0, MAX(CAST(m - i + 1 AS DOUBLE) * p)
+        |      OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |      AS holm_adj
+        |  FROM r)
+        |SELECT segment, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(d_num AS BIGINT) AS d_num, ks, p,
+        |  CASE WHEN p IS NOT NULL THEN CAST(i AS BIGINT) END AS holm_rank,
+        |  CASE WHEN p IS NOT NULL THEN holm_adj END AS holm_adj,
+        |  CASE WHEN p IS NOT NULL THEN (holm_adj <= 0.1) END AS holm_reject
+        |FROM s ORDER BY segment""".stripMargin,
+    "q_icc" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |pg AS (
+        |  SELECT g, COUNT(*) AS ng, SUM(x) AS sg, SUM(x * x) AS ssg
+        |  FROM v GROUP BY 1),
+        |gr AS (SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(sg) AS s FROM pg),
+        |tm AS (
+        |  SELECT pg.ng, k, n,
+        |    CAST(round(CAST(ng AS DOUBLE)
+        |      * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) / 1000000.0
+        |         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+        |      * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) / 1000000.0
+        |         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+        |      * 1000000000.0) AS BIGINT) AS tb,
+        |    CAST(round(CAST(ng * ssg - sg * sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE) / 1000000000000.0 * 1000000000.0) AS BIGINT) AS tw
+        |  FROM pg CROSS JOIN gr),
+        |a AS (
+        |  SELECT k, n, SUM(tb) AS ssb, SUM(tw) AS ssw,
+        |    SUM(CAST(ng AS HUGEINT) * ng) AS sn2
+        |  FROM tm GROUP BY 1, 2)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN k >= 2 AND n > k THEN
+        |    round((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1.0), 6) END AS k0,
+        |  CASE WHEN k >= 2 AND n > k THEN
+        |    round(CAST(ssb AS DOUBLE) / 1000000000.0 / (CAST(k AS DOUBLE) - 1.0), 6)
+        |  END AS ms_between,
+        |  CASE WHEN k >= 2 AND n > k THEN
+        |    round(CAST(ssw AS DOUBLE) / 1000000000.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)), 6)
+        |  END AS ms_within,
+        |  CASE WHEN k >= 2 AND n > k
+        |      AND (CAST(ssb AS DOUBLE) / 1000000000.0 / (CAST(k AS DOUBLE) - 1.0)
+        |        + ((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |             / (CAST(k AS DOUBLE) - 1.0) - 1.0)
+        |          * (CAST(ssw AS DOUBLE) / 1000000000.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))) <> 0
+        |    THEN round(
+        |      (CAST(ssb AS DOUBLE) / 1000000000.0 / (CAST(k AS DOUBLE) - 1.0)
+        |        - CAST(ssw AS DOUBLE) / 1000000000.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |      / (CAST(ssb AS DOUBLE) / 1000000000.0 / (CAST(k AS DOUBLE) - 1.0)
+        |        + ((CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |             / (CAST(k AS DOUBLE) - 1.0) - 1.0)
+        |          * (CAST(ssw AS DOUBLE) / 1000000000.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))), 6)
+        |  END AS icc
+        |FROM a""".stripMargin,
     "q_rank_biserial" ->
       """WITH tg AS (
         |  SELECT user_id % 4 AS segment,

@@ -119,6 +119,37 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out.getDouble(4) == 1.0)
   }
 
+  test("holm step-down: prefix max of (m-i+1)p, capped at 1, nulls excluded") {
+    val df = createDf(spark, "id int, p double",
+      Seq(Seq[Any](1, 0.01), Seq[Any](2, 0.04), Seq[Any](3, 0.03),
+        Seq[Any](4, null)))
+    val out = Stats.holmBonferroni(df, col("p"), alpha = 0.05,
+        tieBreak = Seq(col("id")))
+      .orderBy("id").collect()
+    // columns: id, p, holm_adj, holm_rank, holm_reject
+    val adj = out.map(r => r.getInt(0) ->
+      (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(adj(1) == 0.03) // 3*0.01
+    assert(adj(2) == 0.06) // max(0.03, 2*0.03, 1*0.04) at rank 3
+    assert(adj(3) == 0.06) // max(0.03, 2*0.03)
+    assert(adj(4) == null) // null p is not a hypothesis
+    val rej = out.map(r => r.getInt(0) ->
+      (if (r.isNullAt(4)) null else r.getBoolean(4))).toMap
+    assert(rej(1) == true && rej(2) == false && rej(3) == false)
+  }
+
+  test("icc one-way: two groups {1,2,3},{4,5,6} give 12.5/15.5") {
+    val df = createDf(spark, "g string, v double",
+      Seq(1, 2, 3).map(i => Seq[Any]("a", i.toDouble)) ++
+        Seq(4, 5, 6).map(i => Seq[Any]("b", i.toDouble)))
+    val out = Stats.iccOneWay(df, col("g"), col("v")).collect().head
+    assert(out.getLong(0) == 2L && out.getLong(1) == 6L)
+    assert(out.getDouble(2) == 3.0)      // k0: equal sizes of 3
+    assert(out.getDouble(3) == 13.5)     // MSB = SSB/(G-1) = 13.5/1
+    assert(out.getDouble(4) == 1.0)      // MSW = 4/4
+    assert(out.getDouble(5) == 0.806452) // 12.5/15.5
+  }
+
   test("round-10 ops are invariant to input partitioning") {
     val df = createDf(spark, "g string, e int, v double",
       (0 until 400).map(i => Seq[Any](s"g${i % 2}", i % 37, (i % 11 + 1).toDouble)))

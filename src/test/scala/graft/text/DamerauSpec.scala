@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{StringDist, StringDistances}
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+/** Unrestricted Damerau-Levenshtein vs hand-checked values — including
+  * the cases that separate it from plain Levenshtein and from the
+  * restricted (optimal-string-alignment) variant.
+  */
+class DamerauSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def d(a: String, b: String): Int =
+    StringDistances.damerau(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("hand-checked distances match the Lowrance-Wagner definition") {
+    assert(d("", "") == 0)
+    assert(d("", "abc") == 3)
+    assert(d("abc", "") == 3)
+    assert(d("same", "same") == 0)
+    assert(d("kitten", "sitting") == 3)   // plain Levenshtein case
+    assert(d("ab", "ba") == 1)            // adjacent transposition is 1
+    assert(d("abc", "acb") == 1)
+    assert(d("abcdef", "abcfed") == 2)    // f<->e then d<->e region
+    // the unrestricted hallmark: edit INSIDE a transposed block.
+    // OSA gives 3 here; true DL gives 2 (transpose CA, insert B)
+    assert(d("CA", "ABC") == 2)
+    assert(d("ca", "abc") == 2)
+  }
+
+  test("symmetry and triangle sanity on a small sample") {
+    val words = Seq("apple", "aple", "appel", "maple", "apples", "papel")
+    for (a <- words; b <- words) {
+      assert(d(a, b) == d(b, a), s"symmetry($a,$b)")
+      assert((d(a, b) == 0) == (a == b))
+    }
+  }
+
+  test("code points: surrogate-pair characters count once") {
+    // U+1F600 is two UTF-16 chars but one code point
+    val s1 = new String(Character.toChars(0x1F600))
+    val s2 = new String(Character.toChars(0x1F601))
+    assert(d(s1, s2) == 1)      // one substitution, not two
+    assert(d(s1 + "a", "a" + s1) == 1) // transposition of cp pair
+  }
+
+  test("the Column wrapper runs inside a dataframe and matches eval") {
+    val df = createDf(spark, "a string, b string",
+      Seq(Seq[Any]("CA", "ABC"), Seq[Any]("ab", "ba"),
+        Seq[Any]("kitten", "sitting"), Seq[Any](null, "x")))
+    val out = df.select(StringDist.damerau(col("a"), col("b")).as("d"))
+      .collect()
+    assert(out(0).getInt(0) == 2)
+    assert(out(1).getInt(0) == 1)
+    assert(out(2).getInt(0) == 3)
+    assert(out(3).isNullAt(0)) // null propagates
+  }
+}
