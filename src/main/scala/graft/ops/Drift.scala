@@ -340,6 +340,61 @@ object Drift {
         :+ when(col("n_a") >= 1 && col("n_b") >= 1, round(p, 6)).as("p"): _*)
   }
 
+  /** Two-sample Cramér-von Mises criterion per group —
+    * [[ksStatisticGrouped]]'s whole-curve companion: where KS reads the
+    * single largest ECDF gap, CvM integrates the SQUARED gap over the
+    * pooled sample, so many small persistent shifts register where KS
+    * sees only the one peak. The pooled-ECDF integral form:
+    *
+    *   ω² = (n·m/N²) · Σ_v (w_v/N) · (F_n(v) − G_m(v))²,  N = n+m
+    *      = U / (n·m·N³),   U = Σ_v w_v·(cca_v·m − ccb_v·n)²
+    *
+    * Determinism: U is an EXACT integer (cumulative counts × totals,
+    * squared, weighted by pooled multiplicity w_v, accumulated as
+    * DECIMAL) — one IEEE division at the end, no per-term quantization
+    * at all.
+    *
+    * Scale shape: identical to [[ksStatisticGrouped]] — one
+    * (group, value)-keyed map-combined aggregation, cumulative windows
+    * over the DISTINCT-VALUE table, a group rollup.
+    */
+  def cramerVonMisesGrouped(df: DataFrame, groupBy: Seq[String],
+                            inA: Column, inB: Column, value: Column): DataFrame = {
+    require(groupBy.nonEmpty, "cramerVonMisesGrouped needs group keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val counts = df
+      .select(gCols :+ value.as("__v")
+        :+ when(inA, 1L).otherwise(0L).as("__ia")
+        :+ when(inB, 1L).otherwise(0L).as("__ib"): _*)
+      .filter(col("__v").isNotNull && (col("__ia") === 1L || col("__ib") === 1L))
+      .groupBy(gCols :+ col("__v"): _*)
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val wCum = W.orderBy(col("__v")).rowsBetween(Long.MinValue, 0)
+    val cum = counts.select(
+      gCols :+ col("__ca") :+ col("__cb")
+        :+ sum(col("__ca")).over(wCum).as("__cca")
+        :+ sum(col("__cb")).over(wCum).as("__ccb")
+        :+ sum(col("__ca")).over(W).as("__na")
+        :+ sum(col("__cb")).over(W).as("__nb"): _*)
+    val delta = col("__cca") * col("__nb") - col("__ccb") * col("__na")
+    val agg = cum
+      .select(gCols :+ col("__na") :+ col("__nb")
+        :+ ((col("__ca") + col("__cb")).cast(dec)
+          * delta.cast(dec) * delta.cast(dec)).as("__u"): _*)
+      .groupBy(gCols :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(sum(col("__u")).as("__uu"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    agg.select(
+      gCols :+ col("n_a") :+ col("n_b")
+        :+ when(col("n_a") >= 1 && col("n_b") >= 1,
+          round(col("__uu").cast("double") / (naD * nbD * nD * nD * nD), 6))
+          .as("cvm"): _*)
+  }
+
   def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val counts = a.select(col(valueCol).as("__v"), lit(1L).as("__ca"), lit(0L).as("__cb"))
       .unionAll(b.select(col(valueCol).as("__v"), lit(0L), lit(1L)))

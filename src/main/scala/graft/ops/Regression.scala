@@ -79,4 +79,51 @@ object Regression {
         when(varX =!= 0.0, round(interN / varX / lit(1e6), 6)).as("intercept"),
         when(varX =!= 0.0 && varY =!= 0.0, round(r * r, 6)).as("r2")): _*)
   }
+
+  /** Log-log OLS per group — `ln y = intercept + slope·ln x`, the
+    * elasticity regression (slope = %Δy per %Δx; demand elasticity,
+    * scaling exponents, power laws). Only rows with x > 0 AND y > 0
+    * participate (logs), stated in the contract.
+    *
+    * Determinism: ln x / ln y nano-quantize PER ROW (libm ln agrees
+    * across engines; a raw double Σ of them would not be
+    * order-invariant), then the [[groupOls]] exact-decimal moment
+    * algebra — slope and r² are scale-free in the nano unit, intercept
+    * unscales by 1e9 once.
+    *
+    * Scale shape: ONE group-keyed map-combined aggregation; 1 row per
+    * group.
+    */
+  def groupOlsLogLog(df: DataFrame, groupBy: Seq[String], x: Column,
+                     y: Column): DataFrame = {
+    require(groupBy.nonEmpty, "groupOlsLogLog needs at least one group column")
+    val dec = DecimalType(38, 0)
+    def ql(c: Column): Column = round(log(c) * lit(1e9), 0).cast("long").cast(dec)
+    val g = df
+      .filter(y > 0 && x > 0)
+      .select(groupBy.map(col) :+ ql(x).as("__x") :+ ql(y).as("__y"): _*)
+      .groupBy(groupBy.map(col): _*)
+      .agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val covN = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val varX = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val varY = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    // intercept via the slope in DOUBLE — the decimal Sy·Sxx − Sx·Sxy
+    // form overflows DECIMAL(38) in nano² units at corpus scale
+    val slope = covN / varX
+    val inter = (col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+      col("__n").cast("double") / lit(1e9)
+    val r = covN / sqrt(varX * varY)
+    g.select(
+      groupBy.map(col) ++ Seq(
+        col("__n").cast("long").as("n"),
+        when(varX =!= 0.0, round(slope, 6)).as("elasticity"),
+        when(varX =!= 0.0, round(inter, 6)).as("intercept"),
+        when(varX =!= 0.0 && varY =!= 0.0, round(r * r, 6)).as("r2")): _*)
+  }
 }

@@ -306,6 +306,22 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Gumbel block-maxima fit ([[graft.ops.Stats.gumbelFit]]) on daily
+    * peak event values per type: the extreme-value answer to "what
+    * 30-day peak should we provision for?" — method-of-moments β/μ and
+    * the T=30 return level off one exact-moment pass over the daily
+    * maxima.
+    */
+  private def qEvt(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(max(col("value")).as("mx"))
+    graft.ops.Stats.gumbelFit(daily, Seq("event_type"), col("mx"),
+        returnPeriod = 30)
+      .orderBy(col("event_type"))
+  }
+
   /** Poisson dispersion test ([[graft.ops.Stats.poissonDispersion]])
     * on daily event counts per type: is event arrival clumpier than
     * Poisson? One group-keyed pass over exact integer counts — the
@@ -640,6 +656,7 @@ object EventQueries {
     "q_logrank" -> (qLogrank _),
     "q_autocorr" -> (qAutocorr _),
     "q_ar_fit" -> (qArFit _),
+    "q_evt" -> (qEvt _),
     "q_dispersion" -> (qDispersion _),
     "q_rmst" -> (qRmst _),
     "q_ljung_box" -> (qLjungBox _),
@@ -956,6 +973,41 @@ object EventQueries {
         |  CAST(CAST(l AS BIGINT) + CAST(b AS BIGINT) AS DOUBLE) / 1e9 AS forecast
         |FROM st ORDER BY g, i""".stripMargin,
     "q_autocorr" -> autocorrOracleSql(maxLag = 6),
+    "q_evt" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    MAX(value) AS mx
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, CAST(round(mx * 1000000.0) AS BIGINT) AS x
+        |  FROM d WHERE mx IS NOT NULL),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS s,
+        |    SUM(CAST(x AS HUGEINT) * x) AS ss
+        |  FROM v GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_blocks,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean_max,
+        |  CASE WHEN n >= 2 AND CAST(n * ss - s * s AS DOUBLE) > 0 THEN
+        |    round(sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+        |      / 1000000.0, 6) END AS sd_max,
+        |  CASE WHEN n >= 2 AND CAST(n * ss - s * s AS DOUBLE) > 0 THEN
+        |    round(sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+        |      / 1000000.0 * sqrt(6.0) / pi(), 6) END AS gumbel_beta,
+        |  CASE WHEN n >= 2 AND CAST(n * ss - s * s AS DOUBLE) > 0 THEN
+        |    round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |      - 0.5772156649015329 * (sqrt(CAST(n * ss - s * s AS DOUBLE)
+        |          / CAST(n * (n - 1) AS DOUBLE)) / 1000000.0 * sqrt(6.0) / pi()), 6)
+        |  END AS gumbel_mu,
+        |  CASE WHEN n >= 2 AND CAST(n * ss - s * s AS DOUBLE) > 0 THEN
+        |    round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |      - 0.5772156649015329 * (sqrt(CAST(n * ss - s * s AS DOUBLE)
+        |          / CAST(n * (n - 1) AS DOUBLE)) / 1000000.0 * sqrt(6.0) / pi()))
+        |      - (sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+        |          / 1000000.0 * sqrt(6.0) / pi())
+        |        * ln(-ln(1.0 - 1.0 / 30.0)), 6)
+        |  END AS ret_level
+        |FROM a ORDER BY event_type""".stripMargin,
     "q_ar_fit" ->
       """WITH hv AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,

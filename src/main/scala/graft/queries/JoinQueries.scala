@@ -356,6 +356,23 @@ object JoinQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Price elasticity of demand per brand
+    * ([[graft.ops.Regression.groupOlsLogLog]]): ln(quantity) on
+    * ln(unit price) over the lineitem⋈part join — the %-per-% slope a
+    * pricing model starts from, with nano-quantized logs feeding exact
+    * decimal moments.
+    */
+  private def qElasticity(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        (col("l_extendedprice").cast("double") / col("l_quantity").cast("double"))
+          .as("px"),
+        col("l_quantity").cast("double").as("qy"))
+    graft.ops.Regression.groupOlsLogLog(j, Seq("p_brand"), col("px"), col("qy"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Fellegi-Sunter match scoring ([[graft.ops.Linkage.score]]) over
     * (nation, segment)-blocked customer pairs: three agreement fields
     * (name last-char, acctbal-thousand bucket, acctbal sign) with fixed
@@ -513,6 +530,7 @@ object JoinQueries {
     "q_bloom_join" -> (qBloomJoin _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_damerau" -> (qDamerau _),
+    "q_elasticity" -> (qElasticity _),
     "q_linkage" -> (qLinkage _),
     "q_consolidate" -> (qConsolidate _),
     "q_scd2" -> (qScd2 _),
@@ -523,6 +541,41 @@ object JoinQueries {
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_linkage" -> linkageOracleSql,
+    "q_elasticity" ->
+      """WITH j AS (
+        |  SELECT p_brand,
+        |    CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE) AS px,
+        |    CAST(l_quantity AS DOUBLE) AS qy
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |l AS (
+        |  SELECT p_brand,
+        |    CAST(round(ln(px) * 1000000000.0) AS BIGINT) AS xl,
+        |    CAST(round(ln(qy) * 1000000000.0) AS BIGINT) AS yl
+        |  FROM j WHERE qy > 0 AND px > 0),
+        |a AS (
+        |  SELECT p_brand, COUNT(*) AS n,
+        |    SUM(CAST(xl AS HUGEINT)) AS sx, SUM(CAST(yl AS HUGEINT)) AS sy,
+        |    SUM(CAST(xl AS HUGEINT) * xl) AS sxx,
+        |    SUM(CAST(xl AS HUGEINT) * yl) AS sxy,
+        |    SUM(CAST(yl AS HUGEINT) * yl) AS syy
+        |  FROM l GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS elasticity,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0 THEN
+        |    round((CAST(sy AS DOUBLE)
+        |        - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) / 1000000000.0, 6) END AS intercept,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+        |      AND CAST(n * syy - sy * sy AS DOUBLE) <> 0 THEN
+        |    round((CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))
+        |      * (CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS r2
+        |FROM a ORDER BY p_brand""".stripMargin,
     "q_damerau" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

@@ -675,6 +675,20 @@ object StatsQueries {
     graft.ops.Stats.iccOneWay(t(s, dir, "events"),
       col("event_type"), col("value"))
 
+  /** Two-sample Cramér-von Mises per segment
+    * ([[graft.ops.Drift.cramerVonMisesGrouped]]): q_fdr's KS layer
+    * re-read as the WHOLE-CURVE squared-gap integral — U stays an exact
+    * integer over the distinct-value table, so the statistic needs no
+    * per-term quantization at all.
+    */
+  private def qCvm(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("segment", col("user_id") % 8)
+    graft.ops.Drift.cramerVonMisesGrouped(e, Seq("segment"),
+        col("event_type") === "purchase", col("event_type") === "click",
+        col("value"))
+      .orderBy(col("segment"))
+  }
+
   /** Rank-biserial effect size ([[graft.ops.Stats.rankBiserial]]): HOW
     * strongly do purchase values outrank click values per segment —
     * the magnitude readout for q_mannwhitney's significance, off the
@@ -1125,6 +1139,7 @@ object StatsQueries {
     "q_yuen" -> (qYuen _),
     "q_by" -> (qBy _),
     "q_holm" -> (qHolm _),
+    "q_cvm" -> (qCvm _),
     "q_icc" -> (qIcc _),
     "q_rank_biserial" -> (qRankBiserial _),
     "q_partial_corr" -> (qPartialCorr _),
@@ -1405,6 +1420,37 @@ object StatsQueries {
         |  CASE WHEN p IS NOT NULL THEN bh_q END AS bh_q,
         |  CASE WHEN p IS NOT NULL THEN (bh_q <= 0.1) END AS bh_reject
         |FROM s ORDER BY segment""".stripMargin,
+    "q_cvm" ->
+      """WITH tg AS (
+        |  SELECT user_id % 8 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib,
+        |    value AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+        |c AS (SELECT segment, v, SUM(ia) AS ca, SUM(ib) AS cb FROM tg GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT segment, ca, cb,
+        |    SUM(ca) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+        |    SUM(cb) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+        |    SUM(ca) OVER (PARTITION BY segment) AS na,
+        |    SUM(cb) OVER (PARTITION BY segment) AS nb
+        |  FROM c),
+        |a AS (
+        |  SELECT segment, na AS n_a, nb AS n_b,
+        |    SUM(CAST(ca + cb AS HUGEINT)
+        |      * CAST(cca * nb - ccb * na AS HUGEINT)
+        |      * CAST(cca * nb - ccb * na AS HUGEINT)) AS u
+        |  FROM cc GROUP BY 1, 2, 3)
+        |SELECT segment, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    round(CAST(u AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |         * CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+        |         * CAST(n_a + n_b AS DOUBLE)), 6) END AS cvm
+        |FROM a ORDER BY segment""".stripMargin,
     "q_holm" ->
       """WITH tg AS (
         |  SELECT user_id % 8 AS segment,

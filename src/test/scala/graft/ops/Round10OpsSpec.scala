@@ -150,6 +150,56 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out.getDouble(5) == 0.806452) // 12.5/15.5
   }
 
+  test("gumbel fit on maxima 1,2,3: sd 1, hand-checked beta/mu/return level") {
+    val df = createDf(spark, "g string, v double",
+      Seq(1, 2, 3).map(i => Seq[Any]("g", i.toDouble)))
+    val out = Stats.gumbelFit(df, Seq("g"), col("v"), returnPeriod = 30)
+      .collect().head
+    assert(out.getLong(1) == 3L)
+    assert(out.getDouble(2) == 2.0)       // mean
+    assert(out.getDouble(3) == 1.0)       // sd
+    assert(out.getDouble(4) == 0.779697)  // sqrt(6)/pi
+    assert(out.getDouble(5) == 1.549947)  // 2 - gamma*beta
+    assert(out.getDouble(6) == 4.18867)   // mu - beta*ln(-ln(29/30))
+  }
+
+  test("gumbel fit: constant maxima null out the fit columns") {
+    val df = createDf(spark, "g string, v double",
+      Seq.fill(3)(Seq[Any]("g", 5.0)))
+    val out = Stats.gumbelFit(df, Seq("g"), col("v"), returnPeriod = 30)
+      .collect().head
+    assert(out.getDouble(2) == 5.0 && out.isNullAt(3) && out.isNullAt(6))
+  }
+
+  test("cramer-von mises: {1,2} vs {2,3} gives U=12 -> 12/256") {
+    val df = createDf(spark, "s string, v double",
+      Seq(Seq[Any]("a", 1.0), Seq[Any]("a", 2.0),
+        Seq[Any]("b", 2.0), Seq[Any]("b", 3.0)))
+    val out = Drift.cramerVonMisesGrouped(
+        df.withColumn("seg", lit(0)), Seq("seg"),
+        col("s") === "a", col("s") === "b", col("v"))
+      .collect().head
+    assert(out.getLong(1) == 2L && out.getLong(2) == 2L)
+    assert(out.getDouble(3) == 0.046875)
+  }
+
+  test("log-log ols recovers the power law y = x^2 exactly at 6 dp") {
+    val df = createDf(spark, "g string, x double, y double",
+      Seq(2.0, 4.0, 8.0).map(x => Seq[Any]("g", x, x * x)))
+    val out = Regression.groupOlsLogLog(df, Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(out.getLong(1) == 3L)
+    assert(out.getDouble(2) == 2.0) // elasticity
+    assert(out.getDouble(3) == 0.0) // intercept
+    assert(out.getDouble(4) == 1.0) // r2
+    // non-positive rows drop rather than poison the logs
+    val withZero = df.union(createDf(spark, "g string, x double, y double",
+      Seq(Seq[Any]("g", 0.0, 5.0))))
+    val out2 = Regression.groupOlsLogLog(withZero, Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(out2.getLong(1) == 3L)
+  }
+
   test("round-10 ops are invariant to input partitioning") {
     val df = createDf(spark, "g string, e int, v double",
       (0 until 400).map(i => Seq[Any](s"g${i % 2}", i % 37, (i % 11 + 1).toDouble)))
