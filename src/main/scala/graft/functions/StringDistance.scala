@@ -22,14 +22,33 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object StringDistances {
 
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code.
+    *
+    * Hot-path shape: common prefix/suffix trim first (safe for
+    * unrestricted DL — an optimal script never edits inside a shared
+    * flank; near-duplicate IDs like "Customer#000000012" collapse to a
+    * few-cell DP), then the Lowrance-Wagner table with a flat int[]
+    * last-occurrence row for ASCII (the overwhelming case) and a boxed
+    * map only for higher code points.
+    */
   def damerau(a: UTF8String, b: UTF8String): Int = {
-    val sa = codePoints(a)
-    val sb = codePoints(b)
-    val la = sa.length
-    val lb = sb.length
+    val fa = codePoints(a)
+    val fb = codePoints(b)
+    // trim common prefix and suffix
+    var lo = 0
+    val minLen = math.min(fa.length, fb.length)
+    while (lo < minLen && fa(lo) == fb(lo)) lo += 1
+    var haEnd = fa.length
+    var hbEnd = fb.length
+    while (haEnd > lo && hbEnd > lo && fa(haEnd - 1) == fb(hbEnd - 1)) {
+      haEnd -= 1; hbEnd -= 1
+    }
+    val la = haEnd - lo
+    val lb = hbEnd - lo
     if (la == 0) return lb
     if (lb == 0) return la
+    def sa(i: Int): Int = fa(lo + i)
+    def sb(j: Int): Int = fb(lo + j)
     val maxd = la + lb
     // d is (la+2) x (lb+2), offset by one row/col of maxd sentinels
     val w = lb + 2
@@ -39,13 +58,24 @@ object StringDistances {
     while (i <= la) { d((i + 1) * w) = maxd; d((i + 1) * w + 1) = i; i += 1 }
     var j = 0
     while (j <= lb) { d(j + 1) = maxd; d(w + j + 1) = j; j += 1 }
-    val da = new java.util.HashMap[Integer, Integer]()
+    val daAscii = new Array[Int](128)
+    var daWide: java.util.HashMap[Integer, Integer] = null
+    def daGet(cp: Int): Int =
+      if (cp < 128) daAscii(cp)
+      else if (daWide == null) 0
+      else { val v = daWide.get(Int.box(cp)); if (v == null) 0 else v }
+    def daPut(cp: Int, v: Int): Unit =
+      if (cp < 128) daAscii(cp) = v
+      else {
+        if (daWide == null) daWide = new java.util.HashMap[Integer, Integer]()
+        daWide.put(Int.box(cp), Int.box(v))
+      }
     i = 1
     while (i <= la) {
       var db = 0
       j = 1
       while (j <= lb) {
-        val k: Int = { val v = da.get(Int.box(sb(j - 1))); if (v == null) 0 else v }
+        val k = daGet(sb(j - 1))
         val l = db
         var cost = 1
         if (sa(i - 1) == sb(j - 1)) { cost = 0; db = j }
@@ -60,7 +90,7 @@ object StringDistances {
         d((i + 1) * w + j + 1) = m
         j += 1
       }
-      da.put(Int.box(sa(i - 1)), Int.box(i))
+      daPut(sa(i - 1), i)
       i += 1
     }
     d((la + 1) * w + lb + 1)

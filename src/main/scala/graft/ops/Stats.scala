@@ -3301,6 +3301,97 @@ object Stats {
           .as("cum_share"): _*)
   }
 
+  /** Chapman capture-recapture estimator — estimate an UNSEEN
+    * population size from two overlapping samples (how many distinct
+    * users/duplicates/entities exist, when each pass only sees some):
+    *
+    *   N̂  = (n₁+1)(n₂+1)/(m+1) − 1
+    *   SE = √( (n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2)) )
+    *
+    * (the bias-corrected Lincoln-Petersen; m = entities in BOTH
+    * samples). Assumes independent samples with equal catchability —
+    * hash-based sampling gives exactly that.
+    *
+    * Determinism: n₁/n₂/m are exact longs from one entity-keyed
+    * aggregation; N̂ and SE are fixed IEEE trees over them.
+    *
+    * Scale shape: one id-keyed map-combined aggregation (flags OR-fold)
+    * + a 1-row rollup. Estimating distinct cardinality overlap on
+    * 100 TB costs one keyed pass — no sketch needed when the two
+    * samples ARE the data you hold.
+    *
+    * @return 1 row (n_a, n_b, n_both, n_hat, se)
+    */
+  def captureRecapture(df: DataFrame, idCol: Column, inA: Column,
+                       inB: Column): DataFrame = {
+    val perId = df
+      .select(idCol.as("__id"),
+        when(inA, 1L).otherwise(0L).as("__a"),
+        when(inB, 1L).otherwise(0L).as("__b"))
+      .filter(col("__id").isNotNull)
+      .groupBy(col("__id"))
+      .agg(max(col("__a")).as("__ia"), max(col("__b")).as("__ib"))
+    val agg = perId.agg(
+      sum(col("__ia")).as("n_a"),
+      sum(col("__ib")).as("n_b"),
+      sum(col("__ia") * col("__ib")).as("n_both"))
+    val n1 = col("n_a").cast("double")
+    val n2 = col("n_b").cast("double")
+    val m = col("n_both").cast("double")
+    val nHat = (n1 + lit(1.0)) * (n2 + lit(1.0)) / (m + lit(1.0)) - lit(1.0)
+    val se = sqrt((n1 + lit(1.0)) * (n2 + lit(1.0)) * (n1 - m) * (n2 - m)
+      / ((m + lit(1.0)) * (m + lit(1.0)) * (m + lit(2.0))))
+    agg.select(col("n_a"), col("n_b"), col("n_both"),
+      round(nHat, 6).as("n_hat"), round(se, 6).as("se"))
+  }
+
+  /** G-test of independence (likelihood-ratio chi-square) over a
+    * two-way contingency table — the information-theoretic twin of the
+    * Pearson chi², preferred when expected counts are small or cells
+    * are sparse (G is additive across partitions of the table):
+    *
+    *   G = 2 Σ_cells O·ln(O·N / (R·C)),   dof = (r−1)(c−1)
+    *
+    * Zero cells contribute 0 (lim x·ln x = 0), stated in the contract.
+    *
+    * Determinism: O/R/C/N are exact longs; each cell's O·ln(O·N/(R·C))
+    * nano-quantizes BEFORE the cell sum (the chi2 discipline), one
+    * division by 1e9 at the end.
+    *
+    * Scale shape: one (a, b)-keyed map-combined aggregation; marginals
+    * as windows over the CELL table (bounded by r·c); N as a 1-row
+    * broadcast.
+    *
+    * @return 1 row (r, c, n, dof, g)
+    */
+  def gTest(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("__a"), bCol.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val W = org.apache.spark.sql.expressions.Window
+    val rowTot = sum(col("__o")).over(W.partitionBy(col("__a")))
+    val colTot = sum(col("__o")).over(W.partitionBy(col("__b")))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      count_distinct(col("__a")).as("r"),
+      count_distinct(col("__b")).as("c"))
+    val withM = cells
+      .withColumn("__ra", rowTot)
+      .withColumn("__cb", colTot)
+      .crossJoin(broadcast(tot))
+    val term = round(col("__o").cast("double")
+      * log(col("__o").cast("double") * col("__n").cast("double")
+        / (col("__ra").cast("double") * col("__cb").cast("double")))
+      * lit(1e9), 0).cast("long")
+    val rolled = withM
+      .select(col("r"), col("c"), col("__n"), term.as("__t"))
+      .groupBy(col("r"), col("c"), col("__n"))
+      .agg(sum(col("__t")).as("__s"))
+    rolled.select(col("r"), col("c"), col("__n").as("n"),
+      ((col("r") - lit(1L)) * (col("c") - lit(1L))).as("dof"),
+      round(lit(2.0) * col("__s").cast("double") / lit(1e9), 6).as("g"))
+  }
+
   /** Gumbel extreme-value fit by method of moments over BLOCK MAXIMA —
     * the tail model behind "what daily peak should we provision for?":
     * given per-block maxima x₁..x_n,

@@ -1208,4 +1208,61 @@ object Timeseries {
         :+ round(when(d =!= 0.0,
             (col("__r2") - col("__r1") * col("__r1")) / d), 6).as("phi2"): _*)
   }
+
+  /** Croston's method for INTERMITTENT demand — the forecast when most
+    * periods are zero (spare parts, tail SKUs, rare-event budgeting)
+    * and plain EWMA of the raw series just decays toward zero between
+    * demands: smooth the NONZERO demand sizes and the inter-arrival
+    * gaps separately, and forecast their ratio per period:
+    *
+    *   ẑ = EWMA(z₁..z_k),  p̂ = EWMA(τ₁..τ_k),  f = ẑ / p̂
+    *
+    * with the [[ewmaHalf]] α = 1/2 smoother (exact dyadic weights — the
+    * whole recursion is integer arithmetic over one window). Smoothing
+    * runs over the TRAILING `trailing` nonzero observations per series
+    * (row-number cut, stated in the contract): Croston state is
+    * a fixed-horizon memory, and the cut also bounds [[ewmaHalf]]'s
+    * exact 2^t weights.
+    *
+    * The first nonzero observation has no defined gap and drops (the
+    * standard initialization ambiguity resolved explicitly).
+    *
+    * @param orderCol integer period index (e.g. epoch day) — gaps are
+    *                 its differences
+    * @param demand   integer demand per period (pre-aggregated; zeros
+    *                 and nulls are "no demand")
+    * @return one row per series: `(parts..., n_points, z_hat, p_hat,
+    *         forecast)`, 6 dp
+    */
+  def croston(df: DataFrame, parts: Seq[String], orderCol: Column,
+              demand: Column, trailing: Int = 32): DataFrame = {
+    require(parts.nonEmpty, "croston needs series keys")
+    require(trailing >= 2 && trailing <= 44,
+      s"trailing must be in [2, 44] (exact dyadic weights): $trailing")
+    val pCols = parts.map(col)
+    val nz = df.select(pCols :+ orderCol.cast("long").as("__o")
+        :+ demand.cast("long").as("__z"): _*)
+      .filter(col("__z").isNotNull && col("__z") =!= 0L)
+    val wo = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val wDesc = Window.partitionBy(pCols: _*).orderBy(col("__o").desc)
+    val trail = nz
+      .withColumn("__iv", col("__o") - lag(col("__o"), 1).over(wo))
+      .filter(col("__iv").isNotNull)
+      .withColumn("__rd", row_number().over(wDesc))
+      .filter(col("__rd") <= trailing)
+      .drop("__rd")
+    val smoothed = ewmaHalf(
+      ewmaHalf(trail, parts, Seq("__o"), "__z", out = "__zh", maxLength = trailing),
+      parts, Seq("__o"), "__iv", out = "__ph", maxLength = trailing)
+    val wAll = Window.partitionBy(pCols: _*)
+    smoothed
+      .withColumn("__rn", row_number().over(wDesc))
+      .withColumn("n_points", count(lit(1)).over(wAll))
+      .filter(col("__rn") === 1)
+      .select(pCols :+ col("n_points")
+        :+ round(col("__zh"), 6).as("z_hat")
+        :+ round(col("__ph"), 6).as("p_hat")
+        :+ when(col("__ph") > 0.0, round(col("__zh") / col("__ph"), 6))
+          .as("forecast"): _*)
+  }
 }

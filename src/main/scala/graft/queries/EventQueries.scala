@@ -306,6 +306,35 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Croston intermittent-demand forecast
+    * ([[graft.ops.Timeseries.croston]]): per-user purchase demand is
+    * mostly-zero daily series — EWMA of the raw series decays to zero
+    * between buys; Croston smooths nonzero sizes and gaps separately
+    * over the trailing 32 demands and forecasts their ratio, all in
+    * exact dyadic arithmetic.
+    */
+  private def qCroston(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("__day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    Timeseries.croston(daily, Seq("user_id"), col("__day"), col("cents"),
+        trailing = 32)
+      .orderBy(col("user_id"))
+  }
+
+  /** Chapman capture-recapture ([[graft.ops.Stats.captureRecapture]]):
+    * estimate the distinct-user population from two independent
+    * md5-hash samples of the event stream — the cheap cardinality
+    * audit when each pipeline pass only observes a slice.
+    */
+  private def qCapture(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("user_id").cast("string").cast("binary"))
+    graft.ops.Stats.captureRecapture(t(s, dir, "events"), col("user_id"),
+      substring(h, 1, 1) <= "7", substring(h, 32, 1) <= "7")
+  }
+
   /** Gumbel block-maxima fit ([[graft.ops.Stats.gumbelFit]]) on daily
     * peak event values per type: the extreme-value answer to "what
     * 30-day peak should we provision for?" — method-of-moments β/μ and
@@ -657,6 +686,8 @@ object EventQueries {
     "q_autocorr" -> (qAutocorr _),
     "q_ar_fit" -> (qArFit _),
     "q_evt" -> (qEvt _),
+    "q_croston" -> (qCroston _),
+    "q_capture" -> (qCapture _),
     "q_dispersion" -> (qDispersion _),
     "q_rmst" -> (qRmst _),
     "q_ljung_box" -> (qLjungBox _),
@@ -1736,6 +1767,67 @@ object EventQueries {
         |  strftime(to_ts, '%Y-%m-%d %H:%M:%S') AS to_ts,
         |  epoch_us(to_ts) - epoch_us(from_ts) AS lag_us
         |FROM c ORDER BY user_id""".stripMargin,
+    "q_croston" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |nz AS (SELECT * FROM d WHERE cents IS NOT NULL AND cents <> 0),
+        |iv AS (
+        |  SELECT user_id, day, cents,
+        |    day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS ivl
+        |  FROM nz),
+        |f AS (SELECT * FROM iv WHERE ivl IS NOT NULL),
+        |tr AS (
+        |  SELECT user_id, day, cents, ivl FROM (
+        |    SELECT f.*, row_number()
+        |      OVER (PARTITION BY user_id ORDER BY day DESC) AS rd
+        |    FROM f) WHERE rd <= 32),
+        |i AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY user_id ORDER BY day) - 1 AS t
+        |  FROM tr),
+        |s AS (
+        |  SELECT *,
+        |    sum(cents * (1::BIGINT << t))
+        |      OVER (PARTITION BY user_id ORDER BY t) AS swz,
+        |    sum(ivl * (1::BIGINT << t))
+        |      OVER (PARTITION BY user_id ORDER BY t) AS swp
+        |  FROM i),
+        |l AS (
+        |  SELECT user_id, t, swz, swp,
+        |    count(*) OVER (PARTITION BY user_id) AS n_points,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+        |  FROM s)
+        |SELECT user_id, CAST(n_points AS BIGINT) AS n_points,
+        |  round(CAST(swz AS DOUBLE) / CAST((1::BIGINT << (t + 1)) - 1 AS DOUBLE), 6) AS z_hat,
+        |  round(CAST(swp AS DOUBLE) / CAST((1::BIGINT << (t + 1)) - 1 AS DOUBLE), 6) AS p_hat,
+        |  CASE WHEN CAST(swp AS DOUBLE) / CAST((1::BIGINT << (t + 1)) - 1 AS DOUBLE) > 0 THEN
+        |    round((CAST(swz AS DOUBLE) / CAST((1::BIGINT << (t + 1)) - 1 AS DOUBLE))
+        |        / (CAST(swp AS DOUBLE) / CAST((1::BIGINT << (t + 1)) - 1 AS DOUBLE)), 6)
+        |  END AS forecast
+        |FROM l WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_capture" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |      THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1) <= '7'
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT user_id, MAX(a) AS ia, MAX(b) AS ib FROM f GROUP BY 1),
+        |g AS (SELECT SUM(ia) AS n_a, SUM(ib) AS n_b, SUM(ia * ib) AS n_both FROM p)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_both AS BIGINT) AS n_both,
+        |  round((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+        |      / (CAST(n_both AS DOUBLE) + 1.0) - 1.0, 6) AS n_hat,
+        |  round(sqrt((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+        |      * (CAST(n_a AS DOUBLE) - CAST(n_both AS DOUBLE))
+        |      * (CAST(n_b AS DOUBLE) - CAST(n_both AS DOUBLE))
+        |      / ((CAST(n_both AS DOUBLE) + 1.0) * (CAST(n_both AS DOUBLE) + 1.0)
+        |         * (CAST(n_both AS DOUBLE) + 2.0))), 6) AS se
+        |FROM g""".stripMargin,
     "q_ewma" ->
       """WITH d AS (
         |  SELECT user_id,

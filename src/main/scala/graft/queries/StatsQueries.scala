@@ -689,6 +689,15 @@ object StatsQueries {
       .orderBy(col("segment"))
   }
 
+  /** G-test of independence ([[graft.ops.Stats.gTest]]) between event
+    * type and user bucket: the likelihood-ratio twin of q_chi2,
+    * additive across table partitions and kinder to sparse cells —
+    * nano-quantized O·ln(O·N/RC) terms over the bounded cell table.
+    */
+  private def qGtest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.gTest(t(s, dir, "events"),
+      col("event_type"), col("user_id") % 4)
+
   /** Rank-biserial effect size ([[graft.ops.Stats.rankBiserial]]): HOW
     * strongly do purchase values outrank click values per segment —
     * the magnitude readout for q_mannwhitney's significance, off the
@@ -1140,6 +1149,7 @@ object StatsQueries {
     "q_by" -> (qBy _),
     "q_holm" -> (qHolm _),
     "q_cvm" -> (qCvm _),
+    "q_gtest" -> (qGtest _),
     "q_icc" -> (qIcc _),
     "q_rank_biserial" -> (qRankBiserial _),
     "q_partial_corr" -> (qPartialCorr _),
@@ -1420,6 +1430,32 @@ object StatsQueries {
         |  CASE WHEN p IS NOT NULL THEN bh_q END AS bh_q,
         |  CASE WHEN p IS NOT NULL THEN (bh_q <= 0.1) END AS bh_reject
         |FROM s ORDER BY segment""".stripMargin,
+    "q_gtest" ->
+      """WITH cells AS (
+        |  SELECT event_type AS a, user_id % 4 AS b, COUNT(*) AS o
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a, b, o,
+        |    SUM(o) OVER (PARTITION BY a) AS ra,
+        |    SUM(o) OVER (PARTITION BY b) AS cb
+        |  FROM cells),
+        |t AS (
+        |  SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c
+        |  FROM cells),
+        |s AS (
+        |  SELECT t.r, t.c, t.n,
+        |    SUM(CAST(round(CAST(o AS DOUBLE)
+        |      * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))
+        |      * 1000000000.0) AS BIGINT)) AS sg
+        |  FROM m CROSS JOIN t GROUP BY 1, 2, 3)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+        |  round(2.0 * CAST(sg AS DOUBLE) / 1000000000.0, 6) AS g
+        |FROM s""".stripMargin,
     "q_cvm" ->
       """WITH tg AS (
         |  SELECT user_id % 8 AS segment,

@@ -200,6 +200,41 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out2.getLong(1) == 3L)
   }
 
+  test("croston: sizes/gaps smooth separately; demands 4,6,8,10 at days 0,2,6,7") {
+    // first nonzero has no gap and drops; trailing window covers the rest
+    val df = createDf(spark, "g string, d int, z int",
+      Seq(Seq[Any]("g", 0, 4), Seq[Any]("g", 2, 6), Seq[Any]("g", 6, 8),
+        Seq[Any]("g", 7, 10), Seq[Any]("g", 9, 0))) // zero demand: not an arrival
+    val out = Timeseries.croston(df, Seq("g"), col("d"), col("z")).collect().head
+    assert(out.getLong(1) == 3L)
+    assert(out.getDouble(2) == 8.857143) // (6 + 8*2 + 10*4)/7
+    assert(out.getDouble(3) == 2.0)      // (2 + 4*2 + 1*4)/7
+    assert(out.getDouble(4) == 4.428571) // z/p
+  }
+
+  test("capture-recapture: n1=3, n2=3, m=2 gives Chapman 4.33 +- 0.67") {
+    val df = createDf(spark, "id int, s1 int, s2 int",
+      Seq(Seq[Any](1, 1, 1), Seq[Any](2, 1, 0), Seq[Any](3, 0, 1),
+        Seq[Any](4, 1, 1), Seq[Any](5, 0, 0),
+        Seq[Any](1, 1, 1))) // duplicate sightings collapse per id
+    val out = Stats.captureRecapture(df, col("id"),
+      col("s1") === 1, col("s2") === 1).collect().head
+    assert(out.getLong(0) == 3L && out.getLong(1) == 3L && out.getLong(2) == 2L)
+    assert(out.getDouble(3) == 4.333333) // (4*4)/3 - 1
+    assert(out.getDouble(4) == 0.666667) // sqrt(16/36)
+  }
+
+  test("g-test on the 10/10/10/20 table: hand-checked G, dof 1") {
+    val rows =
+      Seq.fill(10)(Seq[Any]("a1", "b1")) ++ Seq.fill(10)(Seq[Any]("a1", "b2")) ++
+        Seq.fill(10)(Seq[Any]("a2", "b1")) ++ Seq.fill(20)(Seq[Any]("a2", "b2"))
+    val df = createDf(spark, "a string, b string", rows)
+    val out = Stats.gTest(df, col("a"), col("b")).collect().head
+    assert(out.getLong(0) == 2L && out.getLong(1) == 2L && out.getLong(2) == 50L)
+    assert(out.getLong(3) == 1L)
+    assert(out.getDouble(4) == 1.384429)
+  }
+
   test("round-10 ops are invariant to input partitioning") {
     val df = createDf(spark, "g string, e int, v double",
       (0 until 400).map(i => Seq[Any](s"g${i % 2}", i % 37, (i % 11 + 1).toDouble)))
