@@ -157,6 +157,75 @@ object Funnel {
       col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
   }
 
+  /** Stationary distribution of the empirical transition chain — where
+    * [[transitionMatrix]] reports one-step probabilities, this reports
+    * the long-run occupancy ("if users keep behaving like this, what
+    * fraction of steps land in each state?"): power iteration of
+    * π' = πP in EXACT integer arithmetic (the
+    * [[graft.ops.Graph.pageRank]] convention — occupancy lives in
+    * integer `unit`-ths, every division a truncating `div` in fixed
+    * order, so distributed iterations hash-match an unrolled CTE chain
+    * bit-for-bit; float iteration never does):
+    *
+    *   π'(t) = Σ_s (π(s) div out(s)) · n(s,t)
+    *
+    * States with no outgoing transitions hold their mass (the data's
+    * last-observed states are absorbing by construction; stated, not
+    * hidden). Truncation drains a few units per iteration rather than
+    * redistributing — the standard simple variant.
+    *
+    * Scale shape: the one (entity-sequenced) counting pass of
+    * [[transitionMatrix]]; iterations then run on the state×state COUNT
+    * table (bounded by distinct-type², never data-sized).
+    *
+    * @return (state, pi_units, pi) — integer `unit`-ths and the 6-dp
+    *         share
+    */
+  def stationaryDistribution(events: DataFrame, entityCol: String, tsCol: String,
+                             tieCol: String, typeCol: String,
+                             iterations: Int, unit: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 32, s"iterations out of range: $iterations")
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // reused every iteration + for states/outs
+    val states = counts.select(col("from_type").as("state"))
+      .unionAll(counts.select(col("to_type").as("state")))
+      .distinct().localCheckpoint(true)
+    val outs = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("out_n"))
+    val kCount = states.count()
+    var pi = states.withColumn("pi", lit(unit / math.max(kCount, 1L)))
+    var i = 0
+    while (i < iterations) {
+      val flowed = pi
+        .join(outs, pi("state") === outs("from_type"), "inner")
+        .select(col("state"), expr("pi div out_n").as("__share"))
+        .join(counts, col("state") === counts("from_type"))
+        .groupBy(col("to_type"))
+        .agg(sum(col("__share") * col("n")).as("__m"))
+      // absorbing states (no outgoing edges) keep their current mass
+      val held = pi.join(outs, pi("state") === outs("from_type"), "left_anti")
+        .select(col("state"), col("pi"))
+      pi = states
+        .join(flowed, states("state") === flowed("to_type"), "left")
+        .select(states("state"), coalesce(col("__m"), lit(0L)).as("__in"))
+        .join(held.withColumnRenamed("pi", "__held")
+          .withColumnRenamed("state", "__hs"),
+          col("state") === col("__hs"), "left")
+        .select(col("state"),
+          (col("__in") + coalesce(col("__held"), lit(0L))).as("pi"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    pi.select(col("state"), col("pi").as("pi_units"),
+      round(col("pi").cast("double") / lit(unit.toDouble), 6).as("pi"))
+  }
+
   /** Trailing-window distinct active entities per period (rolling
     * DAU/WAU/MAU): for each period `d`, the number of distinct entities
     * with at least one event in `[d − windowPeriods + 1, d]`.

@@ -1265,4 +1265,78 @@ object Timeseries {
         :+ when(col("__ph") > 0.0, round(col("__zh") / col("__ph"), 6))
           .as("forecast"): _*)
   }
+
+  /** Lag-1 Granger causality — "do yesterday's x values help predict
+    * today's y beyond y's own history?": the F-test comparing the
+    * restricted AR(1) fit y_t ~ y_{t-1} against the unrestricted
+    * y_t ~ y_{t-1} + x_{t-1}, per series:
+    *
+    *   F = (RSS_r − RSS_u) · (n−3) / RSS_u    (1, n−3 dof)
+    *
+    * Both fits are CLOSED FORM over centered moment combinations
+    * M_ab = n·Σab − Σa·Σb (the 2×2 normal equations solved by
+    * determinant), so no iterative solver exists anywhere:
+    *
+    *   b = (My1·M22 − My2·M12)/det,  c = (My2·M11 − My1·M12)/det,
+    *   RSS_u ∝ Myy − b·My1 − c·My2,  RSS_r ∝ Myy − My1²/M11
+    *
+    * (the common n scaling of the M-units cancels in F).
+    *
+    * Determinism: inputs quantize to micro-units per row; every M is an
+    * exact DECIMAL combination cast to double once; b/c/F are fixed
+    * IEEE trees. F is null when n < 4, det ≤ 0, M11 ≤ 0, or RSS_u ≤ 0
+    * (a perfect fit has no residual to test against).
+    *
+    * Scale shape: ONE series-keyed aggregation carrying the ten moments
+    * over complete (y, y₋₁, x₋₁) rows — the shared series sort is the
+    * only exchange; 1 row per series.
+    */
+  def grangerLag1(df: DataFrame, parts: Seq[String], orderCol: Column,
+                  yCol: Column, xCol: Column): DataFrame = {
+    require(parts.nonEmpty, "grangerLag1 needs series keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.select(pCols :+ orderCol.as("__o")
+        :+ q(yCol).as("__y") :+ q(xCol).as("__x"): _*)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val lagged = base.select(
+      pCols :+ col("__y")
+        :+ lag(col("__y"), 1).over(w).as("__y1")
+        :+ lag(col("__x"), 1).over(w).as("__x1"): _*)
+      .filter(col("__y").isNotNull && col("__y1").isNotNull && col("__x1").isNotNull)
+    def d(c: Column): Column = c.cast(dec)
+    val agg = lagged.groupBy(pCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(d(col("__y"))).as("__sy"),
+      sum(d(col("__y1"))).as("__sa"),
+      sum(d(col("__x1"))).as("__sb"),
+      sum(d(col("__y")) * d(col("__y"))).as("__syy"),
+      sum(d(col("__y1")) * d(col("__y1"))).as("__saa"),
+      sum(d(col("__x1")) * d(col("__x1"))).as("__sbb"),
+      sum(d(col("__y")) * d(col("__y1"))).as("__sya"),
+      sum(d(col("__y")) * d(col("__x1"))).as("__syb"),
+      sum(d(col("__y1")) * d(col("__x1"))).as("__sab"))
+    val nDec = col("n").cast(dec)
+    def m(sab: Column, sa: Column, sb: Column): Column =
+      (nDec * sab - sa * sb).cast("double")
+    val myy = m(col("__syy"), col("__sy"), col("__sy"))
+    val m11 = m(col("__saa"), col("__sa"), col("__sa"))
+    val m22 = m(col("__sbb"), col("__sb"), col("__sb"))
+    val m12 = m(col("__sab"), col("__sa"), col("__sb"))
+    val my1 = m(col("__sya"), col("__sy"), col("__sa"))
+    val my2 = m(col("__syb"), col("__sy"), col("__sb"))
+    val det = m11 * m22 - m12 * m12
+    val b = (my1 * m22 - my2 * m12) / det
+    val c = (my2 * m11 - my1 * m12) / det
+    val rssU = myy - b * my1 - c * my2
+    val rssR = myy - my1 * my1 / m11
+    val f = (rssR - rssU) * (col("n").cast("double") - lit(3.0)) / rssU
+    val ok = col("n") >= 4 && m11 > 0.0 && det > 0.0
+    agg.select(
+      pCols :+ col("n")
+        :+ when(ok, round(b, 6)).as("b_y1")
+        :+ when(ok, round(c, 6)).as("b_x1")
+        :+ when(ok && rssU > 0.0, round(f, 6)).as("f"): _*)
+  }
 }

@@ -203,6 +203,18 @@ object EmbedQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Davies-Bouldin index ([[graft.text.Cluster.daviesBouldin]]) of
+    * the q_kmeans clustering: compactness/separation in one number —
+    * per-point distances nano-quantize into cluster means, center
+    * separations replay off the same integer lattice the oracle
+    * retrains.
+    */
+  private def qDbIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    Cluster.daviesBouldin(d, "vec_id", "q", k = 8, iters = 3)
+  }
+
   /** Cluster-balanced sampling — the curation move k-means exists FOR:
     * train lattice cells ([[graft.text.Cluster.kmeansInt]], 2 rounds),
     * then keep at most 40 docs per cell by the unbiased md5-hash order
@@ -443,6 +455,34 @@ object EmbedQueries {
     s"""WITH ${kmeansOracleCtes(k, iters)}
        |SELECT vec_id, cluster, dist FROM af ORDER BY vec_id""".stripMargin
 
+  /** Davies-Bouldin over the retrained [[kmeansOracleCtes]] chain:
+    * per-cluster nano-quantized mean point distance off `af`, center
+    * separations off the final centers CTE, max-ratio per cluster, and
+    * a nano-quantized k-term average.
+    */
+  private def dbIndexOracleSql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansOracleCtes(k, iters)},
+       |si AS (
+       |  SELECT cluster, COUNT(*) AS n,
+       |    SUM(CAST(round(sqrt(CAST(dist AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS sd
+       |  FROM af GROUP BY 1),
+       |cd AS (
+       |  SELECT a.cluster AS i, b.cluster AS j,
+       |    sqrt(CAST(list_sum(list_transform(list_zip(a.c, b.c),
+       |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS DOUBLE)) AS dij
+       |  FROM c$iters a JOIN c$iters b ON a.cluster <> b.cluster),
+       |r AS (
+       |  SELECT cd.i,
+       |    MAX((CAST(si.sd AS DOUBLE) / CAST(si.n AS DOUBLE) / 1000000000.0
+       |       + CAST(sj.sd AS DOUBLE) / CAST(sj.n AS DOUBLE) / 1000000000.0) / cd.dij) AS ri
+       |  FROM cd JOIN si ON si.cluster = cd.i JOIN si sj ON sj.cluster = cd.j
+       |  WHERE cd.dij > 0
+       |  GROUP BY cd.i)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |  round(CAST(SUM(CAST(round(ri * 1000000000.0) AS BIGINT)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) / 1000000000.0, 6) AS db_index
+       |FROM r""".stripMargin
+
   /** [[kmeansOracleCtes]] composed with [[graft.ops.Sampling.capPerGroup]]'s
     * md5-order selection rule (q_cap_group's spelling) over the trained
     * cells: the cap keeps the same per-cluster ids only if the whole
@@ -674,6 +714,7 @@ object EmbedQueries {
     "q_ivf_topk" -> (qIvfTopk _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_kmeans" -> (qKmeans _),
+    "q_db_index" -> (qDbIndex _),
     "q_cluster_sample" -> (qClusterSample _),
     "q_pq" -> (qPq _),
     "q_pq_recall" -> (qPqRecall _),
@@ -724,6 +765,7 @@ object EmbedQueries {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
+    "q_db_index" -> dbIndexOracleSql(k = 8, iters = 3),
     "q_cluster_sample" -> clusterSampleOracleSql(k = 8, iters = 2, cap = 40),
     "q_pq" -> pqOracleSql(k = 8, iters = 2, d = 64),
     "q_pq_recall" -> pqRecallOracleSql(k = 8, iters = 2, d = 64),

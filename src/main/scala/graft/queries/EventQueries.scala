@@ -306,6 +306,35 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Stationary distribution of the user-behavior chain
+    * ([[graft.ops.Funnel.stationaryDistribution]]): q_transitions'
+    * long-run view — integer power iteration in fixed `div` order, so 8
+    * distributed rounds hash-match the oracle's unrolled CTE chain.
+    */
+  private def qStationary(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.stationaryDistribution(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", iterations = 8)
+      .orderBy(col("state"))
+
+  /** Lag-1 Granger causality ([[graft.ops.Timeseries.grangerLag1]]):
+    * does the last hour's click revenue predict this hour's purchase
+    * revenue beyond its own momentum? Closed-form 2-regressor F off
+    * one exact-moment pass over q_ccf's hourly frame.
+    */
+  private def qGranger(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))).as("px"),
+        sum(when(col("event_type") === "click",
+          round(col("value") * 100).cast("long"))).as("cx"))
+      .withColumn("k", lit("all"))
+    Timeseries.grangerLag1(hourly, Seq("k"), col("h"),
+        col("px").cast("double"), col("cx").cast("double"))
+      .select(col("n"), col("b_y1"), col("b_x1"), col("f"))
+  }
+
   /** Croston intermittent-demand forecast
     * ([[graft.ops.Timeseries.croston]]): per-user purchase demand is
     * mostly-zero daily series — EWMA of the raw series decays to zero
@@ -687,6 +716,8 @@ object EventQueries {
     "q_ar_fit" -> (qArFit _),
     "q_evt" -> (qEvt _),
     "q_croston" -> (qCroston _),
+    "q_stationary" -> (qStationary _),
+    "q_granger" -> (qGranger _),
     "q_capture" -> (qCapture _),
     "q_dispersion" -> (qDispersion _),
     "q_rmst" -> (qRmst _),
@@ -1767,6 +1798,164 @@ object EventQueries {
         |  strftime(to_ts, '%Y-%m-%d %H:%M:%S') AS to_ts,
         |  epoch_us(to_ts) - epoch_us(from_ts) AS lag_us
         |FROM c ORDER BY user_id""".stripMargin,
+    "q_stationary" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS MATERIALIZED (
+        |  SELECT from_type, to_type, count(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |st AS MATERIALIZED (
+        |  SELECT DISTINCT state FROM (
+        |    SELECT from_type AS state FROM cnt
+        |    UNION ALL SELECT to_type FROM cnt)),
+        |outs AS MATERIALIZED (SELECT from_type, SUM(n) AS out_n FROM cnt GROUP BY 1),
+        |p0 AS (SELECT state, 1000000000000 // (SELECT COUNT(*) FROM st) AS pi FROM st),
+        |p1 AS (
+        |  SELECT s.state,
+        |    COALESCE(f.m, 0)
+        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
+        |  FROM st s
+        |  LEFT JOIN (
+        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
+        |    FROM p0 p JOIN outs o ON p.state = o.from_type
+        |    JOIN cnt c ON c.from_type = p.state
+        |    GROUP BY 1) f ON f.state = s.state
+        |  LEFT JOIN outs o ON o.from_type = s.state
+        |  LEFT JOIN p0 p ON p.state = s.state),
+        |p2 AS (
+        |  SELECT s.state,
+        |    COALESCE(f.m, 0)
+        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
+        |  FROM st s
+        |  LEFT JOIN (
+        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
+        |    FROM p1 p JOIN outs o ON p.state = o.from_type
+        |    JOIN cnt c ON c.from_type = p.state
+        |    GROUP BY 1) f ON f.state = s.state
+        |  LEFT JOIN outs o ON o.from_type = s.state
+        |  LEFT JOIN p1 p ON p.state = s.state),
+        |p3 AS (
+        |  SELECT s.state,
+        |    COALESCE(f.m, 0)
+        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
+        |  FROM st s
+        |  LEFT JOIN (
+        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
+        |    FROM p2 p JOIN outs o ON p.state = o.from_type
+        |    JOIN cnt c ON c.from_type = p.state
+        |    GROUP BY 1) f ON f.state = s.state
+        |  LEFT JOIN outs o ON o.from_type = s.state
+        |  LEFT JOIN p2 p ON p.state = s.state),
+        |p4 AS (
+        |  SELECT s.state,
+        |    COALESCE(f.m, 0)
+        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
+        |  FROM st s
+        |  LEFT JOIN (
+        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
+        |    FROM p3 p JOIN outs o ON p.state = o.from_type
+        |    JOIN cnt c ON c.from_type = p.state
+        |    GROUP BY 1) f ON f.state = s.state
+        |  LEFT JOIN outs o ON o.from_type = s.state
+        |  LEFT JOIN p3 p ON p.state = s.state),
+        |p5 AS (
+        |  SELECT s.state,
+        |    COALESCE(f.m, 0)
+        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
+        |  FROM st s
+        |  LEFT JOIN (
+        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
+        |    FROM p4 p JOIN outs o ON p.state = o.from_type
+        |    JOIN cnt c ON c.from_type = p.state
+        |    GROUP BY 1) f ON f.state = s.state
+        |  LEFT JOIN outs o ON o.from_type = s.state
+        |  LEFT JOIN p4 p ON p.state = s.state),
+        |p6 AS (
+        |  SELECT s.state,
+        |    COALESCE(f.m, 0)
+        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
+        |  FROM st s
+        |  LEFT JOIN (
+        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
+        |    FROM p5 p JOIN outs o ON p.state = o.from_type
+        |    JOIN cnt c ON c.from_type = p.state
+        |    GROUP BY 1) f ON f.state = s.state
+        |  LEFT JOIN outs o ON o.from_type = s.state
+        |  LEFT JOIN p5 p ON p.state = s.state),
+        |p7 AS (
+        |  SELECT s.state,
+        |    COALESCE(f.m, 0)
+        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
+        |  FROM st s
+        |  LEFT JOIN (
+        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
+        |    FROM p6 p JOIN outs o ON p.state = o.from_type
+        |    JOIN cnt c ON c.from_type = p.state
+        |    GROUP BY 1) f ON f.state = s.state
+        |  LEFT JOIN outs o ON o.from_type = s.state
+        |  LEFT JOIN p6 p ON p.state = s.state),
+        |p8 AS (
+        |  SELECT s.state,
+        |    COALESCE(f.m, 0)
+        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
+        |  FROM st s
+        |  LEFT JOIN (
+        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
+        |    FROM p7 p JOIN outs o ON p.state = o.from_type
+        |    JOIN cnt c ON c.from_type = p.state
+        |    GROUP BY 1) f ON f.state = s.state
+        |  LEFT JOIN outs o ON o.from_type = s.state
+        |  LEFT JOIN p7 p ON p.state = s.state)
+        |SELECT state, CAST(pi AS BIGINT) AS pi_units,
+        |  round(CAST(pi AS DOUBLE) / 1000000000000.0, 6) AS pi
+        |FROM p8 ORDER BY state""".stripMargin,
+    "q_granger" ->
+      """WITH hv AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS px,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS cx
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT px AS y, lag(px) OVER (ORDER BY h) AS y1,
+        |    lag(cx) OVER (ORDER BY h) AS x1
+        |  FROM hv),
+        |ff AS (SELECT * FROM l
+        |  WHERE y IS NOT NULL AND y1 IS NOT NULL AND x1 IS NOT NULL),
+        |a AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(y1 AS HUGEINT)) AS sa,
+        |    SUM(CAST(x1 AS HUGEINT)) AS sb,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy, SUM(CAST(y1 AS HUGEINT) * y1) AS saa,
+        |    SUM(CAST(x1 AS HUGEINT) * x1) AS sbb, SUM(CAST(y AS HUGEINT) * y1) AS sya,
+        |    SUM(CAST(y AS HUGEINT) * x1) AS syb, SUM(CAST(y1 AS HUGEINT) * x1) AS sab
+        |  FROM ff),
+        |m AS (
+        |  SELECT n,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS myy,
+        |    CAST(n * saa - sa * sa AS DOUBLE) AS m11,
+        |    CAST(n * sbb - sb * sb AS DOUBLE) AS m22,
+        |    CAST(n * sab - sa * sb AS DOUBLE) AS m12,
+        |    CAST(n * sya - sy * sa AS DOUBLE) AS my1,
+        |    CAST(n * syb - sy * sb AS DOUBLE) AS my2
+        |  FROM a),
+        |z AS (
+        |  SELECT n, m11, m11 * m22 - m12 * m12 AS det,
+        |    (my1 * m22 - my2 * m12) / (m11 * m22 - m12 * m12) AS b,
+        |    (my2 * m11 - my1 * m12) / (m11 * m22 - m12 * m12) AS c,
+        |    myy - ((my1 * m22 - my2 * m12) / (m11 * m22 - m12 * m12)) * my1
+        |        - ((my2 * m11 - my1 * m12) / (m11 * m22 - m12 * m12)) * my2 AS rssu,
+        |    myy - my1 * my1 / m11 AS rssr
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n >= 4 AND m11 > 0 AND det > 0 THEN round(b, 6) END AS b_y1,
+        |  CASE WHEN n >= 4 AND m11 > 0 AND det > 0 THEN round(c, 6) END AS b_x1,
+        |  CASE WHEN n >= 4 AND m11 > 0 AND det > 0 AND rssu > 0
+        |    THEN round((rssr - rssu) * (CAST(n AS DOUBLE) - 3.0) / rssu, 6) END AS f
+        |FROM z""".stripMargin,
     "q_croston" ->
       """WITH d AS (
         |  SELECT user_id,

@@ -112,4 +112,60 @@ object Cluster {
       best.getField("d").as("dist"))
     (out, centers)
   }
+
+  /** Davies-Bouldin index over a trained [[kmeansInt]] clustering — the
+    * internal "are these clusters compact and well separated?" score
+    * (lower is better): per cluster the mean point-to-center distance
+    * s_i, per pair the center distance d_ij, and
+    *
+    *   DB = (1/k) Σ_i max_{j≠i} (s_i + s_j) / d_ij
+    *
+    * Clusters that received no points (or whose every partner sits at
+    * d_ij = 0) drop from the average; k reports the clusters actually
+    * scored.
+    *
+    * Determinism: per-point √dist² nano-quantizes before the cluster
+    * mean (exact integer sums); d_ij comes from the SAME integer
+    * lattice centers the oracle retrains, so each ratio is a fixed IEEE
+    * tree; the final k-term average quantizes each max to nanos first.
+    *
+    * Scale shape: the [[kmeansInt]] training chain plus ONE
+    * cluster-keyed aggregation over the assignment; the k×k pair table
+    * is driver literals (k·d ints — driver-sized by definition).
+    *
+    * @return 1 row (k, db_index)
+    */
+  def daviesBouldin(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int): DataFrame = {
+    val (assign, centers) = kmeansIntWithCenters(df, idCol, vecCol, k, iters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val si = assign.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(sqrt(col("dist").cast("double")) * lit(1e9), 0).cast("long"))
+          .as("sd"))
+    val pairs = for {
+      i <- 0 until k
+      j <- 0 until k
+      if i != j
+    } yield {
+      val d2 = centers(i).zip(centers(j)).map { case (a, b) =>
+        val d = a - b; d * d
+      }.sum
+      (i, j, math.sqrt(d2.toDouble))
+    }
+    val pdf = pairs.toDF("i", "j", "dij").filter(col("dij") > 0.0)
+    val sMean = (p: String) =>
+      col(s"sd_$p").cast("double") / col(s"n_$p").cast("double") / lit(1e9)
+    val r = pdf
+      .join(si.select(col("cluster").as("i"), col("n").as("n_i"), col("sd").as("sd_i")), Seq("i"))
+      .join(si.select(col("cluster").as("j"), col("n").as("n_j"), col("sd").as("sd_j")), Seq("j"))
+      .groupBy(col("i"))
+      .agg(max((sMean("i") + sMean("j")) / col("dij")).as("ri"))
+    r.agg(count(lit(1)).as("k"),
+        sum(round(col("ri") * lit(1e9), 0).cast("long")).as("__s"))
+      .select(col("k"),
+        round(col("__s").cast("double") / col("k").cast("double") / lit(1e9), 6)
+          .as("db_index"))
+  }
 }

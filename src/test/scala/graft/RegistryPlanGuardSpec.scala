@@ -110,6 +110,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_ccf" -> "lead/lag shift windows over the HOURLY-aggregated two-series table (rows = distinct hours; the constant series key optimizes to a whole-frame spec)",
     "q_rmst" -> "KM risk-set/log-prefix windows + one lead over the duration table (rows = distinct durations, the q_km bound)",
     "q_holm" -> "rank/prefix-max windows over the tests table (rows = hypothesis count, the q_fdr bound)",
+    "q_granger" -> "lag windows over the HOURLY-aggregated series table (rows = distinct hours; constant series key optimizes to a whole-frame spec, the q_ccf bound)",
   )
 
   test("whole-frame windows appear only over bounded-by-construction tables") {

@@ -235,6 +235,43 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out.getDouble(4) == 1.384429)
   }
 
+  test("stationary distribution: 2 exact integer power-iteration rounds") {
+    // one user, sequence A A B A B B -> counts A->A 1, A->B 2, B->A 1, B->B 1
+    val types = Seq("A", "A", "B", "A", "B", "B")
+    val df = createDf(spark, "u int, ts int, id int, et string",
+      types.zipWithIndex.map { case (t, i) => Seq[Any](1, i, i, t) })
+    val out = graft.ops.Funnel.stationaryDistribution(df, "u", "ts", "id", "et",
+        iterations = 2)
+      .orderBy("state").collect()
+    val byState = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byState("A") == 430555555554L) // trunc-div replay by hand
+    assert(byState("B") == 569444444442L)
+    assert(out.map(_.getDouble(2)).toSeq == Seq(0.430556, 0.569444))
+  }
+
+  test("granger lag-1: hand-checked closed-form b, c, F") {
+    val y = Seq(1, 2, 1, 3, 2, 4).map(_.toDouble)
+    val x = Seq(5, 1, 6, 1, 7, 2).map(_.toDouble)
+    val df = createDf(spark, "k string, o int, y double, x double",
+      y.indices.map(i => Seq[Any]("all", i, y(i), x(i))))
+    val out = Timeseries.grangerLag1(df, Seq("k"), col("o"), col("y"), col("x"))
+      .collect().head
+    assert(out.getLong(1) == 5L)
+    assert(out.getDouble(2) == 0.873134)  // b_y1
+    assert(out.getDouble(3) == 0.507463)  // b_x1
+    assert(out.getDouble(4) == 69.533835) // F(1, 2)
+  }
+
+  test("davies-bouldin: two 1-d clusters at 0/8 with spreads 1 and 3 give 0.5") {
+    val df = createDf(spark, "id int, v array<long>",
+      Seq(Seq[Any](1, Seq(0L)), Seq[Any](2, Seq(2L)),
+        Seq[Any](3, Seq(10L)), Seq[Any](4, Seq(12L))))
+    val out = graft.text.Cluster.daviesBouldin(df, "id", "v", k = 2, iters = 1)
+      .collect().head
+    assert(out.getLong(0) == 2L)
+    assert(out.getDouble(1) == 0.5) // (1+3)/8 both ways
+  }
+
   test("round-10 ops are invariant to input partitioning") {
     val df = createDf(spark, "g string, e int, v double",
       (0 until 400).map(i => Seq[Any](s"g${i % 2}", i % 37, (i % 11 + 1).toDouble)))
