@@ -1339,4 +1339,73 @@ object Timeseries {
         :+ when(ok, round(c, 6)).as("b_x1")
         :+ when(ok && rssU > 0.0, round(f, 6)).as("f"): _*)
   }
+
+  /** Chow structural-break test — "did the trend CHANGE at a known
+    * date τ?": fit y ~ x by OLS on the full series, on x < τ, and on
+    * x ≥ τ, and compare residual sums:
+    *
+    *   F = ((RSS_p − RSS₁ − RSS₂)/2) / ((RSS₁+RSS₂)/(n−4))   (2, n−4 dof)
+    *
+    * Returns per series `(parts..., n1, n2, slope1, slope2, f)` — the
+    * per-segment slopes give the direction of the break the F only
+    * detects.
+    *
+    * Determinism: y micro-quantizes per row; both segments' and the
+    * pooled moments accumulate as exact DECIMAL conditional sums in ONE
+    * aggregation; each RSS is the fixed tree (Myy − Mxy²/Mxx)/n over
+    * exact-integer doubles. F null when either segment has < 3 points
+    * or zero x-variance, or RSS₁+RSS₂ = 0.
+    *
+    * Scale shape: ONE series-keyed map-combined aggregation (the
+    * conditional-moment discipline — no second pass, no windows).
+    */
+  def chowTest(df: DataFrame, parts: Seq[String], xCol: Column, yCol: Column,
+               breakAt: Long): DataFrame = {
+    require(parts.nonEmpty, "chowTest needs series keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(pCols :+ xCol.cast("long").as("__x")
+        :+ round(yCol * lit(1e6), 0).cast("long").as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__s", col("__x") < lit(breakAt))
+    def d(c: Column): Column = c.cast(dec)
+    def seg(p: String, cond: Column): Seq[Column] = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n$p"),
+      sum(when(cond, d(col("__x")))).as(s"__sx$p"),
+      sum(when(cond, d(col("__y")))).as(s"__sy$p"),
+      sum(when(cond, d(col("__x")) * d(col("__x")))).as(s"__sxx$p"),
+      sum(when(cond, d(col("__x")) * d(col("__y")))).as(s"__sxy$p"),
+      sum(when(cond, d(col("__y")) * d(col("__y")))).as(s"__syy$p"))
+    val aggs = seg("1", col("__s")) ++ seg("2", !col("__s"))
+    val agg = base.groupBy(pCols: _*).agg(aggs.head, aggs.tail: _*)
+    def m(p: String)(ab: String, a: String, b: String): Column = {
+      val n = d(col(s"n$p"))
+      (n * col(s"__s$ab$p") - col(s"__s$a$p") * col(s"__s$b$p")).cast("double")
+    }
+    def mP(ab: String, a: String, b: String): Column = {
+      val n = d(col("n1") + col("n2"))
+      (n * (col(s"__s${ab}1") + col(s"__s${ab}2"))
+        - (col(s"__s${a}1") + col(s"__s${a}2"))
+          * (col(s"__s${b}1") + col(s"__s${b}2"))).cast("double")
+    }
+    def rss(myy: Column, mxy: Column, mxx: Column, n: Column): Column =
+      (myy - mxy * mxy / mxx) / n.cast("double")
+    val mxx1 = m("1")("xx", "x", "x"); val mxy1 = m("1")("xy", "x", "y")
+    val myy1 = m("1")("yy", "y", "y")
+    val mxx2 = m("2")("xx", "x", "x"); val mxy2 = m("2")("xy", "x", "y")
+    val myy2 = m("2")("yy", "y", "y")
+    val mxxP = mP("xx", "x", "x"); val mxyP = mP("xy", "x", "y")
+    val myyP = mP("yy", "y", "y")
+    val rss1 = rss(myy1, mxy1, mxx1, col("n1"))
+    val rss2 = rss(myy2, mxy2, mxx2, col("n2"))
+    val rssP = rss(myyP, mxyP, mxxP, col("n1") + col("n2"))
+    val nD = (col("n1") + col("n2")).cast("double")
+    val f = ((rssP - rss1 - rss2) / lit(2.0)) / ((rss1 + rss2) / (nD - lit(4.0)))
+    val okSeg = col("n1") >= 3 && col("n2") >= 3 && mxx1 > 0.0 && mxx2 > 0.0 && mxxP > 0.0
+    agg.select(
+      pCols :+ col("n1") :+ col("n2")
+        :+ when(col("n1") >= 2 && mxx1 > 0.0, round(mxy1 / mxx1 / lit(1e6), 6)).as("slope1")
+        :+ when(col("n2") >= 2 && mxx2 > 0.0, round(mxy2 / mxx2 / lit(1e6), 6)).as("slope2")
+        :+ when(okSeg && rss1 + rss2 > 0.0, round(f, 6)).as("f"): _*)
+  }
 }

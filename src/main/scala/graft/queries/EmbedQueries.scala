@@ -215,6 +215,19 @@ object EmbedQueries {
     Cluster.daviesBouldin(d, "vec_id", "q", k = 8, iters = 3)
   }
 
+  /** Centroid silhouette ([[graft.text.Cluster.centroidSilhouette]])
+    * of the q_kmeans clustering: per-cluster cohesion scores off the
+    * same lattice distances the assignment used — the scalable
+    * silhouette variant (center distances, not pairwise), value-exact
+    * against the retrained oracle.
+    */
+  private def qSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    Cluster.centroidSilhouette(d, "vec_id", "q", k = 8, iters = 3)
+      .orderBy(col("cluster"))
+  }
+
   /** Cluster-balanced sampling — the curation move k-means exists FOR:
     * train lattice cells ([[graft.text.Cluster.kmeansInt]], 2 rounds),
     * then keep at most 40 docs per cell by the unbiased md5-hash order
@@ -454,6 +467,38 @@ object EmbedQueries {
   private def kmeansOracleSql(k: Int, iters: Int): String =
     s"""WITH ${kmeansOracleCtes(k, iters)}
        |SELECT vec_id, cluster, dist FROM af ORDER BY vec_id""".stripMargin
+
+  /** Centroid silhouette over the retrained [[kmeansOracleCtes]] chain:
+    * own/second-best lattice distances per point (the same struct-min
+    * rule, own cluster excluded for b), nano-quantized per-point scores,
+    * cluster means.
+    */
+  private def silhouetteOracleSql(k: Int, iters: Int): String = {
+    val d2 = "list_sum(list_transform(list_zip(v.q, c.c), x -> (x[1]-x[2])*(x[1]-x[2])))"
+    s"""WITH ${kmeansOracleCtes(k, iters)},
+       |ab AS (
+       |  SELECT v.vec_id,
+       |    CAST(min([$d2, c.cluster])[2] AS INTEGER) AS own,
+       |    CAST(min([$d2, c.cluster])[1] AS BIGINT) AS a2
+       |  FROM v v, c$iters c GROUP BY v.vec_id),
+       |b2 AS (
+       |  SELECT ab.vec_id, ab.own, ab.a2, MIN($d2) AS b2
+       |  FROM ab JOIN v v ON v.vec_id = ab.vec_id
+       |  JOIN c$iters c ON c.cluster != ab.own
+       |  GROUP BY 1, 2, 3),
+       |sq AS (
+       |  SELECT own,
+       |    CASE WHEN greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) > 0
+       |      THEN CAST(round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+       |        / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))
+       |        * 1000000000.0) AS BIGINT)
+       |      ELSE 0 END AS s
+       |  FROM b2)
+       |SELECT own AS cluster, COUNT(*) AS n,
+       |  round(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0, 6)
+       |    AS mean_silhouette
+       |FROM sq GROUP BY 1 ORDER BY cluster""".stripMargin
+  }
 
   /** Davies-Bouldin over the retrained [[kmeansOracleCtes]] chain:
     * per-cluster nano-quantized mean point distance off `af`, center
@@ -715,6 +760,7 @@ object EmbedQueries {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_kmeans" -> (qKmeans _),
     "q_db_index" -> (qDbIndex _),
+    "q_silhouette" -> (qSilhouette _),
     "q_cluster_sample" -> (qClusterSample _),
     "q_pq" -> (qPq _),
     "q_pq_recall" -> (qPqRecall _),
@@ -766,6 +812,7 @@ object EmbedQueries {
         |FROM p QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_kmeans" -> kmeansOracleSql(k = 8, iters = 3),
     "q_db_index" -> dbIndexOracleSql(k = 8, iters = 3),
+    "q_silhouette" -> silhouetteOracleSql(k = 8, iters = 3),
     "q_cluster_sample" -> clusterSampleOracleSql(k = 8, iters = 2, cap = 40),
     "q_pq" -> pqOracleSql(k = 8, iters = 2, d = 64),
     "q_pq_recall" -> pqRecallOracleSql(k = 8, iters = 2, d = 64),

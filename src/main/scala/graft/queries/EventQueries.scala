@@ -306,6 +306,22 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Chow structural-break test ([[graft.ops.Timeseries.chowTest]]):
+    * did each event type's daily-revenue trend change at day 19738 (the
+    * stream's midpoint)? Closed-form per-segment OLS off one
+    * conditional-moment pass — the known-date companion to
+    * q_changepoint's searched break.
+    */
+  private def qChow(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    Timeseries.chowTest(daily, Seq("event_type"), col("day"),
+        col("cents").cast("double"), breakAt = 19738L)
+      .orderBy(col("event_type"))
+  }
+
   /** Stationary distribution of the user-behavior chain
     * ([[graft.ops.Funnel.stationaryDistribution]]): q_transitions'
     * long-run view — integer power iteration in fixed `div` order, so 8
@@ -718,6 +734,7 @@ object EventQueries {
     "q_croston" -> (qCroston _),
     "q_stationary" -> (qStationary _),
     "q_granger" -> (qGranger _),
+    "q_chow" -> (qChow _),
     "q_capture" -> (qCapture _),
     "q_dispersion" -> (qDispersion _),
     "q_rmst" -> (qRmst _),
@@ -1798,6 +1815,53 @@ object EventQueries {
         |  strftime(to_ts, '%Y-%m-%d %H:%M:%S') AS to_ts,
         |  epoch_us(to_ts) - epoch_us(from_ts) AS lag_us
         |FROM c ORDER BY user_id""".stripMargin,
+    "q_chow" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) * 1000000 AS cents
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN day < 19738 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN day < 19738 THEN CAST(day AS HUGEINT) END) AS sx1,
+        |    SUM(CASE WHEN day < 19738 THEN CAST(cents AS HUGEINT) END) AS sy1,
+        |    SUM(CASE WHEN day < 19738 THEN CAST(day AS HUGEINT) * day END) AS sxx1,
+        |    SUM(CASE WHEN day < 19738 THEN CAST(day AS HUGEINT) * cents END) AS sxy1,
+        |    SUM(CASE WHEN day < 19738 THEN CAST(cents AS HUGEINT) * cents END) AS syy1,
+        |    SUM(CASE WHEN day >= 19738 THEN 1 ELSE 0 END) AS n2,
+        |    SUM(CASE WHEN day >= 19738 THEN CAST(day AS HUGEINT) END) AS sx2,
+        |    SUM(CASE WHEN day >= 19738 THEN CAST(cents AS HUGEINT) END) AS sy2,
+        |    SUM(CASE WHEN day >= 19738 THEN CAST(day AS HUGEINT) * day END) AS sxx2,
+        |    SUM(CASE WHEN day >= 19738 THEN CAST(day AS HUGEINT) * cents END) AS sxy2,
+        |    SUM(CASE WHEN day >= 19738 THEN CAST(cents AS HUGEINT) * cents END) AS syy2
+        |  FROM d GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n1, n2,
+        |    CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) AS mxx1,
+        |    CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE) AS mxy1,
+        |    CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE) AS myy1,
+        |    CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) AS mxx2,
+        |    CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE) AS mxy2,
+        |    CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE) AS myy2,
+        |    CAST((n1 + n2) * (sxx1 + sxx2) - (sx1 + sx2) * (sx1 + sx2) AS DOUBLE) AS mxxp,
+        |    CAST((n1 + n2) * (sxy1 + sxy2) - (sx1 + sx2) * (sy1 + sy2) AS DOUBLE) AS mxyp,
+        |    CAST((n1 + n2) * (syy1 + syy2) - (sy1 + sy2) * (sy1 + sy2) AS DOUBLE) AS myyp
+        |  FROM a),
+        |z AS (
+        |  SELECT event_type, n1, n2, mxx1, mxx2, mxxp,
+        |    (myy1 - mxy1 * mxy1 / mxx1) / CAST(n1 AS DOUBLE) AS rss1,
+        |    (myy2 - mxy2 * mxy2 / mxx2) / CAST(n2 AS DOUBLE) AS rss2,
+        |    (myyp - mxyp * mxyp / mxxp) / CAST(n1 + n2 AS DOUBLE) AS rssp,
+        |    mxy1 / mxx1 AS s1, mxy2 / mxx2 AS s2
+        |  FROM m)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CASE WHEN n1 >= 2 AND mxx1 > 0 THEN round(s1 / 1000000.0, 6) END AS slope1,
+        |  CASE WHEN n2 >= 2 AND mxx2 > 0 THEN round(s2 / 1000000.0, 6) END AS slope2,
+        |  CASE WHEN n1 >= 3 AND n2 >= 3 AND mxx1 > 0 AND mxx2 > 0 AND mxxp > 0
+        |      AND rss1 + rss2 > 0 THEN
+        |    round(((rssp - rss1 - rss2) / 2.0)
+        |        / ((rss1 + rss2) / (CAST(n1 + n2 AS DOUBLE) - 4.0)), 6) END AS f
+        |FROM z ORDER BY event_type""".stripMargin,
     "q_stationary" ->
       """WITH seq AS (
         |  SELECT event_type AS from_type,

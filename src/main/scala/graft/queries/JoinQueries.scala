@@ -373,6 +373,27 @@ object JoinQueries {
       .orderBy(col("p_brand"))
   }
 
+  /** Jaro-Winkler near-match pairs
+    * ([[graft.functions.StringDist.jaroWinkler]]): q_damerau's blocked
+    * customer pairs scored with the DuckDB-exact prefix-boosted
+    * similarity — the record-linkage scorer where edit distance
+    * over-penalizes long shared prefixes. Native codegen expression,
+    * value-exact oracle.
+    */
+  private def qJaro(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def side(p: String) = c.select(col("c_custkey").as(s"id_$p"),
+      col("c_name").as(s"nm_$p"), col("c_nationkey").as("nk"),
+      col("c_mktsegment").as("seg"))
+    side("a").join(side("b"), Seq("nk", "seg"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw",
+        graft.functions.StringDist.jaroWinkler(col("nm_a"), col("nm_b")))
+      .filter(col("jw") >= 0.985)
+      .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Fellegi-Sunter match scoring ([[graft.ops.Linkage.score]]) over
     * (nation, segment)-blocked customer pairs: three agreement fields
     * (name last-char, acctbal-thousand bucket, acctbal sign) with fixed
@@ -531,6 +552,7 @@ object JoinQueries {
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_damerau" -> (qDamerau _),
     "q_elasticity" -> (qElasticity _),
+    "q_jaro" -> (qJaro _),
     "q_linkage" -> (qLinkage _),
     "q_consolidate" -> (qConsolidate _),
     "q_scd2" -> (qScd2 _),
@@ -576,6 +598,14 @@ object JoinQueries {
         |        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))), 6)
         |  END AS r2
         |FROM a ORDER BY p_brand""".stripMargin,
+    "q_jaro" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.985
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_damerau" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

@@ -168,4 +168,59 @@ object Cluster {
         round(col("__s").cast("double") / col("k").cast("double") / lit(1e9), 6)
           .as("db_index"))
   }
+
+  /** Centroid silhouette over a trained [[kmeansInt]] clustering — the
+    * per-point "am I closer to my own center than to the next one?"
+    * summary (the classic silhouette's pairwise a/b replaced by
+    * center distances — the scalable variant, stated):
+    *
+    *   s(x) = (b − a) / max(a, b),   a = ‖x − c_own‖, b = min_{j≠own} ‖x − c_j‖
+    *
+    * Returned per cluster: `(cluster, n, mean_silhouette)` plus the
+    * point count; points with max(a,b) = 0 (degenerate duplicate
+    * centers) score 0.
+    *
+    * Determinism: a and b come from the same integer lattice distances
+    * the assignment used (b via a second lexicographic struct-min with
+    * the own cluster excluded); per-point s nano-quantizes before the
+    * cluster mean.
+    *
+    * Scale shape: the [[kmeansInt]] chain plus one narrow per-row
+    * projection against literal centers and one cluster-keyed
+    * aggregation — silhouette at 100 TB rides the assignment scan.
+    */
+  def centroidSilhouette(df: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int): DataFrame = {
+    require(k >= 2, "silhouette needs at least two clusters")
+    val (_, centers) = kmeansIntWithCenters(df, idCol, vecCol, k, iters)
+    val base = df
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<long>").as("__v"))
+      .filter(col("__v").isNotNull)
+    def distTo(c: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("__v"), typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val best: Column =
+      centers.zipWithIndex.map { case (c, i) =>
+        struct(distTo(c).as("d"), lit(i).as("c"))
+      }.reduce(least(_, _))
+    val assigned = base
+      .withColumn("__own", best.getField("c"))
+      .withColumn("__a2", best.getField("d"))
+    val second: Column =
+      centers.zipWithIndex.map { case (c, i) =>
+        when(col("__own") =!= i, struct(distTo(c).as("d"), lit(i).as("c")))
+      }.reduce((x, y) => least(x, y)) // nulls lose in least
+    val withB = assigned.withColumn("__b2", second.getField("d"))
+    val a = sqrt(col("__a2").cast("double"))
+    val b = sqrt(col("__b2").cast("double"))
+    val s = when(greatest(a, b) > 0.0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    withB
+      .withColumn("__sq", round(s * lit(1e9), 0).cast("long"))
+      .groupBy(col("__own").as("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("__sq")).as("__ss"))
+      .select(col("cluster"), col("n"),
+        round(col("__ss").cast("double") / col("n").cast("double") / lit(1e9), 6)
+          .as("mean_silhouette"))
+  }
 }

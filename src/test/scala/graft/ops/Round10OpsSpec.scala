@@ -272,6 +272,41 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out.getDouble(1) == 0.5) // (1+3)/8 both ways
   }
 
+  test("chow test: slopes 1.5/-0.5 around the break, hand-checked F") {
+    val pts = Seq((1, 1.0), (2, 2.0), (3, 4.0), (4, 6.0), (5, 5.0), (6, 5.0))
+    val df = createDf(spark, "g string, x int, y double",
+      pts.map { case (x, y) => Seq[Any]("g", x, y) })
+    val out = Timeseries.chowTest(df, Seq("g"), col("x"), col("y"),
+      breakAt = 4L).collect().head
+    assert(out.getLong(1) == 3L && out.getLong(2) == 3L)
+    assert(out.getDouble(3) == 1.5)
+    assert(out.getDouble(4) == -0.5)
+    assert(out.getDouble(5) == 14.314286)
+  }
+
+  test("chow test: a perfect two-segment fit nulls F (no residual)") {
+    val pts = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 6.0), (5, 5.0), (6, 4.0))
+    val df = createDf(spark, "g string, x int, y double",
+      pts.map { case (x, y) => Seq[Any]("g", x, y) })
+    val out = Timeseries.chowTest(df, Seq("g"), col("x"), col("y"),
+      breakAt = 4L).collect().head
+    assert(out.getDouble(3) == 1.0 && out.getDouble(4) == -1.0)
+    assert(out.isNullAt(5))
+  }
+
+  test("centroid silhouette: 1-d clusters at 0/8 give 0.833 and 0.733") {
+    val df = createDf(spark, "id int, v array<long>",
+      Seq(Seq[Any](1, Seq(0L)), Seq[Any](2, Seq(2L)),
+        Seq[Any](3, Seq(10L)), Seq[Any](4, Seq(12L))))
+    val out = graft.text.Cluster.centroidSilhouette(df, "id", "v", k = 2, iters = 1)
+      .orderBy("cluster").collect()
+    // centers after 1 round: [0] and [8]
+    // cluster 0: s(0)=(8-0)/8=1, s(2)=(6-2)/6 -> mean 0.833333
+    // cluster 1: s(10)=(10-2)/10, s(12)=(12-4)/12 -> mean 0.733333
+    assert(out(0).getLong(1) == 2L && out(0).getDouble(2) == 0.833333)
+    assert(out(1).getLong(1) == 2L && out(1).getDouble(2) == 0.733333)
+  }
+
   test("round-10 ops are invariant to input partitioning") {
     val df = createDf(spark, "g string, e int, v double",
       (0 until 400).map(i => Seq[Any](s"g${i % 2}", i % 37, (i % 11 + 1).toDouble)))

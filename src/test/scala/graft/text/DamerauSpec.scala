@@ -49,6 +49,25 @@ class DamerauSpec extends AnyFunSuite {
     assert(d(s1 + "a", "a" + s1) == 1) // transposition of cp pair
   }
 
+  private def jw(a: String, b: String): Double =
+    graft.functions.JaroWinklerSim.jaroWinkler(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("jaro-winkler matches the textbook values DuckDB also produces") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r6(jw("MARTHA", "MARHTA")) == 0.961111)
+    assert(r6(jw("DIXON", "DICKSONX")) == 0.813333)
+    assert(r6(jw("JELLYFISH", "SMELLYFISH")) == 0.896296) // no shared prefix: no boost
+    assert(r6(jw("DWAYNE", "DUANE")) == 0.84)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("", "") == 1.0)
+    assert(jw("a", "") == 0.0)
+    assert(jw("abc", "xyz") == 0.0)   // no matches in window
+    assert(jw("ab", "ba") == 0.0)     // window 0 for length-2 strings
+    // prefix boost: digit transposition deep in a long shared prefix
+    assert(r6(jw("Customer#000000012", "Customer#000000021")) == 0.988889)
+  }
+
   test("the Column wrapper runs inside a dataframe and matches eval") {
     val df = createDf(spark, "a string, b string",
       Seq(Seq[Any]("CA", "ABC"), Seq[Any]("ab", "ba"),
