@@ -1408,4 +1408,154 @@ object Timeseries {
         :+ when(col("n2") >= 2 && mxx2 > 0.0, round(mxy2 / mxx2 / lit(1e6), 6)).as("slope2")
         :+ when(okSeg && rss1 + rss2 > 0.0, round(f, 6)).as("f"): _*)
   }
+
+  /** Hurst exponent by rescaled-range (R/S) analysis — long-range
+    * dependence in one number (H ≈ 0.5 random walk, > 0.5 trending /
+    * persistent, < 0.5 mean-reverting): for each block size m, split
+    * the series into full blocks, compute each block's rescaled range
+    *
+    *   R/S = (max_k C_k − min_k C_k) / σ_block,
+    *   C_k = Σ_{i ≤ k} (x_i − x̄_block)
+    *
+    * and fit ln(mean R/S) against ln m — H is the slope.
+    *
+    * Determinism: multiplying C_k through by m makes every cumulative
+    * deviation an EXACT integer (m·C_k = m·prefix − (k+1)·S_block), and
+    * the m's cancel in R/S = (m·R) / √(m·Σx² − S²) — one fixed IEEE
+    * tree per block over exact DECIMAL moments. Per-block ln(R/S)
+    * nano-quantizes before the per-size mean; the 4-point regression
+    * runs on nano-quantized (ln m, mean) pairs, so the slope replays
+    * exactly.
+    *
+    * Zero-variance blocks and partial tail blocks drop (stated).
+    *
+    * Scale shape: ONE series sort exchange shared by every block size
+    * (the explode is per-row narrow), per-(size, block) windows bounded
+    * by m, then size-level and 1-row rollups.
+    *
+    * @return 1 row (n_sizes, n_blocks, hurst)
+    */
+  def hurstRS(df: DataFrame, orderCol: Column, valueCol: Column,
+              blockSizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(blockSizes.size >= 2, "need at least two block sizes for the fit")
+    require(blockSizes.forall(m => m >= 4), s"block sizes must be >= 4: $blockSizes")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(orderCol.as("__o"),
+        round(valueCol * lit(1e6), 0).cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val wIdx = Window.orderBy(col("__o"))
+    val indexed = base
+      .withColumn("__i", row_number().over(wIdx).cast("long") - 1L)
+      .withColumn("__m", explode(array(blockSizes.map(m => lit(m.toLong)): _*)))
+      .withColumn("__b", expr("__i div __m"))
+    val wBlk = Window.partitionBy(col("__m"), col("__b")).orderBy(col("__i"))
+    val wBlkAll = Window.partitionBy(col("__m"), col("__b"))
+    val cum = indexed
+      .withColumn("__pref", sum(col("__x").cast(dec))
+        .over(wBlk.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__k", row_number().over(wBlk).cast("long"))
+      .withColumn("__sblk", sum(col("__x").cast(dec)).over(wBlkAll))
+      // m·C_k = m·prefix − k·S  (k = 1-based position) — exact integers
+      .withColumn("__mc", col("__m").cast(dec) * col("__pref")
+        - col("__k").cast(dec) * col("__sblk"))
+    val perBlock = cum.groupBy(col("__m"), col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__s"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__ss"),
+        max(col("__mc")).as("__mxc"),
+        min(col("__mc")).as("__mnc"))
+    val varNum = (col("__m").cast(dec) * col("__ss") - col("__s") * col("__s"))
+      .cast("double")
+    val rs = (col("__mxc") - col("__mnc")).cast("double") / sqrt(varNum)
+    val blocks = perBlock
+      .filter(col("__n") === col("__m") && varNum > 0.0)
+      .select(col("__m"),
+        round(log(rs) * lit(1e9), 0).cast("long").as("__lnrs"))
+    val perSize = blocks.groupBy(col("__m"))
+      .agg(count(lit(1)).as("__nb"), sum(col("__lnrs")).as("__sl"))
+      .select(col("__m"), col("__nb"),
+        round(log(col("__m").cast("double")) * lit(1e9), 0).cast("long").as("__lx"),
+        round((col("__sl").cast("double") / col("__nb").cast("double") / lit(1e9))
+          * lit(1e9), 0).cast("long").as("__ly"))
+    val fit = perSize.agg(
+      count(lit(1)).as("n_sizes"),
+      sum(col("__nb")).as("n_blocks"),
+      sum(col("__lx").cast(dec)).as("__sx"),
+      sum(col("__ly").cast(dec)).as("__sy"),
+      sum(col("__lx").cast(dec) * col("__lx").cast(dec)).as("__sxx"),
+      sum(col("__lx").cast(dec) * col("__ly").cast(dec)).as("__sxy"))
+    val nDec = col("n_sizes").cast(dec)
+    val num = (nDec * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val den = (nDec * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    fit.select(col("n_sizes"), col("n_blocks"),
+      when(col("n_sizes") >= 2 && den > 0.0, round(num / den, 6)).as("hurst"))
+  }
+
+  /** Engle ARCH LM test (one lag) — "is the VOLATILITY autocorrelated
+    * even if the level isn't?": detrend y ~ x by OLS, then regress the
+    * squared residual on its own lag; LM = n·R² is χ²(1) under
+    * homoskedasticity. The volatility-clustering alarm a plain ACF on
+    * levels misses.
+    *
+    * Determinism: the trend fit is [[graft.ops.Regression.groupOls]]'s
+    * exact-moment algebra; per-row residuals are fixed IEEE trees
+    * against the broadcast (slope, intercept); squared residuals
+    * re-quantize to integer units BEFORE the second moment pass, so
+    * both regressions replay exactly.
+    *
+    * Scale shape: two series-keyed passes (moments, then residual
+    * moments over the same sort) + a k-row broadcast between them.
+    *
+    * @return per series (parts..., n_pairs, r2, lm)
+    */
+  def archLm(df: DataFrame, parts: Seq[String], xCol: Column,
+             yCol: Column): DataFrame = {
+    require(parts.nonEmpty, "archLm needs series keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(pCols :+ xCol.cast("long").as("__t")
+        :+ round(yCol * lit(1e6), 0).cast("long").as("__y"): _*)
+      .filter(col("__t").isNotNull && col("__y").isNotNull)
+    def d(c: Column): Column = c.cast(dec)
+    val fit = base.groupBy(pCols: _*).agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(d(col("__t"))).as("__sx"),
+      sum(d(col("__y"))).as("__sy"),
+      sum(d(col("__t")) * d(col("__t"))).as("__sxx"),
+      sum(d(col("__t")) * d(col("__y"))).as("__sxy"))
+    val mxx = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val mxy = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val bHat = mxy / mxx
+    val aHat = (col("__sy").cast("double") - bHat * col("__sx").cast("double")) /
+      col("__n").cast("double")
+    val coef = fit.select(pCols :+ bHat.as("__b") :+ aHat.as("__a"): _*)
+    // residual quantizes back to WHOLE value units before squaring, so
+    // w = e² is an exact integer square (micro-scale squares overflow long)
+    val withE = base.join(broadcast(coef), parts)
+      .withColumn("__e", round(
+        (col("__y").cast("double") - (col("__a") + col("__b") * col("__t").cast("double")))
+          / lit(1e6), 0).cast("long"))
+      .withColumn("__w", col("__e") * col("__e"))
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__t"))
+    val lagged = withE
+      .withColumn("__w1", lag(col("__w"), 1).over(w))
+      .filter(col("__w1").isNotNull)
+    val agg2 = lagged.groupBy(pCols: _*).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(d(col("__w"))).as("__wy"),
+      sum(d(col("__w1"))).as("__wx"),
+      sum(d(col("__w")) * d(col("__w"))).as("__wyy"),
+      sum(d(col("__w1")) * d(col("__w1"))).as("__wxx"),
+      sum(d(col("__w")) * d(col("__w1"))).as("__wxy"))
+    val n2 = col("n_pairs").cast(dec)
+    val covN = (n2 * col("__wxy") - col("__wx") * col("__wy")).cast("double")
+    val varX = (n2 * col("__wxx") - col("__wx") * col("__wx")).cast("double")
+    val varY = (n2 * col("__wyy") - col("__wy") * col("__wy")).cast("double")
+    val r2 = covN / varX * covN / varY
+    val ok = col("n_pairs") >= 3 && varX > 0.0 && varY > 0.0
+    agg2.select(
+      pCols :+ col("n_pairs")
+        :+ when(ok, round(r2, 6)).as("r2")
+        :+ when(ok, round(col("n_pairs").cast("double") * r2, 6)).as("lm"): _*)
+  }
 }

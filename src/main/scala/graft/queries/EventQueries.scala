@@ -306,6 +306,35 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Hurst exponent ([[graft.ops.Timeseries.hurstRS]]) of the hourly
+    * revenue stream: rescaled-range analysis over 8/16/32/64-hour
+    * blocks — is load persistent (H > 0.5, provision for runs) or
+    * mean-reverting? Every block range is an exact integer, every m
+    * cancels, and the 4-point log-log fit replays off nano-quantized
+    * pairs.
+    */
+  private def qHurst(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    Timeseries.hurstRS(hourly, col("h"), col("cents").cast("double"))
+  }
+
+  /** Engle ARCH LM test ([[graft.ops.Timeseries.archLm]]) on daily
+    * revenue per event type: volatility clustering the level ACF
+    * misses — detrend, square residuals in exact integer units, regress
+    * on the lag, LM = n·R².
+    */
+  private def qArch(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    Timeseries.archLm(daily, Seq("event_type"), col("day"),
+        col("cents").cast("double"))
+      .orderBy(col("event_type"))
+  }
+
   /** Chow structural-break test ([[graft.ops.Timeseries.chowTest]]):
     * did each event type's daily-revenue trend change at day 19738 (the
     * stream's midpoint)? Closed-form per-segment OLS off one
@@ -735,6 +764,8 @@ object EventQueries {
     "q_stationary" -> (qStationary _),
     "q_granger" -> (qGranger _),
     "q_chow" -> (qChow _),
+    "q_hurst" -> (qHurst _),
+    "q_arch" -> (qArch _),
     "q_capture" -> (qCapture _),
     "q_dispersion" -> (qDispersion _),
     "q_rmst" -> (qRmst _),
@@ -1815,6 +1846,96 @@ object EventQueries {
         |  strftime(to_ts, '%Y-%m-%d %H:%M:%S') AS to_ts,
         |  epoch_us(to_ts) - epoch_us(from_ts) AS lag_us
         |FROM c ORDER BY user_id""".stripMargin,
+    "q_hurst" ->
+      """WITH hv AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) * 1000000 AS x
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT x, row_number() OVER (ORDER BY h) - 1 AS i FROM hv),
+        |ex AS (
+        |  SELECT i, x, m, i // m AS b
+        |  FROM idx CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS m)),
+        |cm AS (
+        |  SELECT m, b, i, x,
+        |    SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY m, b ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref,
+        |    row_number() OVER (PARTITION BY m, b ORDER BY i) AS k,
+        |    SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY m, b) AS sblk
+        |  FROM ex),
+        |mc AS (
+        |  SELECT m, b, x,
+        |    CAST(m AS HUGEINT) * pref - CAST(k AS HUGEINT) * sblk AS mc
+        |  FROM cm),
+        |pb AS (
+        |  SELECT m, b, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+        |    SUM(CAST(x AS HUGEINT) * x) AS ss, MAX(mc) AS mxc, MIN(mc) AS mnc
+        |  FROM mc GROUP BY 1, 2),
+        |bl AS (
+        |  SELECT m,
+        |    CAST(round(ln(CAST(mxc - mnc AS DOUBLE)
+        |      / sqrt(CAST(m * ss - s * s AS DOUBLE))) * 1000000000.0) AS BIGINT) AS lnrs
+        |  FROM pb WHERE n = m AND CAST(m * ss - s * s AS DOUBLE) > 0),
+        |ps AS (
+        |  SELECT m, COUNT(*) AS nb,
+        |    CAST(round(ln(CAST(m AS DOUBLE)) * 1000000000.0) AS BIGINT) AS lx,
+        |    CAST(round((CAST(SUM(lnrs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0)
+        |      * 1000000000.0) AS BIGINT) AS ly
+        |  FROM bl GROUP BY 1),
+        |ft AS (
+        |  SELECT COUNT(*) AS ns, SUM(nb) AS nblocks,
+        |    SUM(CAST(lx AS HUGEINT)) AS sx, SUM(CAST(ly AS HUGEINT)) AS sy,
+        |    SUM(CAST(lx AS HUGEINT) * lx) AS sxx, SUM(CAST(lx AS HUGEINT) * ly) AS sxy
+        |  FROM ps)
+        |SELECT CAST(ns AS BIGINT) AS n_sizes, CAST(nblocks AS BIGINT) AS n_blocks,
+        |  CASE WHEN ns >= 2 AND CAST(ns * sxx - sx * sx AS DOUBLE) > 0 THEN
+        |    round(CAST(ns * sxy - sx * sy AS DOUBLE)
+        |        / CAST(ns * sxx - sx * sx AS DOUBLE), 6) END AS hurst
+        |FROM ft""".stripMargin,
+    "q_arch" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS t,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) * 1000000 AS y
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(t AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(t AS HUGEINT) * t) AS sxx, SUM(CAST(t AS HUGEINT) * y) AS sxy
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+        |    (CAST(sy AS DOUBLE)
+        |      - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+        |  FROM f),
+        |e AS (
+        |  SELECT d.event_type, d.t,
+        |    CAST(round((CAST(y AS DOUBLE) - (a + b * CAST(t AS DOUBLE)))
+        |      / 1000000.0) AS BIGINT) AS ee
+        |  FROM d JOIN c USING (event_type)),
+        |l AS (
+        |  SELECT event_type, ee * ee AS w,
+        |    lag(ee * ee) OVER (PARTITION BY event_type ORDER BY t) AS w1
+        |  FROM e),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(w1 AS HUGEINT)) AS wx, SUM(CAST(w AS HUGEINT)) AS wy,
+        |    SUM(CAST(w1 AS HUGEINT) * w1) AS wxx, SUM(CAST(w AS HUGEINT) * w) AS wyy,
+        |    SUM(CAST(w AS HUGEINT) * w1) AS wxy
+        |  FROM l WHERE w1 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+        |  CASE WHEN n >= 3 AND CAST(n * wxx - wx * wx AS DOUBLE) > 0
+        |      AND CAST(n * wyy - wy * wy AS DOUBLE) > 0 THEN
+        |    round(CAST(n * wxy - wx * wy AS DOUBLE) / CAST(n * wxx - wx * wx AS DOUBLE)
+        |        * CAST(n * wxy - wx * wy AS DOUBLE) / CAST(n * wyy - wy * wy AS DOUBLE), 6)
+        |  END AS r2,
+        |  CASE WHEN n >= 3 AND CAST(n * wxx - wx * wx AS DOUBLE) > 0
+        |      AND CAST(n * wyy - wy * wy AS DOUBLE) > 0 THEN
+        |    round(CAST(n AS DOUBLE)
+        |      * (CAST(n * wxy - wx * wy AS DOUBLE) / CAST(n * wxx - wx * wx AS DOUBLE)
+        |         * CAST(n * wxy - wx * wy AS DOUBLE) / CAST(n * wyy - wy * wy AS DOUBLE)), 6)
+        |  END AS lm
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_chow" ->
       """WITH d AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -334,12 +334,17 @@ object JoinQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   /** Damerau-Levenshtein near-duplicate pairs
-    * ([[graft.functions.StringDist.damerau]]): customer names within
+    * ([[graft.text.Fuzzy.damerauDupPairs]]): customer names within
     * (nation, segment) blocks at unrestricted DL distance ≤ 2 — the
     * native-expression edit distance where a digit TRANSPOSITION
     * ("...12" vs "...21") costs 1 where q_fuzzy_join's Levenshtein
-    * charges 2. Integer-exact by construction; the length prefilter
-    * skips the DP on pairs that cannot pass.
+    * charges 2. Pair source: the in-block scorer (pair volume =
+    * Σ block², blocking is the knob) — measured 8.9× for 10× rows but
+    * 8× cheaper at base than [[graft.text.Fuzzy.damerauDupPairs]]'s
+    * sub-quadratic signature path, whose collisions explode on this
+    * id-like corpus (shared 13-char prefix + zero runs); both paths
+    * return identical rows (DamerauSpec pins the equivalence) and a
+    * sparse real corpus flips the choice — see BASELINE.md.
     */
   private def qDamerau(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")

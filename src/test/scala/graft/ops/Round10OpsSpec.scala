@@ -307,6 +307,32 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out(1).getLong(1) == 2L && out(1).getDouble(2) == 0.733333)
   }
 
+  test("hurst R/S: exact replay of the block algebra on a 16-point series") {
+    val xs = (0 until 16).map(i => ((i * 7) % 5 + 1).toDouble)
+    val df = createDf(spark, "o int, v double",
+      xs.zipWithIndex.map { case (v, i) => Seq[Any](i, v) })
+    val out = Timeseries.hurstRS(df, col("o"), col("v"),
+      blockSizes = Seq(4, 8)).collect().head
+    assert(out.getLong(0) == 2L && out.getLong(1) == 6L)
+    assert(out.getDouble(2) == 0.192049) // python replay of the exact algebra
+  }
+
+  test("arch lm: hand-replayed residual-squared regression; constant w nulls out") {
+    val ys = Seq(1.0, 3.0, 1.0, 5.0, 5.0, 6.0, 8.0, 7.0)
+    val df = createDf(spark, "g string, t int, y double",
+      ys.zipWithIndex.map { case (y, i) => Seq[Any]("g", i + 1, y) })
+    val out = Timeseries.archLm(df, Seq("g"), col("t"), col("y")).collect().head
+    assert(out.getLong(1) == 7L)
+    assert(out.getDouble(2) == 0.007675)
+    assert(out.getDouble(3) == 0.053728)
+    // alternating +-1 residuals square to a constant: zero variance -> null
+    val flat = Seq(2.0, 1.0, 4.0, 3.0, 6.0, 5.0)
+    val df2 = createDf(spark, "g string, t int, y double",
+      flat.zipWithIndex.map { case (y, i) => Seq[Any]("g", i + 1, y) })
+    val out2 = Timeseries.archLm(df2, Seq("g"), col("t"), col("y")).collect().head
+    assert(out2.isNullAt(2) && out2.isNullAt(3))
+  }
+
   test("round-10 ops are invariant to input partitioning") {
     val df = createDf(spark, "g string, e int, v double",
       (0 until 400).map(i => Seq[Any](s"g${i % 2}", i % 37, (i % 11 + 1).toDouble)))

@@ -68,6 +68,26 @@ class DamerauSpec extends AnyFunSuite {
     assert(r6(jw("Customer#000000012", "Customer#000000021")) == 0.988889)
   }
 
+  test("signature pair source equals the quadratic scan (DL completeness)") {
+    // transposition-heavy rows: the case plain Levenshtein signatures
+    // would justify but DL must ALSO cover (each unit op repairable by
+    // one deletion per side)
+    val names = Seq("abcdef", "abcdfe", "bacdef", "abdcef", "abcxef",
+      "abcdefg", "xbcdef", "azcdeb", "fedcba")
+    val df = createDf(spark, "id int, s string, blk int",
+      names.zipWithIndex.map { case (n, i) => Seq[Any](i, n, 0) })
+    val sig = Fuzzy.damerauDupPairs(df, "id", "s", Seq(col("blk")), maxDist = 2)
+      .select("id_a", "id_b", "dist").orderBy("id_a", "id_b").collect().toSeq
+    val a = df.select(col("id").as("id_a"), col("s").as("sa"), col("blk"))
+    val b = df.select(col("id").as("id_b"), col("s").as("sb"), col("blk"))
+    val quad = a.join(b, "blk").filter(col("id_a") < col("id_b"))
+      .withColumn("dist", graft.functions.StringDist.damerau(col("sa"), col("sb")))
+      .filter(col("dist") <= 2)
+      .select("id_a", "id_b", "dist").orderBy("id_a", "id_b").collect().toSeq
+    assert(sig == quad)
+    assert(quad.nonEmpty)
+  }
+
   test("the Column wrapper runs inside a dataframe and matches eval") {
     val df = createDf(spark, "a string, b string",
       Seq(Seq[Any]("CA", "ABC"), Seq[Any]("ab", "ba"),
