@@ -91,4 +91,61 @@ object Outliers {
           least(greatest(col(valueCol), col("__wlo")), col("__whi"))))
       .drop("__wlo", "__whi")
   }
+
+  /** Top-k bivariate Mahalanobis outliers — "which rows are jointly
+    * anomalous?" where per-column z-scores miss points that are normal
+    * on each axis but off the correlation ridge:
+    *
+    *   d² = n(n−1) · (dx²·Myy − 2·dx·dy·Mxy + dy²·Mxx) / (Mxx·Myy − Mxy²)
+    *
+    * (the closed-form 2×2 inverse over exact moment combinations
+    * M_ab = n·Σab − Σa·Σb; dx/dy are deviations from the means).
+    *
+    * Determinism: micro-quantized inputs, exact DECIMAL moments
+    * broadcast as a 1-row frame, one fixed IEEE tree per row; the kept
+    * set orders by the 9-dp-rounded d² with the key tiebreak.
+    *
+    * Scale shape: one grand aggregation + a broadcast + a narrow
+    * scoring projection + TakeOrderedAndProject — joint outlier
+    * screening at 100 TB is two scans and no shuffle of data rows.
+    */
+  def mahalanobisTopK(df: DataFrame, keyCols: Seq[String], x: Column,
+                      y: Column, k: Int): DataFrame = {
+    require(keyCols.nonEmpty, "need tiebreak key columns")
+    require(k >= 1, s"k must be positive: $k")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val base = df
+      .select(keyCols.map(col) :+ q(x).as("__x") :+ q(y).as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val m = base.agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val nD = col("__n").cast("double")
+    val mxx = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val myy = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val mxy = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val stats = m.select(nD.as("__nD"),
+      (col("__sx").cast("double") / nD).as("__xbar"),
+      (col("__sy").cast("double") / nD).as("__ybar"),
+      mxx.as("__mxx"), myy.as("__myy"), mxy.as("__mxy"))
+    val dx = col("__x").cast("double") - col("__xbar")
+    val dy = col("__y").cast("double") - col("__ybar")
+    val det = col("__mxx") * col("__myy") - col("__mxy") * col("__mxy")
+    val d2 = col("__nD") * (col("__nD") - lit(1.0)) *
+      (dx * dx * col("__myy") - lit(2.0) * dx * dy * col("__mxy")
+        + dy * dy * col("__mxx")) / det
+    base.crossJoin(broadcast(stats))
+      .filter(col("__nD") >= 3.0 && det > 0.0)
+      .withColumn("__d9", round(d2, 9))
+      .orderBy(col("__d9").desc +: keyCols.map(col(_).asc): _*)
+      .limit(k)
+      .select(keyCols.map(col) ++ Seq(
+        (col("__x").cast("double") / lit(1e6)).as("x"),
+        (col("__y").cast("double") / lit(1e6)).as("y"),
+        round(d2, 6).as("d2")): _*)
+  }
 }

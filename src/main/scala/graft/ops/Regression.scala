@@ -126,4 +126,69 @@ object Regression {
         when(varX =!= 0.0, round(inter, 6)).as("intercept"),
         when(varX =!= 0.0 && varY =!= 0.0, round(r * r, 6)).as("r2")): _*)
   }
+
+  /** Top-k influence points by Cook's distance under the per-group
+    * simple OLS — "which days bent the trend line?":
+    *
+    *   h_i = 1/n + (x_i − x̄)²/S_xx,   D_i = e_i²·h_i / (p·s²·(1−h_i)²)
+    *
+    * with p = 2 and s² = RSS/(n−2). Returns the k most influential rows
+    * per group `(groups..., x, resid, leverage, cooks_d)`.
+    *
+    * Determinism: the fit and every per-row quantity are fixed IEEE
+    * trees over [[groupOls]]'s exact micro moments (broadcast to the
+    * rows); ranking orders by the 9-dp-rounded D with the x tiebreak so
+    * equal-tree engines agree on the kept set.
+    *
+    * Scale shape: one group-keyed moment pass, a k-row broadcast back,
+    * one narrow scoring projection, one group-partitioned top-k window.
+    */
+  def cooksTopK(df: DataFrame, groupBy: Seq[String], x: Column, y: Column,
+                k: Int): DataFrame = {
+    require(groupBy.nonEmpty, "cooksTopK needs group columns")
+    require(k >= 1, s"k must be positive: $k")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val base = df
+      .select(groupBy.map(col) :+ q(x).as("__x") :+ q(y).as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val g = base.groupBy(groupBy.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val mxx = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val mxy = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val myy = (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val nD = col("__n").cast("double")
+    val coef = g
+      .filter(col("__n") >= 4 && mxx > 0.0)
+      .select(groupBy.map(col) ++ Seq(
+        (mxy / mxx).as("__b"),
+        ((col("__sy").cast("double") - mxy / mxx * col("__sx").cast("double")) / nD)
+          .as("__a"),
+        (col("__sx").cast("double") / nD).as("__xbar"),
+        (mxx / nD).as("__sxxc"),
+        nD.as("__nD"),
+        (((myy - mxy * mxy / mxx) / nD) / (nD - lit(2.0))).as("__s2")): _*)
+    val xd = col("__x").cast("double")
+    val e = col("__y").cast("double") - (col("__a") + col("__b") * xd)
+    val h = lit(1.0) / col("__nD") + (xd - col("__xbar")) * (xd - col("__xbar")) /
+      col("__sxxc")
+    val d = e * e * h / (lit(2.0) * col("__s2") * (lit(1.0) - h) * (lit(1.0) - h))
+    val scored = base.join(broadcast(coef), groupBy)
+      .filter(col("__s2") > 0.0)
+      .withColumn("__d9", round(d, 9))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupBy.map(col): _*)
+      .orderBy(col("__d9").desc, col("__x"))
+    scored.withColumn("__rk", row_number().over(W))
+      .filter(col("__rk") <= k)
+      .select(groupBy.map(col) ++ Seq(
+        (col("__x").cast("double") / lit(1e6)).as("x"),
+        round(e / lit(1e6), 6).as("resid"),
+        round(h, 6).as("leverage"),
+        round(d, 6).as("cooks_d")): _*)
+  }
 }

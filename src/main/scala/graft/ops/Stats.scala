@@ -198,6 +198,57 @@ object Stats {
         when(col("__na") >= 2 && col("__nb") >= 2, round(dfW, 6)).as("df"))
   }
 
+  /** TOST equivalence test (two one-sided tests) — the inferential
+    * flip of [[welchT]]: not "are the means different?" but "are they
+    * provably WITHIN ±margin of each other?" — the question behind
+    * "did the refactor keep the metric flat" and A/A validation, where
+    * a non-significant t is NOT evidence of equivalence:
+    *
+    *   t_lower = (Δ + margin)/SE,   t_upper = (margin − Δ)/SE
+    *
+    * with Welch's SE; equivalent ⇔ min(t_lower, t_upper) > z_{1−α}
+    * (the large-sample critical value, a stated literal).
+    *
+    * Determinism: [[welchT]]'s exact conditional moments; both t's and
+    * the decision are fixed IEEE trees, the decision comparing the
+    * ROUNDED min (oracle-identical).
+    *
+    * Scale shape: ONE grand conditional aggregate, 1 row.
+    */
+  def tost(df: DataFrame, inA: Column, inB: Column, value: Column,
+           margin: Double, zCrit: Double = 1.6448536269514722): DataFrame = {
+    require(margin > 0, s"equivalence margin must be positive: $margin")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val tagged = df.select(
+      when(inA, lit("a")).when(inB, lit("b")).as("__g"), q(value).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val g = col("__g")
+    def side(s: String): Seq[Column] = Seq(
+      sum(when(g === s, 1L).otherwise(0L)).cast(dec).as(s"__n$s"),
+      sum(when(g === s, col("__x"))).as(s"__s$s"),
+      sum(when(g === s, col("__x") * col("__x"))).as(s"__ss$s"))
+    val moments = side("a") ++ side("b")
+    val m = tagged.agg(moments.head, moments.tail: _*)
+    def nD(s: String) = col(s"__n$s").cast("double")
+    def mean(s: String) = col(s"__s$s").cast("double") / nD(s) / lit(1e6)
+    def vOverN(s: String) =
+      (col(s"__n$s") * col(s"__ss$s") - col(s"__s$s") * col(s"__s$s")).cast("double") /
+        (nD(s) * (nD(s) - lit(1.0))) / lit(1e12) / nD(s)
+    val se = sqrt(vOverN("a") + vOverN("b"))
+    val diff = mean("a") - mean("b")
+    val tLo = (diff + lit(margin)) / se
+    val tUp = (lit(margin) - diff) / se
+    val ok = col("__na") >= 2 && col("__nb") >= 2
+    m.select(
+      col("__na").cast("long").as("n_a"), col("__nb").cast("long").as("n_b"),
+      round(diff, 6).as("mean_diff"),
+      when(ok, round(se, 6)).as("se"),
+      when(ok, round(tLo, 6)).as("t_lower"),
+      when(ok, round(tUp, 6)).as("t_upper"),
+      when(ok, round(least(tLo, tUp), 6) > lit(zCrit)).as("equivalent"))
+  }
+
   /** Chi-square test of independence over two categorical columns —
     * the workhorse "are these associated?" screen (label vs source
     * balance, segment vs outcome): χ² = Σ_cells (o − e)²/e with

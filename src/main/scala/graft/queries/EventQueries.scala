@@ -306,6 +306,22 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Top-3 influence days per event type
+    * ([[graft.ops.Regression.cooksTopK]]): which days bent each
+    * revenue trend line — Cook's distance from closed-form leverage
+    * and residuals over the broadcast fit, no refitting, no shuffle of
+    * daily rows.
+    */
+  private def qInfluence(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    graft.ops.Regression.cooksTopK(daily, Seq("event_type"), col("day"),
+        col("cents").cast("double"), k = 3)
+      .orderBy(col("event_type"), col("x"))
+  }
+
   /** Hurst exponent ([[graft.ops.Timeseries.hurstRS]]) of the hourly
     * revenue stream: rescaled-range analysis over 8/16/32/64-hour
     * blocks — is load persistent (H > 0.5, provision for runs) or
@@ -766,6 +782,7 @@ object EventQueries {
     "q_chow" -> (qChow _),
     "q_hurst" -> (qHurst _),
     "q_arch" -> (qArch _),
+    "q_influence" -> (qInfluence _),
     "q_capture" -> (qCapture _),
     "q_dispersion" -> (qDispersion _),
     "q_rmst" -> (qRmst _),
@@ -1846,6 +1863,50 @@ object EventQueries {
         |  strftime(to_ts, '%Y-%m-%d %H:%M:%S') AS to_ts,
         |  epoch_us(to_ts) - epoch_us(from_ts) AS lag_us
         |FROM c ORDER BY user_id""".stripMargin,
+    "q_influence" ->
+      """WITH d AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) * 1000000 AS xq,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) * 1000000 AS yq
+        |  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000),
+        |f AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(yq AS HUGEINT)) AS sy,
+        |    SUM(CAST(xq AS HUGEINT) * xq) AS sxx, SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+        |    SUM(CAST(yq AS HUGEINT) * yq) AS syy
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+        |    (CAST(sy AS DOUBLE)
+        |      - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE) AS sxxc,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    ((CAST(n * syy - sy * sy AS DOUBLE)
+        |      - CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 2.0) AS s2
+        |  FROM f
+        |  WHERE n >= 4 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0),
+        |e AS (
+        |  SELECT d.event_type, d.xq,
+        |    CAST(yq AS DOUBLE) - (a + b * CAST(xq AS DOUBLE)) AS ee,
+        |    1.0 / nd + (CAST(xq AS DOUBLE) - xbar) * (CAST(xq AS DOUBLE) - xbar) / sxxc AS h,
+        |    s2
+        |  FROM d JOIN c USING (event_type)
+        |  WHERE s2 > 0),
+        |dd AS (
+        |  SELECT event_type, xq, ee, h,
+        |    ee * ee * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) AS cd,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY round(ee * ee * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 9) DESC, xq)
+        |      AS rk
+        |  FROM e)
+        |SELECT event_type, CAST(xq AS DOUBLE) / 1000000.0 AS x,
+        |  round(ee / 1000000.0, 6) AS resid, round(h, 6) AS leverage,
+        |  round(cd, 6) AS cooks_d
+        |FROM dd WHERE rk <= 3 ORDER BY event_type, x""".stripMargin,
     "q_hurst" ->
       """WITH hv AS (
         |  SELECT date_trunc('hour', ts) AS h,

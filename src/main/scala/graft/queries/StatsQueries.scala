@@ -689,6 +689,28 @@ object StatsQueries {
       .orderBy(col("segment"))
   }
 
+  /** TOST equivalence test ([[graft.ops.Stats.tost]]): are purchase
+    * and click mean values provably within ±10 of each other? The
+    * question q_welch cannot answer — absence of significance is not
+    * equivalence; two one-sided Welch z's against the margin are.
+    */
+  private def qTost(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.tost(t(s, dir, "events"),
+      col("event_type") === "purchase", col("event_type") === "click",
+      col("value"), margin = 10.0)
+
+  /** Top-10 bivariate Mahalanobis outliers
+    * ([[graft.ops.Outliers.mahalanobisTopK]]) in the
+    * (quantity, price) plane: rows normal on each axis but off the
+    * correlation ridge — the joint-anomaly screen per-column z-scores
+    * miss. Closed-form 2×2 inverse over exact moments, no shuffle of
+    * data rows.
+    */
+  private def qMahalanobis(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Outliers.mahalanobisTopK(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"),
+      col("l_quantity"), col("l_extendedprice"), k = 10)
+
   /** G-test of independence ([[graft.ops.Stats.gTest]]) between event
     * type and user bucket: the likelihood-ratio twin of q_chi2,
     * additive across table partitions and kinder to sparse cells —
@@ -1150,6 +1172,8 @@ object StatsQueries {
     "q_holm" -> (qHolm _),
     "q_cvm" -> (qCvm _),
     "q_gtest" -> (qGtest _),
+    "q_tost" -> (qTost _),
+    "q_mahalanobis" -> (qMahalanobis _),
     "q_icc" -> (qIcc _),
     "q_rank_biserial" -> (qRankBiserial _),
     "q_partial_corr" -> (qPartialCorr _),
@@ -1430,6 +1454,75 @@ object StatsQueries {
         |  CASE WHEN p IS NOT NULL THEN bh_q END AS bh_q,
         |  CASE WHEN p IS NOT NULL THEN (bh_q <= 0.1) END AS bh_reject
         |FROM s ORDER BY segment""".stripMargin,
+    "q_tost" ->
+      """WITH tg AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 'a'
+        |              WHEN event_type = 'click' THEN 'b' END AS g,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+        |m AS (
+        |  SELECT
+        |    SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN g = 'a' THEN CAST(x AS HUGEINT) END) AS sa,
+        |    SUM(CASE WHEN g = 'a' THEN CAST(x AS HUGEINT) * x END) AS ssa,
+        |    SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN g = 'b' THEN CAST(x AS HUGEINT) END) AS sb,
+        |    SUM(CASE WHEN g = 'b' THEN CAST(x AS HUGEINT) * x END) AS ssb
+        |  FROM tg),
+        |z AS (
+        |  SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1000000.0
+        |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0 AS diff,
+        |    sqrt(CAST(na * ssa - sa * sa AS DOUBLE)
+        |        / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / 1e12 / CAST(na AS DOUBLE)
+        |      + CAST(nb * ssb - sb * sb AS DOUBLE)
+        |        / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / 1e12 / CAST(nb AS DOUBLE))
+        |      AS se
+        |  FROM m)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(diff, 6) AS mean_diff,
+        |  CASE WHEN na >= 2 AND nb >= 2 THEN round(se, 6) END AS se,
+        |  CASE WHEN na >= 2 AND nb >= 2 THEN round((diff + 10.0) / se, 6) END AS t_lower,
+        |  CASE WHEN na >= 2 AND nb >= 2 THEN round((10.0 - diff) / se, 6) END AS t_upper,
+        |  CASE WHEN na >= 2 AND nb >= 2 THEN
+        |    (round(least((diff + 10.0) / se, (10.0 - diff) / se), 6) > 1.6448536269514722)
+        |  END AS equivalent
+        |FROM z""".stripMargin,
+    "q_mahalanobis" ->
+      """WITH b AS (
+        |  SELECT l_orderkey AS k1, l_linenumber AS k2,
+        |    CAST(round(l_quantity * 1000000.0) AS BIGINT) AS xq,
+        |    CAST(round(l_extendedprice * 1000000.0) AS BIGINT) AS yq
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(yq AS HUGEINT)) AS sy,
+        |    SUM(CAST(xq AS HUGEINT) * xq) AS sxx, SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+        |    SUM(CAST(yq AS HUGEINT) * yq) AS syy
+        |  FROM b),
+        |s AS (
+        |  SELECT CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS mxx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS myy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS mxy
+        |  FROM m),
+        |d AS (
+        |  SELECT k1, k2, xq, yq,
+        |    nd * (nd - 1.0)
+        |      * ((CAST(xq AS DOUBLE) - xbar) * (CAST(xq AS DOUBLE) - xbar) * myy
+        |        - 2.0 * (CAST(xq AS DOUBLE) - xbar) * (CAST(yq AS DOUBLE) - ybar) * mxy
+        |        + (CAST(yq AS DOUBLE) - ybar) * (CAST(yq AS DOUBLE) - ybar) * mxx)
+        |      / (mxx * myy - mxy * mxy) AS d2
+        |  FROM b CROSS JOIN s
+        |  WHERE nd >= 3 AND mxx * myy - mxy * mxy > 0)
+        |SELECT k1 AS l_orderkey, k2 AS l_linenumber,
+        |  CAST(xq AS DOUBLE) / 1000000.0 AS x, CAST(yq AS DOUBLE) / 1000000.0 AS y,
+        |  round(d2, 6) AS d2
+        |FROM d ORDER BY round(d2, 9) DESC, k1, k2 LIMIT 10""".stripMargin,
     "q_gtest" ->
       """WITH cells AS (
         |  SELECT event_type AS a, user_id % 4 AS b, COUNT(*) AS o

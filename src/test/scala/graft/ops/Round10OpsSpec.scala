@@ -333,6 +333,44 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out2.isNullAt(2) && out2.isNullAt(3))
   }
 
+  test("tost: means 1 apart under margin 10 are provably equivalent") {
+    val df = createDf(spark, "g string, v double",
+      Seq(9, 10, 11).map(v => Seq[Any]("a", v.toDouble)) ++
+        Seq(10, 11, 12).map(v => Seq[Any]("b", v.toDouble)))
+    val out = Stats.tost(df, col("g") === "a", col("g") === "b",
+      col("v"), margin = 10.0).collect().head
+    assert(out.getDouble(2) == -1.0)       // mean diff
+    assert(out.getDouble(3) == 0.816497)   // welch se
+    assert(out.getDouble(4) == 11.022704)  // t_lower
+    assert(out.getDouble(5) == 13.472194)  // t_upper
+    assert(out.getBoolean(6))
+  }
+
+  test("cook's distance: the off-trend endpoint dominates, hand-checked") {
+    val ys = Seq(2.0, 4.0, 6.0, 8.0, 10.0, 30.0)
+    val df = createDf(spark, "g string, x int, y double",
+      ys.zipWithIndex.map { case (y, i) => Seq[Any]("g", i + 1, y) })
+    val out = Regression.cooksTopK(df, Seq("g"), col("x"), col("y"), k = 3)
+      .orderBy(desc("cooks_d")).collect()
+    assert(out.length == 3)
+    val top = out.head
+    assert(top.getDouble(1) == 6.0)        // the outlier day
+    assert(top.getDouble(2) == 8.571429)   // residual
+    assert(top.getDouble(3) == 0.52381)    // leverage
+    assert(top.getDouble(4) == 2.2)        // cook's D
+    assert(out(1).getDouble(4) == 0.362308 && out(2).getDouble(4) == 0.352)
+  }
+
+  test("mahalanobis top-k: the off-ridge point wins despite in-range axes") {
+    val df = createDf(spark, "k1 int, k2 int, x double, y double",
+      Seq((1, 1.0, 1.0), (2, 2.0, 2.0), (3, 3.0, 3.0), (4, 10.0, 1.0))
+        .map { case (k, x, y) => Seq[Any](k, 0, x, y) })
+    val out = Outliers.mahalanobisTopK(df, Seq("k1", "k2"),
+      col("x"), col("y"), k = 2).collect()
+    assert(out.head.getDouble(2) == 10.0 && out.head.getDouble(4) == 2.25)
+    assert(out(1).getDouble(4) == 1.75)
+  }
+
   test("round-10 ops are invariant to input partitioning") {
     val df = createDf(spark, "g string, e int, v double",
       (0 until 400).map(i => Seq[Any](s"g${i % 2}", i % 37, (i % 11 + 1).toDouble)))
