@@ -3175,6 +3175,86 @@ object Stats {
       when(defined && c > 0.0, round(chi2 / c, 6)).as("chi2_tie"))
   }
 
+  /** Page's L trend test — [[friedman]]'s ORDERED-alternative sibling:
+    * not "do the k treatments differ?" but "do they increase in a
+    * hypothesized order?" (dose levels, model-size ladder, week order):
+    *
+    *   L = Σ_j c_j·R_j   (c_j = 1..k in the treatment sort order,
+    *                      R_j the treatment's within-block rank sum)
+    *   E[L] = m·k(k+1)²/4,  Var[L] = m·k²(k+1)²(k−1)/144,
+    *   z = (L − E)/√Var
+    *
+    * Midranks handle ties (the [[friedman]] doubled-rank layer: 2L is
+    * an exact integer); the variance is the no-ties form, stated.
+    *
+    * Scale shape: [[friedman]]'s block-local rank windows + a k-row
+    * treatment rollup; the order index is a window over the K-ROW
+    * table.
+    *
+    * @return 1 row (k, n_blocks, l, z)
+    */
+  def pageTrend(df: DataFrame, block: Column, treatment: Column,
+                value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base0 = df.select(block.cast("string").as("__b"),
+        treatment.cast("string").as("__t"), q(value).as("__x"))
+      .filter(col("__b").isNotNull && col("__t").isNotNull && col("__x").isNotNull)
+      .groupBy(col("__b"), col("__t"))
+      .agg(sum(col("__x")).as("__x"))
+    val kRow = base0.agg(countDistinct(col("__t")).as("__k"))
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy(col("__b"))
+    val complete = base0.crossJoin(broadcast(kRow))
+      .withColumn("__cb", count(lit(1)).over(wB))
+      .filter(col("__cb") === col("__k"))
+    val wLt = Window.partitionBy(col("__b")).orderBy(col("__x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("__b"), col("__x"))
+    val ranked = complete.select(col("__t"), col("__k"),
+      (lit(2L) * count(lit(1)).over(wLt) + count(lit(1)).over(wEq) + lit(1L))
+        .as("__r2"))
+    val perTreat = ranked.groupBy(col("__t"), col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(col("__r2").cast(dec)).as("__r2j"))
+    val wOrd = Window.orderBy(col("__t"))
+    val withC = perTreat
+      .withColumn("__c", row_number().over(wOrd).cast("long"))
+    val agg = withC.groupBy(col("__k"))
+      .agg(max(col("__n")).as("n_blocks"),
+        sum(col("__c").cast(dec) * col("__r2j")).as("__l2"))
+    val kD = col("__k").cast("double")
+    val mD = col("n_blocks").cast("double")
+    val lD = col("__l2").cast("double") / lit(2.0)
+    val e = mD * kD * (kD + lit(1.0)) * (kD + lit(1.0)) / lit(4.0)
+    val v = mD * kD * kD * (kD + lit(1.0)) * (kD + lit(1.0)) * (kD - lit(1.0)) /
+      lit(144.0)
+    val ok = col("__k") >= 3 && col("n_blocks") >= 2 && v > 0.0
+    agg.select(col("__k").as("k"), col("n_blocks"),
+      round(lD, 6).as("l"),
+      when(ok, round((lD - e) / sqrt(v), 6)).as("z"))
+  }
+
+  /** Storey's π₀ — the estimated fraction of TRUE NULLS in a tests
+    * table ("how much of this fan-out is noise?"), the quantity that
+    * turns BH's FDR into the sharper adaptive q-value:
+    *
+    *   π̂₀ = #{p > λ} / ((1−λ)·m),  capped at 1
+    *
+    * Null p-values are not hypotheses (the [[benjaminiHochberg]]
+    * contract). One grand aggregation, 1 row (m, n_above, pi0).
+    */
+  def storeyPi0(df: DataFrame, pCol: Column, lambda: Double = 0.5): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1): $lambda")
+    val pv = pCol.cast("double")
+    val agg = df.agg(
+      sum(when(pv.isNotNull, 1L).otherwise(0L)).as("m"),
+      sum(when(pv > lambda, 1L).otherwise(0L)).as("n_above"))
+    agg.select(col("m"), col("n_above"),
+      when(col("m") >= 1, round(least(lit(1.0),
+        col("n_above").cast("double") / (lit(1.0 - lambda) * col("m").cast("double"))), 6))
+        .as("pi0"))
+  }
+
   /** Kendall's W (coefficient of concordance) — HOW MUCH do the blocks
     * (raters) agree on the treatment (item) ranking, on a 0..1 scale?
     * The effect size behind [[friedman]]'s significance test, via the

@@ -711,6 +711,33 @@ object StatsQueries {
       Seq("l_orderkey", "l_linenumber"),
       col("l_quantity"), col("l_extendedprice"), k = 10)
 
+  /** Page's L ordered-trend test ([[graft.ops.Stats.pageTrend]]): do
+    * per-block event-type revenue ranks INCREASE in type order? The
+    * ordered alternative q_friedman's omnibus χ² cannot see — doubled
+    * midranks keep 2L an exact integer.
+    */
+  private def qPageTrend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .withColumn("block", col("user_id") % 16)
+      .groupBy(col("block"), col("event_type"))
+      .agg(sum(round(col("value") * lit(1e2), 0).cast("long")).as("cents"))
+    graft.ops.Stats.pageTrend(e, col("block"), col("event_type"),
+      col("cents").cast("double"))
+  }
+
+  /** Storey's π₀ ([[graft.ops.Stats.storeyPi0]]) over q_fdr's
+    * per-segment KS p-values: what fraction of the fan-out looks like
+    * true nulls — the adaptive-FDR dial on the same tests table.
+    */
+  private def qPi0(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("segment", col("user_id") % 8)
+    val ks = graft.ops.Drift.ksStatisticGrouped(e, Seq("segment"),
+      col("event_type") === "purchase", col("event_type") === "click",
+      col("value"))
+    graft.ops.Stats.storeyPi0(ks, col("p"), lambda = 0.5)
+  }
+
   /** G-test of independence ([[graft.ops.Stats.gTest]]) between event
     * type and user bucket: the likelihood-ratio twin of q_chi2,
     * additive across table partitions and kinder to sparse cells —
@@ -1173,6 +1200,8 @@ object StatsQueries {
     "q_cvm" -> (qCvm _),
     "q_gtest" -> (qGtest _),
     "q_tost" -> (qTost _),
+    "q_page_trend" -> (qPageTrend _),
+    "q_pi0" -> (qPi0 _),
     "q_mahalanobis" -> (qMahalanobis _),
     "q_icc" -> (qIcc _),
     "q_rank_biserial" -> (qRankBiserial _),
@@ -1454,6 +1483,82 @@ object StatsQueries {
         |  CASE WHEN p IS NOT NULL THEN bh_q END AS bh_q,
         |  CASE WHEN p IS NOT NULL THEN (bh_q <= 0.1) END AS bh_reject
         |FROM s ORDER BY segment""".stripMargin,
+    "q_page_trend" ->
+      """WITH pre AS (
+        |  SELECT user_id % 16 AS b, event_type AS t,
+        |    SUM(CAST(round(value * 100.0) AS BIGINT)) * 1000000 AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |k1 AS (SELECT COUNT(DISTINCT t) AS k FROM pre),
+        |cb AS (
+        |  SELECT b, t, x, k, COUNT(*) OVER (PARTITION BY b) AS nb
+        |  FROM pre CROSS JOIN k1),
+        |cpl AS (SELECT * FROM cb WHERE nb = k),
+        |rk AS (
+        |  SELECT t, k,
+        |    2 * COUNT(*) OVER (PARTITION BY b ORDER BY x
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      + COUNT(*) OVER (PARTITION BY b, x) + 1 AS r2
+        |  FROM cpl),
+        |pt AS (SELECT t, k, COUNT(*) AS n, SUM(r2) AS r2j FROM rk GROUP BY 1, 2),
+        |wc AS (
+        |  SELECT t, k, n, r2j, row_number() OVER (ORDER BY t) AS c FROM pt),
+        |ag AS (
+        |  SELECT k, MAX(n) AS nb, SUM(CAST(c AS HUGEINT) * r2j) AS l2
+        |  FROM wc GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nb AS BIGINT) AS n_blocks,
+        |  round(CAST(l2 AS DOUBLE) / 2.0, 6) AS l,
+        |  CASE WHEN k >= 3 AND nb >= 2
+        |      AND CAST(nb AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+        |        * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0)
+        |        * (CAST(k AS DOUBLE) - 1.0) / 144.0 > 0 THEN
+        |    round((CAST(l2 AS DOUBLE) / 2.0
+        |        - CAST(nb AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+        |          * (CAST(k AS DOUBLE) + 1.0) / 4.0)
+        |      / sqrt(CAST(nb AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+        |        * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0)
+        |        * (CAST(k AS DOUBLE) - 1.0) / 144.0), 6)
+        |  END AS z
+        |FROM ag""".stripMargin,
+    "q_pi0" ->
+      """WITH tg AS (
+        |  SELECT user_id % 8 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib,
+        |    value AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+        |c AS (SELECT segment, v, SUM(ia) AS ca, SUM(ib) AS cb FROM tg GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT segment,
+        |    SUM(ca) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+        |    SUM(cb) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+        |    SUM(ca) OVER (PARTITION BY segment) AS na,
+        |    SUM(cb) OVER (PARTITION BY segment) AS nb
+        |  FROM c),
+        |kk AS (
+        |  SELECT segment, na AS n_a, nb AS n_b,
+        |    MAX(abs(cca * nb - ccb * na)) AS d_num
+        |  FROM cc GROUP BY 1, 2, 3),
+        |pv AS (
+        |  SELECT segment,
+        |    round(least(1.0, 2.0 * exp(-2.0
+        |      * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |      * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |      * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))), 6) AS p
+        |  FROM kk)
+        |SELECT CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        |  CAST(SUM(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CASE WHEN SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) >= 1 THEN
+        |    round(least(1.0, CAST(SUM(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / (0.5 * CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE))), 6)
+        |  END AS pi0
+        |FROM pv""".stripMargin,
     "q_tost" ->
       """WITH tg AS (
         |  SELECT CASE WHEN event_type = 'purchase' THEN 'a'

@@ -886,6 +886,17 @@ object TextQueries {
     Rank.vocabularyRichness(t(s, dir, "documents"), Seq("lang"), col("text"))
       .orderBy(col("lang"))
 
+  /** Moving-average type-token ratio
+    * ([[graft.text.TextStats.mattr]]): length-robust lexical diversity
+    * per document over 20-token sliding windows — the curation-filter
+    * feature raw TTR fakes on long docs; exact distinct counts per
+    * window start, doc-local keys throughout.
+    */
+  private def qMattr(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextStats.mattr(t(s, dir, "documents"), "doc_id", "text",
+        window = 20)
+      .orderBy(col("doc_id"))
+
   /** Naive Bayes HOLDOUT confusion: train on even doc_ids, score the
     * odd half — the honest generalization view beside q_nb's
     * resubstitution matrix, and the query that exercises
@@ -906,6 +917,7 @@ object TextQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mattr" -> (qMattr _),
     "q_classify" -> (qClassify _),
     "q_nb" -> (qNb _),
     "q_nb_holdout" -> (qNbHoldout _),
@@ -1072,6 +1084,23 @@ object TextQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_mattr" ->
+      """WITH t AS (
+        |  SELECT doc_id, u.tok AS tok, u.i - 1 AS pos
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(string_split(text, ' '),
+        |            (x, i) -> {'tok': x, 'i': i})) AS u
+        |        FROM documents)),
+        |n AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY 1 HAVING COUNT(*) >= 20),
+        |st AS (
+        |  SELECT t.doc_id, t.tok,
+        |    unnest(range(greatest(t.pos - 19, 0), least(t.pos, n.n - 20) + 1)) AS s
+        |  FROM t JOIN n USING (doc_id)),
+        |d AS (SELECT doc_id, s, COUNT(DISTINCT tok) AS dv FROM st GROUP BY 1, 2)
+        |SELECT d.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  round(CAST(SUM(dv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 20.0, 6) AS mattr
+        |FROM d JOIN n USING (doc_id) GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "q_pr_auc" ->
       """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |feats AS (

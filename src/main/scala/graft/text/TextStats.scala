@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -305,4 +305,46 @@ object TextStats {
         .when(size(hashes) > 0, array(array_min(hashes)))
         .otherwise(array().cast("array<bigint>"))
     }
+
+  /** Moving-average type-token ratio (MATTR) — lexical diversity that,
+    * unlike raw TTR, does not collapse with document length: the mean
+    * distinct-token share over every length-`window` sliding window of
+    * the token stream. Low MATTR = loops/boilerplate; the
+    * length-robust quality feature for curation filters.
+    *
+    * Determinism: each token row explodes into the integer window
+    * starts it serves (a narrow `sequence`), distinct counts per
+    * (doc, start) are exact, and MATTR is one division of exact
+    * integers, 6 dp.
+    *
+    * Scale shape: one doc-partitioned count window (token counts are
+    * doc-local), a narrow ≤`window`-fanout explode, one
+    * (doc, start)-keyed distinct aggregation, one doc rollup — rows
+    * moved are O(tokens × window), never corpus-quadratic, and every
+    * key is doc-local so the whole plan is embarrassingly parallel by
+    * document.
+    *
+    * @return (docId, n_tokens, n_windows, mattr) — docs shorter than
+    *         `window` have no windows and drop (stated)
+    */
+  def mattr(df: DataFrame, idCol: String, textCol: String,
+            window: Int = 20): DataFrame = {
+    require(window >= 2 && window <= 1000, s"window out of range: $window")
+    val toks = df.select(col(idCol).as("__id"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+    val withN = toks.withColumn("__n", count(lit(1)).over(wDoc))
+      .filter(col("__n") >= window)
+    val starts = withN.select(col("__id"), col("__n"), col("__tok"),
+      explode(sequence(
+        greatest(col("__pos") - lit(window - 1), lit(0)),
+        least(col("__pos"), col("__n") - lit(window)))).as("__s"))
+    val perWin = starts.groupBy(col("__id"), col("__n"), col("__s"))
+      .agg(countDistinct(col("__tok")).as("__d"))
+    perWin.groupBy(col("__id"), col("__n"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("__d")).as("__sd"))
+      .select(col("__id").as(idCol), col("__n").as("n_tokens"), col("n_windows"),
+        round(col("__sd").cast("double") / col("n_windows").cast("double")
+          / lit(window.toDouble), 6).as("mattr"))
+  }
 }

@@ -371,6 +371,39 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out(1).getDouble(4) == 1.75)
   }
 
+  test("page's L: perfectly increasing ranks hit the maximum, z = 2") {
+    val rows = for (b <- Seq(1, 2); (t, v) <- Seq(("A", 1.0), ("B", 2.0), ("C", 3.0)))
+      yield Seq[Any](b, t, v)
+    val df = createDf(spark, "b int, t string, v double", rows)
+    val out = Stats.pageTrend(df, col("b"), col("t"), col("v")).collect().head
+    assert(out.getLong(0) == 3L && out.getLong(1) == 2L)
+    assert(out.getDouble(2) == 28.0) // L_max = m * sum(j^2)
+    assert(out.getDouble(3) == 2.0)  // (28-24)/sqrt(4)
+  }
+
+  test("storey pi0: nulls excluded, cap at 1") {
+    val df = createDf(spark, "id int, p double",
+      Seq(Seq[Any](1, 0.1), Seq[Any](2, 0.2), Seq[Any](3, 0.3),
+        Seq[Any](4, 0.8), Seq[Any](5, null)))
+    val out = Stats.storeyPi0(df, col("p")).collect().head
+    assert(out.getLong(0) == 4L && out.getLong(1) == 1L)
+    assert(out.getDouble(2) == 0.5) // 1/(0.5*4)
+    val high = createDf(spark, "id int, p double",
+      Seq(Seq[Any](1, 0.6), Seq[Any](2, 0.9)))
+    assert(Stats.storeyPi0(high, col("p")).collect().head.getDouble(2) == 1.0)
+  }
+
+  test("mattr: 'a b a b c' over window 3 averages 7/9; short docs drop") {
+    val df = createDf(spark, "doc_id int, text string",
+      Seq(Seq[Any](1, "a b a b c"), Seq[Any](2, "a b")))
+    val out = graft.text.TextStats.mattr(df, "doc_id", "text", window = 3)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getInt(0) == 1 && r.getLong(1) == 5L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.777778) // (2+2+3)/3/3
+  }
+
   test("round-10 ops are invariant to input partitioning") {
     val df = createDf(spark, "g string, e int, v double",
       (0 until 400).map(i => Seq[Any](s"g${i % 2}", i % 37, (i % 11 + 1).toDouble)))
