@@ -3234,6 +3234,122 @@ object Stats {
       when(ok, round((lD - e) / sqrt(v), 6)).as("z"))
   }
 
+  /** Jonckheere-Terpstra ordered-alternative k-sample test — "do the
+    * groups shift UP in their sort order?" (dose, cohort age, model
+    * size): the one-directional power [[kruskalWallis]]-style omnibus
+    * tests give away:
+    *
+    *   J = Σ_{i<j} U_ij   (U_ij = #{x_i < x_j} + ½#{x_i = x_j})
+    *   E[J] = (N² − Σn_i²)/4
+    *   Var  = (N²(2N+3) − Σn_i²(2n_i+3))/72   (no-tie form, stated)
+    *
+    * Determinism: groups reduce to (group, value) counts; each ordered
+    * pair's U runs as a Mann-Whitney over the pair's MERGED value
+    * stream (a strictly-below RANGE window + a tie frame, both
+    * partitioned by the pair tag), and 2J = Σ c_j·(2F_i + c_i) stays an
+    * exact integer (the half-tie doubling trick).
+    *
+    * Scale shape: one (group, value) aggregation; the k-bounded group
+    * list collects to the driver (the k-means-centers posture) so the
+    * pair explode is a narrow literal fanout of ≤ k−1 per row; pair
+    * windows move k²·|distinct values| rows, never row-quadratic.
+    *
+    * @return 1 row (k, n, j, z); group order = lexicographic
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: Column,
+                         value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = round(value * lit(1e6), 0).cast("long")
+    val counts = df.select(groupCol.cast("string").as("__g"), q.as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+      .groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // reused: group list, sizes, pair stream
+    // group list is k-bounded BY DEFINITION — driver literals (the
+    // k-means-centers posture), so the pair explode stays narrow and
+    // no non-equi join ever reaches the plan guard
+    val groups = counts.select(col("__g")).distinct()
+      .orderBy(col("__g")).collect().map(_.getString(0)).toSeq
+    val pairs = for {
+      i <- groups.indices
+      j <- groups.indices
+      if groups(i) < groups(j)
+    } yield (groups(i), groups(j))
+    import org.apache.spark.sql.expressions.Window
+    val j2 =
+      if (pairs.isEmpty)
+        counts.sparkSession.range(1).select(lit(0L).cast(dec).as("__j2"))
+      else {
+        val pairLits = array(pairs.map { case (i, j) =>
+          struct(lit(i).as("pi"), lit(j).as("pj"))
+        }: _*)
+        val ex = counts
+          .withColumn("__p", explode(pairLits))
+          .filter(col("__g") === col("__p.pi") || col("__g") === col("__p.pj"))
+        val wBelow = Window.partitionBy(col("__p")).orderBy(col("__x"))
+          .rangeBetween(Long.MinValue, -1)
+        val wEq = Window.partitionBy(col("__p"), col("__x"))
+        val ci = when(col("__g") === col("__p.pi"), col("__c")).otherwise(0L)
+        val scored = ex
+          .withColumn("__fi", coalesce(sum(ci).over(wBelow), lit(0L)))
+          .withColumn("__cie", sum(ci).over(wEq))
+          .withColumn("__t", when(col("__g") === col("__p.pj"),
+            col("__c").cast(dec) *
+              (lit(2L).cast(dec) * col("__fi") + col("__cie"))))
+        scored.agg(coalesce(sum(col("__t")), lit(0L).cast(dec)).as("__j2"))
+      }
+    val sizes = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("__n")).as("__nn"),
+        sum(col("__n").cast(dec) * col("__n").cast(dec)).as("__n2"),
+        sum(col("__n").cast(dec) * col("__n").cast(dec)
+          * (lit(2L).cast(dec) * col("__n") + lit(3L))).as("__n23"))
+    val nD = col("__nn").cast("double")
+    val jD = col("__j2").cast("double") / lit(2.0)
+    val e = (nD * nD - col("__n2").cast("double")) / lit(4.0)
+    val v = (nD * nD * (lit(2.0) * nD + lit(3.0)) - col("__n23").cast("double")) /
+      lit(72.0)
+    val ok = col("k") >= 2 && v > 0.0
+    sizes.crossJoin(j2).select(col("k"), col("__nn").as("n"),
+      round(jD, 6).as("j"),
+      when(ok, round((jD - e) / sqrt(v), 6)).as("z"))
+  }
+
+  /** Bowker symmetry test — the k×k generalization of McNemar: is the
+    * transition/confusion matrix SYMMETRIC (flows i→j match j→i)?
+    *
+    *   χ² = Σ_{i<j, n_ij+n_ji > 0} (n_ij − n_ji)² / (n_ij + n_ji),
+    *   dof = #included pairs
+    *
+    * Determinism: cell counts are exact longs; canonical-pair grouping
+    * (the [[graft.ops.Graph.reciprocity]] shape — no self-join) splits
+    * each unordered pair into its two directional sums; per-pair terms
+    * nano-quantize before the grand sum.
+    *
+    * Scale shape: one (a, b)-keyed count pass + one canonical-pair
+    * aggregation + a 1-row rollup.
+    *
+    * @return 1 row (n_pairs, dof, chi2)
+    */
+  def bowker(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull && col("__a") =!= col("__b"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val pairs = cells.groupBy(
+        least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"))
+      .agg(sum(when(col("__a") < col("__b"), col("__n")).otherwise(0L)).as("__fwd"),
+        sum(when(col("__a") > col("__b"), col("__n")).otherwise(0L)).as("__rev"))
+    val d = (col("__fwd") - col("__rev")).cast("double")
+    val s = (col("__fwd") + col("__rev")).cast("double")
+    val term = round(d * d / s * lit(1e9), 0).cast("long")
+    pairs.filter(col("__fwd") + col("__rev") > 0)
+      .agg(count(lit(1)).as("n_pairs"), sum(term).as("__chi"))
+      .select(col("n_pairs"), col("n_pairs").as("dof"),
+        round(col("__chi").cast("double") / lit(1e9), 6).as("chi2"))
+  }
+
   /** Storey's π₀ — the estimated fraction of TRUE NULLS in a tests
     * table ("how much of this fan-out is noise?"), the quantity that
     * turns BH's FDR into the sharper adaptive q-value:

@@ -738,6 +738,30 @@ object StatsQueries {
     graft.ops.Stats.storeyPi0(ks, col("p"), lambda = 0.5)
   }
 
+  /** Jonckheere-Terpstra ordered trend
+    * ([[graft.ops.Stats.jonckheereTerpstra]]): do event-type value
+    * distributions shift up in type order? The one-directional
+    * alternative q_kruskal's omnibus H ignores — exact half-tie
+    * doubling keeps 2J integral over the pair-merged value streams.
+    */
+  private def qJonckheere(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.jonckheereTerpstra(t(s, dir, "events"),
+      col("event_type"), col("value"))
+
+  /** Bowker symmetry test ([[graft.ops.Stats.bowker]]) on the user
+    * event-transition matrix: do i→j flows match j→i — is the behavior
+    * chain reversible? The k×k McNemar via canonical-pair sums, no
+    * self-join.
+    */
+  private def qBowker(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seqd = t(s, dir, "events")
+      .select(col("event_type").as("a"),
+        lead(col("event_type"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+    graft.ops.Stats.bowker(seqd, col("a"), col("b"))
+  }
+
   /** G-test of independence ([[graft.ops.Stats.gTest]]) between event
     * type and user bucket: the likelihood-ratio twin of q_chi2,
     * additive across table partitions and kinder to sparse cells —
@@ -1202,6 +1226,8 @@ object StatsQueries {
     "q_tost" -> (qTost _),
     "q_page_trend" -> (qPageTrend _),
     "q_pi0" -> (qPi0 _),
+    "q_jonckheere" -> (qJonckheere _),
+    "q_bowker" -> (qBowker _),
     "q_mahalanobis" -> (qMahalanobis _),
     "q_icc" -> (qIcc _),
     "q_rank_biserial" -> (qRankBiserial _),
@@ -1483,6 +1509,65 @@ object StatsQueries {
         |  CASE WHEN p IS NOT NULL THEN bh_q END AS bh_q,
         |  CASE WHEN p IS NOT NULL THEN (bh_q <= 0.1) END AS bh_reject
         |FROM s ORDER BY segment""".stripMargin,
+    "q_jonckheere" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT g, x, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.g AS pi, b.g AS pj
+        |  FROM (SELECT DISTINCT g FROM c) a JOIN (SELECT DISTINCT g FROM c) b
+        |    ON a.g < b.g),
+        |ex AS (
+        |  SELECT pr.pi, pr.pj, c.g, c.x, c.c
+        |  FROM c JOIN pr ON c.g = pr.pi OR c.g = pr.pj),
+        |sc AS (
+        |  SELECT pi, pj, g, x, c,
+        |    COALESCE(SUM(CASE WHEN g = pi THEN c ELSE 0 END)
+        |      OVER (PARTITION BY pi, pj ORDER BY x
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fi,
+        |    SUM(CASE WHEN g = pi THEN c ELSE 0 END)
+        |      OVER (PARTITION BY pi, pj, x) AS cie
+        |  FROM ex),
+        |pt AS (
+        |  SELECT CAST(c AS HUGEINT) * (2 * fi + cie) AS t FROM sc WHERE g = pj),
+        |j2 AS (SELECT COALESCE(SUM(t), 0) AS j2 FROM pt),
+        |sz AS (SELECT g, SUM(c) AS n FROM c GROUP BY 1),
+        |ag AS (
+        |  SELECT COUNT(*) AS k, SUM(n) AS nn,
+        |    SUM(CAST(n AS HUGEINT) * n) AS n2,
+        |    SUM(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS n23
+        |  FROM sz)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        |  round(CAST(j2 AS DOUBLE) / 2.0, 6) AS j,
+        |  CASE WHEN k >= 2
+        |      AND (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |            * (2.0 * CAST(nn AS DOUBLE) + 3.0)
+        |          - CAST(n23 AS DOUBLE)) / 72.0 > 0 THEN
+        |    round((CAST(j2 AS DOUBLE) / 2.0
+        |        - (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - CAST(n2 AS DOUBLE)) / 4.0)
+        |      / sqrt((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |            * (2.0 * CAST(nn AS DOUBLE) + 3.0)
+        |          - CAST(n23 AS DOUBLE)) / 72.0), 6) END AS z
+        |FROM ag CROSS JOIN j2""".stripMargin,
+    "q_bowker" ->
+      """WITH seq AS (
+        |  SELECT event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+        |  FROM events),
+        |cl AS (
+        |  SELECT a, b, COUNT(*) AS n FROM seq
+        |  WHERE b IS NOT NULL AND a <> b GROUP BY 1, 2),
+        |p AS (
+        |  SELECT least(a, b) AS u, greatest(a, b) AS v,
+        |    SUM(CASE WHEN a < b THEN n ELSE 0 END) AS fwd,
+        |    SUM(CASE WHEN a > b THEN n ELSE 0 END) AS rev
+        |  FROM cl GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(COUNT(*) AS BIGINT) AS dof,
+        |  round(CAST(SUM(CAST(round(CAST(fwd - rev AS DOUBLE) * CAST(fwd - rev AS DOUBLE)
+        |      / CAST(fwd + rev AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |    / 1000000000.0, 6) AS chi2
+        |FROM p WHERE fwd + rev > 0""".stripMargin,
     "q_page_trend" ->
       """WITH pre AS (
         |  SELECT user_id % 16 AS b, event_type AS t,

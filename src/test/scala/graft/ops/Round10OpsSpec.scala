@@ -404,6 +404,26 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.777778) // (2+2+3)/3/3
   }
 
+  test("jonckheere: ordered groups {1,2},{2,3},{4} give J=7.5, hand z") {
+    val df = createDf(spark, "g string, v double",
+      Seq(("A", 1.0), ("A", 2.0), ("B", 2.0), ("B", 3.0), ("C", 4.0))
+        .map { case (g, v) => Seq[Any](g, v) })
+    val out = Stats.jonckheereTerpstra(df, col("g"), col("v")).collect().head
+    assert(out.getLong(0) == 3L && out.getLong(1) == 5L)
+    assert(out.getDouble(2) == 7.5)      // 3.5 + 2 + 2 (tie counts half)
+    assert(out.getDouble(3) == 1.827815) // (7.5-4)/sqrt(11/3)
+  }
+
+  test("bowker: asymmetric flows accumulate (f-r)^2/(f+r) per pair") {
+    val flows = Seq(("a", "b", 5), ("b", "a", 2), ("a", "c", 3),
+      ("c", "a", 3), ("b", "c", 1), ("a", "a", 9))
+    val rows = flows.flatMap { case (x, y, n) => Seq.fill(n)(Seq[Any](x, y)) }
+    val df = createDf(spark, "x string, y string", rows)
+    val out = Stats.bowker(df, col("x"), col("y")).collect().head
+    assert(out.getLong(0) == 3L && out.getLong(1) == 3L) // loops drop
+    assert(out.getDouble(2) == 2.285714) // 9/7 + 0 + 1
+  }
+
   test("round-10 ops are invariant to input partitioning") {
     val df = createDf(spark, "g string, e int, v double",
       (0 until 400).map(i => Seq[Any](s"g${i % 2}", i % 37, (i % 11 + 1).toDouble)))
