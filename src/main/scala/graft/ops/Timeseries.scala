@@ -1558,4 +1558,194 @@ object Timeseries {
         :+ when(ok, round(r2, 6)).as("r2")
         :+ when(ok, round(col("n_pairs").cast("double") * r2, 6)).as("lm"): _*)
   }
+
+  /** KPSS level-stationarity test — the null-reversed companion to a
+    * unit-root test: here the NULL is "stationary around a level", so a
+    * large statistic is evidence of drift. Per series:
+    *
+    *   η = n⁻² Σₜ Sₜ² / σ̂²_lrv,   Sₜ = Σ_{i≤t}(xᵢ − x̄)
+    *
+    * with σ̂²_lrv the Bartlett-kernel long-run variance at `maxLag`
+    * (the [[neweyWestMeanSe]] kernel). Returns
+    * `(parts..., n, lrv, kpss)`; kpss is null when n ≤ maxLag + 1 or
+    * the long-run variance is ≤ 0 (a constant series has no scale to
+    * test against). Reference critical values (level case): 0.347
+    * (10%), 0.463 (5%), 0.739 (1%).
+    *
+    * Determinism: partial sums clear the mean exactly —
+    * n·Sₜ = n·Pₜ − t·S over micro-quantized x is an exact decimal per
+    * row, so Σ Sₜ² = Σ(n·Pₜ − t·S)²/n² and every autocovariance ride
+    * the [[autocorrelation]] identity; η is one fixed IEEE tree.
+    *
+    * Scale shape: one series-keyed exchange shared by the running-sum,
+    * lag, and whole-series windows, then one map-combined per-series
+    * aggregation. Exact decimal products bound the contract to
+    * rolled-up series, not raw corpora.
+    */
+  def kpssTest(df: DataFrame, parts: Seq[String], orderCol: Column,
+               valueCol: Column, maxLag: Int): DataFrame = {
+    require(parts.nonEmpty, "kpssTest needs series keys")
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag out of range: $maxLag")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(
+        pCols :+ orderCol.as("__o")
+          :+ round(valueCol * lit(1e6), 0).cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val wAll = Window.partitionBy(pCols: _*)
+    val wOrd = wAll.orderBy(col("__o"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagged = base.select(
+      pCols :+ col("__x")
+        :+ count(lit(1)).over(wAll).as("__n")
+        :+ sum(col("__x")).over(wAll).as("__S")
+        :+ sum(col("__x").cast(dec)).over(wCum).as("__P")
+        :+ row_number().over(wOrd).as("__t")
+        :++ (1 to maxLag).map(k => lag(col("__x"), k).over(wOrd).as(s"__l$k")): _*)
+    val nDec = col("__n").cast(dec)
+    val sDec = col("__S").cast(dec)
+    val cx = nDec * col("__x").cast(dec) - sDec
+    val cs = nDec * col("__P") - col("__t").cast(dec) * sDec
+    val aggs = Seq(
+      max(col("__n")).as("n"),
+      sum(cs * cs).as("__asq"),
+      sum(cx * cx).as("__a0")) ++
+      (1 to maxLag).map { k =>
+        sum(when(col(s"__l$k").isNotNull,
+          cx * (nDec * col(s"__l$k").cast(dec) - sDec))).as(s"__a$k")
+      }
+    val agg = lagged.groupBy(pCols: _*).agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    val n3 = nD * nD * nD
+    def g(c: String): Column = coalesce(col(c).cast("double"), lit(0.0)) / n3
+    val weighted = (1 to maxLag).map { k =>
+      lit(1.0 - k.toDouble / (maxLag + 1).toDouble) * g(s"__a$k")
+    }.reduce(_ + _)
+    val lrvMicro2 = g("__a0") + lit(2.0) * weighted
+    val eta = col("__asq").cast("double") / (n3 * nD) / lrvMicro2
+    agg.select(pCols :+ col("n")
+      :+ round(lrvMicro2 / lit(1e12), 6).as("lrv")
+      :+ when(col("n") > maxLag + 1 && lrvMicro2 > 0.0, round(eta, 6))
+        .as("kpss"): _*)
+  }
+
+  /** Dickey-Fuller unit-root test (constant, no lag terms): per series,
+    * the OLS of Δxₜ on (1, xₜ₋₁) —
+    *
+    *   Δxₜ = α + β·xₜ₋₁ + εₜ,   t_df = β̂ / se(β̂)
+    *
+    * A unit root (random walk) gives β ≈ 0; mean reversion pulls β < 0
+    * and t_df below the Dickey-Fuller critical values (−2.57 / −2.86 /
+    * −3.43 at 10/5/1% asymptotically — NOT the t table). Returns
+    * `(parts..., n, beta, t_df)` with n the regression rows (series
+    * length − 1); both outputs null when n < 3 or the regressor has no
+    * variance. The closed-form complement to [[kpssTest]]: DF's null is
+    * the unit root, KPSS's null is stationarity, and the honest answer
+    * uses both.
+    *
+    * Determinism: all five regression moments are exact decimal sums
+    * over micro-quantized (xₜ₋₁, Δxₜ); β̂, SSE, and the t ratio are one
+    * fixed IEEE tree (the [[archLm]] normal-equation discipline).
+    *
+    * Scale shape: one series-keyed exchange (the lag window), one
+    * map-combined per-series aggregation.
+    */
+  def dickeyFullerTest(df: DataFrame, parts: Seq[String], orderCol: Column,
+                       valueCol: Column): DataFrame = {
+    require(parts.nonEmpty, "dickeyFullerTest needs series keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(
+        pCols :+ orderCol.as("__o")
+          :+ round(valueCol * lit(1e6), 0).cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val lagged = base
+      .withColumn("__p", lag(col("__x"), 1).over(w))
+      .filter(col("__p").isNotNull)
+    val y = col("__p").cast(dec)
+    val d = (col("__x") - col("__p")).cast(dec)
+    val agg = lagged.groupBy(pCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(y).as("__sy"), sum(y * y).as("__syy"),
+      sum(d).as("__sd"), sum(d * d).as("__sdd"),
+      sum(y * d).as("__syd"))
+    val m = col("n").cast("double")
+    def f(c: String): Column = col(c).cast("double")
+    val sxx = m * f("__syy") - f("__sy") * f("__sy")
+    val beta = (m * f("__syd") - f("__sy") * f("__sd")) / sxx
+    val alpha = (f("__sd") - beta * f("__sy")) / m
+    val sse = f("__sdd") - lit(2.0) * alpha * f("__sd") -
+      lit(2.0) * beta * f("__syd") + m * alpha * alpha +
+      beta * beta * f("__syy") + lit(2.0) * alpha * beta * f("__sy")
+    val s2 = sse / (m - lit(2.0))
+    val tDf = beta / sqrt(s2 * m / sxx)
+    val ok = col("n") >= 3 && sxx > 0.0
+    agg.select(pCols :+ col("n")
+      :+ when(ok, round(beta, 6)).as("beta")
+      :+ when(ok && s2 > 0.0, round(tDf, 6)).as("t_df"): _*)
+  }
+
+  /** Lo-MacKinlay variance ratio VR(q): does the series diffuse like a
+    * random walk? Per series, over first differences rₜ = xₜ − xₜ₋₁
+    * and overlapping q-step differences cₜ = xₜ − xₜ₋q:
+    *
+    *   VR(q) = [Σ(cₜ − qμ)² / (T_q·q)] / [Σ(rₜ − μ)² / T]
+    *
+    * with μ = (x_n − x₁)/T, T = n−1 one-step returns, T_q = T−q+1
+    * overlapping q-windows. VR ≈ 1 under the random walk; VR > 1 means
+    * momentum (positive autocorrelation), VR < 1 mean reversion — the
+    * multi-horizon summary of what [[autocorrelation]] reports lag by
+    * lag. z is the homoskedastic Lo-MacKinlay statistic
+    * √T·(VR−1)/√(2(2q−1)(q−1)/(3q)). Returns
+    * `(parts..., n, vr, z)`, null when T_q < 2 or the one-step
+    * variance is 0.
+    *
+    * Determinism: Σr, Σr², Σc, Σc² are exact decimal sums over
+    * micro-quantized x; both centered sums clear μ by cross-
+    * multiplication in one fixed IEEE tree, so the ratio replays
+    * bit-for-bit.
+    *
+    * Scale shape: one series-keyed exchange shared by both lag
+    * windows, one map-combined per-series aggregation.
+    */
+  def varianceRatio(df: DataFrame, parts: Seq[String], orderCol: Column,
+                    valueCol: Column, q: Int): DataFrame = {
+    require(parts.nonEmpty, "varianceRatio needs series keys")
+    require(q >= 2 && q <= 64, s"q out of range: $q")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(
+        pCols :+ orderCol.as("__o")
+          :+ round(valueCol * lit(1e6), 0).cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val lagged = base
+      .withColumn("__p1", lag(col("__x"), 1).over(w))
+      .withColumn("__pq", lag(col("__x"), q).over(w))
+    val r = (col("__x") - col("__p1")).cast(dec)
+    val c = (col("__x") - col("__pq")).cast(dec)
+    val agg = lagged.groupBy(pCols: _*).agg(
+      sum(when(col("__p1").isNotNull, 1L).otherwise(0L)).as("n"),
+      sum(when(col("__p1").isNotNull, r)).as("__sr"),
+      sum(when(col("__p1").isNotNull, r * r)).as("__srr"),
+      sum(when(col("__pq").isNotNull, 1L).otherwise(0L)).as("__tq"),
+      sum(when(col("__pq").isNotNull, c)).as("__sc"),
+      sum(when(col("__pq").isNotNull, c * c)).as("__scc"))
+    val t = col("n").cast("double")
+    val tq = col("__tq").cast("double")
+    def f(c: String): Column = col(c).cast("double")
+    val mu = f("__sr") / t
+    val qMu = lit(q.toDouble) * mu
+    val var1 = (f("__srr") - f("__sr") * mu) / t
+    val varQ = (f("__scc") - lit(2.0) * qMu * f("__sc") + tq * qMu * qMu) /
+      (tq * lit(q.toDouble))
+    val vr = varQ / var1
+    val z = sqrt(t) * (vr - lit(1.0)) /
+      sqrt(lit(2.0 * (2.0 * q - 1.0) * (q - 1.0) / (3.0 * q)))
+    val ok = col("__tq") >= 2 && var1 > 0.0
+    agg.select(pCols :+ col("n")
+      :+ when(ok, round(vr, 6)).as("vr")
+      :+ when(ok, round(z, 6)).as("z"): _*)
+  }
 }

@@ -523,6 +523,48 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Daily micro-quantized revenue per event type — the shared input of
+    * the unit-root family (q_kpss / q_adf / q_var_ratio). */
+  private def dailyAmount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("amount", col("cents") / lit(100.0))
+
+  /** KPSS level-stationarity test ([[graft.ops.Timeseries.kpssTest]])
+    * on daily revenue per event type: is each stream stationary around
+    * its mean, or drifting — the null-reversed partner of q_adf (KPSS
+    * rejects STATIONARITY, DF rejects the unit root; disagreement is
+    * the interesting diagnosis). Bartlett long-run variance at lag 6,
+    * exact-decimal partial sums, one series exchange.
+    */
+  private def qKpss(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.kpssTest(dailyAmount(s, dir), Seq("event_type"),
+        col("day"), col("amount"), maxLag = 6)
+      .orderBy(col("event_type"))
+
+  /** Dickey-Fuller unit-root test
+    * ([[graft.ops.Timeseries.dickeyFullerTest]]) on the same daily
+    * revenue: does each stream mean-revert (t_df below the DF critical
+    * values) or walk randomly — closed-form Δxₜ-on-xₜ₋₁ OLS off five
+    * exact moments, no solver.
+    */
+  private def qAdf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.dickeyFullerTest(dailyAmount(s, dir),
+        Seq("event_type"), col("day"), col("amount"))
+      .orderBy(col("event_type"))
+
+  /** Lo-MacKinlay variance ratio VR(4)
+    * ([[graft.ops.Timeseries.varianceRatio]]) on daily revenue: do
+    * 4-day moves diffuse like 4 independent daily moves (VR ≈ 1), or
+    * show momentum / mean reversion — the multi-horizon complement of
+    * q_autocorr's lag-by-lag view, one series exchange.
+    */
+  private def qVarRatio(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.varianceRatio(dailyAmount(s, dir),
+        Seq("event_type"), col("day"), col("amount"), q = 4)
+      .orderBy(col("event_type"))
+
   /** Seasonal Mann-Kendall ([[graft.ops.Stats.seasonalMannKendall]]):
     * does daily revenue TREND per event type once the weekly cycle is
     * removed — Kendall pairs only within same-weekday series, pooled
@@ -792,6 +834,9 @@ object EventQueries {
     "q_turning_points" -> (qTurningPoints _),
     "q_seasonal_mk" -> (qSeasonalMk _),
     "q_nw_se" -> (qNwSe _),
+    "q_kpss" -> (qKpss _),
+    "q_adf" -> (qAdf _),
+    "q_var_ratio" -> (qVarRatio _),
     "q_runs_test" -> (qRunsTest _),
     "q_ccf" -> (qCcf _),
     "q_concurrency" -> (qConcurrency _),
@@ -1488,6 +1533,168 @@ object EventQueries {
         |  CASE WHEN n > 6 AND varnw >= 0.0 THEN
         |    round(sqrt(varnw) / 1000000.0, 6) END AS se_nw
         |FROM z ORDER BY event_type""".stripMargin,
+    "q_kpss" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |w AS (
+        |  SELECT event_type, x,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(x) OVER (PARTITION BY event_type) AS sm,
+        |    SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+        |    lag(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3,
+        |    lag(x, 4) OVER (PARTITION BY event_type ORDER BY day) AS l4,
+        |    lag(x, 5) OVER (PARTITION BY event_type ORDER BY day) AS l5,
+        |    lag(x, 6) OVER (PARTITION BY event_type ORDER BY day) AS l6
+        |  FROM v),
+        |tt AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS HUGEINT) * p - CAST(t AS HUGEINT) * sm AS cs,
+        |    CAST(n AS HUGEINT) * x - sm AS cx,
+        |    CASE WHEN l1 IS NOT NULL THEN CAST(n AS HUGEINT) * l1 - sm END AS c1,
+        |    CASE WHEN l2 IS NOT NULL THEN CAST(n AS HUGEINT) * l2 - sm END AS c2,
+        |    CASE WHEN l3 IS NOT NULL THEN CAST(n AS HUGEINT) * l3 - sm END AS c3,
+        |    CASE WHEN l4 IS NOT NULL THEN CAST(n AS HUGEINT) * l4 - sm END AS c4,
+        |    CASE WHEN l5 IS NOT NULL THEN CAST(n AS HUGEINT) * l5 - sm END AS c5,
+        |    CASE WHEN l6 IS NOT NULL THEN CAST(n AS HUGEINT) * l6 - sm END AS c6
+        |  FROM w),
+        |ag AS (
+        |  SELECT event_type, MAX(n) AS n,
+        |    SUM(cs * cs) AS asq, SUM(cx * cx) AS a0,
+        |    SUM(CASE WHEN c1 IS NOT NULL THEN cx * c1 END) AS a1,
+        |    SUM(CASE WHEN c2 IS NOT NULL THEN cx * c2 END) AS a2,
+        |    SUM(CASE WHEN c3 IS NOT NULL THEN cx * c3 END) AS a3,
+        |    SUM(CASE WHEN c4 IS NOT NULL THEN cx * c4 END) AS a4,
+        |    SUM(CASE WHEN c5 IS NOT NULL THEN cx * c5 END) AS a5,
+        |    SUM(CASE WHEN c6 IS NOT NULL THEN cx * c6 END) AS a6
+        |  FROM tt GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, asq,
+        |    COALESCE(CAST(a0 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g0,
+        |    COALESCE(CAST(a1 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g1,
+        |    COALESCE(CAST(a2 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g2,
+        |    COALESCE(CAST(a3 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g3,
+        |    COALESCE(CAST(a4 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g4,
+        |    COALESCE(CAST(a5 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g5,
+        |    COALESCE(CAST(a6 AS DOUBLE), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS g6
+        |  FROM ag),
+        |z AS (
+        |  SELECT event_type, n, asq,
+        |    g0 + 2.0 * ((1.0 - 1.0 / 7.0) * g1 + (1.0 - 2.0 / 7.0) * g2
+        |      + (1.0 - 3.0 / 7.0) * g3 + (1.0 - 4.0 / 7.0) * g4
+        |      + (1.0 - 5.0 / 7.0) * g5 + (1.0 - 6.0 / 7.0) * g6) AS lrv
+        |  FROM f)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(lrv / 1000000000000.0, 6) AS lrv,
+        |  CASE WHEN n > 7 AND lrv > 0.0 THEN
+        |    round(CAST(asq AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE)) / lrv, 6) END AS kpss
+        |FROM z ORDER BY event_type""".stripMargin,
+    "q_adf" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |w AS (
+        |  SELECT event_type, x,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS p
+        |  FROM v),
+        |r AS (
+        |  SELECT event_type, CAST(p AS HUGEINT) AS y,
+        |    CAST(x - p AS HUGEINT) AS dd
+        |  FROM w WHERE p IS NOT NULL),
+        |ag AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(y) AS sy, SUM(y * y) AS syy,
+        |    SUM(dd) AS sd, SUM(dd * dd) AS sdd, SUM(y * dd) AS syd
+        |  FROM r GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, CAST(n AS DOUBLE) AS m,
+        |    CAST(sy AS DOUBLE) AS fsy, CAST(syy AS DOUBLE) AS fsyy,
+        |    CAST(sd AS DOUBLE) AS fsd, CAST(sdd AS DOUBLE) AS fsdd,
+        |    CAST(syd AS DOUBLE) AS fsyd
+        |  FROM ag),
+        |g AS (
+        |  SELECT event_type, n, m, fsy, fsyy, fsd, fsdd, fsyd,
+        |    m * fsyy - fsy * fsy AS sxx,
+        |    (m * fsyd - fsy * fsd) / (m * fsyy - fsy * fsy) AS beta
+        |  FROM f),
+        |h AS (
+        |  SELECT event_type, n, m, fsy, fsyy, fsd, fsdd, fsyd, sxx, beta,
+        |    (fsd - beta * fsy) / m AS alpha
+        |  FROM g),
+        |i AS (
+        |  SELECT event_type, n, m, sxx, beta,
+        |    fsdd - 2.0 * alpha * fsd - 2.0 * beta * fsyd + m * alpha * alpha
+        |      + beta * beta * fsyy + 2.0 * alpha * beta * fsy AS sse
+        |  FROM h)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n >= 3 AND sxx > 0.0 THEN round(beta, 6) END AS beta,
+        |  CASE WHEN n >= 3 AND sxx > 0.0 AND sse / (m - 2.0) > 0.0 THEN
+        |    round(beta / sqrt(sse / (m - 2.0) * m / sxx), 6) END AS t_df
+        |FROM i ORDER BY event_type""".stripMargin,
+    "q_var_ratio" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |w AS (
+        |  SELECT event_type, x,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1,
+        |    lag(x, 4) OVER (PARTITION BY event_type ORDER BY day) AS pq
+        |  FROM v),
+        |ag AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END) AS n,
+        |    SUM(CASE WHEN p1 IS NOT NULL THEN CAST(x - p1 AS HUGEINT) END) AS sr,
+        |    SUM(CASE WHEN p1 IS NOT NULL THEN
+        |      CAST(x - p1 AS HUGEINT) * CAST(x - p1 AS HUGEINT) END) AS srr,
+        |    SUM(CASE WHEN pq IS NOT NULL THEN 1 ELSE 0 END) AS tq,
+        |    SUM(CASE WHEN pq IS NOT NULL THEN CAST(x - pq AS HUGEINT) END) AS sc,
+        |    SUM(CASE WHEN pq IS NOT NULL THEN
+        |      CAST(x - pq AS HUGEINT) * CAST(x - pq AS HUGEINT) END) AS scc
+        |  FROM w GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, tq, CAST(n AS DOUBLE) AS t,
+        |    CAST(tq AS DOUBLE) AS tqd,
+        |    CAST(sr AS DOUBLE) AS fsr, CAST(srr AS DOUBLE) AS fsrr,
+        |    CAST(sc AS DOUBLE) AS fsc, CAST(scc AS DOUBLE) AS fscc
+        |  FROM ag),
+        |g AS (
+        |  SELECT event_type, n, tq, t,
+        |    (fsrr - fsr * (fsr / t)) / t AS var1,
+        |    (fscc - 2.0 * (4.0 * (fsr / t)) * fsc
+        |      + tqd * (4.0 * (fsr / t)) * (4.0 * (fsr / t))) / (tqd * 4.0) AS varq
+        |  FROM f)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN tq >= 2 AND var1 > 0.0 THEN round(varq / var1, 6) END AS vr,
+        |  CASE WHEN tq >= 2 AND var1 > 0.0 THEN
+        |    round(sqrt(t) * (varq / var1 - 1.0) / sqrt(3.5), 6) END AS z
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_seasonal_mk" ->
       """WITH d AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
