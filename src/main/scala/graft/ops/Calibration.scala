@@ -244,4 +244,82 @@ object Calibration {
         org.apache.spark.sql.types.StructField("iso",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
+
+  /** Thresholded confusion readout — the deployment numbers once a
+    * cutoff is CHOSEN (where [[Stats.binaryAuc]] grades the ranking and
+    * [[calibration]] the probabilities): one row of
+    * `(n, tp, fp, fn, tn, accuracy, precision, recall, f1, mcc)` at
+    * `score ≥ thresholdMicros/1e6`. MCC is the one of these that
+    * cannot be gamed by class imbalance —
+    * (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)) — and is null
+    * (like precision/recall/f1) when its denominator is empty.
+    *
+    * Determinism: the cutoff compares micro-quantized integers (no
+    * float threshold), all four cells are exact counts, every derived
+    * ratio one fixed IEEE tree.
+    *
+    * Scale shape: ONE map-combined conditional aggregation to a single
+    * row; rides the scoring scan at any size.
+    */
+  def confusionStats(df: DataFrame, positive: Column, score: Column,
+                     thresholdMicros: Long = 500000L): DataFrame = {
+    val sq = round(score * lit(1e6), 0).cast("long")
+    val base = df.select(positive.as("__y"), sq.as("__s"))
+      .filter(col("__y").isNotNull && col("__s").isNotNull)
+    val pred = col("__s") >= thresholdMicros
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__y") && pred, 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("__y") && pred, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("__y") && !pred, 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("__y") && !pred, 1L).otherwise(0L)).as("tn"))
+    def d(c: String): Column = col(c).cast("double")
+    val accuracy = (d("tp") + d("tn")) / d("n")
+    val precision = d("tp") / (d("tp") + d("fp"))
+    val recall = d("tp") / (d("tp") + d("fn"))
+    val f1 = lit(2.0) * d("tp") / (lit(2.0) * d("tp") + d("fp") + d("fn"))
+    val mccDen = sqrt((d("tp") + d("fp")) * (d("tp") + d("fn"))
+      * (d("tn") + d("fp")) * (d("tn") + d("fn")))
+    val mcc = (d("tp") * d("tn") - d("fp") * d("fn")) / mccDen
+    agg.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("n") > 0, round(accuracy, 6)).as("accuracy"),
+      when(col("tp") + col("fp") > 0, round(precision, 6)).as("precision"),
+      when(col("tp") + col("fn") > 0, round(recall, 6)).as("recall"),
+      when(lit(2L) * col("tp") + col("fp") + col("fn") > 0, round(f1, 6)).as("f1"),
+      when(mccDen > 0.0, round(mcc, 6)).as("mcc"))
+  }
+
+  /** Mean cross-entropy (log loss) of a probability column — the
+    * PROPER scoring rule beside [[brierDecomposition]]: unlike Brier,
+    * log loss punishes confident wrong answers without bound, which is
+    * what makes it the training objective this readout mirrors. Scores
+    * clamp to [1e-6, 1 − 1e-6] in integer micro units (the standard
+    * guard — a rounded score of exactly 0 or 1 must not emit ±∞).
+    * Returns one row `(n, n_pos, log_loss)`.
+    *
+    * Determinism: each row's −(y·ln p + (1−y)·ln(1−p)) takes ln of a
+    * micro-integer ratio and nano-quantizes BEFORE the exact sum, so
+    * partial-agg order cannot move the mean.
+    *
+    * Scale shape: one map-combined conditional aggregation to a single
+    * row.
+    */
+  def logLoss(df: DataFrame, positive: Column, score: Column): DataFrame = {
+    val sq = round(score * lit(1e6), 0).cast("long")
+    val clamped = least(greatest(sq, lit(1L)), lit(999999L))
+    val base = df.select(positive.as("__y"), clamped.as("__s"))
+      .filter(col("__y").isNotNull && col("__s").isNotNull)
+    val lnP = log(col("__s").cast("double") / lit(1e6))
+    val lnQ = log((lit(1000000L) - col("__s")).cast("double") / lit(1e6))
+    val term = round((-when(col("__y"), lnP).otherwise(lnQ)) * lit(1e9), 0)
+      .cast("long")
+    base.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(term).as("__t"))
+      .select(col("n"), col("n_pos"),
+        when(col("n") > 0,
+          round(col("__t").cast("double") / lit(1e9) / col("n"), 6))
+          .as("log_loss"))
+  }
 }

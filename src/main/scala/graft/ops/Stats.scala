@@ -3731,4 +3731,68 @@ object Stats {
           .as("dispersion")
         :+ round(when(ok, num / col("__s").cast("double")), 6).as("chi2"): _*)
   }
+
+  /** Wilcoxon signed-rank test — the PAIRED complement of
+    * [[mannWhitneyU]]: each row is one pair's difference; the test
+    * asks whether differences are symmetrically centered on zero
+    * without assuming normality (what [[pairedTTest]] does assume).
+    * Zero differences drop (the standard convention); |d| ranks
+    * average over ties. Per group:
+    * `(groupBy..., n, w_plus_twice, tie_cubes, z)` with
+    *
+    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    *
+    * `w_plus_twice` = 2·W⁺ (an exact integer — rank averages over
+    * ties are half-integers). z is null when n < 2 or the variance is
+    * ≤ 0 (all differences tied at one magnitude both ways).
+    *
+    * Determinism: differences micro-quantize; the rank layer is the
+    * [[mannWhitneyU]] distinct-|d| table, so 2·W⁺ and the tie cubes
+    * are exact integers and z is one fixed IEEE tree.
+    *
+    * Scale shape: one (groups, |d|)-keyed map-combined aggregation,
+    * cumulative windows whose frames hold distinct magnitudes
+    * (bounded), then a per-group rollup — raw pairs shuffle once.
+    */
+  def wilcoxonSignedRank(df: DataFrame, groupBy: Seq[String],
+                         diff: Column): DataFrame = {
+    require(groupBy.nonEmpty,
+      "wilcoxonSignedRank needs group keys (use a constant column for a global test)")
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val d = round(diff * lit(1e6), 0).cast("long")
+    val base = df.select(gCols :+ d.as("__d"): _*)
+      .filter(col("__d").isNotNull && col("__d") =!= 0L)
+    val byVal = base
+      .groupBy(gCols :+ abs(col("__d")).as("__a"): _*)
+      .agg(sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("__np_v"),
+        count(lit(1)).as("__n_v"))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCols: _*).orderBy(col("__a"))
+    val cumBefore = coalesce(
+      sum(col("__n_v")).over(W.rowsBetween(Long.MinValue, -1)), lit(0L))
+    val ranked = byVal.select(
+      gCols
+        :+ col("__np_v") :+ col("__n_v")
+        :+ (col("__np_v").cast(dec) *
+            (lit(2L) * cumBefore + col("__n_v") + lit(1L)).cast(dec)).as("__w2")
+        :+ ((col("__n_v").cast(dec) * col("__n_v") * col("__n_v"))
+            - col("__n_v").cast(dec)).as("__t3"): _*)
+    val agg = ranked.groupBy(gCols: _*)
+      .agg(sum(col("__n_v")).as("n"),
+        sum(col("__w2")).as("__wp2"),
+        sum(col("__t3")).as("__ties"))
+    val nD = col("n").cast("double")
+    val wPlus = col("__wp2").cast("double") / lit(2.0)
+    val mu = nD * (nD + lit(1.0)) / lit(4.0)
+    val varW = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) / lit(24.0) -
+      col("__ties").cast("double") / lit(48.0)
+    val z = (wPlus - mu) / sqrt(varW)
+    agg.select(
+      gCols
+        :+ col("n")
+        :+ col("__wp2").cast("long").as("w_plus_twice")
+        :+ col("__ties").cast("long").as("tie_cubes")
+        :+ when(col("n") >= 2 && varW > 0.0, round(z, 6)).as("z"): _*)
+  }
 }

@@ -1184,8 +1184,38 @@ object StatsQueries {
         col("l_quantity"), groups = 12, seed = "jk")
       .orderBy(col("l_returnflag"))
 
+  /** Wilcoxon signed-rank test
+    * ([[graft.ops.Stats.wilcoxonSignedRank]]): per user-id segment, do
+    * users spend differently on purchases than on clicks — each user
+    * is their own control (mean purchase value − mean click value),
+    * the paired design q_mannwhitney's independent-samples U cannot
+    * express and q_paired_t can only test under normality. Exact
+    * cent-sum means, micro-quantized differences, distinct-|d| rank
+    * layer.
+    */
+  private def qWilcoxon(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("purchase", "click"))
+    val pairs = e.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))).as("sp"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        sum(when(col("event_type") === "click",
+          round(col("value") * 100).cast("long"))).as("sc"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nc"))
+      .filter(col("np") > 0 && col("nc") > 0)
+      .select(pmod(col("user_id"), lit(4)).as("segment"),
+        (col("sp").cast("double") / lit(100.0) / col("np") -
+          col("sc").cast("double") / lit(100.0) / col("nc")).as("diff"))
+    graft.ops.Stats.wilcoxonSignedRank(pairs, Seq("segment"), col("diff"))
+      .orderBy(col("segment"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wilcoxon" -> (qWilcoxon _),
     "q_cmh" -> (qCmh _),
     "q_jackknife" -> (qJackknife _),
     "q_anova" -> (qAnova _),
@@ -1330,6 +1360,51 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_wilcoxon" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS sp,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS sc,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT user_id % 4 AS segment,
+        |    CAST(round((CAST(sp AS DOUBLE) / 100.0 / CAST(np AS DOUBLE)
+        |      - CAST(sc AS DOUBLE) / 100.0 / CAST(nc AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS d
+        |  FROM e WHERE np > 0 AND nc > 0),
+        |cells AS (
+        |  SELECT segment, abs(d) AS a,
+        |    SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS npv, COUNT(*) AS nv
+        |  FROM p WHERE d <> 0 GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT segment, nv,
+        |    CAST(npv AS HUGEINT) * (2 * COALESCE(SUM(nv) OVER (PARTITION BY segment
+        |      ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + nv + 1) AS w2,
+        |    CAST(nv AS HUGEINT) * nv * nv - nv AS t3
+        |  FROM cells),
+        |ag AS (
+        |  SELECT segment, SUM(nv) AS n, SUM(w2) AS wp2, SUM(t3) AS ties
+        |  FROM rk GROUP BY 1)
+        |SELECT segment, CAST(n AS BIGINT) AS n,
+        |  CAST(wp2 AS BIGINT) AS w_plus_twice, CAST(ties AS BIGINT) AS tie_cubes,
+        |  CASE WHEN n >= 2
+        |      AND CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |        - CAST(ties AS DOUBLE) / 48.0 > 0.0 THEN
+        |    round((CAST(wp2 AS DOUBLE) / 2.0
+        |        - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+        |      / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |        - CAST(ties AS DOUBLE) / 48.0), 6)
+        |  END AS z
+        |FROM ag ORDER BY segment""".stripMargin,
     "q_weighted_kappa" ->
       """WITH v AS (
         |  SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS a,

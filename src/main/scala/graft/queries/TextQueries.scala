@@ -839,6 +839,27 @@ object TextQueries {
     graft.ops.Calibration.brierDecomposition(scoredDocs(s, dir),
       col("y"), col("s"), nBins = 10)
 
+  /** Thresholded confusion readout
+    * ([[graft.ops.Calibration.confusionStats]]) for the linear quality
+    * classifier at the 0.5 cutoff: the deployment numbers — accuracy,
+    * precision/recall/F1, and MCC, the one summary class imbalance
+    * cannot game — once q_auc's ranking and q_calibration's
+    * probabilities commit to a threshold. Integer micro cutoff, exact
+    * cells, one aggregation.
+    */
+  private def qMcc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.confusionStats(scoredDocs(s, dir),
+      col("y"), col("s"))
+
+  /** Mean cross-entropy ([[graft.ops.Calibration.logLoss]]) of the
+    * same classifier: the proper scoring rule q_brier bounds and
+    * training actually optimizes — confident wrong answers cost
+    * without limit. Micro-clamped probabilities, nano-quantized
+    * per-row terms, one aggregation.
+    */
+  private def qLogLoss(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.logLoss(scoredDocs(s, dir), col("y"), col("s"))
+
   /** Lin's CCC ([[graft.ops.Stats.linCcc]]): do character count and
     * (6×) token count AGREE as document-size raters — not merely
     * correlate? CCC docks the scale/location bias Pearson forgives;
@@ -951,6 +972,8 @@ object TextQueries {
     "q_pr_auc" -> (qPrAuc _),
     "q_pr_table" -> (qPrTable _),
     "q_brier" -> (qBrier _),
+    "q_mcc" -> (qMcc _),
+    "q_log_loss" -> (qLogLoss _),
     "q_ccc" -> (qCcc _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
@@ -1262,6 +1285,94 @@ object TextQueries {
         |  round((CAST(yy AS DOUBLE) / CAST(n AS DOUBLE))
         |    * (1.0 - CAST(yy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS uncertainty
         |FROM ag""".stripMargin,
+    "q_mcc" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT lang, round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1000000.0 + (-0.05)))), 6) AS s
+        |  FROM agg),
+        |b AS (
+        |  SELECT lang = 'en' AS y, CAST(round(s * 1000000.0) AS BIGINT) AS sq
+        |  FROM sc WHERE lang IS NOT NULL AND s IS NOT NULL),
+        |ag AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN y AND sq >= 500000 THEN 1 ELSE 0 END) AS tp,
+        |    SUM(CASE WHEN NOT y AND sq >= 500000 THEN 1 ELSE 0 END) AS fp,
+        |    SUM(CASE WHEN y AND sq < 500000 THEN 1 ELSE 0 END) AS fn,
+        |    SUM(CASE WHEN NOT y AND sq < 500000 THEN 1 ELSE 0 END) AS tn
+        |  FROM b)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |  CAST(tn AS BIGINT) AS tn,
+        |  CASE WHEN n > 0 THEN
+        |    round((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        |  END AS accuracy,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)), 6)
+        |  END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)), 6)
+        |  END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    round(2.0 * CAST(tp AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE)
+        |      + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)), 6)
+        |  END AS f1,
+        |  CASE WHEN sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |      * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |      * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+        |      * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))) > 0.0 THEN
+        |    round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        |        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+        |      / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |        * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |        * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+        |        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))), 6)
+        |  END AS mcc
+        |FROM ag""".stripMargin,
+    "q_log_loss" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT lang, round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1000000.0 + (-0.05)))), 6) AS s
+        |  FROM agg),
+        |b AS (
+        |  SELECT lang = 'en' AS y,
+        |    LEAST(GREATEST(CAST(round(s * 1000000.0) AS BIGINT), 1), 999999) AS sq
+        |  FROM sc WHERE lang IS NOT NULL AND s IS NOT NULL),
+        |t AS (
+        |  SELECT y, CAST(round(-(CASE WHEN y THEN ln(CAST(sq AS DOUBLE) / 1000000.0)
+        |    ELSE ln(CAST(1000000 - sq AS DOUBLE) / 1000000.0) END)
+        |    * 1000000000.0) AS BIGINT) AS term
+        |  FROM b)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CASE WHEN COUNT(*) > 0 THEN
+        |    round(CAST(SUM(term) AS DOUBLE) / 1000000000.0
+        |      / CAST(COUNT(*) AS DOUBLE), 6)
+        |  END AS log_loss
+        |FROM t""".stripMargin,
     "q_ccc" ->
       """WITH v AS (
         |  SELECT CAST(length(text) AS BIGINT) * 1000000 AS x,
