@@ -304,6 +304,60 @@ object Calibration {
     * Scale shape: one map-combined conditional aggregation to a single
     * row.
     */
+  /** NDCG@k with binary relevance — does the score column put the
+    * relevant items FIRST, position-discounted the way a consumer of
+    * the ranking actually reads it (where [[Stats.binaryAuc]] weighs
+    * every inversion equally). Per group:
+    * `(groupBy..., n, n_rel, dcg, idcg, ndcg)` with
+    * DCG = Σ_{rel hits in top k} 1/log₂(rank+1) and IDCG the ideal
+    * prefix of min(k, n_rel) ones; ndcg is null when the group has no
+    * relevant items. Ties in score break on `tieBreak` ascending —
+    * pass a unique id so the ranking is total.
+    *
+    * Determinism: each discount term is round(1e9·ln 2 / ln(rank+1))
+    * — an integer-argument ln tree nano-quantized BEFORE the sums —
+    * so DCG/IDCG are exact integer sums and ndcg one IEEE division.
+    *
+    * Scale shape: one group-keyed sort window (rank), a group-bounded
+    * aggregation, and a ≤ k-row ideal-prefix explode per group —
+    * nothing beyond the ranking shuffle the readout is ABOUT.
+    */
+  def ndcgAtK(df: DataFrame, groupBy: Seq[String], relevant: Column,
+              score: Column, k: Int, tieBreak: Column): DataFrame = {
+    require(groupBy.nonEmpty, "ndcgAtK needs group keys")
+    require(k >= 1 && k <= 1000, s"k out of range: $k")
+    val gCols = groupBy.map(col)
+    val base = df.select(gCols :+ relevant.as("__rel") :+ score.as("__s")
+        :+ tieBreak.as("__tb"): _*)
+      .filter(col("__rel").isNotNull && col("__s").isNotNull)
+    val w = Window.partitionBy(gCols: _*)
+      .orderBy(col("__s").desc, col("__tb"))
+    def discNano(rank: Column): Column =
+      round(lit(1e9) * log(lit(2.0)) / log((rank + lit(1L)).cast("double")), 0)
+        .cast("long")
+    val ranked = base.withColumn("__rk", row_number().over(w).cast("long"))
+    val term = when(col("__rk") <= k && col("__rel"), discNano(col("__rk")))
+      .otherwise(0L)
+    val agg = ranked.groupBy(gCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__rel"), 1L).otherwise(0L)).as("n_rel"),
+      sum(term).as("__dcg"))
+    // ideal prefix: min(k, n_rel) ones — ≤ k rows per group
+    val ideal = agg.select(gCols :+ col("n") :+ col("n_rel") :+ col("__dcg")
+        :+ explode_outer(when(col("n_rel") > 0L,
+          sequence(lit(1L), least(lit(k.toLong), col("n_rel"))))).as("__i"): _*)
+    val out = ideal.groupBy(gCols: _*).agg(
+      max(col("n")).as("n"), max(col("n_rel")).as("n_rel"),
+      max(col("__dcg")).as("__dcg"),
+      sum(when(col("__i").isNotNull, discNano(col("__i")))).as("__idcg"))
+    out.select(gCols :+ col("n") :+ col("n_rel")
+      :+ round(col("__dcg").cast("double") / lit(1e9), 6).as("dcg")
+      :+ round(col("__idcg").cast("double") / lit(1e9), 6).as("idcg")
+      :+ when(col("__idcg") > 0L,
+        round(col("__dcg").cast("double") / col("__idcg").cast("double"), 6))
+        .as("ndcg"): _*)
+  }
+
   def logLoss(df: DataFrame, positive: Column, score: Column): DataFrame = {
     val sq = round(score * lit(1e6), 0).cast("long")
     val clamped = least(greatest(sq, lit(1L)), lit(999999L))

@@ -3754,6 +3754,57 @@ object Stats {
     * cumulative windows whose frames hold distinct magnitudes
     * (bounded), then a per-group rollup — raw pairs shuffle once.
     */
+  /** Grubbs' test for the single most extreme value — per group,
+    * G = max|x − x̄| / s with the sample standard deviation: the
+    * formal "is my worst point an outlier?" readout beside
+    * [[graft.ops.Timeseries.flagAnomalies]]'s rolling flags. Returns
+    * `(groupBy..., n, mean, sd, g, suspect)` where `suspect` is the
+    * value achieving the max deviation (ties break to the LARGER
+    * value — deterministic). Compare G against the Grubbs critical
+    * value at your n; G and sd are null when n < 3 or the group is
+    * constant.
+    *
+    * Determinism: deviations clear the mean exactly — |n·x − S| is an
+    * exact decimal per row, so the max, its argmax, and
+    * G = (max|n·x − S|/n) / s are fixed IEEE trees over exact sums.
+    *
+    * Scale shape: ONE map-combined aggregation per group (the max and
+    * argmax combine like any other partial agg); rides the scan.
+    */
+  def grubbsTest(df: DataFrame, groupBy: Seq[String],
+                 value: Column): DataFrame = {
+    require(groupBy.nonEmpty, "grubbsTest needs group keys")
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val q = round(value * lit(1e6), 0).cast("long")
+    val base = df.select(gCols :+ q.as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    // pass 1: exact moments per group (bounded table)
+    val moments = base.groupBy(gCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(dec)).as("__s"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
+    // pass 2: exact max deviation + argmax on the same scan, joined to
+    // the group-bounded moment table (AQE broadcast)
+    val joined = base.join(moments, groupBy)
+    val dev = abs(col("n").cast(dec) * col("__x").cast(dec) - col("__s"))
+    val arg = joined.groupBy(gCols: _*).agg(
+      max(dev).as("__maxdev"),
+      max(struct(dev.as("d"), col("__x").as("x"))).as("__arg"))
+    val out = moments.join(arg, groupBy)
+    val nD = col("n").cast("double")
+    val varN = (col("n").cast(dec) * col("__sxx") - col("__s") * col("__s"))
+      .cast("double")
+    val sd = sqrt(varN / (nD * (nD - lit(1.0)))) / lit(1e6)
+    val g = col("__maxdev").cast("double") / nD / lit(1e6) / sd
+    val ok = col("n") >= 3 && varN > 0.0
+    out.select(gCols :+ col("n")
+      :+ round(col("__s").cast("double") / nD / lit(1e6), 6).as("mean")
+      :+ when(ok, round(sd, 6)).as("sd")
+      :+ when(ok, round(g, 6)).as("g")
+      :+ round(col("__arg.x").cast("double") / lit(1e6), 6).as("suspect"): _*)
+  }
+
   def wilcoxonSignedRank(df: DataFrame, groupBy: Seq[String],
                          diff: Column): DataFrame = {
     require(groupBy.nonEmpty,

@@ -209,4 +209,66 @@ object Survival {
         round((least(col("__t0"), lit(tau)) * lit(1000000L) + col("__body"))
           .cast("double") / lit(1e6), 6).as("rmst"))
   }
+
+  /** Weibull fit by median-rank regression — the parametric summary
+    * next to [[kaplanMeier]]'s curve: over UNCENSORED durations t > 0,
+    * regress y = ln(−ln(1 − F)) on x = ln t with Bernard's median
+    * ranks F_i = (i − 0.3)/(n + 0.4); the slope is the shape k (< 1
+    * infant mortality, ≈ 1 memoryless, > 1 wear-out), the scale is
+    * λ = exp(−α/k). Returns one row
+    * `(n, shape, scale, r2)`; null fit when n < 3 or the durations
+    * have no spread (a single distinct t cannot pin a slope).
+    *
+    * Determinism: ranks come from the distinct-duration table — each
+    * distinct t with prior cumulative count F and multiplicity c emits
+    * ranks F+1 … F+c by a NARROW sequence explode, so no data-sized
+    * window exists and tie order cannot matter (tied t share x). Both
+    * regression coordinates nano-quantize per rank before the exact
+    * moment sums; the OLS close is one fixed IEEE tree.
+    *
+    * Scale shape: one duration-keyed map-combined aggregation, a
+    * cumulative window bounded by DISTINCT durations, the rank
+    * explode (narrow), one grand aggregation.
+    */
+  def weibullFit(df: DataFrame, duration: Column, event: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(duration.cast("long").as("__t"),
+        event.cast("long").as("__e"))
+      .filter(col("__t").isNotNull && col("__t") > 0L && col("__e") === 1L)
+    val byVal = base.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__t"))
+    val withCum = byVal.withColumn("__f",
+      coalesce(sum(col("__c")).over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    // ranks F+1 … F+c per distinct duration — narrow, tie-order-free
+    val ranks = withCum.select(col("__t"), col("__n"),
+        explode(sequence(col("__f") + 1L, col("__f") + col("__c"))).as("__i"))
+    val nD = col("__n").cast("double")
+    val fMed = (col("__i").cast("double") - lit(0.3)) / (nD + lit(0.4))
+    val x = round(log(col("__t").cast("double")) * lit(1e9), 0).cast("long")
+    val y = round(log(-log(lit(1.0) - fMed)) * lit(1e9), 0).cast("long")
+    val pts = ranks.select(col("__n"), x.as("__x"), y.as("__y"))
+    val agg = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+      sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"),
+      sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"))
+    val m = col("n").cast("double")
+    def f(c: String): Column = col(c).cast("double")
+    val sxx = m * f("__sxx") - f("__sx") * f("__sx")
+    val syy = m * f("__syy") - f("__sy") * f("__sy")
+    val sxy = m * f("__sxy") - f("__sx") * f("__sy")
+    val shape = sxy / sxx
+    val alpha = (f("__sy") - shape * f("__sx")) / m / lit(1e9)
+    val scale = exp(-alpha / shape)
+    val r2 = sxy / sxx * sxy / syy
+    val ok = col("n") >= 3 && sxx > 0.0
+    agg.select(col("n"),
+      when(ok, round(shape, 6)).as("shape"),
+      when(ok, round(scale, 6)).as("scale"),
+      when(ok && syy > 0.0, round(r2, 6)).as("r2"))
+  }
 }

@@ -455,6 +455,24 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Weibull fit by median-rank regression
+    * ([[graft.ops.Survival.weibullFit]]) over q_km's churned
+    * durations: the two-parameter summary of HOW churn hazard evolves
+    * — shape < 1 means early-life churn, > 1 means wear-out — where
+    * the KM curve only draws it. Distinct-duration rank layer, narrow
+    * rank explode, nano-quantized log-log coordinates.
+    */
+  private def qWeibull(s: SparkSession, dir: String): DataFrame = {
+    val subj = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        floor((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(86400000000L)).as("dur_days"),
+        when(max(unix_micros(col("ts"))) < lit(1706486400000000L), 1L)
+          .otherwise(0L).as("churned"))
+    graft.ops.Survival.weibullFit(subj, col("dur_days"), col("churned"))
+  }
+
   /** Restricted mean survival time ([[graft.ops.Survival.rmst]]) over
     * q_km's churn durations: average days survived in the first 30 —
     * the area under the KM curve as one exact micro-unit rectangle sum,
@@ -835,6 +853,7 @@ object EventQueries {
     "q_seasonal_mk" -> (qSeasonalMk _),
     "q_nw_se" -> (qNwSe _),
     "q_kpss" -> (qKpss _),
+    "q_weibull" -> (qWeibull _),
     "q_adf" -> (qAdf _),
     "q_var_ratio" -> (qVarRatio _),
     "q_runs_test" -> (qRunsTest _),
@@ -1533,6 +1552,59 @@ object EventQueries {
         |  CASE WHEN n > 6 AND varnw >= 0.0 THEN
         |    round(sqrt(varnw) / 1000000.0, 6) END AS se_nw
         |FROM z ORDER BY event_type""".stripMargin,
+    "q_weibull" ->
+      """WITH subj AS (
+        |  SELECT user_id,
+        |    CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS BIGINT) AS t,
+        |    CASE WHEN max(epoch_us(ts)) < 1706486400000000 THEN 1 ELSE 0 END AS e
+        |  FROM events GROUP BY user_id),
+        |u AS (SELECT t FROM subj WHERE e = 1 AND t > 0),
+        |c AS (SELECT t, COUNT(*) AS c FROM u GROUP BY 1),
+        |cc AS (
+        |  SELECT t, c,
+        |    COALESCE(SUM(c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f,
+        |    SUM(c) OVER () AS nn
+        |  FROM c),
+        |rk AS (
+        |  SELECT t, nn, f + i AS i
+        |  FROM (SELECT t, nn, f, unnest(range(1, c + 1)) AS i FROM cc) q),
+        |p AS (
+        |  SELECT nn,
+        |    CAST(round(ln(CAST(t AS DOUBLE)) * 1000000000.0) AS BIGINT) AS x,
+        |    CAST(round(ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)
+        |      / (CAST(nn AS DOUBLE) + 0.4))) * 1000000000.0) AS BIGINT) AS y
+        |  FROM rk),
+        |ag AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx2,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy2,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy2
+        |  FROM p),
+        |f AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS m,
+        |    CAST(sx AS DOUBLE) AS fsx, CAST(sy AS DOUBLE) AS fsy,
+        |    CAST(sxx2 AS DOUBLE) AS fsxx, CAST(syy2 AS DOUBLE) AS fsyy,
+        |    CAST(sxy2 AS DOUBLE) AS fsxy
+        |  FROM ag),
+        |g AS (
+        |  SELECT n, m, fsx, fsy,
+        |    m * fsxx - fsx * fsx AS sxx,
+        |    m * fsyy - fsy * fsy AS syy,
+        |    m * fsxy - fsx * fsy AS sxy
+        |  FROM f),
+        |h AS (
+        |  SELECT n, m, sxx, syy, sxy, sxy / sxx AS shape,
+        |    (fsy - sxy / sxx * fsx) / m / 1000000000.0 AS alpha
+        |  FROM g)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n >= 3 AND sxx > 0.0 THEN round(shape, 6) END AS shape,
+        |  CASE WHEN n >= 3 AND sxx > 0.0 THEN
+        |    round(exp(-alpha / shape), 6) END AS scale,
+        |  CASE WHEN n >= 3 AND sxx > 0.0 AND syy > 0.0 THEN
+        |    round(sxy / sxx * sxy / syy, 6) END AS r2
+        |FROM h""".stripMargin,
     "q_kpss" ->
       """WITH d AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

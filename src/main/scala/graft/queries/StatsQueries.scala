@@ -1213,9 +1213,22 @@ object StatsQueries {
       .orderBy(col("segment"))
   }
 
+  /** Grubbs' max-deviation outlier test
+    * ([[graft.ops.Stats.grubbsTest]]): per order priority, is the most
+    * extreme order total a statistical outlier — the formal single-
+    * suspect verdict beside q_outliers' bulk IQR flags, with the
+    * suspect value named. Exact |n·x − S| deviations, one moment pass
+    * plus one argmax pass on the same scan.
+    */
+  private def qGrubbs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.grubbsTest(t(s, dir, "orders"), Seq("o_orderpriority"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderpriority"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wilcoxon" -> (qWilcoxon _),
+    "q_grubbs" -> (qGrubbs _),
     "q_cmh" -> (qCmh _),
     "q_jackknife" -> (qJackknife _),
     "q_anova" -> (qAnova _),
@@ -1360,6 +1373,37 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_grubbs" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS gk,
+        |    CAST(round(o_totalprice * 1000000.0) AS BIGINT) AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |m AS (
+        |  SELECT gk, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM v GROUP BY 1),
+        |j AS (
+        |  SELECT v.gk, abs(CAST(n AS HUGEINT) * x - s) AS dev, x
+        |  FROM v JOIN m ON v.gk = m.gk),
+        |a AS (SELECT gk, MAX(dev) AS maxdev FROM j GROUP BY 1),
+        |sus AS (
+        |  SELECT j.gk, MAX(j.x) AS sx
+        |  FROM j JOIN a ON j.gk = a.gk AND j.dev = a.maxdev GROUP BY 1),
+        |f AS (
+        |  SELECT m.gk, n, s, a.maxdev, sus.sx,
+        |    CAST(CAST(n AS HUGEINT) * sxx - s * s AS DOUBLE) AS varn
+        |  FROM m JOIN a ON m.gk = a.gk JOIN sus ON m.gk = sus.gk)
+        |SELECT gk AS o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean,
+        |  CASE WHEN n >= 3 AND varn > 0.0 THEN
+        |    round(sqrt(varn / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |      / 1000000.0, 6) END AS sd,
+        |  CASE WHEN n >= 3 AND varn > 0.0 THEN
+        |    round(CAST(maxdev AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |      / (sqrt(varn / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |        / 1000000.0), 6) END AS g,
+        |  round(CAST(sx AS DOUBLE) / 1000000.0, 6) AS suspect
+        |FROM f ORDER BY o_orderpriority""".stripMargin,
     "q_wilcoxon" ->
       """WITH e AS (
         |  SELECT user_id,

@@ -851,6 +851,23 @@ object TextQueries {
     graft.ops.Calibration.confusionStats(scoredDocs(s, dir),
       col("y"), col("s"))
 
+  /** NDCG@10 ([[graft.ops.Calibration.ndcgAtK]]) of the classifier
+    * ranking per source: if a curation pipeline takes each source's
+    * top-10 by score, how close is that list to the ideal
+    * English-first ordering — the position-discounted readout q_auc's
+    * whole-ranking view washes out. Integer-ln discount terms,
+    * doc_id tie-break, ≤10-row ideal prefix per source.
+    */
+  private def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val w = Classify.demoWeightsMicros(64)
+    val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+      (col("lang") === "en").as("y"),
+      Classify.score(col("text"), w, biasMicros = -50000L).as("s"))
+    graft.ops.Calibration.ndcgAtK(d, Seq("source"), col("y"), col("s"),
+        k = 10, tieBreak = col("doc_id"))
+      .orderBy(col("source"))
+  }
+
   /** Mean cross-entropy ([[graft.ops.Calibration.logLoss]]) of the
     * same classifier: the proper scoring rule q_brier bounds and
     * training actually optimizes — confident wrong answers cost
@@ -974,6 +991,7 @@ object TextQueries {
     "q_brier" -> (qBrier _),
     "q_mcc" -> (qMcc _),
     "q_log_loss" -> (qLogLoss _),
+    "q_ndcg" -> (qNdcg _),
     "q_ccc" -> (qCcc _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
@@ -1340,6 +1358,55 @@ object TextQueries {
         |        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))), 6)
         |  END AS mcc
         |FROM ag""".stripMargin,
+    "q_ndcg" ->
+      """WITH l AS (
+        |  SELECT doc_id, source, lang, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, source, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, source, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (
+        |  SELECT doc_id, source, lang, SUM(wm) AS sm, COUNT(*) AS n
+        |  FROM wt GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT doc_id, source, lang = 'en' AS y,
+        |    round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |      / 1000000.0 + (-0.05)))), 6) AS s
+        |  FROM agg WHERE lang IS NOT NULL),
+        |b AS (SELECT source, doc_id, y, s FROM sc WHERE s IS NOT NULL),
+        |rk AS (
+        |  SELECT source, y,
+        |    row_number() OVER (PARTITION BY source ORDER BY s DESC, doc_id) AS rk
+        |  FROM b),
+        |g AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_rel,
+        |    SUM(CASE WHEN rk <= 10 AND y THEN
+        |      CAST(round(1000000000.0 * ln(2.0)
+        |        / ln(CAST(rk + 1 AS DOUBLE))) AS BIGINT) ELSE 0 END) AS dcg
+        |  FROM rk GROUP BY 1),
+        |ideal AS (
+        |  SELECT source,
+        |    SUM(CAST(round(1000000000.0 * ln(2.0)
+        |      / ln(CAST(i + 1 AS DOUBLE))) AS BIGINT)) AS idcg
+        |  FROM (SELECT source,
+        |          unnest(range(1, CAST(LEAST(10, n_rel) + 1 AS BIGINT))) AS i
+        |        FROM g WHERE n_rel > 0) q
+        |  GROUP BY 1)
+        |SELECT g.source, CAST(n AS BIGINT) AS n, CAST(n_rel AS BIGINT) AS n_rel,
+        |  round(CAST(dcg AS DOUBLE) / 1000000000.0, 6) AS dcg,
+        |  round(CAST(idcg AS DOUBLE) / 1000000000.0, 6) AS idcg,
+        |  CASE WHEN idcg > 0 THEN
+        |    round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END AS ndcg
+        |FROM g LEFT JOIN ideal ON g.source = ideal.source
+        |ORDER BY g.source""".stripMargin,
     "q_log_loss" ->
       """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |feats AS (
