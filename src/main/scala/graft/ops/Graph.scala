@@ -613,4 +613,45 @@ object Graph {
         round((lit(2L) * col("n_mutual_pairs")).cast("double")
           / col("n_edges").cast("double"), 6).as("reciprocity"))
   }
+
+  /** Bounded-hop multi-source BFS: shortest hop distance from ANY seed
+    * node, following directed edges, up to `maxHops`. Returns
+    * `(node, dist)` for every node reached within the bound — the
+    * blast-radius / influence-frontier query (who is within k clicks /
+    * trades / links of this set?) that PageRank's stationary view
+    * cannot answer. Unreached nodes are absent (their distance is not
+    * 0 or ∞ — it is unknown at this bound, so no row is honest).
+    *
+    * Exact by construction: distances are small integers; each round
+    * is min(previous, previous-frontier + 1), a confluent lattice
+    * update — partitioning and join order cannot change the fixpoint
+    * prefix a bounded unroll computes.
+    *
+    * Scale shape: the DISTINCT edge list freezes (checkpointed) and
+    * pre-partitions on src once; each round joins the node-sized
+    * distance state against it co-partitioned, then one min
+    * aggregation. State checkpoints per round (the [[hits]] lesson:
+    * the double-read would otherwise double lineage). maxHops is the
+    * honest knob — frontier volume, not data size, bounds each round.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, s"maxHops out of range: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val reached = e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
+      dist = dist.unionByName(reached)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

@@ -90,6 +90,51 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** Bounded-hop multi-source BFS ([[graft.ops.Graph.bfsDistances]]):
+    * hop distance from the suppkey%7 seed set over the supplier
+    * co-sequence graph, 4 hops out — the blast-radius query (who is
+    * within k trades of these suppliers?) beside q_ppr's stationary
+    * importance. Confluent integer min-lattice rounds; the unrolled
+    * oracle replays each frontier exactly.
+    */
+  private def qBfs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"))
+    val li = t(s, dir, "lineitem")
+    val edges = li
+      .select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    val seeds = li.select(col("l_suppkey").as("node")).distinct()
+      .filter(col("node") % 7 === 0)
+    graft.ops.Graph.bfsDistances(edges, "src", "dst", seeds, "node",
+        maxHops = 4)
+      .orderBy(col("node"))
+  }
+
+  private def bfsOracleSql: String = {
+    val iters = (1 to 4).map { i =>
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} p ON e.src = p.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nxt AS (
+       |  SELECT l_suppkey AS src,
+       |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+       |                          ORDER BY l_linenumber, l_suppkey) AS dst
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM nxt WHERE dst IS NOT NULL AND src <> dst),
+       |d0 AS (
+       |  SELECT DISTINCT l_suppkey AS node, 0 AS dist FROM lineitem
+       |  WHERE l_suppkey % 7 = 0),
+       |$iters
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node""".stripMargin
+  }
+
   private def pprOracleSql: String = {
     val base = "(((1000000000000 * 15) // 100) // (SELECT ns FROM nsrc)) * f.isrc"
     val iters = (1 to 5).map { i =>
@@ -462,6 +507,7 @@ object GraphQueries {
     "q_kcore" -> (qKcore _),
     "q_lpa" -> (qLpa _),
     "q_ppr" -> (qPpr _),
+    "q_bfs" -> (qBfs _),
   )
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
@@ -537,6 +583,7 @@ object GraphQueries {
     "q_link_pred" -> linkPredOracleSql,
     "q_lpa" -> lpaOracleSql(rounds = 4),
     "q_ppr" -> pprOracleSql,
+    "q_bfs" -> bfsOracleSql,
     "q_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem

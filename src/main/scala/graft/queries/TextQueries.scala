@@ -851,6 +851,16 @@ object TextQueries {
     graft.ops.Calibration.confusionStats(scoredDocs(s, dir),
       col("y"), col("s"))
 
+  /** Gopher-rule quality funnel ([[graft.text.TextStats.gopherReport]]):
+    * per published heuristic rule (Rae et al. 2021), how many documents
+    * pass and fail, plus the full-conjunction `all` row — the "which
+    * filter costs me the most data?" table read before committing
+    * thresholds, beside q_doc_quality's per-doc composite. Every
+    * verdict is an integer cross-multiplication; one aggregation.
+    */
+  private def qGopher(s: SparkSession, dir: String): DataFrame =
+    TextStats.gopherReport(t(s, dir, "documents"), col("text"))
+
   /** NDCG@10 ([[graft.ops.Calibration.ndcgAtK]]) of the classifier
     * ranking per source: if a curation pipeline takes each source's
     * top-10 by score, how close is that list to the ideal
@@ -992,6 +1002,7 @@ object TextQueries {
     "q_mcc" -> (qMcc _),
     "q_log_loss" -> (qLogLoss _),
     "q_ndcg" -> (qNdcg _),
+    "q_gopher" -> (qGopher _),
     "q_ccc" -> (qCcc _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
@@ -1358,6 +1369,66 @@ object TextQueries {
         |        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))), 6)
         |  END AS mcc
         |FROM ag""".stripMargin,
+    "q_gopher" ->
+      """WITH d AS (
+        |  SELECT text, string_split(text, ' ') AS tk,
+        |    string_split(text, chr(10)) AS ln
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT
+        |    CAST(len(tk) AS BIGINT) AS nw,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS ells,
+        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS alphaw,
+        |    CAST(len(ln) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(ln, x -> starts_with(x, '-')
+        |      OR starts_with(x, '*') OR starts_with(x, '•'))) AS BIGINT) AS bl,
+        |    CAST(len(list_filter(ln, x -> ends_with(x, '...'))) AS BIGINT) AS el,
+        |    (CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(tk, 'be') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(tk, 'that') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(tk, 'have') THEN 1 ELSE 0 END
+        |      + CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END) AS stopw
+        |  FROM d),
+        |r AS (
+        |  SELECT
+        |    nw >= 50 AND nw <= 100000 AS r_words,
+        |    chars >= 3 * nw AND chars <= 10 * nw AS r_word_len,
+        |    10 * (hashes + ells) <= nw AS r_symbol,
+        |    5 * alphaw >= 4 * nw AS r_alpha,
+        |    10 * bl <= 9 * nl AS r_bullet,
+        |    10 * el <= 3 * nl AS r_ellipsis,
+        |    stopw >= 2 AS r_stop
+        |  FROM f),
+        |a AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN r_words THEN 1 ELSE 0 END) AS p_words,
+        |    SUM(CASE WHEN r_word_len THEN 1 ELSE 0 END) AS p_word_len,
+        |    SUM(CASE WHEN r_symbol THEN 1 ELSE 0 END) AS p_symbol,
+        |    SUM(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS p_alpha,
+        |    SUM(CASE WHEN r_bullet THEN 1 ELSE 0 END) AS p_bullet,
+        |    SUM(CASE WHEN r_ellipsis THEN 1 ELSE 0 END) AS p_ellipsis,
+        |    SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS p_stop,
+        |    SUM(CASE WHEN r_words AND r_word_len AND r_symbol AND r_alpha
+        |      AND r_bullet AND r_ellipsis AND r_stop THEN 1 ELSE 0 END) AS p_all
+        |  FROM r)
+        |SELECT rule, CAST(n_pass AS BIGINT) AS n_pass,
+        |  CAST(n_fail AS BIGINT) AS n_fail FROM (
+        |  SELECT 'words' AS rule, p_words AS n_pass, n - p_words AS n_fail FROM a
+        |  UNION ALL SELECT 'word_len', p_word_len, n - p_word_len FROM a
+        |  UNION ALL SELECT 'symbol', p_symbol, n - p_symbol FROM a
+        |  UNION ALL SELECT 'alpha', p_alpha, n - p_alpha FROM a
+        |  UNION ALL SELECT 'bullet', p_bullet, n - p_bullet FROM a
+        |  UNION ALL SELECT 'ellipsis', p_ellipsis, n - p_ellipsis FROM a
+        |  UNION ALL SELECT 'stop', p_stop, n - p_stop FROM a
+        |  UNION ALL SELECT 'all', p_all, n - p_all FROM a) q
+        |ORDER BY rule""".stripMargin,
     "q_ndcg" ->
       """WITH l AS (
         |  SELECT doc_id, source, lang, string_split(text, ' ') AS tk

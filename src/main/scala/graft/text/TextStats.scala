@@ -347,4 +347,76 @@ object TextStats {
         round(col("__sd").cast("double") / col("n_windows").cast("double")
           / lit(window.toDouble), 6).as("mattr"))
   }
+
+  /** Gopher-style quality-rule flags (Rae et al. 2021, §A1.1 — the
+    * public heuristic ruleset most curation pipelines start from): a
+    * struct of 7 booleans, true = the document PASSES the rule.
+    *
+    *   r_words       50 ≤ word count ≤ 100,000
+    *   r_word_len    mean word length in [3, 10] chars
+    *   r_symbol      (# + …) symbols ≤ 0.1 per word
+    *   r_alpha       ≥ 80% of words contain a letter
+    *   r_bullet      ≤ 90% of lines start with a bullet (-, *, •)
+    *   r_ellipsis    ≤ 30% of lines end with "..."
+    *   r_stop        ≥ 2 distinct common stopwords present
+    *
+    * Every ratio tests by integer cross-multiplication (10·sym ≤ words,
+    * 5·alpha ≥ 4·words, …) — no float thresholds anywhere, so any
+    * engine replays each verdict exactly. Null text → null struct.
+    */
+  def gopherFlags(text: Column): Column = {
+    val toks = tokens(text)
+    val nw = size(toks).cast("long")
+    val chars = length(regexp_replace(text, " ", "")).cast("long")
+    val hashes = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val ells = ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3)
+      .cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("long")
+    val ellLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(s => when(array_contains(toks, s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    when(text.isNotNull, struct(
+      (nw >= 50L && nw <= 100000L).as("r_words"),
+      (chars >= lit(3L) * nw && chars <= lit(10L) * nw).as("r_word_len"),
+      (lit(10L) * (hashes + ells) <= nw).as("r_symbol"),
+      (lit(5L) * alphaWords >= lit(4L) * nw).as("r_alpha"),
+      (lit(10L) * bulletLines <= lit(9L) * nLines).as("r_bullet"),
+      (lit(10L) * ellLines <= lit(3L) * nLines).as("r_ellipsis"),
+      (stopHits >= 2L).as("r_stop")))
+  }
+
+  /** Rule-level funnel over [[gopherFlags]]: one row per rule —
+    * `(rule, n_pass, n_fail)` — plus an `all` row for the full
+    * conjunction: the "which filter costs me the most data?" table a
+    * curation run reads before committing thresholds.
+    *
+    * Scale shape: the flags ride the corpus scan (pure codegen'd
+    * expressions); ONE map-combined aggregation reduces everything to
+    * a single row, then a ≤ 8-row literal explode shapes the report.
+    */
+  def gopherReport(df: DataFrame, text: Column): DataFrame = {
+    val rules = Seq("r_words", "r_word_len", "r_symbol", "r_alpha",
+      "r_bullet", "r_ellipsis", "r_stop")
+    val flagged = df.select(gopherFlags(text).as("__g"))
+      .filter(col("__g").isNotNull)
+    val passAll = rules.map(r => col(s"__g.$r")).reduce(_ && _)
+    val aggs = count(lit(1)).as("n") +:
+      rules.map(r => sum(when(col(s"__g.$r"), 1L).otherwise(0L)).as(s"__p_$r")) :+
+      sum(when(passAll, 1L).otherwise(0L)).as("__p_all")
+    val agg = flagged.agg(aggs.head, aggs.tail: _*)
+    val rows = (rules.map(r => (r.stripPrefix("r_"), s"__p_$r")) :+
+      ("all", "__p_all")).map { case (name, c) =>
+      struct(lit(name).as("rule"), col(c).as("n_pass"),
+        (col("n") - col(c)).as("n_fail"))
+    }
+    agg.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.rule").as("rule"), col("__r.n_pass").as("n_pass"),
+        col("__r.n_fail").as("n_fail"))
+      .orderBy(col("rule"))
+  }
 }
