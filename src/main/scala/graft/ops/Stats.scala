@@ -3732,6 +3732,42 @@ object Stats {
         :+ round(when(ok, num / col("__s").cast("double")), 6).as("chi2"): _*)
   }
 
+  /** Two-sample Poisson rate-ratio test: events per unit exposure in
+    * arm A vs arm B —
+    *
+    *   RR = (c₁/e₁)/(c₂/e₂),   z = ln(c₁·e₂ / (c₂·e₁)) / √(1/c₁ + 1/c₂)
+    *
+    * the count-data complement of [[twoProportionZ]] (which compares
+    * per-TRIAL proportions; this compares per-EXPOSURE intensities).
+    * One row: `(c1, e1, c2, e2, rate_ratio, z)`; null when any count
+    * or exposure is 0 (no rate, or an exact-zero log). Exposures are
+    * caller-supplied columns counted as exact distinct units.
+    *
+    * Determinism: all four inputs are exact counts; ln takes the
+    * integer products c₁·e₂ and c₂·e₁ (the integer-arg ln
+    * convention), so both engines evaluate the identical tree.
+    *
+    * Scale shape: one conditional aggregation with two count-distincts
+    * sharing the pass; a single-row output.
+    */
+  def poissonRateRatio(df: DataFrame, inA: Column, inB: Column,
+                       event: Column, exposureUnit: Column): DataFrame = {
+    val agg = df.agg(
+      sum(when(inA && event, 1L).otherwise(0L)).as("c1"),
+      countDistinct(when(inA, exposureUnit)).as("e1"),
+      sum(when(inB && event, 1L).otherwise(0L)).as("c2"),
+      countDistinct(when(inB, exposureUnit)).as("e2"))
+    def d(c: String): Column = col(c).cast("double")
+    val rr = (d("c1") / d("e1")) / (d("c2") / d("e2"))
+    val lnRr = log((col("c1") * col("e2")).cast("double")) -
+      log((col("c2") * col("e1")).cast("double"))
+    val z = lnRr / sqrt(lit(1.0) / d("c1") + lit(1.0) / d("c2"))
+    val ok = col("c1") > 0 && col("c2") > 0 && col("e1") > 0 && col("e2") > 0
+    agg.select(col("c1"), col("e1"), col("c2"), col("e2"),
+      when(ok, round(rr, 6)).as("rate_ratio"),
+      when(ok, round(z, 6)).as("z"))
+  }
+
   /** Wilcoxon signed-rank test — the PAIRED complement of
     * [[mannWhitneyU]]: each row is one pair's difference; the test
     * asks whether differences are symmetrically centered on zero

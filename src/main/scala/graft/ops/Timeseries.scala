@@ -1686,6 +1686,153 @@ object Timeseries {
       :+ when(ok && s2 > 0.0, round(tDf, 6)).as("t_df"): _*)
   }
 
+  /** Partial autocorrelation at lags 1–3 via the closed-form
+    * Durbin-Levinson recursion — WHICH lag carries direct signal once
+    * shorter lags are controlled (the AR-order picker; [[autocorrelation]]
+    * answers the marginal question, this the conditional one):
+    *
+    *   φ₁₁ = ρ₁,  φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²),
+    *   φ₃₃ = (ρ₃ − φ₂₁ρ₂ − φ₂₂ρ₁)/(1 − φ₂₁ρ₁ − φ₂₂ρ₂),  φ₂₁ = ρ₁(1 − φ₂₂)
+    *
+    * Returns `(parts..., lag, pacf)` for lags 1..3; null when n < 5,
+    * the series is constant, or a recursion denominator is 0. Lags
+    * beyond 3 need a solver loop — out of scope for the closed form
+    * (use [[ar2YuleWalker]]'s fit residuals for deeper structure).
+    *
+    * Determinism: the ρₖ ride [[autocorrelation]]'s exact
+    * mean-clearing identity (n²Σxy − nS(h+t) + (n−k)S² over cleared
+    * denominators); the recursion is one fixed IEEE tree over them.
+    *
+    * Scale shape: one series-keyed exchange, one map-combined
+    * aggregation, a ≤ 3-row literal explode.
+    */
+  def pacf(df: DataFrame, parts: Seq[String], orderCol: Column,
+           valueCol: Column): DataFrame = {
+    require(parts.nonEmpty, "pacf needs series keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(
+        pCols :+ orderCol.as("__o")
+          :+ round(valueCol * lit(1e6), 0).cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val lagged = base.select(
+      pCols :+ col("__x")
+        :++ (1 to 3).map(k => lag(col("__x"), k).over(w).as(s"__l$k")): _*)
+    val perLag = (1 to 3).flatMap { k =>
+      val lk = col(s"__l$k")
+      Seq(
+        sum(when(lk.isNotNull, col("__x").cast(dec) * lk.cast(dec))).as(s"__sxy$k"),
+        sum(when(lk.isNotNull, col("__x").cast(dec))).as(s"__h$k"),
+        sum(when(lk.isNotNull, lk.cast(dec))).as(s"__t$k"))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(dec)).as("__s"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx")) ++ perLag
+    val agg = lagged.groupBy(pCols: _*).agg(aggs.head, aggs.tail: _*)
+    val nDec = col("n").cast(dec)
+    val den = (nDec * (nDec * col("__sxx") - col("__s") * col("__s")))
+      .cast("double")
+    def rho(k: Int): Column =
+      (nDec * nDec * col(s"__sxy$k")
+        - nDec * col("__s") * (col(s"__h$k") + col(s"__t$k"))
+        + (nDec - lit(k).cast(dec)) * col("__s") * col("__s")).cast("double") / den
+    val r1 = rho(1); val r2 = rho(2); val r3 = rho(3)
+    val d2 = lit(1.0) - r1 * r1
+    val p22 = (r2 - r1 * r1) / d2
+    val p21 = r1 - p22 * r1
+    val d3 = lit(1.0) - p21 * r1 - p22 * r2
+    val p33 = (r3 - p21 * r2 - p22 * r1) / d3
+    val okBase = col("n") >= 5 && den > 0.0
+    val rows = array(
+      struct(lit(1).as("lag"), when(okBase, round(r1, 6)).as("pacf")),
+      struct(lit(2).as("lag"),
+        when(okBase && d2 =!= 0.0, round(p22, 6)).as("pacf")),
+      struct(lit(3).as("lag"),
+        when(okBase && d2 =!= 0.0 && d3 =!= 0.0, round(p33, 6)).as("pacf")))
+    agg.select(pCols :+ col("n") :+ explode(rows).as("__r"): _*)
+      .select(pCols :+ col("n") :+ col("__r.lag").as("lag")
+        :+ col("__r.pacf").as("pacf"): _*)
+  }
+
+  /** Theta-method forecast (Assimakopoulos & Nikolopoulos 2000, the
+    * θ = 2 special case that won M3): the equal-weight combination of
+    * the linear trend line and SES applied to the theta(2)-line
+    * 2·xₜ − trendₜ — in practice "damped trend that actually works".
+    * SES uses the exact-dyadic α = 1/2 machinery ([[ewmaHalf]]) over
+    * the `trailing` most recent points. Returns one row per horizon:
+    * `(parts..., h, n, forecast)`, null forecast when the series is
+    * shorter than 3 or constant in time.
+    *
+    * Determinism: the trend fit is closed-form over exact decimal
+    * moments; theta-line values quantize to cents; the SES weighted
+    * sum is exact integers (2^t weights); the combination is one
+    * fixed IEEE tree.
+    *
+    * Scale shape: one series-keyed exchange shared by the index
+    * window, the fit join (group-bounded, AQE broadcast), and the
+    * trailing SES window; horizons explode from a literal ≤ 8-row
+    * array.
+    */
+  def thetaForecast(df: DataFrame, parts: Seq[String], orderCol: Column,
+                    valueCol: Column, trailing: Int = 32,
+                    horizons: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(parts.nonEmpty, "thetaForecast needs series keys")
+    require(trailing >= 2 && trailing <= 36, s"trailing out of range: $trailing")
+    require(horizons.nonEmpty && horizons.forall(h => h >= 1 && h <= 365),
+      "horizons must be in [1, 365]")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(
+        pCols :+ orderCol.as("__o")
+          :+ round(valueCol * lit(1e6), 0).cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val indexed = base.withColumn("__t", (row_number().over(w) - 1).cast("long"))
+    val fit = indexed.groupBy(pCols: _*).agg(
+      count(lit(1)).as("__nall"),
+      sum(col("__t").cast(dec)).as("__st"),
+      sum(col("__t").cast(dec) * col("__t").cast(dec)).as("__stt"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__t").cast(dec) * col("__x").cast(dec)).as("__stx"))
+    val m = col("__nall").cast("double")
+    def f(c: String): Column = col(c).cast("double")
+    val sxx = m * f("__stt") - f("__st") * f("__st")
+    val withFit = fit.select(pCols :+ col("__nall") :+ col("__st") :+ col("__sx")
+      :+ ((m * f("__stx") - f("__st") * f("__sx")) / sxx).as("__b")
+      :+ sxx.as("__den"): _*)
+      .withColumn("__a",
+        (col("__sx").cast("double") - col("__b") * col("__st").cast("double"))
+          / col("__nall").cast("double"))
+      .drop("__st", "__sx")
+    val joined = indexed.join(withFit, parts)
+    val thetaCents = round(
+      (lit(2.0) * col("__x") - (col("__a") + col("__b") * col("__t")))
+        / lit(1e4), 0).cast("long")
+    val trail = joined
+      .withColumn("__rd", row_number().over(
+        Window.partitionBy(pCols: _*).orderBy(col("__o").desc)))
+      .filter(col("__rd") <= trailing)
+      .select(pCols :+ col("__o") :+ col("__nall") :+ col("__a") :+ col("__b")
+        :+ col("__den") :+ thetaCents.as("__c"): _*)
+    val ses = ewmaHalf(trail, parts, Seq("__o"), "__c", out = "__ses",
+        maxLength = trailing + 1)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(pCols: _*).orderBy(col("__o").desc)))
+      .filter(col("__rn") === 1)
+    val hRows = array(horizons.map(h => lit(h.toLong)): _*)
+    val out = ses.select(pCols :+ col("__nall").as("n") :+ col("__a")
+        :+ col("__b") :+ col("__den") :+ col("__ses")
+        :+ explode(hRows).as("h"): _*)
+    val trendD = (col("__a") + col("__b") *
+      (col("n") - lit(1L) + col("h"))) / lit(1e6)
+    val fc = lit(0.5) * (col("__ses") / lit(100.0)) + lit(0.5) * trendD
+    out.select(pCols :+ col("h") :+ col("n")
+      :+ when(col("n") >= 3 && col("__den") > 0.0, round(fc, 6))
+        .as("forecast"): _*)
+  }
+
   /** Lo-MacKinlay variance ratio VR(q): does the series diffuse like a
     * random walk? Per series, over first differences rₜ = xₜ − xₜ₋₁
     * and overlapping q-step differences cₜ = xₜ − xₜ₋q:

@@ -572,6 +572,35 @@ object EventQueries {
         Seq("event_type"), col("day"), col("amount"))
       .orderBy(col("event_type"))
 
+  /** Partial autocorrelation at lags 1–3
+    * ([[graft.ops.Timeseries.pacf]]) on q_autocorr's hourly revenue
+    * series: which lag carries DIRECT signal once shorter lags are
+    * controlled — the AR-order picker (a cut-off here + tailing ACF
+    * = AR(p)). Closed-form Durbin-Levinson over the exact-identity
+    * ρ's, micro-quantized in both engines.
+    */
+  private def qPacf(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("__h"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    graft.ops.Timeseries.pacf(hourly, Seq("event_type"), col("__h"),
+        col("cents"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Theta-method forecast ([[graft.ops.Timeseries.thetaForecast]])
+    * of daily revenue per event type at 1/7/28 days out: the M3-
+    * winning trend+SES combination, with the SES leg on the exact-
+    * dyadic α=1/2 machinery over the trailing 32 days — the
+    * general-purpose forecast beside q_croston's intermittent-demand
+    * special case.
+    */
+  private def qTheta(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.thetaForecast(dailyAmount(s, dir),
+        Seq("event_type"), col("day"), col("amount"), trailing = 32,
+        horizons = Seq(1, 7, 28))
+      .orderBy(col("event_type"), col("h"))
+
   /** Lo-MacKinlay variance ratio VR(4)
     * ([[graft.ops.Timeseries.varianceRatio]]) on daily revenue: do
     * 4-day moves diffuse like 4 independent daily moves (VR ≈ 1), or
@@ -856,6 +885,8 @@ object EventQueries {
     "q_weibull" -> (qWeibull _),
     "q_adf" -> (qAdf _),
     "q_var_ratio" -> (qVarRatio _),
+    "q_pacf" -> (qPacf _),
+    "q_theta" -> (qTheta _),
     "q_runs_test" -> (qRunsTest _),
     "q_ccf" -> (qCcf _),
     "q_concurrency" -> (qConcurrency _),
@@ -1164,6 +1195,133 @@ object EventQueries {
         |  CAST(CAST(l AS BIGINT) + CAST(b AS BIGINT) AS DOUBLE) / 1e9 AS forecast
         |FROM st ORDER BY g, i""".stripMargin,
     "q_autocorr" -> autocorrOracleSql(maxLag = 6),
+    "q_pacf" ->
+      """WITH hv AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, h,
+        |    CAST(round(CAST(cents AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM hv WHERE cents IS NOT NULL),
+        |l AS (
+        |  SELECT event_type, x,
+        |    lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+        |    lag(x, 3) OVER w AS l3
+        |  FROM v WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS s, SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN CAST(x AS HUGEINT) * l1 END) AS sxy1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS h1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN CAST(l1 AS HUGEINT) END) AS t1,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN CAST(x AS HUGEINT) * l2 END) AS sxy2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS h2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN CAST(l2 AS HUGEINT) END) AS t2,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN CAST(x AS HUGEINT) * l3 END) AS sxy3,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS h3,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN CAST(l3 AS HUGEINT) END) AS t3
+        |  FROM l GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, n,
+        |    CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sxx - s * s)
+        |      AS DOUBLE) AS den,
+        |    CAST(CAST(n AS HUGEINT) * n * sxy1 - CAST(n AS HUGEINT) * s * (h1 + t1)
+        |      + (CAST(n AS HUGEINT) - 1) * s * s AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sxx - s * s)
+        |        AS DOUBLE) AS r1,
+        |    CAST(CAST(n AS HUGEINT) * n * sxy2 - CAST(n AS HUGEINT) * s * (h2 + t2)
+        |      + (CAST(n AS HUGEINT) - 2) * s * s AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sxx - s * s)
+        |        AS DOUBLE) AS r2,
+        |    CAST(CAST(n AS HUGEINT) * n * sxy3 - CAST(n AS HUGEINT) * s * (h3 + t3)
+        |      + (CAST(n AS HUGEINT) - 3) * s * s AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sxx - s * s)
+        |        AS DOUBLE) AS r3
+        |  FROM a),
+        |p1 AS (SELECT *, 1.0 - r1 * r1 AS d2 FROM r),
+        |p2 AS (SELECT *, (r2 - r1 * r1) / d2 AS p22 FROM p1),
+        |p3 AS (SELECT *, r1 - p22 * r1 AS p21 FROM p2),
+        |p4 AS (SELECT *, 1.0 - p21 * r1 - p22 * r2 AS d3 FROM p3),
+        |p5 AS (SELECT *, (r3 - p21 * r2 - p22 * r1) / d3 AS p33 FROM p4),
+        |u AS (
+        |  SELECT event_type, n, 1 AS lag,
+        |    CASE WHEN n >= 5 AND den > 0.0 THEN round(r1, 6) END AS pacf FROM p5
+        |  UNION ALL SELECT event_type, n, 2,
+        |    CASE WHEN n >= 5 AND den > 0.0 AND d2 <> 0.0 THEN round(p22, 6) END
+        |  FROM p5
+        |  UNION ALL SELECT event_type, n, 3,
+        |    CASE WHEN n >= 5 AND den > 0.0 AND d2 <> 0.0 AND d3 <> 0.0 THEN
+        |      round(p33, 6) END
+        |  FROM p5)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, lag, pacf
+        |FROM u ORDER BY event_type, lag""".stripMargin,
+    "q_theta" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |i AS (
+        |  SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+        |  FROM v),
+        |fit AS (
+        |  SELECT event_type, COUNT(*) AS nall,
+        |    SUM(CAST(t AS HUGEINT)) AS st, SUM(CAST(t AS HUGEINT) * t) AS stt,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(t AS HUGEINT) * x) AS stx
+        |  FROM i GROUP BY 1),
+        |f1 AS (
+        |  SELECT event_type, nall, CAST(nall AS DOUBLE) AS m,
+        |    CAST(st AS DOUBLE) AS fst, CAST(stt AS DOUBLE) AS fstt,
+        |    CAST(sx AS DOUBLE) AS fsx, CAST(stx AS DOUBLE) AS fstx
+        |  FROM fit),
+        |f2 AS (
+        |  SELECT event_type, nall, m, fsx, fst,
+        |    m * fstt - fst * fst AS den,
+        |    (m * fstx - fst * fsx) / (m * fstt - fst * fst) AS b
+        |  FROM f1),
+        |f3 AS (
+        |  SELECT event_type, nall, den, b, (fsx - b * fst) / m AS a
+        |  FROM f2),
+        |th AS (
+        |  SELECT i.event_type, i.day,
+        |    CAST(round((2.0 * CAST(x AS DOUBLE) - (a + b * CAST(t AS DOUBLE)))
+        |      / 10000.0) AS BIGINT) AS c,
+        |    nall, a, b, den
+        |  FROM i JOIN f3 ON i.event_type = f3.event_type),
+        |tr AS (
+        |  SELECT * FROM (
+        |    SELECT th.*, row_number()
+        |      OVER (PARTITION BY event_type ORDER BY day DESC) AS rd
+        |    FROM th) q WHERE rd <= 32),
+        |e AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY event_type ORDER BY day) - 1 AS tt
+        |  FROM tr),
+        |sw AS (
+        |  SELECT *,
+        |    sum(c * (1::BIGINT << tt))
+        |      OVER (PARTITION BY event_type ORDER BY tt) AS swz
+        |  FROM e),
+        |lastr AS (
+        |  SELECT * FROM (
+        |    SELECT sw.*, row_number()
+        |      OVER (PARTITION BY event_type ORDER BY day DESC) AS rn
+        |    FROM sw) q WHERE rn = 1),
+        |ses AS (
+        |  SELECT event_type, nall, a, b, den,
+        |    CAST(swz AS DOUBLE) / CAST((1::BIGINT << (tt + 1)) - 1 AS DOUBLE) AS sv
+        |  FROM lastr)
+        |SELECT event_type, CAST(h AS BIGINT) AS h, CAST(nall AS BIGINT) AS n,
+        |  CASE WHEN nall >= 3 AND den > 0.0 THEN
+        |    round(0.5 * (sv / 100.0)
+        |      + 0.5 * ((a + b * (nall - 1 + h)) / 1000000.0), 6) END AS forecast
+        |FROM ses CROSS JOIN (VALUES (1), (7), (28)) AS hs(h)
+        |ORDER BY event_type, h""".stripMargin,
     "q_evt" ->
       """WITH d AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

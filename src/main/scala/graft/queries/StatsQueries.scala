@@ -1225,10 +1225,22 @@ object StatsQueries {
         col("o_totalprice"))
       .orderBy(col("o_orderpriority"))
 
+  /** Two-sample Poisson rate-ratio test
+    * ([[graft.ops.Stats.poissonRateRatio]]): do even-id users generate
+    * purchases at a different per-user intensity than odd-id users —
+    * the count-data A/B readout where q_two_prop compares per-trial
+    * proportions. Exact counts, integer-arg logs, one aggregation.
+    */
+  private def qRateRatio(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.poissonRateRatio(t(s, dir, "events"),
+      pmod(col("user_id"), lit(2)) === 0, pmod(col("user_id"), lit(2)) === 1,
+      col("event_type") === "purchase", col("user_id"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wilcoxon" -> (qWilcoxon _),
     "q_grubbs" -> (qGrubbs _),
+    "q_rate_ratio" -> (qRateRatio _),
     "q_cmh" -> (qCmh _),
     "q_jackknife" -> (qJackknife _),
     "q_anova" -> (qAnova _),
@@ -1373,6 +1385,26 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_rate_ratio" ->
+      """WITH a AS (
+        |  SELECT
+        |    SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS c1,
+        |    COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS e1,
+        |    SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS c2,
+        |    COUNT(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END) AS e2
+        |  FROM events)
+        |SELECT CAST(c1 AS BIGINT) AS c1, CAST(e1 AS BIGINT) AS e1,
+        |  CAST(c2 AS BIGINT) AS c2, CAST(e2 AS BIGINT) AS e2,
+        |  CASE WHEN c1 > 0 AND c2 > 0 AND e1 > 0 AND e2 > 0 THEN
+        |    round((CAST(c1 AS DOUBLE) / CAST(e1 AS DOUBLE))
+        |      / (CAST(c2 AS DOUBLE) / CAST(e2 AS DOUBLE)), 6) END AS rate_ratio,
+        |  CASE WHEN c1 > 0 AND c2 > 0 AND e1 > 0 AND e2 > 0 THEN
+        |    round((ln(CAST(c1 * e2 AS DOUBLE)) - ln(CAST(c2 * e1 AS DOUBLE)))
+        |      / sqrt(1.0 / CAST(c1 AS DOUBLE) + 1.0 / CAST(c2 AS DOUBLE)), 6)
+        |  END AS z
+        |FROM a""".stripMargin,
     "q_grubbs" ->
       """WITH v AS (
         |  SELECT o_orderpriority AS gk,
