@@ -394,7 +394,7 @@ object JoinQueries {
       .filter(col("id_a") < col("id_b"))
       .withColumn("jw",
         graft.functions.StringDist.jaroWinkler(col("nm_a"), col("nm_b")))
-      .filter(col("jw") >= 0.985)
+      .filter(col("jw") >= 0.975)
       .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -609,7 +609,7 @@ object JoinQueries {
         |FROM customer a JOIN customer b
         |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
         |  AND a.c_custkey < b.c_custkey
-        |WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.985
+        |WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.975
         |ORDER BY id_a, id_b""".stripMargin,
     "q_damerau" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
