@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -224,6 +224,53 @@ object Funnel {
     }
     pi.select(col("state"), col("pi").as("pi_units"),
       round(col("pi").cast("double") / lit(unit.toDouble), 6).as("pi"))
+  }
+
+  /** Linear multi-touch attribution: each conversion's value splits
+    * equally over the touches since the entity's PREVIOUS conversion,
+    * and credit aggregates by a caller-supplied touch bucket (hour,
+    * campaign, source…) — "which touches actually drive conversions?",
+    * the question last-click dashboards answer wrong. Returns
+    * `(bucket, n_touches, credit)`; conversions with no preceding
+    * touch in their window carry no credit (documented — an
+    * 'unattributed' bucket is the caller's explicit choice via a
+    * default bucket value). Conversions need a non-null value.
+    *
+    * Determinism: conversion windows key on the exact count of PRIOR
+    * conversions (an integer, total order from (ts, tie)); per-touch
+    * credit value/k nano-quantizes before the bucket sum.
+    *
+    * Scale shape: one entity-keyed sort window assigns windows; one
+    * (entity, window) aggregation counts touches; the conversion join
+    * is co-keyed on the same (entity, window); one final bucket
+    * aggregation. Raw events shuffle once.
+    */
+  def linearAttribution(events: DataFrame, entityCol: String, tsCol: String,
+                        tieCol: String, isTouch: Column, isConversion: Column,
+                        valueCol: Column, bucket: Column): DataFrame = {
+    val tagged = events.select(col(entityCol).as("__e"),
+        isTouch.as("__t"), isConversion.as("__c"),
+        round(valueCol * lit(100.0), 0).cast("long").as("__cents"),
+        bucket.as("__b"), col(tsCol).as("__ts"), col(tieCol).as("__tie"))
+      .withColumn("__g", coalesce(
+        sum(when(col("__c"), 1L).otherwise(0L)).over(
+          Window.partitionBy(col("__e")).orderBy(col("__ts"), col("__tie"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val touches = tagged.filter(col("__t"))
+      .select(col("__e"), col("__g"), col("__b"))
+    val ks = touches.groupBy(col("__e"), col("__g"))
+      .agg(count(lit(1)).as("__k"))
+    val convs = tagged.filter(col("__c") && col("__cents").isNotNull)
+      .select(col("__e"), col("__g"), col("__cents"))
+    val credited = touches
+      .join(convs, Seq("__e", "__g"))
+      .join(ks, Seq("__e", "__g"))
+      .select(col("__b"),
+        round(col("__cents").cast("double") / lit(100.0)
+          / col("__k").cast("double") * lit(1e9), 0).cast("long").as("__nano"))
+    credited.groupBy(col("__b").as("bucket"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("__nano")).cast("double") / lit(1e9), 6).as("credit"))
   }
 
   /** Trailing-window distinct active entities per period (rolling

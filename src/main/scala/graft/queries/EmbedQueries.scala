@@ -751,7 +751,68 @@ object EmbedQueries {
       .orderBy(col("vec_id"), col("j"))
 
   /** This family's slice of [[graft.SparkEntry.queries]]. */
+  /** Top principal component ([[graft.ops.Pca.pcaTopComponent]]) of the
+    * first 16 embedding coordinates: the one direction that explains
+    * the most variance in the store — drift axis, dominant topic,
+    * whitening prep — by 8 rounds of INTEGER power iteration over the
+    * exact scatter matrix. One map-combined moment pass; the iteration
+    * touches a 16² driver matrix (bounded by definition); the oracle
+    * unrolls the identical truncating-division rounds.
+    */
+  private def qPca(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Pca.pcaTopComponent(t(s, dir, "embeddings"), "embedding",
+        dims = 16, iterations = 8)
+      .orderBy(col("dim"))
+
+  private def pcaOracleSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""u$r AS MATERIALIZED (
+         |  SELECT s.i AS i, SUM(s.sv * v${r - 1}.v) AS u
+         |  FROM s JOIN v${r - 1} ON s.j = v${r - 1}.i GROUP BY 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT i, u * 1000000 // (SELECT MAX(abs(u)) FROM u$r) AS v
+         |  FROM u$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH idx AS (SELECT CAST(unnest(range(1, 17)) AS INTEGER) AS i),
+       |e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= 16),
+       |px AS MATERIALIZED (
+       |  SELECT vec_id, i,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+       |  FROM e CROSS JOIN idx),
+       |n1 AS (SELECT COUNT(*) AS n FROM e),
+       |lin AS (SELECT i, SUM(CAST(x AS HUGEINT)) AS sx FROM px GROUP BY 1),
+       |pair AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy
+       |  FROM px a JOIN px b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |s AS MATERIALIZED (
+       |  SELECT p.i, p.j, (SELECT n FROM n1) * p.sxy - la.sx * lb.sx AS sv
+       |  FROM pair p JOIN lin la ON p.i = la.i JOIN lin lb ON p.j = lb.i),
+       |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM idx),
+       |$rounds,
+       |tr AS (SELECT SUM(sv) AS trace FROM s WHERE i = j),
+       |ray AS (
+       |  SELECT SUM(va.v * s.sv * vb.v) AS num
+       |  FROM s JOIN v8 va ON s.i = va.i JOIN v8 vb ON s.j = vb.i),
+       |dn AS (SELECT SUM(v * v) AS den FROM v8)
+       |SELECT v8.i AS dim, CAST((SELECT n FROM n1) AS BIGINT) AS n,
+       |  CASE WHEN (SELECT n FROM n1) >= 2 AND trace > 0 THEN
+       |    round(CAST(v AS DOUBLE) / 1000000.0, 6) END AS loading,
+       |  CASE WHEN (SELECT n FROM n1) >= 2 AND trace > 0 THEN
+       |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       |      / (CAST((SELECT n FROM n1) AS DOUBLE)
+       |        * CAST((SELECT n FROM n1) AS DOUBLE))
+       |      / 1000000000000.0, 6) END AS eigenvalue,
+       |  CASE WHEN (SELECT n FROM n1) >= 2 AND trace > 0 THEN
+       |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       |      / CAST(trace AS DOUBLE), 6) END AS var_share
+       |FROM v8 CROSS JOIN tr CROSS JOIN ray CROSS JOIN dn
+       |ORDER BY dim""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca" -> (qPca _),
     "q_jl" -> (qJl _),
     "q_topk_similar" -> (qTopkSimilar _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -777,6 +838,7 @@ object EmbedQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_pca" -> pcaOracleSql,
     "q_jl" ->
       """WITH dims AS (
         |  SELECT j, d,

@@ -572,6 +572,22 @@ object EventQueries {
         Seq("event_type"), col("day"), col("amount"))
       .orderBy(col("event_type"))
 
+  /** Linear multi-touch attribution
+    * ([[graft.ops.Funnel.linearAttribution]]): purchase value split
+    * equally over the clicks since the user's previous purchase,
+    * credited to the CLICK's hour of day — which hours' engagement
+    * actually converts, the question q_funnel's step counts and a
+    * last-click readout both miss. One user-keyed sort, co-keyed
+    * window joins, nano-quantized per-touch credit.
+    */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.linearAttribution(t(s, dir, "events"),
+        "user_id", "ts", "event_id",
+        isTouch = col("event_type") === "click",
+        isConversion = col("event_type") === "purchase",
+        valueCol = col("value"), bucket = hour(col("ts")).cast("long"))
+      .orderBy(col("bucket"))
+
   /** Partial autocorrelation at lags 1–3
     * ([[graft.ops.Timeseries.pacf]]) on q_autocorr's hourly revenue
     * series: which lag carries DIRECT signal once shorter lags are
@@ -887,6 +903,7 @@ object EventQueries {
     "q_var_ratio" -> (qVarRatio _),
     "q_pacf" -> (qPacf _),
     "q_theta" -> (qTheta _),
+    "q_attribution" -> (qAttribution _),
     "q_runs_test" -> (qRunsTest _),
     "q_ccf" -> (qCcf _),
     "q_concurrency" -> (qConcurrency _),
@@ -1256,6 +1273,28 @@ object EventQueries {
         |  FROM p5)
         |SELECT event_type, CAST(n AS BIGINT) AS n, lag, pacf
         |FROM u ORDER BY event_type, lag""".stripMargin,
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id AS e, event_type = 'click' AS tt,
+        |    event_type = 'purchase' AS cc,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents,
+        |    hour(ts) AS b, ts, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT *, COALESCE(SUM(CASE WHEN cc THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY e ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gg
+        |  FROM t),
+        |tou AS (SELECT e, gg, b FROM g WHERE tt),
+        |ks AS (SELECT e, gg, COUNT(*) AS k FROM tou GROUP BY 1, 2),
+        |cv AS (SELECT e, gg, cents FROM g WHERE cc AND cents IS NOT NULL),
+        |cr AS (
+        |  SELECT b, CAST(round(CAST(cents AS DOUBLE) / 100.0 / CAST(k AS DOUBLE)
+        |    * 1000000000.0) AS BIGINT) AS nano
+        |  FROM tou JOIN cv USING (e, gg) JOIN ks USING (e, gg))
+        |SELECT b AS bucket, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  round(CAST(SUM(nano) AS DOUBLE) / 1000000000.0, 6) AS credit
+        |FROM cr GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_theta" ->
       """WITH d AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -851,6 +851,30 @@ object TextQueries {
     graft.ops.Calibration.confusionStats(scoredDocs(s, dir),
       col("y"), col("s"))
 
+  /** Tokenizer fertility per language: BPE-ish subwords per whitespace
+    * word and characters per subword — the "how expensive is this
+    * language for my tokenizer?" table (high fertility = wasted
+    * context window) that sits beside q_bpe's trained merges. Exact
+    * integer count sums, one aggregation.
+    */
+  private def qFertility(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+    d.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextStats.subwordCount(col("text")).cast("long")).as("subwords"),
+        sum(TextStats.tokenCount(col("text")).cast("long")).as("words"),
+        sum(length(col("text")).cast("long")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("subwords"), col("words"),
+        when(col("words") > 0,
+          round(col("subwords").cast("double") / col("words").cast("double"), 6))
+          .as("fertility"),
+        when(col("subwords") > 0,
+          round(col("chars").cast("double") / col("subwords").cast("double"), 6))
+          .as("chars_per_subword"))
+      .orderBy(col("lang"))
+  }
+
   /** Gopher-rule quality funnel ([[graft.text.TextStats.gopherReport]]):
     * per published heuristic rule (Rae et al. 2021), how many documents
     * pass and fail, plus the full-conjunction `all` row — the "which
@@ -1003,6 +1027,7 @@ object TextQueries {
     "q_log_loss" -> (qLogLoss _),
     "q_ndcg" -> (qNdcg _),
     "q_gopher" -> (qGopher _),
+    "q_fertility" -> (qFertility _),
     "q_ccc" -> (qCcc _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
@@ -1369,6 +1394,25 @@ object TextQueries {
         |        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))), 6)
         |  END AS mcc
         |FROM ag""".stripMargin,
+    "q_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, text FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |a AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    SUM(CAST(len(regexp_extract_all(text,
+        |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)) AS subwords,
+        |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS words,
+        |    SUM(CAST(length(text) AS BIGINT)) AS chars
+        |  FROM d GROUP BY 1)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, subwords, words,
+        |  CASE WHEN words > 0 THEN
+        |    round(CAST(subwords AS DOUBLE) / CAST(words AS DOUBLE), 6)
+        |  END AS fertility,
+        |  CASE WHEN subwords > 0 THEN
+        |    round(CAST(chars AS DOUBLE) / CAST(subwords AS DOUBLE), 6)
+        |  END AS chars_per_subword
+        |FROM a ORDER BY lang""".stripMargin,
     "q_gopher" ->
       """WITH d AS (
         |  SELECT text, string_split(text, ' ') AS tk,
