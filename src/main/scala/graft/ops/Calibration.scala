@@ -289,6 +289,62 @@ object Calibration {
       when(mccDen > 0.0, round(mcc, 6)).as("mcc"))
   }
 
+  /** Best single-threshold decision stump by weighted Gini impurity —
+    * the one-split tree over a score column: the interpretable
+    * baseline every threshold choice should beat, and the greedy step
+    * a tree learner would take. Scans every distinct score as a
+    * candidate cut (predict positive when score ≥ t); returns one row
+    * `(n, n_pos, threshold, impurity, n_left, pos_left)` for the
+    * impurity-minimizing cut (ties break to the smallest threshold;
+    * the all-right trivial cut at the minimum score is a candidate, so
+    * a split only wins by beating no-split). Empty input → empty
+    * output.
+    *
+    * Determinism: candidate evaluation runs on the distinct-score
+    * table with exact cumulative counts; each weighted impurity
+    * (nL² − posL² − negL²)/(nL·N) + … nano-quantizes before the
+    * argmin, and the argmin is an exact lexicographic struct-min.
+    *
+    * Scale shape: one (score)-keyed map-combined aggregation, then
+    * cumulative windows over the DISTINCT-SCORE table (a 6-dp score
+    * has bounded cardinality — the binaryAuc bound), one struct-min.
+    */
+  def decisionStump(df: DataFrame, positive: Column,
+                    score: Column): DataFrame = {
+    val sq = round(score * lit(1e6), 0).cast("long")
+    val base = df.select(positive.as("__y"), sq.as("__s"))
+      .filter(col("__y").isNotNull && col("__s").isNotNull)
+    val cells = base.groupBy(col("__s")).agg(
+      count(lit(1)).as("__n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
+    val w = Window.orderBy(col("__s")).rowsBetween(Long.MinValue, -1)
+    val withCum = cells
+      .withColumn("__nl", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__pl", coalesce(sum(col("__p")).over(w), lit(0L)))
+    val tot = cells.agg(sum(col("__n")).as("__nt"), sum(col("__p")).as("__pt"))
+    val j = withCum.crossJoin(broadcast(tot))
+    def d(c: Column): Column = c.cast("double")
+    val nR = col("__nt") - col("__nl")
+    val pR = col("__pt") - col("__pl")
+    def side(n: Column, p: Column): Column = {
+      val neg = n - p
+      when(n > 0L,
+        (d(n) * d(n) - d(p) * d(p) - d(neg) * d(neg)) / (d(n) * d(col("__nt"))))
+        .otherwise(lit(0.0))
+    }
+    val imp = side(col("__nl"), col("__pl")) + side(nR, pR)
+    val scored = j.select(col("__nt"), col("__pt"),
+      struct(round(imp * lit(1e9), 0).cast("long").as("i"),
+        col("__s").as("t"), col("__nl").as("nl"), col("__pl").as("pl"))
+        .as("__cand"))
+    scored.groupBy(col("__nt").as("n"), col("__pt").as("n_pos"))
+      .agg(min(col("__cand")).as("__best"))
+      .select(col("n"), col("n_pos"),
+        round(col("__best.t").cast("double") / lit(1e6), 6).as("threshold"),
+        round(col("__best.i").cast("double") / lit(1e9), 6).as("impurity"),
+        col("__best.nl").as("n_left"), col("__best.pl").as("pos_left"))
+  }
+
   /** Mean cross-entropy (log loss) of a probability column — the
     * PROPER scoring rule beside [[brierDecomposition]]: unlike Brier,
     * log loss punishes confident wrong answers without bound, which is

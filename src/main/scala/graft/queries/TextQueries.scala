@@ -851,6 +851,41 @@ object TextQueries {
     graft.ops.Calibration.confusionStats(scoredDocs(s, dir),
       col("y"), col("s"))
 
+  /** Best Gini decision stump ([[graft.ops.Calibration.decisionStump]])
+    * on the classifier score for lang=en: the single cut a tree
+    * learner would greedily take — the interpretable floor any fancier
+    * threshold (q_mcc's fixed 0.5, q_pr_table's sweep) should beat.
+    * Distinct-score candidate scan, exact cumulative cells,
+    * nano-quantized argmin.
+    */
+  private def qStump(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.decisionStump(scoredDocs(s, dir), col("y"), col("s"))
+
+  /** Feature-hash collision audit for the classifier's 64-bucket
+    * space: distinct n-gram features, occupied buckets, max bucket
+    * load, and the collision rate — the capacity check run BEFORE
+    * trusting q_classify's weights (a saturated table aliases unrelated
+    * features). One vocabulary-keyed distinct + a 64-row rollup.
+    */
+  private def qHashCollisions(s: SparkSession, dir: String): DataFrame = {
+    val feats = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(explode(Classify.ngramFeatures(col("text"))).as("f"))
+      .distinct()
+    val perBucket = feats
+      .select(Classify.featureBucket(col("f"), 64, "clf").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("load"))
+    perBucket.agg(
+        sum(col("load")).as("n_features"),
+        count(lit(1)).as("n_buckets_used"),
+        max(col("load")).as("max_load"))
+      .select(col("n_features"), lit(64L).as("dim"), col("n_buckets_used"),
+        col("max_load"),
+        round(col("n_features").cast("double") / lit(64.0), 6).as("avg_load"),
+        when(col("n_features") > 0,
+          round((col("n_features") - col("n_buckets_used")).cast("double")
+            / col("n_features").cast("double"), 6)).as("collision_rate"))
+  }
+
   /** Tokenizer fertility per language: BPE-ish subwords per whitespace
     * word and characters per subword — the "how expensive is this
     * language for my tokenizer?" table (high fertility = wasted
@@ -1028,6 +1063,8 @@ object TextQueries {
     "q_ndcg" -> (qNdcg _),
     "q_gopher" -> (qGopher _),
     "q_fertility" -> (qFertility _),
+    "q_stump" -> (qStump _),
+    "q_hash_collisions" -> (qHashCollisions _),
     "q_ccc" -> (qCcc _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
@@ -1394,6 +1431,80 @@ object TextQueries {
         |        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))), 6)
         |  END AS mcc
         |FROM ag""".stripMargin,
+    "q_stump" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT lang, round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1000000.0 + (-0.05)))), 6) AS s
+        |  FROM agg),
+        |b AS (
+        |  SELECT lang = 'en' AS y, CAST(round(s * 1000000.0) AS BIGINT) AS sq
+        |  FROM sc WHERE lang IS NOT NULL AND s IS NOT NULL),
+        |cells AS (
+        |  SELECT sq, COUNT(*) AS n, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p
+        |  FROM b GROUP BY 1),
+        |cum AS (
+        |  SELECT sq, n, p,
+        |    COALESCE(SUM(n) OVER (ORDER BY sq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nl,
+        |    COALESCE(SUM(p) OVER (ORDER BY sq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pl
+        |  FROM cells),
+        |tot AS (SELECT SUM(n) AS nt, SUM(p) AS pt FROM cells),
+        |imp AS (
+        |  SELECT sq, nl, pl, nt, pt,
+        |    CAST(round((CASE WHEN nl > 0 THEN
+        |      (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)
+        |        - CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+        |        - CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE))
+        |      / (CAST(nl AS DOUBLE) * CAST(nt AS DOUBLE)) ELSE 0.0 END
+        |      + CASE WHEN nt - nl > 0 THEN
+        |      (CAST(nt - nl AS DOUBLE) * CAST(nt - nl AS DOUBLE)
+        |        - CAST(pt - pl AS DOUBLE) * CAST(pt - pl AS DOUBLE)
+        |        - CAST((nt - nl) - (pt - pl) AS DOUBLE)
+        |          * CAST((nt - nl) - (pt - pl) AS DOUBLE))
+        |      / (CAST(nt - nl AS DOUBLE) * CAST(nt AS DOUBLE)) ELSE 0.0 END)
+        |      * 1000000000.0) AS BIGINT) AS inano
+        |  FROM cum CROSS JOIN tot),
+        |mn AS (SELECT MIN(inano) AS mi FROM imp),
+        |th AS (SELECT MIN(sq) AS ts FROM imp JOIN mn ON imp.inano = mn.mi)
+        |SELECT CAST(nt AS BIGINT) AS n, CAST(pt AS BIGINT) AS n_pos,
+        |  round(CAST(sq AS DOUBLE) / 1000000.0, 6) AS threshold,
+        |  round(CAST(inano AS DOUBLE) / 1000000000.0, 6) AS impurity,
+        |  CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left
+        |FROM imp JOIN th ON imp.sq = th.ts""".stripMargin,
+    "q_hash_collisions" ->
+      """WITH l AS (
+        |  SELECT string_split(text, ' ') AS tk FROM documents
+        |  WHERE text IS NOT NULL),
+        |fe AS (
+        |  SELECT unnest(list_concat(tk,
+        |    list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |feats AS (SELECT DISTINCT f FROM fe),
+        |bk AS (
+        |  SELECT CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64 AS b
+        |  FROM feats),
+        |pb AS (SELECT b, COUNT(*) AS load FROM bk GROUP BY 1),
+        |a AS (SELECT SUM(load) AS nf, COUNT(*) AS nb, MAX(load) AS ml FROM pb)
+        |SELECT CAST(nf AS BIGINT) AS n_features, CAST(64 AS BIGINT) AS dim,
+        |  CAST(nb AS BIGINT) AS n_buckets_used, CAST(ml AS BIGINT) AS max_load,
+        |  round(CAST(nf AS DOUBLE) / 64.0, 6) AS avg_load,
+        |  CASE WHEN nf > 0 THEN
+        |    round(CAST(nf - nb AS DOUBLE) / CAST(nf AS DOUBLE), 6)
+        |  END AS collision_rate
+        |FROM a""".stripMargin,
     "q_fertility" ->
       """WITH d AS (
         |  SELECT lang, text FROM documents
