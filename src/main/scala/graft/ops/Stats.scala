@@ -3732,6 +3732,178 @@ object Stats {
         :+ round(when(ok, num / col("__s").cast("double")), 6).as("chi2"): _*)
   }
 
+  /** Welch's heteroscedastic one-way ANOVA — [[anovaOneWay]] without
+    * the equal-variance assumption it usually violates in the wild:
+    *
+    *   F* = [Σwᵢ(x̄ᵢ − x̄w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ],
+    *   Λ = Σ(1 − wᵢ/W)²/(nᵢ−1),  wᵢ = nᵢ/sᵢ²,  df₂ = (k²−1)/(3Λ)
+    *
+    * One row: `(k, n, f, df2)`; null when k < 2, any group has n < 2,
+    * or any group variance is 0 (its weight is infinite — Welch is
+    * undefined there).
+    *
+    * Determinism: group moments are exact; every cross-group term
+    * (wᵢ at 1e9, wᵢx̄ᵢ at 1e6, the A and Λ terms at 1e9) quantizes
+    * per GROUP before the order-free integer sums, so the two k-row
+    * rollups replay exactly. Suitable for weights in ~[1e-6, 1e6] —
+    * the quantization grid is documented, not adaptive.
+    *
+    * Scale shape: ONE map-combined group aggregation; both rollups
+    * and the 1-row broadcast combine run on the k-row group table.
+    */
+  def welchAnova(df: DataFrame, groupBy: Column, value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = round(value * lit(1e6), 0).cast("long")
+    val base = df.select(groupBy.as("__g"), q.as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val groups = base.groupBy(col("__g")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).as("__s"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
+    val nD = col("__n").cast("double")
+    val mean = col("__s").cast("double") / nD / lit(1e6)
+    val varN = (col("__n").cast(dec) * col("__sxx") - col("__s") * col("__s"))
+      .cast("double")
+    // null (not NaN/Inf) for degenerate groups — ANSI casts must never
+    // see a non-finite value
+    val s2 = when(col("__n") >= 2, varN / (nD * (nD - lit(1.0))) / lit(1e12))
+    val g1 = groups.select(col("__n"), mean.as("__m"), s2.as("__v"))
+      .withColumn("__w", when(col("__v") > 0.0,
+        col("__n").cast("double") / col("__v")))
+    val sums = g1.agg(
+      count(lit(1)).as("__k"),
+      sum(col("__n")).as("__nt"),
+      sum(when(col("__w").isNotNull, round(col("__w") * lit(1e9), 0).cast("long")))
+        .as("__w9"),
+      sum(when(col("__w").isNotNull,
+        round(col("__w") * col("__m") * lit(1e6), 0).cast("long"))).as("__wm6"),
+      sum(when(col("__w").isNotNull, 0L).otherwise(1L)).as("__bad"))
+    val j = g1.crossJoin(broadcast(sums))
+    val bigW = col("__w9").cast("double") / lit(1e9)
+    val xw = (col("__wm6").cast("double") / lit(1e6)) / bigW
+    val aTerm = when(col("__w").isNotNull,
+      round(col("__w") * (col("__m") - xw) * (col("__m") - xw)
+        * lit(1e9), 0).cast("long")).otherwise(0L)
+    val lTerm = when(col("__w").isNotNull,
+      round((lit(1.0) - col("__w") / bigW)
+        * (lit(1.0) - col("__w") / bigW)
+        / (col("__n").cast("double") - lit(1.0)) * lit(1e9), 0).cast("long"))
+      .otherwise(0L)
+    val fin = j.groupBy(col("__k"), col("__nt"), col("__bad")).agg(
+      sum(aTerm).as("__a9"), sum(lTerm).as("__l9"))
+    val kD = col("__k").cast("double")
+    val aSum = col("__a9").cast("double") / lit(1e9)
+    val lSum = col("__l9").cast("double") / lit(1e9)
+    val fStat = (aSum / (kD - lit(1.0))) /
+      (lit(1.0) + lit(2.0) * (kD - lit(2.0)) / (kD * kD - lit(1.0)) * lSum)
+    val df2 = (kD * kD - lit(1.0)) / (lit(3.0) * lSum)
+    val ok = col("__k") >= 2 && col("__bad") === 0L
+    fin.select(col("__k").as("k"), col("__nt").as("n"),
+      when(ok && lSum > 0.0, round(fStat, 6)).as("f"),
+      when(ok && lSum > 0.0, round(df2, 6)).as("df2"))
+  }
+
+  /** Negative-binomial method-of-moments fit — what [[poissonDispersion]]
+    * DIAGNOSES, this parameterizes: for overdispersed counts
+    * (variance > mean), r = m²/(v − m) and p = m/v give the NB(r, p)
+    * that matches both moments; r is the "clumpiness" (small r = bursty
+    * arrivals). Per group: `(groupBy..., n, mean, variance, r, p)`;
+    * r and p are null when the data is NOT overdispersed (v ≤ m — use
+    * the plain Poisson) or n < 2.
+    *
+    * Determinism: one exact integral moment pass; the fit is a fixed
+    * IEEE tree per group.
+    */
+  def negBinomialFit(df: DataFrame, groupBy: Seq[String],
+                     countCol: Column): DataFrame = {
+    require(groupBy.nonEmpty, "negBinomialFit needs group keys")
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val c = countCol.cast("long")
+    val agg = df.select(gCols :+ c.as("__c"): _*)
+      .filter(col("__c").isNotNull)
+      .groupBy(gCols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__c").cast(dec)).as("__s"),
+        sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__ss"))
+    val nD = col("n").cast("double")
+    val m = col("__s").cast("double") / nD
+    val v = (col("n").cast(dec) * col("__ss") - col("__s") * col("__s"))
+      .cast("double") / (nD * (nD - lit(1.0)))
+    val over = v > m
+    val ok = col("n") >= 2
+    agg.select(
+      gCols :+ col("n")
+        :+ when(ok, round(m, 6)).as("mean")
+        :+ when(ok, round(v, 6)).as("variance")
+        :+ when(ok && over, round(m * m / (v - m), 6)).as("r")
+        :+ when(ok && over, round(m / v, 6)).as("p"): _*)
+  }
+
+  /** Stratified average treatment effect: within each stratum, the
+    * treated-minus-control mean difference; the overall ATE weights
+    * strata by size (Cochran weights nₛ/N) with
+    * SE = √(Σ wₛ²·(s²ₜ/nₜ + s²c/nc)) — the design-respecting A/B
+    * readout where a pooled [[welchT]] would confound stratum mix
+    * with treatment. Returns one row
+    * `(n_strata, n_treat, n_ctrl, ate, se, z)`; strata missing either
+    * arm (or with n < 2 on a side) drop, counted out of the weights;
+    * empty output when no stratum has both arms.
+    *
+    * Determinism: per-stratum moments are exact; each stratum's
+    * w·diff and w²·var terms nano-quantize before the order-free
+    * cross-stratum sums; ATE/SE/z are one fixed tree.
+    *
+    * Scale shape: ONE (stratum, arm) map-combined aggregation, a
+    * stratum-bounded pivot join, a 1-row rollup.
+    */
+  def stratifiedAte(df: DataFrame, stratum: Column, treated: Column,
+                    value: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = round(value * lit(1e6), 0).cast("long")
+    val base = df.select(stratum.as("__st"), treated.as("__t"), q.as("__x"))
+      .filter(col("__st").isNotNull && col("__t").isNotNull &&
+        col("__x").isNotNull)
+    val cells = base.groupBy(col("__st"), col("__t")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).as("__s"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
+    def side(flag: Boolean, suffix: String): DataFrame =
+      cells.filter(col("__t") === flag)
+        .select(col("__st").as(s"__st$suffix"), col("__n").as(s"__n$suffix"),
+          col("__s").as(s"__s$suffix"), col("__sxx").as(s"__sxx$suffix"))
+    val wide = side(true, "t")
+      .join(side(false, "c"), col("__stt") === col("__stc"))
+      .filter(col("__nt") >= 2 && col("__nc") >= 2)
+    def mean(s: String): Column =
+      col(s"__s$s").cast("double") / col(s"__n$s").cast("double") / lit(1e6)
+    def s2(s: String): Column = {
+      val nD = col(s"__n$s").cast("double")
+      (col(s"__n$s").cast(dec) * col(s"__sxx$s") -
+        col(s"__s$s") * col(s"__s$s")).cast("double") /
+        (nD * (nD - lit(1.0))) / lit(1e12)
+    }
+    val ns = (col("__nt") + col("__nc")).cast("double")
+    val tot = wide.agg(sum(col("__nt") + col("__nc")).as("__ntot"),
+      sum(col("__nt")).as("__ntr"), sum(col("__nc")).as("__nct"),
+      count(lit(1)).as("__k"))
+    val j = wide.crossJoin(broadcast(tot))
+    val w = ns / col("__ntot").cast("double")
+    val diffT = round(w * (mean("t") - mean("c")) * lit(1e9), 0).cast("long")
+    val varT = round(w * w * (s2("t") / col("__nt").cast("double") +
+      s2("c") / col("__nc").cast("double")) * lit(1e15), 0).cast("long")
+    val fin = j.groupBy(col("__k"), col("__ntr"), col("__nct")).agg(
+      sum(diffT).as("__d9"), sum(varT).as("__v15"))
+    val ate = col("__d9").cast("double") / lit(1e9)
+    val se = sqrt(col("__v15").cast("double") / lit(1e15))
+    val ok = col("__k") >= 1
+    fin.select(col("__k").as("n_strata"), col("__ntr").as("n_treat"),
+      col("__nct").as("n_ctrl"),
+      when(ok, round(ate, 6)).as("ate"),
+      when(ok && se > 0.0, round(se, 6)).as("se"),
+      when(ok && se > 0.0, round(ate / se, 6)).as("z"))
+  }
+
   /** Two-sample Poisson rate-ratio test: events per unit exposure in
     * arm A vs arm B —
     *

@@ -1236,11 +1236,48 @@ object StatsQueries {
       pmod(col("user_id"), lit(2)) === 0, pmod(col("user_id"), lit(2)) === 1,
       col("event_type") === "purchase", col("user_id"))
 
+  /** Welch's heteroscedastic ANOVA ([[graft.ops.Stats.welchAnova]]) on
+    * event value by type: q_anova without the equal-variance assumption
+    * — when the two disagree, THIS one is right (value spreads differ
+    * wildly across event types). Exact group moments, per-group
+    * quantized cross-group terms, two bounded rollups.
+    */
+  private def qWelchAnova(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.welchAnova(t(s, dir, "events"),
+      col("event_type"), col("value"))
+
+  /** Negative-binomial moment fit ([[graft.ops.Stats.negBinomialFit]])
+    * on daily event counts per type: the (r, p) that q_dispersion's
+    * verdict implies — small r = bursty arrivals, the capacity-planning
+    * number. One exact count-moment pass.
+    */
+  private def qNegbin(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    graft.ops.Stats.negBinomialFit(daily, Seq("event_type"), col("c"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Stratified ATE ([[graft.ops.Stats.stratifiedAte]]): even-vs-odd
+    * user value effect with day-of-week strata — the design-respecting
+    * A/B readout where q_welch's pooled difference would confound
+    * weekday mix with treatment. Cochran weights, nano-quantized
+    * per-stratum terms.
+    */
+  private def qStratAte(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.stratifiedAte(t(s, dir, "events"),
+      dayofweek(col("ts")), pmod(col("user_id"), lit(2)) === 0, col("value"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wilcoxon" -> (qWilcoxon _),
     "q_grubbs" -> (qGrubbs _),
     "q_rate_ratio" -> (qRateRatio _),
+    "q_welch_anova" -> (qWelchAnova _),
+    "q_negbin" -> (qNegbin _),
+    "q_strat_ate" -> (qStratAte _),
     "q_cmh" -> (qCmh _),
     "q_jackknife" -> (qJackknife _),
     "q_anova" -> (qAnova _),
@@ -1385,6 +1422,132 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_welch_anova" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |cg AS (
+        |  SELECT g, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM v GROUP BY 1),
+        |m AS (
+        |  SELECT g, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mn,
+        |    CASE WHEN n >= 2 THEN
+        |      CAST(CAST(n AS HUGEINT) * sxx - s * s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      / 1000000000000.0 END AS v2
+        |  FROM cg),
+        |w AS (
+        |  SELECT g, n, mn, v2,
+        |    CASE WHEN v2 > 0.0 THEN CAST(n AS DOUBLE) / v2 END AS w FROM m),
+        |t AS (
+        |  SELECT COUNT(*) AS k, SUM(n) AS nt,
+        |    SUM(CASE WHEN w IS NOT NULL THEN
+        |      CAST(round(w * 1000000000.0) AS BIGINT) END) AS w9,
+        |    SUM(CASE WHEN w IS NOT NULL THEN
+        |      CAST(round(w * mn * 1000000.0) AS BIGINT) END) AS wm6,
+        |    SUM(CASE WHEN w IS NOT NULL THEN 0 ELSE 1 END) AS bad
+        |  FROM w),
+        |jt AS (
+        |  SELECT w.g, w.n, w.mn, w.w, k, nt, w9, wm6, bad,
+        |    (CAST(wm6 AS DOUBLE) / 1000000.0)
+        |      / (CAST(w9 AS DOUBLE) / 1000000000.0) AS xw
+        |  FROM w CROSS JOIN t),
+        |terms AS (
+        |  SELECT k, nt, bad,
+        |    CASE WHEN w IS NOT NULL THEN CAST(round(w * (mn - xw) * (mn - xw)
+        |      * 1000000000.0) AS BIGINT) ELSE 0 END AS a9,
+        |    CASE WHEN w IS NOT NULL THEN CAST(round(
+        |      (1.0 - w / (CAST(w9 AS DOUBLE) / 1000000000.0))
+        |      * (1.0 - w / (CAST(w9 AS DOUBLE) / 1000000000.0))
+        |      / (CAST(n AS DOUBLE) - 1.0) * 1000000000.0) AS BIGINT)
+        |      ELSE 0 END AS l9
+        |  FROM jt),
+        |f AS (
+        |  SELECT k, nt, bad, SUM(a9) AS a9, SUM(l9) AS l9
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nt AS BIGINT) AS n,
+        |  CASE WHEN k >= 2 AND bad = 0 AND CAST(l9 AS DOUBLE) / 1000000000.0 > 0.0
+        |    THEN round((CAST(a9 AS DOUBLE) / 1000000000.0
+        |        / (CAST(k AS DOUBLE) - 1.0))
+        |      / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+        |        / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+        |        * (CAST(l9 AS DOUBLE) / 1000000000.0)), 6) END AS f,
+        |  CASE WHEN k >= 2 AND bad = 0 AND CAST(l9 AS DOUBLE) / 1000000000.0 > 0.0
+        |    THEN round((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+        |      / (3.0 * (CAST(l9 AS DOUBLE) / 1000000000.0)), 6) END AS df2
+        |FROM f""".stripMargin,
+    "q_negbin" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(CAST(c AS HUGEINT)) AS s,
+        |    SUM(CAST(c AS HUGEINT) * c) AS ss
+        |  FROM d GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mn,
+        |    CAST(CAST(n AS HUGEINT) * ss - s * s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vv
+        |  FROM a)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n >= 2 THEN round(mn, 6) END AS mean,
+        |  CASE WHEN n >= 2 THEN round(vv, 6) END AS variance,
+        |  CASE WHEN n >= 2 AND vv > mn THEN
+        |    round(mn * mn / (vv - mn), 6) END AS r,
+        |  CASE WHEN n >= 2 AND vv > mn THEN round(mn / vv, 6) END AS p
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_strat_ate" ->
+      """WITH v AS (
+        |  SELECT dayofweek(ts) AS st, user_id % 2 = 0 AS t,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+        |cg AS (
+        |  SELECT st, t, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM v GROUP BY 1, 2),
+        |wd AS (
+        |  SELECT a.st, a.n AS ntr, a.s AS str, a.sxx AS sxxtr,
+        |    b.n AS ncl, b.s AS scl, b.sxx AS sxxcl
+        |  FROM cg a JOIN cg b ON a.st = b.st AND a.t AND NOT b.t
+        |  WHERE a.n >= 2 AND b.n >= 2),
+        |tt AS (
+        |  SELECT SUM(ntr + ncl) AS ntot, SUM(ntr) AS ntrt,
+        |    SUM(ncl) AS nctt, COUNT(*) AS k
+        |  FROM wd),
+        |terms AS (
+        |  SELECT k, ntrt, nctt,
+        |    CAST(round(CAST(ntr + ncl AS DOUBLE) / CAST(ntot AS DOUBLE)
+        |      * (CAST(str AS DOUBLE) / CAST(ntr AS DOUBLE) / 1000000.0
+        |        - CAST(scl AS DOUBLE) / CAST(ncl AS DOUBLE) / 1000000.0)
+        |      * 1000000000.0) AS BIGINT) AS d9,
+        |    CAST(round(CAST(ntr + ncl AS DOUBLE) / CAST(ntot AS DOUBLE)
+        |      * (CAST(ntr + ncl AS DOUBLE) / CAST(ntot AS DOUBLE))
+        |      * (CAST(CAST(ntr AS HUGEINT) * sxxtr - str * str AS DOUBLE)
+        |          / (CAST(ntr AS DOUBLE) * (CAST(ntr AS DOUBLE) - 1.0))
+        |          / 1000000000000.0 / CAST(ntr AS DOUBLE)
+        |        + CAST(CAST(ncl AS HUGEINT) * sxxcl - scl * scl AS DOUBLE)
+        |          / (CAST(ncl AS DOUBLE) * (CAST(ncl AS DOUBLE) - 1.0))
+        |          / 1000000000000.0 / CAST(ncl AS DOUBLE))
+        |      * 1000000000000000.0) AS BIGINT) AS v15
+        |  FROM wd CROSS JOIN tt),
+        |f AS (
+        |  SELECT k, ntrt, nctt, SUM(d9) AS d9, SUM(v15) AS v15
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT CAST(k AS BIGINT) AS n_strata, CAST(ntrt AS BIGINT) AS n_treat,
+        |  CAST(nctt AS BIGINT) AS n_ctrl,
+        |  CASE WHEN k >= 1 THEN
+        |    round(CAST(d9 AS DOUBLE) / 1000000000.0, 6) END AS ate,
+        |  CASE WHEN k >= 1 AND sqrt(CAST(v15 AS DOUBLE) / 1000000000000000.0) > 0.0
+        |    THEN round(sqrt(CAST(v15 AS DOUBLE) / 1000000000000000.0), 6)
+        |  END AS se,
+        |  CASE WHEN k >= 1 AND sqrt(CAST(v15 AS DOUBLE) / 1000000000000000.0) > 0.0
+        |    THEN round(CAST(d9 AS DOUBLE) / 1000000000.0
+        |      / sqrt(CAST(v15 AS DOUBLE) / 1000000000000000.0), 6) END AS z
+        |FROM f""".stripMargin,
     "q_rate_ratio" ->
       """WITH a AS (
         |  SELECT
