@@ -3732,6 +3732,120 @@ object Stats {
         :+ round(when(ok, num / col("__s").cast("double")), 6).as("chi2"): _*)
   }
 
+  /** Hampel (median/MAD) outlier screen — the robust complement of
+    * [[grubbsTest]]: flag |x − median| > (kNum/kDen)·MAD, with both the
+    * median and the MAD exact lower-median order statistics (no
+    * breakdown under the very outliers being hunted, unlike the
+    * mean/sd pair). Per group:
+    * `(groupBy..., n, median, mad, n_flagged)`. When MAD = 0 (a
+    * majority-constant group) ANY deviation flags — the standard
+    * degenerate behavior, stated. Default fence 7/2 = the conventional
+    * 3.5.
+    *
+    * Determinism: micro-quantized values; both medians come from
+    * distinct-value cumulative crossings; the fence test is an integer
+    * cross-multiplication (d·kDen > MAD·kNum) — no float thresholds.
+    *
+    * Scale shape: two (group, distinct-value)-keyed aggregations with
+    * group-partitioned cumulative windows (frames bounded by distinct
+    * values) and two group-bounded median joins (AQE broadcast); raw
+    * rows shuffle twice (value pass, deviation pass).
+    */
+  def hampelOutliers(df: DataFrame, groupBy: Seq[String], value: Column,
+                     kNum: Long = 7L, kDen: Long = 2L): DataFrame = {
+    require(groupBy.nonEmpty, "hampelOutliers needs group keys")
+    require(kNum > 0 && kDen > 0, "fence must be positive")
+    val gCols = groupBy.map(col)
+    val q = round(value * lit(1e6), 0).cast("long")
+    val base = df.select(gCols :+ q.as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    import org.apache.spark.sql.expressions.Window
+    def lowerMedian(in: DataFrame, vc: String, out: String): DataFrame = {
+      val byVal = in.groupBy(gCols :+ col(vc): _*).agg(count(lit(1)).as("__nv"))
+      val wCum = Window.partitionBy(gCols: _*).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(gCols: _*)
+      byVal
+        .withColumn("__cum", sum(col("__nv")).over(wCum))
+        .withColumn("__N", sum(col("__nv")).over(wAll))
+        .filter(col("__cum") * lit(2L) >= col("__N"))
+        .groupBy(gCols: _*).agg(min(col(vc)).as(out))
+    }
+    val med = lowerMedian(base, "__x", "__med")
+    val dev = base.join(med, groupBy)
+      .select(gCols :+ abs(col("__x") - col("__med")).as("__d")
+        :+ col("__med"): _*)
+    val mad = lowerMedian(dev, "__d", "__mad")
+    dev.join(mad, groupBy)
+      .groupBy(gCols: _*)
+      .agg(count(lit(1)).as("n"),
+        max(col("__med")).as("__m"),
+        max(col("__mad")).as("__madv"),
+        sum(when(col("__d") * lit(kDen) > col("__mad") * lit(kNum), 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .select(gCols :+ col("n")
+        :+ round(col("__m").cast("double") / lit(1e6), 6).as("median")
+        :+ round(col("__madv").cast("double") / lit(1e6), 6).as("mad")
+        :+ col("n_flagged"): _*)
+  }
+
+  /** Empirical upper-tail dependence of a paired series — do X and Y
+    * spike TOGETHER? For the q-th upper quantile (exact order-statistic
+    * thresholds):
+    *
+    *   λ_xy = P(Y > y_q | X > x_q),  λ_yx the reverse,
+    *   lift = P(both) / (P(X>x_q)·P(Y>y_q))
+    *
+    * — the co-crash number a Pearson correlation (dominated by the
+    * bulk) cannot give. One row:
+    * `(n, thr_x, thr_y, n_x, n_y, n_joint, lambda_xy, lambda_yx,
+    * lift)`; lambdas null when the conditioning side is empty.
+    *
+    * Determinism: thresholds are exact lower-quantile crossings on
+    * distinct-value tables (cum·qDen ≥ qNum·N — integer test);
+    * exceedance counts are exact.
+    *
+    * Scale shape: two distinct-value aggregations (bounded cumulative
+    * windows — the binaryAuc bound), 1-row threshold broadcasts, one
+    * conditional aggregation over the pairs.
+    */
+  def tailDependence(df: DataFrame, xCol: Column, yCol: Column,
+                     qNum: Int, qDen: Int): DataFrame = {
+    require(qNum > 0 && qDen > 0 && qNum < qDen, s"bad quantile: $qNum/$qDen")
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.select(q(xCol).as("__x"), q(yCol).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    import org.apache.spark.sql.expressions.Window
+    def thr(vc: String, out: String): DataFrame = {
+      val byVal = base.groupBy(col(vc)).agg(count(lit(1)).as("__nv"))
+      val wCum = Window.orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byVal.agg(sum(col("__nv")).as("__N"))
+      byVal.crossJoin(broadcast(tot))
+        .withColumn("__cum", sum(col("__nv")).over(wCum))
+        .filter(col("__cum") * lit(qDen.toLong) >= lit(qNum.toLong) * col("__N"))
+        .agg(min(col(vc)).as(out))
+    }
+    val agg = base
+      .crossJoin(broadcast(thr("__x", "__tx")))
+      .crossJoin(broadcast(thr("__y", "__ty")))
+      .agg(count(lit(1)).as("n"),
+        max(col("__tx")).as("__thx"), max(col("__ty")).as("__thy"),
+        sum(when(col("__x") > col("__tx"), 1L).otherwise(0L)).as("n_x"),
+        sum(when(col("__y") > col("__ty"), 1L).otherwise(0L)).as("n_y"),
+        sum(when(col("__x") > col("__tx") && col("__y") > col("__ty"), 1L)
+          .otherwise(0L)).as("n_joint"))
+    def d(c: String): Column = col(c).cast("double")
+    agg.select(col("n"),
+      round(d("__thx") / lit(1e6), 6).as("thr_x"),
+      round(d("__thy") / lit(1e6), 6).as("thr_y"),
+      col("n_x"), col("n_y"), col("n_joint"),
+      when(col("n_x") > 0, round(d("n_joint") / d("n_x"), 6)).as("lambda_xy"),
+      when(col("n_y") > 0, round(d("n_joint") / d("n_y"), 6)).as("lambda_yx"),
+      when(col("n_x") > 0 && col("n_y") > 0,
+        round(d("n_joint") * d("n") / (d("n_x") * d("n_y")), 6)).as("lift"))
+  }
+
   /** Welch's heteroscedastic one-way ANOVA — [[anovaOneWay]] without
     * the equal-variance assumption it usually violates in the wild:
     *

@@ -1270,6 +1270,37 @@ object StatsQueries {
     graft.ops.Stats.stratifiedAte(t(s, dir, "events"),
       dayofweek(col("ts")), pmod(col("user_id"), lit(2)) === 0, col("value"))
 
+  /** Hampel median/MAD outlier screen
+    * ([[graft.ops.Stats.hampelOutliers]]) on order totals per priority:
+    * the robust count of extreme orders beside q_grubbs' single-suspect
+    * verdict and q_outliers' IQR flags — a fence the outliers
+    * themselves cannot drag. Exact order-statistic median and MAD,
+    * integer 3.5-MAD fence.
+    */
+  private def qHampel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.hampelOutliers(t(s, dir, "orders"),
+        Seq("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Upper-tail dependence ([[graft.ops.Stats.tailDependence]]) between
+    * daily purchase and click revenue at the 90th percentile: do the
+    * two streams SPIKE together — the co-crash/co-surge number q_corr's
+    * bulk-dominated Pearson cannot see. Exact order-statistic
+    * thresholds, exact exceedance counts.
+    */
+  private def qTailDep(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))).as("pc"),
+        sum(when(col("event_type") === "click",
+          round(col("value") * 100).cast("long"))).as("cc"))
+      .filter(col("pc").isNotNull && col("cc").isNotNull)
+    graft.ops.Stats.tailDependence(daily,
+      col("pc") / lit(100.0), col("cc") / lit(100.0), qNum = 9, qDen = 10)
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wilcoxon" -> (qWilcoxon _),
@@ -1278,6 +1309,8 @@ object StatsQueries {
     "q_welch_anova" -> (qWelchAnova _),
     "q_negbin" -> (qNegbin _),
     "q_strat_ate" -> (qStratAte _),
+    "q_hampel" -> (qHampel _),
+    "q_tail_dep" -> (qTailDep _),
     "q_cmh" -> (qCmh _),
     "q_jackknife" -> (qJackknife _),
     "q_anova" -> (qAnova _),
@@ -1422,6 +1455,83 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_hampel" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 1000000.0) AS BIGINT) AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |bv AS (SELECT g, x, COUNT(*) AS nv FROM v GROUP BY 1, 2),
+        |md AS (
+        |  SELECT g, MIN(x) AS med FROM (
+        |    SELECT g, x,
+        |      SUM(nv) OVER (PARTITION BY g ORDER BY x
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(nv) OVER (PARTITION BY g) AS nn
+        |    FROM bv) q
+        |  WHERE cum * 2 >= nn GROUP BY 1),
+        |dv AS (SELECT v.g, abs(x - med) AS d, med FROM v JOIN md ON v.g = md.g),
+        |bd AS (SELECT g, d, COUNT(*) AS nd FROM dv GROUP BY 1, 2),
+        |md2 AS (
+        |  SELECT g, MIN(d) AS mad FROM (
+        |    SELECT g, d,
+        |      SUM(nd) OVER (PARTITION BY g ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(nd) OVER (PARTITION BY g) AS nn
+        |    FROM bd) q
+        |  WHERE cum * 2 >= nn GROUP BY 1)
+        |SELECT dv.g AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(MAX(med) AS DOUBLE) / 1000000.0, 6) AS median,
+        |  round(CAST(MAX(mad) AS DOUBLE) / 1000000.0, 6) AS mad,
+        |  CAST(SUM(CASE WHEN d * 2 > mad * 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM dv JOIN md2 ON dv.g = md2.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tail_dep" ->
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS pc,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END) AS cc
+        |  FROM events GROUP BY 1),
+        |v AS (
+        |  SELECT
+        |    CAST(round(CAST(pc AS DOUBLE) / 100.0 * 1000000.0) AS BIGINT) AS x,
+        |    CAST(round(CAST(cc AS DOUBLE) / 100.0 * 1000000.0) AS BIGINT) AS y
+        |  FROM d WHERE pc IS NOT NULL AND cc IS NOT NULL),
+        |bx AS (SELECT x, COUNT(*) AS nv FROM v GROUP BY 1),
+        |tx AS (
+        |  SELECT MIN(x) AS thx FROM (
+        |    SELECT x, SUM(nv) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(nv) OVER () AS nn
+        |    FROM bx) q WHERE cum * 10 >= 9 * nn),
+        |by2 AS (SELECT y, COUNT(*) AS nv FROM v GROUP BY 1),
+        |ty AS (
+        |  SELECT MIN(y) AS thy FROM (
+        |    SELECT y, SUM(nv) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(nv) OVER () AS nn
+        |    FROM by2) q WHERE cum * 10 >= 9 * nn),
+        |a AS (
+        |  SELECT COUNT(*) AS n, MAX(thx) AS thx, MAX(thy) AS thy,
+        |    SUM(CASE WHEN x > thx THEN 1 ELSE 0 END) AS nx,
+        |    SUM(CASE WHEN y > thy THEN 1 ELSE 0 END) AS ny,
+        |    SUM(CASE WHEN x > thx AND y > thy THEN 1 ELSE 0 END) AS nj
+        |  FROM v CROSS JOIN tx CROSS JOIN ty)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(thx AS DOUBLE) / 1000000.0, 6) AS thr_x,
+        |  round(CAST(thy AS DOUBLE) / 1000000.0, 6) AS thr_y,
+        |  CAST(nx AS BIGINT) AS n_x, CAST(ny AS BIGINT) AS n_y,
+        |  CAST(nj AS BIGINT) AS n_joint,
+        |  CASE WHEN nx > 0 THEN
+        |    round(CAST(nj AS DOUBLE) / CAST(nx AS DOUBLE), 6) END AS lambda_xy,
+        |  CASE WHEN ny > 0 THEN
+        |    round(CAST(nj AS DOUBLE) / CAST(ny AS DOUBLE), 6) END AS lambda_yx,
+        |  CASE WHEN nx > 0 AND ny > 0 THEN
+        |    round(CAST(nj AS DOUBLE) * CAST(n AS DOUBLE)
+        |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)), 6) END AS lift
+        |FROM a""".stripMargin,
     "q_welch_anova" ->
       """WITH v AS (
         |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x
