@@ -1686,6 +1686,149 @@ object Timeseries {
       :+ when(ok && s2 > 0.0, round(tDf, 6)).as("t_df"): _*)
   }
 
+  /** Discrete periodogram at integer frequencies 1..maxFreq — WHERE is
+    * the cycle? Power at frequency f over the demeaned series:
+    *
+    *   P(f) = (C_f² + S_f²) / n,   C_f = Σ x̃ₜ·cos(2πft/n),  S_f = Σ x̃ₜ·sin(·)
+    *
+    * the spectral complement of [[autocorrelation]]: a weekly cycle in
+    * a 700-day series lights up f ≈ n/7 (period_len ≈ 7). Returns
+    * `(parts..., freq, n, period_len, power)`; power in original
+    * units². Null power when n < 2·maxFreq (under-resolved).
+    *
+    * Determinism: demeaning clears exactly (n·xₜ − S); each
+    * trig product quantizes per (row, freq) at milli-micro before the
+    * exact sums, so the only cross-engine trust is libm cos/sin on
+    * identical doubles — absorbed by the quantization (the ln
+    * convention).
+    *
+    * Scale shape: one series-keyed exchange (count/sum/index windows),
+    * a narrow ×maxFreq explode, one (series, freq) map-combined
+    * aggregation.
+    */
+  def periodogram(df: DataFrame, parts: Seq[String], orderCol: Column,
+                  valueCol: Column, maxFreq: Int): DataFrame = {
+    require(parts.nonEmpty, "periodogram needs series keys")
+    require(maxFreq >= 1 && maxFreq <= 64, s"maxFreq out of range: $maxFreq")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(
+        pCols :+ orderCol.as("__o")
+          :+ round(valueCol * lit(1e6), 0).cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val wAll = Window.partitionBy(pCols: _*)
+    val wOrd = wAll.orderBy(col("__o"))
+    val indexed = base.select(
+      pCols :+ col("__x")
+        :+ count(lit(1)).over(wAll).as("__n")
+        :+ sum(col("__x").cast(dec)).over(wAll).as("__S")
+        :+ (row_number().over(wOrd) - 1).cast("long").as("__t"): _*)
+    val nD = col("__n").cast("double")
+    val xc = (col("__n").cast(dec) * col("__x").cast(dec) - col("__S"))
+      .cast("double") / nD
+    val exploded = indexed
+      .select(pCols :+ col("__n") :+ col("__t") :+ xc.as("__xc")
+        :+ explode(array((1 to maxFreq).map(f => lit(f.toLong)): _*)).as("freq"): _*)
+    val ang = lit(2.0) * lit(math.Pi) * col("freq").cast("double") *
+      col("__t").cast("double") / col("__n").cast("double")
+    val ct = round(col("__xc") * cos(ang) * lit(1e3), 0).cast("long")
+    val st = round(col("__xc") * sin(ang) * lit(1e3), 0).cast("long")
+    val agg = exploded.groupBy(pCols :+ col("freq"): _*).agg(
+      max(col("__n")).as("n"), sum(ct).as("__c"), sum(st).as("__s"))
+    def d(c: String): Column = col(c).cast("double")
+    // ct/st carry 1e3·micro = 1e9·units — power scales by 1e18
+    val power = (d("__c") * d("__c") + d("__s") * d("__s")) / d("n") / lit(1e18)
+    agg.select(pCols :+ col("freq") :+ col("n")
+      :+ round(d("n") / col("freq").cast("double"), 6).as("period_len")
+      :+ when(col("n") >= 2L * maxFreq, round(power, 6)).as("power"): _*)
+  }
+
+  /** Seasonal-strength decomposition — HOW MUCH of the detrended
+    * variation does a caller-supplied seasonal bucket (weekday, month,
+    * hour…) explain:
+    *
+    *   strength = max(0, 1 − Var(remainder)/Var(detrended))
+    *
+    * with detrended = x − OLS trend line and remainder = detrended −
+    * bucket mean. The STL-lite readout behind "is this series worth a
+    * seasonal model?" — [[seasonalFactors]] gives the factors, this
+    * says whether they matter. Per series:
+    * `(parts..., n, n_buckets, var_detrended, var_remainder, strength)`;
+    * null when n < 3 or the detrended variance is 0.
+    *
+    * Determinism: the trend fit is closed-form over exact decimal
+    * moments; detrended values quantize to milli-micro per row BEFORE
+    * the bucket means, and remainders re-quantize before the variance
+    * pass — every cross-row sum is an exact integer sum.
+    *
+    * Scale shape: one series-keyed exchange (the index window) shared
+    * by both passes; the fit and bucket-mean tables are series- and
+    * bucket-bounded joins (AQE broadcast).
+    */
+  def seasonalStrength(df: DataFrame, parts: Seq[String], orderCol: Column,
+                       valueCol: Column, bucket: Column): DataFrame = {
+    require(parts.nonEmpty, "seasonalStrength needs series keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(
+        pCols :+ orderCol.as("__o") :+ bucket.as("__b")
+          :+ round(valueCol * lit(1e6), 0).cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull && col("__b").isNotNull)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val indexed = base.withColumn("__t", (row_number().over(w) - 1).cast("long"))
+    val fit = indexed.groupBy(pCols: _*).agg(
+      count(lit(1)).as("__nall"),
+      sum(col("__t").cast(dec)).as("__st"),
+      sum(col("__t").cast(dec) * col("__t").cast(dec)).as("__stt"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__t").cast(dec) * col("__x").cast(dec)).as("__stx"))
+    val m = col("__nall").cast("double")
+    def f(c: String): Column = col(c).cast("double")
+    val sxx = m * f("__stt") - f("__st") * f("__st")
+    val withFit = fit.select(pCols :+ col("__nall") :+ col("__st") :+ col("__sx")
+      :+ ((m * f("__stx") - f("__st") * f("__sx")) / sxx).as("__bb")
+      :+ sxx.as("__den"): _*)
+      .withColumn("__a",
+        (col("__sx").cast("double") - col("__bb") * col("__st").cast("double"))
+          / col("__nall").cast("double"))
+      .drop("__st", "__sx")
+    val joined = indexed.join(withFit, parts)
+    // detrended, in exact milli-micro integers
+    val dmm = round((col("__x") - (col("__a") + col("__bb") * col("__t")))
+      * lit(1e3), 0).cast("long")
+    val dt = joined.select(pCols :+ col("__b") :+ col("__nall") :+ col("__a")
+      :+ col("__bb") :+ col("__den") :+ dmm.as("__d"): _*)
+    val bMeans = dt.groupBy(pCols :+ col("__b"): _*).agg(
+      count(lit(1)).as("__nb"), sum(col("__d").cast(dec)).as("__sb"))
+    val withMean = dt.join(bMeans, parts :+ "__b")
+    val rem = round((col("__d").cast("double") -
+      col("__sb").cast("double") / col("__nb").cast("double")) * lit(1e3), 0)
+      .cast("long")
+    val fin = withMean.select(pCols :+ col("__nall") :+ col("__den")
+        :+ col("__d") :+ rem.as("__r"): _*)
+      .groupBy(pCols: _*).agg(
+        max(col("__nall")).as("n"),
+        max(col("__den")).as("__dn"),
+        sum(col("__d").cast(dec)).as("__sd"),
+        sum(col("__d").cast(dec) * col("__d").cast(dec)).as("__sdd"),
+        sum(col("__r").cast(dec)).as("__sr"),
+        sum(col("__r").cast(dec) * col("__r").cast(dec)).as("__srr"))
+    val nBuckets = bMeans.groupBy(pCols: _*).agg(count(lit(1)).as("n_buckets"))
+    val out = fin.join(nBuckets, parts)
+    val nD = col("n").cast("double")
+    // population variances; __d at 1e3·micro (= 1e9·units), __r at 1e6·micro
+    val varD = (col("n").cast(dec) * col("__sdd") - col("__sd") * col("__sd"))
+      .cast("double") / (nD * nD) / lit(1e18)
+    val varR = (col("n").cast(dec) * col("__srr") - col("__sr") * col("__sr"))
+      .cast("double") / (nD * nD) / lit(1e24)
+    val ok = col("n") >= 3 && col("__dn") > 0.0 && varD > 0.0
+    out.select(pCols :+ col("n") :+ col("n_buckets")
+      :+ when(ok, round(varD, 6)).as("var_detrended")
+      :+ when(ok, round(varR, 6)).as("var_remainder")
+      :+ when(ok, round(greatest(lit(0.0), lit(1.0) - varR / varD), 6))
+        .as("strength"): _*)
+  }
+
   /** Partial autocorrelation at lags 1–3 via the closed-form
     * Durbin-Levinson recursion — WHICH lag carries direct signal once
     * shorter lags are controlled (the AR-order picker; [[autocorrelation]]

@@ -572,6 +572,30 @@ object EventQueries {
         Seq("event_type"), col("day"), col("amount"))
       .orderBy(col("event_type"))
 
+  /** Discrete periodogram ([[graft.ops.Timeseries.periodogram]]) of
+    * daily revenue per event type at frequencies 1–16: WHERE is the
+    * cycle — the spectral view whose weekly peak q_autocorr's lag-7
+    * correlation and q_seasonal's factors both presuppose. Exact
+    * demeaning, milli-micro quantized trig terms, one narrow
+    * frequency explode.
+    */
+  private def qPeriodogram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.periodogram(dailyAmount(s, dir), Seq("event_type"),
+        col("day"), col("amount"), maxFreq = 16)
+      .orderBy(col("event_type"), col("freq"))
+
+  /** Seasonal strength ([[graft.ops.Timeseries.seasonalStrength]]):
+    * how much of each event type's detrended daily variation the
+    * weekday explains — the one number that says whether q_seasonal's
+    * factors are worth a model. Closed-form trend, bucket-mean
+    * removal, exact quantized variance passes.
+    */
+  private def qSeasonalStrength(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.seasonalStrength(dailyAmount(s, dir),
+        Seq("event_type"), col("day"), col("amount"),
+        bucket = dayofweek(to_date(col("day"))))
+      .orderBy(col("event_type"))
+
   /** Linear multi-touch attribution
     * ([[graft.ops.Funnel.linearAttribution]]): purchase value split
     * equally over the clicks since the user's previous purchase,
@@ -904,6 +928,8 @@ object EventQueries {
     "q_pacf" -> (qPacf _),
     "q_theta" -> (qTheta _),
     "q_attribution" -> (qAttribution _),
+    "q_periodogram" -> (qPeriodogram _),
+    "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_runs_test" -> (qRunsTest _),
     "q_ccf" -> (qCcf _),
     "q_concurrency" -> (qConcurrency _),
@@ -1273,6 +1299,111 @@ object EventQueries {
         |  FROM p5)
         |SELECT event_type, CAST(n AS BIGINT) AS n, lag, pacf
         |FROM u ORDER BY event_type, lag""".stripMargin,
+    "q_periodogram" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |i AS (
+        |  SELECT event_type, x,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY event_type) AS s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+        |  FROM v),
+        |e AS (
+        |  SELECT event_type, n, t,
+        |    CAST(CAST(n AS HUGEINT) * x - s AS DOUBLE) / CAST(n AS DOUBLE) AS xc,
+        |    unnest(range(1, 17)) AS freq
+        |  FROM i),
+        |tt AS (
+        |  SELECT event_type, freq, n,
+        |    CAST(round(xc * cos(2.0 * pi() * freq * t / CAST(n AS DOUBLE))
+        |      * 1000.0) AS BIGINT) AS ct,
+        |    CAST(round(xc * sin(2.0 * pi() * freq * t / CAST(n AS DOUBLE))
+        |      * 1000.0) AS BIGINT) AS st
+        |  FROM e),
+        |a AS (
+        |  SELECT event_type, freq, MAX(n) AS n, SUM(ct) AS c, SUM(st) AS s2
+        |  FROM tt GROUP BY 1, 2)
+        |SELECT event_type, CAST(freq AS BIGINT) AS freq, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / CAST(freq AS DOUBLE), 6) AS period_len,
+        |  CASE WHEN n >= 32 THEN
+        |    round((CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+        |      + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      / 1000000000000000000.0, 6) END AS power
+        |FROM a ORDER BY event_type, freq""".stripMargin,
+    "q_seasonal_strength" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |i AS (
+        |  SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+        |  FROM v),
+        |fit AS (
+        |  SELECT event_type, COUNT(*) AS nall,
+        |    SUM(CAST(t AS HUGEINT)) AS st, SUM(CAST(t AS HUGEINT) * t) AS stt,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(t AS HUGEINT) * x) AS stx
+        |  FROM i GROUP BY 1),
+        |f1 AS (
+        |  SELECT event_type, nall, CAST(nall AS DOUBLE) AS m,
+        |    CAST(st AS DOUBLE) AS fst, CAST(stt AS DOUBLE) AS fstt,
+        |    CAST(sx AS DOUBLE) AS fsx, CAST(stx AS DOUBLE) AS fstx
+        |  FROM fit),
+        |f2 AS (
+        |  SELECT event_type, nall, m, fsx, fst,
+        |    m * fstt - fst * fst AS den,
+        |    (m * fstx - fst * fsx) / (m * fstt - fst * fst) AS bb
+        |  FROM f1),
+        |f3 AS (
+        |  SELECT event_type, nall, den, bb, (fsx - bb * fst) / m AS a
+        |  FROM f2),
+        |dt AS (
+        |  SELECT i.event_type, dayofweek(CAST(day AS DATE)) AS b, nall, den,
+        |    CAST(round((x - (a + bb * t)) * 1000.0) AS BIGINT) AS dd
+        |  FROM i JOIN f3 ON i.event_type = f3.event_type),
+        |bm AS (
+        |  SELECT event_type, b, COUNT(*) AS nb,
+        |    SUM(CAST(dd AS HUGEINT)) AS sb
+        |  FROM dt GROUP BY 1, 2),
+        |wm AS (
+        |  SELECT dt.event_type, dt.nall, dt.den, dd,
+        |    CAST(round((CAST(dd AS DOUBLE) - CAST(sb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) * 1000.0) AS BIGINT) AS rr
+        |  FROM dt JOIN bm ON dt.event_type = bm.event_type AND dt.b = bm.b),
+        |fin AS (
+        |  SELECT event_type, MAX(nall) AS n, MAX(den) AS dn,
+        |    SUM(CAST(dd AS HUGEINT)) AS sd, SUM(CAST(dd AS HUGEINT) * dd) AS sdd,
+        |    SUM(CAST(rr AS HUGEINT)) AS sr, SUM(CAST(rr AS HUGEINT) * rr) AS srr
+        |  FROM wm GROUP BY 1),
+        |nb2 AS (SELECT event_type, COUNT(*) AS n_buckets FROM bm GROUP BY 1),
+        |c AS (
+        |  SELECT f.event_type, n, n_buckets, dn,
+        |    CAST(CAST(n AS HUGEINT) * sdd - sd * sd AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |      / 1000000000000000000.0 AS vard,
+        |    CAST(CAST(n AS HUGEINT) * srr - sr * sr AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |      / 1000000000000000000000000.0 AS varr
+        |  FROM fin f JOIN nb2 ON f.event_type = nb2.event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CASE WHEN n >= 3 AND dn > 0.0 AND vard > 0.0 THEN
+        |    round(vard, 6) END AS var_detrended,
+        |  CASE WHEN n >= 3 AND dn > 0.0 AND vard > 0.0 THEN
+        |    round(varr, 6) END AS var_remainder,
+        |  CASE WHEN n >= 3 AND dn > 0.0 AND vard > 0.0 THEN
+        |    round(GREATEST(0.0, 1.0 - varr / vard), 6) END AS strength
+        |FROM c ORDER BY event_type""".stripMargin,
     "q_attribution" ->
       """WITH t AS (
         |  SELECT user_id AS e, event_type = 'click' AS tt,
