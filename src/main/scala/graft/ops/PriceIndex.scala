@@ -801,6 +801,72 @@ object PriceIndex {
           .as("fisher"))
   }
 
+  /** Bortkiewicz decomposition of the Laspeyres–Paasche gap: with
+    * base-value weights wᵢ = p₀q₀, price relatives rᵢ = pₜ/p₀ and
+    * quantity relatives sᵢ = qₜ/q₀,
+    *
+    *   P_P / P_L = 1 + Cov_w(r, s) / (r̄·s̄)
+    *
+    * — the gap IS the weighted covariance of price and quantity
+    * relatives: consumers substituting away from price rises
+    * (negative correlation) is exactly what drags Paasche below
+    * Laspeyres. Per period:
+    * `(period, n_items, laspeyres, q_laspeyres, paasche_implied,
+    * gap_pct, corr_rs)` — paasche here is the identity-implied value
+    * (bit-equal to the direct one up to the shared quantization);
+    * corr_rs is the weighted correlation, null when either relative
+    * is constant.
+    *
+    * Determinism: unit values are exact decimal ratios; the six
+    * weighted sums (Σw, Σwr, Σws, Σwrs, Σwr², Σws²) micro-quantize
+    * per item before the period aggregation, so the mean-cleared
+    * covariance/correlation close is one fixed IEEE tree.
+    *
+    * Scale shape: the [[bilateralIndexes]] contract — ONE
+    * (item, period) aggregation over the transaction scan, an
+    * item-bounded base join (AQE broadcast), one period reduction.
+    */
+  def bortkiewicz(df: DataFrame, itemCol: String, periodCol: Column,
+                  expCol: String, qtyCol: String,
+                  basePeriod: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val uv = df
+      .groupBy(col(itemCol).as("__it"), periodCol.as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__pd"),
+        (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
+        col("__Q").cast("double").as("__q"))
+    val base = uv.filter(col("__pd") === basePeriod)
+      .select(col("__it"), col("__p").as("__p0"), col("__q").as("__q0"))
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    val j = uv.join(base, Seq("__it"))
+    val w = col("__p0") * col("__q0")
+    val r = col("__p") / col("__p0")
+    val sRel = col("__q") / col("__q0")
+    val agg = j.groupBy(col("__pd")).agg(
+      count(lit(1)).as("n_items"),
+      sum(micro(w)).as("__w"),
+      sum(micro(w * r)).as("__wr"),
+      sum(micro(w * sRel)).as("__ws"),
+      sum(micro(w * r * sRel)).as("__wrs"),
+      sum(micro(w * r * r)).as("__wrr"),
+      sum(micro(w * sRel * sRel)).as("__wss"))
+    def d(c: String): Column = col(c).cast("double")
+    val rBar = d("__wr") / d("__w")
+    val sBar = d("__ws") / d("__w")
+    val cov = d("__wrs") / d("__w") - rBar * sBar
+    val varR = d("__wrr") / d("__w") - rBar * rBar
+    val varS = d("__wss") / d("__w") - sBar * sBar
+    val gap = cov / (rBar * sBar)
+    agg.select(col("__pd").as("period"), col("n_items"),
+      round(rBar, 6).as("laspeyres"),
+      round(sBar, 6).as("q_laspeyres"),
+      round(rBar * (lit(1.0) + gap), 6).as("paasche_implied"),
+      round(gap, 6).as("gap_pct"),
+      when(varR > 0.0 && varS > 0.0,
+        round(cov / sqrt(varR * varS), 6)).as("corr_rs"))
+  }
+
   /** Lowe and Young indexes vs `basePeriod` with weights drawn from a
     * separate `weightPeriod` — the price-reference / weight-reference
     * split every production CPI runs on (the UK CPI is an annually

@@ -1686,6 +1686,42 @@ object Timeseries {
       :+ when(ok && s2 > 0.0, round(tDf, 6)).as("t_df"): _*)
   }
 
+  /** Effective sample size under autocorrelation:
+    *
+    *   ESS = n / (1 + 2·Σ_{k=1..L} ρ_k)
+    *
+    * — how many INDEPENDENT observations an autocorrelated series is
+    * actually worth; the deflator that turns [[neweyWestMeanSe]]'s
+    * corrected SE into a sample-size story (monitoring windows, MCMC
+    * thinning, "how long must I observe?"). Per series:
+    * `(parts..., n, sum_acf, ess)`; null when the truncated kernel
+    * goes non-positive (heavy negative correlation at this L — raise
+    * the lag cap) or n ≤ maxLag + 1.
+    *
+    * Determinism: rides [[autocorrelation]]'s exact-identity ρ's,
+    * already 6-dp — the cross-lag sum is exact integers at 1e6.
+    *
+    * Scale shape: the autocorrelation exchange plus a lag-bounded
+    * rollup.
+    */
+  def effectiveSampleSize(df: DataFrame, parts: Seq[String], orderCol: Column,
+                          valueCol: Column, maxLag: Int): DataFrame = {
+    val acf = autocorrelation(df, parts, orderCol, valueCol, maxLag)
+    val pCols = parts.map(col)
+    val agg = acf.groupBy(pCols: _*).agg(
+      max(col("n_pairs") + col("lag")).as("n"),
+      sum(when(col("acf").isNotNull,
+        round(col("acf") * lit(1e6), 0).cast("long")).otherwise(0L)).as("__r6"),
+      sum(when(col("acf").isNull, 1L).otherwise(0L)).as("__miss"))
+    val nD = col("n").cast("double")
+    val sumAcf = col("__r6").cast("double") / lit(1e6)
+    val den = lit(1.0) + lit(2.0) * sumAcf
+    val ok = col("__miss") === 0L && den > 0.0
+    agg.select(pCols :+ col("n")
+      :+ round(sumAcf, 6).as("sum_acf")
+      :+ when(ok, round(nD / den, 6)).as("ess"): _*)
+  }
+
   /** Discrete periodogram at integer frequencies 1..maxFreq — WHERE is
     * the cycle? Power at frequency f over the demeaned series:
     *

@@ -30,6 +30,18 @@ object DedupQueries {
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Per-document shingle novelty ([[Dedup.shingleNovelty]]): what
+    * fraction of each document's distinct 5-gram shingles appear
+    * nowhere else — the memorization-risk inverse of q_dedup_jaccard's
+    * pair view (low novelty = boilerplate tissue, high = unique
+    * content or a contamination candidate). Hash-invariant counts:
+    * Spark shuffles 8-byte shingle hashes, the oracle counts the
+    * strings.
+    */
+  private def qNovelty(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleNovelty(t(s, dir, "documents"), "doc_id", "text", 5)
+      .orderBy(col("doc_id"))
+
   /** Keep-BEST near-dup removal ([[Dedup.dedupByPairsKeepBest]]):
     * Jaccard >= 0.5 pairs → connected components → the LONGEST member
     * (n_chars desc, doc_id asc) survives each cluster — the real
@@ -231,6 +243,7 @@ object DedupQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_novelty" -> (qNovelty _),
     "q_dedup_best" -> (qDedupBest _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_containment" -> (qMinhashContainment _),
@@ -248,6 +261,26 @@ object DedupQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_novelty" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+4], ' ')
+        |      FOR i IN range(1, len(w)-3)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id IS NOT NULL AND text IS NOT NULL)),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |cnt AS (SELECT shingle, COUNT(*) AS nd FROM e GROUP BY 1),
+        |per AS (
+        |  SELECT e.doc_id, COUNT(*) AS n_sh,
+        |    SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS n_uniq
+        |  FROM e JOIN cnt USING (shingle) GROUP BY 1)
+        |SELECT s.doc_id, CAST(COALESCE(n_sh, 0) AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(n_uniq, 0) AS BIGINT) AS n_unique,
+        |  CASE WHEN COALESCE(n_sh, 0) > 0 THEN
+        |    round(CAST(n_uniq AS DOUBLE) / CAST(n_sh AS DOUBLE), 6)
+        |  END AS novelty
+        |FROM s LEFT JOIN per ON s.doc_id = per.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH s AS (
         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS sh

@@ -572,6 +572,22 @@ object EventQueries {
         Seq("event_type"), col("day"), col("amount"))
       .orderBy(col("event_type"))
 
+  /** Effective sample size
+    * ([[graft.ops.Timeseries.effectiveSampleSize]]) of the hourly
+    * revenue series at lag 6: how many independent observations each
+    * stream is actually worth — the deflator that turns q_autocorr's
+    * correlations into a "how long must I monitor?" answer. Exact
+    * 6-dp ρ sums on the existing series exchange.
+    */
+  private def qEffectiveN(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("__h"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    graft.ops.Timeseries.effectiveSampleSize(hourly, Seq("event_type"),
+        col("__h"), col("cents"), maxLag = 6)
+      .orderBy(col("event_type"))
+  }
+
   /** Discrete periodogram ([[graft.ops.Timeseries.periodogram]]) of
     * daily revenue per event type at frequencies 1–16: WHERE is the
     * cycle — the spectral view whose weekly peak q_autocorr's lag-7
@@ -930,6 +946,7 @@ object EventQueries {
     "q_attribution" -> (qAttribution _),
     "q_periodogram" -> (qPeriodogram _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
+    "q_effective_n" -> (qEffectiveN _),
     "q_runs_test" -> (qRunsTest _),
     "q_ccf" -> (qCcf _),
     "q_concurrency" -> (qConcurrency _),
@@ -1048,8 +1065,60 @@ object EventQueries {
        |FROM u ORDER BY event_type, lag""".stripMargin
   }
 
+  /** Oracle for [[qEffectiveN]]: [[autocorrOracleSql]]'s exact-identity
+    * ρ CTEs rolled up to ESS = n / (1 + 2·Σρ).
+    */
+  private def essOracleSql(maxLag: Int): String = {
+    val lagCols = (1 to maxLag).map(k => s"lag(x, $k) OVER w AS l$k").mkString(", ")
+    val aggCols = (1 to maxLag).map { k =>
+      s"""SUM(CASE WHEN l$k IS NOT NULL THEN x * l$k END) AS sxy$k,
+         |    SUM(CASE WHEN l$k IS NOT NULL THEN x END) AS hh$k,
+         |    SUM(CASE WHEN l$k IS NOT NULL THEN l$k END) AS tt$k,
+         |    SUM(CASE WHEN l$k IS NOT NULL THEN 1 ELSE 0 END) AS np$k""".stripMargin
+    }.mkString(",\n    ")
+    val unions = (1 to maxLag).map { k =>
+      s"SELECT event_type, $k AS lag, np$k AS np, sxy$k AS sxy, hh$k AS hh, tt$k AS tt, n, s, sxx FROM a"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH hv AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |    SUM(CAST(round(value * 100) AS BIGINT)) AS x
+       |  FROM events GROUP BY 1, 2),
+       |l AS (
+       |  SELECT event_type, x, $lagCols
+       |  FROM hv WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+       |a AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS sxx,
+       |    $aggCols
+       |  FROM l GROUP BY 1),
+       |u AS (
+       |  $unions),
+       |acf AS (
+       |  SELECT event_type, lag, CAST(COALESCE(np, 0) AS BIGINT) AS n_pairs,
+       |    CASE WHEN np >= 2
+       |          AND CAST(n * (n * sxx - s * s) AS DOUBLE) > 0
+       |      THEN round(
+       |        CAST(n * n * sxy - n * s * (hh + tt) + (n - lag) * s * s AS DOUBLE)
+       |        / CAST(n * (n * sxx - s * s) AS DOUBLE), 6)
+       |    END AS acf
+       |  FROM u),
+       |r AS (
+       |  SELECT event_type, MAX(n_pairs + lag) AS n,
+       |    SUM(CASE WHEN acf IS NOT NULL THEN
+       |      CAST(round(acf * 1000000.0) AS BIGINT) ELSE 0 END) AS r6,
+       |    SUM(CASE WHEN acf IS NULL THEN 1 ELSE 0 END) AS miss
+       |  FROM acf GROUP BY 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n,
+       |  round(CAST(r6 AS DOUBLE) / 1000000.0, 6) AS sum_acf,
+       |  CASE WHEN miss = 0
+       |      AND 1.0 + 2.0 * (CAST(r6 AS DOUBLE) / 1000000.0) > 0.0 THEN
+       |    round(CAST(n AS DOUBLE)
+       |      / (1.0 + 2.0 * (CAST(r6 AS DOUBLE) / 1000000.0)), 6) END AS ess
+       |FROM r ORDER BY event_type""".stripMargin
+  }
+
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_effective_n" -> essOracleSql(maxLag = 6),
     "q_changepoint" ->
       """WITH d AS (
         |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,

@@ -297,6 +297,21 @@ object PriceQueries {
         "l_extendedprice", "l_quantity", basePeriod = "1995-01")
       .orderBy(col("period"))
 
+  /** Bortkiewicz gap decomposition
+    * ([[graft.ops.PriceIndex.bortkiewicz]]) on q_price_index's 1995
+    * monthly panel: WHY Paasche trails Laspeyres — the gap equals the
+    * weighted covariance of price and quantity relatives, so the
+    * substitution story (consumers fleeing price rises) becomes one
+    * auditable correlation per period. Same unit-value machinery, six
+    * micro-quantized weighted sums, one period reduction.
+    */
+  private def qBortkiewicz(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.bortkiewicz(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
   /** Lowe and Young indexes ([[graft.ops.PriceIndex.loweYoung]]): price
     * reference 1995-01, weight reference 1995-02 — the CPI's
     * price/weight-period split (a Laspeyres is the degenerate case
@@ -429,6 +444,7 @@ object PriceQueries {
     "q_tpd_index" -> (qTpdIndex _),
     "q_weight_audit" -> (qWeightAudit _),
     "q_price_index" -> (qPriceIndex _),
+    "q_bortkiewicz" -> (qBortkiewicz _),
     "q_lowe_young" -> (qLoweYoung _),
     "q_index_contrib" -> (qIndexContrib _),
     "q_elementary_index" -> (qElementaryIndex _),
@@ -923,6 +939,49 @@ object PriceQueries {
         |SELECT period, item, contrib_pts FROM c
         |WHERE abs(contrib_pts) >= 0.001
         |ORDER BY period, item""".stripMargin,
+    "q_bortkiewicz" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |j AS (SELECT uv.pd, uv.p, uv.qd, b.p0, b.q0 FROM uv JOIN base b USING (it)),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(CAST(round(p0 * q0 * 1000000.0) AS BIGINT)) AS w,
+        |    SUM(CAST(round(p0 * q0 * (p / p0) * 1000000.0) AS BIGINT)) AS wr,
+        |    SUM(CAST(round(p0 * q0 * (qd / q0) * 1000000.0) AS BIGINT)) AS ws,
+        |    SUM(CAST(round(p0 * q0 * (p / p0) * (qd / q0) * 1000000.0)
+        |      AS BIGINT)) AS wrs,
+        |    SUM(CAST(round(p0 * q0 * (p / p0) * (p / p0) * 1000000.0)
+        |      AS BIGINT)) AS wrr,
+        |    SUM(CAST(round(p0 * q0 * (qd / q0) * (qd / q0) * 1000000.0)
+        |      AS BIGINT)) AS wss
+        |  FROM j GROUP BY 1),
+        |c AS (
+        |  SELECT period, n_items,
+        |    CAST(wr AS DOUBLE) / CAST(w AS DOUBLE) AS rbar,
+        |    CAST(ws AS DOUBLE) / CAST(w AS DOUBLE) AS sbar,
+        |    CAST(wrs AS DOUBLE) / CAST(w AS DOUBLE) AS mrs,
+        |    CAST(wrr AS DOUBLE) / CAST(w AS DOUBLE) AS mrr,
+        |    CAST(wss AS DOUBLE) / CAST(w AS DOUBLE) AS mss
+        |  FROM agg)
+        |SELECT period, n_items,
+        |  round(rbar, 6) AS laspeyres,
+        |  round(sbar, 6) AS q_laspeyres,
+        |  round(rbar * (1.0 + (mrs - rbar * sbar) / (rbar * sbar)), 6)
+        |    AS paasche_implied,
+        |  round((mrs - rbar * sbar) / (rbar * sbar), 6) AS gap_pct,
+        |  CASE WHEN mrr - rbar * rbar > 0.0 AND mss - sbar * sbar > 0.0 THEN
+        |    round((mrs - rbar * sbar)
+        |      / sqrt((mrr - rbar * rbar) * (mss - sbar * sbar)), 6)
+        |  END AS corr_rs
+        |FROM c ORDER BY period""".stripMargin,
     "q_price_index" ->
       """WITH li AS (
         |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,

@@ -509,4 +509,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Per-document shingle novelty — the memorization-risk inverse of
+    * the dedup family: what fraction of each document's distinct
+    * n-gram shingles appear in NO other document. Low novelty =
+    * boilerplate/near-dup tissue [[ngramJaccardPairs]] will also see;
+    * high novelty = unique content worth keeping (or a contamination
+    * candidate worth checking). Returns
+    * `(idCol, n_shingles, n_unique, novelty)`; documents shorter than
+    * the shingle size report 0 shingles and a null score.
+    *
+    * Counts are hash-invariant: Spark counts 64-bit shingle hashes
+    * (8-byte shuffle keys — the [[ngramJaccardPairs]] scale posture)
+    * while an oracle may count the string shingles; doc-frequencies
+    * agree modulo hash collisions, the same accepted bound as the
+    * Jaccard family.
+    *
+    * Scale shape: one shingle-keyed aggregation (map-combined), one
+    * doc-keyed rollup of the joined frequencies, a left join back to
+    * the id spine for shingle-less docs.
+    */
+  def shingleNovelty(df: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 5): DataFrame = {
+    val base = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val pairs = base.select(col(idCol),
+        explode(graft.functions.ArrayMath.shingleHash64(
+          TextStats.tokens(col(textCol)), shingleSize)).as("__g"))
+    val cnt = pairs.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+    val per = pairs.join(cnt, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__nd") === 1L, 1L).otherwise(0L)).as("n_unique"))
+    base.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0L,
+          round(col("n_unique").cast("double")
+            / col("n_shingles").cast("double"), 6)).as("novelty"))
+  }
 }
