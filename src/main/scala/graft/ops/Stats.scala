@@ -3732,6 +3732,120 @@ object Stats {
         :+ round(when(ok, num / col("__s").cast("double")), 6).as("chi2"): _*)
   }
 
+  /** Quantile treatment effects — the DISTRIBUTIONAL A/B readout: at
+    * each requested quantile, the treated-minus-control difference of
+    * exact order statistics. A zero mean effect can hide a transfer
+    * from the median to the tail; QTE is where that shows. Returns one
+    * row per quantile:
+    * `(p_num, p_den, n_treat, n_ctrl, q_treat, q_ctrl, qte)`.
+    *
+    * Determinism: per-arm lower-quantile crossings on distinct-value
+    * tables (cum·den ≥ num·N — integer test), arm-partitioned
+    * cumulative windows (frames bounded by distinct values).
+    *
+    * Scale shape: one (arm, value)-keyed aggregation, bounded
+    * windows, a ≤|quantiles|-row literal explode, one pivot join.
+    */
+  def quantileTreatmentEffect(df: DataFrame, treated: Column, value: Column,
+                              quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty &&
+      quantiles.forall { case (n, d) => n > 0 && d > 0 && n < d },
+      "quantiles must be proper fractions")
+    val q = round(value * lit(1e6), 0).cast("long")
+    val base = df.select(treated.as("__t"), q.as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+    val byVal = base.groupBy(col("__t"), col("__x")).agg(count(lit(1)).as("__nv"))
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("__t")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__t"))
+    val cum = byVal
+      .withColumn("__cum", sum(col("__nv")).over(wCum))
+      .withColumn("__N", sum(col("__nv")).over(wAll))
+    val qRows = array(quantiles.map { case (n, d) =>
+      struct(lit(n).as("p_num"), lit(d).as("p_den"))
+    }: _*)
+    val crossed = cum
+      .select(col("__t"), col("__x"), col("__cum"), col("__N"),
+        explode(qRows).as("__q"))
+      .filter(col("__cum") * col("__q.p_den").cast("long") >=
+        col("__q.p_num").cast("long") * col("__N"))
+      .groupBy(col("__t"), col("__q.p_num").as("p_num"),
+        col("__q.p_den").as("p_den"))
+      .agg(min(col("__x")).as("__thr"), max(col("__N")).as("__n"))
+    def side(flag: Boolean, s: String): DataFrame =
+      crossed.filter(col("__t") === flag)
+        .select(col("p_num"), col("p_den"), col("__thr").as(s"__thr$s"),
+          col("__n").as(s"__n$s"))
+    side(true, "t").join(side(false, "c"), Seq("p_num", "p_den"))
+      .select(col("p_num"), col("p_den"),
+        col("__nt").as("n_treat"), col("__nc").as("n_ctrl"),
+        round(col("__thrt").cast("double") / lit(1e6), 6).as("q_treat"),
+        round(col("__thrc").cast("double") / lit(1e6), 6).as("q_ctrl"),
+        round((col("__thrt") - col("__thrc")).cast("double") / lit(1e6), 6)
+          .as("qte"))
+  }
+
+  /** Oaxaca-Blinder threefold decomposition of a group mean gap with
+    * one covariate: how much of ȳ_t − ȳ_c is ENDOWMENT (different x),
+    * COEFFICIENT (different returns to x, intercept included), and
+    * INTERACTION:
+    *
+    *   E = β_c(x̄_t − x̄_c),  C = (α_t − α_c) + x̄_c(β_t − β_c),
+    *   I = (β_t − β_c)(x̄_t − x̄_c),  gap ≡ E + C + I (exactly)
+    *
+    * — "is the pay gap explained by hours?" answered in three numbers.
+    * Returns one row
+    * `(n_treat, n_ctrl, gap, endowment, coefficient, interaction)`;
+    * null decomposition when either regression is degenerate.
+    *
+    * Determinism: per-group OLS from exact decimal moments (micro
+    * quantization on BOTH columns); the decomposition is one fixed
+    * IEEE tree, so the identity holds digit-for-digit.
+    *
+    * Scale shape: ONE conditional moment aggregation to a single row.
+    */
+  def oaxacaBlinder(df: DataFrame, treated: Column, yCol: Column,
+                    xCol: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.select(treated.as("__t"), q(yCol).as("__y"), q(xCol).as("__x"))
+      .filter(col("__t").isNotNull && col("__y").isNotNull && col("__x").isNotNull)
+    def sums(flag: Boolean, s: String) = Seq(
+      sum(when(col("__t") === flag, 1L).otherwise(0L)).as(s"n$s"),
+      sum(when(col("__t") === flag, col("__x").cast(dec))).as(s"__sx$s"),
+      sum(when(col("__t") === flag, col("__y").cast(dec))).as(s"__sy$s"),
+      sum(when(col("__t") === flag, col("__x").cast(dec) * col("__x").cast(dec)))
+        .as(s"__sxx$s"),
+      sum(when(col("__t") === flag, col("__x").cast(dec) * col("__y").cast(dec)))
+        .as(s"__sxy$s"))
+    val aggCols = sums(true, "t") ++ sums(false, "c")
+    val agg = base.agg(aggCols.head, aggCols.tail: _*)
+    def d(c: String): Column = col(c).cast("double")
+    def fit(s: String): (Column, Column, Column, Column) = {
+      val m = d(s"n$s")
+      val sxx = m * d(s"__sxx$s") - d(s"__sx$s") * d(s"__sx$s")
+      val beta = (m * d(s"__sxy$s") - d(s"__sx$s") * d(s"__sy$s")) / sxx
+      val xBar = d(s"__sx$s") / m / lit(1e6)
+      val yBar = d(s"__sy$s") / m / lit(1e6)
+      (xBar, yBar, beta, sxx)
+    }
+    val (xt, yt, bt, st) = fit("t")
+    val (xc, yc, bc, sc) = fit("c")
+    val alphaT = yt - bt * xt
+    val alphaC = yc - bc * xc
+    val gap = yt - yc
+    val endow = bc * (xt - xc)
+    val coefTerm = (alphaT - alphaC) + xc * (bt - bc)
+    val inter = (bt - bc) * (xt - xc)
+    val ok = col("nt") >= 2 && col("nc") >= 2 && st > 0.0 && sc > 0.0
+    agg.select(col("nt").as("n_treat"), col("nc").as("n_ctrl"),
+      when(col("nt") >= 1 && col("nc") >= 1, round(gap, 6)).as("gap"),
+      when(ok, round(endow, 6)).as("endowment"),
+      when(ok, round(coefTerm, 6)).as("coefficient"),
+      when(ok, round(inter, 6)).as("interaction"))
+  }
+
   /** Hampel (median/MAD) outlier screen — the robust complement of
     * [[grubbsTest]]: flag |x − median| > (kNum/kDen)·MAD, with both the
     * median and the MAD exact lower-median order statistics (no

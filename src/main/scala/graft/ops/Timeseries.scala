@@ -1686,6 +1686,68 @@ object Timeseries {
       :+ when(ok && s2 > 0.0, round(tDf, 6)).as("t_df"): _*)
   }
 
+  /** Shewhart individuals control chart (I-MR): per series,
+    *
+    *   UCL/LCL = x̄ ± 2.66·MR̄,   MR̄ = mean |xₜ − xₜ₋₁|
+    *
+    * with 2.66 = 3/d₂(2) the standard individuals-chart constant —
+    * the process-control fence beside [[flagAnomalies]]' rolling z
+    * (fixed limits from the WHOLE run, not a trailing window; right
+    * for "is this process in control?" rather than "did this point
+    * spike?"). Returns
+    * `(parts..., n, mean, mr_bar, ucl, lcl, n_above, n_below)`;
+    * limits null when n < 2 or the series is constant.
+    *
+    * Determinism: Σx and Σ|Δx| are exact integer sums on micro
+    * values; the violation counts compare micro integers against
+    * once-computed double limits re-quantized to micros — the same
+    * integer-fence discipline as [[graft.ops.Stats.hampelOutliers]].
+    *
+    * Scale shape: one series-keyed exchange (the lag window), one
+    * map-combined aggregation, a 1-row limit broadcast back over the
+    * same partitioning.
+    */
+  def controlChart(df: DataFrame, parts: Seq[String], orderCol: Column,
+                   valueCol: Column): DataFrame = {
+    require(parts.nonEmpty, "controlChart needs series keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(
+        pCols :+ orderCol.as("__o")
+          :+ round(valueCol * lit(1e6), 0).cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val lagged = base.withColumn("__p", lag(col("__x"), 1).over(w))
+    val agg = lagged.groupBy(pCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(dec)).as("__s"),
+      sum(when(col("__p").isNotNull,
+        abs(col("__x") - col("__p")).cast(dec))).as("__smr"),
+      sum(when(col("__p").isNotNull, 1L).otherwise(0L)).as("__nmr"))
+    val nD = col("n").cast("double")
+    val mean = col("__s").cast("double") / nD / lit(1e6)
+    val mrBar = col("__smr").cast("double") / col("__nmr").cast("double") / lit(1e6)
+    val limits = agg.select(pCols :+ col("n")
+      :+ round(mean, 6).as("mean")
+      :+ when(col("__nmr") >= 1, round(mrBar, 6)).as("mr_bar")
+      :+ when(col("__nmr") >= 1 && mrBar > 0.0,
+        round(mean + lit(2.66) * mrBar, 6)).as("ucl")
+      :+ when(col("__nmr") >= 1 && mrBar > 0.0,
+        round(mean - lit(2.66) * mrBar, 6)).as("lcl"): _*)
+    val vio = base.join(limits, parts)
+      .groupBy(pCols: _*)
+      .agg(
+        sum(when(col("ucl").isNotNull &&
+          col("__x") > round(col("ucl") * lit(1e6), 0).cast("long"), 1L)
+          .otherwise(0L)).as("n_above"),
+        sum(when(col("lcl").isNotNull &&
+          col("__x") < round(col("lcl") * lit(1e6), 0).cast("long"), 1L)
+          .otherwise(0L)).as("n_below"))
+    limits.join(vio, parts)
+      .select(pCols :+ col("n") :+ col("mean") :+ col("mr_bar")
+        :+ col("ucl") :+ col("lcl") :+ col("n_above") :+ col("n_below"): _*)
+  }
+
   /** Effective sample size under autocorrelation:
     *
     *   ESS = n / (1 + 2·Σ_{k=1..L} ρ_k)

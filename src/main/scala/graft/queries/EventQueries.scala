@@ -572,6 +572,17 @@ object EventQueries {
         Seq("event_type"), col("day"), col("amount"))
       .orderBy(col("event_type"))
 
+  /** Shewhart individuals chart ([[graft.ops.Timeseries.controlChart]])
+    * on daily revenue per event type: the process-control limits
+    * (x̄ ± 2.66·MR̄) and how many days breach them — fixed-limit
+    * process health beside q_anomaly's trailing z and q_cusum's drift
+    * walk. Exact moving-range sums, integer violation fences.
+    */
+  private def qSpc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.controlChart(dailyAmount(s, dir),
+        Seq("event_type"), col("day"), col("amount"))
+      .orderBy(col("event_type"))
+
   /** Effective sample size
     * ([[graft.ops.Timeseries.effectiveSampleSize]]) of the hourly
     * revenue series at lag 6: how many independent observations each
@@ -947,6 +958,7 @@ object EventQueries {
     "q_periodogram" -> (qPeriodogram _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_effective_n" -> (qEffectiveN _),
+    "q_spc" -> (qSpc _),
     "q_runs_test" -> (qRunsTest _),
     "q_ccf" -> (qCcf _),
     "q_concurrency" -> (qConcurrency _),
@@ -1119,6 +1131,54 @@ object EventQueries {
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_effective_n" -> essOracleSql(maxLag = 6),
+    "q_spc" ->
+      """WITH d AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM d),
+        |l AS (
+        |  SELECT event_type, x,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS p
+        |  FROM v),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+        |    SUM(CASE WHEN p IS NOT NULL THEN CAST(abs(x - p) AS HUGEINT) END) AS smr,
+        |    SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS nmr
+        |  FROM l GROUP BY 1),
+        |lim AS (
+        |  SELECT event_type, n,
+        |    round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean,
+        |    CASE WHEN nmr >= 1 THEN
+        |      round(CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE) / 1000000.0, 6)
+        |    END AS mr_bar,
+        |    CASE WHEN nmr >= 1
+        |        AND CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE) / 1000000.0 > 0.0
+        |      THEN round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |        + 2.66 * (CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE)
+        |          / 1000000.0), 6) END AS ucl,
+        |    CASE WHEN nmr >= 1
+        |        AND CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE) / 1000000.0 > 0.0
+        |      THEN round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |        - 2.66 * (CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE)
+        |          / 1000000.0), 6) END AS lcl
+        |  FROM a),
+        |vio AS (
+        |  SELECT v.event_type,
+        |    SUM(CASE WHEN ucl IS NOT NULL
+        |      AND x > CAST(round(ucl * 1000000.0) AS BIGINT)
+        |      THEN 1 ELSE 0 END) AS n_above,
+        |    SUM(CASE WHEN lcl IS NOT NULL
+        |      AND x < CAST(round(lcl * 1000000.0) AS BIGINT)
+        |      THEN 1 ELSE 0 END) AS n_below
+        |  FROM v JOIN lim ON v.event_type = lim.event_type GROUP BY 1)
+        |SELECT lim.event_type, CAST(n AS BIGINT) AS n, mean, mr_bar, ucl, lcl,
+        |  CAST(n_above AS BIGINT) AS n_above, CAST(n_below AS BIGINT) AS n_below
+        |FROM lim JOIN vio ON lim.event_type = vio.event_type
+        |ORDER BY lim.event_type""".stripMargin,
     "q_changepoint" ->
       """WITH d AS (
         |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,

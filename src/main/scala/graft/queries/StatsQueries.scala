@@ -1301,8 +1301,35 @@ object StatsQueries {
       col("pc") / lit(100.0), col("cc") / lit(100.0), qNum = 9, qDen = 10)
   }
 
+  /** Quantile treatment effects
+    * ([[graft.ops.Stats.quantileTreatmentEffect]]): even-vs-odd user
+    * value differences at the quartiles and the 90th percentile — the
+    * distributional A/B view where q_strat_ate's single mean can hide
+    * a median-to-tail transfer. Exact per-arm order statistics.
+    */
+  private def qQte(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.quantileTreatmentEffect(
+        t(s, dir, "events").filter(col("user_id").isNotNull),
+        pmod(col("user_id"), lit(2)) === 0, col("value"),
+        Seq((1, 4), (1, 2), (3, 4), (9, 10)))
+      .orderBy(col("p_num"), col("p_den"))
+
+  /** Oaxaca-Blinder decomposition ([[graft.ops.Stats.oaxacaBlinder]]):
+    * how much of the even-vs-odd user value gap is explained by WHEN
+    * they are active (hour of day as the covariate) vs different
+    * returns to the same hours — the endowment/coefficient split
+    * behind every "is the gap composition?" question. Closed-form
+    * two-group OLS, one moment pass, exact identity.
+    */
+  private def qOaxaca(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.oaxacaBlinder(t(s, dir, "events"),
+      pmod(col("user_id"), lit(2)) === 0, col("value"),
+      hour(col("ts")).cast("double"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_qte" -> (qQte _),
+    "q_oaxaca" -> (qOaxaca _),
     "q_wilcoxon" -> (qWilcoxon _),
     "q_grubbs" -> (qGrubbs _),
     "q_rate_ratio" -> (qRateRatio _),
@@ -1455,6 +1482,81 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_qte" ->
+      """WITH v AS (
+        |  SELECT user_id % 2 = 0 AS t,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |bv AS (SELECT t, x, COUNT(*) AS nv FROM v GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT t, x,
+        |    SUM(nv) OVER (PARTITION BY t ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(nv) OVER (PARTITION BY t) AS nn
+        |  FROM bv),
+        |qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (9, 10))
+        |  AS q(p_num, p_den)),
+        |cr AS (
+        |  SELECT t, p_num, p_den, MIN(x) AS thr, MAX(nn) AS n
+        |  FROM cum CROSS JOIN qs
+        |  WHERE cum * p_den >= p_num * nn GROUP BY 1, 2, 3)
+        |SELECT a.p_num, a.p_den,
+        |  CAST(a.n AS BIGINT) AS n_treat, CAST(b.n AS BIGINT) AS n_ctrl,
+        |  round(CAST(a.thr AS DOUBLE) / 1000000.0, 6) AS q_treat,
+        |  round(CAST(b.thr AS DOUBLE) / 1000000.0, 6) AS q_ctrl,
+        |  round(CAST(a.thr - b.thr AS DOUBLE) / 1000000.0, 6) AS qte
+        |FROM cr a JOIN cr b
+        |  ON a.p_num = b.p_num AND a.p_den = b.p_den AND a.t AND NOT b.t
+        |ORDER BY a.p_num, a.p_den""".stripMargin,
+    "q_oaxaca" ->
+      """WITH v AS (
+        |  SELECT user_id % 2 = 0 AS t,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS y,
+        |    CAST(round(CAST(hour(ts) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |a AS (
+        |  SELECT
+        |    SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+        |    SUM(CASE WHEN t THEN CAST(x AS HUGEINT) END) AS sxt,
+        |    SUM(CASE WHEN t THEN CAST(y AS HUGEINT) END) AS syt,
+        |    SUM(CASE WHEN t THEN CAST(x AS HUGEINT) * x END) AS sxxt,
+        |    SUM(CASE WHEN t THEN CAST(x AS HUGEINT) * y END) AS sxyt,
+        |    SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc,
+        |    SUM(CASE WHEN NOT t THEN CAST(x AS HUGEINT) END) AS sxc,
+        |    SUM(CASE WHEN NOT t THEN CAST(y AS HUGEINT) END) AS syc,
+        |    SUM(CASE WHEN NOT t THEN CAST(x AS HUGEINT) * x END) AS sxxc,
+        |    SUM(CASE WHEN NOT t THEN CAST(x AS HUGEINT) * y END) AS sxyc
+        |  FROM v),
+        |f AS (
+        |  SELECT nt, nc,
+        |    CAST(nt AS DOUBLE) * CAST(sxxt AS DOUBLE)
+        |      - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) AS st,
+        |    (CAST(nt AS DOUBLE) * CAST(sxyt AS DOUBLE)
+        |      - CAST(sxt AS DOUBLE) * CAST(syt AS DOUBLE))
+        |      / (CAST(nt AS DOUBLE) * CAST(sxxt AS DOUBLE)
+        |        - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE)) AS bt,
+        |    CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) / 1000000.0 AS xt,
+        |    CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) / 1000000.0 AS yt,
+        |    CAST(nc AS DOUBLE) * CAST(sxxc AS DOUBLE)
+        |      - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE) AS sc,
+        |    (CAST(nc AS DOUBLE) * CAST(sxyc AS DOUBLE)
+        |      - CAST(sxc AS DOUBLE) * CAST(syc AS DOUBLE))
+        |      / (CAST(nc AS DOUBLE) * CAST(sxxc AS DOUBLE)
+        |        - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE)) AS bc,
+        |    CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE) / 1000000.0 AS xc,
+        |    CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) / 1000000.0 AS yc
+        |  FROM a)
+        |SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+        |  CASE WHEN nt >= 1 AND nc >= 1 THEN round(yt - yc, 6) END AS gap,
+        |  CASE WHEN nt >= 2 AND nc >= 2 AND st > 0.0 AND sc > 0.0 THEN
+        |    round(bc * (xt - xc), 6) END AS endowment,
+        |  CASE WHEN nt >= 2 AND nc >= 2 AND st > 0.0 AND sc > 0.0 THEN
+        |    round(((yt - bt * xt) - (yc - bc * xc)) + xc * (bt - bc), 6)
+        |  END AS coefficient,
+        |  CASE WHEN nt >= 2 AND nc >= 2 AND st > 0.0 AND sc > 0.0 THEN
+        |    round((bt - bc) * (xt - xc), 6) END AS interaction
+        |FROM f""".stripMargin,
     "q_hampel" ->
       """WITH v AS (
         |  SELECT o_orderpriority AS g,
