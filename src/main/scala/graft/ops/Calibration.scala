@@ -289,6 +289,87 @@ object Calibration {
       when(mccDen > 0.0, round(mcc, 6)).as("mcc"))
   }
 
+  /** Kolmogorov-Smirnov separation of a score column — the
+    * credit-scoring KS: max over thresholds of
+    * |F_pos(t) − F_neg(t)|, with the threshold that achieves it. The
+    * "one best cut exists and here it is" reading of what
+    * [[Stats.binaryAuc]] integrates. Returns one row
+    * `(n, n_pos, ks, threshold)`; ties on the max break to the
+    * SMALLEST threshold; null when either class is empty.
+    *
+    * Determinism: the scan runs on the distinct-score table with
+    * exact cumulative counts; the comparison is the cleared integer
+    * |cumPos·N_neg − cumNeg·N_pos|, and the argmax an exact
+    * lexicographic struct-min on (−d, t).
+    *
+    * Scale shape: one (score)-keyed aggregation, cumulative windows
+    * over the DISTINCT-SCORE table (the binaryAuc bound), one
+    * struct-min.
+    */
+  def ksScore(df: DataFrame, positive: Column, score: Column): DataFrame = {
+    val sq = round(score * lit(1e6), 0).cast("long")
+    val base = df.select(positive.as("__y"), sq.as("__s"))
+      .filter(col("__y").isNotNull && col("__s").isNotNull)
+    val cells = base.groupBy(col("__s")).agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+      sum(when(!col("__y"), 1L).otherwise(0L)).as("__q"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Long.MinValue, Window.currentRow)
+    val cum = cells
+      .withColumn("__cp", sum(col("__p")).over(w))
+      .withColumn("__cq", sum(col("__q")).over(w))
+    val tot = cells.agg(sum(col("__p")).as("__tp"), sum(col("__q")).as("__tq"))
+    val j = cum.crossJoin(broadcast(tot))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = abs(col("__cp").cast(dec) * col("__tq").cast(dec) -
+      col("__cq").cast(dec) * col("__tp").cast(dec))
+    val best = j.select(col("__tp"), col("__tq"),
+        struct((-d).as("nd"), col("__s").as("t")).as("__cand"))
+      .groupBy(col("__tp"), col("__tq"))
+      .agg(min(col("__cand")).as("__best"))
+    val ks = (-col("__best.nd")).cast("double") /
+      (col("__tp").cast("double") * col("__tq").cast("double"))
+    val ok = col("__tp") > 0 && col("__tq") > 0
+    best.select((col("__tp") + col("__tq")).as("n"), col("__tp").as("n_pos"),
+      when(ok, round(ks, 6)).as("ks"),
+      when(ok, round(col("__best.t").cast("double") / lit(1e6), 6))
+        .as("threshold"))
+  }
+
+  /** Brier skill score vs the climatology baseline: BSS = 1 − BS/BS_ref
+    * with BS_ref = p̄(1 − p̄), the Brier score of always predicting the
+    * base rate — the number that turns [[brierDecomposition]]'s
+    * absolute BS into "better or worse than knowing nothing?"
+    * (BSS > 0 = skill, < 0 = actively misleading). One row:
+    * `(n, n_pos, brier, brier_ref, bss)`; bss null when the base rate
+    * is degenerate (all one class).
+    *
+    * Determinism: Σ(s − y)² is an exact integer sum on micro scores;
+    * the skill close is one fixed IEEE tree.
+    *
+    * Scale shape: ONE map-combined aggregation to a single row.
+    */
+  def brierSkill(df: DataFrame, positive: Column, score: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sq = round(score * lit(1e6), 0).cast("long")
+    val base = df.select(positive.as("__y"), sq.as("__s"))
+      .filter(col("__y").isNotNull && col("__s").isNotNull)
+    val e = col("__s") - when(col("__y"), 1000000L).otherwise(0L)
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+      sum(e.cast(dec) * e.cast(dec)).as("__se2"))
+    val nD = col("n").cast("double")
+    val brier = col("__se2").cast("double") / nD / lit(1e12)
+    val pBar = col("n_pos").cast("double") / nD
+    val ref = pBar * (lit(1.0) - pBar)
+    val ok = col("n") > 0 && col("n_pos") > 0 && col("n_pos") < col("n")
+    agg.select(col("n"), col("n_pos"),
+      when(col("n") > 0, round(brier, 6)).as("brier"),
+      when(ok, round(ref, 6)).as("brier_ref"),
+      when(ok, round(lit(1.0) - brier / ref, 6)).as("bss"))
+  }
+
   /** Best single-threshold decision stump by weighted Gini impurity —
     * the one-split tree over a score column: the interpretable
     * baseline every threshold choice should beat, and the greedy step

@@ -851,6 +851,24 @@ object TextQueries {
     graft.ops.Calibration.confusionStats(scoredDocs(s, dir),
       col("y"), col("s"))
 
+  /** Credit-scoring KS ([[graft.ops.Calibration.ksScore]]) of the
+    * classifier: the single best separation between English and
+    * non-English score distributions and WHERE it sits — the
+    * one-threshold summary q_auc integrates away and q_stump re-derives
+    * via impurity. Cleared-integer CDF gaps on the distinct-score
+    * table.
+    */
+  private def qKsScore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.ksScore(scoredDocs(s, dir), col("y"), col("s"))
+
+  /** Brier skill score ([[graft.ops.Calibration.brierSkill]]): does the
+    * classifier beat always-predict-the-base-rate — the go/no-go
+    * number q_brier's absolute score cannot give alone. One exact
+    * aggregation.
+    */
+  private def qBss(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.brierSkill(scoredDocs(s, dir), col("y"), col("s"))
+
   /** Best Gini decision stump ([[graft.ops.Calibration.decisionStump]])
     * on the classifier score for lang=en: the single cut a tree
     * learner would greedily take — the interpretable floor any fancier
@@ -1065,6 +1083,8 @@ object TextQueries {
     "q_fertility" -> (qFertility _),
     "q_stump" -> (qStump _),
     "q_hash_collisions" -> (qHashCollisions _),
+    "q_ks_score" -> (qKsScore _),
+    "q_bss" -> (qBss _),
     "q_ccc" -> (qCcc _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
@@ -1431,6 +1451,87 @@ object TextQueries {
         |        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))), 6)
         |  END AS mcc
         |FROM ag""".stripMargin,
+    "q_ks_score" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT lang, round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1000000.0 + (-0.05)))), 6) AS s
+        |  FROM agg),
+        |b AS (
+        |  SELECT lang = 'en' AS y, CAST(round(s * 1000000.0) AS BIGINT) AS sq
+        |  FROM sc WHERE lang IS NOT NULL AND s IS NOT NULL),
+        |cells AS (
+        |  SELECT sq, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+        |    SUM(CASE WHEN y THEN 0 ELSE 1 END) AS q
+        |  FROM b GROUP BY 1),
+        |cum AS (
+        |  SELECT sq, SUM(p) OVER w AS cp, SUM(q) OVER w AS cq
+        |  FROM cells
+        |  WINDOW w AS (ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT SUM(p) AS pp, SUM(q) AS nn FROM cells),
+        |dd AS (
+        |  SELECT sq, abs(CAST(cp AS HUGEINT) * nn - CAST(cq AS HUGEINT) * pp) AS d,
+        |    pp, nn
+        |  FROM cum CROSS JOIN tot),
+        |mx AS (SELECT MAX(d) AS md FROM dd),
+        |th AS (SELECT MIN(sq) AS ts FROM dd JOIN mx ON dd.d = mx.md)
+        |SELECT CAST(pp + nn AS BIGINT) AS n, CAST(pp AS BIGINT) AS n_pos,
+        |  CASE WHEN pp > 0 AND nn > 0 THEN
+        |    round(CAST(d AS DOUBLE) / (CAST(pp AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+        |  END AS ks,
+        |  CASE WHEN pp > 0 AND nn > 0 THEN
+        |    round(CAST(dd.sq AS DOUBLE) / 1000000.0, 6) END AS threshold
+        |FROM dd JOIN th ON dd.sq = th.ts""".stripMargin,
+    "q_bss" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT lang, round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / 1000000.0 + (-0.05)))), 6) AS s
+        |  FROM agg),
+        |b AS (
+        |  SELECT lang = 'en' AS y, CAST(round(s * 1000000.0) AS BIGINT) AS sq
+        |  FROM sc WHERE lang IS NOT NULL AND s IS NOT NULL),
+        |a AS (
+        |  SELECT COUNT(*) AS n, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+        |    SUM(CAST(sq - CASE WHEN y THEN 1000000 ELSE 0 END AS HUGEINT)
+        |      * (sq - CASE WHEN y THEN 1000000 ELSE 0 END)) AS se2
+        |  FROM b)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+        |  CASE WHEN n > 0 THEN
+        |    round(CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0, 6)
+        |  END AS brier,
+        |  CASE WHEN n > 0 AND np > 0 AND np < n THEN
+        |    round((CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |  END AS brier_ref,
+        |  CASE WHEN n > 0 AND np > 0 AND np < n THEN
+        |    round(1.0 - CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0
+        |      / ((CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        |  END AS bss
+        |FROM a""".stripMargin,
     "q_stump" ->
       """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |feats AS (

@@ -115,6 +115,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_weibull" -> "rank-prefix + total-count windows over the distinct-duration table (rows = distinct durations, the q_km bound); ranks explode NARROWLY from that bounded table",
     "q_stump" -> "cumulative candidate-cut windows over the DISTINCT-SCORE table (the q_auc bound)",
     "q_tail_dep" -> "quantile-crossing cumulative windows over the two distinct-value tables (the q_auc bound)",
+    "q_ks_score" -> "CDF-gap cumulative windows over the DISTINCT-SCORE table (the q_auc bound)",
     "q_page_trend" -> "treatment-order row-number over the K-ROW treatment rank-sum table (rows = treatment count)",
   )
 
