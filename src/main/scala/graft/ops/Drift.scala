@@ -245,6 +245,45 @@ object Drift {
           / lit(math.log(2.0)), 6).as("jsd_norm"))
   }
 
+  /** Total variation distance between two categorical distributions —
+    * the EXACT companion of [[jsDivergence]]: TVD = ½ Σ|p_v − q_v| is
+    * the largest possible difference in probability either side can
+    * assign to any event set, and unlike JSD it needs NO logarithm:
+    *
+    *   TVD = Σ_v |c_a(v)·N_b − c_b(v)·N_a| / (2·N_a·N_b)
+    *
+    * — the cleared-integer spelling makes every term exact, so the
+    * headline number is pure integer arithmetic until one final
+    * division. One row: `(n_ref, n_cur, n_categories, tvd)`; TVD ∈
+    * [0, 1], null when either side is empty.
+    *
+    * Scale shape: one category-keyed map-combined aggregation, a
+    * 1-row totals broadcast, one rollup — the [[jsDivergence]] plan
+    * with the nano-quantized log terms replaced by exact decimals.
+    */
+  def totalVariation(ref: DataFrame, cur: DataFrame,
+                     valueCol: String): DataFrame = {
+    val counts = ref.select(col(valueCol).as("__v"), lit(1L).as("__a"), lit(0L).as("__b"))
+      .unionAll(cur.select(col(valueCol).as("__v"), lit(0L), lit(1L)))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+    val totals = counts.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val d18 = DecimalType(18, 0)
+    val term = abs(col("__ca").cast(d18) * col("__nb").cast(d18) -
+      col("__cb").cast(d18) * col("__na").cast(d18))
+    counts.crossJoin(broadcast(totals))
+      .select(col("__na"), col("__nb"), term.as("__t"))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_categories"), sum(col("__t")).as("__s"))
+      .select(col("__na").as("n_ref"), col("__nb").as("n_cur"),
+        col("n_categories"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          round(col("__s").cast("double")
+            / (lit(2.0) * col("__na").cast("double")
+              * col("__nb").cast("double")), 6)).as("tvd"))
+  }
+
   /** Pairwise vocabulary overlap between corpus slices — the set-level
     * comparison [[psiCategorical]]'s distributional view can't give
     * (two sources can share every token yet differ in mix, or share

@@ -1132,6 +1132,19 @@ object StatsQueries {
     * smoothing; JSD takes the full vocabulary raw (zeros are exact
     * zeros), with every log reduced to integer arguments.
     */
+  /** Total variation distance ([[graft.ops.Drift.totalVariation]])
+    * between src0 and src1 token distributions: the worst-case
+    * probability disagreement beside q_jsd's information-theoretic
+    * view — and the exact one (cleared integers, no logarithm), so
+    * the drift alarm threshold is auditable to the last digit.
+    */
+  private def qTvd(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def toks(src: String) = d.filter(col("source") === src)
+      .select(explode(graft.text.TextStats.tokens(col("text"))).as("token"))
+    graft.ops.Drift.totalVariation(toks("src0"), toks("src1"), "token")
+  }
+
   private def qJsd(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     def toks(src: String) = d.filter(col("source") === src)
@@ -1349,6 +1362,7 @@ object StatsQueries {
     "q_bootstrap" -> (qBootstrap _),
     "q_two_prop" -> (qTwoProp _),
     "q_jsd" -> (qJsd _),
+    "q_tvd" -> (qTvd _),
     "q_quantiles" -> (qQuantiles _),
     "q_concentration" -> (qConcentration _),
     "q_inequality" -> (qInequality _),
@@ -2930,6 +2944,29 @@ object StatsQueries {
         |        * (CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
         |          / CAST(ng AS DOUBLE))) / 1000000000.0), 6) END AS ci_hi
         |FROM ag ORDER BY f""".stripMargin,
+    "q_tvd" ->
+      """WITH rt AS (
+        |  SELECT unnest(string_split(text, ' ')) AS v FROM documents
+        |  WHERE source = 'src0'),
+        |ct AS (
+        |  SELECT unnest(string_split(text, ' ')) AS v FROM documents
+        |  WHERE source = 'src1'),
+        |c AS (
+        |  SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM (
+        |    SELECT v, 1 AS a, 0 AS b FROM rt
+        |    UNION ALL SELECT v, 0, 1 FROM ct)
+        |  WHERE v IS NOT NULL GROUP BY 1),
+        |tt AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+        |a AS (
+        |  SELECT na, nb, COUNT(*) AS n_categories,
+        |    SUM(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS s
+        |  FROM c CROSS JOIN tt GROUP BY 1, 2)
+        |SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+        |  CAST(n_categories AS BIGINT) AS n_categories,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round(CAST(s AS DOUBLE)
+        |      / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) END AS tvd
+        |FROM a""".stripMargin,
     "q_jsd" ->
       """WITH rt AS (
         |  SELECT unnest(string_split(text, ' ')) AS v FROM documents

@@ -904,6 +904,22 @@ object TextQueries {
             / col("n_features").cast("double"), 6)).as("collision_rate"))
   }
 
+  /** Rényi-2 collision diversity
+    * ([[graft.text.TextStats.renyiDiversity]]) per source: the
+    * effective vocabulary N²/Σc² — how many equally-common tokens each
+    * source is WORTH once template repetition is priced in (q_richness
+    * counts distinct types; this discounts the ones that dominate).
+    * One vocabulary shuffle, integer-arg logs.
+    */
+  private def qRenyi(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .filter(col("source").isNotNull && col("text").isNotNull)
+      .select(col("source"),
+        explode(TextStats.tokens(col("text"))).as("token"))
+    TextStats.renyiDiversity(toks, Seq("source"), col("token"))
+      .orderBy(col("source"))
+  }
+
   /** Tokenizer fertility per language: BPE-ish subwords per whitespace
     * word and characters per subword — the "how expensive is this
     * language for my tokenizer?" table (high fertility = wasted
@@ -1085,6 +1101,7 @@ object TextQueries {
     "q_hash_collisions" -> (qHashCollisions _),
     "q_ks_score" -> (qKsScore _),
     "q_bss" -> (qBss _),
+    "q_renyi" -> (qRenyi _),
     "q_ccc" -> (qCcc _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
@@ -1606,6 +1623,25 @@ object TextQueries {
         |    round(CAST(nf - nb AS DOUBLE) / CAST(nf AS DOUBLE), 6)
         |  END AS collision_rate
         |FROM a""".stripMargin,
+    "q_renyi" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |c AS (
+        |  SELECT source, t, COUNT(*) AS c FROM tok
+        |  WHERE t IS NOT NULL GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, SUM(c) AS n, COUNT(*) AS v,
+        |    SUM(CAST(c AS HUGEINT) * c) AS c2
+        |  FROM c GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS n_vocab,
+        |  CASE WHEN n > 0 AND c2 > 0 THEN
+        |    round(ln(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |      - ln(CAST(c2 AS DOUBLE)), 6) END AS renyi2,
+        |  CASE WHEN n > 0 AND c2 > 0 THEN
+        |    round(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      / CAST(c2 AS DOUBLE), 6) END AS eff_vocab
+        |FROM a ORDER BY source""".stripMargin,
     "q_fertility" ->
       """WITH d AS (
         |  SELECT lang, text FROM documents

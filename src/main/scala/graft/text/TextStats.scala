@@ -348,6 +348,43 @@ object TextStats {
           / lit(window.toDouble), 6).as("mattr"))
   }
 
+  /** Rényi-2 (collision) diversity per group: H₂ = −ln Σp² over the
+    * token distribution, with the inverse-Simpson effective vocabulary
+    * N²/Σc² — "how many EQUALLY-COMMON tokens is this source worth?"
+    * The order-2 point on the diversity profile [[simpsonDiversity]]
+    * reports per document and q_hill profiles per corpus; H₂ weights
+    * common tokens hardest, so template-heavy sources crater here
+    * first. Returns `(groupBy..., n_tokens, n_vocab, renyi2,
+    * eff_vocab)`; null when the group is empty.
+    *
+    * Determinism: counts and Σc² are exact integers; both outputs take
+    * ln of integer-valued doubles (the integer-arg ln convention) or a
+    * plain exact-integer ratio.
+    *
+    * Scale shape: one (group, token)-keyed map-combined aggregation +
+    * a group rollup — the corpus pays one vocabulary shuffle.
+    */
+  def renyiDiversity(df: DataFrame, groupBy: Seq[String],
+                     token: Column): DataFrame = {
+    require(groupBy.nonEmpty, "renyiDiversity needs group keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val counts = df.select(gCols :+ token.as("__t"): _*)
+      .filter(col("__t").isNotNull)
+      .groupBy(gCols :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val agg = counts.groupBy(gCols: _*).agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("n_vocab"),
+      sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__c2"))
+    val nD = col("n_tokens").cast("double")
+    val c2 = col("__c2").cast("double")
+    val ok = col("n_tokens") > 0L && col("__c2") > 0L
+    agg.select(gCols :+ col("n_tokens") :+ col("n_vocab")
+      :+ when(ok, round(log(nD * nD) - log(c2), 6)).as("renyi2")
+      :+ when(ok, round(nD * nD / c2, 6)).as("eff_vocab"): _*)
+  }
+
   /** Gopher-style quality-rule flags (Rae et al. 2021, §A1.1 — the
     * public heuristic ruleset most curation pipelines start from): a
     * struct of 7 booleans, true = the document PASSES the rule.
