@@ -426,21 +426,6 @@ object Calibration {
         col("__best.nl").as("n_left"), col("__best.pl").as("pos_left"))
   }
 
-  /** Mean cross-entropy (log loss) of a probability column — the
-    * PROPER scoring rule beside [[brierDecomposition]]: unlike Brier,
-    * log loss punishes confident wrong answers without bound, which is
-    * what makes it the training objective this readout mirrors. Scores
-    * clamp to [1e-6, 1 − 1e-6] in integer micro units (the standard
-    * guard — a rounded score of exactly 0 or 1 must not emit ±∞).
-    * Returns one row `(n, n_pos, log_loss)`.
-    *
-    * Determinism: each row's −(y·ln p + (1−y)·ln(1−p)) takes ln of a
-    * micro-integer ratio and nano-quantizes BEFORE the exact sum, so
-    * partial-agg order cannot move the mean.
-    *
-    * Scale shape: one map-combined conditional aggregation to a single
-    * row.
-    */
   /** NDCG@k with binary relevance — does the score column put the
     * relevant items FIRST, position-discounted the way a consumer of
     * the ranking actually reads it (where [[Stats.binaryAuc]] weighs
@@ -495,6 +480,21 @@ object Calibration {
         .as("ndcg"): _*)
   }
 
+  /** Mean cross-entropy (log loss) of a probability column — the
+    * PROPER scoring rule beside [[brierDecomposition]]: unlike Brier,
+    * log loss punishes confident wrong answers without bound, which is
+    * what makes it the training objective this readout mirrors. Scores
+    * clamp to [1e-6, 1 − 1e-6] in integer micro units (the standard
+    * guard — a rounded score of exactly 0 or 1 must not emit ±∞).
+    * Returns one row `(n, n_pos, log_loss)`.
+    *
+    * Determinism: each row's −(y·ln p + (1−y)·ln(1−p)) takes ln of a
+    * micro-integer ratio and nano-quantizes BEFORE the exact sum, so
+    * partial-agg order cannot move the mean.
+    *
+    * Scale shape: one map-combined conditional aggregation to a single
+    * row.
+    */
   def logLoss(df: DataFrame, positive: Column, score: Column): DataFrame = {
     val sq = round(score * lit(1e6), 0).cast("long")
     val clamped = least(greatest(sq, lit(1L)), lit(999999L))

@@ -163,9 +163,9 @@ object Funnel {
     * fraction of steps land in each state?"): power iteration of
     * π' = πP in EXACT integer arithmetic (the
     * [[graft.ops.Graph.pageRank]] convention — occupancy lives in
-    * integer `unit`-ths, every division a truncating `div` in fixed
-    * order, so distributed iterations hash-match an unrolled CTE chain
-    * bit-for-bit; float iteration never does):
+    * integer `unit`-ths, every division a truncating `div`, so the
+    * iteration hash-matches an unrolled CTE chain bit-for-bit; float
+    * iteration never does):
     *
     *   π'(t) = Σ_s (π(s) div out(s)) · n(s,t)
     *
@@ -174,56 +174,72 @@ object Funnel {
     * hidden). Truncation drains a few units per iteration rather than
     * redistributing — the standard simple variant.
     *
-    * Scale shape: the one (entity-sequenced) counting pass of
-    * [[transitionMatrix]]; iterations then run on the state×state COUNT
-    * table (bounded by distinct-type², never data-sized).
+    * Convergence contract (the GK/TPD discipline): with `tolUnits > 0`
+    * the sweep stops once max_s |Δπ(s)| < tolUnits, and `iters_run`
+    * reports the data-dependent round count so the published number
+    * carries its own convergence provenance; `tolUnits = 0` always pays
+    * `iterations`. The check is exact-integer, so it evaluates
+    * identically in any engine — an oracle replays it round-for-round
+    * by carrying the converged vector through its remaining unrolled
+    * CTEs.
     *
-    * @return (state, pi_units, pi) — integer `unit`-ths and the 6-dp
-    *         share
+    * Scale shape: ONE distributed (entity-sequenced) counting pass of
+    * [[transitionMatrix]]; the (from, to) count table is bounded by
+    * distinct-type² (never data-sized), so it collects under the
+    * bounded-driver-state contract (the k-means-centers / GK
+    * level-vector discipline) and the power iteration runs as exact
+    * Long arithmetic on the driver — zero per-sweep Spark jobs, and
+    * the convergence check is free. No intermediate exceeds `unit`:
+    * (π div out)·n ≤ π and the inflow sum is ≤ Σπ = unit.
+    *
+    * @return (state, pi_units, pi, iters_run) — integer `unit`-ths,
+    *         the 6-dp share, and the sweep count actually run
     */
   def stationaryDistribution(events: DataFrame, entityCol: String, tsCol: String,
                              tieCol: String, typeCol: String,
-                             iterations: Int, unit: Long = 1000000000000L): DataFrame = {
+                             iterations: Int, unit: Long = 1000000000000L,
+                             tolUnits: Long = 0L): DataFrame = {
     require(iterations >= 1 && iterations <= 32, s"iterations out of range: $iterations")
+    require(tolUnits >= 0L, s"tolUnits must be non-negative: $tolUnits")
+    val spark = events.sparkSession
     val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
-    val counts = events
-      .select(col(typeCol).as("from_type"),
-        lead(col(typeCol), 1).over(w).as("to_type"))
+    val counts: Array[(String, String, Long)] = events
+      .select(col(typeCol).cast("string").as("from_type"),
+        lead(col(typeCol), 1).over(w).cast("string").as("to_type"))
       .filter(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // reused every iteration + for states/outs
-    val states = counts.select(col("from_type").as("state"))
-      .unionAll(counts.select(col("to_type").as("state")))
-      .distinct().localCheckpoint(true)
-    val outs = counts.groupBy(col("from_type"))
-      .agg(sum(col("n")).as("out_n"))
-    val kCount = states.count()
-    var pi = states.withColumn("pi", lit(unit / math.max(kCount, 1L)))
-    var i = 0
-    while (i < iterations) {
-      val flowed = pi
-        .join(outs, pi("state") === outs("from_type"), "inner")
-        .select(col("state"), expr("pi div out_n").as("__share"))
-        .join(counts, col("state") === counts("from_type"))
-        .groupBy(col("to_type"))
-        .agg(sum(col("__share") * col("n")).as("__m"))
-      // absorbing states (no outgoing edges) keep their current mass
-      val held = pi.join(outs, pi("state") === outs("from_type"), "left_anti")
-        .select(col("state"), col("pi"))
-      pi = states
-        .join(flowed, states("state") === flowed("to_type"), "left")
-        .select(states("state"), coalesce(col("__m"), lit(0L)).as("__in"))
-        .join(held.withColumnRenamed("pi", "__held")
-          .withColumnRenamed("state", "__hs"),
-          col("state") === col("__hs"), "left")
-        .select(col("state"),
-          (col("__in") + coalesce(col("__held"), lit(0L))).as("pi"))
-        .localCheckpoint(true)
-      i += 1
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (counts.map(_._1) ++ counts.map(_._2)).distinct.sorted.toSeq
+    val outs: Map[String, Long] =
+      counts.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._3).sum }
+    val kCount = math.max(states.length, 1)
+    var pi: Map[String, Long] = states.map(s => s -> unit / kCount).toMap
+    var itersRun = 0
+    var converged = false
+    while (itersRun < iterations && !converged) {
+      val inflow = scala.collection.mutable.Map.empty[String, Long]
+      counts.foreach { case (s, t2, n) =>
+        // truncating div on non-negative longs — the SQL `//` replays it
+        inflow(t2) = inflow.getOrElse(t2, 0L) + (pi(s) / outs(s)) * n
+      }
+      val newPi = states.map { s =>
+        val held = if (outs.contains(s)) 0L else pi(s) // absorbing
+        s -> (inflow.getOrElse(s, 0L) + held)
+      }.toMap
+      itersRun += 1
+      if (tolUnits > 0L)
+        converged = states.foldLeft(0L)((m, s) =>
+          math.max(m, math.abs(newPi(s) - pi(s)))) < tolUnits
+      pi = newPi
     }
-    pi.select(col("state"), col("pi").as("pi_units"),
-      round(col("pi").cast("double") / lit(unit.toDouble), 6).as("pi"))
+    import spark.implicits._
+    states.map { s =>
+      (s, pi(s),
+        BigDecimal(pi(s).toDouble / unit.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        itersRun.toLong)
+    }.toDF("state", "pi_units", "pi", "iters_run")
   }
 
   /** Linear multi-touch attribution: each conversion's value splits

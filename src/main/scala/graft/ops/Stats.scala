@@ -4159,8 +4159,13 @@ object Stats {
       countDistinct(when(inB, exposureUnit)).as("e2"))
     def d(c: String): Column = col(c).cast("double")
     val rr = (d("c1") / d("e1")) / (d("c2") / d("e2"))
-    val lnRr = log((col("c1") * col("e2")).cast("double")) -
-      log((col("c2") * col("e1")).cast("double"))
+    // exact decimal products (a Long product overflows past ~9.2e18 at
+    // large count×exposure scale); decimal→double of the exact product
+    // is the same IEEE value as the in-range long→double, so the tree
+    // the oracle replays is unchanged
+    val dec38 = DecimalType(38, 0)
+    val lnRr = log((col("c1").cast(dec38) * col("e2").cast(dec38)).cast("double")) -
+      log((col("c2").cast(dec38) * col("e1").cast(dec38)).cast("double"))
     val z = lnRr / sqrt(lit(1.0) / d("c1") + lit(1.0) / d("c2"))
     val ok = col("c1") > 0 && col("c2") > 0 && col("e1") > 0 && col("e2") > 0
     agg.select(col("c1"), col("e1"), col("c2"), col("e2"),
@@ -4168,28 +4173,6 @@ object Stats {
       when(ok, round(z, 6)).as("z"))
   }
 
-  /** Wilcoxon signed-rank test — the PAIRED complement of
-    * [[mannWhitneyU]]: each row is one pair's difference; the test
-    * asks whether differences are symmetrically centered on zero
-    * without assuming normality (what [[pairedTTest]] does assume).
-    * Zero differences drop (the standard convention); |d| ranks
-    * average over ties. Per group:
-    * `(groupBy..., n, w_plus_twice, tie_cubes, z)` with
-    *
-    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
-    *
-    * `w_plus_twice` = 2·W⁺ (an exact integer — rank averages over
-    * ties are half-integers). z is null when n < 2 or the variance is
-    * ≤ 0 (all differences tied at one magnitude both ways).
-    *
-    * Determinism: differences micro-quantize; the rank layer is the
-    * [[mannWhitneyU]] distinct-|d| table, so 2·W⁺ and the tie cubes
-    * are exact integers and z is one fixed IEEE tree.
-    *
-    * Scale shape: one (groups, |d|)-keyed map-combined aggregation,
-    * cumulative windows whose frames hold distinct magnitudes
-    * (bounded), then a per-group rollup — raw pairs shuffle once.
-    */
   /** Grubbs' test for the single most extreme value — per group,
     * G = max|x − x̄| / s with the sample standard deviation: the
     * formal "is my worst point an outlier?" readout beside
@@ -4241,6 +4224,28 @@ object Stats {
       :+ round(col("__arg.x").cast("double") / lit(1e6), 6).as("suspect"): _*)
   }
 
+  /** Wilcoxon signed-rank test — the PAIRED complement of
+    * [[mannWhitneyU]]: each row is one pair's difference; the test
+    * asks whether differences are symmetrically centered on zero
+    * without assuming normality (what [[pairedTTest]] does assume).
+    * Zero differences drop (the standard convention); |d| ranks
+    * average over ties. Per group:
+    * `(groupBy..., n, w_plus_twice, tie_cubes, z)` with
+    *
+    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    *
+    * `w_plus_twice` = 2·W⁺ (an exact integer — rank averages over
+    * ties are half-integers). z is null when n < 2 or the variance is
+    * ≤ 0 (all differences tied at one magnitude both ways).
+    *
+    * Determinism: differences micro-quantize; the rank layer is the
+    * [[mannWhitneyU]] distinct-|d| table, so 2·W⁺ and the tie cubes
+    * are exact integers and z is one fixed IEEE tree.
+    *
+    * Scale shape: one (groups, |d|)-keyed map-combined aggregation,
+    * cumulative windows whose frames hold distinct magnitudes
+    * (bounded), then a per-group rollup — raw pairs shuffle once.
+    */
   def wilcoxonSignedRank(df: DataFrame, groupBy: Seq[String],
                          diff: Column): DataFrame = {
     require(groupBy.nonEmpty,

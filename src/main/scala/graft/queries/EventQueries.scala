@@ -369,13 +369,83 @@ object EventQueries {
 
   /** Stationary distribution of the user-behavior chain
     * ([[graft.ops.Funnel.stationaryDistribution]]): q_transitions'
-    * long-run view — integer power iteration in fixed `div` order, so 8
-    * distributed rounds hash-match the oracle's unrolled CTE chain.
+    * long-run view — exact-integer power iteration on the driver-held
+    * bounded state vector, early-exiting once max|Δπ| < 1000 units
+    * (1 ppb) with `iters_run` emitted as convergence provenance. The
+    * oracle unrolls the same rounds and CARRIES the converged vector
+    * through the remaining CTEs ([[stationaryOracleSql]]), so the
+    * early exit itself is hash-checked.
     */
   private def qStationary(s: SparkSession, dir: String): DataFrame =
     graft.ops.Funnel.stationaryDistribution(t(s, dir, "events"),
-        "user_id", "ts", "event_id", "event_type", iterations = 8)
+        "user_id", "ts", "event_id", "event_type", iterations = 8,
+        tolUnits = 1000L)
       .orderBy(col("state"))
+
+  /** Unrolled q_stationary oracle with the convergence carry: round i
+    * steps only while the previous two vectors still differ by ≥
+    * `tolUnits` somewhere (exact integers — the flag evaluates
+    * identically in both engines); once converged, each remaining CTE
+    * carries the vector forward unchanged, and `iters_run` counts the
+    * rounds that actually stepped — the GK/TPD replay discipline.
+    */
+  private def stationaryOracleSql(iters: Int, tolUnits: Long): String = {
+    val head =
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS MATERIALIZED (
+        |  SELECT from_type, to_type, count(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |st AS MATERIALIZED (
+        |  SELECT DISTINCT state FROM (
+        |    SELECT from_type AS state FROM cnt
+        |    UNION ALL SELECT to_type FROM cnt)),
+        |outs AS MATERIALIZED (SELECT from_type, SUM(n) AS out_n FROM cnt GROUP BY 1),
+        |p0 AS MATERIALIZED (
+        |  SELECT state, 1000000000000 // (SELECT COUNT(*) FROM st) AS pi FROM st)""".stripMargin
+    def round(i: Int): String = {
+      val prev = s"p${i - 1}"
+      val stepExpr = "COALESCE(f.m, 0)\n      " +
+        "+ COALESCE(CASE WHEN o.from_type IS NULL THEN q.pi ELSE 0 END, 0)"
+      val piExpr =
+        if (i == 1) s"$stepExpr AS pi"
+        else s"CASE WHEN (SELECT cv FROM d$i) = 1 THEN q.pi\n" +
+          s"      ELSE $stepExpr END AS pi"
+      // every round CTE is MATERIALIZED: each p_i is referenced 3-4
+      // times (step subquery, carry join, next round's convergence
+      // diff) and DuckDB inlines plain CTEs, which would re-evaluate
+      // the whole chain exponentially
+      val dCte =
+        if (i == 1) ""
+        else s"""d$i AS MATERIALIZED (
+                |  SELECT CASE WHEN MAX(ABS(a.pi - b.pi)) < $tolUnits THEN 1 ELSE 0 END AS cv
+                |  FROM p${i - 1} a JOIN p${i - 2} b ON a.state = b.state),
+                |""".stripMargin
+      s"""${dCte}p$i AS MATERIALIZED (
+         |  SELECT s.state,
+         |    $piExpr
+         |  FROM st s
+         |  LEFT JOIN (
+         |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
+         |    FROM $prev p JOIN outs o ON p.state = o.from_type
+         |    JOIN cnt c ON c.from_type = p.state
+         |    GROUP BY 1) f ON f.state = s.state
+         |  LEFT JOIN outs o ON o.from_type = s.state
+         |  LEFT JOIN $prev q ON q.state = s.state)""".stripMargin
+    }
+    val rounds = (1 to iters).map(round).mkString(",\n")
+    val itersRunExpr =
+      if (iters == 1) "1"
+      else s"$iters" + (2 to iters).map(i => s" - (SELECT cv FROM d$i)").mkString
+    s"""$head,
+       |$rounds
+       |SELECT state, CAST(pi AS BIGINT) AS pi_units,
+       |  round(CAST(pi AS DOUBLE) / 1000000000000.0, 6) AS pi,
+       |  CAST($itersRunExpr AS BIGINT) AS iters_run
+       |FROM p$iters ORDER BY state""".stripMargin
+  }
 
   /** Lag-1 Granger causality ([[graft.ops.Timeseries.grangerLag1]]):
     * does the last hour's click revenue predict this hour's purchase
@@ -2780,119 +2850,7 @@ object EventQueries {
         |    round(((rssp - rss1 - rss2) / 2.0)
         |        / ((rss1 + rss2) / (CAST(n1 + n2 AS DOUBLE) - 4.0)), 6) END AS f
         |FROM z ORDER BY event_type""".stripMargin,
-    "q_stationary" ->
-      """WITH seq AS (
-        |  SELECT event_type AS from_type,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-        |  FROM events),
-        |cnt AS MATERIALIZED (
-        |  SELECT from_type, to_type, count(*) AS n FROM seq
-        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        |st AS MATERIALIZED (
-        |  SELECT DISTINCT state FROM (
-        |    SELECT from_type AS state FROM cnt
-        |    UNION ALL SELECT to_type FROM cnt)),
-        |outs AS MATERIALIZED (SELECT from_type, SUM(n) AS out_n FROM cnt GROUP BY 1),
-        |p0 AS (SELECT state, 1000000000000 // (SELECT COUNT(*) FROM st) AS pi FROM st),
-        |p1 AS (
-        |  SELECT s.state,
-        |    COALESCE(f.m, 0)
-        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
-        |  FROM st s
-        |  LEFT JOIN (
-        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
-        |    FROM p0 p JOIN outs o ON p.state = o.from_type
-        |    JOIN cnt c ON c.from_type = p.state
-        |    GROUP BY 1) f ON f.state = s.state
-        |  LEFT JOIN outs o ON o.from_type = s.state
-        |  LEFT JOIN p0 p ON p.state = s.state),
-        |p2 AS (
-        |  SELECT s.state,
-        |    COALESCE(f.m, 0)
-        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
-        |  FROM st s
-        |  LEFT JOIN (
-        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
-        |    FROM p1 p JOIN outs o ON p.state = o.from_type
-        |    JOIN cnt c ON c.from_type = p.state
-        |    GROUP BY 1) f ON f.state = s.state
-        |  LEFT JOIN outs o ON o.from_type = s.state
-        |  LEFT JOIN p1 p ON p.state = s.state),
-        |p3 AS (
-        |  SELECT s.state,
-        |    COALESCE(f.m, 0)
-        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
-        |  FROM st s
-        |  LEFT JOIN (
-        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
-        |    FROM p2 p JOIN outs o ON p.state = o.from_type
-        |    JOIN cnt c ON c.from_type = p.state
-        |    GROUP BY 1) f ON f.state = s.state
-        |  LEFT JOIN outs o ON o.from_type = s.state
-        |  LEFT JOIN p2 p ON p.state = s.state),
-        |p4 AS (
-        |  SELECT s.state,
-        |    COALESCE(f.m, 0)
-        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
-        |  FROM st s
-        |  LEFT JOIN (
-        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
-        |    FROM p3 p JOIN outs o ON p.state = o.from_type
-        |    JOIN cnt c ON c.from_type = p.state
-        |    GROUP BY 1) f ON f.state = s.state
-        |  LEFT JOIN outs o ON o.from_type = s.state
-        |  LEFT JOIN p3 p ON p.state = s.state),
-        |p5 AS (
-        |  SELECT s.state,
-        |    COALESCE(f.m, 0)
-        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
-        |  FROM st s
-        |  LEFT JOIN (
-        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
-        |    FROM p4 p JOIN outs o ON p.state = o.from_type
-        |    JOIN cnt c ON c.from_type = p.state
-        |    GROUP BY 1) f ON f.state = s.state
-        |  LEFT JOIN outs o ON o.from_type = s.state
-        |  LEFT JOIN p4 p ON p.state = s.state),
-        |p6 AS (
-        |  SELECT s.state,
-        |    COALESCE(f.m, 0)
-        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
-        |  FROM st s
-        |  LEFT JOIN (
-        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
-        |    FROM p5 p JOIN outs o ON p.state = o.from_type
-        |    JOIN cnt c ON c.from_type = p.state
-        |    GROUP BY 1) f ON f.state = s.state
-        |  LEFT JOIN outs o ON o.from_type = s.state
-        |  LEFT JOIN p5 p ON p.state = s.state),
-        |p7 AS (
-        |  SELECT s.state,
-        |    COALESCE(f.m, 0)
-        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
-        |  FROM st s
-        |  LEFT JOIN (
-        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
-        |    FROM p6 p JOIN outs o ON p.state = o.from_type
-        |    JOIN cnt c ON c.from_type = p.state
-        |    GROUP BY 1) f ON f.state = s.state
-        |  LEFT JOIN outs o ON o.from_type = s.state
-        |  LEFT JOIN p6 p ON p.state = s.state),
-        |p8 AS (
-        |  SELECT s.state,
-        |    COALESCE(f.m, 0)
-        |      + COALESCE(CASE WHEN o.from_type IS NULL THEN p.pi ELSE 0 END, 0) AS pi
-        |  FROM st s
-        |  LEFT JOIN (
-        |    SELECT c.to_type AS state, SUM((p.pi // o.out_n) * c.n) AS m
-        |    FROM p7 p JOIN outs o ON p.state = o.from_type
-        |    JOIN cnt c ON c.from_type = p.state
-        |    GROUP BY 1) f ON f.state = s.state
-        |  LEFT JOIN outs o ON o.from_type = s.state
-        |  LEFT JOIN p7 p ON p.state = s.state)
-        |SELECT state, CAST(pi AS BIGINT) AS pi_units,
-        |  round(CAST(pi AS DOUBLE) / 1000000000000.0, 6) AS pi
-        |FROM p8 ORDER BY state""".stripMargin,
+    "q_stationary" -> stationaryOracleSql(8, 1000L),
     "q_granger" ->
       """WITH hv AS (
         |  SELECT date_trunc('hour', ts) AS h,

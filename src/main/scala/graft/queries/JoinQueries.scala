@@ -382,19 +382,18 @@ object JoinQueries {
     * ([[graft.functions.StringDist.jaroWinkler]]): q_damerau's blocked
     * customer pairs scored with the DuckDB-exact prefix-boosted
     * similarity — the record-linkage scorer where edit distance
-    * over-penalizes long shared prefixes. Native codegen expression,
-    * value-exact oracle.
+    * over-penalizes long shared prefixes. The pair source is
+    * [[graft.text.Fuzzy.jaroDupPairs]]'s sorted-multiset deletion-
+    * signature join (exact for JW ≥ 0.975 at these name lengths — see
+    * its containment proof), NOT the in-block cross product, so pair
+    * volume tracks near-duplicate density instead of Σ block². The
+    * oracle replays the quadratic definition in DuckDB: hash equality
+    * IS the exactness check. Native codegen scorer, value-exact oracle.
     */
   private def qJaro(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    def side(p: String) = c.select(col("c_custkey").as(s"id_$p"),
-      col("c_name").as(s"nm_$p"), col("c_nationkey").as("nk"),
-      col("c_mktsegment").as("seg"))
-    side("a").join(side("b"), Seq("nk", "seg"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jw",
-        graft.functions.StringDist.jaroWinkler(col("nm_a"), col("nm_b")))
-      .filter(col("jw") >= 0.975)
+    graft.text.Fuzzy.jaroDupPairs(c, "c_custkey", "c_name",
+        Seq(col("c_nationkey"), col("c_mktsegment")), threshold = 0.975)
       .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -1790,7 +1790,8 @@ object StatsQueries {
         |    round((CAST(c1 AS DOUBLE) / CAST(e1 AS DOUBLE))
         |      / (CAST(c2 AS DOUBLE) / CAST(e2 AS DOUBLE)), 6) END AS rate_ratio,
         |  CASE WHEN c1 > 0 AND c2 > 0 AND e1 > 0 AND e2 > 0 THEN
-        |    round((ln(CAST(c1 * e2 AS DOUBLE)) - ln(CAST(c2 * e1 AS DOUBLE)))
+        |    round((ln(CAST(CAST(c1 AS HUGEINT) * e2 AS DOUBLE))
+        |        - ln(CAST(CAST(c2 AS HUGEINT) * e1 AS DOUBLE)))
         |      / sqrt(1.0 / CAST(c1 AS DOUBLE) + 1.0 / CAST(c2 AS DOUBLE)), 6)
         |  END AS z
         |FROM a""".stripMargin,

@@ -924,7 +924,10 @@ object TextQueries {
     * word and characters per subword — the "how expensive is this
     * language for my tokenizer?" table (high fertility = wasted
     * context window) that sits beside q_bpe's trained merges. Exact
-    * integer count sums, one aggregation.
+    * integer count sums, one aggregation. Ratios are micro-quantized
+    * via exact integral division on decimal products (round-half-up of
+    * num*1e6/den) so the emitted double is the same IEEE value on both
+    * engines — no cross-engine round(double, 6) tie divergence.
     */
   private def qFertility(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -936,10 +939,12 @@ object TextQueries {
         sum(length(col("text")).cast("long")).as("chars"))
       .select(col("lang"), col("n_docs"), col("subwords"), col("words"),
         when(col("words") > 0,
-          round(col("subwords").cast("double") / col("words").cast("double"), 6))
+          expr("(cast(subwords as decimal(38,0)) * 2000000 + words) div " +
+            "(cast(words as decimal(38,0)) * 2)").cast("double") / lit(1e6))
           .as("fertility"),
         when(col("subwords") > 0,
-          round(col("chars").cast("double") / col("subwords").cast("double"), 6))
+          expr("(cast(chars as decimal(38,0)) * 2000000 + subwords) div " +
+            "(cast(subwords as decimal(38,0)) * 2)").cast("double") / lit(1e6))
           .as("chars_per_subword"))
       .orderBy(col("lang"))
   }
@@ -1655,10 +1660,12 @@ object TextQueries {
         |  FROM d GROUP BY 1)
         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, subwords, words,
         |  CASE WHEN words > 0 THEN
-        |    round(CAST(subwords AS DOUBLE) / CAST(words AS DOUBLE), 6)
+        |    CAST((CAST(subwords AS HUGEINT) * 2000000 + words)
+        |      // (CAST(words AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
         |  END AS fertility,
         |  CASE WHEN subwords > 0 THEN
-        |    round(CAST(chars AS DOUBLE) / CAST(subwords AS DOUBLE), 6)
+        |    CAST((CAST(chars AS HUGEINT) * 2000000 + subwords)
+        |      // (CAST(subwords AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
         |  END AS chars_per_subword
         |FROM a ORDER BY lang""".stripMargin,
     "q_gopher" ->

@@ -151,6 +151,104 @@ object Fuzzy {
       .drop(blockNames: _*)
   }
 
+  /** Characters of `s` in sorted order, as a string — the multiset
+    * normal form. Jaro's matched characters form a common MULTISET
+    * (each match pairs one char of `a` with an equal char of `b`), not
+    * a common subsequence, so the deletion-signature trick applies to
+    * the SORTED string: if both sides can reach the matched multiset
+    * with ≤ k deletions each, they share a ≤k-deletion signature of
+    * their sorted forms. Sorting also collapses repeated characters
+    * into runs, so `array_distinct` prunes most variants for free.
+    * Pure codegen'd split/sort/join — no UDF. (Sorting is by UTF-16
+    * unit; a non-BMP code point counts as two deletions toward k —
+    * exactness for such text needs a correspondingly larger k.)
+    */
+  private def sortedChars(s: Column): Column =
+    array_join(array_sort(split(s, "")), "")
+
+  /** Candidate pairs within blocks at Jaro-Winkler similarity ≥
+    * `threshold` — the sub-quadratic EXACT pair source for the scorer
+    * that has no edit-distance threshold to band on.
+    *
+    * Containment proof sketch: [[graft.functions.JaroWinklerSim]]
+    * applies the Winkler boost (prefix ≤ 4, scale 0.1) only when
+    * jaro > 0.7, so JW ≥ θ forces jaro ≥ jMin = min(θ, max(0.7,
+    * (θ-0.4)/0.6)). Each of the three Jaro terms is ≤ 1, hence
+    * m/|a| ≥ 3·jMin-2, i.e. side `a` has at most ⌊3(1-jMin)·|a|⌋
+    * unmatched characters (same for `b`). Matched characters form
+    * equal multisets, so deleting each side's unmatched characters
+    * from its SORTED form yields the same string: any pair with
+    * JW ≥ θ whose sides are both ≤ `lenCap` = ⌊k/(3(1-jMin))⌋ chars
+    * shares a ≤k-deletion signature of [[sortedChars]]. Rows longer
+    * than `lenCap` (where k deletions are not enough) are routed
+    * through the quadratic in-block scan against ALL rows, so the
+    * union is exact for every input; it is sub-quadratic whenever
+    * string lengths are bounded (the record-linkage norm — IDs,
+    * names, codes). Pair volume then tracks true near-duplicate
+    * density (the FastSS argument), not Σ block².
+    *
+    * @param df        input frame
+    * @param idCol     unique row id (output pairs are `id_a < id_b`)
+    * @param strCol    string to compare
+    * @param blockBy   blocking keys — pairs must match on ALL of them
+    * @param threshold inclusive Jaro-Winkler similarity threshold
+    * @param k         deletion budget per side (≤ 2); larger k raises
+    *                  `lenCap` (more rows on the signature path) at
+    *                  C(len, k) signature cost
+    * @return columns (id_a, str_a, id_b, str_b, jw)
+    */
+  def jaroDupPairs(df: DataFrame, idCol: String, strCol: String,
+                   blockBy: Seq[Column], threshold: Double, k: Int = 2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(k >= 0 && k <= 2,
+      s"deletion signatures are practical for k <= 2, got $k")
+    val jMin = math.min(threshold, math.max(0.7, (threshold - 0.4) / 0.6))
+    // a JW-qualifying side of length L needs at most floor(3(1-jMin)·L)
+    // deletions, so the signature path is exact up to the largest L with
+    // 3(1-jMin)·L < k+1; the rate is tilted up a hair so float rounding
+    // can only make the cap CONSERVATIVE (never admits a length whose
+    // true deletion need exceeds k at an exact-equality boundary)
+    val rate = 3.0 * (1.0 - jMin) * (1.0 + 1e-12) + 1e-15
+    val lenCap =
+      if (rate <= 0.0) Int.MaxValue
+      else math.min(Int.MaxValue.toDouble, math.ceil((k + 1) / rate) - 1).toInt
+    val blocks = blockBy.zipWithIndex.map { case (c, i) => c.as(s"__blk_$i") }
+    val blockNames = blockBy.indices.map(i => s"__blk_$i")
+    val rows = df.select((col(idCol).as("id") +: col(strCol).as("str") +: blocks): _*)
+    def asSide(d: DataFrame, p: String) =
+      d.select((col("id").as(s"id_$p") +: col("str").as(s"str_$p") +:
+        blockNames.map(col)): _*)
+    // signature path: short×short pairs via the sorted-multiset
+    // deletion-signature equi-join — high-cardinality key, group sizes
+    // track near-duplicate density
+    val short = rows.filter(length(col("str")) <= lenCap)
+    val sigged = short.withColumn("__sig",
+      explode(deletionSigs(sortedChars(col("str")), k)))
+    val sa = sigged.select((col("id").as("id_a") +: col("str").as("str_a") +:
+      (blockNames.map(col) :+ col("__sig"))): _*)
+    val sb = sigged.select((col("id").as("id_b") +: col("str").as("str_b") +:
+      (blockNames.map(col) :+ col("__sig"))): _*)
+    val sigPairs = sa.join(sb, blockNames :+ "__sig")
+      .filter(col("id_a") < col("id_b"))
+      .drop("__sig")
+      .dropDuplicates("id_a", "id_b")
+    // quadratic fallback: every pair with at least one long side (rare
+    // at high thresholds with bounded-length strings; both directions,
+    // long-long pairs deduped)
+    val long = rows.filter(length(col("str")) > lenCap)
+    val longPairs = asSide(long, "a").join(asSide(rows, "b"), blockNames)
+      .filter(col("id_a") < col("id_b"))
+      .union(asSide(rows, "a").join(asSide(long, "b"), blockNames)
+        .filter(col("id_a") < col("id_b")))
+      .dropDuplicates("id_a", "id_b")
+    sigPairs.union(longPairs)
+      .withColumn("jw",
+        graft.functions.StringDist.jaroWinkler(col("str_a"), col("str_b")))
+      .filter(col("jw") >= threshold)
+      .drop(blockNames: _*)
+  }
+
   /** Blocked fuzzy join of two frames: rows matching on `blockBy` keys
     * (same expressions applied to each side) with edit distance ≤
     * `maxDist` between `aStr`/`bStr`. Right-side columns keep their

@@ -247,6 +247,27 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(byState("A") == 430555555554L) // trunc-div replay by hand
     assert(byState("B") == 569444444442L)
     assert(out.map(_.getDouble(2)).toSeq == Seq(0.430556, 0.569444))
+    assert(out.map(_.getLong(3)).toSeq == Seq(2L, 2L)) // tol=0: pays all rounds
+  }
+
+  test("stationary distribution convergence law: early exit = truncated full run") {
+    val types = Seq("A", "A", "B", "A", "B", "B", "A", "C", "C", "A")
+    val df = createDf(spark, "u int, ts int, id int, et string",
+      types.zipWithIndex.map { case (t, i) => Seq[Any](1, i, i, t) })
+    def run(iters: Int, tol: Long) =
+      graft.ops.Funnel.stationaryDistribution(df, "u", "ts", "id", "et",
+        iterations = iters, tolUnits = tol).orderBy("state").collect()
+    val early = run(32, 1000L)
+    val k = early.head.getLong(3).toInt
+    assert(k < 32) // the chain must actually converge inside the budget
+    // the early-exited vector IS the full run truncated at k rounds
+    val replay = run(k, 0L)
+    assert(early.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      replay.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // and one more round moves every state by < tol
+    val next = run(k + 1, 0L)
+    val prevBy = early.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(next.forall(r => math.abs(r.getLong(1) - prevBy(r.getString(0))) < 1000L))
   }
 
   test("granger lag-1: hand-checked closed-form b, c, F") {
