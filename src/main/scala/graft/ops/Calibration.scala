@@ -480,6 +480,48 @@ object Calibration {
         .as("ndcg"): _*)
   }
 
+  /** Group fairness audit of a binary decision — the filter-bias
+    * readout a curation pipeline owes its sources: when `selected`
+    * (e.g. "quality score ≥ τ, keep the document") is applied across
+    * groups, how do selection rate, TPR (recall of true positives),
+    * FPR, and precision differ per group? Disparate selection rates
+    * are how a quality classifier silently starves a language or
+    * source out of the training mix. Per group:
+    * `(groupBy..., n, n_pos, n_sel, n_tp, sel_rate, tpr, fpr,
+    * precision)`; rates are null when their denominator is 0.
+    *
+    * Determinism: everything is an exact count; each rate emits
+    * through the exact integral-divide micro-quantization (no
+    * cross-engine round(double, 6) tie exposure).
+    *
+    * Scale shape: ONE map-combined conditional aggregation per group —
+    * rides the scan.
+    */
+  def groupFairness(df: DataFrame, groupBy: Seq[String],
+                    positive: Column, selected: Column): DataFrame = {
+    require(groupBy.nonEmpty, "groupFairness needs group keys")
+    val gCols = groupBy.map(col)
+    val base = df.select(gCols :+ positive.as("__y") :+ selected.as("__s"): _*)
+      .filter(col("__y").isNotNull && col("__s").isNotNull)
+    val agg = base.groupBy(gCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("__s"), 1L).otherwise(0L)).as("n_sel"),
+      sum(when(col("__y") && col("__s"), 1L).otherwise(0L)).as("n_tp"))
+    // integral divide via expr (Spark's `div`), spelled once per rate
+    def r(num: String, den: String): Column =
+      expr(s"(cast($num as decimal(38,0)) * 2000000 + $den) div " +
+        s"(cast($den as decimal(38,0)) * 2)").cast("double") / lit(1e6)
+    agg.select(gCols :+ col("n") :+ col("n_pos") :+ col("n_sel") :+ col("n_tp")
+      :+ when(col("n") > 0, r("n_sel", "n")).as("sel_rate")
+      :+ when(col("n_pos") > 0, r("n_tp", "n_pos")).as("tpr")
+      :+ when(col("n") - col("n_pos") > 0,
+        expr("(cast(n_sel - n_tp as decimal(38,0)) * 2000000 + (n - n_pos)) div " +
+          "(cast(n - n_pos as decimal(38,0)) * 2)").cast("double") / lit(1e6))
+        .as("fpr")
+      :+ when(col("n_sel") > 0, r("n_tp", "n_sel")).as("precision"): _*)
+  }
+
   /** Mean cross-entropy (log loss) of a probability column — the
     * PROPER scoring rule beside [[brierDecomposition]]: unlike Brier,
     * log loss punishes confident wrong answers without bound, which is

@@ -434,6 +434,140 @@ object Drift {
           .as("cvm"): _*)
   }
 
+  /** Two-sample 1-Wasserstein (earth-mover) distance per group — the
+    * drift number with UNITS: where [[ksStatisticGrouped]] reads the
+    * largest ECDF gap (scale-free) and [[cramerVonMisesGrouped]] the
+    * squared gap, W₁ integrates |F_a − F_b| over the VALUE axis, so it
+    * reports "how far mass actually moved" in the value's own units —
+    * the metric training-data mixture monitors quote when a source's
+    * quality-score distribution slides. Closed 1-d form over sorted
+    * distinct values:
+    *
+    *   W₁ = Σ_v (v₊ − v) · |F_a(v) − F_b(v)|
+    *      = Σ_v (v₊ − v) · |cca_v·n_b − ccb_v·n_a| / (n_a·n_b)
+    *
+    * Determinism: values micro-quantize (1e6); each gap and each
+    * |cca·n_b − ccb·n_a| is an exact integer, the sum accumulates as
+    * DECIMAL, and the result emits through the exact integral-divide
+    * micro-quantization (round-half-up of num/(n_a·n_b) as an integer,
+    * one final /1e6) — no per-term float, no cross-engine
+    * round(double, 6) tie exposure.
+    *
+    * Scale shape: the [[ksStatisticGrouped]] plan exactly — one
+    * (group, value)-keyed map-combined aggregation, cumulative + lead
+    * windows over the DISTINCT-VALUE table (bounded by value
+    * cardinality, not row count), one group rollup.
+    */
+  def wasserstein1Grouped(df: DataFrame, groupBy: Seq[String],
+                          inA: Column, inB: Column, value: Column): DataFrame = {
+    require(groupBy.nonEmpty, "wasserstein1Grouped needs group keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val counts = df
+      .select(gCols :+ round(value * lit(1e6), 0).cast("long").as("__v")
+        :+ when(inA, 1L).otherwise(0L).as("__ia")
+        :+ when(inB, 1L).otherwise(0L).as("__ib"): _*)
+      .filter(col("__v").isNotNull && (col("__ia") === 1L || col("__ib") === 1L))
+      .groupBy(gCols :+ col("__v"): _*)
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val wOrd = W.orderBy(col("__v"))
+    val wCum = wOrd.rowsBetween(Long.MinValue, 0)
+    val cum = counts.select(
+      gCols
+        :+ (lead(col("__v"), 1).over(wOrd) - col("__v")).as("__gap")
+        :+ sum(col("__ca")).over(wCum).as("__cca")
+        :+ sum(col("__cb")).over(wCum).as("__ccb")
+        :+ sum(col("__ca")).over(W).as("__na")
+        :+ sum(col("__cb")).over(W).as("__nb"): _*)
+    val term = coalesce(col("__gap"), lit(0L)).cast(dec) *
+      abs(col("__cca") * col("__nb") - col("__ccb") * col("__na")).cast(dec)
+    val agg = cum
+      .groupBy(gCols :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(sum(term).as("__num"))
+    val w1 = expr("(__num * 2 + cast(n_a as decimal(38,0)) * n_b) div " +
+      "(cast(n_a as decimal(38,0)) * n_b * 2)").cast("double") / lit(1e6)
+    agg.select(gCols :+ col("n_a") :+ col("n_b")
+      :+ when(col("n_a") >= 1 && col("n_b") >= 1, w1).as("w1"): _*)
+  }
+
+  /** Two-sample energy distance per group — the omnibus location+shape
+    * drift test beside [[wasserstein1Grouped]] (Székely-Rizzo):
+    *
+    *   E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|
+    *
+    * E ≥ 0 with equality iff the distributions coincide; unlike KS it
+    * weighs the whole distance geometry, and its three mean-distance
+    * components are reported (they're the interpretable parts: the
+    * cross mean vs the two within-sample spreads). The all-pairs sums
+    * never materialize pairs — the 1-d closed form over sorted distinct
+    * values counts, per inter-value gap, how many ordered pairs span it:
+    *
+    *   ΣΣ|x_i − y_j|  = Σ_v gap_v · (cca_v·(n_b − ccb_v) + ccb_v·(n_a − cca_v))
+    *   ΣΣ|x_i − x_j| = Σ_v gap_v · 2·cca_v·(n_a − cca_v)
+    *
+    * Determinism: micro-quantized values, exact integer per-gap terms
+    * accumulated as DECIMAL; the three mean distances emit as exact
+    * integral-divide micro integers and E combines THOSE integers, so
+    * every emitted double is an integer/1e6 — no round(double, 6)
+    * anywhere.
+    *
+    * Scale shape: identical to [[wasserstein1Grouped]] — one
+    * (group, value) aggregation, windows over the distinct-value
+    * table, a group rollup. The quadratic pair space is collapsed by
+    * algebra, never enumerated.
+    */
+  def energyDistanceGrouped(df: DataFrame, groupBy: Seq[String],
+                            inA: Column, inB: Column, value: Column): DataFrame = {
+    require(groupBy.nonEmpty, "energyDistanceGrouped needs group keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val counts = df
+      .select(gCols :+ round(value * lit(1e6), 0).cast("long").as("__v")
+        :+ when(inA, 1L).otherwise(0L).as("__ia")
+        :+ when(inB, 1L).otherwise(0L).as("__ib"): _*)
+      .filter(col("__v").isNotNull && (col("__ia") === 1L || col("__ib") === 1L))
+      .groupBy(gCols :+ col("__v"): _*)
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val wOrd = W.orderBy(col("__v"))
+    val wCum = wOrd.rowsBetween(Long.MinValue, 0)
+    val cum = counts.select(
+      gCols
+        :+ (lead(col("__v"), 1).over(wOrd) - col("__v")).as("__gap")
+        :+ sum(col("__ca")).over(wCum).as("__cca")
+        :+ sum(col("__cb")).over(wCum).as("__ccb")
+        :+ sum(col("__ca")).over(W).as("__na")
+        :+ sum(col("__cb")).over(W).as("__nb"): _*)
+    val g = coalesce(col("__gap"), lit(0L)).cast(dec)
+    val sxy = g * (col("__cca") * (col("__nb") - col("__ccb")) +
+      col("__ccb") * (col("__na") - col("__cca"))).cast(dec)
+    val sxx = g * (col("__cca") * (col("__na") - col("__cca"))).cast(dec) * lit(2)
+    val syy = g * (col("__ccb") * (col("__nb") - col("__ccb"))).cast(dec) * lit(2)
+    val agg = cum
+      .groupBy(gCols :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(sum(sxy).as("__sxy"), sum(sxx).as("__sxx"), sum(syy).as("__syy"))
+      // micro-integer mean distances: round-half-up of sum/denominator
+      // as exact integral divides (denominators as decimal — n_a·n_b
+      // overflows Long past ~3e9 rows per side)
+      .withColumn("__mxy",
+        expr("(__sxy * 2 + cast(n_a as decimal(38,0)) * n_b) div " +
+          "(cast(n_a as decimal(38,0)) * n_b * 2)"))
+      .withColumn("__mxx",
+        expr("(__sxx * 2 + cast(n_a as decimal(38,0)) * n_a) div " +
+          "(cast(n_a as decimal(38,0)) * n_a * 2)"))
+      .withColumn("__myy",
+        expr("(__syy * 2 + cast(n_b as decimal(38,0)) * n_b) div " +
+          "(cast(n_b as decimal(38,0)) * n_b * 2)"))
+    val ok = col("n_a") >= 1 && col("n_b") >= 1
+    agg.select(gCols :+ col("n_a") :+ col("n_b")
+      :+ when(ok, col("__mxy").cast("double") / lit(1e6)).as("mean_cross")
+      :+ when(ok, col("__mxx").cast("double") / lit(1e6)).as("mean_within_a")
+      :+ when(ok, col("__myy").cast("double") / lit(1e6)).as("mean_within_b")
+      :+ when(ok, (lit(2L) * col("__mxy") - col("__mxx") - col("__myy"))
+        .cast("double") / lit(1e6)).as("energy"): _*)
+  }
+
   def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val counts = a.select(col(valueCol).as("__v"), lit(1L).as("__ca"), lit(0L).as("__cb"))
       .unionAll(b.select(col(valueCol).as("__v"), lit(0L), lit(1L)))

@@ -58,6 +58,32 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source near-duplicate matrix: q_dedup_jaccard's exact
+    * 5-gram pairs at Jaccard ≥ 0.3, rolled up by UNORDERED source pair
+    * — "which feeds are copying which?", the provenance view a mixture
+    * owner reads before re-weighting (within-source duplication and
+    * cross-source syndication need different fixes). Per-pair jaccard
+    * micro-quantizes (exact — both engines compute the identical IEEE
+    * ratio) before the sum; the mean emits via integral divide.
+    */
+  private def qDupSources(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, minJaccard = 0.3)
+    val src = d.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")), Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        round(col("jaccard") * lit(1e6), 0).cast("long").as("__jm"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__jm")).as("sum_jaccard_micro"))
+      .withColumn("mean_jaccard",
+        expr("(sum_jaccard_micro * 2 + n_pairs) div (n_pairs * 2)")
+          .cast("double") / lit(1e6))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** MinHash+LSH near-dup summary: candidate-pair count and max
     * signature-estimated Jaccard.
     *
@@ -243,6 +269,7 @@ object DedupQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dup_sources" -> (qDupSources _),
     "q_novelty" -> (qNovelty _),
     "q_dedup_best" -> (qDedupBest _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -296,6 +323,34 @@ object DedupQueries {
         |JOIN (SELECT doc_id, n_sh AS n_a FROM sz) sa ON i.id_a = sa.doc_id
         |JOIN (SELECT doc_id, n_sh AS n_b FROM sz) sb ON i.id_b = sb.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dup_sources" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id_a, id_b,
+        |    CAST(round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter)
+        |      * 1000000.0) AS BIGINT) AS jm
+        |  FROM i
+        |  JOIN (SELECT doc_id, n_sh AS n_a FROM sz) sa ON i.id_a = sa.doc_id
+        |  JOIN (SELECT doc_id, n_sh AS n_b FROM sz) sb ON i.id_b = sb.doc_id
+        |  WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.3),
+        |sp AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b, jm
+        |  FROM jp
+        |  JOIN documents da ON jp.id_a = da.doc_id
+        |  JOIN documents db ON jp.id_b = db.doc_id)
+        |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(jm) AS BIGINT) AS sum_jaccard_micro,
+        |  CAST((SUM(CAST(jm AS HUGEINT)) * 2 + COUNT(*))
+        |    // (CAST(COUNT(*) AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS mean_jaccard
+        |FROM sp GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "q_dedup_best" ->
       """WITH RECURSIVE s AS (
         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS sh

@@ -689,6 +689,35 @@ object StatsQueries {
       .orderBy(col("segment"))
   }
 
+  /** 1-Wasserstein drift ([[graft.ops.Drift.wasserstein1Grouped]]) on
+    * q_cvm's slice: how far, IN VALUE UNITS, does mass move between
+    * the purchase and click value distributions per user segment —
+    * the drift magnitude q_ks's scale-free gap and q_cvm's squared
+    * integral cannot express. Exact integer gap×rank-gap terms,
+    * integral-divide micro emit.
+    */
+  private def qWasserstein(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("segment", col("user_id") % 8)
+    graft.ops.Drift.wasserstein1Grouped(e, Seq("segment"),
+        col("event_type") === "purchase", col("event_type") === "click",
+        col("value"))
+      .orderBy(col("segment"))
+  }
+
+  /** Energy distance ([[graft.ops.Drift.energyDistanceGrouped]]) on the
+    * same slice: the Székely-Rizzo omnibus two-sample statistic with
+    * its three interpretable mean-distance components — the all-pairs
+    * sums collapsed to per-gap counting algebra over the distinct-value
+    * table, never an enumerated pair space.
+    */
+  private def qEnergy(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("segment", col("user_id") % 8)
+    graft.ops.Drift.energyDistanceGrouped(e, Seq("segment"),
+        col("event_type") === "purchase", col("event_type") === "click",
+        col("value"))
+      .orderBy(col("segment"))
+  }
+
   /** TOST equivalence test ([[graft.ops.Stats.tost]]): are purchase
     * and click mean values provably within ±10 of each other? The
     * question q_welch cannot answer — absence of significance is not
@@ -1388,6 +1417,8 @@ object StatsQueries {
     "q_by" -> (qBy _),
     "q_holm" -> (qHolm _),
     "q_cvm" -> (qCvm _),
+    "q_wasserstein" -> (qWasserstein _),
+    "q_energy" -> (qEnergy _),
     "q_gtest" -> (qGtest _),
     "q_tost" -> (qTost _),
     "q_page_trend" -> (qPageTrend _),
@@ -2311,6 +2342,84 @@ object StatsQueries {
         |         * CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
         |         * CAST(n_a + n_b AS DOUBLE)), 6) END AS cvm
         |FROM a ORDER BY segment""".stripMargin,
+    "q_wasserstein" ->
+      """WITH tg AS (
+        |  SELECT user_id % 8 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+        |c AS (SELECT segment, v, SUM(ia) AS ca, SUM(ib) AS cb FROM tg GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT segment,
+        |    lead(v) OVER (PARTITION BY segment ORDER BY v) - v AS gap,
+        |    SUM(ca) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+        |    SUM(cb) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+        |    SUM(ca) OVER (PARTITION BY segment) AS na,
+        |    SUM(cb) OVER (PARTITION BY segment) AS nb
+        |  FROM c),
+        |a AS (
+        |  SELECT segment, na AS n_a, nb AS n_b,
+        |    SUM(CAST(COALESCE(gap, 0) AS HUGEINT)
+        |      * ABS(CAST(cca AS HUGEINT) * nb - CAST(ccb AS HUGEINT) * na)) AS num
+        |  FROM cc GROUP BY 1, 2, 3)
+        |SELECT segment, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    CAST((num * 2 + CAST(n_a AS HUGEINT) * n_b)
+        |      // (CAST(n_a AS HUGEINT) * n_b * 2) AS DOUBLE) / 1000000.0
+        |  END AS w1
+        |FROM a ORDER BY segment""".stripMargin,
+    "q_energy" ->
+      """WITH tg AS (
+        |  SELECT user_id % 8 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+        |c AS (SELECT segment, v, SUM(ia) AS ca, SUM(ib) AS cb FROM tg GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT segment,
+        |    lead(v) OVER (PARTITION BY segment ORDER BY v) - v AS gap,
+        |    SUM(ca) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+        |    SUM(cb) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+        |    SUM(ca) OVER (PARTITION BY segment) AS na,
+        |    SUM(cb) OVER (PARTITION BY segment) AS nb
+        |  FROM c),
+        |a AS (
+        |  SELECT segment, na AS n_a, nb AS n_b,
+        |    SUM(CAST(COALESCE(gap, 0) AS HUGEINT)
+        |      * (CAST(cca AS HUGEINT) * (nb - ccb) + CAST(ccb AS HUGEINT) * (na - cca))) AS sxy,
+        |    SUM(CAST(COALESCE(gap, 0) AS HUGEINT)
+        |      * (CAST(cca AS HUGEINT) * (na - cca)) * 2) AS sxx,
+        |    SUM(CAST(COALESCE(gap, 0) AS HUGEINT)
+        |      * (CAST(ccb AS HUGEINT) * (nb - ccb)) * 2) AS syy
+        |  FROM cc GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT segment, n_a, n_b,
+        |    (sxy * 2 + CAST(n_a AS HUGEINT) * n_b)
+        |      // (CAST(n_a AS HUGEINT) * n_b * 2) AS mxy,
+        |    (sxx * 2 + CAST(n_a AS HUGEINT) * n_a)
+        |      // (CAST(n_a AS HUGEINT) * n_a * 2) AS mxx,
+        |    (syy * 2 + CAST(n_b AS HUGEINT) * n_b)
+        |      // (CAST(n_b AS HUGEINT) * n_b * 2) AS myy
+        |  FROM a)
+        |SELECT segment, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN CAST(mxy AS DOUBLE) / 1000000.0
+        |  END AS mean_cross,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN CAST(mxx AS DOUBLE) / 1000000.0
+        |  END AS mean_within_a,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN CAST(myy AS DOUBLE) / 1000000.0
+        |  END AS mean_within_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    CAST(2 * mxy - mxx - myy AS DOUBLE) / 1000000.0
+        |  END AS energy
+        |FROM m ORDER BY segment""".stripMargin,
     "q_holm" ->
       """WITH tg AS (
         |  SELECT user_id % 8 AS segment,

@@ -976,6 +976,36 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Group fairness audit ([[graft.ops.Calibration.groupFairness]]) of
+    * the quality classifier's keep/drop decision per source: selection
+    * rate, TPR, FPR, precision — does "keep if score ≥ 0.5" starve any
+    * source of its share of the training mix? The decision is the
+    * ALL-INTEGER margin test ([[Classify.selectedAtHalf]]): Σw ≥
+    * −bias·n, so the selection set itself is oracle-exact (no 6-dp
+    * score boundary), and every rate emits via integral-divide micro
+    * quantization.
+    */
+  private def qFairness(s: SparkSession, dir: String): DataFrame = {
+    val w = Classify.demoWeightsMicros(64)
+    val d = t(s, dir, "documents")
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("source"), (col("lang") === "en").as("y"),
+        Classify.selectedAtHalf(col("text"), w, biasMicros = -50000L).as("sel"))
+    graft.ops.Calibration.groupFairness(d, Seq("source"), col("y"), col("sel"))
+      .orderBy(col("source"))
+  }
+
+  /** Top-k vocabulary coverage ([[graft.text.Rank.vocabCoverage]]): the
+    * fraction of corpus tokens the 100/1000/5000 most frequent types
+    * cover — the 1 − OOV-mass curve a vocab-size decision reads, where
+    * q_zipf only implies it. TakeOrdered top-k, never a whole-vocab
+    * single-partition sort; coverage via integral-divide micro emit.
+    */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.text.Rank.vocabCoverage(
+      t(s, dir, "documents").filter(col("text").isNotNull),
+      col("text"), Seq(100, 1000, 5000))
+
   /** Mean cross-entropy ([[graft.ops.Calibration.logLoss]]) of the
     * same classifier: the proper scoring rule q_brier bounds and
     * training actually optimizes — confident wrong answers cost
@@ -1100,6 +1130,8 @@ object TextQueries {
     "q_mcc" -> (qMcc _),
     "q_log_loss" -> (qLogLoss _),
     "q_ndcg" -> (qNdcg _),
+    "q_fairness" -> (qFairness _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_gopher" -> (qGopher _),
     "q_fertility" -> (qFertility _),
     "q_stump" -> (qStump _),
@@ -2581,6 +2613,66 @@ object TextQueries {
         |    THEN round(CAST(ra2 - na * (na + 1) AS DOUBLE) / 2.0
         |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) END AS auc
         |FROM a""".stripMargin,
+    "q_fairness" ->
+      """WITH l AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |feats AS (
+        |  SELECT doc_id, lang, source,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang, source,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (
+        |  SELECT doc_id, lang, source, SUM(wm) AS sm, COUNT(*) AS n
+        |  FROM wt GROUP BY 1, 2, 3),
+        |d AS (
+        |  SELECT source, lang = 'en' AS y, sm - 50000 * n >= 0 AS sel FROM agg),
+        |g AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+        |    SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS n_sel,
+        |    SUM(CASE WHEN y AND sel THEN 1 ELSE 0 END) AS n_tp
+        |  FROM d GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_sel AS BIGINT) AS n_sel, CAST(n_tp AS BIGINT) AS n_tp,
+        |  CASE WHEN n > 0 THEN CAST((CAST(n_sel AS HUGEINT) * 2000000 + n)
+        |    // (CAST(n AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 END AS sel_rate,
+        |  CASE WHEN n_pos > 0 THEN CAST((CAST(n_tp AS HUGEINT) * 2000000 + n_pos)
+        |    // (CAST(n_pos AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 END AS tpr,
+        |  CASE WHEN n - n_pos > 0 THEN
+        |    CAST((CAST(n_sel - n_tp AS HUGEINT) * 2000000 + (n - n_pos))
+        |      // (CAST(n - n_pos AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 END AS fpr,
+        |  CASE WHEN n_sel > 0 THEN CAST((CAST(n_tp AS HUGEINT) * 2000000 + n_sel)
+        |    // (CAST(n_sel AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 END AS precision
+        |FROM g ORDER BY source""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE w <> ''),
+        |f AS (SELECT w, COUNT(*) AS ff FROM tk GROUP BY 1),
+        |tot AS (SELECT SUM(ff) AS total FROM f),
+        |r AS (SELECT ff, w, row_number() OVER (ORDER BY ff DESC, w) AS rk FROM f),
+        |top AS (
+        |  SELECT rk, SUM(ff) OVER (ORDER BY rk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM r WHERE rk <= 5000),
+        |ks AS (SELECT unnest([100, 1000, 5000]) AS k)
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        |  CAST(MAX(top.rk) AS BIGINT) AS n_types_used,
+        |  CAST(MAX(top.cum) AS BIGINT) AS covered_tokens,
+        |  (SELECT CAST(total AS BIGINT) FROM tot) AS total_tokens,
+        |  CAST((CAST(MAX(top.cum) AS HUGEINT) * 2000000 + (SELECT total FROM tot))
+        |    // (CAST((SELECT total FROM tot) AS HUGEINT) * 2) AS DOUBLE)
+        |    / 1000000.0 AS coverage
+        |FROM ks JOIN top ON top.rk <= ks.k
+        |GROUP BY ks.k ORDER BY k""".stripMargin,
     "q_lang_confusion" ->
       """SELECT lang,
         |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'

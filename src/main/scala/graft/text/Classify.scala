@@ -85,6 +85,27 @@ object Classify {
             seed: String = "clf", bigrams: Boolean = true): Column =
     round(sigmoid(linearLogit(text, weightsMicros, biasMicros, seed, bigrams)), 6)
 
+  /** Exact decision at threshold 0.5: sigmoid(z) ≥ 0.5 ⟺ z ≥ 0 ⟺
+    * Σw + bias·n ≥ 0 — an ALL-INTEGER comparison, no sigmoid, no 6-dp
+    * rounding boundary. The selection/fairness contract needs the
+    * decision itself to be oracle-exact; thresholding the rounded
+    * [[score]] would make documents within half an ulp of 0.5 engine-
+    * dependent. Empty documents decide on the bias sign alone (the
+    * [[linearLogit]] convention).
+    */
+  def selectedAtHalf(text: Column, weightsMicros: Seq[Long], biasMicros: Long,
+                     seed: String = "clf", bigrams: Boolean = true): Column = {
+    val dim = weightsMicros.size
+    require(dim > 0, "need at least one weight")
+    val warr = lit(weightsMicros.toArray)
+    val feats = ngramFeatures(text, bigrams)
+    val sumMicros = aggregate(feats, lit(0L),
+      (acc, f) => acc + try_element_at(warr, (featureBucket(f, dim, seed) + lit(1L)).cast("int")))
+    val n = size(feats)
+    when(n > 0, sumMicros + lit(biasMicros) * n >= 0L)
+      .otherwise(lit(biasMicros >= 0L))
+  }
+
   /** Deterministic demo weights for a D-bucket model — the fixture
     * both the q_classify query and its DuckDB oracle regenerate from
     * the same closed form (no trained artifact to ship):

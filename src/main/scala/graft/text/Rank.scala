@@ -380,6 +380,58 @@ object Rank {
           round(num * num / (dx * dy), 6)).as("r2"): _*)
   }
 
+  /** Top-k vocabulary token coverage — the tokenizer-budget curve
+    * beside [[zipfFit]]: what fraction of all corpus TOKENS do the k
+    * most frequent types cover? The number a vocabulary/BPE size
+    * decision actually reads (coverage at the candidate vocab sizes =
+    * 1 − OOV mass under truncation), where Zipf's slope only implies
+    * it. Returns one row per requested k:
+    * `(k, n_types_used, covered_tokens, total_tokens, coverage)` —
+    * `n_types_used` < k when the vocabulary is smaller than k.
+    *
+    * Determinism: counts are exact; coverage emits through the exact
+    * integral-divide micro-quantization (round-half-up of
+    * covered·1e6/total as an integer, then one /1e6) — no
+    * cross-engine round(double, 6) tie exposure.
+    *
+    * Scale shape: one token-keyed counting exchange (vocabulary-sized),
+    * a TakeOrdered top-max(k) — never a whole-vocabulary
+    * single-partition sort — then a ≤max(k)-row cumulative window and
+    * an O(|ks|) literal-array explode; corpus totals ride a 1-row
+    * broadcast. The counting pass is shared via persist.
+    */
+  def vocabCoverage(docs: DataFrame, text: Column, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks.max <= 1000000,
+      s"ks must be in [1, 1e6]: $ks")
+    val maxK = ks.max
+    val freqs = docs
+      .select(explode(split(lower(text), "[^a-z0-9]+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .persist() // vocabulary-sized; feeds totals + top-k
+    val totals = freqs.agg(sum(col("__f")).as("__total"))
+    val W = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__f").desc, col("__w").asc)
+    val ranked = freqs
+      .orderBy(col("__f").desc, col("__w").asc).limit(maxK)
+      .withColumn("__rk", row_number().over(W).cast("long"))
+      .withColumn("__cum", sum(col("__f")).over(W.rowsBetween(Long.MinValue, 0)))
+    val kArr = array(ks.sorted.map(k => lit(k.toLong)): _*)
+    ranked
+      .select(col("__rk"), col("__cum"),
+        explode(filter(kArr, k => k >= col("__rk"))).as("k"))
+      .groupBy(col("k"))
+      .agg(max(col("__rk")).as("n_types_used"),
+        max(col("__cum")).as("covered_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("n_types_used"), col("covered_tokens"),
+        col("__total").as("total_tokens"),
+        (expr("(cast(covered_tokens as decimal(38,0)) * 2000000 + __total) " +
+          "div (cast(__total as decimal(38,0)) * 2)")
+          .cast("double") / lit(1e6)).as("coverage"))
+      .orderBy(col("k"))
+  }
+
   /** Heaps' law fit — vocabulary growth V(n) ≈ K·n^β, [[zipfFit]]'s
     * companion curve: how fast does a corpus keep minting new types as
     * documents accumulate? β near 1 means every batch is still novel
