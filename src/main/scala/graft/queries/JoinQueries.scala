@@ -338,26 +338,17 @@ object JoinQueries {
     * (nation, segment) blocks at unrestricted DL distance ≤ 2 — the
     * native-expression edit distance where a digit TRANSPOSITION
     * ("...12" vs "...21") costs 1 where q_fuzzy_join's Levenshtein
-    * charges 2. Pair source: the in-block scorer (pair volume =
-    * Σ block², blocking is the knob) — measured 8.9× for 10× rows but
-    * 8× cheaper at base than [[graft.text.Fuzzy.damerauDupPairs]]'s
-    * sub-quadratic signature path, whose collisions explode on this
-    * id-like corpus (shared 13-char prefix + zero runs); both paths
-    * return identical rows (DamerauSpec pins the equivalence) and a
-    * sparse real corpus flips the choice — see BASELINE.md.
+    * charges 2. The pair source is COST-BASED (both paths exact,
+    * DamerauSpec pins the equivalence): one exact Σ block-pairs probe
+    * picks the in-block quadratic while it is the cheaper plan and the
+    * native deletion-signature join past the budget — the oracle
+    * replays the quadratic definition, so hash equality checks
+    * whichever path ran.
     */
   private def qDamerau(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
-    def side(p: String) = c.select(col("c_custkey").as(s"id_$p"),
-      col("c_name").as(s"nm_$p"), col("c_nationkey").as("nk"),
-      col("c_mktsegment").as("seg"))
-    side("a").join(side("b"), Seq("nk", "seg"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(abs(length(col("nm_a")) - length(col("nm_b"))) <= 2)
-      .withColumn("dist",
-        graft.functions.StringDist.damerau(col("nm_a"), col("nm_b")).cast("long"))
-      .filter(col("dist") <= 2)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    graft.text.Fuzzy.damerauDupPairs(t(s, dir, "customer"), "c_custkey",
+        "c_name", Seq(col("c_nationkey"), col("c_mktsegment")), maxDist = 2)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -25,33 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
-  /** All single-character deletions of `s` (empty array for the empty
-    * string). Pure codegen'd string slicing — no UDF.
-    */
-  private def deletions(s: Column): Column =
-    when(length(s) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), length(s) - 1),
-        i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
-
   /** Symmetric-delete signature set for edit distance ≤ k (k ≤ 2): the
     * string plus every variant obtainable by deleting up to k
     * characters. If `lev(a, b) ≤ k` then a and b share at least one
     * signature (delete the edited alignment positions from each side),
     * so joining on signatures yields an EXACT candidate superset —
     * the SymSpell / FastSS dictionary trick turned into a join key.
+    * One native codegen'd call per row
+    * ([[graft.functions.TextSignatures]]) — the composed HOF spelling
+    * is interpreted per element and measured ~15× slower end-to-end.
     */
-  private[text] def deletionSigs(s: Column, k: Int): Column = k match {
-    case 0 => array(s)
-    case 1 => array_distinct(concat(array(s), deletions(s)))
-    // deletions(s) feeds two consumers: bind it as a lambda variable so
-    // it is sliced once per row, not once per consumer (Catalyst does no
-    // CSE across HOF lambdas — the CollapseProject re-eval trap)
-    case 2 => graft.functions.ArrayMath.bound(deletions(s)) { d1 =>
-      array_distinct(concat(array(s), d1, flatten(transform(d1, d => deletions(d)))))
-    }
-    case n => throw new IllegalArgumentException(
-      s"deletion signatures are practical for maxDist <= 2, got $n")
-  }
+  private[text] def deletionSigs(s: Column, k: Int): Column =
+    graft.functions.TextSigs.deletionSignatures(s, k)
 
   /** Candidate pairs within blocks at edit distance ≤ `maxDist`.
     *
@@ -82,6 +67,10 @@ object Fuzzy {
       if (maxDist <= 2) {
         val sigged = df.select((col(idCol).as("id") +: col(strCol).as("str") +: blocks): _*)
           .withColumn("__sig", explode(deletionSigs(col("str"), maxDist)))
+          // 8-byte join key: hashing the signature shrinks the sig-join
+          // shuffle; a collision only WIDENS the candidate superset,
+          // which the exact scorer then filters
+          .withColumn("__sig", xxhash64(col("__sig")))
         val a = sigged.select((col("id").as("id_a") +: col("str").as("str_a") +:
           (blockNames.map(col) :+ col("__sig"))): _*)
         val b = sigged.select((col("id").as("id_b") +: col("str").as("str_b") +:
@@ -124,26 +113,44 @@ object Fuzzy {
     *
     * Scale shape: pair volume tracks true near-duplicate density (the
     * FastSS argument), not Σ block² — this is the sub-quadratic path the
-    * in-block scorer quadratic cannot offer at 100 TB.
+    * in-block scorer quadratic cannot offer at 100 TB. Like
+    * [[jaroDupPairs]], the path is COST-BASED: at or under `pairBudget`
+    * in-block pairs (one exact count aggregation) the plain quadratic
+    * scan is the cheaper physical plan; `pairBudget = 0` forces the
+    * signature path. Identical output either way.
     *
     * @return columns (id_a, str_a, id_b, str_b, dist)
     */
   def damerauDupPairs(df: DataFrame, idCol: String, strCol: String,
-                      blockBy: Seq[Column], maxDist: Int): DataFrame = {
+                      blockBy: Seq[Column], maxDist: Int,
+                      pairBudget: Long = 1000000000L): DataFrame = {
     require(maxDist >= 0 && maxDist <= 2,
       s"deletion signatures are practical for maxDist <= 2, got $maxDist")
+    require(pairBudget >= 0L, s"pairBudget must be non-negative: $pairBudget")
     val blocks = blockBy.zipWithIndex.map { case (c, i) => c.as(s"__blk_$i") }
     val blockNames = blockBy.indices.map(i => s"__blk_$i")
-    val sigged = df.select((col(idCol).as("id") +: col(strCol).as("str") +: blocks): _*)
-      .withColumn("__sig", explode(deletionSigs(col("str"), maxDist)))
-    val a = sigged.select((col("id").as("id_a") +: col("str").as("str_a") +:
-      (blockNames.map(col) :+ col("__sig"))): _*)
-    val b = sigged.select((col("id").as("id_b") +: col("str").as("str_b") +:
-      (blockNames.map(col) :+ col("__sig"))): _*)
-    a.join(b, blockNames :+ "__sig")
-      .filter(col("id_a") < col("id_b"))
-      .drop("__sig")
-      .dropDuplicates("id_a", "id_b")
+    val rows = df.select((col(idCol).as("id") +: col(strCol).as("str") +: blocks): _*)
+    def asSide(p: String) =
+      rows.select((col("id").as(s"id_$p") +: col("str").as(s"str_$p") +:
+        blockNames.map(col)): _*)
+    val candidates =
+      if (quadPairCount(rows, blockNames, pairBudget) <= pairBudget)
+        asSide("a").join(asSide("b"), blockNames)
+          .filter(col("id_a") < col("id_b"))
+      else {
+        val sigged = rows
+          .withColumn("__sig", explode(deletionSigs(col("str"), maxDist)))
+          .withColumn("__sig", xxhash64(col("__sig"))) // 8-byte join key (collisions only widen the superset)
+        val a = sigged.select((col("id").as("id_a") +: col("str").as("str_a") +:
+          (blockNames.map(col) :+ col("__sig"))): _*)
+        val b = sigged.select((col("id").as("id_b") +: col("str").as("str_b") +:
+          (blockNames.map(col) :+ col("__sig"))): _*)
+        a.join(b, blockNames :+ "__sig")
+          .filter(col("id_a") < col("id_b"))
+          .drop("__sig")
+          .dropDuplicates("id_a", "id_b")
+      }
+    candidates
       .filter(abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
       .withColumn("dist",
         graft.functions.StringDist.damerau(col("str_a"), col("str_b")))
@@ -151,20 +158,25 @@ object Fuzzy {
       .drop(blockNames: _*)
   }
 
-  /** Characters of `s` in sorted order, as a string — the multiset
-    * normal form. Jaro's matched characters form a common MULTISET
-    * (each match pairs one char of `a` with an equal char of `b`), not
-    * a common subsequence, so the deletion-signature trick applies to
-    * the SORTED string: if both sides can reach the matched multiset
-    * with ≤ k deletions each, they share a ≤k-deletion signature of
-    * their sorted forms. Sorting also collapses repeated characters
-    * into runs, so `array_distinct` prunes most variants for free.
-    * Pure codegen'd split/sort/join — no UDF. (Sorting is by UTF-16
-    * unit; a non-BMP code point counts as two deletions toward k —
-    * exactness for such text needs a correspondingly larger k.)
+  /** Exact Σ_b C(c_b, 2) over the block keys — the cost probe behind
+    * the quadratic-vs-signature physical choice. One map-combined
+    * aggregation to a single driver scalar (the bounded-driver-state
+    * contract); decimal product so a multi-billion-row block cannot
+    * overflow, clamped into Long.
     */
-  private def sortedChars(s: Column): Column =
-    array_join(array_sort(split(s, "")), "")
+  private def quadPairCount(rows: DataFrame, blockNames: Seq[String],
+                            pairBudget: Long): Long =
+    if (pairBudget == 0L) Long.MaxValue
+    else {
+      val s = rows.groupBy(blockNames.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(sum(expr("cast(__c as decimal(38,0)) * (__c - 1)")))
+        .collect().head
+      if (s.isNullAt(0)) 0L
+      else {
+        val half = s.getDecimal(0).toBigInteger.shiftRight(1)
+        if (half.bitLength() >= 63) Long.MaxValue else half.longValueExact()
+      }
+    }
 
   /** Candidate pairs within blocks at Jaro-Winkler similarity ≥
     * `threshold` — the sub-quadratic EXACT pair source for the scorer
@@ -176,10 +188,13 @@ object Fuzzy {
     * (θ-0.4)/0.6)). Each of the three Jaro terms is ≤ 1, hence
     * m/|a| ≥ 3·jMin-2, i.e. side `a` has at most ⌊3(1-jMin)·|a|⌋
     * unmatched characters (same for `b`). Matched characters form
-    * equal multisets, so deleting each side's unmatched characters
-    * from its SORTED form yields the same string: any pair with
-    * JW ≥ θ whose sides are both ≤ `lenCap` = ⌊k/(3(1-jMin))⌋ chars
-    * shares a ≤k-deletion signature of [[sortedChars]]. Rows longer
+    * equal multisets (each match pairs one char of `a` with an equal
+    * char of `b` — NOT a common subsequence, Jaro matches may cross),
+    * so deleting each side's unmatched characters from its SORTED
+    * code points yields the same string: any pair with JW ≥ θ whose
+    * sides are both short enough shares a ≤k-deletion signature of
+    * the sorted form
+    * ([[graft.functions.TextSigs.sortedDeletionSignatures]]). Rows longer
     * than `lenCap` (where k deletions are not enough) are routed
     * through the quadratic in-block scan against ALL rows, so the
     * union is exact for every input; it is sub-quadratic whenever
@@ -187,22 +202,40 @@ object Fuzzy {
     * names, codes). Pair volume then tracks true near-duplicate
     * density (the FastSS argument), not Σ block².
     *
-    * @param df        input frame
-    * @param idCol     unique row id (output pairs are `id_a < id_b`)
-    * @param strCol    string to compare
-    * @param blockBy   blocking keys — pairs must match on ALL of them
-    * @param threshold inclusive Jaro-Winkler similarity threshold
-    * @param k         deletion budget per side (≤ 2); larger k raises
-    *                  `lenCap` (more rows on the signature path) at
-    *                  C(len, k) signature cost
+    * COST-BASED path choice (both paths exact, so this is a physical
+    * decision, the Catalyst spirit): the signature machinery pays a
+    * fixed ~linear cost (explode ~C(len,k) sigs/row + a wide shuffle),
+    * which beats the in-block quadratic only once Σ_b c_b·(c_b−1)/2
+    * pair-scorings outgrow it. One exact block-count aggregation
+    * (bounded driver scalar) measures that sum; at or under
+    * `pairBudget` the plain quadratic in-block join runs instead —
+    * measured 0.65s vs the signature path's 4.8s on the 90M-pair
+    * sf0.1 customer table, while at 100× the quadratic's 9·10¹¹
+    * scorings are hours and the signature path stays linear-ish. The
+    * choice is deterministic (exact integer counts both engines).
+    *
+    * @param df         input frame
+    * @param idCol      unique row id (output pairs are `id_a < id_b`)
+    * @param strCol     string to compare
+    * @param blockBy    blocking keys — pairs must match on ALL of them
+    * @param threshold  inclusive Jaro-Winkler similarity threshold
+    * @param k          deletion budget per side (≤ 2); larger k raises
+    *                   `lenCap` (more rows on the signature path) at
+    *                   C(len, k) signature cost
+    * @param pairBudget in-block pair count at or under which the
+    *                   quadratic scan is the cheaper physical plan
+    *                   (~1e9 ≈ a few seconds of codegen'd JW scoring
+    *                   across 32 cores); 0 forces the signature path
     * @return columns (id_a, str_a, id_b, str_b, jw)
     */
   def jaroDupPairs(df: DataFrame, idCol: String, strCol: String,
-                   blockBy: Seq[Column], threshold: Double, k: Int = 2): DataFrame = {
+                   blockBy: Seq[Column], threshold: Double, k: Int = 2,
+                   pairBudget: Long = 1000000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     require(k >= 0 && k <= 2,
       s"deletion signatures are practical for k <= 2, got $k")
+    require(pairBudget >= 0L, s"pairBudget must be non-negative: $pairBudget")
     val jMin = math.min(threshold, math.max(0.7, (threshold - 0.4) / 0.6))
     // a JW-qualifying side of length L needs at most floor(3(1-jMin)·L)
     // deletions, so the signature path is exact up to the largest L with
@@ -219,12 +252,22 @@ object Fuzzy {
     def asSide(d: DataFrame, p: String) =
       d.select((col("id").as(s"id_$p") +: col("str").as(s"str_$p") +:
         blockNames.map(col)): _*)
+    if (quadPairCount(rows, blockNames, pairBudget) <= pairBudget) {
+      // small regime: the in-block quadratic IS the cheaper plan
+      return asSide(rows, "a").join(asSide(rows, "b"), blockNames)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jw",
+          graft.functions.StringDist.jaroWinkler(col("str_a"), col("str_b")))
+        .filter(col("jw") >= threshold)
+        .drop(blockNames: _*)
+    }
     // signature path: short×short pairs via the sorted-multiset
     // deletion-signature equi-join — high-cardinality key, group sizes
     // track near-duplicate density
     val short = rows.filter(length(col("str")) <= lenCap)
     val sigged = short.withColumn("__sig",
-      explode(deletionSigs(sortedChars(col("str")), k)))
+        explode(graft.functions.TextSigs.sortedDeletionSignatures(col("str"), k)))
+      .withColumn("__sig", xxhash64(col("__sig"))) // 8-byte join key (collisions only widen the superset)
     val sa = sigged.select((col("id").as("id_a") +: col("str").as("str_a") +:
       (blockNames.map(col) :+ col("__sig"))): _*)
     val sb = sigged.select((col("id").as("id_b") +: col("str").as("str_b") +:

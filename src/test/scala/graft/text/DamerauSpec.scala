@@ -76,7 +76,10 @@ class DamerauSpec extends AnyFunSuite {
       "abcdefg", "xbcdef", "azcdeb", "fedcba")
     val df = createDf(spark, "id int, s string, blk int",
       names.zipWithIndex.map { case (n, i) => Seq[Any](i, n, 0) })
-    val sig = Fuzzy.damerauDupPairs(df, "id", "s", Seq(col("blk")), maxDist = 2)
+    // pairBudget = 0 forces the signature path (the cost-based default
+    // would pick the quadratic branch at this size and test nothing)
+    val sig = Fuzzy.damerauDupPairs(df, "id", "s", Seq(col("blk")), maxDist = 2,
+      pairBudget = 0L)
       .select("id_a", "id_b", "dist").orderBy("id_a", "id_b").collect().toSeq
     val a = df.select(col("id").as("id_a"), col("s").as("sa"), col("blk"))
     val b = df.select(col("id").as("id_b"), col("s").as("sb"), col("blk"))

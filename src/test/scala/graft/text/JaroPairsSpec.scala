@@ -27,6 +27,14 @@ class JaroPairsSpec extends AnyFunSuite {
   }
 
   private def sigged(df: DataFrame, threshold: Double): Seq[(Long, Long, Double)] =
+    // pairBudget = 0 FORCES the signature path — small fixtures would
+    // otherwise take the cost-based quadratic branch and test nothing
+    Fuzzy.jaroDupPairs(df, "id", "s", Seq(col("blk")), threshold, pairBudget = 0L)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"), col("jw"))
+      .orderBy("id_a", "id_b")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+  private def costBased(df: DataFrame, threshold: Double): Seq[(Long, Long, Double)] =
     Fuzzy.jaroDupPairs(df, "id", "s", Seq(col("blk")), threshold)
       .select(col("id_a").cast("long"), col("id_b").cast("long"), col("jw"))
       .orderBy("id_a", "id_b")
@@ -68,6 +76,9 @@ class JaroPairsSpec extends AnyFunSuite {
     val quad = quadratic(c, 0.975)
     assert(sig == quad)
     assert(quad.nonEmpty) // the dataset must actually exercise the path
+    // and the cost-based default (which picks the quadratic branch at
+    // this size) returns the same pairs
+    assert(costBased(c, 0.975) == quad)
   }
 
   test("customer names ride the signature path, not the quadratic fallback") {
