@@ -555,4 +555,74 @@ object Calibration {
           round(col("__t").cast("double") / lit(1e9) / col("n"), 6))
           .as("log_loss"))
   }
+
+  /** Split-conformal prediction threshold + empirical coverage — the
+    * DISTRIBUTION-FREE uncertainty wrapper for any scored classifier:
+    * on a held-out calibration split, take the ⌈(n+1)(1−α)⌉-th smallest
+    * nonconformity score q̂; the prediction sets {labels with
+    * nonconformity ≤ q̂} then cover the truth with probability ≥ 1−α on
+    * exchangeable data, NO model assumptions (Vovk; Angelopoulos &
+    * Bates' split-conformal recipe). The audit every "the classifier
+    * says 0.93" pipeline owes its consumers.
+    *
+    * Binary nonconformity, micro-exact: score is a 6-dp probability, so
+    * s_i = y ? (1 − p) : p is an exact INTEGER in micro units, the rank
+    * k = ⌈(n_cal+1)·(1−α)⌉ is computed with integer ceiling-division
+    * (α itself in micro units), and q̂ is the first distinct value whose
+    * cumulative count reaches k — engine-exact everywhere; if k exceeds
+    * n_cal the threshold is the vacuous 1.0 (every set covers).
+    * Coverage on the test split is then one exact count over a 1-row
+    * broadcast of q̂.
+    *
+    * Scale shape: one distinct-value aggregation on the calibration
+    * split (≤ 1e6+1 distinct micro values), cumulative counts via
+    * [[graft.ops.Ids.withRunningTotals]] (range partitions + bounded
+    * windows — never a whole-frame row window), a 1-row q̂ broadcast,
+    * one test-side conditional aggregation.
+    *
+    * @param calSelector boolean column marking calibration rows (the
+    *        caller's deterministic split — md5 parity by convention);
+    *        false = test rows
+    * @param alphaMicro miscoverage target α in micro units (1e5 = 0.1)
+    * @return one row `(n_cal, n_test, k, qhat_micro, coverage)`
+    */
+  def conformalSplit(df: DataFrame, positive: Column, score: Column,
+                     calSelector: Column, alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6): $alphaMicro")
+    val sq = least(greatest(round(score * lit(1e6), 0).cast("long"), lit(0L)),
+      lit(1000000L))
+    val base = df
+      .select(positive.as("__y"), sq.as("__s"), calSelector.as("__cal"))
+      .filter(col("__y").isNotNull && col("__s").isNotNull && col("__cal").isNotNull)
+      .select(col("__cal"),
+        when(col("__y"), lit(1000000L) - col("__s")).otherwise(col("__s")).as("__nc"))
+    val cal = base.filter(col("__cal"))
+    val byVal = cal.groupBy(col("__nc")).agg(count(lit(1)).as("__n_v"))
+    val cum = graft.ops.Ids.withRunningTotals(byVal, Seq("__nc"), Seq("__n_v"))
+    val nCal = cal.agg(count(lit(1)).as("__ncal"))
+      .select(col("__ncal"),
+        // k = ceil((n+1)·(1e6 − α) / 1e6), exact integer ceiling-div
+        (((col("__ncal") + lit(1L)) * (lit(1000000L) - lit(alphaMicro))
+          + lit(999999L)) / lit(1000000L)).cast("long").as("__k"))
+    // q̂ = smallest value whose cumulative count reaches k; vacuous 1.0
+    // when k > n_cal (the standard small-sample escape)
+    val qhat = cum.crossJoin(broadcast(nCal))
+      .filter(col("__n_v_cum") >= col("__k"))
+      .agg(min(col("__nc")).as("__q"))
+      .crossJoin(broadcast(nCal))
+      .select(col("__ncal"), col("__k"),
+        coalesce(col("__q"), lit(1000000L)).as("__q"))
+    base.filter(!col("__cal"))
+      .crossJoin(broadcast(qhat))
+      .agg(
+        first(col("__ncal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        first(col("__k")).as("k"),
+        first(col("__q")).as("qhat_micro"),
+        sum(when(col("__nc") <= col("__q"), 1L).otherwise(0L)).as("__cov"))
+      .select(col("n_cal"), col("n_test"), col("k"), col("qhat_micro"),
+        when(col("n_test") > 0,
+          round(col("__cov").cast("double") / col("n_test"), 6)).as("coverage"))
+  }
 }

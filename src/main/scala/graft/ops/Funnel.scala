@@ -437,6 +437,54 @@ object Funnel {
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
   }
 
+  /** Frequent CONSECUTIVE event sequences — the sequential-pattern step
+    * past [[transitionMatrix]]'s bigram counts: every length-`len` run
+    * of consecutive events per entity (a contiguous sliding window over
+    * the entity's deterministic timeline, the "what journeys actually
+    * happen" question bigrams compress away — a>b>c and b>a>c share all
+    * their bigram mass yet are different funnels). Patterns emit as
+    * `'>'`-joined strings so the k-ary shape stays one fixed schema.
+    *
+    * Determinism: the per-entity ordering is (ts, tie) exactly as
+    * [[transitionMatrix]]; a window's pattern is defined only when its
+    * LAST lead resolves (leads null only at each partition's tail, so
+    * the surviving windows are exactly the complete ones).
+    *
+    * Scale shape: one entity-keyed shuffle for the sequence window
+    * (len−1 leads ride the SAME window spec — one sort, not len), a
+    * pattern-keyed map-combined count (result bounded by |types|^len,
+    * never rows), support prune, then a bounded-table sort. The
+    * `minCount` prune runs BEFORE the distinct-entity count so the
+    * heavy tail never reaches the second aggregation.
+    *
+    * @return (pattern, n_occurrences, n_entities) for patterns with
+    *         n_occurrences >= minCount, ordered (n desc, pattern) —
+    *         a total order, so top-k consumers are deterministic
+    */
+  def frequentSequences(events: DataFrame, entityCol: String, tsCol: String,
+                        tieCol: String, typeCol: String, len: Int,
+                        minCount: Long = 1L): DataFrame = {
+    require(len >= 2, s"len must be >= 2: $len")
+    Guards.requireNoReservedNames(events,
+      Seq("pattern", "n_occurrences", "n_entities", "__e"), "frequentSequences")
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val steps = col(typeCol) +: (1 until len).map(i => lead(col(typeCol), i).over(w))
+    val windows = events
+      .select(col(entityCol).as("__e"), concat_ws(">", steps: _*).as("pattern"),
+        steps.last.isNotNull.as("__complete"))
+      .filter(col("__complete"))
+    val counted = windows
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+    val entities = windows.join(counted.select(col("pattern")), Seq("pattern"),
+        "left_semi")
+      .select(col("pattern"), col("__e")).distinct()
+      .groupBy(col("pattern")).agg(count(lit(1)).as("n_entities"))
+    counted.join(entities, Seq("pattern"))
+      .orderBy(col("n_occurrences").desc, col("pattern"))
+  }
+
   /** DIRECTED association rules over entity baskets — the market-basket
     * step past [[cooccurrenceLift]]'s symmetric lift: for every ordered
     * pair with joint count ≥ `minPairCount`,

@@ -106,6 +106,13 @@ object Graph {
     * @return (node, core_degree) for k-core members — core_degree is the
     *         degree WITHIN the core, >= k by construction
     */
+  /** Peel rounds the most recent [[kCore]] call ran — measurement-only
+    * diagnostic for the ScaleProbe scaling protocol (peeling depth is
+    * the one cost ×10 tables can't stress). Last-writer-wins; never
+    * consulted by operators.
+    */
+  @volatile private[graft] var lastKcoreRounds: Int = -1
+
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
             maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -133,6 +140,7 @@ object Graph {
       cur = next
       rounds += 1
     }
+    lastKcoreRounds = rounds
     if (!converged) throw new IllegalStateException(
       s"kCore did not converge within $maxRounds rounds (depth exceeds backstop)")
     degrees(cur).select(col("x").as("node"), col("d").as("core_degree"))

@@ -1058,4 +1058,179 @@ object PriceIndex {
         round(col("__b") / lit(1e3), 6).as("beta"),
         round(exp((col("__am") - col("__am0")) / lit(1e9)), 6).as("index"))
   }
+
+  /** Matched-sample unit-value table joined to its base basket — the
+    * shared spine of the weighted-formula family: per (item, period),
+    * exact-decimal unit values and expenditures on BOTH ends plus
+    * micro-quantized per-period expenditure totals for the shares
+    * (window sums of exact longs — never raw-double window sums).
+    * Columns: `__pd, __p, __q, __e, __p0, __q0, __e0, __totm, __totm0`
+    * (`__totm*` = period expenditure totals in micro units; NOT named
+    * `__E` — Spark's default case-insensitive resolution would collide
+    * it with `__e`).
+    */
+  private def uvWithBase(df: DataFrame, itemCol: String, periodCol: Column,
+                         expCol: String, qtyCol: String,
+                         basePeriod: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val uv = df
+      .groupBy(col(itemCol).as("__it"), periodCol.as("__pd"))
+      .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
+      .select(col("__it"), col("__pd"), col("__S").cast("double").as("__e"),
+        (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
+        col("__Q").cast("double").as("__q"))
+    val base = uv.filter(col("__pd") === basePeriod)
+      .select(col("__it"), col("__e").as("__e0"), col("__p").as("__p0"),
+        col("__q").as("__q0"))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(col("__pd"))
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    uv.join(base, Seq("__it"))
+      .select(col("__pd"), col("__p"), col("__q"), col("__e"),
+        col("__p0"), col("__q0"), col("__e0"),
+        sum(micro(col("__e"))).over(W).as("__totm"),
+        sum(micro(col("__e0"))).over(W).as("__totm0"))
+  }
+
+  /** The remaining textbook weighted bilaterals vs `basePeriod` —
+    * the formula-sensitivity sweep beside [[bilateralIndexes]]
+    * (Laspeyres/Paasche/Fisher) and [[superlativeIndexes]]
+    * (Törnqvist/Walsh): per period,
+    * `(period, n_items, marshall_edgeworth, palgrave, geom_laspeyres,
+    * harmonic_laspeyres)` where
+    *
+    *   ME    = Σ pₜ(q₀+qₜ) / Σ p₀(q₀+qₜ)   (pooled-basket)
+    *   Palg  = Σ sₜ·(pₜ/p₀)                (current-share arithmetic)
+    *   GL    = exp(Σ s₀·ln(pₜ/p₀))         (base-share geometric)
+    *   HL    = 1 / Σ s₀·(p₀/pₜ)            (base-share harmonic)
+    *
+    * — the CPI-manual ordering HL ≤ GL ≤ Laspeyres ≤ Palgrave under
+    * normal substitution, the spread a formula-choice decision reads.
+    *
+    * Determinism: unit values are exact-decimal ratios; ME's p·q terms
+    * and the share numerators micro-quantize per item before the period
+    * sums (exact longs at any parallelism); Palgrave/GL/HL per-item
+    * terms nano-quantize; the single final exp/division lands on
+    * identical arguments in every engine (the q_outliers
+    * round-both-sides rule, 6 dp).
+    *
+    * Scale shape: the [[bilateralIndexes]] contract — ONE (item, period)
+    * aggregation over the transaction scan, an item-bounded base join
+    * (AQE broadcast), period-keyed window + reduction sharing one
+    * exchange. Row-level data is never touched after the first shuffle.
+    */
+  def extendedBilateral(df: DataFrame, itemCol: String, periodCol: Column,
+                        expCol: String, qtyCol: String,
+                        basePeriod: String): DataFrame = {
+    val j = uvWithBase(df, itemCol, periodCol, expCol, qtyCol, basePeriod)
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    def nano(x: Column): Column = round(x * lit(1e9), 0).cast("long")
+    val st = micro(col("__e")).cast("double") / col("__totm").cast("double")
+    val s0 = micro(col("__e0")).cast("double") / col("__totm0").cast("double")
+    val r = col("__p") / col("__p0")
+    j.select(col("__pd"),
+        micro(col("__p") * (col("__q0") + col("__q"))).as("__men"),
+        micro(col("__p0") * (col("__q0") + col("__q"))).as("__med"),
+        nano(st * r).as("__pal"),
+        nano(s0 * log(r)).as("__gl"),
+        nano(s0 / r).as("__hl"))
+      .groupBy(col("__pd"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__men")).as("__n"), sum(col("__med")).as("__d"),
+        sum(col("__pal")).as("__p"), sum(col("__gl")).as("__g"),
+        sum(col("__hl")).as("__h"))
+      .select(col("__pd").as("period"), col("n_items"),
+        round(col("__n").cast("double") / col("__d").cast("double"), 6)
+          .as("marshall_edgeworth"),
+        round(col("__p").cast("double") / lit(1e9), 6).as("palgrave"),
+        round(exp(col("__g").cast("double") / lit(1e9)), 6).as("geom_laspeyres"),
+        round(lit(1e9) / col("__h").cast("double"), 6).as("harmonic_laspeyres"))
+  }
+
+  /** Sato–Vartia (Vartia-II) index vs `basePeriod` — the ideal
+    * log-change index: geometric mean of price relatives under
+    * normalized LOGARITHMIC-MEAN share weights,
+    *
+    *   w_i = L(sₜᵢ, s₀ᵢ) = (sₜᵢ − s₀ᵢ)/(ln sₜᵢ − ln s₀ᵢ)   (= sₜᵢ when equal)
+    *   P_SV = exp( Σ w·ln(pₜ/p₀) / Σ w )
+    *
+    * — exactly consistent in aggregation for CES preferences and the
+    * standard cross-check beside [[superlativeIndexes]]' Törnqvist
+    * (which uses arithmetic-mean shares; the two diverge only when
+    * shares move a lot). Per period:
+    * `(period, n_items, sato_vartia, w_sum)` — `w_sum` (≤ 1 by
+    * concavity, = 1 only when shares are static) is emitted so the
+    * normalization is visible.
+    *
+    * Determinism: shares are IEEE ratios of micro-quantized window
+    * totals (exact longs); each w and w·ln r nano-quantizes per item
+    * before the period sums; the final division-of-sums and exp land
+    * on identical arguments in every engine, 6 dp.
+    *
+    * Scale shape: identical to [[extendedBilateral]] — one
+    * (item, period) shuffle, broadcast base, window + reduction on the
+    * period key.
+    */
+  def satoVartia(df: DataFrame, itemCol: String, periodCol: Column,
+                 expCol: String, qtyCol: String,
+                 basePeriod: String): DataFrame = {
+    val j = uvWithBase(df, itemCol, periodCol, expCol, qtyCol, basePeriod)
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    def nano(x: Column): Column = round(x * lit(1e9), 0).cast("long")
+    val st = micro(col("__e")).cast("double") / col("__totm").cast("double")
+    val s0 = micro(col("__e0")).cast("double") / col("__totm0").cast("double")
+    // logarithmic mean, with the equal-shares limit taken explicitly on
+    // the QUANTIZED micro shares (so "equal" is engine-exact, never a
+    // float-boundary call)
+    val stM = micro(col("__e")).cast("double") * lit(1e6) / col("__totm").cast("double")
+    val s0M = micro(col("__e0")).cast("double") * lit(1e6) / col("__totm0").cast("double")
+    val w = when(round(stM, 0) === round(s0M, 0), st)
+      .otherwise((st - s0) / (log(st) - log(s0)))
+    val lnR = log(col("__p") / col("__p0"))
+    j.select(col("__pd"), nano(w).as("__w"), nano(w * lnR).as("__wl"))
+      .groupBy(col("__pd"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__w")).as("__sw"),
+        sum(col("__wl")).as("__swl"))
+      .select(col("__pd").as("period"), col("n_items"),
+        round(exp(col("__swl").cast("double") / col("__sw").cast("double")), 6)
+          .as("sato_vartia"),
+        round(col("__sw").cast("double") / lit(1e9), 6).as("w_sum"))
+  }
+
+  /** Lloyd–Moulton CES index vs `basePeriod` —
+    *
+    *   P_LM(σ) = ( Σ s₀·(pₜ/p₀)^(1−σ) )^(1/(1−σ)),   σ ≠ 1
+    *
+    * the constant-elasticity-of-substitution family that interpolates
+    * the whole formula spectrum: σ = 0 is Laspeyres, σ → 1 is geometric
+    * Laspeyres, σ = 2 is Palgrave's harmonic mirror. Published CPI
+    * practice uses it to correct substitution bias in REAL TIME (it
+    * needs only base-period shares — no current quantities), with σ
+    * estimated so P_LM tracks the retrospective superlative. Per
+    * period: `(period, n_items, lloyd_moulton)`.
+    *
+    * Determinism: shares are IEEE ratios of exact micro totals; each
+    * s₀·r^(1−σ) term nano-quantizes before the period sum; the final
+    * pow takes identical (exact-sum/1e9, 1/(1−σ)) arguments in every
+    * engine (round-both-sides at 6 dp absorbs libm ULP drift, the
+    * Jevons rule).
+    *
+    * Scale shape: identical to [[extendedBilateral]].
+    */
+  def lloydMoulton(df: DataFrame, itemCol: String, periodCol: Column,
+                   expCol: String, qtyCol: String, basePeriod: String,
+                   sigma: Double): DataFrame = {
+    require(sigma != 1.0 && sigma.isFinite,
+      s"sigma must be finite and != 1 (use geom_laspeyres at sigma=1): $sigma")
+    val j = uvWithBase(df, itemCol, periodCol, expCol, qtyCol, basePeriod)
+    def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
+    def nano(x: Column): Column = round(x * lit(1e9), 0).cast("long")
+    val s0 = micro(col("__e0")).cast("double") / col("__totm0").cast("double")
+    val r = col("__p") / col("__p0")
+    j.select(col("__pd"), nano(s0 * pow(r, lit(1.0 - sigma))).as("__t"))
+      .groupBy(col("__pd"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__t")).as("__s"))
+      .select(col("__pd").as("period"), col("n_items"),
+        round(pow(col("__s").cast("double") / lit(1e9),
+          lit(1.0 / (1.0 - sigma))), 6).as("lloyd_moulton"))
+  }
 }

@@ -80,6 +80,126 @@ object Regression {
         when(varX =!= 0.0 && varY =!= 0.0, round(r * r, 6)).as("r2")): _*)
   }
 
+  /** Per-group RIDGE trend — [[groupOls]] with L2 shrinkage, the fit to
+    * quote when groups are small or x barely varies and the raw OLS
+    * slope is noise chasing (per-series trends over thousands of sparse
+    * series is exactly where a 100 TB metrics store needs shrinkage,
+    * not per-group iterative solvers). Single-predictor closed form on
+    * CENTERED moments:
+    *
+    *   slope_ridge = Sxy_c / (Sxx_c + n·λ)
+    *             = (n·Sxy − Sx·Sy) / ((n·Sxx − Sx²) + n²·λ)
+    *
+    * (both sides multiplied by n, so the exact-decimal raw-moment
+    * combinations of [[groupOls]] carry over unchanged; λ enters in
+    * micro² units as an exact integer, making the denominator exact
+    * DECIMAL(38,0) too). λ = 0 reproduces OLS bit-for-bit; the emitted
+    * `slope_ols` beside `slope_ridge` makes the shrinkage visible.
+    * Intercept re-centers through the shrunken slope:
+    * intercept = (ȳ − slope_ridge·x̄), one fixed IEEE tree.
+    *
+    * Determinism: identical to [[groupOls]] — exact integer moments,
+    * each output one fixed IEEE sequence, 6 dp.
+    *
+    * Scale shape: ONE map-side-combined aggregation keyed on the group
+    * columns; 1 row per group.
+    *
+    * @param lambda L2 penalty in (original x units)², must be >= 0
+    */
+  def groupRidge(df: DataFrame, groupBy: Seq[String], x: Column, y: Column,
+                 lambda: Double): DataFrame = {
+    require(groupBy.nonEmpty, "groupRidge needs at least one group column")
+    require(lambda >= 0.0 && lambda.isFinite, s"lambda must be finite >= 0: $lambda")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    // λ in micro² units, exact: round once on the driver (a constant)
+    val lamMicro2 = BigDecimal(lambda).*(BigDecimal(10).pow(12))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+    val g = df
+      .select(groupBy.map(col) :+ q(x).as("__x") :+ q(y).as("__y"): _*)
+      .groupBy(groupBy.map(col): _*)
+      .agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val covN = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val varX = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val denom = (col("__n") * col("__sxx") - col("__sx") * col("__sx")
+      + col("__n") * col("__n") * lit(lamMicro2.toString).cast(dec)).cast("double")
+    val nD = col("__n").cast("double")
+    val slopeR = covN / denom
+    val interR = (col("__sy").cast("double") - slopeR * col("__sx").cast("double")) /
+      nD / lit(1e6)
+    g.select(
+      groupBy.map(col) ++ Seq(
+        col("__n").cast("long").as("n"),
+        when(denom =!= 0.0, round(slopeR, 6)).as("slope_ridge"),
+        when(varX =!= 0.0, round(covN / varX, 6)).as("slope_ols"),
+        when(denom =!= 0.0, round(interR, 6)).as("intercept")): _*)
+  }
+
+  /** Variance inflation factors for a 3-predictor design — the
+    * multicollinearity audit that belongs NEXT TO any multi-feature
+    * fit: VIF_j = 1/(1−R²_j) where R²_j regresses predictor j on the
+    * other two. Closed form via the pairwise correlations,
+    *
+    *   R²_1 = (r₁₂² + r₁₃² − 2·r₁₂·r₁₃·r₂₃) / (1 − r₂₃²)
+    *
+    * (and symmetrically), so the whole audit is ONE map-side-combined
+    * aggregation of the nine exact second moments — no matrix solver,
+    * no per-feature pass.
+    *
+    * Determinism: all three columns micro-quantize per row; the nine
+    * moment sums are exact DECIMAL(38,0); each r is one IEEE tree on
+    * exact integers and each VIF a fixed follow-on tree, 6 dp.
+    * Degeneracy: a zero-variance predictor or |r₂₃| = 1 (perfectly
+    * collinear complement) emits NULL for the affected VIFs.
+    *
+    * @return one row `(n, r12, r13, r23, vif_1, vif_2, vif_3)` with
+    *         VIFs ordered as the argument columns
+    */
+  def vif3(df: DataFrame, x1: Column, x2: Column, x3: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val base = df.select(q(x1).as("__a"), q(x2).as("__b"), q(x3).as("__c"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull && col("__c").isNotNull)
+    val m = base.agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(col("__a")).as("__sa"), sum(col("__b")).as("__sb"),
+      sum(col("__c")).as("__sc"),
+      sum(col("__a") * col("__a")).as("__saa"),
+      sum(col("__b") * col("__b")).as("__sbb"),
+      sum(col("__c") * col("__c")).as("__scc"),
+      sum(col("__a") * col("__b")).as("__sab"),
+      sum(col("__a") * col("__c")).as("__sac"),
+      sum(col("__b") * col("__c")).as("__sbc"))
+    def corr(sxy: Column, sx: Column, sy: Column,
+             sxx: Column, syy: Column): Column = {
+      val covN = (col("__n") * sxy - sx * sy).cast("double")
+      val vx = (col("__n") * sxx - sx * sx).cast("double")
+      val vy = (col("__n") * syy - sy * sy).cast("double")
+      when(vx > 0.0 && vy > 0.0, covN / sqrt(vx * vy))
+    }
+    val r12 = corr(col("__sab"), col("__sa"), col("__sb"), col("__saa"), col("__sbb"))
+    val r13 = corr(col("__sac"), col("__sa"), col("__sc"), col("__saa"), col("__scc"))
+    val r23 = corr(col("__sbc"), col("__sb"), col("__sc"), col("__sbb"), col("__scc"))
+    def r2Of(rjk: Column, rjl: Column, rkl: Column): Column =
+      when(rjk.isNotNull && rjl.isNotNull && rkl.isNotNull &&
+          abs(rkl) < 1.0,
+        (rjk * rjk + rjl * rjl - lit(2.0) * rjk * rjl * rkl) /
+          (lit(1.0) - rkl * rkl))
+    def vifOf(r2: Column): Column =
+      when(r2.isNotNull && r2 < 1.0, round(lit(1.0) / (lit(1.0) - r2), 6))
+    m.select(
+      col("__n").cast("long").as("n"),
+      round(r12, 6).as("r12"), round(r13, 6).as("r13"), round(r23, 6).as("r23"),
+      vifOf(r2Of(r12, r13, r23)).as("vif_1"),
+      vifOf(r2Of(r12, r23, r13)).as("vif_2"),
+      vifOf(r2Of(r13, r23, r12)).as("vif_3"))
+  }
+
   /** Log-log OLS per group — `ln y = intercept + slope·ln x`, the
     * elasticity regression (slope = %Δy per %Δx; demand elasticity,
     * scaling exponents, power laws). Only rows with x > 0 AND y > 0
@@ -190,5 +310,188 @@ object Regression {
         round(e / lit(1e6), 6).as("resid"),
         round(h, 6).as("leverage"),
         round(d, 6).as("cooks_d")): _*)
+  }
+
+  /** Sharp regression-discontinuity estimate — the causal design for
+    * "treatment switches on at a threshold of the running variable":
+    * local-linear fits on each side of `cutoff` within `bandwidth`,
+    * both extrapolated TO the cutoff; the jump between the two
+    * intercepts is the effect,
+    *
+    *   τ = b₀⁺ − b₀⁻,   se(τ) = √(Var(b₀⁺) + Var(b₀⁻)),
+    *   Var(b₀) = σ̂²·Sxx / (n·Sxx − Sx²),  σ̂² = SSR/(n−2)
+    *
+    * on x centered at the cutoff (so each intercept IS the boundary
+    * prediction). The right side includes the cutoff value itself
+    * (x ≥ c), the left is x < c — the sharp-assignment convention.
+    * One row: `(n_left, n_right, b_left, b_right, slope_left,
+    * slope_right, tau, se_tau, z)`; SE-dependent outputs null when
+    * either side has n < 3 or zero x-variance.
+    *
+    * Determinism: centered x and y micro-quantize per row; the twelve
+    * side-conditional moments accumulate as exact DECIMAL(38,0) in ONE
+    * grand aggregation; every output is a fixed IEEE tree on those
+    * integers, 6 dp.
+    *
+    * Scale shape: a single map-side-combined conditional aggregation
+    * over the (bandwidth-filtered, pushdown-eligible) scan → one row.
+    * No per-side passes, no shuffle beyond the 1-row reduce.
+    */
+  def regressionDiscontinuity(df: DataFrame, running: Column, outcome: Column,
+                              cutoff: Double, bandwidth: Double): DataFrame = {
+    require(bandwidth > 0.0 && bandwidth.isFinite,
+      s"bandwidth must be finite > 0: $bandwidth")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val base = df
+      .select(running.as("__r"), outcome.as("__y0"))
+      .filter(col("__r").isNotNull && col("__y0").isNotNull &&
+        col("__r") >= cutoff - bandwidth && col("__r") <= cutoff + bandwidth)
+      .select((col("__r") >= cutoff).as("__hi"),
+        q(col("__r") - lit(cutoff)).as("__x"), q(col("__y0")).as("__y"))
+    def side(hi: Boolean, nm: String): Seq[Column] = {
+      val in = if (hi) col("__hi") else !col("__hi")
+      def s(e: Column, a: String) = sum(when(in, e).otherwise(lit(0).cast(dec)))
+        .as(s"__$a$nm")
+      Seq(sum(when(in, 1L).otherwise(0L)).cast(dec).as(s"__n$nm"),
+        s(col("__x"), "sx"), s(col("__y"), "sy"),
+        s(col("__x") * col("__x"), "sxx"), s(col("__x") * col("__y"), "sxy"),
+        s(col("__y") * col("__y"), "syy"))
+    }
+    val m2 = base.agg(side(false, "l").head,
+      (side(false, "l").tail ++ side(true, "r")): _*)
+    def fit(nm: String): (Column, Column, Column, Column) = {
+      val n = col(s"__n$nm"); val sx = col(s"__sx$nm"); val sy = col(s"__sy$nm")
+      val sxx = col(s"__sxx$nm"); val sxy = col(s"__sxy$nm"); val syy = col(s"__syy$nm")
+      val varX = (n * sxx - sx * sx).cast("double")
+      val covN = (n * sxy - sx * sy).cast("double")
+      val varY = (n * syy - sy * sy).cast("double")
+      val slope = covN / varX
+      val b0 = (sy.cast("double") - slope * sx.cast("double")) / n.cast("double") / lit(1e6)
+      // SSR/n² in micro² units: (varY − slope·covN)/n ... all exact-int inputs
+      val ssrN = (varY - slope * covN) / n.cast("double")
+      val sigma2 = ssrN / (n.cast("double") - lit(2.0))
+      val varB0 = sigma2 * sxx.cast("double") / varX / lit(1e12)
+      (when(varX > 0.0, slope), when(varX > 0.0, b0),
+        when(varX > 0.0 && n.cast("double") > 2.0, varB0), n)
+    }
+    val (slL, b0L, vL, nL) = fit("l")
+    val (slR, b0R, vR, nR) = fit("r")
+    val tau = b0R - b0L
+    val seTau = sqrt(vL + vR)
+    m2.select(nL.cast("long").as("n_left"), nR.cast("long").as("n_right"),
+      round(b0L, 6).as("b_left"), round(b0R, 6).as("b_right"),
+      round(slL, 6).as("slope_left"), round(slR, 6).as("slope_right"),
+      round(tau, 6).as("tau"),
+      when(seTau > 0.0, round(seTau, 6)).as("se_tau"),
+      when(seTau > 0.0, round(tau / seTau, 6)).as("z"))
+  }
+
+  /** Binary-instrument IV (Wald) estimator — the causal effect of x on
+    * y when x is confounded but an ENCOURAGEMENT z is as-good-as-random:
+    *
+    *   β_IV = (ȳ₁ − ȳ₀) / (x̄₁ − x̄₀)   (ITT ÷ first stage)
+    *
+    * with the first-stage F (the weak-instrument gate: quote β only
+    * when F ≳ 10) computed from the pooled within-arm x variance,
+    *   F = (x̄₁ − x̄₀)² / (s²_pool·(1/n₀ + 1/n₁)).
+    * One row: `(n0, n1, itt, first_stage, f_first, beta_iv)`;
+    * beta_iv null when the first stage is exactly 0, F null when the
+    * pooled variance is 0 or either arm has n < 2.
+    *
+    * Determinism: x and y micro-quantize; the eight arm-conditional
+    * moments are exact DECIMAL(38,0) in one grand aggregation; ITT,
+    * first stage, F and β are fixed IEEE trees, 6 dp.
+    *
+    * Scale shape: ONE map-side-combined conditional aggregation → one
+    * row. The 100 TB posture for every encouragement-design readout.
+    */
+  def ivWald(df: DataFrame, instrument: Column, x: Column, y: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val base = df.select(instrument.cast("boolean").as("__z"),
+        q(x).as("__x"), q(y).as("__y"))
+      .filter(col("__z").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
+    def s(in: Column, e: Column, a: String) =
+      sum(when(in, e).otherwise(lit(0).cast(dec))).as(a)
+    val m = base.agg(
+      sum(when(!col("__z"), 1L).otherwise(0L)).cast(dec).as("__n0"),
+      s(!col("__z"), col("__x"), "__sx0"), s(!col("__z"), col("__y"), "__sy0"),
+      s(!col("__z"), col("__x") * col("__x"), "__sxx0"),
+      sum(when(col("__z"), 1L).otherwise(0L)).cast(dec).as("__n1"),
+      s(col("__z"), col("__x"), "__sx1"), s(col("__z"), col("__y"), "__sy1"),
+      s(col("__z"), col("__x") * col("__x"), "__sxx1"))
+    def mean(sc: Column, n: Column) = sc.cast("double") / n.cast("double") / lit(1e6)
+    val n0 = col("__n0"); val n1 = col("__n1")
+    val itt = mean(col("__sy1"), n1) - mean(col("__sy0"), n0)
+    val fs = mean(col("__sx1"), n1) - mean(col("__sx0"), n0)
+    // pooled within-arm SS of x: the n·SS form keeps everything an exact
+    // decimal COMBINATION cast to double once (never decimal division,
+    // whose scale semantics differ across engines)
+    val ss0 = (n0 * col("__sxx0") - col("__sx0") * col("__sx0")).cast("double") /
+      n0.cast("double")
+    val ss1 = (n1 * col("__sxx1") - col("__sx1") * col("__sx1")).cast("double") /
+      n1.cast("double")
+    val s2 = (ss0 + ss1) / (n0.cast("double") + n1.cast("double") - lit(2.0)) / lit(1e12)
+    val f = fs * fs / (s2 * (lit(1.0) / n0.cast("double") + lit(1.0) / n1.cast("double")))
+    val ok = n0 >= 2 && n1 >= 2
+    m.select(n0.cast("long").as("n0"), n1.cast("long").as("n1"),
+      round(itt, 6).as("itt"), round(fs, 6).as("first_stage"),
+      when(ok && s2 > 0.0, round(f, 6)).as("f_first"),
+      when(fs =!= 0.0, round(itt / fs, 6)).as("beta_iv"))
+  }
+
+  /** Per-group WEIGHTED least squares — [[groupOls]] with per-row
+    * reliability weights (inverse-variance weights, sampling weights,
+    * or quality scores):
+    *
+    *   slope = (Sw·Swxy − Swx·Swy) / (Sw·Swxx − Swx²),
+    *   intercept = (Swy − slope·Swx)/Sw
+    *
+    * Per group: `(groupBy..., n, w_sum, slope, intercept)`; slope null
+    * when the weighted x-variance is 0 (or all weights are). Rows with
+    * null or negative weight drop; zero weights are kept (they
+    * contribute nothing but count toward n — emitting w_sum beside n
+    * makes the distinction visible).
+    *
+    * Determinism: x, y AND w micro-quantize per row; the five weighted
+    * moment SUMS (w, wx, wy, wx², wxy — triple products of micro
+    * integers) are exact DECIMAL(38,0) at any parallelism; each sum
+    * then casts to double ONCE and the normal equations are a fixed
+    * IEEE tree (the Sw·Swxx cross-product would overflow 128-bit
+    * integers, so this op — unlike the two-sum fits — combines in
+    * double), 6 dp.
+    *
+    * Scale shape: the [[groupOls]] contract — ONE map-side-combined
+    * aggregation keyed on the group columns.
+    */
+  def groupWls(df: DataFrame, groupBy: Seq[String], x: Column, y: Column,
+               w: Column): DataFrame = {
+    require(groupBy.nonEmpty, "groupWls needs at least one group column")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast(dec)
+    val base = df
+      .select(groupBy.map(col) :+ q(x).as("__x") :+ q(y).as("__y") :+ q(w).as("__w"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__w").isNotNull && col("__w") >= 0)
+    val g = base.groupBy(groupBy.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__w")).as("__sw"),
+      sum(col("__w") * col("__x")).as("__swx"),
+      sum(col("__w") * col("__y")).as("__swy"),
+      sum(col("__w") * col("__x") * col("__x")).as("__swxx"),
+      sum(col("__w") * col("__x") * col("__y")).as("__swxy"))
+    // each exact sum casts to double ONCE, then a fixed IEEE tree — the
+    // Sw·Swxx product would overflow 128-bit integers (micro³ × rows²),
+    // so unlike the two-sum ops the normal equations combine in double
+    def d(c: String): Column = col(c).cast("double")
+    val varX = d("__sw") * d("__swxx") - d("__swx") * d("__swx")
+    val covN = d("__sw") * d("__swxy") - d("__swx") * d("__swy")
+    val slope = covN / varX
+    val inter = (d("__swy") - slope * d("__swx")) / d("__sw") / lit(1e6)
+    g.select(groupBy.map(col) ++ Seq(col("n"),
+      round(d("__sw") / lit(1e6), 6).as("w_sum"),
+      when(varX > 0.0, round(slope, 6)).as("slope"),
+      when(varX > 0.0, round(inter, 6)).as("intercept")): _*)
   }
 }

@@ -514,6 +514,73 @@ object Stats {
           .as("z"): _*)
   }
 
+  /** Cliff's delta — the EFFECT SIZE beside [[mannWhitneyU]]'s
+    * significance: δ = (#{a>b} − #{a<b}) / (n_a·n_b) over all cross
+    * pairs, the probability a random A value beats a random B value
+    * minus the reverse. Reported wherever rank-sum tests are (latency
+    * comparisons, spend distributions) because z grows with n while δ
+    * answers "by how much, distribution-free" — ±0.147/0.33/0.474 are
+    * the conventional small/medium/large fences.
+    *
+    * NOT an all-pairs operator: the pair counts collapse onto the
+    * distinct-value table. With a_v/b_v = per-value sample counts and
+    * cumA/cumB = counts strictly below v,
+    *
+    *   #{a>b} = Σ_v a_v·cumB(v)    #{a<b} = Σ_v b_v·cumA(v)
+    *
+    * — both exact DECIMAL(38,0) sums (n_a·n_b overflows BIGINT past
+    * ~3×10⁹ rows/side), so δ is ONE IEEE division at the end.
+    *
+    * Determinism: values micro-quantize; the distinct-value layer and
+    * the two cumulative windows are the [[mannWhitneyU]] rank plumbing
+    * exactly, so every count is engine-exact.
+    *
+    * Scale shape: one (groups, value)-keyed map-combined aggregation,
+    * two cumulative windows over distinct VALUES (bounded by value
+    * cardinality, never rows), one per-group rollup. No joins, no pair
+    * materialization.
+    *
+    * @return (groups..., n_a, n_b, gt_pairs, lt_pairs, delta), 6 dp
+    */
+  def cliffsDelta(df: DataFrame, groupBy: Seq[String],
+                  inA: Column, inB: Column, value: Column): DataFrame = {
+    require(groupBy.nonEmpty,
+      "cliffsDelta needs group keys (use a constant column for a global test)")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val gCols = groupBy.map(col)
+    val tagged = df.select(
+        gCols :+ when(inA, lit("a")).when(inB, lit("b")).as("__g")
+          :+ q(value).as("__x"): _*)
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val byVal = tagged
+      .groupBy(gCols :+ col("__x"): _*)
+      .agg(sum(when(col("__g") === "a", 1L).otherwise(0L)).as("__a_v"),
+        sum(when(col("__g") === "b", 1L).otherwise(0L)).as("__b_v"))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCols: _*).orderBy(col("__x")).rowsBetween(Long.MinValue, -1)
+    val cumA = coalesce(sum(col("__a_v")).over(W), lit(0L))
+    val cumB = coalesce(sum(col("__b_v")).over(W), lit(0L))
+    val agg = byVal
+      .select(gCols
+        :+ col("__a_v") :+ col("__b_v")
+        :+ (col("__a_v").cast(dec) * cumB.cast(dec)).as("__gt")
+        :+ (col("__b_v").cast(dec) * cumA.cast(dec)).as("__lt"): _*)
+      .groupBy(gCols: _*)
+      .agg(sum(col("__a_v")).cast(dec).as("__na"),
+        sum(col("__b_v")).cast(dec).as("__nb"),
+        sum(col("__gt")).as("__gts"), sum(col("__lt")).as("__lts"))
+    val pairs = (col("__na") * col("__nb")).cast("double")
+    val deltaN = (col("__gts") - col("__lts")).cast("double")
+    agg.select(gCols
+      :+ col("__na").cast("long").as("n_a")
+      :+ col("__nb").cast("long").as("n_b")
+      :+ col("__gts").cast("long").as("gt_pairs")
+      :+ col("__lts").cast("long").as("lt_pairs")
+      :+ when(col("__na") > 0 && col("__nb") > 0, round(deltaN / pairs, 6))
+        .as("delta"): _*)
+  }
+
   /** Deterministic Poisson bootstrap CI for a grouped mean — the
     * resampling trick that makes bootstrap work at 100 TB (Chamandy et
     * al., "Estimating Uncertainty for Massive Data Streams"): instead

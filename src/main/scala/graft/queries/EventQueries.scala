@@ -168,6 +168,16 @@ object EventQueries {
         "user_id", "ts", "event_id", "event_type")
       .orderBy(col("from_type"), col("to_type"))
 
+  /** Frequent 3-step journeys ([[graft.ops.Funnel.frequentSequences]]):
+    * every consecutive event-type trigram per user timeline with
+    * occurrence and distinct-user support — the sequential patterns
+    * q_transitions' bigram matrix compresses away. Same (ts, event_id)
+    * deterministic ordering; pattern table bounded by |types|³.
+    */
+  private def qSeq3(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.frequentSequences(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", len = 3, minCount = 5L)
+
   /** Rolling 7-day distinct active users
     * ([[graft.ops.Funnel.rollingActiveEntities]]): the trailing-window
     * WAU curve via contribution explode — O(user-days × 7) moved, never
@@ -1051,6 +1061,7 @@ object EventQueries {
     "q_cooccur" -> (qCooccur _),
     "q_streaks" -> (qStreaks _),
     "q_transitions" -> (qTransitions _),
+    "q_seq3" -> (qSeq3 _),
     "q_rolling_active" -> (qRollingActive _),
     "q_conversion_lag" -> (qConversionLag _),
     "q_ewma" -> (qEwma _),
@@ -2641,6 +2652,25 @@ object EventQueries {
         |  CAST(n AS DOUBLE) /
         |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_seq3" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |win AS (
+        |  SELECT user_id, s1 || '>' || s2 || '>' || s3 AS pattern
+        |  FROM seq WHERE s3 IS NOT NULL),
+        |c AS (
+        |  SELECT pattern, COUNT(*) AS n_occurrences FROM win
+        |  GROUP BY 1 HAVING COUNT(*) >= 5),
+        |e AS (
+        |  SELECT pattern, COUNT(DISTINCT user_id) AS n_entities FROM win
+        |  WHERE pattern IN (SELECT pattern FROM c) GROUP BY 1)
+        |SELECT c.pattern, c.n_occurrences, e.n_entities
+        |FROM c JOIN e USING (pattern)
+        |ORDER BY n_occurrences DESC, pattern""".stripMargin,
     "q_rolling_active" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,

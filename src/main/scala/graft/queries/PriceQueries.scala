@@ -400,6 +400,48 @@ object PriceQueries {
         "l_extendedprice", "l_quantity", basePeriod = "1995-01")
       .orderBy(col("period"))
 
+  /** Formula-sensitivity sweep ([[graft.ops.PriceIndex
+    * .extendedBilateral]]): Marshall-Edgeworth, Palgrave, geometric and
+    * harmonic Laspeyres for the 1995 matched sample — with
+    * q_price_index's Laspeyres/Paasche/Fisher and q_superlative_index's
+    * Törnqvist/Walsh, the COMPLETE textbook bilateral set; the
+    * HL ≤ GL ≤ L ≤ Palgrave ordering under substitution is the
+    * methodological spread a formula decision reads.
+    */
+  private def qMeIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.extendedBilateral(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
+  /** Sato-Vartia ideal log-change index ([[graft.ops.PriceIndex
+    * .satoVartia]]): logarithmic-mean share weights over the same 1995
+    * matched sample — the CES-exact cross-check beside q_superlative's
+    * Törnqvist, with the weight-sum normalization emitted (≤ 1 by
+    * concavity of the log-mean).
+    */
+  private def qSatoVartia(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.satoVartia(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01")
+      .orderBy(col("period"))
+
+  /** Lloyd-Moulton CES index ([[graft.ops.PriceIndex.lloydMoulton]])
+    * at σ = 0.5: the real-time substitution-bias correction (needs only
+    * base shares — no current quantities) that published CPIs tune so
+    * P_LM tracks the retrospective superlative; σ = 0.5 sits halfway
+    * between Laspeyres (σ=0) and geometric Laspeyres (σ→1).
+    */
+  private def qLloydMoulton(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PriceIndex.lloydMoulton(
+        t(s, dir, "lineitem").filter(year(col("l_shipdate")) === 1995),
+        "l_partkey", date_format(col("l_shipdate"), "yyyy-MM"),
+        "l_extendedprice", "l_quantity", basePeriod = "1995-01",
+        sigma = 0.5)
+      .orderBy(col("period"))
+
   /** Two-level CPI build ([[graft.ops.PriceIndex.groupedLaspeyres]]):
     * per-brand sub-indexes with base-expenditure weights — the
     * published-aggregate structure; the weighted mean of these rows
@@ -452,6 +494,9 @@ object PriceQueries {
     "q_cleansed_index" -> (qCleansedIndex _),
     "q_imputed_index" -> (qImputedIndex _),
     "q_superlative_index" -> (qSuperlativeIndex _),
+    "q_me_index" -> (qMeIndex _),
+    "q_sato_vartia" -> (qSatoVartia _),
+    "q_lloyd_moulton" -> (qLloydMoulton _),
     "q_grouped_index" -> (qGroupedIndex _),
   )
 
@@ -780,6 +825,119 @@ object PriceQueries {
         |SELECT period, n_items,
         |  round(exp(CAST(t AS DOUBLE) / 1000000000.0), 6) AS tornqvist,
         |  round(CAST(n AS DOUBLE) / CAST(d AS DOUBLE), 6) AS walsh
+        |FROM agg ORDER BY period""".stripMargin,
+    "q_me_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) AS ed,
+        |    CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, ed AS e0, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |j AS (
+        |  SELECT uv.pd, uv.p, uv.qd, b.p0, b.q0,
+        |    CAST(round(uv.ed * 1000000.0) AS BIGINT) AS etm,
+        |    CAST(round(b.e0 * 1000000.0) AS BIGINT) AS e0m,
+        |    SUM(CAST(round(uv.ed * 1000000.0) AS BIGINT)) OVER (PARTITION BY uv.pd) AS E,
+        |    SUM(CAST(round(b.e0 * 1000000.0) AS BIGINT)) OVER (PARTITION BY uv.pd) AS E0
+        |  FROM uv JOIN base b USING (it)),
+        |t AS (
+        |  SELECT pd,
+        |    CAST(round(p * (q0 + qd) * 1000000.0) AS BIGINT) AS men,
+        |    CAST(round(p0 * (q0 + qd) * 1000000.0) AS BIGINT) AS med,
+        |    CAST(round((CAST(etm AS DOUBLE) / CAST(E AS DOUBLE)) * (p / p0)
+        |      * 1000000000.0) AS BIGINT) AS pal,
+        |    CAST(round((CAST(e0m AS DOUBLE) / CAST(E0 AS DOUBLE)) * ln(p / p0)
+        |      * 1000000000.0) AS BIGINT) AS gl,
+        |    CAST(round((CAST(e0m AS DOUBLE) / CAST(E0 AS DOUBLE)) / (p / p0)
+        |      * 1000000000.0) AS BIGINT) AS hl
+        |  FROM j),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(men) AS n, SUM(med) AS d, SUM(pal) AS p,
+        |    SUM(gl) AS g, SUM(hl) AS h
+        |  FROM t GROUP BY 1)
+        |SELECT period, n_items,
+        |  round(CAST(n AS DOUBLE) / CAST(d AS DOUBLE), 6) AS marshall_edgeworth,
+        |  round(CAST(p AS DOUBLE) / 1000000000.0, 6) AS palgrave,
+        |  round(exp(CAST(g AS DOUBLE) / 1000000000.0), 6) AS geom_laspeyres,
+        |  round(1000000000.0 / CAST(h AS DOUBLE), 6) AS harmonic_laspeyres
+        |FROM agg ORDER BY period""".stripMargin,
+    "q_sato_vartia" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) AS ed,
+        |    CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, ed AS e0, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |j AS (
+        |  SELECT uv.pd, uv.p, b.p0,
+        |    CAST(round(uv.ed * 1000000.0) AS BIGINT) AS etm,
+        |    CAST(round(b.e0 * 1000000.0) AS BIGINT) AS e0m,
+        |    SUM(CAST(round(uv.ed * 1000000.0) AS BIGINT)) OVER (PARTITION BY uv.pd) AS E,
+        |    SUM(CAST(round(b.e0 * 1000000.0) AS BIGINT)) OVER (PARTITION BY uv.pd) AS E0
+        |  FROM uv JOIN base b USING (it)),
+        |w AS (
+        |  SELECT pd,
+        |    CASE WHEN round(CAST(etm AS DOUBLE) * 1000000.0 / CAST(E AS DOUBLE))
+        |            = round(CAST(e0m AS DOUBLE) * 1000000.0 / CAST(E0 AS DOUBLE))
+        |      THEN CAST(etm AS DOUBLE) / CAST(E AS DOUBLE)
+        |      ELSE (CAST(etm AS DOUBLE) / CAST(E AS DOUBLE)
+        |            - CAST(e0m AS DOUBLE) / CAST(E0 AS DOUBLE))
+        |        / (ln(CAST(etm AS DOUBLE) / CAST(E AS DOUBLE))
+        |            - ln(CAST(e0m AS DOUBLE) / CAST(E0 AS DOUBLE)))
+        |    END AS lw,
+        |    ln(p / p0) AS lnr
+        |  FROM j),
+        |t AS (
+        |  SELECT pd,
+        |    CAST(round(lw * 1000000000.0) AS BIGINT) AS wq,
+        |    CAST(round(lw * lnr * 1000000000.0) AS BIGINT) AS wl
+        |  FROM w),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items,
+        |    SUM(wq) AS sw, SUM(wl) AS swl
+        |  FROM t GROUP BY 1)
+        |SELECT period, n_items,
+        |  round(exp(CAST(swl AS DOUBLE) / CAST(sw AS DOUBLE)), 6) AS sato_vartia,
+        |  round(CAST(sw AS DOUBLE) / 1000000000.0, 6) AS w_sum
+        |FROM agg ORDER BY period""".stripMargin,
+    "q_lloyd_moulton" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS it, strftime(l_shipdate, '%Y-%m') AS pd,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |uv AS (
+        |  SELECT it, pd, CAST(SUM(e) AS DOUBLE) AS ed,
+        |    CAST(SUM(e) AS DOUBLE) / CAST(SUM(q) AS DOUBLE) AS p,
+        |    CAST(SUM(q) AS DOUBLE) AS qd
+        |  FROM li GROUP BY 1, 2),
+        |base AS (SELECT it, ed AS e0, p AS p0, qd AS q0 FROM uv WHERE pd = '1995-01'),
+        |j AS (
+        |  SELECT uv.pd, uv.p, b.p0,
+        |    CAST(round(b.e0 * 1000000.0) AS BIGINT) AS e0m,
+        |    SUM(CAST(round(b.e0 * 1000000.0) AS BIGINT)) OVER (PARTITION BY uv.pd) AS E0
+        |  FROM uv JOIN base b USING (it)),
+        |t AS (
+        |  SELECT pd,
+        |    CAST(round((CAST(e0m AS DOUBLE) / CAST(E0 AS DOUBLE))
+        |      * pow(p / p0, 0.5) * 1000000000.0) AS BIGINT) AS tn
+        |  FROM j),
+        |agg AS (
+        |  SELECT pd AS period, COUNT(*) AS n_items, SUM(tn) AS s
+        |  FROM t GROUP BY 1)
+        |SELECT period, n_items,
+        |  round(pow(CAST(s AS DOUBLE) / 1000000000.0, 2.0), 6) AS lloyd_moulton
         |FROM agg ORDER BY period""".stripMargin,
     "q_imputed_index" ->
       """WITH li AS (

@@ -990,6 +990,44 @@ object StatsQueries {
       col("ts") >= to_timestamp(lit("2024-01-16 00:00:00")),
       col("value"))
 
+  /** Sharp regression discontinuity ([[graft.ops.Regression
+    * .regressionDiscontinuity]]): is there a discount JUMP at quantity
+    * 25 — local-linear fits on each side of the 25.5 cutoff
+    * (bandwidth 15), extrapolated to the boundary; τ is the jump, with
+    * its closed-form SE. TPC-H prices carry no such policy, so the
+    * expected readout is a null effect — the placebo audit that proves
+    * the estimator doesn't invent discontinuities. One conditional
+    * moment aggregation over the pushdown-filtered scan.
+    */
+  private def qRdd(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Regression.regressionDiscontinuity(t(s, dir, "lineitem"),
+      col("l_quantity"), col("l_discount"), cutoff = 25.5, bandwidth = 15.0)
+
+  /** Binary-instrument IV / Wald ([[graft.ops.Regression.ivWald]]):
+    * user-id parity "encourages" clicking (a stand-in randomizer);
+    * β_IV = ITT ÷ first stage scales the intent-to-treat value effect
+    * by the induced click-rate difference, with the first-stage F as
+    * the weak-instrument gate (parity induces ~no clicks, so F SHOULD
+    * sit far below 10 — the audit that stops a weak-IV quote). One
+    * grand conditional aggregation.
+    */
+  private def qIv(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Regression.ivWald(t(s, dir, "events"),
+      col("user_id") % 2 === 1,
+      when(col("event_type") === "click", 1.0).otherwise(0.0),
+      col("value"))
+
+  /** Weighted least squares ([[graft.ops.Regression.groupWls]]): price
+    * vs quantity per return flag, each row weighted by (1 − discount) —
+    * discounted rows are noisier price signals, so they count less.
+    * Emitted beside n, w_sum makes the effective sample visible; same
+    * one-pass exact-decimal weighted moments as q_ols_trend.
+    */
+  private def qWls(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Regression.groupWls(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"), lit(1.0) - col("l_discount"))
+      .orderBy(col("l_returnflag"))
+
   /** CUPED adjustment ([[graft.ops.Stats.cuped]]): per-user purchase
     * revenue compared across id-parity arms with the user's view count
     * as the variance-reducing covariate — the experimentation
@@ -1032,6 +1070,47 @@ object StatsQueries {
         col("value"))
       .orderBy(col("segment"))
   }
+
+  /** Cliff's delta ([[graft.ops.Stats.cliffsDelta]]): the effect-size
+    * companion to q_mannwhitney on the same purchase-vs-click values per
+    * segment — HOW OFTEN does a purchase beat a click, distribution-
+    * free. Pair counts collapse onto the distinct-value layer (two
+    * cumulative windows over values, never an all-pairs join), so
+    * gt/lt pair totals are exact decimals and δ one IEEE division.
+    */
+  private def qCliffs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("segment", col("user_id") % 4)
+    graft.ops.Stats.cliffsDelta(e, Seq("segment"),
+        col("event_type") === "purchase", col("event_type") === "click",
+        col("value"))
+      .orderBy(col("segment"))
+  }
+
+  /** Per-group ridge trend ([[graft.ops.Regression.groupRidge]]):
+    * q_ols_trend's slope re-fit with L2 shrinkage λ=5 day² — the
+    * stabilized per-series trend a metrics store quotes when series are
+    * short (emitted beside the raw OLS slope so the shrinkage is
+    * visible). Same one-pass exact decimal moments; λ enters the
+    * denominator as an exact micro² integer.
+    */
+  private def qRidge(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val day = floor(unix_micros(col("ts")) / lit(86400000000L)) - lit(19723L)
+    graft.ops.Regression.groupRidge(e, Seq("event_type"), day, col("value"),
+        lambda = 5.0)
+      .orderBy(col("event_type"))
+  }
+
+  /** Variance inflation factors ([[graft.ops.Regression.vif3]]) for the
+    * (quantity, extended price, discount) lineitem design: extended
+    * price is mostly quantity × unit price, so its VIF against quantity
+    * should light up while discount stays near 1 — the multicollinearity
+    * audit to run before anyone multi-regresses on these. Nine exact
+    * second moments in one map-combined pass, closed-form VIFs.
+    */
+  private def qVif(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Regression.vif3(t(s, dir, "lineitem"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"))
 
   /** Spearman rank correlation ([[graft.ops.Stats.spearman]]): the
     * monotone complement of q_corr's Pearson — quantity vs price per
@@ -1397,6 +1476,9 @@ object StatsQueries {
     "q_inequality" -> (qInequality _),
     "q_lorenz" -> (qLorenz _),
     "q_mannwhitney" -> (qMannwhitney _),
+    "q_cliffs" -> (qCliffs _),
+    "q_ridge" -> (qRidge _),
+    "q_vif" -> (qVif _),
     "q_spearman" -> (qSpearman _),
     "q_chi2" -> (qChi2 _),
     "q_welch" -> (qWelch _),
@@ -1435,6 +1517,9 @@ object StatsQueries {
     "q_paired_t" -> (qPairedT _),
     "q_durbin_watson" -> (qDurbinWatson _),
     "q_did" -> (qDid _),
+    "q_rdd" -> (qRdd _),
+    "q_iv" -> (qIv _),
+    "q_wls" -> (qWls _),
     "q_cuped" -> (qCuped _),
     "q_tukey" -> (qTukey _),
     "q_srm" -> (qSrm _),
@@ -3499,6 +3584,124 @@ object StatsQueries {
         |    THEN round((CAST(u2 AS DOUBLE) / 2.0 - nad * nbd / 2.0) / sqrt(varu), 6)
         |  END AS z
         |FROM v ORDER BY segment""".stripMargin,
+    "q_cliffs" ->
+      """WITH tg AS (
+        |  SELECT user_id % 4 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 'a'
+        |         WHEN event_type = 'click' THEN 'b' END AS g,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT segment, x,
+        |    SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS a_v,
+        |    SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS b_v
+        |  FROM tg GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT segment, a_v, b_v,
+        |    COALESCE(SUM(a_v) OVER (PARTITION BY segment ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ca,
+        |    COALESCE(SUM(b_v) OVER (PARTITION BY segment ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM bv),
+        |a AS (
+        |  SELECT segment,
+        |    CAST(SUM(a_v) AS HUGEINT) AS na, CAST(SUM(b_v) AS HUGEINT) AS nb,
+        |    SUM(CAST(a_v AS HUGEINT) * cb) AS gts,
+        |    SUM(CAST(b_v AS HUGEINT) * ca) AS lts
+        |  FROM rk GROUP BY 1)
+        |SELECT segment,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(gts AS BIGINT) AS gt_pairs, CAST(lts AS BIGINT) AS lt_pairs,
+        |  CASE WHEN na > 0 AND nb > 0
+        |    THEN round(CAST(gts - lts AS DOUBLE) / CAST(na * nb AS DOUBLE), 6)
+        |  END AS delta
+        |FROM a ORDER BY segment""".stripMargin,
+    "q_ridge" ->
+      """WITH pts AS (
+        |  SELECT event_type,
+        |    CAST(round((floor(epoch_us(ts) / 86400000000) - 19723) * 1e6) AS HUGEINT) AS xq,
+        |    CAST(round(value * 1e6) AS HUGEINT) AS yq
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(xq) AS sx, SUM(yq) AS sy,
+        |    SUM(xq * xq) AS sxx, SUM(xq * yq) AS sxy
+        |  FROM pts GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS var_x,
+        |    CAST(n * sxx - sx * sx + n * n * 5000000000000 AS DOUBLE) AS denom,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM m),
+        |f AS (
+        |  SELECT event_type, n, cov_n, var_x, denom, sxd, syd, nd,
+        |    CASE WHEN denom <> 0 THEN cov_n / denom END AS sr
+        |  FROM d)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN denom <> 0 THEN round(sr, 6) END AS slope_ridge,
+        |  CASE WHEN var_x <> 0 THEN round(cov_n / var_x, 6) END AS slope_ols,
+        |  CASE WHEN denom <> 0 THEN round((syd - sr * sxd) / nd / 1000000.0, 6) END
+        |    AS intercept
+        |FROM f ORDER BY event_type""".stripMargin,
+    "q_vif" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_quantity * 1000000.0) AS HUGEINT) AS a,
+        |    CAST(round(l_extendedprice * 1000000.0) AS HUGEINT) AS b,
+        |    CAST(round(l_discount * 1000000.0) AS HUGEINT) AS c
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
+        |    SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(c * c) AS scc,
+        |    SUM(a * b) AS sab, SUM(a * c) AS sac, SUM(b * c) AS sbc
+        |  FROM v),
+        |r AS (
+        |  SELECT n,
+        |    CASE WHEN CAST(n * saa - sa * sa AS DOUBLE) > 0
+        |          AND CAST(n * sbb - sb * sb AS DOUBLE) > 0
+        |      THEN CAST(n * sab - sa * sb AS DOUBLE)
+        |        / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))
+        |    END AS r12,
+        |    CASE WHEN CAST(n * saa - sa * sa AS DOUBLE) > 0
+        |          AND CAST(n * scc - sc * sc AS DOUBLE) > 0
+        |      THEN CAST(n * sac - sa * sc AS DOUBLE)
+        |        / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * scc - sc * sc AS DOUBLE))
+        |    END AS r13,
+        |    CASE WHEN CAST(n * sbb - sb * sb AS DOUBLE) > 0
+        |          AND CAST(n * scc - sc * sc AS DOUBLE) > 0
+        |      THEN CAST(n * sbc - sb * sc AS DOUBLE)
+        |        / sqrt(CAST(n * sbb - sb * sb AS DOUBLE) * CAST(n * scc - sc * sc AS DOUBLE))
+        |    END AS r23
+        |  FROM m),
+        |r2 AS (
+        |  SELECT n, r12, r13, r23,
+        |    CASE WHEN r12 IS NOT NULL AND r13 IS NOT NULL AND r23 IS NOT NULL
+        |          AND abs(r23) < 1.0
+        |      THEN (r12 * r12 + r13 * r13 - 2.0 * r12 * r13 * r23) / (1.0 - r23 * r23)
+        |    END AS r2_1,
+        |    CASE WHEN r12 IS NOT NULL AND r23 IS NOT NULL AND r13 IS NOT NULL
+        |          AND abs(r13) < 1.0
+        |      THEN (r12 * r12 + r23 * r23 - 2.0 * r12 * r23 * r13) / (1.0 - r13 * r13)
+        |    END AS r2_2,
+        |    CASE WHEN r13 IS NOT NULL AND r23 IS NOT NULL AND r12 IS NOT NULL
+        |          AND abs(r12) < 1.0
+        |      THEN (r13 * r13 + r23 * r23 - 2.0 * r13 * r23 * r12) / (1.0 - r12 * r12)
+        |    END AS r2_3
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(r12, 6) AS r12, round(r13, 6) AS r13, round(r23, 6) AS r23,
+        |  CASE WHEN r2_1 IS NOT NULL AND r2_1 < 1.0
+        |    THEN round(1.0 / (1.0 - r2_1), 6) END AS vif_1,
+        |  CASE WHEN r2_2 IS NOT NULL AND r2_2 < 1.0
+        |    THEN round(1.0 / (1.0 - r2_2), 6) END AS vif_2,
+        |  CASE WHEN r2_3 IS NOT NULL AND r2_3 < 1.0
+        |    THEN round(1.0 / (1.0 - r2_3), 6) END AS vif_3
+        |FROM r2""".stripMargin,
     "q_spearman" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g,
@@ -3760,6 +3963,129 @@ object StatsQueries {
         |  CASE WHEN ok THEN round(sqrt(se2), 6) END AS se,
         |  CASE WHEN ok AND se2 > 0 THEN round(att / sqrt(se2), 6) END AS z
         |FROM e""".stripMargin,
+    "q_rdd" ->
+      """WITH b AS (
+        |  SELECT l_quantity >= 25.5 AS hi,
+        |    CAST(round((l_quantity - 25.5) * 1000000.0) AS HUGEINT) AS x,
+        |    CAST(round(l_discount * 1000000.0) AS HUGEINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_quantity >= 10.5 AND l_quantity <= 40.5),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS HUGEINT) AS nl,
+        |    SUM(CASE WHEN NOT hi THEN x ELSE 0 END) AS sxl,
+        |    SUM(CASE WHEN NOT hi THEN y ELSE 0 END) AS syl,
+        |    SUM(CASE WHEN NOT hi THEN x * x ELSE 0 END) AS sxxl,
+        |    SUM(CASE WHEN NOT hi THEN x * y ELSE 0 END) AS sxyl,
+        |    SUM(CASE WHEN NOT hi THEN y * y ELSE 0 END) AS syyl,
+        |    CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS HUGEINT) AS nr,
+        |    SUM(CASE WHEN hi THEN x ELSE 0 END) AS sxr,
+        |    SUM(CASE WHEN hi THEN y ELSE 0 END) AS syr,
+        |    SUM(CASE WHEN hi THEN x * x ELSE 0 END) AS sxxr,
+        |    SUM(CASE WHEN hi THEN x * y ELSE 0 END) AS sxyr,
+        |    SUM(CASE WHEN hi THEN y * y ELSE 0 END) AS syyr
+        |  FROM b),
+        |f AS (
+        |  SELECT nl, nr,
+        |    CAST(nl * sxxl - sxl * sxl AS DOUBLE) AS vxl,
+        |    CAST(nl * sxyl - sxl * syl AS DOUBLE) AS cvl,
+        |    CAST(nl * syyl - syl * syl AS DOUBLE) AS vyl,
+        |    CAST(nr * sxxr - sxr * sxr AS DOUBLE) AS vxr,
+        |    CAST(nr * sxyr - sxr * syr AS DOUBLE) AS cvr,
+        |    CAST(nr * syyr - syr * syr AS DOUBLE) AS vyr,
+        |    CAST(sxl AS DOUBLE) AS sxld, CAST(syl AS DOUBLE) AS syld,
+        |    CAST(sxr AS DOUBLE) AS sxrd, CAST(syr AS DOUBLE) AS syrd,
+        |    CAST(sxxl AS DOUBLE) AS sxxld, CAST(sxxr AS DOUBLE) AS sxxrd,
+        |    CAST(nl AS DOUBLE) AS nld, CAST(nr AS DOUBLE) AS nrd
+        |  FROM m),
+        |g AS (
+        |  SELECT nl, nr,
+        |    CASE WHEN vxl > 0 THEN cvl / vxl END AS sll,
+        |    CASE WHEN vxr > 0 THEN cvr / vxr END AS slr,
+        |    CASE WHEN vxl > 0
+        |      THEN (syld - (cvl / vxl) * sxld) / nld / 1000000.0 END AS b0l,
+        |    CASE WHEN vxr > 0
+        |      THEN (syrd - (cvr / vxr) * sxrd) / nrd / 1000000.0 END AS b0r,
+        |    CASE WHEN vxl > 0 AND nld > 2
+        |      THEN ((vyl - (cvl / vxl) * cvl) / nld) / (nld - 2.0)
+        |        * sxxld / vxl / 1000000000000.0 END AS vbl,
+        |    CASE WHEN vxr > 0 AND nrd > 2
+        |      THEN ((vyr - (cvr / vxr) * cvr) / nrd) / (nrd - 2.0)
+        |        * sxxrd / vxr / 1000000000000.0 END AS vbr
+        |  FROM f)
+        |SELECT CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+        |  round(b0l, 6) AS b_left, round(b0r, 6) AS b_right,
+        |  round(sll, 6) AS slope_left, round(slr, 6) AS slope_right,
+        |  round(b0r - b0l, 6) AS tau,
+        |  CASE WHEN sqrt(vbl + vbr) > 0 THEN round(sqrt(vbl + vbr), 6) END AS se_tau,
+        |  CASE WHEN sqrt(vbl + vbr) > 0
+        |    THEN round((b0r - b0l) / sqrt(vbl + vbr), 6) END AS z
+        |FROM g""".stripMargin,
+    "q_iv" ->
+      """WITH b AS (
+        |  SELECT (user_id % 2) = 1 AS z,
+        |    CAST(round(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END
+        |      * 1000000.0) AS HUGEINT) AS x,
+        |    CAST(round(value * 1000000.0) AS HUGEINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN NOT z THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+        |    SUM(CASE WHEN NOT z THEN x ELSE 0 END) AS sx0,
+        |    SUM(CASE WHEN NOT z THEN y ELSE 0 END) AS sy0,
+        |    SUM(CASE WHEN NOT z THEN x * x ELSE 0 END) AS sxx0,
+        |    CAST(SUM(CASE WHEN z THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        |    SUM(CASE WHEN z THEN x ELSE 0 END) AS sx1,
+        |    SUM(CASE WHEN z THEN y ELSE 0 END) AS sy1,
+        |    SUM(CASE WHEN z THEN x * x ELSE 0 END) AS sxx1
+        |  FROM b),
+        |f AS (
+        |  SELECT n0, n1,
+        |    CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0
+        |      - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1000000.0 AS itt,
+        |    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0
+        |      - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1000000.0 AS fs,
+        |    (CAST(n0 * sxx0 - sx0 * sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      + CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2.0)
+        |      / 1000000000000.0 AS s2
+        |  FROM m)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  round(itt, 6) AS itt, round(fs, 6) AS first_stage,
+        |  CASE WHEN n0 >= 2 AND n1 >= 2 AND s2 > 0
+        |    THEN round(fs * fs / (s2 * (1.0 / CAST(n0 AS DOUBLE)
+        |      + 1.0 / CAST(n1 AS DOUBLE))), 6) END AS f_first,
+        |  CASE WHEN fs <> 0 THEN round(itt / fs, 6) END AS beta_iv
+        |FROM f""".stripMargin,
+    "q_wls" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 1000000.0) AS HUGEINT) AS x,
+        |    CAST(round(l_extendedprice * 1000000.0) AS HUGEINT) AS y,
+        |    CAST(round((1.0 - l_discount) * 1000000.0) AS HUGEINT) AS w
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND round((1.0 - l_discount) * 1000000.0) >= 0),
+        |m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * y) AS swy,
+        |    SUM(w * x * x) AS swxx, SUM(w * x * y) AS swxy
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(sw AS DOUBLE) AS swd,
+        |    CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+        |      - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE) AS vx,
+        |    CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+        |      - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE) AS cv,
+        |    CAST(swx AS DOUBLE) AS swxd, CAST(swy AS DOUBLE) AS swyd
+        |  FROM m)
+        |SELECT l_returnflag, n, round(swd / 1000000.0, 6) AS w_sum,
+        |  CASE WHEN vx > 0 THEN round(cv / vx, 6) END AS slope,
+        |  CASE WHEN vx > 0
+        |    THEN round((swyd - (cv / vx) * swxd) / swd / 1000000.0, 6) END AS intercept
+        |FROM f ORDER BY l_returnflag""".stripMargin,
     "q_cuped" ->
       """WITH pu AS (
         |  SELECT user_id,

@@ -772,6 +772,77 @@ object TextQueries {
         col("y"), col("s"), nBins = 10)
       .orderBy(col("bin"))
 
+  /** Split-conformal coverage audit
+    * ([[graft.ops.Calibration.conformalSplit]]): calibrate the
+    * classifier's nonconformity threshold q̂ at α = 0.1 on the
+    * even-doc_id half and measure empirical prediction-set coverage on
+    * the odd half — the distribution-free guarantee check that belongs
+    * beside q_calibration's ECE. Rank k and q̂ are exact integers; the
+    * quantile rides range-partitioned running totals, never a
+    * whole-frame row window.
+    */
+  private def qConformal(s: SparkSession, dir: String): DataFrame = {
+    val sd = scoredDocs(s, dir)
+    graft.ops.Calibration.conformalSplit(sd, col("y"), col("s"),
+      col("doc_id") % 2 === 0, alphaMicro = 100000L)
+  }
+
+  /** TextRank keywords ([[graft.ops.Graph.pageRank]] over the
+    * adjacent-token co-occurrence graph, both directions — Mihalcea &
+    * Tarau's keyword variant): the 30 most central vocabulary words by
+    * exact-integer PageRank, 4 iterations. The oracle replays the
+    * identical truncating-div recurrence through unrolled CTEs, so the
+    * ranks hash-match bit-for-bit; top-k is total-ordered by (rank,
+    * word).
+    */
+  private def qTextrank(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(TextStats.tokens(col("text")).as("tk"))
+    val n1 = greatest(size(col("tk")) - 1, lit(0))
+    val adj = toks
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), n1), slice(col("tk"), lit(2), n1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = adj.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(adj.select(col("b").as("src"), col("a").as("dst")))
+    graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 4)
+      .orderBy(col("rank").desc, col("node")).limit(30)
+  }
+
+  /** Oracle for [[qTextrank]]: the adjacent-token edge build plus the
+    * exact-integer PageRank recurrence unrolled into chained CTEs (the
+    * q_pagerank oracle shape — DuckDB's recursive CTEs allow one
+    * self-reference, the nodes-left-join needs two).
+    */
+  private def textrankOracleSql: String = {
+    val base = "((1000000000000 * 15) // 100) // (SELECT n FROM cnt)"
+    val iters = (1 to 4).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.node, $base + (85 * COALESCE(c.m, 0)) // 100 AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.rank // od.d) AS m
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.node JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH l AS (SELECT string_split(text, ' ') AS tk FROM documents),
+       |tp AS (
+       |  SELECT unnest(list_transform(range(1, len(tk)),
+       |    i -> {'a': tk[i], 'b': tk[i + 1]})) AS p
+       |  FROM l),
+       |ad AS (SELECT p.a AS a, p.b AS b FROM tp WHERE p.a <> p.b),
+       |bo AS (SELECT a AS src, b AS dst FROM ad
+       |       UNION ALL SELECT b AS src, a AS dst FROM ad),
+       |e AS (SELECT DISTINCT src, dst FROM bo),
+       |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+       |cnt AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |pr0 AS (SELECT node, 1000000000000 // (SELECT n FROM cnt) AS rank FROM nodes),
+       |$iters
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr4
+       |ORDER BY rank DESC, node LIMIT 30""".stripMargin
+  }
+
   /** Fleiss' kappa ([[graft.ops.Stats.fleissKappa]]): three-rater
     * agreement on every document's language — the label, the
     * [[TextStats.langId]] heuristic, and the source-majority prior
@@ -1122,6 +1193,8 @@ object TextQueries {
     "q_gwet" -> (qGwet _),
     "q_mcnemar" -> (qMcnemar _),
     "q_isotonic" -> (qIsotonic _),
+    "q_conformal" -> (qConformal _),
+    "q_textrank" -> (qTextrank _),
     "q_fleiss" -> (qFleiss _),
     "q_krippendorff" -> (qKrippendorff _),
     "q_pr_auc" -> (qPrAuc _),
@@ -1871,6 +1944,47 @@ object TextQueries {
         |  CASE WHEN n >= 2 AND vx > 0.0 AND vy > 0.0 THEN
         |    round(2.0 * cxy / (vx + vy + (mx - my) * (mx - my)), 6) END AS ccc
         |FROM m""".stripMargin,
+    "q_conformal" ->
+      """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_concat(tk,
+        |      list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1]))) AS f
+        |  FROM l),
+        |wt AS (
+        |  SELECT doc_id, lang,
+        |    (((CAST(('0x' || substr(md5('clf:' || f), 1, 8)) AS BIGINT) % 64)
+        |      * 37 + 11) % 101 - 50) * 10000 AS wm
+        |  FROM feats),
+        |agg AS (SELECT doc_id, lang, SUM(wm) AS sm, COUNT(*) AS n FROM wt GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    LEAST(GREATEST(CAST(round(round(1.0 / (1.0 + exp(-(CAST(sm AS DOUBLE)
+        |      / CAST(n AS DOUBLE) / 1000000.0 + (-0.05)))), 6) * 1000000.0) AS BIGINT),
+        |      0), 1000000) AS sq
+        |  FROM agg),
+        |ncs AS (
+        |  SELECT doc_id % 2 = 0 AS is_cal,
+        |    CASE WHEN y = 1 THEN 1000000 - sq ELSE sq END AS ncf
+        |  FROM sc),
+        |calr AS (SELECT ncf FROM ncs WHERE is_cal),
+        |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncal,
+        |  CAST(((COUNT(*) + 1) * 900000 + 999999) // 1000000 AS BIGINT) AS k
+        |  FROM calr),
+        |bv AS (SELECT ncf, COUNT(*) AS n_v FROM calr GROUP BY 1),
+        |cum AS (SELECT ncf, SUM(n_v) OVER (ORDER BY ncf
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc FROM bv),
+        |q AS (SELECT CAST(COALESCE(MIN(ncf), 1000000) AS BIGINT) AS qhat
+        |  FROM cum, kk WHERE cumc >= k)
+        |SELECT (SELECT ncal FROM kk) AS n_cal,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  (SELECT k FROM kk) AS k,
+        |  (SELECT qhat FROM q) AS qhat_micro,
+        |  CASE WHEN COUNT(*) > 0 THEN
+        |    round(CAST(SUM(CASE WHEN ncf <= (SELECT qhat FROM q) THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) END AS coverage
+        |FROM ncs WHERE NOT is_cal""".stripMargin,
+    "q_textrank" -> textrankOracleSql,
     "q_isotonic" ->
       """WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |feats AS (

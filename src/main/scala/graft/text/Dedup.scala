@@ -353,6 +353,13 @@ object Dedup {
     *
     * @return (v, label) — one row per vertex appearing in any edge
     */
+  /** Rounds the most recent [[connectedComponents]] call took to
+    * converge — a measurement-only diagnostic (the ScaleProbe scaling
+    * protocol reads it to pin the O(log diameter) claim with data).
+    * Last-writer-wins under concurrency; never consulted by operators.
+    */
+  @volatile private[graft] var lastComponentRounds: Int = -1
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive: $maxIter")
@@ -402,6 +409,7 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    lastComponentRounds = i
     labels
   }
 

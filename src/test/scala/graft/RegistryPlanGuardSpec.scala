@@ -118,6 +118,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_ks_score" -> "CDF-gap cumulative windows over the DISTINCT-SCORE table (the q_auc bound)",
     "q_page_trend" -> "treatment-order row-number over the K-ROW treatment rank-sum table (rows = treatment count)",
     "q_vocab_coverage" -> "rank/cumulative windows over the TakeOrdered top-max(k) table (rows <= 5000 by the LIMIT, never the whole vocabulary)",
+    "q_conformal" -> "Ids.withRunningTotals offset window over the DISTINCT-NONCONFORMITY table (the q_auc bound: a micro-quantized score has <= 1e6+1 distinct values; offsets window rows = partition count)",
   )
 
   test("whole-frame windows appear only over bounded-by-construction tables") {

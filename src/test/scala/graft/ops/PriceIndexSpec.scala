@@ -511,4 +511,64 @@ class PriceIndexSpec extends AnyFunSuite {
         .orderBy(col("period")).collect().toSeq
     assert(run(df) == run(df.repartition(7)))
   }
+
+  // shares in p0: (0.2, 0.8); in p1: (0.5, 0.5); relatives (2, 0.5)
+
+  test("extendedBilateral: hand-checked ME/Palgrave/GL/HL and the formula ordering") {
+    val r = PriceIndex.extendedBilateral(tx, "item", col("pd"), "exp", "qty", "p0")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))).toMap
+    assert(r("p0") == ((2L, 1.0, 1.0, 1.0, 1.0)))
+    val (n, me, pal, gl, hl) = r("p1")
+    assert(n == 2L)
+    assert(me == 0.8)                              // 80 / 100, exact longs
+    assert(pal == 1.25)                            // 0.5·2 + 0.5·0.5
+    assert(math.abs(gl - math.pow(2.0, -0.6)) < 1e-6)   // exp(0.2ln2 − 0.8ln2)
+    assert(math.abs(hl - 1.0 / 1.7) < 1e-6)        // 1/(0.2/2 + 0.8/0.5)
+    assert(hl < gl && gl < pal)                    // HL <= GL <= Palgrave
+  }
+
+  test("satoVartia: log-mean weights hand-checked; static shares give w_sum = 1") {
+    val r = PriceIndex.satoVartia(tx, "item", col("pd"), "exp", "qty", "p0")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    // p0 vs itself: shares static → every w = s (log-mean limit), Σw = 1
+    assert(r("p0") == ((2L, 1.0, 1.0)))
+    val (n, sv, wsum) = r("p1")
+    assert(n == 2L)
+    // w1 = .3/ln2.5, w2 = .3/−ln.625; Σw·lnr / Σw = ln 0.8 analytically here
+    assert(math.abs(sv - 0.8) < 1e-4)
+    assert(math.abs(wsum - 0.965700) < 1e-5)
+    assert(wsum < 1.0) // log-mean concavity: moving shares shrink Σw below 1
+  }
+
+  test("lloydMoulton: sigma=0.5 closed form; sigma=0 reproduces Laspeyres") {
+    val lm = PriceIndex.lloydMoulton(tx, "item", col("pd"), "exp", "qty", "p0", 0.5)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(lm("p0") == 1.0)
+    // (0.2·√2 + 0.8/√2)² = (1.2/√2)² = 0.72 exactly
+    assert(math.abs(lm("p1") - 0.72) < 1e-6)
+    val lm0 = PriceIndex.lloydMoulton(tx, "item", col("pd"), "exp", "qty", "p0", 0.0)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    // σ=0: Σ s0·r = Laspeyres = 0.8
+    assert(math.abs(lm0("p1") - 0.8) < 1e-6)
+    intercept[IllegalArgumentException] {
+      PriceIndex.lloydMoulton(tx, "item", col("pd"), "exp", "qty", "p0", 1.0)
+    }
+  }
+
+  test("new bilaterals: matched-sample (unmatched item excluded) and partition-invariant") {
+    val withNew = createDf(spark, "item int, pd string, exp double, qty double",
+      Seq(Seq[Any](3, "p1", 1000.0, 1.0)))
+    val all = tx.union(withNew)
+    def meOf(d: org.apache.spark.sql.DataFrame) =
+      PriceIndex.extendedBilateral(d, "item", col("pd"), "exp", "qty", "p0")
+        .orderBy(col("period")).collect().toSeq
+    assert(meOf(all) == meOf(tx)) // item 3 never matches the base basket
+    assert(meOf(all) == meOf(all.repartition(5)))
+    def svOf(d: org.apache.spark.sql.DataFrame) =
+      PriceIndex.satoVartia(d, "item", col("pd"), "exp", "qty", "p0")
+        .orderBy(col("period")).collect().toSeq
+    assert(svOf(all) == svOf(all.repartition(5)))
+  }
 }

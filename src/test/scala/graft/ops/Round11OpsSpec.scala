@@ -108,4 +108,172 @@ class Round11OpsSpec extends AnyFunSuite {
     val sels = scored.agg(sum(when(col("sel"), 1L).otherwise(0L))).collect().head.getLong(0)
     assert(sels > 0L && sels < 200L)
   }
+
+  test("cliffsDelta: {1,2,3} vs {2,3,4} gives (gt,lt) = (1,6), delta = -5/9") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 3.0), ("b", 4.0))
+    val df = createDf(spark, "side string, v double",
+        rows.map { case (s, v) => Seq[Any](s, v) })
+      .withColumn("g", lit("x"))
+    val r = Stats.cliffsDelta(df, Seq("g"),
+      col("side") === "a", col("side") === "b", col("v")).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 1L, "gt_pairs")
+    assert(r.getLong(4) == 6L, "lt_pairs")
+    assert(math.abs(r.getDouble(5) - (-5.0 / 9.0)) < 1e-6)
+  }
+
+  test("cliffsDelta: disjoint samples hit the ±1 extremes; identical give 0") {
+    val hi = Seq(10.0, 11.0).map(v => ("a", v)) ++ Seq(1.0, 2.0).map(v => ("b", v))
+    val df = createDf(spark, "side string, v double",
+        hi.map { case (s, v) => Seq[Any](s, v) })
+      .withColumn("g", lit("x"))
+    val r = Stats.cliffsDelta(df, Seq("g"),
+      col("side") === "a", col("side") === "b", col("v")).head()
+    assert(r.getDouble(5) == 1.0)
+    val same = createDf(spark, "side string, v double",
+        Seq(Seq[Any]("a", 5.0), Seq[Any]("b", 5.0)))
+      .withColumn("g", lit("x"))
+    val r2 = Stats.cliffsDelta(same, Seq("g"),
+      col("side") === "a", col("side") === "b", col("v")).head()
+    assert(r2.getDouble(5) == 0.0) // all pairs tie
+  }
+
+  test("groupRidge: lambda 0 reproduces OLS; lambda 1 shrinks y=x to 0.4") {
+    val pts = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0))
+    val df = createDf(spark, "x double, y double",
+        pts.map { case (x, y) => Seq[Any](x, y) })
+      .withColumn("g", lit("x"))
+    val r0 = Regression.groupRidge(df, Seq("g"), col("x"), col("y"), 0.0).head()
+    assert(r0.getDouble(2) == 1.0 && r0.getDouble(3) == 1.0) // ridge == ols
+    // covN = varX = 6e12; denom = 6e12 + 9·1e12 → slope 0.4,
+    // intercept = ȳ − 0.4·x̄ = 0.6
+    val r1 = Regression.groupRidge(df, Seq("g"), col("x"), col("y"), 1.0).head()
+    assert(r1.getDouble(2) == 0.4, "shrunken slope")
+    assert(r1.getDouble(3) == 1.0, "ols slope unchanged")
+    assert(math.abs(r1.getDouble(4) - 0.6) < 1e-9, "re-centered intercept")
+  }
+
+  test("vif3: orthogonal design gives VIF exactly 1; exact collinearity gives null") {
+    val ortho = Seq((1.0, 1.0, 1.0), (1.0, -1.0, -1.0), (-1.0, 1.0, -1.0), (-1.0, -1.0, 1.0))
+    val df = createDf(spark, "a double, b double, c double",
+      ortho.map { case (a, b, c) => Seq[Any](a, b, c) })
+    val r = Regression.vif3(df, col("a"), col("b"), col("c")).head()
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0 && r.getDouble(6) == 1.0)
+    // x3 = x1 + x2: every predictor is a linear combo of the others →
+    // all three auxiliary R² hit 1 and every VIF is null (infinite)
+    val coll = Seq((1.0, 1.0, 2.0), (1.0, -1.0, 0.0), (-1.0, 1.0, 0.0), (-1.0, -1.0, -2.0))
+    val df2 = createDf(spark, "a double, b double, c double",
+      coll.map { case (a, b, c) => Seq[Any](a, b, c) })
+    val r2 = Regression.vif3(df2, col("a"), col("b"), col("c")).head()
+    assert(r2.isNullAt(4) && r2.isNullAt(5) && r2.isNullAt(6))
+  }
+
+  test("conformalSplit: k = ceil((n+1)(1-alpha)) picks the exact order statistic") {
+    // calibration nonconformities (y = false → nc = score): .1 .2 .3 .4
+    // α = .25 → k = ceil(5·.75) = 4 → q̂ = 400000; test {.15, .5} → coverage ½
+    val rows = Seq((true, 0.1), (true, 0.2), (true, 0.3), (true, 0.4),
+      (false, 0.15), (false, 0.5))
+    val df = createDf(spark, "cal boolean, s double",
+      rows.map { case (c, s) => Seq[Any](c, s) })
+    val r = Calibration.conformalSplit(df, lit(false), col("s"), col("cal"),
+      alphaMicro = 250000L).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 4L, "rank k")
+    assert(r.getLong(3) == 400000L, "qhat")
+    assert(r.getDouble(4) == 0.5, "coverage")
+  }
+
+  test("conformalSplit: k beyond n_cal emits the vacuous threshold 1.0") {
+    // n_cal = 2, α = 0.1 → k = ceil(3·0.9) = 3 > 2 → q̂ = 1e6, full coverage
+    val rows = Seq((true, 0.2), (true, 0.6), (false, 0.9))
+    val df = createDf(spark, "cal boolean, s double",
+      rows.map { case (c, s) => Seq[Any](c, s) })
+    val r = Calibration.conformalSplit(df, lit(false), col("s"), col("cal"),
+      alphaMicro = 100000L).head()
+    assert(r.getLong(2) == 3L && r.getLong(3) == 1000000L && r.getDouble(4) == 1.0)
+  }
+
+  test("frequentSequences: sliding trigrams per entity, support counts distinct entities") {
+    // user 1: a b c a b → windows abc, bca, cab; user 2: a b c → abc
+    val rows = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "a"),
+      (1L, 5L, "b"), (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"))
+    val df = createDf(spark, "u bigint, ts bigint, t string",
+      rows.map { case (u, ts, t) => Seq[Any](u, ts, t) })
+    val out = Funnel.frequentSequences(df, "u", "ts", "ts", "t", len = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head == (("a>b>c", 2L, 2L)), "top pattern by occurrences")
+    assert(out.toSet == Set(("a>b>c", 2L, 2L), ("b>c>a", 1L, 1L), ("c>a>b", 1L, 1L)))
+    // minCount prunes the singletons
+    val pruned = Funnel.frequentSequences(df, "u", "ts", "ts", "t", len = 3,
+      minCount = 2L).collect()
+    assert(pruned.length == 1 && pruned.head.getString(0) == "a>b>c")
+  }
+
+  test("regressionDiscontinuity: a clean jump at the cutoff recovers tau exactly") {
+    // y = x below 10, y = x + 5 at/above 10; perfect lines → SSR 0, se undefined
+    val rows = (5 to 14).map { i =>
+      Seq[Any](i.toDouble, if (i >= 10) i + 5.0 else i.toDouble)
+    }
+    val df = createDf(spark, "r double, y double", rows)
+    val out = Regression.regressionDiscontinuity(df, col("r"), col("y"),
+      cutoff = 10.0, bandwidth = 5.0).head()
+    assert(out.getLong(0) == 5L && out.getLong(1) == 5L)
+    assert(out.getDouble(2) == 10.0, "left fit extrapolated to the cutoff")
+    assert(out.getDouble(3) == 15.0, "right intercept at the cutoff")
+    assert(out.getDouble(4) == 1.0 && out.getDouble(5) == 1.0)
+    assert(out.getDouble(6) == 5.0, "tau")
+    assert(out.isNullAt(7) && out.isNullAt(8), "zero-SSR sides give no SE")
+  }
+
+  test("regressionDiscontinuity: noisy no-jump data emits an SE and small tau") {
+    val rows = (1 to 40).map { i =>
+      Seq[Any](i.toDouble, i + (if (i % 2 == 0) 0.5 else -0.5))
+    }
+    val df = createDf(spark, "r double, y double", rows)
+    val out = Regression.regressionDiscontinuity(df, col("r"), col("y"),
+      cutoff = 20.5, bandwidth = 20.0).head()
+    assert(out.getLong(0) == 20L && out.getLong(1) == 20L)
+    assert(!out.isNullAt(7) && out.getDouble(7) > 0.0)
+    assert(math.abs(out.getDouble(6)) < 1.0, "no true discontinuity")
+  }
+
+  test("ivWald: hand-checked Wald ratio = ITT / first stage") {
+    // z=0: x mean .2, y mean 1; z=1: x mean .7, y mean 2 → beta = 1/.5 = 2
+    val rows = Seq(
+      (false, 0.0, 0.5), (false, 0.0, 1.0), (false, 0.0, 1.5), (false, 1.0, 1.0), (false, 0.0, 1.0),
+      (true, 1.0, 1.5), (true, 1.0, 2.0), (true, 0.0, 2.5), (true, 1.0, 2.0), (true, 0.5, 2.0))
+    val df = createDf(spark, "z boolean, x double, y double",
+      rows.map { case (z, x, y) => Seq[Any](z, x, y) })
+    val r = Regression.ivWald(df, col("z"), col("x"), col("y")).head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 1.0, "itt")
+    assert(r.getDouble(3) == 0.5, "first stage")
+    assert(!r.isNullAt(4) && r.getDouble(4) > 0.0, "first-stage F present")
+    assert(r.getDouble(5) == 2.0, "beta_iv = itt / fs")
+  }
+
+  test("ivWald: zero first stage nulls beta; constant x nulls F") {
+    val rows = Seq((false, 1.0, 1.0), (false, 1.0, 2.0), (true, 1.0, 3.0), (true, 1.0, 4.0))
+    val df = createDf(spark, "z boolean, x double, y double",
+      rows.map { case (z, x, y) => Seq[Any](z, x, y) })
+    val r = Regression.ivWald(df, col("z"), col("x"), col("y")).head()
+    assert(r.getDouble(3) == 0.0 && r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("groupWls: unit weights reproduce OLS; weights re-tilt the fit") {
+    val pts = Seq((0.0, 0.0, 1.0), (1.0, 1.0, 1.0), (2.0, 2.0, 1.0), (3.0, 9.0, 0.0))
+    val df = createDf(spark, "x double, y double, w double",
+        pts.map { case (x, y, w) => Seq[Any](x, y, w) })
+      .withColumn("g", lit("x"))
+    // the outlier (3,9) carries weight 0 → exact y = x fit; n counts it, w_sum doesn't
+    val r = Regression.groupWls(df, Seq("g"), col("x"), col("y"), col("w")).head()
+    assert(r.getLong(1) == 4L && r.getDouble(2) == 3.0)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0)
+    // negative weights drop the row entirely
+    val df2 = createDf(spark, "x double, y double, w double",
+        (pts.init :+ ((3.0, 9.0, -1.0))).map { case (x, y, w) => Seq[Any](x, y, w) })
+      .withColumn("g", lit("x"))
+    val r2 = Regression.groupWls(df2, Seq("g"), col("x"), col("y"), col("w")).head()
+    assert(r2.getLong(1) == 3L && r2.getDouble(3) == 1.0)
+  }
 }
