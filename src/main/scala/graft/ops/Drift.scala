@@ -434,6 +434,77 @@ object Drift {
           .as("cvm"): _*)
   }
 
+  /** Two-sample Anderson–Darling per group — the TAIL-weighted member
+    * of the ECDF trio: KS reads the single largest gap, CvM integrates
+    * the squared gap uniformly, AD divides each squared gap by
+    * B(N−B)/N² so deviations in the DISTRIBUTION TAILS (where B/N is
+    * near 0 or 1) count most — the test that fires when two samples
+    * share a centre but differ in extremes. Scholz–Stephens (1987)
+    * k = 2 discrete form (ties collapse onto the pooled distinct-value
+    * table; for two samples both per-sample terms coincide, giving):
+    *
+    *   A² = (1/n_a + 1/n_b)/N · Σ_{v < v_max} h_v·D_v² / (B_v·(N−B_v)),
+    *   D_v = N·M_v − n_a·B_v
+    *
+    * with h_v the pooled multiplicity, M_v / B_v the sample-a / pooled
+    * cumulative counts, and the maximal value excluded (its term is
+    * 0/0 by construction). Returns `(groupBy..., n_a, n_b, a2)`;
+    * a2 null when either sample is empty.
+    *
+    * Determinism: D_v², h_v, B_v are exact integers (DECIMAL
+    * products); each per-value term is ONE IEEE division of exact
+    * integers, nano-quantized before the exact group sum, and the
+    * final (1/n_a + 1/n_b)/N scaling is a fixed tree — 6 dp.
+    *
+    * Scale shape: the [[ksStatisticGrouped]] contract — one
+    * (group, value)-keyed map-combined aggregation, cumulative windows
+    * over the DISTINCT-VALUE table (bounded by the quantization
+    * domain), one group rollup.
+    */
+  def andersonDarling2(df: DataFrame, groupBy: Seq[String],
+                       inA: Column, inB: Column, value: Column): DataFrame = {
+    require(groupBy.nonEmpty, "andersonDarling2 needs group keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val counts = df
+      .select(gCols :+ value.as("__v")
+        :+ when(inA, 1L).otherwise(0L).as("__ia")
+        :+ when(inB, 1L).otherwise(0L).as("__ib"): _*)
+      .filter(col("__v").isNotNull && (col("__ia") === 1L || col("__ib") === 1L))
+      .groupBy(gCols :+ col("__v"): _*)
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val wCum = W.orderBy(col("__v")).rowsBetween(Long.MinValue, 0)
+    val cum = counts.select(
+      gCols :+ col("__ca") :+ col("__cb")
+        :+ sum(col("__ca")).over(wCum).as("__cca")
+        :+ sum(col("__cb")).over(wCum).as("__ccb")
+        :+ sum(col("__ca")).over(W).as("__na")
+        :+ sum(col("__cb")).over(W).as("__nb"): _*)
+    val nTot = col("__na") + col("__nb")
+    val bV = col("__cca") + col("__ccb")
+    val dV = (nTot * col("__cca") - col("__na") * bV).cast(dec)
+    val hV = (col("__ca") + col("__cb")).cast(dec)
+    // one IEEE division of exact integers per distinct value, then
+    // nano-quantize so the group sum is exact at any parallelism
+    val term = (hV * dV * dV).cast("double") /
+      (bV.cast(dec) * (nTot - bV).cast(dec)).cast("double")
+    val agg = cum
+      .select(gCols :+ col("__na") :+ col("__nb")
+        :+ when(bV < nTot, round(term * lit(1e9), 0).cast(dec))
+          .otherwise(lit(0).cast(dec)).as("__t"): _*)
+      .groupBy(gCols :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(sum(col("__t")).as("__s"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    agg.select(
+      gCols :+ col("n_a") :+ col("n_b")
+        :+ when(col("n_a") >= 1 && col("n_b") >= 1,
+          round((lit(1.0) / naD + lit(1.0) / nbD) / nD *
+            (col("__s").cast("double") / lit(1e9)), 6)).as("a2"): _*)
+  }
+
   /** Two-sample 1-Wasserstein (earth-mover) distance per group — the
     * drift number with UNITS: where [[ksStatisticGrouped]] reads the
     * largest ECDF gap (scale-free) and [[cramerVonMisesGrouped]] the

@@ -662,4 +662,65 @@ object Graph {
     }
     dist
   }
+
+  /** Bounded-hop closeness centrality for a SEED SET — per seed, run
+    * [[bfsDistances]]' confluent min-relaxation carrying the seed key,
+    * then reduce each seed's distance vector to the two standard
+    * centralities:
+    *
+    *   harmonic  = Σ_{v≠s, d(s,v)≤H} 1/d(s,v)         (Boldi–Vigna form,
+    *               defined even on disconnected graphs)
+    *   closeness = (n_reached − 1) / Σ d(s,v)          (Bavelas, within
+    *               the reached set — the bounded-reach convention)
+    *
+    * Exact per-seed BFS for ALL nodes within `maxHops`; centrality is
+    * exact over the H-hop ball (the H→∞ limit is the textbook value).
+    * Returns `(seed, n_reached, sum_dist, harmonic, closeness)` —
+    * n_reached counts the seed itself, sum_dist is exact.
+    *
+    * Determinism: distances are exact integer min-lattice values;
+    * 1/d nano-quantizes per (seed, node) before the exact sum, and
+    * closeness is one IEEE division — 6 dp.
+    *
+    * Scale shape: state is (seeds × reached) rows — meant for a
+    * BOUNDED seed panel (the "how central are THESE accounts" query),
+    * k·V state like [[personalizedPageRank]]'s restart vector, with
+    * eager per-round checkpoints truncating lineage. Rounds = maxHops
+    * by contract. All-pairs closeness (seeds = V) is a different,
+    * quadratic problem — use sampled seeds (the standard estimator)
+    * and this same operator.
+    */
+  def closenessCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                          seeds: DataFrame, seedCol: String,
+                          maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16, s"maxHops out of range: $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val reached = e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("node"),
+          (col("dist") + lit(1L)).as("dist"))
+      dist = dist.unionByName(reached)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val agg = dist.groupBy(col("seed")).agg(
+      count(lit(1)).as("n_reached"),
+      sum(col("dist").cast(dec)).as("__sd"),
+      sum(when(col("dist") > 0L,
+        round(lit(1e9) / col("dist").cast("double"), 0).cast(dec))
+        .otherwise(lit(0).cast(dec))).as("__h"))
+    agg.select(col("seed"), col("n_reached"),
+      col("__sd").cast("long").as("sum_dist"),
+      round(col("__h").cast("double") / lit(1e9), 6).as("harmonic"),
+      when(col("__sd") > 0,
+        round((col("n_reached") - lit(1L)).cast("double") /
+          col("__sd").cast("double"), 6)).as("closeness"))
+  }
 }

@@ -3072,6 +3072,92 @@ object Stats {
       :+ when(ok, round(jb, 6)).as("jb"): _*)
   }
 
+  /** D'Agostino's K² omnibus normality test — [[jarqueBera]]'s
+    * small-sample-honest sibling: the same skewness/kurtosis evidence,
+    * but each moment passes through its exact finite-n normalizing
+    * transform (D'Agostino 1970's Z₁ for √b₁; Anscombe–Glynn 1983's Z₂
+    * for b₂) before the χ²₂ combination K² = Z₁² + Z₂², so the null
+    * distribution holds at n = 20 where JB's asymptotics badly
+    * under-reject. Per group:
+    * `(groupBy..., n, g1, b2, z1, z2, k2)` with g1 = m₃/m₂^{3/2} and
+    * b2 = m₄/m₂² (biased central moments — the convention the
+    * transforms were derived for); all five statistics null when
+    * n < 5 or the group is constant.
+    *
+    * Determinism: the [[jarqueBera]] spine verbatim — exact integer
+    * first/second moments give μ and the sample sd, per-row z³/z⁴
+    * micro-quantize before the exact group sums, and g1/b2/Z₁/Z₂/K²
+    * are fixed IEEE trees on those integers (asinh spelled
+    * ln(x + √(x²+1)) so both engines evaluate the identical tree), 6 dp.
+    *
+    * Scale shape: two map-side-combined aggregations with a broadcast
+    * mean/sd join between — the [[jarqueBera]] contract.
+    */
+  def dagostinoK2(df: DataFrame, groupBy: Seq[String], value: Column): DataFrame = {
+    require(groupBy.nonEmpty,
+      "dagostinoK2 needs group keys (use a constant column for a global test)")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val gCols = groupBy.map(col)
+    val base = df.select(gCols :+ q(value).as("__x"): _*)
+      .filter(gCols.map(_.isNotNull).reduce(_ && _) && col("__x").isNotNull)
+    val stats = base.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(dec)).as("__s1"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__s2"))
+    val nD0 = col("__n").cast("double")
+    val s1d = col("__s1").cast("double")
+    val mu = s1d / nD0
+    val sd = sqrt((col("__s2").cast("double") - s1d * s1d / nD0) / (nD0 - lit(1.0)))
+    val withStats = base.join(
+      broadcast(stats.select(gCols :+ col("__n") :+ mu.as("__mu") :+ sd.as("__sd"): _*)),
+      groupBy)
+    val z = (col("__x").cast("double") - col("__mu")) / col("__sd")
+    val agg = withStats.groupBy(gCols: _*)
+      .agg(first(col("__n")).as("n"),
+        sum(when(col("__sd") > 0.0, round(z * z * z * lit(1e6), 0).cast(dec))).as("__z3"),
+        sum(when(col("__sd") > 0.0, round(z * z * z * z * lit(1e6), 0).cast(dec))).as("__z4"))
+    val n = col("n").cast("double")
+    // biased-moment ratios from the sample-sd z moments:
+    // g1 = (Σz³/n)·(n/(n−1))^{3/2},  b2 = (Σz⁴/n)·(n/(n−1))²
+    val ratio = n / (n - lit(1.0))
+    val g1 = col("__z3").cast("double") / lit(1e6) / n * pow(ratio, lit(1.5))
+    val b2 = col("__z4").cast("double") / lit(1e6) / n * ratio * ratio
+    // Z1 (D'Agostino 1970): asinh-stabilized skewness
+    val y = g1 * sqrt((n + lit(1.0)) * (n + lit(3.0)) / (lit(6.0) * (n - lit(2.0))))
+    val beta2 = lit(3.0) * (n * n + lit(27.0) * n - lit(70.0)) * (n + lit(1.0)) *
+      (n + lit(3.0)) /
+      ((n - lit(2.0)) * (n + lit(5.0)) * (n + lit(7.0)) * (n + lit(9.0)))
+    val w2 = sqrt(lit(2.0) * (beta2 - lit(1.0))) - lit(1.0)
+    val delta = lit(1.0) / sqrt(log(sqrt(w2)))
+    val alpha = sqrt(lit(2.0) / (w2 - lit(1.0)))
+    val ya = y / alpha
+    val z1 = delta * log(ya + sqrt(ya * ya + lit(1.0)))
+    // Z2 (Anscombe–Glynn 1983): Wilson–Hilferty cube-root on b2
+    val eb2 = lit(3.0) * (n - lit(1.0)) / (n + lit(1.0))
+    val vb2 = lit(24.0) * n * (n - lit(2.0)) * (n - lit(3.0)) /
+      ((n + lit(1.0)) * (n + lit(1.0)) * (n + lit(3.0)) * (n + lit(5.0)))
+    val xs = (b2 - eb2) / sqrt(vb2)
+    val sb1 = lit(6.0) * (n * n - lit(5.0) * n + lit(2.0)) /
+      ((n + lit(7.0)) * (n + lit(9.0))) *
+      sqrt(lit(6.0) * (n + lit(3.0)) * (n + lit(5.0)) /
+        (n * (n - lit(2.0)) * (n - lit(3.0))))
+    val a = lit(6.0) + lit(8.0) / sb1 *
+      (lit(2.0) / sb1 + sqrt(lit(1.0) + lit(4.0) / (sb1 * sb1)))
+    val z2 = ((lit(1.0) - lit(2.0) / (lit(9.0) * a)) -
+      cbrt((lit(1.0) - lit(2.0) / a) /
+        (lit(1.0) + xs * sqrt(lit(2.0) / (a - lit(4.0)))))) /
+      sqrt(lit(2.0) / (lit(9.0) * a))
+    val ok = col("n") >= 5 && col("__z4").isNotNull
+    agg.select(gCols
+      :+ col("n")
+      :+ when(ok, round(g1, 6)).as("g1")
+      :+ when(ok, round(b2, 6)).as("b2")
+      :+ when(ok, round(z1, 6)).as("z1")
+      :+ when(ok, round(z2, 6)).as("z2")
+      :+ when(ok, round(z1 * z1 + z2 * z2, 6)).as("k2"): _*)
+  }
+
   /** Cochran's Q — do k binary treatments share a success rate across
     * the same subjects? The k-treatment generalization of [[mcnemar]]
     * (which compares exactly two), and the repeated-measures sibling

@@ -2136,4 +2136,129 @@ object Timeseries {
       :+ when(ok, round(vr, 6)).as("vr")
       :+ when(ok, round(z, 6)).as("z"): _*)
   }
+
+  /** Maximum drawdown per series — the risk number a cumulative stream
+    * owes its consumers: running-sum the per-period increments, track
+    * the running peak, and report the deepest peak-to-trough fall
+    *
+    *   max_dd = max_t ( max_{s≤t} C_s − C_t ),   C = cumulative sum
+    *
+    * plus WHERE it bottomed (`trough_o`, ties → the latest period) and
+    * the drawdown as a fraction of the peak in force at the trough
+    * (null when that peak ≤ 0 — a fraction of a negative peak is
+    * meaningless). Returns
+    * `(parts..., n, total, peak, max_drawdown, dd_frac, trough_o)`.
+    *
+    * Determinism: increments micro-quantize; cumulative sums / running
+    * maxima / drawdowns are EXACT integers end-to-end; the argmax
+    * trough breaks ties by the larger order key via one struct-max;
+    * only dd_frac touches IEEE (one division), 6 dp.
+    *
+    * Scale shape: one ordered window per series partition + one group
+    * rollup. Feed it PER-PERIOD AGGREGATES (daily P&L, hourly net) —
+    * the window then runs over a calendar-bounded table, the same
+    * bounded-partition contract as [[controlChart]].
+    */
+  def maxDrawdown(df: DataFrame, parts: Seq[String], orderCol: Column,
+                  valueCol: Column): DataFrame = {
+    require(parts.nonEmpty, "maxDrawdown needs series keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(
+        pCols :+ orderCol.as("__o")
+          :+ round(valueCol * lit(1e6), 0).cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+      .rowsBetween(Long.MinValue, 0)
+    val cum = base
+      .withColumn("__c", sum(col("__x").cast(dec)).over(w))
+      .withColumn("__pk", max(col("__c")).over(w))
+      .withColumn("__dd", col("__pk") - col("__c"))
+    val agg = cum.groupBy(pCols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(dec)).as("__tot"),
+      max(col("__pk")).as("__maxpk"),
+      max(col("__dd")).as("__mdd"),
+      // trough = the row achieving max drawdown; ties -> latest order,
+      // and its in-force peak rides along for the fraction
+      max(struct(col("__dd"), col("__o"), col("__pk"))).as("__at"))
+    val mddD = col("__mdd").cast("double")
+    val pkAt = col("__at").getField("__pk").cast("double")
+    agg.select(pCols
+      :+ col("n")
+      :+ round(col("__tot").cast("double") / lit(1e6), 6).as("total")
+      :+ round(col("__maxpk").cast("double") / lit(1e6), 6).as("peak")
+      :+ round(mddD / lit(1e6), 6).as("max_drawdown")
+      :+ when(pkAt > 0.0, round(mddD / pkAt, 6)).as("dd_frac")
+      :+ col("__at").getField("__o").as("trough_o"): _*)
+  }
+
+  /** Historical VaR + CVaR (expected shortfall) per series — the tail
+    * contract on a distribution of per-period losses: with
+    * k = ⌈α·n⌉ (α in micro units, integer ceiling-division — never a
+    * float boundary call),
+    *
+    *   VaR_α  = the k-th SMALLEST loss (exact order statistic),
+    *   CVaR_α = mean of the m = n−k+1 LARGEST losses (the tail the
+    *            VaR order statistic opens, inclusive)
+    *
+    * where loss = −value (a gain is a negative loss). Returns
+    * `(parts..., n, k_rank, tail_m, var_loss, cvar_loss)`.
+    *
+    * Determinism: losses micro-quantize; the order statistic and the
+    * tail sum come off the DISTINCT-LOSS cumulative table with ties
+    * split exactly (the boundary value contributes exactly
+    * m − cum_above copies), so both outputs are exact-integer ratios —
+    * one IEEE division each, 6 dp.
+    *
+    * Scale shape: one (series, loss)-keyed map-combined aggregation,
+    * cumulative windows over the bounded distinct-value table, one
+    * rollup — the [[graft.ops.Stats.mannWhitneyU]] contract; raw rows
+    * shuffle once and are never window-ordered.
+    */
+  def valueAtRisk(df: DataFrame, parts: Seq[String], valueCol: Column,
+                  alphaMicro: Long): DataFrame = {
+    require(parts.nonEmpty, "valueAtRisk needs series keys")
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6): $alphaMicro")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val counts = df
+      .select(pCols :+ (-round(valueCol * lit(1e6), 0).cast("long")).as("__l"): _*)
+      .filter(col("__l").isNotNull)
+      .groupBy(pCols :+ col("__l"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val W = Window.partitionBy(pCols: _*)
+    val wDesc = W.orderBy(col("__l").desc).rowsBetween(Long.MinValue, 0)
+    val cum = counts.select(
+      pCols :+ col("__l") :+ col("__c")
+        :+ sum(col("__c")).over(wDesc).as("__ct")      // count at-or-above this loss
+        :+ sum(col("__c")).over(W).as("__n"): _*)
+    // k = ceil(alpha·n) via integer ceiling division (floor of an exact
+    // double: the numerator stays < 2^53 for any n < 9e9 rows, so the
+    // division is exact; Column./ on longs would otherwise be double
+    // anyway); m = n − k + 1
+    val m = col("__n") -
+      floor((lit(alphaMicro) * col("__n") + lit(999999L)).cast("double") /
+        lit(1000000.0)).cast("long") + lit(1L)
+    val boundary = col("__ct") >= m && (col("__ct") - col("__c")) < m
+    val agg = cum
+      .select(pCols :+ col("__n") :+ m.as("__m")
+        // full groups strictly inside the tail + the boundary's exact share
+        :+ when(col("__ct") <= m, col("__l").cast(dec) * col("__c").cast(dec))
+          .when(boundary,
+            col("__l").cast(dec) * (m - (col("__ct") - col("__c"))).cast(dec))
+          .otherwise(lit(0).cast(dec)).as("__ts")
+        :+ when(boundary, col("__l")).as("__var"): _*)
+      .groupBy(pCols :+ col("__n").as("n") :+ col("__m").as("__mm"): _*)
+      .agg(sum(col("__ts")).as("__tail"), max(col("__var")).as("__v"))
+    agg.select(pCols
+      :+ col("n")
+      :+ (col("n") - col("__mm") + lit(1L)).as("k_rank")
+      :+ col("__mm").as("tail_m")
+      :+ round(col("__v").cast("double") / lit(1e6), 6).as("var_loss")
+      :+ when(col("__mm") >= 1L,
+        round(col("__tail").cast("double") / col("__mm").cast("double") / lit(1e6), 6))
+        .as("cvar_loss"): _*)
+  }
 }

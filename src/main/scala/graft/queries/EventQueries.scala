@@ -1003,8 +1003,52 @@ object EventQueries {
       .orderBy(col("arm"), col("t"))
   }
 
+  /** Maximum drawdown ([[graft.ops.Timeseries.maxDrawdown]]) of each
+    * event type's DAILY revenue level: increments are day-over-day
+    * revenue changes (first day enters at its level), so the cumulative
+    * series is the revenue level itself and max_drawdown is the deepest
+    * peak-to-trough revenue fall — with the trough day and the
+    * fraction-of-peak. Exact integer cents end-to-end; windows run over
+    * the calendar-bounded daily table.
+    */
+  private def qDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val inc = daily.withColumn("chg",
+      (col("cents") - coalesce(lag(col("cents"), 1).over(w), lit(0L)))
+        .cast("double") / lit(100.0))
+    Timeseries.maxDrawdown(inc, Seq("event_type"), col("day"), col("chg"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Historical VaR + CVaR ([[graft.ops.Timeseries.valueAtRisk]]) at
+    * α = 0.95 on the same day-over-day revenue changes: the loss the
+    * worst 5% of days reaches (VaR, exact order statistic) and how bad
+    * those days are ON AVERAGE (CVaR, exact tie-split tail mean) — the
+    * risk pair q_drawdown's single worst episode doesn't give.
+    */
+  private def qCvar(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val chg = daily
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("chg", (col("cents") - col("prev")).cast("double") / lit(100.0))
+    Timeseries.valueAtRisk(chg, Seq("event_type"), col("chg"),
+        alphaMicro = 950000L)
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_changepoint" -> (qChangepoint _),
+    "q_drawdown" -> (qDrawdown _),
+    "q_cvar" -> (qCvar _),
     "q_sprt" -> (qSprt _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
@@ -1212,6 +1256,89 @@ object EventQueries {
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_effective_n" -> essOracleSql(maxLag = 6),
+    "q_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |inc AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents - COALESCE(
+        |      lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day), 0)
+        |      AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM daily),
+        |cum AS (
+        |  SELECT event_type, day, x,
+        |    SUM(CAST(x AS HUGEINT)) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM inc),
+        |pk AS (
+        |  SELECT event_type, day, x, c,
+        |    MAX(c) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM cum),
+        |dd AS (SELECT event_type, day, x, c, p, p - c AS d FROM pk),
+        |pick AS (
+        |  SELECT event_type, day, p, d,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY d DESC, day DESC, p DESC) AS rk
+        |  FROM dd),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS tot,
+        |    MAX(p) AS maxpk, MAX(d) AS mdd
+        |  FROM dd GROUP BY 1)
+        |SELECT a.event_type, a.n,
+        |  round(CAST(a.tot AS DOUBLE) / 1000000.0, 6) AS total,
+        |  round(CAST(a.maxpk AS DOUBLE) / 1000000.0, 6) AS peak,
+        |  round(CAST(a.mdd AS DOUBLE) / 1000000.0, 6) AS max_drawdown,
+        |  CASE WHEN CAST(t.p AS DOUBLE) > 0.0
+        |    THEN round(CAST(a.mdd AS DOUBLE) / CAST(t.p AS DOUBLE), 6)
+        |  END AS dd_frac,
+        |  t.day AS trough_o
+        |FROM agg a JOIN (SELECT * FROM pick WHERE rk = 1) t USING (event_type)
+        |ORDER BY a.event_type""".stripMargin,
+    "q_cvar" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |chg AS (
+        |  SELECT event_type,
+        |    -CAST(round((CAST(cents
+        |      - lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS l
+        |  FROM daily
+        |  QUALIFY lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day) IS NOT NULL),
+        |c AS (SELECT event_type, l, COUNT(*) AS cnt FROM chg GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT event_type, l, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY l DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |mm AS (
+        |  SELECT event_type, l, cnt, ct, n,
+        |    n - CAST(floor(CAST(950000 * n + 999999 AS DOUBLE) / 1000000.0)
+        |      AS BIGINT) + 1 AS m
+        |  FROM cc),
+        |t AS (
+        |  SELECT event_type, n, m,
+        |    CASE WHEN ct <= m THEN CAST(l AS HUGEINT) * cnt
+        |         WHEN ct >= m AND ct - cnt < m
+        |           THEN CAST(l AS HUGEINT) * (m - (ct - cnt))
+        |         ELSE 0 END AS ts,
+        |    CASE WHEN ct >= m AND ct - cnt < m THEN l END AS vr
+        |  FROM mm),
+        |a AS (
+        |  SELECT event_type, n, m, SUM(ts) AS tail, MAX(vr) AS v
+        |  FROM t GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n - m + 1 AS BIGINT) AS k_rank, CAST(m AS BIGINT) AS tail_m,
+        |  round(CAST(v AS DOUBLE) / 1000000.0, 6) AS var_loss,
+        |  CASE WHEN m >= 1
+        |    THEN round(CAST(tail AS DOUBLE) / CAST(m AS DOUBLE) / 1000000.0, 6)
+        |  END AS cvar_loss
+        |FROM a ORDER BY event_type""".stripMargin,
     "q_spc" ->
       """WITH d AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

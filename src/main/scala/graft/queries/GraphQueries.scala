@@ -112,6 +112,63 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** Bounded-hop closeness centrality ([[graft.ops.Graph
+    * .closenessCentrality]]): harmonic + Bavelas closeness for the
+    * suppkey%23 seed panel over the supplier co-sequence graph, 4 hops
+    * out — "how central are THESE accounts", the per-seed reduction of
+    * q_bfs's frontier machinery (per-seed state, k·V bounded, same
+    * confluent min-lattice rounds the unrolled oracle replays).
+    */
+  private def qCloseness(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"))
+    val li = t(s, dir, "lineitem")
+    val edges = li
+      .select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    val seeds = li.select(col("l_suppkey").as("node")).distinct()
+      .filter(col("node") % 23 === 0)
+    graft.ops.Graph.closenessCentrality(edges, "src", "dst", seeds, "node",
+        maxHops = 4)
+      .orderBy(col("seed"))
+  }
+
+  private def closenessOracleSql: String = {
+    val iters = (1 to 4).map { i =>
+      s"""d$i AS (
+         |  SELECT seed, node, MIN(dist) AS dist FROM (
+         |    SELECT seed, node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT p.seed, e.dst AS node, p.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} p ON e.src = p.node)
+         |  GROUP BY seed, node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nxt AS (
+       |  SELECT l_suppkey AS src,
+       |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+       |                          ORDER BY l_linenumber, l_suppkey) AS dst
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM nxt WHERE dst IS NOT NULL AND src <> dst),
+       |d0 AS (
+       |  SELECT DISTINCT l_suppkey AS seed, l_suppkey AS node, 0 AS dist
+       |  FROM lineitem WHERE l_suppkey % 23 = 0),
+       |$iters,
+       |agg AS (
+       |  SELECT seed, COUNT(*) AS n_reached,
+       |    SUM(CAST(dist AS HUGEINT)) AS sd,
+       |    SUM(CASE WHEN dist > 0
+       |      THEN CAST(round(1000000000.0 / CAST(dist AS DOUBLE)) AS HUGEINT)
+       |      ELSE 0 END) AS h
+       |  FROM d4 GROUP BY 1)
+       |SELECT seed, n_reached, CAST(sd AS BIGINT) AS sum_dist,
+       |  round(CAST(h AS DOUBLE) / 1000000000.0, 6) AS harmonic,
+       |  CASE WHEN sd > 0 THEN
+       |    round(CAST(n_reached - 1 AS DOUBLE) / CAST(sd AS DOUBLE), 6)
+       |  END AS closeness
+       |FROM agg ORDER BY seed""".stripMargin
+  }
+
   private def bfsOracleSql: String = {
     val iters = (1 to 4).map { i =>
       s"""d$i AS (
@@ -508,6 +565,7 @@ object GraphQueries {
     "q_lpa" -> (qLpa _),
     "q_ppr" -> (qPpr _),
     "q_bfs" -> (qBfs _),
+    "q_closeness" -> (qCloseness _),
   )
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
@@ -584,6 +642,7 @@ object GraphQueries {
     "q_lpa" -> lpaOracleSql(rounds = 4),
     "q_ppr" -> pprOracleSql,
     "q_bfs" -> bfsOracleSql,
+    "q_closeness" -> closenessOracleSql,
     "q_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem

@@ -566,6 +566,32 @@ object StatsQueries {
         Seq("event_type"), col("value"))
       .orderBy(col("event_type"))
 
+  /** D'Agostino K² ([[graft.ops.Stats.dagostinoK2]]): q_jarque_bera's
+    * skew/kurtosis evidence on the same per-type event values, passed
+    * through the exact finite-n Z₁/Z₂ transforms before the χ²₂
+    * combination — the normality readout whose null holds at small n.
+    * Same two-pass moment spine; the transform is one fixed IEEE tree
+    * per group.
+    */
+  private def qDagostino(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.dagostinoK2(t(s, dir, "events"),
+        Seq("event_type"), col("value"))
+      .orderBy(col("event_type"))
+
+  /** Two-sample Anderson-Darling ([[graft.ops.Drift
+    * .andersonDarling2]]): q_cvm's purchase-vs-click value comparison
+    * re-weighted toward the TAILS — B(N−B) in the denominator makes
+    * extreme-value disagreement count most, completing the ECDF trio
+    * (KS peak / CvM body / AD tails) on the same segment slices.
+    */
+  private def qAd2(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("segment", col("user_id") % 8)
+    graft.ops.Drift.andersonDarling2(e, Seq("segment"),
+        col("event_type") === "purchase", col("event_type") === "click",
+        col("value"))
+      .orderBy(col("segment"))
+  }
+
   /** Dunn's post-hoc ([[graft.ops.Stats.dunnTest]]): which event-type
     * PAIRS differ in value location after q_kruskal says "some do" —
     * mean ranks off one shared ranking, pairs built join-free on the
@@ -1486,6 +1512,8 @@ object StatsQueries {
     "q_levene" -> (qLevene _),
     "q_kruskal" -> (qKruskal _),
     "q_jarque_bera" -> (qJarqueBera _),
+    "q_dagostino" -> (qDagostino _),
+    "q_ad2" -> (qAd2 _),
     "q_bartlett" -> (qBartlett _),
     "q_cochran" -> (qCochran _),
     "q_cronbach" -> (qCronbach _),
@@ -2997,6 +3025,109 @@ object StatsQueries {
         |          / 4.0), 6)
         |  END AS jb
         |FROM ag ORDER BY event_type""".stripMargin,
+    "q_dagostino" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |st AS (
+        |  SELECT g, COUNT(*) AS n, SUM(x) AS s1, SUM(CAST(x AS HUGEINT) * x) AS s2
+        |  FROM v GROUP BY 1),
+        |ms AS (
+        |  SELECT g, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)) AS sd
+        |  FROM st),
+        |zz AS (
+        |  SELECT v.g, ms.n,
+        |    CASE WHEN sd > 0.0 THEN CAST(round(
+        |      ((CAST(x AS DOUBLE) - mu) / sd) * ((CAST(x AS DOUBLE) - mu) / sd)
+        |        * ((CAST(x AS DOUBLE) - mu) / sd) * 1000000.0) AS HUGEINT) END AS z3,
+        |    CASE WHEN sd > 0.0 THEN CAST(round(
+        |      ((CAST(x AS DOUBLE) - mu) / sd) * ((CAST(x AS DOUBLE) - mu) / sd)
+        |        * ((CAST(x AS DOUBLE) - mu) / sd) * ((CAST(x AS DOUBLE) - mu) / sd)
+        |        * 1000000.0) AS HUGEINT) END AS z4
+        |  FROM v JOIN ms ON v.g = ms.g),
+        |ag AS (SELECT g, MAX(n) AS n, SUM(z3) AS z3s, SUM(z4) AS z4s FROM zz GROUP BY 1),
+        |gb AS (
+        |  SELECT g, n, z4s, CAST(n AS DOUBLE) AS nd,
+        |    CAST(z3s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+        |      * pow(CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0), 1.5) AS g1,
+        |    CAST(z4s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))
+        |      * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)) AS b2
+        |  FROM ag),
+        |t1 AS (
+        |  SELECT g, n, z4s, nd, g1, b2,
+        |    g1 * sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS y,
+        |    sqrt(2.0 * (3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0) * (nd + 3.0)
+        |      / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0)) - 1.0)) - 1.0 AS w2,
+        |    (b2 - 3.0 * (nd - 1.0) / (nd + 1.0))
+        |      / sqrt(24.0 * nd * (nd - 2.0) * (nd - 3.0)
+        |        / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))) AS xs,
+        |    6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0))
+        |      * sqrt(6.0 * (nd + 3.0) * (nd + 5.0)
+        |        / (nd * (nd - 2.0) * (nd - 3.0))) AS sb1
+        |  FROM gb),
+        |t2 AS (
+        |  SELECT g, n, z4s, g1, b2, xs,
+        |    (1.0 / sqrt(ln(sqrt(w2))))
+        |      * ln(y / sqrt(2.0 / (w2 - 1.0))
+        |        + sqrt((y / sqrt(2.0 / (w2 - 1.0))) * (y / sqrt(2.0 / (w2 - 1.0)))
+        |          + 1.0)) AS z1,
+        |    6.0 + 8.0 / sb1 * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS a
+        |  FROM t1),
+        |t3 AS (
+        |  SELECT g, n, z4s, g1, b2, z1,
+        |    ((1.0 - 2.0 / (9.0 * a))
+        |      - cbrt((1.0 - 2.0 / a) / (1.0 + xs * sqrt(2.0 / (a - 4.0)))))
+        |      / sqrt(2.0 / (9.0 * a)) AS z2
+        |  FROM t2)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n >= 5 AND z4s IS NOT NULL THEN round(g1, 6) END AS g1,
+        |  CASE WHEN n >= 5 AND z4s IS NOT NULL THEN round(b2, 6) END AS b2,
+        |  CASE WHEN n >= 5 AND z4s IS NOT NULL THEN round(z1, 6) END AS z1,
+        |  CASE WHEN n >= 5 AND z4s IS NOT NULL THEN round(z2, 6) END AS z2,
+        |  CASE WHEN n >= 5 AND z4s IS NOT NULL THEN round(z1 * z1 + z2 * z2, 6) END AS k2
+        |FROM t3 ORDER BY event_type""".stripMargin,
+    "q_ad2" ->
+      """WITH tg AS (
+        |  SELECT user_id % 8 AS segment,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib,
+        |    value AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+        |c AS (SELECT segment, v, SUM(ia) AS ca, SUM(ib) AS cb FROM tg GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT segment, ca, cb,
+        |    SUM(ca) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+        |    SUM(cb) OVER (PARTITION BY segment ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+        |    SUM(ca) OVER (PARTITION BY segment) AS na,
+        |    SUM(cb) OVER (PARTITION BY segment) AS nb
+        |  FROM c),
+        |t AS (
+        |  SELECT segment, na, nb,
+        |    CASE WHEN cca + ccb < na + nb THEN CAST(round(
+        |      CAST(CAST(ca + cb AS HUGEINT)
+        |          * CAST((na + nb) * cca - na * (cca + ccb) AS HUGEINT)
+        |          * CAST((na + nb) * cca - na * (cca + ccb) AS HUGEINT) AS DOUBLE)
+        |      / CAST(CAST(cca + ccb AS HUGEINT)
+        |          * CAST((na + nb) - (cca + ccb) AS HUGEINT) AS DOUBLE)
+        |      * 1000000000.0) AS HUGEINT) ELSE 0 END AS trm
+        |  FROM cc),
+        |a AS (
+        |  SELECT segment, na AS n_a, nb AS n_b, SUM(trm) AS s
+        |  FROM t GROUP BY 1, 2, 3)
+        |SELECT segment, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    round((1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+        |      / CAST(n_a + n_b AS DOUBLE) * (CAST(s AS DOUBLE) / 1000000000.0), 6)
+        |  END AS a2
+        |FROM a ORDER BY segment""".stripMargin,
     "q_bartlett" ->
       """WITH v AS (
         |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x

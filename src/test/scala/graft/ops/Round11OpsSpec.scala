@@ -276,4 +276,86 @@ class Round11OpsSpec extends AnyFunSuite {
     val r2 = Regression.groupWls(df2, Seq("g"), col("x"), col("y"), col("w")).head()
     assert(r2.getLong(1) == 3L && r2.getDouble(3) == 1.0)
   }
+
+  test("dagostinoK2: replayed closed form on a skewed sample; symmetric gives z1 = 0") {
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 20.0)
+    val df = createDf(spark, "v double", xs.map(v => Seq[Any](v)))
+      .withColumn("g", lit("x"))
+    val r = Stats.dagostinoK2(df, Seq("g"), col("v")).head()
+    assert(r.getLong(1) == 10L)
+    assert(math.abs(r.getDouble(2) - 1.606053) < 1e-5, "g1")
+    assert(math.abs(r.getDouble(3) - 5.047238) < 1e-5, "b2")
+    assert(math.abs(r.getDouble(4) - 2.647142) < 1e-5, "z1")
+    assert(math.abs(r.getDouble(5) - 2.397670) < 1e-5, "z2")
+    assert(math.abs(r.getDouble(6) - 12.756182) < 1e-4, "k2")
+    val sym = createDf(spark, "v double",
+        (1 to 10).map(i => Seq[Any](i.toDouble)))
+      .withColumn("g", lit("x"))
+    val rs = Stats.dagostinoK2(sym, Seq("g"), col("v")).head()
+    assert(rs.getDouble(4) == 0.0, "symmetric sample: z1 exactly 0")
+    // n = 4 < 5: all statistics null
+    val tiny = createDf(spark, "v double",
+        Seq(1.0, 2.0, 3.0, 4.0).map(v => Seq[Any](v)))
+      .withColumn("g", lit("x"))
+    assert(Stats.dagostinoK2(tiny, Seq("g"), col("v")).head().isNullAt(6))
+  }
+
+  test("andersonDarling2: identical samples give 0; disjoint give the 4-point closed form") {
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+    val df = createDf(spark, "side string, v double",
+        same.map { case (s, v) => Seq[Any](s, v) })
+      .withColumn("g", lit("x"))
+    val r = Drift.andersonDarling2(df, Seq("g"),
+      col("side") === "a", col("side") === "b", col("v")).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getDouble(3) == 0.0)
+    // a = {1,2}, b = {3,4}: terms 4/3 + 4 + 4/3 = 20/3; A2 = (1)/4 * 20/3 = 5/3
+    val disj = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+    val df2 = createDf(spark, "side string, v double",
+        disj.map { case (s, v) => Seq[Any](s, v) })
+      .withColumn("g", lit("x"))
+    val r2 = Drift.andersonDarling2(df2, Seq("g"),
+      col("side") === "a", col("side") === "b", col("v")).head()
+    assert(math.abs(r2.getDouble(3) - 5.0 / 3.0) < 1e-6)
+  }
+
+  test("maxDrawdown: hand-checked peak-to-trough with tie-to-latest trough") {
+    val inc = Seq((1L, 10.0), (2L, -5.0), (3L, 3.0), (4L, -6.0), (5L, 10.0))
+    val df = createDf(spark, "o bigint, v double",
+        inc.map { case (o, v) => Seq[Any](o, v) })
+      .withColumn("g", lit("x"))
+    val r = Timeseries.maxDrawdown(df, Seq("g"), col("o"), col("v")).head()
+    // cum: 10 5 8 2 12; peaks: 10 10 10 10 12; dd: 0 5 2 8 0
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 12.0, "total")
+    assert(r.getDouble(3) == 12.0, "peak")
+    assert(r.getDouble(4) == 8.0, "max drawdown")
+    assert(r.getDouble(5) == 0.8, "dd fraction of the in-force peak (10)")
+    assert(r.getLong(6) == 4L, "trough at o=4")
+  }
+
+  test("valueAtRisk: exact order statistic and tie-split tail mean") {
+    val vals = Seq(1.0, 2.0, -1.0, -2.0, -3.0, 0.5, 0.0, -0.5, 4.0, -4.0)
+    val df = createDf(spark, "v double", vals.map(v => Seq[Any](v)))
+      .withColumn("g", lit("x"))
+    // losses sorted: -4 -2 -1 -.5 0 .5 1 2 3 4; alpha=.8 -> k=8, m=3
+    val r = Timeseries.valueAtRisk(df, Seq("g"), col("v"), alphaMicro = 800000L).head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 8L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 2.0, "VaR = 8th smallest loss")
+    assert(r.getDouble(5) == 3.0, "CVaR = mean(2,3,4)")
+    // all-tied losses: the boundary splits exactly
+    val tied = createDf(spark, "v double", Seq.fill(4)(Seq[Any](-1.0)))
+      .withColumn("g", lit("x"))
+    val rt = Timeseries.valueAtRisk(tied, Seq("g"), col("v"), alphaMicro = 500000L).head()
+    assert(rt.getLong(3) == 3L && rt.getDouble(4) == 1.0 && rt.getDouble(5) == 1.0)
+  }
+
+  test("closenessCentrality: path graph from one seed; unreachable nodes excluded") {
+    val edges = createDf(spark, "src bigint, dst bigint", Seq(
+      Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](9L, 9L)))
+    val seeds = createDf(spark, "node bigint", Seq(Seq[Any](1L)))
+    val r = Graph.closenessCentrality(edges, "src", "dst", seeds, "node", 4).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 1.5, "harmonic = 1 + 1/2")
+    assert(math.abs(r.getDouble(4) - 2.0 / 3.0) < 1e-6, "closeness = (3-1)/3")
+  }
 }
