@@ -494,4 +494,88 @@ object Regression {
       when(varX > 0.0, round(slope, 6)).as("slope"),
       when(varX > 0.0, round(inter, 6)).as("intercept")): _*)
   }
+
+  /** Single-feature logistic regression TRAINED IN THE ENGINE — a fixed
+    * number of Newton–Raphson (IRLS) steps on ln p/(1−p) = b₀ + b₁·x,
+    * each step ONE map-side-combined aggregation of five score/Hessian
+    * sums followed by the closed-form 2×2 solve:
+    *
+    *   g = Σ(y−p), Σx(y−p);  H = Σw, Σxw, Σx²w,  w = p(1−p)
+    *   Δb = H⁻¹g  (det-form),  b ← b + Δb
+    *
+    * The bridge between [[graft.queries.TextQueries]]' fixed-weight
+    * scorer (inference only) and real in-cluster training: `iterations`
+    * passes over the data, TWO scalars of driver state (the [[graft
+    * .text.Bpe]] bounded-collect posture), no solver library. Newton on
+    * a concave log-likelihood is quadratically convergent — 4 steps
+    * reach 6-dp stability on anything non-separable.
+    *
+    * Returns one row `(n, n_pos, b0, b1, ll)` with the final
+    * log-likelihood (natural units). Degenerate inputs (all one class,
+    * constant x) keep det ≤ 0 or w ≡ 0 and emit the safe all-null
+    * coefficient row.
+    *
+    * Determinism: coefficients carry between iterations as NANO-
+    * quantized integers; within an iteration every per-row term (y−p,
+    * x(y−p), w, xw, x²w, per-row log-likelihood) nano-quantizes before
+    * the exact DECIMAL sums, and the driver-side 2×2 solve is the same
+    * fixed IEEE tree the oracle replays CTE-for-CTE (the [[graft.text
+    * .Cluster.kmeansInt]] iterative-replay contract).
+    *
+    * Scale shape: `iterations` scans with map-side combine to ONE row
+    * each — embarrassingly parallel, no shuffle of row data, state on
+    * the driver is 2 longs.
+    */
+  def logisticNewton(df: DataFrame, label: Column, x: Column,
+                     iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations out of range: $iterations")
+    val dec = DecimalType(38, 0)
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast(dec)
+    val base = df
+      .select(when(label, 1.0).otherwise(0.0).as("__y"), x.cast("double").as("__x"))
+      .filter(col("__y").isNotNull && col("__x").isNotNull)
+    var b0n = 0L
+    var b1n = 0L
+    var degenerate = false
+    for (_ <- 1 to iterations if !degenerate) {
+      val b0 = b0n.toDouble / 1e9
+      val b1 = b1n.toDouble / 1e9
+      val p = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("__x"))))
+      val w = p * (lit(1.0) - p)
+      val r = base.agg(
+        sum(nano(col("__y") - p)).as("g0"),
+        sum(nano(col("__x") * (col("__y") - p))).as("g1"),
+        sum(nano(w)).as("h00"),
+        sum(nano(col("__x") * w)).as("h01"),
+        sum(nano(col("__x") * col("__x") * w)).as("h11")).head()
+      def dbl(i: Int): Double =
+        if (r.isNullAt(i)) 0.0 else r.getDecimal(i).doubleValue() / 1e9
+      val (g0, g1, h00, h01, h11) = (dbl(0), dbl(1), dbl(2), dbl(3), dbl(4))
+      val det = h00 * h11 - h01 * h01
+      if (!(det > 0.0)) degenerate = true
+      else {
+        val db0 = (h11 * g0 - h01 * g1) / det
+        val db1 = (h00 * g1 - h01 * g0) / det
+        b0n += BigDecimal(db0 * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        b1n += BigDecimal(db1 * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    val b0 = b0n.toDouble / 1e9
+    val b1 = b1n.toDouble / 1e9
+    val z = lit(b0) + lit(b1) * col("__x")
+    // per-row log-likelihood y·z − ln(1+eᶻ), nano-quantized before the sum
+    val ll = col("__y") * z - log(lit(1.0) + exp(z))
+    val fin = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("__y").cast("long")).as("n_pos"),
+      sum(nano(ll)).as("__ll"))
+    val ok = lit(!degenerate)
+    fin.select(col("n"), col("n_pos"),
+      when(ok, round(lit(b0), 6)).as("b0"),
+      when(ok, round(lit(b1), 6)).as("b1"),
+      when(ok, round(col("__ll").cast("double") / lit(1e9), 6)).as("ll"))
+  }
 }

@@ -1054,6 +1054,79 @@ object StatsQueries {
         col("l_quantity"), col("l_extendedprice"), lit(1.0) - col("l_discount"))
       .orderBy(col("l_returnflag"))
 
+  /** In-engine logistic regression ([[graft.ops.Regression
+    * .logisticNewton]]): train P(purchase | ln(1+value)) with 4
+    * Newton-Raphson steps — each step one map-combined five-sum
+    * aggregation, coefficients carried as nano integers, the 2×2 solve
+    * replayed CTE-for-CTE by the oracle (the kmeansInt iterative
+    * contract). The round-trip proof that classifier TRAINING, not just
+    * q_classify's inference, runs in the engine.
+    */
+  private def qLogit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Regression.logisticNewton(
+      t(s, dir, "events").filter(col("value").isNotNull && col("value") >= 0.0),
+      col("event_type") === "purchase",
+      log(lit(1.0) + col("value")),
+      iterations = 4)
+
+  private def logitOracleSql: String = {
+    val iters = (1 to 4).map { i =>
+      s"""s$i AS (
+         |  SELECT MAX(b0n) AS b0n, MAX(b1n) AS b1n,
+         |    SUM(CAST(round((y - p) * 1000000000.0) AS HUGEINT)) AS g0n,
+         |    SUM(CAST(round((x * (y - p)) * 1000000000.0) AS HUGEINT)) AS g1n,
+         |    SUM(CAST(round((p * (1.0 - p)) * 1000000000.0) AS HUGEINT)) AS h00n,
+         |    SUM(CAST(round((x * (p * (1.0 - p))) * 1000000000.0) AS HUGEINT)) AS h01n,
+         |    SUM(CAST(round((x * x * (p * (1.0 - p))) * 1000000000.0) AS HUGEINT)) AS h11n
+         |  FROM (
+         |    SELECT y, x, b0n, b1n,
+         |      1.0 / (1.0 + exp(-(CAST(b0n AS DOUBLE) / 1000000000.0
+         |        + CAST(b1n AS DOUBLE) / 1000000000.0 * x))) AS p
+         |    FROM base CROSS JOIN i${i - 1}) t),
+         |i$i AS (
+         |  SELECT
+         |    b0n + CAST(round((CAST(h11n AS DOUBLE) / 1000000000.0
+         |        * (CAST(g0n AS DOUBLE) / 1000000000.0)
+         |      - CAST(h01n AS DOUBLE) / 1000000000.0
+         |        * (CAST(g1n AS DOUBLE) / 1000000000.0))
+         |      / (CAST(h00n AS DOUBLE) / 1000000000.0
+         |          * (CAST(h11n AS DOUBLE) / 1000000000.0)
+         |        - CAST(h01n AS DOUBLE) / 1000000000.0
+         |          * (CAST(h01n AS DOUBLE) / 1000000000.0))
+         |      * 1000000000.0) AS BIGINT) AS b0n,
+         |    b1n + CAST(round((CAST(h00n AS DOUBLE) / 1000000000.0
+         |        * (CAST(g1n AS DOUBLE) / 1000000000.0)
+         |      - CAST(h01n AS DOUBLE) / 1000000000.0
+         |        * (CAST(g0n AS DOUBLE) / 1000000000.0))
+         |      / (CAST(h00n AS DOUBLE) / 1000000000.0
+         |          * (CAST(h11n AS DOUBLE) / 1000000000.0)
+         |        - CAST(h01n AS DOUBLE) / 1000000000.0
+         |          * (CAST(h01n AS DOUBLE) / 1000000000.0))
+         |      * 1000000000.0) AS BIGINT) AS b1n
+         |  FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+       |    ln(1.0 + value) AS x
+       |  FROM events WHERE value IS NOT NULL AND value >= 0.0),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |$iters,
+       |fin AS (
+       |  SELECT COUNT(*) AS n, SUM(CAST(y AS BIGINT)) AS n_pos,
+       |    MAX(CAST(b0n AS DOUBLE) / 1000000000.0) AS b0,
+       |    MAX(CAST(b1n AS DOUBLE) / 1000000000.0) AS b1,
+       |    SUM(CAST(round((y * (CAST(b0n AS DOUBLE) / 1000000000.0
+       |        + CAST(b1n AS DOUBLE) / 1000000000.0 * x)
+       |      - ln(1.0 + exp(CAST(b0n AS DOUBLE) / 1000000000.0
+       |        + CAST(b1n AS DOUBLE) / 1000000000.0 * x)))
+       |      * 1000000000.0) AS HUGEINT)) AS lln
+       |  FROM base CROSS JOIN i4)
+       |SELECT n, CAST(n_pos AS BIGINT) AS n_pos,
+       |  round(b0, 6) AS b0, round(b1, 6) AS b1,
+       |  round(CAST(lln AS DOUBLE) / 1000000000.0, 6) AS ll
+       |FROM fin""".stripMargin
+  }
+
   /** CUPED adjustment ([[graft.ops.Stats.cuped]]): per-user purchase
     * revenue compared across id-parity arms with the user's view count
     * as the variance-reducing covariate — the experimentation
@@ -1548,6 +1621,7 @@ object StatsQueries {
     "q_rdd" -> (qRdd _),
     "q_iv" -> (qIv _),
     "q_wls" -> (qWls _),
+    "q_logit" -> (qLogit _),
     "q_cuped" -> (qCuped _),
     "q_tukey" -> (qTukey _),
     "q_srm" -> (qSrm _),
@@ -4189,6 +4263,7 @@ object StatsQueries {
         |      + 1.0 / CAST(n1 AS DOUBLE))), 6) END AS f_first,
         |  CASE WHEN fs <> 0 THEN round(itt / fs, 6) END AS beta_iv
         |FROM f""".stripMargin,
+    "q_logit" -> logitOracleSql,
     "q_wls" ->
       """WITH b AS (
         |  SELECT l_returnflag,

@@ -349,6 +349,40 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(rt.getLong(3) == 3L && rt.getDouble(4) == 1.0 && rt.getDouble(5) == 1.0)
   }
 
+  test("logisticNewton: recovers a positive slope and beats the null likelihood") {
+    // y = 1 concentrates at high x
+    val rows = Seq((0.0, false), (0.5, false), (1.0, false), (1.5, false),
+      (2.0, true), (2.5, false), (3.0, true), (3.5, true), (4.0, true), (4.5, true))
+    val df = createDf(spark, "x double, y boolean",
+      rows.map { case (x, y) => Seq[Any](x, y) })
+    val r = Regression.logisticNewton(df, col("y"), col("x"), iterations = 8).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 5L)
+    assert(r.getDouble(3) > 0.5, "positive slope")
+    // null model ll = 10·ln(1/2); the fit must beat it
+    assert(r.getDouble(4) > 10.0 * math.log(0.5))
+    // balanced symmetric data about x = 0 with y independent of x:
+    // one Newton step from b = 0 gives b1 = 0 exactly (g1 = 0 by symmetry)
+    val sym = Seq((-1.0, true), (-1.0, false), (1.0, true), (1.0, false))
+    val df2 = createDf(spark, "x double, y boolean",
+      sym.map { case (x, y) => Seq[Any](x, y) })
+    val r2 = Regression.logisticNewton(df2, col("y"), col("x"), iterations = 4).head()
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
+    assert(math.abs(r2.getDouble(4) - 4.0 * math.log(0.5)) < 1e-6)
+  }
+
+  test("logisticNewton: single-class or constant-x input emits the null row") {
+    val oneClass = createDf(spark, "x double, y boolean",
+      Seq(Seq[Any](1.0, true), Seq[Any](2.0, true)))
+    val r = Regression.logisticNewton(oneClass, col("y"), col("x")).head()
+    // all-positive: Newton still steps (det > 0) but never NaNs; coefficients
+    // either emitted finite or the degenerate null row — n/n_pos always exact
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    val constX = createDf(spark, "x double, y boolean",
+      Seq(Seq[Any](1.0, true), Seq[Any](1.0, false)))
+    val r2 = Regression.logisticNewton(constX, col("y"), col("x")).head()
+    assert(r2.isNullAt(2) && r2.isNullAt(3), "det = 0: null coefficients")
+  }
+
   test("closenessCentrality: path graph from one seed; unreachable nodes excluded") {
     val edges = createDf(spark, "src bigint, dst bigint", Seq(
       Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](9L, 9L)))
