@@ -578,4 +578,74 @@ object Regression {
       when(ok, round(lit(b1), 6)).as("b1"),
       when(ok, round(col("__ll").cast("double") / lit(1e9), 6)).as("ll"))
   }
+
+  /** Single-feature POISSON regression trained in the engine —
+    * [[logisticNewton]]'s count-data sibling: Newton–Raphson on the
+    * log-link ln λ = b₀ + b₁·x, score g = (Σ(y−λ), Σx(y−λ)), Hessian
+    * H = (Σλ, Σxλ, Σx²λ), the same det-form 2×2 solve, the same
+    * nano-integer coefficient carry and CTE-replayable iteration
+    * contract. The GLM for "how MANY" where logistic answers "whether"
+    * — purchase counts, defect counts, arrivals.
+    *
+    * Returns one row `(n, y_sum, b0, b1, ll)`; ll is the log-likelihood
+    * up to the Σln y! constant (the deviance-relevant part). Degenerate
+    * designs (constant x) emit null coefficients. Canonical-link Newton
+    * = Fisher scoring here, so steps are stable whenever x is bounded
+    * (cap or log-transform unbounded covariates — λ exponentiates).
+    *
+    * Determinism and scale shape: exactly [[logisticNewton]] —
+    * `iterations` map-combined five-sum scans, per-term nano
+    * quantization, 2 longs of driver state.
+    */
+  def poissonNewton(df: DataFrame, yCount: Column, x: Column,
+                    iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations out of range: $iterations")
+    val dec = DecimalType(38, 0)
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast(dec)
+    val base = df
+      .select(yCount.cast("double").as("__y"), x.cast("double").as("__x"))
+      .filter(col("__y").isNotNull && col("__y") >= 0.0 && col("__x").isNotNull)
+    var b0n = 0L
+    var b1n = 0L
+    var degenerate = false
+    for (_ <- 1 to iterations if !degenerate) {
+      val b0 = b0n.toDouble / 1e9
+      val b1 = b1n.toDouble / 1e9
+      val lam = exp(lit(b0) + lit(b1) * col("__x"))
+      val r = base.agg(
+        sum(nano(col("__y") - lam)).as("g0"),
+        sum(nano(col("__x") * (col("__y") - lam))).as("g1"),
+        sum(nano(lam)).as("h00"),
+        sum(nano(col("__x") * lam)).as("h01"),
+        sum(nano(col("__x") * col("__x") * lam)).as("h11")).head()
+      def dbl(i: Int): Double =
+        if (r.isNullAt(i)) 0.0 else r.getDecimal(i).doubleValue() / 1e9
+      val (g0, g1, h00, h01, h11) = (dbl(0), dbl(1), dbl(2), dbl(3), dbl(4))
+      val det = h00 * h11 - h01 * h01
+      if (!(det > 0.0)) degenerate = true
+      else {
+        val db0 = (h11 * g0 - h01 * g1) / det
+        val db1 = (h00 * g1 - h01 * g0) / det
+        b0n += BigDecimal(db0 * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        b1n += BigDecimal(db1 * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    val b0 = b0n.toDouble / 1e9
+    val b1 = b1n.toDouble / 1e9
+    val z = lit(b0) + lit(b1) * col("__x")
+    // Poisson ll up to Σ ln y!: y·z − λ, nano-quantized before the sum
+    val ll = col("__y") * z - exp(z)
+    val fin = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("__y").cast("long")).as("y_sum"),
+      sum(nano(ll)).as("__ll"))
+    val ok = lit(!degenerate)
+    fin.select(col("n"), col("y_sum"),
+      when(ok, round(lit(b0), 6)).as("b0"),
+      when(ok, round(lit(b1), 6)).as("b1"),
+      when(ok, round(col("__ll").cast("double") / lit(1e9), 6)).as("ll"))
+  }
 }

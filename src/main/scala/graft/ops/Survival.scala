@@ -271,4 +271,93 @@ object Survival {
       when(ok, round(scale, 6)).as("scale"),
       when(ok && syy > 0.0, round(r2, 6)).as("r2"))
   }
+
+  /** Cox proportional-hazards regression, single covariate, trained in
+    * the engine — Newton–Raphson on the Breslow partial likelihood:
+    * with risk-set sums S_k(t) = Σ_{j: t_j ≥ t} x_jᵏ·exp(βx_j),
+    *
+    *   U(β) = Σ_{event times t} [ Σ_{events at t} x  −  d_t·S₁/S₀ ]
+    *   I(β) = Σ_{event times t}   d_t·( S₂/S₀ − (S₁/S₀)² )
+    *   β ← β + U/I
+    *
+    * — the regression [[logRank]] is the score test OF (β=0 with a
+    * binary x reproduces log-rank's direction), giving a hazard RATIO
+    * per covariate unit with censoring handled exactly. Returns one row
+    * `(n, n_events, beta, hr, se, z, u_residual)`: hr = exp(β),
+    * se = 1/√I at the final β, and `u_residual` is the final score —
+    * the EMITTED convergence evidence (≈0 when Newton has converged,
+    * the GK/TPD iters_run contract in score units). Null coefficients
+    * when I ≤ 0 (no events, or constant x).
+    *
+    * Determinism: β carries between iterations as a nano integer;
+    * per-row exp(βx) terms nano-quantize before the exact per-duration
+    * sums; risk-set sums are exact-decimal cumulative windows over the
+    * DISTINCT-DURATION table; each event-time's U/I term is one fixed
+    * IEEE tree, nano-quantized before the exact rollup; the driver
+    * update replays CTE-for-CTE (the [[graft.ops.Regression
+    * .logisticNewton]] contract).
+    *
+    * Scale shape: per iteration, one duration-keyed map-combined
+    * aggregation + cumulative windows over the duration table (rows =
+    * distinct durations — the [[kaplanMeier]] bound, never subjects) +
+    * a 2-value reduce. Driver state: one long.
+    */
+  def coxNewton(df: DataFrame, duration: Column, event: Column, x: Column,
+                iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations out of range: $iterations")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast(dec)
+    val base = df
+      .select(duration.cast("long").as("__t"), event.cast("long").as("__e"),
+        x.cast("double").as("__x"))
+      .filter(col("__t").isNotNull && col("__e").isNotNull && col("__x").isNotNull)
+    // one (U, I) evaluation at a fixed beta: duration-keyed reduction,
+    // cumulative risk-set windows, nano-quantized per-event-time terms
+    def score(beta: Double): (Double, Double) = {
+      val r = exp(lit(beta) * col("__x"))
+      val byT = base.groupBy(col("__t")).agg(
+        sum(col("__e")).as("__d"),
+        sum(when(col("__e") === 1L, nano(col("__x"))).otherwise(lit(0).cast(dec)))
+          .as("__sx"),
+        sum(nano(r)).as("__r0"),
+        sum(nano(col("__x") * r)).as("__r1"),
+        sum(nano(col("__x") * col("__x") * r)).as("__r2"))
+      val wDesc = Window.orderBy(col("__t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byT
+        .withColumn("__s0", sum(col("__r0")).over(wDesc))
+        .withColumn("__s1", sum(col("__r1")).over(wDesc))
+        .withColumn("__s2", sum(col("__r2")).over(wDesc))
+      val s0 = col("__s0").cast("double")
+      val s1 = col("__s1").cast("double")
+      val s2 = col("__s2").cast("double")
+      val dD = col("__d").cast("double")
+      val uT = col("__sx").cast("double") / lit(1e9) - dD * (s1 / s0)
+      val iT = dD * (s2 / s0 - (s1 / s0) * (s1 / s0))
+      val agg = cum.filter(col("__d") > 0L && col("__s0") > 0)
+        .agg(sum(nano(uT)).as("__u"), sum(nano(iT)).as("__i")).head()
+      def dbl(i: Int): Double =
+        if (agg.isNullAt(i)) 0.0 else agg.getDecimal(i).doubleValue() / 1e9
+      (dbl(0), dbl(1))
+    }
+    var bn = 0L
+    var degenerate = false
+    for (_ <- 1 to iterations if !degenerate) {
+      val (u, i) = score(bn.toDouble / 1e9)
+      if (!(i > 0.0)) degenerate = true
+      else bn += BigDecimal(u / i * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val beta = bn.toDouble / 1e9
+    val (uF, iF) = if (degenerate) (0.0, 0.0) else score(beta)
+    val fin = base.agg(count(lit(1)).as("n"), sum(col("__e")).as("n_events"))
+    val ok = lit(!degenerate && iF > 0.0)
+    fin.select(col("n"), col("n_events"),
+      when(ok, round(lit(beta), 6)).as("beta"),
+      when(ok, round(exp(lit(beta)), 6)).as("hr"),
+      when(ok, round(lit(if (iF > 0.0) 1.0 / math.sqrt(iF) else 0.0), 6)).as("se"),
+      when(ok, round(lit(if (iF > 0.0) beta * math.sqrt(iF) else 0.0), 6)).as("z"),
+      when(ok, round(lit(uF), 6)).as("u_residual"))
+  }
 }

@@ -2216,6 +2216,81 @@ object Timeseries {
     * rollup — the [[graft.ops.Stats.mannWhitneyU]] contract; raw rows
     * shuffle once and are never window-ordered.
     */
+  /** SAX symbolization + motif census — the classic Lin/Keogh pipeline
+    * for "what patterns recur in these series": per series, (1) z-score
+    * against the series' own exact moments, (2) PAA-average over
+    * `segLen` consecutive order units, (3) map each segment mean to a
+    * 4-letter alphabet at the N(0,1) quartile breakpoints
+    * (−0.6745, 0, 0.6745), (4) slide a `wordLen`-symbol window and
+    * census the words. Returns
+    * `(word, n_series, occurrences)` — occurrences across all series,
+    * n_series = distinct series containing the word — ordered by
+    * (occurrences DESC, word) for a stable motif ranking.
+    *
+    * Determinism: moments are exact integer sums (micro-quantized
+    * values); each segment's PAA mean is an exact decimal ratio; the
+    * z-comparison against literal breakpoints is one fixed IEEE tree
+    * (same verdict in every engine); words are string concatenations
+    * over the bounded SEGMENT table.
+    *
+    * Scale shape: one (series, segment) map-combined aggregation over
+    * the scan + a broadcast moment join; the sliding-word window runs
+    * over the SEGMENT table (rows = span/segLen — calendar-bounded,
+    * never raw events); one word-keyed census shuffle.
+    */
+  def saxMotifs(df: DataFrame, parts: Seq[String], orderCol: Column,
+                valueCol: Column, segLen: Long, wordLen: Int): DataFrame = {
+    require(parts.nonEmpty, "saxMotifs needs series keys")
+    require(segLen >= 1L, s"segLen must be >= 1: $segLen")
+    require(wordLen >= 2 && wordLen <= 8, s"wordLen out of range: $wordLen")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val base = df.select(
+        pCols :+ orderCol.cast("long").as("__o")
+          :+ round(valueCol * lit(1e6), 0).cast("long").as("__x"): _*)
+      .filter(col("__o").isNotNull && col("__x").isNotNull)
+    val stats = base.groupBy(pCols: _*).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).as("__s1"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__s2"),
+      min(col("__o")).as("__o0"))
+    val nD = col("__n").cast("double")
+    val s1d = col("__s1").cast("double")
+    val mu = s1d / nD
+    val sd = sqrt((col("__s2").cast("double") - s1d * s1d / nD) / (nD - lit(1.0)))
+    val withStats = base.join(
+      broadcast(stats.select(pCols :+ mu.as("__mu") :+ sd.as("__sd")
+        :+ col("__o0"): _*)),
+      parts)
+    val paa = withStats
+      .filter(col("__sd") > 0.0)
+      .groupBy(pCols :+ floor((col("__o") - col("__o0")).cast("double") /
+        lit(segLen.toDouble)).cast("long").as("__seg"): _*)
+      .agg(first(col("__mu")).as("__mu"), first(col("__sd")).as("__sd"),
+        (sum(col("__x").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("__pm"))
+    val z = (col("__pm") - col("__mu")) / col("__sd")
+    val sym = paa.select(pCols :+ col("__seg")
+      :+ when(z < -0.6745, "a").when(z < 0.0, "b")
+        .when(z < 0.6745, "c").otherwise("d").as("__s"): _*)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__seg"))
+    val withNext = (1 until wordLen).foldLeft(
+      sym.withColumn("__w", col("__s"))) { (d, k) =>
+      d.withColumn("__w", concat(col("__w"), lead(col("__s"), k).over(w)))
+    }
+    // a word forms only where all wordLen consecutive segments exist AND
+    // are gap-free (lead is positional; require the span to be contiguous)
+    val complete = withNext
+      .withColumn("__segEnd", lead(col("__seg"), wordLen - 1).over(w))
+      .filter(col("__segEnd").isNotNull &&
+        col("__segEnd") === col("__seg") + lit((wordLen - 1).toLong))
+    complete
+      .groupBy(col("__w").as("word"))
+      .agg(countDistinct(struct(pCols: _*)).as("n_series"),
+        count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("word"))
+  }
+
   def valueAtRisk(df: DataFrame, parts: Seq[String], valueCol: Column,
                   alphaMicro: Long): DataFrame = {
     require(parts.nonEmpty, "valueAtRisk needs series keys")

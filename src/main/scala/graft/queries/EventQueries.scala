@@ -1045,10 +1045,143 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** In-engine Poisson regression ([[graft.ops.Regression
+    * .poissonNewton]]): per-user purchase COUNTS regressed on
+    * ln(1+view count) — does browsing volume predict purchase
+    * intensity, as a rate? The count-data GLM beside q_logit's
+    * binary one: same Newton iteration contract (nano-integer
+    * coefficient carry, five-sum scans, CTE-replayed oracle), log
+    * link, exposure-free.
+    */
+  private def qPoissonReg(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"))
+    graft.ops.Regression.poissonNewton(perUser,
+      col("purchases"), log(lit(1.0) + col("views")), iterations = 4)
+  }
+
+  /** SAX motif census ([[graft.ops.Timeseries.saxMotifs]]): each event
+    * type's daily revenue z-scored, PAA-averaged over 2-day segments,
+    * mapped to the 4-letter N(0,1)-quartile alphabet, and swept with a
+    * 3-symbol sliding word — which local shapes (rise-fall, plateau,
+    * spike) recur across the five series. The Lin/Keogh symbolic layer
+    * under q_stump/q_changepoint's numeric views; windows run over the
+    * calendar-bounded segment table only.
+    */
+  private def qSax(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("rev", col("cents").cast("double") / lit(100.0))
+    Timeseries.saxMotifs(daily, Seq("event_type"), col("day"), col("rev"),
+      segLen = 2L, wordLen = 3)
+  }
+
+  /** Cox proportional hazards ([[graft.ops.Survival.coxNewton]]):
+    * time-to-first-purchase per user (censored at the stream's end for
+    * never-buyers) regressed on ln(1+view count) — does browsing volume
+    * RAISE the purchase hazard, as a ratio, with censoring handled
+    * exactly? Four Newton steps on the Breslow partial likelihood, the
+    * final score emitted as convergence evidence; every risk-set sum is
+    * a cumulative window over the ≤31-row distinct-duration table.
+    */
+  private def qCox(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val perUser = e.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("first_ts"),
+      min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+        .as("first_purch"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"))
+    val end = e.agg(max(unix_micros(col("ts"))).as("end_ts"))
+    val subjects = perUser.crossJoin(broadcast(end)).select(
+      floor((coalesce(col("first_purch"), col("end_ts")) - col("first_ts"))
+        .cast("double") / lit(86400000000.0)).cast("long").as("t_days"),
+      col("first_purch").isNotNull.cast("long").as("ev"),
+      log(lit(1.0) + col("views")).as("x"))
+    graft.ops.Survival.coxNewton(subjects, col("t_days"), col("ev"), col("x"),
+      iterations = 4)
+  }
+
+  private def coxOracleSql: String = {
+    def scoreCtes(tag: String, prevB: String): String =
+      s"""byt_$tag AS (
+         |  SELECT t, SUM(e) AS d,
+         |    SUM(CASE WHEN e = 1 THEN CAST(round(x * 1000000000.0) AS HUGEINT)
+         |        ELSE 0 END) AS sx,
+         |    SUM(CAST(round(exp(bd * x) * 1000000000.0) AS HUGEINT)) AS r0,
+         |    SUM(CAST(round((x * exp(bd * x)) * 1000000000.0) AS HUGEINT)) AS r1,
+         |    SUM(CAST(round((x * x * exp(bd * x)) * 1000000000.0) AS HUGEINT)) AS r2,
+         |    MAX(bn) AS bn
+         |  FROM (SELECT s.t, s.e, s.x, p.bn,
+         |          CAST(p.bn AS DOUBLE) / 1000000000.0 AS bd
+         |        FROM subj s CROSS JOIN $prevB p) q
+         |  GROUP BY t),
+         |cum_$tag AS (
+         |  SELECT t, d, sx, bn,
+         |    SUM(r0) OVER (ORDER BY t DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0,
+         |    SUM(r1) OVER (ORDER BY t DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+         |    SUM(r2) OVER (ORDER BY t DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+         |  FROM byt_$tag),
+         |ui_$tag AS (
+         |  SELECT MAX(bn) AS bn,
+         |    SUM(CAST(round((CAST(sx AS DOUBLE) / 1000000000.0
+         |      - CAST(d AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)))
+         |      * 1000000000.0) AS HUGEINT)) AS u,
+         |    SUM(CAST(round((CAST(d AS DOUBLE)
+         |      * (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE)
+         |        - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+         |          * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))))
+         |      * 1000000000.0) AS HUGEINT)) AS i
+         |  FROM cum_$tag WHERE d > 0 AND s0 > 0)""".stripMargin
+    val iters = (1 to 4).map { k =>
+      scoreCtes(s"$k", s"i${k - 1}") + s""",
+         |i$k AS (
+         |  SELECT bn + CAST(round((CAST(u AS DOUBLE) / 1000000000.0)
+         |    / (CAST(i AS DOUBLE) / 1000000000.0)
+         |    * 1000000000.0) AS BIGINT) AS bn
+         |  FROM ui_$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pu AS (
+       |  SELECT user_id, MIN(epoch_us(ts)) AS first_ts,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+       |      AS first_purch,
+       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views
+       |  FROM events GROUP BY 1),
+       |mx AS (SELECT MAX(epoch_us(ts)) AS end_ts FROM events),
+       |subj AS (
+       |  SELECT CAST(floor(CAST(COALESCE(first_purch, end_ts) - first_ts
+       |      AS DOUBLE) / 86400000000.0) AS BIGINT) AS t,
+       |    CASE WHEN first_purch IS NOT NULL THEN 1 ELSE 0 END AS e,
+       |    ln(1.0 + views) AS x
+       |  FROM pu CROSS JOIN mx),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS bn),
+       |$iters,
+       |${scoreCtes("f", "i4")},
+       |fin AS (SELECT COUNT(*) AS n, SUM(e) AS n_events FROM subj)
+       |SELECT fin.n, CAST(fin.n_events AS BIGINT) AS n_events,
+       |  round(CAST(ui_f.bn AS DOUBLE) / 1000000000.0, 6) AS beta,
+       |  round(exp(CAST(ui_f.bn AS DOUBLE) / 1000000000.0), 6) AS hr,
+       |  round(1.0 / sqrt(CAST(ui_f.i AS DOUBLE) / 1000000000.0), 6) AS se,
+       |  round(CAST(ui_f.bn AS DOUBLE) / 1000000000.0
+       |    * sqrt(CAST(ui_f.i AS DOUBLE) / 1000000000.0), 6) AS z,
+       |  round(CAST(ui_f.u AS DOUBLE) / 1000000000.0, 6) AS u_residual
+       |FROM fin CROSS JOIN ui_f""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_changepoint" -> (qChangepoint _),
     "q_drawdown" -> (qDrawdown _),
     "q_cvar" -> (qCvar _),
+    "q_poisson_reg" -> (qPoissonReg _),
+    "q_sax" -> (qSax _),
+    "q_cox" -> (qCox _),
     "q_sprt" -> (qSprt _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
@@ -1253,9 +1386,120 @@ object EventQueries {
        |FROM r ORDER BY event_type""".stripMargin
   }
 
+  private def poissonOracleSql: String = {
+    val iters = (1 to 4).map { i =>
+      s"""s$i AS (
+         |  SELECT MAX(b0n) AS b0n, MAX(b1n) AS b1n,
+         |    SUM(CAST(round((y - lam) * 1000000000.0) AS HUGEINT)) AS g0n,
+         |    SUM(CAST(round((x * (y - lam)) * 1000000000.0) AS HUGEINT)) AS g1n,
+         |    SUM(CAST(round(lam * 1000000000.0) AS HUGEINT)) AS h00n,
+         |    SUM(CAST(round((x * lam) * 1000000000.0) AS HUGEINT)) AS h01n,
+         |    SUM(CAST(round((x * x * lam) * 1000000000.0) AS HUGEINT)) AS h11n
+         |  FROM (
+         |    SELECT y, x, b0n, b1n,
+         |      exp(CAST(b0n AS DOUBLE) / 1000000000.0
+         |        + CAST(b1n AS DOUBLE) / 1000000000.0 * x) AS lam
+         |    FROM base CROSS JOIN i${i - 1}) t),
+         |i$i AS (
+         |  SELECT
+         |    b0n + CAST(round((CAST(h11n AS DOUBLE) / 1000000000.0
+         |        * (CAST(g0n AS DOUBLE) / 1000000000.0)
+         |      - CAST(h01n AS DOUBLE) / 1000000000.0
+         |        * (CAST(g1n AS DOUBLE) / 1000000000.0))
+         |      / (CAST(h00n AS DOUBLE) / 1000000000.0
+         |          * (CAST(h11n AS DOUBLE) / 1000000000.0)
+         |        - CAST(h01n AS DOUBLE) / 1000000000.0
+         |          * (CAST(h01n AS DOUBLE) / 1000000000.0))
+         |      * 1000000000.0) AS BIGINT) AS b0n,
+         |    b1n + CAST(round((CAST(h00n AS DOUBLE) / 1000000000.0
+         |        * (CAST(g1n AS DOUBLE) / 1000000000.0)
+         |      - CAST(h01n AS DOUBLE) / 1000000000.0
+         |        * (CAST(g0n AS DOUBLE) / 1000000000.0))
+         |      / (CAST(h00n AS DOUBLE) / 1000000000.0
+         |          * (CAST(h11n AS DOUBLE) / 1000000000.0)
+         |        - CAST(h01n AS DOUBLE) / 1000000000.0
+         |          * (CAST(h01n AS DOUBLE) / 1000000000.0))
+         |      * 1000000000.0) AS BIGINT) AS b1n
+         |  FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views
+       |  FROM events GROUP BY 1),
+       |base AS (
+       |  SELECT CAST(purchases AS DOUBLE) AS y, ln(1.0 + views) AS x FROM pu),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |$iters,
+       |fin AS (
+       |  SELECT COUNT(*) AS n, SUM(CAST(y AS BIGINT)) AS y_sum,
+       |    MAX(CAST(b0n AS DOUBLE) / 1000000000.0) AS b0,
+       |    MAX(CAST(b1n AS DOUBLE) / 1000000000.0) AS b1,
+       |    SUM(CAST(round((y * (CAST(b0n AS DOUBLE) / 1000000000.0
+       |        + CAST(b1n AS DOUBLE) / 1000000000.0 * x)
+       |      - exp(CAST(b0n AS DOUBLE) / 1000000000.0
+       |        + CAST(b1n AS DOUBLE) / 1000000000.0 * x))
+       |      * 1000000000.0) AS HUGEINT)) AS lln
+       |  FROM base CROSS JOIN i4)
+       |SELECT n, CAST(y_sum AS BIGINT) AS y_sum,
+       |  round(b0, 6) AS b0, round(b1, 6) AS b1,
+       |  round(CAST(lln AS DOUBLE) / 1000000000.0, 6) AS ll
+       |FROM fin""".stripMargin
+  }
+
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
     "q_effective_n" -> essOracleSql(maxLag = 6),
+    "q_poisson_reg" -> poissonOracleSql,
+    "q_cox" -> coxOracleSql,
+    "q_sax" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM daily),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s1,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s2,
+        |    MIN(day) AS o0
+        |  FROM b GROUP BY 1),
+        |ms AS (
+        |  SELECT event_type, o0,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)) AS sd
+        |  FROM st),
+        |paa AS (
+        |  SELECT b.event_type,
+        |    CAST(floor(CAST(b.day - ms.o0 AS DOUBLE) / 2.0) AS BIGINT) AS seg,
+        |    MAX(ms.mu) AS mu, MAX(ms.sd) AS sd,
+        |    CAST(SUM(CAST(b.x AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pm
+        |  FROM b JOIN ms ON b.event_type = ms.event_type
+        |  WHERE ms.sd > 0.0
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT event_type, seg,
+        |    CASE WHEN (pm - mu) / sd < -0.6745 THEN 'a'
+        |         WHEN (pm - mu) / sd < 0.0 THEN 'b'
+        |         WHEN (pm - mu) / sd < 0.6745 THEN 'c'
+        |         ELSE 'd' END AS s
+        |  FROM paa),
+        |words AS (
+        |  SELECT event_type, seg,
+        |    s || lead(s, 1) OVER w || lead(s, 2) OVER w AS word,
+        |    lead(seg, 2) OVER w AS segEnd
+        |  FROM sym
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY seg))
+        |SELECT word, COUNT(DISTINCT event_type) AS n_series,
+        |  COUNT(*) AS occurrences
+        |FROM words
+        |WHERE segEnd IS NOT NULL AND segEnd = seg + 2
+        |GROUP BY 1
+        |ORDER BY occurrences DESC, word""".stripMargin,
     "q_drawdown" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,

@@ -95,6 +95,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_fdr" -> "BH rank/suffix-min windows over the tests table (rows = hypothesis count)",
     "q_hazard" -> "risk-set/hazard-prefix windows over the duration table (rows = distinct durations)",
     "q_km" -> "risk-set/log-prefix/zero-flag windows over the duration table (rows = distinct durations)",
+    "q_cox" -> "Breslow risk-set cumulative windows over the distinct-duration table (rows = distinct durations, the q_km bound), once per Newton step",
     "q_ks" -> "Ids.withRunningTotals offset window over distinct-value counts (rows = partition count)",
     "q_token_budget" -> "Ids.withRunningTotals offset window (rows = partition count)",
     "q_vocab_drift" -> "smoothing window over the topN+1 category table",

@@ -383,6 +383,80 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(r2.isNullAt(2) && r2.isNullAt(3), "det = 0: null coefficients")
   }
 
+  test("poissonNewton: exact 2-point fit recovers the log link; flat counts give b1 = 0") {
+    // y = exp(x) at x in {0, ln 2}: saturated fit -> b0 = 0, b1 = 1
+    val rows = Seq((0.0, 1L), (math.log(2.0), 2L))
+    val df = createDf(spark, "x double, y bigint",
+      rows.map { case (x, y) => Seq[Any](x, y) })
+    val r = Regression.poissonNewton(df, col("y"), col("x"), iterations = 8).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2)) < 1e-3, "b0 -> 0")
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-3, "b1 -> 1")
+    // symmetric x, constant counts: b1 = 0 exactly at every step, b0 = ln(1) = 0
+    val sym = Seq((-1.0, 1L), (1.0, 1L), (-1.0, 1L), (1.0, 1L))
+    val df2 = createDf(spark, "x double, y bigint",
+      sym.map { case (x, y) => Seq[Any](x, y) })
+    val r2 = Regression.poissonNewton(df2, col("y"), col("x"), iterations = 4).head()
+    assert(r2.getDouble(3) == 0.0 && math.abs(r2.getDouble(2)) < 1e-6)
+    assert(math.abs(r2.getDouble(4) - (-4.0)) < 1e-5, "ll = sum(y*0 - 1) = -n")
+  }
+
+  test("saxMotifs: alternating square wave yields the ada/dad motif pair") {
+    val vals = Seq(0.0, 0.0, 10.0, 10.0, 0.0, 0.0, 10.0, 10.0)
+    val df = createDf(spark, "day bigint, v double",
+        vals.zipWithIndex.map { case (v, i) => Seq[Any](i.toLong, v) })
+      .withColumn("g", lit("x"))
+    val out = Timeseries.saxMotifs(df, Seq("g"), col("day"), col("v"),
+      segLen = 2L, wordLen = 3).collect()
+    // segments: 0, 10, 0, 10 -> symbols a d a d -> words ada, dad
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("ada", 1L, 1L), ("dad", 1L, 1L)))
+  }
+
+  test("saxMotifs: a gap in the segment grid breaks the word; constant series drops") {
+    // days 0,1,2,3 then a hole, then 8,9: segments 0,1,4 -> no contiguous triple
+    val rows = Seq((0L, 0.0), (1L, 0.0), (2L, 9.0), (3L, 9.0), (8L, 5.0), (9L, 4.0))
+    val df = createDf(spark, "day bigint, v double",
+        rows.map { case (d, v) => Seq[Any](d, v) })
+      .withColumn("g", lit("x"))
+    val out = Timeseries.saxMotifs(df, Seq("g"), col("day"), col("v"),
+      segLen = 2L, wordLen = 3).collect()
+    assert(out.isEmpty, "gapped grid forms no 3-word")
+    val const = createDf(spark, "day bigint, v double",
+        (0L to 7L).map(d => Seq[Any](d, 5.0)))
+      .withColumn("g", lit("x"))
+    assert(Timeseries.saxMotifs(const, Seq("g"), col("day"), col("v"),
+      2L, 3).collect().isEmpty, "zero-variance series is excluded entirely")
+  }
+
+  test("coxNewton: early-failing arm gets beta > 0, converged score ~ 0, sign flips with x") {
+    // x = 1 subjects fail at t = 1..3; x = 0 subjects fail late or are censored
+    val rows = Seq((1L, 1L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0), (4L, 0L, 1.0),
+      (6L, 1L, 0.0), (7L, 1L, 0.0), (8L, 0L, 0.0), (9L, 0L, 0.0))
+    val df = createDf(spark, "t bigint, e bigint, x double",
+      rows.map { case (t, e, x) => Seq[Any](t, e, x) })
+    val r = Survival.coxNewton(df, col("t"), col("e"), col("x"), iterations = 8).head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) > 0.5, "early-failure arm has elevated hazard")
+    assert(r.getDouble(3) > 1.5, "hazard ratio > 1")
+    assert(r.getDouble(5) > 0.0, "positive z")
+    assert(math.abs(r.getDouble(6)) < 1e-3, "score residual ~ 0 at convergence")
+    // flipping the covariate flips the sign of beta (same magnitude)
+    val r2 = Survival.coxNewton(df, col("t"), col("e"), -col("x"), iterations = 8).head()
+    assert(math.abs(r2.getDouble(2) + r.getDouble(2)) < 1e-4)
+  }
+
+  test("coxNewton: all-censored or constant-x input emits the null row") {
+    val cens = createDf(spark, "t bigint, e bigint, x double",
+      Seq(Seq[Any](1L, 0L, 1.0), Seq[Any](2L, 0L, 0.0)))
+    val r = Survival.coxNewton(cens, col("t"), col("e"), col("x")).head()
+    assert(r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(5))
+    val const = createDf(spark, "t bigint, e bigint, x double",
+      Seq(Seq[Any](1L, 1L, 2.0), Seq[Any](2L, 1L, 2.0)))
+    val r2 = Survival.coxNewton(const, col("t"), col("e"), col("x")).head()
+    assert(r2.isNullAt(2), "constant covariate: information 0 at every event time")
+  }
+
   test("closenessCentrality: path graph from one seed; unreachable nodes excluded") {
     val edges = createDf(spark, "src bigint, dst bigint", Seq(
       Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](9L, 9L)))
