@@ -653,12 +653,19 @@ object Graph {
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to maxHops) {
-      val reached = e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist"))
-      dist = dist.unionByName(reached)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    // frontier BFS (r11): unit weights settle a node's distance the round
+    // it is first reached, so each round expands ONLY last round's new
+    // nodes — the same fixpoint as full min-lattice relaxation with
+    // strictly less join work (the frontier shrinks; the state only grows)
+    var frontier = dist
+    for (hop <- 1 to maxHops) {
+      val reached = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+      frontier = reached
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(hop.toLong).as("dist"))
         .localCheckpoint(true)
+      dist = dist.unionByName(frontier).localCheckpoint(true)
     }
     dist
   }
@@ -701,13 +708,19 @@ object Graph {
     var dist = seeds.select(col(seedCol).as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to maxHops) {
-      val reached = e.join(dist.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("seed"), col("dst").as("node"),
-          (col("dist") + lit(1L)).as("dist"))
-      dist = dist.unionByName(reached)
-        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+    // frontier BFS: with unit weights a node's distance is final the round
+    // it is first reached, so each round expands ONLY last round's new
+    // nodes (anti-joined against settled state) — identical fixpoint to
+    // the full min-lattice relaxation, strictly less join work per round
+    var frontier = dist
+    for (hop <- 1 to maxHops) {
+      val reached = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      frontier = reached
+        .join(dist.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(hop.toLong).as("dist"))
         .localCheckpoint(true)
+      dist = dist.unionByName(frontier).localCheckpoint(true)
     }
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val agg = dist.groupBy(col("seed")).agg(
