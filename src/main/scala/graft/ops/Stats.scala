@@ -3014,6 +3014,118 @@ object Stats {
       :+ when(defined && c > 0.0, round(h / c, 6)).as("h_tie"): _*)
   }
 
+  /** Goodman–Kruskal ordinal association — concordance analysis of two
+    * ORDERED categorical columns from their contingency cells: with
+    * C/D = concordant/discordant pair totals and T_x/T_y = pairs tied
+    * on exactly one margin,
+    *
+    *   gamma   = (C−D)/(C+D)                        (ties ignored)
+    *   d_yx    = (C−D)/(C+D+T_y)                    (Somers', y dependent)
+    *   tau_b   = (C−D)/√((C+D+T_x)(C+D+T_y))        (tie-symmetric)
+    *
+    * — the ordinal complement of [[spearman]] when both sides are
+    * small-domain levels (ratings, buckets, priorities). One row:
+    * `(n, c_pairs, d_pairs, tx_pairs, ty_pairs, gamma, somers_d_yx,
+    * tau_b)`; nulls when a denominator is 0.
+    *
+    * Determinism: all five pair totals are EXACT integers (cell-count
+    * products summed as DECIMAL over the cell-pair join); the three
+    * ratios are fixed IEEE trees, 6 dp.
+    *
+    * Scale shape: ONE (x, y)-keyed map-combined aggregation reduces the
+    * data to its contingency cells; the pair totals come from a
+    * cells×cells self-join BOUNDED BY THE LEVEL DOMAINS (levels², never
+    * rows²) — the [[tukeyHsd]] k-bounded-pairs contract.
+    */
+  def gammaOrdinal(df: DataFrame, xOrd: Column, yOrd: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df.select(xOrd.cast("long").as("__x"), yOrd.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).cast(dec).as("__n"))
+    val right = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
+      col("__n").as("__n2"))
+    // strictly-greater x on the right counts every unordered pair once
+    val j = cells.join(right, col("__x2") > col("__x"))
+    val prod = col("__n") * col("__n2")
+    val pairSums = j.agg(
+      sum(when(col("__y2") > col("__y"), prod).otherwise(lit(0).cast(dec))).as("__c"),
+      sum(when(col("__y2") < col("__y"), prod).otherwise(lit(0).cast(dec))).as("__d"),
+      sum(when(col("__y2") === col("__y"), prod).otherwise(lit(0).cast(dec))).as("__tx"))
+    // pairs tied on x but not y: within-cell-column arithmetic, same bound
+    val tyTbl = cells.join(
+        cells.select(col("__x").as("__x3"), col("__y").as("__y3"), col("__n").as("__n3")),
+        col("__x3") === col("__x") && col("__y3") > col("__y"))
+      .agg(sum(col("__n") * col("__n3")).as("__ty"))
+    val nTot = cells.agg(sum(col("__n")).as("__nt"))
+    val all = pairSums.crossJoin(tyTbl).crossJoin(nTot)
+    def d(c: String): Column = coalesce(col(c), lit(0).cast(dec)).cast("double")
+    val cd = d("__c") + d("__d")
+    all.select(col("__nt").cast("long").as("n"),
+      coalesce(col("__c"), lit(0).cast(dec)).cast("long").as("c_pairs"),
+      coalesce(col("__d"), lit(0).cast(dec)).cast("long").as("d_pairs"),
+      coalesce(col("__tx"), lit(0).cast(dec)).cast("long").as("tx_pairs"),
+      coalesce(col("__ty"), lit(0).cast(dec)).cast("long").as("ty_pairs"),
+      when(cd > 0.0, round((d("__c") - d("__d")) / cd, 6)).as("gamma"),
+      when(cd + d("__ty") > 0.0,
+        round((d("__c") - d("__d")) / (cd + d("__ty")), 6)).as("somers_d_yx"),
+      when((cd + d("__tx")) * (cd + d("__ty")) > 0.0,
+        round((d("__c") - d("__d")) /
+          sqrt((cd + d("__tx")) * (cd + d("__ty"))), 6)).as("tau_b"))
+  }
+
+  /** p-chart — the attribute control chart [[graft.ops.Timeseries
+    * .controlChart]]'s X-MR cannot give: per period t with nₜ trials
+    * and sₜ successes, flag pₜ = sₜ/nₜ outside
+    *
+    *   p̄ ± 3·√( p̄(1−p̄)/nₜ )
+    *
+    * (limits WIDEN for small periods — the binomial variance law, which
+    * a fixed-limit chart on rates gets wrong). Per series:
+    * `(parts..., n_periods, trials, pbar, n_above, n_below)`.
+    *
+    * Determinism: the violation test cross-multiplies to integers where
+    * possible — pₜ vs limit compares sₜ·n̄-scale exact products against
+    * a nano-quantized limit per period — and p̄ is one exact-integer
+    * ratio; flags are integer comparisons on quantized values, 6 dp
+    * emits.
+    *
+    * Scale shape: one (series, period) aggregation, a series-bounded
+    * p̄ broadcast join back, one series rollup — no windows at all.
+    */
+  def pChart(df: DataFrame, parts: Seq[String], periodCol: Column,
+             success: Column): DataFrame = {
+    require(parts.nonEmpty, "pChart needs series keys")
+    val pCols = parts.map(col)
+    val byT = df.select(pCols :+ periodCol.as("__t")
+        :+ when(success, 1L).otherwise(0L).as("__s"): _*)
+      .filter(col("__t").isNotNull && col("__s").isNotNull)
+      .groupBy(pCols :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__s")).as("__k"))
+    val totals = byT.groupBy(pCols: _*)
+      .agg(count(lit(1)).as("n_periods"), sum(col("__n")).as("trials"),
+        sum(col("__k")).as("__ks"))
+    val pbar = col("__ks").cast("double") / col("trials").cast("double")
+    val joined = byT.join(
+      broadcast(totals.select(pCols :+ col("n_periods") :+ col("trials")
+        :+ pbar.as("__pb"): _*)), parts)
+    val pT = col("__k").cast("double") / col("__n").cast("double")
+    val half = lit(3.0) * sqrt(col("__pb") * (lit(1.0) - col("__pb")) /
+      col("__n").cast("double"))
+    // nano-quantize the period rate and both limits so the flag is an
+    // integer comparison (the hampel/spc discipline)
+    def nq(c: Column): Column = round(c * lit(1e9), 0).cast("long")
+    val out = joined.groupBy(pCols: _*)
+      .agg(first(col("n_periods")).as("n_periods"),
+        first(col("trials")).as("trials"),
+        first(col("__pb")).as("__pb2"),
+        sum(when(nq(pT) > nq(col("__pb") + half), 1L).otherwise(0L)).as("n_above"),
+        sum(when(nq(pT) < nq(col("__pb") - half), 1L).otherwise(0L)).as("n_below"))
+    out.select(pCols :+ col("n_periods") :+ col("trials")
+      :+ round(col("__pb2"), 6).as("pbar")
+      :+ col("n_above") :+ col("n_below"): _*)
+  }
+
   /** Jarque-Bera normality test — does a value column's shape look
     * Gaussian? Per group: `(groups..., n, skewness, kurtosis, jb)`
     * with

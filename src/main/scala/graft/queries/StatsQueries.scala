@@ -556,6 +556,30 @@ object StatsQueries {
       .orderBy(col("segment"))
   }
 
+  /** Goodman-Kruskal ordinal association ([[graft.ops.Stats
+    * .gammaOrdinal]]): does order quantity MOVE WITH the discount
+    * percent, judged on ordered levels — gamma, Somers' d (discount
+    * dependent) and tau-b from exact concordant/discordant/tied pair
+    * totals over the 50×11 contingency cells. The ordinal complement
+    * of q_spearman; all pair arithmetic is levels²-bounded.
+    */
+  private def qGamma(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.gammaOrdinal(t(s, dir, "lineitem"),
+      col("l_quantity").cast("long"),
+      round(col("l_discount") * 100).cast("long"))
+
+  /** p-chart ([[graft.ops.Stats.pChart]]): per event type, the daily
+    * share of high-value events (value > 50) monitored with binomial
+    * 3σ limits that WIDEN on thin days — the attribute complement of
+    * q_spc's X-MR chart on the same stream; violations counted with
+    * integer-compared nano-quantized limits.
+    */
+  private def qPchart(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.pChart(t(s, dir, "events"), Seq("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)),
+        col("value").isNotNull && col("value") > 50.0)
+      .orderBy(col("event_type"))
+
   /** Jarque-Bera normality ([[graft.ops.Stats.jarqueBera]]): does each
     * event type's value column look Gaussian? The pre-flight check
     * before q_welch/q_anova/q_outliers trust normal tails — exact
@@ -1584,6 +1608,8 @@ object StatsQueries {
     "q_effect_size" -> (qEffectSize _),
     "q_levene" -> (qLevene _),
     "q_kruskal" -> (qKruskal _),
+    "q_gamma" -> (qGamma _),
+    "q_pchart" -> (qPchart _),
     "q_jarque_bera" -> (qJarqueBera _),
     "q_dagostino" -> (qDagostino _),
     "q_ad2" -> (qAd2 _),
@@ -3058,6 +3084,75 @@ object StatsQueries {
         |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
         |          - CAST(n AS DOUBLE))), 6) END AS h_tie
         |FROM ag ORDER BY segment""".stripMargin,
+    "q_gamma" ->
+      """WITH v AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS n FROM v GROUP BY 1, 2),
+        |ps AS (
+        |  SELECT
+        |    SUM(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END) AS c,
+        |    SUM(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END) AS d,
+        |    SUM(CASE WHEN b.y = a.y THEN a.n * b.n ELSE 0 END) AS tx
+        |  FROM cells a JOIN cells b ON b.x > a.x),
+        |ty AS (
+        |  SELECT SUM(a.n * b.n) AS ty
+        |  FROM cells a JOIN cells b ON b.x = a.x AND b.y > a.y),
+        |nt AS (SELECT SUM(n) AS n FROM cells)
+        |SELECT CAST(nt.n AS BIGINT) AS n,
+        |  CAST(COALESCE(ps.c, 0) AS BIGINT) AS c_pairs,
+        |  CAST(COALESCE(ps.d, 0) AS BIGINT) AS d_pairs,
+        |  CAST(COALESCE(ps.tx, 0) AS BIGINT) AS tx_pairs,
+        |  CAST(COALESCE(ty.ty, 0) AS BIGINT) AS ty_pairs,
+        |  CASE WHEN CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE) > 0.0
+        |    THEN round((CAST(COALESCE(ps.c, 0) AS DOUBLE) - CAST(COALESCE(ps.d, 0) AS DOUBLE))
+        |      / (CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)), 6)
+        |  END AS gamma,
+        |  CASE WHEN CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)
+        |      + CAST(COALESCE(ty.ty, 0) AS DOUBLE) > 0.0
+        |    THEN round((CAST(COALESCE(ps.c, 0) AS DOUBLE) - CAST(COALESCE(ps.d, 0) AS DOUBLE))
+        |      / (CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)
+        |        + CAST(COALESCE(ty.ty, 0) AS DOUBLE)), 6)
+        |  END AS somers_d_yx,
+        |  CASE WHEN (CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)
+        |        + CAST(COALESCE(ps.tx, 0) AS DOUBLE))
+        |      * (CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)
+        |        + CAST(COALESCE(ty.ty, 0) AS DOUBLE)) > 0.0
+        |    THEN round((CAST(COALESCE(ps.c, 0) AS DOUBLE) - CAST(COALESCE(ps.d, 0) AS DOUBLE))
+        |      / sqrt((CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)
+        |          + CAST(COALESCE(ps.tx, 0) AS DOUBLE))
+        |        * (CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)
+        |          + CAST(COALESCE(ty.ty, 0) AS DOUBLE))), 6)
+        |  END AS tau_b
+        |FROM ps CROSS JOIN ty CROSS JOIN nt""".stripMargin,
+    "q_pchart" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS t,
+        |    CASE WHEN value IS NOT NULL AND value > 50.0 THEN 1 ELSE 0 END AS s
+        |  FROM events WHERE event_type IS NOT NULL),
+        |byt AS (
+        |  SELECT event_type, t, COUNT(*) AS n, SUM(s) AS k
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS n_periods, SUM(n) AS trials,
+        |    CAST(SUM(k) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS pb
+        |  FROM byt GROUP BY 1),
+        |j AS (
+        |  SELECT byt.event_type, byt.n, byt.k, tot.n_periods, tot.trials, tot.pb,
+        |    CAST(round(CAST(byt.k AS DOUBLE) / CAST(byt.n AS DOUBLE)
+        |      * 1000000000.0) AS BIGINT) AS ptq,
+        |    CAST(round((tot.pb + 3.0 * sqrt(tot.pb * (1.0 - tot.pb)
+        |      / CAST(byt.n AS DOUBLE))) * 1000000000.0) AS BIGINT) AS uclq,
+        |    CAST(round((tot.pb - 3.0 * sqrt(tot.pb * (1.0 - tot.pb)
+        |      / CAST(byt.n AS DOUBLE))) * 1000000000.0) AS BIGINT) AS lclq
+        |  FROM byt JOIN tot ON byt.event_type = tot.event_type)
+        |SELECT event_type, CAST(MAX(n_periods) AS BIGINT) AS n_periods,
+        |  CAST(MAX(trials) AS BIGINT) AS trials,
+        |  round(MAX(pb), 6) AS pbar,
+        |  CAST(SUM(CASE WHEN ptq > uclq THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(SUM(CASE WHEN ptq < lclq THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_jarque_bera" ->
       """WITH v AS (
         |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x

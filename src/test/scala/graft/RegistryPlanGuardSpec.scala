@@ -40,6 +40,8 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
       "the brute-force top-k BASELINE: its broadcast side is the query set bounded by a literal predicate (vec_id < 10); the scale path is q_ann_lsh/q_ivf_topk",
     "q_embed_pairs" ->
       "the EXACT all-pairs near-dup operator's own surface (threshold self-join is inherently non-equi); its 100 TB path is q_embed_pairs_lsh's banded pair source",
+    "q_gamma" ->
+      "contingency-CELL self-join: both sides are the (x, y) level-domain aggregation (50×11 cells for this fixture — levels², never rows²; the tukeyHsd k-bounded-pairs contract)",
   )
 
   private def bounded(side: SparkPlan): Boolean = side.collectFirst {

@@ -457,6 +457,53 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(r2.isNullAt(2), "constant covariate: information 0 at every event time")
   }
 
+  test("dunnTest (existing op, extra coverage): disjoint levels give the closed-form z") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0))
+    val df = createDf(spark, "l string, v double",
+      rows.map { case (l, v) => Seq[Any](l, v) })
+    val r = Stats.dunnTest(df, col("l"), col("v")).head()
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 5.0, "pooled mean ranks")
+    // var = (6·7/12)·(2/3) = 7/3; z = -3/sqrt(7/3)
+    assert(math.abs(r.getDouble(6) - (-3.0 / math.sqrt(7.0 / 3.0))) < 1e-6)
+    val three = createDf(spark, "l string, v double",
+      (rows ++ Seq(("c", 7.0), ("c", 8.0))).map { case (l, v) => Seq[Any](l, v) })
+    assert(Stats.dunnTest(three, col("l"), col("v")).count() == 3L)
+  }
+
+  test("gammaOrdinal: perfect concordance 1, discordance -1, independence 0 with ties") {
+    def run(pts: Seq[(Long, Long)]) = {
+      val df = createDf(spark, "x bigint, y bigint",
+        pts.map { case (x, y) => Seq[Any](x, y) })
+      Stats.gammaOrdinal(df, col("x"), col("y")).head()
+    }
+    val con = run(Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(con.getLong(1) == 3L && con.getLong(2) == 0L)
+    assert(con.getDouble(5) == 1.0 && con.getDouble(6) == 1.0 && con.getDouble(7) == 1.0)
+    val dis = run(Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    assert(dis.getDouble(5) == -1.0)
+    val ind = run(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
+    assert(ind.getLong(1) == 1L && ind.getLong(2) == 1L, "C = D = 1")
+    assert(ind.getLong(3) == 2L && ind.getLong(4) == 2L, "TX = TY = 2")
+    assert(ind.getDouble(5) == 0.0 && ind.getDouble(7) == 0.0)
+  }
+
+  test("pChart: binomial limits widen per period; hand-built violations flag exactly") {
+    val rows =
+      (1 to 100).map(i => (1L, i <= 50)) ++   // p = .5
+      (1 to 100).map(i => (2L, i <= 50)) ++   // p = .5
+      (1 to 100).map(i => (3L, i <= 95))      // p = .95
+    val df = createDf(spark, "t bigint, s boolean",
+        rows.map { case (t, s) => Seq[Any](t, s) })
+      .withColumn("g", lit("x"))
+    val r = Stats.pChart(df, Seq("g"), col("t"), col("s")).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 300L)
+    assert(r.getDouble(3) == 0.65, "pbar = 195/300")
+    // half-width = 3·sqrt(.65·.35/100) ≈ .1431 → ucl ≈ .793, lcl ≈ .507
+    assert(r.getLong(4) == 1L, "the .95 day breaches the upper limit")
+    assert(r.getLong(5) == 2L, "both .5 days sit below the lower limit")
+  }
+
   test("closenessCentrality: path graph from one seed; unreachable nodes excluded") {
     val edges = createDf(spark, "src bigint, dst bigint", Seq(
       Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](9L, 9L)))
