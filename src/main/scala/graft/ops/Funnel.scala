@@ -242,6 +242,62 @@ object Funnel {
     }.toDF("state", "pi_units", "pi", "iters_run")
   }
 
+  /** Entropy rate of the behavior chain — how PREDICTABLE is the next
+    * event type given the current one, weighted by where the chain
+    * actually lives:
+    *
+    *   H = Σ_s π_s · H(row_s),   H(row_s) = ln n_s − (Σ_t n_st·ln n_st)/n_s
+    *
+    * (nats; π from [[stationaryDistribution]]'s exact integer power
+    * iteration, row entropies from the same transition counts). The
+    * one-number summary over q_transitions' whole matrix — `perplexity`
+    * = e^H is the effective next-state branching factor, the chain-level
+    * sibling of [[graft.text.Rank]]'s conditional bigram entropy. One
+    * row: `(n_states, iters_run, entropy_rate, perplexity)`. Absorbing
+    * states (no outgoing edges) carry zero row entropy by convention.
+    *
+    * Determinism: transition cells are exact counts; each n·ln n
+    * nano-quantizes before the exact per-state sum (integer-arg ln);
+    * π enters as `pi_units/1e12` (an exact integer ratio); per-state
+    * terms nano-quantize before the exact k-row rollup; the oracle
+    * replays the π chain CTE-for-CTE (the q_stationary unroll) and the
+    * entropy close as the same fixed trees.
+    *
+    * Scale shape: the [[stationaryDistribution]] contract — one
+    * entity-sequenced counting pass (twice: π and the row entropies
+    * share its shape), types²-bounded tables everywhere after.
+    */
+  def entropyRate(events: DataFrame, entityCol: String, tsCol: String,
+                  tieCol: String, typeCol: String, iterations: Int,
+                  tolUnits: Long = 0L): DataFrame = {
+    val piDf = stationaryDistribution(events, entityCol, tsCol, tieCol,
+      typeCol, iterations, tolUnits = tolUnits)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val cnt = events
+      .select(col(typeCol).cast("string").as("from_type"),
+        lead(col(typeCol), 1).over(w).cast("string").as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowH = cnt.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__ns"),
+        sum(round(col("n").cast("double") * log(col("n").cast("double"))
+          * lit(1e9), 0).cast(dec)).as("__nln"))
+    val hS = log(col("__ns").cast("double")) -
+      col("__nln").cast("double") / lit(1e9) / col("__ns").cast("double")
+    val piD = col("pi_units").cast("double") / lit(1e12)
+    val terms = piDf.join(rowH, piDf("state") === rowH("from_type"))
+      .select(round(piD * hS * lit(1e9), 0).cast(dec).as("__t"))
+    val k = piDf.agg(count(lit(1)).as("n_states"),
+      max(col("iters_run")).as("iters_run"))
+    val hTot = terms.agg(sum(col("__t")).as("__ts"))
+    k.crossJoin(broadcast(hTot)).select(
+      col("n_states"), col("iters_run"),
+      round(col("__ts").cast("double") / lit(1e9), 6).as("entropy_rate"),
+      round(exp(col("__ts").cast("double") / lit(1e9)), 6).as("perplexity"))
+  }
+
   /** Linear multi-touch attribution: each conversion's value splits
     * equally over the touches since the entity's PREVIOUS conversion,
     * and credit aggregates by a caller-supplied touch bucket (hour,

@@ -2291,6 +2291,184 @@ object Timeseries {
       .orderBy(col("occurrences").desc, col("word"))
   }
 
+  /** Haar wavelet energy decomposition — WHERE does a series' variance
+    * live across time scales: `levels` rounds of the UNNORMALIZED Haar
+    * transform (pairwise sums s = x₂ᵢ+x₂ᵢ₊₁ carried down, details
+    * d = x₂ᵢ−x₂ᵢ₊₁ whose squared sum is the level's energy — all
+    * INTEGER arithmetic on micro units, so the decomposition is exact
+    * at any parallelism). Per series:
+    * `(parts..., level, n_pairs, energy, energy_share)` where `energy`
+    * is Σd²/2^level /1e12 (the 1/2-per-level normalization restoring
+    * the orthonormal-Haar scale, applied once at the end as ONE fixed
+    * IEEE division) and `energy_share` its fraction of the total across
+    * emitted levels. Scale-1 rows = fast oscillation; deep levels =
+    * slow structure — the time-localized complement of
+    * [[periodogram]]'s global frequencies. An unpaired tail element at
+    * any level is dropped (documented half-open pairing).
+    *
+    * Scale shape: `levels` aggregations over the (bounded, calendar-
+    * sized) per-period series table, each one keyed (series, idx div 2)
+    * — the table HALVES per level; one final bounded rollup.
+    */
+  def haarEnergy(df: DataFrame, parts: Seq[String], orderCol: Column,
+                 valueCol: Column, levels: Int = 3): DataFrame = {
+    require(parts.nonEmpty, "haarEnergy needs series keys")
+    require(levels >= 1 && levels <= 8, s"levels out of range: $levels")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    var cur = df.select(
+        pCols :+ orderCol.as("__o")
+          :+ round(valueCol * lit(1e6), 0).cast(dec).as("__x"): _*)
+      .filter(col("__x").isNotNull)
+      .withColumn("__i", row_number().over(w).cast("long") - lit(1L))
+      .select(pCols :+ col("__i") :+ col("__x"): _*)
+    val perLevel = (1 to levels).map { lvl =>
+      val paired = cur
+        .groupBy(pCols :+ floor(col("__i").cast("double") / lit(2.0))
+          .cast("long").as("__p"): _*)
+        .agg(count(lit(1)).as("__c"),
+          sum(col("__x")).as("__s"),
+          sum(when(col("__i") % 2 === 0, col("__x"))
+            .otherwise(-col("__x"))).as("__d"))
+        .filter(col("__c") === 2L)
+      val e = paired.groupBy(pCols: _*)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("__d") * col("__d")).as("__e"))
+        .select(pCols :+ lit(lvl).as("level") :+ col("n_pairs") :+ col("__e")
+          // 2^(levels−lvl)-scaled energy: an exact INTEGER, so the total
+          // below window-sums decimals (order-free), never raw doubles
+          :+ (col("__e") * lit(1L << (levels - lvl))).as("__esc"): _*)
+      cur = paired.select(pCols :+ col("__p").as("__i")
+        :+ col("__s").as("__x"): _*)
+      e
+    }.reduce(_ unionByName _)
+    val wTot = Window.partitionBy(pCols: _*)
+    // 2^level normalization + micro² scale: e/2^l = esc/2^levels
+    val eNorm = col("__e").cast("double") /
+      pow(lit(2.0), col("level").cast("double")) / lit(1e12)
+    perLevel
+      .withColumn("__tot", sum(col("__esc")).over(wTot))
+      .select(pCols :+ col("level") :+ col("n_pairs")
+        :+ round(eNorm, 6).as("energy")
+        :+ when(col("__tot") > 0,
+          round(col("__esc").cast("double") / col("__tot").cast("double"), 6))
+          .as("energy_share"): _*)
+  }
+
+  /** Transfer entropy (lag-1, binary-state) — DIRECTIONAL information
+    * flow between two aligned series: after symbolizing each period as
+    * up/down vs the previous period, how much does knowing source
+    * series X's last move reduce uncertainty about target Y's next
+    * move BEYOND Y's own last move:
+    *
+    *   TE(X→Y) = (1/N)·Σ n(y,y′,x′)·ln[ n(y,y′,x′)·n(y′) / (n(y′,x′)·n(y,y′)) ]
+    *
+    * (nats; y′/x′ = previous-period states). The information-theoretic
+    * complement of [[grangerLag1]]: Granger tests LINEAR lead-lag, TE
+    * catches any-functional-form flow. Returns one row
+    * `(n_transitions, te_nats)`.
+    *
+    * Determinism: states are exact integer comparisons; the ≤8 triple
+    * cells and their marginals are exact counts; every ln takes an
+    * integer-product argument (the q_outliers integer-arg convention),
+    * nano-quantized per cell before the exact 8-cell rollup.
+    *
+    * Scale shape: one series sort (two lag columns), one cell
+    * aggregation to ≤8 rows, marginal windows over THAT bounded table,
+    * a 1-row rollup.
+    */
+  def transferEntropy(df: DataFrame, orderCol: Column, source: Column,
+                      target: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.orderBy(col("__o"))
+    val states = df.select(orderCol.as("__o"),
+        round(source * lit(1e6), 0).cast("long").as("__xs"),
+        round(target * lit(1e6), 0).cast("long").as("__ys"))
+      .filter(col("__xs").isNotNull && col("__ys").isNotNull)
+      .select(col("__o"),
+        (col("__xs") > lag(col("__xs"), 1).over(w)).cast("long").as("__xu"),
+        (col("__ys") > lag(col("__ys"), 1).over(w)).cast("long").as("__yu"))
+      .select(col("__o"), col("__xu"), col("__yu"),
+        lag(col("__xu"), 1).over(Window.orderBy(col("__o"))).as("__xp"),
+        lag(col("__yu"), 1).over(Window.orderBy(col("__o"))).as("__yp"))
+      .filter(col("__xu").isNotNull && col("__yu").isNotNull &&
+        col("__xp").isNotNull && col("__yp").isNotNull)
+    val cells = states.groupBy(col("__yu"), col("__yp"), col("__xp"))
+      .agg(count(lit(1)).as("__n"))
+    val wYp = Window.partitionBy(col("__yp"))
+    val wYpXp = Window.partitionBy(col("__yp"), col("__xp"))
+    val wYuYp = Window.partitionBy(col("__yu"), col("__yp"))
+    val withM = cells
+      .withColumn("__nyp", sum(col("__n")).over(wYp))
+      .withColumn("__nypxp", sum(col("__n")).over(wYpXp))
+      .withColumn("__nyuyp", sum(col("__n")).over(wYuYp))
+    // per-cell contribution n·ln(n·n_yp / (n_ypxp·n_yuyp)) — integer-arg
+    // logs, nano-quantized before the exact 8-cell sum
+    val term = col("__n").cast("double") *
+      (log(col("__n").cast(dec).cast("double") * col("__nyp").cast("double")) -
+       log(col("__nypxp").cast(dec).cast("double") * col("__nyuyp").cast("double")))
+    val agg = withM.agg(sum(col("__n")).as("n_transitions"),
+      sum(round(term * lit(1e9), 0).cast(dec)).as("__t"))
+    agg.select(col("n_transitions"),
+      when(col("n_transitions") > 0,
+        round(col("__t").cast("double") / lit(1e9) /
+          col("n_transitions").cast("double"), 6)).as("te_nats"))
+  }
+
+  /** Permutation entropy (order m = 3) — series COMPLEXITY from ordinal
+    * patterns: each consecutive triple maps to one of 6 rank patterns
+    * (ties break to order of appearance, the stable convention), and
+    *
+    *   H = −Σ p·ln p / ln 6    ∈ [0, 1]
+    *
+    * 0 = perfectly monotone/regular, 1 = pattern-uniform (noise-like).
+    * The Bandt–Pompe complexity screen beside [[hurstRS]]'s long-memory
+    * exponent and [[periodogram]]'s cycles — robust to monotone
+    * transforms because only ORDER matters. Per series:
+    * `(parts..., n_triples, n_patterns, h_norm)`.
+    *
+    * Determinism: patterns are exact integer comparisons on quantized
+    * values; H spells ln N − (1/N)Σn·ln n with integer-arg logs,
+    * nano-quantized per pattern before the ≤6-row rollup.
+    *
+    * Scale shape: one series sort (two leads), one ≤6-row pattern
+    * aggregation per series, one rollup.
+    */
+  def permutationEntropy(df: DataFrame, parts: Seq[String], orderCol: Column,
+                         valueCol: Column): DataFrame = {
+    require(parts.nonEmpty, "permutationEntropy needs series keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pCols = parts.map(col)
+    val w = Window.partitionBy(pCols: _*).orderBy(col("__o"))
+    val tri = df.select(pCols :+ orderCol.as("__o")
+        :+ round(valueCol * lit(1e6), 0).cast("long").as("__x"): _*)
+      .filter(col("__x").isNotNull)
+      .select(pCols :+ col("__x")
+        :+ lead(col("__x"), 1).over(w).as("__y")
+        :+ lead(col("__x"), 2).over(w).as("__z"): _*)
+      .filter(col("__y").isNotNull && col("__z").isNotNull)
+    // stable ordinal code: 4·[x<=y] + 2·[y<=z] + [x<=z] — ties collapse
+    // onto the "appeared-first ranks lower" patterns deterministically
+    val code = (col("__x") <= col("__y")).cast("long") * 4L +
+      (col("__y") <= col("__z")).cast("long") * 2L +
+      (col("__x") <= col("__z")).cast("long")
+    val pats = tri.select(pCols :+ code.as("__pat"): _*)
+      .groupBy(pCols :+ col("__pat"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val agg = pats.groupBy(pCols: _*)
+      .agg(sum(col("__n")).as("n_triples"),
+        count(lit(1)).as("n_patterns"),
+        sum(round(col("__n").cast("double") *
+          log(col("__n").cast(dec).cast("double")) * lit(1e9), 0).cast(dec))
+          .as("__nln"))
+    val nD = col("n_triples").cast("double")
+    val h = log(nD) - col("__nln").cast("double") / lit(1e9) / nD
+    agg.select(pCols :+ col("n_triples") :+ col("n_patterns")
+      :+ when(col("n_triples") > 0,
+        round(h / log(lit(6.0)), 6)).as("h_norm"): _*)
+  }
+
   def valueAtRisk(df: DataFrame, parts: Seq[String], valueCol: Column,
                   alphaMicro: Long): DataFrame = {
     require(parts.nonEmpty, "valueAtRisk needs series keys")

@@ -457,6 +457,53 @@ object EventQueries {
        |FROM p$iters ORDER BY state""".stripMargin
   }
 
+  /** q_entropy_rate oracle: the SAME unrolled π chain as
+    * [[stationaryOracleSql]] (kept literally in sync — both build from
+    * the identical head/round text), closed with the row-entropy
+    * weighting H = Σ π_s·(ln n_s − Σn·ln n / n_s), every n·ln n and
+    * per-state term nano-quantized exactly as the operator does.
+    */
+  private def entropyRateOracleSql(iters: Int, tolUnits: Long): String = {
+    val base = stationaryOracleSql(iters, tolUnits)
+    // strip the stationary final SELECT, keep the WITH chain
+    val cut = base.lastIndexOf("SELECT state, CAST(pi AS BIGINT)")
+    val ctes = base.substring(0, cut).trim.stripSuffix(",") + ","
+    val itersRunExpr =
+      if (iters == 1) "1"
+      else s"$iters" + (2 to iters).map(i => s" - (SELECT cv FROM d$i)").mkString
+    s"""$ctes
+       |rowh AS (
+       |  SELECT from_type, SUM(n) AS ns,
+       |    SUM(CAST(round(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+       |      * 1000000000.0) AS HUGEINT)) AS nln
+       |  FROM cnt GROUP BY 1),
+       |terms AS (
+       |  SELECT CAST(round((CAST(p.pi AS DOUBLE) / 1000000000000.0)
+       |    * (ln(CAST(r.ns AS DOUBLE))
+       |      - CAST(r.nln AS DOUBLE) / 1000000000.0 / CAST(r.ns AS DOUBLE))
+       |    * 1000000000.0) AS HUGEINT) AS t
+       |  FROM p$iters p JOIN rowh r ON p.state = r.from_type),
+       |hh AS (SELECT SUM(t) AS tsum FROM terms),
+       |nst AS (SELECT COUNT(*) AS k FROM st)
+       |SELECT CAST(nst.k AS BIGINT) AS n_states,
+       |  CAST($itersRunExpr AS BIGINT) AS iters_run,
+       |  round(CAST(hh.tsum AS DOUBLE) / 1000000000.0, 6) AS entropy_rate,
+       |  round(exp(CAST(hh.tsum AS DOUBLE) / 1000000000.0), 6) AS perplexity
+       |FROM hh CROSS JOIN nst""".stripMargin
+  }
+
+  /** Entropy rate of the user-behavior chain ([[graft.ops.Funnel
+    * .entropyRate]]): ONE number for how predictable the next event
+    * type is, weighting each state's row entropy by q_stationary's
+    * long-run occupancy — perplexity = e^H is the chain's effective
+    * branching factor, the Markov-level sibling of q_cond_entropy's
+    * bigram view. Same exact-integer π chain, same counting pass.
+    */
+  private def qEntropyRate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.entropyRate(t(s, dir, "events"),
+      "user_id", "ts", "event_id", "event_type", iterations = 8,
+      tolUnits = 1000L)
+
   /** Lag-1 Granger causality ([[graft.ops.Timeseries.grangerLag1]]):
     * does the last hour's click revenue predict this hour's purchase
     * revenue beyond its own momentum? Closed-form 2-regressor F off
@@ -1175,6 +1222,68 @@ object EventQueries {
        |FROM fin CROSS JOIN ui_f""".stripMargin
   }
 
+  /** Haar wavelet energy ([[graft.ops.Timeseries.haarEnergy]]): which
+    * TIME SCALE carries each event type's daily-revenue variance —
+    * three levels of exact-integer pairwise sums/differences over the
+    * calendar-bounded daily table, detail energy per level with its
+    * share. The time-localized complement of q_periodogram's global
+    * frequencies (a single spike loads the wavelet details but smears
+    * across the periodogram).
+    */
+  private def qWavelet(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("rev", col("cents").cast("double") / lit(100.0))
+    Timeseries.haarEnergy(daily, Seq("event_type"), col("day"), col("rev"),
+        levels = 3)
+      .orderBy(col("event_type"), col("level"))
+  }
+
+  /** Transfer entropy both ways ([[graft.ops.Timeseries
+    * .transferEntropy]]): does purchase activity INFORM next-hour click
+    * activity beyond click's own history, or the reverse — lag-1
+    * binary-state TE in nats over the aligned hourly revenue series,
+    * the any-functional-form complement of q_granger's linear test.
+    * Cells and marginals are exact counts over a ≤8-row table.
+    */
+  private def qTransferEntropy(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(floor(unix_micros(col("ts")) / lit(3600000000L)).as("hour"))
+      .agg(
+        (sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .cast("double") / lit(100.0)).as("p"),
+        (sum(when(col("event_type") === "click",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .cast("double") / lit(100.0)).as("c"))
+    val pc = Timeseries.transferEntropy(hourly, col("hour"), col("p"), col("c"))
+      .select(lit("purchase>click").as("direction"), col("n_transitions"),
+        col("te_nats"))
+    val cp = Timeseries.transferEntropy(hourly, col("hour"), col("c"), col("p"))
+      .select(lit("click>purchase").as("direction"), col("n_transitions"),
+        col("te_nats"))
+    pc.unionByName(cp).orderBy(col("direction"))
+  }
+
+  /** Permutation entropy ([[graft.ops.Timeseries.permutationEntropy]]):
+    * Bandt-Pompe ordinal complexity of each event type's daily revenue
+    * — 0 = monotone/regular, 1 = pattern-uniform noise; robust to any
+    * monotone rescaling. The complexity screen beside q_hurst's
+    * long-memory exponent, computed from exact triple-pattern counts.
+    */
+  private def qPermEntropy(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("rev", col("cents").cast("double") / lit(100.0))
+    Timeseries.permutationEntropy(daily, Seq("event_type"), col("day"),
+        col("rev"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_changepoint" -> (qChangepoint _),
     "q_drawdown" -> (qDrawdown _),
@@ -1182,6 +1291,10 @@ object EventQueries {
     "q_poisson_reg" -> (qPoissonReg _),
     "q_sax" -> (qSax _),
     "q_cox" -> (qCox _),
+    "q_wavelet" -> (qWavelet _),
+    "q_transfer_entropy" -> (qTransferEntropy _),
+    "q_perm_entropy" -> (qPermEntropy _),
+    "q_entropy_rate" -> (qEntropyRate _),
     "q_sprt" -> (qSprt _),
     "q_holt" -> (qHolt _),
     "q_holt_winters" -> (qHoltWinters _),
@@ -1386,6 +1499,56 @@ object EventQueries {
        |FROM r ORDER BY event_type""".stripMargin
   }
 
+  private def transferEntropyOracleSql: String = {
+    def side(label: String, src: String, tgt: String): String =
+      s"""SELECT '$label' AS direction, CAST(n_transitions AS BIGINT) AS n_transitions,
+         |  CASE WHEN n_transitions > 0 THEN
+         |    round(CAST(tsum AS DOUBLE) / 1000000000.0
+         |      / CAST(n_transitions AS DOUBLE), 6) END AS te_nats
+         |FROM (
+         |  SELECT SUM(n) AS n_transitions,
+         |    SUM(CAST(round(CAST(n AS DOUBLE)
+         |      * (ln(CAST(n AS DOUBLE) * CAST(nyp AS DOUBLE))
+         |        - ln(CAST(nypxp AS DOUBLE) * CAST(nyuyp AS DOUBLE)))
+         |      * 1000000000.0) AS HUGEINT)) AS tsum
+         |  FROM (
+         |    SELECT n,
+         |      SUM(n) OVER (PARTITION BY yp) AS nyp,
+         |      SUM(n) OVER (PARTITION BY yp, xp) AS nypxp,
+         |      SUM(n) OVER (PARTITION BY yu, yp) AS nyuyp
+         |    FROM (
+         |      SELECT yu, yp, xp, COUNT(*) AS n
+         |      FROM (
+         |        SELECT xu, yu,
+         |          lag(xu, 1) OVER (ORDER BY hour) AS xp,
+         |          lag(yu, 1) OVER (ORDER BY hour) AS yp
+         |        FROM (
+         |          SELECT hour,
+         |            CAST($src > lag($src, 1) OVER (ORDER BY hour) AS BIGINT) AS xu,
+         |            CAST($tgt > lag($tgt, 1) OVER (ORDER BY hour) AS BIGINT) AS yu
+         |          FROM hl) u) v
+         |      WHERE xu IS NOT NULL AND yu IS NOT NULL
+         |        AND xp IS NOT NULL AND yp IS NOT NULL
+         |      GROUP BY 1, 2, 3) c) m)""".stripMargin
+    s"""WITH hourly AS (
+       |  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+       |      / 100.0 AS p,
+       |    CAST(SUM(CASE WHEN event_type = 'click'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+       |      / 100.0 AS c
+       |  FROM events GROUP BY 1),
+       |hl AS (
+       |  SELECT hour, CAST(round(p * 1000000.0) AS BIGINT) AS ps,
+       |    CAST(round(c * 1000000.0) AS BIGINT) AS cs
+       |  FROM hourly)
+       |${side("purchase>click", "ps", "cs")}
+       |UNION ALL
+       |${side("click>purchase", "cs", "ps")}
+       |ORDER BY direction""".stripMargin
+  }
+
   private def poissonOracleSql: String = {
     val iters = (1 to 4).map { i =>
       s"""s$i AS (
@@ -1452,6 +1615,101 @@ object EventQueries {
     "q_effective_n" -> essOracleSql(maxLag = 6),
     "q_poisson_reg" -> poissonOracleSql,
     "q_cox" -> coxOracleSql,
+    "q_transfer_entropy" -> transferEntropyOracleSql,
+    "q_wavelet" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS HUGEINT) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+        |  FROM daily),
+        |l1 AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(i AS DOUBLE) / 2.0) AS BIGINT) AS p,
+        |    COUNT(*) AS c, SUM(x) AS s,
+        |    SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS d
+        |  FROM v GROUP BY 1, 2),
+        |l1k AS (SELECT * FROM l1 WHERE c = 2),
+        |e1 AS (
+        |  SELECT event_type, 1 AS level, COUNT(*) AS n_pairs,
+        |    SUM(d * d) AS e, SUM(d * d) * 4 AS esc
+        |  FROM l1k GROUP BY 1),
+        |v2 AS (
+        |  SELECT event_type, s AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY p) - 1 AS i
+        |  FROM l1k),
+        |l2 AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(i AS DOUBLE) / 2.0) AS BIGINT) AS p,
+        |    COUNT(*) AS c, SUM(x) AS s,
+        |    SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS d
+        |  FROM v2 GROUP BY 1, 2),
+        |l2k AS (SELECT * FROM l2 WHERE c = 2),
+        |e2 AS (
+        |  SELECT event_type, 2 AS level, COUNT(*) AS n_pairs,
+        |    SUM(d * d) AS e, SUM(d * d) * 2 AS esc
+        |  FROM l2k GROUP BY 1),
+        |v3 AS (
+        |  SELECT event_type, s AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY p) - 1 AS i
+        |  FROM l2k),
+        |l3 AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(i AS DOUBLE) / 2.0) AS BIGINT) AS p,
+        |    COUNT(*) AS c,
+        |    SUM(CASE WHEN i % 2 = 0 THEN x ELSE -x END) AS d
+        |  FROM v3 GROUP BY 1, 2),
+        |e3 AS (
+        |  SELECT event_type, 3 AS level, COUNT(*) AS n_pairs,
+        |    SUM(d * d) AS e, SUM(d * d) * 1 AS esc
+        |  FROM l3 WHERE c = 2 GROUP BY 1),
+        |al AS (
+        |  SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3),
+        |wt AS (
+        |  SELECT event_type, level, n_pairs, e, esc,
+        |    SUM(esc) OVER (PARTITION BY event_type) AS tot
+        |  FROM al)
+        |SELECT event_type, level, n_pairs,
+        |  round(CAST(e AS DOUBLE) / pow(2.0, CAST(level AS DOUBLE))
+        |    / 1000000000000.0, 6) AS energy,
+        |  CASE WHEN tot > 0 THEN
+        |    round(CAST(esc AS DOUBLE) / CAST(tot AS DOUBLE), 6) END AS energy_share
+        |FROM wt ORDER BY event_type, level""".stripMargin,
+    "q_perm_entropy" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, day,
+        |    CAST(round((CAST(cents AS DOUBLE) / 100.0) * 1000000.0) AS BIGINT) AS x
+        |  FROM daily),
+        |tri AS (
+        |  SELECT event_type, x,
+        |    lead(x, 1) OVER w AS y, lead(x, 2) OVER w AS z
+        |  FROM v WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |pats AS (
+        |  SELECT event_type,
+        |    CAST(x <= y AS BIGINT) * 4 + CAST(y <= z AS BIGINT) * 2
+        |      + CAST(x <= z AS BIGINT) AS pat,
+        |    COUNT(*) AS n
+        |  FROM tri WHERE y IS NOT NULL AND z IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT event_type, SUM(n) AS n_triples, COUNT(*) AS n_patterns,
+        |    SUM(CAST(round(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+        |      * 1000000000.0) AS HUGEINT)) AS nln
+        |  FROM pats GROUP BY 1)
+        |SELECT event_type, CAST(n_triples AS BIGINT) AS n_triples,
+        |  CAST(n_patterns AS BIGINT) AS n_patterns,
+        |  CASE WHEN n_triples > 0 THEN
+        |    round((ln(CAST(n_triples AS DOUBLE))
+        |      - CAST(nln AS DOUBLE) / 1000000000.0 / CAST(n_triples AS DOUBLE))
+        |      / ln(6.0), 6) END AS h_norm
+        |FROM ag ORDER BY event_type""".stripMargin,
     "q_sax" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
@@ -3252,6 +3510,7 @@ object EventQueries {
         |        / ((rss1 + rss2) / (CAST(n1 + n2 AS DOUBLE) - 4.0)), 6) END AS f
         |FROM z ORDER BY event_type""".stripMargin,
     "q_stationary" -> stationaryOracleSql(8, 1000L),
+    "q_entropy_rate" -> entropyRateOracleSql(8, 1000L),
     "q_granger" ->
       """WITH hv AS (
         |  SELECT date_trunc('hour', ts) AS h,

@@ -504,6 +504,85 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 2L, "both .5 days sit below the lower limit")
   }
 
+  test("haarEnergy: 1..8 decomposes exactly; energies sum to the centered SS (Parseval)") {
+    val df = createDf(spark, "o bigint, v double",
+        (1 to 8).map(i => Seq[Any](i.toLong, i.toDouble)))
+      .withColumn("g", lit("x"))
+    val out = Timeseries.haarEnergy(df, Seq("g"), col("o"), col("v"), levels = 3)
+      .orderBy(col("level")).collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 2L, 1L), "pair counts halve")
+    assert(out.map(_.getDouble(3)).toSeq == Seq(2.0, 8.0, 32.0))
+    // Parseval: level energies sum to Σ(x−x̄)² = 42 for 1..8
+    assert(out.map(_.getDouble(3)).sum == 42.0)
+    assert(math.abs(out(2).getDouble(4) - 256.0 / 336.0) < 1e-6, "share")
+  }
+
+  test("haarEnergy: odd tails drop; shares still sum to 1") {
+    val df = createDf(spark, "o bigint, v double",
+        (1 to 7).map(i => Seq[Any](i.toLong, (i % 3).toDouble)))
+      .withColumn("g", lit("x"))
+    val out = Timeseries.haarEnergy(df, Seq("g"), col("o"), col("v"), levels = 2)
+      .orderBy(col("level")).collect()
+    assert(out(0).getLong(2) == 3L && out(1).getLong(2) == 1L)
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-5)
+  }
+
+  test("transferEntropy: identical series give exactly 0; a copied lag gives positive flow") {
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0, 8.0, 11.0, 10.0, 13.0)
+    val same = createDf(spark, "o bigint, a double, b double",
+      xs.zipWithIndex.map { case (v, i) => Seq[Any](i.toLong, v, v) })
+    val r0 = Timeseries.transferEntropy(same, col("o"), col("a"), col("b")).head()
+    assert(r0.getDouble(1) == 0.0, "x = y: knowing x' adds nothing beyond y'")
+    // y's move copies x's previous move; x's moves are irregular
+    val moves = Seq(1, 1, 0, 1, 0, 0, 1, 0, 1, 1, 0, 1)
+    val xv = moves.scanLeft(10.0)((acc, m) => if (m == 1) acc + 1 else acc - 1)
+    val yv = 0.0 +: 0.0 +: moves.scanLeft(10.0)((acc, m) =>
+      if (m == 1) acc + 1 else acc - 1).dropRight(2)
+    val df = createDf(spark, "o bigint, a double, b double",
+      xv.zip(yv).zipWithIndex.map { case ((x, y), i) => Seq[Any](i.toLong, x, y) })
+    val fwd = Timeseries.transferEntropy(df, col("o"), col("a"), col("b"))
+      .head().getDouble(1)
+    // 12 points is a small sample; the flow is positive, not huge
+    assert(fwd > 0.05, s"copied-lag flow must be positive, got $fwd")
+  }
+
+  test("permutationEntropy: monotone series scores 0; two-pattern alternation = ln2/ln6") {
+    val mono = createDf(spark, "o bigint, v double",
+        (1 to 10).map(i => Seq[Any](i.toLong, i.toDouble)))
+      .withColumn("g", lit("x"))
+    val r = Timeseries.permutationEntropy(mono, Seq("g"), col("o"), col("v")).head()
+    assert(r.getLong(1) == 8L && r.getLong(2) == 1L && r.getDouble(3) == 0.0)
+    val alt = createDf(spark, "o bigint, v double",
+        Seq(1.0, 5.0, 2.0, 6.0, 3.0, 7.0).zipWithIndex
+          .map { case (v, i) => Seq[Any](i.toLong, v) })
+      .withColumn("g", lit("x"))
+    val r2 = Timeseries.permutationEntropy(alt, Seq("g"), col("o"), col("v")).head()
+    assert(r2.getLong(1) == 4L && r2.getLong(2) == 2L)
+    assert(math.abs(r2.getDouble(3) - math.log(2.0) / math.log(6.0)) < 1e-6)
+  }
+
+  test("entropyRate: deterministic cycle gives H = 0; uniform 2-state chain gives ln 2") {
+    // one entity alternating A,B,A,B... -> every row entropy 0
+    val cyc = createDf(spark, "user_id bigint, ts bigint, event_id bigint, event_type string",
+      (0 until 8).map(i => Seq[Any](1L, i.toLong, i.toLong,
+        if (i % 2 == 0) "A" else "B")))
+    val r = graft.ops.Funnel.entropyRate(cyc, "user_id", "ts", "event_id",
+      "event_type", iterations = 8, tolUnits = 1000L).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 1.0)
+    // four entities contributing one transition each: AA, AB, BA, BB
+    val uni = createDf(spark, "user_id bigint, ts bigint, event_id bigint, event_type string",
+      Seq(("A", "A"), ("A", "B"), ("B", "A"), ("B", "B")).zipWithIndex.flatMap {
+        case ((f, t), u) => Seq(
+          Seq[Any](u.toLong, 0L, 0L, f), Seq[Any](u.toLong, 1L, 1L, t))
+      })
+    val r2 = graft.ops.Funnel.entropyRate(uni, "user_id", "ts", "event_id",
+      "event_type", iterations = 8, tolUnits = 1000L).head()
+    assert(math.abs(r2.getDouble(2) - math.log(2.0)) < 1e-6)
+    assert(math.abs(r2.getDouble(3) - 2.0) < 1e-5, "perplexity = branching factor 2")
+  }
+
   test("closenessCentrality: path graph from one seed; unreachable nodes excluded") {
     val edges = createDf(spark, "src bigint, dst bigint", Seq(
       Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](9L, 9L)))
