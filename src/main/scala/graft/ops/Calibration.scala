@@ -625,4 +625,59 @@ object Calibration {
         when(col("n_test") > 0,
           round(col("__cov").cast("double") / col("n_test"), 6)).as("coverage"))
   }
+
+  /** Unbiased pass@k — the Chen et al. (Codex) estimator for "what
+    * fraction of tasks would succeed within k attempts" from n sampled
+    * attempts with c observed successes per task:
+    *
+    *   pass@k = E_task[ 1 − C(n−c, k)/C(n, k) ]
+    *          = E_task[ 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i) ]
+    *
+    * (the product form — no factorials, exact when c = 0 or the
+    * product telescopes to 0 at n−c < k). The naive "fraction of tasks
+    * with ≥1 success in the first k samples" is biased; this is the
+    * standard correction every eval harness quotes. Tasks with n < k
+    * are EXCLUDED (the estimator is undefined there) and counted in
+    * `n_skipped`. One row per k in `ks`:
+    * `(k, n_tasks, n_skipped, pass_at_k)`.
+    *
+    * Determinism: n and c are exact per-task counts; the k-term
+    * product is one fixed IEEE tree (k is a literal), nano-quantized
+    * per task before the exact mean; ks is a literal explode.
+    *
+    * Scale shape: one task-keyed counting aggregation, a |ks|-wide
+    * literal explode, one rollup per k — eval at 100 TB of attempts is
+    * one shuffle.
+    */
+  def passAtK(df: DataFrame, taskCol: Column, success: Column,
+              ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 1000),
+      s"ks out of range: $ks")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perTask = df.select(taskCol.as("__t"),
+        when(success, 1L).otherwise(0L).as("__s"))
+      .filter(col("__t").isNotNull && col("__s").isNotNull)
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__n"), sum(col("__s")).as("__c"))
+    val rows = ks.sorted.map { k =>
+      val nD = col("__n").cast("double")
+      val cD = col("__c").cast("double")
+      val prod = (0 until k).map(i =>
+          (nD - cD - lit(i.toDouble)) / (nD - lit(i.toDouble)))
+        .reduce(_ * _)
+      // n−c < k: some factor's numerator crosses 0 → pass@k = 1 exactly;
+      // clamp via greatest so the telescoped-negative case stays exact
+      val p = lit(1.0) - greatest(prod, lit(0.0))
+      perTask.agg(
+          sum(when(col("__n") >= k, 1L).otherwise(0L)).as("n_tasks"),
+          sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_skipped"),
+          sum(when(col("__n") >= k,
+            round(p * lit(1e9), 0).cast(dec))).as("__ps"))
+        .select(lit(k).as("k"), col("n_tasks"), col("n_skipped"), col("__ps"))
+    }.reduce(_ unionByName _)
+    rows.select(col("k"), col("n_tasks"), col("n_skipped"),
+      when(col("n_tasks") > 0,
+        round(col("__ps").cast("double") / lit(1e9) /
+          col("n_tasks").cast("double"), 6)).as("pass_at_k"))
+  }
 }

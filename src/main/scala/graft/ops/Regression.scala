@@ -648,4 +648,94 @@ object Regression {
       when(ok, round(lit(b1), 6)).as("b1"),
       when(ok, round(col("__ll").cast("double") / lit(1e9), 6)).as("ll"))
   }
+
+  /** Bradley–Terry preference strengths — the model behind every
+    * pairwise-preference leaderboard (chess Elo's static sibling, the
+    * reward-model layer of RLHF pipelines): from win counts w_ij,
+    * find strengths θ with P(i beats j) = θᵢ/(θᵢ+θⱼ) via Hunter's MM
+    * iteration
+    *
+    *   θᵢ ← Wᵢ / Σ_{j≠i} n_ij/(θᵢ+θⱼ),   then normalize Σθ = 1
+    *
+    * (Wᵢ = total wins, n_ij = games between i and j; each sweep
+    * monotonically increases the likelihood). Returns one row per item:
+    * `(item, wins, games, theta, iters_run)`, θ summing to 1, ordered
+    * by θ descending for the leaderboard read. Items that never won
+    * keep θ → 0 (their MM numerator is 0 — the standard degeneracy;
+    * drop never-winners upstream if full support is required).
+    *
+    * Determinism: the pairwise count table collects under the
+    * bounded-driver-state contract (items² cells — the
+    * [[graft.ops.Funnel.stationaryDistribution]] posture); θ carries
+    * between sweeps as integer `unit`-ths; within a sweep every
+    * n_ij/(θᵢ+θⱼ) term nano-quantizes before an EXACT integer sum
+    * (so j-order cannot matter), W/denom and the normalization are
+    * fixed IEEE trees, and the re-quantized θ replays CTE-for-CTE.
+    *
+    * Scale shape: ONE distributed (winner, loser) counting pass;
+    * everything after runs on the items²-bounded table on the driver —
+    * zero per-sweep Spark jobs.
+    */
+  def bradleyTerry(df: DataFrame, winnerCol: Column, loserCol: Column,
+                   iterations: Int = 8,
+                   unit: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 32,
+      s"iterations out of range: $iterations")
+    val spark = df.sparkSession
+    val wins: Array[(String, String, Long)] = df
+      .select(winnerCol.cast("string").as("__w"), loserCol.cast("string").as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull && col("__w") =!= col("__l"))
+      .groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val items = (wins.map(_._1) ++ wins.map(_._2)).distinct.sorted.toSeq
+    val winTot: Map[String, Long] =
+      wins.groupBy(_._1).map { case (i, ws) => i -> ws.map(_._3).sum }
+    val games = scala.collection.mutable.Map.empty[(String, String), Long]
+    wins.foreach { case (w, l, n) =>
+      val key = if (w < l) (w, l) else (l, w)
+      games(key) = games.getOrElse(key, 0L) + n
+    }
+    val k = math.max(items.length, 1)
+    var theta: Map[String, Long] = items.map(i => i -> unit / k).toMap
+    for (_ <- 1 to iterations) {
+      // raw_i = W_i / (Σ_j nano(n_ij/(θ_i+θ_j)) / 1e9) — the denominator
+      // sum is an exact integer, so j-order is irrelevant
+      val raw: Seq[(String, Double)] = items.map { i =>
+        val thI = theta(i).toDouble / unit.toDouble
+        val denomNano: Long = items.filter(_ != i).map { j =>
+          val key = if (i < j) (i, j) else (j, i)
+          games.get(key).fold(0L) { n =>
+            val thJ = theta(j).toDouble / unit.toDouble
+            BigDecimal(n.toDouble / (thI + thJ) * 1e9)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          }
+        }.sum
+        val w = winTot.getOrElse(i, 0L)
+        i -> (if (denomNano > 0L && w > 0L)
+          w.toDouble / (denomNano.toDouble / 1e9) else 0.0)
+      }
+      // normalize on nano-quantized raws (exact integer total)
+      val rawNano: Seq[(String, Long)] = raw.map { case (i, r) =>
+        i -> BigDecimal(r * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      val tot = rawNano.map(_._2).sum
+      theta = rawNano.map { case (i, r) =>
+        i -> (if (tot > 0L)
+          BigDecimal(r.toDouble / tot.toDouble * unit.toDouble)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        else unit / k)
+      }.toMap
+    }
+    val gamesTot: Map[String, Long] = items.map { i =>
+      i -> games.collect { case ((a, b), n) if a == i || b == i => n }.sum
+    }.toMap
+    import spark.implicits._
+    items.map { i =>
+      (i, winTot.getOrElse(i, 0L), gamesTot(i),
+        BigDecimal(theta(i).toDouble / unit.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        iterations.toLong)
+    }.sortBy(r => (-r._4, r._1))
+      .toDF("item", "wins", "games", "theta", "iters_run")
+  }
 }

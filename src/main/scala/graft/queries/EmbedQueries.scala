@@ -811,7 +811,41 @@ object EmbedQueries {
        |ORDER BY dim""".stripMargin
   }
 
+  /** Matryoshka truncation audit: how much cosine does a d-prefix of
+    * each embedding RETAIN vs the full vector — for a zero-padded
+    * prefix, cos(full, prefix) = ‖x₁..d‖/‖x‖ exactly, so the audit is
+    * a norm ratio per vector, meaned per d ∈ {8, 16, 32}. The number
+    * that decides whether truncated (cheaper) embeddings are usable
+    * for coarse retrieval — the measurement behind matryoshka-style
+    * dimension scheduling. Per-element squares accumulate in array
+    * order (both engines fold lists sequentially); ratios
+    * nano-quantize before the exact mean.
+    */
+  private def qMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+    def energy(d: Option[Int]): Column = {
+      val arr = d.fold(col("embedding"))(k => slice(col("embedding"), 1, k))
+      aggregate(arr, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+    }
+    val dims = Seq(8, 16, 32)
+    val dec = DecimalType(38, 0)
+    val rows = dims.map { d =>
+      val ratio = sqrt(energy(Some(d))) / sqrt(energy(None))
+      e.filter(energy(None) > 0.0)
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(round(ratio * lit(1e9), 0).cast(dec)).as("__rs"))
+        .select(lit(d).as("dim"), col("n_vecs"),
+          round(col("__rs").cast("double") / lit(1e9) /
+            col("n_vecs").cast("double"), 6).as("mean_retained_cos"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("dim"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_matryoshka" -> (qMatryoshka _),
     "q_pca" -> (qPca _),
     "q_jl" -> (qJl _),
     "q_topk_similar" -> (qTopkSimilar _),
@@ -838,6 +872,38 @@ object EmbedQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_matryoshka" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        |en AS (
+        |  SELECT
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS fe,
+        |    list_sum(list_transform(embedding[1:8],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS e8,
+        |    list_sum(list_transform(embedding[1:16],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS e16,
+        |    list_sum(list_transform(embedding[1:32],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS e32
+        |  FROM e),
+        |f AS (SELECT * FROM en WHERE fe > 0.0),
+        |k8 AS (
+        |  SELECT 8 AS dim, COUNT(*) AS n_vecs,
+        |    SUM(CAST(round(sqrt(e8) / sqrt(fe) * 1000000000.0) AS HUGEINT)) AS rs
+        |  FROM f),
+        |k16 AS (
+        |  SELECT 16 AS dim, COUNT(*) AS n_vecs,
+        |    SUM(CAST(round(sqrt(e16) / sqrt(fe) * 1000000000.0) AS HUGEINT)) AS rs
+        |  FROM f),
+        |k32 AS (
+        |  SELECT 32 AS dim, COUNT(*) AS n_vecs,
+        |    SUM(CAST(round(sqrt(e32) / sqrt(fe) * 1000000000.0) AS HUGEINT)) AS rs
+        |  FROM f),
+        |al AS (SELECT * FROM k8 UNION ALL SELECT * FROM k16 UNION ALL SELECT * FROM k32)
+        |SELECT dim, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  round(CAST(rs AS DOUBLE) / 1000000000.0 / CAST(n_vecs AS DOUBLE), 6)
+        |    AS mean_retained_cos
+        |FROM al ORDER BY dim""".stripMargin,
     "q_pca" -> pcaOracleSql,
     "q_jl" ->
       """WITH dims AS (

@@ -1284,7 +1284,21 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Unbiased pass@k ([[graft.ops.Calibration.passAtK]]): treating each
+    * user as a TASK and their events as sampled ATTEMPTS (purchase =
+    * success), the Chen-et-al estimator of "what fraction of tasks
+    * succeed within k attempts" at k = 1, 3, 5 — the eval-harness
+    * number whose naive first-k version is biased. Product-form
+    * combinatorics as one fixed tree per task; tasks with fewer than k
+    * attempts are excluded and counted.
+    */
+  private def qPassAtK(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Calibration.passAtK(t(s, dir, "events"),
+        col("user_id"), col("event_type") === "purchase", ks = Seq(1, 3, 5))
+      .orderBy(col("k"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pass_at_k" -> (qPassAtK _),
     "q_changepoint" -> (qChangepoint _),
     "q_drawdown" -> (qDrawdown _),
     "q_cvar" -> (qCvar _),
@@ -3511,6 +3525,57 @@ object EventQueries {
         |FROM z ORDER BY event_type""".stripMargin,
     "q_stationary" -> stationaryOracleSql(8, 1000L),
     "q_entropy_rate" -> entropyRateOracleSql(8, 1000L),
+    "q_pass_at_k" ->
+      """WITH pt AS (
+        |  SELECT user_id AS t, COUNT(*) AS n,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |k1 AS (
+        |  SELECT 1 AS k,
+        |    SUM(CASE WHEN n >= 1 THEN 1 ELSE 0 END) AS n_tasks,
+        |    SUM(CASE WHEN n < 1 THEN 1 ELSE 0 END) AS n_skipped,
+        |    SUM(CASE WHEN n >= 1 THEN CAST(round((1.0 - greatest(
+        |      (CAST(n AS DOUBLE) - CAST(c AS DOUBLE) - 0.0)
+        |        / (CAST(n AS DOUBLE) - 0.0), 0.0))
+        |      * 1000000000.0) AS HUGEINT) END) AS ps
+        |  FROM pt),
+        |k3 AS (
+        |  SELECT 3 AS k,
+        |    SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS n_tasks,
+        |    SUM(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS n_skipped,
+        |    SUM(CASE WHEN n >= 3 THEN CAST(round((1.0 - greatest(
+        |      (CAST(n AS DOUBLE) - CAST(c AS DOUBLE) - 0.0)
+        |        / (CAST(n AS DOUBLE) - 0.0)
+        |      * ((CAST(n AS DOUBLE) - CAST(c AS DOUBLE) - 1.0)
+        |        / (CAST(n AS DOUBLE) - 1.0))
+        |      * ((CAST(n AS DOUBLE) - CAST(c AS DOUBLE) - 2.0)
+        |        / (CAST(n AS DOUBLE) - 2.0)), 0.0))
+        |      * 1000000000.0) AS HUGEINT) END) AS ps
+        |  FROM pt),
+        |k5 AS (
+        |  SELECT 5 AS k,
+        |    SUM(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS n_tasks,
+        |    SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS n_skipped,
+        |    SUM(CASE WHEN n >= 5 THEN CAST(round((1.0 - greatest(
+        |      (CAST(n AS DOUBLE) - CAST(c AS DOUBLE) - 0.0)
+        |        / (CAST(n AS DOUBLE) - 0.0)
+        |      * ((CAST(n AS DOUBLE) - CAST(c AS DOUBLE) - 1.0)
+        |        / (CAST(n AS DOUBLE) - 1.0))
+        |      * ((CAST(n AS DOUBLE) - CAST(c AS DOUBLE) - 2.0)
+        |        / (CAST(n AS DOUBLE) - 2.0))
+        |      * ((CAST(n AS DOUBLE) - CAST(c AS DOUBLE) - 3.0)
+        |        / (CAST(n AS DOUBLE) - 3.0))
+        |      * ((CAST(n AS DOUBLE) - CAST(c AS DOUBLE) - 4.0)
+        |        / (CAST(n AS DOUBLE) - 4.0)), 0.0))
+        |      * 1000000000.0) AS HUGEINT) END) AS ps
+        |  FROM pt),
+        |al AS (SELECT * FROM k1 UNION ALL SELECT * FROM k3 UNION ALL SELECT * FROM k5)
+        |SELECT k, CAST(n_tasks AS BIGINT) AS n_tasks,
+        |  CAST(n_skipped AS BIGINT) AS n_skipped,
+        |  CASE WHEN n_tasks > 0 THEN
+        |    round(CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n_tasks AS DOUBLE), 6)
+        |  END AS pass_at_k
+        |FROM al ORDER BY k""".stripMargin,
     "q_granger" ->
       """WITH hv AS (
         |  SELECT date_trunc('hour', ts) AS h,

@@ -530,7 +530,114 @@ object JoinQueries {
   }
 
   /** This family's slice of [[graft.SparkEntry.queries]]. */
+  /** Bradley-Terry preference leaderboard ([[graft.ops.Regression
+    * .bradleyTerry]]): within each order, adjacent line items (by line
+    * number) duel on UNIT PRICE — the strictly cheaper part's BRAND
+    * wins (exact decimal cross-multiplication, ties and same-brand
+    * pairs excluded) — then 8 MM sweeps fit the strengths θ with
+    * P(i beats j) = θᵢ/(θᵢ+θⱼ). The pairwise-preference model behind
+    * reward-model leaderboards, trained on the brands²-bounded count
+    * table with the q_stationary driver posture; the oracle replays
+    * every sweep CTE-for-CTE.
+    */
+  private def qBt(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val li = t(s, dir, "lineitem")
+    val base = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"), col("p_brand").as("b"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("e"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("q"))
+    // (l_linenumber, l_suppkey, l_partkey): a TOTAL order — synthetic
+    // lineitem keeps neither linenumber nor (linenumber, suppkey) unique
+    // within an order, and an ambiguous duel order would diverge engines
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"), col("l_partkey"))
+    val pr = base.select(col("b").as("b1"), lead(col("b"), 1).over(w).as("b2"),
+        col("e").as("e1"), col("q").as("q1"),
+        lead(col("e"), 1).over(w).as("e2"), lead(col("q"), 1).over(w).as("q2"))
+      .filter(col("b2").isNotNull && col("b1") =!= col("b2") &&
+        col("e1") * col("q2") =!= col("e2") * col("q1"))
+      .select(
+        when(col("e1") * col("q2") < col("e2") * col("q1"), col("b1"))
+          .otherwise(col("b2")).as("winner"),
+        when(col("e1") * col("q2") < col("e2") * col("q1"), col("b2"))
+          .otherwise(col("b1")).as("loser"))
+    graft.ops.Regression.bradleyTerry(pr, col("winner"), col("loser"),
+      iterations = 8)
+  }
+
+  private def btOracleSql(iters: Int): String = {
+    val sweeps = (1 to iters).map { s =>
+      s"""ds$s AS MATERIALIZED (
+         |  SELECT g.i AS item,
+         |    SUM(CAST(round(CAST(g.g AS DOUBLE)
+         |      / (CAST(a.th AS DOUBLE) / 1000000000000.0
+         |        + CAST(b.th AS DOUBLE) / 1000000000000.0)
+         |      * 1000000000.0) AS HUGEINT)) AS den
+         |  FROM gm g
+         |  JOIN t${s - 1} a ON a.item = g.i
+         |  JOIN t${s - 1} b ON b.item = g.j
+         |  GROUP BY 1),
+         |rw$s AS MATERIALIZED (
+         |  SELECT it.item,
+         |    CASE WHEN COALESCE(d.den, 0) > 0 AND COALESCE(wt.wins, 0) > 0
+         |      THEN CAST(round(CAST(wt.wins AS DOUBLE)
+         |        / (CAST(d.den AS DOUBLE) / 1000000000.0)
+         |        * 1000000000.0) AS BIGINT)
+         |      ELSE 0 END AS rq
+         |  FROM it
+         |  LEFT JOIN ds$s d ON d.item = it.item
+         |  LEFT JOIN wt ON wt.item = it.item),
+         |t$s AS MATERIALIZED (
+         |  SELECT item,
+         |    CAST(round(CAST(rq AS DOUBLE)
+         |      / CAST((SELECT SUM(rq) FROM rw$s) AS DOUBLE)
+         |      * 1000000000000.0) AS BIGINT) AS th
+         |  FROM rw$s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, p_brand AS b,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+       |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |pr0 AS (
+       |  SELECT b AS b1, lead(b) OVER w AS b2, e AS e1, q AS q1,
+       |    lead(e) OVER w AS e2, lead(q) OVER w AS q2
+       |  FROM base WINDOW w AS (PARTITION BY l_orderkey
+       |                         ORDER BY l_linenumber, l_suppkey, l_partkey)),
+       |pr AS (
+       |  SELECT CASE WHEN e1 * q2 < e2 * q1 THEN b1 ELSE b2 END AS w,
+       |    CASE WHEN e1 * q2 < e2 * q1 THEN b2 ELSE b1 END AS l
+       |  FROM pr0
+       |  WHERE b2 IS NOT NULL AND b1 <> b2 AND e1 * q2 <> e2 * q1),
+       |wn AS MATERIALIZED (SELECT w, l, COUNT(*) AS n FROM pr GROUP BY 1, 2),
+       |it AS MATERIALIZED (
+       |  SELECT DISTINCT item FROM (
+       |    SELECT w AS item FROM wn UNION ALL SELECT l FROM wn)),
+       |wt AS MATERIALIZED (SELECT w AS item, SUM(n) AS wins FROM wn GROUP BY 1),
+       |gm AS MATERIALIZED (
+       |  SELECT i, j, SUM(n) AS g FROM (
+       |    SELECT w AS i, l AS j, n FROM wn
+       |    UNION ALL SELECT l AS i, w AS j, n FROM wn) u
+       |  GROUP BY 1, 2),
+       |t0 AS MATERIALIZED (
+       |  SELECT item, 1000000000000 // (SELECT COUNT(*) FROM it) AS th FROM it),
+       |$sweeps,
+       |gt AS (SELECT i AS item, SUM(g) AS games FROM gm GROUP BY 1)
+       |SELECT it.item, CAST(COALESCE(wt.wins, 0) AS BIGINT) AS wins,
+       |  CAST(COALESCE(gt.games, 0) AS BIGINT) AS games,
+       |  round(CAST(t$iters.th AS DOUBLE) / 1000000000000.0, 6) AS theta,
+       |  CAST($iters AS BIGINT) AS iters_run
+       |FROM it
+       |LEFT JOIN wt ON wt.item = it.item
+       |LEFT JOIN gt ON gt.item = it.item
+       |JOIN t$iters ON t$iters.item = it.item
+       |ORDER BY theta DESC, it.item""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bt" -> (qBt _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -557,6 +664,7 @@ object JoinQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_bt" -> btOracleSql(8),
     "q_linkage" -> linkageOracleSql,
     "q_elasticity" ->
       """WITH j AS (

@@ -583,6 +583,48 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(3) - 2.0) < 1e-5, "perplexity = branching factor 2")
   }
 
+  test("passAtK: hand-checked combinatorics; short tasks excluded and counted") {
+    // t1: n=5 c=1; t2: n=5 c=0; t3: n=2 c=2
+    val rows = Seq.fill(5)(("t1", false)).updated(0, ("t1", true)) ++
+      Seq.fill(5)(("t2", false)) ++ Seq(("t3", true), ("t3", true))
+    val df = createDf(spark, "task string, ok boolean",
+      rows.map { case (t, s) => Seq[Any](t, s) })
+    val out = graft.ops.Calibration.passAtK(df, col("task"), col("ok"), Seq(1, 3, 5))
+      .orderBy(col("k")).collect()
+    // k=1: (0.2 + 0 + 1)/3 = 0.4 over all 3 tasks
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 0L)
+    assert(out(0).getDouble(3) == 0.4)
+    // k=3: t3 skipped; (1 − 4·3·2/(5·4·3) + 0)/2 = 0.3
+    assert(out(1).getLong(1) == 2L && out(1).getLong(2) == 1L)
+    assert(math.abs(out(1).getDouble(3) - 0.3) < 1e-6)
+    // k=5: t1's product telescopes through 0 -> pass@5 = 1 exactly
+    assert(out(2).getLong(1) == 2L && out(2).getLong(2) == 1L)
+    assert(out(2).getDouble(3) == 0.5)
+  }
+
+  test("bradleyTerry: 3:1 head-to-head converges to theta 0.75/0.25") {
+    val rows = Seq.fill(3)(("A", "B")) :+ (("B", "A"))
+    val df = createDf(spark, "w string, l string",
+      rows.map { case (w, l) => Seq[Any](w, l) })
+    val out = Regression.bradleyTerry(df, col("w"), col("l"), iterations = 16)
+      .collect()
+    assert(out(0).getString(0) == "A" && out(0).getLong(1) == 3L && out(0).getLong(2) == 4L)
+    assert(math.abs(out(0).getDouble(3) - 0.75) < 1e-3)
+    assert(math.abs(out(1).getDouble(3) - 0.25) < 1e-3)
+  }
+
+  test("bradleyTerry: transitive dominance orders the leaderboard; never-winner sinks to 0") {
+    // A beats B 4x, B beats C 4x, A beats C 4x; C never wins
+    val rows = Seq.fill(4)(("A", "B")) ++ Seq.fill(4)(("B", "C")) ++ Seq.fill(4)(("A", "C"))
+    val df = createDf(spark, "w string, l string",
+      rows.map { case (w, l) => Seq[Any](w, l) })
+    val out = Regression.bradleyTerry(df, col("w"), col("l"), iterations = 16)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    assert(out(0).getDouble(3) > out(1).getDouble(3))
+    assert(out(2).getDouble(3) < 1e-3, "winless item's strength collapses")
+  }
+
   test("closenessCentrality: path graph from one seed; unreachable nodes excluded") {
     val edges = createDf(spark, "src bigint, dst bigint", Seq(
       Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](9L, 9L)))
