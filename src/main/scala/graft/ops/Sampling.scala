@@ -370,4 +370,49 @@ object Sampling {
       .agg(min(col("j")).as("j"))
       .select(id, col("j"), col("neg_id"))
   }
+
+  /** Neyman allocation — the OPTIMAL stratified sampling design: a
+    * fixed `budget` of samples split across strata proportionally to
+    * N_h·S_h (stratum size × stratum spread), which minimizes the
+    * variance of the stratified mean at fixed cost (the survey-design
+    * theorem behind every serious stratified audit; proportional
+    * allocation ignores S_h and oversamples homogeneous strata).
+    * Integerization reuses [[apportion]]'s largest-remainder exact
+    * path. Returns `(strata, n_rows, sd, weight, quota)`; a
+    * zero-variance stratum carries weight 0 and quota 0 — by Neyman's
+    * own logic one observation tells you everything about it, so give
+    * it a floor upstream if operationally required (documented).
+    *
+    * Determinism: moments are exact integer micro sums; sd is one
+    * fixed IEEE tree; the weight re-quantizes to an exact integer
+    * (micro units) BEFORE apportionment, and apportion's floor/remainder
+    * arithmetic is exact decimal end-to-end.
+    *
+    * Scale shape: one strata-keyed map-combined moment pass, then
+    * [[apportion]] on the strata-bounded weight table.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: Column,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val m = df.select(col(strataCol), q(valueCol).as("__x"))
+      .filter(col(strataCol).isNotNull && col("__x").isNotNull)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__x").cast(dec)).as("__s1"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__s2"))
+    val nD = col("n_rows").cast("double")
+    val s1d = col("__s1").cast("double")
+    val sdMicro = when(col("n_rows") >= 2,
+      sqrt((col("__s2").cast("double") - s1d * s1d / nD) / (nD - lit(1.0))))
+      .otherwise(lit(0.0))
+    val weights = m.select(col(strataCol), col("n_rows"),
+      round(sdMicro / lit(1e6), 6).as("sd"),
+      // N_h·S_h in micro units, re-quantized to an exact integer weight
+      round(nD * sdMicro, 0).cast("long").as("weight"))
+    val quotas = apportion(weights.select(col(strataCol), col("weight")),
+      strataCol, "weight", budget)
+    weights.join(quotas.select(col(strataCol), col("quota")), Seq(strataCol))
+  }
 }

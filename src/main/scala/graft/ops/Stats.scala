@@ -3014,6 +3014,69 @@ object Stats {
       :+ when(defined && c > 0.0, round(h / c, 6)).as("h_tie"): _*)
   }
 
+  /** Huber M-estimator of location — the robust mean BETWEEN the mean
+    * (efficient, outlier-fragile) and the median (robust, inefficient):
+    * IRLS sweeps of the weighted mean with weights
+    *
+    *   w = min(1, c/|x − μ|)
+    *
+    * so points within `c` of the current center count fully and points
+    * beyond count down-weighted by distance — `sweeps` fixed iterations
+    * from the exact mean (IRLS on a convex loss converges fast;
+    * emitting both `huber_mu` and `mean` makes the outlier pull
+    * visible). Per group: `(groupBy..., n, mean, huber_mu, w_sum)`.
+    *
+    * Determinism: x and the carried μ are integer micro units, so
+    * |x − μ| is an EXACT integer and the w branch is an integer
+    * comparison; per-row w·x and w quantize (micro) before the exact
+    * group sums; μ re-quantizes to micro each sweep, and the oracle
+    * replays every sweep CTE-for-CTE (the GLM iteration contract).
+    *
+    * Scale shape: `sweeps`+1 group-keyed map-combined aggregations
+    * with a k-row broadcast μ join between — nothing data-sized ever
+    * joins or windows; state is the checkpointed k-row μ table.
+    */
+  def huberLocation(df: DataFrame, groupBy: Seq[String], value: Column,
+                    c: Double, sweeps: Int = 4): DataFrame = {
+    require(groupBy.nonEmpty, "huberLocation needs group keys")
+    require(c > 0.0 && c.isFinite, s"c must be finite > 0: $c")
+    require(sweeps >= 1 && sweeps <= 16, s"sweeps out of range: $sweeps")
+    val dec = DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val cMicro = BigDecimal(c).*(BigDecimal(1000000))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val base = df.select(gCols :+ round(value * lit(1e6), 0).cast("long").as("__x"): _*)
+      .filter(gCols.map(_.isNotNull).reduce(_ && _) && col("__x").isNotNull)
+    val m0 = base.groupBy(gCols: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__x").cast(dec)).as("__s1"))
+    var mu = m0.select(gCols :+ col("__n") :+ col("__s1")
+        :+ round(col("__s1").cast("double") / col("__n").cast("double"), 0)
+          .cast("long").as("__mu"): _*)
+      .localCheckpoint(true)
+    for (_ <- 1 to sweeps) {
+      val j = base.join(broadcast(mu.select(gCols :+ col("__mu"): _*)), groupBy)
+      val d = abs(col("__x") - col("__mu"))
+      val w = when(d <= cMicro, lit(1.0))
+        .otherwise(lit(cMicro.toDouble) / d.cast("double"))
+      val agg = j.groupBy(gCols: _*)
+        .agg(first(col("__mu")).as("__muPrev"),
+          sum(round(w * col("__x").cast("double"), 0).cast(dec)).as("__wx"),
+          sum(round(w * lit(1e6), 0).cast("long").cast(dec)).as("__w"))
+      mu = mu.drop("__mu", "__w").join(
+        broadcast(agg.select(gCols
+          :+ round(col("__wx").cast("double") * lit(1e6) /
+            col("__w").cast("double"), 0).cast("long").as("__mu")
+          :+ col("__w"): _*)),
+        groupBy).localCheckpoint(true)
+    }
+    mu.select(gCols
+      :+ col("__n").as("n")
+      :+ round(col("__s1").cast("double") / col("__n").cast("double") / lit(1e6), 6)
+        .as("mean")
+      :+ round(col("__mu").cast("double") / lit(1e6), 6).as("huber_mu")
+      :+ round(col("__w").cast("double") / lit(1e6), 6).as("w_sum"): _*)
+  }
+
   /** Goodman–Kruskal ordinal association — concordance analysis of two
     * ORDERED categorical columns from their contingency cells: with
     * C/D = concordant/discordant pair totals and T_x/T_y = pairs tied

@@ -154,7 +154,19 @@ object SamplingQueries {
   }
 
   /** This family's slice of [[graft.SparkEntry.queries]]. */
+  /** Neyman allocation ([[graft.ops.Sampling.neymanAllocation]]): a
+    * 500-doc audit budget split across sources by N_h·S_h on text
+    * length — the variance-optimal stratified design (proportional
+    * allocation would oversample big-but-homogeneous sources). Exact
+    * micro moments, apportion's largest-remainder integerization.
+    */
+  private def qNeyman(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.neymanAllocation(t(s, dir, "documents"),
+        "source", length(col("text")).cast("double"), budget = 500L)
+      .orderBy(col("source"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neyman" -> (qNeyman _),
     "q_det_shuffle" -> (qDetShuffle _),
     "q_temporal_split" -> (qTemporalSplit _),
     "q_split" -> (qSplit _),
@@ -168,6 +180,40 @@ object SamplingQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_neyman" ->
+      """WITH v AS (
+        |  SELECT source,
+        |    CAST(round(CAST(length(text) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |m AS (
+        |  SELECT source, COUNT(*) AS n_rows, SUM(CAST(x AS HUGEINT)) AS s1,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s2
+        |  FROM v GROUP BY 1),
+        |wts AS (
+        |  SELECT source, n_rows,
+        |    round((CASE WHEN n_rows >= 2 THEN
+        |      sqrt((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |        / (CAST(n_rows AS DOUBLE) - 1.0)) ELSE 0.0 END) / 1000000.0, 6) AS sd,
+        |    CAST(round(CAST(n_rows AS DOUBLE) * (CASE WHEN n_rows >= 2 THEN
+        |      sqrt((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |        / (CAST(n_rows AS DOUBLE) - 1.0)) ELSE 0.0 END)) AS BIGINT) AS weight
+        |  FROM m),
+        |t AS (SELECT SUM(CAST(weight AS HUGEINT)) AS W FROM wts),
+        |b AS (
+        |  SELECT source, (500 * CAST(weight AS HUGEINT)) // W AS base,
+        |    (500 * CAST(weight AS HUGEINT)) % W AS rem
+        |  FROM wts CROSS JOIN t),
+        |r AS (SELECT 500 - SUM(base) AS extra FROM b),
+        |q AS (
+        |  SELECT source,
+        |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= extra
+        |      THEN 1 ELSE 0 END AS quota
+        |  FROM b CROSS JOIN r)
+        |SELECT wts.source, wts.n_rows, wts.sd, wts.weight,
+        |  CAST(q.quota AS BIGINT) AS quota
+        |FROM wts JOIN q USING (source) ORDER BY wts.source""".stripMargin,
     "q_temporal_split" ->
       """SELECT event_type,
         |  CASE WHEN epoch_us(ts) < 1705881600000000 - 172800000000 THEN 'train'

@@ -626,6 +626,51 @@ object StatsQueries {
         col("event_type"), col("value"))
       .orderBy(col("level_a"), col("level_b"))
 
+  /** Huber M-location ([[graft.ops.Stats.huberLocation]]): each event
+    * type's robust center with c = 25 (full weight within 25 value
+    * units of the center, 1/distance beyond) — 4 IRLS sweeps from the
+    * exact mean, emitted beside it so the outlier pull is visible.
+    * Integer-micro distances make every weight branch an integer
+    * comparison; the oracle replays all sweeps CTE-for-CTE.
+    */
+  private def qHuber(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.huberLocation(t(s, dir, "events"),
+        Seq("event_type"), col("value"), c = 25.0, sweeps = 4)
+      .orderBy(col("event_type"))
+
+  private def huberOracleSql(sweeps: Int, cMicro: Long): String = {
+    val sweepCtes = (1 to sweeps).map { s =>
+      val wExpr =
+        s"""CASE WHEN ABS(x - mu) <= $cMicro THEN 1.0
+           |        ELSE $cMicro.0 / CAST(ABS(x - mu) AS DOUBLE) END""".stripMargin
+      s"""s$s AS (
+         |  SELECT b.g,
+         |    SUM(CAST(round(($wExpr) * CAST(x AS DOUBLE)) AS HUGEINT)) AS wx,
+         |    SUM(CAST(CAST(round(($wExpr) * 1000000.0) AS BIGINT) AS HUGEINT)) AS w
+         |  FROM b JOIN u${s - 1} u ON b.g = u.g
+         |  GROUP BY 1),
+         |u$s AS (
+         |  SELECT g, CAST(round(CAST(wx AS DOUBLE) * 1000000.0
+         |    / CAST(w AS DOUBLE)) AS BIGINT) AS mu, w
+         |  FROM s$s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT event_type AS g, CAST(round(value * 1000000.0) AS BIGINT) AS x
+       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       |m0 AS (
+       |  SELECT g, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s1 FROM b GROUP BY 1),
+       |u0 AS (
+       |  SELECT g, CAST(round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mu
+       |  FROM m0),
+       |$sweepCtes
+       |SELECT m0.g AS event_type, m0.n,
+       |  round(CAST(m0.s1 AS DOUBLE) / CAST(m0.n AS DOUBLE) / 1000000.0, 6) AS mean,
+       |  round(CAST(u$sweeps.mu AS DOUBLE) / 1000000.0, 6) AS huber_mu,
+       |  round(CAST(u$sweeps.w AS DOUBLE) / 1000000.0, 6) AS w_sum
+       |FROM m0 JOIN u$sweeps ON m0.g = u$sweeps.g
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** Mood's median test ([[graft.ops.Stats.moodMedianTest]]): the
     * outlier-proof sanity check under q_kruskal — does each event type
     * put the same share of its rows above the grand median value? The
@@ -1621,6 +1666,7 @@ object StatsQueries {
     "q_breslow_day" -> (qBreslowDay _),
     "q_dunn" -> (qDunn _),
     "q_mood" -> (qMood _),
+    "q_huber" -> (qHuber _),
     "q_kendall_w" -> (qKendallW _),
     "q_yuen" -> (qYuen _),
     "q_by" -> (qBy _),
@@ -4359,6 +4405,7 @@ object StatsQueries {
         |  CASE WHEN fs <> 0 THEN round(itt / fs, 6) END AS beta_iv
         |FROM f""".stripMargin,
     "q_logit" -> logitOracleSql,
+    "q_huber" -> huberOracleSql(4, 25000000L),
     "q_wls" ->
       """WITH b AS (
         |  SELECT l_returnflag,

@@ -123,6 +123,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_vocab_coverage" -> "rank/cumulative windows over the TakeOrdered top-max(k) table (rows <= 5000 by the LIMIT, never the whole vocabulary)",
     "q_conformal" -> "Ids.withRunningTotals offset window over the DISTINCT-NONCONFORMITY table (the q_auc bound: a micro-quantized score has <= 1e6+1 distinct values; offsets window rows = partition count)",
     "q_transfer_entropy" -> "state-symbolization lag windows over the HOURLY rollup (rows = distinct hours, calendar-bounded — the q_hurst single-series bound); the cell/marginal windows run over the <= 8-row triple table",
+    "q_neyman" -> "apportion's largest-remainder rank window over the STRATA-bounded weight table (rows = distinct strata — the q_apportion bound)",
   )
 
   test("whole-frame windows appear only over bounded-by-construction tables") {

@@ -625,6 +625,39 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out(2).getDouble(3) < 1e-3, "winless item's strength collapses")
   }
 
+  test("neymanAllocation: spread-heavy strata get the budget; constant strata get none") {
+    // stratum a: 4 rows sd 0 (constant); b: 4 rows spread 10; c: 8 rows spread 10
+    val rows = Seq.fill(4)(("a", 5.0)) ++
+      Seq(("b", 0.0), ("b", 10.0), ("b", 0.0), ("b", 10.0)) ++
+      (1 to 8).map(i => ("c", if (i % 2 == 0) 0.0 else 10.0))
+    val df = createDf(spark, "s string, v double",
+      rows.map { case (s, v) => Seq[Any](s, v) })
+    val out = graft.ops.Sampling.neymanAllocation(df, "s", col("v"), budget = 90L)
+      .orderBy(col("s")).collect()
+    assert(out(0).getLong(4) == 0L, "zero-variance stratum gets quota 0")
+    // weights ~ N·S: b = 4·5.7735, c = 8·5.3452 -> c gets more
+    assert(out(2).getLong(4) > out(1).getLong(4))
+    assert(out.map(_.getLong(4)).sum == 90L, "budget exactly exhausted")
+  }
+
+  test("huberLocation: outlier pulls the mean but barely moves the Huber center") {
+    val rows = Seq.fill(9)(10.0) :+ 1000.0
+    val df = createDf(spark, "v double", rows.map(v => Seq[Any](v)))
+      .withColumn("g", lit("x"))
+    val r = Stats.huberLocation(df, Seq("g"), col("v"), c = 5.0, sweeps = 8).head()
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 109.0, "the outlier drags the mean to 109")
+    assert(math.abs(r.getDouble(3) - 10.0) < 1.5,
+      s"Huber center stays near the bulk, got ${r.getDouble(3)}")
+    // clean data: Huber == mean after any number of sweeps
+    val clean = createDf(spark, "v double",
+        Seq(9.0, 10.0, 11.0).map(v => Seq[Any](v)))
+      .withColumn("g", lit("x"))
+    val rc = Stats.huberLocation(clean, Seq("g"), col("v"), c = 5.0, sweeps = 4).head()
+    assert(rc.getDouble(3) == 10.0 && rc.getDouble(2) == 10.0)
+    assert(rc.getDouble(4) == 3.0, "all weights 1 within c")
+  }
+
   test("closenessCentrality: path graph from one seed; unreachable nodes excluded") {
     val edges = createDf(spark, "src bigint, dst bigint", Seq(
       Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](9L, 9L)))
