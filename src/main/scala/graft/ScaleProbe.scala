@@ -63,8 +63,13 @@ object ScaleProbe {
       "q_geks_index" -> noRounds,
       "q_geks_half" -> noRounds,
       "q_pagerank" -> noRounds)
-    val wanted =
-      if (args.length > 1) defaults.filter(p => args.tail.contains(p._1))
+    // explicit names probe ANY registered query (round counts only for
+    // the known iterative families); no names = the iterative defaults
+    val wanted: Seq[(String, () => Option[Long])] =
+      if (args.length > 1) args.tail.toSeq.map { n =>
+        require(SparkEntry.queries.contains(n), s"unknown query: $n")
+        n -> defaults.toMap.getOrElse(n, noRounds)
+      }
       else defaults
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
