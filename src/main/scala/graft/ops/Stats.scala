@@ -3077,6 +3077,58 @@ object Stats {
       :+ round(col("__w").cast("double") / lit(1e6), 6).as("w_sum"): _*)
   }
 
+  /** Theil's uncertainty coefficient — DIRECTIONAL nominal association:
+    * what fraction of Y's entropy does knowing X remove,
+    *
+    *   U(Y|X) = (H(Y) − H(Y|X)) / H(Y) = I(X;Y)/H(Y)
+    *
+    * (and symmetrically U(X|Y), plus the symmetric 2I/(H(X)+H(Y))) —
+    * the association readout χ² can't give: χ² says "dependent",
+    * U says "X predicts 34% of Y but Y predicts only 8% of X", the
+    * asymmetry that matters when one column is the label. One row:
+    * `(n, h_x, h_y, mi, u_yx, u_xy, u_sym)` (nats; U's null when the
+    * corresponding entropy is 0 — a constant column predicts nothing
+    * and cannot be predicted "more").
+    *
+    * Determinism: cell and marginal counts are exact; every c·ln c
+    * nano-quantizes before its exact rollup (integer-arg ln);
+    * H/I/U are fixed IEEE trees on those integers, 6 dp;
+    * I = H(X) + H(Y) − H(X,Y) with all three from the same discipline.
+    *
+    * Scale shape: ONE (x, y)-keyed map-combined aggregation; marginals
+    * and entropies reduce the cell table (levels²-bounded); three 1-row
+    * broadcasts combine.
+    */
+  def uncertaintyCoefficient(df: DataFrame, xCat: Column, yCat: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = df.select(xCat.cast("string").as("__x"), yCat.cast("string").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__n"))
+    def nln(c: Column): Column =
+      round(c.cast("double") * log(c.cast("double")) * lit(1e9), 0).cast(dec)
+    def hOf(grouped: DataFrame): DataFrame = grouped.agg(
+      sum(col("__c")).as("__N"), sum(nln(col("__c"))).as("__nln"))
+    val hx = hOf(cells.groupBy(col("__x")).agg(sum(col("__n")).as("__c")))
+      .select(col("__N"), col("__nln").as("__lx"))
+    val hy = hOf(cells.groupBy(col("__y")).agg(sum(col("__n")).as("__c")))
+      .select(col("__nln").as("__ly"))
+    val hxy = hOf(cells.select(col("__n").as("__c")))
+      .select(col("__nln").as("__lxy"))
+    val all = hx.crossJoin(broadcast(hy)).crossJoin(broadcast(hxy))
+    val nD = col("__N").cast("double")
+    def h(l: String): Column = log(nD) - col(l).cast("double") / lit(1e9) / nD
+    val mi = h("__lx") + h("__ly") - h("__lxy")
+    all.select(col("__N").cast("long").as("n"),
+      round(h("__lx"), 6).as("h_x"),
+      round(h("__ly"), 6).as("h_y"),
+      round(mi, 6).as("mi"),
+      when(h("__ly") > 0.0, round(mi / h("__ly"), 6)).as("u_yx"),
+      when(h("__lx") > 0.0, round(mi / h("__lx"), 6)).as("u_xy"),
+      when(h("__lx") + h("__ly") > 0.0,
+        round(lit(2.0) * mi / (h("__lx") + h("__ly")), 6)).as("u_sym"))
+  }
+
   /** Goodman–Kruskal ordinal association — concordance analysis of two
     * ORDERED categorical columns from their contingency cells: with
     * C/D = concordant/discordant pair totals and T_x/T_y = pairs tied

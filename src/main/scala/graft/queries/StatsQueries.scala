@@ -1225,6 +1225,17 @@ object StatsQueries {
     graft.ops.Stats.chiSquareIndependence(t(s, dir, "documents"),
       col("lang"), col("source"))
 
+  /** Theil's uncertainty coefficient ([[graft.ops.Stats
+    * .uncertaintyCoefficient]]): HOW STRONGLY, and in WHICH DIRECTION,
+    * does source predict language on q_chi2's same lang×source table —
+    * U(lang|source) vs U(source|lang) from one cell pass, integer-arg
+    * entropy terms throughout. The directional strength χ²'s verdict
+    * and q_mutual_info's raw nats both leave unquantified.
+    */
+  private def qUncertainty(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.uncertaintyCoefficient(t(s, dir, "documents"),
+      col("source"), col("lang"))
+
   /** Mann-Whitney U ([[graft.ops.Stats.mannWhitneyU]]): q_welch's
     * nonparametric sibling — purchase vs click value distributions per
     * user segment, ranks collapsed to the distinct-value layer so 2·U,
@@ -1667,6 +1678,7 @@ object StatsQueries {
     "q_dunn" -> (qDunn _),
     "q_mood" -> (qMood _),
     "q_huber" -> (qHuber _),
+    "q_uncertainty" -> (qUncertainty _),
     "q_kendall_w" -> (qKendallW _),
     "q_yuen" -> (qYuen _),
     "q_by" -> (qBy _),
@@ -4406,6 +4418,41 @@ object StatsQueries {
         |FROM f""".stripMargin,
     "q_logit" -> logitOracleSql,
     "q_huber" -> huberOracleSql(4, 25000000L),
+    "q_uncertainty" ->
+      """WITH cells AS (
+        |  SELECT source AS x, lang AS y, COUNT(*) AS n
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |hx AS (
+        |  SELECT SUM(c) AS N,
+        |    SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |      * 1000000000.0) AS HUGEINT)) AS lx
+        |  FROM (SELECT x, SUM(n) AS c FROM cells GROUP BY 1)),
+        |hy AS (
+        |  SELECT SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |      * 1000000000.0) AS HUGEINT)) AS ly
+        |  FROM (SELECT y, SUM(n) AS c FROM cells GROUP BY 1)),
+        |hxy AS (
+        |  SELECT SUM(CAST(round(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+        |      * 1000000000.0) AS HUGEINT)) AS lxy
+        |  FROM cells),
+        |a AS (SELECT * FROM hx CROSS JOIN hy CROSS JOIN hxy),
+        |f AS (
+        |  SELECT CAST(N AS BIGINT) AS n,
+        |    ln(CAST(N AS DOUBLE)) - CAST(lx AS DOUBLE) / 1000000000.0
+        |      / CAST(N AS DOUBLE) AS hx,
+        |    ln(CAST(N AS DOUBLE)) - CAST(ly AS DOUBLE) / 1000000000.0
+        |      / CAST(N AS DOUBLE) AS hy,
+        |    ln(CAST(N AS DOUBLE)) - CAST(lxy AS DOUBLE) / 1000000000.0
+        |      / CAST(N AS DOUBLE) AS hxy
+        |  FROM a)
+        |SELECT n, round(hx, 6) AS h_x, round(hy, 6) AS h_y,
+        |  round(hx + hy - hxy, 6) AS mi,
+        |  CASE WHEN hy > 0.0 THEN round((hx + hy - hxy) / hy, 6) END AS u_yx,
+        |  CASE WHEN hx > 0.0 THEN round((hx + hy - hxy) / hx, 6) END AS u_xy,
+        |  CASE WHEN hx + hy > 0.0
+        |    THEN round(2.0 * (hx + hy - hxy) / (hx + hy), 6) END AS u_sym
+        |FROM f""".stripMargin,
     "q_wls" ->
       """WITH b AS (
         |  SELECT l_returnflag,

@@ -658,6 +658,23 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(rc.getDouble(4) == 3.0, "all weights 1 within c")
   }
 
+  test("uncertaintyCoefficient: function of x gives U(y|x)=1; independence gives 0") {
+    // y = [x == a]: x fully determines y, y only partially determines x
+    val det = Seq(("a", "t"), ("b", "f"), ("c", "f"), ("a", "t"), ("b", "f"), ("c", "f"))
+    val df = createDf(spark, "x string, y string",
+      det.map { case (x, y) => Seq[Any](x, y) })
+    val r = Stats.uncertaintyCoefficient(df, col("x"), col("y")).head()
+    assert(r.getLong(0) == 6L)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-6, "U(y|x) = 1: x determines y")
+    assert(r.getDouble(5) < 1.0, "y only narrows x")
+    // independent balanced design: MI = 0 -> all Us 0
+    val ind = Seq(("a", "t"), ("a", "f"), ("b", "t"), ("b", "f"))
+    val df2 = createDf(spark, "x string, y string",
+      ind.map { case (x, y) => Seq[Any](x, y) })
+    val r2 = Stats.uncertaintyCoefficient(df2, col("x"), col("y")).head()
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0 && r2.getDouble(6) == 0.0)
+  }
+
   test("closenessCentrality: path graph from one seed; unreachable nodes excluded") {
     val edges = createDf(spark, "src bigint, dst bigint", Seq(
       Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](9L, 9L)))
