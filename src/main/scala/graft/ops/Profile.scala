@@ -313,4 +313,45 @@ object Profile {
         round(expected, 6).as("expected_share"),
         round(abs(share - expected), 6).as("abs_dev"))
   }
+
+  /** k-anonymity / l-diversity audit — the privacy gate before a table
+    * leaves the pipeline: group rows by their QUASI-IDENTIFIER
+    * combination and report
+    *
+    *   k  = the smallest group (an adversary knowing the quasi-IDs can
+    *        narrow any individual to ≥ k rows only if k is large),
+    *   l  = the smallest number of DISTINCT sensitive values within a
+    *        group (k-anonymous but l = 1 still leaks the attribute),
+    *
+    * plus how much of the table sits in groups below `kThreshold`.
+    * One row: `(n_rows, n_groups, k_min, l_min, groups_below_k,
+    * rows_below_k, pct_below_k)`.
+    *
+    * Determinism: everything is exact counts; the single ratio rounds
+    * at 6 dp.
+    *
+    * Scale shape: ONE quasi-ID-keyed aggregation (count +
+    * count-distinct sensitive per group) and a 1-row rollup — the
+    * audit costs one shuffle at any scale.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitive: Column,
+                 kThreshold: Long = 5L): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(kThreshold >= 1L, s"kThreshold must be >= 1: $kThreshold")
+    val groups = df
+      .select(quasiCols.map(col) :+ sensitive.as("__s"): _*)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), countDistinct(col("__s")).as("__l"))
+    groups.agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__n")).as("k_min"),
+        min(col("__l")).as("l_min"),
+        sum(when(col("__n") < kThreshold, 1L).otherwise(0L)).as("groups_below_k"),
+        sum(when(col("__n") < kThreshold, col("__n")).otherwise(0L)).as("rows_below_k"))
+      .select(col("n_rows"), col("n_groups"), col("k_min"), col("l_min"),
+        col("groups_below_k"), col("rows_below_k"),
+        round(col("rows_below_k").cast("double") /
+          col("n_rows").cast("double"), 6).as("pct_below_k"))
+  }
 }

@@ -1225,6 +1225,17 @@ object StatsQueries {
     graft.ops.Stats.chiSquareIndependence(t(s, dir, "documents"),
       col("lang"), col("source"))
 
+  /** k-anonymity / l-diversity audit ([[graft.ops.Profile
+    * .kAnonymity]]): if customers left the pipeline keyed by
+    * (nation, market segment), how identifiable are they — the smallest
+    * quasi-ID group (k), the least-diverse group's distinct account
+    * balances (l), and the share of rows in groups under k = 5. The
+    * privacy gate a curated release runs LAST; one keyed aggregation.
+    */
+  private def qKAnon(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.kAnonymity(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), kThreshold = 5L)
+
   /** Theil's uncertainty coefficient ([[graft.ops.Stats
     * .uncertaintyCoefficient]]): HOW STRONGLY, and in WHICH DIRECTION,
     * does source predict language on q_chi2's same lang×source table —
@@ -1679,6 +1690,7 @@ object StatsQueries {
     "q_mood" -> (qMood _),
     "q_huber" -> (qHuber _),
     "q_uncertainty" -> (qUncertainty _),
+    "q_k_anon" -> (qKAnon _),
     "q_kendall_w" -> (qKendallW _),
     "q_yuen" -> (qYuen _),
     "q_by" -> (qBy _),
@@ -4418,6 +4430,24 @@ object StatsQueries {
         |FROM f""".stripMargin,
     "q_logit" -> logitOracleSql,
     "q_huber" -> huberOracleSql(4, 25000000L),
+    "q_k_anon" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |    COUNT(DISTINCT c_acctbal) AS l
+        |  FROM customer GROUP BY 1, 2),
+        |a AS (
+        |  SELECT SUM(n) AS n_rows, COUNT(*) AS n_groups,
+        |    MIN(n) AS k_min, MIN(l) AS l_min,
+        |    SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS groups_below_k,
+        |    SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS rows_below_k
+        |  FROM g)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(n_groups AS BIGINT) AS n_groups,
+        |  CAST(k_min AS BIGINT) AS k_min, CAST(l_min AS BIGINT) AS l_min,
+        |  CAST(groups_below_k AS BIGINT) AS groups_below_k,
+        |  CAST(rows_below_k AS BIGINT) AS rows_below_k,
+        |  round(CAST(rows_below_k AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS pct_below_k
+        |FROM a""".stripMargin,
     "q_uncertainty" ->
       """WITH cells AS (
         |  SELECT source AS x, lang AS y, COUNT(*) AS n

@@ -675,6 +675,20 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0 && r2.getDouble(6) == 0.0)
   }
 
+  test("kAnonymity: hand-counted k, l, and below-threshold mass") {
+    val rows = Seq.fill(3)(("a", 1L, "x")) ++ Seq.fill(3)(("a", 1L, "y")) ++
+      Seq(("a", 2L, "x"), ("a", 2L, "x"))
+    val df = createDf(spark, "q1 string, q2 bigint, s string",
+      rows.map { case (a, b, c) => Seq[Any](a, b, c) })
+    val r = graft.ops.Profile.kAnonymity(df, Seq("q1", "q2"), col("s"),
+      kThreshold = 5L).head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2L, "k_min: the (a,2) group has 2 rows")
+    assert(r.getLong(3) == 1L, "l_min: the (a,2) group has one sensitive value")
+    assert(r.getLong(4) == 1L && r.getLong(5) == 2L)
+    assert(r.getDouble(6) == 0.25)
+  }
+
   test("closenessCentrality: path graph from one seed; unreachable nodes excluded") {
     val edges = createDf(spark, "src bigint, dst bigint", Seq(
       Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](9L, 9L)))
