@@ -689,6 +689,28 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(r.getDouble(6) == 0.25)
   }
 
+  test("round-11 ops are invariant to input partitioning (integer quantization end-to-end)") {
+    val series = createDf(spark, "o bigint, v double",
+        (1 to 40).map(i => Seq[Any](i.toLong, (i * 7 % 13).toDouble + i * 0.25)))
+      .withColumn("g", lit("x"))
+    def collectSorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def inv(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+      assert(collectSorted(f(series)) == collectSorted(f(series.repartition(7))))
+    inv(d => Timeseries.maxDrawdown(d, Seq("g"), col("o"), col("v")))
+    inv(d => Timeseries.valueAtRisk(d, Seq("g"), col("v"), alphaMicro = 900000L))
+    inv(d => Timeseries.haarEnergy(d, Seq("g"), col("o"), col("v"), levels = 3))
+    inv(d => Timeseries.permutationEntropy(d, Seq("g"), col("o"), col("v")))
+    inv(d => Timeseries.transferEntropy(d, col("o"), col("v"), -col("v")))
+    inv(d => Stats.huberLocation(d, Seq("g"), col("v"), c = 3.0, sweeps = 4))
+    val cat = createDf(spark, "x bigint, y bigint",
+      (1 to 60).map(i => Seq[Any]((i % 5).toLong, (i % 3).toLong)))
+    assert(collectSorted(Stats.gammaOrdinal(cat, col("x"), col("y"))) ==
+      collectSorted(Stats.gammaOrdinal(cat.repartition(5), col("x"), col("y"))))
+    assert(collectSorted(Stats.uncertaintyCoefficient(cat, col("x"), col("y"))) ==
+      collectSorted(Stats.uncertaintyCoefficient(cat.repartition(5), col("x"), col("y"))))
+  }
+
   test("closenessCentrality: path graph from one seed; unreachable nodes excluded") {
     val edges = createDf(spark, "src bigint, dst bigint", Seq(
       Seq[Any](1L, 2L), Seq[Any](2L, 3L), Seq[Any](9L, 9L)))
