@@ -187,7 +187,9 @@ object Funnel {
     * [[transitionMatrix]]; the (from, to) count table is bounded by
     * distinct-type² (never data-sized), so it collects under the
     * bounded-driver-state contract (the k-means-centers / GK
-    * level-vector discipline) and the power iteration runs as exact
+    * level-vector discipline) — r12 hardens the contract into a
+    * `require`: a distributed distinct-state count runs before the
+    * collect and fails above `maxStates` — and the power iteration runs as exact
     * Long arithmetic on the driver — zero per-sweep Spark jobs, and
     * the convergence check is free. No intermediate exceeds `unit`:
     * (π div out)·n ≤ π and the inflow sum is ≤ Σπ = unit.
@@ -198,18 +200,33 @@ object Funnel {
   def stationaryDistribution(events: DataFrame, entityCol: String, tsCol: String,
                              tieCol: String, typeCol: String,
                              iterations: Int, unit: Long = 1000000000000L,
-                             tolUnits: Long = 0L): DataFrame = {
+                             tolUnits: Long = 0L,
+                             maxStates: Int = 10000): DataFrame = {
     require(iterations >= 1 && iterations <= 32, s"iterations out of range: $iterations")
     require(tolUnits >= 0L, s"tolUnits must be non-negative: $tolUnits")
+    require(maxStates >= 2, s"maxStates must be >= 2: $maxStates")
     val spark = events.sparkSession
     val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
-    val counts: Array[(String, String, Long)] = events
+    val cells = events
       .select(col(typeCol).cast("string").as("from_type"),
         lead(col(typeCol), 1).over(w).cast("string").as("to_type"))
       .filter(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hard bounded-panel contract (r12): the transition table is
+    // states²-bounded; count the state domain distributed BEFORE the
+    // collect so a raw-id typeCol fails with a contract error, not an OOM
+    val nStates = cells.select(col("from_type").as("__s"))
+      .union(cells.select(col("to_type"))).distinct().count()
+    require(nStates <= maxStates.toLong,
+      s"stationaryDistribution materializes a states²-bounded transition " +
+        s"table on the driver; got $nStates distinct states (cap " +
+        s"$maxStates). The state column must be a bounded vocabulary " +
+        s"(event types, pages, statuses) — not raw entity ids.")
+    val counts: Array[(String, String, Long)] =
+      cells.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    cells.unpersist(false)
     val states = (counts.map(_._1) ++ counts.map(_._2)).distinct.sorted.toSeq
     val outs: Map[String, Long] =
       counts.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._3).sum }
@@ -502,9 +519,16 @@ object Funnel {
     * `'>'`-joined strings so the k-ary shape stays one fixed schema.
     *
     * Determinism: the per-entity ordering is (ts, tie) exactly as
-    * [[transitionMatrix]]; a window's pattern is defined only when its
-    * LAST lead resolves (leads null only at each partition's tail, so
-    * the surviving windows are exactly the complete ones).
+    * [[transitionMatrix]]; null `typeCol` events drop BEFORE windowing
+    * (matching [[transitionMatrix]] — r12 fix: `concat_ws` silently
+    * skips nulls, so a mid-window null used to emit a SHORTENED string
+    * still counted as a length-`len` pattern); after that filter a
+    * window's pattern is defined exactly when its LAST lead resolves
+    * (leads null only at each partition's tail, so the surviving
+    * windows are the complete ones). Event types containing the `'>'`
+    * separator would collide in the joined-string encoding — callers
+    * with such vocabularies must re-encode upstream (documented, not
+    * scanned: a full-column guard would cost a pass per call).
     *
     * Scale shape: one entity-keyed shuffle for the sequence window
     * (len−1 leads ride the SAME window spec — one sort, not len), a
@@ -526,6 +550,7 @@ object Funnel {
     val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
     val steps = col(typeCol) +: (1 until len).map(i => lead(col(typeCol), i).over(w))
     val windows = events
+      .filter(col(typeCol).isNotNull)
       .select(col(entityCol).as("__e"), concat_ws(">", steps: _*).as("pattern"),
         steps.last.isNotNull.as("__complete"))
       .filter(col("__complete"))

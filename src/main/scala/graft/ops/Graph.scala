@@ -658,14 +658,21 @@ object Graph {
     // nodes — the same fixpoint as full min-lattice relaxation with
     // strictly less join work (the frontier shrinks; the state only grows)
     var frontier = dist
-    for (hop <- 1 to maxHops) {
+    var hop = 1
+    var exhausted = false
+    while (hop <= maxHops && !exhausted) {
       val reached = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node")).distinct()
       frontier = reached
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(hop.toLong).as("dist"))
         .localCheckpoint(true)
-      dist = dist.unionByName(frontier).localCheckpoint(true)
+      // early exit on an empty frontier (r12, ADVICE): the fixpoint is
+      // reached, so the remaining rounds would only burn checkpoint jobs.
+      // The frontier is already materialized — limit(1) is a cheap probe.
+      if (frontier.limit(1).count() == 0L) exhausted = true
+      else dist = dist.unionByName(frontier).localCheckpoint(true)
+      hop += 1
     }
     dist
   }
@@ -713,14 +720,20 @@ object Graph {
     // nodes (anti-joined against settled state) — identical fixpoint to
     // the full min-lattice relaxation, strictly less join work per round
     var frontier = dist
-    for (hop <- 1 to maxHops) {
+    var hop = 1
+    var exhausted = false
+    while (hop <= maxHops && !exhausted) {
       val reached = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
       frontier = reached
         .join(dist.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(hop.toLong).as("dist"))
         .localCheckpoint(true)
-      dist = dist.unionByName(frontier).localCheckpoint(true)
+      // early exit once every seed's ball is exhausted (r12, ADVICE) —
+      // mirrors the kCore/connectedComponents convergence break
+      if (frontier.limit(1).count() == 0L) exhausted = true
+      else dist = dist.unionByName(frontier).localCheckpoint(true)
+      hop += 1
     }
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val agg = dist.groupBy(col("seed")).agg(

@@ -666,7 +666,12 @@ object Regression {
     *
     * Determinism: the pairwise count table collects under the
     * bounded-driver-state contract (items² cells — the
-    * [[graft.ops.Funnel.stationaryDistribution]] posture); θ carries
+    * [[graft.ops.Funnel.stationaryDistribution]] posture), and r12
+    * makes the contract a hard `require`, not a docstring: one cheap
+    * distributed count of the duel cells and of the distinct items
+    * runs BEFORE the collect (the quadPairCount discipline,
+    * [[graft.text.Fuzzy]]), failing with a contract error instead of
+    * an OOM when someone points this at raw user-ids; θ carries
     * between sweeps as integer `unit`-ths; within a sweep every
     * n_ij/(θᵢ+θⱼ) term nano-quantizes before an EXACT integer sum
     * (so j-order cannot matter), W/denom and the normalization are
@@ -678,15 +683,31 @@ object Regression {
     */
   def bradleyTerry(df: DataFrame, winnerCol: Column, loserCol: Column,
                    iterations: Int = 8,
-                   unit: Long = 1000000000000L): DataFrame = {
+                   unit: Long = 1000000000000L,
+                   tolUnits: Long = 0L,
+                   maxItems: Int = 10000): DataFrame = {
     require(iterations >= 1 && iterations <= 32,
       s"iterations out of range: $iterations")
+    require(tolUnits >= 0L, s"tolUnits must be non-negative: $tolUnits")
+    require(maxItems >= 2, s"maxItems must be >= 2: $maxItems")
     val spark = df.sparkSession
-    val wins: Array[(String, String, Long)] = df
+    val cells = df
       .select(winnerCol.cast("string").as("__w"), loserCol.cast("string").as("__l"))
       .filter(col("__w").isNotNull && col("__l").isNotNull && col("__w") =!= col("__l"))
       .groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hard bounded-panel contract (r12): count the panel distributed,
+    // BEFORE anything reaches the driver — a contract error, not an OOM
+    val nItems = cells.select(col("__w").as("__i"))
+      .union(cells.select(col("__l"))).distinct().count()
+    require(nItems <= maxItems.toLong,
+      s"bradleyTerry materializes an items²-bounded duel table on the " +
+        s"driver; got $nItems distinct items (cap $maxItems). Aggregate " +
+        s"to a bounded panel (models, variants, players) first — raw " +
+        s"entity ids are not a panel.")
+    val wins: Array[(String, String, Long)] =
+      cells.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    cells.unpersist(false)
     val items = (wins.map(_._1) ++ wins.map(_._2)).distinct.sorted.toSeq
     val winTot: Map[String, Long] =
       wins.groupBy(_._1).map { case (i, ws) => i -> ws.map(_._3).sum }
@@ -697,7 +718,13 @@ object Regression {
     }
     val k = math.max(items.length, 1)
     var theta: Map[String, Long] = items.map(i => i -> unit / k).toMap
-    for (_ <- 1 to iterations) {
+    // convergence contract (r12, the q_stationary discipline): with
+    // tolUnits > 0 the MM stops once max_i |Δθ_i| < tolUnits and
+    // iters_run reports the data-dependent sweep count; tolUnits = 0
+    // always pays `iterations`. Exact-integer check — engine-free.
+    var itersRun = 0
+    var converged = false
+    while (itersRun < iterations && !converged) {
       // raw_i = W_i / (Σ_j nano(n_ij/(θ_i+θ_j)) / 1e9) — the denominator
       // sum is an exact integer, so j-order is irrelevant
       val raw: Seq[(String, Double)] = items.map { i =>
@@ -719,12 +746,17 @@ object Regression {
         i -> BigDecimal(r * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       }
       val tot = rawNano.map(_._2).sum
-      theta = rawNano.map { case (i, r) =>
+      val newTheta = rawNano.map { case (i, r) =>
         i -> (if (tot > 0L)
           BigDecimal(r.toDouble / tot.toDouble * unit.toDouble)
             .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
         else unit / k)
       }.toMap
+      itersRun += 1
+      if (tolUnits > 0L)
+        converged = items.foldLeft(0L)((m, i) =>
+          math.max(m, math.abs(newTheta(i) - theta(i)))) < tolUnits
+      theta = newTheta
     }
     val gamesTot: Map[String, Long] = items.map { i =>
       i -> games.collect { case ((a, b), n) if a == i || b == i => n }.sum
@@ -734,7 +766,7 @@ object Regression {
       (i, winTot.getOrElse(i, 0L), gamesTot(i),
         BigDecimal(theta(i).toDouble / unit.toDouble)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-        iterations.toLong)
+        itersRun.toLong)
     }.sortBy(r => (-r._4, r._1))
       .toDF("item", "wins", "games", "theta", "iters_run")
   }

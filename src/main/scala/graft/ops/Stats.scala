@@ -3135,13 +3135,18 @@ object Stats {
     * on exactly one margin,
     *
     *   gamma   = (C−D)/(C+D)                        (ties ignored)
-    *   d_yx    = (C−D)/(C+D+T_y)                    (Somers', y dependent)
+    *   d_yx    = (C−D)/(C+D+T_y)                    (Somers', y dependent:
+    *             denominator = pairs UNTIED ON X, i.e. C+D plus the pairs
+    *             tied on y only — r12 fix, the r11 code divided by the
+    *             tied-on-x term and so computed d_xy)
     *   tau_b   = (C−D)/√((C+D+T_x)(C+D+T_y))        (tie-symmetric)
     *
     * — the ordinal complement of [[spearman]] when both sides are
     * small-domain levels (ratings, buckets, priorities). One row:
     * `(n, c_pairs, d_pairs, tx_pairs, ty_pairs, gamma, somers_d_yx,
-    * tau_b)`; nulls when a denominator is 0.
+    * tau_b)` with tx_pairs = pairs tied on x ONLY (x equal, y differs)
+    * and ty_pairs = pairs tied on y ONLY (y equal, x differs) — the
+    * r11 labels were swapped; nulls when a denominator is 0.
     *
     * Determinism: all five pair totals are EXACT integers (cell-count
     * products summed as DECIMAL over the cell-pair join); the three
@@ -3163,17 +3168,18 @@ object Stats {
     // strictly-greater x on the right counts every unordered pair once
     val j = cells.join(right, col("__x2") > col("__x"))
     val prod = col("__n") * col("__n2")
+    // __ty: x differs (join is __x2 > __x), y equal → pairs tied on y ONLY
     val pairSums = j.agg(
       sum(when(col("__y2") > col("__y"), prod).otherwise(lit(0).cast(dec))).as("__c"),
       sum(when(col("__y2") < col("__y"), prod).otherwise(lit(0).cast(dec))).as("__d"),
-      sum(when(col("__y2") === col("__y"), prod).otherwise(lit(0).cast(dec))).as("__tx"))
+      sum(when(col("__y2") === col("__y"), prod).otherwise(lit(0).cast(dec))).as("__ty"))
     // pairs tied on x but not y: within-cell-column arithmetic, same bound
-    val tyTbl = cells.join(
+    val txTbl = cells.join(
         cells.select(col("__x").as("__x3"), col("__y").as("__y3"), col("__n").as("__n3")),
         col("__x3") === col("__x") && col("__y3") > col("__y"))
-      .agg(sum(col("__n") * col("__n3")).as("__ty"))
+      .agg(sum(col("__n") * col("__n3")).as("__tx"))
     val nTot = cells.agg(sum(col("__n")).as("__nt"))
-    val all = pairSums.crossJoin(tyTbl).crossJoin(nTot)
+    val all = pairSums.crossJoin(txTbl).crossJoin(nTot)
     def d(c: String): Column = coalesce(col(c), lit(0).cast(dec)).cast("double")
     val cd = d("__c") + d("__d")
     all.select(col("__nt").cast("long").as("n"),
@@ -3309,7 +3315,11 @@ object Stats {
     * `(groupBy..., n, g1, b2, z1, z2, k2)` with g1 = m₃/m₂^{3/2} and
     * b2 = m₄/m₂² (biased central moments — the convention the
     * transforms were derived for); all five statistics null when
-    * n < 5 or the group is constant.
+    * n < 8 or the group is constant. The n ≥ 8 gate is structural,
+    * not cosmetic (r12, ADVICE): for n ≤ 7 the Z₁ transform's
+    * β₂(√b₁) ≤ 3, so W² ≤ 1 and δ = 1/√ln(√W²) is NaN (n = 5, 6) or
+    * ∞ (n = 7) — n = 8 is the smallest n where every intermediate is
+    * finite, the standard minimum for D'Agostino's skewness transform.
     *
     * Determinism: the [[jarqueBera]] spine verbatim — exact integer
     * first/second moments give μ and the sample sd, per-row z³/z⁴
@@ -3375,7 +3385,7 @@ object Stats {
       cbrt((lit(1.0) - lit(2.0) / a) /
         (lit(1.0) + xs * sqrt(lit(2.0) / (a - lit(4.0)))))) /
       sqrt(lit(2.0) / (lit(9.0) * a))
-    val ok = col("n") >= 5 && col("__z4").isNotNull
+    val ok = col("n") >= 8 && col("__z4").isNotNull
     agg.select(gCols
       :+ col("n")
       :+ when(ok, round(g1, 6)).as("g1")

@@ -3300,7 +3300,7 @@ object EventQueries {
         |  SELECT user_id, event_type AS s1,
         |    lead(event_type, 1) OVER w AS s2,
         |    lead(event_type, 2) OVER w AS s3
-        |  FROM events
+        |  FROM events WHERE event_type IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |win AS (
         |  SELECT user_id, s1 || '>' || s2 || '>' || s3 AS pattern

@@ -3164,38 +3164,38 @@ object StatsQueries {
         |  SELECT
         |    SUM(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END) AS c,
         |    SUM(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END) AS d,
-        |    SUM(CASE WHEN b.y = a.y THEN a.n * b.n ELSE 0 END) AS tx
+        |    SUM(CASE WHEN b.y = a.y THEN a.n * b.n ELSE 0 END) AS ty
         |  FROM cells a JOIN cells b ON b.x > a.x),
-        |ty AS (
-        |  SELECT SUM(a.n * b.n) AS ty
+        |tx AS (
+        |  SELECT SUM(a.n * b.n) AS tx
         |  FROM cells a JOIN cells b ON b.x = a.x AND b.y > a.y),
         |nt AS (SELECT SUM(n) AS n FROM cells)
         |SELECT CAST(nt.n AS BIGINT) AS n,
         |  CAST(COALESCE(ps.c, 0) AS BIGINT) AS c_pairs,
         |  CAST(COALESCE(ps.d, 0) AS BIGINT) AS d_pairs,
-        |  CAST(COALESCE(ps.tx, 0) AS BIGINT) AS tx_pairs,
-        |  CAST(COALESCE(ty.ty, 0) AS BIGINT) AS ty_pairs,
+        |  CAST(COALESCE(tx.tx, 0) AS BIGINT) AS tx_pairs,
+        |  CAST(COALESCE(ps.ty, 0) AS BIGINT) AS ty_pairs,
         |  CASE WHEN CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE) > 0.0
         |    THEN round((CAST(COALESCE(ps.c, 0) AS DOUBLE) - CAST(COALESCE(ps.d, 0) AS DOUBLE))
         |      / (CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)), 6)
         |  END AS gamma,
         |  CASE WHEN CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)
-        |      + CAST(COALESCE(ty.ty, 0) AS DOUBLE) > 0.0
+        |      + CAST(COALESCE(ps.ty, 0) AS DOUBLE) > 0.0
         |    THEN round((CAST(COALESCE(ps.c, 0) AS DOUBLE) - CAST(COALESCE(ps.d, 0) AS DOUBLE))
         |      / (CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)
-        |        + CAST(COALESCE(ty.ty, 0) AS DOUBLE)), 6)
+        |        + CAST(COALESCE(ps.ty, 0) AS DOUBLE)), 6)
         |  END AS somers_d_yx,
         |  CASE WHEN (CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)
-        |        + CAST(COALESCE(ps.tx, 0) AS DOUBLE))
+        |        + CAST(COALESCE(tx.tx, 0) AS DOUBLE))
         |      * (CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)
-        |        + CAST(COALESCE(ty.ty, 0) AS DOUBLE)) > 0.0
+        |        + CAST(COALESCE(ps.ty, 0) AS DOUBLE)) > 0.0
         |    THEN round((CAST(COALESCE(ps.c, 0) AS DOUBLE) - CAST(COALESCE(ps.d, 0) AS DOUBLE))
         |      / sqrt((CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)
-        |          + CAST(COALESCE(ps.tx, 0) AS DOUBLE))
+        |          + CAST(COALESCE(tx.tx, 0) AS DOUBLE))
         |        * (CAST(COALESCE(ps.c, 0) AS DOUBLE) + CAST(COALESCE(ps.d, 0) AS DOUBLE)
-        |          + CAST(COALESCE(ty.ty, 0) AS DOUBLE))), 6)
+        |          + CAST(COALESCE(ps.ty, 0) AS DOUBLE))), 6)
         |  END AS tau_b
-        |FROM ps CROSS JOIN ty CROSS JOIN nt""".stripMargin,
+        |FROM ps CROSS JOIN tx CROSS JOIN nt""".stripMargin,
     "q_pchart" ->
       """WITH b AS (
         |  SELECT event_type, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS t,
@@ -3324,11 +3324,11 @@ object StatsQueries {
         |      / sqrt(2.0 / (9.0 * a)) AS z2
         |  FROM t2)
         |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
-        |  CASE WHEN n >= 5 AND z4s IS NOT NULL THEN round(g1, 6) END AS g1,
-        |  CASE WHEN n >= 5 AND z4s IS NOT NULL THEN round(b2, 6) END AS b2,
-        |  CASE WHEN n >= 5 AND z4s IS NOT NULL THEN round(z1, 6) END AS z1,
-        |  CASE WHEN n >= 5 AND z4s IS NOT NULL THEN round(z2, 6) END AS z2,
-        |  CASE WHEN n >= 5 AND z4s IS NOT NULL THEN round(z1 * z1 + z2 * z2, 6) END AS k2
+        |  CASE WHEN n >= 8 AND z4s IS NOT NULL THEN round(g1, 6) END AS g1,
+        |  CASE WHEN n >= 8 AND z4s IS NOT NULL THEN round(b2, 6) END AS b2,
+        |  CASE WHEN n >= 8 AND z4s IS NOT NULL THEN round(z1, 6) END AS z1,
+        |  CASE WHEN n >= 8 AND z4s IS NOT NULL THEN round(z2, 6) END AS z2,
+        |  CASE WHEN n >= 8 AND z4s IS NOT NULL THEN round(z1 * z1 + z2 * z2, 6) END AS k2
         |FROM t3 ORDER BY event_type""".stripMargin,
     "q_ad2" ->
       """WITH tg AS (

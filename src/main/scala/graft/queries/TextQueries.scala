@@ -995,10 +995,12 @@ object TextQueries {
     * word and characters per subword — the "how expensive is this
     * language for my tokenizer?" table (high fertility = wasted
     * context window) that sits beside q_bpe's trained merges. Exact
-    * integer count sums, one aggregation. Ratios are micro-quantized
-    * via exact integral division on decimal products (round-half-up of
-    * num*1e6/den) so the emitted double is the same IEEE value on both
-    * engines — no cross-engine round(double, 6) tie divergence.
+    * integer count sums, one aggregation. Ratios emit as INTEGER
+    * micro-units (round-half-up of num*1e6/den via exact integral
+    * division on decimal products) — r12: the BIGINT columns carry no
+    * float surface at all, so no engine/driver double-canonicalization
+    * can diverge (two rounds of r10/r11 hash mismatches survived two
+    * different double-rounding schemes; integers end the class).
     */
   private def qFertility(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -1011,12 +1013,12 @@ object TextQueries {
       .select(col("lang"), col("n_docs"), col("subwords"), col("words"),
         when(col("words") > 0,
           expr("(cast(subwords as decimal(38,0)) * 2000000 + words) div " +
-            "(cast(words as decimal(38,0)) * 2)").cast("double") / lit(1e6))
-          .as("fertility"),
+            "(cast(words as decimal(38,0)) * 2)").cast("long"))
+          .as("fertility_micros"),
         when(col("subwords") > 0,
           expr("(cast(chars as decimal(38,0)) * 2000000 + subwords) div " +
-            "(cast(subwords as decimal(38,0)) * 2)").cast("double") / lit(1e6))
-          .as("chars_per_subword"))
+            "(cast(subwords as decimal(38,0)) * 2)").cast("long"))
+          .as("chars_per_subword_micros"))
       .orderBy(col("lang"))
   }
 
@@ -1766,12 +1768,12 @@ object TextQueries {
         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, subwords, words,
         |  CASE WHEN words > 0 THEN
         |    CAST((CAST(subwords AS HUGEINT) * 2000000 + words)
-        |      // (CAST(words AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
-        |  END AS fertility,
+        |      // (CAST(words AS HUGEINT) * 2) AS BIGINT)
+        |  END AS fertility_micros,
         |  CASE WHEN subwords > 0 THEN
         |    CAST((CAST(chars AS HUGEINT) * 2000000 + subwords)
-        |      // (CAST(subwords AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
-        |  END AS chars_per_subword
+        |      // (CAST(subwords AS HUGEINT) * 2) AS BIGINT)
+        |  END AS chars_per_subword_micros
         |FROM a ORDER BY lang""".stripMargin,
     "q_gopher" ->
       """WITH d AS (

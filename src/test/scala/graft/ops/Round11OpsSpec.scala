@@ -293,11 +293,23 @@ class Round11OpsSpec extends AnyFunSuite {
       .withColumn("g", lit("x"))
     val rs = Stats.dagostinoK2(sym, Seq("g"), col("v")).head()
     assert(rs.getDouble(4) == 0.0, "symmetric sample: z1 exactly 0")
-    // n = 4 < 5: all statistics null
-    val tiny = createDf(spark, "v double",
-        Seq(1.0, 2.0, 3.0, 4.0).map(v => Seq[Any](v)))
+    // n < 8: all statistics null — for n in {5,6,7} the Z1 transform's
+    // delta is NaN/Inf (beta2(sqrt(b1)) <= 3 => W^2 <= 1), so the r12
+    // gate returns null instead of NaN garbage (ADVICE r11)
+    for (n <- Seq(4, 5, 6, 7)) {
+      val tiny = createDf(spark, "v double",
+          (1 to n).map(i => Seq[Any](i.toDouble + (i % 2) * 0.7)))
+        .withColumn("g", lit("x"))
+      val row = Stats.dagostinoK2(tiny, Seq("g"), col("v")).head()
+      for (i <- 2 to 6)
+        assert(row.isNullAt(i), s"n=$n col $i must be null under the n>=8 gate")
+    }
+    // n = 8: every intermediate is finite — k2 must be a real number
+    val eight = createDf(spark, "v double",
+        Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 20.0).map(v => Seq[Any](v)))
       .withColumn("g", lit("x"))
-    assert(Stats.dagostinoK2(tiny, Seq("g"), col("v")).head().isNullAt(6))
+    val r8 = Stats.dagostinoK2(eight, Seq("g"), col("v")).head()
+    assert(!r8.isNullAt(6) && !r8.getDouble(6).isNaN && !r8.getDouble(6).isInfinite)
   }
 
   test("andersonDarling2: identical samples give 0; disjoint give the 4-point closed form") {
