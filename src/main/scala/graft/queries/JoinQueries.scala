@@ -389,6 +389,24 @@ object JoinQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q_jaro with `pairBudget = 0`: the FORCED sorted-multiset
+    * deletion-signature pair source — the physical regime q_jaro rides
+    * once Σ block² outgrows the budget at scale. Registered as its own
+    * oracled query (r12, VERDICT #2/#3) so the sub-quadratic path is
+    * driver-hash-verified against the same quadratic DuckDB definition
+    * every round, and so [[graft.ScaleProbe]] can time it on the
+    * ×10/×100 corpora by name. Identical output to q_jaro by the
+    * containment proof ([[graft.text.Fuzzy.jaroDupPairs]]).
+    */
+  private def qJaroSig(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    graft.text.Fuzzy.jaroDupPairs(c, "c_custkey", "c_name",
+        Seq(col("c_nationkey"), col("c_mktsegment")), threshold = 0.975,
+        pairBudget = 0L)
+      .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Fellegi-Sunter match scoring ([[graft.ops.Linkage.score]]) over
     * (nation, segment)-blocked customer pairs: three agreement fields
     * (name last-char, acctbal-thousand bucket, acctbal sign) with fixed
@@ -655,6 +673,7 @@ object JoinQueries {
     "q_damerau" -> (qDamerau _),
     "q_elasticity" -> (qElasticity _),
     "q_jaro" -> (qJaro _),
+    "q_jaro_sig" -> (qJaroSig _),
     "q_linkage" -> (qLinkage _),
     "q_consolidate" -> (qConsolidate _),
     "q_scd2" -> (qScd2 _),
@@ -702,6 +721,17 @@ object JoinQueries {
         |  END AS r2
         |FROM a ORDER BY p_brand""".stripMargin,
     "q_jaro" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.975
+        |ORDER BY id_a, id_b""".stripMargin,
+    // the forced-signature path is EXACT (containment proof), so its
+    // oracle is the same quadratic definition — hash equality each
+    // round IS the sub-quadratic path's exactness certificate
+    "q_jaro_sig" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
         |FROM customer a JOIN customer b

@@ -4445,7 +4445,8 @@ object StatsQueries {
         |  CAST(k_min AS BIGINT) AS k_min, CAST(l_min AS BIGINT) AS l_min,
         |  CAST(groups_below_k AS BIGINT) AS groups_below_k,
         |  CAST(rows_below_k AS BIGINT) AS rows_below_k,
-        |  round(CAST(rows_below_k AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |  CAST((CAST(rows_below_k AS HUGEINT) * 2000000 + n_rows)
+        |    // (CAST(n_rows AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
         |    AS pct_below_k
         |FROM a""".stripMargin,
     "q_uncertainty" ->

@@ -157,6 +157,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__sig"), s"expected the deletion-signature join key:\n${p.take(2000)}")
   }
 
+  test("q_jaro signature regime plans the (block, __sig) equi-join — no cross product") {
+    // pairBudget = 0 forces the signature path (the regime q_jaro rides
+    // at scale); the join key must include the exploded signature so
+    // parallelism tracks signature cardinality, not the 25-value block
+    val c = graft.sources.Sources.readTable(spark, dir, "customer")
+    val p = graft.text.Fuzzy.jaroDupPairs(c, "c_custkey", "c_name",
+        Seq(col("c_nationkey"), col("c_mktsegment")), threshold = 0.975,
+        pairBudget = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"signature path must stay an equi-join:\n${p.take(2000)}")
+    assert(p.contains("__sig"), s"expected the deletion-signature join key:\n${p.take(2000)}")
+  }
+
+  test("q_jaro sub-budget regime plans the plain in-block equi-join (no signature explode)") {
+    // at sf0.001 the exact pair-count probe lands under the default
+    // budget, so the cost-based choice must pick the quadratic branch:
+    // an equi-join on the block keys alone, with no signature machinery
+    val c = graft.sources.Sources.readTable(spark, dir, "customer")
+    val p = graft.text.Fuzzy.jaroDupPairs(c, "c_custkey", "c_name",
+        Seq(col("c_nationkey"), col("c_mktsegment")), threshold = 0.975)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("__sig"),
+      s"sub-budget regime must not pay the signature explode:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"in-block join must be an equi-join on the block keys:\n${p.take(2000)}")
+    assert(p.contains("Join"), s"expected the block equi-join:\n${p.take(2000)}")
+  }
+
   test("q_resample: every stage hash-partitions on the series key (no global sort until output)") {
     val p = plan("q_resample")
     val parts = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length

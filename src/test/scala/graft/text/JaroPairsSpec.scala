@@ -81,6 +81,27 @@ class JaroPairsSpec extends AnyFunSuite {
     assert(costBased(c, 0.975) == quad)
   }
 
+  test("rows past lenCap match the quadratic scan in BOTH regimes") {
+    // two long near-duplicates (one transposition at 40+ chars — far past
+    // the threshold-0.92 cap), a long/short unrelated mix, and short
+    // near-pairs: the overflow route must surface the long-long match in
+    // the forced-signature regime, and the cost-based default (quadratic
+    // at this size) must agree pair-for-pair
+    val longA = "Customer#000000012ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val longB = "Customer#000000012ABCDEFGHIJKLMNOPQRSTUVWXZY" // swap tail
+    val names = Seq(longA, longB, "MARTHA", "MARHTA", "DWAYNE",
+      "Customer#000000099", longA + "0123456789")
+    val df = createDf(spark, "id int, s string, blk int",
+      names.zipWithIndex.map { case (n, i) => Seq[Any](i, n, 0) })
+    for (th <- Seq(0.975, 0.92)) {
+      val quad = quadratic(df, th)
+      assert(sigged(df, th) == quad, s"signature regime, threshold $th")
+      assert(costBased(df, th) == quad, s"cost-based regime, threshold $th")
+    }
+    // the long-long pair is really there (exercises the overflow union)
+    assert(quadratic(df, 0.92).exists { case (a, b, _) => a == 0L && b == 1L })
+  }
+
   test("customer names ride the signature path, not the quadratic fallback") {
     // at threshold 0.975 / k=2 the length cap is 23; 18-char customer
     // names must all be on the sub-quadratic side. Proxy check: a block
