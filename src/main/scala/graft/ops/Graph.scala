@@ -707,6 +707,31 @@ object Graph {
   def closenessCentrality(edges: DataFrame, srcCol: String, dstCol: String,
                           seeds: DataFrame, seedCol: String,
                           maxHops: Int): DataFrame = {
+    val dist = seedDistances(edges, srcCol, dstCol, seeds, seedCol, maxHops)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val agg = dist.groupBy(col("seed")).agg(
+      count(lit(1)).as("n_reached"),
+      sum(col("dist").cast(dec)).as("__sd"),
+      sum(when(col("dist") > 0L,
+        round(lit(1e9) / col("dist").cast("double"), 0).cast(dec))
+        .otherwise(lit(0).cast(dec))).as("__h"))
+    agg.select(col("seed"), col("n_reached"),
+      col("__sd").cast("long").as("sum_dist"),
+      round(col("__h").cast("double") / lit(1e9), 6).as("harmonic"),
+      when(col("__sd") > 0,
+        round((col("n_reached") - lit(1L)).cast("double") /
+          col("__sd").cast("double"), 6)).as("closeness"))
+  }
+
+  /** The per-seed frontier-BFS distance state shared by
+    * [[closenessCentrality]] and [[eccentricity]] (r12 refactor):
+    * `(seed, node, dist)` for every node within `maxHops` of each
+    * seed, exact integer min-lattice distances, eager per-round
+    * checkpoints, early exit on an empty frontier.
+    */
+  private def seedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                            seeds: DataFrame, seedCol: String,
+                            maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 16, s"maxHops out of range: $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -735,18 +760,36 @@ object Graph {
       else dist = dist.unionByName(frontier).localCheckpoint(true)
       hop += 1
     }
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val agg = dist.groupBy(col("seed")).agg(
-      count(lit(1)).as("n_reached"),
-      sum(col("dist").cast(dec)).as("__sd"),
-      sum(when(col("dist") > 0L,
-        round(lit(1e9) / col("dist").cast("double"), 0).cast(dec))
-        .otherwise(lit(0).cast(dec))).as("__h"))
-    agg.select(col("seed"), col("n_reached"),
-      col("__sd").cast("long").as("sum_dist"),
-      round(col("__h").cast("double") / lit(1e9), 6).as("harmonic"),
-      when(col("__sd") > 0,
-        round((col("n_reached") - lit(1L)).cast("double") /
-          col("__sd").cast("double"), 6)).as("closeness"))
+    dist
+  }
+
+  /** Bounded-hop eccentricity for a seed panel — the worst-case
+    * counterpart of [[closenessCentrality]]'s averages: per seed, the
+    * MAXIMUM hop distance to any node it reaches within `maxHops`,
+    * plus the panel-level radius/diameter LOWER BOUNDS (min/max of the
+    * seed eccentricities — the standard sampled bounds; exact
+    * eccentricity would need the full ball, which `maxHops` truncates
+    * by contract, so a seed whose frontier is still growing at the
+    * bound reports `truncated = true` and its ecc is itself a lower
+    * bound). Returns per seed:
+    * `(seed, n_reached, eccentricity, truncated)` — all exact
+    * integers / booleans, no float surface at all.
+    *
+    * Scale shape: the [[closenessCentrality]] machinery verbatim
+    * ((seeds × reached) state, frontier rounds, eager checkpoints) and
+    * one seed-keyed max aggregation. The truncation flag is
+    * `eccentricity = maxHops` — conservative (a ball that exhausts
+    * EXACTLY at the bound still flags), which is the honest direction
+    * for a lower-bound readout.
+    */
+  def eccentricity(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxHops: Int): DataFrame = {
+    val dist = seedDistances(edges, srcCol, dstCol, seeds, seedCol, maxHops)
+    dist.groupBy(col("seed")).agg(
+        count(lit(1)).as("n_reached"),
+        max(col("dist")).as("eccentricity"))
+      .select(col("seed"), col("n_reached"), col("eccentricity"),
+        (col("eccentricity") === lit(maxHops.toLong)).as("truncated"))
   }
 }

@@ -134,6 +134,54 @@ object GraphQueries {
       .orderBy(col("seed"))
   }
 
+  /** Seed-panel eccentricity ([[graft.ops.Graph.eccentricity]]): the
+    * worst-case hop radius of each suppkey%11 seed's 4-hop ball over
+    * the supplier co-sequence graph — q_closeness's max-distance
+    * sibling (radius/diameter lower bounds for the panel), same
+    * frontier-BFS rounds, all-integer output (no float surface). The
+    * unrolled oracle replays each frontier exactly.
+    */
+  private def qEccentricity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"))
+    val li = t(s, dir, "lineitem")
+    val edges = li
+      .select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    val seeds = li.select(col("l_suppkey").as("node")).distinct()
+      .filter(col("node") % 11 === 0)
+    graft.ops.Graph.eccentricity(edges, "src", "dst", seeds, "node",
+        maxHops = 4)
+      .orderBy(col("seed"))
+  }
+
+  private def eccentricityOracleSql: String = {
+    val iters = (1 to 4).map { i =>
+      s"""d$i AS (
+         |  SELECT seed, node, MIN(dist) AS dist FROM (
+         |    SELECT seed, node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT p.seed, e.dst AS node, p.dist + 1 AS dist
+         |    FROM e JOIN d${i - 1} p ON e.src = p.node)
+         |  GROUP BY seed, node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nxt AS (
+       |  SELECT l_suppkey AS src,
+       |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+       |                          ORDER BY l_linenumber, l_suppkey) AS dst
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM nxt WHERE dst IS NOT NULL AND src <> dst),
+       |d0 AS (
+       |  SELECT DISTINCT l_suppkey AS seed, l_suppkey AS node, 0 AS dist
+       |  FROM lineitem WHERE l_suppkey % 11 = 0),
+       |$iters
+       |SELECT seed, COUNT(*) AS n_reached,
+       |  CAST(MAX(dist) AS BIGINT) AS eccentricity,
+       |  MAX(dist) = 4 AS truncated
+       |FROM d4 GROUP BY seed ORDER BY seed""".stripMargin
+  }
+
   private def closenessOracleSql: String = {
     val iters = (1 to 4).map { i =>
       s"""d$i AS (
@@ -566,6 +614,7 @@ object GraphQueries {
     "q_ppr" -> (qPpr _),
     "q_bfs" -> (qBfs _),
     "q_closeness" -> (qCloseness _),
+    "q_eccentricity" -> (qEccentricity _),
   )
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
@@ -643,6 +692,7 @@ object GraphQueries {
     "q_ppr" -> pprOracleSql,
     "q_bfs" -> bfsOracleSql,
     "q_closeness" -> closenessOracleSql,
+    "q_eccentricity" -> eccentricityOracleSql,
     "q_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem

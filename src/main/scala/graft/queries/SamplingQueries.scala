@@ -165,7 +165,110 @@ object SamplingQueries {
         "source", length(col("text")).cast("double"), budget = 500L)
       .orderBy(col("source"))
 
+  /** Raking / iterative proportional fitting ([[graft.ops.Survey
+    * .rake]]): calibrate the positive-balance customer subsample's
+    * weights so its nation × segment margins match the FULL register's
+    * counts — the survey-reweighting workhorse (post-stratification on
+    * two margins at once). 5 sweeps of exact integer-unit IPF
+    * (truncating `div` on decimal products), all-BIGINT output; the
+    * oracle replays every sweep CTE-for-CTE with HUGEINT `//`.
+    */
+  private def qRaking(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val rt = c.groupBy(col("c_nationkey").cast("string").as("r"))
+      .agg((count(lit(1)) * lit(1000000L)).as("t"))
+    val ct = c.groupBy(col("c_mktsegment").cast("string").as("c"))
+      .agg((count(lit(1)) * lit(1000000L)).as("t"))
+    graft.ops.Survey.rake(c.filter(col("c_acctbal") > 0),
+      col("c_nationkey"), col("c_mktsegment"), lit(1.0), rt, ct,
+      iterations = 5)
+  }
+
+  private def rakingOracleSql: String = {
+    val sweeps = (1 to 5).map { i =>
+      val prev = if (i == 1) "j0" else s"b${i - 1}"
+      s"""a$i AS (
+         |  SELECT r, c, n, (w * tr) // SUM(w) OVER (PARTITION BY r) AS w, tr, tc
+         |  FROM $prev),
+         |b$i AS (
+         |  SELECT r, c, n, (w * tc) // SUM(w) OVER (PARTITION BY c) AS w, tr, tc
+         |  FROM a$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT CAST(c_nationkey AS VARCHAR) AS r, c_mktsegment AS c,
+       |    COUNT(*) AS n, CAST(COUNT(*) AS HUGEINT) * 1000000 AS w
+       |  FROM customer WHERE c_acctbal > 0 GROUP BY 1, 2),
+       |rt AS (
+       |  SELECT CAST(c_nationkey AS VARCHAR) AS r,
+       |    CAST(COUNT(*) AS HUGEINT) * 1000000 AS tr
+       |  FROM customer GROUP BY 1),
+       |ct AS (
+       |  SELECT c_mktsegment AS c, CAST(COUNT(*) AS HUGEINT) * 1000000 AS tc
+       |  FROM customer GROUP BY 1),
+       |j0 AS (
+       |  SELECT w0.r, w0.c, w0.n, w0.w, rt.tr, ct.tc
+       |  FROM w0 JOIN rt USING (r) JOIN ct USING (c)),
+       |$sweeps
+       |SELECT j0.r AS row_key, j0.c AS col_key, CAST(j0.n AS BIGINT) AS n_rows,
+       |  CAST(j0.w AS BIGINT) AS w_base_units,
+       |  CAST(b5.w AS BIGINT) AS w_raked_units,
+       |  CAST(5 AS BIGINT) AS iters_run
+       |FROM j0 JOIN b5 ON j0.r = b5.r AND j0.c = b5.c
+       |ORDER BY row_key, col_key""".stripMargin
+  }
+
+  /** Horvitz-Thompson stratified total ([[graft.ops.Survey
+    * .horvitzThompson]]): scale the md5-deterministic 20% customer
+    * sample's account balances back to the full register, stratified
+    * by segment with finite-population-corrected SE — the
+    * design-unbiased "gross up the sample" every survey publication
+    * runs. The oracle replays the md5 inclusion rule and the exact
+    * quantized trees.
+    */
+  private def qHt(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val samp = Sampling.deterministicSample(c, "c_custkey", 0.2)
+    val pop = c.groupBy(col("c_mktsegment").as("h")).agg(count(lit(1)).as("N"))
+    graft.ops.Survey.horvitzThompson(samp, col("c_mktsegment"),
+      col("c_acctbal"), pop)
+  }
+
+  private def htOracleSql: String =
+    """WITH s AS (
+      |  SELECT c_mktsegment AS h,
+      |    CAST(round(c_acctbal * 1000000.0) AS BIGINT) AS y
+      |  FROM customer
+      |  WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 10000 < 2000
+      |    AND c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+      |g AS (
+      |  SELECT h, COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS s1,
+      |    SUM(CAST(y AS HUGEINT) * y) AS s2
+      |  FROM s GROUP BY 1),
+      |p AS (SELECT c_mktsegment AS h, COUNT(*) AS np FROM customer GROUP BY 1),
+      |j AS (SELECT g.h, g.n, g.s1, g.s2, p.np FROM g JOIN p USING (h)),
+      |per AS (
+      |  SELECT h, n, np,
+      |    CAST(round(CAST(CAST(np AS HUGEINT) * s1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) AS HUGEINT) AS t,
+      |    CAST(round(CAST(np AS DOUBLE) * CAST(np AS DOUBLE)
+      |      * (1.0 - CAST(n AS DOUBLE) / CAST(np AS DOUBLE))
+      |      * (CASE WHEN n >= 2 THEN
+      |          (CAST(s2 AS DOUBLE)
+      |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |          / (CAST(n AS DOUBLE) - 1.0) ELSE 0.0 END)
+      |      / CAST(n AS DOUBLE) / 1000000000000.0 * 1000000000.0)
+      |      AS HUGEINT) AS v
+      |  FROM j)
+      |SELECT COUNT(*) AS n_strata, CAST(SUM(np) AS BIGINT) AS n_pop,
+      |  CAST(SUM(n) AS BIGINT) AS n_sample,
+      |  CAST(SUM(t) AS BIGINT) AS ht_total_micros,
+      |  round(sqrt(CAST(SUM(v) AS DOUBLE) / 1000000000.0), 6) AS se
+      |FROM per""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_raking" -> (qRaking _),
+    "q_ht" -> (qHt _),
     "q_neyman" -> (qNeyman _),
     "q_det_shuffle" -> (qDetShuffle _),
     "q_temporal_split" -> (qTemporalSplit _),
@@ -180,6 +283,8 @@ object SamplingQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
+    "q_raking" -> rakingOracleSql,
+    "q_ht" -> htOracleSql,
     "q_neyman" ->
       """WITH v AS (
         |  SELECT source,

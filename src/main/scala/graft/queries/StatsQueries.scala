@@ -1637,8 +1637,22 @@ object StatsQueries {
       pmod(col("user_id"), lit(2)) === 0, col("value"),
       hour(col("ts")).cast("double"))
 
+  /** Empirical-Bayes shrinkage ([[graft.ops.Survey.ebShrink]]) of
+    * per-user-bucket mean event values toward the grand mean: the
+    * small-area-estimation move — a 5-event bucket borrows strength
+    * from the population, a 5k-event bucket keeps its own mean.
+    * Method-of-moments variance components from one micro-quantized
+    * moment pass; all-BIGINT micro output (no float surface).
+    */
+  private def qShrinkage(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Survey.ebShrink(
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("bucket", col("user_id") % 97),
+      Seq("bucket"), col("value"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shrinkage" -> (qShrinkage _),
     "q_qte" -> (qQte _),
     "q_oaxaca" -> (qOaxaca _),
     "q_wilcoxon" -> (qWilcoxon _),
@@ -1810,6 +1824,41 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_shrinkage" ->
+      """WITH v AS (
+        |  SELECT user_id % 97 AS bucket,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT bucket, COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS s1,
+        |    SUM(CAST(y AS HUGEINT) * y) AS s2
+        |  FROM v GROUP BY 1),
+        |tt AS (
+        |  SELECT SUM(n) AS N, COUNT(*) AS k, SUM(s1) AS S1, SUM(s2) AS S2,
+        |    SUM(CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE) / 1000000.0) AS HUGEINT)) AS SA,
+        |    SUM(CAST(n AS HUGEINT) * n) AS nn
+        |  FROM g),
+        |c1 AS (
+        |  SELECT CAST(S1 AS DOUBLE) / CAST(N AS DOUBLE) AS mu,
+        |    (CAST(S2 AS DOUBLE) - CAST(SA AS DOUBLE) * 1000000.0)
+        |      / (CAST(N AS DOUBLE) - CAST(k AS DOUBLE)) AS sig2,
+        |    (CAST(SA AS DOUBLE) * 1000000.0
+        |      - CAST(S1 AS DOUBLE) * CAST(S1 AS DOUBLE) / CAST(N AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1.0) AS msb,
+        |    (CAST(N AS DOUBLE) - CAST(nn AS DOUBLE) / CAST(N AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1.0) AS n0
+        |  FROM tt),
+        |c2 AS (SELECT mu, sig2, GREATEST(0.0, (msb - sig2) / n0) AS tau2 FROM c1)
+        |SELECT g.bucket, CAST(g.n AS BIGINT) AS n,
+        |  CAST(round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+        |    AS mean_micros,
+        |  CAST(round(mu + (tau2 / (tau2 + sig2 / CAST(n AS DOUBLE)))
+        |    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - mu)) AS BIGINT)
+        |    AS shrunk_mean_micros,
+        |  CAST(round(tau2 / (tau2 + sig2 / CAST(n AS DOUBLE)) * 1000000.0)
+        |    AS BIGINT) AS b_micros
+        |FROM g, c2 ORDER BY bucket""".stripMargin,
     "q_qte" ->
       """WITH v AS (
         |  SELECT user_id % 2 = 0 AS t,

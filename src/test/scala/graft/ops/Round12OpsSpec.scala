@@ -97,6 +97,84 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(pats == Set("a>b>c", "b>c>d"))
   }
 
+  test("rake: margins hit their targets; contract guards fire") {
+    val rows = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))
+    val df = createDf(spark, "r string, c string",
+      rows.map { case (r, c) => Seq[Any](r, c) })
+    val rt = createDf(spark, "r string, t bigint",
+      Seq(Seq[Any]("a", 6000000L), Seq[Any]("b", 2000000L)))
+    val ct = createDf(spark, "c string, t bigint",
+      Seq(Seq[Any]("x", 5000000L), Seq[Any]("y", 3000000L)))
+    val out = Survey.rake(df, col("r"), col("c"), lit(1.0), rt, ct,
+      iterations = 16, tolUnits = 100L)
+    val cells = out.collect().map(r => ((r.getString(0), r.getString(1)),
+      r.getLong(4))).toMap
+    // row margins: IPF converges to the unique biproportional fit; floor
+    // division loses at most a few units per cell per sweep
+    val rowA = cells(("a", "x")) + cells(("a", "y"))
+    val rowB = cells(("b", "x"))
+    assert(math.abs(rowA - 6000000L) < 2000L, s"row a margin: $rowA")
+    assert(math.abs(rowB - 2000000L) < 2000L, s"row b margin: $rowB")
+    val colX = cells(("a", "x")) + cells(("b", "x"))
+    assert(math.abs(colX - 5000000L) < 2000L, s"col x margin: $colX")
+    val iters = out.select("iters_run").head().getLong(0)
+    assert(iters < 16L && iters >= 1L, s"tol must early-exit, ran $iters")
+    // a sample key absent from the targets is a contract error
+    val rtBad = createDf(spark, "r string, t bigint", Seq(Seq[Any]("a", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Survey.rake(df, col("r"), col("c"), lit(1.0), rtBad, ct, iterations = 2)
+    }
+    assert(e.getMessage.contains("missing sample row key"))
+    val e2 = intercept[IllegalArgumentException] {
+      Survey.rake(df, col("r"), col("c"), lit(1.0), rt, ct,
+        iterations = 2, maxCells = 2)
+    }
+    assert(e2.getMessage.contains("occupied cells"))
+  }
+
+  test("horvitzThompson: hand-computed two-stratum total and FPC variance") {
+    // stratum A: N=4, sample {1, 3} -> mean 2, contrib 8; s2 = 2,
+    //   v = 16 * (1 - 2/4) * 2 / 2 = 8
+    // stratum B: N=2, sample {5} -> contrib 10, singleton -> v = 0
+    // T = 18 (18e6 micros), SE = sqrt(8) = 2.828427
+    val samp = createDf(spark, "h string, y double",
+      Seq(Seq[Any]("A", 1.0), Seq[Any]("A", 3.0), Seq[Any]("B", 5.0)))
+    val pop = createDf(spark, "h string, N bigint",
+      Seq(Seq[Any]("A", 4L), Seq[Any]("B", 2L)))
+    val r = Survey.horvitzThompson(samp, col("h"), col("y"), pop).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 18000000L, "ht_total_micros")
+    assert(math.abs(r.getDouble(4) - math.sqrt(8.0)) < 1e-5, "se")
+  }
+
+  test("ebShrink: zero within-variance keeps group means; equal means collapse b to 0") {
+    val df = createDf(spark, "g string, v double",
+      Seq(Seq[Any]("a", 0.0), Seq[Any]("a", 0.0),
+        Seq[Any]("b", 2.0), Seq[Any]("b", 2.0)))
+    val out = Survey.ebShrink(df, Seq("g"), col("v")).orderBy("g").collect()
+    // sigma2 = 0, tau2 > 0 -> b = 1: shrunk == own mean
+    assert(out(0).getLong(2) == 0L && out(0).getLong(3) == 0L)
+    assert(out(1).getLong(2) == 2000000L && out(1).getLong(3) == 2000000L)
+    assert(out(0).getLong(4) == 1000000L, "b = 1 at zero within-variance")
+    // equal group means -> tau2 clamps to 0 -> everything at grand mean
+    val flat = createDf(spark, "g string, v double",
+      Seq(Seq[Any]("a", 1.0), Seq[Any]("a", 3.0),
+        Seq[Any]("b", 3.0), Seq[Any]("b", 1.0)))
+    val o2 = Survey.ebShrink(flat, Seq("g"), col("v")).orderBy("g").collect()
+    assert(o2(0).getLong(4) == 0L && o2(1).getLong(4) == 0L)
+    assert(o2(0).getLong(3) == 2000000L && o2(1).getLong(3) == 2000000L)
+  }
+
+  test("eccentricity: chain ball radius and the truncation flag") {
+    val edges = createDf(spark, "s string, d string",
+      Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
+    val seeds = createDf(spark, "n string", Seq(Seq[Any]("a")))
+    val full = Graph.eccentricity(edges, "s", "d", seeds, "n", maxHops = 4).head()
+    assert(full.getLong(1) == 3L && full.getLong(2) == 2L && !full.getBoolean(3))
+    val cut = Graph.eccentricity(edges, "s", "d", seeds, "n", maxHops = 2).head()
+    assert(cut.getLong(2) == 2L && cut.getBoolean(3), "ecc at the bound flags truncated")
+  }
+
   test("bfsDistances: early exit leaves the fixpoint intact on a short chain") {
     val edges = createDf(spark, "s string, d string",
       Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
