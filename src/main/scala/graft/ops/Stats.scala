@@ -4677,4 +4677,181 @@ object Stats {
         :+ col("__ties").cast("long").as("tie_cubes")
         :+ when(col("n") >= 2 && varW > 0.0, round(z, 6)).as("z"): _*)
   }
+
+  /** Hodges-Lehmann pseudo-median — the median of all n(n+1)/2 Walsh
+    * averages (xᵢ+xⱼ)/2, i ≤ j: the location estimate dual to the
+    * Wilcoxon signed-rank test ([[wilcoxonSignedRank]]) — 29% breakdown,
+    * ~95% Gaussian efficiency, the robust "where is this distribution
+    * centered?" answer the plain median under-uses and the mean
+    * over-trusts. Per group:
+    * `(groups..., n, n_walsh, hl_quarter_micros)` — hl_quarter_micros
+    * is 4× the pseudo-median in micro units (always an exact integer:
+    * the median Walsh SUM s = vᵢ+vⱼ is integer micro×2, and an
+    * even-count median averages two of them — no float surface, the
+    * r12 posture).
+    *
+    * Determinism: the value domain micro-quantizes; Walsh multiplicity
+    * per (v₁ ≤ v₂) pair is exact (c₁c₂, or c(c+1)/2 on the diagonal);
+    * the median crossing is an integer comparison on exact cumulative
+    * decimal sums.
+    *
+    * Scale shape: one (group, value) map-combined aggregation reduces
+    * rows to the value domain; the Walsh grid is a DISTINCT²-bounded
+    * self-join on the group key (the [[tukeyHsd]] k-bounded-pairs
+    * contract, machine-guarded by `maxDistinct` via one cheap
+    * aggregation BEFORE the join); the crossing is one bounded
+    * cumulative window. Raw rows shuffle once.
+    */
+  def hodgesLehmann(df: DataFrame, groupBy: Seq[String], value: Column,
+                    maxDistinct: Long = 4096L): DataFrame = {
+    require(groupBy.nonEmpty,
+      "hodgesLehmann needs group keys (use a constant column for a global test)")
+    require(maxDistinct >= 2L, s"maxDistinct must be >= 2: $maxDistinct")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val gCols = groupBy.map(col)
+    val byVal = df.select(gCols :+ q(value).as("__x"): _*)
+      .filter(gCols.map(_.isNotNull).reduce(_ && _) && col("__x").isNotNull)
+      .groupBy(gCols :+ col("__x"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the Walsh grid squares with the value domain — guard it with one
+    // cheap aggregation before paying the join (the quadPairCount posture)
+    val worst = byVal.groupBy(gCols: _*).agg(count(lit(1)).as("__d"))
+      .agg(max(col("__d"))).collect().head
+    val worstD = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(worstD <= maxDistinct,
+      s"hodgesLehmann's Walsh grid is distinct-value²-bounded; a group " +
+        s"has $worstD distinct quantized values (cap $maxDistinct). " +
+        s"Coarsen the quantization or pre-bucket the value.")
+    val right = byVal.select(gCols :+ col("__x").as("__x2") :+ col("__c").as("__c2"): _*)
+    val grid = byVal.join(right, groupBy).filter(col("__x2") >= col("__x"))
+      .select(gCols
+        :+ (col("__x") + col("__x2")).as("__s")
+        :+ when(col("__x2") > col("__x"), col("__c").cast(dec) * col("__c2").cast(dec))
+          .otherwise(expr("cast(__c as decimal(38,0)) * (__c + 1) div 2").cast(dec))
+          .as("__w"): _*)
+      .groupBy(gCols :+ col("__s"): _*)
+      .agg(sum(col("__w")).as("__w"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCols: _*).orderBy(col("__s"))
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val cum = sum(col("__w")).over(wOrd)
+    val tot = sum(col("__w")).over(wAll)
+    val r1 = expr("(cast(__P as decimal(38,0)) + 1) div 2")
+    val r2 = expr("cast(__P as decimal(38,0)) div 2 + 1")
+    val marked = grid
+      .withColumn("__cum", cum).withColumn("__P", tot)
+      .withColumn("__r1", r1).withColumn("__r2", r2)
+    val agg = marked.groupBy(gCols: _*).agg(
+      min(when(col("__cum") >= col("__r1"), col("__s"))).as("__sa"),
+      min(when(col("__cum") >= col("__r2"), col("__s"))).as("__sb"),
+      max(col("__P")).as("__np"))
+    val nTbl = byVal.groupBy(gCols: _*).agg(sum(col("__c")).as("n"))
+    nTbl.join(agg, groupBy)
+      .select(gCols
+        :+ col("n")
+        :+ col("__np").cast("long").as("n_walsh")
+        :+ (col("__sa") + col("__sb")).as("hl_quarter_micros"): _*)
+      .orderBy(gCols: _*)
+  }
+
+  /** Brunner-Munzel test — the heteroscedasticity-honest replacement
+    * for Mann-Whitney when the two samples may differ in SHAPE, not
+    * just location (the Behrens-Fisher situation rank tests usually
+    * ignore): estimates p = P(X < Y) + ½P(X = Y) from midranks and
+    * studentizes it with EACH sample's own rank variance,
+    *
+    *   t  = n₁n₂(R̄₂ − R̄₁) / (N √(n₁S₁² + n₂S₂²))
+    *   df = (n₁S₁² + n₂S₂²)² / ((n₁S₁²)²/(n₁−1) + (n₂S₂²)²/(n₂−1))
+    *
+    * with Sᵢ² the variance of (overall − internal) midranks in sample
+    * i. Per group: `(groups..., n_a, n_b, p_hat, bm_t, df)`, 6 dp;
+    * nulls when a sample has < 2 rows or both rank variances are 0
+    * (complete separation — the statistic is ±∞, report null not NaN).
+    *
+    * Determinism: DOUBLE-midranks (2·midrank — always integers) come
+    * from exact cumulative counts over the distinct-value spine; each
+    * per-value deviation term is an exact integer cleared of the rank
+    * means (nᵢAᵥ − Tᵢ), squared in double at bounded magnitude and
+    * milli-quantized BEFORE the exact group sums (order-free); the
+    * final statistic is one fixed IEEE tree.
+    *
+    * Scale shape: the [[mannWhitneyU]]/[[cliffsDelta]] spine — one
+    * (group, value) map-combined aggregation, bounded cumulative
+    * windows, a group-bounded broadcast join of the rank totals back
+    * onto the value table, one final rollup. Raw rows shuffle once.
+    */
+  def brunnerMunzel(df: DataFrame, groupBy: Seq[String],
+                    inA: Column, inB: Column, value: Column): DataFrame = {
+    require(groupBy.nonEmpty,
+      "brunnerMunzel needs group keys (use a constant column for a global test)")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val gCols = groupBy.map(col)
+    val tagged = df.select(
+        gCols :+ when(inA, lit("a")).when(inB, lit("b")).as("__g")
+          :+ q(value).as("__x"): _*)
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val byVal = tagged
+      .groupBy(gCols :+ col("__x"): _*)
+      .agg(sum(when(col("__g") === "a", 1L).otherwise(0L)).as("__a_v"),
+        sum(when(col("__g") === "b", 1L).otherwise(0L)).as("__b_v"))
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCols: _*).orderBy(col("__x")).rowsBetween(Long.MinValue, -1)
+    val below = coalesce(sum(col("__a_v") + col("__b_v")).over(W), lit(0L))
+    val belowA = coalesce(sum(col("__a_v")).over(W), lit(0L))
+    val belowB = coalesce(sum(col("__b_v")).over(W), lit(0L))
+    // DOUBLE-midranks (2×midrank) — integers even at ties
+    val ranked = byVal.select(gCols
+      :+ col("__a_v") :+ col("__b_v")
+      :+ (lit(2L) * below + col("__a_v") + col("__b_v") + 1L).as("__R2")
+      :+ (lit(2L) * belowA + col("__a_v") + 1L).as("__R2a")
+      :+ (lit(2L) * belowB + col("__b_v") + 1L).as("__R2b"): _*)
+    val stats = ranked.groupBy(gCols: _*).agg(
+      sum(col("__a_v")).as("__n1"), sum(col("__b_v")).as("__n2"),
+      sum(col("__a_v").cast(dec) * col("__R2").cast(dec)).as("__sr1"),
+      sum(col("__b_v").cast(dec) * col("__R2").cast(dec)).as("__sr2"))
+    // T_i = Σ c·R2 − n_i(n_i+1): the cleared rank-mean term, exact
+    val withT = stats.select(gCols
+      :+ col("__n1") :+ col("__n2") :+ col("__sr1") :+ col("__sr2")
+      :+ (col("__sr1") - col("__n1").cast(dec) * (col("__n1") + 1L).cast(dec))
+        .as("__t1")
+      :+ (col("__sr2") - col("__n2").cast(dec) * (col("__n2") + 1L).cast(dec))
+        .as("__t2"): _*)
+    val j = ranked.join(broadcast(withT), groupBy)
+    // per-value deviation d = (n_i·A − T_i)/(2 n_i), A = R2 − R2int:
+    // the inner term is an exact decimal; squared in double at ≤ N
+    // magnitude and milli-quantized before the exact sum
+    def devTerm(cv: Column, r2int: Column, n: Column, t: Column): Column = {
+      val inner = (n.cast(dec) * (col("__R2") - r2int).cast(dec) - t).cast("double")
+      val d = inner / (lit(2.0) * n.cast("double"))
+      round(cv.cast("double") * d * d * lit(1e3), 0).cast(dec)
+    }
+    val sums = j.groupBy(gCols: _*).agg(
+      first(col("__n1")).as("n_a"), first(col("__n2")).as("n_b"),
+      first(col("__sr1")).as("__s1"), first(col("__sr2")).as("__s2"),
+      sum(devTerm(col("__a_v"), col("__R2a"), col("__n1"), col("__t1"))).as("__q1"),
+      sum(devTerm(col("__b_v"), col("__R2b"), col("__n2"), col("__t2"))).as("__q2"))
+    val n1 = col("n_a").cast("double")
+    val n2 = col("n_b").cast("double")
+    val bigN = n1 + n2
+    val rbar1 = col("__s1").cast("double") / (lit(2.0) * n1)
+    val rbar2 = col("__s2").cast("double") / (lit(2.0) * n2)
+    val v1 = col("__q1").cast("double") / lit(1e3) / (n1 - lit(1.0))
+    val v2 = col("__q2").cast("double") / lit(1e3) / (n2 - lit(1.0))
+    val pooled = n1 * v1 + n2 * v2
+    val tStat = n1 * n2 * (rbar2 - rbar1) / bigN / sqrt(pooled)
+    val dfW = pooled * pooled /
+      ((n1 * v1) * (n1 * v1) / (n1 - lit(1.0)) +
+        (n2 * v2) * (n2 * v2) / (n2 - lit(1.0)))
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L
+    sums.select(gCols
+      :+ col("n_a") :+ col("n_b")
+      :+ when(ok, round((rbar2 - (n2 + lit(1.0)) / lit(2.0)) / n1, 6)).as("p_hat")
+      :+ when(ok && pooled > 0.0, round(tStat, 6)).as("bm_t")
+      :+ when(ok && pooled > 0.0, round(dfW, 6)).as("df"): _*)
+      .orderBy(gCols: _*)
+  }
 }

@@ -1650,9 +1650,35 @@ object StatsQueries {
         .withColumn("bucket", col("user_id") % 97),
       Seq("bucket"), col("value"))
 
+  /** Hodges-Lehmann pseudo-median ([[graft.ops.Stats.hodgesLehmann]])
+    * of l_quantity per return flag: the median of all n(n+1)/2 Walsh
+    * averages — the robust location estimate dual to the Wilcoxon
+    * test, exact over the 50-value quantity domain (Walsh grid is
+    * distinct²-bounded, never rows²). All-integer output
+    * (hl_quarter_micros = 4× the pseudo-median in micros).
+    */
+  private def qHodgesLehmann(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.hodgesLehmann(t(s, dir, "lineitem"),
+      Seq("l_returnflag"), col("l_quantity").cast("double"))
+
+  /** Brunner-Munzel test ([[graft.ops.Stats.brunnerMunzel]]): even- vs
+    * odd-user event values per type, studentized with EACH sample's
+    * own rank variance — the Behrens-Fisher-honest rank test beside
+    * q_mannwhitney's equal-variance U. Distinct-value spine, exact
+    * double-midranks, milli-quantized deviation terms.
+    */
+  private def qBrunnerMunzel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.brunnerMunzel(
+      t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull),
+      Seq("event_type"),
+      col("user_id") % 2 === 0, col("user_id") % 2 === 1, col("value"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shrinkage" -> (qShrinkage _),
+    "q_hodges_lehmann" -> (qHodgesLehmann _),
+    "q_brunner_munzel" -> (qBrunnerMunzel _),
     "q_qte" -> (qQte _),
     "q_oaxaca" -> (qOaxaca _),
     "q_wilcoxon" -> (qWilcoxon _),
@@ -1824,6 +1850,106 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_hodges_lehmann" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        |bv AS (SELECT g, x, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT a.g, a.x + b.x AS s,
+        |    CASE WHEN b.x > a.x THEN CAST(a.c AS HUGEINT) * b.c
+        |         ELSE CAST(a.c AS HUGEINT) * (a.c + 1) // 2 END AS w
+        |  FROM bv a JOIN bv b ON a.g = b.g AND b.x >= a.x),
+        |sg AS (SELECT g, s, SUM(w) AS w FROM grid GROUP BY 1, 2),
+        |m AS (
+        |  SELECT g, s,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY g) AS p
+        |  FROM sg),
+        |agg AS (
+        |  SELECT g, MIN(CASE WHEN cum >= (p + 1) // 2 THEN s END) AS sa,
+        |    MIN(CASE WHEN cum >= p // 2 + 1 THEN s END) AS sb,
+        |    MAX(p) AS np
+        |  FROM m GROUP BY 1),
+        |nt AS (SELECT g, SUM(c) AS n FROM bv GROUP BY 1)
+        |SELECT nt.g AS l_returnflag, CAST(nt.n AS BIGINT) AS n,
+        |  CAST(agg.np AS BIGINT) AS n_walsh,
+        |  CAST(sa + sb AS BIGINT) AS hl_quarter_micros
+        |FROM nt JOIN agg USING (g) ORDER BY l_returnflag""".stripMargin,
+    "q_brunner_munzel" ->
+      """WITH tg AS (
+        |  SELECT event_type AS g,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS sg,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT g, x, SUM(CASE WHEN sg = 'a' THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN sg = 'b' THEN 1 ELSE 0 END) AS b
+        |  FROM tg GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT g, x, a, b,
+        |    2 * COALESCE(SUM(a + b) OVER w, 0) + a + b + 1 AS r2,
+        |    2 * COALESCE(SUM(a) OVER w, 0) + a + 1 AS r2a,
+        |    2 * COALESCE(SUM(b) OVER w, 0) + b + 1 AS r2b
+        |  FROM bv WINDOW w AS (PARTITION BY g ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |st AS (
+        |  SELECT g, SUM(a) AS n1, SUM(b) AS n2,
+        |    SUM(CAST(a AS HUGEINT) * r2) AS sr1,
+        |    SUM(CAST(b AS HUGEINT) * r2) AS sr2
+        |  FROM rk GROUP BY 1),
+        |tt AS (
+        |  SELECT g, n1, n2, sr1, sr2,
+        |    sr1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS t1,
+        |    sr2 - CAST(n2 AS HUGEINT) * (n2 + 1) AS t2
+        |  FROM st),
+        |qq AS (
+        |  SELECT rk.g, MAX(tt.n1) AS n1, MAX(tt.n2) AS n2,
+        |    MAX(tt.sr1) AS sr1, MAX(tt.sr2) AS sr2,
+        |    SUM(CAST(round(CAST(a AS DOUBLE)
+        |      * (CAST(CAST(tt.n1 AS HUGEINT) * (r2 - r2a) - t1 AS DOUBLE)
+        |         / (2.0 * CAST(tt.n1 AS DOUBLE)))
+        |      * (CAST(CAST(tt.n1 AS HUGEINT) * (r2 - r2a) - t1 AS DOUBLE)
+        |         / (2.0 * CAST(tt.n1 AS DOUBLE)))
+        |      * 1000.0) AS HUGEINT)) AS q1,
+        |    SUM(CAST(round(CAST(b AS DOUBLE)
+        |      * (CAST(CAST(tt.n2 AS HUGEINT) * (r2 - r2b) - t2 AS DOUBLE)
+        |         / (2.0 * CAST(tt.n2 AS DOUBLE)))
+        |      * (CAST(CAST(tt.n2 AS HUGEINT) * (r2 - r2b) - t2 AS DOUBLE)
+        |         / (2.0 * CAST(tt.n2 AS DOUBLE)))
+        |      * 1000.0) AS HUGEINT)) AS q2
+        |  FROM rk JOIN tt USING (g) GROUP BY 1),
+        |fin AS (
+        |  SELECT g, n1, n2,
+        |    CAST(sr1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) AS rb1,
+        |    CAST(sr2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)) AS rb2,
+        |    CAST(q1 AS DOUBLE) / 1000.0 / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |    CAST(q2 AS DOUBLE) / 1000.0 / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        |  FROM qq),
+        |f2 AS (
+        |  SELECT g, n1, n2, rb1, rb2, v1, v2,
+        |    CAST(n1 AS DOUBLE) * v1 + CAST(n2 AS DOUBLE) * v2 AS pooled
+        |  FROM fin)
+        |SELECT g AS event_type, CAST(n1 AS BIGINT) AS n_a,
+        |  CAST(n2 AS BIGINT) AS n_b,
+        |  CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+        |    round((rb2 - (CAST(n2 AS DOUBLE) + 1.0) / 2.0)
+        |      / CAST(n1 AS DOUBLE), 6) END AS p_hat,
+        |  CASE WHEN n1 >= 2 AND n2 >= 2 AND pooled > 0.0 THEN
+        |    round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (rb2 - rb1)
+        |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |      / sqrt(pooled), 6) END AS bm_t,
+        |  CASE WHEN n1 >= 2 AND n2 >= 2 AND pooled > 0.0 THEN
+        |    round(pooled * pooled
+        |      / ((CAST(n1 AS DOUBLE) * v1) * (CAST(n1 AS DOUBLE) * v1)
+        |          / (CAST(n1 AS DOUBLE) - 1.0)
+        |        + (CAST(n2 AS DOUBLE) * v2) * (CAST(n2 AS DOUBLE) * v2)
+        |          / (CAST(n2 AS DOUBLE) - 1.0)), 6) END AS df
+        |FROM f2 ORDER BY event_type""".stripMargin,
     "q_shrinkage" ->
       """WITH v AS (
         |  SELECT user_id % 97 AS bucket,

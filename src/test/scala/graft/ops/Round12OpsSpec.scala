@@ -175,6 +175,55 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(cut.getLong(2) == 2L && cut.getBoolean(3), "ecc at the bound flags truncated")
   }
 
+  test("hodgesLehmann: {1,2,10} pseudo-median is 3.75; guard fires on wide domains") {
+    // Walsh averages: 1, 1.5, 5.5, 2, 6, 10 -> sorted median = (2+5.5)/2
+    val df = createDf(spark, "v double",
+      Seq(1.0, 2.0, 10.0).map(v => Seq[Any](v))).withColumn("g", lit("x"))
+    val r = Stats.hodgesLehmann(df, Seq("g"), col("v")).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 6L)
+    assert(r.getLong(3) == 15000000L, "4*HL in micros: 4*3.75e6")
+    val e = intercept[IllegalArgumentException] {
+      Stats.hodgesLehmann(df, Seq("g"), col("v"), maxDistinct = 2L).collect()
+    }
+    assert(e.getMessage.contains("distinct quantized values"))
+  }
+
+  test("hodgesLehmann: duplicated values weight the diagonal correctly") {
+    // {1,1,3}: Walsh avgs = 1 (x3: (1,1),(1,1'),(1',1')), 2 (x2), 3 (x1)
+    // sorted: 1,1,1,2,2,3 -> median (1+2)/2 = 1.5 -> quarter 6e6
+    val df = createDf(spark, "v double",
+      Seq(1.0, 1.0, 3.0).map(v => Seq[Any](v))).withColumn("g", lit("x"))
+    val r = Stats.hodgesLehmann(df, Seq("g"), col("v")).head()
+    assert(r.getLong(2) == 6L && r.getLong(3) == 6000000L)
+  }
+
+  test("brunnerMunzel: the scipy reference example reproduces; separation nulls") {
+    val x1 = Seq(1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1).map(_.toDouble)
+    val x2 = Seq(3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4).map(_.toDouble)
+    val rows = x1.map(v => ("a", v)) ++ x2.map(v => ("b", v))
+    val df = createDf(spark, "s string, v double",
+        rows.map { case (s, v) => Seq[Any](s, v) })
+      .withColumn("g", lit("x"))
+    val r = Stats.brunnerMunzel(df, Seq("g"),
+      col("s") === "a", col("s") === "b", col("v")).head()
+    assert(r.getLong(1) == 14L && r.getLong(2) == 11L)
+    // scipy.stats.brunnermunzel(x1, x2).statistic = 3.1374674823029505
+    assert(math.abs(r.getDouble(4) - 3.137467) < 1e-4, s"bm_t ${r.getDouble(4)}")
+    // swapping the samples flips the sign and reflects p_hat
+    val rs = Stats.brunnerMunzel(df, Seq("g"),
+      col("s") === "b", col("s") === "a", col("v")).head()
+    assert(math.abs(rs.getDouble(4) + r.getDouble(4)) < 1e-5)
+    assert(math.abs(rs.getDouble(3) + r.getDouble(3) - 1.0) < 1e-5)
+    // complete separation: both rank variances 0 -> t/df null, p_hat = 1
+    val sep = createDf(spark, "s string, v double",
+        Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+          .map { case (s, v) => Seq[Any](s, v) })
+      .withColumn("g", lit("x"))
+    val r2 = Stats.brunnerMunzel(sep, Seq("g"),
+      col("s") === "a", col("s") === "b", col("v")).head()
+    assert(r2.getDouble(3) == 1.0 && r2.isNullAt(4) && r2.isNullAt(5))
+  }
+
   test("bfsDistances: early exit leaves the fixpoint intact on a short chain") {
     val edges = createDf(spark, "s string, d string",
       Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
