@@ -429,6 +429,97 @@ object JoinQueries {
       .orderBy(col("band"))
   }
 
+  /** Fellegi-Sunter EM ([[graft.ops.Linkage.emFit]]): fit (m, u, p)
+    * UNSUPERVISED over the same blocked pair stream q_linkage scores
+    * with fixed parameters — Winkler's classic mixture recipe, the
+    * step that turns a blocked pair source into a calibrated linkage
+    * model with no clerical sample. One distributed 2³-pattern census,
+    * 5 nano-quantized EM sweeps on the driver; the oracle replays
+    * every sweep CTE-for-CTE. All-BIGINT output.
+    */
+  private def qLinkageEm(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def sides(p: String) = c.select(col("c_custkey").as(s"k$p"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      col("c_name").as(s"nm$p"), col("c_acctbal").as(s"ab$p"))
+    val pairs = sides("a").join(sides("b"), Seq("nk", "seg"))
+      .filter(col("ka") < col("kb"))
+    graft.ops.Linkage.emFit(pairs, linkageFields.map(_.agree),
+      iterations = 5, p0 = 0.05,
+      m0 = linkageMu.map(_._1), u0 = linkageMu.map(_._2))
+  }
+
+  private def linkageEmOracleSql: String = {
+    def nano(x: Double): Long = BigDecimal(x * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val conds = Seq(
+      "substr(a.c_name, -1, 1) = substr(b.c_name, -1, 1)",
+      "floor(a.c_acctbal / 1000) = floor(b.c_acctbal / 1000)",
+      "(a.c_acctbal >= 0) = (b.c_acctbal >= 0)")
+    val k = conds.size
+    val init = (s"CAST(${nano(0.05)} AS BIGINT) AS p" +:
+      linkageMu.zipWithIndex.map { case ((m, _), i) =>
+        s"CAST(${nano(m)} AS BIGINT) AS m$i" }) ++
+      linkageMu.zipWithIndex.map { case ((_, u), i) =>
+        s"CAST(${nano(u)} AS BIGINT) AS u$i" }
+    def prob(param: String): String =
+      s"CAST(pr.$param AS DOUBLE) / 1000000000.0"
+    def side(params: Int => String, lead: String): String =
+      (0 until k).map { i =>
+        s"(CASE WHEN pat.b$i = 1 THEN ${prob(params(i))} " +
+          s"ELSE 1.0 - ${prob(params(i))} END)"
+      }.mkString(s"$lead * ", " * ", "")
+    val sweeps = (1 to 5).map { it =>
+      val prev = if (it == 1) "p0" else s"p${it - 1}"
+      val mCols = (0 until k).map { i =>
+        s"""GREATEST(1, LEAST(999999999, CAST(round(
+           |      CAST(SUM(CASE WHEN b$i = 1 THEN CAST(n AS HUGEINT) * g
+           |        ELSE 0 END) AS DOUBLE)
+           |      / CAST(SUM(CAST(n AS HUGEINT) * g) AS DOUBLE)
+           |      * 1000000000.0) AS BIGINT))) AS m$i""".stripMargin
+      }
+      val uCols = (0 until k).map { i =>
+        s"""GREATEST(1, LEAST(999999999, CAST(round(
+           |      CAST(SUM(CASE WHEN b$i = 1 THEN CAST(n AS HUGEINT) * (1000000000 - g)
+           |        ELSE 0 END) AS DOUBLE)
+           |      / CAST(SUM(CAST(n AS HUGEINT) * (1000000000 - g)) AS DOUBLE)
+           |      * 1000000000.0) AS BIGINT))) AS u$i""".stripMargin
+      }
+      s"""e$it AS (
+         |  SELECT n, ${(0 until k).map(i => s"b$i").mkString(", ")},
+         |    CAST(round(a / (a + b) * 1000000000.0) AS BIGINT) AS g
+         |  FROM (
+         |    SELECT pat.n, ${(0 until k).map(i => s"pat.b$i").mkString(", ")},
+         |      ${side(i => s"m$i", s"(${prob("p")})")} AS a,
+         |      ${side(i => s"u$i", s"(1.0 - ${prob("p")})")} AS b
+         |    FROM pat, $prev pr)),
+         |p$it AS (
+         |  SELECT
+         |    GREATEST(1, LEAST(999999999, CAST(round(
+         |      CAST(SUM(CAST(n AS HUGEINT) * g) AS DOUBLE)
+         |      / CAST(SUM(n) AS DOUBLE)) AS BIGINT))) AS p,
+         |    ${(mCols ++ uCols).mkString(",\n    ")}
+         |  FROM e$it)""".stripMargin
+    }.mkString(",\n")
+    val fieldRows = (0 until k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS field, m$i AS m_nano, u$i AS u_nano,
+         |  p AS p_nano, (SELECT CAST(SUM(n) AS BIGINT) FROM pat) AS n_pairs,
+         |  CAST(5 AS BIGINT) AS iters_run FROM p5""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pat AS MATERIALIZED (
+       |  SELECT ${conds.zipWithIndex.map { case (c0, i) =>
+      s"CASE WHEN $c0 THEN 1 ELSE 0 END AS b$i" }.mkString(", ")},
+       |    COUNT(*) AS n
+       |  FROM customer a JOIN customer b
+       |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+       |    AND a.c_custkey < b.c_custkey
+       |  GROUP BY ${(1 to k).mkString(", ")}),
+       |p0 AS (SELECT ${init.mkString(", ")}),
+       |$sweeps
+       |$fieldRows
+       |ORDER BY field""".stripMargin
+  }
+
   private val linkageMu = Seq((0.9, 0.3), (0.8, 0.1), (0.95, 0.5))
 
   private def linkageFields: Seq[graft.ops.Linkage.Field] = Seq(
@@ -675,6 +766,7 @@ object JoinQueries {
     "q_jaro" -> (qJaro _),
     "q_jaro_sig" -> (qJaroSig _),
     "q_linkage" -> (qLinkage _),
+    "q_linkage_em" -> (qLinkageEm _),
     "q_consolidate" -> (qConsolidate _),
     "q_scd2" -> (qScd2 _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -685,6 +777,7 @@ object JoinQueries {
   def oracleSql: Map[String, String] = Map(
     "q_bt" -> btOracleSql(8),
     "q_linkage" -> linkageOracleSql,
+    "q_linkage_em" -> linkageEmOracleSql,
     "q_elasticity" ->
       """WITH j AS (
         |  SELECT p_brand,

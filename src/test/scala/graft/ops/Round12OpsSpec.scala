@@ -224,6 +224,32 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(r2.getDouble(3) == 1.0 && r2.isNullAt(4) && r2.isNullAt(5))
   }
 
+  test("linkage emFit: a crisp two-class mixture separates m from u") {
+    // 100 pairs agreeing on both fields, 900 agreeing on neither:
+    // EM must drive m -> 1-side, u -> 0-side, p -> ~0.1
+    val rows = (1 to 100).map(_ => (true, true)) ++
+      (1 to 900).map(_ => (false, false))
+    val df = createDf(spark, "f1 boolean, f2 boolean",
+      rows.map { case (a, b) => Seq[Any](a, b) })
+    val out = Linkage.emFit(df, Seq(col("f1"), col("f2")),
+        iterations = 20, p0 = 0.2, m0 = Seq(0.8, 0.8), u0 = Seq(0.2, 0.2))
+      .orderBy("field").collect()
+    assert(out.length == 2)
+    for (r <- out) {
+      assert(r.getLong(1) > 950000000L, s"m should approach 1: ${r.getLong(1)}")
+      assert(r.getLong(2) < 50000000L, s"u should approach 0: ${r.getLong(2)}")
+      assert(math.abs(r.getLong(3) - 100000000L) < 10000000L,
+        s"p should approach 0.1: ${r.getLong(3)}")
+      assert(r.getLong(4) == 1000L)
+    }
+    // convergence contract: a loose tolerance early-exits
+    val tol = Linkage.emFit(df, Seq(col("f1"), col("f2")),
+      iterations = 20, p0 = 0.2, m0 = Seq(0.8, 0.8), u0 = Seq(0.2, 0.2),
+      tolNano = 1000000L)
+    val run = tol.select("iters_run").head().getLong(0)
+    assert(run < 20L && run >= 1L, s"expected early exit, ran $run")
+  }
+
   test("bfsDistances: early exit leaves the fixpoint intact on a short chain") {
     val edges = createDf(spark, "s string, d string",
       Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
