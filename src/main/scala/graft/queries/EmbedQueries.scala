@@ -844,7 +844,29 @@ object EmbedQueries {
     rows.reduce(_ unionByName _).orderBy(col("dim"))
   }
 
+  /** SQ8 codebook audit ([[Similarity.sq8Audit]]): per-dim min/max
+    * affine int8 round-trip over the corpus, reporting preserved
+    * cosine + reconstruction error — the "ship 4× smaller vectors?"
+    * gate beside q_quantize's per-row symmetric-scale validation (this
+    * one is value-exact-oracled, trains a per-DIM codebook, and reads
+    * out geometry preservation, not just code-range invariants).
+    */
+  private def qSq8(s: SparkSession, dir: String): DataFrame =
+    Similarity.sq8Audit(t(s, dir, "embeddings"), "vec_id", "embedding")
+
+  /** Alignment/uniformity probe ([[Similarity.alignmentUniformity]]):
+    * Wang-Isola geometry readout over deterministic id-offset pairs
+    * (1, 7, 101) — collapse shows as uniform → 0, over-spread as
+    * align blowing up. Pico-quantized distances, nano-quantized exp
+    * terms; the one ln emission is 6 dp post-libm (documented class).
+    */
+  private def qAlignUniform(s: SparkSession, dir: String): DataFrame =
+    Similarity.alignmentUniformity(t(s, dir, "embeddings"),
+      "vec_id", "embedding", Seq(1L, 7L, 101L))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sq8" -> (qSq8 _),
+    "q_align_uniform" -> (qAlignUniform _),
     "q_matryoshka" -> (qMatryoshka _),
     "q_pca" -> (qPca _),
     "q_jl" -> (qJl _),
@@ -869,6 +891,32 @@ object EmbedQueries {
     "q_group_split" -> (qGroupSplit _),
     "q_lsh_recall" -> (qLshRecall _),
   )
+
+  /** Oracle for q_align_uniform: replays the normalized offset-pair
+    * probe — pico-quantized squared distances folded per pair,
+    * nano-quantized exp terms summed exactly, one final ln at 6 dp.
+    */
+  private def alignUniformOracleSql: String = {
+    val per = Seq(1L, 7L, 101L).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS pair_offset, COUNT(*) AS n_pairs,
+         |  CAST(round(CAST(SUM(CAST(d2p AS HUGEINT)) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) / 1000000.0) AS BIGINT) AS align_micro,
+         |  round(ln(CAST(SUM(CAST(en AS HUGEINT)) AS DOUBLE) / 1000000000.0
+         |    / CAST(COUNT(*) AS DOUBLE)), 6) AS uniform
+         |FROM (
+         |  SELECT d2p,
+         |    CAST(round(exp(CAST(d2p AS DOUBLE) / 1000000000000.0 * -2.0)
+         |      * 1000000000.0) AS BIGINT) AS en
+         |  FROM (
+         |    SELECT list_sum(list_transform(list_zip(a.nv, b.nv),
+         |      p -> CAST(round((p[1] - p[2]) * (p[1] - p[2])
+         |        * 1000000000000.0) AS BIGINT))) AS d2p
+         |    FROM nv a JOIN nv b ON b.vec_id = a.vec_id + $k))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $nvCte
+       |$per
+       |ORDER BY pair_offset""".stripMargin
+  }
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
@@ -1010,6 +1058,42 @@ object EmbedQueries {
     // the oracle recomputes BOTH pair sets independently (bucketing
     // replicated from embedded plane literals), so the measured recall
     // itself is hash-verified, not self-reported.
+    "q_sq8" ->
+      """WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY 1),
+        |xh AS (
+        |  SELECT e.vec_id, e.x,
+        |    mn + (CASE WHEN mx - mn > 0.0 THEN
+        |        GREATEST(0.0, LEAST(255.0, round((x - mn) / (mx - mn) * 255.0)))
+        |      ELSE 0.0 END) * (mx - mn) / 255.0 AS h
+        |  FROM e JOIN st USING (i)),
+        |pr AS (
+        |  SELECT vec_id, COUNT(*) AS d,
+        |    SUM(CAST(round(x * h * 1000000000000.0) AS BIGINT)) AS nxh,
+        |    SUM(CAST(round(x * x * 1000000000000.0) AS BIGINT)) AS nxx,
+        |    SUM(CAST(round(h * h * 1000000000000.0) AS BIGINT)) AS nhh,
+        |    SUM(abs(CAST(round((x - h) * 1000000000000.0) AS BIGINT))) AS sabs,
+        |    MAX(abs(CAST(round((x - h) * 1000000000000.0) AS BIGINT))) AS mabs
+        |  FROM xh GROUP BY 1),
+        |cn AS (
+        |  SELECT d, sabs, mabs,
+        |    CAST(round((CASE WHEN nxx > 0 AND nhh > 0 THEN
+        |      CAST(nxh AS DOUBLE)
+        |        / (sqrt(CAST(nxx AS DOUBLE)) * sqrt(CAST(nhh AS DOUBLE)))
+        |      ELSE 0.0 END) * 1000000000.0) AS BIGINT) AS c
+        |  FROM pr)
+        |SELECT COUNT(*) AS n_vectors, CAST(MAX(d) AS BIGINT) AS dims,
+        |  CAST(round(CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_cos_nano,
+        |  CAST(round(CAST(SUM(CAST(sabs AS HUGEINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / CAST(MAX(d) AS DOUBLE)) AS BIGINT)
+        |    AS mean_abs_err_pico,
+        |  CAST(MAX(mabs) AS BIGINT) AS max_abs_err_pico
+        |FROM cn""".stripMargin,
+    "q_align_uniform" -> alignUniformOracleSql,
     "q_lsh_recall" ->
       s"""WITH $nvCte,
         |$lshPairsCteChain,

@@ -608,4 +608,138 @@ object Similarity {
       .filter(col("cos") > threshold)
       .distinct()
   }
+
+  /** Int8 scalar-quantization audit — the "can I ship 4× smaller
+    * vectors?" readout before committing an index to SQ8: per-dim
+    * min/max train a 256-level affine codebook (the FAISS
+    * ScalarQuantizer recipe), every vector round-trips through it, and
+    * the audit reports how much cosine geometry the codes preserve.
+    * One row: `(n_vectors, dims, avg_cos_nano, mean_abs_err_pico,
+    * max_abs_err_pico)` — all BIGINT (avg reconstruction cosine in
+    * nano units; per-element absolute error in pico units).
+    *
+    * Determinism: the codebook bounds are raw data values (no
+    * arithmetic — min/max of the cast doubles, identical on any
+    * engine); codes and reconstructions are fixed IEEE trees; every
+    * per-element product/error pico-quantizes BEFORE the per-row sums
+    * (so an order-free engine reproduces the sequential fold exactly),
+    * and per-row cosines nano-quantize before the global sum.
+    *
+    * Scale shape: pass 1 is one posexplode + dim-keyed aggregation
+    * (dims-bounded result, collected under the bounded-driver-state
+    * contract — 2 doubles per dim); pass 2 ships the codebook WITH THE
+    * PLAN as literal arrays (the q_classify posture) so the round-trip
+    * is pure per-row codegen — zero joins, zero shuffles before the
+    * 1-row reduce.
+    */
+  def sq8Audit(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.select(col(idCol).as("__id"), toDoubleArr(col(vecCol)).as("__v"))
+      .filter(col("__id").isNotNull && col("__v").isNotNull)
+    val stats = rows.select(posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy(col("__i"))
+      .agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+      .orderBy(col("__i"))
+      .collect()
+    require(stats.nonEmpty, "sq8Audit needs at least one vector")
+    val minArr = stats.map(_.getDouble(1))
+    val rangeArr = stats.map(r => r.getDouble(2) - r.getDouble(1))
+    val minLit = typedLit(minArr.toSeq)
+    val rangeLit = typedLit(rangeArr.toSeq)
+    def pico(c: Column): Column = round(c * lit(1e12), 0).cast("long")
+    val dxArr = zip_with(col("__v"), minLit, (x, mn) => x - mn)
+    val codeArr = zip_with(dxArr, rangeLit, (dx, rg) =>
+      when(rg > 0.0, greatest(lit(0.0), least(lit(255.0),
+        round(dx / rg * lit(255.0), 0)))).otherwise(lit(0.0)))
+    val scaled = zip_with(codeArr, rangeLit, (c, rg) => c * rg / lit(255.0))
+    val xhatExpr = zip_with(scaled, minLit, (t, mn) => mn + t)
+    val scored = rows.select(col("__v"),
+        org.apache.spark.sql.functions.aggregate(
+          zip_with(col("__v"), xhatExpr, (x, h) => pico(x * h)),
+          lit(0L), (a, x) => a + x).as("__nxh"),
+        org.apache.spark.sql.functions.aggregate(
+          transform(col("__v"), x => pico(x * x)),
+          lit(0L), (a, x) => a + x).as("__nxx"),
+        org.apache.spark.sql.functions.aggregate(
+          transform(xhatExpr, h => pico(h * h)),
+          lit(0L), (a, x) => a + x).as("__nhh"),
+        org.apache.spark.sql.functions.aggregate(
+          zip_with(col("__v"), xhatExpr, (x, h) => abs(pico(x - h))),
+          lit(0L), (a, x) => a + x).as("__sabs"),
+        array_max(zip_with(col("__v"), xhatExpr, (x, h) => abs(pico(x - h))))
+          .as("__mabs"))
+    val cos = when(col("__nxx") > 0L && col("__nhh") > 0L,
+      col("__nxh").cast("double") /
+        (sqrt(col("__nxx").cast("double")) * sqrt(col("__nhh").cast("double"))))
+      .otherwise(lit(0.0))
+    val agg = scored.select(size(col("__v")).as("__d"),
+        round(cos * lit(1e9), 0).cast("long").as("__cn"),
+        col("__sabs"), col("__mabs"))
+      .agg(count(lit(1)).as("n_vectors"), max(col("__d")).as("__dims"),
+        sum(col("__cn").cast(dec)).as("__sc"),
+        sum(col("__sabs").cast(dec)).as("__sa"),
+        max(col("__mabs")).as("max_abs_err_pico"))
+    agg.select(col("n_vectors"), col("__dims").cast("long").as("dims"),
+      round(col("__sc").cast("double") / col("n_vectors").cast("double"), 0)
+        .cast("long").as("avg_cos_nano"),
+      round(col("__sa").cast("double") / col("n_vectors").cast("double") /
+        col("__dims").cast("double"), 0).cast("long").as("mean_abs_err_pico"),
+      col("max_abs_err_pico"))
+  }
+
+  /** Alignment / uniformity probe (Wang & Isola 2020) over DETERMINISTIC
+    * id-offset pairs: per offset K, pair vector i with vector i+K and
+    * report
+    *
+    *   align   = E ‖x − y‖²            (small offsets ≈ near-neighbor
+    *             proxy on locality-structured corpora)
+    *   uniform = ln E exp(−2‖x − y‖²)  (the hypersphere-spread readout;
+    *             → −4 for perfectly uniform, → 0 for collapsed)
+    *
+    * over L2-normalized vectors. The offset spine replaces Wang-Isola's
+    * random pairs with an engine-reproducible probe (the md5-selection
+    * spirit: deterministic, cluster-layout-stable) — a PROBE of the
+    * embedding geometry, not an unbiased estimate, and labeled as such.
+    * Per offset: `(pair_offset, n_pairs, align_micro, uniform)`.
+    *
+    * Determinism: ‖x−y‖² pico-quantizes per element before the exact
+    * per-pair fold; exp terms nano-quantize per pair before the exact
+    * group sum (order-free); `uniform` is one ln on an identical
+    * double, 6 dp (the documented post-libm rounding class).
+    *
+    * Scale shape: one normalize pass, then per offset ONE equi-join on
+    * the shifted id (hash join, never a cross product) and one
+    * map-combined aggregation. Offets are a bounded literal list.
+    */
+  def alignmentUniformity(df: DataFrame, idCol: String, vecCol: String,
+                          offsets: Seq[Long]): DataFrame = {
+    require(offsets.nonEmpty && offsets.size <= 16,
+      s"need 1..16 probe offsets: ${offsets.size}")
+    require(offsets.forall(_ > 0L), "offsets must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nv = normalized(df, idCol, vecCol, "__id", "__nv")
+      .filter(col("__id").isNotNull)
+    val perOffset = offsets.map { k =>
+      val a = nv.select(col("__id"), col("__nv").as("__va"))
+      val b = nv.select((col("__id") - lit(k)).as("__id"), col("__nv").as("__vb"))
+      val d2pico = org.apache.spark.sql.functions.aggregate(
+        zip_with(col("__va"), col("__vb"),
+          (x, y) => round((x - y) * (x - y) * lit(1e12), 0).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      a.join(b, Seq("__id"))
+        .select(d2pico.as("__d2p"))
+        .select(col("__d2p"),
+          round(exp(col("__d2p").cast("double") / lit(1e12) * lit(-2.0)) *
+            lit(1e9), 0).cast("long").as("__en"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("__d2p").cast(dec)).as("__sd2"),
+          sum(col("__en").cast(dec)).as("__se"))
+        .select(lit(k).as("pair_offset"), col("n_pairs"),
+          round(col("__sd2").cast("double") / col("n_pairs").cast("double") /
+            lit(1e6), 0).cast("long").as("align_micro"),
+          round(log(col("__se").cast("double") / lit(1e9) /
+            col("n_pairs").cast("double")), 6).as("uniform"))
+    }
+    perOffset.reduce(_ unionByName _).orderBy(col("pair_offset"))
+  }
 }

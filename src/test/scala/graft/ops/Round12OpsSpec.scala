@@ -250,6 +250,34 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(run < 20L && run >= 1L, s"expected early exit, ran $run")
   }
 
+  test("sq8Audit: codebook endpoints reconstruct exactly") {
+    // only min/max values per dim -> every element is an endpoint of the
+    // affine codebook -> zero reconstruction error, cosine preserved at 1
+    val df = createDf(spark, "id bigint, v array<float>",
+      Seq(Seq[Any](1L, Seq(1.0f, 1.0f)), Seq[Any](2L, Seq(3.0f, 2.0f))))
+    val r = graft.text.Similarity.sq8Audit(df, "id", "v").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1000000000L, "avg cosine exactly 1")
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L, "zero error at endpoints")
+  }
+
+  test("alignmentUniformity: identical vectors give align 0 / uniform 0; orthogonal give -4") {
+    val same = createDf(spark, "id bigint, v array<float>",
+      (0L to 3L).map(i => Seq[Any](i, Seq(1.0f, 0.0f))))
+    val r = graft.text.Similarity.alignmentUniformity(same, "id", "v", Seq(1L))
+      .head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 0L && r.getDouble(3) == 0.0)
+    // alternating orthogonal unit vectors: every offset-1 pair has
+    // squared distance 2 -> uniform = ln(exp(-4)) = -4
+    val alt = createDf(spark, "id bigint, v array<float>",
+      (0L to 3L).map(i => Seq[Any](i,
+        if (i % 2 == 0) Seq(1.0f, 0.0f) else Seq(0.0f, 1.0f))))
+    val r2 = graft.text.Similarity.alignmentUniformity(alt, "id", "v", Seq(1L))
+      .head()
+    assert(r2.getLong(2) == 2000000L, "align = 2 in micros")
+    assert(math.abs(r2.getDouble(3) + 4.0) < 1e-5, s"uniform ${r2.getDouble(3)}")
+  }
+
   test("bfsDistances: early exit leaves the fixpoint intact on a short chain") {
     val edges = createDf(spark, "s string, d string",
       Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
