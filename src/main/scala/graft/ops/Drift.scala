@@ -379,6 +379,55 @@ object Drift {
         :+ when(col("n_a") >= 1 && col("n_b") >= 1, round(p, 6)).as("p"): _*)
   }
 
+  /** Two-sample Kuiper statistic per group — [[ksStatisticGrouped]]'s
+    * rotation-honest sibling: V = D⁺ + D⁻ (the largest ECDF gap in
+    * EACH direction, summed), which weights tails and center equally
+    * and is invariant to cyclic shifts — the right screen for
+    * time-of-day / phase-like values where KS systematically
+    * under-reads tail drift. Per group:
+    * `(groups..., n_a, n_b, dplus_num, dminus_num, v)` with the two
+    * directed gaps as EXACT cleared integers
+    * (max(C_a·n_b − C_b·n_a), max of the negation) and V one IEEE
+    * division, 6 dp.
+    *
+    * Scale shape: identical to [[ksStatisticGrouped]] — one
+    * (group, value)-keyed map-combined aggregation, cumulative windows
+    * over the DISTINCT-VALUE table, a group rollup.
+    */
+  def kuiperGrouped(df: DataFrame, groupBy: Seq[String],
+                    inA: Column, inB: Column, value: Column): DataFrame = {
+    require(groupBy.nonEmpty,
+      "kuiperGrouped needs group keys (use a constant column for a global test)")
+    val gCols = groupBy.map(col)
+    val counts = df
+      .select(gCols :+ value.as("__v")
+        :+ when(inA, 1L).otherwise(0L).as("__ia")
+        :+ when(inB, 1L).otherwise(0L).as("__ib"): _*)
+      .filter(col("__v").isNotNull && (col("__ia") === 1L || col("__ib") === 1L))
+      .groupBy(gCols :+ col("__v"): _*)
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val wCum = W.orderBy(col("__v")).rowsBetween(Long.MinValue, 0)
+    val cum = counts.select(
+      gCols
+        :+ sum(col("__ca")).over(wCum).as("__cca")
+        :+ sum(col("__cb")).over(wCum).as("__ccb")
+        :+ sum(col("__ca")).over(W).as("__na")
+        :+ sum(col("__cb")).over(W).as("__nb"): _*)
+    val gap = col("__cca") * col("__nb") - col("__ccb") * col("__na")
+    val agg = cum
+      .select(gCols :+ col("__na") :+ col("__nb")
+        :+ greatest(gap, lit(0L)).as("__dp")
+        :+ greatest(-gap, lit(0L)).as("__dm"): _*)
+      .groupBy(gCols :+ col("__na").as("n_a") :+ col("__nb").as("n_b"): _*)
+      .agg(max(col("__dp")).as("dplus_num"), max(col("__dm")).as("dminus_num"))
+    val v = (col("dplus_num") + col("dminus_num")).cast("double") /
+      (col("n_a").cast("double") * col("n_b").cast("double"))
+    agg.select(
+      gCols :+ col("n_a") :+ col("n_b") :+ col("dplus_num") :+ col("dminus_num")
+        :+ when(col("n_a") >= 1 && col("n_b") >= 1, round(v, 6)).as("v"): _*)
+  }
+
   /** Two-sample Cramér-von Mises criterion per group —
     * [[ksStatisticGrouped]]'s whole-curve companion: where KS reads the
     * single largest ECDF gap, CvM integrates the SQUARED gap over the

@@ -360,4 +360,80 @@ object Survival {
       when(ok, round(lit(if (iF > 0.0) beta * math.sqrt(iF) else 0.0), 6)).as("z"),
       when(ok, round(lit(uF), 6)).as("u_residual"))
   }
+
+  /** Harrell's concordance index — "does the risk score actually order
+    * the events?": over all STRICT-TIME comparable pairs (tᵢ < tⱼ with
+    * subject i an observed event — the textbook Harrell convention;
+    * equal-time pairs are not comparable and do not count),
+    *
+    *   C = (#concordant + ½·#score-tied) / #comparable,
+    *   concordant ⇔ scoreᵢ > scoreⱼ  (higher risk → earlier event)
+    *
+    * — THE discrimination metric for [[coxNewton]]'s fitted scores and
+    * any churn/survival ranking. One row: `(n, n_events,
+    * comparable_pairs, concordant_pairs, tied_pairs, c_index_nano)` —
+    * all BIGINT (C in exact round-half-up nano units; no float
+    * surface).
+    *
+    * Exactness WITHOUT a pair join: subjects reduce to the
+    * (duration, score) cell grid; #\{t' > t, s' < s\} factors into two
+    * cumulative windows over the DENSIFIED |T|×|S| grid (suffix over t
+    * within each score, then prefix over s within each t), so every
+    * pair count is an exact integer and the quadratic pair space is
+    * never materialized. `score` must be integer-valued (quantize
+    * upstream — it is used as an exact grid key).
+    *
+    * Scale shape: one (t, s) map-combined aggregation; the grid is
+    * |durations|×|scores| (require-guarded by `maxGrid`, counted
+    * distributed BEFORE the cross spine is built), two bounded window
+    * passes, one 1-row rollup. Raw rows shuffle once.
+    */
+  def concordanceIndex(df: DataFrame, duration: Column, event: Column,
+                       score: Column, maxGrid: Long = 1000000L): DataFrame = {
+    require(maxGrid >= 1L, s"maxGrid must be positive: $maxGrid")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.select(duration.cast("long").as("__t"),
+        event.cast("long").as("__e"), score.cast("long").as("__s"))
+      .filter(col("__t").isNotNull && col("__e").isNotNull && col("__s").isNotNull)
+      .groupBy(col("__t"), col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__e")).as("__d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tTbl = cells.select(col("__t")).distinct()
+    val sTbl = cells.select(col("__s")).distinct()
+    val (nT, nS) = (tTbl.count(), sTbl.count())
+    require(nT * nS <= maxGrid,
+      s"concordanceIndex densifies a ${nT}×${nS} duration×score grid " +
+        s"(cap $maxGrid cells). Quantize the score into coarser buckets " +
+        s"— C on bucketed scores is the standard large-n estimator.")
+    val grid = tTbl.crossJoin(sTbl)
+      .join(cells, Seq("__t", "__s"), "left")
+      .select(col("__t"), col("__s"),
+        coalesce(col("__n"), lit(0L)).as("__n"),
+        coalesce(col("__d"), lit(0L)).as("__d"))
+    val wAfterT = Window.partitionBy(col("__s")).orderBy(col("__t"))
+      .rowsBetween(1, Long.MaxValue)
+    val withA = grid.withColumn("__a",
+      coalesce(sum(col("__n")).over(wAfterT), lit(0L)))
+    val wPrefS = Window.partitionBy(col("__t")).orderBy(col("__s"))
+      .rowsBetween(Long.MinValue, -1)
+    val wAllS = Window.partitionBy(col("__t"))
+    val withB = withA
+      .withColumn("__b", coalesce(sum(col("__a")).over(wPrefS), lit(0L)))
+      .withColumn("__ct", sum(col("__a")).over(wAllS))
+    val agg = withB.agg(
+      sum(col("__n")).as("n"),
+      sum(col("__d")).as("n_events"),
+      sum(col("__d").cast(dec) * col("__ct").cast(dec)).as("__cmp"),
+      sum(col("__d").cast(dec) * col("__b").cast(dec)).as("__cc"),
+      sum(col("__d").cast(dec) * col("__a").cast(dec)).as("__tt"))
+    cells.unpersist(false)
+    agg.select(col("n"), col("n_events"),
+      col("__cmp").cast("long").as("comparable_pairs"),
+      col("__cc").cast("long").as("concordant_pairs"),
+      col("__tt").cast("long").as("tied_pairs"),
+      when(col("__cmp") > 0,
+        expr("((cast(__cc as decimal(38,0)) * 2 + __tt) * 2000000000 + __cmp * 2) div " +
+          "(cast(__cmp as decimal(38,0)) * 4)").cast("long"))
+        .as("c_index_nano"))
+  }
 }

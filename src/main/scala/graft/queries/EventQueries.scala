@@ -1153,6 +1153,77 @@ object EventQueries {
       iterations = 4)
   }
 
+  /** Harrell's C-index ([[graft.ops.Survival.concordanceIndex]]) of the
+    * q_cox risk factor: does raw view count ORDER the time-to-purchase
+    * events (strict-time comparable pairs, score ties at ½)? The
+    * discrimination readout for the fitted hazard model, computed with
+    * two window passes over the densified duration×views grid — the
+    * quadratic pair space never materializes. All-BIGINT output.
+    */
+  private def qHarrellC(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val perUser = e.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("first_ts"),
+      min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+        .as("first_purch"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"))
+    val end = e.agg(max(unix_micros(col("ts"))).as("end_ts"))
+    val subjects = perUser.crossJoin(broadcast(end)).select(
+      floor((coalesce(col("first_purch"), col("end_ts")) - col("first_ts"))
+        .cast("double") / lit(86400000000.0)).cast("long").as("t_days"),
+      col("first_purch").isNotNull.cast("long").as("ev"),
+      col("views"))
+    graft.ops.Survival.concordanceIndex(subjects, col("t_days"), col("ev"),
+      col("views"))
+  }
+
+  private def harrellCOracleSql: String =
+    """WITH pu AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS first_ts,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      AS first_purch,
+      |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views
+      |  FROM events GROUP BY 1),
+      |en AS (SELECT MAX(epoch_us(ts)) AS end_ts FROM events),
+      |subj AS (
+      |  SELECT CAST(floor(CAST(COALESCE(first_purch, end_ts) - first_ts
+      |      AS DOUBLE) / 86400000000.0) AS BIGINT) AS t,
+      |    CASE WHEN first_purch IS NOT NULL THEN 1 ELSE 0 END AS e,
+      |    views AS s
+      |  FROM pu, en),
+      |cells AS (
+      |  SELECT t, s, COUNT(*) AS n, SUM(e) AS d FROM subj GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT tt.t, ss.s, COALESCE(c.n, 0) AS n, COALESCE(c.d, 0) AS d
+      |  FROM (SELECT DISTINCT t FROM cells) tt
+      |  CROSS JOIN (SELECT DISTINCT s FROM cells) ss
+      |  LEFT JOIN cells c ON c.t = tt.t AND c.s = ss.s),
+      |wa AS (
+      |  SELECT t, s, n, d,
+      |    COALESCE(SUM(n) OVER (PARTITION BY s ORDER BY t
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS a
+      |  FROM grid),
+      |wb AS (
+      |  SELECT t, s, n, d, a,
+      |    COALESCE(SUM(a) OVER (PARTITION BY t ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b,
+      |    SUM(a) OVER (PARTITION BY t) AS ct
+      |  FROM wa),
+      |agg AS (
+      |  SELECT SUM(n) AS n, SUM(d) AS n_events,
+      |    SUM(CAST(d AS HUGEINT) * ct) AS cmp,
+      |    SUM(CAST(d AS HUGEINT) * b) AS cc,
+      |    SUM(CAST(d AS HUGEINT) * a) AS tt
+      |  FROM wb)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(cmp AS BIGINT) AS comparable_pairs,
+      |  CAST(cc AS BIGINT) AS concordant_pairs,
+      |  CAST(tt AS BIGINT) AS tied_pairs,
+      |  CASE WHEN cmp > 0 THEN
+      |    CAST(((cc * 2 + tt) * 2000000000 + cmp * 2) // (cmp * 4) AS BIGINT)
+      |  END AS c_index_nano
+      |FROM agg""".stripMargin
+
   private def coxOracleSql: String = {
     def scoreCtes(tag: String, prevB: String): String =
       s"""byt_$tag AS (
@@ -1305,6 +1376,7 @@ object EventQueries {
     "q_poisson_reg" -> (qPoissonReg _),
     "q_sax" -> (qSax _),
     "q_cox" -> (qCox _),
+    "q_harrell_c" -> (qHarrellC _),
     "q_wavelet" -> (qWavelet _),
     "q_transfer_entropy" -> (qTransferEntropy _),
     "q_perm_entropy" -> (qPermEntropy _),
@@ -1629,6 +1701,7 @@ object EventQueries {
     "q_effective_n" -> essOracleSql(maxLag = 6),
     "q_poisson_reg" -> poissonOracleSql,
     "q_cox" -> coxOracleSql,
+    "q_harrell_c" -> harrellCOracleSql,
     "q_transfer_entropy" -> transferEntropyOracleSql,
     "q_wavelet" ->
       """WITH daily AS (

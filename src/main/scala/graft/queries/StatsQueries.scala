@@ -1674,9 +1674,23 @@ object StatsQueries {
       Seq("event_type"),
       col("user_id") % 2 === 0, col("user_id") % 2 === 1, col("value"))
 
+  /** Two-sample Kuiper statistic ([[graft.ops.Drift.kuiperGrouped]]):
+    * even- vs odd-user event values per type — the rotation-honest
+    * tail-weighted sibling of q_ks_score's single-gap D, with both
+    * directed gaps emitted as exact cleared integers.
+    */
+  private def qKuiper(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.kuiperGrouped(
+      t(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull),
+      Seq("event_type"),
+      col("user_id") % 2 === 0, col("user_id") % 2 === 1, col("value"))
+      .orderBy(col("event_type"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shrinkage" -> (qShrinkage _),
+    "q_kuiper" -> (qKuiper _),
     "q_hodges_lehmann" -> (qHodgesLehmann _),
     "q_brunner_munzel" -> (qBrunnerMunzel _),
     "q_qte" -> (qQte _),
@@ -1850,6 +1864,37 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_kuiper" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, value AS x,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |c AS (SELECT g, x, SUM(ia) AS ca, SUM(ib) AS cb FROM v GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT g,
+        |    SUM(ca) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+        |    SUM(cb) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+        |    SUM(ca) OVER (PARTITION BY g) AS na,
+        |    SUM(cb) OVER (PARTITION BY g) AS nb
+        |  FROM c),
+        |agg AS (
+        |  SELECT g, na AS n_a, nb AS n_b,
+        |    MAX(GREATEST(cca * nb - ccb * na, 0)) AS dplus_num,
+        |    MAX(GREATEST(-(cca * nb - ccb * na), 0)) AS dminus_num
+        |  FROM cc GROUP BY 1, 2, 3)
+        |SELECT g AS event_type, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(dplus_num AS BIGINT) AS dplus_num,
+        |  CAST(dminus_num AS BIGINT) AS dminus_num,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+        |    round(CAST(dplus_num + dminus_num AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS v
+        |FROM agg ORDER BY event_type""".stripMargin,
     "q_hodges_lehmann" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g,

@@ -278,6 +278,41 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(3) + 4.0) < 1e-5, s"uniform ${r2.getDouble(3)}")
   }
 
+  test("kuiperGrouped: disjoint samples give V = 1 with the gap on one side") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+    val df = createDf(spark, "s string, v double",
+        rows.map { case (s, v) => Seq[Any](s, v) })
+      .withColumn("g", lit("x"))
+    val r = Drift.kuiperGrouped(df, Seq("g"),
+      col("s") === "a", col("s") === "b", col("v")).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 4L && r.getLong(4) == 0L, "all gap on the D+ side")
+    assert(r.getDouble(5) == 1.0)
+    // swapping samples moves the gap to D- but V is symmetric
+    val rs = Drift.kuiperGrouped(df, Seq("g"),
+      col("s") === "b", col("s") === "a", col("v")).head()
+    assert(rs.getLong(3) == 0L && rs.getLong(4) == 4L && rs.getDouble(5) == 1.0)
+  }
+
+  test("concordanceIndex: hand-computed pairs with and without score ties") {
+    val perf = createDf(spark, "t bigint, e bigint, s bigint",
+      Seq(Seq[Any](1L, 1L, 3L), Seq[Any](2L, 1L, 2L), Seq[Any](3L, 0L, 1L)))
+    val r = Survival.concordanceIndex(perf, col("t"), col("e"), col("s")).head()
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 0L)
+    assert(r.getLong(5) == 1000000000L, "perfect ordering: C = 1")
+    val tied = createDf(spark, "t bigint, e bigint, s bigint",
+      Seq(Seq[Any](1L, 1L, 3L), Seq[Any](2L, 1L, 3L), Seq[Any](3L, 0L, 1L)))
+    val r2 = Survival.concordanceIndex(tied, col("t"), col("e"), col("s")).head()
+    // comparable 3, concordant 2, tied 1 -> C = 2.5/3
+    assert(r2.getLong(2) == 3L && r2.getLong(3) == 2L && r2.getLong(4) == 1L)
+    assert(r2.getLong(5) == 833333333L)
+    val e = intercept[IllegalArgumentException] {
+      Survival.concordanceIndex(perf, col("t"), col("e"), col("s"),
+        maxGrid = 2L).collect()
+    }
+    assert(e.getMessage.contains("grid"))
+  }
+
   test("bfsDistances: early exit leaves the fixpoint intact on a short chain") {
     val edges = createDf(spark, "s string, d string",
       Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
