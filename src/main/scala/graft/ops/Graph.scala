@@ -792,4 +792,109 @@ object Graph {
       .select(col("seed"), col("n_reached"), col("eccentricity"),
         (col("eccentricity") === lit(maxHops.toLong)).as("truncated"))
   }
+
+  /** Seed-sampled betweenness centrality (Brandes 2001, truncated to
+    * the `maxHops` ball) — "which nodes do shortest paths FUNNEL
+    * through?", the brokerage readout closeness/PageRank cannot give.
+    * For each seed s the forward phase runs level-synchronous BFS
+    * carrying σ (the EXACT shortest-path count per node); the backward
+    * phase accumulates the dependency
+    *
+    *   δ(v) = Σ_{w : d(w) = d(v)+1, (v,w) ∈ E} (σ_v/σ_w)·(1 + δ(w))
+    *
+    * level by level, and betweenness(v) = Σ_seeds δ_s(v). Sampling
+    * seeds is THE standard estimator (Brandes-Pich): exact per-seed
+    * dependencies, unbiased up to the seed panel and the hop
+    * truncation (paths longer than `maxHops` do not contribute —
+    * stated, not hidden). Returns `(node, n_seeds, bc_nano)` for every
+    * node reached at depth ≥ 1 by some seed — all BIGINT (δ carried in
+    * exact nano units; no float surface).
+    *
+    * Determinism: σ is an exact integer (decimal) by level-synchronous
+    * construction; each backward edge term is the exact integral
+    * `(σ_v·(10⁹ + δ_w)) div σ_w` (truncating div, non-negative
+    * operands), so per-node sums are order-free and an unrolled CTE
+    * chain replays the whole estimator bit-for-bit.
+    *
+    * Scale shape: the frozen edge list is partitioned once by src (the
+    * forward join key) and once by dst (the backward join key); each
+    * of the ≤ 2·maxHops rounds joins node-level (seed × frontier)
+    * state co-partitioned, with eager checkpoints truncating lineage
+    * ([[bfsDistances]] discipline) and early exit on an exhausted
+    * frontier. State is (seeds × reached) — a BOUNDED seed panel, the
+    * [[closenessCentrality]] contract.
+    */
+  def betweenness(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, seedCol: String,
+                  maxHops: Int): DataFrame = {
+    require(maxHops >= 2 && maxHops <= 8, s"maxHops out of range: $maxHops")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    val eByDst = e.repartition(col("dst")).localCheckpoint(true)
+    // forward: level-synchronous BFS carrying exact path counts
+    val l0 = seeds.select(col(seedCol).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(1L).cast(dec).as("sig"))
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(l0)
+    var seen = l0.select(col("seed"), col("node")).localCheckpoint(true)
+    var exhausted = false
+    var h = 1
+    while (h <= maxHops && !exhausted) {
+      val prev = levels.last
+      val next = e.join(prev.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sig")).as("sig"))
+        .join(seen, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true)
+      if (next.limit(1).count() == 0L) exhausted = true
+      else {
+        levels += next
+        seen = seen.unionByName(next.select(col("seed"), col("node")))
+          .localCheckpoint(true)
+      }
+      h += 1
+    }
+    val top = levels.length - 1 // deepest level actually reached
+    // backward: dependency accumulation, deepest level has delta = 0
+    val deltas = scala.collection.mutable.Map[Int, DataFrame]()
+    deltas(top) = levels(top).select(col("seed"), col("node"), lit(0L).as("dlt"))
+      .localCheckpoint(true)
+    for (lev <- (top - 1) to 1 by -1) {
+      val wSide = levels(lev + 1)
+        .join(deltas(lev + 1), Seq("seed", "node"))
+        .select(col("seed"), col("node").as("dst"),
+          col("sig").as("__sw"), col("dlt").as("__dw"))
+      val terms = eByDst.join(wSide, Seq("dst"))
+        .join(levels(lev).select(col("seed"), col("node").as("src"),
+          col("sig").as("__sv")), Seq("seed", "src"))
+        .select(col("seed"), col("src").as("node"),
+          expr("cast(__sv * (1000000000 + __dw) as decimal(38,0)) div __sw")
+            .as("__term"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("__term").cast(dec)).as("__sum"))
+      deltas(lev) = levels(lev).select(col("seed"), col("node"))
+        .join(terms, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          coalesce(col("__sum").cast("long"), lit(0L)).as("dlt"))
+        .localCheckpoint(true)
+    }
+    val contribs = (1 to top).map(lev =>
+      deltas(lev).select(col("seed"), col("node"), col("dlt")))
+    if (contribs.isEmpty) {
+      // no node beyond the seeds themselves: empty result, fixed schema
+      l0.select(col("node"), lit(0L).as("n_seeds"), lit(0L).as("bc_nano"))
+        .limit(0)
+    } else {
+      contribs.reduce(_ unionByName _)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_seeds"),
+          sum(col("dlt").cast(dec)).as("__bc"))
+        .select(col("node"), col("n_seeds"),
+          col("__bc").cast("long").as("bc_nano"))
+    }
+  }
 }

@@ -182,6 +182,87 @@ object GraphQueries {
        |FROM d4 GROUP BY seed ORDER BY seed""".stripMargin
   }
 
+  /** Seed-sampled betweenness ([[graft.ops.Graph.betweenness]]):
+    * Brandes dependency accumulation from the suppkey%7 seed panel over
+    * the supplier co-sequence graph, 3-hop ball — which suppliers do
+    * trade paths FUNNEL through (the brokerage readout q_pagerank's
+    * stationary mass and q_closeness's distances cannot give). Exact σ
+    * path counts forward, exact integral `(σ_v·(10⁹+δ_w)) div σ_w`
+    * terms backward; the oracle replays all forward levels and both
+    * backward sweeps CTE-for-CTE. All-BIGINT output.
+    */
+  private def qBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"))
+    val li = t(s, dir, "lineitem")
+    val edges = li
+      .select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+    val seeds = li.select(col("l_suppkey").as("node")).distinct()
+      .filter(col("node") % 7 === 0)
+    graft.ops.Graph.betweenness(edges, "src", "dst", seeds, "node",
+        maxHops = 3)
+      .orderBy(col("node"))
+  }
+
+  private def betweennessOracleSql: String = {
+    def antiSeen(levels: Seq[String]): String = levels.map { l =>
+      s"NOT EXISTS (SELECT 1 FROM $l s WHERE s.seed = p.seed AND s.node = e.dst)"
+    }.mkString("\n    AND ")
+    s"""WITH nxt AS (
+       |  SELECT l_suppkey AS src,
+       |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+       |                          ORDER BY l_linenumber, l_suppkey) AS dst
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM nxt WHERE dst IS NOT NULL AND src <> dst),
+       |l0 AS (
+       |  SELECT DISTINCT l_suppkey AS seed, l_suppkey AS node,
+       |    CAST(1 AS HUGEINT) AS sig
+       |  FROM lineitem WHERE l_suppkey % 7 = 0),
+       |l1 AS MATERIALIZED (
+       |  SELECT p.seed, e.dst AS node, SUM(p.sig) AS sig
+       |  FROM e JOIN l0 p ON e.src = p.node
+       |  WHERE ${antiSeen(Seq("l0"))}
+       |  GROUP BY 1, 2),
+       |l2 AS MATERIALIZED (
+       |  SELECT p.seed, e.dst AS node, SUM(p.sig) AS sig
+       |  FROM e JOIN l1 p ON e.src = p.node
+       |  WHERE ${antiSeen(Seq("l0", "l1"))}
+       |  GROUP BY 1, 2),
+       |l3 AS MATERIALIZED (
+       |  SELECT p.seed, e.dst AS node, SUM(p.sig) AS sig
+       |  FROM e JOIN l2 p ON e.src = p.node
+       |  WHERE ${antiSeen(Seq("l0", "l1", "l2"))}
+       |  GROUP BY 1, 2),
+       |d3 AS (SELECT seed, node, CAST(0 AS BIGINT) AS dlt FROM l3),
+       |t2 AS (
+       |  SELECT l2.seed, l2.node,
+       |    SUM((l2.sig * (1000000000 + d3.dlt)) // w3.sig) AS sm
+       |  FROM e JOIN l3 w3 ON e.dst = w3.node
+       |  JOIN d3 ON d3.seed = w3.seed AND d3.node = w3.node
+       |  JOIN l2 ON l2.seed = w3.seed AND l2.node = e.src
+       |  GROUP BY 1, 2),
+       |d2 AS (
+       |  SELECT l2.seed, l2.node, CAST(COALESCE(t2.sm, 0) AS BIGINT) AS dlt
+       |  FROM l2 LEFT JOIN t2 ON t2.seed = l2.seed AND t2.node = l2.node),
+       |t1 AS (
+       |  SELECT l1.seed, l1.node,
+       |    SUM((l1.sig * (1000000000 + d2.dlt)) // w2.sig) AS sm
+       |  FROM e JOIN l2 w2 ON e.dst = w2.node
+       |  JOIN d2 ON d2.seed = w2.seed AND d2.node = w2.node
+       |  JOIN l1 ON l1.seed = w2.seed AND l1.node = e.src
+       |  GROUP BY 1, 2),
+       |d1 AS (
+       |  SELECT l1.seed, l1.node, CAST(COALESCE(t1.sm, 0) AS BIGINT) AS dlt
+       |  FROM l1 LEFT JOIN t1 ON t1.seed = l1.seed AND t1.node = l1.node),
+       |allc AS (
+       |  SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+       |SELECT node, COUNT(*) AS n_seeds,
+       |  CAST(SUM(CAST(dlt AS HUGEINT)) AS BIGINT) AS bc_nano
+       |FROM allc GROUP BY node ORDER BY node""".stripMargin
+  }
+
   private def closenessOracleSql: String = {
     val iters = (1 to 4).map { i =>
       s"""d$i AS (
@@ -615,6 +696,7 @@ object GraphQueries {
     "q_bfs" -> (qBfs _),
     "q_closeness" -> (qCloseness _),
     "q_eccentricity" -> (qEccentricity _),
+    "q_betweenness" -> (qBetweenness _),
   )
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
@@ -693,6 +775,7 @@ object GraphQueries {
     "q_bfs" -> bfsOracleSql,
     "q_closeness" -> closenessOracleSql,
     "q_eccentricity" -> eccentricityOracleSql,
+    "q_betweenness" -> betweennessOracleSql,
     "q_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem

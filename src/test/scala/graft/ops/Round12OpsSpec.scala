@@ -313,6 +313,25 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("grid"))
   }
 
+  test("betweenness: chain and diamond dependencies match Brandes by hand") {
+    // chain a->b->c->d from seed a: delta(b)=2, delta(c)=1, delta(d)=0
+    val chain = createDf(spark, "s string, d string",
+      Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c"), Seq[Any]("c", "d")))
+    val seeds = createDf(spark, "n string", Seq(Seq[Any]("a")))
+    val out = Graph.betweenness(chain, "s", "d", seeds, "n", maxHops = 3)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(out == Map("b" -> 2000000000L, "c" -> 1000000000L, "d" -> 0L))
+    // diamond a->{b,c}->d: two shortest paths to d, each broker gets 1/2
+    val diamond = createDf(spark, "s string, d string",
+      Seq(Seq[Any]("a", "b"), Seq[Any]("a", "c"),
+        Seq[Any]("b", "d"), Seq[Any]("c", "d")))
+    val o2 = Graph.betweenness(diamond, "s", "d", seeds, "n", maxHops = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(o2 == Map("b" -> 500000000L, "c" -> 500000000L, "d" -> 0L))
+  }
+
   test("bfsDistances: early exit leaves the fixpoint intact on a short chain") {
     val edges = createDf(spark, "s string, d string",
       Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
