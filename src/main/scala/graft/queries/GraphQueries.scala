@@ -135,7 +135,7 @@ object GraphQueries {
   }
 
   /** Seed-panel eccentricity ([[graft.ops.Graph.eccentricity]]): the
-    * worst-case hop radius of each suppkey%11 seed's 4-hop ball over
+    * worst-case hop radius of each suppkey%37==3 seed's 4-hop ball over
     * the supplier co-sequence graph — q_closeness's max-distance
     * sibling (radius/diameter lower bounds for the panel), same
     * frontier-BFS rounds, all-integer output (no float surface). The
@@ -150,7 +150,7 @@ object GraphQueries {
         lead(col("l_suppkey"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull && col("src") =!= col("dst"))
     val seeds = li.select(col("l_suppkey").as("node")).distinct()
-      .filter(col("node") % 11 === 0)
+      .filter(col("node") % 37 === 3)
     graft.ops.Graph.eccentricity(edges, "src", "dst", seeds, "node",
         maxHops = 4)
       .orderBy(col("seed"))
@@ -174,7 +174,7 @@ object GraphQueries {
        |e AS (SELECT DISTINCT src, dst FROM nxt WHERE dst IS NOT NULL AND src <> dst),
        |d0 AS (
        |  SELECT DISTINCT l_suppkey AS seed, l_suppkey AS node, 0 AS dist
-       |  FROM lineitem WHERE l_suppkey % 11 = 0),
+       |  FROM lineitem WHERE l_suppkey % 37 = 3),
        |$iters
        |SELECT seed, COUNT(*) AS n_reached,
        |  CAST(MAX(dist) AS BIGINT) AS eccentricity,
@@ -183,7 +183,7 @@ object GraphQueries {
   }
 
   /** Seed-sampled betweenness ([[graft.ops.Graph.betweenness]]):
-    * Brandes dependency accumulation from the suppkey%7 seed panel over
+    * Brandes dependency accumulation from the fixed suppkey<=7 panel over
     * the supplier co-sequence graph, 3-hop ball — which suppliers do
     * trade paths FUNNEL through (the brokerage readout q_pagerank's
     * stationary mass and q_closeness's distances cannot give). Exact σ
@@ -200,7 +200,7 @@ object GraphQueries {
         lead(col("l_suppkey"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull && col("src") =!= col("dst"))
     val seeds = li.select(col("l_suppkey").as("node")).distinct()
-      .filter(col("node") % 7 === 0)
+      .filter(col("node") <= 7)
     graft.ops.Graph.betweenness(edges, "src", "dst", seeds, "node",
         maxHops = 3)
       .orderBy(col("node"))
@@ -219,7 +219,7 @@ object GraphQueries {
        |l0 AS (
        |  SELECT DISTINCT l_suppkey AS seed, l_suppkey AS node,
        |    CAST(1 AS HUGEINT) AS sig
-       |  FROM lineitem WHERE l_suppkey % 7 = 0),
+       |  FROM lineitem WHERE l_suppkey <= 7),
        |l1 AS MATERIALIZED (
        |  SELECT p.seed, e.dst AS node, SUM(p.sig) AS sig
        |  FROM e JOIN l0 p ON e.src = p.node
