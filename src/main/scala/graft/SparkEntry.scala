@@ -56,7 +56,8 @@ object SparkEntry {
       "q_dup_components", "q_bucketed_join", "q_cms", "q_ivf_exact",
       "q_simhash_containment", "q_fingerprint_containment", "q_quantile_bound",
       "q_hll_merge", "q_weighted_sample", "q_hh_containment", "q_joinsize_bound",
-      "q_rolling_hll", "q_compact_audit", "q_lsh_recall", "q_pq_recall")
+      "q_rolling_hll", "q_compact_audit", "q_lsh_recall", "q_pq_recall",
+      "q_sq8_recall")
 
   /** DuckDB oracle SQL per query — the union of the per-family maps. */
   def oracleSql: Map[String, String] = {

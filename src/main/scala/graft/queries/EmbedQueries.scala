@@ -864,8 +864,59 @@ object EmbedQueries {
     Similarity.alignmentUniformity(t(s, dir, "embeddings"),
       "vec_id", "embedding", Seq(1L, 7L, 101L))
 
+  /** SQ8 ADC top-5 recall vs the exact integer-lattice baseline — the
+    * retrieval-quality readout completing q_sq8's geometry audit (did
+    * the 256-level codebook change what search RETURNS, not just how
+    * vectors look?). Entirely integer arithmetic: vectors live on the
+    * q_pq_recall round(x·1000) lattice, codes/reconstructions are
+    * round-half-up integral divisions, distances exact long L2 —
+    * value-exact oracle, no doubles anywhere. Asymmetric (ADC) scoring:
+    * exact query vs reconstructed corpus, the FAISS convention.
+    */
+  private def qSq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000, 0).cast("long")).as("q"))
+    // per-dim integer codebook bounds, shipped back as plan literals
+    val stats = e.select(posexplode(col("q")).as(Seq("__i", "__v")))
+      .groupBy(col("__i"))
+      .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+      .orderBy(col("__i")).collect()
+    val mnLit = typedLit(stats.map(_.getLong(1)).toSeq)
+    val rgLit = typedLit(stats.map(r => r.getLong(2) - r.getLong(1)).toSeq)
+    def idiv(num: Column, den: Column): Column =
+      floor(num.cast("double") / den.cast("double")).cast("long")
+    val dx = zip_with(col("q"), mnLit, (x, mn) => x - mn)
+    val code = zip_with(dx, rgLit, (d, rg) =>
+      when(rg > 0L, idiv(d * lit(510L) + rg, rg * lit(2L))).otherwise(lit(0L)))
+    val sc = zip_with(code, rgLit, (c, rg) =>
+      idiv(c * rg * lit(2L) + lit(255L), lit(510L)))
+    val xhat = zip_with(sc, mnLit, (t, mn) => mn + t)
+    val recon = e.select(col("vec_id").as("neighbor_id"), xhat.as("__hv"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("__qv"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    val adc5 = queries.crossJoin(recon)
+      .select(col("query_id"), col("neighbor_id"), d2(col("__qv"), col("__hv")).as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val b5 = queries
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("q").as("__nv")))
+      .select(col("query_id"), col("neighbor_id"), d2(col("__qv"), col("__nv")).as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__in"))
+    adc5.join(b5, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__in"), lit(0))).cast("long").as("n_overlap"))
+      .orderBy(col("query_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sq8" -> (qSq8 _),
+    "q_sq8_recall" -> (qSq8Recall _),
     "q_align_uniform" -> (qAlignUniform _),
     "q_matryoshka" -> (qMatryoshka _),
     "q_pca" -> (qPca _),
@@ -1094,6 +1145,50 @@ object EmbedQueries {
         |  CAST(MAX(mabs) AS BIGINT) AS max_abs_err_pico
         |FROM cn""".stripMargin,
     "q_align_uniform" -> alignUniformOracleSql,
+    "q_sq8_recall" ->
+      """WITH l AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |e2 AS (
+        |  SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS v FROM l),
+        |st AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM e2 GROUP BY 1),
+        |xh AS (
+        |  SELECT e2.vec_id, e2.i,
+        |    st.mn + CAST(floor(CAST(
+        |      (CASE WHEN mx - mn > 0 THEN
+        |        CAST(floor(CAST((v - mn) * 510 + (mx - mn) AS DOUBLE)
+        |          / CAST((mx - mn) * 2 AS DOUBLE)) AS BIGINT)
+        |       ELSE 0 END) * (mx - mn) * 2 + 255 AS DOUBLE) / 510.0)
+        |      AS BIGINT) AS h
+        |  FROM e2 JOIN st USING (i)),
+        |qv AS (SELECT vec_id, i, v FROM e2 WHERE vec_id < 10),
+        |d2q AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    SUM((q.v - x.h) * (q.v - x.h)) AS d2
+        |  FROM qv q JOIN xh x ON q.i = x.i GROUP BY 1, 2),
+        |d2b AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    SUM((q.v - c.v) * (q.v - c.v)) AS d2
+        |  FROM qv q JOIN e2 c ON q.i = c.i GROUP BY 1, 2),
+        |t5q AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d2, neighbor_id) AS rk
+        |    FROM d2q) WHERE rk <= 5),
+        |t5b AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d2, neighbor_id) AS rk
+        |    FROM d2b) WHERE rk <= 5)
+        |SELECT t5q.query_id AS query_id,
+        |  SUM(CASE WHEN t5b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS n_overlap
+        |FROM t5q LEFT JOIN t5b
+        |  ON t5b.query_id = t5q.query_id AND t5b.neighbor_id = t5q.neighbor_id
+        |GROUP BY t5q.query_id ORDER BY t5q.query_id""".stripMargin,
     "q_lsh_recall" ->
       s"""WITH $nvCte,
         |$lshPairsCteChain,

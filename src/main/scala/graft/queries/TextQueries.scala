@@ -991,6 +991,21 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Yule's K repeat rate per source ([[graft.text.TextStats.yuleK]]):
+    * the size-invariant vocabulary-concentration number beside
+    * q_renyi's effective vocabulary — high K flags formulaic or
+    * generated text; the hapax count rides along. All-BIGINT output
+    * (K in exact integral-division micro units).
+    */
+  private def qYule(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .filter(col("source").isNotNull && col("text").isNotNull)
+      .select(col("source"),
+        explode(TextStats.tokens(col("text"))).as("token"))
+    TextStats.yuleK(toks, Seq("source"), col("token"))
+      .orderBy(col("source"))
+  }
+
   /** Tokenizer fertility per language: BPE-ish subwords per whitespace
     * word and characters per subword — the "how expensive is this
     * language for my tokenizer?" table (high fertility = wasted
@@ -1214,6 +1229,7 @@ object TextQueries {
     "q_ks_score" -> (qKsScore _),
     "q_bss" -> (qBss _),
     "q_renyi" -> (qRenyi _),
+    "q_yule" -> (qYule _),
     "q_ccc" -> (qCcc _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
@@ -1735,6 +1751,25 @@ object TextQueries {
         |    round(CAST(nf - nb AS DOUBLE) / CAST(nf AS DOUBLE), 6)
         |  END AS collision_rate
         |FROM a""".stripMargin,
+    "q_yule" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |c AS (
+        |  SELECT source, t, COUNT(*) AS c FROM tok
+        |  WHERE t IS NOT NULL GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, SUM(c) AS n, COUNT(*) AS v,
+        |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+        |    SUM(CAST(c AS HUGEINT) * c) AS c2
+        |  FROM c GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS n_vocab,
+        |  CAST(hapax AS BIGINT) AS n_hapax,
+        |  CASE WHEN n > 0 THEN
+        |    CAST(((c2 - n) * 20000000000 + CAST(n AS HUGEINT) * n)
+        |      // (CAST(n AS HUGEINT) * n * 2) AS BIGINT)
+        |  END AS yule_k_micros
+        |FROM a ORDER BY source""".stripMargin,
     "q_renyi" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS t

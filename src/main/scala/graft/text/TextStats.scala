@@ -385,6 +385,46 @@ object TextStats {
       :+ when(ok, round(nD * nD / c2, 6)).as("eff_vocab"): _*)
   }
 
+  /** Yule's K — the repeat-rate concentration of a vocabulary
+    * ([[renyiDiversity]]'s classic stylometric sibling):
+    *
+    *   K = 10⁴ · (Σ_types c² − N) / N²
+    *
+    * — size-invariant by design (the property raw type/token ratios
+    * lack), high for formulaic/generated text, ~100-200 for natural
+    * prose. Per group: `(groups..., n_tokens, n_vocab, n_hapax,
+    * yule_k_micros)` with K in round-half-up integer micro units (no
+    * float surface; the hapax count rides along as the
+    * complementary "fresh vocabulary" readout).
+    *
+    * Determinism: exact integer N, Σc², hapax count; K one exact
+    * integral division on decimal products.
+    *
+    * Scale shape: the [[renyiDiversity]] contract — one (group, token)
+    * map-combined aggregation, one group rollup, nothing data-sized
+    * after the first exchange.
+    */
+  def yuleK(df: DataFrame, groupBy: Seq[String], token: Column): DataFrame = {
+    require(groupBy.nonEmpty, "yuleK needs group keys")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gCols = groupBy.map(col)
+    val counts = df.select(gCols :+ token.as("__t"): _*)
+      .filter(col("__t").isNotNull)
+      .groupBy(gCols :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val agg = counts.groupBy(gCols: _*).agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("n_vocab"),
+      sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+      sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__c2"))
+    agg.select(gCols :+ col("n_tokens") :+ col("n_vocab") :+ col("n_hapax")
+      :+ when(col("n_tokens") > 0L,
+        expr("(cast(__c2 - n_tokens as decimal(38,0)) * 20000000000 " +
+          "+ cast(n_tokens as decimal(38,0)) * n_tokens) div " +
+          "(cast(n_tokens as decimal(38,0)) * n_tokens * 2)").cast("long"))
+        .as("yule_k_micros"): _*)
+  }
+
   /** Gopher-style quality-rule flags (Rae et al. 2021, §A1.1 — the
     * public heuristic ruleset most curation pipelines start from): a
     * struct of 7 booleans, true = the document PASSES the rule.

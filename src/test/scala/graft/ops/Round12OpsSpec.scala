@@ -332,6 +332,21 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(o2 == Map("b" -> 500000000L, "c" -> 500000000L, "d" -> 0L))
   }
 
+  test("yuleK: hand-computed repeat rate; uniform text maximizes K") {
+    // tokens {a, a, b}: N=3, c = (2,1), sum c^2 = 5
+    // K = 1e4*(5-3)/9 = 2222.222222 -> 2222222222 micros (round-half-up)
+    val df = createDf(spark, "g string, t string",
+      Seq(Seq[Any]("x", "a"), Seq[Any]("x", "a"), Seq[Any]("x", "b")))
+    val r = graft.text.TextStats.yuleK(df, Seq("g"), col("t")).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 2222222222L)
+    // one token repeated n times: K = 1e4*(n^2-n)/n^2 -> 1e4*(1-1/n)
+    val rep = createDf(spark, "g string, t string",
+      (1 to 10).map(_ => Seq[Any]("x", "w")))
+    val r2 = graft.text.TextStats.yuleK(rep, Seq("g"), col("t")).head()
+    assert(r2.getLong(4) == 9000000000L, "K = 9000 for a 10x repeat")
+  }
+
   test("bfsDistances: early exit leaves the fixpoint intact on a short chain") {
     val edges = createDf(spark, "s string, d string",
       Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
