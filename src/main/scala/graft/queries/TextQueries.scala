@@ -1006,6 +1006,20 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Burrows' Delta ([[graft.text.TextStats.burrowsDelta]]) between
+    * sources over the corpus's top-50 words: the stylometric register
+    * distance (authorship attribution's workhorse) read as a
+    * source-drift screen — which feeds write most alike? K²-bounded
+    * pair table, all-BIGINT nano output.
+    */
+  private def qBurrows(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .filter(col("source").isNotNull && col("text").isNotNull)
+      .select(col("source"),
+        explode(TextStats.tokens(col("text"))).as("token"))
+    TextStats.burrowsDelta(toks, col("source"), col("token"), topM = 50)
+  }
+
   /** Tokenizer fertility per language: BPE-ish subwords per whitespace
     * word and characters per subword — the "how expensive is this
     * language for my tokenizer?" table (high fertility = wasted
@@ -1230,6 +1244,7 @@ object TextQueries {
     "q_bss" -> (qBss _),
     "q_renyi" -> (qRenyi _),
     "q_yule" -> (qYule _),
+    "q_burrows" -> (qBurrows _),
     "q_ccc" -> (qCcc _),
     "q_entropy" -> (qEntropy _),
     "q_pmi" -> (qPmi _),
@@ -1751,6 +1766,45 @@ object TextQueries {
         |    round(CAST(nf - nb AS DOUBLE) / CAST(nf AS DOUBLE), 6)
         |  END AS collision_rate
         |FROM a""".stripMargin,
+    "q_burrows" ->
+      """WITH tok AS (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |c AS (
+        |  SELECT g, t, COUNT(*) AS c FROM tok
+        |  WHERE t IS NOT NULL GROUP BY 1, 2),
+        |top AS (
+        |  SELECT t FROM (SELECT t, SUM(c) AS tot FROM c GROUP BY 1)
+        |  ORDER BY tot DESC, t LIMIT 50),
+        |tt AS (SELECT g, SUM(c) AS tl FROM c GROUP BY 1),
+        |grid AS (
+        |  SELECT tt.g, top.t,
+        |    COALESCE((CAST(c.c AS HUGEINT) * 2000000 + tt.tl)
+        |      // (CAST(tt.tl AS HUGEINT) * 2), 0) AS f
+        |  FROM tt CROSS JOIN top
+        |  LEFT JOIN c ON c.g = tt.g AND c.t = top.t),
+        |m AS (
+        |  SELECT t, COUNT(*) AS k, SUM(CAST(f AS HUGEINT)) AS s1,
+        |    SUM(CAST(f AS HUGEINT) * f) AS s2
+        |  FROM grid GROUP BY 1),
+        |mm AS (
+        |  SELECT t, CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS muv,
+        |    sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1.0)) AS sdv
+        |  FROM m),
+        |z AS (
+        |  SELECT grid.g, grid.t,
+        |    CASE WHEN sdv > 0.0 THEN (CAST(f AS DOUBLE) - muv) / sdv
+        |         ELSE 0.0 END AS z
+        |  FROM grid JOIN mm ON mm.t = grid.t),
+        |p AS (
+        |  SELECT a.g AS ga, b.g AS gb,
+        |    SUM(CAST(round(abs(a.z - b.z) * 1000000000.0) AS HUGEINT)) AS ds
+        |  FROM z a JOIN z b ON a.t = b.t AND a.g < b.g GROUP BY 1, 2)
+        |SELECT ga AS group_a, gb AS group_b,
+        |  CAST((ds * 2 + 50) // 100 AS BIGINT) AS delta_nano
+        |FROM p ORDER BY group_a, group_b""".stripMargin,
     "q_yule" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS t

@@ -425,6 +425,85 @@ object TextStats {
         .as("yule_k_micros"): _*)
   }
 
+  /** Burrows' Delta — the classic stylometric distance between text
+    * slices (authorship attribution's workhorse, here the "did this
+    * source's register drift away from the others?" screen): over the
+    * corpus's `topM` most frequent words, each slice's relative word
+    * frequencies z-score ACROSS slices, and
+    *
+    *   Δ(a, b) = (1/M) Σ_w |z_a(w) − z_b(w)|
+    *
+    * Per unordered slice pair: `(group_a, group_b, delta_nano)` —
+    * BIGINT nano units (no float surface).
+    *
+    * Determinism: relative frequencies micro-quantize via exact
+    * integral division ((c·2·10⁶ + T) div 2T); μ_w/σ_w come from exact
+    * integer sums over the K slices; each |z_a − z_b| term
+    * nano-quantizes before the exact pair sum and Δ is one final
+    * integral division by M. σ_w = 0 (a word used at the same rate
+    * everywhere) contributes z = 0 — the standard guard.
+    *
+    * Scale shape: one (slice, token) map-combined counting pass; the
+    * top-M vocabulary is a corpus-frequency sort truncated at M
+    * (broadcast back); everything after lives on the K×M grid
+    * (slices × words — design-bounded, never corpus-sized): a bounded
+    * densification spine, M-row moment rollup, and a w-keyed pair
+    * join bounded by K²·M.
+    */
+  def burrowsDelta(df: DataFrame, groupCol: Column, token: Column,
+                   topM: Int = 50): DataFrame = {
+    require(topM >= 2 && topM <= 10000, s"topM out of range: $topM")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(groupCol.cast("string").as("__g"), token.as("__t"))
+      .filter(col("__g").isNotNull && col("__t").isNotNull)
+    val counts = base.groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // top-M vocabulary collected to the driver (M strings — bounded)
+    // and shipped back as a literal explode: the q_classify posture,
+    // so the densification spine is a projection, not a join
+    val topTokens: Seq[String] = counts.groupBy(col("__t"))
+      .agg(sum(col("__c")).as("__tot"))
+      .orderBy(col("__tot").desc, col("__t")).limit(topM)
+      .select(col("__t")).collect().map(_.getString(0)).toSeq
+    val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__tl"))
+    // densified K×M grid with micro relative frequencies (0 for absent)
+    val grid = totals
+      .select(col("__g"), col("__tl"), explode(typedLit(topTokens)).as("__t"))
+      .join(counts, Seq("__g", "__t"), "left")
+      .select(col("__g"), col("__t"),
+        coalesce(
+          expr("(cast(__c as decimal(38,0)) * 2000000 + __tl) div " +
+            "(cast(__tl as decimal(38,0)) * 2)"), lit(0L)).as("__f"))
+    val mom = grid.groupBy(col("__t")).agg(
+      count(lit(1)).as("__k"),
+      sum(col("__f").cast(dec)).as("__s1"),
+      sum(col("__f").cast(dec) * col("__f").cast(dec)).as("__s2"))
+    val kD = col("__k").cast("double")
+    val mu = col("__s1").cast("double") / kD
+    val sd = sqrt((col("__s2").cast("double") -
+      col("__s1").cast("double") * col("__s1").cast("double") / kD) /
+      (kD - lit(1.0)))
+    val withZ = grid.join(broadcast(mom.select(col("__t"),
+        mu.as("__mu"), sd.as("__sd"))), Seq("__t"))
+      .select(col("__t"), col("__g"),
+        when(col("__sd") > 0.0,
+          (col("__f").cast("double") - col("__mu")) / col("__sd"))
+          .otherwise(lit(0.0)).as("__z"))
+    val a = withZ.select(col("__t"), col("__g").as("group_a"), col("__z").as("__za"))
+    val b = withZ.select(col("__t"), col("__g").as("group_b"), col("__z").as("__zb"))
+    counts.unpersist(false)
+    a.join(b, Seq("__t")).filter(col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        round(abs(col("__za") - col("__zb")) * lit(1e9), 0).cast(dec).as("__d"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(sum(col("__d")).as("__ds"))
+      .select(col("group_a"), col("group_b"),
+        expr(s"(cast(__ds as decimal(38,0)) * 2 + $topM) div ${2 * topM}")
+          .cast("long").as("delta_nano"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** Gopher-style quality-rule flags (Rae et al. 2021, §A1.1 — the
     * public heuristic ruleset most curation pipelines start from): a
     * struct of 7 booleans, true = the document PASSES the rule.

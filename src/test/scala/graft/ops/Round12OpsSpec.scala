@@ -347,6 +347,21 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(r2.getLong(4) == 9000000000L, "K = 9000 for a 10x repeat")
   }
 
+  test("burrowsDelta: identical slices are at distance 0; symmetry holds") {
+    // C's token stream is identical to A's -> z profiles equal -> delta 0,
+    // and delta(A,B) must equal delta(B,C)
+    val rows = Seq(
+      ("A", Seq("x", "x", "y")), ("B", Seq("x", "y", "y")),
+      ("C", Seq("x", "x", "y")))
+    val df = createDf(spark, "g string, t string",
+      rows.flatMap { case (g, ts) => ts.map(t => Seq[Any](g, t)) })
+    val out = graft.text.TextStats.burrowsDelta(df, col("g"), col("t"), topM = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out(("A", "C")) == 0L, "identical slices at delta 0")
+    assert(out(("A", "B")) == out(("B", "C")), "clone symmetry")
+    assert(out(("A", "B")) > 0L)
+  }
+
   test("bfsDistances: early exit leaves the fixpoint intact on a short chain") {
     val edges = createDf(spark, "s string, d string",
       Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
