@@ -694,4 +694,46 @@ object Multimodal {
         }
       case _ => null
     }
+
+  /** Scene-cut detection over AVI video — global-luma frame differencing,
+    * the classic first-pass shot segmenter (frame t is a CUT when the
+    * mean ITU-601 luma jumps by more than `thresholdMicros` of full
+    * scale vs frame t−1). Composed ENTIRELY in the engine: the byte
+    * codec runs once per payload ([[sampleAviFrames]] at stride 1 — the
+    * only `mapPartitions`), and the detector is a lag window + integer
+    * cross-multiplication over the frame-stats stream:
+    *
+    *   |L_t − L_{t−1}| · 10⁶  >  θ_micros · 255 · w · h · 1000
+    *
+    * with L = 299·ΣR + 587·ΣG + 114·ΣB (milli-luma, exact integers) —
+    * no float thresholds anywhere. Per video:
+    * `(id, n_frames, n_cuts, first_cut_idx)` — all BIGINT
+    * (first_cut_idx null when no cut fires).
+    *
+    * Scale shape: payload bytes never shuffle (the demux emits 8-column
+    * stats rows); one id-keyed window + one aggregation over the
+    * frame-stats stream — frames-per-video bounded, the q_rolling
+    * contract. A learned shot detector slots into the same shape with
+    * the luma proxy swapped for its per-frame embedding.
+    */
+  def aviSceneCuts(df: DataFrame, idCol: String, payloadCol: String,
+                   thresholdMicros: Long): DataFrame = {
+    require(thresholdMicros > 0L, s"thresholdMicros must be positive: $thresholdMicros")
+    val fr = sampleAviFrames(df, idCol, payloadCol, stride = 1)
+    val luma = lit(299L) * col("sum_r") + lit(587L) * col("sum_g") +
+      lit(114L) * col("sum_b")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__i"))
+    fr.select(col(idCol), col("frame_idx").cast("long").as("__i"),
+        col("width"), col("height"), luma.as("__l"))
+      .withColumn("__pl", lag(col("__l"), 1).over(w))
+      .withColumn("__cut", col("__pl").isNotNull &&
+        abs(col("__l") - col("__pl")) * lit(1000000L) >
+          lit(thresholdMicros) * lit(255L) *
+            col("width").cast("long") * col("height").cast("long") * lit(1000L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__cut"), 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("__cut"), col("__i"))).as("first_cut_idx"))
+  }
 }

@@ -115,6 +115,23 @@ object MultimodalQueries {
     * sampled frame i is source byte 12·i+2, which the oracle recomputes
     * straight from the raw text with independent index arithmetic.
     */
+  /** Scene cuts ([[graft.multimodal.Multimodal.aviSceneCuts]]) over the
+    * genuine 2×2 RGB24 AVI containers built from each document's bytes:
+    * global-luma frame differencing at a 25%-of-full-scale threshold —
+    * the codec runs once, the detector is a lag window + integer
+    * cross-multiply in the engine. The oracle recomputes every frame's
+    * milli-luma straight from the raw text bytes by hex arithmetic and
+    * replays the lag/threshold exactly.
+    */
+  private def qSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("rgb"))
+    val avi = Multimodal.encodeAviRgb24(d, "doc_id", "rgb", width = 2, height = 2)
+    Multimodal.aviSceneCuts(avi, "doc_id", "payload",
+        thresholdMicros = 250000L)
+      .orderBy(col("doc_id"))
+  }
+
   private def qFrameSample(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("rgb"))
@@ -198,6 +215,7 @@ object MultimodalQueries {
     "q_wav" -> (qWav _),
     "q_resize" -> (qResize _),
     "q_frame_sample" -> (qFrameSample _),
+    "q_scene_cuts" -> (qSceneCuts _),
     "q_audio_resample" -> (qAudioResample _),
   )
 
@@ -243,6 +261,39 @@ object MultimodalQueries {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha,
         |  'unknown' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_scene_cuts" ->
+      // Frame i's milli-luma recomputed straight from the raw text bytes
+      // (channel mapping per the q_frame_sample note: R ≡ 0, G ≡ 1,
+      // B ≡ 2 mod 3 within the 12-byte frame), then the exact lag window
+      // and the integer cross-multiplied 25% threshold (w·h = 4).
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 12 AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, hx, unnest(range(0, nf)) AS i FROM b WHERE nf > 0),
+        |lm AS (
+        |  SELECT doc_id, i,
+        |    299 * list_sum(list_transform(range(0, 12, 3), j ->
+        |      CAST(('0x' || substr(hx, 2*(12*i+j)+1, 2)) AS BIGINT)))
+        |    + 587 * list_sum(list_transform(range(1, 12, 3), j ->
+        |      CAST(('0x' || substr(hx, 2*(12*i+j)+1, 2)) AS BIGINT)))
+        |    + 114 * list_sum(list_transform(range(2, 12, 3), j ->
+        |      CAST(('0x' || substr(hx, 2*(12*i+j)+1, 2)) AS BIGINT))) AS l
+        |  FROM fr),
+        |lg AS (
+        |  SELECT doc_id, i, l,
+        |    lag(l) OVER (PARTITION BY doc_id ORDER BY i) AS pl
+        |  FROM lm),
+        |fl AS (
+        |  SELECT doc_id, i,
+        |    pl IS NOT NULL AND abs(l - pl) * 1000000
+        |      > CAST(250000 AS BIGINT) * 255 * 4 * 1000 AS cut
+        |  FROM lg)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS n_cuts,
+        |  CAST(MIN(CASE WHEN cut THEN i END) AS BIGINT) AS first_cut_idx
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
       // The oracle recomputes what the AVI demuxer must report straight
       // from the raw text bytes: nf = ⌊bytes/12⌋ full 2×2 RGB24 frames,

@@ -108,6 +108,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert((payload(off + 12) & 0xFF) == 3)
   }
 
+  test("aviSceneCuts: black→black→white fires exactly one cut at frame 2") {
+    // frames: black (12×0x00), black, white (12×0xFF): luma delta is 0
+    // between frames 0-1 and full-scale between 1-2
+    val rgb = Array.fill(12)(0.toByte) ++ Array.fill(12)(0.toByte) ++
+      Array.fill(12)(0xFF.toByte)
+    val d = createDf(spark, "id bigint, payload binary",
+      Seq(Seq[Any](1L, aviOf(rgb, 2, 2))))
+    val r = Multimodal.aviSceneCuts(d, "id", "payload",
+      thresholdMicros = 250000L).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L && r.getLong(3) == 2L)
+    // a threshold above full scale never fires; first_cut_idx is null
+    val r2 = Multimodal.aviSceneCuts(d, "id", "payload",
+      thresholdMicros = 1000001L).head()
+    assert(r2.getLong(2) == 0L && r2.isNullAt(3))
+  }
+
   test("encodeAviRgb24 drops a trailing partial frame; stride 1 samples every frame") {
     val rgb = Array.tabulate(30)(_.toByte) // 2.5 frames of 2×2 → 2 frames
     val d = createDf(spark, "id bigint, payload binary", Seq(Seq[Any](1L, aviOf(rgb, 2, 2))))
