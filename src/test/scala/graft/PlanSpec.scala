@@ -186,6 +186,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"expected the block equi-join:\n${p.take(2000)}")
   }
 
+  test("q_sq8: the codebook ships as plan literals — zero joins, one scan") {
+    val p = plan("q_sq8")
+    assert(!p.contains("Join"), s"pass 2 must be pure per-row codegen:\n${p.take(2000)}")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 scan in the audit pass, found $scans")
+  }
+
+  test("q_burrows: the top-M spine is a literal explode — no cross product anywhere") {
+    val p = plan("q_burrows")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"densification must be a projection, not a BNLJ:\n${p.take(2000)}")
+  }
+
+  test("q_align_uniform: offset pairs join as hash equi-joins, never a cross product") {
+    val p = plan("q_align_uniform")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"id-shifted pairing must stay an equi-join:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected hash/merge equi-joins:\n${p.take(2000)}")
+  }
+
   test("q_resample: every stage hash-partitions on the series key (no global sort until output)") {
     val p = plan("q_resample")
     val parts = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
