@@ -4757,6 +4757,147 @@ object Stats {
       .orderBy(gCols: _*)
   }
 
+  /** Rousseeuw-Croux Qn robust scale — the k-th order statistic of all
+    * C(n,2) pairwise absolute differences, k = C(⌊n/2⌋+1, 2): 50%
+    * breakdown (vs MAD's asymmetry blindness) and 82% Gaussian
+    * efficiency (vs MAD's 37%) — the modern robust sigma. Returned RAW
+    * (the 2.2219 Gaussian-consistency factor is the caller's, stated):
+    * `(groups..., n, n_pairs, k, qn_raw_micros)` — all BIGINT
+    * (the selected pairwise difference in exact micro units; no float
+    * surface).
+    *
+    * Determinism: the [[hodgesLehmann]] machinery with sums swapped
+    * for differences — micro-quantized value domain, exact pair
+    * multiplicities (c₁c₂ off-diagonal, C(c,2) zeros on it), an
+    * integer cumulative crossing at rank k.
+    *
+    * Scale shape: one (group, value) map-combined aggregation; a
+    * distinct²-bounded difference grid (guarded by `maxDistinct` via a
+    * cheap pre-join probe); one bounded cumulative window. Raw rows
+    * shuffle once.
+    */
+  def qnScale(df: DataFrame, groupBy: Seq[String], value: Column,
+              maxDistinct: Long = 4096L): DataFrame = {
+    require(groupBy.nonEmpty,
+      "qnScale needs group keys (use a constant column for a global test)")
+    require(maxDistinct >= 2L, s"maxDistinct must be >= 2: $maxDistinct")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val gCols = groupBy.map(col)
+    val byVal = df.select(gCols :+ q(value).as("__x"): _*)
+      .filter(gCols.map(_.isNotNull).reduce(_ && _) && col("__x").isNotNull)
+      .groupBy(gCols :+ col("__x"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val worst = byVal.groupBy(gCols: _*).agg(count(lit(1)).as("__d"))
+      .agg(max(col("__d"))).collect().head
+    val worstD = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(worstD <= maxDistinct,
+      s"qnScale's difference grid is distinct-value²-bounded; a group " +
+        s"has $worstD distinct quantized values (cap $maxDistinct). " +
+        s"Coarsen the quantization or pre-bucket the value.")
+    val right = byVal.select(gCols :+ col("__x").as("__x2") :+ col("__c").as("__c2"): _*)
+    val grid = byVal.join(right, groupBy).filter(col("__x2") >= col("__x"))
+      .select(gCols
+        :+ (col("__x2") - col("__x")).as("__s")
+        :+ when(col("__x2") > col("__x"), col("__c").cast(dec) * col("__c2").cast(dec))
+          .otherwise(expr("cast(__c as decimal(38,0)) * (__c - 1) div 2").cast(dec))
+          .as("__w"): _*)
+      .groupBy(gCols :+ col("__s"): _*)
+      .agg(sum(col("__w")).as("__w"))
+      // zero-weight diagonal cells (c = 1 values) carry no pairs
+      .filter(col("__w") > 0)
+    val nTbl = byVal.groupBy(gCols: _*).agg(sum(col("__c")).as("n"))
+      // k = C(h, 2), h = n div 2 + 1 — exact integer rank
+      .select(gCols :+ col("n")
+        :+ expr("cast((n div 2 + 1) as decimal(38,0)) * (n div 2) div 2")
+          .as("__k"): _*)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(gCols: _*).orderBy(col("__s"))
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(gCols: _*)
+    val marked = grid
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__np", sum(col("__w")).over(wAll))
+      .join(broadcast(nTbl), groupBy)
+    marked.groupBy(gCols: _*).agg(
+        first(col("n")).as("n"),
+        max(col("__np")).cast("long").as("n_pairs"),
+        first(col("__k")).as("k"),
+        min(when(col("__cum") >= col("__k"), col("__s"))).as("qn_raw_micros"))
+      .select(gCols :+ col("n") :+ col("n_pairs") :+ col("k")
+        :+ col("qn_raw_micros"): _*)
+      .orderBy(gCols: _*)
+  }
+
+  /** Two-sample Hotelling T² on TWO features — "did the (x, y) mean
+    * VECTOR move?", the multivariate question two marginal t-tests get
+    * wrong when x and y are correlated (a joint shift along the minor
+    * axis hides from both marginals):
+    *
+    *   T² = (n_a·n_b/N) · d' S⁻¹ d,   F = (N−3)/(2(N−2)) · T²
+    *
+    * with d the mean-difference vector and S the pooled within-group
+    * covariance (2×2 — inverted in closed form, no solver). One row:
+    * `(n_a, n_b, mean_dx_micros, mean_dy_micros, t2, f)`; nulls when
+    * either arm has < 2 rows or S is singular.
+    *
+    * Determinism: both features micro-quantize per row; all six moments
+    * per arm are exact decimal sums in ONE map-combined conditional
+    * aggregation; T²/F are fixed IEEE trees (each exact sum cast to
+    * double once — the groupWls overflow discipline), 6 dp.
+    *
+    * Scale shape: one grand aggregation, 1-row output — the [[welchT]]
+    * contract, two features wide.
+    */
+  def hotellingT2(df: DataFrame, inA: Column, inB: Column,
+                  x: Column, y: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.select(
+        when(inA, lit("a")).when(inB, lit("b")).as("__g"),
+        q(x).as("__x"), q(y).as("__y"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
+    def m(g: String, e: Column): Column =
+      sum(when(col("__g") === g, e).otherwise(lit(0).cast(dec)))
+    val agg = base.agg(
+      sum(when(col("__g") === "a", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__g") === "b", 1L).otherwise(0L)).as("n_b"),
+      m("a", col("__x").cast(dec)).as("__sxa"),
+      m("a", col("__y").cast(dec)).as("__sya"),
+      m("a", col("__x").cast(dec) * col("__x").cast(dec)).as("__sxxa"),
+      m("a", col("__y").cast(dec) * col("__y").cast(dec)).as("__syya"),
+      m("a", col("__x").cast(dec) * col("__y").cast(dec)).as("__sxya"),
+      m("b", col("__x").cast(dec)).as("__sxb"),
+      m("b", col("__y").cast(dec)).as("__syb"),
+      m("b", col("__x").cast(dec) * col("__x").cast(dec)).as("__sxxb"),
+      m("b", col("__y").cast(dec) * col("__y").cast(dec)).as("__syyb"),
+      m("b", col("__x").cast(dec) * col("__y").cast(dec)).as("__sxyb"))
+    def d(c: String): Column = col(c).cast("double")
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val bigN = naD + nbD
+    val dx = d("__sxa") / naD - d("__sxb") / nbD          // micro units
+    val dy = d("__sya") / naD - d("__syb") / nbD
+    // pooled centered SSCP / (N − 2), in micro² units
+    val wxx = (d("__sxxa") - d("__sxa") * d("__sxa") / naD +
+      d("__sxxb") - d("__sxb") * d("__sxb") / nbD) / (bigN - lit(2.0))
+    val wyy = (d("__syya") - d("__sya") * d("__sya") / naD +
+      d("__syyb") - d("__syb") * d("__syb") / nbD) / (bigN - lit(2.0))
+    val wxy = (d("__sxya") - d("__sxa") * d("__sya") / naD +
+      d("__sxyb") - d("__sxb") * d("__syb") / nbD) / (bigN - lit(2.0))
+    val det = wxx * wyy - wxy * wxy
+    val quad = (dx * (wyy * dx - wxy * dy) + dy * (wxx * dy - wxy * dx)) / det
+    val t2 = naD * nbD / bigN * quad
+    val f = (bigN - lit(3.0)) / (lit(2.0) * (bigN - lit(2.0))) * t2
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && det > 0.0
+    agg.select(col("n_a"), col("n_b"),
+      round(dx, 0).cast("long").as("mean_dx_micros"),
+      round(dy, 0).cast("long").as("mean_dy_micros"),
+      when(ok, round(t2, 6)).as("t2"),
+      when(ok, round(f, 6)).as("f"))
+  }
+
   /** Brunner-Munzel test — the heteroscedasticity-honest replacement
     * for Mann-Whitney when the two samples may differ in SHAPE, not
     * just location (the Behrens-Fisher situation rank tests usually

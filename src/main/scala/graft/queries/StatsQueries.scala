@@ -1687,9 +1687,34 @@ object StatsQueries {
       col("user_id") % 2 === 0, col("user_id") % 2 === 1, col("value"))
       .orderBy(col("event_type"))
 
+  /** Rousseeuw-Croux Qn robust scale ([[graft.ops.Stats.qnScale]]) of
+    * l_quantity per return flag: the 50%-breakdown, 82%-efficiency
+    * robust sigma (raw k-th pairwise difference — the 2.2219 Gaussian
+    * factor is the caller's), exact over the 50-value domain.
+    * All-BIGINT output.
+    */
+  private def qQn(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.qnScale(t(s, dir, "lineitem"),
+      Seq("l_returnflag"), col("l_quantity").cast("double"))
+
+  /** Two-sample Hotelling T² ([[graft.ops.Stats.hotellingT2]]) on the
+    * (quantity, discount) mean vector between even- and odd-key order
+    * halves: the multivariate A/B readout two marginal t-tests get
+    * wrong under correlation. One conditional moment pass, closed-form
+    * 2×2 inverse.
+    */
+  private def qHotelling(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.hotellingT2(
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").isNotNull && col("l_discount").isNotNull),
+      col("l_orderkey") % 2 === 0, col("l_orderkey") % 2 === 1,
+      col("l_quantity").cast("double"), col("l_discount"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shrinkage" -> (qShrinkage _),
+    "q_qn" -> (qQn _),
+    "q_hotelling" -> (qHotelling _),
     "q_kuiper" -> (qKuiper _),
     "q_hodges_lehmann" -> (qHodgesLehmann _),
     "q_brunner_munzel" -> (qBrunnerMunzel _),
@@ -1864,6 +1889,89 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_qn" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        |bv AS (SELECT g, x, COUNT(*) AS c FROM v GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT a.g, b.x - a.x AS s,
+        |    CASE WHEN b.x > a.x THEN CAST(a.c AS HUGEINT) * b.c
+        |         ELSE CAST(a.c AS HUGEINT) * (a.c - 1) // 2 END AS w
+        |  FROM bv a JOIN bv b ON a.g = b.g AND b.x >= a.x),
+        |sg AS (SELECT g, s, SUM(w) AS w FROM grid GROUP BY 1, 2 HAVING SUM(w) > 0),
+        |nt AS (SELECT g, SUM(c) AS n FROM bv GROUP BY 1),
+        |kk AS (
+        |  SELECT g, n, (CAST(n // 2 + 1 AS HUGEINT) * (n // 2)) // 2 AS k
+        |  FROM nt),
+        |m AS (
+        |  SELECT g, s,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY g) AS np
+        |  FROM sg)
+        |SELECT kk.g AS l_returnflag, CAST(kk.n AS BIGINT) AS n,
+        |  CAST(MAX(np) AS BIGINT) AS n_pairs, CAST(kk.k AS BIGINT) AS k,
+        |  CAST(MIN(CASE WHEN cum >= kk.k THEN s END) AS BIGINT) AS qn_raw_micros
+        |FROM m JOIN kk ON m.g = kk.g
+        |GROUP BY kk.g, kk.n, kk.k ORDER BY l_returnflag""".stripMargin,
+    "q_hotelling" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+        |    CAST(round(l_discount * 1000000.0) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |mm AS (
+        |  SELECT
+        |    SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN g = 'a' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxa,
+        |    SUM(CASE WHEN g = 'a' THEN CAST(y AS HUGEINT) ELSE 0 END) AS sya,
+        |    SUM(CASE WHEN g = 'a' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxxa,
+        |    SUM(CASE WHEN g = 'a' THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syya,
+        |    SUM(CASE WHEN g = 'a' THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxya,
+        |    SUM(CASE WHEN g = 'b' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxb,
+        |    SUM(CASE WHEN g = 'b' THEN CAST(y AS HUGEINT) ELSE 0 END) AS syb,
+        |    SUM(CASE WHEN g = 'b' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxxb,
+        |    SUM(CASE WHEN g = 'b' THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS syyb,
+        |    SUM(CASE WHEN g = 'b' THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS sxyb
+        |  FROM v),
+        |c1 AS (
+        |  SELECT na, nb,
+        |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+        |    CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS nn,
+        |    CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS dx,
+        |    CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) AS dy,
+        |    (CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      + CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) AS wxx,
+        |    (CAST(syya AS DOUBLE) - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+        |      + CAST(syyb AS DOUBLE) - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) AS wyy,
+        |    (CAST(sxya AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+        |      + CAST(sxyb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) AS wxy
+        |  FROM mm),
+        |c2 AS (
+        |  SELECT na, nb, dx, dy, wxx * wyy - wxy * wxy AS det,
+        |    nad, nbd, nn, wxx, wyy, wxy
+        |  FROM c1),
+        |c3 AS (
+        |  SELECT na, nb, dx, dy, det, nn,
+        |    nad * nbd / nn
+        |      * ((dx * (wyy * dx - wxy * dy) + dy * (wxx * dy - wxy * dx)) / det)
+        |      AS t2
+        |  FROM c2)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(round(dx) AS BIGINT) AS mean_dx_micros,
+        |  CAST(round(dy) AS BIGINT) AS mean_dy_micros,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND det > 0.0 THEN round(t2, 6) END AS t2,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND det > 0.0 THEN
+        |    round((nn - 3.0) / (2.0 * (nn - 2.0)) * t2, 6) END AS f
+        |FROM c3""".stripMargin,
     "q_kuiper" ->
       """WITH v AS (
         |  SELECT event_type AS g, value AS x,

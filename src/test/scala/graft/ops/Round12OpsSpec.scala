@@ -362,6 +362,34 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out(("A", "B")) > 0L)
   }
 
+  test("qnScale: hand-computed k-th pairwise difference; guard fires") {
+    // {1,2,4,7}: diffs sorted 1,2,3,3,5,6; h=3, k=C(3,2)=3 -> 3rd = 3
+    val df = createDf(spark, "v double",
+      Seq(1.0, 2.0, 4.0, 7.0).map(v => Seq[Any](v))).withColumn("g", lit("x"))
+    val r = Stats.qnScale(df, Seq("g"), col("v")).head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 6L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 3000000L, "Qn raw = 3 in micros")
+    val e = intercept[IllegalArgumentException] {
+      Stats.qnScale(df, Seq("g"), col("v"), maxDistinct = 2L).collect()
+    }
+    assert(e.getMessage.contains("distinct quantized values"))
+  }
+
+  test("hotellingT2: hand-computed shifted clouds give T2 = 1200, F = 500") {
+    val a = Seq((0.0, 0.0), (1.0, 1.0), (0.0, 1.0), (1.0, 0.0))
+    val b = a.map { case (x, y) => (x + 10.0, y + 10.0) }
+    val rows = a.map { case (x, y) => ("a", x, y) } ++
+      b.map { case (x, y) => ("b", x, y) }
+    val df = createDf(spark, "s string, x double, y double",
+      rows.map { case (s, x, y) => Seq[Any](s, x, y) })
+    val r = Stats.hotellingT2(df, col("s") === "a", col("s") === "b",
+      col("x"), col("y")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == -10000000L && r.getLong(3) == -10000000L)
+    assert(math.abs(r.getDouble(4) - 1200.0) < 1e-6, s"t2 ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 500.0) < 1e-6, s"f ${r.getDouble(5)}")
+  }
+
   test("bfsDistances: early exit leaves the fixpoint intact on a short chain") {
     val edges = createDf(spark, "s string, d string",
       Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
