@@ -4757,6 +4757,102 @@ object Stats {
       .orderBy(gCols: _*)
   }
 
+  /** Distance correlation (Székely-Rizzo V-statistic) on a BUCKETED
+    * grid — the nonlinear-dependence detector Pearson/Spearman cannot
+    * be: dCor = 0 iff independent (in the limit), and it fires on
+    * U-shapes, rings, and heteroscedastic fans that leave r ≈ 0.
+    * Values discretize into `buckets` equal-width bins (the standard
+    * grid estimator, stated as such — bin ids are pure integral
+    * divisions over micro values, so every engine buckets
+    * identically); with Â(b,b') = n²|b−b'| − n·Sx(b) − n·Sx(b') + Tx
+    * (the double-centered distance SCALED BY n², an exact integer;
+    * Sx(b) = Σ_b' |b−b'|·cnt(b'), Tx = Σ_b cnt(b)·Sx(b)):
+    *
+    *   dCov² = Σ_{cells c,c'} w_c·w_c'·Â_x·Â_y / n⁶,
+    *   dCor  = dCov / √(dVar_x·dVar_y)
+    *
+    * One row: `(n, buckets, dcov2, dvar_x, dvar_y, dcor)` — moments in
+    * bucket² units, 6 dp; dCor in [0, 1].
+    *
+    * Determinism: Â factors are exact integers; each of the ≤ B⁴
+    * cell-pair terms evaluates one fixed IEEE tree and nano-quantizes
+    * before an exact integer total (order-free — and the reason no
+    * decimal ever overflows at any n).
+    *
+    * Scale shape: ONE (bx, by) map-combined aggregation reduces the
+    * data to ≤ B² cells (B ≤ 64 ⇒ ≤ 4096 — bounded-driver-state by
+    * construction, the k-means-centers contract); marginals, Â
+    * factors and the ≤ B⁴-term reduction are driver arithmetic. Raw
+    * rows shuffle once; nothing downstream is data-sized.
+    */
+  def distanceCorrelation(df: DataFrame, x: Column, y: Column,
+                          buckets: Int = 32): DataFrame = {
+    require(buckets >= 2 && buckets <= 64, s"buckets out of range: $buckets")
+    val spark = df.sparkSession
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.select(q(x).as("__x"), q(y).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ext = base.agg(min(col("__x")), max(col("__x")),
+      min(col("__y")), max(col("__y"))).collect().head
+    require(!ext.isNullAt(0), "distanceCorrelation needs at least one row")
+    val (xmn, xmx) = (ext.getLong(0), ext.getLong(1))
+    val (ymn, ymx) = (ext.getLong(2), ext.getLong(3))
+    // equal-width integral bucketing: b = ((v − mn)·B) div (range + 1) —
+    // the +1 lands the top edge in bucket B−1 with no clamp, no float
+    def bucket(name: String, mn: Long, mx: Long): Column =
+      if (mx == mn) lit(0L)
+      else expr(s"(cast(($name - ${mn}L) as decimal(38,0)) * $buckets) " +
+        s"div ${mx - mn + 1}L")
+    val cells: Array[(Long, Long, Long)] = base.select(
+        bucket("__x", xmn, xmx).as("__bx"),
+        bucket("__y", ymn, ymx).as("__by"))
+      .groupBy(col("__bx"), col("__by")).agg(count(lit(1)).as("__w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    base.unpersist(false)
+    val n = cells.map(_._3).sum
+    def margS(sel: ((Long, Long, Long)) => Long): (Map[Long, BigInt], BigInt) = {
+      val cnt = cells.groupBy(sel).map { case (b, cs) =>
+        b -> BigInt(cs.map(_._3).sum) }
+      val s = cnt.keys.map(b => b -> cnt.map { case (b2, c) =>
+        c * math.abs(b - b2) }.sum).toMap
+      (s, cnt.map { case (b, c) => c * s(b) }.sum)
+    }
+    val (sx, tx) = margS(_._1)
+    val (sy, ty) = margS(_._2)
+    val nB = BigInt(n)
+    def aHat(b1: Long, b2: Long, s: Map[Long, BigInt], t: BigInt): BigInt =
+      nB * nB * math.abs(b1 - b2) - nB * s(b1) - nB * s(b2) + t
+    val n2 = n.toDouble * n.toDouble
+    val n6 = n2 * n2 * n2
+    def nano(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var covN = BigInt(0); var vxN = BigInt(0); var vyN = BigInt(0)
+    for ((bx1, by1, w1) <- cells; (bx2, by2, w2) <- cells) {
+      val ax = aHat(bx1, bx2, sx, tx).toDouble
+      val ay = aHat(by1, by2, sy, ty).toDouble
+      val ww = w1.toDouble * w2.toDouble
+      covN += nano(ax * ay * ww / n6 * 1e9)
+      vxN += nano(ax * ax * ww / n6 * 1e9)
+      vyN += nano(ay * ay * ww / n6 * 1e9)
+    }
+    val dcov2 = covN.toDouble / 1e9
+    val dvx = vxN.toDouble / 1e9
+    val dvy = vyN.toDouble / 1e9
+    val dcor =
+      if (dvx > 0.0 && dvy > 0.0 && dcov2 > 0.0)
+        Some(math.sqrt(dcov2 / math.sqrt(dvx * dvy)))
+      else None
+    import spark.implicits._
+    Seq((n, buckets.toLong,
+        BigDecimal(dcov2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(dvx).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(dvy).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        dcor.map(d => BigDecimal(d)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      .toDF("n", "buckets", "dcov2", "dvar_x", "dvar_y", "dcor")
+  }
+
   /** Rousseeuw-Croux Qn robust scale — the k-th order statistic of all
     * C(n,2) pairwise absolute differences, k = C(⌊n/2⌋+1, 2): 50%
     * breakdown (vs MAD's asymmetry blindness) and 82% Gaussian

@@ -1710,9 +1710,21 @@ object StatsQueries {
       col("l_orderkey") % 2 === 0, col("l_orderkey") % 2 === 1,
       col("l_quantity").cast("double"), col("l_discount"))
 
+  /** Distance correlation ([[graft.ops.Stats.distanceCorrelation]])
+    * between quantity and extended price: the nonlinear-dependence
+    * readout beside q_corr's Pearson r — dCor fires on any functional
+    * relationship, linear or not. 32-bucket grid estimator; everything
+    * after one (bx, by) aggregation is ≤ B⁴ driver arithmetic with
+    * exact integer centered factors.
+    */
+  private def qDcor(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.distanceCorrelation(t(s, dir, "lineitem"),
+      col("l_quantity").cast("double"), col("l_extendedprice").cast("double"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shrinkage" -> (qShrinkage _),
+    "q_dcor" -> (qDcor _),
     "q_qn" -> (qQn _),
     "q_hotelling" -> (qHotelling _),
     "q_kuiper" -> (qKuiper _),
@@ -1889,6 +1901,81 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_dcor" ->
+      """WITH v AS (
+        |  SELECT CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |ex AS (SELECT MIN(x) AS xmn, MAX(x) AS xmx,
+        |              MIN(y) AS ymn, MAX(y) AS ymx FROM v),
+        |bb AS (
+        |  SELECT
+        |    CASE WHEN xmx = xmn THEN 0
+        |      ELSE (CAST(x - xmn AS HUGEINT) * 32) // (xmx - xmn + 1) END AS bx,
+        |    CASE WHEN ymx = ymn THEN 0
+        |      ELSE (CAST(y - ymn AS HUGEINT) * 32) // (ymx - ymn + 1) END AS by2
+        |  FROM v, ex),
+        |cells AS (SELECT bx, by2, COUNT(*) AS w FROM bb GROUP BY 1, 2),
+        |nn AS (SELECT SUM(w) AS n FROM cells),
+        |xc AS (SELECT bx, SUM(w) AS c FROM cells GROUP BY 1),
+        |yc AS (SELECT by2, SUM(w) AS c FROM cells GROUP BY 1),
+        |sxv AS (
+        |  SELECT a.bx, SUM(CAST(b.c AS HUGEINT) * ABS(a.bx - b.bx)) AS s
+        |  FROM xc a, xc b GROUP BY 1),
+        |syv AS (
+        |  SELECT a.by2, SUM(CAST(b.c AS HUGEINT) * ABS(a.by2 - b.by2)) AS s
+        |  FROM yc a, yc b GROUP BY 1),
+        |txv AS (SELECT SUM(CAST(xc.c AS HUGEINT) * sxv.s) AS t
+        |        FROM xc JOIN sxv USING (bx)),
+        |tyv AS (SELECT SUM(CAST(yc.c AS HUGEINT) * syv.s) AS t
+        |        FROM yc JOIN syv USING (by2)),
+        |n6t AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS n6
+        |  FROM nn),
+        |pr AS (
+        |  SELECT
+        |    CAST(n6t.n AS HUGEINT) * n6t.n * ABS(a.bx - b.bx)
+        |      - CAST(n6t.n AS HUGEINT) * sxa.s
+        |      - CAST(n6t.n AS HUGEINT) * sxb.s + txv.t AS axh,
+        |    CAST(n6t.n AS HUGEINT) * n6t.n * ABS(a.by2 - b.by2)
+        |      - CAST(n6t.n AS HUGEINT) * sya.s
+        |      - CAST(n6t.n AS HUGEINT) * syb.s + tyv.t AS ayh,
+        |    a.w AS w1, b.w AS w2, n6t.n6 AS n6
+        |  FROM cells a
+        |  JOIN sxv sxa ON sxa.bx = a.bx
+        |  JOIN syv sya ON sya.by2 = a.by2
+        |  CROSS JOIN cells b
+        |  JOIN sxv sxb ON sxb.bx = b.bx
+        |  JOIN syv syb ON syb.by2 = b.by2
+        |  CROSS JOIN n6t CROSS JOIN txv CROSS JOIN tyv),
+        |tm AS (
+        |  SELECT
+        |    SUM(CAST(round(CAST(axh AS DOUBLE) * CAST(ayh AS DOUBLE)
+        |      * (CAST(w1 AS DOUBLE) * CAST(w2 AS DOUBLE)) / n6
+        |      * 1000000000.0) AS HUGEINT)) AS cn,
+        |    SUM(CAST(round(CAST(axh AS DOUBLE) * CAST(axh AS DOUBLE)
+        |      * (CAST(w1 AS DOUBLE) * CAST(w2 AS DOUBLE)) / n6
+        |      * 1000000000.0) AS HUGEINT)) AS vx,
+        |    SUM(CAST(round(CAST(ayh AS DOUBLE) * CAST(ayh AS DOUBLE)
+        |      * (CAST(w1 AS DOUBLE) * CAST(w2 AS DOUBLE)) / n6
+        |      * 1000000000.0) AS HUGEINT)) AS vy
+        |  FROM pr)
+        |SELECT CAST(nn.n AS BIGINT) AS n, CAST(32 AS BIGINT) AS buckets,
+        |  round(CAST(cn AS DOUBLE) / 1000000000.0, 6) AS dcov2,
+        |  round(CAST(vx AS DOUBLE) / 1000000000.0, 6) AS dvar_x,
+        |  round(CAST(vy AS DOUBLE) / 1000000000.0, 6) AS dvar_y,
+        |  CASE WHEN CAST(vx AS DOUBLE) / 1000000000.0 > 0.0
+        |        AND CAST(vy AS DOUBLE) / 1000000000.0 > 0.0
+        |        AND CAST(cn AS DOUBLE) / 1000000000.0 > 0.0 THEN
+        |    round(sqrt((CAST(cn AS DOUBLE) / 1000000000.0)
+        |      / sqrt((CAST(vx AS DOUBLE) / 1000000000.0)
+        |           * (CAST(vy AS DOUBLE) / 1000000000.0))), 6)
+        |  END AS dcor
+        |FROM tm, nn""".stripMargin,
     "q_qn" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g,

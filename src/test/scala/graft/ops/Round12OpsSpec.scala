@@ -390,6 +390,23 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - 500.0) < 1e-6, s"f ${r.getDouble(5)}")
   }
 
+  test("distanceCorrelation: identity gives 1, exact independence gives 0, U-shape fires") {
+    val lin = createDf(spark, "x double, y double",
+      (1 to 40).map(i => Seq[Any](i.toDouble, i.toDouble)))
+    val r = Stats.distanceCorrelation(lin, col("x"), col("y"), buckets = 8).head()
+    assert(r.getDouble(5) == 1.0, s"identity dcor ${r.getDouble(5)}")
+    // exactly-independent product grid: dCov2 = 0 -> dcor null
+    val ind = createDf(spark, "x double, y double",
+      (for (i <- 0 to 1; j <- 0 to 1) yield Seq[Any](i.toDouble, j.toDouble)))
+    val r2 = Stats.distanceCorrelation(ind, col("x"), col("y"), buckets = 2).head()
+    assert(r2.getDouble(2) == 0.0 && r2.isNullAt(5), "independent grid: dcov2 = 0")
+    // U-shape: Pearson ~ 0, dCor clearly > 0
+    val u = createDf(spark, "x double, y double",
+      (-10 to 10).map(i => Seq[Any](i.toDouble, (i * i).toDouble)))
+    val r3 = Stats.distanceCorrelation(u, col("x"), col("y"), buckets = 8).head()
+    assert(!r3.isNullAt(5) && r3.getDouble(5) > 0.3, s"U-shape dcor ${r3.getDouble(5)}")
+  }
+
   test("bfsDistances: early exit leaves the fixpoint intact on a short chain") {
     val edges = createDf(spark, "s string, d string",
       Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
