@@ -418,6 +418,49 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L)))
   }
 
+  test("round-12 ops are invariant to input partitioning (integer quantization end-to-end)") {
+    def collectSorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val series = createDf(spark, "o bigint, v double",
+        (1 to 60).map(i => Seq[Any](i.toLong, (i * 7 % 13).toDouble + i * 0.25)))
+      .withColumn("g", lit("x"))
+    def inv(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+      assert(collectSorted(f(series)) == collectSorted(f(series.repartition(7))))
+    inv(d => Stats.hodgesLehmann(d, Seq("g"), col("v")))
+    inv(d => Stats.qnScale(d, Seq("g"), col("v")))
+    inv(d => Stats.distanceCorrelation(d, col("o").cast("double"), col("v"), buckets = 8))
+    inv(d => Stats.hotellingT2(d, col("o") % 2 === 0, col("o") % 2 === 1,
+      col("v"), col("o").cast("double")))
+    inv(d => Stats.brunnerMunzel(d, Seq("g"),
+      col("o") % 2 === 0, col("o") % 2 === 1, col("v")))
+    inv(d => Drift.kuiperGrouped(d, Seq("g"),
+      col("o") % 2 === 0, col("o") % 2 === 1, col("v")))
+    inv(d => Survey.ebShrink(d.withColumn("b", col("o") % 5), Seq("b"), col("v")))
+    inv(d => Survival.concordanceIndex(d.withColumn("e", (col("o") % 3 === 0).cast("long")),
+      col("o") % 10, col("e"), (col("v") * 4).cast("long")))
+    // driver-panel ops: same fixture through 1 vs 7 partitions
+    val duels = createDf(spark, "w string, l string",
+      (1 to 30).map(i => Seq[Any](s"p${i % 4}", s"p${(i + 1) % 4}")))
+      .filter(col("w") =!= col("l"))
+    assert(collectSorted(Regression.bradleyTerry(duels, col("w"), col("l"), 8)) ==
+      collectSorted(Regression.bradleyTerry(duels.repartition(7), col("w"), col("l"), 8)))
+    val pairs = createDf(spark, "f1 boolean, f2 boolean",
+      (1 to 50).map(i => Seq[Any](i % 3 == 0, i % 2 == 0)))
+    assert(collectSorted(Linkage.emFit(pairs, Seq(col("f1"), col("f2")),
+        5, 0.2, Seq(0.8, 0.8), Seq(0.2, 0.2))) ==
+      collectSorted(Linkage.emFit(pairs.repartition(7), Seq(col("f1"), col("f2")),
+        5, 0.2, Seq(0.8, 0.8), Seq(0.2, 0.2))))
+    val samp = createDf(spark, "r string, c string",
+      (1 to 40).map(i => Seq[Any](s"r${i % 3}", s"c${i % 4}")))
+    val rt = createDf(spark, "r string, t bigint",
+      (0 to 2).map(i => Seq[Any](s"r$i", 20000000L)))
+    val ct = createDf(spark, "c string, t bigint",
+      (0 to 3).map(i => Seq[Any](s"c$i", 15000000L)))
+    assert(collectSorted(Survey.rake(samp, col("r"), col("c"), lit(1.0), rt, ct, 6)) ==
+      collectSorted(Survey.rake(samp.repartition(7), col("r"), col("c"),
+        lit(1.0), rt, ct, 6)))
+  }
+
   test("closenessCentrality: early exit matches the hand-computed star") {
     // star s -> {a,b,c}: n_reached 4, sum_dist 3, harmonic 3, closeness 1
     val edges = createDf(spark, "s string, d string",
