@@ -526,15 +526,15 @@ object Regression {
     * each — embarrassingly parallel, no shuffle of row data, state on
     * the driver is 2 longs.
     */
-  def logisticNewton(df: DataFrame, label: Column, x: Column,
-                     iterations: Int = 4): DataFrame = {
-    require(iterations >= 1 && iterations <= 16,
-      s"iterations out of range: $iterations")
+  /** The shared Newton loop behind [[logisticNewton]] and [[ipwAte]]
+    * (r12 refactor): fits (b₀, b₁) on a frame with `__y`/`__x` columns,
+    * carrying coefficients as nano integers between the map-combined
+    * five-sum scans. Returns (b0_nano, b1_nano, degenerate).
+    */
+  private[ops] def logisticFitNano(base: DataFrame,
+                                   iterations: Int): (Long, Long, Boolean) = {
     val dec = DecimalType(38, 0)
     def nano(c: Column): Column = round(c * lit(1e9), 0).cast(dec)
-    val base = df
-      .select(when(label, 1.0).otherwise(0.0).as("__y"), x.cast("double").as("__x"))
-      .filter(col("__y").isNotNull && col("__x").isNotNull)
     var b0n = 0L
     var b1n = 0L
     var degenerate = false
@@ -563,6 +563,84 @@ object Regression {
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       }
     }
+    (b0n, b1n, degenerate)
+  }
+
+  /** Inverse-propensity-weighted (Hájek) average treatment effect with
+    * an IN-ENGINE propensity model: P(treated | x) comes from
+    * [[logisticNewton]]'s exact Newton loop (same nano-integer
+    * coefficient carry, so an unrolled CTE chain replays the whole
+    * pipeline — training AND weighting), propensities clip into
+    * [0.01, 0.99] (the standard overlap trim, fixed so both engines
+    * share the literal), and
+    *
+    *   ATE = Σ_T y/p̂ / Σ_T 1/p̂  −  Σ_C y/(1−p̂) / Σ_C 1/(1−p̂)
+    *
+    * — the self-normalizing Hájek form (weights sum to 1 per arm, so a
+    * few extreme propensities cannot blow up the estimate the way
+    * Horvitz-Thompson IPW does). One row:
+    * `(n, n_treated, b0, b1, mu_treated, mu_control, ate)`, 6 dp;
+    * null effect columns when the propensity fit is degenerate.
+    *
+    * Determinism: per-row weighted terms nano-quantize before the four
+    * exact sums (order-free); the two means and their difference are
+    * fixed IEEE trees.
+    *
+    * Scale shape: `iterations` training scans + ONE weighting scan,
+    * every one map-side combined; 2 longs of driver state. The whole
+    * causal pipeline — fit, clip, weight, contrast — never leaves the
+    * engine and costs iterations+1 passes at any corpus size.
+    */
+  def ipwAte(df: DataFrame, treated: Column, outcome: Column, x: Column,
+             iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations out of range: $iterations")
+    val dec = DecimalType(38, 0)
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast(dec)
+    val base = df.select(
+        when(treated, 1.0).otherwise(0.0).as("__y"),
+        x.cast("double").as("__x"),
+        outcome.cast("double").as("__o"))
+      .filter(col("__y").isNotNull && col("__x").isNotNull && col("__o").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
+    val b0 = b0n.toDouble / 1e9
+    val b1 = b1n.toDouble / 1e9
+    val p = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("__x"))))
+    val pc = least(greatest(p, lit(0.01)), lit(0.99))
+    val isT = col("__y") === 1.0
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(isT, 1L).otherwise(0L)).as("n_treated"),
+      sum(when(isT, nano(col("__o") / pc)).otherwise(lit(0).cast(dec))).as("__ty"),
+      sum(when(isT, nano(lit(1.0) / pc)).otherwise(lit(0).cast(dec))).as("__tw"),
+      sum(when(!isT, nano(col("__o") / (lit(1.0) - pc)))
+        .otherwise(lit(0).cast(dec))).as("__cy"),
+      sum(when(!isT, nano(lit(1.0) / (lit(1.0) - pc)))
+        .otherwise(lit(0).cast(dec))).as("__cw"))
+    base.unpersist(false)
+    def d(c: String): Column = col(c).cast("double")
+    val mu1 = d("__ty") / d("__tw")
+    val mu0 = d("__cy") / d("__cw")
+    val ok = lit(!degenerate) && col("__tw") > 0 && col("__cw") > 0
+    agg.select(col("n"), col("n_treated"),
+      when(lit(!degenerate), round(lit(b0), 6)).as("b0"),
+      when(lit(!degenerate), round(lit(b1), 6)).as("b1"),
+      when(ok, round(mu1, 6)).as("mu_treated"),
+      when(ok, round(mu0, 6)).as("mu_control"),
+      when(ok, round(mu1 - mu0, 6)).as("ate"))
+  }
+
+  def logisticNewton(df: DataFrame, label: Column, x: Column,
+                     iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations out of range: $iterations")
+    val dec = DecimalType(38, 0)
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast(dec)
+    val base = df
+      .select(when(label, 1.0).otherwise(0.0).as("__y"), x.cast("double").as("__x"))
+      .filter(col("__y").isNotNull && col("__x").isNotNull)
+    val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
     val b0 = b0n.toDouble / 1e9
     val b1 = b1n.toDouble / 1e9
     val z = lit(b0) + lit(b1) * col("__x")

@@ -1138,8 +1138,12 @@ object StatsQueries {
       log(lit(1.0) + col("value")),
       iterations = 4)
 
-  private def logitOracleSql: String = {
-    val iters = (1 to 4).map { i =>
+  /** The unrolled Newton training chain shared by the q_logit and
+    * q_ipw oracles (r12 refactor): runs against a CTE named `base`
+    * with columns (y, x), leaving i$iters holding (b0n, b1n).
+    */
+  private def logitTrainCtes(iterations: Int): String =
+    (1 to iterations).map { i =>
       s"""s$i AS (
          |  SELECT MAX(b0n) AS b0n, MAX(b1n) AS b1n,
          |    SUM(CAST(round((y - p) * 1000000000.0) AS HUGEINT)) AS g0n,
@@ -1174,6 +1178,9 @@ object StatsQueries {
          |      * 1000000000.0) AS BIGINT) AS b1n
          |  FROM s$i)""".stripMargin
     }.mkString(",\n")
+
+  private def logitOracleSql: String = {
+    val iters = logitTrainCtes(4)
     s"""WITH base AS (
        |  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
        |    ln(1.0 + value) AS x
@@ -1194,6 +1201,75 @@ object StatsQueries {
        |  round(b0, 6) AS b0, round(b1, 6) AS b1,
        |  round(CAST(lln AS DOUBLE) / 1000000000.0, 6) AS ll
        |FROM fin""".stripMargin
+  }
+
+  /** IPW (Hájek) average treatment effect ([[graft.ops.Regression
+    * .ipwAte]]): does heavy viewing (≥ 14 views) LIFT a user's purchase
+    * spend once click propensity is adjusted for — the full in-engine
+    * causal pipeline: Newton-logistic propensity P(heavy | ln(1+clicks))
+    * trained with the q_logit machinery, [0.01, 0.99] overlap clip,
+    * self-normalizing weighted contrast. The oracle replays training
+    * CTE-for-CTE (the shared chain) AND the weighting pass. Spend
+    * aggregates in exact cents per user before any double arithmetic.
+    */
+  private def qIpw(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events").groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+      coalesce(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long"))), lit(0L)).as("cents"))
+    graft.ops.Regression.ipwAte(perUser,
+      col("views") >= 14, col("cents").cast("double") / lit(100.0),
+      log(lit(1.0) + col("clicks")), iterations = 4)
+  }
+
+  private def ipwOracleSql: String = {
+    val iters = logitTrainCtes(4)
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+       |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS cents
+       |  FROM events GROUP BY 1),
+       |base AS (
+       |  SELECT CASE WHEN views >= 14 THEN 1.0 ELSE 0.0 END AS y,
+       |    ln(1.0 + clicks) AS x,
+       |    CAST(cents AS DOUBLE) / 100.0 AS o
+       |  FROM pu),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |$iters,
+       |w AS (
+       |  SELECT y, o,
+       |    LEAST(GREATEST(1.0 / (1.0 + exp(-(CAST(b0n AS DOUBLE) / 1000000000.0
+       |      + CAST(b1n AS DOUBLE) / 1000000000.0 * x))), 0.01), 0.99) AS pc,
+       |    CAST(b0n AS DOUBLE) / 1000000000.0 AS b0,
+       |    CAST(b1n AS DOUBLE) / 1000000000.0 AS b1
+       |  FROM base CROSS JOIN i4),
+       |ag AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS nt,
+       |    MAX(b0) AS b0, MAX(b1) AS b1,
+       |    SUM(CASE WHEN y = 1.0
+       |      THEN CAST(round(o / pc * 1000000000.0) AS HUGEINT)
+       |      ELSE 0 END) AS ty,
+       |    SUM(CASE WHEN y = 1.0
+       |      THEN CAST(round(1.0 / pc * 1000000000.0) AS HUGEINT)
+       |      ELSE 0 END) AS tw,
+       |    SUM(CASE WHEN y = 1.0 THEN 0
+       |      ELSE CAST(round(o / (1.0 - pc) * 1000000000.0) AS HUGEINT)
+       |      END) AS cy,
+       |    SUM(CASE WHEN y = 1.0 THEN 0
+       |      ELSE CAST(round(1.0 / (1.0 - pc) * 1000000000.0) AS HUGEINT)
+       |      END) AS cw
+       |  FROM w)
+       |SELECT n, CAST(nt AS BIGINT) AS n_treated,
+       |  round(b0, 6) AS b0, round(b1, 6) AS b1,
+       |  round(CAST(ty AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS mu_treated,
+       |  round(CAST(cy AS DOUBLE) / CAST(cw AS DOUBLE), 6) AS mu_control,
+       |  round(CAST(ty AS DOUBLE) / CAST(tw AS DOUBLE)
+       |    - CAST(cy AS DOUBLE) / CAST(cw AS DOUBLE), 6) AS ate
+       |FROM ag""".stripMargin
   }
 
   /** CUPED adjustment ([[graft.ops.Stats.cuped]]): per-user purchase
@@ -1809,6 +1885,7 @@ object StatsQueries {
     "q_iv" -> (qIv _),
     "q_wls" -> (qWls _),
     "q_logit" -> (qLogit _),
+    "q_ipw" -> (qIpw _),
     "q_cuped" -> (qCuped _),
     "q_tukey" -> (qTukey _),
     "q_srm" -> (qSrm _),
@@ -4844,6 +4921,7 @@ object StatsQueries {
         |  CASE WHEN fs <> 0 THEN round(itt / fs, 6) END AS beta_iv
         |FROM f""".stripMargin,
     "q_logit" -> logitOracleSql,
+    "q_ipw" -> ipwOracleSql,
     "q_huber" -> huberOracleSql(4, 25000000L),
     "q_k_anon" ->
       """WITH g AS (
