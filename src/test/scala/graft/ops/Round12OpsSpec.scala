@@ -407,6 +407,25 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(!r3.isNullAt(5) && r3.getDouble(5) > 0.3, s"U-shape dcor ${r3.getDouble(5)}")
   }
 
+  test("ipwAte: constant per-arm outcomes recover the exact contrast; constant x is degenerate") {
+    // y = 9 for treated, 5 for control: the Hajek ratio is exactly the
+    // arm constant whatever the propensities, so ATE = 4
+    val rows = (1 to 40).map { i =>
+      val t = i % 3 == 0
+      (t, if (t) 9.0 else 5.0, (i % 7).toDouble)
+    }
+    val df = createDf(spark, "t boolean, y double, x double",
+      rows.map { case (t, y, x) => Seq[Any](t, y, x) })
+    val r = Regression.ipwAte(df, col("t"), col("y"), col("x")).head()
+    assert(r.getLong(0) == 40L && r.getLong(1) == 13L)
+    assert(math.abs(r.getDouble(4) - 9.0) < 1e-5, "mu_treated")
+    assert(math.abs(r.getDouble(5) - 5.0) < 1e-5, "mu_control")
+    assert(math.abs(r.getDouble(6) - 4.0) < 1e-5, "ate")
+    // constant covariate: singular Hessian -> degenerate -> null effects
+    val flat = Regression.ipwAte(df, col("t"), col("y"), lit(1.0)).head()
+    assert(flat.isNullAt(2) && flat.isNullAt(6))
+  }
+
   test("bfsDistances: early exit leaves the fixpoint intact on a short chain") {
     val edges = createDf(spark, "s string, d string",
       Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
