@@ -4757,6 +4757,89 @@ object Stats {
       .orderBy(gCols: _*)
   }
 
+  /** Mixture sequential probability ratio test (mSPRT, Johari et al.) —
+    * the ALWAYS-VALID A/B monitor: peek at the experiment every day
+    * without inflating false positives. Per day t, over the CUMULATIVE
+    * two-sample stream with mean difference δ̂ and its plug-in variance
+    * V = σ̂²(1/n_a + 1/n_b), the Gaussian-mixture likelihood ratio
+    *
+    *   Λ_t = √(V/(V+τ²)) · exp( δ̂²·τ² / (2·V·(V+τ²)) )
+    *
+    * gives the always-valid p-value p_t = running-min of min(1, 1/Λ_t)
+    * — monotone, so "stop the first day p < α" is a valid rule at any
+    * peeking cadence (the fixed-horizon q_welch can NOT be read daily).
+    * Per day: `(day, n_a, n_b, delta_micros, lambda, p_always)` —
+    * δ̂ as round-half-up integer micros, Λ and p at 6 dp.
+    *
+    * Determinism: daily moments micro-quantize and cumulate as exact
+    * decimals (calendar-bounded windows); each day's Λ is one fixed
+    * IEEE tree on those integers (√/exp on identical doubles — the
+    * welch/post-libm class), and the running min compares identical
+    * doubles before the single 6 dp rounding.
+    *
+    * Scale shape: one (day)-keyed conditional moment aggregation, then
+    * cumulative windows over the ≤ days-bounded table — the q_pchart
+    * contract; nothing after the first exchange is data-sized.
+    *
+    * @param tauSq mixture variance τ² in VALUE units² — the prior
+    *              effect scale; larger τ² = faster detection of large
+    *              effects, slower of small ones
+    */
+  def msprt(df: DataFrame, inA: Column, inB: Column, ts: Column,
+            value: Column, tauSq: Double): DataFrame = {
+    require(tauSq > 0.0, s"tauSq must be positive: $tauSq")
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.select(
+        when(inA, lit("a")).when(inB, lit("b")).as("__g"),
+        floor(unix_micros(ts) / lit(86400000000L)).cast("long").as("__d"),
+        q(value).as("__x"))
+      .filter(col("__g").isNotNull && col("__d").isNotNull && col("__x").isNotNull)
+    val daily = base.groupBy(col("__d")).agg(
+      sum(when(col("__g") === "a", 1L).otherwise(0L)).as("__na"),
+      sum(when(col("__g") === "b", 1L).otherwise(0L)).as("__nb"),
+      sum(when(col("__g") === "a", col("__x").cast(dec))
+        .otherwise(lit(0).cast(dec))).as("__sa"),
+      sum(when(col("__g") === "b", col("__x").cast(dec))
+        .otherwise(lit(0).cast(dec))).as("__sb"),
+      sum(when(col("__g") === "a", col("__x").cast(dec) * col("__x").cast(dec))
+        .otherwise(lit(0).cast(dec))).as("__qa"),
+      sum(when(col("__g") === "b", col("__x").cast(dec) * col("__x").cast(dec))
+        .otherwise(lit(0).cast(dec))).as("__qb"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__d")).rowsBetween(Long.MinValue, 0)
+    val cum = daily.select(col("__d"),
+      sum(col("__na")).over(wCum).as("__cna"),
+      sum(col("__nb")).over(wCum).as("__cnb"),
+      sum(col("__sa")).over(wCum).as("__csa"),
+      sum(col("__sb")).over(wCum).as("__csb"),
+      sum(col("__qa")).over(wCum).as("__cqa"),
+      sum(col("__qb")).over(wCum).as("__cqb"))
+    def d(c: String): Column = col(c).cast("double")
+    val naD = d("__cna"); val nbD = d("__cnb")
+    val delta = d("__csa") / naD - d("__csb") / nbD // micro units
+    val sig2 = ((d("__cqa") - d("__csa") * d("__csa") / naD) +
+      (d("__cqb") - d("__csb") * d("__csb") / nbD)) / (naD + nbD - lit(2.0))
+    val v = sig2 * (lit(1.0) / naD + lit(1.0) / nbD)
+    val t2 = lit(tauSq) * lit(1e12) // micro² units
+    val lam = sqrt(v / (v + t2)) * exp(delta * delta * t2 /
+      (lit(2.0) * v * (v + t2)))
+    val pDay = least(lit(1.0), lit(1.0) / lam)
+    val ok = col("__cna") >= 2L && col("__cnb") >= 2L && v > 0.0
+    val scored = cum.select(col("__d"), col("__cna"), col("__cnb"),
+      when(col("__cna") > 0L && col("__cnb") > 0L,
+        round(delta, 0).cast("long")).as("delta_micros"),
+      when(ok, lam).as("__lam"), when(ok, pDay).otherwise(lit(1.0)).as("__p"))
+    val wMin = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__d")).rowsBetween(Long.MinValue, 0)
+    scored.select(col("__d").as("day"),
+        col("__cna").as("n_a"), col("__cnb").as("n_b"),
+        col("delta_micros"),
+        round(col("__lam"), 6).as("lambda"),
+        round(min(col("__p")).over(wMin), 6).as("p_always"))
+      .orderBy(col("day"))
+  }
+
   /** Distance correlation (Székely-Rizzo V-statistic) on a BUCKETED
     * grid — the nonlinear-dependence detector Pearson/Spearman cannot
     * be: dCor = 0 iff independent (in the limit), and it fires on

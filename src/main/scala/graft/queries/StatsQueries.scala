@@ -1797,9 +1797,23 @@ object StatsQueries {
     graft.ops.Stats.distanceCorrelation(t(s, dir, "lineitem"),
       col("l_quantity").cast("double"), col("l_extendedprice").cast("double"))
 
+  /** Always-valid A/B monitoring ([[graft.ops.Stats.msprt]]): the
+    * daily mSPRT p-value trajectory for the parity-arm value metric at
+    * mixture scale τ² = 25 — the "peek every day without lying to
+    * yourself" companion to q_welch's fixed-horizon test and q_sprt's
+    * simple-alternative walk. Cumulative exact moments per day,
+    * one fixed IEEE tree per row, running-min p.
+    */
+  private def qMsprt(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.msprt(
+      t(s, dir, "events").filter(col("user_id").isNotNull),
+      col("user_id") % 2 === 0, col("user_id") % 2 === 1,
+      col("ts"), col("value"), tauSq = 25.0)
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shrinkage" -> (qShrinkage _),
+    "q_msprt" -> (qMsprt _),
     "q_dcor" -> (qDcor _),
     "q_qn" -> (qQn _),
     "q_hotelling" -> (qHotelling _),
@@ -1978,6 +1992,61 @@ object StatsQueries {
         |FROM ag""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_msprt" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |dy AS (
+        |  SELECT d,
+        |    SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN g = 'a' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sa,
+        |    SUM(CASE WHEN g = 'b' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sb,
+        |    SUM(CASE WHEN g = 'a' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qa,
+        |    SUM(CASE WHEN g = 'b' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qb
+        |  FROM b GROUP BY 1),
+        |cm AS (
+        |  SELECT d,
+        |    SUM(na) OVER w AS cna, SUM(nb) OVER w AS cnb,
+        |    SUM(sa) OVER w AS csa, SUM(sb) OVER w AS csb,
+        |    SUM(qa) OVER w AS cqa, SUM(qb) OVER w AS cqb
+        |  FROM dy WINDOW w AS (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s1 AS (
+        |  SELECT d, cna, cnb,
+        |    CAST(csa AS DOUBLE) / CAST(cna AS DOUBLE)
+        |      - CAST(csb AS DOUBLE) / CAST(cnb AS DOUBLE) AS delta,
+        |    ((CAST(cqa AS DOUBLE)
+        |        - CAST(csa AS DOUBLE) * CAST(csa AS DOUBLE) / CAST(cna AS DOUBLE))
+        |      + (CAST(cqb AS DOUBLE)
+        |        - CAST(csb AS DOUBLE) * CAST(csb AS DOUBLE) / CAST(cnb AS DOUBLE)))
+        |      / (CAST(cna AS DOUBLE) + CAST(cnb AS DOUBLE) - 2.0) AS sig2
+        |  FROM cm),
+        |s2 AS (
+        |  SELECT d, cna, cnb, delta,
+        |    sig2 * (1.0 / CAST(cna AS DOUBLE) + 1.0 / CAST(cnb AS DOUBLE)) AS v
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT d, cna, cnb, delta, v,
+        |    sqrt(v / (v + 25.0 * 1000000000000.0))
+        |      * exp(delta * delta * (25.0 * 1000000000000.0)
+        |        / (2.0 * v * (v + 25.0 * 1000000000000.0))) AS lam
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT d, cna, cnb,
+        |    CASE WHEN cna > 0 AND cnb > 0 THEN
+        |      CAST(round(delta) AS BIGINT) END AS delta_micros,
+        |    CASE WHEN cna >= 2 AND cnb >= 2 AND v > 0.0 THEN lam END AS lam,
+        |    CASE WHEN cna >= 2 AND cnb >= 2 AND v > 0.0 THEN
+        |      LEAST(1.0, 1.0 / lam) ELSE 1.0 END AS p
+        |  FROM s3)
+        |SELECT d AS day, CAST(cna AS BIGINT) AS n_a, CAST(cnb AS BIGINT) AS n_b,
+        |  delta_micros, round(lam, 6) AS lambda,
+        |  round(MIN(p) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS p_always
+        |FROM s4 ORDER BY day""".stripMargin,
     "q_dcor" ->
       """WITH v AS (
         |  SELECT CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
