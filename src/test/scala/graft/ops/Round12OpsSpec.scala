@@ -426,6 +426,33 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(flat.isNullAt(2) && flat.isNullAt(6))
   }
 
+  test("msprt: p_always is monotone and collapses under a real effect; flat null stays 1") {
+    import org.apache.spark.sql.functions.{to_timestamp => tts}
+    def mk(rows: Seq[(Long, String, Double)]) =
+      createDf(spark, "u bigint, ts string, v double",
+          rows.map { case (u, t, v) => Seq[Any](u, t, v) })
+        .withColumn("ts", tts(col("ts")))
+    // 10 days, 8 obs/day/arm, arm a = 10 + jitter, arm b = 0 + jitter
+    val eff = mk(for (day <- 1 to 10; i <- 1 to 8; arm <- Seq(0L, 1L)) yield
+      (arm + 2 * i, f"2024-01-$day%02d 12:00:00",
+        (if (arm == 0L) 10.0 else 0.0) + (i % 3) * 0.5))
+    val out = Stats.msprt(eff, col("u") % 2 === 0, col("u") % 2 === 1,
+        col("ts"), col("v"), tauSq = 25.0)
+      .orderBy("day").collect()
+    val ps = out.map(_.getDouble(5))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "p_always must be non-increasing")
+    assert(ps.last < 0.01, s"clear effect must collapse p, got ${ps.last}")
+    assert(out.last.getLong(3) == 10000000L, "delta = 10 in micros")
+    // zero within-arm variance AND zero effect: v = 0 -> gated, p stays 1
+    val flat = mk(for (day <- 1 to 5; i <- 1 to 4; arm <- Seq(0L, 1L)) yield
+      (arm + 2 * i, f"2024-01-$day%02d 12:00:00", 7.0))
+    val o2 = Stats.msprt(flat, col("u") % 2 === 0, col("u") % 2 === 1,
+        col("ts"), col("v"), tauSq = 25.0)
+      .orderBy("day").collect()
+    assert(o2.forall(_.getDouble(5) == 1.0))
+  }
+
   test("bfsDistances: early exit leaves the fixpoint intact on a short chain") {
     val edges = createDf(spark, "s string, d string",
       Seq(Seq[Any]("a", "b"), Seq[Any]("b", "c")))
