@@ -481,6 +481,12 @@ class Round12OpsSpec extends AnyFunSuite {
       col("o") % 2 === 0, col("o") % 2 === 1, col("v")))
     inv(d => Drift.kuiperGrouped(d, Seq("g"),
       col("o") % 2 === 0, col("o") % 2 === 1, col("v")))
+    inv(d => Regression.ipwAte(d, col("o") % 3 === 0, col("v"),
+      (col("o") % 7).cast("double")))
+    inv(d => Stats.msprt(d.withColumn("ts",
+        to_timestamp(concat(lit("2024-01-"),
+          lpad(((col("o") % 9) + 1).cast("string"), 2, "0"), lit(" 08:00:00")))),
+      col("o") % 2 === 0, col("o") % 2 === 1, col("ts"), col("v"), tauSq = 25.0))
     inv(d => Survey.ebShrink(d.withColumn("b", col("o") % 5), Seq("b"), col("v")))
     inv(d => Survival.concordanceIndex(d.withColumn("e", (col("o") % 3 === 0).cast("long")),
       col("o") % 10, col("e"), (col("v") * 4).cast("long")))
