@@ -126,6 +126,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_conformal" -> "Ids.withRunningTotals offset window over the DISTINCT-NONCONFORMITY table (the q_auc bound: a micro-quantized score has <= 1e6+1 distinct values; offsets window rows = partition count)",
     "q_transfer_entropy" -> "state-symbolization lag windows over the HOURLY rollup (rows = distinct hours, calendar-bounded — the q_hurst single-series bound); the cell/marginal windows run over the <= 8-row triple table",
     "q_neyman" -> "apportion's largest-remainder rank window over the STRATA-bounded weight table (rows = distinct strata — the q_apportion bound)",
+    "q_msprt" -> "cumulative-moment and running-min-p windows over the DAILY table (rows = distinct days, calendar-bounded — the q_pchart/q_hurst bound)",
   )
 
   test("whole-frame windows appear only over bounded-by-construction tables") {
