@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Column profiling: null counts, exact distinct counts, min/max — the
   * pre-flight data-quality summary for pipeline inputs.
@@ -359,5 +360,81 @@ object Profile {
         (expr("(cast(rows_below_k as decimal(38,0)) * 2000000 + n_rows) div " +
           "(cast(n_rows as decimal(38,0)) * 2)").cast("double") / lit(1e6))
           .as("pct_below_k"))
+  }
+
+  /** t-closeness audit — [[kAnonymity]]'s distributional sibling
+    * (Li, Li & Venkatasubramanian 2007): a quasi-ID group can be
+    * k-anonymous and l-diverse yet still leak if its SENSITIVE-value
+    * DISTRIBUTION differs sharply from the table's. Per group g,
+    *
+    *   t_g = ½ Σ_c | n_gc/n_g − n_c/N |
+    *
+    * (total variation between the group's categorical sensitive mix
+    * and the global mix), and the audit reports the worst group plus
+    * how much of the table sits in groups with t above `tMicros`.
+    * One row: `(n_rows, n_groups, t_max, groups_above_t, rows_above_t,
+    * pct_above_t)`.
+    *
+    * Determinism: the TV sum is computed EXACTLY on the common
+    * denominator n_g·N — Σ_c |n_gc·N − n_c·n_g| needs only the
+    * categories PRESENT in g because the absent ones contribute
+    * Σ_absent n_c·n_g = (N − Σ_present n_c)·n_g, folded in closed form:
+    *
+    *   Σ_all = Σ_present (|n_gc·N − n_c·n_g| − n_c·n_g) + N·n_g
+    *
+    * — all integer products on decimal(38,0); t then micro-quantizes
+    * via exact integral division (round-half-up), and the one emitted
+    * double is t_micros/10⁶ (no `round(double)` tie surface).
+    *
+    * Scale shape: one (quasi, sensitive)-keyed aggregation, a
+    * BROADCAST join with the category-total table (bounded by the
+    * sensitive domain), a per-group window sum for n_g, one group
+    * aggregation, one rollup. The heavy shuffle is the first keyed
+    * aggregation — the same single shuffle [[kAnonymity]] pays.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitive: Column,
+                 tMicros: Long = 200000L): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs quasi-identifier columns")
+    require(tMicros >= 0L && tMicros <= 1000000L,
+      s"tMicros must be a TV distance in micros [0, 1e6]: $tMicros")
+    val dec = DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(dec)
+    val base = df
+      .select(quasiCols.map(col) :+ sensitive.as("__s"): _*)
+      .filter(col("__s").isNotNull &&
+        quasiCols.map(col(_).isNotNull).reduce(_ && _))
+    val gc = base.groupBy(quasiCols.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__ngc"))
+    val cat = base.groupBy(col("__s")).agg(count(lit(1)).as("__nc"))
+    val tot = base.agg(sum(lit(1L)).as("__N"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    val pairs = gc.join(broadcast(cat), "__s").crossJoin(broadcast(tot))
+      .withColumn("__ng", sum(col("__ngc")).over(wg))
+      .withColumn("__term",
+        abs(d(col("__ngc")) * d(col("__N")) - d(col("__nc")) * d(col("__ng")))
+          - d(col("__nc")) * d(col("__ng")))
+    val grp = pairs.groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__ng")).as("__g_n"), max(col("__N")).as("__gN"),
+        sum(col("__term")).as("__tsum"))
+      .select(col("__g_n"),
+        expr("((__tsum + cast(__g_n as decimal(38,0)) * __gN) * 1000000 * 2 " +
+          "+ cast(__g_n as decimal(38,0)) * __gN * 2) div " +
+          "(cast(__g_n as decimal(38,0)) * __gN * 2 * 2)").cast("long")
+          .as("__t_micros"))
+    grp.agg(
+        sum(col("__g_n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        max(col("__t_micros")).as("__tmax"),
+        sum(when(col("__t_micros") > tMicros, 1L).otherwise(0L))
+          .as("groups_above_t"),
+        sum(when(col("__t_micros") > tMicros, col("__g_n")).otherwise(0L))
+          .as("rows_above_t"))
+      .select(col("n_rows"), col("n_groups"),
+        (col("__tmax").cast("double") / lit(1e6)).as("t_max"),
+        col("groups_above_t"), col("rows_above_t"),
+        (expr("(cast(rows_above_t as decimal(38,0)) * 2000000 + n_rows) div " +
+          "(cast(n_rows as decimal(38,0)) * 2)").cast("double") / lit(1e6))
+          .as("pct_above_t"))
   }
 }

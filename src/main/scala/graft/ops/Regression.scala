@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -629,6 +630,216 @@ object Regression {
       when(ok, round(mu1, 6)).as("mu_treated"),
       when(ok, round(mu0, 6)).as("mu_control"),
       when(ok, round(mu1 - mu0, 6)).as("ate"))
+  }
+
+  /** Doubly-robust (AIPW) average treatment effect — [[ipwAte]]'s
+    * augmented sibling: the propensity model (the shared
+    * [[logisticFitNano]] Newton loop, [0.01, 0.99] overlap clip) is
+    * COMBINED with per-arm outcome regressions μ̂₁(x), μ̂₀(x) (closed-
+    * form single-covariate OLS fit within each arm), and the estimator
+    * is the efficient-influence-function mean
+    *
+    *   ψᵢ = μ̂₁(xᵢ) − μ̂₀(xᵢ) + Tᵢ(yᵢ−μ̂₁(xᵢ))/êᵢ − (1−Tᵢ)(yᵢ−μ̂₀(xᵢ))/(1−êᵢ)
+    *   ATE = ψ̄,  se = √(Var(ψ)/n)
+    *
+    * — consistent if EITHER the propensity model OR the outcome model
+    * is right (the "doubly robust" property), with a plug-in standard
+    * error for free because ψ is an i.i.d. mean. `reg_ate` (the pure
+    * outcome-regression contrast mean(μ̂₁−μ̂₀)) emits beside `ate` so
+    * the size of the IPW correction is visible.
+    *
+    * An arm whose x is constant (OLS det ≤ 0) degrades to its arm-mean
+    * model (slope 0, intercept ȳ_arm) — the estimator stays defined and
+    * the DR property still holds through the propensity side.
+    *
+    * Determinism: the arm-OLS moments nano-quantize before exact
+    * DECIMAL sums; slopes/intercepts resolve on the driver through one
+    * fixed IEEE tree and re-enter the plan as nano-integer literals
+    * (the [[logisticFitNano]] carry contract), so the oracle replays
+    * training AND augmentation CTE-for-CTE; per-row ψ and ψ² nano-
+    * quantize before the final exact sums.
+    *
+    * Scale shape: `iterations` propensity scans + ONE arm-moment scan +
+    * ONE influence scan, all map-side combined to single rows; driver
+    * state is six longs. Nothing shuffles row data at any corpus size.
+    */
+  def aipwAte(df: DataFrame, treated: Column, outcome: Column, x: Column,
+              iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations out of range: $iterations")
+    val dec = DecimalType(38, 0)
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast(dec)
+    def nanoLong(v: Double): Long =
+      BigDecimal(v * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val base = df.select(
+        when(treated, 1.0).otherwise(0.0).as("__y"),
+        x.cast("double").as("__x"),
+        outcome.cast("double").as("__o"))
+      .filter(col("__y").isNotNull && col("__x").isNotNull && col("__o").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
+    // one scan: per-arm OLS moments (n, Σx, Σo, Σxo, Σx²), nano-exact
+    val isT = col("__y") === 1.0
+    def armSum(t: Boolean, c: Column, name: String): Column =
+      sum(when(if (t) isT else !isT, nano(c)).otherwise(lit(0).cast(dec)))
+        .as(name)
+    val m = base.agg(
+      sum(when(isT, 1L).otherwise(0L)).as("n1"),
+      sum(when(!isT, 1L).otherwise(0L)).as("n0"),
+      armSum(t = true, col("__x"), "sx1"), armSum(t = true, col("__o"), "so1"),
+      armSum(t = true, col("__x") * col("__o"), "sxo1"),
+      armSum(t = true, col("__x") * col("__x"), "sxx1"),
+      armSum(t = false, col("__x"), "sx0"), armSum(t = false, col("__o"), "so0"),
+      armSum(t = false, col("__x") * col("__o"), "sxo0"),
+      armSum(t = false, col("__x") * col("__x"), "sxx0")).head()
+    val n1 = m.getLong(0)
+    val n0 = m.getLong(1)
+    def dv(i: Int): Double =
+      if (m.isNullAt(i)) 0.0 else m.getDecimal(i).doubleValue() / 1e9
+    // closed-form per-arm fit; constant-x arm -> mean model
+    def fit(nd: Double, sx: Double, so: Double, sxo: Double,
+            sxx: Double): (Long, Long) = {
+      val det = nd * sxx - sx * sx
+      if (det > 0.0) {
+        val s = (nd * sxo - sx * so) / det
+        (nanoLong(s), nanoLong((so - s * sx) / nd))
+      } else (0L, nanoLong(so / nd))
+    }
+    val ok = !degenerate && n1 > 0L && n0 > 0L
+    val (s1n, a1n) =
+      if (n1 > 0L) fit(n1.toDouble, dv(2), dv(3), dv(4), dv(5)) else (0L, 0L)
+    val (s0n, a0n) =
+      if (n0 > 0L) fit(n0.toDouble, dv(6), dv(7), dv(8), dv(9)) else (0L, 0L)
+    // influence scan with all six fitted scalars as nano literals
+    val b0 = b0n.toDouble / 1e9
+    val b1 = b1n.toDouble / 1e9
+    val p = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("__x"))))
+    val pc = least(greatest(p, lit(0.01)), lit(0.99))
+    val mu1 = lit(a1n.toDouble / 1e9) + lit(s1n.toDouble / 1e9) * col("__x")
+    val mu0 = lit(a0n.toDouble / 1e9) + lit(s0n.toDouble / 1e9) * col("__x")
+    val psi = mu1 - mu0 +
+      when(isT, (col("__o") - mu1) / pc)
+        .otherwise(-(col("__o") - mu0) / (lit(1.0) - pc))
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(isT, 1L).otherwise(0L)).as("n_treated"),
+      sum(nano(psi)).as("__ps"),
+      sum(nano(psi * psi)).as("__ps2"),
+      sum(nano(mu1 - mu0)).as("__reg"))
+    base.unpersist(false)
+    def d(c: String): Column = col(c).cast("double") / lit(1e9)
+    val nd = col("n").cast("double")
+    val mean = d("__ps") / nd
+    val varPsi = d("__ps2") / nd - mean * mean
+    agg.select(col("n"), col("n_treated"),
+      when(lit(!degenerate), round(lit(b0), 6)).as("b0"),
+      when(lit(!degenerate), round(lit(b1), 6)).as("b1"),
+      when(lit(ok), round(d("__reg") / nd, 6)).as("reg_ate"),
+      when(lit(ok), round(mean, 6)).as("ate"),
+      when(lit(ok) && varPsi >= 0.0, round(sqrt(varPsi / nd), 6)).as("se"))
+  }
+
+  /** Propensity-score 1-NN caliper matching (ATT) with the propensity
+    * trained in the engine — the third member of the causal family
+    * ([[ipwAte]] reweights, [[aipwAte]] augments, this one MATCHES):
+    * every treated unit pairs with the nearest control in propensity
+    * space (with replacement), pairs farther than `caliperMicros`
+    * drop, and
+    *
+    *   ATT = mean over matched treated of (y_t − y_matched control)
+    *
+    * Matching runs on the MICRO-QUANTIZED propensity grid: rows
+    * collapse to their distinct propensity values first (treated side
+    * keeps (n, Σy) per value; control side keeps the min-id
+    * representative per value — the deterministic stand-in for "a"
+    * nearest control), so the nearest-neighbor window scans a table
+    * bounded by the propensity domain (≤ 10⁶+1 rows), never by
+    * subjects — the [[graft.ops.Survival.kaplanMeier]] bin-table
+    * doctrine. Nearest = smaller |Δpm|, ties to the LOWER propensity.
+    *
+    * Returns one row `(n, n_treated, n_matched, b0, b1, att)`; null
+    * effect columns when the fit is degenerate or no pair survives the
+    * caliper.
+    *
+    * Determinism: the grid is integer micros; the representative is
+    * min-id (unique); outcome sums nano-quantize before exact DECIMAL
+    * sums; the single ordered window runs over the bounded grid.
+    *
+    * Scale shape: `iterations` training scans + one grid-collapse
+    * aggregation + one window over the ≤ 2·10⁶-row grid + one final
+    * one-row aggregation. No shuffle carries subject-level rows past
+    * the collapse.
+    */
+  def psmAtt(df: DataFrame, id: Column, treated: Column, outcome: Column,
+             x: Column, caliperMicros: Long = 50000L,
+             iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations out of range: $iterations")
+    require(caliperMicros > 0L, s"caliperMicros must be positive: $caliperMicros")
+    val dec = DecimalType(38, 0)
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast(dec)
+    val base = df.select(
+        id.cast("long").as("__id"),
+        when(treated, 1.0).otherwise(0.0).as("__y"),
+        x.cast("double").as("__x"),
+        outcome.cast("double").as("__o"))
+      .filter(col("__id").isNotNull && col("__y").isNotNull &&
+        col("__x").isNotNull && col("__o").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
+    val b0 = b0n.toDouble / 1e9
+    val b1 = b1n.toDouble / 1e9
+    val p = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("__x"))))
+    val pm = round(p * lit(1e6), 0).cast("long")
+    val isT = col("__y") === 1.0
+    // collapse to the distinct-propensity grid per arm
+    val grid = base.select(pm.as("pm"), isT.as("t"), col("__id"), col("__o"))
+      .groupBy(col("pm"), col("t"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("t"), nano(col("__o"))).otherwise(lit(0).cast(dec)))
+          .as("t_sum"),
+        min_by(nano(col("__o")), col("__id")).as("rep_o"))
+    val totals = base.agg(
+      count(lit(1)).as("n"), sum(when(isT, 1L).otherwise(0L)).as("n_treated"))
+    base.unpersist(false)
+    // nearest control pm for every treated pm: one ordered window over
+    // the bounded grid; controls sort before treated at equal pm
+    // (false < true) so a zero-distance match IS the previous row
+    val w = Window.orderBy(col("pm"), col("t"))
+    val ctrlHere = when(!col("t"), struct(col("pm").as("cpm"), col("rep_o")))
+    val prevC = last(ctrlHere, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val nextC = first(ctrlHere, ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    val matched = grid
+      .withColumn("__prev", prevC)
+      .withColumn("__next", nextC)
+      .filter(col("t"))
+      .withColumn("__dp", when(col("__prev").isNotNull,
+        col("pm") - col("__prev.cpm")))
+      .withColumn("__dn", when(col("__next").isNotNull,
+        col("__next.cpm") - col("pm")))
+      .withColumn("__use_prev",
+        col("__dp").isNotNull && (col("__dn").isNull || col("__dp") <= col("__dn")))
+      .withColumn("__d",
+        when(col("__use_prev"), col("__dp")).otherwise(col("__dn")))
+      .withColumn("__mrep",
+        when(col("__use_prev"), col("__prev.rep_o")).otherwise(col("__next.rep_o")))
+      .filter(col("__d").isNotNull && col("__d") <= lit(caliperMicros))
+    val att = matched.agg(
+      sum(col("cnt")).as("__nm"),
+      sum(col("t_sum")).as("__ty"),
+      sum(col("__mrep") * col("cnt").cast(dec)).as("__cy"))
+    val ok = lit(!degenerate)
+    totals.crossJoin(att).select(
+      col("n"), col("n_treated"),
+      coalesce(col("__nm"), lit(0L)).as("n_matched"),
+      when(ok, round(lit(b0), 6)).as("b0"),
+      when(ok, round(lit(b1), 6)).as("b1"),
+      when(ok && col("__nm").isNotNull && col("__nm") > 0L,
+        round((col("__ty").cast("double") / lit(1e9)
+            - col("__cy").cast("double") / lit(1e9))
+          / col("__nm").cast("double"), 6)).as("att"))
   }
 
   def logisticNewton(df: DataFrame, label: Column, x: Column,

@@ -864,6 +864,62 @@ object EmbedQueries {
     Similarity.alignmentUniformity(t(s, dir, "embeddings"),
       "vec_id", "embedding", Seq(1L, 7L, 101L))
 
+  /** Linear CKA ([[Similarity.linearCka]]) between the full 64-dim
+    * embedding and its 16-dim Matryoshka prefix: does the prefix
+    * preserve the GEOMETRY (CKA near 1), not just the norm mass
+    * q_matryoshka measures? Moment-form centered cross-covariances,
+    * three scan-shaped d²-cell aggregations, no row joins.
+    */
+  private def qCka(s: SparkSession, dir: String): DataFrame =
+    Similarity.linearCka(
+      t(s, dir, "embeddings").filter(col("embedding").isNotNull),
+      "vec_id", col("embedding"), slice(col("embedding"), 1, 16))
+
+  private def ckaOracleSql: String = {
+    def f2(aCol: String, bCol: String, name: String): String =
+      s"""$name AS (
+         |  SELECT SUM(CAST(round(c * c * 1000000000.0) AS HUGEINT)) AS f2
+         |  FROM (
+         |    SELECT CAST(sxy AS DOUBLE) / 1000000000000.0 / nd
+         |      - (CAST(sx AS DOUBLE) / 1000000000.0 / nd)
+         |        * (CAST(sy AS DOUBLE) / 1000000000.0 / nd) AS c
+         |    FROM (
+         |      SELECT i, j, SUM(CAST(round(x * y * 1000000000000.0)
+         |        AS HUGEINT)) AS sxy
+         |      FROM (
+         |        SELECT i, x, unnest(range(1, len(bv) + 1)) AS j,
+         |          unnest(bv) AS y
+         |        FROM (SELECT unnest($aCol) AS x,
+         |            unnest(range(1, len($aCol) + 1)) AS i, $bCol AS bv
+         |          FROM e) t1) t2
+         |      GROUP BY 1, 2) cells
+         |    JOIN (SELECT i, SUM(CAST(round(x * 1000000000.0) AS HUGEINT)) AS sx
+         |      FROM (SELECT unnest($aCol) AS x,
+         |          unnest(range(1, len($aCol) + 1)) AS i FROM e) u
+         |      GROUP BY 1) ma USING (i)
+         |    JOIN (SELECT j, SUM(CAST(round(x * 1000000000.0) AS HUGEINT)) AS sy
+         |      FROM (SELECT unnest($bCol) AS x,
+         |          unnest(range(1, len($bCol) + 1)) AS j FROM e) u
+         |      GROUP BY 1) mb USING (j)
+         |    CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM e) tt) q)"""
+        .stripMargin
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a,
+       |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS b
+       |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |tot AS (SELECT COUNT(*) AS n, MAX(len(a)) AS da, MAX(len(b)) AS db FROM e),
+       |${f2("a", "b", "fxy")},
+       |${f2("a", "a", "fxx")},
+       |${f2("b", "b", "fyy")}
+       |SELECT n, CAST(da AS BIGINT) AS dims_a, CAST(db AS BIGINT) AS dims_b,
+       |  CASE WHEN fxx.f2 > 0 AND fyy.f2 > 0 THEN
+       |    round((CAST(fxy.f2 AS DOUBLE) / 1000000000.0)
+       |      / sqrt((CAST(fxx.f2 AS DOUBLE) / 1000000000.0)
+       |        * (CAST(fyy.f2 AS DOUBLE) / 1000000000.0)), 6)
+       |  END AS cka
+       |FROM tot CROSS JOIN fxy CROSS JOIN fxx CROSS JOIN fyy""".stripMargin
+  }
+
   /** SQ8 ADC top-5 recall vs the exact integer-lattice baseline — the
     * retrieval-quality readout completing q_sq8's geometry audit (did
     * the 256-level codebook change what search RETURNS, not just how
@@ -918,6 +974,7 @@ object EmbedQueries {
     "q_sq8" -> (qSq8 _),
     "q_sq8_recall" -> (qSq8Recall _),
     "q_align_uniform" -> (qAlignUniform _),
+    "q_cka" -> (qCka _),
     "q_matryoshka" -> (qMatryoshka _),
     "q_pca" -> (qPca _),
     "q_jl" -> (qJl _),
@@ -1145,6 +1202,7 @@ object EmbedQueries {
         |  CAST(MAX(mabs) AS BIGINT) AS max_abs_err_pico
         |FROM cn""".stripMargin,
     "q_align_uniform" -> alignUniformOracleSql,
+    "q_cka" -> ckaOracleSql,
     "q_sq8_recall" ->
       """WITH l AS (
         |  SELECT vec_id, list_transform(embedding,

@@ -1272,6 +1272,226 @@ object StatsQueries {
        |FROM ag""".stripMargin
   }
 
+  /** Doubly-robust AIPW treatment effect ([[graft.ops.Regression
+    * .aipwAte]]): does heavy CLICKING (≥ 3 clicks) lift a user's
+    * purchase spend, with view count as the confounder — propensity
+    * from the shared Newton chain AND per-arm outcome regressions,
+    * combined in the efficient influence function. `reg_ate` beside
+    * `ate` shows the size of the IPW correction; `se` is the free
+    * plug-in standard error. The oracle replays training, both arm
+    * fits, and the influence pass CTE-for-CTE.
+    */
+  private def qAipw(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events").groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+      coalesce(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long"))), lit(0L)).as("cents"))
+    graft.ops.Regression.aipwAte(perUser,
+      col("clicks") >= 3, col("cents").cast("double") / lit(100.0),
+      log(lit(1.0) + col("views")), iterations = 4)
+  }
+
+  private def aipwOracleSql: String = {
+    val iters = logitTrainCtes(4)
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+       |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS cents
+       |  FROM events GROUP BY 1),
+       |base AS (
+       |  SELECT CASE WHEN clicks >= 3 THEN 1.0 ELSE 0.0 END AS y,
+       |    ln(1.0 + views) AS x,
+       |    CAST(cents AS DOUBLE) / 100.0 AS o
+       |  FROM pu),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |$iters,
+       |om AS (
+       |  SELECT
+       |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n1,
+       |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS n0,
+       |    SUM(CASE WHEN y = 1.0
+       |      THEN CAST(round(x * 1000000000.0) AS HUGEINT) ELSE 0 END) AS sx1,
+       |    SUM(CASE WHEN y = 1.0
+       |      THEN CAST(round(o * 1000000000.0) AS HUGEINT) ELSE 0 END) AS so1,
+       |    SUM(CASE WHEN y = 1.0
+       |      THEN CAST(round(x * o * 1000000000.0) AS HUGEINT) ELSE 0 END) AS sxo1,
+       |    SUM(CASE WHEN y = 1.0
+       |      THEN CAST(round(x * x * 1000000000.0) AS HUGEINT) ELSE 0 END) AS sxx1,
+       |    SUM(CASE WHEN y = 1.0 THEN 0
+       |      ELSE CAST(round(x * 1000000000.0) AS HUGEINT) END) AS sx0,
+       |    SUM(CASE WHEN y = 1.0 THEN 0
+       |      ELSE CAST(round(o * 1000000000.0) AS HUGEINT) END) AS so0,
+       |    SUM(CASE WHEN y = 1.0 THEN 0
+       |      ELSE CAST(round(x * o * 1000000000.0) AS HUGEINT) END) AS sxo0,
+       |    SUM(CASE WHEN y = 1.0 THEN 0
+       |      ELSE CAST(round(x * x * 1000000000.0) AS HUGEINT) END) AS sxx0
+       |  FROM base),
+       |omd AS (
+       |  SELECT CAST(n1 AS DOUBLE) AS nd1, CAST(n0 AS DOUBLE) AS nd0,
+       |    CAST(sx1 AS DOUBLE) / 1000000000.0 AS sx1,
+       |    CAST(so1 AS DOUBLE) / 1000000000.0 AS so1,
+       |    CAST(sxo1 AS DOUBLE) / 1000000000.0 AS sxo1,
+       |    CAST(sxx1 AS DOUBLE) / 1000000000.0 AS sxx1,
+       |    CAST(sx0 AS DOUBLE) / 1000000000.0 AS sx0,
+       |    CAST(so0 AS DOUBLE) / 1000000000.0 AS so0,
+       |    CAST(sxo0 AS DOUBLE) / 1000000000.0 AS sxo0,
+       |    CAST(sxx0 AS DOUBLE) / 1000000000.0 AS sxx0
+       |  FROM om),
+       |sl AS (
+       |  SELECT nd1, nd0, sx1, so1, sx0, so0,
+       |    CASE WHEN nd1 * sxx1 - sx1 * sx1 > 0.0
+       |      THEN (nd1 * sxo1 - sx1 * so1) / (nd1 * sxx1 - sx1 * sx1)
+       |      ELSE 0.0 END AS s1,
+       |    CASE WHEN nd0 * sxx0 - sx0 * sx0 > 0.0
+       |      THEN (nd0 * sxo0 - sx0 * so0) / (nd0 * sxx0 - sx0 * sx0)
+       |      ELSE 0.0 END AS s0
+       |  FROM omd),
+       |ft AS (
+       |  SELECT
+       |    CAST(round(s1 * 1000000000.0) AS BIGINT) AS s1n,
+       |    CAST(round((so1 - s1 * sx1) / nd1 * 1000000000.0) AS BIGINT) AS a1n,
+       |    CAST(round(s0 * 1000000000.0) AS BIGINT) AS s0n,
+       |    CAST(round((so0 - s0 * sx0) / nd0 * 1000000000.0) AS BIGINT) AS a0n
+       |  FROM sl),
+       |w AS (
+       |  SELECT y, o,
+       |    CAST(b0n AS DOUBLE) / 1000000000.0 AS b0,
+       |    CAST(b1n AS DOUBLE) / 1000000000.0 AS b1,
+       |    LEAST(GREATEST(1.0 / (1.0 + exp(-(CAST(b0n AS DOUBLE) / 1000000000.0
+       |      + CAST(b1n AS DOUBLE) / 1000000000.0 * x))), 0.01), 0.99) AS pc,
+       |    CAST(a1n AS DOUBLE) / 1000000000.0
+       |      + CAST(s1n AS DOUBLE) / 1000000000.0 * x AS mu1,
+       |    CAST(a0n AS DOUBLE) / 1000000000.0
+       |      + CAST(s0n AS DOUBLE) / 1000000000.0 * x AS mu0
+       |  FROM base CROSS JOIN i4 CROSS JOIN ft),
+       |ag AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS nt,
+       |    MAX(b0) AS b0, MAX(b1) AS b1,
+       |    SUM(CAST(round((mu1 - mu0 + CASE WHEN y = 1.0
+       |        THEN (o - mu1) / pc ELSE -((o - mu0)) / (1.0 - pc) END)
+       |      * 1000000000.0) AS HUGEINT)) AS ps,
+       |    SUM(CAST(round((mu1 - mu0 + CASE WHEN y = 1.0
+       |        THEN (o - mu1) / pc ELSE -((o - mu0)) / (1.0 - pc) END)
+       |      * (mu1 - mu0 + CASE WHEN y = 1.0
+       |        THEN (o - mu1) / pc ELSE -((o - mu0)) / (1.0 - pc) END)
+       |      * 1000000000.0) AS HUGEINT)) AS ps2,
+       |    SUM(CAST(round((mu1 - mu0) * 1000000000.0) AS HUGEINT)) AS rg
+       |  FROM w)
+       |SELECT n, CAST(nt AS BIGINT) AS n_treated,
+       |  round(b0, 6) AS b0, round(b1, 6) AS b1,
+       |  round(CAST(rg AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6)
+       |    AS reg_ate,
+       |  round(CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6) AS ate,
+       |  CASE WHEN CAST(ps2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)
+       |      - (CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE))
+       |        * (CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) >= 0.0
+       |    THEN round(sqrt((CAST(ps2 AS DOUBLE) / 1000000000.0
+       |        / CAST(n AS DOUBLE)
+       |      - (CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE))
+       |        * (CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)))
+       |      / CAST(n AS DOUBLE)), 6)
+       |  END AS se
+       |FROM ag""".stripMargin
+  }
+
+  /** Propensity-score caliper matching ([[graft.ops.Regression
+    * .psmAtt]]): the ATT companion to q_ipw's ATE on the same causal
+    * frame — heavy viewers (≥ 14 views) matched 1-NN to the nearest
+    * control on the micro-quantized click-propensity grid, pairs
+    * beyond the 0.05 caliper dropped. The oracle replays training,
+    * the grid collapse, and the nearest-control window CTE-for-CTE.
+    */
+  private def qPsm(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events").groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+      coalesce(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long"))), lit(0L)).as("cents"))
+    graft.ops.Regression.psmAtt(perUser, col("user_id"),
+      col("views") >= 14, col("cents").cast("double") / lit(100.0),
+      log(lit(1.0) + col("clicks")), caliperMicros = 50000L, iterations = 4)
+  }
+
+  private def psmOracleSql: String = {
+    val iters = logitTrainCtes(4)
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+       |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS cents
+       |  FROM events GROUP BY 1),
+       |base AS (
+       |  SELECT user_id AS id,
+       |    CASE WHEN views >= 14 THEN 1.0 ELSE 0.0 END AS y,
+       |    ln(1.0 + clicks) AS x,
+       |    CAST(cents AS DOUBLE) / 100.0 AS o
+       |  FROM pu),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |$iters,
+       |pmr AS (
+       |  SELECT id, y = 1.0 AS t, o,
+       |    CAST(round(1.0 / (1.0 + exp(-(CAST(b0n AS DOUBLE) / 1000000000.0
+       |      + CAST(b1n AS DOUBLE) / 1000000000.0 * x))) * 1000000.0)
+       |      AS BIGINT) AS pm,
+       |    CAST(b0n AS DOUBLE) / 1000000000.0 AS b0,
+       |    CAST(b1n AS DOUBLE) / 1000000000.0 AS b1
+       |  FROM base CROSS JOIN i4),
+       |grid AS (
+       |  SELECT pm, t, COUNT(*) AS cnt,
+       |    SUM(CASE WHEN t THEN CAST(round(o * 1000000000.0) AS HUGEINT)
+       |      ELSE 0 END) AS t_sum,
+       |    MIN_BY(CAST(round(o * 1000000000.0) AS HUGEINT), id) AS rep_o
+       |  FROM pmr GROUP BY 1, 2),
+       |nb AS (
+       |  SELECT pm, t, cnt, t_sum,
+       |    last_value(CASE WHEN NOT t THEN pm END IGNORE NULLS)
+       |      OVER (ORDER BY pm, t
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ppm,
+       |    last_value(CASE WHEN NOT t THEN rep_o END IGNORE NULLS)
+       |      OVER (ORDER BY pm, t
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prep,
+       |    first_value(CASE WHEN NOT t THEN pm END IGNORE NULLS)
+       |      OVER (ORDER BY pm, t
+       |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS npm,
+       |    first_value(CASE WHEN NOT t THEN rep_o END IGNORE NULLS)
+       |      OVER (ORDER BY pm, t
+       |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nrep
+       |  FROM grid),
+       |mt AS (
+       |  SELECT cnt, t_sum,
+       |    CASE WHEN pm - ppm IS NOT NULL
+       |        AND (npm - pm IS NULL OR pm - ppm <= npm - pm)
+       |      THEN pm - ppm ELSE npm - pm END AS d,
+       |    CASE WHEN pm - ppm IS NOT NULL
+       |        AND (npm - pm IS NULL OR pm - ppm <= npm - pm)
+       |      THEN prep ELSE nrep END AS mrep
+       |  FROM nb WHERE t),
+       |att AS (
+       |  SELECT SUM(cnt) AS nm, SUM(t_sum) AS ty,
+       |    SUM(mrep * CAST(cnt AS HUGEINT)) AS cy
+       |  FROM mt WHERE d IS NOT NULL AND d <= 50000),
+       |tot AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS nt,
+       |    MAX(CAST(b0n AS DOUBLE) / 1000000000.0) AS b0,
+       |    MAX(CAST(b1n AS DOUBLE) / 1000000000.0) AS b1
+       |  FROM base CROSS JOIN i4)
+       |SELECT n, CAST(nt AS BIGINT) AS n_treated,
+       |  COALESCE(CAST(nm AS BIGINT), 0) AS n_matched,
+       |  round(b0, 6) AS b0, round(b1, 6) AS b1,
+       |  CASE WHEN nm IS NOT NULL AND nm > 0 THEN
+       |    round((CAST(ty AS DOUBLE) / 1000000000.0
+       |        - CAST(cy AS DOUBLE) / 1000000000.0)
+       |      / CAST(nm AS DOUBLE), 6)
+       |  END AS att
+       |FROM tot CROSS JOIN att""".stripMargin
+  }
+
   /** CUPED adjustment ([[graft.ops.Stats.cuped]]): per-user purchase
     * revenue compared across id-parity arms with the user's view count
     * as the variance-reducing covariate — the experimentation
@@ -1311,6 +1531,17 @@ object StatsQueries {
   private def qKAnon(s: SparkSession, dir: String): DataFrame =
     graft.ops.Profile.kAnonymity(t(s, dir, "customer"),
       Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), kThreshold = 5L)
+
+  /** t-closeness audit ([[graft.ops.Profile.tCloseness]]): beyond
+    * q_k_anon's size/diversity gates, does any nation's market-segment
+    * MIX differ from the global mix by more than t = 0.1 total
+    * variation — the distributional leak k-anonymity can't see. Exact
+    * common-denominator TV arithmetic end-to-end; one keyed
+    * aggregation plus a broadcast category join.
+    */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.tCloseness(t(s, dir, "customer"),
+      Seq("c_nationkey"), col("c_mktsegment"), tMicros = 100000L)
 
   /** Theil's uncertainty coefficient ([[graft.ops.Stats
     * .uncertaintyCoefficient]]): HOW STRONGLY, and in WHICH DIRECTION,
@@ -1872,6 +2103,7 @@ object StatsQueries {
     "q_huber" -> (qHuber _),
     "q_uncertainty" -> (qUncertainty _),
     "q_k_anon" -> (qKAnon _),
+    "q_tcloseness" -> (qTCloseness _),
     "q_kendall_w" -> (qKendallW _),
     "q_yuen" -> (qYuen _),
     "q_by" -> (qBy _),
@@ -1900,6 +2132,8 @@ object StatsQueries {
     "q_wls" -> (qWls _),
     "q_logit" -> (qLogit _),
     "q_ipw" -> (qIpw _),
+    "q_aipw" -> (qAipw _),
+    "q_psm" -> (qPsm _),
     "q_cuped" -> (qCuped _),
     "q_tukey" -> (qTukey _),
     "q_srm" -> (qSrm _),
@@ -4991,6 +5225,8 @@ object StatsQueries {
         |FROM f""".stripMargin,
     "q_logit" -> logitOracleSql,
     "q_ipw" -> ipwOracleSql,
+    "q_aipw" -> aipwOracleSql,
+    "q_psm" -> psmOracleSql,
     "q_huber" -> huberOracleSql(4, 25000000L),
     "q_k_anon" ->
       """WITH g AS (
@@ -5010,6 +5246,43 @@ object StatsQueries {
         |  CAST((CAST(rows_below_k AS HUGEINT) * 2000000 + n_rows)
         |    // (CAST(n_rows AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
         |    AS pct_below_k
+        |FROM a""".stripMargin,
+    "q_tcloseness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey AS q, c_mktsegment AS s FROM customer
+        |  WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+        |gc AS (SELECT q, s, COUNT(*) AS ngc FROM base GROUP BY 1, 2),
+        |cat AS (SELECT s, COUNT(*) AS nc FROM base GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS N FROM base),
+        |pairs AS (
+        |  SELECT gc.q, gc.ngc, cat.nc, tot.N,
+        |    SUM(gc.ngc) OVER (PARTITION BY gc.q) AS ng
+        |  FROM gc JOIN cat USING (s) CROSS JOIN tot),
+        |grp AS (
+        |  SELECT q, MAX(ng) AS gsz, MAX(N) AS tbln,
+        |    SUM(ABS(CAST(ngc AS HUGEINT) * N - CAST(nc AS HUGEINT) * ng)
+        |      - CAST(nc AS HUGEINT) * ng) AS tsum
+        |  FROM pairs GROUP BY 1),
+        |tm AS (
+        |  SELECT gsz,
+        |    CAST(((tsum + CAST(gsz AS HUGEINT) * tbln) * 1000000 * 2
+        |        + CAST(gsz AS HUGEINT) * tbln * 2)
+        |      // (CAST(gsz AS HUGEINT) * tbln * 2 * 2) AS BIGINT) AS t_micros
+        |  FROM grp),
+        |a AS (
+        |  SELECT SUM(gsz) AS n_rows, COUNT(*) AS n_groups,
+        |    MAX(t_micros) AS tmax,
+        |    SUM(CASE WHEN t_micros > 100000 THEN 1 ELSE 0 END) AS ga,
+        |    SUM(CASE WHEN t_micros > 100000 THEN gsz ELSE 0 END) AS ra
+        |  FROM tm)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_groups AS BIGINT) AS n_groups,
+        |  CAST(tmax AS DOUBLE) / 1000000.0 AS t_max,
+        |  CAST(ga AS BIGINT) AS groups_above_t,
+        |  CAST(ra AS BIGINT) AS rows_above_t,
+        |  CAST((CAST(ra AS HUGEINT) * 2000000 + n_rows)
+        |    // (CAST(n_rows AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
+        |    AS pct_above_t
         |FROM a""".stripMargin,
     "q_uncertainty" ->
       """WITH cells AS (

@@ -687,6 +687,81 @@ object Similarity {
       col("max_abs_err_pico"))
   }
 
+  /** Linear CKA (centered kernel alignment, Kornblith et al. 2019)
+    * between two vector representations of the SAME rows — the
+    * representation-similarity readout behind "does my truncated /
+    * projected / re-trained embedding preserve the geometry?":
+    *
+    *   CKA = ‖C_xy‖²_F / (‖C_xx‖_F · ‖C_yy‖_F)
+    *
+    * over column-centered features, computed in MOMENT form so the
+    * whole statistic is three scan-shaped aggregations with NO row
+    * joins and NO driver-side matrix: each cross-covariance cell is
+    *
+    *   C_ab(i,j)/n = Σxᵢyⱼ/n − (Σxᵢ/n)(Σyⱼ/n)
+    *
+    * from per-row pico-quantized products (exact DECIMAL sums), the
+    * per-cell double resolves through one fixed IEEE tree, squares
+    * nano-quantize before the exact d²-cell sum, and the final ratio
+    * rounds at 6 dp. 1 = identical geometry up to rotation/isotropic
+    * scale; 0 = unrelated.
+    *
+    * Returns one row `(n, dims_a, dims_b, cka)`; null cka when either
+    * self-norm is 0 (a constant representation).
+    *
+    * Scale shape: the outer-product rows come from TWO chained
+    * posexplodes of each row's own arrays (a narrow pipeline, no
+    * join); the only shuffles are the (i,j)-keyed partial-aggregated
+    * sums — ≤ dₐ·d_b + dₐ² + d_b² cells regardless of corpus size. Work
+    * is O(n·d²) — embarrassingly parallel; sample rows upstream if d
+    * is large.
+    */
+  def linearCka(df: DataFrame, idCol: String, vecColA: Column,
+                vecColB: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def pico(c: Column): Column = round(c * lit(1e12), 0).cast(dec)
+    def nanoL(c: Column): Column = round(c * lit(1e9), 0).cast("long")
+    val base = df.select(col(idCol).as("__id"),
+        toDoubleArr(vecColA).as("__a"), toDoubleArr(vecColB).as("__b"))
+      .filter(col("__id").isNotNull && col("__a").isNotNull && col("__b").isNotNull)
+    val tot = base.agg(count(lit(1)).as("__n"),
+      max(size(col("__a"))).as("__da"), max(size(col("__b"))).as("__db"))
+    // per-dim raw sums (nano) for the mean terms
+    def dimSums(c: String): DataFrame = base
+      .select(posexplode(col(c)).as(Seq("__i", "__x")))
+      .groupBy(col("__i"))
+      .agg(sum(round(col("__x") * lit(1e9), 0).cast(dec)).as("__s"))
+    // ‖C_ab‖²_F in nano units: chained posexplodes -> (i,j) cells
+    def fro2(aC: String, bC: String): DataFrame = {
+      val cells = base
+        .select(col(bC).as("__bv"), posexplode(col(aC)).as(Seq("__i", "__x")))
+        .select(col("__i"), col("__x"), posexplode(col("__bv")).as(Seq("__j", "__y")))
+        .groupBy(col("__i"), col("__j"))
+        .agg(sum(pico(col("__x") * col("__y"))).as("__sxy"))
+      val mx = dimSums(aC).withColumnRenamed("__s", "__sx")
+      val my = dimSums(bC)
+        .withColumnRenamed("__s", "__sy").withColumnRenamed("__i", "__j")
+      val nd = col("__n").cast("double")
+      val ccell = col("__sxy").cast("double") / lit(1e12) / nd -
+        (col("__sx").cast("double") / lit(1e9) / nd) *
+          (col("__sy").cast("double") / lit(1e9) / nd)
+      cells.join(broadcast(mx), "__i").join(broadcast(my), "__j")
+        .crossJoin(broadcast(tot.select(col("__n"))))
+        .select(nanoL(ccell * ccell).as("__c2"))
+        .agg(sum(col("__c2").cast(dec)).as("__f2"))
+    }
+    val fxy = fro2("__a", "__b").withColumnRenamed("__f2", "__fxy")
+    val fxx = fro2("__a", "__a").withColumnRenamed("__f2", "__fxx")
+    val fyy = fro2("__b", "__b").withColumnRenamed("__f2", "__fyy")
+    def d(c: String): Column = col(c).cast("double") / lit(1e9)
+    tot.crossJoin(fxy).crossJoin(fxx).crossJoin(fyy)
+      .select(col("__n").as("n"),
+        col("__da").cast("long").as("dims_a"),
+        col("__db").cast("long").as("dims_b"),
+        when(col("__fxx") > 0 && col("__fyy") > 0,
+          round(d("__fxy") / sqrt(d("__fxx") * d("__fyy")), 6)).as("cka"))
+  }
+
   /** Alignment / uniformity probe (Wang & Isola 2020) over DETERMINISTIC
     * id-offset pairs: per offset K, pair vector i with vector i+K and
     * report

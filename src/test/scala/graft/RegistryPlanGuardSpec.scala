@@ -127,6 +127,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_transfer_entropy" -> "state-symbolization lag windows over the HOURLY rollup (rows = distinct hours, calendar-bounded — the q_hurst single-series bound); the cell/marginal windows run over the <= 8-row triple table",
     "q_neyman" -> "apportion's largest-remainder rank window over the STRATA-bounded weight table (rows = distinct strata — the q_apportion bound)",
     "q_msprt" -> "cumulative-moment and running-min-p windows over the DAILY table (rows = distinct days, calendar-bounded — the q_pchart/q_hurst bound)",
+    "q_psm" -> "nearest-control prev/next windows over the MICRO-QUANTIZED propensity grid (rows <= 2·(1e6+1): two arms × the micro domain — the q_auc bound), after the per-(pm, arm) grid collapse",
   )
 
   test("whole-frame windows appear only over bounded-by-construction tables") {

@@ -261,6 +261,26 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(r.getLong(3) == 0L && r.getLong(4) == 0L, "zero error at endpoints")
   }
 
+  test("linearCka: self = 1, invariant to permutation and isotropic scale, null on constants") {
+    val df = createDf(spark, "id bigint, v array<float>",
+      Seq(Seq[Any](1L, Seq(1.0f, 2.0f, 0.5f)), Seq[Any](2L, Seq(3.0f, 0.0f, 1.5f)),
+        Seq[Any](3L, Seq(0.0f, 1.0f, 2.5f)), Seq[Any](4L, Seq(2.0f, 2.0f, 0.0f))))
+      .withColumn("v", graft.text.Similarity.toDoubleArr(col("v")))
+    def cka(b: org.apache.spark.sql.Column): Double =
+      graft.text.Similarity.linearCka(df, "id", col("v"), b).head().getDouble(3)
+    assert(math.abs(cka(col("v")) - 1.0) < 1e-5, "CKA(X, X) = 1")
+    assert(math.abs(cka(reverse(col("v"))) - 1.0) < 1e-5,
+      "dim permutation is orthogonal: CKA = 1")
+    assert(math.abs(cka(transform(col("v"), x => x * lit(2.5))) - 1.0) < 1e-5,
+      "isotropic scaling: CKA = 1")
+    val const = graft.text.Similarity.linearCka(df, "id", col("v"),
+      transform(col("v"), _ => lit(1.0))).head()
+    assert(const.isNullAt(3), "constant representation has zero self-norm -> null")
+    // a genuinely different representation scores strictly below 1
+    val mixed = cka(slice(col("v"), 1, 1))
+    assert(mixed < 0.999 && mixed > 0.0, s"1-dim slice CKA $mixed")
+  }
+
   test("alignmentUniformity: identical vectors give align 0 / uniform 0; orthogonal give -4") {
     val same = createDf(spark, "id bigint, v array<float>",
       (0L to 3L).map(i => Seq[Any](i, Seq(1.0f, 0.0f))))
@@ -426,6 +446,110 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(flat.isNullAt(2) && flat.isNullAt(6))
   }
 
+  test("aipwAte: exact per-arm linear outcomes zero the correction (ate = reg_ate)") {
+    // treated: y = 2 + 3x exactly; control: y = 1 + x exactly. Both arm
+    // OLS fits are exact, so every residual is 0, the IPW correction
+    // vanishes row-by-row, and ATE = mean(1 + 2x) over ALL rows.
+    val rows = (1 to 42).map { i =>
+      val x = (i % 7).toDouble
+      val t = i % 3 == 0
+      (t, if (t) 2.0 + 3.0 * x else 1.0 + x, x)
+    }
+    val df = createDf(spark, "t boolean, y double, x double",
+      rows.map { case (t, y, x) => Seq[Any](t, y, x) })
+    val r = Regression.aipwAte(df, col("t"), col("y"), col("x")).head()
+    val xbar = rows.map(_._3).sum / rows.size
+    assert(r.getLong(0) == 42L && r.getLong(1) == 14L)
+    assert(math.abs(r.getDouble(4) - (1.0 + 2.0 * xbar)) < 1e-4, "reg_ate")
+    assert(math.abs(r.getDouble(5) - (1.0 + 2.0 * xbar)) < 1e-4, "ate")
+    assert(math.abs(r.getDouble(5) - r.getDouble(4)) < 1e-4,
+      "zero residuals must zero the IPW correction")
+    assert(r.getDouble(6) >= 0.0, "se defined")
+  }
+
+  test("aipwAte: constant per-arm outcomes recover the exact contrast; constant x degenerates") {
+    val rows = (1 to 40).map { i =>
+      val t = i % 3 == 0
+      (t, if (t) 9.0 else 5.0, (i % 7).toDouble)
+    }
+    val df = createDf(spark, "t boolean, y double, x double",
+      rows.map { case (t, y, x) => Seq[Any](t, y, x) })
+    val r = Regression.aipwAte(df, col("t"), col("y"), col("x")).head()
+    assert(math.abs(r.getDouble(4) - 4.0) < 1e-5, "reg_ate = 4 exactly")
+    assert(math.abs(r.getDouble(5) - 4.0) < 1e-5, "ate = 4 exactly")
+    assert(math.abs(r.getDouble(6)) < 1e-5, "zero-variance influence: se = 0")
+    val flat = Regression.aipwAte(df, col("t"), col("y"), lit(1.0)).head()
+    assert(flat.isNullAt(2) && flat.isNullAt(5), "degenerate propensity nulls effects")
+  }
+
+  test("psmAtt: exact-propensity matches recover the hand-computed ATT; caliper drops far pairs") {
+    // two covariate strata, both arms present in each: every treated
+    // unit finds a zero-distance control, and the match is the min-id
+    // control AT its own propensity. y = 10 + x for treated, 3 + x for
+    // control => ATT = 7 exactly.
+    val rows = (1 to 40).map { i =>
+      val x = (i % 2).toDouble // two strata -> two propensity values
+      val t = i % 4 == 0
+      (i.toLong, t, if (t) 10.0 + x else 3.0 + x, x)
+    }
+    val df = createDf(spark, "id bigint, t boolean, y double, x double",
+      rows.map { case (i, t, y, x) => Seq[Any](i, t, y, x) })
+    val r = Regression.psmAtt(df, col("id"), col("t"), col("y"), col("x")).head()
+    assert(r.getLong(0) == 40L && r.getLong(1) == 10L)
+    assert(r.getLong(2) == 10L, "every treated matches at distance 0")
+    assert(math.abs(r.getDouble(5) - 7.0) < 1e-5, "att")
+    // a tiny caliper with WELL-SEPARATED propensities: x is informative,
+    // so treated/control propensities differ per stratum only through
+    // the shared x — distance is 0 within a stratum and matching holds;
+    // shrink to caliper 0 still keeps the zero-distance pairs
+    val r0 = Regression.psmAtt(df, col("id"), col("t"), col("y"), col("x"),
+      caliperMicros = 1L).head()
+    assert(r0.getLong(2) == 10L && math.abs(r0.getDouble(5) - 7.0) < 1e-5)
+  }
+
+  test("psmAtt: disjoint propensity grids match across a gap; tight caliper drops all") {
+    // arms live on DISJOINT x values (controls {0,4}, treated {2,6},
+    // non-separable overall), so every match crosses a propensity gap:
+    // a full-range caliper matches all 12 treated, a 1-micro caliper
+    // matches none
+    val rows =
+      (1 to 10).map(i => (i.toLong, false, 1.0, 0.0)) ++
+      (11 to 20).map(i => (i.toLong, true, 5.0, 2.0)) ++
+      (21 to 22).map(i => (i.toLong, false, 1.0, 4.0)) ++
+      (23 to 24).map(i => (i.toLong, true, 5.0, 6.0))
+    val df = createDf(spark, "id bigint, t boolean, y double, x double",
+      rows.map { case (i, t, y, x) => Seq[Any](i, t, y, x) })
+    val all = Regression.psmAtt(df, col("id"), col("t"), col("y"), col("x"),
+      caliperMicros = 1000000L).head()
+    assert(all.getLong(0) == 24L && all.getLong(1) == 12L)
+    assert(all.getLong(2) == 12L, "full-range caliper matches every treated")
+    assert(math.abs(all.getDouble(5) - 4.0) < 1e-5, "constant-arm outcomes: att = 4")
+    val tight = Regression.psmAtt(df, col("id"), col("t"), col("y"), col("x"),
+      caliperMicros = 1L).head()
+    assert(tight.getLong(2) == 0L, "1-micro caliper drops every cross-gap pair")
+    assert(tight.isNullAt(5), "no matches -> null att")
+  }
+
+  test("tCloseness: hand-computed TV including an absent category; equal-mix group scores 0") {
+    // g1: {a:2, b:2}, g2: {a:4} (b ABSENT). Global: a 6/8, b 2/8.
+    //   t_g1 = (|.5-.75| + |.5-.25|)/2 = 0.25
+    //   t_g2 = (|1-.75| + |0-.25|)/2  = 0.25  (absent-category fold)
+    val df = createDf(spark, "g string, s string",
+      Seq(Seq[Any]("g1", "a"), Seq[Any]("g1", "a"),
+        Seq[Any]("g1", "b"), Seq[Any]("g1", "b"),
+        Seq[Any]("g2", "a"), Seq[Any]("g2", "a"),
+        Seq[Any]("g2", "a"), Seq[Any]("g2", "a")))
+    val r = Profile.tCloseness(df, Seq("g"), col("s"), tMicros = 200000L).head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.25, "t_max")
+    assert(r.getLong(3) == 2L && r.getLong(4) == 8L, "both groups above t = 0.2")
+    assert(r.getDouble(5) == 1.0, "pct_above_t")
+    // one group = the whole table: its mix IS the global mix -> t = 0
+    val one = Profile.tCloseness(df.withColumn("g", lit("all")),
+      Seq("g"), col("s"), tMicros = 0L).head()
+    assert(one.getDouble(2) == 0.0 && one.getLong(3) == 0L)
+  }
+
   test("msprt: p_always is monotone and collapses under a real effect; flat null stays 1") {
     import org.apache.spark.sql.functions.{to_timestamp => tts}
     def mk(rows: Seq[(Long, String, Double)]) =
@@ -482,6 +606,8 @@ class Round12OpsSpec extends AnyFunSuite {
     inv(d => Drift.kuiperGrouped(d, Seq("g"),
       col("o") % 2 === 0, col("o") % 2 === 1, col("v")))
     inv(d => Regression.ipwAte(d, col("o") % 3 === 0, col("v"),
+      (col("o") % 7).cast("double")))
+    inv(d => Regression.aipwAte(d, col("o") % 3 === 0, col("v"),
       (col("o") % 7).cast("double")))
     inv(d => Stats.msprt(d.withColumn("ts",
         to_timestamp(concat(lit("2024-01-"),
