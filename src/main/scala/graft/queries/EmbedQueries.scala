@@ -920,6 +920,94 @@ object EmbedQueries {
        |FROM tot CROSS JOIN fxy CROSS JOIN fxx CROSS JOIN fyy""".stripMargin
   }
 
+  /** Hubness audit ([[Similarity.hubnessAudit]]) of the exact cosine
+    * 10-NN graph: max in-degree, antihub share, in-degree skewness —
+    * the high-dimension pathology readout that tells you whether
+    * near-dup keep-lists and retrieval negatives are being captured
+    * by a few hub vectors. Exact-by-contract on the require-bounded
+    * panel; the full-corpus path stays banded LSH.
+    */
+  private def qHubness(s: SparkSession, dir: String): DataFrame =
+    Similarity.hubnessAudit(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 10)
+
+  private def hubnessOracleSql: String =
+    s"""WITH $nvCte,
+       |edges AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_sum(list_transform(list_zip(q.nv, a.nv),
+       |          x -> x[1] * x[2])) DESC, a.vec_id) AS rnk
+       |    FROM nv a, nv q WHERE a.vec_id <> q.vec_id) t
+       |  WHERE rnk <= 10),
+       |ind AS (
+       |  SELECT COALESCE(e.d, 0) AS d
+       |  FROM nv LEFT JOIN (SELECT neighbor_id, COUNT(*) AS d
+       |    FROM edges GROUP BY 1) e ON nv.vec_id = e.neighbor_id),
+       |a AS (
+       |  SELECT COUNT(*) AS n, MAX(d) AS mx,
+       |    SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS ah,
+       |    SUM(CAST(d AS HUGEINT)) AS s1,
+       |    SUM(CAST(d * d AS HUGEINT)) AS s2,
+       |    SUM(CAST(d * d * d AS HUGEINT)) AS s3
+       |  FROM ind),
+       |m AS (
+       |  SELECT n, mx, ah,
+       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+       |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3
+       |  FROM a)
+       |SELECT n AS n_vectors, CAST(10 AS BIGINT) AS k,
+       |  CAST(mx AS BIGINT) AS max_indegree, CAST(ah AS BIGINT) AS antihubs,
+       |  CAST((CAST(ah AS HUGEINT) * 2000000 + n)
+       |    // (CAST(n AS HUGEINT) * 2) AS DOUBLE) / 1000000.0 AS antihub_pct,
+       |  CASE WHEN r2 - mu * mu > 0.0 THEN
+       |    round((r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu)
+       |      / sqrt((r2 - mu * mu) * (r2 - mu * mu) * (r2 - mu * mu)), 6)
+       |  END AS indegree_skew
+       |FROM m""".stripMargin
+
+  /** TwoNN intrinsic dimension ([[Similarity.twoNnId]]): the manifold
+    * dimension the 64-dim embeddings actually use, from each point's
+    * two nearest cosine neighbors. The capacity audit beside q_pca's
+    * variance spectrum — MLE, not a variance heuristic.
+    */
+  private def qTwoNn(s: SparkSession, dir: String): DataFrame =
+    Similarity.twoNnId(t(s, dir, "embeddings"), "vec_id", "embedding")
+
+  private def twoNnOracleSql: String =
+    s"""WITH $nvCte,
+       |t2 AS (
+       |  SELECT query_id,
+       |    MAX(CASE WHEN rnk = 1 THEN cos END) AS c1,
+       |    MAX(CASE WHEN rnk = 2 THEN cos END) AS c2
+       |  FROM (
+       |    SELECT q.vec_id AS query_id,
+       |      list_sum(list_transform(list_zip(q.nv, a.nv),
+       |        x -> x[1] * x[2])) AS cos,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_sum(list_transform(list_zip(q.nv, a.nv),
+       |          x -> x[1] * x[2])) DESC, a.vec_id) AS rnk
+       |    FROM nv a, nv q WHERE a.vec_id <> q.vec_id) x
+       |  WHERE rnk <= 2 GROUP BY 1),
+       |tr AS (
+       |  SELECT CASE WHEN 1.0 - c1 > 0.0 AND 1.0 - c2 > 0.0
+       |    THEN CAST(round(ln((1.0 - c2) / (1.0 - c1)) * 0.5
+       |      * 1000000000.0) AS HUGEINT) END AS t
+       |  FROM t2),
+       |a AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CASE WHEN t IS NOT NULL THEN 1 ELSE 0 END) AS nu,
+       |    SUM(t) AS sln
+       |  FROM tr)
+       |SELECT n AS n_vectors, CAST(nu AS BIGINT) AS n_used,
+       |  CASE WHEN nu > 0 AND CAST(sln AS DOUBLE) / 1000000000.0 > 0.0
+       |    THEN round(CAST(nu AS DOUBLE)
+       |      / (CAST(sln AS DOUBLE) / 1000000000.0), 6)
+       |  END AS id_mle
+       |FROM a""".stripMargin
+
   /** SQ8 ADC top-5 recall vs the exact integer-lattice baseline — the
     * retrieval-quality readout completing q_sq8's geometry audit (did
     * the 256-level codebook change what search RETURNS, not just how
@@ -975,6 +1063,8 @@ object EmbedQueries {
     "q_sq8_recall" -> (qSq8Recall _),
     "q_align_uniform" -> (qAlignUniform _),
     "q_cka" -> (qCka _),
+    "q_hubness" -> (qHubness _),
+    "q_twonn" -> (qTwoNn _),
     "q_matryoshka" -> (qMatryoshka _),
     "q_pca" -> (qPca _),
     "q_jl" -> (qJl _),
@@ -1203,6 +1293,8 @@ object EmbedQueries {
         |FROM cn""".stripMargin,
     "q_align_uniform" -> alignUniformOracleSql,
     "q_cka" -> ckaOracleSql,
+    "q_hubness" -> hubnessOracleSql,
+    "q_twonn" -> twoNnOracleSql,
     "q_sq8_recall" ->
       """WITH l AS (
         |  SELECT vec_id, list_transform(embedding,

@@ -687,6 +687,112 @@ object Similarity {
       col("max_abs_err_pico"))
   }
 
+  /** Hubness audit of the exact k-NN graph (Radovanović et al. 2010):
+    * in high dimensions a few points become HUBS (they appear in
+    * everyone's top-k) while many become ANTIHUBS (nobody's neighbor)
+    * — a geometry pathology that silently skews near-dup sweeps,
+    * retrieval training, and semantic dedup keep-lists. Builds the
+    * exact directed k-NN graph ([[bruteForceTopK]]'s cosine order,
+    * ties to the lower neighbor id) and reads the IN-DEGREE
+    * distribution: one row `(n_vectors, k, max_indegree, antihubs,
+    * antihub_pct, indegree_skew)` — skew ≫ 0 is the hubness alarm.
+    *
+    * EXACT O(n²) audit by contract: a distributed count `require`s
+    * n ≤ `maxVectors` BEFORE the join (the concordanceIndex posture);
+    * run it on a sampled panel, the 100 TB near-dup path stays the
+    * banded LSH family. Mean in-degree is k by construction, so the
+    * moments come from exact integer Σd/Σd²/Σd³ and the one skewness
+    * emission resolves through a fixed IEEE tree at 6 dp;
+    * `antihub_pct` micro-quantizes via exact integral division.
+    */
+  def hubnessAudit(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 10, maxVectors: Long = 100000L): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k out of range: $k")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    require(n <= maxVectors,
+      s"hubnessAudit is the EXACT O(n^2) audit: $n vectors > maxVectors=" +
+        s"$maxVectors — sample upstream (the audit posture) or use the " +
+        "banded LSH near-dup path for full-corpus work")
+    val edges = bruteForceTopK(base, base, idCol, vecCol, k)
+    val indeg = base.select(col(idCol).as("__id"))
+      .join(edges.groupBy(col("neighbor_id")).agg(count(lit(1)).as("__d")),
+        col("__id") === col("neighbor_id"), "left")
+      .select(coalesce(col("__d"), lit(0L)).as("__d"))
+    val agg = indeg.agg(
+      count(lit(1)).as("n_vectors"),
+      max(col("__d")).as("max_indegree"),
+      sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("antihubs"),
+      sum(col("__d").cast(dec)).as("__s1"),
+      sum((col("__d") * col("__d")).cast(dec)).as("__s2"),
+      sum((col("__d") * col("__d") * col("__d")).cast(dec)).as("__s3"))
+    base.unpersist(false)
+    val nd = col("n_vectors").cast("double")
+    def s(c: String): Column = col(c).cast("double")
+    val mu = s("__s1") / nd
+    val m2 = s("__s2") / nd - mu * mu
+    val m3 = s("__s3") / nd - lit(3.0) * mu * (s("__s2") / nd) +
+      lit(2.0) * mu * mu * mu
+    agg.select(col("n_vectors"), lit(k).cast("long").as("k"),
+      col("max_indegree"), col("antihubs"),
+      (expr("(cast(antihubs as decimal(38,0)) * 2000000 + n_vectors) div " +
+        "(cast(n_vectors as decimal(38,0)) * 2)").cast("double") / lit(1e6))
+        .as("antihub_pct"),
+      when(m2 > 0.0, round(m3 / sqrt(m2 * m2 * m2), 6)).as("indegree_skew"))
+  }
+
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): the
+    * MANIFOLD dimension the embeddings actually occupy, from nothing
+    * but each point's two nearest neighbors —
+    *
+    *   μᵢ = r₂/r₁,  d̂ = n / Σ ln μᵢ
+    *
+    * (the MLE under local density constancy). On unit-normalized
+    * vectors Euclidean r² = 2(1 − cos), so ln μᵢ =
+    * ½ ln((1−cos₂)/(1−cos₁)) comes straight from the exact top-2
+    * cosine table. An embedding advertised as 64-dim that measures
+    * d̂ ≈ 9 is wasting capacity; a d̂ collapse after a re-train is a
+    * regression alarm. One row `(n_vectors, n_used, id_mle)`;
+    * coincident points (r₁ = 0) drop from the sum, the standard
+    * TwoNN discard.
+    *
+    * Determinism: cosine doubles are cross-engine exact (sequential
+    * fold, the q_embed_pairs contract); each ln term nano-quantizes
+    * before the exact DECIMAL sum; the final ratio rounds at 6 dp.
+    * Same EXACT-O(n²)-by-contract posture as [[hubnessAudit]]
+    * (`maxVectors` require before the join) — an audit on a sampled
+    * panel, not a full-corpus operator.
+    */
+  def twoNnId(df: DataFrame, idCol: String, vecCol: String,
+              maxVectors: Long = 100000L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    require(n <= maxVectors,
+      s"twoNnId is the EXACT O(n^2) audit: $n vectors > maxVectors=" +
+        s"$maxVectors — sample upstream (the audit posture)")
+    val top2 = bruteForceTopK(base, base, idCol, vecCol, 2)
+      .groupBy(col("query_id"))
+      .agg(max(when(col("rank") === 1, col("cos"))).as("__c1"),
+        max(when(col("rank") === 2, col("cos"))).as("__c2"))
+    base.unpersist(false)
+    val r1 = lit(1.0) - col("__c1")
+    val r2 = lit(1.0) - col("__c2")
+    val term = round(log(r2 / r1) * lit(0.5) * lit(1e9), 0).cast(dec)
+    val agg = top2
+      .select(col("query_id"), when(r1 > 0.0 && r2 > 0.0, term).as("__t"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("n_used"),
+        sum(col("__t")).as("__sln"))
+    val sln = col("__sln").cast("double") / lit(1e9)
+    agg.select(col("n_vectors"), col("n_used"),
+      when(col("n_used") > 0L && sln > 0.0,
+        round(col("n_used").cast("double") / sln, 6)).as("id_mle"))
+  }
+
   /** Linear CKA (centered kernel alignment, Kornblith et al. 2019)
     * between two vector representations of the SAME rows — the
     * representation-similarity readout behind "does my truncated /

@@ -42,6 +42,10 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
       "the EXACT all-pairs near-dup operator's own surface (threshold self-join is inherently non-equi); its 100 TB path is q_embed_pairs_lsh's banded pair source",
     "q_gamma" ->
       "contingency-CELL self-join: both sides are the (x, y) level-domain aggregation (50×11 cells for this fixture — levels², never rows²; the tukeyHsd k-bounded-pairs contract)",
+    "q_hubness" ->
+      "EXACT k-NN-graph audit: hubnessAudit hard-requires n <= maxVectors with a distributed count BEFORE the broadcast join (the concordanceIndex posture); the full-corpus near-dup path stays banded LSH",
+    "q_twonn" ->
+      "EXACT top-2-NN audit: twoNnId hard-requires n <= maxVectors with a distributed count BEFORE the broadcast join (the hubnessAudit contract)",
     "q_harrell_c" ->
       "duration×score grid densification: the cross spine joins the DISTINCT duration list with the DISTINCT score list (both domain-bounded; concordanceIndex hard-requires |T|·|S| <= maxGrid with a distributed count BEFORE building the spine) — today it also passes via the fixture's incidental grand-agg lineage, but the justification should not depend on cache state",
   )

@@ -281,6 +281,51 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(mixed < 0.999 && mixed > 0.0, s"1-dim slice CKA $mixed")
   }
 
+  test("hubnessAudit: hand-built 1-NN graph degrees; panel cap is a contract error") {
+    // unit vectors at angles 0, 10, -12, 25, -27 degrees; k = 1 NN edges:
+    // 0->10, 10->0, -12->0, 25->10, -27->-12
+    // in-degrees: {0: 2, 10: 2, -12: 1, 25: 0, -27: 0}
+    val angles = Seq(0.0, 10.0, -12.0, 25.0, -27.0)
+    val df = createDf(spark, "id bigint, v array<double>",
+      angles.zipWithIndex.map { case (a, i) =>
+        val r = math.toRadians(a)
+        Seq[Any](i.toLong, Seq(math.cos(r), math.sin(r)))
+      })
+    val r = graft.text.Similarity.hubnessAudit(df, "id", "v", k = 1).head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 2L, "max in-degree (the hub)")
+    assert(r.getLong(3) == 2L, "two antihubs")
+    assert(r.getDouble(4) == 0.4, "antihub_pct")
+    assert(r.getDouble(5) == 0.0, "degrees (2,2,1,0,0) have zero skew")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Similarity.hubnessAudit(df, "id", "v", k = 1, maxVectors = 3L)
+    }
+    assert(e.getMessage.contains("maxVectors"))
+  }
+
+  test("twoNnId: three collinear angles match the closed form; coincident points drop") {
+    val angles = Seq(0.0, 6.0, 18.0)
+    def vec(a: Double) = { val r = math.toRadians(a); Seq(math.cos(r), math.sin(r)) }
+    val df = createDf(spark, "id bigint, v array<double>",
+      angles.zipWithIndex.map { case (a, i) => Seq[Any](i.toLong, vec(a)) })
+    // per point: mu^2 = (1 - cos(theta_2)) / (1 - cos(theta_1))
+    def c(d: Double) = math.cos(math.toRadians(d))
+    val sumLn = 0.5 * (math.log((1 - c(18)) / (1 - c(6))) +
+      math.log((1 - c(12)) / (1 - c(6))) + math.log((1 - c(18)) / (1 - c(12))))
+    val expected = 3.0 / sumLn
+    val r = graft.text.Similarity.twoNnId(df, "id", "v").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - expected) < 1e-3,
+      s"id_mle ${r.getDouble(2)} vs closed-form $expected")
+    // a coincident pair has r1 = 0 -> both points drop from the sum
+    val dup = createDf(spark, "id bigint, v array<double>",
+      (angles.zipWithIndex.map { case (a, i) => Seq[Any](i.toLong, vec(a)) } :+
+        Seq[Any](10L, vec(40.0))) :+ Seq[Any](11L, vec(40.0)))
+    val r2 = graft.text.Similarity.twoNnId(dup, "id", "v").head()
+    assert(r2.getLong(0) == 5L && r2.getLong(1) == 3L,
+      "the two coincident points are discarded")
+  }
+
   test("alignmentUniformity: identical vectors give align 0 / uniform 0; orthogonal give -4") {
     val same = createDf(spark, "id bigint, v array<float>",
       (0L to 3L).map(i => Seq[Any](i, Seq(1.0f, 0.0f))))
