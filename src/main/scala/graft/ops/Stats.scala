@@ -4840,6 +4840,94 @@ object Stats {
       .orderBy(col("day"))
   }
 
+  /** Group-sequential A/B monitor with the classic O'Brien-Fleming
+    * boundary — the FIXED-SCHEDULE complement to [[msprt]]'s
+    * always-valid stream: the experiment plans `plannedLooks` equally
+    * spaced interim analyses over its calendar window, and look k of K
+    * rejects when |Z_k| > C_B(K)·√(K/k) — very conservative early,
+    * ≈ the fixed-horizon 1.96 at the final look, overall two-sided
+    * α = 0.05 (C_B from Jennison & Turnbull 2000, Table 2.3:
+    * K = 1..10 → 1.960, 1.977, 2.004, 2.024, 2.040, 2.053, 2.063,
+    * 2.072, 2.080, 2.087).
+    *
+    * Days map to looks by exact integral division over the observed
+    * day span; per look the CUMULATIVE two-sample z = δ̂/√V uses the
+    * same quantized-moment machinery as [[msprt]]. Per look:
+    * `(look, n_a, n_b, delta_micros, z, z_bound, crossed)`.
+    *
+    * Determinism: the day→look map is pure integer arithmetic; moments
+    * micro-quantize and cumulate as exact decimals over the ≤ K-row
+    * look table; z and the boundary are fixed IEEE trees (√ on
+    * identical doubles, the welch/post-libm class); `crossed` compares
+    * the raw doubles before any display rounding.
+    *
+    * Scale shape: one day-keyed aggregation (the q_pchart bound), a
+    * tiny look rollup, cumulative windows over ≤ K rows.
+    */
+  def gstMonitor(df: DataFrame, inA: Column, inB: Column, ts: Column,
+                 value: Column, plannedLooks: Int = 5): DataFrame = {
+    val cTable = Map(1 -> 1.960, 2 -> 1.977, 3 -> 2.004, 4 -> 2.024,
+      5 -> 2.040, 6 -> 2.053, 7 -> 2.063, 8 -> 2.072, 9 -> 2.080, 10 -> 2.087)
+    require(cTable.contains(plannedLooks),
+      s"plannedLooks must be in 1..10 (the tabulated O'Brien-Fleming " +
+        s"constants): $plannedLooks")
+    val cB = cTable(plannedLooks)
+    val kLit = plannedLooks.toLong
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val base = df.select(
+        when(inA, lit("a")).when(inB, lit("b")).as("__g"),
+        floor(unix_micros(ts) / lit(86400000000L)).cast("long").as("__d"),
+        q(value).as("__x"))
+      .filter(col("__g").isNotNull && col("__d").isNotNull && col("__x").isNotNull)
+    val daily = base.groupBy(col("__d")).agg(
+      sum(when(col("__g") === "a", 1L).otherwise(0L)).as("__na"),
+      sum(when(col("__g") === "b", 1L).otherwise(0L)).as("__nb"),
+      sum(when(col("__g") === "a", col("__x").cast(dec))
+        .otherwise(lit(0).cast(dec))).as("__sa"),
+      sum(when(col("__g") === "b", col("__x").cast(dec))
+        .otherwise(lit(0).cast(dec))).as("__sb"),
+      sum(when(col("__g") === "a", col("__x").cast(dec) * col("__x").cast(dec))
+        .otherwise(lit(0).cast(dec))).as("__qa"),
+      sum(when(col("__g") === "b", col("__x").cast(dec) * col("__x").cast(dec))
+        .otherwise(lit(0).cast(dec))).as("__qb"))
+    val span = daily.agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+    // day -> look: exact integral division over the observed span
+    val byLook = daily.crossJoin(broadcast(span))
+      .withColumn("__k", expr(
+        s"((__d - __d0) * $kLit) div (__d1 - __d0 + 1) + 1").cast("long"))
+      .groupBy(col("__k")).agg(
+        sum(col("__na")).as("__na"), sum(col("__nb")).as("__nb"),
+        sum(col("__sa")).as("__sa"), sum(col("__sb")).as("__sb"),
+        sum(col("__qa")).as("__qa"), sum(col("__qb")).as("__qb"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__k")).rowsBetween(Long.MinValue, 0)
+    val cum = byLook.select(col("__k"),
+      sum(col("__na")).over(wCum).as("__cna"),
+      sum(col("__nb")).over(wCum).as("__cnb"),
+      sum(col("__sa")).over(wCum).as("__csa"),
+      sum(col("__sb")).over(wCum).as("__csb"),
+      sum(col("__qa")).over(wCum).as("__cqa"),
+      sum(col("__qb")).over(wCum).as("__cqb"))
+    def d(c: String): Column = col(c).cast("double")
+    val naD = d("__cna"); val nbD = d("__cnb")
+    val delta = d("__csa") / naD - d("__csb") / nbD // micro units
+    val sig2 = ((d("__cqa") - d("__csa") * d("__csa") / naD) +
+      (d("__cqb") - d("__csb") * d("__csb") / nbD)) / (naD + nbD - lit(2.0))
+    val v = sig2 * (lit(1.0) / naD + lit(1.0) / nbD)
+    val z = delta / sqrt(v)
+    val bound = lit(cB) * sqrt(lit(kLit.toDouble) / col("__k").cast("double"))
+    val ok = col("__cna") >= 2L && col("__cnb") >= 2L && v > 0.0
+    cum.select(col("__k").as("look"),
+        col("__cna").as("n_a"), col("__cnb").as("n_b"),
+        when(col("__cna") > 0L && col("__cnb") > 0L,
+          round(delta, 0).cast("long")).as("delta_micros"),
+        when(ok, round(z, 6)).as("z"),
+        round(bound, 6).as("z_bound"),
+        when(ok && abs(z) > bound, 1L).otherwise(0L).as("crossed"))
+      .orderBy(col("look"))
+  }
+
   /** Distance correlation (Székely-Rizzo V-statistic) on a BUCKETED
     * grid — the nonlinear-dependence detector Pearson/Spearman cannot
     * be: dCor = 0 iff independent (in the limit), and it fires on

@@ -109,6 +109,71 @@ object Survival {
         round(sqrt(col("__cv").cast("double") / lit(1e9)), 6).as("hazard_se"))
   }
 
+  /** Aalen-Johansen cumulative incidence for COMPETING risks —
+    * [[kaplanMeier]]'s multi-cause generalization: when a subject can
+    * exit by one of several terminal causes (churn-as-buyer vs
+    * churn-as-lurker, device failure vs replacement), 1 − KM of each
+    * cause alone OVERSTATES its risk (it treats the other cause as
+    * censoring). The cumulative incidence of cause k is
+    *
+    *   CIF_k(t) = Σ_{s ≤ t} S(s−) · d_k(s)/n(s)
+    *
+    * with S the ALL-CAUSE Kaplan-Meier — the probability of having
+    * exited BY CAUSE k by time t; Σ_k CIF_k = 1 − S exactly.
+    * `cause` is 0 for censored, > 0 for the competing causes. Returns
+    * one row per (t, cause) where cause k had events:
+    * `(t, cause, n_risk, n_event, cif)`.
+    *
+    * Determinism: [[kaplanMeier]]'s discipline end-to-end — risk sets
+    * exact longs, the all-cause log prefix nano-quantized with the
+    * d = n zero flag, S(s−) one exp on an identical double, each
+    * increment's d_k/n one double division of exact integers, the
+    * product nano-quantized before the exact per-cause prefix sum.
+    *
+    * Scale shape: one duration-keyed aggregation + one (duration,
+    * cause)-keyed aggregation reduce subjects away; every window runs
+    * over the duration-level table (bounded by the time domain — the
+    * [[kaplanMeier]] bin-table doctrine), the cause prefix over the
+    * (duration × causes)-bounded join.
+    */
+  def aalenJohansen(df: DataFrame, duration: Column, cause: Column): DataFrame = {
+    val base = df
+      .select(duration.cast("long").as("t"), cause.cast("long").as("__c"))
+      .filter(col("t").isNotNull && col("__c").isNotNull)
+    val byT = base.groupBy(col("t"))
+      .agg(sum(when(col("__c") > 0L, 1L).otherwise(0L)).as("__dtot"),
+        count(lit(1)).as("__leave"))
+    val perCause = base.filter(col("__c") > 0L)
+      .groupBy(col("t"), col("__c").as("cause"))
+      .agg(count(lit(1)).as("n_event"))
+    val W = Window.orderBy(col("t"))
+    val before = W.rowsBetween(Window.unboundedPreceding, -1)
+    val total = byT.agg(sum(col("__leave")).as("__N"))
+    val lnArg = (col("n_risk") - col("__dtot")).cast("double") /
+      col("n_risk").cast("double")
+    val lnTerm = when(col("__dtot") > 0 && col("__dtot") < col("n_risk"),
+      round(log(lnArg) * lit(1e9), 0).cast("long")).otherwise(lit(0L))
+    val spine = byT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("__N") - coalesce(sum(col("__leave")).over(before), lit(0L)))
+      .withColumn("__clnb", coalesce(sum(lnTerm).over(before), lit(0L)))
+      .withColumn("__zerob", coalesce(max(
+        when(col("__dtot") === col("n_risk") && col("__dtot") > 0, 1L)
+          .otherwise(0L)).over(before), lit(0L)))
+    val sPrev = when(col("__zerob") === 1L, lit(0.0))
+      .otherwise(exp(col("__clnb").cast("double") / lit(1e9)))
+    val inc = spine.join(perCause, Seq("t"))
+      .withColumn("__term", round(sPrev *
+        (col("n_event").cast("double") / col("n_risk").cast("double"))
+        * lit(1e9), 0).cast("long"))
+    val wc = Window.partitionBy(col("cause")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inc.select(col("t"), col("cause"), col("n_risk"), col("n_event"),
+        round(sum(col("__term")).over(wc).cast("double") / lit(1e9), 6)
+          .as("cif"))
+      .orderBy(col("t"), col("cause"))
+  }
+
   /** Two-group log-rank test — "do these survival curves differ?"
     * ([[kaplanMeier]] draws them; this tests them): at each distinct
     * event time t, group a's observed deaths vs the hypergeometric

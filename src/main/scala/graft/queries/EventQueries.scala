@@ -270,6 +270,35 @@ object EventQueries {
       .orderBy(col("t"))
   }
 
+  /** Aalen-Johansen cumulative incidence ([[graft.ops.Survival
+    * .aalenJohansen]]): from each user's first event, which terminal
+    * action arrives FIRST — a purchase (cause 1) or a click (cause 2)
+    * — and how fast? The two causes COMPETE, so 1 − KM per action
+    * would overstate both; users who never do either are censored at
+    * their activity span. All-cause KM prefix + per-cause incidence
+    * increments, every window over the bounded duration table.
+    */
+  private def qAalenJohansen(s: SparkSession, dir: String): DataFrame = {
+    val subj = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(unix_micros(col("ts"))).as("__t0"),
+        max(unix_micros(col("ts"))).as("__t1"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("__tp"),
+        min(when(col("event_type") === "click", unix_micros(col("ts"))))
+          .as("__tc"))
+    val purchaseFirst = col("__tp").isNotNull &&
+      (col("__tc").isNull || col("__tp") <= col("__tc"))
+    val clickFirst = col("__tc").isNotNull &&
+      (col("__tp").isNull || col("__tc") < col("__tp"))
+    val cause = when(purchaseFirst, 1L).when(clickFirst, 2L).otherwise(0L)
+    val durEnd = when(purchaseFirst, col("__tp"))
+      .when(clickFirst, col("__tc")).otherwise(col("__t1"))
+    graft.ops.Survival.aalenJohansen(subj,
+      floor((durEnd - col("__t0")) / lit(86400000000L)), cause)
+  }
+
   /** Nelson-Aalen cumulative hazard ([[graft.ops.Survival.nelsonAalen]]):
     * q_km's additive companion on the same churn durations — cumulative
     * risk with its SE, nano-quantized d/n steps, no log detour.
@@ -1423,6 +1452,7 @@ object EventQueries {
     "q_hazard" -> (qHazard _),
     "q_cusum" -> (qCusum _),
     "q_km" -> (qKm _),
+    "q_aalen_johansen" -> (qAalenJohansen _),
     "q_seasonal" -> (qSeasonal _),
     "q_ffill" -> (qFfill _),
     "q_shifted_ffill" -> (qShiftedFfill _),
@@ -3251,6 +3281,61 @@ object EventQueries {
         |  round(CAST(ch AS DOUBLE) / 1000000000.0, 6) AS hazard,
         |  round(sqrt(CAST(cv AS DOUBLE) / 1000000000.0), 6) AS hazard_se
         |FROM x ORDER BY t""".stripMargin,
+    "q_aalen_johansen" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc
+        |  FROM events GROUP BY user_id),
+        |subj AS (
+        |  SELECT user_id,
+        |    CAST(((CASE
+        |        WHEN tp IS NOT NULL AND (tc IS NULL OR tp <= tc) THEN tp
+        |        WHEN tc IS NOT NULL AND (tp IS NULL OR tc < tp) THEN tc
+        |        ELSE t1 END) - t0) // 86400000000 AS BIGINT) AS t,
+        |    CASE
+        |      WHEN tp IS NOT NULL AND (tc IS NULL OR tp <= tc) THEN 1
+        |      WHEN tc IS NOT NULL AND (tp IS NULL OR tc < tp) THEN 2
+        |      ELSE 0 END AS c
+        |  FROM u),
+        |byt AS (
+        |  SELECT t, SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS dtot,
+        |    COUNT(*) AS leave_n
+        |  FROM subj GROUP BY 1),
+        |pc AS (
+        |  SELECT t, c AS cause, COUNT(*) AS n_event
+        |  FROM subj WHERE c > 0 GROUP BY 1, 2),
+        |w AS (
+        |  SELECT t, dtot,
+        |    (SELECT SUM(leave_n) FROM byt)
+        |      - COALESCE(SUM(leave_n) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM byt),
+        |x AS (
+        |  SELECT t, n_risk,
+        |    COALESCE(SUM(CASE WHEN dtot > 0 AND dtot < n_risk
+        |      THEN CAST(round(ln((CAST(n_risk AS DOUBLE) - CAST(dtot AS DOUBLE))
+        |        / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT) ELSE 0 END)
+        |      OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clnb,
+        |    COALESCE(MAX(CASE WHEN dtot = n_risk AND dtot > 0 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS zerob
+        |  FROM w),
+        |inc AS (
+        |  SELECT x.t, pc.cause, x.n_risk, pc.n_event,
+        |    CAST(round((CASE WHEN zerob = 1 THEN 0.0
+        |        ELSE exp(CAST(clnb AS DOUBLE) / 1e9) END)
+        |      * (CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS term
+        |  FROM x JOIN pc ON x.t = pc.t)
+        |SELECT CAST(t AS BIGINT) AS t, CAST(cause AS BIGINT) AS cause,
+        |  CAST(n_risk AS BIGINT) AS n_risk, CAST(n_event AS BIGINT) AS n_event,
+        |  round(CAST(SUM(term) OVER (PARTITION BY cause ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e9, 6)
+        |    AS cif
+        |FROM inc ORDER BY t, cause""".stripMargin,
     "q_km" ->
       """WITH subj AS (
         |  SELECT user_id,

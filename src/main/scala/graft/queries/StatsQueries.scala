@@ -2041,10 +2041,24 @@ object StatsQueries {
       col("user_id") % 2 === 0, col("user_id") % 2 === 1,
       col("ts"), col("value"), tauSq = 25.0)
 
+  /** Group-sequential O'Brien-Fleming monitor ([[graft.ops.Stats
+    * .gstMonitor]]): five planned interim looks over the experiment
+    * window for the same parity-arm metric q_msprt streams daily —
+    * the committee-schedule counterpart to always-valid peeking:
+    * per look, the cumulative z against C_B(5)·√(5/k). Exact
+    * integer day→look map, ≤ 5-row cumulative windows.
+    */
+  private def qGst(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.gstMonitor(
+      t(s, dir, "events").filter(col("user_id").isNotNull),
+      col("user_id") % 2 === 0, col("user_id") % 2 === 1,
+      col("ts"), col("value"), plannedLooks = 5)
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shrinkage" -> (qShrinkage _),
     "q_msprt" -> (qMsprt _),
+    "q_gst" -> (qGst _),
     "q_dcor" -> (qDcor _),
     "q_qn" -> (qQn _),
     "q_hotelling" -> (qHotelling _),
@@ -2281,6 +2295,62 @@ object StatsQueries {
         |  round(MIN(p) OVER (ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS p_always
         |FROM s4 ORDER BY day""".stripMargin,
+    "q_gst" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |dy AS (
+        |  SELECT d,
+        |    SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN g = 'a' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sa,
+        |    SUM(CASE WHEN g = 'b' THEN CAST(x AS HUGEINT) ELSE 0 END) AS sb,
+        |    SUM(CASE WHEN g = 'a' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qa,
+        |    SUM(CASE WHEN g = 'b' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qb
+        |  FROM b GROUP BY 1),
+        |sp AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM dy),
+        |ag AS (
+        |  SELECT ((d - d0) * 5) // (d1 - d0 + 1) + 1 AS k,
+        |    SUM(na) AS na, SUM(nb) AS nb, SUM(sa) AS sa, SUM(sb) AS sb,
+        |    SUM(qa) AS qa, SUM(qb) AS qb
+        |  FROM dy, sp GROUP BY 1),
+        |cm AS (
+        |  SELECT k,
+        |    SUM(na) OVER w AS cna, SUM(nb) OVER w AS cnb,
+        |    SUM(sa) OVER w AS csa, SUM(sb) OVER w AS csb,
+        |    SUM(qa) OVER w AS cqa, SUM(qb) OVER w AS cqb
+        |  FROM ag WINDOW w AS (ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s1 AS (
+        |  SELECT k, cna, cnb,
+        |    CAST(csa AS DOUBLE) / CAST(cna AS DOUBLE)
+        |      - CAST(csb AS DOUBLE) / CAST(cnb AS DOUBLE) AS delta,
+        |    ((CAST(cqa AS DOUBLE)
+        |        - CAST(csa AS DOUBLE) * CAST(csa AS DOUBLE) / CAST(cna AS DOUBLE))
+        |      + (CAST(cqb AS DOUBLE)
+        |        - CAST(csb AS DOUBLE) * CAST(csb AS DOUBLE) / CAST(cnb AS DOUBLE)))
+        |      / (CAST(cna AS DOUBLE) + CAST(cnb AS DOUBLE) - 2.0) AS sig2
+        |  FROM cm),
+        |s2 AS (
+        |  SELECT k, cna, cnb, delta,
+        |    sig2 * (1.0 / CAST(cna AS DOUBLE) + 1.0 / CAST(cnb AS DOUBLE)) AS v
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT k, cna, cnb, delta, v,
+        |    delta / sqrt(v) AS z,
+        |    2.04 * sqrt(5.0 / CAST(k AS DOUBLE)) AS bound
+        |  FROM s2)
+        |SELECT CAST(k AS BIGINT) AS look,
+        |  CAST(cna AS BIGINT) AS n_a, CAST(cnb AS BIGINT) AS n_b,
+        |  CASE WHEN cna > 0 AND cnb > 0 THEN
+        |    CAST(round(delta) AS BIGINT) END AS delta_micros,
+        |  CASE WHEN cna >= 2 AND cnb >= 2 AND v > 0.0 THEN round(z, 6) END AS z,
+        |  round(bound, 6) AS z_bound,
+        |  CASE WHEN cna >= 2 AND cnb >= 2 AND v > 0.0 AND abs(z) > bound
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS crossed
+        |FROM s3 ORDER BY look""".stripMargin,
     "q_dcor" ->
       """WITH v AS (
         |  SELECT CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0) AS BIGINT) AS x,

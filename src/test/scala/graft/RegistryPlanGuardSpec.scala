@@ -132,6 +132,8 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_neyman" -> "apportion's largest-remainder rank window over the STRATA-bounded weight table (rows = distinct strata — the q_apportion bound)",
     "q_msprt" -> "cumulative-moment and running-min-p windows over the DAILY table (rows = distinct days, calendar-bounded — the q_pchart/q_hurst bound)",
     "q_psm" -> "nearest-control prev/next windows over the MICRO-QUANTIZED propensity grid (rows <= 2·(1e6+1): two arms × the micro domain — the q_auc bound), after the per-(pm, arm) grid collapse",
+    "q_gst" -> "cumulative-moment windows over the LOOK table (rows <= plannedLooks <= 10 by require) after the daily rollup (calendar-bounded, the q_msprt bound)",
+    "q_aalen_johansen" -> "risk-set/log-prefix/zero-flag windows over the duration table (rows = distinct durations, the q_km bound); the per-cause CIF prefix is (cause)-partitioned",
   )
 
   test("whole-frame windows appear only over bounded-by-construction tables") {

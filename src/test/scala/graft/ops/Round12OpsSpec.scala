@@ -595,6 +595,60 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(one.getDouble(2) == 0.0 && one.getLong(3) == 0L)
   }
 
+  test("gstMonitor: O'Brien-Fleming boundary shape, crossing under effect, gated flat null") {
+    import org.apache.spark.sql.functions.{to_timestamp => tts}
+    def mk(rows: Seq[(Long, String, Double)]) =
+      createDf(spark, "u bigint, ts string, v double",
+          rows.map { case (u, t, v) => Seq[Any](u, t, v) })
+        .withColumn("ts", tts(col("ts")))
+    val eff = mk(for (day <- 1 to 10; i <- 1 to 8; arm <- Seq(0L, 1L)) yield
+      (arm + 2 * i, f"2024-01-$day%02d 12:00:00",
+        (if (arm == 0L) 10.0 else 0.0) + (i % 3) * 0.5))
+    val out = Stats.gstMonitor(eff, col("u") % 2 === 0, col("u") % 2 === 1,
+      col("ts"), col("v"), plannedLooks = 5).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 5L), "five looks")
+    val bounds = out.map(_.getDouble(5))
+    assert(bounds.zip(bounds.tail).forall { case (a, b) => b < a },
+      "OBF boundary must shrink across looks")
+    assert(math.abs(bounds.last - 2.04) < 1e-9, "final look = the fixed-horizon-ish 2.04")
+    assert(math.abs(bounds.head - 2.04 * math.sqrt(5.0)) < 1e-6)
+    assert(out.last.getLong(6) == 1L && math.abs(out.last.getDouble(4)) > bounds.last,
+      "a 10-vs-0 effect must cross by the final look")
+    // flat null with zero variance: z gated null, never crossed
+    val flat = mk(for (day <- 1 to 5; i <- 1 to 4; arm <- Seq(0L, 1L)) yield
+      (arm + 2 * i, f"2024-01-$day%02d 12:00:00", 7.0))
+    val o2 = Stats.gstMonitor(flat, col("u") % 2 === 0, col("u") % 2 === 1,
+      col("ts"), col("v"), plannedLooks = 5).collect()
+    assert(o2.forall(r => r.isNullAt(4) && r.getLong(6) == 0L))
+    val e = intercept[IllegalArgumentException] {
+      Stats.gstMonitor(eff, col("u") % 2 === 0, col("u") % 2 === 1,
+        col("ts"), col("v"), plannedLooks = 11)
+    }
+    assert(e.getMessage.contains("plannedLooks"))
+  }
+
+  test("aalenJohansen: hand-computed two-cause incidence; single cause = 1 - KM") {
+    // subjects: (t=1, cause 1), (t=1, cause 2), (t=2, censored), (t=3, cause 1)
+    //   CIF_1(1) = 1/4, CIF_2(1) = 1/4, CIF_1(3) = 1/4 + S(2)·(1/1) = 3/4
+    val df = createDf(spark, "t bigint, c bigint",
+      Seq(Seq[Any](1L, 1L), Seq[Any](1L, 2L), Seq[Any](2L, 0L), Seq[Any](3L, 1L)))
+    val out = Survival.aalenJohansen(df, col("t"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 1L, 4L, 1L, 0.25), (1L, 2L, 4L, 1L, 0.25),
+      (3L, 1L, 1L, 1L, 0.75)))
+    // with a single cause, CIF_1(t) must equal 1 - KM survival at event times
+    val one = createDf(spark, "t bigint, c bigint",
+      Seq(Seq[Any](1L, 1L), Seq[Any](2L, 1L), Seq[Any](2L, 0L),
+        Seq[Any](4L, 1L), Seq[Any](5L, 0L)))
+    val cif = Survival.aalenJohansen(one, col("t"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    val km = Survival.kaplanMeier(one, col("t"), (col("c") > 0L).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    cif.foreach { case (t, v) =>
+      assert(math.abs(v - (1.0 - km(t))) < 1e-6, s"t=$t cif=$v km=${km(t)}") }
+  }
+
   test("msprt: p_always is monotone and collapses under a real effect; flat null stays 1") {
     import org.apache.spark.sql.functions.{to_timestamp => tts}
     def mk(rows: Seq[(Long, String, Double)]) =
