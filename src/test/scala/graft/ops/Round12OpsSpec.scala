@@ -708,6 +708,27 @@ class Round12OpsSpec extends AnyFunSuite {
       (col("o") % 7).cast("double")))
     inv(d => Regression.aipwAte(d, col("o") % 3 === 0, col("v"),
       (col("o") % 7).cast("double")))
+    inv(d => Regression.psmAtt(d, col("o"), col("o") % 3 === 0, col("v"),
+      (col("o") % 7).cast("double")))
+    inv(d => Profile.tCloseness(d.withColumn("q", col("o") % 4)
+      .withColumn("s", (col("o") % 3).cast("string")), Seq("q"), col("s")))
+    inv(d => Stats.gstMonitor(d.withColumn("ts",
+        to_timestamp(concat(lit("2024-01-"),
+          lpad(((col("o") % 9) + 1).cast("string"), 2, "0"), lit(" 08:00:00")))),
+      col("o") % 2 === 0, col("o") % 2 === 1, col("ts"), col("v"),
+      plannedLooks = 3))
+    inv(d => Survival.aalenJohansen(d.withColumn("t", col("o") % 6),
+      col("t"), col("o") % 3))
+    // vector ops: same fixture through 1 vs 7 partitions
+    val vecs = createDf(spark, "id bigint, v array<double>",
+      (1 to 24).map(i => Seq[Any](i.toLong,
+        Seq((i % 5).toDouble, (i % 7).toDouble, (i * 3 % 11).toDouble))))
+    def vinv(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+      assert(collectSorted(f(vecs)) == collectSorted(f(vecs.repartition(7))))
+    vinv(d => graft.text.Similarity.linearCka(d, "id", col("v"),
+      slice(col("v"), 1, 2)))
+    vinv(d => graft.text.Similarity.hubnessAudit(d, "id", "v", k = 3))
+    vinv(d => graft.text.Similarity.twoNnId(d, "id", "v"))
     inv(d => Stats.msprt(d.withColumn("ts",
         to_timestamp(concat(lit("2024-01-"),
           lpad(((col("o") % 9) + 1).cast("string"), 2, "0"), lit(" 08:00:00")))),
