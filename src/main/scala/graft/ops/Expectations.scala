@@ -92,4 +92,44 @@ object Expectations {
       .withColumn("passed", col("violations") === 0L)
       .orderBy(col("rule"))
   }
+
+  /** Cross-table referential-integrity audit — the expectation the
+    * single-table [[Rule]] ADT can't express: how many child rows
+    * reference a parent key that does not exist (orphans), and how many
+    * carry a null foreign key (which violates nothing, but is reported
+    * — the NOT NULL decision belongs to a [[Rule.NotNull]]). One row:
+    * `(relation, child_rows, null_fk_rows, orphan_rows, orphan_pct)`.
+    *
+    * Orphans come from ONE left-anti join of the non-null-FK child
+    * against the DISTINCT parent keys; counts are exact, the one pct
+    * micro-quantizes via exact integral division (no rounding-tie
+    * surface).
+    *
+    * Scale shape: the anti join shuffles on the key (AQE broadcasts a
+    * small parent side automatically); the distinct on the parent is
+    * map-side combined. Audit cost ≈ one join — run it before every
+    * release the way [[check]] runs its scan.
+    */
+  def referentialIntegrity(child: DataFrame, fkCols: Seq[String],
+                           parent: DataFrame, pkCols: Seq[String],
+                           relation: String): DataFrame = {
+    require(fkCols.nonEmpty && fkCols.size == pkCols.size,
+      s"fk/pk arity mismatch: $fkCols vs $pkCols")
+    val fkNonNull = fkCols.map(col(_).isNotNull).reduce(_ && _)
+    val totals = child.agg(
+      count(lit(1)).as("child_rows"),
+      sum(when(!fkNonNull, 1L).otherwise(0L)).as("null_fk_rows"))
+    val parentKeys = parent
+      .select(pkCols.zip(fkCols).map { case (p, f) => col(p).as(f) }: _*)
+      .distinct()
+    val orphans = child.filter(fkNonNull)
+      .join(parentKeys, fkCols, "left_anti")
+      .agg(count(lit(1)).as("orphan_rows"))
+    totals.crossJoin(orphans)
+      .select(lit(relation).as("relation"), col("child_rows"),
+        col("null_fk_rows"), col("orphan_rows"),
+        (expr("(cast(orphan_rows as decimal(38,0)) * 2000000 + child_rows) " +
+          "div (cast(child_rows as decimal(38,0)) * 2)").cast("double") /
+          lit(1e6)).as("orphan_pct"))
+  }
 }

@@ -616,4 +616,94 @@ object Funnel {
         round((col("n_ab").cast("double") * col("__n_entities").cast("double")) /
           (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
   }
+
+  /** Shapley-value channel attribution — the game-theoretic answer to
+    * "which marketing channel actually earns the conversions" that
+    * last-touch/first-touch heuristics (and q_attribution's positional
+    * splits) cannot give: with channels as PLAYERS and
+    *
+    *   v(S) = number of converting users whose touched-channel set ⊆ S
+    *
+    * as the coalition value, each channel's Shapley value
+    * φᵢ = Σ_{S ⊆ N∖{i}} |S|!(n−|S|−1)!/n! · (v(S∪{i}) − v(S)) divides
+    * conversion credit EXACTLY (efficiency: Σφᵢ = v(N) − v(∅), the
+    * zero-touch converters staying unattributed by construction).
+    *
+    * All-integer engine arithmetic: users collapse to a channel
+    * BITMASK census (≤ 2^C rows), v(S) is a subset-sum join of that
+    * census against the 2^C coalition spine (bit-AND containment —
+    * cells², never users²), and φ computes in n!-scaled integer units
+    * (weights |S|!(n−1−|S|)! are exact integers) before one integral-
+    * division micro quantization. Per channel:
+    * `(channel, exposed_users, exposed_converters, phi_factorial_units,
+    * phi_micros)`.
+    *
+    * Scale shape: ONE user-keyed aggregation reduces events to users,
+    * one census aggregation reduces users to ≤ 2^C masks; everything
+    * after is joins between ≤ 2^C-row broadcast tables. `channels` is
+    * capped at 5 (120 weight units, 32 coalitions) — attribution
+    * beyond a handful of channels is not identifiable anyway.
+    */
+  def shapleyAttribution(events: DataFrame, entityCol: String,
+                         typeCol: String, channels: Seq[String],
+                         conversionType: String): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 5,
+      s"1..5 channels: ${channels.size}")
+    require(channels.distinct.size == channels.size, "duplicate channels")
+    require(!channels.contains(conversionType),
+      "conversionType cannot also be a channel")
+    val n = channels.size
+    val full = (1 << n) - 1
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val nFact = fact(n)
+    val spark = events.sparkSession
+    import spark.implicits._
+    // per-user touch mask + converted flag, then the mask census
+    val maskCol = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col(typeCol) === c, 1L << i).otherwise(0L))
+    }.reduce(_ + _)
+    val perUser = events.groupBy(col(entityCol))
+      .agg(maskCol.as("__m"),
+        max(when(col(typeCol) === conversionType, 1L).otherwise(0L)).as("__cv"))
+    val census = perUser.groupBy(col("__m"))
+      .agg(count(lit(1)).as("__nu"), sum(col("__cv")).as("__nc"))
+    // v(S) for every coalition S: subset-sum of converting users
+    val coalitions = (0 to full).map(_.toLong).toDF("__s")
+    val v = census.join(broadcast(coalitions),
+        (col("__m").bitwiseAND(col("__s"))) === col("__m"))
+      .groupBy(col("__s")).agg(sum(col("__nc")).as("__v"))
+    // Shapley spine: (channel, S without i, S∪{i}, |S|!(n-1-|S|)!) —
+    // exact integer weights in n!-units, all masks precomputed
+    val spine = (for {
+      i <- 0 until n
+      s <- 0 to full
+      if (s & (1 << i)) == 0
+    } yield (channels(i), s.toLong, (s | (1 << i)).toLong,
+      fact(java.lang.Integer.bitCount(s)) *
+        fact(n - 1 - java.lang.Integer.bitCount(s))))
+      .toDF("channel", "__s0", "__s1", "__w")
+    val phi = spine
+      .join(broadcast(v.select(col("__s").as("__s0"), col("__v").as("__v0"))),
+        Seq("__s0"), "left")
+      .join(broadcast(v.select(col("__s").as("__s1"), col("__v").as("__v1"))),
+        Seq("__s1"), "left")
+      .groupBy(col("channel"))
+      .agg(sum((coalesce(col("__v1"), lit(0L)) - coalesce(col("__v0"), lit(0L)))
+        * col("__w")).as("__phiw"))
+    val exposed = perUser
+      .select(explode(typedLit(channels.zipWithIndex)).as("__ch"), col("__m"),
+        col("__cv"))
+      .filter((col("__m").bitwiseAND(expr("shiftleft(1L, __ch._2)"))) =!= 0L)
+      .groupBy(col("__ch._1").as("channel"))
+      .agg(count(lit(1)).as("exposed_users"),
+        sum(col("__cv")).as("exposed_converters"))
+    phi.join(exposed, Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("exposed_users"), lit(0L)).as("exposed_users"),
+        coalesce(col("exposed_converters"), lit(0L)).as("exposed_converters"),
+        col("__phiw").as("phi_factorial_units"),
+        expr(s"(cast(__phiw as decimal(38,0)) * 2000000 + $nFact) div " +
+          s"(cast($nFact as decimal(38,0)) * 2)").cast("long").as("phi_micros"))
+      .orderBy(col("channel"))
+  }
 }

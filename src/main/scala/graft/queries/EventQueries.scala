@@ -795,6 +795,17 @@ object EventQueries {
         valueCol = col("value"), bucket = hour(col("ts")).cast("long"))
       .orderBy(col("bucket"))
 
+  /** Shapley-value channel attribution ([[graft.ops.Funnel
+    * .shapleyAttribution]]): the game-theoretic conversion split over
+    * (view, click, signup) that q_attribution's positional heuristic
+    * cannot justify — exact 2³-coalition arithmetic in 3!-units, one
+    * user-keyed pass then cell-table joins. Efficiency holds exactly:
+    * Σφ = converters(N) − zero-touch converters.
+    */
+  private def qShapley(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.shapleyAttribution(t(s, dir, "events"),
+      "user_id", "event_type", Seq("view", "click", "signup"), "purchase")
+
   /** Partial autocorrelation at lags 1–3
     * ([[graft.ops.Timeseries.pacf]]) on q_autocorr's hourly revenue
     * series: which lag carries DIRECT signal once shorter lags are
@@ -1440,6 +1451,7 @@ object EventQueries {
     "q_pacf" -> (qPacf _),
     "q_theta" -> (qTheta _),
     "q_attribution" -> (qAttribution _),
+    "q_shapley" -> (qShapley _),
     "q_periodogram" -> (qPeriodogram _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_effective_n" -> (qEffectiveN _),
@@ -2360,6 +2372,45 @@ object EventQueries {
         |  CASE WHEN n >= 3 AND dn > 0.0 AND vard > 0.0 THEN
         |    round(GREATEST(0.0, 1.0 - varr / vard), 6) END AS strength
         |FROM c ORDER BY event_type""".stripMargin,
+    "q_shapley" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      + MAX(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+        |      + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS m,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+        |  FROM events GROUP BY 1),
+        |census AS (SELECT m, COUNT(*) AS nu, SUM(cv) AS nc FROM pu GROUP BY 1),
+        |coal AS (SELECT unnest(range(0, 8)) AS s),
+        |v AS (SELECT s, SUM(nc) AS vv FROM census JOIN coal ON (m & s) = m
+        |  GROUP BY 1),
+        |spine(channel, s0, s1, w) AS (VALUES
+        |  ('view', 0, 1, 2), ('view', 2, 3, 1), ('view', 4, 5, 1),
+        |  ('view', 6, 7, 2),
+        |  ('click', 0, 2, 2), ('click', 1, 3, 1), ('click', 4, 6, 1),
+        |  ('click', 5, 7, 2),
+        |  ('signup', 0, 4, 2), ('signup', 1, 5, 1), ('signup', 2, 6, 1),
+        |  ('signup', 3, 7, 2)),
+        |phi AS (
+        |  SELECT channel,
+        |    SUM((COALESCE(v1.vv, 0) - COALESCE(v0.vv, 0)) * w) AS phiw
+        |  FROM spine
+        |  LEFT JOIN v v0 ON v0.s = spine.s0
+        |  LEFT JOIN v v1 ON v1.s = spine.s1
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT c.channel, COUNT(*) AS exposed_users,
+        |    SUM(cv) AS exposed_converters
+        |  FROM pu, (VALUES ('view', 1), ('click', 2), ('signup', 4))
+        |    c(channel, bit)
+        |  WHERE (m & bit) <> 0 GROUP BY 1)
+        |SELECT p.channel,
+        |  COALESCE(exposed_users, 0) AS exposed_users,
+        |  COALESCE(CAST(exposed_converters AS BIGINT), 0) AS exposed_converters,
+        |  CAST(phiw AS BIGINT) AS phi_factorial_units,
+        |  CAST((CAST(phiw AS HUGEINT) * 2000000 + 6)
+        |    // (CAST(6 AS HUGEINT) * 2) AS BIGINT) AS phi_micros
+        |FROM phi p LEFT JOIN ex USING (channel) ORDER BY channel""".stripMargin,
     "q_attribution" ->
       """WITH t AS (
         |  SELECT user_id AS e, event_type = 'click' AS tt,

@@ -255,6 +255,22 @@ object StatsQueries {
     ))
   }
 
+  /** Referential-integrity audit ([[graft.ops.Expectations
+    * .referentialIntegrity]]): the cross-table expectation q_expectations'
+    * single-table rules can't state — orphaned lineitems (l_orderkey
+    * with no order) and orphaned orders (o_custkey with no customer),
+    * one anti join each, exact counts, integral-division pct.
+    */
+  private def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.ops.Expectations.referentialIntegrity(
+      t(s, dir, "lineitem"), Seq("l_orderkey"),
+      t(s, dir, "orders"), Seq("o_orderkey"), "lineitem->orders")
+    val oc = graft.ops.Expectations.referentialIntegrity(
+      t(s, dir, "orders"), Seq("o_custkey"),
+      t(s, dir, "customer"), Seq("c_custkey"), "orders->customer")
+    li.unionByName(oc).orderBy(col("relation"))
+  }
+
   /** Distribution drift ([[graft.ops.Drift.psi]]): PSI between the view
     * and purchase event-value distributions over explicit cutpoints.
     * Counts are exact; the irrational PSI term is rounded to 6 dp on
@@ -2168,6 +2184,7 @@ object StatsQueries {
     "q_hll_merge" -> (qHllMerge _),
     "q_binning" -> (qBinning _),
     "q_expectations" -> (qExpectations _),
+    "q_ref_integrity" -> (qRefIntegrity _),
     "q_drift" -> (qDrift _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_hh_containment" -> (qHhContainment _),
@@ -5860,6 +5877,29 @@ object StatsQueries {
         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |FROM b GROUP BY l_returnflag, bin
         |ORDER BY l_returnflag, bin""".stripMargin,
+    "q_ref_integrity" ->
+      """WITH a AS (
+        |  SELECT 'lineitem->orders' AS relation, COUNT(*) AS child_rows,
+        |    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_fk_rows,
+        |    (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM orders o
+        |         WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT 'orders->customer' AS relation, COUNT(*) AS child_rows,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_fk_rows,
+        |    (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM customer c
+        |         WHERE c.c_custkey = o.o_custkey)) AS orphan_rows
+        |  FROM orders)
+        |SELECT relation, child_rows,
+        |  CAST(null_fk_rows AS BIGINT) AS null_fk_rows,
+        |  CAST(orphan_rows AS BIGINT) AS orphan_rows,
+        |  CAST((CAST(orphan_rows AS HUGEINT) * 2000000 + child_rows)
+        |    // (CAST(child_rows AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
+        |    AS orphan_pct
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b) u
+        |ORDER BY relation""".stripMargin,
     "q_expectations" ->
       """WITH a AS (SELECT
         |  CAST(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,

@@ -595,6 +595,38 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(one.getDouble(2) == 0.0 && one.getLong(3) == 0L)
   }
 
+  test("shapleyAttribution: hand-computed 2-channel game with a zero-touch converter") {
+    // u1: a + convert, u2: a,b + convert, u3: b, u4: convert only, u5: a
+    //   v(0)=1 v({a})=2 v({b})=1 v({a,b})=3  (in 2!-units: w = 1 per term)
+    //   phi2_a = (2-1) + (3-1) = 3 -> 1.5;  phi2_b = (1-1) + (3-2) = 1 -> 0.5
+    //   efficiency: 1.5 + 0.5 = v(N) - v(0) = 2 (zero-touch unattributed)
+    val rows = Seq(("u1", "a"), ("u1", "z"), ("u2", "a"), ("u2", "b"),
+      ("u2", "z"), ("u3", "b"), ("u4", "z"), ("u5", "a"))
+    val df = createDf(spark, "u string, et string",
+      rows.map { case (u, e) => Seq[Any](u, e) })
+    val out = Funnel.shapleyAttribution(df, "u", "et", Seq("a", "b"), "z")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("a", 3L, 2L, 3L, 1500000L),
+      ("b", 2L, 1L, 1L, 500000L)))
+    val e = intercept[IllegalArgumentException] {
+      Funnel.shapleyAttribution(df, "u", "et", Seq("a", "z"), "z")
+    }
+    assert(e.getMessage.contains("conversionType"))
+  }
+
+  test("referentialIntegrity: orphan and null-FK counting") {
+    val parent = createDf(spark, "pk bigint", Seq(Seq[Any](1L), Seq[Any](2L)))
+    val child = createDf(spark, "fk bigint",
+      Seq(Seq[Any](1L), Seq[Any](2L), Seq[Any](2L), Seq[Any](3L),
+        Seq[Any](null)))
+    val r = Expectations.referentialIntegrity(child, Seq("fk"),
+      parent, Seq("pk"), "child->parent").head()
+    assert(r.getString(0) == "child->parent")
+    assert(r.getLong(1) == 5L && r.getLong(2) == 1L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 0.2, "orphan_pct = 1/5")
+  }
+
   test("gstMonitor: O'Brien-Fleming boundary shape, crossing under effect, gated flat null") {
     import org.apache.spark.sql.functions.{to_timestamp => tts}
     def mk(rows: Seq[(Long, String, Double)]) =
