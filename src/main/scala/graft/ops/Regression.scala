@@ -842,6 +842,143 @@ object Regression {
           / col("__nm").cast("double"), 6)).as("att"))
   }
 
+  /** Two-way fixed-effects (within) estimator — the panel-data
+    * workhorse behind modern DiD: regress y on x after absorbing
+    * entity AND time fixed effects via double demeaning,
+    *
+    *   ỹ_it = y_it − ȳ_i − ȳ_t + ȳ,  β̂ = Σx̃ỹ / Σx̃²
+    *
+    * (numerically identical to OLS with entity+time dummies, without
+    * materializing a dummy for every entity). Returns one row
+    * `(n, n_entities, n_periods, beta, se)` with the homoskedastic SE
+    * on the within residual dof n − N_i − N_t + 1; null when x has no
+    * within variation (x̃ ≡ 0 — an x collinear with the fixed effects).
+    *
+    * Determinism: entity/time/grand sums are exact DECIMAL nano
+    * aggregates; each mean is one double division replayed verbatim;
+    * per-row x̃ỹ / x̃² / residual terms nano-quantize before the exact
+    * final sums; β and SE are fixed IEEE trees.
+    *
+    * Scale shape: THREE keyed aggregations (entity, time, grand — the
+    * entity table is a keyed JOIN back, never driver state; the time
+    * table broadcasts) + ONE moment scan. Nothing materializes a
+    * dummy-variable design matrix — the absorption IS the algebra.
+    */
+  def twoWayFixedEffects(df: DataFrame, entity: Column, time: Column,
+                         y: Column, x: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast(dec)
+    val base = df.select(entity.as("__i"), time.as("__t"),
+        y.cast("double").as("__y"), x.cast("double").as("__x"))
+      .filter(col("__i").isNotNull && col("__t").isNotNull &&
+        col("__y").isNotNull && col("__x").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ent = base.groupBy(col("__i")).agg(count(lit(1)).as("__ni"),
+      sum(nano(col("__y"))).as("__syi"), sum(nano(col("__x"))).as("__sxi"))
+    val tim = base.groupBy(col("__t")).agg(count(lit(1)).as("__nt"),
+      sum(nano(col("__y"))).as("__syt"), sum(nano(col("__x"))).as("__sxt"))
+    val grand = base.agg(count(lit(1)).as("__n"),
+      sum(nano(col("__y"))).as("__sy"), sum(nano(col("__x"))).as("__sx"))
+    def mean(s: String, n: String): Column =
+      col(s).cast("double") / lit(1e9) / col(n).cast("double")
+    val yt = col("__y") - mean("__syi", "__ni") - mean("__syt", "__nt") +
+      mean("__sy", "__n")
+    val xt = col("__x") - mean("__sxi", "__ni") - mean("__sxt", "__nt") +
+      mean("__sx", "__n")
+    val m = base.join(ent, Seq("__i")).join(broadcast(tim), Seq("__t"))
+      .crossJoin(broadcast(grand))
+      .agg(sum(nano(xt * yt)).as("__sxy"), sum(nano(xt * xt)).as("__sxx"),
+        sum(nano(yt * yt)).as("__syy"))
+    val counts = base.agg(count(lit(1)).as("n"),
+      countDistinct(col("__i")).as("n_entities"),
+      countDistinct(col("__t")).as("n_periods"))
+    base.unpersist(false)
+    def d(c: String): Column = col(c).cast("double") / lit(1e9)
+    val beta = d("__sxy") / d("__sxx")
+    val dof = col("n").cast("double") - col("n_entities").cast("double") -
+      col("n_periods").cast("double") + lit(1.0)
+    val sig2 = (d("__syy") - beta * d("__sxy")) / dof
+    val ok = col("__sxx") > 0 && dof > 0.0
+    counts.crossJoin(m).select(col("n"), col("n_entities"), col("n_periods"),
+      when(ok, round(beta, 6)).as("beta"),
+      when(ok && sig2 >= 0.0, round(sqrt(sig2 / d("__sxx")), 6)).as("se"))
+  }
+
+  /** Deterministic RANSAC line fit — robust regression by CONSENSUS
+    * where [[Regression.groupOls]] is leverage-fragile and Theil-Sen /
+    * Huber trade breakdown for speed: `candidates` two-point model
+    * hypotheses come from an md5-ordered deterministic sample (the
+    * q_split selection discipline — no RNG, same candidates on every
+    * engine and every run), each hypothesis line is scored by its
+    * INLIER count (|y − (a + bx)| ≤ ε), and the best-consensus line is
+    * refit by closed-form OLS on its own inliers. One row:
+    * `(n, n_candidates, best_candidate, n_inliers, b0, b1)`; empty
+    * when every candidate pair is x-degenerate (documented: feed more
+    * candidates or dedup x upstream).
+    *
+    * Determinism: the sample is a plan-time LIMIT over (md5, id)
+    * order; hypothesis (a, b) are fixed IEEE trees on exact inputs;
+    * the inlier test compares identical doubles against the ε literal;
+    * ties in consensus break to the lower candidate index; refit
+    * moments nano-quantize before exact sums.
+    *
+    * Scale shape: one TakeOrdered(2·candidates) sample, a window over
+    * that ≤ 2·candidates-row table, ONE broadcast of ≤ `candidates`
+    * lines against the data for scoring (a scan, not a join explosion)
+    * and one refit scan. Two passes over the data total, at any scale.
+    */
+  def ransacLine(df: DataFrame, id: Column, x: Column, y: Column,
+                 candidates: Int = 16, epsMicros: Long = 500000L): DataFrame = {
+    require(candidates >= 1 && candidates <= 256,
+      s"candidates out of range: $candidates")
+    require(epsMicros > 0L, s"epsMicros must be positive: $epsMicros")
+    val dec = DecimalType(38, 0)
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast(dec)
+    val eps = lit(epsMicros.toDouble / 1e6)
+    val base = df.select(id.cast("string").as("__id"),
+        x.cast("double").as("__x"), y.cast("double").as("__y"))
+      .filter(col("__id").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val samp = base
+      .withColumn("__h", md5(concat(lit("ransac:"), col("__id"))))
+      .orderBy(col("__h"), col("__id")).limit(2 * candidates)
+    val w = Window.orderBy(col("__h"), col("__id"))
+    val paired = samp.withColumn("__rn", row_number().over(w))
+      .withColumn("__c", expr("(__rn - 1) div 2"))
+    val lines = paired.groupBy(col("__c")).agg(
+        max(when(col("__rn") % 2 === 1, col("__x"))).as("__x1"),
+        max(when(col("__rn") % 2 === 1, col("__y"))).as("__y1"),
+        max(when(col("__rn") % 2 === 0, col("__x"))).as("__x2"),
+        max(when(col("__rn") % 2 === 0, col("__y"))).as("__y2"))
+      .filter(col("__x2").isNotNull && col("__x1") =!= col("__x2"))
+      .withColumn("__b", (col("__y2") - col("__y1")) / (col("__x2") - col("__x1")))
+      .withColumn("__a", col("__y1") - col("__b") * col("__x1"))
+      .select(col("__c"), col("__a"), col("__b"))
+    val isIn = abs(col("__y") - (col("__a") + col("__b") * col("__x"))) <= eps
+    val best = base.crossJoin(broadcast(lines))
+      .groupBy(col("__c"), col("__a"), col("__b"))
+      .agg(sum(when(isIn, 1L).otherwise(0L)).as("n_inliers"))
+      .orderBy(col("n_inliers").desc, col("__c")).limit(1)
+    val refit = base.crossJoin(broadcast(best))
+      .filter(isIn)
+      .agg(count(lit(1)).as("__m"),
+        sum(nano(col("__x"))).as("__sx"), sum(nano(col("__y"))).as("__sy"),
+        sum(nano(col("__x") * col("__y"))).as("__sxy"),
+        sum(nano(col("__x") * col("__x"))).as("__sxx"))
+    val totals = base.agg(count(lit(1)).as("n"))
+    base.unpersist(false)
+    def d(c: String): Column = col(c).cast("double") / lit(1e9)
+    val md = col("__m").cast("double")
+    val det = md * d("__sxx") - d("__sx") * d("__sx")
+    val b1 = (md * d("__sxy") - d("__sx") * d("__sy")) / det
+    val b0 = (d("__sy") - b1 * d("__sx")) / md
+    totals.crossJoin(best).crossJoin(refit)
+      .select(col("n"), lit(candidates).cast("long").as("n_candidates"),
+        col("__c").as("best_candidate"), col("n_inliers"),
+        when(det > 0.0, round(b0, 6)).as("b0"),
+        when(det > 0.0, round(b1, 6)).as("b1"))
+  }
+
   def logisticNewton(df: DataFrame, label: Column, x: Column,
                      iterations: Int = 4): DataFrame = {
     require(iterations >= 1 && iterations <= 16,

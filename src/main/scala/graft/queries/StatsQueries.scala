@@ -1508,6 +1508,165 @@ object StatsQueries {
        |FROM tot CROSS JOIN att""".stripMargin
   }
 
+  /** Two-way fixed effects ([[graft.ops.Regression.twoWayFixedEffects]]):
+    * on the (user, day) panel, does daily VIEWING move daily SPEND once
+    * user-level taste and day-level shocks are both absorbed — the
+    * within estimator behind modern DiD, with no dummy matrix ever
+    * materialized. Three keyed mean passes + one moment scan.
+    */
+  private def qTwfe(s: SparkSession, dir: String): DataFrame = {
+    val panel = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("day"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))), lit(0L)).as("cents"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"))
+    graft.ops.Regression.twoWayFixedEffects(panel, col("user_id"), col("day"),
+      col("cents").cast("double") / lit(100.0), col("views").cast("double"))
+  }
+
+  private def twfeOracleSql: String =
+    """WITH p AS (
+      |  SELECT user_id AS i,
+      |    CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS t,
+      |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE)
+      |      / 100.0 AS y,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS x
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT i, COUNT(*) AS ni,
+      |    SUM(CAST(round(y * 1000000000.0) AS HUGEINT)) AS syi,
+      |    SUM(CAST(round(x * 1000000000.0) AS HUGEINT)) AS sxi
+      |  FROM p GROUP BY 1),
+      |tim AS (
+      |  SELECT t, COUNT(*) AS nt,
+      |    SUM(CAST(round(y * 1000000000.0) AS HUGEINT)) AS syt,
+      |    SUM(CAST(round(x * 1000000000.0) AS HUGEINT)) AS sxt
+      |  FROM p GROUP BY 1),
+      |g AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CAST(round(y * 1000000000.0) AS HUGEINT)) AS sy,
+      |    SUM(CAST(round(x * 1000000000.0) AS HUGEINT)) AS sx
+      |  FROM p),
+      |dm AS (
+      |  SELECT
+      |    y - CAST(syi AS DOUBLE) / 1000000000.0 / CAST(ni AS DOUBLE)
+      |      - CAST(syt AS DOUBLE) / 1000000000.0 / CAST(nt AS DOUBLE)
+      |      + CAST(sy AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) AS yt,
+      |    x - CAST(sxi AS DOUBLE) / 1000000000.0 / CAST(ni AS DOUBLE)
+      |      - CAST(sxt AS DOUBLE) / 1000000000.0 / CAST(nt AS DOUBLE)
+      |      + CAST(sx AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) AS xt
+      |  FROM p JOIN ent USING (i) JOIN tim USING (t) CROSS JOIN g),
+      |m AS (
+      |  SELECT
+      |    SUM(CAST(round(xt * yt * 1000000000.0) AS HUGEINT)) AS sxy,
+      |    SUM(CAST(round(xt * xt * 1000000000.0) AS HUGEINT)) AS sxx,
+      |    SUM(CAST(round(yt * yt * 1000000000.0) AS HUGEINT)) AS syy
+      |  FROM dm),
+      |c AS (
+      |  SELECT COUNT(*) AS n, COUNT(DISTINCT i) AS ne, COUNT(DISTINCT t) AS np
+      |  FROM p)
+      |SELECT n, CAST(ne AS BIGINT) AS n_entities, CAST(np AS BIGINT) AS n_periods,
+      |  CASE WHEN sxx > 0 AND CAST(n AS DOUBLE) - CAST(ne AS DOUBLE)
+      |      - CAST(np AS DOUBLE) + 1.0 > 0.0
+      |    THEN round(CAST(sxy AS DOUBLE) / 1000000000.0
+      |      / (CAST(sxx AS DOUBLE) / 1000000000.0), 6) END AS beta,
+      |  CASE WHEN sxx > 0 AND CAST(n AS DOUBLE) - CAST(ne AS DOUBLE)
+      |      - CAST(np AS DOUBLE) + 1.0 > 0.0
+      |    AND (CAST(syy AS DOUBLE) / 1000000000.0
+      |      - CAST(sxy AS DOUBLE) / 1000000000.0
+      |        / (CAST(sxx AS DOUBLE) / 1000000000.0)
+      |        * (CAST(sxy AS DOUBLE) / 1000000000.0))
+      |      / (CAST(n AS DOUBLE) - CAST(ne AS DOUBLE)
+      |        - CAST(np AS DOUBLE) + 1.0) >= 0.0
+      |    THEN round(sqrt(((CAST(syy AS DOUBLE) / 1000000000.0
+      |      - CAST(sxy AS DOUBLE) / 1000000000.0
+      |        / (CAST(sxx AS DOUBLE) / 1000000000.0)
+      |        * (CAST(sxy AS DOUBLE) / 1000000000.0))
+      |      / (CAST(n AS DOUBLE) - CAST(ne AS DOUBLE)
+      |        - CAST(np AS DOUBLE) + 1.0))
+      |      / (CAST(sxx AS DOUBLE) / 1000000000.0)), 6) END AS se
+      |FROM c CROSS JOIN m""".stripMargin
+
+  /** Deterministic RANSAC ([[graft.ops.Regression.ransacLine]]): the
+    * consensus line through (purchases, spend) per user — big
+    * whale-spend outliers pull OLS off the typical relationship;
+    * RANSAC fits the majority and reports how many users it explains
+    * within ε = $5. md5-ordered candidate sample, two scans total.
+    */
+  private def qRansac(s: SparkSession, dir: String): DataFrame = {
+    val pu = t(s, dir, "events").filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))), lit(0L)).as("cents"))
+    graft.ops.Regression.ransacLine(pu, col("user_id"),
+      col("purchases").cast("double"),
+      col("cents").cast("double") / lit(100.0),
+      candidates = 16, epsMicros = 5000000L)
+  }
+
+  private def ransacOracleSql: String =
+    """WITH pu AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS x,
+      |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS DOUBLE)
+      |      / 100.0 AS y
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |samp AS (
+      |  SELECT * FROM (SELECT id, x, y, md5('ransac:' || id) AS h FROM pu) s
+      |  ORDER BY h, id LIMIT 32),
+      |pr AS (SELECT x, y, row_number() OVER (ORDER BY h, id) AS rn FROM samp),
+      |ln AS (
+      |  SELECT (rn - 1) // 2 AS c,
+      |    MAX(CASE WHEN rn % 2 = 1 THEN x END) AS x1,
+      |    MAX(CASE WHEN rn % 2 = 1 THEN y END) AS y1,
+      |    MAX(CASE WHEN rn % 2 = 0 THEN x END) AS x2,
+      |    MAX(CASE WHEN rn % 2 = 0 THEN y END) AS y2
+      |  FROM pr GROUP BY 1),
+      |lv AS (
+      |  SELECT c, y1 - (y2 - y1) / (x2 - x1) * x1 AS a,
+      |    (y2 - y1) / (x2 - x1) AS b
+      |  FROM ln WHERE x2 IS NOT NULL AND x1 <> x2),
+      |sc AS (
+      |  SELECT c, a, b,
+      |    SUM(CASE WHEN abs(y - (a + b * x)) <= 5.0 THEN 1 ELSE 0 END)
+      |      AS n_inliers
+      |  FROM pu CROSS JOIN lv GROUP BY 1, 2, 3),
+      |best AS (SELECT * FROM sc ORDER BY n_inliers DESC, c LIMIT 1),
+      |rf AS (
+      |  SELECT COUNT(*) AS m,
+      |    SUM(CAST(round(x * 1000000000.0) AS HUGEINT)) AS sx,
+      |    SUM(CAST(round(y * 1000000000.0) AS HUGEINT)) AS sy,
+      |    SUM(CAST(round(x * y * 1000000000.0) AS HUGEINT)) AS sxy,
+      |    SUM(CAST(round(x * x * 1000000000.0) AS HUGEINT)) AS sxx
+      |  FROM pu CROSS JOIN best WHERE abs(y - (a + b * x)) <= 5.0),
+      |tot AS (SELECT COUNT(*) AS n FROM pu),
+      |fin AS (
+      |  SELECT n, c, n_inliers, CAST(m AS DOUBLE) AS md,
+      |    CAST(sx AS DOUBLE) / 1000000000.0 AS sxd,
+      |    CAST(sy AS DOUBLE) / 1000000000.0 AS syd,
+      |    CAST(sxy AS DOUBLE) / 1000000000.0 AS sxyd,
+      |    CAST(sxx AS DOUBLE) / 1000000000.0 AS sxxd
+      |  FROM tot CROSS JOIN best CROSS JOIN rf)
+      |SELECT n, CAST(16 AS BIGINT) AS n_candidates,
+      |  CAST(c AS BIGINT) AS best_candidate,
+      |  CAST(n_inliers AS BIGINT) AS n_inliers,
+      |  CASE WHEN md * sxxd - sxd * sxd > 0.0 THEN
+      |    round((syd - (md * sxyd - sxd * syd) / (md * sxxd - sxd * sxd)
+      |      * sxd) / md, 6) END AS b0,
+      |  CASE WHEN md * sxxd - sxd * sxd > 0.0 THEN
+      |    round((md * sxyd - sxd * syd) / (md * sxxd - sxd * sxd), 6)
+      |  END AS b1
+      |FROM fin""".stripMargin
+
   /** CUPED adjustment ([[graft.ops.Stats.cuped]]): per-user purchase
     * revenue compared across id-parity arms with the user's view count
     * as the variance-reducing covariate — the experimentation
@@ -2164,6 +2323,8 @@ object StatsQueries {
     "q_ipw" -> (qIpw _),
     "q_aipw" -> (qAipw _),
     "q_psm" -> (qPsm _),
+    "q_twfe" -> (qTwfe _),
+    "q_ransac" -> (qRansac _),
     "q_cuped" -> (qCuped _),
     "q_tukey" -> (qTukey _),
     "q_srm" -> (qSrm _),
@@ -5314,6 +5475,8 @@ object StatsQueries {
     "q_ipw" -> ipwOracleSql,
     "q_aipw" -> aipwOracleSql,
     "q_psm" -> psmOracleSql,
+    "q_twfe" -> twfeOracleSql,
+    "q_ransac" -> ransacOracleSql,
     "q_huber" -> huberOracleSql(4, 25000000L),
     "q_k_anon" ->
       """WITH g AS (

@@ -46,6 +46,8 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
       "EXACT k-NN-graph audit: hubnessAudit hard-requires n <= maxVectors with a distributed count BEFORE the broadcast join (the concordanceIndex posture); the full-corpus near-dup path stays banded LSH",
     "q_twonn" ->
       "EXACT top-2-NN audit: twoNnId hard-requires n <= maxVectors with a distributed count BEFORE the broadcast join (the hubnessAudit contract)",
+    "q_ransac" ->
+      "consensus scoring + refit: both broadcast sides are the <= candidates-row hypothesis table built from the md5-ordered plan-time LIMIT(2*candidates) sample (best is LIMIT 1)",
     "q_harrell_c" ->
       "duration×score grid densification: the cross spine joins the DISTINCT duration list with the DISTINCT score list (both domain-bounded; concordanceIndex hard-requires |T|·|S| <= maxGrid with a distributed count BEFORE building the spine) — today it also passes via the fixture's incidental grand-agg lineage, but the justification should not depend on cache state",
   )
@@ -133,6 +135,7 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
     "q_msprt" -> "cumulative-moment and running-min-p windows over the DAILY table (rows = distinct days, calendar-bounded — the q_pchart/q_hurst bound)",
     "q_psm" -> "nearest-control prev/next windows over the MICRO-QUANTIZED propensity grid (rows <= 2·(1e6+1): two arms × the micro domain — the q_auc bound), after the per-(pm, arm) grid collapse",
     "q_gst" -> "cumulative-moment windows over the LOOK table (rows <= plannedLooks <= 10 by require) after the daily rollup (calendar-bounded, the q_msprt bound)",
+    "q_ransac" -> "candidate-pairing row_number over the md5-ordered plan-time LIMIT(2*candidates <= 512) sample table",
     "q_aalen_johansen" -> "risk-set/log-prefix/zero-flag windows over the duration table (rows = distinct durations, the q_km bound); the per-cause CIF prefix is (cause)-partitioned",
   )
 

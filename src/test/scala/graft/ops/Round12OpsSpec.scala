@@ -627,6 +627,46 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.2, "orphan_pct = 1/5")
   }
 
+  test("twoWayFixedEffects: recovers beta under entity and time effects; absorbed x nulls") {
+    // y = 3x + alpha_i + gamma_t exactly: within estimator must recover
+    // beta = 3 with zero residual (se = 0)
+    val rows = for (i <- 1 to 5; t <- 1 to 4) yield {
+      val x = ((i * 3 + t * 7) % 5).toDouble
+      (i.toLong, t.toLong, 3.0 * x + 10.0 * i + 100.0 * t, x)
+    }
+    val df = createDf(spark, "i bigint, t bigint, y double, x double",
+      rows.map { case (i, t, y, x) => Seq[Any](i, t, y, x) })
+    val r = Regression.twoWayFixedEffects(df, col("i"), col("t"),
+      col("y"), col("x")).head()
+    assert(r.getLong(0) == 20L && r.getLong(1) == 5L && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-5, "beta")
+    assert(math.abs(r.getDouble(4)) < 1e-4, "exact model: se ~ 0")
+    // x that IS an entity effect (constant within entity): no within
+    // variation after absorption -> null beta
+    val flat = Regression.twoWayFixedEffects(df, col("i"), col("t"),
+      col("y"), col("i").cast("double")).head()
+    assert(flat.isNullAt(3) && flat.isNullAt(4))
+  }
+
+  test("ransacLine: consensus line ignores outliers that wreck OLS") {
+    // 40 points on y = 2x + 1 exactly, 5 wild outliers
+    val inl = (1 to 40).map(i => (i.toLong, (i % 10).toDouble,
+      2.0 * (i % 10) + 1.0))
+    val out = (41 to 45).map(i => (i.toLong, (i % 10).toDouble, 500.0 + i))
+    val df = createDf(spark, "id bigint, x double, y double",
+      (inl ++ out).map { case (i, x, y) => Seq[Any](i, x, y) })
+    val r = Regression.ransacLine(df, col("id"), col("x"), col("y"),
+      candidates = 16, epsMicros = 100000L).head()
+    assert(r.getLong(0) == 45L)
+    assert(r.getLong(3) == 40L, "all 40 true inliers captured")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-5, "refit intercept")
+    assert(math.abs(r.getDouble(5) - 2.0) < 1e-5, "refit slope")
+    // degenerate: all x equal -> every candidate pair invalid -> 0 rows
+    val deg = createDf(spark, "id bigint, x double, y double",
+      (1 to 10).map(i => Seq[Any](i.toLong, 1.0, i.toDouble)))
+    assert(Regression.ransacLine(deg, col("id"), col("x"), col("y")).count() == 0L)
+  }
+
   test("gstMonitor: O'Brien-Fleming boundary shape, crossing under effect, gated flat null") {
     import org.apache.spark.sql.functions.{to_timestamp => tts}
     def mk(rows: Seq[(Long, String, Double)]) =
