@@ -617,6 +617,121 @@ object Funnel {
           (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
   }
 
+  /** First-order Markov removal-effect attribution — the OTHER
+    * principled multi-touch model beside [[shapleyAttribution]]
+    * (Anderl et al. 2016): user journeys become a Markov chain
+    * `start → touches… → conversion | null` (each journey truncates at
+    * its FIRST conversion), the chain's absorption probability into
+    * `conversion` is computed by `iterations` monotone value-iteration
+    * sweeps, and channel c's worth is how much that probability DROPS
+    * when c is knocked out (its state forced to 0 — the "redirect to
+    * dropout" semantics). Per channel:
+    * `(channel, p_base_units, p_removed_units, removal_units,
+    * share_micros)` — probabilities in exact 10⁹ units, shares the
+    * usual normalized attribution weights.
+    *
+    * Determinism: the transition census is exact counts
+    * (states²-bounded with the [[stationaryDistribution]] hard
+    * `require` BEFORE the collect); every sweep is exact big-integer
+    * arithmetic — p'(s) = ⌊Σ_t p(t)·n_st / out_s⌋ — replayed
+    * CTE-for-CTE by the oracle in HUGEINT; monotonicity of the sweep
+    * map makes every removal effect provably ≥ 0 at equal sweep
+    * counts.
+    *
+    * Scale shape: two user-partitioned window passes build the journey
+    * edges, ONE census shuffle reduces them to ≤ states² cells;
+    * all 1 + |channels| scenarios sweep on the driver over those cells
+    * — zero Spark jobs per sweep (the [[stationaryDistribution]]
+    * posture).
+    */
+  def removalEffects(events: DataFrame, entityCol: String, tsCol: String,
+                     tieCol: String, typeCol: String,
+                     channels: Seq[String], conversionType: String,
+                     iterations: Int = 16, maxStates: Int = 1000): DataFrame = {
+    require(channels.nonEmpty && channels.distinct.size == channels.size,
+      "channels must be non-empty and distinct")
+    require(!channels.contains(conversionType),
+      "conversionType cannot also be a channel")
+    val reserved = Set("start", "null", "conversion")
+    require(!(channels :+ conversionType).exists(reserved),
+      s"channel/conversion names collide with the reserved states $reserved")
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations out of range: $iterations")
+    val unit = 1000000000L
+    val spark = events.sparkSession
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    val wAll = Window.partitionBy(col("__u"))
+    val tagged = events.select(col(entityCol).as("__u"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"),
+        when(col(typeCol) === conversionType, lit("conversion"))
+          .otherwise(col(typeCol).cast("string")).as("__s"))
+      .filter(col("__u").isNotNull && col("__s").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cvrn",
+        min(when(col("__s") === "conversion", col("__rn"))).over(wAll))
+      .filter(col("__cvrn").isNull || col("__rn") <= col("__cvrn"))
+    val w3 = Window.partitionBy(col("__u")).orderBy(col("__rn"))
+    val withNext = tagged.withColumn("__next", lead(col("__s"), 1).over(w3))
+    val edges = withNext.filter(col("__next").isNotNull)
+        .select(col("__s").as("from_type"), col("__next").as("to_type"))
+      .union(tagged.filter(col("__rn") === 1)
+        .select(lit("start").as("from_type"), col("__s").as("to_type")))
+      .union(withNext
+        .filter(col("__next").isNull && col("__s") =!= "conversion")
+        .select(col("__s").as("from_type"), lit("null").as("to_type")))
+    val cellsDf = edges.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nStates = cellsDf.select(col("from_type").as("__x"))
+      .union(cellsDf.select(col("to_type"))).distinct().count()
+    require(nStates <= maxStates.toLong,
+      s"removalEffects materializes a states²-bounded transition table " +
+        s"on the driver; got $nStates distinct states (cap $maxStates) — " +
+        "the journey column must be a bounded vocabulary, not raw ids")
+    val cells: Array[(String, String, Long)] =
+      cellsDf.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    cellsDf.unpersist(false)
+    val states = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted.toSeq
+    val outs: Map[String, Long] =
+      cells.groupBy(_._1).map { case (s, cs) => s -> cs.map(_._3).sum }
+    def absorb(removed: Option[String]): Long = {
+      var p: Map[String, BigInt] = states.map(s =>
+        s -> (if (s == "conversion") BigInt(unit) else BigInt(0))).toMap
+      for (_ <- 1 to iterations) {
+        val num = scala.collection.mutable.Map.empty[String, BigInt]
+        cells.foreach { case (f, t2, n) =>
+          num(f) = num.getOrElse(f, BigInt(0)) + p(t2) * n
+        }
+        p = states.map { s =>
+          val v: BigInt =
+            if (s == "conversion") BigInt(unit)
+            else if (removed.contains(s)) BigInt(0)
+            else if (!outs.contains(s)) BigInt(0)
+            else num.getOrElse(s, BigInt(0)) / outs(s)
+          s -> v
+        }.toMap
+      }
+      p.getOrElse("start", BigInt(0)).toLong
+    }
+    val pBase = absorb(None)
+    val rows = channels.sorted.map { c =>
+      val pc = if (states.contains(c)) absorb(Some(c)) else pBase
+      (c, pBase, pc, pBase - pc)
+    }
+    val totalRemoval = rows.map(_._4).sum
+    import spark.implicits._
+    rows.map { case (c, pb, pc, rm) =>
+      val share: Option[Long] =
+        if (totalRemoval > 0L)
+          Some(((BigInt(rm) * 2000000 + totalRemoval) /
+            (BigInt(totalRemoval) * 2)).toLong)
+        else None
+      (c, pb, pc, rm, share)
+    }.toDF("channel", "p_base_units", "p_removed_units", "removal_units",
+      "share_micros")
+      .orderBy(col("channel"))
+  }
+
   /** Shapley-value channel attribution — the game-theoretic answer to
     * "which marketing channel actually earns the conversions" that
     * last-touch/first-touch heuristics (and q_attribution's positional

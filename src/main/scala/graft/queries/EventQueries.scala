@@ -806,6 +806,98 @@ object EventQueries {
     graft.ops.Funnel.shapleyAttribution(t(s, dir, "events"),
       "user_id", "event_type", Seq("view", "click", "signup"), "purchase")
 
+  /** Markov removal-effect attribution ([[graft.ops.Funnel
+    * .removalEffects]]): q_shapley's set-based split ignores ORDER;
+    * this one models the journey as a first-order chain and prices
+    * each channel by how much the absorption probability into
+    * `conversion` drops when the channel is knocked out. 16 exact
+    * big-integer value-iteration sweeps per scenario, all replayed
+    * CTE-for-CTE.
+    */
+  private def qRemoval(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.removalEffects(
+      t(s, dir, "events").filter(col("user_id").isNotNull),
+      "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "signup"), "purchase")
+
+  /** Oracle for q_removal: the journey-edge windows, the transition
+    * census, and FOUR unrolled 16-sweep HUGEINT value-iteration chains
+    * (base + one per knocked-out channel).
+    */
+  private def removalOracleSql: String = {
+    val unit = 1000000000L
+    def chain(tag: String, removed: Option[String]): String = {
+      val rm = removed.map(r => s"WHEN st2.st = '$r' THEN 0\n       |      ")
+        .getOrElse("")
+      val p0 =
+        s"""${tag}p0 AS MATERIALIZED (
+           |  SELECT st, CASE WHEN st = 'conversion' THEN CAST($unit AS HUGEINT)
+           |    ELSE CAST(0 AS HUGEINT) END AS p
+           |  FROM states)""".stripMargin
+      val steps = (1 to 16).map { k =>
+        s"""${tag}s$k AS MATERIALIZED (
+           |  SELECT c.f AS st, SUM(p.p * c.n) AS num
+           |  FROM cells c JOIN ${tag}p${k - 1} p ON p.st = c.t GROUP BY 1),
+           |${tag}p$k AS MATERIALIZED (
+           |  SELECT st2.st,
+           |    CASE WHEN st2.st = 'conversion' THEN CAST($unit AS HUGEINT)
+           |      ${rm}WHEN o.o IS NULL THEN CAST(0 AS HUGEINT)
+           |      ELSE COALESCE(s.num // o.o, 0) END AS p
+           |  FROM states st2
+           |  LEFT JOIN ${tag}s$k s ON s.st = st2.st
+           |  LEFT JOIN outs o ON o.f = st2.st)""".stripMargin
+      }
+      (p0 +: steps).mkString(",\n")
+    }
+    val scenarios = Seq("b" -> None, "rv" -> Some("view"),
+      "rc" -> Some("click"), "rs" -> Some("signup"))
+    val chains = scenarios.map { case (t2, r) => chain(t2, r) }.mkString(",\n")
+    val per = Seq(("click", "rc"), ("signup", "rs"), ("view", "rv")).map {
+      case (ch, tag) =>
+        s"""SELECT '$ch' AS channel,
+           |  (SELECT p FROM bp16 WHERE st = 'start') AS pb,
+           |  (SELECT p FROM ${tag}p16 WHERE st = 'start') AS pc""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT user_id AS u, ts, event_id AS tie,
+       |    CASE WHEN event_type = 'purchase' THEN 'conversion'
+       |      ELSE event_type END AS s
+       |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |rn AS MATERIALIZED (
+       |  SELECT *, row_number() OVER (PARTITION BY u ORDER BY ts, tie) AS rn
+       |  FROM ev),
+       |cv AS MATERIALIZED (
+       |  SELECT *, MIN(CASE WHEN s = 'conversion' THEN rn END)
+       |    OVER (PARTITION BY u) AS cvrn
+       |  FROM rn),
+       |kept AS MATERIALIZED (SELECT * FROM cv WHERE cvrn IS NULL OR rn <= cvrn),
+       |nx AS MATERIALIZED (
+       |  SELECT u, s, rn,
+       |    lead(s) OVER (PARTITION BY u ORDER BY rn) AS nxt
+       |  FROM kept),
+       |edges AS MATERIALIZED (
+       |  SELECT s AS f, nxt AS t FROM nx WHERE nxt IS NOT NULL
+       |  UNION ALL SELECT 'start', s FROM nx WHERE rn = 1
+       |  UNION ALL SELECT s, 'null' FROM nx
+       |    WHERE nxt IS NULL AND s <> 'conversion'),
+       |cells AS MATERIALIZED (SELECT f, t, COUNT(*) AS n FROM edges GROUP BY 1, 2),
+       |outs AS MATERIALIZED (SELECT f, SUM(n) AS o FROM cells GROUP BY 1),
+       |states AS MATERIALIZED (
+       |  SELECT DISTINCT f AS st FROM cells
+       |  UNION SELECT DISTINCT t FROM cells),
+       |$chains,
+       |u2 AS MATERIALIZED (
+       |$per),
+       |tot AS (SELECT SUM(pb - pc) AS trm FROM u2)
+       |SELECT channel, CAST(pb AS BIGINT) AS p_base_units,
+       |  CAST(pc AS BIGINT) AS p_removed_units,
+       |  CAST(pb - pc AS BIGINT) AS removal_units,
+       |  CASE WHEN trm > 0 THEN
+       |    CAST(((pb - pc) * 2000000 + trm) // (trm * 2) AS BIGINT)
+       |  END AS share_micros
+       |FROM u2 CROSS JOIN tot ORDER BY channel""".stripMargin
+  }
+
   /** Partial autocorrelation at lags 1–3
     * ([[graft.ops.Timeseries.pacf]]) on q_autocorr's hourly revenue
     * series: which lag carries DIRECT signal once shorter lags are
@@ -1452,6 +1544,7 @@ object EventQueries {
     "q_theta" -> (qTheta _),
     "q_attribution" -> (qAttribution _),
     "q_shapley" -> (qShapley _),
+    "q_removal" -> (qRemoval _),
     "q_periodogram" -> (qPeriodogram _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_effective_n" -> (qEffectiveN _),
@@ -2372,6 +2465,7 @@ object EventQueries {
         |  CASE WHEN n >= 3 AND dn > 0.0 AND vard > 0.0 THEN
         |    round(GREATEST(0.0, 1.0 - varr / vard), 6) END AS strength
         |FROM c ORDER BY event_type""".stripMargin,
+    "q_removal" -> removalOracleSql,
     "q_shapley" ->
       """WITH pu AS (
         |  SELECT user_id,

@@ -615,6 +615,33 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("conversionType"))
   }
 
+  test("removalEffects: hand-computed absorption drops on a 3-journey chain") {
+    // u1: a -> z;  u2: a -> b (null);  u3: b -> z
+    //   p(b) = 1/2, p(a) = 3/4, p(start) = 2/3
+    //   remove a: p(start) = 1/6;  remove b: p(start) = 1/3
+    //   shares: a = 0.6, b = 0.4 exactly
+    val rows = Seq(("u1", 1L, "a"), ("u1", 2L, "z"), ("u2", 1L, "a"),
+      ("u2", 2L, "b"), ("u3", 1L, "b"), ("u3", 2L, "z"))
+    val df = createDf(spark, "u string, ts bigint, et string",
+      rows.map { case (u, t, e) => Seq[Any](u, t, e) })
+    val out = Funnel.removalEffects(df, "u", "ts", "ts", "et",
+      Seq("a", "b"), "z").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a", 666666666L, 166666666L, 500000000L, 600000L),
+      ("b", 666666666L, 333333333L, 333333333L, 400000L)))
+    // a channel absent from every journey has zero removal effect
+    val out2 = Funnel.removalEffects(df, "u", "ts", "ts", "et",
+      Seq("a", "ghost"), "z").collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    assert(out2.toSeq == Seq(("a", 500000000L), ("ghost", 0L)))
+    val e = intercept[IllegalArgumentException] {
+      Funnel.removalEffects(df, "u", "ts", "ts", "et", Seq("start"), "z")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("referentialIntegrity: orphan and null-FK counting") {
     val parent = createDf(spark, "pk bigint", Seq(Seq[Any](1L), Seq[Any](2L)))
     val child = createDf(spark, "fk bigint",
