@@ -924,27 +924,34 @@ object EmbedQueries {
     * 10-NN graph: max in-degree, antihub share, in-degree skewness —
     * the high-dimension pathology readout that tells you whether
     * near-dup keep-lists and retrieval negatives are being captured
-    * by a few hub vectors. Exact-by-contract on the require-bounded
-    * panel; the full-corpus path stays banded LSH.
+    * by a few hub vectors. Registered on the FIXED vec_id < 512
+    * deterministic panel (corpus-size-free — the audit posture the
+    * operator's require documents); the full-corpus path stays
+    * banded LSH.
     */
   private def qHubness(s: SparkSession, dir: String): DataFrame =
-    Similarity.hubnessAudit(t(s, dir, "embeddings"), "vec_id", "embedding",
-      k = 10)
+    Similarity.hubnessAudit(
+      t(s, dir, "embeddings").filter(col("vec_id") < 512),
+      "vec_id", "embedding", k = 10)
 
   private def hubnessOracleSql: String =
-    s"""WITH $nvCte,
+    s"""WITH nvp AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+       |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+       |  FROM embeddings WHERE vec_id < 512),
        |edges AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY list_sum(list_transform(list_zip(q.nv, a.nv),
        |          x -> x[1] * x[2])) DESC, a.vec_id) AS rnk
-       |    FROM nv a, nv q WHERE a.vec_id <> q.vec_id) t
+       |    FROM nvp a, nvp q WHERE a.vec_id <> q.vec_id) t
        |  WHERE rnk <= 10),
        |ind AS (
        |  SELECT COALESCE(e.d, 0) AS d
-       |  FROM nv LEFT JOIN (SELECT neighbor_id, COUNT(*) AS d
-       |    FROM edges GROUP BY 1) e ON nv.vec_id = e.neighbor_id),
+       |  FROM nvp LEFT JOIN (SELECT neighbor_id, COUNT(*) AS d
+       |    FROM edges GROUP BY 1) e ON nvp.vec_id = e.neighbor_id),
        |a AS (
        |  SELECT COUNT(*) AS n, MAX(d) AS mx,
        |    SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS ah,
@@ -971,13 +978,20 @@ object EmbedQueries {
   /** TwoNN intrinsic dimension ([[Similarity.twoNnId]]): the manifold
     * dimension the 64-dim embeddings actually use, from each point's
     * two nearest cosine neighbors. The capacity audit beside q_pca's
-    * variance spectrum — MLE, not a variance heuristic.
+    * variance spectrum — MLE, not a variance heuristic. Registered on
+    * the FIXED vec_id < 512 panel (corpus-size-free by construction).
     */
   private def qTwoNn(s: SparkSession, dir: String): DataFrame =
-    Similarity.twoNnId(t(s, dir, "embeddings"), "vec_id", "embedding")
+    Similarity.twoNnId(
+      t(s, dir, "embeddings").filter(col("vec_id") < 512),
+      "vec_id", "embedding")
 
   private def twoNnOracleSql: String =
-    s"""WITH $nvCte,
+    s"""WITH nvp AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+       |           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+       |  FROM embeddings WHERE vec_id < 512),
        |t2 AS (
        |  SELECT query_id,
        |    MAX(CASE WHEN rnk = 1 THEN cos END) AS c1,
@@ -989,7 +1003,7 @@ object EmbedQueries {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY list_sum(list_transform(list_zip(q.nv, a.nv),
        |          x -> x[1] * x[2])) DESC, a.vec_id) AS rnk
-       |    FROM nv a, nv q WHERE a.vec_id <> q.vec_id) x
+       |    FROM nvp a, nvp q WHERE a.vec_id <> q.vec_id) x
        |  WHERE rnk <= 2 GROUP BY 1),
        |tr AS (
        |  SELECT CASE WHEN 1.0 - c1 > 0.0 AND 1.0 - c2 > 0.0
