@@ -49,6 +49,18 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val failJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_verify_failures.json"), failJson)
+    // Engine provenance sidecar (adjudication aid): which Spark/Scala/JVM
+    // produced these parquet dumps. A separate file — NOT a key inside
+    // oracle_sql.json — because the driver iterates oracle keys as SQL and
+    // an unmatched key would read as a failed query. The comparing DuckDB
+    // records its own version (tools/compare_oracle.py prints it).
+    val meta = Seq(
+      "spark_version" -> spark.version,
+      "scala_version" -> scala.util.Properties.versionNumberString,
+      "java_version" -> sys.props.getOrElse("java.version", "unknown"),
+      "n_queries" -> selected.size.toString)
+    Files.writeString(Paths.get(s"$outDir/_meta.json"),
+      meta.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} of ${selected.size} queries FAILED: " +
         failures.keys.toSeq.sorted.mkString(", "))

@@ -128,8 +128,13 @@ object Expectations {
     totals.crossJoin(orphans)
       .select(lit(relation).as("relation"), col("child_rows"),
         col("null_fk_rows"), col("orphan_rows"),
-        (expr("(cast(orphan_rows as decimal(38,0)) * 2000000 + child_rows) " +
-          "div (cast(child_rows as decimal(38,0)) * 2)").cast("double") /
-          lit(1e6)).as("orphan_pct"))
+        // child_rows > 0 guard: an EMPTY child table must report a null
+        // pct (0 orphans of 0 rows is not "0% orphaned"), and Spark's
+        // decimal div-by-zero null vs DuckDB's // 0 would otherwise be
+        // an engine-specific edge (r12 ADVICE)
+        when(col("child_rows") > 0,
+          expr("(cast(orphan_rows as decimal(38,0)) * 2000000 + child_rows) " +
+            "div (cast(child_rows as decimal(38,0)) * 2)").cast("double") /
+            lit(1e6)).as("orphan_pct"))
   }
 }

@@ -450,8 +450,10 @@ object Survival {
     *
     * Scale shape: one (t, s) map-combined aggregation; the grid is
     * |durations|×|scores| (require-guarded by `maxGrid`, counted
-    * distributed BEFORE the cross spine is built), two bounded window
-    * passes, one 1-row rollup. Raw rows shuffle once.
+    * distributed BEFORE the cross spine is built — then the smaller
+    * axis, ≤ √maxGrid rows, is collected as a literal frame so the
+    * spine's broadcast side is structurally a LocalTableScan), two
+    * bounded window passes, one 1-row rollup. Raw rows shuffle once.
     */
   def concordanceIndex(df: DataFrame, duration: Column, event: Column,
                        score: Column, maxGrid: Long = 1000000L): DataFrame = {
@@ -470,7 +472,25 @@ object Survival {
       s"concordanceIndex densifies a ${nT}×${nS} duration×score grid " +
         s"(cap $maxGrid cells). Quantize the score into coarser buckets " +
         s"— C on bucketed scores is the standard large-n estimator.")
-    val grid = tTbl.crossJoin(sTbl)
+    // Cross-spine boundedness made STRUCTURAL (r13): the smaller axis —
+    // min(nT, nS) ≤ √maxGrid ≤ 1000 rows by the cap just enforced — is
+    // collected and re-emitted as a LITERAL frame, so the nested-loop
+    // join's broadcast side is a LocalTableScan in every physical plan,
+    // independent of cache lineage (the registry plan guard recognizes
+    // that shape without a per-query whitelist entry). The collect is
+    // bounded by the same contract that already counted both axes.
+    val spark0 = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    def literalAxis(tbl: DataFrame, name: String): DataFrame =
+      spark0.createDataFrame(
+        tbl.collect().map(r => org.apache.spark.sql.Row(r.getLong(0))).toList.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(name,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    val grid0 =
+      if (nS <= nT) tTbl.crossJoin(literalAxis(sTbl, "__s"))
+      else literalAxis(tTbl, "__t").crossJoin(sTbl)
+    val grid = grid0
       .join(cells, Seq("__t", "__s"), "left")
       .select(col("__t"), col("__s"),
         coalesce(col("__n"), lit(0L)).as("__n"),

@@ -1310,6 +1310,9 @@ object EmbedQueries {
     "q_hubness" -> hubnessOracleSql,
     "q_twonn" -> twoNnOracleSql,
     "q_sq8_recall" ->
+      // n_overlap MUST stay CAST AS BIGINT: SUM(int) is HUGEINT in
+      // DuckDB and an int128 final column is driver-red (the r12 red
+      // row's whole cause — see q_fertility's docstring).
       """WITH l AS (
         |  SELECT vec_id, list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
@@ -1348,8 +1351,8 @@ object EmbedQueries {
         |        ORDER BY d2, neighbor_id) AS rk
         |    FROM d2b) WHERE rk <= 5)
         |SELECT t5q.query_id AS query_id,
-        |  SUM(CASE WHEN t5b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS n_overlap
+        |  CAST(SUM(CASE WHEN t5b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overlap
         |FROM t5q LEFT JOIN t5b
         |  ON t5b.query_id = t5q.query_id AND t5b.neighbor_id = t5q.neighbor_id
         |GROUP BY t5q.query_id ORDER BY t5q.query_id""".stripMargin,

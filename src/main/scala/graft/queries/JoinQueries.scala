@@ -430,20 +430,34 @@ object JoinQueries {
   }
 
   /** Fellegi-Sunter EM ([[graft.ops.Linkage.emFit]]): fit (m, u, p)
-    * UNSUPERVISED over the same blocked pair stream q_linkage scores
-    * with fixed parameters — Winkler's classic mixture recipe, the
-    * step that turns a blocked pair source into a calibrated linkage
-    * model with no clerical sample. One distributed 2³-pattern census,
-    * 5 nano-quantized EM sweeps on the driver; the oracle replays
-    * every sweep CTE-for-CTE. All-BIGINT output.
+    * UNSUPERVISED over a CANDIDATE pair stream — Winkler's classic
+    * mixture recipe, the step that turns a blocked pair source into a
+    * calibrated linkage model with no clerical sample. One distributed
+    * 2³-pattern census, 5 nano-quantized EM sweeps on the driver; the
+    * oracle replays every sweep CTE-for-CTE. All-BIGINT output.
+    *
+    * r13 (VERDICT #4): the registered pair source is now
+    * [[graft.text.Fuzzy.jaroDupPairs]]'s FORCED sorted-multiset
+    * deletion-signature join (q_jaro_sig's population, pairBudget=0) —
+    * pair volume tracks near-duplicate density, not Σ block², so the
+    * registry row demonstrates the 100 TB wiring instead of the
+    * quadratic in-block demo source (its ×10 was honestly 11.5×). The
+    * oracle defines the same pair set by its quadratic JW ≥ 0.975
+    * definition — hash equality doubles as the signature path's
+    * exactness certificate, exactly q_jaro_sig's contract. EM over
+    * blocked CANDIDATES (not all in-block pairs) is the production
+    * linkage posture: m/u are conditional on the candidate stream.
     */
   private def qLinkageEm(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    def sides(p: String) = c.select(col("c_custkey").as(s"k$p"),
-      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
-      col("c_name").as(s"nm$p"), col("c_acctbal").as(s"ab$p"))
-    val pairs = sides("a").join(sides("b"), Seq("nk", "seg"))
-      .filter(col("ka") < col("kb"))
+    val sig = graft.text.Fuzzy.jaroDupPairs(c, "c_custkey", "c_name",
+        Seq(col("c_nationkey"), col("c_mktsegment")), threshold = 0.975,
+        pairBudget = 0L)
+      .select(col("id_a"), col("id_b"),
+        col("str_a").as("nma"), col("str_b").as("nmb"))
+    def bal(p: String) = c.select(col("c_custkey").as(s"id_$p"),
+      col("c_acctbal").as(s"ab$p"))
+    val pairs = sig.join(bal("a"), "id_a").join(bal("b"), "id_b")
     graft.ops.Linkage.emFit(pairs, linkageFields.map(_.agree),
       iterations = 5, p0 = 0.05,
       m0 = linkageMu.map(_._1), u0 = linkageMu.map(_._2))
@@ -513,6 +527,7 @@ object JoinQueries {
        |  FROM customer a JOIN customer b
        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
        |    AND a.c_custkey < b.c_custkey
+       |  WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.975
        |  GROUP BY ${(1 to k).mkString(", ")}),
        |p0 AS (SELECT ${init.mkString(", ")}),
        |$sweeps

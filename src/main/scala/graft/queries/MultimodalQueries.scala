@@ -266,6 +266,9 @@ object MultimodalQueries {
       // (channel mapping per the q_frame_sample note: R ≡ 0, G ≡ 1,
       // B ≡ 2 mod 3 within the 12-byte frame), then the exact lag window
       // and the integer cross-multiplied 25% threshold (w·h = 4).
+      // n_cuts MUST stay CAST AS BIGINT: SUM(int) is HUGEINT in DuckDB
+      // and an int128 final column is driver-red (the r12 red row's whole
+      // cause — see q_fertility's docstring for the registry-wide scan).
       """WITH b AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |    octet_length(encode(text)) // 12 AS nf
@@ -291,7 +294,7 @@ object MultimodalQueries {
         |      > CAST(250000 AS BIGINT) * 255 * 4 * 1000 AS cut
         |  FROM lg)
         |SELECT doc_id, COUNT(*) AS n_frames,
-        |  SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS n_cuts,
+        |  CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
         |  CAST(MIN(CASE WHEN cut THEN i END) AS BIGINT) AS first_cut_idx
         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->

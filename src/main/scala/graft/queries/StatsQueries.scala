@@ -1368,9 +1368,13 @@ object StatsQueries {
        |ft AS (
        |  SELECT
        |    CAST(round(s1 * 1000000000.0) AS BIGINT) AS s1n,
-       |    CAST(round((so1 - s1 * sx1) / nd1 * 1000000000.0) AS BIGINT) AS a1n,
+       |    CASE WHEN nd1 > 0.0 THEN
+       |      CAST(round((so1 - s1 * sx1) / nd1 * 1000000000.0) AS BIGINT)
+       |    ELSE 0 END AS a1n,
        |    CAST(round(s0 * 1000000000.0) AS BIGINT) AS s0n,
-       |    CAST(round((so0 - s0 * sx0) / nd0 * 1000000000.0) AS BIGINT) AS a0n
+       |    CASE WHEN nd0 > 0.0 THEN
+       |      CAST(round((so0 - s0 * sx0) / nd0 * 1000000000.0) AS BIGINT)
+       |    ELSE 0 END AS a0n
        |  FROM sl),
        |w AS (
        |  SELECT y, o,
@@ -1399,10 +1403,14 @@ object StatsQueries {
        |  FROM w)
        |SELECT n, CAST(nt AS BIGINT) AS n_treated,
        |  round(b0, 6) AS b0, round(b1, 6) AS b1,
-       |  round(CAST(rg AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6)
-       |    AS reg_ate,
-       |  round(CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6) AS ate,
-       |  CASE WHEN CAST(ps2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)
+       |  CASE WHEN nt > 0 AND n - nt > 0 THEN
+       |    round(CAST(rg AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6)
+       |  END AS reg_ate,
+       |  CASE WHEN nt > 0 AND n - nt > 0 THEN
+       |    round(CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6)
+       |  END AS ate,
+       |  CASE WHEN nt > 0 AND n - nt > 0
+       |      AND CAST(ps2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)
        |      - (CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE))
        |        * (CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) >= 0.0
        |    THEN round(sqrt((CAST(ps2 AS DOUBLE) / 1000000000.0
@@ -1422,7 +1430,12 @@ object StatsQueries {
     * the grid collapse, and the nearest-control window CTE-for-CTE.
     */
   private def qPsm(s: SparkSession, dir: String): DataFrame = {
-    val perUser = t(s, dir, "events").groupBy(col("user_id")).agg(
+    // user_id IS NOT NULL on BOTH sides (engine filters non-castable ids
+    // internally; the oracle would keep a NULL group — the r12 ADVICE
+    // latent-divergence note), matching q_removal/q_gst/q_twfe's posture
+    val perUser = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(
       sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
       sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
       coalesce(sum(when(col("event_type") === "purchase",
@@ -1440,7 +1453,7 @@ object StatsQueries {
        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS cents
-       |  FROM events GROUP BY 1),
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
        |base AS (
        |  SELECT user_id AS id,
        |    CASE WHEN views >= 14 THEN 1.0 ELSE 0.0 END AS y,
@@ -6058,9 +6071,10 @@ object StatsQueries {
         |SELECT relation, child_rows,
         |  CAST(null_fk_rows AS BIGINT) AS null_fk_rows,
         |  CAST(orphan_rows AS BIGINT) AS orphan_rows,
-        |  CAST((CAST(orphan_rows AS HUGEINT) * 2000000 + child_rows)
-        |    // (CAST(child_rows AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
-        |    AS orphan_pct
+        |  CASE WHEN child_rows > 0 THEN
+        |    CAST((CAST(orphan_rows AS HUGEINT) * 2000000 + child_rows)
+        |      // (CAST(child_rows AS HUGEINT) * 2) AS DOUBLE) / 1000000.0
+        |  END AS orphan_pct
         |FROM (SELECT * FROM a UNION ALL SELECT * FROM b) u
         |ORDER BY relation""".stripMargin,
     "q_expectations" ->

@@ -1026,10 +1026,17 @@ object TextQueries {
     * context window) that sits beside q_bpe's trained merges. Exact
     * integer count sums, one aggregation. Ratios emit as INTEGER
     * micro-units (round-half-up of num*1e6/den via exact integral
-    * division on decimal products) — r12: the BIGINT columns carry no
-    * float surface at all, so no engine/driver double-canonicalization
-    * can diverge (two rounds of r10/r11 hash mismatches survived two
-    * different double-rounding schemes; integers end the class).
+    * division on decimal products).
+    *
+    * r13 root cause of the r10-r12 driver-red streak: the oracle
+    * re-emitted the CTE's `subwords`/`words` columns raw, and DuckDB's
+    * SUM(BIGINT) has type HUGEINT (int128) — local fetchall() coerces
+    * int128 to Python int (so every local compare was bit-exact), but
+    * the driver's canonicalization is type-sensitive there. A
+    * registry-wide type scan found HUGEINT final columns in EXACTLY the
+    * three driver-red rows (here, q_scene_cuts, q_sq8_recall) and
+    * nowhere else. Fix: CAST both to BIGINT; tools/compare_oracle.py
+    * now hard-fails any oracle emitting int128/unsigned finals.
     */
   private def qFertility(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -1854,7 +1861,8 @@ object TextQueries {
         |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS words,
         |    SUM(CAST(length(text) AS BIGINT)) AS chars
         |  FROM d GROUP BY 1)
-        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, subwords, words,
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(subwords AS BIGINT) AS subwords, CAST(words AS BIGINT) AS words,
         |  CASE WHEN words > 0 THEN
         |    CAST((CAST(subwords AS HUGEINT) * 2000000 + words)
         |      // (CAST(words AS HUGEINT) * 2) AS BIGINT)

@@ -48,9 +48,11 @@ class RegistryPlanGuardSpec extends AnyFunSuite {
       "EXACT top-2-NN audit: twoNnId hard-requires n <= maxVectors with a distributed count BEFORE the broadcast join (the hubnessAudit contract)",
     "q_ransac" ->
       "consensus scoring + refit: both broadcast sides are the <= candidates-row hypothesis table built from the md5-ordered plan-time LIMIT(2*candidates) sample (best is LIMIT 1)",
-    "q_harrell_c" ->
-      "duration×score grid densification: the cross spine joins the DISTINCT duration list with the DISTINCT score list (both domain-bounded; concordanceIndex hard-requires |T|·|S| <= maxGrid with a distributed count BEFORE building the spine) — today it also passes via the fixture's incidental grand-agg lineage, but the justification should not depend on cache state",
   )
+  // q_harrell_c needs no entry since r13: concordanceIndex collects its
+  // spine's smaller axis (≤ √maxGrid rows, require-counted first) into a
+  // literal frame, so the broadcast side is a LocalTableScan — recognized
+  // structurally by bounded() with caches cold.
 
   private def bounded(side: SparkPlan): Boolean = side.collectFirst {
     case a: HashAggregateExec if a.groupingExpressions.isEmpty => ()

@@ -11,6 +11,11 @@ import json, math, sys
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+# Engine provenance first (VERDICT r12 #5): every red-row adjudication
+# starts with "which DuckDB disagreed". The driver runs its own DuckDB
+# build; this line pins what the LOCAL compare ran.
+print(f"engines: duckdb={duckdb.__version__} (local compare; "
+      f"driver build may differ — see _meta.json for the Spark side)")
 con = duckdb.connect()
 for tbl in ["region", "nation", "customer", "supplier", "part", "orders",
             "lineitem", "events", "documents", "embeddings"]:
@@ -34,6 +39,26 @@ def canon(v):
     return repr(v)
 
 fails = 0
+# Oracle-type lint (root cause of the r10-r12 driver-red trio): DuckDB's
+# SUM(BIGINT) returns HUGEINT (int128). Python fetchall() coerces it to
+# int — so a LOCAL compare passes — but the driver's canonicalization is
+# type-sensitive for int128 and the row goes red driver-side only. Every
+# final oracle column must therefore be a type Spark parquet can also
+# carry. Hard-fail here so the class can never ship again. (int64-vs-int32
+# and DECIMAL-vs-DOUBLE cross-type pairs are driver-green-proven benign:
+# q_calibration/q_isotonic/q_pr_table.)
+EXOTIC = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+for name, sql in sorted(oracle.items()):
+    try:
+        rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+               if str(t) in EXOTIC]
+        if bad:
+            print(f"FAIL {name}: oracle emits driver-unsafe column type(s) "
+                  f"{bad} — CAST the aggregate to BIGINT")
+            fails += 1
+    except Exception:
+        pass  # the value compare below reports query errors
 for name, sql in sorted(oracle.items()):
     try:
         exp = con.sql(sql)
