@@ -63,6 +63,25 @@ object Bench {
           None
       }
     }
+    // Stall canary (r12 VERDICT #2): a FIXED null-work probe — pure
+    // codegen'd CPU over an in-memory range, no I/O, no shuffle reads —
+    // timed at bench start, every `canaryEvery` queries, and at the end.
+    // Its time can only move with host contention, so a driver-run whose
+    // wall-clock dwarfs its summed query time now carries the stall
+    // evidence INSIDE the artifact (canary_max/canary_min in the final
+    // metric line) instead of needing an out-of-band matched-load rerun.
+    val canary = scala.collection.mutable.ListBuffer.empty[(Double, Double)]
+    def runCanary(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32).selectExpr("sum(id * 3 + 1)").collect()
+      canary += (((System.currentTimeMillis() - benchStartMs) / 1e3,
+        (System.nanoTime() - t0) / 1e9))
+    }
+    val canaryEvery = 25
+    // one unrecorded warmup so sample 1 measures the host, not codegen
+    spark.range(0L, 20000000L, 1L, 32).selectExpr("sum(id * 3 + 1)").collect()
+    runCanary()
+    var sinceCanary = 0
     val results = selected.flatMap { case (name, fn) =>
       val startS = (System.currentTimeMillis() - benchStartMs) / 1e3
       loadAt(name) = loadNow
@@ -70,8 +89,11 @@ object Bench {
       if (times.nonEmpty && Caches.totalEntries > 0)
         timed(fn, name).foreach(w => warmTimes(name) = w) // memo left warm by run 2
       wallClock(name) = (startS, (System.currentTimeMillis() - benchStartMs) / 1e3)
+      sinceCanary += 1
+      if (sinceCanary >= canaryEvery) { sinceCanary = 0; runCanary() }
       if (times.size < 2 || failures.contains(name)) None else Some(name -> times.min)
     }
+    runCanary()
     // Null-sink pass (recorded BESIDE the anchor, never in the total —
     // anchor comparability): the `count()` action column-prunes PURE-
     // PROJECTION queries to scan+sort, so their per-row expression work
@@ -128,18 +150,29 @@ object Bench {
     val loads = loadAt.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    val sink = nullSink.toSeq.sortBy(_._1)
+    val sinkMap = nullSink.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
+    val canaries = canary.toSeq
+      .map { case (at, s) => s"[${fmt(at)},${fmt(s)}]" }
+      .mkString("[", ",", "]")
     val perQueryLine =
-      s"""{"per_query":$qs,"warm":$warm,"null_sink":$sink,"load_at_start":$loads,"wall_clock":$wall,"failed_detail":$failedJson,"sf":"$sfDir","metric_of":"$metric"}"""
+      s"""{"per_query":$qs,"warm":$warm,"null_sink":$sinkMap,"load_at_start":$loads,"wall_clock":$wall,"canary":$canaries,"failed_detail":$failedJson,"sf":"$sfDir","metric_of":"$metric"}"""
     try {
       val w = new java.io.PrintWriter("bench_queries.json", "UTF-8")
       try w.println(perQueryLine) finally w.close()
     } catch { case _: Throwable => () } // file is best-effort; stdout is the contract
     println(perQueryLine)
     val failedNames = failures.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedNames,"sf":"$sfDir","load":${fmt(load)},"excluded_validation_n":$nExcluded,"queries":"bench_queries.json"}""")
+    // Canary + load summaries in the FINAL line (the one that always
+    // survives the harness's stdout tail): canary_max >> canary_min, or
+    // load_max >> load, IS the in-artifact proof of a host stall.
+    val cTimes = canary.map(_._2)
+    val canarySummary =
+      if (cTimes.isEmpty) """"canary_n":0"""
+      else s""""canary_n":${cTimes.size},"canary_min":${fmt(cTimes.min)},"canary_max":${fmt(cTimes.max)}"""
+    val loadMax = (loadAt.values ++ Seq(load)).max
+    println(s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedNames,"sf":"$sfDir","load":${fmt(load)},"load_max":${fmt(loadMax)},$canarySummary,"excluded_validation_n":$nExcluded,"queries":"bench_queries.json"}""")
     spark.stop()
   }
 }

@@ -875,6 +875,124 @@ object EmbedQueries {
       t(s, dir, "embeddings").filter(col("embedding").isNotNull),
       "vec_id", col("embedding"), slice(col("embedding"), 1, 16))
 
+  /** Moment-form MMD² ([[Similarity.mmdMoment]]) between the label-1
+    * and label-0 embedding populations — the MULTIVARIATE two-sample
+    * drift readout beside q_embed_drift's per-dim marginal PSI: the
+    * linear-kernel term is the mean-shift ‖μ₁ − μ₀‖², the
+    * quadratic-kernel term adds covariance-rotation sensitivity
+    * (‖M₁ − M₀‖²_F over uncentered second moments) that marginal
+    * histograms cannot see. Closed moment form: no pair sampling, no
+    * kernel matrix — two cell passes, output corpus-size-free.
+    */
+  private def qMmd(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmdMoment(
+      t(s, dir, "embeddings").filter(col("label").isin(0, 1)),
+      "vec_id", "embedding", col("label") === 1)
+
+  private def mmdOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT CASE WHEN label = 1 THEN 1 ELSE 0 END AS g,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+       |  FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+       |    AND label IN (0, 1)),
+       |tot AS (SELECT SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS na,
+       |    SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS nb,
+       |    MAX(len(a)) AS d FROM e),
+       |mg AS (
+       |  SELECT g, i,
+       |    CAST(SUM(CAST(round(x * 1000000000.0) AS HUGEINT)) AS DOUBLE)
+       |      / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS m
+       |  FROM (SELECT g, unnest(a) AS x,
+       |      unnest(range(1, len(a) + 1)) AS i FROM e) u
+       |  GROUP BY 1, 2),
+       |lin AS (
+       |  SELECT SUM(CAST(round((ma - mb) * (ma - mb) * 1000000000.0)
+       |    AS HUGEINT)) AS lin
+       |  FROM (SELECT i, SUM(CASE WHEN g = 1 THEN m ELSE 0.0 END) AS ma,
+       |      SUM(CASE WHEN g = 0 THEN m ELSE 0.0 END) AS mb
+       |    FROM mg GROUP BY 1) t),
+       |qg AS (
+       |  SELECT g, i, j,
+       |    CAST(SUM(CAST(round(x * y * 1000000000000.0) AS HUGEINT)) AS DOUBLE)
+       |      / 1000000000000.0 / CAST(COUNT(*) AS DOUBLE) AS mm
+       |  FROM (SELECT g, i, x, unnest(range(1, len(bv) + 1)) AS j,
+       |      unnest(bv) AS y
+       |    FROM (SELECT g, unnest(a) AS x,
+       |        unnest(range(1, len(a) + 1)) AS i, a AS bv FROM e) t1) t2
+       |  GROUP BY 1, 2, 3),
+       |quad AS (
+       |  SELECT SUM(CAST(round((qa - qb) * (qa - qb) * 1000000000.0)
+       |    AS HUGEINT)) AS quad
+       |  FROM (SELECT i, j, SUM(CASE WHEN g = 1 THEN mm ELSE 0.0 END) AS qa,
+       |      SUM(CASE WHEN g = 0 THEN mm ELSE 0.0 END) AS qb
+       |    FROM qg GROUP BY 1, 2) t)
+       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  CAST(d AS BIGINT) AS dims,
+       |  CASE WHEN na > 0 AND nb > 0 THEN
+       |    round(CAST(lin AS DOUBLE) / 1000000000.0, 6) END AS mmd2_linear,
+       |  CASE WHEN na > 0 AND nb > 0 THEN
+       |    round(CAST(quad AS DOUBLE) / 1000000000.0, 6) END AS mmd2_quadratic
+       |FROM tot CROSS JOIN lin CROSS JOIN quad""".stripMargin
+
+  /** Participation ratio + diagonal mass ([[Similarity.effectiveRank]])
+    * of the 64-dim embedding covariance: the whole-spectrum
+    * rank-collapse screen (tr(C)²/tr(C²), stable rank of C^½) and the
+    * correlation audit (diag share of ‖C‖²_F) — reads the geometry
+    * q_pca's single top component and q_matryoshka's prefix-mass curve
+    * both miss, from the SAME d²-cell moment pass q_cka rides (no
+    * eigensolve, no driver matrix). Collapse → 1, isotropic → 64.
+    */
+  private def qEffectiveRank(s: SparkSession, dir: String): DataFrame =
+    Similarity.effectiveRank(t(s, dir, "embeddings"), "vec_id", "embedding")
+
+  private def effectiveRankOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+       |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |tot AS (SELECT COUNT(*) AS n, MAX(len(a)) AS d FROM e),
+       |cc AS (
+       |  SELECT i, j, CAST(sxy AS DOUBLE) / 1000000000000.0 / nd
+       |      - (CAST(sx AS DOUBLE) / 1000000000.0 / nd)
+       |        * (CAST(sy AS DOUBLE) / 1000000000.0 / nd) AS c
+       |  FROM (
+       |    SELECT i, j, SUM(CAST(round(x * y * 1000000000000.0)
+       |      AS HUGEINT)) AS sxy
+       |    FROM (
+       |      SELECT i, x, unnest(range(1, len(bv) + 1)) AS j,
+       |        unnest(bv) AS y
+       |      FROM (SELECT unnest(a) AS x,
+       |          unnest(range(1, len(a) + 1)) AS i, a AS bv
+       |        FROM e) t1) t2
+       |    GROUP BY 1, 2) cells
+       |  JOIN (SELECT i, SUM(CAST(round(x * 1000000000.0) AS HUGEINT)) AS sx
+       |    FROM (SELECT unnest(a) AS x,
+       |        unnest(range(1, len(a) + 1)) AS i FROM e) u
+       |    GROUP BY 1) ma USING (i)
+       |  JOIN (SELECT j, SUM(CAST(round(x * 1000000000.0) AS HUGEINT)) AS sy
+       |    FROM (SELECT unnest(a) AS x,
+       |        unnest(range(1, len(a) + 1)) AS j FROM e) u
+       |    GROUP BY 1) mb USING (j)
+       |  CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM e) tt),
+       |ag AS (
+       |  SELECT SUM(CAST(round(c * c * 1000000000.0) AS HUGEINT)) AS f2,
+       |    SUM(CASE WHEN i = j THEN CAST(round(c * 1000000000.0) AS HUGEINT)
+       |      ELSE 0 END) AS tr,
+       |    SUM(CASE WHEN i = j THEN CAST(round(c * c * 1000000000.0) AS HUGEINT)
+       |      ELSE 0 END) AS dg
+       |  FROM cc)
+       |SELECT n, CAST(d AS BIGINT) AS dims,
+       |  round(CAST(tr AS DOUBLE) / 1000000000.0, 6) AS trace,
+       |  CASE WHEN f2 > 0 THEN
+       |    round((CAST(tr AS DOUBLE) / 1000000000.0)
+       |      * (CAST(tr AS DOUBLE) / 1000000000.0)
+       |      / (CAST(f2 AS DOUBLE) / 1000000000.0), 6)
+       |  END AS participation_ratio,
+       |  CASE WHEN f2 > 0 THEN
+       |    round(CAST(dg AS DOUBLE) / CAST(f2 AS DOUBLE), 6)
+       |  END AS diag_mass
+       |FROM tot CROSS JOIN ag""".stripMargin
+
   private def ckaOracleSql: String = {
     def f2(aCol: String, bCol: String, name: String): String =
       s"""$name AS (
@@ -1077,6 +1195,8 @@ object EmbedQueries {
     "q_sq8_recall" -> (qSq8Recall _),
     "q_align_uniform" -> (qAlignUniform _),
     "q_cka" -> (qCka _),
+    "q_effective_rank" -> (qEffectiveRank _),
+    "q_mmd" -> (qMmd _),
     "q_hubness" -> (qHubness _),
     "q_twonn" -> (qTwoNn _),
     "q_matryoshka" -> (qMatryoshka _),
@@ -1307,6 +1427,8 @@ object EmbedQueries {
         |FROM cn""".stripMargin,
     "q_align_uniform" -> alignUniformOracleSql,
     "q_cka" -> ckaOracleSql,
+    "q_effective_rank" -> effectiveRankOracleSql,
+    "q_mmd" -> mmdOracleSql,
     "q_hubness" -> hubnessOracleSql,
     "q_twonn" -> twoNnOracleSql,
     "q_sq8_recall" ->

@@ -868,6 +868,157 @@ object Similarity {
           round(d("__fxy") / sqrt(d("__fxx") * d("__fyy")), 6)).as("cka"))
   }
 
+  /** Participation-ratio / effective-rank audit of the embedding
+    * covariance — the eigendecomposition-free rank-collapse screen
+    * every representation-health dashboard wants beside [[linearCka]]:
+    *
+    *   participation_ratio = tr(C)² / tr(C²) ∈ [1, d]
+    *     (Vershynin's stable rank of C^½: 1 = all variance on one
+    *      axis — collapsed — d = perfectly isotropic; unlike a top-k
+    *      eigen readout it weighs the WHOLE spectrum)
+    *   diag_mass = Σᵢ C_ii² / ‖C‖²_F ∈ (0, 1]
+    *     (1 = uncorrelated dimensions; low = variance hides in
+    *      cross-dim correlation the per-dim variances can't see)
+    *
+    * The trick that keeps this distributed and oracle-exact: tr(C²) =
+    * ‖C‖²_F and tr(C) need only the d² column-covariance CELLS, never
+    * an eigensolve or a driver matrix — so the whole statistic is
+    * [[linearCka]]'s moment-form pass with both sides the same vector:
+    * per-cell C_ij = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n) from pico-quantized
+    * exact DECIMAL sums, each cell's contributions nano-quantized
+    * BEFORE the exact d²-cell fold (order-free), final ratios one
+    * fixed IEEE tree at 6 dp.
+    *
+    * Returns one row `(n, dims, trace, participation_ratio,
+    * diag_mass)`; null ratios when ‖C‖²_F = 0 (a constant store).
+    *
+    * Scale shape: one chained-posexplode pipeline (no row join); the
+    * only shuffles are the (i,j)-keyed map-combined sums — ≤ d² + d
+    * cells regardless of corpus size. Work is O(n·d²).
+    */
+  def effectiveRank(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def pico(c: Column): Column = round(c * lit(1e12), 0).cast(dec)
+    def nanoL(c: Column): Column = round(c * lit(1e9), 0).cast("long")
+    val base = df.select(col(idCol).as("__id"), toDoubleArr(col(vecCol)).as("__a"))
+      .filter(col("__id").isNotNull && col("__a").isNotNull)
+    val tot = base.agg(count(lit(1)).as("__n"), max(size(col("__a"))).as("__d"))
+    val dimSums = base
+      .select(posexplode(col("__a")).as(Seq("__i", "__x")))
+      .groupBy(col("__i"))
+      .agg(sum(round(col("__x") * lit(1e9), 0).cast(dec)).as("__s"))
+    val cells = base
+      .select(col("__a").as("__bv"), posexplode(col("__a")).as(Seq("__i", "__x")))
+      .select(col("__i"), col("__x"), posexplode(col("__bv")).as(Seq("__j", "__y")))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(pico(col("__x") * col("__y"))).as("__sxy"))
+    val mx = dimSums.withColumnRenamed("__s", "__sx")
+    val my = dimSums.withColumnRenamed("__s", "__sy").withColumnRenamed("__i", "__j")
+    val nd = col("__n").cast("double")
+    val ccell = col("__sxy").cast("double") / lit(1e12) / nd -
+      (col("__sx").cast("double") / lit(1e9) / nd) *
+        (col("__sy").cast("double") / lit(1e9) / nd)
+    val ag = cells.join(broadcast(mx), "__i").join(broadcast(my), "__j")
+      .crossJoin(broadcast(tot.select(col("__n"))))
+      .select(col("__i"), col("__j"),
+        nanoL(ccell * ccell).as("__c2"), nanoL(ccell).as("__c1"))
+      .agg(sum(col("__c2").cast(dec)).as("__f2"),
+        sum(when(col("__i") === col("__j"), col("__c1")).otherwise(0L).cast(dec))
+          .as("__tr"),
+        sum(when(col("__i") === col("__j"), col("__c2")).otherwise(0L).cast(dec))
+          .as("__dg"))
+    def d9(c: String): Column = col(c).cast("double") / lit(1e9)
+    tot.crossJoin(ag)
+      .select(col("__n").as("n"), col("__d").cast("long").as("dims"),
+        round(d9("__tr"), 6).as("trace"),
+        when(col("__f2") > 0,
+          round(d9("__tr") * d9("__tr") / d9("__f2"), 6))
+          .as("participation_ratio"),
+        when(col("__f2") > 0,
+          round(col("__dg").cast("double") / col("__f2").cast("double"), 6))
+          .as("diag_mass"))
+  }
+
+  /** Moment-form MMD² two-sample test between two embedding
+    * populations (Gretton et al. 2012, closed-form kernels) — the
+    * MULTIVARIATE drift statistic beside the per-dim marginal PSI of
+    * `Drift.psiPerDim`: a mean shift that cancels per-dimension, or a
+    * covariance rotation with identical marginals, shows here and
+    * nowhere else.
+    *
+    *   linear kernel  k(x,y) = x·y     ⇒ MMD² = ‖μ_a − μ_b‖²
+    *   quadratic      k(x,y) = (x·y)²  ⇒ MMD² = ‖M_a − M_b‖²_F,
+    *     M_g(i,j) = E_g[xᵢxⱼ]  (the uncentered second-moment matrix)
+    *
+    * Both are PLUG-IN (biased/V-statistic) estimates in closed moment
+    * form: no pair sampling, no kernel matrix — one scan per group for
+    * the d mean cells and d² second-moment cells ([[linearCka]]'s
+    * pipeline), per-cell differences squared and nano-quantized BEFORE
+    * the exact fold, final emissions one IEEE division + 6 dp round.
+    *
+    * Returns one row `(n_a, n_b, dims, mmd2_linear, mmd2_quadratic)`;
+    * null statistics when either group is empty.
+    *
+    * Scale shape: two chained-posexplode passes (no row join); shuffles
+    * only the ≤ 2(d² + d) cells. Work O(n·d²), output corpus-size-free.
+    */
+  def mmdMoment(df: DataFrame, idCol: String, vecCol: String,
+                inGroupA: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def pico(c: Column): Column = round(c * lit(1e12), 0).cast(dec)
+    def nanoL(c: Column): Column = round(c * lit(1e9), 0).cast("long")
+    val base = df.select(col(idCol).as("__id"), toDoubleArr(col(vecCol)).as("__a"),
+        when(inGroupA, 1).otherwise(0).as("__g"))
+      .filter(col("__id").isNotNull && col("__a").isNotNull)
+    val tot = base.agg(
+      sum(when(col("__g") === 1, 1L).otherwise(0L)).as("__na"),
+      sum(when(col("__g") === 0, 1L).otherwise(0L)).as("__nb"),
+      max(size(col("__a"))).as("__d"))
+    // per-(group, i) mean cells: nano raw sums, mean resolved in double
+    val means = base
+      .select(col("__g"), posexplode(col("__a")).as(Seq("__i", "__x")))
+      .groupBy(col("__g"), col("__i"))
+      .agg(sum(round(col("__x") * lit(1e9), 0).cast(dec)).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("__i"), col("__g"),
+        (col("__s").cast("double") / lit(1e9) / col("__n").cast("double"))
+          .as("__m"))
+    val mLin = means.groupBy(col("__i"))
+      .agg(sum(when(col("__g") === 1, col("__m")).otherwise(lit(0.0))).as("__ma"),
+        sum(when(col("__g") === 0, col("__m")).otherwise(lit(0.0))).as("__mb"))
+      .select(nanoL((col("__ma") - col("__mb")) * (col("__ma") - col("__mb")))
+        .as("__dm2"))
+      .agg(sum(col("__dm2").cast(dec)).as("__lin"))
+    // per-(group, i, j) second-moment cells: each group-g row contributes
+    // exactly one product to cell (g, i, j), so the cell count IS n_g and
+    // M_g(i,j) resolves per cell with no extra pass
+    val mQuad = base
+      .select(col("__g"), col("__a").as("__bv"),
+        posexplode(col("__a")).as(Seq("__i", "__x")))
+      .select(col("__g"), col("__i"), col("__x"),
+        posexplode(col("__bv")).as(Seq("__j", "__y")))
+      .groupBy(col("__g"), col("__i"), col("__j"))
+      .agg(sum(pico(col("__x") * col("__y"))).as("__sxy"),
+        count(lit(1)).as("__nc"))
+      .select(col("__i"), col("__j"), col("__g"),
+        (col("__sxy").cast("double") / lit(1e12) / col("__nc").cast("double"))
+          .as("__mm"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(when(col("__g") === 1, col("__mm")).otherwise(lit(0.0))).as("__qa"),
+        sum(when(col("__g") === 0, col("__mm")).otherwise(lit(0.0))).as("__qb"))
+      .select(nanoL((col("__qa") - col("__qb")) * (col("__qa") - col("__qb")))
+        .as("__dq2"))
+      .agg(sum(col("__dq2").cast(dec)).as("__quad"))
+    val ok = col("__na") > 0L && col("__nb") > 0L
+    tot.crossJoin(mLin).crossJoin(mQuad)
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__d").cast("long").as("dims"),
+        when(ok, round(col("__lin").cast("double") / lit(1e9), 6))
+          .as("mmd2_linear"),
+        when(ok, round(col("__quad").cast("double") / lit(1e9), 6))
+          .as("mmd2_quadratic"))
+  }
+
   /** Alignment / uniformity probe (Wang & Isola 2020) over DETERMINISTIC
     * id-offset pairs: per offset K, pair vector i with vector i+K and
     * report

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testing.TestSpark
+import graft.testing.DfAssert.createDf
+
+/** Round-13 additions: the covariance participation-ratio audit
+  * ([[graft.text.Similarity.effectiveRank]]) and the structural
+  * literal-axis grid spine in
+  * [[graft.ops.Survival.concordanceIndex]].
+  */
+class Round13OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def erank(rows: Seq[Seq[Double]]) =
+    graft.text.Similarity.effectiveRank(
+      createDf(spark, "id bigint, v array<double>",
+        rows.zipWithIndex.map { case (v, i) => Seq[Any](i.toLong, v) }),
+      "id", "v").head()
+
+  test("effectiveRank: isotropic 2-dim cross hits PR = d = 2, diag_mass = 1") {
+    // mean 0, C = diag(1/2, 1/2): tr = 1, ||C||_F^2 = 1/2 -> PR = 2
+    val r = erank(Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0), Seq(0.0, 1.0), Seq(0.0, -1.0)))
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-5, "trace")
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-4, "participation ratio")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-5, "diag mass")
+  }
+
+  test("effectiveRank: rank-collapsed store hits PR = 1") {
+    // all variance on axis 1: C = diag(5, 0) -> PR = 25/25 = 1
+    val r = erank(Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0), Seq(3.0, 0.0), Seq(-3.0, 0.0)))
+    assert(math.abs(r.getDouble(2) - 5.0) < 1e-5, "trace")
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-4, "collapsed PR")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-5, "diagonal-only mass")
+  }
+
+  test("effectiveRank: perfectly correlated dims show in diag_mass, not PR") {
+    // C = [[1,1],[1,1]]: tr = 2, fro = 4 -> PR = 1 (rank 1), diag 2/4
+    val r = erank(Seq(Seq(1.0, 1.0), Seq(-1.0, -1.0)))
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-5, "trace")
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-4, "rank-1 PR")
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-5,
+      "half the Frobenius mass is off-diagonal correlation")
+  }
+
+  test("effectiveRank: constant store nulls both ratios") {
+    val r = erank(Seq(Seq(2.0, 3.0), Seq(2.0, 3.0), Seq(2.0, 3.0)))
+    assert(r.isNullAt(3) && r.isNullAt(4), "zero covariance -> null ratios")
+    assert(math.abs(r.getDouble(2)) < 1e-6, "zero trace")
+  }
+
+  private def mmd(a: Seq[Seq[Double]], b: Seq[Seq[Double]]) =
+    graft.text.Similarity.mmdMoment(
+      createDf(spark, "id bigint, v array<double>, lbl int",
+        (a.map(v => (v, 1)) ++ b.map(v => (v, 0))).zipWithIndex.map {
+          case ((v, g), i) => Seq[Any](i.toLong, v, g)
+        }),
+      "id", "v", col("lbl") === 1).head()
+
+  test("mmdMoment: identical populations score zero on both kernels") {
+    val p = Seq(Seq(1.0, 2.0), Seq(-1.0, 0.5))
+    val r = mmd(p, p)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+  }
+
+  test("mmdMoment: hand-computed mean shift hits both kernels") {
+    // A: mu=(1,0), M=[[1,0],[0,0]]; B: mu=(0,1), M=[[0,0],[0,1]]
+    // linear = 1+1 = 2; quadratic = 1+0+0+1 = 2
+    val r = mmd(Seq(Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      Seq(Seq(0.0, 1.0), Seq(0.0, 1.0)))
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-5, "mmd2_linear")
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-5, "mmd2_quadratic")
+  }
+
+  test("mmdMoment: covariance rotation with IDENTICAL marginals — only the quadratic kernel sees it") {
+    // A = {(1,1),(-1,-1)}, B = {(1,-1),(-1,1)}: same per-dim marginals
+    // ({-1,1} each), same means (0), M_a=[[1,1],[1,1]], M_b=[[1,-1],[-1,1]]
+    // -> linear 0, quadratic = 2*(1-(-1))^2 = 8 (the per-dim-PSI blind spot)
+    val r = mmd(Seq(Seq(1.0, 1.0), Seq(-1.0, -1.0)),
+      Seq(Seq(1.0, -1.0), Seq(-1.0, 1.0)))
+    assert(r.getDouble(3) == 0.0, "marginal view is blind")
+    assert(math.abs(r.getDouble(4) - 8.0) < 1e-5, "second moments see the rotation")
+  }
+
+  test("mmdMoment: an empty side nulls both statistics") {
+    val r = mmd(Seq(Seq(1.0, 2.0)), Seq.empty)
+    assert(r.getLong(1) == 0L && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("concordanceIndex: literal-axis spine preserves the hand-computed C") {
+    // same fixture family as Round12OpsSpec's concordance test: subjects
+    // (t, e, s) = (1,1,30), (2,1,20), (3,0,10)
+    // comparable: (1,2): 30>20 concordant; (1,3): 30>10 concordant;
+    //             (2,3): 20>10 concordant -> C = 1
+    val df = createDf(spark, "t bigint, e bigint, s bigint",
+      Seq(Seq[Any](1L, 1L, 30L), Seq[Any](2L, 1L, 20L), Seq[Any](3L, 0L, 10L)))
+    val r = Survival.concordanceIndex(df, col("t"), col("e"), col("s")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 3L, "comparable pairs")
+    assert(r.getLong(3) == 3L, "concordant pairs")
+    assert(r.getLong(5) == 1000000000L, "C = 1 in nano units")
+  }
+
+  test("concordanceIndex: the grid spine's broadcast side is a LocalTableScan") {
+    val df = createDf(spark, "t bigint, e bigint, s bigint",
+      (1 to 20).map(i => Seq[Any](i.toLong % 5, i.toLong % 2, i.toLong % 7)))
+    val plan = Survival.concordanceIndex(df, col("t"), col("e"), col("s"))
+      .queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.nonEmpty, "cross spine plans a nested-loop join")
+    assert(bnlj.forall { j =>
+      val side = if (j.buildSide == BuildLeft) j.left else j.right
+      side.collectFirst { case _: LocalTableScanExec => () }.isDefined
+    }, "every spine broadcast side is a literal frame, cache-state-free")
+  }
+}
