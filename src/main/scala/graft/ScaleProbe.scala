@@ -49,12 +49,14 @@ object ScaleProbe {
     // (query, how to read its round count after a run)
     val componentRounds = () => Some(graft.text.Dedup.lastComponentRounds.toLong)
     val kcoreRounds = () => Some(graft.ops.Graph.lastKcoreRounds.toLong)
+    val ktrussRounds = () => Some(graft.ops.Graph.lastKtrussRounds.toLong)
     val noRounds = () => Option.empty[Long]
     val defaults: Seq[(String, () => Option[Long])] = Seq(
       "q_dup_components" -> componentRounds,
       "q_semdedup" -> componentRounds,
       "q_group_split" -> componentRounds,
       "q_kcore" -> kcoreRounds,
+      "q_ktruss" -> ktrussRounds,
       "q_gk_index" -> noRounds,     // iters_run column
       "q_tpd_index" -> noRounds,    // iters_run column
       "q_stationary" -> noRounds,   // iters_run column

@@ -146,6 +146,93 @@ object Graph {
     degrees(cur).select(col("x").as("node"), col("d").as("core_degree"))
   }
 
+  /** Peel rounds the most recent [[kTruss]] call ran — the ScaleProbe
+    * diagnostic, same contract as [[lastKcoreRounds]].
+    */
+  @volatile private[graft] var lastKtrussRounds: Int = -1
+
+  /** k-truss decomposition: the maximal subgraph in which every EDGE
+    * closes at least k−2 triangles — the edge-cohesion dual of
+    * [[kCore]] (a k-truss is a (k−1)-core, but far stricter: bridges
+    * and star hubs that survive coring die here), the standard
+    * community-seed / spam-nucleus extractor when degree alone
+    * over-admits.
+    *
+    * Iterative support peeling: count per-edge triangle support, drop
+    * edges below k−2, repeat to fixpoint. Like coring, peeling is
+    * CONFLUENT (drop order never changes the fixpoint), so rounds may
+    * batch-delete and an oracle may unroll spare rounds past
+    * convergence without changing the result.
+    *
+    * Each round enumerates triangles with [[triangleCount]]'s
+    * degree-ordered wedge discipline (every triangle generated at its
+    * lowest-(degree, id) vertex exactly once, wedge fan-out O(√m)) and
+    * folds each triangle into its three canonical edges — one
+    * map-combined support aggregation + one semi-join per round, state
+    * localCheckpointed round-flat. `maxRounds` is a runaway backstop
+    * that RAISES rather than returning a non-fixpoint (the kCore
+    * contract).
+    *
+    * @return (u, v, support) for surviving canonical edges — support
+    *         counted WITHIN the truss, >= k−2 by construction
+    */
+  def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
+             maxRounds: Int = 16): DataFrame = {
+    require(k >= 3 && k <= 64, s"k must be in [3, 64]: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val minSup = (k - 2).toLong
+    def support(e: DataFrame): DataFrame = {
+      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val oriented = e
+        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+        .select(
+          when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("a"), col("v").as("b")))
+            .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .repartition(col("a"))
+      val w1 = oriented.select(col("a"), col("b").as("n1"))
+      val w2 = oriented.select(col("a"), col("b").as("n2"))
+      val tri = w1.join(w2, Seq("a")).filter(col("n1") < col("n2"))
+        .join(e, col("n1") === col("u") && col("n2") === col("v"))
+        .select(col("a"), col("n1"), col("n2"))
+      // fold each triangle into its three canonical (u < v) edges
+      tri.select(explode(array(
+          struct(least(col("a"), col("n1")).as("u"),
+            greatest(col("a"), col("n1")).as("v")),
+          struct(least(col("a"), col("n2")).as("u"),
+            greatest(col("a"), col("n2")).as("v")),
+          struct(col("n1").as("u"), col("n2").as("v")))).as("t"))
+        .select(col("t.u").as("u"), col("t.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    }
+    var cur = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+      .localCheckpoint(true)
+    var prevCount = cur.count()
+    var converged = prevCount == 0L
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val keep = support(cur).filter(col("support") >= minSup)
+        .select(col("u"), col("v"))
+      val next = cur.join(keep, Seq("u", "v"), "left_semi").localCheckpoint(true)
+      val n = next.count()
+      converged = n == prevCount
+      prevCount = n
+      cur = next
+      rounds += 1
+    }
+    lastKtrussRounds = rounds
+    if (!converged) throw new IllegalStateException(
+      s"kTruss did not converge within $maxRounds rounds (depth exceeds backstop)")
+    support(cur).select(col("u"), col("v"), col("support"))
+  }
+
   /** Personalized PageRank — [[pageRank]]'s recurrence with the restart
     * mass concentrated on a SOURCE SET instead of spread uniformly:
     * ranks answer "important relative to these seeds" (related-item

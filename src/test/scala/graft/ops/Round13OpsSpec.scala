@@ -91,6 +91,44 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 0L && r.isNullAt(3) && r.isNullAt(4))
   }
 
+  private def truss(edges: Seq[(Long, Long)], k: Int) =
+    graft.ops.Graph.kTruss(
+      createDf(spark, "a bigint, b bigint",
+        edges.map { case (x, y) => Seq[Any](x, y) }),
+      "a", "b", k)
+
+  test("kTruss: K4 survives 4-truss with support 2 per edge; pendant edge dies") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val r = truss(k4 :+ (4L, 9L), 4).collect().map(r0 =>
+      (r0.getLong(0), r0.getLong(1), r0.getLong(2))).sorted
+    assert(r.length == 6, "exactly the clique's edges survive")
+    assert(r.forall(_._3 == 2L), "every K4 edge closes 2 triangles")
+    assert(!r.exists(t => t._1 == 9L || t._2 == 9L), "pendant edge peeled")
+  }
+
+  test("kTruss: a bridge between two cliques is peeled, both cliques survive") {
+    val c1 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val c2 = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val r = truss(c1 ++ c2 :+ (4L, 5L), 4).collect()
+    assert(r.length == 12, "both cliques, no bridge")
+    assert(!r.exists(x => x.getLong(0) == 4L && x.getLong(1) == 5L))
+  }
+
+  test("kTruss: k above the clique's truss number empties the graph") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(truss(k4, 5).count() == 0L, "K4 has truss number 4")
+  }
+
+  test("kTruss: idempotent at the fixpoint (confluence contract)") {
+    val c1 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 5L), (3L, 5L))
+    val once = truss(c1, 4)
+    val again = graft.ops.Graph.kTruss(
+      once.select(col("u").as("a"), col("v").as("b")), "a", "b", 4)
+    assert(once.collect().map(_.toSeq).toSet ==
+      again.collect().map(_.toSeq).toSet)
+  }
+
   test("concordanceIndex: literal-axis spine preserves the hand-computed C") {
     // same fixture family as Round12OpsSpec's concordance test: subjects
     // (t, e, s) = (1,1,30), (2,1,20), (3,0,10)
