@@ -632,6 +632,74 @@ object Regression {
       when(ok, round(mu1 - mu0, 6)).as("ate"))
   }
 
+  /** Positivity / common-support audit — the assumption check EVERY
+    * member of the causal family ([[ipwAte]], [[aipwAte]], [[psmAtt]])
+    * silently rests on: are there treated AND control units at every
+    * level of the propensity? Trains the same [[logisticFitNano]]
+    * Newton propensity (identical nano-integer carry, so one unrolled
+    * CTE chain replays it), clips to the family's [0.01, 0.99] overlap
+    * trim, micro-quantizes p̂ (the [[psmAtt]] grid discipline), and
+    * bins it into `bins` equal-width cells:
+    *
+    *   (bin, n_treated, n_control, share_t_micros, share_c_micros,
+    *    min_share_micros)
+    *
+    * — one row per OCCUPIED bin. Bins where either count is 0 are the
+    * positivity violations (IPW weights explode there; PSM finds no
+    * match); Σ min-shares across bins is the overlap coefficient. All
+    * shares emit as exact integral-division micros (no float surface).
+    *
+    * Raises on a degenerate propensity fit — an audit of a model that
+    * did not train would read as a clean bill.
+    *
+    * Scale shape: `iterations` training scans + ONE binning
+    * aggregation (≤ `bins` cells) + a grand-total broadcast. Nothing
+    * shuffles row data; output is bin-bounded at any corpus size.
+    */
+  def positivityAudit(df: DataFrame, treated: Column, x: Column,
+                      iterations: Int = 4, bins: Int = 20): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations out of range: $iterations")
+    require(bins >= 2 && bins <= 1000, s"bins out of range: $bins")
+    val base = df.select(
+        when(treated, 1.0).otherwise(0.0).as("__y"),
+        x.cast("double").as("__x"))
+      .filter(col("__y").isNotNull && col("__x").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
+    require(!degenerate,
+      "positivityAudit: the propensity fit is degenerate (constant x?) — " +
+        "an overlap audit of an untrained model would be vacuous")
+    val b0 = b0n.toDouble / 1e9
+    val b1 = b1n.toDouble / 1e9
+    val p = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("__x"))))
+    val pc = least(greatest(p, lit(0.01)), lit(0.99))
+    val g = base
+      .select(col("__y"), round(pc * lit(1e6), 0).cast("long").as("__pm"))
+      .select(col("__y"),
+        least(expr(s"(__pm * $bins) div 1000000"), lit((bins - 1).toLong))
+          .as("bin"))
+      .groupBy(col("bin")).agg(
+        sum(when(col("__y") === 1.0, 1L).otherwise(0L)).as("n_treated"),
+        sum(when(col("__y") === 1.0, 0L).otherwise(1L)).as("n_control"))
+    base.unpersist(false)
+    val tot = g.agg(sum(col("n_treated")).as("__nt_all"),
+      sum(col("n_control")).as("__nc_all"))
+    def share(cnt: String, all: String): Column =
+      expr(s"(cast($cnt as decimal(38,0)) * 2000000 + $all) div " +
+        s"(cast($all as decimal(38,0)) * 2)").cast("long")
+    g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_treated"), col("n_control"),
+        when(col("__nt_all") > 0, share("n_treated", "__nt_all"))
+          .as("share_t_micros"),
+        when(col("__nc_all") > 0, share("n_control", "__nc_all"))
+          .as("share_c_micros"),
+        when(col("__nt_all") > 0 && col("__nc_all") > 0,
+          least(share("n_treated", "__nt_all"), share("n_control", "__nc_all")))
+          .as("min_share_micros"))
+      .orderBy(col("bin"))
+  }
+
   /** Doubly-robust (AIPW) average treatment effect — [[ipwAte]]'s
     * augmented sibling: the propensity model (the shared
     * [[logisticFitNano]] Newton loop, [0.01, 0.99] overlap clip) is

@@ -1288,6 +1288,73 @@ object StatsQueries {
        |FROM ag""".stripMargin
   }
 
+  /** Positivity / common-support audit ([[graft.ops.Regression
+    * .positivityAudit]]) on q_ipw's exact causal frame: the propensity
+    * P(heavy viewer | ln(1+clicks)) from the SAME Newton chain, clipped
+    * and micro-quantized, binned 20-wide — per occupied bin, treated
+    * and control counts and integral-micro arm shares. Bins where
+    * either count is 0 are the overlap violations every IPW/AIPW/PSM
+    * number silently assumes away; Σ min-shares is the overlap
+    * coefficient. The oracle replays training CTE-for-CTE, then the
+    * identical clip → micro-round → integer binning.
+    */
+  private def qPositivity(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events").groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"))
+    graft.ops.Regression.positivityAudit(perUser,
+      col("views") >= 14, log(lit(1.0) + col("clicks")),
+      iterations = 4, bins = 20)
+  }
+
+  private def positivityOracleSql: String = {
+    val iters = logitTrainCtes(4)
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+       |  FROM events GROUP BY 1),
+       |base AS (
+       |  SELECT CASE WHEN views >= 14 THEN 1.0 ELSE 0.0 END AS y,
+       |    ln(1.0 + clicks) AS x
+       |  FROM pu),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |$iters,
+       |w AS (
+       |  SELECT y,
+       |    LEAST(GREATEST(1.0 / (1.0 + exp(-(CAST(b0n AS DOUBLE) / 1000000000.0
+       |      + CAST(b1n AS DOUBLE) / 1000000000.0 * x))), 0.01), 0.99) AS pc
+       |  FROM base CROSS JOIN i4),
+       |b AS (
+       |  SELECT y,
+       |    LEAST((CAST(round(pc * 1000000.0) AS BIGINT) * 20) // 1000000,
+       |      19) AS bin
+       |  FROM w),
+       |g AS (
+       |  SELECT bin,
+       |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS nt,
+       |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nc
+       |  FROM b GROUP BY 1),
+       |t AS (SELECT SUM(nt) AS ntt, SUM(nc) AS ncc FROM g)
+       |SELECT bin, CAST(nt AS BIGINT) AS n_treated,
+       |  CAST(nc AS BIGINT) AS n_control,
+       |  CASE WHEN ntt > 0 THEN
+       |    CAST((CAST(nt AS HUGEINT) * 2000000 + ntt)
+       |      // (CAST(ntt AS HUGEINT) * 2) AS BIGINT)
+       |  END AS share_t_micros,
+       |  CASE WHEN ncc > 0 THEN
+       |    CAST((CAST(nc AS HUGEINT) * 2000000 + ncc)
+       |      // (CAST(ncc AS HUGEINT) * 2) AS BIGINT)
+       |  END AS share_c_micros,
+       |  CASE WHEN ntt > 0 AND ncc > 0 THEN
+       |    LEAST(CAST((CAST(nt AS HUGEINT) * 2000000 + ntt)
+       |        // (CAST(ntt AS HUGEINT) * 2) AS BIGINT),
+       |      CAST((CAST(nc AS HUGEINT) * 2000000 + ncc)
+       |        // (CAST(ncc AS HUGEINT) * 2) AS BIGINT))
+       |  END AS min_share_micros
+       |FROM g CROSS JOIN t ORDER BY bin""".stripMargin
+  }
+
   /** Doubly-robust AIPW treatment effect ([[graft.ops.Regression
     * .aipwAte]]): does heavy CLICKING (≥ 3 clicks) lift a user's
     * purchase spend, with view count as the confounder — propensity
@@ -2334,6 +2401,7 @@ object StatsQueries {
     "q_wls" -> (qWls _),
     "q_logit" -> (qLogit _),
     "q_ipw" -> (qIpw _),
+    "q_positivity" -> (qPositivity _),
     "q_aipw" -> (qAipw _),
     "q_psm" -> (qPsm _),
     "q_twfe" -> (qTwfe _),
@@ -5486,6 +5554,7 @@ object StatsQueries {
         |FROM f""".stripMargin,
     "q_logit" -> logitOracleSql,
     "q_ipw" -> ipwOracleSql,
+    "q_positivity" -> positivityOracleSql,
     "q_aipw" -> aipwOracleSql,
     "q_psm" -> psmOracleSql,
     "q_twfe" -> twfeOracleSql,

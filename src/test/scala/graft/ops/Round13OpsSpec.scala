@@ -91,6 +91,34 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 0L && r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("positivityAudit: counts partition the arms; shares are micro-exact; bins in range") {
+    val df = createDf(spark, "t boolean, x double",
+      (1 to 40).map(i => Seq[Any](i % 3 == 0, (i % 7).toDouble)))
+    val rows = Regression.positivityAudit(df, col("t"), col("x"), bins = 20)
+      .collect()
+    val nt = rows.map(_.getLong(1)).sum
+    val nc = rows.map(_.getLong(2)).sum
+    assert(nt == (1 to 40).count(_ % 3 == 0).toLong)
+    assert(nc == 40L - nt)
+    assert(rows.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 19L))
+    // integral-division shares per arm re-sum to 1e6 within bins/2 micros
+    val st = rows.map(_.getLong(3)).sum
+    val sc = rows.map(_.getLong(4)).sum
+    assert(math.abs(st - 1000000L) <= rows.length.toLong
+      && math.abs(sc - 1000000L) <= rows.length.toLong)
+    // min share never exceeds either arm share
+    assert(rows.forall(r => r.getLong(5) <= r.getLong(3)
+      && r.getLong(5) <= r.getLong(4)))
+  }
+
+  test("positivityAudit: a constant covariate is a contract error, not a clean bill") {
+    val df = createDf(spark, "t boolean, x double",
+      (1 to 10).map(i => Seq[Any](i % 2 == 0, 1.0)))
+    intercept[IllegalArgumentException] {
+      Regression.positivityAudit(df, col("t"), col("x")).collect()
+    }
+  }
+
   private def truss(edges: Seq[(Long, Long)], k: Int) =
     graft.ops.Graph.kTruss(
       createDf(spark, "a bigint, b bigint",
