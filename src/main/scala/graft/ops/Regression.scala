@@ -700,6 +700,116 @@ object Regression {
       .orderBy(col("bin"))
   }
 
+  /** Covariate-balance audit — the table every causal readout is
+    * reviewed against: per covariate, the standardized mean difference
+    *
+    *   SMD = (μ_t − μ_c) / √((σ²_t + σ²_c)/2)
+    *
+    * RAW and AFTER inverse-propensity weighting (w = 1/p̂ treated,
+    * 1/(1−p̂) control — [[ipwAte]]'s Hájek weights from the same
+    * [[logisticFitNano]] Newton fit and [0.01, 0.99] clip). |SMD| <
+    * 0.1 is the conventional "balanced" bar; a weighted SMD that does
+    * NOT shrink toward 0 says the propensity model is misspecified —
+    * the diagnosis [[positivityAudit]]'s occupancy view can't make.
+    *
+    * One row per covariate: `(covariate, n_treated, n_control,
+    * smd_raw, smd_weighted)`; null SMDs when an arm is empty or both
+    * variances are 0. Variances are population (÷n) moments —
+    * documented, matching the weighted form's Σw normalization.
+    *
+    * Determinism: per-row w, w·c, w·c² terms nano-quantize before the
+    * exact DECIMAL sums (order-free); each SMD resolves through one
+    * fixed IEEE tree at 6 dp. Rows with a null in ANY covariate drop
+    * (one shared filter, so every covariate row reads the same
+    * population).
+    *
+    * Scale shape: `iterations` training scans + ONE wide moment scan
+    * (12 aggregates per covariate, all map-side combined into a single
+    * row, exploded to `covariates.size` output rows on the driver
+    * side of the plan). Nothing shuffles row data.
+    */
+  def covariateBalance(df: DataFrame, treated: Column, x: Column,
+                       covariates: Seq[(String, Column)],
+                       iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 16,
+      s"iterations out of range: $iterations")
+    require(covariates.nonEmpty && covariates.size <= 16,
+      s"need 1..16 covariates: ${covariates.size}")
+    require(covariates.map(_._1).distinct.size == covariates.size,
+      "covariate names must be unique")
+    val dec = DecimalType(38, 0)
+    def nano(c: Column): Column = round(c * lit(1e9), 0).cast(dec)
+    val cNames = covariates.indices.map(i => s"__c$i")
+    val base = df.select(
+        (when(treated, 1.0).otherwise(0.0).as("__y") +:
+          x.cast("double").as("__x") +:
+          covariates.zip(cNames).map { case ((_, c), n) => c.cast("double").as(n) }): _*)
+      .filter((col("__y").isNotNull +: col("__x").isNotNull +:
+        cNames.map(col(_).isNotNull)).reduce(_ && _))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
+    require(!degenerate,
+      "covariateBalance: degenerate propensity fit — weighted balance " +
+        "of an untrained model would be vacuous")
+    val p = lit(1.0) / (lit(1.0) +
+      exp(-(lit(b0n.toDouble / 1e9) + lit(b1n.toDouble / 1e9) * col("__x"))))
+    val pc = least(greatest(p, lit(0.01)), lit(0.99))
+    val isT = col("__y") === 1.0
+    val w = when(isT, lit(1.0) / pc).otherwise(lit(1.0) / (lit(1.0) - pc))
+    def arm(t: Boolean, c: Column): Column = if (t) when(isT, c) else when(!isT, c)
+    def zsum(t: Boolean, c: Column, name: String): Column =
+      sum(coalesce(arm(t, c), lit(0).cast(dec))).as(name)
+    val aggs = covariates.zip(cNames).zipWithIndex.flatMap { case ((_, n), i) =>
+      val c = col(n)
+      Seq(
+        sum(when(isT, 1L).otherwise(0L)).as(s"__nt$i"),
+        sum(when(!isT, 1L).otherwise(0L)).as(s"__nc$i"),
+        zsum(t = true, nano(c), s"__s1t$i"),
+        zsum(t = true, nano(c * c), s"__s2t$i"),
+        zsum(t = false, nano(c), s"__s1c$i"),
+        zsum(t = false, nano(c * c), s"__s2c$i"),
+        zsum(t = true, nano(w), s"__wt$i"),
+        zsum(t = true, nano(w * c), s"__w1t$i"),
+        zsum(t = true, nano(w * c * c), s"__w2t$i"),
+        zsum(t = false, nano(w), s"__wc$i"),
+        zsum(t = false, nano(w * c), s"__w1c$i"),
+        zsum(t = false, nano(w * c * c), s"__w2c$i"))
+    }
+    val wide = base.agg(aggs.head, aggs.tail: _*)
+    base.unpersist(false)
+    def d(n: String): Column = col(n).cast("double") / lit(1e9)
+    def smd(s1t: String, s2t: String, dt: Column,
+            s1c: String, s2c: String, dc: Column): Column = {
+      val mt = d(s1t) / dt
+      val mc = d(s1c) / dc
+      val vt = d(s2t) / dt - mt * mt
+      val vc = d(s2c) / dc - mc * mc
+      when(vt + vc > 0.0, round((mt - mc) / sqrt((vt + vc) / lit(2.0)), 6))
+    }
+    val entries = covariates.zipWithIndex.map { case ((name, _), i) =>
+      val nt = col(s"__nt$i").cast("double")
+      val nc = col(s"__nc$i").cast("double")
+      val ok = col(s"__nt$i") > 0L && col(s"__nc$i") > 0L
+      struct(
+        lit(name).as("covariate"),
+        col(s"__nt$i").as("n_treated"),
+        col(s"__nc$i").as("n_control"),
+        when(ok, smd(s"__s1t$i", s"__s2t$i", nt, s"__s1c$i", s"__s2c$i", nc))
+          .as("smd_raw"),
+        when(ok && col(s"__wt$i") > 0 && col(s"__wc$i") > 0,
+          smd(s"__w1t$i", s"__w2t$i", d(s"__wt$i"),
+            s"__w1c$i", s"__w2c$i", d(s"__wc$i")))
+          .as("smd_weighted"))
+    }
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.covariate").as("covariate"),
+        col("e.n_treated").as("n_treated"),
+        col("e.n_control").as("n_control"),
+        col("e.smd_raw").as("smd_raw"),
+        col("e.smd_weighted").as("smd_weighted"))
+      .orderBy(col("covariate"))
+  }
+
   /** Doubly-robust (AIPW) average treatment effect — [[ipwAte]]'s
     * augmented sibling: the propensity model (the shared
     * [[logisticFitNano]] Newton loop, [0.01, 0.99] overlap clip) is

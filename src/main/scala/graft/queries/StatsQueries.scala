@@ -1355,6 +1355,119 @@ object StatsQueries {
        |FROM g CROSS JOIN t ORDER BY bin""".stripMargin
   }
 
+  /** Covariate balance ([[graft.ops.Regression.covariateBalance]]) on
+    * q_ipw's causal frame: standardized mean differences for the model
+    * covariate ln(1+clicks) and the out-of-model spend, RAW and after
+    * the same Hájek IPW weights — the reviewer's table (|SMD| < 0.1 =
+    * balanced; a weighted SMD that doesn't shrink indicts the
+    * propensity model, the diagnosis q_positivity's bin occupancy
+    * can't make). The oracle replays training CTE-for-CTE, then the
+    * identical nano-quantized moment sums and SMD trees.
+    */
+  private def qBalance(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events").groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+      coalesce(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long"))), lit(0L)).as("cents"))
+    graft.ops.Regression.covariateBalance(perUser,
+      col("views") >= 14, log(lit(1.0) + col("clicks")),
+      Seq("ln1p_clicks" -> log(lit(1.0) + col("clicks")),
+        "spend_dollars" -> (col("cents").cast("double") / lit(100.0))),
+      iterations = 4)
+  }
+
+  private def balanceOracleSql: String = {
+    val iters = logitTrainCtes(4)
+    // per-covariate moment columns over the shared weighted pass
+    def moms(c: String, i: Int): String =
+      s"""    SUM(CASE WHEN y = 1.0 THEN CAST(round($c * 1000000000.0)
+         |      AS HUGEINT) ELSE 0 END) AS s1t$i,
+         |    SUM(CASE WHEN y = 1.0 THEN CAST(round($c * $c * 1000000000.0)
+         |      AS HUGEINT) ELSE 0 END) AS s2t$i,
+         |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE CAST(round($c * 1000000000.0)
+         |      AS HUGEINT) END) AS s1c$i,
+         |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE CAST(round($c * $c * 1000000000.0)
+         |      AS HUGEINT) END) AS s2c$i,
+         |    SUM(CASE WHEN y = 1.0 THEN CAST(round(w * 1000000000.0)
+         |      AS HUGEINT) ELSE 0 END) AS wt$i,
+         |    SUM(CASE WHEN y = 1.0 THEN CAST(round(w * $c * 1000000000.0)
+         |      AS HUGEINT) ELSE 0 END) AS w1t$i,
+         |    SUM(CASE WHEN y = 1.0 THEN CAST(round(w * $c * $c * 1000000000.0)
+         |      AS HUGEINT) ELSE 0 END) AS w2t$i,
+         |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE CAST(round(w * 1000000000.0)
+         |      AS HUGEINT) END) AS wc$i,
+         |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE CAST(round(w * $c * 1000000000.0)
+         |      AS HUGEINT) END) AS w1c$i,
+         |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE CAST(round(w * $c * $c * 1000000000.0)
+         |      AS HUGEINT) END) AS w2c$i""".stripMargin
+    // SMD tree on (sum1, sum2, denominator-expr) pairs — identical IEEE
+    // shape to the engine's: mu = (s1/1e9)/d, v = (s2/1e9)/d - mu*mu
+    // vt/vc parenthesized as single terms so the SQL's vt + vc groups
+    // exactly like the engine's ((A−B) + (C−D)) — bare A−B+C−D would
+    // associate ((A−B)+C)−D, a 1-ULP-divergence surface
+    def vterm(s1: String, s2: String, d: String): String =
+      s"""((CAST($s2 AS DOUBLE) / 1000000000.0) / $d
+         |      - ((CAST($s1 AS DOUBLE) / 1000000000.0) / $d)
+         |        * ((CAST($s1 AS DOUBLE) / 1000000000.0) / $d))""".stripMargin
+    def smd(s1t: String, s2t: String, dt: String,
+            s1c: String, s2c: String, dc: String): String =
+      s"""CASE WHEN
+         |    ${vterm(s1t, s2t, dt)}
+         |    + ${vterm(s1c, s2c, dc)} > 0.0
+         |  THEN round(((CAST($s1t AS DOUBLE) / 1000000000.0) / $dt
+         |      - (CAST($s1c AS DOUBLE) / 1000000000.0) / $dc)
+         |    / sqrt((${vterm(s1t, s2t, dt)}
+         |      + ${vterm(s1c, s2c, dc)}) / 2.0), 6)
+         |  END""".stripMargin
+    def covRow(name: String, i: Int): String =
+      s"""SELECT '$name' AS covariate, CAST(nt AS BIGINT) AS n_treated,
+         |  CAST(nc AS BIGINT) AS n_control,
+         |  CASE WHEN nt > 0 AND nc > 0 THEN
+         |    ${smd(s"s1t$i", s"s2t$i", "CAST(nt AS DOUBLE)",
+        s"s1c$i", s"s2c$i", "CAST(nc AS DOUBLE)")}
+         |  END AS smd_raw,
+         |  CASE WHEN nt > 0 AND nc > 0 AND wt$i > 0 AND wc$i > 0 THEN
+         |    ${smd(s"w1t$i", s"w2t$i", s"(CAST(wt$i AS DOUBLE) / 1000000000.0)",
+        s"w1c$i", s"w2c$i", s"(CAST(wc$i AS DOUBLE) / 1000000000.0)")}
+         |  END AS smd_weighted
+         |FROM ag""".stripMargin
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+       |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+       |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS cents
+       |  FROM events GROUP BY 1),
+       |base AS (
+       |  SELECT CASE WHEN views >= 14 THEN 1.0 ELSE 0.0 END AS y,
+       |    ln(1.0 + clicks) AS x,
+       |    ln(1.0 + clicks) AS c0,
+       |    CAST(cents AS DOUBLE) / 100.0 AS c1
+       |  FROM pu),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |$iters,
+       |w AS (
+       |  SELECT y, c0, c1,
+       |    CASE WHEN y = 1.0 THEN 1.0 / pc ELSE 1.0 / (1.0 - pc) END AS w
+       |  FROM (
+       |    SELECT y, c0, c1,
+       |      LEAST(GREATEST(1.0 / (1.0 + exp(-(CAST(b0n AS DOUBLE) / 1000000000.0
+       |        + CAST(b1n AS DOUBLE) / 1000000000.0 * x))), 0.01), 0.99) AS pc
+       |    FROM base CROSS JOIN i4) q),
+       |ag AS (
+       |  SELECT
+       |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS nt,
+       |    SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS nc,
+       |${moms("c0", 0)},
+       |${moms("c1", 1)}
+       |  FROM w)
+       |${covRow("ln1p_clicks", 0)}
+       |UNION ALL
+       |${covRow("spend_dollars", 1)}
+       |ORDER BY covariate""".stripMargin
+  }
+
   /** Doubly-robust AIPW treatment effect ([[graft.ops.Regression
     * .aipwAte]]): does heavy CLICKING (≥ 3 clicks) lift a user's
     * purchase spend, with view count as the confounder — propensity
@@ -2402,6 +2515,7 @@ object StatsQueries {
     "q_logit" -> (qLogit _),
     "q_ipw" -> (qIpw _),
     "q_positivity" -> (qPositivity _),
+    "q_balance" -> (qBalance _),
     "q_aipw" -> (qAipw _),
     "q_psm" -> (qPsm _),
     "q_twfe" -> (qTwfe _),
@@ -5555,6 +5669,7 @@ object StatsQueries {
     "q_logit" -> logitOracleSql,
     "q_ipw" -> ipwOracleSql,
     "q_positivity" -> positivityOracleSql,
+    "q_balance" -> balanceOracleSql,
     "q_aipw" -> aipwOracleSql,
     "q_psm" -> psmOracleSql,
     "q_twfe" -> twfeOracleSql,

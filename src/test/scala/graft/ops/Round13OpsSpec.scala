@@ -119,6 +119,33 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("covariateBalance: identically distributed covariate has |SMD| ~ 0; a shifted one does not") {
+    // x drives treatment; cov "same" is iid noise across arms (period-4
+    // pattern independent of i % 3), cov "shift" adds +10 to treated
+    val rows = (1 to 120).map { i =>
+      val t = i % 3 == 0
+      Seq[Any](t, (i % 5).toDouble, (i % 4).toDouble,
+        (i % 4).toDouble + (if (t) 10.0 else 0.0))
+    }
+    val df = createDf(spark, "t boolean, x double, same double, shift double", rows)
+    val r = Regression.covariateBalance(df, col("t"), col("x"),
+        Seq("a_same" -> col("same"), "b_shift" -> col("shift")))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(math.abs(r("a_same").getDouble(3)) < 0.2, "raw SMD near 0")
+    assert(r("b_shift").getDouble(3) > 2.0, "a +10 shift on sd~1 screams")
+    // weighting can't fix a covariate the model never saw: still large
+    assert(r("b_shift").getDouble(4) > 2.0)
+    assert(r("a_same").getLong(1) == 40L && r("a_same").getLong(2) == 80L)
+  }
+
+  test("covariateBalance: constant covariate in both arms nulls the SMDs") {
+    val df = createDf(spark, "t boolean, x double, c double",
+      (1 to 30).map(i => Seq[Any](i % 2 == 0, (i % 5).toDouble, 7.0)))
+    val r = Regression.covariateBalance(df, col("t"), col("x"),
+      Seq("konst" -> col("c"))).head()
+    assert(r.isNullAt(3) && r.isNullAt(4), "zero pooled variance -> null")
+  }
+
   private def truss(edges: Seq[(Long, Long)], k: Int) =
     graft.ops.Graph.kTruss(
       createDf(spark, "a bigint, b bigint",
