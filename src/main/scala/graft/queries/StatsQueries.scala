@@ -1291,7 +1291,10 @@ object StatsQueries {
   /** Positivity / common-support audit ([[graft.ops.Regression
     * .positivityAudit]]) on q_ipw's exact causal frame: the propensity
     * P(heavy viewer | ln(1+clicks)) from the SAME Newton chain, clipped
-    * and micro-quantized, binned 20-wide — per occupied bin, treated
+    * and micro-quantized, binned 200-wide (the fixture's propensity
+    * range is narrow, so a 20-bin grid collapses to ~1 occupied row —
+    * 200 resolves the occupancy structure the audit exists to show) —
+    * per occupied bin, treated
     * and control counts and integral-micro arm shares. Bins where
     * either count is 0 are the overlap violations every IPW/AIPW/PSM
     * number silently assumes away; Σ min-shares is the overlap
@@ -1304,7 +1307,7 @@ object StatsQueries {
       sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"))
     graft.ops.Regression.positivityAudit(perUser,
       col("views") >= 14, log(lit(1.0) + col("clicks")),
-      iterations = 4, bins = 20)
+      iterations = 4, bins = 200)
   }
 
   private def positivityOracleSql: String = {
@@ -1327,8 +1330,8 @@ object StatsQueries {
        |  FROM base CROSS JOIN i4),
        |b AS (
        |  SELECT y,
-       |    LEAST((CAST(round(pc * 1000000.0) AS BIGINT) * 20) // 1000000,
-       |      19) AS bin
+       |    LEAST((CAST(round(pc * 1000000.0) AS BIGINT) * 200) // 1000000,
+       |      199) AS bin
        |  FROM w),
        |g AS (
        |  SELECT bin,
