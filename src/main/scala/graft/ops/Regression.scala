@@ -682,6 +682,11 @@ object Regression {
       .groupBy(col("bin")).agg(
         sum(when(col("__y") === 1.0, 1L).otherwise(0L)).as("n_treated"),
         sum(when(col("__y") === 1.0, 0L).otherwise(1L)).as("n_control"))
+      // materialize now (tiny: ≤ bins rows) while base's cache is still
+      // hot — g feeds BOTH the per-bin output and the grand-total pass,
+      // and the eager checkpoint means neither recomputes the events
+      // aggregation after base unpersists below
+      .localCheckpoint(true)
     base.unpersist(false)
     val tot = g.agg(sum(col("n_treated")).as("__nt_all"),
       sum(col("n_control")).as("__nc_all"))
@@ -775,7 +780,9 @@ object Regression {
         zsum(t = false, nano(w * c), s"__w1c$i"),
         zsum(t = false, nano(w * c * c), s"__w2c$i"))
     }
-    val wide = base.agg(aggs.head, aggs.tail: _*)
+    // single-row result: materialize eagerly while base's cache is hot so
+    // the returned lazy plan never re-reads the (now-unpersisted) source
+    val wide = base.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
     base.unpersist(false)
     def d(n: String): Column = col(n).cast("double") / lit(1e9)
     def smd(s1t: String, s2t: String, dt: Column,

@@ -687,7 +687,9 @@ object GraphQueries {
     * extractor for dedup-cluster curation). The oracle unrolls the
     * same confluent support-peel as chained CTEs with spare rounds
     * (the q_kcore convention — idempotent at the fixpoint, measured
-    * depth 2-3 at sf0.001-0.1 vs 7 unrolled), enumerating triangles
+    * depth 2-3 at sf0.001-0.1 vs 16 unrolled, matched to the engine's
+    * maxRounds=16 backstop so a deeper peel at a larger scale factor
+    * can never straddle engine-fixpoint vs oracle-depth), enumerating triangles
     * id-ordered where the engine goes degree-ordered: same triangle
     * set, provably, so hash equality certifies both the peel and the
     * orientation trick. The %64 thinning keeps the wedge volume
@@ -766,7 +768,7 @@ object GraphQueries {
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
   def oracleSql: Map[String, String] = Map(
-    "q_ktruss" -> ktrussOracleSql(k = 4, rounds = 7),
+    "q_ktruss" -> ktrussOracleSql(k = 4, rounds = 16),
     "q_assortativity" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem

@@ -1318,9 +1318,11 @@ object StatsQueries {
        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
        |  FROM events GROUP BY 1),
        |base AS (
-       |  SELECT CASE WHEN views >= 14 THEN 1.0 ELSE 0.0 END AS y,
-       |    ln(1.0 + clicks) AS x
-       |  FROM pu),
+       |  SELECT * FROM (
+       |    SELECT CASE WHEN views >= 14 THEN 1.0 ELSE 0.0 END AS y,
+       |      ln(1.0 + clicks) AS x
+       |    FROM pu) b
+       |  WHERE y IS NOT NULL AND x IS NOT NULL),
        |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
        |$iters,
        |w AS (
@@ -1443,11 +1445,14 @@ object StatsQueries {
        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS cents
        |  FROM events GROUP BY 1),
        |base AS (
-       |  SELECT CASE WHEN views >= 14 THEN 1.0 ELSE 0.0 END AS y,
-       |    ln(1.0 + clicks) AS x,
-       |    ln(1.0 + clicks) AS c0,
-       |    CAST(cents AS DOUBLE) / 100.0 AS c1
-       |  FROM pu),
+       |  SELECT * FROM (
+       |    SELECT CASE WHEN views >= 14 THEN 1.0 ELSE 0.0 END AS y,
+       |      ln(1.0 + clicks) AS x,
+       |      ln(1.0 + clicks) AS c0,
+       |      CAST(cents AS DOUBLE) / 100.0 AS c1
+       |    FROM pu) b
+       |  WHERE y IS NOT NULL AND x IS NOT NULL
+       |    AND c0 IS NOT NULL AND c1 IS NOT NULL),
        |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
        |$iters,
        |w AS (
