@@ -265,6 +265,40 @@ object DedupQueries {
         md5(col("text_masked").cast("binary")).as("masked_md5"))
       .orderBy(col("doc_id"))
 
+  /** Maximal duplicated-substring inventory ([[graft.text.Dedup
+    * .exactSubstrSpans]]): Lee-et-al ExactSubstr as duplicated
+    * fixed-width-gram coverage + island merge — exact, not approximate
+    * (see the operator doc for the covering-window identity).
+    * minTokens=4 resolves the fixture's template reuse into
+    * multi-island documents (643 spans over 369 docs at sf0.01, most
+    * interior — the merge logic is genuinely exercised, not one
+    * whole-doc island each). The oracle replays the gram census,
+    * duplicated-start coverage and the same lag/running-sum island
+    * merge by gram STRING (the engine's xxhash64 grouping is internal;
+    * a 64-bit collision is the only divergence mode).
+    */
+  private def qSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrSpans(t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 4, minOccurrences = 2)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** Exact-substring cut ([[graft.text.Dedup.exactSubstrCut]]): the
+    * application step of q_substr_spans — every token inside any
+    * duplicated >= 4-token substring removed, every occurrence (the
+    * paper's cut; contrast q_span_mask's frequent-span criterion). The
+    * md5 of the rebuilt text makes the rewrite byte-exact in the
+    * compare without shipping documents.
+    */
+  private def qSubstrCut(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrCut(t(s, dir, "documents"), "doc_id", "text",
+        minTokens = 4, minOccurrences = 2)
+      .select(col("doc_id"),
+        col("n_before").cast("long").as("n_before"),
+        col("n_after").cast("long").as("n_after"),
+        col("n_spans").cast("long").as("n_spans"),
+        md5(col("text_dedup").cast("binary")).as("dedup_md5"))
+      .orderBy(col("doc_id"))
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
@@ -281,6 +315,8 @@ object DedupQueries {
     "q_fingerprint_containment" -> (qFingerprintContainment _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_span_mask" -> (qSpanMask _),
+    "q_substr_spans" -> (qSubstrSpans _),
+    "q_substr_cut" -> (qSubstrCut _),
   )
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
@@ -422,6 +458,70 @@ object DedupQueries {
         |  COALESCE(k.n_after, 0) AS n_after,
         |  md5(COALESCE(k.text_masked, '')) AS masked_md5
         |FROM w LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Replays ExactSubstr by gram STRING: census, duplicated-start
+    // coverage, then the identical lag/running-sum island merge.
+    "q_substr_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest([{'s': i, 'sp': array_to_string(w[i:i+3], ' ')}
+        |    FOR i IN range(1, len(w) - 2)]) AS u
+        |  FROM w),
+        |s2 AS (SELECT doc_id, u.s - 1 AS p, u.sp AS g FROM sp),
+        |dupg AS (SELECT g FROM s2 GROUP BY g HAVING COUNT(*) >= 2),
+        |dup AS (SELECT doc_id, p FROM s2 JOIN dupg USING (g)),
+        |mk AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
+        |          AND p <= lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 4
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM dup),
+        |isl AS (SELECT doc_id, p,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM mk)
+        |SELECT doc_id, CAST(MIN(p) AS INT) AS span_start,
+        |  CAST(MAX(p) + 4 AS INT) AS span_end,
+        |  CAST(MAX(p) + 4 - MIN(p) AS INT) AS span_tokens
+        |FROM isl GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // The cut replay: q_substr_spans' islands expanded to covered
+    // positions, anti-joined against the token stream, rebuilt by
+    // ordered string_agg (the q_span_mask convention).
+    "q_substr_cut" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest([{'s': i, 'sp': array_to_string(w[i:i+3], ' ')}
+        |    FOR i IN range(1, len(w) - 2)]) AS u
+        |  FROM w),
+        |s2 AS (SELECT doc_id, u.s - 1 AS p, u.sp AS g FROM sp),
+        |dupg AS (SELECT g FROM s2 GROUP BY g HAVING COUNT(*) >= 2),
+        |dup AS (SELECT doc_id, p FROM s2 JOIN dupg USING (g)),
+        |mk AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
+        |          AND p <= lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 4
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM dup),
+        |isl AS (SELECT doc_id, p,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM mk),
+        |spans AS (
+        |  SELECT doc_id, MIN(p) AS s, MAX(p) + 4 AS e
+        |  FROM isl GROUP BY doc_id, isl),
+        |nsp AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY 1),
+        |cov AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM spans),
+        |tok AS (
+        |  SELECT doc_id, unnest([{'p': i - 1, 't': w[i]}
+        |    FOR i IN range(1, len(w) + 1)]) AS u
+        |  FROM w),
+        |kept AS (
+        |  SELECT t.doc_id, string_agg(t.u.t, ' ' ORDER BY t.u.p) AS text_dedup,
+        |    COUNT(*) AS n_after
+        |  FROM tok t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.u.p
+        |  WHERE cov.pos IS NULL GROUP BY t.doc_id)
+        |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_before,
+        |  CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after,
+        |  CAST(COALESCE(n.n_spans, 0) AS BIGINT) AS n_spans,
+        |  md5(COALESCE(k.text_dedup, '')) AS dedup_md5
+        |FROM w LEFT JOIN kept k USING (doc_id) LEFT JOIN nsp n USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q_minhash_containment" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",

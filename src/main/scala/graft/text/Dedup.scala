@@ -556,4 +556,123 @@ object Dedup {
           round(col("n_unique").cast("double")
             / col("n_shingles").cast("double"), 6)).as("novelty"))
   }
+
+  /** Exact-substring duplicated-span inventory — the ExactSubstr
+    * primitive of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022), the one canonical LLM-dedup pass this
+    * suite's exact-doc / near-dup / frequent-span family did not yet
+    * cover (north-star extension, not a reference behavior),
+    * reformulated so it distributes: every
+    * MAXIMAL token range lying inside some substring of >= `minTokens`
+    * tokens that occurs at least `minOccurrences` times in the corpus.
+    * Occurrences are TOTAL (a span repeated twice inside one document
+    * is duplicated) — unlike [[maskRepeatedSpans]]'s C4-style
+    * distinct-document criterion.
+    *
+    * The identity that makes the fixed-width reformulation EXACT, not
+    * approximate (no suffix array needed): a token position lies inside
+    * a duplicated substring of length >= L iff it is covered by a
+    * duplicated L-gram — every window of a duplicated substring is
+    * itself duplicated, and a duplicated L-gram IS a duplicated
+    * substring of length L. So the union of duplicated-L-gram windows
+    * equals the paper's removal set, and merging overlapping windows
+    * (equal width ⇒ islands break exactly where a start exceeds its
+    * predecessor by more than L) yields the maximal spans.
+    *
+    * Returns one row per maximal span:
+    * `(idCol, span_start int, span_end int, span_tokens int)` — token
+    * indices, 0-based, end-exclusive.
+    *
+    * Scale shape: the gram census is ONE map-combined exchange on
+    * native 8-byte XXH64 keys ([[graft.functions.ArrayMath
+    * .shingleHash64]] — span strings never shuffle); the survivor join
+    * is hint-free (AQE broadcasts the duplicated-hash side while it
+    * fits); the island merge shuffles ONLY duplicated starts by
+    * document (bounded by the corpus's duplicated mass, not its size)
+    * through a lag/running-sum window bounded by tokens/doc. Same
+    * collision caveat as [[repeatedSpans]] (~n²/2⁶⁵: a collision could
+    * mark a unique gram duplicated).
+    */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+                       minTokens: Int, minOccurrences: Int = 2): DataFrame = {
+    require(minTokens > 0, s"minTokens must be positive: $minTokens")
+    require(minOccurrences >= 2,
+      s"minOccurrences must be >= 2 (duplication threshold): $minOccurrences")
+    graft.ops.Guards.requireNoReservedNames(df,
+      Seq("__p", "__h", "__n", "__brk", "__isl",
+        "span_start", "span_end", "span_tokens"), "exactSubstrSpans")
+    import graft.functions.ArrayMath
+    def grams: DataFrame = df.select(col(idCol),
+      posexplode(ArrayMath.shingleHash64(
+        TextStats.tokens(col(textCol)), minTokens, distinct = false))
+        .as(Seq("__p", "__h")))
+    val dup = grams.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOccurrences)
+      .select(col("__h"))
+    // hint-free: AQE broadcasts the duplicated-hash side when it fits
+    val starts = grams.join(dup, Seq("__h")).select(col(idCol), col("__p"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val prev = lag(col("__p"), 1).over(w)
+    starts
+      .select(col(idCol), col("__p"),
+        when(prev.isNotNull && col("__p") <= prev + minTokens, 0L)
+          .otherwise(1L).as("__brk"))
+      .select(col(idCol), col("__p"),
+        sum(col("__brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("__isl"))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__p")).as("__s"), max(col("__p")).as("__m"))
+      .select(col(idCol),
+        col("__s").cast("int").as("span_start"),
+        (col("__m") + minTokens).cast("int").as("span_end"),
+        (col("__m") + minTokens - col("__s")).cast("int").as("span_tokens"))
+  }
+
+  /** Exact-substring dedup — the APPLICATION step of
+    * [[exactSubstrSpans]]: rewrite every document with all tokens
+    * inside any duplicated >= `minTokens`-token substring removed
+    * (EVERY occurrence goes — the paper's cut, which deletes the
+    * duplicated text itself rather than keeping one exemplar). Returns
+    * `(idCol, n_before int, n_after int, n_spans int, text_dedup)` —
+    * one row per input document, `text_dedup` the space-rejoined kept
+    * tokens (empty string when fully cut).
+    *
+    * Scale shape: the span inventory (bounded by duplicated mass, not
+    * corpus size) aggregates to <= spans/doc structs and joins back
+    * document-keyed (hint-free; AQE broadcasts while it fits); the
+    * rewrite is a narrow codegen'd HOF, O(tokens × spans) per row.
+    * Span strings never move.
+    */
+  def exactSubstrCut(df: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int, minOccurrences: Int = 2): DataFrame = {
+    graft.ops.Guards.requireNoReservedNames(df,
+      Seq("__spans", "__out", "n_before", "n_after", "n_spans",
+        "text_dedup"), "exactSubstrCut")
+    import graft.functions.ArrayMath
+    val spans = exactSubstrSpans(df, idCol, textCol, minTokens, minOccurrences)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    val sp = coalesce(col("__spans"), array().cast("array<struct<s:int,e:int>>"))
+    val rebuilt = ArrayMath.bound(TextStats.tokens(col(textCol))) { toks =>
+      ArrayMath.bound(filter(
+        zip_with(toks, sequence(lit(0), size(toks) - 1),
+          (t, p) => struct(t.as("t"), p.as("p"))),
+        x => !exists(sp, r =>
+          r.getField("s") <= x.getField("p") &&
+            x.getField("p") < r.getField("e")))) { kept =>
+        struct(size(toks).as("n_before"), size(kept).as("n_after"),
+          array_join(transform(kept, _.getField("t")), " ").as("text_dedup"))
+      }
+    }
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol), size(sp).as("n_spans"), rebuilt.as("__out"))
+      .select(col(idCol),
+        col("__out.n_before").as("n_before"),
+        col("__out.n_after").as("n_after"),
+        col("n_spans").cast("int").as("n_spans"),
+        col("__out.text_dedup").as("text_dedup"))
+  }
 }

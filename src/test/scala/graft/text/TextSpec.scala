@@ -388,6 +388,80 @@ class DedupSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("exactSubstrSpans: maximal islands, within-doc repeats, multi-island docs") {
+    val d = createDf(spark, "id bigint, text string", Seq(
+      Seq[Any](1L, "a b c d e"),       // whole doc duplicated with doc 2
+      Seq[Any](2L, "a b c d e"),
+      Seq[Any](3L, "y y y"),           // within-doc repeat ("y y" twice) IS duplicated
+      Seq[Any](4L, "a b q r s c d"),   // two separate islands
+      Seq[Any](5L, "u v w")))          // nothing duplicated
+    val got = Dedup.exactSubstrSpans(d, "id", "text", minTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0, 5, 5),  // starts 0..3 merge into one maximal span
+      (2L, 0, 5, 5),
+      (3L, 0, 3, 3),  // occurrence-based: 1 doc, 2 overlapping occurrences
+      (4L, 0, 2, 2),  // "a b" (shared with docs 1,2)
+      (4L, 5, 7, 2))) // "c d" — break: start 5 > 0 + 2
+  }
+
+  test("exactSubstrSpans: adjacent-but-not-overlapping coverage merges into one span") {
+    // "a b" dup at start 0 and "c d" dup at start 2: windows [0,2) and
+    // [2,4) touch — contiguous coverage, one maximal island [0,4)
+    val d = createDf(spark, "id bigint, text string", Seq(
+      Seq[Any](1L, "a b c d"),
+      Seq[Any](2L, "x a b y"),
+      Seq[Any](3L, "x c d y")))
+    val got = Dedup.exactSubstrSpans(d, "id", "text", minTokens = 2)
+      .filter(col("id") === 1L)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((0, 4)))
+  }
+
+  test("exactSubstrCut: rewrite matches the inventory; untouched and fully-cut docs") {
+    val d = createDf(spark, "id bigint, text string", Seq(
+      Seq[Any](1L, "a b c d e"),
+      Seq[Any](2L, "a b c d e"),
+      Seq[Any](3L, "y y y"),
+      Seq[Any](4L, "a b q r s c d"),
+      Seq[Any](5L, "u v w")))
+    val got = Dedup.exactSubstrCut(d, "id", "text", minTokens = 2)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((5, 0, 1, "")))        // fully cut
+    assert(got(2L) == ((5, 0, 1, "")))
+    assert(got(3L) == ((3, 0, 1, "")))        // within-doc repeat cut too
+    assert(got(4L) == ((7, 3, 2, "q r s")))   // both islands cut
+    assert(got(5L) == ((3, 3, 0, "u v w")))   // untouched, n_spans 0
+    assert(got.size == 5)                     // one row per input doc, always
+    // conservation: tokens cut == sum of span widths from the inventory
+    val spanSum = Dedup.exactSubstrSpans(d, "id", "text", minTokens = 2)
+      .groupBy(col("id")).agg(sum(col("span_tokens")).as("cut")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, (before, after, _, _)) <- got)
+      assert((before - after).toLong == spanSum.getOrElse(id, 0L))
+  }
+
+  test("exactSubstrSpans honors minOccurrences above 2") {
+    val d = createDf(spark, "id bigint, text string", Seq(
+      Seq[Any](1L, "a b x"), Seq[Any](2L, "a b y"), Seq[Any](3L, "a b z"),
+      Seq[Any](4L, "c d x"), Seq[Any](5L, "c d y")))
+    val got = Dedup.exactSubstrSpans(d, "id", "text",
+        minTokens = 2, minOccurrences = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // "a b" occurs 3x (kept); "c d" only 2x (below the bar)
+    assert(got == Set((1L, 0, 2), (2L, 0, 2), (3L, 0, 2)))
+  }
+
+  test("exactSubstrSpans: docs shorter than minTokens contribute nothing") {
+    val d = createDf(spark, "id bigint, text string", Seq(
+      Seq[Any](1L, "a b"), Seq[Any](2L, "a b")))
+    assert(Dedup.exactSubstrSpans(d, "id", "text", minTokens = 3).count() == 0)
+    assert(Dedup.exactSubstrSpans(d, "id", "text", minTokens = 2).count() == 2)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -595,4 +669,5 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(0).getDouble(0) == 95.165)
     assert(got(1).isNullAt(0))
   }
+
 }
