@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Queries whose work `count()` under-forces, re-timed through the
+    * noop DSv2 sink (recorded BESIDE the anchor, never in the total —
+    * anchor comparability). Two shapes:
+    *   - pure projections (q_classify, q_jl, q_array_diff — the
+    *     BASELINE r9 note): count() column-prunes the per-row
+    *     expression work to scan+sort;
+    *   - rewrite queries ending in a LEFT join whose right side is an
+    *     aggregate ON the join key (q_span_mask, q_substr_cut):
+    *     provably unique key + unreferenced columns under count() ⇒
+    *     Catalyst ELIMINATES the join, and the whole dedup census
+    *     behind it (measured: q_substr_cut 0.5s flat from sf0.1 to
+    *     ×100 under count() vs the 2-22s its subsumed inventory pass
+    *     costs). PlanSpec pins the elimination.
+    * Shared with ScaleProbe so ×10/×100 decade tables force honestly.
+    */
+  val countPrunableQueries: Seq[String] =
+    Seq("q_classify", "q_jl", "q_array_diff", "q_span_mask", "q_substr_cut")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -94,14 +112,10 @@ object Bench {
       if (times.size < 2 || failures.contains(name)) None else Some(name -> times.min)
     }
     runCanary()
-    // Null-sink pass (recorded BESIDE the anchor, never in the total —
-    // anchor comparability): the `count()` action column-prunes PURE-
-    // PROJECTION queries to scan+sort, so their per-row expression work
-    // is re-timed here through Spark's noop DSv2 sink, which pulls every
-    // output column through the full plan. Only the three queries the
-    // BASELINE r9 note names are projection-shaped; everything else ends
-    // in an aggregate/join/window that count() cannot prune.
-    val nullSinkQueries = Seq("q_classify", "q_jl", "q_array_diff")
+    // Null-sink pass — see countPrunableQueries' doc for the two
+    // count()-prunable shapes (pure projections; unique-keyed left-join
+    // rewrites whose census count() join-eliminates).
+    val nullSinkQueries = countPrunableQueries
     val nullSink = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     nullSinkQueries.filter(selected.contains).foreach { name =>
       val fn = selected(name)

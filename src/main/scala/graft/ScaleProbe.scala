@@ -77,10 +77,16 @@ object ScaleProbe {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for ((name, roundsOf) <- wanted) {
       val fn = SparkEntry.queries(name)
+      // count()-prunable queries (see Bench.countPrunableQueries) force
+      // through the noop sink so the decade tables measure real work
+      val force: org.apache.spark.sql.DataFrame => Unit =
+        if (Bench.countPrunableQueries.contains(name))
+          df => df.write.format("noop").mode("overwrite").save()
+        else df => { df.count(); () }
       val times = (1 to 2).map { _ =>
         Caches.clearAll()
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        force(fn(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }
       // iters_run-emitting queries: read the max emitted count (one

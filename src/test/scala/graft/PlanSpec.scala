@@ -470,4 +470,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected <=2 user_id exchanges, found $n:\n${p.take(2000)}")
     assert(!p.contains("Join"), s"ewma must not join:\n${p.take(1500)}")
   }
+
+  test("q_substr_cut/q_span_mask: count() join-eliminates the census (why Bench null-sinks them)") {
+    // The rewrite queries end in a LEFT join whose right side aggregates
+    // ON the join key: under count() the key is provably unique and the
+    // right columns unreferenced, so Catalyst eliminates the join and the
+    // whole dedup census behind it. These queries MUST therefore be
+    // benchmarked through the noop sink (Bench.countPrunableQueries) —
+    // this test pins both the elimination (count side) and the presence
+    // of the census under a real sink (noop side).
+    for (q <- Seq("q_substr_cut", "q_span_mask")) {
+      // marker: the native ShingleHash64 gram census only exists on the
+      // un-eliminated side of the join
+      val counted = SparkEntry.queries(q)(spark, dir)
+        .groupBy().count().queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!counted.contains("shingle"),
+        s"$q: count() no longer prunes the census — " +
+          s"remove it from Bench.countPrunableQueries?\n${counted.take(1500)}")
+      assert(!counted.contains("join"),
+        s"$q: count() should eliminate the rewrite join:\n${counted.take(1500)}")
+      val full = plan(q).toLowerCase
+      assert(full.contains("shingle"),
+        s"$q: full plan must contain the gram census:\n${full.take(1500)}")
+      assert(Bench.countPrunableQueries.contains(q),
+        s"$q must ride the null-sink pass")
+    }
+  }
 }
