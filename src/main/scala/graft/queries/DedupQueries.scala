@@ -299,6 +299,24 @@ object DedupQueries {
         md5(col("text_dedup").cast("binary")).as("dedup_md5"))
       .orderBy(col("doc_id"))
 
+  /** Substring-level decontamination ([[graft.text.Dedup
+    * .exactSubstrContamination]]): q_decontaminate's fixed benchmark
+    * slice (every 50th doc among ids < 500 — ten docs at any SF, so the
+    * broadcast stays sound at every scale), localized to exact maximal
+    * contaminated token spans instead of doc×bench overlap scores.
+    * Benchmark docs flag themselves whole-doc — kept in as the
+    * deterministic sanity floor (the q_decontaminate convention); at
+    * sf0.01 the other 19 spans are genuine cross-doc leakage.
+    */
+  private def qSubstrDecon(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 500)
+      .select(col("text").as("b_text"))
+    Dedup.exactSubstrContamination(docs, "doc_id", "text",
+        bench, "b_text", minTokens = 4)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** This family's slice of [[graft.SparkEntry.queries]]. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
@@ -317,6 +335,7 @@ object DedupQueries {
     "q_span_mask" -> (qSpanMask _),
     "q_substr_spans" -> (qSubstrSpans _),
     "q_substr_cut" -> (qSubstrCut _),
+    "q_substr_decon" -> (qSubstrDecon _),
   )
 
   /** This family's slice of [[graft.SparkEntry.oracleSql]]. */
@@ -523,6 +542,30 @@ object DedupQueries {
         |  md5(COALESCE(k.text_dedup, '')) AS dedup_md5
         |FROM w LEFT JOIN kept k USING (doc_id) LEFT JOIN nsp n USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Replays the contamination probe by gram STRING: benchmark gram
+    // set, covered corpus starts, the identical island merge.
+    "q_substr_decon" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest([{'s': i, 'sp': array_to_string(w[i:i+3], ' ')}
+        |    FOR i IN range(1, len(w) - 2)]) AS u
+        |  FROM w),
+        |s2 AS (SELECT doc_id, u.s - 1 AS p, u.sp AS g FROM sp),
+        |bg AS (SELECT DISTINCT g FROM s2 WHERE doc_id % 50 = 0 AND doc_id < 500),
+        |hit AS (SELECT doc_id, p FROM s2 JOIN bg USING (g)),
+        |mk AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NOT NULL
+        |          AND p <= lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 4
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM hit),
+        |isl AS (SELECT doc_id, p,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM mk)
+        |SELECT doc_id, CAST(MIN(p) AS INT) AS span_start,
+        |  CAST(MAX(p) + 4 AS INT) AS span_end,
+        |  CAST(MAX(p) + 4 - MIN(p) AS INT) AS span_tokens
+        |FROM isl GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin,
     "q_minhash_containment" ->
       "SELECT CAST(0 AS BIGINT) AS n_violations",
     "q_dup_components" ->

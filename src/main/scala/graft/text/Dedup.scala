@@ -612,11 +612,22 @@ object Dedup {
       .select(col("__h"))
     // hint-free: AQE broadcasts the duplicated-hash side when it fits
     val starts = grams.join(dup, Seq("__h")).select(col(idCol), col("__p"))
+    mergeStartIslands(starts, idCol, minTokens)
+  }
+
+  /** Shared island merge: covered gram start positions (columns idCol,
+    * `__p` int) → maximal covered token ranges for a fixed gram width.
+    * Equal-width windows mean contiguity breaks exactly where a start
+    * exceeds its predecessor by more than `width`; one lag + running-sum
+    * window per document, bounded by tokens/doc.
+    */
+  private def mergeStartIslands(starts: DataFrame, idCol: String,
+                                width: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
     val prev = lag(col("__p"), 1).over(w)
     starts
       .select(col(idCol), col("__p"),
-        when(prev.isNotNull && col("__p") <= prev + minTokens, 0L)
+        when(prev.isNotNull && col("__p") <= prev + width, 0L)
           .otherwise(1L).as("__brk"))
       .select(col(idCol), col("__p"),
         sum(col("__brk")).over(
@@ -626,8 +637,48 @@ object Dedup {
       .agg(min(col("__p")).as("__s"), max(col("__p")).as("__m"))
       .select(col(idCol),
         col("__s").cast("int").as("span_start"),
-        (col("__m") + minTokens).cast("int").as("span_end"),
-        (col("__m") + minTokens - col("__s")).cast("int").as("span_tokens"))
+        (col("__m") + width).cast("int").as("span_end"),
+        (col("__m") + width - col("__s")).cast("int").as("span_tokens"))
+  }
+
+  /** Substring-level decontamination inventory — [[exactSubstrSpans]]'
+    * cross-corpus sibling and the substring-granular upgrade of
+    * [[crossCorpusOverlap]]: every MAXIMAL corpus token range covered by
+    * a `minTokens`-gram that also occurs in the benchmark corpus. Where
+    * the overlap report SCORES doc×bench contamination, this LOCALIZES
+    * it to exact token spans — the ranges an eval-leakage cut actually
+    * removes (compose with the [[exactSubstrCut]] rewrite shape, or mask
+    * upstream of training). Same covering-window exactness argument as
+    * [[exactSubstrSpans]], with "duplicated in the corpus" replaced by
+    * "present in the benchmark".
+    *
+    * Scale shape: a benchmark is fixed-size by nature (it does not grow
+    * with the corpus), so its distinct gram hashes broadcast
+    * (`broadcastBench = true`, [[crossCorpusOverlap]]'s posture) and the
+    * corpus side never shuffles for the probe — one LEFT SEMI broadcast
+    * join over the narrow (id, pos, hash) stream; the island merge then
+    * shuffles only contaminated starts. Same ~n²/2⁶⁵ collision caveat.
+    */
+  def exactSubstrContamination(corpus: DataFrame, idCol: String,
+                               textCol: String, bench: DataFrame,
+                               benchTextCol: String, minTokens: Int,
+                               broadcastBench: Boolean = true): DataFrame = {
+    require(minTokens > 0, s"minTokens must be positive: $minTokens")
+    graft.ops.Guards.requireNoReservedNames(corpus,
+      Seq("__p", "__h", "__brk", "__isl",
+        "span_start", "span_end", "span_tokens"), "exactSubstrContamination")
+    import graft.functions.ArrayMath
+    val grams = corpus.select(col(idCol),
+      posexplode(ArrayMath.shingleHash64(
+        TextStats.tokens(col(textCol)), minTokens, distinct = false))
+        .as(Seq("__p", "__h")))
+    val b0 = bench.select(explode(ArrayMath.shingleHash64(
+        TextStats.tokens(col(benchTextCol)), minTokens)).as("__h"))
+      .distinct()
+    val b = if (broadcastBench) broadcast(b0) else b0
+    val starts = grams.join(b, Seq("__h"), "left_semi")
+      .select(col(idCol), col("__p"))
+    mergeStartIslands(starts, idCol, minTokens)
   }
 
   /** Exact-substring dedup — the APPLICATION step of

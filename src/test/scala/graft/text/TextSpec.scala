@@ -462,6 +462,37 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactSubstrSpans(d, "id", "text", minTokens = 3).count() == 0)
     assert(Dedup.exactSubstrSpans(d, "id", "text", minTokens = 2).count() == 2)
   }
+
+  test("exactSubstrContamination localizes benchmark leakage to maximal spans") {
+    val corpus = createDf(spark, "id bigint, text string", Seq(
+      Seq[Any](1L, "p q the exam answer is x r s"), // interior leak of bench 1
+      Seq[Any](2L, "clean words only here today"),   // untouched
+      Seq[Any](3L, "the exam answer is x"),          // whole doc = bench text
+      Seq[Any](4L, "u v answer is x w")))            // 3-token overlap < minTokens: no flag
+    val bench = createDf(spark, "b string", Seq(
+      Seq[Any]("the exam answer is x")))
+    val got = Dedup.exactSubstrContamination(corpus, "id", "text",
+        bench, "b", minTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    // bench 4-grams: "the exam answer is", "exam answer is x"
+    assert(got == Set(
+      (1L, 2, 7, 5),   // tokens 2..6 covered (starts 2 and 3 merge)
+      (3L, 0, 5, 5)))  // full overlap
+  }
+
+  test("exactSubstrContamination: presence in bench suffices (no corpus-dup needed)") {
+    // the leaked gram occurs ONCE in the corpus — exactSubstrSpans would
+    // not flag it, the contamination probe must
+    val corpus = createDf(spark, "id bigint, text string", Seq(
+      Seq[Any](1L, "a b c d e")))
+    val bench = createDf(spark, "b string", Seq(Seq[Any]("b c d e")))
+    assert(Dedup.exactSubstrSpans(corpus, "id", "text", minTokens = 4).count() == 0)
+    val got = Dedup.exactSubstrContamination(corpus, "id", "text",
+        bench, "b", minTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 1, 5)))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
