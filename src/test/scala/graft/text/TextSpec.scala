@@ -463,6 +463,45 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactSubstrSpans(d, "id", "text", minTokens = 2).count() == 2)
   }
 
+  test("exactSubstrSpans matches an independent covered-token model on random corpora") {
+    // Independent formulation: mark every token covered by a duplicated
+    // L-gram, then take maximal runs of consecutive covered tokens —
+    // no lag/running-sum logic shared with the engine. A tiny vocabulary
+    // forces dense duplication, so merges and multi-island docs occur
+    // constantly.
+    def modelSpans(docs: Seq[(Long, String)], l: Int,
+                   minOcc: Int): Set[(Long, Int, Int, Int)] = {
+      val grams = docs.flatMap { case (id, t) =>
+        val w = t.split(" ", -1)
+        (0 to w.length - l).map(p => (id, p, w.slice(p, p + l).mkString(" ")))
+      }
+      val cnt = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      grams.filter(g => cnt(g._3) >= minOcc)
+        .groupBy(_._1).flatMap { case (id, gs) =>
+          val covered = gs.flatMap(g => g._2 until g._2 + l).toSet.toSeq.sorted
+          val runs = covered.foldLeft(List.empty[(Int, Int)]) {
+            case ((s, e) :: rest, t) if t == e => (s, t + 1) :: rest
+            case (acc, t) => (t, t + 1) :: acc
+          }
+          runs.map { case (s, e) => (id, s, e, e - s) }
+        }.toSet
+    }
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 5; l <- Seq(2, 3)) {
+      val docs = (0 until 6).map { i =>
+        val n = rnd.nextInt(13)
+        (i.toLong + trial * 10, (0 until n).map(_ => "abc" (rnd.nextInt(3)).toString).mkString(" "))
+      }
+      val df = createDf(spark, "id bigint, text string",
+        docs.map { case (id, t) => Seq[Any](id, t) })
+      val got = Dedup.exactSubstrSpans(df, "id", "text", minTokens = l)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      assert(got == modelSpans(docs, l, 2),
+        s"trial=$trial l=$l docs=$docs")
+    }
+  }
+
   test("exactSubstrContamination localizes benchmark leakage to maximal spans") {
     val corpus = createDf(spark, "id bigint, text string", Seq(
       Seq[Any](1L, "p q the exam answer is x r s"), // interior leak of bench 1
