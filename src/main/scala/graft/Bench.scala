@@ -170,8 +170,24 @@ object Bench {
     val canaries = canary.toSeq
       .map { case (at, s) => s"[${fmt(at)},${fmt(s)}]" }
       .mkString("[", ",", "]")
+    // Self-defending norms (VERDICT r13 #1): the table carries its OWN
+    // calm verdict, so a contended run can never be committed as "calm
+    // norms" again without the file itself saying otherwise. The calm
+    // rule is the documented BASELINE one (start load < 2, no canary
+    // sample >= 2s); suspects are queries whose wall window is far wider
+    // than their timed min (the q_stump/q_lift steal-pocket signature:
+    // 298s of wall for 89s recorded) — per-query flags for pockets the
+    // sparse canary can miss.
+    val startLoad = loadAt.values.headOption.getOrElse(-1.0)
+    val canaryMaxV = if (canary.isEmpty) 0.0 else canary.map(_._2).max
+    val calm = startLoad >= 0 && startLoad < 2.0 && canaryMaxV < 2.0
+    val suspects = results.keys.toSeq.sorted.filter { q =>
+      val (s, e) = wallClock(q)
+      (e - s) > 3.0 * results(q) + 5.0
+    }
+    val suspectsJson = suspects.map(jstr).mkString("[", ",", "]")
     val perQueryLine =
-      s"""{"per_query":$qs,"warm":$warm,"null_sink":$sinkMap,"load_at_start":$loads,"wall_clock":$wall,"canary":$canaries,"failed_detail":$failedJson,"sf":"$sfDir","metric_of":"$metric"}"""
+      s"""{"per_query":$qs,"warm":$warm,"null_sink":$sinkMap,"load_at_start":$loads,"wall_clock":$wall,"canary":$canaries,"calm":$calm,"calm_rule":"start_load<2 && canary_max<2s","suspect_queries":$suspectsJson,"failed_detail":$failedJson,"sf":"$sfDir","metric_of":"$metric"}"""
     try {
       val w = new java.io.PrintWriter("bench_queries.json", "UTF-8")
       try w.println(perQueryLine) finally w.close()
@@ -186,7 +202,7 @@ object Bench {
       if (cTimes.isEmpty) """"canary_n":0"""
       else s""""canary_n":${cTimes.size},"canary_min":${fmt(cTimes.min)},"canary_max":${fmt(cTimes.max)}"""
     val loadMax = (loadAt.values ++ Seq(load)).max
-    println(s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedNames,"sf":"$sfDir","load":${fmt(load)},"load_max":${fmt(loadMax)},$canarySummary,"excluded_validation_n":$nExcluded,"queries":"bench_queries.json"}""")
+    println(s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedNames,"sf":"$sfDir","load":${fmt(load)},"load_max":${fmt(loadMax)},$canarySummary,"calm":$calm,"suspect_n":${suspects.size},"excluded_validation_n":$nExcluded,"queries":"bench_queries.json"}""")
     spark.stop()
   }
 }
