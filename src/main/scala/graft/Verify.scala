@@ -36,6 +36,11 @@ object Verify {
         failures(name) = s"${e.getClass.getSimpleName}: " +
           Jsons.truncAtCodePoint(Option(e.getMessage).getOrElse(""), 300)
         System.err.println(s"[verify] $name FAILED: ${failures(name)}")
+        // opt-in full trace (SPARK_GRAFT_STACKTRACE=1): the manifest keeps
+        // messages short for the driver, but a truncated message alone can
+        // hide WHERE a degenerate-input crash originates
+        if (sys.env.get("SPARK_GRAFT_STACKTRACE").contains("1"))
+          e.printStackTrace(System.err)
       }
     }
     // JSON string escape ([[Jsons]], shared with Bench): backslash, quote,

@@ -613,15 +613,16 @@ object Calibration {
       .crossJoin(broadcast(nCal))
       .select(col("__ncal"), col("__k"),
         coalesce(col("__q"), lit(1000000L)).as("__q"))
-    base.filter(!col("__cal"))
-      .crossJoin(broadcast(qhat))
-      .agg(
-        first(col("__ncal")).as("n_cal"),
-        count(lit(1)).as("n_test"),
-        first(col("__k")).as("k"),
-        first(col("__q")).as("qhat_micro"),
-        sum(when(col("__nc") <= col("__q"), 1L).otherwise(0L)).as("__cov"))
-      .select(col("n_cal"), col("n_test"), col("k"), col("qhat_micro"),
+    // aggregate the test side FIRST, then re-attach the 1-row qhat frame:
+    // first()-over-the-join would lose n_cal/k/qhat whenever the test
+    // side is empty (empty corpus, or a real cal-only split)
+    val testAgg = base.filter(!col("__cal"))
+      .crossJoin(broadcast(qhat.select(col("__q").as("__qv"))))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__nc") <= col("__qv"), 1L).otherwise(0L)).as("__cov"))
+    qhat.crossJoin(testAgg)
+      .select(col("__ncal").as("n_cal"), col("n_test"), col("__k").as("k"),
+        col("__q").as("qhat_micro"),
         when(col("n_test") > 0,
           round(col("__cov").cast("double") / col("n_test"), 6)).as("coverage"))
   }

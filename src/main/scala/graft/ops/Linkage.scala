@@ -114,6 +114,10 @@ object Linkage {
       .collect()
       .map(r => ((0 until k).map(r.getLong).toArray, r.getLong(k)))
     val nTot = census.map(t => BigInt(t._2)).sum
+    // an empty census would make every M-step 0/0 (BigDecimal(NaN) — a
+    // cryptic NumberFormatException three frames deep); refuse it by name
+    require(nTot > 0,
+      "emFit: the blocked pair source produced no pairs — nothing to fit")
     def nano(x: Double): Long = BigDecimal(x * 1e9)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     def clamp(x: Long): Long = math.max(1L, math.min(999999999L, x))

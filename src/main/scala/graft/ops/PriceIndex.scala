@@ -614,6 +614,10 @@ object PriceIndex {
       var pLevels: Seq[(String, Double)] = uv
         .select(col("__pd").cast("string")).distinct()
         .collect().map(r => (r.getString(0), 1.0)).toSeq
+      // refuse an empty panel by name (the sweep's convergence .max and the
+      // base-period minBy would otherwise die on empty collections)
+      require(pLevels.nonEmpty,
+        "gearyKhamis: the price panel is empty — no (item, period) sales to index")
       var itersRun = 0
       var converged = false
       val Wit = org.apache.spark.sql.expressions.Window.partitionBy(col("__it"))
@@ -708,6 +712,10 @@ object PriceIndex {
     // per-period expenditure totals: period-bounded — literal-attach
     val totals = uv0.groupBy(col("__pd")).agg(sum(col("__em")).as("__tot"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // refuse an empty panel by name (the sweep-2 convergence .max and the
+    // base-period minBy would otherwise die on empty collections)
+    require(totals.nonEmpty,
+      "tpdIndex: the price panel is empty — no (item, period) sales to index")
     val uv = uv0
       .join(broadcast(totals.toDF("__pd", "__tot")), Seq("__pd"))
       .select(col("__it"), col("__pd"), col("__lnp"),

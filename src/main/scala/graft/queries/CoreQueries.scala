@@ -472,6 +472,7 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
         |  GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |HAVING COUNT(*) > 0
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
@@ -479,6 +480,7 @@ object CoreQueries {
         |  COUNT(*) AS n,
         |  GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |HAVING COUNT(*) > 0
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_dense_id" ->
       """SELECT doc_id,

@@ -762,6 +762,11 @@ object EmbedQueries {
   private def qPca(s: SparkSession, dir: String): DataFrame =
     graft.ops.Pca.pcaTopComponent(t(s, dir, "embeddings"), "embedding",
         dims = 16, iterations = 8)
+      // degenerate-input alignment (tools/degenerate_lint.py): the operator
+      // keeps its literal dim spine (16 rows, n=0, null loadings) on an
+      // empty corpus; the oracle's power-iteration CTEs vanish — drop the
+      // empty-input spine here (n > 0 on every real row)
+      .filter(col("n") > 0)
       .orderBy(col("dim"))
 
   private def pcaOracleSql: String = {

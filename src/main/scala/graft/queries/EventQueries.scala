@@ -515,7 +515,7 @@ object EventQueries {
        |hh AS (SELECT SUM(t) AS tsum FROM terms),
        |nst AS (SELECT COUNT(*) AS k FROM st)
        |SELECT CAST(nst.k AS BIGINT) AS n_states,
-       |  CAST($itersRunExpr AS BIGINT) AS iters_run,
+       |  CASE WHEN nst.k > 0 THEN CAST($itersRunExpr AS BIGINT) END AS iters_run,
        |  round(CAST(hh.tsum AS DOUBLE) / 1000000000.0, 6) AS entropy_rate,
        |  round(exp(CAST(hh.tsum AS DOUBLE) / 1000000000.0), 6) AS perplexity
        |FROM hh CROSS JOIN nst""".stripMargin
@@ -889,9 +889,9 @@ object EventQueries {
        |u2 AS MATERIALIZED (
        |$per),
        |tot AS (SELECT SUM(pb - pc) AS trm FROM u2)
-       |SELECT channel, CAST(pb AS BIGINT) AS p_base_units,
-       |  CAST(pc AS BIGINT) AS p_removed_units,
-       |  CAST(pb - pc AS BIGINT) AS removal_units,
+       |SELECT channel, CAST(COALESCE(pb, 0) AS BIGINT) AS p_base_units,
+       |  CAST(COALESCE(pc, 0) AS BIGINT) AS p_removed_units,
+       |  CAST(COALESCE(pb, 0) - COALESCE(pc, 0) AS BIGINT) AS removal_units,
        |  CASE WHEN trm > 0 THEN
        |    CAST(((pb - pc) * 2000000 + trm) // (trm * 2) AS BIGINT)
        |  END AS share_micros
@@ -1059,6 +1059,10 @@ object EventQueries {
     graft.ops.RangeJoin.maxConcurrency(sess, col("s_start"), col("s_end"))
       .select(col("max_concurrent"),
         date_format(col("at_ts"), "yyyy-MM-dd HH:mm:ss").as("at_ts"))
+      // degenerate-input alignment (tools/degenerate_lint.py): the global
+      // aggregate emits one all-NULL row on an empty event set where the
+      // oracle's LIMIT 1 over no sessions emits nothing; ≥1 on any real row
+      .filter(col("max_concurrent").isNotNull)
   }
 
   /** Theil-Sen robust trend ([[graft.ops.Stats.theilSen]]): the
@@ -1632,7 +1636,7 @@ object EventQueries {
        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
        |        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
        |  END AS ccf
-       |FROM u ORDER BY lag""".stripMargin
+       |FROM u WHERE (SELECT COUNT(*) FROM v) > 0 ORDER BY lag""".stripMargin
   }
 
   private def autocorrOracleSql(maxLag: Int): String = {
@@ -3923,7 +3927,7 @@ object EventQueries {
         |  CASE WHEN n >= 4 AND m11 > 0 AND det > 0 THEN round(c, 6) END AS b_x1,
         |  CASE WHEN n >= 4 AND m11 > 0 AND det > 0 AND rssu > 0
         |    THEN round((rssr - rssu) * (CAST(n AS DOUBLE) - 3.0) / rssu, 6) END AS f
-        |FROM z""".stripMargin,
+        |FROM z WHERE n > 0""".stripMargin,
     "q_croston" ->
       """WITH d AS (
         |  SELECT user_id,

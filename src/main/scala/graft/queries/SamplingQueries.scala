@@ -142,11 +142,19 @@ object SamplingQueries {
     // reads the checkpoint, plus exactly one genuine re-invocation for
     // the rerun-identity gate — 2 sample executions, not 5
     val s1 = ids.localCheckpoint(true)
-    val vOnce = s1.agg((
-      (count(lit(1)) =!= 100).cast("long") +
-        (count(lit(1)) - countDistinct(col("doc_id"))) +
-        coalesce(sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)), lit(0L)))
-      .as("v"))
+    // the size law is min(k, eligible), not k: weightedSample returns
+    // every eligible row when fewer than k carry positive weight
+    // (degenerate-lint alignment — the fixture always has >= 100)
+    val eligible = d.filter(col("w").isNotNull && !isnan(col("w")) && col("w") > 0)
+      .agg(count(lit(1)).as("__elig"))
+    val vOnce = s1.agg(
+        count(lit(1)).as("__k"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("__dup"),
+        coalesce(sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)), lit(0L))
+          .as("__zero"))
+      .crossJoin(broadcast(eligible))
+      .select(((col("__k") =!= least(lit(100L), col("__elig"))).cast("long") +
+        col("__dup") + col("__zero")).as("v"))
     val vRerun = s1.select(col("doc_id")).exceptAll(ids.select(col("doc_id")))
       .agg(count(lit(1)).as("v"))
     vOnce.unionByName(vRerun)

@@ -458,8 +458,8 @@ object StatsQueries {
   /** Validation for small-file compaction ([[graft.sources.Sources
     * .compact]]) composed with the audit checksum
     * ([[graft.ops.Observe.tableChecksum]]): a 64-file fragmented copy of
-    * events compacts to exactly the planned file count AND the
-    * (n_rows, xor60, sum60) triple is unchanged — content-preservation
+    * events compacts to exactly min(planned, rows) data-bearing files AND
+    * the (n_rows, xor60, sum60) triple is unchanged — content-preservation
     * proven by aggregate, not by a row diff. Violations = 0.
     */
   private def qCompactAudit(s: SparkSession, dir: String): DataFrame = {
@@ -471,26 +471,28 @@ object StatsQueries {
       .repartition(64).write.mode("overwrite").parquet(inPath)
     val target = math.max(1L, graft.sources.Sources.dataFileBytes(s, inPath) / 4)
     val planned = graft.sources.Sources.compact(s, inPath, outPath, target)
-    val written = { // count real data files the way dataFileBytes does
-      val p = new org.apache.hadoop.fs.Path(outPath)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(p, true)
-      var n = 0
-      while (it.hasNext) {
-        val f = it.next().getPath.getName
-        if (!f.startsWith("_") && !f.startsWith(".")) n += 1
-      }
-      n
-    }
     val a = graft.ops.Observe.tableChecksum(s.read.parquet(inPath), cols)
       .toDF("n_a", "x_a", "s_a")
-    val b = graft.ops.Observe.tableChecksum(s.read.parquet(outPath), cols)
+    val out = s.read.parquet(outPath)
+    val b = graft.ops.Observe.tableChecksum(out, cols)
       .toDF("n_b", "x_b", "s_b")
-    a.crossJoin(b).select(
-      ((col("n_a") =!= col("n_b")).cast("long") +
-        (col("x_a") =!= col("x_b")).cast("long") +
-        (col("s_a") =!= col("s_b")).cast("long") +
-        lit(if (planned == written) 0L else 1L)).as("n_violations"))
+    // degenerate-lint alignment: (1) xor60/sum60 are NULL over zero rows —
+    // compare null-safely or an empty-input audit reports NULL violations;
+    // (2) the file law counts DATA-BEARING files (via _metadata.file_path,
+    // distributed — no fs walk): Spark round-robin fills every planned
+    // partition only when rows >= planned, and always emits a row-free
+    // schema-carrier file for partition 0 when it lands empty, so the raw
+    // fs count is min(planned, rows) + {0, 1}; data-bearing files are
+    // exactly min(planned, rows) — the invariant that holds at every scale
+    val dataFiles = out
+      .select(countDistinct(col("_metadata.file_path")).as("files_data"))
+    a.crossJoin(b).crossJoin(broadcast(dataFiles)).select(
+      ((!(col("n_a") <=> col("n_b"))).cast("long") +
+        (!(col("x_a") <=> col("x_b"))).cast("long") +
+        (!(col("s_a") <=> col("s_b"))).cast("long") +
+        (col("files_data") =!=
+          least(lit(planned.toLong), col("n_b").cast("long"))).cast("long"))
+        .as("n_violations"))
   }
 
   /** Two-sample KS drift statistic ([[graft.ops.Drift.ksStatistic]]):
@@ -1158,23 +1160,36 @@ object StatsQueries {
     * q_ipw oracles (r12 refactor): runs against a CTE named `base`
     * with columns (y, x), leaving i$iters holding (b0n, b1n).
     */
+  /** The Newton-step determinant — the engine's degeneracy test
+    * ([[graft.ops.Regression.logisticFitNano]]: `!(det > 0.0)` at ANY
+    * iteration flags degenerate and freezes the coefficients). NULL
+    * moment sums (empty base) coalesce to 0.0 exactly like the engine's
+    * `dbl()` — det 0 ⇒ degenerate on the first sweep.
+    */
+  private val logitDetExpr: String =
+    """(COALESCE(CAST(h00n AS DOUBLE), 0.0) / 1000000000.0
+      |          * (COALESCE(CAST(h11n AS DOUBLE), 0.0) / 1000000000.0)
+      |        - COALESCE(CAST(h01n AS DOUBLE), 0.0) / 1000000000.0
+      |          * (COALESCE(CAST(h01n AS DOUBLE), 0.0) / 1000000000.0))""".stripMargin
+
   private def logitTrainCtes(iterations: Int): String =
     (1 to iterations).map { i =>
       s"""s$i AS (
-         |  SELECT MAX(b0n) AS b0n, MAX(b1n) AS b1n,
+         |  SELECT MAX(b0n) AS b0n, MAX(b1n) AS b1n, MAX(CAST(deg AS INT)) AS degi,
          |    SUM(CAST(round((y - p) * 1000000000.0) AS HUGEINT)) AS g0n,
          |    SUM(CAST(round((x * (y - p)) * 1000000000.0) AS HUGEINT)) AS g1n,
          |    SUM(CAST(round((p * (1.0 - p)) * 1000000000.0) AS HUGEINT)) AS h00n,
          |    SUM(CAST(round((x * (p * (1.0 - p))) * 1000000000.0) AS HUGEINT)) AS h01n,
          |    SUM(CAST(round((x * x * (p * (1.0 - p))) * 1000000000.0) AS HUGEINT)) AS h11n
          |  FROM (
-         |    SELECT y, x, b0n, b1n,
+         |    SELECT y, x, b0n, b1n, deg,
          |      1.0 / (1.0 + exp(-(CAST(b0n AS DOUBLE) / 1000000000.0
          |        + CAST(b1n AS DOUBLE) / 1000000000.0 * x))) AS p
          |    FROM base CROSS JOIN i${i - 1}) t),
          |i$i AS (
          |  SELECT
-         |    b0n + CAST(round((CAST(h11n AS DOUBLE) / 1000000000.0
+         |    CASE WHEN degi = 1 OR NOT ($logitDetExpr > 0.0) THEN b0n
+         |    ELSE b0n + CAST(round((CAST(h11n AS DOUBLE) / 1000000000.0
          |        * (CAST(g0n AS DOUBLE) / 1000000000.0)
          |      - CAST(h01n AS DOUBLE) / 1000000000.0
          |        * (CAST(g1n AS DOUBLE) / 1000000000.0))
@@ -1182,8 +1197,9 @@ object StatsQueries {
          |          * (CAST(h11n AS DOUBLE) / 1000000000.0)
          |        - CAST(h01n AS DOUBLE) / 1000000000.0
          |          * (CAST(h01n AS DOUBLE) / 1000000000.0))
-         |      * 1000000000.0) AS BIGINT) AS b0n,
-         |    b1n + CAST(round((CAST(h00n AS DOUBLE) / 1000000000.0
+         |      * 1000000000.0) AS BIGINT) END AS b0n,
+         |    CASE WHEN degi = 1 OR NOT ($logitDetExpr > 0.0) THEN b1n
+         |    ELSE b1n + CAST(round((CAST(h00n AS DOUBLE) / 1000000000.0
          |        * (CAST(g1n AS DOUBLE) / 1000000000.0)
          |      - CAST(h01n AS DOUBLE) / 1000000000.0
          |        * (CAST(g0n AS DOUBLE) / 1000000000.0))
@@ -1191,7 +1207,8 @@ object StatsQueries {
          |          * (CAST(h11n AS DOUBLE) / 1000000000.0)
          |        - CAST(h01n AS DOUBLE) / 1000000000.0
          |          * (CAST(h01n AS DOUBLE) / 1000000000.0))
-         |      * 1000000000.0) AS BIGINT) AS b1n
+         |      * 1000000000.0) AS BIGINT) END AS b1n,
+         |    (COALESCE(degi, 1) = 1 OR NOT ($logitDetExpr > 0.0)) AS deg
          |  FROM s$i)""".stripMargin
     }.mkString(",\n")
 
@@ -1201,10 +1218,11 @@ object StatsQueries {
        |  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
        |    ln(1.0 + value) AS x
        |  FROM events WHERE value IS NOT NULL AND value >= 0.0),
-       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n, FALSE AS deg),
        |$iters,
        |fin AS (
        |  SELECT COUNT(*) AS n, SUM(CAST(y AS BIGINT)) AS n_pos,
+       |    MAX(CAST(deg AS INT)) AS degi,
        |    MAX(CAST(b0n AS DOUBLE) / 1000000000.0) AS b0,
        |    MAX(CAST(b1n AS DOUBLE) / 1000000000.0) AS b1,
        |    SUM(CAST(round((y * (CAST(b0n AS DOUBLE) / 1000000000.0
@@ -1214,8 +1232,10 @@ object StatsQueries {
        |      * 1000000000.0) AS HUGEINT)) AS lln
        |  FROM base CROSS JOIN i4)
        |SELECT n, CAST(n_pos AS BIGINT) AS n_pos,
-       |  round(b0, 6) AS b0, round(b1, 6) AS b1,
-       |  round(CAST(lln AS DOUBLE) / 1000000000.0, 6) AS ll
+       |  CASE WHEN COALESCE(degi, 1) = 0 THEN round(b0, 6) END AS b0,
+       |  CASE WHEN COALESCE(degi, 1) = 0 THEN round(b1, 6) END AS b1,
+       |  CASE WHEN COALESCE(degi, 1) = 0 THEN
+       |    round(CAST(lln AS DOUBLE) / 1000000000.0, 6) END AS ll
        |FROM fin""".stripMargin
   }
 
@@ -1253,10 +1273,10 @@ object StatsQueries {
        |    ln(1.0 + clicks) AS x,
        |    CAST(cents AS DOUBLE) / 100.0 AS o
        |  FROM pu),
-       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n, FALSE AS deg),
        |$iters,
        |w AS (
-       |  SELECT y, o,
+       |  SELECT y, o, deg,
        |    LEAST(GREATEST(1.0 / (1.0 + exp(-(CAST(b0n AS DOUBLE) / 1000000000.0
        |      + CAST(b1n AS DOUBLE) / 1000000000.0 * x))), 0.01), 0.99) AS pc,
        |    CAST(b0n AS DOUBLE) / 1000000000.0 AS b0,
@@ -1265,7 +1285,7 @@ object StatsQueries {
        |ag AS (
        |  SELECT COUNT(*) AS n,
        |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS nt,
-       |    MAX(b0) AS b0, MAX(b1) AS b1,
+       |    MAX(b0) AS b0, MAX(b1) AS b1, MAX(CAST(deg AS INT)) AS degi,
        |    SUM(CASE WHEN y = 1.0
        |      THEN CAST(round(o / pc * 1000000000.0) AS HUGEINT)
        |      ELSE 0 END) AS ty,
@@ -1280,11 +1300,15 @@ object StatsQueries {
        |      END) AS cw
        |  FROM w)
        |SELECT n, CAST(nt AS BIGINT) AS n_treated,
-       |  round(b0, 6) AS b0, round(b1, 6) AS b1,
-       |  round(CAST(ty AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS mu_treated,
-       |  round(CAST(cy AS DOUBLE) / CAST(cw AS DOUBLE), 6) AS mu_control,
-       |  round(CAST(ty AS DOUBLE) / CAST(tw AS DOUBLE)
-       |    - CAST(cy AS DOUBLE) / CAST(cw AS DOUBLE), 6) AS ate
+       |  CASE WHEN COALESCE(degi, 1) = 0 THEN round(b0, 6) END AS b0,
+       |  CASE WHEN COALESCE(degi, 1) = 0 THEN round(b1, 6) END AS b1,
+       |  CASE WHEN COALESCE(degi, 1) = 0 AND tw > 0 AND cw > 0 THEN
+       |    round(CAST(ty AS DOUBLE) / CAST(tw AS DOUBLE), 6) END AS mu_treated,
+       |  CASE WHEN COALESCE(degi, 1) = 0 AND tw > 0 AND cw > 0 THEN
+       |    round(CAST(cy AS DOUBLE) / CAST(cw AS DOUBLE), 6) END AS mu_control,
+       |  CASE WHEN COALESCE(degi, 1) = 0 AND tw > 0 AND cw > 0 THEN
+       |    round(CAST(ty AS DOUBLE) / CAST(tw AS DOUBLE)
+       |      - CAST(cy AS DOUBLE) / CAST(cw AS DOUBLE), 6) END AS ate
        |FROM ag""".stripMargin
   }
 
@@ -1323,7 +1347,7 @@ object StatsQueries {
        |      ln(1.0 + clicks) AS x
        |    FROM pu) b
        |  WHERE y IS NOT NULL AND x IS NOT NULL),
-       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n, FALSE AS deg),
        |$iters,
        |w AS (
        |  SELECT y,
@@ -1453,7 +1477,7 @@ object StatsQueries {
        |    FROM pu) b
        |  WHERE y IS NOT NULL AND x IS NOT NULL
        |    AND c0 IS NOT NULL AND c1 IS NOT NULL),
-       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n, FALSE AS deg),
        |$iters,
        |w AS (
        |  SELECT y, c0, c1,
@@ -1510,7 +1534,7 @@ object StatsQueries {
        |    ln(1.0 + views) AS x,
        |    CAST(cents AS DOUBLE) / 100.0 AS o
        |  FROM pu),
-       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n, FALSE AS deg),
        |$iters,
        |om AS (
        |  SELECT
@@ -1565,7 +1589,7 @@ object StatsQueries {
        |    ELSE 0 END AS a0n
        |  FROM sl),
        |w AS (
-       |  SELECT y, o,
+       |  SELECT y, o, deg,
        |    CAST(b0n AS DOUBLE) / 1000000000.0 AS b0,
        |    CAST(b1n AS DOUBLE) / 1000000000.0 AS b1,
        |    LEAST(GREATEST(1.0 / (1.0 + exp(-(CAST(b0n AS DOUBLE) / 1000000000.0
@@ -1578,7 +1602,7 @@ object StatsQueries {
        |ag AS (
        |  SELECT COUNT(*) AS n,
        |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS nt,
-       |    MAX(b0) AS b0, MAX(b1) AS b1,
+       |    MAX(b0) AS b0, MAX(b1) AS b1, MAX(CAST(deg AS INT)) AS degi,
        |    SUM(CAST(round((mu1 - mu0 + CASE WHEN y = 1.0
        |        THEN (o - mu1) / pc ELSE -((o - mu0)) / (1.0 - pc) END)
        |      * 1000000000.0) AS HUGEINT)) AS ps,
@@ -1590,14 +1614,15 @@ object StatsQueries {
        |    SUM(CAST(round((mu1 - mu0) * 1000000000.0) AS HUGEINT)) AS rg
        |  FROM w)
        |SELECT n, CAST(nt AS BIGINT) AS n_treated,
-       |  round(b0, 6) AS b0, round(b1, 6) AS b1,
-       |  CASE WHEN nt > 0 AND n - nt > 0 THEN
+       |  CASE WHEN COALESCE(degi, 1) = 0 THEN round(b0, 6) END AS b0,
+       |  CASE WHEN COALESCE(degi, 1) = 0 THEN round(b1, 6) END AS b1,
+       |  CASE WHEN COALESCE(degi, 1) = 0 AND nt > 0 AND n - nt > 0 THEN
        |    round(CAST(rg AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6)
        |  END AS reg_ate,
-       |  CASE WHEN nt > 0 AND n - nt > 0 THEN
+       |  CASE WHEN COALESCE(degi, 1) = 0 AND nt > 0 AND n - nt > 0 THEN
        |    round(CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6)
        |  END AS ate,
-       |  CASE WHEN nt > 0 AND n - nt > 0
+       |  CASE WHEN COALESCE(degi, 1) = 0 AND nt > 0 AND n - nt > 0
        |      AND CAST(ps2 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)
        |      - (CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE))
        |        * (CAST(ps AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) >= 0.0
@@ -1648,7 +1673,7 @@ object StatsQueries {
        |    ln(1.0 + clicks) AS x,
        |    CAST(cents AS DOUBLE) / 100.0 AS o
        |  FROM pu),
-       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n),
+       |i0 AS (SELECT CAST(0 AS BIGINT) AS b0n, CAST(0 AS BIGINT) AS b1n, FALSE AS deg),
        |$iters,
        |pmr AS (
        |  SELECT id, y = 1.0 AS t, o,
@@ -1696,12 +1721,14 @@ object StatsQueries {
        |  SELECT COUNT(*) AS n,
        |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS nt,
        |    MAX(CAST(b0n AS DOUBLE) / 1000000000.0) AS b0,
-       |    MAX(CAST(b1n AS DOUBLE) / 1000000000.0) AS b1
+       |    MAX(CAST(b1n AS DOUBLE) / 1000000000.0) AS b1,
+       |    MAX(CAST(deg AS INT)) AS degi
        |  FROM base CROSS JOIN i4)
        |SELECT n, CAST(nt AS BIGINT) AS n_treated,
        |  COALESCE(CAST(nm AS BIGINT), 0) AS n_matched,
-       |  round(b0, 6) AS b0, round(b1, 6) AS b1,
-       |  CASE WHEN nm IS NOT NULL AND nm > 0 THEN
+       |  CASE WHEN COALESCE(degi, 1) = 0 THEN round(b0, 6) END AS b0,
+       |  CASE WHEN COALESCE(degi, 1) = 0 THEN round(b1, 6) END AS b1,
+       |  CASE WHEN COALESCE(degi, 1) = 0 AND nm IS NOT NULL AND nm > 0 THEN
        |    round((CAST(ty AS DOUBLE) / 1000000000.0
        |        - CAST(cy AS DOUBLE) / 1000000000.0)
        |      / CAST(nm AS DOUBLE), 6)
@@ -4793,19 +4820,22 @@ object StatsQueries {
         |tt AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
         |e AS (
         |  SELECT na, nb,
-        |    CASE WHEN ca > 0 THEN
+        |    CASE WHEN ca > 0 AND nb > 0 THEN
         |      CAST(round(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
         |        * (ln(2 * ca * nb) - ln(ca * nb + cb * na))
         |        * 1000000000.0) AS BIGINT) ELSE 0 END AS tr,
-        |    CASE WHEN cb > 0 THEN
+        |    CASE WHEN cb > 0 AND na > 0 THEN
         |      CAST(round(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
         |        * (ln(2 * cb * na) - ln(ca * nb + cb * na))
         |        * 1000000000.0) AS BIGINT) ELSE 0 END AS tc
         |  FROM c CROSS JOIN tt)
         |SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
         |  CAST(COUNT(*) AS BIGINT) AS n_categories,
-        |  round(CAST(SUM(tr) + SUM(tc) AS DOUBLE) / 2000000000.0, 6) AS jsd,
-        |  round(CAST(SUM(tr) + SUM(tc) AS DOUBLE) / 2000000000.0 / ln(2.0), 6) AS jsd_norm
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round(CAST(SUM(tr) + SUM(tc) AS DOUBLE) / 2000000000.0, 6) END AS jsd,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round(CAST(SUM(tr) + SUM(tc) AS DOUBLE) / 2000000000.0 / ln(2.0), 6)
+        |  END AS jsd_norm
         |FROM e GROUP BY na, nb""".stripMargin,
     "q_two_prop" ->
       """WITH t AS (
@@ -5369,6 +5399,7 @@ object StatsQueries {
         |        * CAST((SELECT least(da, db) - 1 FROM tot) AS DOUBLE))), 6)
         |  END AS cramers_v
         |FROM t2
+        |HAVING COUNT(*) > 0
         |""".stripMargin,
     "q_welch" ->
       """WITH tagged AS (
@@ -6120,25 +6151,25 @@ object StatsQueries {
         |FROM t2 GROUP BY 1 ORDER BY dim""".stripMargin,
     "q_profile" ->
       """SELECT 'l_discount' AS col_name, COUNT(*) AS n_rows,
-        |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COALESCE(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
         |  COUNT(DISTINCT l_discount) AS n_distinct,
         |  CAST(min(l_discount) AS VARCHAR) AS min_value, CAST(max(l_discount) AS VARCHAR) AS max_value
         |FROM lineitem
         |UNION ALL
         |SELECT 'l_linenumber', COUNT(*),
-        |  CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COALESCE(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
         |  COUNT(DISTINCT l_linenumber),
         |  CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
         |FROM lineitem
         |UNION ALL
         |SELECT 'l_quantity', COUNT(*),
-        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COALESCE(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
         |  COUNT(DISTINCT l_quantity),
         |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
         |FROM lineitem
         |UNION ALL
         |SELECT 'l_returnflag', COUNT(*),
-        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
         |  COUNT(DISTINCT l_returnflag),
         |  min(l_returnflag), max(l_returnflag)
         |FROM lineitem
@@ -6271,11 +6302,11 @@ object StatsQueries {
         |ORDER BY relation""".stripMargin,
     "q_expectations" ->
       """WITH a AS (SELECT
-        |  CAST(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
-        |  CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
-        |  CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_full_match(l_linestatus, '(?:[OF])') THEN 1 ELSE 0 END) AS BIGINT) AS v_match,
-        |  CAST(sum(CASE WHEN COALESCE(l_extendedprice >= 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v_sat,
-        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |  CAST(COALESCE(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_range,
+        |  CAST(COALESCE(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_set,
+        |  CAST(COALESCE(sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_full_match(l_linestatus, '(?:[OF])') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_match,
+        |  CAST(COALESCE(sum(CASE WHEN COALESCE(l_extendedprice >= 0, FALSE) THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_sat,
+        |  CAST(COALESCE(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_null,
         |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v_uni
         | FROM lineitem)
         |SELECT rule, violations, violations = 0 AS passed FROM (
@@ -6368,7 +6399,7 @@ object StatsQueries {
         |  FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey)
         |SELECT CAST(cnt AS BIGINT) AS n_pairs,
         |  (SELECT count(*) FROM c) AS n_keys_matched,
-        |  CAST((SELECT max(n*n) FROM c) AS BIGINT) AS max_key_pairs
+        |  CAST(COALESCE((SELECT max(n*n) FROM c), 0) AS BIGINT) AS max_key_pairs
         |FROM actual""".stripMargin,
     "q_ab_ci" ->
       """WITH g AS (
@@ -6382,12 +6413,12 @@ object StatsQueries {
         |  FROM g)
         |SELECT variant, n, x,
         |  p AS p_hat,
-        |  greatest((p + (1.96*1.96)/(2.0*nd) -
-        |    1.96 * sqrt(p*(1.0 - p)/nd + (1.96*1.96)/(4.0*nd*nd)))
-        |    / (1.0 + (1.96*1.96)/nd), 0.0) AS ci_lo,
-        |  least((p + (1.96*1.96)/(2.0*nd) +
-        |    1.96 * sqrt(p*(1.0 - p)/nd + (1.96*1.96)/(4.0*nd*nd)))
-        |    / (1.0 + (1.96*1.96)/nd), 1.0) AS ci_hi
+        |  greatest((p + (CAST(1.96 AS DOUBLE)*CAST(1.96 AS DOUBLE))/(2.0*nd) -
+        |    1.96 * sqrt(p*(1.0 - p)/nd + (CAST(1.96 AS DOUBLE)*CAST(1.96 AS DOUBLE))/(4.0*nd*nd)))
+        |    / (1.0 + (CAST(1.96 AS DOUBLE)*CAST(1.96 AS DOUBLE))/nd), 0.0) AS ci_lo,
+        |  least((p + (CAST(1.96 AS DOUBLE)*CAST(1.96 AS DOUBLE))/(2.0*nd) +
+        |    1.96 * sqrt(p*(1.0 - p)/nd + (CAST(1.96 AS DOUBLE)*CAST(1.96 AS DOUBLE))/(4.0*nd*nd)))
+        |    / (1.0 + (CAST(1.96 AS DOUBLE)*CAST(1.96 AS DOUBLE))/nd), 1.0) AS ci_hi
         |FROM f ORDER BY variant""".stripMargin,
     // quantile_cont interpolates lower + (upper-lower)·frac with frac an
     // exact power-of-two fraction here, matching Spark's percentile bit

@@ -2825,7 +2825,7 @@ object TextQueries {
         |  CASE WHEN na >= 1 AND nb >= 1
         |    THEN round(CAST(ra2 - na * (na + 1) AS DOUBLE) / 2.0
         |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) END AS auc
-        |FROM a""".stripMargin,
+        |FROM a WHERE na IS NOT NULL""".stripMargin,
     "q_fairness" ->
       """WITH l AS (
         |  SELECT doc_id, lang, source, string_split(text, ' ') AS tk

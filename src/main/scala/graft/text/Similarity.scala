@@ -286,6 +286,12 @@ object Similarity {
 
     val c = normalized(corpus, idCol, vecCol, "neighbor_id", "cv")
       .withColumn("features", array_to_vector(col("cv")))
+    // Spark ML KMeans dies with an internal ArrayIndexOutOfBounds when the
+    // corpus holds fewer vectors than cells — refuse by contract instead
+    // (limit(nCells) bounds the check scan; it never reads the full corpus)
+    val have = c.limit(nCells).count()
+    require(have >= nCells,
+      s"ivfBuild needs at least nCells=$nCells vectors, got $have")
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5).setTol(1e-3).fit(c)
     val cells = model.transform(c)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
