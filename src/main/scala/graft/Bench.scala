@@ -188,8 +188,14 @@ object Bench {
     val suspectsJson = suspects.map(jstr).mkString("[", ",", "]")
     val perQueryLine =
       s"""{"per_query":$qs,"warm":$warm,"null_sink":$sinkMap,"load_at_start":$loads,"wall_clock":$wall,"canary":$canaries,"calm":$calm,"calm_rule":"start_load<2 && canary_max<2s","suspect_queries":$suspectsJson,"failed_detail":$failedJson,"sf":"$sfDir","metric_of":"$metric"}"""
+    // Subset (tuning-loop) runs write a SIDE file: the committed norms
+    // are full-workload numbers, and a 1-query probe must never clobber
+    // them (it did once — the calm 408-row table had to be recovered
+    // from the run log)
+    val normsFile =
+      if (metric == "total") "bench_queries.json" else "bench_subset.json"
     try {
-      val w = new java.io.PrintWriter("bench_queries.json", "UTF-8")
+      val w = new java.io.PrintWriter(normsFile, "UTF-8")
       try w.println(perQueryLine) finally w.close()
     } catch { case _: Throwable => () } // file is best-effort; stdout is the contract
     println(perQueryLine)
@@ -202,7 +208,7 @@ object Bench {
       if (cTimes.isEmpty) """"canary_n":0"""
       else s""""canary_n":${cTimes.size},"canary_min":${fmt(cTimes.min)},"canary_max":${fmt(cTimes.max)}"""
     val loadMax = (loadAt.values ++ Seq(load)).max
-    println(s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedNames,"sf":"$sfDir","load":${fmt(load)},"load_max":${fmt(loadMax)},$canarySummary,"calm":$calm,"suspect_n":${suspects.size},"excluded_validation_n":$nExcluded,"queries":"bench_queries.json"}""")
+    println(s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failedNames,"sf":"$sfDir","load":${fmt(load)},"load_max":${fmt(loadMax)},$canarySummary,"calm":$calm,"suspect_n":${suspects.size},"excluded_validation_n":$nExcluded,"queries":"$normsFile"}""")
     spark.stop()
   }
 }
