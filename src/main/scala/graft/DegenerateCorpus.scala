@@ -22,6 +22,22 @@ object DegenerateCorpus {
   val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Write the n0 (empty) and n1 (single-row) variant of every table
+    * under `outBase/n{0,1}/<table>.parquet` (DegenerateCorpusSpec
+    * drives this directly; `main` owns the session lifecycle).
+    */
+  def write(spark: SparkSession, srcDir: String, outBase: String): Unit =
+    for (n <- Seq(0, 1); tbl <- tables) {
+      // orderBy before limit(1) so the single surviving row is the same
+      // on every run regardless of parquet split planning
+      val df = sources.Sources.readTable(spark, srcDir, tbl)
+      val sorted =
+        if (n == 0) df.limit(0)
+        else df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*).limit(n)
+      sorted.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outBase/n$n/$tbl.parquet")
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: DegenerateCorpus <srcDir> <outBase>")
     val (srcDir, outBase) = (args(0), args(1))
@@ -33,16 +49,7 @@ object DegenerateCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (n <- Seq(0, 1); tbl <- tables) {
-      // orderBy before limit(1) so the single surviving row is the same
-      // on every run regardless of parquet split planning
-      val df = sources.Sources.readTable(spark, srcDir, tbl)
-      val sorted =
-        if (n == 0) df.limit(0)
-        else df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*).limit(n)
-      sorted.coalesce(1).write.mode("overwrite")
-        .parquet(s"$outBase/n$n/$tbl.parquet")
-    }
+    write(spark, srcDir, outBase)
     println(s"""{"degenerate_corpus":"$outBase","tables":${tables.size},"variants":["n0","n1"]}""")
     spark.stop()
   }

@@ -383,22 +383,31 @@ object Dedup {
         .groupBy(col("src").as("v")).agg(min(col("label")).as("nbr_label"))
       // prelim is checkpointed too: the pointer-jump self-join reads it
       // on BOTH sides, and without materialization each side would
-      // re-execute the sym-join + groupBy-min subtree.
+      // re-execute the sym-join + groupBy-min subtree. It carries the
+      // round's starting label as __old so convergence is decidable
+      // inside the jump job (below) instead of by a separate join.
       val prelim = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"),
+        .select(col("v"), col("label").as("__old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true)
       // Pointer jump (path halving): follow label → label(label). Labels
       // are always vertex ids, so the self-join resolves every row; this
       // turns per-round propagation from one hop into doubling, making
-      // convergence O(log diameter) instead of O(diameter).
+      // convergence O(log diameter) instead of O(diameter). The changed
+      // count rides the SAME job as an Observation metric (CollectMetrics
+      // evaluates during the checkpoint materialization), replacing the
+      // old per-round jumped⋈labels + limit(1).count() convergence job —
+      // one fewer shuffle + action per round for every components caller.
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$i")
       val jumped = prelim
         .join(prelim.select(col("v").as("label"), col("label").as("__ll")),
           Seq("label"), "left")
-        .select(col("v"), coalesce(col("__ll"), col("label")).as("label"))
+        .select(col("v"), col("__old"), coalesce(col("__ll"), col("label")).as("label"))
+        .observe(obs, coalesce(sum(when(col("label") =!= col("__old"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_changed"))
+        .select(col("v"), col("label"))
         .localCheckpoint(true)
-      val changed = jumped.join(labels.withColumnRenamed("label", "__old"), "v")
-        .filter(col("label") =!= col("__old")).limit(1).count() > 0
+      val changed = obs.get("n_changed").asInstanceOf[Long] > 0
       // release the superseded generations' checkpoint blocks eagerly
       // (ContextCleaner would get there, but not before maxIter
       // generations pile up on a long session)
