@@ -130,11 +130,15 @@ object Graph {
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val keep = degrees(cur).filter(col("d") >= k).select(col("x"))
+      // the survivor count rides the checkpoint job as an Observation
+      // metric (the connectedComponents r14 pattern) — one action/round
+      val obs = org.apache.spark.sql.Observation(s"kcore_round_$rounds")
       val next = cur
         .join(keep.toDF("u"), Seq("u"), "left_semi")
         .join(keep.toDF("v"), Seq("v"), "left_semi")
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      val n = next.count()
+      val n = obs.get("n").asInstanceOf[Long]
       converged = n == prevCount
       prevCount = n
       cur = next
@@ -220,8 +224,13 @@ object Graph {
     while (!converged && rounds < maxRounds) {
       val keep = support(cur).filter(col("support") >= minSup)
         .select(col("u"), col("v"))
-      val next = cur.join(keep, Seq("u", "v"), "left_semi").localCheckpoint(true)
-      val n = next.count()
+      // survivor count via Observation on the checkpoint job (the
+      // connectedComponents r14 pattern) — one action per peel round
+      val obs = org.apache.spark.sql.Observation(s"ktruss_round_$rounds")
+      val next = cur.join(keep, Seq("u", "v"), "left_semi")
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val n = obs.get("n").asInstanceOf[Long]
       converged = n == prevCount
       prevCount = n
       cur = next
@@ -750,14 +759,17 @@ object Graph {
     while (hop <= maxHops && !exhausted) {
       val reached = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node")).distinct()
+      // early exit on an empty frontier (r12, ADVICE): the fixpoint is
+      // reached, so the remaining rounds would only burn checkpoint jobs.
+      // The size rides the checkpoint job itself as an Observation metric
+      // (the connectedComponents r14 pattern) — no separate probe action.
+      val obs = org.apache.spark.sql.Observation(s"bfs_frontier_$hop")
       frontier = reached
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(hop.toLong).as("dist"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      // early exit on an empty frontier (r12, ADVICE): the fixpoint is
-      // reached, so the remaining rounds would only burn checkpoint jobs.
-      // The frontier is already materialized — limit(1) is a cheap probe.
-      if (frontier.limit(1).count() == 0L) exhausted = true
+      if (obs.get("n").asInstanceOf[Long] == 0L) exhausted = true
       else dist = dist.unionByName(frontier).localCheckpoint(true)
       hop += 1
     }
@@ -837,13 +849,16 @@ object Graph {
     while (hop <= maxHops && !exhausted) {
       val reached = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("seed"), col("dst").as("node")).distinct()
+      // early exit once every seed's ball is exhausted (r12, ADVICE) —
+      // the size rides the checkpoint job as an Observation metric (the
+      // connectedComponents r14 pattern), no separate probe action
+      val obs = org.apache.spark.sql.Observation(s"seed_frontier_$hop")
       frontier = reached
         .join(dist.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(hop.toLong).as("dist"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      // early exit once every seed's ball is exhausted (r12, ADVICE) —
-      // mirrors the kCore/connectedComponents convergence break
-      if (frontier.limit(1).count() == 0L) exhausted = true
+      if (obs.get("n").asInstanceOf[Long] == 0L) exhausted = true
       else dist = dist.unionByName(frontier).localCheckpoint(true)
       hop += 1
     }
@@ -932,12 +947,16 @@ object Graph {
     var h = 1
     while (h <= maxHops && !exhausted) {
       val prev = levels.last
+      // level size rides the checkpoint job as an Observation metric
+      // (the connectedComponents r14 pattern), no separate probe action
+      val obs = org.apache.spark.sql.Observation(s"bc_level_$h")
       val next = e.join(prev.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("sig")).as("sig"))
         .join(seen, Seq("seed", "node"), "left_anti")
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      if (next.limit(1).count() == 0L) exhausted = true
+      if (obs.get("n").asInstanceOf[Long] == 0L) exhausted = true
       else {
         levels += next
         seen = seen.unionByName(next.select(col("seed"), col("node")))
