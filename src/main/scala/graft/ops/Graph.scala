@@ -41,15 +41,18 @@ object Graph {
     require(iterations >= 1, "need at least one iteration")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(unit >= 1000000L, "unit too coarse for meaningful ranks")
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // each edge carries its source degree from the start: one join paid
-    // once instead of per iteration
-    val e = e0.join(outdeg, Seq("src")).localCheckpoint(true)
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
+    // one pass builds the frozen degree-carrying edge list (r14): the
+    // source degree rides a window count over the same src partitioning
+    // the loop needs anyway — the previous outdeg-join shape recomputed
+    // the upstream scan + distinct twice, and the node set twice more;
+    // nodes now derive from the checkpointed edge list for free
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint(true)
-    val nNodes = nodes.agg(count(lit(1)).as("n"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     // Size-based join strategy, decided ONCE before the loop: rank state
     // is node-sized, and broadcasting it per iteration is the fast path
     // only while it fits the session's broadcast threshold — past that
@@ -60,12 +63,16 @@ object Graph {
     val nProbe = nodes.count() // nodes is checkpointed: a cheap scalar probe
     val useBroadcast = Hints.fitsBroadcast(edges.sparkSession, nProbe, rowBytes = 32L)
     val eJoined = if (useBroadcast) e else e.repartition(col("src")).localCheckpoint(true)
-    // all arithmetic stays in columns — N rides a 1-row broadcast, the
-    // driver never holds a rank
-    var ranks = nodes.crossJoin(broadcast(nNodes))
-      .select(col("node"), expr(s"${unit}L div n").as("rank"))
+    // N is the nProbe scalar the broadcast decision already paid for —
+    // inlining it as a literal (exact same integer div) drops the 1-row
+    // broadcast build + cross join from EVERY iteration; the driver
+    // still never holds a rank. An empty graph keeps every frame empty,
+    // so the guarded divisor only prevents the needless 1/0 throw.
+    val nDiv = math.max(nProbe, 1L)
+    var ranks = nodes
+      .select(col("node"), lit(unit / nDiv).as("rank"))
       .localCheckpoint(true)
-    val base = s"(${unit}L * 15L div 100L) div n"
+    val base = (unit * 15L / 100L) / nDiv
     for (i <- 1 to iterations) {
       // the (frozen, degree-carrying) edge list never re-shuffles — only
       // the dst-keyed partial-agg (and, on the non-broadcast path, the
@@ -77,9 +84,8 @@ object Graph {
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
       val next = nodes
         .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(nNodes))
         .select(col("node"),
-          expr(s"$base + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
+          expr(s"${base}L + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
       // checkpoint on a cadence: lineage stays bounded (it would double
       // per round) without paying a materialization job every iteration
       ranks = if (i % checkpointEvery == 0 || i == iterations) next.localCheckpoint(true)
@@ -268,26 +274,34 @@ object Graph {
     require(iterations >= 1, "need at least one iteration")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     require(unit >= 1000000L, "unit too coarse for meaningful ranks")
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val e = e0.join(outdeg, Seq("src")).localCheckpoint(true)
-    val flagged = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
+    // frozen degree-carrying edge list in one pass (r14) — see
+    // [[pageRank]]: the window count replaces the outdeg join (which
+    // recomputed the upstream scan + distinct), and the seed-flagged
+    // node set derives from the CHECKPOINTED edge list instead of
+    // recomputing that scan twice more under its union
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .localCheckpoint(true)
+    val flagged = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .join(sources.select(col(sourceCol).as("node")).distinct()
         .withColumn("__s", lit(1L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("isrc"))
       .localCheckpoint(true)
-    val nSrc = flagged.agg(sum(col("isrc")).as("ns"))
     val nsProbe = flagged.filter(col("isrc") === 1L).count()
     require(nsProbe > 0, "personalizedPageRank: no seed appears in the graph")
     val nProbe = flagged.count()
     val useBroadcast = Hints.fitsBroadcast(edges.sparkSession, nProbe, rowBytes = 32L)
     val eJoined = if (useBroadcast) e else e.repartition(col("src")).localCheckpoint(true)
-    var ranks = flagged.crossJoin(broadcast(nSrc))
+    // |S| is the nsProbe scalar the seed guard already paid for — as a
+    // literal it drops the per-iteration 1-row broadcast + cross join
+    // (exact same truncating integer div; see [[pageRank]])
+    var ranks = flagged
       .select(col("node"), col("isrc"),
-        expr(s"(${unit}L * isrc) div ns").as("rank"))
+        (lit(unit / nsProbe) * col("isrc")).as("rank"))
       .localCheckpoint(true)
-    val base = s"((${unit}L * 15L div 100L) div ns) * isrc"
+    val base = (unit * 15L / 100L) / nsProbe
     for (i <- 1 to iterations) {
       val rankSide = ranks.select(col("node").as("src"), col("rank"))
       val contribs = eJoined
@@ -296,9 +310,8 @@ object Graph {
         .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
       val next = flagged
         .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(nSrc))
         .select(col("node"), col("isrc"),
-          expr(s"$base + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
+          expr(s"${base}L * isrc + (85L * coalesce(in_mass, 0L)) div 100L").as("rank"))
       ranks = if (i % checkpointEvery == 0 || i == iterations) next.localCheckpoint(true)
         else next
     }
@@ -441,18 +454,21 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     def normalized(raw: DataFrame): DataFrame = {
-      // raw: (node, raw); missing nodes are zero. The filled state is
-      // CHECKPOINTED before use: it is read twice (the max aggregate
-      // and the scaling join), and unmaterialized that double-read
-      // doubles the whole upstream lineage per normalization — 4× per
-      // iteration, exponential across iterations (measured as a 10.6s
-      // q_hits before the cut; ~1s after). The materialization itself
-      // is node-sized — the cheap side of that trade at any scale.
-      val filled = nodes.join(raw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
-        .localCheckpoint(true)
-      val mx = filled.agg(max(col("raw")).as("mx"))
-      filled.crossJoin(broadcast(mx))
+      // raw: (node, raw) for nodes that RECEIVED mass this pass. The
+      // state is CHECKPOINTED before use: it is read twice (the max
+      // aggregate and the scaling projection), and unmaterialized that
+      // double-read doubles the whole upstream lineage per
+      // normalization — 4× per iteration, exponential across iterations
+      // (measured as a 10.6s q_hits before the cut; ~1s after). The
+      // materialization itself is node-sized — the cheap side of that
+      // trade at any scale. Nodes absent from `raw` have score 0, and a
+      // zero contributes nothing to the max (raw sums are >= 0) or to
+      // the next pass's edge-join sums — so the zero-fill join against
+      // the node set, previously paid inside EVERY normalization, is
+      // deferred to the single final readout (r14).
+      val st = raw.localCheckpoint(true)
+      val mx = st.agg(max(col("raw")).as("mx"))
+      st.crossJoin(broadcast(mx))
         .select(col("node"),
           expr(s"raw div greatest(mx div ${unit}L, 1L)").as("score"))
     }
@@ -466,8 +482,16 @@ object Graph {
         .groupBy(col("src").as("node")).agg(sum(col("score")).as("raw"))
       hubs = normalized(hraw)
     }
-    hubs.select(col("node"), col("score").as("hub"))
-      .join(auths.select(col("node"), col("score").as("auth")), Seq("node"))
+    // single zero-fill at the readout: every graph node reports, sinks
+    // (no out-edges) with hub 0 and sources (no in-edges) with auth 0.
+    // One union + map-combined aggregation (each node appears at most
+    // once per branch, so the sums ARE the scores) — joins here would
+    // cost a serial stage each
+    nodes.select(col("node"), lit(0L).as("hub"), lit(0L).as("auth"))
+      .unionByName(hubs.select(col("node"), col("score").as("hub"), lit(0L).as("auth")))
+      .unionByName(auths.select(col("node"), lit(0L).as("hub"), col("score").as("auth")))
+      .groupBy(col("node"))
+      .agg(sum(col("hub")).as("hub"), sum(col("auth")).as("auth"))
   }
 
   /** Newman modularity of a node partition over an undirected graph —
@@ -486,10 +510,18 @@ object Graph {
     * chi2 discipline). Nodes missing from `labels` count as their own
     * singleton community (their edges are cross-community).
     *
-    * Scale shape: the canonical edge list joins the node-sized label
-    * frame twice on endpoint keys (broadcast-eligible); within/degree
-    * counts are two map-combined aggregations onto community keys; the
-    * final rollup touches one row per community.
+    * Scale shape (r14): the canonical edge list joins the node-sized
+    * label frame twice on endpoint keys (broadcast-eligible), then each
+    * edge EXPLODES into its two endpoint contributions and ONE
+    * map-combined aggregation onto the community key yields degree sum
+    * AND within-count together (each within-edge contributes 1 at both
+    * of its identical endpoints, so m_c = Σflags div 2; Σ_c D_c = 2m
+    * recovers m with no separate edge count). The tagged edge list is
+    * therefore computed ONCE — the previous shape recomputed the
+    * scan + two label joins four times (m, within, and twice under the
+    * degree union). The per-community frame is localCheckpointed
+    * (community-sized — the cheap side at any scale) because it feeds
+    * both the scalar m and the final rollup.
     */
   def modularity(edges: DataFrame, aCol: String, bCol: String,
                  labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
@@ -504,19 +536,25 @@ object Graph {
       .select(
         coalesce(col("__lu"), col("u")).as("__lu"),
         coalesce(col("__lv"), col("v")).as("__lv"))
-    val m = tagged.agg(count(lit(1)).as("__m"))
-    // degree sum per community: each edge endpoint contributes 1
-    val degs = tagged.select(col("__lu").as("__c"))
-      .unionAll(tagged.select(col("__lv").as("__c")))
-      .groupBy(col("__c")).agg(count(lit(1)).as("__d"))
-    val within = tagged.filter(col("__lu") === col("__lv"))
-      .groupBy(col("__lu").as("__c")).agg(count(lit(1)).as("__mc"))
+    // one pass: each edge contributes (community, within-flag) at both
+    // endpoints; per community, count(*) is the degree sum and the flag
+    // sum is exactly 2·m_c (a within edge lands twice on the same key)
+    val per = tagged
+      .select(col("__lu"), col("__lv"),
+        when(col("__lu") === col("__lv"), 1L).otherwise(0L).as("__w"))
+      .select(explode(array(
+          struct(col("__lu").as("__c"), col("__w")),
+          struct(col("__lv").as("__c"), col("__w")))).as("__ep"))
+      .select(col("__ep.__c").as("__c"), col("__ep.__w").as("__w"))
+      .groupBy(col("__c"))
+      .agg(count(lit(1)).as("__d"), expr("sum(__w) div 2").as("__mc"))
+      .localCheckpoint(true)
+    val m = per.agg(expr("sum(__d) div 2").as("__m"))
     val mD = col("__m").cast("double")
     val termNano = round((coalesce(col("__mc"), lit(0L)).cast("double") / mD
       - (col("__d").cast("double") / (lit(2.0) * mD))
         * (col("__d").cast("double") / (lit(2.0) * mD))) * lit(1e9), 0).cast("long")
-    degs
-      .join(within, Seq("__c"), "left")
+    per
       .crossJoin(broadcast(m))
       .select(col("__m"), termNano.as("__t"))
       .groupBy(col("__m"))
@@ -770,7 +808,11 @@ object Graph {
         .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
       if (obs.get("n").asInstanceOf[Long] == 0L) exhausted = true
-      else dist = dist.unionByName(frontier).localCheckpoint(true)
+      // the settled state stays a LAZY union of the per-hop checkpointed
+      // frontiers (≤ maxHops flat branches): re-materializing the whole
+      // growing state every hop cost one extra job AND O(hops × state)
+      // materialized bytes, vs O(state) total for the union view (r14)
+      else dist = dist.unionByName(frontier)
       hop += 1
     }
     dist
@@ -859,7 +901,10 @@ object Graph {
         .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
       if (obs.get("n").asInstanceOf[Long] == 0L) exhausted = true
-      else dist = dist.unionByName(frontier).localCheckpoint(true)
+      // lazy union of checkpointed per-hop frontiers — see
+      // [[bfsDistances]] (r14): one fewer job per hop, O(state) instead
+      // of O(hops × state) materialized bytes
+      else dist = dist.unionByName(frontier)
       hop += 1
     }
     dist
@@ -959,8 +1004,10 @@ object Graph {
       if (obs.get("n").asInstanceOf[Long] == 0L) exhausted = true
       else {
         levels += next
+        // lazy union of checkpointed levels (≤ maxHops branches) — the
+        // bfsDistances r14 discipline: one fewer job per level, no
+        // re-materialization of the growing visited set
         seen = seen.unionByName(next.select(col("seed"), col("node")))
-          .localCheckpoint(true)
       }
       h += 1
     }

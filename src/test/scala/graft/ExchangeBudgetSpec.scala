@@ -38,9 +38,13 @@ class ExchangeBudgetSpec extends AnyFunSuite {
   private val pins: Map[String, (Int, Int)] = Map(
     "q_pmi" -> ((6, 1)),
     "q_retrieval_eval" -> ((9, 5)),
-    "q_modularity" -> ((28, 1)),
+    // r14: single-pass endpoint explode — the tagged edge list (scan +
+    // two label joins) used to be recomputed 4× (28 planned shuffles)
+    "q_modularity" -> ((2, 1)),
     "q_ppr" -> ((1, 0)),
-    "q_hits" -> ((5, 2)),
+    // r14: zero-fill deferred to one union+agg readout (was a per-
+    // normalization nodes join; the readout join is gone too)
+    "q_hits" -> ((4, 2)),
     "q_curate" -> ((6, 1)),
     "q_tpd_index" -> ((1, 0)),
     "q_semdedup" -> ((3, 0)),
