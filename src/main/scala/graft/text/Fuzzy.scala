@@ -71,6 +71,11 @@ object Fuzzy {
           // shuffle; a collision only WIDENS the candidate superset,
           // which the exact scorer then filters
           .withColumn("__sig", xxhash64(col("__sig")))
+          // one explode lineage shuffled once on the join key: both
+          // self-join sides become identical Exchange subtrees, so
+          // ReuseExchange evaluates the signature explode once instead
+          // of once per side
+          .repartition((blockNames.map(col) :+ col("__sig")): _*)
         val a = sigged.select((col("id").as("id_a") +: col("str").as("str_a") +:
           (blockNames.map(col) :+ col("__sig"))): _*)
         val b = sigged.select((col("id").as("id_b") +: col("str").as("str_b") +:
@@ -141,6 +146,8 @@ object Fuzzy {
         val sigged = rows
           .withColumn("__sig", explode(deletionSigs(col("str"), maxDist)))
           .withColumn("__sig", xxhash64(col("__sig"))) // 8-byte join key (collisions only widen the superset)
+          // single shuffled lineage → ReuseExchange runs the explode once
+          .repartition((blockNames.map(col) :+ col("__sig")): _*)
         val a = sigged.select((col("id").as("id_a") +: col("str").as("str_a") +:
           (blockNames.map(col) :+ col("__sig"))): _*)
         val b = sigged.select((col("id").as("id_b") +: col("str").as("str_b") +:
@@ -268,6 +275,10 @@ object Fuzzy {
     val sigged = short.withColumn("__sig",
         explode(graft.functions.TextSigs.sortedDeletionSignatures(col("str"), k)))
       .withColumn("__sig", xxhash64(col("__sig"))) // 8-byte join key (collisions only widen the superset)
+      // one explode lineage shuffled once on the join key: both self-join
+      // sides become identical Exchange subtrees, so ReuseExchange runs
+      // the C(len,k)-signature explode ONCE instead of once per side
+      .repartition((blockNames.map(col) :+ col("__sig")): _*)
     val sa = sigged.select((col("id").as("id_a") +: col("str").as("str_a") +:
       (blockNames.map(col) :+ col("__sig"))): _*)
     val sb = sigged.select((col("id").as("id_b") +: col("str").as("str_b") +:
@@ -277,14 +288,14 @@ object Fuzzy {
       .drop("__sig")
       .dropDuplicates("id_a", "id_b")
     // quadratic fallback: every pair with at least one long side (rare
-    // at high thresholds with bounded-length strings; both directions,
-    // long-long pairs deduped)
+    // at high thresholds with bounded-length strings). The two branches
+    // partition the set exactly — (a long, b anything) ∪ (a short,
+    // b long) — so no cross-branch dedup pass is needed
     val long = rows.filter(length(col("str")) > lenCap)
     val longPairs = asSide(long, "a").join(asSide(rows, "b"), blockNames)
       .filter(col("id_a") < col("id_b"))
-      .union(asSide(rows, "a").join(asSide(long, "b"), blockNames)
+      .union(asSide(short, "a").join(asSide(long, "b"), blockNames)
         .filter(col("id_a") < col("id_b")))
-      .dropDuplicates("id_a", "id_b")
     sigPairs.union(longPairs)
       .withColumn("jw",
         graft.functions.StringDist.jaroWinkler(col("str_a"), col("str_b")))
