@@ -304,8 +304,11 @@ object Drift {
     */
   def vocabularyOverlap(df: DataFrame, groupCol: String,
                         tokenCol: String): DataFrame = {
+    // vocabulary×groups-bounded and read three times (sizes + both
+    // self-join sides): materialize once so the upstream token explode
+    // and distinct never replay per reference
     val d = df.select(col(groupCol).as("__g"), col(tokenCol).as("__t"))
-      .filter(col("__t").isNotNull).distinct()
+      .filter(col("__t").isNotNull).distinct().localCheckpoint()
     val sizes = d.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
     val a = d.toDF("__ga", "__t")
     val b = d.toDF("__gb", "__t")

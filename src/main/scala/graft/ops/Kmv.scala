@@ -80,10 +80,14 @@ object Kmv {
     val d = df.select(col(groupCol).as("__g"), hash60(key, seed).as("__h"))
       .filter(col("__h").isNotNull && col("__g").isNotNull).distinct()
     val Wg = Window.partitionBy(col("__g"))
+    // groups×k-bounded by construction and read three times (both join
+    // sides + the pair spine): materialize once so the corpus-sized
+    // distinct+rank underneath never replays per reference
     val sketch = d
       .withColumn("__r", row_number().over(Wg.orderBy(col("__h"))))
       .filter(col("__r") <= k)
       .select(col("__g"), col("__h"))
+      .localCheckpoint()
     val a = sketch.toDF("__ga", "__h")
     val b = sketch.toDF("__gb", "__h")
     // (a, b) pair spine WITHOUT a cross join: the group list collects in

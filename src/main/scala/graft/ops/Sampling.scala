@@ -235,8 +235,13 @@ object Sampling {
                 budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val tot = weights.agg(sum(col(weightCol).cast(dec)).as("__W"))
-    val based = weights.select(col(keyCol), col(weightCol))
+    // the weight table is group-bounded by contract but often DERIVED
+    // from a corpus-sized aggregation; it feeds three sub-plans (total,
+    // base quotas, remainder count) — materialize it once so the
+    // upstream aggregation never replays per reference
+    val w0 = weights.select(col(keyCol), col(weightCol)).localCheckpoint()
+    val tot = w0.agg(sum(col(weightCol).cast(dec)).as("__W"))
+    val based = w0.select(col(keyCol), col(weightCol))
       .crossJoin(tot)
       .select(col(keyCol), col(weightCol),
         (lit(budget).cast(dec) * col(weightCol).cast(dec)).as("__kw"), col("__W"))

@@ -45,6 +45,11 @@ object NaiveBayes {
     val toks = docs.select(labelCol.as("__c"),
         explode(TextStats.tokens(textCol)).as("__t"))
       .filter(col("__c").isNotNull && col("__t").isNotNull)
+    // NOTE (r14): tc is read three times (V, N_c, likelihoods) but the
+    // three consumers share one canonical (t,c) exchange subtree, so
+    // ReuseExchange already evaluates the tokenize-explode once at
+    // runtime; a localCheckpoint here measured SLOWER (the LogicalRDD
+    // loses size stats, degrading the postings broadcast join to SMJ)
     val tc = toks.groupBy(col("__t"), col("__c")).agg(count(lit(1)).as("__n"))
     // V = distinct tokens across the corpus; N_c = tokens per class;
     // docs_c / docs_total for the prior — all integer counts
@@ -80,6 +85,9 @@ object NaiveBayes {
     */
   def scoreWith(model: Model, docs: DataFrame, idCol: String,
                 textCol: Column): DataFrame = {
+    // dt feeds both the length sums and the postings join through one
+    // canonical (id,t) exchange — ReuseExchange shares it at runtime
+    // (checkpointing here measured slower; see trainModel's note)
     val dt = docs.select(col(idCol).as("__id"),
         explode(TextStats.tokens(textCol)).as("__t"))
       .filter(col("__t").isNotNull)
