@@ -33,6 +33,29 @@ import org.apache.spark.sql.types.DecimalType
   */
 object PriceIndex {
 
+  /** Attach base-period columns to a unit-value panel as an
+    * item-partitioned window instead of the aggregate-filter-join
+    * spelling: `renames` maps each panel column to its base-period
+    * alias (e.g. `__p -> __p0`), taken from the key's `basePeriod` row
+    * (unique post-aggregation), and rows whose key has NO base-period
+    * row are dropped — exactly the matched-sample inner join, value-
+    * and null-identical, but the panel builds from ONE input scan and
+    * one aggregation instead of two (the window's item-keyed exchange
+    * moves panel cells, never raw transactions).
+    */
+  private def attachBase(uv: DataFrame, basePeriod: String,
+                         keys: Seq[String],
+                         renames: Seq[(String, String)]): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val isBase = col("__pd") === basePeriod
+    val withCols = renames.foldLeft(uv) { case (d, (src, dst)) =>
+      d.withColumn(dst, max(when(isBase, col(src))).over(W))
+    }
+    withCols
+      .withColumn("__hb", max(when(isBase, lit(1))).over(W))
+      .filter(col("__hb") === 1).drop("__hb")
+  }
+
   /** Elementary (unweighted) index formulas vs `basePeriod` — the layer
     * BELOW [[bilateralIndexes]] in a CPI build, where quantities are
     * unavailable and the formula choice (Carli vs Dutot vs Jevons) is a
@@ -55,11 +78,9 @@ object PriceIndex {
       .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
       .select(col("__it"), col("__pd"),
         (col("__S").cast("double") / col("__Q").cast("double")).as("__p"))
-    val base = uv.filter(col("__pd") === basePeriod)
-      .select(col("__it"), col("__p").as("__p0"))
     val rel = col("__p") / col("__p0")
     val nD = col("n_items").cast("double")
-    uv.join(base, Seq("__it"))
+    attachBase(uv, basePeriod, Seq("__it"), Seq("__p" -> "__p0"))
       .groupBy(col("__pd"))
       .agg(count(lit(1)).as("n_items"),
         sum(round(rel * lit(1e9), 0).cast("long")).as("__sr"),
@@ -133,10 +154,13 @@ object PriceIndex {
       .agg(sum(col(expCol).cast(dec)).as("__S"), sum(col(qtyCol).cast(dec)).as("__Q"))
       .select(col("__it"), col("__pd"),
         (col("__S").cast("double") / col("__Q").cast("double")).as("__p"))
-    val base = uv.filter(col("__pd") === basePeriod)
-      .select(col("__it"), col("__p").as("__p0"))
-    val rel = uv.join(base, Seq("__it"))
+    // panel-bounded (one row per item×period) and read twice below —
+    // once inside the Tukey-fence aggregation and once as the join's
+    // probe side: materialize it so the one-scan unit-value build
+    // ([[attachBase]]'s window form) runs once, not per reference
+    val rel = attachBase(uv, basePeriod, Seq("__it"), Seq("__p" -> "__p0"))
       .select(col("__pd"), (col("__p") / col("__p0")).as("__rel"))
+      .localCheckpoint()
     val flagged = Outliers.flagIqrOutliers(rel, Seq("__pd"), "__rel", k)
     val lnMicro = round(log(col("__rel")) * lit(1e9), 0).cast("long")
     flagged.groupBy(col("__pd"))
@@ -222,10 +246,8 @@ object PriceIndex {
       .select(col("__it"), col("__pd"), col("__S").cast("double").as("__e"),
         (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
         col("__Q").cast("double").as("__q"))
-    val base = uv.filter(col("__pd") === basePeriod)
-      .select(col("__it"), col("__e").as("__e0"), col("__p").as("__p0"),
-        col("__q").as("__q0"))
-    val j = uv.join(base, Seq("__it"))
+    val j = attachBase(uv, basePeriod, Seq("__it"),
+      Seq("__e" -> "__e0", "__p" -> "__p0", "__q" -> "__q0"))
     val W = org.apache.spark.sql.expressions.Window.partitionBy(col("__pd"))
     def nano(x: Column): Column = round(x * lit(1e9), 0).cast("long")
     def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
@@ -271,10 +293,9 @@ object PriceIndex {
     // Base keeps the group key: an item trading under two groups must
     // contribute its base basket to each group separately, not
     // cross-duplicate (the item→group dependency is NOT assumed).
-    val base = uv.filter(col("__pd") === basePeriod)
-      .select(col("__it"), col("__g"), col("__p").as("__p0"), col("__q").as("__q0"))
     def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
-    uv.join(base, Seq("__it", "__g"))
+    attachBase(uv, basePeriod, Seq("__it", "__g"),
+        Seq("__p" -> "__p0", "__q" -> "__q0"))
       .groupBy(col("__g"), col("__pd"))
       .agg(count(lit(1)).as("n_items"),
         sum(micro(col("__p") * col("__q0"))).as("__numL"),
@@ -790,12 +811,11 @@ object PriceIndex {
       .select(col("__it"), col("__pd"),
         (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
         col("__Q").cast("double").as("__q"))
-    val base = uv.filter(col("__pd") === basePeriod)
-      .select(col("__it"), col("__p").as("__p0"), col("__q").as("__q0"))
     def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
     val ratio = (num: String, den: String) =>
       col(num).cast("double") / col(den).cast("double")
-    uv.join(base, Seq("__it"))
+    attachBase(uv, basePeriod, Seq("__it"),
+        Seq("__p" -> "__p0", "__q" -> "__q0"))
       .groupBy(col("__pd"))
       .agg(count(lit(1)).as("n_items"),
         sum(micro(col("__p") * col("__q0"))).as("__numL"),
@@ -844,10 +864,9 @@ object PriceIndex {
       .select(col("__it"), col("__pd"),
         (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
         col("__Q").cast("double").as("__q"))
-    val base = uv.filter(col("__pd") === basePeriod)
-      .select(col("__it"), col("__p").as("__p0"), col("__q").as("__q0"))
     def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
-    val j = uv.join(base, Seq("__it"))
+    val j = attachBase(uv, basePeriod, Seq("__it"),
+      Seq("__p" -> "__p0", "__q" -> "__q0"))
     val w = col("__p0") * col("__q0")
     val r = col("__p") / col("__p0")
     val sRel = col("__q") / col("__q0")
@@ -909,14 +928,14 @@ object PriceIndex {
       .select(col("__it"), col("__pd"),
         (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
         col("__Q").cast("double").as("__q"))
-    val base = uv.filter(col("__pd") === basePeriod)
-      .select(col("__it"), col("__p").as("__p0"))
-    val wt = uv.filter(col("__pd") === weightPeriod)
-      .select(col("__it"), col("__p").as("__pb"), col("__q").as("__qb"))
     def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
     val ratio = (num: String, den: String) =>
       col(num).cast("double") / col(den).cast("double")
-    uv.join(base, Seq("__it")).join(wt, Seq("__it"))
+    // two reference slices = two chained window attachments (items must
+    // appear in BOTH, exactly the old double inner join)
+    attachBase(
+        attachBase(uv, basePeriod, Seq("__it"), Seq("__p" -> "__p0")),
+        weightPeriod, Seq("__it"), Seq("__p" -> "__pb", "__q" -> "__qb"))
       .groupBy(col("__pd"))
       .agg(count(lit(1)).as("n_items"),
         sum(micro(col("__p") * col("__qb"))).as("__numLo"),
@@ -966,10 +985,11 @@ object PriceIndex {
       .select(col("__it"), col("__pd"),
         (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
         col("__Q").cast("double").as("__q"))
-    val base = uv.filter(col("__pd") === basePeriod)
-      .select(col("__it"), col("__p").as("__p0"), col("__q").as("__q0"))
     def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
-    val matched = uv.join(base, Seq("__it"))
+    // panel-bounded and read twice (denominator + contributions):
+    // materialize the one-scan window build once
+    val matched = attachBase(uv, basePeriod, Seq("__it"),
+      Seq("__p" -> "__p0", "__q" -> "__q0")).localCheckpoint()
     val den = matched.groupBy(col("__pd"))
       .agg(sum(micro(col("__p0") * col("__q0"))).as("__den"))
     matched
@@ -1087,12 +1107,10 @@ object PriceIndex {
       .select(col("__it"), col("__pd"), col("__S").cast("double").as("__e"),
         (col("__S").cast("double") / col("__Q").cast("double")).as("__p"),
         col("__Q").cast("double").as("__q"))
-    val base = uv.filter(col("__pd") === basePeriod)
-      .select(col("__it"), col("__e").as("__e0"), col("__p").as("__p0"),
-        col("__q").as("__q0"))
     val W = org.apache.spark.sql.expressions.Window.partitionBy(col("__pd"))
     def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
-    uv.join(base, Seq("__it"))
+    attachBase(uv, basePeriod, Seq("__it"),
+        Seq("__e" -> "__e0", "__p" -> "__p0", "__q" -> "__q0"))
       .select(col("__pd"), col("__p"), col("__q"), col("__e"),
         col("__p0"), col("__q0"), col("__e0"),
         sum(micro(col("__e"))).over(W).as("__totm"),

@@ -1173,6 +1173,10 @@ object Regression {
     val base = df
       .select(when(label, 1.0).otherwise(0.0).as("__y"), x.cast("double").as("__x"))
       .filter(col("__y").isNotNull && col("__x").isNotNull)
+      // the causal-family persist discipline (ipwAte/aipwAte/psmAtt):
+      // the Newton loop aggregates base once per iteration — cache the
+      // 16-byte (y, x) projection so the input scans once, not 4×
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
     val b0 = b0n.toDouble / 1e9
     val b1 = b1n.toDouble / 1e9
@@ -1183,6 +1187,11 @@ object Regression {
       count(lit(1)).as("n"),
       sum(col("__y").cast("long")).as("n_pos"),
       sum(nano(ll)).as("__ll"))
+    // drop the training cache before returning (the family discipline:
+    // a leaked entry would also be REUSED by CacheManager's plan-keyed
+    // dedup on a rerun, turning cold timings warm); the lazy final
+    // aggregation then pays the one input scan it always paid
+    base.unpersist(false)
     val ok = lit(!degenerate)
     fin.select(col("n"), col("n_pos"),
       when(ok, round(lit(b0), 6)).as("b0"),
