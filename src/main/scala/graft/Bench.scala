@@ -27,6 +27,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // let AQE right-size the partitioning of persisted intermediates
+      // (iterative operators cache pre-partitioned panels; without this
+      // the cache pins shuffle.partitions tasks per sweep regardless of
+      // data size). Scale-adaptive by construction: AQE coalesces from
+      // MEASURED bytes, so a 100 TB panel keeps its width while a small
+      // one stops paying per-task overhead it can't use.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer reads) outside the timings.

@@ -337,7 +337,11 @@ object PriceIndex {
     val W = org.apache.spark.sql.expressions.Window
     val months = uv.select(col("__pd")).distinct()
       .withColumn("__m", row_number().over(W.orderBy(col("__pd"))).cast("long") - 1)
+    // one panel lineage shuffled once on the self-join key: both sides
+    // become identical Exchange subtrees, so ReuseExchange builds the
+    // unit-value panel once instead of once per side
     val uvm = uv.join(broadcast(months), Seq("__pd"))
+      .repartition(col("__it"))
     val a = uvm.select(col("__it"), col("__m").as("m_a"), col("__pd").as("pd_a"),
       col("__e").as("__ea"), col("__p").as("__pa"))
     val b = uvm.select(col("__it"), col("__m").as("m_b"), col("__pd").as("pd_b"),
