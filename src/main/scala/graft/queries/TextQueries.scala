@@ -154,11 +154,14 @@ object TextQueries {
     * fixture is the positive control where recall is 100%.
     */
   private def qRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    // chunked once: queries, corpus, and the BM25 postings/stats passes
+    // all derive from this frame (6 tokenize+chunk replays without it)
     val chunks = t(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(TextStats.chunkTokens(col("text"), 32, 8)).as(Seq("chunk_idx", "ctext")))
       .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
         col("doc_id"), col("chunk_idx"), col("ctext"))
+      .localCheckpoint()
     val isQuery = col("doc_id") < 20 && col("chunk_idx") === 0
     val queries = chunks.filter(isQuery)
       .select(col("doc_id").as("query_id"), col("ctext").as("qtext"))
