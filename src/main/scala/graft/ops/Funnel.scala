@@ -490,7 +490,11 @@ object Funnel {
     Guards.requireNoReservedNames(df,
       Seq("item_a", "item_b", "n_ab", "n_a", "n_b", "lift", "__n_entities"),
       "cooccurrenceLift")
+    // distinct (entity, item)-bounded and read four times (marginals,
+    // the entity count, and both self-join sides): materialize once so
+    // the upstream basket build (often a dimension join) never replays
     val items = df.select(col(entityCol), col(itemCol)).distinct()
+      .localCheckpoint()
     val marginals = items.groupBy(col(itemCol)).agg(count(lit(1)).as("n"))
     val nEntities = items.select(col(entityCol)).distinct()
       .agg(count(lit(1)).as("__n_entities"))
@@ -592,7 +596,11 @@ object Funnel {
       Seq("antecedent", "consequent", "n_ab", "n_a", "n_b",
         "support", "confidence", "lift", "__n_entities"),
       "associationRules")
+    // distinct (entity, item)-bounded and read four times (marginals,
+    // the entity count, and both self-join sides): materialize once so
+    // the upstream basket build (often a dimension join) never replays
     val items = df.select(col(entityCol), col(itemCol)).distinct()
+      .localCheckpoint()
     val marginals = items.groupBy(col(itemCol)).agg(count(lit(1)).as("n"))
     val nEntities = items.select(col(entityCol)).distinct()
       .agg(count(lit(1)).as("__n_entities"))
