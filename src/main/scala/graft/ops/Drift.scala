@@ -309,6 +309,22 @@ object Drift {
     // and distinct never replay per reference
     val d = df.select(col(groupCol).as("__g"), col(tokenCol).as("__t"))
       .filter(col("__t").isNotNull).distinct().localCheckpoint()
+    vocabularyOverlapOn(d)
+  }
+
+  /** [[vocabularyOverlap]] over an input that is ALREADY a distinct,
+    * materialized `(group, token)` table with non-null tokens (r15,
+    * ADVICE r14): callers that dedup+checkpoint once for several
+    * consumers (q_kmv_overlap shares one tokenize+distinct between the
+    * sketch and the exact overlap) skip the redundant second full
+    * shuffle + materialization the public entry would pay.
+    */
+  private[graft] def vocabularyOverlapPreDeduped(
+      df: DataFrame, groupCol: String, tokenCol: String): DataFrame =
+    vocabularyOverlapOn(
+      df.select(col(groupCol).as("__g"), col(tokenCol).as("__t")))
+
+  private def vocabularyOverlapOn(d: DataFrame): DataFrame = {
     val sizes = d.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
     val a = d.toDF("__ga", "__t")
     val b = d.toDF("__gb", "__t")

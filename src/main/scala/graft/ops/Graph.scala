@@ -435,11 +435,15 @@ object Graph {
     *
     * Scale shape: per iteration, two co-partitioned hash joins of the
     * frozen edge list against node-sized score state and two map-side-
-    * combined aggregations; the two 1-row max frames ride broadcast
-    * cross joins (scalar-attach pattern). The normalized state is
-    * checkpointed each pass (see `normalized` below) so lineage stays
-    * iteration-flat — the [[pageRank]] convention, needed twice as
-    * often here because each normalization reads its state twice.
+    * combined aggregations; each normalization's max RIDES THE
+    * CHECKPOINT JOB as an Observation metric (r15 — the BFS/peel
+    * convergence-fusion pattern) and is inlined as a literal divisor,
+    * so a normalization is ONE job instead of two (the old shape paid a
+    * separate max-aggregation + 1-row broadcast cross join per pass).
+    * The normalized state is checkpointed each pass (see `normalized`
+    * below) so lineage stays iteration-flat — the [[pageRank]]
+    * convention, needed twice as often here because each normalization
+    * reads its state twice.
     *
     * @return (node, hub, auth) — integer scores in `unit`-ths
     */
@@ -453,6 +457,7 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
+    var normPass = 0
     def normalized(raw: DataFrame): DataFrame = {
       // raw: (node, raw) for nodes that RECEIVED mass this pass. The
       // state is CHECKPOINTED before use: it is read twice (the max
@@ -466,11 +471,21 @@ object Graph {
       // the next pass's edge-join sums — so the zero-fill join against
       // the node set, previously paid inside EVERY normalization, is
       // deferred to the single final readout (r14).
-      val st = raw.localCheckpoint(true)
-      val mx = st.agg(max(col("raw")).as("mx"))
-      st.crossJoin(broadcast(mx))
-        .select(col("node"),
-          expr(s"raw div greatest(mx div ${unit}L, 1L)").as("score"))
+      //
+      // The max rides the checkpoint job as an Observation metric (r15,
+      // the BFS/peel convergence-fusion pattern): one job per
+      // normalization instead of two, and the scalar inlines as a
+      // literal — the EXACT same truncating `div` the broadcast cross
+      // join computed per row (raw sums are >= 0, so long division in
+      // the driver and Spark's `div` agree). An empty raw frame leaves
+      // the metric null: scale 1, zero rows either way.
+      normPass += 1
+      val obs = org.apache.spark.sql.Observation(s"hits_norm_$normPass")
+      val st = raw.observe(obs, max(col("raw")).as("mx"))
+        .localCheckpoint(true)
+      val mxV = Option(obs.get("mx")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val scale = math.max(mxV / unit, 1L)
+      st.select(col("node"), expr(s"raw div ${scale}L").as("score"))
     }
     var hubs = nodes.select(col("node"), lit(unit).as("score"))
     var auths = hubs

@@ -42,18 +42,41 @@ object PriceIndex {
     * and null-identical, but the panel builds from ONE input scan and
     * one aggregation instead of two (the window's item-keyed exchange
     * moves panel cells, never raw transactions).
+    *
+    * NULL keys are filtered BEFORE the window (r15, ADVICE r14): the
+    * old inner join on the key columns never matched a NULL key, so a
+    * null-keyed group must not ride the window into the index
+    * aggregates. The filter sits below the aggregation lineage and
+    * pushes to the scan.
     */
   private def attachBase(uv: DataFrame, basePeriod: String,
                          keys: Seq[String],
-                         renames: Seq[(String, String)]): DataFrame = {
+                         renames: Seq[(String, String)]): DataFrame =
+    attachRefs(uv, keys, Seq(basePeriod -> renames))
+
+  /** [[attachBase]] for SEVERAL reference periods in ONE window pass
+    * (r15): every reference's columns and existence flag ride the same
+    * key-partitioned window, so a two-reference panel (Lowe/Young)
+    * plans one WindowExec/sort instead of two chained ones. Rows
+    * survive only when EVERY reference period has a row for their key
+    * — exactly the chained inner joins, because each chained filter
+    * drops whole key groups and the window aggregates are insensitive
+    * to dropping groups they never see.
+    */
+  private def attachRefs(uv: DataFrame, keys: Seq[String],
+                         refs: Seq[(String, Seq[(String, String)])]): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    val isBase = col("__pd") === basePeriod
-    val withCols = renames.foldLeft(uv) { case (d, (src, dst)) =>
-      d.withColumn(dst, max(when(isBase, col(src))).over(W))
+    val nn = keys.foldLeft(uv)((d, k) => d.filter(col(k).isNotNull))
+    val withCols = refs.zipWithIndex.foldLeft(nn) {
+      case (d0, ((period, renames), i)) =>
+        val isRef = col("__pd") === period
+        val d1 = renames.foldLeft(d0) { case (d, (src, dst)) =>
+          d.withColumn(dst, max(when(isRef, col(src))).over(W))
+        }
+        d1.withColumn(s"__hb_$i", max(when(isRef, lit(1))).over(W))
     }
-    withCols
-      .withColumn("__hb", max(when(isBase, lit(1))).over(W))
-      .filter(col("__hb") === 1).drop("__hb")
+    val kept = refs.indices.map(i => col(s"__hb_$i") === 1).reduce(_ && _)
+    withCols.filter(kept).drop(refs.indices.map(i => s"__hb_$i"): _*)
   }
 
   /** Elementary (unweighted) index formulas vs `basePeriod` — the layer
@@ -935,11 +958,12 @@ object PriceIndex {
     def micro(x: Column): Column = round(x * lit(1e6), 0).cast("long")
     val ratio = (num: String, den: String) =>
       col(num).cast("double") / col(den).cast("double")
-    // two reference slices = two chained window attachments (items must
-    // appear in BOTH, exactly the old double inner join)
-    attachBase(
-        attachBase(uv, basePeriod, Seq("__it"), Seq("__p" -> "__p0")),
-        weightPeriod, Seq("__it"), Seq("__p" -> "__pb", "__q" -> "__qb"))
+    // two reference slices in ONE window pass (r15): items must appear
+    // in BOTH periods, exactly the old double inner join, but the panel
+    // pays a single item-keyed WindowExec instead of two chained ones
+    attachRefs(uv, Seq("__it"), Seq(
+        basePeriod -> Seq("__p" -> "__p0"),
+        weightPeriod -> Seq("__p" -> "__pb", "__q" -> "__qb")))
       .groupBy(col("__pd"))
       .agg(count(lit(1)).as("n_items"),
         sum(micro(col("__p") * col("__qb"))).as("__numLo"),

@@ -604,7 +604,13 @@ object Regression {
         outcome.cast("double").as("__o"))
       .filter(col("__y").isNotNull && col("__x").isNotNull && col("__o").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
+    // unpersist on the throw path too (r15, ADVICE r14): the fit runs
+    // driver-side sweeps that can throw, and a leaked entry would both
+    // hold memory and be silently REUSED by CacheManager's plan-keyed
+    // dedup for the rest of the session
+    val (b0n, b1n, degenerate) =
+      try logisticFitNano(base, iterations)
+      catch { case e: Throwable => base.unpersist(false); throw e }
     val b0 = b0n.toDouble / 1e9
     val b1 = b1n.toDouble / 1e9
     val p = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("__x"))))
@@ -666,7 +672,13 @@ object Regression {
         x.cast("double").as("__x"))
       .filter(col("__y").isNotNull && col("__x").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
+    // unpersist on the throw path too (r15, ADVICE r14): the fit runs
+    // driver-side sweeps that can throw, and a leaked entry would both
+    // hold memory and be silently REUSED by CacheManager's plan-keyed
+    // dedup for the rest of the session
+    val (b0n, b1n, degenerate) =
+      try logisticFitNano(base, iterations)
+      catch { case e: Throwable => base.unpersist(false); throw e }
     require(!degenerate,
       "positivityAudit: the propensity fit is degenerate (constant x?) — " +
         "an overlap audit of an untrained model would be vacuous")
@@ -752,7 +764,13 @@ object Regression {
       .filter((col("__y").isNotNull +: col("__x").isNotNull +:
         cNames.map(col(_).isNotNull)).reduce(_ && _))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
+    // unpersist on the throw path too (r15, ADVICE r14): the fit runs
+    // driver-side sweeps that can throw, and a leaked entry would both
+    // hold memory and be silently REUSED by CacheManager's plan-keyed
+    // dedup for the rest of the session
+    val (b0n, b1n, degenerate) =
+      try logisticFitNano(base, iterations)
+      catch { case e: Throwable => base.unpersist(false); throw e }
     require(!degenerate,
       "covariateBalance: degenerate propensity fit — weighted balance " +
         "of an untrained model would be vacuous")
@@ -862,7 +880,13 @@ object Regression {
         outcome.cast("double").as("__o"))
       .filter(col("__y").isNotNull && col("__x").isNotNull && col("__o").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
+    // unpersist on the throw path too (r15, ADVICE r14): the fit runs
+    // driver-side sweeps that can throw, and a leaked entry would both
+    // hold memory and be silently REUSED by CacheManager's plan-keyed
+    // dedup for the rest of the session
+    val (b0n, b1n, degenerate) =
+      try logisticFitNano(base, iterations)
+      catch { case e: Throwable => base.unpersist(false); throw e }
     // one scan: per-arm OLS moments (n, Σx, Σo, Σxo, Σx²), nano-exact
     val isT = col("__y") === 1.0
     def armSum(t: Boolean, c: Column, name: String): Column =
@@ -971,7 +995,13 @@ object Regression {
       .filter(col("__id").isNotNull && col("__y").isNotNull &&
         col("__x").isNotNull && col("__o").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
+    // unpersist on the throw path too (r15, ADVICE r14): the fit runs
+    // driver-side sweeps that can throw, and a leaked entry would both
+    // hold memory and be silently REUSED by CacheManager's plan-keyed
+    // dedup for the rest of the session
+    val (b0n, b1n, degenerate) =
+      try logisticFitNano(base, iterations)
+      catch { case e: Throwable => base.unpersist(false); throw e }
     val b0 = b0n.toDouble / 1e9
     val b1 = b1n.toDouble / 1e9
     val p = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("__x"))))
@@ -1177,7 +1207,13 @@ object Regression {
       // the Newton loop aggregates base once per iteration — cache the
       // 16-byte (y, x) projection so the input scans once, not 4×
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (b0n, b1n, degenerate) = logisticFitNano(base, iterations)
+    // unpersist on the throw path too (r15, ADVICE r14): the fit runs
+    // driver-side sweeps that can throw, and a leaked entry would both
+    // hold memory and be silently REUSED by CacheManager's plan-keyed
+    // dedup for the rest of the session
+    val (b0n, b1n, degenerate) =
+      try logisticFitNano(base, iterations)
+      catch { case e: Throwable => base.unpersist(false); throw e }
     val b0 = b0n.toDouble / 1e9
     val b1 = b1n.toDouble / 1e9
     val z = lit(b0) + lit(b1) * col("__x")
@@ -1320,14 +1356,17 @@ object Regression {
     // BEFORE anything reaches the driver — a contract error, not an OOM
     val nItems = cells.select(col("__w").as("__i"))
       .union(cells.select(col("__l"))).distinct().count()
-    require(nItems <= maxItems.toLong,
-      s"bradleyTerry materializes an items²-bounded duel table on the " +
-        s"driver; got $nItems distinct items (cap $maxItems). Aggregate " +
-        s"to a bounded panel (models, variants, players) first — raw " +
-        s"entity ids are not a panel.")
+    // the contract error is an EXPECTED exit path — release the cache
+    // entry on it too (the logisticNewton r15 discipline)
     val wins: Array[(String, String, Long)] =
-      cells.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    cells.unpersist(false)
+      try {
+        require(nItems <= maxItems.toLong,
+          s"bradleyTerry materializes an items²-bounded duel table on the " +
+            s"driver; got $nItems distinct items (cap $maxItems). Aggregate " +
+            s"to a bounded panel (models, variants, players) first — raw " +
+            s"entity ids are not a panel.")
+        cells.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      } finally cells.unpersist(false)
     val items = (wins.map(_._1) ++ wins.map(_._2)).distinct.sorted.toSeq
     val winTot: Map[String, Long] =
       wins.groupBy(_._1).map { case (i, ws) => i -> ws.map(_._3).sum }

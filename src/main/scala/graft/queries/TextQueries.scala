@@ -738,7 +738,9 @@ object TextQueries {
       .select(col("source"), explode(TextStats.tokens(col("text"))).as("token"))
       .distinct().localCheckpoint()
     val est = graft.ops.Kmv.kmvJaccard(toks, "source", col("token"), k = 256)
-    val exact = graft.ops.Drift.vocabularyOverlap(toks, "source", "token")
+    // toks IS the distinct materialized (group, token) table — skip the
+    // redundant re-distinct + re-checkpoint inside the overlap op (r15)
+    val exact = graft.ops.Drift.vocabularyOverlapPreDeduped(toks, "source", "token")
       .select(col("group_a"), col("group_b"), col("jaccard"))
     est.join(exact, Seq("group_a", "group_b"))
       .select(col("group_a"), col("group_b"), col("n_theta"), col("n_both"),

@@ -43,8 +43,12 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "q_modularity" -> ((2, 1)),
     "q_ppr" -> ((1, 0)),
     // r14: zero-fill deferred to one union+agg readout (was a per-
-    // normalization nodes join; the readout join is gone too)
-    "q_hits" -> ((4, 2)),
+    // normalization nodes join; the readout join is gone too).
+    // r15: each normalization's max rides the checkpoint job as an
+    // Observation metric and inlines as a literal divisor — the two
+    // max-aggregation subtrees and their 1-row broadcast cross joins
+    // left the plan (4+2 -> 2+0)
+    "q_hits" -> ((2, 0)),
     "q_curate" -> ((6, 1)),
     "q_tpd_index" -> ((1, 0)),
     "q_semdedup" -> ((3, 0)),

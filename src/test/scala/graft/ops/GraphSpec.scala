@@ -143,6 +143,33 @@ class GraphSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("broadcast decision flips at the size threshold, both branches bit-identical (VERDICT r14 #8)") {
+    // Pin the flip point itself, not just the disabled short-circuit:
+    // Hints.fitsBroadcast(rows, rowBytes) must flip exactly where
+    // rows * rowBytes crosses the session threshold...
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1024")
+      assert(Hints.fitsBroadcast(spark, rows = 32L, rowBytes = 32L))   // 1024 == thr
+      assert(!Hints.fitsBroadcast(spark, rows = 33L, rowBytes = 32L))  // 1056 > thr
+      // ...and pageRank's size-based branch must actually ENGAGE the
+      // non-broadcast path past it: with a 64-byte threshold the 4-node
+      // probe (4 * 32 B) overflows, so this exercises the positive-
+      // threshold flip (not the -1 short-circuit) and the ranks must
+      // still be bit-identical — the integer recurrence is order-free.
+      val g = edges(1 -> 2, 2 -> 3, 3 -> 1, 1 -> 3, 4 -> 1, 2 -> 4)
+      spark.conf.set(key, "64")
+      assert(!Hints.fitsBroadcast(spark, rows = 4L, rowBytes = 32L))
+      val viaShuffle = Graph.pageRank(g, "s", "t", 7)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+      spark.conf.set(key, saved)
+      val viaBroadcast = Graph.pageRank(g, "s", "t", 7)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(viaShuffle == viaBroadcast)
+    } finally spark.conf.set(key, saved)
+  }
+
   private def triangles(es: (Int, Int)*): Long =
     Graph.triangleCount(edges(es: _*), "s", "t").head().getLong(0)
 

@@ -31,6 +31,54 @@ class SkewSpec extends AnyFunSuite {
     assertDfEquality(salted, plain)
   }
 
+  test("AQE skew-join split fires on a seeded hot key (VERDICT r14 #6)") {
+    // Seeded-skew fixture: one key owns ~90% of the big side's rows
+    // (with a wide payload so its post-shuffle partition crosses the
+    // lowered skew threshold), joined against a small-but-unbroadcast
+    // side. With the skew thresholds scaled to test size, AQE must
+    // rewrite the sort-merge join's hot-side read into skew-split
+    // sub-partitions — the `skew=true` / `skewed` markers in the FINAL
+    // adaptive plan. This pins that the first-line mitigation the Skew
+    // scaladoc leans on actually engages on a demonstrably hot key.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // payload: high-entropy (sha2) so the shuffle compressor cannot
+      // flatten the hot partition below the skew threshold, and SUMMED
+      // in the aggregate so column pruning cannot drop it before the
+      // exchange — the skew decision reads compressed map-output sizes
+      val big = spark.range(0L, 120000L, 1L, 8)
+        .select(
+          when(col("id") % 10L =!= 0L, lit(7L)).otherwise(col("id")).as("k"),
+          concat(sha2(col("id").cast("string"), 256),
+            sha2((col("id") + 1L).cast("string"), 256)).as("payload"))
+      val small = spark.range(0L, 4000L, 1L, 4).select(col("id").as("k"),
+        (col("id") * 2L).as("w"))
+      val joined = big.join(small, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+          sum(length(col("payload"))).as("sp"))
+      val row = joined.collect().head
+      // correctness of the fixture: hot key 7 matches (108000 rows) plus
+      // the 400 cold keys (multiples of 10 below 4000)
+      assert(row.getLong(0) == 108000L + 400L)
+      assert(row.getLong(2) == (108000L + 400L) * 128L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE skew split did not fire on the seeded hot key:\n${plan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("keySkewReport finds the hot key and sizes the salt to the ratio") {
     // ratio here is ~2.97: below the default threshold of 4, above 2
     val r = Skew.keySkewReport(skewed, Seq("k"), threshold = 2.0).head()
