@@ -340,6 +340,16 @@ object Graph {
     * map-side-combined (node, label) vote count, one per-node argmin
     * agg — two exchanges per round, both linear in edges; lineage
     * stays round-flat on the PageRank checkpoint cadence.
+    *
+    * Measured negative result (r15): broadcasting the label state per
+    * round (the pageRank size-probed pattern, with the edge list
+    * re-keyed on the vote key so BOTH aggregations go exchange-free)
+    * benched consistently ~10% SLOWER at sf0.1 — every broadcast build
+    * is an eager action that replays the un-checkpointed label lineage
+    * CUMULATIVELY between cadence checkpoints, where the shuffle shape
+    * chains rounds lazily inside one job. At production scale the
+    * label state is node-sized and outgrows the broadcast threshold
+    * anyway, so the co-partitioned shape is also the 100 TB branch.
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        rounds: Int, checkpointEvery: Int = 3): DataFrame = {
@@ -1027,10 +1037,12 @@ object Graph {
       h += 1
     }
     val top = levels.length - 1 // deepest level actually reached
-    // backward: dependency accumulation, deepest level has delta = 0
+    // backward: dependency accumulation, deepest level has delta = 0.
+    // No checkpoint for the top level (r15): it is a LITERAL projection
+    // of an already-checkpointed frame — materializing it again cost a
+    // job per query and saved nothing on its two (projection-only) reads
     val deltas = scala.collection.mutable.Map[Int, DataFrame]()
     deltas(top) = levels(top).select(col("seed"), col("node"), lit(0L).as("dlt"))
-      .localCheckpoint(true)
     for (lev <- (top - 1) to 1 by -1) {
       val wSide = levels(lev + 1)
         .join(deltas(lev + 1), Seq("seed", "node"))

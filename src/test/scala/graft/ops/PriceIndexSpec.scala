@@ -44,6 +44,44 @@ class PriceIndexSpec extends AnyFunSuite {
     assert(carli >= jevons)                     // Carli's AM >= GM upward bias
   }
 
+  test("NULL item keys never enter the matched sample (the inner-join semantics, ADVICE r14)") {
+    // a null-keyed row WITH a base-period price must not ride the
+    // base-attachment window into the index aggregates: the original
+    // aggregate-filter-join spelling dropped null keys (inner join),
+    // and the window spelling must match it
+    val withNull = createDf(spark, "item int, pd string, exp double, qty double", Seq(
+      Seq[Any](1, "p0", 10.0, 10.0),
+      Seq[Any](1, "p1", 20.0, 10.0),
+      Seq[Any](null, "p0", 99.0, 1.0),
+      Seq[Any](null, "p1", 77.0, 1.0),
+    ))
+    val r = PriceIndex.bilateralIndexes(withNull, "item", col("pd"), "exp", "qty", "p0")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r == Map("p0" -> 1L, "p1" -> 1L)) // only item 1; the null group is gone
+    val e = PriceIndex.elementaryIndexes(withNull, "item", col("pd"), "exp", "qty", "p0")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(e == Map("p0" -> 1L, "p1" -> 1L))
+    val ly = PriceIndex.loweYoung(withNull, "item", col("pd"), "exp", "qty", "p0", "p0")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ly == Map("p0" -> 1L, "p1" -> 1L))
+  }
+
+  test("attachRefs two-reference panel equals the chained single-reference attachments") {
+    // loweYoung with weightPeriod == basePeriod must agree with a
+    // Laspeyres/Young built from the same matched sample — and the
+    // two-reference window pass must keep items that appear in BOTH
+    // reference periods only
+    val missingBase = createDf(spark, "item int, pd string, exp double, qty double", Seq(
+      Seq[Any](1, "p0", 10.0, 10.0), Seq[Any](1, "p1", 20.0, 10.0),
+      Seq[Any](2, "p1", 40.0, 10.0), // absent from p0: must drop
+      Seq[Any](3, "p0", 30.0, 10.0), Seq[Any](3, "p1", 30.0, 10.0),
+    ))
+    val out = PriceIndex.loweYoung(missingBase, "item", col("pd"), "exp", "qty", "p0", "p0")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // matched items {1, 3}; Lowe with q from p0: (2*10 + 3*10)/(1*10 + 3*10) = 1.25
+    assert(out.toSeq == Seq(("p0", 2L, 1.0), ("p1", 2L, 1.25)))
+  }
+
   test("matched-sample: an item absent from the base period never enters") {
     val withNew = createDf(spark, "item int, pd string, exp double, qty double",
       Seq(Seq[Any](3, "p1", 1000.0, 1.0))) // item 3 trades only in p1
