@@ -363,7 +363,10 @@ object Graph {
       .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
       .repartition(col("nbr"))
       .localCheckpoint(true)
-    val nodes = dir.select(col("node")).distinct().localCheckpoint(true)
+    // no checkpoint for the node set (r15): it seeds the label state
+    // ONCE and the first cadence checkpoint materializes that chain
+    // anyway — the old eager materialization was a pure extra job
+    val nodes = dir.select(col("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (i <- 1 to rounds) {
       val next = dir
@@ -1012,7 +1015,10 @@ object Graph {
       .select(col("seed"), col("seed").as("node"), lit(1L).cast(dec).as("sig"))
       .localCheckpoint(true)
     val levels = scala.collection.mutable.ArrayBuffer(l0)
-    var seen = l0.select(col("seed"), col("node")).localCheckpoint(true)
+    // seen is a lazy union of PROJECTIONS of checkpointed levels — its
+    // initial slice needs no checkpoint of its own (r15): re-reading it
+    // re-runs a projection over l0's materialized blocks, not a plan
+    var seen = l0.select(col("seed"), col("node"))
     var exhausted = false
     var h = 1
     while (h <= maxHops && !exhausted) {

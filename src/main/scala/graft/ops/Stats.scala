@@ -3045,30 +3045,39 @@ object Stats {
     val gCols = groupBy.map(col)
     val cMicro = BigDecimal(c).*(BigDecimal(1000000))
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // the IRLS loop re-aggregates the (groups, x) projection once per
+    // sweep — persist it so the input scans once, not sweeps+1 times
+    // (r15: the logisticNewton/ipwAte causal-family discipline), and
+    // release it on every exit path
     val base = df.select(gCols :+ round(value * lit(1e6), 0).cast("long").as("__x"): _*)
       .filter(gCols.map(_.isNotNull).reduce(_ && _) && col("__x").isNotNull)
-    val m0 = base.groupBy(gCols: _*)
-      .agg(count(lit(1)).as("__n"), sum(col("__x").cast(dec)).as("__s1"))
-    var mu = m0.select(gCols :+ col("__n") :+ col("__s1")
-        :+ round(col("__s1").cast("double") / col("__n").cast("double"), 0)
-          .cast("long").as("__mu"): _*)
-      .localCheckpoint(true)
-    for (_ <- 1 to sweeps) {
-      val j = base.join(broadcast(mu.select(gCols :+ col("__mu"): _*)), groupBy)
-      val d = abs(col("__x") - col("__mu"))
-      val w = when(d <= cMicro, lit(1.0))
-        .otherwise(lit(cMicro.toDouble) / d.cast("double"))
-      val agg = j.groupBy(gCols: _*)
-        .agg(first(col("__mu")).as("__muPrev"),
-          sum(round(w * col("__x").cast("double"), 0).cast(dec)).as("__wx"),
-          sum(round(w * lit(1e6), 0).cast("long").cast(dec)).as("__w"))
-      mu = mu.drop("__mu", "__w").join(
-        broadcast(agg.select(gCols
-          :+ round(col("__wx").cast("double") * lit(1e6) /
-            col("__w").cast("double"), 0).cast("long").as("__mu")
-          :+ col("__w"): _*)),
-        groupBy).localCheckpoint(true)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mu =
+      try {
+        val m0 = base.groupBy(gCols: _*)
+          .agg(count(lit(1)).as("__n"), sum(col("__x").cast(dec)).as("__s1"))
+        var muV = m0.select(gCols :+ col("__n") :+ col("__s1")
+            :+ round(col("__s1").cast("double") / col("__n").cast("double"), 0)
+              .cast("long").as("__mu"): _*)
+          .localCheckpoint(true)
+        for (_ <- 1 to sweeps) {
+          val j = base.join(broadcast(muV.select(gCols :+ col("__mu"): _*)), groupBy)
+          val d = abs(col("__x") - col("__mu"))
+          val w = when(d <= cMicro, lit(1.0))
+            .otherwise(lit(cMicro.toDouble) / d.cast("double"))
+          val agg = j.groupBy(gCols: _*)
+            .agg(first(col("__mu")).as("__muPrev"),
+              sum(round(w * col("__x").cast("double"), 0).cast(dec)).as("__wx"),
+              sum(round(w * lit(1e6), 0).cast("long").cast(dec)).as("__w"))
+          muV = muV.drop("__mu", "__w").join(
+            broadcast(agg.select(gCols
+              :+ round(col("__wx").cast("double") * lit(1e6) /
+                col("__w").cast("double"), 0).cast("long").as("__mu")
+              :+ col("__w"): _*)),
+            groupBy).localCheckpoint(true)
+        }
+        muV
+      } finally base.unpersist(false)
     mu.select(gCols
       :+ col("__n").as("n")
       :+ round(col("__s1").cast("double") / col("__n").cast("double") / lit(1e6), 6)
