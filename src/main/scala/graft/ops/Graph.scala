@@ -69,9 +69,12 @@ object Graph {
     // still never holds a rank. An empty graph keeps every frame empty,
     // so the guarded divisor only prevents the needless 1/0 throw.
     val nDiv = math.max(nProbe, 1L)
+    // the rank seed is a PROJECTION of the checkpointed node set, read
+    // once by iteration 1 — no checkpoint of its own (r15, the LPA
+    // nodes-seed finding): the first cadence checkpoint materializes
+    // that chain anyway
     var ranks = nodes
       .select(col("node"), lit(unit / nDiv).as("rank"))
-      .localCheckpoint(true)
     val base = (unit * 15L / 100L) / nDiv
     for (i <- 1 to iterations) {
       // the (frozen, degree-carrying) edge list never re-shuffles — only
@@ -297,10 +300,11 @@ object Graph {
     // |S| is the nsProbe scalar the seed guard already paid for — as a
     // literal it drops the per-iteration 1-row broadcast + cross join
     // (exact same truncating integer div; see [[pageRank]])
+    // projection of the checkpointed flagged set, read once by
+    // iteration 1 — no checkpoint of its own (r15, see [[pageRank]])
     var ranks = flagged
       .select(col("node"), col("isrc"),
         (lit(unit / nsProbe) * col("isrc")).as("rank"))
-      .localCheckpoint(true)
     val base = (unit * 15L / 100L) / nsProbe
     for (i <- 1 to iterations) {
       val rankSide = ranks.select(col("node").as("src"), col("rank"))
